@@ -1,0 +1,25 @@
+"""mycelial_spark — a PySpark-native data-movement & analytics engine.
+
+A from-scratch re-expression of the capabilities of ``mycelial/mycelial``
+(declarative streaming ETL pipelines: source -> transform* -> destination)
+on top of Apache Spark's DataFrame / SQL / Structured Streaming stack,
+widened with the relational operator surface Spark provides natively and
+with large-scale training-data-pipeline operators (dedup, similarity
+search, multimodal columns, text analysis).
+
+Design principles (see SURVEY.md):
+- DataFrame-first: every operator is a declarative ``DataFrame -> DataFrame``
+  transform compiled from a JSON/TOML pipeline spec; Catalyst owns the
+  physical plan.
+- Connectors mirror the reference's section surface (SURVEY.md §2) but use
+  Spark readers/writers (parquet, csv, jdbc, binaryFile, kafka, ...).
+- Incremental semantics (stateful query watermark, file cursors, acks)
+  map onto checkpointed watermark state and idempotent ``foreachBatch``
+  sinks (SURVEY.md §1.5, §3).
+"""
+
+from mycelial_spark.session import get_spark, stop_spark
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "stop_spark", "__version__"]

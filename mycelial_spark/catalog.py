@@ -1,0 +1,55 @@
+"""Fixture-table catalog: load the harness parquet tables as DataFrames.
+
+The harness tables (TESTDATA.md) are single parquet files per table under
+``/root/testdata/sf*/``. At 100 TB these would be partitioned parquet/Delta
+directories; ``load_table`` takes any path Spark's parquet reader accepts,
+so the same call works for both. Column pruning and filter pushdown reach
+the scan because we return the raw reader output untouched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixtures. Spark's parquet reader
+# has no nanosecond timestamp type; with nanosAsLong=true (session.py) they
+# arrive as LongType nanos and are normalized here to TIMESTAMP_NTZ at
+# microsecond precision — the same truncation DuckDB applies, so oracle
+# comparisons agree.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name in _NANO_TS_COLS:
+        # runtime-settable SQL conf; required even when the caller's session
+        # (e.g. the driver's own) was built without session.py's defaults
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            micros = (F.col(col) / F.lit(1000)).cast("long")
+            df = df.withColumn(
+                col, F.timestamp_micros(micros).cast(T.TimestampNTZType()))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL entry point."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,15 @@
+"""Operator library: declarative DataFrame -> DataFrame transforms.
+
+Each module mirrors a slice of SURVEY.md §2:
+- ``transforms``  — the reference's native transforms (typecast, tagging,
+  origin rewrite, inspect, csv parse/serialize).
+- ``relational``  — the relational surface the reference delegates to
+  source databases (filter/project/join/agg/window/sort/set ops), here
+  first-class Spark operators.
+- ``dedup``       — exact + fuzzy dedup (MinHash-LSH, SimHash, n-gram
+  Jaccard, embedding cosine).
+- ``similarity``  — ANN / top-k cosine search over embedding columns.
+- ``text``        — language-ID, quality scoring, token counts,
+  fingerprinting over document tables.
+- ``multimodal``  — binary-column (image/audio/video) plumbing.
+"""

@@ -1,0 +1,91 @@
+"""Relational operator surface as declarative, spec-drivable functions.
+
+The reference pushes all relational work down to source databases as SQL
+strings (SURVEY.md §2.4); this engine executes it natively. Every function
+here is a thin, validated wrapper over the DataFrame API so that (a) the
+pipeline-spec compiler can target it from JSON/TOML and (b) Catalyst sees
+the fully declarative plan (predicate pushdown, column pruning, join
+selection all apply).
+
+Scale notes baked into the API:
+- ``join`` takes a ``broadcast`` flag for small dimension tables — at
+  100 TB the fact side never shuffles for a broadcast join, and AQE can
+  still auto-convert when stats allow.
+- ``aggregate`` is hash aggregation with map-side partial aggregation
+  (Spark default) — no driver-side collection anywhere.
+- ``top_k`` uses sort+limit, which Spark executes as a distributed
+  TakeOrdered (per-partition top-k then merge), not a full sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {"inner", "left", "right", "full", "left_semi", "left_anti", "cross"}
+
+
+def filter_rows(df: DataFrame, predicate: str | Column) -> DataFrame:
+    return df.filter(predicate)
+
+
+def project(df: DataFrame, columns: Sequence[str | Column]) -> DataFrame:
+    return df.select(*columns)
+
+
+def join(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column,
+         how: str = "inner", broadcast: bool = False) -> DataFrame:
+    if how not in JOIN_TYPES:
+        raise ValueError(f"unknown join type {how!r}; expected one of {sorted(JOIN_TYPES)}")
+    if broadcast:
+        right = F.broadcast(right)
+    return left.join(right, on=on, how=how)
+
+
+def aggregate(df: DataFrame, group_by: Sequence[str | Column],
+              aggs: Sequence[Column], mode: str = "groupby") -> DataFrame:
+    """Hash aggregation; ``mode`` in {groupby, rollup, cube}."""
+    if mode == "groupby":
+        grouped = df.groupBy(*group_by)
+    elif mode == "rollup":
+        grouped = df.rollup(*group_by)
+    elif mode == "cube":
+        grouped = df.cube(*group_by)
+    else:
+        raise ValueError(f"unknown aggregate mode {mode!r}")
+    return grouped.agg(*aggs)
+
+
+def distinct(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    return df.dropDuplicates(subset) if subset else df.distinct()
+
+
+def sort(df: DataFrame, by: Sequence[str | Column]) -> DataFrame:
+    return df.orderBy(*by)
+
+
+def limit(df: DataFrame, n: int) -> DataFrame:
+    return df.limit(n)
+
+
+def top_k(df: DataFrame, by: Sequence[str | Column], k: int) -> DataFrame:
+    """Distributed top-k: per-partition heads merged on one reducer."""
+    return df.orderBy(*by).limit(k)
+
+
+def set_op(left: DataFrame, right: DataFrame, op: str) -> DataFrame:
+    if op == "union":
+        return left.unionByName(right, allowMissingColumns=True)
+    if op == "union_strict":
+        return left.union(right)
+    if op == "intersect":
+        return left.intersect(right)
+    if op == "intersect_all":
+        return left.intersectAll(right)
+    if op == "except":
+        return left.exceptAll(right)
+    if op == "except_distinct":
+        return left.subtract(right)
+    raise ValueError(f"unknown set op {op!r}")

@@ -1,0 +1,95 @@
+"""The reference's native transform sections, re-expressed on DataFrames.
+
+Parity map (SURVEY.md §2.3):
+- ``typecast``       <- typecast_transformer (sections/typecast_transformer/
+  src/lib.rs:119-145): cast one column or ``*`` to int|real|string;
+  widening-only numeric casts, anything->string; unsupported cast raises.
+- ``tag``            <- tagging_transformer (sections/tagging_transformer/
+  src/lib.rs:49-105): append a constant Str column; refuses overwrite.
+- ``rewrite_origin`` <- origin_transform::regex / ::time_nanos
+  (sections/origin_transform/src/{regex,time_nanos}.rs): regex-rewrite the
+  routing key. Here origin is a plain column (default ``_origin``).
+- ``inspect``        <- inspect section (sections/inspect/src/section.rs:
+  7-74): debug tap printing up to 64 rows, passthrough.
+
+All are narrow transformations (no shuffle) and stay inside whole-stage
+codegen — at 100 TB they fuse into the scan stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The reference's typecast targets (typecast_transformer/src/lib.rs cfg):
+# int -> i64, real -> f64, string -> utf8. Widening-only numerics mirror
+# section/src/message.rs:296-446's cast table.
+_TARGETS = {"int": T.LongType(), "real": T.DoubleType(), "string": T.StringType()}
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType)
+
+
+class CastError(ValueError):
+    """Unsupported cast — the reference poisons the message (lib.rs:141)."""
+
+
+def _check_cast(dtype: T.DataType, target: str) -> None:
+    if target == "string":
+        return  # anything -> string is always allowed (message.rs:419-445)
+    ok = isinstance(dtype, _NUMERIC) or isinstance(dtype, T.StringType)
+    if not ok:
+        raise CastError(f"cannot cast {dtype.simpleString()} to {target}")
+
+
+def typecast(df: DataFrame, column: str, target_type: str) -> DataFrame:
+    """Cast ``column`` (or ``'*'`` = every column) to int|real|string."""
+    if target_type not in _TARGETS:
+        raise CastError(f"unknown target type {target_type!r}")
+    t = _TARGETS[target_type]
+    if column == "*":
+        for f in df.schema.fields:
+            _check_cast(f.dataType, target_type)
+        return df.select(*[F.col(f.name).cast(t).alias(f.name)
+                           for f in df.schema.fields])
+    field = df.schema[column]
+    _check_cast(field.dataType, target_type)
+    return df.withColumn(column, F.col(column).cast(t))
+
+
+def tag(df: DataFrame, column: str, text: str) -> DataFrame:
+    """Append constant string column; error if it exists (lib.rs:60-66)."""
+    if column in df.columns:
+        raise ValueError(f"column {column!r} already exists; tagging refuses overwrite")
+    return df.withColumn(column, F.lit(text))
+
+
+ORIGIN_COL = "_origin"
+
+
+def with_origin(df: DataFrame, origin: str) -> DataFrame:
+    """Attach the routing key the reference carries on every message."""
+    return df.withColumn(ORIGIN_COL, F.lit(origin))
+
+
+def rewrite_origin(df: DataFrame, pattern: str, replacement: str,
+                   column: str = ORIGIN_COL) -> DataFrame:
+    """origin = regex.replace_all(origin, replacement) (regex.rs:18-68)."""
+    return df.withColumn(column, F.regexp_replace(F.col(column), pattern, replacement))
+
+
+def rewrite_origin_time_nanos(df: DataFrame, pattern: str,
+                              column: str = ORIGIN_COL) -> DataFrame:
+    """Replacement = current epoch nanoseconds (time_nanos.rs:21-71).
+
+    Spark exposes microseconds; multiply to keep the reference's unit.
+    """
+    nanos = (F.unix_micros(F.current_timestamp()) * F.lit(1000)).cast("string")
+    return df.withColumn(column, F.regexp_replace(F.col(column), pattern, nanos))
+
+
+def inspect(df: DataFrame, n: int = 64, truncate: bool = False) -> DataFrame:
+    """Debug tap: print up to n rows (pretty_print.rs:105-112), pass through."""
+    df.show(n, truncate=truncate)
+    return df

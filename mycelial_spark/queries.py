@@ -1,0 +1,412 @@
+"""Harness query registry: every SURVEY.md §2 capability as a named query.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with the
+equivalent ANSI SQL for the DuckDB oracle. Column names and rounding are
+matched on both sides because the driver hashes values after sorting
+columns by name.
+
+Float discipline: aggregates over DOUBLE are wrapped in ``round(..., k)``
+on BOTH sides so the hash is insensitive to summation order (Spark and
+DuckDB both accumulate left-to-right but over different partitionings).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mycelial_spark.catalog import load_table
+from mycelial_spark.operators import relational as R
+from mycelial_spark.operators import transforms as X
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => non-SQL-expressible; driver does rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.4): aggregation
+# ---------------------------------------------------------------------------
+
+@query("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered hash aggregation with map-side combine.
+
+    Scale: the filter and the two group columns reach the parquet scan
+    (pushdown + pruning); the shuffle carries only 6 partial aggregates
+    per (flag,status) group per task — constant-size regardless of SF.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return R.aggregate(
+        R.filter_rows(li, F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+@query("agg_rollup", """
+SELECT l_returnflag, l_linestatus,
+       count(*)                  AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return R.aggregate(
+        li, ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n_rows"),
+         F.round(F.sum("l_quantity"), 2).alias("sum_qty")],
+        mode="rollup",
+    )
+
+
+@query("agg_distinct", """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+""")
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+@query("q3_top_orders", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""")
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dims broadcast into the fact scan.
+
+    customer (filtered) is broadcast so lineitem/orders join without a
+    customer-side shuffle; top-10 is a distributed TakeOrdered.
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = R.join(o, c.select("c_custkey"), on=[F.col("o_custkey") == F.col("c_custkey")],
+                    broadcast=True)
+    joined = li.join(joined, on=[F.col("l_orderkey") == F.col("o_orderkey")])
+    agg = joined.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    return R.top_k(agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10) \
+            .select("l_orderkey", "revenue", "o_orderdate")
+
+
+@query("q5_region_volume", """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""")
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join; every dimension side broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = (F.broadcast(s)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")))
+    fact = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")))
+    joined = fact.join(F.broadcast(dims),
+                       (F.col("l_suppkey") == F.col("s_suppkey"))
+                       & (F.col("c_nationkey") == F.col("s_nationkey")))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+
+
+@query("join_semi", """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+""")
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return R.join(c, o, on=[F.col("c_custkey") == F.col("o_custkey")],
+                  how="left_semi").select("c_custkey", "c_name")
+
+
+@query("join_anti", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.join(c, o, on=[F.col("c_custkey") == F.col("o_custkey")],
+                  how="left_anti").select("c_custkey", "c_name")
+
+
+@query("join_outer", """
+SELECT n_nationkey, n_name, count(c_custkey) AS n_customers
+FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+""")
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (n.join(c, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+             .groupBy("n_nationkey", "n_name")
+             .agg(F.count("c_custkey").alias("n_customers")))
+
+
+# ---------------------------------------------------------------------------
+# Window functions / sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+@query("window_rank", """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey), 2)      AS cust_total
+  FROM orders
+) WHERE rn <= 3
+""")
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey").asc())
+    wt = Window.partitionBy("o_custkey")
+    return (o.select("o_custkey", "o_orderkey", "o_totalprice",
+                     F.row_number().over(w).alias("rn"),
+                     F.round(F.sum("o_totalprice").over(wt), 2).alias("cust_total"))
+             .filter(F.col("rn") <= 3))
+
+
+@query("window_lag_frame", """
+SELECT l_orderkey, l_linenumber,
+       lag(l_quantity) OVER w AS prev_qty,
+       round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+FROM lineitem
+WINDOW w AS (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice)
+""")
+def window_lag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (l_orderkey, l_linenumber) is NOT unique in the fixture; the extra
+    # order keys make the total order (and thus lag/running sum) deterministic.
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.lag("l_quantity").over(w).alias("prev_qty"),
+        F.round(F.sum("l_quantity").over(wf), 2).alias("running_qty"))
+
+
+@query("top_k", """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+""")
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k(o.select("o_orderkey", "o_totalprice"),
+                   [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 25)
+
+
+@query("set_ops", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return R.set_op(open_c, done_c, "except_distinct")
+
+
+@query("union_fanin", """
+SELECT 'open' AS slice, o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'big' AS slice, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+""")
+def union_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-in (graph/src/lib.rs:145-149 allows multi-parent nodes) = unionByName."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O") \
+         .select(F.lit("open").alias("slice"), "o_orderkey", "o_totalprice")
+    b = o.filter(F.col("o_totalprice") > 200000) \
+         .select(F.lit("big").alias("slice"), "o_orderkey", "o_totalprice")
+    return R.set_op(a, b, "union")
+
+
+# ---------------------------------------------------------------------------
+# Reference-native transforms (typecast / tagging / scalar functions / JSON)
+# ---------------------------------------------------------------------------
+
+@query("typecast_star_string", """
+SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+       CAST(n_name AS VARCHAR)      AS n_name,
+       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+FROM nation
+""")
+def typecast_star_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typecast_transformer with column='*', target=string (T1)."""
+    return X.typecast(_t(spark, sf_dir, "nation"), "*", "string")
+
+
+@query("typecast_int", """
+SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey FROM nation
+""")
+def typecast_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """typecast_transformer int target: widening i32 -> i64 (T1)."""
+    return X.typecast(_t(spark, sf_dir, "nation"), "n_regionkey", "int")
+
+
+@query("tag_literal", """
+SELECT r_regionkey, r_name, 'mycelial' AS tag FROM region
+""")
+def tag_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tagging_transformer: append constant Str column (T2)."""
+    return X.tag(_t(spark, sf_dir, "region"), "tag", "mycelial")
+
+
+@query("origin_rewrite", """
+SELECT DISTINCT regexp_replace('events_raw_' || event_type, '_raw', '_clean', 'g') AS _origin
+FROM events
+""")
+def origin_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """origin_transform::regex — routing-key rewrite (T5)."""
+    e = _t(spark, sf_dir, "events")
+    e = e.withColumn(X.ORIGIN_COL, F.concat(F.lit("events_raw_"), F.col("event_type")))
+    return X.rewrite_origin(e, "_raw", "_clean").select(X.ORIGIN_COL).distinct()
+
+
+@query("scalar_funcs", """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 3)) AS priority_name,
+       CAST(year(o_orderdate) AS INT)    AS order_year,
+       CAST(month(o_orderdate) AS INT)   AS order_month,
+       round(o_totalprice * 1.07, 2)     AS taxed_price,
+       length(o_orderstatus)             AS status_len
+FROM orders
+""")
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 3, 2147483647)).alias("priority_name"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round(F.col("o_totalprice") * 1.07, 2).alias("taxed_price"),
+        F.length("o_orderstatus").alias("status_len"))
+
+
+@query("json_extract", """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""")
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RawJson handling: get_json_object over the events.props column."""
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.avg("k"), 4).alias("avg_k")))
+
+
+# ---------------------------------------------------------------------------
+# Incremental read semantics (stateful query watermark, SURVEY §2.4 row 1)
+# ---------------------------------------------------------------------------
+
+@query("incremental_watermark", """
+SELECT event_id, user_id, event_type, value FROM events WHERE event_id > 500
+""")
+def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful-query pattern: WHERE id > $wm::i64 with wm persisted on
+    ack (postgres_connector/src/stateful_query.rs:41-204). Here the rewrite
+    engine (streaming/incremental.py) injects the watermark predicate; the
+    predicate reaches the parquet scan as a pushed filter.
+    """
+    from mycelial_spark.streaming.incremental import StatefulQuery
+    e = _t(spark, sf_dir, "events")
+    sq = StatefulQuery("SELECT event_id, user_id, event_type, value FROM events "
+                       "WHERE event_id > $wm::i64", initial={"wm": 500})
+    e.createOrReplaceTempView("events")
+    return sq.run(spark)
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

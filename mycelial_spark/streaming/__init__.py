@@ -1,0 +1,2 @@
+"""Incremental & streaming semantics: watermark-injected reads, cursors,
+checkpointed state, and the streaming pipeline runner."""

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given SF dir and compares against the
+``oracle_sql()`` DuckDB result: row count, column names, and an
+order-insensitive value comparison (rows sorted after stringifying with
+stable float formatting, columns sorted by name).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entrymod
+from mycelial_spark.session import get_spark
+from mycelial_spark.catalog import TABLES
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style stable float repr: round to 9 significant-ish digits
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        if sorted(scols) != sorted(ocols):
+            failures.append(name)
+            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            continue
+        if len(srows) != len(orows):
+            failures.append(name)
+            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
+            continue
+        a, b = norm_rows(scols, srows), norm_rows(ocols, orows)
+        if a != b:
+            failures.append(name)
+            diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diff}")
+            continue
+        print(f"ok   {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
