@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set (excluding Spark
+session startup). Each query is forced with a count-collect so the full
+plan executes; results are not pulled to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mycelial_spark.session import get_spark  # noqa: E402
+from mycelial_spark import queries as Q  # noqa: E402
+
+# Headline set: one per operator class (scan+agg, join+topk, 5-way join,
+# window, set op, incremental read, dedup/text/similarity once present).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_volume",
+    "window_rank",
+    "window_lag_frame",
+    "agg_rollup",
+    "set_ops",
+    "json_extract",
+    "incremental_watermark",
+    "dedup_minhash_pairs",
+    "text_stats",
+    "similarity_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("mycelial-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = Q.get_queries()
+
+    # warm the JVM + parquet footers once so per-query numbers reflect the
+    # plan, not first-touch costs
+    registry["q1_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

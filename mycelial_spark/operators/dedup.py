@@ -1,0 +1,196 @@
+"""Deduplication operators: exact + fuzzy, designed for 100 TB corpora.
+
+Strategies (all shuffle-frugal):
+- ``exact``         — hash-groupBy on a 64-bit fingerprint. The shuffle key
+  is 8 bytes/doc and partial aggregation collapses duplicates map-side.
+- ``minhash_lsh``   — shingle → K minhashes → b bands of r rows →
+  band-bucket join. Only docs sharing a band bucket are compared, so the
+  candidate join is output-linear instead of O(n^2); the verify step
+  computes true Jaccard on the candidate pairs only.
+- ``simhash``       — 64-bit SimHash; near-dups = small Hamming distance.
+  Banded by 16-bit chunks for sub-quadratic candidate generation.
+- ``ngram_jaccard`` — exact all-pairs Jaccard via token-postings join
+  (explode tokens → join on token → count shared) — the oracle-checkable
+  baseline; use LSH at scale.
+
+Everything is built-in higher-order array functions (JVM-side); no Python
+UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.text import tokens, with_fingerprint
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+
+    Equivalent SQL shape: GROUP BY fingerprint -> min(id), count(*).
+    """
+    fp = with_fingerprint(df, text_col)
+    return (fp.groupBy("fingerprint")
+              .agg(F.min(id_col).alias(id_col),
+                   F.count(F.lit(1)).alias("dup_count")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       ngram: int = 3) -> DataFrame:
+    """K minhashes per doc without exploding shingles.
+
+    sig[j] = min over shingles s of xxhash64(s_hash, j) — a seeded-hash
+    family realized with the built-in multi-arg xxhash64; computed with
+    transform/array_min entirely inside codegen.
+    """
+    fp = with_fingerprint(df, text_col, ngram=ngram)
+    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
+    sig = F.transform(
+        seeds,
+        lambda j: F.array_min(
+            F.transform(F.col("shingle_hashes"), lambda s: F.xxhash64(s, j))))
+    return (fp.withColumn("minhash", sig)
+              .select(id_col, "minhash", "shingle_hashes"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 64,
+                      bands: int = 16, ngram: int = 3,
+                      threshold: float = 0.5) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with true Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Scale: the only wide ops are (1) the explode to (band_idx, band_hash)
+    — num_bands rows/doc with an 8-byte key, (2) the self-join on band
+    bucket — skew-safe under AQE since hot buckets mean real near-dup
+    clusters, and (3) distinct on candidate pairs. True-Jaccard verify
+    uses array_intersect on the two shingle sets carried with the pair.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        F.col(id_col), "shingle_hashes",
+        F.explode(
+            F.transform(band_idx,
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.xxhash64(F.slice(F.col("minhash"),
+                                               b * rows + 1, rows), b)
+                             .alias("bucket")))).alias("bb"))
+    banded = banded.select(id_col, "shingle_hashes",
+                           F.col("bb.band").alias("band"),
+                           F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, [F.col(f"a.band") == F.col("b.band"),
+                       F.col(f"a.bucket") == F.col("b.bucket"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.shingle_hashes").alias("sh_a"),
+                     F.col("b.shingle_hashes").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (cand.withColumn("jaccard",
+                            F.round(inter / F.greatest(union, F.lit(1)), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over the token stream (unweighted).
+
+    bit_i(doc) = 1 iff sum over tokens of sign(bit_i(xxhash64(token)))
+    is positive. Computed with one aggregate() per document inside
+    codegen — no shuffle, no UDF.
+    """
+    tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    # call_function: the SQL shiftright/shiftleft accept Column shift amounts
+    # (the Python wrappers don't), keeping the whole signature inside one
+    # codegen'd expression tree.
+    bit_votes = F.transform(
+        bit_idx,
+        lambda i: F.aggregate(
+            tok_hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))))
+    sim = F.aggregate(
+        F.zip_with(bit_votes, bit_idx,
+                   lambda v, i: F.when(
+                       v > 0,
+                       F.call_function("shiftleft", F.lit(1).cast("long"), i))
+                      .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
+    return df.select(id_col, sim.alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Banding: two docs within Hamming distance 3 of a 64-bit hash agree
+    exactly on at least one of 4 16-bit chunks — join per chunk, then
+    verify with bit_count(xor). Sub-quadratic like MinHash-LSH.
+    """
+    sh = simhash(df, text_col, id_col)
+    chunk_idx = F.sequence(F.lit(0), F.lit(3))
+    chunks = F.transform(
+        chunk_idx,
+        lambda i: F.struct(
+            i.alias("chunk"),
+            F.call_function("shiftright", F.col("simhash"), i * 16)
+             .bitwiseAND(F.lit(0xFFFF)).alias("key")))
+    banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")) \
+               .select(id_col, "simhash",
+                       F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, [F.col("a.chunk") == F.col("b.chunk"),
+                       F.col("a.key") == F.col("b.key"),
+                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", hamming)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.4) -> DataFrame:
+    """Exact all-pairs token-set Jaccard >= threshold via postings join.
+
+    SQL-oracle-checkable baseline: explode distinct tokens, self-join the
+    postings on token (each token's posting list is its df — common words
+    dominate cost; at scale, drop top-percentile document-frequency tokens
+    first), count shared tokens per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(tokens(F.col(text_col))))
+                      .alias("tok"))
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    shared = (a.join(b, [F.col("a.tok") == F.col("b.tok"),
+                         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+               .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+               .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (shared.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter") /
+                                (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``            — expression-level cosine similarity between two
+  array columns (F.zip_with/F.aggregate; codegen, no UDF).
+- ``topk_to_query``     — brute-force top-k against one query vector:
+  the query is a literal folded into the projection, so this is a
+  narrow map + distributed TakeOrdered. O(n·d), the exact baseline.
+- ``knn_join_bruteforce`` — k nearest neighbors for every probe row via
+  broadcast cross join + per-probe window top-k. Exact; use for small
+  probe sets (the probe side is broadcast).
+- ``lsh_bucket_topk``   — scale path: random-hyperplane (SimHash-style)
+  LSH bucketing; candidates share a bucket in at least one table, then
+  exact cosine re-rank within candidates. Hyperplanes are derived
+  deterministically from xxhash64(dim, plane) so the operator needs no
+  stored model and replays identically on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0).cast("double"), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_to_query(df: DataFrame, query_vec: list[float], k: int = 10,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k most-similar rows to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"))
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join_bruteforce(probes: DataFrame, corpus: DataFrame, k: int = 5,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """For each probe row: k nearest corpus rows by cosine (exact).
+
+    The probe side is broadcast — the corpus (the 100 TB side) streams
+    through one narrow stage; per-probe top-k via window row_number.
+    """
+    from pyspark.sql.window import Window
+    p = probes.select(F.col(id_col).alias("probe_id"),
+                      F.col(vec_col).cast("array<double>").alias("pvec"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    scored = (c.join(F.broadcast(p), F.col("probe_id") != F.col("corpus_id"))
+               .withColumn("cos_sim", F.round(cosine(F.col("pvec"), F.col("cvec")), 6)))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= k)
+                  .select("probe_id", "corpus_id", "cos_sim", "rn"))
+
+
+def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
+    """sign(v · h_plane) with h derived from xxhash64(dim, plane) ∈ [-1,1]."""
+    dim_idx = F.sequence(F.lit(0), F.lit(dims - 1))
+    h = F.transform(dim_idx,
+                    lambda d: (F.xxhash64(d, F.lit(plane)) % 1000000) / 500000.0)
+    return F.when(dot(vec, h) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def with_lsh_bucket(df: DataFrame, planes: int = 8, dims: int = 64,
+                    vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket id (int in [0, 2^planes))."""
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(_hyperplane_sign(v, p, dims))
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    planes: int = 8, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's LSH bucket,
+    then exact cosine re-rank. At scale the table is written bucketed/
+    partitioned by lsh_bucket, so this prunes to ~1/2^planes of the data."""
+    dims = len(query_vec)
+    bucketed = with_lsh_bucket(df, planes, dims, vec_col)
+    import pyspark.sql.functions as _F
+    qrow = [float(x) for x in query_vec]
+    # compute the query's bucket with the same deterministic hyperplanes
+    qdf = bucketed.sparkSession.range(1).select(
+        _F.array(*[_F.lit(x) for x in qrow]).alias("qv"))
+    qbucket = with_lsh_bucket(qdf, planes, dims, "qv").collect()[0]["lsh_bucket"]
+    cand = bucketed.filter(F.col("lsh_bucket") == qbucket)
+    return topk_to_query(cand, qrow, k, vec_col, id_col)

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines (north-star set).
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python UDFs — so each operator is a narrow
+map over the document scan: at 100 TB these fuse into the read stage with
+zero shuffle.
+
+Operators:
+- ``tokenize``          — whitespace tokens + a BPE-ish regex token count.
+- ``text_stats``        — length / punctuation / digit / whitespace /
+                          stopword ratios, token counts (quality signals).
+- ``quality_score``     — a single [0,1] heuristic combining the signals.
+- ``lang_id``           — marker-word n-gram heuristic over a small
+                          per-language lexicon (argmax of marker hits).
+- ``fingerprint``       — 64-bit document fingerprint: xxhash64 over the
+                          normalized token stream (exact-dup key), plus a
+                          rolling-window n-gram fingerprint set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokens: runs of letters/digits (the whitespace baseline); BPE-ish pieces:
+# letter-runs, digit-runs, or single non-space symbols — the common
+# pre-tokenizer split used before byte-pair merging.
+TOKEN_RE = r"\s+"
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny marker lexicons per language (deterministic, self-contained).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "die", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "y", "los", "es"],
+    "zh": ["de5", "shi4", "le5", "bu4"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens, empty strings dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), TOKEN_RE), lambda t: t != F.lit(""))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of BPE-ish pieces via regexp_count — proxy for LLM token cost."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_PIECE_RE))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-signal columns. One projection, no shuffle."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_chars = F.length(c)
+    return (df
+            .withColumn("n_chars_actual", n_chars)
+            .withColumn("n_tokens", F.size(toks))
+            .withColumn("n_distinct_tokens", F.size(F.array_distinct(toks)))
+            .withColumn("n_bpe_tokens", bpe_token_count(c))
+            .withColumn("punct_ratio",
+                        F.round(F.regexp_count(c, F.lit(r"[^\w\s]")) /
+                                F.greatest(n_chars, F.lit(1)), 6))
+            .withColumn("digit_ratio",
+                        F.round(F.regexp_count(c, F.lit(r"[0-9]")) /
+                                F.greatest(n_chars, F.lit(1)), 6))
+            .withColumn("space_ratio",
+                        F.round(F.regexp_count(c, F.lit(r"\s")) /
+                                F.greatest(n_chars, F.lit(1)), 6))
+            .withColumn("avg_token_len",
+                        F.round((n_chars - F.regexp_count(c, F.lit(r"\s"))) /
+                                F.greatest(F.size(toks), F.lit(1)), 6)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """[0,1] heuristic: long enough, low punctuation/digit noise, lexically
+    diverse. Deterministic and cheap — a pre-filter before expensive dedup."""
+    if "n_tokens" not in df.columns:
+        df = with_text_stats(df, text_col)
+    length_ok = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0))
+    diversity = F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1))
+    noise = F.greatest(F.lit(0.0), F.lit(1.0) - 2 * (F.col("punct_ratio") + F.col("digit_ratio")))
+    return df.withColumn(
+        "quality_score", F.round(length_ok * diversity * noise, 6))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: per language, count marker-word hits in the
+    token stream; predict the argmax (ties broken by language code order;
+    'und' = undetermined when no marker hits)."""
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(F.size(F.array_intersect(toks, arr)).alias("score"),
+                     F.lit(lang).alias("lang")))
+    # array_max over structs compares (score, lang) lexicographically:
+    # highest score wins, then LAST lang code alphabetically — mirror this
+    # exactly in any oracle SQL.
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        "pred_lang",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     ngram: int = 3) -> DataFrame:
+    """64-bit doc fingerprint + rolling n-gram fingerprint set.
+
+    ``fingerprint``: xxhash64 of the whitespace-normalized text — the
+    exact-dedup key (hash-groupBy scales to any SF: the shuffle key is
+    8 bytes, heavily combinable map-side).
+    ``shingle_hashes``: xxhash64 of each word n-gram (rolling window) —
+    input to MinHash/Jaccard dedup.
+    """
+    c = F.col(text_col)
+    norm = F.concat_ws(" ", tokens(c))
+    toks = tokens(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (ngram - 1), F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)))
+    return (df
+            .withColumn("fingerprint", F.xxhash64(norm))
+            .withColumn("shingle_hashes",
+                        F.array_distinct(F.transform(shingles, lambda s: F.xxhash64(s)))))

@@ -404,6 +404,223 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq.run(spark)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / text analysis / similarity
+# (north-star set; implementations in operators/{dedup,text,similarity}.py)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", """
+SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+FROM documents
+GROUP BY regexp_replace(trim(text), '\\s+', ' ', 'g')
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via 64-bit fingerprint hash-groupBy (8-byte shuffle key,
+    map-side combinable — the only scalable exact-dedup shape at 100 TB)."""
+    from mycelial_spark.operators.dedup import dedup_exact as op
+    return op(_t(spark, sf_dir, "documents")).select("doc_id", "dup_count")
+
+
+@query("ngram_jaccard_pairs", """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), post AS (SELECT doc_id, unnest(shingles) s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+""")
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard pairs via postings join (output-linear:
+    shingles are discriminative so posting lists stay short at scale)."""
+    from mycelial_spark.operators.text import with_fingerprint
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"))
+    post = docs.select(F.col("doc_id"),
+                       F.explode("shingle_hashes").alias("s"))
+    sizes = docs.select("doc_id", F.size("shingle_hashes").alias("sz"))
+    a, b = post.alias("a"), post.alias("b")
+    inter = (a.join(b, [F.col("a.s") == F.col("b.s"),
+                        F.col("a.doc_id") < F.col("b.doc_id")])
+              .groupBy(F.col("a.doc_id").alias("id_a"),
+                       F.col("b.doc_id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+            .withColumn("jaccard",
+                        F.round(F.col("inter") /
+                                (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= 0.2)
+            .select("id_a", "id_b", "jaccard"))
+
+
+@query("dedup_minhash_pairs", None)  # xxhash64 family not in DuckDB -> rows-only
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 hashes, 16 bands x 4 rows), true-Jaccard
+    verified at >= 0.5. The scale path for fuzzy dedup: candidate generation
+    is the banded bucket join, never all-pairs."""
+    from mycelial_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@query("dedup_simhash_pairs", None)  # xxhash64-based bits -> rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk banding,
+    Hamming <= 8 verify."""
+    from mycelial_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@query("text_stats", """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+)
+SELECT doc_id,
+       length(text)                                   AS n_chars_actual,
+       len(toks)                                      AS n_tokens,
+       len(list_distinct(toks))                       AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+             / greatest(length(text), 1), 6)          AS punct_ratio,
+       round((length(text) - len(regexp_extract_all(text, '\\s'))) * 1.0
+             / greatest(len(toks), 1), 6)             AS avg_token_len
+FROM t
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal extraction: one codegen projection over the scan."""
+    from mycelial_spark.operators.text import with_text_stats
+    return with_text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_actual", "n_tokens", "n_distinct_tokens",
+        "n_bpe_tokens", "punct_ratio", "avg_token_len")
+
+
+@query("lang_id", """
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_intersect(toks, ['der','und','die','ist'])) s_de,
+    len(list_intersect(toks, ['the','and','of','is']))   s_en,
+    len(list_intersect(toks, ['el','y','los','es']))     s_es,
+    len(list_intersect(toks, ['le','et','les','est']))   s_fr,
+    len(list_intersect(toks, ['de5','shi4','le5','bu4'])) s_zh
+  FROM t
+)
+SELECT doc_id, CASE
+  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
+  WHEN s_zh >= s_es AND s_zh >= s_fr AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+  WHEN s_en >= s_de THEN 'en'
+  ELSE 'de' END AS pred_lang
+FROM s
+""")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language ID (argmax, ties -> last lang code)."""
+    from mycelial_spark.operators.text import with_lang_id
+    return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
+
+
+@query("quality_filter", """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len(toks) n_tokens,
+         len(list_distinct(toks)) n_distinct,
+         round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+               / greatest(length(text), 1), 6) punct_ratio,
+         round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+               / greatest(length(text), 1), 6) digit_ratio
+  FROM t
+)
+SELECT doc_id,
+       round(least(n_tokens / 20.0, 1.0)
+             * (n_distinct * 1.0 / greatest(n_tokens, 1))
+             * greatest(0.0, 1.0 - 2 * (punct_ratio + digit_ratio)), 6)
+         AS quality_score
+FROM s
+WHERE round(least(n_tokens / 20.0, 1.0)
+            * (n_distinct * 1.0 / greatest(n_tokens, 1))
+            * greatest(0.0, 1.0 - 2 * (punct_ratio + digit_ratio)), 6) >= 0.3
+""")
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring + filter — the cheap pre-dedup gate."""
+    from mycelial_spark.operators.text import with_quality_score
+    scored = with_quality_score(_t(spark, sf_dir, "documents"))
+    return scored.filter(F.col("quality_score") >= 0.3) \
+                 .select("doc_id", "quality_score")
+
+
+@query("similarity_topk", """
+WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""")
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k to a query vector: narrow map over the
+    corpus + distributed TakeOrdered — the exact ANN baseline."""
+    from mycelial_spark.operators.similarity import topk_to_query
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return topk_to_query(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@query("knn_join", """
+WITH p AS (SELECT vec_id pid, embedding::DOUBLE[] pv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id cid, embedding::DOUBLE[] cv FROM embeddings),
+s AS (
+  SELECT pid AS probe_id, cid AS corpus_id,
+         round(list_dot_product(pv, cv)
+               / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))), 6)
+           AS cos_sim
+  FROM p, c WHERE pid != cid
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+                 ORDER BY cos_sim DESC, corpus_id ASC) AS INT) AS rn
+  FROM s
+)
+SELECT probe_id, corpus_id, cos_sim, rn FROM r WHERE rn <= 5
+""")
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-kNN: probe set broadcast, corpus streams one narrow stage."""
+    from mycelial_spark.operators.similarity import knn_join_bruteforce
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_join_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+@query("similarity_lsh_topk", None)  # hash-derived hyperplanes -> rows-only
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: deterministic random-hyperplane LSH bucket prune,
+    then exact re-rank inside the bucket."""
+    from mycelial_spark.operators.similarity import lsh_bucket_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return lsh_bucket_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
+                           k=10, planes=4)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

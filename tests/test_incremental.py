@@ -1,0 +1,72 @@
+"""Stateful-query watermark semantics (mirrors the reference's
+stateful_query.rs test block at sections/postgres_connector/src/
+stateful_query.rs:207-310) + StateStore persistence."""
+
+import pytest
+from hypothesis import given, strategies as st
+
+from mycelial_spark.streaming.incremental import (
+    StatefulQuery, StateStore, _PLACEHOLDER)
+from mycelial_spark.catalog import load_table
+
+
+def test_placeholder_parse_and_track():
+    sq = StatefulQuery("SELECT * FROM t WHERE id > $wm::i64", initial={"wm": 0})
+    assert sq.placeholders == [("wm", "i64")]
+    assert sq.track == {"wm": "id"}
+    assert "id > 0" in sq.rendered_sql()
+
+
+def test_missing_initial_raises():
+    with pytest.raises(ValueError):
+        StatefulQuery("SELECT * FROM t WHERE id > $wm::i64")
+
+
+def test_no_placeholder_raises():
+    with pytest.raises(ValueError):
+        StatefulQuery("SELECT * FROM t", initial={})
+
+
+def test_str_placeholder_quoting():
+    sq = StatefulQuery("SELECT * FROM t WHERE name > $cur::str",
+                       initial={"cur": "o'brien"})
+    assert "'o''brien'" in sq.rendered_sql()
+
+
+@given(st.integers(min_value=-2**62, max_value=2**62))
+def test_i64_literal_roundtrip(v):
+    sq = StatefulQuery("SELECT * FROM t WHERE id > $wm::i64", initial={"wm": v})
+    assert f"id > {v}" in sq.rendered_sql()
+
+
+def test_incremental_no_reemission(spark, sf_dir):
+    """Run -> ack -> run again: second poll emits only rows past the new
+    watermark (the at-least-once no-dup-on-success property, §1.5)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sq = StatefulQuery(
+        "SELECT event_id FROM events WHERE event_id > $wm::i64",
+        initial={"wm": 0})
+    first = sq.run(spark)
+    n_total = first.count()
+    assert n_total > 0
+    sq.ack()
+    assert sq.run(spark).count() == 0  # watermark advanced to max(event_id)
+
+
+def test_state_store_persistence(tmp_path):
+    p = str(tmp_path / "state.json")
+    s1 = StateStore(p)
+    s1.set("wm", 123)
+    s2 = StateStore(p)
+    assert s2.get("wm") == 123
+
+
+def test_partial_progress(spark, sf_dir):
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    sq = StatefulQuery(
+        "SELECT event_id FROM events WHERE event_id > $wm::i64 "
+        "AND event_id <= 100", initial={"wm": 0})
+    assert sq.run(spark).count() == 100
+    sq.ack()
+    assert sq.state.get("wm") == 100
+    assert sq.run(spark).count() == 0

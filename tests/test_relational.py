@@ -1,0 +1,42 @@
+from pyspark.sql import functions as F
+import pytest
+
+from mycelial_spark.operators import relational as R
+from mycelial_spark.catalog import load_table
+
+
+def test_join_type_validation(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    with pytest.raises(ValueError):
+        R.join(n, n, on="n_nationkey", how="sideways")
+
+
+def test_semi_and_anti_partition_rows(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = [F.col("c_custkey") == F.col("o_custkey")]
+    semi = R.join(c, o, on=cond, how="left_semi").count()
+    anti = R.join(c, o, on=cond, how="left_anti").count()
+    assert semi + anti == c.count()
+
+
+def test_top_k_matches_full_sort(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    got = [r["o_orderkey"] for r in R.top_k(o, keys, 5).collect()]
+    want = [r["o_orderkey"] for r in o.orderBy(*keys).collect()[:5]]
+    assert got == want
+
+
+def test_set_op_unknown(spark, sf_dir):
+    n = load_table(spark, sf_dir, "nation")
+    with pytest.raises(ValueError):
+        R.set_op(n, n, "xor")
+
+
+def test_rollup_includes_grand_total(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    out = R.aggregate(li, ["l_returnflag"], [F.count(F.lit(1)).alias("n")],
+                      mode="rollup")
+    rows = {r["l_returnflag"]: r["n"] for r in out.collect()}
+    assert rows[None] == li.count()  # grand-total row

@@ -1,0 +1,114 @@
+"""Text-analysis + dedup operator behavior on constructed corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators import dedup as D
+from mycelial_spark.operators import text as TX
+from mycelial_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words about spark shuffle partitions and codegen"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, base)],  # 4 == exact dup of 1
+        "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_identical(corpus):
+    out = D.dedup_exact(corpus).orderBy("doc_id").collect()
+    by_id = {r["doc_id"]: r["dup_count"] for r in out}
+    assert by_id[1] == 2          # docs 1 and 4 collapse, min id survives
+    assert 4 not in by_id
+    assert by_id[2] == by_id[3] == 1
+
+
+def test_exact_dedup_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, " a b c ")], "doc_id long, text string")
+    assert D.dedup_exact(df).count() == 1
+
+
+def test_minhash_finds_near_dup_pair(corpus):
+    pairs = D.minhash_lsh_pairs(corpus, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found        # near-dup detected
+    assert (1, 4) in found        # exact dup is jaccard 1.0
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in found)
+
+
+def test_minhash_jaccard_bounds(corpus):
+    for r in D.minhash_lsh_pairs(corpus, threshold=0.0).collect():
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_simhash_identical_docs_distance_zero(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(corpus).collect()}
+    assert sh[1] == sh[4]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(corpus, max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0
+    assert pairs[(1, 2)] <= 10    # near dup within banding reach
+
+
+def test_ngram_jaccard_exact_pair_is_one(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in D.ngram_jaccard_pairs(corpus, threshold=0.3).collect()}
+    assert pairs[(1, 4)] == 1.0
+
+
+def test_text_stats_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, 42 times!")],
+                               "doc_id long, text string")
+    row = TX.with_text_stats(df).collect()[0]
+    assert row["n_tokens"] == 4
+    assert row["n_distinct_tokens"] == 4
+    # Hello | world | , | 42 | times | !
+    assert row["n_bpe_tokens"] == 6
+    assert row["punct_ratio"] > 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund und die katze ist"), (2, "xyzzy plugh"),
+         (3, "the cat and the dog is")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.with_lang_id(df).collect()}
+    assert out[1] == "de" and out[2] == "und" and out[3] == "en"
+
+
+def test_quality_score_range(corpus):
+    for r in TX.with_quality_score(corpus).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_cosine_identical_is_one(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]),
+                                (3, [-3.0, 1.0, 0.0])],
+                               "vec_id long, embedding array<double>")
+    top = S.topk_to_query(df.filter(F.col("vec_id") != 1), [1.0, 2.0, 3.0], k=2)
+    rows = top.collect()
+    assert rows[0]["vec_id"] == 2 and rows[0]["cos_sim"] == 1.0
+
+
+def test_knn_join_excludes_self_and_ranks(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    out = S.knn_join_bruteforce(df.filter(F.col("vec_id") < 2), df, k=3)
+    rows = out.collect()
+    assert all(r["probe_id"] != r["corpus_id"] for r in rows)
+    assert len([r for r in rows if r["probe_id"] == 0]) == 3
+
+
+def test_lsh_bucket_deterministic(spark):
+    df = spark.createDataFrame([(1, [0.5] * 8), (2, [-0.5] * 8)],
+                               "vec_id long, embedding array<double>")
+    a = {r["vec_id"]: r["lsh_bucket"]
+         for r in S.with_lsh_bucket(df, planes=4, dims=8).collect()}
+    b = {r["vec_id"]: r["lsh_bucket"]
+         for r in S.with_lsh_bucket(df, planes=4, dims=8).collect()}
+    assert a == b

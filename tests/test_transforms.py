@@ -1,0 +1,55 @@
+"""Transform semantics mirror the reference sections (SURVEY.md §2.3):
+typecast widening rules, tagging overwrite refusal, origin rewrites."""
+
+import pytest
+from pyspark.sql import types as T
+
+from mycelial_spark.operators import transforms as X
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.createDataFrame(
+        [(1, 2.5, "a", bytearray(b"\x01"))],
+        schema="i int, r double, s string, b binary")
+
+
+def test_typecast_single_int(df):
+    out = X.typecast(df, "i", "int")
+    assert isinstance(out.schema["i"].dataType, T.LongType)
+    assert out.collect()[0]["i"] == 1
+
+
+def test_typecast_star_string(df):
+    out = X.typecast(df.select("i", "r", "s"), "*", "string")
+    assert all(isinstance(f.dataType, T.StringType) for f in out.schema.fields)
+    row = out.collect()[0]
+    assert row["i"] == "1" and row["s"] == "a"
+
+
+def test_typecast_unsupported_raises(df):
+    # binary -> int is not in the reference's cast table (message.rs:296-446)
+    with pytest.raises(X.CastError):
+        X.typecast(df, "b", "int")
+    with pytest.raises(X.CastError):
+        X.typecast(df, "i", "uuid")
+
+
+def test_tag_appends_and_refuses_overwrite(df):
+    out = X.tag(df, "origin_tag", "t1")
+    assert out.collect()[0]["origin_tag"] == "t1"
+    with pytest.raises(ValueError):
+        X.tag(out, "origin_tag", "t2")
+
+
+def test_origin_rewrite(spark):
+    df = spark.createDataFrame([("x",)], "v string")
+    df = X.with_origin(df, "table_raw_1")
+    out = X.rewrite_origin(df, "_raw", "_clean")
+    assert out.collect()[0][X.ORIGIN_COL] == "table_clean_1"
+
+
+def test_origin_time_nanos(spark):
+    df = X.with_origin(spark.createDataFrame([("x",)], "v string"), "out_XXX")
+    out = X.rewrite_origin_time_nanos(df, "XXX").collect()[0][X.ORIGIN_COL]
+    assert out.startswith("out_") and int(out[4:]) > 10**18  # nanosecond epoch
