@@ -1,0 +1,92 @@
+"""Pipeline compiler/executor: spec dict -> validated Graph -> DataFrames.
+
+The run lifecycle mirrors SURVEY.md §3 (entry point 1): parse node configs
+through the registry, build the Graph (cycle/single-output checks), split
+into subgraphs, then execute each subgraph in deterministic topo order.
+Laziness parity: transforms only *compose* DataFrames (nothing runs); a
+subgraph executes when its destination's action fires — the same
+pull-based, zero-materialization chaining the reference gets from lazy
+message wrapping (§3 EP2), here provided by Catalyst.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mycelial_spark.plans.graph import Graph, GraphError
+from mycelial_spark.plans.sections import REGISTRY
+from mycelial_spark.plans.spec import ConfigError, Registry, io_compatible
+
+
+@dataclass
+class Pipeline:
+    graph: Graph
+    registry: Registry
+
+    @classmethod
+    def from_spec(cls, spec: dict[str, Any],
+                  registry: Registry | None = None) -> "Pipeline":
+        """spec = {"nodes": {id: {"type": ..., **cfg}}, "edges": [[from, to], ...]}
+        (the runtime graph IR, myceliald/src/runtime.rs:27-63)."""
+        registry = registry or REGISTRY
+        g = Graph()
+        for node_id, raw in spec.get("nodes", {}).items():
+            if "type" not in raw:
+                raise ConfigError(f"node {node_id}: missing 'type'")
+            sdef = registry.get(raw["type"])
+            cfg = sdef.validate_config(raw)
+            g.add_node(node_id, {"type": raw["type"], **cfg})
+        for frm, to in spec.get("edges", []):
+            g.add_edge(frm, to)
+        p = cls(g, registry)
+        p.validate()
+        return p
+
+    def validate(self) -> None:
+        for node_id, cfg in self.graph.nodes.items():
+            sdef = self.registry.get(cfg["type"])
+            parents = self.graph.parents(node_id)
+            lo, hi = sdef.n_inputs
+            if sdef.kind == "source" and parents:
+                raise GraphError(f"source node {node_id} cannot have inputs")
+            if sdef.kind != "source" and not (lo <= len(parents) <= hi):
+                raise GraphError(
+                    f"node {node_id} ({cfg['type']}) expects {lo}..{hi} "
+                    f"inputs, has {len(parents)}")
+            for parent in parents:
+                pdef = self.registry.get(self.graph.nodes[parent]["type"])
+                if not io_compatible(pdef.output, sdef.input):
+                    raise GraphError(
+                        f"edge {parent}->{node_id}: {pdef.output} output "
+                        f"does not feed {sdef.input} input "
+                        f"(SectionIO typing, config/src/lib.rs:14-19)")
+
+    def run(self, spark: SparkSession) -> dict[str, Any]:
+        """Execute all subgraphs; returns node_id -> DataFrame | write summary."""
+        results: dict[str, Any] = {}
+        for sub in self.graph.subgraphs():
+            for node_id in sub.topo_order():
+                cfg = dict(self.graph.nodes[node_id])
+                sdef = self.registry.get(cfg.pop("type"))
+                parents = sub.parents(node_id)
+                if sdef.kind == "source":
+                    results[node_id] = sdef.builder(spark, cfg)
+                    continue
+                inputs = [results[p] for p in parents]
+                if any(not isinstance(i, DataFrame) for i in inputs):
+                    raise GraphError(f"node {node_id}: parent is not a dataframe")
+                if sdef.kind == "transform":
+                    lo, hi = sdef.n_inputs
+                    if len(inputs) > 1 and hi == 1:
+                        raise GraphError(f"node {node_id}: single-input section")
+                    results[node_id] = sdef.builder(spark, cfg, inputs)
+                else:  # destination
+                    results[node_id] = sdef.builder(spark, cfg, inputs[0])
+        return results
+
+    def task_ids(self) -> dict[str, str]:
+        """Subgraph content hashes for reconciliation (scheduler.rs:425-484)."""
+        return {min(sub.nodes): sub.task_id() for sub in self.graph.subgraphs()}

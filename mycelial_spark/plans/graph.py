@@ -1,0 +1,128 @@
+"""Pipeline DAG with the reference's structural invariants.
+
+Mirrors ``graph/src/lib.rs``:
+- each node has **at most one outgoing edge** (edges stored as a
+  from->to map, the analog of ``edges: BTreeMap<K,K>``, lib.rs:19-22);
+- fan-in is allowed (multiple parents per node, lib.rs:145-149);
+- cycles are rejected at edge-add time (loop check lib.rs:99-109);
+- a graph splits into connected subgraphs, each scheduled independently
+  (``get_subgraphs``, lib.rs:177-247);
+- a task id is a SHA-256 over sorted nodes+configs+edges so unchanged
+  pipelines are not restarted (myceliald/src/scheduler.rs:425-440).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class GraphError(ValueError):
+    pass
+
+
+@dataclass
+class Graph:
+    nodes: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # from_id -> to_id; single-output invariant is the dict key uniqueness
+    edges: dict[str, str] = field(default_factory=dict)
+
+    def add_node(self, node_id: str, config: dict[str, Any]) -> None:
+        self.nodes[node_id] = config
+
+    def remove_node(self, node_id: str) -> None:
+        self.nodes.pop(node_id, None)
+        self.edges.pop(node_id, None)
+        for f, t in list(self.edges.items()):
+            if t == node_id:
+                del self.edges[f]
+
+    def add_edge(self, from_id: str, to_id: str) -> None:
+        if from_id not in self.nodes or to_id not in self.nodes:
+            raise GraphError(f"edge {from_id}->{to_id} references unknown node")
+        if from_id == to_id:
+            raise GraphError("self-loop rejected")
+        if from_id in self.edges and self.edges[from_id] != to_id:
+            raise GraphError(
+                f"node {from_id} already has an outgoing edge "
+                f"(single-output invariant, graph/src/lib.rs:19-22)")
+        if self._creates_cycle(from_id, to_id):
+            raise GraphError(f"edge {from_id}->{to_id} creates a cycle")
+        self.edges[from_id] = to_id
+
+    def _creates_cycle(self, from_id: str, to_id: str) -> bool:
+        # follow the single-outgoing-edge chain from to_id; since each node
+        # has <=1 outgoing edge this is the whole reachable set downstream
+        cur = to_id
+        seen = set()
+        while cur in self.edges:
+            cur = self.edges[cur]
+            if cur == from_id or cur in seen:
+                return True
+            seen.add(cur)
+        return cur == from_id
+
+    def parents(self, node_id: str) -> list[str]:
+        return sorted(f for f, t in self.edges.items() if t == node_id)
+
+    def roots(self) -> list[str]:
+        return sorted(n for n in self.nodes if not self.parents(n))
+
+    def sinks(self) -> list[str]:
+        return sorted(n for n in self.nodes if n not in self.edges)
+
+    def subgraphs(self) -> list[Graph]:
+        """Connected components (undirected), each a runnable task."""
+        adj: dict[str, set[str]] = {n: set() for n in self.nodes}
+        for f, t in self.edges.items():
+            adj[f].add(t)
+            adj[t].add(f)
+        seen: set[str] = set()
+        out: list[Graph] = []
+        for start in sorted(self.nodes):
+            if start in seen:
+                continue
+            comp: set[str] = set()
+            stack = [start]
+            while stack:
+                n = stack.pop()
+                if n in comp:
+                    continue
+                comp.add(n)
+                stack.extend(adj[n] - comp)
+            seen |= comp
+            out.append(Graph(
+                nodes={n: self.nodes[n] for n in comp},
+                edges={f: t for f, t in self.edges.items() if f in comp}))
+        return out
+
+    def topo_order(self) -> list[str]:
+        """Kahn topological order (deterministic: sorted ready-set)."""
+        indeg = {n: 0 for n in self.nodes}
+        for t in self.edges.values():
+            indeg[t] += 1
+        ready = sorted(n for n, d in indeg.items() if d == 0)
+        order: list[str] = []
+        while ready:
+            n = ready.pop(0)
+            order.append(n)
+            t = self.edges.get(n)
+            if t is not None:
+                indeg[t] -= 1
+                if indeg[t] == 0:
+                    ready.append(t)
+                    ready.sort()
+        if len(order) != len(self.nodes):
+            raise GraphError("cycle detected")
+        return order
+
+    def task_id(self) -> str:
+        """Stable content hash (scheduler.rs:425-440 parity): unchanged
+        subgraphs keep their id across reconciliations."""
+        payload = json.dumps(
+            {"nodes": {k: self.nodes[k] for k in sorted(self.nodes)},
+             "edges": sorted(self.edges.items())},
+            sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()

@@ -1,0 +1,474 @@
+"""Built-in section library: the Spark re-expression of SURVEY.md §2.
+
+Builder conventions:
+- source:       builder(spark, cfg) -> DataFrame
+- transform:    builder(spark, cfg, inputs: list[DataFrame]) -> DataFrame
+- destination:  builder(spark, cfg, df: DataFrame) -> dict (write summary)
+
+"bin"-typed sections exchange DataFrames with the ``binaryFile`` shape
+(``path string, content binary`` + metadata) — byte streams stay
+distributed instead of flowing through the driver (the reference's
+16 KiB-chunk streams, e.g. sections/file/src/source.rs:55-60, become
+binary columns).
+
+Connectors that need external services (JDBC drivers, Kafka brokers,
+object stores, Excel codecs) are registered but raise a clear
+``SectionUnavailable`` at build time when the dependency is absent —
+the declarative surface and config schema are always present.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators import relational as R
+from mycelial_spark.operators import transforms as X
+from mycelial_spark.plans.spec import Field, Registry, SectionDef, REQUIRED
+
+
+class SectionUnavailable(RuntimeError):
+    """Raised when a connector's external dependency is missing here."""
+
+
+REGISTRY = Registry()
+
+
+def _register(name: str, kind: str, input: str, output: str,
+              fields: list[Field], doc: str = "",
+              n_inputs: tuple[int, int] | None = None):
+    def deco(fn):
+        default_inputs = {"source": (0, 0), "transform": (1, 8),
+                          "destination": (1, 1)}[kind]
+        REGISTRY.register(SectionDef(
+            name=name, kind=kind, input=input, output=output,
+            fields=tuple(fields), builder=fn, doc=doc,
+            n_inputs=n_inputs or default_inputs))
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Sources (SURVEY §2.1)
+# ---------------------------------------------------------------------------
+
+@_register("parquet_source", "source", "none", "dataframe",
+           [Field("path"), Field("origin", default="")],
+           doc="Parquet scan; the engine-native bulk source.")
+def parquet_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    df = spark.read.parquet(cfg["path"])
+    return X.with_origin(df, cfg["origin"]) if cfg["origin"] else df
+
+
+@_register("csv_source", "source", "none", "dataframe",
+           [Field("path"), Field("header", "bool", True),
+            Field("all_string", "bool", True), Field("origin", default="")],
+           doc="CSV scan; all_string=True mirrors csv_transform::FromCsv "
+               "(every column Str, sections/csv_transform/src/source.rs:118-140).")
+def csv_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    df = (spark.read.option("header", cfg["header"])
+          .option("inferSchema", not cfg["all_string"]).csv(cfg["path"]))
+    return X.with_origin(df, cfg["origin"]) if cfg["origin"] else df
+
+
+@_register("binary_source", "source", "none", "bin",
+           [Field("path"), Field("pattern", default="")],
+           doc="Whole-file byte streams as binary columns "
+               "(file source, sections/file/src/source.rs:22-158).")
+def binary_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    reader = spark.read.format("binaryFile")
+    if cfg["pattern"]:
+        reader = reader.option("pathGlobFilter", cfg["pattern"])
+    return reader.load(cfg["path"])
+
+
+@_register("dir_source", "source", "none", "bin_or_dataframe",
+           [Field("path"), Field("pattern", default=""),
+            Field("start_after", default=""), Field("stream_binary", "bool", False)],
+           doc="Directory walk with regex pattern + lexicographic start_after "
+               "cursor (sections/dir/src/source.rs:30-312). stream_binary=False "
+               "emits {path} rows; True emits file bytes.")
+def dir_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    if cfg["stream_binary"]:
+        df = spark.read.format("binaryFile").load(cfg["path"])
+        path_col = F.col("path")
+    else:
+        # listing dataframe: {path} rows, one per file (PathDataFrame,
+        # dir/src/source.rs:72-84); implemented as a binaryFile scan that
+        # prunes to metadata only (content column never read)
+        df = spark.read.format("binaryFile").load(cfg["path"]).select("path")
+        path_col = F.col("path")
+    if cfg["pattern"]:
+        df = df.filter(path_col.rlike(cfg["pattern"]))
+    if cfg["start_after"]:
+        df = df.filter(path_col > F.lit(cfg["start_after"]))
+    return df
+
+
+@_register("rate_source", "source", "none", "dataframe",
+           [Field("interval_millis", "int", 1000),
+            Field("message", default="hello"), Field("rows", "int", 1)],
+           doc="hello_world source (config.example.toml:77-96): constant "
+               "message rows; streaming mode maps to format('rate').")
+def rate_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    return (spark.range(cfg["rows"])
+            .select(F.col("id"), F.lit(cfg["message"]).alias("message")))
+
+
+@_register("jdbc_source", "source", "none", "dataframe",
+           [Field("url"), Field("query"), Field("user", default=""),
+            Field("password", secret=True, default=""),
+            Field("driver", default=""), Field("partition_column", default=""),
+            Field("num_partitions", "int", 1), Field("fetchsize", "int", 10000)],
+           doc="Poll-query JDBC source (postgres/mysql connector analog, "
+               "sections/postgres_connector/src/source.rs:74-260). Incremental "
+               "$var::i64 queries go through streaming.incremental.StatefulQuery.")
+def jdbc_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    reader = (spark.read.format("jdbc")
+              .option("url", cfg["url"])
+              .option("query", cfg["query"])
+              .option("fetchsize", cfg["fetchsize"]))
+    if cfg["user"]:
+        reader = reader.option("user", cfg["user"]).option("password", cfg["password"])
+    if cfg["driver"]:
+        reader = reader.option("driver", cfg["driver"])
+    try:
+        return reader.load()
+    except Exception as e:  # driver jar missing in this container
+        raise SectionUnavailable(f"jdbc_source needs a JDBC driver jar: {e}") from e
+
+
+@_register("excel_source", "source", "none", "dataframe",
+           [Field("path"), Field("sheets", default="*"),
+            Field("strict", "bool", False)],
+           doc="Excel glob source (sections/excel_connector/src/source.rs:"
+               "140-414): strict=False stringifies all cells.")
+def excel_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    try:
+        import pandas as pd  # noqa: F401
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise SectionUnavailable(f"excel_source needs openpyxl: {e}") from e
+    import glob as globmod
+    import pandas as pd
+    frames = []
+    for p in sorted(globmod.glob(cfg["path"])):
+        sheets = pd.read_excel(p, sheet_name=None if cfg["sheets"] == "*"
+                               else cfg["sheets"].split(","))
+        for _, pdf in sheets.items():
+            if not cfg["strict"]:
+                pdf = pdf.astype(str)
+            frames.append(spark.createDataFrame(pdf))
+    if not frames:
+        raise SectionUnavailable(f"excel_source: no files match {cfg['path']}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Transforms (SURVEY §2.3 + the relational fills of §2.4)
+# ---------------------------------------------------------------------------
+
+@_register("typecast", "transform", "dataframe", "dataframe",
+           [Field("column"), Field("target_type")],
+           doc="T1 typecast_transformer: cast column or '*' to int|real|string.")
+def typecast(spark, cfg, inputs):
+    return X.typecast(inputs[0], cfg["column"], cfg["target_type"])
+
+
+@_register("tagging", "transform", "dataframe", "dataframe",
+           [Field("column"), Field("text")],
+           doc="T2 tagging_transformer: append constant Str column.")
+def tagging(spark, cfg, inputs):
+    return X.tag(inputs[0], cfg["column"], cfg["text"])
+
+
+@_register("origin_regex", "transform", "bin_or_dataframe", "bin_or_dataframe",
+           [Field("regex"), Field("replacement")],
+           doc="T5 origin_transform::regex — routing-key rewrite.")
+def origin_regex(spark, cfg, inputs):
+    return X.rewrite_origin(inputs[0], cfg["regex"], cfg["replacement"])
+
+
+@_register("origin_time_nanos", "transform", "bin_or_dataframe", "bin_or_dataframe",
+           [Field("regex")],
+           doc="T6 origin_transform::time_nanos.")
+def origin_time_nanos(spark, cfg, inputs):
+    return X.rewrite_origin_time_nanos(inputs[0], cfg["regex"])
+
+
+@_register("inspect", "transform", "bin_or_dataframe", "bin_or_dataframe",
+           [Field("rows", "int", 64)],
+           doc="T7 inspect: debug tap, passthrough.")
+def inspect(spark, cfg, inputs):
+    return X.inspect(inputs[0], cfg["rows"])
+
+
+@_register("filter", "transform", "dataframe", "dataframe",
+           [Field("predicate")],
+           doc="Row filter with a SQL predicate expression.")
+def filter_(spark, cfg, inputs):
+    return R.filter_rows(inputs[0], cfg["predicate"])
+
+
+@_register("select", "transform", "dataframe", "dataframe",
+           [Field("columns", "list")],
+           doc="Projection: SQL expressions with optional 'expr AS alias'.")
+def select_(spark, cfg, inputs):
+    return inputs[0].selectExpr(*cfg["columns"])
+
+
+@_register("sql", "transform", "dataframe", "dataframe",
+           [Field("query"), Field("input_names", "list", default=["input"])],
+           n_inputs=(1, 8),
+           doc="Full Spark SQL over the parent dataframes, registered as "
+               "temp views named by input_names (fan-in SQL escape hatch — "
+               "the reference pushes such SQL to source DBs; we run it).")
+def sql_(spark, cfg, inputs):
+    for name, df in zip(cfg["input_names"], inputs):
+        df.createOrReplaceTempView(name)
+    return spark.sql(cfg["query"])
+
+
+@_register("join", "transform", "dataframe", "dataframe",
+           [Field("on", "list"), Field("how", default="inner"),
+            Field("broadcast_right", "bool", False)],
+           n_inputs=(2, 2),
+           doc="Two-input equi/theta join; broadcast hint for small right side.")
+def join_(spark, cfg, inputs):
+    left, right = inputs
+    on = cfg["on"]
+    if len(on) == 1 and " " in on[0]:     # expression form: "l.a = r.b"
+        on = F.expr(on[0])
+    return R.join(left, right, on=on, how=cfg["how"],
+                  broadcast=cfg["broadcast_right"])
+
+
+@_register("aggregate", "transform", "dataframe", "dataframe",
+           [Field("group_by", "list", default=[]),
+            Field("aggs", "list"), Field("mode", default="groupby")],
+           doc="groupBy/rollup/cube aggregation; aggs are SQL expressions "
+               "with 'AS alias'.")
+def aggregate_(spark, cfg, inputs):
+    aggs = [F.expr(a) for a in cfg["aggs"]]
+    return R.aggregate(inputs[0], cfg["group_by"], aggs, mode=cfg["mode"])
+
+
+@_register("window", "transform", "dataframe", "dataframe",
+           [Field("exprs", "list")],
+           doc="Window functions via selectExpr('x OVER (...) AS y', '*').")
+def window_(spark, cfg, inputs):
+    return inputs[0].selectExpr("*", *cfg["exprs"])
+
+
+@_register("distinct", "transform", "dataframe", "dataframe",
+           [Field("subset", "list", default=[])],
+           doc="Exact row dedup (dropDuplicates).")
+def distinct_(spark, cfg, inputs):
+    return R.distinct(inputs[0], cfg["subset"] or None)
+
+
+@_register("union", "transform", "dataframe", "dataframe",
+           [], n_inputs=(2, 8),
+           doc="Fan-in: unionByName(allowMissingColumns=True) of all parents "
+               "(graph fan-in, scheduler.rs:302-311).")
+def union_(spark, cfg, inputs):
+    out = inputs[0]
+    for df in inputs[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+@_register("sort_limit", "transform", "dataframe", "dataframe",
+           [Field("by", "list"), Field("limit", "int", 0)],
+           doc="Order by SQL sort expressions; limit>0 becomes top-k.")
+def sort_limit(spark, cfg, inputs):
+    out = inputs[0].orderBy(*[F.expr(b) for b in cfg["by"]])
+    return out.limit(cfg["limit"]) if cfg["limit"] > 0 else out
+
+
+@_register("from_csv", "transform", "bin", "dataframe",
+           [Field("header", "bool", True)],
+           doc="T3 csv_transform::FromCsv: binary CSV payloads -> all-string "
+               "dataframe (header row = schema).")
+def from_csv(spark, cfg, inputs):
+    # distributed parse: decode the binary content column and run the CSV
+    # reader over the decoded lines via the csv datasource on a dataset of
+    # strings (no driver materialization)
+    from pyspark.sql import types as T
+    lines = (inputs[0]
+             .select(F.explode(F.split(F.decode("content", "UTF-8"), "\r?\n"))
+                      .alias("line"))
+             .filter(F.col("line") != ""))
+    header_df = lines.limit(1).collect()
+    if not header_df:
+        return spark.createDataFrame([], T.StructType([]))
+    cols = header_df[0]["line"].split(",")
+    parsed = lines.filter(F.col("line") != header_df[0]["line"]).select(
+        F.from_csv(F.col("line"),
+                   ", ".join(f"`{c}` string" for c in cols)).alias("r"))
+    return parsed.select([F.col(f"r.{c}").alias(c) for c in cols])
+
+
+@_register("to_csv", "transform", "dataframe", "bin",
+           [],
+           doc="T4 csv_transform::ToCsv: dataframe -> CSV byte payloads "
+               "(one binary row per partition chunk).")
+def to_csv(spark, cfg, inputs):
+    df = inputs[0]
+    header = ",".join(df.columns)
+    rows = df.select(F.encode(
+        F.concat_ws("\n", F.collect_list(F.to_csv(F.struct(*df.columns)))),
+        "UTF-8").alias("content"))
+    return rows.select(F.lit("part").alias("path"),
+                       F.encode(F.concat(F.lit(header + "\n"),
+                                         F.decode("content", "UTF-8")),
+                                "UTF-8").alias("content"))
+
+
+@_register("dedup_exact", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"), Field("id_col", default="doc_id")],
+           doc="Exact dedup by normalized-text fingerprint (north-star).")
+def dedup_exact_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import dedup_exact as op
+    return op(inputs[0], cfg["text_col"], cfg["id_col"])
+
+
+@_register("dedup_minhash", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"), Field("id_col", default="doc_id"),
+            Field("threshold", "float", 0.5), Field("num_hashes", "int", 64),
+            Field("bands", "int", 16)],
+           doc="MinHash-LSH near-dup pair detection (north-star).")
+def dedup_minhash_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(inputs[0], cfg["text_col"], cfg["id_col"],
+                             cfg["num_hashes"], cfg["bands"],
+                             threshold=cfg["threshold"])
+
+
+@_register("text_stats", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Quality-signal extraction (north-star text analysis).")
+def text_stats_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_text_stats
+    return with_text_stats(inputs[0], cfg["text_col"])
+
+
+# ---------------------------------------------------------------------------
+# Destinations (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+@_register("parquet_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("mode", default="append"),
+            Field("truncate", "bool", False),
+            Field("partition_by", "list", default=[])],
+           doc="Parquet sink; truncate=True mirrors the destructive-load "
+               "option (D1 truncate, postgres destination.rs:104-108).")
+def parquet_dest(spark, cfg, df):
+    mode = "overwrite" if cfg["truncate"] else cfg["mode"]
+    writer = df.write.mode(mode)
+    if cfg["partition_by"]:
+        writer = writer.partitionBy(*cfg["partition_by"])
+    writer.parquet(cfg["path"])
+    return {"path": cfg["path"], "mode": mode}
+
+
+@_register("csv_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("header", "bool", True),
+            Field("mode", default="overwrite")],
+           doc="CSV sink with header (T4 ToCsv semantics at the file level).")
+def csv_dest(spark, cfg, df):
+    df.write.mode(cfg["mode"]).option("header", cfg["header"]).csv(cfg["path"])
+    return {"path": cfg["path"]}
+
+
+@_register("file_dest", "destination", "bin", "none",
+           [Field("dir_path")],
+           doc="D7 file destination: write binary payloads to dir_path/<name>, "
+               "atomic tmp+rename per file (destination.rs:51-71).")
+def file_dest(spark, cfg, df):
+    import tempfile
+    out_dir = cfg["dir_path"]
+    os.makedirs(out_dir, exist_ok=True)
+    rows = df.select("path", "content").collect()
+    for r in rows:
+        name = os.path.basename(r["path"]) or "part"
+        fd, tmp = tempfile.mkstemp(dir=out_dir)
+        with os.fdopen(fd, "wb") as f:
+            f.write(bytes(r["content"]))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(out_dir, name))
+    return {"dir_path": out_dir, "files": len(rows)}
+
+
+@_register("console_dest", "destination", "bin_or_dataframe", "none",
+           [Field("rows", "int", 64)],
+           doc="D10 hello_world destination: print frames.")
+def console_dest(spark, cfg, df):
+    df.show(cfg["rows"], truncate=False)
+    return {"rows_shown": min(cfg["rows"], df.count())}
+
+
+@_register("noop_dest", "destination", "bin_or_dataframe", "none", [],
+           doc="T9 stub section: drain input, discard (format('noop')).")
+def noop_dest(spark, cfg, df):
+    df.write.format("noop").mode("overwrite").save()
+    return {}
+
+
+@_register("memory_dest", "destination", "bin_or_dataframe", "none",
+           [Field("name")],
+           doc="Test sink: register result as a temp view (origin->table "
+               "routing analog for assertions).")
+def memory_dest(spark, cfg, df):
+    df.createOrReplaceTempView(cfg["name"])
+    return {"view": cfg["name"]}
+
+
+@_register("jdbc_dest", "destination", "dataframe", "none",
+           [Field("url"), Field("table"), Field("user", default=""),
+            Field("password", secret=True, default=""),
+            Field("driver", default=""), Field("truncate", "bool", False),
+            Field("batchsize", "int", 32768)],
+           doc="D1-D3 JDBC destination: auto-DDL from frame schema is the "
+               "Spark JDBC writer's built-in; truncate mirrors the TRUNCATE "
+               "option; batchsize mirrors max_parameters (default 32768, "
+               "postgres_connector/src/lib.rs:116).")
+def jdbc_dest(spark, cfg, df):
+    writer = (df.write.format("jdbc")
+              .option("url", cfg["url"]).option("dbtable", cfg["table"])
+              .option("batchsize", cfg["batchsize"]))
+    if cfg["user"]:
+        writer = writer.option("user", cfg["user"]).option("password", cfg["password"])
+    if cfg["driver"]:
+        writer = writer.option("driver", cfg["driver"])
+    mode = "overwrite" if cfg["truncate"] else "append"
+    if cfg["truncate"]:
+        writer = writer.option("truncate", True)
+    try:
+        writer.mode(mode).save()
+    except Exception as e:
+        raise SectionUnavailable(f"jdbc_dest needs a JDBC driver jar: {e}") from e
+    return {"table": cfg["table"], "mode": mode}
+
+
+@_register("kafka_dest", "destination", "dataframe", "none",
+           [Field("brokers"), Field("topic")],
+           doc="D8 kafka destination: each row -> JSON object, key=origin "
+               "(destination.rs:75-110); to_json(struct(*)) -> kafka writer.")
+def kafka_dest(spark, cfg, df):
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"),
+                        F.lit("origin").alias("key"))
+    try:
+        (payload.write.format("kafka")
+         .option("kafka.bootstrap.servers", cfg["brokers"])
+         .option("topic", cfg["topic"]).save())
+    except Exception as e:
+        raise SectionUnavailable(f"kafka_dest needs the kafka connector: {e}") from e
+    return {"topic": cfg["topic"]}

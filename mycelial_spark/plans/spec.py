@@ -1,0 +1,106 @@
+"""Section config schema + registry: the reference's ``config`` crate.
+
+Parity:
+- typed fields with defaults, required markers, and secret flags
+  (``config/src/lib.rs:29-91`` — field extraction; secrets stripped
+  before echoing configs back, ``control_plane/src/app/mod.rs:173-186``);
+- a name->definition registry (``config_registry/src/lib.rs:26-39``);
+- section IO typing ``SectionIO ∈ {none, bin, dataframe, bin_or_dataframe}``
+  (``config/src/lib.rs:14-19``) validated at edge-add/compile time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+REQUIRED = object()
+
+_TYPES = {"str": str, "int": int, "float": (int, float), "bool": bool,
+          "json": (dict, list), "list": list}
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+    type: str = "str"
+    default: Any = REQUIRED
+    secret: bool = False
+
+    def validate(self, value: Any) -> Any:
+        expected = _TYPES[self.type]
+        if self.type == "float" and isinstance(value, bool):
+            raise ConfigError(f"field {self.name}: bool is not a float")
+        if not isinstance(value, expected):
+            raise ConfigError(
+                f"field {self.name}: expected {self.type}, got {type(value).__name__}")
+        return value
+
+
+@dataclass(frozen=True)
+class SectionDef:
+    """One registered section type (source/transform/destination)."""
+    name: str
+    kind: str                      # 'source' | 'transform' | 'destination'
+    input: str                     # 'none' | 'bin' | 'dataframe' | 'bin_or_dataframe'
+    output: str
+    fields: tuple[Field, ...]
+    builder: Callable[..., Any]
+    doc: str = ""
+    n_inputs: tuple[int, int] = (1, 1)   # min/max parent count (fan-in)
+
+    def validate_config(self, cfg: dict[str, Any]) -> dict[str, Any]:
+        known = {f.name: f for f in self.fields}
+        out: dict[str, Any] = {}
+        for k, v in cfg.items():
+            if k == "type":
+                continue
+            if k not in known:
+                raise ConfigError(f"section {self.name}: unknown field {k!r}")
+            out[k] = known[k].validate(v)
+        for f in self.fields:
+            if f.name not in out:
+                if f.default is REQUIRED:
+                    raise ConfigError(
+                        f"section {self.name}: missing required field {f.name!r}")
+                out[f.name] = f.default
+        return out
+
+    def strip_secrets(self, cfg: dict[str, Any]) -> dict[str, Any]:
+        """Echo-safe config (app/mod.rs:173-186 behavior)."""
+        secret_names = {f.name for f in self.fields if f.secret}
+        return {k: ("" if k in secret_names else v) for k, v in cfg.items()}
+
+
+@dataclass
+class Registry:
+    sections: dict[str, SectionDef] = dc_field(default_factory=dict)
+
+    def register(self, sdef: SectionDef) -> None:
+        if sdef.name in self.sections:
+            raise ConfigError(f"duplicate section type {sdef.name!r}")
+        self.sections[sdef.name] = sdef
+
+    def get(self, name: str) -> SectionDef:
+        if name not in self.sections:
+            raise ConfigError(
+                f"unknown section type {name!r}; known: {sorted(self.sections)}")
+        return self.sections[name]
+
+    def names(self) -> list[str]:
+        return sorted(self.sections)
+
+
+# IO compatibility: an edge u->v is valid when output(u) feeds input(v)
+# (config/src/lib.rs:14-19 typing, checked by the scheduler when wiring).
+def io_compatible(out_io: str, in_io: str) -> bool:
+    if in_io == "none" or out_io == "none":
+        return False
+    if in_io == "bin_or_dataframe" or out_io == "bin_or_dataframe":
+        return True
+    return out_io == in_io

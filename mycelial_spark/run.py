@@ -1,0 +1,42 @@
+"""CLI pipeline runner: ``python -m mycelial_spark.run pipeline.toml``.
+
+The TOML format mirrors ``myceliald/config.example.toml``: ``[nodes.<id>]``
+tables with a ``type`` key, plus ``edges = [["a","b"], ...]``. JSON specs
+with {"nodes": ..., "edges": ...} are accepted too.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.session import get_spark
+
+
+def load_spec(path: str) -> dict:
+    if path.endswith(".toml"):
+        import tomllib
+        with open(path, "rb") as f:
+            return tomllib.load(f)
+    with open(path) as f:
+        return json.load(f)
+
+
+def main(argv: list[str]) -> int:
+    if len(argv) < 1:
+        print("usage: python -m mycelial_spark.run <pipeline.toml|json>",
+              file=sys.stderr)
+        return 2
+    spec = load_spec(argv[0])
+    pipeline = Pipeline.from_spec(spec)
+    spark = get_spark("mycelial-pipeline")
+    results = pipeline.run(spark)
+    for node_id, res in sorted(results.items()):
+        kind = "dataframe" if hasattr(res, "columns") else "result"
+        print(f"{node_id}: {kind} {res if kind == 'result' else ''}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -1,0 +1,94 @@
+"""Graph invariants — property-based, mirroring the reference's quickcheck
+suite (graph/src/lib.rs:250-631: prop_no_loops, prop_subgraph_validity)."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mycelial_spark.plans.graph import Graph, GraphError
+
+
+def chain(n):
+    g = Graph()
+    for i in range(n):
+        g.add_node(f"n{i}", {"type": "x"})
+    for i in range(n - 1):
+        g.add_edge(f"n{i}", f"n{i+1}")
+    return g
+
+
+def test_single_output_invariant():
+    g = chain(2)
+    g.add_node("n2", {"type": "x"})
+    with pytest.raises(GraphError):
+        g.add_edge("n0", "n2")  # n0 already has an outgoing edge
+
+
+def test_cycle_rejected():
+    g = chain(3)
+    with pytest.raises(GraphError):
+        g.add_edge("n2", "n0")
+    with pytest.raises(GraphError):
+        g.add_edge("n0", "n0")
+
+
+def test_fan_in_allowed():
+    g = Graph()
+    for n in ("a", "b", "c"):
+        g.add_node(n, {})
+    g.add_edge("a", "c")
+    g.add_edge("b", "c")
+    assert g.parents("c") == ["a", "b"]
+
+
+def test_remove_node_drops_edges():
+    g = chain(3)
+    g.remove_node("n1")
+    assert g.edges == {}
+
+
+@st.composite
+def random_graph(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    g = Graph()
+    for i in range(n):
+        g.add_node(f"n{i}", {"i": i})
+    for i in range(n):
+        if draw(st.booleans()):
+            target = draw(st.integers(min_value=0, max_value=n - 1))
+            try:
+                g.add_edge(f"n{i}", f"n{target}")
+            except GraphError:
+                pass  # rejected edges keep the invariants; that's the point
+    return g
+
+
+@settings(max_examples=60, deadline=None)
+@given(random_graph())
+def test_prop_no_loops_and_topo_consistent(g):
+    order = g.topo_order()  # raises if a cycle slipped through
+    pos = {n: i for i, n in enumerate(order)}
+    for f, t in g.edges.items():
+        assert pos[f] < pos[t]
+
+
+@settings(max_examples=60, deadline=None)
+@given(random_graph())
+def test_prop_subgraph_partition_complete(g):
+    subs = g.subgraphs()
+    all_nodes = [n for s in subs for n in s.nodes]
+    assert sorted(all_nodes) == sorted(g.nodes)          # complete, disjoint
+    assert sum(len(s.edges) for s in subs) == len(g.edges)
+    for s in subs:
+        for f, t in s.edges.items():
+            assert f in s.nodes and t in s.nodes         # edges stay inside
+
+
+@settings(max_examples=30, deadline=None)
+@given(random_graph())
+def test_prop_task_id_stable_and_sensitive(g):
+    assert g.task_id() == g.task_id()
+    if g.nodes:
+        g2 = Graph(nodes=dict(g.nodes), edges=dict(g.edges))
+        some = next(iter(g2.nodes))
+        g2.nodes[some] = {**g2.nodes[some], "changed": True}
+        assert g2.task_id() != g.task_id()

@@ -1,0 +1,149 @@
+"""End-to-end pipeline specs through the compiler (SURVEY §3 lifecycle)."""
+
+import pytest
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.plans.graph import GraphError
+from mycelial_spark.plans.sections import REGISTRY
+from mycelial_spark.plans.spec import ConfigError
+
+
+def test_minimum_slice(spark, sf_dir, tmp_path):
+    """Phase-0 slice: parquet source -> filter/cast/tag -> parquet sink."""
+    out = str(tmp_path / "out")
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": f"{sf_dir}/nation.parquet"},
+            "flt": {"type": "filter", "predicate": "n_regionkey >= 2"},
+            "cast": {"type": "typecast", "column": "n_regionkey",
+                     "target_type": "int"},
+            "tag": {"type": "tagging", "column": "src_tag", "text": "demo"},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "overwrite"},
+        },
+        "edges": [["src", "flt"], ["flt", "cast"], ["cast", "tag"],
+                  ["tag", "dst"]],
+    }
+    results = Pipeline.from_spec(spec).run(spark)
+    assert results["dst"]["path"] == out
+    back = spark.read.parquet(out)
+    assert back.filter("n_regionkey < 2").count() == 0
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey", "src_tag"}
+    assert dict(back.dtypes)["n_regionkey"] == "bigint"
+
+
+def test_fan_in_join_pipeline(spark, sf_dir):
+    spec = {
+        "nodes": {
+            "orders": {"type": "parquet_source", "path": f"{sf_dir}/orders.parquet"},
+            "cust": {"type": "parquet_source", "path": f"{sf_dir}/customer.parquet"},
+            "j": {"type": "join", "on": ["o_custkey = c_custkey"],
+                  "how": "inner", "broadcast_right": True},
+            "agg": {"type": "aggregate", "group_by": ["c_mktsegment"],
+                    "aggs": ["count(*) AS n", "round(sum(o_totalprice),2) AS total"]},
+            "mem": {"type": "memory_dest", "name": "seg_totals"},
+        },
+        "edges": [["orders", "j"], ["cust", "j"], ["agg", "mem"], ["j", "agg"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    out = spark.table("seg_totals").collect()
+    assert len(out) == 5 and all(r["n"] > 0 for r in out)
+
+
+def test_sql_escape_hatch(spark, sf_dir):
+    spec = {
+        "nodes": {
+            "li": {"type": "parquet_source", "path": f"{sf_dir}/lineitem.parquet"},
+            "q": {"type": "sql", "input_names": ["li_view"],
+                  "query": "SELECT l_returnflag, count(*) AS n FROM li_view "
+                           "GROUP BY l_returnflag"},
+            "mem": {"type": "memory_dest", "name": "sql_out"},
+        },
+        "edges": [["li", "q"], ["q", "mem"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    assert spark.table("sql_out").count() == 3
+
+
+def test_unknown_section_type():
+    with pytest.raises(ConfigError):
+        Pipeline.from_spec({"nodes": {"x": {"type": "nope"}}, "edges": []})
+
+
+def test_missing_required_field():
+    with pytest.raises(ConfigError):
+        Pipeline.from_spec({"nodes": {"x": {"type": "parquet_source"}},
+                            "edges": []})
+
+
+def test_unknown_field_rejected():
+    with pytest.raises(ConfigError):
+        Pipeline.from_spec({"nodes": {"x": {"type": "parquet_source",
+                                            "path": "p", "bogus": 1}},
+                            "edges": []})
+
+
+def test_io_type_mismatch_rejected(sf_dir):
+    # dataframe output cannot feed a bin-typed section (from_csv wants bytes)
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": f"{sf_dir}/nation.parquet"},
+            "csv": {"type": "from_csv"},
+        },
+        "edges": [["src", "csv"]],
+    }
+    with pytest.raises(GraphError):
+        Pipeline.from_spec(spec)
+
+
+def test_join_arity_enforced(sf_dir):
+    spec = {
+        "nodes": {
+            "a": {"type": "parquet_source", "path": f"{sf_dir}/nation.parquet"},
+            "j": {"type": "join", "on": ["x = y"]},
+        },
+        "edges": [["a", "j"]],
+    }
+    with pytest.raises(GraphError):
+        Pipeline.from_spec(spec)
+
+
+def test_secret_stripping():
+    sdef = REGISTRY.get("jdbc_dest")
+    cfg = sdef.validate_config({"url": "jdbc:x", "table": "t",
+                                "user": "u", "password": "hunter2"})
+    assert sdef.strip_secrets(cfg)["password"] == ""
+    assert sdef.strip_secrets(cfg)["user"] == "u"
+
+
+def test_task_id_reconciliation(sf_dir):
+    spec = {
+        "nodes": {"src": {"type": "parquet_source",
+                          "path": f"{sf_dir}/nation.parquet"},
+                  "dst": {"type": "noop_dest"}},
+        "edges": [["src", "dst"]],
+    }
+    p1 = Pipeline.from_spec(spec)
+    p2 = Pipeline.from_spec(spec)
+    assert p1.task_ids() == p2.task_ids()       # unchanged pipeline, same id
+    spec["nodes"]["src"]["path"] += "x"
+    assert Pipeline.from_spec(spec).task_ids() != p1.task_ids()
+
+
+def test_csv_roundtrip_binary(spark, sf_dir, tmp_path):
+    """T4 -> T3: dataframe -> CSV bytes -> all-string dataframe."""
+    (spark.read.parquet(f"{sf_dir}/region.parquet")
+     .coalesce(1).write.mode("overwrite")
+     .option("header", True).csv(str(tmp_path / "csv")))
+    spec = {
+        "nodes": {
+            "bin": {"type": "binary_source", "path": str(tmp_path / "csv"),
+                    "pattern": "*.csv"},
+            "parse": {"type": "from_csv"},
+            "mem": {"type": "memory_dest", "name": "csv_parsed"},
+        },
+        "edges": [["bin", "parse"], ["parse", "mem"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    out = spark.table("csv_parsed")
+    assert out.count() == 5
+    assert all(t == "string" for _, t in out.dtypes)  # T3 all-Str semantics
