@@ -39,7 +39,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
-            micros = (F.col(col) / F.lit(1000)).cast("long")
+            # integer div: float division loses precision above 2^53 ns
+            micros = F.expr(f"`{col}` div 1000")
             df = df.withColumn(
                 col, F.timestamp_micros(micros).cast(T.TimestampNTZType()))
     return df

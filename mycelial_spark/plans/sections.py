@@ -427,8 +427,11 @@ def noop_dest(spark, cfg, df):
            doc="Test sink: register result as a temp view (origin->table "
                "routing analog for assertions).")
 def memory_dest(spark, cfg, df):
-    df.createOrReplaceTempView(cfg["name"])
-    return {"view": cfg["name"]}
+    # global temp view: foreachBatch hands us a DataFrame bound to a cloned
+    # micro-batch session; a plain temp view would be invisible outside it.
+    # Readable as spark.table("global_temp.<name>").
+    df.createOrReplaceGlobalTempView(cfg["name"])
+    return {"view": f"global_temp.{cfg['name']}"}
 
 
 @_register("jdbc_dest", "destination", "dataframe", "none",

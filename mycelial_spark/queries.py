@@ -405,6 +405,302 @@ def incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-time windows (batch analogs of the streaming operators, §2.4)
+# ---------------------------------------------------------------------------
+
+@query("events_tumbling_window", """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*)               AS n_events,
+       round(sum(value), 2)   AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("value"), 2).alias("total_value"))
+             .select(F.col("w.start").alias("window_start"), "event_type",
+                     "n_events", "total_value"))
+
+
+@query("events_sliding_window", """
+SELECT ws AS window_start, count(*) AS n_events
+FROM (
+  SELECT unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+GROUP BY ws
+""")
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding by 1h: every event lands in exactly two windows."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("w.start").alias("window_start"), "n_events"))
+
+
+@query("events_session_window", """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+""")
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30m): Spark's native session merge; the oracle
+    reconstructs identical sessions with the lag+running-sum idiom."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select("user_id", F.col("w.start").alias("session_start"),
+                     "n_events"))
+
+
+@query("approx_distinct", None)  # HLL sketch: no exact oracle -> rows-only
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory distinct
+    estimator that replaces exact distinct at 100 TB."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+
+
+# ---------------------------------------------------------------------------
+# Join breadth: as-of, range (theta), cross; more set ops; subqueries
+# ---------------------------------------------------------------------------
+
+@query("asof_join", """
+WITH stream AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_click_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id, user_id, ts, prev_click_ts
+FROM stream WHERE event_type = 'purchase'
+""")
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (reference lacks it; first-class here): latest click at or
+    before each purchase, same user. Implemented as a union-window scan —
+    one shuffle on user_id, no range-join explosion, scales linearly."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w)
+    return (e.withColumn("prev_click_ts", prev_click)
+             .filter(F.col("event_type") == "purchase")
+             .select("event_id", "user_id", "ts", "prev_click_ts"))
+
+
+@query("range_join", """
+SELECT b.band_name, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total
+FROM lineitem l
+JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
+             ('high', 45000.0, 1e12)) AS b(band_name, lo, hi)
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_name
+""")
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny banding dim — broadcast nested-loop
+    by construction (the dim is rows-in-memory), so the fact side never
+    shuffles for the join itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 20000.0), ("mid", 20000.0, 45000.0),
+         ("high", 45000.0, 1e12)], "band_name string, lo double, hi double")
+    return (li.join(F.broadcast(bands),
+                    (F.col("l_extendedprice") >= F.col("lo"))
+                    & (F.col("l_extendedprice") < F.col("hi")))
+              .groupBy("band_name")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.round(F.sum("l_extendedprice"), 2).alias("total")))
+
+
+@query("cross_join", """
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""")
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.select("r_name").crossJoin(n.select("n_name"))
+
+
+@query("intersect_op", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def intersect_op(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.set_op(o.filter("o_orderstatus = 'O'").select("o_custkey"),
+                    o.filter("o_orderstatus = 'F'").select("o_custkey"),
+                    "intersect")
+
+
+@query("exists_subquery", """
+SELECT n_name, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+       AS n_customers
+FROM nation
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)
+""")
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + scalar subquery through the SQL entry point
+    (Catalyst decorrelates both into joins)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql("""
+        SELECT n_name, (SELECT count(*) FROM customer
+                        WHERE c_nationkey = n_nationkey) AS n_customers
+        FROM nation
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_nationkey = n_nationkey AND c_acctbal > 9000)""")
+
+
+@query("cube_agg", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return R.aggregate(o, ["o_orderstatus", "o_orderpriority"],
+                       [F.count(F.lit(1)).alias("n"),
+                        F.round(F.avg("o_totalprice"), 4).alias("avg_price")],
+                       mode="cube")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function breadth (string / date / math / conditional)
+# ---------------------------------------------------------------------------
+
+@query("string_funcs", """
+SELECT c_custkey,
+       upper(c_name)                         AS uname,
+       lower(c_mktsegment)                   AS lseg,
+       substr(c_name, 1, 8)                  AS prefix,
+       length(c_name)                        AS name_len,
+       replace(c_name, 'Customer', 'Cust')   AS short_name,
+       concat(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       reverse(c_mktsegment)                 AS rseg,
+       CAST(instr(c_name, '0') AS INT)       AS first_zero
+FROM customer
+""")
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+        F.concat("c_mktsegment", F.lit("#"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.instr("c_name", "0").alias("first_zero"))
+
+
+@query("date_funcs", """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT)      AS y,
+       CAST(quarter(o_orderdate) AS INT)   AS q,
+       CAST(month(o_orderdate) AS INT)     AS m,
+       CAST(day(o_orderdate) AS INT)       AS d,
+       CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_95
+FROM orders
+""")
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"))
+
+
+@query("math_funcs", """
+SELECT l_orderkey, l_linenumber, l_partkey,
+       abs(l_discount - 0.05)                   AS dev,
+       CAST(ceil(l_extendedprice) AS BIGINT)    AS ceil_price,
+       CAST(floor(l_extendedprice) AS BIGINT)   AS floor_price,
+       round(sqrt(l_quantity), 6)               AS sqrt_qty,
+       round(ln(l_extendedprice + 1), 6)        AS ln_price,
+       round(pow(l_tax + 1, 2), 6)              AS tax_sq,
+       CAST(l_orderkey % 7 AS BIGINT)           AS key_mod,
+       CAST(sign(l_discount - 0.05) AS DOUBLE)  AS disc_sign
+FROM lineitem
+""")
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.abs(F.col("l_discount") - 0.05).alias("dev"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"))
+
+
+@query("conditional_funcs", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 200000 THEN 'big'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'small' END                    AS size_class,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+       greatest(o_totalprice, 150000.0)         AS floor_150k,
+       least(CAST(o_custkey AS BIGINT), o_orderkey) AS min_key,
+       (o_orderstatus = 'O')                    AS is_open
+FROM orders
+""")
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+         .when(F.col("o_totalprice") > 100000, "mid")
+         .otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING"))
+         .alias("status_or_pending"),
+        F.greatest("o_totalprice", F.lit(150000.0)).alias("floor_150k"),
+        F.least(F.col("o_custkey"), F.col("o_orderkey")).alias("min_key"),
+        (F.col("o_orderstatus") == "O").alias("is_open"))
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline operators: dedup / text analysis / similarity
 # (north-star set; implementations in operators/{dedup,text,similarity}.py)
 # ---------------------------------------------------------------------------

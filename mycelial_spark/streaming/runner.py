@@ -1,0 +1,162 @@
+"""Streaming pipeline runner: continuous source->transform*->sink dataflows.
+
+Parity map (SURVEY.md §3):
+- poll-interval sources (postgres_connector/src/source.rs:108 interval
+  ticks) -> ``trigger(processingTime=...)`` micro-batches, or
+  ``availableNow`` for drain-and-stop runs;
+- per-section persisted state + ack-then-advance (§1.5) -> the streaming
+  checkpoint: offsets commit only after the sink write, giving the same
+  at-least-once-with-idempotent-sink contract;
+- file cursor semantics (dir/S6 ``start_after``) -> the file source's
+  processed-files log inside the checkpoint;
+- the scheduler's reconciliation (myceliald/src/scheduler.rs:425-484) ->
+  ``Reconciler``: spec-hash task ids; unchanged queries keep running,
+  removed ones stop, new ones start.
+
+Sinks run through ``foreachBatch`` so any batch destination section
+(jdbc/parquet/csv/...) becomes a streaming destination with transactional
+per-batch writes + origin->table routing — exactly the reference's
+message->ack unit of work.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.plans.graph import GraphError
+from mycelial_spark.plans.sections import REGISTRY
+
+# sources that have a native streaming reader here
+_STREAM_SOURCES = {"parquet_source", "csv_source", "binary_source", "rate_source"}
+
+
+def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
+                 schema: str | None) -> DataFrame:
+    if stype == "rate_source":
+        import pyspark.sql.functions as F
+        rows_per_sec = max(1, int(1000 / max(cfg["interval_millis"], 1)))
+        return (spark.readStream.format("rate")
+                .option("rowsPerSecond", rows_per_sec).load()
+                .withColumn("message", F.lit(cfg["message"])))
+    if stype == "binary_source":
+        reader = spark.readStream.format("binaryFile")
+        if cfg.get("pattern"):
+            reader = reader.option("pathGlobFilter", cfg["pattern"])
+        return reader.load(cfg["path"])
+    fmt = "parquet" if stype == "parquet_source" else "csv"
+    reader = spark.readStream.format(fmt)
+    if schema is None:
+        # file streams need a schema up front: infer from existing files
+        static = spark.read.format(fmt)
+        if fmt == "csv":
+            static = static.option("header", cfg.get("header", True))
+        schema_struct = static.load(cfg["path"]).schema
+    else:
+        schema_struct = schema
+    reader = reader.schema(schema_struct)
+    if fmt == "csv":
+        reader = reader.option("header", cfg.get("header", True))
+    return reader.load(cfg["path"])
+
+
+@dataclass
+class StreamingPipeline:
+    """Compile a pipeline spec into one or more StreamingQuery objects."""
+    pipeline: Pipeline
+    checkpoint_root: str
+    trigger: dict[str, Any] = field(default_factory=lambda: {"availableNow": True})
+
+    @classmethod
+    def from_spec(cls, spec: dict[str, Any], checkpoint_root: str,
+                  trigger: dict[str, Any] | None = None) -> "StreamingPipeline":
+        return cls(Pipeline.from_spec(spec), checkpoint_root,
+                   trigger or {"availableNow": True})
+
+    def start(self, spark: SparkSession) -> list[StreamingQuery]:
+        queries: list[StreamingQuery] = []
+        for sub in self.pipeline.graph.subgraphs():
+            queries.append(self._start_subgraph(spark, sub))
+        return queries
+
+    def _start_subgraph(self, spark: SparkSession, sub) -> StreamingQuery:
+        results: dict[str, DataFrame] = {}
+        sink_id, sink_cfg, sink_def = None, None, None
+        for node_id in sub.topo_order():
+            cfg = dict(sub.nodes[node_id])
+            sdef = REGISTRY.get(cfg.pop("type"))
+            parents = sub.parents(node_id)
+            if sdef.kind == "source":
+                stype = sub.nodes[node_id]["type"]
+                if stype not in _STREAM_SOURCES:
+                    raise GraphError(
+                        f"source {stype} has no streaming mode; use batch run()")
+                results[node_id] = _read_stream(spark, stype, cfg, None)
+            elif sdef.kind == "transform":
+                results[node_id] = sdef.builder(spark, cfg,
+                                                [results[p] for p in parents])
+            else:
+                if sink_id is not None:
+                    raise GraphError("one destination per streaming subgraph")
+                sink_id, sink_cfg, sink_def = node_id, cfg, sdef
+                results[node_id] = results[parents[0]]
+        if sink_id is None:
+            raise GraphError("streaming subgraph has no destination")
+
+        out_df = results[sink_id]
+        task_id = sub.task_id()
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # the reference's unit of work: write the whole frame, then the
+            # engine commits the offset (ack ordering, §1.5)
+            sink_def.builder(spark, sink_cfg, batch_df)
+
+        writer = (out_df.writeStream
+                  .foreachBatch(write_batch)
+                  .option("checkpointLocation", f"{self.checkpoint_root}/{task_id}")
+                  .queryName(f"mycelial-{task_id[:12]}")
+                  .trigger(**self.trigger))
+        return writer.start()
+
+
+@dataclass
+class Reconciler:
+    """Spec-hash reconciliation of running streaming queries
+    (scheduler.rs:425-484: unchanged tasks keep running, removed stop,
+    new spawn)."""
+    spark: SparkSession
+    checkpoint_root: str
+    running: dict[str, StreamingQuery] = field(default_factory=dict)
+
+    def apply(self, spec: dict[str, Any],
+              trigger: dict[str, Any] | None = None) -> dict[str, str]:
+        sp = StreamingPipeline.from_spec(spec, self.checkpoint_root, trigger)
+        desired = {sub.task_id(): sub for sub in sp.pipeline.graph.subgraphs()}
+        actions: dict[str, str] = {}
+        for task_id, query in list(self.running.items()):
+            if task_id not in desired or not query.isActive:
+                if query.isActive:
+                    query.stop()
+                del self.running[task_id]
+                actions[task_id] = "stopped"
+        for task_id, sub in desired.items():
+            if task_id in self.running:
+                actions[task_id] = "kept"
+                continue
+            self.running[task_id] = sp._start_subgraph(self.spark, sub)
+            actions[task_id] = "started"
+        return actions
+
+    def await_all(self, timeout: float | None = None) -> None:
+        for q in self.running.values():
+            q.awaitTermination(timeout)
+
+    def stop_all(self) -> None:
+        for q in self.running.values():
+            if q.isActive:
+                q.stop()
+        self.running.clear()

@@ -45,7 +45,7 @@ def test_fan_in_join_pipeline(spark, sf_dir):
         "edges": [["orders", "j"], ["cust", "j"], ["agg", "mem"], ["j", "agg"]],
     }
     Pipeline.from_spec(spec).run(spark)
-    out = spark.table("seg_totals").collect()
+    out = spark.table("global_temp.seg_totals").collect()
     assert len(out) == 5 and all(r["n"] > 0 for r in out)
 
 
@@ -61,7 +61,7 @@ def test_sql_escape_hatch(spark, sf_dir):
         "edges": [["li", "q"], ["q", "mem"]],
     }
     Pipeline.from_spec(spec).run(spark)
-    assert spark.table("sql_out").count() == 3
+    assert spark.table("global_temp.sql_out").count() == 3
 
 
 def test_unknown_section_type():
@@ -144,6 +144,6 @@ def test_csv_roundtrip_binary(spark, sf_dir, tmp_path):
         "edges": [["bin", "parse"], ["parse", "mem"]],
     }
     Pipeline.from_spec(spec).run(spark)
-    out = spark.table("csv_parsed")
+    out = spark.table("global_temp.csv_parsed")
     assert out.count() == 5
     assert all(t == "string" for _, t in out.dtypes)  # T3 all-Str semantics

@@ -1,0 +1,118 @@
+"""Streaming runner: drain-and-stop runs, checkpoint resume (the
+reference's cursor/ack semantics), and spec-hash reconciliation."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.streaming.runner import Reconciler, StreamingPipeline
+
+
+def _wait_done(queries, timeout=60):
+    deadline = time.time() + timeout
+    for q in queries:
+        remaining = max(1, int(deadline - time.time()))
+        q.awaitTermination(remaining * 1000 if False else remaining)
+    for q in queries:
+        if q.isActive:
+            q.stop()
+
+
+@pytest.fixture()
+def csv_dir(spark, tmp_path):
+    d = tmp_path / "incoming"
+    d.mkdir()
+    (d / "a.csv").write_text("k,v\n1,x\n2,y\n")
+    return d
+
+
+def _spec(csv_dir, out_name):
+    return {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(csv_dir)},
+            "tag": {"type": "tagging", "column": "batch_tag", "text": "s"},
+            "dst": {"type": "memory_dest", "name": out_name},
+        },
+        "edges": [["src", "tag"], ["tag", "dst"]],
+    }
+
+
+def test_stream_drain_available_now(spark, csv_dir, tmp_path):
+    sp = StreamingPipeline.from_spec(_spec(csv_dir, "stream_out"),
+                                     str(tmp_path / "ckpt"))
+    _wait_done(sp.start(spark))
+    out = spark.table("global_temp.stream_out")
+    assert out.count() == 2
+    assert out.columns == ["k", "v", "batch_tag"]
+
+
+def test_checkpoint_resume_no_reemission(spark, csv_dir, tmp_path):
+    """The start_after/ack property (S6, §1.5): after a restart only NEW
+    files are processed — offsets live in the checkpoint."""
+    ckpt = str(tmp_path / "ckpt2")
+    sink_rows = []
+
+    def collect_spec():
+        return {
+            "nodes": {
+                "src": {"type": "csv_source", "path": str(csv_dir)},
+                "dst": {"type": "memory_dest", "name": "resume_out"},
+            },
+            "edges": [["src", "dst"]],
+        }
+
+    sp = StreamingPipeline.from_spec(collect_spec(), ckpt)
+    _wait_done(sp.start(spark))
+    first = {r["k"] for r in spark.table("global_temp.resume_out").collect()}
+    assert first == {"1", "2"}
+
+    # new file arrives; restart from the same checkpoint
+    (csv_dir / "b.csv").write_text("k,v\n3,z\n")
+    sp2 = StreamingPipeline.from_spec(collect_spec(), ckpt)
+    _wait_done(sp2.start(spark))
+    second = {r["k"] for r in spark.table("global_temp.resume_out").collect()}
+    assert second == {"3"}  # ONLY the new file's rows in the latest batch
+
+
+def test_reconciler_keeps_unchanged(spark, csv_dir, tmp_path):
+    rec = Reconciler(spark, str(tmp_path / "ckpt3"))
+    spec = _spec(csv_dir, "rec_out")
+    # long-running trigger so queries stay active between applies
+    a1 = rec.apply(spec, trigger={"processingTime": "10 seconds"})
+    assert list(a1.values()) == ["started"]
+    a2 = rec.apply(spec, trigger={"processingTime": "10 seconds"})
+    assert list(a2.values()) == ["kept"]
+    spec["nodes"]["tag"]["text"] = "changed"
+    a3 = rec.apply(spec, trigger={"processingTime": "10 seconds"})
+    assert sorted(a3.values()) == ["started", "stopped"]
+    rec.stop_all()
+
+
+def test_event_time_window_with_watermark(spark, tmp_path):
+    """withWatermark + tumbling window over a file stream (§2.4 streaming
+    row): late rows beyond the watermark are dropped from the aggregate."""
+    d = tmp_path / "ev"
+    d.mkdir()
+    # last event pushes the watermark to 01:20 > 01:00, closing the
+    # hour-0 window (emission happens in the trailing no-data batch)
+    (d / "e.csv").write_text(
+        "ts,v\n2024-01-01 00:01:00,1\n2024-01-01 00:02:00,2\n"
+        "2024-01-01 01:30:00,10\n")
+    from pyspark.sql import types as T
+    schema = T.StructType([T.StructField("ts", T.TimestampType()),
+                           T.StructField("v", T.IntegerType())])
+    stream = (spark.readStream.schema(schema)
+              .option("header", True).csv(str(d))
+              .withWatermark("ts", "10 minutes")
+              .groupBy(F.window("ts", "1 hour").alias("w"))
+              .agg(F.sum("v").alias("total")))
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("win_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    rows = {r["w"]["start"].strftime("%H:%M"): r["total"]
+            for r in spark.table("win_out").collect()}
+    # hour-0 window closed by the watermark advance; contains 1+2
+    assert rows.get("00:00") == 3
