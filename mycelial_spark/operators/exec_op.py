@@ -1,0 +1,82 @@
+"""Exec section: run a user command over the data plane (S9 parity).
+
+The reference's ``exec`` section (sections/exec/src/section/{bin,df}.rs)
+has two modes:
+- **bin**: pipe the incoming byte stream through the command's
+  stdin/stdout (bin.rs:96-104) — here ``pipe_partitions``: each
+  partition's payload streams through one subprocess on the executor
+  (mapPartitions; process-per-partition, never per-row).
+- **df**: run the command once per row, optionally expanding the row to
+  ``--col=val`` argv (``row_as_args``, df.rs:66-97), with env injection
+  and data passthrough (``ack_passthrough``) — here ``exec_rows``.
+
+Scale note: subprocess cost dominates; partition-level batching (bin
+mode) is the fast path, row mode exists for parity and is explicitly the
+slow path — same trade-off the reference documents.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def pipe_partitions(df: DataFrame, command: list[str],
+                    env: dict[str, str] | None = None,
+                    content_col: str = "content") -> DataFrame:
+    """bin mode: concatenate the partition's binary payloads, stream them
+    through one subprocess, emit its stdout as a single payload row."""
+    schema = T.StructType([T.StructField("content", T.BinaryType())])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        chunks: list[bytes] = []
+        for pdf in batches:
+            chunks.extend(bytes(b) for b in pdf[content_col])
+        if not chunks:
+            return
+        proc_env = {**os.environ, **(env or {})}
+        out = subprocess.run(command, input=b"".join(chunks),
+                             capture_output=True, env=proc_env, check=True)
+        yield pd.DataFrame({"content": [out.stdout]})
+
+    return df.select(content_col).mapInPandas(run, schema)
+
+
+def exec_rows(df: DataFrame, command: list[str], row_as_args: bool = True,
+              env: dict[str, str] | None = None,
+              ack_passthrough: bool = True) -> DataFrame:
+    """df mode: one subprocess per row; row expands to --col=val argv.
+
+    With ack_passthrough the input row flows through untouched plus an
+    ``exec_output`` column (df.rs ack_passthrough semantics); otherwise
+    only (exec_output) rows are produced.
+    """
+    in_schema = df.schema
+    fields = list(in_schema.fields) if ack_passthrough else []
+    schema = T.StructType(fields + [T.StructField("exec_output", T.StringType())])
+    cols = [f.name for f in in_schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        proc_env = {**os.environ, **(env or {})}
+        for pdf in batches:
+            outputs = []
+            for _, row in pdf.iterrows():
+                argv = list(command)
+                if row_as_args:
+                    argv += [f"--{c}={row[c]}" for c in cols]
+                res = subprocess.run(argv, capture_output=True,
+                                     env=proc_env, check=True)
+                outputs.append(res.stdout.decode("utf-8", "replace").strip())
+            pdf = pdf.copy() if ack_passthrough else pd.DataFrame(index=pdf.index)
+            pdf["exec_output"] = outputs
+            yield pdf
+
+    return df.mapInPandas(run, schema)

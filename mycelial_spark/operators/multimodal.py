@@ -1,0 +1,134 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Design (north-star): a multimodal table is ``(id, modality, payload binary,
+meta struct)``. All heavy per-item work (decode, feature extraction,
+resize, frame sampling) runs as Arrow-batched pandas functions via
+``mapInPandas`` — executors stream record batches, nothing ever collects
+to the driver, and partitioning controls worker parallelism. Real codecs
+(PIL/librosa/ffmpeg) are NOT in this container, so the codec step is
+isolated behind ``_decode_real`` (raises NotImplementedError) with a
+deterministic fake (``_decode_fake``) keeping the plumbing — schema,
+batch shape, UDF signatures — real and testable.
+
+At 100 TB: payloads come from ``binaryFile``/object-store scans;
+``repartition`` by byte-size buckets before mapInPandas keeps batches
+balanced (decode cost follows payload size, not row count).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("modality", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("checksum", T.LongType()),
+    T.StructField("head_hex", T.StringType()),
+])
+
+
+def attach_payload(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   modality: str = "image") -> DataFrame:
+    """Test-fixture adapter: fabricate a binary payload column from text
+    (the fixtures carry no real media; production uses binary_source)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.lit(modality).alias("modality"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"))
+
+
+def _decode_real(payload: bytes, modality: str):
+    """Real codec hook — requires PIL/librosa/av, absent in this container."""
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "install pillow/librosa/av and route _decode() here")
+
+
+def _decode_fake(payload: bytes) -> dict:
+    """Deterministic stand-in decode: cheap byte statistics."""
+    return {
+        "n_bytes": len(payload),
+        "checksum": int(sum(payload) % 997),
+        "head_hex": payload[:4].hex(),
+    }
+
+
+def extract_features(df: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """Per-item feature extraction over Arrow batches (mapInPandas).
+
+    Input: (id, modality, payload). Output: FEATURE_SCHEMA rows.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                if use_real_codec:
+                    f = _decode_real(payload, row["modality"])
+                else:
+                    f = _decode_fake(payload)
+                feats.append({"id": row["id"], "modality": row["modality"], **f})
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+    T.StructField("target_w", T.IntegerType()),
+    T.StructField("target_h", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: batches in, batches out, byte payload transformed.
+    Fake transform truncates/pads the payload to width*height bytes —
+    the real implementation swaps in a PIL resize at the marked line."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                # real: PIL.Image.open(io.BytesIO(payload)).resize((w, h))
+                resized = payload[:n].ljust(n, b"\x00")
+                out.append({"id": row["id"], "payload": resized,
+                            "target_w": width, "target_h": height})
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA])
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64,
+                  max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: one output row per
+    sampled frame (explode semantics through mapInPandas). Fake frames are
+    fixed-size byte slices; real impl uses an ffmpeg/av keyframe iterator."""
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                for i in range(min(max_frames,
+                                   max(1, len(payload) // every_n_bytes))):
+                    out.append({"id": row["id"], "frame_idx": i,
+                                "frame": payload[i * every_n_bytes:
+                                                 (i + 1) * every_n_bytes]})
+            yield pd.DataFrame(out, columns=["id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema)

@@ -359,6 +359,31 @@ def text_stats_(spark, cfg, inputs):
     return with_text_stats(inputs[0], cfg["text_col"])
 
 
+@_register("exec", "transform", "bin_or_dataframe", "bin_or_dataframe",
+           [Field("command", "list"), Field("stream_binary", "bool", False),
+            Field("row_as_args", "bool", True),
+            Field("ack_passthrough", "bool", True),
+            Field("env", "json", default={})],
+           doc="S9 exec section: stream_binary=True pipes partition bytes "
+               "through the command (bin mode); otherwise one subprocess per "
+               "row with --col=val argv (df mode).")
+def exec_(spark, cfg, inputs):
+    from mycelial_spark.operators.exec_op import exec_rows, pipe_partitions
+    if cfg["stream_binary"]:
+        return pipe_partitions(inputs[0], cfg["command"], cfg["env"] or None)
+    return exec_rows(inputs[0], cfg["command"], cfg["row_as_args"],
+                     cfg["env"] or None, cfg["ack_passthrough"])
+
+
+@_register("multimodal_features", "transform", "bin_or_dataframe", "dataframe",
+           [Field("id_col", default="id")],
+           doc="North-star multimodal: per-item feature extraction over "
+               "Arrow batches (mapInPandas); codec stubbed, plumbing real.")
+def multimodal_features_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import extract_features
+    return extract_features(inputs[0])
+
+
 # ---------------------------------------------------------------------------
 # Destinations (SURVEY §2.2)
 # ---------------------------------------------------------------------------

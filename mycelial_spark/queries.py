@@ -917,6 +917,25 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            k=10, planes=4)
 
 
+@query("multimodal_features", """
+SELECT doc_id AS id,
+       'image' AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                    i -> ascii(text[i]))) % 997 AS BIGINT)
+         AS checksum,
+       lower(hex(substr(text, 1, 4))) AS head_hex
+FROM documents
+""")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas feature
+    extraction (Arrow batches; codec stubbed with deterministic byte stats
+    so the oracle can verify the full Spark<->Python round trip)."""
+    from mycelial_spark.operators.multimodal import attach_payload, extract_features
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

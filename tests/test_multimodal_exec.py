@@ -1,0 +1,80 @@
+"""Multimodal plumbing (mapInPandas over binary payloads) + exec section."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators import multimodal as M
+from mycelial_spark.operators.exec_op import exec_rows, pipe_partitions
+from mycelial_spark.plans.compiler import Pipeline
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc")], "doc_id long, text string")
+    return M.attach_payload(df)
+
+
+def test_extract_features_byte_stats(payloads):
+    rows = {r["id"]: r for r in M.extract_features(payloads).collect()}
+    assert rows[1]["n_bytes"] == 11
+    assert rows[1]["checksum"] == sum(b"hello world") % 997
+    assert rows[1]["head_hex"] == b"hell".hex()
+    assert rows[2]["modality"] == "image"
+
+
+def test_real_codec_raises(payloads):
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        M.extract_features(payloads, use_real_codec=True).collect()
+
+
+def test_resize_pads_and_truncates(payloads):
+    out = {r["id"]: r for r in M.resize_images(payloads, 2, 3).collect()}
+    assert len(bytes(out[1]["payload"])) == 6   # truncated to w*h
+    assert bytes(out[2]["payload"]) == b"abc\x00\x00\x00"  # padded
+
+
+def test_sample_frames_explodes(payloads):
+    frames = M.sample_frames(payloads, every_n_bytes=4, max_frames=2).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 2
+    assert bytes(by_id[1][0]["frame"]) == b"hell"
+
+
+def test_exec_rows_passthrough(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = exec_rows(df, ["echo"], row_as_args=True).orderBy("k").collect()
+    assert out[0]["exec_output"] == "--k=1 --v=a"
+    assert set(out[0].asDict()) == {"k", "v", "exec_output"}
+
+
+def test_exec_rows_no_passthrough(spark):
+    df = spark.createDataFrame([(5,)], "k long")
+    out = exec_rows(df, ["echo", "fixed"], row_as_args=False,
+                    ack_passthrough=False).collect()
+    assert out[0].asDict() == {"exec_output": "fixed"}
+
+
+def test_pipe_partitions_bin_mode(spark):
+    df = spark.createDataFrame(
+        [(bytearray(b"hello "),), (bytearray(b"world"),)],
+        "content binary").coalesce(1)
+    out = pipe_partitions(df, ["tr", "a-z", "A-Z"]).collect()
+    assert bytes(out[0]["content"]) == b"HELLO WORLD"
+
+
+def test_exec_section_in_pipeline(spark, sf_dir):
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": f"{sf_dir}/region.parquet"},
+            "ex": {"type": "exec", "command": ["echo"], "row_as_args": True},
+            "mem": {"type": "memory_dest", "name": "exec_out"},
+        },
+        "edges": [["src", "ex"], ["ex", "mem"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    out = spark.table("global_temp.exec_out")
+    assert out.count() == 5
+    assert "exec_output" in out.columns
