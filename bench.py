@@ -33,8 +33,13 @@ HEADLINE = [
     "json_extract",
     "incremental_watermark",
     "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
     "text_stats",
     "similarity_topk",
+    "knn_join",
+    "multimodal_features",
+    "asof_join",
+    "events_session_window",
 ]
 
 
@@ -45,9 +50,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.get_queries()
 
-    # warm the JVM + parquet footers once so per-query numbers reflect the
-    # plan, not first-touch costs
+    # warm the JVM + parquet footers + Python worker pool once so per-query
+    # numbers reflect the plan, not first-touch costs
     registry["q1_pricing_summary"](spark, sf_dir).count()
+    # full run, not limit(1): every core's Python worker must spawn once
+    registry["multimodal_features"](spark, sf_dir).write.format("noop") \
+        .mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from mycelial_spark.operators.text import tokens, with_fingerprint
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Decouple compute parallelism from input chunking.
+
+    File-scan partitioning follows bytes (maxPartitionBytes); CPU-dense
+    per-row stages (hashing, signatures, codecs) follow row cost. A small
+    but expensive table can land in one partition and serialize the whole
+    stage — at any cluster size. The repartition shuffle moves only the
+    narrow input columns, which is negligible against the per-row compute
+    it parallelizes. No-op when the scan is already wide enough.
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
@@ -46,7 +62,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     family realized with the built-in multi-arg xxhash64; computed with
     transform/array_min entirely inside codegen.
     """
-    fp = with_fingerprint(df, text_col, ngram=ngram)
+    fp = with_fingerprint(spread(df), text_col, ngram=ngram)
     seeds = F.sequence(F.lit(1), F.lit(num_hashes))
     sig = F.transform(
         seeds,
@@ -111,6 +127,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     is positive. Computed with one aggregate() per document inside
     codegen — no shuffle, no UDF.
     """
+    df = spread(df)
     tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
     # call_function: the SQL shiftright/shiftleft accept Column shift amounts
@@ -176,9 +193,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     dominate cost; at scale, drop top-percentile document-frequency tokens
     first), count shared tokens per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
     """
-    toks = df.select(F.col(id_col),
-                     F.explode(F.array_distinct(tokens(F.col(text_col))))
-                      .alias("tok"))
+    toks = spread(df).select(F.col(id_col),
+                             F.explode(F.array_distinct(tokens(F.col(text_col))))
+                             .alias("tok"))
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")
     shared = (a.join(b, [F.col("a.tok") == F.col("b.tok"),

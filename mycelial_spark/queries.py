@@ -741,8 +741,9 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs via postings join (output-linear:
     shingles are discriminative so posting lists stay short at scale)."""
+    from mycelial_spark.operators.dedup import spread
     from mycelial_spark.operators.text import with_fingerprint
-    docs = with_fingerprint(_t(spark, sf_dir, "documents"))
+    docs = with_fingerprint(spread(_t(spark, sf_dir, "documents")))
     post = docs.select(F.col("doc_id"),
                        F.explode("shingle_hashes").alias("s"))
     sizes = docs.select("doc_id", F.size("shingle_hashes").alias("sz"))
@@ -931,8 +932,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> mapInPandas feature
     extraction (Arrow batches; codec stubbed with deterministic byte stats
     so the oracle can verify the full Spark<->Python round trip)."""
+    from mycelial_spark.operators.dedup import spread
     from mycelial_spark.operators.multimodal import attach_payload, extract_features
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return extract_features(attach_payload(docs))
 
 
