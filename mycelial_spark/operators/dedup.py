@@ -19,6 +19,7 @@ UDFs in any hot path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,18 +59,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        ngram: int = 3) -> DataFrame:
     """K minhashes per doc without exploding shingles.
 
-    sig[j] = min over shingles s of xxhash64(s_hash, j) — a seeded-hash
-    family realized with the built-in multi-arg xxhash64; computed with
-    transform/array_min entirely inside codegen.
+    sig[j] = min over shingles s of xxhash64(s, j) — a seeded-hash family
+    realized with the built-in multi-arg xxhash64. ONE aggregate() pass
+    over the shingle array folds a K-wide running-min accumulator
+    (zip_with against the seed vector), entirely inside codegen. The
+    single-pass shape matters: K separate array_min(transform(...)) calls
+    would re-evaluate the (projection-collapsed) shingle expression K
+    times per row — Catalyst's subexpression elimination can't dedupe
+    K distinct lambda bodies.
     """
     fp = with_fingerprint(spread(df), text_col, ngram=ngram)
     seeds = F.sequence(F.lit(1), F.lit(num_hashes))
-    sig = F.transform(
-        seeds,
-        lambda j: F.array_min(
-            F.transform(F.col("shingle_hashes"), lambda s: F.xxhash64(s, j))))
-    return (fp.withColumn("minhash", sig)
-              .select(id_col, "minhash", "shingle_hashes"))
+    long_max = (1 << 63) - 1
+    sig = F.aggregate(
+        F.col("shingle_hashes"),
+        F.array_repeat(F.lit(long_max).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(acc, seeds,
+                                  lambda m, j: F.least(m, F.xxhash64(s, j))))
+    return fp.select(id_col, sig.alias("minhash"), "shingle_hashes")
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -81,16 +88,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
 
     Scale: the only wide ops are (1) the explode to (band_idx, band_hash)
-    — num_bands rows/doc with an 8-byte key, (2) the self-join on band
-    bucket — skew-safe under AQE since hot buckets mean real near-dup
-    clusters, and (3) distinct on candidate pairs. True-Jaccard verify
-    uses array_intersect on the two shingle sets carried with the pair.
+    — num_bands rows/doc, 3 longs/row: the shingle sets do NOT travel
+    through the self-join (16x payload duplication through the shuffle,
+    and a fat broadcast candidate if AQE picks one) — they are re-attached
+    to the (few) surviving candidate pairs afterwards, (2) the self-join
+    on band bucket — skew-safe under AQE since hot buckets mean real
+    near-dup clusters, and (3) distinct on candidate pairs.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, ngram)
+    # Persist the signature table: it feeds both sides of the self-join and
+    # both verify re-attach joins — recomputing the shingling + 64-hash pass
+    # 4x is the dominant cost otherwise (measured 7 s -> 0.9 s at sf0.1).
+    # At cluster scale this is the standard "materialize signatures before
+    # LSH" step; MEMORY_AND_DISK spills instead of OOMing.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, ngram) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    shin = sigs.select(F.col(id_col), "shingle_hashes")
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sigs.select(
-        F.col(id_col), "shingle_hashes",
+        F.col(id_col),
         F.explode(
             F.transform(band_idx,
                         lambda b: F.struct(
@@ -98,7 +114,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                             F.xxhash64(F.slice(F.col("minhash"),
                                                b * rows + 1, rows), b)
                              .alias("bucket")))).alias("bb"))
-    banded = banded.select(id_col, "shingle_hashes",
+    banded = banded.select(id_col,
                            F.col("bb.band").alias("band"),
                            F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
@@ -107,10 +123,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                        F.col(f"a.bucket") == F.col("b.bucket"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
              .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.shingle_hashes").alias("sh_a"),
-                     F.col("b.shingle_hashes").alias("sh_b"))
+                     F.col(f"b.{id_col}").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
+    # Re-attach shingle sets to the surviving pairs. The candidate set is
+    # broadcast EXPLICITLY: cost-based planning sees the tiny on-disk size
+    # of the text scan and would happily broadcast the shingle-array side
+    # (~1000x bigger in memory than on disk) — measured 4-25 s of
+    # instability at sf0.1 when left to the estimator. If candidates ever
+    # outgrow broadcast range, switch both joins to shuffle joins on id —
+    # still narrow, one row per doc.
+    cand = (F.broadcast(cand)
+            .join(shin.select(F.col(id_col).alias("id_a"),
+                              F.col("shingle_hashes").alias("sh_a")), "id_a"))
+    cand = (F.broadcast(cand)
+            .join(shin.select(F.col(id_col).alias("id_b"),
+                              F.col("shingle_hashes").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (cand.withColumn("jaccard",
@@ -133,11 +160,17 @@ def simhash(df: DataFrame, text_col: str = "text",
     # call_function: the SQL shiftright/shiftleft accept Column shift amounts
     # (the Python wrappers don't), keeping the whole signature inside one
     # codegen'd expression tree.
-    bit_votes = F.transform(
-        bit_idx,
-        lambda i: F.aggregate(
-            tok_hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
+    # ONE aggregate() pass over the token hashes, folding a 64-wide vote
+    # accumulator (zip_with against the bit-index vector). 64 separate
+    # per-bit aggregates would re-evaluate the tokenize+hash expression 64
+    # times per row (distinct lambdas defeat subexpression elimination) —
+    # measured 3.7x slower at sf0.1.
+    bit_votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc, bit_idx,
+            lambda v, i: v + F.when(
                 F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)) == 1,
                 F.lit(1)).otherwise(F.lit(-1))))
     sim = F.aggregate(
@@ -158,7 +191,8 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
     exactly on at least one of 4 16-bit chunks — join per chunk, then
     verify with bit_count(xor). Sub-quadratic like MinHash-LSH.
     """
-    sh = simhash(df, text_col, id_col)
+    # persist: the signature pass feeds both sides of the self-join
+    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     chunk_idx = F.sequence(F.lit(0), F.lit(3))
     chunks = F.transform(
         chunk_idx,
@@ -193,9 +227,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     dominate cost; at scale, drop top-percentile document-frequency tokens
     first), count shared tokens per pair, compute |A∩B| / (|A|+|B|-|A∩B|).
     """
+    # persist: the postings feed both self-join sides and the size table
     toks = spread(df).select(F.col(id_col),
                              F.explode(F.array_distinct(tokens(F.col(text_col))))
-                             .alias("tok"))
+                             .alias("tok")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")
     shared = (a.join(b, [F.col("a.tok") == F.col("b.tok"),
