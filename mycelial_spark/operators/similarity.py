@@ -67,6 +67,55 @@ def knn_join_bruteforce(probes: DataFrame, corpus: DataFrame, k: int = 5,
                   .select("probe_id", "corpus_id", "cos_sim", "rn"))
 
 
+def cosine_pairs_exact(df: DataFrame, threshold: float,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """All pairs with cosine similarity >= threshold (exact).
+
+    The oracle-checkable baseline for embedding near-dup detection:
+    id-ordered self-join, cosine inside codegen. O(n^2·d) — correct at
+    any size but quadratic; at corpus scale pre-bucket with
+    ``with_lsh_bucket`` and join on the bucket (same verify expression),
+    which bounds candidates to 1/2^planes of the cross product.
+    """
+    a = df.select(F.col(id_col).alias("id_a"),
+                  F.col(vec_col).cast("array<double>").alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"),
+                  F.col(vec_col).cast("array<double>").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+             .filter(F.col("cos_sim") >= threshold)
+             .select("id_a", "id_b", "cos_sim"))
+
+
+def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
+                     dims: int = 64, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Near-dup embedding pairs at scale: LSH-bucket candidates + exact verify.
+
+    Only pairs sharing a random-hyperplane bucket are compared — recall
+    trades off with ``planes`` (fewer planes = bigger buckets = higher
+    recall & cost). Candidate join shuffles (id, bucket, vector) once,
+    partitioned by bucket.
+    """
+    from pyspark import StorageLevel
+    bucketed = (with_lsh_bucket(df, planes, dims, vec_col)
+                .select(F.col(id_col),
+                        F.col(vec_col).cast("array<double>").alias("v"),
+                        "lsh_bucket")
+                .persist(StorageLevel.MEMORY_AND_DISK))
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                        "lsh_bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                        "lsh_bucket")
+    return (a.join(b, ["lsh_bucket"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+             .filter(F.col("cos_sim") >= threshold)
+             .select("id_a", "id_b", "cos_sim")
+             .dropDuplicates(["id_a", "id_b"]))
+
+
 def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
     """sign(v · h_plane) with h derived from xxhash64(dim, plane) ∈ [-1,1]."""
     dim_idx = F.sequence(F.lit(0), F.lit(dims - 1))

@@ -486,6 +486,165 @@ def jdbc_dest(spark, cfg, df):
     return {"table": cfg["table"], "mode": mode}
 
 
+@_register("s3_source", "source", "none", "bin_or_dataframe",
+           [Field("bucket"), Field("prefix", default=""),
+            Field("endpoint", default=""), Field("region", default=""),
+            Field("access_key_id", default=""),
+            Field("secret_key", secret=True, default=""),
+            Field("start_after", default=""),
+            Field("stream_binary", "bool", False)],
+           doc="S7 s3 source: object listing with lexicographic start_after "
+               "cursor (sections/s3/src/source.rs:38-330); stream_binary=False "
+               "emits {path} rows, True emits object bytes. Reads through the "
+               "s3a:// filesystem (credentials/endpoint via hadoop conf), so "
+               "listing and byte reads are distributed; ListObjectsV2 paging "
+               "is the FS client's concern, not ours.")
+def s3_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if cfg["endpoint"]:
+        hconf.set("fs.s3a.endpoint", cfg["endpoint"])
+    if cfg["access_key_id"]:
+        hconf.set("fs.s3a.access.key", cfg["access_key_id"])
+        hconf.set("fs.s3a.secret.key", cfg["secret_key"])
+    url = f"s3a://{cfg['bucket']}/{cfg['prefix'].lstrip('/')}"
+    try:
+        df = spark.read.format("binaryFile").load(url)
+    except Exception as e:
+        raise SectionUnavailable(
+            f"s3_source needs the hadoop-aws (s3a) jars + reachable store: {e}"
+        ) from e
+    if not cfg["stream_binary"]:
+        df = df.select("path")
+    if cfg["start_after"]:
+        df = df.filter(F.col("path") > F.lit(cfg["start_after"]))
+    return df
+
+
+@_register("s3_dest", "destination", "bin_or_dataframe", "none",
+           [Field("bucket"), Field("prefix", default=""),
+            Field("endpoint", default=""), Field("region", default=""),
+            Field("access_key_id", default=""),
+            Field("secret_key", secret=True, default=""),
+            Field("format", default="parquet")],
+           doc="D6 s3 destination (sections/s3/src/destination.rs:18-300): "
+               "writes through the s3a committer — multipart upload and "
+               "part sizing are the committer's built-ins (the reference's "
+               "hand-rolled multipart, destination.rs:75-110).")
+def s3_dest(spark, cfg, df):
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if cfg["endpoint"]:
+        hconf.set("fs.s3a.endpoint", cfg["endpoint"])
+    if cfg["access_key_id"]:
+        hconf.set("fs.s3a.access.key", cfg["access_key_id"])
+        hconf.set("fs.s3a.secret.key", cfg["secret_key"])
+    url = f"s3a://{cfg['bucket']}/{cfg['prefix'].lstrip('/')}"
+    try:
+        df.write.mode("append").format(cfg["format"]).save(url)
+    except Exception as e:
+        raise SectionUnavailable(
+            f"s3_dest needs the hadoop-aws (s3a) jars + reachable store: {e}"
+        ) from e
+    return {"url": url, "format": cfg["format"]}
+
+
+@_register("snowflake_source", "source", "none", "dataframe",
+           [Field("account_identifier"), Field("username"),
+            Field("password", secret=True, default=""), Field("role", default=""),
+            Field("warehouse", default=""), Field("database"),
+            Field("schema", default="PUBLIC"), Field("query")],
+           doc="S4 snowflake source (sections/snowflake/src/source.rs:50-100): "
+               "query pushdown via the spark-snowflake connector — results "
+               "arrive as Arrow batches on both engines.")
+def snowflake_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    opts = {
+        "sfUrl": f"{cfg['account_identifier']}.snowflakecomputing.com",
+        "sfUser": cfg["username"], "sfPassword": cfg["password"],
+        "sfDatabase": cfg["database"], "sfSchema": cfg["schema"],
+        "sfRole": cfg["role"], "sfWarehouse": cfg["warehouse"],
+        "query": cfg["query"],
+    }
+    try:
+        return spark.read.format("snowflake").options(**opts).load()
+    except Exception as e:
+        raise SectionUnavailable(
+            f"snowflake_source needs the spark-snowflake connector: {e}") from e
+
+
+@_register("snowflake_dest", "destination", "dataframe", "none",
+           [Field("account_identifier"), Field("username"),
+            Field("password", secret=True, default=""), Field("role", default=""),
+            Field("warehouse", default=""), Field("database"),
+            Field("schema", default="PUBLIC"), Field("table"),
+            Field("truncate", "bool", False)],
+           doc="D4 snowflake destination (sections/snowflake/src/destination.rs"
+               ":71-218): the reference stages parquet + COPY INTO "
+               "MATCH_BY_COLUMN_NAME; the spark-snowflake connector performs "
+               "the identical stage+COPY internally. truncate = destructive "
+               "load (overwrite).")
+def snowflake_dest(spark, cfg, df):
+    opts = {
+        "sfUrl": f"{cfg['account_identifier']}.snowflakecomputing.com",
+        "sfUser": cfg["username"], "sfPassword": cfg["password"],
+        "sfDatabase": cfg["database"], "sfSchema": cfg["schema"],
+        "sfRole": cfg["role"], "sfWarehouse": cfg["warehouse"],
+        "dbtable": cfg["table"],
+    }
+    mode = "overwrite" if cfg["truncate"] else "append"
+    try:
+        df.write.format("snowflake").options(**opts).mode(mode).save()
+    except Exception as e:
+        raise SectionUnavailable(
+            f"snowflake_dest needs the spark-snowflake connector: {e}") from e
+    return {"table": cfg["table"], "mode": mode}
+
+
+def redshift_copy_statements(paths: list[str], origin: str, iam_role: str,
+                             region: str, data_format: str = "CSV",
+                             ignore_header: bool = False) -> list[str]:
+    """COPY statements for a batch of staged S3 objects — the pure core of
+    D5 redshift_loader (sections/redshift_loader/src/destination.rs:89-96),
+    split out so the statement shape is unit-testable without a cluster."""
+    suffix = " IGNOREHEADER 1" if ignore_header and data_format == "CSV" else ""
+    return [
+        f"COPY \"{origin}\" FROM '{p}' iam_role '{iam_role}' "
+        f"region '{region}' {data_format}{suffix}"
+        for p in paths
+    ]
+
+
+@_register("redshift_dest", "destination", "dataframe", "none",
+           [Field("host"), Field("port", "int", 5439), Field("user"),
+            Field("password", secret=True, default=""), Field("database"),
+            Field("origin"), Field("iam_role"), Field("region"),
+            Field("data_format", default="CSV"),
+            Field("ignore_header", "bool", False)],
+           doc="D5 redshift_loader: consumes {path} rows pointing at staged "
+               "S3 objects and issues COPY per object over a postgres-wire "
+               "JDBC connection (destination.rs:31-109). Paths are collected "
+               "to the driver — the frame is a file manifest, not data.")
+def redshift_dest(spark, cfg, df):
+    paths = [r["path"] for r in df.select("path").collect()]
+    stmts = redshift_copy_statements(paths, cfg["origin"], cfg["iam_role"],
+                                     cfg["region"], cfg["data_format"],
+                                     cfg["ignore_header"])
+    url = f"jdbc:postgresql://{cfg['host']}:{cfg['port']}/{cfg['database']}"
+    try:
+        conn = spark._sc._jvm.java.sql.DriverManager.getConnection(
+            url, cfg["user"], cfg["password"])
+        try:
+            for s in stmts:
+                conn.createStatement().execute(s)
+        finally:
+            conn.close()
+    except SectionUnavailable:
+        raise
+    except Exception as e:
+        raise SectionUnavailable(
+            f"redshift_dest needs a reachable cluster + pg JDBC driver: {e}"
+        ) from e
+    return {"origin": cfg["origin"], "objects": len(stmts)}
+
+
 @_register("kafka_dest", "destination", "dataframe", "none",
            [Field("brokers"), Field("topic")],
            doc="D8 kafka destination: each row -> JSON object, key=origin "

@@ -938,6 +938,119 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+@query("dedup_embedding_pairs", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.4
+""")
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (the
+    oracle-checkable form; cosine_pairs_lsh is the bucketed scale path)."""
+    from mycelial_spark.operators.similarity import cosine_pairs_exact
+    return cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("dedup_embedding_pairs_lsh", None)  # LSH recall is approximate -> rows-only
+def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane bucket candidates +
+    exact cosine verify — candidate join is bucket-local, never O(n^2)."""
+    from mycelial_spark.operators.similarity import cosine_pairs_lsh
+    return cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4,
+                            planes=3)
+
+
+@query("agg_stats", """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS std_price,
+       round(var_samp(l_discount), 6)         AS var_disc,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance +
+    exact interpolated percentiles — one hash-agg pass; percentile is the
+    only non-combinable piece (sorts per group; use approx_percentile at
+    extreme cardinality)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"))
+
+
+@query("grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""")
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL entry point — Catalyst expands to a
+    single Expand + hash aggregate (one scan, one shuffle)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())""")
+
+
+@query("pivot_returnflag", """
+SELECT l_linestatus,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+FROM lineitem
+GROUP BY l_linestatus
+""")
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list: with values declared, Spark plans a
+    single aggregate pass (no extra distinct scan to discover them)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_linestatus")
+              .pivot("l_returnflag", ["A", "N", "R"])
+              .agg(F.round(F.sum("l_quantity"), 2)))
+
+
+@query("unpivot_measures", """
+WITH a AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2)      AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_tax), 2)           AS sum_tax
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value FROM (
+  SELECT l_returnflag, 'sum_qty'   AS measure, sum_qty   AS value FROM a
+  UNION ALL
+  SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM a
+  UNION ALL
+  SELECT l_returnflag, 'sum_tax'   AS measure, sum_tax   AS value FROM a
+)
+""")
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide aggregate -> long (measure, value) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_tax"), 2).alias("sum_tax"))
+    return agg.unpivot("l_returnflag", ["sum_qty", "sum_price", "sum_tax"],
+                       "measure", "value")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,97 @@
+"""Connector-section coverage: SURVEY §2.1/§2.2 registry completeness and
+the behavior that is testable without external services (config schema,
+COPY-statement generation, SectionUnavailable signalling)."""
+
+import pytest
+
+from mycelial_spark.plans.sections import (
+    REGISTRY,
+    SectionUnavailable,
+    redshift_copy_statements,
+)
+
+# The full §2 surface: every reference section type has a registered analog.
+EXPECTED = {
+    # sources (§2.1)
+    "jdbc_source": "S1-S3 postgres/mysql/sqlite poll-query",
+    "snowflake_source": "S4",
+    "excel_source": "S5",
+    "dir_source": "S6",
+    "s3_source": "S7",
+    "binary_source": "S8 file",
+    "exec": "S9 (transform form)",
+    "rate_source": "S11 hello_world",
+    "parquet_source": "engine-native bulk scan",
+    "csv_source": "csv files",
+    # destinations (§2.2)
+    "jdbc_dest": "D1-D3",
+    "snowflake_dest": "D4",
+    "redshift_dest": "D5",
+    "s3_dest": "D6",
+    "file_dest": "D7",
+    "kafka_dest": "D8",
+    "console_dest": "D10",
+    "noop_dest": "T9 stub",
+    "parquet_dest": "engine-native bulk sink",
+    "csv_dest": "csv files",
+    # transforms (§2.3)
+    "typecast": "T1",
+    "tagging": "T2",
+    "from_csv": "T3",
+    "to_csv": "T4",
+    "origin_regex": "T5",
+    "origin_time_nanos": "T6",
+    "inspect": "T7",
+}
+
+
+def test_section_registry_covers_survey_2():
+    missing = sorted(set(EXPECTED) - set(REGISTRY.names()))
+    assert not missing, f"SURVEY §2 sections missing from registry: {missing}"
+
+
+def test_redshift_copy_statement_shape():
+    stmts = redshift_copy_statements(
+        ["s3://bkt/a.csv", "s3://bkt/b.csv"], origin="t", iam_role="ri",
+        region="us-east-1", data_format="CSV", ignore_header=True)
+    assert stmts == [
+        "COPY \"t\" FROM 's3://bkt/a.csv' iam_role 'ri' "
+        "region 'us-east-1' CSV IGNOREHEADER 1",
+        "COPY \"t\" FROM 's3://bkt/b.csv' iam_role 'ri' "
+        "region 'us-east-1' CSV IGNOREHEADER 1",
+    ]
+
+
+def test_redshift_copy_no_header_for_parquet():
+    stmts = redshift_copy_statements(
+        ["s3://b/x"], origin="t", iam_role="r", region="eu", data_format="PARQUET",
+        ignore_header=True)
+    assert stmts[0].endswith("PARQUET")  # IGNOREHEADER is CSV-only
+
+
+def test_unreachable_connectors_raise_section_unavailable(spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    sf_cfg = {"account_identifier": "acct", "username": "u", "password": "p",
+              "role": "", "warehouse": "", "database": "d", "schema": "PUBLIC"}
+    with pytest.raises(SectionUnavailable):
+        REGISTRY.get("snowflake_source").builder(
+            spark, {**sf_cfg, "query": "select 1"})
+    with pytest.raises(SectionUnavailable):
+        REGISTRY.get("snowflake_dest").builder(
+            spark, {**sf_cfg, "table": "t", "truncate": False}, nation)
+    with pytest.raises(SectionUnavailable):
+        REGISTRY.get("redshift_dest").builder(
+            spark, {"host": "localhost", "port": 1, "user": "u", "password": "",
+                    "database": "d", "origin": "t", "iam_role": "r",
+                    "region": "us-east-1", "data_format": "CSV",
+                    "ignore_header": False},
+            nation.selectExpr("n_name AS path"))
+
+
+def test_s3_source_falls_back_to_section_unavailable(spark):
+    with pytest.raises(SectionUnavailable):
+        REGISTRY.get("s3_source").builder(
+            spark, {"bucket": "no-such-bucket-anywhere", "prefix": "x",
+                    "endpoint": "", "region": "", "access_key_id": "",
+                    "secret_key": "", "start_after": "",
+                    "stream_binary": False})

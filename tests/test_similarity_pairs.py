@@ -1,0 +1,28 @@
+"""Embedding near-dup pair operators: exact baseline vs LSH scale path."""
+
+from mycelial_spark.operators.similarity import (
+    cosine_pairs_exact,
+    cosine_pairs_lsh,
+)
+
+
+def test_exact_pairs_symmetric_and_thresholded(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = cosine_pairs_exact(emb, threshold=0.3).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(r["cos_sim"] >= 0.3 for r in pairs)
+
+
+def test_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in cosine_pairs_exact(emb, threshold=0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in cosine_pairs_lsh(emb, threshold=0.3, planes=2).collect()}
+    # LSH candidates are a subset of the exact result (same verify), and
+    # with only 2 planes (4 buckets) recall should be substantial
+    assert set(lsh) <= set(exact)
+    if exact:
+        assert len(lsh) / len(exact) >= 0.2
+    for k, v in lsh.items():
+        assert v == exact[k]
