@@ -1,0 +1,152 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference's per-section persisted KV state (section/src/state.rs:3-13,
+stored per section in SQLite, myceliald/src/sqlite_storage.rs:151-173) is
+the analog of per-key operator state here: arbitrary state evolves across
+micro-batches and survives restarts through the checkpoint, with
+GroupStateTimeout standing in for the reference's poll-interval-driven
+expiry.
+
+Operators:
+- ``running_counts``   — per-key running count + last-seen event time; the
+  minimal "state survives batches" operator.
+- ``sessionize``       — per-key gap-based sessionization with processing-
+  time timeout: emits one row per CLOSED session (gap exceeded or state
+  timed out), carrying event count and span. Unlike the built-in
+  ``session_window`` aggregation this keeps arbitrary per-session payload
+  (first/last event ids) — the case where the built-ins genuinely can't
+  express the semantics and custom state is warranted.
+
+Scale: state is partitioned by key across executors (RocksDB/HDFS-backed
+state store on a cluster); each micro-batch touches only keys present in
+the batch plus timed-out keys.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+COUNT_SCHEMA = StructType([
+    StructField("key", StringType()),
+    StructField("n_events", LongType()),
+    StructField("last_ts", TimestampType()),
+])
+
+COUNT_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("last_epoch_us", LongType()),
+])
+
+
+def running_counts(df: DataFrame, key_col: str = "event_type",
+                   ts_col: str = "ts") -> DataFrame:
+    """Per-key running event count across micro-batches.
+
+    Emits the updated (key, n_events, last_ts) row for every key seen in
+    the batch. State: (count, last event epoch-us).
+    """
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = pdf[ts_col].max()
+                last_us = max(last_us, int(batch_max.value // 1000))
+        state.update((n, last_us))
+        yield pd.DataFrame({
+            "key": [key[0]],
+            "n_events": [n],
+            "last_ts": [pd.Timestamp(last_us * 1000)],
+        })
+
+    return (df.groupBy(key_col)
+              .applyInPandasWithState(update, COUNT_SCHEMA, COUNT_STATE_SCHEMA,
+                                      "update", GroupStateTimeout.NoTimeout))
+
+
+SESSION_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+    StructField("first_event", LongType()),
+    StructField("last_event", LongType()),
+])
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+    StructField("first_id", LongType()),
+    StructField("last_id", LongType()),
+])
+
+
+def sessionize(df: DataFrame, gap_seconds: int = 1800,
+               key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id",
+               timeout_ms: int = 0) -> DataFrame:
+    """Gap-based sessionization with custom per-session payload.
+
+    A session closes when an event arrives more than ``gap_seconds`` after
+    the previous one (the closed session is emitted, a new one opens).
+    With ``timeout_ms`` > 0, a key with no data for that much processing
+    time also flushes its open session (continuous-trigger deployments);
+    leave 0 for drain-and-stop (availableNow) runs, where a mid-drain
+    timeout would flush sessions that are still open.
+    """
+    gap_us = gap_seconds * 1_000_000
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_ms
+               else GroupStateTimeout.NoTimeout)
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int, int, int]] = []
+        if state.hasTimedOut:
+            if state.exists:
+                closed.append(tuple(state.get))
+                state.remove()
+        else:
+            cur = tuple(state.get) if state.exists else None
+            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values(ts_col)
+                for ts, eid in zip(rows[ts_col], rows[id_col]):
+                    us = int(ts.value // 1000)
+                    if cur is None:
+                        cur = (us, us, 1, int(eid), int(eid))
+                    elif us - cur[1] > gap_us:
+                        closed.append(cur)
+                        cur = (us, us, 1, int(eid), int(eid))
+                    else:
+                        cur = (cur[0], us, cur[2] + 1, cur[3], int(eid))
+            if cur is not None:
+                state.update(cur)
+                if timeout_ms:
+                    state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame({
+                "key": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(c[0] * 1000) for c in closed],
+                "session_end": [pd.Timestamp(c[1] * 1000) for c in closed],
+                "n_events": [c[2] for c in closed],
+                "first_event": [c[3] for c in closed],
+                "last_event": [c[4] for c in closed],
+            })
+
+    return (df.groupBy(key_col)
+              .applyInPandasWithState(update, SESSION_SCHEMA,
+                                      SESSION_STATE_SCHEMA, "update", timeout))

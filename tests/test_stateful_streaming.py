@@ -1,0 +1,126 @@
+"""Custom stateful operators (applyInPandasWithState): state survives
+micro-batches AND checkpoint restarts — the reference's persisted
+per-section state contract (section/src/state.rs, sqlite_storage.rs)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.streaming.stateful import running_counts, sessionize
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_str, user_id, event_type)"""
+    df = spark.createDataFrame(
+        [(i, ts, u, et) for i, ts, u, et in rows],
+        "event_id long, ts_s string, user_id long, event_type string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(stream_df, out_path, checkpoint, mode="update"):
+    def write(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_path)
+
+    q = (stream_df.writeStream.foreachBatch(write)
+         .outputMode(mode)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+
+def test_running_counts_accumulate_across_restarts(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 10:00:05", 2, "click"),
+        (3, "2024-01-01 10:00:10", 1, "view"),
+    ])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out1 = str(tmp_path / "out1")
+    _drain(running_counts(stream), out1, ckpt)
+    first = {r["key"]: r["n_events"]
+             for r in spark.read.parquet(out1).collect()}
+    assert first == {"click": 2, "view": 1}
+
+    # second run, same checkpoint: counts continue, not restart
+    _write_events(spark, src, [
+        (4, "2024-01-01 10:01:00", 3, "click"),
+        (5, "2024-01-01 10:01:05", 1, "view"),
+    ])
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    out2 = str(tmp_path / "out2")
+    _drain(running_counts(stream2), out2, ckpt)
+    second = {r["key"]: r["n_events"]
+              for r in spark.read.parquet(out2).collect()}
+    assert second == {"click": 3, "view": 2}
+
+
+def test_sessionize_emits_closed_sessions(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    # user 7: two events 10s apart (one session), then one event 2h later
+    # (gap > 30min closes session 1)
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:00", 7, "click"),
+        (2, "2024-01-01 10:00:10", 7, "view"),
+    ])
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    _drain(sessionize(stream, gap_seconds=1800), out, ckpt)
+    import os
+    has_rows = any(f.endswith(".parquet") for f in os.listdir(out)) \
+        if os.path.isdir(out) else False
+    assert not has_rows or spark.read.parquet(out).count() == 0  # still open
+
+    _write_events(spark, src, [(3, "2024-01-01 12:30:00", 7, "click")])
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    _drain(sessionize(stream2, gap_seconds=1800), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["key"] == 7 and s["n_events"] == 2
+    assert s["first_event"] == 1 and s["last_event"] == 2
+    assert str(s["session_start"]).startswith("2024-01-01 10:00:00")
+    assert str(s["session_end"]).startswith("2024-01-01 10:00:10")
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the streaming exact-dedup path
+    (SURVEY §2.4 dedup row, north-star addition)."""
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (1, "2024-01-01 10:00:01", 1, "click"),   # dup id within watermark
+        (2, "2024-01-01 10:00:02", 2, "view"),
+    ])
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withWatermark("ts", "10 minutes")
+              .dropDuplicatesWithinWatermark(["event_id"]))
+    _drain(stream, out, ckpt, mode="append")
+    # dedup emits uniques immediately; state only suppresses later dups
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]
+
+    # restart from checkpoint: the dup of id=1 is still suppressed (state
+    # survived), the new id flows through
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:03", 1, "click"),   # dup again, same watermark
+        (9, "2024-01-01 10:00:04", 3, "click"),
+    ])
+    stream2 = (spark.readStream.schema(schema).parquet(src)
+               .withWatermark("ts", "10 minutes")
+               .dropDuplicatesWithinWatermark(["event_id"]))
+    _drain(stream2, out, ckpt, mode="append")
+    ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 9]
