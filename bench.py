@@ -40,6 +40,10 @@ HEADLINE = [
     "multimodal_features",
     "asof_join",
     "events_session_window",
+    "dedup_embedding_pairs_lsh",
+    "agg_stats",
+    "grouping_sets",
+    "pivot_returnflag",
 ]
 
 

@@ -99,18 +99,24 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
     partitioned by bucket.
     """
     from pyspark import StorageLevel
+    # persist vectors WITH their norms: the per-pair verify inside the
+    # bucket join is then dot/(na*nb) — norms are computed n times instead
+    # of n^2, and the arithmetic (hence 6-digit rounding) is identical to
+    # cosine_pairs_exact
+    v = F.col(vec_col).cast("array<double>")
     bucketed = (with_lsh_bucket(df, planes, dims, vec_col)
-                .select(F.col(id_col),
-                        F.col(vec_col).cast("array<double>").alias("v"),
+                .select(F.col(id_col), v.alias("v"), norm(v).alias("nrm"),
                         "lsh_bucket")
                 .persist(StorageLevel.MEMORY_AND_DISK))
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                        "lsh_bucket")
+                        F.col("nrm").alias("na"), "lsh_bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                        "lsh_bucket")
+                        F.col("nrm").alias("nb"), "lsh_bucket")
     return (a.join(b, ["lsh_bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+             .withColumn("cos_sim",
+                         F.round(dot(F.col("va"), F.col("vb"))
+                                 / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("cos_sim") >= threshold)
              .select("id_a", "id_b", "cos_sim")
              .dropDuplicates(["id_a", "id_b"]))

@@ -975,18 +975,25 @@ FROM lineitem
 GROUP BY l_returnflag
 """)
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: stddev/variance/correlation/covariance +
-    exact interpolated percentiles — one hash-agg pass; percentile is the
-    only non-combinable piece (sorts per group; use approx_percentile at
-    extreme cardinality)."""
+    """Statistical aggregates: stddev/variance/correlation/covariance in
+    one hash-agg pass; exact percentiles via the shuffle-sort + window
+    interpolation operator (R.group_percentiles — Spark's percentile agg
+    buffers whole groups in memory, an OOM risk at scale and ~10x slower
+    here), broadcast-joined back onto the moment aggregates."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    moments = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"))
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"))
+    pct = R.group_percentiles(li, ["l_returnflag"], "l_extendedprice",
+                              [0.5, 0.9])
+    pct = pct.select("l_returnflag",
+                     F.round("p50", 4).alias("median_price"),
+                     F.round("p90", 4).alias("p90_price"))
+    return moments.join(F.broadcast(pct), "l_returnflag").select(
+        "l_returnflag", "std_price", "var_disc", "corr_qty_price",
+        "covar_qty_price", "median_price", "p90_price")
 
 
 @query("grouping_sets", """

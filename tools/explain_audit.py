@@ -1,0 +1,76 @@
+"""Plan-quality audit: formatted physical plans for the headline queries.
+
+For each query, report the scale-relevant plan facts:
+- parquet scans: PushedFilters + ReadSchema width (column pruning)
+- join strategies (broadcast vs sort-merge vs nested-loop)
+- number of shuffle exchanges
+- WholeStageCodegen span count vs total operators
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mycelial_spark.session import get_spark
+from mycelial_spark import queries as Q
+
+
+def audit(plan: str) -> dict:
+    # formatted mode lists each operator once in the tree and once in the
+    # details section — count only numbered tree nodes "(N) Op"
+    tree_ops = re.findall(r"^\s*[:+\-\s]*\(\d+\) ([A-Za-z]+)", plan, re.M)
+    return {
+        "scans": sum(1 for o in tree_ops if o == "Scan"),
+        "pushed": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "read_schema": [s[:90] for s in re.findall(r"ReadSchema: struct<([^>]*)", plan)],
+        "bhj": sum(1 for o in tree_ops if o == "BroadcastHashJoin"),
+        "smj": sum(1 for o in tree_ops if o == "SortMergeJoin"),
+        "bnlj": sum(1 for o in tree_ops if o == "BroadcastNestedLoopJoin"),
+        "cartesian": sum(1 for o in tree_ops if o == "CartesianProduct"),
+        "exchanges": sum(1 for o in tree_ops if o == "Exchange"),
+        "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, fn in Q.get_queries().items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as e:
+            print(f"== {name}: ERROR {e}")
+            continue
+        a = audit(plan)
+        flags = []
+        if a["cartesian"] or a["bnlj"]:
+            flags.append("NESTED-LOOP/CARTESIAN")
+        if a["smj"] and not a["bhj"]:
+            flags.append("SMJ-ONLY")
+        empty_push = sum(1 for p in a["pushed"] if not p.strip())
+        print(f"== {name}: scans={a['scans']} bhj={a['bhj']} smj={a['smj']} "
+              f"bnlj={a['bnlj']} cart={a['cartesian']} xchg={a['exchanges']} "
+              f"wscg={a['codegen_spans']} pushed={len(a['pushed']) - empty_push}"
+              f"/{len(a['pushed'])}"
+              + (f"  <<{' '.join(flags)}>>" if flags else ""))
+        if "-v" in sys.argv or only:
+            for p in a["pushed"]:
+                print(f"   pushed: [{p[:100]}]")
+            for s in a["read_schema"]:
+                print(f"   schema: {s}")
+
+
+if __name__ == "__main__":
+    main()
