@@ -41,6 +41,7 @@ HEADLINE = [
     "asof_join",
     "events_session_window",
     "dedup_embedding_pairs_lsh",
+    "skew_salted_join",
     "agg_stats",
     "grouping_sets",
     "pivot_returnflag",

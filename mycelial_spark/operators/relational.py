@@ -75,6 +75,31 @@ def top_k(df: DataFrame, by: Sequence[str | Column], k: int) -> DataFrame:
     return df.orderBy(*by).limit(k)
 
 
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                salt: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: spread hot keys over ``salt`` reducers.
+
+    The left (large, possibly skewed) side gets a uniform salt in
+    [0, salt); the right side is replicated ``salt`` times, so every left
+    row still meets every matching right row exactly once — the result is
+    identical to a plain join, but a key holding p% of the left rows now
+    occupies ``salt`` reducers instead of one straggler.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    remains for the cases AQE can't fix: skew in a single key of a
+    sort-merge join feeding an aggregation, or non-AQE engines. Replication
+    multiplies the right side's shuffle volume by ``salt`` — use for
+    moderate right sides (for broadcastable ones, broadcast instead).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left")
+    lefts = left.withColumn("_salt", (F.rand(42) * salt).cast("int"))
+    rights = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = lefts.join(rights, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def group_percentiles(df: DataFrame, group_by: Sequence[str],
                       value_col: str, ps: Sequence[float],
                       prefix: str = "p") -> DataFrame:

@@ -122,6 +122,60 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
              .dropDuplicates(["id_a", "id_b"]))
 
 
+def ivf_assign(df: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each row to its nearest centroid (squared L2) — the IVF
+    coarse quantizer. Centroids ride into codegen as literals; assignment
+    is a narrow map (no shuffle). At scale, write the output partitioned
+    by ``ivf_cell`` so probes prune partitions at the source."""
+    v = F.col(vec_col).cast("array<double>")
+    best = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0).cast("double"), lambda acc, e: acc + e)
+        if best_d is None:
+            best_d = d
+        else:
+            cond = d < best_d
+            best = F.when(cond, F.lit(i)).otherwise(best)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return df.withColumn("ivf_cell", best)
+
+
+def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
+                        sample_fraction: float = 1.0, seed: int = 42,
+                        vec_col: str = "embedding") -> list[list[float]]:
+    """KMeans centroids for the IVF index, trained on a (seeded) sample —
+    the standard recipe at corpus scale: train on a driver-manageable
+    sample, assign the full corpus distributed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed)
+    feats = train.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(feats)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float],
+             centroids: list[list[float]], k: int = 10, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k via IVF: scan only the ``nprobe`` cells nearest
+    the query, exact cosine re-rank inside them. With the corpus stored
+    partitioned by cell, this reads nprobe/n_centroids of the data."""
+    import math
+    q = [float(x) for x in query_vec]
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
+             for i, c in enumerate(centroids)]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    cells = ivf_assign(df, centroids, vec_col)
+    cand = cells.filter(F.col("ivf_cell").isin(probe))
+    return topk_to_query(cand, q, k, vec_col, id_col)
+
+
 def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
     """sign(v · h_plane) with h derived from xxhash64(dim, plane) ∈ [-1,1]."""
     dim_idx = F.sequence(F.lit(0), F.lit(dims - 1))

@@ -1058,6 +1058,42 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "measure", "value")
 
 
+@query("skew_salted_join", """
+SELECT e.user_id, count(*) AS n_events,
+       round(sum(o.o_totalprice), 2) AS user_order_value
+FROM events e
+JOIN orders o ON e.user_id = o.o_custkey
+GROUP BY e.user_id
+ORDER BY user_order_value DESC, user_id ASC
+LIMIT 20
+""")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join: result identical to a plain join (oracle-checked), but
+    hot keys spread over 8 reducers — the manual fix when AQE skew-split
+    can't apply (e.g. join feeding an aggregation on the same key)."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice")
+    j = R.salted_join(e, o, "user_id", salt=8)
+    agg = j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("o_totalprice"), 2).alias("user_order_value"))
+    return R.top_k(agg, [F.col("user_order_value").desc(),
+                         F.col("user_id").asc()], 20)
+
+
+@query("similarity_ivf_topk", None)  # kmeans centroids -> rows-only
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path #2: IVF — seeded-KMeans coarse quantizer (trained on
+    a sample), nprobe-cell scan, exact re-rank inside the probed cells."""
+    from mycelial_spark.operators.similarity import ivf_topk, ivf_train_centroids
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train_centroids(emb, n_centroids=8)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
+                    centroids, k=10, nprobe=3)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

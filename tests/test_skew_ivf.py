@@ -1,0 +1,56 @@
+"""Salted join correctness + IVF ANN recall."""
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.relational import salted_join
+from mycelial_spark.operators.similarity import (
+    ivf_assign,
+    ivf_topk,
+    ivf_train_centroids,
+    topk_to_query,
+)
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey")
+    plain = set((r["event_id"], r["o_orderkey"])
+                for r in e.join(o, "user_id").collect())
+    salted = set((r["event_id"], r["o_orderkey"])
+                 for r in salted_join(e, o, "user_id", salt=4).collect())
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_left_join_keeps_unmatched(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "event_id")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey")
+    plain = e.join(o, "user_id", "left").count()
+    assert salted_join(e, o, "user_id", salt=4, how="left").count() == plain
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf_train_centroids(emb, n_centroids=4)
+    assert len(cents) == 4 and len(cents[0]) == 64
+    cells = ivf_assign(emb, cents)
+    total = emb.count()
+    assert cells.count() == total
+    per_cell = {r["ivf_cell"]: r["n"]
+                for r in cells.groupBy("ivf_cell").agg(
+                    F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(per_cell.values()) == total
+    assert len(per_cell) >= 2  # quantizer actually splits the corpus
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in topk_to_query(corpus, qvec, k=10).collect()]
+    cents = ivf_train_centroids(emb, n_centroids=4)
+    approx = [r["vec_id"]
+              for r in ivf_topk(corpus, qvec, cents, k=10, nprobe=2).collect()]
+    # probing half the cells should recover a good chunk of the true top-10
+    assert len(set(approx) & set(exact)) >= 3
