@@ -1,0 +1,45 @@
+"""Bucketed co-located joins: pre-partitioned storage eliminates the join
+shuffle entirely — the 100 TB answer for repeated joins on the same key
+(SURVEY §4 partitioning row: 'we must choose partitioning for sinks')."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+
+    j = (spark.table("b_lineitem")
+         .join(spark.table("b_orders"),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+         .groupBy("o_orderstatus")
+         .agg(F.count(F.lit(1)).alias("n")))
+    # force a sort-merge path so the bucketing (not a broadcast) is what
+    # kills the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(j)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+    join_section = plan.split("HashAggregate")[0]
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in join_section
+    assert "Exchange hashpartitioning(o_orderkey" not in join_section
+    # and the result is right
+    expected = (lineitem.join(orders,
+                              F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderstatus").count().collect())
+    got = {r["o_orderstatus"]: r["n"] for r in j.collect()}
+    assert got == {r["o_orderstatus"]: r["count"] for r in expected}

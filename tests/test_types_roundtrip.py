@@ -1,0 +1,105 @@
+"""Type-system round-trips (SURVEY §1.2): every reference scalar type's
+Spark mapping survives a parquet write/read cycle with schema and values
+intact — the analog of the reference's arrow_msg conversion tests
+(formats/arrow_msg/tests/*)."""
+
+import datetime
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+# reference type -> (Spark type, sample value); SURVEY §1.2 mapping table
+SAMPLES = [
+    ("Bool", BooleanType(), True),
+    ("I8", ByteType(), -12),
+    ("I16", ShortType(), -1234),
+    ("I32", IntegerType(), -123456),
+    ("I64", LongType(), -(1 << 40)),
+    ("U8", ShortType(), 255),                  # widen: no unsigned in Spark
+    ("U16", IntegerType(), 65535),
+    ("U32", LongType(), (1 << 32) - 1),
+    ("U64", LongType(), (1 << 62)),            # widen w/ overflow caveat
+    ("F32", FloatType(), 1.5),
+    ("F64", DoubleType(), 2.25),
+    ("Str", StringType(), "héllo"),
+    ("Bin", BinaryType(), bytearray(b"\x00\x01\xff")),
+    ("Time_us", LongType(), 86_399_999_999),   # TIME-of-day: long + unit
+    ("Date", DateType(), datetime.date(2024, 2, 29)),
+    ("TimeStamp", TimestampNTZType(),
+     datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+    ("TimeStampUTC", TimestampType(),
+     datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+    ("Decimal", DecimalType(38, 6), Decimal("123456789.123456")),
+    ("Uuid", StringType(), "6ba7b810-9dad-11d1-80b4-00c04fd430c8"),
+    ("RawJson", StringType(), '{"a": [1, 2], "b": null}'),
+]
+
+
+def test_all_scalar_types_roundtrip_parquet(spark, tmp_path):
+    schema = StructType(
+        [StructField(name, t, True) for name, t, _ in SAMPLES])
+    row = Row(**{name: v for name, _, v in SAMPLES})
+    df = spark.createDataFrame([row], schema)
+    path = str(tmp_path / "types")
+    df.write.parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema == schema
+    got = back.collect()[0]
+    for name, _, v in SAMPLES:
+        expected = bytes(v) if isinstance(v, bytearray) else v
+        assert got[name] == expected, name
+
+
+def test_null_roundtrip_every_type(spark, tmp_path):
+    """Reference encodes NULL per-value (arrow_msg maps arrow nulls to
+    ValueView::Null); Spark nullable columns carry the same."""
+    schema = StructType(
+        [StructField(name, t, True) for name, t, _ in SAMPLES])
+    df = spark.createDataFrame([tuple(None for _ in SAMPLES)], schema)
+    path = str(tmp_path / "nulls")
+    df.write.parquet(path)
+    got = spark.read.parquet(path).collect()[0]
+    assert all(got[name] is None for name, _, _ in SAMPLES)
+
+
+def test_rawjson_functions_apply(spark):
+    """RawJson = string + from_json/get_json_object on demand (§1.2)."""
+    df = spark.createDataFrame([('{"a": [1, 2], "b": "x"}',)], "j string")
+    out = df.select(
+        F.get_json_object("j", "$.b").alias("b"),
+        F.from_json("j", "a array<int>, b string").alias("s")).collect()[0]
+    assert out["b"] == "x" and out["s"]["a"] == [1, 2]
+
+
+def test_uuid_normalization(spark):
+    """Uuid maps to canonical lower-hex string form."""
+    df = spark.createDataFrame(
+        [("6BA7B810-9DAD-11D1-80B4-00C04FD430C8",)], "u string")
+    out = df.select(F.lower("u").alias("u")).collect()[0]["u"]
+    assert out == "6ba7b810-9dad-11d1-80b4-00c04fd430c8"
+
+
+def test_decimal_rescale(spark):
+    """Decimal rescale on cast (arrow_msg rescale, lib.rs:629-637)."""
+    df = spark.createDataFrame([(Decimal("1.5"),)],
+                               StructType([StructField("d", DecimalType(10, 1))]))
+    out = df.select(F.col("d").cast(DecimalType(38, 6)).alias("d")).collect()[0]
+    assert out["d"] == Decimal("1.500000")
