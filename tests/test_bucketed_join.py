@@ -13,8 +13,14 @@ def _plan(df):
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    import shutil
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # a previous session's managed-table files survive the (in-memory)
+    # catalog; saveAsTable refuses to reuse the location
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
     (orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
      .mode("overwrite").saveAsTable("b_orders"))
     (lineitem.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
