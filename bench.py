@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_region_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "window_rank",
     "window_lag_frame",
     "agg_rollup",

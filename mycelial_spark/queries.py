@@ -1058,6 +1058,98 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "measure", "value")
 
 
+@query("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (predicate adapted to fixture columns): correlated
+    EXISTS decorrelated to a left-semi join; the lineitem side carries
+    only (l_orderkey, l_shipdate) through the shuffle."""
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sj = R.join(o, li,
+                on=[F.col("o_orderkey") == F.col("l_orderkey"),
+                    F.col("l_shipdate") > F.col("o_orderdate")],
+                how="left_semi")
+    return sj.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"))
+
+
+@query("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate reaches the parquet scan
+    (PushedFilters), single global aggregate — the pure-pushdown probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return f.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                         2).alias("revenue"))
+
+
+@query("q10_returned_items", """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer; nation dim
+    broadcast, group-topk as distributed TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(c, F.col("o_custkey") == F.col("c_custkey"))
+           .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")))
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
+    return R.top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+
+
+@query("hll_sketch_union", None)  # datasketches binary -> rows-only
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-able distinct-count sketches (Apache DataSketches HLL): build
+    per-group sketches, merge across groups, estimate. The scale pattern
+    for incremental distinct counts — sketches persist per partition/day
+    and union in O(sketch size), no re-scan of history."""
+    o = _t(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count(F.lit(1)).alias("rows_in"))
+    merged = per_status.agg(
+        F.hll_union_agg("sk").alias("sk"), F.sum("rows_in").alias("total_rows"))
+    return merged.select(
+        F.hll_sketch_estimate("sk").alias("approx_distinct_custkeys"),
+        "total_rows")
+
+
 @query("skew_salted_join", """
 SELECT e.user_id, count(*) AS n_events,
        round(sum(o.o_totalprice), 2) AS user_order_value

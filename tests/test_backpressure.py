@@ -1,0 +1,34 @@
+"""Trigger-rate limits = the reference's bounded-channel backpressure
+(myceliald/src/scheduler.rs:37-42: inter-section channel depth 1; sources
+poll on intervals). maxFilesPerTrigger bounds each micro-batch the same
+way the capacity-1 channel bounds in-flight messages."""
+
+
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(4):
+        (src / f"f{i}.csv").write_text(f"k,v\n{i},x{i}\n")
+
+    schema = "k int, v string"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("header", True).csv(str(src)))
+
+    batch_sizes = []
+
+    def write(batch_df, batch_id):
+        batch_sizes.append(batch_df.count())
+
+    q = (stream.writeStream.foreachBatch(write)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    # 4 files, 1 file per micro-batch -> 4 batches of 1 row; the sink saw
+    # bounded units of work, never the whole backlog at once
+    assert sum(batch_sizes) == 4
+    assert len(batch_sizes) == 4
+    assert all(b == 1 for b in batch_sizes)

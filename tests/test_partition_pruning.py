@@ -1,0 +1,40 @@
+"""Partition pruning: hive-partitioned writes + static/dynamic pruning in
+the plan — at 100 TB the difference between scanning a day and a year."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_static_partition_pruning(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+
+    q = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(q)
+    # the status filter prunes at planning time: it appears in PartitionFilters,
+    # not as a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters: [")[1].split("]")[0]
+    expected = orders.filter(F.col("o_orderstatus") == "F").count()
+    assert q.count() == expected
+
+
+def test_dynamic_partition_pruning_via_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: the fact side is partitioned on the join key; a filter on the
+    dim side prunes fact partitions at runtime through the join."""
+    out = str(tmp_path / "li_by_rf")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.write.partitionBy("l_returnflag").parquet(out)
+
+    dim = spark.createDataFrame([("R", "returned")],
+                                "flag string, label string")
+    fact = spark.read.parquet(out)
+    j = fact.join(dim, fact["l_returnflag"] == dim["flag"])
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
+    assert j.count() == li.filter(F.col("l_returnflag") == "R").count()
