@@ -3,6 +3,12 @@
 The TOML format mirrors ``myceliald/config.example.toml``: ``[nodes.<id>]``
 tables with a ``type`` key, plus ``edges = [["a","b"], ...]``. JSON specs
 with {"nodes": ..., "edges": ...} are accepted too.
+
+Batch by default; ``--stream --checkpoint DIR`` runs the same spec as
+continuous dataflows (§3 EP3: the daemon-bootstrap analog — the engine
+materializes the DAG, checkpoints stand in for per-section state). With
+``--drain`` the stream stops after consuming available input
+(availableNow), otherwise it runs until interrupted.
 """
 
 from __future__ import annotations
@@ -24,13 +30,30 @@ def load_spec(path: str) -> dict:
 
 
 def main(argv: list[str]) -> int:
-    if len(argv) < 1:
-        print("usage: python -m mycelial_spark.run <pipeline.toml|json>",
-              file=sys.stderr)
+    args = [a for a in argv if not a.startswith("--")]
+    flags = {a for a in argv if a.startswith("--") and "=" not in a}
+    opts = dict(a[2:].split("=", 1) for a in argv
+                if a.startswith("--") and "=" in a)
+    if len(args) < 1:
+        print("usage: python -m mycelial_spark.run <pipeline.toml|json> "
+              "[--stream --checkpoint=DIR [--drain]]", file=sys.stderr)
         return 2
-    spec = load_spec(argv[0])
-    pipeline = Pipeline.from_spec(spec)
+    spec = load_spec(args[0])
     spark = get_spark("mycelial-pipeline")
+
+    if "--stream" in flags:
+        from mycelial_spark.streaming.runner import StreamingPipeline
+        ckpt = opts.get("checkpoint", "/tmp/mycelial-checkpoints")
+        trigger = ({"availableNow": True} if "--drain" in flags
+                   else {"processingTime": opts.get("interval", "5 seconds")})
+        sp = StreamingPipeline.from_spec(spec, ckpt, trigger)
+        queries = sp.start(spark)
+        print(f"started {len(queries)} streaming task(s); checkpoint={ckpt}")
+        for q in queries:
+            q.awaitTermination()
+        return 0
+
+    pipeline = Pipeline.from_spec(spec)
     results = pipeline.run(spark)
     for node_id, res in sorted(results.items()):
         kind = "dataframe" if hasattr(res, "columns") else "result"

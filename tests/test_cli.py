@@ -1,0 +1,64 @@
+"""CLI runner end-to-end: batch TOML and streaming TOML through
+``python -m mycelial_spark.run`` in a fresh process (§3 EP3)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, timeout=240):
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2"}
+    return subprocess.run(
+        [sys.executable, "-m", "mycelial_spark.run", *args],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=timeout)
+
+
+def test_cli_batch_pipeline(tmp_path):
+    out = str(tmp_path / "out")
+    spec = tmp_path / "p.json"
+    spec.write_text(f"""{{
+      "nodes": {{
+        "src": {{"type": "parquet_source",
+                 "path": "/root/testdata/sf0.001/nation.parquet"}},
+        "flt": {{"type": "filter", "predicate": "n_regionkey = 0"}},
+        "dst": {{"type": "parquet_dest", "path": "{out}",
+                 "mode": "overwrite"}}
+      }},
+      "edges": [["src", "flt"], ["flt", "dst"]]
+    }}""")
+    res = _run_cli([str(spec)])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "dst: result" in res.stdout
+    assert os.path.isdir(out)
+
+
+def test_cli_streaming_drain(tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\n1,x\n2,y\n")
+    out = str(tmp_path / "landed")
+    spec = tmp_path / "s.toml"
+    spec.write_text(f"""
+edges = [["incoming", "tagged"], ["tagged", "landed"]]
+
+[nodes.incoming]
+type = "csv_source"
+path = "{src}"
+
+[nodes.tagged]
+type = "tagging"
+column = "ingest_tag"
+text = "streamed"
+
+[nodes.landed]
+type = "parquet_dest"
+path = "{out}"
+mode = "append"
+""")
+    res = _run_cli([str(spec), "--stream",
+                    f"--checkpoint={tmp_path / 'ckpt'}", "--drain"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "started 1 streaming task(s)" in res.stdout
+    assert os.path.isdir(out)

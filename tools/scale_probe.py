@@ -1,0 +1,103 @@
+"""Scale probe: how the training-data operators behave as the corpus grows.
+
+Synthesizes f x replicas of the sf0.1 documents table (each replica's text
+perturbed with a replica token so shingle sets shift realistically instead
+of exploding the duplicate count quadratically), runs the dedup/text
+operators at each factor, and prints one JSON line per (factor, operator)
+with wall-clock and output size. Near-linear growth here is the evidence
+that candidate generation is output-linear, not O(n^2).
+
+Usage: python tools/scale_probe.py [factors ...]   (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.session import get_spark
+
+
+def scaled_docs(spark, sf_dir: str, factor: int):
+    """f x corpus where replicas are NOT near-dups of each other: a
+    replica-specific marker token is woven in every 4th position, shifting
+    >3/4 of the shingles, so the true near-dup structure (and therefore
+    the expected output) scales linearly with the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if factor == 1:
+        return docs.select("doc_id", "text")
+    n = docs.count()
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    # marker varies by replica AND position: position-alignment preserves
+    # the corpus's genuine intra-replica near-dup pairs (both sides get the
+    # same insertions), while a single repeated marker token would dominate
+    # every doc's unweighted simhash and collapse a whole replica into one
+    # Hamming bucket (measured: 45M false pairs at 16x)
+    woven = F.concat_ws(
+        " ",
+        F.flatten(F.transform(
+            toks,
+            lambda t, i: F.when(
+                i % 4 == 0,
+                F.array(F.concat(F.lit("z"), F.col("rep"), F.lit("q"), i), t))
+             .otherwise(F.array(t)))))
+    return (docs.select("doc_id", "text", rep)
+                .select((F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+                        woven.alias("text")))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
+                for o in a[6:].split(",")}
+    factors = [int(a) for a in sys.argv[1:]
+               if not a.startswith("--")] or [1, 4, 16]
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mycelial_spark.operators.dedup import (
+        dedup_exact, minhash_lsh_pairs, simhash_near_pairs)
+    from mycelial_spark.operators.text import with_text_stats
+
+    ops = {
+        "dedup_exact": lambda d: dedup_exact(d),
+        "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(d, threshold=0.5),
+        "simhash_near_pairs": lambda d: simhash_near_pairs(d, max_hamming=8),
+        "text_stats": lambda d: with_text_stats(d),
+    }
+    if only_ops:
+        ops = {k: v for k, v in ops.items() if k in only_ops}
+
+    # warm codegen on the smallest corpus
+    warm = scaled_docs(spark, sf_dir, 1)
+    for fn in ops.values():
+        fn(warm).write.format("noop").mode("overwrite").save()
+
+    for f in factors:
+        docs = scaled_docs(spark, sf_dir, f)
+        # materialize the synthetic corpus once so every operator reads the
+        # same physical input (parquet, like production)
+        path = f"/tmp/scale_probe_docs_f{f}"
+        docs.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        for name, fn in ops.items():
+            t0 = time.time()
+            out = fn(docs)
+            n_out = out.count()
+            dt = time.time() - t0
+            print(json.dumps({"factor": f, "docs": n_docs, "op": name,
+                              "sec": round(dt, 2), "out_rows": n_out}),
+                  flush=True)
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
