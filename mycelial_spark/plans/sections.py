@@ -486,6 +486,35 @@ def jdbc_dest(spark, cfg, df):
     return {"table": cfg["table"], "mode": mode}
 
 
+@_register("sqlite_source", "source", "none", "dataframe",
+           [Field("path"), Field("query"),
+            Field("any_policy", default="infer"),
+            Field("last_mtime", "float", 0.0)],
+           doc="S3 sqlite source (sections/sqlite_connector/src/source.rs:"
+               "42-225): driver-side sqlite3 query; dynamic `Any` columns "
+               "normalized per any_policy (string|infer); last_mtime>0 skips "
+               "the read when neither the db nor its -wal changed (the "
+               "inotify-watch + ack-persisted-mtime loop).")
+def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    from mycelial_spark.sources import sqlite as sq
+    if cfg["last_mtime"] > 0 and not sq.changed_since(cfg["path"],
+                                                      cfg["last_mtime"]):
+        return spark.createDataFrame([], "unchanged boolean")
+    return sq.read_query(spark, cfg["path"], cfg["query"], cfg["any_policy"])
+
+
+@_register("sqlite_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("table"), Field("truncate", "bool", False)],
+           doc="D2 sqlite destination (sections/sqlite_connector/src/"
+               "destination.rs:30-177): BEGIN IMMEDIATE, auto-DDL from frame "
+               "schema, optional DELETE FROM, INSERT OR IGNORE binds, commit "
+               "then ack.")
+def sqlite_dest(spark, cfg, df):
+    from mycelial_spark.sources import sqlite as sq
+    n = sq.write_frame(df, cfg["path"], cfg["table"], cfg["truncate"])
+    return {"path": cfg["path"], "table": cfg["table"], "rows": n}
+
+
 @_register("s3_source", "source", "none", "bin_or_dataframe",
            [Field("bucket"), Field("prefix", default=""),
             Field("endpoint", default=""), Field("region", default=""),

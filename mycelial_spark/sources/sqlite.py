@@ -1,0 +1,142 @@
+"""SQLite connector (S3 source / D2 destination parity) on Python sqlite3.
+
+The reference's sqlite sections (sections/sqlite_connector/src/{source,
+destination}.rs) operate on a single database FILE — inherently one
+node — so this connector runs on the driver and hands Spark a DataFrame
+(source) or drains one (destination). Semantics reproduced:
+
+source (source.rs:42-225):
+- run a user query, schema derived from the result (SQLite is dynamically
+  typed: column affinity only — the `Any` column case, §1.2); values are
+  normalized per the declared ``any_policy``: "string" casts every cell to
+  its text form (excel strict=false policy), "infer" keeps python-native
+  types per column when uniform, else text.
+- mtime watch: ``changed_since(path, last_mtime)`` is the poll predicate
+  (the inotify analog, source.rs:205-225); ack = persist the new mtime.
+
+destination (destination.rs:30-177):
+- ``BEGIN IMMEDIATE`` (take the write lock early to avoid "database
+  locked" mid-batch), auto-``CREATE TABLE IF NOT EXISTS`` from the frame
+  schema, optional ``DELETE FROM`` truncate, ``INSERT OR IGNORE`` row
+  binds (idempotent re-delivery), commit, then ack.
+
+Scale note: a single .db file is a small-edge endpoint in the reference's
+topology; bulk data stays in parquet/JDBC. The collect() here is bounded
+by that use — the frame IS the manifest of one file's content.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# keys are DataType.simpleString(); anything absent falls to TEXT
+# (the reference's U64->i64 widening concern doesn't arise: sqlite INTEGER
+# is 8-byte signed, same as the reference's own sink, destination.rs:108)
+_SPARK_TO_SQLITE = {
+    "bigint": "INTEGER", "int": "INTEGER", "smallint": "INTEGER",
+    "tinyint": "INTEGER", "boolean": "INTEGER",
+    "double": "REAL", "float": "REAL",
+    "binary": "BLOB",
+}
+
+
+def changed_since(path: str, last_mtime: float) -> bool:
+    """Poll predicate: has the db file (or its -wal) changed? Mirrors the
+    source's watcher on the db AND its WAL (source.rs:205-225)."""
+    mt = os.path.getmtime(path)
+    wal = f"{path}-wal"
+    if os.path.exists(wal):
+        mt = max(mt, os.path.getmtime(wal))
+    return mt > last_mtime
+
+
+def current_mtime(path: str) -> float:
+    mt = os.path.getmtime(path)
+    wal = f"{path}-wal"
+    if os.path.exists(wal):
+        mt = max(mt, os.path.getmtime(wal))
+    return mt
+
+
+def read_query(spark: SparkSession, path: str, query: str,
+               any_policy: str = "infer") -> DataFrame:
+    """Run ``query`` against the db and return a DataFrame.
+
+    any_policy="string": every column StringType (cells stringified) —
+    the reference's `Any`-column normalization fallback.
+    any_policy="infer": per-column, keep int/float/bytes when every
+    non-null value agrees, else stringify that column.
+    """
+    with sqlite3.connect(f"file:{path}?mode=ro", uri=True) as conn:
+        cur = conn.execute(query)
+        names = [d[0] for d in cur.description]
+        rows = cur.fetchall()
+
+    def stringify(v: Any) -> Any:
+        if v is None:
+            return None
+        if isinstance(v, bytes):
+            return v.hex()
+        return str(v)
+
+    if any_policy == "string":
+        data = [tuple(stringify(v) for v in r) for r in rows]
+        schema = T.StructType([T.StructField(n, T.StringType()) for n in names])
+        return spark.createDataFrame(data, schema)
+
+    cols: list[T.DataType] = []
+    casts: list[Any] = []
+    for i, n in enumerate(names):
+        seen = {type(r[i]) for r in rows if r[i] is not None}
+        if seen == {int}:
+            cols.append(T.LongType()); casts.append(None)
+        elif seen <= {int, float} and float in seen:
+            cols.append(T.DoubleType()); casts.append(float)
+        elif seen == {bytes}:
+            cols.append(T.BinaryType()); casts.append(None)
+        elif seen == {str}:
+            cols.append(T.StringType()); casts.append(None)
+        else:  # mixed or empty -> Any -> text normalization
+            cols.append(T.StringType()); casts.append(stringify)
+    data = [tuple(v if c is None or r[i] is None else c(r[i])
+                  for i, (v, c) in enumerate(zip(r, casts)))
+            for r in [list(row) for row in rows]]
+    schema = T.StructType([T.StructField(n, t) for n, t in zip(names, cols)])
+    return spark.createDataFrame(data, schema)
+
+
+def _ddl(table: str, schema: T.StructType) -> str:
+    cols = ", ".join(
+        f'"{f.name}" {_SPARK_TO_SQLITE.get(f.dataType.simpleString(), "TEXT")}'
+        for f in schema.fields)
+    return f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})'
+
+
+def write_frame(df: DataFrame, path: str, table: str,
+                truncate: bool = False) -> int:
+    """Drain a DataFrame into the db with the reference's transaction
+    shape. Returns rows written. Idempotent under re-delivery when the
+    table has a primary key / unique index (INSERT OR IGNORE)."""
+    schema = df.schema
+    rows = [tuple(r) for r in df.collect()]
+    conn = sqlite3.connect(path, isolation_level=None)
+    try:
+        conn.execute("BEGIN IMMEDIATE")          # destination.rs:66
+        conn.execute(_ddl(table, schema))        # auto-DDL, :82
+        if truncate:
+            conn.execute(f'DELETE FROM "{table}"')
+        marks = ",".join("?" * len(schema.fields))
+        conn.executemany(
+            f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})', rows)  # :91
+        conn.execute("COMMIT")                   # commit THEN ack (§1.5)
+    except Exception:
+        conn.execute("ROLLBACK")
+        raise
+    finally:
+        conn.close()
+    return len(rows)

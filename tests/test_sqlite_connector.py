@@ -1,0 +1,98 @@
+"""SQLite connector (S3/D2) against a real database file: auto-DDL,
+idempotent re-delivery, truncate, `Any`-column normalization, mtime watch,
+and a full parquet->sqlite->parquet round trip through the pipeline."""
+
+import os
+import sqlite3
+import time
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.sources import sqlite as sq
+
+
+def test_write_auto_ddl_and_roundtrip(spark, sf_dir, tmp_path):
+    db = str(tmp_path / "t.db")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n = sq.write_frame(nation, db, "nation")
+    assert n == nation.count()
+    back = sq.read_query(spark, db, "SELECT * FROM nation ORDER BY n_nationkey")
+    assert back.count() == n
+    assert dict(back.dtypes)["n_nationkey"] == "bigint"
+    assert dict(back.dtypes)["n_name"] == "string"
+
+
+def test_insert_or_ignore_idempotent_redelivery(spark, tmp_path):
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sq.write_frame(df, db, "t")
+    sq.write_frame(df, db, "t")  # re-delivery: at-least-once, sink dedupes
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+
+
+def test_truncate_mode(spark, tmp_path):
+    db = str(tmp_path / "t.db")
+    df1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    df2 = spark.createDataFrame([(9, "z")], "k long, v string")
+    sq.write_frame(df1, db, "t")
+    sq.write_frame(df2, db, "t", truncate=True)
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT k, v FROM t").fetchall() == [(9, "z")]
+
+
+def test_any_column_normalization(spark, tmp_path):
+    """SQLite columns hold mixed types per value (§1.2 `Any`); infer
+    stringifies only the mixed column, string-policy stringifies all."""
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (a, b)")
+        c.executemany("INSERT INTO t VALUES (?, ?)",
+                      [(1, 10), ("x", 20), (2.5, 30)])
+    inferred = sq.read_query(spark, db, "SELECT * FROM t")
+    dt = dict(inferred.dtypes)
+    assert dt == {"a": "string", "b": "bigint"}
+    assert {r["a"] for r in inferred.collect()} == {"1", "x", "2.5"}
+    allstr = sq.read_query(spark, db, "SELECT * FROM t", any_policy="string")
+    assert dict(allstr.dtypes) == {"a": "string", "b": "string"}
+
+
+def test_mtime_watch(tmp_path):
+    db = str(tmp_path / "t.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (k)")
+    m0 = sq.current_mtime(db)
+    assert not sq.changed_since(db, m0)
+    time.sleep(0.05)
+    with sqlite3.connect(db) as c:
+        c.execute("INSERT INTO t VALUES (1)")
+    os.utime(db)  # ensure mtime granularity moves
+    assert sq.changed_since(db, m0)
+
+
+def test_pipeline_parquet_to_sqlite_to_parquet(spark, sf_dir, tmp_path):
+    db = str(tmp_path / "pipe.db")
+    out = str(tmp_path / "back")
+    spec1 = {
+        "nodes": {
+            "src": {"type": "parquet_source",
+                    "path": f"{sf_dir}/region.parquet"},
+            "dst": {"type": "sqlite_dest", "path": db, "table": "region"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    r1 = Pipeline.from_spec(spec1).run(spark)
+    assert r1["dst"]["rows"] == 5
+    spec2 = {
+        "nodes": {
+            "src": {"type": "sqlite_source", "path": db,
+                    "query": "SELECT r_regionkey, r_name FROM region"},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "overwrite"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    Pipeline.from_spec(spec2).run(spark)
+    assert spark.read.parquet(out).count() == 5
