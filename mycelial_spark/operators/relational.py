@@ -75,6 +75,48 @@ def top_k(df: DataFrame, by: Sequence[str | Column], k: int) -> DataFrame:
     return df.orderBy(*by).limit(k)
 
 
+def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
+              right_cols: Sequence[str], direction: str = "backward",
+              suffix: str = "_asof") -> DataFrame:
+    """As-of join: for each left row, the latest right row at-or-before
+    (backward) / earliest at-or-after (forward) its timestamp, per ``by``
+    key.
+
+    Implemented as union + partitioned window scan (last/first over an
+    unbounded-preceding frame) — ONE shuffle on the key, linear in
+    |left|+|right|; never the range-join candidate explosion a naive
+    ``l.ts >= r.ts`` theta join produces. Right columns arrive suffixed.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be backward|forward")
+    from pyspark.sql.window import Window
+
+    lcols = left.columns
+    tagged_l = left.withColumn("_side", F.lit(1))
+    tagged_r = right.select(
+        by, ts, *right_cols).withColumn("_side", F.lit(0))
+    allc = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
+    if direction == "backward":
+        w = (Window.partitionBy(by).orderBy(F.col(ts).asc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        pick = F.last
+    else:
+        w = (Window.partitionBy(by).orderBy(F.col(ts).desc(), F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+        pick = F.last
+    out = allc
+    for rc in right_cols:
+        out = out.withColumn(
+            f"{rc}{suffix}",
+            pick(F.when(F.col("_side") == 0, F.col(rc)), ignorenulls=True).over(w))
+    matched_ts = pick(F.when(F.col("_side") == 0, F.col(ts)),
+                      ignorenulls=True).over(w)
+    out = out.withColumn(f"{ts}{suffix}", matched_ts)
+    return (out.filter(F.col("_side") == 1)
+               .select(*lcols, f"{ts}{suffix}",
+                       *[f"{rc}{suffix}" for rc in right_cols]))
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: spread hot keys over ``salt`` reducers.

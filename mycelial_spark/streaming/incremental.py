@@ -110,6 +110,14 @@ class StatefulQuery:
         self._last = spark.sql(self.rendered_sql())
         return self._last
 
+    def run_with(self, runner) -> DataFrame:
+        """Execute one poll through a custom backend: ``runner`` maps the
+        rendered SQL to a DataFrame (e.g. sources.sqlite.read_query, a JDBC
+        pushdown query, …) — the reference's model, where the SOURCE
+        database executes the rewritten query (stateful_query.rs:90-124)."""
+        self._last = runner(self.rendered_sql())
+        return self._last
+
     def ack(self) -> dict[str, Any]:
         """Advance watermarks to max(tracked col) over the delivered batch
         (postgres_connector/src/source.rs:240-259 + ack at 114-125)."""
