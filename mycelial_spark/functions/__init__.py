@@ -1,1 +1,29 @@
-"""placeholder"""
+"""Engine expression standard library.
+
+The reference has no scalar-function surface of its own (casts, row→JSON,
+and origin regexes are its whole repertoire — SURVEY §2.4); this package
+is the Spark-native fill: every reusable Column-level expression the
+operators are built from, importable as ``from mycelial_spark.functions
+import cosine, tokens, ...`` and usable inside any ``sql``/``select``
+section via ``F.expr`` composition.
+
+All of these are JVM-side expression builders (codegen), not UDFs.
+"""
+
+from mycelial_spark.operators.similarity import (  # noqa: F401
+    cosine,
+    dot,
+    norm,
+)
+from mycelial_spark.operators.text import (  # noqa: F401
+    bpe_token_count,
+    tokens,
+)
+
+__all__ = [
+    "cosine",
+    "dot",
+    "norm",
+    "tokens",
+    "bpe_token_count",
+]

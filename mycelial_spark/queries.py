@@ -1186,6 +1186,57 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids, k=10, nprobe=3)
 
 
+@query("multimodal_resize", """
+SELECT doc_id AS id,
+       128 AS n_out_bytes,
+       lower(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       CAST(list_sum(list_transform(range(1, least(length(text), 128) + 1),
+                                    i -> ascii(text[i]))) % 997 AS BIGINT)
+         AS checksum
+FROM documents
+""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing verified end-to-end: the mapInPandas byte transform
+    (truncate/zero-pad to 16x8) runs for real; stats derived from the
+    produced payload hash-match the oracle's reimplementation."""
+    from mycelial_spark.operators.multimodal import attach_payload, resize_images
+    from mycelial_spark.operators.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents"))
+    resized = resize_images(attach_payload(docs), width=16, height=8)
+    byte_vals = F.transform(
+        F.sequence(F.lit(1), F.least(F.length("payload"), F.lit(128))),
+        lambda i: F.ascii(F.substring(F.col("payload").cast("string"), i, 1)))
+    return resized.select(
+        F.col("id"),
+        F.octet_length("payload").alias("n_out_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 8))).alias("head_hex"),
+        (F.aggregate(byte_vals, F.lit(0).cast("bigint"),
+                     lambda a, b: a + b) % 997).alias("checksum"))
+
+
+@query("multimodal_frames", """
+SELECT doc_id AS id,
+       CAST(f.i AS INT) AS frame_idx,
+       CAST(length(substr(text, CAST(f.i AS INT) * 64 + 1, 64)) AS INT)
+         AS frame_len,
+       lower(hex(encode(substr(text, CAST(f.i AS INT) * 64 + 1, 4)))) AS frame_head
+FROM documents,
+     LATERAL (SELECT unnest(range(0, least(8, greatest(1, length(text) // 64))))
+              AS i) f
+""")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (one row per sampled frame through
+    mapInPandas), stats oracle-verified against a SQL reimplementation."""
+    from mycelial_spark.operators.multimodal import attach_payload, sample_frames
+    from mycelial_spark.operators.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(attach_payload(docs), every_n_bytes=64, max_frames=8)
+    return frames.select(
+        F.col("id"), F.col("frame_idx"),
+        F.octet_length("frame").alias("frame_len"),
+        F.lower(F.hex(F.substring("frame", 1, 4))).alias("frame_head"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
