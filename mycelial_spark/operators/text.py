@@ -119,7 +119,11 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     c = F.col(text_col)
     norm = F.concat_ws(" ", tokens(c))
     toks = tokens(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (ngram - 1), F.lit(0)))
+    # sequence(1, n) with n <= 0 yields a DESCENDING [1, 0, ...] — docs
+    # shorter than `ngram` tokens must produce an empty shingle set instead.
+    n_shingles = F.size(toks) - (ngram - 1)
+    idx = F.when(n_shingles > 0, F.sequence(F.lit(1), n_shingles)) \
+           .otherwise(F.array().cast("array<int>"))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, ngram)))
     return (df
             .withColumn("fingerprint", F.xxhash64(norm))

@@ -1237,6 +1237,38 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.substring("frame", 1, 4))).alias("frame_head"))
 
 
+@query("doc_fingerprint", """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') toks,
+         array_to_string(regexp_split_to_array(trim(text), '\\s+'), ' ') norm
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(
+              range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> array_to_string(toks[i:i+2], ' ')))) AS INT) AS n_shingles,
+       count(*) OVER (PARTITION BY norm) AS dup_group_size
+FROM t
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (SURVEY §7 text analysis).
+
+    The 64-bit xxhash64 values themselves aren't oracle-computable, so the
+    oracle verifies the hash-derived structure instead: distinct-shingle
+    count per doc (collision-free at this SF) and the size of each
+    exact-dup group keyed by fingerprint, which DuckDB recomputes by
+    grouping on the normalized text directly.
+    """
+    from mycelial_spark.operators.text import with_fingerprint
+    fp = with_fingerprint(_t(spark, sf_dir, "documents"))
+    return fp.select(
+        "doc_id",
+        F.size("shingle_hashes").alias("n_shingles"),
+        F.count("*").over(Window.partitionBy("fingerprint"))
+         .alias("dup_group_size"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

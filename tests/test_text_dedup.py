@@ -112,3 +112,21 @@ def test_lsh_bucket_deterministic(spark):
     b = {r["vec_id"]: r["lsh_bucket"]
          for r in S.with_lsh_bucket(df, planes=4, dims=8).collect()}
     assert a == b
+
+
+def test_fingerprint_short_docs_empty_shingles(spark):
+    # docs shorter than the n-gram width must yield an EMPTY shingle set,
+    # not the bogus sequence(1, 0) = [1, 0] descending-range artifact
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "one two three"),
+         (4, "one two three four")], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in TX.with_fingerprint(df, ngram=3).collect()}
+    assert rows[1].shingle_hashes == []
+    assert rows[2].shingle_hashes == []
+    assert len(rows[3].shingle_hashes) == 1
+    assert len(rows[4].shingle_hashes) == 2
+    # identical normalized text => identical fingerprint
+    df2 = spark.createDataFrame(
+        [(1, "a  b\tc"), (2, "a b c")], ["doc_id", "text"])
+    fps = [r.fingerprint for r in TX.with_fingerprint(df2).collect()]
+    assert fps[0] == fps[1]
