@@ -1133,6 +1133,112 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
 
 
+@query("q12_late_lines", """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+""")
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (fixture has no l_shipmode/l_commitdate, so "late" =
+    shipped >60 days after order date, grouped by returnflag): join +
+    conditional aggregation; only 3 columns of each side survive to the
+    shuffle."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate",
+                                              "l_returnflag")
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"))
+
+
+@query("q14_promo_effect", """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 3) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'
+""")
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: date-filtered fact joined to a broadcast part dim,
+    ratio of conditional to total revenue. The date filter reaches the
+    parquet scan; part never shuffles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 3)
+                  .alias("promo_revenue_pct"))
+
+
+@query("q18_large_orders", """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       round(sum_qty, 1) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: pre-aggregate the fact BEFORE joining (the HAVING
+    filter shrinks lineitem to a handful of keys, so both joins broadcast
+    the tiny side instead of shuffling orders/customer)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("sum_qty"))
+             .filter(F.col("sum_qty") > 300))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    j = (o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+          .join(c, F.col("o_custkey") == F.col("c_custkey")))
+    return j.select("c_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    F.round("sum_qty", 1).alias("sum_qty"))
+
+
+@query("q19_disjunctive", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive mixed-side predicate. The single-side
+    conjuncts Catalyst can factor out (l_quantity <= 30, p_size >= 1) push
+    to the scans; the residual OR evaluates post-broadcast-join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity",
+                                              "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11)) | \
+           ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20)) | \
+           ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2).alias("revenue"))
+
+
 @query("hll_sketch_union", None)  # datasketches binary -> rows-only
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-able distinct-count sketches (Apache DataSketches HLL): build
