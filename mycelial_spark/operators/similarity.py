@@ -26,6 +26,32 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
 
 
+def dot_np(a: Column | str, b: Column | str) -> Column:
+    """Arrow-vectorized pairwise dot product (numpy over whole batches).
+
+    For verify stages touching millions of candidate pairs the interpreted
+    per-element HOF evaluation of ``dot`` dominates; this moves each Arrow
+    batch into one einsum. Summation order differs from ``dot`` (pairwise
+    vs sequential), so keep the HOF form where oracle-exact rounding
+    matters and use this on approximate/rows-only paths.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: under `from __future__ import annotations` they become
+    # strings pandas_udf can't always resolve; hint-less defaults to SCALAR
+    @pandas_udf("double")
+    def _dot(va, vb):
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        ma = np.vstack(va.to_numpy())
+        mb = np.vstack(vb.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return _dot(a, b)
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
                               F.lit(0.0).cast("double"), lambda acc, v: acc + v))
@@ -115,11 +141,12 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
     return (a.join(b, ["lsh_bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
              .withColumn("cos_sim",
-                         F.round(dot(F.col("va"), F.col("vb"))
+                         F.round(dot_np(F.col("va"), F.col("vb"))
                                  / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("cos_sim") >= threshold)
-             .select("id_a", "id_b", "cos_sim")
-             .dropDuplicates(["id_a", "id_b"]))
+             # one signature per vector => a pair shares at most one bucket,
+             # so (id_a, id_b) is already unique — no dedup shuffle needed
+             .select("id_a", "id_b", "cos_sim"))
 
 
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
@@ -176,11 +203,30 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
     return topk_to_query(cand, q, k, vec_col, id_col)
 
 
-def _hyperplane_sign(vec: Column, plane: int, dims: int) -> Column:
-    """sign(v · h_plane) with h derived from xxhash64(dim, plane) ∈ [-1,1]."""
-    dim_idx = F.sequence(F.lit(0), F.lit(dims - 1))
-    h = F.transform(dim_idx,
-                    lambda d: (F.xxhash64(d, F.lit(plane)) % 1000000) / 500000.0)
+_PLANES_CACHE: dict[tuple[int, int], list[float]] = {}
+
+
+def _hyperplane(spark, plane: int, dims: int) -> list[float]:
+    """Deterministic hyperplane h[d] = (xxhash64(d, plane) % 1e6) / 5e5.
+
+    Computed ONCE driver-side (identical values to evaluating the hash
+    expression per row) and embedded as a literal array: re-deriving the
+    planes per row made bucketing cost dims x planes xxhash64 calls per
+    vector, which dominated the whole LSH pipeline.
+    """
+    key = (plane, dims)
+    if key not in _PLANES_CACHE:
+        row = spark.range(1).select(
+            F.transform(F.sequence(F.lit(0), F.lit(dims - 1)),
+                        lambda d: (F.xxhash64(d, F.lit(plane)) % 1000000)
+                        / 500000.0).alias("h")).first()
+        _PLANES_CACHE[key] = [float(x) for x in row["h"]]
+    return _PLANES_CACHE[key]
+
+
+def _hyperplane_sign(vec: Column, h_vals: list[float]) -> Column:
+    """sign(v · h) for a literal hyperplane."""
+    h = F.array(*[F.lit(x) for x in h_vals])
     return F.when(dot(vec, h) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -188,9 +234,11 @@ def with_lsh_bucket(df: DataFrame, planes: int = 8, dims: int = 64,
                     vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH bucket id (int in [0, 2^planes))."""
     v = F.col(vec_col).cast("array<double>")
+    spark = df.sparkSession
     bucket = F.lit(0)
     for p in range(planes):
-        bucket = F.shiftleft(bucket, 1).bitwiseOR(_hyperplane_sign(v, p, dims))
+        bucket = F.shiftleft(bucket, 1).bitwiseOR(
+            _hyperplane_sign(v, _hyperplane(spark, p, dims)))
     return df.withColumn("lsh_bucket", bucket)
 
 
