@@ -28,6 +28,10 @@ HEADLINE = [
     "q5_region_volume",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q12_late_lines",
+    "q14_promo_effect",
+    "q18_large_orders",
+    "q19_disjunctive",
     "window_rank",
     "window_lag_frame",
     "agg_rollup",
@@ -37,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "text_stats",
+    "doc_fingerprint",
     "similarity_topk",
     "knn_join",
     "multimodal_features",
@@ -47,6 +52,8 @@ HEADLINE = [
     "agg_stats",
     "grouping_sets",
     "pivot_returnflag",
+    "train_test_split",
+    "embedding_quantize",
 ]
 
 

@@ -1,0 +1,86 @@
+"""Deterministic sampling / split assignment for training-data pipelines.
+
+At 100 TB a train/valid/test split must be (a) independent of row order
+and partitioning, (b) stable across reruns and engines, (c) computable
+without a shuffle. Both operators here are pure projections over a
+row-level hash — no state, no sort, no sampleBy() RNG whose output
+depends on partition iteration order.
+
+The default hash is Knuth's multiplicative hash over the id column,
+``(id * 2654435761) mod 2^32`` — exact BIGINT arithmetic, so any SQL
+engine (and the DuckDB oracle) reproduces it bit-for-bit. Pass
+``hash_col=F.xxhash64(...)`` for better mixing when ids are adversarial;
+the structure is unchanged.
+
+Reference parity note: the reference engine has no sampling surface at
+all (SURVEY §2.4) — this is part of the Spark-native training-data fill
+(driver north star), not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative constant; 2^32 modulus keeps everything in BIGINT.
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer id column.
+
+    The id is first reduced mod 2^31 so the multiply stays within BIGINT
+    (2^31 * _KNUTH < 2^63) on every engine — overflow wrapping is
+    engine-specific and would break cross-engine reproducibility.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = (F.pmod(c.cast("bigint"), F.lit(2147483648)) * F.lit(_KNUTH)) \
+        % F.lit(_MOD)
+    return h * buckets / F.lit(_MOD)
+
+
+def with_split(df: DataFrame, id_col: str,
+               weights: dict[str, float] | None = None,
+               hash_col: Column | None = None) -> DataFrame:
+    """Assign each row a split label by hash range.
+
+    ``weights`` maps label -> fraction (must sum to 1.0); ranges are
+    assigned in the given order, so {"train": .9, "valid": .05,
+    "test": .05} puts bucket [0,90) in train, [90,95) valid, [95,100) test.
+    """
+    weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1.0, got {total}")
+    bucket = F.floor(hash_col if hash_col is not None
+                     else hash_bucket(id_col, 100))
+    expr = None
+    lo = 0.0
+    for label, w in weights.items():
+        hi = lo + w * 100.0
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo = hi
+    # float slack: anything at/above the last boundary joins the last label
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash bucket
+    falls below the stratum's fraction. Unlike ``DataFrame.sampleBy`` the
+    kept set is a pure function of (id, stratum), so reruns, retries, and
+    engine changes select identical rows — required for reproducible
+    training mixes.
+    """
+    b = hash_bucket(id_col, 100)
+    frac = None
+    for stratum, f in fractions.items():
+        cond = F.col(stratum_col) == stratum
+        frac = (F.when(cond, F.lit(f * 100.0)) if frac is None
+                else frac.when(cond, F.lit(f * 100.0)))
+    frac = frac.otherwise(F.lit(default_fraction * 100.0))
+    return df.filter(b < frac)

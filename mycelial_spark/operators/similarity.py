@@ -149,6 +149,32 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
              .select("id_a", "id_b", "cos_sim"))
 
 
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        levels: int = 256) -> DataFrame:
+    """Per-vector asymmetric scalar quantization (uint8 by default).
+
+    The 100 TB storage lever: array<double> -> array<small int> shrinks an
+    embedding column 8x before writing the ANN index tables; dequant is
+    ``mn + q * (mx - mn)/(levels-1)``. Quantized code is defined as
+    ``floor((x - mn)/(mx - mn) * (levels-1) + 0.5)`` — floor keeps the
+    arithmetic bit-identical across engines (round() half-away/half-even
+    conventions differ), so the oracle can replay it exactly.
+
+    Adds: ``q`` array<bigint>, ``q_min``/``q_max`` (the dequant params).
+    Constant vectors (mx == mn) quantize to all zeros.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mn, mx = F.array_min(v), F.array_max(v)
+    span = mx - mn
+    code = F.when(span == 0,
+                  F.transform(v, lambda x: F.lit(0).cast("bigint"))) \
+            .otherwise(F.transform(
+                v, lambda x: F.floor((x - mn) / span * (levels - 1) + 0.5)))
+    return (df.withColumn("q", code)
+              .withColumn("q_min", mn)
+              .withColumn("q_max", mx))
+
+
 def ivf_assign(df: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign each row to its nearest centroid (squared L2) — the IVF

@@ -1375,6 +1375,86 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("dup_group_size"))
 
 
+@query("train_test_split", """
+WITH b AS (
+  SELECT doc_id,
+         floor(((doc_id % 2147483648) * 2654435761 % 4294967296)
+               * 100 / 4294967296) AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+""")
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-range split assignment: a pure projection (no
+    shuffle, no RNG), stable across engines/reruns/partitionings — the
+    oracle replays the exact BIGINT multiplicative-hash arithmetic."""
+    from mycelial_spark.operators.sampling import with_split
+    docs = _t(spark, sf_dir, "documents")
+    return with_split(docs, "doc_id",
+                      {"train": 0.9, "valid": 0.05, "test": 0.05}) \
+        .select("doc_id", "split")
+
+
+@query("stratified_sample", """
+WITH b AS (
+  SELECT doc_id, lang,
+         ((doc_id % 2147483648) * 2654435761 % 4294967296)
+           * 100 / 4294967296 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang
+FROM b
+WHERE bucket < CASE lang WHEN 'en' THEN 50.0 WHEN 'de' THEN 100.0
+                         WHEN 'fr' THEN 25.0 ELSE 0.0 END
+""")
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling (training-mix control):
+    keep iff hash bucket < stratum fraction — unlike sampleBy, the kept
+    set is a pure function of (id, stratum), so retries and engine moves
+    reproduce it exactly."""
+    from mycelial_spark.operators.sampling import stratified_sample as strat
+    docs = _t(spark, sf_dir, "documents")
+    return strat(docs, "lang", "doc_id",
+                 {"en": 0.5, "de": 1.0, "fr": 0.25}).select("doc_id", "lang")
+
+
+@query("embedding_quantize", """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+), s AS (
+  SELECT vec_id, ve, list_min(ve) AS mn, list_max(ve) AS mx FROM v
+)
+SELECT vec_id,
+       CAST(list_sum(list_transform(ve,
+            x -> CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)))
+         AS BIGINT) AS q_sum,
+       CAST(floor((ve[1] - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) AS q_first,
+       round(mn, 6) AS deq_min,
+       round(mx, 6) AS deq_max
+FROM s
+""")
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector uint8 scalar quantization (8x smaller ANN index tables).
+    floor-based code definition keeps the arithmetic bit-identical across
+    engines, so the oracle verifies every code via exact integer sums."""
+    from mycelial_spark.operators.similarity import quantize_embeddings
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = quantize_embeddings(emb)
+    return qd.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("bigint"),
+                    lambda a, b: a + b).alias("q_sum"),
+        F.element_at("q", 1).alias("q_first"),
+        F.round("q_min", 6).alias("deq_min"),
+        F.round("q_max", 6).alias("deq_max"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

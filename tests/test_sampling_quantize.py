@@ -1,0 +1,57 @@
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators import sampling as SP
+from mycelial_spark.operators.similarity import quantize_embeddings
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+
+
+def test_split_covers_all_rows_once(spark, ids):
+    out = SP.with_split(ids, "doc_id")
+    assert out.count() == 2000
+    counts = {r.split: r.cnt for r in
+              out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) <= {"train", "valid", "test"}
+    # 90/5/5 within loose tolerance — the hash is uniform-ish, not exact
+    assert 1600 < counts["train"] < 1950
+
+
+def test_split_deterministic_and_order_independent(spark, ids):
+    a = SP.with_split(ids, "doc_id").collect()
+    b = SP.with_split(ids.repartition(7).sort(F.desc("doc_id")),
+                      "doc_id").collect()
+    assert {(r.doc_id, r.split) for r in a} == {(r.doc_id, r.split) for r in b}
+
+
+def test_split_weights_must_sum_to_one(spark, ids):
+    with pytest.raises(ValueError):
+        SP.with_split(ids, "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_stratified_sample_respects_zero_default(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "xx") for i in range(100)], ["id", "lang"])
+    kept = SP.stratified_sample(df, "lang", "id", {"en": 1.0})
+    langs = {r.lang for r in kept.collect()}
+    assert langs == {"en"}  # default fraction 0 drops unlisted strata
+    assert kept.count() == 50
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    vecs = [(1, [0.5, -1.25, 3.75, 0.0]), (2, [2.0, 2.0, 2.0, 2.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # codes in [0, 255]; extremes hit the endpoints
+    q1 = out[1].q
+    assert min(q1) == 0 and max(q1) == 255
+    # dequantized values within half a step of the original
+    mn, mx = out[1].q_min, out[1].q_max
+    step = (mx - mn) / 255
+    for orig, code in zip(vecs[0][1], q1):
+        assert abs((mn + code * step) - orig) <= step / 2 + 1e-12
+    # constant vector: all-zero codes, no div-by-zero
+    assert out[2].q == [0, 0, 0, 0]
