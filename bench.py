@@ -32,12 +32,14 @@ HEADLINE = [
     "q14_promo_effect",
     "q18_large_orders",
     "q19_disjunctive",
+    "q17_small_qty_revenue",
     "window_rank",
     "window_lag_frame",
     "agg_rollup",
     "set_ops",
     "json_extract",
     "incremental_watermark",
+    "latest_per_key",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "text_stats",

@@ -1455,6 +1455,64 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("q_max", 6).alias("deq_max"))
 
 
+@query("q17_small_qty_revenue", """
+WITH brand_parts AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'
+), li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+), thr AS (
+  SELECT l_partkey AS t_partkey, 0.2 * avg(l_quantity) AS thr
+  FROM li GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM li JOIN thr ON l_partkey = t_partkey
+WHERE l_quantity < thr
+""")
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate decorrelated to a
+    per-key aggregate re-joined to the fact. The brand filter broadcasts
+    into lineitem FIRST, so the avg is computed over only the surviving
+    keys' rows, and the threshold table re-broadcasts (it is |brand
+    parts| rows)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity",
+                                              "l_extendedprice")
+    bp = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23") \
+                                  .select("p_partkey")
+    li_k = li.join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey")) \
+             .drop("p_partkey")
+    thr = li_k.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("thr")) \
+        .withColumnRenamed("l_partkey", "t_partkey")
+    j = li_k.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+    return j.filter(F.col("l_quantity") < F.col("thr")).agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
+@query("latest_per_key", """
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id
+        ORDER BY date_trunc('milliseconds', ts) DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+""")
+def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: latest record per key (SCD1 upsert collapse). The
+    ordering key truncates ts to milliseconds because the fixture carries
+    true nanosecond precision — Spark timestamps are micros while the
+    oracle keeps nanos, so sub-ms ordering is engine-specific; event_id
+    breaks ties deterministically on both sides."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.date_trunc("millisecond", F.col("ts")).desc(),
+        F.col("event_id").desc())
+    return (e.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("user_id", "event_id", "event_type",
+                     F.round("value", 6).alias("value")))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
