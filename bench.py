@@ -48,6 +48,7 @@ HEADLINE = [
     "knn_join",
     "multimodal_features",
     "asof_join",
+    "interval_join_bucketed",
     "events_session_window",
     "dedup_embedding_pairs_lsh",
     "skew_salted_join",

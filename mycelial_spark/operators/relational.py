@@ -117,6 +117,38 @@ def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
                        *[f"{rc}{suffix}" for rc in right_cols]))
 
 
+def interval_join(left: DataFrame, right: DataFrame, left_ts: str,
+                  lo_col: str, hi_col: str,
+                  bucket_days: int = 7) -> DataFrame:
+    """Large-to-large interval join (point-in-range) as a bucketized
+    EQUI-join.
+
+    A naive ``l.ts >= r.lo AND l.ts < r.hi`` theta join is a broadcast
+    nested loop — fine for a tiny dim, quadratic death when both sides
+    are big. Here both sides are mapped to coarse time buckets: points
+    get one bucket, intervals explode into every bucket they overlap
+    (ceil(len/bucket)+1 rows, ~2 for intervals shorter than the bucket),
+    the join becomes a shuffled hash join on the bucket id, and the exact
+    range predicate filters residually. Pick ``bucket_days`` close to the
+    typical interval length.
+
+    Buckets are derived from DAY arithmetic (datediff vs epoch), not
+    unix seconds, so the result is timezone-independent for
+    TIMESTAMP_NTZ columns on any session.
+    """
+    epoch = F.to_date(F.lit("1970-01-01"))
+    day = lambda c: F.datediff(F.to_date(F.col(c)), epoch)  # noqa: E731
+    b = F.lit(bucket_days)
+    pt = left.withColumn("_bkt", F.floor(day(left_ts) / b))
+    iv = right.withColumn(
+        "_bkt",
+        F.explode(F.sequence(F.floor(day(lo_col) / b),
+                             F.floor(day(hi_col) / b))))
+    joined = pt.join(iv, ["_bkt"]).filter(
+        (F.col(left_ts) >= F.col(lo_col)) & (F.col(left_ts) < F.col(hi_col)))
+    return joined.drop("_bkt")
+
+
 def salted_join(left: DataFrame, right: DataFrame, key: str,
                 salt: int = 16, how: str = "inner") -> DataFrame:
     """Skew-safe equi-join: spread hot keys over ``salt`` reducers.

@@ -1513,6 +1513,34 @@ def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("value", 6).alias("value")))
 
 
+@query("interval_join_bucketed", """
+SELECT o_orderkey,
+       count(*)                       AS n_shipped,
+       round(sum(l_extendedprice), 2) AS total
+FROM orders JOIN lineitem
+  ON l_shipdate >= o_orderdate
+ AND l_shipdate <  o_orderdate + INTERVAL 7 DAY
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+GROUP BY o_orderkey
+""")
+def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large interval join via time-bucketized equi-join (the
+    scale path for point-in-range joins; a theta join would be a
+    nested-loop). Oracle runs the plain theta join — results must be
+    identical, only the physical strategy differs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    iv = (_t(spark, sf_dir, "orders")
+          .filter((F.col("o_orderpriority") == "1-URGENT")
+                  & (F.col("o_totalprice") > 450000))
+          .select("o_orderkey", F.col("o_orderdate").alias("lo"),
+                  (F.col("o_orderdate")
+                   + F.expr("INTERVAL 7 DAYS")).alias("hi")))
+    j = R.interval_join(li, iv, "l_shipdate", "lo", "hi", bucket_days=7)
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_shipped"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -40,3 +40,24 @@ def test_rollup_includes_grand_total(spark, sf_dir):
                       mode="rollup")
     rows = {r["l_returnflag"]: r["n"] for r in out.collect()}
     assert rows[None] == li.count()  # grand-total row
+
+
+def test_interval_join_matches_theta_join(spark):
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(days=i)) for i in range(60)], ["pid", "ts"])
+    ivs = spark.createDataFrame(
+        [(1, base + dt.timedelta(days=3), base + dt.timedelta(days=5)),
+         # interval spanning multiple buckets
+         (2, base + dt.timedelta(days=10), base + dt.timedelta(days=40)),
+         # zero-length interval matches nothing (hi exclusive)
+         (3, base + dt.timedelta(days=50), base + dt.timedelta(days=50))],
+        ["iid", "lo", "hi"])
+    got = {(r.pid, r.iid) for r in
+           R.interval_join(pts, ivs, "ts", "lo", "hi", bucket_days=7).collect()}
+    want = {(r.pid, r.iid) for r in
+            pts.join(ivs, (F.col("ts") >= F.col("lo"))
+                     & (F.col("ts") < F.col("hi"))).collect()}
+    assert got == want
+    assert (1, 3) not in got and len(got) == 2 + 30
