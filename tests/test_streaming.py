@@ -116,3 +116,41 @@ def test_event_time_window_with_watermark(spark, tmp_path):
             for r in spark.table("win_out").collect()}
     # hour-0 window closed by the watermark advance; contains 1+2
     assert rows.get("00:00") == 3
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join (§2.4 join row, streaming mode): both
+    sides watermarked, range condition bounds the state Spark must hold;
+    matching pairs emit once the watermarks allow."""
+    imp = tmp_path / "impressions"
+    clk = tmp_path / "clicks"
+    imp.mkdir(); clk.mkdir()
+    (imp / "i.csv").write_text(
+        "ad_id,imp_ts\n1,2024-01-01 00:00:00\n2,2024-01-01 00:01:00\n"
+        "9,2024-01-01 02:00:00\n")
+    (clk / "c.csv").write_text(
+        "ad_id,clk_ts\n1,2024-01-01 00:00:30\n2,2024-01-01 00:20:00\n"
+        "9,2024-01-01 02:00:10\n")
+    from pyspark.sql import types as T
+    i_schema = T.StructType([T.StructField("ad_id", T.LongType()),
+                             T.StructField("imp_ts", T.TimestampType())])
+    c_schema = T.StructType([T.StructField("ad_id", T.LongType()),
+                             T.StructField("clk_ts", T.TimestampType())])
+    imps = (spark.readStream.schema(i_schema).option("header", True)
+            .csv(str(imp)).withWatermark("imp_ts", "10 minutes"))
+    clks = (spark.readStream.schema(c_schema).option("header", True)
+            .csv(str(clk)).withWatermark("clk_ts", "10 minutes"))
+    # click must land within 5 minutes of its impression
+    j = imps.join(
+        clks,
+        (imps.ad_id == clks.ad_id)
+        & (clks.clk_ts >= imps.imp_ts)
+        & (clks.clk_ts < imps.imp_ts + F.expr("INTERVAL 5 MINUTES")))
+    q = (j.writeStream.format("memory").queryName("ss_join_out")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.ad_id, ) for r in spark.table("ss_join_out").collect()}
+    # ad 1: click 30s after impression -> joins; ad 2: 19min later -> out
+    # of range; ad 9: in range
+    assert got == {(1,), (9,)}
