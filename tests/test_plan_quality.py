@@ -1,0 +1,71 @@
+"""Plan-quality regression gate.
+
+Correctness tests prove the numbers; these prove the PHYSICAL PLAN is the
+one we want at scale — broadcast joins where a side is dim-sized, filters
+reaching the parquet scan, pruned read schemas, and no nested-loop join
+sneaking in when someone edits a query. Asserting on plan shape keeps a
+future refactor from silently trading a broadcast for a 100-TB shuffle.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tools"))
+
+from explain_audit import audit  # noqa: E402
+
+from mycelial_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.mark.parametrize("name,njoins", [
+    ("q3_top_orders", 2), ("q5_region_volume", 5), ("q10_returned_items", 3),
+    ("q12_late_lines", 1), ("q14_promo_effect", 1), ("q19_disjunctive", 1),
+])
+def test_star_joins_all_broadcast(spark, name, njoins):
+    a = audit(plan_of(spark, name))
+    assert a["bhj"] == njoins, f"{name}: expected {njoins} broadcast joins"
+    assert a["bnlj"] == 0 and a["cartesian"] == 0 and a["smj"] == 0
+    # one shuffle for the final aggregation is the budget
+    assert a["exchanges"] <= 1, f"{name}: unexpected extra shuffle"
+
+
+def test_q6_predicates_reach_scan(spark):
+    a = audit(plan_of(spark, "q6_forecast_revenue"))
+    pushed = " ".join(a["pushed"])
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "l_quantity" in pushed
+    # column pruning: only the 4 referenced columns are read
+    assert all(len(s.split(",")) == 4 for s in a["read_schema"])
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    a = audit(plan_of(spark, "interval_join_bucketed"))
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["bhj"] + a["smj"] >= 1
+
+
+def test_semi_anti_joins_broadcast(spark):
+    for name in ("join_semi", "join_anti", "q4_order_priority"):
+        a = audit(plan_of(spark, name))
+        assert a["bhj"] >= 1 and a["bnlj"] == 0, name
+
+
+def test_projection_queries_single_stage(spark):
+    # pure codegen maps: no exchange at all
+    for name in ("text_stats", "train_test_split", "typecast_int",
+                 "string_funcs"):
+        a = audit(plan_of(spark, name))
+        assert a["exchanges"] == 0, f"{name} should not shuffle"
+        assert a["bhj"] + a["smj"] + a["bnlj"] == 0
