@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "text_stats",
     "doc_fingerprint",
+    "token_topk",
     "similarity_topk",
     "knn_join",
     "multimodal_features",

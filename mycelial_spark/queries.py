@@ -1541,6 +1541,28 @@ def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_extendedprice"), 2).alias("total"))
 
 
+@query("token_topk", """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""")
+def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream (vocabulary head). The
+    explode/group/count is fully map-side-combinable — the shuffle
+    carries one (token, partial_count) row per distinct token per
+    partition, not one row per token occurrence — then distributed
+    TakeOrdered for the top-k; no global sort."""
+    from mycelial_spark.operators.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    counted = (docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+                   .groupBy("token")
+                   .agg(F.count(F.lit(1)).alias("n")))
+    return R.top_k(counted, [F.col("n").desc(), F.col("token").asc()], 20)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
