@@ -741,9 +741,14 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard pairs via postings join (output-linear:
     shingles are discriminative so posting lists stay short at scale)."""
+    from pyspark import StorageLevel
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.operators.text import with_fingerprint
-    docs = with_fingerprint(spread(_t(spark, sf_dir, "documents")))
+    # persist the signature table: postings AND sizes read it, and without
+    # a cache the whole tokenize+shingle pipeline runs twice
+    docs = (with_fingerprint(spread(_t(spark, sf_dir, "documents")))
+            .select("doc_id", "shingle_hashes")
+            .persist(StorageLevel.MEMORY_AND_DISK))
     post = docs.select(F.col("doc_id"),
                        F.explode("shingle_hashes").alias("s"))
     sizes = docs.select("doc_id", F.size("shingle_hashes").alias("sz"))
