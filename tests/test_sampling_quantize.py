@@ -55,3 +55,27 @@ def test_quantize_roundtrip_error_bound(spark):
         assert abs((mn + code * step) - orig) <= step / 2 + 1e-12
     # constant vector: all-zero codes, no div-by-zero
     assert out[2].q == [0, 0, 0, 0]
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _weights(draw):
+    n = draw(st.integers(min_value=1, max_value=5))
+    raw = [draw(st.floats(min_value=0.01, max_value=1.0)) for _ in range(n)]
+    total = sum(raw)
+    return {f"s{i}": w / total for i, w in enumerate(raw)}
+
+
+@given(weights=_weights(), seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=15, deadline=None)
+def test_split_is_total_partition(spark, weights, seed):
+    """Property (quickcheck-style, mirroring the reference's graph
+    invariants): any normalized weight map partitions the id space —
+    every row gets exactly one label, and only declared labels appear."""
+    ids = spark.range(seed, seed + 300).withColumnRenamed("id", "doc_id")
+    out = SP.with_split(ids, "doc_id", weights)
+    rows = out.collect()
+    assert len(rows) == 300
+    assert {r.split for r in rows} <= set(weights)
