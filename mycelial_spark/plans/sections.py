@@ -147,27 +147,18 @@ def jdbc_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
            doc="Excel glob source (sections/excel_connector/src/source.rs:"
                "140-414): strict=False stringifies all cells.")
 def excel_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    # pure-stdlib xlsx parser (sources/xlsx.py) — no openpyxl needed.
+    # strict=False (the scale mode): executor-side parse via binaryFile +
+    # mapInPandas; strict=True: driver-side with per-column type keeping
+    # and Any->string normalization.
+    from mycelial_spark.sources.xlsx import (read_excel,
+                                             read_excel_distributed)
     try:
-        import pandas as pd  # noqa: F401
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise SectionUnavailable(f"excel_source needs openpyxl: {e}") from e
-    import glob as globmod
-    import pandas as pd
-    frames = []
-    for p in sorted(globmod.glob(cfg["path"])):
-        sheets = pd.read_excel(p, sheet_name=None if cfg["sheets"] == "*"
-                               else cfg["sheets"].split(","))
-        for _, pdf in sheets.items():
-            if not cfg["strict"]:
-                pdf = pdf.astype(str)
-            frames.append(spark.createDataFrame(pdf))
-    if not frames:
-        raise SectionUnavailable(f"excel_source: no files match {cfg['path']}")
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f, allowMissingColumns=True)
-    return out
+        if cfg["strict"]:
+            return read_excel(spark, cfg["path"], cfg["sheets"], strict=True)
+        return read_excel_distributed(spark, cfg["path"], cfg["sheets"])
+    except FileNotFoundError as e:
+        raise SectionUnavailable(str(e)) from e
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,326 @@
+"""Pure-stdlib XLSX reader (and a minimal writer for tests).
+
+The reference's excel_connector (sections/excel_connector/src/source.rs:
+140-414) is an ACTIVE section: glob of .xlsx paths, named-or-all sheets
+(``sheets="*"``), header row = column names, ``strict=false`` stringifies
+every cell (schema = all Str), ``strict=true`` keeps first-row types with
+``Any`` columns (source.rs:170-182 sheet select, 113-137 cell map). This
+module reproduces that without openpyxl: an .xlsx file is a zip of XML
+parts (ECMA-376), so ``zipfile`` + ``ElementTree`` cover the subset the
+reference reads (shared strings, inline strings, numbers, booleans).
+
+Scale path: files are parsed per-executor from ``binaryFile`` rows via
+``mapInPandas`` (see ``read_excel_distributed``) — the driver touches only
+the first file to fix the header schema; a million small workbooks spread
+across the cluster like any other binary-column corpus.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_REL_NS = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+           "relationships}")
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    """'A'->0, 'Z'->25, 'AA'->26 ..."""
+    n = 0
+    for ch in ref:
+        n = n * 26 + (ord(ch) - ord("A") + 1)
+    return n - 1
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    out = []
+    for si in ET.fromstring(data).iter(f"{_NS}si"):
+        # concatenate all <t> runs (rich text splits one string into many)
+        out.append("".join(t.text or "" for t in si.iter(f"{_NS}t")))
+    return out
+
+
+def _sheet_targets(zf: zipfile.ZipFile) -> dict[str, str]:
+    """sheet name -> zip member path, in workbook order."""
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    rid_to_target = {
+        r.get("Id"): r.get("Target")
+        for r in rels.iter("{http://schemas.openxmlformats.org/package/2006/"
+                           "relationships}Relationship")}
+    out: dict[str, str] = {}
+    for sh in wb.iter(f"{_NS}sheet"):
+        target = rid_to_target.get(sh.get(f"{_REL_NS}id"), "")
+        if target.startswith("/"):
+            target = target[1:]
+        elif not target.startswith("xl/"):
+            target = "xl/" + target
+        out[sh.get("name")] = target
+    return out
+
+
+def _cell_value(c: ET.Element, shared: list[str]):
+    t = c.get("t", "n")
+    if t == "inlineStr":
+        return "".join(x.text or "" for x in c.iter(f"{_NS}t"))
+    v = c.find(f"{_NS}v")
+    if v is None or v.text is None:
+        return None
+    if t == "s":
+        return shared[int(v.text)]
+    if t == "b":
+        return v.text == "1"
+    if t in ("str", "e"):
+        return v.text
+    # numeric: keep int-ness when exact (the reference's cell map
+    # distinguishes Int/Float, source.rs:113-137)
+    f = float(v.text)
+    return int(f) if f.is_integer() and "." not in v.text \
+        and "e" not in v.text.lower() else f
+
+
+def read_xlsx(data: bytes, sheets: str = "*") -> dict[str, list[list]]:
+    """Parse xlsx bytes -> {sheet_name: rows}; rows are lists padded to the
+    max referenced column; ``sheets`` is "*" or a comma-separated list."""
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    shared = _shared_strings(zf)
+    targets = _sheet_targets(zf)
+    if sheets != "*":
+        want = [s.strip() for s in sheets.split(",")]
+        missing = [s for s in want if s not in targets]
+        if missing:
+            raise ValueError(f"xlsx: no such sheet(s) {missing}; "
+                             f"have {list(targets)}")
+        targets = {s: targets[s] for s in want}
+    out: dict[str, list[list]] = {}
+    for name, member in targets.items():
+        root = ET.fromstring(zf.read(member))
+        rows: list[list] = []
+        width = 0
+        for row in root.iter(f"{_NS}row"):
+            vals: dict[int, object] = {}
+            next_idx = 0
+            for c in row.iter(f"{_NS}c"):
+                ref = c.get("r")
+                if ref:
+                    m = _CELL_REF.match(ref)
+                    idx = _col_index(m.group(1)) if m else next_idx
+                else:
+                    idx = next_idx
+                vals[idx] = _cell_value(c, shared)
+                next_idx = idx + 1
+                width = max(width, idx + 1)
+            rows.append(vals)
+        out[name] = [[r.get(i) for i in range(width)] for r in rows]
+    return out
+
+
+def write_xlsx(sheets: dict[str, list[list]]) -> bytes:
+    """Minimal xlsx writer (inline strings only) — enough to test the
+    reader and to build fixtures without third-party deps."""
+    def esc(s: str) -> str:
+        return (s.replace("&", "&amp;").replace("<", "&lt;")
+                 .replace(">", "&gt;"))
+
+    def col_ref(i: int) -> str:
+        out = ""
+        i += 1
+        while i:
+            i, rem = divmod(i - 1, 26)
+            out = chr(ord("A") + rem) + out
+        return out
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        names = list(sheets)
+        zf.writestr("[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxml'
+            'formats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.open'
+            'xmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Override PartName="/xl/workbook.xml" ContentType="applicati'
+            'on/vnd.openxmlformats-officedocument.spreadsheetml.sheet.mai'
+            'n+xml"/>' + "".join(
+                f'<Override PartName="/xl/worksheets/sheet{i+1}.xml" '
+                'ContentType="application/vnd.openxmlformats-officedocume'
+                'nt.spreadsheetml.worksheet+xml"/>'
+                for i in range(len(names))) + "</Types>")
+        zf.writestr("_rels/.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.o'
+            'penxmlformats.org/package/2006/relationships">'
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/officeDocument" '
+            'Target="xl/workbook.xml"/></Relationships>')
+        zf.writestr("xl/workbook.xml",
+            '<?xml version="1.0"?><workbook xmlns="http://schemas.openxm'
+            'lformats.org/spreadsheetml/2006/main" xmlns:r="http://schema'
+            's.openxmlformats.org/officeDocument/2006/relationships">'
+            "<sheets>" + "".join(
+                f'<sheet name="{esc(n)}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+                for i, n in enumerate(names)) + "</sheets></workbook>")
+        zf.writestr("xl/_rels/workbook.xml.rels",
+            '<?xml version="1.0"?><Relationships xmlns="http://schemas.o'
+            'penxmlformats.org/package/2006/relationships">' + "".join(
+                f'<Relationship Id="rId{i+1}" Type="http://schemas.openx'
+                'mlformats.org/officeDocument/2006/relationships/workshee'
+                f't" Target="worksheets/sheet{i+1}.xml"/>'
+                for i in range(len(names))) + "</Relationships>")
+        for i, name in enumerate(names):
+            body = []
+            for ri, row in enumerate(sheets[name], start=1):
+                cells = []
+                for ci, v in enumerate(row):
+                    ref = f"{col_ref(ci)}{ri}"
+                    if v is None:
+                        continue
+                    if isinstance(v, bool):
+                        cells.append(f'<c r="{ref}" t="b"><v>'
+                                     f'{1 if v else 0}</v></c>')
+                    elif isinstance(v, (int, float)):
+                        cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                    else:
+                        cells.append(
+                            f'<c r="{ref}" t="inlineStr"><is><t>'
+                            f'{esc(str(v))}</t></is></c>')
+                body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+            zf.writestr(f"xl/worksheets/sheet{i+1}.xml",
+                '<?xml version="1.0"?><worksheet xmlns="http://schemas.o'
+                'penxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                + "".join(body) + "</sheetData></worksheet>")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# DataFrame layer
+# ---------------------------------------------------------------------------
+
+def _sheet_frames(data: bytes, sheets: str, strict: bool):
+    """yield (sheet_name, header, rows) with the reference's cell policy:
+    header row = column names; strict=False stringifies every data cell;
+    strict=True keeps cell types but normalizes mixed (`Any`) columns to
+    string — the engine's documented Any-normalization policy."""
+    for name, rows in read_xlsx(data, sheets).items():
+        if not rows:
+            continue
+        hdr = [("col%d" % i) if h is None else str(h)
+               for i, h in enumerate(rows[0])]
+        body = rows[1:]
+        if not strict:
+            body = [[None if v is None else str(v) for v in r] for r in body]
+        else:
+            for ci in range(len(hdr)):
+                tys = {type(r[ci]) for r in body
+                       if ci < len(r) and r[ci] is not None}
+                if bool in tys and tys <= {bool}:
+                    continue
+                if tys <= {int, float}:
+                    if tys == {int}:
+                        continue
+                    for r in body:
+                        if ci < len(r) and r[ci] is not None:
+                            r[ci] = float(r[ci])
+                elif len(tys) > 1 or (tys and tys != {str}):
+                    for r in body:
+                        if ci < len(r) and r[ci] is not None:
+                            r[ci] = str(r[ci])
+        yield name, hdr, body
+
+
+def read_excel(spark, path_glob: str, sheets: str = "*",
+               strict: bool = False, origin_col: str = "origin"):
+    """Driver-side read (small file sets / strict typing): one DataFrame,
+    sheets unioned by column name, ``origin`` = sheet name (each sheet is
+    its own message origin in the reference)."""
+    import glob as globmod
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    files = sorted(globmod.glob(path_glob))
+    if not files:
+        raise FileNotFoundError(f"excel: no files match {path_glob}")
+    frames = []
+    for p in files:
+        with open(p, "rb") as fh:
+            data = fh.read()
+        for name, hdr, body in _sheet_frames(data, sheets, strict):
+            if strict:
+                pytypes = {int: T.LongType(), float: T.DoubleType(),
+                           bool: T.BooleanType(), str: T.StringType()}
+                fields = []
+                for ci, h in enumerate(hdr):
+                    tys = {type(r[ci]) for r in body
+                           if ci < len(r) and r[ci] is not None}
+                    fields.append(T.StructField(
+                        h, pytypes.get(next(iter(tys)) if tys else str,
+                                       T.StringType())))
+                schema = T.StructType(fields)
+            else:
+                schema = T.StructType(
+                    [T.StructField(h, T.StringType()) for h in hdr])
+            rows = [tuple(r[ci] if ci < len(r) else None
+                          for ci in range(len(hdr))) for r in body]
+            frames.append(spark.createDataFrame(rows, schema)
+                          .withColumn(origin_col, F.lit(name)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def read_excel_distributed(spark, path_glob: str, sheets: str = "*",
+                           origin_col: str = "origin"):
+    """Scale path (all-string mode): the driver parses only the FIRST file
+    to fix the header schema; every file then parses executor-side from a
+    binaryFile scan via mapInPandas — a corpus of small workbooks spreads
+    like any other binary-column dataset. Columns absent in a given sheet
+    arrive null; extra columns are dropped (schema is fixed up front)."""
+    import glob as globmod
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    files = sorted(globmod.glob(path_glob))
+    if not files:
+        raise FileNotFoundError(f"excel: no files match {path_glob}")
+    with open(files[0], "rb") as fh:
+        first = fh.read()
+    cols: list[str] = []
+    for _, hdr, _body in _sheet_frames(first, sheets, strict=False):
+        for h in hdr:
+            if h not in cols:
+                cols.append(h)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols]
+                          + [T.StructField(origin_col, T.StringType())])
+    want_sheets = sheets
+
+    def parse(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                out = {c: [] for c in cols}
+                origins = []
+                for name, hdr, body in _sheet_frames(bytes(content),
+                                                     want_sheets, False):
+                    pos = {h: i for i, h in enumerate(hdr)}
+                    for r in body:
+                        for c in cols:
+                            i = pos.get(c)
+                            out[c].append(
+                                r[i] if i is not None and i < len(r)
+                                else None)
+                        origins.append(name)
+                out[origin_col] = origins
+                yield pd.DataFrame(out, columns=cols + [origin_col])
+
+    bf = (spark.read.format("binaryFile").load(path_glob)
+          .select("content"))
+    return bf.mapInPandas(parse, schema)

@@ -1,0 +1,85 @@
+"""Excel connector (S5 excel_connector parity) — pure-stdlib xlsx path.
+
+Reference semantics under test (sections/excel_connector/src/source.rs):
+header row = column names, sheets="*" or named subset, strict=False
+stringifies all cells, strict=True keeps first-row types with Any->string
+normalization. Each sheet is its own origin.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.sources.xlsx import (read_excel, read_excel_distributed,
+                                         read_xlsx, write_xlsx)
+
+
+@pytest.fixture(scope="module")
+def xlsx_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xlsx")
+    (d / "a.xlsx").write_bytes(write_xlsx({
+        "People": [["id", "name", "score"],
+                   [1, "alice", 9.5], [2, "bob", None], [3, "carol", 7]],
+        "Meta": [["k", "v"], ["rev", 3], ["flag", True]],
+    }))
+    (d / "b.xlsx").write_bytes(write_xlsx({
+        "People": [["id", "name", "score"], [4, "dave", 1.25]],
+    }))
+    return d
+
+
+def test_roundtrip_types(xlsx_dir):
+    data = (xlsx_dir / "a.xlsx").read_bytes()
+    sheets = read_xlsx(data)
+    assert sheets["People"][1] == [1, "alice", 9.5]
+    assert sheets["Meta"][2] == ["flag", True]
+
+
+def test_sheet_subset_and_missing(xlsx_dir):
+    data = (xlsx_dir / "a.xlsx").read_bytes()
+    assert list(read_xlsx(data, "Meta")) == ["Meta"]
+    with pytest.raises(ValueError, match="no such sheet"):
+        read_xlsx(data, "Nope")
+
+
+def test_driver_read_all_string(spark, xlsx_dir):
+    df = read_excel(spark, str(xlsx_dir / "*.xlsx"), sheets="People")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["string"] * 4  # id,name,score + origin
+    rows = {r.id: r for r in df.collect()}
+    assert rows["1"].score == "9.5" and rows["2"].score is None
+    assert rows["4"].name == "dave"  # second file unioned
+    assert rows["1"].origin == "People"
+
+
+def test_driver_read_strict_types(spark, xlsx_dir):
+    df = read_excel(spark, str(xlsx_dir / "a.xlsx"), sheets="People",
+                    strict=True)
+    kinds = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert kinds["id"] == "bigint" and kinds["score"] == "double"
+    assert kinds["name"] == "string"
+    # Meta sheet has an Any v column (int + bool) -> normalized to string
+    dfm = read_excel(spark, str(xlsx_dir / "a.xlsx"), sheets="Meta",
+                     strict=True)
+    assert dict(dfm.collect()[0].asDict())["k"] == "rev"
+    assert {f.dataType.simpleString() for f in dfm.schema.fields} == {"string"}
+
+
+def test_distributed_read_matches_driver(spark, xlsx_dir):
+    dist = read_excel_distributed(spark, str(xlsx_dir / "*.xlsx"),
+                                  sheets="People")
+    drv = read_excel(spark, str(xlsx_dir / "*.xlsx"), sheets="People")
+    assert sorted(map(tuple, dist.collect())) == \
+        sorted(map(tuple, drv.collect()))
+    # executor-side parse: the plan contains the Python map stage, and the
+    # driver never materialized file contents into the plan as literals
+    assert "mapInPandas" in dist._jdf.queryExecution().toString() \
+        or "MapInPandas" in dist._jdf.queryExecution().toString()
+
+
+def test_pipeline_section_uses_parser(spark, xlsx_dir):
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("excel_source")
+    cfg = sdef.validate_config({"path": str(xlsx_dir / "*.xlsx"),
+                                "sheets": "People", "strict": False})
+    df = sdef.builder(spark, cfg)
+    assert df.filter(F.col("origin") == "People").count() == 4
