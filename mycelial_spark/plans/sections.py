@@ -495,14 +495,18 @@ def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 
 
 @_register("sqlite_dest", "destination", "dataframe", "none",
-           [Field("path"), Field("table"), Field("truncate", "bool", False)],
+           [Field("path"), Field("table"), Field("truncate", "bool", False),
+            Field("upsert_keys", default="")],
            doc="D2 sqlite destination (sections/sqlite_connector/src/"
                "destination.rs:30-177): BEGIN IMMEDIATE, auto-DDL from frame "
                "schema, optional DELETE FROM, INSERT OR IGNORE binds, commit "
-               "then ack.")
+               "then ack. upsert_keys (comma-separated) switches to SCD1 "
+               "ON CONFLICT DO UPDATE — the MERGE-analog sink.")
 def sqlite_dest(spark, cfg, df):
     from mycelial_spark.sources import sqlite as sq
-    n = sq.write_frame(df, cfg["path"], cfg["table"], cfg["truncate"])
+    keys = [k.strip() for k in cfg["upsert_keys"].split(",") if k.strip()]
+    n = sq.write_frame(df, cfg["path"], cfg["table"], cfg["truncate"],
+                       upsert_keys=keys or None)
     return {"path": cfg["path"], "table": cfg["table"], "rows": n}
 
 

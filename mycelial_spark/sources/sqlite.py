@@ -118,21 +118,49 @@ def _ddl(table: str, schema: T.StructType) -> str:
 
 
 def write_frame(df: DataFrame, path: str, table: str,
-                truncate: bool = False) -> int:
+                truncate: bool = False,
+                upsert_keys: list[str] | None = None) -> int:
     """Drain a DataFrame into the db with the reference's transaction
     shape. Returns rows written. Idempotent under re-delivery when the
-    table has a primary key / unique index (INSERT OR IGNORE)."""
+    table has a primary key / unique index (INSERT OR IGNORE).
+
+    ``upsert_keys`` switches to SCD1 semantics: the table is created with
+    a primary key over those columns and rows land via ``ON CONFLICT ...
+    DO UPDATE`` — combined with at-least-once redelivery this gives the
+    newest value per key, the MERGE analog of a foreachBatch sink.
+    """
     schema = df.schema
     rows = [tuple(r) for r in df.collect()]
     conn = sqlite3.connect(path, isolation_level=None)
     try:
         conn.execute("BEGIN IMMEDIATE")          # destination.rs:66
-        conn.execute(_ddl(table, schema))        # auto-DDL, :82
+        if upsert_keys:
+            missing = [k for k in upsert_keys if k not in df.columns]
+            if missing:
+                raise ValueError(f"upsert keys not in frame: {missing}")
+            cols = ", ".join(
+                f'"{f.name}" '
+                f'{_SPARK_TO_SQLITE.get(f.dataType.simpleString(), "TEXT")}'
+                for f in schema.fields)
+            pk = ", ".join(f'"{k}"' for k in upsert_keys)
+            conn.execute(f'CREATE TABLE IF NOT EXISTS "{table}" '
+                         f'({cols}, PRIMARY KEY ({pk}))')
+        else:
+            conn.execute(_ddl(table, schema))    # auto-DDL, :82
         if truncate:
             conn.execute(f'DELETE FROM "{table}"')
         marks = ",".join("?" * len(schema.fields))
-        conn.executemany(
-            f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})', rows)  # :91
+        if upsert_keys:
+            sets = ", ".join(f'"{f.name}"=excluded."{f.name}"'
+                             for f in schema.fields
+                             if f.name not in upsert_keys)
+            conn.executemany(
+                f'INSERT INTO "{table}" VALUES ({marks}) '
+                f'ON CONFLICT ({pk}) DO UPDATE SET {sets}', rows)
+        else:
+            conn.executemany(
+                f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})',
+                rows)  # :91
         conn.execute("COMMIT")                   # commit THEN ack (§1.5)
     except Exception:
         conn.execute("ROLLBACK")

@@ -96,3 +96,29 @@ def test_pipeline_parquet_to_sqlite_to_parquet(spark, sf_dir, tmp_path):
     }
     Pipeline.from_spec(spec2).run(spark)
     assert spark.read.parquet(out).count() == 5
+
+
+def test_upsert_scd1_latest_wins_and_redelivery_idempotent(spark, tmp_path):
+    """MERGE-analog sink: keyed ON CONFLICT upsert gives newest value per
+    key; redelivering the same batch (at-least-once) changes nothing."""
+    from mycelial_spark.sources.sqlite import write_frame
+    import sqlite3
+    db = str(tmp_path / "u.db")
+    b1 = spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0)], ["id", "name", "bal"])
+    b2 = spark.createDataFrame(
+        [(2, "bob", 25.0), (3, "carol", 30.0)], ["id", "name", "bal"])
+    write_frame(b1, db, "accts", upsert_keys=["id"])
+    write_frame(b2, db, "accts", upsert_keys=["id"])
+    write_frame(b2, db, "accts", upsert_keys=["id"])  # redelivery
+    got = dict((r[0], (r[1], r[2])) for r in sqlite3.connect(db).execute(
+        'SELECT id, name, bal FROM "accts" ORDER BY id'))
+    assert got == {1: ("alice", 10.0), 2: ("bob", 25.0), 3: ("carol", 30.0)}
+
+
+def test_upsert_rejects_unknown_key(spark, tmp_path):
+    from mycelial_spark.sources.sqlite import write_frame
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    with _pytest.raises(ValueError, match="upsert keys"):
+        write_frame(df, str(tmp_path / "u2.db"), "t", upsert_keys=["nope"])
