@@ -1568,6 +1568,56 @@ def token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.top_k(counted, [F.col("n").desc(), F.col("token").asc()], 20)
 
 
+@query("csv_roundtrip", """
+SELECT CAST(l_orderkey AS VARCHAR)   AS l_orderkey,
+       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+       l_returnflag
+FROM lineitem WHERE l_orderkey % 50 = 0
+""")
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3/T4 end-to-end through REAL files: ToCsv serializes the frame,
+    FromCsv parses it back with header-row schema and all-Str columns
+    (csv_transform semantics); the oracle recomputes the stringified rows
+    straight from parquet. Integer/flag columns only — double-to-text
+    formatting is engine-specific."""
+    import os
+    li = (_t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 50 == 0)
+          .select("l_orderkey", "l_linenumber", "l_returnflag"))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/mycelial_csv_roundtrip_{tag}"
+    li.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.option("header", True).csv(path)  # no inferSchema
+
+
+@query("excel_roundtrip", """
+SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+       o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 100 = 0
+""")
+def excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 excel_connector end-to-end through REAL xlsx bytes: rows are
+    serialized with the stdlib writer, parsed back executor-side
+    (binaryFile + mapInPandas, all-string mode), and the oracle
+    recomputes the stringified rows from parquet. Driver-side collect is
+    inherent here — a workbook is a single small file by nature; the
+    DISTRIBUTED direction (many files -> one frame) is what scales."""
+    import os
+    from mycelial_spark.sources.xlsx import read_excel_distributed, write_xlsx
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 100 == 0)
+         .select("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    rows = [[r[0], r[1], r[2]] for r in o.collect()]
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/mycelial_excel_roundtrip_{tag}.xlsx"
+    with open(path, "wb") as fh:
+        fh.write(write_xlsx(
+            {"Orders": [["o_orderkey", "o_orderstatus", "o_orderpriority"]]
+             + rows}))
+    back = read_excel_distributed(spark, path, sheets="Orders")
+    return back.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
