@@ -33,6 +33,9 @@ HEADLINE = [
     "q18_large_orders",
     "q19_disjunctive",
     "q17_small_qty_revenue",
+    "q7_nation_volume",
+    "q13_order_count_dist",
+    "q21_sole_late_supplier",
     "window_rank",
     "window_lag_frame",
     "agg_rollup",

@@ -1618,6 +1618,190 @@ def excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_orderstatus", "o_orderpriority")
 
 
+@query("q7_nation_volume", """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional two-nation volume. Both nation dims
+    broadcast pre-filtered to the 2 relevant rows, so the disjunctive
+    nation-pair predicate prunes suppliers/customers BEFORE the fact
+    joins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice",
+        "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("snk"))
+         .select("s_suppkey", "supp_nation"))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                    F.col("n_name").alias("cust_nation"))),
+               F.col("c_nationkey") == F.col("cnk"))
+         .select("c_custkey", "cust_nation"))
+    j = (li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+           .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+           .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                  .alias("revenue")))
+
+
+@query("q13_order_count_dist", """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution including
+    zero-order customers (left outer + count of non-null), then a second
+    tiny aggregation over the counts."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderpriority") != "1-URGENT") \
+        .select("o_custkey", "o_orderkey")
+    per_cust = (c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@query("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over a derived revenue view. The revenue
+    table is per-supplier (tiny): max + equality both broadcast; revenue
+    rounded BEFORE the max comparison so the equality is stable."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp")))
+    rev = (li.groupBy("l_suppkey")
+             .agg(F.round(F.sum(F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))), 2)
+                  .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (s.join(F.broadcast(rev), F.col("s_suppkey") == F.col("l_suppkey"))
+             .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+             .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@query("q21_sole_late_supplier", """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INT) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM (SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+      FROM lo JOIN per_order USING (l_orderkey)
+      WHERE lo.is_late = 1 AND n_supp >= 2 AND n_late = 1)
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+""")
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" adapted to ship>order+90d; fixture has no
+    receipt/commit dates): the correlated EXISTS / NOT EXISTS pair is
+    decorrelated into ONE per-order aggregate (supplier count + late-
+    supplier count) re-joined to the fact — two shuffles on l_orderkey
+    total, which AQE co-locates, instead of three correlated scans."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    lo = (li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select("l_orderkey", "l_suppkey",
+                    (F.col("l_shipdate") > F.col("o_orderdate")
+                     + F.expr("INTERVAL 90 DAYS")).cast("int")
+                    .alias("is_late")))
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late") == 1,
+                               F.col("l_suppkey"))).alias("n_late"))
+    sole = (lo.filter(F.col("is_late") == 1)
+              .join(per_order, "l_orderkey")
+              .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+              .select("l_orderkey", "l_suppkey").distinct())
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    agg = (sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+               .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait")))
+    return R.top_k(agg, [F.col("numwait").desc(), F.col("s_name").asc()], 10)
+
+
+@query("q22_idle_rich_customers", """
+SELECT c_mktsegment, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer
+                   WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""")
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (mktsegment instead of phone country codes, and
+    "no URGENT orders" instead of "no orders" — every fixture customer
+    has at least one order): above-average balance via a broadcast
+    scalar (rounded so the threshold is engine-stable), the NOT EXISTS
+    via left-anti join."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0)
+                .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_bal")))
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+             .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    idle = rich.join(o, F.col("c_custkey") == F.col("o_custkey"),
+                     "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
