@@ -1802,6 +1802,28 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
 
 
+@query("window_distribution", """
+SELECT c_custkey,
+       c_mktsegment,
+       ntile(4)        OVER w AS balance_quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist()    OVER w, 6) AS cd
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+""")
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile/percent_rank/cume_dist) —
+    quartile bucketing per segment; c_custkey tie-break keeps the
+    ordering total so both engines agree."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
