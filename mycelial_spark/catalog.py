@@ -32,6 +32,10 @@ _NANO_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every query path flows through here: guarantee executor workers can
+    # import this package even when the driver launched from another cwd
+    from mycelial_spark.session import ship_package
+    ship_package(spark)
     if name in _NANO_TS_COLS:
         # runtime-settable SQL conf; required even when the caller's session
         # (e.g. the driver's own) was built without session.py's defaults

@@ -41,6 +41,56 @@ _DEFAULT_CONF = {
 }
 
 
+_SHIPPED_TO: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``mycelial_spark`` importable on executor Python workers.
+
+    The driver harness imports ``__spark_entry__`` by path from an
+    arbitrary cwd, so executors' Python workers do NOT inherit a sys.path
+    containing this package — any pandas-UDF whose function is pickled by
+    reference (module-level functions are) then fails with
+    ModuleNotFoundError on the worker. Shipping a content-hashed zip of
+    the package via ``addPyFile`` fixes this on any cluster topology; on
+    repeat calls for the same SparkContext it is a no-op.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_TO:
+        return
+    import hashlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    entries = []
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                arc = os.path.join("mycelial_spark",
+                                   os.path.relpath(p, pkg_dir))
+                entries.append((p, arc))
+    h = hashlib.sha256()
+    for p, arc in entries:
+        h.update(arc.encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"mycelial_spark_{h.hexdigest()[:16]}.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p, arc in entries:
+                zf.write(p, arc)
+        os.replace(tmp, zpath)
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already registered with identical content
+    _SHIPPED_TO.add(id(sc))
+
+
 def get_spark(app_name: str = "mycelial_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or fetch) the singleton SparkSession.

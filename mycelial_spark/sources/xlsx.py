@@ -289,6 +289,8 @@ def read_excel_distributed(spark, path_glob: str, sheets: str = "*",
     import pandas as pd
     from pyspark.sql import types as T
 
+    from mycelial_spark.session import ship_package
+    ship_package(spark)  # parse() runs on executor Python workers
     files = sorted(globmod.glob(path_glob))
     if not files:
         raise FileNotFoundError(f"excel: no files match {path_glob}")
