@@ -1824,6 +1824,23 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"))
 
 
+@query("sql_passthrough", """
+SELECT r_name, count(*) AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+FROM region JOIN nation ON r_regionkey = n_regionkey
+GROUP BY r_name
+""")
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL escape hatch: the reference pushes user SQL strings down to
+    source databases (S1-S4 `query` config); this engine executes them
+    itself — fixture tables registered as views, the SAME text handed to
+    spark.sql. The oracle runs the identical statement, so the SQL entry
+    point itself is what's being verified."""
+    from mycelial_spark.catalog import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(REGISTRY["sql_passthrough"].oracle)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
