@@ -10,9 +10,11 @@ section via ``F.expr`` composition.
 All of these are JVM-side expression builders (codegen), not UDFs.
 """
 
+from mycelial_spark.operators.sampling import hash_bucket  # noqa: F401
 from mycelial_spark.operators.similarity import (  # noqa: F401
     cosine,
     dot,
+    dot_np,
     norm,
 )
 from mycelial_spark.operators.text import (  # noqa: F401
@@ -23,7 +25,9 @@ from mycelial_spark.operators.text import (  # noqa: F401
 __all__ = [
     "cosine",
     "dot",
+    "dot_np",
     "norm",
     "tokens",
     "bpe_token_count",
+    "hash_bucket",
 ]

@@ -62,16 +62,29 @@ def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from pyspark.sql import functions as F
+
     from mycelial_spark.operators.dedup import (
-        dedup_exact, minhash_lsh_pairs, simhash_near_pairs)
-    from mycelial_spark.operators.text import with_text_stats
+        dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs,
+        simhash_near_pairs)
+    from mycelial_spark.operators.text import with_fingerprint, with_text_stats
 
     ops = {
         "dedup_exact": lambda d: dedup_exact(d),
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(d, threshold=0.5),
         "simhash_near_pairs": lambda d: simhash_near_pairs(d, max_hamming=8),
         "text_stats": lambda d: with_text_stats(d),
+        "doc_fingerprint": lambda d: with_fingerprint(d).select(
+            "doc_id", "fingerprint", F.size("shingle_hashes").alias("n")),
+        # NOT in the default set: exact all-pairs token Jaccard is
+        # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
+        # their token sets -> output ~ n^2 regardless of implementation).
+        # Opt in with --ops=ngram_jaccard_pairs; at scale this op is the
+        # post-LSH verify, never corpus-wide.
+        "ngram_jaccard_pairs": lambda d: ngram_jaccard_pairs(d),
     }
+    if not only_ops:
+        ops.pop("ngram_jaccard_pairs")
     if only_ops:
         ops = {k: v for k, v in ops.items() if k in only_ops}
 
