@@ -7,7 +7,9 @@ operators are built from, importable as ``from mycelial_spark.functions
 import cosine, tokens, ...`` and usable inside any ``sql``/``select``
 section via ``F.expr`` composition.
 
-All of these are JVM-side expression builders (codegen), not UDFs.
+All are JVM-side expression builders (codegen) except ``dot_np``, the
+Arrow-vectorized pairwise dot for big verify stages (explicitly a pandas
+UDF — see its docstring for when to prefer it over ``dot``).
 """
 
 from mycelial_spark.operators.sampling import hash_bucket  # noqa: F401
