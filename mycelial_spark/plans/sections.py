@@ -286,40 +286,103 @@ def sort_limit(spark, cfg, inputs):
 @_register("from_csv", "transform", "bin", "dataframe",
            [Field("header", "bool", True)],
            doc="T3 csv_transform::FromCsv: binary CSV payloads -> all-string "
-               "dataframe (header row = schema).")
+               "dataframe. Each payload is parsed with ITS OWN header row — "
+               "the reference parses per message "
+               "(sections/csv_transform/src/from_csv.rs) — so multi-file "
+               "inputs with different headers union by name, and a data row "
+               "that happens to equal the header string survives.")
 def from_csv(spark, cfg, inputs):
-    # distributed parse: decode the binary content column and run the CSV
-    # reader over the decoded lines via the csv datasource on a dataset of
-    # strings (no driver materialization)
+    import csv as _csv
+    import io as _io
+
     from pyspark.sql import types as T
-    lines = (inputs[0]
-             .select(F.explode(F.split(F.decode("content", "UTF-8"), "\r?\n"))
-                      .alias("line"))
-             .filter(F.col("line") != ""))
-    header_df = lines.limit(1).collect()
-    if not header_df:
+    src = inputs[0].select("path", "content")
+    # Schema discovery: only the FIRST LINE of each payload reaches the
+    # driver (a codegen substring of the scan, O(#files) strings) — data
+    # rows never do. The unified schema is the first-seen-order union of
+    # every file's header columns.
+    hdr_rows = (src.select(
+        F.element_at(F.split(F.decode("content", "UTF-8"), "\r?\n"), 1)
+         .alias("hdr"))
+        .filter(F.col("hdr") != "").distinct().collect())
+    cols: list[str] = []
+    for r in hdr_rows:
+        parsed = next(_csv.reader(_io.StringIO(r["hdr"])), [])
+        fields = (parsed if cfg["header"]
+                  else [f"_c{i}" for i in range(len(parsed))])
+        for c in fields:
+            if c not in cols:
+                cols.append(c)
+    if not cols:
         return spark.createDataFrame([], T.StructType([]))
-    cols = header_df[0]["line"].split(",")
-    parsed = lines.filter(F.col("line") != header_df[0]["line"]).select(
-        F.from_csv(F.col("line"),
-                   ", ".join(f"`{c}` string" for c in cols)).alias("r"))
-    return parsed.select([F.col(f"r.{c}").alias(c) for c in cols])
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+    with_header = cfg["header"]
+
+    def parse(batches):
+        import csv
+        import io
+
+        import pandas as pd
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                rdr = csv.reader(io.StringIO(bytes(content).decode("utf-8")))
+                first = next(rdr, None)
+                if first is None:
+                    continue
+                if with_header:
+                    file_cols = first
+                else:
+                    file_cols = [f"_c{i}" for i in range(len(first))]
+                data: dict[str, list] = {c: [] for c in file_cols}
+                rows = rdr if with_header else _chain_first(first, rdr)
+                for row in rows:
+                    if not row:
+                        continue
+                    for i, c in enumerate(file_cols):
+                        data[c].append(row[i] if i < len(row) else None)
+                frames.append(pd.DataFrame(data, dtype=object)
+                              .reindex(columns=cols))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return src.mapInPandas(parse, schema)
+
+
+def _chain_first(first, rest):
+    yield first
+    yield from rest
 
 
 @_register("to_csv", "transform", "dataframe", "bin",
            [],
-           doc="T4 csv_transform::ToCsv: dataframe -> CSV byte payloads "
-               "(one binary row per partition chunk).")
+           doc="T4 csv_transform::ToCsv: dataframe -> CSV byte payloads, one "
+               "binary row per Arrow batch per partition — fully distributed, "
+               "no global aggregate; memory is bounded by one Arrow batch. "
+               "Rows are pre-formatted JVM-side with to_csv(struct(*)) so "
+               "quoting/escaping matches Spark's own CSV writer.")
 def to_csv(spark, cfg, inputs):
+    import csv as _csv
+    import io as _io
     df = inputs[0]
-    header = ",".join(df.columns)
-    rows = df.select(F.encode(
-        F.concat_ws("\n", F.collect_list(F.to_csv(F.struct(*df.columns)))),
-        "UTF-8").alias("content"))
-    return rows.select(F.lit("part").alias("path"),
-                       F.encode(F.concat(F.lit(header + "\n"),
-                                         F.decode("content", "UTF-8")),
-                                "UTF-8").alias("content"))
+    buf = _io.StringIO()
+    _csv.writer(buf, lineterminator="").writerow(df.columns)
+    header = buf.getvalue()
+    lines = df.select(F.to_csv(F.struct(*df.columns)).alias("line"))
+
+    def emit(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            if pdf.empty:
+                continue
+            payload = header + "\n" + "\n".join(pdf["line"]) + "\n"
+            yield pd.DataFrame(
+                {"path": [f"part-{pid:05d}-{i:04d}.csv"],
+                 "content": [payload.encode("utf-8")]})
+
+    return lines.mapInPandas(emit, "path string, content binary")
 
 
 @_register("dedup_exact", "transform", "dataframe", "dataframe",
@@ -408,11 +471,14 @@ def csv_dest(spark, cfg, df):
            doc="D7 file destination: write binary payloads to dir_path/<name>, "
                "atomic tmp+rename per file (destination.rs:51-71).")
 def file_dest(spark, cfg, df):
+    # toLocalIterator: driver memory is bounded by ONE payload at a time
+    # (D7 writes a local dir so the driver hop is inherent; buffering the
+    # whole frame is not).
     import tempfile
     out_dir = cfg["dir_path"]
     os.makedirs(out_dir, exist_ok=True)
-    rows = df.select("path", "content").collect()
-    for r in rows:
+    n = 0
+    for r in df.select("path", "content").toLocalIterator():
         name = os.path.basename(r["path"]) or "part"
         fd, tmp = tempfile.mkstemp(dir=out_dir)
         with os.fdopen(fd, "wb") as f:
@@ -420,7 +486,8 @@ def file_dest(spark, cfg, df):
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(out_dir, name))
-    return {"dir_path": out_dir, "files": len(rows)}
+        n += 1
+    return {"dir_path": out_dir, "files": n}
 
 
 @_register("console_dest", "destination", "bin_or_dataframe", "none",
@@ -674,8 +741,14 @@ def redshift_dest(spark, cfg, df):
            doc="D8 kafka destination: each row -> JSON object, key=origin "
                "(destination.rs:75-110); to_json(struct(*)) -> kafka writer.")
 def kafka_dest(spark, cfg, df):
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"),
-                        F.lit("origin").alias("key"))
+    # key = the message's routing origin when the frame carries one
+    # (destination.rs:75-110 keys every record by origin); constant
+    # fallback only for origin-less frames.
+    key = (F.col(X.ORIGIN_COL).cast("string")
+           if X.ORIGIN_COL in df.columns else F.lit("origin"))
+    value_cols = [c for c in df.columns if c != X.ORIGIN_COL] or df.columns
+    payload = df.select(F.to_json(F.struct(*value_cols)).alias("value"),
+                        key.alias("key"))
     try:
         (payload.write.format("kafka")
          .option("kafka.bootstrap.servers", cfg["brokers"])

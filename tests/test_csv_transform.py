@@ -1,0 +1,107 @@
+"""T3/T4 csv_transform edge cases the round-1 implementation got wrong.
+
+The reference parses each CSV *message* independently with its own header
+(sections/csv_transform/src), so:
+- a data row that equals the header string is data, not a header;
+- two payloads with different headers union by name;
+- serialization must not funnel the frame through one global aggregate.
+"""
+
+import pytest
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.plans.sections import REGISTRY
+
+
+def _write(path, text):
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def _parse_dir(spark, path):
+    spec = {
+        "nodes": {
+            "bin": {"type": "binary_source", "path": str(path),
+                    "pattern": "*.csv"},
+            "parse": {"type": "from_csv"},
+            "mem": {"type": "memory_dest", "name": "csv_edge"},
+        },
+        "edges": [["bin", "parse"], ["parse", "mem"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    return spark.table("global_temp.csv_edge")
+
+
+def test_data_row_equal_to_header_survives(spark, tmp_path):
+    # The row "a,b" below IS data (it duplicates the header string); the old
+    # `line != header` filter dropped it everywhere.
+    _write(tmp_path / "f.csv", "a,b\n1,2\na,b\n3,4\n")
+    out = _parse_dir(spark, tmp_path)
+    rows = sorted([tuple(r) for r in out.collect()])
+    assert rows == [("1", "2"), ("3", "4"), ("a", "b")]
+
+
+def test_multi_file_different_headers_union_by_name(spark, tmp_path):
+    _write(tmp_path / "one.csv", "a,b\n1,2\n")
+    _write(tmp_path / "two.csv", "b,c\n9,8\n")
+    out = _parse_dir(spark, tmp_path)
+    assert set(out.columns) == {"a", "b", "c"}
+    got = {tuple(r[c] for c in ("a", "b", "c")) for r in out.collect()}
+    assert got == {("1", "2", None), (None, "9", "8")}
+
+
+def test_quoted_commas_and_headerless_mode(spark, tmp_path):
+    _write(tmp_path / "q.csv", 'x,y\n"v,1",2\n')
+    out = _parse_dir(spark, tmp_path)
+    assert [tuple(r) for r in out.collect()] == [("v,1", "2")]
+
+    hl = tmp_path / "hl"
+    hl.mkdir()
+    _write(hl / "h.csv", "1,2\n3,4\n")
+    spec = {
+        "nodes": {
+            "bin": {"type": "binary_source", "path": str(hl),
+                    "pattern": "*.csv"},
+            "parse": {"type": "from_csv", "header": False},
+            "mem": {"type": "memory_dest", "name": "csv_headerless"},
+        },
+        "edges": [["bin", "parse"], ["parse", "mem"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    out = spark.table("global_temp.csv_headerless")
+    assert out.columns == ["_c0", "_c1"]
+    assert sorted(tuple(r) for r in out.collect()) == [("1", "2"), ("3", "4")]
+
+
+def test_to_csv_is_distributed_and_roundtrips(spark, sf_dir, tmp_path):
+    """to_csv emits one payload per batch/partition (no global aggregate),
+    and from_csv parses every payload back losslessly."""
+    df = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+          .select("c_custkey", "c_mktsegment").repartition(4))
+    to_csv = REGISTRY.get("to_csv")
+    payloads = to_csv.builder(spark, {}, [df])
+
+    plan = payloads._sc._jvm.PythonSQLUtils.explainString(
+        payloads._jdf.queryExecution(), "formatted")
+    assert "SinglePartition" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+    n_payloads = payloads.count()
+    assert n_payloads >= 4  # one per non-empty partition at least
+
+    from_csv = REGISTRY.get("from_csv")
+    back = from_csv.builder(spark, {"header": True}, [payloads])
+    assert back.columns == ["c_custkey", "c_mktsegment"]
+    want = {(str(r[0]), r[1]) for r in df.collect()}
+    got = {(r[0], r[1]) for r in back.collect()}
+    assert got == want
+
+
+def test_to_csv_quotes_header_and_values(spark):
+    df = spark.createDataFrame([("x,1", 2)], ["weird,name", "n"])
+    payloads = REGISTRY.get("to_csv").builder(spark, {}, [df])
+    text = bytes(payloads.collect()[0]["content"]).decode()
+    assert text.splitlines()[0] == '"weird,name",n'
+    back = REGISTRY.get("from_csv").builder(spark, {"header": True},
+                                            [payloads])
+    assert [tuple(r) for r in back.collect()] == [("x,1", "2")]
