@@ -82,7 +82,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, ngram: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      verify_mode: str = "auto",
+                      broadcast_limit: int = 2_000_000) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
@@ -94,7 +96,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     to the (few) surviving candidate pairs afterwards, (2) the self-join
     on band bucket — skew-safe under AQE since hot buckets mean real
     near-dup clusters, and (3) distinct on candidate pairs.
+
+    ``verify_mode`` picks how shingle sets re-attach to candidates:
+    - "broadcast": the candidate-pair table is broadcast to both verify
+      joins — right for the common case (few survivors), wrong past
+      ~10M pairs where the broadcast table no longer fits an executor;
+    - "shuffle": plain hash joins on id — both sides stay narrow
+      (2 longs/pair; id + shingle array/doc), no cliff;
+    - "auto": persist + count the candidates once and pick by
+      ``broadcast_limit``.
     """
+    if verify_mode not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown verify_mode {verify_mode!r}")
     rows = num_hashes // bands
     # Persist the signature table: it feeds both sides of the self-join and
     # both verify re-attach joins — recomputing the shingling + 64-hash pass
@@ -125,19 +138,26 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    # Re-attach shingle sets to the surviving pairs. The candidate set is
-    # broadcast EXPLICITLY: cost-based planning sees the tiny on-disk size
-    # of the text scan and would happily broadcast the shingle-array side
-    # (~1000x bigger in memory than on disk) — measured 4-25 s of
-    # instability at sf0.1 when left to the estimator. If candidates ever
-    # outgrow broadcast range, switch both joins to shuffle joins on id —
+    # Re-attach shingle sets to the surviving pairs. In broadcast mode the
+    # candidate set is broadcast EXPLICITLY: cost-based planning sees the
+    # tiny on-disk size of the text scan and would happily broadcast the
+    # shingle-array side (~1000x bigger in memory than on disk) — measured
+    # 4-25 s of instability at sf0.1 when left to the estimator. Past the
+    # broadcast cliff (~10M pairs), shuffle mode hash-joins on id instead —
     # still narrow, one row per doc.
-    cand = (F.broadcast(cand)
-            .join(shin.select(F.col(id_col).alias("id_a"),
-                              F.col("shingle_hashes").alias("sh_a")), "id_a"))
-    cand = (F.broadcast(cand)
-            .join(shin.select(F.col(id_col).alias("id_b"),
-                              F.col("shingle_hashes").alias("sh_b")), "id_b"))
+    if verify_mode == "auto":
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        verify_mode = ("broadcast" if cand.count() <= broadcast_limit
+                       else "shuffle")
+    sh_a = shin.select(F.col(id_col).alias("id_a"),
+                       F.col("shingle_hashes").alias("sh_a"))
+    sh_b = shin.select(F.col(id_col).alias("id_b"),
+                       F.col("shingle_hashes").alias("sh_b"))
+    if verify_mode == "broadcast":
+        cand = F.broadcast(cand).join(sh_a, "id_a")
+        cand = F.broadcast(cand).join(sh_b, "id_b")
+    else:
+        cand = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (cand.withColumn("jaccard",

@@ -28,13 +28,24 @@ from pyspark.sql import functions as F
 TOKEN_RE = r"\s+"
 BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
-# Tiny marker lexicons per language (deterministic, self-contained).
+# Tiny marker lexicons per language (deterministic, self-contained) —
+# for languages that whitespace-segment.
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "is"],
     "de": ["der", "und", "die", "ist"],
     "fr": ["le", "et", "les", "est"],
     "es": ["el", "y", "los", "es"],
-    "zh": ["de5", "shi4", "le5", "bu4"],
+}
+
+# Script character classes for languages that do NOT whitespace-segment:
+# the score is the count of characters in the script range (regexp_count,
+# pure codegen). Caveat: kanji in Japanese text count toward zh and kana
+# toward ja, so kana-light Japanese can read as zh — the honest limit of
+# a lexicon-free heuristic.
+LANG_SCRIPTS: dict[str, str] = {
+    "zh": "[一-鿿]",                # CJK unified ideographs
+    "ja": "[぀-ゟ゠-ヿ]",   # hiragana + katakana
+    "ko": "[가-힣ᄀ-ᇿ]",   # hangul syllables + jamo
 }
 
 
@@ -87,19 +98,24 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language ID: per language, count marker-word hits in the
-    token stream; predict the argmax (ties broken by language code order;
-    'und' = undetermined when no marker hits)."""
-    toks = F.array_distinct(tokens(F.col(text_col)))
-    scores = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
+    """Language ID, one codegen projection: for whitespace-segmented
+    languages, count marker-word hits over distinct tokens; for CJK
+    scripts (no segmentation — marker WORDS can never match), count
+    characters in the script's Unicode range. Predict the argmax
+    ('und' = undetermined when every score is zero)."""
+    c = F.col(text_col)
+    toks = F.array_distinct(tokens(c))
+    per_lang: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
         arr = F.array(*[F.lit(m) for m in markers])
-        scores.append(
-            F.struct(F.size(F.array_intersect(toks, arr)).alias("score"),
-                     F.lit(lang).alias("lang")))
+        per_lang[lang] = F.size(F.array_intersect(toks, arr))
+    for lang, pattern in LANG_SCRIPTS.items():
+        per_lang[lang] = F.regexp_count(c, F.lit(pattern))
     # array_max over structs compares (score, lang) lexicographically:
     # highest score wins, then LAST lang code alphabetically — mirror this
     # exactly in any oracle SQL.
+    scores = [F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+              for lang, score in sorted(per_lang.items())]
     best = F.array_max(F.array(*scores))
     return df.withColumn(
         "pred_lang",

@@ -68,12 +68,17 @@ class Pipeline:
         """Execute all subgraphs; returns node_id -> DataFrame | write summary."""
         results: dict[str, Any] = {}
         for sub in self.graph.subgraphs():
+            acks = []  # commit-then-ack (§1.5): sources may defer state
             for node_id in sub.topo_order():
                 cfg = dict(self.graph.nodes[node_id])
                 sdef = self.registry.get(cfg.pop("type"))
                 parents = sub.parents(node_id)
                 if sdef.kind == "source":
-                    results[node_id] = sdef.builder(spark, cfg)
+                    df = sdef.builder(spark, cfg)
+                    results[node_id] = df
+                    on_delivered = getattr(df, "_on_delivered", None)
+                    if on_delivered is not None:
+                        acks.append(on_delivered)
                     continue
                 inputs = [results[p] for p in parents]
                 if any(not isinstance(i, DataFrame) for i in inputs):
@@ -85,6 +90,10 @@ class Pipeline:
                     results[node_id] = sdef.builder(spark, cfg, inputs)
                 else:  # destination
                     results[node_id] = sdef.builder(spark, cfg, inputs[0])
+            # every destination in the subgraph committed -> ack sources
+            # (watermark advance only after delivery, stateful_query.rs:114-125)
+            for ack in acks:
+                ack()
         return results
 
     def task_ids(self) -> dict[str, str]:

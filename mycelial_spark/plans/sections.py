@@ -122,23 +122,132 @@ def rate_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
            [Field("url"), Field("query"), Field("user", default=""),
             Field("password", secret=True, default=""),
             Field("driver", default=""), Field("partition_column", default=""),
-            Field("num_partitions", "int", 1), Field("fetchsize", "int", 10000)],
+            Field("num_partitions", "int", 1),
+            Field("lower_bound", default=""), Field("upper_bound", default=""),
+            Field("fetchsize", "int", 10000),
+            Field("session_init_statement", default="")],
            doc="Poll-query JDBC source (postgres/mysql connector analog, "
                "sections/postgres_connector/src/source.rs:74-260). Incremental "
-               "$var::i64 queries go through streaming.incremental.StatefulQuery.")
+               "$var::i64 queries go through the stateful_query section. "
+               "session_init_statement runs on each connection before reading "
+               "— the S2 mysql UTC forcing, SET time_zone = '+00:00' "
+               "(sections/mysql_connector/src/source.rs:60-63). "
+               "partition_column + num_partitions>1 parallelizes the read; "
+               "bounds are auto-derived with a min/max probe when not given.")
 def jdbc_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
-    reader = (spark.read.format("jdbc")
-              .option("url", cfg["url"])
-              .option("query", cfg["query"])
-              .option("fetchsize", cfg["fetchsize"]))
-    if cfg["user"]:
-        reader = reader.option("user", cfg["user"]).option("password", cfg["password"])
-    if cfg["driver"]:
-        reader = reader.option("driver", cfg["driver"])
+    def base_reader(**opts):
+        reader = (spark.read.format("jdbc")
+                  .option("url", cfg["url"])
+                  .option("fetchsize", cfg["fetchsize"]))
+        if cfg["user"]:
+            reader = (reader.option("user", cfg["user"])
+                      .option("password", cfg["password"]))
+        if cfg["driver"]:
+            reader = reader.option("driver", cfg["driver"])
+        if cfg["session_init_statement"]:
+            reader = reader.option("sessionInitStatement",
+                                   cfg["session_init_statement"])
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader
+
     try:
-        return reader.load()
+        if cfg["partition_column"] and cfg["num_partitions"] > 1:
+            col = cfg["partition_column"]
+            lo, hi = cfg["lower_bound"], cfg["upper_bound"]
+            if not (lo and hi):
+                # bounds probe: one-row aggregate pushed to the source DB
+                # (the reference derives its cursor range the same way)
+                row = (base_reader(query=f"SELECT MIN({col}) lo, MAX({col}) hi "
+                                         f"FROM ({cfg['query']}) b").load()
+                       .collect()[0])
+                lo = lo if lo else row["lo"]
+                hi = hi if hi else row["hi"]
+            if lo is None or hi is None:   # empty source: plain read
+                return base_reader(query=cfg["query"]).load()
+            # partitionColumn requires dbtable, not query
+            return base_reader(
+                dbtable=f"({cfg['query']}) part_src",
+                partitionColumn=col, lowerBound=str(lo), upperBound=str(hi),
+                numPartitions=cfg["num_partitions"]).load()
+        return base_reader(query=cfg["query"]).load()
     except Exception as e:  # driver jar missing in this container
         raise SectionUnavailable(f"jdbc_source needs a JDBC driver jar: {e}") from e
+
+
+def build_stateful_source(spark: SparkSession, cfg: dict[str, Any]):
+    """Construct the (StatefulQuery, backend, dialect) triple for a
+    ``stateful_query`` source — shared by the batch builder and the
+    streaming runner's poll loop.
+
+    Backends mirror where the reference executes the rewritten query —
+    the SOURCE database (stateful_query.rs:90-124):
+    - "sql":    spark.sql over temp views (``table_views`` maps view name
+                -> parquet path for self-contained specs);
+    - "sqlite": sources.sqlite.read_query against a db file;
+    - "jdbc":   Spark JDBC pushdown (`query` option) — the S1/S2 postgres/
+                mysql poll loop.
+    """
+    from mycelial_spark.streaming.incremental import StatefulQuery, StateStore
+    state = StateStore(cfg["state_path"] or None)
+    sq = StatefulQuery(cfg["query"], initial=cfg["initial"] or None,
+                       state=state)
+    backend_name = cfg["backend"]
+    if backend_name == "sqlite":
+        from mycelial_spark.sources import sqlite as sqlite_src
+
+        def backend(sql: str) -> DataFrame:
+            return sqlite_src.read_query(spark, cfg["path"], sql,
+                                         cfg["any_policy"])
+        return sq, backend, "standard"
+    if backend_name == "jdbc":
+        def backend(sql: str) -> DataFrame:
+            reader = (spark.read.format("jdbc")
+                      .option("url", cfg["url"]).option("query", sql))
+            if cfg["user"]:
+                reader = (reader.option("user", cfg["user"])
+                          .option("password", cfg["password"]))
+            if cfg["driver"]:
+                reader = reader.option("driver", cfg["driver"])
+            try:
+                return reader.load()
+            except Exception as e:
+                raise SectionUnavailable(
+                    f"stateful_query jdbc backend needs a driver jar: {e}"
+                ) from e
+        return sq, backend, "standard"
+    if backend_name == "sql":
+        for name, path in (cfg["table_views"] or {}).items():
+            spark.read.parquet(path).createOrReplaceTempView(name)
+        return sq, (lambda sql: spark.sql(sql)), "spark"
+    raise ValueError(f"unknown stateful_query backend {backend_name!r}")
+
+
+@_register("stateful_query", "source", "none", "dataframe",
+           [Field("query"), Field("backend", default="sql"),
+            Field("path", default=""), Field("any_policy", default="infer"),
+            Field("url", default=""), Field("user", default=""),
+            Field("password", secret=True, default=""),
+            Field("driver", default=""),
+            Field("table_views", "json", default={}),
+            Field("initial", "json", default={}),
+            Field("state_path", default=""),
+            Field("poll_interval_millis", "int", 1000)],
+           doc="S1 poll-loop incremental source: a query with $var::i64 "
+               "placeholders, watermark persisted on ack "
+               "(postgres_connector/src/source.rs:74-191 + "
+               "stateful_query.rs:41-204). Batch mode runs ONE poll; the "
+               "watermark advances only after the subgraph's destination "
+               "commits (ack ordering, §1.5). Streaming mode runs the poll "
+               "loop under trigger(processingTime=poll_interval_millis) and "
+               "resumes from the persisted state after restart.")
+def stateful_query_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    sq, backend, dialect = build_stateful_source(spark, cfg)
+    df = sq.run_with(backend, dialect)
+    # ack fires after the destination write, not here (commit-then-ack):
+    # the compiler invokes _on_delivered once the subgraph's sink returns.
+    df._on_delivered = sq.ack
+    return df
 
 
 @_register("excel_source", "source", "none", "dataframe",
@@ -396,13 +505,15 @@ def dedup_exact_(spark, cfg, inputs):
 @_register("dedup_minhash", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id"),
             Field("threshold", "float", 0.5), Field("num_hashes", "int", 64),
-            Field("bands", "int", 16)],
-           doc="MinHash-LSH near-dup pair detection (north-star).")
+            Field("bands", "int", 16), Field("verify_mode", default="auto")],
+           doc="MinHash-LSH near-dup pair detection (north-star). "
+               "verify_mode: broadcast|shuffle|auto candidate re-attach.")
 def dedup_minhash_(spark, cfg, inputs):
     from mycelial_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(inputs[0], cfg["text_col"], cfg["id_col"],
                              cfg["num_hashes"], cfg["bands"],
-                             threshold=cfg["threshold"])
+                             threshold=cfg["threshold"],
+                             verify_mode=cfg["verify_mode"])
 
 
 @_register("text_stats", "transform", "dataframe", "dataframe",
@@ -517,31 +628,65 @@ def memory_dest(spark, cfg, df):
     return {"view": f"global_temp.{cfg['name']}"}
 
 
+def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
+    """(table, frame) routing pairs for a SQL destination.
+
+    The reference names the target table from each message's origin
+    (postgres_connector/src/destination.rs:87); with route_by_origin a
+    multi-origin frame (e.g. after origin_regex) fans out per origin.
+    The distinct-origin list is tiny (it's a set of table names); the
+    frame is persisted so the per-origin filters don't rescan the input.
+    """
+    if not (route_by_origin and X.ORIGIN_COL in df.columns):
+        if not table:
+            raise ValueError("destination needs 'table' or route_by_origin "
+                             "with an origin-carrying frame")
+        return [(table, df)], None
+    from pyspark import StorageLevel
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    origins = [r[0] for r in pinned.select(X.ORIGIN_COL).distinct().collect()]
+    return [(o, pinned.filter(F.col(X.ORIGIN_COL) == o).drop(X.ORIGIN_COL))
+            for o in sorted(origins)], pinned
+
+
 @_register("jdbc_dest", "destination", "dataframe", "none",
-           [Field("url"), Field("table"), Field("user", default=""),
+           [Field("url"), Field("table", default=""), Field("user", default=""),
             Field("password", secret=True, default=""),
             Field("driver", default=""), Field("truncate", "bool", False),
-            Field("batchsize", "int", 32768)],
+            Field("batchsize", "int", 32768),
+            Field("route_by_origin", "bool", False)],
            doc="D1-D3 JDBC destination: auto-DDL from frame schema is the "
                "Spark JDBC writer's built-in; truncate mirrors the TRUNCATE "
                "option; batchsize mirrors max_parameters (default 32768, "
-               "postgres_connector/src/lib.rs:116).")
+               "postgres_connector/src/lib.rs:116). route_by_origin=True "
+               "writes each origin's rows to the table named by the origin "
+               "(destination.rs:87).")
 def jdbc_dest(spark, cfg, df):
-    writer = (df.write.format("jdbc")
-              .option("url", cfg["url"]).option("dbtable", cfg["table"])
-              .option("batchsize", cfg["batchsize"]))
-    if cfg["user"]:
-        writer = writer.option("user", cfg["user"]).option("password", cfg["password"])
-    if cfg["driver"]:
-        writer = writer.option("driver", cfg["driver"])
+    routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
     mode = "overwrite" if cfg["truncate"] else "append"
-    if cfg["truncate"]:
-        writer = writer.option("truncate", True)
+    written = []
     try:
-        writer.mode(mode).save()
-    except Exception as e:
-        raise SectionUnavailable(f"jdbc_dest needs a JDBC driver jar: {e}") from e
-    return {"table": cfg["table"], "mode": mode}
+        for table, part in routes:
+            writer = (part.write.format("jdbc")
+                      .option("url", cfg["url"]).option("dbtable", table)
+                      .option("batchsize", cfg["batchsize"]))
+            if cfg["user"]:
+                writer = (writer.option("user", cfg["user"])
+                          .option("password", cfg["password"]))
+            if cfg["driver"]:
+                writer = writer.option("driver", cfg["driver"])
+            if cfg["truncate"]:
+                writer = writer.option("truncate", True)
+            try:
+                writer.mode(mode).save()
+            except Exception as e:
+                raise SectionUnavailable(
+                    f"jdbc_dest needs a JDBC driver jar: {e}") from e
+            written.append(table)
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+    return {"tables": written, "mode": mode}
 
 
 @_register("sqlite_source", "source", "none", "dataframe",
@@ -562,19 +707,32 @@ def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 
 
 @_register("sqlite_dest", "destination", "dataframe", "none",
-           [Field("path"), Field("table"), Field("truncate", "bool", False),
-            Field("upsert_keys", default="")],
+           [Field("path"), Field("table", default=""),
+            Field("truncate", "bool", False),
+            Field("upsert_keys", default=""),
+            Field("route_by_origin", "bool", False)],
            doc="D2 sqlite destination (sections/sqlite_connector/src/"
                "destination.rs:30-177): BEGIN IMMEDIATE, auto-DDL from frame "
                "schema, optional DELETE FROM, INSERT OR IGNORE binds, commit "
                "then ack. upsert_keys (comma-separated) switches to SCD1 "
-               "ON CONFLICT DO UPDATE — the MERGE-analog sink.")
+               "ON CONFLICT DO UPDATE — the MERGE-analog sink. "
+               "route_by_origin=True writes each origin's rows to the table "
+               "named by the origin (destination.rs:87).")
 def sqlite_dest(spark, cfg, df):
     from mycelial_spark.sources import sqlite as sq
     keys = [k.strip() for k in cfg["upsert_keys"].split(",") if k.strip()]
-    n = sq.write_frame(df, cfg["path"], cfg["table"], cfg["truncate"],
-                       upsert_keys=keys or None)
-    return {"path": cfg["path"], "table": cfg["table"], "rows": n}
+    routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
+    written = {}
+    try:
+        for table, part in routes:
+            written[table] = sq.write_frame(part, cfg["path"], table,
+                                            cfg["truncate"],
+                                            upsert_keys=keys or None)
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+    return {"path": cfg["path"], "tables": written,
+            "rows": sum(written.values())}
 
 
 @_register("s3_source", "source", "none", "bin_or_dataframe",

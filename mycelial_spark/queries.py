@@ -811,7 +811,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("lang_id", """
 WITH t AS (
-  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) toks
+  SELECT doc_id, text,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) toks
   FROM documents
 ), s AS (
   SELECT doc_id,
@@ -819,12 +820,20 @@ WITH t AS (
     len(list_intersect(toks, ['the','and','of','is']))   s_en,
     len(list_intersect(toks, ['el','y','los','es']))     s_es,
     len(list_intersect(toks, ['le','et','les','est']))   s_fr,
-    len(list_intersect(toks, ['de5','shi4','le5','bu4'])) s_zh
+    len(regexp_extract_all(text, '[぀-ゟ゠-ヿ]')) s_ja,
+    len(regexp_extract_all(text, '[가-힣ᄀ-ᇿ]')) s_ko,
+    len(regexp_extract_all(text, '[一-鿿]'))              s_zh
   FROM t
 )
 SELECT doc_id, CASE
-  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_zh = 0 THEN 'und'
-  WHEN s_zh >= s_es AND s_zh >= s_fr AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
+       AND s_ja = 0 AND s_ko = 0 AND s_zh = 0 THEN 'und'
+  WHEN s_zh >= s_ko AND s_zh >= s_ja AND s_zh >= s_fr AND s_zh >= s_es
+       AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+  WHEN s_ko >= s_ja AND s_ko >= s_fr AND s_ko >= s_es
+       AND s_ko >= s_en AND s_ko >= s_de THEN 'ko'
+  WHEN s_ja >= s_fr AND s_ja >= s_es AND s_ja >= s_en AND s_ja >= s_de
+       THEN 'ja'
   WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
   WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
   WHEN s_en >= s_de THEN 'en'
@@ -832,7 +841,8 @@ SELECT doc_id, CASE
 FROM s
 """)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-lexicon language ID (argmax, ties -> last lang code)."""
+    """Language ID: marker-lexicon hits for segmented languages + script
+    character-range counts for CJK (argmax, ties -> last lang code)."""
     from mycelial_spark.operators.text import with_lang_id
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
 

@@ -63,19 +63,32 @@ class StateStore:
             # atomic tmp+rename like the reference's file destination
             # (sections/file/src/destination.rs:51-71)
             d = os.path.dirname(self.path) or "."
+            os.makedirs(d, exist_ok=True)
             fd, tmp = tempfile.mkstemp(dir=d)
             with os.fdopen(fd, "w") as f:
                 json.dump(self._mem, f)
             os.replace(tmp, self.path)
 
 
-def _sql_literal(value: Any, typ: str) -> str:
+def _sql_literal(value: Any, typ: str, dialect: str = "spark") -> str:
+    """Render a placeholder value as a SQL literal for ``dialect``.
+
+    "spark": backslash is an escape character in Spark SQL string
+    literals by default, so a data-derived value ending in a backslash
+    would escape the closing quote (parse failure at best, injection at
+    worst) — double backslashes AND single quotes.
+    "standard": SQLite/Postgres(std_conforming)/DuckDB treat backslash
+    literally; only single quotes are doubled.
+    """
     if typ == "i64":
         return str(int(value))
     if typ == "f64":
         return repr(float(value))
     if typ == "str":
-        return "'" + str(value).replace("'", "''") + "'"
+        s = str(value)
+        if dialect == "spark":
+            s = s.replace("\\", "\\\\")
+        return "'" + s.replace("'", "''") + "'"
     raise ValueError(f"unsupported placeholder type {typ}")
 
 
@@ -100,36 +113,59 @@ class StatefulQuery:
         self.track = track or {m.group("name"): m.group("col")
                                for m in _TRACK.finditer(sql)}
 
-    def rendered_sql(self) -> str:
+    def rendered_sql(self, dialect: str = "spark") -> str:
         def sub(m: re.Match) -> str:
-            return _sql_literal(self.state.get(m.group("name")), m.group("type"))
+            return _sql_literal(self.state.get(m.group("name")),
+                                m.group("type"), dialect)
         return _PLACEHOLDER.sub(sub, self.sql)
 
     def run(self, spark: SparkSession) -> DataFrame:
         """Execute one poll; watermark advance happens in ``ack()``."""
-        self._last = spark.sql(self.rendered_sql())
-        return self._last
+        return self._materialize(spark.sql(self.rendered_sql("spark")))
 
-    def run_with(self, runner) -> DataFrame:
+    def run_with(self, runner, dialect: str = "standard") -> DataFrame:
         """Execute one poll through a custom backend: ``runner`` maps the
         rendered SQL to a DataFrame (e.g. sources.sqlite.read_query, a JDBC
         pushdown query, …) — the reference's model, where the SOURCE
         database executes the rewritten query (stateful_query.rs:90-124)."""
-        self._last = runner(self.rendered_sql())
-        return self._last
+        return self._materialize(runner(self.rendered_sql(dialect)))
+
+    def _materialize(self, df: DataFrame) -> DataFrame:
+        """Pin the poll's row set and precompute the watermark advance.
+
+        The batch is persisted (MEMORY_AND_DISK — spills, never OOMs) and
+        forced with count() so every later action replays the SAME rows:
+        against a live backend, rows arriving between delivery and ack
+        would otherwise be included in a lazily re-executed max() and then
+        silently skipped by the next poll — an at-least-once violation.
+        The reference computes the max over the emitted batch
+        (postgres_connector/src/source.rs:240-259); so do we.
+        """
+        from pyspark import StorageLevel
+        if getattr(self, "_last", None) is not None:
+            self._last.unpersist()
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self.last_count = df.count()
+        self._pending: dict[str, Any] = {}
+        maxes = [F.max(col).alias(name) for name, col in self.track.items()
+                 if col in df.columns]
+        if maxes and self.last_count:
+            row = df.agg(*maxes).collect()[0]
+            self._pending = {k: v for k, v in row.asDict().items()
+                             if v is not None}
+        self._last = df
+        return df
 
     def ack(self) -> dict[str, Any]:
-        """Advance watermarks to max(tracked col) over the delivered batch
-        (postgres_connector/src/source.rs:240-259 + ack at 114-125)."""
+        """Advance watermarks to max(tracked col) over the rows actually
+        delivered (postgres_connector/src/source.rs:240-259 + ack at
+        114-125) — precomputed at run() time from the pinned batch."""
         if getattr(self, "_last", None) is None:
             raise RuntimeError("ack() before run()")
-        updates = {}
-        maxes = [F.max(col).alias(name) for name, col in self.track.items()
-                 if col in self._last.columns]
-        if maxes:
-            row = self._last.agg(*maxes).collect()[0]
-            for name in row.asDict():
-                if row[name] is not None:
-                    updates[name] = row[name]
-                    self.state.set(name, row[name])
+        updates = dict(self._pending)
+        for name, value in updates.items():
+            self.state.set(name, value)
+        self._last.unpersist()
+        self._last = None
+        self._pending = {}
         return updates

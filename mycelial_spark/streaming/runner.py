@@ -21,6 +21,7 @@ message->ack unit of work.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -33,6 +34,11 @@ from mycelial_spark.plans.sections import REGISTRY
 
 # sources that have a native streaming reader here
 _STREAM_SOURCES = {"parquet_source", "csv_source", "binary_source", "rate_source"}
+
+# sources that stream as a POLL LOOP: each micro-batch is one execution of
+# a stateful incremental query against the source system (the reference's
+# interval tick, postgres_connector/src/source.rs:108)
+_POLL_SOURCES = {"stateful_query"}
 
 
 def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
@@ -84,6 +90,10 @@ class StreamingPipeline:
         return queries
 
     def _start_subgraph(self, spark: SparkSession, sub) -> StreamingQuery:
+        poll_ids = [nid for nid in sub.topo_order()
+                    if sub.nodes[nid]["type"] in _POLL_SOURCES]
+        if poll_ids:
+            return self._start_poll_subgraph(spark, sub, poll_ids)
         results: dict[str, DataFrame] = {}
         sink_id, sink_cfg, sink_def = None, None, None
         for node_id in sub.topo_order():
@@ -122,15 +132,97 @@ class StreamingPipeline:
                   .trigger(**self.trigger))
         return writer.start()
 
+    def _start_poll_subgraph(self, spark: SparkSession, sub,
+                             poll_ids: list[str]) -> StreamingQuery:
+        """The reference's flagship S1 shape: a continuous poll loop over a
+        stateful incremental query (postgres_connector/src/source.rs:74-191).
+
+        A rate tick stream drives trigger(processingTime=poll_interval);
+        each micro-batch executes ONE poll — rewrite the $var::i64 query
+        with the persisted watermark, run it on the source backend,
+        apply the subgraph's transforms, write the sink, THEN ack
+        (persist the new watermark). The watermark lives in a JSON state
+        file under the checkpoint root keyed by the spec hash, so a
+        restarted query resumes where the last acked poll ended; an
+        un-acked batch is re-delivered (at-least-once, idempotent sinks).
+        """
+        from mycelial_spark.plans.sections import build_stateful_source
+        sources = [nid for nid in sub.topo_order()
+                   if REGISTRY.get(sub.nodes[nid]["type"]).kind == "source"]
+        if len(poll_ids) != 1 or set(sources) != set(poll_ids):
+            raise GraphError(
+                "a poll subgraph needs exactly one stateful_query source "
+                "and no other sources")
+        src_id = poll_ids[0]
+        task_id = sub.task_id()
+        src_cfg = dict(sub.nodes[src_id])
+        src_cfg.pop("type")
+        if not src_cfg["state_path"]:
+            src_cfg["state_path"] = f"{self.checkpoint_root}/{task_id}.state.json"
+        sq, backend, dialect = build_stateful_source(spark, src_cfg)
+        interval_ms = max(1, int(src_cfg["poll_interval_millis"]))
+
+        plan: list[tuple[str, Any, dict, list[str]]] = []
+        sink_cfg, sink_def, sink_parent = None, None, None
+        for node_id in sub.topo_order():
+            if node_id == src_id:
+                continue
+            cfg = dict(sub.nodes[node_id])
+            sdef = REGISTRY.get(cfg.pop("type"))
+            if sdef.kind == "transform":
+                plan.append((node_id, sdef, cfg, sub.parents(node_id)))
+            else:
+                if sink_def is not None:
+                    raise GraphError("one destination per streaming subgraph")
+                sink_cfg, sink_def = cfg, sdef
+                sink_parent = sub.parents(node_id)[0]
+        if sink_def is None:
+            raise GraphError("streaming subgraph has no destination")
+
+        def poll_batch(_tick: DataFrame, batch_id: int) -> None:
+            batch = sq.run_with(backend, dialect)
+            if sq.last_count == 0:
+                sq.ack()   # empty poll emits nothing (source.rs:184-188)
+                return
+            results = {src_id: batch}
+            for node_id, sdef, cfg, parents in plan:
+                results[node_id] = sdef.builder(
+                    spark, cfg, [results[p] for p in parents])
+            sink_def.builder(spark, sink_cfg, results[sink_parent])
+            sq.ack()   # commit-then-ack: watermark advances only now
+
+        # the tick carries no data — it exists to schedule poll_batch; rate
+        # is sized so every trigger interval has at least one new tick row
+        rows_per_sec = max(1, (1000 + interval_ms - 1) // interval_ms)
+        tick = (spark.readStream.format("rate")
+                .option("rowsPerSecond", rows_per_sec).load())
+        writer = (tick.writeStream
+                  .foreachBatch(poll_batch)
+                  .option("checkpointLocation", f"{self.checkpoint_root}/{task_id}")
+                  .queryName(f"mycelial-poll-{task_id[:12]}")
+                  .trigger(processingTime=f"{interval_ms} milliseconds"))
+        return writer.start()
+
 
 @dataclass
 class Reconciler:
-    """Spec-hash reconciliation of running streaming queries
-    (scheduler.rs:425-484: unchanged tasks keep running, removed stop,
-    new spawn)."""
+    """Spec-hash reconciliation + failure supervision of running streaming
+    queries.
+
+    Reconciliation (scheduler.rs:425-484): unchanged tasks keep running,
+    removed stop, new spawn. Supervision (scheduler.rs:117-186): a task
+    that died with an exception is torn down and restarted from its
+    checkpoint after ``backoff_s`` (the reference's fixed 3 s restart
+    loop, scheduler.rs:92-95,184-186) — forever; poll-source watermarks
+    resume from the last *acked* state, so a crash between delivery and
+    ack re-delivers (at-least-once, idempotent sinks absorb it).
+    """
     spark: SparkSession
     checkpoint_root: str
     running: dict[str, StreamingQuery] = field(default_factory=dict)
+    backoff_s: float = 3.0
+    restarts: dict[str, int] = field(default_factory=dict)
+    _restartable: dict[str, tuple] = field(default_factory=dict)
 
     def apply(self, spec: dict[str, Any],
               trigger: dict[str, Any] | None = None) -> dict[str, str]:
@@ -138,18 +230,48 @@ class Reconciler:
         desired = {sub.task_id(): sub for sub in sp.pipeline.graph.subgraphs()}
         actions: dict[str, str] = {}
         for task_id, query in list(self.running.items()):
-            if task_id not in desired or not query.isActive:
+            if task_id not in desired:
                 if query.isActive:
                     query.stop()
                 del self.running[task_id]
+                self._restartable.pop(task_id, None)
                 actions[task_id] = "stopped"
+            elif not query.isActive and query.exception() is None:
+                del self.running[task_id]   # clean stop -> respawn below
         for task_id, sub in desired.items():
+            self._restartable[task_id] = (sp, sub)
             if task_id in self.running:
                 actions[task_id] = "kept"
                 continue
             self.running[task_id] = sp._start_subgraph(self.spark, sub)
             actions[task_id] = "started"
         return actions
+
+    def supervise_once(self, wait_backoff: bool = True) -> dict[str, str]:
+        """One supervision pass: restart every query that died with an
+        exception. Call in a loop (or via ``supervise``) for the
+        reference's crash-restart-forever behavior."""
+        actions: dict[str, str] = {}
+        for task_id, query in list(self.running.items()):
+            if query.isActive or task_id not in self._restartable:
+                continue
+            exc = query.exception()
+            if exc is None:
+                continue
+            if wait_backoff:
+                time.sleep(self.backoff_s)
+            sp, sub = self._restartable[task_id]
+            self.running[task_id] = sp._start_subgraph(self.spark, sub)
+            self.restarts[task_id] = self.restarts.get(task_id, 0) + 1
+            actions[task_id] = ("restarted after failure: "
+                                + str(exc).splitlines()[0][:120])
+        return actions
+
+    def supervise(self, stop_check, poll_s: float = 0.5) -> None:
+        """Supervision loop: run until ``stop_check()`` returns True."""
+        while not stop_check():
+            self.supervise_once()
+            time.sleep(poll_s)
 
     def await_all(self, timeout: float | None = None) -> None:
         for q in self.running.values():
@@ -160,3 +282,4 @@ class Reconciler:
             if q.isActive:
                 q.stop()
         self.running.clear()
+        self._restartable.clear()

@@ -42,6 +42,8 @@ EXPECTED = {
     "origin_regex": "T5",
     "origin_time_nanos": "T6",
     "inspect": "T7",
+    # the S1 poll-loop incremental wrapper (stateful_query.rs)
+    "stateful_query": "S1 poll loop",
 }
 
 
@@ -86,6 +88,36 @@ def test_unreachable_connectors_raise_section_unavailable(spark, sf_dir):
                     "region": "us-east-1", "data_format": "CSV",
                     "ignore_header": False},
             nation.selectExpr("n_name AS path"))
+
+
+def test_jdbc_source_schema_s2_parity():
+    """S2 mysql parity knobs: sessionInitStatement (the SET time_zone =
+    '+00:00' forcing, mysql_connector/src/source.rs:60-63) and partitioned
+    reads with optional explicit bounds are part of the config schema."""
+    sdef = REGISTRY.get("jdbc_source")
+    cfg = sdef.validate_config({
+        "type": "jdbc_source", "url": "jdbc:mysql://h/db",
+        "query": "SELECT * FROM t",
+        "session_init_statement": "SET time_zone = '+00:00'",
+        "partition_column": "id", "num_partitions": 8,
+        "lower_bound": "0", "upper_bound": "1000"})
+    assert cfg["session_init_statement"] == "SET time_zone = '+00:00'"
+    assert cfg["num_partitions"] == 8
+    # defaults: plain single-connection read
+    cfg2 = sdef.validate_config({"type": "jdbc_source", "url": "jdbc:x",
+                                 "query": "q"})
+    assert cfg2["session_init_statement"] == ""
+    assert cfg2["lower_bound"] == "" and cfg2["upper_bound"] == ""
+
+
+def test_stateful_query_schema():
+    sdef = REGISTRY.get("stateful_query")
+    cfg = sdef.validate_config({
+        "type": "stateful_query", "backend": "sqlite", "path": "/tmp/x.db",
+        "query": "SELECT id FROM t WHERE id > $wm::i64",
+        "initial": {"wm": 0}, "poll_interval_millis": 500})
+    assert cfg["backend"] == "sqlite"
+    assert cfg["initial"] == {"wm": 0}
 
 
 def test_s3_source_falls_back_to_section_unavailable(spark):

@@ -1,0 +1,191 @@
+"""S1 poll-loop source e2e: poll -> deliver -> ack -> advance -> resume.
+
+Mirrors the reference's flagship postgres_connector semantics
+(sections/postgres_connector/src/source.rs:74-191 + stateful_query.rs):
+- each poll substitutes the persisted watermark into the $var::i64 query;
+- the watermark advances ONLY after the destination commits (ack);
+- a restarted pipeline resumes from the last acked watermark;
+- a crashed task is restarted with backoff by the supervisor
+  (myceliald/src/scheduler.rs:117-186).
+"""
+
+import os
+import sqlite3
+import time
+
+import pytest
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.streaming.incremental import StatefulQuery, StateStore
+from mycelial_spark.streaming.runner import Reconciler, StreamingPipeline
+
+
+def _mkdb(path, rows):
+    conn = sqlite3.connect(path)
+    conn.execute("CREATE TABLE IF NOT EXISTS src (id INTEGER PRIMARY KEY, val TEXT)")
+    conn.executemany("INSERT OR REPLACE INTO src VALUES (?, ?)", rows)
+    conn.commit()
+    conn.close()
+
+
+def _sink_ids(path, table="sink"):
+    if not os.path.exists(path):
+        return []
+    with sqlite3.connect(path) as conn:
+        try:
+            return [r[0] for r in conn.execute(f"SELECT id FROM {table}")]
+        except sqlite3.OperationalError:
+            return []
+
+
+def _wait(predicate, timeout=45.0, interval=0.2):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(interval)
+    return False
+
+
+def _poll_spec(src_db, out_db, interval_ms=200):
+    return {
+        "nodes": {
+            "src": {"type": "stateful_query", "backend": "sqlite",
+                    "path": src_db,
+                    "query": "SELECT id, val FROM src WHERE id > $wm::i64",
+                    "initial": {"wm": 0},
+                    "poll_interval_millis": interval_ms},
+            "dst": {"type": "sqlite_dest", "path": out_db, "table": "sink"},
+        },
+        "edges": [["src", "dst"]],
+    }
+
+
+def test_poll_loop_advance_and_restart_resume(spark, tmp_path):
+    src_db = str(tmp_path / "src.db")
+    out_db = str(tmp_path / "out.db")
+    ckpt = str(tmp_path / "ckpt")
+    _mkdb(src_db, [(i, f"v{i}") for i in range(1, 6)])
+    spec = _poll_spec(src_db, out_db)
+
+    sp = StreamingPipeline.from_spec(spec, ckpt)
+    queries = sp.start(spark)
+    try:
+        assert _wait(lambda: len(_sink_ids(out_db)) >= 5), \
+            f"initial backlog not delivered: {_sink_ids(out_db)}"
+        # live insert -> next poll picks up ONLY the new rows
+        _mkdb(src_db, [(6, "v6"), (7, "v7")])
+        assert _wait(lambda: len(_sink_ids(out_db)) >= 7)
+        assert sorted(_sink_ids(out_db)) == list(range(1, 8))  # no dups
+    finally:
+        for q in queries:
+            q.stop()
+
+    # restart from the same checkpoint/state: only rows past the acked
+    # watermark flow; 1..7 are NOT re-emitted
+    _mkdb(src_db, [(8, "v8")])
+    sp2 = StreamingPipeline.from_spec(spec, ckpt)
+    queries = sp2.start(spark)
+    try:
+        assert _wait(lambda: len(_sink_ids(out_db)) >= 8)
+        assert sorted(_sink_ids(out_db)) == list(range(1, 9))
+    finally:
+        for q in queries:
+            q.stop()
+
+
+def test_supervised_restart_with_backoff_no_data_loss(spark, tmp_path):
+    src_db = str(tmp_path / "src.db")
+    hidden = str(tmp_path / "src.db.hidden")
+    out_db = str(tmp_path / "out.db")
+    _mkdb(src_db, [(i, f"v{i}") for i in range(1, 4)])
+    rec = Reconciler(spark, str(tmp_path / "ckpt"), backoff_s=0.2)
+    spec = _poll_spec(src_db, out_db)
+    actions = rec.apply(spec)
+    assert list(actions.values()) == ["started"]
+    (task_id,) = rec.running
+    try:
+        assert _wait(lambda: len(_sink_ids(out_db)) >= 3)
+        # poison: yank the source db -> the poll raises -> the task dies
+        os.replace(src_db, hidden)
+        assert _wait(lambda: not rec.running[task_id].isActive, timeout=30)
+        assert rec.running[task_id].exception() is not None
+        # restart-forever (scheduler.rs:184-186): the supervisor restarts
+        # even while poisoned; the restarted task just dies again
+        acts = rec.supervise_once()
+        assert task_id in acts and "restarted" in acts[task_id]
+        assert _wait(lambda: not rec.running[task_id].isActive, timeout=30)
+        # heal the source (with new rows) -> next pass restarts for good
+        os.replace(hidden, src_db)
+        _mkdb(src_db, [(4, "v4"), (5, "v5")])
+        acts = rec.supervise_once()
+        assert task_id in acts and "restarted" in acts[task_id]
+        assert rec.restarts[task_id] >= 2
+        assert _wait(lambda: len(_sink_ids(out_db)) >= 5)
+        assert sorted(_sink_ids(out_db)) == [1, 2, 3, 4, 5]  # no loss, no dups
+    finally:
+        rec.stop_all()
+
+
+def test_batch_stateful_query_acks_after_destination(spark, tmp_path):
+    src_db = str(tmp_path / "src.db")
+    out_db = str(tmp_path / "out.db")
+    state = str(tmp_path / "state.json")
+    _mkdb(src_db, [(1, "a"), (2, "b")])
+    spec = _poll_spec(src_db, out_db)
+    spec["nodes"]["src"]["state_path"] = state
+
+    Pipeline.from_spec(spec).run(spark)
+    assert sorted(_sink_ids(out_db)) == [1, 2]
+    assert StateStore(state).get("wm") == 2
+
+    # second batch run: only new rows
+    _mkdb(src_db, [(3, "c")])
+    Pipeline.from_spec(spec).run(spark)
+    assert sorted(_sink_ids(out_db)) == [1, 2, 3]
+    assert StateStore(state).get("wm") == 3
+
+
+def test_batch_failed_destination_does_not_ack(spark, tmp_path):
+    src_db = str(tmp_path / "src.db")
+    state = str(tmp_path / "state.json")
+    _mkdb(src_db, [(1, "a")])
+    spec = _poll_spec(src_db, str(tmp_path / "no_such_dir" / "x" / "out.db"))
+    spec["nodes"]["src"]["state_path"] = state
+    with pytest.raises(Exception):
+        Pipeline.from_spec(spec).run(spark)
+    assert StateStore(state).get("wm") == 0  # delivery failed -> no advance
+
+
+def test_ack_uses_delivered_rows_not_reexecution(spark, tmp_path):
+    """ADVICE regression: rows arriving between run() and ack() must NOT
+    advance the watermark (they were never delivered)."""
+    from mycelial_spark.sources.sqlite import read_query
+    src_db = str(tmp_path / "src.db")
+    _mkdb(src_db, [(1, "a"), (2, "b"), (3, "c")])
+    sq = StatefulQuery("SELECT id, val FROM src WHERE id > $wm::i64",
+                       initial={"wm": 0})
+    got = sq.run_with(lambda sql: read_query(spark, src_db, sql))
+    assert got.count() == 3
+    _mkdb(src_db, [(10, "late")])      # arrives after delivery, before ack
+    updates = sq.ack()
+    assert updates == {"wm": 3}        # NOT 10
+    nxt = sq.run_with(lambda sql: read_query(spark, src_db, sql))
+    assert [r["id"] for r in nxt.collect()] == [10]   # not skipped
+    sq.ack()
+
+
+def test_sql_literal_backslash_dialects(spark):
+    """ADVICE regression: a str watermark ending in a backslash must not
+    escape the closing quote in Spark SQL, and must stay a single
+    backslash for standard-SQL backends."""
+    sq = StatefulQuery("SELECT * FROM t WHERE name > $cur::str",
+                       initial={"cur": "tail\\"})
+    assert sq.rendered_sql("spark").endswith("'tail\\\\'")
+    assert sq.rendered_sql("standard").endswith("'tail\\'")
+    # Spark parses the spark-dialect rendering back to the original value
+    val = spark.sql("SELECT 'tail\\\\' AS v").collect()[0]["v"]
+    assert val == "tail\\"
+    sq2 = StatefulQuery("SELECT * FROM t WHERE name > $cur::str",
+                        initial={"cur": "o'brien"})
+    assert "'o''brien'" in sq2.rendered_sql("standard")

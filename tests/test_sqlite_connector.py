@@ -122,3 +122,48 @@ def test_upsert_rejects_unknown_key(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], ["id", "v"])
     with _pytest.raises(ValueError, match="upsert keys"):
         write_frame(df, str(tmp_path / "u2.db"), "t", upsert_keys=["nope"])
+
+
+def test_origin_routing_two_tables_idempotent(spark, sf_dir, tmp_path):
+    """Origin->table routing (postgres_connector/src/destination.rs:87):
+    one frame, two origins -> two tables named by origin; re-running the
+    same pipeline (at-least-once redelivery) changes nothing."""
+    db = str(tmp_path / "routed.db")
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source",
+                    "path": f"{sf_dir}/nation.parquet"},
+            "route": {"type": "select",
+                      "columns": ["n_nationkey", "n_name",
+                                  "CASE WHEN n_regionkey < 2 THEN 'south' "
+                                  "ELSE 'north' END AS _origin"]},
+            "dst": {"type": "sqlite_dest", "path": db,
+                    "route_by_origin": True, "upsert_keys": "n_nationkey"},
+        },
+        "edges": [["src", "route"], ["route", "dst"]],
+    }
+    r1 = Pipeline.from_spec(spec).run(spark)
+    tables = r1["dst"]["tables"]
+    assert set(tables) == {"north", "south"}
+    assert sum(tables.values()) == 25
+    with sqlite3.connect(db) as c:
+        n_north = c.execute('SELECT count(*) FROM "north"').fetchone()[0]
+        n_south = c.execute('SELECT count(*) FROM "south"').fetchone()[0]
+        assert n_north + n_south == 25 and n_south == 10
+        # routed frames must not carry the routing column itself
+        cols = [r[1] for r in c.execute('PRAGMA table_info("north")')]
+        assert "_origin" not in cols
+    Pipeline.from_spec(spec).run(spark)  # redelivery
+    with sqlite3.connect(db) as c:
+        assert c.execute('SELECT count(*) FROM "north"').fetchone()[0] == n_north
+        assert c.execute('SELECT count(*) FROM "south"').fetchone()[0] == n_south
+
+
+def test_sqlite_dest_requires_table_or_routing(spark, sf_dir):
+    import pytest as _pytest
+    df = spark.createDataFrame([(1, "x")], ["id", "v"])
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("sqlite_dest")
+    cfg = sdef.validate_config({"type": "sqlite_dest", "path": "/tmp/x.db"})
+    with _pytest.raises(ValueError, match="table"):
+        sdef.builder(spark, {k: v for k, v in cfg.items() if k != "type"}, df)

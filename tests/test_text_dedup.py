@@ -80,6 +80,34 @@ def test_lang_id_markers(spark):
     assert out[1] == "de" and out[2] == "und" and out[3] == "en"
 
 
+def test_lang_id_cjk_scripts(spark):
+    """CJK text has no whitespace segmentation — marker WORDS can never
+    match; script character ranges must carry these languages."""
+    df = spark.createDataFrame(
+        [(1, "这是一个中文句子"),   # zh
+         (2, "これは日本語の文です"),  # ja (kana-heavy)
+         (3, "이것은 한국어 문장입니다"),  # ko
+         (4, "the 中 dog and the cat is here")],  # 1 CJK char, en wins
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.with_lang_id(df).collect()}
+    assert out[1] == "zh" and out[2] == "ja" and out[3] == "ko"
+    assert out[4] == "en"
+
+
+def test_minhash_verify_modes_identical(corpus):
+    """The shuffle verify re-attach (past the broadcast cliff) must return
+    exactly the broadcast path's pairs."""
+    def key(rows):
+        return sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in rows)
+    bc = key(D.minhash_lsh_pairs(corpus, threshold=0.0,
+                                 verify_mode="broadcast").collect())
+    sh = key(D.minhash_lsh_pairs(corpus, threshold=0.0,
+                                 verify_mode="shuffle").collect())
+    auto = key(D.minhash_lsh_pairs(corpus, threshold=0.0,
+                                   broadcast_limit=0).collect())  # forces shuffle
+    assert bc == sh == auto and len(bc) > 0
+
+
 def test_quality_score_range(corpus):
     for r in TX.with_quality_score(corpus).collect():
         assert 0.0 <= r["quality_score"] <= 1.0

@@ -72,6 +72,10 @@ def main() -> None:
     ops = {
         "dedup_exact": lambda d: dedup_exact(d),
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(d, threshold=0.5),
+        # the past-the-broadcast-cliff path: candidate re-attach via
+        # shuffle hash joins on id instead of broadcasting the pair table
+        "minhash_lsh_shuffle": lambda d: minhash_lsh_pairs(
+            d, threshold=0.5, verify_mode="shuffle"),
         "simhash_near_pairs": lambda d: simhash_near_pairs(d, max_hamming=8),
         "text_stats": lambda d: with_text_stats(d),
         "doc_fingerprint": lambda d: with_fingerprint(d).select(
