@@ -1,0 +1,260 @@
+"""Control-plane REST stub: workspaces, section registry, daemon join.
+
+SURVEY §3 scopes the reference's control plane (HTTP/WS server with
+workspace canvases, a daemon registry, and an mTLS join flow,
+control_plane/src/http/api/mod.rs:12-39 + app/mod.rs:531-556) down to
+"a REST stub" — the query engine is the product; this layer only has to
+prove the lifecycle: validated configs in, secret-stripped configs out,
+daemons notified on graph change.
+
+Parity map:
+- ``GET  /api/sections``            -> config registry listing
+  (config_registry/src/lib.rs:26-39): every section type with kind, IO
+  typing and field schema.
+- ``POST /api/workspaces``          -> create workspace (api/mod.rs:21-23).
+- ``GET  /api/workspaces[/<id>]``   -> list / fetch; node configs are
+  echoed SECRET-STRIPPED (app/mod.rs:173-186 via SectionDef.strip_secrets).
+- ``POST /api/workspaces/<id>/pipelines``   -> validate (the same
+  Pipeline.from_spec gate the runtime uses) + store + notify.
+- ``DELETE /api/workspaces/<id>/pipelines/<name>`` -> remove + notify.
+- ``POST /api/daemon/join``         -> token join: sha256(token) compared
+  against the provisioned hash — the CSR+token-hash handshake
+  (control_plane_client.rs:27-53, app/mod.rs:531-556) without the TLS.
+- notify = ``Reconciler.apply`` on the union of stored pipelines
+  (DaemonMessage::NotifyGraphUpdate -> Message::RefetchGraph,
+  http/daemon_api/mod.rs:128-138): unchanged tasks keep running, removed
+  stop, new start.
+
+State persists as JSON next to the checkpoint root (the reference uses
+SQLite, myceliald/src/sqlite_storage.rs — same role).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import re
+import tempfile
+import threading
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+
+from mycelial_spark.plans.compiler import Pipeline
+from mycelial_spark.plans.graph import GraphError
+from mycelial_spark.plans.sections import REGISTRY
+from mycelial_spark.plans.spec import REQUIRED, ConfigError
+
+
+class ControlPlaneApp:
+    """In-process application state behind the HTTP handler (the
+    reference's ``App``, control_plane/src/app/mod.rs)."""
+
+    def __init__(self, state_path: str | None = None,
+                 join_token: str | None = None, reconciler=None):
+        self.state_path = state_path
+        # store the HASH, never the token (app/mod.rs:531-556)
+        self.join_token_hash = (
+            hashlib.sha256(join_token.encode()).hexdigest()
+            if join_token else None)
+        self.reconciler = reconciler
+        self.workspaces: dict[str, dict[str, Any]] = {}
+        self.daemons: dict[str, dict[str, Any]] = {}
+        self._lock = threading.Lock()
+        if state_path and os.path.exists(state_path):
+            with open(state_path) as f:
+                saved = json.load(f)
+            self.workspaces = saved.get("workspaces", {})
+            self.daemons = saved.get("daemons", {})
+
+    def _save(self) -> None:
+        if not self.state_path:
+            return
+        d = os.path.dirname(self.state_path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"workspaces": self.workspaces,
+                       "daemons": self.daemons}, f)
+        os.replace(tmp, self.state_path)
+
+    # -- section registry ---------------------------------------------------
+    def list_sections(self) -> list[dict[str, Any]]:
+        out = []
+        for name in REGISTRY.names():
+            sdef = REGISTRY.get(name)
+            out.append({
+                "name": name, "kind": sdef.kind,
+                "input": sdef.input, "output": sdef.output,
+                "doc": sdef.doc,
+                "fields": [{"name": f.name, "type": f.type,
+                            "required": f.default is REQUIRED,
+                            "secret": f.secret} for f in sdef.fields],
+            })
+        return out
+
+    # -- workspaces ----------------------------------------------------------
+    def create_workspace(self, name: str) -> dict[str, Any]:
+        with self._lock:
+            ws_id = str(uuid.uuid4())
+            self.workspaces[ws_id] = {"id": ws_id, "name": name,
+                                      "pipelines": {}}
+            self._save()
+            return {"id": ws_id, "name": name}
+
+    def get_workspace(self, ws_id: str) -> dict[str, Any]:
+        ws = self.workspaces[ws_id]
+        return {"id": ws["id"], "name": ws["name"],
+                "pipelines": {pid: _strip_spec(spec)
+                              for pid, spec in ws["pipelines"].items()}}
+
+    def put_pipeline(self, ws_id: str, name: str,
+                     spec: dict[str, Any]) -> dict[str, Any]:
+        Pipeline.from_spec(spec)           # the runtime's own validation gate
+        with self._lock:
+            self.workspaces[ws_id]["pipelines"][name] = spec
+            self._save()
+        actions = self._notify()
+        return {"workspace": ws_id, "pipeline": name,
+                "tasks": Pipeline.from_spec(spec).task_ids(),
+                "daemon_actions": actions}
+
+    def delete_pipeline(self, ws_id: str, name: str) -> dict[str, Any]:
+        with self._lock:
+            self.workspaces[ws_id]["pipelines"].pop(name)
+            self._save()
+        return {"workspace": ws_id, "deleted": name,
+                "daemon_actions": self._notify()}
+
+    def _notify(self) -> dict[str, str]:
+        """NotifyGraphUpdate -> the daemon refetches and reconciles. With
+        an attached Reconciler the 'daemon' is in-process: apply the union
+        graph of every stored pipeline (distinct node-id namespaces)."""
+        if self.reconciler is None:
+            return {}
+        union: dict[str, Any] = {"nodes": {}, "edges": []}
+        for ws in self.workspaces.values():
+            for pid, spec in ws["pipelines"].items():
+                prefix = f"{ws['id'][:8]}.{pid}."
+                for nid, cfg in spec.get("nodes", {}).items():
+                    union["nodes"][prefix + nid] = cfg
+                for frm, to in spec.get("edges", []):
+                    union["edges"].append([prefix + frm, prefix + to])
+        return self.reconciler.apply(union)
+
+    # -- daemon join ----------------------------------------------------------
+    def join_daemon(self, token: str, display_name: str) -> dict[str, Any]:
+        if self.join_token_hash is None:
+            raise PermissionError("join disabled: no token provisioned")
+        if hashlib.sha256(token.encode()).hexdigest() != self.join_token_hash:
+            raise PermissionError("bad join token")
+        with self._lock:
+            daemon_id = str(uuid.uuid4())
+            self.daemons[daemon_id] = {"id": daemon_id,
+                                       "display_name": display_name}
+            self._save()
+            return {"id": daemon_id, "display_name": display_name}
+
+
+def _strip_spec(spec: dict[str, Any]) -> dict[str, Any]:
+    """Echo-safe pipeline spec: secrets blanked per section schema."""
+    nodes = {}
+    for nid, raw in spec.get("nodes", {}).items():
+        sdef = REGISTRY.get(raw["type"])
+        cfg = {k: v for k, v in raw.items() if k != "type"}
+        nodes[nid] = {"type": raw["type"], **sdef.strip_secrets(cfg)}
+    return {"nodes": nodes, "edges": spec.get("edges", [])}
+
+
+_ROUTES = [
+    ("GET", re.compile(r"^/api/sections$"), "sections"),
+    ("GET", re.compile(r"^/api/workspaces$"), "list_ws"),
+    ("POST", re.compile(r"^/api/workspaces$"), "create_ws"),
+    ("GET", re.compile(r"^/api/workspaces/(?P<ws>[0-9a-f-]+)$"), "get_ws"),
+    ("POST", re.compile(r"^/api/workspaces/(?P<ws>[0-9a-f-]+)/pipelines$"),
+     "put_pipe"),
+    ("DELETE", re.compile(
+        r"^/api/workspaces/(?P<ws>[0-9a-f-]+)/pipelines/(?P<pid>[\w.-]+)$"),
+     "del_pipe"),
+    ("POST", re.compile(r"^/api/daemon/join$"), "join"),
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    app: ControlPlaneApp   # set by serve()
+
+    def log_message(self, *args):   # quiet
+        pass
+
+    def _json(self, code: int, payload: Any) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict[str, Any]:
+        n = int(self.headers.get("Content-Length", "0"))
+        return json.loads(self.rfile.read(n) or b"{}")
+
+    def _dispatch(self, method: str) -> None:
+        for m, pat, name in _ROUTES:
+            if m != method:
+                continue
+            match = pat.match(self.path)
+            if not match:
+                continue
+            try:
+                self._handle(name, match.groupdict())
+            except KeyError as e:
+                self._json(404, {"error": f"not found: {e}"})
+            except (ConfigError, GraphError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+            except PermissionError as e:
+                self._json(403, {"error": str(e)})
+            return
+        self._json(404, {"error": f"no route {method} {self.path}"})
+
+    def _handle(self, name: str, params: dict[str, str]) -> None:
+        app = self.app
+        if name == "sections":
+            self._json(200, app.list_sections())
+        elif name == "list_ws":
+            self._json(200, [{"id": w["id"], "name": w["name"]}
+                             for w in app.workspaces.values()])
+        elif name == "create_ws":
+            self._json(201, app.create_workspace(self._body().get("name", "")))
+        elif name == "get_ws":
+            self._json(200, app.get_workspace(params["ws"]))
+        elif name == "put_pipe":
+            body = self._body()
+            self._json(201, app.put_pipeline(params["ws"],
+                                             body["name"], body["spec"]))
+        elif name == "del_pipe":
+            self._json(200, app.delete_pipeline(params["ws"], params["pid"]))
+        elif name == "join":
+            body = self._body()
+            self._json(201, app.join_daemon(body.get("token", ""),
+                                            body.get("display_name", "")))
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+
+def serve(app: ControlPlaneApp, host: str = "127.0.0.1",
+          port: int = 0) -> ThreadingHTTPServer:
+    """Start the control plane; returns the server (``.server_address``
+    has the bound port; ``.shutdown()`` stops it)."""
+    handler = type("BoundHandler", (_Handler,), {"app": app})
+    server = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server

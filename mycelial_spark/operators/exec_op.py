@@ -27,24 +27,76 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+_PIPE_CHUNK = 16 * 1024   # the reference's stream chunk (file/src/source.rs:55-60)
+
+
 def pipe_partitions(df: DataFrame, command: list[str],
                     env: dict[str, str] | None = None,
-                    content_col: str = "content") -> DataFrame:
-    """bin mode: concatenate the partition's binary payloads, stream them
-    through one subprocess, emit its stdout as a single payload row."""
+                    content_col: str = "content",
+                    chunk_output: bool = False) -> DataFrame:
+    """bin mode: stream the partition's binary payloads through one
+    subprocess — 16 KiB chunks both ways, like the reference's byte
+    streams (bin.rs:96-104). Input payloads feed stdin from a writer
+    thread while stdout is consumed concurrently, so neither side of the
+    pipe buffers the partition; stderr goes to a temp file (a full pipe
+    there would deadlock the child).
+
+    chunk_output=False (default) emits ONE stdout payload row per
+    partition (framing compatibility with downstream payload consumers);
+    True emits a row per 16 KiB chunk — memory bounded by a chunk, the
+    true streaming path for commands with large output.
+    """
     schema = T.StructType([T.StructField("content", T.BinaryType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import os
-        chunks: list[bytes] = []
-        for pdf in batches:
-            chunks.extend(bytes(b) for b in pdf[content_col])
-        if not chunks:
-            return
+        import tempfile
+        import threading
+        it = iter(batches)
+        head: pd.DataFrame | None = None
+        for pdf in it:
+            if len(pdf):
+                head = pdf
+                break
+        if head is None:
+            return   # empty partition: no subprocess at all
         proc_env = {**os.environ, **(env or {})}
-        out = subprocess.run(command, input=b"".join(chunks),
-                             capture_output=True, env=proc_env, check=True)
-        yield pd.DataFrame({"content": [out.stdout]})
+        with tempfile.TemporaryFile() as errf:
+            proc = subprocess.Popen(command, stdin=subprocess.PIPE,
+                                    stdout=subprocess.PIPE, stderr=errf,
+                                    env=proc_env)
+
+            def feed(first: pd.DataFrame) -> None:
+                try:
+                    for b in first[content_col]:
+                        proc.stdin.write(bytes(b))
+                    for pdf in it:
+                        for b in pdf[content_col]:
+                            proc.stdin.write(bytes(b))
+                except BrokenPipeError:
+                    pass   # child exited early; rc check below reports it
+                finally:
+                    proc.stdin.close()
+
+            writer = threading.Thread(target=feed, args=(head,), daemon=True)
+            writer.start()
+            pending: list[bytes] = []
+            while True:
+                chunk = proc.stdout.read(_PIPE_CHUNK)
+                if not chunk:
+                    break
+                if chunk_output:
+                    yield pd.DataFrame({"content": [chunk]})
+                else:
+                    pending.append(chunk)
+            writer.join()
+            rc = proc.wait()
+            if rc != 0:
+                errf.seek(0)
+                raise subprocess.CalledProcessError(
+                    rc, command, stderr=errf.read())
+        if not chunk_output:
+            yield pd.DataFrame({"content": [b"".join(pending)]})
 
     return df.select(content_col).mapInPandas(run, schema)
 

@@ -528,14 +528,17 @@ def text_stats_(spark, cfg, inputs):
            [Field("command", "list"), Field("stream_binary", "bool", False),
             Field("row_as_args", "bool", True),
             Field("ack_passthrough", "bool", True),
+            Field("chunk_output", "bool", False),
             Field("env", "json", default={})],
            doc="S9 exec section: stream_binary=True pipes partition bytes "
-               "through the command (bin mode); otherwise one subprocess per "
-               "row with --col=val argv (df mode).")
+               "through the command in 16 KiB chunks (bin mode; "
+               "chunk_output=True also chunks stdout rows); otherwise one "
+               "subprocess per row with --col=val argv (df mode).")
 def exec_(spark, cfg, inputs):
     from mycelial_spark.operators.exec_op import exec_rows, pipe_partitions
     if cfg["stream_binary"]:
-        return pipe_partitions(inputs[0], cfg["command"], cfg["env"] or None)
+        return pipe_partitions(inputs[0], cfg["command"], cfg["env"] or None,
+                               chunk_output=cfg["chunk_output"])
     return exec_rows(inputs[0], cfg["command"], cfg["row_as_args"],
                      cfg["env"] or None, cfg["ack_passthrough"])
 

@@ -1,0 +1,131 @@
+"""Control-plane REST stub lifecycle: registry listing, workspace CRUD,
+secret-stripped echo, validation gate, token join, daemon notify."""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from mycelial_spark.control_plane import ControlPlaneApp, serve
+
+
+@pytest.fixture()
+def cp(tmp_path):
+    app = ControlPlaneApp(state_path=str(tmp_path / "cp.json"),
+                          join_token="sesame")
+    server = serve(app)
+    port = server.server_address[1]
+
+    def call(method, path, payload=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode() if payload is not None else None,
+            headers={"Content-Type": "application/json"}, method=method)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    yield app, call
+    server.shutdown()
+
+
+def test_sections_listing_has_schema(cp):
+    _, call = cp
+    status, sections = call("GET", "/api/sections")
+    assert status == 200
+    by_name = {s["name"]: s for s in sections}
+    assert "stateful_query" in by_name and "jdbc_dest" in by_name
+    jd = by_name["jdbc_dest"]
+    assert jd["kind"] == "destination"
+    pw = next(f for f in jd["fields"] if f["name"] == "password")
+    assert pw["secret"] is True
+    assert next(f for f in jd["fields"] if f["name"] == "url")["required"]
+
+
+def test_workspace_pipeline_crud_and_secret_echo(cp, sf_dir):
+    _, call = cp
+    _, ws = call("POST", "/api/workspaces", {"name": "canvas1"})
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": f"{sf_dir}/nation.parquet"},
+            "dst": {"type": "jdbc_dest", "url": "jdbc:postgresql://h/db",
+                    "table": "t", "user": "u", "password": "hunter2"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    status, res = call("POST", f"/api/workspaces/{ws['id']}/pipelines",
+                       {"name": "p1", "spec": spec})
+    assert status == 201 and res["tasks"]
+    # echo is secret-stripped (app/mod.rs:173-186)
+    _, fetched = call("GET", f"/api/workspaces/{ws['id']}")
+    echoed = fetched["pipelines"]["p1"]["nodes"]["dst"]
+    assert echoed["password"] == "" and echoed["user"] == "u"
+    # and the stored spec still has the secret (strip is echo-time only)
+    app = cp[0]
+    assert app.workspaces[ws["id"]]["pipelines"]["p1"]["nodes"]["dst"][
+        "password"] == "hunter2"
+    status, res = call("DELETE", f"/api/workspaces/{ws['id']}/pipelines/p1")
+    assert status == 200
+    _, fetched = call("GET", f"/api/workspaces/{ws['id']}")
+    assert fetched["pipelines"] == {}
+
+
+def test_invalid_pipeline_rejected(cp):
+    _, call = cp
+    _, ws = call("POST", "/api/workspaces", {"name": "w"})
+    bad = {"nodes": {"x": {"type": "no_such_section"}}, "edges": []}
+    status, res = call("POST", f"/api/workspaces/{ws['id']}/pipelines",
+                       {"name": "p", "spec": bad})
+    assert status == 400 and "unknown section" in res["error"]
+
+
+def test_join_token_hash_handshake(cp):
+    app, call = cp
+    status, res = call("POST", "/api/daemon/join",
+                       {"token": "wrong", "display_name": "d1"})
+    assert status == 403
+    status, res = call("POST", "/api/daemon/join",
+                       {"token": "sesame", "display_name": "d1"})
+    assert status == 201 and res["id"] in app.daemons
+    # the token itself is never stored, only its hash
+    assert "sesame" not in json.dumps(app.daemons)
+    assert app.join_token_hash != "sesame"
+
+
+def test_state_persists_across_restart(cp, tmp_path):
+    app, call = cp
+    _, ws = call("POST", "/api/workspaces", {"name": "durable"})
+    app2 = ControlPlaneApp(state_path=app.state_path)
+    assert app2.workspaces[ws["id"]]["name"] == "durable"
+
+
+def test_notify_reconciles_daemon(cp, spark, sf_dir, tmp_path):
+    """Graph update -> NotifyGraphUpdate -> the (in-process) daemon
+    reconciles: new pipeline starts a streaming task, delete stops it."""
+    from mycelial_spark.streaming.runner import Reconciler
+    app, call = cp
+    app.reconciler = Reconciler(spark, str(tmp_path / "ckpt"))
+    _, ws = call("POST", "/api/workspaces", {"name": "live"})
+    spec = {
+        "nodes": {
+            "src": {"type": "rate_source", "interval_millis": 500,
+                    "message": "hi", "rows": 1},
+            "dst": {"type": "noop_dest"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    try:
+        status, res = call("POST", f"/api/workspaces/{ws['id']}/pipelines",
+                           {"name": "stream1", "spec": spec})
+        assert status == 201
+        assert list(res["daemon_actions"].values()) == ["started"]
+        assert len(app.reconciler.running) == 1
+        status, res = call("DELETE",
+                           f"/api/workspaces/{ws['id']}/pipelines/stream1")
+        assert list(res["daemon_actions"].values()) == ["stopped"]
+        assert len(app.reconciler.running) == 0
+    finally:
+        app.reconciler.stop_all()

@@ -65,6 +65,27 @@ def test_pipe_partitions_bin_mode(spark):
     assert bytes(out[0]["content"]) == b"HELLO WORLD"
 
 
+def test_pipe_partitions_streams_large_payload(spark):
+    """Input feeds stdin while stdout is consumed (no pipe deadlock even
+    when the payload far exceeds the 64 KiB pipe buffer), and
+    chunk_output=True bounds each output row to one 16 KiB chunk."""
+    big = b"x" * (1024 * 1024)    # 1 MiB >> pipe buffer
+    df = spark.createDataFrame([(bytearray(big),)], "content binary").coalesce(1)
+    whole = pipe_partitions(df, ["cat"]).collect()
+    assert len(whole) == 1 and len(bytes(whole[0]["content"])) == len(big)
+    chunked = pipe_partitions(df, ["cat"], chunk_output=True).collect()
+    assert len(chunked) == 64     # 1 MiB / 16 KiB
+    assert all(len(bytes(r["content"])) <= 16 * 1024 for r in chunked)
+    assert b"".join(bytes(r["content"]) for r in chunked) == big
+
+
+def test_pipe_partitions_failure_surfaces_stderr(spark):
+    import subprocess as sp
+    df = spark.createDataFrame([(bytearray(b"x"),)], "content binary")
+    with pytest.raises(Exception, match="returned non-zero|CalledProcessError"):
+        pipe_partitions(df, ["sh", "-c", "echo boom >&2; exit 3"]).collect()
+
+
 def test_exec_section_in_pipeline(spark, sf_dir):
     spec = {
         "nodes": {
