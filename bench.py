@@ -45,6 +45,7 @@ HEADLINE = [
     "latest_per_key",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_clusters",
     "text_stats",
     "doc_fingerprint",
     "token_topk",

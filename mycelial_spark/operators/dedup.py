@@ -166,6 +166,67 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                 .select("id_a", "id_b", "jaccard"))
 
 
+def connected_components(pairs: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
+    """Connected components of the near-dup pair graph by distributed
+    min-label propagation: every node starts labeled with its own id;
+    each round, a node adopts the minimum label among its neighbors.
+    Converges in O(component diameter) rounds — near-dup clusters are
+    near-cliques, so 2-3 rounds in practice.
+
+    Returns (id, component) where component = min doc id in the cluster.
+
+    Scale: each round is one shuffle-join (edges x labels, both narrow:
+    2 longs/row) + one min-aggregate; ``localCheckpoint`` after each
+    round materializes the labels and truncates lineage so the plan
+    doesn't grow with iterations (the standard iterative-algorithm
+    pattern; for pathological high-diameter graphs the known upgrade is
+    the large-star/small-star algorithm [Kiveris et al., CC in MapReduce],
+    which converges in O(log n) rounds — same join primitives).
+    """
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+              .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+    labels = (edges.select(F.col("u").alias("id")).distinct()
+                   .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        nbr = (edges.withColumnRenamed("u", "id")
+                    .join(labels, "id")
+                    .groupBy(F.col("v").alias("id"))
+                    .agg(F.min("comp").alias("nbr_comp")))
+        stepped = (labels.join(nbr, "id", "left")
+                   .select("id", F.col("comp").alias("_prev"),
+                           F.least("comp", "nbr_comp").alias("comp"))
+                   .localCheckpoint())
+        changed = stepped.filter(F.col("comp") < F.col("_prev")).count()
+        labels = stepped.drop("_prev")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Cluster assignment for every document: docs joined against the
+    components of the pair graph; docs in no pair are singleton clusters.
+
+    Returns (id_col, cluster_id, is_canonical, cluster_size) — the
+    actual dedup deliverable: ``filter(is_canonical)`` keeps one
+    representative (the min id) per near-dup cluster.
+    """
+    from pyspark.sql import Window
+    comp = connected_components(pairs).withColumnRenamed("id", "__cc_id")
+    out = (df.select(id_col)
+             .join(comp, F.col(id_col) == F.col("__cc_id"), "left")
+             .select(F.col(id_col),
+                     F.coalesce("component", F.col(id_col)).alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return (out
+            .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over the token stream (unweighted).

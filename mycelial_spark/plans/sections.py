@@ -516,6 +516,16 @@ def dedup_minhash_(spark, cfg, inputs):
                              verify_mode=cfg["verify_mode"])
 
 
+@_register("dedup_clusters", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id")], n_inputs=(2, 2),
+           doc="Near-dup clustering: inputs = (documents, pair list); "
+               "connected components by min-label propagation; output has "
+               "cluster_id / is_canonical / cluster_size per doc.")
+def dedup_clusters_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import dedup_clusters
+    return dedup_clusters(inputs[0], inputs[1], cfg["id_col"])
+
+
 @_register("text_stats", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text")],
            doc="Quality-signal extraction (north-star text analysis).")

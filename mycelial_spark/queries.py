@@ -768,6 +768,56 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b", "jaccard"))
 
 
+@query("dedup_clusters", """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), post AS (SELECT doc_id, unnest(shingles) s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(a, b) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+), comp AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       doc_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assigned
+""")
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: pairs (exact 3-gram Jaccard >= 0.2, the
+    oracle-checkable edge set) -> connected components by distributed
+    min-label propagation -> every doc labeled with its cluster and
+    whether it is the canonical (min-id) representative. The dedup
+    deliverable: filter(is_canonical) keeps one doc per cluster. The
+    oracle computes the same components with a recursive-CTE closure."""
+    from mycelial_spark.operators.dedup import dedup_clusters
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs, "doc_id")
+
+
 @query("dedup_minhash_pairs", None)  # xxhash64 family not in DuckDB -> rows-only
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands x 4 rows), true-Jaccard

@@ -94,6 +94,33 @@ def test_lang_id_cjk_scripts(spark):
     assert out[4] == "en"
 
 
+def test_connected_components_chain_and_islands(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) is ONE component even though 1 and 4
+    share no edge — pair-transitivity is the whole point of clustering."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in D.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_dedup_clusters_canonical_and_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in D.dedup_clusters(docs, pairs).collect()}
+    assert rows[2]["cluster_id"] == rows[5]["cluster_id"] \
+        == rows[6]["cluster_id"] == 2
+    assert rows[2]["is_canonical"] and not rows[5]["is_canonical"]
+    assert rows[2]["cluster_size"] == 3
+    for i in (1, 3, 4, 7):   # untouched docs are singleton clusters
+        assert rows[i]["cluster_id"] == i and rows[i]["is_canonical"]
+        assert rows[i]["cluster_size"] == 1
+    # keep-canonical filter: one survivor per cluster
+    kept = D.dedup_clusters(docs, pairs).filter("is_canonical").count()
+    assert kept == 5
+
+
 def test_minhash_verify_modes_identical(corpus):
     """The shuffle verify re-attach (past the broadcast cliff) must return
     exactly the broadcast path's pairs."""
