@@ -32,6 +32,7 @@ SQLite, myceliald/src/sqlite_storage.rs — same role).
 from __future__ import annotations
 
 import hashlib
+import hmac
 import json
 import os
 import re
@@ -62,6 +63,9 @@ class ControlPlaneApp:
         self.workspaces: dict[str, dict[str, Any]] = {}
         self.daemons: dict[str, dict[str, Any]] = {}
         self._lock = threading.Lock()
+        # serializes reconciler notifications so two concurrent mutations
+        # cannot apply stale unions out of order
+        self._reconcile_lock = threading.Lock()
         if state_path and os.path.exists(state_path):
             with open(state_path) as f:
                 saved = json.load(f)
@@ -109,8 +113,15 @@ class ControlPlaneApp:
                 "pipelines": {pid: _strip_spec(spec)
                               for pid, spec in ws["pipelines"].items()}}
 
+    # the same charset the DELETE route matches — a name outside it could
+    # be created but never deleted via the API
+    _PIPELINE_NAME = re.compile(r"^[\w.-]+$")
+
     def put_pipeline(self, ws_id: str, name: str,
                      spec: dict[str, Any]) -> dict[str, Any]:
+        if not self._PIPELINE_NAME.match(name):
+            raise ValueError(
+                f"invalid pipeline name {name!r}: must match [\\w.-]+")
         Pipeline.from_spec(spec)           # the runtime's own validation gate
         with self._lock:
             self.workspaces[ws_id]["pipelines"][name] = spec
@@ -133,21 +144,27 @@ class ControlPlaneApp:
         graph of every stored pipeline (distinct node-id namespaces)."""
         if self.reconciler is None:
             return {}
-        union: dict[str, Any] = {"nodes": {}, "edges": []}
-        for ws in self.workspaces.values():
-            for pid, spec in ws["pipelines"].items():
-                prefix = f"{ws['id'][:8]}.{pid}."
-                for nid, cfg in spec.get("nodes", {}).items():
-                    union["nodes"][prefix + nid] = cfg
-                for frm, to in spec.get("edges", []):
-                    union["edges"].append([prefix + frm, prefix + to])
-        return self.reconciler.apply(union)
+        # _reconcile_lock serializes concurrent notifications; the union is
+        # snapshotted under _lock inside it, so the LAST apply always
+        # reflects the final stored state.
+        with self._reconcile_lock:
+            union: dict[str, Any] = {"nodes": {}, "edges": []}
+            with self._lock:
+                for ws in self.workspaces.values():
+                    for pid, spec in ws["pipelines"].items():
+                        prefix = f"{ws['id'][:8]}.{pid}."
+                        for nid, cfg in spec.get("nodes", {}).items():
+                            union["nodes"][prefix + nid] = cfg
+                        for frm, to in spec.get("edges", []):
+                            union["edges"].append([prefix + frm, prefix + to])
+            return self.reconciler.apply(union)
 
     # -- daemon join ----------------------------------------------------------
     def join_daemon(self, token: str, display_name: str) -> dict[str, Any]:
         if self.join_token_hash is None:
             raise PermissionError("join disabled: no token provisioned")
-        if hashlib.sha256(token.encode()).hexdigest() != self.join_token_hash:
+        digest = hashlib.sha256(token.encode()).hexdigest()
+        if not hmac.compare_digest(digest, self.join_token_hash):
             raise PermissionError("bad join token")
         with self._lock:
             daemon_id = str(uuid.uuid4())
@@ -155,6 +172,24 @@ class ControlPlaneApp:
                                        "display_name": display_name}
             self._save()
             return {"id": daemon_id, "display_name": display_name}
+
+    def daemon_status(self, daemon_id: str) -> dict[str, Any]:
+        """Run-status observability (daemon registry parity,
+        control_plane/src/http/api/mod.rs:12-39): which tasks the attached
+        in-process 'daemon' (Reconciler) is running, whether each is alive,
+        and how many times supervision restarted it."""
+        daemon = self.daemons[daemon_id]        # KeyError -> 404
+        tasks: dict[str, Any] = {}
+        if self.reconciler is not None:
+            for task_id, query in self.reconciler.running.items():
+                tasks[task_id] = {
+                    "active": bool(query.isActive),
+                    "restarts": self.reconciler.restarts.get(task_id, 0),
+                }
+        return {"id": daemon["id"],
+                "display_name": daemon["display_name"],
+                "attached": self.reconciler is not None,
+                "tasks": tasks}
 
 
 def _strip_spec(spec: dict[str, Any]) -> dict[str, Any]:
@@ -178,6 +213,8 @@ _ROUTES = [
         r"^/api/workspaces/(?P<ws>[0-9a-f-]+)/pipelines/(?P<pid>[\w.-]+)$"),
      "del_pipe"),
     ("POST", re.compile(r"^/api/daemon/join$"), "join"),
+    ("GET", re.compile(r"^/api/daemons/(?P<did>[0-9a-f-]+)/status$"),
+     "daemon_status"),
 ]
 
 
@@ -238,6 +275,8 @@ class _Handler(BaseHTTPRequestHandler):
             body = self._body()
             self._json(201, app.join_daemon(body.get("token", ""),
                                             body.get("display_name", "")))
+        elif name == "daemon_status":
+            self._json(200, app.daemon_status(params["did"]))
 
     def do_GET(self):
         self._dispatch("GET")

@@ -69,6 +69,7 @@ class Pipeline:
         results: dict[str, Any] = {}
         for sub in self.graph.subgraphs():
             acks = []  # commit-then-ack (§1.5): sources may defer state
+            delivered = False  # at least one destination builder executed
             for node_id in sub.topo_order():
                 cfg = dict(self.graph.nodes[node_id])
                 sdef = self.registry.get(cfg.pop("type"))
@@ -90,10 +91,15 @@ class Pipeline:
                     results[node_id] = sdef.builder(spark, cfg, inputs)
                 else:  # destination
                     results[node_id] = sdef.builder(spark, cfg, inputs[0])
+                    delivered = True
             # every destination in the subgraph committed -> ack sources
-            # (watermark advance only after delivery, stateful_query.rs:114-125)
-            for ack in acks:
-                ack()
+            # (watermark advance only after delivery, stateful_query.rs:114-125).
+            # A subgraph with NO destination never delivered anything, so the
+            # watermark must not advance — acks stay un-fired, mirroring the
+            # reference where ack() only resolves after a sink commit.
+            if delivered:
+                for ack in acks:
+                    ack()
         return results
 
     def task_ids(self) -> dict[str, str]:

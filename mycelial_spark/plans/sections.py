@@ -405,7 +405,11 @@ def from_csv(spark, cfg, inputs):
     import io as _io
 
     from pyspark.sql import types as T
-    src = inputs[0].select("path", "content")
+    # The bin contract requires "content"; "path" is optional — exec bin
+    # mode (pipe_partitions) emits content-only frames, so only select the
+    # columns actually present.
+    src = inputs[0].select(
+        *[c for c in ("path", "content") if c in inputs[0].columns])
     # Schema discovery: only the FIRST LINE of each payload reaches the
     # driver (a codegen substring of the scan, O(#files) strings) — data
     # rows never do. The unified schema is the first-seen-order union of
@@ -638,7 +642,10 @@ def memory_dest(spark, cfg, df):
     # micro-batch session; a plain temp view would be invisible outside it.
     # Readable as spark.table("global_temp.<name>").
     df.createOrReplaceGlobalTempView(cfg["name"])
-    return {"view": f"global_temp.{cfg['name']}"}
+    # Materialize before returning: the compiler acks stateful sources once
+    # destinations commit, and a lazily-registered view alone is not a
+    # delivery — count() forces the pinned batch through the plan first.
+    return {"view": f"global_temp.{cfg['name']}", "rows": df.count()}
 
 
 def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
