@@ -157,12 +157,14 @@ def jdbc_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             lo, hi = cfg["lower_bound"], cfg["upper_bound"]
             if not (lo and hi):
                 # bounds probe: one-row aggregate pushed to the source DB
-                # (the reference derives its cursor range the same way)
+                # (the reference derives its cursor range the same way).
+                # Positional access — dialects case-fold aliases (Derby
+                # returns LO/HI) and Row.__getitem__ is case-sensitive.
                 row = (base_reader(query=f"SELECT MIN({col}) lo, MAX({col}) hi "
                                          f"FROM ({cfg['query']}) b").load()
                        .collect()[0])
-                lo = lo if lo else row["lo"]
-                hi = hi if hi else row["hi"]
+                lo = lo if lo else row[0]
+                hi = hi if hi else row[1]
             if lo is None or hi is None:   # empty source: plain read
                 return base_reader(query=cfg["query"]).load()
             # partitionColumn requires dbtable, not query
