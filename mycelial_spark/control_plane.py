@@ -181,9 +181,16 @@ class ControlPlaneApp:
         daemon = self.daemons[daemon_id]        # KeyError -> 404
         tasks: dict[str, Any] = {}
         if self.reconciler is not None:
-            for task_id, query in self.reconciler.running.items():
+            # snapshot: handler threads race with Reconciler.apply/supervise
+            # mutating `running`; a stopped/replaced query can also throw
+            # from isActive — report it as not-active rather than 500ing.
+            for task_id, query in list(self.reconciler.running.items()):
+                try:
+                    active = bool(query.isActive)
+                except Exception:
+                    active = False
                 tasks[task_id] = {
-                    "active": bool(query.isActive),
+                    "active": active,
                     "restarts": self.reconciler.restarts.get(task_id, 0),
                 }
         return {"id": daemon["id"],

@@ -410,6 +410,10 @@ def from_csv(spark, cfg, inputs):
     # The bin contract requires "content"; "path" is optional — exec bin
     # mode (pipe_partitions) emits content-only frames, so only select the
     # columns actually present.
+    if "content" not in inputs[0].columns:
+        from mycelial_spark.plans.graph import GraphError
+        raise GraphError("from_csv input must have a 'content' binary column "
+                         f"(bin contract); got {inputs[0].columns}")
     src = inputs[0].select(
         *[c for c in ("path", "content") if c in inputs[0].columns])
     # Schema discovery: only the FIRST LINE of each payload reaches the
@@ -643,11 +647,27 @@ def memory_dest(spark, cfg, df):
     # global temp view: foreachBatch hands us a DataFrame bound to a cloned
     # micro-batch session; a plain temp view would be invisible outside it.
     # Readable as spark.table("global_temp.<name>").
+    #
+    # The delivered rows are pinned under the VIEW's lifetime: a lazy view
+    # would re-execute against the live upstream after the compiler acks
+    # (the stateful source unpersists its batch then, incremental.py:168)
+    # and could diverge from the delivered row set. persist + count makes
+    # the count() the one evaluation AND the later reads cache hits; the
+    # previous registration under the same name is unpersisted on replace.
+    from pyspark import StorageLevel
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    rows = df.count()
+    prev = _MEMORY_DEST_PINNED.get(cfg["name"])
+    if prev is not None:
+        prev.unpersist()
+    _MEMORY_DEST_PINNED[cfg["name"]] = df
     df.createOrReplaceGlobalTempView(cfg["name"])
-    # Materialize before returning: the compiler acks stateful sources once
-    # destinations commit, and a lazily-registered view alone is not a
-    # delivery — count() forces the pinned batch through the plan first.
-    return {"view": f"global_temp.{cfg['name']}", "rows": df.count()}
+    return {"view": f"global_temp.{cfg['name']}", "rows": rows}
+
+
+# name -> pinned frame of the latest memory_dest delivery (unpersisted when
+# the same view name is overwritten)
+_MEMORY_DEST_PINNED: dict[str, DataFrame] = {}
 
 
 def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):

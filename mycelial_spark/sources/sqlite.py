@@ -21,8 +21,9 @@ destination (destination.rs:30-177):
   binds (idempotent re-delivery), commit, then ack.
 
 Scale note: a single .db file is a small-edge endpoint in the reference's
-topology; bulk data stays in parquet/JDBC. The collect() here is bounded
-by that use — the frame IS the manifest of one file's content.
+topology; bulk data stays in parquet/JDBC. The destination still never
+buffers the frame: rows stream through toLocalIterator() in chunked
+executemany batches, so driver memory is bounded by one chunk.
 """
 
 from __future__ import annotations
@@ -119,7 +120,8 @@ def _ddl(table: str, schema: T.StructType) -> str:
 
 def write_frame(df: DataFrame, path: str, table: str,
                 truncate: bool = False,
-                upsert_keys: list[str] | None = None) -> int:
+                upsert_keys: list[str] | None = None,
+                batch_rows: int = 10000) -> int:
     """Drain a DataFrame into the db with the reference's transaction
     shape. Returns rows written. Idempotent under re-delivery when the
     table has a primary key / unique index (INSERT OR IGNORE).
@@ -128,43 +130,54 @@ def write_frame(df: DataFrame, path: str, table: str,
     a primary key over those columns and rows land via ``ON CONFLICT ...
     DO UPDATE`` — combined with at-least-once redelivery this gives the
     newest value per key, the MERGE analog of a foreachBatch sink.
+
+    Driver memory is bounded: rows stream through ``toLocalIterator()``
+    in ``batch_rows``-sized ``executemany`` chunks inside the ONE
+    ``BEGIN IMMEDIATE`` transaction — the reference drains its input in
+    chunks the same way (destination.rs:60-91); atomicity is the
+    transaction's, not the buffer's.
     """
     schema = df.schema
-    rows = [tuple(r) for r in df.collect()]
+    marks = ",".join("?" * len(schema.fields))
+    if upsert_keys:
+        missing = [k for k in upsert_keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"upsert keys not in frame: {missing}")
+        cols = ", ".join(
+            f'"{f.name}" '
+            f'{_SPARK_TO_SQLITE.get(f.dataType.simpleString(), "TEXT")}'
+            for f in schema.fields)
+        pk = ", ".join(f'"{k}"' for k in upsert_keys)
+        ddl = (f'CREATE TABLE IF NOT EXISTS "{table}" '
+               f'({cols}, PRIMARY KEY ({pk}))')
+        sets = ", ".join(f'"{f.name}"=excluded."{f.name}"'
+                         for f in schema.fields if f.name not in upsert_keys)
+        insert = (f'INSERT INTO "{table}" VALUES ({marks}) '
+                  f'ON CONFLICT ({pk}) DO UPDATE SET {sets}')
+    else:
+        ddl = _ddl(table, schema)                # auto-DDL, :82
+        insert = f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})'  # :91
+    n = 0
     conn = sqlite3.connect(path, isolation_level=None)
     try:
         conn.execute("BEGIN IMMEDIATE")          # destination.rs:66
-        if upsert_keys:
-            missing = [k for k in upsert_keys if k not in df.columns]
-            if missing:
-                raise ValueError(f"upsert keys not in frame: {missing}")
-            cols = ", ".join(
-                f'"{f.name}" '
-                f'{_SPARK_TO_SQLITE.get(f.dataType.simpleString(), "TEXT")}'
-                for f in schema.fields)
-            pk = ", ".join(f'"{k}"' for k in upsert_keys)
-            conn.execute(f'CREATE TABLE IF NOT EXISTS "{table}" '
-                         f'({cols}, PRIMARY KEY ({pk}))')
-        else:
-            conn.execute(_ddl(table, schema))    # auto-DDL, :82
+        conn.execute(ddl)
         if truncate:
             conn.execute(f'DELETE FROM "{table}"')
-        marks = ",".join("?" * len(schema.fields))
-        if upsert_keys:
-            sets = ", ".join(f'"{f.name}"=excluded."{f.name}"'
-                             for f in schema.fields
-                             if f.name not in upsert_keys)
-            conn.executemany(
-                f'INSERT INTO "{table}" VALUES ({marks}) '
-                f'ON CONFLICT ({pk}) DO UPDATE SET {sets}', rows)
-        else:
-            conn.executemany(
-                f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})',
-                rows)  # :91
+        chunk: list[tuple] = []
+        for r in df.toLocalIterator():
+            chunk.append(tuple(r))
+            if len(chunk) >= batch_rows:
+                conn.executemany(insert, chunk)
+                n += len(chunk)
+                chunk = []
+        if chunk:
+            conn.executemany(insert, chunk)
+            n += len(chunk)
         conn.execute("COMMIT")                   # commit THEN ack (§1.5)
     except Exception:
         conn.execute("ROLLBACK")
         raise
     finally:
         conn.close()
-    return len(rows)
+    return n
