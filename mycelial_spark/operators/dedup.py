@@ -167,43 +167,91 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def connected_components(pairs: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 50) -> DataFrame:
-    """Connected components of the near-dup pair graph by distributed
-    min-label propagation: every node starts labeled with its own id;
-    each round, a node adopts the minimum label among its neighbors.
-    Converges in O(component diameter) rounds — near-dup clusters are
-    near-cliques, so 2-3 rounds in practice.
+                         dst: str = "id_b", max_iter: int = 25,
+                         on_nonconvergence: str = "raise") -> DataFrame:
+    """Connected components of the near-dup pair graph by alternating
+    large-star / small-star rounds [Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14 — public algorithm]:
+
+    - large-star(u): every neighbor v > u re-attaches to m = min(N(u)∪{u});
+    - small-star(u): every neighbor v <= u (and u itself) re-attaches to m.
+
+    Each round at least halves the number of non-root nodes, so the edge
+    set collapses to stars (child -> component-min root) in O(log n)
+    rounds — vs O(component diameter) for naive min-label propagation,
+    which a round-4 perf audit flagged as the slowest headline query and
+    which silently returned SPLIT components past ``max_iter`` on
+    high-diameter graphs.
 
     Returns (id, component) where component = min doc id in the cluster.
 
-    Scale: each round is one shuffle-join (edges x labels, both narrow:
-    2 longs/row) + one min-aggregate; ``localCheckpoint`` after each
-    round materializes the labels and truncates lineage so the plan
-    doesn't grow with iterations (the standard iterative-algorithm
-    pattern; for pathological high-diameter graphs the known upgrade is
-    the large-star/small-star algorithm [Kiveris et al., CC in MapReduce],
-    which converges in O(log n) rounds — same join primitives).
+    Scale: each star is ONE hash-shuffle of the (2-long-wide) edge list —
+    the per-node min is a window aggregate over partitionBy(u), which
+    spills per-group instead of buffering (a groupBy+rejoin shape would
+    shuffle the edges twice per star). ``localCheckpoint`` truncates
+    lineage per round. Convergence is detected by an order-insensitive
+    (count, sum(hash)) checksum of the canonical edge set — one tiny
+    aggregate per round, nothing edge-sized on the driver.
+
+    ``on_nonconvergence``: "raise" (default) or "warn" when the edge set
+    is still moving after ``max_iter`` rounds — never a silent return of
+    split components.
     """
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-              .distinct().persist(StorageLevel.MEMORY_AND_DISK))
-    labels = (edges.select(F.col("u").alias("id")).distinct()
-                   .withColumn("comp", F.col("id")))
+    from pyspark.sql import Window
+    if on_nonconvergence not in ("raise", "warn"):
+        raise ValueError(f"unknown on_nonconvergence {on_nonconvergence!r}")
+    # canonical undirected form: (u=hi, v=lo), no self-loops
+    init = (pairs.select(F.greatest(src, dst).alias("u"),
+                         F.least(src, dst).alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct()
+                 .localCheckpoint())
+    edges = init
+
+    def checksum(e: DataFrame) -> tuple:
+        # decimal sum: exact and overflow-free under ANSI mode (a raw
+        # long sum of 2^64-range hashes would raise ARITHMETIC_OVERFLOW)
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                     .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    w = Window.partitionBy("u")
+    prev = checksum(edges)
+    converged = False
     for _ in range(max_iter):
-        nbr = (edges.withColumnRenamed("u", "id")
-                    .join(labels, "id")
-                    .groupBy(F.col("v").alias("id"))
-                    .agg(F.min("comp").alias("nbr_comp")))
-        stepped = (labels.join(nbr, "id", "left")
-                   .select("id", F.col("comp").alias("_prev"),
-                           F.least("comp", "nbr_comp").alias("comp"))
-                   .localCheckpoint())
-        changed = stepped.filter(F.col("comp") < F.col("_prev")).count()
-        labels = stepped.drop("_prev")
-        if changed == 0:
+        # -- large-star: every v in N(u) with v > u re-attaches to
+        # m = min(N(u) ∪ {u}); the symmetric view makes N(u) complete
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        large = (sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v")))
+        # -- small-star on the (hi -> lo) orientation: every smaller
+        # neighbor and u itself re-attach to m = min(N⁻(u) ∪ {u})
+        ss = large.withColumn("m", F.min("v").over(w))
+        stepped = (ss.filter(F.col("v") != F.col("m"))
+                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                   .union(ss.select("u", F.col("m").alias("v")))
+                   .filter(F.col("u") != F.col("v"))
+                   .distinct().localCheckpoint())
+        edges = stepped
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
             break
-    edges.unpersist()
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+        prev = cur
+    if not converged:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"large-star/small-star rounds; components may be split")
+        if on_nonconvergence == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # stars: edges = (child, root); roots label themselves
+    nodes = (init.select(F.col("u").alias("id"))
+             .union(init.select(F.col("v").alias("id"))).distinct())
+    return (nodes.join(edges.withColumnRenamed("u", "id"), "id", "left")
+            .select("id", F.coalesce("v", F.col("id")).alias("component")))
 
 
 def dedup_clusters(df: DataFrame, pairs: DataFrame,

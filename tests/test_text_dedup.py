@@ -105,6 +105,37 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_high_diameter_chain(spark):
+    """A 200-edge path has diameter 200 — naive min-label propagation
+    needs ~200 rounds and silently returned split components past its
+    iteration cap; alternating large-star/small-star collapses the path
+    in O(log n) rounds, well inside max_iter=15."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                  "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in D.connected_components(pairs, max_iter=15).collect()}
+    assert len(comp) == 201
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_nonconvergence_signals(spark):
+    """Past max_iter with the edge set still moving: raise by default,
+    warn (and return the partial labels) when asked — never silent."""
+    import warnings
+
+    import pytest
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(64)],
+                                  "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iter=1)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = D.connected_components(pairs, max_iter=1,
+                                     on_nonconvergence="warn")
+        assert out.count() == 65
+    assert any("did not converge" in str(w.message) for w in caught)
+
+
 def test_dedup_clusters_canonical_and_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")
