@@ -87,10 +87,12 @@ def binary_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 
 @_register("dir_source", "source", "none", "bin_or_dataframe",
            [Field("path"), Field("pattern", default=""),
-            Field("start_after", default=""), Field("stream_binary", "bool", False)],
+            Field("start_after", default=""), Field("stream_binary", "bool", False),
+            Field("poll_interval_millis", "int", 1000)],
            doc="Directory walk with regex pattern + lexicographic start_after "
                "cursor (sections/dir/src/source.rs:30-312). stream_binary=False "
-               "emits {path} rows; True emits file bytes.")
+               "emits {path} rows; True emits file bytes. Streaming mode polls "
+               "the listing and advances the cursor on ack (watch.py DirWatch).")
 def dir_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     if cfg["stream_binary"]:
         df = spark.read.format("binaryFile").load(cfg["path"])
@@ -254,9 +256,12 @@ def stateful_query_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame
 
 @_register("excel_source", "source", "none", "dataframe",
            [Field("path"), Field("sheets", default="*"),
-            Field("strict", "bool", False)],
+            Field("strict", "bool", False),
+            Field("poll_interval_millis", "int", 1000)],
            doc="Excel glob source (sections/excel_connector/src/source.rs:"
-               "140-414): strict=False stringifies all cells.")
+               "140-414): strict=False stringifies all cells. Streaming mode "
+               "polls per-file mtimes and re-emits changed workbooks "
+               "(source.rs:237-241; watch.py ExcelWatch).")
 def excel_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     # pure-stdlib xlsx parser (sources/xlsx.py) — no openpyxl needed.
     # strict=False (the scale mode): executor-side parse via binaryFile +
@@ -734,12 +739,14 @@ def jdbc_dest(spark, cfg, df):
 @_register("sqlite_source", "source", "none", "dataframe",
            [Field("path"), Field("query"),
             Field("any_policy", default="infer"),
-            Field("last_mtime", "float", 0.0)],
+            Field("last_mtime", "float", 0.0),
+            Field("poll_interval_millis", "int", 1000)],
            doc="S3 sqlite source (sections/sqlite_connector/src/source.rs:"
                "42-225): driver-side sqlite3 query; dynamic `Any` columns "
                "normalized per any_policy (string|infer); last_mtime>0 skips "
                "the read when neither the db nor its -wal changed (the "
-               "inotify-watch + ack-persisted-mtime loop).")
+               "inotify-watch + ack-persisted-mtime loop). Streaming mode "
+               "runs that loop continuously (watch.py SqliteWatch).")
 def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     from mycelial_spark.sources import sqlite as sq
     if cfg["last_mtime"] > 0 and not sq.changed_since(cfg["path"],

@@ -152,8 +152,10 @@ def write_frame(df: DataFrame, path: str, table: str,
                f'({cols}, PRIMARY KEY ({pk}))')
         sets = ", ".join(f'"{f.name}"=excluded."{f.name}"'
                          for f in schema.fields if f.name not in upsert_keys)
+        # every column a key -> nothing to update on conflict
+        on_conflict = (f"DO UPDATE SET {sets}" if sets else "DO NOTHING")
         insert = (f'INSERT INTO "{table}" VALUES ({marks}) '
-                  f'ON CONFLICT ({pk}) DO UPDATE SET {sets}')
+                  f'ON CONFLICT ({pk}) {on_conflict}')
     else:
         ddl = _ddl(table, schema)                # auto-DDL, :82
         insert = f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})'  # :91

@@ -35,10 +35,12 @@ from mycelial_spark.plans.sections import REGISTRY
 # sources that have a native streaming reader here
 _STREAM_SOURCES = {"parquet_source", "csv_source", "binary_source", "rate_source"}
 
-# sources that stream as a POLL LOOP: each micro-batch is one execution of
-# a stateful incremental query against the source system (the reference's
-# interval tick, postgres_connector/src/source.rs:108)
-_POLL_SOURCES = {"stateful_query"}
+# sources that stream as a POLL LOOP: each micro-batch is one poll of the
+# source system — a stateful incremental query (postgres_connector/src/
+# source.rs:108), an mtime watch (sqlite/excel), or a cursor-advancing
+# directory walk (streaming/watch.py adapters)
+_POLL_SOURCES = {"stateful_query", "sqlite_source", "excel_source",
+                 "dir_source"}
 
 
 def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
@@ -134,33 +136,38 @@ class StreamingPipeline:
 
     def _start_poll_subgraph(self, spark: SparkSession, sub,
                              poll_ids: list[str]) -> StreamingQuery:
-        """The reference's flagship S1 shape: a continuous poll loop over a
-        stateful incremental query (postgres_connector/src/source.rs:74-191).
+        """Continuous poll loop over ONE poll-protocol source: the S1
+        stateful incremental query (postgres_connector/src/source.rs:
+        74-191), the S3 sqlite mtime watch, the S5 excel poll-watch, or
+        the S6 dir cursor (streaming/watch.py).
 
         A rate tick stream drives trigger(processingTime=poll_interval);
-        each micro-batch executes ONE poll — rewrite the $var::i64 query
-        with the persisted watermark, run it on the source backend,
-        apply the subgraph's transforms, write the sink, THEN ack
-        (persist the new watermark). The watermark lives in a JSON state
-        file under the checkpoint root keyed by the spec hash, so a
-        restarted query resumes where the last acked poll ended; an
-        un-acked batch is re-delivered (at-least-once, idempotent sinks).
+        each micro-batch executes ONE poll — run the adapter's poll
+        (query rewrite / file stat / dir listing), apply the subgraph's
+        transforms, write the sink, THEN ack (persist watermark/mtime/
+        cursor). State lives in a JSON file under the checkpoint root
+        keyed by the spec hash, so a restarted query resumes where the
+        last acked poll ended; an un-acked batch is re-delivered
+        (at-least-once, idempotent sinks).
         """
-        from mycelial_spark.plans.sections import build_stateful_source
+        from mycelial_spark.streaming.watch import make_poll_adapter
         sources = [nid for nid in sub.topo_order()
                    if REGISTRY.get(sub.nodes[nid]["type"]).kind == "source"]
         if len(poll_ids) != 1 or set(sources) != set(poll_ids):
             raise GraphError(
-                "a poll subgraph needs exactly one stateful_query source "
+                "a poll subgraph needs exactly one poll-loop source "
                 "and no other sources")
         src_id = poll_ids[0]
+        stype = sub.nodes[src_id]["type"]
         task_id = sub.task_id()
         src_cfg = dict(sub.nodes[src_id])
         src_cfg.pop("type")
-        if not src_cfg["state_path"]:
-            src_cfg["state_path"] = f"{self.checkpoint_root}/{task_id}.state.json"
-        sq, backend, dialect = build_stateful_source(spark, src_cfg)
-        interval_ms = max(1, int(src_cfg["poll_interval_millis"]))
+        state_path = f"{self.checkpoint_root}/{task_id}.state.json"
+        if stype == "stateful_query" and not src_cfg.get("state_path"):
+            src_cfg["state_path"] = state_path
+        adapter, interval_ms = make_poll_adapter(spark, stype, src_cfg,
+                                                 state_path)
+        interval_ms = max(1, interval_ms)
 
         plan: list[tuple[str, Any, dict, list[str]]] = []
         sink_cfg, sink_def, sink_parent = None, None, None
@@ -180,16 +187,15 @@ class StreamingPipeline:
             raise GraphError("streaming subgraph has no destination")
 
         def poll_batch(_tick: DataFrame, batch_id: int) -> None:
-            batch = sq.run_with(backend, dialect)
-            if sq.last_count == 0:
-                sq.ack()   # empty poll emits nothing (source.rs:184-188)
-                return
+            batch = adapter.poll()
+            if batch is None:
+                return     # nothing new this tick (source.rs:184-188)
             results = {src_id: batch}
             for node_id, sdef, cfg, parents in plan:
                 results[node_id] = sdef.builder(
                     spark, cfg, [results[p] for p in parents])
             sink_def.builder(spark, sink_cfg, results[sink_parent])
-            sq.ack()   # commit-then-ack: watermark advances only now
+            adapter.ack()  # commit-then-ack: cursor advances only now
 
         # the tick carries no data — it exists to schedule poll_batch; rate
         # is sized so every trigger interval has at least one new tick row

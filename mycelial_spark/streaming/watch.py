@@ -1,0 +1,169 @@
+"""Continuous watch-loop adapters: S3/S5/S6 streaming parity.
+
+The reference's sqlite, excel, and dir sources are CONTINUOUS — an
+inotify/mtime watch (sqlite_connector/src/source.rs:205-225), a workbook
+poll-watch (excel_connector/src/source.rs:237-241), and a cursor-advancing
+directory walk (dir/src/source.rs:30-312). Here they share the generic
+poll-subgraph protocol driven by StreamingPipeline._start_poll_subgraph:
+
+    poll() -> DataFrame | None    None = nothing new, skip this tick
+    ack()                         persist the cursor AFTER the sink commit
+
+Cursor state lives in a JSON StateStore under the checkpoint root (same
+at-least-once contract as the stateful_query watermark, §1.5): a crash
+between delivery and ack re-delivers, so watch pipelines pair with
+idempotent/upsert destinations.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mycelial_spark.streaming.incremental import StateStore
+
+
+class SqliteWatch:
+    """S3 mtime watch: poll stats the db file AND its -wal; a change
+    re-runs the query and emits the full result (the reference re-emits
+    on change, source.rs:205-225). The mtime is captured BEFORE the read,
+    so a write racing the read keeps the file "changed" and re-polls —
+    never a lost update."""
+
+    def __init__(self, spark: SparkSession, cfg: dict[str, Any],
+                 state: StateStore):
+        self.spark, self.cfg, self.state = spark, cfg, state
+        self._pending: float | None = None
+
+    def poll(self) -> DataFrame | None:
+        from mycelial_spark.sources import sqlite as sq
+        last = float(self.state.get("mtime", self.cfg.get("last_mtime") or 0.0))
+        mt = sq.current_mtime(self.cfg["path"])   # missing file raises ->
+        if mt <= last:                            # supervisor restarts (§1.5)
+            return None
+        self._pending = mt
+        return sq.read_query(self.spark, self.cfg["path"], self.cfg["query"],
+                             self.cfg.get("any_policy", "infer"))
+
+    def ack(self) -> None:
+        if self._pending is not None:
+            self.state.set("mtime", self._pending)
+            self._pending = None
+
+
+class ExcelWatch:
+    """S5 poll-watch (excel_connector/src/source.rs:237-241): each poll
+    re-globs the pattern; new or modified workbooks are re-parsed and
+    their rows re-emitted (per-file mtime cursor — unchanged workbooks
+    don't re-emit)."""
+
+    def __init__(self, spark: SparkSession, cfg: dict[str, Any],
+                 state: StateStore):
+        self.spark, self.cfg, self.state = spark, cfg, state
+        self._pending: dict[str, float] | None = None
+
+    def poll(self) -> DataFrame | None:
+        from mycelial_spark.sources.xlsx import (read_excel,
+                                                 read_excel_distributed)
+        seen: dict[str, float] = dict(self.state.get("mtimes", {}))
+        changed: dict[str, float] = {}
+        for path in sorted(_glob.glob(self.cfg["path"])):
+            mt = os.path.getmtime(path)
+            if mt > seen.get(path, 0.0):
+                changed[path] = mt
+        if not changed:
+            return None
+        self._pending = {**seen, **changed}
+        frames = []
+        for path in changed:
+            if self.cfg.get("strict"):
+                frames.append(read_excel(self.spark, path,
+                                         self.cfg.get("sheets", "*"),
+                                         strict=True))
+            else:
+                frames.append(read_excel_distributed(
+                    self.spark, path, self.cfg.get("sheets", "*")))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def ack(self) -> None:
+        if self._pending is not None:
+            self.state.set("mtimes", self._pending)
+            self._pending = None
+
+
+class DirWatch:
+    """S6 cursor-advancing directory source (dir/src/source.rs:30-312):
+    each poll lists the directory, keeps paths matching ``pattern`` that
+    sort after the persisted cursor, emits them ({path} rows, or file
+    bytes with stream_binary), and advances the cursor to the max emitted
+    path on ack — the reference's lexicographic start_after semantics
+    (files that appear later under earlier names are skipped by design)."""
+
+    def __init__(self, spark: SparkSession, cfg: dict[str, Any],
+                 state: StateStore):
+        self.spark, self.cfg, self.state = spark, cfg, state
+        self._pending: str | None = None
+
+    def poll(self) -> DataFrame | None:
+        from mycelial_spark.plans.sections import REGISTRY
+        cursor = str(self.state.get("cursor",
+                                    self.cfg.get("start_after") or ""))
+        cfg = {"path": self.cfg["path"],
+               "pattern": self.cfg.get("pattern", ""),
+               "start_after": cursor,
+               "stream_binary": bool(self.cfg.get("stream_binary", False))}
+        df = REGISTRY.get("dir_source").builder(self.spark, cfg)
+        # binaryFile fixes its file listing at load() time, so the agg and
+        # the sink write see the same snapshot; one max-string comes back
+        top = df.agg(F.max("path")).collect()[0][0]
+        if top is None:
+            return None
+        self._pending = top
+        return df
+
+    def ack(self) -> None:
+        if self._pending is not None:
+            self.state.set("cursor", self._pending)
+            self._pending = None
+
+
+class StatefulPoll:
+    """The S1 stateful_query poll wrapped in the same protocol: an empty
+    poll acks immediately (source.rs:184-188) and skips the tick."""
+
+    def __init__(self, sq, backend, dialect):
+        self.sq, self.backend, self.dialect = sq, backend, dialect
+
+    def poll(self) -> DataFrame | None:
+        batch = self.sq.run_with(self.backend, self.dialect)
+        if self.sq.last_count == 0:
+            self.sq.ack()
+            return None
+        return batch
+
+    def ack(self) -> None:
+        self.sq.ack()
+
+
+def make_poll_adapter(spark: SparkSession, stype: str, cfg: dict[str, Any],
+                      state_path: str):
+    """Build the poll adapter for a continuous source node. Returns
+    (adapter, poll_interval_millis)."""
+    interval = int(cfg.get("poll_interval_millis", 1000) or 1000)
+    if stype == "stateful_query":
+        from mycelial_spark.plans.sections import build_stateful_source
+        sq, backend, dialect = build_stateful_source(spark, cfg)
+        return StatefulPoll(sq, backend, dialect), interval
+    state = StateStore(state_path)
+    watchers = {"sqlite_source": SqliteWatch, "excel_source": ExcelWatch,
+                "dir_source": DirWatch}
+    if stype not in watchers:
+        raise ValueError(f"no poll adapter for source type {stype!r}")
+    return watchers[stype](spark, cfg, state), interval
