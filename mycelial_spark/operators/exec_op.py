@@ -103,12 +103,27 @@ def pipe_partitions(df: DataFrame, command: list[str],
 
 def exec_rows(df: DataFrame, command: list[str], row_as_args: bool = True,
               env: dict[str, str] | None = None,
-              ack_passthrough: bool = True) -> DataFrame:
-    """df mode: one subprocess per row; row expands to --col=val argv.
+              ack_passthrough: bool = True,
+              reuse_process: bool = False) -> DataFrame:
+    """df mode: run the command per row; row expands to --col=val argv.
 
     With ack_passthrough the input row flows through untouched plus an
     ``exec_output`` column (df.rs ack_passthrough semantics); otherwise
     only (exec_output) rows are produced.
+
+    THROUGHPUT CEILING (reference parity by spec, df.rs:66-97): the
+    default mode forks one subprocess PER ROW — fork+exec costs ~1-5 ms,
+    capping a partition at roughly 200-1000 rows/s/core regardless of
+    what the command does. It exists for side-effectful per-row commands;
+    bulk transforms belong in bin mode (``pipe_partitions``) or in
+    ``reuse_process``.
+
+    ``reuse_process=True`` amortizes the fork: ONE subprocess per
+    partition, each row written to its stdin as a JSON object line, one
+    output line read back per row (lockstep write/read — deadlock-free
+    because each side is one line). The command must emit exactly one
+    line per input line and flush per line (``python -u``, ``sed -u``,
+    ``awk``+fflush, ``stdbuf -oL``). row_as_args doesn't apply.
     """
     in_schema = df.schema
     fields = list(in_schema.fields) if ack_passthrough else []
@@ -131,4 +146,37 @@ def exec_rows(df: DataFrame, command: list[str], row_as_args: bool = True,
             pdf["exec_output"] = outputs
             yield pdf
 
-    return df.mapInPandas(run, schema)
+    def run_reused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import os
+        proc = None
+        try:
+            for pdf in batches:
+                if len(pdf) and proc is None:
+                    proc = subprocess.Popen(
+                        command, stdin=subprocess.PIPE,
+                        stdout=subprocess.PIPE,
+                        stderr=subprocess.DEVNULL,
+                        env={**os.environ, **(env or {})}, text=True)
+                outputs = []
+                for _, row in pdf.iterrows():
+                    proc.stdin.write(json.dumps(
+                        {c: (None if pd.isna(row[c]) else str(row[c]))
+                         for c in cols}) + "\n")
+                    proc.stdin.flush()
+                    line = proc.stdout.readline()
+                    if line == "":
+                        raise RuntimeError(
+                            f"exec reuse_process: {command} closed stdout "
+                            "mid-stream (must emit one line per input line)")
+                    outputs.append(line.rstrip("\n"))
+                out = (pdf.copy() if ack_passthrough
+                       else pd.DataFrame(index=pdf.index))
+                out["exec_output"] = outputs
+                yield out
+        finally:
+            if proc is not None:
+                proc.stdin.close()
+                proc.wait()
+
+    return df.mapInPandas(run_reused if reuse_process else run, schema)

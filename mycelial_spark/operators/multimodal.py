@@ -4,11 +4,13 @@ Design (north-star): a multimodal table is ``(id, modality, payload binary,
 meta struct)``. All heavy per-item work (decode, feature extraction,
 resize, frame sampling) runs as Arrow-batched pandas functions via
 ``mapInPandas`` — executors stream record batches, nothing ever collects
-to the driver, and partitioning controls worker parallelism. Real codecs
-(PIL/librosa/ffmpeg) are NOT in this container, so the codec step is
-isolated behind ``_decode_real`` (raises NotImplementedError) with a
-deterministic fake (``_decode_fake``) keeping the plumbing — schema,
-batch shape, UDF signatures — real and testable.
+to the driver, and partitioning controls worker parallelism. The AUDIO
+codec is REAL (stdlib ``wave``: duration/channels/rate/RMS, see
+``decode_wav``); image/video codecs (PIL/av) are not in this container,
+so those stay isolated behind ``_decode_real`` (raises
+NotImplementedError) with a deterministic fake (``_decode_fake``)
+keeping the plumbing — schema, batch shape, UDF signatures — real and
+testable.
 
 At 100 TB: payloads come from ``binaryFile``/object-store scans;
 ``repartition`` by byte-size buckets before mapInPandas keeps batches
@@ -46,10 +48,118 @@ def attach_payload(df: DataFrame, text_col: str = "text",
 
 
 def _decode_real(payload: bytes, modality: str):
-    """Real codec hook — requires PIL/librosa/av, absent in this container."""
+    """Real codec hook. Audio (WAV) decodes with the stdlib ``wave``
+    module — a real, zero-dependency codec; image/video still require
+    PIL/av, absent in this container."""
+    if modality == "audio":
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "install pillow/librosa/av and route _decode() here")
+        "image/video codecs are not available in this environment; "
+        "install pillow/av and route _decode_real() there")
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a RIFF/WAVE payload: container metadata + signal RMS.
+
+    PCM widths 1/2/4 bytes normalized to [-1, 1); RMS over all samples
+    (channel-interleaved — RMS is permutation-invariant). The audio leg
+    of the reference's opaque-binary multimodal columns, made real at
+    zero dependency cost.
+    """
+    import io
+    import wave
+
+    import numpy as np
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        channels = w.getnchannels()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:   # 8-bit WAV is unsigned
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                   - 128.0) / 128.0
+    elif width == 4:
+        samples = (np.frombuffer(raw, dtype="<i4").astype(np.float64)
+                   / 2147483648.0)
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    rms = float(np.sqrt(np.mean(samples ** 2))) if samples.size else 0.0
+    return {"channels": channels, "sample_rate": rate, "sample_width": width,
+            "n_frames": n_frames,
+            "duration_ms": round(n_frames * 1000.0 / rate, 3),
+            "rms": round(rms, 6)}
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("sample_width", T.IntegerType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("duration_ms", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+])
+
+
+def audio_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """WAV feature extraction over Arrow batches: (id, payload) ->
+    AUDIO_SCHEMA rows via the real stdlib codec.
+
+    ``on_error="null"`` emits null features for undecodable payloads
+    (poison-row tolerance — at corpus scale one truncated file must not
+    kill the job); "raise" (default) fails fast.
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    meta = decode_wav(payload)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    meta = {}
+                rows.append({"id": doc_id, "n_bytes": len(payload), **meta})
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def synth_wav(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              sample_rate: int = 8000) -> DataFrame:
+    """Test-fixture adapter: PCM16 mono WAV whose data chunk is the UTF-8
+    bytes of the text, truncated to an even length — deterministic and
+    cross-engine checkable (n_frames = floor(octet_length(text)/2);
+    file size = 44-byte canonical header + data)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                data = data[:len(data) // 2 * 2]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(data)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "audio",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
 
 
 def _decode_fake(payload: bytes) -> dict:

@@ -39,9 +39,10 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 # Script character classes for languages that do NOT whitespace-segment:
 # the score is the count of characters in the script range (regexp_count,
-# pure codegen). Caveat: kanji in Japanese text count toward zh and kana
-# toward ja, so kana-light Japanese can read as zh — the honest limit of
-# a lexicon-free heuristic.
+# pure codegen). Kanji count toward zh, so kanji-heavy Japanese would
+# read as zh on raw argmax — the kana tiebreak below (kana occur in
+# Japanese, not Chinese) flips a zh verdict to ja whenever any kana is
+# present.
 LANG_SCRIPTS: dict[str, str] = {
     "zh": "[一-鿿]",                # CJK unified ideographs
     "ja": "[぀-ゟ゠-ヿ]",   # hiragana + katakana
@@ -117,9 +118,13 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     scores = [F.struct(score.alias("score"), F.lit(lang).alias("lang"))
               for lang, score in sorted(per_lang.items())]
     best = F.array_max(F.array(*scores))
+    # kana tiebreak: kana appear in Japanese but not Chinese, so a zh
+    # argmax (kanji-dominated) with ANY kana present is Japanese
+    pred = F.when((best["lang"] == "zh") & (per_lang["ja"] > 0), F.lit("ja")) \
+            .otherwise(best["lang"])
     return df.withColumn(
         "pred_lang",
-        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
+        F.when(best["score"] > 0, pred).otherwise(F.lit("und")))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",

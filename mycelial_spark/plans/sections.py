@@ -554,18 +554,23 @@ def text_stats_(spark, cfg, inputs):
             Field("row_as_args", "bool", True),
             Field("ack_passthrough", "bool", True),
             Field("chunk_output", "bool", False),
+            Field("reuse_process", "bool", False),
             Field("env", "json", default={})],
            doc="S9 exec section: stream_binary=True pipes partition bytes "
                "through the command in 16 KiB chunks (bin mode; "
                "chunk_output=True also chunks stdout rows); otherwise one "
-               "subprocess per row with --col=val argv (df mode).")
+               "subprocess per row with --col=val argv (df mode, ~1-5 ms "
+               "fork cost per row — the documented slow path). "
+               "reuse_process=True batches df-mode rows through one "
+               "process per partition over JSON stdin lines.")
 def exec_(spark, cfg, inputs):
     from mycelial_spark.operators.exec_op import exec_rows, pipe_partitions
     if cfg["stream_binary"]:
         return pipe_partitions(inputs[0], cfg["command"], cfg["env"] or None,
                                chunk_output=cfg["chunk_output"])
     return exec_rows(inputs[0], cfg["command"], cfg["row_as_args"],
-                     cfg["env"] or None, cfg["ack_passthrough"])
+                     cfg["env"] or None, cfg["ack_passthrough"],
+                     reuse_process=cfg["reuse_process"])
 
 
 @_register("multimodal_features", "transform", "bin_or_dataframe", "dataframe",

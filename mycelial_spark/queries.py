@@ -879,7 +879,8 @@ SELECT doc_id, CASE
   WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
        AND s_ja = 0 AND s_ko = 0 AND s_zh = 0 THEN 'und'
   WHEN s_zh >= s_ko AND s_zh >= s_ja AND s_zh >= s_fr AND s_zh >= s_es
-       AND s_zh >= s_en AND s_zh >= s_de THEN 'zh'
+       AND s_zh >= s_en AND s_zh >= s_de
+       THEN CASE WHEN s_ja > 0 THEN 'ja' ELSE 'zh' END
   WHEN s_ko >= s_ja AND s_ko >= s_fr AND s_ko >= s_es
        AND s_ko >= s_en AND s_ko >= s_de THEN 'ko'
   WHEN s_ja >= s_fr AND s_ja >= s_es AND s_ja >= s_en AND s_ja >= s_de
@@ -1001,6 +1002,30 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycelial_spark.operators.multimodal import attach_payload, extract_features
     docs = spread(_t(spark, sf_dir, "documents"))
     return extract_features(attach_payload(docs))
+
+
+@query("audio_wav_features", """
+SELECT doc_id AS id,
+       CAST(44 + 2 * (octet_length(encode(text)) // 2) AS BIGINT) AS n_bytes,
+       CAST(1 AS INT) AS channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(2 AS INT) AS sample_width,
+       CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames,
+       round((octet_length(encode(text)) // 2) * 1000.0 / 8000, 3)
+         AS duration_ms
+FROM documents
+""")
+def audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: synthesize PCM16 WAV payloads from the
+    document bytes (deterministic fixture), decode with the stdlib wave
+    codec in mapInPandas (operators/multimodal.py decode_wav), verify
+    container metadata cross-engine. RMS is computed too but excluded
+    here — int16 reinterpretation of UTF-8 bytes isn't SQL-expressible;
+    tests/test_multimodal_wav.py checks it against known waveforms."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import audio_features, synth_wav
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return audio_features(synth_wav(docs)).drop("rms")
 
 
 @query("dedup_embedding_pairs", """

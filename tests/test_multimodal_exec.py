@@ -50,6 +50,32 @@ def test_exec_rows_passthrough(spark):
     assert set(out[0].asDict()) == {"k", "v", "exec_output"}
 
 
+def test_exec_rows_reuse_process(spark):
+    """reuse_process amortizes the per-row fork: one process per
+    partition, JSON lines in, one output line back per row."""
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)],
+                               "k long, v string").repartition(2)
+    cmd = ["python", "-u", "-c",
+           "import sys, json\n"
+           "for line in sys.stdin:\n"
+           "    row = json.loads(line)\n"
+           "    print(row['v'].upper())"]
+    out = {r["k"]: r["exec_output"]
+           for r in exec_rows(df, cmd, reuse_process=True).collect()}
+    assert out == {i: f"V{i}" for i in range(20)}
+
+
+def test_exec_rows_reuse_process_broken_command(spark):
+    """A command that stops emitting lines surfaces a clear error, not a
+    hang (lockstep line protocol)."""
+    import pytest
+    df = spark.createDataFrame([(1,), (2,)], "k long").coalesce(1)
+    with pytest.raises(Exception, match="closed stdout|one line|Broken pipe"):
+        exec_rows(df, ["python", "-u", "-c",
+                       "import sys; sys.stdin.readline(); print('once')"],
+                  reuse_process=True).collect()
+
+
 def test_exec_rows_no_passthrough(spark):
     df = spark.createDataFrame([(5,)], "k long")
     out = exec_rows(df, ["echo", "fixed"], row_as_args=False,

@@ -1,0 +1,88 @@
+"""Real audio codec path: stdlib-wave WAV decode as a first-class
+multimodal operator (the audio leg of the reference's opaque-binary
+multimodal columns; image/video stay stubbed behind _decode_real)."""
+
+import io
+import math
+import struct
+import wave
+
+import pytest
+
+from mycelial_spark.operators import multimodal as MM
+
+
+def _wav_bytes(samples, rate=16000, channels=1, width=2):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 2:
+            w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+        else:
+            w.writeframes(bytes(samples))
+    return buf.getvalue()
+
+
+def test_decode_wav_sine_rms():
+    """A full-scale int16 sine has RMS amplitude/sqrt(2)."""
+    n, rate = 16000, 16000
+    amp = 30000
+    samples = [int(amp * math.sin(2 * math.pi * 440 * i / rate))
+               for i in range(n)]
+    meta = MM.decode_wav(_wav_bytes(samples, rate=rate))
+    assert meta["channels"] == 1
+    assert meta["sample_rate"] == rate
+    assert meta["sample_width"] == 2
+    assert meta["n_frames"] == n
+    assert meta["duration_ms"] == 1000.0
+    expect = (amp / 32768.0) / math.sqrt(2)
+    assert abs(meta["rms"] - expect) < 1e-3
+
+
+def test_decode_wav_stereo_and_8bit():
+    stereo = MM.decode_wav(_wav_bytes([0, 0, 1000, -1000], channels=2))
+    assert stereo["channels"] == 2 and stereo["n_frames"] == 2
+    eight = MM.decode_wav(_wav_bytes([128, 128, 255, 0], width=1))
+    assert eight["sample_width"] == 1
+    assert eight["rms"] > 0
+
+
+def test_decode_real_routes_audio_only():
+    meta = MM._decode_real(_wav_bytes([1, 2, 3, 4]), "audio")
+    assert meta["n_frames"] == 4
+    with pytest.raises(NotImplementedError):
+        MM._decode_real(b"\x89PNG", "image")
+
+
+def test_audio_features_distributed(spark):
+    """mapInPandas WAV decode round trip, including the poison-row path."""
+    rows = [(1, _wav_bytes([100] * 800, rate=8000)),
+            (2, _wav_bytes([0, 0, 0, 0], rate=16000)),
+            (3, b"not a wav at all")]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    good = df.filter("id < 3")
+    out = {r["id"]: r for r in MM.audio_features(good).collect()}
+    assert out[1]["n_frames"] == 800 and out[1]["duration_ms"] == 100.0
+    assert out[2]["rms"] == 0.0
+    # poison row: raise by default, null features when tolerated
+    with pytest.raises(Exception):
+        MM.audio_features(df).collect()
+    tol = {r["id"]: r for r in
+           MM.audio_features(df, on_error="null").collect()}
+    assert tol[3]["channels"] is None and tol[3]["n_bytes"] == 16
+    assert tol[1]["n_frames"] == 800
+
+
+def test_synth_wav_matches_codec(spark):
+    """The fixture adapter and the codec agree on the container contract
+    (44-byte canonical header + even-truncated UTF-8 data)."""
+    df = spark.createDataFrame([(7, "hello world"), (8, "ab")],
+                               "doc_id long, text string")
+    out = {r["id"]: r for r in
+           MM.audio_features(MM.synth_wav(df)).collect()}
+    assert out[7]["n_frames"] == 5      # 11 bytes -> 10 -> 5 frames
+    assert out[7]["n_bytes"] == 44 + 10
+    assert out[7]["sample_rate"] == 8000
+    assert out[8]["n_frames"] == 1

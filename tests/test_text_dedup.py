@@ -87,11 +87,13 @@ def test_lang_id_cjk_scripts(spark):
         [(1, "这是一个中文句子"),   # zh
          (2, "これは日本語の文です"),  # ja (kana-heavy)
          (3, "이것은 한국어 문장입니다"),  # ko
-         (4, "the 中 dog and the cat is here")],  # 1 CJK char, en wins
+         (4, "the 中 dog and the cat is here"),  # 1 CJK char, en wins
+         (5, "東京都の大学病院")],  # kanji-heavy ja: zh argmax, kana tiebreak
         "doc_id long, text string")
     out = {r["doc_id"]: r["pred_lang"] for r in TX.with_lang_id(df).collect()}
     assert out[1] == "zh" and out[2] == "ja" and out[3] == "ko"
     assert out[4] == "en"
+    assert out[5] == "ja"   # a single kana (の) flips the kanji zh verdict
 
 
 def test_connected_components_chain_and_islands(spark):
