@@ -88,21 +88,46 @@ def main() -> None:
         if fn is not None:
             fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    def release_cached() -> None:
+        # Several operators persist intermediates (LSH signatures, CC
+        # localCheckpoints) that only unpersist via GC; across 39 queries
+        # x 4 executions in one JVM that accumulates storage pressure and
+        # showed up as multi-second GC outliers on LATER queries. Release
+        # between queries so each measurement pays its own memory only.
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
-        # best-of-3: the first execution can pay a codegen recompile (the
-        # generated-class cache holds ~100 entries — a long query sequence
-        # evicts earlier compilations) and stray GC pauses; the best run
-        # reflects the plan itself.
+        # best-of-3: stray GC pauses happen; the best run reflects the
+        # plan itself. Codegen recompiles are off the table — the session
+        # sizes spark.sql.codegen.cache.maxEntries so the warmup pass's
+        # compilations survive the whole suite.
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        release_cached()
+
+    # Calibration constants: fixed workloads independent of any operator
+    # here, so a future run can tell an environment shift (contended /
+    # downclocked sandbox moves these) from a code regression (these hold
+    # while a query moves). r3's artifact regressed 2.4x on paper purely
+    # from machine load — this makes that diagnosable inside the artifact.
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id * 3)").collect()
+    cal_cpu = round(time.time() - t0, 3)
+    t0 = time.time()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    cal_scan = round(time.time() - t0, 3)
 
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -110,6 +135,8 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "calibration": {"jvm_range_sum_sec": cal_cpu,
+                        "lineitem_scan_count_sec": cal_scan},
     }
     print(json.dumps(out))
 

@@ -32,6 +32,12 @@ _DEFAULT_CONF = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
+    # static conf: the generated-class cache defaults to 100 entries; this
+    # engine's suite has far more codegen'd query shapes, and eviction
+    # costs a multi-second Janino recompile on re-execution (the wide
+    # dedup signature expressions are the worst). Sized so every shape in
+    # a long session stays compiled.
+    "spark.sql.codegen.cache.maxEntries": "2000",
     # harness fixtures write TIMESTAMP(NANOS) parquet (events.ts), which the
     # vanilla reader rejects; read as long and re-derive in catalog.load_table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
