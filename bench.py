@@ -46,6 +46,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
     "dedup_clusters",
+    "decontaminate",
+    "q8_market_share",
     "text_stats",
     "doc_fingerprint",
     "token_topk",

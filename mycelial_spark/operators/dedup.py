@@ -275,6 +275,48 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
 
 
+def decontaminate(df: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ngram: int = 5, threshold: int = 1,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    >= ``threshold`` distinct word n-grams with a benchmark/eval set —
+    the standard guard against test-set leakage in a training corpus.
+
+    Returns (id_col, n_overlap, contaminated) for EVERY input doc.
+
+    Scale: both sides reduce to 8-byte shingle hashes (xxhash64 of the
+    n-gram string — join on hash ≡ join on string modulo 64-bit
+    collisions); the benchmark side is distinct-collapsed and BROADCAST
+    (eval sets are small — set broadcast_benchmark=False for a giant
+    one and the join becomes a narrow shuffle). The corpus side explodes
+    to one row per distinct shingle, count-distinct collapses map-side.
+    """
+    toks = tokens(F.col(text_col))
+    n_sh = F.greatest(F.size(toks) - (ngram - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, ngram))))
+
+    corpus = (spread(df)
+              .select(F.col(id_col),
+                      F.explode(F.array_distinct(grams)).alias("sh")))
+    bench = (spread(benchmark)
+             .select(F.explode(F.array_distinct(grams)).alias("sh"))
+             .distinct())
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    hits = (corpus.join(bench, "sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return (df.select(id_col)
+            .join(hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) >= threshold)
+                    .alias("contaminated")))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over the token stream (unweighted).

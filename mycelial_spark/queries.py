@@ -1004,6 +1004,80 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+@query("decontaminate", """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') t
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 4, 0) + 1),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                || ' ' || t[i+4])) g
+  FROM toks
+), bench AS (
+  SELECT DISTINCT unnest(g) s FROM grams WHERE source = 'src0'
+), corpus AS (
+  SELECT doc_id, unnest(g) s FROM grams WHERE source != 'src0'
+), hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM corpus JOIN bench USING (s) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.source != 'src0'
+""")
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (test-set-leakage guard): training docs
+    sharing any distinct 5-gram with the benchmark slice (source=src0)
+    are flagged. Spark joins on xxhash64 of the n-gram (8-byte keys,
+    benchmark side broadcast); the oracle joins on the n-gram strings —
+    identical result set modulo 64-bit collisions."""
+    from mycelial_spark.operators.dedup import decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs.filter(F.col("source") != "src0"),
+                         docs.filter(F.col("source") == "src0"))
+
+
+@query("doc_repetition", """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         greatest(len(toks) - 2, 0) AS n_sh,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) sh
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_sh AS BIGINT) AS n_shingles,
+       CAST(n_sh - len(sh) AS BIGINT) AS n_repeated,
+       round((n_sh - len(sh)) * 1.0 / greatest(n_sh, 1), 6) AS rep_ratio
+FROM g
+""")
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of 3-gram occurrences that are
+    duplicates of an earlier occurrence — the boilerplate/template signal
+    quality filters cut on. Pure codegen: rolling shingle hashes from the
+    fingerprint machinery (distinct ≡ distinct strings modulo 64-bit
+    collisions), no shuffle, no UDF."""
+    from mycelial_spark.operators.text import tokens, with_fingerprint
+    docs = with_fingerprint(_t(spark, sf_dir, "documents"), ngram=3)
+    n_sh = F.greatest(F.size(tokens(F.col("text"))) - 2, F.lit(0)) \
+        .cast("long")
+    n_dis = F.size("shingle_hashes").cast("long")
+    return docs.select(
+        "doc_id",
+        n_sh.alias("n_shingles"),
+        (n_sh - n_dis).alias("n_repeated"),
+        F.round((n_sh - n_dis) / F.greatest(n_sh, F.lit(1)), 6)
+         .alias("rep_ratio"))
+
+
 @query("audio_wav_features", """
 SELECT doc_id AS id,
        CAST(44 + 2 * (octet_length(encode(text)) // 2) AS BIGINT) AS n_bytes,
@@ -1747,6 +1821,72 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.round(F.sum(F.col("l_extendedprice")
                                 * (1 - F.col("l_discount"))), 2)
                   .alias("revenue")))
+
+
+@query("q8_market_share", """
+WITH flat AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part      ON p_partkey = l_partkey
+  JOIN supplier  ON s_suppkey = l_suppkey
+  JOIN orders    ON o_orderkey = l_orderkey
+  JOIN customer  ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                      ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM flat GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share inside a region's market.
+    All five dims broadcast (part/supplier pre-filtered, customer cut to
+    the region via the nation x region broadcast chain); lineitem->orders
+    is the only big-big shuffle, on the orderkey both sides already
+    produce. The date filter pushes into the orders scan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice",
+        "l_discount")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY") \
+        .select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")) \
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(n.join(F.broadcast(r),
+                                  F.col("n_regionkey") == F.col("r_regionkey"))
+                            .select("n_nationkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("snk"))
+         .select("s_suppkey", "supp_nation"))
+    flat = (li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+              .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+              .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+              .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+              .select(F.year("o_orderdate").alias("o_year"),
+                      (F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).alias("volume"),
+                      "supp_nation"))
+    target = F.when(F.col("supp_nation") == "NATION_1",
+                    F.col("volume")).otherwise(F.lit(0.0))
+    return (flat.groupBy("o_year")
+            .agg(F.round(F.sum(target) / F.sum("volume"), 6)
+                 .alias("mkt_share")))
 
 
 @query("q13_order_count_dist", """

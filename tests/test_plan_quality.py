@@ -41,6 +41,30 @@ def test_star_joins_all_broadcast(spark, name, njoins):
     assert a["exchanges"] <= 1, f"{name}: unexpected extra shuffle"
 
 
+def test_q8_one_fact_shuffle_rest_broadcast(spark):
+    """Q8: five dims broadcast; lineitem->orders is the only big-big
+    join. Budget: the fact-fact SMJ/shuffle plus the final agg exchange."""
+    a = audit(plan_of(spark, "q8_market_share"))
+    assert a["bhj"] >= 4, "dims must broadcast"
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["exchanges"] <= 3, "q8: more shuffles than fact join + agg"
+
+
+def test_decontaminate_benchmark_broadcast(spark):
+    """The benchmark shingle set must broadcast — the corpus side at
+    100 TB must never shuffle on shingle."""
+    a = audit(plan_of(spark, "decontaminate"))
+    assert a["bhj"] >= 1
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+
+
+def test_doc_repetition_is_narrow(spark):
+    """Per-doc repetition is a pure projection: zero exchanges."""
+    a = audit(plan_of(spark, "doc_repetition"))
+    assert a["exchanges"] == 0
+    assert a["bhj"] + a["smj"] + a["bnlj"] == 0
+
+
 def test_q6_predicates_reach_scan(spark):
     a = audit(plan_of(spark, "q6_forecast_revenue"))
     pushed = " ".join(a["pushed"])

@@ -107,6 +107,37 @@ def test_connected_components_chain_and_islands(spark):
     assert comp[10] == comp[11] == 10
 
 
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A training doc sharing one 5-gram with the benchmark is flagged;
+    shorter overlaps (<5 contiguous tokens) are not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "we saw the quick brown fox jumps too"),      # 5-gram overlap
+         (2, "quick brown fox leaps high today indeed"),   # only 3 shared
+         (3, "совершенно unrelated text here with words")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.decontaminate(corpus, bench).collect()}
+    assert out[1]["contaminated"] and out[1]["n_overlap"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_overlap"] == 0
+    assert not out[3]["contaminated"]
+    assert len(out) == 3    # every corpus doc reported
+
+
+def test_decontaminate_shuffle_mode_matches_broadcast(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(i, f"padding {i} one two three four five") for i in range(10)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, D.decontaminate(corpus, bench).collect()))
+    b = sorted(map(tuple, D.decontaminate(
+        corpus, bench, broadcast_benchmark=False).collect()))
+    assert a == b and all(t[2] for t in a)
+
+
 def test_connected_components_high_diameter_chain(spark):
     """A 200-edge path has diameter 200 — naive min-label propagation
     needs ~200 rounds and silently returned split components past its
