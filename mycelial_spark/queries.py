@@ -1004,6 +1004,36 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_payload(docs))
 
 
+@query("recursive_date_spine", """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '2001-07-01'
+)
+SELECT m AS month_start, count(o_orderkey) AS n_orders
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+""")
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, native in Spark 4): generate a
+    month spine across the order-date range and left-join order counts
+    onto it — gap months survive with zero. The recursion runs in the
+    engine (UnionLoop), not driver-side — the SQL surface the reference
+    pushes to source DBs (S1-S4 query strings) executes natively here."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '2001-07-01'
+      )
+      SELECT m AS month_start, count(o_orderkey) AS n_orders
+      FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      GROUP BY m""")
+
+
 @query("decontaminate", """
 WITH toks AS (
   SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') t

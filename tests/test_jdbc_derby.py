@@ -122,6 +122,24 @@ def test_jdbc_source_empty_source_skips_partitioning(spark, tmp_path):
     assert df.count() == 0
 
 
+def test_jdbc_source_session_init_statement_runs_first(spark, tmp_path):
+    """S2 parity knob on a real wire: sessionInitStatement executes on
+    the connection BEFORE the query (the mysql UTC forcing,
+    mysql_connector/src/source.rs:60-63). Proven by setting a Derby
+    database property in the init statement and reading it back in the
+    query on the same connection."""
+    url = _url(tmp_path / "db")
+    _write(spark, url, "ITEMS", _items(spark, 1))   # boot the db
+    df = _read(
+        spark, url,
+        "SELECT CAST(SYSCS_UTIL.SYSCS_GET_DATABASE_PROPERTY('probe.key') "
+        "AS VARCHAR(32)) AS PROP FROM SYSIBM.SYSDUMMY1",
+        session_init_statement=(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY"
+            "('probe.key', 'set-before-query')"))
+    assert df.collect()[0][0] == "set-before-query"
+
+
 def test_stateful_query_jdbc_backend_poll_ack_restart(spark, tmp_path):
     """The S1 poll loop on the jdbc backend (stateful_query.rs:90-124):
     poll -> deliver -> ack advances the persisted watermark -> next poll
