@@ -195,7 +195,8 @@ def build_stateful_source(spark: SparkSession, cfg: dict[str, Any]):
     from mycelial_spark.streaming.incremental import StatefulQuery, StateStore
     state = StateStore(cfg["state_path"] or None)
     sq = StatefulQuery(cfg["query"], initial=cfg["initial"] or None,
-                       state=state)
+                       state=state,
+                       max_rows_per_poll=cfg.get("max_rows_per_poll", 0))
     backend_name = cfg["backend"]
     if backend_name == "sqlite":
         from mycelial_spark.sources import sqlite as sqlite_src
@@ -203,7 +204,9 @@ def build_stateful_source(spark: SparkSession, cfg: dict[str, Any]):
         def backend(sql: str) -> DataFrame:
             return sqlite_src.read_query(spark, cfg["path"], sql,
                                          cfg["any_policy"])
-        return sq, backend, "standard"
+        # "sqlite" renders literals like "standard" but pages with LIMIT
+        # (sqlite has no FETCH FIRST)
+        return sq, backend, "sqlite"
     if backend_name == "jdbc":
         def backend(sql: str) -> DataFrame:
             reader = (spark.read.format("jdbc")
@@ -236,7 +239,8 @@ def build_stateful_source(spark: SparkSession, cfg: dict[str, Any]):
             Field("table_views", "json", default={}),
             Field("initial", "json", default={}),
             Field("state_path", default=""),
-            Field("poll_interval_millis", "int", 1000)],
+            Field("poll_interval_millis", "int", 1000),
+            Field("max_rows_per_poll", "int", 0)],
            doc="S1 poll-loop incremental source: a query with $var::i64 "
                "placeholders, watermark persisted on ack "
                "(postgres_connector/src/source.rs:74-191 + "
@@ -948,19 +952,25 @@ def redshift_dest(spark, cfg, df):
     return {"origin": cfg["origin"], "objects": len(stmts)}
 
 
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """(key, value) frame for D8: value = the row as a JSON object (origin
+    column excluded), key = the message's routing origin
+    (destination.rs:75-110 keys every record by origin); constant
+    fallback only for origin-less frames. Pure — unit-testable without a
+    broker, the same pattern as redshift_copy_statements."""
+    key = (F.col(X.ORIGIN_COL).cast("string")
+           if X.ORIGIN_COL in df.columns else F.lit("origin"))
+    value_cols = [c for c in df.columns if c != X.ORIGIN_COL] or df.columns
+    return df.select(F.to_json(F.struct(*value_cols)).alias("value"),
+                     key.alias("key"))
+
+
 @_register("kafka_dest", "destination", "dataframe", "none",
            [Field("brokers"), Field("topic")],
            doc="D8 kafka destination: each row -> JSON object, key=origin "
                "(destination.rs:75-110); to_json(struct(*)) -> kafka writer.")
 def kafka_dest(spark, cfg, df):
-    # key = the message's routing origin when the frame carries one
-    # (destination.rs:75-110 keys every record by origin); constant
-    # fallback only for origin-less frames.
-    key = (F.col(X.ORIGIN_COL).cast("string")
-           if X.ORIGIN_COL in df.columns else F.lit("origin"))
-    value_cols = [c for c in df.columns if c != X.ORIGIN_COL] or df.columns
-    payload = df.select(F.to_json(F.struct(*value_cols)).alias("value"),
-                        key.alias("key"))
+    payload = kafka_payload(df)
     try:
         (payload.write.format("kafka")
          .option("kafka.bootstrap.servers", cfg["brokers"])

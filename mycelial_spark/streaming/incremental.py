@@ -96,7 +96,8 @@ class StatefulQuery:
     """Incremental query with persisted high-watermark state."""
 
     def __init__(self, sql: str, initial: dict[str, Any] | None = None,
-                 state: StateStore | None = None, track: dict[str, str] | None = None):
+                 state: StateStore | None = None, track: dict[str, str] | None = None,
+                 max_rows_per_poll: int = 0):
         self.sql = sql
         self.state = state or StateStore()
         self.placeholders = [(m.group("name"), m.group("type"))
@@ -112,12 +113,37 @@ class StatefulQuery:
         # overridable for compound predicates)
         self.track = track or {m.group("name"): m.group("col")
                                for m in _TRACK.finditer(sql)}
+        # Bounded micro-batches: page the backlog ORDER BY the tracked
+        # cursor — the watermark advances to max(delivered page), so the
+        # next poll resumes exactly past it. A huge first backlog then
+        # streams in max_rows_per_poll chunks instead of one giant batch.
+        # Requires ONE tracked cursor column, and that column should be
+        # unique (ties at the page boundary past the limit would be
+        # skipped by the next `col > wm` poll — same contract as any
+        # cursor pagination).
+        self.max_rows_per_poll = int(max_rows_per_poll or 0)
+        if self.max_rows_per_poll and len(self.track) != 1:
+            raise ValueError(
+                "max_rows_per_poll needs exactly one tracked cursor "
+                f"column; parsed {sorted(self.track.values())}")
 
     def rendered_sql(self, dialect: str = "spark") -> str:
         def sub(m: re.Match) -> str:
             return _sql_literal(self.state.get(m.group("name")),
                                 m.group("type"), dialect)
-        return _PLACEHOLDER.sub(sub, self.sql)
+        sql = _PLACEHOLDER.sub(sub, self.sql)
+        if self.max_rows_per_poll:
+            # unqualify ("t.id" -> "id"): the cursor is re-selected from
+            # the wrapping subquery
+            col = next(iter(self.track.values())).split(".")[-1]
+            n = self.max_rows_per_poll
+            if dialect in ("spark", "sqlite"):
+                return (f"SELECT * FROM ({sql}) pg "
+                        f"ORDER BY {col} ASC LIMIT {n}")
+            # ANSI form (Derby/Postgres/...: no LIMIT in Derby)
+            return (f"SELECT * FROM ({sql}) pg ORDER BY {col} ASC "
+                    f"FETCH FIRST {n} ROWS ONLY")
+        return sql
 
     def run(self, spark: SparkSession) -> DataFrame:
         """Execute one poll; watermark advance happens in ``ack()``."""

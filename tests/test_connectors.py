@@ -90,6 +90,27 @@ def test_unreachable_connectors_raise_section_unavailable(spark, sf_dir):
             nation.selectExpr("n_name AS path"))
 
 
+def test_kafka_payload_shape_and_origin_key(spark, sf_dir):
+    """D8 record shape without a broker: value = JSON row (origin
+    excluded), key = the routing origin (destination.rs:75-110)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.transforms import ORIGIN_COL
+    from mycelial_spark.plans.sections import kafka_payload
+    df = (spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+          .withColumn(ORIGIN_COL,
+                      F.concat(F.lit("t_"), F.col("v"))))
+    rows = sorted(kafka_payload(df).collect(), key=lambda r: r["key"])
+    assert [r["key"] for r in rows] == ["t_a", "t_b"]
+    assert json.loads(rows[0]["value"]) == {"k": 1, "v": "a"}   # no origin
+    # origin-less frame: constant key, full row as value
+    plain = kafka_payload(spark.createDataFrame([(9,)], "k long")).collect()
+    assert plain[0]["key"] == "origin"
+    assert json.loads(plain[0]["value"]) == {"k": 9}
+
+
 def test_jdbc_source_schema_s2_parity():
     """S2 mysql parity knobs: sessionInitStatement (the SET time_zone =
     '+00:00' forcing, mysql_connector/src/source.rs:60-63) and partitioned

@@ -70,3 +70,36 @@ def test_partial_progress(spark, sf_dir):
     sq.ack()
     assert sq.state.get("wm") == 100
     assert sq.run(spark).count() == 0
+
+
+def test_max_rows_per_poll_pagination_sqlite(spark, tmp_path):
+    """Bounded micro-batches: a 5-row backlog with max_rows_per_poll=2
+    drains in pages of 2/2/1 with no loss or re-delivery — the watermark
+    advances to max(delivered page) each ack."""
+    import sqlite3
+
+    from mycelial_spark.plans.sections import build_stateful_source
+    db = str(tmp_path / "src.db")
+    with sqlite3.connect(db) as c:
+        c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, val TEXT)")
+        c.executemany("INSERT INTO t VALUES (?, ?)",
+                      [(i, f"v{i}") for i in range(1, 6)])
+    sdef_cfg = {"query": "SELECT id, val FROM t WHERE id > $wm::i64",
+                "backend": "sqlite", "path": db, "any_policy": "infer",
+                "initial": {"wm": 0}, "state_path": "", "url": "",
+                "user": "", "password": "", "driver": "",
+                "table_views": {}, "max_rows_per_poll": 2}
+    sq, backend, dialect = build_stateful_source(spark, sdef_cfg)
+    assert "LIMIT 2" in sq.rendered_sql(dialect)
+    pages = []
+    for _ in range(4):
+        batch = sq.run_with(backend, dialect)
+        pages.append(sorted(r["id"] for r in batch.collect()))
+        sq.ack()
+    assert pages == [[1, 2], [3, 4], [5], []]
+
+
+def test_max_rows_per_poll_needs_single_cursor():
+    with pytest.raises(ValueError, match="one tracked cursor"):
+        StatefulQuery("SELECT * FROM t WHERE a > $x::i64 AND b > $y::i64",
+                      initial={"x": 0, "y": 0}, max_rows_per_poll=10)

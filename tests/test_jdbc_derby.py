@@ -176,6 +176,27 @@ def test_stateful_query_jdbc_backend_poll_ack_restart(spark, tmp_path):
     assert [r["ID"] for r in sq2.run_with(backend2, dialect2).collect()] == [8]
 
 
+def test_stateful_query_jdbc_pagination_fetch_first(spark, tmp_path):
+    """max_rows_per_poll on the jdbc backend uses the ANSI FETCH FIRST
+    form (Derby has no LIMIT); a 7-row backlog drains 3/3/1."""
+    url = _url(tmp_path / "db")
+    _write(spark, url, "SRC", _items(spark, 7))
+    sdef = REGISTRY.get("stateful_query")
+    cfg = sdef.validate_config({
+        "type": "stateful_query", "backend": "jdbc", "url": url,
+        "driver": DRIVER,
+        "query": "SELECT ID, VAL FROM SRC WHERE ID > $wm::i64",
+        "initial": {"wm": -1}, "max_rows_per_poll": 3})
+    sq, backend, dialect = build_stateful_source(spark, cfg)
+    assert "FETCH FIRST 3 ROWS ONLY" in sq.rendered_sql(dialect)
+    pages = []
+    for _ in range(4):
+        batch = sq.run_with(backend, dialect)
+        pages.append(sorted(r["ID"] for r in batch.collect()))
+        sq.ack()
+    assert pages == [[0, 1, 2], [3, 4, 5], [6], []]
+
+
 def test_streaming_poll_loop_jdbc_source_end_to_end(spark, tmp_path):
     """Full wire e2e of the flagship S1 shape with a real JDBC database:
     a continuous poll loop over Derby, delivered to a sqlite sink, with
