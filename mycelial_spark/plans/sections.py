@@ -768,24 +768,30 @@ def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
            [Field("path"), Field("table", default=""),
             Field("truncate", "bool", False),
             Field("upsert_keys", default=""),
-            Field("route_by_origin", "bool", False)],
+            Field("route_by_origin", "bool", False),
+            Field("exactly_once", "bool", False)],
            doc="D2 sqlite destination (sections/sqlite_connector/src/"
                "destination.rs:30-177): BEGIN IMMEDIATE, auto-DDL from frame "
                "schema, optional DELETE FROM, INSERT OR IGNORE binds, commit "
                "then ack. upsert_keys (comma-separated) switches to SCD1 "
                "ON CONFLICT DO UPDATE — the MERGE-analog sink. "
                "route_by_origin=True writes each origin's rows to the table "
-               "named by the origin (destination.rs:87).")
+               "named by the origin (destination.rs:87). exactly_once=True "
+               "records the streaming (task, batch) marker transactionally "
+               "with the data, so a replayed micro-batch writes nothing.")
 def sqlite_dest(spark, cfg, df):
     from mycelial_spark.sources import sqlite as sq
     keys = [k.strip() for k in cfg["upsert_keys"].split(",") if k.strip()]
+    marker = tuple(cfg["_batch"]) if (cfg.get("exactly_once")
+                                      and cfg.get("_batch")) else None
     routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
     written = {}
     try:
         for table, part in routes:
             written[table] = sq.write_frame(part, cfg["path"], table,
                                             cfg["truncate"],
-                                            upsert_keys=keys or None)
+                                            upsert_keys=keys or None,
+                                            batch_marker=marker)
     finally:
         if pinned is not None:
             pinned.unpersist()

@@ -121,7 +121,8 @@ def _ddl(table: str, schema: T.StructType) -> str:
 def write_frame(df: DataFrame, path: str, table: str,
                 truncate: bool = False,
                 upsert_keys: list[str] | None = None,
-                batch_rows: int = 10000) -> int:
+                batch_rows: int = 10000,
+                batch_marker: tuple[str, int] | None = None) -> int:
     """Drain a DataFrame into the db with the reference's transaction
     shape. Returns rows written. Idempotent under re-delivery when the
     table has a primary key / unique index (INSERT OR IGNORE).
@@ -136,6 +137,13 @@ def write_frame(df: DataFrame, path: str, table: str,
     ``BEGIN IMMEDIATE`` transaction — the reference drains its input in
     chunks the same way (destination.rs:60-91); atomicity is the
     transaction's, not the buffer's.
+
+    ``batch_marker=(task_id, batch_id)`` upgrades at-least-once to
+    EXACTLY-once for replayed micro-batches (foreachBatch re-invokes
+    with the same batch_id after a crash between sink write and offset
+    commit): the marker row is inserted in the SAME transaction as the
+    data — per (task, batch, table), so origin-routed fan-outs dedupe
+    independently — and a marker that already exists skips the write.
     """
     schema = df.schema
     marks = ",".join("?" * len(schema.fields))
@@ -163,6 +171,17 @@ def write_frame(df: DataFrame, path: str, table: str,
     conn = sqlite3.connect(path, isolation_level=None)
     try:
         conn.execute("BEGIN IMMEDIATE")          # destination.rs:66
+        if batch_marker is not None:
+            conn.execute(
+                'CREATE TABLE IF NOT EXISTS "_mycelial_batches" '
+                "(task_id TEXT, batch_id INTEGER, tbl TEXT, "
+                "PRIMARY KEY (task_id, batch_id, tbl))")
+            cur = conn.execute(
+                'INSERT OR IGNORE INTO "_mycelial_batches" VALUES (?, ?, ?)',
+                (batch_marker[0], int(batch_marker[1]), table))
+            if cur.rowcount == 0:    # marker exists: batch already landed
+                conn.execute("ROLLBACK")
+                return 0
         conn.execute(ddl)
         if truncate:
             conn.execute(f'DELETE FROM "{table}"')

@@ -124,8 +124,12 @@ class StreamingPipeline:
 
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             # the reference's unit of work: write the whole frame, then the
-            # engine commits the offset (ack ordering, §1.5)
-            sink_def.builder(spark, sink_cfg, batch_df)
+            # engine commits the offset (ack ordering, §1.5). The (task,
+            # batch) identity rides along so exactly-once sinks can skip a
+            # replayed batch transactionally.
+            sink_def.builder(spark,
+                             {**sink_cfg, "_batch": [task_id, int(batch_id)]},
+                             batch_df)
 
         writer = (out_df.writeStream
                   .foreachBatch(write_batch)
@@ -194,7 +198,12 @@ class StreamingPipeline:
             for node_id, sdef, cfg, parents in plan:
                 results[node_id] = sdef.builder(
                     spark, cfg, [results[p] for p in parents])
-            sink_def.builder(spark, sink_cfg, results[sink_parent])
+            # (task, batch) identity for exactly-once sinks: a crash
+            # between sink write and tick-offset commit replays the SAME
+            # batch_id, and the marker makes the second write a no-op
+            sink_def.builder(spark,
+                             {**sink_cfg, "_batch": [task_id, int(batch_id)]},
+                             results[sink_parent])
             adapter.ack()  # commit-then-ack: cursor advances only now
 
         # the tick carries no data — it exists to schedule poll_batch; rate

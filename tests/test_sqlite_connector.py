@@ -167,3 +167,46 @@ def test_sqlite_dest_requires_table_or_routing(spark, sf_dir):
     cfg = sdef.validate_config({"type": "sqlite_dest", "path": "/tmp/x.db"})
     with _pytest.raises(ValueError, match="table"):
         sdef.builder(spark, {k: v for k, v in cfg.items() if k != "type"}, df)
+
+
+def test_exactly_once_batch_marker(spark, tmp_path):
+    """A replayed micro-batch (same task+batch id — foreachBatch's replay
+    contract after a crash before offset commit) writes NOTHING the
+    second time: the marker commits in the same transaction as the data."""
+    from mycelial_spark.sources.sqlite import write_frame
+    db = str(tmp_path / "out.db")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert write_frame(df, db, "sink", batch_marker=("task1", 7)) == 2
+    # replay: same (task, batch) -> skipped
+    assert write_frame(df, db, "sink", batch_marker=("task1", 7)) == 0
+    # next batch -> lands
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    assert write_frame(df2, db, "sink", batch_marker=("task1", 8)) == 1
+    # a different task's batch 7 is independent
+    assert write_frame(df2, db, "other", batch_marker=("task2", 7)) == 1
+    import sqlite3
+    with sqlite3.connect(db) as c:
+        assert sorted(r[0] for r in c.execute("SELECT id FROM sink")) \
+            == [1, 2, 3]
+
+
+def test_exactly_once_through_section_builder(spark, tmp_path):
+    """The sqlite_dest section honors exactly_once + the runner-injected
+    _batch identity, per routed table."""
+    from mycelial_spark.plans.sections import REGISTRY
+    db = str(tmp_path / "out.db")
+    sdef = REGISTRY.get("sqlite_dest")
+    cfg = sdef.validate_config({"type": "sqlite_dest", "path": db,
+                                "table": "sink", "exactly_once": True})
+    df = spark.createDataFrame([(1,)], "id long")
+    first = sdef.builder(spark, {**cfg, "_batch": ["t", 0]}, df)
+    replay = sdef.builder(spark, {**cfg, "_batch": ["t", 0]}, df)
+    assert first["rows"] == 1 and replay["rows"] == 0
+    # without exactly_once the same replay double-writes (at-least-once)
+    cfg2 = sdef.validate_config({"type": "sqlite_dest", "path": db,
+                                 "table": "raw"})
+    sdef.builder(spark, {**cfg2, "_batch": ["t", 0]}, df)
+    sdef.builder(spark, {**cfg2, "_batch": ["t", 0]}, df)
+    import sqlite3
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM raw").fetchone()[0] == 2

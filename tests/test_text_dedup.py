@@ -169,6 +169,41 @@ def test_connected_components_nonconvergence_signals(spark):
     assert any("did not converge" in str(w.message) for w in caught)
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on random graphs, the distributed large-star/
+    small-star result equals a driver-side union-find ground truth."""
+    import random
+    rng = random.Random(20260813)
+    for trial in range(4):
+        n = rng.randint(2, 60)
+        m = rng.randint(1, 120)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+        # ground truth: union-find with path compression
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {}
+        for node in {x for e in edges for x in e}:
+            root = find(node)
+            truth.setdefault(root, set()).add(node)
+        expect = {node: min(members)
+                  for members in truth.values() for node in members}
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["id"]: r["component"]
+               for r in D.connected_components(pairs).collect()}
+        assert got == expect, f"trial {trial}: n={n} m={m}"
+
+
 def test_dedup_clusters_canonical_and_singletons(spark):
     docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
     pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")
