@@ -284,3 +284,106 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     qbucket = with_lsh_bucket(qdf, planes, dims, "qv").collect()[0]["lsh_bucket"]
     cand = bucketed.filter(F.col("lsh_bucket") == qbucket)
     return topk_to_query(cand, qrow, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN memory lever beyond scalar quant:
+# d doubles (512 B at d=64) -> m uint8 codes (8 B at m=8). Codebooks are
+# KB-sized and live as literals/broadcast; encode is an Arrow-batched
+# narrow map; queries use asymmetric distance computation (ADC) with a
+# per-query lookup table folded into codegen.
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(col: Column) -> Column:
+    """v / ||v|| (zero vectors pass through). PQ's ADC measures L2; on
+    unit vectors L2 = 2 - 2*cos, so ADC ranking == cosine ranking —
+    normalize before encode when the retrieval metric is cosine."""
+    n = norm(col)
+    return F.when(n == 0, col).otherwise(F.transform(col, lambda x: x / n))
+
+
+def pq_train_codebooks(df: DataFrame, m: int = 8, k: int = 16,
+                       sample_n: int = 4096, seed: int = 42,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train m per-subspace codebooks of k centroids each (Lloyd, 10
+    rounds, seeded numpy) on a driver-side sample — the standard recipe:
+    codebooks are m*k*(d/m) floats (KBs), so training is driver-cheap
+    while ENCODING the 100 TB corpus stays distributed. The sample is
+    id-ordered for determinism."""
+    import numpy as np
+    rows = (df.orderBy(id_col)
+              .select(F.col(vec_col).cast("array<double>").alias("v"))
+              .limit(sample_n).collect())
+    X = np.array([r["v"] for r in rows])
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        Xs = X[:, j * sub:(j + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=min(k, len(Xs)), replace=False)].copy()
+        for _ in range(10):
+            dist = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for c in range(len(C)):
+                pts = Xs[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              out_col: str = "pq_code") -> DataFrame:
+    """Encode vectors to m subspace-centroid indexes (array<int>, one
+    entry per subspace). Arrow-batched numpy argmin per batch — a narrow
+    map, no shuffle; the codebooks ride inside the serialized function
+    (KBs)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    C = [np.array(cb) for cb in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(col):
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(col.to_numpy())
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            Xs = X[:, j * sub:(j + 1) * sub]
+            dist = ((Xs[:, None, :] - C[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = dist.argmin(1)
+        return pd.Series([list(map(int, r)) for r in codes])
+
+    return df.withColumn(out_col, _enc(F.col(vec_col).cast("array<double>")))
+
+
+def pq_topk(encoded: DataFrame, query_vec: list[float],
+            codebooks: list[list[list[float]]], k: int = 10,
+            id_col: str = "vec_id", code_col: str = "pq_code") -> DataFrame:
+    """Approximate top-k by ADC: the query expands to an m x k distance
+    table (computed once driver-side, folded in as literals); each row's
+    approx L2 is m lookups + adds inside codegen over the m-byte codes —
+    the scan never touches the original vectors. Exact re-rank of the
+    short list is the caller's choice (fetch vectors for k rows only)."""
+    import numpy as np
+    q = np.array([float(x) for x in query_vec])
+    sub = len(codebooks[0][0])
+    expr = None
+    for j, cb in enumerate(codebooks):
+        qs = q[j * sub:(j + 1) * sub]
+        table = ((np.array(cb) - qs[None, :]) ** 2).sum(-1)
+        tcol = F.array(*[F.lit(float(x)) for x in table])
+        term = F.element_at(tcol, F.element_at(F.col(code_col), j + 1) + 1)
+        expr = term if expr is None else expr + term
+    return (encoded.select(F.col(id_col), F.round(expr, 6).alias("approx_l2"))
+            .orderBy(F.col("approx_l2").asc(), F.col(id_col).asc())
+            .limit(k))

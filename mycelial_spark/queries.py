@@ -973,6 +973,36 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
+@query("similarity_pq_topk", None)  # kmeans-trained codebooks -> rows-only
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN memory-scale path: product quantization — 64 doubles/vector
+    (512 B) become 16 uint8 codes; top-k by asymmetric distance (per-query m x k
+    lookup table in codegen) over the codes alone, exact cosine re-rank
+    of the short list. Codebooks train on a driver sample, encoding is
+    an Arrow-batched narrow map (operators/similarity.py pq_*)."""
+    import numpy as np
+
+    from mycelial_spark.operators.similarity import (l2_normalize, pq_encode,
+                                                     pq_topk,
+                                                     pq_train_codebooks,
+                                                     topk_to_query)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    # cosine retrieval: L2-normalize before encode (ADC-L2 == cosine rank)
+    unit = corpus.withColumn("unit_vec",
+                             l2_normalize(F.col("embedding")
+                                          .cast("array<double>")))
+    books = pq_train_codebooks(unit, m=16, k=64, vec_col="unit_vec")
+    qarr = np.array([float(x) for x in qvec])
+    qunit = list(qarr / (np.linalg.norm(qarr) or 1.0))
+    short = pq_topk(pq_encode(unit, books, vec_col="unit_vec"),
+                    qunit, books, k=50)
+    # exact re-rank of the 50-row shortlist: fetch true vectors by id
+    cand = corpus.join(F.broadcast(short.select("vec_id")), "vec_id")
+    return topk_to_query(cand, list(qvec), k=10)
+
+
 @query("similarity_lsh_topk", None)  # hash-derived hyperplanes -> rows-only
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: deterministic random-hyperplane LSH bucket prune,
