@@ -189,9 +189,22 @@ class ControlPlaneApp:
                     active = bool(query.isActive)
                 except Exception:
                     active = False
+                # per-task throughput from the engine's own progress events
+                # (daemon metrics parity): rows in/processed-per-second of
+                # the latest micro-batch, None before the first one
+                rows, rps = None, None
+                try:
+                    prog = query.lastProgress
+                    if prog:
+                        rows = prog.get("numInputRows")
+                        rps = prog.get("processedRowsPerSecond")
+                except Exception:
+                    pass
                 tasks[task_id] = {
                     "active": active,
                     "restarts": self.reconciler.restarts.get(task_id, 0),
+                    "last_batch_rows": rows,
+                    "rows_per_sec": rps,
                 }
         return {"id": daemon["id"],
                 "display_name": daemon["display_name"],

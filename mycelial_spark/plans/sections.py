@@ -593,12 +593,25 @@ def multimodal_features_(spark, cfg, inputs):
 @_register("parquet_dest", "destination", "dataframe", "none",
            [Field("path"), Field("mode", default="append"),
             Field("truncate", "bool", False),
-            Field("partition_by", "list", default=[])],
+            Field("partition_by", "list", default=[]),
+            Field("max_records_per_file", "int", 0),
+            Field("target_files", "int", 0)],
            doc="Parquet sink; truncate=True mirrors the destructive-load "
-               "option (D1 truncate, postgres destination.rs:104-108).")
+               "option (D1 truncate, postgres destination.rs:104-108). "
+               "Small-files control for long-running pipelines: "
+               "target_files>0 coalesces the write to that many files "
+               "(no shuffle); max_records_per_file>0 caps file size via "
+               "the writer option. A micro-batch sink that writes one "
+               "file per input partition per batch melts the namenode at "
+               "100 TB — these are the standard levers.")
 def parquet_dest(spark, cfg, df):
     mode = "overwrite" if cfg["truncate"] else cfg["mode"]
+    if cfg["target_files"] > 0:
+        df = df.coalesce(cfg["target_files"])
     writer = df.write.mode(mode)
+    if cfg["max_records_per_file"] > 0:
+        writer = writer.option("maxRecordsPerFile",
+                               cfg["max_records_per_file"])
     if cfg["partition_by"]:
         writer = writer.partitionBy(*cfg["partition_by"])
     writer.parquet(cfg["path"])

@@ -123,6 +123,24 @@ def test_notify_reconciles_daemon(cp, spark, sf_dir, tmp_path):
         assert status == 201
         assert list(res["daemon_actions"].values()) == ["started"]
         assert len(app.reconciler.running) == 1
+        # daemon status exposes per-task liveness + engine throughput
+        # metrics (lastProgress); wait for the first micro-batch so the
+        # metrics fields are populated
+        import time
+        _, joined = call("POST", "/api/daemon/join",
+                         {"token": "sesame", "display_name": "d1"})
+        deadline = time.time() + 30
+        task = None
+        while time.time() < deadline:
+            _, st = call("GET", f"/api/daemons/{joined['id']}/status")
+            task = next(iter(st["tasks"].values()))
+            if task["last_batch_rows"] is not None:
+                break
+            time.sleep(0.3)
+        assert task is not None
+        assert set(task) >= {"active", "restarts", "last_batch_rows",
+                             "rows_per_sec"}
+        assert task["last_batch_rows"] is not None
         status, res = call("DELETE",
                            f"/api/workspaces/{ws['id']}/pipelines/stream1")
         assert list(res["daemon_actions"].values()) == ["stopped"]

@@ -197,6 +197,67 @@ def test_stateful_query_jdbc_pagination_fetch_first(spark, tmp_path):
     assert pages == [[0, 1, 2], [3, 4, 5], [6], []]
 
 
+def test_streaming_file_source_to_jdbc_dest(spark, tmp_path):
+    """D1-as-streaming-sink on a real database: a parquet file stream
+    delivered through foreachBatch into Derby; late-arriving files land
+    on the next trigger; restart from the checkpoint doesn't re-deliver
+    (offsets commit after the sink write, ack ordering §1.5)."""
+    import time
+    url = _url(tmp_path / "db")
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _items(spark, 5).write.parquet(str(src / "p1"))
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": f"{src}/*"},
+            "dst": {"type": "jdbc_dest", "url": url, "table": "SINK",
+                    "driver": DRIVER},
+        },
+        "edges": [["src", "dst"]],
+    }
+
+    def sink_ids():
+        try:
+            return sorted(r[0] for r in
+                          _read(spark, url, "SELECT ID FROM SINK").collect())
+        except Exception:
+            return []
+
+    def wait(pred, timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.3)
+        return False
+
+    sp = StreamingPipeline.from_spec(spec, ckpt,
+                                     trigger={"processingTime": "300 milliseconds"})
+    queries = sp.start(spark)
+    try:
+        assert wait(lambda: sink_ids() == list(range(5))), sink_ids()
+        _items(spark, 8).filter("ID >= 5").write.mode("append") \
+            .parquet(str(src / "p2"))
+        assert wait(lambda: sink_ids() == list(range(8)))
+    finally:
+        for q in queries:
+            q.stop()
+
+    # restart: processed-files log in the checkpoint -> no re-delivery
+    _items(spark, 9).filter("ID >= 8").write.mode("append") \
+        .parquet(str(src / "p3"))
+    queries = StreamingPipeline.from_spec(
+        spec, ckpt, trigger={"availableNow": True}).start(spark)
+    try:
+        for q in queries:
+            q.awaitTermination(60)
+    finally:
+        for q in queries:
+            q.stop()
+    assert sink_ids() == list(range(9))
+
+
 def test_streaming_poll_loop_jdbc_source_end_to_end(spark, tmp_path):
     """Full wire e2e of the flagship S1 shape with a real JDBC database:
     a continuous poll loop over Derby, delivered to a sqlite sink, with

@@ -147,3 +147,27 @@ def test_csv_roundtrip_binary(spark, sf_dir, tmp_path):
     out = spark.table("global_temp.csv_parsed")
     assert out.count() == 5
     assert all(t == "string" for _, t in out.dtypes)  # T3 all-Str semantics
+
+
+def test_parquet_dest_small_files_levers(spark, sf_dir, tmp_path):
+    """target_files coalesces the write; max_records_per_file splits it —
+    the two levers a long-running micro-batch sink needs."""
+    import glob
+
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("parquet_dest")
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").repartition(8)
+    one = str(tmp_path / "one")
+    cfg = sdef.validate_config({"type": "parquet_dest", "path": one,
+                                "target_files": 1})
+    sdef.builder(spark, cfg, df)
+    assert len(glob.glob(f"{one}/part-*.parquet")) == 1
+    split = str(tmp_path / "split")
+    cfg = sdef.validate_config({"type": "parquet_dest", "path": split,
+                                "target_files": 1,
+                                "max_records_per_file": 60})
+    sdef.builder(spark, cfg, df)
+    n_rows = df.count()
+    n_files = len(glob.glob(f"{split}/part-*.parquet"))
+    assert n_files >= (n_rows + 59) // 60
+    assert spark.read.parquet(split).count() == n_rows
