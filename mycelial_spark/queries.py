@@ -1480,6 +1480,42 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows")
 
 
+@query("cms_token_freq", None)  # sketch binaries -> rows-only
+def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable FREQUENCY sketches (Count-Min, Spark's built-in
+    count_min_sketch agg): one sketch per language partition over the
+    token stream, merged driver-side in O(sketch bytes), then
+    point-estimated for the exact top-5 tokens. Pairs with
+    hll_sketch_union as the incremental-reaggregation pattern — per-day
+    sketches persist, history is never re-scanned. Output carries the
+    exact counts beside the estimates; the CMS guarantee
+    (exact <= est <= exact + eps*N w.p. confidence) is asserted in
+    tests/test_relational.py."""
+    from mycelial_spark.operators.text import tokens
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    per_lang = toks.groupBy("lang").agg(
+        F.count_min_sketch("tok", F.lit(0.001), F.lit(0.99), F.lit(42))
+         .alias("sk"))
+    # merge: a handful of KB-sized blobs on the driver (one per language)
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for r in per_lang.collect():
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(r["sk"]))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    top = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+           .orderBy(F.col("exact_count").desc(), F.col("tok").asc())
+           .limit(5).collect())
+    rows = [(r["tok"], r["exact_count"],
+             int(merged.estimateCount(r["tok"]))) for r in top]
+    return spark.createDataFrame(
+        rows, "tok string, exact_count long, cms_estimate long")
+
+
 @query("skew_salted_join", """
 SELECT e.user_id, count(*) AS n_events,
        round(sum(o.o_totalprice), 2) AS user_order_value

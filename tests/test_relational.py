@@ -61,3 +61,21 @@ def test_interval_join_matches_theta_join(spark):
                      & (F.col("ts") < F.col("hi"))).collect()}
     assert got == want
     assert (1, 3) not in got and len(got) == 2 + 30
+
+
+def test_cms_token_freq_guarantee(spark, sf_dir):
+    """Count-Min property: exact <= estimate <= exact + eps * stream_len
+    (w.p. confidence; eps=0.001 here, so slack = 0.1% of total tokens)."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.catalog import load_table
+    from mycelial_spark.operators.text import tokens
+    from mycelial_spark.queries import REGISTRY
+    out = REGISTRY["cms_token_freq"].fn(spark, sf_dir).collect()
+    assert len(out) == 5
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("n")).first()["n"]
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["cms_estimate"] - r["exact_count"] <= max(1, 0.001 * n_tokens)
