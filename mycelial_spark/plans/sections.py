@@ -56,8 +56,11 @@ def _register(name: str, kind: str, input: str, output: str,
 # ---------------------------------------------------------------------------
 
 @_register("parquet_source", "source", "none", "dataframe",
-           [Field("path"), Field("origin", default="")],
-           doc="Parquet scan; the engine-native bulk source.")
+           [Field("path"), Field("origin", default=""),
+            Field("max_files_per_trigger", "int", 0)],
+           doc="Parquet scan; the engine-native bulk source. In streaming "
+               "mode max_files_per_trigger>0 bounds each micro-batch — the "
+               "capacity-1 channel backpressure analog (scheduler.rs:37-42).")
 def parquet_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     df = spark.read.parquet(cfg["path"])
     return X.with_origin(df, cfg["origin"]) if cfg["origin"] else df
@@ -65,7 +68,8 @@ def parquet_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 
 @_register("csv_source", "source", "none", "dataframe",
            [Field("path"), Field("header", "bool", True),
-            Field("all_string", "bool", True), Field("origin", default="")],
+            Field("all_string", "bool", True), Field("origin", default=""),
+            Field("max_files_per_trigger", "int", 0)],
            doc="CSV scan; all_string=True mirrors csv_transform::FromCsv "
                "(every column Str, sections/csv_transform/src/source.rs:118-140).")
 def csv_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
@@ -75,7 +79,8 @@ def csv_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 
 
 @_register("binary_source", "source", "none", "bin",
-           [Field("path"), Field("pattern", default="")],
+           [Field("path"), Field("pattern", default=""),
+            Field("max_files_per_trigger", "int", 0)],
            doc="Whole-file byte streams as binary columns "
                "(file source, sections/file/src/source.rs:22-158).")
 def binary_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:

@@ -51,13 +51,18 @@ def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
         return (spark.readStream.format("rate")
                 .option("rowsPerSecond", rows_per_sec).load()
                 .withColumn("message", F.lit(cfg["message"])))
+    mft = int(cfg.get("max_files_per_trigger", 0) or 0)
     if stype == "binary_source":
         reader = spark.readStream.format("binaryFile")
         if cfg.get("pattern"):
             reader = reader.option("pathGlobFilter", cfg["pattern"])
+        if mft > 0:
+            reader = reader.option("maxFilesPerTrigger", mft)
         return reader.load(cfg["path"])
     fmt = "parquet" if stype == "parquet_source" else "csv"
     reader = spark.readStream.format(fmt)
+    if mft > 0:
+        reader = reader.option("maxFilesPerTrigger", mft)
     if schema is None:
         # file streams need a schema up front: infer from existing files
         static = spark.read.format(fmt)

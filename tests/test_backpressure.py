@@ -32,3 +32,34 @@ def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
     assert sum(batch_sizes) == 4
     assert len(batch_sizes) == 4
     assert all(b == 1 for b in batch_sizes)
+
+
+def test_max_files_per_trigger_declarative(spark, tmp_path):
+    """The same backpressure knob as a pipeline-spec field: the runner
+    plumbs max_files_per_trigger into the stream reader."""
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    src = tmp_path / "in"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.csv").write_text(f"k,v\n{i},x{i}\n")
+    out = str(tmp_path / "out")
+    spec = {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(src),
+                    "max_files_per_trigger": 1},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "append"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    queries = StreamingPipeline.from_spec(
+        spec, str(tmp_path / "ckpt"),
+        trigger={"availableNow": True}).start(spark)
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+            # one file per micro-batch: 3 committed batches in the log
+            assert q.lastProgress["batchId"] >= 2
+    finally:
+        for q in queries:
+            q.stop()
+    assert spark.read.parquet(out).count() == 3
