@@ -787,12 +787,15 @@ def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             Field("truncate", "bool", False),
             Field("upsert_keys", default=""),
             Field("route_by_origin", "bool", False),
-            Field("exactly_once", "bool", False)],
+            Field("exactly_once", "bool", False),
+            Field("scd2_keys", default="")],
            doc="D2 sqlite destination (sections/sqlite_connector/src/"
                "destination.rs:30-177): BEGIN IMMEDIATE, auto-DDL from frame "
                "schema, optional DELETE FROM, INSERT OR IGNORE binds, commit "
                "then ack. upsert_keys (comma-separated) switches to SCD1 "
-               "ON CONFLICT DO UPDATE — the MERGE-analog sink. "
+               "ON CONFLICT DO UPDATE — the MERGE-analog sink; scd2_keys "
+               "instead keeps FULL HISTORY (valid_from/valid_to versioned "
+               "rows, changed values close the open row). "
                "route_by_origin=True writes each origin's rows to the table "
                "named by the origin (destination.rs:87). exactly_once=True "
                "records the streaming (task, batch) marker transactionally "
@@ -800,16 +803,26 @@ def sqlite_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 def sqlite_dest(spark, cfg, df):
     from mycelial_spark.sources import sqlite as sq
     keys = [k.strip() for k in cfg["upsert_keys"].split(",") if k.strip()]
-    marker = tuple(cfg["_batch"]) if (cfg.get("exactly_once")
-                                      and cfg.get("_batch")) else None
+    scd2 = [k.strip() for k in cfg["scd2_keys"].split(",") if k.strip()]
+    if keys and scd2:
+        raise ValueError("sqlite_dest: upsert_keys and scd2_keys are "
+                         "mutually exclusive")
+    batch = cfg.get("_batch")
+    marker = tuple(batch) if (cfg.get("exactly_once") and batch) else None
     routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
     written = {}
     try:
         for table, part in routes:
-            written[table] = sq.write_frame(part, cfg["path"], table,
-                                            cfg["truncate"],
-                                            upsert_keys=keys or None,
-                                            batch_marker=marker)
+            if scd2:
+                out = sq.write_scd2(part, cfg["path"], table, scd2,
+                                    version=(int(batch[1]) + 1
+                                             if batch else None))
+                written[table] = out["rows"]
+            else:
+                written[table] = sq.write_frame(part, cfg["path"], table,
+                                                cfg["truncate"],
+                                                upsert_keys=keys or None,
+                                                batch_marker=marker)
     finally:
         if pinned is not None:
             pinned.unpersist()

@@ -202,3 +202,76 @@ def write_frame(df: DataFrame, path: str, table: str,
     finally:
         conn.close()
     return n
+
+
+def write_scd2(df: DataFrame, path: str, table: str, keys: list[str],
+               version: int | None = None, batch_rows: int = 10000) -> dict:
+    """SCD TYPE-2 sink: full history per key instead of SCD1's
+    latest-wins. Each key has at most one OPEN row (valid_to IS NULL);
+    delivering a row whose values differ from the open row CLOSES it
+    (valid_to = version) and inserts a new open row (valid_from =
+    version). Idempotent under at-least-once redelivery: identical
+    values neither close nor re-insert.
+
+    ``version`` defaults to max(valid_from)+1 in the table (one version
+    per delivery); streaming callers pass the micro-batch id so replays
+    reuse the same version. Two executemany passes per chunk inside one
+    BEGIN IMMEDIATE transaction; driver memory bounded by a chunk.
+    """
+    schema = df.schema
+    val_cols = [f.name for f in schema.fields if f.name not in keys]
+    missing = [k for k in keys if k not in df.columns]
+    if missing:
+        raise ValueError(f"scd2 keys not in frame: {missing}")
+    cols_ddl = ", ".join(
+        f'"{f.name}" {_SPARK_TO_SQLITE.get(f.dataType.simpleString(), "TEXT")}'
+        for f in schema.fields)
+    key_match = " AND ".join(f'"{k}" = ?' for k in keys)
+    vals_equal = " AND ".join(
+        f'"{c}" IS ?' for c in val_cols) or "1 = 1"   # IS: NULL-safe equality
+    close_sql = (f'UPDATE "{table}" SET valid_to = ? '
+                 f'WHERE {key_match} AND valid_to IS NULL '
+                 f'AND NOT ({vals_equal})')
+    col_names = ", ".join(f'"{f.name}"' for f in schema.fields)
+    marks = ", ".join("?" for _ in schema.fields)
+    insert_sql = (
+        f'INSERT INTO "{table}" ({col_names}, valid_from, valid_to) '
+        f'SELECT {marks}, ?, NULL '
+        f'WHERE NOT EXISTS (SELECT 1 FROM "{table}" '
+        f'WHERE {key_match} AND valid_to IS NULL)')
+    ordered = keys + val_cols
+    conn = sqlite3.connect(path, isolation_level=None)
+    n = 0
+    try:
+        conn.execute("BEGIN IMMEDIATE")
+        conn.execute(f'CREATE TABLE IF NOT EXISTS "{table}" '
+                     f'({cols_ddl}, valid_from INTEGER, valid_to INTEGER)')
+        if version is None:
+            version = (conn.execute(
+                f'SELECT coalesce(max(valid_from), 0) + 1 FROM "{table}"')
+                .fetchone()[0])
+
+        def flush(chunk: list[dict]) -> int:
+            conn.executemany(close_sql, [
+                tuple([version] + [r[k] for k in keys]
+                      + [r[c] for c in val_cols]) for r in chunk])
+            conn.executemany(insert_sql, [
+                tuple([r[c] for c in ordered] + [version]
+                      + [r[k] for k in keys]) for r in chunk])
+            return len(chunk)
+
+        chunk: list[dict] = []
+        for row in df.select(*ordered).toLocalIterator():
+            chunk.append(row.asDict())
+            if len(chunk) >= batch_rows:
+                n += flush(chunk)
+                chunk = []
+        if chunk:
+            n += flush(chunk)
+        conn.execute("COMMIT")
+    except Exception:
+        conn.execute("ROLLBACK")
+        raise
+    finally:
+        conn.close()
+    return {"rows": n, "version": int(version)}

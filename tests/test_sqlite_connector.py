@@ -210,3 +210,66 @@ def test_exactly_once_through_section_builder(spark, tmp_path):
     import sqlite3
     with sqlite3.connect(db) as c:
         assert c.execute("SELECT count(*) FROM raw").fetchone()[0] == 2
+
+
+def test_scd2_history_tracking(spark, tmp_path):
+    """SCD2: changed values close the open row and open a new version;
+    unchanged values are no-ops (idempotent redelivery); history rows
+    accumulate with disjoint [valid_from, valid_to) ranges."""
+    import sqlite3
+
+    from mycelial_spark.sources.sqlite import write_scd2
+    db = str(tmp_path / "scd2.db")
+    v1 = spark.createDataFrame(
+        [(1, "alice", 10), (2, "bob", 20)], "id long, name string, score long")
+    out = write_scd2(v1, db, "dim", keys=["id"], version=1)
+    assert out == {"rows": 2, "version": 1}
+    # redelivery of identical values: nothing changes
+    write_scd2(v1, db, "dim", keys=["id"], version=1)
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM dim").fetchone()[0] == 2
+    # alice's score changes; bob unchanged; carol appears
+    v2 = spark.createDataFrame(
+        [(1, "alice", 99), (2, "bob", 20), (3, "carol", 7)],
+        "id long, name string, score long")
+    write_scd2(v2, db, "dim", keys=["id"], version=2)
+    with sqlite3.connect(db) as c:
+        rows = list(c.execute(
+            "SELECT id, score, valid_from, valid_to FROM dim "
+            "ORDER BY id, valid_from"))
+    assert rows == [
+        (1, 10, 1, 2),      # closed at v2
+        (1, 99, 2, None),   # current
+        (2, 20, 1, None),   # untouched
+        (3, 7, 2, None),    # new key
+    ]
+    # auto-version: next delivery without explicit version gets 3
+    v3 = spark.createDataFrame([(2, "bob", 21)],
+                               "id long, name string, score long")
+    out = write_scd2(v3, db, "dim", keys=["id"])
+    assert out["version"] == 3
+    with sqlite3.connect(db) as c:
+        open_rows = dict(c.execute(
+            "SELECT id, score FROM dim WHERE valid_to IS NULL"))
+    assert open_rows == {1: 99, 2: 21, 3: 7}
+
+
+def test_scd2_through_section(spark, tmp_path):
+    import sqlite3
+
+    from mycelial_spark.plans.sections import REGISTRY
+    db = str(tmp_path / "scd2.db")
+    sdef = REGISTRY.get("sqlite_dest")
+    cfg = sdef.validate_config({"type": "sqlite_dest", "path": db,
+                                "table": "dim", "scd2_keys": "id"})
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    sdef.builder(spark, cfg, df)
+    df2 = spark.createDataFrame([(1, "y")], "id long, v string")
+    sdef.builder(spark, cfg, df2)
+    with sqlite3.connect(db) as c:
+        assert c.execute("SELECT count(*) FROM dim").fetchone()[0] == 2
+        cur = c.execute("SELECT v FROM dim WHERE valid_to IS NULL").fetchall()
+    assert cur == [("y",)]
+    import pytest
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sdef.builder(spark, {**cfg, "upsert_keys": "id"}, df)
