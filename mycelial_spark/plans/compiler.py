@@ -102,6 +102,30 @@ class Pipeline:
                     ack()
         return results
 
+    def explain(self, spark: SparkSession) -> dict[str, str]:
+        """Dry-run: compose every subgraph's DataFrames and return the
+        FORMATTED physical plan of each destination's input — nothing is
+        written, no source state is acked. The plan-level analog of the
+        reference's ``inspect`` tap: shows pushed filters, join
+        strategies, and exchanges before committing to a run."""
+        plans: dict[str, str] = {}
+        for sub in self.graph.subgraphs():
+            results: dict[str, Any] = {}
+            for node_id in sub.topo_order():
+                cfg = dict(self.graph.nodes[node_id])
+                sdef = self.registry.get(cfg.pop("type"))
+                parents = sub.parents(node_id)
+                if sdef.kind == "source":
+                    results[node_id] = sdef.builder(spark, cfg)
+                elif sdef.kind == "transform":
+                    results[node_id] = sdef.builder(
+                        spark, cfg, [results[p] for p in parents])
+                else:
+                    df = results[parents[0]]
+                    plans[node_id] = spark.sparkContext._jvm.PythonSQLUtils \
+                        .explainString(df._jdf.queryExecution(), "formatted")
+        return plans
+
     def task_ids(self) -> dict[str, str]:
         """Subgraph content hashes for reconciliation (scheduler.rs:425-484)."""
         return {min(sub.nodes): sub.task_id() for sub in self.graph.subgraphs()}

@@ -36,10 +36,18 @@ def main(argv: list[str]) -> int:
                 if a.startswith("--") and "=" in a)
     if len(args) < 1:
         print("usage: python -m mycelial_spark.run <pipeline.toml|json> "
-              "[--stream --checkpoint=DIR [--drain]]", file=sys.stderr)
+              "[--explain | --stream --checkpoint=DIR [--drain]]",
+              file=sys.stderr)
         return 2
     spec = load_spec(args[0])
     spark = get_spark("mycelial-pipeline")
+
+    if "--explain" in flags:
+        # dry-run: print each destination's physical plan, write nothing
+        for node_id, plan in sorted(Pipeline.from_spec(spec)
+                                    .explain(spark).items()):
+            print(f"### plan feeding destination {node_id!r}\n{plan}")
+        return 0
 
     if "--stream" in flags:
         from mycelial_spark.streaming.runner import StreamingPipeline

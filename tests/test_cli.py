@@ -62,3 +62,26 @@ mode = "append"
     assert res.returncode == 0, res.stderr[-2000:]
     assert "started 1 streaming task(s)" in res.stdout
     assert os.path.isdir(out)
+
+
+def test_cli_explain_dry_run(tmp_path):
+    """--explain prints each destination's physical plan (with the filter
+    pushed to the scan) and writes NOTHING."""
+    out = str(tmp_path / "never_written")
+    spec = tmp_path / "p.json"
+    spec.write_text(f"""{{
+      "nodes": {{
+        "src": {{"type": "parquet_source",
+                 "path": "/root/testdata/sf0.001/nation.parquet"}},
+        "flt": {{"type": "filter", "predicate": "n_regionkey = 0"}},
+        "dst": {{"type": "parquet_dest", "path": "{out}",
+                 "mode": "overwrite"}}
+      }},
+      "edges": [["src", "flt"], ["flt", "dst"]]
+    }}""")
+    res = _run_cli([str(spec), "--explain"])
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "plan feeding destination 'dst'" in res.stdout
+    assert "Physical Plan" in res.stdout
+    assert "PushedFilters" in res.stdout          # predicate reached the scan
+    assert not os.path.exists(out)                # dry run wrote nothing

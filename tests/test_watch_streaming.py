@@ -177,3 +177,52 @@ def test_dir_watch_stream(spark, tmp_path):
     assert os.path.basename(state.get("cursor", "")) == "d.csv"
     (d / "0_early.csv").write_text("late-arriving early name")
     assert DirWatch(spark, spec["nodes"]["src"], state).poll() is None
+
+
+def test_watch_source_supervised_restart(spark, tmp_path):
+    """Crash-supervision parity for watch sources (scheduler.rs:117-186):
+    poison the watched db mid-stream -> the poll raises, the task dies ->
+    the supervisor restarts from the persisted mtime state -> healing the
+    file resumes delivery with no loss and no duplicates."""
+    from mycelial_spark.streaming.runner import Reconciler
+    src_db = str(tmp_path / "src.db")
+    hidden = str(tmp_path / "src.db.hidden")
+    out_db = str(tmp_path / "out.db")
+    with sqlite3.connect(src_db) as c:
+        c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, val TEXT)")
+        c.executemany("INSERT INTO t VALUES (?, ?)",
+                      [(i, f"v{i}") for i in range(1, 4)])
+    spec = {
+        "nodes": {
+            "src": {"type": "sqlite_source", "path": src_db,
+                    "query": "SELECT id, val FROM t",
+                    "poll_interval_millis": 200},
+            "dst": {"type": "sqlite_dest", "path": out_db, "table": "sink",
+                    "upsert_keys": "id"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    rec = Reconciler(spark, str(tmp_path / "ckpt"), backoff_s=0.2)
+    rec.apply(spec)
+    (task_id,) = rec.running
+    try:
+        assert _wait(lambda: _sink_col(out_db, "id") == [1, 2, 3])
+        os.replace(src_db, hidden)               # poison: stat() raises
+        assert _wait(lambda: not rec.running[task_id].isActive, timeout=30)
+        assert rec.running[task_id].exception() is not None
+        acts = rec.supervise_once()
+        assert "restarted" in acts[task_id]
+        # heal with a new row; supervise until a live task picks it up
+        os.replace(hidden, src_db)
+        time.sleep(0.05)
+        with sqlite3.connect(src_db) as c:
+            c.execute("INSERT INTO t VALUES (4, 'v4')")
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            rec.supervise_once(wait_backoff=False)
+            if _sink_col(out_db, "id") == [1, 2, 3, 4]:
+                break
+            time.sleep(0.3)
+        assert _sink_col(out_db, "id") == [1, 2, 3, 4]
+    finally:
+        rec.stop_all()
