@@ -518,6 +518,110 @@ def to_csv(spark, cfg, inputs):
     return lines.mapInPandas(emit, "path string, content binary")
 
 
+@_register("from_jsonl", "transform", "bin", "dataframe",
+           [],
+           doc="JSONL parser: binary payloads of newline-delimited JSON "
+               "objects -> typed dataframe. Schema is inferred "
+               "DISTRIBUTED by the engine's JSON reader over the decoded "
+               "line set — the T3 FromCsv analog for the LLM-corpus "
+               "interchange format.")
+def from_jsonl(spark, cfg, inputs):
+    if "content" not in inputs[0].columns:
+        from mycelial_spark.plans.graph import GraphError
+        raise GraphError("from_jsonl input must have a 'content' binary "
+                         f"column (bin contract); got {inputs[0].columns}")
+    lines = (inputs[0]
+             .select(F.explode(F.split(F.decode("content", "UTF-8"),
+                                       "\r?\n")).alias("line"))
+             .filter(F.col("line") != ""))
+    # Dataset[String] JSON read: schema inference + parse run distributed
+    return spark.read.json(lines.rdd.map(lambda r: r["line"]))
+
+
+@_register("to_jsonl", "transform", "dataframe", "bin",
+           [],
+           doc="JSONL serializer: dataframe -> newline-delimited JSON "
+               "payloads, one binary row per Arrow batch per partition "
+               "(the T4 ToCsv shape) — rows formatted JVM-side with "
+               "to_json(struct(*)).")
+def to_jsonl(spark, cfg, inputs):
+    df = inputs[0]
+    lines = df.select(F.to_json(F.struct(*df.columns)).alias("line"))
+
+    def emit(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for i, pdf in enumerate(batches):
+            if pdf.empty:
+                continue
+            payload = "\n".join(pdf["line"]) + "\n"
+            yield pd.DataFrame(
+                {"path": [f"part-{pid:05d}-{i:04d}.jsonl"],
+                 "content": [payload.encode("utf-8")]})
+
+    return lines.mapInPandas(emit, "path string, content binary")
+
+
+@_register("json_source", "source", "none", "dataframe",
+           [Field("path"), Field("multiline", "bool", False),
+            Field("origin", default="")],
+           doc="JSON/JSONL file scan (engine-native reader; multiline for "
+               "one-document-per-file).")
+def json_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    df = (spark.read.option("multiLine", cfg["multiline"])
+          .json(cfg["path"]))
+    return X.with_origin(df, cfg["origin"]) if cfg["origin"] else df
+
+
+@_register("json_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("mode", default="overwrite")],
+           doc="JSONL file sink (one JSON object per line).")
+def json_dest(spark, cfg, df):
+    df.write.mode(cfg["mode"]).json(cfg["path"])
+    return {"path": cfg["path"]}
+
+
+@_register("orc_source", "source", "none", "dataframe",
+           [Field("path"), Field("origin", default="")],
+           doc="ORC scan (engine-native columnar alternative to parquet).")
+def orc_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    df = spark.read.orc(cfg["path"])
+    return X.with_origin(df, cfg["origin"]) if cfg["origin"] else df
+
+
+@_register("orc_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("mode", default="overwrite")],
+           doc="ORC sink.")
+def orc_dest(spark, cfg, df):
+    df.write.mode(cfg["mode"]).orc(cfg["path"])
+    return {"path": cfg["path"]}
+
+
+@_register("avro_source", "source", "none", "dataframe",
+           [Field("path")],
+           doc="Avro scan — needs the external spark-avro module "
+               "(SectionUnavailable in this container).")
+def avro_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    try:
+        return spark.read.format("avro").load(cfg["path"])
+    except Exception as e:
+        raise SectionUnavailable(
+            f"avro_source needs the spark-avro module: {e}") from e
+
+
+@_register("avro_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("mode", default="overwrite")],
+           doc="Avro sink — needs the external spark-avro module.")
+def avro_dest(spark, cfg, df):
+    try:
+        df.write.mode(cfg["mode"]).format("avro").save(cfg["path"])
+    except Exception as e:
+        raise SectionUnavailable(
+            f"avro_dest needs the spark-avro module: {e}") from e
+    return {"path": cfg["path"]}
+
+
 @_register("dedup_exact", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id")],
            doc="Exact dedup by normalized-text fingerprint (north-star).")

@@ -1845,6 +1845,24 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("header", True).csv(path)  # no inferSchema
 
 
+@query("jsonl_roundtrip", """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""")
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL end-to-end through the bin plane: to_jsonl serializes the
+    frame into newline-delimited JSON payloads (one per Arrow batch),
+    from_jsonl decodes + schema-infers them back DISTRIBUTED — the
+    T3/T4 analog for the LLM-corpus interchange format. Types survive
+    (bigint stays bigint through JSON inference); the oracle reads the
+    original parquet."""
+    from mycelial_spark.plans.sections import REGISTRY
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name",
+                                           "n_regionkey")
+    payloads = REGISTRY.get("to_jsonl").builder(spark, {}, [n])
+    back = REGISTRY.get("from_jsonl").builder(spark, {}, [payloads])
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
 @query("excel_roundtrip", """
 SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
        o_orderstatus, o_orderpriority

@@ -105,3 +105,57 @@ def test_to_csv_quotes_header_and_values(spark):
     back = REGISTRY.get("from_csv").builder(spark, {"header": True},
                                             [payloads])
     assert [tuple(r) for r in back.collect()] == [("x,1", "2")]
+
+
+def test_jsonl_roundtrip_transforms(spark):
+    """to_jsonl -> from_jsonl round trip: typed columns survive schema
+    inference; nulls and unicode survive; multi-payload frames union."""
+    from mycelial_spark.plans.sections import REGISTRY
+    df = spark.createDataFrame(
+        [(1, "héllo", 1.5), (2, None, -3.25), (3, "x\ny", 0.0)],
+        "k long, s string, f double").repartition(2)
+    payloads = REGISTRY.get("to_jsonl").builder(spark, {}, [df])
+    assert payloads.columns == ["path", "content"]
+    back = REGISTRY.get("from_jsonl").builder(spark, {}, [payloads])
+    got = {r["k"]: (r["s"], r["f"]) for r in back.collect()}
+    assert got == {1: ("héllo", 1.5), 2: (None, -3.25), 3: ("x\ny", 0.0)}
+    assert dict(back.dtypes)["k"] == "bigint"
+    assert dict(back.dtypes)["f"] == "double"
+
+
+def test_from_jsonl_requires_content(spark):
+    import pytest
+
+    from mycelial_spark.plans.graph import GraphError
+    from mycelial_spark.plans.sections import REGISTRY
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(GraphError, match="content"):
+        REGISTRY.get("from_jsonl").builder(spark, {}, [df])
+
+
+def test_json_orc_sections_roundtrip(spark, sf_dir, tmp_path):
+    from mycelial_spark.plans.sections import REGISTRY
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    jdir, odir = str(tmp_path / "j"), str(tmp_path / "o")
+    REGISTRY.get("json_dest").builder(
+        spark, {"path": jdir, "mode": "overwrite"}, n)
+    REGISTRY.get("orc_dest").builder(
+        spark, {"path": odir, "mode": "overwrite"}, n)
+    jj = REGISTRY.get("json_source").builder(
+        spark, {"path": jdir, "multiline": False, "origin": ""})
+    oo = REGISTRY.get("orc_source").builder(
+        spark, {"path": odir, "origin": ""})
+    assert jj.count() == n.count() and oo.count() == n.count()
+    assert set(oo.columns) == set(n.columns)
+
+
+def test_avro_sections_unavailable(spark, sf_dir, tmp_path):
+    import pytest
+
+    from mycelial_spark.plans.sections import REGISTRY, SectionUnavailable
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with pytest.raises(SectionUnavailable):
+        REGISTRY.get("avro_dest").builder(
+            spark, {"path": str(tmp_path / "a"), "mode": "overwrite"}, n)
+    with pytest.raises(SectionUnavailable):
+        REGISTRY.get("avro_source").builder(spark, {"path": "/nope"})
