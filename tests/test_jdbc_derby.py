@@ -317,3 +317,53 @@ def test_streaming_poll_loop_jdbc_source_end_to_end(spark, tmp_path):
     finally:
         for q in queries:
             q.stop()
+
+
+def test_jdbc_type_roundtrip(spark, tmp_path):
+    """SURVEY §1.2 type mapping over a REAL wire: every scalar family
+    survives jdbc_dest auto-DDL -> Derby -> jdbc_source read-back.
+    Expected widenings: I8/I16 come back as INTEGER (Derby SMALLINT
+    mapping), TimestampNTZ comes back zone-aware — the same widening
+    class as the reference's U64->i64 sink concession."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql.types import (BinaryType, BooleanType, ByteType,
+                                   DateType, DecimalType, DoubleType,
+                                   FloatType, IntegerType, LongType,
+                                   ShortType, StringType, StructField,
+                                   StructType, TimestampNTZType,
+                                   TimestampType)
+    schema = StructType([
+        StructField("ID", LongType()),
+        StructField("B", BooleanType()),
+        StructField("I8", ByteType()),
+        StructField("I16", ShortType()),
+        StructField("I32", IntegerType()),
+        StructField("F32", FloatType()),
+        StructField("F64", DoubleType()),
+        StructField("S", StringType()),
+        StructField("BIN", BinaryType()),
+        StructField("D", DateType()),
+        StructField("TS", TimestampType()),
+        StructField("TSN", TimestampNTZType()),
+        StructField("DEC", DecimalType(31, 6)),   # Derby caps precision at 31
+    ])
+    row = (1, True, -12, -1234, -123456, 1.5, 2.25, "héllo",
+           bytearray(b"\x00\x01\xff"), datetime.date(2024, 2, 29),
+           datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+           datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+           Decimal("123456789.123456"))
+    url = _url(tmp_path / "db")
+    _write(spark, url, "TYPES", spark.createDataFrame([row], schema))
+    back = _read(spark, url, "SELECT * FROM TYPES").collect()[0]
+    assert back["ID"] == 1 and back["B"] is True
+    assert back["I8"] == -12 and back["I16"] == -1234
+    assert back["I32"] == -123456
+    assert back["F32"] == 1.5 and back["F64"] == 2.25
+    assert back["S"] == "héllo"
+    assert bytes(back["BIN"]) == b"\x00\x01\xff"
+    assert back["D"] == datetime.date(2024, 2, 29)
+    assert back["TS"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert back["TSN"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert back["DEC"] == Decimal("123456789.123456")
