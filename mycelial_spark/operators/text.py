@@ -47,6 +47,12 @@ LANG_SCRIPTS: dict[str, str] = {
     "zh": "[一-鿿]",                # CJK unified ideographs
     "ja": "[぀-ゟ゠-ヿ]",   # hiragana + katakana
     "ko": "[가-힣ᄀ-ᇿ]",   # hangul syllables + jamo
+    "ru": "[Ѐ-ӿ]",        # cyrillic
+    "ar": "[؀-ۿ]",        # arabic
+    "he": "[֐-׿]",        # hebrew
+    "hi": "[ऀ-ॿ]",        # devanagari
+    "th": "[฀-๿]",        # thai
+    "el": "[Ͱ-Ͽ]",        # greek
 }
 
 

@@ -519,12 +519,15 @@ def to_csv(spark, cfg, inputs):
 
 
 @_register("from_jsonl", "transform", "bin", "dataframe",
-           [],
+           [Field("schema", default="")],
            doc="JSONL parser: binary payloads of newline-delimited JSON "
-               "objects -> typed dataframe. Schema is inferred "
-               "DISTRIBUTED by the engine's JSON reader over the decoded "
-               "line set — the T3 FromCsv analog for the LLM-corpus "
-               "interchange format.")
+               "objects -> typed dataframe — the T3 FromCsv analog for "
+               "the LLM-corpus interchange format. With no schema, the "
+               "engine's JSON reader infers one DISTRIBUTED over the "
+               "decoded line set (batch only); an explicit DDL schema "
+               "('k long, s string') parses via from_json in pure "
+               "codegen — required for streaming inputs, where inference "
+               "is impossible by design.")
 def from_jsonl(spark, cfg, inputs):
     if "content" not in inputs[0].columns:
         from mycelial_spark.plans.graph import GraphError
@@ -534,6 +537,9 @@ def from_jsonl(spark, cfg, inputs):
              .select(F.explode(F.split(F.decode("content", "UTF-8"),
                                        "\r?\n")).alias("line"))
              .filter(F.col("line") != ""))
+    if cfg.get("schema"):
+        return (lines.select(F.from_json("line", cfg["schema"]).alias("r"))
+                .select("r.*"))
     # Dataset[String] JSON read: schema inference + parse run distributed
     return spark.read.json(lines.rdd.map(lambda r: r["line"]))
 

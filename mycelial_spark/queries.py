@@ -870,30 +870,40 @@ WITH t AS (
     len(list_intersect(toks, ['the','and','of','is']))   s_en,
     len(list_intersect(toks, ['el','y','los','es']))     s_es,
     len(list_intersect(toks, ['le','et','les','est']))   s_fr,
+    len(regexp_extract_all(text, '[؀-ۿ]'))               s_ar,
+    len(regexp_extract_all(text, '[Ͱ-Ͽ]'))               s_el,
+    len(regexp_extract_all(text, '[֐-׿]'))               s_he,
+    len(regexp_extract_all(text, '[ऀ-ॿ]'))               s_hi,
     len(regexp_extract_all(text, '[぀-ゟ゠-ヿ]')) s_ja,
     len(regexp_extract_all(text, '[가-힣ᄀ-ᇿ]')) s_ko,
+    len(regexp_extract_all(text, '[Ѐ-ӿ]'))               s_ru,
+    len(regexp_extract_all(text, '[฀-๿]'))               s_th,
     len(regexp_extract_all(text, '[一-鿿]'))              s_zh
   FROM t
+), m AS (
+  SELECT doc_id, s_ja,
+         list_max([
+           {'score': s_ar, 'lang': 'ar'}, {'score': s_de, 'lang': 'de'},
+           {'score': s_el, 'lang': 'el'}, {'score': s_en, 'lang': 'en'},
+           {'score': s_es, 'lang': 'es'}, {'score': s_fr, 'lang': 'fr'},
+           {'score': s_he, 'lang': 'he'}, {'score': s_hi, 'lang': 'hi'},
+           {'score': s_ja, 'lang': 'ja'}, {'score': s_ko, 'lang': 'ko'},
+           {'score': s_ru, 'lang': 'ru'}, {'score': s_th, 'lang': 'th'},
+           {'score': s_zh, 'lang': 'zh'}]) AS best
+  FROM s
 )
 SELECT doc_id, CASE
-  WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0
-       AND s_ja = 0 AND s_ko = 0 AND s_zh = 0 THEN 'und'
-  WHEN s_zh >= s_ko AND s_zh >= s_ja AND s_zh >= s_fr AND s_zh >= s_es
-       AND s_zh >= s_en AND s_zh >= s_de
-       THEN CASE WHEN s_ja > 0 THEN 'ja' ELSE 'zh' END
-  WHEN s_ko >= s_ja AND s_ko >= s_fr AND s_ko >= s_es
-       AND s_ko >= s_en AND s_ko >= s_de THEN 'ko'
-  WHEN s_ja >= s_fr AND s_ja >= s_es AND s_ja >= s_en AND s_ja >= s_de
-       THEN 'ja'
-  WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
-  WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
-  WHEN s_en >= s_de THEN 'en'
-  ELSE 'de' END AS pred_lang
-FROM s
+  WHEN best.score = 0 THEN 'und'
+  WHEN best.lang = 'zh' AND s_ja > 0 THEN 'ja'
+  ELSE best.lang END AS pred_lang
+FROM m
 """)
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID: marker-lexicon hits for segmented languages + script
-    character-range counts for CJK (argmax, ties -> last lang code)."""
+    """Language ID over 13 languages: marker-lexicon hits for
+    whitespace-segmented languages + script character-range counts
+    (CJK, cyrillic, arabic, hebrew, devanagari, thai, greek); argmax
+    with last-lang-code tie-break (struct max — mirrored exactly by the
+    oracle's list_max of structs) and the kana zh->ja tiebreak."""
     from mycelial_spark.operators.text import with_lang_id
     return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "pred_lang")
 

@@ -53,7 +53,10 @@ def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
                 .withColumn("message", F.lit(cfg["message"])))
     mft = int(cfg.get("max_files_per_trigger", 0) or 0)
     if stype == "binary_source":
-        reader = spark.readStream.format("binaryFile")
+        # streaming sources need a schema up front; binaryFile's is fixed
+        reader = spark.readStream.format("binaryFile").schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary")
         if cfg.get("pattern"):
             reader = reader.option("pathGlobFilter", cfg["pattern"])
         if mft > 0:

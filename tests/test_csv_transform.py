@@ -159,3 +159,34 @@ def test_avro_sections_unavailable(spark, sf_dir, tmp_path):
             spark, {"path": str(tmp_path / "a"), "mode": "overwrite"}, n)
     with pytest.raises(SectionUnavailable):
         REGISTRY.get("avro_source").builder(spark, {"path": "/nope"})
+
+
+def test_from_jsonl_explicit_schema_streaming(spark, tmp_path):
+    """With a DDL schema, from_jsonl is pure codegen (from_json) and
+    works on a STREAMING binary source end-to-end."""
+    import time
+
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_bytes(b'{"k": 1, "s": "x"}\n{"k": 2, "s": "y"}\n')
+    out = str(tmp_path / "out")
+    spec = {
+        "nodes": {
+            "src": {"type": "binary_source", "path": str(src),
+                    "pattern": "*.jsonl"},
+            "parse": {"type": "from_jsonl", "schema": "k long, s string"},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "append"},
+        },
+        "edges": [["src", "parse"], ["parse", "dst"]],
+    }
+    queries = StreamingPipeline.from_spec(
+        spec, str(tmp_path / "ckpt"), trigger={"availableNow": True}).start(spark)
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+    finally:
+        for q in queries:
+            q.stop()
+    got = {r["k"]: r["s"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "x", 2: "y"}

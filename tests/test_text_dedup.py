@@ -96,6 +96,19 @@ def test_lang_id_cjk_scripts(spark):
     assert out[5] == "ja"   # a single kana (の) flips the kanji zh verdict
 
 
+def test_lang_id_more_scripts(spark):
+    df = spark.createDataFrame(
+        [(1, "это русское предложение"),        # ru (cyrillic)
+         (2, "هذه جملة عربية"),                  # ar
+         (3, "זה משפט בעברית"),                  # he
+         (4, "यह एक हिंदी वाक्य है"),                # hi (devanagari)
+         (5, "นี่คือประโยคภาษาไทย"),                 # th
+         (6, "αυτή είναι μια ελληνική πρόταση")],  # el (greek)
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["pred_lang"] for r in TX.with_lang_id(df).collect()}
+    assert out == {1: "ru", 2: "ar", 3: "he", 4: "hi", 5: "th", 6: "el"}
+
+
 def test_connected_components_chain_and_islands(spark):
     """A 4-node chain (1-2, 2-3, 3-4) is ONE component even though 1 and 4
     share no edge — pair-transitivity is the whole point of clustering."""
