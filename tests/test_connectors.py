@@ -148,3 +148,42 @@ def test_s3_source_falls_back_to_section_unavailable(spark):
                     "endpoint": "", "region": "", "access_key_id": "",
                     "secret_key": "", "start_after": "",
                     "stream_binary": False})
+
+
+def test_every_section_is_documented_and_typed():
+    """Registry hygiene: every section carries a docstring, a callable
+    builder, a sane input-arity range, and valid IO typing."""
+    valid_io = {"none", "bin", "dataframe", "bin_or_dataframe"}
+    for name in REGISTRY.names():
+        sdef = REGISTRY.get(name)
+        assert sdef.doc.strip(), f"{name}: missing doc"
+        assert callable(sdef.builder), name
+        lo, hi = sdef.n_inputs
+        assert 0 <= lo <= hi, name
+        assert sdef.input in valid_io and sdef.output in valid_io, name
+        if sdef.kind == "source":
+            assert sdef.input == "none" and lo == hi == 0, name
+        else:
+            assert sdef.input != "none", name
+        if sdef.kind == "destination":
+            assert sdef.output == "none", name
+
+
+def test_io_typing_rejects_bad_edges():
+    """A dataframe-typed parent cannot feed a bin-typed transform: the
+    compiler rejects the edge at validate time (config/src/lib.rs:14-19
+    SectionIO typing)."""
+    import pytest
+
+    from mycelial_spark.plans.compiler import Pipeline
+    from mycelial_spark.plans.graph import GraphError
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": "/tmp/x"},
+            "parse": {"type": "from_jsonl"},     # bin input
+            "dst": {"type": "noop_dest"},
+        },
+        "edges": [["src", "parse"], ["parse", "dst"]],
+    }
+    with pytest.raises(GraphError, match="does not feed"):
+        Pipeline.from_spec(spec)

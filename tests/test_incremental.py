@@ -3,7 +3,7 @@ stateful_query.rs test block at sections/postgres_connector/src/
 stateful_query.rs:207-310) + StateStore persistence."""
 
 import pytest
-from hypothesis import given, strategies as st
+from hypothesis import given, settings, strategies as st
 
 from mycelial_spark.streaming.incremental import (
     StatefulQuery, StateStore, _PLACEHOLDER)
@@ -103,3 +103,37 @@ def test_max_rows_per_poll_needs_single_cursor():
     with pytest.raises(ValueError, match="one tracked cursor"):
         StatefulQuery("SELECT * FROM t WHERE a > $x::i64 AND b > $y::i64",
                       initial={"x": 0, "y": 0}, max_rows_per_poll=10)
+
+
+@settings(deadline=None, max_examples=8)
+@given(st.lists(st.integers(min_value=1, max_value=200), min_size=1,
+                max_size=40, unique=True),
+       st.integers(min_value=1, max_value=7))
+def test_pagination_drains_any_backlog(ids, page):
+    """Property: for ANY id set and page size, repeated poll+ack drains
+    exactly the backlog — no loss, no duplicates, watermark monotone."""
+    import sqlite3
+    import tempfile
+
+    from mycelial_spark.session import get_spark
+    from mycelial_spark.sources.sqlite import read_query
+    spark = get_spark("mycelial-tests")
+    with tempfile.TemporaryDirectory() as d:
+        db = f"{d}/src.db"
+        with sqlite3.connect(db) as c:
+            c.execute("CREATE TABLE t (id INTEGER PRIMARY KEY)")
+            c.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+        sq = StatefulQuery("SELECT id FROM t WHERE id > $wm::i64",
+                           initial={"wm": 0}, max_rows_per_poll=page)
+        seen: list[int] = []
+        for _ in range(len(ids) // page + 2):
+            batch = sq.run_with(
+                lambda sql: read_query(spark, db, sql), "sqlite")
+            got = sorted(r["id"] for r in batch.collect())
+            sq.ack()
+            if not got:
+                break
+            assert len(got) <= page
+            assert not seen or got[0] > seen[-1]   # monotone pages
+            seen.extend(got)
+        assert seen == sorted(ids)
