@@ -16,6 +16,10 @@ Operators:
   ``session_window`` aggregation this keeps arbitrary per-session payload
   (first/last event ids) — the case where the built-ins genuinely can't
   express the semantics and custom state is warranted.
+- ``detect_sequences`` — CEP-lite: per-key "A then B within T" pattern
+  matches across micro-batch boundaries (an A in batch 1 pairs with a B
+  in batch 7) — unreachable for stream-stream interval joins once the
+  trigger cadence exceeds the pattern window unless state is explicit.
 
 Scale: state is partitioned by key across executors (RocksDB/HDFS-backed
 state store on a cluster); each micro-batch touches only keys present in
@@ -150,3 +154,66 @@ def sessionize(df: DataFrame, gap_seconds: int = 1800,
     return (df.groupBy(key_col)
               .applyInPandasWithState(update, SESSION_SCHEMA,
                                       SESSION_STATE_SCHEMA, "update", timeout))
+
+
+SEQUENCE_SCHEMA = StructType([
+    StructField("key", LongType()),
+    StructField("a_ts", TimestampType()),
+    StructField("b_ts", TimestampType()),
+    StructField("latency_ms", LongType()),
+])
+
+SEQUENCE_STATE_SCHEMA = StructType([
+    StructField("a_us", LongType()),
+])
+
+
+def detect_sequences(df: DataFrame, first_type: str, then_type: str,
+                     within_seconds: int, key_col: str = "user_id",
+                     ts_col: str = "ts",
+                     type_col: str = "event_type") -> DataFrame:
+    """Per-key A-then-B pattern matches within a time window.
+
+    Emits (key, a_ts, b_ts, latency_ms) whenever a ``then_type`` event
+    follows a ``first_type`` event by at most ``within_seconds`` on the
+    same key — matches are NON-OVERLAPPING (each A pairs with the first
+    qualifying B; a consumed A can't match again). State is the pending
+    A's timestamp, so the pair is found even when A and B arrive in
+    different micro-batches.
+    """
+    within_us = within_seconds * 1_000_000
+
+    def update(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        pending = state.get[0] if state.exists else None
+        matches: list[tuple[int, int]] = []
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values(ts_col)
+            for ts, etype in zip(rows[ts_col], rows[type_col]):
+                us = int(ts.value // 1000)
+                if etype == first_type:
+                    pending = us            # newest A wins (restart window)
+                elif etype == then_type and pending is not None:
+                    if us - pending <= within_us:
+                        matches.append((pending, us))
+                        pending = None      # non-overlapping: A consumed
+                    elif us > pending + within_us:
+                        pending = None      # expired A
+        if pending is None:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pending,))
+        if matches:
+            yield pd.DataFrame({
+                "key": [key[0]] * len(matches),
+                "a_ts": [pd.Timestamp(a * 1000) for a, _ in matches],
+                "b_ts": [pd.Timestamp(b * 1000) for _, b in matches],
+                "latency_ms": [(b - a) // 1000 for a, b in matches],
+            })
+
+    return (df.groupBy(key_col)
+              .applyInPandasWithState(update, SEQUENCE_SCHEMA,
+                                      SEQUENCE_STATE_SCHEMA, "update",
+                                      GroupStateTimeout.NoTimeout))

@@ -124,3 +124,39 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _drain(stream2, out, ckpt, mode="append")
     ids = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 9]
+
+
+def test_detect_sequences_across_batches(spark, tmp_path):
+    """CEP-lite A->B matching: pairs within the window match (including
+    A and B arriving in DIFFERENT micro-batches via persisted state),
+    expired As don't, and matches are non-overlapping."""
+    from mycelial_spark.streaming.stateful import detect_sequences
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:00", 1, "search"),    # A
+        (2, "2024-01-01 10:00:30", 1, "buy"),       # B: match, 30 s
+        (3, "2024-01-01 10:01:00", 2, "search"),    # A, pairs NEXT batch
+        (4, "2024-01-01 10:00:00", 3, "search"),    # A that expires
+        (5, "2024-01-01 10:30:00", 3, "buy"),       # too late (>60 s)
+    ])
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        _drain(detect_sequences(stream, "search", "buy", 60), out, ckpt)
+
+    run()
+    got = {(r["key"], r["latency_ms"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 30000)}
+    # batch 2: user 2's B arrives -> pairs with the batch-1 A via state
+    _write_events(spark, src, [
+        (6, "2024-01-01 10:01:45", 2, "buy"),       # 45 s after its A
+        (7, "2024-01-01 10:02:00", 1, "buy"),       # no pending A: consumed
+    ])
+    run()
+    got = {(r["key"], r["latency_ms"])
+           for r in spark.read.parquet(out).collect()}
+    assert got == {(1, 30000), (2, 45000)}
