@@ -692,6 +692,68 @@ def exec_(spark, cfg, inputs):
                      reuse_process=cfg["reuse_process"])
 
 
+def _require_streaming(df: DataFrame, section: str) -> None:
+    if not df.isStreaming:
+        from mycelial_spark.plans.graph import GraphError
+        raise GraphError(
+            f"{section} is a STREAMING-only section (custom per-key state "
+            "needs the state store); run the pipeline with --stream")
+
+
+@_register("stateful_running_counts", "transform", "dataframe", "dataframe",
+           [Field("key_col", default="event_type"), Field("ts_col", default="ts")],
+           doc="Streaming-only: per-key running counts via "
+               "applyInPandasWithState — the reference's persisted "
+               "per-section KV state as a declarative node.")
+def stateful_running_counts_(spark, cfg, inputs):
+    from mycelial_spark.streaming.stateful import running_counts
+    _require_streaming(inputs[0], "stateful_running_counts")
+    return running_counts(inputs[0], cfg["key_col"], cfg["ts_col"])
+
+
+@_register("stateful_sessionize", "transform", "dataframe", "dataframe",
+           [Field("gap_seconds", "int", 1800),
+            Field("key_col", default="user_id"), Field("ts_col", default="ts"),
+            Field("id_col", default="event_id"),
+            Field("timeout_ms", "int", 0)],
+           doc="Streaming-only: gap sessionization with custom per-session "
+               "payload (streaming/stateful.py sessionize).")
+def stateful_sessionize_(spark, cfg, inputs):
+    from mycelial_spark.streaming.stateful import sessionize
+    _require_streaming(inputs[0], "stateful_sessionize")
+    return sessionize(inputs[0], cfg["gap_seconds"], cfg["key_col"],
+                      cfg["ts_col"], cfg["id_col"], cfg["timeout_ms"])
+
+
+@_register("stateful_sequences", "transform", "dataframe", "dataframe",
+           [Field("first_type"), Field("then_type"),
+            Field("within_seconds", "int", 600),
+            Field("key_col", default="user_id"), Field("ts_col", default="ts"),
+            Field("type_col", default="event_type")],
+           doc="Streaming-only: CEP-lite A-then-B pattern matches across "
+               "micro-batches (streaming/stateful.py detect_sequences); "
+               "batch analog = the funnel_latency query.")
+def stateful_sequences_(spark, cfg, inputs):
+    from mycelial_spark.streaming.stateful import detect_sequences
+    _require_streaming(inputs[0], "stateful_sequences")
+    return detect_sequences(inputs[0], cfg["first_type"], cfg["then_type"],
+                            cfg["within_seconds"], cfg["key_col"],
+                            cfg["ts_col"], cfg["type_col"])
+
+
+@_register("dedup_within_watermark", "transform", "dataframe", "dataframe",
+           [Field("subset", "list"), Field("ts_col", default="ts"),
+            Field("delay", default="10 minutes")],
+           doc="Streaming-only: late-data row dedup bounded by an "
+               "event-time watermark (dropDuplicatesWithinWatermark) — "
+               "state is garbage-collected past the delay instead of "
+               "growing forever.")
+def dedup_within_watermark_(spark, cfg, inputs):
+    _require_streaming(inputs[0], "dedup_within_watermark")
+    return (inputs[0].withWatermark(cfg["ts_col"], cfg["delay"])
+            .dropDuplicatesWithinWatermark(cfg["subset"]))
+
+
 @_register("multimodal_features", "transform", "bin_or_dataframe", "dataframe",
            [Field("id_col", default="id")],
            doc="North-star multimodal: per-item feature extraction over "

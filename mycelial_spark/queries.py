@@ -1490,6 +1490,47 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_rows")
 
 
+@query("funnel_latency", """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         max(CASE WHEN event_type = 'click' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS click_ts
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(date_diff('microsecond', click_ts, ts) // 1000 AS BIGINT)
+         AS latency_ms
+FROM seq
+WHERE event_type = 'purchase' AND click_ts IS NOT NULL
+  AND date_diff('microsecond', click_ts, ts) <= 600000000
+""")
+def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch analog of the CEP sequence detector (streaming/stateful.py
+    detect_sequences): per purchase, latency from the latest preceding
+    click by the same user within 10 minutes — one window pass, no
+    self-join; the running-max-over-CASE trick keeps it a single
+    shuffle on user_id."""
+    from pyspark.sql import Window
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id",
+                                           "event_type", "ts")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    click_ts = F.max(F.when(F.col("event_type") == "click",
+                            F.col("ts"))).over(w)
+    # microsecond diff floored to ms: DuckDB's date_diff counts boundary
+    # crossings, so a millisecond-level diff can disagree by 1 — the
+    # micro-precision diff is exact on both engines
+    lat_us = F.expr("timestampdiff(MICROSECOND, click_ts, ts)")
+    return (e.withColumn("click_ts", click_ts)
+            .filter((F.col("event_type") == "purchase")
+                    & F.col("click_ts").isNotNull())
+            .filter(lat_us <= 600000000)
+            .withColumn("latency_ms", (lat_us / 1000).cast("long"))
+            .select("user_id", "event_id", "latency_ms"))
+
+
 @query("cms_token_freq", None)  # sketch binaries -> rows-only
 def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable FREQUENCY sketches (Count-Min, Spark's built-in

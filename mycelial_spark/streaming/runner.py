@@ -42,6 +42,10 @@ _STREAM_SOURCES = {"parquet_source", "csv_source", "binary_source", "rate_source
 _POLL_SOURCES = {"stateful_query", "sqlite_source", "excel_source",
                  "dir_source"}
 
+# transforms whose emission is update-mode (applyInPandasWithState)
+_STATEFUL_SECTIONS = {"stateful_running_counts", "stateful_sessionize",
+                      "stateful_sequences"}
+
 
 def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
                  schema: str | None) -> DataFrame:
@@ -144,6 +148,11 @@ class StreamingPipeline:
                   .option("checkpointLocation", f"{self.checkpoint_root}/{task_id}")
                   .queryName(f"mycelial-{task_id[:12]}")
                   .trigger(**self.trigger))
+        # custom-state operators declare update-mode emission; the engine
+        # rejects them under the default append mode
+        if any(sub.nodes[nid]["type"] in _STATEFUL_SECTIONS
+               for nid in sub.topo_order()):
+            writer = writer.outputMode("update")
         return writer.start()
 
     def _start_poll_subgraph(self, spark: SparkSession, sub,

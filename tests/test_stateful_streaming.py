@@ -160,3 +160,43 @@ def test_detect_sequences_across_batches(spark, tmp_path):
     got = {(r["key"], r["latency_ms"])
            for r in spark.read.parquet(out).collect()}
     assert got == {(1, 30000), (2, 45000)}
+
+
+def test_stateful_sections_in_declarative_pipeline(spark, tmp_path):
+    """Custom-state operators as pipeline NODES: a spec with
+    stateful_sequences runs through the streaming runner (update-mode
+    sink selected automatically); batch run refuses with a clear error."""
+    import pytest
+
+    from mycelial_spark.plans.compiler import Pipeline
+    from mycelial_spark.plans.graph import GraphError
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    _write_events(spark, src, [
+        (1, "2024-01-01 10:00:00", 1, "search"),
+        (2, "2024-01-01 10:00:30", 1, "buy"),
+        (3, "2024-01-01 10:00:00", 2, "buy"),     # no preceding search
+    ])
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": src},
+            "seq": {"type": "stateful_sequences", "first_type": "search",
+                    "then_type": "buy", "within_seconds": 60},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "append"},
+        },
+        "edges": [["src", "seq"], ["seq", "dst"]],
+    }
+    queries = StreamingPipeline.from_spec(
+        spec, str(tmp_path / "ckpt"), trigger={"availableNow": True}).start(spark)
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+    finally:
+        for q in queries:
+            q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert [(r["key"], r["latency_ms"]) for r in rows] == [(1, 30000)]
+    # batch mode: streaming-only section refuses loudly
+    with pytest.raises(GraphError, match="STREAMING-only"):
+        Pipeline.from_spec(spec).run(spark)
