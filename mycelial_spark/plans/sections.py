@@ -874,6 +874,43 @@ def memory_dest(spark, cfg, df):
 _MEMORY_DEST_PINNED: dict[str, DataFrame] = {}
 
 
+@_register("excel_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("sheet", default="Sheet1"),
+            Field("route_by_origin", "bool", False)],
+           doc="S5 reverse leg (beyond-ref): write one xlsx workbook via "
+               "the stdlib writer; route_by_origin=True maps each origin "
+               "to its own SHEET — the read leg's per-sheet origin, "
+               "inverted. Driver-side by nature (a workbook is one small "
+               "file; bulk data belongs in parquet), rows streamed via "
+               "toLocalIterator, atomic tmp+rename.")
+def excel_dest(spark, cfg, df):
+    import tempfile
+
+    from mycelial_spark.sources.xlsx import write_xlsx
+    routes, pinned = _origin_routes(df, cfg["sheet"], cfg["route_by_origin"])
+    sheets: dict[str, list[list]] = {}
+    try:
+        for sheet, part in routes:
+            rows: list[list] = [list(part.columns)]
+            for r in part.toLocalIterator():
+                rows.append([r[c] for c in part.columns])
+            sheets[sheet] = rows
+    finally:
+        if pinned is not None:
+            pinned.unpersist()
+    payload = write_xlsx(sheets)
+    out_dir = os.path.dirname(cfg["path"]) or "."
+    os.makedirs(out_dir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=out_dir)
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, cfg["path"])
+    return {"path": cfg["path"],
+            "sheets": {name: len(rows) - 1 for name, rows in sheets.items()}}
+
+
 def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
     """(table, frame) routing pairs for a SQL destination.
 

@@ -83,3 +83,31 @@ def test_pipeline_section_uses_parser(spark, xlsx_dir):
                                 "sheets": "People", "strict": False})
     df = sdef.builder(spark, cfg)
     assert df.filter(F.col("origin") == "People").count() == 4
+
+
+def test_excel_dest_roundtrip(spark, tmp_path):
+    """The write leg: dataframe -> workbook -> read_excel gets the same
+    rows; origins fan out to SHEETS (the read leg's per-sheet origin,
+    inverted)."""
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("excel_dest")
+    df = (spark.createDataFrame(
+        [(1, "alice", 9.5), (2, "bob", None), (3, "carol", 7.0)],
+        "id long, name string, score double")
+        .withColumn("_origin", F.when(F.col("id") < 3, "Small")
+                    .otherwise("Big")))
+    out = str(tmp_path / "out.xlsx")
+    cfg = sdef.validate_config({"type": "excel_dest", "path": out,
+                                "route_by_origin": True})
+    res = sdef.builder(spark, cfg, df)
+    assert res["sheets"] == {"Big": 1, "Small": 2}
+    back = read_xlsx((tmp_path / "out.xlsx").read_bytes())
+    assert set(back) == {"Small", "Big"}
+    assert back["Small"][0] == ["id", "name", "score"]
+    assert sorted(r[0] for r in back["Small"][1:]) == [1, 2]
+    assert back["Big"][1][1] == "carol"
+    # single-sheet mode
+    cfg2 = sdef.validate_config({"type": "excel_dest",
+                                 "path": str(tmp_path / "one.xlsx")})
+    res2 = sdef.builder(spark, cfg2, df.drop("_origin"))
+    assert res2["sheets"] == {"Sheet1": 3}
