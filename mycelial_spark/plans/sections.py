@@ -668,6 +668,52 @@ def text_stats_(spark, cfg, inputs):
     return with_text_stats(inputs[0], cfg["text_col"])
 
 
+@_register("quality_score", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="[0,1] quality heuristic column (length, lexical diversity, "
+               "punctuation/digit noise) — the cheap pre-dedup gate as a "
+               "pipeline node.")
+def quality_score_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_quality_score
+    return with_quality_score(inputs[0], cfg["text_col"])
+
+
+@_register("lang_id", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Language-ID column (13 languages: marker lexicons + script "
+               "ranges, kana tiebreak) as a pipeline node.")
+def lang_id_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_lang_id
+    return with_lang_id(inputs[0], cfg["text_col"])
+
+
+@_register("train_test_split", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id"),
+            Field("weights", "json", default={})],
+           doc="Deterministic hash-range split column (engine-exact, "
+               "reproducible on any cluster) — the last step of a "
+               "training-data pipeline as a node.")
+def train_test_split_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import with_split
+    return with_split(inputs[0], cfg["id_col"], cfg["weights"] or None)
+
+
+@_register("decontaminate", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"), Field("id_col", default="doc_id"),
+            Field("ngram", "int", 5), Field("threshold", "int", 1)],
+           n_inputs=(2, 2),
+           doc="Benchmark decontamination as a node: inputs = (corpus, "
+               "benchmark); flags corpus docs sharing >= threshold distinct "
+               "word n-grams with the benchmark (8-byte shingle-hash "
+               "semi-join, benchmark side broadcast).")
+def decontaminate_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import decontaminate
+    flags = decontaminate(inputs[0], inputs[1], cfg["text_col"],
+                          cfg["id_col"], cfg["ngram"], cfg["threshold"])
+    # flag column joined back so downstream nodes can filter on it
+    return inputs[0].join(flags, cfg["id_col"])
+
+
 @_register("exec", "transform", "bin_or_dataframe", "bin_or_dataframe",
            [Field("command", "list"), Field("stream_binary", "bool", False),
             Field("row_as_args", "bool", True),

@@ -171,3 +171,37 @@ def test_parquet_dest_small_files_levers(spark, sf_dir, tmp_path):
     n_files = len(glob.glob(f"{split}/part-*.parquet"))
     assert n_files >= (n_rows + 59) // 60
     assert spark.read.parquet(split).count() == n_rows
+
+
+def test_cleaning_pipeline_end_to_end(spark, tmp_path):
+    """The showcase: the full training-data cleaning pipeline (quality
+    signals -> score filter -> benchmark decontamination -> exact dedup
+    -> deterministic split -> partitioned parquet) as ONE declarative
+    spec — examples/cleaning_pipeline.toml's shape, run at sf0.001."""
+    import tomllib
+
+    from mycelial_spark.plans.compiler import Pipeline
+    with open("examples/cleaning_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "clean")
+    spec["nodes"]["docs"]["path"] = sf
+    spec["nodes"]["z_bench_src"]["path"] = sf
+    spec["nodes"]["out"]["path"] = out
+    Pipeline.from_spec(spec).run(spark)
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert 0 < n < 500                       # filters actually removed docs
+    # invariants: no contaminated doc, no duplicate text, all splits present
+    assert got.filter("contaminated").count() == 0
+    texts = got.select("text").count()
+    assert got.select("text").distinct().count() == texts
+    splits = {r["split"] for r in got.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"} and "train" in splits
+    # deterministic: rerun lands the identical doc set
+    out2 = str(tmp_path / "clean2")
+    spec["nodes"]["out"]["path"] = out2
+    Pipeline.from_spec(spec).run(spark)
+    a = {r["doc_id"] for r in got.select("doc_id").collect()}
+    b = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
+    assert a == b
