@@ -54,6 +54,43 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("dup_count")))
 
 
+def incremental_dedup(new_docs: DataFrame, ledger_path: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Cross-batch exact dedup against a persisted fingerprint LEDGER —
+    the streaming form of ``dedup_exact``: a row survives only if its
+    normalized-text fingerprint has never been seen in ANY earlier batch
+    (anti-join against the ledger) nor earlier in this batch (min-id per
+    fingerprint); survivors' fingerprints append to the ledger.
+
+    At 100 TB the ledger is a parquet table of 8-byte fingerprints:
+    the anti-join shuffles 8 B/doc, the append is a blind narrow write
+    (bucket the ledger by fingerprint for a co-located join at extreme
+    scale). The survivor set is localCheckpoint'ed BEFORE the append so
+    the returned frame cannot lazily re-read a ledger that now contains
+    its own fingerprints.
+
+    Pair with an idempotent/exactly-once destination: a replayed batch
+    re-appends already-present fingerprints (harmless for dedup — the
+    anti-join drops the rows anyway) but must not double-land survivors.
+    """
+    import os
+
+    from pyspark.sql import Window
+    spark = new_docs.sparkSession
+    fp = with_fingerprint(new_docs, text_col)
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    batch_unique = (fp.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn", "shingle_hashes"))
+    if os.path.exists(ledger_path):
+        seen = spark.read.parquet(ledger_path).select("fingerprint")
+        batch_unique = batch_unique.join(seen, "fingerprint", "left_anti")
+    survivors = batch_unique.localCheckpoint()
+    (survivors.select("fingerprint")
+     .write.mode("append").parquet(ledger_path))
+    return survivors
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        ngram: int = 3) -> DataFrame:

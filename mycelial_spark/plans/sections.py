@@ -636,6 +636,21 @@ def dedup_exact_(spark, cfg, inputs):
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
+@_register("incremental_dedup", "transform", "dataframe", "dataframe",
+           [Field("ledger_path"), Field("text_col", default="text"),
+            Field("id_col", default="doc_id")],
+           doc="Cross-batch exact dedup against a persisted fingerprint "
+               "ledger (operators/dedup.py incremental_dedup): in a "
+               "streaming pipeline each micro-batch drops docs already "
+               "seen in ANY earlier batch, then appends the survivors' "
+               "fingerprints — the dedup stage of a continuously-ingesting "
+               "training corpus.")
+def incremental_dedup_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import incremental_dedup
+    return incremental_dedup(inputs[0], cfg["ledger_path"],
+                             cfg["text_col"], cfg["id_col"])
+
+
 @_register("dedup_minhash", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id"),
             Field("threshold", "float", 0.5), Field("num_hashes", "int", 64),

@@ -297,3 +297,28 @@ def test_fingerprint_short_docs_empty_shingles(spark):
         [(1, "a  b\tc"), (2, "a b c")], ["doc_id", "text"])
     fps = [r.fingerprint for r in TX.with_fingerprint(df2).collect()]
     assert fps[0] == fps[1]
+
+
+def test_incremental_dedup_ledger_across_batches(spark, tmp_path):
+    """Micro-batch 1 dedups within itself and seeds the ledger; batch 2
+    drops everything already seen in batch 1; a fresh operator call
+    (restart) still honors the ledger."""
+    ledger = str(tmp_path / "ledger")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog sleeps"),
+         (3, "the  quick   brown fox")],        # whitespace-normalized dup
+        "doc_id long, text string")
+    s1 = D.incremental_dedup(b1, ledger)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]   # min id kept
+    b2 = spark.createDataFrame(
+        [(4, "lazy dog sleeps"),                 # seen in batch 1
+         (5, "genuinely new document here")],
+        "doc_id long, text string")
+    s2 = D.incremental_dedup(b2, ledger)
+    assert [r["doc_id"] for r in s2.collect()] == [5]
+    # survivors keep their payload columns + fingerprint
+    assert {"doc_id", "text", "fingerprint"} <= set(s2.columns)
+    # ledger now holds exactly the three surviving fingerprints
+    assert spark.read.parquet(ledger).distinct().count() == 3
+    # replay of batch 2 (at-least-once): everything drops
+    assert D.incremental_dedup(b2, ledger).count() == 0
