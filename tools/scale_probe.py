@@ -65,12 +65,16 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mycelial_spark.operators.dedup import (
-        dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs,
+        decontaminate, dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs,
         simhash_near_pairs)
     from mycelial_spark.operators.text import with_fingerprint, with_text_stats
 
     ops = {
         "dedup_exact": lambda d: dedup_exact(d),
+        # benchmark side fixed at the base corpus's first 500 docs: cost
+        # should track the CORPUS side (the benchmark is broadcast)
+        "decontaminate": lambda d: decontaminate(
+            d, d.filter(F.col("doc_id") < 500)),
         "minhash_lsh_pairs": lambda d: minhash_lsh_pairs(d, threshold=0.5),
         # the past-the-broadcast-cliff path: candidate re-attach via
         # shuffle hash joins on id instead of broadcasting the pair table
