@@ -85,7 +85,11 @@ def incremental_dedup(new_docs: DataFrame, ledger_path: str,
     if os.path.exists(ledger_path):
         seen = spark.read.parquet(ledger_path).select("fingerprint")
         batch_unique = batch_unique.join(seen, "fingerprint", "left_anti")
-    survivors = batch_unique.localCheckpoint()
+    # stable column order across batches: the anti-join moves its key to
+    # the front, and positional sinks (sqlite/jdbc INSERTs) would scramble
+    # later batches against the table created from the first one
+    survivors = batch_unique.select(*new_docs.columns, "fingerprint") \
+                            .localCheckpoint()
     (survivors.select("fingerprint")
      .write.mode("append").parquet(ledger_path))
     return survivors

@@ -647,6 +647,13 @@ def dedup_exact_(spark, cfg, inputs):
                "training corpus.")
 def incremental_dedup_(spark, cfg, inputs):
     from mycelial_spark.operators.dedup import incremental_dedup
+    if inputs[0].isStreaming:
+        from mycelial_spark.plans.graph import GraphError
+        raise GraphError(
+            "incremental_dedup runs per delivered batch — use it in a "
+            "POLL pipeline (stateful_query/sqlite/excel/dir watch "
+            "sources) or a batch run, not downstream of a continuous "
+            "file/rate stream")
     return incremental_dedup(inputs[0], cfg["ledger_path"],
                              cfg["text_col"], cfg["id_col"])
 

@@ -147,6 +147,10 @@ def write_frame(df: DataFrame, path: str, table: str,
     """
     schema = df.schema
     marks = ",".join("?" * len(schema.fields))
+    # name-qualified inserts: a frame whose column ORDER drifts from the
+    # already-created table's (joins reorder columns) still lands each
+    # value in the right column
+    col_list = "(" + ", ".join(f'"{f.name}"' for f in schema.fields) + ")"
     if upsert_keys:
         missing = [k for k in upsert_keys if k not in df.columns]
         if missing:
@@ -162,11 +166,12 @@ def write_frame(df: DataFrame, path: str, table: str,
                          for f in schema.fields if f.name not in upsert_keys)
         # every column a key -> nothing to update on conflict
         on_conflict = (f"DO UPDATE SET {sets}" if sets else "DO NOTHING")
-        insert = (f'INSERT INTO "{table}" VALUES ({marks}) '
+        insert = (f'INSERT INTO "{table}" {col_list} VALUES ({marks}) '
                   f'ON CONFLICT ({pk}) {on_conflict}')
     else:
         ddl = _ddl(table, schema)                # auto-DDL, :82
-        insert = f'INSERT OR IGNORE INTO "{table}" VALUES ({marks})'  # :91
+        insert = (f'INSERT OR IGNORE INTO "{table}" {col_list} '
+                  f'VALUES ({marks})')  # :91
     n = 0
     conn = sqlite3.connect(path, isolation_level=None)
     try:

@@ -226,3 +226,38 @@ def test_watch_source_supervised_restart(spark, tmp_path):
         assert _sink_col(out_db, "id") == [1, 2, 3, 4]
     finally:
         rec.stop_all()
+
+
+def test_watch_pipeline_with_incremental_dedup(spark, tmp_path):
+    """Continuous ingest with history dedup: the sqlite watch re-emits
+    the FULL table each change, and the ledger section reduces every
+    poll to the never-seen-before docs — the streaming cleaning-pipeline
+    core (watch -> dedup-vs-history -> sink)."""
+    src_db = str(tmp_path / "src.db")
+    out_db = str(tmp_path / "out.db")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "ledger")
+    with sqlite3.connect(src_db) as c:
+        c.execute("CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT)")
+        c.executemany("INSERT INTO docs VALUES (?, ?)",
+                      [(1, "alpha beta gamma"), (2, "delta epsilon zeta"),
+                       (3, "alpha  beta   gamma")])     # normalized dup of 1
+    spec = {
+        "nodes": {
+            "src": {"type": "sqlite_source", "path": src_db,
+                    "query": "SELECT doc_id, text FROM docs",
+                    "poll_interval_millis": 200},
+            "dedup": {"type": "incremental_dedup", "ledger_path": ledger},
+            "dst": {"type": "sqlite_dest", "path": out_db, "table": "sink",
+                    "upsert_keys": "doc_id"},
+        },
+        "edges": [["src", "dedup"], ["dedup", "dst"]],
+    }
+    _run(spark, spec, ckpt, lambda: _sink_col(out_db, "doc_id") == [1, 2])
+    # new doc arrives; the re-emitted 1/2/3 all drop against the ledger
+    time.sleep(0.05)
+    with sqlite3.connect(src_db) as c:
+        c.execute("INSERT INTO docs VALUES (4, 'fresh new content')")
+    _run(spark, spec, ckpt,
+         lambda: _sink_col(out_db, "doc_id") == [1, 2, 4])
+    assert spark.read.parquet(ledger).distinct().count() == 3
