@@ -48,6 +48,9 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "q8_market_share",
+    "doc_repetition",
+    "funnel_latency",
+    "recursive_date_spine",
     "text_stats",
     "doc_fingerprint",
     "token_topk",
