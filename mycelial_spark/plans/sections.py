@@ -409,13 +409,17 @@ def sort_limit(spark, cfg, inputs):
 
 
 @_register("from_csv", "transform", "bin", "dataframe",
-           [Field("header", "bool", True)],
+           [Field("header", "bool", True),
+            Field("columns", "list", default=[])],
            doc="T3 csv_transform::FromCsv: binary CSV payloads -> all-string "
                "dataframe. Each payload is parsed with ITS OWN header row — "
                "the reference parses per message "
                "(sections/csv_transform/src/from_csv.rs) — so multi-file "
                "inputs with different headers union by name, and a data row "
-               "that happens to equal the header string survives.")
+               "that happens to equal the header string survives. An "
+               "explicit `columns` list skips the driver-side header "
+               "discovery — required for STREAMING binary inputs, where "
+               "collecting header lines is impossible.")
 def from_csv(spark, cfg, inputs):
     import csv as _csv
     import io as _io
@@ -430,22 +434,31 @@ def from_csv(spark, cfg, inputs):
                          f"(bin contract); got {inputs[0].columns}")
     src = inputs[0].select(
         *[c for c in ("path", "content") if c in inputs[0].columns])
-    # Schema discovery: only the FIRST LINE of each payload reaches the
-    # driver (a codegen substring of the scan, O(#files) strings) — data
-    # rows never do. The unified schema is the first-seen-order union of
-    # every file's header columns.
-    hdr_rows = (src.select(
-        F.element_at(F.split(F.decode("content", "UTF-8"), "\r?\n"), 1)
-         .alias("hdr"))
-        .filter(F.col("hdr") != "").distinct().collect())
-    cols: list[str] = []
-    for r in hdr_rows:
-        parsed = next(_csv.reader(_io.StringIO(r["hdr"])), [])
-        fields = (parsed if cfg["header"]
-                  else [f"_c{i}" for i in range(len(parsed))])
-        for c in fields:
-            if c not in cols:
-                cols.append(c)
+    if cfg.get("columns"):
+        # explicit schema: no driver-side discovery -> streaming-legal
+        cols = list(cfg["columns"])
+    else:
+        if inputs[0].isStreaming:
+            from mycelial_spark.plans.graph import GraphError
+            raise GraphError(
+                "from_csv on a streaming input needs an explicit "
+                "'columns' list (header discovery collects to the driver)")
+        # Schema discovery: only the FIRST LINE of each payload reaches
+        # the driver (a codegen substring of the scan, O(#files) strings)
+        # — data rows never do. The unified schema is the
+        # first-seen-order union of every file's header columns.
+        hdr_rows = (src.select(
+            F.element_at(F.split(F.decode("content", "UTF-8"), "\r?\n"), 1)
+             .alias("hdr"))
+            .filter(F.col("hdr") != "").distinct().collect())
+        cols = []
+        for r in hdr_rows:
+            parsed = next(_csv.reader(_io.StringIO(r["hdr"])), [])
+            fields = (parsed if cfg["header"]
+                      else [f"_c{i}" for i in range(len(parsed))])
+            for c in fields:
+                if c not in cols:
+                    cols.append(c)
     if not cols:
         return spark.createDataFrame([], T.StructType([]))
     schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])

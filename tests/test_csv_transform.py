@@ -190,3 +190,43 @@ def test_from_jsonl_explicit_schema_streaming(spark, tmp_path):
             q.stop()
     got = {r["k"]: r["s"] for r in spark.read.parquet(out).collect()}
     assert got == {1: "x", 2: "y"}
+
+
+def test_from_csv_explicit_columns_streaming(spark, tmp_path):
+    """With an explicit columns list, from_csv runs on a STREAMING binary
+    source (per-payload parse in mapInPandas, no driver discovery);
+    without it, the streaming case refuses with a clear error."""
+    import pytest
+
+    from mycelial_spark.plans.graph import GraphError
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_bytes(b"k,v\n1,x\n2,y\n")
+    out = str(tmp_path / "out")
+    spec = {
+        "nodes": {
+            "src": {"type": "binary_source", "path": str(src),
+                    "pattern": "*.csv"},
+            "parse": {"type": "from_csv", "columns": ["k", "v"]},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "append"},
+        },
+        "edges": [["src", "parse"], ["parse", "dst"]],
+    }
+    queries = StreamingPipeline.from_spec(
+        spec, str(tmp_path / "ckpt"), trigger={"availableNow": True}).start(spark)
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+    finally:
+        for q in queries:
+            q.stop()
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {"1": "x", "2": "y"}
+    # no columns + streaming input -> refuse at build time
+    bad = {**spec, "nodes": {**spec["nodes"],
+           "parse": {"type": "from_csv"}}}
+    with pytest.raises(Exception, match="columns"):
+        StreamingPipeline.from_spec(
+            bad, str(tmp_path / "ckpt2"),
+            trigger={"availableNow": True}).start(spark)
