@@ -65,6 +65,32 @@ def test_doc_repetition_is_narrow(spark):
     assert a["bhj"] + a["smj"] + a["bnlj"] == 0
 
 
+# Queries where a nested-loop join is the INTENDED plan — each has one
+# tiny broadcast side or is the documented O(n^2) oracle baseline:
+#   cross_join             explicit cartesian demo
+#   range_join             non-equi point-in-range vs a 3-row dim
+#                          (interval_join_bucketed is the scale path)
+#   knn_join               broadcast probes x streaming corpus
+#   dedup_embedding_pairs  exact all-pairs baseline (LSH is the scale path)
+#   q22                    decorrelated scalar-aggregate cross join (1 row)
+_NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
+                  "dedup_embedding_pairs", "q22_idle_rich_customers"}
+
+
+def test_no_accidental_nested_loop_joins(spark):
+    """Sweep EVERY registered query's physical plan: a nested-loop or
+    cartesian join outside the explicit whitelist fails the build —
+    the regression that silently turns a broadcast into an n^2 scan."""
+    flagged = {}
+    for name in REGISTRY:
+        a = audit(plan_of(spark, name))
+        if a["bnlj"] or a["cartesian"]:
+            flagged[name] = (a["bnlj"], a["cartesian"])
+    unexpected = set(flagged) - _NLJ_WHITELIST
+    assert not unexpected, f"non-whitelisted NLJ/cartesian: " \
+        f"{ {k: flagged[k] for k in unexpected} }"
+
+
 def test_q6_predicates_reach_scan(spark):
     a = audit(plan_of(spark, "q6_forecast_revenue"))
     pushed = " ".join(a["pushed"])
