@@ -1914,6 +1914,22 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("n_nationkey", "n_name", "n_regionkey")
 
 
+@query("orc_roundtrip", """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+""")
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC file sink/source end-to-end through REAL files (the
+    engine-native columnar alternative to parquet); the oracle reads the
+    original parquet — types and values must survive the format hop."""
+    import os
+    s = _t(spark, sf_dir, "supplier")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/mycelial_orc_roundtrip_{tag}"
+    s.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).select("s_suppkey", "s_name",
+                                       "s_nationkey", "s_acctbal")
+
+
 @query("excel_roundtrip", """
 SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
        o_orderstatus, o_orderpriority

@@ -92,3 +92,37 @@ def test_prop_task_id_stable_and_sensitive(g):
         some = next(iter(g2.nodes))
         g2.nodes[some] = {**g2.nodes[some], "changed": True}
         assert g2.task_id() != g.task_id()
+
+
+def test_compiler_rejects_garbage_specs_cleanly():
+    """Fuzz: arbitrary spec dicts either compile or raise the DECLARED
+    error types (ConfigError/GraphError) — never a KeyError/TypeError
+    from deep inside the compiler."""
+    from hypothesis import given, settings, strategies as st
+
+    from mycelial_spark.plans.compiler import Pipeline
+    from mycelial_spark.plans.graph import GraphError
+    from mycelial_spark.plans.sections import REGISTRY
+    from mycelial_spark.plans.spec import ConfigError
+
+    types = st.sampled_from(REGISTRY.names() + ["nonsense_type"])
+    node_ids = st.sampled_from(["a", "b", "c", "d"])
+    nodes = st.dictionaries(
+        node_ids,
+        st.fixed_dictionaries({"type": types},
+                              optional={"path": st.text(max_size=5),
+                                        "query": st.text(max_size=5),
+                                        "bogus_field": st.integers()}),
+        max_size=4)
+    edges = st.lists(st.tuples(node_ids, node_ids), max_size=5) \
+        .map(lambda ps: [list(p) for p in ps])
+
+    @settings(max_examples=200, deadline=None)
+    @given(nodes, edges)
+    def run(ns, es):
+        try:
+            Pipeline.from_spec({"nodes": ns, "edges": es})
+        except (ConfigError, GraphError):
+            pass    # the declared failure modes
+
+    run()
