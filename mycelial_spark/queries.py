@@ -1148,6 +1148,45 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("rep_ratio"))
 
 
+@query("token_positions", """
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+       unnest(toks) AS tok
+FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+      FROM documents WHERE doc_id < 20) d
+""")
+def token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode / UNNEST WITH ORDINALITY): the
+    table-generating surface — one row per (doc, position, token)."""
+    from mycelial_spark.operators.text import tokens
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select("doc_id",
+                    F.posexplode(tokens(F.col("text"))).alias("pos", "tok"))
+
+
+@query("rolling_week_revenue", """
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW), 2)
+         AS revenue_7d
+FROM orders
+""")
+def rolling_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per customer, revenue over the trailing
+    7 calendar days of each order — a RANGE (not ROWS) frame, so
+    same-day peers aggregate together and gaps shrink the window. Spark
+    expresses the interval frame as rangeBetween over epoch seconds."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-6 * 86400, 0))
+    return o.select("o_orderkey", "o_custkey",
+                    F.round(F.sum("o_totalprice").over(w), 2)
+                     .alias("revenue_7d"))
+
+
 @query("audio_wav_features", """
 SELECT doc_id AS id,
        CAST(44 + 2 * (octet_length(encode(text)) // 2) AS BIGINT) AS n_bytes,
