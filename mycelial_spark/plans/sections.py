@@ -822,6 +822,19 @@ def stateful_sequences_(spark, cfg, inputs):
                             cfg["ts_col"], cfg["type_col"])
 
 
+@_register("watermark", "transform", "dataframe", "dataframe",
+           [Field("ts_col", default="ts"), Field("delay", default="10 minutes")],
+           doc="Event-time watermark annotation (withWatermark) — the "
+               "late-data bound that makes streaming aggregations, "
+               "stream-stream joins, and watermarked dedup legal as "
+               "declarative chains; a no-op on batch frames.")
+def watermark_(spark, cfg, inputs):
+    df = inputs[0]
+    if not df.isStreaming:
+        return df
+    return df.withWatermark(cfg["ts_col"], cfg["delay"])
+
+
 @_register("dedup_within_watermark", "transform", "dataframe", "dataframe",
            [Field("subset", "list"), Field("ts_col", default="ts"),
             Field("delay", default="10 minutes")],

@@ -154,3 +154,50 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
     # ad 1: click 30s after impression -> joins; ad 2: 19min later -> out
     # of range; ad 9: in range
     assert got == {(1,), (9,)}
+
+
+def test_declarative_stream_stream_join(spark, tmp_path):
+    """Stream-stream equi-join as a SPEC: two watermarked file streams
+    meet in a join node inside one streaming subgraph — the watermark
+    section is what makes the join legal."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    left = tmp_path / "left"
+    right = tmp_path / "right"
+    left.mkdir(); right.mkdir()
+    out = str(tmp_path / "joined")
+    (spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:10")],
+        "k long, ts_s string")
+     .select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+     .write.parquet(str(left / "p")))
+    (spark.createDataFrame(
+        [(1, "2024-01-01 10:00:05", "a"), (3, "2024-01-01 10:00:06", "b")],
+        "k long, ts_s string, v string")
+     .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+     .write.parquet(str(right / "p")))
+    spec = {
+        "nodes": {
+            "a_left": {"type": "parquet_source", "path": f"{left}/*"},
+            "a_wm": {"type": "watermark", "delay": "1 minute"},
+            "b_right": {"type": "parquet_source", "path": f"{right}/*"},
+            "b_wm": {"type": "watermark", "delay": "1 minute"},
+            "b_sel": {"type": "select", "columns": ["k", "v"]},
+            "j": {"type": "join", "on": ["k"], "how": "inner"},
+            "dst": {"type": "parquet_dest", "path": out, "mode": "append"},
+        },
+        "edges": [["a_left", "a_wm"], ["b_right", "b_wm"],
+                  ["b_wm", "b_sel"], ["a_wm", "j"], ["b_sel", "j"],
+                  ["j", "dst"]],
+    }
+    queries = StreamingPipeline.from_spec(
+        spec, str(tmp_path / "ckpt"), trigger={"availableNow": True}).start(spark)
+    try:
+        for q in queries:
+            q.awaitTermination(120)
+    finally:
+        for q in queries:
+            q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["v"] == "a"
