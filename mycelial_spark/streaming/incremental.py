@@ -171,14 +171,15 @@ class StatefulQuery:
         if getattr(self, "_last", None) is not None:
             self._last.unpersist()
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        self.last_count = df.count()
-        self._pending: dict[str, Any] = {}
+        # ONE pass: the count (pin + emptiness check) and the watermark
+        # maxes come from a single aggregate over the persisting scan —
+        # a separate count() then agg() cost a second action per poll
         maxes = [F.max(col).alias(name) for name, col in self.track.items()
                  if col in df.columns]
-        if maxes and self.last_count:
-            row = df.agg(*maxes).collect()[0]
-            self._pending = {k: v for k, v in row.asDict().items()
-                             if v is not None}
+        row = df.agg(F.count(F.lit(1)).alias("__n"), *maxes).collect()[0]
+        self.last_count = row["__n"]
+        self._pending = {k: v for k, v in row.asDict().items()
+                         if k != "__n" and v is not None}
         self._last = df
         return df
 
