@@ -174,10 +174,19 @@ class StreamingPipeline:
         from mycelial_spark.streaming.watch import make_poll_adapter
         sources = [nid for nid in sub.topo_order()
                    if REGISTRY.get(sub.nodes[nid]["type"]).kind == "source"]
-        if len(poll_ids) != 1 or set(sources) != set(poll_ids):
+        if len(poll_ids) != 1:
             raise GraphError(
-                "a poll subgraph needs exactly one poll-loop source "
-                "and no other sources")
+                "a poll subgraph needs exactly one poll-loop source")
+        # additional BATCH sources are allowed as static/dimension inputs
+        # (poll orders -> join the customer dim -> sink): they compose as
+        # lazy plans once and re-scan their files on every poll's action,
+        # so slowly-changing dims stay fresh without re-compiling the graph
+        static_ids = [nid for nid in sources if nid not in poll_ids]
+        for nid in static_ids:
+            if sub.nodes[nid]["type"] in _POLL_SOURCES:
+                raise GraphError(
+                    "a poll subgraph can have only one poll-loop source; "
+                    f"{nid} is a second one")
         src_id = poll_ids[0]
         stype = sub.nodes[src_id]["type"]
         task_id = sub.task_id()
@@ -191,13 +200,16 @@ class StreamingPipeline:
         interval_ms = max(1, interval_ms)
 
         plan: list[tuple[str, Any, dict, list[str]]] = []
+        statics: dict[str, DataFrame] = {}
         sink_cfg, sink_def, sink_parent = None, None, None
         for node_id in sub.topo_order():
             if node_id == src_id:
                 continue
             cfg = dict(sub.nodes[node_id])
             sdef = REGISTRY.get(cfg.pop("type"))
-            if sdef.kind == "transform":
+            if sdef.kind == "source":
+                statics[node_id] = sdef.builder(spark, cfg)
+            elif sdef.kind == "transform":
                 plan.append((node_id, sdef, cfg, sub.parents(node_id)))
             else:
                 if sink_def is not None:
@@ -211,7 +223,7 @@ class StreamingPipeline:
             batch = adapter.poll()
             if batch is None:
                 return     # nothing new this tick (source.rs:184-188)
-            results = {src_id: batch}
+            results = {src_id: batch, **statics}
             for node_id, sdef, cfg, parents in plan:
                 results[node_id] = sdef.builder(
                     spark, cfg, [results[p] for p in parents])

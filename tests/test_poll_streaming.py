@@ -189,3 +189,50 @@ def test_sql_literal_backslash_dialects(spark):
     sq2 = StatefulQuery("SELECT * FROM t WHERE name > $cur::str",
                         initial={"cur": "o'brien"})
     assert "'o''brien'" in sq2.rendered_sql("standard")
+
+
+def test_poll_subgraph_with_static_dim_join(spark, tmp_path):
+    """Enrichment poll pipeline: the incremental source joins a STATIC
+    dimension scan inside the poll subgraph — each poll's delivery
+    carries the dim attributes; the dim re-scans lazily so late dim
+    updates surface on later polls."""
+    src_db = str(tmp_path / "src.db")
+    out_db = str(tmp_path / "out.db")
+    dim_dir = str(tmp_path / "dim")
+    _mkdb(src_db, [(1, "10"), (2, "20")])
+    spark.createDataFrame([("10", "ten"), ("20", "twenty"), ("30", "thirty")],
+                          "val string, name string").write.parquet(dim_dir)
+    spec = {
+        "nodes": {
+            "a_src": {"type": "stateful_query", "backend": "sqlite",
+                      "path": src_db,
+                      "query": "SELECT id, val FROM src WHERE id > $wm::i64",
+                      "initial": {"wm": 0}, "poll_interval_millis": 200},
+            "dim": {"type": "parquet_source", "path": dim_dir},
+            "j": {"type": "join", "on": ["val"], "how": "inner"},
+            "dst": {"type": "sqlite_dest", "path": out_db, "table": "sink",
+                    "upsert_keys": "id"},
+        },
+        "edges": [["a_src", "j"], ["dim", "j"], ["j", "dst"]],
+    }
+
+    def sink_names():
+        import sqlite3 as s3
+        if not os.path.exists(out_db):
+            return {}
+        with s3.connect(out_db) as conn:
+            try:
+                return dict(conn.execute("SELECT id, name FROM sink"))
+            except s3.OperationalError:
+                return {}
+
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    queries = sp.start(spark)
+    try:
+        assert _wait(lambda: sink_names() == {1: "ten", 2: "twenty"})
+        _mkdb(src_db, [(3, "30")])
+        assert _wait(lambda: sink_names() ==
+                     {1: "ten", 2: "twenty", 3: "thirty"})
+    finally:
+        for q in queries:
+            q.stop()
