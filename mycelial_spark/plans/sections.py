@@ -733,6 +733,21 @@ def train_test_split_(spark, cfg, inputs):
     return with_split(inputs[0], cfg["id_col"], cfg["weights"] or None)
 
 
+@_register("stratified_sample", "transform", "dataframe", "dataframe",
+           [Field("stratum_col"), Field("id_col", default="doc_id"),
+            Field("fractions", "json", default={}),
+            Field("default_fraction", "float", 0.0)],
+           doc="Deterministic per-stratum sample (hash-range, engine-exact "
+               "and reproducible): fractions maps stratum value -> keep "
+               "fraction, default_fraction covers unlisted strata — "
+               "balanced training mixes as a node.")
+def stratified_sample_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import stratified_sample
+    return stratified_sample(inputs[0], cfg["stratum_col"], cfg["id_col"],
+                             cfg["fractions"] or {},
+                             cfg["default_fraction"])
+
+
 @_register("decontaminate", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id"),
             Field("ngram", "int", 5), Field("threshold", "int", 1)],

@@ -231,3 +231,18 @@ def test_knn_join_section(spark, sf_dir, tmp_path):
     assert got.count() == 9                       # 3 probes x k=3
     assert set(got.columns) == {"probe_id", "corpus_id", "cos_sim", "rn"}
     assert got.filter("rn > 3").count() == 0
+
+
+def test_stratified_sample_section(spark, sf_dir):
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("stratified_sample")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cfg = sdef.validate_config({"type": "stratified_sample",
+                               "stratum_col": "lang",
+                               "fractions": {"en": 0.5},
+                               "default_fraction": 0.2})
+    out = sdef.builder(spark, cfg, [docs])
+    n, total = out.count(), docs.count()
+    assert 0 < n < total
+    # deterministic
+    assert sdef.builder(spark, cfg, [docs]).count() == n
