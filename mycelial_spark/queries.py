@@ -1148,6 +1148,25 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("rep_ratio"))
 
 
+@query("corpus_mix", """
+SELECT source, lang, count(*) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source), 6)
+         AS frac_of_source
+FROM documents GROUP BY source, lang
+""")
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, lang) counts with each
+    cell's share of its source — a WINDOW OVER AGGREGATE (the analytic
+    function consumes the grouped result in the same pass), the standard
+    data-mix report before sampling a training blend."""
+    d = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    g = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source")
+    return g.withColumn(
+        "frac_of_source", F.round(F.col("n") / F.sum("n").over(w), 6))
+
+
 @query("token_positions", """
 SELECT doc_id,
        CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
