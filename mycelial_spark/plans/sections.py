@@ -685,6 +685,29 @@ def dedup_minhash_(spark, cfg, inputs):
                              verify_mode=cfg["verify_mode"])
 
 
+@_register("dedup_simhash", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"), Field("id_col", default="doc_id"),
+            Field("max_hamming", "int", 3)],
+           doc="SimHash near-dup pairs (64-bit signature, 16-bit-chunk "
+               "banding, Hamming verify) as a node.")
+def dedup_simhash_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(inputs[0], cfg["text_col"], cfg["id_col"],
+                              cfg["max_hamming"])
+
+
+@_register("ngram_jaccard", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"), Field("id_col", default="doc_id"),
+            Field("threshold", "float", 0.4)],
+           doc="Exact all-pairs token-set Jaccard via postings join — the "
+               "oracle baseline; O(n^2) by design, route production "
+               "corpora through dedup_minhash instead.")
+def ngram_jaccard_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(inputs[0], cfg["text_col"], cfg["id_col"],
+                               cfg["threshold"])
+
+
 @_register("dedup_clusters", "transform", "dataframe", "dataframe",
            [Field("id_col", default="doc_id")], n_inputs=(2, 2),
            doc="Near-dup clustering: inputs = (documents, pair list); "

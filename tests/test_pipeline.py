@@ -246,3 +246,23 @@ def test_stratified_sample_section(spark, sf_dir):
     assert 0 < n < total
     # deterministic
     assert sdef.builder(spark, cfg, [docs]).count() == n
+
+
+def test_dedup_family_sections(spark):
+    """The complete dedup family runs declaratively: minhash, simhash,
+    and ngram-jaccard sections all find the planted near-dup pair."""
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "the quick brown fox jumps over the lazy dog tomorrow"),
+         (3, "completely different text about spark partitions")],
+        "doc_id long, text string")
+    for section, kwargs in (("dedup_minhash", {"threshold": 0.5}),
+                            ("dedup_simhash", {"max_hamming": 10}),
+                            ("ngram_jaccard", {"threshold": 0.5})):
+        sdef = REGISTRY.get(section)
+        cfg = sdef.validate_config({"type": section, **kwargs})
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in sdef.builder(spark, cfg, [docs]).collect()}
+        assert (1, 2) in pairs, section
+        assert all(3 not in p for p in pairs), section
