@@ -909,6 +909,33 @@ def multimodal_features_(spark, cfg, inputs):
     return extract_features(inputs[0])
 
 
+@_register("multimodal_resize", "transform", "bin_or_dataframe", "dataframe",
+           [Field("width", "int", 16), Field("height", "int", 16)],
+           doc="Image-resize plumbing over Arrow batches (fake byte "
+               "transform; the real PIL call swaps in at the marked line).")
+def multimodal_resize_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import resize_images
+    return resize_images(inputs[0], cfg["width"], cfg["height"])
+
+
+@_register("multimodal_frames", "transform", "bin_or_dataframe", "dataframe",
+           [Field("every_n_bytes", "int", 64), Field("max_frames", "int", 8)],
+           doc="Video frame-sampling plumbing: one row per sampled frame "
+               "(explode through mapInPandas).")
+def multimodal_frames_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import sample_frames
+    return sample_frames(inputs[0], cfg["every_n_bytes"], cfg["max_frames"])
+
+
+@_register("audio_features", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="REAL WAV codec over Arrow batches (stdlib wave: duration/"
+               "channels/rate/RMS); on_error=null tolerates poison rows.")
+def audio_features_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import audio_features
+    return audio_features(inputs[0], cfg["on_error"])
+
+
 # ---------------------------------------------------------------------------
 # Destinations (SURVEY §2.2)
 # ---------------------------------------------------------------------------

@@ -86,3 +86,23 @@ def test_synth_wav_matches_codec(spark):
     assert out[7]["n_bytes"] == 44 + 10
     assert out[7]["sample_rate"] == 8000
     assert out[8]["n_frames"] == 1
+
+
+def test_multimodal_sections(spark):
+    """resize / frames / audio as declarative nodes."""
+    from mycelial_spark.plans.sections import REGISTRY
+    wav = _wav_bytes([100] * 160, rate=8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(wav))], "id long, modality string, payload binary")
+    cfg = REGISTRY.get("audio_features").validate_config(
+        {"type": "audio_features"})
+    row = REGISTRY.get("audio_features").builder(spark, cfg, [df]).collect()[0]
+    assert row["n_frames"] == 160 and row["sample_rate"] == 8000
+    rcfg = REGISTRY.get("multimodal_resize").validate_config(
+        {"type": "multimodal_resize", "width": 4, "height": 4})
+    out = REGISTRY.get("multimodal_resize").builder(spark, rcfg, [df]).collect()[0]
+    assert len(out["payload"]) == 16
+    fcfg = REGISTRY.get("multimodal_frames").validate_config(
+        {"type": "multimodal_frames", "every_n_bytes": 32, "max_frames": 3})
+    frames = REGISTRY.get("multimodal_frames").builder(spark, fcfg, [df]).collect()
+    assert len(frames) == 3 and all(len(f["frame"]) == 32 for f in frames)
