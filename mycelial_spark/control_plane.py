@@ -17,9 +17,19 @@ Parity map:
 - ``POST /api/workspaces/<id>/pipelines``   -> validate (the same
   Pipeline.from_spec gate the runtime uses) + store + notify.
 - ``DELETE /api/workspaces/<id>/pipelines/<name>`` -> remove + notify.
-- ``POST /api/daemon/join``         -> token join: sha256(token) compared
-  against the provisioned hash — the CSR+token-hash handshake
-  (control_plane_client.rs:27-53, app/mod.rs:531-556) without the TLS.
+- ``POST /api/daemon/join``         -> two join flows share the route
+  like the reference's ``api/daemon/join``:
+  (a) legacy token join: sha256(token) vs the provisioned hash;
+  (b) the real CSR flow (app/mod.rs:531-556 + control_plane_client.rs:
+  148-185): body ``{id, csr, hash}`` where ``hash = sha256(csr + ":" +
+  secret)`` for a one-time token ``id:secret`` minted by
+  ``POST /api/daemon/tokens``; the token is CONSUMED even on a bad hash
+  (consume_token-then-check ordering, app/mod.rs:531-543), the CSR is
+  signed by the control plane's CA (pki.sign_csr) and the response
+  carries ``certificate`` + ``ca_certificate`` PEMs.
+- ``GET /api/daemon/whoami``        -> mTLS-only: identity = first SAN
+  dNSName of the VERIFIED peer certificate (tls_server.rs:60-100 —
+  the handshake itself enforces chain-to-CA via ssl.CERT_REQUIRED).
 - notify = ``Reconciler.apply`` on the union of stored pipelines
   (DaemonMessage::NotifyGraphUpdate -> Message::RefetchGraph,
   http/daemon_api/mod.rs:128-138): unchanged tasks keep running, removed
@@ -42,6 +52,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+from mycelial_spark import pki
 from mycelial_spark.plans.compiler import Pipeline
 from mycelial_spark.plans.graph import GraphError
 from mycelial_spark.plans.sections import REGISTRY
@@ -62,6 +73,11 @@ class ControlPlaneApp:
         self.reconciler = reconciler
         self.workspaces: dict[str, dict[str, Any]] = {}
         self.daemons: dict[str, dict[str, Any]] = {}
+        # one-time join tokens: id -> secret (consume on first use,
+        # app/mod.rs:531-543). The reference's DB stores the secret so it
+        # can recompute the csr hash — same here.
+        self.join_tokens: dict[str, str] = {}
+        self._pki_state: dict[str, str] = {}
         self._lock = threading.Lock()
         # serializes reconciler notifications so two concurrent mutations
         # cannot apply stale unions out of order
@@ -71,6 +87,8 @@ class ControlPlaneApp:
                 saved = json.load(f)
             self.workspaces = saved.get("workspaces", {})
             self.daemons = saved.get("daemons", {})
+            self.join_tokens = saved.get("join_tokens", {})
+            self._pki_state = saved.get("pki", {})
 
     def _save(self) -> None:
         if not self.state_path:
@@ -80,8 +98,61 @@ class ControlPlaneApp:
         fd, tmp = tempfile.mkstemp(dir=d)
         with os.fdopen(fd, "w") as f:
             json.dump({"workspaces": self.workspaces,
-                       "daemons": self.daemons}, f)
+                       "daemons": self.daemons,
+                       "join_tokens": self.join_tokens,
+                       "pki": self._pki_state}, f)
         os.replace(tmp, self.state_path)
+
+    # -- pki -----------------------------------------------------------------
+    def certificate_bundle(self) -> tuple[pki.CertifiedKey, pki.CertifiedKey]:
+        """(ca, server certkey), created once and persisted — the
+        get_or_create pair at app/mod.rs:370-401."""
+        with self._lock:
+            st = self._pki_state
+            if st.get("ca_cert"):
+                ca = pki.rebuild_ca_certkey(st["ca_key"], st["ca_cert"])
+                server = pki.CertifiedKey(
+                    pki.parse_certificate(st["cert"]),
+                    pki.rebuild_ca_certkey(st["key"], st["cert"]).key)
+            else:
+                ca = pki.generate_ca_certkey("control plane")
+                server = pki.generate_control_plane_cert(ca, "control plane")
+                self._pki_state = {
+                    "ca_cert": ca.cert_pem(), "ca_key": ca.key_pem(),
+                    "cert": server.cert_pem(), "key": server.key_pem()}
+                self._save()
+            return ca, server
+
+    def create_join_token(self) -> dict[str, str]:
+        """Mint a one-time daemon join token ``id:secret``."""
+        with self._lock:
+            tid = str(uuid.uuid4())
+            secret = uuid.uuid4().hex
+            self.join_tokens[tid] = secret
+            self._save()
+            return {"id": tid, "token": f"{tid}:{secret}"}
+
+    def join_daemon_csr(self, token_id: str, csr: str,
+                        digest: str) -> dict[str, str]:
+        """CSR join (app/mod.rs:531-556): consume the token FIRST (a bad
+        hash still burns it), check sha256(csr + ":" + secret), sign."""
+        with self._lock:
+            secret = self.join_tokens.pop(token_id, None)
+            self._save()
+        if secret is None:
+            raise KeyError(f"token not found: {token_id}")
+        expect = hashlib.sha256(
+            (csr + ":" + secret).encode()).hexdigest()
+        if not hmac.compare_digest(expect, digest):
+            raise PermissionError("join request hash doesn't match")
+        ca, _server = self.certificate_bundle()
+        certificate = pki.sign_csr(ca, csr, token_id)
+        with self._lock:
+            self.daemons[token_id] = {"id": token_id,
+                                      "display_name": token_id}
+            self._save()
+        return {"certificate": certificate,
+                "ca_certificate": ca.cert_pem()}
 
     # -- section registry ---------------------------------------------------
     def list_sections(self) -> list[dict[str, Any]]:
@@ -233,6 +304,8 @@ _ROUTES = [
         r"^/api/workspaces/(?P<ws>[0-9a-f-]+)/pipelines/(?P<pid>[\w.-]+)$"),
      "del_pipe"),
     ("POST", re.compile(r"^/api/daemon/join$"), "join"),
+    ("POST", re.compile(r"^/api/daemon/tokens$"), "mint_token"),
+    ("GET", re.compile(r"^/api/daemon/whoami$"), "whoami"),
     ("GET", re.compile(r"^/api/daemons/(?P<did>[0-9a-f-]+)/status$"),
      "daemon_status"),
 ]
@@ -293,10 +366,38 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, app.delete_pipeline(params["ws"], params["pid"]))
         elif name == "join":
             body = self._body()
-            self._json(201, app.join_daemon(body.get("token", ""),
-                                            body.get("display_name", "")))
+            if "csr" in body:       # the reference's CSR flow
+                self._json(201, app.join_daemon_csr(
+                    body.get("id", ""), body["csr"], body.get("hash", "")))
+            else:                   # legacy shared-token flow
+                self._json(201, app.join_daemon(
+                    body.get("token", ""), body.get("display_name", "")))
+        elif name == "mint_token":
+            self._json(201, app.create_join_token())
+        elif name == "whoami":
+            ident = self._peer_identity()
+            if ident is None:
+                self._json(403, {"error": "client certificate required"})
+            else:
+                self._json(200, {"common_name": ident,
+                                 "known": ident in app.daemons})
         elif name == "daemon_status":
             self._json(200, app.daemon_status(params["did"]))
+
+    def _peer_identity(self) -> str | None:
+        """First SAN dNSName of the handshake-verified peer certificate
+        (tls_server.rs:79-92; chain validation already happened in the
+        TLS accept — ssl.CERT_REQUIRED)."""
+        conn = self.connection
+        if not hasattr(conn, "getpeercert"):
+            return None
+        cert = conn.getpeercert()
+        if not cert:
+            return None
+        for kind, value in cert.get("subjectAltName", ()):
+            if kind == "DNS":
+                return value
+        return None
 
     def do_GET(self):
         self._dispatch("GET")
@@ -309,11 +410,52 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(app: ControlPlaneApp, host: str = "127.0.0.1",
-          port: int = 0) -> ThreadingHTTPServer:
+          port: int = 0, tls: bool = False) -> ThreadingHTTPServer:
     """Start the control plane; returns the server (``.server_address``
-    has the bound port; ``.shutdown()`` stops it)."""
+    has the bound port; ``.shutdown()`` stops it).
+
+    ``tls=True`` serves mTLS (tls_server.rs:40-100): the app's persistent
+    CA + server cert are loaded and clients MUST present a certificate
+    chaining to that CA (e.g. one issued through the CSR join flow) — the
+    handshake is the authentication; ``/api/daemon/whoami`` echoes the
+    identity."""
     handler = type("BoundHandler", (_Handler,), {"app": app})
-    server = ThreadingHTTPServer((host, port), handler)
+    if tls:
+        # rejected handshakes (no client cert / untrusted CA) raise in the
+        # per-connection thread; that's the protocol doing its job, not a
+        # server error worth a traceback (tls_server.rs logs-and-returns)
+        server_cls = type("QuietTLSServer", (ThreadingHTTPServer,),
+                          {"handle_error": lambda self, req, addr: None})
+        server = server_cls((host, port), handler)
+        ca, server_certkey = app.certificate_bundle()
+        ctx = pki.mtls_server_context(server_certkey, ca.cert_pem())
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    else:
+        server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
+
+
+def daemon_join_via_csr(base_url: str, join_token: str,
+                        opener=None) -> dict[str, str]:
+    """Daemon-side join client (control_plane_client.rs:148-185): split
+    ``id:secret``, generate keypair+CSR for the id, POST
+    ``{id, csr, hash=sha256(csr + ":" + secret)}``, return the issued
+    ``certificate`` + ``ca_certificate`` + our ``key`` PEMs."""
+    import urllib.request
+    tid, _, secret = join_token.partition(":")
+    if not secret:
+        raise ValueError("malformed join token, want id:secret")
+    key, csr = pki.generate_csr_request(tid)
+    digest = hashlib.sha256((csr + ":" + secret).encode()).hexdigest()
+    payload = json.dumps({"id": tid, "csr": csr, "hash": digest}).encode()
+    req = urllib.request.Request(
+        f"{base_url}/api/daemon/join", data=payload,
+        headers={"Content-Type": "application/json"}, method="POST")
+    open_fn = opener or urllib.request.urlopen
+    with open_fn(req) as resp:
+        body = json.loads(resp.read())
+    return {"key": pki.serialize_key_pem(key),
+            "certificate": body["certificate"],
+            "ca_certificate": body["ca_certificate"]}

@@ -1,0 +1,277 @@
+"""PKI for the control plane: CA issuance, CSR join flow, mTLS identity.
+
+Parity with the reference's ``pki`` crate (pki/src/lib.rs:26-266), which
+wraps rcgen/rustls/webpki; here the same surface sits on the Python
+``cryptography`` package plus stdlib ``ssl``:
+
+- ``generate_ca_certkey(name)``            <- lib.rs:26-41
+- ``generate_control_plane_cert(ca, name)``<- lib.rs:43-56  (ServerAuth)
+- ``generate_client_cert(ca, name)``       <- lib.rs:58-71  (ClientAuth)
+- ``generate_csr_request(id)``             <- lib.rs:73-78
+- ``sign_csr(ca, csr_pem, id)``            <- lib.rs:109-126 (CN := id,
+  ClientAuth EKU, DigitalSignature — the daemon-join signing path)
+- ``rebuild_ca_certkey(key_pem, cert_pem)``<- lib.rs:85-90 (state reload;
+  no re-signing needed here — cryptography parses certs losslessly)
+- ``parse_certificate`` / ``extract_common_name`` <- lib.rs:93-98,247-266
+  (identity = the FIRST SAN dNSName, exactly like the reference — the
+  subject CN is informational)
+- ``verify_client_cert`` / ``verify_server_cert`` <- the ``Verifier``
+  impls (lib.rs:142-245): chain to the single trust-anchor CA + key-usage
+  check; DNS name deliberately NOT checked (lib.rs:140 comment parity).
+- ``mtls_server_context`` / ``mtls_client_context`` — the rustls
+  ServerConfig/ClientConfig analog on stdlib ``ssl`` so the control
+  plane's HTTP server can demand client certs on the wire.
+
+Key type: ECDSA P-256 (rcgen's ``KeyPair::generate`` default).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import ssl
+import tempfile
+from dataclasses import dataclass
+
+from cryptography import x509
+from cryptography.hazmat.primitives import hashes, serialization
+from cryptography.hazmat.primitives.asymmetric import ec
+from cryptography.x509.oid import ExtendedKeyUsageOID, NameOID
+from cryptography.x509.verification import PolicyBuilder, Store
+
+
+class PkiError(Exception):
+    pass
+
+
+@dataclass
+class CertifiedKey:
+    """A certificate plus its private key (rcgen ``CertifiedKey``)."""
+
+    cert: x509.Certificate
+    key: ec.EllipticCurvePrivateKey
+
+    def cert_pem(self) -> str:
+        return self.cert.public_bytes(serialization.Encoding.PEM).decode()
+
+    def key_pem(self) -> str:
+        return self.key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption()).decode()
+
+
+def serialize_key_pem(key: ec.EllipticCurvePrivateKey) -> str:
+    """KeyPair::serialize_pem analog (PKCS8, unencrypted)."""
+    return key.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()).decode()
+
+
+def _now() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc)
+
+
+def _base(name: str, public_key) -> x509.CertificateBuilder:
+    subject = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, name)])
+    return (x509.CertificateBuilder()
+            .subject_name(subject)
+            .public_key(public_key)
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(_now())
+            # rcgen's default not_after is the RFC 5280 GeneralizedTime
+            # far-future placeholder; ten years serves the same "no
+            # operational expiry" intent without a y2049 literal
+            .not_valid_after(_now() + datetime.timedelta(days=3650))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.DNSName(name)]), critical=False))
+
+
+def generate_ca_certkey(name: str) -> CertifiedKey:
+    """Self-signed CA: unconstrained basic constraints, cert/CRL signing
+    (lib.rs:26-41)."""
+    key = ec.generate_private_key(ec.SECP256R1())
+    issuer = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, name)])
+    cert = (_base(name, key.public_key())
+            .issuer_name(issuer)
+            # SKI/AKI pairing lets OpenSSL chain-build correctly even
+            # though CA and server cert share the subject CN "control
+            # plane" (the reference names both that way, app/mod.rs:377,393)
+            .add_extension(x509.SubjectKeyIdentifier.from_public_key(
+                key.public_key()), critical=False)
+            .add_extension(x509.BasicConstraints(ca=True, path_length=None),
+                           critical=True)
+            .add_extension(x509.KeyUsage(
+                digital_signature=True, key_cert_sign=True, crl_sign=True,
+                content_commitment=False, key_encipherment=False,
+                data_encipherment=False, key_agreement=False,
+                encipher_only=False, decipher_only=False), critical=True)
+            .sign(key, hashes.SHA256()))
+    return CertifiedKey(cert, key)
+
+
+def _issue(ca: CertifiedKey, name: str, eku: x509.ObjectIdentifier,
+           public_key=None, key=None) -> CertifiedKey:
+    if key is None and public_key is None:
+        key = ec.generate_private_key(ec.SECP256R1())
+    if public_key is None:
+        public_key = key.public_key()
+    cert = (_base(name, public_key)
+            .issuer_name(ca.cert.subject)
+            .add_extension(x509.SubjectKeyIdentifier.from_public_key(
+                public_key), critical=False)
+            # use_authority_key_identifier_extension (lib.rs:46,61)
+            .add_extension(x509.AuthorityKeyIdentifier
+                           .from_issuer_public_key(ca.key.public_key()),
+                           critical=False)
+            .add_extension(x509.KeyUsage(
+                digital_signature=True, key_cert_sign=False, crl_sign=False,
+                content_commitment=False, key_encipherment=False,
+                data_encipherment=False, key_agreement=False,
+                encipher_only=False, decipher_only=False), critical=True)
+            .add_extension(x509.ExtendedKeyUsage([eku]), critical=False)
+            .sign(ca.key, hashes.SHA256()))
+    return CertifiedKey(cert, key)
+
+
+def generate_control_plane_cert(ca: CertifiedKey, name: str) -> CertifiedKey:
+    """Server certificate for the control plane (ServerAuth, lib.rs:43-56)."""
+    return _issue(ca, name, ExtendedKeyUsageOID.SERVER_AUTH)
+
+
+def generate_client_cert(ca: CertifiedKey, name: str) -> CertifiedKey:
+    """Client certificate (ClientAuth, lib.rs:58-71)."""
+    return _issue(ca, name, ExtendedKeyUsageOID.CLIENT_AUTH)
+
+
+def generate_csr_request(identity: str) -> tuple[ec.EllipticCurvePrivateKey,
+                                                 str]:
+    """Daemon-side: fresh keypair + a CSR carrying ``identity`` as the SAN
+    dNSName (lib.rs:73-78 — rcgen puts ``CertificateParams::new([id])``
+    names into the SAN). Returns (private_key, csr_pem)."""
+    key = ec.generate_private_key(ec.SECP256R1())
+    csr = (x509.CertificateSigningRequestBuilder()
+           .subject_name(x509.Name(
+               [x509.NameAttribute(NameOID.COMMON_NAME, identity)]))
+           .add_extension(x509.SubjectAlternativeName(
+               [x509.DNSName(identity)]), critical=False)
+           .sign(key, hashes.SHA256()))
+    return key, csr.public_bytes(serialization.Encoding.PEM).decode()
+
+
+def sign_csr(ca: CertifiedKey, csr_pem: str, identity: str) -> str:
+    """Control-plane side of the join: validate the CSR's self-signature,
+    then issue a ClientAuth cert whose subject CN AND SAN are forced to
+    ``identity`` (lib.rs:109-126 rewrites the DN the same way — the
+    control plane, not the requester, decides the identity). Returns the
+    certificate PEM."""
+    csr = x509.load_pem_x509_csr(csr_pem.encode())
+    if not csr.is_signature_valid:
+        raise PkiError("CSR signature invalid")
+    return _issue(ca, identity, ExtendedKeyUsageOID.CLIENT_AUTH,
+                  public_key=csr.public_key()).cert_pem()
+
+
+def rebuild_ca_certkey(key_pem: str, cert_pem: str) -> CertifiedKey:
+    """Reload a persisted CA (lib.rs:85-90)."""
+    key = serialization.load_pem_private_key(key_pem.encode(), password=None)
+    cert = x509.load_pem_x509_certificate(cert_pem.encode())
+    return CertifiedKey(cert, key)
+
+
+def parse_certificate(cert_pem: str) -> x509.Certificate:
+    return x509.load_pem_x509_certificate(cert_pem.encode())
+
+
+def extract_common_name(cert: x509.Certificate) -> str:
+    """Identity = first SAN dNSName (lib.rs:247-266)."""
+    try:
+        san = cert.extensions.get_extension_for_class(
+            x509.SubjectAlternativeName).value
+    except x509.ExtensionNotFound:
+        raise PkiError("common name not present") from None
+    names = san.get_values_for_type(x509.DNSName)
+    if not names:
+        raise PkiError("common name not present")
+    return names[0]
+
+
+def _verify(cert: x509.Certificate, ca_cert: x509.Certificate,
+            build) -> None:
+    store = Store([ca_cert])
+    try:
+        build(PolicyBuilder().store(store).time(_now()))
+    except Exception as e:              # chain / usage / expiry failure
+        raise PkiError(f"certificate verification failed: {e}") from e
+
+
+def verify_client_cert(cert: x509.Certificate,
+                       ca_cert: x509.Certificate) -> str:
+    """Chain ``cert`` to the CA with ClientAuth usage and return its
+    identity (the Verifier::verify_client_cert path, lib.rs:204-222)."""
+    _verify(cert, ca_cert,
+            lambda pb: pb.build_client_verifier().verify(cert, []))
+    return extract_common_name(cert)
+
+
+def verify_server_cert(cert: x509.Certificate,
+                       ca_cert: x509.Certificate) -> str:
+    """Chain + ServerAuth usage, DNS name deliberately NOT checked
+    (lib.rs:140-141 comment parity) — which also permits non-hostname
+    identities like ``control plane``. Single-anchor chain: direct
+    issuance signature + validity window + EKU, the same checks the
+    reference's one-CA Verifier ends up performing."""
+    name = extract_common_name(cert)
+    now = _now()
+    try:
+        cert.verify_directly_issued_by(ca_cert)
+    except Exception as e:
+        raise PkiError(f"certificate verification failed: {e}") from e
+    if not (cert.not_valid_before_utc <= now <= cert.not_valid_after_utc):
+        raise PkiError("certificate outside its validity window")
+    try:
+        eku = cert.extensions.get_extension_for_class(
+            x509.ExtendedKeyUsage).value
+    except x509.ExtensionNotFound:
+        raise PkiError("no extended key usage") from None
+    if ExtendedKeyUsageOID.SERVER_AUTH not in eku:
+        raise PkiError("certificate not valid for server auth")
+    return name
+
+
+def _write_chain(certkey: CertifiedKey, directory: str) -> tuple[str, str]:
+    cert_path = os.path.join(directory, "cert.pem")
+    key_path = os.path.join(directory, "key.pem")
+    with open(cert_path, "w") as f:
+        f.write(certkey.cert_pem())
+    with open(key_path, "w") as f:
+        f.write(certkey.key_pem())
+    os.chmod(key_path, 0o600)
+    return cert_path, key_path
+
+
+def mtls_server_context(certkey: CertifiedKey, ca_pem: str) -> ssl.SSLContext:
+    """rustls ServerConfig analog: present ``certkey``, REQUIRE a client
+    certificate chaining to the CA (tls_server.rs:60-100)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    with tempfile.TemporaryDirectory() as d:
+        cert_path, key_path = _write_chain(certkey, d)
+        ctx.load_cert_chain(cert_path, key_path)
+    ctx.load_verify_locations(cadata=ca_pem)
+    ctx.verify_mode = ssl.CERT_REQUIRED
+    return ctx
+
+
+def mtls_client_context(certkey: CertifiedKey, ca_pem: str,
+                        check_hostname: bool = False) -> ssl.SSLContext:
+    """rustls ClientConfig analog: present the daemon cert, trust only the
+    CA. ``check_hostname=False`` mirrors the reference's no-DNS-check
+    verifier (lib.rs:140)."""
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.load_verify_locations(cadata=ca_pem)
+    ctx.check_hostname = check_hostname
+    with tempfile.TemporaryDirectory() as d:
+        cert_path, key_path = _write_chain(certkey, d)
+        ctx.load_cert_chain(cert_path, key_path)
+    return ctx

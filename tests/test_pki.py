@@ -1,0 +1,166 @@
+"""PKI + mTLS control-plane wire tests (pki/src/lib.rs, tls_server.rs,
+app/mod.rs:531-556, control_plane_client.rs:148-185 parity)."""
+
+import hashlib
+import json
+import ssl
+import urllib.request
+
+import pytest
+
+from mycelial_spark import pki
+from mycelial_spark.control_plane import (ControlPlaneApp,
+                                          daemon_join_via_csr, serve)
+
+
+# ---------------------------------------------------------------- unit level
+
+def test_ca_self_signed_with_ca_extensions():
+    ca = pki.generate_ca_certkey("control plane")
+    cert = ca.cert
+    assert cert.issuer == cert.subject
+    from cryptography import x509
+    bc = cert.extensions.get_extension_for_class(x509.BasicConstraints)
+    assert bc.value.ca is True
+    ku = cert.extensions.get_extension_for_class(x509.KeyUsage).value
+    assert ku.key_cert_sign and ku.crl_sign and ku.digital_signature
+    assert pki.extract_common_name(cert) == "control plane"
+
+
+def test_server_and_client_certs_verify_against_their_ca():
+    ca = pki.generate_ca_certkey("control plane")
+    server = pki.generate_control_plane_cert(ca, "control plane")
+    client = pki.generate_client_cert(ca, "daemon-1")
+    assert pki.verify_server_cert(server.cert, ca.cert) == "control plane"
+    assert pki.verify_client_cert(client.cert, ca.cert) == "daemon-1"
+    # usage is enforced, not just the chain: a ServerAuth cert is not a
+    # valid CLIENT cert and vice versa (Verifier::verify_for_usage)
+    with pytest.raises(pki.PkiError):
+        pki.verify_client_cert(server.cert, ca.cert)
+    with pytest.raises(pki.PkiError):
+        pki.verify_server_cert(client.cert, ca.cert)
+
+
+def test_cert_from_other_ca_rejected():
+    ca1 = pki.generate_ca_certkey("control plane")
+    ca2 = pki.generate_ca_certkey("evil plane")
+    client = pki.generate_client_cert(ca2, "daemon-1")
+    with pytest.raises(pki.PkiError):
+        pki.verify_client_cert(client.cert, ca1.cert)
+
+
+def test_csr_sign_forces_identity():
+    """sign_csr rewrites the DN/SAN to the control plane's chosen id
+    (lib.rs:109-126) — a CSR claiming another name can't keep it."""
+    ca = pki.generate_ca_certkey("control plane")
+    _key, csr = pki.generate_csr_request("imposter-name")
+    cert_pem = pki.sign_csr(ca, csr, "real-id")
+    cert = pki.parse_certificate(cert_pem)
+    assert pki.extract_common_name(cert) == "real-id"
+    assert pki.verify_client_cert(cert, ca.cert) == "real-id"
+
+
+def test_rebuild_ca_roundtrip_still_signs():
+    ca = pki.generate_ca_certkey("control plane")
+    ca2 = pki.rebuild_ca_certkey(ca.key_pem(), ca.cert_pem())
+    client = pki.generate_client_cert(ca2, "d")
+    assert pki.verify_client_cert(client.cert, ca.cert) == "d"
+
+
+# ---------------------------------------------------------------- app level
+
+def test_join_token_is_single_use_and_hash_checked(tmp_path):
+    app = ControlPlaneApp(state_path=str(tmp_path / "state.json"))
+    minted = app.create_join_token()
+    tid, secret = minted["token"].split(":", 1)
+    _key, csr = pki.generate_csr_request(tid)
+    # wrong hash burns the token (consume-then-check, app/mod.rs:531-543)
+    with pytest.raises(PermissionError):
+        app.join_daemon_csr(tid, csr, "0" * 64)
+    good = hashlib.sha256((csr + ":" + secret).encode()).hexdigest()
+    with pytest.raises(KeyError):
+        app.join_daemon_csr(tid, csr, good)   # already consumed
+
+
+def test_ca_persists_across_app_restarts(tmp_path):
+    state = str(tmp_path / "state.json")
+    ca1, _ = ControlPlaneApp(state_path=state).certificate_bundle()
+    ca2, server2 = ControlPlaneApp(state_path=state).certificate_bundle()
+    assert ca1.cert_pem() == ca2.cert_pem()
+    assert pki.verify_server_cert(server2.cert, ca1.cert) == "control plane"
+
+
+# ---------------------------------------------------------------- wire level
+
+def _get(url, ctx=None):
+    with urllib.request.urlopen(url, context=ctx) as r:
+        return json.loads(r.read())
+
+
+def test_csr_join_then_mtls_whoami(tmp_path):
+    """Full reference join flow over the wire: mint token -> CSR join over
+    plain HTTP -> reconnect over mTLS with the issued cert -> the server
+    identifies the daemon from its certificate."""
+    app = ControlPlaneApp(state_path=str(tmp_path / "state.json"))
+    plain = serve(app)
+    try:
+        host, port = plain.server_address
+        base = f"http://{host}:{port}"
+        req = urllib.request.Request(f"{base}/api/daemon/tokens",
+                                     data=b"{}", method="POST")
+        with urllib.request.urlopen(req) as r:
+            token = json.loads(r.read())["token"]
+        bundle = daemon_join_via_csr(base, token)
+    finally:
+        plain.shutdown()
+
+    tid = token.split(":", 1)[0]
+    issued = pki.parse_certificate(bundle["certificate"])
+    ca_cert = pki.parse_certificate(bundle["ca_certificate"])
+    assert pki.verify_client_cert(issued, ca_cert) == tid
+
+    tls_server = serve(app, tls=True)
+    try:
+        host, port = tls_server.server_address
+        daemon_certkey = pki.rebuild_ca_certkey(bundle["key"],
+                                                bundle["certificate"])
+        ctx = pki.mtls_client_context(daemon_certkey,
+                                      bundle["ca_certificate"])
+        out = _get(f"https://{host}:{port}/api/daemon/whoami", ctx)
+        assert out == {"common_name": tid, "known": True}
+
+        # no client cert -> the handshake itself rejects the connection
+        bare = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+        bare.load_verify_locations(cadata=bundle["ca_certificate"])
+        bare.check_hostname = False
+        with pytest.raises((ssl.SSLError, urllib.error.URLError,
+                            ConnectionError)):
+            _get(f"https://{host}:{port}/api/daemon/whoami", bare)
+
+        # a cert from a DIFFERENT ca is refused at handshake too
+        evil_ca = pki.generate_ca_certkey("evil")
+        evil = pki.generate_client_cert(evil_ca, tid)
+        evil_ctx = pki.mtls_client_context(evil, bundle["ca_certificate"])
+        with pytest.raises((ssl.SSLError, urllib.error.URLError,
+                            ConnectionError)):
+            _get(f"https://{host}:{port}/api/daemon/whoami", evil_ctx)
+    finally:
+        tls_server.shutdown()
+
+
+def test_join_over_the_wire_rejects_reused_token(tmp_path):
+    app = ControlPlaneApp(state_path=str(tmp_path / "state.json"))
+    server = serve(app)
+    try:
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        req = urllib.request.Request(f"{base}/api/daemon/tokens",
+                                     data=b"{}", method="POST")
+        with urllib.request.urlopen(req) as r:
+            token = json.loads(r.read())["token"]
+        daemon_join_via_csr(base, token)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            daemon_join_via_csr(base, token)
+        assert e.value.code == 404
+    finally:
+        server.shutdown()
