@@ -316,6 +316,47 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
 
 
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n\n") -> DataFrame:
+    """Sub-document (paragraph-level) dedup: split each document on
+    ``sep``, keep only the GLOBALLY FIRST occurrence of every paragraph
+    (ordered by (doc id, position) — the RefinedWeb/CCNet-style boilerplate
+    scrub for repeated headers, footers, and licence blocks), and
+    reassemble each document from its surviving paragraphs in order.
+
+    Returns (id_col, n_paras, n_kept, cleaned_text).
+
+    Scale shape: three shuffles — explode is narrow; the first-occurrence
+    window partitions by xxhash64(paragraph) (8-byte shuffle key, never
+    the paragraph string — equality modulo 64-bit collisions like every
+    fingerprint path here); reassembly is a groupBy on the doc id whose
+    value rows only carry (pos, para) for KEPT paragraphs. No driver
+    materialization, no all-pairs anything.
+    """
+    from pyspark.sql import Window
+    paras = (df.select(
+                F.col(id_col),
+                F.posexplode(F.split(F.col(text_col), sep))
+                 .alias("pos", "para"))
+               .filter(F.trim("para") != ""))
+    w = (Window.partitionBy(F.xxhash64("para"))
+               .orderBy(F.col(id_col), F.col("pos")))
+    wd = Window.partitionBy(F.col(id_col))
+    flagged = (paras
+               .withColumn("n_paras", F.count(F.lit(1)).over(wd))
+               .withColumn("_rn", F.row_number().over(w)))
+    kept = flagged.filter(F.col("_rn") == 1)
+    return (kept.groupBy(id_col)
+            .agg(F.first("n_paras").alias("n_paras"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("pos"), F.col("para")))),
+                         lambda s: s["para"]),
+                     sep).alias("cleaned_text")))
+
+
 def decontaminate(df: DataFrame, benchmark: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   ngram: int = 5, threshold: int = 1,

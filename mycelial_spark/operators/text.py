@@ -133,6 +133,37 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(best["score"] > 0, pred).otherwise(F.lit("und")))
 
 
+# PII patterns chosen to behave identically under Java regex (Spark
+# codegen) and RE2 (DuckDB oracle): no backreferences, no lookaround.
+# Applied IN ORDER — emails first (they contain dots and digits that the
+# later patterns could otherwise partially match).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b(\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII shapes (emails, IPv4s, SSN-style ids, phone
+    numbers) from a text column — a standard pre-release step for
+    training corpora. Appends per-type match counts (``n_email`` …,
+    counted BEFORE redaction) and the scrubbed ``redacted`` column.
+
+    One codegen projection (chained regexp_replace / regexp_count):
+    narrow map, fuses into the scan, zero shuffle at any scale.
+    """
+    c = F.col(text_col)
+    out = df
+    for name, pat, _tag in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(c, F.lit(pat)))
+    red = c
+    for _name, pat, tag in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    return out.withColumn("redacted", red)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      ngram: int = 3) -> DataFrame:
     """64-bit doc fingerprint + rolling n-gram fingerprint set.

@@ -718,6 +718,28 @@ def dedup_clusters_(spark, cfg, inputs):
     return dedup_clusters(inputs[0], inputs[1], cfg["id_col"])
 
 
+@_register("paragraph_dedup", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id"),
+            Field("text_col", default="text"),
+            Field("sep", default="\n\n")],
+           doc="Sub-document dedup: keep only the globally first "
+               "occurrence of each paragraph, reassemble docs in order "
+               "(boilerplate/header scrub).")
+def paragraph_dedup_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import paragraph_dedup
+    return paragraph_dedup(inputs[0], cfg["id_col"], cfg["text_col"],
+                           cfg["sep"])
+
+
+@_register("redact_pii", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="PII scrub (emails/IPv4/SSN/phone): per-type counts + a "
+               "redacted text column, pure codegen.")
+def redact_pii_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_pii_redaction
+    return with_pii_redaction(inputs[0], cfg["text_col"])
+
+
 @_register("text_stats", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text")],
            doc="Quality-signal extraction (north-star text analysis).")

@@ -2305,6 +2305,139 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(REGISTRY["sql_passthrough"].oracle)
 
 
+@query("redact_pii", """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@example.com at 10.0.' || (doc_id % 200)
+              || '.1 or call 555-123-4567 ssn 123-45-6789' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT)                  AS n_ip,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT)                      AS n_ssn,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS INT)                AS n_phone,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+    '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g')        AS redacted
+FROM t
+""")
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus: per-type match counts + the
+    redacted text, one codegen projection (operators/text.py
+    with_pii_redaction). The fixture text carries no PII, so the query
+    plants a deterministic email/IP/phone/SSN per row — both engines
+    build the identical input, and every row provably exercises all four
+    patterns."""
+    from mycelial_spark.operators.text import with_pii_redaction
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com at 10.0."),
+                 (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".1 or call 555-123-4567 ssn 123-45-6789"))
+         .alias("text"))
+    return with_pii_redaction(planted).select(
+        "doc_id", "n_email", "n_ip", "n_ssn", "n_phone", "redacted")
+
+
+@query("paragraph_dedup", """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), built AS (
+  SELECT doc_id,
+         list_transform(range(1, CAST(ceil(len(toks) / 3.0) AS INT) + 1),
+           i -> array_to_string(toks[(i-1)*3+1:(i-1)*3+3], ' ')) AS paras
+  FROM d WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(paras, 1) - 1 AS INT) AS pos,
+         unnest(paras) AS para
+  FROM built
+), ranked AS (
+  SELECT doc_id, pos, para,
+         count(*)     OVER (PARTITION BY doc_id)                 AS n_paras,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, pos)                AS rn
+  FROM e
+)
+SELECT doc_id, n_paras, count(*) AS n_kept,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned_text
+FROM ranked WHERE rn = 1
+GROUP BY doc_id, n_paras
+""")
+def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup (operators/dedup.py paragraph_dedup): only the
+    globally FIRST occurrence of each paragraph survives; documents are
+    reassembled from their surviving paragraphs in order — the standard
+    boilerplate scrub for repeated headers/footers/licence blocks. The
+    flat fixture text has no paragraph breaks, so both engines chunk the
+    token stream into 3-token paragraphs first (small vocabulary =>
+    genuine cross-document repeats to remove)."""
+    from mycelial_spark.operators.dedup import paragraph_dedup
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(3.0))
+    paras = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "))
+    built = (d.filter(F.size(toks) > 0)
+              .select("doc_id",
+                      F.array_join(paras, "\n\n").alias("text")))
+    out = paragraph_dedup(built)
+    return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
+
+
+@query("semantic_dedup_clusters", """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(a, b) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+), comp AS (
+  SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+), assigned AS (
+  SELECT d.vec_id, coalesce(c.cluster_id, d.vec_id) AS cluster_id
+  FROM embeddings d LEFT JOIN comp c ON c.vec_id = d.vec_id
+)
+SELECT vec_id, cluster_id,
+       vec_id = cluster_id AS is_canonical,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM assigned
+""")
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: exact-cosine near-dup pairs over the
+    embedding table (the oracle-checkable edge set; cosine_pairs_lsh is
+    the drop-in bucketed path at scale) -> connected components
+    (large-star/small-star) -> one canonical vector per semantic
+    cluster. Composition evidence that the CC operator is generic over
+    any pair source — text Jaccard (dedup_clusters) or embeddings
+    (here)."""
+    from mycelial_spark.operators.dedup import dedup_clusters
+    from mycelial_spark.operators.similarity import cosine_pairs_exact
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, threshold=0.4).select("id_a", "id_b")
+    return dedup_clusters(emb, pairs, "vec_id")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

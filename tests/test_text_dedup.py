@@ -322,3 +322,49 @@ def test_incremental_dedup_ledger_across_batches(spark, tmp_path):
     assert spark.read.parquet(ledger).distinct().count() == 3
     # replay of batch 2 (at-least-once): everything drops
     assert D.incremental_dedup(b2, ledger).count() == 0
+
+
+# ---------------------------------------------------------------- new in r4
+
+def test_pii_redaction_counts_and_scrubs(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org, ip 10.0.0.1, ssn 123-45-6789, "
+             "call 555-123-4567 or 555.123.4567"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in TX.with_pii_redaction(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ip"], r1["n_ssn"], r1["n_phone"]) \
+        == (2, 1, 1, 2)
+    red = r1["redacted"]
+    assert "[EMAIL]" in red and "[IP]" in red and "[SSN]" in red \
+        and "[PHONE]" in red
+    assert "a@b.co" not in red and "10.0.0.1" not in red \
+        and "123-45-6789" not in red and "555-123-4567" not in red
+    r2 = out[2]
+    assert r2["redacted"] == "nothing sensitive here"
+    assert r2["n_email"] == r2["n_ip"] == r2["n_ssn"] == r2["n_phone"] == 0
+
+
+def test_paragraph_dedup_keeps_first_occurrence_in_order(spark):
+    df = spark.createDataFrame(
+        [(1, "shared header\n\nbody one\n\nshared footer"),
+         (2, "shared header\n\nbody two\n\nshared footer"),
+         (3, "shared header")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.paragraph_dedup(df).collect()}
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["cleaned_text"] \
+        == "shared header\n\nbody one\n\nshared footer"
+    # doc 2 loses both boilerplate paragraphs, keeps its own body
+    assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["cleaned_text"] == "body two"
+    # doc 3 is ALL duplicates -> no surviving paragraphs -> absent
+    assert 3 not in out
+
+
+def test_paragraph_dedup_drops_empty_paragraphs(spark):
+    df = spark.createDataFrame(
+        [(1, "a\n\n\n\n  \n\nb")], "doc_id long, text string")
+    row = D.paragraph_dedup(df).collect()[0]
+    assert row["n_paras"] == 2 and row["cleaned_text"] == "a\n\nb"
