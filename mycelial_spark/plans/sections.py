@@ -582,6 +582,77 @@ def to_jsonl(spark, cfg, inputs):
     return lines.mapInPandas(emit, "path string, content binary")
 
 
+@_register("to_arrow_ipc", "transform", "dataframe", "bin",
+           [],
+           doc="Arrow IPC serializer: dataframe -> Arrow IPC STREAM "
+               "payloads, one binary row per Arrow batch per partition — "
+               "the reference's inter-section dataframe wire format "
+               "(formats/arrow_msg/src/lib.rs: sections exchange Arrow "
+               "RecordBatch messages). mapInArrow: batches leave the JVM "
+               "as Arrow and are framed zero-copy, no pandas hop.")
+def to_arrow_ipc(spark, cfg, inputs):
+    df = inputs[0]
+
+    def emit(batches):
+        import io as _io
+
+        import pyarrow as pa
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        for i, batch in enumerate(batches):
+            if batch.num_rows == 0:
+                continue
+            sink = _io.BytesIO()
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_batch(batch)
+            yield pa.RecordBatch.from_pydict(
+                {"path": [f"part-{pid:05d}-{i:04d}.arrow"],
+                 "content": [sink.getvalue()]})
+
+    return df.mapInArrow(emit, "path string, content binary")
+
+
+@_register("from_arrow_ipc", "transform", "bin", "dataframe",
+           [Field("schema", default="")],
+           doc="Arrow IPC decoder: binary payloads of Arrow IPC streams "
+               "-> typed dataframe. Payloads carry their own schema but "
+               "Spark plans need one statically: pass a DDL string, or "
+               "leave empty and the engine peeks at ONE payload on the "
+               "driver (bounded) and maps its Arrow schema to Spark "
+               "types. Decode itself is distributed mapInArrow.")
+def from_arrow_ipc(spark, cfg, inputs):
+    if "content" not in inputs[0].columns:
+        from mycelial_spark.plans.graph import GraphError
+        raise GraphError("from_arrow_ipc input must have a 'content' "
+                         f"binary column (bin contract); got "
+                         f"{inputs[0].columns}")
+    src = inputs[0].select("content")
+    if cfg["schema"]:
+        schema = cfg["schema"]
+    else:
+        first = src.limit(1).collect()
+        if not first:
+            from mycelial_spark.plans.graph import GraphError
+            raise GraphError("from_arrow_ipc: cannot infer a schema from "
+                             "an empty input; pass schema explicitly")
+        import pyarrow as pa
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import from_arrow_type
+        arrow_schema = pa.ipc.open_stream(first[0]["content"]).schema
+        schema = T.StructType(
+            [T.StructField(f.name, from_arrow_type(f.type), f.nullable)
+             for f in arrow_schema])
+
+    def decode(batches):
+        import pyarrow as pa
+        for batch in batches:
+            for payload in batch.column(0).to_pylist():
+                with pa.ipc.open_stream(payload) as rdr:
+                    yield from rdr
+
+    return src.mapInArrow(decode, schema)
+
+
 @_register("json_source", "source", "none", "dataframe",
            [Field("path"), Field("multiline", "bool", False),
             Field("origin", default="")],

@@ -2398,6 +2398,30 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("arrow_roundtrip", """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       round(o_totalprice, 2) AS o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey % 100 = 0
+""")
+def arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow IPC end-to-end through the bin plane: to_arrow_ipc frames
+    each Arrow batch as an IPC stream payload (the reference's
+    inter-section wire format, formats/arrow_msg), from_arrow_ipc maps
+    the payloads back with the schema inferred from one frame — longs,
+    strings, doubles, and DATE must survive the hop bit-exact (the
+    arrow_msg date/timestamp conversion tests' concern); the oracle
+    reads the original parquet."""
+    from mycelial_spark.plans.sections import REGISTRY as SEC
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderkey") % 100 == 0)
+         .select("o_orderkey", "o_custkey", "o_orderstatus",
+                 F.round("o_totalprice", 2).alias("o_totalprice"),
+                 "o_orderdate"))
+    payloads = SEC.get("to_arrow_ipc").builder(spark, {}, [o])
+    return SEC.get("from_arrow_ipc").builder(spark, {"schema": ""},
+                                             [payloads])
+
+
 @query("semantic_dedup_clusters", """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -230,3 +230,51 @@ def test_from_csv_explicit_columns_streaming(spark, tmp_path):
         StreamingPipeline.from_spec(
             bad, str(tmp_path / "ckpt2"),
             trigger={"availableNow": True}).start(spark)
+
+
+# ----------------------------------------------------------- arrow ipc plane
+
+def test_arrow_ipc_roundtrip_rich_types(spark):
+    """arrow_msg type-conversion parity (formats/arrow_msg/tests/
+    {date,time,timestamp}_conv.rs): longs, doubles, strings, booleans,
+    timestamps, dates, binary, and arrays survive the IPC hop."""
+    import datetime as dt
+    from mycelial_spark.plans.sections import REGISTRY
+    rows = [(1, 1.5, "a", True, dt.datetime(2024, 1, 2, 3, 4, 5),
+             dt.date(2024, 1, 2), b"\x00\xff", [1, 2, 3]),
+            (2, -0.25, "b", False, dt.datetime(1999, 12, 31, 23, 59, 59),
+             dt.date(1970, 1, 1), b"", [])]
+    schema = ("id long, x double, s string, flag boolean, ts timestamp, "
+              "d date, payload binary, xs array<bigint>")
+    df = spark.createDataFrame(rows, schema)
+    payloads = REGISTRY.get("to_arrow_ipc").builder(spark, {}, [df])
+    assert payloads.columns == ["path", "content"]
+    back = REGISTRY.get("from_arrow_ipc").builder(
+        spark, {"schema": ""}, [payloads])
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_arrow_ipc_explicit_schema_skips_driver_peek(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    payloads = REGISTRY.get("to_arrow_ipc").builder(spark, {}, [df])
+    back = REGISTRY.get("from_arrow_ipc").builder(
+        spark, {"schema": "k long, v string"}, [payloads])
+    assert back.collect() == df.collect()
+
+
+def test_from_arrow_ipc_requires_content_column(spark):
+    from mycelial_spark.plans.graph import GraphError
+    from mycelial_spark.plans.sections import REGISTRY
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(GraphError, match="content"):
+        REGISTRY.get("from_arrow_ipc").builder(spark, {"schema": ""}, [df])
+
+
+def test_from_arrow_ipc_empty_input_needs_schema(spark):
+    from mycelial_spark.plans.graph import GraphError
+    from mycelial_spark.plans.sections import REGISTRY
+    empty = spark.createDataFrame([], "path string, content binary")
+    with pytest.raises(GraphError, match="empty"):
+        REGISTRY.get("from_arrow_ipc").builder(spark, {"schema": ""}, [empty])
