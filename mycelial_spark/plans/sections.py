@@ -1203,15 +1203,34 @@ def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
             Field("password", secret=True, default=""),
             Field("driver", default=""), Field("truncate", "bool", False),
             Field("batchsize", "int", 32768),
-            Field("route_by_origin", "bool", False)],
+            Field("route_by_origin", "bool", False),
+            Field("exactly_once", "bool", False)],
            doc="D1-D3 JDBC destination: auto-DDL from frame schema is the "
                "Spark JDBC writer's built-in; truncate mirrors the TRUNCATE "
                "option; batchsize mirrors max_parameters (default 32768, "
                "postgres_connector/src/lib.rs:116). route_by_origin=True "
                "writes each origin's rows to the table named by the origin "
-               "(destination.rs:87).")
+               "(destination.rs:87). exactly_once=True upgrades streaming "
+               "replay semantics from at-least-once to exactly-once: the "
+               "batch is STAGED by the parallel writers, then published "
+               "with INSERT..SELECT in ONE driver-side JDBC transaction "
+               "together with the (task, batch) marker row — a replayed "
+               "micro-batch hits the marker's primary key and publishes "
+               "nothing (the foreachBatch idempotent-sink pattern; the "
+               "heavy lift stays distributed, the driver moves no rows).")
 def jdbc_dest(spark, cfg, df):
     routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
+    batch = cfg.get("_batch")
+    if cfg.get("exactly_once") and batch:
+        rows = {}
+        try:
+            for table, part in routes:
+                rows[table] = _jdbc_publish_exactly_once(
+                    spark, cfg, table, part, batch)
+        finally:
+            if pinned is not None:
+                pinned.unpersist()
+        return {"tables": list(rows), "mode": "exactly_once", "rows": rows}
     mode = "overwrite" if cfg["truncate"] else "append"
     written = []
     try:
@@ -1236,6 +1255,96 @@ def jdbc_dest(spark, cfg, df):
         if pinned is not None:
             pinned.unpersist()
     return {"tables": written, "mode": mode}
+
+
+def _jdbc_driver_conn(spark, cfg):
+    """Driver-side JDBC connection through the session JVM (py4j) — the
+    same classpath the executors' writers use, so any configured driver
+    (incl. embedded Derby) resolves with no extra dependency."""
+    jvm = spark.sparkContext._jvm
+    if cfg.get("driver"):
+        jvm.java.lang.Class.forName(cfg["driver"])
+    dm = jvm.java.sql.DriverManager
+    if cfg.get("user"):
+        return dm.getConnection(cfg["url"], cfg["user"], cfg["password"])
+    return dm.getConnection(cfg["url"])
+
+
+def _jdbc_exec_ignore_existing(conn, sql: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.executeUpdate(sql)
+    except Exception as e:   # "already exists" (Derby X0Y32 & friends)
+        msg = str(e)
+        if "X0Y32" not in msg and "already exists" not in msg.lower():
+            raise
+    finally:
+        st.close()
+
+
+def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
+                               batch: list) -> int:
+    """Stage-then-publish: executors bulk-write the batch into a staging
+    table (overwrite — restaging after a crash is idempotent); the driver
+    then runs marker-insert + INSERT..SELECT + stage-drop in ONE local
+    JDBC transaction. Duplicate marker (primary-key hit) => the batch
+    already published => rollback and skip. Rows never flow through the
+    driver; the publish is a server-side set operation.
+
+    Identifiers are used UNQUOTED so database case-folding matches the
+    Spark writer's; the target's column order is the stage's (the frame
+    schema), the same contract as the at-least-once path's auto-DDL."""
+    stage = f"{table}_stg"
+    writer = (df.write.format("jdbc")
+              .option("url", cfg["url"]).option("dbtable", stage)
+              .option("batchsize", cfg["batchsize"]))
+    if cfg.get("user"):
+        writer = (writer.option("user", cfg["user"])
+                  .option("password", cfg["password"]))
+    if cfg.get("driver"):
+        writer = writer.option("driver", cfg["driver"])
+    try:
+        writer.mode("overwrite").save()
+    except Exception as e:
+        raise SectionUnavailable(
+            f"jdbc_dest needs a JDBC driver jar: {e}") from e
+
+    task = str(batch[0]).replace("'", "''")[:120]
+    bid = int(batch[1])
+    conn = _jdbc_driver_conn(spark, cfg)
+    try:
+        _jdbc_exec_ignore_existing(
+            conn, "CREATE TABLE mycelial_batches ("
+                  "task_id VARCHAR(128) NOT NULL, "
+                  "batch_id BIGINT NOT NULL, "
+                  "tbl VARCHAR(128) NOT NULL, "
+                  "PRIMARY KEY (task_id, batch_id, tbl))")
+        _jdbc_exec_ignore_existing(
+            conn, f"CREATE TABLE {table} AS SELECT * FROM {stage} "
+                  "WITH NO DATA")
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            try:
+                st.executeUpdate(
+                    "INSERT INTO mycelial_batches VALUES "
+                    f"('{task}', {bid}, '{table}')")
+            except Exception as e:
+                if "23505" in str(e) or "duplicate" in str(e).lower():
+                    conn.rollback()      # replayed batch: already published
+                    return 0
+                raise
+            n = st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stage}")
+            st.executeUpdate(f"DROP TABLE {stage}")
+            conn.commit()
+            return int(n)
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()
 
 
 @_register("sqlite_source", "source", "none", "dataframe",

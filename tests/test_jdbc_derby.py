@@ -367,3 +367,55 @@ def test_jdbc_type_roundtrip(spark, tmp_path):
     assert back["TS"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
     assert back["TSN"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
     assert back["DEC"] == Decimal("123456789.123456")
+
+
+def test_jdbc_dest_exactly_once_skips_replayed_batch(spark, tmp_path):
+    """exactly_once publish: the (task, batch) marker and the
+    INSERT..SELECT from the staging table commit in one driver-side JDBC
+    transaction, so re-delivering the SAME micro-batch (foreachBatch
+    crash-replay) publishes nothing, while the next batch appends."""
+    url = _url(tmp_path / "xonce")
+    sdef = REGISTRY.get("jdbc_dest")
+
+    def deliver(batch_id, n):
+        cfg = sdef.validate_config({
+            "type": "jdbc_dest", "url": url, "table": "EVENTS",
+            "driver": DRIVER, "exactly_once": True})
+        return sdef.builder(spark, {**cfg, "_batch": ["task-x", batch_id]},
+                            _items(spark, n))
+
+    out1 = deliver(0, 50)
+    assert out1["mode"] == "exactly_once" and out1["rows"]["EVENTS"] == 50
+    # replay of batch 0: marker hit -> nothing published
+    out2 = deliver(0, 50)
+    assert out2["rows"]["EVENTS"] == 0
+    count = _read(spark, url, "SELECT count(*) AS N FROM EVENTS").collect()
+    assert count[0]["N"] == 50
+    # next batch appends; staging table was dropped inside the publish tx
+    out3 = deliver(1, 30)
+    assert out3["rows"]["EVENTS"] == 30
+    count = _read(spark, url, "SELECT count(*) AS N FROM EVENTS").collect()
+    assert count[0]["N"] == 80
+    with pytest.raises(Exception):
+        _read(spark, url, "SELECT count(*) AS N FROM EVENTS_stg").collect()
+
+
+def test_jdbc_dest_exactly_once_markers_scope_per_task_and_table(spark,
+                                                                 tmp_path):
+    url = _url(tmp_path / "xonce2")
+    sdef = REGISTRY.get("jdbc_dest")
+
+    def deliver(task, table, batch_id, n):
+        cfg = sdef.validate_config({
+            "type": "jdbc_dest", "url": url, "table": table,
+            "driver": DRIVER, "exactly_once": True})
+        return sdef.builder(spark, {**cfg, "_batch": [task, batch_id]},
+                            _items(spark, n))
+
+    assert deliver("t1", "A", 0, 10)["rows"]["A"] == 10
+    # same batch id, DIFFERENT task and table -> both publish
+    assert deliver("t2", "A", 0, 10)["rows"]["A"] == 10
+    assert deliver("t1", "B", 0, 10)["rows"]["B"] == 10
+    a = _read(spark, url, "SELECT count(*) AS N FROM A").collect()[0]["N"]
+    b = _read(spark, url, "SELECT count(*) AS N FROM B").collect()[0]["N"]
+    assert (a, b) == (20, 10)
