@@ -119,3 +119,19 @@ def test_projection_queries_single_stage(spark):
         a = audit(plan_of(spark, name))
         assert a["exchanges"] == 0, f"{name} should not shuffle"
         assert a["bhj"] + a["smj"] + a["bnlj"] == 0
+
+
+def test_redact_pii_is_narrow(spark):
+    """PII scrub is a pure codegen projection: zero exchanges, no joins."""
+    a = audit(plan_of(spark, "redact_pii"))
+    assert a["exchanges"] == 0
+    assert a["bhj"] + a["smj"] + a["bnlj"] == 0
+
+
+def test_paragraph_dedup_shuffle_budget(spark):
+    """Explode is narrow; budget = the doc-count window + the
+    first-occurrence window (hash-keyed) + the reassembly aggregate.
+    No join of any kind — first-occurrence is a window, not a self-join."""
+    a = audit(plan_of(spark, "paragraph_dedup"))
+    assert a["exchanges"] <= 3, "paragraph_dedup: more shuffles than the 3 stages"
+    assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
