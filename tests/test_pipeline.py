@@ -194,6 +194,10 @@ def test_cleaning_pipeline_end_to_end(spark, tmp_path):
     assert 0 < n < 500                       # filters actually removed docs
     # invariants: no contaminated doc, no duplicate text, all splits present
     assert got.filter("contaminated").count() == 0
+    # the PII scrub ran: redacted column present, nothing to redact in
+    # the fixture so redacted == text everywhere
+    assert got.filter("redacted != text").count() == 0
+    assert got.filter("n_email + n_ip + n_ssn + n_phone > 0").count() == 0
     texts = got.select("text").count()
     assert got.select("text").distinct().count() == texts
     splits = {r["split"] for r in got.select("split").distinct().collect()}

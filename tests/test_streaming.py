@@ -201,3 +201,41 @@ def test_declarative_stream_stream_join(spark, tmp_path):
             q.stop()
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["v"] == "a"
+
+
+def test_arrow_ipc_payloads_flow_through_a_stream(spark, tmp_path):
+    """The arrow wire format streams: .arrow payload files land in a
+    watched directory, from_arrow_ipc (explicit schema — inference would
+    need a driver peek, impossible on an unbounded stream) decodes them
+    with mapInArrow inside the micro-batch."""
+    import io
+
+    import pyarrow as pa
+    arrow_dir = tmp_path / "frames"
+    arrow_dir.mkdir()
+    for part in range(2):
+        batch = pa.record_batch(
+            {"k": pa.array([part * 10 + i for i in range(5)],
+                           type=pa.int64()),
+             "v": pa.array([f"r{part}-{i}" for i in range(5)])})
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, batch.schema) as w:
+            w.write_batch(batch)
+        (arrow_dir / f"f{part}.arrow").write_bytes(sink.getvalue())
+
+    spec = {
+        "nodes": {
+            "src": {"type": "binary_source", "path": str(arrow_dir),
+                    "pattern": "*.arrow"},
+            "dec": {"type": "from_arrow_ipc", "schema": "k long, v string"},
+            "dst": {"type": "memory_dest", "name": "arrow_stream_out"},
+        },
+        "edges": [["src", "dec"], ["dec", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    _wait_done(sp.start(spark))
+    out = spark.table("global_temp.arrow_stream_out")
+    assert out.count() == 10
+    assert set(out.columns) == {"k", "v"}
+    assert out.agg({"k": "sum"}).collect()[0][0] == sum(range(5)) + sum(
+        range(10, 15))
