@@ -1038,7 +1038,9 @@ def audio_features_(spark, cfg, inputs):
             Field("truncate", "bool", False),
             Field("partition_by", "list", default=[]),
             Field("max_records_per_file", "int", 0),
-            Field("target_files", "int", 0)],
+            Field("target_files", "int", 0),
+            Field("range_partition_by", "list", default=[]),
+            Field("sort_within_by", "list", default=[])],
            doc="Parquet sink; truncate=True mirrors the destructive-load "
                "option (D1 truncate, postgres destination.rs:104-108). "
                "Small-files control for long-running pipelines: "
@@ -1046,11 +1048,23 @@ def audio_features_(spark, cfg, inputs):
                "(no shuffle); max_records_per_file>0 caps file size via "
                "the writer option. A micro-batch sink that writes one "
                "file per input partition per batch melts the namenode at "
-               "100 TB — these are the standard levers.")
+               "100 TB — these are the standard levers. Layout levers for "
+               "DATA SKIPPING: range_partition_by range-shuffles rows so "
+               "each file owns a disjoint key range, sort_within_by sorts "
+               "rows inside each file — together they make the parquet "
+               "row-group min/max stats selective, so later filtered "
+               "scans prune whole files instead of reading everything "
+               "(the sorted-layout analog of clustering keys).")
 def parquet_dest(spark, cfg, df):
     mode = "overwrite" if cfg["truncate"] else cfg["mode"]
-    if cfg["target_files"] > 0:
+    if cfg["range_partition_by"]:
+        n = cfg["target_files"] or df.sparkSession.sparkContext \
+                                     .defaultParallelism
+        df = df.repartitionByRange(n, *cfg["range_partition_by"])
+    elif cfg["target_files"] > 0:
         df = df.coalesce(cfg["target_files"])
+    if cfg["sort_within_by"]:
+        df = df.sortWithinPartitions(*cfg["sort_within_by"])
     writer = df.write.mode(mode)
     if cfg["max_records_per_file"] > 0:
         writer = writer.option("maxRecordsPerFile",

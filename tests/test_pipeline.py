@@ -270,3 +270,45 @@ def test_dedup_family_sections(spark):
                  for r in sdef.builder(spark, cfg, [docs]).collect()}
         assert (1, 2) in pairs, section
         assert all(3 not in p for p in pairs), section
+
+
+def test_parquet_dest_range_layout_enables_file_skipping(spark, tmp_path):
+    """range_partition_by + sort_within_by give each file a disjoint key
+    range, so a point-filtered scan touches ONE file; the same data laid
+    out round-robin leaves matching rows scattered across every file."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.catalog import load_table
+    from mycelial_spark.plans.sections import REGISTRY
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    # a contiguous ~10% date range: in the clustered layout it lives in
+    # one file's key range; round-robin scatters it across every file
+    cutoff = (orders.select("o_orderdate").orderBy("o_orderdate")
+              .limit(orders.count() // 10).agg(F.max("o_orderdate"))
+              .collect()[0][0])
+    sdef = REGISTRY.get("parquet_dest")
+
+    def write(path, frame, **extra):
+        cfg = sdef.validate_config({
+            "type": "parquet_dest", "path": path, "mode": "overwrite",
+            "target_files": 8, **extra})
+        sdef.builder(spark, cfg, frame)
+
+    def files_touched(path):
+        return (spark.read.parquet(path)
+                .filter(F.col("o_orderdate") <= F.lit(cutoff))
+                .select(F.input_file_name()).distinct().count())
+
+    clustered = str(tmp_path / "clustered")
+    write(clustered, orders, range_partition_by=["o_orderdate"],
+          sort_within_by=["o_orderdate"])
+    # round-robin the input first: target_files coalesces DOWN only, and
+    # the sf0.001 scan is a single partition
+    scattered = str(tmp_path / "scattered")
+    write(scattered, orders.repartition(8))
+
+    assert files_touched(clustered) == 1
+    assert files_touched(scattered) > 4
+    # layout changes bytes, not content
+    assert (spark.read.parquet(clustered).count()
+            == spark.read.parquet(scattered).count() == orders.count())
