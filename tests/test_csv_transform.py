@@ -278,3 +278,35 @@ def test_from_arrow_ipc_empty_input_needs_schema(spark):
     empty = spark.createDataFrame([], "path string, content binary")
     with pytest.raises(GraphError, match="empty"):
         REGISTRY.get("from_arrow_ipc").builder(spark, {"schema": ""}, [empty])
+
+
+def test_arrow_ipc_roundtrip_property(spark):
+    """Property: ANY frame of longs / doubles / strings / booleans
+    (nulls included) survives to_arrow_ipc -> from_arrow_ipc bit-exact.
+    Spark runs per example, so examples are few but each is adversarial
+    (hypothesis shrinks on failure)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from mycelial_spark.plans.sections import REGISTRY
+
+    rows = st.lists(
+        st.tuples(st.integers(-2**31, 2**31),
+                  st.floats(allow_nan=False, width=64) | st.none(),
+                  st.text(max_size=12) | st.none(),
+                  st.booleans() | st.none()),
+        min_size=1, max_size=20)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(rows)
+    def check(data):
+        df = spark.createDataFrame(
+            data, "k long, x double, s string, flag boolean")
+        payloads = REGISTRY.get("to_arrow_ipc").builder(spark, {}, [df])
+        back = REGISTRY.get("from_arrow_ipc").builder(
+            spark, {"schema": ""}, [payloads])
+        assert back.schema == df.schema
+        assert sorted(map(tuple, back.collect())) \
+            == sorted(map(tuple, df.collect()))
+
+    check()
