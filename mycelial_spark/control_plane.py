@@ -419,8 +419,22 @@ def serve(app: ControlPlaneApp, host: str = "127.0.0.1",
     chaining to that CA (e.g. one issued through the CSR join flow) — the
     handshake is the authentication; ``/api/daemon/whoami`` echoes the
     identity."""
-    handler = type("BoundHandler", (_Handler,), {"app": app})
     if tls:
+        # The handshake must NOT run in the accept loop: wrapping the
+        # listening socket with do_handshake_on_connect=True would
+        # perform each client's handshake inside accept(), letting one
+        # slow/stuck client stall every other connection. Instead the
+        # per-connection handler thread completes it under a deadline —
+        # the reference's 10 s handshake timeout (tls_server.rs:70-75).
+        class TLSHandler(_Handler):
+            def setup(self):
+                self.connection = self.request
+                self.connection.settimeout(10)
+                self.connection.do_handshake()
+                self.connection.settimeout(None)
+                super().setup()
+
+        handler = type("BoundHandler", (TLSHandler,), {"app": app})
         # rejected handshakes (no client cert / untrusted CA) raise in the
         # per-connection thread; that's the protocol doing its job, not a
         # server error worth a traceback (tls_server.rs logs-and-returns)
@@ -429,8 +443,10 @@ def serve(app: ControlPlaneApp, host: str = "127.0.0.1",
         server = server_cls((host, port), handler)
         ca, server_certkey = app.certificate_bundle()
         ctx = pki.mtls_server_context(server_certkey, ca.cert_pem())
-        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+        server.socket = ctx.wrap_socket(server.socket, server_side=True,
+                                        do_handshake_on_connect=False)
     else:
+        handler = type("BoundHandler", (_Handler,), {"app": app})
         server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

@@ -1308,6 +1308,14 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
     Identifiers are used UNQUOTED so database case-folding matches the
     Spark writer's; the target's column order is the stage's (the frame
     schema), the same contract as the at-least-once path's auto-DDL."""
+    import re as _re
+    if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", table):
+        # table may come from an ORIGIN value (route_by_origin); it is
+        # interpolated into driver-side SQL here, so restrict it to a
+        # plain identifier instead of trusting upstream data
+        raise ValueError(
+            f"exactly_once requires a plain identifier table name, "
+            f"got {table!r}")
     stage = f"{table}_stg"
     writer = (df.write.format("jdbc")
               .option("url", cfg["url"]).option("dbtable", stage)

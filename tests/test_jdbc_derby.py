@@ -419,3 +419,15 @@ def test_jdbc_dest_exactly_once_markers_scope_per_task_and_table(spark,
     a = _read(spark, url, "SELECT count(*) AS N FROM A").collect()[0]["N"]
     b = _read(spark, url, "SELECT count(*) AS N FROM B").collect()[0]["N"]
     assert (a, b) == (20, 10)
+
+
+def test_jdbc_dest_exactly_once_rejects_non_identifier_table(spark, tmp_path):
+    """Origin-routed table names reach driver-side SQL in exactly_once
+    mode, so anything but a plain identifier is refused up front."""
+    url = _url(tmp_path / "xbad")
+    sdef = REGISTRY.get("jdbc_dest")
+    cfg = sdef.validate_config({
+        "type": "jdbc_dest", "url": url, "table": "EVTS; DROP TABLE A",
+        "driver": DRIVER, "exactly_once": True})
+    with pytest.raises(ValueError, match="plain identifier"):
+        sdef.builder(spark, {**cfg, "_batch": ["t", 0]}, _items(spark, 5))
