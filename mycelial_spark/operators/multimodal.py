@@ -6,11 +6,14 @@ resize, frame sampling) runs as Arrow-batched pandas functions via
 ``mapInPandas`` — executors stream record batches, nothing ever collects
 to the driver, and partitioning controls worker parallelism. The AUDIO
 codec is REAL (stdlib ``wave``: duration/channels/rate/RMS, see
-``decode_wav``); image/video codecs (PIL/av) are not in this container,
-so those stay isolated behind ``_decode_real`` (raises
-NotImplementedError) with a deterministic fake (``_decode_fake``)
-keeping the plumbing — schema, batch shape, UDF signatures — real and
-testable.
+``decode_wav``), and so is the IMAGE codec for the uncompressed formats
+a pure numpy decoder can own outright — netpbm P5/P6 and BI_RGB BMP
+(``decode_image``), with a real nearest-neighbor resize + PPM re-encode
+(``resize_images(codec="real")``). Compressed images (JPEG/PNG) and
+video need PIL/av, absent in this container: those stay isolated behind
+``_decode_real`` (raises NotImplementedError for video) with a
+deterministic fake (``_decode_fake``) keeping the plumbing — schema,
+batch shape, UDF signatures — real and testable.
 
 At 100 TB: payloads come from ``binaryFile``/object-store scans;
 ``repartition`` by byte-size buckets before mapInPandas keeps batches
@@ -49,13 +52,17 @@ def attach_payload(df: DataFrame, text_col: str = "text",
 
 def _decode_real(payload: bytes, modality: str):
     """Real codec hook. Audio (WAV) decodes with the stdlib ``wave``
-    module — a real, zero-dependency codec; image/video still require
-    PIL/av, absent in this container."""
+    module; images decode for the uncompressed formats a pure
+    numpy codec can own outright (netpbm P5/P6, BMP BI_RGB) — see
+    ``decode_image``. Compressed formats (JPEG/PNG) and video still
+    require PIL/av, absent in this container."""
     if modality == "audio":
         return decode_wav(payload)
+    if modality == "image":
+        return decode_image(payload)
     raise NotImplementedError(
-        "image/video codecs are not available in this environment; "
-        "install pillow/av and route _decode_real() there")
+        "video codecs are not available in this environment; "
+        "install av and route _decode_real() there")
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -162,6 +169,166 @@ def synth_wav(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         run, "id long, modality string, payload binary")
 
 
+# -------------------------------------------------------------- image codec
+
+def _decode_pixels(payload: bytes):
+    """Decode an image payload to an (h, w, c) uint8 array.
+
+    REAL zero-dependency codec for the uncompressed formats:
+    - netpbm P6 (RGB) / P5 (grayscale), binary variants, '#' comments;
+    - BMP with BITMAPINFOHEADER, BI_RGB (uncompressed) 24-bit BGR or
+      8-bit grayscale, bottom-up or top-down, 4-byte row padding.
+    Compressed formats (JPEG/PNG) need PIL — not in this container.
+    """
+    import numpy as np
+    if payload[:2] in (b"P5", b"P6"):
+        channels = 3 if payload[:2] == b"P6" else 1
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens, '#' to end-of-line is a comment (netpbm spec)
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            if pos >= len(payload):
+                raise ValueError("truncated netpbm header")
+            ch = payload[pos:pos + 1]
+            if ch == b"#":
+                pos = payload.index(b"\n", pos) + 1
+            elif ch.isspace():
+                pos += 1
+            else:
+                end = pos
+                while end < len(payload) and not payload[end:end + 1].isspace():
+                    end += 1
+                tokens.append(int(payload[pos:end]))
+                pos = end
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit netpbm not supported")
+        pos += 1                      # single whitespace after maxval
+        need = w * h * channels
+        data = payload[pos:pos + need]
+        if len(data) < need:
+            raise ValueError("truncated netpbm pixel data")
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, channels)
+    if payload[:2] == b"BM":
+        import struct
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, w, h = struct.unpack_from("<IiiH", payload, 14)[:3]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0:
+            raise ValueError(f"compressed BMP (method {compression}) "
+                             "not supported")
+        if bpp not in (8, 24):
+            raise ValueError(f"unsupported BMP bit depth {bpp}")
+        channels = bpp // 8
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * channels + 3) // 4 * 4        # rows pad to 4 bytes
+        need = stride * h
+        raw = payload[data_off:data_off + need]
+        if len(raw) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        px = rows[:, :w * channels].reshape(h, w, channels)
+        if bottom_up:
+            px = px[::-1]
+        if channels == 3:
+            px = px[:, :, ::-1]                      # BGR -> RGB
+        return np.ascontiguousarray(px)
+    raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image metadata + mean pixel value via the real codec."""
+    import numpy as np
+    px = _decode_pixels(payload)
+    return {"format": "bmp" if payload[:2] == b"BM" else "netpbm",
+            "width": int(px.shape[1]), "height": int(px.shape[0]),
+            "channels": int(px.shape[2]),
+            "mean_value": round(float(np.mean(px)), 6)}
+
+
+def encode_ppm(px) -> bytes:
+    """Encode an (h, w, c) uint8 array as binary netpbm (P6/P5)."""
+    h, w, c = px.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def resize_pixels(px, width: int, height: int):
+    """Nearest-neighbor resize by index sampling — exact, deterministic,
+    and vectorized; the standard cheap kernel when PIL's filters aren't
+    available."""
+    import numpy as np
+    h, w, _c = px.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return np.ascontiguousarray(px[rows][:, cols])
+
+
+IMAGE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("mean_value", T.DoubleType()),
+])
+
+
+def image_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Image feature extraction over Arrow batches: (id, payload) ->
+    IMAGE_SCHEMA via the real netpbm/BMP codec. ``on_error="null"``
+    tolerates poison payloads (nulls out the decoded columns)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    meta = decode_image(payload)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    meta = {}
+                rows.append({"id": doc_id, "n_bytes": len(payload), **meta})
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
+
+    return df.mapInPandas(run, IMAGE_SCHEMA)
+
+
+def synth_ppm(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              width: int = 16) -> DataFrame:
+    """Test-fixture adapter: binary P6 image whose pixel data is the
+    UTF-8 bytes of the text (truncated to whole RGB rows, min 1 row,
+    zero-padded) — deterministic and cross-engine checkable: height =
+    max(1, octet_length // (width*3)); n_bytes = len('P6\\n{w} {h}\\n'
+    '255\\n') + w*h*3."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                h = max(1, len(data) // (width * 3))
+                need = width * h * 3
+                data = data[:need].ljust(need, b"\x00")
+                px = np.frombuffer(data, dtype=np.uint8).reshape(h, width, 3)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "image",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
 def _decode_fake(payload: bytes) -> dict:
     """Deterministic stand-in decode: cheap byte statistics."""
     return {
@@ -207,18 +374,31 @@ RESIZE_SCHEMA = T.StructType([
 ])
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: batches in, batches out, byte payload transformed.
-    Fake transform truncates/pads the payload to width*height bytes —
-    the real implementation swaps in a PIL resize at the marked line."""
+def resize_images(df: DataFrame, width: int, height: int,
+                  codec: str = "fake") -> DataFrame:
+    """Resize over Arrow batches: (id, payload) -> resized payloads.
+
+    ``codec="real"``: decode netpbm/BMP with the real codec, resize
+    nearest-neighbor (resize_pixels), re-encode as binary PPM/PGM.
+    ``codec="fake"``: deterministic byte truncate/pad — the plumbing
+    stand-in for formats that would need PIL (JPEG/PNG).
+    """
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec {codec!r}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n = width * height
         for pdf in batches:
-            # real: PIL.Image.open(io.BytesIO(payload)).resize((w, h))
+            if codec == "real":
+                payloads = [encode_ppm(resize_pixels(
+                    _decode_pixels(bytes(p)), width, height))
+                    for p in pdf["payload"]]
+            else:
+                payloads = [bytes(p)[:n].ljust(n, b"\x00")
+                            for p in pdf["payload"]]
             yield pd.DataFrame({
                 "id": pdf["id"].astype("int64"),
-                "payload": [bytes(p)[:n].ljust(n, b"\x00")
-                            for p in pdf["payload"]],
+                "payload": payloads,
                 "target_w": width, "target_h": height})
 
     return df.mapInPandas(run, RESIZE_SCHEMA)

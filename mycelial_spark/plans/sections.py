@@ -1003,12 +1003,16 @@ def multimodal_features_(spark, cfg, inputs):
 
 
 @_register("multimodal_resize", "transform", "bin_or_dataframe", "dataframe",
-           [Field("width", "int", 16), Field("height", "int", 16)],
-           doc="Image-resize plumbing over Arrow batches (fake byte "
-               "transform; the real PIL call swaps in at the marked line).")
+           [Field("width", "int", 16), Field("height", "int", 16),
+            Field("codec", default="fake")],
+           doc="Image resize over Arrow batches. codec=real decodes "
+               "netpbm/BMP with the pure-numpy codec, resizes nearest-"
+               "neighbor and re-encodes PPM; codec=fake keeps the byte "
+               "stand-in for formats that would need PIL.")
 def multimodal_resize_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import resize_images
-    return resize_images(inputs[0], cfg["width"], cfg["height"])
+    return resize_images(inputs[0], cfg["width"], cfg["height"],
+                         cfg["codec"])
 
 
 @_register("multimodal_frames", "transform", "bin_or_dataframe", "dataframe",
@@ -1027,6 +1031,16 @@ def multimodal_frames_(spark, cfg, inputs):
 def audio_features_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import audio_features
     return audio_features(inputs[0], cfg["on_error"])
+
+
+@_register("image_features", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="REAL image codec over Arrow batches (pure-numpy netpbm "
+               "P5/P6 + uncompressed BMP: dimensions/channels/mean); "
+               "on_error=null tolerates poison rows.")
+def image_features_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import image_features
+    return image_features(inputs[0], cfg["on_error"])
 
 
 # ---------------------------------------------------------------------------

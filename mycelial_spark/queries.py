@@ -2422,6 +2422,33 @@ def arrow_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              [payloads])
 
 
+@query("image_ppm_features", """
+WITH t AS (
+  SELECT doc_id,
+         greatest(octet_length(encode(text)) // 48, 1) AS h
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(11 + length(CAST(h AS VARCHAR)) + 48 * h AS BIGINT) AS n_bytes,
+       'netpbm'        AS format,
+       CAST(16 AS INT) AS width,
+       CAST(h AS INT)  AS height,
+       CAST(3 AS INT)  AS channels
+FROM t
+""")
+def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: synthesize binary P6 (netpbm) payloads
+    from the document bytes (16px-wide RGB, deterministic fixture),
+    decode with the pure-numpy codec in mapInPandas, verify container
+    metadata cross-engine (n_bytes = 'P6\\n16 {h}\\n255\\n' header +
+    pixel data). mean_value is computed too but excluded — summing blob
+    bytes isn't SQL-expressible; tests cover it against known pixels."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import image_features, synth_ppm
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return image_features(synth_ppm(docs)).drop("mean_value")
+
+
 @query("semantic_dedup_clusters", """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -23,8 +23,10 @@ def test_extract_features_byte_stats(payloads):
     assert rows[2]["modality"] == "image"
 
 
-def test_real_codec_raises(payloads):
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+def test_real_codec_rejects_non_image_bytes(payloads):
+    # image decoding is REAL now (netpbm/BMP): text-byte payloads fail
+    # with a codec error, not a stub NotImplementedError
+    with pytest.raises(Exception, match="unrecognized image magic"):
         M.extract_features(payloads, use_real_codec=True).collect()
 
 

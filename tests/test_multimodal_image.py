@@ -1,0 +1,116 @@
+"""Real image codec path: pure-numpy netpbm/BMP decode + nearest-neighbor
+resize as first-class multimodal operators (the image leg of the
+reference's opaque-binary multimodal columns; JPEG/PNG/video stay gated
+on PIL/av)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import multimodal as MM
+
+
+def _ppm(px: np.ndarray) -> bytes:
+    return MM.encode_ppm(px)
+
+
+def _bmp(px: np.ndarray, bottom_up: bool = True) -> bytes:
+    """Minimal BI_RGB BMP writer (24-bit RGB or 8-bit gray) for tests."""
+    h, w, c = px.shape
+    stride = (w * c + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    body = px[:, :, ::-1] if c == 3 else px           # RGB -> BGR
+    rows[:, :w * c] = body.reshape(h, w * c)
+    if bottom_up:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h if bottom_up else -h,
+                            1, c * 8, 0, len(data), 2835, 2835, 0, 0))
+    return header + data
+
+
+def _px(h, w, c=3, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_decode_ppm_known_pixels():
+    px = _px(5, 4)
+    meta = MM.decode_image(_ppm(px))
+    assert meta == {"format": "netpbm", "width": 4, "height": 5,
+                    "channels": 3,
+                    "mean_value": round(float(px.mean()), 6)}
+    assert np.array_equal(MM._decode_pixels(_ppm(px)), px)
+
+
+def test_decode_pgm_grayscale_and_comments():
+    px = _px(3, 7, c=1)
+    payload = _ppm(px)
+    # weave a header comment in (netpbm spec allows them anywhere)
+    payload = payload.replace(b"\n3\n", b"\n# a comment\n3\n", 1)
+    assert np.array_equal(MM._decode_pixels(payload), px)
+
+
+@pytest.mark.parametrize("bottom_up", [True, False])
+@pytest.mark.parametrize("shape", [(4, 4, 3), (3, 5, 3), (2, 3, 1)])
+def test_decode_bmp_matches_source_pixels(shape, bottom_up):
+    """Row padding, BGR order, and both row directions round-trip."""
+    px = _px(*shape)
+    assert np.array_equal(MM._decode_pixels(_bmp(px, bottom_up)), px)
+    meta = MM.decode_image(_bmp(px, bottom_up))
+    assert (meta["width"], meta["height"], meta["channels"]) \
+        == (shape[1], shape[0], shape[2])
+    assert meta["format"] == "bmp"
+
+
+def test_decode_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError, match="magic"):
+        MM._decode_pixels(b"\x89PNG....")
+    with pytest.raises(ValueError, match="truncated"):
+        MM._decode_pixels(_ppm(_px(4, 4))[:-5])
+    with pytest.raises(ValueError, match="compressed"):
+        bad = bytearray(_bmp(_px(4, 4)))
+        struct.pack_into("<I", bad, 30, 1)            # BI_RLE8
+        MM._decode_pixels(bytes(bad))
+
+
+def test_resize_nearest_neighbor_exact():
+    """2x upscale of a 2x2 image replicates each pixel into a 2x2 block."""
+    px = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    out = MM.resize_pixels(px, 4, 4)
+    assert out.shape == (4, 4, 3)
+    for r in range(4):
+        for c in range(4):
+            assert np.array_equal(out[r, c], px[r // 2, c // 2])
+
+
+def test_image_features_and_real_resize_distributed(spark):
+    px_a, px_b = _px(6, 4, seed=1), _px(8, 8, seed=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(px_a))), (2, bytearray(_bmp(px_b)))],
+        "id long, payload binary")
+    feats = {r["id"]: r for r in MM.image_features(df).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (4, 6)
+    assert feats[1]["format"] == "netpbm"
+    assert feats[2]["format"] == "bmp"
+    assert feats[2]["mean_value"] == round(float(px_b.mean()), 6)
+
+    resized = {r["id"]: r for r in
+               MM.resize_images(df, 3, 3, codec="real").collect()}
+    got = MM._decode_pixels(bytes(resized[2]["payload"]))
+    assert np.array_equal(got, MM.resize_pixels(px_b, 3, 3))
+
+
+def test_image_features_poison_row_tolerance(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(_px(2, 2)))), (2, bytearray(b"not an image"))],
+        "id long, payload binary")
+    with pytest.raises(Exception):
+        MM.image_features(df).collect()
+    rows = {r["id"]: r for r in
+            MM.image_features(df, on_error="null").collect()}
+    assert rows[1]["width"] == 2
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] == 12

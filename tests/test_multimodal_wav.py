@@ -49,11 +49,15 @@ def test_decode_wav_stereo_and_8bit():
     assert eight["rms"] > 0
 
 
-def test_decode_real_routes_audio_only():
+def test_decode_real_routes_by_modality():
     meta = MM._decode_real(_wav_bytes([1, 2, 3, 4]), "audio")
     assert meta["n_frames"] == 4
-    with pytest.raises(NotImplementedError):
+    # image routing is real (netpbm/BMP); compressed formats fail in the
+    # codec, video is the remaining stub
+    with pytest.raises(ValueError, match="magic"):
         MM._decode_real(b"\x89PNG", "image")
+    with pytest.raises(NotImplementedError):
+        MM._decode_real(b"\x00\x00\x00\x18ftyp", "video")
 
 
 def test_audio_features_distributed(spark):
