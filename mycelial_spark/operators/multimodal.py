@@ -9,11 +9,14 @@ codec is REAL (stdlib ``wave``: duration/channels/rate/RMS, see
 ``decode_wav``), and so is the IMAGE codec for the uncompressed formats
 a pure numpy decoder can own outright — netpbm P5/P6 and BI_RGB BMP
 (``decode_image``), with a real nearest-neighbor resize + PPM re-encode
-(``resize_images(codec="real")``). Compressed images (JPEG/PNG) and
-video need PIL/av, absent in this container: those stay isolated behind
-``_decode_real`` (raises NotImplementedError for video) with a
-deterministic fake (``_decode_fake``) keeping the plumbing — schema,
-batch shape, UDF signatures — real and testable.
+(``resize_images(codec="real")``). VIDEO is real for yuv4mpeg2 (Y4M)
+streams — metadata, frame iteration, and luma-plane frame sampling that
+re-encodes each sampled frame as PGM for the image operators
+(``decode_y4m`` / ``sample_video_frames``). Compressed formats
+(JPEG/PNG/H.264) need PIL/av, absent in this container: those fail in
+the codec with a magic error, and the deterministic fakes
+(``_decode_fake``, byte-slice frame sampling) keep the plumbing —
+schema, batch shape, UDF signatures — testable for them.
 
 At 100 TB: payloads come from ``binaryFile``/object-store scans;
 ``repartition`` by byte-size buckets before mapInPandas keeps batches
@@ -60,9 +63,9 @@ def _decode_real(payload: bytes, modality: str):
         return decode_wav(payload)
     if modality == "image":
         return decode_image(payload)
-    raise NotImplementedError(
-        "video codecs are not available in this environment; "
-        "install av and route _decode_real() there")
+    if modality == "video":
+        return decode_y4m(payload)
+    raise NotImplementedError(f"no codec for modality {modality!r}")
 
 
 def decode_wav(payload: bytes) -> dict:
@@ -323,6 +326,149 @@ def synth_ppm(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 payloads.append(encode_ppm(px))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
                                 "modality": "image",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
+# -------------------------------------------------------------- video codec
+
+_Y4M_FRAME_SIZE = {"420": 3, "420jpeg": 3, "420mpeg2": 3, "420paldv": 3,
+                   "422": 4, "444": 6, "mono": 2}   # x (w*h) / 2
+
+
+def _parse_y4m(payload: bytes):
+    """Parse a yuv4mpeg2 (Y4M) stream: plain-text header + uncompressed
+    planar frames — the one video container a pure-python codec can own
+    outright (mjpegtools interchange format). Returns (meta, frames)
+    where frames are raw per-frame byte slices."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"unrecognized video magic {payload[:9]!r}")
+    nl = payload.index(b"\n")
+    meta = {"width": 0, "height": 0, "fps": "", "colorspace": "420"}
+    for tok in payload[9:nl].split():
+        key, val = chr(tok[0]), tok[1:].decode()
+        if key == "W":
+            meta["width"] = int(val)
+        elif key == "H":
+            meta["height"] = int(val)
+        elif key == "F":
+            meta["fps"] = val
+        elif key == "C":
+            meta["colorspace"] = val
+    if not meta["width"] or not meta["height"]:
+        raise ValueError("y4m header missing W/H")
+    mult = _Y4M_FRAME_SIZE.get(meta["colorspace"])
+    if mult is None:
+        raise ValueError(f"unsupported y4m colorspace {meta['colorspace']}")
+    fsize = meta["width"] * meta["height"] * mult // 2
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: FRAME marker expected")
+        fnl = payload.index(b"\n", pos)
+        start = fnl + 1
+        if start + fsize > len(payload):
+            raise ValueError("truncated y4m frame")
+        frames.append(payload[start:start + fsize])
+        pos = start + fsize
+    return meta, frames
+
+
+def decode_y4m(payload: bytes) -> dict:
+    meta, frames = _parse_y4m(payload)
+    return {"format": "y4m", "width": meta["width"],
+            "height": meta["height"], "colorspace": meta["colorspace"],
+            "n_frames": len(frames)}
+
+
+VIDEO_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("colorspace", T.StringType()),
+    T.StructField("n_frames", T.LongType()),
+])
+
+
+def video_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Y4M feature extraction over Arrow batches: (id, payload) ->
+    VIDEO_SCHEMA via the real codec; on_error="null" tolerates poison
+    payloads."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                payload = bytes(payload)
+                try:
+                    meta = decode_y4m(payload)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    meta = {}
+                rows.append({"id": doc_id, "n_bytes": len(payload), **meta})
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
+
+    return df.mapInPandas(run, VIDEO_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
+    """REAL frame sampling: decode Y4M, take an even stride of at most
+    ``max_frames`` frames, emit each frame's LUMA plane re-encoded as a
+    P5 PGM image — directly consumable by image_features/resize_images
+    (the video->image leg of a multimodal pipeline)."""
+    import numpy as np
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["id"], pdf["payload"]):
+                meta, frames = _parse_y4m(bytes(payload))
+                w, h = meta["width"], meta["height"]
+                stride = max(1, len(frames) // max_frames)
+                for i in list(range(0, len(frames), stride))[:max_frames]:
+                    luma = np.frombuffer(frames[i][:w * h],
+                                         dtype=np.uint8).reshape(h, w, 1)
+                    out.append({"id": doc_id, "frame_idx": i,
+                                "frame": encode_ppm(luma)})
+            yield pd.DataFrame(out, columns=["id", "frame_idx", "frame"])
+
+    return df.mapInPandas(run, schema)
+
+
+def synth_y4m(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              width: int = 8, height: int = 4) -> DataFrame:
+    """Test-fixture adapter: C420 Y4M whose frame data is the UTF-8 text
+    bytes chunked into frames of w*h*3/2 bytes (min 1, zero-padded) —
+    deterministic and cross-engine checkable: n_frames = max(1,
+    octet_length // 48) at the 8x4 default; n_bytes = 27-byte header +
+    n_frames * (6 + 48)."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode()
+    fsize = width * height * 3 // 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                n = max(1, len(data) // fsize)
+                data = data[:n * fsize].ljust(n * fsize, b"\x00")
+                payloads.append(head + b"".join(
+                    b"FRAME\n" + data[i * fsize:(i + 1) * fsize]
+                    for i in range(n)))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "video",
                                 "payload": payloads})
 
     return df.select(id_col, text_col).mapInPandas(

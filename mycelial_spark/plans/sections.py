@@ -1043,6 +1043,26 @@ def image_features_(spark, cfg, inputs):
     return image_features(inputs[0], cfg["on_error"])
 
 
+@_register("video_features", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="REAL video codec over Arrow batches (yuv4mpeg2/Y4M: "
+               "dimensions/colorspace/frame count); on_error=null "
+               "tolerates poison rows.")
+def video_features_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import video_features
+    return video_features(inputs[0], cfg["on_error"])
+
+
+@_register("video_frames", "transform", "bin_or_dataframe", "dataframe",
+           [Field("max_frames", "int", 8)],
+           doc="REAL frame sampling from Y4M payloads: an even stride of "
+               "at most max_frames frames, each emitted as a PGM luma "
+               "image — feeds image_features / multimodal_resize.")
+def video_frames_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import sample_video_frames
+    return sample_video_frames(inputs[0], cfg["max_frames"])
+
+
 # ---------------------------------------------------------------------------
 # Destinations (SURVEY §2.2)
 # ---------------------------------------------------------------------------

@@ -2449,6 +2449,33 @@ def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_ppm(docs)).drop("mean_value")
 
 
+@query("video_y4m_features", """
+WITH t AS (
+  SELECT doc_id,
+         greatest(octet_length(encode(text)) // 48, 1) AS nf
+  FROM documents
+)
+SELECT doc_id AS id,
+       CAST(27 + nf * 54 AS BIGINT) AS n_bytes,
+       'y4m'           AS format,
+       CAST(8 AS INT)  AS width,
+       CAST(4 AS INT)  AS height,
+       '420'           AS colorspace,
+       CAST(nf AS BIGINT) AS n_frames
+FROM t
+""")
+def video_y4m_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video codec path: synthesize yuv4mpeg2 payloads from the
+    document bytes (8x4 C420 frames of 48 bytes, deterministic fixture),
+    decode with the pure-python Y4M parser in mapInPandas, verify
+    container metadata cross-engine (27-byte header + 6-byte FRAME
+    marker + 48 data bytes per frame)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import synth_y4m, video_features
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return video_features(synth_y4m(docs))
+
+
 @query("semantic_dedup_clusters", """
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -1,0 +1,79 @@
+"""Real video codec path: pure-python yuv4mpeg2 (Y4M) parsing, metadata,
+and luma frame sampling that feeds the image operators."""
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import multimodal as MM
+
+
+def _y4m(w, h, frames, colorspace="420", extra=""):
+    fsize = {"420": 3, "422": 4, "444": 6, "mono": 2}[colorspace] * w * h // 2
+    head = f"YUV4MPEG2 W{w} H{h} F30:1{extra} C{colorspace}\n".encode()
+    body = b"".join(b"FRAME\n" + bytes(f[:fsize].ljust(fsize, b"\x00"))
+                    for f in frames)
+    return head + body
+
+
+def test_decode_y4m_metadata():
+    payload = _y4m(8, 4, [b"a" * 48, b"b" * 48, b"c" * 48])
+    assert MM.decode_y4m(payload) == {
+        "format": "y4m", "width": 8, "height": 4,
+        "colorspace": "420", "n_frames": 3}
+
+
+@pytest.mark.parametrize("cs,mult", [("420", 3), ("422", 4),
+                                     ("444", 6), ("mono", 2)])
+def test_y4m_colorspaces_size_frames_correctly(cs, mult):
+    fsize = 8 * 4 * mult // 2
+    payload = _y4m(8, 4, [bytes(range(256))[:fsize] * 2], colorspace=cs)
+    meta, frames = MM._parse_y4m(payload)
+    assert len(frames) == 1 and len(frames[0]) == fsize
+
+
+def test_y4m_rejects_garbage_truncation_and_bad_colorspace():
+    with pytest.raises(ValueError, match="magic"):
+        MM._parse_y4m(b"RIFFxxxxAVI ")
+    good = _y4m(8, 4, [b"x" * 48])
+    with pytest.raises(ValueError, match="truncated"):
+        MM._parse_y4m(good[:-10])
+    with pytest.raises(ValueError, match="colorspace"):
+        MM._parse_y4m(_y4m(8, 4, [b"x" * 48]).replace(b"C420", b"C999"))
+    with pytest.raises(ValueError, match="FRAME"):
+        MM._parse_y4m(good + b"JUNK")
+
+
+def test_sample_video_frames_strides_and_emits_pgm(spark):
+    """12 frames, max 4 -> stride 3 picks frames 0,3,6,9; each emitted
+    frame is a valid PGM of the luma plane, decodable by the image
+    codec (the video->image composition)."""
+    lumas = [bytes([i * 20] * 32) for i in range(12)]   # 8x4 luma planes
+    frames = [lum + b"\x00" * 16 for lum in lumas]      # + chroma (C420)
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m(8, 4, frames)))], "id long, payload binary")
+    out = sorted(MM.sample_video_frames(df, max_frames=4).collect(),
+                 key=lambda r: r["frame_idx"])
+    assert [r["frame_idx"] for r in out] == [0, 3, 6, 9]
+    for r in out:
+        px = MM._decode_pixels(bytes(r["frame"]))
+        assert px.shape == (4, 8, 1)
+        assert int(px[0, 0, 0]) == r["frame_idx"] * 20
+    # and image_features consumes them directly
+    frames_df = MM.sample_video_frames(df, max_frames=4) \
+        .selectExpr("id", "frame AS payload")
+    feats = MM.image_features(frames_df).collect()
+    assert all(f["format"] == "netpbm" and f["channels"] == 1
+               for f in feats)
+
+
+def test_video_features_poison_row_tolerance(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m(8, 4, [b"z" * 48]))),
+         (2, bytearray(b"not video"))],
+        "id long, payload binary")
+    with pytest.raises(Exception):
+        MM.video_features(df).collect()
+    rows = {r["id"]: r for r in
+            MM.video_features(df, on_error="null").collect()}
+    assert rows[1]["n_frames"] == 1 and rows[1]["width"] == 8
+    assert rows[2]["n_frames"] is None

@@ -52,12 +52,14 @@ def test_decode_wav_stereo_and_8bit():
 def test_decode_real_routes_by_modality():
     meta = MM._decode_real(_wav_bytes([1, 2, 3, 4]), "audio")
     assert meta["n_frames"] == 4
-    # image routing is real (netpbm/BMP); compressed formats fail in the
-    # codec, video is the remaining stub
+    # image and video routing are real (netpbm/BMP, Y4M); compressed
+    # formats fail in the codec with a magic error
     with pytest.raises(ValueError, match="magic"):
         MM._decode_real(b"\x89PNG", "image")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="magic"):
         MM._decode_real(b"\x00\x00\x00\x18ftyp", "video")
+    with pytest.raises(NotImplementedError):
+        MM._decode_real(b"??", "hologram")
 
 
 def test_audio_features_distributed(spark):
