@@ -306,7 +306,8 @@ def test_arrow_ipc_roundtrip_property(spark):
         back = REGISTRY.get("from_arrow_ipc").builder(
             spark, {"schema": ""}, [payloads])
         assert back.schema == df.schema
-        assert sorted(map(tuple, back.collect())) \
-            == sorted(map(tuple, df.collect()))
+        from collections import Counter
+        assert Counter(map(tuple, back.collect())) \
+            == Counter(map(tuple, df.collect()))
 
     check()
