@@ -48,6 +48,8 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "q8_market_share",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
     "doc_repetition",
     "funnel_latency",
     "recursive_date_spine",

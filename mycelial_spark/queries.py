@@ -2516,6 +2516,272 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(emb, pairs, "vec_id")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H q2/q9/q11/q16/q20 — the five shapes that need PARTSUPP, which the
+# fixture set lacks. Both engines synthesize the identical table with pure
+# integer arithmetic (no hash functions, so DuckDB replays it exactly):
+# each part gets every supplier with (p_partkey + s_suppkey) % 5 == 0 —
+# expressed as an EQUI join on computed keys so Spark plans a hash join,
+# never a nested loop — with cost/qty derived from the keys.
+# ---------------------------------------------------------------------------
+
+PARTSUPP_SQL = """partsupp AS (
+  SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+         1 + (p_partkey * 3 + s_suppkey * 11) % 9999 AS ps_availqty,
+         round(1.0 + ((p_partkey * 31 + s_suppkey * 17) % 10000) / 100.0, 2)
+           AS ps_supplycost
+  FROM part JOIN supplier ON p_partkey % 5 = (5 - s_suppkey % 5) % 5
+)"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    j = p.join(F.broadcast(s),
+               (F.col("p_partkey") % 5) == (5 - F.col("s_suppkey") % 5) % 5)
+    return j.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        (1 + (F.col("p_partkey") * 3 + F.col("s_suppkey") * 11) % 9999)
+        .alias("ps_availqty"),
+        F.round(1.0 + ((F.col("p_partkey") * 31 + F.col("s_suppkey") * 17)
+                       % 10000) / 100.0, 2).alias("ps_supplycost"))
+
+
+@query("q2_min_cost_supplier", f"""
+WITH {PARTSUPP_SQL}, eligible AS (
+  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'ASIA'
+), best AS (
+  SELECT ps_partkey AS b_partkey, min(ps_supplycost) AS min_cost
+  FROM eligible GROUP BY ps_partkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+FROM part
+JOIN eligible ON p_partkey = ps_partkey
+JOIN best ON b_partkey = ps_partkey AND ps_supplycost = min_cost
+WHERE p_size BETWEEN 1 AND 25 AND p_type = 'ECONOMY'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar MIN subquery decorrelated to a
+    per-part minimum re-joined on equality (min-cost supplier per part
+    within a region). Dims broadcast; the total ORDER BY key is unique
+    so the LIMIT is deterministic."""
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_size").between(1, 25)
+                    & (F.col("p_type") == "ECONOMY"))
+            .select("p_partkey"))
+    eligible = (ps.join(F.broadcast(sup),
+                        F.col("s_suppkey") == F.col("ps_suppkey"))
+                .join(F.broadcast(nat),
+                      F.col("n_nationkey") == F.col("s_nationkey"))
+                .join(F.broadcast(reg),
+                      F.col("r_regionkey") == F.col("n_regionkey"))
+                .select("ps_partkey", "ps_supplycost", "s_acctbal",
+                        "s_name", "n_name"))
+    best = eligible.groupBy(F.col("ps_partkey").alias("b_partkey")) \
+                   .agg(F.min("ps_supplycost").alias("min_cost"))
+    return (eligible
+            .join(F.broadcast(part),
+                  F.col("p_partkey") == F.col("ps_partkey"))
+            .join(best, (F.col("b_partkey") == F.col("ps_partkey"))
+                  & (F.col("ps_supplycost") == F.col("min_cost")))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "ps_supplycost")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@query("q9_product_profit", f"""
+WITH {PARTSUPP_SQL}
+SELECT nation, o_year,
+       round(sum(amount_cents) / 100.0, 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+              AS BIGINT)
+           - CAST(floor(ps_supplycost * 100 + 0.5) AS BIGINT)
+             * CAST(l_quantity AS BIGINT) AS amount_cents
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: six-way join with a LIKE-filtered part dim, profit
+    (revenue minus supply cost) grouped by supplier nation and order
+    year. partsupp and all dims broadcast; lineitem->orders is the one
+    fact-fact shuffle. Profit is summed in exact integer CENTS — a plain
+    double sum differs between engines in the last ulp and can flip the
+    rounded cent (measured: one cent on one group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    part = (_t(spark, sf_dir, "part")
+            .filter(F.col("p_name").like("%red%")).select("p_partkey"))
+    # partsupp is NOT broadcast: it scales with part x supplier (4M rows
+    # at sf0.1, unboundedly large in production) — the lineitem join
+    # shuffles on (partkey, suppkey); dims below stay broadcast
+    j = (li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+           .join(ps,
+                 (F.col("ps_partkey") == F.col("l_partkey"))
+                 & (F.col("ps_suppkey") == F.col("l_suppkey")))
+           .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+           .join(F.broadcast(nat),
+                 F.col("n_nationkey") == F.col("s_nationkey"))
+           .join(o, F.col("o_orderkey") == F.col("l_orderkey")))
+    revenue_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("bigint")
+    cost_cents = (F.floor(F.col("ps_supplycost") * 100 + 0.5).cast("bigint")
+                  * F.col("l_quantity").cast("bigint"))
+    return (j.select(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+                (revenue_cents - cost_cents).alias("amount_cents"))
+             .groupBy("nation", "o_year")
+             .agg(F.round(F.sum("amount_cents") / 100.0, 2)
+                  .alias("sum_profit")))
+
+
+@query("q11_important_stock", f"""
+WITH {PARTSUPP_SQL}, g AS (
+  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY ps_partkey
+)
+SELECT ps_partkey, round(value, 2) AS value
+FROM g
+WHERE value > (SELECT sum(value) * 0.002 FROM g)
+""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar aggregate of the
+    same grouped result. The scalar side is a one-row broadcast cross
+    join — no driver collect, no second scan of the base tables (the
+    grouped frame is reused for both branches)."""
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (_t(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_3")
+           .select("n_nationkey"))
+    g = (ps.join(F.broadcast(sup), F.col("s_suppkey") == F.col("ps_suppkey"))
+           .join(F.broadcast(nat),
+                 F.col("n_nationkey") == F.col("s_nationkey"))
+           .groupBy("ps_partkey")
+           .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
+                .alias("value")))
+    total = g.agg((F.sum("value") * 0.002).alias("threshold"))
+    return (g.join(F.broadcast(total))
+             .filter(F.col("value") > F.col("threshold"))
+             .select("ps_partkey", F.round("value", 2).alias("value")))
+
+
+@query("q16_supplier_relationship", f"""
+WITH {PARTSUPP_SQL}
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 4, 7, 11, 14, 18, 23, 25)
+  AND ps_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN anti-join against a filtered supplier set
+    (the 'complaints' exclusion, adapted to the fixture's columns as
+    negative account balance), then DISTINCT-count of suppliers per
+    (brand, type, size). Anti side broadcasts."""
+    ps = _partsupp(spark, sf_dir)
+    part = (_t(spark, sf_dir, "part")
+            .filter((F.col("p_brand") != "Brand#2")
+                    & ~F.col("p_type").like("ECONOMY%")
+                    & F.col("p_size").isin(1, 4, 7, 11, 14, 18, 23, 25))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (ps.join(F.broadcast(part),
+                    F.col("p_partkey") == F.col("ps_partkey"))
+              .join(F.broadcast(bad),
+                    F.col("s_suppkey") == F.col("ps_suppkey"), "left_anti")
+              .groupBy("p_brand", "p_type", "p_size")
+              .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt")))
+
+
+@query("q20_part_promotion", f"""
+WITH {PARTSUPP_SQL}, shipped AS (
+  SELECT l_partkey, l_suppkey, 0.5 * sum(l_quantity) AS half_qty
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), promo AS (
+  SELECT DISTINCT ps_suppkey
+  FROM partsupp
+  JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+    ON p_partkey = ps_partkey
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE ps_availqty > half_qty
+)
+SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN promo ON ps_suppkey = s_suppkey
+WHERE n_name = 'NATION_3'
+""")
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries decorrelated — the
+    correlated '> half of this year's shipments' scalar becomes a
+    grouped lineitem aggregate equi-joined to partsupp (inner join =
+    the NULL-comparison drop of the correlated form), then a DISTINCT
+    semi-join filters suppliers in the target nation."""
+    ps = _partsupp(spark, sf_dir)
+    red = (_t(spark, sf_dir, "part")
+           .filter(F.col("p_name").like("red%")).select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    shipped = (li.filter(
+                  (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+               .groupBy("l_partkey", "l_suppkey")
+               .agg((0.5 * F.sum("l_quantity")).alias("half_qty")))
+    promo = (ps.join(F.broadcast(red),
+                     F.col("p_partkey") == F.col("ps_partkey"))
+               .join(shipped, (F.col("l_partkey") == F.col("ps_partkey"))
+                     & (F.col("l_suppkey") == F.col("ps_suppkey")))
+               .filter(F.col("ps_availqty") > F.col("half_qty"))
+               .select("ps_suppkey").distinct())
+    sup = _t(spark, sf_dir, "supplier")
+    nat = (_t(spark, sf_dir, "nation")
+           .filter(F.col("n_name") == "NATION_3").select("n_nationkey"))
+    return (sup.join(F.broadcast(nat),
+                     F.col("n_nationkey") == F.col("s_nationkey"))
+               .join(F.broadcast(promo),
+                     F.col("ps_suppkey") == F.col("s_suppkey"))
+               .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
