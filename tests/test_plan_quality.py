@@ -74,7 +74,10 @@ def test_doc_repetition_is_narrow(spark):
 #   dedup_embedding_pairs  exact all-pairs baseline (LSH is the scale path)
 #   q22                    decorrelated scalar-aggregate cross join (1 row)
 _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
-                  "dedup_embedding_pairs", "q22_idle_rich_customers"}
+                  "dedup_embedding_pairs", "q22_idle_rich_customers",
+                  # one-ROW broadcast against the grouped frame — the
+                  # scalar-subquery (HAVING vs global aggregate) shape
+                  "q11_important_stock"}
 
 
 def test_no_accidental_nested_loop_joins(spark):
@@ -135,3 +138,21 @@ def test_paragraph_dedup_shuffle_budget(spark):
     a = audit(plan_of(spark, "paragraph_dedup"))
     assert a["exchanges"] <= 3, "paragraph_dedup: more shuffles than the 3 stages"
     assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
+
+
+def test_q2_dims_broadcast_no_nested_loop(spark):
+    a = audit(plan_of(spark, "q2_min_cost_supplier"))
+    assert a["bhj"] >= 4, "supplier/nation/region/part must broadcast"
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+
+
+def test_q9_no_nested_loop_and_dims_broadcast(spark):
+    """partsupp is not FORCED to broadcast (it scales with part x
+    supplier; at sf0.001 size-based planning may still choose broadcast,
+    so the shuffle itself is not assertable here) — what must hold at
+    every SF: true dims broadcast, nothing nested-loops."""
+    a = audit(plan_of(spark, "q9_product_profit"))
+    assert a["bhj"] >= 3 and a["bnlj"] == 0 and a["cartesian"] == 0
+    import inspect
+    src = inspect.getsource(REGISTRY["q9_product_profit"].fn)
+    assert "broadcast(ps" not in src, "q9 must not force-broadcast partsupp"

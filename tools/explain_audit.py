@@ -31,6 +31,7 @@ def audit(plan: str) -> dict:
         "read_schema": [s[:90] for s in re.findall(r"ReadSchema: struct<([^>]*)", plan)],
         "bhj": sum(1 for o in tree_ops if o == "BroadcastHashJoin"),
         "smj": sum(1 for o in tree_ops if o == "SortMergeJoin"),
+        "shj": sum(1 for o in tree_ops if o == "ShuffledHashJoin"),
         "bnlj": sum(1 for o in tree_ops if o == "BroadcastNestedLoopJoin"),
         "cartesian": sum(1 for o in tree_ops if o == "CartesianProduct"),
         "exchanges": sum(1 for o in tree_ops if o == "Exchange"),
