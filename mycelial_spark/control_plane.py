@@ -111,9 +111,7 @@ class ControlPlaneApp:
             st = self._pki_state
             if st.get("ca_cert"):
                 ca = pki.rebuild_ca_certkey(st["ca_key"], st["ca_cert"])
-                server = pki.CertifiedKey(
-                    pki.parse_certificate(st["cert"]),
-                    pki.rebuild_ca_certkey(st["key"], st["cert"]).key)
+                server = pki.rebuild_ca_certkey(st["key"], st["cert"])
             else:
                 ca = pki.generate_ca_certkey("control plane")
                 server = pki.generate_control_plane_cert(ca, "control plane")

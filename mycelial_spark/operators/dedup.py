@@ -316,6 +316,20 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
 
 
+def chunk_paragraphs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Fixture adapter: re-shape flat text into ``k``-token paragraphs
+    joined by blank lines (the deterministic synthesis the
+    paragraph_dedup oracle query and the scale probe share)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(k)))
+    paras = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
+    return (df.filter(F.size(toks) > 0)
+              .select(id_col, F.array_join(paras, "\n\n").alias(text_col)))
+
+
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", sep: str = "\n\n") -> DataFrame:
     """Sub-document (paragraph-level) dedup: split each document on
@@ -334,9 +348,13 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     materialization, no all-pairs anything.
     """
     from pyspark.sql import Window
+    # sep is a LITERAL separator (array_join below re-joins with it
+    # verbatim), so quote it for the regex split — \Q...\E handles any
+    # metacharacters a user-configured separator may contain
+    sep_re = "\\Q" + sep + "\\E"
     paras = (df.select(
                 F.col(id_col),
-                F.posexplode(F.split(F.col(text_col), sep))
+                F.posexplode(F.split(F.col(text_col), sep_re))
                  .alias("pos", "para"))
                .filter(F.trim("para") != ""))
     w = (Window.partitionBy(F.xxhash64("para"))

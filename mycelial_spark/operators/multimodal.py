@@ -130,13 +130,13 @@ def audio_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
-                payload = bytes(payload)
                 try:
+                    payload = bytes(payload)   # None payload is poison too
                     meta = decode_wav(payload)
                 except Exception:
                     if on_error == "raise":
                         raise
-                    meta = {}
+                    payload, meta = payload or b"", {}
                 rows.append({"id": doc_id, "n_bytes": len(payload), **meta})
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_SCHEMA])
 
@@ -293,13 +293,13 @@ def image_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
-                payload = bytes(payload)
                 try:
+                    payload = bytes(payload)   # None payload is poison too
                     meta = decode_image(payload)
                 except Exception:
                     if on_error == "raise":
                         raise
-                    meta = {}
+                    payload, meta = payload or b"", {}
                 rows.append({"id": doc_id, "n_bytes": len(payload), **meta})
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_SCHEMA])
 
@@ -363,6 +363,10 @@ def _parse_y4m(payload: bytes):
     if mult is None:
         raise ValueError(f"unsupported y4m colorspace {meta['colorspace']}")
     fsize = meta["width"] * meta["height"] * mult // 2
+    # frames are zero-copy memoryview slices: decode_y4m only counts
+    # them and the sampler touches at most max_frames, so a long video
+    # never gets its bytes duplicated frame-by-frame
+    mv = memoryview(payload)
     frames, pos = [], nl + 1
     while pos < len(payload):
         if payload[pos:pos + 5] != b"FRAME":
@@ -371,7 +375,7 @@ def _parse_y4m(payload: bytes):
         start = fnl + 1
         if start + fsize > len(payload):
             raise ValueError("truncated y4m frame")
-        frames.append(payload[start:start + fsize])
+        frames.append(mv[start:start + fsize])
         pos = start + fsize
     return meta, frames
 
@@ -405,13 +409,13 @@ def video_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
-                payload = bytes(payload)
                 try:
+                    payload = bytes(payload)   # None payload is poison too
                     meta = decode_y4m(payload)
                 except Exception:
                     if on_error == "raise":
                         raise
-                    meta = {}
+                    payload, meta = payload or b"", {}
                 rows.append({"id": doc_id, "n_bytes": len(payload), **meta})
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA])
 

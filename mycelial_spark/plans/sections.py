@@ -1269,7 +1269,17 @@ def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
 def jdbc_dest(spark, cfg, df):
     routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
     batch = cfg.get("_batch")
-    if cfg.get("exactly_once") and batch:
+    if cfg.get("exactly_once"):
+        # loud, not silently-weaker: the marker protocol needs a streaming
+        # batch identity, and overwrite semantics contradict append-once
+        if cfg["truncate"]:
+            raise ValueError("jdbc_dest: exactly_once and truncate are "
+                             "mutually exclusive")
+        if not batch:
+            raise ValueError(
+                "jdbc_dest: exactly_once needs the streaming runner's "
+                "(task, batch) identity; a batch pipeline is already "
+                "single-delivery — drop exactly_once there")
         rows = {}
         try:
             for table, part in routes:
@@ -1350,7 +1360,10 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
         raise ValueError(
             f"exactly_once requires a plain identifier table name, "
             f"got {table!r}")
-    stage = f"{table}_stg"
+    # stage per (table, TASK): two tasks streaming into the same table
+    # must not overwrite each other's staged batches
+    task_tag = _re.sub(r"[^A-Za-z0-9_]", "_", str(batch[0]))[:40]
+    stage = f"{table}_{task_tag}_stg"
     writer = (df.write.format("jdbc")
               .option("url", cfg["url"]).option("dbtable", stage)
               .option("batchsize", cfg["batchsize"]))
@@ -1388,6 +1401,14 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
             except Exception as e:
                 if "23505" in str(e) or "duplicate" in str(e).lower():
                     conn.rollback()      # replayed batch: already published
+                    # the replay DID re-stage the rows (writer.save()
+                    # committed) — drop them rather than leave the batch
+                    # parked in the database indefinitely
+                    conn.setAutoCommit(True)
+                    try:
+                        st.executeUpdate(f"DROP TABLE {stage}")
+                    except Exception:
+                        pass
                     return 0
                 raise
             n = st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stage}")

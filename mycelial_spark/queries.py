@@ -2384,16 +2384,9 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat fixture text has no paragraph breaks, so both engines chunk the
     token stream into 3-token paragraphs first (small vocabulary =>
     genuine cross-document repeats to remove)."""
-    from mycelial_spark.operators.dedup import paragraph_dedup
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(3.0))
-    paras = F.transform(
-        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
-        lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "))
-    built = (d.filter(F.size(toks) > 0)
-              .select("doc_id",
-                      F.array_join(paras, "\n\n").alias("text")))
+    from mycelial_spark.operators.dedup import (chunk_paragraphs,
+                                                paragraph_dedup)
+    built = chunk_paragraphs(_t(spark, sf_dir, "documents"), k=3)
     out = paragraph_dedup(built)
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
@@ -2665,37 +2658,44 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q11_important_stock", f"""
 WITH {PARTSUPP_SQL}, g AS (
-  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS value
+  SELECT ps_partkey,
+         sum(CAST(floor(ps_supplycost * 100 + 0.5) AS BIGINT)
+             * ps_availqty) AS value_cents
   FROM partsupp
   JOIN supplier ON s_suppkey = ps_suppkey
   JOIN nation ON n_nationkey = s_nationkey
   WHERE n_name = 'NATION_3'
   GROUP BY ps_partkey
 )
-SELECT ps_partkey, round(value, 2) AS value
+SELECT ps_partkey, round(value_cents / 100.0, 2) AS value
 FROM g
-WHERE value > (SELECT sum(value) * 0.002 FROM g)
+WHERE value_cents > (SELECT sum(value_cents) * 0.002 FROM g)
 """)
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: HAVING against a GLOBAL scalar aggregate of the
     same grouped result. The scalar side is a one-row broadcast cross
     join — no driver collect, no second scan of the base tables (the
-    grouped frame is reused for both branches)."""
+    grouped frame is reused for both branches). Values are summed in
+    exact integer CENTS like q9: a double sum is order-dependent across
+    engines and can flip the rounded cent or threshold membership."""
     ps = _partsupp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = (_t(spark, sf_dir, "nation")
            .filter(F.col("n_name") == "NATION_3")
            .select("n_nationkey"))
+    cents = (F.floor(F.col("ps_supplycost") * 100 + 0.5).cast("bigint")
+             * F.col("ps_availqty"))
     g = (ps.join(F.broadcast(sup), F.col("s_suppkey") == F.col("ps_suppkey"))
            .join(F.broadcast(nat),
                  F.col("n_nationkey") == F.col("s_nationkey"))
            .groupBy("ps_partkey")
-           .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty"))
-                .alias("value")))
-    total = g.agg((F.sum("value") * 0.002).alias("threshold"))
+           .agg(F.sum(cents).alias("value_cents")))
+    total = g.agg((F.sum("value_cents") * 0.002).alias("threshold"))
     return (g.join(F.broadcast(total))
-             .filter(F.col("value") > F.col("threshold"))
-             .select("ps_partkey", F.round("value", 2).alias("value")))
+             .filter(F.col("value_cents") > F.col("threshold"))
+             .select("ps_partkey",
+                     F.round(F.col("value_cents") / 100.0, 2)
+                      .alias("value")))
 
 
 @query("q16_supplier_relationship", f"""

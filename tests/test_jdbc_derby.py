@@ -431,3 +431,42 @@ def test_jdbc_dest_exactly_once_rejects_non_identifier_table(spark, tmp_path):
         "driver": DRIVER, "exactly_once": True})
     with pytest.raises(ValueError, match="plain identifier"):
         sdef.builder(spark, {**cfg, "_batch": ["t", 0]}, _items(spark, 5))
+
+
+def test_jdbc_dest_exactly_once_rejects_unsupported_combos(spark, tmp_path):
+    """Loud failures instead of silently-weaker semantics: truncate
+    contradicts append-once, and a batch run has no (task, batch)
+    identity for the marker protocol."""
+    url = _url(tmp_path / "xcombo")
+    sdef = REGISTRY.get("jdbc_dest")
+    cfg = sdef.validate_config({
+        "type": "jdbc_dest", "url": url, "table": "T", "driver": DRIVER,
+        "exactly_once": True, "truncate": True})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sdef.builder(spark, {**cfg, "_batch": ["t", 0]}, _items(spark, 3))
+    cfg2 = sdef.validate_config({
+        "type": "jdbc_dest", "url": url, "table": "T", "driver": DRIVER,
+        "exactly_once": True})
+    with pytest.raises(ValueError, match="batch pipeline"):
+        sdef.builder(spark, cfg2, _items(spark, 3))
+
+
+def test_jdbc_dest_exactly_once_replay_drops_restaged_rows(spark, tmp_path):
+    """A replayed batch re-stages rows before hitting the marker; the
+    stage table must not be left parked in the database afterwards."""
+    url = _url(tmp_path / "xstage")
+    sdef = REGISTRY.get("jdbc_dest")
+
+    def deliver(batch_id):
+        cfg = sdef.validate_config({
+            "type": "jdbc_dest", "url": url, "table": "EV",
+            "driver": DRIVER, "exactly_once": True})
+        return sdef.builder(spark, {**cfg, "_batch": ["tk", batch_id]},
+                            _items(spark, 10))
+
+    deliver(0)
+    deliver(0)                                   # replay
+    with pytest.raises(Exception):               # stage gone after replay
+        _read(spark, url, "SELECT count(*) AS N FROM EV_tk_stg").collect()
+    n = _read(spark, url, "SELECT count(*) AS N FROM EV").collect()[0]["N"]
+    assert n == 10

@@ -114,3 +114,13 @@ def test_image_features_poison_row_tolerance(spark):
             MM.image_features(df, on_error="null").collect()}
     assert rows[1]["width"] == 2
     assert rows[2]["width"] is None and rows[2]["n_bytes"] == 12
+
+
+def test_image_features_null_payload_is_poison_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm(_px(2, 2)))), (2, None)],
+        "id long, payload binary")
+    rows = {r["id"]: r for r in
+            MM.image_features(df, on_error="null").collect()}
+    assert rows[1]["width"] == 2
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] == 0

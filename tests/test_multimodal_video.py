@@ -77,3 +77,13 @@ def test_video_features_poison_row_tolerance(spark):
             MM.video_features(df, on_error="null").collect()}
     assert rows[1]["n_frames"] == 1 and rows[1]["width"] == 8
     assert rows[2]["n_frames"] is None
+
+
+def test_video_features_null_payload_is_poison_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m(8, 4, [b"z" * 48]))), (2, None)],
+        "id long, payload binary")
+    rows = {r["id"]: r for r in
+            MM.video_features(df, on_error="null").collect()}
+    assert rows[1]["n_frames"] == 1
+    assert rows[2]["n_frames"] is None and rows[2]["n_bytes"] == 0

@@ -194,9 +194,9 @@ def test_cleaning_pipeline_end_to_end(spark, tmp_path):
     assert 0 < n < 500                       # filters actually removed docs
     # invariants: no contaminated doc, no duplicate text, all splits present
     assert got.filter("contaminated").count() == 0
-    # the PII scrub ran: redacted column present, nothing to redact in
-    # the fixture so redacted == text everywhere
-    assert got.filter("redacted != text").count() == 0
+    # the PII scrub + release ran: the raw column was dropped and the
+    # redacted text ships AS text; the per-type counts came through
+    assert "redacted" not in got.columns
     assert got.filter("n_email + n_ip + n_ssn + n_phone > 0").count() == 0
     texts = got.select("text").count()
     assert got.select("text").distinct().count() == texts

@@ -368,3 +368,17 @@ def test_paragraph_dedup_drops_empty_paragraphs(spark):
         [(1, "a\n\n\n\n  \n\nb")], "doc_id long, text string")
     row = D.paragraph_dedup(df).collect()[0]
     assert row["n_paras"] == 2 and row["cleaned_text"] == "a\n\nb"
+
+
+def test_paragraph_dedup_literal_separator_with_metacharacters(spark):
+    """sep is literal on BOTH sides: '|' must not be parsed as regex
+    alternation by the split."""
+    df = spark.createDataFrame(
+        [(1, "aa|bb|aa"), (2, "bb|cc")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.paragraph_dedup(df, sep="|").collect()}
+    # global first-occurrence: doc 1's second "aa" is a duplicate of
+    # its own first paragraph and is scrubbed as well
+    assert out[1]["cleaned_text"] == "aa|bb"
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["cleaned_text"] == "cc"

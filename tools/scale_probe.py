@@ -65,23 +65,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from mycelial_spark.operators.dedup import (
-        decontaminate, dedup_exact, minhash_lsh_pairs, ngram_jaccard_pairs,
-        paragraph_dedup, simhash_near_pairs)
+        chunk_paragraphs, decontaminate, dedup_exact, minhash_lsh_pairs,
+        ngram_jaccard_pairs, paragraph_dedup, simhash_near_pairs)
     from mycelial_spark.operators.text import (with_fingerprint,
                                                with_pii_redaction,
                                                with_text_stats)
-
-    def chunked(d, k=3):
-        # flat fixture text -> k-token paragraphs (same synthesis as the
-        # paragraph_dedup oracle query)
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        paras = F.transform(
-            F.sequence(F.lit(0),
-                       (F.ceil(F.size(toks) / F.lit(float(k))) - 1)
-                       .cast("int")),
-            lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
-        return (d.filter(F.size(toks) > 0)
-                 .select("doc_id", F.array_join(paras, "\n\n").alias("text")))
 
     ops = {
         "dedup_exact": lambda d: dedup_exact(d),
@@ -97,7 +85,7 @@ def main() -> None:
         "simhash_near_pairs": lambda d: simhash_near_pairs(d, max_hamming=8),
         "text_stats": lambda d: with_text_stats(d),
         "redact_pii": lambda d: with_pii_redaction(d),
-        "paragraph_dedup": lambda d: paragraph_dedup(chunked(d)),
+        "paragraph_dedup": lambda d: paragraph_dedup(chunk_paragraphs(d)),
         "doc_fingerprint": lambda d: with_fingerprint(d).select(
             "doc_id", "fingerprint", F.size("shingle_hashes").alias("n")),
         # NOT in the default set: exact all-pairs token Jaccard is
