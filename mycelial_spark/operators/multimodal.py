@@ -425,13 +425,14 @@ def video_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
 def sample_video_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
     """REAL frame sampling: decode Y4M, take an even stride of at most
     ``max_frames`` frames, emit each frame's LUMA plane re-encoded as a
-    P5 PGM image — directly consumable by image_features/resize_images
-    (the video->image leg of a multimodal pipeline)."""
+    P5 PGM image in the ``payload`` column — directly consumable by
+    image_features/resize_images (the video->image leg of a multimodal
+    pipeline)."""
     import numpy as np
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame", T.BinaryType()),
+        T.StructField("payload", T.BinaryType()),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -440,13 +441,15 @@ def sample_video_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
                 meta, frames = _parse_y4m(bytes(payload))
                 w, h = meta["width"], meta["height"]
-                stride = max(1, len(frames) // max_frames)
+                # ceiling stride: an EVEN spread over the whole clip
+                # (floor would bias sampling to the clip's start)
+                stride = max(1, -(-len(frames) // max_frames))
                 for i in list(range(0, len(frames), stride))[:max_frames]:
                     luma = np.frombuffer(frames[i][:w * h],
                                          dtype=np.uint8).reshape(h, w, 1)
                     out.append({"id": doc_id, "frame_idx": i,
-                                "frame": encode_ppm(luma)})
-            yield pd.DataFrame(out, columns=["id", "frame_idx", "frame"])
+                                "payload": encode_ppm(luma)})
+            yield pd.DataFrame(out, columns=["id", "frame_idx", "payload"])
 
     return df.mapInPandas(run, schema)
 

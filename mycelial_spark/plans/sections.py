@@ -993,6 +993,23 @@ def knn_join_(spark, cfg, inputs):
                                cfg["vec_col"], cfg["id_col"])
 
 
+def _payload_frame(df):
+    """Adapt the bin plane to the multimodal (id, payload) contract:
+    binaryFile scans deliver (path, content) — id becomes the path hash;
+    a frame that already carries payload passes through unchanged."""
+    if "payload" in df.columns:
+        return df
+    if "content" in df.columns:
+        id_col = (F.col("id") if "id" in df.columns
+                  else F.xxhash64("path") if "path" in df.columns
+                  else F.monotonically_increasing_id())
+        return df.select(id_col.alias("id"),
+                         F.col("content").alias("payload"))
+    from mycelial_spark.plans.graph import GraphError
+    raise GraphError("multimodal input needs a payload or content "
+                     f"binary column; got {df.columns}")
+
+
 @_register("multimodal_features", "transform", "bin_or_dataframe", "dataframe",
            [Field("id_col", default="id")],
            doc="North-star multimodal: per-item feature extraction over "
@@ -1011,8 +1028,8 @@ def multimodal_features_(spark, cfg, inputs):
                "stand-in for formats that would need PIL.")
 def multimodal_resize_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import resize_images
-    return resize_images(inputs[0], cfg["width"], cfg["height"],
-                         cfg["codec"])
+    return resize_images(_payload_frame(inputs[0]), cfg["width"],
+                         cfg["height"], cfg["codec"])
 
 
 @_register("multimodal_frames", "transform", "bin_or_dataframe", "dataframe",
@@ -1030,7 +1047,7 @@ def multimodal_frames_(spark, cfg, inputs):
                "channels/rate/RMS); on_error=null tolerates poison rows.")
 def audio_features_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import audio_features
-    return audio_features(inputs[0], cfg["on_error"])
+    return audio_features(_payload_frame(inputs[0]), cfg["on_error"])
 
 
 @_register("image_features", "transform", "bin_or_dataframe", "dataframe",
@@ -1040,7 +1057,7 @@ def audio_features_(spark, cfg, inputs):
                "on_error=null tolerates poison rows.")
 def image_features_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import image_features
-    return image_features(inputs[0], cfg["on_error"])
+    return image_features(_payload_frame(inputs[0]), cfg["on_error"])
 
 
 @_register("video_features", "transform", "bin_or_dataframe", "dataframe",
@@ -1050,7 +1067,7 @@ def image_features_(spark, cfg, inputs):
                "tolerates poison rows.")
 def video_features_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import video_features
-    return video_features(inputs[0], cfg["on_error"])
+    return video_features(_payload_frame(inputs[0]), cfg["on_error"])
 
 
 @_register("video_frames", "transform", "bin_or_dataframe", "dataframe",
@@ -1060,7 +1077,8 @@ def video_features_(spark, cfg, inputs):
                "image — feeds image_features / multimodal_resize.")
 def video_frames_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import sample_video_frames
-    return sample_video_frames(inputs[0], cfg["max_frames"])
+    return sample_video_frames(_payload_frame(inputs[0]),
+                               cfg["max_frames"])
 
 
 # ---------------------------------------------------------------------------
@@ -1497,7 +1515,8 @@ def sqlite_dest(spark, cfg, df):
             Field("access_key_id", default=""),
             Field("secret_key", secret=True, default=""),
             Field("start_after", default=""),
-            Field("stream_binary", "bool", False)],
+            Field("stream_binary", "bool", False),
+            Field("scheme", default="s3a")],
            doc="S7 s3 source: object listing with lexicographic start_after "
                "cursor (sections/s3/src/source.rs:38-330); stream_binary=False "
                "emits {path} rows, True emits object bytes. Reads through the "
@@ -1511,7 +1530,11 @@ def s3_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     if cfg["access_key_id"]:
         hconf.set("fs.s3a.access.key", cfg["access_key_id"])
         hconf.set("fs.s3a.secret.key", cfg["secret_key"])
-    url = f"s3a://{cfg['bucket']}/{cfg['prefix'].lstrip('/')}"
+    # scheme is a test/portability hook: any Hadoop FS scheme works
+    # (file:// exercises listing/cursor/bytes logic without an object
+    # store; only the literal s3a jar path needs a real bucket)
+    scheme = cfg.get("scheme", "s3a")
+    url = f"{scheme}://{cfg['bucket']}/{cfg['prefix'].lstrip('/')}"
     try:
         df = spark.read.format("binaryFile").load(url)
     except Exception as e:
@@ -1530,7 +1553,8 @@ def s3_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
             Field("endpoint", default=""), Field("region", default=""),
             Field("access_key_id", default=""),
             Field("secret_key", secret=True, default=""),
-            Field("format", default="parquet")],
+            Field("format", default="parquet"),
+            Field("scheme", default="s3a")],
            doc="D6 s3 destination (sections/s3/src/destination.rs:18-300): "
                "writes through the s3a committer — multipart upload and "
                "part sizing are the committer's built-ins (the reference's "
@@ -1542,7 +1566,8 @@ def s3_dest(spark, cfg, df):
     if cfg["access_key_id"]:
         hconf.set("fs.s3a.access.key", cfg["access_key_id"])
         hconf.set("fs.s3a.secret.key", cfg["secret_key"])
-    url = f"s3a://{cfg['bucket']}/{cfg['prefix'].lstrip('/')}"
+    scheme = cfg.get("scheme", "s3a")
+    url = f"{scheme}://{cfg['bucket']}/{cfg['prefix'].lstrip('/')}"
     try:
         df.write.mode("append").format(cfg["format"]).save(url)
     except Exception as e:

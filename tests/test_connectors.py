@@ -187,3 +187,44 @@ def test_io_typing_rejects_bad_edges():
     }
     with pytest.raises(GraphError, match="does not feed"):
         Pipeline.from_spec(spec)
+
+
+def test_s3_sections_logic_over_local_fs(spark, tmp_path):
+    """S7/D6 logic contract through a real Hadoop filesystem: the
+    file:// scheme runs the identical listing / start_after cursor /
+    stream_binary / write paths — only the literal s3a jar needs a real
+    object store (still covered by the SectionUnavailable tests)."""
+    bucket = tmp_path / "bucket"
+    (bucket / "in").mkdir(parents=True)
+    for name, body in [("a.bin", b"alpha"), ("b.bin", b"bravo"),
+                       ("c.bin", b"charlie")]:
+        (bucket / "in" / name).write_bytes(body)
+
+    src = REGISTRY.get("s3_source")
+    base = {"type": "s3_source", "bucket": str(bucket), "prefix": "in",
+            "scheme": "file"}
+    listing = src.builder(spark, src.validate_config(dict(base)))
+    assert listing.columns == ["path"]
+    assert listing.count() == 3
+
+    cfg = src.validate_config(dict(base, start_after="", stream_binary=True))
+    rows = src.builder(spark, cfg).select("path", "content").collect()
+    assert {bytes(r["content"]) for r in rows} \
+        == {b"alpha", b"bravo", b"charlie"}
+
+    # lexicographic cursor: everything strictly after a.bin's full path
+    a_path = next(r["path"] for r in rows if r["path"].endswith("a.bin"))
+    cfg = src.validate_config(dict(base, start_after=a_path))
+    after = {r["path"].rsplit("/", 1)[-1]
+             for r in src.builder(spark, cfg).collect()}
+    assert after == {"b.bin", "c.bin"}
+
+    dst = REGISTRY.get("s3_dest")
+    out_cfg = dst.validate_config({
+        "type": "s3_dest", "bucket": str(bucket), "prefix": "out",
+        "format": "parquet", "scheme": "file"})
+    df = spark.range(10).selectExpr("id", "id * 2 AS dbl")
+    res = dst.builder(spark, out_cfg, df)
+    assert res["format"] == "parquet"
+    back = spark.read.parquet(f"file://{bucket}/out")
+    assert back.count() == 10 and set(back.columns) == {"id", "dbl"}

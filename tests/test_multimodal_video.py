@@ -55,12 +55,11 @@ def test_sample_video_frames_strides_and_emits_pgm(spark):
                  key=lambda r: r["frame_idx"])
     assert [r["frame_idx"] for r in out] == [0, 3, 6, 9]
     for r in out:
-        px = MM._decode_pixels(bytes(r["frame"]))
+        px = MM._decode_pixels(bytes(r["payload"]))
         assert px.shape == (4, 8, 1)
         assert int(px[0, 0, 0]) == r["frame_idx"] * 20
     # and image_features consumes them directly
-    frames_df = MM.sample_video_frames(df, max_frames=4) \
-        .selectExpr("id", "frame AS payload")
+    frames_df = MM.sample_video_frames(df, max_frames=4)
     feats = MM.image_features(frames_df).collect()
     assert all(f["format"] == "netpbm" and f["channels"] == 1
                for f in feats)

@@ -312,3 +312,41 @@ def test_parquet_dest_range_layout_enables_file_skipping(spark, tmp_path):
     # layout changes bytes, not content
     assert (spark.read.parquet(clustered).count()
             == spark.read.parquet(scattered).count() == orders.count())
+
+
+def test_multimodal_pipeline_end_to_end(spark, tmp_path):
+    """examples/multimodal_pipeline.toml: video payloads -> REAL Y4M
+    frame sampling -> REAL image codec features, every stage declarative."""
+    import tomllib
+
+    import numpy as np
+
+    from mycelial_spark.operators import multimodal as MM
+    from mycelial_spark.plans.compiler import Pipeline
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    head = b"YUV4MPEG2 W8 H4 F25:1 C420\n"
+    for v in range(2):
+        frames = b"".join(
+            b"FRAME\n" + bytes([v * 50 + i] * 32) + b"\x00" * 16
+            for i in range(6))
+        (videos / f"v{v}.y4m").write_bytes(head + frames)
+
+    with open("examples/multimodal_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    out = str(tmp_path / "features")
+    spec["nodes"]["videos"]["path"] = str(videos)
+    spec["nodes"]["out"]["path"] = out
+    Pipeline.from_spec(spec).run(spark)
+
+    got = spark.read.parquet(out)
+    # 2 videos x even-stride sampling of 6 frames at max 4 -> ceil stride
+    # 2 picks frames 0, 2, 4 of each clip, decoded as PGM luma
+    assert got.count() == 6
+    rows = got.collect()
+    assert all(r["format"] == "netpbm" and r["channels"] == 1
+               and (r["width"], r["height"]) == (8, 4) for r in rows)
+    # constant-luma frames: mean == the woven byte value
+    means = sorted(int(round(r["mean_value"])) for r in rows)
+    assert means == sorted([0, 2, 4, 50, 52, 54])
