@@ -2442,6 +2442,31 @@ def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_ppm(docs)).drop("mean_value")
 
 
+@query("image_resize_real", """
+SELECT doc_id AS id,
+       CAST(11 + 192 AS BIGINT) AS n_bytes,
+       'netpbm'        AS format,
+       CAST(8 AS INT)  AS width,
+       CAST(8 AS INT)  AS height,
+       CAST(3 AS INT)  AS channels
+FROM documents
+""")
+def image_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end: synthesize P6 payloads, resize with
+    the real codec (decode -> nearest-neighbor -> PPM re-encode) to 8x8,
+    then decode the RESULT — every output must be a well-formed 8x8 RGB
+    netpbm of exactly header(11) + 192 pixel bytes. Pixel values are
+    pinned by tests (test_multimodal_image.py resize exactness); the
+    oracle pins the container contract."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (image_features,
+                                                     resize_images,
+                                                     synth_ppm)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    resized = resize_images(synth_ppm(docs), 8, 8, codec="real")
+    return image_features(resized).drop("mean_value")
+
+
 @query("video_y4m_features", """
 WITH t AS (
   SELECT doc_id,
