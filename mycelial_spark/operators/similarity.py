@@ -387,3 +387,77 @@ def pq_topk(encoded: DataFrame, query_vec: list[float],
     return (encoded.select(F.col(id_col), F.round(expr, 6).alias("approx_l2"))
             .orderBy(F.col("approx_l2").asc(), F.col(id_col).asc())
             .limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Persistent ANN index: build once, search many times. The physical layout
+# IS the index — the corpus lands parquet-partitioned by IVF cell, so an
+# nprobe search prunes to nprobe/n_centroids of the DIRECTORIES (verified
+# by test: the pruned scan touches only the probed cells' files). Metadata
+# (centroids, params, optional PQ codebooks) rides in a JSON sidecar.
+# ---------------------------------------------------------------------------
+
+def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
+                    sample_fraction: float = 1.0, seed: int = 42,
+                    pq_m: int = 0, pq_k: int = 16,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Build the index at ``path``: train the coarse quantizer on a
+    (sampled) pass, assign every vector distributed, write partitioned
+    by cell. ``pq_m > 0`` additionally stores m-byte PQ codes next to
+    each vector so searches can ADC-scan without touching vectors.
+
+    At 100 TB: training reads a sample, assignment+write is one narrow
+    pass + a partitioned write; nothing but centroids/codebooks (KB)
+    ever sits on the driver.
+    """
+    import json
+    import os
+
+    centroids = ivf_train_centroids(df, n_centroids, sample_fraction,
+                                    seed, vec_col)
+    assigned = ivf_assign(df, centroids, vec_col)
+    meta = {"n_centroids": n_centroids, "centroids": centroids,
+            "vec_col": vec_col, "id_col": id_col, "pq_m": pq_m}
+    if pq_m:
+        codebooks = pq_train_codebooks(df, pq_m, pq_k, seed=seed,
+                                       vec_col=vec_col)
+        assigned = pq_encode(assigned, codebooks, vec_col)
+        meta["codebooks"] = codebooks
+    (assigned.write.mode("overwrite")
+     .partitionBy("ivf_cell").parquet(f"{path}/cells"))
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/_ann_index.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{path}/_ann_index.json")
+    return {"path": path, "n_centroids": n_centroids, "pq_m": pq_m}
+
+
+def ann_load_meta(path: str) -> dict:
+    import json
+    with open(f"{path}/_ann_index.json") as f:
+        return json.load(f)
+
+
+def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
+               nprobe: int = 4, use_pq: bool = False) -> DataFrame:
+    """Search the persisted index: pick the ``nprobe`` nearest cells on
+    the driver (centroids are KB-sized), scan ONLY those partitions
+    (partition pruning on ivf_cell — directory-level, not row-filter),
+    exact cosine re-rank — or PQ ADC when ``use_pq`` and the index
+    stored codes (short-list exactness traded for never touching the
+    vectors)."""
+    meta = ann_load_meta(path)
+    q = [float(x) for x in query_vec]
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
+             for i, c in enumerate(meta["centroids"])]
+    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    cells = spark.read.parquet(f"{path}/cells") \
+                 .filter(F.col("ivf_cell").isin(probe))
+    if use_pq:
+        if not meta.get("pq_m"):
+            raise ValueError("index was built without PQ codes")
+        return pq_topk(cells, q, meta["codebooks"], k,
+                       id_col=meta["id_col"])
+    return topk_to_query(cells, q, k, meta["vec_col"], meta["id_col"])

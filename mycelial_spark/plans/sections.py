@@ -993,6 +993,40 @@ def knn_join_(spark, cfg, inputs):
                                cfg["vec_col"], cfg["id_col"])
 
 
+@_register("ann_index_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("n_centroids", "int", 16),
+            Field("sample_fraction", "float", 1.0),
+            Field("pq_m", "int", 0), Field("pq_k", "int", 16),
+            Field("vec_col", default="embedding"),
+            Field("id_col", default="vec_id")],
+           doc="Persistent ANN index sink: train the IVF coarse quantizer "
+               "on a sample, assign distributed, write parquet "
+               "PARTITIONED BY cell (the layout IS the index — searches "
+               "prune to nprobe/n directories); pq_m>0 stores m-byte PQ "
+               "codes for ADC search. Centroids/codebooks ride in a JSON "
+               "sidecar.")
+def ann_index_dest(spark, cfg, df):
+    from mycelial_spark.operators.similarity import ann_build_index
+    return ann_build_index(df, cfg["path"], cfg["n_centroids"],
+                           cfg["sample_fraction"], pq_m=cfg["pq_m"],
+                           pq_k=cfg["pq_k"], vec_col=cfg["vec_col"],
+                           id_col=cfg["id_col"])
+
+
+@_register("ann_search", "source", "none", "dataframe",
+           [Field("path"), Field("query_vec", "json"),
+            Field("k", "int", 10), Field("nprobe", "int", 4),
+            Field("use_pq", "bool", False)],
+           doc="Search a persisted ANN index: nprobe nearest cells chosen "
+               "driver-side from the KB-sized sidecar, partition-pruned "
+               "scan of only those cells, exact cosine re-rank (or PQ "
+               "ADC with use_pq).")
+def ann_search_(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    from mycelial_spark.operators.similarity import ann_search
+    return ann_search(spark, cfg["path"], cfg["query_vec"], cfg["k"],
+                      cfg["nprobe"], cfg["use_pq"])
+
+
 def _payload_frame(df):
     """Adapt the bin plane to the multimodal (id, payload) contract:
     binaryFile scans deliver (path, content) — id becomes the path hash;

@@ -26,3 +26,91 @@ def test_lsh_pairs_subset_of_exact_with_recall(spark, sf_dir):
         assert len(lsh) / len(exact) >= 0.2
     for k, v in lsh.items():
         assert v == exact[k]
+
+
+# ------------------------------------------------------- persistent index
+
+def test_ann_index_build_search_and_partition_pruning(spark, sf_dir,
+                                                      tmp_path):
+    """Build the persisted IVF index, search it, and prove the physical
+    layout works: the pruned scan reads ONLY the probed cells' partition
+    directories, and the brute-force top hit is recalled."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import (ann_build_index,
+                                                     ann_load_meta,
+                                                     ann_search,
+                                                     topk_to_query)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    idx = str(tmp_path / "ann")
+    out = ann_build_index(emb, idx, n_centroids=8)
+    assert out["n_centroids"] == 8
+
+    rows = ann_search(spark, idx, q, k=5, nprobe=3).collect()
+    assert len(rows) == 5
+
+    # the probe set ann_search derives from the sidecar centroids
+    meta = ann_load_meta(idx)
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
+             for i, c in enumerate(meta["centroids"])]
+    probe = {str(i) for i, _ in sorted(dists, key=lambda t: t[1])[:3]}
+
+    # partition pruning is physical: the filtered scan's input files all
+    # live under the probed ivf_cell= directories
+    scanned = (spark.read.parquet(f"{idx}/cells")
+               .filter(F.col("ivf_cell").isin(*[int(c) for c in probe]))
+               .select(F.input_file_name()).distinct().collect())
+    cells_read = {re.search(r"ivf_cell=(\d+)", r[0]).group(1)
+                  for r in scanned}
+    assert cells_read <= probe and len(cells_read) <= 3
+
+    # recall: the brute-force top hit (the query's own vector) is found
+    brute = topk_to_query(emb, q, 5)
+    assert brute.first()["vec_id"] in {r["vec_id"] for r in rows}
+
+
+def test_ann_index_pq_mode_and_meta_roundtrip(spark, sf_dir, tmp_path):
+    from mycelial_spark.operators.similarity import (ann_build_index,
+                                                     ann_load_meta,
+                                                     ann_search)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    idx = str(tmp_path / "annpq")
+    ann_build_index(emb, idx, n_centroids=4, pq_m=8, pq_k=16)
+    meta = ann_load_meta(idx)
+    assert meta["pq_m"] == 8 and len(meta["codebooks"]) == 8
+    adc = ann_search(spark, idx, q, k=5, nprobe=2, use_pq=True).collect()
+    assert len(adc) == 5 and adc[0]["approx_l2"] <= adc[-1]["approx_l2"]
+    # an index built WITHOUT codes refuses PQ search
+    idx2 = str(tmp_path / "annplain")
+    ann_build_index(emb, idx2, n_centroids=4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="without PQ"):
+        ann_search(spark, idx2, q, use_pq=True)
+
+
+def test_ann_index_sections_end_to_end(spark, sf_dir, tmp_path):
+    """Build + search through the declarative section surface."""
+    from mycelial_spark.plans.compiler import Pipeline
+    from mycelial_spark.plans.sections import REGISTRY
+    idx = str(tmp_path / "annsec")
+    spec = {
+        "nodes": {
+            "emb": {"type": "parquet_source",
+                    "path": f"{sf_dir}/embeddings.parquet"},
+            "idx": {"type": "ann_index_dest", "path": idx,
+                    "n_centroids": 4},
+        },
+        "edges": [["emb", "idx"]],
+    }
+    Pipeline.from_spec(spec).run(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    sdef = REGISTRY.get("ann_search")
+    cfg = sdef.validate_config({"type": "ann_search", "path": idx,
+                                "query_vec": q, "k": 3, "nprobe": 2})
+    rows = sdef.builder(spark, cfg).collect()
+    assert len(rows) == 3
