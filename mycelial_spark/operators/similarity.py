@@ -461,3 +461,19 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
         return pq_topk(cells, q, meta["codebooks"], k,
                        id_col=meta["id_col"])
     return topk_to_query(cells, q, k, meta["vec_col"], meta["id_col"])
+
+
+def ann_append(df: DataFrame, path: str) -> dict:
+    """Incrementally grow a persisted index: assign NEW vectors with the
+    sidecar's frozen centroids (and encode with its codebooks when the
+    index stores PQ codes), append into the same cell partitions. The
+    coarse quantizer is deliberately not retrained — cells stay stable
+    so existing partitions never rewrite; rebuild when drift warrants.
+    """
+    meta = ann_load_meta(path)
+    assigned = ivf_assign(df, meta["centroids"], meta["vec_col"])
+    if meta.get("pq_m"):
+        assigned = pq_encode(assigned, meta["codebooks"], meta["vec_col"])
+    (assigned.write.mode("append")
+     .partitionBy("ivf_cell").parquet(f"{path}/cells"))
+    return {"path": path, "appended": True}

@@ -90,12 +90,21 @@ class StreamingPipeline:
     pipeline: Pipeline
     checkpoint_root: str
     trigger: dict[str, Any] = field(default_factory=lambda: {"availableNow": True})
+    # Dead-letter quarantine: when set, a micro-batch whose SINK throws is
+    # parked as parquet under <path>/<task_id> (rows + task/batch/error
+    # columns) and the offset commits, so one poison batch cannot wedge
+    # the stream in a crash-restart loop forever. Semantics: quarantined
+    # batches are at-most-once delivered to the REAL sink by definition —
+    # reprocess them from the DLQ explicitly. Unset (default) keeps the
+    # reference's behavior: fail, supervisor restarts, at-least-once.
+    dead_letter_path: str | None = None
 
     @classmethod
     def from_spec(cls, spec: dict[str, Any], checkpoint_root: str,
-                  trigger: dict[str, Any] | None = None) -> "StreamingPipeline":
+                  trigger: dict[str, Any] | None = None,
+                  dead_letter_path: str | None = None) -> "StreamingPipeline":
         return cls(Pipeline.from_spec(spec), checkpoint_root,
-                   trigger or {"availableNow": True})
+                   trigger or {"availableNow": True}, dead_letter_path)
 
     def start(self, spark: SparkSession) -> list[StreamingQuery]:
         queries: list[StreamingQuery] = []
@@ -134,14 +143,28 @@ class StreamingPipeline:
         out_df = results[sink_id]
         task_id = sub.task_id()
 
+        dlq = self.dead_letter_path
+
         def write_batch(batch_df: DataFrame, batch_id: int) -> None:
             # the reference's unit of work: write the whole frame, then the
             # engine commits the offset (ack ordering, §1.5). The (task,
             # batch) identity rides along so exactly-once sinks can skip a
             # replayed batch transactionally.
-            sink_def.builder(spark,
-                             {**sink_cfg, "_batch": [task_id, int(batch_id)]},
-                             batch_df)
+            try:
+                sink_def.builder(
+                    spark, {**sink_cfg, "_batch": [task_id, int(batch_id)]},
+                    batch_df)
+            except Exception as e:
+                if not dlq:
+                    raise
+                from pyspark.sql import functions as F
+                (batch_df
+                 .withColumn("_dlq_task", F.lit(task_id))
+                 .withColumn("_dlq_batch", F.lit(int(batch_id)))
+                 .withColumn("_dlq_error", F.lit(str(e)[:500]))
+                 .write.mode("append").parquet(f"{dlq}/{task_id}"))
+                # returning lets the engine commit the offset: the batch
+                # is quarantined, the stream moves on
 
         writer = (out_df.writeStream
                   .foreachBatch(write_batch)

@@ -114,3 +114,27 @@ def test_ann_index_sections_end_to_end(spark, sf_dir, tmp_path):
                                 "query_vec": q, "k": 3, "nprobe": 2})
     rows = sdef.builder(spark, cfg).collect()
     assert len(rows) == 3
+
+
+def test_ann_append_grows_index_without_rebuild(spark, sf_dir, tmp_path):
+    """New vectors assigned with the FROZEN quantizer land in the same
+    cell partitions and become searchable."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import (ann_append,
+                                                     ann_build_index,
+                                                     ann_search)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "anngrow")
+    ann_build_index(emb, idx, n_centroids=4)
+    n0 = spark.read.parquet(f"{idx}/cells").count()
+
+    novel = emb.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding")
+    ann_append(novel, idx)
+    assert spark.read.parquet(f"{idx}/cells").count() == n0 + 1
+
+    q = [float(x) for x in novel.first()["embedding"]]
+    hits = {r["vec_id"] for r in
+            ann_search(spark, idx, q, k=2, nprobe=4).collect()}
+    assert novel.first()["vec_id"] in hits

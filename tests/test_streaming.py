@@ -239,3 +239,38 @@ def test_arrow_ipc_payloads_flow_through_a_stream(spark, tmp_path):
     assert set(out.columns) == {"k", "v"}
     assert out.agg({"k": "sum"}).collect()[0][0] == sum(range(5)) + sum(
         range(10, 15))
+
+
+def test_dead_letter_quarantines_poison_batch(spark, csv_dir, tmp_path):
+    """A sink failure with dead_letter_path set parks the batch (rows +
+    task/batch/error columns) instead of wedging the stream; the offset
+    commits, so a restart re-emits nothing."""
+    dlq = str(tmp_path / "dlq")
+    spec = {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(csv_dir)},
+            # /dev/null/x.db cannot be opened -> every batch poisons
+            "dst": {"type": "sqlite_dest", "path": "/dev/null/x.db",
+                    "table": "t"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"),
+                                     dead_letter_path=dlq)
+    _wait_done(sp.start(spark))
+    task_id = sp.pipeline.graph.subgraphs()[0].task_id()
+    parked = spark.read.parquet(f"{dlq}/{task_id}")
+    assert parked.count() == 2
+    row = parked.first()
+    assert row["_dlq_task"] == task_id and row["_dlq_error"]
+    assert set(parked.columns) >= {"k", "v", "_dlq_batch"}
+    # offsets committed past the poison batch: nothing re-parks on restart
+    _wait_done(StreamingPipeline.from_spec(
+        spec, str(tmp_path / "ckpt"),
+        dead_letter_path=dlq).start(spark))
+    assert spark.read.parquet(f"{dlq}/{task_id}").count() == 2
+    # without a DLQ the same failure still fails the query (reference
+    # behavior preserved)
+    sp2 = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt2"))
+    with pytest.raises(Exception):
+        _wait_done(sp2.start(spark))
