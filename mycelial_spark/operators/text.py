@@ -19,6 +19,8 @@ Operators:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,6 +133,45 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "pred_lang",
         F.when(best["score"] > 0, pred).otherwise(F.lit("und")))
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text",
+                         strip_accents: bool = True,
+                         out_col: str = "norm_text") -> DataFrame:
+    """Canonical text normalization for dedup/tokenization keys: NFC
+    unicode normalization, optional accent stripping (NFD -> drop
+    combining marks), unicode-aware lowercase, whitespace collapsed to
+    single spaces, trimmed.
+
+    The unicode steps need the unicodedata tables, so this is the one
+    text operator on an Arrow-batched pandas UDF instead of codegen —
+    still a narrow map (no shuffle); regex/trim steps stay JVM-side.
+    Semantics match DuckDB's nfc_normalize + strip_accents + lower for
+    cross-engine verification.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    do_strip = strip_accents
+
+    @pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFC", x)
+            if do_strip:
+                x = "".join(c for c in unicodedata.normalize("NFD", x)
+                            if not unicodedata.combining(c))
+                x = unicodedata.normalize("NFC", x)
+            return x.lower()
+
+        return s.map(one)
+
+    c = norm(F.col(text_col))
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
 # PII patterns chosen to behave identically under Java regex (Spark

@@ -802,6 +802,19 @@ def paragraph_dedup_(spark, cfg, inputs):
                            cfg["sep"])
 
 
+@_register("normalize_text", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("strip_accents", "bool", True),
+            Field("out_col", default="norm_text")],
+           doc="Unicode canonicalization (NFC, optional accent strip, "
+               "lowercase, whitespace collapse) — the key-building step "
+               "before exact dedup/tokenization; Arrow-batched, narrow.")
+def normalize_text_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_normalized_text
+    return with_normalized_text(inputs[0], cfg["text_col"],
+                                cfg["strip_accents"], cfg["out_col"])
+
+
 @_register("redact_pii", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text")],
            doc="PII scrub (emails/IPv4/SSN/phone): per-type counts + a "

@@ -2442,6 +2442,33 @@ def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_ppm(docs)).drop("mean_value")
 
 
+@query("normalize_text", """
+WITH t AS (
+  SELECT doc_id,
+         text || ' Grüße à l''École – NAÏVE  façade ' AS text
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         lower(strip_accents(nfc_normalize(text))), '\\s+', ' ', 'g'))
+         AS norm_text
+FROM t
+""")
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC + accent strip + lowercase +
+    whitespace collapse) — the key-building step before exact dedup or
+    tokenization. The ASCII fixture would verify nothing, so both
+    engines plant the same accented/dash-bearing suffix; DuckDB's
+    nfc_normalize/strip_accents/lower must agree with the pandas-UDF
+    unicodedata path byte-for-byte."""
+    from mycelial_spark.operators.text import with_normalized_text
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" Grüße à l'École – NAÏVE  façade ")).alias("text"))
+    return with_normalized_text(d).select("doc_id", "norm_text")
+
+
 @query("image_resize_real", """
 SELECT doc_id AS id,
        CAST(11 + 192 AS BIGINT) AS n_bytes,

@@ -382,3 +382,22 @@ def test_paragraph_dedup_literal_separator_with_metacharacters(spark):
     assert out[1]["cleaned_text"] == "aa|bb"
     assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
     assert out[2]["cleaned_text"] == "cc"
+
+
+def test_normalize_text_unicode_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "  Gr\u00fc\u00dfe \u00e0 l'\u00c9cole \u2013 NA\u00cfVE  fa\u00e7ade  "),
+         (2, "Stra\u00dfe Cafe\u0301"),   # ß survives; e+combining -> e
+         (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["norm_text"]
+           for r in TX.with_normalized_text(df).collect()}
+    # accents dropped, \u00df (no combining marks) kept, lowercased,
+    # whitespace collapsed+trimmed, the dash untouched
+    assert out[1] == "gru\u00dfe a l'ecole \u2013 naive facade"
+    assert out[2] == "stra\u00dfe cafe"
+    assert out[3] is None
+    # accents kept when strip_accents=False (NFC still composes e+mark)
+    keep = {r["doc_id"]: r["norm_text"] for r in
+            TX.with_normalized_text(df, strip_accents=False).collect()}
+    assert keep[2] == "stra\u00dfe caf\u00e9"
