@@ -57,12 +57,20 @@ def _register(name: str, kind: str, input: str, output: str,
 
 @_register("parquet_source", "source", "none", "dataframe",
            [Field("path"), Field("origin", default=""),
-            Field("max_files_per_trigger", "int", 0)],
+            Field("max_files_per_trigger", "int", 0),
+            Field("merge_schema", "bool", False)],
            doc="Parquet scan; the engine-native bulk source. In streaming "
                "mode max_files_per_trigger>0 bounds each micro-batch — the "
-               "capacity-1 channel backpressure analog (scheduler.rs:37-42).")
+               "capacity-1 channel backpressure analog (scheduler.rs:37-42). "
+               "merge_schema=True unions the schemas of ALL files (columns "
+               "added by later pipeline versions read as null in old files) "
+               "instead of trusting one footer — the schema-evolution knob "
+               "a long-running append sink needs.")
 def parquet_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
-    df = spark.read.parquet(cfg["path"])
+    reader = spark.read
+    if cfg.get("merge_schema"):
+        reader = reader.option("mergeSchema", True)
+    df = reader.parquet(cfg["path"])
     return X.with_origin(df, cfg["origin"]) if cfg["origin"] else df
 
 

@@ -350,3 +350,22 @@ def test_multimodal_pipeline_end_to_end(spark, tmp_path):
     # constant-luma frames: mean == the woven byte value
     means = sorted(int(round(r["mean_value"])) for r in rows)
     assert means == sorted([0, 2, 4, 50, 52, 54])
+
+
+def test_parquet_source_schema_evolution(spark, tmp_path):
+    """A later pipeline version appends files with an extra column;
+    merge_schema=True reads the union (old files null-fill), while the
+    default single-footer read may miss the new column entirely."""
+    from mycelial_spark.plans.sections import REGISTRY
+    path = str(tmp_path / "evolving")
+    spark.range(3).selectExpr("id", "id * 2 AS a") \
+        .write.mode("append").parquet(path)
+    spark.range(3, 5).selectExpr("id", "id * 2 AS a", "'v2' AS b") \
+        .write.mode("append").parquet(path)
+    sdef = REGISTRY.get("parquet_source")
+    merged = sdef.builder(spark, sdef.validate_config(
+        {"type": "parquet_source", "path": path, "merge_schema": True}))
+    assert set(merged.columns) == {"id", "a", "b"}
+    assert merged.count() == 5
+    assert merged.filter("b IS NULL").count() == 3
+    assert merged.filter("b = 'v2'").count() == 2
