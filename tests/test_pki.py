@@ -164,3 +164,40 @@ def test_join_over_the_wire_rejects_reused_token(tmp_path):
         assert e.value.code == 404
     finally:
         server.shutdown()
+
+
+def test_pipeline_crud_over_mtls(tmp_path):
+    """The full control-plane API is served under mTLS too: a joined
+    daemon's certificate authenticates workspace/pipeline CRUD."""
+    app = ControlPlaneApp(state_path=str(tmp_path / "state.json"))
+    plain = serve(app)
+    try:
+        host, port = plain.server_address
+        base = f"http://{host}:{port}"
+        req = urllib.request.Request(f"{base}/api/daemon/tokens",
+                                     data=b"{}", method="POST")
+        with urllib.request.urlopen(req) as r:
+            token = json.loads(r.read())["token"]
+        bundle = daemon_join_via_csr(base, token)
+    finally:
+        plain.shutdown()
+
+    tls_server = serve(app, tls=True)
+    try:
+        host, port = tls_server.server_address
+        certkey = pki.rebuild_ca_certkey(bundle["key"],
+                                         bundle["certificate"])
+        ctx = pki.mtls_client_context(certkey, bundle["ca_certificate"])
+        req = urllib.request.Request(
+            f"https://{host}:{port}/api/workspaces",
+            data=json.dumps({"name": "secure-ws"}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, context=ctx) as r:
+            ws = json.loads(r.read())
+        assert ws["name"] == "secure-ws"
+        with urllib.request.urlopen(
+                f"https://{host}:{port}/api/workspaces", context=ctx) as r:
+            listed = json.loads(r.read())
+        assert any(w["id"] == ws["id"] for w in listed)
+    finally:
+        tls_server.shutdown()
