@@ -397,6 +397,42 @@ def pq_topk(encoded: DataFrame, query_vec: list[float],
 # (centroids, params, optional PQ codebooks) rides in a JSON sidecar.
 # ---------------------------------------------------------------------------
 
+def _path_is_remote(path: str) -> bool:
+    import re
+    return bool(re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path))
+
+
+def _write_sidecar(spark, path: str, meta: dict) -> None:
+    """Metadata sidecar next to the cells. A scheme-qualified path (s3a,
+    hdfs, ...) writes THROUGH the same filesystem as the data — a
+    driver-local open() there would strand the metadata on one node and
+    split the index."""
+    import json
+    import os
+    blob = json.dumps(meta)
+    if _path_is_remote(path):
+        (spark.createDataFrame([(blob,)], "value string").coalesce(1)
+         .write.mode("overwrite").text(f"{path}/_ann_index"))
+        return
+    os.makedirs(path, exist_ok=True)
+    tmp = f"{path}/_ann_index.json.tmp"
+    with open(tmp, "w") as f:
+        f.write(blob)
+    os.replace(tmp, f"{path}/_ann_index.json")
+
+
+def ann_load_meta(path: str, spark=None) -> dict:
+    import json
+    if _path_is_remote(path):
+        if spark is None:
+            raise ValueError("loading a remote index needs the spark "
+                             "session (sidecar lives on the data FS)")
+        rows = spark.read.text(f"{path}/_ann_index").collect()
+        return json.loads("".join(r["value"] for r in rows))
+    with open(f"{path}/_ann_index.json") as f:
+        return json.load(f)
+
+
 def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
                     sample_fraction: float = 1.0, seed: int = 42,
                     pq_m: int = 0, pq_k: int = 16,
@@ -404,40 +440,41 @@ def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
                     id_col: str = "vec_id") -> dict:
     """Build the index at ``path``: train the coarse quantizer on a
     (sampled) pass, assign every vector distributed, write partitioned
-    by cell. ``pq_m > 0`` additionally stores m-byte PQ codes next to
-    each vector so searches can ADC-scan without touching vectors.
+    by cell. ``pq_m > 0`` additionally stores PQ codes next to each
+    vector — trained and encoded over L2-NORMALIZED vectors, so ADC
+    ranking approximates the same cosine ordering the default search
+    uses (unit vectors: L2 = 2 - 2*cos).
 
     At 100 TB: training reads a sample, assignment+write is one narrow
     pass + a partitioned write; nothing but centroids/codebooks (KB)
-    ever sits on the driver.
+    ever sits on the driver. The input persists for the build's 2-3
+    passes (KMeans, PQ sample, write) so an expensive upstream lineage
+    is not recomputed per pass.
     """
-    import json
-    import os
-
-    centroids = ivf_train_centroids(df, n_centroids, sample_fraction,
-                                    seed, vec_col)
-    assigned = ivf_assign(df, centroids, vec_col)
-    meta = {"n_centroids": n_centroids, "centroids": centroids,
-            "vec_col": vec_col, "id_col": id_col, "pq_m": pq_m}
-    if pq_m:
-        codebooks = pq_train_codebooks(df, pq_m, pq_k, seed=seed,
-                                       vec_col=vec_col)
-        assigned = pq_encode(assigned, codebooks, vec_col)
-        meta["codebooks"] = codebooks
-    (assigned.write.mode("overwrite")
-     .partitionBy("ivf_cell").parquet(f"{path}/cells"))
-    os.makedirs(path, exist_ok=True)
-    tmp = f"{path}/_ann_index.json.tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, f"{path}/_ann_index.json")
+    from pyspark import StorageLevel
+    pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        centroids = ivf_train_centroids(pinned, n_centroids,
+                                        sample_fraction, seed, vec_col)
+        assigned = ivf_assign(pinned, centroids, vec_col)
+        meta = {"n_centroids": n_centroids, "centroids": centroids,
+                "vec_col": vec_col, "id_col": id_col, "pq_m": pq_m}
+        if pq_m:
+            unit = pinned.withColumn(
+                vec_col, l2_normalize(F.col(vec_col).cast("array<double>")))
+            codebooks = pq_train_codebooks(unit, pq_m, pq_k, seed=seed,
+                                           vec_col=vec_col, id_col=id_col)
+            assigned = assigned.withColumn(
+                "__unit", l2_normalize(F.col(vec_col).cast("array<double>")))
+            assigned = pq_encode(assigned, codebooks, "__unit") \
+                .drop("__unit")
+            meta["codebooks"] = codebooks
+        (assigned.write.mode("overwrite")
+         .partitionBy("ivf_cell").parquet(f"{path}/cells"))
+    finally:
+        pinned.unpersist()
+    _write_sidecar(df.sparkSession, path, meta)
     return {"path": path, "n_centroids": n_centroids, "pq_m": pq_m}
-
-
-def ann_load_meta(path: str) -> dict:
-    import json
-    with open(f"{path}/_ann_index.json") as f:
-        return json.load(f)
 
 
 def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
@@ -447,9 +484,14 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
     (partition pruning on ivf_cell — directory-level, not row-filter),
     exact cosine re-rank — or PQ ADC when ``use_pq`` and the index
     stored codes (short-list exactness traded for never touching the
-    vectors)."""
-    meta = ann_load_meta(path)
+    vectors; the query is unit-normalized to match the stored codes)."""
+    import math
+    meta = ann_load_meta(path, spark)
     q = [float(x) for x in query_vec]
+    dims = len(meta["centroids"][0])
+    if len(q) != dims:
+        raise ValueError(f"query dimension {len(q)} != index dimension "
+                         f"{dims} (wrong embedding model?)")
     dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
              for i, c in enumerate(meta["centroids"])]
     probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
@@ -458,7 +500,8 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
     if use_pq:
         if not meta.get("pq_m"):
             raise ValueError("index was built without PQ codes")
-        return pq_topk(cells, q, meta["codebooks"], k,
+        qn = math.sqrt(sum(x * x for x in q)) or 1.0
+        return pq_topk(cells, [x / qn for x in q], meta["codebooks"], k,
                        id_col=meta["id_col"])
     return topk_to_query(cells, q, k, meta["vec_col"], meta["id_col"])
 
@@ -470,10 +513,14 @@ def ann_append(df: DataFrame, path: str) -> dict:
     coarse quantizer is deliberately not retrained — cells stay stable
     so existing partitions never rewrite; rebuild when drift warrants.
     """
-    meta = ann_load_meta(path)
+    meta = ann_load_meta(path, df.sparkSession)
     assigned = ivf_assign(df, meta["centroids"], meta["vec_col"])
     if meta.get("pq_m"):
-        assigned = pq_encode(assigned, meta["codebooks"], meta["vec_col"])
+        assigned = assigned.withColumn(
+            "__unit",
+            l2_normalize(F.col(meta["vec_col"]).cast("array<double>")))
+        assigned = pq_encode(assigned, meta["codebooks"], "__unit") \
+            .drop("__unit")
     (assigned.write.mode("append")
      .partitionBy("ivf_cell").parquet(f"{path}/cells"))
     return {"path": path, "appended": True}

@@ -1048,21 +1048,26 @@ def ann_search_(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
                       cfg["nprobe"], cfg["use_pq"])
 
 
-def _payload_frame(df):
+def _payload_frame(df, modality: str | None = None):
     """Adapt the bin plane to the multimodal (id, payload) contract:
     binaryFile scans deliver (path, content) — id becomes the path hash;
-    a frame that already carries payload passes through unchanged."""
-    if "payload" in df.columns:
-        return df
-    if "content" in df.columns:
+    a frame that already carries payload passes through unchanged.
+    ``modality`` additionally guarantees that column exists (the
+    extract_features contract) — filled with the literal when absent."""
+    if "payload" not in df.columns:
+        if "content" not in df.columns:
+            from mycelial_spark.plans.graph import GraphError
+            raise GraphError("multimodal input needs a payload or content "
+                             f"binary column; got {df.columns}")
         id_col = (F.col("id") if "id" in df.columns
                   else F.xxhash64("path") if "path" in df.columns
                   else F.monotonically_increasing_id())
-        return df.select(id_col.alias("id"),
-                         F.col("content").alias("payload"))
-    from mycelial_spark.plans.graph import GraphError
-    raise GraphError("multimodal input needs a payload or content "
-                     f"binary column; got {df.columns}")
+        keep = ([F.col("modality")] if "modality" in df.columns else [])
+        df = df.select(id_col.alias("id"),
+                       F.col("content").alias("payload"), *keep)
+    if modality is not None and "modality" not in df.columns:
+        df = df.withColumn("modality", F.lit(modality))
+    return df
 
 
 @_register("multimodal_features", "transform", "bin_or_dataframe", "dataframe",
@@ -1071,7 +1076,7 @@ def _payload_frame(df):
                "Arrow batches (mapInPandas); codec stubbed, plumbing real.")
 def multimodal_features_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import extract_features
-    return extract_features(inputs[0])
+    return extract_features(_payload_frame(inputs[0], modality="binary"))
 
 
 @_register("multimodal_resize", "transform", "bin_or_dataframe", "dataframe",
@@ -1093,7 +1098,8 @@ def multimodal_resize_(spark, cfg, inputs):
                "(explode through mapInPandas).")
 def multimodal_frames_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import sample_frames
-    return sample_frames(inputs[0], cfg["every_n_bytes"], cfg["max_frames"])
+    return sample_frames(_payload_frame(inputs[0]),
+                         cfg["every_n_bytes"], cfg["max_frames"])
 
 
 @_register("audio_features", "transform", "bin_or_dataframe", "dataframe",

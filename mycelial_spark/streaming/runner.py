@@ -67,12 +67,19 @@ def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
             reader = reader.option("maxFilesPerTrigger", mft)
         return reader.load(cfg["path"])
     fmt = "parquet" if stype == "parquet_source" else "csv"
+    merge = fmt == "parquet" and bool(cfg.get("merge_schema"))
     reader = spark.readStream.format(fmt)
+    if merge:
+        reader = reader.option("mergeSchema", True)
     if mft > 0:
         reader = reader.option("maxFilesPerTrigger", mft)
     if schema is None:
         # file streams need a schema up front: infer from existing files
+        # — with merge_schema, the inference itself must union every
+        # footer or the evolved columns silently vanish from the stream
         static = spark.read.format(fmt)
+        if merge:
+            static = static.option("mergeSchema", True)
         if fmt == "csv":
             static = static.option("header", cfg.get("header", True))
         schema_struct = static.load(cfg["path"]).schema
@@ -95,7 +102,11 @@ class StreamingPipeline:
     # columns) and the offset commits, so one poison batch cannot wedge
     # the stream in a crash-restart loop forever. Semantics: quarantined
     # batches are at-most-once delivered to the REAL sink by definition —
-    # reprocess them from the DLQ explicitly. Unset (default) keeps the
+    # reprocess them from the DLQ explicitly. Pair with a TRANSACTIONAL
+    # sink (exactly_once jdbc, the transactional sqlite dest): a sink
+    # that partially committed before throwing still parks the WHOLE
+    # batch, so replaying the DLQ would re-deliver the committed part.
+    # Each quarantine logs a warning. Unset (default) keeps the
     # reference's behavior: fail, supervisor restarts, at-least-once.
     dead_letter_path: str | None = None
 
@@ -157,6 +168,10 @@ class StreamingPipeline:
             except Exception as e:
                 if not dlq:
                     raise
+                import logging
+                logging.getLogger("mycelial_spark").warning(
+                    "task %s batch %s quarantined to %s: %s",
+                    task_id, batch_id, dlq, str(e)[:200])
                 from pyspark.sql import functions as F
                 (batch_df
                  .withColumn("_dlq_task", F.lit(task_id))

@@ -127,3 +127,21 @@ def test_exec_section_in_pipeline(spark, sf_dir):
     out = spark.table("global_temp.exec_out")
     assert out.count() == 5
     assert "exec_output" in out.columns
+
+
+def test_bin_plane_feeds_frames_and_features_sections(spark, tmp_path):
+    """binary_source output (path, content) adapts onto every multimodal
+    section, including sample_frames and extract_features."""
+    from mycelial_spark.plans.sections import REGISTRY
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(bytes(range(200)))
+    src = REGISTRY.get("binary_source")
+    bin_df = src.builder(spark, src.validate_config(
+        {"type": "binary_source", "path": str(d)}))
+    frames = REGISTRY.get("multimodal_frames").builder(
+        spark, {"every_n_bytes": 64, "max_frames": 2}, [bin_df])
+    assert frames.count() == 2
+    feats = REGISTRY.get("multimodal_features").builder(
+        spark, {"id_col": "id"}, [bin_df]).collect()
+    assert feats[0]["n_bytes"] == 200 and feats[0]["modality"] == "binary"

@@ -274,3 +274,26 @@ def test_dead_letter_quarantines_poison_batch(spark, csv_dir, tmp_path):
     sp2 = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt2"))
     with pytest.raises(Exception):
         _wait_done(sp2.start(spark))
+
+
+def test_streaming_parquet_source_merge_schema(spark, tmp_path):
+    """merge_schema reaches the STREAM reader too: schema inference
+    unions every footer, so evolved columns flow (null-filled for old
+    files) instead of silently vanishing."""
+    path = str(tmp_path / "evolving")
+    spark.range(2).selectExpr("id").write.mode("append").parquet(path)
+    spark.range(2, 4).selectExpr("id", "'v2' AS b") \
+        .write.mode("append").parquet(path)
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": path,
+                    "merge_schema": True},
+            "dst": {"type": "memory_dest", "name": "evolved_out"},
+        },
+        "edges": [["src", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    _wait_done(sp.start(spark))
+    out = spark.table("global_temp.evolved_out")
+    assert set(out.columns) == {"id", "b"}
+    assert out.count() == 4 and out.filter("b IS NULL").count() == 2
