@@ -224,3 +224,79 @@ def set_op(left: DataFrame, right: DataFrame, op: str) -> DataFrame:
     if op == "except_distinct":
         return left.subtract(right)
     raise ValueError(f"unknown set op {op!r}")
+
+
+def histogram_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
+                     bins: int,
+                     group_by: Sequence[str] = ()) -> DataFrame:
+    """Mergeable equi-width HISTOGRAM sketch per group: one array<long>
+    of ``bins`` counts (values clamp into the edge bins).
+
+    The quantile member of the mergeable-sketch family next to HLL
+    (distinct) and Count-Min (frequency): fixed O(bins) state, partial
+    aggregation combines map-side, arrays from different partitions /
+    days / tables merge by vector addition (``merge_histograms``) —
+    incremental reaggregation without rescanning history. One hash-agg
+    pass; with ``bins`` covering a DISCRETE integer domain (one bin per
+    value) the derived quantiles are EXACT.
+    """
+    c = F.col(value_col).cast("double")
+    width = (hi - lo) / bins
+    b = F.least(F.lit(bins - 1), F.greatest(
+        F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")))
+    counts = F.array(*[
+        F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"_b{i}")
+        for i in range(bins)])
+    out = df.groupBy(*group_by).agg(counts.alias("hist"))
+    return out.withColumn("hist_lo", F.lit(float(lo))) \
+              .withColumn("hist_width", F.lit(float(width)))
+
+
+def merge_histograms(df: DataFrame,
+                     group_by: Sequence[str] = ()) -> DataFrame:
+    """Merge histogram sketches (vector add) — reaggregate persisted
+    per-partition/per-day sketches without touching the raw data."""
+    lst = F.collect_list("hist")
+    # zero-seed sized like the sketches themselves (the bin count isn't
+    # statically known here) — groups always have >= 1 sketch
+    seed = F.transform(F.element_at(lst, 1),
+                       lambda _x: F.lit(0).cast("bigint"))
+    merged = F.aggregate(
+        lst, seed, lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b))
+    return (df.groupBy(*group_by)
+              .agg(merged.alias("hist"),
+                   F.first("hist_lo").alias("hist_lo"),
+                   F.first("hist_width").alias("hist_width")))
+
+
+def histogram_quantiles(hist_df: DataFrame, probs: Sequence[float],
+                        group_by: Sequence[str] = ()) -> DataFrame:
+    """Type-1 (lower nearest-rank) quantiles from a histogram sketch:
+    for each p, the lower bound of the first bin whose cumulative count
+    reaches ceil(p * n). Exact when bins are one-per-value over a
+    discrete domain; otherwise accurate to one bin width."""
+    n = F.aggregate(F.col("hist"), F.lit(0).cast("bigint"),
+                    lambda a, x: a + x)
+    out = hist_df.withColumn("_n", n)
+    cols = list(group_by)
+    for p in probs:
+        target = F.ceil(F.lit(float(p)) * F.col("_n"))
+        # first index whose running sum reaches the target rank: fold
+        # (cum, found_idx) over the counts
+        state = F.aggregate(
+            F.col("hist"),
+            F.struct(F.lit(0).cast("bigint").alias("cum"),
+                     F.lit(-1).alias("idx"),
+                     F.lit(0).alias("pos")),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x).alias("cum"),
+                F.when((acc["idx"] < 0) & (acc["cum"] + x >= target),
+                       acc["pos"]).otherwise(acc["idx"]).alias("idx"),
+                (acc["pos"] + 1).alias("pos")))
+        name = f"p{int(round(p * 100)):02d}"
+        out = out.withColumn(
+            name,
+            F.round(F.col("hist_lo")
+                    + state["idx"] * F.col("hist_width"), 6))
+        cols.append(name)
+    return out.select(*cols)

@@ -174,6 +174,51 @@ def with_normalized_text(df: DataFrame, text_col: str = "text",
         out_col, F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+# tracking query parameters dropped by URL canonicalization
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
+
+
+def with_canonical_urls(df: DataFrame, url_col: str = "url",
+                        out_col: str = "canonical_url") -> DataFrame:
+    """Canonicalize URLs for web-corpus dedup keys — the standard
+    normalization before exact/near dedup of crawled pages:
+
+    1. fragment stripped;
+    2. scheme + host lowercased, a leading ``www.`` dropped, default
+       ports (http:80 / https:443) dropped;
+    3. trailing slash on a non-root path stripped;
+    4. tracking params (utm_*, fbclid, gclid, ref) dropped, the
+       remaining params SORTED (param order never distinguishes pages),
+       the ``?`` omitted when none survive.
+
+    Pure codegen (regexp_extract + array ops on the query string — no
+    lookarounds, so the same rules replay in RE2 engines): a narrow map
+    over the scan, zero shuffle.
+    """
+    u = F.regexp_replace(F.col(url_col), r"#.*$", "")   # 1. fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http",
+                  F.regexp_replace(host, r":80$", "")) \
+            .when(scheme == "https",
+                  F.regexp_replace(host, r":443$", "")) \
+            .otherwise(host)
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"(.)/$", "$1")        # 3. non-root
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE)))
+    qstr = F.when(F.size(params) > 0,
+                  F.concat(F.lit("?"), F.array_join(params, "&"))) \
+            .otherwise(F.lit(""))
+    return df.withColumn(
+        out_col, F.concat(scheme, F.lit("://"), host, path, qstr))
+
+
 # PII patterns chosen to behave identically under Java regex (Spark
 # codegen) and RE2 (DuckDB oracle): no backreferences, no lookaround.
 # Applied IN ORDER — emails first (they contain dots and digits that the

@@ -823,6 +823,17 @@ def normalize_text_(spark, cfg, inputs):
                                 cfg["strip_accents"], cfg["out_col"])
 
 
+@_register("canonical_urls", "transform", "dataframe", "dataframe",
+           [Field("url_col", default="url"),
+            Field("out_col", default="canonical_url")],
+           doc="URL canonicalization for web-corpus dedup keys (fragment/"
+               "tracking-param strip, scheme+host lowercase, www./default-"
+               "port drop, sorted params) — pure codegen, zero shuffle.")
+def canonical_urls_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_canonical_urls
+    return with_canonical_urls(inputs[0], cfg["url_col"], cfg["out_col"])
+
+
 @_register("redact_pii", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text")],
            doc="PII scrub (emails/IPv4/SSN/phone): per-type counts + a "

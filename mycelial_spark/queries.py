@@ -2442,6 +2442,109 @@ def image_ppm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synth_ppm(docs)).drop("mean_value")
 
 
+@query("canonical_urls", """
+WITH t AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://WWW.Example.COM:443/p/' || doc_id
+                  || '/?utm_source=x&b=2&a=1#f'
+      WHEN 1 THEN 'http://shop.example.org:80/item?id=' || doc_id
+                  || '&ref=hn'
+      WHEN 2 THEN 'HTTPS://News.example.net/a/b/'
+      ELSE 'https://example.com/?gclid=1&z=9&a=' || doc_id
+    END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM t
+), s2 AS (
+  SELECT doc_id,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM s1
+), s3 AS (
+  SELECT doc_id, scheme,
+    regexp_replace(lower(regexp_extract(rest, '^([^/?]+)', 1)),
+                   '^www\\.', '') AS hostport,
+    regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM s2
+), s4 AS (
+  SELECT doc_id, scheme,
+    CASE WHEN scheme = 'http'
+           THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https'
+           THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END AS host,
+    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                   '(.)/$', '\\1') AS path,
+    list_sort(list_filter(
+      string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
+      p -> p <> '' AND NOT regexp_matches(
+        p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)='))) AS params
+  FROM s3
+)
+SELECT doc_id,
+       scheme || '://' || host || path
+       || CASE WHEN len(params) > 0
+               THEN '?' || array_to_string(params, '&') ELSE '' END
+         AS canonical_url
+FROM s4
+""")
+def canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup keys
+    (operators/text.py with_canonical_urls: fragment/tracking-param
+    strip, scheme+host lowercase, www. and default-port drop, trailing
+    slash, params sorted). The fixture has no URLs, so both engines
+    plant four deterministic shapes per doc_id and must canonicalize
+    them identically."""
+    from mycelial_spark.operators.text import with_canonical_urls
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 4
+    url = (F.when(k == 0, F.concat(
+               F.lit("https://WWW.Example.COM:443/p/"),
+               F.col("doc_id").cast("string"),
+               F.lit("/?utm_source=x&b=2&a=1#f")))
+            .when(k == 1, F.concat(
+                F.lit("http://shop.example.org:80/item?id="),
+                F.col("doc_id").cast("string"), F.lit("&ref=hn")))
+            .when(k == 2, F.lit("HTTPS://News.example.net/a/b/"))
+            .otherwise(F.concat(
+                F.lit("https://example.com/?gclid=1&z=9&a="),
+                F.col("doc_id").cast("string"))))
+    return with_canonical_urls(d.select("doc_id", url.alias("url"))) \
+        .select("doc_id", "canonical_url")
+
+
+@query("histogram_quantiles", """
+WITH c AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS v, count(*) AS n
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT g, v,
+         sum(n) OVER (PARTITION BY g ORDER BY v) AS cum,
+         sum(n) OVER (PARTITION BY g)            AS total
+  FROM c
+)
+SELECT g AS l_returnflag,
+       round(min(CASE WHEN cum >= ceil(0.25 * total) THEN v END), 6) AS p25,
+       round(min(CASE WHEN cum >= ceil(0.50 * total) THEN v END), 6) AS p50,
+       round(min(CASE WHEN cum >= ceil(0.90 * total) THEN v END), 6) AS p90
+FROM cum GROUP BY g
+""")
+def histogram_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTILE member of the mergeable-sketch family (next to HLL
+    distinct and Count-Min frequency): a per-group equi-width histogram
+    with one bin per value of the discrete l_quantity domain [1, 50], so
+    the type-1 nearest-rank quantiles derived from the sketch are EXACT
+    — the oracle recomputes them with a cumulative window. O(bins)
+    state, map-side combinable, vector-add mergeable across days/tables
+    (merge path exercised in tests/test_relational.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = R.histogram_sketch(li, "l_quantity", lo=1, hi=51, bins=50,
+                            group_by=["l_returnflag"])
+    return R.histogram_quantiles(sk, [0.25, 0.5, 0.9],
+                                 group_by=["l_returnflag"])
+
+
 @query("normalize_text", """
 WITH t AS (
   SELECT doc_id,

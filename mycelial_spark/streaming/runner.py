@@ -26,6 +26,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mycelial_spark.plans.compiler import Pipeline
@@ -192,6 +193,42 @@ class StreamingPipeline:
                for nid in sub.topo_order()):
             writer = writer.outputMode("update")
         return writer.start()
+
+    def replay_dead_letters(self, spark: SparkSession,
+                            task_id: str) -> dict[str, Any]:
+        """Reprocess a task's quarantined batches through its OWN sink
+        section: read the parked parquet, strip the _dlq_* columns, and
+        deliver per original batch id with the (task, batch) identity —
+        so a transactional/exactly-once sink that DID partially publish
+        before quarantining skips what already landed. Parked files are
+        moved to <dlq>/<task_id>_replayed on success (re-running replay
+        is then a no-op)."""
+        import shutil
+        if not self.dead_letter_path:
+            raise ValueError("no dead_letter_path configured")
+        src_dir = f"{self.dead_letter_path}/{task_id}"
+        sub = next(s for s in self.pipeline.graph.subgraphs()
+                   if s.task_id() == task_id)
+        sink_id = next(nid for nid in sub.topo_order()
+                       if REGISTRY.get(sub.nodes[nid]["type"]).kind
+                       == "destination")
+        sink_cfg = dict(sub.nodes[sink_id])
+        sink_def = REGISTRY.get(sink_cfg.pop("type"))
+        try:
+            parked = spark.read.parquet(src_dir)
+        except Exception:          # nothing parked (or already replayed)
+            return {"task": task_id, "batches_replayed": 0}
+        batches = [r["_dlq_batch"] for r in
+                   parked.select("_dlq_batch").distinct().collect()]
+        replayed = 0
+        for bid in sorted(batches):
+            frame = (parked.filter(F.col("_dlq_batch") == bid)
+                     .drop("_dlq_task", "_dlq_batch", "_dlq_error"))
+            sink_def.builder(
+                spark, {**sink_cfg, "_batch": [task_id, int(bid)]}, frame)
+            replayed += 1
+        shutil.move(src_dir, f"{self.dead_letter_path}/{task_id}_replayed")
+        return {"task": task_id, "batches_replayed": replayed}
 
     def _start_poll_subgraph(self, spark: SparkSession, sub,
                              poll_ids: list[str]) -> StreamingQuery:

@@ -200,8 +200,11 @@ def test_stateful_query_jdbc_pagination_fetch_first(spark, tmp_path):
 def test_streaming_file_source_to_jdbc_dest(spark, tmp_path):
     """D1-as-streaming-sink on a real database: a parquet file stream
     delivered through foreachBatch into Derby; late-arriving files land
-    on the next trigger; restart from the checkpoint doesn't re-deliver
-    (offsets commit after the sink write, ack ordering §1.5)."""
+    on the next trigger; restart from the checkpoint doesn't re-deliver.
+    The sink runs exactly_once: stop() can interrupt BETWEEN the sink
+    write and the offset commit, and the replayed batch must publish
+    nothing (a plain append sink would correctly duplicate there —
+    at-least-once — which made an exact-set assertion flaky)."""
     import time
     url = _url(tmp_path / "db")
     src = tmp_path / "in"
@@ -212,7 +215,7 @@ def test_streaming_file_source_to_jdbc_dest(spark, tmp_path):
         "nodes": {
             "src": {"type": "parquet_source", "path": f"{src}/*"},
             "dst": {"type": "jdbc_dest", "url": url, "table": "SINK",
-                    "driver": DRIVER},
+                    "driver": DRIVER, "exactly_once": True},
         },
         "edges": [["src", "dst"]],
     }

@@ -79,3 +79,30 @@ def test_cms_token_freq_guarantee(spark, sf_dir):
     for r in out:
         assert r["cms_estimate"] >= r["exact_count"]
         assert r["cms_estimate"] - r["exact_count"] <= max(1, 0.001 * n_tokens)
+
+
+def test_histogram_sketch_merges_exactly(spark):
+    """Vector-add merging of per-slice sketches equals the sketch of the
+    union — incremental reaggregation without rescanning history."""
+    from mycelial_spark.operators import relational as R
+    df = spark.createDataFrame(
+        [("a", d, v) for d in ("d1", "d2") for v in range(1, 11)]
+        + [("a", "d1", 5)] * 5 + [("b", "d2", 7)] * 3,
+        "g string, day string, v int")
+    per_day = R.histogram_sketch(df, "v", lo=1, hi=11, bins=10,
+                                 group_by=["g", "day"])
+    merged = R.merge_histograms(per_day.drop("day"), group_by=["g"])
+    whole = R.histogram_sketch(df, "v", lo=1, hi=11, bins=10,
+                               group_by=["g"])
+    m = {r["g"]: r["hist"] for r in merged.collect()}
+    w = {r["g"]: r["hist"] for r in whole.collect()}
+    assert m == w
+    # exact type-1 quantiles on the discrete domain
+    q = {r["g"]: (r["p50"], r["p90"]) for r in
+         R.histogram_quantiles(whole, [0.5, 0.9], ["g"]).collect()}
+    import math
+    vals_a = sorted([v for d in ("d1", "d2") for v in range(1, 11)]
+                    + [5] * 5)
+    def type1(xs, p):
+        return xs[math.ceil(p * len(xs)) - 1]
+    assert q["a"] == (float(type1(vals_a, 0.5)), float(type1(vals_a, 0.9)))

@@ -297,3 +297,39 @@ def test_streaming_parquet_source_merge_schema(spark, tmp_path):
     out = spark.table("global_temp.evolved_out")
     assert set(out.columns) == {"id", "b"}
     assert out.count() == 4 and out.filter("b IS NULL").count() == 2
+
+
+def test_dead_letter_replay_after_fixing_the_sink(spark, csv_dir, tmp_path):
+    """The documented DLQ recovery: quarantine while the sink is broken,
+    fix the sink, replay the parked batches through the task's own sink
+    with their original (task, batch) identities; a second replay is a
+    no-op."""
+    import sqlite3
+
+    dlq = str(tmp_path / "dlq")
+    db_dir = tmp_path / "will_exist_later"
+    db = str(db_dir / "out.db")
+    spec = {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(csv_dir)},
+            "dst": {"type": "sqlite_dest", "path": db, "table": "t",
+                    "exactly_once": True},
+        },
+        "edges": [["src", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"),
+                                     dead_letter_path=dlq)
+    _wait_done(sp.start(spark))            # sink dir missing -> quarantined
+    task_id = sp.pipeline.graph.subgraphs()[0].task_id()
+    assert spark.read.parquet(f"{dlq}/{task_id}").count() == 2
+
+    db_dir.mkdir()                         # "fix" the sink
+    out = sp.replay_dead_letters(spark, task_id)
+    assert out["batches_replayed"] >= 1
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+    # idempotent: parked files were moved aside, second replay no-ops
+    again = sp.replay_dead_letters(spark, task_id)
+    assert again["batches_replayed"] == 0
+    with sqlite3.connect(db) as conn:
+        assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2

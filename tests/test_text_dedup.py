@@ -401,3 +401,22 @@ def test_normalize_text_unicode_semantics(spark):
     keep = {r["doc_id"]: r["norm_text"] for r in
             TX.with_normalized_text(df, strip_accents=False).collect()}
     assert keep[2] == "stra\u00dfe caf\u00e9"
+
+
+def test_url_canonicalization_rules(spark):
+    cases = [
+        (1, "https://WWW.Example.COM:443/Path/To/page/?utm_source=x&b=2&a=1&fbclid=z#frag",
+            "https://example.com/Path/To/page?a=1&b=2"),
+        (2, "http://example.com:80/", "http://example.com/"),
+        (3, "https://example.com", "https://example.com"),
+        (4, "https://example.com/a?utm_campaign=spring&gclid=123&ref=hn",
+            "https://example.com/a"),
+        (5, "HTTPS://Sub.Example.com:8443/x/?b=1&a=2",
+            "https://sub.example.com:8443/x?a=2&b=1"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["canonical_url"]
+           for r in TX.with_canonical_urls(df).collect()}
+    for i, _u, want in cases:
+        assert got[i] == want, (i, got[i], want)
