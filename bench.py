@@ -71,6 +71,10 @@ HEADLINE = [
     "embedding_quantize",
     "redact_pii",
     "paragraph_dedup",
+    "histogram_quantiles",
+    "canonical_urls",
+    "url_dedup",
+    "normalize_text",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

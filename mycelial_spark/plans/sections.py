@@ -823,6 +823,22 @@ def normalize_text_(spark, cfg, inputs):
                                 cfg["strip_accents"], cfg["out_col"])
 
 
+@_register("histogram_sketch", "transform", "dataframe", "dataframe",
+           [Field("value_col"), Field("lo", "float"), Field("hi", "float"),
+            Field("bins", "int", 64),
+            Field("group_by", "list", default=[])],
+           doc="Mergeable equi-width histogram sketch per group (the "
+               "quantile member of the sketch family next to HLL/CMS): "
+               "O(bins) state, map-side combinable; per-batch sketches "
+               "persisted by a streaming pipeline merge later by vector "
+               "add (operators/relational.py merge_histograms) without "
+               "rescanning history.")
+def histogram_sketch_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import histogram_sketch
+    return histogram_sketch(inputs[0], cfg["value_col"], cfg["lo"],
+                            cfg["hi"], cfg["bins"], cfg["group_by"])
+
+
 @_register("canonical_urls", "transform", "dataframe", "dataframe",
            [Field("url_col", default="url"),
             Field("out_col", default="canonical_url")],

@@ -47,6 +47,15 @@ _POLL_SOURCES = {"stateful_query", "sqlite_source", "excel_source",
 _STATEFUL_SECTIONS = {"stateful_running_counts", "stateful_sessionize",
                       "stateful_sequences"}
 
+# transforms whose semantics are PER MICRO-BATCH (an unwatermarked
+# aggregate like the histogram sketch): they cannot live in the
+# streaming plan (append-mode streaming aggregation is rejected by the
+# engine), so the runner defers them — and everything downstream of
+# them — into foreachBatch, where each invocation sees exactly one
+# batch. "One sketch per batch" is the SEMANTIC here (incremental
+# reaggregation), not a workaround.
+_PER_BATCH_SECTIONS = {"histogram_sketch", "dedup_exact", "aggregate"}
+
 
 def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
                  schema: str | None) -> DataFrame:
@@ -131,7 +140,9 @@ class StreamingPipeline:
             return self._start_poll_subgraph(spark, sub, poll_ids)
         results: dict[str, DataFrame] = {}
         sink_id, sink_cfg, sink_def = None, None, None
+        deferred: list = []     # per-batch transforms applied in foreachBatch
         for node_id in sub.topo_order():
+            stype_n = sub.nodes[node_id]["type"]
             cfg = dict(sub.nodes[node_id])
             sdef = REGISTRY.get(cfg.pop("type"))
             parents = sub.parents(node_id)
@@ -142,8 +153,18 @@ class StreamingPipeline:
                         f"source {stype} has no streaming mode; use batch run()")
                 results[node_id] = _read_stream(spark, stype, cfg, None)
             elif sdef.kind == "transform":
-                results[node_id] = sdef.builder(spark, cfg,
-                                                [results[p] for p in parents])
+                if deferred or stype_n in _PER_BATCH_SECTIONS:
+                    # from the first per-batch node on, the chain runs
+                    # inside foreachBatch (one invocation = one batch)
+                    if len(parents) != 1:
+                        raise GraphError(
+                            f"per-batch section {stype_n} supports linear "
+                            "chains only in streaming mode")
+                    deferred.append((sdef, cfg))
+                    results[node_id] = results[parents[0]]
+                else:
+                    results[node_id] = sdef.builder(
+                        spark, cfg, [results[p] for p in parents])
             else:
                 if sink_id is not None:
                     raise GraphError("one destination per streaming subgraph")
@@ -163,9 +184,12 @@ class StreamingPipeline:
             # batch) identity rides along so exactly-once sinks can skip a
             # replayed batch transactionally.
             try:
+                frame = batch_df
+                for dsdef, dcfg in deferred:
+                    frame = dsdef.builder(spark, dcfg, [frame])
                 sink_def.builder(
                     spark, {**sink_cfg, "_batch": [task_id, int(batch_id)]},
-                    batch_df)
+                    frame)
             except Exception as e:
                 if not dlq:
                     raise
@@ -214,6 +238,18 @@ class StreamingPipeline:
                        == "destination")
         sink_cfg = dict(sub.nodes[sink_id])
         sink_def = REGISTRY.get(sink_cfg.pop("type"))
+        # quarantined frames are parked BEFORE the per-batch transforms
+        # (they run inside foreachBatch) — re-derive and re-apply them
+        deferred = []
+        defer = False
+        for nid in sub.topo_order():
+            st = sub.nodes[nid]["type"]
+            d = REGISTRY.get(st)
+            if d.kind == "transform" and (defer or st in _PER_BATCH_SECTIONS):
+                defer = True
+                c = dict(sub.nodes[nid])
+                c.pop("type")
+                deferred.append((d, c))
         try:
             parked = spark.read.parquet(src_dir)
         except Exception:          # nothing parked (or already replayed)
@@ -224,6 +260,8 @@ class StreamingPipeline:
         for bid in sorted(batches):
             frame = (parked.filter(F.col("_dlq_batch") == bid)
                      .drop("_dlq_task", "_dlq_batch", "_dlq_error"))
+            for dsdef, dcfg in deferred:
+                frame = dsdef.builder(spark, dcfg, [frame])
             sink_def.builder(
                 spark, {**sink_cfg, "_batch": [task_id, int(bid)]}, frame)
             replayed += 1

@@ -333,3 +333,32 @@ def test_dead_letter_replay_after_fixing_the_sink(spark, csv_dir, tmp_path):
     assert again["batches_replayed"] == 0
     with sqlite3.connect(db) as conn:
         assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+
+
+def test_streaming_histogram_sketches_merge_offline(spark, csv_dir,
+                                                    tmp_path):
+    """Incremental reaggregation with the quantile sketch: a streaming
+    pipeline persists ONE histogram per micro-batch; merging the parked
+    sketches offline equals sketching all the data at once — history is
+    never rescanned."""
+    from mycelial_spark.operators import relational as R
+    out_dir = str(tmp_path / "sketches")
+    spec = {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(csv_dir)},
+            "sk": {"type": "histogram_sketch", "value_col": "k",
+                   "lo": 0.0, "hi": 10.0, "bins": 10},
+            "dst": {"type": "parquet_dest", "path": out_dir},
+        },
+        "edges": [["src", "sk"], ["sk", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    _wait_done(sp.start(spark))
+    parked = spark.read.parquet(out_dir)
+    assert parked.count() >= 1
+    merged = R.merge_histograms(parked).collect()[0]["hist"]
+    static = spark.read.option("header", True) \
+        .csv(str(csv_dir), inferSchema=True)
+    whole = R.histogram_sketch(static, "k", 0.0, 10.0, 10) \
+        .collect()[0]["hist"]
+    assert merged == whole
