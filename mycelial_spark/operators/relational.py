@@ -244,10 +244,21 @@ def histogram_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
     width = (hi - lo) / bins
     b = F.least(F.lit(bins - 1), F.greatest(
         F.lit(0), F.floor((c - F.lit(lo)) / F.lit(width)).cast("int")))
-    counts = F.array(*[
-        F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"_b{i}")
-        for i in range(bins)])
-    out = df.groupBy(*group_by).agg(counts.alias("hist"))
+    # two small aggregations instead of one sum(when(..)) PER BIN: a
+    # per-bin expression list blows the 64KB codegen method limit for
+    # large `bins` (silent interpreted fallback); this shape is O(1)
+    # expressions at any bin count, and an empty input yields all-zero
+    # histograms (empty map lookups coalesce to 0) rather than NULLs
+    counts = (df.groupBy(*group_by, b.alias("_bin"))
+                .agg(F.count(F.lit(1)).alias("_n")))
+    bin_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("_bin"), F.col("_n"))))
+    out = (counts.groupBy(*group_by).agg(bin_map.alias("_m"))
+           .withColumn("hist", F.transform(
+               F.sequence(F.lit(0), F.lit(bins - 1)),
+               lambda i: F.coalesce(F.element_at(F.col("_m"), i),
+                                    F.lit(0).cast("bigint"))))
+           .drop("_m"))
     return out.withColumn("hist_lo", F.lit(float(lo))) \
               .withColumn("hist_width", F.lit(float(width)))
 

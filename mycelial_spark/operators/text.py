@@ -208,6 +208,9 @@ def with_canonical_urls(df: DataFrame, url_col: str = "url",
     pathq = F.regexp_replace(rest, r"^[^/?]+", "")
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.regexp_replace(path, r"(.)/$", "$1")        # 3. non-root
+    # RFC 3986 §6.2.3: an empty path and '/' are equivalent — normalize
+    # to '/' so example.com and example.com/ share one dedup key
+    path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(pathq, r"\?(.*)$", 1)
     params = F.array_sort(F.filter(
         F.split(query, "&"),

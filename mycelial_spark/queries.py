@@ -2474,8 +2474,11 @@ WITH t AS (
          WHEN scheme = 'https'
            THEN regexp_replace(hostport, ':443$', '')
          ELSE hostport END AS host,
-    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
-                   '(.)/$', '\\1') AS path,
+    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                             '(.)/$', '\\1') = ''
+         THEN '/'
+         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                             '(.)/$', '\\1') END AS path,
     list_sort(list_filter(
       string_split(regexp_extract(pathq, '\\?(.*)$', 1), '&'),
       p -> p <> '' AND NOT regexp_matches(

@@ -1,19 +1,21 @@
 """Small-files compaction for long-running parquet sinks.
 
 A micro-batch sink appending every trigger accumulates thousands of tiny
-files; scans then pay per-file open/footer costs and the namenode pays
-per-object metadata. Compaction rewrites a directory to a target file
-count with an ATOMIC swap:
+files; scans then pay per-file open/footer costs. Compaction rewrites a
+LOCAL directory to a target file count:
 
-1. read the current directory (schema-merged, so files written by
+1. recover: roll back any half-finished swap left by a crash
+   (``._compact_old`` restored, stale tmp cleared);
+2. read the current directory (schema-merged, so files written by
    different pipeline versions compact together);
-2. rewrite to ``<path>/._compact_tmp`` at ``target_files`` (optionally
+3. rewrite to ``<path>/._compact_tmp`` at ``target_files`` (optionally
    sorted for min/max data skipping, optionally recompressed);
-3. swap: current data dir -> ``<path>/._compact_old``, tmp -> data,
-   old removed. Readers between the two renames retry on the parent
-   path; writers must be paused (the maintenance-window contract every
-   file-level compactor has — table formats move this into a commit
-   protocol, which is out of scope here by design).
+4. swap: current files -> ``<path>/._compact_old``, tmp files in, old
+   removed. The swap is NOT atomic for concurrent readers — this is a
+   maintenance-window op (readers AND writers paused), and a crash
+   mid-swap heals on the next run via step 1. Table formats move this
+   into a commit protocol; that is deliberately out of scope here, so
+   the op refuses non-local paths.
 
 Counts are verified before the swap: a compaction that would change the
 row count aborts and leaves the directory untouched.
@@ -32,7 +34,35 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
                     compression: str | None = None) -> dict:
     """Rewrite the parquet directory at ``path`` down to
     ``target_files`` files. Returns {files_before, files_after, rows}.
+
+    LOCAL filesystem paths only (the swap uses os renames); on
+    HDFS/object stores this job belongs to a table format's commit
+    protocol — deliberately out of scope. A crash mid-swap is
+    recoverable: rerunning first rolls back any half-finished swap from
+    the leftover ``._compact_old`` dir, then compacts again.
     """
+    import re
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) \
+            and not path.startswith("file://"):
+        raise ValueError(
+            "compact_parquet is a LOCAL-filesystem maintenance op; "
+            f"got {path!r} — at object-store scale use a table format's "
+            "compaction")
+    path = path.removeprefix("file://")
+
+    # recovery from a previous crash: restore any files stranded in the
+    # old dir, clear any incomplete tmp, THEN proceed on consistent data
+    old = os.path.join(path, "._compact_old")
+    tmp = os.path.join(path, "._compact_tmp")
+    if os.path.exists(old):
+        for f in os.listdir(old):
+            target = os.path.join(path, f)
+            if not os.path.exists(target):
+                os.replace(os.path.join(old, f), target)
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
     before = [f for f in os.listdir(path)
               if f.endswith(".parquet") and not f.startswith(".")]
     df = spark.read.option("mergeSchema", True).parquet(path)
@@ -43,7 +73,6 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
     writer = out.write.mode("overwrite")
     if compression:
         writer = writer.option("compression", compression)
-    tmp = os.path.join(path, "._compact_tmp")
     writer.parquet(tmp)
 
     got = spark.read.parquet(tmp).count()
@@ -52,7 +81,6 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
         raise RuntimeError(
             f"compaction row count changed ({rows} -> {got}); aborted")
 
-    old = os.path.join(path, "._compact_old")
     os.makedirs(old)
     for f in os.listdir(path):
         if f.endswith(".parquet") or f == "_SUCCESS":

@@ -157,9 +157,13 @@ class StreamingPipeline:
                     # from the first per-batch node on, the chain runs
                     # inside foreachBatch (one invocation = one batch)
                     if len(parents) != 1:
+                        starter = next(iter(deferred), (None,))[0]
+                        started_by = (getattr(starter, "name", None)
+                                      or stype_n)
                         raise GraphError(
-                            f"per-batch section {stype_n} supports linear "
-                            "chains only in streaming mode")
+                            f"section {stype_n} cannot join the per-batch "
+                            f"chain started by {started_by}: per-batch "
+                            "streaming supports linear chains only")
                     deferred.append((sdef, cfg))
                     results[node_id] = results[parents[0]]
                 else:
@@ -183,10 +187,15 @@ class StreamingPipeline:
             # engine commits the offset (ack ordering, §1.5). The (task,
             # batch) identity rides along so exactly-once sinks can skip a
             # replayed batch transactionally.
+            # deferred transforms build + ANALYZE outside the quarantine
+            # scope: a deterministic plan error (typoed column, bad cfg)
+            # must fail the query loudly, not silently drain every batch
+            # into the DLQ — quarantine is for SINK failures
+            frame = batch_df
+            for dsdef, dcfg in deferred:
+                frame = dsdef.builder(spark, dcfg, [frame])
+            _ = frame.schema     # force analysis now
             try:
-                frame = batch_df
-                for dsdef, dcfg in deferred:
-                    frame = dsdef.builder(spark, dcfg, [frame])
                 sink_def.builder(
                     spark, {**sink_cfg, "_batch": [task_id, int(batch_id)]},
                     frame)
@@ -250,10 +259,13 @@ class StreamingPipeline:
                 c = dict(sub.nodes[nid])
                 c.pop("type")
                 deferred.append((d, c))
-        try:
-            parked = spark.read.parquet(src_dir)
-        except Exception:          # nothing parked (or already replayed)
+        import os
+        if not os.path.exists(src_dir):
+            # nothing parked (or already replayed) — a READ failure on an
+            # existing dir (corrupt parked file) must surface, not be
+            # mistaken for success
             return {"task": task_id, "batches_replayed": 0}
+        parked = spark.read.parquet(src_dir)
         batches = [r["_dlq_batch"] for r in
                    parked.select("_dlq_batch").distinct().collect()]
         replayed = 0
@@ -265,7 +277,14 @@ class StreamingPipeline:
             sink_def.builder(
                 spark, {**sink_cfg, "_batch": [task_id, int(bid)]}, frame)
             replayed += 1
-        shutil.move(src_dir, f"{self.dead_letter_path}/{task_id}_replayed")
+        # unique archive dir per replay cycle: moving INTO an existing
+        # <task>_replayed would nest, then collide, and a collision after
+        # delivery would leave the parked files eligible for re-delivery
+        base = f"{self.dead_letter_path}/{task_id}_replayed"
+        dest, n = base, 1
+        while os.path.exists(dest):
+            dest, n = f"{base}_{n}", n + 1
+        shutil.move(src_dir, dest)
         return {"task": task_id, "batches_replayed": replayed}
 
     def _start_poll_subgraph(self, spark: SparkSession, sub,

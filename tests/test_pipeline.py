@@ -391,3 +391,29 @@ def test_compact_parquet_rewrites_small_files(spark, tmp_path):
     assert back.count() == 70
     assert sorted(r["id"] for r in back.collect()) == list(range(70))
     assert back.filter("tag = 'late'").count() == 10
+
+
+def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
+    """A crash mid-swap strands files in ._compact_old; the next run
+    restores them first, so no rows are lost and compaction completes."""
+    import os
+    import shutil
+
+    from mycelial_spark.sinks.compact import compact_parquet
+    path = str(tmp_path / "sink")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1) \
+            .write.mode("append").parquet(path)
+    # simulate the crash: half the files already moved aside
+    old = os.path.join(path, "._compact_old")
+    os.makedirs(old)
+    moved = [f for f in os.listdir(path) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(path, moved), os.path.join(old, moved))
+    assert spark.read.parquet(path).count() == 20    # reader sees loss
+    out = compact_parquet(spark, path, target_files=1)
+    assert out["rows"] == 30 and out["files_after"] == 1
+    assert spark.read.parquet(path).count() == 30
+    # remote paths refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="LOCAL"):
+        compact_parquet(spark, "s3a://bucket/x")

@@ -408,9 +408,10 @@ def test_url_canonicalization_rules(spark):
         (1, "https://WWW.Example.COM:443/Path/To/page/?utm_source=x&b=2&a=1&fbclid=z#frag",
             "https://example.com/Path/To/page?a=1&b=2"),
         (2, "http://example.com:80/", "http://example.com/"),
-        (3, "https://example.com", "https://example.com"),
+        (3, "https://example.com", "https://example.com/"),
         (4, "https://example.com/a?utm_campaign=spring&gclid=123&ref=hn",
             "https://example.com/a"),
+        (6, "https://example.com/?b=1", "https://example.com/?b=1"),
         (5, "HTTPS://Sub.Example.com:8443/x/?b=1&a=2",
             "https://sub.example.com:8443/x?a=2&b=1"),
     ]
