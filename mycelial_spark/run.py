@@ -9,6 +9,12 @@ continuous dataflows (§3 EP3: the daemon-bootstrap analog — the engine
 materializes the DAG, checkpoints stand in for per-section state). With
 ``--drain`` the stream stops after consuming available input
 (availableNow), otherwise it runs until interrupted.
+``--dead-letter=DIR`` arms the poison-batch quarantine.
+
+Maintenance subcommands (no spec):
+  python -m mycelial_spark.run compact <dir> [--files=N] [--sort=c1,c2]
+  python -m mycelial_spark.run replay-dlq <pipeline> --checkpoint=DIR \\
+      --dead-letter=DIR [--task=ID]
 """
 
 from __future__ import annotations
@@ -36,9 +42,38 @@ def main(argv: list[str]) -> int:
                 if a.startswith("--") and "=" in a)
     if len(args) < 1:
         print("usage: python -m mycelial_spark.run <pipeline.toml|json> "
-              "[--explain | --stream --checkpoint=DIR [--drain]]",
+              "[--explain | --stream --checkpoint=DIR [--drain] "
+              "[--dead-letter=DIR]]\n"
+              "       python -m mycelial_spark.run compact <dir> "
+              "[--files=N] [--sort=c1,c2]\n"
+              "       python -m mycelial_spark.run replay-dlq <pipeline> "
+              "--checkpoint=DIR --dead-letter=DIR [--task=ID]",
               file=sys.stderr)
         return 2
+
+    if args[0] == "compact":
+        from mycelial_spark.sinks.compact import compact_parquet
+        spark = get_spark("mycelial-compact")
+        sort_by = [c for c in opts.get("sort", "").split(",") if c]
+        out = compact_parquet(spark, args[1],
+                              target_files=int(opts.get("files", 1)),
+                              sort_by=sort_by or None,
+                              compression=opts.get("compression"))
+        print(json.dumps(out))
+        return 0
+
+    if args[0] == "replay-dlq":
+        from mycelial_spark.streaming.runner import StreamingPipeline
+        spark = get_spark("mycelial-replay")
+        sp = StreamingPipeline.from_spec(
+            load_spec(args[1]), opts.get("checkpoint", ""),
+            dead_letter_path=opts["dead-letter"])
+        tasks = ([opts["task"]] if "task" in opts else
+                 [s.task_id() for s in sp.pipeline.graph.subgraphs()])
+        for task in tasks:
+            print(json.dumps(sp.replay_dead_letters(spark, task)))
+        return 0
+
     spec = load_spec(args[0])
     spark = get_spark("mycelial-pipeline")
 
@@ -54,7 +89,8 @@ def main(argv: list[str]) -> int:
         ckpt = opts.get("checkpoint", "/tmp/mycelial-checkpoints")
         trigger = ({"availableNow": True} if "--drain" in flags
                    else {"processingTime": opts.get("interval", "5 seconds")})
-        sp = StreamingPipeline.from_spec(spec, ckpt, trigger)
+        sp = StreamingPipeline.from_spec(
+            spec, ckpt, trigger, dead_letter_path=opts.get("dead-letter"))
         queries = sp.start(spark)
         print(f"started {len(queries)} streaming task(s); checkpoint={ckpt}")
         for q in queries:

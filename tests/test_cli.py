@@ -85,3 +85,54 @@ def test_cli_explain_dry_run(tmp_path):
     assert "Physical Plan" in res.stdout
     assert "PushedFilters" in res.stdout          # predicate reached the scan
     assert not os.path.exists(out)                # dry run wrote nothing
+
+
+def test_cli_compact_subcommand(spark, tmp_path, capsys):
+    import json as _json
+
+    from mycelial_spark.run import main
+    path = str(tmp_path / "sink")
+    for i in range(3):
+        spark.range(i * 5, (i + 1) * 5).coalesce(1) \
+            .write.mode("append").parquet(path)
+    rc = main(["compact", path, "--files=1"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["files_before"] == 3 and out["files_after"] == 1
+    assert out["rows"] == 15
+
+
+def test_cli_replay_dlq_subcommand(spark, tmp_path, capsys):
+    import json as _json
+    import sqlite3
+
+    from mycelial_spark.run import main
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    csv_dir = tmp_path / "in"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("k,v\n1,a\n2,b\n")
+    db_dir = tmp_path / "later"
+    spec = {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(csv_dir)},
+            "dst": {"type": "sqlite_dest", "path": str(db_dir / "o.db"),
+                    "table": "t", "exactly_once": True},
+        },
+        "edges": [["src", "dst"]],
+    }
+    spec_path = tmp_path / "p.json"
+    spec_path.write_text(_json.dumps(spec))
+    dlq = str(tmp_path / "dlq")
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ck"),
+                                     dead_letter_path=dlq)
+    qs = sp.start(spark)
+    for q in qs:
+        q.awaitTermination(60)
+    db_dir.mkdir()
+    rc = main(["replay-dlq", str(spec_path),
+               f"--checkpoint={tmp_path}/ck", f"--dead-letter={dlq}"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["batches_replayed"] >= 1
+    with sqlite3.connect(str(db_dir / "o.db")) as conn:
+        assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2
