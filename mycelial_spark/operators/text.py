@@ -174,6 +174,45 @@ def with_normalized_text(df: DataFrame, text_col: str = "text",
         out_col, F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+def build_inverted_index(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Positional inverted index: one row per (token, doc) carrying the
+    SORTED array of positions — the IR structure behind exact phrase
+    search over a corpus. Shape: (token, id_col, positions).
+
+    Scale: posexplode is narrow; the one shuffle groups on (token, doc).
+    Persist the output bucketed/partitioned by token hash and the
+    per-query posting lookups prune to the query's tokens.
+    """
+    return (df.select(F.col(id_col),
+                      F.posexplode(tokens(F.col(text_col)))
+                       .alias("pos", "token"))
+              .groupBy("token", id_col)
+              .agg(F.array_sort(F.collect_list("pos")).alias("positions")))
+
+
+def phrase_search(index: DataFrame, phrase: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search by positional posting intersection: the i-th
+    token's postings shift left by i and equi-join on (doc, start) —
+    k-1 distributed hash joins for a k-token phrase, each on postings
+    already pruned to one token. Returns (id_col, n_matches) for docs
+    containing the phrase at least once."""
+    toks = [t for t in phrase.split() if t]
+    if not toks:
+        raise ValueError("empty phrase")
+
+    def starts(i: int, t: str) -> DataFrame:
+        return (index.filter(F.col("token") == t)
+                .select(F.col(id_col), F.explode("positions").alias("p"))
+                .select(F.col(id_col), (F.col("p") - i).alias("start")))
+
+    cur = starts(0, toks[0])
+    for i, t in enumerate(toks[1:], start=1):
+        cur = cur.join(starts(i, t), [id_col, "start"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
+
+
 # tracking query parameters dropped by URL canonicalization
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
 

@@ -2517,6 +2517,35 @@ def canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "canonical_url")
 
 
+@query("phrase_search", """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+         unnest(toks) AS tok
+  FROM d
+)
+SELECT p0.doc_id, count(*) AS n_matches
+FROM p p0
+JOIN p p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+         AND p1.tok = 'hash'
+WHERE p0.tok = 'table'
+GROUP BY p0.doc_id
+""")
+def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('table hash') through the POSITIONAL
+    inverted index: build (token, doc, positions) postings, intersect
+    the phrase tokens' postings on shifted positions — the IR-engine leg
+    of the corpus tooling. The oracle runs the same intersection over an
+    exploded token table; per-doc match counts must agree exactly."""
+    from mycelial_spark.operators.text import (build_inverted_index,
+                                               phrase_search)
+    idx = build_inverted_index(_t(spark, sf_dir, "documents"))
+    return phrase_search(idx, "table hash")
+
+
 @query("url_dedup", """
 WITH t AS (
   SELECT doc_id,

@@ -421,3 +421,23 @@ def test_url_canonicalization_rules(spark):
            for r in TX.with_canonical_urls(df).collect()}
     for i, _u, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_phrase_search_positional_semantics(spark):
+    """Positions matter: tokens present but not adjacent don't match;
+    repeated phrases count every occurrence; 3-token phrases chain."""
+    df = spark.createDataFrame(
+        [(1, "big red fox jumps big red fox"),
+         (2, "red big fox"),                 # words present, order wrong
+         (3, "big red dog")],
+        "doc_id long, text string")
+    idx = TX.build_inverted_index(df)
+    out = {r["doc_id"]: r["n_matches"]
+           for r in TX.phrase_search(idx, "big red fox").collect()}
+    assert out == {1: 2}
+    two = {r["doc_id"]: r["n_matches"]
+           for r in TX.phrase_search(idx, "big red").collect()}
+    assert two == {1: 2, 3: 1}
+    import pytest as _p
+    with _p.raises(ValueError):
+        TX.phrase_search(idx, "   ")
