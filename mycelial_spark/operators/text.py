@@ -213,6 +213,46 @@ def phrase_search(index: DataFrame, phrase: str,
     return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
 
 
+def keyword_search_bm25(index: DataFrame, df: DataFrame, query: str,
+                        k1: float = 1.2, b: float = 0.75,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """BM25-ranked keyword search over the positional index — the
+    standard IR ranking (Robertson/Sparck Jones):
+
+      score(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1-b+b*|d|/avgdl))
+      idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )
+
+    tf comes free from the index (size of the positions array), df from
+    a per-token count over the pruned postings, |d| and avgdl from one
+    narrow pass over the corpus. Everything is codegen arithmetic on
+    joined aggregates; the postings scan prunes to the query's tokens.
+    Returns (id_col, score) ordered by score desc, id asc.
+    """
+    toks = sorted({t for t in query.split() if t})
+    if not toks:
+        raise ValueError("empty query")
+    n_docs = df.count()
+    lens = df.select(F.col(id_col), F.size(tokens(F.col(text_col)))
+                     .cast("double").alias("dl"))
+    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    post = (index.filter(F.col("token").isin(toks))
+            .select("token", id_col,
+                    F.size("positions").cast("double").alias("tf")))
+    dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    scored = (post.join(F.broadcast(dfreq), "token")
+              .join(lens, id_col)
+              .withColumn("_term_score",
+                          idf * F.col("tf") * (k1 + 1)
+                          / (F.col("tf")
+                             + k1 * (1 - b + b * F.col("dl") / avgdl))))
+    return (scored.groupBy(id_col)
+            .agg(F.round(F.sum("_term_score"), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+
+
 # tracking query parameters dropped by URL canonicalization
 TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)="
 

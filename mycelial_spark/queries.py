@@ -2546,6 +2546,43 @@ def phrase_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(idx, "table hash")
 
 
+@query("keyword_search_bm25", """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+), stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM lens
+), p AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+), tfq AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM p WHERE tok IN ('filter', 'hash', 'table')
+  GROUP BY doc_id, tok
+), dfq AS (
+  SELECT tok, count(*) AS df FROM tfq GROUP BY tok
+)
+SELECT doc_id,
+       round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+         AS score
+FROM tfq JOIN dfq USING (tok) JOIN lens USING (doc_id), stats
+GROUP BY doc_id
+""")
+def keyword_search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked keyword search ('table hash filter') over the
+    positional inverted index — term frequency from posting sizes,
+    document frequency from the pruned postings, length normalization
+    from one narrow corpus pass. The oracle recomputes the identical
+    formula over an exploded token table; scores match to 6 decimals."""
+    from mycelial_spark.operators.text import (build_inverted_index,
+                                               keyword_search_bm25)
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_inverted_index(docs)
+    return keyword_search_bm25(idx, docs, "table hash filter")
+
+
 @query("url_dedup", """
 WITH t AS (
   SELECT doc_id,

@@ -441,3 +441,18 @@ def test_phrase_search_positional_semantics(spark):
     import pytest as _p
     with _p.raises(ValueError):
         TX.phrase_search(idx, "   ")
+
+
+def test_bm25_ranks_rare_term_docs_higher(spark):
+    """IDF dominance: with equal tf, the doc matching the RARE term
+    outranks docs matching only the common term."""
+    rows = [(1, "rare common pad pad"), (2, "common pad pad pad"),
+            (3, "common pad pad pad"), (4, "common pad pad pad"),
+            (5, "pad pad pad pad")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = TX.build_inverted_index(df)
+    ranked = TX.keyword_search_bm25(idx, df, "rare common").collect()
+    assert ranked[0]["doc_id"] == 1
+    assert {r["doc_id"] for r in ranked} == {1, 2, 3, 4}
+    assert all(ranked[i]["score"] >= ranked[i + 1]["score"]
+               for i in range(len(ranked) - 1))
