@@ -2583,6 +2583,82 @@ def keyword_search_bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_search_bm25(idx, docs, "table hash filter")
 
 
+@query("hybrid_search_rrf", """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), lens AS (
+  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+), stats AS (
+  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM lens
+), p AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+), tfq AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+  FROM p WHERE tok IN ('filter', 'hash', 'table')
+  GROUP BY doc_id, tok
+), dfq AS (
+  SELECT tok, count(*) AS df FROM tfq GROUP BY tok
+), bm25 AS (
+  SELECT doc_id,
+         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+           AS score
+  FROM tfq JOIN dfq USING (tok) JOIN lens USING (doc_id), stats
+  GROUP BY doc_id
+), brank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM bm25
+), q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), coss AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                      q.qv::DOUBLE[]), 6) AS c
+  FROM embeddings e, q
+), crank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rnk
+  FROM coss
+)
+SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + b.rnk), 0)
+             + coalesce(1.0 / (60 + c.rnk), 0), 6) AS rrf_score
+FROM brank b FULL OUTER JOIN crank c ON b.doc_id = c.doc_id
+""")
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: the BM25 keyword ranking and the embedding
+    cosine ranking (query = vector 0) fuse by reciprocal rank fusion,
+    score = sum 1/(60 + rank) — the standard lexical+semantic
+    combination for retrieval over a corpus. Both ranks order by the
+    ROUNDED score with an id tie-break, so rank assignment (hence the
+    fused score) is bit-stable across engines."""
+    from pyspark.sql import Window
+
+    from mycelial_spark.operators.similarity import cosine
+    from mycelial_spark.operators.text import (build_inverted_index,
+                                               keyword_search_bm25)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm25 = keyword_search_bm25(build_inverted_index(docs), docs,
+                               "table hash filter")
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    brank = bm25.select("doc_id", F.row_number().over(wb).alias("b_rnk"))
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    coss = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("embedding").cast("array<double>"),
+                       F.array(*[F.lit(x) for x in qv])), 6).alias("c"))
+    wc = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
+    crank = coss.select("doc_id", F.row_number().over(wc).alias("c_rnk"))
+    fused = brank.join(crank, "doc_id", "full_outer")
+    return fused.select(
+        "doc_id",
+        F.round(F.coalesce(1.0 / (60 + F.col("b_rnk")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("c_rnk")), F.lit(0.0)), 6)
+         .alias("rrf_score"))
+
+
 @query("url_dedup", """
 WITH t AS (
   SELECT doc_id,
