@@ -61,13 +61,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def score_to_query(df: DataFrame, query_vec: list[float],
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """(id, cos_sim) for every row against a constant query vector —
+    the ONE place the query-cosine projection (double cast + 6-decimal
+    rounding convention) is defined."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6)
+         .alias("cos_sim"))
+
+
 def topk_to_query(df: DataFrame, query_vec: list[float], k: int = 10,
                   vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact top-k most-similar rows to a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"))
+    scored = score_to_query(df, query_vec, vec_col, id_col)
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 

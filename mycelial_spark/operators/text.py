@@ -232,10 +232,13 @@ def keyword_search_bm25(index: DataFrame, df: DataFrame, query: str,
     toks = sorted({t for t in query.split() if t})
     if not toks:
         raise ValueError("empty query")
-    n_docs = df.count()
     lens = df.select(F.col(id_col), F.size(tokens(F.col(text_col)))
                      .cast("double").alias("dl"))
-    avgdl = lens.agg(F.avg("dl")).collect()[0][0] or 1.0
+    # N and avgdl in ONE corpus pass (two separate actions would scan
+    # the documents twice before the scored plan even builds)
+    stats = lens.agg(F.count(F.lit(1)).alias("n"),
+                     F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
     post = (index.filter(F.col("token").isin(toks))
             .select("token", id_col,
                     F.size("positions").cast("double").alias("tf")))

@@ -2551,7 +2551,9 @@ WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
   FROM documents
 ), lens AS (
-  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+  SELECT doc_id,
+         CAST(len(list_filter(toks, t -> t <> '')) AS DOUBLE) AS dl
+  FROM d
 ), stats AS (
   SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM lens
 ), p AS (
@@ -2588,7 +2590,9 @@ WITH d AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
   FROM documents
 ), lens AS (
-  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+  SELECT doc_id,
+         CAST(len(list_filter(toks, t -> t <> '')) AS DOUBLE) AS dl
+  FROM d
 ), stats AS (
   SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM lens
 ), p AS (
@@ -2634,7 +2638,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused score) is bit-stable across engines."""
     from pyspark.sql import Window
 
-    from mycelial_spark.operators.similarity import cosine
+    from mycelial_spark.operators.similarity import score_to_query
     from mycelial_spark.operators.text import (build_inverted_index,
                                                keyword_search_bm25)
     docs = _t(spark, sf_dir, "documents")
@@ -2643,12 +2647,13 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "table hash filter")
     wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     brank = bm25.select("doc_id", F.row_number().over(wb).alias("b_rnk"))
-    qv = [float(x) for x in
-          emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    coss = emb.select(
-        F.col("vec_id").alias("doc_id"),
-        F.round(cosine(F.col("embedding").cast("array<double>"),
-                       F.array(*[F.lit(x) for x in qv])), 6).alias("c"))
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    if qrow is None:
+        raise ValueError("hybrid_search_rrf: query vector vec_id=0 "
+                         "missing from the embeddings table")
+    qv = [float(x) for x in qrow["embedding"]]
+    coss = score_to_query(emb, qv).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("c"))
     wc = Window.orderBy(F.col("c").desc(), F.col("doc_id"))
     crank = coss.select("doc_id", F.row_number().over(wc).alias("c_rnk"))
     fused = brank.join(crank, "doc_id", "full_outer")

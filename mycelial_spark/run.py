@@ -13,8 +13,10 @@ materializes the DAG, checkpoints stand in for per-section state). With
 
 Maintenance subcommands (no spec):
   python -m mycelial_spark.run compact <dir> [--files=N] [--sort=c1,c2]
-  python -m mycelial_spark.run replay-dlq <pipeline> --checkpoint=DIR \\
-      --dead-letter=DIR [--task=ID]
+  python -m mycelial_spark.run replay-dlq <pipeline> --dead-letter=DIR \\
+      [--task=ID]
+(replay reads the PARKED batches and the spec's sink config only — the
+stream's checkpoint plays no part in it.)
 """
 
 from __future__ import annotations
@@ -40,18 +42,23 @@ def main(argv: list[str]) -> int:
     flags = {a for a in argv if a.startswith("--") and "=" not in a}
     opts = dict(a[2:].split("=", 1) for a in argv
                 if a.startswith("--") and "=" in a)
-    if len(args) < 1:
+    def usage() -> int:
         print("usage: python -m mycelial_spark.run <pipeline.toml|json> "
               "[--explain | --stream --checkpoint=DIR [--drain] "
               "[--dead-letter=DIR]]\n"
               "       python -m mycelial_spark.run compact <dir> "
               "[--files=N] [--sort=c1,c2]\n"
               "       python -m mycelial_spark.run replay-dlq <pipeline> "
-              "--checkpoint=DIR --dead-letter=DIR [--task=ID]",
+              "--dead-letter=DIR [--task=ID]",
               file=sys.stderr)
         return 2
 
+    if len(args) < 1:
+        return usage()
+
     if args[0] == "compact":
+        if len(args) < 2:
+            return usage()
         from mycelial_spark.sinks.compact import compact_parquet
         spark = get_spark("mycelial-compact")
         sort_by = [c for c in opts.get("sort", "").split(",") if c]
@@ -63,10 +70,14 @@ def main(argv: list[str]) -> int:
         return 0
 
     if args[0] == "replay-dlq":
+        if len(args) < 2 or "dead-letter" not in opts:
+            return usage()
         from mycelial_spark.streaming.runner import StreamingPipeline
         spark = get_spark("mycelial-replay")
+        # checkpoint_root plays no part in a replay (the parked batches
+        # and the spec's sink config are the whole input)
         sp = StreamingPipeline.from_spec(
-            load_spec(args[1]), opts.get("checkpoint", ""),
+            load_spec(args[1]), "",
             dead_letter_path=opts["dead-letter"])
         tasks = ([opts["task"]] if "task" in opts else
                  [s.task_id() for s in sp.pipeline.graph.subgraphs()])

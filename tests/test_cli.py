@@ -129,8 +129,9 @@ def test_cli_replay_dlq_subcommand(spark, tmp_path, capsys):
     for q in qs:
         q.awaitTermination(60)
     db_dir.mkdir()
-    rc = main(["replay-dlq", str(spec_path),
-               f"--checkpoint={tmp_path}/ck", f"--dead-letter={dlq}"])
+    assert main(["compact"]) == 2                    # usage, not traceback
+    assert main(["replay-dlq", str(spec_path)]) == 2
+    rc = main(["replay-dlq", str(spec_path), f"--dead-letter={dlq}"])
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["batches_replayed"] >= 1
