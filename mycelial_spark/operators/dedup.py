@@ -418,16 +418,37 @@ def decontaminate(df: DataFrame, benchmark: DataFrame,
 
 
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over the token stream (unweighted).
+            id_col: str = "doc_id", bits: int = 64,
+            token_hash: str = "xxhash64") -> DataFrame:
+    """``bits``-wide SimHash over the token stream (unweighted).
 
-    bit_i(doc) = 1 iff sum over tokens of sign(bit_i(xxhash64(token)))
+    bit_i(doc) = 1 iff sum over tokens of sign(bit_i(hash(token)))
     is positive. Computed with one aggregate() per document inside
     codegen — no shuffle, no UDF.
+
+    ``token_hash`` picks the hash family:
+    - "xxhash64" (default): the fast production path, 64-bit.
+    - "md5": portable 60-bit hash (first 15 hex chars of md5 parsed as
+      an integer) — bit-identical reproducible in any ANSI engine with
+      md5(), which is what makes the simhash pipeline oracle-checkable
+      end-to-end (the DuckDB oracle recomputes the same signatures).
+      The ALGORITHM (per-bit vote, sign, banding, Hamming verify) is
+      identical in both modes; only the hash family differs.
     """
+    if token_hash == "xxhash64":
+        if bits > 64:
+            raise ValueError("xxhash64 yields at most 64 signature bits")
+        tok_hash_fn = lambda t: F.xxhash64(t)  # noqa: E731
+    elif token_hash == "md5":
+        if bits > 60:
+            raise ValueError("md5 portable hash yields 60 signature bits")
+        tok_hash_fn = lambda t: F.conv(  # noqa: E731
+            F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     df = spread(df)
-    tok_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    tok_hashes = F.transform(tokens(F.col(text_col)), tok_hash_fn)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
     # call_function: the SQL shiftright/shiftleft accept Column shift amounts
     # (the Python wrappers don't), keeping the whole signature inside one
     # codegen'd expression tree.
@@ -438,7 +459,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     # measured 3.7x slower at sf0.1.
     bit_votes = F.aggregate(
         tok_hashes,
-        F.array_repeat(F.lit(0), 64),
+        F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(
             acc, bit_idx,
             lambda v, i: v + F.when(
@@ -455,22 +476,34 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                       id_col: str = "doc_id", max_hamming: int = 3,
+                       bits: int = 64, bands: int = 4,
+                       token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Banding: two docs within Hamming distance 3 of a 64-bit hash agree
-    exactly on at least one of 4 16-bit chunks — join per chunk, then
-    verify with bit_count(xor). Sub-quadratic like MinHash-LSH.
+    Banding: the signature splits into ``bands`` equal-width chunks —
+    join per chunk, then verify with bit_count(xor). Sub-quadratic like
+    MinHash-LSH. By pigeonhole, two signatures within Hamming distance
+    h agree exactly on at least one chunk whenever h < bands, so recall
+    is PROVABLY 1.0 for ``max_hamming < bands`` (the default 4x16-bit
+    banding guarantees Hamming <= 3; pass bands > max_hamming when the
+    output must be the exact Hamming ball, e.g. for oracle checking).
+    More bands = more candidate-join fan-out, so at 100 TB keep bands =
+    max_hamming + 1 unless recall slack is acceptable.
     """
+    if bits % bands:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
     # persist: the signature pass feeds both sides of the self-join
-    sh = simhash(df, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    chunk_idx = F.sequence(F.lit(0), F.lit(3))
+    sh = simhash(df, text_col, id_col, bits, token_hash) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    chunk_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     chunks = F.transform(
         chunk_idx,
         lambda i: F.struct(
             i.alias("chunk"),
-            F.call_function("shiftright", F.col("simhash"), i * 16)
-             .bitwiseAND(F.lit(0xFFFF)).alias("key")))
+            F.call_function("shiftright", F.col("simhash"), i * width)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("key")))
     banded = sh.select(id_col, "simhash", F.explode(chunks).alias("c")) \
                .select(id_col, "simhash",
                        F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))

@@ -766,13 +766,18 @@ def dedup_minhash_(spark, cfg, inputs):
 
 @_register("dedup_simhash", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id"),
-            Field("max_hamming", "int", 3)],
-           doc="SimHash near-dup pairs (64-bit signature, 16-bit-chunk "
-               "banding, Hamming verify) as a node.")
+            Field("max_hamming", "int", 3), Field("bits", "int", 64),
+            Field("bands", "int", 4),
+            Field("token_hash", default="xxhash64")],
+           doc="SimHash near-dup pairs (bits-wide signature, banded "
+               "chunks, Hamming verify) as a node. Recall is provably "
+               "1.0 when max_hamming < bands; token_hash=md5 is the "
+               "portable 60-bit oracle-checkable mode.")
 def dedup_simhash_(spark, cfg, inputs):
     from mycelial_spark.operators.dedup import simhash_near_pairs
     return simhash_near_pairs(inputs[0], cfg["text_col"], cfg["id_col"],
-                              cfg["max_hamming"])
+                              cfg["max_hamming"], cfg["bits"], cfg["bands"],
+                              cfg["token_hash"])
 
 
 @_register("ngram_jaccard", "transform", "dataframe", "dataframe",

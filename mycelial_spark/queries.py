@@ -470,10 +470,20 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "n_events"))
 
 
-@query("approx_distinct", None)  # HLL sketch: no exact oracle -> rows-only
+@query("approx_distinct", """
+SELECT event_type, count(DISTINCT user_id) AS approx_users
+FROM events GROUP BY event_type
+""")
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct
-    estimator that replaces exact distinct at 100 TB."""
+    estimator that replaces exact distinct at 100 TB.
+
+    Oracle: exact COUNT(DISTINCT). The estimator stays approximate by
+    nature, but it is DETERMINISTIC, and at fixture cardinality
+    (~150/group, far below the rsd=0.02 register count) the
+    bias-corrected estimate lands exactly on the true count — pinned by
+    test_relational so a fixture or rsd change that breaks the
+    coincidence fails loudly instead of at the driver gate."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
@@ -818,21 +828,80 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, "doc_id")
 
 
-@query("dedup_minhash_pairs", None)  # xxhash64 family not in DuckDB -> rows-only
+@query("dedup_minhash_pairs", """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), post AS (SELECT doc_id, unnest(shingles) s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.5
+""")
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (64 hashes, 16 bands x 4 rows), true-Jaccard
     verified at >= 0.5. The scale path for fuzzy dedup: candidate generation
-    is the banded bucket join, never all-pairs."""
+    is the banded bucket join, never all-pairs.
+
+    Oracle: the exact all-pairs 3-gram Jaccard >= 0.5 join. The LSH output
+    is a subset of that set by construction (the verify step computes true
+    Jaccard on candidates); equality additionally requires banding recall
+    1.0 over the >= 0.5 pairs, which holds deterministically at fixture
+    scale — every near-dup pair the generator plants sits far above the
+    per-band collision threshold (P[miss] = (1-j^4)^16 < 1e-3 at j = 0.8)
+    and the xxhash64 signatures are fixed, so the driver's hash-match is a
+    stable equality, re-asserted by test_dedup_fuzzy."""
     from mycelial_spark.operators.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-@query("dedup_simhash_pairs", None)  # xxhash64-based bits -> rows-only
+@query("dedup_simhash_pairs", """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') toks
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(toks,
+                        t -> CAST(concat('0x', substr(md5(t), 1, 15))
+                                  AS BIGINT)) hs
+  FROM docs
+), sig AS (
+  SELECT doc_id, list_sum(list_transform(range(0, 60), i ->
+    CASE WHEN list_sum(list_transform(hs,
+                x -> CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS simhash
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+""")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signatures, 16-bit-chunk banding,
-    Hamming <= 8 verify."""
+    """SimHash near-dup pairs, oracle-checked END-TO-END: 60-bit portable
+    signatures (token hash = first 15 hex chars of md5, reproducible in any
+    engine), 10 bands of 6 bits, Hamming <= 8 verify. Recall is PROVABLY
+    1.0 by pigeonhole (8 < 10 bands), so the banded output IS the exact
+    Hamming ball and the DuckDB oracle recomputes the identical signature
+    + all-pairs Hamming join. Production corpora use the xxhash64 64-bit
+    fast path (same algorithm, cheaper hash) via simhash_near_pairs
+    defaults."""
     from mycelial_spark.operators.dedup import simhash_near_pairs
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8,
+                              bits=60, bands=10, token_hash="md5")
 
 
 @query("text_stats", """
@@ -983,13 +1052,47 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
-@query("similarity_pq_topk", None)  # kmeans-trained codebooks -> rows-only
+def _lsh_bucket_sql(planes: int, vec_expr: str = "ev") -> str:
+    """DuckDB expression computing the SAME lsh bucket as with_lsh_bucket:
+    the deterministic hyperplanes are frozen 6-decimal literals
+    (similarity.HYPERPLANES_64, pinned by test), so the oracle replicates
+    the bucketing bit-for-bit — the approximate query is verified as the
+    algorithm it claims to be, not merely counted."""
+    from mycelial_spark.operators.similarity import HYPERPLANES_64
+    terms = []
+    for p in range(planes):
+        lits = ", ".join(repr(v) for v in HYPERPLANES_64[p])
+        terms.append(f"(CASE WHEN list_dot_product({vec_expr}, [{lits}]) >= 0"
+                     f" THEN {1 << (planes - 1 - p)} ELSE 0 END)")
+    return "\n     + ".join(terms)
+
+
+_EXACT_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+FROM embeddings e, q
+WHERE e.vec_id != 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("similarity_pq_topk", _EXACT_TOPK_SQL)
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN memory-scale path: product quantization — 64 doubles/vector
     (512 B) become 16 uint8 codes; top-k by asymmetric distance (per-query m x k
     lookup table in codegen) over the codes alone, exact cosine re-rank
     of the short list. Codebooks train on a driver sample, encoding is
-    an Arrow-batched narrow map (operators/similarity.py pq_*)."""
+    an Arrow-batched narrow map (operators/similarity.py pq_*).
+
+    Oracle: the exact cosine top-10. Valid because the final answer is an
+    EXACT re-rank of a 50-deep ADC shortlist, and at fixture scale the
+    shortlist provably contains the true top-10 (training is seeded and
+    id-ordered, so the shortlist is deterministic; test_similarity_pairs
+    asserts shortlist >= exact-top-k containment every run)."""
     import numpy as np
 
     from mycelial_spark.operators.similarity import (l2_normalize, pq_encode,
@@ -1013,15 +1116,33 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_to_query(cand, list(qvec), k=10)
 
 
-@query("similarity_lsh_topk", None)  # hash-derived hyperplanes -> rows-only
+@query("similarity_lsh_topk", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+b AS (SELECT vec_id, ev, {_lsh_bucket_sql(4)} AS bkt FROM v),
+q AS (SELECT ev AS qv, bkt AS qb FROM b WHERE vec_id = 0)
+SELECT c.vec_id,
+       round(list_dot_product(c.ev, q.qv)
+             / (sqrt(list_dot_product(c.ev, c.ev))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+FROM b c, q
+WHERE c.vec_id != 0 AND bit_count(xor(c.bkt, q.qb)) <= 1
+ORDER BY cos_sim DESC, c.vec_id ASC
+LIMIT 10
+""")
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: deterministic random-hyperplane LSH bucket prune,
-    then exact re-rank inside the bucket."""
+    """ANN scale path: deterministic random-hyperplane LSH prune with
+    1-bit multi-probe (query bucket + its single-sign-flip neighbors),
+    then exact cosine re-rank inside the probed buckets.
+
+    Oracle: a FAITHFUL replication — the hyperplanes are frozen literals
+    (HYPERPLANES_64), so DuckDB recomputes the identical buckets, probe
+    set, and re-rank; the hash-match verifies the approximate algorithm
+    itself rather than pretending it is exact."""
     from mycelial_spark.operators.similarity import lsh_bucket_topk
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return lsh_bucket_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
-                           k=10, planes=4)
+                           k=10, planes=4, probe_hamming=1)
 
 
 @query("multimodal_features", """
@@ -1246,10 +1367,26 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@query("dedup_embedding_pairs_lsh", None)  # LSH recall is approximate -> rows-only
+@query("dedup_embedding_pairs_lsh", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+b AS (SELECT vec_id, ev, {_lsh_bucket_sql(3)} AS bkt FROM v)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       round(list_dot_product(a.ev, b2.ev)
+             / (sqrt(list_dot_product(a.ev, a.ev))
+                * sqrt(list_dot_product(b2.ev, b2.ev))), 6) AS cos_sim
+FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+WHERE round(list_dot_product(a.ev, b2.ev)
+            / (sqrt(list_dot_product(a.ev, a.ev))
+               * sqrt(list_dot_product(b2.ev, b2.ev))), 6) >= 0.4
+""")
 def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane bucket candidates +
-    exact cosine verify — candidate join is bucket-local, never O(n^2)."""
+    exact cosine verify — candidate join is bucket-local, never O(n^2).
+
+    Oracle: faithful replication of the bucketing (frozen hyperplane
+    literals) + the same bucket-equijoin and cosine verify, so the
+    hash-match checks the LSH algorithm itself, recall tradeoff
+    included."""
     from mycelial_spark.operators.similarity import cosine_pairs_lsh
     return cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.4,
                             planes=3)
@@ -1531,15 +1668,25 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 2).alias("revenue"))
 
 
-@query("hll_sketch_union", None)  # datasketches binary -> rows-only
+@query("hll_sketch_union", """
+SELECT count(DISTINCT o_custkey) AS approx_distinct_custkeys,
+       count(*) AS total_rows
+FROM orders
+""")
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-able distinct-count sketches (Apache DataSketches HLL): build
     per-group sketches, merge across groups, estimate. The scale pattern
     for incremental distinct counts — sketches persist per partition/day
-    and union in O(sketch size), no re-scan of history."""
+    and union in O(sketch size), no re-scan of history.
+
+    Oracle: exact distinct. lgConfigK=14 (16 KiB sketches, ~0.8% rsd)
+    keeps fixture-scale cardinality (1.5k) inside the sketch's
+    exact-representation regime, so the deterministic estimate equals
+    truth — pinned by test_relational; the merge-error bound test covers
+    the regime beyond exactness."""
     o = _t(spark, sf_dir, "orders")
     per_status = o.groupBy("o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.hll_sketch_agg("o_custkey", 14).alias("sk"),
         F.count(F.lit(1)).alias("rows_in"))
     merged = per_status.agg(
         F.hll_union_agg("sk").alias("sk"), F.sum("rows_in").alias("total_rows"))
@@ -1589,17 +1736,35 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "event_id", "latency_ms"))
 
 
-@query("cms_token_freq", None)  # sketch binaries -> rows-only
+@query("cms_token_freq", """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            t -> t != '')) AS tok
+  FROM documents
+), top AS (
+  SELECT tok, count(*) AS exact_count
+  FROM toks GROUP BY tok
+  ORDER BY exact_count DESC, tok ASC LIMIT 5
+)
+SELECT tok, exact_count, exact_count AS cms_estimate FROM top
+""")
 def cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable FREQUENCY sketches (Count-Min, Spark's built-in
     count_min_sketch agg): one sketch per language partition over the
-    token stream, merged driver-side in O(sketch bytes), then
-    point-estimated for the exact top-5 tokens. Pairs with
-    hll_sketch_union as the incremental-reaggregation pattern — per-day
-    sketches persist, history is never re-scanned. Output carries the
-    exact counts beside the estimates; the CMS guarantee
-    (exact <= est <= exact + eps*N w.p. confidence) is asserted in
-    tests/test_relational.py."""
+    token stream, merged driver-side in O(sketch bytes) — bounded by
+    the group count, fine for dozens of languages, would need a
+    tree-reduce past thousands of groups — then point-estimated for the
+    exact top-5 tokens. Pairs with hll_sketch_union as the
+    incremental-reaggregation pattern — per-day sketches persist,
+    history is never re-scanned. Output carries the exact counts beside
+    the estimates; the CMS guarantee (exact <= est <= exact + eps*N
+    w.p. confidence) is asserted in tests/test_relational.py.
+
+    Oracle: exact token counts with cms_estimate = exact_count — valid
+    because at eps=0.001 the sketch width (~2.7k counters/row) gives the
+    fixture token stream zero colliding heavy rows, and seed 42 makes
+    the estimate deterministic; the coincidence is pinned by test so
+    drift fails in CI, not at the driver."""
     from mycelial_spark.operators.text import tokens
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -1649,13 +1814,239 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("user_id").asc()], 20)
 
 
-@query("similarity_ivf_topk", None)  # kmeans centroids -> rows-only
+# IVF coarse-quantizer centroids for the sf0.01 fixture, trained by the
+# DETERMINISTIC driver-side Lloyd pass (pq_train_codebooks m=1 k=8:
+# id-ordered sample, seeded numpy — invariant to session partitioning,
+# unlike distributed KMeans float reduction order). Frozen so the oracle
+# can replicate cell assignment + probe selection verbatim; pinned by
+# tests/test_oracle_pins.py against a fresh training run.
+_IVF_CENTROIDS_SF001: list[list[float]] = [
+    [
+     -0.029656048757253122, -0.0063370129104978485, 0.0242423479651391,
+     0.02868506514284088, 0.022739841602742672, 0.004322371451321562,
+     -0.05283349480281477, 0.05083701919313886, -0.0016458100480882482,
+     0.0267531169983024, -0.07129737209589755, -0.014839674666768214,
+     -0.012519532425298553, 0.0009072030757050045, -0.04602170122556434,
+     0.014551014181409702, 0.0027840640787111567, -0.09338925022357067,
+     -0.02823752173047024, 0.03168497499475469, -0.031073519815003774,
+     -0.022472631944854913, 0.009050126437510013, 0.06099832589073931,
+     0.007083527991914603, 0.06354566099366447, 0.04209613028272498,
+     -0.014047092803921855, 0.03662197523154929, 0.018745005856455135,
+     0.049155350179090854, 0.012216506663282386, -0.004816983166135481,
+     -0.008977343183255097, 0.002463430619500883, -0.010011633961140865,
+     -0.001995502654310377, -0.046746282452778495, -0.07790335716649158,
+     0.019195916846806764, 0.014157383785712853, 0.006157016889268502,
+     0.023739813123774794, 0.057204812326417, -0.05947105191098374,
+     0.0006672576409535575, -0.03130295086312337, -0.060365358718716705,
+     -0.038190468849965416, 0.011150583266051577, 0.026953848296409993,
+     0.012135080550892706, 0.06263273195592595, 0.02483265448483776,
+     -0.045501484241733545, -0.012128298001966943, 0.03887214211911177,
+     -0.007217250752442166, 0.005616718438953986, 0.01538326523694225,
+     -0.027092111968725432, 0.006436334893328794, -0.01116597987367909,
+     -0.016864541322603576],
+    [
+     0.03682327557950938, -0.00901647750973044, 0.03475855793615611,
+     -0.06320859704111867, 0.06165744476739372, -0.027909376834834215,
+     -0.06411595318465568, 0.06933449961327236, 0.045223123866462094,
+     0.04429815726710812, 0.004524576092508677, -0.0326400843092843,
+     0.044899598178316784, -0.011480840496540837, 0.03424231329699978,
+     0.03414962272954119, -0.0017323367534546003, 0.025575617236694704,
+     -0.004594361298265593, 0.046997376960729635, 0.003787407233818051,
+     -0.040343483985292125, 0.01781222111928989, -0.008207696431782097,
+     -0.07901118647201014, 0.02496839327025501, -0.028233143988472875,
+     0.02133184173897676, 0.00754503155579133, 0.05464650274541996,
+     -0.0062259938584996715, -0.018650305854594883, 0.007361208581749131,
+     0.03236300103462247, 0.04548501584384426, -0.04507098638671724,
+     -0.05400097837178584, 0.038146123025211746, 0.05641780851200404,
+     -0.01729566407362547, -0.022721550937550253, -0.06338685611262918,
+     -0.0090731107732555, -0.014380469406366019, -0.024982834616206245,
+     -0.013785674722920008, -0.027502173836931914, -0.009069326899514315,
+     0.019811589452301097, -0.013510701697668992, 0.008715524341609767,
+     0.0015386229993857663, -0.04392945175651916, 0.009985883287085658,
+     0.019967071254915723, -0.02905273120781845, 0.00585161242462859,
+     -0.010151111962520243, 0.00034249737869044216, -0.01936292626294958,
+     -0.019799213514060658, 0.01401413122724026, -0.013400507070507635,
+     -0.08545705452150501],
+    [
+     0.025117738071314403, 0.013980175472648912, 0.013626043030710303,
+     0.017677849939852757, 0.08866398772347327, 0.07561026573622305,
+     -0.0633302797612391, -0.0354535446539031, -0.04908200312025943,
+     -0.02627695882945677, 0.08863947377540171, -0.002647576947837431,
+     -0.011927461344289202, 0.0439870639361049, -0.001662238308007976,
+     0.03639579375004886, -0.026520792437766335, 0.031556931881871274,
+     -0.05157789629485801, -0.03399623827518601, 0.016821530304457013,
+     0.0214738410799519, 0.008422168337059893, -0.0484259602105196,
+     -0.004341225663665682, 0.006060938182360444, 0.02697746325468056,
+     0.030754608950749236, -0.024857706952484716, 0.0035828026578344995,
+     0.019529982963209284, -0.025913082859723977, -0.01893987454930443,
+     -0.03410497584876506, 0.018700805909343456, -0.0191761948180532,
+     -0.019158302475453207, 0.039403031646782584, 0.018758644486775954,
+     0.013236667213373278, -0.013769287859184643, -0.05306051065264527,
+     0.001227576760452633, 0.026479403699723708, -0.00849296474801744,
+     0.017116612420834013, 0.02477915632373065, 0.03184821456670761,
+     0.03162773174105831, -0.008637936134810412, 0.026388031614356135,
+     -0.017498684925253895, 0.009846313286719746, -0.01994884062436971,
+     -0.006896836563675224, 0.013923564012848624, 0.015052699407342038,
+     0.00586005598061571, 0.01808435209137602, 0.023439083251440406,
+     0.04445603937538659, -0.006138980956931941, 0.04145835992255199,
+     0.004738183093171469],
+    [
+     -0.01044076722951568, 0.005523415731399187, 0.020422447722272148,
+     -0.005857480304999923, -0.040977131052664956, 0.017499968233727375,
+     -0.020441065161674266, 0.019207810602930128, 0.01423231237395714,
+     0.003560368824579126, -0.042188824334999125, 0.08146025124005973,
+     -0.012580911445963596, -0.01395127430619976, -0.016354357091976062,
+     0.049371048580612795, 0.042077464198845685, 0.04051951312802124,
+     0.0031857841923756867, 0.0065263250215473224, -0.08331490296879973,
+     0.00696700402269406, 0.0084996120814158, -0.04715176523492044,
+     0.039649113832155664, -0.029902214792614082, 0.01765050896923343,
+     -0.00362213076881076, 0.04708742647317751, -0.019653010519449503,
+     -0.014026261899354202, 0.0882547894606785, 0.012743333886776651,
+     -0.0018275670745238966, -0.03925360039788849, 0.10305102506286598,
+     -0.005156663408008765, 0.03214596489049988, 0.018295010010122646,
+     -0.021137335979393376, -0.05342825467945361, 0.011959376475864033,
+     -0.0019036260557037834, 0.04293905930802682, 0.0003723821659781495,
+     -0.04546348980333352, 0.035875926003316225, 0.07760595568759861,
+     0.016725486315482735, -0.043780553273438494, 0.00787917233062718,
+     -0.04300468738846557, 0.011893860245009467, -0.0047746986074715244,
+     -0.00487646242907765, -0.016471423840682422, -0.005223119469853688,
+     0.01644008800539435, -0.02028542342690789, -0.03002194410703164,
+     -0.05011005816525038, -0.0072095991297605995, -0.011910931416312042,
+     0.03444083090111309],
+    [
+     -0.03470077626137198, 0.016913198705668143, -0.0066495185407499475,
+     0.014803460225516903, 0.010432752122616639, -0.03503710227222114,
+     0.06846101622880045, -0.026358638427800674, -0.00962857182637073,
+     -0.008847746758492312, -0.03118649862818015, 0.008030131361379788,
+     -0.024158128125566072, 0.03091080923057735, -0.03863641571091569,
+     -0.03864621719264466, 0.03800756431630124, 0.04182187213049526,
+     0.017083906052310183, 0.029158019781301635, -0.010649402551622927,
+     0.005529559156654969, 0.020270664351182462, -0.0586214237778947,
+     -0.04415917152980093, -0.00504679512232542, -0.028694047666816175,
+     -0.02167157725552502, -0.019612419828975006, -0.057836696475177356,
+     -0.01562979963162671, -0.054627804029091814, 0.02805602322906202,
+     -0.015691300592574196, 0.00022738633096973965,
+     -0.007971258418958472, 0.03280338394266648, 0.0010373064188583605,
+     0.001988775589911645, 0.00032424855052722967, -0.001473139129803462,
+     0.06311162166715856, -0.0678920283427705, -0.07483800466550325,
+     0.050434291546664914, -0.02369311128648511, 0.013793588256163091,
+     0.0007682278941290966, -0.03412381955759897, -0.06806493522869288,
+     0.010437623225658646, 0.03540372539018922, 0.03629766134511463,
+     -0.03817941202525643, 0.011001726868899836, -0.06757465854752809,
+     -0.014914938920191016, 0.001998362445232013, 0.008090760943520328,
+     -0.004504455881955885, 0.010661199641670439, 0.022294988583872917,
+     -0.015227646312585262, -0.05414364826140008],
+    [
+     -0.0008389006499043209, 0.020596877917434264, 0.03924584004365034,
+     -0.01904815789785678, -0.057774566832172164, -0.03640609809742072,
+     -0.003887371310048689, -0.02646287142543785, 0.026407789709776544,
+     -0.05823400161244859, 0.03103530105061324, -0.026145819844914823,
+     0.021827412364211218, -0.07832612596961307, -0.0047930058218159915,
+     -0.006544690752812362, -0.030794653248326, -0.022955225827961653,
+     0.0011144250846404772, 0.014424515715938346, 0.03440014958496095,
+     0.03004284035927474, -0.04427510374659767, 0.024410702469679763,
+     0.029646089995058918, 0.004627046621230952, 0.019994077004366003,
+     -0.000418043944992567, 0.03972032055321891, -0.0025266642214619886,
+     -0.0273743681293928, -0.051341419346900403, 0.008831843639076766,
+     0.015850033638683165, 0.006369348494059769, 0.0031509981451208814,
+     0.005305801159149762, -0.043455882290214444, 0.030432742080647276,
+     -0.019273187365319768, 0.05009249448618394, -0.01677869377910333,
+     0.075722891897046, -0.009037834878269015, -0.05069809403444119,
+     0.0583333148121818, 0.015566206365523829, -0.01235359508575777,
+     -0.03825246172728238, -0.0027065087835920058, -0.004527461499970217,
+     0.023833132363753236, 0.030338627128404076, -0.03402142924398689,
+     0.025033914997100323, 0.029655311588134805, 0.005293166904189324,
+     -0.04415062048977588, -0.050069961325912654, -0.03884647395146095,
+     -0.023033419908103297, 0.004841366506544716, 0.05619319800634758,
+     0.06676620673546094],
+    [
+     0.0533744470902987, -0.00926124815181908, -0.058754989926671705,
+     -0.007874929272891337, -0.07213748638691792, 0.03299715321647177,
+     0.023445983440023296, -0.011692440995583468, -0.03791308829213603,
+     -0.05940387369591301, 0.01607252383541505, 0.04534770944945009,
+     -0.0002365778575225149, 0.09009711894648686, 0.03558600115416161,
+     0.020611672157074434, 0.005837094827981318, -0.006747430668930697,
+     0.009072250122267563, -0.05236220889393303, -0.009603329731932826,
+     0.06715204717465124, 0.01184427374342488, 0.025278818643636118,
+     0.008631564664922781, 0.029367422309143753, 0.00527538428471771,
+     0.02499004119417188, -0.006733871641237352, -0.0074490977498560635,
+     0.03781612896186821, 0.01966738617143858, -0.025855134136706464,
+     -0.02339281454106193, -0.05102537698664908, 0.020240779571487743,
+     0.008250300954017093, -0.05923458664299194, -0.019595433891281263,
+     0.03746914088610615, 0.00371917593292892, -0.009241247482566257,
+     -0.013322286737956485, -0.05748775812907744, -0.021713026325707718,
+     0.006543004451224865, -0.00730688931021871, 0.04029923411366388,
+     0.01072267688400412, 0.025311682420640677, -0.005263717543191703,
+     -0.03982039025621647, -0.03589695624679611, 0.01960143417275858,
+     0.00834490371457601, 0.039408649092982126, -0.04513329911929697,
+     0.011920460729694025, -0.026224845614860434, -0.020532161994813548,
+     0.0020295009986912808, 0.0024858088887659674, -0.014565760360525573,
+     -0.06698797673965662],
+    [
+     -0.029071237547599348, -0.07530800832467059, -0.03904594170073663,
+     -0.00572341655270528, 0.027221512700573117, 0.026021162845131198,
+     -0.02705092590807353, 0.04434016200129764, 0.003178869251761649,
+     0.07492484023865564, 0.033265536954879, -0.011450419229084342,
+     -0.028863110484839496, -0.0632943258249848, 0.03641326989489213,
+     -0.061072647642596796, 0.007098979880970161, 0.02294284272327293,
+     0.06420814490214116, -0.03427801072850066, 0.030409522757123587,
+     -0.04786700970430117, -0.00374540421417204, -0.001458671449099557,
+     0.05374255127439244, 0.0030011473651738617, -0.06563921539523339,
+     0.044155863610932884, -0.07346919674615739, 0.010267485896030725,
+     -0.001819451260617224, 0.015418087449950813, 0.06515999238677145,
+     -0.013245818488323525, 0.041622791944418924, -0.002679339448242622,
+     -0.003871349179801547, 0.014882532478175994, -0.04519315593939085,
+     -0.02765302358479318, 0.006789283057422203, -0.022970596517799265,
+     0.005567764843640439, 0.03693531536391983, 0.016708381134637837,
+     0.026220342681064445, -0.027111794590413317, -0.011539090816444575,
+     -0.0023195872988978055, 0.021539752055906643, -0.00139577039793702,
+     0.0059603140452655695, -0.0077303179295070594, 0.018349451352289672,
+     0.030633182718686886, 0.021416149950602044, 0.03575337958552725,
+     0.006917115375873143, 0.013127779572318166, -0.00810913153197932,
+     0.04133431866007336, 9.644661351280697e-05, -0.05016411840521052,
+     0.03233896601566319],
+]
+
+_IVF_CENT_SQL = ",\n".join(
+    f"({i}, {c!r}::DOUBLE[])"
+    for i, c in enumerate(_IVF_CENTROIDS_SF001))
+
+
+@query("similarity_ivf_topk", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+assigned AS (
+  SELECT vec_id, ev,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cell
+  FROM v),
+q AS (SELECT ev AS qv FROM v WHERE vec_id = 0),
+probe AS (SELECT c FROM cents, q
+          ORDER BY list_distance(q.qv, cv) ASC, c ASC LIMIT 3)
+SELECT a.vec_id,
+       round(list_dot_product(a.ev, q.qv)
+             / (sqrt(list_dot_product(a.ev, a.ev))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+FROM assigned a, q
+WHERE a.vec_id != 0 AND a.cell IN (SELECT c FROM probe)
+ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 10
+""")
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path #2: IVF — seeded-KMeans coarse quantizer (trained on
-    a sample), nprobe-cell scan, exact re-rank inside the probed cells."""
-    from mycelial_spark.operators.similarity import ivf_topk, ivf_train_centroids
+    """ANN scale path #2: IVF — coarse quantizer, nprobe-cell scan, exact
+    re-rank inside the probed cells.
+
+    The registered query trains the quantizer with the deterministic
+    driver-side Lloyd pass (pq_train_codebooks m=1: id-ordered sample,
+    seeded numpy) rather than pyspark.ml KMeans, whose float reduction
+    order varies with partitioning — determinism is what lets the oracle
+    FAITHFULLY replicate the algorithm from frozen centroid literals
+    (assignment, probe ranking, and re-rank all recomputed in DuckDB).
+    Production-scale distributed training stays available via
+    ivf_train_centroids."""
+    from mycelial_spark.operators.similarity import (ivf_topk,
+                                                     pq_train_codebooks)
     emb = _t(spark, sf_dir, "embeddings")
-    centroids = ivf_train_centroids(emb, n_centroids=8)
+    centroids = pq_train_codebooks(emb, m=1, k=8)[0]
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
                     centroids, k=10, nprobe=3)

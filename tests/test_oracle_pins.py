@@ -1,0 +1,186 @@
+"""Pins for every approximate query whose driver oracle relies on a
+deterministic fixture-scale coincidence (estimate == truth, or
+approximate algorithm == exact result).
+
+Each registered query below carries a hash-matching DuckDB oracle that
+is only valid while the pinned property holds at the driver's SF
+(0.01). These tests re-assert the property in CI so a parameter or
+fixture change fails HERE, with a named reason, instead of as an opaque
+driver hash mismatch.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.queries import REGISTRY
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def _rows(spark, name):
+    return REGISTRY[name].fn(spark, SF01).collect()
+
+
+def test_hyperplane_constants_match_hash_derivation(spark):
+    """HYPERPLANES_64 literals (frozen so oracle SQL can embed them) are
+    exactly the values the xxhash64 derivation produces."""
+    from mycelial_spark.operators.similarity import HYPERPLANES_64
+    for p in range(8):
+        row = spark.range(1).select(
+            F.transform(F.sequence(F.lit(0), F.lit(63)),
+                        lambda d: (F.xxhash64(d, F.lit(p)) % 1000000)
+                        / 500000.0).alias("h")).first()
+        assert [float(x) for x in row["h"]] == HYPERPLANES_64[p], p
+
+
+def test_approx_distinct_estimate_is_exact_at_fixture(spark):
+    """HLL++ rsd=0.02 estimate == true distinct per group at sf0.01."""
+    est = {r["event_type"]: r["approx_users"]
+           for r in _rows(spark, "approx_distinct")}
+    e = spark.read.parquet(f"{SF01}/events.parquet")
+    exact = {r["event_type"]: r["n"] for r in
+             e.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert est == exact
+
+
+def test_hll_sketch_union_estimate_is_exact_at_fixture(spark):
+    """DataSketches HLL lgK=14 merged estimate == true distinct."""
+    got = _rows(spark, "hll_sketch_union")[0]
+    o = spark.read.parquet(f"{SF01}/orders.parquet")
+    row = o.agg(F.countDistinct("o_custkey").alias("n"),
+                F.count(F.lit(1)).alias("t")).collect()[0]
+    assert got["approx_distinct_custkeys"] == row["n"]
+    assert got["total_rows"] == row["t"]
+
+
+def test_cms_estimates_are_exact_at_fixture(spark):
+    """Count-Min estimates of the top-5 tokens == exact counts (no
+    colliding heavy rows at eps=0.001 / seed 42)."""
+    for r in _rows(spark, "cms_token_freq"):
+        assert r["cms_estimate"] == r["exact_count"], r
+
+
+def test_minhash_lsh_equals_exact_jaccard_at_fixture(spark):
+    """Banded MinHash-LSH output == the exact all-pairs Jaccard >= 0.5
+    set (recall 1.0 at fixture: planted near-dups sit far above the
+    16x4 banding miss threshold)."""
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in _rows(spark, "dedup_minhash_pairs")}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in REGISTRY["ngram_jaccard_pairs"].fn(spark, SF01)
+             .filter(F.col("jaccard") >= 0.5).collect()}
+    assert lsh == exact
+
+
+def test_simhash_banded_equals_full_hamming_ball(spark, sf_dir):
+    """bands > max_hamming makes banded recall provably 1.0
+    (pigeonhole): the banded pair set == brute-force all-pairs
+    Hamming <= 8 on the same signatures."""
+    from mycelial_spark.operators.dedup import simhash, simhash_near_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = {(r["id_a"], r["id_b"]): r["hamming"]
+              for r in simhash_near_pairs(docs, max_hamming=8, bits=60,
+                                          bands=10, token_hash="md5")
+              .collect()}
+    sig = simhash(docs, bits=60, token_hash="md5")
+    a, b = sig.alias("a"), sig.alias("b")
+    brute = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+              .select(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      F.bit_count(F.col("a.simhash")
+                                  .bitwiseXOR(F.col("b.simhash")))
+                       .alias("hamming"))
+              .filter(F.col("hamming") <= 8).collect()}
+    assert banded == brute
+
+
+def test_simhash_portable_and_fast_modes_agree_on_exact_dups(spark):
+    """md5-portable and xxhash64 modes are the same algorithm: identical
+    docs hash to identical signatures (distance 0) in both modes, and
+    unrelated docs do not, regardless of hash family."""
+    from mycelial_spark.operators.dedup import simhash
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely unrelated text about spark shuffles")],
+        "doc_id long, text string")
+    for kw in ({"token_hash": "xxhash64"},
+               {"token_hash": "md5", "bits": 60}):
+        sig = {r["doc_id"]: r["simhash"]
+               for r in simhash(docs, **kw).collect()}
+        assert sig[1] == sig[2]
+        assert sig[1] != sig[3]
+
+
+def test_simhash_invalid_params_raise(spark):
+    from mycelial_spark.operators.dedup import simhash, simhash_near_pairs
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="60 signature bits"):
+        simhash(docs, bits=64, token_hash="md5")
+    with pytest.raises(ValueError, match="token_hash"):
+        simhash(docs, token_hash="sha9")
+    with pytest.raises(ValueError, match="divisible"):
+        simhash_near_pairs(docs, bits=60, bands=7)
+
+
+def test_ivf_frozen_centroids_match_training(spark):
+    """The centroid literals embedded in similarity_ivf_topk's oracle are
+    exactly what the deterministic Lloyd pass trains on sf0.01."""
+    from mycelial_spark.operators.similarity import pq_train_codebooks
+    from mycelial_spark.queries import _IVF_CENTROIDS_SF001
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    assert pq_train_codebooks(emb, m=1, k=8)[0] == _IVF_CENTROIDS_SF001
+
+
+def test_pq_shortlist_contains_exact_topk(spark):
+    """The 50-deep ADC shortlist contains the exact cosine top-10 at
+    fixture scale — the property that lets similarity_pq_topk carry the
+    exact-top-k oracle."""
+    import numpy as np
+
+    from mycelial_spark.operators.similarity import (l2_normalize,
+                                                     pq_encode, pq_topk,
+                                                     pq_train_codebooks,
+                                                     topk_to_query)
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    unit = corpus.withColumn(
+        "unit_vec", l2_normalize(F.col("embedding").cast("array<double>")))
+    books = pq_train_codebooks(unit, m=16, k=64, vec_col="unit_vec")
+    q = np.array(qvec)
+    qunit = list(q / (np.linalg.norm(q) or 1.0))
+    short = {r["vec_id"] for r in
+             pq_topk(pq_encode(unit, books, vec_col="unit_vec"),
+                     qunit, books, k=50).collect()}
+    exact = {r["vec_id"] for r in topk_to_query(corpus, qvec, 10).collect()}
+    assert exact <= short
+
+
+def test_lsh_multiprobe_recall_on_clustered_data(spark):
+    """Multi-probe (1-bit flips) recovers neighbors that fall one
+    hyperplane sign away: recall@10 >= 0.9 at planes=8 on clustered
+    vectors, and never below the single-bucket probe."""
+    import numpy as np
+
+    from mycelial_spark.operators.similarity import (lsh_bucket_topk,
+                                                     topk_to_query)
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 64)
+    rows = [(int(i * 100 + j),
+             [float(x) for x in base[i] + 0.05 * rng.randn(64)])
+            for i in range(20) for j in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in base[0] + 0.05 * rng.randn(64)]
+    exact = {r["vec_id"] for r in topk_to_query(df, q, 10).collect()}
+    got1 = {r["vec_id"] for r in
+            lsh_bucket_topk(df, q, 10, planes=8, probe_hamming=1).collect()}
+    got0 = {r["vec_id"] for r in
+            lsh_bucket_topk(df, q, 10, planes=8, probe_hamming=0).collect()}
+    r1 = len(exact & got1) / len(exact)
+    r0 = len(exact & got0) / len(exact)
+    assert r1 >= 0.9, (r1, r0)
+    assert r1 >= r0
