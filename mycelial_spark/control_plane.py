@@ -52,6 +52,8 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+from cryptography import x509
+
 from mycelial_spark import pki
 from mycelial_spark.plans.compiler import Pipeline
 from mycelial_spark.plans.graph import GraphError
@@ -383,16 +385,26 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(200, app.daemon_status(params["did"]))
 
     def _peer_identity(self) -> str | None:
-        """First SAN dNSName of the handshake-verified peer certificate
-        (tls_server.rs:79-92; chain validation already happened in the
-        TLS accept — ssl.CERT_REQUIRED)."""
+        """First SAN dNSName of the peer certificate — AFTER re-verifying
+        it as a CLIENT cert. The TLS accept (ssl.CERT_REQUIRED) only
+        proves chain-to-CA, which the control plane's own ServerAuth cert
+        also satisfies; the reference additionally enforces the
+        ClientAuth EKU (lib.rs:204-222 passes webpki
+        KeyUsage::client_auth), so without this check a server cert
+        issued by the same CA would be accepted as a daemon identity."""
         conn = self.connection
         if not hasattr(conn, "getpeercert"):
             return None
-        cert = conn.getpeercert()
-        if not cert:
+        der = conn.getpeercert(binary_form=True)
+        if not der:
             return None
-        for kind, value in cert.get("subjectAltName", ()):
+        try:
+            cert = x509.load_der_x509_certificate(der)
+            pki.verify_client_cert(cert, self.app.certificate_bundle()[0].cert)
+        except Exception:
+            return None         # chained but not a client cert => no identity
+        info = conn.getpeercert()
+        for kind, value in (info or {}).get("subjectAltName", ()):
             if kind == "DNS":
                 return value
         return None

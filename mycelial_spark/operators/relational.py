@@ -240,6 +240,12 @@ def histogram_sketch(df: DataFrame, value_col: str, lo: float, hi: float,
     pass; with ``bins`` covering a DISCRETE integer domain (one bin per
     value) the derived quantiles are EXACT.
     """
+    if bins < 1:
+        raise ValueError(f"histogram needs bins >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(
+            f"histogram needs hi > lo, got lo={lo!r} hi={hi!r} "
+            f"(a zero-width range would drop every value into a null bin)")
     c = F.col(value_col).cast("double")
     width = (hi - lo) / bins
     b = F.least(F.lit(bins - 1), F.greatest(

@@ -1238,7 +1238,11 @@ def csv_dest(spark, cfg, df):
 @_register("file_dest", "destination", "bin", "none",
            [Field("dir_path")],
            doc="D7 file destination: write binary payloads to dir_path/<name>, "
-               "atomic tmp+rename per file (destination.rs:51-71).")
+               "atomic tmp+rename per file (destination.rs:51-71). "
+               "Driver-throughput-bound by design: payloads land on the "
+               "driver's local filesystem, exactly like the reference's "
+               "single section task; bulk distributed output belongs in "
+               "parquet/csv dests.")
 def file_dest(spark, cfg, df):
     # toLocalIterator: driver memory is bounded by ONE payload at a time
     # (D7 writes a local dir so the driver hop is inherent; buffering the
@@ -1467,8 +1471,12 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
     driver; the publish is a server-side set operation.
 
     Identifiers are used UNQUOTED so database case-folding matches the
-    Spark writer's; the target's column order is the stage's (the frame
-    schema), the same contract as the at-least-once path's auto-DDL."""
+    Spark writer's. The publish names its columns explicitly on both
+    sides of INSERT..SELECT: a pre-existing target whose columns were
+    created in a different order (e.g. by the at-least-once path's
+    auto-DDL from an earlier schema) still receives every value in the
+    right column, and a genuinely missing column fails fast with the
+    database's named-column error instead of silently cross-loading."""
     import re as _re
     if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", table):
         # table may come from an ORIGIN value (route_by_origin); it is
@@ -1481,6 +1489,13 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
     # must not overwrite each other's staged batches
     task_tag = _re.sub(r"[^A-Za-z0-9_]", "_", str(batch[0]))[:40]
     stage = f"{table}_{task_tag}_stg"
+    bad_cols = [c for c in df.columns
+                if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", c)]
+    if bad_cols:
+        raise ValueError(
+            f"exactly_once requires plain-identifier column names "
+            f"(interpolated into driver-side SQL), got {bad_cols!r}")
+    collist = ", ".join(df.columns)
     writer = (df.write.format("jdbc")
               .option("url", cfg["url"]).option("dbtable", stage)
               .option("batchsize", cfg["batchsize"]))
@@ -1528,7 +1543,8 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
                         pass
                     return 0
                 raise
-            n = st.executeUpdate(f"INSERT INTO {table} SELECT * FROM {stage}")
+            n = st.executeUpdate(f"INSERT INTO {table} ({collist}) "
+                                 f"SELECT {collist} FROM {stage}")
             st.executeUpdate(f"DROP TABLE {stage}")
             conn.commit()
             return int(n)

@@ -10,12 +10,19 @@ LOCAL directory to a target file count:
    different pipeline versions compact together);
 3. rewrite to ``<path>/._compact_tmp`` at ``target_files`` (optionally
    sorted for min/max data skipping, optionally recompressed);
-4. swap: current files -> ``<path>/._compact_old``, tmp files in, old
-   removed. The swap is NOT atomic for concurrent readers — this is a
-   maintenance-window op (readers AND writers paused), and a crash
-   mid-swap heals on the next run via step 1. Table formats move this
-   into a commit protocol; that is deliberately out of scope here, so
-   the op refuses non-local paths.
+4. swap, phase-aware so recovery is unambiguous in EVERY crash window:
+   (a) current files -> ``<path>/._compact_old``; (b) the verified tmp
+   dir atomically renames to ``<path>/._compact_commit`` — the commit
+   point; (c) committed files move in; (d) old dir removed, then the
+   (now-empty) commit dir. Recovery: a leftover ``._compact_commit``
+   means the swap committed — finish moving its files in and drop the
+   old dir (restoring old files at that point would DUPLICATE rows,
+   since the moved-in files have fresh part names that never collide);
+   no marker means it didn't — restore from ``._compact_old`` and clear
+   tmp. The swap is NOT atomic for concurrent readers — this is a
+   maintenance-window op (readers AND writers paused). Table formats
+   move this into a commit protocol; that is deliberately out of scope
+   here, so the op refuses non-local paths.
 
 Counts are verified before the swap: a compaction that would change the
 row count aborts and leaves the directory untouched.
@@ -50,11 +57,20 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
             "compaction")
     path = path.removeprefix("file://")
 
-    # recovery from a previous crash: restore any files stranded in the
-    # old dir, clear any incomplete tmp, THEN proceed on consistent data
+    # recovery from a previous crash, phase-aware on the commit marker:
+    # - marker present  => the old-files-out phase finished and the swap
+    #   committed; the ONLY valid repair is rolling FORWARD (finish the
+    #   move-in, drop the old dir). Rolling back here would resurrect
+    #   every old file next to the already-moved-in new ones (part names
+    #   never collide) and permanently duplicate rows.
+    # - marker absent   => the swap never committed; roll BACK (restore
+    #   old files, clear any half-written tmp).
     old = os.path.join(path, "._compact_old")
     tmp = os.path.join(path, "._compact_tmp")
-    if os.path.exists(old):
+    commit = os.path.join(path, "._compact_commit")
+    if os.path.exists(commit):
+        _finish_commit(path, commit, old)
+    elif os.path.exists(old):
         for f in os.listdir(old):
             target = os.path.join(path, f)
             if not os.path.exists(target):
@@ -81,16 +97,30 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
         raise RuntimeError(
             f"compaction row count changed ({rows} -> {got}); aborted")
 
+    # phase 1 — old files out (crash here: no marker, rollback restores)
     os.makedirs(old)
     for f in os.listdir(path):
         if f.endswith(".parquet") or f == "_SUCCESS":
             os.replace(os.path.join(path, f), os.path.join(old, f))
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet") or f == "_SUCCESS":
-            os.replace(os.path.join(tmp, f), os.path.join(path, f))
-    shutil.rmtree(tmp)
-    shutil.rmtree(old)
+    # phase 2 — COMMIT: one atomic rename makes the verified file set
+    # durable; every later crash window rolls forward from here
+    os.replace(tmp, commit)
+    # phase 3 — committed files in, old dropped, marker last
+    _finish_commit(path, commit, old)
     after = [f for f in os.listdir(path)
              if f.endswith(".parquet") and not f.startswith(".")]
     return {"path": path, "files_before": len(before),
             "files_after": len(after), "rows": int(rows)}
+
+
+def _finish_commit(path: str, commit: str, old: str) -> None:
+    """Roll the swap forward from the commit marker: move any committed
+    files not yet in place, then remove the old dir BEFORE the marker —
+    so a crash at any point re-enters here (marker still present) and
+    never falls through to the rollback path while old files linger."""
+    for f in os.listdir(commit):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            os.replace(os.path.join(commit, f), os.path.join(path, f))
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    shutil.rmtree(commit)

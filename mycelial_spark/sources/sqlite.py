@@ -138,6 +138,12 @@ def write_frame(df: DataFrame, path: str, table: str,
     chunks the same way (destination.rs:60-91); atomicity is the
     transaction's, not the buffer's.
 
+    Throughput model: SQLite is a single-writer local file, so this sink
+    is DRIVER-throughput-bound by design — every row crosses the driver
+    (as the reference's single section task does). That is the correct
+    shape for its CDC/edge-sync role; a 100 TB bulk export belongs in a
+    distributed sink (parquet/jdbc_dest), not here.
+
     ``batch_marker=(task_id, batch_id)`` upgrades at-least-once to
     EXACTLY-once for replayed micro-batches (foreachBatch re-invokes
     with the same batch_id after a crash between sink write and offset

@@ -424,6 +424,41 @@ def test_jdbc_dest_exactly_once_markers_scope_per_task_and_table(spark,
     assert (a, b) == (20, 10)
 
 
+def test_jdbc_dest_exactly_once_publishes_into_reordered_target(spark,
+                                                                tmp_path):
+    """A pre-existing target whose columns were created in a DIFFERENT
+    order (auto-DDL from an earlier at-least-once write of a reordered
+    frame) still receives every value in the right column — the publish
+    names its columns on both sides of INSERT..SELECT."""
+    url = _url(tmp_path / "xreorder")
+    sdef = REGISTRY.get("jdbc_dest")
+    # create EVENTS with column order (NAME, ID, VAL)
+    reordered = _items(spark, 3).select("NAME", "ID", "VAL")
+    _write(spark, url, "EVENTS", reordered)
+    # exactly-once publish of the canonical (ID, VAL, NAME) frame
+    cfg = sdef.validate_config({
+        "type": "jdbc_dest", "url": url, "table": "EVENTS",
+        "driver": DRIVER, "exactly_once": True})
+    out = sdef.builder(spark, {**cfg, "_batch": ["task-r", 0]},
+                       _items(spark, 5))
+    assert out["rows"]["EVENTS"] == 5
+    rows = {r["ID"]: (r["VAL"], r["NAME"]) for r in _read(
+        spark, url, "SELECT ID, VAL, NAME FROM EVENTS").collect()}
+    assert len(rows) == 5 and rows[4] == (8.0, "name-4")
+
+
+def test_jdbc_dest_exactly_once_rejects_non_identifier_columns(spark,
+                                                               tmp_path):
+    url = _url(tmp_path / "xbadcol")
+    sdef = REGISTRY.get("jdbc_dest")
+    cfg = sdef.validate_config({
+        "type": "jdbc_dest", "url": url, "table": "EVTS",
+        "driver": DRIVER, "exactly_once": True})
+    df = spark.range(3).selectExpr("id AS `ID; DROP`")
+    with pytest.raises(ValueError, match="column names"):
+        sdef.builder(spark, {**cfg, "_batch": ["t", 0]}, df)
+
+
 def test_jdbc_dest_exactly_once_rejects_non_identifier_table(spark, tmp_path):
     """Origin-routed table names reach driver-side SQL in exactly_once
     mode, so anything but a plain identifier is refused up front."""

@@ -417,3 +417,40 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="LOCAL"):
         compact_parquet(spark, "s3a://bucket/x")
+
+
+def test_compact_parquet_rolls_forward_after_commit_marker(spark, tmp_path):
+    """Crash AFTER the commit point (old files out, commit marker
+    renamed, move-in incomplete): recovery must roll FORWARD — finishing
+    the committed set and dropping the old dir — never restore the old
+    files beside the new ones, which would silently double every row."""
+    import glob
+    import os
+
+    from mycelial_spark.sinks.compact import compact_parquet
+    path = str(tmp_path / "sink")
+    for i in range(3):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1) \
+            .write.mode("append").parquet(path)
+
+    # run a real compaction but crash it right after the commit rename
+    # by replaying the swap phases manually: write the compacted set,
+    # move old files out, rename to ._compact_commit, move ONE file in
+    df = spark.read.parquet(path)
+    tmp = os.path.join(path, "._compact_tmp")
+    df.coalesce(1).write.parquet(tmp)
+    old = os.path.join(path, "._compact_old")
+    os.makedirs(old)
+    for f in os.listdir(path):
+        if f.endswith(".parquet") or f == "_SUCCESS":
+            os.replace(os.path.join(path, f), os.path.join(old, f))
+    commit = os.path.join(path, "._compact_commit")
+    os.replace(tmp, commit)
+    moved = [f for f in os.listdir(commit) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(commit, moved), os.path.join(path, moved))
+
+    out = compact_parquet(spark, path, target_files=1)
+    assert out["rows"] == 30
+    assert spark.read.parquet(path).count() == 30    # not 60
+    assert not os.path.exists(old) and not os.path.exists(commit)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1

@@ -144,6 +144,21 @@ def test_csr_join_then_mtls_whoami(tmp_path):
         with pytest.raises((ssl.SSLError, urllib.error.URLError,
                             ConnectionError)):
             _get(f"https://{host}:{port}/api/daemon/whoami", evil_ctx)
+
+        # a SERVER cert from the SAME ca chains fine but must NOT be
+        # accepted as a client identity (Verifier::verify_client_cert
+        # parity, lib.rs:204-222). OpenSSL's purpose check already
+        # aborts the handshake for an explicit ServerAuth-only EKU; the
+        # handler's verify_client_cert re-check is the backstop for
+        # certs that slip the purpose check (e.g. no EKU extension) —
+        # either layer must refuse.
+        _ca, server_certkey = app.certificate_bundle()
+        srv_ctx = pki.mtls_client_context(server_certkey,
+                                          bundle["ca_certificate"])
+        with pytest.raises((ssl.SSLError, urllib.error.URLError)) as ei:
+            _get(f"https://{host}:{port}/api/daemon/whoami", srv_ctx)
+        if isinstance(ei.value, urllib.error.HTTPError):
+            assert ei.value.code == 403
     finally:
         tls_server.shutdown()
 

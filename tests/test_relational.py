@@ -106,3 +106,18 @@ def test_histogram_sketch_merges_exactly(spark):
     def type1(xs, p):
         return xs[math.ceil(p * len(xs)) - 1]
     assert q["a"] == (float(type1(vals_a, 0.5)), float(type1(vals_a, 0.9)))
+
+
+def test_histogram_sketch_rejects_degenerate_config(spark):
+    """bins=0 (Python ZeroDivisionError) and lo>=hi (every value in a
+    null bin) fail loudly up front instead of degenerating silently."""
+    import pytest
+
+    from mycelial_spark.operators import relational as R
+    df = spark.createDataFrame([(1,)], "v int")
+    with pytest.raises(ValueError, match="bins >= 1"):
+        R.histogram_sketch(df, "v", lo=0, hi=10, bins=0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        R.histogram_sketch(df, "v", lo=5, hi=5, bins=4)
+    with pytest.raises(ValueError, match="hi > lo"):
+        R.histogram_sketch(df, "v", lo=9, hi=5, bins=4)
