@@ -1373,7 +1373,8 @@ def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
             Field("driver", default=""), Field("truncate", "bool", False),
             Field("batchsize", "int", 32768),
             Field("route_by_origin", "bool", False),
-            Field("exactly_once", "bool", False)],
+            Field("exactly_once", "bool", False),
+            Field("ensure_table_ddl", "bool", False)],
            doc="D1-D3 JDBC destination: auto-DDL from frame schema is the "
                "Spark JDBC writer's built-in; truncate mirrors the TRUNCATE "
                "option; batchsize mirrors max_parameters (default 32768, "
@@ -1386,7 +1387,11 @@ def _origin_routes(df: DataFrame, table: str, route_by_origin: bool):
                "together with the (task, batch) marker row — a replayed "
                "micro-batch hits the marker's primary key and publishes "
                "nothing (the foreachBatch idempotent-sink pattern; the "
-               "heavy lift stays distributed, the driver moves no rows).")
+               "heavy lift stays distributed, the driver moves no rows). "
+               "ensure_table_ddl=True pre-creates target/stage tables "
+               "over the driver connection — needed for engines without "
+               "a Spark JDBC dialect (e.g. DuckDB) whose missing-table "
+               "probe error Spark cannot classify as not-exists.")
 def jdbc_dest(spark, cfg, df):
     routes, pinned = _origin_routes(df, cfg["table"], cfg["route_by_origin"])
     batch = cfg.get("_batch")
@@ -1414,6 +1419,8 @@ def jdbc_dest(spark, cfg, df):
     written = []
     try:
         for table, part in routes:
+            if cfg.get("ensure_table_ddl"):
+                _jdbc_ensure_table(spark, cfg, table, part.schema)
             writer = (part.write.format("jdbc")
                       .option("url", cfg["url"]).option("dbtable", table)
                       .option("batchsize", cfg["batchsize"]))
@@ -1449,14 +1456,47 @@ def _jdbc_driver_conn(spark, cfg):
     return dm.getConnection(cfg["url"])
 
 
-def _jdbc_exec_ignore_existing(conn, sql: str) -> None:
+_ANSI_JDBC_TYPES = {
+    "bigint": "BIGINT", "int": "INTEGER", "smallint": "SMALLINT",
+    "tinyint": "SMALLINT", "double": "DOUBLE PRECISION", "float": "REAL",
+    "boolean": "BOOLEAN", "string": "VARCHAR", "binary": "BLOB",
+    "date": "DATE", "timestamp": "TIMESTAMP", "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _jdbc_ensure_table(spark, cfg, table: str, schema) -> None:
+    """CREATE TABLE IF NOT EXISTS from the frame schema over the driver
+    connection — for engines without a Spark JDBC dialect (e.g. DuckDB),
+    where the writer's generic table-exists probe ("SELECT 1 FROM t")
+    raises a SQLState-less error that Spark rethrows instead of reading
+    as not-exists. Column names are double-quoted to match the Spark
+    writer's default identifier quoting; decimal(p,s) passes through."""
+    cols = ", ".join(
+        f'"{f.name}" '
+        + (f.dataType.simpleString().upper()
+           if f.dataType.simpleString().startswith("decimal")
+           else _ANSI_JDBC_TYPES.get(f.dataType.simpleString(), "VARCHAR"))
+        for f in schema.fields)
+    conn = _jdbc_driver_conn(spark, cfg)
+    try:
+        _jdbc_exec_ignore_existing(
+            conn, f'CREATE TABLE IF NOT EXISTS {table} ({cols})')
+    finally:
+        conn.close()
+
+
+def _jdbc_exec_ignore_existing(conn, sql: str) -> bool:
+    """Run DDL, swallowing only already-exists errors. Returns True when
+    the statement actually executed (the object was created now)."""
     st = conn.createStatement()
     try:
         st.executeUpdate(sql)
+        return True
     except Exception as e:   # "already exists" (Derby X0Y32 & friends)
         msg = str(e)
         if "X0Y32" not in msg and "already exists" not in msg.lower():
             raise
+        return False
     finally:
         st.close()
 
@@ -1496,6 +1536,8 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
             f"exactly_once requires plain-identifier column names "
             f"(interpolated into driver-side SQL), got {bad_cols!r}")
     collist = ", ".join(df.columns)
+    if cfg.get("ensure_table_ddl"):
+        _jdbc_ensure_table(spark, cfg, stage, df.schema)
     writer = (df.write.format("jdbc")
               .option("url", cfg["url"]).option("dbtable", stage)
               .option("batchsize", cfg["batchsize"]))
@@ -1520,9 +1562,19 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
                   "batch_id BIGINT NOT NULL, "
                   "tbl VARCHAR(128) NOT NULL, "
                   "PRIMARY KEY (task_id, batch_id, tbl))")
-        _jdbc_exec_ignore_existing(
+        created = _jdbc_exec_ignore_existing(
             conn, f"CREATE TABLE {table} AS SELECT * FROM {stage} "
                   "WITH NO DATA")
+        if created:
+            # some engines (DuckDB 1.0) parse WITH NO DATA but copy the
+            # rows anyway — a silent double-publish on batch 1. A fresh
+            # target must start empty; on engines honoring WITH NO DATA
+            # this deletes zero rows.
+            st0 = conn.createStatement()
+            try:
+                st0.executeUpdate(f"DELETE FROM {table}")
+            finally:
+                st0.close()
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:

@@ -1,0 +1,48 @@
+"""Locate JDBC driver jars in standard local artifact caches.
+
+The engine's JDBC sections (jdbc_source / jdbc_dest — the
+postgres/mysql connector analogs, sections/postgres_connector/src/
+{source,destination}.rs) need a driver jar on the Spark classpath. In a
+deployment that jar arrives via ``spark.jars.packages``; offline, a
+previously-downloaded copy usually sits in a local Maven / Ivy /
+Coursier cache. This helper finds one so wire tests can run against a
+real driver when available and skip cleanly when not.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+
+def _cache_roots() -> list[str]:
+    roots = []
+    env = os.environ.get("MYCELIAL_JDBC_JARS")
+    if env:
+        roots.extend(env.split(os.pathsep))
+    home = os.path.expanduser("~")
+    roots.extend([
+        os.path.join(home, ".m2", "repository"),
+        os.path.join(home, ".ivy2"),
+        os.path.join(home, ".cache", "coursier"),
+    ])
+    spark_home = os.environ.get("SPARK_HOME")
+    if spark_home:
+        roots.append(os.path.join(spark_home, "jars"))
+    return [r for r in roots if os.path.isdir(r)]
+
+
+def find_jdbc_jar(artifact: str) -> str | None:
+    """Newest jar whose basename starts with ``artifact`` (e.g.
+    ``duckdb_jdbc``, ``postgresql``, ``sqlite-jdbc``) from the local
+    caches; None when absent. Source/javadoc jars are skipped."""
+    hits: list[str] = []
+    for root in _cache_roots():
+        hits.extend(
+            p for p in glob.glob(os.path.join(root, "**",
+                                              f"{artifact}*.jar"),
+                                 recursive=True)
+            if not p.endswith(("-sources.jar", "-javadoc.jar")))
+    if not hits:
+        return None
+    return max(hits, key=lambda p: (os.path.basename(p), p))

@@ -1,0 +1,145 @@
+"""JDBC wire e2e against a SECOND real engine: DuckDB over its JDBC
+driver (public Maven artifact org.duckdb:duckdb_jdbc, discovered in the
+local artifact caches — skipped cleanly when no jar is present).
+
+Derby (test_jdbc_derby.py) proves the jdbc_source/jdbc_dest machinery;
+this module proves the same sections against an engine with a
+PG-flavored type surface (UUID, JSON, DECIMAL, TIMESTAMP, BLOB — the
+types the reference's postgres connector maps at
+sections/postgres_connector/src/source.rs:263-385), exercising:
+
+- auto-DDL write + read-back roundtrip,
+- partitioned read with the min/max bounds probe,
+- native-type decode through the reference's to-string conventions,
+- the exactly-once stage/marker/publish transaction (replay skipped).
+
+The driver jar must be on the Spark JVM's boot classpath, so the whole
+scenario runs in a SUBPROCESS with its own SparkSession configured with
+spark.jars + extraClassPath; results come back as one JSON line.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from mycelial_spark.sources.jarfind import find_jdbc_jar
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = find_jdbc_jar("duckdb_jdbc")
+
+pytestmark = pytest.mark.skipif(
+    JAR is None, reason="no duckdb_jdbc jar in local artifact caches")
+
+SCRIPT = r"""
+import json, sys
+jar, db, repo = sys.argv[1:4]
+sys.path.insert(0, repo)
+
+# seed native-typed rows with the python driver BEFORE the JVM opens
+# the file (same storage version as the jdbc jar)
+import duckdb
+con = duckdb.connect(db)
+con.execute("CREATE TABLE typed (U UUID, J JSON, DEC DECIMAL(12,2), "
+            "TS TIMESTAMP, B BLOB, BI BIGINT)")
+con.execute("INSERT INTO typed VALUES ("
+            "'550e8400-e29b-41d4-a716-446655440000', "
+            "'{\"a\": 1}', 12345.67, TIMESTAMP '2001-02-03 04:05:06', "
+            "'\\xDE\\xAD'::BLOB, 42)")
+con.close()
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.jars", jar)
+         .config("spark.driver.extraClassPath", jar)
+         .config("spark.executor.extraClassPath", jar)
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+from mycelial_spark.plans.sections import REGISTRY
+url = f"jdbc:duckdb:{db}"
+DRIVER = "org.duckdb.DuckDBDriver"
+res = {}
+
+dest = REGISTRY.get("jdbc_dest")
+src = REGISTRY.get("jdbc_source")
+
+def read(query, **extra):
+    cfg = src.validate_config({"type": "jdbc_source", "url": url,
+                               "driver": DRIVER, "query": query, **extra})
+    return src.builder(spark, cfg)
+
+# -- auto-DDL write + roundtrip (single partition: duckdb is a local
+# single-file engine; concurrent writer txns would conflict)
+df = spark.range(40).coalesce(1).selectExpr(
+    "id AS ID", "cast(id * 1.5 as double) AS VAL",
+    "concat('n', id) AS NAME", "id % 2 = 0 AS FLAG",
+    "date_add(date'2020-01-01', cast(id as int)) AS D",
+    "cast(id as decimal(10,2)) AS DEC")
+cfg = dest.validate_config({"type": "jdbc_dest", "url": url,
+                            "table": "items", "driver": DRIVER,
+                            "ensure_table_ddl": True})
+res["write"] = dest.builder(spark, cfg, df)
+
+back = read("SELECT ID, VAL, NAME, FLAG, D, DEC FROM items",
+            partition_column="ID", num_partitions=4)
+res["parts"] = back.rdd.getNumPartitions()
+res["rows"] = back.count()
+r7 = [r for r in back.collect() if r["ID"] == 7][0]
+res["r7"] = [float(r7["VAL"]), r7["NAME"], bool(r7["FLAG"]),
+             str(r7["D"]), str(r7["DEC"])]
+
+# -- native types through the reference's string conventions (BLOB
+# reads as hex: duckdb-jdbc 1.0 does not implement ResultSet.getBytes)
+row = read("SELECT CAST(U AS VARCHAR) AS U, CAST(J AS VARCHAR) AS J, "
+           "DEC, TS, lower(hex(B)) AS B, BI FROM typed").collect()[0]
+res["typed"] = {"u": row["U"], "j": row["J"], "dec": str(row["DEC"]),
+                "ts": str(row["TS"]), "b": row["B"],
+                "bi": row["BI"]}
+
+# -- exactly-once: replayed batch publishes nothing, next batch appends
+cfgx = dest.validate_config({"type": "jdbc_dest", "url": url,
+                             "table": "ev", "driver": DRIVER,
+                             "exactly_once": True,
+                             "ensure_table_ddl": True})
+ev = df.selectExpr("ID", "NAME")
+o1 = dest.builder(spark, {**cfgx, "_batch": ["t", 0]}, ev)
+o2 = dest.builder(spark, {**cfgx, "_batch": ["t", 0]}, ev)
+o3 = dest.builder(spark, {**cfgx, "_batch": ["t", 1]}, ev)
+res["xonce"] = [o1["rows"]["ev"], o2["rows"]["ev"], o3["rows"]["ev"]]
+res["ev_count"] = read("SELECT count(*) AS N FROM ev").collect()[0]["N"]
+
+print("RESULT:" + json.dumps(res, default=str))
+"""
+
+
+def test_duckdb_jdbc_wire_e2e(tmp_path):
+    db = str(tmp_path / "wire.duckdb")
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT, JAR, db, REPO],
+        capture_output=True, text=True, timeout=540)
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("RESULT:")]
+    assert proc.returncode == 0 and lines, (
+        proc.stdout[-2000:], proc.stderr[-2000:])
+    res = json.loads(lines[-1][len("RESULT:"):])
+
+    assert res["write"]["tables"] == ["items"]
+    assert res["rows"] == 40
+    assert res["parts"] == 4                 # bounds probe partitioned it
+    assert res["r7"] == [10.5, "n7", False, "2020-01-08", "7.00"]
+
+    t = res["typed"]
+    assert t["u"] == "550e8400-e29b-41d4-a716-446655440000"
+    assert json.loads(t["j"]) == {"a": 1}
+    assert t["dec"] == "12345.67"
+    assert t["ts"] == "2001-02-03 04:05:06"
+    assert t["b"] == "dead"
+    assert int(t["bi"]) == 42    # BIGINT surfaces as DECIMAL(20,0)
+
+    assert res["xonce"] == [40, 0, 40]       # write, replay-skip, next
+    assert int(res["ev_count"]) == 80
