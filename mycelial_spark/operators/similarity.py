@@ -605,7 +605,14 @@ def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
          .partitionBy("ivf_cell").parquet(f"{path}/cells"))
     finally:
         pinned.unpersist()
-    _write_sidecar(df.sparkSession, path, meta)
+    # build-time cell histogram: the drift baseline ann_index_stats
+    # compares against (partition-column-only scan — reads no vectors)
+    spark = df.sparkSession
+    meta["cell_counts"] = {
+        str(r["ivf_cell"]): r["count"]
+        for r in spark.read.parquet(f"{path}/cells")
+                      .groupBy("ivf_cell").count().collect()}
+    _write_sidecar(spark, path, meta)
     return {"path": path, "n_centroids": n_centroids, "pq_m": pq_m}
 
 
@@ -656,3 +663,148 @@ def ann_append(df: DataFrame, path: str) -> dict:
     (assigned.write.mode("append")
      .partitionBy("ivf_cell").parquet(f"{path}/cells"))
     return {"path": path, "appended": True}
+
+
+def ann_index_stats(spark, path: str) -> dict:
+    """Index health for the append-only lifecycle: per-cell counts (a
+    partition-column-only scan — no vector bytes read), imbalance, and
+    DRIFT versus the build-time histogram stored in the sidecar.
+
+    - ``imbalance``: max cell / mean cell size. Searches scan whole
+      cells, so the biggest cell bounds worst-case probe latency.
+    - ``drift``: total-variation distance (0..1) between the build-time
+      and current cell DISTRIBUTIONS — appends that mirror the original
+      distribution keep it ~0 even as the index grows; it rises only
+      when new data concentrates somewhere the quantizer didn't expect.
+    Rule of thumb: imbalance > ~4 or drift > ~0.2 => split the hot
+    cells (ann_split_cell) or rebuild.
+    """
+    meta = ann_load_meta(path, spark)
+    cur = {int(r["ivf_cell"]): r["count"]
+           for r in spark.read.parquet(f"{path}/cells")
+                         .groupBy("ivf_cell").count().collect()}
+    total = sum(cur.values())
+    n_cells = len(meta["centroids"])
+    mean = total / n_cells if n_cells else 0.0
+    built = {int(k): v for k, v in meta.get("cell_counts", {}).items()}
+    built_total = sum(built.values())
+    drift = None
+    if built_total:
+        cells = set(cur) | set(built)
+        drift = 0.5 * sum(abs(cur.get(c, 0) / total
+                              - built.get(c, 0) / built_total)
+                          for c in cells)
+    return {"rows": total, "cells": cur, "n_centroids": n_cells,
+            "imbalance": (max(cur.values()) / mean) if cur else 0.0,
+            "empty_cells": n_cells - len(cur),
+            "drift": drift}
+
+
+def ann_compact(spark, path: str) -> dict:
+    """Compact an appended-to index: every append leaves one small file
+    per touched cell, so a long-lived index accrues per-cell file counts
+    that cost scan-open overhead. One repartition("ivf_cell") rewrite
+    collapses each cell to a single file; rows, cells, and the sidecar
+    are unchanged (dynamic partition overwrite rewrites only the cell
+    directories, preserving the sidecar next to them)."""
+    cells = f"{path}/cells"
+    df = spark.read.parquet(cells)
+    n_before = df.rdd.getNumPartitions()
+    # localCheckpoint: materialize BEFORE overwriting the path being
+    # read (executor-local spillable copy; maintenance-window op)
+    df = df.repartition("ivf_cell").localCheckpoint()
+    rows = df.count()
+    mode_conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_conf, None)
+    spark.conf.set(mode_conf, "dynamic")
+    try:
+        (df.write.mode("overwrite")
+         .partitionBy("ivf_cell").parquet(cells))
+    finally:
+        if prev is not None:
+            spark.conf.set(mode_conf, prev)
+    got = spark.read.parquet(cells).count()
+    if got != rows:
+        raise RuntimeError(f"ann_compact row count changed "
+                           f"({rows} -> {got})")
+    return {"path": path, "rows": int(rows),
+            "input_splits_before": n_before}
+
+
+def ann_split_cell(spark, path: str, cell: int,
+                   sample_n: int = 4096, seed: int = 42) -> dict:
+    """Split one oversized cell WITHOUT retraining the quantizer: a
+    seeded 2-means on (a sample of) that cell's vectors yields two child
+    centroids; the parent centroid slot is replaced by child A, child B
+    appends as a NEW cell id, and only the split cell's vectors are
+    reassigned and rewritten (dynamic partition overwrite touches just
+    the parent's directory plus the new one). Every other cell's files —
+    and any PQ codes, which encode the vectors themselves, not the cell
+    — stay byte-identical. This is the standard IVF maintenance move
+    when ann_index_stats flags a hot cell: growth is localized, so the
+    fix is too; a full rebuild is only warranted on global drift.
+    """
+    import numpy as np
+    meta = ann_load_meta(path, spark)
+    vec_col = meta["vec_col"]
+    if not 0 <= cell < len(meta["centroids"]):
+        raise ValueError(f"no such cell {cell}")
+    cells_path = f"{path}/cells"
+    part = (spark.read.parquet(cells_path)
+            .filter(F.col("ivf_cell") == cell))
+    rows = (part.select(F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.col(meta["id_col"])).limit(sample_n).collect())
+    if len(rows) < 2:
+        raise ValueError(f"cell {cell} has {len(rows)} rows; nothing to split")
+    X = np.array([r["v"] for r in rows])
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=2, replace=False)].copy()
+    for _ in range(10):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d.argmin(1)
+        for j in range(2):
+            pts = X[a == j]
+            if len(pts):
+                C[j] = pts.mean(0)
+    child_a = [float(x) for x in C[0]]
+    child_b = [float(x) for x in C[1]]
+    new_id = len(meta["centroids"])
+    # reassign ONLY this cell's rows between the two children
+    da = _sq_l2(F.col(vec_col).cast("array<double>"), child_a)
+    db = _sq_l2(F.col(vec_col).cast("array<double>"), child_b)
+    moved = part.withColumn(
+        "ivf_cell",
+        F.when(db < da, F.lit(new_id)).otherwise(F.lit(cell)))
+    # materialize before the dynamic overwrite of the source partitions
+    moved = moved.localCheckpoint()
+    mode_conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_conf, None)
+    spark.conf.set(mode_conf, "dynamic")
+    try:
+        (moved.write.mode("overwrite")
+         .partitionBy("ivf_cell").parquet(cells_path))
+    finally:
+        if prev is not None:
+            spark.conf.set(mode_conf, prev)
+    meta["centroids"][cell] = child_a
+    meta["centroids"].append(child_b)
+    meta["n_centroids"] = len(meta["centroids"])
+    # refresh the drift baseline for the two touched cells only
+    counts = meta.get("cell_counts", {})
+    new_counts = {int(r["ivf_cell"]): r["count"] for r in
+                  spark.read.parquet(cells_path)
+                  .filter(F.col("ivf_cell").isin([cell, new_id]))
+                  .groupBy("ivf_cell").count().collect()}
+    counts[str(cell)] = new_counts.get(cell, 0)
+    counts[str(new_id)] = new_counts.get(new_id, 0)
+    meta["cell_counts"] = counts
+    _write_sidecar(spark, path, meta)
+    return {"path": path, "split": cell, "new_cell": new_id,
+            "sizes": {cell: new_counts.get(cell, 0),
+                      new_id: new_counts.get(new_id, 0)}}
+
+
+def _sq_l2(vec: Column, centroid: list[float]) -> Column:
+    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0).cast("double"), lambda acc, e: acc + e)

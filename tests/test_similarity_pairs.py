@@ -138,3 +138,95 @@ def test_ann_append_grows_index_without_rebuild(spark, sf_dir, tmp_path):
     hits = {r["vec_id"] for r in
             ann_search(spark, idx, q, k=2, nprobe=4).collect()}
     assert novel.first()["vec_id"] in hits
+
+
+def test_ann_lifecycle_stats_split_and_compact(spark, sf_dir, tmp_path):
+    """Append-only lifecycle end-to-end: a 3x-appended index still
+    partition-prunes and recalls appended vectors; a skewed append is
+    visible in stats (imbalance + drift vs the build-time baseline);
+    splitting the hot cell rewrites ONLY that cell's files and restores
+    search; compaction collapses each cell to one file with rows and
+    results intact."""
+    import glob
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import (ann_build_index,
+                                                     ann_compact,
+                                                     ann_index_stats,
+                                                     ann_load_meta,
+                                                     ann_append,
+                                                     ann_search,
+                                                     ann_split_cell)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    n = emb.count()
+    idx = str(tmp_path / "life")
+    ann_build_index(emb, idx, n_centroids=4)
+    s0 = ann_index_stats(spark, idx)
+    assert s0["rows"] == n and s0["drift"] == 0.0
+
+    # -- grow 3x with distribution-preserving appends
+    for i in (1, 2, 3):
+        ann_append(emb.select((F.col("vec_id") + 100_000 * i)
+                              .alias("vec_id"), "embedding"), idx)
+    s1 = ann_index_stats(spark, idx)
+    assert s1["rows"] == 4 * n
+    assert s1["drift"] < 0.01          # same distribution => no drift
+
+    # pruning still physical after appends
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    meta = ann_load_meta(idx)
+    dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
+             for i, c in enumerate(meta["centroids"])]
+    probe = {str(i) for i, _ in sorted(dists, key=lambda t: t[1])[:2]}
+    scanned = (spark.read.parquet(f"{idx}/cells")
+               .filter(F.col("ivf_cell").isin(*[int(c) for c in probe]))
+               .select(F.input_file_name()).distinct().collect())
+    assert {re.search(r"ivf_cell=(\d+)", r[0]).group(1)
+            for r in scanned} <= probe
+    # recall holds: the original AND all 3 appended copies of the query
+    # vector surface (identical vectors => cosine 1)
+    got = {r["vec_id"] for r in ann_search(spark, idx, q, k=4,
+                                           nprobe=2).collect()}
+    base = emb.orderBy("vec_id").first()["vec_id"]
+    assert got == {base, base + 100_000, base + 200_000, base + 300_000}
+
+    # -- skewed append: pile copies of one vector into its cell
+    skew = emb.orderBy("vec_id").limit(1).select("embedding") \
+        .crossJoin(spark.range(300).select(
+            (F.col("id") + 900_000).alias("vec_id"))) \
+        .select("vec_id", "embedding")
+    ann_append(skew, idx)
+    s2 = ann_index_stats(spark, idx)
+    qcell = min(range(len(meta["centroids"])),
+                key=lambda i: sum((a - b) ** 2 for a, b in
+                                  zip(q, meta["centroids"][i])))
+    assert s2["cells"][qcell] - s1["cells"][qcell] == 300
+    assert s2["drift"] > 0.05          # growth concentrated in one cell
+
+    # -- split the hot cell: only its files change, search still right
+    hot = max(s2["cells"], key=s2["cells"].get)
+    untouched = {c: sorted(glob.glob(f"{idx}/cells/ivf_cell={c}/*.parquet"))
+                 for c in s2["cells"] if c != hot}
+    out = ann_split_cell(spark, idx, hot)
+    assert out["new_cell"] == 4
+    assert sum(out["sizes"].values()) == s2["cells"][hot]
+    for c, files in untouched.items():
+        assert sorted(glob.glob(
+            f"{idx}/cells/ivf_cell={c}/*.parquet")) == files
+    s3 = ann_index_stats(spark, idx)
+    assert s3["n_centroids"] == 5 and s3["rows"] == s2["rows"]
+    got = {r["vec_id"] for r in ann_search(spark, idx, q, k=4,
+                                           nprobe=2).collect()}
+    assert base in got
+
+    # -- compact: one file per cell, rows and search results unchanged
+    before = ann_search(spark, idx, q, k=4, nprobe=2).collect()
+    ann_compact(spark, idx)
+    for c in ann_index_stats(spark, idx)["cells"]:
+        assert len(glob.glob(f"{idx}/cells/ivf_cell={c}/*.parquet")) == 1
+    s4 = ann_index_stats(spark, idx)
+    assert s4["rows"] == s3["rows"]
+    assert ann_search(spark, idx, q, k=4, nprobe=2).collect() == before
