@@ -1,0 +1,132 @@
+"""Incrementally-maintained inverted index: the retrieval stack as a
+STREAMING destination.
+
+``build_inverted_index`` (operators/text.py) is the one-shot batch
+builder; this module keeps the same positional-postings structure live
+under a continuous document feed — the engine's incremental identity
+(persisted per-section state advanced per acknowledged batch, like the
+reference's watermark/ledger sections) applied to retrieval:
+
+- each micro-batch APPENDS its (token, doc, positions) postings and its
+  (doc, dl) length rows — never rewrites history;
+- redelivered docs (at-least-once replay) are dropped by an anti-join
+  against the persisted doc-length table, which doubles as the seen-doc
+  ledger (the incremental_dedup pattern);
+- BM25's corpus statistics (N, avgdl) REAGGREGATE from the tiny doclens
+  table per query — two longs per doc — instead of rescanning documents,
+  so scoring stays exact as the corpus grows;
+- appends accumulate small files; ``compact()`` folds each table in
+  place (sinks/compact.py machinery).
+
+Layout at ``path``: ``postings/`` (token, doc, positions parquet) and
+``doclens/`` (doc, dl parquet). At 100 TB the postings table is written
+bucketed by token so per-query posting lookups prune to the query's
+buckets; queries here prune by predicate pushdown on ``token``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.text import tokens
+
+
+class IncrementalInvertedIndex:
+    def __init__(self, path: str, text_col: str = "text",
+                 id_col: str = "doc_id"):
+        self.path = path
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @property
+    def _postings(self) -> str:
+        return os.path.join(self.path, "postings")
+
+    @property
+    def _doclens(self) -> str:
+        return os.path.join(self.path, "doclens")
+
+    def update(self, new_docs: DataFrame) -> dict:
+        """Index a micro-batch: unseen docs' postings and lengths append;
+        docs already in the ledger (replays) are skipped entirely.
+
+        The new-docs set is localCheckpoint'ed BEFORE either append so
+        the postings write cannot lazily re-read a ledger that already
+        contains this batch. Returns {docs_indexed, postings_appended}.
+        """
+        spark = new_docs.sparkSession
+        fresh = new_docs.select(self.id_col, self.text_col)
+        if os.path.exists(self._doclens):
+            seen = spark.read.parquet(self._doclens).select(self.id_col)
+            fresh = fresh.join(seen, self.id_col, "left_anti")
+        # first occurrence wins inside the batch too
+        fresh = fresh.dropDuplicates([self.id_col]).localCheckpoint()
+        n_docs = fresh.count()
+        if n_docs == 0:
+            return {"docs_indexed": 0, "postings_appended": 0}
+        post = (fresh.select(F.col(self.id_col),
+                             F.posexplode(tokens(F.col(self.text_col)))
+                              .alias("pos", "token"))
+                .groupBy("token", self.id_col)
+                .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+                .localCheckpoint())
+        n_post = post.count()
+        post.write.mode("append").parquet(self._postings)
+        (fresh.select(F.col(self.id_col),
+                      F.size(tokens(F.col(self.text_col)))
+                       .cast("double").alias("dl"))
+         .write.mode("append").parquet(self._doclens))
+        return {"docs_indexed": int(n_docs),
+                "postings_appended": int(n_post)}
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self._postings)
+
+    def corpus_stats(self, spark: SparkSession) -> tuple[int, float]:
+        row = (spark.read.parquet(self._doclens)
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.avg("dl").alias("avgdl")).collect()[0])
+        return int(row["n"]), float(row["avgdl"] or 1.0)
+
+    def bm25(self, spark: SparkSession, query: str,
+             k1: float = 1.2, b: float = 0.75) -> DataFrame:
+        """BM25 over the LIVE index: identical scoring arithmetic to
+        operators/text.py keyword_search_bm25, with N/avgdl
+        reaggregated from the doclens table (not the raw corpus)."""
+        toks = sorted({t for t in query.split() if t})
+        if not toks:
+            raise ValueError("empty query")
+        n_docs, avgdl = self.corpus_stats(spark)
+        post = (self.postings(spark).filter(F.col("token").isin(toks))
+                .select("token", self.id_col,
+                        F.size("positions").cast("double").alias("tf")))
+        dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5) + 1.0)
+        lens = spark.read.parquet(self._doclens)
+        scored = (post.join(F.broadcast(dfreq), "token")
+                  .join(lens, self.id_col)
+                  .withColumn("_term_score",
+                              idf * F.col("tf") * (k1 + 1)
+                              / (F.col("tf")
+                                 + k1 * (1 - b + b * F.col("dl") / avgdl))))
+        return (scored.groupBy(self.id_col)
+                .agg(F.round(F.sum("_term_score"), 6).alias("score"))
+                .orderBy(F.col("score").desc(), F.col(self.id_col).asc()))
+
+    def phrase(self, spark: SparkSession, phrase: str) -> DataFrame:
+        from mycelial_spark.operators.text import phrase_search
+        return phrase_search(self.postings(spark), phrase, self.id_col)
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold the per-batch append files (maintenance-window op; see
+        sinks/compact.py for the crash-safe swap protocol)."""
+        from mycelial_spark.sinks.compact import compact_parquet
+        out = {}
+        for sub in (self._postings, self._doclens):
+            if os.path.exists(sub):
+                out[os.path.basename(sub)] = compact_parquet(spark, sub)
+        return out

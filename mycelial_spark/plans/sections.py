@@ -728,6 +728,36 @@ def dedup_exact_(spark, cfg, inputs):
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
+@_register("inverted_index_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("text_col", default="text"),
+            Field("id_col", default="doc_id")],
+           doc="Streaming retrieval: incremental inverted-index "
+               "maintenance (operators/retrieval_stream.py). Each "
+               "delivered micro-batch appends unseen docs' positional "
+               "postings + doc lengths; replayed docs are dropped "
+               "against the doclens ledger; BM25 stats reaggregate from "
+               "doclens per query, never rescanning the corpus.")
+def inverted_index_dest(spark, cfg, df):
+    from mycelial_spark.operators.retrieval_stream import (
+        IncrementalInvertedIndex)
+    idx = IncrementalInvertedIndex(cfg["path"], cfg["text_col"],
+                                   cfg["id_col"])
+    return idx.update(df)
+
+
+@_register("bm25_search", "source", "none", "dataframe",
+           [Field("path"), Field("query"), Field("k1", "float", 1.2),
+            Field("b", "float", 0.75), Field("id_col", default="doc_id")],
+           doc="BM25 ranked retrieval over a persisted incremental "
+               "inverted index (inverted_index_dest's output) — query "
+               "the LIVE index without touching the raw corpus.")
+def bm25_search_(spark, cfg):
+    from mycelial_spark.operators.retrieval_stream import (
+        IncrementalInvertedIndex)
+    idx = IncrementalInvertedIndex(cfg["path"], id_col=cfg["id_col"])
+    return idx.bm25(spark, cfg["query"], cfg["k1"], cfg["b"])
+
+
 @_register("incremental_dedup", "transform", "dataframe", "dataframe",
            [Field("ledger_path"), Field("text_col", default="text"),
             Field("id_col", default="doc_id")],

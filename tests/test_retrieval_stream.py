@@ -1,0 +1,115 @@
+"""Incrementally-maintained inverted index: batch-equivalence to the
+one-shot builder, replay idempotence, live BM25/phrase, compaction, and
+the streaming pipeline wiring."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.retrieval_stream import IncrementalInvertedIndex
+
+DOCS1 = [(1, "spark shuffles data between stages"),
+         (2, "broadcast joins avoid the shuffle"),
+         (3, "the optimizer prunes parquet partitions")]
+DOCS2 = [(4, "shuffle partitions size the exchange"),
+         (5, "spark broadcast variables ship read only data")]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_index_matches_oneshot_bm25(spark, tmp_path):
+    """Two incremental updates == one batch build: identical BM25
+    scores (N/avgdl reaggregated from doclens, not the corpus) and
+    identical postings."""
+    from mycelial_spark.operators.text import (build_inverted_index,
+                                               keyword_search_bm25)
+    idx = IncrementalInvertedIndex(str(tmp_path / "idx"))
+    out1 = idx.update(_df(spark, DOCS1))
+    assert out1["docs_indexed"] == 3
+    out2 = idx.update(_df(spark, DOCS2))
+    assert out2["docs_indexed"] == 2
+
+    live = {(r["doc_id"], r["score"])
+            for r in idx.bm25(spark, "spark shuffle data").collect()}
+    full = _df(spark, DOCS1 + DOCS2)
+    batch = {(r["doc_id"], r["score"])
+             for r in keyword_search_bm25(build_inverted_index(full), full,
+                                          "spark shuffle data").collect()}
+    assert live == batch
+
+    live_post = {(r["token"], r["doc_id"], tuple(r["positions"]))
+                 for r in idx.postings(spark).collect()}
+    batch_post = {(r["token"], r["doc_id"], tuple(r["positions"]))
+                  for r in build_inverted_index(full).collect()}
+    assert live_post == batch_post
+
+
+def test_replayed_batch_indexes_nothing(spark, tmp_path):
+    """At-least-once redelivery: docs already in the ledger are dropped,
+    so scores never double-count a replay (and a mixed batch indexes
+    only its new docs)."""
+    idx = IncrementalInvertedIndex(str(tmp_path / "idx"))
+    idx.update(_df(spark, DOCS1))
+    before = idx.bm25(spark, "spark").collect()
+    assert idx.update(_df(spark, DOCS1)) == {"docs_indexed": 0,
+                                             "postings_appended": 0}
+    mixed = idx.update(_df(spark, DOCS1[:1] + DOCS2))
+    assert mixed["docs_indexed"] == 2
+    after = {r["doc_id"]: r["score"]
+             for r in idx.bm25(spark, "spark").collect()}
+    # doc 1's score changed only through corpus growth, not duplication:
+    # its tf is still 1, so the posting set holds one row per (tok, doc)
+    posts = idx.postings(spark).groupBy("token", "doc_id").count()
+    assert posts.filter(F.col("count") > 1).count() == 0
+    assert set(after) >= {r["doc_id"] for r in before}
+
+
+def test_phrase_and_compact_on_live_index(spark, tmp_path):
+    idx = IncrementalInvertedIndex(str(tmp_path / "idx"))
+    idx.update(_df(spark, DOCS1))
+    idx.update(_df(spark, DOCS2))
+    hits = {r["doc_id"]: r["n_matches"]
+            for r in idx.phrase(spark, "the shuffle").collect()}
+    assert hits == {2: 1}
+    before = idx.bm25(spark, "spark broadcast").collect()
+    out = idx.compact(spark)
+    assert out["postings"]["files_after"] == 1
+    assert out["doclens"]["files_after"] == 1
+    assert idx.bm25(spark, "spark broadcast").collect() == before
+    assert idx.phrase(spark, "the shuffle").count() == 1
+
+
+def test_streaming_pipeline_maintains_index(spark, tmp_path):
+    """End-to-end through the declarative streaming runner: a csv file
+    stream feeds inverted_index_dest per micro-batch; the bm25_search
+    SOURCE section then queries the live index."""
+    from mycelial_spark.plans.sections import REGISTRY
+    from mycelial_spark.streaming.runner import StreamingPipeline
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "a.csv").write_text(
+        "doc_id,text\n1,spark shuffles data\n2,broadcast joins\n")
+    (feed / "b.csv").write_text(
+        "doc_id,text\n3,spark broadcast data ships\n")
+    ipath = str(tmp_path / "idx")
+    spec = {
+        "nodes": {
+            "src": {"type": "csv_source", "path": str(feed)},
+            "dst": {"type": "inverted_index_dest", "path": ipath},
+        },
+        "edges": [["src", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    for q in sp.start(spark):
+        q.awaitTermination(60)
+        if q.isActive:
+            q.stop()
+
+    sdef = REGISTRY.get("bm25_search")
+    cfg = sdef.validate_config({"type": "bm25_search", "path": ipath,
+                                "query": "spark data"})
+    # csv_source is all-string (FromCsv semantics) => string doc ids
+    got = {r["doc_id"] for r in sdef.builder(spark, cfg).collect()}
+    assert got == {"1", "3"}
