@@ -78,6 +78,7 @@ HEADLINE = [
     "phrase_search",
     "keyword_search_bm25",
     "hybrid_search_rrf",
+    "lm_quality_score",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

@@ -370,3 +370,64 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
             .withColumn("fingerprint", F.xxhash64(norm))
             .withColumn("shingle_hashes", F.array_distinct(comb))
             .drop("_th", *shift_cols))
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram language-model quality scoring — the CCNet/KenLM-style
+# filter: score each document's average log-probability under a character
+# trigram LM; low scores flag gibberish, encoding damage, and
+# boilerplate. Everything is codegen + two hash aggregations; the model
+# is a (trigram, logp) table, broadcast when small.
+# ---------------------------------------------------------------------------
+
+def char_trigrams(col: Column | str) -> Column:
+    """Array of all character trigrams (empty below 3 chars — guarded
+    explicitly: Spark's sequence(1, 0) DESCENDS rather than returning
+    empty, which would fabricate trigrams for 1-2 char strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tg = F.transform(F.sequence(F.lit(1), F.length(c) - 2),
+                     lambda i: F.substr(c, i, F.lit(3)))
+    return F.when(F.length(c) >= 3, tg) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(df: DataFrame, text_col: str = "text",
+                  min_count: int = 1) -> DataFrame:
+    """Train a conditional character-trigram LM: one pass of trigram
+    counts, one tiny reaggregation for the 2-char context totals,
+    logp = ln(count(c1c2c3) / count(c1c2·)). Returns (tg, logp).
+
+    At corpus scale the model is bounded by the trigram vocabulary
+    (|charset|^3, not corpus size); ``min_count`` prunes the long tail
+    so the table stays broadcastable. Deterministic: pure counting.
+    """
+    tri = (df.select(F.explode(char_trigrams(F.col(text_col))).alias("tg"))
+           .groupBy("tg").agg(F.count(F.lit(1)).alias("c")))
+    if min_count > 1:
+        tri = tri.filter(F.col("c") >= min_count)
+    ctx = (tri.groupBy(F.substring("tg", 1, 2).alias("cx"))
+           .agg(F.sum("c").alias("cc")))
+    return (tri.withColumn("cx", F.substring("tg", 1, 2))
+            .join(ctx, "cx")
+            .select("tg", F.log(F.col("c") / F.col("cc")).alias("logp")))
+
+
+def score_char_lm(df: DataFrame, model: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  floor_logp: float = -20.0,
+                  broadcast_model: bool = True) -> DataFrame:
+    """Score docs under a trained LM: explode trigrams, join the model
+    (broadcast by default — a pruned trigram table is KBs-MBs; pass
+    False past that to hash-join on tg), average the log-probs; unseen
+    trigrams score ``floor_logp`` (the out-of-vocabulary penalty).
+    Returns (id_col, n_trigrams, avg_logp) — docs shorter than 3 chars
+    have no trigrams and drop out, exactly like the SQL oracle's join.
+    """
+    m = F.broadcast(model) if broadcast_model else model
+    tri = df.select(F.col(id_col),
+                    F.explode(char_trigrams(F.col(text_col))).alias("tg"))
+    scored = tri.join(m, "tg", "left") \
+                .withColumn("logp", F.coalesce("logp", F.lit(floor_logp)))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                 F.round(F.avg("logp"), 4).alias("avg_logp")))

@@ -728,6 +728,23 @@ def dedup_exact_(spark, cfg, inputs):
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
+@_register("char_lm_score", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("min_count", "int", 1),
+            Field("floor_logp", "float", -20.0)],
+           doc="CCNet-style LM quality scoring: character-trigram LM "
+               "trained on the input corpus, every doc scored by avg "
+               "log-prob (operators/text.py train_char_lm/score_char_lm); "
+               "min_count prunes the model's tail, floor_logp is the "
+               "out-of-vocabulary penalty.")
+def char_lm_score_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import score_char_lm, train_char_lm
+    model = train_char_lm(inputs[0], cfg["text_col"], cfg["min_count"])
+    return score_char_lm(inputs[0], model, cfg["text_col"], cfg["id_col"],
+                         cfg["floor_logp"])
+
+
 @_register("inverted_index_dest", "destination", "dataframe", "none",
            [Field("path"), Field("text_col", default="text"),
             Field("id_col", default="doc_id")],

@@ -1009,6 +1009,38 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "quality_score")
 
 
+@query("lm_quality_score", """
+WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+tri AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(text) - 1),
+                               i -> substr(text, i, 3))) AS tg
+  FROM t
+), counts AS (SELECT tg, count(*) AS c FROM tri GROUP BY tg),
+ctx AS (SELECT substr(tg, 1, 2) AS cx, sum(c) AS cc
+        FROM counts GROUP BY cx),
+model AS (
+  SELECT tg, ln(c * 1.0 / cc) AS lp
+  FROM counts JOIN ctx ON substr(tg, 1, 2) = cx
+)
+SELECT doc_id, count(*) AS n_trigrams, round(avg(lp), 4) AS avg_logp
+FROM tri JOIN model USING (tg)
+GROUP BY doc_id
+""")
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/KenLM-style LM quality filter: every document scored by its
+    average log-probability under a character-trigram LM trained on the
+    corpus itself — low scores flag gibberish, encoding damage, and
+    unusual boilerplate. Two hash aggregations build the model (bounded
+    by trigram vocabulary, not corpus size), one broadcast join scores;
+    the oracle retrains the identical model in SQL (pure counting, so
+    both engines derive the same conditional probabilities)."""
+    from mycelial_spark.operators.text import score_char_lm, train_char_lm
+    docs = _t(spark, sf_dir, "documents")
+    model = train_char_lm(docs)
+    return score_char_lm(docs, model)
+
+
 @query("similarity_topk", """
 WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id,

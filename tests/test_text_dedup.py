@@ -456,3 +456,34 @@ def test_bm25_ranks_rare_term_docs_higher(spark):
     assert {r["doc_id"] for r in ranked} == {1, 2, 3, 4}
     assert all(ranked[i]["score"] >= ranked[i + 1]["score"]
                for i in range(len(ranked) - 1))
+
+
+def test_char_lm_scores_gibberish_below_natural_text(spark):
+    """The LM filter's point: trained on mostly-natural text, repeated
+    natural docs score high, a gibberish doc scores low; unseen
+    trigrams in NEW docs take the floor penalty."""
+    from mycelial_spark.operators.text import score_char_lm, train_char_lm
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+        + [(100, "zq xv qq zx jq vx zzq xqv")],
+        "doc_id long, text string")
+    model = train_char_lm(docs)
+    scores = {r["doc_id"]: r["avg_logp"]
+              for r in score_char_lm(docs, model).collect()}
+    assert scores[0] > scores[100]
+
+    # scoring OUT-OF-CORPUS text: unseen trigrams take floor_logp
+    new = spark.createDataFrame([(200, "W@# unseen ###")],
+                                "doc_id long, text string")
+    row = score_char_lm(new, model, floor_logp=-20.0).collect()[0]
+    assert row["avg_logp"] < -5      # dominated by floor penalties
+    assert row["n_trigrams"] == len("W@# unseen ###") - 2
+
+    # docs under 3 chars produce no trigrams and drop out
+    tiny = spark.createDataFrame([(300, "ab")], "doc_id long, text string")
+    assert score_char_lm(tiny, model).count() == 0
+
+    # min_count prunes the model tail
+    full = train_char_lm(docs).count()
+    pruned = train_char_lm(docs, min_count=8).count()
+    assert 0 < pruned < full
