@@ -15,6 +15,9 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run compact <dir> [--files=N] [--sort=c1,c2]
   python -m mycelial_spark.run replay-dlq <pipeline> --dead-letter=DIR \\
       [--task=ID]
+  python -m mycelial_spark.run ann-stats <index>       # drift/imbalance
+  python -m mycelial_spark.run ann-compact <index>     # 1 file per cell
+  python -m mycelial_spark.run ann-split <index> --cell=N
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
 """
@@ -49,7 +52,9 @@ def main(argv: list[str]) -> int:
               "       python -m mycelial_spark.run compact <dir> "
               "[--files=N] [--sort=c1,c2]\n"
               "       python -m mycelial_spark.run replay-dlq <pipeline> "
-              "--dead-letter=DIR [--task=ID]",
+              "--dead-letter=DIR [--task=ID]\n"
+              "       python -m mycelial_spark.run "
+              "ann-stats|ann-compact|ann-split <index> [--cell=N]",
               file=sys.stderr)
         return 2
 
@@ -66,6 +71,20 @@ def main(argv: list[str]) -> int:
                               target_files=int(opts.get("files", 1)),
                               sort_by=sort_by or None,
                               compression=opts.get("compression"))
+        print(json.dumps(out))
+        return 0
+
+    if args[0] in ("ann-stats", "ann-compact", "ann-split"):
+        if len(args) < 2 or (args[0] == "ann-split" and "cell" not in opts):
+            return usage()
+        from mycelial_spark.operators import similarity as S
+        spark = get_spark("mycelial-ann-maintenance")
+        if args[0] == "ann-stats":
+            out = S.ann_index_stats(spark, args[1])
+        elif args[0] == "ann-compact":
+            out = S.ann_compact(spark, args[1])
+        else:
+            out = S.ann_split_cell(spark, args[1], int(opts["cell"]))
         print(json.dumps(out))
         return 0
 

@@ -137,3 +137,29 @@ def test_cli_replay_dlq_subcommand(spark, tmp_path, capsys):
     assert out["batches_replayed"] >= 1
     with sqlite3.connect(str(db_dir / "o.db")) as conn:
         assert conn.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+
+
+def test_cli_ann_maintenance_subcommands(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+
+    from mycelial_spark.operators.similarity import ann_build_index
+    from mycelial_spark.run import main
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "annx")
+    ann_build_index(emb, idx, n_centroids=4)
+
+    assert main(["ann-stats", idx]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows"] == emb.count() and stats["drift"] == 0.0
+
+    hot = max(stats["cells"], key=stats["cells"].get)
+    assert main(["ann-split", idx, f"--cell={hot}"]) == 0
+    split = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert split["new_cell"] == 4
+
+    assert main(["ann-compact", idx]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows"] == emb.count()
+
+    assert main(["ann-split", idx]) == 2             # usage: missing --cell

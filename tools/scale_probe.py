@@ -53,6 +53,11 @@ def scaled_docs(spark, sf_dir: str, factor: int):
                         woven.alias("text")))
 
 
+def _char_lm(d):
+    from mycelial_spark.operators.text import score_char_lm, train_char_lm
+    return score_char_lm(d, train_char_lm(d))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
@@ -88,6 +93,10 @@ def main() -> None:
         "paragraph_dedup": lambda d: paragraph_dedup(chunk_paragraphs(d)),
         "doc_fingerprint": lambda d: with_fingerprint(d).select(
             "doc_id", "fingerprint", F.size("shingle_hashes").alias("n")),
+        # LM filter: model (two hash aggs, vocabulary-bounded) retrained
+        # per factor + broadcast-join scoring — cost should track the
+        # trigram count (~corpus bytes), model size should NOT
+        "char_lm_score": lambda d: _char_lm(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
