@@ -156,3 +156,36 @@ def test_q9_no_nested_loop_and_dims_broadcast(spark):
     import inspect
     src = inspect.getsource(REGISTRY["q9_product_profit"].fn)
     assert "broadcast(ps" not in src, "q9 must not force-broadcast partsupp"
+
+
+def test_lm_quality_score_broadcast_model_budget(spark):
+    """The LM filter's plan at scale: the model and context tables
+    BROADCAST onto the exploded trigram stream (a shuffle join there
+    would move the 1000x-bigger trigram side), no nested loop, and the
+    shuffle budget is the three aggregations (trigram counts, context
+    totals, per-doc average) plus AQE bookkeeping."""
+    a = audit(plan_of(spark, "lm_quality_score"))
+    assert a["bhj"] >= 2, "model + context joins must broadcast"
+    assert a["smj"] == 0 and a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["exchanges"] <= 4
+
+
+def test_simhash_portable_same_plan_shape_as_fast_path(spark):
+    """The oracle-checkable md5 mode must not change the PLAN: one
+    banded self-join (broadcast at fixture size), candidate dedup +
+    verify — the same shape as the xxhash64 production path, whatever
+    the hash family costs per row."""
+    from mycelial_spark.operators.dedup import simhash_near_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    def shape(df):
+        p = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        a = audit(p)
+        return (a["bnlj"], a["cartesian"], a["bhj"] + a["smj"])
+
+    fast = shape(simhash_near_pairs(docs, max_hamming=8))
+    portable = shape(simhash_near_pairs(docs, max_hamming=8, bits=60,
+                                        bands=10, token_hash="md5"))
+    assert fast == portable
+    assert fast[0] == 0 and fast[1] == 0
