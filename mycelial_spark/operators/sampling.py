@@ -84,3 +84,49 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
                 else frac.when(cond, F.lit(f * 100.0)))
     frac = frac.otherwise(F.lit(default_fraction * 100.0))
     return df.filter(b < frac)
+
+
+def pack_greedy(df: DataFrame, max_tokens: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                n_buckets: int = 8) -> DataFrame:
+    """Doc-preserving greedy sequence packing — the training-batch
+    assembly step: documents are packed in id order into sequences of at
+    most ``max_tokens`` whitespace tokens; a doc that would overflow the
+    open sequence starts the next one (an oversized doc gets a sequence
+    of its own, never split).
+
+    Greedy-reset accumulation is inherently sequential, which Spark's
+    windows can't express — so the corpus splits into ``n_buckets``
+    INDEPENDENT streams (``id % n_buckets``, trivially reproducible in
+    SQL) and each bucket packs sequentially inside one Arrow-batched
+    applyInPandas group. That is the scale story: parallelism comes from
+    the bucket count (pick ~4x the cluster's cores), determinism from
+    the (bucket, id) order — partitioning and row order never change the
+    result. Returns (id_col, bucket, seq_in_bucket, dl); the global
+    sequence key is (bucket, seq_in_bucket).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    import pandas as pd
+
+    from mycelial_spark.operators.text import tokens
+    sized = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
+        F.size(tokens(F.col(text_col))).cast("int").alias("dl"))
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        seq, acc, out = 0, 0, []
+        for dl in pdf["dl"]:
+            if acc > 0 and acc + dl > max_tokens:
+                seq += 1
+                acc = 0
+            acc += dl
+            out.append(seq)
+        pdf["seq_in_bucket"] = pd.Series(out, dtype="int32")
+        return pdf
+
+    schema = f"{id_col} long, bucket int, dl int, seq_in_bucket int"
+    return (sized.groupBy("bucket").applyInPandas(_pack, schema)
+            .select(id_col, "bucket", "seq_in_bucket", "dl"))

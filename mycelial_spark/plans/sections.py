@@ -728,6 +728,21 @@ def dedup_exact_(spark, cfg, inputs):
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
+@_register("pack_sequences", "transform", "dataframe", "dataframe",
+           [Field("max_tokens", "int", 1024),
+            Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("n_buckets", "int", 8)],
+           doc="Greedy doc-preserving sequence packing for training-batch "
+               "assembly (operators/sampling.py pack_greedy): id%n_buckets "
+               "independent streams, each packed sequentially in one "
+               "applyInPandas group; deterministic under any partitioning.")
+def pack_sequences_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import pack_greedy
+    return pack_greedy(inputs[0], cfg["max_tokens"], cfg["text_col"],
+                       cfg["id_col"], cfg["n_buckets"])
+
+
 @_register("char_lm_score", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"),
             Field("id_col", default="doc_id"),

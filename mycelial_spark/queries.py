@@ -1009,6 +1009,36 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "quality_score")
 
 
+@query("pack_sequences", """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              t -> t != '')) AS INT) AS dl
+  FROM documents
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM docs
+), pack(bucket, rn, doc_id, dl, acc, seq) AS (
+  SELECT bucket, rn, doc_id, dl, dl, 0 FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.dl,
+         CASE WHEN p.acc + o.dl > 512 THEN o.dl ELSE p.acc + o.dl END,
+         CASE WHEN p.acc + o.dl > 512 THEN p.seq + 1 ELSE p.seq END
+  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, CAST(seq AS INT) AS seq_in_bucket, dl FROM pack
+""")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch assembly: greedy doc-preserving sequence packing
+    at 512 tokens over 8 independent id%8 bucket streams. The
+    greedy-reset accumulator is inherently sequential, so each bucket
+    packs inside one Arrow-batched applyInPandas group — parallelism
+    from bucket count, determinism from (bucket, id) order. The oracle
+    replays the identical greedy recurrence as a recursive CTE."""
+    from mycelial_spark.operators.sampling import pack_greedy
+    return pack_greedy(_t(spark, sf_dir, "documents"), max_tokens=512)
+
+
 @query("lm_quality_score", """
 WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
 tri AS (

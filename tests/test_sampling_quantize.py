@@ -79,3 +79,44 @@ def test_split_is_total_partition(spark, weights, seed):
     rows = out.collect()
     assert len(rows) == 300
     assert {r.split for r in rows} <= set(weights)
+
+
+def test_pack_greedy_respects_cap_and_is_partition_invariant(spark):
+    """Greedy packing: no sequence exceeds the cap unless it is a single
+    oversized doc; packing is a pure function of (bucket, id) order —
+    the same result under any input partitioning; oversized docs sit
+    alone."""
+    import pytest as _pytest
+
+    from mycelial_spark.operators.sampling import pack_greedy
+    rows = [(i, " ".join(["tok"] * n)) for i, n in
+            [(0, 30), (8, 40), (16, 50), (24, 90),     # bucket 0
+             (1, 200), (9, 10), (17, 10),              # bucket 1 (oversized)
+             (2, 64), (10, 64), (18, 64)]]             # bucket 2 exact fits
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_greedy(df, max_tokens=100, n_buckets=8)
+    got = {r["doc_id"]: (r["bucket"], r["seq_in_bucket"], r["dl"])
+           for r in out.collect()}
+    # bucket 0: 30+40 fit; 50 would overflow -> seq 1; 90 -> seq 2
+    assert [got[i][1] for i in (0, 8, 16, 24)] == [0, 0, 1, 2]
+    # bucket 1: the 200-token doc is ALONE in seq 0 (never split),
+    # the two 10-token docs share seq 1
+    assert [got[i][1] for i in (1, 9, 17)] == [0, 1, 1]
+    # bucket 2: 64+64 > 100 -> each opens a new sequence except pairing
+    assert [got[i][1] for i in (2, 10, 18)] == [0, 1, 2]
+
+    # per-sequence totals: <= cap unless the sequence is one oversized doc
+    import collections
+    totals = collections.defaultdict(list)
+    for d, (b, s, dl) in got.items():
+        totals[(b, s)].append(dl)
+    for (b, s), dls in totals.items():
+        assert sum(dls) <= 100 or len(dls) == 1
+
+    # partitioning invariance
+    scrambled = pack_greedy(df.repartition(7), max_tokens=100, n_buckets=8)
+    assert {tuple(r) for r in scrambled.collect()} == \
+           {tuple(r) for r in out.collect()}
+
+    with _pytest.raises(ValueError, match="max_tokens"):
+        pack_greedy(df, max_tokens=0)
