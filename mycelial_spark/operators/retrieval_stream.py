@@ -34,6 +34,19 @@ from pyspark.sql import functions as F
 from mycelial_spark.operators.text import tokens
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the path's OWN filesystem — os.path only
+    sees the driver's local disk, which on hdfs://-s3a:// paths would
+    silently report the ledger absent and disable replay dedup."""
+    import re
+    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 class IncrementalInvertedIndex:
     def __init__(self, path: str, text_col: str = "text",
                  id_col: str = "doc_id"):
@@ -43,15 +56,25 @@ class IncrementalInvertedIndex:
 
     @property
     def _postings(self) -> str:
-        return os.path.join(self.path, "postings")
+        return f"{self.path.rstrip('/')}/postings"
 
     @property
     def _doclens(self) -> str:
-        return os.path.join(self.path, "doclens")
+        return f"{self.path.rstrip('/')}/doclens"
 
     def update(self, new_docs: DataFrame) -> dict:
         """Index a micro-batch: unseen docs' postings and lengths append;
         docs already in the ledger (replays) are skipped entirely.
+
+        Crash-safety across the TWO appends: the doclens append runs
+        LAST and is the commit point — a posting row whose doc is not in
+        doclens is an orphan from a crashed update, invisible to every
+        reader (``postings()`` semi-joins the ledger). The replay that
+        redelivers the crashed batch ADOPTS those orphans instead of
+        re-appending them (the postings append is itself anti-joined
+        against docs already present in the postings table), then the
+        doclens append makes them visible. So at-least-once redelivery
+        yields exactly-once indexing in every crash window.
 
         The new-docs set is localCheckpoint'ed BEFORE either append so
         the postings write cannot lazily re-read a ledger that already
@@ -59,7 +82,7 @@ class IncrementalInvertedIndex:
         """
         spark = new_docs.sparkSession
         fresh = new_docs.select(self.id_col, self.text_col)
-        if os.path.exists(self._doclens):
+        if _fs_exists(spark, self._doclens):
             seen = spark.read.parquet(self._doclens).select(self.id_col)
             fresh = fresh.join(seen, self.id_col, "left_anti")
         # first occurrence wins inside the batch too
@@ -67,14 +90,22 @@ class IncrementalInvertedIndex:
         n_docs = fresh.count()
         if n_docs == 0:
             return {"docs_indexed": 0, "postings_appended": 0}
-        post = (fresh.select(F.col(self.id_col),
-                             F.posexplode(tokens(F.col(self.text_col)))
-                              .alias("pos", "token"))
+        need_post = fresh
+        if _fs_exists(spark, self._postings):
+            # orphan adoption: docs whose postings landed before a crash
+            # (absent from doclens, present in postings) skip re-append
+            posted = (spark.read.parquet(self._postings)
+                      .select(self.id_col).distinct())
+            need_post = fresh.join(posted, self.id_col, "left_anti")
+        post = (need_post.select(F.col(self.id_col),
+                                 F.posexplode(tokens(F.col(self.text_col)))
+                                  .alias("pos", "token"))
                 .groupBy("token", self.id_col)
                 .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
                 .localCheckpoint())
         n_post = post.count()
-        post.write.mode("append").parquet(self._postings)
+        if n_post:
+            post.write.mode("append").parquet(self._postings)
         (fresh.select(F.col(self.id_col),
                       F.size(tokens(F.col(self.text_col)))
                        .cast("double").alias("dl"))
@@ -83,7 +114,11 @@ class IncrementalInvertedIndex:
                 "postings_appended": int(n_post)}
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self._postings)
+        """Committed postings only: rows for docs the doclens ledger
+        never committed (orphans of a crashed update) are filtered out."""
+        raw = spark.read.parquet(self._postings)
+        committed = spark.read.parquet(self._doclens).select(self.id_col)
+        return raw.join(committed, self.id_col, "left_semi")
 
     def corpus_stats(self, spark: SparkSession) -> tuple[int, float]:
         row = (spark.read.parquet(self._doclens)
@@ -127,6 +162,9 @@ class IncrementalInvertedIndex:
         from mycelial_spark.sinks.compact import compact_parquet
         out = {}
         for sub in (self._postings, self._doclens):
-            if os.path.exists(sub):
-                out[os.path.basename(sub)] = compact_parquet(spark, sub)
+            if _fs_exists(spark, sub):
+                # compact_parquet is LOCAL-only and refuses remote paths
+                # loudly — at object-store scale compaction belongs to a
+                # table format's commit protocol
+                out[sub.rsplit("/", 1)[-1]] = compact_parquet(spark, sub)
         return out

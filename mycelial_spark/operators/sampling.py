@@ -116,13 +116,21 @@ def pack_greedy(df: DataFrame, max_tokens: int,
         F.size(tokens(F.col(text_col))).cast("int").alias("dl"))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # EXACTLY the oracle's recurrence (first doc opens seq 0 with
+        # acc=dl; every later doc: overflow => seq+1, acc=dl). A
+        # tempting `acc > 0` guard diverges from it when zero-token
+        # docs precede an oversized one — keep the two in lockstep.
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        seq, acc, out = 0, 0, []
-        for dl in pdf["dl"]:
-            if acc > 0 and acc + dl > max_tokens:
+        out = []
+        seq, acc = 0, 0
+        for i, dl in enumerate(pdf["dl"]):
+            if i == 0:
+                acc = dl
+            elif acc + dl > max_tokens:
                 seq += 1
-                acc = 0
-            acc += dl
+                acc = dl
+            else:
+                acc += dl
             out.append(seq)
         pdf["seq_in_bucket"] = pd.Series(out, dtype="int32")
         return pdf

@@ -148,10 +148,14 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
                         F.col("nrm").alias("na"), "lsh_bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
                         F.col("nrm").alias("nb"), "lsh_bucket")
+    # HOF dot, not dot_np: this query carries a hash-matching oracle, and
+    # the HOF's sequential left-to-right summation is bit-identical to
+    # the oracle engine's list_dot_product — numpy's pairwise order can
+    # flip a 6th-decimal rounding or a threshold boundary
     return (a.join(b, ["lsh_bucket"])
              .filter(F.col("id_a") < F.col("id_b"))
              .withColumn("cos_sim",
-                         F.round(dot_np(F.col("va"), F.col("vb"))
+                         F.round(dot(F.col("va"), F.col("vb"))
                                  / (F.col("na") * F.col("nb")), 6))
              .filter(F.col("cos_sim") >= threshold)
              # one signature per vector => a pair shares at most one bucket,
@@ -634,6 +638,12 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
     dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
              for i, c in enumerate(meta["centroids"])]
     probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+    ps = meta.get("pending_split")
+    if ps and ps["cell"] in probe:
+        # a split is mid-flight: its rows may sit in the parent OR the
+        # new cell, so probing the parent must take both directories
+        # until the split commits
+        probe.append(ps["new_id"])
     cells = spark.read.parquet(f"{path}/cells") \
                  .filter(F.col("ivf_cell").isin(probe))
     if use_pq:
@@ -714,15 +724,9 @@ def ann_compact(spark, path: str) -> dict:
     # read (executor-local spillable copy; maintenance-window op)
     df = df.repartition("ivf_cell").localCheckpoint()
     rows = df.count()
-    mode_conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_conf, None)
-    spark.conf.set(mode_conf, "dynamic")
-    try:
+    with _dynamic_partition_overwrite(spark):
         (df.write.mode("overwrite")
          .partitionBy("ivf_cell").parquet(cells))
-    finally:
-        if prev is not None:
-            spark.conf.set(mode_conf, prev)
     got = spark.read.parquet(cells).count()
     if got != rows:
         raise RuntimeError(f"ann_compact row count changed "
@@ -743,9 +747,24 @@ def ann_split_cell(spark, path: str, cell: int,
     — stay byte-identical. This is the standard IVF maintenance move
     when ann_index_stats flags a hot cell: growth is localized, so the
     fix is too; a full rebuild is only warranted on global drift.
+
+    Crash-safe in the compact.py marker style: the sidecar records
+    ``pending_split`` (children + new id) BEFORE any data moves; during
+    that window ann_search probes the new cell alongside its parent (so
+    half-moved rows stay reachable), the data rewrite is idempotent
+    (it re-reads BOTH cells and reassigns deterministically), and a
+    later ann_split_cell call on the same index resumes the pending
+    split before doing anything else. The sidecar's centroid list only
+    changes at the final commit.
     """
-    import numpy as np
     meta = ann_load_meta(path, spark)
+    pending = meta.get("pending_split")
+    if pending:
+        out = _split_resume(spark, path, meta)
+        if pending["cell"] == cell:
+            return out
+        meta = ann_load_meta(path, spark)
+    import numpy as np
     vec_col = meta["vec_col"]
     if not 0 <= cell < len(meta["centroids"]):
         raise ValueError(f"no such cell {cell}")
@@ -766,30 +785,44 @@ def ann_split_cell(spark, path: str, cell: int,
             pts = X[a == j]
             if len(pts):
                 C[j] = pts.mean(0)
-    child_a = [float(x) for x in C[0]]
-    child_b = [float(x) for x in C[1]]
-    new_id = len(meta["centroids"])
-    # reassign ONLY this cell's rows between the two children
-    da = _sq_l2(F.col(vec_col).cast("array<double>"), child_a)
-    db = _sq_l2(F.col(vec_col).cast("array<double>"), child_b)
-    moved = part.withColumn(
+    # phase 1 — intent marker: children + new id are durable before any
+    # row moves; searches now probe parent AND new cell until commit
+    meta["pending_split"] = {"cell": cell,
+                             "new_id": len(meta["centroids"]),
+                             "child_a": [float(x) for x in C[0]],
+                             "child_b": [float(x) for x in C[1]]}
+    _write_sidecar(spark, path, meta)
+    return _split_resume(spark, path, meta)
+
+
+def _split_resume(spark, path: str, meta: dict) -> dict:
+    """Phases 2-3 of a split (also the crash-recovery entry): reassign
+    the parent+new cells' rows between the recorded children (reading
+    BOTH cells makes the rewrite idempotent — a dynamic overwrite of
+    the new cell from parent-only rows would drop rows moved by a
+    crashed earlier attempt), then commit the sidecar: parent centroid
+    := child A, child B appended, marker cleared."""
+    ps = meta["pending_split"]
+    cell, new_id = ps["cell"], ps["new_id"]
+    vec_col = meta["vec_col"]
+    cells_path = f"{path}/cells"
+    both = (spark.read.parquet(cells_path)
+            .filter(F.col("ivf_cell").isin([cell, new_id])))
+    da = _sq_l2(F.col(vec_col).cast("array<double>"), ps["child_a"])
+    db = _sq_l2(F.col(vec_col).cast("array<double>"), ps["child_b"])
+    moved = both.withColumn(
         "ivf_cell",
         F.when(db < da, F.lit(new_id)).otherwise(F.lit(cell)))
     # materialize before the dynamic overwrite of the source partitions
     moved = moved.localCheckpoint()
-    mode_conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_conf, None)
-    spark.conf.set(mode_conf, "dynamic")
-    try:
+    with _dynamic_partition_overwrite(spark):
         (moved.write.mode("overwrite")
          .partitionBy("ivf_cell").parquet(cells_path))
-    finally:
-        if prev is not None:
-            spark.conf.set(mode_conf, prev)
-    meta["centroids"][cell] = child_a
-    meta["centroids"].append(child_b)
+    # phase 3 — commit: centroids updated and marker cleared atomically
+    # (one sidecar replace)
+    meta["centroids"][cell] = ps["child_a"]
+    meta["centroids"].append(ps["child_b"])
     meta["n_centroids"] = len(meta["centroids"])
-    # refresh the drift baseline for the two touched cells only
     counts = meta.get("cell_counts", {})
     new_counts = {int(r["ivf_cell"]): r["count"] for r in
                   spark.read.parquet(cells_path)
@@ -798,10 +831,34 @@ def ann_split_cell(spark, path: str, cell: int,
     counts[str(cell)] = new_counts.get(cell, 0)
     counts[str(new_id)] = new_counts.get(new_id, 0)
     meta["cell_counts"] = counts
+    del meta["pending_split"]
     _write_sidecar(spark, path, meta)
     return {"path": path, "split": cell, "new_cell": new_id,
             "sizes": {cell: new_counts.get(cell, 0),
                       new_id: new_counts.get(new_id, 0)}}
+
+
+class _dynamic_partition_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic that
+    restores the PREVIOUS state exactly — including unsetting the key
+    when it was never set (a plain set-back-to-default would leave
+    dynamic mode active session-wide, turning later full-index
+    overwrites into partial ones that keep stale cell directories)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.key = "spark.sql.sources.partitionOverwriteMode"
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, "dynamic")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
 
 
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:

@@ -1572,13 +1572,15 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
     already published => rollback and skip. Rows never flow through the
     driver; the publish is a server-side set operation.
 
-    Identifiers are used UNQUOTED so database case-folding matches the
-    Spark writer's. The publish names its columns explicitly on both
-    sides of INSERT..SELECT: a pre-existing target whose columns were
-    created in a different order (e.g. by the at-least-once path's
-    auto-DDL from an earlier schema) still receives every value in the
-    right column, and a genuinely missing column fails fast with the
-    database's named-column error instead of silently cross-loading."""
+    TABLE names are used unquoted (restricted to plain identifiers, so
+    database case-folding matches the Spark writer's); COLUMN names are
+    QUOTED to match the writer's quoted-case DDL. The publish names its
+    columns explicitly on both sides of INSERT..SELECT: a pre-existing
+    target whose columns were created in a different order (e.g. by the
+    at-least-once path's auto-DDL from an earlier schema) still receives
+    every value in the right column, and a genuinely missing column
+    fails fast with the database's named-column error instead of
+    silently cross-loading."""
     import re as _re
     if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", table):
         # table may come from an ORIGIN value (route_by_origin); it is
@@ -1597,7 +1599,11 @@ def _jdbc_publish_exactly_once(spark, cfg, table: str, df,
         raise ValueError(
             f"exactly_once requires plain-identifier column names "
             f"(interpolated into driver-side SQL), got {bad_cols!r}")
-    collist = ", ".join(df.columns)
+    # QUOTED, because that is what the Spark JDBC writer does when it
+    # creates the stage (JdbcUtils quotes every identifier): on
+    # case-folding engines (Derby et al) an unquoted list would fold a
+    # lower/mixed-case column to a name the quoted-case table lacks
+    collist = ", ".join(f'"{c}"' for c in df.columns)
     if cfg.get("ensure_table_ddl"):
         _jdbc_ensure_table(spark, cfg, stage, df.schema)
     writer = (df.write.format("jdbc")

@@ -45,4 +45,14 @@ def find_jdbc_jar(artifact: str) -> str | None:
             if not p.endswith(("-sources.jar", "-javadoc.jar")))
     if not hits:
         return None
-    return max(hits, key=lambda p: (os.path.basename(p), p))
+
+    def version_key(p: str):
+        # numeric version-tuple ordering: postgresql-42.7.3 must beat
+        # postgresql-9.4.1212 (a lexicographic basename compare ranks
+        # '9' above '4')
+        import re
+        nums = tuple(int(x) for x in
+                     re.findall(r"\d+", os.path.basename(p)))
+        return (nums, p)
+
+    return max(hits, key=version_key)

@@ -113,3 +113,29 @@ def test_streaming_pipeline_maintains_index(spark, tmp_path):
     # csv_source is all-string (FromCsv semantics) => string doc ids
     got = {r["doc_id"] for r in sdef.builder(spark, cfg).collect()}
     assert got == {"1", "3"}
+
+
+def test_crashed_update_orphan_postings_are_invisible_then_adopted(spark,
+                                                                   tmp_path):
+    """Crash window between the postings append and the doclens (commit)
+    append: the orphaned postings are invisible to readers, and the
+    replay ADOPTS them instead of appending duplicates."""
+    from mycelial_spark.operators.text import build_inverted_index
+    idx = IncrementalInvertedIndex(str(tmp_path / "idx"))
+    idx.update(_df(spark, DOCS1))
+
+    # simulate the crashed update: postings for DOCS2 land, doclens not
+    build_inverted_index(_df(spark, DOCS2)) \
+        .write.mode("append").parquet(idx._postings)
+
+    # orphans invisible: queries see only committed docs
+    assert {r["doc_id"] for r in idx.bm25(spark, "spark").collect()} \
+        <= {d for d, _ in DOCS1}
+
+    # replay of the crashed batch: orphans adopted, nothing re-appended
+    out = idx.update(_df(spark, DOCS2))
+    assert out["docs_indexed"] == 2 and out["postings_appended"] == 0
+    posts = idx.postings(spark).groupBy("token", "doc_id").count()
+    assert posts.filter("count > 1").count() == 0
+    assert {r["doc_id"] for r in idx.bm25(spark, "spark").collect()} \
+        == {1, 5}

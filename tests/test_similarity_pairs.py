@@ -230,3 +230,53 @@ def test_ann_lifecycle_stats_split_and_compact(spark, sf_dir, tmp_path):
     s4 = ann_index_stats(spark, idx)
     assert s4["rows"] == s3["rows"]
     assert ann_search(spark, idx, q, k=4, nprobe=2).collect() == before
+
+
+def test_ann_split_cell_crash_windows_recoverable(spark, sf_dir, tmp_path):
+    """The split's marker protocol: after phase 1 (pending_split durable,
+    no data moved) searches still see every vector — the parent probe
+    takes the new cell too; a later split call RESUMES the pending split
+    (idempotent rewrite over both cells) before doing anything else; the
+    session's partitionOverwriteMode is restored (unset) afterwards."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "splitcrash")
+    S.ann_build_index(emb, idx, n_centroids=4)
+    meta = S.ann_load_meta(idx)
+    total = emb.count()
+
+    # phase-1 crash state: marker durable, rows untouched
+    hot = max(((int(c), n) for c, n in meta["cell_counts"].items()),
+              key=lambda t: t[1])[0]
+    import numpy as np
+    sample = np.array(
+        [r["embedding"] for r in
+         spark.read.parquet(f"{idx}/cells")
+         .filter(F.col("ivf_cell") == hot).limit(64).collect()],
+        dtype=float)
+    meta["pending_split"] = {"cell": hot, "new_id": 4,
+                             "child_a": [float(x) for x in sample[0]],
+                             "child_b": [float(x) for x in sample[1]]}
+    S._write_sidecar(spark, idx, meta)
+
+    # every vector still reachable: exhaustive probe over the 4 known
+    # centroids covers the pending pair too
+    q = [float(x) for x in sample[2]]
+    rows = S.ann_search(spark, idx, q, k=total, nprobe=4)
+    assert rows.count() == total
+
+    # resume completes the split; marker cleared, no rows lost
+    out = S.ann_split_cell(spark, idx, hot)
+    assert out["new_cell"] == 4
+    meta2 = S.ann_load_meta(idx)
+    assert "pending_split" not in meta2
+    assert len(meta2["centroids"]) == 5
+    assert spark.read.parquet(f"{idx}/cells").count() == total
+    assert sum(out["sizes"].values()) > 0
+
+    # conf restored: dynamic mode did not leak into the session
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          None) in (None, "static", "STATIC")
