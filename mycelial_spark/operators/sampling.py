@@ -138,3 +138,36 @@ def pack_greedy(df: DataFrame, max_tokens: int,
     schema = f"{id_col} long, bucket int, dl int, seq_in_bucket int"
     return (sized.groupBy("bucket").applyInPandas(_pack, schema)
             .select(id_col, "bucket", "seq_in_bucket", "dl"))
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted MIXTURE: downsample each source so the
+    output's source proportions match ``weights``, keeping as many rows
+    as possible (the binding source — smallest count/weight ratio —
+    survives whole; every other source hash-samples down to match).
+
+    The curation step behind "X% web, Y% code, Z% books": per-source
+    keep-rates derive from one count-per-source aggregate (rows = number
+    of sources), selection is the engine-exact Knuth hash on the id —
+    independent of partitioning, reproducible in any SQL engine, and
+    stable under reruns (the same ids survive). Sources absent from
+    ``weights`` are dropped.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(source_col).alias("s"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources not in data: {missing}")
+    scale = min(counts[s] / w for s, w in weights.items())
+    rates = {s: (w * scale) / counts[s] for s, w in weights.items()}
+    h = hash_bucket(id_col, 1)          # uniform in [0, 1)
+    expr = None
+    for s, rate in rates.items():
+        cond = (F.col(source_col) == s) & (h < F.lit(rate))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)

@@ -728,6 +728,20 @@ def dedup_exact_(spark, cfg, inputs):
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
+@_register("mixture_sample", "transform", "dataframe", "dataframe",
+           [Field("weights", "json"), Field("source_col", default="source"),
+            Field("id_col", default="doc_id")],
+           doc="Deterministic weighted dataset mixture: per-source "
+               "keep-rates hit the target proportions with the binding "
+               "source kept whole; selection by the engine-exact Knuth "
+               "hash (operators/sampling.py mixture_sample).")
+def mixture_sample_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import mixture_sample
+    return mixture_sample(inputs[0],
+                          {k: float(v) for k, v in cfg["weights"].items()},
+                          cfg["source_col"], cfg["id_col"])
+
+
 @_register("pack_sequences", "transform", "dataframe", "dataframe",
            [Field("max_tokens", "int", 1024),
             Field("text_col", default="text"),

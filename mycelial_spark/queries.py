@@ -1009,6 +1009,119 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "quality_score")
 
 
+@query("mixture_sample", """
+WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+                                       ('src2', 0.2))),
+counts AS (
+  SELECT source AS s, count(*) AS n FROM documents
+  WHERE source IN (SELECT s FROM w) GROUP BY source
+), sc AS (SELECT min(n / w) AS scale FROM counts JOIN w USING (s)),
+rates AS (
+  SELECT c.s, w.w * sc.scale / c.n AS rate FROM counts c
+  JOIN w USING (s) CROSS JOIN sc
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN rates r ON d.source = r.s
+WHERE ((d.doc_id % 2147483648) * 2654435761 % 4294967296) * 1
+      / 4294967296 < r.rate
+""")
+def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset MIXTURE (the "X% web, Y% code, Z% books" curation
+    step): per-source keep-rates derived so output proportions match the
+    target weights with the binding source kept whole; selection by the
+    engine-exact Knuth hash, so the surviving ids are identical across
+    engines, reruns, and partitionings — the oracle recomputes the rate
+    arithmetic and the hash in SQL."""
+    from mycelial_spark.operators.sampling import mixture_sample
+    return mixture_sample(_t(spark, sf_dir, "documents"),
+                          {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+
+
+@query("quality_quantile_filter", """
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         round(least(len(toks) / 20.0, 1.0)
+               * (len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1))
+               * greatest(0.0, 1.0 - 2 *
+                 (len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                    / greatest(length(text), 1)
+                  + len(regexp_extract_all(text, '[0-9]')) * 1.0
+                    / greatest(length(text), 1))), 6) AS q
+  FROM t
+), r AS (
+  SELECT doc_id, lang, q,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY q, doc_id) AS pr
+  FROM s
+)
+SELECT doc_id, lang, q AS quality_score FROM r WHERE pr >= 0.2
+""")
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE quality gate: instead of one global score threshold
+    (quality_filter), keep each language's top 80% by score — the
+    per-stratum quantile cut that keeps a low-resource language from
+    being wiped out by a threshold tuned on the high-resource one. One
+    window pass per language partition; deterministic tie-break on
+    doc_id."""
+    from pyspark.sql import Window
+
+    from mycelial_spark.operators.text import with_quality_score
+    scored = with_quality_score(_t(spark, sf_dir, "documents"))
+    # round BEFORE ranking (the oracle ranks its rounded score — ranking
+    # unrounded values could order two 7th-decimal-different scores that
+    # the oracle sees as a tie)
+    scored = scored.withColumn("q", F.round("quality_score", 6))
+    w = Window.partitionBy("lang").orderBy("q", "doc_id")
+    return (scored.withColumn("pr", F.percent_rank().over(w))
+            .filter(F.col("pr") >= 0.2)
+            .select("doc_id", "lang", F.col("q").alias("quality_score")))
+
+
+@query("cross_doc_repetition", """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+              toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+              toks[i+6] || ' ' || toks[i+7])) spans
+  FROM docs WHERE len(toks) >= 8
+), post AS (SELECT doc_id, unnest(spans) s FROM sh),
+cnt AS (SELECT s, count(*) AS c FROM post GROUP BY s)
+SELECT doc_id, count(*) AS n_spans,
+       round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS cross_dup_ratio
+FROM post JOIN cnt USING (s)
+GROUP BY doc_id
+""")
+def cross_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style detection signal [Lee et al. 2022]: per doc,
+    the fraction of its distinct 8-token spans that appear in at least
+    one OTHER document — the cross-document complement of
+    doc_repetition's intra-document ratio. Rolling span hashes are the
+    8-byte integer-combined token hashes (with_fingerprint machinery),
+    so the postings shuffle carries longs, never span strings; docs with
+    fewer than 8 tokens have no spans and drop out on both sides."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.text import with_fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    fp = with_fingerprint(spread(docs), ngram=8)
+    spans = fp.select(F.col("doc_id"),
+                      F.explode(F.array_distinct("shingle_hashes"))
+                       .alias("s"))
+    cnt = spans.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    return (spans.join(cnt, "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.round(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0))
+                         / F.count(F.lit(1)), 6).alias("cross_dup_ratio")))
+
+
 @query("pack_sequences", """
 WITH RECURSIVE docs AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,

@@ -120,3 +120,28 @@ def test_pack_greedy_respects_cap_and_is_partition_invariant(spark):
 
     with _pytest.raises(ValueError, match="max_tokens"):
         pack_greedy(df, max_tokens=0)
+
+
+def test_mixture_sample_hits_target_proportions_deterministically(spark):
+    from mycelial_spark.operators.sampling import mixture_sample
+    rows = [(i, f"s{i % 4}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mixture_sample(df, {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # s3 dropped; binding source is s0 (1000/0.5 smallest) -> kept whole,
+    # s1/s2 hash-sample to ~500 each
+    assert "s3" not in got and got["s0"] == 1000
+    for s in ("s1", "s2"):
+        assert abs(got[s] - 500) < 60
+    # deterministic & partition-invariant: identical surviving ids
+    again = mixture_sample(df.repartition(13),
+                           {"s0": 0.5, "s1": 0.25, "s2": 0.25})
+    assert {r["doc_id"] for r in again.collect()} == \
+           {r["doc_id"] for r in out.collect()}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, {"s0": -1.0})
+    with _pytest.raises(ValueError, match="not in data"):
+        mixture_sample(df, {"nope": 1.0})
