@@ -431,3 +431,54 @@ def score_char_lm(df: DataFrame, model: DataFrame,
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
                  F.round(F.avg("logp"), 4).alias("avg_logp")))
+
+
+def chunk_text(df: DataFrame, chunk_tokens: int = 64, overlap: int = 16,
+               text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixed-width token chunking with overlap — the embedding-pipeline
+    pre-step (long docs -> window-sized passages). Chunks start every
+    ``chunk_tokens - overlap`` tokens; the LAST start clamps to
+    ``len - chunk_tokens + 1`` so the tail chunk is full-width (more
+    overlap, never a dangling sliver). Docs at or under ``chunk_tokens``
+    yield themselves as one chunk. One codegen projection + posexplode —
+    narrow, shuffle-free. Returns (id_col, chunk_id, chunk_text,
+    n_chunk_tokens).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_extra = F.when(n > chunk_tokens,
+                     F.ceil((n - chunk_tokens) / F.lit(float(step)))) \
+               .otherwise(F.lit(0)).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_extra),
+        lambda i: F.greatest(F.least(i * step + 1, n - chunk_tokens + 1),
+                             F.lit(1)))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
+    return (df.filter(n > 0)
+            .select(F.col(id_col), F.posexplode(chunks)
+                    .alias("chunk_id", "chunk_text"))
+            .withColumn("n_chunk_tokens",
+                        F.size(tokens(F.col("chunk_text")))))
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Crude-but-deterministic HTML -> text: drop script/style blocks,
+    comments, then all tags; decode the common entities; collapse
+    whitespace. Pure regexp projection (patterns avoid backreferences
+    and lookarounds so they replay identically in RE2-based engines);
+    a DOM-accurate extraction belongs to an lxml-gated exec section.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -728,6 +728,31 @@ def dedup_exact_(spark, cfg, inputs):
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
+@_register("chunk_text", "transform", "dataframe", "dataframe",
+           [Field("chunk_tokens", "int", 64), Field("overlap", "int", 16),
+            Field("text_col", default="text"),
+            Field("id_col", default="doc_id")],
+           doc="Fixed-width overlapped token chunking (long docs -> "
+               "window-sized passages for embedding); codegen + "
+               "posexplode, shuffle-free (operators/text.py chunk_text).")
+def chunk_text_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import chunk_text
+    return chunk_text(inputs[0], cfg["chunk_tokens"], cfg["overlap"],
+                      cfg["text_col"], cfg["id_col"])
+
+
+@_register("html_extract", "transform", "dataframe", "dataframe",
+           [Field("html_col", default="html"),
+            Field("out_col", default="text")],
+           doc="Crawl-style HTML -> text: script/style/comment and tag "
+               "strip + entity decode + whitespace collapse, pure regexp "
+               "codegen (operators/text.py html_to_text).")
+def html_extract_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import html_to_text
+    return inputs[0].withColumn(cfg["out_col"],
+                                html_to_text(F.col(cfg["html_col"])))
+
+
 @_register("mixture_sample", "transform", "dataframe", "dataframe",
            [Field("weights", "json"), Field("source_col", default="source"),
             Field("id_col", default="doc_id")],

@@ -1009,6 +1009,88 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select("doc_id", "quality_score")
 
 
+@query("chunk_documents", """
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') toks
+  FROM documents
+), p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) > 64
+              THEN CAST(ceil((len(toks) - 64) / 48.0) AS INT)
+              ELSE 0 END AS n_extra
+  FROM docs WHERE len(toks) > 0
+), c AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_id,
+         list_slice(toks,
+                    greatest(least(u.i * 48 + 1, n - 64 + 1), 1),
+                    greatest(least(u.i * 48 + 1, n - 64 + 1), 1) + 63)
+           AS chunk
+  FROM p, LATERAL unnest(range(0, n_extra + 1)) AS u(i)
+)
+SELECT doc_id, chunk_id, array_to_string(chunk, ' ') AS chunk_text,
+       len(chunk) AS n_chunk_tokens
+FROM c
+""")
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapped chunking (64 tokens, 16 overlap) — the
+    long-document pre-step for embedding pipelines. One codegen
+    projection + posexplode, shuffle-free; the tail chunk clamps to
+    full width. The oracle replays the identical start arithmetic."""
+    from mycelial_spark.operators.text import chunk_text
+    return chunk_text(_t(spark, sf_dir, "documents"),
+                      chunk_tokens=64, overlap=16)
+
+
+@query("html_extract", """
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><style>p {color: red}</style>' ||
+         '<script type="text/javascript">var x = 1 < 2;</script></head>' ||
+         '<body><!-- header --><h1>Doc ' || doc_id || '</h1><p>' || text ||
+         '</p><div class="f">&amp; more &lt;tags&gt; &nbsp;&#39;q&#39;' ||
+         '</div></body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gis'),
+               '<style[^>]*>.*?</style>', ' ', 'gis'),
+             '<!--.*?-->', ' ', 'gs'),
+           '<[^>]+>', ' ', 'g') AS t
+  FROM h
+)
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(t,
+           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)),
+         '\\s+', ' ', 'g')) AS extracted
+FROM x
+""")
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style HTML -> text extraction: script/style/comment blocks
+    and tags dropped, common entities decoded, whitespace collapsed —
+    pure regexp codegen (no backreferences/lookarounds, so the rules
+    replay in RE2 engines). The fixture synthesizes the same HTML
+    wrapper on both sides (the documents table carries plain text), so
+    the oracle verifies the extraction rules themselves."""
+    from mycelial_spark.operators.text import html_to_text
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p {color: red}</style>'
+              '<script type="text/javascript">var x = 1 < 2;</script>'
+              '</head><body><!-- header --><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><div class="f">&amp; more &lt;tags&gt; &nbsp;&#39;q&#39;'
+              "</div></body></html>"))
+    return docs.select("doc_id", html_to_text(html).alias("extracted"))
+
+
 @query("mixture_sample", """
 WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
                                        ('src2', 0.2))),

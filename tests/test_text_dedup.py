@@ -487,3 +487,40 @@ def test_char_lm_scores_gibberish_below_natural_text(spark):
     full = train_char_lm(docs).count()
     pruned = train_char_lm(docs, min_count=8).count()
     assert 0 < pruned < full
+
+
+def test_chunk_text_widths_overlap_and_edges(spark):
+    from mycelial_spark.operators.text import chunk_text
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),   # 100 tokens
+         (2, " ".join(f"u{i}" for i in range(64))),    # exactly one chunk
+         (3, "short doc"),                             # under width
+         (4, "   ")],                                  # empty -> dropped
+        "doc_id long, text string")
+    out = chunk_text(docs, chunk_tokens=64, overlap=16)
+    rows = {(r["doc_id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: starts 1 and clamped 37 (not 49 -- tail clamps to full width)
+    assert {(1, 0), (1, 1)} <= set(rows)
+    assert rows[(1, 0)]["n_chunk_tokens"] == 64
+    assert rows[(1, 1)]["n_chunk_tokens"] == 64
+    assert rows[(1, 1)]["chunk_text"].split()[0] == "t36"
+    assert rows[(1, 1)]["chunk_text"].split()[-1] == "t99"
+    # overlap: chunk 0 ends at t63, chunk 1 starts at t36
+    assert rows[(1, 0)]["chunk_text"].split()[-1] == "t63"
+    assert (2, 0) in rows and (2, 1) not in rows
+    assert rows[(3, 0)]["chunk_text"] == "short doc"
+    assert 4 not in {d for d, _ in rows}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_text(docs, chunk_tokens=16, overlap=16)
+
+
+def test_html_to_text_strips_blocks_tags_entities(spark):
+    from mycelial_spark.operators.text import html_to_text
+    df = spark.createDataFrame(
+        [(1, '<p>Hello <b>world</b></p><script>if (a<b) {x}</script>'
+             '<style>p{}</style><!-- c --> &amp;&nbsp;&lt;ok&gt;')],
+        "id long, html string")
+    got = df.select(html_to_text("html").alias("t")).first()["t"]
+    assert got == "Hello world & <ok>"
