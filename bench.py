@@ -79,6 +79,8 @@ HEADLINE = [
     "keyword_search_bm25",
     "hybrid_search_rrf",
     "lm_quality_score",
+    "cross_doc_repetition",
+    "pack_sequences",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

@@ -791,12 +791,20 @@ def pack_sequences_(spark, cfg, inputs):
                "trained on the input corpus, every doc scored by avg "
                "log-prob (operators/text.py train_char_lm/score_char_lm); "
                "min_count prunes the model's tail, floor_logp is the "
-               "out-of-vocabulary penalty.")
+               "out-of-vocabulary penalty. Composable: the score columns "
+               "(n_trigrams, avg_logp) APPEND to the input rows, so a "
+               "downstream filter node can gate on fluency; docs with no "
+               "trigrams (< 3 chars) score the floor.")
 def char_lm_score_(spark, cfg, inputs):
     from mycelial_spark.operators.text import score_char_lm, train_char_lm
     model = train_char_lm(inputs[0], cfg["text_col"], cfg["min_count"])
-    return score_char_lm(inputs[0], model, cfg["text_col"], cfg["id_col"],
-                         cfg["floor_logp"])
+    scores = score_char_lm(inputs[0], model, cfg["text_col"],
+                           cfg["id_col"], cfg["floor_logp"])
+    return (inputs[0].join(scores, cfg["id_col"], "left")
+            .withColumn("n_trigrams",
+                        F.coalesce("n_trigrams", F.lit(0)))
+            .withColumn("avg_logp",
+                        F.coalesce("avg_logp", F.lit(cfg["floor_logp"]))))
 
 
 @_register("inverted_index_dest", "destination", "dataframe", "none",
