@@ -655,14 +655,29 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
     return topk_to_query(cells, q, k, meta["vec_col"], meta["id_col"])
 
 
-def ann_append(df: DataFrame, path: str) -> dict:
+def ann_append(df: DataFrame, path: str,
+               skip_existing_ids: bool = False) -> dict:
     """Incrementally grow a persisted index: assign NEW vectors with the
     sidecar's frozen centroids (and encode with its codebooks when the
     index stores PQ codes), append into the same cell partitions. The
     coarse quantizer is deliberately not retrained — cells stay stable
     so existing partitions never rewrite; rebuild when drift warrants.
+
+    ``skip_existing_ids=True`` anti-joins the batch against the index's
+    id column first (a column-pruned scan — ids only, never vectors),
+    making at-least-once redelivery idempotent; streaming callers
+    (ann_append_dest) want it on, one-shot bulk growth can skip the
+    extra scan.
     """
-    meta = ann_load_meta(path, df.sparkSession)
+    spark = df.sparkSession
+    meta = ann_load_meta(path, spark)
+    if skip_existing_ids:
+        existing = (spark.read.parquet(f"{path}/cells")
+                    .select(meta["id_col"]))
+        df = df.join(existing, meta["id_col"], "left_anti") \
+               .localCheckpoint()
+        if df.count() == 0:
+            return {"path": path, "appended": False, "rows": 0}
     assigned = ivf_assign(df, meta["centroids"], meta["vec_col"])
     if meta.get("pq_m"):
         assigned = assigned.withColumn(

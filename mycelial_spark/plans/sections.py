@@ -1175,6 +1175,22 @@ def ann_index_dest(spark, cfg, df):
                            id_col=cfg["id_col"])
 
 
+@_register("ann_append_dest", "destination", "dataframe", "none",
+           [Field("path")],
+           doc="STREAMING growth of a persistent ANN index: each "
+               "delivered micro-batch's vectors are assigned with the "
+               "sidecar's frozen quantizer (and encoded with its PQ "
+               "codebooks when present) and appended into the existing "
+               "cell partitions — no rewrites, no retrain; pair with "
+               "ann_index_stats/ann_split_cell when drift accrues. The "
+               "index must already exist (ann_index_dest builds it). "
+               "Replays are idempotent: already-indexed ids anti-join "
+               "away before the append (ids-only column-pruned scan).")
+def ann_append_dest(spark, cfg, df):
+    from mycelial_spark.operators.similarity import ann_append
+    return ann_append(df, cfg["path"], skip_existing_ids=True)
+
+
 @_register("ann_search", "source", "none", "dataframe",
            [Field("path"), Field("query_vec", "json"),
             Field("k", "int", 10), Field("nprobe", "int", 4),

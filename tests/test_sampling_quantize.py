@@ -145,3 +145,51 @@ def test_mixture_sample_hits_target_proportions_deterministically(spark):
         mixture_sample(df, {"s0": -1.0})
     with _pytest.raises(ValueError, match="not in data"):
         mixture_sample(df, {"nope": 1.0})
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                max_size=30),
+       st.integers(min_value=4, max_value=24))
+def test_pack_greedy_properties(spark, token_counts, max_tokens):
+    """Property: every doc assigned exactly once; per-bucket seq ids are
+    0..k contiguous; no sequence exceeds the cap unless it is a single
+    doc; packing never reorders docs within a sequence."""
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = SP.pack_greedy(df, max_tokens=max_tokens, n_buckets=3).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(rows)))
+    from collections import defaultdict
+    seqs = defaultdict(list)
+    per_bucket = defaultdict(set)
+    for r in out:
+        seqs[(r["bucket"], r["seq_in_bucket"])].append(r["dl"])
+        per_bucket[r["bucket"]].add(r["seq_in_bucket"])
+    for b, ss in per_bucket.items():
+        assert ss == set(range(len(ss))), (b, ss)
+    for k, dls in seqs.items():
+        assert sum(dls) <= max_tokens or len(dls) == 1, (k, dls)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=1, max_value=150),
+       st.integers(min_value=2, max_value=40))
+def test_chunk_text_covers_every_token(spark, n_tokens, chunk_tokens):
+    """Property: chunking covers every token position at least once,
+    chunks are full-width whenever the doc is long enough, and chunk
+    ids are contiguous from 0."""
+    from mycelial_spark.operators.text import chunk_text
+    overlap = chunk_tokens // 3
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))],
+                               "doc_id long, text string")
+    rows = sorted(chunk_text(df, chunk_tokens, overlap).collect(),
+                  key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+    covered = set()
+    for r in rows:
+        got = r["chunk_text"].split()
+        if n_tokens >= chunk_tokens:
+            assert len(got) == chunk_tokens
+        covered.update(got)
+    assert covered == set(toks)

@@ -280,3 +280,36 @@ def test_ann_split_cell_crash_windows_recoverable(spark, sf_dir, tmp_path):
     # conf restored: dynamic mode did not leak into the session
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           None) in (None, "static", "STATIC")
+
+
+def test_ann_append_dest_streaming_growth_idempotent(spark, sf_dir,
+                                                     tmp_path):
+    """ANN streaming story end-to-end: ann_index_dest builds, a poll-style
+    redelivery of the SAME batch through ann_append_dest appends once
+    (replays anti-join away on the id column), new vectors land and are
+    searchable."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import ann_build_index, ann_search
+    from mycelial_spark.plans.sections import REGISTRY
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    idx = str(tmp_path / "annstream")
+    ann_build_index(emb, idx, n_centroids=4)
+    n0 = spark.read.parquet(f"{idx}/cells").count()
+
+    sdef = REGISTRY.get("ann_append_dest")
+    cfg = sdef.validate_config({"type": "ann_append_dest", "path": idx})
+    batch = emb.limit(5).select((F.col("vec_id") + 500_000).alias("vec_id"),
+                                "embedding")
+    out1 = sdef.builder(spark, cfg, batch)
+    assert out1["appended"] is True
+    # redelivery: nothing appended
+    out2 = sdef.builder(spark, cfg, batch)
+    assert out2 == {"path": idx, "appended": False, "rows": 0}
+    assert spark.read.parquet(f"{idx}/cells").count() == n0 + 5
+
+    q = [float(x) for x in batch.first()["embedding"]]
+    hits = {r["vec_id"] for r in
+            ann_search(spark, idx, q, k=3, nprobe=4).collect()}
+    assert batch.first()["vec_id"] in hits
