@@ -454,3 +454,19 @@ def test_compact_parquet_rolls_forward_after_commit_marker(spark, tmp_path):
     assert spark.read.parquet(path).count() == 30    # not 60
     assert not os.path.exists(old) and not os.path.exists(commit)
     assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+
+
+def test_every_example_spec_validates(spark):
+    """Each shipped example TOML compiles through the spec gate: known
+    section types, config fields validated, DAG invariants hold — a
+    renamed field or section can't silently rot the examples."""
+    import glob
+    import tomllib
+
+    from mycelial_spark.plans.compiler import Pipeline
+    paths = sorted(glob.glob("examples/*.toml"))
+    assert len(paths) >= 6
+    for p in paths:
+        with open(p, "rb") as f:
+            spec = tomllib.load(f)
+        Pipeline.from_spec(spec)     # raises on any invalid node/edge
