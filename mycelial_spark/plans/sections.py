@@ -796,10 +796,9 @@ def pack_sequences_(spark, cfg, inputs):
                "downstream filter node can gate on fluency; docs with no "
                "trigrams (< 3 chars) score the floor.")
 def char_lm_score_(spark, cfg, inputs):
-    from mycelial_spark.operators.text import score_char_lm, train_char_lm
-    model = train_char_lm(inputs[0], cfg["text_col"], cfg["min_count"])
-    scores = score_char_lm(inputs[0], model, cfg["text_col"],
-                           cfg["id_col"], cfg["floor_logp"])
+    from mycelial_spark.operators.text import char_lm_self_score
+    scores = char_lm_self_score(inputs[0], cfg["text_col"],
+                                cfg["id_col"], cfg["min_count"])
     return (inputs[0].join(scores, cfg["id_col"], "left")
             .withColumn("n_trigrams",
                         F.coalesce("n_trigrams", F.lit(0)))

@@ -1260,10 +1260,8 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     by trigram vocabulary, not corpus size), one broadcast join scores;
     the oracle retrains the identical model in SQL (pure counting, so
     both engines derive the same conditional probabilities)."""
-    from mycelial_spark.operators.text import score_char_lm, train_char_lm
-    docs = _t(spark, sf_dir, "documents")
-    model = train_char_lm(docs)
-    return score_char_lm(docs, model)
+    from mycelial_spark.operators.text import char_lm_self_score
+    return char_lm_self_score(_t(spark, sf_dir, "documents"))
 
 
 @query("similarity_topk", """

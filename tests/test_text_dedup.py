@@ -524,3 +524,18 @@ def test_html_to_text_strips_blocks_tags_entities(spark):
         "id long, html string")
     got = df.select(html_to_text("html").alias("t")).first()["t"]
     assert got == "Hello world & <ok>"
+
+
+def test_char_lm_fused_equals_two_step(spark):
+    from mycelial_spark.operators.text import (char_lm_self_score,
+                                               score_char_lm, train_char_lm)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["the quick brown fox", "the lazy dog sleeps",
+             "zq xv gibberish qq", "brown fox and lazy dog"])],
+        "doc_id long, text string")
+    fused = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"])
+             for r in char_lm_self_score(docs).collect()}
+    two = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"])
+           for r in score_char_lm(docs, train_char_lm(docs)).collect()}
+    assert fused == two
