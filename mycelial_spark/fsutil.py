@@ -1,0 +1,44 @@
+"""Filesystem helpers shared by the persisted-artifact operators (ANN
+index sidecars, incremental inverted index, compaction).
+
+A path with ANY URI scheme — including the single-slash forms Hadoop
+itself emits (``file:/tmp/x``, from e.g. ``DataFrame.inputFiles``) —
+must be resolved through the path's own filesystem: ``os.path`` checks
+on such strings silently answer about a literal local file named
+``file:``, which is how a replay-dedup ledger can "not exist" and let a
+redelivered batch double-append.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
+
+
+def is_remote(path: str) -> bool:
+    """True when the path carries a URI scheme (hdfs://, s3a://, also
+    the single-slash file:/ form) and must go through Hadoop's FS API
+    rather than os.path."""
+    return bool(_SCHEME_RE.match(path))
+
+
+def strip_file_scheme(path: str) -> str:
+    """Normalize file://x and file:/x to a plain local path (other
+    schemes pass through unchanged)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:/"):
+        return path[len("file:"):]
+    return path
+
+
+def exists(spark, path: str) -> bool:
+    """Existence through the path's OWN filesystem."""
+    if not is_remote(path):
+        return os.path.exists(path)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(hpath)

@@ -34,17 +34,7 @@ from pyspark.sql import functions as F
 from mycelial_spark.operators.text import tokens
 
 
-def _fs_exists(spark: SparkSession, path: str) -> bool:
-    """Existence check through the path's OWN filesystem — os.path only
-    sees the driver's local disk, which on hdfs://-s3a:// paths would
-    silently report the ledger absent and disable replay dedup."""
-    import re
-    if not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path):
-        return os.path.exists(path)
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    return fs.exists(hpath)
+from mycelial_spark.fsutil import exists as _fs_exists  # noqa: E402
 
 
 class IncrementalInvertedIndex:
@@ -71,10 +61,13 @@ class IncrementalInvertedIndex:
         doclens is an orphan from a crashed update, invisible to every
         reader (``postings()`` semi-joins the ledger). The replay that
         redelivers the crashed batch ADOPTS those orphans instead of
-        re-appending them (the postings append is itself anti-joined
-        against docs already present in the postings table), then the
-        doclens append makes them visible. So at-least-once redelivery
-        yields exactly-once indexing in every crash window.
+        duplicating them: the recomputed posting rows anti-join the
+        postings table at ROW granularity ((token, doc) — not doc: a
+        crashed job can commit a subset of one doc's posting FILES, so a
+        doc-level skip would permanently truncate that doc), appending
+        only the rows still missing; then the doclens append makes the
+        doc visible. So at-least-once redelivery yields exactly-once
+        indexing in every crash window.
 
         The new-docs set is localCheckpoint'ed BEFORE either append so
         the postings write cannot lazily re-read a ledger that already
@@ -90,19 +83,19 @@ class IncrementalInvertedIndex:
         n_docs = fresh.count()
         if n_docs == 0:
             return {"docs_indexed": 0, "postings_appended": 0}
-        need_post = fresh
-        if _fs_exists(spark, self._postings):
-            # orphan adoption: docs whose postings landed before a crash
-            # (absent from doclens, present in postings) skip re-append
-            posted = (spark.read.parquet(self._postings)
-                      .select(self.id_col).distinct())
-            need_post = fresh.join(posted, self.id_col, "left_anti")
-        post = (need_post.select(F.col(self.id_col),
-                                 F.posexplode(tokens(F.col(self.text_col)))
-                                  .alias("pos", "token"))
+        post = (fresh.select(F.col(self.id_col),
+                             F.posexplode(tokens(F.col(self.text_col)))
+                              .alias("pos", "token"))
                 .groupBy("token", self.id_col)
-                .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
-                .localCheckpoint())
+                .agg(F.array_sort(F.collect_list("pos")).alias("positions")))
+        raw = self._read_postings_raw(spark)
+        if raw is not None:
+            # row-level orphan adoption (see docstring)
+            existing = (raw.select("token", self.id_col)
+                        .join(fresh.select(self.id_col), self.id_col,
+                              "left_semi"))
+            post = post.join(existing, ["token", self.id_col], "left_anti")
+        post = post.localCheckpoint()
         n_post = post.count()
         if n_post:
             post.write.mode("append").parquet(self._postings)
@@ -113,11 +106,30 @@ class IncrementalInvertedIndex:
         return {"docs_indexed": int(n_docs),
                 "postings_appended": int(n_post)}
 
+    def _read_postings_raw(self, spark: SparkSession):
+        """Postings table or None when absent/empty — an index whose
+        only updates were zero-token docs has a doclens ledger but no
+        posting files, and a raw parquet read there raises instead of
+        returning empty."""
+        if not _fs_exists(spark, self._postings):
+            return None
+        try:
+            return spark.read.parquet(self._postings)
+        except Exception:   # directory exists but holds no data files
+            return None
+
     def postings(self, spark: SparkSession) -> DataFrame:
         """Committed postings only: rows for docs the doclens ledger
-        never committed (orphans of a crashed update) are filtered out."""
-        raw = spark.read.parquet(self._postings)
+        never committed (orphans of a crashed update) are filtered out.
+        An index with no posting rows yields a typed EMPTY frame (id
+        column typed like the ledger's)."""
         committed = spark.read.parquet(self._doclens).select(self.id_col)
+        raw = self._read_postings_raw(spark)
+        if raw is None:
+            id_type = committed.schema[0].dataType.simpleString()
+            return spark.createDataFrame(
+                [], f"token string, {self.id_col} {id_type}, "
+                    f"positions array<int>")
         return raw.join(committed, self.id_col, "left_semi")
 
     def corpus_stats(self, spark: SparkSession) -> tuple[int, float]:

@@ -674,10 +674,14 @@ def ann_append(df: DataFrame, path: str,
     if skip_existing_ids:
         existing = (spark.read.parquet(f"{path}/cells")
                     .select(meta["id_col"]))
-        df = df.join(existing, meta["id_col"], "left_anti") \
-               .localCheckpoint()
-        if df.count() == 0:
-            return {"path": path, "appended": False, "rows": 0}
+        df = df.join(existing, meta["id_col"], "left_anti")
+    # one materialization serves the row count AND shields the append
+    # from recomputing upstream lineage mid-write; result shape is the
+    # same on every path ('rows' always present)
+    df = df.localCheckpoint()
+    n = df.count()
+    if n == 0:
+        return {"path": path, "appended": False, "rows": 0}
     assigned = ivf_assign(df, meta["centroids"], meta["vec_col"])
     if meta.get("pq_m"):
         assigned = assigned.withColumn(
@@ -687,7 +691,7 @@ def ann_append(df: DataFrame, path: str,
             .drop("__unit")
     (assigned.write.mode("append")
      .partitionBy("ivf_cell").parquet(f"{path}/cells"))
-    return {"path": path, "appended": True}
+    return {"path": path, "appended": True, "rows": int(n)}
 
 
 def ann_index_stats(spark, path: str) -> dict:

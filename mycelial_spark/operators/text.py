@@ -413,20 +413,26 @@ def train_char_lm(df: DataFrame, text_col: str = "text",
 
 
 def char_lm_self_score(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id",
-                       min_count: int = 1) -> DataFrame:
+                       id_col: str = "doc_id", min_count: int = 1,
+                       floor_logp: float = -20.0) -> DataFrame:
     """Fused train-on-self + score (the corpus-perplexity filter): the
-    exploded (doc, trigram) table is built ONCE and persisted — it feeds
-    the count aggregation, the context totals, and the scoring join, so
-    the corpus is tokenized a single time instead of once for training
-    and again for scoring (measured ~2x on the end-to-end filter).
-    Unseen trigrams cannot occur when scoring the training corpus, so no
-    floor is involved. Same result as train_char_lm + score_char_lm.
+    exploded (doc, trigram) table is built ONCE — localCheckpoint, so
+    the materialized blocks free themselves when the frame is collected,
+    unlike a persist() the caller could never unpersist — and feeds the
+    count aggregation, the context totals, and the scoring join; the
+    corpus is tokenized a single time instead of once for training and
+    again for scoring (measured ~2x on the end-to-end filter).
+
+    Same result as train_char_lm + score_char_lm at every min_count:
+    trigrams pruned from the model (or absent — impossible at
+    min_count=1 when scoring the training corpus) still count toward
+    n_trigrams and score ``floor_logp``, exactly like score_char_lm's
+    left join — an inner join here would silently EXCLUDE a gibberish
+    doc's rare trigrams and inflate its score past the fluency gate.
     """
-    from pyspark import StorageLevel
     tri = df.select(F.col(id_col),
                     F.explode(char_trigrams(F.col(text_col))).alias("tg")) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
     counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("c"))
     if min_count > 1:
         counts = counts.filter(F.col("c") >= min_count)
@@ -435,7 +441,8 @@ def char_lm_self_score(df: DataFrame, text_col: str = "text",
     model = (counts.withColumn("cx", F.substring("tg", 1, 2))
              .join(ctx, "cx")
              .select("tg", F.log(F.col("c") / F.col("cc")).alias("logp")))
-    return (tri.join(F.broadcast(model), "tg")
+    return (tri.join(F.broadcast(model), "tg", "left")
+            .withColumn("logp", F.coalesce("logp", F.lit(floor_logp)))
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_trigrams"),
                  F.round(F.avg("logp"), 4).alias("avg_logp")))
@@ -486,13 +493,21 @@ def chunk_text(df: DataFrame, chunk_tokens: int = 64, overlap: int = 16,
         F.sequence(F.lit(0), n_extra),
         lambda i: F.greatest(F.least(i * step + 1, n - chunk_tokens + 1),
                              F.lit(1)))
+    # token count comes from the SLICE, in the same projection — the
+    # chunk's tokens are known by construction; re-tokenizing the joined
+    # string would double the operator's string work per chunk
     chunks = F.transform(
-        starts, lambda s: F.array_join(F.slice(toks, s, chunk_tokens), " "))
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s, chunk_tokens), " ")
+             .alias("chunk_text"),
+            F.size(F.slice(toks, s, chunk_tokens)).alias("n_chunk_tokens")))
     return (df.filter(n > 0)
-            .select(F.col(id_col), F.posexplode(chunks)
-                    .alias("chunk_id", "chunk_text"))
-            .withColumn("n_chunk_tokens",
-                        F.size(tokens(F.col("chunk_text")))))
+            .select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_id", "c"))
+            .select(id_col, "chunk_id",
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.n_chunk_tokens").alias("n_chunk_tokens")))
 
 
 def html_to_text(col: Column | str) -> Column:
@@ -507,7 +522,10 @@ def html_to_text(col: Column | str) -> Column:
     c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
-    for ent, rep in (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-                     ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'")):
+    # &amp; decodes LAST (standard order): decoding it first would turn
+    # the escaped display text "&amp;lt;" into "&lt;" and then "<" —
+    # double-decoding markup the page meant to SHOW
+    for ent, rep in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                     ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"\s+", " "))

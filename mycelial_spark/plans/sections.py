@@ -798,7 +798,8 @@ def pack_sequences_(spark, cfg, inputs):
 def char_lm_score_(spark, cfg, inputs):
     from mycelial_spark.operators.text import char_lm_self_score
     scores = char_lm_self_score(inputs[0], cfg["text_col"],
-                                cfg["id_col"], cfg["min_count"])
+                                cfg["id_col"], cfg["min_count"],
+                                cfg["floor_logp"])
     return (inputs[0].join(scores, cfg["id_col"], "left")
             .withColumn("n_trigrams",
                         F.coalesce("n_trigrams", F.lit(0)))

@@ -1066,8 +1066,8 @@ WITH h AS (
 SELECT doc_id,
        trim(regexp_replace(
          replace(replace(replace(replace(replace(replace(t,
-           '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-           '&quot;', '"'), '&#39;', chr(39)),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&'),
          '\\s+', ' ', 'g')) AS extracted
 FROM x
 """)
@@ -1136,18 +1136,23 @@ WITH t AS (
   FROM t
 ), r AS (
   SELECT doc_id, lang, q,
-         percent_rank() OVER (PARTITION BY lang
-                              ORDER BY q, doc_id) AS pr
+         row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
   FROM s
 )
-SELECT doc_id, lang, q AS quality_score FROM r WHERE pr >= 0.2
+SELECT doc_id, lang, q AS quality_score
+FROM r WHERE rn > CAST(floor(0.2 * n) AS BIGINT)
 """)
 def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RELATIVE quality gate: instead of one global score threshold
-    (quality_filter), keep each language's top 80% by score — the
-    per-stratum quantile cut that keeps a low-resource language from
-    being wiped out by a threshold tuned on the high-resource one. One
-    window pass per language partition; deterministic tie-break on
+    (quality_filter), drop each language's bottom floor(20%) by score —
+    the per-stratum quantile cut that keeps a low-resource language from
+    being wiped out by a threshold tuned on the high-resource one. The
+    cut is RANK-based (rn > floor(0.2 * n)), not percent_rank >= 0.2: a
+    percent_rank cut deletes 100% of a 1-doc language (pr = 0 there) and
+    half of a 2-doc one — exactly the strata the gate exists to protect;
+    floor() guarantees at least ceil(0.8 n) survivors for every n >= 1.
+    One window pass per language partition; deterministic tie-break on
     doc_id."""
     from pyspark.sql import Window
 
@@ -1158,8 +1163,10 @@ def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle sees as a tie)
     scored = scored.withColumn("q", F.round("quality_score", 6))
     w = Window.partitionBy("lang").orderBy("q", "doc_id")
-    return (scored.withColumn("pr", F.percent_rank().over(w))
-            .filter(F.col("pr") >= 0.2)
+    wn = Window.partitionBy("lang")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .filter(F.col("rn") > F.floor(0.2 * F.col("n")))
             .select("doc_id", "lang", F.col("q").alias("quality_score")))
 
 

@@ -47,12 +47,18 @@ def find_jdbc_jar(artifact: str) -> str | None:
         return None
 
     def version_key(p: str):
-        # numeric version-tuple ordering: postgresql-42.7.3 must beat
-        # postgresql-9.4.1212 (a lexicographic basename compare ranks
-        # '9' above '4')
+        # numeric ordering on the VERSION segment only: postgresql-42.7.3
+        # beats postgresql-9.4.1212 (lexicographic basename ranks '9'
+        # above '4'), while classifier digits stay out of the version —
+        # mssql-jdbc-12.4.2.jre8 must not lose to 12.4.1.jre11. Among
+        # equal versions prefer the lowest JRE classifier (runs on the
+        # widest range of JVMs), then no classifier over any.
         import re
-        nums = tuple(int(x) for x in
-                     re.findall(r"\d+", os.path.basename(p)))
-        return (nums, p)
+        base = os.path.basename(p)
+        m = re.search(r"(\d+(?:\.\d+)+)", base)
+        version = tuple(int(x) for x in m.group(1).split(".")) if m else ()
+        jre = re.search(r"\.jre(\d+)", base)
+        jre_pref = -int(jre.group(1)) if jre else 1
+        return (version, jre_pref, p)
 
     return max(hits, key=version_key)

@@ -228,3 +228,25 @@ def test_s3_sections_logic_over_local_fs(spark, tmp_path):
     assert res["format"] == "parquet"
     back = spark.read.parquet(f"file://{bucket}/out")
     assert back.count() == 10 and set(back.columns) == {"id", "dbl"}
+
+
+def test_jarfind_orders_versions_numerically(tmp_path, monkeypatch):
+    """postgresql-42.x must beat 9.x (lexicographic ranks '9' higher);
+    JRE classifiers stay out of the version and lower JRE wins ties."""
+    import mycelial_spark.sources.jarfind as jf
+    d = tmp_path / "cache"
+    d.mkdir()
+    for n in ("postgresql-9.4.1212.jar", "postgresql-42.7.3.jar",
+              "postgresql-42.7.3-sources.jar"):
+        (d / n).write_bytes(b"x")
+    monkeypatch.setattr(jf, "_cache_roots", lambda: [str(d)])
+    assert jf.find_jdbc_jar("postgresql").endswith("postgresql-42.7.3.jar")
+    d2 = tmp_path / "cache2"
+    d2.mkdir()
+    for n in ("mssql-jdbc-12.4.2.jre8.jar", "mssql-jdbc-12.4.2.jre11.jar",
+              "mssql-jdbc-12.4.1.jre11.jar"):
+        (d2 / n).write_bytes(b"x")
+    monkeypatch.setattr(jf, "_cache_roots", lambda: [str(d2)])
+    assert jf.find_jdbc_jar("mssql-jdbc").endswith("12.4.2.jre8.jar")
+    monkeypatch.setattr(jf, "_cache_roots", lambda: [])
+    assert jf.find_jdbc_jar("anything") is None

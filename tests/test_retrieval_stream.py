@@ -139,3 +139,41 @@ def test_crashed_update_orphan_postings_are_invisible_then_adopted(spark,
     assert posts.filter("count > 1").count() == 0
     assert {r["doc_id"] for r in idx.bm25(spark, "spark").collect()} \
         == {1, 5}
+
+
+def test_partially_committed_postings_are_completed_on_replay(spark,
+                                                              tmp_path):
+    """A crashed postings job can commit a SUBSET of a doc's posting
+    FILES (per-file commit granularity) — replay must append the
+    missing (token, doc) rows, not skip the whole doc and permanently
+    truncate it."""
+    from mycelial_spark.operators.text import build_inverted_index
+    idx = IncrementalInvertedIndex(str(tmp_path / "idx"))
+    idx.update(_df(spark, DOCS1))
+
+    full = build_inverted_index(_df(spark, DOCS2))
+    # partial commit: half of DOCS2's posting rows land, no doclens
+    full.filter(F.xxhash64("token") % 2 == 0) \
+        .write.mode("append").parquet(idx._postings)
+
+    out = idx.update(_df(spark, DOCS2))
+    assert out["docs_indexed"] == 2
+    assert 0 < out["postings_appended"] < full.count()
+    got = {(r["token"], r["doc_id"], tuple(r["positions"]))
+           for r in idx.postings(spark)
+           .filter(F.col("doc_id").isin([4, 5])).collect()}
+    want = {(r["token"], r["doc_id"], tuple(r["positions"]))
+            for r in full.collect()}
+    assert got == want      # complete, no duplicates, no truncation
+
+
+def test_all_empty_doc_batch_keeps_index_queryable(spark, tmp_path):
+    """A first batch of zero-token docs creates only the ledger; reads
+    must return typed empties, and later real batches index normally."""
+    idx = IncrementalInvertedIndex(str(tmp_path / "idx"))
+    out = idx.update(_df(spark, [(90, "   "), (91, "")]))
+    assert out == {"docs_indexed": 2, "postings_appended": 0}
+    assert idx.postings(spark).count() == 0
+    assert idx.bm25(spark, "anything").count() == 0
+    idx.update(_df(spark, DOCS1))
+    assert {r["doc_id"] for r in idx.bm25(spark, "spark").collect()} == {1}

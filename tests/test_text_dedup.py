@@ -539,3 +539,15 @@ def test_char_lm_fused_equals_two_step(spark):
     two = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"])
            for r in score_char_lm(docs, train_char_lm(docs)).collect()}
     assert fused == two
+
+    # min_count > 1: pruned trigrams still count, scoring the floor —
+    # an inner join would EXCLUDE a gibberish doc's rare trigrams and
+    # inflate its score
+    fused2 = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"])
+              for r in char_lm_self_score(docs, min_count=3).collect()}
+    two2 = {r["doc_id"]: (r["n_trigrams"], r["avg_logp"])
+            for r in score_char_lm(
+                docs, train_char_lm(docs, min_count=3)).collect()}
+    assert fused2 == two2
+    assert fused2[2][0] == fused[2][0]          # same trigram count
+    assert fused2[2][1] < fused[2][1] - 5       # floor dominates gibberish
