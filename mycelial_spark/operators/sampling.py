@@ -171,3 +171,43 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
         cond = (F.col(source_col) == s) & (h < F.lit(rate))
         expr = cond if expr is None else expr | cond
     return df.filter(expr)
+
+
+def mixture_upsample(df: DataFrame, weights: dict[str, float],
+                     source_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted UPSAMPLING — the repetition-based mixing
+    counterpart to ``mixture_sample``: instead of dropping rows, sources
+    REPLICATE until proportions match the target, anchored so the
+    most-overrepresented source keeps exactly one copy (never discards
+    data). Per source, rate = w * max_s(n_s / w_s) / n; every row gets
+    floor(rate) copies plus one more iff its Knuth-hash fraction falls
+    under the fractional part — so expected proportions are exact, the
+    chosen rows are stable across reruns/partitionings/engines, and the
+    output carries an ``epoch`` column (0-based copy index) for
+    repetition-aware training. Sources absent from ``weights`` drop.
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(source_col).alias("s"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources not in data: {missing}")
+    scale = max(counts[s] / w for s, w in weights.items())
+    h = hash_bucket(id_col, 1)          # uniform in [0, 1)
+    n_copies = None
+    for s, w in weights.items():
+        rate = (w * scale) / counts[s]
+        base = int(rate)
+        cond = F.col(source_col) == s
+        copies = F.lit(base) + (h < F.lit(rate - base)).cast("int")
+        n_copies = (F.when(cond, copies) if n_copies is None
+                    else n_copies.when(cond, copies))
+    n_copies = n_copies.otherwise(F.lit(0))
+    return (df.withColumn("_nc", n_copies)
+            .filter(F.col("_nc") > 0)
+            .withColumn("epoch",
+                        F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
+            .drop("_nc"))

@@ -1119,6 +1119,39 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           {"src0": 0.5, "src1": 0.3, "src2": 0.2})
 
 
+@query("mixture_upsample", """
+WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.2), ('src1', 0.3),
+                                       ('src3', 0.5))),
+counts AS (
+  SELECT source AS s, count(*) AS n FROM documents
+  WHERE source IN (SELECT s FROM w) GROUP BY source
+), sc AS (SELECT max(n / w) AS scale FROM counts JOIN w USING (s)),
+rates AS (
+  SELECT c.s, w.w * sc.scale / c.n AS rate FROM counts c
+  JOIN w USING (s) CROSS JOIN sc
+), base AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(r.rate) AS INT)
+         + CASE WHEN ((d.doc_id % 2147483648) * 2654435761 % 4294967296)
+                     * 1 / 4294967296 < r.rate - floor(r.rate)
+                THEN 1 ELSE 0 END AS nc
+  FROM documents d JOIN rates r ON d.source = r.s
+)
+SELECT doc_id, source, CAST(u.e AS INT) AS epoch
+FROM base, LATERAL unnest(range(0, nc)) AS u(e)
+""")
+def mixture_upsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based weighted mixing: sources REPLICATE to target
+    proportions (anchor source keeps one copy, never discarding data);
+    fractional epochs land on hash-chosen rows, output carries the
+    0-based epoch index. Deterministic and engine-exact, so the oracle
+    replays rate derivation, hash choice, and replication in SQL."""
+    from mycelial_spark.operators.sampling import mixture_upsample
+    out = mixture_upsample(_t(spark, sf_dir, "documents"),
+                           {"src0": 0.2, "src1": 0.3, "src3": 0.5})
+    return out.select("doc_id", "source", "epoch")
+
+
 @query("quality_quantile_filter", """
 WITH t AS (
   SELECT doc_id, lang, text,

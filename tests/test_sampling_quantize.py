@@ -193,3 +193,24 @@ def test_chunk_text_covers_every_token(spark, n_tokens, chunk_tokens):
             assert len(got) == chunk_tokens
         covered.update(got)
     assert covered == set(toks)
+
+
+def test_mixture_upsample_replicates_to_targets(spark):
+    from mycelial_spark.operators.sampling import mixture_upsample
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # s0 gets weight 0.75 vs 0.25: anchor is s1 (1000/0.25 = 4000 max)
+    out = mixture_upsample(df, {"s0": 0.75, "s1": 0.25})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["s1"] == 1000                       # anchor: exactly 1 epoch
+    assert abs(got["s0"] - 3000) < 100             # rate 3.0
+    # every input row survives with >= 1 copy; epochs contiguous per row
+    per_row = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"),
+                                        F.max("epoch").alias("m")).collect()
+    assert len(per_row) == 2000
+    assert all(r["m"] == r["c"] - 1 for r in per_row)
+    # deterministic under repartition
+    again = mixture_upsample(df.repartition(7), {"s0": 0.75, "s1": 0.25})
+    assert sorted((r["doc_id"], r["epoch"]) for r in again.collect()) == \
+           sorted((r["doc_id"], r["epoch"]) for r in out.collect())

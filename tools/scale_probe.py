@@ -54,8 +54,8 @@ def scaled_docs(spark, sf_dir: str, factor: int):
 
 
 def _char_lm(d):
-    from mycelial_spark.operators.text import score_char_lm, train_char_lm
-    return score_char_lm(d, train_char_lm(d))
+    from mycelial_spark.operators.text import char_lm_self_score
+    return char_lm_self_score(d)
 
 
 def main() -> None:
