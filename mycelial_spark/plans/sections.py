@@ -767,6 +767,20 @@ def mixture_sample_(spark, cfg, inputs):
                           cfg["source_col"], cfg["id_col"])
 
 
+@_register("mixture_upsample", "transform", "dataframe", "dataframe",
+           [Field("weights", "json"), Field("source_col", default="source"),
+            Field("id_col", default="doc_id")],
+           doc="Repetition-based weighted mixing: sources replicate to "
+               "the target proportions (anchor keeps one copy, data "
+               "never discarded); adds a 0-based epoch column "
+               "(operators/sampling.py mixture_upsample).")
+def mixture_upsample_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import mixture_upsample
+    return mixture_upsample(inputs[0],
+                            {k: float(v) for k, v in cfg["weights"].items()},
+                            cfg["source_col"], cfg["id_col"])
+
+
 @_register("pack_sequences", "transform", "dataframe", "dataframe",
            [Field("max_tokens", "int", 1024),
             Field("text_col", default="text"),
