@@ -211,3 +211,40 @@ def mixture_upsample(df: DataFrame, weights: dict[str, float],
             .withColumn("epoch",
                         F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)))
             .drop("_nc"))
+
+
+def hash_order(id_col: Column | str) -> Column:
+    """The raw Knuth hash in [0, 2^32) as an ORDERING key — a
+    deterministic, engine-exact shuffle of the id space (hash_bucket's
+    bucket arithmetic would overflow BIGINT at bucket counts this
+    large)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.pmod(c.cast("bigint"), F.lit(2147483648)) * F.lit(_KNUTH)) \
+        % F.lit(_MOD)
+
+
+def diverse_sample(df: DataFrame, centroids: list[list[float]],
+                   per_cluster: int, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Diversity-aware subsampling: cap each embedding CLUSTER at
+    ``per_cluster`` rows — the curation step that stops near-duplicate
+    topic blobs from dominating a training mix the way a plain uniform
+    sample would. Clusters come from the caller's centroids (train with
+    pq_train_codebooks(m=1) for engine-deterministic Lloyd, or
+    ivf_train_centroids at cluster scale); within a cluster the kept
+    rows follow the Knuth-hash order with id tie-break, so the selection
+    is reproducible across engines and partitionings. One narrow assign
+    pass + one per-cluster window. Returns (id_col, cluster, rn).
+    """
+    if per_cluster < 1:
+        raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
+    from pyspark.sql import Window
+
+    from mycelial_spark.operators.similarity import ivf_assign
+    assigned = ivf_assign(df, centroids, vec_col)
+    w = Window.partitionBy("ivf_cell").orderBy(hash_order(id_col),
+                                               F.col(id_col))
+    return (assigned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= per_cluster)
+            .select(id_col, F.col("ivf_cell").alias("cluster"),
+                    F.col("rn").cast("int").alias("rn")))

@@ -44,6 +44,204 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+# IVF coarse-quantizer centroids for the sf0.01 fixture, trained by the
+# DETERMINISTIC driver-side Lloyd pass (pq_train_codebooks m=1 k=8:
+# id-ordered sample, seeded numpy — invariant to session partitioning,
+# unlike distributed KMeans float reduction order). Frozen so the oracle
+# can replicate cell assignment + probe selection verbatim; pinned by
+# tests/test_oracle_pins.py against a fresh training run.
+_IVF_CENTROIDS_SF001: list[list[float]] = [
+    [
+     -0.029656048757253122, -0.0063370129104978485, 0.0242423479651391,
+     0.02868506514284088, 0.022739841602742672, 0.004322371451321562,
+     -0.05283349480281477, 0.05083701919313886, -0.0016458100480882482,
+     0.0267531169983024, -0.07129737209589755, -0.014839674666768214,
+     -0.012519532425298553, 0.0009072030757050045, -0.04602170122556434,
+     0.014551014181409702, 0.0027840640787111567, -0.09338925022357067,
+     -0.02823752173047024, 0.03168497499475469, -0.031073519815003774,
+     -0.022472631944854913, 0.009050126437510013, 0.06099832589073931,
+     0.007083527991914603, 0.06354566099366447, 0.04209613028272498,
+     -0.014047092803921855, 0.03662197523154929, 0.018745005856455135,
+     0.049155350179090854, 0.012216506663282386, -0.004816983166135481,
+     -0.008977343183255097, 0.002463430619500883, -0.010011633961140865,
+     -0.001995502654310377, -0.046746282452778495, -0.07790335716649158,
+     0.019195916846806764, 0.014157383785712853, 0.006157016889268502,
+     0.023739813123774794, 0.057204812326417, -0.05947105191098374,
+     0.0006672576409535575, -0.03130295086312337, -0.060365358718716705,
+     -0.038190468849965416, 0.011150583266051577, 0.026953848296409993,
+     0.012135080550892706, 0.06263273195592595, 0.02483265448483776,
+     -0.045501484241733545, -0.012128298001966943, 0.03887214211911177,
+     -0.007217250752442166, 0.005616718438953986, 0.01538326523694225,
+     -0.027092111968725432, 0.006436334893328794, -0.01116597987367909,
+     -0.016864541322603576],
+    [
+     0.03682327557950938, -0.00901647750973044, 0.03475855793615611,
+     -0.06320859704111867, 0.06165744476739372, -0.027909376834834215,
+     -0.06411595318465568, 0.06933449961327236, 0.045223123866462094,
+     0.04429815726710812, 0.004524576092508677, -0.0326400843092843,
+     0.044899598178316784, -0.011480840496540837, 0.03424231329699978,
+     0.03414962272954119, -0.0017323367534546003, 0.025575617236694704,
+     -0.004594361298265593, 0.046997376960729635, 0.003787407233818051,
+     -0.040343483985292125, 0.01781222111928989, -0.008207696431782097,
+     -0.07901118647201014, 0.02496839327025501, -0.028233143988472875,
+     0.02133184173897676, 0.00754503155579133, 0.05464650274541996,
+     -0.0062259938584996715, -0.018650305854594883, 0.007361208581749131,
+     0.03236300103462247, 0.04548501584384426, -0.04507098638671724,
+     -0.05400097837178584, 0.038146123025211746, 0.05641780851200404,
+     -0.01729566407362547, -0.022721550937550253, -0.06338685611262918,
+     -0.0090731107732555, -0.014380469406366019, -0.024982834616206245,
+     -0.013785674722920008, -0.027502173836931914, -0.009069326899514315,
+     0.019811589452301097, -0.013510701697668992, 0.008715524341609767,
+     0.0015386229993857663, -0.04392945175651916, 0.009985883287085658,
+     0.019967071254915723, -0.02905273120781845, 0.00585161242462859,
+     -0.010151111962520243, 0.00034249737869044216, -0.01936292626294958,
+     -0.019799213514060658, 0.01401413122724026, -0.013400507070507635,
+     -0.08545705452150501],
+    [
+     0.025117738071314403, 0.013980175472648912, 0.013626043030710303,
+     0.017677849939852757, 0.08866398772347327, 0.07561026573622305,
+     -0.0633302797612391, -0.0354535446539031, -0.04908200312025943,
+     -0.02627695882945677, 0.08863947377540171, -0.002647576947837431,
+     -0.011927461344289202, 0.0439870639361049, -0.001662238308007976,
+     0.03639579375004886, -0.026520792437766335, 0.031556931881871274,
+     -0.05157789629485801, -0.03399623827518601, 0.016821530304457013,
+     0.0214738410799519, 0.008422168337059893, -0.0484259602105196,
+     -0.004341225663665682, 0.006060938182360444, 0.02697746325468056,
+     0.030754608950749236, -0.024857706952484716, 0.0035828026578344995,
+     0.019529982963209284, -0.025913082859723977, -0.01893987454930443,
+     -0.03410497584876506, 0.018700805909343456, -0.0191761948180532,
+     -0.019158302475453207, 0.039403031646782584, 0.018758644486775954,
+     0.013236667213373278, -0.013769287859184643, -0.05306051065264527,
+     0.001227576760452633, 0.026479403699723708, -0.00849296474801744,
+     0.017116612420834013, 0.02477915632373065, 0.03184821456670761,
+     0.03162773174105831, -0.008637936134810412, 0.026388031614356135,
+     -0.017498684925253895, 0.009846313286719746, -0.01994884062436971,
+     -0.006896836563675224, 0.013923564012848624, 0.015052699407342038,
+     0.00586005598061571, 0.01808435209137602, 0.023439083251440406,
+     0.04445603937538659, -0.006138980956931941, 0.04145835992255199,
+     0.004738183093171469],
+    [
+     -0.01044076722951568, 0.005523415731399187, 0.020422447722272148,
+     -0.005857480304999923, -0.040977131052664956, 0.017499968233727375,
+     -0.020441065161674266, 0.019207810602930128, 0.01423231237395714,
+     0.003560368824579126, -0.042188824334999125, 0.08146025124005973,
+     -0.012580911445963596, -0.01395127430619976, -0.016354357091976062,
+     0.049371048580612795, 0.042077464198845685, 0.04051951312802124,
+     0.0031857841923756867, 0.0065263250215473224, -0.08331490296879973,
+     0.00696700402269406, 0.0084996120814158, -0.04715176523492044,
+     0.039649113832155664, -0.029902214792614082, 0.01765050896923343,
+     -0.00362213076881076, 0.04708742647317751, -0.019653010519449503,
+     -0.014026261899354202, 0.0882547894606785, 0.012743333886776651,
+     -0.0018275670745238966, -0.03925360039788849, 0.10305102506286598,
+     -0.005156663408008765, 0.03214596489049988, 0.018295010010122646,
+     -0.021137335979393376, -0.05342825467945361, 0.011959376475864033,
+     -0.0019036260557037834, 0.04293905930802682, 0.0003723821659781495,
+     -0.04546348980333352, 0.035875926003316225, 0.07760595568759861,
+     0.016725486315482735, -0.043780553273438494, 0.00787917233062718,
+     -0.04300468738846557, 0.011893860245009467, -0.0047746986074715244,
+     -0.00487646242907765, -0.016471423840682422, -0.005223119469853688,
+     0.01644008800539435, -0.02028542342690789, -0.03002194410703164,
+     -0.05011005816525038, -0.0072095991297605995, -0.011910931416312042,
+     0.03444083090111309],
+    [
+     -0.03470077626137198, 0.016913198705668143, -0.0066495185407499475,
+     0.014803460225516903, 0.010432752122616639, -0.03503710227222114,
+     0.06846101622880045, -0.026358638427800674, -0.00962857182637073,
+     -0.008847746758492312, -0.03118649862818015, 0.008030131361379788,
+     -0.024158128125566072, 0.03091080923057735, -0.03863641571091569,
+     -0.03864621719264466, 0.03800756431630124, 0.04182187213049526,
+     0.017083906052310183, 0.029158019781301635, -0.010649402551622927,
+     0.005529559156654969, 0.020270664351182462, -0.0586214237778947,
+     -0.04415917152980093, -0.00504679512232542, -0.028694047666816175,
+     -0.02167157725552502, -0.019612419828975006, -0.057836696475177356,
+     -0.01562979963162671, -0.054627804029091814, 0.02805602322906202,
+     -0.015691300592574196, 0.00022738633096973965,
+     -0.007971258418958472, 0.03280338394266648, 0.0010373064188583605,
+     0.001988775589911645, 0.00032424855052722967, -0.001473139129803462,
+     0.06311162166715856, -0.0678920283427705, -0.07483800466550325,
+     0.050434291546664914, -0.02369311128648511, 0.013793588256163091,
+     0.0007682278941290966, -0.03412381955759897, -0.06806493522869288,
+     0.010437623225658646, 0.03540372539018922, 0.03629766134511463,
+     -0.03817941202525643, 0.011001726868899836, -0.06757465854752809,
+     -0.014914938920191016, 0.001998362445232013, 0.008090760943520328,
+     -0.004504455881955885, 0.010661199641670439, 0.022294988583872917,
+     -0.015227646312585262, -0.05414364826140008],
+    [
+     -0.0008389006499043209, 0.020596877917434264, 0.03924584004365034,
+     -0.01904815789785678, -0.057774566832172164, -0.03640609809742072,
+     -0.003887371310048689, -0.02646287142543785, 0.026407789709776544,
+     -0.05823400161244859, 0.03103530105061324, -0.026145819844914823,
+     0.021827412364211218, -0.07832612596961307, -0.0047930058218159915,
+     -0.006544690752812362, -0.030794653248326, -0.022955225827961653,
+     0.0011144250846404772, 0.014424515715938346, 0.03440014958496095,
+     0.03004284035927474, -0.04427510374659767, 0.024410702469679763,
+     0.029646089995058918, 0.004627046621230952, 0.019994077004366003,
+     -0.000418043944992567, 0.03972032055321891, -0.0025266642214619886,
+     -0.0273743681293928, -0.051341419346900403, 0.008831843639076766,
+     0.015850033638683165, 0.006369348494059769, 0.0031509981451208814,
+     0.005305801159149762, -0.043455882290214444, 0.030432742080647276,
+     -0.019273187365319768, 0.05009249448618394, -0.01677869377910333,
+     0.075722891897046, -0.009037834878269015, -0.05069809403444119,
+     0.0583333148121818, 0.015566206365523829, -0.01235359508575777,
+     -0.03825246172728238, -0.0027065087835920058, -0.004527461499970217,
+     0.023833132363753236, 0.030338627128404076, -0.03402142924398689,
+     0.025033914997100323, 0.029655311588134805, 0.005293166904189324,
+     -0.04415062048977588, -0.050069961325912654, -0.03884647395146095,
+     -0.023033419908103297, 0.004841366506544716, 0.05619319800634758,
+     0.06676620673546094],
+    [
+     0.0533744470902987, -0.00926124815181908, -0.058754989926671705,
+     -0.007874929272891337, -0.07213748638691792, 0.03299715321647177,
+     0.023445983440023296, -0.011692440995583468, -0.03791308829213603,
+     -0.05940387369591301, 0.01607252383541505, 0.04534770944945009,
+     -0.0002365778575225149, 0.09009711894648686, 0.03558600115416161,
+     0.020611672157074434, 0.005837094827981318, -0.006747430668930697,
+     0.009072250122267563, -0.05236220889393303, -0.009603329731932826,
+     0.06715204717465124, 0.01184427374342488, 0.025278818643636118,
+     0.008631564664922781, 0.029367422309143753, 0.00527538428471771,
+     0.02499004119417188, -0.006733871641237352, -0.0074490977498560635,
+     0.03781612896186821, 0.01966738617143858, -0.025855134136706464,
+     -0.02339281454106193, -0.05102537698664908, 0.020240779571487743,
+     0.008250300954017093, -0.05923458664299194, -0.019595433891281263,
+     0.03746914088610615, 0.00371917593292892, -0.009241247482566257,
+     -0.013322286737956485, -0.05748775812907744, -0.021713026325707718,
+     0.006543004451224865, -0.00730688931021871, 0.04029923411366388,
+     0.01072267688400412, 0.025311682420640677, -0.005263717543191703,
+     -0.03982039025621647, -0.03589695624679611, 0.01960143417275858,
+     0.00834490371457601, 0.039408649092982126, -0.04513329911929697,
+     0.011920460729694025, -0.026224845614860434, -0.020532161994813548,
+     0.0020295009986912808, 0.0024858088887659674, -0.014565760360525573,
+     -0.06698797673965662],
+    [
+     -0.029071237547599348, -0.07530800832467059, -0.03904594170073663,
+     -0.00572341655270528, 0.027221512700573117, 0.026021162845131198,
+     -0.02705092590807353, 0.04434016200129764, 0.003178869251761649,
+     0.07492484023865564, 0.033265536954879, -0.011450419229084342,
+     -0.028863110484839496, -0.0632943258249848, 0.03641326989489213,
+     -0.061072647642596796, 0.007098979880970161, 0.02294284272327293,
+     0.06420814490214116, -0.03427801072850066, 0.030409522757123587,
+     -0.04786700970430117, -0.00374540421417204, -0.001458671449099557,
+     0.05374255127439244, 0.0030011473651738617, -0.06563921539523339,
+     0.044155863610932884, -0.07346919674615739, 0.010267485896030725,
+     -0.001819451260617224, 0.015418087449950813, 0.06515999238677145,
+     -0.013245818488323525, 0.041622791944418924, -0.002679339448242622,
+     -0.003871349179801547, 0.014882532478175994, -0.04519315593939085,
+     -0.02765302358479318, 0.006789283057422203, -0.022970596517799265,
+     0.005567764843640439, 0.03693531536391983, 0.016708381134637837,
+     0.026220342681064445, -0.027111794590413317, -0.011539090816444575,
+     -0.0023195872988978055, 0.021539752055906643, -0.00139577039793702,
+     0.0059603140452655695, -0.0077303179295070594, 0.018349451352289672,
+     0.030633182718686886, 0.021416149950602044, 0.03575337958552725,
+     0.006917115375873143, 0.013127779572318166, -0.00810913153197932,
+     0.04133431866007336, 9.644661351280697e-05, -0.05016411840521052,
+     0.03233896601566319],
+]
+
+_IVF_CENT_SQL = ",\n".join(
+    f"({i}, {c!r}::DOUBLE[])"
+    for i, c in enumerate(_IVF_CENTROIDS_SF001))
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY.md §2.4): aggregation
 # ---------------------------------------------------------------------------
@@ -1119,6 +1317,35 @@ def mixture_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                           {"src0": 0.5, "src1": 0.3, "src2": 0.2})
 
 
+@query("diverse_sample", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+assigned AS (
+  SELECT vec_id,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cluster
+  FROM v),
+r AS (
+  SELECT vec_id, cluster,
+         CAST(row_number() OVER (PARTITION BY cluster
+              ORDER BY (vec_id % 2147483648) * 2654435761 % 4294967296,
+                       vec_id) AS INT) AS rn
+  FROM assigned)
+SELECT vec_id, cluster, rn FROM r WHERE rn <= 20
+""")
+def diverse_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware subsampling: embedding clusters capped at 20 rows
+    each, keeping near-duplicate topic blobs from dominating the mix.
+    Clusters from the deterministic driver-side Lloyd pass (the same
+    frozen centroids the IVF oracle pins), selection by Knuth-hash order
+    — the oracle replays assignment, ordering, and the cap in SQL."""
+    from mycelial_spark.operators.sampling import diverse_sample
+    from mycelial_spark.operators.similarity import pq_train_codebooks
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = pq_train_codebooks(emb, m=1, k=8)[0]
+    return diverse_sample(emb, cents, per_cluster=20)
+
+
 @query("mixture_upsample", """
 WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.2), ('src1', 0.3),
                                        ('src3', 0.5))),
@@ -2109,202 +2336,6 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("user_id").asc()], 20)
 
 
-# IVF coarse-quantizer centroids for the sf0.01 fixture, trained by the
-# DETERMINISTIC driver-side Lloyd pass (pq_train_codebooks m=1 k=8:
-# id-ordered sample, seeded numpy — invariant to session partitioning,
-# unlike distributed KMeans float reduction order). Frozen so the oracle
-# can replicate cell assignment + probe selection verbatim; pinned by
-# tests/test_oracle_pins.py against a fresh training run.
-_IVF_CENTROIDS_SF001: list[list[float]] = [
-    [
-     -0.029656048757253122, -0.0063370129104978485, 0.0242423479651391,
-     0.02868506514284088, 0.022739841602742672, 0.004322371451321562,
-     -0.05283349480281477, 0.05083701919313886, -0.0016458100480882482,
-     0.0267531169983024, -0.07129737209589755, -0.014839674666768214,
-     -0.012519532425298553, 0.0009072030757050045, -0.04602170122556434,
-     0.014551014181409702, 0.0027840640787111567, -0.09338925022357067,
-     -0.02823752173047024, 0.03168497499475469, -0.031073519815003774,
-     -0.022472631944854913, 0.009050126437510013, 0.06099832589073931,
-     0.007083527991914603, 0.06354566099366447, 0.04209613028272498,
-     -0.014047092803921855, 0.03662197523154929, 0.018745005856455135,
-     0.049155350179090854, 0.012216506663282386, -0.004816983166135481,
-     -0.008977343183255097, 0.002463430619500883, -0.010011633961140865,
-     -0.001995502654310377, -0.046746282452778495, -0.07790335716649158,
-     0.019195916846806764, 0.014157383785712853, 0.006157016889268502,
-     0.023739813123774794, 0.057204812326417, -0.05947105191098374,
-     0.0006672576409535575, -0.03130295086312337, -0.060365358718716705,
-     -0.038190468849965416, 0.011150583266051577, 0.026953848296409993,
-     0.012135080550892706, 0.06263273195592595, 0.02483265448483776,
-     -0.045501484241733545, -0.012128298001966943, 0.03887214211911177,
-     -0.007217250752442166, 0.005616718438953986, 0.01538326523694225,
-     -0.027092111968725432, 0.006436334893328794, -0.01116597987367909,
-     -0.016864541322603576],
-    [
-     0.03682327557950938, -0.00901647750973044, 0.03475855793615611,
-     -0.06320859704111867, 0.06165744476739372, -0.027909376834834215,
-     -0.06411595318465568, 0.06933449961327236, 0.045223123866462094,
-     0.04429815726710812, 0.004524576092508677, -0.0326400843092843,
-     0.044899598178316784, -0.011480840496540837, 0.03424231329699978,
-     0.03414962272954119, -0.0017323367534546003, 0.025575617236694704,
-     -0.004594361298265593, 0.046997376960729635, 0.003787407233818051,
-     -0.040343483985292125, 0.01781222111928989, -0.008207696431782097,
-     -0.07901118647201014, 0.02496839327025501, -0.028233143988472875,
-     0.02133184173897676, 0.00754503155579133, 0.05464650274541996,
-     -0.0062259938584996715, -0.018650305854594883, 0.007361208581749131,
-     0.03236300103462247, 0.04548501584384426, -0.04507098638671724,
-     -0.05400097837178584, 0.038146123025211746, 0.05641780851200404,
-     -0.01729566407362547, -0.022721550937550253, -0.06338685611262918,
-     -0.0090731107732555, -0.014380469406366019, -0.024982834616206245,
-     -0.013785674722920008, -0.027502173836931914, -0.009069326899514315,
-     0.019811589452301097, -0.013510701697668992, 0.008715524341609767,
-     0.0015386229993857663, -0.04392945175651916, 0.009985883287085658,
-     0.019967071254915723, -0.02905273120781845, 0.00585161242462859,
-     -0.010151111962520243, 0.00034249737869044216, -0.01936292626294958,
-     -0.019799213514060658, 0.01401413122724026, -0.013400507070507635,
-     -0.08545705452150501],
-    [
-     0.025117738071314403, 0.013980175472648912, 0.013626043030710303,
-     0.017677849939852757, 0.08866398772347327, 0.07561026573622305,
-     -0.0633302797612391, -0.0354535446539031, -0.04908200312025943,
-     -0.02627695882945677, 0.08863947377540171, -0.002647576947837431,
-     -0.011927461344289202, 0.0439870639361049, -0.001662238308007976,
-     0.03639579375004886, -0.026520792437766335, 0.031556931881871274,
-     -0.05157789629485801, -0.03399623827518601, 0.016821530304457013,
-     0.0214738410799519, 0.008422168337059893, -0.0484259602105196,
-     -0.004341225663665682, 0.006060938182360444, 0.02697746325468056,
-     0.030754608950749236, -0.024857706952484716, 0.0035828026578344995,
-     0.019529982963209284, -0.025913082859723977, -0.01893987454930443,
-     -0.03410497584876506, 0.018700805909343456, -0.0191761948180532,
-     -0.019158302475453207, 0.039403031646782584, 0.018758644486775954,
-     0.013236667213373278, -0.013769287859184643, -0.05306051065264527,
-     0.001227576760452633, 0.026479403699723708, -0.00849296474801744,
-     0.017116612420834013, 0.02477915632373065, 0.03184821456670761,
-     0.03162773174105831, -0.008637936134810412, 0.026388031614356135,
-     -0.017498684925253895, 0.009846313286719746, -0.01994884062436971,
-     -0.006896836563675224, 0.013923564012848624, 0.015052699407342038,
-     0.00586005598061571, 0.01808435209137602, 0.023439083251440406,
-     0.04445603937538659, -0.006138980956931941, 0.04145835992255199,
-     0.004738183093171469],
-    [
-     -0.01044076722951568, 0.005523415731399187, 0.020422447722272148,
-     -0.005857480304999923, -0.040977131052664956, 0.017499968233727375,
-     -0.020441065161674266, 0.019207810602930128, 0.01423231237395714,
-     0.003560368824579126, -0.042188824334999125, 0.08146025124005973,
-     -0.012580911445963596, -0.01395127430619976, -0.016354357091976062,
-     0.049371048580612795, 0.042077464198845685, 0.04051951312802124,
-     0.0031857841923756867, 0.0065263250215473224, -0.08331490296879973,
-     0.00696700402269406, 0.0084996120814158, -0.04715176523492044,
-     0.039649113832155664, -0.029902214792614082, 0.01765050896923343,
-     -0.00362213076881076, 0.04708742647317751, -0.019653010519449503,
-     -0.014026261899354202, 0.0882547894606785, 0.012743333886776651,
-     -0.0018275670745238966, -0.03925360039788849, 0.10305102506286598,
-     -0.005156663408008765, 0.03214596489049988, 0.018295010010122646,
-     -0.021137335979393376, -0.05342825467945361, 0.011959376475864033,
-     -0.0019036260557037834, 0.04293905930802682, 0.0003723821659781495,
-     -0.04546348980333352, 0.035875926003316225, 0.07760595568759861,
-     0.016725486315482735, -0.043780553273438494, 0.00787917233062718,
-     -0.04300468738846557, 0.011893860245009467, -0.0047746986074715244,
-     -0.00487646242907765, -0.016471423840682422, -0.005223119469853688,
-     0.01644008800539435, -0.02028542342690789, -0.03002194410703164,
-     -0.05011005816525038, -0.0072095991297605995, -0.011910931416312042,
-     0.03444083090111309],
-    [
-     -0.03470077626137198, 0.016913198705668143, -0.0066495185407499475,
-     0.014803460225516903, 0.010432752122616639, -0.03503710227222114,
-     0.06846101622880045, -0.026358638427800674, -0.00962857182637073,
-     -0.008847746758492312, -0.03118649862818015, 0.008030131361379788,
-     -0.024158128125566072, 0.03091080923057735, -0.03863641571091569,
-     -0.03864621719264466, 0.03800756431630124, 0.04182187213049526,
-     0.017083906052310183, 0.029158019781301635, -0.010649402551622927,
-     0.005529559156654969, 0.020270664351182462, -0.0586214237778947,
-     -0.04415917152980093, -0.00504679512232542, -0.028694047666816175,
-     -0.02167157725552502, -0.019612419828975006, -0.057836696475177356,
-     -0.01562979963162671, -0.054627804029091814, 0.02805602322906202,
-     -0.015691300592574196, 0.00022738633096973965,
-     -0.007971258418958472, 0.03280338394266648, 0.0010373064188583605,
-     0.001988775589911645, 0.00032424855052722967, -0.001473139129803462,
-     0.06311162166715856, -0.0678920283427705, -0.07483800466550325,
-     0.050434291546664914, -0.02369311128648511, 0.013793588256163091,
-     0.0007682278941290966, -0.03412381955759897, -0.06806493522869288,
-     0.010437623225658646, 0.03540372539018922, 0.03629766134511463,
-     -0.03817941202525643, 0.011001726868899836, -0.06757465854752809,
-     -0.014914938920191016, 0.001998362445232013, 0.008090760943520328,
-     -0.004504455881955885, 0.010661199641670439, 0.022294988583872917,
-     -0.015227646312585262, -0.05414364826140008],
-    [
-     -0.0008389006499043209, 0.020596877917434264, 0.03924584004365034,
-     -0.01904815789785678, -0.057774566832172164, -0.03640609809742072,
-     -0.003887371310048689, -0.02646287142543785, 0.026407789709776544,
-     -0.05823400161244859, 0.03103530105061324, -0.026145819844914823,
-     0.021827412364211218, -0.07832612596961307, -0.0047930058218159915,
-     -0.006544690752812362, -0.030794653248326, -0.022955225827961653,
-     0.0011144250846404772, 0.014424515715938346, 0.03440014958496095,
-     0.03004284035927474, -0.04427510374659767, 0.024410702469679763,
-     0.029646089995058918, 0.004627046621230952, 0.019994077004366003,
-     -0.000418043944992567, 0.03972032055321891, -0.0025266642214619886,
-     -0.0273743681293928, -0.051341419346900403, 0.008831843639076766,
-     0.015850033638683165, 0.006369348494059769, 0.0031509981451208814,
-     0.005305801159149762, -0.043455882290214444, 0.030432742080647276,
-     -0.019273187365319768, 0.05009249448618394, -0.01677869377910333,
-     0.075722891897046, -0.009037834878269015, -0.05069809403444119,
-     0.0583333148121818, 0.015566206365523829, -0.01235359508575777,
-     -0.03825246172728238, -0.0027065087835920058, -0.004527461499970217,
-     0.023833132363753236, 0.030338627128404076, -0.03402142924398689,
-     0.025033914997100323, 0.029655311588134805, 0.005293166904189324,
-     -0.04415062048977588, -0.050069961325912654, -0.03884647395146095,
-     -0.023033419908103297, 0.004841366506544716, 0.05619319800634758,
-     0.06676620673546094],
-    [
-     0.0533744470902987, -0.00926124815181908, -0.058754989926671705,
-     -0.007874929272891337, -0.07213748638691792, 0.03299715321647177,
-     0.023445983440023296, -0.011692440995583468, -0.03791308829213603,
-     -0.05940387369591301, 0.01607252383541505, 0.04534770944945009,
-     -0.0002365778575225149, 0.09009711894648686, 0.03558600115416161,
-     0.020611672157074434, 0.005837094827981318, -0.006747430668930697,
-     0.009072250122267563, -0.05236220889393303, -0.009603329731932826,
-     0.06715204717465124, 0.01184427374342488, 0.025278818643636118,
-     0.008631564664922781, 0.029367422309143753, 0.00527538428471771,
-     0.02499004119417188, -0.006733871641237352, -0.0074490977498560635,
-     0.03781612896186821, 0.01966738617143858, -0.025855134136706464,
-     -0.02339281454106193, -0.05102537698664908, 0.020240779571487743,
-     0.008250300954017093, -0.05923458664299194, -0.019595433891281263,
-     0.03746914088610615, 0.00371917593292892, -0.009241247482566257,
-     -0.013322286737956485, -0.05748775812907744, -0.021713026325707718,
-     0.006543004451224865, -0.00730688931021871, 0.04029923411366388,
-     0.01072267688400412, 0.025311682420640677, -0.005263717543191703,
-     -0.03982039025621647, -0.03589695624679611, 0.01960143417275858,
-     0.00834490371457601, 0.039408649092982126, -0.04513329911929697,
-     0.011920460729694025, -0.026224845614860434, -0.020532161994813548,
-     0.0020295009986912808, 0.0024858088887659674, -0.014565760360525573,
-     -0.06698797673965662],
-    [
-     -0.029071237547599348, -0.07530800832467059, -0.03904594170073663,
-     -0.00572341655270528, 0.027221512700573117, 0.026021162845131198,
-     -0.02705092590807353, 0.04434016200129764, 0.003178869251761649,
-     0.07492484023865564, 0.033265536954879, -0.011450419229084342,
-     -0.028863110484839496, -0.0632943258249848, 0.03641326989489213,
-     -0.061072647642596796, 0.007098979880970161, 0.02294284272327293,
-     0.06420814490214116, -0.03427801072850066, 0.030409522757123587,
-     -0.04786700970430117, -0.00374540421417204, -0.001458671449099557,
-     0.05374255127439244, 0.0030011473651738617, -0.06563921539523339,
-     0.044155863610932884, -0.07346919674615739, 0.010267485896030725,
-     -0.001819451260617224, 0.015418087449950813, 0.06515999238677145,
-     -0.013245818488323525, 0.041622791944418924, -0.002679339448242622,
-     -0.003871349179801547, 0.014882532478175994, -0.04519315593939085,
-     -0.02765302358479318, 0.006789283057422203, -0.022970596517799265,
-     0.005567764843640439, 0.03693531536391983, 0.016708381134637837,
-     0.026220342681064445, -0.027111794590413317, -0.011539090816444575,
-     -0.0023195872988978055, 0.021539752055906643, -0.00139577039793702,
-     0.0059603140452655695, -0.0077303179295070594, 0.018349451352289672,
-     0.030633182718686886, 0.021416149950602044, 0.03575337958552725,
-     0.006917115375873143, 0.013127779572318166, -0.00810913153197932,
-     0.04133431866007336, 9.644661351280697e-05, -0.05016411840521052,
-     0.03233896601566319],
-]
-
-_IVF_CENT_SQL = ",\n".join(
-    f"({i}, {c!r}::DOUBLE[])"
-    for i, c in enumerate(_IVF_CENTROIDS_SF001))
 
 
 @query("similarity_ivf_topk", f"""

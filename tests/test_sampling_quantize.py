@@ -214,3 +214,19 @@ def test_mixture_upsample_replicates_to_targets(spark):
     again = mixture_upsample(df.repartition(7), {"s0": 0.75, "s1": 0.25})
     assert sorted((r["doc_id"], r["epoch"]) for r in again.collect()) == \
            sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+
+
+def test_diverse_sample_caps_clusters_deterministically(spark, sf_dir):
+    from mycelial_spark.operators.sampling import diverse_sample
+    from mycelial_spark.operators.similarity import pq_train_codebooks
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = pq_train_codebooks(emb, m=1, k=4)[0]
+    out = diverse_sample(emb, cents, per_cluster=10)
+    per = {r["cluster"]: r["n"] for r in
+           out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 10 for n in per.values()) and len(per) >= 2
+    again = diverse_sample(emb.repartition(11), cents, per_cluster=10)
+    assert sorted(map(tuple, again.collect())) == \
+           sorted(map(tuple, out.collect()))
+    with pytest.raises(ValueError, match="per_cluster"):
+        diverse_sample(emb, cents, per_cluster=0)
