@@ -767,6 +767,24 @@ def mixture_sample_(spark, cfg, inputs):
                           cfg["source_col"], cfg["id_col"])
 
 
+@_register("diverse_sample", "transform", "dataframe", "dataframe",
+           [Field("per_cluster", "int"), Field("n_centroids", "int", 8),
+            Field("vec_col", default="embedding"),
+            Field("id_col", default="vec_id")],
+           doc="Diversity-aware subsampling: deterministic-Lloyd "
+               "embedding clusters capped at per_cluster rows each, "
+               "in-cluster selection by engine-exact hash order "
+               "(operators/sampling.py diverse_sample).")
+def diverse_sample_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import diverse_sample
+    from mycelial_spark.operators.similarity import pq_train_codebooks
+    cents = pq_train_codebooks(inputs[0], m=1, k=cfg["n_centroids"],
+                               vec_col=cfg["vec_col"],
+                               id_col=cfg["id_col"])[0]
+    return diverse_sample(inputs[0], cents, cfg["per_cluster"],
+                          cfg["vec_col"], cfg["id_col"])
+
+
 @_register("mixture_upsample", "transform", "dataframe", "dataframe",
            [Field("weights", "json"), Field("source_col", default="source"),
             Field("id_col", default="doc_id")],
