@@ -27,17 +27,24 @@ _KNUTH = 2654435761
 _MOD = 4294967296
 
 
-def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer id column.
-
-    The id is first reduced mod 2^31 so the multiply stays within BIGINT
+def hash_order(id_col: Column | str) -> Column:
+    """The raw Knuth hash in [0, 2^32) — the ONE place the engine-exact
+    hash expression lives (bucket/fraction forms derive from it). The id
+    is first reduced mod 2^31 so the multiply stays within BIGINT
     (2^31 * _KNUTH < 2^63) on every engine — overflow wrapping is
-    engine-specific and would break cross-engine reproducibility.
+    engine-specific and would break cross-engine reproducibility. Used
+    directly as an ORDERING key (a deterministic shuffle of the id
+    space); note hash_bucket's bucket arithmetic would overflow at
+    bucket counts near 2^32, so ordering uses this raw form.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = (F.pmod(c.cast("bigint"), F.lit(2147483648)) * F.lit(_KNUTH)) \
+    return (F.pmod(c.cast("bigint"), F.lit(2147483648)) * F.lit(_KNUTH)) \
         % F.lit(_MOD)
-    return h * buckets / F.lit(_MOD)
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from an integer id column."""
+    return hash_order(id_col) * buckets / F.lit(_MOD)
 
 
 def with_split(df: DataFrame, id_col: str,
@@ -140,6 +147,21 @@ def pack_greedy(df: DataFrame, max_tokens: int,
             .select(id_col, "bucket", "seq_in_bucket", "dl"))
 
 
+def _source_counts(df: DataFrame, weights: dict[str, float],
+                   source_col: str) -> dict[str, int]:
+    """Shared validation + per-source count aggregate for the mixture
+    operators: positive weights, every weighted source present."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(source_col).alias("s"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources not in data: {missing}")
+    return counts
+
+
 def mixture_sample(df: DataFrame, weights: dict[str, float],
                    source_col: str = "source",
                    id_col: str = "doc_id") -> DataFrame:
@@ -155,14 +177,7 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     stable under reruns (the same ids survive). Sources absent from
     ``weights`` are dropped.
     """
-    if not weights or any(w <= 0 for w in weights.values()):
-        raise ValueError(f"weights must be positive, got {weights!r}")
-    counts = {r["s"]: r["n"] for r in
-              df.groupBy(F.col(source_col).alias("s"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
-    missing = [s for s in weights if s not in counts]
-    if missing:
-        raise ValueError(f"sources not in data: {missing}")
+    counts = _source_counts(df, weights, source_col)
     scale = min(counts[s] / w for s, w in weights.items())
     rates = {s: (w * scale) / counts[s] for s, w in weights.items()}
     h = hash_bucket(id_col, 1)          # uniform in [0, 1)
@@ -187,14 +202,7 @@ def mixture_upsample(df: DataFrame, weights: dict[str, float],
     output carries an ``epoch`` column (0-based copy index) for
     repetition-aware training. Sources absent from ``weights`` drop.
     """
-    if not weights or any(w <= 0 for w in weights.values()):
-        raise ValueError(f"weights must be positive, got {weights!r}")
-    counts = {r["s"]: r["n"] for r in
-              df.groupBy(F.col(source_col).alias("s"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
-    missing = [s for s in weights if s not in counts]
-    if missing:
-        raise ValueError(f"sources not in data: {missing}")
+    counts = _source_counts(df, weights, source_col)
     scale = max(counts[s] / w for s, w in weights.items())
     h = hash_bucket(id_col, 1)          # uniform in [0, 1)
     n_copies = None
@@ -213,19 +221,9 @@ def mixture_upsample(df: DataFrame, weights: dict[str, float],
             .drop("_nc"))
 
 
-def hash_order(id_col: Column | str) -> Column:
-    """The raw Knuth hash in [0, 2^32) as an ORDERING key — a
-    deterministic, engine-exact shuffle of the id space (hash_bucket's
-    bucket arithmetic would overflow BIGINT at bucket counts this
-    large)."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (F.pmod(c.cast("bigint"), F.lit(2147483648)) * F.lit(_KNUTH)) \
-        % F.lit(_MOD)
-
-
 def diverse_sample(df: DataFrame, centroids: list[list[float]],
                    per_cluster: int, vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id", fanout: int = 64) -> DataFrame:
     """Diversity-aware subsampling: cap each embedding CLUSTER at
     ``per_cluster`` rows — the curation step that stops near-duplicate
     topic blobs from dominating a training mix the way a plain uniform
@@ -233,18 +231,31 @@ def diverse_sample(df: DataFrame, centroids: list[list[float]],
     pq_train_codebooks(m=1) for engine-deterministic Lloyd, or
     ivf_train_centroids at cluster scale); within a cluster the kept
     rows follow the Knuth-hash order with id tie-break, so the selection
-    is reproducible across engines and partitionings. One narrow assign
-    pass + one per-cluster window. Returns (id_col, cluster, rn).
+    is reproducible across engines and partitionings.
+
+    Scale shape: a single per-cluster window would funnel the whole
+    corpus into n_clusters sort tasks (with the typical small k, a
+    handful of tasks sort everything). Instead the top-N computes in two
+    phases — per-(cluster, salt) top-N over ``fanout`` salted subgroups
+    (parallelism = k x fanout, each sorting ~1/fanout of a cluster),
+    then the final top-N over the surviving <= fanout * per_cluster
+    candidates per cluster. Any global top-N row is necessarily in its
+    salt's top-N, so the result is IDENTICAL to the one-window form
+    (property-checked in tests). Returns (id_col, cluster, rn).
     """
     if per_cluster < 1:
         raise ValueError(f"per_cluster must be >= 1, got {per_cluster}")
     from pyspark.sql import Window
 
     from mycelial_spark.operators.similarity import ivf_assign
-    assigned = ivf_assign(df, centroids, vec_col)
-    w = Window.partitionBy("ivf_cell").orderBy(hash_order(id_col),
-                                               F.col(id_col))
-    return (assigned.withColumn("rn", F.row_number().over(w))
+    assigned = ivf_assign(df, centroids, vec_col) \
+        .withColumn("_h", hash_order(id_col))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(fanout))
+    w1 = Window.partitionBy("ivf_cell", salt).orderBy("_h", id_col)
+    cand = (assigned.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= per_cluster))
+    w2 = Window.partitionBy("ivf_cell").orderBy("_h", id_col)
+    return (cand.withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= per_cluster)
             .select(id_col, F.col("ivf_cell").alias("cluster"),
                     F.col("rn").cast("int").alias("rn")))

@@ -228,5 +228,10 @@ def test_diverse_sample_caps_clusters_deterministically(spark, sf_dir):
     again = diverse_sample(emb.repartition(11), cents, per_cluster=10)
     assert sorted(map(tuple, again.collect())) == \
            sorted(map(tuple, out.collect()))
+    # the salted two-phase top-N equals the single-window form at any
+    # fanout (any global top-N row is in its salt's top-N)
+    one = diverse_sample(emb, cents, per_cluster=10, fanout=1)
+    assert sorted(map(tuple, one.collect())) == \
+           sorted(map(tuple, out.collect()))
     with pytest.raises(ValueError, match="per_cluster"):
         diverse_sample(emb, cents, per_cluster=0)
