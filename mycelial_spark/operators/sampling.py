@@ -1,10 +1,14 @@
-"""Deterministic sampling / split assignment for training-data pipelines.
+"""Deterministic sampling / split / mixing / packing for training-data
+pipelines.
 
-At 100 TB a train/valid/test split must be (a) independent of row order
-and partitioning, (b) stable across reruns and engines, (c) computable
-without a shuffle. Both operators here are pure projections over a
-row-level hash — no state, no sort, no sampleBy() RNG whose output
-depends on partition iteration order.
+At 100 TB every selection here must be (a) independent of row order and
+partitioning, (b) stable across reruns and engines, (c) as close to
+shuffle-free as its semantics allow: split and per-stratum sampling are
+pure hash projections; the mixture operators add only a
+rows-per-source-sized aggregate; packing shuffles once on its bucket
+key; diverse_sample's per-cluster top-N runs as a salted two-phase
+window. Nothing uses sampleBy()-style RNG whose output depends on
+partition iteration order.
 
 The default hash is Knuth's multiplicative hash over the id column,
 ``(id * 2654435761) mod 2^32`` — exact BIGINT arithmetic, so any SQL
