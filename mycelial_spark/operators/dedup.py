@@ -551,3 +551,56 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                 (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring span DEDUP (the removal step of Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better"): every
+    occurrence of a ``k``-token span except its globally-first one (by
+    (doc, position)) marks its token range for removal; documents are
+    reassembled from the surviving tokens. The cross-document cousin of
+    paragraph_dedup — catching licence blocks, boilerplate, and quoted
+    passages that never align to paragraph boundaries.
+
+    Distributed shape: rolling span hashes are 8-byte integer-combined
+    token hashes (the with_fingerprint machinery, no span strings in any
+    shuffle); first-occurrence election is ONE window over span hash;
+    removal indexes explode to (doc, token_idx) pairs and anti-join the
+    token stream; reassembly is a per-doc sort-free array_sort. Removal
+    is deliberately aggressive exactly like the reference algorithm:
+    overlapping repeats within one document erase each other's later
+    occurrences. Returns (id_col, text_col, n_tokens_removed) for every
+    input doc (fully-erased docs come back with empty text).
+    """
+    from pyspark.sql import Window
+    fp = with_fingerprint(spread(df), text_col, ngram=k)
+    # (doc, 0-based span start, span hash); docs under k tokens have
+    # empty shingle sets and simply contribute no occurrences
+    occ = fp.select(F.col(id_col),
+                    F.posexplode("shingle_hashes").alias("pos0", "s"))
+    w = Window.partitionBy("s").orderBy(id_col, "pos0")
+    dup_occ = (occ.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") > 1))
+    removed = (dup_occ.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos0"),
+                             F.col("pos0") + (k - 1))).alias("ti"))
+        .distinct())
+    tokidx = df.select(F.col(id_col),
+                       F.posexplode(tokens(F.col(text_col)))
+                        .alias("ti", "tok"))
+    kept = tokidx.join(removed, [id_col, "ti"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("ti"), F.col("tok")))),
+                       lambda st: st["tok"]), " ").alias("_new")))
+    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrm"))
+    return (df.select(id_col)
+            .join(rebuilt, id_col, "left").join(n_rm, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("_new", F.lit("")).alias(text_col),
+                    F.coalesce("_nrm", F.lit(0)).cast("int")
+                     .alias("n_tokens_removed")))

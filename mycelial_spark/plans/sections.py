@@ -921,6 +921,18 @@ def dedup_simhash_(spark, cfg, inputs):
                               cfg["token_hash"])
 
 
+@_register("span_dedup", "transform", "dataframe", "dataframe",
+           [Field("k", "int", 8), Field("text_col", default="text"),
+            Field("id_col", default="doc_id")],
+           doc="Exact-substring span dedup (Lee et al. 2022 removal): "
+               "every k-token span occurrence except its globally-first "
+               "one erases its token range; docs reassemble from "
+               "survivors (operators/dedup.py span_dedup).")
+def span_dedup_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import span_dedup
+    return span_dedup(inputs[0], cfg["k"], cfg["text_col"], cfg["id_col"])
+
+
 @_register("ngram_jaccard", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id"),
             Field("threshold", "float", 0.4)],

@@ -1471,6 +1471,52 @@ def cross_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("cross_dup_ratio")))
 
 
+@query("span_dedup", """
+WITH docs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t != '') toks
+  FROM documents
+), occ AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos0,
+         toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] || ' ' ||
+         toks[u.i+3] || ' ' || toks[u.i+4] || ' ' || toks[u.i+5] || ' ' ||
+         toks[u.i+6] || ' ' || toks[u.i+7] AS s
+  FROM docs, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+), f AS (
+  SELECT doc_id, pos0,
+         row_number() OVER (PARTITION BY s ORDER BY doc_id, pos0) AS rn
+  FROM occ
+), rm AS (
+  SELECT DISTINCT doc_id, CAST(u.x AS INT) AS ti
+  FROM f, LATERAL unnest(range(pos0, pos0 + 8)) AS u(x)
+  WHERE rn > 1
+), tokidx AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ti, toks[u.i] AS tok
+  FROM docs, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.ti, t.tok FROM tokidx t
+  ANTI JOIN rm ON t.doc_id = rm.doc_id AND t.ti = rm.ti
+), reb AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS text
+  FROM kept GROUP BY doc_id
+), nr AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM rm GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(reb.text, '') AS text,
+       coalesce(nr.n, 0) AS n_tokens_removed
+FROM docs d LEFT JOIN reb USING (doc_id) LEFT JOIN nr USING (doc_id)
+""")
+def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup [Lee et al. 2022], the REMOVAL step:
+    every 8-token span occurrence except its globally-first one erases
+    its token range; docs reassemble from survivors. Span hashes are
+    8-byte integer-combined token hashes, so no span strings cross any
+    shuffle; the oracle replays the same first-occurrence election and
+    interval removal over string spans."""
+    from mycelial_spark.operators.dedup import span_dedup
+    return span_dedup(_t(spark, sf_dir, "documents"), k=8)
+
+
 @query("pack_sequences", """
 WITH RECURSIVE docs AS (
   SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,

@@ -551,3 +551,36 @@ def test_char_lm_fused_equals_two_step(spark):
     assert fused2 == two2
     assert fused2[2][0] == fused[2][0]          # same trigram count
     assert fused2[2][1] < fused[2][1] - 5       # floor dominates gibberish
+
+
+def test_span_dedup_removes_repeated_spans_keeps_first(spark):
+    from mycelial_spark.operators.dedup import span_dedup
+    boiler = "all rights reserved license text applies here fully"   # 8 toks
+    docs = spark.createDataFrame(
+        [(1, f"alpha beta {boiler} gamma delta"),
+         (2, f"unrelated opening words {boiler} closing words here"),
+         (3, "completely distinct document with no shared span at all"),
+         (4, "tiny doc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, k=8).collect()}
+    # doc 1 holds the first occurrence: fully intact
+    assert out[1]["text"] == f"alpha beta {boiler} gamma delta"
+    assert out[1]["n_tokens_removed"] == 0
+    # doc 2's copy of the span is erased, surrounding text survives
+    assert boiler.split()[0] not in out[2]["text"].split()
+    assert out[2]["text"].startswith("unrelated opening words")
+    assert out[2]["text"].endswith("closing words here")
+    assert out[2]["n_tokens_removed"] == 8
+    # untouched docs round-trip; sub-k docs have no spans
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text"] == "tiny doc"
+
+
+def test_span_dedup_erases_whole_duplicate_docs(spark):
+    from mycelial_spark.operators.dedup import span_dedup
+    text = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame([(1, text), (2, text)],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, k=8).collect()}
+    assert out[1]["text"] == text
+    assert out[2]["text"] == "" and out[2]["n_tokens_removed"] == 12
