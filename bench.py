@@ -80,6 +80,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "lm_quality_score",
     "cross_doc_repetition",
+    "span_dedup",
     "pack_sequences",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
