@@ -58,6 +58,14 @@ def _char_lm(d):
     return char_lm_self_score(d)
 
 
+def _span_dedup(d):
+    from mycelial_spark.operators.dedup import span_dedup
+    return span_dedup(d)
+
+
+_FULL_COLUMN_FORCE = {"span_dedup"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
@@ -97,6 +105,9 @@ def main() -> None:
         # per factor + broadcast-join scoring — cost should track the
         # trigram count (~corpus bytes), model size should NOT
         "char_lm_score": lambda d: _char_lm(d),
+        # exact-substring removal: one window over rolling span hashes,
+        # interval-erase anti-join, per-doc reassembly — all linear
+        "span_dedup": lambda d: _span_dedup(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
@@ -125,8 +136,16 @@ def main() -> None:
         for name, fn in ops.items():
             t0 = time.time()
             out = fn(docs)
-            n_out = out.count()
-            dt = time.time() - t0
+            if name in _FULL_COLUMN_FORCE:
+                # count() lets column pruning skip payload columns — for
+                # ops whose COST is producing a payload (reassembled
+                # text), a noop write forces every column
+                out.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                n_out = out.count()
+            else:
+                n_out = out.count()
+                dt = time.time() - t0
             print(json.dumps({"factor": f, "docs": n_docs, "op": name,
                               "sec": round(dt, 2), "out_rows": n_out}),
                   flush=True)
