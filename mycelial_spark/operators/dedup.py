@@ -564,32 +564,50 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     passages that never align to paragraph boundaries.
 
     Distributed shape: rolling span hashes are 8-byte integer-combined
-    token hashes (the with_fingerprint machinery, no span strings in any
-    shuffle); first-occurrence election is ONE window over span hash;
-    removal indexes explode to (doc, token_idx) pairs and anti-join the
-    token stream; reassembly is a per-doc sort-free array_sort. Removal
-    is deliberately aggressive exactly like the reference algorithm:
-    overlapping repeats within one document erase each other's later
-    occurrences. Returns (id_col, text_col, n_tokens_removed) for every
-    input doc (fully-erased docs come back with empty text).
+    token hashes with POSITIONS AND DUPLICATES intact
+    (text.rolling_span_hashes — with_fingerprint's distinct shingle SET
+    would shift posexplode indexes off the true token offsets the
+    moment a window repeats, erasing the wrong tokens); no span strings
+    cross any shuffle. First-occurrence election is a partial-
+    aggregation-friendly min(struct(doc, pos)) per span hash — NOT a
+    row_number window, which would funnel every occurrence of a hot
+    boilerplate span into one task; the equi-join back on span hash is
+    AQE-skew-splittable. Removal indexes explode to (doc, token_idx)
+    pairs and anti-join the token stream. Removal is deliberately
+    aggressive exactly like the reference algorithm: overlapping
+    repeats within one document erase each other's later occurrences.
+
+    Returns (id_col, text_col, n_tokens_removed) for every input doc:
+    UNTOUCHED docs pass through with their original text byte-for-byte
+    (whitespace intact); only docs that lost spans are reassembled from
+    surviving tokens (single-space joined — token-level surgery cannot
+    preserve the original inter-token whitespace); fully-erased docs
+    come back with empty text.
     """
-    from pyspark.sql import Window
-    fp = with_fingerprint(spread(df), text_col, ngram=k)
+    from mycelial_spark.operators.text import rolling_span_hashes
+    sp = rolling_span_hashes(spread(df), text_col, ngram=k)
     # (doc, 0-based span start, span hash); docs under k tokens have
-    # empty shingle sets and simply contribute no occurrences
-    occ = fp.select(F.col(id_col),
-                    F.posexplode("shingle_hashes").alias("pos0", "s"))
-    w = Window.partitionBy("s").orderBy(id_col, "pos0")
-    dup_occ = (occ.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") > 1))
+    # empty window sets and simply contribute no occurrences
+    occ = sp.select(F.col(id_col),
+                    F.posexplode("span_hashes").alias("pos0", "s"))
+    firsts = occ.groupBy("s").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos0").alias("p"))).alias("_f"))
+    dup_occ = (occ.join(firsts, "s")
+               .filter(~((F.col(id_col) == F.col("_f.i"))
+                         & (F.col("pos0") == F.col("_f.p")))))
     removed = (dup_occ.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos0"),
                              F.col("pos0") + (k - 1))).alias("ti"))
         .distinct())
-    tokidx = df.select(F.col(id_col),
-                       F.posexplode(tokens(F.col(text_col)))
-                        .alias("ti", "tok"))
+    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrm"))
+    # reassemble ONLY the affected docs (token-index anti-join + ordered
+    # rebuild); untouched docs never leave their original projection
+    tokidx = (df.select(F.col(id_col),
+                        F.posexplode(tokens(F.col(text_col)))
+                         .alias("ti", "tok"))
+              .join(n_rm.select(id_col), id_col, "left_semi"))
     kept = tokidx.join(removed, [id_col, "ti"], "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_join(
@@ -597,10 +615,11 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
                        F.array_sort(F.collect_list(
                            F.struct(F.col("ti"), F.col("tok")))),
                        lambda st: st["tok"]), " ").alias("_new")))
-    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrm"))
-    return (df.select(id_col)
+    return (df.select(id_col, text_col)
             .join(rebuilt, id_col, "left").join(n_rm, id_col, "left")
             .select(F.col(id_col),
-                    F.coalesce("_new", F.lit("")).alias(text_col),
+                    F.when(F.col("_nrm").isNotNull(),
+                           F.coalesce("_new", F.lit("")))
+                     .otherwise(F.col(text_col)).alias(text_col),
                     F.coalesce("_nrm", F.lit(0)).cast("int")
                      .alias("n_tokens_removed")))

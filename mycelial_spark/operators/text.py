@@ -355,9 +355,24 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     # slice+concat+hash, whose cost is O(tokens x ngram) string traffic.
     # _th/_a/_b/_c are real columns so the optimizer computes each once
     # instead of inlining the token-hash transform into every use.
+    out, comb = _rolling_hashes(df, c, ngram)
+    return (out
+            .withColumn("fingerprint", F.xxhash64(norm))
+            .withColumn("shingle_hashes", F.array_distinct(comb))
+            .drop("_th", *[f"_s{k}" for k in range(ngram)]))
+
+
+def _rolling_hashes(df: DataFrame, c: Column, ngram: int):
+    """(df-with-temp-cols, rolling-window-hash array expr): hash each
+    token once, then hash ngram-tuples of token hashes via arrays_zip
+    over shifted slices — POSITION-PRESERVING (index i = window starting
+    at token i) and with duplicates intact; with_fingerprint derives its
+    distinct shingle SET from this, span_dedup needs the positional
+    form (an array_distinct'd array's posexplode index is NOT a token
+    position once any window repeats)."""
     out = df.withColumn("_th", F.transform(tokens(c),
                                            lambda t: F.xxhash64(t)))
-    # slice length 0 (docs shorter than ngram tokens) => empty shingle set
+    # slice length 0 (docs shorter than ngram tokens) => empty window set
     n_sh = F.greatest(F.size("_th") - (ngram - 1), F.lit(0))
     shift_cols = []
     for k in range(ngram):
@@ -366,10 +381,18 @@ def with_fingerprint(df: DataFrame, text_col: str = "text",
     comb = F.transform(
         F.arrays_zip(*shift_cols),
         lambda s: F.xxhash64(*[s[sc] for sc in shift_cols]))
-    return (out
-            .withColumn("fingerprint", F.xxhash64(norm))
-            .withColumn("shingle_hashes", F.array_distinct(comb))
-            .drop("_th", *shift_cols))
+    return out, comb
+
+
+def rolling_span_hashes(df: DataFrame, text_col: str = "text",
+                        ngram: int = 8,
+                        out_col: str = "span_hashes") -> DataFrame:
+    """All rolling ``ngram``-token window hashes, one per start
+    position, duplicates preserved — posexplode yields true 0-based
+    token offsets."""
+    out, comb = _rolling_hashes(df, F.col(text_col), ngram)
+    return (out.withColumn(out_col, comb)
+            .drop("_th", *[f"_s{k}" for k in range(ngram)]))
 
 
 # ---------------------------------------------------------------------------

@@ -1502,9 +1502,11 @@ WITH docs AS (
 ), nr AS (
   SELECT doc_id, CAST(count(*) AS INT) AS n FROM rm GROUP BY doc_id
 )
-SELECT d.doc_id, coalesce(reb.text, '') AS text,
+SELECT d.doc_id,
+       CASE WHEN nr.n IS NULL THEN d.text
+            ELSE coalesce(reb.text, '') END AS text,
        coalesce(nr.n, 0) AS n_tokens_removed
-FROM docs d LEFT JOIN reb USING (doc_id) LEFT JOIN nr USING (doc_id)
+FROM documents d LEFT JOIN reb USING (doc_id) LEFT JOIN nr USING (doc_id)
 """)
 def span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup [Lee et al. 2022], the REMOVAL step:

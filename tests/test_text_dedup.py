@@ -584,3 +584,33 @@ def test_span_dedup_erases_whole_duplicate_docs(spark):
     out = {r["doc_id"]: r for r in span_dedup(docs, k=8).collect()}
     assert out[1]["text"] == text
     assert out[2]["text"] == "" and out[2]["n_tokens_removed"] == 12
+
+
+def test_span_dedup_true_positions_and_intra_doc_repeats(spark):
+    """The reviewer's repro: intra-doc repeated spans must be enumerated
+    at TRUE token positions (a distinct'd shingle array shifts indexes
+    and erases the wrong tokens), and repeats within one doc erase their
+    later occurrences; untouched docs keep original whitespace."""
+    from mycelial_spark.operators.dedup import span_dedup
+    s = " ".join(f"S{i}" for i in range(1, 9))
+    docs = spark.createDataFrame(
+        [(1, f"{s} unique tail words here"),
+         (2, f"p q p q p q p q p q {s} T1 T2 T3"),
+         (3, "x x x x x x x x x x"),
+         (4, "spaced   out\n\ndoc with  odd whitespace")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in span_dedup(docs, k=8).collect()}
+    # doc 2: the p-q repeats erase 'p q' down to the first window's 8
+    # tokens... every later overlapping occurrence removes its range;
+    # the copied S-span (first seen in doc 1) is erased at its TRUE
+    # offset (tokens 10..17), leaving T1 T2 T3 intact
+    assert out[2]["text"] == "p q T1 T2 T3"
+    assert out[2]["n_tokens_removed"] == 16
+    # doc 3: 'x'*10 has 3 occurrences of the same span; the 2 later
+    # (overlapping) ones erase tokens 1..9 -> only token 0 survives
+    assert out[3]["text"] == "x"
+    assert out[3]["n_tokens_removed"] == 9
+    # untouched docs keep their original whitespace byte-for-byte
+    assert out[4]["text"] == "spaced   out\n\ndoc with  odd whitespace"
+    assert out[4]["n_tokens_removed"] == 0
+    assert out[1]["n_tokens_removed"] == 0

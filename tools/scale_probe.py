@@ -139,10 +139,12 @@ def main() -> None:
             if name in _FULL_COLUMN_FORCE:
                 # count() lets column pruning skip payload columns — for
                 # ops whose COST is producing a payload (reassembled
-                # text), a noop write forces every column
+                # text), a noop write forces every column. These ops
+                # return one row per input doc, so out_rows is known
+                # without re-running the pipeline for a count.
                 out.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
-                n_out = out.count()
+                n_out = n_docs
             else:
                 n_out = out.count()
                 dt = time.time() - t0
