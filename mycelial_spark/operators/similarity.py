@@ -33,7 +33,10 @@ def dot_np(a: Column | str, b: Column | str) -> Column:
     per-element HOF evaluation of ``dot`` dominates; this moves each Arrow
     batch into one einsum. Summation order differs from ``dot`` (pairwise
     vs sequential), so keep the HOF form where oracle-exact rounding
-    matters and use this on approximate/rows-only paths.
+    matters — as of r5 every registered query carries a hash-matching
+    oracle, so the built-in paths all use ``dot``; this stays exported
+    (mycelial_spark.functions) as the high-throughput drop-in for user
+    pipelines that don't need bit-exact cross-engine rounding.
     """
     import numpy as np
     import pandas as pd
