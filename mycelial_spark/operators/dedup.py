@@ -596,11 +596,16 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     dup_occ = (occ.join(firsts, "s")
                .filter(~((F.col(id_col) == F.col("_f.i"))
                          & (F.col("pos0") == F.col("_f.p")))))
+    # localCheckpoint: removed feeds FOUR consumers (count, semi-gate,
+    # anti-join, final join) — without it each branch re-runs the whole
+    # occurrence election (8 source scans / 14 exchanges at audit);
+    # the removed set is (doc, idx) pairs bounded by corpus tokens and
+    # small on mostly-clean corpora, and the checkpoint blocks free on GC
     removed = (dup_occ.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos0"),
                              F.col("pos0") + (k - 1))).alias("ti"))
-        .distinct())
+        .distinct().localCheckpoint())
     n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrm"))
     # reassemble ONLY the affected docs (token-index anti-join + ordered
     # rebuild); untouched docs never leave their original projection
