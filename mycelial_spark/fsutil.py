@@ -25,10 +25,16 @@ def is_remote(path: str) -> bool:
 
 
 def strip_file_scheme(path: str) -> str:
-    """Normalize file://x and file:/x to a plain local path (other
-    schemes pass through unchanged)."""
+    """Normalize file:/x, file:///x and file://authority/x to a plain
+    local path (other schemes pass through unchanged). The authority
+    form matters: naively dropping ``file://`` from ``file://host/path``
+    would yield the RELATIVE path ``host/path``."""
     if path.startswith("file://"):
-        return path[len("file://"):]
+        rest = path[len("file://"):]
+        if rest.startswith("/"):        # file:///x — empty authority
+            return rest
+        slash = rest.find("/")          # file://host/x — drop authority
+        return rest[slash:] if slash >= 0 else "/"
     if path.startswith("file:/"):
         return path[len("file:"):]
     return path

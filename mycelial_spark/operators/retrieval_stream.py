@@ -78,8 +78,17 @@ class IncrementalInvertedIndex:
         if _fs_exists(spark, self._doclens):
             seen = spark.read.parquet(self._doclens).select(self.id_col)
             fresh = fresh.join(seen, self.id_col, "left_anti")
-        # first occurrence wins inside the batch too
-        fresh = fresh.dropDuplicates([self.id_col]).localCheckpoint()
+        # within-batch winner must be DETERMINISTIC (min text per id),
+        # not dropDuplicates' arbitrary row: orphan adoption assumes a
+        # replay recomputes IDENTICAL posting rows — if a batch carried
+        # the same id with two texts and the winner were partitioning-
+        # dependent, a crash between the appends could adopt one
+        # variant's orphans while appending the other's remainder
+        fresh = (fresh.groupBy(self.id_col)
+                 .agg(F.min(F.struct(self.text_col)).alias("_w"))
+                 .select(self.id_col,
+                         F.col(f"_w.{self.text_col}").alias(self.text_col))
+                 .localCheckpoint())
         n_docs = fresh.count()
         if n_docs == 0:
             return {"docs_indexed": 0, "postings_appended": 0}

@@ -396,7 +396,7 @@ def with_lsh_bucket(df: DataFrame, planes: int = 8, dims: int = 64,
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     planes: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    probe_hamming: int = 1) -> DataFrame:
+                    probe_hamming: int = 0) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket
     NEIGHBORHOOD, then exact cosine re-rank.
 
@@ -404,13 +404,21 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     ``probe_hamming`` of the query's signature — a true neighbor that
     lands one sign-flip away (the dominant LSH failure mode as planes
     grow: each plane is an independent ~theta/pi chance to disagree) is
-    still found. probe_hamming=0 is classic single-bucket LSH; r=1
-    probes 1+planes buckets, r=2 adds C(planes,2) more. At scale the
-    table is written bucketed/partitioned by lsh_bucket, so the scan
-    prunes to the probed buckets' files: (sum of C(planes,i) for
-    i<=r)/2^planes of the data. Recall/planes tradeoff is measured in
-    test_similarity_pairs (recall@10 >= 0.9 at planes=8, r=1 on
-    clustered data)."""
+    still found. The default r=0 is classic single-bucket LSH (the
+    original behavior — multi-probe is opt-in so existing callers keep
+    their result set and scan cost); r=1 probes 1+planes buckets, r=2
+    adds C(planes,2) more. At scale the table is written
+    bucketed/partitioned by lsh_bucket, so the scan prunes to the probed
+    buckets' files: (sum of C(planes,i) for i<=r)/2^planes of the data.
+    Recall/planes tradeoff is measured in test_similarity_pairs
+    (recall@10 >= 0.9 at planes=8, r=1 on clustered data).
+
+    Ad-hoc-path caveat (scale): this recomputes ``with_lsh_bucket`` over
+    the WHOLE corpus for each call — fine for exploration, wrong as a
+    serving path. For repeated queries persist the bucketed table once
+    (write partitioned/bucketed by ``lsh_bucket``) or build a persistent
+    index (``ann_build_index``/``ann_search``); then each probe prunes
+    to the probed buckets' files instead of rescanning everything."""
     dims = len(query_vec)
     bucketed = with_lsh_bucket(df, planes, dims, vec_col)
     import pyspark.sql.functions as _F

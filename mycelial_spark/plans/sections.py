@@ -1639,7 +1639,23 @@ def _jdbc_ensure_table(spark, cfg, table: str, schema) -> None:
     where the writer's generic table-exists probe ("SELECT 1 FROM t")
     raises a SQLState-less error that Spark rethrows instead of reading
     as not-exists. Column names are double-quoted to match the Spark
-    writer's default identifier quoting; decimal(p,s) passes through."""
+    writer's default identifier quoting; decimal(p,s) passes through.
+
+    The table name may come from an ORIGIN value (route_by_origin) and
+    the column names from an upstream schema — both are interpolated
+    into driver-side SQL here, so restrict them to plain identifiers,
+    same guard as the exactly-once publish path."""
+    import re as _re
+    if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", table):
+        raise ValueError(
+            f"ensure_table_ddl requires a plain identifier table name, "
+            f"got {table!r}")
+    bad_cols = [f.name for f in schema.fields
+                if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", f.name)]
+    if bad_cols:
+        raise ValueError(
+            f"ensure_table_ddl requires plain-identifier column names "
+            f"(interpolated into driver-side SQL), got {bad_cols!r}")
     cols = ", ".join(
         f'"{f.name}" '
         + (f.dataType.simpleString().upper()

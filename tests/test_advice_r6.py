@@ -1,0 +1,64 @@
+"""Round-6 advisory regressions: file-URI authority handling, the
+at-least-once auto-DDL identifier guard, deterministic within-batch
+winners in the incremental index, and the single-bucket LSH default."""
+
+import inspect
+
+import pytest
+
+from mycelial_spark.fsutil import strip_file_scheme
+
+
+def test_strip_file_scheme_forms():
+    # the three Hadoop-emitted authority-less forms
+    assert strip_file_scheme("file:/tmp/x") == "/tmp/x"
+    assert strip_file_scheme("file:///tmp/x") == "/tmp/x"
+    assert strip_file_scheme("/tmp/x") == "/tmp/x"
+    # authority form: the authority drops, the path stays ABSOLUTE —
+    # naive prefix-stripping yielded the relative path "host/tmp/x"
+    assert strip_file_scheme("file://host/tmp/x") == "/tmp/x"
+    assert strip_file_scheme("file://host") == "/"
+    # other schemes untouched
+    assert strip_file_scheme("s3a://bucket/k") == "s3a://bucket/k"
+
+
+def test_ensure_table_ddl_rejects_injection(spark):
+    """route_by_origin feeds ORIGIN values (data) into _jdbc_ensure_table
+    as table names; both table and column identifiers must pass the same
+    plain-identifier guard as the exactly-once path BEFORE any SQL is
+    interpolated (the raise must precede any connection attempt)."""
+    from mycelial_spark.plans.sections import _jdbc_ensure_table
+    schema = spark.createDataFrame([(1,)], "a int").schema
+    with pytest.raises(ValueError, match="plain identifier table"):
+        _jdbc_ensure_table(spark, {}, 'x"; DROP TABLE y; --', schema)
+    bad = spark.createDataFrame([(1,)], ["`a\" b`"]).schema
+    with pytest.raises(ValueError, match="plain-identifier column"):
+        _jdbc_ensure_table(spark, {}, "ok_table", bad)
+
+
+def test_incremental_index_within_batch_winner_deterministic(spark,
+                                                             tmp_path):
+    """A batch carrying the same id twice must elect a DETERMINISTIC
+    winner (min text), not dropDuplicates' partitioning-dependent row —
+    orphan adoption on replay assumes recomputed posting rows are
+    identical."""
+    from mycelial_spark.operators.retrieval_stream import (
+        IncrementalInvertedIndex)
+    rows = [(1, "zebra text variant"), (1, "aardvark text variant"),
+            (2, "only one")]
+    for attempt in range(2):
+        idx = IncrementalInvertedIndex(str(tmp_path / f"idx{attempt}"))
+        df = (spark.createDataFrame(rows, "doc_id long, text string")
+              .repartition(8 if attempt else 1))
+        idx.update(df)
+        toks = {r["token"] for r in idx.postings(spark)
+                .filter("doc_id = 1").collect()}
+        assert "aardvark" in toks and "zebra" not in toks
+
+
+def test_lsh_bucket_topk_default_single_bucket():
+    """Multi-probe is opt-in: the default preserves the original
+    single-bucket scan (no silent cost/result change for callers)."""
+    from mycelial_spark.operators.similarity import lsh_bucket_topk
+    sig = inspect.signature(lsh_bucket_topk)
+    assert sig.parameters["probe_hamming"].default == 0
