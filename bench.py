@@ -45,6 +45,7 @@ HEADLINE = [
     "latest_per_key",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",
+    "dedup_simhash_pairs_fast",
     "dedup_clusters",
     "decontaminate",
     "q8_market_share",
@@ -58,6 +59,7 @@ HEADLINE = [
     "token_topk",
     "similarity_topk",
     "knn_join",
+    "ann_batch_topk",
     "multimodal_features",
     "asof_join",
     "interval_join_bucketed",

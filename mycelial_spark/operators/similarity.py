@@ -631,6 +631,111 @@ def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
     return {"path": path, "n_centroids": n_centroids, "pq_m": pq_m}
 
 
+def _probe_cell_pairs(pp: DataFrame, centroids: list[list[float]],
+                      nprobe: int) -> DataFrame:
+    """(probe_id, pvec, ivf_cell) — each probe's ``nprobe`` nearest
+    cells, computed DISTRIBUTED: the centroid table rides into codegen
+    as an array of (distance, cell) structs whose lexicographic
+    array_sort reproduces exactly the driver-side ranking ann_search
+    uses (squared L2 ascending, cell index tiebreak — and the oracle's
+    ORDER BY list_distance ASC, c ASC: sqrt is monotonic). No shuffle,
+    no driver round-trip per probe."""
+    entries = F.array(*[
+        F.struct(_sq_l2(F.col("pvec"), c).alias("d"),
+                 F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)])
+    top = F.slice(F.array_sort(entries), 1, min(nprobe, len(centroids)))
+    return (pp.withColumn("_pc", F.explode(top))
+              .withColumn("ivf_cell", F.col("_pc.c"))
+              .drop("_pc"))
+
+
+def _batch_rerank(cand_corpus: DataFrame, pairs: DataFrame, k: int,
+                  vec_col: str, id_col: str,
+                  exclude_self: bool = True) -> DataFrame:
+    """Join probe-cell pairs against the (pruned) corpus on ivf_cell and
+    exact-cosine re-rank per probe. The probe side broadcasts — the
+    corpus (the 100 TB side) streams through one narrow stage; per-probe
+    top-k parallelism is the probe count (a window partitioned by
+    probe_id), which is exactly the batch-search sweet spot: one job
+    amortizes the scan across every query in the batch."""
+    from pyspark.sql.window import Window
+    c = cand_corpus.select(F.col(id_col).alias("corpus_id"),
+                           F.col(vec_col).cast("array<double>")
+                            .alias("cvec"),
+                           "ivf_cell")
+    j = c.join(F.broadcast(pairs), "ivf_cell")
+    if exclude_self:
+        j = j.filter(F.col("probe_id") != F.col("corpus_id"))
+    scored = j.withColumn(
+        "cos_sim", F.round(cosine(F.col("pvec"), F.col("cvec")), 6))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("probe_id", "corpus_id", "cos_sim", "rn"))
+
+
+def knn_join_ivf(probes: DataFrame, corpus: DataFrame,
+                 centroids: list[list[float]], k: int = 5,
+                 nprobe: int = 3, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 exclude_self: bool = True) -> DataFrame:
+    """Approximate kNN JOIN: every probe row gets its k nearest corpus
+    rows, scanning only each probe's ``nprobe`` nearest IVF cells — the
+    batched production shape of ``ivf_topk`` (which serves ONE query per
+    job; a retrieval/hard-negative-mining pipeline probes with a
+    DataFrame of queries). Corpus assignment and probe-cell ranking are
+    both narrow codegen maps; one broadcast join + per-probe window
+    finishes the batch in a single job. Candidates per (probe, corpus)
+    pair are unique because a corpus row lives in exactly one cell."""
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    pp = probes.select(F.col(id_col).alias("probe_id"),
+                       F.col(vec_col).cast("array<double>").alias("pvec"))
+    pairs = _probe_cell_pairs(pp, centroids, nprobe)
+    return _batch_rerank(assigned, pairs, k, vec_col, id_col, exclude_self)
+
+
+def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
+                     nprobe: int = 4, probe_id_col: str = "vec_id",
+                     probe_vec_col: str = "embedding",
+                     exclude_self: bool = False) -> DataFrame:
+    """Batched search over the PERSISTED index: one job answers a whole
+    DataFrame of query vectors (vs ``ann_search``'s one driver
+    round-trip per query). Probe→cell assignment runs distributed with
+    the sidecar's frozen centroids; the union of probed cells (≤
+    n_centroids values) is collected — KBs — to drive PARTITION PRUNING
+    on the cells directory, so the scan touches only the probed cells'
+    files; then one broadcast join + per-probe window re-rank.
+
+    A pending split widens each parent-probing probe to the half-moved
+    new cell, same reachability rule as ``ann_search``. Returns
+    (probe_id, corpus_id, cos_sim, rn<=k)."""
+    meta = ann_load_meta(path, spark)
+    centroids = meta["centroids"]
+    dims = len(centroids[0])
+    pp = probes.select(
+        F.col(probe_id_col).alias("probe_id"),
+        F.col(probe_vec_col).cast("array<double>").alias("pvec"))
+    first = pp.select(F.size("pvec").alias("n")).first()
+    if first is not None and first["n"] != dims:
+        raise ValueError(f"probe dimension {first['n']} != index "
+                         f"dimension {dims} (wrong embedding model?)")
+    pairs = _probe_cell_pairs(pp, centroids, nprobe)
+    ps = meta.get("pending_split")
+    if ps:
+        widened = (pairs.filter(F.col("ivf_cell") == ps["cell"])
+                   .withColumn("ivf_cell", F.lit(ps["new_id"])))
+        pairs = (pairs.unionByName(widened)
+                 .dropDuplicates(["probe_id", "ivf_cell"]))
+    cells = sorted(r["ivf_cell"] for r in
+                   pairs.select("ivf_cell").distinct().collect())
+    corpus = (spark.read.parquet(f"{path}/cells")
+              .filter(F.col("ivf_cell").isin(cells)))
+    return _batch_rerank(corpus, pairs, k, meta["vec_col"],
+                         meta["id_col"], exclude_self)
+
+
 def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
                nprobe: int = 4, use_pq: bool = False) -> DataFrame:
     """Search the persisted index: pick the ``nprobe`` nearest cells on

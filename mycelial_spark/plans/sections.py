@@ -1249,6 +1249,27 @@ def ann_search_(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
                       cfg["nprobe"], cfg["use_pq"])
 
 
+@_register("ann_search_batch", "transform", "dataframe", "dataframe",
+           [Field("path"), Field("k", "int", 10), Field("nprobe", "int", 4),
+            Field("probe_id_col", default="vec_id"),
+            Field("probe_vec_col", default="embedding"),
+            Field("exclude_self", "bool", False)],
+           doc="Batched search over a persisted ANN index: the INPUT "
+               "frame is the probe set (one query vector per row); one "
+               "job answers them all — distributed probe-to-cell "
+               "assignment with the sidecar's frozen centroids, "
+               "partition-pruned scan of the probed cells' union, "
+               "broadcast join + per-probe window re-rank. The shape "
+               "retrieval pipelines consume (nearest-neighbor eval, "
+               "hard-negative mining), vs ann_search's one driver "
+               "round-trip per query.")
+def ann_search_batch_(spark, cfg, df):
+    from mycelial_spark.operators.similarity import ann_search_batch
+    return ann_search_batch(spark, cfg["path"], df, cfg["k"],
+                            cfg["nprobe"], cfg["probe_id_col"],
+                            cfg["probe_vec_col"], cfg["exclude_self"])
+
+
 def _payload_frame(df, modality: str | None = None):
     """Adapt the bin plane to the multimodal (id, payload) contract:
     binaryFile scans deliver (path, content) — id becomes the path hash;

@@ -1102,6 +1102,24 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                               bits=60, bands=10, token_hash="md5")
 
 
+@query("dedup_simhash_pairs_fast", None)
+def dedup_simhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION simhash path: identical banding/verify workload to
+    dedup_simhash_pairs but with the xxhash64 64-bit hash family users
+    actually run (the md5 60-bit family exists solely so DuckDB can
+    replicate the signatures for the oracle). Registered as a bench
+    headline so performance regressions on the default path stay
+    visible; correctness of the shared algorithm (per-bit vote, banding,
+    pigeonhole recall, Hamming verify) is hash-matched via the md5 twin
+    and pinned by tests/test_oracle_pins.py — xxhash64 itself is not
+    replicable in the oracle engine, hence rows-only here. 16 bands of
+    4 bits keep the pigeonhole full-recall guarantee (8 < 16) at the
+    64-bit width."""
+    from mycelial_spark.operators.dedup import simhash_near_pairs
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8,
+                              bits=64, bands=16)
+
+
 @query("text_stats", """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
@@ -2424,6 +2442,58 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_topk(emb.filter(F.col("vec_id") != 0), list(qvec),
                     centroids, k=10, nprobe=3)
+
+
+@query("ann_batch_topk", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+assigned AS (
+  SELECT vec_id, ev,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cell
+  FROM v),
+p AS (SELECT vec_id AS pid, ev AS pv FROM v WHERE vec_id < 20),
+pc AS (
+  SELECT pid, c AS cell FROM (
+    SELECT p.pid, cents.c,
+           row_number() OVER (PARTITION BY p.pid
+               ORDER BY list_distance(p.pv, cents.cv) ASC, cents.c ASC)
+             AS cr
+    FROM p, cents) t
+  WHERE cr <= 3),
+s AS (
+  SELECT p.pid AS probe_id, a.vec_id AS corpus_id,
+         round(list_dot_product(p.pv, a.ev)
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(a.ev, a.ev))), 6) AS cos_sim
+  FROM p JOIN pc ON p.pid = pc.pid
+         JOIN assigned a ON a.cell = pc.cell
+  WHERE a.vec_id != p.pid),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos_sim DESC, corpus_id ASC) AS INT) AS rn FROM s)
+SELECT probe_id, corpus_id, cos_sim, rn FROM r WHERE rn <= 5
+""")
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN search: k nearest neighbors for a DATAFRAME of query
+    vectors in ONE job — IVF-pruned (each probe scans only its nprobe
+    nearest cells), exact cosine re-rank per probe. This is how
+    retrieval is actually consumed in a training pipeline
+    (nearest-neighbor eval, hard-negative mining): the scan amortizes
+    across the whole probe batch instead of one driver round-trip per
+    query (operators/similarity.py knn_join_ivf; ann_search_batch is
+    the persisted-index form with directory-level partition pruning).
+
+    Oracle: faithful replication — the deterministic frozen centroids
+    let DuckDB recompute cell assignment, per-probe cell ranking, and
+    the re-rank verbatim, so the hash-match verifies the approximate
+    algorithm itself (the knn_join exact oracle generalized with the
+    IVF prune)."""
+    from mycelial_spark.operators.similarity import (knn_join_ivf,
+                                                     pq_train_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = pq_train_codebooks(emb, m=1, k=8)[0]
+    return knn_join_ivf(emb.filter(F.col("vec_id") < 20), emb, centroids,
+                        k=5, nprobe=3)
 
 
 @query("multimodal_resize", """
