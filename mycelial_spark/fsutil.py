@@ -48,3 +48,48 @@ def exists(spark, path: str) -> bool:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     return fs.exists(hpath)
+
+
+def hadoop_fs(spark, path: str):
+    """(jvm, fs, Path-class) for the filesystem that owns ``path`` —
+    the VFS layer the compaction/manifest machinery goes through so the
+    same code runs on file:, hdfs:, s3a:, ... without branching."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, jvm.org.apache.hadoop.fs.Path
+
+
+def fs_write_text(spark, path: str, content: str) -> None:
+    """Create ``path`` holding ``content`` through its own filesystem.
+    Single-file create is the atomic primitive object stores DO offer
+    (a PUT lands fully or not at all) — which is why the remote-safe
+    compaction protocol commits on marker files, never on directory
+    renames."""
+    jvm, fs, P = hadoop_fs(spark, path)
+    out = fs.create(P(path), True)
+    try:
+        out.write(bytearray(content, "utf-8"))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark, path: str) -> str:
+    jvm, fs, P = hadoop_fs(spark, path)
+    st = fs.open(P(path))
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(st, baos, 4096, False)
+        return baos.toString("UTF-8")
+    finally:
+        st.close()
+
+
+def fs_list_names(spark, path: str) -> list[str]:
+    """Names of plain files directly under ``path`` (no recursion)."""
+    jvm, fs, P = hadoop_fs(spark, path)
+    p = P(path)
+    if not fs.exists(p):
+        return []
+    return sorted(st.getPath().getName()
+                  for st in fs.listStatus(p) if st.isFile())

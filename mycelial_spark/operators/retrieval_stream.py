@@ -184,8 +184,8 @@ class IncrementalInvertedIndex:
         out = {}
         for sub in (self._postings, self._doclens):
             if _fs_exists(spark, sub):
-                # compact_parquet is LOCAL-only and refuses remote paths
-                # loudly — at object-store scale compaction belongs to a
-                # table format's commit protocol
+                # scheme-qualified index paths (s3a, hdfs, file:) take
+                # the marker-committed Hadoop-FS protocol; local paths
+                # take the dir-swap fast path — both crash-recoverable
                 out[sub.rsplit("/", 1)[-1]] = compact_parquet(spark, sub)
         return out

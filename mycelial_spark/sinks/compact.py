@@ -20,9 +20,13 @@ LOCAL directory to a target file count:
    since the moved-in files have fresh part names that never collide);
    no marker means it didn't — restore from ``._compact_old`` and clear
    tmp. The swap is NOT atomic for concurrent readers — this is a
-   maintenance-window op (readers AND writers paused). Table formats
-   move this into a commit protocol; that is deliberately out of scope
-   here, so the op refuses non-local paths.
+   maintenance-window op (readers AND writers paused).
+
+Scheme-qualified paths (hdfs:, s3a:, file:) route to
+``compact_parquet_hadoop``: the same recover/rewrite/verify/swap shape,
+but committed on single-file marker creates (atomic on object stores)
+instead of directory renames (not offered there). Concurrent-reader
+isolation during compaction remains a table format's job.
 
 Counts are verified before the swap: a compaction that would change the
 row count aborts and leaves the directory untouched.
@@ -42,20 +46,18 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
     """Rewrite the parquet directory at ``path`` down to
     ``target_files`` files. Returns {files_before, files_after, rows}.
 
-    LOCAL filesystem paths only (the swap uses os renames); on
-    HDFS/object stores this job belongs to a table format's commit
-    protocol — deliberately out of scope. A crash mid-swap is
-    recoverable: rerunning first rolls back any half-finished swap from
-    the leftover ``._compact_old`` dir, then compacts again.
+    Plain local paths swap via os renames (below); any scheme-qualified
+    path (file:, hdfs:, s3a:, ...) routes through the marker-committed
+    Hadoop-FS protocol (``compact_parquet_hadoop``), whose commit point
+    is a single-file create — the atomic primitive object stores DO
+    offer — instead of a directory rename they don't. Both are
+    maintenance-window ops and both are crash-recoverable: rerunning
+    first rolls the previous attempt forward or back, then compacts.
     """
     import re
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", path) \
-            and not path.startswith("file://"):
-        raise ValueError(
-            "compact_parquet is a LOCAL-filesystem maintenance op; "
-            f"got {path!r} — at object-store scale use a table format's "
-            "compaction")
-    path = path.removeprefix("file://")
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:/", path):
+        return compact_parquet_hadoop(spark, path, target_files,
+                                      sort_by, compression)
 
     # recovery from a previous crash, phase-aware on the commit marker:
     # - marker present  => the old-files-out phase finished and the swap
@@ -111,6 +113,99 @@ def compact_parquet(spark: SparkSession, path: str, target_files: int = 1,
              if f.endswith(".parquet") and not f.startswith(".")]
     return {"path": path, "files_before": len(before),
             "files_after": len(after), "rows": int(rows)}
+
+
+def compact_parquet_hadoop(spark: SparkSession, path: str,
+                           target_files: int = 1,
+                           sort_by: list[str] | None = None,
+                           compression: str | None = None) -> dict:
+    """Compaction over ANY Hadoop filesystem (s3a, hdfs, file:, ...).
+
+    Object stores have no atomic directory rename, so the local
+    protocol's dir-swap commit cannot work there. This variant commits
+    on single-file MARKER creates (an object-store PUT is atomic):
+
+    1. recover: roll a crashed previous attempt forward (commit marker
+       present) or back (pending marker only), clear stale tmp;
+    2. rewrite the directory's rows to ``._compact_tmp`` (a dot-prefixed
+       child, invisible to readers of ``path``) and verify the count;
+    3. PENDING marker: the new part-file names become durable BEFORE any
+       of them moves — a crash mid-move knows exactly which files to
+       delete on rollback;
+    4. move the new files in (fresh write-UUID part names never collide
+       with the old generation's);
+    5. COMMIT marker listing the old file names — the commit point:
+       every later crash rolls FORWARD by deleting exactly those;
+    6. delete old files, then pending, then the commit marker last, then
+       the tmp dir.
+
+    Readers racing step 4-6 would see both generations (duplicate rows)
+    — this is a MAINTENANCE-WINDOW op, same contract as the local form
+    (whose race window shows missing rows instead). A table format's
+    snapshot protocol is the right tool when compaction must be
+    concurrent with readers; this closes the crash-safety story, not
+    the isolation one.
+    """
+    import json
+
+    from mycelial_spark.fsutil import (fs_list_names, fs_read_text,
+                                       fs_write_text, hadoop_fs)
+    jvm, fs, P = hadoop_fs(spark, path)
+    base = path.rstrip("/")
+    tmp = f"{base}/._compact_tmp"
+    pending_p = f"{base}/._compact_pending.json"
+    commit_p = f"{base}/._compact_commit.json"
+
+    def _data_names():
+        return [f for f in fs_list_names(spark, base)
+                if f.endswith(".parquet") and not f.startswith(".")]
+
+    def _delete_names(names):
+        for f in names:
+            fs.delete(P(f"{base}/{f}"), False)
+
+    # --- recovery, phase-aware on which marker survived the crash ---
+    if fs.exists(P(commit_p)):
+        # committed: old files out (idempotent), markers cleared in the
+        # same order as the happy path so re-crashes re-enter here
+        _delete_names(json.loads(fs_read_text(spark, commit_p))["old"])
+        fs.delete(P(pending_p), False)
+        fs.delete(P(commit_p), False)
+    elif fs.exists(P(pending_p)):
+        # never committed: the pending list is exactly the set of new
+        # files that may have moved in — delete them, old rows intact
+        _delete_names(json.loads(fs_read_text(spark, pending_p))["new"])
+        fs.delete(P(pending_p), False)
+    if fs.exists(P(tmp)):
+        fs.delete(P(tmp), True)
+
+    before = _data_names()
+    df = spark.read.option("mergeSchema", True).parquet(base)
+    rows = df.count()
+    out = df.coalesce(target_files)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.parquet(tmp)
+    got = spark.read.parquet(tmp).count()
+    if got != rows:
+        fs.delete(P(tmp), True)
+        raise RuntimeError(
+            f"compaction row count changed ({rows} -> {got}); aborted")
+
+    new = [f for f in fs_list_names(spark, tmp) if f.endswith(".parquet")]
+    fs_write_text(spark, pending_p, json.dumps({"new": new}))
+    for f in new:
+        fs.rename(P(f"{tmp}/{f}"), P(f"{base}/{f}"))
+    fs_write_text(spark, commit_p, json.dumps({"old": before}))
+    _delete_names(before)
+    fs.delete(P(pending_p), False)
+    fs.delete(P(commit_p), False)
+    fs.delete(P(tmp), True)
+    return {"path": base, "files_before": len(before),
+            "files_after": len(_data_names()), "rows": int(rows)}
 
 
 def _finish_commit(path: str, commit: str, old: str) -> None:

@@ -1,0 +1,121 @@
+"""Object-store-safe compaction: the marker-committed Hadoop-FS protocol
+(compact_parquet_hadoop), exercised through the Hadoop LOCAL filesystem
+shim — scheme-qualified ``file://`` paths take exactly the code path
+s3a/hdfs would (FileSystem API, single-file marker commits, per-file
+renames), with no object store in the container."""
+
+import glob
+import json
+import os
+
+from mycelial_spark.fsutil import fs_write_text
+from mycelial_spark.sinks.compact import compact_parquet
+
+
+def _seed(spark, local, parts=3):
+    for i in range(parts):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1) \
+            .write.mode("append").parquet(local)
+
+
+def test_hadoop_compact_rewrites_small_files(spark, tmp_path):
+    local = str(tmp_path / "sink")
+    _seed(spark, local, parts=6)
+    uri = f"file://{local}"
+    out = compact_parquet(spark, uri, target_files=1, sort_by=["id"])
+    assert out["files_before"] == 6 and out["files_after"] == 1
+    assert out["rows"] == 60
+    back = spark.read.parquet(local)
+    assert sorted(r["id"] for r in back.collect()) == list(range(60))
+    # no protocol residue
+    assert not glob.glob(f"{local}/._compact*")
+
+
+def test_hadoop_compact_rolls_back_before_commit(spark, tmp_path):
+    """Crash AFTER the pending marker, mid-move: the pending list names
+    the new files exactly, so recovery deletes them and the old
+    generation's rows are intact."""
+    local = str(tmp_path / "sink")
+    _seed(spark, local)
+    # fabricate the crash window: one "new" file moved in, no commit
+    stage = str(tmp_path / "stage")
+    spark.read.parquet(local).coalesce(1).write.parquet(stage)
+    new_name = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(stage, new_name),
+               os.path.join(local, new_name))
+    assert spark.read.parquet(local).count() == 60   # duplicated
+    fs_write_text(spark, f"file://{local}/._compact_pending.json",
+                  json.dumps({"new": [new_name]}))
+
+    out = compact_parquet(spark, f"file://{local}", target_files=1)
+    assert out["rows"] == 30
+    assert spark.read.parquet(local).count() == 30
+
+
+def test_hadoop_compact_rolls_forward_after_commit(spark, tmp_path):
+    """Crash AFTER the commit marker (new files in, old not yet
+    deleted): recovery rolls FORWARD by deleting exactly the old names
+    the marker recorded — never both generations."""
+    local = str(tmp_path / "sink")
+    _seed(spark, local)
+    old_names = sorted(f for f in os.listdir(local)
+                       if f.endswith(".parquet"))
+    stage = str(tmp_path / "stage")
+    spark.read.parquet(local).coalesce(1).write.parquet(stage)
+    new_name = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(stage, new_name),
+               os.path.join(local, new_name))
+    fs_write_text(spark, f"file://{local}/._compact_pending.json",
+                  json.dumps({"new": [new_name]}))
+    fs_write_text(spark, f"file://{local}/._compact_commit.json",
+                  json.dumps({"old": old_names}))
+    assert spark.read.parquet(local).count() == 60   # crash window state
+
+    out = compact_parquet(spark, f"file://{local}", target_files=1)
+    assert out["rows"] == 30
+    assert spark.read.parquet(local).count() == 30
+    assert not glob.glob(f"{local}/._compact*")
+
+
+def test_incremental_index_compacts_on_scheme_path(spark, tmp_path):
+    """The streaming inverted index maintains itself on a
+    scheme-qualified path: updates append, compact folds the per-batch
+    files through the Hadoop-FS protocol, BM25 results unchanged."""
+    from mycelial_spark.operators.retrieval_stream import (
+        IncrementalInvertedIndex)
+    idx = IncrementalInvertedIndex(f"file://{tmp_path}/idx")
+    for lo in (0, 3):
+        rows = [(i, f"spark shuffle doc{i} tokens here")
+                for i in range(lo, lo + 3)]
+        idx.update(spark.createDataFrame(rows, "doc_id long, text string"))
+    before = {(r["doc_id"], r["score"])
+              for r in idx.bm25(spark, "spark shuffle").collect()}
+    out = idx.compact(spark)
+    assert set(out) == {"postings", "doclens"}
+    after = {(r["doc_id"], r["score"])
+             for r in idx.bm25(spark, "spark shuffle").collect()}
+    assert after == before and len(after) == 6
+    post_files = glob.glob(f"{tmp_path}/idx/postings/*.parquet")
+    assert len(post_files) == 1
+
+
+def test_ann_compact_on_scheme_path(spark, sf_dir, tmp_path):
+    """The ANN index lifecycle holds on a scheme-qualified path: build,
+    append (small files accrue), compact via dynamic partition
+    overwrite, search results unchanged."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators import similarity as S
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    uri = f"file://{tmp_path}/ann"
+    S.ann_build_index(emb.filter(F.col("vec_id") < 400), uri,
+                      n_centroids=4)
+    grow = emb.filter(F.col("vec_id") >= 400) \
+        .withColumn("vec_id", F.col("vec_id"))
+    S.ann_append(grow, uri)
+    q = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    before = S.ann_search(spark, uri, q, k=5, nprobe=4).collect()
+    out = S.ann_compact(spark, uri)
+    assert out["rows"] == emb.count()
+    assert S.ann_search(spark, uri, q, k=5, nprobe=4).collect() == before

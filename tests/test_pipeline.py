@@ -413,10 +413,8 @@ def test_compact_parquet_recovers_from_crashed_swap(spark, tmp_path):
     out = compact_parquet(spark, path, target_files=1)
     assert out["rows"] == 30 and out["files_after"] == 1
     assert spark.read.parquet(path).count() == 30
-    # remote paths refused
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="LOCAL"):
-        compact_parquet(spark, "s3a://bucket/x")
+    # scheme-qualified paths route to the Hadoop-FS marker protocol
+    # (exercised end-to-end in test_compact_hadoop.py)
 
 
 def test_compact_parquet_rolls_forward_after_commit_marker(spark, tmp_path):
