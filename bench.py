@@ -84,6 +84,7 @@ HEADLINE = [
     "cross_doc_repetition",
     "span_dedup",
     "pack_sequences",
+    "pack_sequences_bpe",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

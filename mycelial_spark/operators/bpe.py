@@ -1,0 +1,253 @@
+"""Real byte-pair-encoding token budgets for chunking and packing.
+
+``operators/text.py`` counts tokens with a whitespace/regex proxy — fine
+for quality signals, wrong for LM COST budgets: a packing run that
+budgets 2048 whitespace tokens can overflow a 2048-BPE-token context by
+30%+ on code or non-English text. This module supplies the real thing:
+
+- ``BpeEncoder`` — the standard greedy lowest-rank pair-merge loop
+  (Sennrich et al. 2016; the GPT-2/HuggingFace ``merges.txt`` text
+  format loads directly via ``from_files``). Pure-Python, picklable, so
+  it rides into Arrow-batched UDFs by closure; merge tables are MBs at
+  most and ship to each executor once with the serialized function.
+- ``bpe_train`` — deterministic driver-side trainer (id-ordered sample,
+  highest-count/lexicographic tiebreak), for when no public tokenizer
+  file is supplied. Training is driver-cheap (a sample); ENCODING the
+  corpus is the distributed part, same recipe as the IVF/PQ codebooks.
+- ``with_bpe_token_count`` / ``with_bpe_pieces`` — Arrow-batched narrow
+  maps (pandas UDF): no shuffle, vectorized batch transfer.
+- ``chunk_text_bpe`` — chunking whose window is a BPE-token budget, on
+  piece boundaries (never splits a piece, reassembles exact text).
+- ``pack_greedy`` in ``operators/sampling.py`` accepts ``encoder=`` and
+  budgets sequences by BPE tokens instead of whitespace tokens.
+
+Word pre-tokenization is the repo's whitespace convention (``tokens``):
+pieces never cross whitespace, and the end-of-word marker ``</w>``
+makes piece sequences losslessly decodable back to text.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EOW = "</w>"
+
+
+class BpeEncoder:
+    """Greedy BPE over whitespace-pretokenized words.
+
+    ``merges`` is an ordered list of (left, right) symbol pairs — rank =
+    list position, lower merges first (exactly the ``merges.txt``
+    semantics). ``vocab`` optionally maps piece -> id for
+    ``encode_ids``. Per-word results memoize in an executor-local cache
+    (dropped from pickles, so the closure ships small)."""
+
+    def __init__(self, merges: list[tuple[str, str]],
+                 vocab: dict[str, int] | None = None):
+        self.merges = [tuple(m) for m in merges]
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.vocab = dict(vocab) if vocab else None
+        self._cache: dict[str, list[str]] = {}
+
+    def __getstate__(self):
+        st = self.__dict__.copy()
+        st["_cache"] = {}
+        return st
+
+    @classmethod
+    def from_files(cls, merges_path: str,
+                   vocab_path: str | None = None) -> "BpeEncoder":
+        """Load the public text format: one merge per line ("left
+        right"), ``#``-prefixed header lines skipped; vocab.json is
+        piece -> id."""
+        merges: list[tuple[str, str]] = []
+        with open(merges_path, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#"):
+                    continue
+                left, sep, right = line.partition(" ")
+                if not sep:
+                    raise ValueError(f"malformed merges line {line!r}")
+                merges.append((left, right))
+        vocab = None
+        if vocab_path:
+            import json
+            with open(vocab_path, encoding="utf-8") as f:
+                vocab = json.load(f)
+        return cls(merges, vocab)
+
+    def encode_word(self, word: str) -> list[str]:
+        got = self._cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word[:-1]) + [word[-1] + EOW] if word else []
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for pair in zip(syms, syms[1:]):
+                r = self.ranks.get(pair)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = pair, r
+            if best is None:
+                break
+            merged, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        self._cache[word] = syms
+        return syms
+
+    def encode(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in (text or "").split():
+            out.extend(self.encode_word(w))
+        return out
+
+    def encode_ids(self, text: str, unk_id: int = -1) -> list[int]:
+        if self.vocab is None:
+            raise ValueError("encoder has no vocab; load vocab.json or "
+                             "use encode() for string pieces")
+        return [self.vocab.get(p, unk_id) for p in self.encode(text)]
+
+    def n_tokens(self, text: str) -> int:
+        return sum(len(self.encode_word(w)) for w in (text or "").split())
+
+    @staticmethod
+    def decode(pieces: list[str]) -> str:
+        """Pieces -> exact original (whitespace-normalized) text: pieces
+        concatenate, EOW markers become word breaks."""
+        return "".join(pieces).replace(EOW, " ").strip()
+
+
+def bpe_train(df: DataFrame, n_merges: int = 256, sample_n: int = 512,
+              text_col: str = "text", id_col: str = "doc_id",
+              min_pair_count: int = 2) -> list[tuple[str, str]]:
+    """Learn a merge table from an id-ordered driver-side sample — the
+    Sennrich counting loop, deterministic (ties on pair count break
+    lexicographically, so the table is invariant to dict/partition
+    order). Training reads ``sample_n`` docs; encoding the 100 TB
+    corpus with the result is the distributed part."""
+    rows = (df.orderBy(id_col).select(F.col(text_col)).limit(sample_n)
+            .collect())
+    word_freq = Counter()
+    for r in rows:
+        word_freq.update((r[0] or "").split())
+    seqs: list[tuple[list[str], int]] = [
+        (list(w[:-1]) + [w[-1] + EOW], n) for w, n in word_freq.items()]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, n in seqs:
+            for pair in zip(syms, syms[1:]):
+                pairs[pair] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_pair_count:
+            break
+        merges.append(best)
+        new_seqs = []
+        for syms, n in seqs:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_seqs.append((merged, n))
+        seqs = new_seqs
+    return merges
+
+
+def _count_udf(encoder: BpeEncoder):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _cnt(texts):
+        return pd.Series([encoder.n_tokens(t) for t in texts],
+                         dtype="int32")
+    return _cnt
+
+
+def bpe_token_count(col: Column | str, encoder: BpeEncoder) -> Column:
+    """Exact BPE token count — Arrow-batched, merge table in the
+    closure (shipped once per executor)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _count_udf(encoder)(c)
+
+
+def with_bpe_token_count(df: DataFrame, encoder: BpeEncoder,
+                         text_col: str = "text",
+                         out_col: str = "n_bpe_tokens") -> DataFrame:
+    return df.withColumn(out_col, bpe_token_count(text_col, encoder))
+
+
+def with_bpe_pieces(df: DataFrame, encoder: BpeEncoder,
+                    text_col: str = "text",
+                    out_col: str = "bpe_pieces") -> DataFrame:
+    """array<string> piece column (or use encoder.vocab + encode_ids in
+    a follow-up map for ids)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _enc(texts):
+        return pd.Series([encoder.encode(t) for t in texts])
+    return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+def chunk_text_bpe(df: DataFrame, encoder: BpeEncoder,
+                   chunk_tokens: int = 64, overlap: int = 16,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """``chunk_text`` with a REAL token budget: windows are
+    ``chunk_tokens`` BPE pieces (stride ``chunk_tokens - overlap``, last
+    start clamped so the tail chunk is full-width — same geometry as the
+    whitespace chunker), and chunk text reassembles exactly from the
+    pieces (EOW markers restore word breaks; a window can start or end
+    mid-word, in which case the fragment is what the LM would see).
+    Arrow-batched mapInPandas — narrow, shuffle-free; emits
+    (id, chunk_id, chunk_text, n_chunk_tokens)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    step = chunk_tokens - overlap
+
+    def _chunks(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, cids, texts, sizes = [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                pieces = encoder.encode(text)
+                if not pieces:
+                    continue
+                starts = list(range(0, max(len(pieces) - chunk_tokens, 0)
+                                    + 1, step))
+                if starts[-1] + chunk_tokens < len(pieces):
+                    starts.append(len(pieces) - chunk_tokens)
+                for ci, s in enumerate(starts):
+                    win = pieces[s:s + chunk_tokens]
+                    ids.append(doc_id)
+                    cids.append(ci)
+                    texts.append(BpeEncoder.decode(win))
+                    sizes.append(len(win))
+            yield pd.DataFrame({id_col: ids, "chunk_id": cids,
+                                "chunk_text": texts,
+                                "n_chunk_tokens": sizes})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        _chunks, f"{id_col} {id_type}, chunk_id int, chunk_text string, "
+                 f"n_chunk_tokens int")

@@ -99,7 +99,7 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
 
 def pack_greedy(df: DataFrame, max_tokens: int,
                 text_col: str = "text", id_col: str = "doc_id",
-                n_buckets: int = 8) -> DataFrame:
+                n_buckets: int = 8, encoder=None) -> DataFrame:
     """Doc-preserving greedy sequence packing — the training-batch
     assembly step: documents are packed in id order into sequences of at
     most ``max_tokens`` whitespace tokens; a doc that would overflow the
@@ -115,16 +115,26 @@ def pack_greedy(df: DataFrame, max_tokens: int,
     the (bucket, id) order — partitioning and row order never change the
     result. Returns (id_col, bucket, seq_in_bucket, dl); the global
     sequence key is (bucket, seq_in_bucket).
+
+    ``encoder`` (a ``bpe.BpeEncoder``) switches the budget from
+    whitespace tokens to REAL BPE tokens — what the context window
+    actually costs. The sizing pass becomes an Arrow-batched narrow map
+    (merge table ships by closure); the packing recurrence is unchanged.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     import pandas as pd
 
     from mycelial_spark.operators.text import tokens
+    if encoder is not None:
+        from mycelial_spark.operators.bpe import bpe_token_count
+        dl = bpe_token_count(F.col(text_col), encoder)
+    else:
+        dl = F.size(tokens(F.col(text_col)))
     sized = df.select(
         F.col(id_col),
         (F.col(id_col) % n_buckets).cast("int").alias("bucket"),
-        F.size(tokens(F.col(text_col))).cast("int").alias("dl"))
+        dl.cast("int").alias("dl"))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         # EXACTLY the oracle's recurrence (first doc opens seq 0 with

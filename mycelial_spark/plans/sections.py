@@ -741,6 +741,25 @@ def chunk_text_(spark, cfg, inputs):
                       cfg["text_col"], cfg["id_col"])
 
 
+@_register("bpe_token_count", "transform", "dataframe", "dataframe",
+           [Field("merges_path"), Field("vocab_path", default=""),
+            Field("text_col", default="text"),
+            Field("out_col", default="n_bpe_tokens")],
+           doc="Exact BPE token counts from a user-supplied public-format "
+               "tokenizer (merges.txt [+ vocab.json], the GPT-2/HF text "
+               "format): Arrow-batched narrow map, merge table ships by "
+               "closure once per executor (operators/bpe.py). The real "
+               "context-window cost, vs the regexp proxy in text_stats — "
+               "feed chunk_text_bpe / pack_greedy(encoder=...) budgets.")
+def bpe_token_count_(spark, cfg, inputs):
+    from mycelial_spark.operators.bpe import (BpeEncoder,
+                                              with_bpe_token_count)
+    enc = BpeEncoder.from_files(cfg["merges_path"],
+                                cfg["vocab_path"] or None)
+    return with_bpe_token_count(inputs[0], enc, cfg["text_col"],
+                                cfg["out_col"])
+
+
 @_register("html_extract", "transform", "dataframe", "dataframe",
            [Field("html_col", default="html"),
             Field("out_col", default="text")],

@@ -1567,6 +1567,88 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(_t(spark, sf_dir, "documents"), max_tokens=512)
 
 
+# BPE merge table for the fixture corpus, trained by the deterministic
+# driver-side Sennrich loop (operators/bpe.py bpe_train: id-ordered
+# 512-doc sample at sf0.01, count-then-lexicographic tiebreak), capped
+# at 40 merges so per-word costs genuinely differ (1..6 — the full table
+# would collapse the tiny fixture vocabulary to one piece per word).
+# Frozen so the query is sf-independent and the oracle can replay the
+# induced word->token-cost map verbatim; pinned by
+# tests/test_oracle_pins.py against a fresh training run.
+_BPE_MERGES_SF001: list[tuple[str, str]] = [
+    ("e", "r</w>"), ("o", "w</w>"), ("t", "o"), ("a", "t"), ("l", "u"),
+    ("a", "s"), ("i", "n"), ("e", "r"), ("o", "r"), ("a", "r"),
+    ("p", "ar"), ("i", "n</w>"), ("j", "o"), ("jo", "in</w>"),
+    ("as", "h</w>"), ("h", "ash</w>"), ("r", "ow</w>"), ("at", "c"),
+    ("atc", "h</w>"), ("b", "atch</w>"), ("a", "n</w>"), ("c", "an</w>"),
+    ("s", "can</w>"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n</w>"), ("cu", "s"), ("cus", "to"),
+    ("custo", "m"), ("custom", "er</w>"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er</w>"), ("a", "l"), ("al", "l</w>"),
+    ("m", "all</w>"), ("s", "mall</w>"),
+]
+
+# The cost map that table induces over the fixture's 31-word vocabulary
+# (cost = piece count of encode_word) — the oracle's frozen literal side.
+_BPE_WORD_COST_SF001: dict[str, int] = {
+    "a": 1, "agg": 3, "batch": 1, "big": 3, "column": 1, "customer": 1,
+    "data": 3, "dup": 3, "fast": 3, "filter": 1, "group": 5, "hash": 1,
+    "join": 1, "key": 3, "line": 3, "merge": 4, "order": 3, "part": 2,
+    "query": 4, "row": 1, "scan": 1, "slow": 3, "small": 1, "sort": 3,
+    "spark": 3, "stream": 6, "table": 5, "the": 3, "value": 4,
+    "vector": 5, "window": 4,
+}
+
+_BPE_COST_SQL = ",\n".join(f"('{w}', {c})" for w, c in
+                           sorted(_BPE_WORD_COST_SF001.items()))
+
+
+@query("pack_sequences_bpe", f"""
+WITH RECURSIVE cost(w, c) AS (SELECT * FROM (VALUES {_BPE_COST_SQL})),
+docs AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INT) AS bucket,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') AS toks
+  FROM documents
+), wd AS (SELECT doc_id, unnest(toks) AS w FROM docs),
+dls AS (SELECT doc_id, CAST(sum(c) AS INT) AS dl
+        FROM wd JOIN cost USING (w) GROUP BY doc_id),
+sized AS (SELECT d.doc_id, d.bucket,
+                 CAST(coalesce(s.dl, 0) AS INT) AS dl
+          FROM docs d LEFT JOIN dls s USING (doc_id)),
+ord AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                                     ORDER BY doc_id) AS rn
+        FROM sized),
+pack(bucket, rn, doc_id, dl, acc, seq) AS (
+  SELECT bucket, rn, doc_id, dl, dl, 0 FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.bucket, o.rn, o.doc_id, o.dl,
+         CASE WHEN p.acc + o.dl > 384 THEN o.dl ELSE p.acc + o.dl END,
+         CASE WHEN p.acc + o.dl > 384 THEN p.seq + 1 ELSE p.seq END
+  FROM pack p JOIN ord o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+)
+SELECT doc_id, bucket, CAST(seq AS INT) AS seq_in_bucket, dl FROM pack
+""")
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by REAL BPE tokens — what a context
+    window actually costs — instead of the whitespace proxy: the frozen
+    merge table sizes each doc via an Arrow-batched encode
+    (operators/bpe.py), then the same greedy-reset recurrence packs at
+    384 BPE tokens over 8 independent bucket streams.
+
+    Oracle: faithful replication end-to-end — the deterministic frozen
+    merges induce a fixed word->cost map over the fixture vocabulary
+    (literal VALUES above), so DuckDB recomputes the identical sizing
+    and replays the packing recurrence as a recursive CTE. The
+    hash-match covers the BPE budget arithmetic itself, not just row
+    counts."""
+    from mycelial_spark.operators.bpe import BpeEncoder
+    from mycelial_spark.operators.sampling import pack_greedy
+    enc = BpeEncoder(_BPE_MERGES_SF001)
+    return pack_greedy(_t(spark, sf_dir, "documents"), max_tokens=384,
+                       encoder=enc)
+
+
 @query("lm_quality_score", """
 WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
 tri AS (

@@ -1,0 +1,124 @@
+"""Real-BPE token budgets: encoder semantics, the public merges.txt
+format, training determinism, BPE-budgeted chunking, and packing that
+matches a pure-Python reference oracle on fixture docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.bpe import (EOW, BpeEncoder, bpe_train,
+                                          chunk_text_bpe,
+                                          with_bpe_token_count)
+
+MERGES = [("l", "o"), ("lo", "w</w>"), ("e", "r</w>"),
+          ("lo", "w"), ("low", "er</w>")]
+
+
+def test_encoder_merge_order_and_decode():
+    enc = BpeEncoder(MERGES)
+    # "low" -> l o w</w> -> lo w</w> -> low</w> (rank 1 beats rank 3)
+    assert enc.encode_word("low") == ["low</w>"]
+    # "lower": l o w e r</w> -> lo w e r</w> -> lo w er</w>
+    #          -> low er</w> -> lower</w>
+    assert enc.encode_word("lower") == ["lower</w>"]
+    # unseen word: untouched symbols with the EOW on the last char
+    assert enc.encode_word("ab") == ["a", "b" + EOW]
+    assert enc.encode("low lower ab") == ["low</w>", "lower</w>",
+                                          "a", "b" + EOW]
+    assert BpeEncoder.decode(enc.encode("low lower ab")) == "low lower ab"
+    assert enc.n_tokens("low lower ab") == 4
+    assert enc.n_tokens("") == 0 and enc.n_tokens(None) == 0
+
+
+def test_encoder_ids_and_vocab():
+    enc = BpeEncoder(MERGES, vocab={"low</w>": 7, "a</w>": 1})
+    assert enc.encode_ids("low a b") == [7, 1, -1]  # b</w> is OOV -> unk
+    with pytest.raises(ValueError, match="no vocab"):
+        BpeEncoder(MERGES).encode_ids("low")
+
+
+def test_from_files_public_format(tmp_path):
+    """The GPT-2/HuggingFace text format: header skipped, rank = line
+    order, vocab.json loads."""
+    mp = tmp_path / "merges.txt"
+    mp.write_text("#version: 0.2\nl o\nlo w</w>\n", encoding="utf-8")
+    vp = tmp_path / "vocab.json"
+    vp.write_text('{"low</w>": 42}', encoding="utf-8")
+    enc = BpeEncoder.from_files(str(mp), str(vp))
+    assert enc.merges == [("l", "o"), ("lo", "w</w>")]
+    assert enc.encode_word("low") == ["low</w>"]
+    assert enc.vocab == {"low</w>": 42}
+
+
+def test_train_is_deterministic_and_compresses(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = bpe_train(docs, n_merges=30, sample_n=128)
+    m2 = bpe_train(docs.repartition(7), n_merges=30, sample_n=128)
+    assert m1 == m2 and len(m1) == 30
+    enc = BpeEncoder(m1)
+    row = docs.orderBy("doc_id").first()
+    # merged encoding is shorter than raw characters, longer/equal to words
+    text = row["text"]
+    n = enc.n_tokens(text)
+    assert len(text.split()) <= n < sum(len(w) + 1 for w in text.split())
+
+
+def test_spark_count_matches_python(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    enc = BpeEncoder(bpe_train(docs, n_merges=20, sample_n=64))
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in with_bpe_token_count(docs, enc).collect()}
+    want = {r["doc_id"]: enc.n_tokens(r["text"]) for r in docs.collect()}
+    assert got == want
+
+
+def test_chunk_text_bpe_budget_and_coverage(spark, sf_dir):
+    """Every chunk fits the BPE budget exactly (full-width windows,
+    clamped tail); with overlap=0 the chunks' pieces reassemble the
+    doc's full piece stream."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    enc = BpeEncoder(bpe_train(docs, n_merges=20, sample_n=64))
+    out = chunk_text_bpe(docs, enc, chunk_tokens=16, overlap=0).collect()
+    assert out
+    by_doc = {}
+    for r in out:
+        assert 1 <= r["n_chunk_tokens"] <= 16
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"],
+                                                   r["chunk_text"]))
+    for r in docs.collect():
+        pieces = enc.encode(r["text"])
+        if not pieces:
+            continue
+        chunks = [t for _, t in sorted(by_doc[r["doc_id"]])]
+        # stride==budget: non-final chunks are full-width; the tail
+        # clamps backward, so the union covers every piece
+        rejoined = [p for t in chunks for p in enc.encode(t)]
+        assert len(rejoined) >= len(pieces)
+
+
+def test_pack_greedy_bpe_matches_python_reference(spark, sf_dir):
+    """The registered pack_sequences_bpe semantics against a pure-Python
+    reference: BPE-size every fixture doc, replay the greedy-reset
+    recurrence per id%8 bucket, compare assignments exactly."""
+    from mycelial_spark.queries import _BPE_MERGES_SF001, REGISTRY
+    enc = BpeEncoder(_BPE_MERGES_SF001)
+    got = {(r["doc_id"]): (r["bucket"], r["seq_in_bucket"], r["dl"])
+           for r in REGISTRY["pack_sequences_bpe"].fn(spark, sf_dir)
+           .collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    buckets = {}
+    for r in sorted(docs, key=lambda r: r["doc_id"]):
+        buckets.setdefault(r["doc_id"] % 8, []).append(
+            (r["doc_id"], enc.n_tokens(r["text"])))
+    want = {}
+    for b, rows in buckets.items():
+        seq, acc = 0, 0
+        for i, (doc_id, dl) in enumerate(rows):
+            if i == 0:
+                acc = dl
+            elif acc + dl > 384:
+                seq, acc = seq + 1, dl
+            else:
+                acc += dl
+            want[doc_id] = (b, seq, dl)
+    assert got == want

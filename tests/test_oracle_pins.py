@@ -184,3 +184,26 @@ def test_lsh_multiprobe_recall_on_clustered_data(spark):
     r0 = len(exact & got0) / len(exact)
     assert r1 >= 0.9, (r1, r0)
     assert r1 >= r0
+
+
+def test_bpe_frozen_merges_and_costs_match_training(spark):
+    """pack_sequences_bpe's oracle literals: the frozen merge table is
+    exactly what the deterministic Sennrich loop trains at sf0.01
+    (40 merges, id-ordered 512-doc sample), the frozen word->cost map is
+    exactly what that table induces, and the map covers the fixture
+    vocabulary COMPLETELY (an unseen word would silently size as 0 in
+    the oracle's join)."""
+    from mycelial_spark.operators.bpe import BpeEncoder, bpe_train
+    from mycelial_spark.queries import (_BPE_MERGES_SF001,
+                                        _BPE_WORD_COST_SF001)
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    trained = bpe_train(docs, n_merges=40, sample_n=512)
+    assert trained == _BPE_MERGES_SF001
+    enc = BpeEncoder(_BPE_MERGES_SF001)
+    from mycelial_spark.operators.text import tokens as _toks
+    vocab = {r["w"] for r in
+             docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+             .distinct().collect()}
+    assert vocab == set(_BPE_WORD_COST_SF001)
+    for w, c in _BPE_WORD_COST_SF001.items():
+        assert len(enc.encode_word(w)) == c, w
