@@ -120,6 +120,121 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return fp.select(id_col, sig.alias("minhash"), "shingle_hashes")
 
 
+def _band_buckets(sigs: DataFrame, id_col: str, bands: int,
+                  rows: int) -> DataFrame:
+    """(id, band, bucket) rows — each signature's banded LSH keys:
+    bucket = xxhash64 of the band's signature slice, seeded by the band
+    index. One explode, bands rows/doc, 3 longs/row."""
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(band_idx,
+                        lambda b: F.struct(
+                            b.alias("band"),
+                            F.xxhash64(F.slice(F.col("minhash"),
+                                               b * rows + 1, rows), b)
+                             .alias("bucket")))).alias("bb"))
+    return banded.select(id_col,
+                         F.col("bb.band").alias("band"),
+                         F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_dedup_fuzzy(new_docs: DataFrame, ledger_path: str,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 64, bands: int = 16,
+                            ngram: int = 3,
+                            threshold: float = 0.5) -> DataFrame:
+    """Cross-batch NEAR-dup dedup — ``incremental_dedup``'s ledger
+    pattern extended from exact fingerprints to MinHash: the ledger
+    persists each admitted doc's band BUCKETS (the LSH probe table) and
+    its signature; a new doc is dropped when it shares a bucket with an
+    admitted doc AND the signature-agreement estimate of Jaccard
+    (mean of equal components — the standard unbiased MinHash estimator)
+    clears ``threshold``. Exact duplicates (including shingle-less short
+    docs) drop via the fingerprint sub-ledger exactly as the exact form.
+
+    Per batch: (1) within-batch admission — exact first-occurrence per
+    fingerprint, then banded+verified near-dup pairs drop the higher id
+    (true Jaccard, shingles in hand); (2) cross-batch — fingerprint
+    anti-join, then bucket probe + estimate filter against the ledger;
+    (3) survivors' fingerprints, signatures and buckets append.
+    Survivors are localCheckpoint'ed BEFORE the appends so the returned
+    frame cannot re-read a ledger containing its own entries; a REPLAYED
+    batch (or a near-duplicate of any admitted doc) probes its own
+    buckets and drops.
+
+    100 TB ledger economics: fingerprints 8 B/doc, signatures
+    8·num_hashes B/doc, buckets 3·8·bands B/doc — ~1 KB/doc total at the
+    defaults, vs re-shingling history every batch. Signature-estimate
+    verification is the deliberate tradeoff: exact cross-batch Jaccard
+    would persist every doc's shingle SET (unbounded per doc). The
+    probe joins shuffle (band, bucket) longs; bucket the ledger by
+    ``bucket`` at extreme scale for co-located probes. Layout at
+    ``ledger_path``: ``fps/``, ``sigs/``, ``buckets/``.
+    """
+    from pyspark.sql import Window
+
+    from mycelial_spark.fsutil import exists as _exists
+    from mycelial_spark.operators.text import with_fingerprint
+    spark = new_docs.sparkSession
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by "
+                         f"bands={bands}")
+    rows = num_hashes // bands
+    base = ledger_path.rstrip("/")
+    fps_p, sigs_p, buckets_p = (f"{base}/fps", f"{base}/sigs",
+                                f"{base}/buckets")
+
+    fp = with_fingerprint(new_docs, text_col).drop("shingle_hashes")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    batch = (fp.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
+    sigs = minhash_signatures(batch, text_col, id_col, num_hashes,
+                              ngram).persist(StorageLevel.MEMORY_AND_DISK)
+    # within-batch near-dups: exact-verified (shingles in hand), higher
+    # id drops — conservative greedy admission in id order
+    in_pairs = _verify_pairs(sigs, id_col, bands, rows, threshold,
+                             "broadcast")
+    batch = batch.join(in_pairs.select(F.col("id_b").alias(id_col))
+                       .distinct(), id_col, "left_anti")
+
+    if _exists(spark, fps_p):
+        seen_fp = spark.read.parquet(fps_p).select("fingerprint")
+        batch = batch.join(seen_fp, "fingerprint", "left_anti")
+    if _exists(spark, buckets_p):
+        led_b = (spark.read.parquet(buckets_p)
+                 .select(F.col(id_col).alias("_led_id"), "band", "bucket"))
+        new_b = _band_buckets(sigs, id_col, bands, rows)
+        hits = (new_b.join(led_b, ["band", "bucket"])
+                .select(id_col, "_led_id").distinct())
+        led_s = (spark.read.parquet(sigs_p)
+                 .select(F.col(id_col).alias("_led_id"),
+                         F.col("minhash").alias("_led_sig")))
+        est = (F.size(F.filter(F.zip_with("minhash", "_led_sig",
+                                          lambda x, y: x == y),
+                               lambda v: v))
+               / F.lit(float(num_hashes)))
+        drop = (hits.join(sigs.select(id_col, "minhash"), id_col)
+                .join(led_s, "_led_id")
+                .filter(est >= threshold)
+                .select(id_col).distinct())
+        batch = batch.join(drop, id_col, "left_anti")
+
+    survivors = batch.select(*new_docs.columns, "fingerprint") \
+                     .localCheckpoint()
+    survivors.select("fingerprint").write.mode("append").parquet(fps_p)
+    kept_sigs = (sigs.join(survivors.select(id_col), id_col, "left_semi")
+                 .filter(F.size("shingle_hashes") > 0)
+                 .select(id_col, "minhash").localCheckpoint())
+    kept_sigs.write.mode("append").parquet(sigs_p)
+    _band_buckets(kept_sigs, id_col, bands, rows) \
+        .write.mode("append").parquet(buckets_p)
+    sigs.unpersist()
+    return survivors
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 64,
                       bands: int = 16, ngram: int = 3,
@@ -157,20 +272,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # LSH" step; MEMORY_AND_DISK spills instead of OOMing.
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, ngram) \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    return _verify_pairs(sigs, id_col, bands, rows, threshold,
+                         verify_mode, broadcast_limit)
+
+
+def _verify_pairs(sigs: DataFrame, id_col: str, bands: int, rows: int,
+                  threshold: float, verify_mode: str,
+                  broadcast_limit: int = 2_000_000) -> DataFrame:
+    """Banded candidates + true-Jaccard verify over a signature table
+    (id, minhash, shingle_hashes) — the shared core of the one-shot
+    (minhash_lsh_pairs) and streaming (incremental_dedup_fuzzy)
+    within-batch paths."""
     shin = sigs.select(F.col(id_col), "shingle_hashes")
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(band_idx,
-                        lambda b: F.struct(
-                            b.alias("band"),
-                            F.xxhash64(F.slice(F.col("minhash"),
-                                               b * rows + 1, rows), b)
-                             .alias("bucket")))).alias("bb"))
-    banded = banded.select(id_col,
-                           F.col("bb.band").alias("band"),
-                           F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(sigs, id_col, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, [F.col(f"a.band") == F.col("b.band"),

@@ -910,6 +910,35 @@ def incremental_dedup_(spark, cfg, inputs):
                              cfg["text_col"], cfg["id_col"])
 
 
+@_register("incremental_dedup_fuzzy", "transform", "dataframe",
+           "dataframe",
+           [Field("ledger_path"), Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("threshold", "float", 0.5),
+            Field("num_hashes", "int", 64), Field("bands", "int", 16),
+            Field("ngram", "int", 3)],
+           doc="Cross-batch NEAR-dup dedup: the incremental_dedup ledger "
+               "extended to MinHash — admitted docs persist their band "
+               "buckets + signatures; each batch's docs probe the bucket "
+               "ledger and drop when the signature-agreement Jaccard "
+               "estimate clears the threshold (exact dups drop via the "
+               "fingerprint sub-ledger). The streaming form of "
+               "dedup_minhash (operators/dedup.py "
+               "incremental_dedup_fuzzy).")
+def incremental_dedup_fuzzy_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import incremental_dedup_fuzzy
+    if inputs[0].isStreaming:
+        from mycelial_spark.plans.graph import GraphError
+        raise GraphError(
+            "incremental_dedup_fuzzy runs per delivered batch — use it "
+            "in a POLL pipeline (stateful_query/sqlite/excel/dir watch "
+            "sources) or a batch run, not downstream of a continuous "
+            "file/rate stream")
+    return incremental_dedup_fuzzy(
+        inputs[0], cfg["ledger_path"], cfg["text_col"], cfg["id_col"],
+        cfg["num_hashes"], cfg["bands"], cfg["ngram"], cfg["threshold"])
+
+
 @_register("dedup_minhash", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"), Field("id_col", default="doc_id"),
             Field("threshold", "float", 0.5), Field("num_hashes", "int", 64),

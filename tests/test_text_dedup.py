@@ -614,3 +614,51 @@ def test_span_dedup_true_positions_and_intra_doc_repeats(spark):
     assert out[4]["text"] == "spaced   out\n\ndoc with  odd whitespace"
     assert out[4]["n_tokens_removed"] == 0
     assert out[1]["n_tokens_removed"] == 0
+
+
+# ---------------------------------------------------------------- new in r6
+
+def test_incremental_dedup_fuzzy_drops_near_dups_across_batches(
+        spark, tmp_path):
+    """The MinHash band-bucket ledger: batch 1 admits and persists
+    buckets+signatures; batch 2's NEAR duplicate (edited, not exact)
+    probes a shared bucket, clears the estimate threshold, and drops —
+    while a genuinely new doc passes; a full replay of batch 1 drops
+    entirely; exact dups and shingle-less docs drop via the fingerprint
+    sub-ledger."""
+    ledger = str(tmp_path / "fz")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in warm afternoon sun near the old barn door")
+    b1 = spark.createDataFrame(
+        [(1, base),
+         (2, "completely different second document about spark shuffles "
+             "exchanges partitions and adaptive query execution plans"),
+         (3, base.replace("barn", "shed"))],     # near-dup of 1, in-batch
+        "doc_id long, text string")
+    s1 = D.incremental_dedup_fuzzy(b1, ledger, threshold=0.5)
+    assert sorted(r["doc_id"] for r in s1.collect()) == [1, 2]
+    b2 = spark.createDataFrame(
+        [(4, base.replace("warm", "hot")),       # near-dup of admitted 1
+         (5, "entirely novel content mentioning gradient descent "
+             "optimizers learning rates and batch normalization layers"),
+         (6, "completely different second document about spark shuffles "
+             "exchanges partitions and adaptive query execution plans"),
+         (7, "xy")],                             # shingle-less short doc
+        "doc_id long, text string")
+    s2 = D.incremental_dedup_fuzzy(b2, ledger, threshold=0.5)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [5, 7]
+    # full at-least-once replay of batch 2: everything drops (near-dup
+    # docs via their own buckets, the short doc via its fingerprint)
+    assert D.incremental_dedup_fuzzy(b2, ledger).count() == 0
+    # ledger layout: fps for all survivors, sigs/buckets for shingled
+    assert spark.read.parquet(f"{ledger}/fps").count() == 4
+    assert spark.read.parquet(f"{ledger}/sigs").count() == 3
+    assert spark.read.parquet(f"{ledger}/buckets").count() == 3 * 16
+
+
+def test_incremental_dedup_fuzzy_param_validation(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="divisible"):
+        D.incremental_dedup_fuzzy(df, str(tmp_path / "x"),
+                                  num_hashes=64, bands=10)

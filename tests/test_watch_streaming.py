@@ -261,3 +261,48 @@ def test_watch_pipeline_with_incremental_dedup(spark, tmp_path):
     _run(spark, spec, ckpt,
          lambda: _sink_col(out_db, "doc_id") == [1, 2, 4])
     assert spark.read.parquet(ledger).distinct().count() == 3
+
+
+def test_watch_pipeline_with_fuzzy_incremental_dedup(spark, tmp_path):
+    """Streaming NEAR-dup dedup e2e: the watch loop re-emits the table
+    each change; the band-bucket ledger drops an EDITED replay (shares
+    LSH buckets with an admitted doc, not its fingerprint) across
+    batches, while genuinely new text lands."""
+    src_db = str(tmp_path / "src.db")
+    out_db = str(tmp_path / "out.db")
+    ckpt = str(tmp_path / "ckpt")
+    ledger = str(tmp_path / "fuzzy_ledger")
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "naps in warm afternoon sun near the old barn door")
+    with sqlite3.connect(src_db) as c:
+        c.execute("CREATE TABLE docs (doc_id INTEGER PRIMARY KEY, text TEXT)")
+        c.executemany("INSERT INTO docs VALUES (?, ?)",
+                      [(1, base),
+                       (2, "unrelated starter document about parquet "
+                           "row groups column chunks and page headers")])
+    spec = {
+        "nodes": {
+            "src": {"type": "sqlite_source", "path": src_db,
+                    "query": "SELECT doc_id, text FROM docs",
+                    "poll_interval_millis": 200},
+            "dedup": {"type": "incremental_dedup_fuzzy",
+                      "ledger_path": ledger, "threshold": 0.5},
+            "dst": {"type": "sqlite_dest", "path": out_db, "table": "sink",
+                    "upsert_keys": "doc_id"},
+        },
+        "edges": [["src", "dedup"], ["dedup", "dst"]],
+    }
+    _run(spark, spec, ckpt, lambda: _sink_col(out_db, "doc_id") == [1, 2])
+    time.sleep(0.05)
+    with sqlite3.connect(src_db) as c:
+        # a NEAR duplicate of doc 1 (two words changed -> different
+        # fingerprint, shared buckets) and a genuinely new doc
+        c.execute("INSERT INTO docs VALUES (3, ?)",
+                  (base.replace("warm", "hot").replace("barn", "shed"),))
+        c.execute("INSERT INTO docs VALUES (4, 'fresh note about rust "
+                  "borrow checker lifetimes and ownership moves')")
+    _run(spark, spec, ckpt,
+         lambda: _sink_col(out_db, "doc_id") == [1, 2, 4])
+    # the near-dup never landed, across restarts and replays
+    assert _sink_col(out_db, "doc_id") == [1, 2, 4]
+    assert spark.read.parquet(f"{ledger}/fps").count() == 3
