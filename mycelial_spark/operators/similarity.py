@@ -580,32 +580,78 @@ def ann_load_meta(path: str, spark=None) -> dict:
         return json.load(f)
 
 
+def _meta_partition_col(meta: dict) -> str:
+    return meta.get("partition_col", "ivf_cell")
+
+
+def _lsh_probe_buckets(qbucket: int, planes: int,
+                       probe_hamming: int) -> list[int]:
+    """All bucket ids within Hamming distance ``probe_hamming`` of the
+    query's signature — the multi-probe set. Enumerated driver-side
+    (sum of C(planes, i) values, tiny for practical planes)."""
+    from itertools import combinations
+    out = {qbucket}
+    for r in range(1, probe_hamming + 1):
+        for flips in combinations(range(planes), r):
+            b = qbucket
+            for f in flips:
+                b ^= (1 << f)
+            out.add(b)
+    return sorted(out)
+
+
 def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
                     sample_fraction: float = 1.0, seed: int = 42,
                     pq_m: int = 0, pq_k: int = 16,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> dict:
-    """Build the index at ``path``: train the coarse quantizer on a
-    (sampled) pass, assign every vector distributed, write partitioned
-    by cell. ``pq_m > 0`` additionally stores PQ codes next to each
-    vector — trained and encoded over L2-NORMALIZED vectors, so ADC
-    ranking approximates the same cosine ordering the default search
-    uses (unit vectors: L2 = 2 - 2*cos).
+                    id_col: str = "vec_id",
+                    index_type: str = "ivf", planes: int = 8) -> dict:
+    """Build the index at ``path``: assign every vector distributed,
+    write partitioned by its coarse bucket. Two quantizers:
 
-    At 100 TB: training reads a sample, assignment+write is one narrow
-    pass + a partitioned write; nothing but centroids/codebooks (KB)
-    ever sits on the driver. The input persists for the build's 2-3
-    passes (KMeans, PQ sample, write) so an expensive upstream lineage
-    is not recomputed per pass.
+    - ``index_type="ivf"`` (default): KMeans centroids trained on a
+      (sampled) pass; searches probe the nprobe nearest cells.
+    - ``index_type="lsh"``: deterministic random-hyperplane buckets
+      (``planes`` bits, the frozen HYPERPLANES family) — NO training
+      pass, no drift by construction (the quantizer is data-independent
+      and identical on every cluster); searches probe the query
+      bucket's Hamming-r neighborhood (``probe_hamming``).
+
+    ``pq_m > 0`` additionally stores PQ codes next to each vector —
+    trained and encoded over L2-NORMALIZED vectors, so ADC ranking
+    approximates the same cosine ordering the default search uses
+    (unit vectors: L2 = 2 - 2*cos). Composes with either quantizer.
+
+    At 100 TB: training reads a sample (IVF) or nothing (LSH),
+    assignment+write is one narrow pass + a partitioned write; nothing
+    but centroids/codebooks (KB) ever sits on the driver. The input
+    persists for the build's 2-3 passes so an expensive upstream
+    lineage is not recomputed per pass.
     """
     from pyspark import StorageLevel
+    if index_type not in ("ivf", "lsh"):
+        raise ValueError(f"unknown index_type {index_type!r}")
     pinned = df.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        centroids = ivf_train_centroids(pinned, n_centroids,
-                                        sample_fraction, seed, vec_col)
-        assigned = ivf_assign(pinned, centroids, vec_col)
-        meta = {"n_centroids": n_centroids, "centroids": centroids,
-                "vec_col": vec_col, "id_col": id_col, "pq_m": pq_m}
+        if index_type == "lsh":
+            first = pinned.select(F.size(F.col(vec_col)).alias("n")).first()
+            if first is None:
+                raise ValueError("cannot build an index from an empty "
+                                 "frame")
+            dims = first["n"]
+            assigned = with_lsh_bucket(pinned, planes, dims, vec_col)
+            part_col = "lsh_bucket"
+            meta = {"index_type": "lsh", "planes": planes, "dims": dims,
+                    "partition_col": part_col,
+                    "vec_col": vec_col, "id_col": id_col, "pq_m": pq_m}
+        else:
+            centroids = ivf_train_centroids(pinned, n_centroids,
+                                            sample_fraction, seed, vec_col)
+            assigned = ivf_assign(pinned, centroids, vec_col)
+            part_col = "ivf_cell"
+            meta = {"index_type": "ivf", "n_centroids": n_centroids,
+                    "centroids": centroids, "partition_col": part_col,
+                    "vec_col": vec_col, "id_col": id_col, "pq_m": pq_m}
         if pq_m:
             unit = pinned.withColumn(
                 vec_col, l2_normalize(F.col(vec_col).cast("array<double>")))
@@ -617,18 +663,20 @@ def ann_build_index(df: DataFrame, path: str, n_centroids: int = 16,
                 .drop("__unit")
             meta["codebooks"] = codebooks
         (assigned.write.mode("overwrite")
-         .partitionBy("ivf_cell").parquet(f"{path}/cells"))
+         .partitionBy(part_col).parquet(f"{path}/cells"))
     finally:
         pinned.unpersist()
     # build-time cell histogram: the drift baseline ann_index_stats
     # compares against (partition-column-only scan — reads no vectors)
     spark = df.sparkSession
     meta["cell_counts"] = {
-        str(r["ivf_cell"]): r["count"]
+        str(r[part_col]): r["count"]
         for r in spark.read.parquet(f"{path}/cells")
-                      .groupBy("ivf_cell").count().collect()}
+                      .groupBy(part_col).count().collect()}
     _write_sidecar(spark, path, meta)
-    return {"path": path, "n_centroids": n_centroids, "pq_m": pq_m}
+    return {"path": path, "index_type": index_type, "pq_m": pq_m,
+            **({"n_centroids": n_centroids} if index_type == "ivf"
+               else {"planes": planes})}
 
 
 def _probe_cell_pairs(pp: DataFrame, centroids: list[list[float]],
@@ -652,7 +700,8 @@ def _probe_cell_pairs(pp: DataFrame, centroids: list[list[float]],
 
 def _batch_rerank(cand_corpus: DataFrame, pairs: DataFrame, k: int,
                   vec_col: str, id_col: str,
-                  exclude_self: bool = True) -> DataFrame:
+                  exclude_self: bool = True,
+                  cell_col: str = "ivf_cell") -> DataFrame:
     """Join probe-cell pairs against the (pruned) corpus on ivf_cell and
     exact-cosine re-rank per probe. The probe side broadcasts — the
     corpus (the 100 TB side) streams through one narrow stage; per-probe
@@ -663,8 +712,8 @@ def _batch_rerank(cand_corpus: DataFrame, pairs: DataFrame, k: int,
     c = cand_corpus.select(F.col(id_col).alias("corpus_id"),
                            F.col(vec_col).cast("array<double>")
                             .alias("cvec"),
-                           "ivf_cell")
-    j = c.join(F.broadcast(pairs), "ivf_cell")
+                           cell_col)
+    j = c.join(F.broadcast(pairs), cell_col)
     if exclude_self:
         j = j.filter(F.col("probe_id") != F.col("corpus_id"))
     scored = j.withColumn(
@@ -699,7 +748,8 @@ def knn_join_ivf(probes: DataFrame, corpus: DataFrame,
 def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
                      nprobe: int = 4, probe_id_col: str = "vec_id",
                      probe_vec_col: str = "embedding",
-                     exclude_self: bool = False) -> DataFrame:
+                     exclude_self: bool = False,
+                     probe_hamming: int = 1) -> DataFrame:
     """Batched search over the PERSISTED index: one job answers a whole
     DataFrame of query vectors (vs ``ann_search``'s one driver
     round-trip per query). Probe→cell assignment runs distributed with
@@ -709,59 +759,93 @@ def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
     files; then one broadcast join + per-probe window re-rank.
 
     A pending split widens each parent-probing probe to the half-moved
-    new cell, same reachability rule as ``ann_search``. Returns
-    (probe_id, corpus_id, cos_sim, rn<=k)."""
+    new cell, same reachability rule as ``ann_search``. LSH indexes
+    probe each query's Hamming-``probe_hamming`` bucket neighborhood
+    instead of nprobe cells. Returns (probe_id, corpus_id, cos_sim,
+    rn<=k)."""
     meta = ann_load_meta(path, spark)
-    centroids = meta["centroids"]
-    dims = len(centroids[0])
+    part_col = _meta_partition_col(meta)
     pp = probes.select(
         F.col(probe_id_col).alias("probe_id"),
         F.col(probe_vec_col).cast("array<double>").alias("pvec"))
+    dims = (meta["dims"] if meta.get("index_type") == "lsh"
+            else len(meta["centroids"][0]))
     first = pp.select(F.size("pvec").alias("n")).first()
     if first is not None and first["n"] != dims:
         raise ValueError(f"probe dimension {first['n']} != index "
                          f"dimension {dims} (wrong embedding model?)")
-    pairs = _probe_cell_pairs(pp, centroids, nprobe)
-    ps = meta.get("pending_split")
-    if ps:
-        widened = (pairs.filter(F.col("ivf_cell") == ps["cell"])
-                   .withColumn("ivf_cell", F.lit(ps["new_id"])))
-        pairs = (pairs.unionByName(widened)
-                 .dropDuplicates(["probe_id", "ivf_cell"]))
-    cells = sorted(r["ivf_cell"] for r in
-                   pairs.select("ivf_cell").distinct().collect())
+    if meta.get("index_type") == "lsh":
+        planes = meta["planes"]
+        # distributed bucket assignment + the XOR fan-out to the
+        # Hamming-r neighborhood (masks are a driver-side literal list)
+        masks = _lsh_probe_buckets(0, planes, probe_hamming)
+        bucketed = with_lsh_bucket(pp, planes, dims, "pvec") \
+            .withColumnRenamed("lsh_bucket", "_qb")
+        pairs = (bucketed.withColumn(
+            part_col,
+            F.explode(F.array(*[
+                F.col("_qb").bitwiseXOR(F.lit(m)) for m in masks])))
+            .drop("_qb"))
+    else:
+        pairs = _probe_cell_pairs(pp, meta["centroids"], nprobe) \
+            .withColumnRenamed("ivf_cell", part_col)
+        ps = meta.get("pending_split")
+        if ps:
+            widened = (pairs.filter(F.col(part_col) == ps["cell"])
+                       .withColumn(part_col, F.lit(ps["new_id"])))
+            pairs = (pairs.unionByName(widened)
+                     .dropDuplicates(["probe_id", part_col]))
+    cells = sorted(r[part_col] for r in
+                   pairs.select(part_col).distinct().collect())
     corpus = (spark.read.parquet(f"{path}/cells")
-              .filter(F.col("ivf_cell").isin(cells)))
+              .filter(F.col(part_col).isin(cells)))
     return _batch_rerank(corpus, pairs, k, meta["vec_col"],
-                         meta["id_col"], exclude_self)
+                         meta["id_col"], exclude_self, part_col)
 
 
 def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
-               nprobe: int = 4, use_pq: bool = False) -> DataFrame:
-    """Search the persisted index: pick the ``nprobe`` nearest cells on
-    the driver (centroids are KB-sized), scan ONLY those partitions
-    (partition pruning on ivf_cell — directory-level, not row-filter),
-    exact cosine re-rank — or PQ ADC when ``use_pq`` and the index
-    stored codes (short-list exactness traded for never touching the
-    vectors; the query is unit-normalized to match the stored codes)."""
+               nprobe: int = 4, use_pq: bool = False,
+               probe_hamming: int = 1) -> DataFrame:
+    """Search the persisted index: pick the probe set on the driver
+    (centroids/hyperplanes are KB-sized), scan ONLY those partitions
+    (partition pruning on the bucket column — directory-level, not
+    row-filter), exact cosine re-rank — or PQ ADC when ``use_pq`` and
+    the index stored codes (short-list exactness traded for never
+    touching the vectors; the query is unit-normalized to match the
+    stored codes).
+
+    IVF indexes probe the ``nprobe`` nearest cells; LSH indexes probe
+    the query bucket's Hamming-``probe_hamming`` neighborhood (the
+    multi-probe that recovers one-sign-flip neighbors, the dominant LSH
+    miss mode — recall measured in test_ann_lsh_index)."""
     import math
     meta = ann_load_meta(path, spark)
     q = [float(x) for x in query_vec]
-    dims = len(meta["centroids"][0])
-    if len(q) != dims:
-        raise ValueError(f"query dimension {len(q)} != index dimension "
-                         f"{dims} (wrong embedding model?)")
-    dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
-             for i, c in enumerate(meta["centroids"])]
-    probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
-    ps = meta.get("pending_split")
-    if ps and ps["cell"] in probe:
-        # a split is mid-flight: its rows may sit in the parent OR the
-        # new cell, so probing the parent must take both directories
-        # until the split commits
-        probe.append(ps["new_id"])
+    part_col = _meta_partition_col(meta)
+    if meta.get("index_type") == "lsh":
+        if len(q) != meta["dims"]:
+            raise ValueError(f"query dimension {len(q)} != index "
+                             f"dimension {meta['dims']} (wrong embedding "
+                             f"model?)")
+        planes = meta["planes"]
+        qbucket = _lsh_bucket_of(spark, q, planes, meta["dims"])
+        probe = _lsh_probe_buckets(qbucket, planes, probe_hamming)
+    else:
+        dims = len(meta["centroids"][0])
+        if len(q) != dims:
+            raise ValueError(f"query dimension {len(q)} != index "
+                             f"dimension {dims} (wrong embedding model?)")
+        dists = [(i, sum((a - b) ** 2 for a, b in zip(q, c)))
+                 for i, c in enumerate(meta["centroids"])]
+        probe = [i for i, _ in sorted(dists, key=lambda t: t[1])[:nprobe]]
+        ps = meta.get("pending_split")
+        if ps and ps["cell"] in probe:
+            # a split is mid-flight: its rows may sit in the parent OR
+            # the new cell, so probing the parent must take both
+            # directories until the split commits
+            probe.append(ps["new_id"])
     cells = spark.read.parquet(f"{path}/cells") \
-                 .filter(F.col("ivf_cell").isin(probe))
+                 .filter(F.col(part_col).isin(probe))
     if use_pq:
         if not meta.get("pq_m"):
             raise ValueError("index was built without PQ codes")
@@ -769,6 +853,20 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
         return pq_topk(cells, [x / qn for x in q], meta["codebooks"], k,
                        id_col=meta["id_col"])
     return topk_to_query(cells, q, k, meta["vec_col"], meta["id_col"])
+
+
+def _lsh_bucket_of(spark, q: list[float], planes: int, dims: int) -> int:
+    """The query's LSH bucket, computed with the same deterministic
+    hyperplanes the index was built with (driver-side dot products —
+    the planes are already cached literals)."""
+    bucket = 0
+    for p in range(planes):
+        h = _hyperplane(spark, p, dims)
+        s = 0.0
+        for a, b in zip(q, h):
+            s += a * b
+        bucket = (bucket << 1) | (1 if s >= 0 else 0)
+    return bucket
 
 
 def ann_append(df: DataFrame, path: str,
@@ -787,6 +885,7 @@ def ann_append(df: DataFrame, path: str,
     """
     spark = df.sparkSession
     meta = ann_load_meta(path, spark)
+    part_col = _meta_partition_col(meta)
     if skip_existing_ids:
         existing = (spark.read.parquet(f"{path}/cells")
                     .select(meta["id_col"]))
@@ -798,7 +897,14 @@ def ann_append(df: DataFrame, path: str,
     n = df.count()
     if n == 0:
         return {"path": path, "appended": False, "rows": 0}
-    assigned = ivf_assign(df, meta["centroids"], meta["vec_col"])
+    if meta.get("index_type") == "lsh":
+        # the LSH quantizer is frozen BY CONSTRUCTION (deterministic
+        # hyperplanes) — appends land in exactly the buckets a rebuild
+        # would produce, so the index never drifts from its quantizer
+        assigned = with_lsh_bucket(df, meta["planes"], meta["dims"],
+                                   meta["vec_col"])
+    else:
+        assigned = ivf_assign(df, meta["centroids"], meta["vec_col"])
     if meta.get("pq_m"):
         assigned = assigned.withColumn(
             "__unit",
@@ -806,7 +912,7 @@ def ann_append(df: DataFrame, path: str,
         assigned = pq_encode(assigned, meta["codebooks"], "__unit") \
             .drop("__unit")
     (assigned.write.mode("append")
-     .partitionBy("ivf_cell").parquet(f"{path}/cells"))
+     .partitionBy(part_col).parquet(f"{path}/cells"))
     return {"path": path, "appended": True, "rows": int(n)}
 
 
@@ -825,11 +931,13 @@ def ann_index_stats(spark, path: str) -> dict:
     cells (ann_split_cell) or rebuild.
     """
     meta = ann_load_meta(path, spark)
-    cur = {int(r["ivf_cell"]): r["count"]
+    part_col = _meta_partition_col(meta)
+    cur = {int(r[part_col]): r["count"]
            for r in spark.read.parquet(f"{path}/cells")
-                         .groupBy("ivf_cell").count().collect()}
+                         .groupBy(part_col).count().collect()}
     total = sum(cur.values())
-    n_cells = len(meta["centroids"])
+    n_cells = (2 ** meta["planes"] if meta.get("index_type") == "lsh"
+               else len(meta["centroids"]))
     mean = total / n_cells if n_cells else 0.0
     built = {int(k): v for k, v in meta.get("cell_counts", {}).items()}
     built_total = sum(built.values())
@@ -852,16 +960,17 @@ def ann_compact(spark, path: str) -> dict:
     collapses each cell to a single file; rows, cells, and the sidecar
     are unchanged (dynamic partition overwrite rewrites only the cell
     directories, preserving the sidecar next to them)."""
+    part_col = _meta_partition_col(ann_load_meta(path, spark))
     cells = f"{path}/cells"
     df = spark.read.parquet(cells)
     n_before = df.rdd.getNumPartitions()
     # localCheckpoint: materialize BEFORE overwriting the path being
     # read (executor-local spillable copy; maintenance-window op)
-    df = df.repartition("ivf_cell").localCheckpoint()
+    df = df.repartition(part_col).localCheckpoint()
     rows = df.count()
     with _dynamic_partition_overwrite(spark):
         (df.write.mode("overwrite")
-         .partitionBy("ivf_cell").parquet(cells))
+         .partitionBy(part_col).parquet(cells))
     got = spark.read.parquet(cells).count()
     if got != rows:
         raise RuntimeError(f"ann_compact row count changed "
@@ -893,6 +1002,12 @@ def ann_split_cell(spark, path: str, cell: int,
     changes at the final commit.
     """
     meta = ann_load_meta(path, spark)
+    if meta.get("index_type") == "lsh":
+        raise ValueError(
+            "ann_split_cell applies to IVF indexes; an LSH bucket IS "
+            "the signature and cannot split — raise planes and rebuild "
+            "(cheap: the quantizer needs no training) when buckets run "
+            "hot")
     pending = meta.get("pending_split")
     if pending:
         out = _split_resume(spark, path, meta)

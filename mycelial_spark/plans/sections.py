@@ -1252,19 +1252,25 @@ def knn_join_(spark, cfg, inputs):
             Field("sample_fraction", "float", 1.0),
             Field("pq_m", "int", 0), Field("pq_k", "int", 16),
             Field("vec_col", default="embedding"),
-            Field("id_col", default="vec_id")],
-           doc="Persistent ANN index sink: train the IVF coarse quantizer "
-               "on a sample, assign distributed, write parquet "
-               "PARTITIONED BY cell (the layout IS the index — searches "
-               "prune to nprobe/n directories); pq_m>0 stores m-byte PQ "
-               "codes for ADC search. Centroids/codebooks ride in a JSON "
-               "sidecar.")
+            Field("id_col", default="vec_id"),
+            Field("index_type", default="ivf"),
+            Field("planes", "int", 8)],
+           doc="Persistent ANN index sink: assign distributed, write "
+               "parquet PARTITIONED BY bucket (the layout IS the index — "
+               "searches prune to the probed directories). index_type="
+               "'ivf' trains a KMeans coarse quantizer on a sample; "
+               "'lsh' buckets by the deterministic hyperplane family "
+               "(planes bits, no training, drift-free by construction). "
+               "pq_m>0 stores m-byte PQ codes for ADC search. "
+               "Centroids/codebooks ride in a JSON sidecar.")
 def ann_index_dest(spark, cfg, df):
     from mycelial_spark.operators.similarity import ann_build_index
     return ann_build_index(df, cfg["path"], cfg["n_centroids"],
                            cfg["sample_fraction"], pq_m=cfg["pq_m"],
                            pq_k=cfg["pq_k"], vec_col=cfg["vec_col"],
-                           id_col=cfg["id_col"])
+                           id_col=cfg["id_col"],
+                           index_type=cfg["index_type"],
+                           planes=cfg["planes"])
 
 
 @_register("ann_append_dest", "destination", "dataframe", "none",
@@ -1286,15 +1292,18 @@ def ann_append_dest(spark, cfg, df):
 @_register("ann_search", "source", "none", "dataframe",
            [Field("path"), Field("query_vec", "json"),
             Field("k", "int", 10), Field("nprobe", "int", 4),
-            Field("use_pq", "bool", False)],
-           doc="Search a persisted ANN index: nprobe nearest cells chosen "
-               "driver-side from the KB-sized sidecar, partition-pruned "
-               "scan of only those cells, exact cosine re-rank (or PQ "
-               "ADC with use_pq).")
+            Field("use_pq", "bool", False),
+            Field("probe_hamming", "int", 1)],
+           doc="Search a persisted ANN index: the probe set chosen "
+               "driver-side from the KB-sized sidecar (IVF: nprobe "
+               "nearest cells; LSH: the query bucket's Hamming-"
+               "probe_hamming neighborhood), partition-pruned scan of "
+               "only those directories, exact cosine re-rank (or PQ ADC "
+               "with use_pq).")
 def ann_search_(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     from mycelial_spark.operators.similarity import ann_search
     return ann_search(spark, cfg["path"], cfg["query_vec"], cfg["k"],
-                      cfg["nprobe"], cfg["use_pq"])
+                      cfg["nprobe"], cfg["use_pq"], cfg["probe_hamming"])
 
 
 @_register("ann_search_batch", "transform", "dataframe", "dataframe",
