@@ -197,21 +197,23 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     """Assign each row to its nearest centroid (squared L2) — the IVF
     coarse quantizer. Centroids ride into codegen as literals; assignment
     is a narrow map (no shuffle). At scale, write the output partitioned
-    by ``ivf_cell`` so probes prune partitions at the source."""
+    by ``ivf_cell`` so probes prune partitions at the source.
+
+    The argmin is an array_sort over (distance, index) structs — a
+    LINEAR-size expression. The tempting chained form
+    ``when(d < best_d, ...).otherwise(best_d)`` embeds the previous
+    accumulator TWICE per level, so its tree grows O(2^n_centroids):
+    at the default 16 centroids Catalyst never finishes analyzing it
+    (found as a multi-minute planning hang; every test had used <= 8).
+    Tie semantics match the chain and the oracle's ORDER BY dist, c:
+    lexicographic struct sort keeps the lowest index on equal
+    distances."""
     v = F.col(vec_col).cast("array<double>")
-    best = F.lit(0)
-    best_d = None
-    for i, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(F.zip_with(v, carr, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0).cast("double"), lambda acc, e: acc + e)
-        if best_d is None:
-            best_d = d
-        else:
-            cond = d < best_d
-            best = F.when(cond, F.lit(i)).otherwise(best)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return df.withColumn("ivf_cell", best)
+    entries = F.array(*[
+        F.struct(_sq_l2(v, c).alias("d"), F.lit(i).alias("c"))
+        for i, c in enumerate(centroids)])
+    return df.withColumn(
+        "ivf_cell", F.array_sort(entries).getItem(0).getField("c"))
 
 
 def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,

@@ -130,3 +130,23 @@ def test_batch_search_dimension_guard(spark, sf_dir, tmp_path):
                        .alias("embedding"))
     with pytest.raises(ValueError, match="dimension"):
         S.ann_search_batch(spark, idx, short, k=3)
+
+
+def test_ivf_assign_expression_scales_to_default_centroids(spark, sf_dir):
+    """Regression: the argmin expression must stay LINEAR in centroid
+    count. The chained when(d < best).otherwise(best) form doubled the
+    tree per centroid (O(2^n)) — Catalyst never finished ANALYZING a
+    16-centroid assignment, which is ann_build_index's default. This
+    asserts a 16-centroid assign plans and runs in bounded time."""
+    import time
+    emb = _emb(spark, sf_dir)
+    cents = [[float(v) for v in r["embedding"]]
+             for r in emb.limit(16).collect()]
+    t0 = time.time()
+    out = S.ivf_assign(emb, cents)
+    n = out.groupBy("ivf_cell").count().count()
+    assert n >= 2 and time.time() - t0 < 60
+    # tie/order semantics: first minimal index wins (oracle's ORDER BY
+    # dist ASC, c ASC) — a row placed at its own centroid maps to it
+    own = out.join(emb.limit(1), "vec_id", "left_semi").first()
+    assert own["ivf_cell"] == 0

@@ -189,3 +189,33 @@ def test_simhash_portable_same_plan_shape_as_fast_path(spark):
                                         bands=10, token_hash="md5"))
     assert fast == portable
     assert fast[0] == 0 and fast[1] == 0
+
+
+def test_ann_batch_topk_broadcast_probe_one_shuffle(spark):
+    """Batched ANN: the probe side must BROADCAST onto the
+    cell-assigned corpus (a shuffle join would move the 100 TB side on
+    ivf_cell); budget = the one per-probe window exchange. No nested
+    loop — the cell equi-join replaces knn_join's whitelisted NLJ."""
+    a = audit(plan_of(spark, "ann_batch_topk"))
+    assert a["bhj"] >= 1, "probe-cell pairs must broadcast"
+    assert a["bnlj"] == 0 and a["cartesian"] == 0 and a["smj"] == 0
+    assert a["exchanges"] <= 1
+
+
+def test_pack_sequences_bpe_single_shuffle(spark):
+    """BPE packing: the Arrow-batched sizing map is narrow; the only
+    exchange is the bucket groupBy feeding applyInPandas."""
+    a = audit(plan_of(spark, "pack_sequences_bpe"))
+    assert a["exchanges"] <= 1
+    assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
+
+
+def test_simhash_fast_same_shape_as_oracle_twin(spark):
+    """The xxhash64 production path must keep the md5 twin's plan shape
+    (banded self-join broadcast + candidate dedup/verify exchanges) —
+    the bench twin exists to catch regressions on THIS plan."""
+    fast = audit(plan_of(spark, "dedup_simhash_pairs_fast"))
+    slow = audit(plan_of(spark, "dedup_simhash_pairs"))
+    assert fast["bnlj"] == 0 and fast["cartesian"] == 0
+    assert fast["bhj"] == slow["bhj"]
+    assert fast["exchanges"] <= slow["exchanges"]
