@@ -1104,20 +1104,20 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash_pairs_fast", None)
 def dedup_simhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION simhash path: identical banding/verify workload to
-    dedup_simhash_pairs but with the xxhash64 64-bit hash family users
-    actually run (the md5 60-bit family exists solely so DuckDB can
-    replicate the signatures for the oracle). Registered as a bench
-    headline so performance regressions on the default path stay
-    visible; correctness of the shared algorithm (per-bit vote, banding,
-    pigeonhole recall, Hamming verify) is hash-matched via the md5 twin
-    and pinned by tests/test_oracle_pins.py — xxhash64 itself is not
-    replicable in the oracle engine, hence rows-only here. 16 bands of
-    4 bits keep the pigeonhole full-recall guarantee (8 < 16) at the
-    64-bit width."""
+    """The PRODUCTION simhash path at the operator's true defaults:
+    xxhash64 64-bit signatures, 4 bands of 16 bits, Hamming <= 3 —
+    what a user running ``simhash_near_pairs(docs)`` gets (the md5
+    60-bit/10-band variant exists solely so DuckDB can replicate the
+    signatures for the oracle; its wide 6-bit band keys also fan out
+    far more candidates). Registered as a bench headline so regressions
+    on the default path stay visible; correctness of the shared
+    algorithm (per-bit vote, banding, pigeonhole recall for
+    h < bands, Hamming verify) is hash-matched via the md5 twin and
+    pinned by tests/test_oracle_pins.py — xxhash64 itself is not
+    replicable in the oracle engine, hence rows-only here."""
     from mycelial_spark.operators.dedup import simhash_near_pairs
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8,
-                              bits=64, bands=16)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"),
+                              max_hamming=3)
 
 
 @query("text_stats", """
