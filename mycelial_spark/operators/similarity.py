@@ -727,6 +727,42 @@ def _batch_rerank(cand_corpus: DataFrame, pairs: DataFrame, k: int,
             .select("probe_id", "corpus_id", "cos_sim", "rn"))
 
 
+def _batch_rerank_pq(cand_corpus: DataFrame, pairs: DataFrame, k: int,
+                     codebooks: list[list[list[float]]], id_col: str,
+                     cell_col: str = "ivf_cell",
+                     code_col: str = "pq_code") -> DataFrame:
+    """Batched ADC: ``pq_topk`` folds ONE query's m x k distance table
+    into literals — a batch needs a table per probe, so here the ADC
+    distance is computed symmetrically inside codegen: per subspace,
+    the squared L2 between the probe's slice and the codebook row the
+    corpus code selects (codebooks are KB-scale literals; the scan
+    still never touches stored vectors). Probes are unit-normalized
+    upstream to match the stored codes. Emits (probe_id, corpus_id,
+    approx_l2, rn)."""
+    from pyspark.sql.window import Window
+    sub = len(codebooks[0][0])
+    expr = None
+    for j, cb in enumerate(codebooks):
+        cbj = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                        for row in cb])
+        centroid = F.element_at(cbj, F.element_at(F.col(code_col), j + 1)
+                                + 1)
+        qs = F.slice(F.col("pvec"), j * sub + 1, sub)
+        term = F.aggregate(
+            F.zip_with(qs, centroid, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0).cast("double"), lambda acc, e: acc + e)
+        expr = term if expr is None else expr + term
+    c = cand_corpus.select(F.col(id_col).alias("corpus_id"),
+                           code_col, cell_col)
+    scored = (c.join(F.broadcast(pairs), cell_col)
+              .withColumn("approx_l2", F.round(expr, 6)))
+    w = Window.partitionBy("probe_id").orderBy(F.col("approx_l2").asc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("probe_id", "corpus_id", "approx_l2", "rn"))
+
+
 def knn_join_ivf(probes: DataFrame, corpus: DataFrame,
                  centroids: list[list[float]], k: int = 5,
                  nprobe: int = 3, vec_col: str = "embedding",
@@ -751,7 +787,8 @@ def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
                      nprobe: int = 4, probe_id_col: str = "vec_id",
                      probe_vec_col: str = "embedding",
                      exclude_self: bool = False,
-                     probe_hamming: int = 1) -> DataFrame:
+                     probe_hamming: int = 1,
+                     use_pq: bool = False) -> DataFrame:
     """Batched search over the PERSISTED index: one job answers a whole
     DataFrame of query vectors (vs ``ann_search``'s one driver
     round-trip per query). Probe→cell assignment runs distributed with
@@ -801,6 +838,20 @@ def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
                    pairs.select(part_col).distinct().collect())
     corpus = (spark.read.parquet(f"{path}/cells")
               .filter(F.col(part_col).isin(cells)))
+    if use_pq:
+        if not meta.get("pq_m"):
+            raise ValueError("index was built without PQ codes")
+        if exclude_self:
+            raise ValueError("exclude_self needs ids compared during "
+                             "re-rank; the ADC path drops it — filter "
+                             "probe_id != corpus_id on the result")
+        # cell assignment used the RAW probe (the quantizer was trained
+        # on raw vectors); the codes were trained on unit vectors, so
+        # normalize just for the ADC re-rank (same split as ann_search)
+        unit_pairs = pairs.withColumn("pvec", l2_normalize(F.col("pvec")))
+        return _batch_rerank_pq(corpus, unit_pairs, k,
+                                meta["codebooks"], meta["id_col"],
+                                part_col)
     return _batch_rerank(corpus, pairs, k, meta["vec_col"],
                          meta["id_col"], exclude_self, part_col)
 

@@ -1310,7 +1310,9 @@ def ann_search_(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
            [Field("path"), Field("k", "int", 10), Field("nprobe", "int", 4),
             Field("probe_id_col", default="vec_id"),
             Field("probe_vec_col", default="embedding"),
-            Field("exclude_self", "bool", False)],
+            Field("exclude_self", "bool", False),
+            Field("probe_hamming", "int", 1),
+            Field("use_pq", "bool", False)],
            doc="Batched search over a persisted ANN index: the INPUT "
                "frame is the probe set (one query vector per row); one "
                "job answers them all — distributed probe-to-cell "
@@ -1324,7 +1326,8 @@ def ann_search_batch_(spark, cfg, df):
     from mycelial_spark.operators.similarity import ann_search_batch
     return ann_search_batch(spark, cfg["path"], df, cfg["k"],
                             cfg["nprobe"], cfg["probe_id_col"],
-                            cfg["probe_vec_col"], cfg["exclude_self"])
+                            cfg["probe_vec_col"], cfg["exclude_self"],
+                            cfg["probe_hamming"], cfg["use_pq"])
 
 
 def _payload_frame(df, modality: str | None = None):

@@ -150,3 +150,34 @@ def test_ivf_assign_expression_scales_to_default_centroids(spark, sf_dir):
     # dist ASC, c ASC) — a row placed at its own centroid maps to it
     own = out.join(emb.limit(1), "vec_id", "left_semi").first()
     assert own["ivf_cell"] == 0
+
+
+def test_batch_search_pq_matches_per_query_adc(spark, sf_dir, tmp_path):
+    """use_pq on the batch path == ann_search's per-query ADC, probe by
+    probe (the batch computes each probe's distance table inside
+    codegen instead of folding driver-side literals)."""
+    emb = _emb(spark, sf_dir)
+    idx = str(tmp_path / "annpq")
+    S.ann_build_index(emb, idx, n_centroids=4, pq_m=8, pq_k=16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    batch = S.ann_search_batch(spark, idx, probes, k=5, nprobe=2,
+                               use_pq=True)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["probe_id"], []).append(
+            (r["rn"], r["corpus_id"], r["approx_l2"]))
+    for pr in probes.collect():
+        single = S.ann_search(spark, idx, list(pr["embedding"]), k=5,
+                              nprobe=2, use_pq=True).collect()
+        want = [(i + 1, r["vec_id"], r["approx_l2"])
+                for i, r in enumerate(single)]
+        assert sorted(got[pr["vec_id"]]) == want
+
+    # guards: no codes -> refuse; exclude_self unsupported on ADC
+    idx2 = str(tmp_path / "nopq")
+    S.ann_build_index(emb, idx2, n_centroids=4)
+    with pytest.raises(ValueError, match="without PQ"):
+        S.ann_search_batch(spark, idx2, probes, use_pq=True)
+    with pytest.raises(ValueError, match="exclude_self"):
+        S.ann_search_batch(spark, idx, probes, use_pq=True,
+                           exclude_self=True)
