@@ -81,6 +81,7 @@ HEADLINE = [
     "keyword_search_bm25",
     "hybrid_search_rrf",
     "lm_quality_score",
+    "quality_classifier_score",
     "cross_doc_repetition",
     "span_dedup",
     "pack_sequences",

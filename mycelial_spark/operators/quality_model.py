@@ -1,0 +1,104 @@
+"""Trainable document-quality classifier: the learned counterpart to
+``with_quality_score``'s fixed heuristic.
+
+The standard curation recipe (CCNet, fastText quality filters) is a
+LINEAR model over cheap per-doc signals — expressive enough to rank
+web-scale corpora, cheap enough to score 100 TB as a narrow projection.
+Split mirrors the IVF/PQ/BPE operators: TRAINING is driver-side,
+deterministic, on an id-ordered sample (logistic regression by
+full-batch gradient descent over standardized features — no RNG at
+all); SCORING is pure whole-stage-codegen arithmetic, no UDF, no
+shuffle, fused into the document scan.
+
+The scored output is the LOGIT (w·x_std + b), not the sigmoid
+probability: ranking and thresholding are order-isomorphic either way,
+and the logit is +,-,*,/ arithmetic only — bit-reproducible across
+engines, so an oracle can replay it exactly (exp() implementations are
+not guaranteed to agree in the last ulp). ``sigmoid(logit)`` is a
+one-liner for callers that want calibrated probabilities.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default signal set: every one already oracle-proven replicable in SQL
+# (the text_stats query) — integers or 6-decimal-rounded ratios.
+FEATURES = ["n_tokens", "n_distinct_tokens", "punct_ratio",
+            "digit_ratio", "avg_token_len"]
+
+
+def _with_features(df: DataFrame, text_col: str) -> DataFrame:
+    from mycelial_spark.operators.text import with_text_stats
+    if all(c in df.columns for c in FEATURES):
+        return df
+    return with_text_stats(df, text_col)
+
+
+def train_quality_classifier(df: DataFrame, label_col: str,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             feature_cols: list[str] | None = None,
+                             sample_n: int = 4096, iters: int = 300,
+                             lr: float = 0.5) -> dict:
+    """Fit the linear classifier on an id-ordered driver-side sample.
+
+    ``label_col`` must be a 0/1 (or boolean) column already on ``df``
+    (distilled from an expensive judge, human labels, or a heuristic).
+    Returns the model as a plain dict — {features, mean, std, w, b} —
+    serializable next to an index sidecar or frozen as literals.
+    Constant features (std 0) train to weight 0 and contribute nothing,
+    rather than poisoning the standardization."""
+    import numpy as np
+    feats = feature_cols or FEATURES
+    sample = (_with_features(df, text_col)
+              .select(id_col, label_col, *feats)
+              .orderBy(id_col).limit(sample_n).collect())
+    if not sample:
+        raise ValueError("empty training frame")
+    X = np.array([[float(r[f]) for f in feats] for r in sample])
+    y = np.array([1.0 if r[label_col] else 0.0 for r in sample])
+    if y.min() == y.max():
+        raise ValueError(f"labels are constant ({y[0]}); nothing to fit")
+    mean = X.mean(axis=0)
+    std = X.std(axis=0)
+    const = std == 0
+    std[const] = 1.0
+    Xs = (X - mean) / std
+    w = np.zeros(len(feats))
+    b = 0.0
+    n = len(y)
+    for _ in range(iters):
+        z = Xs @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (Xs.T @ g) / n
+        b -= lr * g.mean()
+    w[const] = 0.0
+    return {"features": list(feats),
+            "mean": [float(v) for v in mean],
+            "std": [float(v) for v in std],
+            "w": [float(v) for v in w], "b": float(b)}
+
+
+def quality_logit(model: dict) -> Column:
+    """The scoring expression: b + Σ w_i · (f_i − mean_i)/std_i, summed
+    left-to-right in feature order (the order an oracle must copy)."""
+    expr = F.lit(float(model["b"]))
+    for f, m, s, w in zip(model["features"], model["mean"],
+                          model["std"], model["w"]):
+        expr = expr + F.lit(float(w)) * (
+            (F.col(f).cast("double") - F.lit(float(m)))
+            / F.lit(float(s)))
+    return expr
+
+
+def score_quality_classifier(df: DataFrame, model: dict,
+                             text_col: str = "text",
+                             out_col: str = "quality_logit") -> DataFrame:
+    """Score every document: one codegen projection (features + logit
+    fused into the scan), plus ``is_quality`` = logit > 0."""
+    scored = _with_features(df, text_col).withColumn(
+        out_col, F.round(quality_logit(model), 6))
+    return scored.withColumn("is_quality", F.col(out_col) > 0)

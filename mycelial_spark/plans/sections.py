@@ -741,6 +741,22 @@ def chunk_text_(spark, cfg, inputs):
                       cfg["text_col"], cfg["id_col"])
 
 
+@_register("quality_classifier", "transform", "dataframe", "dataframe",
+           [Field("model", "json"), Field("text_col", default="text"),
+            Field("out_col", default="quality_logit")],
+           doc="Learned quality filter: score every doc with a trained "
+               "linear model (operators/quality_model.py — the dict "
+               "train_quality_classifier returns, supplied as JSON). "
+               "One codegen projection fused into the scan: features + "
+               "standardize + dot, no UDF, no shuffle; adds "
+               "quality_logit and is_quality columns.")
+def quality_classifier_(spark, cfg, inputs):
+    from mycelial_spark.operators.quality_model import (
+        score_quality_classifier)
+    return score_quality_classifier(inputs[0], cfg["model"],
+                                    cfg["text_col"], cfg["out_col"])
+
+
 @_register("bpe_token_count", "transform", "dataframe", "dataframe",
            [Field("merges_path"), Field("vocab_path", default=""),
             Field("text_col", default="text"),

@@ -1120,6 +1120,72 @@ def dedup_simhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_hamming=3)
 
 
+# Linear quality classifier trained at sf0.01 by the deterministic
+# driver-side pass (operators/quality_model.py train_quality_classifier:
+# id-ordered sample, full-batch GD, no RNG), labels distilled from the
+# with_quality_score heuristic at >= 0.5 (212/288 split; 95.2% train
+# agreement). Frozen so the oracle can replay the standardize+dot
+# arithmetic verbatim; pinned by tests/test_oracle_pins.py.
+_QUALITY_CLF_SF001: dict = {
+    "features": ["n_tokens", "n_distinct_tokens", "punct_ratio",
+                 "digit_ratio", "avg_token_len"],
+    "mean": [54.33, 23.39, 0.0, 0.0, 4.509123891999997],
+    "std": [24.973848321794527, 5.475938275766083, 1.0, 1.0,
+            0.21048452635465706],
+    "w": [-4.324644997217417, 0.9117144727915758, 0.0, 0.0,
+          -0.028648869745614338],
+    "b": -1.1110559735000027,
+}
+
+
+def _quality_logit_sql() -> str:
+    m = _QUALITY_CLF_SF001
+    terms = [repr(m["b"])]
+    for f, mu, sd, w in zip(m["features"], m["mean"], m["std"], m["w"]):
+        terms.append(f"{w!r} * (({f} - {mu!r}) / {sd!r})")
+    return "\n         + ".join(terms)
+
+
+@query("quality_classifier_score", f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS DOUBLE) AS n_distinct_tokens,
+         round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+               / greatest(length(text), 1), 6) AS punct_ratio,
+         round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+               / greatest(length(text), 1), 6) AS digit_ratio,
+         round((length(text) - len(regexp_extract_all(text, '\\s'))) * 1.0
+               / greatest(len(toks), 1), 6) AS avg_token_len
+  FROM t
+), s AS (
+  SELECT doc_id,
+         round({_quality_logit_sql()}, 6) AS quality_logit
+  FROM f
+)
+SELECT doc_id, quality_logit, quality_logit > 0 AS is_quality FROM s
+""")
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality filter — the trainable counterpart to the fixed
+    quality_filter heuristic (the CCNet/fastText curation recipe):
+    logistic regression over cheap per-doc signals, trained driver-side
+    on an id-ordered sample with zero RNG, scored as ONE codegen
+    projection fused into the scan (the 100 TB path: no UDF, no
+    shuffle). The scored value is the LOGIT, not the sigmoid — same
+    ranking, but pure +,-,*,/ arithmetic that replays bit-exactly in
+    any engine (exp() does not). Oracle: frozen weights/means/stds as
+    literals; DuckDB recomputes the oracle-proven feature formulas and
+    the same left-to-right standardize+dot sum."""
+    from mycelial_spark.operators.quality_model import (
+        score_quality_classifier)
+    return score_quality_classifier(
+        _t(spark, sf_dir, "documents"), _QUALITY_CLF_SF001) \
+        .select("doc_id", "quality_logit", "is_quality")
+
+
 @query("text_stats", """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks

@@ -207,3 +207,22 @@ def test_bpe_frozen_merges_and_costs_match_training(spark):
     assert vocab == set(_BPE_WORD_COST_SF001)
     for w, c in _BPE_WORD_COST_SF001.items():
         assert len(enc.encode_word(w)) == c, w
+
+
+def test_quality_classifier_frozen_model_matches_training(spark):
+    """quality_classifier_score's oracle literals: retraining the
+    deterministic GD pass at sf0.01 (labels = heuristic quality_score
+    >= 0.5) reproduces the frozen model exactly, and the constant
+    fixture features (punct/digit ratios) carry zero weight."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.quality_model import (
+        train_quality_classifier)
+    from mycelial_spark.operators.text import with_quality_score
+    from mycelial_spark.queries import _QUALITY_CLF_SF001
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    lab = with_quality_score(docs).withColumn(
+        "label", (F.col("quality_score") >= 0.5).cast("int"))
+    assert train_quality_classifier(lab, "label") == _QUALITY_CLF_SF001
+    assert _QUALITY_CLF_SF001["w"][2] == 0.0
+    assert _QUALITY_CLF_SF001["w"][3] == 0.0

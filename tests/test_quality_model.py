@@ -1,0 +1,57 @@
+"""Trainable quality classifier: deterministic fit, codegen scoring,
+degenerate-input guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.quality_model import (
+    score_quality_classifier, train_quality_classifier)
+
+
+def test_train_deterministic_and_separates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = docs.withColumn("label", (F.col("doc_id") % 3 == 0).cast("int"))
+    m1 = train_quality_classifier(lab, "label", sample_n=256)
+    m2 = train_quality_classifier(lab.repartition(7), "label",
+                                  sample_n=256)
+    assert m1 == m2  # invariant to partitioning
+    # a linearly learnable label: long docs
+    med = docs.selectExpr(
+        "percentile(size(split(trim(text), '\\\\s+')), 0.5) p").first()["p"]
+    lab2 = docs.withColumn(
+        "label",
+        (F.size(F.split(F.trim("text"), r"\s+")) > med).cast("int"))
+    m = train_quality_classifier(lab2, "label")
+    scored = score_quality_classifier(docs, m)
+    agree = (scored.join(lab2.select("doc_id", "label"), "doc_id")
+             .agg(F.avg((F.col("is_quality").cast("int") == F.col("label"))
+                        .cast("double"))).first()[0])
+    assert agree >= 0.9
+
+
+def test_scoring_is_narrow_plan(spark, sf_dir):
+    """Scoring must stay a single projection: no exchange, no join."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from explain_audit import audit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = docs.withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    m = train_quality_classifier(lab, "label", sample_n=128)
+    out = score_quality_classifier(docs, m)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    a = audit(plan)
+    assert a["exchanges"] == 0
+    assert a["bhj"] + a["smj"] + a["bnlj"] == 0
+
+
+def test_degenerate_inputs_raise(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    const = docs.withColumn("label", F.lit(1))
+    with pytest.raises(ValueError, match="constant"):
+        train_quality_classifier(const, "label")
+    with pytest.raises(ValueError, match="empty"):
+        train_quality_classifier(docs.filter("doc_id < 0")
+                                 .withColumn("label", F.lit(1)), "label")
