@@ -42,6 +42,7 @@ HEADLINE = [
     "set_ops",
     "json_extract",
     "incremental_watermark",
+    "cdc_merge_state",
     "latest_per_key",
     "dedup_minhash_pairs",
     "dedup_simhash_pairs",

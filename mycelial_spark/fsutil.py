@@ -50,6 +50,30 @@ def exists(spark, path: str) -> bool:
     return fs.exists(hpath)
 
 
+class dynamic_partition_overwrite:
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic that
+    restores the PREVIOUS state exactly — including unsetting the key
+    when it was never set (a plain set-back-to-default would leave
+    dynamic mode active session-wide, turning later full-table
+    overwrites into partial ones that keep stale partition dirs).
+    Shared by the ANN index maintenance ops and the CDC parquet merge."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.key = "spark.sql.sources.partitionOverwriteMode"
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, "dynamic")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.prev)
+        return False
+
+
 def hadoop_fs(spark, path: str):
     """(jvm, fs, Path-class) for the filesystem that owns ``path`` —
     the VFS layer the compaction/manifest machinery goes through so the

@@ -1141,27 +1141,11 @@ def _split_resume(spark, path: str, meta: dict) -> dict:
                       new_id: new_counts.get(new_id, 0)}}
 
 
-class _dynamic_partition_overwrite:
-    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic that
-    restores the PREVIOUS state exactly — including unsetting the key
-    when it was never set (a plain set-back-to-default would leave
-    dynamic mode active session-wide, turning later full-index
-    overwrites into partial ones that keep stale cell directories)."""
+# moved to fsutil (the CDC parquet merge shares it); the old private
+# name stays importable for existing callers/tests
+from mycelial_spark.fsutil import dynamic_partition_overwrite  # noqa: E402
 
-    def __init__(self, spark):
-        self.spark = spark
-        self.key = "spark.sql.sources.partitionOverwriteMode"
-
-    def __enter__(self):
-        self.prev = self.spark.conf.get(self.key, None)
-        self.spark.conf.set(self.key, "dynamic")
-
-    def __exit__(self, *exc):
-        if self.prev is None:
-            self.spark.conf.unset(self.key)
-        else:
-            self.spark.conf.set(self.key, self.prev)
-        return False
+_dynamic_partition_overwrite = dynamic_partition_overwrite
 
 
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:

@@ -1263,6 +1263,26 @@ def knn_join_(spark, cfg, inputs):
                                cfg["vec_col"], cfg["id_col"])
 
 
+@_register("cdc_parquet_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("key_cols", "json"), Field("seq_col"),
+            Field("op_col", default="op"),
+            Field("n_buckets", "int", 64)],
+           doc="CDC-apply MERGE into a keyed parquet table (the "
+               "reference's upsert destinations pointed at the lake): "
+               "per batch, last-change-per-key election, bucket-pruned "
+               "read of only the touched key-bucket partitions, "
+               "seq-ordered re-election against stored rows (stale "
+               "replays lose), delete tombstones, dynamic partition "
+               "overwrite of exactly the affected buckets. Idempotent "
+               "and arrival-order-commutative, so at-least-once "
+               "delivery converges (sinks/merge.py).")
+def cdc_parquet_dest(spark, cfg, df):
+    from mycelial_spark.sinks.merge import merge_cdc_parquet
+    return merge_cdc_parquet(df, cfg["path"], list(cfg["key_cols"]),
+                             cfg["seq_col"], cfg["op_col"],
+                             cfg["n_buckets"])
+
+
 @_register("ann_index_dest", "destination", "dataframe", "none",
            [Field("path"), Field("n_centroids", "int", 16),
             Field("sample_fraction", "float", 1.0),

@@ -1120,6 +1120,53 @@ def dedup_simhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
                               max_hamming=3)
 
 
+@query("cdc_merge_state", """
+WITH c AS (
+  SELECT user_id, event_id,
+         CASE event_type WHEN 'signup' THEN 'I'
+                         WHEN 'error' THEN 'D'
+                         ELSE 'U' END AS op,
+         round(value, 6) AS value
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY event_id DESC) AS rn
+  FROM c
+)
+SELECT user_id, event_id AS last_seq, value
+FROM r WHERE rn = 1 AND op != 'D'
+""")
+def cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply into a keyed parquet table, end to end: the events
+    stream becomes a change log (signup=I, error=D, else U, event_id
+    as the change sequence), applied in THREE OUT-OF-ORDER batches
+    (event_id % 3 — deliberately not seq-ordered) through
+    sinks/merge.py merge_cdc_parquet; the returned frame is the merged
+    table's live state read back from disk. Commutativity is what the
+    oracle checks: the global last-change-per-key state (a window over
+    the whole log) must equal the table regardless of batch arrival
+    order — stale changes lose the per-key seq election, deletes
+    tombstone. The merge rewrites only touched key-bucket partitions."""
+    import tempfile
+
+    from mycelial_spark.sinks.merge import (merge_cdc_parquet,
+                                            read_cdc_table)
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.col("event_id").alias("last_seq"),
+        F.when(F.col("event_type") == "signup", "I")
+         .when(F.col("event_type") == "error", "D")
+         .otherwise("U").alias("op"),
+        F.round("value", 6).alias("value"))
+    path = tempfile.mkdtemp(prefix="cdc_merge_")
+    for b in (1, 2, 0):     # out-of-order on purpose
+        merge_cdc_parquet(log.filter(F.col("last_seq") % 3 == b), path,
+                          ["user_id"], "last_seq", n_buckets=16)
+    return read_cdc_table(spark, path).select("user_id", "last_seq",
+                                              "value")
+
+
 # Linear quality classifier trained at sf0.01 by the deterministic
 # driver-side pass (operators/quality_model.py train_quality_classifier:
 # id-ordered sample, full-batch GD, no RNG), labels distilled from the

@@ -1,0 +1,174 @@
+"""CDC-apply for parquet tables: MERGE a change stream (insert / update
+/ delete ops) into a keyed lakehouse table.
+
+The reference is a CDC engine whose SQL destinations upsert row streams
+into databases (postgres/sqlite destinations; SCD handling mirrors
+sqlite_connector/src/destination.rs). This is the same capability
+pointed at the data lake: the table a 100 TB pipeline maintains is
+parquet, and "apply the day's CDC" must not rewrite 100 TB.
+
+Layout: the table at ``path`` is hive-partitioned by ``_kb`` — a stable
+key bucket ``pmod(xxhash64(key), n_buckets)`` — and stores the change
+sequence plus a ``_op`` state column ('U' live, 'D' tombstone). A merge:
+
+1. reduces the batch to its LAST change per key (max ``seq_col`` — the
+   LSN/offset the source stamps; full-row-struct tiebreak keeps the
+   winner deterministic under replays and repartitioning);
+2. collects the batch's DISTINCT bucket ids (bounded by n_buckets) and
+   reads ONLY those partitions (directory pruning);
+3. re-elects per key among {current row, batch winner} by the same max
+   (seq, row) rule — so a STALE change (lower seq than the stored row,
+   e.g. an out-of-order batch or an at-least-once replay straggling in
+   after a later merge) LOSES and the table is unchanged for that key;
+4. rewrites exactly the affected bucket directories via dynamic
+   partition overwrite.
+
+Deletes persist as TOMBSTONES (the row flips to ``_op='D'`` and keeps
+its seq) rather than vanishing: a physical drop would let a stale
+pre-delete upsert resurrect the key on replay. ``read_cdc_table``
+filters them out. GC is a maintenance filter: drop tombstones whose seq
+is older than the source's replay horizon, then compact.
+
+Properties that matter at scale: per-merge cost is proportional to the
+AFFECTED BUCKETS' data, not the table (pick n_buckets so a typical
+batch touches a fraction); merges are IDEMPOTENT and seq-ordered-
+COMMUTATIVE (same batches in any arrival order converge to the same
+state), so at-least-once streaming delivery needs no marker protocol —
+pair with the runner's checkpointing for effectively-once. Reader
+isolation during the partition swap remains a table format's job (same
+maintenance-window contract as sinks/compact.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+OP_INSERT, OP_UPDATE, OP_DELETE = "I", "U", "D"
+
+
+def _bucket(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
+                      seq_col: str, op_col: str = "op",
+                      n_buckets: int = 64) -> dict:
+    """Apply one CDC batch to the keyed parquet table at ``path``.
+
+    ``changes`` carries the payload columns plus ``op_col`` (I/U/D) and
+    ``seq_col`` (a totally-ordered change sequence per key — LSN,
+    binlog offset, event id). Creates the table on first merge. Returns
+    {rows_live, upserts, deletes, buckets_touched, created}.
+    """
+    from mycelial_spark.fsutil import dynamic_partition_overwrite
+    from mycelial_spark.fsutil import exists as _exists
+    spark = changes.sparkSession
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    for c in (*key_cols, seq_col, op_col):
+        if c not in changes.columns:
+            raise ValueError(f"changes frame lacks column {c!r}")
+    payload = [c for c in changes.columns if c != op_col]
+
+    # last change per key: max (seq, op, row) struct — one partial-agg
+    # shuffle on the key, deterministic under ties/replays/partitioning.
+    # I normalizes to U on the way in: the table stores live/tombstone.
+    norm_op = F.when(F.col(op_col) == OP_INSERT, F.lit(OP_UPDATE)) \
+               .otherwise(F.col(op_col))
+    flat = (changes
+            .withColumn("_op", norm_op)
+            .groupBy(*key_cols)
+            .agg(F.max(F.struct(F.col(seq_col).alias("_s"),
+                                F.col("_op").alias("_op"),
+                                *[F.col(c) for c in payload]))
+                 .alias("_w"))
+            .select(*[F.col(f"_w.{c}").alias(c) for c in payload],
+                    F.col("_w._op").alias("_op"))
+            .withColumn("_kb", _bucket(key_cols, n_buckets))
+            .localCheckpoint())
+    # op validation on the materialized WINNERS (no extra input scan);
+    # a malformed op that wins an election must fail the merge loudly
+    bad = flat.filter(~F.col("_op").isin(OP_UPDATE, OP_DELETE)) \
+              .limit(1).collect()
+    if bad:
+        raise ValueError(f"{op_col} must be one of I/U/D; got "
+                         f"{bad[0]['_op']!r}")
+    n_del = flat.filter(F.col("_op") == OP_DELETE).count()
+    n_up = flat.count() - n_del
+    buckets = sorted(r["_kb"] for r in
+                     flat.select("_kb").distinct().collect())
+
+    table = f"{path.rstrip('/')}/table"
+    created = not _exists(spark, table)
+    if created:
+        merged = flat
+    else:
+        current = (spark.read.parquet(table)
+                   .filter(F.col("_kb").isin(buckets)))
+        touched = current.join(flat.select(*key_cols), key_cols,
+                               "left_semi")
+        kept = current.join(flat.select(*key_cols), key_cols,
+                            "left_anti")
+        # re-elect among {stored row, batch winner}: the same max
+        # (seq, op, row) rule — stale changes lose, replays tie with
+        # themselves, out-of-order batches commute
+        winner = (touched.unionByName(flat)
+                  .groupBy(*key_cols)
+                  .agg(F.max(F.struct(F.col(seq_col).alias("_s"),
+                                      F.col("_op").alias("_op"),
+                                      *[F.col(c) for c in payload],
+                                      F.col("_kb").alias("_kb")))
+                       .alias("_w"))
+                  .select(*[F.col(f"_w.{c}").alias(c) for c in payload],
+                          F.col("_w._op").alias("_op"),
+                          F.col("_w._kb").alias("_kb")))
+        merged = kept.unionByName(winner).localCheckpoint()
+    rows_live = merged.filter(F.col("_op") != OP_DELETE).count()
+    with dynamic_partition_overwrite(spark):
+        (merged.write.mode("overwrite")
+         .partitionBy("_kb").parquet(table))
+    return {"rows_live": int(rows_live), "upserts": int(n_up),
+            "deletes": int(n_del), "buckets_touched": len(buckets),
+            "created": created}
+
+
+def read_cdc_table(spark: SparkSession, path: str) -> DataFrame:
+    """The table's current LIVE state (tombstones filtered, bookkeeping
+    columns dropped)."""
+    return (spark.read.parquet(f"{path.rstrip('/')}/table")
+            .filter(F.col("_op") != OP_DELETE).drop("_op", "_kb"))
+
+
+def gc_tombstones(spark: SparkSession, path: str, seq_col: str,
+                  horizon_seq) -> dict:
+    """Drop tombstones the source can no longer replay past (seq <
+    ``horizon_seq``) — the maintenance companion: tombstones exist only
+    to absorb stale pre-delete replays, so once the source's replay
+    window has moved past a delete, its tombstone is dead weight.
+    Rewrites only buckets that actually hold expired tombstones."""
+    from mycelial_spark.fsutil import dynamic_partition_overwrite
+    table = f"{path.rstrip('/')}/table"
+    cur = spark.read.parquet(table)
+    expired = (F.col("_op") == OP_DELETE) & (F.col(seq_col) < horizon_seq)
+    buckets = [r["_kb"] for r in
+               cur.filter(expired).select("_kb").distinct().collect()]
+    if not buckets:
+        return {"tombstones_dropped": 0, "buckets_touched": 0}
+    part = cur.filter(F.col("_kb").isin(buckets))
+    dropped = part.filter(expired).count()
+    kept = part.filter(~expired).localCheckpoint()
+    kept_buckets = {r["_kb"] for r in
+                    kept.select("_kb").distinct().collect()}
+    with dynamic_partition_overwrite(spark):
+        (kept.write.mode("overwrite").partitionBy("_kb").parquet(table))
+    # dynamic overwrite only replaces partitions it WRITES: a bucket
+    # whose every row expired produces no output and would silently
+    # keep its old files — drop those directories explicitly
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, table)
+    for b in buckets:
+        if b not in kept_buckets:
+            fs.delete(P(f"{table}/_kb={b}"), True)
+    return {"tombstones_dropped": int(dropped),
+            "buckets_touched": len(buckets)}

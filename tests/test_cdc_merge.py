@@ -1,0 +1,176 @@
+"""CDC-apply parquet merge: upsert/delete semantics, seq-ordered
+elections (stale replays lose), tombstones, bucket-pruned rewrites,
+idempotence, GC, and the streaming destination wiring."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.sinks.merge import (gc_tombstones, merge_cdc_parquet,
+                                        read_cdc_table)
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, seq long, op string, v string")
+
+
+def test_merge_upsert_delete_lifecycle(spark, tmp_path):
+    p = str(tmp_path / "t")
+    out = merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a"), (2, 2, "I", "b"),
+                                         (1, 3, "U", "a2")]),
+                            p, ["k"], "seq", n_buckets=8)
+    assert out["created"] and out["upserts"] == 2 and out["deletes"] == 0
+    state = {r["k"]: (r["seq"], r["v"])
+             for r in read_cdc_table(spark, p).collect()}
+    assert state == {1: (3, "a2"), 2: (2, "b")}   # last change per key
+
+    out2 = merge_cdc_parquet(_chg(spark, [(2, 4, "D", None),
+                                          (3, 5, "I", "c")]),
+                             p, ["k"], "seq", n_buckets=8)
+    assert not out2["created"]
+    assert out2["deletes"] == 1 and out2["upserts"] == 1
+    state = {r["k"]: r["v"] for r in read_cdc_table(spark, p).collect()}
+    assert state == {1: "a2", 3: "c"}             # 2 tombstoned
+    # the tombstone is physically present with its seq
+    raw = spark.read.parquet(f"{p}/table")
+    ts = raw.filter("_op = 'D'").collect()
+    assert [(r["k"], r["seq"]) for r in ts] == [(2, 4)]
+
+
+def test_stale_and_out_of_order_changes_lose(spark, tmp_path):
+    """seq ordering is the law: a late-arriving OLDER change never
+    overwrites a newer stored row, and a stale pre-delete upsert cannot
+    resurrect a tombstoned key."""
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(1, 10, "U", "new"),
+                                   (2, 20, "D", None)]),
+                      p, ["k"], "seq", n_buckets=8)
+    merge_cdc_parquet(_chg(spark, [(1, 5, "U", "old"),     # stale update
+                                   (2, 15, "U", "zombie")]),  # pre-delete
+                      p, ["k"], "seq", n_buckets=8)
+    state = {r["k"]: (r["seq"], r["v"])
+             for r in read_cdc_table(spark, p).collect()}
+    assert state == {1: (10, "new")}
+
+
+def test_merge_is_idempotent_and_commutative(spark, tmp_path):
+    rows = [(k, s, op, f"v{s}")
+            for s, (k, op) in enumerate(
+                [(1, "I"), (2, "I"), (1, "U"), (3, "I"), (2, "D"),
+                 (3, "U"), (1, "U"), (4, "I"), (4, "D"), (5, "I")])]
+    batches = [rows[0:4], rows[4:7], rows[7:10]]
+
+    def apply_order(order, path):
+        for i in order:
+            merge_cdc_parquet(_chg(spark, batches[i]), str(path),
+                              ["k"], "seq", n_buckets=4)
+        return sorted(tuple(r) for r in
+                      read_cdc_table(spark, str(path)).collect())
+
+    a = apply_order([0, 1, 2], tmp_path / "a")
+    b = apply_order([2, 0, 1], tmp_path / "b")
+    assert a == b
+    # replaying every batch again changes nothing
+    c_path = tmp_path / "c"
+    c1 = apply_order([0, 1, 2], c_path)
+    for i in (0, 1, 2):
+        merge_cdc_parquet(_chg(spark, batches[i]), str(c_path),
+                          ["k"], "seq", n_buckets=4)
+    assert sorted(tuple(r) for r in
+                  read_cdc_table(spark, str(c_path)).collect()) == c1
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket pruning is physical: a merge touching one key leaves
+    every other bucket directory's files untouched on disk."""
+    p = str(tmp_path / "t")
+    seed = [(k, k, "I", f"v{k}") for k in range(1, 65)]
+    merge_cdc_parquet(_chg(spark, seed), p, ["k"], "seq", n_buckets=16)
+    before = {f: os.stat(f).st_mtime_ns
+              for f in glob.glob(f"{p}/table/_kb=*/*.parquet")}
+    out = merge_cdc_parquet(_chg(spark, [(1, 100, "U", "poke")]),
+                            p, ["k"], "seq", n_buckets=16)
+    assert out["buckets_touched"] == 1
+    after = {f: os.stat(f).st_mtime_ns
+             for f in glob.glob(f"{p}/table/_kb=*/*.parquet")}
+    touched_dirs = {f.rsplit("/", 2)[1] for f in set(after) - set(before)}
+    assert len(touched_dirs) == 1
+    survivors = set(before) & set(after)
+    assert all(before[f] == after[f] for f in survivors)
+    assert {f.rsplit("/", 2)[1] for f in before} - {list(touched_dirs)[0]} \
+        <= {f.rsplit("/", 2)[1] for f in survivors}
+
+
+def test_gc_tombstones(spark, tmp_path):
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a"), (2, 2, "I", "b")]),
+                      p, ["k"], "seq", n_buckets=4)
+    merge_cdc_parquet(_chg(spark, [(1, 3, "D", None), (2, 4, "D", None)]),
+                      p, ["k"], "seq", n_buckets=4)
+    out = gc_tombstones(spark, p, "seq", horizon_seq=4)
+    assert out["tombstones_dropped"] == 1     # seq 3 expired, seq 4 kept
+    raw = spark.read.parquet(f"{p}/table")
+    assert raw.count() == 1 and raw.first()["seq"] == 4
+    assert read_cdc_table(spark, p).count() == 0
+    assert gc_tombstones(spark, p, "seq", 0) \
+        == {"tombstones_dropped": 0, "buckets_touched": 0}
+
+
+def test_merge_validation(spark, tmp_path):
+    p = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a")]), p, [], "seq")
+    with pytest.raises(ValueError, match="lacks column"):
+        merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a")]), p, ["k"],
+                          "missing")
+    with pytest.raises(ValueError, match="one of I/U/D"):
+        merge_cdc_parquet(_chg(spark, [(1, 1, "X", "a")]), p, ["k"],
+                          "seq")
+
+
+def test_cdc_dest_streaming_e2e(spark, tmp_path):
+    """The destination section under the poll runner: a sqlite change
+    table streams through cdc_parquet_dest; the merged table tracks
+    inserts, updates and deletes across polls and a replayed poll is a
+    no-op."""
+    import sqlite3
+    import time
+
+    from tests.test_watch_streaming import _run
+    src_db = str(tmp_path / "src.db")
+    out = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    with sqlite3.connect(src_db) as c:
+        c.execute("CREATE TABLE log (seq INTEGER PRIMARY KEY, "
+                  "k INTEGER, op TEXT, v TEXT)")
+        c.executemany("INSERT INTO log VALUES (?,?,?,?)",
+                      [(1, 1, "I", "a"), (2, 2, "I", "b")])
+    spec = {
+        "nodes": {
+            "src": {"type": "sqlite_source", "path": src_db,
+                    "query": "SELECT seq, k, op, v FROM log",
+                    "poll_interval_millis": 200},
+            "dst": {"type": "cdc_parquet_dest", "path": out,
+                    "key_cols": ["k"], "seq_col": "seq",
+                    "n_buckets": 4},
+        },
+        "edges": [["src", "dst"]],
+    }
+
+    def live():
+        try:
+            return sorted((r["k"], r["v"]) for r in
+                          read_cdc_table(spark, out).collect())
+        except Exception:
+            return []
+
+    _run(spark, spec, ckpt, lambda: live() == [(1, "a"), (2, "b")])
+    time.sleep(0.05)
+    with sqlite3.connect(src_db) as c:
+        c.executemany("INSERT INTO log VALUES (?,?,?,?)",
+                      [(3, 1, "U", "a2"), (4, 2, "D", None),
+                       (5, 3, "I", "c")])
+    _run(spark, spec, ckpt, lambda: live() == [(1, "a2"), (3, "c")])
