@@ -83,6 +83,7 @@ HEADLINE = [
     "hybrid_search_rrf",
     "lm_quality_score",
     "quality_classifier_score",
+    "gopher_quality",
     "cross_doc_repetition",
     "span_dedup",
     "pack_sequences",

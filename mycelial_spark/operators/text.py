@@ -94,6 +94,82 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                                 F.greatest(F.size(toks), F.lit(1)), 6)))
 
 
+# Gopher rules [Rae et al. 2021, "Scaling Language Models" App. A1.1 —
+# public recipe]: the de-facto standard pretraining quality gate.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def with_gopher_quality(df: DataFrame, text_col: str = "text",
+                        min_words: int = 50, max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_word_ratio: float = 0.1,
+                        max_bullet_line_frac: float = 0.9,
+                        max_ellipsis_line_frac: float = 0.3,
+                        min_alpha_word_frac: float = 0.8,
+                        min_stopword_hits: int = 2) -> DataFrame:
+    """The Gopher quality rules as ONE codegen projection (no UDF, no
+    shuffle — fuses into the scan like the rest of the signal set):
+
+    - word count inside [min_words, max_words];
+    - mean word length inside [min, max];
+    - symbol-to-word ratio (``#`` or ``...``) at most the cap;
+    - at most a fraction of lines starting with a bullet / ending in
+      an ellipsis;
+    - at least a fraction of words containing an alphabetic char;
+    - at least N distinct stop words present (the famous "the, be, to,
+      of, and, that, have, with" containment rule).
+
+    Emits one boolean flag per rule plus ``gopher_pass`` (their AND).
+    Ratios round to 6 decimals so any oracle replays the thresholds
+    bit-identically.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    nz_words = F.greatest(n_words, F.lit(1))
+    mean_wlen = F.round(
+        F.aggregate(toks, F.lit(0).cast("bigint"),
+                    lambda a, t: a + F.length(t)) / nz_words, 6)
+    n_symbols = (F.regexp_count(c, F.lit(r"#"))
+                 + F.regexp_count(c, F.lit(r"\.\.\.")))
+    symbol_ratio = F.round(n_symbols / nz_words, 6)
+    lines = F.filter(F.split(c, F.lit("\n"), -1),
+                     lambda ln: F.trim(ln) != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda ln: F.trim(ln)
+                        .rlike(r"^[-*•]"))) / n_lines, 6)
+    ellipsis_frac = F.round(
+        F.size(F.filter(lines, lambda ln: F.trim(ln)
+                        .rlike(r"(\.\.\.|…)$"))) / n_lines, 6)
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        / nz_words, 6)
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(
+        F.transform(toks, F.lower)), stop_arr))
+    flags = {
+        "g_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "g_mean_word_len": (mean_wlen >= min_mean_word_len)
+                           & (mean_wlen <= max_mean_word_len),
+        "g_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "g_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "g_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "g_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "g_stopwords": stop_hits >= min_stopword_hits,
+    }
+    out = df
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    all_pass = None
+    for name in flags:
+        all_pass = F.col(name) if all_pass is None \
+            else all_pass & F.col(name)
+    return out.withColumn("gopher_pass", all_pass)
+
+
 def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """[0,1] heuristic: long enough, low punctuation/digit noise, lexically
     diverse. Deterministic and cheap — a pre-filter before expensive dedup."""

@@ -741,6 +741,29 @@ def chunk_text_(spark, cfg, inputs):
                       cfg["text_col"], cfg["id_col"])
 
 
+@_register("gopher_quality", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("min_words", "int", 50),
+            Field("min_stopword_hits", "int", 2),
+            Field("drop_failing", "bool", False)],
+           doc="The Gopher pretraining quality rules [Rae et al. 2021] "
+               "as one codegen projection: word count, mean word "
+               "length, symbol ratio, bullet/ellipsis line fractions, "
+               "alphabetic-word fraction, stop-word containment — flag "
+               "columns + gopher_pass; drop_failing=True filters to "
+               "passing docs instead of annotating.")
+def gopher_quality_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_gopher_quality
+    out = with_gopher_quality(inputs[0], cfg["text_col"],
+                              min_words=cfg["min_words"],
+                              min_stopword_hits=cfg["min_stopword_hits"])
+    if cfg["drop_failing"]:
+        flag_cols = [c for c in out.columns
+                     if c.startswith("g_") or c == "gopher_pass"]
+        out = out.filter(F.col("gopher_pass")).drop(*flag_cols)
+    return out
+
+
 @_register("quality_classifier", "transform", "dataframe", "dataframe",
            [Field("model", "json"), Field("text_col", default="text"),
             Field("out_col", default="quality_logit")],

@@ -1233,6 +1233,68 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_logit", "is_quality")
 
 
+@query("gopher_quality", """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(list_sum(list_transform(toks, t -> length(t))) * 1.0
+               / greatest(len(toks), 1), 6) AS mean_wlen,
+         round((len(regexp_extract_all(text, '#'))
+                + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+               / greatest(len(toks), 1), 6) AS symbol_ratio,
+         list_filter(string_split(text, chr(10)),
+                     ln -> trim(ln) != '') AS lines,
+         round(len(list_filter(toks,
+                               t -> regexp_matches(t, '[A-Za-z]'))) * 1.0
+               / greatest(len(toks), 1), 6) AS alpha_frac,
+         len(list_intersect(
+               list_distinct(list_transform(toks, t -> lower(t))),
+               ['the','be','to','of','and','that','have','with']))
+           AS stop_hits
+  FROM t
+), g AS (
+  SELECT doc_id, n_words, mean_wlen, symbol_ratio, alpha_frac, stop_hits,
+         round(len(list_filter(lines,
+               ln -> regexp_matches(trim(ln), '^[-*•]'))) * 1.0
+               / greatest(len(lines), 1), 6) AS bullet_frac,
+         round(len(list_filter(lines,
+               ln -> regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) * 1.0
+               / greatest(len(lines), 1), 6) AS ellipsis_frac
+  FROM f
+)
+SELECT doc_id,
+       n_words >= 50 AND n_words <= 100000      AS g_word_count,
+       mean_wlen >= 3.0 AND mean_wlen <= 10.0   AS g_mean_word_len,
+       symbol_ratio <= 0.1                      AS g_symbol_ratio,
+       bullet_frac <= 0.9                       AS g_bullet_lines,
+       ellipsis_frac <= 0.3                     AS g_ellipsis_lines,
+       alpha_frac >= 0.8                        AS g_alpha_words,
+       stop_hits >= 2                           AS g_stopwords,
+       (n_words >= 50 AND n_words <= 100000)
+       AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+       AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       AND stop_hits >= 2                       AS gopher_pass
+FROM g
+""")
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher pretraining quality rules [Rae et al. 2021 App.
+    A1.1 — public recipe], the de-facto standard corpus gate: word
+    count, mean word length, symbol ratio, bullet/ellipsis line
+    fractions, alphabetic-word fraction, stop-word containment. One
+    codegen projection fused into the scan (operators/text.py
+    with_gopher_quality); each rule emits its flag plus the AND. The
+    oracle recomputes every ratio with the same 6-decimal rounding."""
+    from mycelial_spark.operators.text import with_gopher_quality
+    return with_gopher_quality(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+        "g_stopwords", "gopher_pass")
+
+
 @query("text_stats", """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks

@@ -662,3 +662,48 @@ def test_incremental_dedup_fuzzy_param_validation(spark, tmp_path):
     with _pytest.raises(ValueError, match="divisible"):
         D.incremental_dedup_fuzzy(df, str(tmp_path / "x"),
                                   num_hashes=64, bands=10)
+
+
+def test_gopher_quality_rules_flip_on_planted_docs(spark):
+    """Each Gopher rule trips on a doc planted to violate exactly it
+    (the fixture corpus can't flip them all); the operator stays one
+    projection — no exchange, no join."""
+    from mycelial_spark.operators.text import with_gopher_quality
+    good_words = ("the meaning of life and that which we have begun "
+                  "to be with " + "insight wisdom clarity " * 20).strip()
+    docs = [
+        (1, good_words),                                     # passes all
+        (2, "too short to have the be of and that with"),    # word count
+        (3, " ".join(["a"] * 60) + " the be of"),            # mean len <3
+        (4, good_words + " " + "# " * 30),                   # symbols
+        (5, "\n".join(["- bullet item the be of and that have with"] * 10
+                      + ["plain line"] * 0)
+            + "\n" + " ".join(["filler"] * 60)),             # bullets
+        (6, "\n".join([f"line {i} trailing..." for i in range(10)])
+            + "\n" + "the be of and that have with "
+            + " ".join(["word"] * 60)),                      # ellipses
+        (7, " ".join(["1234"] * 60) + " the be of"),         # alpha frac
+        (8, " ".join(["unique%d" % i for i in range(60)])),  # stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in with_gopher_quality(df).collect()}
+    assert out[1]["gopher_pass"]
+    assert not out[2]["g_word_count"]
+    assert not out[3]["g_mean_word_len"]
+    assert not out[4]["g_symbol_ratio"]
+    assert not out[5]["g_bullet_lines"]
+    assert not out[6]["g_ellipsis_lines"]
+    assert not out[7]["g_alpha_words"]
+    assert not out[8]["g_stopwords"]
+    for i in range(2, 9):
+        assert not out[i]["gopher_pass"], i
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from explain_audit import audit
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        with_gopher_quality(df)._jdf.queryExecution(), "formatted")
+    a = audit(plan)
+    assert a["exchanges"] == 0 and a["bhj"] + a["smj"] + a["bnlj"] == 0
