@@ -86,6 +86,7 @@ HEADLINE = [
     "gopher_quality",
     "cross_doc_repetition",
     "span_dedup",
+    "span_decontaminate",
     "pack_sequences",
     "pack_sequences_bpe",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded

@@ -710,12 +710,21 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
     dup_occ = (occ.join(firsts, "s")
                .filter(~((F.col(id_col) == F.col("_f.i"))
                          & (F.col("pos0") == F.col("_f.p")))))
+    return _erase_marked_spans(df, dup_occ, k, text_col, id_col)
+
+
+def _erase_marked_spans(df: DataFrame, marked: DataFrame, k: int,
+                        text_col: str, id_col: str) -> DataFrame:
+    """Erase every marked k-token span occurrence ((id, pos0) rows) and
+    reassemble affected docs — the shared removal stage of span_dedup
+    and span_decontaminate. Returns (id, text, n_tokens_removed) for
+    every input doc; untouched docs pass through byte-for-byte."""
     # localCheckpoint: removed feeds FOUR consumers (count, semi-gate,
     # anti-join, final join) — without it each branch re-runs the whole
-    # occurrence election (8 source scans / 14 exchanges at audit);
+    # occurrence marking (8 source scans / 14 exchanges at audit);
     # the removed set is (doc, idx) pairs bounded by corpus tokens and
     # small on mostly-clean corpora, and the checkpoint blocks free on GC
-    removed = (dup_occ.select(
+    removed = (marked.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos0"),
                              F.col("pos0") + (k - 1))).alias("ti"))
@@ -742,3 +751,31 @@ def span_dedup(df: DataFrame, k: int = 8, text_col: str = "text",
                      .otherwise(F.col(text_col)).alias(text_col),
                     F.coalesce("_nrm", F.lit(0)).cast("int")
                      .alias("n_tokens_removed")))
+
+
+def span_decontaminate(df: DataFrame, benchmark: DataFrame, k: int = 8,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       bench_text_col: str | None = None) -> DataFrame:
+    """SPAN-level benchmark decontamination — ``decontaminate``'s
+    doc-level flag turned into surgery: every k-token span of a
+    training doc that appears ANYWHERE in the benchmark is erased and
+    the doc reassembled (the Lee-et-al exact-substring machinery with
+    the benchmark's span set as the kill list). Use where dropping
+    whole documents is too blunt: a long doc quoting one eval question
+    keeps everything but the quote.
+
+    Scale shape: the benchmark span-hash set is 8 B/span and BROADCASTS
+    (eval suites are tiny next to the corpus); marking is then one
+    broadcast semi-join over the corpus's rolling span hashes — the
+    corpus never shuffles on span — and only affected docs pay
+    reassembly (same erase stage as span_dedup).
+    """
+    from mycelial_spark.operators.text import rolling_span_hashes
+    bench_spans = (rolling_span_hashes(
+        benchmark, bench_text_col or text_col, ngram=k)
+        .select(F.explode("span_hashes").alias("s")).distinct())
+    occ = (rolling_span_hashes(spread(df), text_col, ngram=k)
+           .select(F.col(id_col),
+                   F.posexplode("span_hashes").alias("pos0", "s")))
+    marked = occ.join(F.broadcast(bench_spans), "s")
+    return _erase_marked_spans(df, marked, k, text_col, id_col)

@@ -949,6 +949,25 @@ def incremental_dedup_(spark, cfg, inputs):
                              cfg["text_col"], cfg["id_col"])
 
 
+@_register("span_decontaminate", "transform", "dataframe", "dataframe",
+           [Field("k", "int", 8), Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("bench_text_col", default="")],
+           n_inputs=(2, 2),
+           doc="Span-level benchmark decontamination (2 inputs: corpus, "
+               "benchmark): every k-token span of a corpus doc that "
+               "appears anywhere in the benchmark erases its token "
+               "range; docs reassemble from survivors — surgery where "
+               "the doc-level decontaminate drop is too blunt. The "
+               "benchmark's 8-byte span hashes broadcast; the corpus "
+               "never shuffles on span (operators/dedup.py).")
+def span_decontaminate_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import span_decontaminate
+    return span_decontaminate(inputs[0], inputs[1], cfg["k"],
+                              cfg["text_col"], cfg["id_col"],
+                              cfg["bench_text_col"] or None)
+
+
 @_register("incremental_dedup_fuzzy", "transform", "dataframe",
            "dataframe",
            [Field("ledger_path"), Field("text_col", default="text"),

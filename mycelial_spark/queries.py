@@ -1233,6 +1233,65 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_logit", "is_quality")
 
 
+@query("span_decontaminate", """
+WITH docs AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') toks
+  FROM documents
+), bench AS (
+  SELECT DISTINCT
+         toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] || ' ' ||
+         toks[u.i+3] || ' ' || toks[u.i+4] || ' ' || toks[u.i+5] || ' ' ||
+         toks[u.i+6] || ' ' || toks[u.i+7] AS s
+  FROM docs, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+  WHERE source = 'src0'
+), corp AS (SELECT doc_id, toks FROM docs WHERE source != 'src0'),
+occ AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS pos0,
+         toks[u.i] || ' ' || toks[u.i+1] || ' ' || toks[u.i+2] || ' ' ||
+         toks[u.i+3] || ' ' || toks[u.i+4] || ' ' || toks[u.i+5] || ' ' ||
+         toks[u.i+6] || ' ' || toks[u.i+7] AS s
+  FROM corp, LATERAL unnest(range(1, len(toks) - 6)) AS u(i)
+), rm AS (
+  SELECT DISTINCT occ.doc_id, CAST(u.x AS INT) AS ti
+  FROM occ JOIN bench USING (s),
+       LATERAL unnest(range(pos0, pos0 + 8)) AS u(x)
+), tokidx AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS ti, toks[u.i] AS tok
+  FROM corp, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+), kept AS (
+  SELECT t.doc_id, t.ti, t.tok FROM tokidx t
+  ANTI JOIN rm ON t.doc_id = rm.doc_id AND t.ti = rm.ti
+), reb AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY ti), ' ') AS text
+  FROM kept GROUP BY doc_id
+), nr AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n FROM rm GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN nr.n IS NULL THEN d.text
+            ELSE coalesce(reb.text, '') END AS text,
+       coalesce(nr.n, 0) AS n_tokens_removed
+FROM (SELECT doc_id, text FROM documents WHERE source != 'src0') d
+LEFT JOIN reb USING (doc_id) LEFT JOIN nr USING (doc_id)
+""")
+def span_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination: every 8-token span of a
+    corpus doc that appears anywhere in the benchmark (source='src0',
+    the decontaminate convention) erases its token range; docs
+    reassemble from survivors — surgery instead of the doc-level drop.
+    Benchmark span hashes broadcast (8 B/span); the corpus never
+    shuffles on span. Oracle replays the marking + removal over string
+    spans."""
+    from mycelial_spark.operators.dedup import span_decontaminate
+    docs = _t(spark, sf_dir, "documents")
+    return span_decontaminate(docs.filter(F.col("source") != "src0")
+                              .select("doc_id", "text"),
+                              docs.filter(F.col("source") == "src0"),
+                              k=8)
+
+
 @query("gopher_quality", """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks

@@ -707,3 +707,33 @@ def test_gopher_quality_rules_flip_on_planted_docs(spark):
         with_gopher_quality(df)._jdf.queryExecution(), "formatted")
     a = audit(plan)
     assert a["exchanges"] == 0 and a["bhj"] + a["smj"] + a["bnlj"] == 0
+
+
+def test_span_decontaminate_surgical_removal(spark):
+    """Planted contamination: the quoted benchmark span (and ONLY that
+    span) vanishes from a long doc; clean docs pass byte-for-byte; the
+    benchmark span set BROADCASTS (plan-asserted)."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris is correct")],
+        "doc_id long, text string")
+    pre = "this long training document talks about many things then quotes"
+    post = "and continues with original content afterwards for a while"
+    corpus = spark.createDataFrame(
+        [(1, f"{pre} what is the capital of france paris is correct {post}"),
+         (2, "a completely clean document with nothing quoted at all"),
+         (3, "what is the capital of france paris is correct")],  # pure quote
+        "doc_id long, text string")
+    out = D.span_decontaminate(corpus, bench, k=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[2]["text"] == ("a completely clean document with nothing "
+                               "quoted at all")
+    assert rows[2]["n_tokens_removed"] == 0
+    # doc 3 is 9 tokens = two overlapping contaminated 8-spans -> empty
+    assert rows[3]["text"] == "" and rows[3]["n_tokens_removed"] == 9
+    # doc 1 keeps its prefix and suffix, loses exactly the quote
+    assert rows[1]["text"] == f"{pre} {post}"
+    assert rows[1]["n_tokens_removed"] == 9
+
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    assert "BroadcastHashJoin" in plan  # bench spans ride the broadcast
