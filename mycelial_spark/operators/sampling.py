@@ -51,6 +51,32 @@ def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
     return hash_order(id_col) * buckets / F.lit(_MOD)
 
 
+def epoch_shuffle(df: DataFrame, epoch: int = 0,
+                  id_col: str = "doc_id",
+                  out_col: str = "shuffle_key",
+                  num_partitions: int | None = None) -> DataFrame:
+    """Deterministic per-epoch corpus shuffle — reproducible training
+    order without RNG: each row gets ``shuffle_key`` = the engine-exact
+    Knuth hash of (id + epoch·P) (P prime, so epochs are independent
+    permutations of the same corpus), and the OUTPUT IS PHYSICALLY
+    ORDERED by it: repartitionByRange + sortWithinPartitions, so a
+    parquet write preserves global order across part files (file N's
+    keys all precede file N+1's) — exactly what a sequential training
+    reader consumes. One range shuffle; no global-rank window (a
+    row_number over everything would funnel the corpus into one task).
+
+    The key is a bijection over ids below 2^31 (odd multiplier mod
+    2^32), so it is collision-free there and replicable in any SQL
+    engine — reruns, engines, and partitionings all agree on the order.
+    """
+    key = hash_order(
+        (F.col(id_col).cast("bigint") + F.lit(epoch * 999999937)))
+    out = df.withColumn(out_col, key)
+    ranged = (out.repartitionByRange(num_partitions, out_col)
+              if num_partitions else out.repartitionByRange(out_col))
+    return ranged.sortWithinPartitions(out_col)
+
+
 def with_split(df: DataFrame, id_col: str,
                weights: dict[str, float] | None = None,
                hash_col: Column | None = None) -> DataFrame:

@@ -741,6 +741,21 @@ def chunk_text_(spark, cfg, inputs):
                       cfg["text_col"], cfg["id_col"])
 
 
+@_register("epoch_shuffle", "transform", "dataframe", "dataframe",
+           [Field("epoch", "int", 0), Field("id_col", default="doc_id"),
+            Field("num_partitions", "int", 0)],
+           doc="Deterministic per-epoch corpus shuffle: the engine-exact "
+               "Knuth hash of (id + epoch*P) as shuffle_key, output "
+               "range-partitioned + sorted so a parquet write preserves "
+               "global order across part files — reproducible training "
+               "order, no RNG, one range shuffle, no global-rank window "
+               "(operators/sampling.py epoch_shuffle).")
+def epoch_shuffle_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import epoch_shuffle
+    return epoch_shuffle(inputs[0], cfg["epoch"], cfg["id_col"],
+                         num_partitions=cfg["num_partitions"] or None)
+
+
 @_register("gopher_quality", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"),
             Field("min_words", "int", 50),

@@ -1233,6 +1233,30 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_logit", "is_quality")
 
 
+@query("epoch_shuffle_keys", """
+SELECT doc_id,
+       ((doc_id % 2147483648) * 2654435761) % 4294967296 AS key_e0,
+       (((doc_id + 999999937) % 2147483648) * 2654435761) % 4294967296
+         AS key_e1
+FROM documents
+""")
+def epoch_shuffle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch shuffle keys (operators/sampling.py
+    epoch_shuffle): Knuth hash of (id + epoch·P) — a bijection below
+    2^31, so each epoch is an independent collision-free permutation
+    reproducible in any engine (the oracle recomputes the exact BIGINT
+    arithmetic). The operator additionally range-partitions + sorts so
+    a parquet write preserves the order physically; ordering itself is
+    untestable under the driver's order-insensitive compare — the KEYS
+    are what define it, and they hash-match."""
+    from mycelial_spark.operators.sampling import epoch_shuffle
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    e0 = epoch_shuffle(docs, epoch=0, out_col="key_e0")
+    e1 = epoch_shuffle(docs, epoch=1, out_col="key_e1").select(
+        "doc_id", "key_e1")
+    return e0.join(e1, "doc_id")
+
+
 @query("span_decontaminate", """
 WITH docs AS (
   SELECT doc_id, source,

@@ -468,3 +468,41 @@ def test_every_example_spec_validates(spark):
         with open(p, "rb") as f:
             spec = tomllib.load(f)
         Pipeline.from_spec(spec)     # raises on any invalid node/edge
+
+
+def test_curation_pipeline_end_to_end(spark, tmp_path):
+    """The r6 curation stack as ONE declarative spec (Gopher gate ->
+    span decontamination -> fuzzy dedup ledger -> epoch shuffle ->
+    parquet), examples/curation_pipeline.toml's shape at sf0.001 — and
+    a SECOND run against the same ledger emits zero rows (everything is
+    a replay)."""
+    import tomllib
+
+    from mycelial_spark.plans.compiler import Pipeline
+    with open("examples/curation_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+    spec["nodes"]["docs"]["path"] = sf
+    spec["nodes"]["z_bench_src"]["path"] = sf
+    spec["nodes"]["fresh"]["ledger_path"] = str(tmp_path / "ledger")
+    spec["nodes"]["out"]["path"] = out
+    Pipeline.from_spec(spec).run(spark)
+    got = spark.read.parquet(out)
+    n = got.count()
+    assert 0 < n < 500
+    assert "shuffle_key" in got.columns
+    assert got.select("shuffle_key").distinct().count() == n
+    # benchmark spans are gone: no surviving doc contains any src0
+    # 8-token span (spot-check via the operator's own marking)
+    from mycelial_spark.operators.dedup import span_decontaminate
+    bench = spark.read.parquet(sf).filter("source = 'src0'")
+    re_decon = span_decontaminate(
+        got.select("doc_id", "text"), bench, k=8)
+    assert re_decon.filter("n_tokens_removed > 0").count() == 0
+
+    # replay: the fuzzy ledger drops every doc on a second run
+    out2 = str(tmp_path / "curated2")
+    spec["nodes"]["out"]["path"] = out2
+    Pipeline.from_spec(spec).run(spark)
+    assert spark.read.parquet(out2).count() == 0

@@ -235,3 +235,38 @@ def test_diverse_sample_caps_clusters_deterministically(spark, sf_dir):
            sorted(map(tuple, out.collect()))
     with pytest.raises(ValueError, match="per_cluster"):
         diverse_sample(emb, cents, per_cluster=0)
+
+
+def test_epoch_shuffle_physical_order_and_permutation(spark, sf_dir,
+                                                      tmp_path):
+    """epoch_shuffle: keys are a collision-free permutation per epoch,
+    epochs differ, and a parquet write preserves GLOBAL order across
+    part files (range partitioning — file N's keys precede file N+1's),
+    which is what a sequential training reader consumes."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.sampling import epoch_shuffle
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    n = docs.count()
+    e0 = epoch_shuffle(docs, epoch=0, num_partitions=4)
+    assert e0.select("shuffle_key").distinct().count() == n
+    out = str(tmp_path / "shuffled")
+    e0.write.parquet(out)
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) > 1
+    prev_max = None
+    for f in files:
+        keys = [r["shuffle_key"]
+                for r in spark.read.parquet(f).collect()]
+        assert keys == sorted(keys)          # ordered within the file
+        if prev_max is not None:
+            assert min(keys) > prev_max      # ordered across files
+        prev_max = max(keys)
+    # epochs are different permutations
+    e1 = epoch_shuffle(docs, epoch=1)
+    joined = (e0.withColumnRenamed("shuffle_key", "k0")
+              .join(e1.withColumnRenamed("shuffle_key", "k1"), "doc_id"))
+    assert joined.filter(F.col("k0") != F.col("k1")).count() > n * 0.9
