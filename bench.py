@@ -72,6 +72,7 @@ HEADLINE = [
     "pivot_returnflag",
     "train_test_split",
     "embedding_quantize",
+    "embedding_pca",
     "redact_pii",
     "paragraph_dedup",
     "histogram_quantiles",

@@ -166,6 +166,64 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
              .select("id_a", "id_b", "cos_sim"))
 
 
+def pca_train(df: DataFrame, k: int = 16, sample_n: int = 4096,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              whiten: bool = False) -> dict:
+    """PCA (optionally whitened) for embedding columns — the dimension
+    / decorrelation lever in front of PQ and quantization (OPQ-lite:
+    whitening equalizes subspace variances, which is what product
+    quantizers assume). Same recipe as the IVF/PQ/BPE trainers: fit
+    driver-side on an id-ordered sample (numpy SVD — deterministic for
+    a fixed sample; component SIGNS are fixed by convention: the
+    largest-|coefficient| entry of each component is made positive,
+    removing SVD's sign ambiguity), PROJECT distributed.
+
+    Returns {mean, components (k x d), explained_var, whiten}."""
+    import numpy as np
+    rows = (df.orderBy(id_col)
+            .select(F.col(vec_col).cast("array<double>").alias("v"))
+            .limit(sample_n).collect())
+    if len(rows) < 2:
+        raise ValueError("PCA needs at least 2 sample rows")
+    X = np.array([r["v"] for r in rows])
+    if not 1 <= k <= X.shape[1]:
+        raise ValueError(f"k={k} out of range for dims {X.shape[1]}")
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    _u, s, vt = np.linalg.svd(Xc, full_matrices=False)
+    comps = vt[:k]
+    for i in range(k):                      # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    var = (s[:k] ** 2) / (len(X) - 1)
+    if whiten:
+        comps = comps / np.sqrt(var)[:, None]
+    return {"mean": [float(x) for x in mean],
+            "components": [[float(x) for x in c] for c in comps],
+            "explained_var": [float(x) for x in var],
+            "whiten": bool(whiten)}
+
+
+def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
+                out_col: str = "pca") -> DataFrame:
+    """Project onto the trained components — a narrow codegen map, no
+    UDF: PCA is linear, so (x − mean)·c = x·c − (mean·c), and the
+    mean·c scalars fold into literals; each output coordinate is one
+    sequential dot against a literal component (the exact arithmetic an
+    oracle replays with list_dot_product). Adds ``out_col``
+    array<double>, coordinates rounded to 6 decimals."""
+    v = F.col(vec_col).cast("array<double>")
+    coords = []
+    for comp in model["components"]:
+        offset = 0.0
+        for m, c in zip(model["mean"], comp):
+            offset += m * c
+        carr = F.array(*[F.lit(float(x)) for x in comp])
+        coords.append(F.round(dot(v, carr) - F.lit(float(offset)), 6))
+    return df.withColumn(out_col, F.array(*coords))
+
+
 def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
                         levels: int = 256) -> DataFrame:
     """Per-vector asymmetric scalar quantization (uint8 by default).

@@ -741,6 +741,21 @@ def chunk_text_(spark, cfg, inputs):
                       cfg["text_col"], cfg["id_col"])
 
 
+@_register("pca_project", "transform", "dataframe", "dataframe",
+           [Field("model", "json"), Field("vec_col", default="embedding"),
+            Field("out_col", default="pca")],
+           doc="Project embeddings onto trained PCA components (the "
+               "dict pca_train returns, as JSON) — decorrelation / "
+               "dimension reduction ahead of PQ/quantization. Pure "
+               "codegen: centering folds into per-component scalar "
+               "literals, each coordinate is one sequential dot "
+               "(operators/similarity.py pca_project).")
+def pca_project_(spark, cfg, inputs):
+    from mycelial_spark.operators.similarity import pca_project
+    return pca_project(inputs[0], cfg["model"], cfg["vec_col"],
+                       cfg["out_col"])
+
+
 @_register("epoch_shuffle", "transform", "dataframe", "dataframe",
            [Field("epoch", "int", 0), Field("id_col", default="doc_id"),
             Field("num_partitions", "int", 0)],

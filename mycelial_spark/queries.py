@@ -1233,6 +1233,170 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality_logit", "is_quality")
 
 
+# PCA model for the sf0.01 embeddings, trained by the deterministic
+# driver-side SVD pass (operators/similarity.py pca_train: id-ordered
+# sample, largest-coefficient sign convention — no RNG). Frozen so the
+# oracle replays the projection verbatim; pinned by
+# tests/test_oracle_pins.py against fresh training.
+_PCA_SF001: dict = {
+    "mean": [
+     0.0021647098540561274, -0.004547794351470656, 0.003930154383007902,
+     -0.004793201057444094, 0.009943076466443017, 0.007772532952541951,
+     -0.01823135569485021, 0.009217355088097975, -0.0024274034147092607,
+     -0.0006178791260463186, 0.006436078068451025, 0.0033540127822197976,
+     -0.0026588912964216433, 0.0020540317017294003, -0.00021456623025005683,
+     0.005910249243548606, 0.0033342206680827074, 0.005826121678226628,
+     -0.00046127636556047945, 0.0012317155191558413, -0.0038391390424221752,
+     0.0023021840666187926, 0.004168265111627988, -0.008054586122045293,
+     -0.0018911654613621067, 0.012808142676018179, -0.0015970649567898362,
+     0.01062632681982359, -0.0011532765734009445, 0.0003903653704910539,
+     0.0056047214816790075, -0.005792685562460974, 0.008335300238788477,
+     -0.0066753798398422074, 0.005155627750558779, 0.001177179405814968,
+     -0.0053353315424174074, -0.0015937965741213702, -0.0009667016767925815,
+     -0.001140981935830496, -0.0017442115085141267, -0.01183411476330366,
+     0.00031351819908741164, -0.0005631569666620635, -0.011520562025547406,
+     0.003832613509031944, -0.000598060307384003, 0.005890298187849112,
+     -0.003749661162350094, -0.010264404615503736, 0.009377152467495762,
+     -0.001481992187706055, 0.007770042697302415, -0.003917563282562696,
+     0.00470978261413984, -0.003577291431953199, 0.004773866848874604,
+     -0.0024703639050130733, -0.004844514904165408, -0.00872118095526821,
+     -0.0002811656921039685, 0.005004184705336229, -0.0011590625974931754,
+     -0.013266222528531216,],
+    "components": [
+    [
+     -0.20963933002020516, -0.12057271532723773, 0.03654785815761258,
+     0.011819566733675124, 0.07567008238651801, 0.013214628819757435,
+     0.09058411852537895, 0.2866187923515291, 0.04954696219839336,
+     0.4140565264810964, 0.06530498182357454, 0.18207885387703315,
+     0.06513224150018691, -0.03653205474591026, 0.17114897510631655,
+     -0.1853497773155272, 0.0889898744865328, -0.1570265545892601,
+     -0.030136686337286937, 0.03217896951211878, 0.06121320408639316,
+     -0.11068832311424441, -0.083475127858674, -0.05543746864805397,
+     0.01955001202034873, 0.1991254285351712, -0.037517252450217614,
+     0.14950769892188812, -0.17287963096364767, -0.00612311408546066,
+     -0.05871572670347212, 0.06203771797942835, 0.29653854353776965,
+     0.10616457882139514, -0.032041938893809505, 0.10414385148185261,
+     0.04453875953671423, 0.0614640530939455, 0.013006698200671964,
+     0.021771205655912024, -0.11667898779822464, 0.005524586419050022,
+     -0.2408369202837104, 0.09570759064865651, -0.028307708356160217,
+     -0.2251274447351677, 0.008731835914197177, -0.07903750804624571,
+     -0.08368084414987614, -0.11845091153313812, 0.12045949820882061,
+     0.07248325157918409, -0.017186482157170894, 0.0816043740706499,
+     -0.015031355628751625, -0.0667647746956196, -0.055650636278601506,
+     -0.05137605781698876, 0.060196017675712074, -0.09113914348048716,
+     0.12198699564215766, 0.05064983387892057, -0.21821146492315546,
+     -0.10201388636254637,],
+    [
+     -0.003837127211592326, -0.054430245767026736, -0.01256793348076091,
+     -0.08813365797648573, 0.17485769775042648, 0.025214365797046882,
+     0.0749465633856231, -0.06998070108596544, 0.07744817020896061,
+     0.030696056195262278, 0.10575814459050013, -0.01788287301290626,
+     0.012975656331248107, 0.13369681742755293, 0.014559198307486046,
+     0.041391919339340055, 0.14841100078750877, 0.36030985112615677,
+     -0.05418865141456869, -0.05076477591726358, 0.03254316973478788,
+     0.035391126850646104, 0.06533467378092211, -0.30912280550529725,
+     -0.25768213825837744, -0.23906586362939558, -0.020637632793311513,
+     -0.00022331337887664116, -0.0862857037176717, -0.17453292227143702,
+     -0.024067927226899384, -0.21754493603557093, 0.02946393514402176,
+     0.061538678908495965, 0.033753328418450364, 0.07921967482014432,
+     0.05946710015971193, 0.03649840257323463, 0.18210698156722788,
+     0.04667388480869445, 8.626507701766668e-06, 0.046986755640958305,
+     -0.06276704622859008, -0.17918979594373313, 0.1726864902093721,
+     -0.18883522294696764, -0.04694587131589507, 0.14577948211480218,
+     0.11292397757725826, -0.11328063222737902, -0.15743104350111578,
+     -0.08197501074018444, 0.012979946743258995, -0.016092353749802547,
+     0.23803515091895128, 0.023384317388540795, -0.3028202755225076,
+     0.016382840108207994, 0.13543364301205824, -0.12158606610327119,
+     -0.08367049603064418, 0.0848388290889955, -0.00044318486473761187,
+     -0.07861586992416246,],
+    [
+     -0.14804403755600928, -0.085124406448043, -0.06394747372242271,
+     -0.00045759701416941967, -0.20437466508880134, -0.04374173501666995,
+     0.11775529925597111, -0.2844978534972188, 0.04440239633087473,
+     0.023717337995774246, -0.051179527614313935, 0.03570203353525578,
+     -0.060179564309050235, -0.03455060720145152, 0.009449519103825688,
+     -0.23454575614196915, 0.17137352710243925, -0.08492758806239499,
+     0.11604706769064496, 0.07732840317313153, 0.0131316267314803,
+     0.17530755090022254, -0.10064801517013737, 0.053374704234945274,
+     0.09255730930451021, 0.100083950021754, 0.09063736311928075,
+     -0.13414209861498572, 0.010277697050371036, -0.10540482797763914,
+     -0.12285966843393277, 0.09091210819168474, 0.048252166284893656,
+     -0.18066130225251836, -0.029769890425384495, -0.10216258213208629,
+     0.1390784992424739, -0.21255244175464336, -0.063456523091315,
+     -0.10392899603893758, 0.18947963434481097, 0.1901101011119283,
+     -0.12585555807025864, -0.2089327787438272, 0.16586568222613335,
+     0.05283627633707563, 0.0427975747476495, 0.018020015397846312,
+     -0.06832009323144757, -0.05127551297793519, -0.12949844497535082,
+     -0.10645450056137443, 0.2278003158994222, -0.15329476793534894,
+     -0.17915209415740757, -0.0019200152180241623, -0.005381095587601414,
+     0.10972460099815219, 0.1827952415741969, -0.05268508458797978,
+     -0.06955779386901846, 0.2884306058238577, -0.09008107781606067,
+     -0.07553050141369422,],
+    [
+     0.06808659692680172, 0.06269221088043839, 0.008780757117714907,
+     0.17252698585080994, -0.2579610506305187, 0.10712924747585047,
+     -0.02320920976768906, 0.17754309288336792, -0.1152201904533424,
+     0.13620195798667017, 0.007640884150522498, 0.2019504757451032,
+     -0.06077544466797241, -0.14021935394059726, -0.09311367890541788,
+     0.04930806575220964, 0.09682486295851073, 0.07142426949944256,
+     -0.009319477553329784, -0.20316848780447566, -0.22547295140274093,
+     0.15765898138963466, -0.011856441212724486, 0.07323162375884046,
+     0.027470748399646354, -0.11908308267720806, 0.11645429213298801,
+     -0.0038352518581303424, 0.12892448335584736, -0.10452312732323248,
+     0.15211656493727221, 0.2005753961876452, -0.0814131812802887,
+     -0.017677469085164463, -0.11650295044832829, 0.3161901219698442,
+     -0.11671862239947867, -0.14843441728736612, -0.010252064348211456,
+     -0.04828886542029736, -0.014507537293040357, -0.0001791967451557301,
+     -0.0856532247691804, -0.017434761707989053, -0.07573379923511735,
+     -0.04152082543951998, -0.01362043137291638, 0.36940447483482497,
+     -0.10851089306173067, -0.15344609942067966, 0.06647233910921371,
+     -0.01977800935907332, 0.009329623098557076, 0.005401021761515033,
+     -0.02191754053855589, 0.10147291470472793, -0.17091025495876247,
+     0.09292951416465965, -0.17072042743327553, -0.07391767730726485,
+     -0.19206043423473948, -0.09621918574006243, -0.08404634246068694,
+     0.02629688584870897,],
+    ],
+    "explained_var": [0.027568035351504226, 0.02722118712725544, 0.026671100111172727, 0.025640494491747365],
+    "whiten": False,
+}
+
+
+def _pca_oracle_cols() -> str:
+    cols = []
+    for j, comp in enumerate(_PCA_SF001["components"]):
+        off = 0.0
+        for mu, c in zip(_PCA_SF001["mean"], comp):
+            off += mu * c
+        lits = ", ".join(repr(x) for x in comp)
+        cols.append(f"round(list_dot_product(ev, [{lits}]) - {off!r}, 6)"
+                    f" AS p{j}")
+    return ",\n       ".join(cols)
+
+
+@query("embedding_pca", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings)
+SELECT vec_id,
+       {_pca_oracle_cols()}
+FROM v
+""")
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding column — the decorrelation /
+    dimension lever ahead of PQ and scalar quantization (whitening mode
+    equalizes subspace variances, OPQ-lite). Training is the
+    deterministic driver-side SVD on an id-ordered sample; projection
+    is a narrow codegen map: PCA's linearity folds the centering into
+    per-component scalar literals ((x-m)·c = x·c - m·c), so each
+    coordinate is one sequential dot the oracle replays with
+    list_dot_product. Frozen components hash-match end-to-end."""
+    from mycelial_spark.operators.similarity import pca_project
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pca_project(emb, _PCA_SF001)
+    sel = [F.col("vec_id")] + [
+        F.element_at("pca", j + 1).alias(f"p{j}")
+        for j in range(len(_PCA_SF001["components"]))]
+    return out.select(*sel)
+
+
 @query("epoch_shuffle_keys", """
 SELECT doc_id,
        ((doc_id % 2147483648) * 2654435761) % 4294967296 AS key_e0,

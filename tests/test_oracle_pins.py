@@ -226,3 +226,12 @@ def test_quality_classifier_frozen_model_matches_training(spark):
     assert train_quality_classifier(lab, "label") == _QUALITY_CLF_SF001
     assert _QUALITY_CLF_SF001["w"][2] == 0.0
     assert _QUALITY_CLF_SF001["w"][3] == 0.0
+
+
+def test_pca_frozen_model_matches_training(spark):
+    """embedding_pca's oracle literals == a fresh deterministic SVD
+    train at sf0.01 (sign convention fixed, no RNG)."""
+    from mycelial_spark.operators.similarity import pca_train
+    from mycelial_spark.queries import _PCA_SF001
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    assert pca_train(emb, k=4) == _PCA_SF001

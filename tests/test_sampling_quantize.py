@@ -270,3 +270,41 @@ def test_epoch_shuffle_physical_order_and_permutation(spark, sf_dir,
     joined = (e0.withColumnRenamed("shuffle_key", "k0")
               .join(e1.withColumnRenamed("shuffle_key", "k1"), "doc_id"))
     assert joined.filter(F.col("k0") != F.col("k1")).count() > n * 0.9
+
+
+def test_pca_project_properties(spark, sf_dir):
+    """PCA: projected coordinates are (approximately) centered, epochs
+    of variance ordered; whitening scales variances to ~1; projection
+    is a single narrow stage; deterministic across partitionings."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import pca_project, pca_train
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m = pca_train(emb, k=4)
+    m2 = pca_train(emb.repartition(7), k=4)
+    assert m == m2
+    out = pca_project(emb, m)
+    P = np.array([r["pca"] for r in out.select("pca").collect()])
+    means = P.mean(axis=0)
+    assert np.all(np.abs(means) < 0.01)
+    var = P.var(axis=0, ddof=1)
+    assert all(var[i] >= var[i + 1] - 1e-6 for i in range(3))
+    mw = pca_train(emb, k=4, whiten=True)
+    Pw = np.array([r["pca"] for r in
+                   pca_project(emb, mw).select("pca").collect()])
+    assert np.all(np.abs(Pw.var(axis=0, ddof=1) - 1.0) < 0.15)
+
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from explain_audit import audit
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    a = audit(plan)
+    assert a["exchanges"] == 0 and a["bhj"] + a["smj"] + a["bnlj"] == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out of range"):
+        pca_train(emb, k=100)
