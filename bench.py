@@ -61,6 +61,7 @@ HEADLINE = [
     "similarity_topk",
     "knn_join",
     "ann_batch_topk",
+    "hard_negatives",
     "multimodal_features",
     "asof_join",
     "interval_join_bucketed",

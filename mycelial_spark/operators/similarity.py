@@ -841,6 +841,42 @@ def knn_join_ivf(probes: DataFrame, corpus: DataFrame,
     return _batch_rerank(assigned, pairs, k, vec_col, id_col, exclude_self)
 
 
+def hard_negative_mine(probes: DataFrame, corpus: DataFrame,
+                       centroids: list[list[float]], k: int = 5,
+                       nprobe: int = 3, label_col: str = "label",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Hard-negative mining — the batched-ANN consumer a contrastive
+    training pipeline actually runs: for every probe, the k most
+    SIMILAR corpus rows with a DIFFERENT label (near the anchor in
+    embedding space, wrong by supervision — the negatives that carry
+    gradient). One IVF-pruned job for the whole probe set: the label
+    filter rides inside the broadcast join, so the per-probe window
+    ranks only cross-label candidates. Emits (probe_id, probe_label,
+    corpus_id, corpus_label, cos_sim, rn)."""
+    from pyspark.sql.window import Window
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    pp = probes.select(F.col(id_col).alias("probe_id"),
+                       F.col(label_col).alias("probe_label"),
+                       F.col(vec_col).cast("array<double>").alias("pvec"))
+    pairs = _probe_cell_pairs(pp, centroids, nprobe)
+    c = assigned.select(F.col(id_col).alias("corpus_id"),
+                        F.col(label_col).alias("corpus_label"),
+                        F.col(vec_col).cast("array<double>")
+                         .alias("cvec"), "ivf_cell")
+    scored = (c.join(F.broadcast(pairs), "ivf_cell")
+              .filter(F.col("probe_label") != F.col("corpus_label"))
+              .withColumn("cos_sim",
+                          F.round(cosine(F.col("pvec"),
+                                         F.col("cvec")), 6)))
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(),
+                                               F.col("corpus_id").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("probe_id", "probe_label", "corpus_id",
+                    "corpus_label", "cos_sim", "rn"))
+
+
 def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
                      nprobe: int = 4, probe_id_col: str = "vec_id",
                      probe_vec_col: str = "embedding",

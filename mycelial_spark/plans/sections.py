@@ -1414,6 +1414,24 @@ def ann_search_(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
                       cfg["nprobe"], cfg["use_pq"], cfg["probe_hamming"])
 
 
+@_register("hard_negative_mine", "transform", "dataframe", "dataframe",
+           [Field("centroids", "json"), Field("k", "int", 5),
+            Field("nprobe", "int", 3), Field("label_col", default="label"),
+            Field("vec_col", default="embedding"),
+            Field("id_col", default="vec_id")],
+           n_inputs=(2, 2),
+           doc="Hard-negative mining (2 inputs: probes, corpus): per "
+               "probe, the k most similar corpus rows with a DIFFERENT "
+               "label — one IVF-pruned batch job, label filter inside "
+               "the broadcast join (operators/similarity.py). Centroids "
+               "from ivf_train_centroids/pq_train_codebooks as JSON.")
+def hard_negative_mine_(spark, cfg, inputs):
+    from mycelial_spark.operators.similarity import hard_negative_mine
+    return hard_negative_mine(inputs[0], inputs[1], cfg["centroids"],
+                              cfg["k"], cfg["nprobe"], cfg["label_col"],
+                              cfg["vec_col"], cfg["id_col"])
+
+
 @_register("ann_search_batch", "transform", "dataframe", "dataframe",
            [Field("path"), Field("k", "int", 10), Field("nprobe", "int", 4),
             Field("probe_id_col", default="vec_id"),

@@ -2948,6 +2948,54 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids, k=10, nprobe=3)
 
 
+@query("hard_negatives", f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] ev FROM embeddings),
+cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+assigned AS (
+  SELECT vec_id, label, ev,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cell
+  FROM v),
+p AS (SELECT vec_id AS pid, label AS plab, ev AS pv
+      FROM v WHERE vec_id < 20),
+pc AS (
+  SELECT pid, c AS cell FROM (
+    SELECT p.pid, cents.c,
+           row_number() OVER (PARTITION BY p.pid
+               ORDER BY list_distance(p.pv, cents.cv) ASC, cents.c ASC)
+             AS cr
+    FROM p, cents) t
+  WHERE cr <= 3),
+s AS (
+  SELECT p.pid AS probe_id, p.plab AS probe_label,
+         a.vec_id AS corpus_id, a.label AS corpus_label,
+         round(list_dot_product(p.pv, a.ev)
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(a.ev, a.ev))), 6) AS cos_sim
+  FROM p JOIN pc ON p.pid = pc.pid
+         JOIN assigned a ON a.cell = pc.cell
+  WHERE a.label != p.plab),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY cos_sim DESC, corpus_id ASC) AS INT) AS rn FROM s)
+SELECT probe_id, probe_label, corpus_id, corpus_label, cos_sim, rn
+FROM r WHERE rn <= 5
+""")
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per probe, the 5
+    most similar corpus vectors with a DIFFERENT label — near in
+    embedding space, wrong by supervision. One IVF-pruned batch job
+    (operators/similarity.py hard_negative_mine); the label filter
+    rides inside the broadcast join so only cross-label candidates
+    reach the per-probe window. Oracle: the frozen-centroid faithful
+    replication with the label-mismatch predicate added."""
+    from mycelial_spark.operators.similarity import (hard_negative_mine,
+                                                     pq_train_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = pq_train_codebooks(emb, m=1, k=8)[0]
+    return hard_negative_mine(emb.filter(F.col("vec_id") < 20), emb,
+                              centroids, k=5, nprobe=3)
+
+
 @query("ann_batch_topk", f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
 cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),

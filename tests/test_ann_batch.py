@@ -181,3 +181,37 @@ def test_batch_search_pq_matches_per_query_adc(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="exclude_self"):
         S.ann_search_batch(spark, idx, probes, use_pq=True,
                            exclude_self=True)
+
+
+def test_hard_negative_mine_semantics(spark, sf_dir):
+    """Every mined negative has a different label than its probe, rn is
+    contiguous per probe, and negatives are the TOP cross-label
+    similarities within the probed cells (spot-checked against a
+    brute-force cross-label ranking)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.pq_train_codebooks(emb, m=1, k=4)[0]
+    probes = emb.filter(F.col("vec_id") < 6)
+    out = S.hard_negative_mine(probes, emb, cents, k=5, nprobe=4)
+    rows = out.collect()
+    assert rows
+    by_probe = {}
+    for r in rows:
+        assert r["probe_label"] != r["corpus_label"]
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    for pid, rs in by_probe.items():
+        assert sorted(x["rn"] for x in rs) == list(range(1, len(rs) + 1))
+    # nprobe = all cells -> equals exact brute-force cross-label top-k
+    pr = probes.orderBy("vec_id").first()
+    brute = (S.knn_join_bruteforce(probes.filter(F.col("vec_id")
+                                                 == pr["vec_id"]),
+                                   emb, k=500)
+             .join(emb.select(F.col("vec_id").alias("corpus_id"),
+                              "label"), "corpus_id")
+             .filter(F.col("label") != pr["label"])
+             .orderBy(F.col("cos_sim").desc(), F.col("corpus_id").asc())
+             .limit(5).collect())
+    want = [(r["corpus_id"], r["cos_sim"]) for r in brute]
+    got = [(r["corpus_id"], r["cos_sim"])
+           for r in sorted(by_probe[pr["vec_id"]],
+                           key=lambda r: r["rn"])]
+    assert got == want
