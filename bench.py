@@ -91,6 +91,8 @@ HEADLINE = [
     "span_decontaminate",
     "pack_sequences",
     "pack_sequences_bpe",
+    "epoch_shuffle_keys",
+    "zorder_keys",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

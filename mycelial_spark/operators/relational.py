@@ -317,3 +317,61 @@ def histogram_quantiles(hist_df: DataFrame, probs: Sequence[float],
                     + state["idx"] * F.col("hist_width"), 6))
         cols.append(name)
     return out.select(*cols)
+
+
+def with_zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16,
+                    out_col: str = "zorder_key",
+                    ranges: dict[str, tuple[float, float]] | None = None
+                    ) -> DataFrame:
+    """Z-order (Morton) key over 2+ numeric columns — the multi-dim
+    data-skipping layout: rows sorted by the interleaved key cluster
+    ALL the keyed dimensions at once, so parquet min/max stats prune
+    files for predicates on ANY of them (a linear sort clusters only
+    its leading column; a box query on the second one scans
+    everything).
+
+    Each column quantizes to ``bits`` bits by the same floor-exact
+    arithmetic as quantize_embeddings (floor((x-mn)/(mx-mn)*(2^b-1)
+    + 0.5) — engine-reproducible, so an oracle can replay the key);
+    bit b of every column interleaves into the key, column order =
+    significance order within each bit level. ``ranges`` pins
+    (min, max) per column; omitted columns get one tiny min/max
+    aggregate over the input. Nulls quantize to the minimum. The
+    expression is bits x ncols shifts/ors — linear codegen.
+
+    Pair with repartitionByRange(out_col) + sortWithinPartitions
+    (parquet_dest's zorder_by lever does both and drops the key)."""
+    if len(cols) < 2:
+        raise ValueError("z-order needs >= 2 columns (one column is a "
+                         "plain sort)")
+    if not 1 <= bits * len(cols) <= 63:
+        raise ValueError(f"bits*ncols must fit a long, got "
+                         f"{bits}*{len(cols)}")
+    ranges = dict(ranges or {})
+    missing = [c for c in cols if c not in ranges]
+    if missing:
+        aggs = []
+        for c in missing:
+            aggs += [F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+                     F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
+        row = df.agg(*aggs).first()
+        for c in missing:
+            ranges[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+    levels = (1 << bits) - 1
+    codes = []
+    for c in cols:
+        mn, mx = (float(ranges[c][0]), float(ranges[c][1]))
+        span = mx - mn
+        v = F.coalesce(F.col(c).cast("double"), F.lit(mn))
+        if span <= 0:
+            codes.append(F.lit(0).cast("long"))
+        else:
+            clamped = F.least(F.greatest(v, F.lit(mn)), F.lit(mx))
+            codes.append(F.floor((clamped - mn) / span * levels + 0.5)
+                         .cast("long"))
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for code in codes:
+            key = F.shiftleft(key, 1).bitwiseOR(
+                F.shiftright(code, b).bitwiseAND(F.lit(1)))
+    return df.withColumn(out_col, key)

@@ -1562,6 +1562,8 @@ def video_frames_(spark, cfg, inputs):
             Field("target_files", "int", 0),
             Field("range_partition_by", "list", default=[]),
             Field("sort_within_by", "list", default=[]),
+            Field("zorder_by", "list", default=[]),
+            Field("zorder_bits", "int", 16),
             Field("compression", default="")],
            doc="Parquet sink; truncate=True mirrors the destructive-load "
                "option (D1 truncate, postgres destination.rs:104-108). "
@@ -1576,10 +1578,25 @@ def video_frames_(spark, cfg, inputs):
                "rows inside each file — together they make the parquet "
                "row-group min/max stats selective, so later filtered "
                "scans prune whole files instead of reading everything "
-               "(the sorted-layout analog of clustering keys).")
+               "(the sorted-layout analog of clustering keys). "
+               "zorder_by=[c1,c2,...] clusters MULTIPLE dimensions at "
+               "once via a Morton key (operators/relational.py "
+               "with_zorder_key): files get selective min/max on every "
+               "keyed column, so box predicates on any of them prune — "
+               "a linear sort only serves its leading column.")
 def parquet_dest(spark, cfg, df):
     mode = "overwrite" if cfg["truncate"] else cfg["mode"]
-    if cfg["range_partition_by"]:
+    if cfg["zorder_by"]:
+        if cfg["range_partition_by"]:
+            raise ValueError("zorder_by and range_partition_by are "
+                             "mutually exclusive layout levers")
+        from mycelial_spark.operators.relational import with_zorder_key
+        df = with_zorder_key(df, cfg["zorder_by"], cfg["zorder_bits"])
+        n = cfg["target_files"] or df.sparkSession.sparkContext \
+                                     .defaultParallelism
+        df = (df.repartitionByRange(n, "zorder_key")
+              .sortWithinPartitions("zorder_key").drop("zorder_key"))
+    elif cfg["range_partition_by"]:
         n = cfg["target_files"] or df.sparkSession.sparkContext \
                                      .defaultParallelism
         df = df.repartitionByRange(n, *cfg["range_partition_by"])

@@ -1397,6 +1397,52 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(*sel)
 
 
+
+@query("zorder_keys", """
+WITH s AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS mnu,
+         max(CAST(user_id AS DOUBLE)) AS mxu,
+         min(value) AS mnv, max(value) AS mxv
+  FROM events
+), c AS (
+  SELECT event_id,
+         CAST(floor((least(greatest(CAST(user_id AS DOUBLE), mnu), mxu)
+                     - mnu) / (mxu - mnu) * 255 + 0.5) AS BIGINT) AS cu,
+         CAST(floor((least(greatest(coalesce(value, mnv), mnv), mxv)
+                     - mnv) / (mxv - mnv) * 255 + 0.5) AS BIGINT) AS cv
+  FROM events, s
+)
+SELECT event_id,
+       (((cu >> 0) & 1) << 1)
+         + (((cv >> 0) & 1) << 0)
+         + (((cu >> 1) & 1) << 3)
+         + (((cv >> 1) & 1) << 2)
+         + (((cu >> 2) & 1) << 5)
+         + (((cv >> 2) & 1) << 4)
+         + (((cu >> 3) & 1) << 7)
+         + (((cv >> 3) & 1) << 6)
+         + (((cu >> 4) & 1) << 9)
+         + (((cv >> 4) & 1) << 8)
+         + (((cu >> 5) & 1) << 11)
+         + (((cv >> 5) & 1) << 10)
+         + (((cu >> 6) & 1) << 13)
+         + (((cv >> 6) & 1) << 12)
+         + (((cu >> 7) & 1) << 15)
+         + (((cv >> 7) & 1) << 14) AS zorder_key
+FROM c
+""")
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/z-order clustering keys over (user_id, value) — the
+    multi-dim data-skipping layout lever (parquet_dest zorder_by;
+    file-level skipping on BOTH dimensions is physically asserted in
+    test_partition_pruning). The key arithmetic is floor-exact
+    quantization + bit interleaving, so the oracle replays it
+    bit-identically from the same data-derived ranges."""
+    from mycelial_spark.operators.relational import with_zorder_key
+    ev = _t(spark, sf_dir, "events")
+    return with_zorder_key(ev, ["user_id", "value"], bits=8) \
+        .select("event_id", "zorder_key")
+
 @query("epoch_shuffle_keys", """
 SELECT doc_id,
        ((doc_id % 2147483648) * 2654435761) % 4294967296 AS key_e0,

@@ -38,3 +38,63 @@ def test_dynamic_partition_pruning_via_dim_filter(spark, sf_dir, tmp_path):
     plan = _plan(j)
     assert "dynamicpruning" in plan.lower() or "PartitionFilters" in plan
     assert j.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
+    """Z-order vs linear sort: a box predicate on (x, y) must skip files
+    in BOTH layouts' leading dimension, but only the z-ordered layout
+    skips on the second dimension too — the reason multi-dim clustering
+    exists. Skipping is measured physically: which files the filtered
+    scan actually reads (input_file_name)."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.plans.sections import REGISTRY
+    n = 40_000
+    grid = spark.range(n).select(
+        (F.col("id") % 200).cast("double").alias("x"),
+        (F.col("id") / 200).cast("long").cast("double").alias("y"),
+        F.col("id").alias("payload"))
+    sdef = REGISTRY.get("parquet_dest")
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "linear")
+    sdef.builder(spark, sdef.validate_config(
+        {"type": "parquet_dest", "path": zpath, "mode": "overwrite",
+         "zorder_by": ["x", "y"], "target_files": 16}), grid)
+    sdef.builder(spark, sdef.validate_config(
+        {"type": "parquet_dest", "path": lpath, "mode": "overwrite",
+         "range_partition_by": ["x"], "sort_within_by": ["x"],
+         "target_files": 16}), grid)
+
+    def files_read(path, pred):
+        return (spark.read.parquet(path).filter(pred)
+                .select(F.input_file_name()).distinct().count())
+
+    total_z = files_read(zpath, F.lit(True))
+    total_l = files_read(lpath, F.lit(True))
+    assert total_z >= 8 and total_l >= 8
+    box = (F.col("x").between(10, 30)) & (F.col("y").between(10, 30))
+    # same rows either way
+    assert (spark.read.parquet(zpath).filter(box).count()
+            == spark.read.parquet(lpath).filter(box).count() > 0)
+    z_box = files_read(zpath, box)
+    assert z_box < total_z / 2          # both dims prune under z-order
+    # y-only predicate: the x-sorted layout cannot skip anything
+    y_only = F.col("y").between(10, 30)
+    assert files_read(lpath, y_only) == total_l
+    assert files_read(zpath, y_only) < total_z
+
+
+def test_zorder_key_validation(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.relational import with_zorder_key
+    df = spark.range(10).select(F.col("id").alias("a"),
+                                F.col("id").alias("b"))
+    with _pytest.raises(ValueError, match=">= 2"):
+        with_zorder_key(df, ["a"])
+    with _pytest.raises(ValueError, match="fit a long"):
+        with_zorder_key(df, ["a", "b"], bits=40)
+    # constant column degrades gracefully (code 0), key still total
+    const = df.withColumn("b", F.lit(7.0))
+    out = with_zorder_key(const, ["a", "b"], bits=8)
+    assert out.select("zorder_key").distinct().count() == 10
