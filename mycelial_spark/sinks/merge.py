@@ -172,3 +172,27 @@ def gc_tombstones(spark: SparkSession, path: str, seq_col: str,
             fs.delete(P(f"{table}/_kb={b}"), True)
     return {"tombstones_dropped": int(dropped),
             "buckets_touched": len(buckets)}
+
+
+def compact_cdc_table(spark: SparkSession, path: str) -> dict:
+    """Fold the per-merge files: every merge writes one file per touched
+    bucket, so a long-lived table accrues per-bucket file counts. One
+    repartition("_kb") rewrite collapses each bucket to a single file;
+    rows (live AND tombstones) are unchanged — same maintenance-window
+    contract as ann_compact."""
+    from mycelial_spark.fsutil import dynamic_partition_overwrite
+    table = f"{path.rstrip('/')}/table"
+    df = spark.read.parquet(table)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    df = df.repartition("_kb").localCheckpoint()
+    rows = df.count()
+    with dynamic_partition_overwrite(spark):
+        (df.write.mode("overwrite").partitionBy("_kb").parquet(table))
+    got = spark.read.parquet(table).count()
+    if got != rows:
+        raise RuntimeError(f"cdc compaction row count changed "
+                           f"({rows} -> {got})")
+    files_after = (spark.read.parquet(table)
+                   .select(F.input_file_name()).distinct().count())
+    return {"rows": int(rows), "files_before": int(files_before),
+            "files_after": int(files_after)}

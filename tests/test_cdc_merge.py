@@ -174,3 +174,28 @@ def test_cdc_dest_streaming_e2e(spark, tmp_path):
                       [(3, 1, "U", "a2"), (4, 2, "D", None),
                        (5, 3, "I", "c")])
     _run(spark, spec, ckpt, lambda: live() == [(1, "a2"), (3, "c")])
+
+
+def test_compact_cdc_table_folds_files(spark, tmp_path):
+    """A cluster-parallel merge writes one file per (task, bucket); the
+    compaction folds each bucket back to one file with identical
+    contents. Local merges coalesce to ~1 file/bucket already, so the
+    fragmented state is produced explicitly (one append per 'task')."""
+    from mycelial_spark.sinks.merge import compact_cdc_table
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(k, k, "U", "v0") for k in range(20)]),
+                      p, ["k"], "seq", n_buckets=4)
+    # fragment: three more single-file appends into the same buckets
+    for i in range(3):
+        frag = _chg(spark, [(100 + 20 * i + k, 1000 + k, "U", f"f{i}")
+                            for k in range(8)])
+        (frag.withColumnRenamed("op", "_op")
+         .withColumn("_kb", F.pmod(F.xxhash64("k"), F.lit(4)).cast("int"))
+         .coalesce(1).write.mode("append").partitionBy("_kb")
+         .parquet(f"{p}/table"))
+    before = sorted(tuple(r) for r in read_cdc_table(spark, p).collect())
+    out = compact_cdc_table(spark, p)
+    assert out["files_after"] <= 4 < out["files_before"]
+    assert out["rows"] == 44
+    assert sorted(tuple(r) for r in
+                  read_cdc_table(spark, p).collect()) == before
