@@ -91,6 +91,7 @@ HEADLINE = [
     "span_decontaminate",
     "pack_sequences",
     "pack_sequences_bpe",
+    "chunk_documents_bpe",
     "epoch_shuffle_keys",
     "zorder_keys",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded

@@ -1526,6 +1526,81 @@ def span_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                               k=8)
 
 
+
+@query("chunk_documents_bpe", """
+WITH docs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             t -> t != '') toks
+  FROM documents
+), pcs AS (
+  SELECT doc_id,
+         flatten(list_transform(toks,
+           w -> CASE w
+             WHEN 'a' THEN ['a</w>']
+             WHEN 'agg' THEN ['a', 'g', 'g</w>']
+             WHEN 'batch' THEN ['batch</w>']
+             WHEN 'big' THEN ['b', 'i', 'g</w>']
+             WHEN 'column' THEN ['column</w>']
+             WHEN 'customer' THEN ['customer</w>']
+             WHEN 'data' THEN ['d', 'at', 'a</w>']
+             WHEN 'dup' THEN ['d', 'u', 'p</w>']
+             WHEN 'fast' THEN ['f', 'as', 't</w>']
+             WHEN 'filter' THEN ['filter</w>']
+             WHEN 'group' THEN ['g', 'r', 'o', 'u', 'p</w>']
+             WHEN 'hash' THEN ['hash</w>']
+             WHEN 'join' THEN ['join</w>']
+             WHEN 'key' THEN ['k', 'e', 'y</w>']
+             WHEN 'line' THEN ['l', 'in', 'e</w>']
+             WHEN 'merge' THEN ['m', 'er', 'g', 'e</w>']
+             WHEN 'order' THEN ['or', 'd', 'er</w>']
+             WHEN 'part' THEN ['par', 't</w>']
+             WHEN 'query' THEN ['q', 'u', 'er', 'y</w>']
+             WHEN 'row' THEN ['row</w>']
+             WHEN 'scan' THEN ['scan</w>']
+             WHEN 'slow' THEN ['s', 'l', 'ow</w>']
+             WHEN 'small' THEN ['small</w>']
+             WHEN 'sort' THEN ['s', 'or', 't</w>']
+             WHEN 'spark' THEN ['s', 'par', 'k</w>']
+             WHEN 'stream' THEN ['s', 't', 'r', 'e', 'a', 'm</w>']
+             WHEN 'table' THEN ['t', 'a', 'b', 'l', 'e</w>']
+             WHEN 'the' THEN ['t', 'h', 'e</w>']
+             WHEN 'value' THEN ['v', 'a', 'lu', 'e</w>']
+             WHEN 'vector' THEN ['v', 'e', 'c', 'to', 'r</w>']
+             WHEN 'window' THEN ['w', 'in', 'd', 'ow</w>']
+             ELSE [w || '</w>'] END)) AS pieces
+  FROM docs
+), sized AS (
+  SELECT doc_id, pieces, len(pieces) AS n,
+         range(0, greatest(len(pieces) - 16, 0) + 1, 12) AS s0
+  FROM pcs WHERE len(pieces) > 0
+), st AS (
+  SELECT doc_id, pieces,
+         CASE WHEN s0[len(s0)] + 16 < n THEN list_append(s0, n - 16)
+              ELSE s0 END AS starts
+  FROM sized
+), ch AS (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_id,
+         pieces[starts[u.i] + 1 : starts[u.i] + 16] AS win
+  FROM st, LATERAL unnest(range(1, len(starts) + 1)) AS u(i)
+)
+SELECT doc_id, chunk_id,
+       trim(replace(array_to_string(win, ''), '</w>', ' ')) AS chunk_text,
+       CAST(len(win) AS INT) AS n_chunk_tokens
+FROM ch
+""")
+def chunk_documents_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking with a REAL token budget: 16-BPE-piece windows, stride
+    12, tail clamped full-width, text reassembled exactly from the
+    pieces (operators/bpe.py chunk_text_bpe, Arrow-batched mapInPandas).
+    Oracle: the frozen merge table induces a word->pieces map over the
+    fixture vocabulary (CASE literals), so DuckDB rebuilds each doc's
+    piece stream and replays the same windows, clamp, and decode —
+    the chunk TEXT itself hash-matches, not just counts."""
+    from mycelial_spark.operators.bpe import BpeEncoder, chunk_text_bpe
+    enc = BpeEncoder(_BPE_MERGES_SF001)
+    return chunk_text_bpe(_t(spark, sf_dir, "documents"), enc,
+                          chunk_tokens=16, overlap=4)
+
 @query("gopher_quality", """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
