@@ -94,6 +94,17 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
     if bad:
         raise ValueError(f"{op_col} must be one of I/U/D; got "
                          f"{bad[0]['_op']!r}")
+    # NULL keys would be silently destructive: their bucket is NULL,
+    # the isin() prune can never select the null partition for the
+    # read-side, yet the write-side dynamic overwrite WOULD replace it —
+    # dropping every previously-merged null-key row. Refuse loudly.
+    null_key = None
+    for c in key_cols:
+        cond = F.col(c).isNull()
+        null_key = cond if null_key is None else null_key | cond
+    if flat.filter(null_key).limit(1).collect():
+        raise ValueError(f"key columns {key_cols} must be non-null "
+                         f"(a NULL key cannot be bucketed or merged)")
     n_del = flat.filter(F.col("_op") == OP_DELETE).count()
     n_up = flat.count() - n_del
     buckets = sorted(r["_kb"] for r in

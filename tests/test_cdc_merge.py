@@ -199,3 +199,12 @@ def test_compact_cdc_table_folds_files(spark, tmp_path):
     assert out["rows"] == 44
     assert sorted(tuple(r) for r in
                   read_cdc_table(spark, p).collect()) == before
+
+
+def test_merge_rejects_null_keys(spark, tmp_path):
+    """NULL keys refuse loudly: the null bucket can't be pruned on the
+    read side but WOULD be replaced on the write side — silent loss."""
+    p = str(tmp_path / "t")
+    rows = [(1, 1, "I", "a"), (None, 2, "I", "b")]
+    with pytest.raises(ValueError, match="non-null"):
+        merge_cdc_parquet(_chg(spark, rows), p, ["k"], "seq")
