@@ -6,8 +6,11 @@ budgets 2048 whitespace tokens can overflow a 2048-BPE-token context by
 30%+ on code or non-English text. This module supplies the real thing:
 
 - ``BpeEncoder`` — the standard greedy lowest-rank pair-merge loop
-  (Sennrich et al. 2016; the GPT-2/HuggingFace ``merges.txt`` text
-  format loads directly via ``from_files``). Pure-Python, picklable, so
+  (Sennrich et al. 2016). ``from_files`` reads the public
+  ``merges.txt``/``vocab.json`` text format; the SYMBOL convention is
+  word-level BPE with a ``</w>`` end-of-word suffix (what ``bpe_train``
+  emits) — byte-level GPT-2 alphabets (``Ġ``) are a different symbol
+  space and do not apply (see ``from_files``). Pure-Python, picklable, so
   it rides into Arrow-batched UDFs by closure; merge tables are MBs at
   most and ship to each executor once with the serialized function.
 - ``bpe_train`` — deterministic driver-side trainer (id-ordered sample,
@@ -60,14 +63,24 @@ class BpeEncoder:
     @classmethod
     def from_files(cls, merges_path: str,
                    vocab_path: str | None = None) -> "BpeEncoder":
-        """Load the public text format: one merge per line ("left
-        right"), ``#``-prefixed header lines skipped; vocab.json is
-        piece -> id."""
+        """Load the public merges.txt TEXT FORMAT: one merge per line
+        ("left right"), an optional ``#version`` header skipped —
+        ONLY the version header: a blanket ``#`` comment rule would
+        silently drop real merges whose left symbol is '#' (present in
+        code-corpus tokenizers). vocab.json is piece -> id.
+
+        Symbol-convention caveat: this encoder implements WORD-LEVEL
+        BPE with a ``</w>`` end-of-word suffix (the Sennrich convention
+        ``bpe_train`` emits and many HF word-level tokenizers use).
+        Byte-level alphabets (GPT-2's ``Ġ``-prefixed symbols) parse but
+        will not match this encoder's symbols — budgets from such a
+        file degrade toward character counts; use a merge table in the
+        ``</w>`` convention."""
         merges: list[tuple[str, str]] = []
         with open(merges_path, encoding="utf-8") as f:
-            for line in f:
+            for i, line in enumerate(f):
                 line = line.rstrip("\n")
-                if not line or line.startswith("#"):
+                if not line or (i == 0 and line.startswith("#version")):
                     continue
                 left, sep, right = line.partition(" ")
                 if not sep:

@@ -194,9 +194,11 @@ def incremental_dedup_fuzzy(new_docs: DataFrame, ledger_path: str,
     sigs = minhash_signatures(batch, text_col, id_col, num_hashes,
                               ngram).persist(StorageLevel.MEMORY_AND_DISK)
     # within-batch near-dups: exact-verified (shingles in hand), higher
-    # id drops — conservative greedy admission in id order
+    # id drops — conservative greedy admission in id order. auto mode:
+    # a backfill-sized batch must fall back to shuffle verify instead of
+    # broadcasting a candidate table past executor memory
     in_pairs = _verify_pairs(sigs, id_col, bands, rows, threshold,
-                             "broadcast")
+                             "auto")
     batch = batch.join(in_pairs.select(F.col("id_b").alias(id_col))
                        .distinct(), id_col, "left_anti")
 
@@ -207,7 +209,12 @@ def incremental_dedup_fuzzy(new_docs: DataFrame, ledger_path: str,
         led_b = (spark.read.parquet(buckets_p)
                  .select(F.col(id_col).alias("_led_id"), "band", "bucket"))
         new_b = _band_buckets(sigs, id_col, bands, rows)
+        # _led_id != id: a doc must never drop against ITS OWN crashed
+        # append — sigs/buckets land before fps (the commit point), so
+        # a replayed batch probes rows it wrote itself; exact same-id
+        # replays are the fingerprint sub-ledger's job
         hits = (new_b.join(led_b, ["band", "bucket"])
+                .filter(F.col("_led_id") != F.col(id_col))
                 .select(id_col, "_led_id").distinct())
         led_s = (spark.read.parquet(sigs_p)
                  .select(F.col(id_col).alias("_led_id"),
@@ -224,13 +231,33 @@ def incremental_dedup_fuzzy(new_docs: DataFrame, ledger_path: str,
 
     survivors = batch.select(*new_docs.columns, "fingerprint") \
                      .localCheckpoint()
+    # append ORDER is the crash-safety protocol: sigs -> buckets ->
+    # fps LAST. The fps append is the admission commit point — a crash
+    # before it means the replay re-admits the doc (its half-written
+    # sigs/buckets are harmless: self-probes are excluded above, and
+    # the sig append below anti-joins so re-admission never duplicates
+    # ledger rows). The old fps-first order left a permanent recall
+    # hole: admitted docs whose signatures never landed could not be
+    # probed by future near-duplicates.
+    admitted = (sigs.join(survivors.select(id_col), id_col, "left_semi")
+                .filter(F.size("shingle_hashes") > 0)
+                .select(id_col, "minhash").localCheckpoint())
+    new_sigs = admitted
+    if _exists(spark, sigs_p):
+        prior = spark.read.parquet(sigs_p).select(id_col)
+        new_sigs = new_sigs.join(prior, id_col, "left_anti")
+    new_sigs.write.mode("append").parquet(sigs_p)
+    # buckets derive from ALL admitted sigs and anti-join at (id, band)
+    # granularity — their own independent idempotence, so a crash
+    # between the two appends cannot strand a doc with a sig but no
+    # (or partial) bucket rows
+    bucket_rows = _band_buckets(admitted, id_col, bands, rows)
+    if _exists(spark, buckets_p):
+        prior_b = spark.read.parquet(buckets_p).select(id_col, "band")
+        bucket_rows = bucket_rows.join(prior_b, [id_col, "band"],
+                                       "left_anti")
+    bucket_rows.write.mode("append").parquet(buckets_p)
     survivors.select("fingerprint").write.mode("append").parquet(fps_p)
-    kept_sigs = (sigs.join(survivors.select(id_col), id_col, "left_semi")
-                 .filter(F.size("shingle_hashes") > 0)
-                 .select(id_col, "minhash").localCheckpoint())
-    kept_sigs.write.mode("append").parquet(sigs_p)
-    _band_buckets(kept_sigs, id_col, bands, rows) \
-        .write.mode("append").parquet(buckets_p)
     sigs.unpersist()
     return survivors
 

@@ -98,7 +98,16 @@ def score_quality_classifier(df: DataFrame, model: dict,
                              text_col: str = "text",
                              out_col: str = "quality_logit") -> DataFrame:
     """Score every document: one codegen projection (features + logit
-    fused into the scan), plus ``is_quality`` = logit > 0."""
-    scored = _with_features(df, text_col).withColumn(
-        out_col, F.round(quality_logit(model), 6))
+    fused into the scan), plus ``is_quality`` = logit > 0. The check is
+    against the MODEL's feature list, not the default set — a model
+    trained with custom feature_cols needs those columns on the frame
+    (only the standard text stats can be derived here)."""
+    scored = _with_features(df, text_col)
+    missing = [f for f in model["features"] if f not in scored.columns]
+    if missing:
+        raise ValueError(
+            f"model features {missing} absent from the frame and not "
+            f"derivable from text stats — add them upstream")
+    scored = scored.withColumn(out_col,
+                               F.round(quality_logit(model), 6))
     return scored.withColumn("is_quality", F.col(out_col) > 0)

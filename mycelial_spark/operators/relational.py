@@ -356,7 +356,13 @@ def with_zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16,
                      F.max(F.col(c).cast("double")).alias(f"mx_{c}")]
         row = df.agg(*aggs).first()
         for c in missing:
-            ranges[c] = (row[f"mn_{c}"], row[f"mx_{c}"])
+            mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+            if mn is None or mx is None:
+                raise ValueError(
+                    f"z-order column {c!r} has no non-null values "
+                    f"(empty input or all-NULL column) — pass explicit "
+                    f"ranges= or drop it from the key")
+            ranges[c] = (mn, mx)
     levels = (1 << bits) - 1
     codes = []
     for c in cols:

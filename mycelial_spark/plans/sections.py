@@ -815,8 +815,10 @@ def quality_classifier_(spark, cfg, inputs):
             Field("text_col", default="text"),
             Field("out_col", default="n_bpe_tokens")],
            doc="Exact BPE token counts from a user-supplied public-format "
-               "tokenizer (merges.txt [+ vocab.json], the GPT-2/HF text "
-               "format): Arrow-batched narrow map, merge table ships by "
+               "tokenizer (merges.txt [+ vocab.json] in the </w> "
+               "word-level convention — byte-level GPT-2 alphabets are a "
+               "different symbol space, see operators/bpe.py): "
+               "Arrow-batched narrow map, merge table ships by "
                "closure once per executor (operators/bpe.py). The real "
                "context-window cost, vs the regexp proxy in text_stats — "
                "feed chunk_text_bpe / pack_greedy(encoder=...) budgets.")
@@ -1868,12 +1870,15 @@ def _jdbc_ensure_table(spark, cfg, table: str, schema) -> None:
     The table name may come from an ORIGIN value (route_by_origin) and
     the column names from an upstream schema — both are interpolated
     into driver-side SQL here, so restrict them to plain identifiers,
-    same guard as the exactly-once publish path."""
+    same guard as the exactly-once publish path. Schema qualification
+    ('analytics.events') stays supported: each dot-separated segment
+    must be a plain identifier."""
     import re as _re
-    if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", table):
+    if not all(_re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", seg)
+               for seg in table.split(".")):
         raise ValueError(
-            f"ensure_table_ddl requires a plain identifier table name, "
-            f"got {table!r}")
+            f"ensure_table_ddl requires a plain (optionally "
+            f"schema-qualified) identifier table name, got {table!r}")
     bad_cols = [f.name for f in schema.fields
                 if not _re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", f.name)]
     if bad_cols:

@@ -58,17 +58,34 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
 
     ``changes`` carries the payload columns plus ``op_col`` (I/U/D) and
     ``seq_col`` (a totally-ordered change sequence per key — LSN,
-    binlog offset, event id). Creates the table on first merge. Returns
+    binlog offset, event id). Creates the table on first merge; the
+    bucketing parameters persist in a ``_cdc_meta.json`` sidecar and
+    LATER MERGES USE THE STORED n_buckets (a drifted config would hash
+    keys into different buckets — the pruned read would miss stored
+    rows and a key would silently duplicate). Returns
     {rows_live, upserts, deletes, buckets_touched, created}.
     """
+    import json
+
     from mycelial_spark.fsutil import dynamic_partition_overwrite
     from mycelial_spark.fsutil import exists as _exists
+    from mycelial_spark.fsutil import fs_read_text, fs_write_text
     spark = changes.sparkSession
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     for c in (*key_cols, seq_col, op_col):
         if c not in changes.columns:
             raise ValueError(f"changes frame lacks column {c!r}")
+    meta_p = f"{path.rstrip('/')}/_cdc_meta.json"
+    if _exists(spark, meta_p):
+        meta = json.loads(fs_read_text(spark, meta_p))
+        if meta["key_cols"] != list(key_cols) \
+                or meta["seq_col"] != seq_col:
+            raise ValueError(
+                f"table at {path!r} was created with key_cols="
+                f"{meta['key_cols']}/seq_col={meta['seq_col']!r}; "
+                f"got {list(key_cols)}/{seq_col!r}")
+        n_buckets = meta["n_buckets"]   # the stored layout is the law
     payload = [c for c in changes.columns if c != op_col]
 
     # last change per key: max (seq, op, row) struct — one partial-agg
@@ -88,9 +105,13 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
             .withColumn("_kb", _bucket(key_cols, n_buckets))
             .localCheckpoint())
     # op validation on the materialized WINNERS (no extra input scan);
-    # a malformed op that wins an election must fail the merge loudly
-    bad = flat.filter(~F.col("_op").isin(OP_UPDATE, OP_DELETE)) \
-              .limit(1).collect()
+    # a malformed op that wins an election must fail the merge loudly.
+    # NULL needs its own clause: ~isin() is NULL (not true) for NULL,
+    # so a null-op row would otherwise slip through the filter AND
+    # later vanish from read_cdc_table (whose _op != 'D' also drops
+    # NULL) — the silent-loss class this guard exists to stop.
+    bad = flat.filter(~F.col("_op").isin(OP_UPDATE, OP_DELETE)
+                      | F.col("_op").isNull()).limit(1).collect()
     if bad:
         raise ValueError(f"{op_col} must be one of I/U/D; got "
                          f"{bad[0]['_op']!r}")
@@ -112,6 +133,13 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
 
     table = f"{path.rstrip('/')}/table"
     created = not _exists(spark, table)
+    if n_up + n_del == 0:
+        # an EMPTY batch must not create the table: a zero-row
+        # partitioned write leaves a schema-less directory (_SUCCESS
+        # only) that bricks every later read; and on an existing table
+        # there is nothing to do
+        return {"rows_live": 0, "upserts": 0, "deletes": 0,
+                "buckets_touched": 0, "created": False}
     if created:
         merged = flat
     else:
@@ -136,6 +164,14 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
                           F.col("_w._kb").alias("_kb")))
         merged = kept.unionByName(winner).localCheckpoint()
     rows_live = merged.filter(F.col("_op") != OP_DELETE).count()
+    if created:
+        # meta BEFORE data: a crash between the two leaves meta + no
+        # table, and the retry (created again) rewrites both; the
+        # reverse order would leave a table whose next merge could run
+        # with drifted bucketing
+        fs_write_text(spark, meta_p, json.dumps(
+            {"key_cols": list(key_cols), "seq_col": seq_col,
+             "n_buckets": n_buckets}))
     with dynamic_partition_overwrite(spark):
         (merged.write.mode("overwrite")
          .partitionBy("_kb").parquet(table))

@@ -29,7 +29,7 @@ def test_ensure_table_ddl_rejects_injection(spark):
     interpolated (the raise must precede any connection attempt)."""
     from mycelial_spark.plans.sections import _jdbc_ensure_table
     schema = spark.createDataFrame([(1,)], "a int").schema
-    with pytest.raises(ValueError, match="plain identifier table"):
+    with pytest.raises(ValueError, match="identifier table"):
         _jdbc_ensure_table(spark, {}, 'x"; DROP TABLE y; --', schema)
     bad = spark.createDataFrame([(1,)], ["`a\" b`"]).schema
     with pytest.raises(ValueError, match="plain-identifier column"):
@@ -62,3 +62,63 @@ def test_lsh_bucket_topk_default_single_bucket():
     from mycelial_spark.operators.similarity import lsh_bucket_topk
     sig = inspect.signature(lsh_bucket_topk)
     assert sig.parameters["probe_hamming"].default == 0
+
+
+def test_ensure_table_ddl_allows_schema_qualification(spark):
+    """The injection guard must not reject the normal 'schema.table'
+    convention: each dot-separated segment validates as an identifier
+    (the raise below comes from the CONNECTION attempt, not the guard)."""
+    from mycelial_spark.plans.sections import _jdbc_ensure_table
+    schema = spark.createDataFrame([(1,)], "a int").schema
+    try:
+        _jdbc_ensure_table(spark, {"url": "jdbc:invalid:"},
+                           "analytics.events", schema)
+    except ValueError as e:
+        raise AssertionError(f"guard rejected a qualified name: {e}")
+    except Exception:
+        pass  # py4j connection failure — the guard itself passed
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="identifier"):
+        _jdbc_ensure_table(spark, {}, 'a."b"; DROP--.c', schema)
+
+
+def test_bpe_loader_keeps_hash_symbol_merges(tmp_path):
+    """Only the first-line #version header is a comment; a real merge
+    whose left symbol is '#' must load."""
+    from mycelial_spark.operators.bpe import BpeEncoder
+    mp = tmp_path / "merges.txt"
+    mp.write_text("#version: 0.2\n# #</w>\nl o\n", encoding="utf-8")
+    enc = BpeEncoder.from_files(str(mp))
+    assert enc.merges == [("#", "#</w>"), ("l", "o")]
+    assert enc.encode_word("##") == ["##</w>"]
+
+
+def test_quality_model_custom_feature_missing_is_loud(spark, sf_dir):
+    from mycelial_spark.operators.quality_model import (
+        score_quality_classifier, train_quality_classifier)
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lab = docs.withColumn("my_signal", (F.col("doc_id") % 7).cast("double")) \
+              .withColumn("label", (F.col("doc_id") % 2 == 0).cast("int"))
+    m = train_quality_classifier(lab, "label",
+                                 feature_cols=["n_tokens", "my_signal"],
+                                 sample_n=128)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="my_signal"):
+        score_quality_classifier(docs, m)
+    # with the column present, scoring works
+    assert score_quality_classifier(lab, m).count() == docs.count()
+
+
+def test_zorder_empty_or_allnull_is_loud(spark):
+    from pyspark.sql import functions as F
+    from mycelial_spark.operators.relational import with_zorder_key
+    import pytest as _pytest
+    empty = spark.range(0).select(F.col("id").alias("a"),
+                                  F.col("id").alias("b"))
+    with _pytest.raises(ValueError, match="no non-null"):
+        with_zorder_key(empty, ["a", "b"])
+    allnull = spark.range(5).select(
+        F.col("id").alias("a"), F.lit(None).cast("double").alias("b"))
+    with _pytest.raises(ValueError, match="no non-null"):
+        with_zorder_key(allnull, ["a", "b"])

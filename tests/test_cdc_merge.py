@@ -208,3 +208,29 @@ def test_merge_rejects_null_keys(spark, tmp_path):
     rows = [(1, 1, "I", "a"), (None, 2, "I", "b")]
     with pytest.raises(ValueError, match="non-null"):
         merge_cdc_parquet(_chg(spark, rows), p, ["k"], "seq")
+
+
+def test_merge_review_guards(spark, tmp_path):
+    """Review regressions: NULL op fails loudly (NULL slips ~isin);
+    an empty first batch must not create a schema-less table; the
+    stored bucketing wins over a drifted n_buckets; key/seq schema
+    drift raises."""
+    p = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="one of I/U/D"):
+        merge_cdc_parquet(_chg(spark, [(1, 1, None, "a")]), p, ["k"],
+                          "seq")
+    # empty first batch: no table, and the next real merge creates it
+    out = merge_cdc_parquet(_chg(spark, []), p, ["k"], "seq")
+    assert out == {"rows_live": 0, "upserts": 0, "deletes": 0,
+                   "buckets_touched": 0, "created": False}
+    assert not os.path.exists(f"{p}/table")
+    merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a")]), p, ["k"], "seq",
+                      n_buckets=8)
+    # drifted n_buckets is ignored — the key stays mergeable
+    merge_cdc_parquet(_chg(spark, [(1, 2, "U", "a2")]), p, ["k"], "seq",
+                      n_buckets=64)
+    state = {r["k"]: r["v"] for r in read_cdc_table(spark, p).collect()}
+    assert state == {1: "a2"}
+    with pytest.raises(ValueError, match="created with key_cols"):
+        merge_cdc_parquet(_chg(spark, [(1, 3, "U", "x")]), p, ["v"],
+                          "seq")

@@ -737,3 +737,41 @@ def test_span_decontaminate_surgical_removal(spark):
     plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted")
     assert "BroadcastHashJoin" in plan  # bench spans ride the broadcast
+
+
+def test_incremental_dedup_fuzzy_crash_window_recovery(spark, tmp_path):
+    """The append protocol: sigs -> buckets -> fps (the commit point).
+    Emulate a crash AFTER sigs+buckets but BEFORE fps for one doc: the
+    replayed batch must ADMIT the doc (no self-probe drop) without
+    duplicating its ledger rows; future near-dups still drop."""
+    import mycelial_spark.operators.dedup as D6
+    from mycelial_spark.operators.dedup import (_band_buckets,
+                                                minhash_signatures)
+    ledger = str(tmp_path / "fz")
+    base = ("the quick brown fox jumps over the lazy dog and naps in "
+            "warm afternoon sun near the old barn door today")
+    b0 = spark.createDataFrame([(1, "seed document about spark joins "
+                                 "broadcast exchanges and partitions "
+                                 "tuning tips")],
+                               "doc_id long, text string")
+    D6.incremental_dedup_fuzzy(b0, ledger)
+    # fabricate the crash: doc 2's sigs+buckets land, fps does not
+    crash_doc = spark.createDataFrame([(2, base)],
+                                      "doc_id long, text string")
+    cs = minhash_signatures(crash_doc).select("doc_id", "minhash") \
+        .localCheckpoint()
+    cs.write.mode("append").parquet(f"{ledger}/sigs")
+    _band_buckets(cs, "doc_id", 16, 4).write.mode("append") \
+        .parquet(f"{ledger}/buckets")
+
+    out = D6.incremental_dedup_fuzzy(crash_doc, ledger)
+    assert [r["doc_id"] for r in out.collect()] == [2]   # admitted
+    # no duplicated ledger rows for doc 2
+    assert spark.read.parquet(f"{ledger}/sigs") \
+        .filter("doc_id = 2").count() == 1
+    assert spark.read.parquet(f"{ledger}/buckets") \
+        .filter("doc_id = 2").count() == 16
+    # coverage holds: a later near-duplicate of doc 2 drops
+    near = spark.createDataFrame([(3, base.replace("warm", "hot"))],
+                                 "doc_id long, text string")
+    assert D6.incremental_dedup_fuzzy(near, ledger).count() == 0
