@@ -103,7 +103,10 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("mycelial-bench")
+    # No console progress bars: they write \r-frames that interleave with
+    # the final JSON line in a combined stdout/stderr capture.
+    spark = get_spark("mycelial-bench",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     registry = Q.get_queries()
 
@@ -173,7 +176,34 @@ def main() -> None:
         "calibration": {"jvm_range_sum_sec": cal_cpu,
                         "lineitem_scan_count_sec": cal_scan},
     }
-    print(json.dumps(out))
+    # Full-precision record for the repo's own audit trail (PLANS.md /
+    # round-over-round comparisons) — written BEFORE the stdout line so a
+    # capture problem can't lose it.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+
+    # The driver records only the tail of this process's output (observed
+    # window: 2000 chars — round 6's 2068-char line was clipped mid-line
+    # and recorded as parsed=null). Keep the stdout line comfortably under
+    # that: compact separators, 2-decimal times, and if the suite ever
+    # outgrows the budget anyway, drop calibration first, then the
+    # smallest-time queries (their sum is preserved in "value"; the count
+    # dropped is declared in "queries_omitted" — no silent truncation).
+    line_out = dict(out)
+    line_out["queries"] = {k: round(v, 2) for k, v in times.items()}
+    line = json.dumps(line_out, separators=(",", ":"))
+    if len(line) > 1900:
+        line_out.pop("calibration", None)
+        line = json.dumps(line_out, separators=(",", ":"))
+    omitted = 0
+    while len(line) > 1900 and line_out["queries"]:
+        smallest = min(line_out["queries"], key=line_out["queries"].get)
+        del line_out["queries"][smallest]
+        omitted += 1
+        line_out["queries_omitted"] = omitted
+        line = json.dumps(line_out, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 EOW = "</w>"
+# Input text can itself contain the literal marker string (HTML/XML/code
+# corpora) — a blanket decode-side replace would then corrupt the round
+# trip. Pre-existing occurrences are escaped to a private-use codepoint
+# before encoding and restored on decode; U+E000 is reserved by this
+# module (a document containing it would round-trip as "</w>").
+_EOW_ESC = ""
 
 
 class BpeEncoder:
@@ -97,6 +103,9 @@ class BpeEncoder:
         got = self._cache.get(word)
         if got is not None:
             return got
+        raw = word
+        if EOW in word:                     # see _EOW_ESC
+            word = word.replace(EOW, _EOW_ESC)
         syms = list(word[:-1]) + [word[-1] + EOW] if word else []
         while len(syms) > 1:
             best, best_rank = None, None
@@ -116,7 +125,7 @@ class BpeEncoder:
                     merged.append(syms[i])
                     i += 1
             syms = merged
-        self._cache[word] = syms
+        self._cache[raw] = syms
         return syms
 
     def encode(self, text: str) -> list[str]:
@@ -137,8 +146,12 @@ class BpeEncoder:
     @staticmethod
     def decode(pieces: list[str]) -> str:
         """Pieces -> exact original (whitespace-normalized) text: pieces
-        concatenate, EOW markers become word breaks."""
-        return "".join(pieces).replace(EOW, " ").strip()
+        concatenate, EOW markers become word breaks, and escaped
+        LITERAL '</w>' occurrences from the source text are restored
+        (order matters: word breaks first, then the escape — the other
+        way round would turn restored markers into breaks)."""
+        return ("".join(pieces).replace(EOW, " ")
+                .replace(_EOW_ESC, EOW).strip())
 
 
 def bpe_train(df: DataFrame, n_merges: int = 256, sample_n: int = 512,
@@ -155,7 +168,10 @@ def bpe_train(df: DataFrame, n_merges: int = 256, sample_n: int = 512,
     for r in rows:
         word_freq.update((r[0] or "").split())
     seqs: list[tuple[list[str], int]] = [
-        (list(w[:-1]) + [w[-1] + EOW], n) for w, n in word_freq.items()]
+        (list(w[:-1]) + [w[-1] + EOW], n)
+        for w, n in ((w.replace(EOW, _EOW_ESC), n)   # same escaping as
+                     for w, n in word_freq.items())  # encode_word
+        if w]
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs = Counter()

@@ -54,7 +54,8 @@ def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
 def epoch_shuffle(df: DataFrame, epoch: int = 0,
                   id_col: str = "doc_id",
                   out_col: str = "shuffle_key",
-                  num_partitions: int | None = None) -> DataFrame:
+                  num_partitions: int | None = None,
+                  key_mode: str = "knuth") -> DataFrame:
     """Deterministic per-epoch corpus shuffle — reproducible training
     order without RNG: each row gets ``shuffle_key`` = the engine-exact
     Knuth hash of (id + epoch·P) (P prime, so epochs are independent
@@ -65,12 +66,34 @@ def epoch_shuffle(df: DataFrame, epoch: int = 0,
     reader consumes. One range shuffle; no global-rank window (a
     row_number over everything would funnel the corpus into one task).
 
-    The key is a bijection over ids below 2^31 (odd multiplier mod
-    2^32), so it is collision-free there and replicable in any SQL
+    The knuth key is a bijection over ids in [0, 2^31) (odd multiplier
+    mod 2^32), so it is collision-free there and replicable in any SQL
     engine — reruns, engines, and partitionings all agree on the order.
+    OUTSIDE that range the mod-2^31 reduction collides pairwise (id and
+    id+2^31 share a key), so knuth mode REFUSES out-of-range ids — a
+    row-level raise_error fused into the key expression: the guard
+    rides the same scan, no extra pass over a 100 TB corpus. For wide
+    id spaces pass ``key_mode='xxhash64'``: full 64-bit keys, no range
+    limit, still deterministic — but engine-specific (no cross-engine
+    oracle) and collision-POSSIBLE (ties break arbitrarily but
+    reproducibly within Spark).
     """
-    key = hash_order(
-        (F.col(id_col).cast("bigint") + F.lit(epoch * 999999937)))
+    c = F.col(id_col).cast("bigint")
+    if key_mode == "xxhash64":
+        key = F.xxhash64(c + F.lit(epoch * 999999937))
+    elif key_mode == "knuth":
+        key = hash_order(c + F.lit(epoch * 999999937))
+        key = F.when(
+            c.isNull() | (c < 0) | (c >= F.lit(2147483648)),
+            F.raise_error(F.concat(
+                F.lit("epoch_shuffle: id out of [0, 2^31) (got "),
+                c.cast("string"),
+                F.lit("); knuth keys are only collision-free there — "
+                      "use key_mode='xxhash64' for wide id spaces")))
+        ).otherwise(key)
+    else:
+        raise ValueError(f"key_mode must be 'knuth' or 'xxhash64'; "
+                         f"got {key_mode!r}")
     out = df.withColumn(out_col, key)
     ranged = (out.repartitionByRange(num_partitions, out_col)
               if num_partitions else out.repartitionByRange(out_col))

@@ -198,6 +198,15 @@ def pca_train(df: DataFrame, k: int = 16, sample_n: int = 4096,
             comps[i] = -comps[i]
     var = (s[:k] ** 2) / (len(X) - 1)
     if whiten:
+        # a ~zero k-th variance (duplicated rows, rank-deficient
+        # embeddings) would divide to inf/NaN components and silently
+        # poison every pca_project output — refuse loudly instead
+        floor = max(float(var[0]), 1.0) * 1e-12
+        if float(var[-1]) <= floor:
+            raise ValueError(
+                f"whiten=True with a near-zero component variance "
+                f"(var[{k - 1}]={float(var[-1]):.3e}): the sample is "
+                f"rank-deficient at k={k}; lower k or fix the sample")
         comps = comps / np.sqrt(var)[:, None]
     return {"mean": [float(x) for x in mean],
             "components": [[float(x) for x in c] for c in comps],
@@ -456,7 +465,7 @@ def with_lsh_bucket(df: DataFrame, planes: int = 8, dims: int = 64,
 def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     planes: int = 8, vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    probe_hamming: int = 0) -> DataFrame:
+                    probe_hamming: int = 1) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's LSH bucket
     NEIGHBORHOOD, then exact cosine re-rank.
 
@@ -464,10 +473,10 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     ``probe_hamming`` of the query's signature — a true neighbor that
     lands one sign-flip away (the dominant LSH failure mode as planes
     grow: each plane is an independent ~theta/pi chance to disagree) is
-    still found. The default r=0 is classic single-bucket LSH (the
-    original behavior — multi-probe is opt-in so existing callers keep
-    their result set and scan cost); r=1 probes 1+planes buckets, r=2
-    adds C(planes,2) more. At scale the table is written
+    still found. The default r=1 (1+planes buckets) has been the
+    default since multi-probe landed — callers wanting classic
+    single-bucket LSH (lowest scan cost, lowest recall) pass r=0; r=2
+    adds C(planes,2) more buckets. At scale the table is written
     bucketed/partitioned by lsh_bucket, so the scan prunes to the probed
     buckets' files: (sum of C(planes,i) for i<=r)/2^planes of the data.
     Recall/planes tradeoff is measured in test_similarity_pairs

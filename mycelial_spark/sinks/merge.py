@@ -207,12 +207,27 @@ def gc_tombstones(spark: SparkSession, path: str, seq_col: str,
     kept = part.filter(~expired).localCheckpoint()
     kept_buckets = {r["_kb"] for r in
                     kept.select("_kb").distinct().collect()}
+    from mycelial_spark.fsutil import hadoop_fs
+    if not kept_buckets:
+        # No survivor rows in any touched bucket. If the UNtouched buckets
+        # are also empty (every remaining row in the table was an expired
+        # tombstone), a partition-wise rewrite would leave a directory
+        # with zero parquet files — a schema-less dir the next
+        # merge_cdc_parquet cannot read (it sees the dir exists, so it
+        # appends instead of creating, and spark.read.parquet raises).
+        # Delete the table dir outright so the next merge recreates it.
+        others = cur.filter(~F.col("_kb").isin(buckets)).limit(1).count()
+        if others == 0:
+            _jvm, fs, P = hadoop_fs(spark, table)
+            fs.delete(P(table), True)
+            return {"tombstones_dropped": int(dropped),
+                    "buckets_touched": len(buckets),
+                    "table_emptied": True}
     with dynamic_partition_overwrite(spark):
         (kept.write.mode("overwrite").partitionBy("_kb").parquet(table))
     # dynamic overwrite only replaces partitions it WRITES: a bucket
     # whose every row expired produces no output and would silently
     # keep its old files — drop those directories explicitly
-    from mycelial_spark.fsutil import hadoop_fs
     _jvm, fs, P = hadoop_fs(spark, table)
     for b in buckets:
         if b not in kept_buckets:

@@ -56,12 +56,15 @@ def test_incremental_index_within_batch_winner_deterministic(spark,
         assert "aardvark" in toks and "zebra" not in toks
 
 
-def test_lsh_bucket_topk_default_single_bucket():
-    """Multi-probe is opt-in: the default preserves the original
-    single-bucket scan (no silent cost/result change for callers)."""
+def test_lsh_bucket_topk_default_multiprobe():
+    """probe_hamming defaulted to 1 when multi-probe landed (r5); r6
+    silently dropped it to 0 — a recall reduction for existing callers
+    that the r6 advisor flagged (its docstring also misstated r=0 as
+    'the original behavior'). The original default is restored and
+    pinned here."""
     from mycelial_spark.operators.similarity import lsh_bucket_topk
     sig = inspect.signature(lsh_bucket_topk)
-    assert sig.parameters["probe_hamming"].default == 0
+    assert sig.parameters["probe_hamming"].default == 1
 
 
 def test_ensure_table_ddl_allows_schema_qualification(spark):

@@ -1,0 +1,88 @@
+"""Regression tests for the round-6 ADVICE findings fixed in round 7.
+
+(The gc_tombstones emptied-table fix — the round's medium finding — is
+covered in test_cdc_merge.py next to the rest of the CDC lifecycle.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_bpe_literal_eow_marker_roundtrips():
+    """A document containing the literal '</w>' substring (HTML/XML/code
+    corpora) must decode back exactly — the old blanket replace turned
+    it into a word break."""
+    from mycelial_spark.operators.bpe import BpeEncoder, EOW
+    enc = BpeEncoder(merges=[("a", "b")])
+    text = f"tag {EOW} and a{EOW}b inline abba"
+    pieces = enc.encode(text)
+    assert BpeEncoder.decode(pieces) == text
+    # the marker-free path is unchanged, merges still apply
+    assert enc.encode_word("abba")[0] == "ab"
+    # token counts see the escaped marker as one symbol, not four chars
+    assert enc.n_tokens(EOW) == 1
+
+
+def test_bpe_train_escapes_eow_consistently(spark):
+    """Training over text containing the literal marker produces merges
+    in the same (escaped) symbol space encode_word uses — and the
+    resulting encoder round-trips that text."""
+    from mycelial_spark.operators.bpe import BpeEncoder, bpe_train
+    df = spark.createDataFrame(
+        [(i, "the </w> tag the </w> tag") for i in range(4)],
+        "doc_id long, text string")
+    merges = bpe_train(df, n_merges=8, sample_n=4)
+    enc = BpeEncoder(merges)
+    assert BpeEncoder.decode(enc.encode("the </w> tag")) == "the </w> tag"
+
+
+def test_pca_whiten_rank_deficient_raises(spark):
+    """whiten=True on a rank-deficient sample (duplicated rows) must
+    refuse loudly, not emit inf/NaN components."""
+    from mycelial_spark.operators.similarity import pca_train
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(8)]  # rank 0 centered
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="rank-deficient"):
+        pca_train(df, k=2, sample_n=8, whiten=True)
+    # un-whitened PCA on the same degenerate sample still trains
+    m = pca_train(df, k=2, sample_n=8, whiten=False)
+    assert all(all(x == x for x in c) for c in m["components"])  # no NaN
+
+
+def test_epoch_shuffle_rejects_wide_ids_in_knuth_mode(spark):
+    """ids >= 2^31 collide pairwise under the knuth reduction; the key
+    expression now fails loudly instead of silently breaking the
+    bijection."""
+    from mycelial_spark.operators.sampling import epoch_shuffle
+    df = spark.createDataFrame([(1,), (2**31,)], "doc_id long")
+    with pytest.raises(Exception, match=r"out of \[0, 2\^31\)"):
+        epoch_shuffle(df, epoch=0).collect()
+    with pytest.raises(ValueError, match="key_mode"):
+        epoch_shuffle(df, key_mode="md5")
+
+
+def test_epoch_shuffle_xxhash64_mode_for_wide_ids(spark):
+    """The xxhash64 mode accepts the full bigint id space, stays
+    deterministic across reruns, and distinct ids keep distinct keys
+    here (64-bit keys; collisions are possible in principle, not at
+    test scale)."""
+    from mycelial_spark.operators.sampling import epoch_shuffle
+    ids = [(1,), (2**31,), (2**31 + 1,), (2**62,), (7,)]
+    df = spark.createDataFrame(ids, "doc_id long")
+    out = epoch_shuffle(df, epoch=3, key_mode="xxhash64")
+    a = [(r["doc_id"], r["shuffle_key"]) for r in out.collect()]
+    b = [(r["doc_id"], r["shuffle_key"]) for r in out.collect()]
+    assert a == b and len({k for _, k in a}) == len(ids)
+    # epochs permute independently: same ids, different order
+    other = epoch_shuffle(df, epoch=4, key_mode="xxhash64")
+    assert [r["doc_id"] for r in other.collect()] \
+        != [r["doc_id"] for r in out.collect()] or len(ids) == 1
+
+
+def test_epoch_shuffle_knuth_in_range_unchanged(spark):
+    """The guard must not disturb in-range keys: the knuth key for
+    id=5, epoch=0 equals the documented closed form."""
+    from mycelial_spark.operators.sampling import epoch_shuffle
+    df = spark.createDataFrame([(5,)], "doc_id long")
+    got = epoch_shuffle(df, epoch=0).first()["shuffle_key"]
+    assert got == (5 * 2654435761) % 4294967296

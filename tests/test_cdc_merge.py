@@ -119,6 +119,55 @@ def test_gc_tombstones(spark, tmp_path):
         == {"tombstones_dropped": 0, "buckets_touched": 0}
 
 
+def test_gc_tombstones_emptied_table_stays_mergeable(spark, tmp_path):
+    """ADVICE r6 (medium): if EVERY remaining row is an expired
+    tombstone, gc must not leave a parquet-less table directory (the
+    next merge would see the dir, skip creation, and the read would
+    raise — a permanently bricked table). The fix deletes the table dir
+    so the next merge recreates it under the stored bucketing."""
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a"), (2, 2, "I", "b")]),
+                      p, ["k"], "seq", n_buckets=4)
+    merge_cdc_parquet(_chg(spark, [(1, 3, "D", None), (2, 4, "D", None)]),
+                      p, ["k"], "seq", n_buckets=4)
+    out = gc_tombstones(spark, p, "seq", horizon_seq=100)
+    assert out["tombstones_dropped"] == 2 and out["table_emptied"]
+    assert not os.path.exists(f"{p}/table")
+    assert os.path.exists(f"{p}/_cdc_meta.json")   # layout survives
+    # the table is NOT bricked: the next merge recreates it, and a stale
+    # pre-delete replay after the recreate upserts (horizon passed = the
+    # source can no longer replay those seqs; this one is a fresh write)
+    out2 = merge_cdc_parquet(_chg(spark, [(1, 9, "U", "back")]),
+                             p, ["k"], "seq", n_buckets=4)
+    assert out2["created"]
+    assert [(r["k"], r["v"]) for r in read_cdc_table(spark, p).collect()] \
+        == [(1, "back")]
+
+
+def test_gc_all_touched_buckets_expired_but_table_live(spark, tmp_path):
+    """kept_buckets empty while OTHER buckets still hold rows: the
+    touched (fully-expired) bucket dirs are dropped, the rest of the
+    table is untouched and stays readable."""
+    p = str(tmp_path / "t")
+    # pick two keys that land in different buckets under n_buckets=64
+    kb = {r["k"]: r["b"] for r in
+          spark.range(1, 20).select(
+              F.col("id").alias("k"),
+              F.pmod(F.xxhash64(F.col("id")), F.lit(64))
+              .cast("int").alias("b")).collect()}
+    k1 = 1
+    k2 = next(k for k, b in kb.items() if b != kb[k1])
+    merge_cdc_parquet(_chg(spark, [(k1, 1, "I", "a"), (k2, 2, "I", "b")]),
+                      p, ["k"], "seq", n_buckets=64)
+    merge_cdc_parquet(_chg(spark, [(k1, 3, "D", None)]),
+                      p, ["k"], "seq", n_buckets=64)
+    out = gc_tombstones(spark, p, "seq", horizon_seq=100)
+    assert out["tombstones_dropped"] == 1 and "table_emptied" not in out
+    assert not os.path.exists(f"{p}/table/_kb={kb[k1]}")
+    assert [(r["k"], r["v"]) for r in read_cdc_table(spark, p).collect()] \
+        == [(k2, "b")]
+
+
 def test_merge_validation(spark, tmp_path):
     p = str(tmp_path / "t")
     with pytest.raises(ValueError, match="non-empty"):
