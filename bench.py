@@ -94,6 +94,10 @@ HEADLINE = [
     "chunk_documents_bpe",
     "epoch_shuffle_keys",
     "zorder_keys",
+    "bloom_prune_join",
+    "quality_weighted_sample",
+    "semantic_decontaminate",
+    "tfidf_keywords",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal
@@ -185,19 +189,21 @@ def main() -> None:
 
     # The driver records only the tail of this process's output (observed
     # window: 2000 chars — round 6's 2068-char line was clipped mid-line
-    # and recorded as parsed=null). Keep the stdout line comfortably under
-    # that: compact separators, 2-decimal times, and if the suite ever
+    # and recorded as parsed=null). Keep the stdout line + newline inside
+    # that window: compact separators, 2-decimal times, short calibration
+    # keys (full names live in bench_full.json), and if the suite ever
     # outgrows the budget anyway, drop calibration first, then the
     # smallest-time queries (their sum is preserved in "value"; the count
     # dropped is declared in "queries_omitted" — no silent truncation).
     line_out = dict(out)
     line_out["queries"] = {k: round(v, 2) for k, v in times.items()}
+    line_out["calibration"] = {"jvm": cal_cpu, "scan": cal_scan}
     line = json.dumps(line_out, separators=(",", ":"))
-    if len(line) > 1900:
+    if len(line) > 1980:
         line_out.pop("calibration", None)
         line = json.dumps(line_out, separators=(",", ":"))
     omitted = 0
-    while len(line) > 1900 and line_out["queries"]:
+    while len(line) > 1980 and line_out["queries"]:
         smallest = min(line_out["queries"], key=line_out["queries"].get)
         del line_out["queries"][smallest]
         omitted += 1

@@ -1,0 +1,135 @@
+"""Portable Bloom filter: mergeable membership sketch + join pruning.
+
+Completes the mergeable-sketch family (HLL distinct / CMS frequency /
+equi-width histogram quantiles — queries.py) with the membership
+sketch, and applies it where it earns its keep at 100 TB: pruning the
+BIG side of a selective join BEFORE the shuffle. Spark's AQE injects
+runtime bloom filters for some shapes, but only when statistics line
+up; this is the explicit, composable form (the reference exposes its
+query surface declaratively — same idea, sketch as an operator).
+
+Design for scale:
+
+- The filter is built DISTRIBUTED and bounded: keys map to k bit
+  positions (explode), positions deduplicate (map-side combinable
+  distinct), and only the distinct-position set — at most ``m`` ints,
+  ~0.5 MB at the default m=2^16 — crosses to the driver to fold into a
+  bitmap. Same documented driver-merge bound as the CMS sketch.
+- Probing is pure codegen: the bitmap rides into the plan as a FOLDED
+  array<bigint> literal (constant-folded once, not per row), and each
+  probe is k shift/mask expressions — no UDF, no shuffle, no join. A
+  100 TB scan keeps its one pass; rows failing the bloom never reach
+  the join's exchange.
+- The final join result is EXACT: bloom false positives (never false
+  negatives) pass the prune and are eliminated by the normal semi join
+  that follows — so the composed operator is oracle-checkable against
+  a plain semi join, prune included.
+- Hashes are engine-portable integer arithmetic (multiplicative
+  hashing by public 32-bit primes, high bits taken via a 32-bit shift),
+  so an external system can replay membership decisions bit-for-bit —
+  the same cross-engine-reproducibility rule as sampling.hash_order.
+
+Reference parity: the reference has no bloom section; this belongs to
+the training-pipeline fill (SURVEY §2 "beyond-ref"), where shuffle
+avoidance is the difference between a join that runs and one that
+doesn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Public multiplicative-hash primes (Knuth 1998; xxHash's PRIME32_2/3,
+# Collet 2012 — widely published constants, independent low-bias odd
+# multipliers). One per hash function, k <= len(_PRIMES).
+_PRIMES = [2654435761, 2246822519, 3266489917, 668265263, 374761393]
+_M32 = 4294967296          # 2^32
+_M31 = 2147483648          # 2^31
+
+
+def bloom_positions(key: Column | str, m: int = 1 << 16,
+                    k: int = 3) -> list[Column]:
+    """The k bit positions for ``key`` — engine-portable arithmetic:
+    h_i = (pmod(key, 2^31) * P_i) mod 2^32, position = high bits via
+    (h_i * m) >> 32. Every intermediate fits bigint (2^31 * P < 2^63;
+    h * m < 2^48 at the max supported m = 2^16)."""
+    if not 1 <= k <= len(_PRIMES):
+        raise ValueError(f"k must be in [1, {len(_PRIMES)}]; got {k}")
+    if not 64 <= m <= 1 << 16 or m % 64:
+        raise ValueError(f"m must be a multiple of 64 in [64, 65536] "
+                         f"(driver-side bitmap bound); got {m}")
+    c = (F.col(key) if isinstance(key, str) else key).cast("bigint")
+    reduced = F.pmod(c, F.lit(_M31))
+    return [F.shiftright((reduced * F.lit(p)) % F.lit(_M32) * F.lit(m),
+                         32)
+            for p in _PRIMES[:k]]
+
+
+def bloom_build(df: DataFrame, key_col: str, m: int = 1 << 16,
+                k: int = 3) -> dict:
+    """Build the sketch over ``df[key_col]`` (NULL keys are skipped —
+    NULL joins nothing, so membership for it is meaningless). Returns
+    {"m", "k", "bits": [m/64 signed int64 words], "n_positions"}.
+
+    The distributed part bounds what the driver sees: explode to
+    positions, distinct (map-side combinable), collect <= m ints."""
+    pos = (df.filter(F.col(key_col).isNotNull())
+             .select(F.explode(F.array(
+                 *bloom_positions(key_col, m, k))).alias("p"))
+             .distinct())
+    positions = [r["p"] for r in pos.collect()]
+    words = [0] * (m // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # Spark/parquet longs are signed; normalize words to int64 range
+    bits = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return {"m": m, "k": k, "bits": bits,
+            "n_positions": len(positions)}
+
+
+def bloom_merge(a: dict, b: dict) -> dict:
+    """Union of two sketches with identical parameters — bitwise OR,
+    the mergeability that lets per-partition/per-day sketches combine."""
+    if (a["m"], a["k"]) != (b["m"], b["k"]):
+        raise ValueError(f"cannot merge bloom sketches with different "
+                         f"params: {(a['m'], a['k'])} vs "
+                         f"{(b['m'], b['k'])}")
+    words = [x | y for x, y in zip(a["bits"], b["bits"])]
+    merged = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return {"m": a["m"], "k": a["k"], "bits": merged,
+            "n_positions": sum(
+                bin(w & ((1 << 64) - 1)).count("1") for w in words)}
+
+
+def bloom_might_contain(model: dict, key: Column | str) -> Column:
+    """Membership probe as a codegen boolean: k bit tests against the
+    bitmap literal. No false negatives; false-positive rate ~
+    (1 - e^(-k*n/m))^k. The k probes share ONE ``forall`` over the
+    positions array so the (foldable, constant-folded) m/64-word bitmap
+    literal appears once in the plan — k separate conditions would
+    embed k copies of it."""
+    bitmap = F.array(*[F.lit(w) for w in model["bits"]])
+    positions = F.array(*bloom_positions(key, model["m"], model["k"]))
+    return F.forall(
+        positions,
+        lambda pos: F.bit_get(
+            F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + 1),
+            F.pmod(pos, F.lit(64)).cast("int")) == 1)
+
+
+def bloom_prune_semi_join(big: DataFrame, small: DataFrame,
+                          big_key: str, small_key: str,
+                          m: int = 1 << 16, k: int = 3) -> DataFrame:
+    """``big`` rows whose key appears in ``small`` — EXACT semi-join
+    semantics, bloom-accelerated: the sketch over ``small``'s keys
+    prunes ``big`` inside its scan (codegen filter, no exchange), so
+    only candidate rows (matches + the ~fp tail) pay the shuffle/
+    broadcast of the verifying semi join. At a selective small side
+    this shrinks the big side's exchange by orders of magnitude; the
+    verify join makes false positives invisible in the result."""
+    model = bloom_build(small.select(small_key), small_key, m, k)
+    pruned = big.filter(bloom_might_contain(model, big_key))
+    return pruned.join(small.select(F.col(small_key).alias(big_key))
+                       .distinct(),
+                       on=big_key, how="left_semi")

@@ -251,6 +251,29 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     return df.filter(expr)
 
 
+def weighted_sample(df: DataFrame, weight_col: Column | str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PER-ROW weighted sampling: keep each row with
+    probability equal to its own weight (clamped to [0, 1]) — the
+    quality-weighted curation step ("keep high-quality docs at full
+    rate, tail quality at their score"), where mixture_sample's rates
+    are per-SOURCE this is per-DOCUMENT.
+
+    ``weight_col`` may be any numeric column or expression (a quality
+    score, a length-derived rate, a model score joined on). Selection
+    is the engine-exact Knuth hash on the id against the weight — a
+    pure codegen filter: no RNG, no shuffle, no extra pass; the same
+    ids survive across reruns, engines, and partitionings, and raising
+    a document's weight can only ADD it to the sample (monotone:
+    hash(id) is fixed, the threshold moves), which makes curation
+    experiments comparable run-over-run. NULL weights drop the row
+    (NULL comparisons are never true)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(hash_bucket(id_col, 1)
+                     < F.least(F.greatest(w.cast("double"), F.lit(0.0)),
+                               F.lit(1.0)))
+
+
 def mixture_upsample(df: DataFrame, weights: dict[str, float],
                      source_col: str = "source",
                      id_col: str = "doc_id") -> DataFrame:

@@ -166,6 +166,39 @@ def cosine_pairs_lsh(df: DataFrame, threshold: float, planes: int = 6,
              .select("id_a", "id_b", "cos_sim"))
 
 
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           threshold: float = 0.6, planes: int = 3,
+                           dims: int = 64, vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Drop corpus rows whose embedding is near-identical (cosine >=
+    ``threshold``) to ANY benchmark row — decontamination in EMBEDDING
+    space, the semantic companion to the shingle-hash
+    ``dedup.decontaminate`` (exact-text overlap) and ``span_decontaminate``
+    (verbatim spans): a paraphrased eval question that shares no 8-gram
+    still lands next to the benchmark vector.
+
+    Scale shape mirrors cosine_pairs_lsh: both sides take the frozen
+    random-hyperplane bucket, candidates are bucket-equijoin ONLY — the
+    benchmark side (thousands of eval rows, not corpus-scale) broadcasts,
+    so the corpus keeps its one scan: bucket + dot are codegen, the
+    contaminated-id set is a broadcast anti join, no corpus shuffle.
+    Recall trades off with ``planes`` exactly as in cosine_pairs_lsh
+    (probe more buckets by lowering planes). Returns corpus rows minus
+    contaminated, original columns."""
+    v = F.col(vec_col).cast("array<double>")
+    corp_b = (with_lsh_bucket(corpus, planes, dims, vec_col)
+              .select(F.col(id_col), v.alias("cv"),
+                      norm(v).alias("cn"), "lsh_bucket"))
+    bench_b = (with_lsh_bucket(benchmark, planes, dims, vec_col)
+               .select(v.alias("bv"), norm(v).alias("bn"), "lsh_bucket"))
+    contaminated = (corp_b.join(F.broadcast(bench_b), ["lsh_bucket"])
+                    .filter(F.round(dot(F.col("cv"), F.col("bv"))
+                                    / (F.col("cn") * F.col("bn")), 6)
+                            >= threshold)
+                    .select(id_col).distinct())
+    return corpus.join(F.broadcast(contaminated), [id_col], "left_anti")
+
+
 def pca_train(df: DataFrame, k: int = 16, sample_n: int = 4096,
               vec_col: str = "embedding", id_col: str = "vec_id",
               whiten: bool = False) -> dict:

@@ -289,6 +289,52 @@ def phrase_search(index: DataFrame, phrase: str,
     return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))
 
 
+def tfidf_keywords(df: DataFrame, k: int = 5, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword-extraction / doc-representation step (tag docs for routing,
+    build sparse retrieval vectors, explain clusters):
+
+      score(t, d) = tf(t, d) * ( ln((1 + N) / (1 + df(t))) + 1 )
+
+    (the smoothed idf, so a term in every doc still scores by tf and
+    nothing divides by zero). One posexplode-free token explode feeds
+    BOTH aggregates: tf is a (doc, token) count (map-side combinable),
+    df a token count over those rows; N is the one scalar collect. The
+    per-doc top-k is a row_number window PARTITIONED BY DOC — the key
+    is corpus-cardinality, so the window parallelizes across every
+    executor (unlike a global or few-group window, the funnel this
+    shape usually hides); each partition holds one doc's vocabulary.
+    Ties break on the token so results are deterministic. Returns
+    (id_col, token, score, rk), rk in [1, k].
+    """
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError(f"k must be >= 1; got {k}")
+    n_docs = df.count()
+    # tf feeds BOTH join sides (scores and document frequency) — without
+    # materialization Spark recomputes the corpus explode+agg twice;
+    # localCheckpoint pays the (doc, token) table once (same rule as
+    # lm_quality_score's exploded table)
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+          .groupBy(id_col, "token")
+          .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+          .localCheckpoint())
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("score").desc(), F.col("token").asc()))
+    # tf⋈dfreq joins on the token: NOT forced broadcast — a web-scale
+    # vocabulary (unique typos/urls) outgrows a broadcast; AQE picks
+    # broadcast when dfreq is actually small
+    return (tf.join(dfreq, "token")
+            .withColumn("score", F.round(F.col("tf") * idf, 6))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(id_col, "token", "score", "rk"))
+
+
 def keyword_search_bm25(index: DataFrame, df: DataFrame, query: str,
                         k1: float = 1.2, b: float = 0.75,
                         text_col: str = "text",

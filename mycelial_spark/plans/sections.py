@@ -1566,7 +1566,9 @@ def video_frames_(spark, cfg, inputs):
             Field("sort_within_by", "list", default=[]),
             Field("zorder_by", "list", default=[]),
             Field("zorder_bits", "int", 16),
-            Field("compression", default="")],
+            Field("compression", default=""),
+            Field("bloom_filter_by", "list", default=[]),
+            Field("bloom_filter_ndv", "int", 0)],
            doc="Parquet sink; truncate=True mirrors the destructive-load "
                "option (D1 truncate, postgres destination.rs:104-108). "
                "Small-files control for long-running pipelines: "
@@ -1585,7 +1587,14 @@ def video_frames_(spark, cfg, inputs):
                "once via a Morton key (operators/relational.py "
                "with_zorder_key): files get selective min/max on every "
                "keyed column, so box predicates on any of them prune — "
-               "a linear sort only serves its leading column.")
+               "a linear sort only serves its leading column. "
+               "bloom_filter_by=[cols] writes parquet-native column "
+               "bloom filters (row-group skipping for EQUALITY probes "
+               "on high-cardinality ids, where min/max stats are "
+               "useless unless the file is sorted by that very column "
+               "— the point-lookup complement to zorder's box "
+               "predicates); bloom_filter_ndv sizes them when the "
+               "per-row-group distinct count is known.")
 def parquet_dest(spark, cfg, df):
     mode = "overwrite" if cfg["truncate"] else cfg["mode"]
     if cfg["zorder_by"]:
@@ -1615,6 +1624,16 @@ def parquet_dest(spark, cfg, df):
     if cfg["max_records_per_file"] > 0:
         writer = writer.option("maxRecordsPerFile",
                                cfg["max_records_per_file"])
+    for c in cfg["bloom_filter_by"]:
+        if c not in df.columns:
+            raise ValueError(f"bloom_filter_by column {c!r} not in "
+                             f"output columns {df.columns}")
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
+                               "true")
+        if cfg["bloom_filter_ndv"] > 0:
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}",
+                str(cfg["bloom_filter_ndv"]))
     if cfg["partition_by"]:
         writer = writer.partitionBy(*cfg["partition_by"])
     writer.parquet(cfg["path"])

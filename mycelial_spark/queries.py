@@ -4629,6 +4629,131 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal")))
 
 
+@query("bloom_prune_join", """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+""")
+def bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective semi join accelerated by the portable Bloom sketch:
+    urgent orders' keys build a 2^16-bit filter (distributed, bounded
+    driver fold — operators/bloom.py), lineitem is pruned INSIDE its
+    scan by the codegen membership probe, and the verifying semi join
+    only sees the ~20% candidate tail instead of shuffling the whole
+    fact table. The result is exact (no false negatives; false
+    positives die in the verify join), so the oracle is the plain semi
+    join — the sketch is pure execution strategy, invisible in the
+    result. Revenue summed in exact integer cents (the q1/q9 rule:
+    float sums drift across engines)."""
+    from mycelial_spark.operators.bloom import bloom_prune_semi_join
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey"))
+    kept = bloom_prune_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return (kept.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).alias("revenue_cents")))
+
+
+@query("quality_weighted_sample", """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE ((doc_id % 2147483648) * 2654435761 % 4294967296) * 1
+      / 4294967296 < least(greatest(n_chars / 400.0, 0.0), 1.0)
+""")
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT weighted sampling (mixture_sample's rates are
+    per-source): each doc survives with probability equal to its own
+    quality weight — here a length-derived rate n_chars/400 clamped to
+    [0,1], so long docs are kept whole and short ones thin out. The
+    engine-exact Knuth hash makes the surviving id set identical across
+    engines/reruns/partitionings and MONOTONE in the weight (raising a
+    doc's score can only add it) — curation experiments stay
+    comparable. Pure codegen filter on the scan; no shuffle."""
+    from mycelial_spark.operators.sampling import weighted_sample
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, F.col("n_chars") / 400.0) \
+        .select("doc_id", "lang", "source", "n_chars")
+
+
+@query("semantic_decontaminate", f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] ev FROM embeddings),
+corp AS (SELECT * FROM v WHERE vec_id % 37 <> 0),
+bench AS (SELECT * FROM v WHERE vec_id % 37 = 0),
+cb AS (SELECT vec_id, ev, {_lsh_bucket_sql(3)} AS bkt FROM corp),
+bb AS (SELECT ev, {_lsh_bucket_sql(3)} AS bkt FROM bench),
+bad AS (
+  SELECT DISTINCT cb.vec_id
+  FROM cb JOIN bb ON cb.bkt = bb.bkt
+  WHERE round(list_dot_product(cb.ev, bb.ev)
+              / (sqrt(list_dot_product(cb.ev, cb.ev))
+                 * sqrt(list_dot_product(bb.ev, bb.ev))), 6) >= 0.3
+)
+SELECT c.vec_id, c.label FROM corp c
+WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
+""")
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus rows whose vector lands
+    within cosine 0.3 of ANY benchmark vector are dropped (the fixture
+    embeddings are well-spread; real eval leaks sit near 1.0 — the
+    threshold is a parameter, the algorithm is what's checked) — catches the
+    paraphrased eval leak that shares no verbatim 8-gram with the
+    benchmark (the gap span_decontaminate/decontaminate leave open).
+    Candidates come from the frozen-hyperplane LSH bucket equijoin
+    (benchmark side broadcast — eval sets are thousands of rows, not
+    corpus-scale), verify is exact cosine: the corpus pays one scan,
+    no shuffle. Oracle replays the hyperplanes and the bucket join
+    bit-for-bit (the cosine_pairs_lsh recipe), so the LSH recall
+    tradeoff itself is what's hash-checked."""
+    from mycelial_spark.operators.similarity import semantic_decontaminate
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 37 != 0)
+    bench = emb.filter(F.col("vec_id") % 37 == 0)
+    return (semantic_decontaminate(corpus, bench, threshold=0.3, planes=3)
+            .select("vec_id", "label"))
+
+
+@query("tfidf_keywords", """
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id,
+               unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\\s+'),
+                 t -> t <> '')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+), dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token,
+         round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (token), n
+)
+SELECT doc_id, token, score, rk
+FROM (SELECT doc_id, token, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, token ASC) AS INT) AS rk
+      FROM scored)
+WHERE rk <= 5
+""")
+def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (smoothed idf) — keyword
+    extraction for routing/tagging/cluster explanation. The per-doc
+    top-k window partitions on the DOC id (corpus-cardinality key →
+    fully parallel, no few-group funnel); the df join is token-keyed
+    and NOT forced broadcast (web-scale vocabularies outgrow one).
+    Oracle recomputes tf, smoothed idf, and the tie-broken row_number
+    in SQL; scores match to 6 decimals."""
+    from mycelial_spark.operators.text import tfidf_keywords
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,81 @@
+"""Bloom sketch: no false negatives ever, bounded false positives,
+mergeability, and the exactness + actual pruning of the composed join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.bloom import (bloom_build, bloom_merge,
+                                            bloom_might_contain,
+                                            bloom_prune_semi_join)
+
+
+def test_no_false_negatives_and_fp_rate(spark):
+    members = spark.range(0, 2000).withColumnRenamed("id", "k")
+    model = bloom_build(members, "k", m=1 << 14, k=3)
+    # every member probes true — the property that makes the prune safe
+    hits = (members.withColumn("hit", bloom_might_contain(model, "k"))
+            .filter(~F.col("hit")).count())
+    assert hits == 0
+    # non-members: fp rate ~ (1 - e^(-kn/m))^k ≈ 0.018 at n=2000,
+    # m=16384, k=3 — allow generous slack, but it must actually filter
+    probes = spark.range(1_000_000, 1_010_000).withColumnRenamed("id", "k")
+    fp = (probes.withColumn("hit", bloom_might_contain(model, "k"))
+          .filter("hit").count())
+    assert fp / 10_000 < 0.05
+    assert model["n_positions"] <= 3 * 2000
+
+
+def test_merge_equals_union_build(spark):
+    a = bloom_build(spark.range(0, 500).withColumnRenamed("id", "k"),
+                    "k", m=4096, k=3)
+    b = bloom_build(spark.range(500, 1000).withColumnRenamed("id", "k"),
+                    "k", m=4096, k=3)
+    u = bloom_build(spark.range(0, 1000).withColumnRenamed("id", "k"),
+                    "k", m=4096, k=3)
+    assert bloom_merge(a, b)["bits"] == u["bits"]
+    with pytest.raises(ValueError, match="different params"):
+        bloom_merge(a, bloom_build(
+            spark.range(3).withColumnRenamed("id", "k"), "k", m=2048, k=3))
+
+
+def test_param_validation(spark):
+    df = spark.range(3).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "k", m=100)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(df, "k", k=99)
+
+
+def test_null_keys_skipped(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    model = bloom_build(df, "k", m=1024, k=2)
+    assert model["n_positions"] <= 4
+
+
+def test_prune_join_exact_and_actually_prunes(spark):
+    """The composed operator returns EXACTLY the semi join, and the
+    bloom stage alone removes the bulk of the big side before the
+    verifying join."""
+    big = spark.range(0, 20_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("v"))
+    small = spark.range(0, 20_000, 97).select(F.col("id").alias("sk"))
+    got = sorted(tuple(r) for r in
+                 bloom_prune_semi_join(big, small, "k", "sk").collect())
+    want = sorted(tuple(r) for r in
+                  big.join(small.withColumnRenamed("sk", "k"), "k",
+                           "left_semi").collect())
+    assert got == want and len(got) == len(range(0, 20_000, 97))
+    # the prune itself: bloom-only survivors << big-side rows
+    model = bloom_build(small, "sk", m=1 << 16, k=3)
+    survivors = big.filter(bloom_might_contain(model, "k")).count()
+    assert survivors < 2_000        # 207 members + fp tail out of 20k
+
+
+def test_negative_keys_portable(spark):
+    """pmod keeps positions in range for negative keys (Spark % is
+    signed — the raw form would index off the bitmap)."""
+    df = spark.createDataFrame([(-5,), (-1,), (7,)], "k long")
+    model = bloom_build(df, "k", m=1024, k=3)
+    hits = (df.withColumn("h", bloom_might_contain(model, "k"))
+            .filter(~F.col("h")).count())
+    assert hits == 0

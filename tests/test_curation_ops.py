@@ -1,0 +1,113 @@
+"""Round-7 curation operators: per-row weighted sampling, embedding-space
+decontamination, TF-IDF keyword extraction."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.sampling import weighted_sample
+from mycelial_spark.operators.similarity import semantic_decontaminate
+from mycelial_spark.operators.text import tfidf_keywords
+
+
+def _docs(spark, weights):
+    return spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w double")
+
+
+def test_weighted_sample_clamps_and_drops_null(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, 1.0), (3, 0.0), (4, -3.0), (5, None)],
+        "doc_id long, w double")
+    kept = {r["doc_id"] for r in weighted_sample(df, "w").collect()}
+    assert {1, 2} <= kept            # w >= 1 always survives
+    assert kept & {3, 4, 5} == set()  # w <= 0 / NULL never does
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """Raising every weight can only ADD documents — the property that
+    makes curation sweeps comparable (hash(id) is fixed, only the
+    threshold moves)."""
+    lo = _docs(spark, [0.3] * 500)
+    hi = _docs(spark, [0.7] * 500)
+    kept_lo = {r["doc_id"] for r in weighted_sample(lo, "w").collect()}
+    kept_hi = {r["doc_id"] for r in weighted_sample(hi, "w").collect()}
+    assert kept_lo <= kept_hi
+    # rates land near the weights (Knuth hash is uniform)
+    assert 0.2 < len(kept_lo) / 500 < 0.4
+    assert 0.6 < len(kept_hi) / 500 < 0.8
+    # deterministic across repartitionings
+    again = {r["doc_id"] for r in
+             weighted_sample(lo.repartition(7), "w").collect()}
+    assert again == kept_lo
+
+
+def test_semantic_decontaminate_exact_partition(spark):
+    """Survivors = corpus minus exactly the rows with a SAME-BUCKET
+    cosine >= threshold against some benchmark row (the LSH contract:
+    candidates are bucket-local; cross-bucket near-misses are the
+    documented recall tradeoff)."""
+    from mycelial_spark.operators.similarity import (cosine, norm,
+                                                     with_lsh_bucket)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 11 != 0)
+    bench = emb.filter(F.col("vec_id") % 11 == 0)
+    thr = 0.25
+    got = {r["vec_id"] for r in
+           semantic_decontaminate(corpus, bench, threshold=thr,
+                                  planes=3).collect()}
+    cb = with_lsh_bucket(corpus, 3).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>")
+        .alias("cv"), "lsh_bucket")
+    bb = with_lsh_bucket(bench, 3).select(
+        F.col("embedding").cast("array<double>").alias("bv"), "lsh_bucket")
+    bad = {r["vec_id"] for r in
+           (cb.join(bb, "lsh_bucket")
+            .filter(F.round(cosine(F.col("cv"), F.col("bv")), 6) >= thr)
+            .select("vec_id").distinct().collect())}
+    all_corpus = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert got == all_corpus - bad
+    assert bad, "fixture should produce some contamination at 0.25"
+
+
+def test_semantic_decontaminate_broadcasts_benchmark(spark):
+    """The corpus side must not shuffle: both the candidate join and
+    the anti join are broadcast — one corpus scan."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_decontaminate(emb.filter("vec_id % 11 != 0"),
+                                 emb.filter("vec_id % 11 = 0"),
+                                 threshold=0.25, planes=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"),
+         (2, "banana cherry"),
+         (3, "cherry cherry durian")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["token"]): (r["score"], r["rk"])
+           for r in tfidf_keywords(docs, k=2).collect()}
+
+    def idf(df_t):
+        return math.log(4.0 / (1.0 + df_t)) + 1.0
+
+    # doc 1: apple tf=2 df=1 -> top; banana tf=1 df=2
+    assert out[(1, "apple")] == (round(2 * idf(1), 6), 1)
+    assert out[(1, "banana")] == (round(1 * idf(2), 6), 2)
+    # doc 3: cherry tf=2 df=2 vs durian tf=1 df=1 — cherry wins on tf
+    assert out[(3, "cherry")][1] == 1 and out[(3, "durian")][1] == 2
+    # k bounds every doc
+    assert all(rk <= 2 for _, rk in out.values()) and len(out) == 6
+
+
+def test_tfidf_ties_break_on_token(spark):
+    docs = spark.createDataFrame([(1, "zeta alpha")],
+                                 "doc_id long, text string")
+    rows = tfidf_keywords(docs, k=2).orderBy("rk").collect()
+    assert [r["token"] for r in rows] == ["alpha", "zeta"]
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_keywords(docs, k=0)

@@ -1,6 +1,7 @@
 """Partition pruning: hive-partitioned writes + static/dynamic pruning in
 the plan — at 100 TB the difference between scanning a day and a year."""
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -98,3 +99,48 @@ def test_zorder_key_validation(spark):
     const = df.withColumn("b", F.lit(7.0))
     out = with_zorder_key(const, ["a", "b"], bits=8)
     assert out.select("zorder_key").distinct().count() == 10
+
+
+def test_parquet_dest_native_bloom_filters(spark, tmp_path):
+    """bloom_filter_by writes parquet-native column bloom filters —
+    verified in the file FOOTER (bloom offset present for the keyed
+    column, absent otherwise), with the data reading back intact. This
+    is the point-lookup complement to zorder: equality probes on a
+    high-cardinality id skip row groups min/max stats can't."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.plans.sections import REGISTRY
+    df = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("v"))
+    sdef = REGISTRY.get("parquet_dest")
+    out = str(tmp_path / "bloomed")
+    sdef.builder(spark, sdef.validate_config(
+        {"type": "parquet_dest", "path": out, "mode": "overwrite",
+         "target_files": 1, "bloom_filter_by": ["doc_id"],
+         "bloom_filter_ndv": 50_000}), df)
+
+    f = glob.glob(f"{out}/*.parquet")[0]
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(f)
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        hpath, spark.sparkContext._jsc.hadoopConfiguration())
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        offsets = {}
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        for i in range(cols.size()):
+            c = cols.get(i)
+            offsets[c.getPath().toDotString()] = c.getBloomFilterOffset()
+    finally:
+        reader.close()
+    assert offsets["doc_id"] >= 0, "doc_id must carry a bloom filter"
+    assert offsets["v"] == -1, "unrequested column must not pay for one"
+    assert spark.read.parquet(out).count() == 50_000
+
+    with pytest.raises(ValueError, match="not in"):
+        sdef.builder(spark, sdef.validate_config(
+            {"type": "parquet_dest", "path": out, "mode": "overwrite",
+             "bloom_filter_by": ["nope"]}), df)

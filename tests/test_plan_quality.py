@@ -219,3 +219,46 @@ def test_simhash_fast_same_shape_as_oracle_twin(spark):
     assert fast["bnlj"] == 0 and fast["cartesian"] == 0
     assert fast["bhj"] == slow["bhj"]
     assert fast["exchanges"] <= slow["exchanges"]
+
+
+def test_bloom_prune_join_filter_in_scan_stage(spark):
+    """The bloom probe must sit as a codegen filter on the fact scan
+    (before any exchange), the verify is ONE broadcast semi join, and
+    both scans keep pushed filters + pruned read schemas. Budget: the
+    final agg exchange plus the broadcast."""
+    p = plan_of(spark, "bloom_prune_join")
+    a = audit(p)
+    assert "bit_get" in p, "bloom probe missing from the plan"
+    assert a["bhj"] == 1 and a["smj"] == 0 and a["bnlj"] == 0
+    assert a["exchanges"] <= 2
+    assert any("EqualTo(o_orderpriority,1-URGENT)" in s for s in a["pushed"])
+    assert any(s.count(",") == 2 for s in a["read_schema"]), \
+        "lineitem read schema must prune to 3 columns"
+
+
+def test_quality_weighted_sample_zero_shuffle(spark):
+    """Per-row weighted sampling is a pure scan filter: no exchange,
+    no join, one codegen span."""
+    a = audit(plan_of(spark, "quality_weighted_sample"))
+    assert a["exchanges"] == 0
+    assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
+    assert a["codegen_spans"] >= 1
+
+
+def test_semantic_decontaminate_corpus_never_shuffles(spark):
+    """Both the candidate bucket join and the contaminated-id anti join
+    broadcast the benchmark side — the corpus keeps its one scan; the
+    lone exchange is the tiny contaminated-id distinct."""
+    a = audit(plan_of(spark, "semantic_decontaminate"))
+    assert a["bhj"] == 2 and a["smj"] == 0 and a["bnlj"] == 0
+    assert a["exchanges"] <= 1
+
+
+def test_tfidf_keywords_shuffle_budget(spark):
+    """tf materializes once (localCheckpoint) and feeds both the score
+    join and the df aggregate; budget: df agg + join + per-doc window
+    sort. The window partitions on the doc id — corpus-cardinality, no
+    few-group funnel."""
+    a = audit(plan_of(spark, "tfidf_keywords"))
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["exchanges"] <= 4

@@ -66,6 +66,19 @@ def _span_dedup(d):
 _FULL_COLUMN_FORCE = {"span_dedup"}
 
 
+def _tfidf(d):
+    from mycelial_spark.operators.text import tfidf_keywords
+    return tfidf_keywords(d, k=5)
+
+
+def _bloom_prune(d):
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.bloom import bloom_prune_semi_join
+    small = d.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    return bloom_prune_semi_join(d, small, "doc_id", "doc_id")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
@@ -108,6 +121,13 @@ def main() -> None:
         # exact-substring removal: one window over rolling span hashes,
         # interval-erase anti-join, per-doc reassembly — all linear
         "span_dedup": lambda d: _span_dedup(d),
+        # per-doc TF-IDF keywords: tf materializes once; cost should be
+        # ~linear in token count (tf agg + df agg + per-doc window)
+        "tfidf_keywords": lambda d: _tfidf(d),
+        # bloom-pruned semi join: the ~1% key subset builds the sketch
+        # (cost tracks the SMALL side), the corpus pays one codegen
+        # probe pass — cost should track the scan, like decontaminate
+        "bloom_prune_join": lambda d: _bloom_prune(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
