@@ -1357,6 +1357,30 @@ def cdc_parquet_dest(spark, cfg, df):
                              cfg["n_buckets"])
 
 
+@_register("rollup_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("time_col"),
+            Field("group_cols", "json"), Field("measure_cols", "json"),
+            Field("bucket", default="day")],
+           doc="Hypertable-style continuous aggregate: maintains a "
+               "time-bucketed rollup table (count/sum/min/max partials "
+               "per bucket+group, avg derived at read) incrementally "
+               "per batch — late/out-of-order rows repair exactly "
+               "their bucket partitions, nothing rescans history. "
+               "Under the streaming runner the foreachBatch id becomes "
+               "the applied-marker, so at-least-once redelivery "
+               "applies each batch once (sinks/rollup.py; the crash "
+               "window between swap and marker is fenced by a pending "
+               "marker + rollup_heal).")
+def rollup_dest(spark, cfg, df):
+    from mycelial_spark.sinks.rollup import rollup_update
+    b = cfg.get("_batch")
+    bid = f"{b[0]}_{b[1]}" if b else None
+    return rollup_update(df, cfg["path"], cfg["time_col"],
+                         list(cfg["group_cols"]),
+                         list(cfg["measure_cols"]), cfg["bucket"],
+                         batch_id=bid)
+
+
 @_register("ann_index_dest", "destination", "dataframe", "none",
            [Field("path"), Field("n_centroids", "int", 16),
             Field("sample_fraction", "float", 1.0),

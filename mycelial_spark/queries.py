@@ -4719,6 +4719,58 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label"))
 
 
+@query("events_rollup", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT))  AS sum_value_u,
+       min(CAST(round(value * 1000000) AS BIGINT))  AS min_value_u,
+       max(CAST(round(value * 1000000) AS BIGINT))  AS max_value_u,
+       round(sum(CAST(round(value * 1000000) AS BIGINT))
+             / count(value) / 1000000.0, 6)         AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate, end to end: the events
+    stream folds into a day-bucketed rollup table in THREE OUT-OF-ORDER
+    batches (event_id % 3), then one batch REPLAYS (its applied-marker
+    makes it a no-op); the returned frame is the maintained table read
+    back from disk. The oracle is the direct one-shot aggregate over
+    all events — what the hash-match proves is that incremental partial
+    merging (sum+sum / min+min / max+max per touched bucket partition),
+    arrival order, and replay protection together converge to the exact
+    batch answer. The measure pre-scales to integer micro-units so
+    partial sums are EXACT (the q1/q9 integer-cents rule: float partial
+    sums in a different association order could flip a 6th decimal)."""
+    import tempfile
+
+    from mycelial_spark.sinks.rollup import read_rollup, rollup_update
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("value_u"))
+    path = tempfile.mkdtemp(prefix="rollup_")
+    for b in (2, 0, 1):     # out-of-order on purpose
+        rollup_update(ev.filter(F.col("event_id") % 3 == b)
+                      .drop("event_id"),
+                      path, "ts", ["event_type"], ["value_u"],
+                      bucket="day", batch_id=f"b{b}")
+    replay = rollup_update(ev.filter(F.col("event_id") % 3 == 0)
+                           .drop("event_id"),
+                           path, "ts", ["event_type"], ["value_u"],
+                           bucket="day", batch_id="b0")
+    if not replay["skipped_replay"]:
+        raise RuntimeError("replayed rollup batch must be a no-op")
+    return (read_rollup(spark, path)
+            .select(F.col("bucket_ts"), "event_type",
+                    F.col("n").alias("n_events"),
+                    F.col("sum_value_u"),
+                    F.col("min_value_u"),
+                    F.col("max_value_u"),
+                    F.round(F.col("sum_value_u") / F.col("cnt_value_u")
+                            / 1000000.0, 6).alias("avg_value")))
+
+
 @query("tfidf_keywords", """
 WITH tf AS (
   SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf

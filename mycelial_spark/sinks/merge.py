@@ -104,32 +104,42 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
                     F.col("_w._op").alias("_op"))
             .withColumn("_kb", _bucket(key_cols, n_buckets))
             .localCheckpoint())
-    # op validation on the materialized WINNERS (no extra input scan);
-    # a malformed op that wins an election must fail the merge loudly.
-    # NULL needs its own clause: ~isin() is NULL (not true) for NULL,
-    # so a null-op row would otherwise slip through the filter AND
-    # later vanish from read_cdc_table (whose _op != 'D' also drops
-    # NULL) — the silent-loss class this guard exists to stop.
-    bad = flat.filter(~F.col("_op").isin(OP_UPDATE, OP_DELETE)
-                      | F.col("_op").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(f"{op_col} must be one of I/U/D; got "
-                         f"{bad[0]['_op']!r}")
-    # NULL keys would be silently destructive: their bucket is NULL,
-    # the isin() prune can never select the null partition for the
-    # read-side, yet the write-side dynamic overwrite WOULD replace it —
-    # dropping every previously-merged null-key row. Refuse loudly.
+    # Validation + batch stats in ONE aggregate job over the
+    # materialized winners (this used to be four separate actions —
+    # bad-op probe, null-key probe, delete count, bucket list — each a
+    # full pass over the checkpoint; at micro-batch cadence the driver
+    # round-trips dominate the merge):
+    # - op validation: a malformed op that wins an election must fail
+    #   the merge loudly. NULL needs its own clause — ~isin() is NULL
+    #   (not true) for NULL, so a null-op row would otherwise slip
+    #   through AND later vanish from read_cdc_table (whose _op != 'D'
+    #   also drops NULL) — the silent-loss class this guard stops.
+    # - NULL keys would be silently destructive: their bucket is NULL,
+    #   the isin() prune can never select the null partition for the
+    #   read side, yet the write-side dynamic overwrite WOULD replace
+    #   it — dropping every previously-merged null-key row.
+    # - collect_set("_kb") is bounded by n_buckets — driver-safe.
+    bad_op = ~F.col("_op").isin(OP_UPDATE, OP_DELETE) | F.col("_op").isNull()
     null_key = None
     for c in key_cols:
         cond = F.col(c).isNull()
         null_key = cond if null_key is None else null_key | cond
-    if flat.filter(null_key).limit(1).collect():
+    st = flat.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("_op") == OP_DELETE).cast("int")).alias("n_del"),
+        F.max(bad_op.cast("int")).alias("has_bad_op"),
+        F.max(F.when(bad_op, F.col("_op"))).alias("bad_op_example"),
+        F.max(null_key.cast("int")).alias("has_null_key"),
+        F.collect_set("_kb").alias("buckets")).collect()[0]
+    if st["has_bad_op"]:
+        raise ValueError(f"{op_col} must be one of I/U/D; got "
+                         f"{st['bad_op_example']!r}")
+    if st["has_null_key"]:
         raise ValueError(f"key columns {key_cols} must be non-null "
                          f"(a NULL key cannot be bucketed or merged)")
-    n_del = flat.filter(F.col("_op") == OP_DELETE).count()
-    n_up = flat.count() - n_del
-    buckets = sorted(r["_kb"] for r in
-                     flat.select("_kb").distinct().collect())
+    n_del = int(st["n_del"] or 0)
+    n_up = int(st["n"]) - n_del
+    buckets = sorted(st["buckets"])
 
     table = f"{path.rstrip('/')}/table"
     created = not _exists(spark, table)

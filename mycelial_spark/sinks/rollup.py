@@ -1,0 +1,228 @@
+"""Hypertable-style continuous aggregate: a time-bucketed rollup table
+maintained INCREMENTALLY under appends, including late / out-of-order
+data — the TimescaleDB continuous-aggregate capability re-expressed for
+a parquet lake.
+
+Why this exists at 100 TB: the naive "recompute the dashboard aggregate
+nightly" rescans the whole fact table; the rollup instead maintains
+MERGEABLE partial states (count / sum / min / max per measure, avg
+derived at read) per (time bucket, group), and each new batch:
+
+1. partially aggregates ITSELF (map-side combinable — the batch shrinks
+   to one row per (bucket, group) before anything touches the table);
+2. reads ONLY the stored partitions for buckets the batch touches
+   (hive partitioning on ``_tb`` = bucket epoch-seconds → directory
+   pruning; late data lands in an old bucket and repairs exactly that
+   partition, cost proportional to the LATENESS SPREAD, not history);
+3. combines partials (sum+sum, min+min, max+max — associative and
+   commutative, so batches may arrive in any order) and rewrites
+   exactly the touched bucket partitions via dynamic overwrite.
+
+Unlike the CDC merge (sinks/merge.py), additive rollups are NOT
+naturally idempotent — replaying a batch would double-count. Two
+protections, both explicit:
+
+- ``batch_id``: an applied-marker per batch (``_applied/<id>``) makes
+  redelivery a no-op — the streaming runner's foreachBatch id slots in
+  directly (at-least-once delivery → effectively-once application).
+- crash-window honesty: the marker is written AFTER the partition swap,
+  so a crash BETWEEN swap and marker leaves a window where replay would
+  double-apply. A ``_pending/<id>`` marker (written BEFORE the swap,
+  naming the touched buckets) fences it: update() REFUSES to run while
+  a pending marker exists, and ``rollup_heal`` rebuilds exactly the
+  named buckets from the source-of-truth fact table — the same
+  phase-aware recover-forward shape as sinks/compact.py. (An aggregate
+  is always rebuildable from its base table; the heal makes that the
+  documented recovery path rather than a shrug.)
+
+Reference parity: the reference is a CDC engine whose destinations keep
+derived state in sync with a source (sections/*/destination.rs upsert
+loops); this is that idea applied to aggregate state. Spark-first: all
+aggregation is partial/hash-based, the table I/O is partition-pruned,
+nothing rescans history.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKETS = {"hour": 3600, "day": 86400, "week": 604800}
+
+
+def _bucket_col(time_col: str, bucket: str):
+    if bucket not in _BUCKETS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKETS)}; "
+                         f"got {bucket!r}")
+    # epoch-seconds of the truncated bucket: a LONG partition value —
+    # stable on disk, trivially replayable in any engine
+    # (epoch // width * width), no timestamp-encoding ambiguity in the
+    # hive directory name
+    return (F.floor(F.unix_timestamp(F.col(time_col))
+                    / _BUCKETS[bucket]).cast("bigint")
+            * _BUCKETS[bucket])
+
+
+def _partial_agg(df: DataFrame, group_cols: list[str],
+                 measure_cols: list[str]) -> DataFrame:
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for m in measure_cols:
+        aggs += [F.sum(m).alias(f"sum_{m}"),
+                 F.count(m).alias(f"cnt_{m}"),
+                 F.min(m).alias(f"min_{m}"),
+                 F.max(m).alias(f"max_{m}")]
+    return df.groupBy("_tb", *group_cols).agg(*aggs)
+
+
+def _combine(partials: DataFrame, group_cols: list[str],
+             measure_cols: list[str]) -> DataFrame:
+    aggs = [F.sum("n").alias("n")]
+    for m in measure_cols:
+        aggs += [F.sum(f"sum_{m}").alias(f"sum_{m}"),
+                 F.sum(f"cnt_{m}").alias(f"cnt_{m}"),
+                 F.min(f"min_{m}").alias(f"min_{m}"),
+                 F.max(f"max_{m}").alias(f"max_{m}")]
+    return partials.groupBy("_tb", *group_cols).agg(*aggs)
+
+
+def rollup_update(batch: DataFrame, path: str, time_col: str,
+                  group_cols: list[str], measure_cols: list[str],
+                  bucket: str = "day",
+                  batch_id: str | None = None) -> dict:
+    """Fold one batch into the rollup at ``path``. Returns
+    {buckets_touched, rows_in, created, skipped_replay}."""
+    from mycelial_spark.fsutil import dynamic_partition_overwrite
+    from mycelial_spark.fsutil import exists as _exists
+    from mycelial_spark.fsutil import fs_read_text, fs_write_text, hadoop_fs
+    spark = batch.sparkSession
+    root = path.rstrip("/")
+    for c in (time_col, *group_cols, *measure_cols):
+        if c not in batch.columns:
+            raise ValueError(f"batch lacks column {c!r}")
+    meta_p = f"{root}/_rollup_meta.json"
+    want = {"time_col": time_col, "group_cols": list(group_cols),
+            "measure_cols": list(measure_cols), "bucket": bucket}
+    if _exists(spark, meta_p):
+        meta = json.loads(fs_read_text(spark, meta_p))
+        if meta != want:
+            raise ValueError(f"rollup at {path!r} was created with "
+                             f"{meta}; got {want}")
+    if batch_id is not None and _exists(spark,
+                                        f"{root}/_applied/{batch_id}"):
+        return {"buckets_touched": 0, "rows_in": 0, "created": False,
+                "skipped_replay": True}
+    _jvm, fs, P = hadoop_fs(spark, root)
+    pend_dir = f"{root}/_pending"
+    if fs.exists(P(pend_dir)) and fs.listStatus(P(pend_dir)):
+        pend = fs.listStatus(P(pend_dir))[0].getPath().getName()
+        raise RuntimeError(
+            f"rollup at {path!r} has an unresolved pending update "
+            f"{pend!r} (crash between partition swap and applied "
+            f"marker): replaying now could double-count. Run "
+            f"rollup_heal(spark, path, source_df) to rebuild the "
+            f"affected buckets from the fact table.")
+
+    part = (batch.withColumn("_tb", _bucket_col(time_col, bucket))
+            .transform(lambda d: _partial_agg(d, group_cols,
+                                              measure_cols))
+            .localCheckpoint())
+    # one aggregate job: row count, null-time guard, touched buckets
+    st = part.agg(F.sum("n").alias("rows_in"),
+                  F.max(F.col("_tb").isNull().cast("int")).alias("has_null"),
+                  F.collect_set("_tb").alias("tbs")).collect()[0]
+    if st["rows_in"] is None:
+        return {"buckets_touched": 0, "rows_in": 0, "created": False,
+                "skipped_replay": False}
+    if st["has_null"]:
+        raise ValueError(f"{time_col} must be non-null (a NULL "
+                         f"timestamp cannot be bucketed)")
+    touched = sorted(int(t) for t in st["tbs"])
+
+    table = f"{root}/table"
+    created = not _exists(spark, table)
+    if created:
+        merged = part
+    else:
+        cur = (spark.read.parquet(table)
+               .filter(F.col("_tb").isin(touched)))
+        merged = _combine(cur.unionByName(part), group_cols,
+                          measure_cols).localCheckpoint()
+    if created:
+        fs_write_text(spark, meta_p, json.dumps(want))
+    # pending fence BEFORE the swap (see module docstring)
+    pend_id = batch_id if batch_id is not None else "anon"
+    fs_write_text(spark, f"{pend_dir}/{pend_id}", json.dumps(touched))
+    with dynamic_partition_overwrite(spark):
+        merged.write.mode("overwrite").partitionBy("_tb").parquet(table)
+    fs.delete(P(f"{pend_dir}/{pend_id}"), False)
+    if batch_id is not None:
+        fs_write_text(spark, f"{root}/_applied/{batch_id}", "")
+    return {"buckets_touched": len(touched), "rows_in": int(st["rows_in"]),
+            "created": created, "skipped_replay": False}
+
+
+def rollup_heal(spark: SparkSession, path: str, source: DataFrame) -> dict:
+    """Recover from a crash window: rebuild every bucket named by
+    pending markers EXACTLY from the source-of-truth fact table, then
+    clear the markers. The rebuild is partition-scoped — cost follows
+    the interrupted batches' bucket spread, not table history (the
+    source scan prunes on the bucket predicate where the source layout
+    allows)."""
+    from mycelial_spark.fsutil import dynamic_partition_overwrite
+    from mycelial_spark.fsutil import fs_read_text, hadoop_fs
+    root = path.rstrip("/")
+    meta = json.loads(fs_read_text(spark, f"{root}/_rollup_meta.json"))
+    _jvm, fs, P = hadoop_fs(spark, root)
+    pend_dir = f"{root}/_pending"
+    if not fs.exists(P(pend_dir)):
+        return {"healed_buckets": 0}
+    pend = list(fs.listStatus(P(pend_dir)))
+    buckets: set[int] = set()
+    for s in pend:
+        buckets |= set(json.loads(fs_read_text(
+            spark, f"{pend_dir}/{s.getPath().getName()}")))
+    if not buckets:
+        for s in pend:
+            fs.delete(s.getPath(), False)
+        return {"healed_buckets": 0}
+    tb = _bucket_col(meta["time_col"], meta["bucket"])
+    rebuilt = (source.withColumn("_tb", tb)
+               .filter(F.col("_tb").isin(sorted(buckets)))
+               .transform(lambda d: _partial_agg(
+                   d, meta["group_cols"], meta["measure_cols"]))
+               .localCheckpoint())
+    rebuilt_tbs = {r["_tb"] for r in
+                   rebuilt.select("_tb").distinct().collect()}
+    with dynamic_partition_overwrite(spark):
+        rebuilt.write.mode("overwrite").partitionBy("_tb") \
+               .parquet(f"{root}/table")
+    # a bucket whose every source row vanished produces no output;
+    # dynamic overwrite would keep its stale files — drop explicitly
+    for b in buckets - rebuilt_tbs:
+        fs.delete(P(f"{root}/table/_tb={b}"), True)
+    for s in pend:
+        fs.delete(s.getPath(), False)
+    return {"healed_buckets": len(buckets)}
+
+
+def read_rollup(spark: SparkSession, path: str,
+                finalize: bool = True) -> DataFrame:
+    """The rollup's current state; ``finalize`` adds derived columns
+    (``avg_<m>`` = sum/cnt) and a ``bucket_ts`` timestamp alongside the
+    raw epoch partition value."""
+    from mycelial_spark.fsutil import fs_read_text
+    root = path.rstrip("/")
+    df = spark.read.parquet(f"{root}/table")
+    if not finalize:
+        return df
+    meta = json.loads(fs_read_text(spark, f"{root}/_rollup_meta.json"))
+    out = df.withColumn("bucket_ts",
+                        F.col("_tb").cast("timestamp"))
+    for m in meta["measure_cols"]:
+        out = out.withColumn(
+            f"avg_{m}",
+            F.when(F.col(f"cnt_{m}") > 0,
+                   F.col(f"sum_{m}") / F.col(f"cnt_{m}")))
+    return out

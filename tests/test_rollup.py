@@ -1,0 +1,200 @@
+"""Continuous aggregate (hypertable rollup): incremental == one-shot,
+out-of-order late data repairs its bucket, replay protection, the
+pending-marker crash fence + heal, and physical partition pruning."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.sinks.rollup import (read_rollup, rollup_heal,
+                                         rollup_update)
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(rows, "ts string, g string, v long")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+ROWS = [
+    ("2024-01-01 03:00:00", "a", 10),
+    ("2024-01-01 17:30:00", "a", 4),
+    ("2024-01-01 09:00:00", "b", 7),
+    ("2024-01-02 01:00:00", "a", 1),
+    ("2024-01-03 23:59:59", "b", 100),
+    ("2024-01-03 00:00:00", "b", -5),
+]
+
+
+def _state(spark, p):
+    return sorted(
+        (r["_tb"], r["g"], r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in read_rollup(spark, p, finalize=False).collect())
+
+
+def test_incremental_equals_oneshot_any_order(spark, tmp_path):
+    df = _ev(spark, ROWS)
+    one = str(tmp_path / "one")
+    rollup_update(df, one, "ts", ["g"], ["v"])
+    # three out-of-order slices, one per row parity-ish
+    inc = str(tmp_path / "inc")
+    for b in (2, 0, 1):
+        rollup_update(df.filter(F.pmod(F.col("v"), F.lit(3)) == b),
+                      inc, "ts", ["g"], ["v"])
+    assert _state(spark, one) == _state(spark, inc)
+    fin = {(r["bucket_ts"].day, r["g"]): (r["n"], r["avg_v"])
+           for r in read_rollup(spark, inc).collect()}
+    assert fin[(1, "a")] == (2, 7.0)
+    assert fin[(3, "b")] == (2, 47.5)
+
+
+def test_late_data_repairs_only_its_bucket(spark, tmp_path):
+    p = str(tmp_path / "t")
+    rollup_update(_ev(spark, ROWS), p, "ts", ["g"], ["v"])
+    files = lambda: {f: os.stat(f).st_mtime_ns for f in  # noqa: E731
+                     glob.glob(f"{p}/table/_tb=*/*.parquet")}
+    before = files()
+    out = rollup_update(
+        _ev(spark, [("2024-01-01 12:00:00", "b", 3)]),  # late row, day 1
+        p, "ts", ["g"], ["v"])
+    assert out["buckets_touched"] == 1
+    after = files()
+    touched_dirs = {f.rsplit("/", 2)[1] for f in set(after) - set(before)}
+    assert len(touched_dirs) == 1
+    survivors = set(before) & set(after)
+    assert all(before[f] == after[f] for f in survivors)
+    fin = {(r["bucket_ts"].day, r["g"]): r["sum_v"]
+           for r in read_rollup(spark, p).collect()}
+    assert fin[(1, "b")] == 10 and fin[(1, "a")] == 14
+
+
+def test_replay_marker_makes_redelivery_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _ev(spark, ROWS[:3])
+    rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    before = _state(spark, p)
+    out = rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    assert out["skipped_replay"] and _state(spark, p) == before
+    # WITHOUT a batch_id replay double-counts — the documented contract
+    rollup_update(df, p, "ts", ["g"], ["v"])
+    assert _state(spark, p) != before
+
+
+def test_pending_fence_and_heal(spark, tmp_path):
+    """A crash between partition swap and applied-marker leaves a
+    pending marker: the next update refuses (double-count risk) and
+    rollup_heal rebuilds exactly the named buckets from the source."""
+    p = str(tmp_path / "t")
+    df = _ev(spark, ROWS)
+    rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    # simulate the crash window: pending marker exists, swap already ran
+    day1 = read_rollup(spark, p, finalize=False) \
+        .select("_tb").distinct().orderBy("_tb").first()["_tb"]
+    os.makedirs(f"{p}/_pending", exist_ok=True)
+    with open(f"{p}/_pending/crashed", "w") as fh:
+        fh.write(f"[{day1}]")
+    with pytest.raises(RuntimeError, match="pending update"):
+        rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b2")
+    healed = rollup_heal(spark, p, df)
+    assert healed["healed_buckets"] == 1
+    assert not os.listdir(f"{p}/_pending")
+    # healed state == exact recompute; updates run again
+    one = str(tmp_path / "one")
+    rollup_update(df, one, "ts", ["g"], ["v"])
+    assert _state(spark, p) == _state(spark, one)
+    rollup_update(_ev(spark, [("2024-01-05 00:00:01", "a", 2)]), p,
+                  "ts", ["g"], ["v"], batch_id="b2")
+
+
+def test_validation_and_meta_drift(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = _ev(spark, ROWS[:2])
+    with pytest.raises(ValueError, match="bucket must be"):
+        rollup_update(df, p, "ts", ["g"], ["v"], bucket="fortnight")
+    with pytest.raises(ValueError, match="lacks column"):
+        rollup_update(df, p, "ts", ["g"], ["nope"])
+    rollup_update(df, p, "ts", ["g"], ["v"])
+    with pytest.raises(ValueError, match="was created with"):
+        rollup_update(df, p, "ts", [], ["v"])
+    with pytest.raises(ValueError, match="non-null"):
+        rollup_update(_ev(spark, [(None, "a", 1)]), p, "ts", ["g"], ["v"])
+    # empty batch: no table created, no partitions written
+    p2 = str(tmp_path / "t2")
+    out = rollup_update(_ev(spark, []), p2, "ts", ["g"], ["v"])
+    assert out == {"buckets_touched": 0, "rows_in": 0, "created": False,
+                   "skipped_replay": False}
+    assert not os.path.exists(f"{p2}/table")
+
+
+def test_rollup_read_prunes_bucket_partitions(spark, tmp_path):
+    """A time-range read of the rollup prunes to the matching _tb
+    directories (hive partition pruning — the reason the bucket is the
+    partition column)."""
+    p = str(tmp_path / "t")
+    rollup_update(_ev(spark, ROWS), p, "ts", ["g"], ["v"])
+    df = read_rollup(spark, p, finalize=False).filter(
+        F.col("_tb") == 1704067200)      # 2024-01-01 UTC
+    got = {f.rsplit("/", 2)[1] for f in
+           (r["f"] for r in df.select(
+               F.input_file_name().alias("f")).distinct().collect())}
+    assert got == {"_tb=1704067200"}
+
+
+def test_rollup_dest_streaming_e2e(spark, tmp_path):
+    """The section under the poll runner: an INCREMENTAL source
+    (stateful_query watermark — each poll emits only NEW rows; a
+    full-requery source would re-emit history, which an additive
+    rollup must never ingest) feeds rollup_dest; the maintained table
+    tracks two polls' worth of events, late rows repair their bucket,
+    and the foreachBatch-id applied markers exist."""
+    import sqlite3
+
+    from tests.test_watch_streaming import _run
+    src_db = str(tmp_path / "src.db")
+    out = str(tmp_path / "roll")
+    ckpt = str(tmp_path / "ckpt")
+    with sqlite3.connect(src_db) as c:
+        c.execute("CREATE TABLE ev (seq INTEGER PRIMARY KEY, "
+                  "ts TEXT, g TEXT, v INTEGER)")
+        c.executemany("INSERT INTO ev VALUES (?,?,?,?)",
+                      [(1, "2024-01-01 05:00:00", "a", 10),
+                       (2, "2024-01-02 06:00:00", "a", 2)])
+    spec = {
+        "nodes": {
+            "src": {"type": "stateful_query", "backend": "sqlite",
+                    "path": src_db,
+                    "query": "SELECT seq, ts, g, v FROM ev "
+                             "WHERE seq > $wm::i64",
+                    "initial": {"wm": 0}, "poll_interval_millis": 200},
+            "cast": {"type": "select",
+                     "columns": ["CAST(ts AS TIMESTAMP) AS ts", "g",
+                                 "CAST(v AS BIGINT) AS v"]},
+            "dst": {"type": "rollup_dest", "path": out,
+                    "time_col": "ts", "group_cols": ["g"],
+                    "measure_cols": ["v"], "bucket": "day"},
+        },
+        "edges": [["src", "cast"], ["cast", "dst"]],
+    }
+
+    def state():
+        try:
+            return {(r["_tb"], r["g"]): (r["n"], r["sum_v"]) for r in
+                    read_rollup(spark, out, finalize=False).collect()}
+        except Exception:
+            return {}
+
+    d1, d2 = 1704067200, 1704153600          # 2024-01-01/02 UTC
+    _run(spark, spec, ckpt,
+         lambda: state() == {(d1, "a"): (1, 10), (d2, "a"): (1, 2)})
+    # second poll: one new row + one LATE row into day 1
+    with sqlite3.connect(src_db) as c:
+        c.executemany("INSERT INTO ev VALUES (?,?,?,?)",
+                      [(3, "2024-01-02 07:00:00", "b", 5),
+                       (4, "2024-01-01 22:00:00", "a", 30)])
+    _run(spark, spec, ckpt,
+         lambda: state() == {(d1, "a"): (2, 40), (d2, "a"): (1, 2),
+                             (d2, "b"): (1, 5)})
+    assert os.listdir(f"{out}/_applied"), "batch markers must persist"
+    assert not os.path.exists(f"{out}/_pending") \
+        or not os.listdir(f"{out}/_pending")
