@@ -251,6 +251,42 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     return df.filter(expr)
 
 
+def mixture_sample_tokens(df: DataFrame, weights: dict[str, float],
+                          token_col: Column | str,
+                          source_col: str = "source",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Weighted mixture by TOKEN budget: LLM data recipes specify "30%
+    of TOKENS from web, 50% from code" — doc-count mixing
+    (mixture_sample) over-represents sources with short documents.
+    Per-source keep-rates derive from one sum-of-tokens aggregate
+    (rate_s = w_s·scale/T_s, scale = min T_s/w_s — the binding source
+    survives whole); selection stays the engine-exact per-doc Knuth
+    hash. Documents are atomic, so output token proportions match the
+    weights IN EXPECTATION (exact proportioning would be a doc-level
+    knapsack); the selection itself is deterministic and
+    cross-engine-replayable, same as mixture_sample. ``token_col`` is
+    any per-doc token-count column/expression (whitespace `tokens`
+    size, `bpe_token_count`, or a real BPE count)."""
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive, got {weights!r}")
+    tc = F.col(token_col) if isinstance(token_col, str) else token_col
+    totals = {r["s"]: r["t"] for r in
+              df.groupBy(F.col(source_col).alias("s"))
+                .agg(F.sum(tc).alias("t")).collect()}
+    missing = [s for s in weights
+               if s not in totals or not totals[s]]
+    if missing:
+        raise ValueError(f"sources with no tokens in data: {missing}")
+    scale = min(totals[s] / w for s, w in weights.items())
+    rates = {s: (w * scale) / totals[s] for s, w in weights.items()}
+    h = hash_bucket(id_col, 1)
+    expr = None
+    for s, rate in rates.items():
+        cond = (F.col(source_col) == s) & (h < F.lit(rate))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)
+
+
 def weighted_sample(df: DataFrame, weight_col: Column | str,
                     id_col: str = "doc_id") -> DataFrame:
     """Deterministic PER-ROW weighted sampling: keep each row with

@@ -1360,7 +1360,8 @@ def cdc_parquet_dest(spark, cfg, df):
 @_register("rollup_dest", "destination", "dataframe", "none",
            [Field("path"), Field("time_col"),
             Field("group_cols", "json"), Field("measure_cols", "json"),
-            Field("bucket", default="day")],
+            Field("bucket", default="day"),
+            Field("distinct_cols", "json", default=[])],
            doc="Hypertable-style continuous aggregate: maintains a "
                "time-bucketed rollup table (count/sum/min/max partials "
                "per bucket+group, avg derived at read) incrementally "
@@ -1378,7 +1379,8 @@ def rollup_dest(spark, cfg, df):
     return rollup_update(df, cfg["path"], cfg["time_col"],
                          list(cfg["group_cols"]),
                          list(cfg["measure_cols"]), cfg["bucket"],
-                         batch_id=bid)
+                         batch_id=bid,
+                         distinct_cols=list(cfg["distinct_cols"]))
 
 
 @_register("ann_index_dest", "destination", "dataframe", "none",

@@ -4719,6 +4719,48 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label"))
 
 
+@query("mixture_sample_tokens", """
+WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
+                                       ('src2', 0.2))),
+tok AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         t -> t <> '')) AS n_tok
+  FROM documents
+),
+totals AS (
+  SELECT source AS s, sum(n_tok) AS t FROM tok
+  WHERE source IN (SELECT s FROM w) GROUP BY source
+), sc AS (SELECT min(t / w) AS scale FROM totals JOIN w USING (s)),
+rates AS (
+  SELECT tt.s, w.w * sc.scale / tt.t AS rate FROM totals tt
+  JOIN w USING (s) CROSS JOIN sc
+)
+SELECT d.doc_id, d.source, tok.n_tok
+FROM documents d
+JOIN tok USING (doc_id)
+JOIN rates r ON d.source = r.s
+WHERE ((d.doc_id % 2147483648) * 2654435761 % 4294967296) * 1
+      / 4294967296 < r.rate
+""")
+def mixture_sample_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (the form LLM data recipes are written in:
+    "X% of TOKENS from web") — per-source keep-rates derived from one
+    sum-of-tokens aggregate instead of doc counts, so short-doc sources
+    stop being over-represented; selection stays the engine-exact Knuth
+    hash on the doc id. The oracle recomputes token totals, the binding-
+    source scale, the rates, and the hash in SQL — identical IEEE
+    arithmetic in the same order, so the surviving id set hash-matches
+    bit-for-bit."""
+    from mycelial_spark.operators.sampling import mixture_sample_tokens
+    from mycelial_spark.operators.text import tokens
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(tokens(F.col("text"))))
+    return (mixture_sample_tokens(docs, {"src0": 0.5, "src1": 0.3,
+                                         "src2": 0.2}, "n_tok")
+            .select("doc_id", "source", "n_tok"))
+
+
 @query("events_rollup", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
        event_type,
@@ -4727,7 +4769,8 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
        min(CAST(round(value * 1000000) AS BIGINT))  AS min_value_u,
        max(CAST(round(value * 1000000) AS BIGINT))  AS max_value_u,
        round(sum(CAST(round(value * 1000000) AS BIGINT))
-             / count(value) / 1000000.0, 6)         AS avg_value
+             / count(value) / 1000000.0, 6)         AS avg_value,
+       count(DISTINCT user_id)                      AS approx_distinct_user_id
 FROM events
 GROUP BY 1, 2
 """)
@@ -4747,20 +4790,26 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mycelial_spark.sinks.rollup import read_rollup, rollup_update
     ev = _t(spark, sf_dir, "events").select(
-        "ts", "event_type", "event_id",
+        "ts", "event_type", "event_id", "user_id",
         F.round(F.col("value") * 1000000).cast("bigint").alias("value_u"))
     path = tempfile.mkdtemp(prefix="rollup_")
     for b in (2, 0, 1):     # out-of-order on purpose
         rollup_update(ev.filter(F.col("event_id") % 3 == b)
                       .drop("event_id"),
                       path, "ts", ["event_type"], ["value_u"],
-                      bucket="day", batch_id=f"b{b}")
+                      bucket="day", batch_id=f"b{b}",
+                      distinct_cols=["user_id"])
     replay = rollup_update(ev.filter(F.col("event_id") % 3 == 0)
                            .drop("event_id"),
                            path, "ts", ["event_type"], ["value_u"],
-                           bucket="day", batch_id="b0")
+                           bucket="day", batch_id="b0",
+                           distinct_cols=["user_id"])
     if not replay["skipped_replay"]:
         raise RuntimeError("replayed rollup batch must be a no-op")
+    # approx_distinct carries the HLL-union of the three batches'
+    # sketches; the exact-count oracle holds because estimate == truth
+    # at fixture cardinality (<= 67 distinct users per group at sf0.01,
+    # lgK=14 — the hll_sketch_union recipe, pinned in test_oracle_pins)
     return (read_rollup(spark, path)
             .select(F.col("bucket_ts"), "event_type",
                     F.col("n").alias("n_events"),
@@ -4768,7 +4817,8 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("min_value_u"),
                     F.col("max_value_u"),
                     F.round(F.col("sum_value_u") / F.col("cnt_value_u")
-                            / 1000000.0, 6).alias("avg_value")))
+                            / 1000000.0, 6).alias("avg_value"),
+                    "approx_distinct_user_id"))
 
 
 @query("tfidf_keywords", """

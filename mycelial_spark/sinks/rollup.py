@@ -65,48 +65,67 @@ def _bucket_col(time_col: str, bucket: str):
             * _BUCKETS[bucket])
 
 
+_HLL_LGK = 14   # same precision as hll_sketch_union; ~0.5% rel. error
+
+
 def _partial_agg(df: DataFrame, group_cols: list[str],
-                 measure_cols: list[str]) -> DataFrame:
+                 measure_cols: list[str],
+                 distinct_cols: list[str]) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in measure_cols:
         aggs += [F.sum(m).alias(f"sum_{m}"),
                  F.count(m).alias(f"cnt_{m}"),
                  F.min(m).alias(f"min_{m}"),
                  F.max(m).alias(f"max_{m}")]
+    for c in distinct_cols:
+        # HLL sketch = the MERGEABLE distinct-count partial: exact
+        # distinct cannot be maintained incrementally without keeping
+        # the full value set per bucket; the sketch is O(2^lgk) bytes
+        # and unions losslessly (the continuous-aggregate standard)
+        aggs.append(F.hll_sketch_agg(c, _HLL_LGK).alias(f"hll_{c}"))
     return df.groupBy("_tb", *group_cols).agg(*aggs)
 
 
 def _combine(partials: DataFrame, group_cols: list[str],
-             measure_cols: list[str]) -> DataFrame:
+             measure_cols: list[str],
+             distinct_cols: list[str]) -> DataFrame:
     aggs = [F.sum("n").alias("n")]
     for m in measure_cols:
         aggs += [F.sum(f"sum_{m}").alias(f"sum_{m}"),
                  F.sum(f"cnt_{m}").alias(f"cnt_{m}"),
                  F.min(f"min_{m}").alias(f"min_{m}"),
                  F.max(f"max_{m}").alias(f"max_{m}")]
+    for c in distinct_cols:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
     return partials.groupBy("_tb", *group_cols).agg(*aggs)
 
 
 def rollup_update(batch: DataFrame, path: str, time_col: str,
                   group_cols: list[str], measure_cols: list[str],
                   bucket: str = "day",
-                  batch_id: str | None = None) -> dict:
-    """Fold one batch into the rollup at ``path``. Returns
+                  batch_id: str | None = None,
+                  distinct_cols: list[str] | None = None) -> dict:
+    """Fold one batch into the rollup at ``path``. ``distinct_cols``
+    adds a mergeable HLL distinct-count partial per named column
+    (finalized to ``approx_distinct_<c>`` by read_rollup). Returns
     {buckets_touched, rows_in, created, skipped_replay}."""
     from mycelial_spark.fsutil import dynamic_partition_overwrite
     from mycelial_spark.fsutil import exists as _exists
     from mycelial_spark.fsutil import fs_read_text, fs_write_text, hadoop_fs
     spark = batch.sparkSession
     root = path.rstrip("/")
-    for c in (time_col, *group_cols, *measure_cols):
+    distinct_cols = list(distinct_cols or [])
+    for c in (time_col, *group_cols, *measure_cols, *distinct_cols):
         if c not in batch.columns:
             raise ValueError(f"batch lacks column {c!r}")
     meta_p = f"{root}/_rollup_meta.json"
     want = {"time_col": time_col, "group_cols": list(group_cols),
-            "measure_cols": list(measure_cols), "bucket": bucket}
+            "measure_cols": list(measure_cols), "bucket": bucket,
+            "distinct_cols": distinct_cols}
     if _exists(spark, meta_p):
         meta = json.loads(fs_read_text(spark, meta_p))
-        if meta != want:
+        # tables created before distinct_cols existed normalize to []
+        if {"distinct_cols": [], **meta} != want:
             raise ValueError(f"rollup at {path!r} was created with "
                              f"{meta}; got {want}")
     if batch_id is not None and _exists(spark,
@@ -126,7 +145,8 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
 
     part = (batch.withColumn("_tb", _bucket_col(time_col, bucket))
             .transform(lambda d: _partial_agg(d, group_cols,
-                                              measure_cols))
+                                              measure_cols,
+                                              distinct_cols))
             .localCheckpoint())
     # one aggregate job: row count, null-time guard, touched buckets
     st = part.agg(F.sum("n").alias("rows_in"),
@@ -148,7 +168,7 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
         cur = (spark.read.parquet(table)
                .filter(F.col("_tb").isin(touched)))
         merged = _combine(cur.unionByName(part), group_cols,
-                          measure_cols).localCheckpoint()
+                          measure_cols, distinct_cols).localCheckpoint()
     if created:
         fs_write_text(spark, meta_p, json.dumps(want))
     # pending fence BEFORE the swap (see module docstring)
@@ -191,7 +211,8 @@ def rollup_heal(spark: SparkSession, path: str, source: DataFrame) -> dict:
     rebuilt = (source.withColumn("_tb", tb)
                .filter(F.col("_tb").isin(sorted(buckets)))
                .transform(lambda d: _partial_agg(
-                   d, meta["group_cols"], meta["measure_cols"]))
+                   d, meta["group_cols"], meta["measure_cols"],
+                   meta.get("distinct_cols", [])))
                .localCheckpoint())
     rebuilt_tbs = {r["_tb"] for r in
                    rebuilt.select("_tb").distinct().collect()}
@@ -225,4 +246,7 @@ def read_rollup(spark: SparkSession, path: str,
             f"avg_{m}",
             F.when(F.col(f"cnt_{m}") > 0,
                    F.col(f"sum_{m}") / F.col(f"cnt_{m}")))
+    for c in meta.get("distinct_cols", []):
+        out = out.withColumn(f"approx_distinct_{c}",
+                             F.hll_sketch_estimate(F.col(f"hll_{c}")))
     return out

@@ -111,3 +111,31 @@ def test_tfidf_ties_break_on_token(spark):
     assert [r["token"] for r in rows] == ["alpha", "zeta"]
     with pytest.raises(ValueError, match="k must be"):
         tfidf_keywords(docs, k=0)
+
+
+def test_mixture_sample_tokens_budget(spark):
+    """Token-budget mixing: with equal DOC counts but 10x token-heavier
+    src_long docs, doc-count mixing at 50/50 would keep sources evenly —
+    token mixing must instead downsample src_long ~10x so the OUTPUT
+    TOKEN mass is ~50/50. The binding source survives whole."""
+    from mycelial_spark.operators.sampling import mixture_sample_tokens
+    rows = [(i, "src_long" if i % 2 else "src_short",
+             1000 if i % 2 else 100) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+    out = mixture_sample_tokens(df, {"src_long": 0.5, "src_short": 0.5},
+                                "n")
+    toks = {r["source"]: r["t"] for r in
+            out.groupBy("source").agg(F.sum("n").alias("t")).collect()}
+    # binding source (short: fewer tokens per weight) kept whole
+    assert toks["src_short"] == 1000 * 100
+    assert 0.8 < toks["src_long"] / toks["src_short"] < 1.2
+    # deterministic across partitionings
+    again = mixture_sample_tokens(df.repartition(13),
+                                  {"src_long": 0.5, "src_short": 0.5},
+                                  "n")
+    assert sorted(r["doc_id"] for r in again.collect()) \
+        == sorted(r["doc_id"] for r in out.collect())
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample_tokens(df, {"src_long": -1}, "n")
+    with pytest.raises(ValueError, match="no tokens"):
+        mixture_sample_tokens(df, {"nope": 1.0}, "n")

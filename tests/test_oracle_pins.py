@@ -235,3 +235,19 @@ def test_pca_frozen_model_matches_training(spark):
     from mycelial_spark.queries import _PCA_SF001
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     assert pca_train(emb, k=4) == _PCA_SF001
+
+
+def test_rollup_hll_distinct_estimate_is_exact_at_fixture(spark):
+    """events_rollup's approx_distinct_user_id carries an HLL union of
+    THREE batches' sketches; the exact count(DISTINCT) oracle holds
+    because lgK=14 estimates are exact at fixture group cardinality
+    (max 67 distinct users per (day, type) at sf0.01)."""
+    from mycelial_spark.catalog import load_table
+    got = {(r["bucket_ts"], r["event_type"]): r["approx_distinct_user_id"]
+           for r in _rows(spark, "events_rollup")}
+    ev = load_table(spark, SF01, "events")
+    exact = {(r["d"], r["event_type"]): r["n"] for r in
+             ev.groupBy(F.date_trunc("day", "ts").alias("d"),
+                        "event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == exact and max(exact.values()) < 1000

@@ -198,3 +198,30 @@ def test_rollup_dest_streaming_e2e(spark, tmp_path):
     assert os.listdir(f"{out}/_applied"), "batch markers must persist"
     assert not os.path.exists(f"{out}/_pending") \
         or not os.listdir(f"{out}/_pending")
+
+
+def test_rollup_distinct_union_equals_oneshot(spark, tmp_path):
+    """HLL distinct partials union across batches to the same estimate
+    a one-shot build produces, and (at test cardinality) to the exact
+    distinct; meta records distinct_cols so drifted configs refuse."""
+    rows = [(f"2024-01-0{1 + i % 3} 0{i % 9}:00:00", "g", i % 13)
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "ts string, g string, u long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    one, inc = str(tmp_path / "one"), str(tmp_path / "inc")
+    rollup_update(df, one, "ts", ["g"], [], distinct_cols=["u"])
+    for b in (1, 0):
+        rollup_update(df.filter(F.pmod(F.col("u"), F.lit(2)) == b),
+                      inc, "ts", ["g"], [], distinct_cols=["u"])
+    get = lambda p: sorted(  # noqa: E731
+        (r["_tb"], r["approx_distinct_u"]) for r in
+        read_rollup(spark, p).collect())
+    assert get(one) == get(inc)
+    exact = sorted(
+        (r["_tb"], r["n"]) for r in
+        df.withColumn("_tb", (F.floor(F.unix_timestamp("ts") / 86400)
+                              * 86400).cast("bigint"))
+        .groupBy("_tb").agg(F.countDistinct("u").alias("n")).collect())
+    assert get(one) == exact
+    with pytest.raises(ValueError, match="was created with"):
+        rollup_update(df, one, "ts", ["g"], [])
