@@ -48,6 +48,22 @@ _M32 = 4294967296          # 2^32
 _M31 = 2147483648          # 2^31
 
 
+def _require_integral_key(df: DataFrame, key_col: str) -> None:
+    """The position hashes are integer arithmetic: a non-integral key
+    column would CAST to NULL row-by-row (the silent kind — every
+    position lands NULL, membership collapses), so refuse at build
+    time. String/decimal keys should map through a stable integer hash
+    first (e.g. xxhash64) — the sketch itself stays exact-result-safe
+    because the verify join runs on the ORIGINAL key."""
+    dt = dict(df.dtypes).get(key_col)
+    if dt is None:
+        raise ValueError(f"key column {key_col!r} not in {df.columns}")
+    if dt not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"bloom key column {key_col!r} has type {dt}; integer keys "
+            f"only — hash other types to bigint first (F.xxhash64)")
+
+
 def bloom_positions(key: Column | str, m: int = 1 << 16,
                     k: int = 3) -> list[Column]:
     """The k bit positions for ``key`` — engine-portable arithmetic:
@@ -74,6 +90,7 @@ def bloom_build(df: DataFrame, key_col: str, m: int = 1 << 16,
 
     The distributed part bounds what the driver sees: explode to
     positions, distinct (map-side combinable), collect <= m ints."""
+    _require_integral_key(df, key_col)
     pos = (df.filter(F.col(key_col).isNotNull())
              .select(F.explode(F.array(
                  *bloom_positions(key_col, m, k))).alias("p"))
@@ -128,6 +145,10 @@ def bloom_prune_semi_join(big: DataFrame, small: DataFrame,
     broadcast of the verifying semi join. At a selective small side
     this shrinks the big side's exchange by orders of magnitude; the
     verify join makes false positives invisible in the result."""
+    # the big side needs the same guard: a non-integral probe key casts
+    # to NULL per row, the NULL probe filters EVERY row out, and the
+    # "exact" join silently returns empty
+    _require_integral_key(big, big_key)
     model = bloom_build(small.select(small_key), small_key, m, k)
     pruned = big.filter(bloom_might_contain(model, big_key))
     return pruned.join(small.select(F.col(small_key).alias(big_key))

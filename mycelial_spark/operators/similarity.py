@@ -316,6 +316,51 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
         "ivf_cell", F.array_sort(entries).getItem(0).getField("c"))
 
 
+def cluster_profile(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    label_col: str | None = None) -> DataFrame:
+    """Per-cluster curation analytics over an embedding corpus: assign
+    every row to its nearest frozen centroid (ivf_assign — codegen
+    argmin, no shuffle) and aggregate each cluster's size, mean squared
+    distance to its centroid (cohesion — a loose cluster is a mixing
+    candidate, a tight one a near-dup blob), and optionally the
+    dominant ``label_col`` value with its share (purity). One narrow
+    map + one hash agg (+ a label argmax agg when requested); the
+    centroid table is a literal, so nothing joins or broadcasts.
+
+    Per-row distance uses the dot-product identity |v-c|^2 =
+    v·v − 2·v·c + c·c with the sequential-fold ``dot`` — the exact
+    arithmetic an external SQL engine reproduces with
+    list_dot_product (the cosine-oracle equivalence this repo's LSH
+    oracles already pin)."""
+    v = F.col(vec_col).cast("array<double>")
+    cells = ivf_assign(df, centroids, vec_col)
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in centroids])
+    cc = [sum(float(x) * float(x) for x in c) for c in centroids]
+    assigned_c = F.element_at(cent_arr, F.col("ivf_cell") + 1)
+    sqd = (dot(v, v) - 2 * dot(v, assigned_c)
+           + F.element_at(F.array(*[F.lit(x) for x in cc]),
+                          F.col("ivf_cell") + 1))
+    cells = cells.withColumn("_sqd", sqd)
+    prof = (cells.groupBy(F.col("ivf_cell").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("size"),
+                 F.round(F.avg("_sqd"), 4).alias("mean_sq_dist")))
+    if label_col is None:
+        return prof
+    lab = (cells.groupBy("ivf_cell", label_col)
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .groupBy(F.col("ivf_cell").alias("cluster"))
+           .agg(F.max(F.struct(F.col("_n").alias("n"),
+                               F.col(label_col).alias("lab")))
+                .alias("_top")))
+    lab = lab.select("cluster", F.col("_top.lab").alias("top_label"),
+                     F.col("_top.n").alias("top_label_n"))
+    return (prof.join(lab, "cluster")
+            .withColumn("top_label_share",
+                        F.round(F.col("top_label_n") / F.col("size"), 6)))
+
+
 def ivf_train_centroids(df: DataFrame, n_centroids: int = 16,
                         sample_fraction: float = 1.0, seed: int = 42,
                         vec_col: str = "embedding") -> list[list[float]]:

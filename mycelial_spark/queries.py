@@ -4719,6 +4719,49 @@ def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label"))
 
 
+@query("cluster_profile", f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] ev FROM embeddings),
+cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+assigned AS (
+  SELECT vec_id, label, ev,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cluster
+  FROM v),
+d AS (
+  SELECT a.cluster, a.label,
+         list_dot_product(a.ev, a.ev)
+         - 2 * list_dot_product(a.ev, ct.cv)
+         + list_dot_product(ct.cv, ct.cv) AS sqd
+  FROM assigned a JOIN cents ct ON ct.c = a.cluster),
+prof AS (
+  SELECT cluster, count(*) AS size, round(avg(sqd), 4) AS mean_sq_dist
+  FROM d GROUP BY cluster),
+lab AS (
+  SELECT cluster, label AS top_label, n AS top_label_n FROM (
+    SELECT cluster, label, count(*) AS n,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY count(*) DESC, label DESC) AS rn
+    FROM d GROUP BY cluster, label) WHERE rn = 1)
+SELECT p.cluster, p.size, p.mean_sq_dist, l.top_label, l.top_label_n,
+       round(l.top_label_n * 1.0 / p.size, 6) AS top_label_share
+FROM prof p JOIN lab l USING (cluster)
+""")
+def cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster curation analytics: size, cohesion (mean squared
+    distance to the assigned centroid), and label purity (dominant
+    label + share) over the frozen Lloyd centroids the IVF oracle pins
+    — the 'explain my embedding space' step before mixing/capping
+    decisions (diverse_sample consumes the same clusters). Assignment
+    and per-row distance replay in SQL via the dot-product identity;
+    ties in the dominant label break (count desc, label desc) in both
+    engines."""
+    from mycelial_spark.operators.similarity import (cluster_profile,
+                                                     pq_train_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = pq_train_codebooks(emb, m=1, k=8)[0]
+    return cluster_profile(emb, cents, label_col="label")
+
+
 @query("mixture_sample_tokens", """
 WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
                                        ('src2', 0.2))),

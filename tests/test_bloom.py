@@ -79,3 +79,20 @@ def test_negative_keys_portable(spark):
     hits = (df.withColumn("h", bloom_might_contain(model, "k"))
             .filter(~F.col("h")).count())
     assert hits == 0
+
+
+def test_non_integral_keys_refused(spark):
+    """A string key would cast to NULL inside the position hashes —
+    every probe NULL, membership silently collapses (and the pruned
+    'exact' join would silently return empty). Refused loudly on both
+    build and probe sides."""
+    sdf = spark.createDataFrame([("a",), ("b",)], "k string")
+    idf = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="integer keys only"):
+        bloom_build(sdf, "k")
+    with pytest.raises(ValueError, match="integer keys only"):
+        bloom_prune_semi_join(sdf, idf, "k", "k")
+    # the documented escape hatch: hash to bigint first
+    hashed = sdf.select(F.xxhash64("k").alias("k"))
+    model = bloom_build(hashed, "k", m=1024, k=2)
+    assert model["n_positions"] > 0

@@ -139,3 +139,26 @@ def test_mixture_sample_tokens_budget(spark):
         mixture_sample_tokens(df, {"src_long": -1}, "n")
     with pytest.raises(ValueError, match="no tokens"):
         mixture_sample_tokens(df, {"nope": 1.0}, "n")
+
+
+def test_cluster_profile_hand_computed(spark):
+    """Two obvious clusters: sizes, cohesion, and label purity match
+    hand arithmetic; dominant-label ties break (count, label) max."""
+    from mycelial_spark.operators.similarity import cluster_profile
+    cents = [[0.0, 0.0], [10.0, 0.0]]
+    rows = [(1, [0.0, 1.0], 7), (2, [0.0, -1.0], 7), (3, [1.0, 0.0], 3),
+            (4, [10.0, 1.0], 5), (5, [9.0, 0.0], 6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["cluster"]: r for r in
+           cluster_profile(df, cents, label_col="label").collect()}
+    assert out[0]["size"] == 3 and out[1]["size"] == 2
+    assert out[0]["mean_sq_dist"] == 1.0          # (1+1+1)/3
+    assert out[1]["mean_sq_dist"] == 1.0          # (1+1)/2
+    assert (out[0]["top_label"], out[0]["top_label_n"]) == (7, 2)
+    assert out[0]["top_label_share"] == round(2 / 3, 6)
+    # tie in cluster 1 (labels 5 and 6, one each): max label wins
+    assert out[1]["top_label"] == 6
+    # no label_col: profile only
+    slim = cluster_profile(df, cents)
+    assert set(slim.columns) == {"cluster", "size", "mean_sq_dist"}
