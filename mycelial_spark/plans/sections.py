@@ -1361,7 +1361,8 @@ def cdc_parquet_dest(spark, cfg, df):
            [Field("path"), Field("time_col"),
             Field("group_cols", "json"), Field("measure_cols", "json"),
             Field("bucket", default="day"),
-            Field("distinct_cols", "json", default=[])],
+            Field("distinct_cols", "json", default=[]),
+            Field("histogram_cols", "json", default={})],
            doc="Hypertable-style continuous aggregate: maintains a "
                "time-bucketed rollup table (count/sum/min/max partials "
                "per bucket+group, avg derived at read) incrementally "
@@ -1380,7 +1381,8 @@ def rollup_dest(spark, cfg, df):
                          list(cfg["group_cols"]),
                          list(cfg["measure_cols"]), cfg["bucket"],
                          batch_id=bid,
-                         distinct_cols=list(cfg["distinct_cols"]))
+                         distinct_cols=list(cfg["distinct_cols"]),
+                         histogram_cols=dict(cfg["histogram_cols"]))
 
 
 @_register("ann_index_dest", "destination", "dataframe", "none",

@@ -4864,6 +4864,50 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "approx_distinct_user_id"))
 
 
+@query("events_rollup_histogram", """
+WITH b AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+         event_type,
+         least(greatest(CAST(floor(
+             CAST(round(value * 1000000) AS BIGINT) * 12
+             / 3000000000) AS INT), 0), 11) AS bin
+  FROM events
+)
+SELECT bucket_ts, event_type, bin, count(*) AS cnt
+FROM b GROUP BY 1, 2, 3
+""")
+def events_rollup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket DISTRIBUTIONS in the continuous aggregate: the rollup
+    maintains a vector-add-mergeable equi-width histogram per (day,
+    type) across three out-of-order batches; the exploded (bin, cnt)
+    vector hash-matches a direct integer-arithmetic recount — verifying
+    the mergeable-distribution pipeline itself (quantile finalization
+    is pure arithmetic on this state, unit-tested; at 100 TB this is
+    the "p95 per hour" query paying O(bins) state instead of a sort).
+    Empty bins carry no row on either side (the oracle can't see
+    them)."""
+    import tempfile
+
+    from mycelial_spark.sinks.rollup import read_rollup, rollup_update
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("value_u"))
+    path = tempfile.mkdtemp(prefix="rollup_hist_")
+    for b in (1, 2, 0):
+        rollup_update(ev.filter(F.col("event_id") % 3 == b)
+                      .drop("event_id"),
+                      path, "ts", ["event_type"], [],
+                      bucket="day", batch_id=f"b{b}",
+                      histogram_cols={"value_u": (0, 3_000_000_000, 12)})
+    return (read_rollup(spark, path, finalize=False)
+            .select(F.col("_tb").cast("timestamp").alias("bucket_ts"),
+                    "event_type",
+                    F.posexplode("hist_value_u").alias("bin", "cnt"))
+            .filter(F.col("cnt") > 0)
+            .select("bucket_ts", "event_type",
+                    F.col("bin").cast("int").alias("bin"), "cnt"))
+
+
 @query("tfidf_keywords", """
 WITH tf AS (
   SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf

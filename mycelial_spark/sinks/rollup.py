@@ -68,9 +68,21 @@ def _bucket_col(time_col: str, bucket: str):
 _HLL_LGK = 14   # same precision as hll_sketch_union; ~0.5% rel. error
 
 
+def _hist_bin(col: str, lo: int, hi: int, bins: int):
+    """Equi-width bin index in [0, bins): pure BIGINT arithmetic
+    ((x − lo)·bins // (hi − lo), clamped into the edge bins), so any
+    engine replays it exactly — no float boundary ambiguity."""
+    x = F.col(col).cast("bigint")
+    raw = ((x - F.lit(int(lo))) * F.lit(int(bins))) \
+        .cast("bigint") / F.lit(int(hi - lo))
+    return F.least(F.greatest(F.floor(raw).cast("int"), F.lit(0)),
+                   F.lit(bins - 1))
+
+
 def _partial_agg(df: DataFrame, group_cols: list[str],
                  measure_cols: list[str],
-                 distinct_cols: list[str]) -> DataFrame:
+                 distinct_cols: list[str],
+                 histogram_cols: dict | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in measure_cols:
         aggs += [F.sum(m).alias(f"sum_{m}"),
@@ -83,12 +95,22 @@ def _partial_agg(df: DataFrame, group_cols: list[str],
         # the full value set per bucket; the sketch is O(2^lgk) bytes
         # and unions losslessly (the continuous-aggregate standard)
         aggs.append(F.hll_sketch_agg(c, _HLL_LGK).alias(f"hll_{c}"))
+    for c, (lo, hi, bins) in (histogram_cols or {}).items():
+        # equi-width histogram vector = the mergeable DISTRIBUTION
+        # partial (per-bucket percentiles at read): O(bins) state,
+        # vector-add mergeable — same sketch contract as the
+        # histogram_quantiles query, folded into the rollup
+        b = _hist_bin(c, lo, hi, bins)
+        aggs.append(F.array(*[
+            F.sum(((b == i) & F.col(c).isNotNull()).cast("bigint"))
+            for i in range(bins)]).alias(f"hist_{c}"))
     return df.groupBy("_tb", *group_cols).agg(*aggs)
 
 
 def _combine(partials: DataFrame, group_cols: list[str],
              measure_cols: list[str],
-             distinct_cols: list[str]) -> DataFrame:
+             distinct_cols: list[str],
+             histogram_cols: dict | None = None) -> DataFrame:
     aggs = [F.sum("n").alias("n")]
     for m in measure_cols:
         aggs += [F.sum(f"sum_{m}").alias(f"sum_{m}"),
@@ -97,6 +119,12 @@ def _combine(partials: DataFrame, group_cols: list[str],
                  F.max(f"max_{m}").alias(f"max_{m}")]
     for c in distinct_cols:
         aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}"))
+    for c, (lo, hi, bins) in (histogram_cols or {}).items():
+        zero = F.array(*[F.lit(0).cast("bigint")] * bins)
+        aggs.append(F.aggregate(
+            F.collect_list(f"hist_{c}"), zero,
+            lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b))
+            .alias(f"hist_{c}"))
     return partials.groupBy("_tb", *group_cols).agg(*aggs)
 
 
@@ -104,28 +132,43 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                   group_cols: list[str], measure_cols: list[str],
                   bucket: str = "day",
                   batch_id: str | None = None,
-                  distinct_cols: list[str] | None = None) -> dict:
+                  distinct_cols: list[str] | None = None,
+                  histogram_cols: dict | None = None) -> dict:
     """Fold one batch into the rollup at ``path``. ``distinct_cols``
     adds a mergeable HLL distinct-count partial per named column
-    (finalized to ``approx_distinct_<c>`` by read_rollup). Returns
-    {buckets_touched, rows_in, created, skipped_replay}."""
+    (finalized to ``approx_distinct_<c>`` by read_rollup);
+    ``histogram_cols`` maps column -> (lo, hi, bins) and adds a
+    vector-add-mergeable equi-width histogram per named column
+    (``hist_<c>``; per-bucket percentile estimates at read via
+    histogram_quantile). Note ``bucket='week'`` means FIXED 604800-s
+    epoch windows (epoch 0 = a Thursday), not ISO/date_trunc weeks.
+    Returns {buckets_touched, rows_in, created, skipped_replay}."""
     from mycelial_spark.fsutil import dynamic_partition_overwrite
     from mycelial_spark.fsutil import exists as _exists
     from mycelial_spark.fsutil import fs_read_text, fs_write_text, hadoop_fs
     spark = batch.sparkSession
     root = path.rstrip("/")
     distinct_cols = list(distinct_cols or [])
-    for c in (time_col, *group_cols, *measure_cols, *distinct_cols):
+    histogram_cols = {c: tuple(int(x) for x in spec)
+                      for c, spec in (histogram_cols or {}).items()}
+    for c, spec in histogram_cols.items():
+        if len(spec) != 3 or spec[1] <= spec[0] or not 1 <= spec[2] <= 4096:
+            raise ValueError(f"histogram_cols[{c!r}] must be "
+                             f"(lo, hi>lo, 1<=bins<=4096); got {spec}")
+    for c in (time_col, *group_cols, *measure_cols, *distinct_cols,
+              *histogram_cols):
         if c not in batch.columns:
             raise ValueError(f"batch lacks column {c!r}")
     meta_p = f"{root}/_rollup_meta.json"
     want = {"time_col": time_col, "group_cols": list(group_cols),
             "measure_cols": list(measure_cols), "bucket": bucket,
-            "distinct_cols": distinct_cols}
+            "distinct_cols": distinct_cols,
+            "histogram_cols": {c: list(v)
+                               for c, v in histogram_cols.items()}}
     if _exists(spark, meta_p):
         meta = json.loads(fs_read_text(spark, meta_p))
-        # tables created before distinct_cols existed normalize to []
-        if {"distinct_cols": [], **meta} != want:
+        # tables created before newer options existed normalize to empty
+        if {"distinct_cols": [], "histogram_cols": {}, **meta} != want:
             raise ValueError(f"rollup at {path!r} was created with "
                              f"{meta}; got {want}")
     if batch_id is not None and _exists(spark,
@@ -146,7 +189,8 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     part = (batch.withColumn("_tb", _bucket_col(time_col, bucket))
             .transform(lambda d: _partial_agg(d, group_cols,
                                               measure_cols,
-                                              distinct_cols))
+                                              distinct_cols,
+                                              histogram_cols))
             .localCheckpoint())
     # one aggregate job: row count, null-time guard, touched buckets
     st = part.agg(F.sum("n").alias("rows_in"),
@@ -168,7 +212,8 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
         cur = (spark.read.parquet(table)
                .filter(F.col("_tb").isin(touched)))
         merged = _combine(cur.unionByName(part), group_cols,
-                          measure_cols, distinct_cols).localCheckpoint()
+                          measure_cols, distinct_cols,
+                          histogram_cols).localCheckpoint()
     if created:
         fs_write_text(spark, meta_p, json.dumps(want))
     # pending fence BEFORE the swap (see module docstring)
@@ -212,7 +257,9 @@ def rollup_heal(spark: SparkSession, path: str, source: DataFrame) -> dict:
                .filter(F.col("_tb").isin(sorted(buckets)))
                .transform(lambda d: _partial_agg(
                    d, meta["group_cols"], meta["measure_cols"],
-                   meta.get("distinct_cols", [])))
+                   meta.get("distinct_cols", []),
+                   {c: tuple(v) for c, v in
+                    meta.get("histogram_cols", {}).items()}))
                .localCheckpoint())
     rebuilt_tbs = {r["_tb"] for r in
                    rebuilt.select("_tb").distinct().collect()}
@@ -250,3 +297,41 @@ def read_rollup(spark: SparkSession, path: str,
         out = out.withColumn(f"approx_distinct_{c}",
                              F.hll_sketch_estimate(F.col(f"hll_{c}")))
     return out
+
+
+def histogram_quantile(hist_col: Column | str, lo: float, hi: float,
+                       q: float) -> Column:
+    """Percentile estimate from an equi-width histogram vector: walk
+    the cumulative counts to the q-th mass and interpolate inside the
+    landing bin — pure array arithmetic on the O(bins) state, the
+    standard Prometheus/TimescaleDB histogram-quantile shape. Exact
+    when the underlying domain is discrete and bins align to values;
+    otherwise accurate to a bin width."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1]; got {q}")
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    bins = F.size(h)
+    total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, e: a + e)
+    target = q * total.cast("double")
+    # index of the first bin whose cumulative count reaches target:
+    # fold carrying (cum, idx, found_idx)
+    st = F.aggregate(
+        h,
+        F.struct(F.lit(0.0).alias("cum"), F.lit(0).alias("i"),
+                 F.lit(-1).alias("hit"), F.lit(0.0).alias("before")),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e.cast("double")).alias("cum"),
+            (acc["i"] + 1).alias("i"),
+            F.when((acc["hit"] < 0)
+                   & (acc["cum"] + e.cast("double") >= target)
+                   & (e > 0), acc["i"]).otherwise(acc["hit"]).alias("hit"),
+            F.when((acc["hit"] < 0)
+                   & (acc["cum"] + e.cast("double") >= target)
+                   & (e > 0), acc["cum"]).otherwise(acc["before"])
+            .alias("before")))
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / bins.cast("double")
+    idx = st["hit"].cast("double")
+    in_bin = F.element_at(h, st["hit"] + 1).cast("double")
+    frac = F.when(in_bin > 0, (target - st["before"]) / in_bin)             .otherwise(F.lit(0.0))
+    return F.when(total > 0,
+                  F.lit(float(lo)) + (idx + frac) * width)

@@ -225,3 +225,52 @@ def test_rollup_distinct_union_equals_oneshot(spark, tmp_path):
     assert get(one) == exact
     with pytest.raises(ValueError, match="was created with"):
         rollup_update(df, one, "ts", ["g"], [])
+
+
+def test_rollup_histogram_partials_merge_and_quantile(spark, tmp_path):
+    """Histogram vectors: incremental merge == one-shot == a direct
+    per-bin recount (pure integer arithmetic); histogram_quantile
+    reads exact type-1 quantiles when bins align to a discrete
+    domain."""
+    from mycelial_spark.sinks.rollup import histogram_quantile
+    rows = [(f"2024-01-01 0{i % 9}:00:00", "g", i % 8) for i in range(160)]
+    df = spark.createDataFrame(rows, "ts string, g string, v long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    hspec = {"v": (0, 8, 8)}          # bins align to the 0..7 domain
+    one, inc = str(tmp_path / "one"), str(tmp_path / "inc")
+    rollup_update(df, one, "ts", ["g"], [], histogram_cols=hspec)
+    for b in (1, 2, 0):
+        rollup_update(df.filter(F.pmod(F.col("v"), F.lit(3)) == b),
+                      inc, "ts", ["g"], [], histogram_cols=hspec)
+    h1 = read_rollup(spark, one, finalize=False).first()["hist_v"]
+    h2 = read_rollup(spark, inc, finalize=False).first()["hist_v"]
+    assert h1 == h2 == [20] * 8       # 160 rows uniform over 8 values
+    # quantiles: p50 of uniform 0..7 discrete with aligned bins
+    out = (read_rollup(spark, one, finalize=False)
+           .select(histogram_quantile("hist_v", 0, 8, 0.5).alias("p50"),
+                   histogram_quantile("hist_v", 0, 8, 1.0).alias("p100"),
+                   histogram_quantile("hist_v", 0, 8, 0.0).alias("p0"))
+           .first())
+    assert out["p0"] == 0.0 and out["p100"] == 8.0
+    assert out["p50"] == 4.0          # 80th value of 160 = end of bin 3
+    # validation
+    with pytest.raises(ValueError, match="histogram_cols"):
+        rollup_update(df, str(tmp_path / "x"), "ts", ["g"], [],
+                      histogram_cols={"v": (8, 0, 4)})
+    with pytest.raises(ValueError, match="q must be"):
+        histogram_quantile("hist_v", 0, 8, 1.5)
+
+
+def test_rollup_histogram_out_of_range_clamps(spark, tmp_path):
+    """Values outside [lo, hi) land in the edge bins (mass is never
+    dropped — min/max partials carry the true extremes)."""
+    rows = [("2024-01-01 01:00:00", "g", -100),
+            ("2024-01-01 02:00:00", "g", 3),
+            ("2024-01-01 03:00:00", "g", 999)]
+    df = spark.createDataFrame(rows, "ts string, g string, v long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "t")
+    rollup_update(df, p, "ts", ["g"], ["v"], histogram_cols={"v": (0, 8, 4)})
+    r = read_rollup(spark, p, finalize=False).first()
+    assert r["hist_v"] == [1, 1, 0, 1]
+    assert r["min_v"] == -100 and r["max_v"] == 999
