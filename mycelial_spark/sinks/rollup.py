@@ -71,9 +71,14 @@ _HLL_LGK = 14   # same precision as hll_sketch_union; ~0.5% rel. error
 def _hist_bin(col: str, lo: int, hi: int, bins: int):
     """Equi-width bin index in [0, bins): pure BIGINT arithmetic
     ((x − lo)·bins // (hi − lo), clamped into the edge bins), so any
-    engine replays it exactly — no float boundary ambiguity."""
+    engine replays it exactly — no float boundary ambiguity. The value
+    clamps into [lo, hi] BEFORE the multiply: an extreme outlier near
+    int64 max would otherwise overflow (x−lo)·bins and silently land
+    in bin 0; clamping first bounds the product by (hi−lo)·bins, which
+    rollup_update validates fits comfortably in bigint."""
     x = F.col(col).cast("bigint")
-    raw = ((x - F.lit(int(lo))) * F.lit(int(bins))) \
+    xc = F.least(F.greatest(x, F.lit(int(lo))), F.lit(int(hi)))
+    raw = ((xc - F.lit(int(lo))) * F.lit(int(bins))) \
         .cast("bigint") / F.lit(int(hi - lo))
     return F.least(F.greatest(F.floor(raw).cast("int"), F.lit(0)),
                    F.lit(bins - 1))
@@ -155,6 +160,9 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
         if len(spec) != 3 or spec[1] <= spec[0] or not 1 <= spec[2] <= 4096:
             raise ValueError(f"histogram_cols[{c!r}] must be "
                              f"(lo, hi>lo, 1<=bins<=4096); got {spec}")
+        if (spec[1] - spec[0]) * spec[2] >= 1 << 62:
+            raise ValueError(f"histogram_cols[{c!r}]: (hi-lo)*bins "
+                             f"must fit bigint; got {spec}")
     for c in (time_col, *group_cols, *measure_cols, *distinct_cols,
               *histogram_cols):
         if c not in batch.columns:

@@ -274,3 +274,20 @@ def test_rollup_histogram_out_of_range_clamps(spark, tmp_path):
     r = read_rollup(spark, p, finalize=False).first()
     assert r["hist_v"] == [1, 1, 0, 1]
     assert r["min_v"] == -100 and r["max_v"] == 999
+
+
+def test_rollup_histogram_extreme_values_no_overflow(spark, tmp_path):
+    """int64-extreme outliers clamp into edge bins (pre-multiply clamp
+    — the raw (x-lo)*bins would overflow and silently mis-bin)."""
+    rows = [("2024-01-01 01:00:00", "g", (1 << 62) + 11),
+            ("2024-01-01 02:00:00", "g", -(1 << 62)),
+            ("2024-01-01 03:00:00", "g", 5)]
+    df = spark.createDataFrame(rows, "ts string, g string, v long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "t")
+    rollup_update(df, p, "ts", ["g"], [], histogram_cols={"v": (0, 8, 4)})
+    assert read_rollup(spark, p, finalize=False).first()["hist_v"] \
+        == [1, 0, 1, 1]
+    with pytest.raises(ValueError, match="fit bigint"):
+        rollup_update(df, str(tmp_path / "x"), "ts", ["g"], [],
+                      histogram_cols={"v": (0, 1 << 61, 4)})
