@@ -200,7 +200,9 @@ def main() -> None:
     # dropped is declared in "queries_omitted" — no silent truncation).
     line_out = dict(out)
     line_out["queries"] = {k: round(v, 2) for k, v in times.items()}
-    line_out["calibration"] = {"jvm": cal_cpu, "scan": cal_scan}
+    # calibration as a bare [jvm_sec, scan_sec] pair — the labeled form
+    # lives in bench_full.json; the stdout line pays for every byte
+    line_out["calibration"] = [cal_cpu, cal_scan]
     line = json.dumps(line_out, separators=(",", ":"))
     if len(line) > 1980:
         line_out.pop("calibration", None)
