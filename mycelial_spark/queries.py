@@ -4804,6 +4804,33 @@ def mixture_sample_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tok"))
 
 
+@query("lake_delete_where", """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE user_id % 7 <> 0
+""")
+def lake_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance erasure over a partitioned lake table end to end: the
+    events table materializes hive-partitioned by event_type, a
+    user-keyed erasure request (user_id % 7 = 0 — a predicate NOT on
+    the partition axis, the hard case) deletes through
+    sinks/erase.py delete_where, and the surviving table read back from
+    disk hash-matches the NOT-predicate oracle. Only partitions holding
+    matches rewrite (all of them here — the test suite asserts the
+    pruned single-partition case physically); rows where the predicate
+    is NULL are kept, deletion only on TRUE."""
+    import tempfile
+
+    from mycelial_spark.sinks.erase import delete_where
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "event_type")
+    path = tempfile.mkdtemp(prefix="erase_") + "/t"
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    delete_where(spark, path, "user_id % 7 = 0", ["event_type"])
+    return spark.read.parquet(path).select("event_id", "user_id",
+                                           "event_type")
+
+
 @query("events_rollup", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
        event_type,

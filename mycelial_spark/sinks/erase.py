@@ -1,0 +1,157 @@
+"""Targeted row erasure over a partitioned parquet lake — the
+compliance / right-to-be-forgotten maintenance op: delete every row
+matching a predicate while rewriting ONLY the partitions that contain
+matches.
+
+Why it matters at 100 TB: a GDPR erasure request touches a handful of
+rows; recomputing the table (or even one full copy) for them is the
+naive path. Plain parquet has no deletion-vector log (that is a table
+format's feature), so the smallest safely-swappable unit is the hive
+partition directory: find the partitions holding matches (one pruned
+scan — when the predicate includes partition columns, Catalyst prunes
+the FIND scan too), rewrite exactly those with the matching rows
+filtered out, and swap via dynamic partition overwrite. Cost follows
+the affected partitions, never the table. Pair with a partition layout
+aligned to the delete axis (user-id bucket, tenant, date) so requests
+touch few directories; sinks/merge.py's keyed-bucket CDC layout is the
+standing example.
+
+Semantics are deliberately strict about NULLs: rows are DELETED only
+where the predicate is TRUE; rows where it evaluates NULL are KEPT (a
+naive ``filter(~pred)`` silently drops them — the silent-loss class
+the CDC merge's guards exist to stop). A row-conservation check
+(kept + deleted == scanned) runs BEFORE the swap.
+
+Same reader-isolation contract as the other lake maintenance ops
+(compact/merge/rollup): the per-directory swap is atomic per
+partition, cross-partition atomicity is a table format's job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delete_where(spark: SparkSession, path: str, predicate: str,
+                 partition_by: list[str],
+                 allow_full_rewrite: bool = False) -> dict:
+    """Erase rows matching ``predicate`` (a SQL boolean expression)
+    from the parquet table at ``path``, hive-partitioned by
+    ``partition_by``. Returns {rows_deleted, rows_kept,
+    partitions_rewritten, partitions_dropped}.
+
+    ``partition_by`` = [] (an unpartitioned table) means EVERY delete
+    is a full rewrite; that is refused unless ``allow_full_rewrite``
+    says so explicitly — silence here would hide an accidental
+    100 TB rewrite behind a one-row request."""
+    from mycelial_spark.fsutil import dynamic_partition_overwrite, hadoop_fs
+    df = spark.read.parquet(path)
+    pred = F.expr(predicate)
+    for c in partition_by:
+        if c not in df.columns:
+            raise ValueError(f"partition column {c!r} not in table "
+                             f"columns {df.columns}")
+    # a table whose ONLY remaining partition value is NULL reads back
+    # with a VOID-typed partition column (hive inference has no values
+    # to type from) — unwritable as a partition key; normalize to
+    # string (the hive directory representation, the only type still
+    # recoverable)
+    for c, t in df.dtypes:
+        if c in partition_by and t == "void":
+            df = df.withColumn(c, F.col(c).cast("string"))
+
+    if not partition_by:
+        if not allow_full_rewrite:
+            raise ValueError(
+                "delete_where on an UNPARTITIONED table rewrites the "
+                "whole table; pass allow_full_rewrite=True to accept, "
+                "or partition the table on the delete axis first")
+        kept = df.filter(~pred.eqNullSafe(F.lit(True))).localCheckpoint()
+        st = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pred.eqNullSafe(F.lit(True)).cast("long"))
+            .alias("del_")).collect()[0]
+        kept_n = kept.count()
+        if kept_n + int(st["del_"] or 0) != int(st["n"]):
+            raise RuntimeError("row conservation failed; aborting "
+                               "before any write")
+        kept.write.mode("overwrite").parquet(path)
+        return {"rows_deleted": int(st["del_"] or 0),
+                "rows_kept": int(kept_n),
+                "partitions_rewritten": 1, "partitions_dropped": 0}
+
+    # one FIND pass: the distinct partition tuples holding matches
+    # (bounded by partition count; pruned when the predicate covers
+    # partition columns)
+    hits = (df.filter(pred).select(*partition_by).distinct().collect())
+    if not hits:
+        return {"rows_deleted": 0, "rows_kept": 0,
+                "partitions_rewritten": 0, "partitions_dropped": 0}
+
+    def tuple_cond(row):
+        # eqNullSafe THROUGHOUT: a plain == against a row holding NULLs
+        # makes part_cond NULL on other null-valued rows, and the later
+        # ~part_cond "anything else left?" probe would then miss them —
+        # reading a null-partition table as empty and deleting it
+        cond = None
+        for c in partition_by:
+            this = F.col(c).eqNullSafe(F.lit(row[c]))
+            cond = this if cond is None else cond & this
+        return cond
+
+    part_cond = None
+    for r in hits:
+        c = tuple_cond(r)
+        part_cond = c if part_cond is None else part_cond | c
+
+    affected = df.filter(part_cond)
+    # delete only where the predicate is TRUE; NULL evaluations keep
+    kept = affected.filter(~pred.eqNullSafe(F.lit(True))) \
+                   .localCheckpoint()
+    st = affected.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pred.eqNullSafe(F.lit(True)).cast("long")).alias("del_")
+    ).collect()[0]
+    kept_n = kept.count()
+    deleted = int(st["del_"] or 0)
+    if kept_n + deleted != int(st["n"]):
+        raise RuntimeError("row conservation failed (scanned != kept + "
+                           "deleted); aborting before any write")
+
+    kept_parts = {tuple(r[c] for c in partition_by) for r in
+                  kept.select(*partition_by).distinct().collect()}
+    if not kept_parts:
+        # every affected partition emptied; if nothing ELSE remains the
+        # rewrite would leave a parquet-less directory later reads
+        # cannot open — delete the table dir outright instead (the
+        # gc_tombstones emptied-table fix, same shape)
+        others = df.filter(~part_cond).limit(1).count()
+        if others == 0:
+            _jvm, fs, P = hadoop_fs(spark, path)
+            fs.delete(P(path.rstrip("/")), True)
+            return {"rows_deleted": deleted, "rows_kept": 0,
+                    "partitions_rewritten": 0,
+                    "partitions_dropped": len(hits),
+                    "table_emptied": True}
+    with dynamic_partition_overwrite(spark):
+        (kept.write.mode("overwrite")
+             .partitionBy(*partition_by).parquet(path))
+    # dynamic overwrite replaces only partitions it WRITES: a partition
+    # whose every row matched produces no output and would silently
+    # keep its old files — drop those directories explicitly (the
+    # gc_tombstones lesson, same failure shape)
+    _jvm, fs, P = hadoop_fs(spark, path)
+    dropped = 0
+    for r in hits:
+        key = tuple(r[c] for c in partition_by)
+        if key not in kept_parts:
+            sub = "/".join(
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if r[c] is None else r[c]}"
+                for c in partition_by)
+            if fs.delete(P(f"{path.rstrip('/')}/{sub}"), True):
+                dropped += 1
+    return {"rows_deleted": deleted, "rows_kept": int(kept_n),
+            "partitions_rewritten": len(kept_parts & {
+                tuple(r[c] for c in partition_by) for r in hits}),
+            "partitions_dropped": dropped}

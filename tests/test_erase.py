@@ -1,0 +1,106 @@
+"""Compliance erasure (delete_where): partition-scoped rewrites, NULL
+predicate semantics, row conservation, emptied-table handling, and the
+unpartitioned-table guard."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.sinks.erase import delete_where
+
+
+def _table(spark, path, rows, parts=("p",)):
+    df = spark.createDataFrame(rows, "id long, p string, v string")
+    df.write.mode("overwrite").partitionBy(*parts).parquet(path)
+
+
+ROWS = [(1, "a", "x"), (2, "a", "y"), (3, "b", "x"),
+        (4, "b", "y"), (5, "c", "x")]
+
+
+def test_delete_rewrites_only_affected_partitions(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _table(spark, p, ROWS)
+    files = lambda: {f: os.stat(f).st_mtime_ns for f in  # noqa: E731
+                     glob.glob(f"{p}/p=*/*.parquet")}
+    before = files()
+    out = delete_where(spark, p, "id = 3", ["p"])
+    assert out == {"rows_deleted": 1, "rows_kept": 1,
+                   "partitions_rewritten": 1, "partitions_dropped": 0}
+    after = files()
+    touched = {f.rsplit("/", 2)[1] for f in set(after) - set(before)}
+    assert touched == {"p=b"}
+    survivors = set(before) & set(after)
+    assert all(before[f] == after[f] for f in survivors)
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(p).collect()) == [1, 2, 4, 5]
+
+
+def test_delete_drops_fully_emptied_partition_dir(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _table(spark, p, ROWS)
+    out = delete_where(spark, p, "p = 'c'", ["p"])
+    assert out["rows_deleted"] == 1 and out["partitions_dropped"] == 1
+    assert not os.path.exists(f"{p}/p=c")
+    assert spark.read.parquet(p).count() == 4
+
+
+def test_delete_everything_removes_table_not_bricks_it(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _table(spark, p, ROWS)
+    out = delete_where(spark, p, "id > 0", ["p"])
+    assert out["rows_deleted"] == 5 and out["table_emptied"]
+    assert not os.path.exists(p)
+
+
+def test_null_predicate_rows_are_kept(spark, tmp_path):
+    """A predicate that evaluates NULL (v = 'x' with v NULL) must KEEP
+    the row — naive ~pred would silently drop it."""
+    p = str(tmp_path / "t")
+    rows = [(1, "a", "x"), (2, "a", None), (3, "a", "y")]
+    _table(spark, p, rows)
+    out = delete_where(spark, p, "v = 'x'", ["p"])
+    assert out["rows_deleted"] == 1 and out["rows_kept"] == 2
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(p).collect()) == [2, 3]
+
+
+def test_null_partition_values_survive(spark, tmp_path):
+    """NULL partition values (hive default partition) match via
+    eqNullSafe end to end; deleting from one doesn't disturb others
+    and a remaining null-partition table is not mistaken for empty."""
+    p = str(tmp_path / "t")
+    rows = [(1, None, "x"), (2, None, "y"), (3, "a", "x")]
+    _table(spark, p, rows)
+    out = delete_where(spark, p, "id = 3", ["p"])
+    assert out["rows_deleted"] == 1
+    assert sorted(r["id"] for r in
+                  spark.read.parquet(p).collect()) == [1, 2]
+    # delete one row from the null partition itself
+    out2 = delete_where(spark, p, "id = 1", ["p"])
+    assert out2["rows_deleted"] == 1
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == [2]
+
+
+def test_unpartitioned_guard_and_opt_in(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")
+    df.write.mode("overwrite").parquet(p)
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        delete_where(spark, p, "id = 1", [])
+    out = delete_where(spark, p, "id = 1", [], allow_full_rewrite=True)
+    assert out["rows_deleted"] == 1
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == [2]
+
+
+def test_no_matches_is_noop(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _table(spark, p, ROWS)
+    before = sorted(glob.glob(f"{p}/p=*/*.parquet"))
+    out = delete_where(spark, p, "id = 999", ["p"])
+    assert out["rows_deleted"] == 0 and out["partitions_rewritten"] == 0
+    assert sorted(glob.glob(f"{p}/p=*/*.parquet")) == before
+    with pytest.raises(ValueError, match="partition column"):
+        delete_where(spark, p, "id = 1", ["nope"])
