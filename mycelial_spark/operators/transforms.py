@@ -93,3 +93,32 @@ def inspect(df: DataFrame, n: int = 64, truncate: bool = False) -> DataFrame:
     """Debug tap: print up to n rows (pretty_print.rs:105-112), pass through."""
     df.show(n, truncate=truncate)
     return df
+
+
+def pseudonymize(df: DataFrame, cols: list[str], key: str,
+                 suffix: str = "_token") -> DataFrame:
+    """Keyed pseudonymization — the GDPR companion to deletion
+    (sinks/erase.py): replace identifier columns with deterministic
+    keyed tokens, ``sha256(key | value)`` hex. Deterministic BY DESIGN:
+    the same (key, value) yields the same token everywhere, so joins
+    and group-bys across pseudonymized tables keep working —
+    re-identification requires the key (rotate the key to unlink
+    datasets; a random token would instead break referential
+    integrity). NULLs stay NULL (a hash of nothing would mint a fake
+    identifier). Each named column is REPLACED by ``<col><suffix>`` —
+    keeping the raw column around would defeat the purpose. Pure
+    codegen projection (JVM sha2), no shuffle; the arithmetic replays
+    in any engine with a sha256 function."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    for c in cols:
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    for c in cols:
+        tok = F.when(
+            F.col(c).isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.sha2(F.concat(F.lit(key), F.lit("|"),
+                            F.col(c).cast("string")), 256))
+        df = df.withColumn(f"{c}{suffix}", tok).drop(c)
+    return df

@@ -1155,6 +1155,20 @@ def redact_pii_(spark, cfg, inputs):
     return with_pii_redaction(inputs[0], cfg["text_col"])
 
 
+@_register("pseudonymize", "transform", "dataframe", "dataframe",
+           [Field("columns", "list"), Field("key"),
+            Field("suffix", default="_token")],
+           doc="Keyed pseudonymization: identifier columns replaced by "
+               "deterministic sha256(key|value) tokens — joins across "
+               "pseudonymized tables keep working, re-identification "
+               "needs the key, NULLs stay NULL. Codegen projection, "
+               "no shuffle (operators/transforms.py).")
+def pseudonymize_(spark, cfg, inputs):
+    from mycelial_spark.operators.transforms import pseudonymize
+    return pseudonymize(inputs[0], list(cfg["columns"]), cfg["key"],
+                        cfg["suffix"])
+
+
 @_register("text_stats", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text")],
            doc="Quality-signal extraction (north-star text analysis).")

@@ -4804,6 +4804,27 @@ def mixture_sample_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tok"))
 
 
+@query("pseudonymize_users", """
+SELECT event_id,
+       CASE WHEN user_id IS NULL THEN NULL
+            ELSE sha256('rot13key|' || CAST(user_id AS VARCHAR)) END
+         AS user_id_token,
+       event_type
+FROM events
+""")
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization of the user identifier (GDPR
+    pseudonymization, the companion to lake_delete_where's erasure):
+    deterministic sha256(key|value) tokens preserve joins/group-bys
+    across pseudonymized tables while re-identification needs the key.
+    Pure codegen projection; the oracle replays the identical hash."""
+    from mycelial_spark.operators.transforms import pseudonymize
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id",
+                                            "event_type")
+    return pseudonymize(ev, ["user_id"], key="rot13key") \
+        .select("event_id", "user_id_token", "event_type")
+
+
 @query("lake_delete_where", """
 SELECT event_id, user_id, event_type
 FROM events

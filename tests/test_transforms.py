@@ -53,3 +53,26 @@ def test_origin_time_nanos(spark):
     df = X.with_origin(spark.createDataFrame([("x",)], "v string"), "out_XXX")
     out = X.rewrite_origin_time_nanos(df, "XXX").collect()[0][X.ORIGIN_COL]
     assert out.startswith("out_") and int(out[4:]) > 10**18  # nanosecond epoch
+
+
+def test_pseudonymize_deterministic_and_referential(spark):
+    """Tokens are key-scoped deterministic (joins keep working), NULLs
+    stay NULL, the raw column is gone, and a different key unlinks."""
+    import hashlib
+
+    from mycelial_spark.operators.transforms import pseudonymize
+    df = spark.createDataFrame([(1, 10), (2, 10), (3, None)],
+                               "id long, uid long")
+    out = {r["id"]: r["uid_token"] for r in
+           pseudonymize(df, ["uid"], key="k1").collect()}
+    assert out[1] == out[2] == hashlib.sha256(b"k1|10").hexdigest()
+    assert out[3] is None
+    assert "uid" not in pseudonymize(df, ["uid"], key="k1").columns
+    other = {r["id"]: r["uid_token"] for r in
+             pseudonymize(df, ["uid"], key="k2").collect()}
+    assert other[1] != out[1]
+    import pytest as _p
+    with _p.raises(ValueError, match="non-empty"):
+        pseudonymize(df, [], "k")
+    with _p.raises(ValueError, match="not in"):
+        pseudonymize(df, ["nope"], "k")
