@@ -1354,7 +1354,8 @@ def knn_join_(spark, cfg, inputs):
 @_register("cdc_parquet_dest", "destination", "dataframe", "none",
            [Field("path"), Field("key_cols", "json"), Field("seq_col"),
             Field("op_col", default="op"),
-            Field("n_buckets", "int", 64)],
+            Field("n_buckets", "int", 64),
+            Field("schema_evolution", "bool", False)],
            doc="CDC-apply MERGE into a keyed parquet table (the "
                "reference's upsert destinations pointed at the lake): "
                "per batch, last-change-per-key election, bucket-pruned "
@@ -1368,7 +1369,8 @@ def cdc_parquet_dest(spark, cfg, df):
     from mycelial_spark.sinks.merge import merge_cdc_parquet
     return merge_cdc_parquet(df, cfg["path"], list(cfg["key_cols"]),
                              cfg["seq_col"], cfg["op_col"],
-                             cfg["n_buckets"])
+                             cfg["n_buckets"],
+                             schema_evolution=cfg["schema_evolution"])
 
 
 @_register("rollup_dest", "destination", "dataframe", "none",

@@ -53,7 +53,8 @@ def _bucket(key_cols: list[str], n_buckets: int):
 
 def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
                       seq_col: str, op_col: str = "op",
-                      n_buckets: int = 64) -> dict:
+                      n_buckets: int = 64,
+                      schema_evolution: bool = False) -> dict:
     """Apply one CDC batch to the keyed parquet table at ``path``.
 
     ``changes`` carries the payload columns plus ``op_col`` (I/U/D) and
@@ -64,6 +65,17 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
     keys into different buckets — the pruned read would miss stored
     rows and a key would silently duplicate). Returns
     {rows_live, upserts, deletes, buckets_touched, created}.
+
+    Schema drift between the batch and the stored table REFUSES by
+    default (naming the added/removed columns); source schemas do
+    evolve, so ``schema_evolution=True`` opts into it with
+    FULL-ROW-REPLACEMENT semantics — a CDC change carries the whole
+    row, so a winning row's absent columns become NULL (this is NOT a
+    partial update: old values are not preserved under a newer
+    change that lacks their column). Stored rows gain NULL for
+    batch-new columns until a change rewrites them. The sidecar then
+    records ``evolved`` and every reader merges footers across bucket
+    directories (mixed per-partition schemas are expected state).
     """
     import json
 
@@ -86,6 +98,8 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
                 f"{meta['key_cols']}/seq_col={meta['seq_col']!r}; "
                 f"got {list(key_cols)}/{seq_col!r}")
         n_buckets = meta["n_buckets"]   # the stored layout is the law
+    else:
+        meta = None
     payload = [c for c in changes.columns if c != op_col]
 
     # last change per key: max (seq, op, row) struct — one partial-agg
@@ -150,29 +164,54 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
         # there is nothing to do
         return {"rows_live": 0, "upserts": 0, "deletes": 0,
                 "buckets_touched": 0, "created": False}
+    evolved_now = False
     if created:
         merged = flat
     else:
-        current = (spark.read.parquet(table)
+        reader = spark.read
+        if meta and meta.get("evolved"):
+            # once evolved, bucket dirs legitimately differ in schema —
+            # a single-footer read would silently drop columns
+            reader = reader.option("mergeSchema", "true")
+        current = (reader.parquet(table)
                    .filter(F.col("_kb").isin(buckets)))
+        stored_payload = [c for c in current.columns
+                          if c not in ("_op", "_kb")]
+        if set(stored_payload) != set(payload):
+            added = sorted(set(payload) - set(stored_payload))
+            removed = sorted(set(stored_payload) - set(payload))
+            if not schema_evolution:
+                raise ValueError(
+                    f"batch schema drifted from the stored table "
+                    f"(added={added}, removed={removed}); pass "
+                    f"schema_evolution=True for full-row-replacement "
+                    f"evolution semantics")
+            evolved_now = True
+        # payload = stored order first, batch-new columns appended —
+        # deterministic field order for the election struct
+        full_payload = stored_payload + \
+            [c for c in payload if c not in stored_payload]
         touched = current.join(flat.select(*key_cols), key_cols,
                                "left_semi")
         kept = current.join(flat.select(*key_cols), key_cols,
                             "left_anti")
         # re-elect among {stored row, batch winner}: the same max
         # (seq, op, row) rule — stale changes lose, replays tie with
-        # themselves, out-of-order batches commute
-        winner = (touched.unionByName(flat)
+        # themselves, out-of-order batches commute. allowMissingColumns
+        # fills NULL on whichever side lacks an evolved column (a
+        # no-op when schemas match).
+        winner = (touched.unionByName(flat, allowMissingColumns=True)
                   .groupBy(*key_cols)
                   .agg(F.max(F.struct(F.col(seq_col).alias("_s"),
                                       F.col("_op").alias("_op"),
-                                      *[F.col(c) for c in payload],
+                                      *[F.col(c) for c in full_payload],
                                       F.col("_kb").alias("_kb")))
                        .alias("_w"))
-                  .select(*[F.col(f"_w.{c}").alias(c) for c in payload],
+                  .select(*[F.col(f"_w.{c}").alias(c)
+                            for c in full_payload],
                           F.col("_w._op").alias("_op"),
                           F.col("_w._kb").alias("_kb")))
-        merged = kept.unionByName(winner).localCheckpoint()
+        merged = kept.unionByName(winner, allowMissingColumns=True)                      .localCheckpoint()
     rows_live = merged.filter(F.col("_op") != OP_DELETE).count()
     if created:
         # meta BEFORE data: a crash between the two leaves meta + no
@@ -182,6 +221,11 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
         fs_write_text(spark, meta_p, json.dumps(
             {"key_cols": list(key_cols), "seq_col": seq_col,
              "n_buckets": n_buckets}))
+    elif evolved_now and not (meta and meta.get("evolved")):
+        # evolved BEFORE data, same crash logic: a retry re-marks; the
+        # reverse order could leave mixed-schema dirs that plain reads
+        # silently column-drop
+        fs_write_text(spark, meta_p, json.dumps({**meta, "evolved": True}))
     with dynamic_partition_overwrite(spark):
         (merged.write.mode("overwrite")
          .partitionBy("_kb").parquet(table))
@@ -190,10 +234,28 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
             "created": created}
 
 
+def _cdc_reader(spark: SparkSession, path: str):
+    """spark.read, with footer merging when the sidecar records a
+    schema evolution (mixed per-bucket schemas are then expected; the
+    option is not unconditional because merging every footer on a huge
+    healthy table is a real listing cost)."""
+    import json as _json
+
+    from mycelial_spark.fsutil import exists as _exists
+    from mycelial_spark.fsutil import fs_read_text
+    meta_p = f"{path.rstrip('/')}/_cdc_meta.json"
+    reader = spark.read
+    if _exists(spark, meta_p) and _json.loads(
+            fs_read_text(spark, meta_p)).get("evolved"):
+        reader = reader.option("mergeSchema", "true")
+    return reader
+
+
 def read_cdc_table(spark: SparkSession, path: str) -> DataFrame:
     """The table's current LIVE state (tombstones filtered, bookkeeping
     columns dropped)."""
-    return (spark.read.parquet(f"{path.rstrip('/')}/table")
+    return (_cdc_reader(spark, path)
+            .parquet(f"{path.rstrip('/')}/table")
             .filter(F.col("_op") != OP_DELETE).drop("_op", "_kb"))
 
 
@@ -206,7 +268,7 @@ def gc_tombstones(spark: SparkSession, path: str, seq_col: str,
     Rewrites only buckets that actually hold expired tombstones."""
     from mycelial_spark.fsutil import dynamic_partition_overwrite
     table = f"{path.rstrip('/')}/table"
-    cur = spark.read.parquet(table)
+    cur = _cdc_reader(spark, path).parquet(table)
     expired = (F.col("_op") == OP_DELETE) & (F.col(seq_col) < horizon_seq)
     buckets = [r["_kb"] for r in
                cur.filter(expired).select("_kb").distinct().collect()]
@@ -254,13 +316,13 @@ def compact_cdc_table(spark: SparkSession, path: str) -> dict:
     contract as ann_compact."""
     from mycelial_spark.fsutil import dynamic_partition_overwrite
     table = f"{path.rstrip('/')}/table"
-    df = spark.read.parquet(table)
+    df = _cdc_reader(spark, path).parquet(table)
     files_before = df.select(F.input_file_name()).distinct().count()
     df = df.repartition("_kb").localCheckpoint()
     rows = df.count()
     with dynamic_partition_overwrite(spark):
         (df.write.mode("overwrite").partitionBy("_kb").parquet(table))
-    got = spark.read.parquet(table).count()
+    got = _cdc_reader(spark, path).parquet(table).count()
     if got != rows:
         raise RuntimeError(f"cdc compaction row count changed "
                            f"({rows} -> {got})")

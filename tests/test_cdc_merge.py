@@ -283,3 +283,56 @@ def test_merge_review_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="created with key_cols"):
         merge_cdc_parquet(_chg(spark, [(1, 3, "U", "x")]), p, ["v"],
                           "seq")
+
+
+def test_schema_drift_refused_by_default(spark, tmp_path):
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a")]), p, ["k"], "seq",
+                      n_buckets=4)
+    widened = spark.createDataFrame(
+        [(1, 2, "U", "a2", "x")],
+        "k long, seq long, op string, v string, extra string")
+    with pytest.raises(ValueError, match="schema drifted.*extra"):
+        merge_cdc_parquet(widened, p, ["k"], "seq", n_buckets=4)
+
+
+def test_schema_evolution_additive_column(spark, tmp_path):
+    """Opt-in evolution: a widened batch adds a column — stored rows
+    read back with NULL there until a change rewrites them; mixed
+    bucket-dir schemas merge via the sidecar's evolved flag; stale
+    changes still lose; gc/compact keep working on the evolved
+    table."""
+    import json as _json
+
+    from mycelial_spark.sinks.merge import compact_cdc_table
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a"), (2, 2, "I", "b")]),
+                      p, ["k"], "seq", n_buckets=4)
+    widened = spark.createDataFrame(
+        [(1, 3, "U", "a2", "x")],
+        "k long, seq long, op string, v string, extra string")
+    out = merge_cdc_parquet(widened, p, ["k"], "seq", n_buckets=4,
+                            schema_evolution=True)
+    assert not out["created"]
+    assert _json.loads(open(f"{p}/_cdc_meta.json").read())["evolved"]
+    state = {r["k"]: (r["v"], r["extra"]) for r in
+             read_cdc_table(spark, p).collect()}
+    assert state == {1: ("a2", "x"), 2: ("b", None)}
+    # a STALE widened change loses; a NEWER narrow change wins and, by
+    # full-row-replacement semantics, nulls the absent column
+    merge_cdc_parquet(spark.createDataFrame(
+        [(1, 0, "U", "stale", "y")],
+        "k long, seq long, op string, v string, extra string"),
+        p, ["k"], "seq", schema_evolution=True)
+    merge_cdc_parquet(_chg(spark, [(2, 9, "U", "b9")]), p, ["k"], "seq",
+                      schema_evolution=True)
+    state = {r["k"]: (r["v"], r["extra"]) for r in
+             read_cdc_table(spark, p).collect()}
+    assert state == {1: ("a2", "x"), 2: ("b9", None)}
+    # maintenance on the evolved table
+    merge_cdc_parquet(_chg(spark, [(2, 10, "D", None)]), p, ["k"], "seq",
+                      schema_evolution=True)
+    gc_tombstones(spark, p, "seq", horizon_seq=99)
+    comp = compact_cdc_table(spark, p)
+    assert comp["rows"] == 1
+    assert {r["k"] for r in read_cdc_table(spark, p).collect()} == {1}
