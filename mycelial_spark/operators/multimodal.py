@@ -332,6 +332,98 @@ def synth_ppm(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         run, "id long, modality string, payload binary")
 
 
+def image_ahash(df: DataFrame, grid: int = 8,
+                on_error: str = "raise") -> DataFrame:
+    """Perceptual average-hash per image payload — the image leg of the
+    dedup family (near-identical images land within a small Hamming
+    distance; re-encodes/crops/noise beyond that need embedding dedup).
+    Arrow-batched mapInPandas over the REAL codec (netpbm/BMP), like
+    the other multimodal legs. Returns (id, ahash bigint).
+
+    The arithmetic is ALL integer so an external engine can replay it
+    bit-for-bit (no float mean, no rounding ambiguity):
+      gray(i,j)  = (r+g+b) // 3 at the nearest-sampled pixel
+                   (row (i·h)//grid, col (j·w)//grid — index sampling,
+                   the same kernel as resize_pixels)
+      bit(i,j)   = grid²·gray(i,j) >= Σ gray   (cross-multiplied mean)
+      ahash      = Σ bit·2^(i·grid+j), two's-complement wrapped into
+                   int64 (bit 63 is the sign bit)
+    """
+    import numpy as np
+
+    def one(payload: bytes) -> int:
+        px = _decode_pixels(bytes(payload)).astype(np.int64)
+        h, w, c = px.shape
+        gray = (px.sum(axis=2) // c)
+        rows = (np.arange(grid) * h) // grid
+        cols = (np.arange(grid) * w) // grid
+        cells = gray[rows][:, cols]
+        total = int(cells.sum())
+        bits = (cells * grid * grid >= total).astype(np.int64)
+        val = 0
+        for k, b in enumerate(bits.flatten()):
+            if b:
+                val |= 1 << k
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_hash = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    out_hash.append(one(payload))
+                    out_ids.append(int(i))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame({"id": pd.Series(out_ids, dtype="int64"),
+                                "ahash": pd.Series(out_hash,
+                                                   dtype="int64")})
+
+    return df.select("id", "payload").mapInPandas(run,
+                                                  "id long, ahash long")
+
+
+def image_hamming_pairs(hashes: DataFrame, max_hamming: int = 3,
+                        bands: int = 4, hash_col: str = "ahash",
+                        id_col: str = "id") -> DataFrame:
+    """Near-duplicate pairs among 64-bit perceptual hashes: band the
+    hash into ``bands`` 16·(4/bands)-bit slices, candidates share at
+    least one band (pigeonhole: any pair within Hamming
+    ``max_hamming`` < bands MUST agree on some band — full recall,
+    never O(n²)), verify by exact popcount of the XOR. The same
+    banding law as the SimHash text path, applied to the image leg.
+    Returns (id_a, id_b, hamming)."""
+    if not 1 <= bands <= 64 or 64 % bands:
+        raise ValueError(f"bands must divide 64; got {bands}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} loses the "
+            f"pigeonhole recall guarantee; raise bands or lower it")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sliced = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("band"),
+                     F.shiftright(F.col(hash_col), t * width)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for t in range(bands)])).alias("bk"))
+    a = sliced.select(F.col("_id").alias("id_a"), F.col("_h").alias("ha"),
+                      F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key"))
+    b = sliced.select(F.col("_id").alias("id_b"), F.col("_h").alias("hb"),
+                      F.col("bk.band").alias("band"),
+                      F.col("bk.key").alias("key"))
+    return (a.join(b, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 # -------------------------------------------------------------- video codec
 
 _Y4M_FRAME_SIZE = {"420": 3, "420jpeg": 3, "420mpeg2": 3, "420paldv": 3,

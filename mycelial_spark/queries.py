@@ -4804,6 +4804,78 @@ def mixture_sample_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_tok"))
 
 
+def _ahash_byte_sql(idx: str) -> str:
+    """DuckDB expression for the idx-th byte of the synthesized image
+    (0 past the text's UTF-8 length — synth_ppm's zero padding),
+    extracted from hex(encode(text)) pairs."""
+    h = "0123456789ABCDEF"
+    return (f"CASE WHEN {idx} < n THEN "
+            f"(strpos('{h}', substr(hx, ({idx})*2 + 1, 1)) - 1) * 16 + "
+            f"(strpos('{h}', substr(hx, ({idx})*2 + 2, 1)) - 1) "
+            f"ELSE 0 END")
+
+
+@query("image_dedup_pairs", f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // 48) AS h
+  FROM documents
+),
+base AS (
+  SELECT doc_id, hx, n, t1.i AS i, t2.j AS j,
+         ((t1.i * h // 8) * 16 + 2 * t2.j) * 3 AS p
+  FROM d, range(8) t1(i), range(8) t2(j)
+),
+cells AS (
+  SELECT doc_id, i, j,
+         ({_ahash_byte_sql('p')} + {_ahash_byte_sql('p + 1')}
+          + {_ahash_byte_sql('p + 2')}) // 3 AS g
+  FROM base
+),
+sums AS (SELECT doc_id, sum(g) AS s FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id, i * 8 + j AS k,
+         CASE WHEN 64 * g >= s THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN sums USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k < 63 AND bit = 1 THEN (1::BIGINT << k)
+                  ELSE 0::BIGINT END)
+         + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                THEN (-(1::BIGINT << 62)) * 2 ELSE 0::BIGINT END AS ahash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+""")
+def image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over the REAL codec path: documents
+    synthesize deterministic P6 payloads (the fixture adapter every
+    multimodal leg uses), image_ahash decodes + nearest-samples an 8x8
+    grid + mean-thresholds into a 64-bit perceptual hash (all-integer
+    arithmetic), and banding (4x16-bit slices, pigeonhole full recall
+    at Hamming<=3) + popcount verify yields the pairs — the image leg
+    of the dedup family. The oracle replays EVERYTHING from the text
+    bytes: pixel synthesis (hex pairs of encode(text), zero padding),
+    index sampling, integer gray/mean/threshold, the two's-complement
+    bit packing, and brute-force Hamming — so the hash-match covers
+    codec, hash, and banding end to end. 42 pairs at sf0.01 (the
+    fixture's near-dup documents produce near-identical images)."""
+    from mycelial_spark.operators.multimodal import (image_ahash,
+                                                     image_hamming_pairs,
+                                                     synth_ppm)
+    from mycelial_spark.operators.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents"))
+    hashes = image_ahash(synth_ppm(docs))
+    return (image_hamming_pairs(hashes, max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("int")
+                    .alias("hamming")))
+
+
 @query("pseudonymize_users", """
 SELECT event_id,
        CASE WHEN user_id IS NULL THEN NULL

@@ -124,3 +124,59 @@ def test_image_features_null_payload_is_poison_not_crash(spark):
             MM.image_features(df, on_error="null").collect()}
     assert rows[1]["width"] == 2
     assert rows[2]["width"] is None and rows[2]["n_bytes"] == 0
+
+
+def test_image_ahash_hand_computed(spark):
+    """A half-dark / half-bright 8x16 image hashes to exactly the
+    bright half's bits; integer arithmetic end to end."""
+    import numpy as np
+
+    from mycelial_spark.operators.multimodal import (encode_ppm,
+                                                     image_ahash)
+    px = np.zeros((8, 16, 3), dtype=np.uint8)
+    px[:, 8:, :] = 200                         # right half bright
+    df = spark.createDataFrame([(1, bytearray(encode_ppm(px)))],
+                               "id long, payload binary")
+    got = image_ahash(df).first()["ahash"]
+    # cols sampled = 0,2,..,14 -> right half = cells j>=4 per row
+    want = 0
+    for i in range(8):
+        for j in range(4, 8):
+            want |= 1 << (i * 8 + j)
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert got == want
+
+
+def test_image_hamming_pairs_full_recall(spark):
+    """Banded candidates + popcount verify == brute-force pairs at
+    Hamming <= 3 (pigeonhole, 4 bands); validation guards hold."""
+    import itertools
+    import random
+
+    import pytest as _p
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.multimodal import image_hamming_pairs
+    rng = random.Random(7)
+    base = rng.getrandbits(63)
+    hashes = [base]
+    for _ in range(20):
+        h = hashes[rng.randrange(len(hashes))]
+        for _ in range(rng.randrange(0, 5)):   # flip up to 4 bits
+            h ^= 1 << rng.randrange(64)
+        hashes.append(h)
+    hashes = [v - (1 << 64) if v >= (1 << 63) else v for v in hashes]
+    df = spark.createDataFrame(list(enumerate(hashes)),
+                               "id long, ahash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+           image_hamming_pairs(df, max_hamming=3).collect()}
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(hashes), 2):
+        d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        if d <= 3:
+            want[(i, j)] = d
+    assert got == want and want, "fixture should produce near-dups"
+    with _p.raises(ValueError, match="divide 64"):
+        image_hamming_pairs(df, bands=5)
+    with _p.raises(ValueError, match="pigeonhole"):
+        image_hamming_pairs(df, max_hamming=4, bands=4)
