@@ -172,6 +172,73 @@ def synth_wav(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         run, "id long, modality string, payload binary")
 
 
+def audio_fingerprint(df: DataFrame, frames: int = 64,
+                      on_error: str = "raise") -> DataFrame:
+    """Energy-delta audio fingerprint per WAV payload — the audio leg
+    of the dedup family (near-identical recordings land within a small
+    Hamming distance; the shape is the classic spectral-delta
+    fingerprint family reduced to time-domain energy, which keeps every
+    step integer-exact and engine-replayable):
+
+      frame width w  = max(1, n_samples // frames)
+      energy_i       = Σ sample² over frame i (raw integer samples;
+                       32-bit PCM downshifts 16 bits first so the sum
+                       stays in int64)
+      bit_i (i>=1)   = energy_i > energy_{i-1}   (strict, integer)
+      fingerprint    = Σ bit_i · 2^(i-1)  — frames-1 bits, positive
+
+    Arrow-batched mapInPandas over the stdlib wave codec, like the
+    other audio ops. Returns (id, fingerprint bigint). Pair near-dups
+    with image_hamming_pairs (the banding is hash-agnostic)."""
+    import numpy as np
+    if not 2 <= frames <= 64:
+        raise ValueError(f"frames must be in [2, 64] (bits fit one "
+                         f"bigint); got {frames}")
+
+    def one(payload: bytes) -> int:
+        import io
+        import wave
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 2:
+            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif width == 1:
+            s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        elif width == 4:
+            s = np.frombuffer(raw, dtype="<i4").astype(np.int64) >> 16
+        else:
+            raise ValueError(f"unsupported WAV width {width}")
+        n = s.size
+        fw = max(1, n // frames)
+        energies = []
+        for i in range(frames):
+            seg = s[i * fw:(i + 1) * fw]
+            energies.append(int((seg * seg).sum()))
+        val = 0
+        for i in range(1, frames):
+            if energies[i] > energies[i - 1]:
+                val |= 1 << (i - 1)
+        return val
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for i, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    fps.append(one(payload))
+                    ids.append(int(i))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
+                                "fingerprint": pd.Series(fps,
+                                                         dtype="int64")})
+
+    return df.select("id", "payload").mapInPandas(
+        run, "id long, fingerprint long")
+
+
 # -------------------------------------------------------------- image codec
 
 def _decode_pixels(payload: bytes):

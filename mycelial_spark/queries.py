@@ -4876,6 +4876,77 @@ def image_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hamming")))
 
 
+def _wav_sample_sql(k: str) -> str:
+    """DuckDB expression for the k-th little-endian PCM16 sample of the
+    synthesized WAV (int16 from two hex-pair bytes of encode(text));
+    callers guard k < ns so out-of-range pairs never evaluate."""
+    h = "0123456789ABCDEF"
+
+    def raw(idx):
+        return (f"(strpos('{h}', substr(hx, ({idx})*2 + 1, 1)) - 1) * 16"
+                f" + (strpos('{h}', substr(hx, ({idx})*2 + 2, 1)) - 1)")
+    lo, hi = raw(f"({k}) * 2"), raw(f"({k}) * 2 + 1")
+    return (f"({lo}) + 256 * ({hi}) - 65536 * "
+            f"(CASE WHEN ({hi}) >= 128 THEN 1 ELSE 0 END)")
+
+
+@query("audio_dedup_pairs", f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // 2 AS ns
+  FROM documents
+),
+dims AS (SELECT doc_id, hx, ns, greatest(1, ns // 64) AS w FROM d),
+en AS (
+  SELECT doc_id, t1.i AS i,
+         sum(CASE WHEN (t1.i * w + t2.m) < ns THEN
+               ({_wav_sample_sql('t1.i * w + t2.m')})
+               * ({_wav_sample_sql('t1.i * w + t2.m')})
+             ELSE 0 END) AS e
+  FROM dims, range(64) t1(i), range(64) t2(m)
+  WHERE t2.m < w
+  GROUP BY doc_id, t1.i
+),
+bits AS (
+  SELECT a.doc_id, a.i AS i,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.i = a.i - 1
+  WHERE a.i >= 1
+),
+fps AS (
+  SELECT doc_id,
+         sum(CASE WHEN bit = 1 THEN (1::BIGINT << (i - 1))
+                  ELSE 0::BIGINT END) AS fp
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+""")
+def audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs over the REAL wave codec: documents
+    synthesize deterministic PCM16 payloads, audio_fingerprint frames
+    the signal and bit-packs the energy-delta sequence (all-integer —
+    see the operator docstring), and the SimHash banding finds pairs
+    within Hamming 3 with full recall. The oracle replays the whole
+    pipeline from text bytes: int16 little-endian reassembly from hex
+    pairs, framing, integer energies, delta bits, packing, and
+    brute-force Hamming (the earlier audio_wav_features caveat that
+    'int16 reinterpretation isn't SQL-expressible' fell to the hex-pair
+    technique). 24 pairs at sf0.01."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (audio_fingerprint,
+                                                     image_hamming_pairs,
+                                                     synth_wav)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fps = audio_fingerprint(synth_wav(docs))
+    return (image_hamming_pairs(fps, max_hamming=3,
+                                hash_col="fingerprint")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 @query("pseudonymize_users", """
 SELECT event_id,
        CASE WHEN user_id IS NULL THEN NULL

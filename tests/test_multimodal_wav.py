@@ -112,3 +112,33 @@ def test_multimodal_sections(spark):
         {"type": "multimodal_frames", "every_n_bytes": 32, "max_frames": 3})
     frames = REGISTRY.get("multimodal_frames").builder(spark, fcfg, [df]).collect()
     assert len(frames) == 3 and all(len(f["frame"]) == 32 for f in frames)
+
+
+def test_audio_fingerprint_hand_computed(spark):
+    """Alternating silent/loud frames produce the alternating
+    energy-delta bit pattern; arithmetic is integer end to end."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from mycelial_spark.operators.multimodal import audio_fingerprint
+    # 8 frames of 4 samples under frames=8: silence, loud, silence, ...
+    sig = []
+    for i in range(8):
+        sig += [0, 0, 0, 0] if i % 2 == 0 else [1000, -1000, 1000, -1000]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(np.array(sig, dtype="<i2").tobytes())
+    df = spark.createDataFrame([(1, bytearray(buf.getvalue()))],
+                               "id long, payload binary")
+    got = audio_fingerprint(df, frames=8).first()["fingerprint"]
+    # bits i=1..7: energy rises into every odd frame -> bits at i odd
+    want = sum(1 << (i - 1) for i in range(1, 8) if i % 2 == 1)
+    assert got == want
+    import pytest as _p
+    with _p.raises(ValueError, match="frames must be"):
+        audio_fingerprint(df, frames=65)
