@@ -4947,6 +4947,69 @@ def audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("int").alias("hamming")))
 
 
+@query("video_dedup_pairs", f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // 48) AS nf
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, t1.k AS k, t2.p AS p,
+         ({_ahash_byte_sql('((t1.k * nf) // 32) * 48 + t2.p')}) AS g
+  FROM d, range(32) t1(k), range(32) t2(p)
+),
+fr AS (SELECT doc_id, k, sum(g) AS m FROM cells GROUP BY doc_id, k),
+sp AS (SELECT doc_id, p, sum(g) AS s FROM cells GROUP BY doc_id, p),
+tot AS (SELECT doc_id, sum(s) AS st FROM sp GROUP BY doc_id),
+sbits AS (
+  SELECT sp.doc_id,
+         sum(CASE WHEN 32 * s >= st THEN (1::BIGINT << p)
+                  ELSE 0::BIGINT END) AS sv
+  FROM sp JOIN tot USING (doc_id) GROUP BY sp.doc_id
+),
+tbits AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN a.m > b.m THEN (1::BIGINT << (31 + a.k))
+                  ELSE 0::BIGINT END) AS tv
+  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.k = a.k - 1
+  WHERE a.k >= 1
+  GROUP BY a.doc_id
+),
+fps AS (
+  SELECT s.doc_id, s.sv + coalesce(t.tv, 0) AS fp
+  FROM sbits s LEFT JOIN tbits t USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+""")
+def video_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs over the REAL Y4M codec — the third and
+    final leg of the perceptual-dedup family (image aHash, audio
+    energy-delta, and now spatio-temporal video). documents synthesize
+    deterministic C420 clips, video_fingerprint samples 32 frames
+    uniformly, nearest-samples each to the fixed 8x4 luma grid, and
+    packs 32 spatial mean-threshold bits + 31 temporal delta bits into
+    a 63-bit fingerprint; banded Hamming pairing (pigeonhole full
+    recall at <=3) yields the pairs. The oracle replays EVERYTHING from
+    the text bytes: frame chunking/zero-padding, uniform frame
+    sampling ((k*nf)//32), grid byte extraction, the integer
+    spatial-mean threshold, temporal strict-greater deltas, bit
+    packing, and brute-force Hamming."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (image_hamming_pairs,
+                                                     synth_y4m,
+                                                     video_fingerprint)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fps = video_fingerprint(synth_y4m(docs))
+    return (image_hamming_pairs(fps, max_hamming=3,
+                                hash_col="fingerprint")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
 @query("pseudonymize_users", """
 SELECT event_id,
        CASE WHEN user_id IS NULL THEN NULL

@@ -86,3 +86,41 @@ def test_video_features_null_payload_is_poison_not_crash(spark):
             MM.video_features(df, on_error="null").collect()}
     assert rows[1]["n_frames"] == 1
     assert rows[2]["n_frames"] is None and rows[2]["n_bytes"] == 0
+
+
+def test_video_fingerprint_hand_computed(spark):
+    """4 frames alternating dark/bright: uniform spatial grid sets all
+    32 spatial bits; temporal strict-greater deltas set bits 32 and 34
+    only. Arithmetic is integer end to end."""
+    frames = [bytes([0] * 48), bytes([10] * 48),
+              bytes([0] * 48), bytes([10] * 48)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m(8, 4, frames)))], "id long, payload binary")
+    got = MM.video_fingerprint(df, samples=4).first()["fingerprint"]
+    want = 0xFFFFFFFF | (1 << 32) | (1 << 34)
+    assert got == want
+    with pytest.raises(ValueError, match="samples must be"):
+        MM.video_fingerprint(df, samples=1)
+    with pytest.raises(ValueError, match="samples must be"):
+        MM.video_fingerprint(df, samples=33)
+
+
+def test_video_fingerprint_near_dup_pairs(spark):
+    """A lightly edited clip stays within Hamming 3 of the original
+    and the banded pairing finds it; an unrelated clip does not."""
+    base = [bytes([p * 4 for p in range(48)]) for _ in range(6)]
+    edited = list(base)
+    edited[3] = bytes([min(255, p * 4 + 2) for p in range(48)])
+    noise = [bytes([(7 * i * p + 13) % 256 for p in range(48)])
+             for i in range(1, 7)]
+    df = spark.createDataFrame(
+        [(1, bytearray(_y4m(8, 4, base))),
+         (2, bytearray(_y4m(8, 4, edited))),
+         (3, bytearray(_y4m(8, 4, noise)))],
+        "id long, payload binary")
+    fps = MM.video_fingerprint(df)
+    pairs = {(r["id_a"], r["id_b"])
+             for r in MM.image_hamming_pairs(
+                 fps, max_hamming=3, hash_col="fingerprint").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
