@@ -5197,6 +5197,63 @@ def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _pagerank_iter_sql(iters: int) -> str:
+    """Unrolled power-iteration CTEs pr0..pr{iters} (standard SQL bans
+    aggregation in a recursive term, so the oracle unrolls — same
+    technique as the WAV/aHash byte replays: a Python helper emits the
+    closed-form SQL)."""
+    parts = ["pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"]
+    for i in range(iters):
+        parts.append(f"""pr{i + 1} AS (
+  SELECT nd.node AS node,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / d.outdeg) AS contrib
+    FROM edges e JOIN pr{i} p ON p.node = e.src
+                 JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) c ON c.node = nd.node)""")
+    return ",\n".join(parts)
+
+
+@query("pagerank_trade_graph", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS a, 100000000 + l_suppkey AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b AS src, a AS dst FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+{_pagerank_iter_sql(3)}
+SELECT node, round(rank, 6) AS rank FROM pr3
+""")
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the customer<->supplier trade graph
+    (distinct orders-joined-lineitem pairs, symmetrized; supplier nodes
+    offset by 1e8 to share one id space) — the iterative-algorithm
+    showcase: a driver loop of declarative per-iteration jobs, state
+    localCheckpoint'ed each round so lineage stays flat (see
+    operators/graph.py for the 100 TB notes). 3 fixed iterations keep
+    the oracle closed-form: DuckDB unrolls the power iteration as
+    chained CTEs. Both engines run the identical IEEE double ops
+    (teleport (1-0.85)/n, contribution rank/outdeg); round(...,6)
+    absorbs sum-order float noise."""
+    from mycelial_spark.operators.graph import pagerank
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+          .select(F.col("o_custkey").alias("a"),
+                  (F.lit(100000000) + F.col("l_suppkey")).alias("b"))
+          .distinct())
+    edges = (e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(e0.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst"))))
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

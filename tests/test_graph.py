@@ -1,128 +1,59 @@
-"""Graph invariants — property-based, mirroring the reference's quickcheck
-suite (graph/src/lib.rs:250-631: prop_no_loops, prop_subgraph_validity)."""
+"""Iterative graph ops: PageRank power iteration + degree profile."""
 
 import pytest
-from hypothesis import given, settings, strategies as st
 
-from mycelial_spark.plans.graph import Graph, GraphError
-
-
-def chain(n):
-    g = Graph()
-    for i in range(n):
-        g.add_node(f"n{i}", {"type": "x"})
-    for i in range(n - 1):
-        g.add_edge(f"n{i}", f"n{i+1}")
-    return g
+from mycelial_spark.operators import graph as G
 
 
-def test_single_output_invariant():
-    g = chain(2)
-    g.add_node("n2", {"type": "x"})
-    with pytest.raises(GraphError):
-        g.add_edge("n0", "n2")  # n0 already has an outgoing edge
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
 
 
-def test_cycle_rejected():
-    g = chain(3)
-    with pytest.raises(GraphError):
-        g.add_edge("n2", "n0")
-    with pytest.raises(GraphError):
-        g.add_edge("n0", "n0")
+def test_pagerank_two_node_cycle_is_fixed_point(spark):
+    """a<->b: the uniform vector is the fixed point at any damping, so
+    every iteration returns exactly 0.5/0.5."""
+    e = _edges(spark, [(1, 2), (2, 1)])
+    for iters in (1, 4):
+        got = {r["node"]: r["rank"]
+               for r in G.pagerank(e, iterations=iters).collect()}
+        assert got == {1: 0.5, 2: 0.5}
 
 
-def test_fan_in_allowed():
-    g = Graph()
-    for n in ("a", "b", "c"):
-        g.add_node(n, {})
-    g.add_edge("a", "c")
-    g.add_edge("b", "c")
-    assert g.parents("c") == ["a", "b"]
+def test_pagerank_dangling_mass_hand_computed(spark):
+    """a->b only: b is dangling; its mass redistributes uniformly.
+    One iteration from (0.5, 0.5):
+      dangling = 0.5;  a gets 0.15/2 + 0.85*(0 + 0.25)   = 0.2875
+                       b gets 0.15/2 + 0.85*(0.5 + 0.25) = 0.7125"""
+    e = _edges(spark, [(1, 2)])
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(e, iterations=1).collect()}
+    assert got[1] == pytest.approx(0.2875, abs=1e-12)
+    assert got[2] == pytest.approx(0.7125, abs=1e-12)
 
 
-def test_remove_node_drops_edges():
-    g = chain(3)
-    g.remove_node("n1")
-    assert g.edges == {}
+def test_pagerank_mass_conserved_and_authority_ordering(spark):
+    """Star graph: hub 1 linked by 2..5 (symmetrized). The hub must
+    out-rank the leaves and total mass stays 1 every round."""
+    pairs = []
+    for leaf in range(2, 6):
+        pairs += [(leaf, 1), (1, leaf)]
+    e = _edges(spark, pairs)
+    rows = G.pagerank(e, iterations=5).collect()
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    assert all(ranks[1] > ranks[leaf] for leaf in range(2, 6))
 
 
-@st.composite
-def random_graph(draw):
-    n = draw(st.integers(min_value=1, max_value=12))
-    g = Graph()
-    for i in range(n):
-        g.add_node(f"n{i}", {"i": i})
-    for i in range(n):
-        if draw(st.booleans()):
-            target = draw(st.integers(min_value=0, max_value=n - 1))
-            try:
-                g.add_edge(f"n{i}", f"n{target}")
-            except GraphError:
-                pass  # rejected edges keep the invariants; that's the point
-    return g
+def test_pagerank_validation(spark):
+    e = _edges(spark, [(1, 2)])
+    with pytest.raises(ValueError, match="iterations"):
+        G.pagerank(e, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        G.pagerank(e, damping=1.0)
 
 
-@settings(max_examples=60, deadline=None)
-@given(random_graph())
-def test_prop_no_loops_and_topo_consistent(g):
-    order = g.topo_order()  # raises if a cycle slipped through
-    pos = {n: i for i, n in enumerate(order)}
-    for f, t in g.edges.items():
-        assert pos[f] < pos[t]
-
-
-@settings(max_examples=60, deadline=None)
-@given(random_graph())
-def test_prop_subgraph_partition_complete(g):
-    subs = g.subgraphs()
-    all_nodes = [n for s in subs for n in s.nodes]
-    assert sorted(all_nodes) == sorted(g.nodes)          # complete, disjoint
-    assert sum(len(s.edges) for s in subs) == len(g.edges)
-    for s in subs:
-        for f, t in s.edges.items():
-            assert f in s.nodes and t in s.nodes         # edges stay inside
-
-
-@settings(max_examples=30, deadline=None)
-@given(random_graph())
-def test_prop_task_id_stable_and_sensitive(g):
-    assert g.task_id() == g.task_id()
-    if g.nodes:
-        g2 = Graph(nodes=dict(g.nodes), edges=dict(g.edges))
-        some = next(iter(g2.nodes))
-        g2.nodes[some] = {**g2.nodes[some], "changed": True}
-        assert g2.task_id() != g.task_id()
-
-
-def test_compiler_rejects_garbage_specs_cleanly():
-    """Fuzz: arbitrary spec dicts either compile or raise the DECLARED
-    error types (ConfigError/GraphError) — never a KeyError/TypeError
-    from deep inside the compiler."""
-    from hypothesis import given, settings, strategies as st
-
-    from mycelial_spark.plans.compiler import Pipeline
-    from mycelial_spark.plans.graph import GraphError
-    from mycelial_spark.plans.sections import REGISTRY
-    from mycelial_spark.plans.spec import ConfigError
-
-    types = st.sampled_from(REGISTRY.names() + ["nonsense_type"])
-    node_ids = st.sampled_from(["a", "b", "c", "d"])
-    nodes = st.dictionaries(
-        node_ids,
-        st.fixed_dictionaries({"type": types},
-                              optional={"path": st.text(max_size=5),
-                                        "query": st.text(max_size=5),
-                                        "bogus_field": st.integers()}),
-        max_size=4)
-    edges = st.lists(st.tuples(node_ids, node_ids), max_size=5) \
-        .map(lambda ps: [list(p) for p in ps])
-
-    @settings(max_examples=200, deadline=None)
-    @given(nodes, edges)
-    def run(ns, es):
-        try:
-            Pipeline.from_spec({"nodes": ns, "edges": es})
-        except (ConfigError, GraphError):
-            pass    # the declared failure modes
-
-    run()
+def test_degree_stats(spark):
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3)])
+    got = {r["node"]: (r["out_degree"], r["in_degree"])
+           for r in G.degree_stats(e).collect()}
+    assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
