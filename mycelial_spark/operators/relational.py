@@ -381,3 +381,65 @@ def with_zorder_key(df: DataFrame, cols: Sequence[str], bits: int = 16,
             key = F.shiftleft(key, 1).bitwiseOR(
                 F.shiftright(code, b).bitwiseAND(F.lit(1)))
     return df.withColumn(out_col, key)
+
+
+def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
+                    exact_ndv: bool = False) -> DataFrame:
+    """ANALYZE-style per-column statistics in ONE pass over the table:
+    (column, n_rows, non_null, nulls, ndv, min_value, max_value,
+    avg_len) — the optimizer-stats / data-quality profile every
+    lakehouse maintenance loop runs before choosing join strategies or
+    flagging drift.
+
+    Shape: a single hash-aggregate computes every measure for every
+    column (map-side partial, no shuffle beyond the final 1-row
+    reduce), then the wide row explodes into long form INSIDE the plan
+    — no driver collect. ndv defaults to approx_count_distinct (HLL,
+    one pass); ``exact_ndv=True`` switches to exact count(distinct)
+    for oracle-grade audits — Spark plans multi-column exact distincts
+    via EXPAND (data replicated x columns), the documented cost.
+
+    min/max are strings for a uniform schema: fractional numerics
+    (double/float/decimal) cast through DECIMAL(30,6) so the rendering
+    is engine-portable (IEEE shortest-repr differs across engines);
+    integers/strings/dates/timestamps cast directly. avg_len is the
+    mean octet_length for string columns (NULL otherwise), rounded to
+    4 decimals.
+    """
+    cols = list(columns) if columns else list(df.columns)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"unknown columns {missing}; have "
+                         f"{list(df.columns)}")
+    fractional = ("double", "float") 
+
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        dt = dtypes[c]
+        if dt.startswith(fractional) or dt.startswith("decimal"):
+            mn = F.min(c).cast("decimal(30,6)").cast("string")
+            mx = F.max(c).cast("decimal(30,6)").cast("string")
+        else:
+            mn = F.min(c).cast("string")
+            mx = F.max(c).cast("string")
+        ndv = (F.count_distinct(F.col(c)) if exact_ndv
+               else F.approx_count_distinct(c))
+        aggs += [F.count(c).alias(f"_nn_{c}"),
+                 ndv.alias(f"_ndv_{c}"),
+                 mn.alias(f"_mn_{c}"), mx.alias(f"_mx_{c}"),
+                 (F.round(F.avg(F.octet_length(c)), 4)
+                  if dt == "string" else F.lit(None).cast("double"))
+                 .alias(f"_al_{c}")]
+    wide = df.agg(*aggs)
+    entries = [F.struct(
+        F.lit(c).alias("column"),
+        F.col("_rows").alias("n_rows"),
+        F.col(f"_nn_{c}").alias("non_null"),
+        (F.col("_rows") - F.col(f"_nn_{c}")).alias("nulls"),
+        F.col(f"_ndv_{c}").alias("ndv"),
+        F.col(f"_mn_{c}").alias("min_value"),
+        F.col(f"_mx_{c}").alias("max_value"),
+        F.col(f"_al_{c}").alias("avg_len")) for c in cols]
+    return (wide.select(F.explode(F.array(*entries)).alias("p"))
+            .select("p.*"))

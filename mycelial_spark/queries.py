@@ -5197,6 +5197,40 @@ def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
 
 
+def _profile_col_sql(c: str, kind: str) -> str:
+    """One column's ANALYZE row (mirrors profile_columns semantics:
+    fractional min/max travel through DECIMAL(30,6) for portable
+    rendering, avg_len only for strings)."""
+    if kind == "fractional":
+        mn = f"CAST(CAST(min({c}) AS DECIMAL(30,6)) AS VARCHAR)"
+        mx = f"CAST(CAST(max({c}) AS DECIMAL(30,6)) AS VARCHAR)"
+    else:
+        mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+    al = (f"round(avg(octet_length(encode({c}))), 4)"
+          if kind == "string" else "CAST(NULL AS DOUBLE)")
+    return (f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+            f"count({c}) AS non_null, count(*) - count({c}) AS nulls, "
+            f"count(DISTINCT {c}) AS ndv, {mn} AS min_value, "
+            f"{mx} AS max_value, {al} AS avg_len FROM orders")
+
+
+@query("table_profile", " UNION ALL ".join(
+    _profile_col_sql(c, k) for c, k in [
+        ("o_orderkey", "plain"), ("o_custkey", "plain"),
+        ("o_orderstatus", "string"), ("o_totalprice", "fractional"),
+        ("o_orderdate", "plain"), ("o_orderpriority", "string")]))
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table — n_rows,
+    non-null/null counts, EXACT ndv (oracle-grade; the default
+    approx_count_distinct is the one-pass 100 TB path), portable
+    min/max renderings, and mean string length — all measures for all
+    columns in ONE aggregate, exploded to long form inside the plan
+    (no driver collect). The oracle recomputes every measure per
+    column and UNION ALLs the rows."""
+    from mycelial_spark.operators.relational import profile_columns
+    return profile_columns(_t(spark, sf_dir, "orders"), exact_ndv=True)
+
+
 def _pagerank_iter_sql(iters: int) -> str:
     """Unrolled power-iteration CTEs pr0..pr{iters} (standard SQL bans
     aggregation in a recursive term, so the oracle unrolls — same

@@ -121,3 +121,34 @@ def test_histogram_sketch_rejects_degenerate_config(spark):
         R.histogram_sketch(df, "v", lo=5, hi=5, bins=4)
     with pytest.raises(ValueError, match="hi > lo"):
         R.histogram_sketch(df, "v", lo=9, hi=5, bins=4)
+
+
+def test_profile_columns_measures(spark):
+    df = spark.createDataFrame(
+        [(1, "aa", 1.5), (2, None, 2.5), (2, "bbbb", None)],
+        "k long, s string, v double")
+    rows = {r["column"]: r
+            for r in R.profile_columns(df, exact_ndv=True).collect()}
+    assert set(rows) == {"k", "s", "v"}
+    k = rows["k"]
+    assert (k["n_rows"], k["non_null"], k["nulls"], k["ndv"]) == (3, 3, 0, 2)
+    assert (k["min_value"], k["max_value"]) == ("1", "2")
+    assert k["avg_len"] is None
+    s = rows["s"]
+    assert (s["non_null"], s["nulls"], s["ndv"]) == (2, 1, 2)
+    assert s["avg_len"] == 3.0            # (2 + 4) / 2
+    v = rows["v"]
+    # fractional min/max render through DECIMAL(30,6) - portable
+    assert (v["min_value"], v["max_value"]) == ("1.500000", "2.500000")
+
+
+def test_profile_columns_subset_approx_and_validation(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "k long, v double")
+    rows = R.profile_columns(df, columns=["k"]).collect()
+    assert len(rows) == 1 and rows[0]["column"] == "k"
+    # approx ndv is an estimate but must be in a sane band at n=100
+    assert 80 <= rows[0]["ndv"] <= 120
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown columns"):
+        R.profile_columns(df, columns=["nope"])
