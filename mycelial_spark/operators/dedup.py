@@ -457,6 +457,43 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
 
 
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware canonical election per near-dup cluster.
+
+    ``dedup_clusters`` keeps the MIN-id representative; real curation
+    pipelines keep the BEST one — the highest-quality duplicate (score
+    from any source: heuristic quality, classifier logit, length). The
+    canonical doc is the cluster argmax of ``score_col`` with min-id
+    tie-break, elected via a max-struct AGGREGATE — partial-aggregation
+    friendly, so a pathological giant cluster combines map-side instead
+    of funneling into one window task (the same election shape as
+    span_dedup's first-occurrence vote). Returns
+    (id, cluster_id, best_id, is_canonical, cluster_size).
+
+    ``df`` must carry ``score_col``; ``pairs`` is any near-dup edge
+    source (Jaccard, MinHash, SimHash, cosine) — composition over the
+    same CC machinery as dedup_clusters.
+    """
+    comp = connected_components(pairs).withColumnRenamed("id", "__cc_id")
+    assigned = (df.select(id_col, score_col)
+                .join(comp, F.col(id_col) == F.col("__cc_id"), "left")
+                .select(F.col(id_col), F.col(score_col),
+                        F.coalesce("component", F.col(id_col))
+                        .alias("cluster_id")))
+    elect = (assigned.groupBy("cluster_id")
+             .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                                 (-F.col(id_col)).alias("ni")))
+                  .alias("_e"),
+                  F.count(F.lit(1)).alias("cluster_size"))
+             .select("cluster_id", (-F.col("_e.ni")).alias("best_id"),
+                     "cluster_size"))
+    return (assigned.join(elect, "cluster_id")
+            .select(id_col, "cluster_id", "best_id",
+                    (F.col(id_col) == F.col("best_id"))
+                    .alias("is_canonical"), "cluster_size"))
+
+
 def chunk_paragraphs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """Fixture adapter: re-shape flat text into ``k``-token paragraphs

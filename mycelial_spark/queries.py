@@ -5197,6 +5197,77 @@ def tfidf_keywords_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=5)
 
 
+@query("dedup_keep_best", """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), post AS (SELECT doc_id, unnest(shingles) s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(a, b) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+), comp AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+), q AS (
+  SELECT doc_id,
+         round(least(len(toks) / 20.0, 1.0)
+               * (len(list_distinct(toks)) * 1.0
+                  / greatest(len(toks), 1))
+               * greatest(0.0, 1.0 - 2 *
+                 (round(len(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+                        / greatest(length(text), 1), 6)
+                  + round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+                          / greatest(length(text), 1), 6))), 6)
+           AS quality_score
+  FROM docs
+), assigned AS (
+  SELECT d.doc_id, q.quality_score,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+), sel AS (
+  SELECT doc_id, cluster_id, quality_score,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id ASC) rn,
+         count(*) OVER (PARTITION BY cluster_id) cluster_size
+  FROM assigned
+), best AS (SELECT cluster_id, doc_id AS best_id FROM sel WHERE rn = 1)
+SELECT s.doc_id, s.cluster_id, b.best_id,
+       s.doc_id = b.best_id AS is_canonical, s.cluster_size
+FROM sel s JOIN best b USING (cluster_id)
+""")
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: the same near-dup clusters as
+    dedup_clusters (exact 3-gram Jaccard edges -> CC), but the
+    canonical representative is the cluster's HIGHEST-quality doc
+    (heuristic quality score, min-id tie-break) elected by a
+    partial-agg-friendly max-struct vote — what a curation pipeline
+    actually keeps. Oracle recomputes clusters by recursive closure and
+    the election by an ordered row_number."""
+    from mycelial_spark.operators.dedup import dedup_keep_best
+    from mycelial_spark.operators.text import with_quality_score
+    docs = with_quality_score(_t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_keep_best(docs, pairs, "quality_score")
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

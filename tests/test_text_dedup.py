@@ -775,3 +775,22 @@ def test_incremental_dedup_fuzzy_crash_window_recovery(spark, tmp_path):
     near = spark.createDataFrame([(3, base.replace("warm", "hot"))],
                                  "doc_id long, text string")
     assert D6.incremental_dedup_fuzzy(near, ledger).count() == 0
+
+
+def test_dedup_keep_best_elects_highest_quality(spark):
+    """Canonical = argmax score, min-id tie-break; singletons are their
+    own canonical; cluster bookkeeping matches dedup_clusters."""
+    import mycelial_spark.operators.dedup as D
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id long, score double")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r
+            for r in D.dedup_keep_best(docs, pairs, "score").collect()}
+    # cluster {1,2,3}: 2 and 3 tie at 0.9 -> min id 2 wins
+    assert all(rows[i]["cluster_id"] == 1 for i in (1, 2, 3))
+    assert all(rows[i]["best_id"] == 2 for i in (1, 2, 3))
+    assert [rows[i]["is_canonical"] for i in (1, 2, 3)] == [False, True, False]
+    assert all(rows[i]["cluster_size"] == 3 for i in (1, 2, 3))
+    assert (rows[9]["best_id"], rows[9]["is_canonical"],
+            rows[9]["cluster_size"]) == (9, True, 1)
