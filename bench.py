@@ -106,6 +106,7 @@ HEADLINE = [
     "video_dedup_pairs",
     "pagerank_trade_graph",
     "table_profile",
+    "events_gapfill",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

@@ -5268,6 +5268,60 @@ def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_best(docs, pairs, "quality_score")
 
 
+@query("events_gapfill", """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS bkt,
+         avg(value) AS v
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), span AS (SELECT user_id, min(bkt) mn, max(bkt) mx FROM b GROUP BY 1),
+spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bkt FROM span),
+j AS (SELECT s.user_id, s.bkt, b.v
+      FROM spine s LEFT JOIN b ON b.user_id = s.user_id
+                               AND b.bkt = s.bkt),
+f AS (
+  SELECT user_id, bkt, v,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bkt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bkt
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN bkt END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY bkt
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT user_id,
+       make_timestamp(bkt * 3600 * 1000000) AS bucket_ts,
+       floor(v * 1000000.0 + 0.5) / 1000000.0 AS value_avg,
+       floor(pv * 1000000.0 + 0.5) / 1000000.0 AS value_locf,
+       floor(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL OR nv IS NULL THEN NULL
+                  ELSE pv + (nv - pv) * ((bkt - pb) * 1.0 / (nb - pb))
+             END * 1000000.0 + 0.5) / 1000000.0 AS value_linear,
+       v IS NULL AS is_gap
+FROM f
+""")
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-style gap-fill over the purchase series: per-user
+    hourly buckets densified across each user's own observed span
+    (sequence+explode — keys never pay the global time range), gaps
+    filled by LOCF and by linear interpolation between bracketing
+    observations (edges stay NULL, not extrapolated). The read-side
+    companion of the continuous-aggregate rollup sink. Oracle replays
+    spine generation and both fills with IGNORE NULLS window frames;
+    interpolation arithmetic is the identical IEEE expression tree."""
+    from mycelial_spark.operators.timeseries import time_bucket_gapfill
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type")
+                                           == "purchase")
+    return time_bucket_gapfill(e, 3600, "ts", ("user_id",), "value")
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

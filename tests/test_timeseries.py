@@ -1,0 +1,64 @@
+"""Gap-fill + LOCF/linear interpolation semantics."""
+
+from datetime import datetime
+
+import pytest
+
+from mycelial_spark.operators.timeseries import time_bucket_gapfill
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+
+
+def test_gapfill_locf_and_linear_hand_computed(spark):
+    """Key 1 observes 10.0 at bucket 0 and 40.0 at bucket 3: buckets 1
+    and 2 interpolate to 20 and 30, LOCF carries 10."""
+    df = _df(spark, [
+        (datetime(2024, 1, 1, 0, 30), 1, 10.0),
+        (datetime(2024, 1, 1, 3, 10), 1, 40.0),
+    ])
+    out = {r["bucket_ts"].hour: r
+           for r in time_bucket_gapfill(df, 3600).collect()}
+    assert len(out) == 4
+    assert [out[h]["value_avg"] for h in range(4)] == [10.0, None, None, 40.0]
+    assert [out[h]["value_locf"] for h in range(4)] == [10.0, 10.0, 10.0, 40.0]
+    assert [out[h]["value_linear"] for h in range(4)] == [10.0, 20.0, 30.0, 40.0]
+    assert [out[h]["is_gap"] for h in range(4)] == [False, True, True, False]
+
+
+def test_gapfill_bucket_avg_and_key_isolation(spark):
+    """Two events in one bucket average; spans are PER KEY — key 2's
+    single observation yields a single-row series, not key 1's span."""
+    df = _df(spark, [
+        (datetime(2024, 1, 1, 0, 10), 1, 10.0),
+        (datetime(2024, 1, 1, 0, 50), 1, 30.0),
+        (datetime(2024, 1, 1, 2, 0), 1, 99.0),
+        (datetime(2024, 1, 1, 5, 0), 2, 7.0),
+    ])
+    rows = time_bucket_gapfill(df, 3600).collect()
+    k1 = sorted([r for r in rows if r["user_id"] == 1],
+                key=lambda r: r["bucket_ts"])
+    k2 = [r for r in rows if r["user_id"] == 2]
+    assert k1[0]["value_avg"] == 20.0          # (10 + 30) / 2
+    assert len(k1) == 3 and len(k2) == 1
+    assert k2[0]["value_avg"] == 7.0 and not k2[0]["is_gap"]
+
+
+def test_gapfill_edges_not_extrapolated(spark):
+    """Buckets outside the observed bracketing stay NULL for linear;
+    LOCF is NULL before the first observation (no spine there at all,
+    since the spine starts at the key's min bucket)."""
+    df = _df(spark, [
+        (datetime(2024, 1, 1, 0, 0), 1, 5.0),
+        (datetime(2024, 1, 1, 2, 0), 1, None),   # null value, observed bucket
+        (datetime(2024, 1, 1, 4, 0), 1, 9.0),
+    ])
+    out = {r["bucket_ts"].hour: r
+           for r in time_bucket_gapfill(df, 3600).collect()}
+    # bucket 2 averaged only NULLs -> still a gap for fill purposes
+    assert out[2]["value_avg"] is None
+    assert out[2]["value_locf"] == 5.0
+    assert out[2]["value_linear"] == 7.0
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        time_bucket_gapfill(df, 0)
