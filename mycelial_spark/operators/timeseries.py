@@ -30,6 +30,55 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _round6_portable(c):
+    """floor(x·1e6 + 0.5)/1e6 — engine-portable rounding for
+    non-negative doubles: pure IEEE ops, no engine rounding-mode
+    (half-up vs half-even) in play. Needed wherever exact rationals
+    (interpolation fractions, count ratios with power-of-two
+    denominators) land exactly on .xxxxxx5 ties."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def cohort_retention(df: DataFrame, period_seconds: int = 86400,
+                     ts_col: str = "ts",
+                     user_col: str = "user_id") -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen period,
+    tracked by distinct activity in each later period.
+
+    Returns (cohort_ts, periods_since, n_active, cohort_size,
+    retention_pct) — one row per (cohort, offset) with activity.
+    periods_since = 0 rows are the cohort definition itself
+    (n_active == cohort_size, retention 1.0).
+
+    Shape: activity is first deduplicated to (user, period) — the
+    ONLY corpus-sized shuffle; everything after is per-user (first
+    seen) and per-(cohort, offset) hash aggregation with map-side
+    partials. Exact distinct users per cell; at extreme cardinality
+    swap in approx_count_distinct the same way profile_columns does.
+    """
+    if period_seconds <= 0:
+        raise ValueError(f"period_seconds must be > 0; got "
+                         f"{period_seconds}")
+    per = (F.unix_timestamp(ts_col) / F.lit(period_seconds)).cast("long")
+    activity = (df.select(F.col(user_col).alias("_u"), per.alias("_p"))
+                .distinct())
+    first = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    ret = (activity.join(first, "_u")
+           .groupBy("_cohort", (F.col("_p") - F.col("_cohort"))
+                    .alias("periods_since"))
+           .agg(F.count_distinct("_u").alias("n_active")))
+    size = (first.groupBy("_cohort")
+            .agg(F.count(F.lit(1)).alias("cohort_size")))
+    return (ret.join(size, "_cohort")
+            .select(F.timestamp_seconds(F.col("_cohort")
+                                        * F.lit(period_seconds))
+                    .alias("cohort_ts"),
+                    "periods_since", "n_active", "cohort_size",
+                    _round6_portable(F.col("n_active") * F.lit(1.0)
+                                     / F.col("cohort_size"))
+                    .alias("retention_pct")))
+
+
 def time_bucket_gapfill(df: DataFrame, bucket_seconds: int,
                         ts_col: str = "ts",
                         key_cols: Sequence[str] = ("user_id",),
@@ -87,13 +136,9 @@ def time_bucket_gapfill(df: DataFrame, bucket_seconds: int,
               .when(prev_v.isNull() | next_v.isNull(),
                     F.lit(None).cast("double"))
               .otherwise(prev_v + (next_v - prev_v) * frac))
-    # explicit floor(x·1e6 + 0.5)/1e6 instead of round(): interpolated
-    # values land EXACTLY on .xxxxxx5 ties whenever the gap width is a
-    # power of two, and engines disagree on tie direction (half-up vs
-    # half-even); this expression is pure IEEE ops, portable
-    # bit-for-bit (inputs here are non-negative)
-    def r6(c):
-        return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    # _round6_portable instead of round(): interpolated values land
+    # EXACTLY on .xxxxxx5 ties whenever the gap width is a power of two
+    r6 = _round6_portable
     return (j.select(*keys,
                      F.timestamp_seconds(F.col("_bkt")
                                          * F.lit(bucket_seconds))

@@ -5322,6 +5322,34 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_bucket_gapfill(e, 3600, "ts", ("user_id",), "value")
 
 
+@query("cohort_retention", """
+WITH a AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS p
+  FROM events
+), fst AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1),
+ret AS (
+  SELECT fst.cohort, a.p - fst.cohort AS periods_since,
+         count(DISTINCT a.user_id) AS n_active
+  FROM a JOIN fst ON fst.user_id = a.user_id
+  GROUP BY 1, 2
+), sz AS (SELECT cohort, count(*) AS cohort_size FROM fst GROUP BY 1)
+SELECT make_timestamp(r.cohort * 86400 * 1000000) AS cohort_ts,
+       r.periods_since, r.n_active, s.cohort_size,
+       floor((r.n_active * 1.0 / s.cohort_size) * 1000000.0 + 0.5)
+         / 1000000.0 AS retention_pct
+FROM ret r JOIN sz s USING (cohort)
+""")
+def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention over the events table: users bucketed by
+    first-seen day, distinct-active counts per (cohort, day offset),
+    retention as a portable-rounded ratio. One corpus-sized distinct,
+    then per-user and per-cell hash aggregation — the standard product
+    analytics matrix at any scale."""
+    from mycelial_spark.operators.timeseries import cohort_retention
+    return cohort_retention(_t(spark, sf_dir, "events"), 86400)
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

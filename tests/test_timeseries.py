@@ -62,3 +62,30 @@ def test_gapfill_edges_not_extrapolated(spark):
     assert out[2]["value_linear"] == 7.0
     with pytest.raises(ValueError, match="bucket_seconds"):
         time_bucket_gapfill(df, 0)
+
+
+def test_cohort_retention_hand_computed(spark):
+    """Users 1,2 first seen day 0; user 3 first seen day 1. User 1
+    returns day 1; user 2 returns day 2. Multiple events in one period
+    count once."""
+    d0, d1, d2 = (datetime(2024, 1, 1, 5), datetime(2024, 1, 2, 7),
+                  datetime(2024, 1, 3, 9))
+    df = _df(spark, [
+        (d0, 1, 1.0), (d0, 1, 2.0), (d0, 2, 1.0),
+        (d1, 1, 1.0), (d1, 3, 1.0),
+        (d2, 2, 1.0),
+    ])
+    from mycelial_spark.operators.timeseries import cohort_retention
+    rows = {(r["cohort_ts"].day, r["periods_since"]): r
+            for r in cohort_retention(df).collect()}
+    assert rows[(1, 0)]["n_active"] == 2
+    assert rows[(1, 0)]["cohort_size"] == 2
+    assert rows[(1, 0)]["retention_pct"] == 1.0
+    assert rows[(1, 1)]["n_active"] == 1          # user 1 on day 1
+    assert rows[(1, 1)]["retention_pct"] == 0.5
+    assert rows[(1, 2)]["n_active"] == 1          # user 2 on day 2
+    assert rows[(2, 0)]["n_active"] == 1          # user 3's cohort
+    assert (2, 1) not in rows                     # user 3 never returns
+    import pytest as _p
+    with _p.raises(ValueError, match="period_seconds"):
+        cohort_retention(df, 0)
