@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 from mycelial_spark.operators import relational as R
 from mycelial_spark.operators import transforms as X
-from mycelial_spark.plans.spec import Field, Registry, SectionDef, REQUIRED
+from mycelial_spark.plans.spec import (ConfigError, Field, Registry,
+                                       SectionDef, REQUIRED)
 
 
 class SectionUnavailable(RuntimeError):
@@ -2351,3 +2352,104 @@ def kafka_dest(spark, cfg, df):
     except Exception as e:
         raise SectionUnavailable(f"kafka_dest needs the kafka connector: {e}") from e
     return {"topic": cfg["topic"]}
+
+
+# ---------------------------------------------------------------- r7 analytics
+
+
+@_register("time_bucket_gapfill", "transform", "dataframe", "dataframe",
+           [Field("bucket_seconds", "int", 3600),
+            Field("ts_col", default="ts"),
+            Field("key_cols", "json", default=["user_id"]),
+            Field("value_col", default="value")],
+           doc="Dense per-key bucket series with LOCF + linear "
+               "interpolation (hypertable read-side gap-fill) as a node.")
+def time_bucket_gapfill_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import time_bucket_gapfill
+    return time_bucket_gapfill(inputs[0], cfg["bucket_seconds"],
+                               cfg["ts_col"], cfg["key_cols"],
+                               cfg["value_col"])
+
+
+@_register("cohort_retention", "transform", "dataframe", "dataframe",
+           [Field("period_seconds", "int", 86400),
+            Field("ts_col", default="ts"),
+            Field("user_col", default="user_id")],
+           doc="Cohort retention matrix (first-seen cohorts, distinct "
+               "active per offset, portable ratio) as a node.")
+def cohort_retention_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import cohort_retention
+    return cohort_retention(inputs[0], cfg["period_seconds"],
+                            cfg["ts_col"], cfg["user_col"])
+
+
+@_register("profile_columns", "transform", "dataframe", "dataframe",
+           [Field("columns", "json", default=[]),
+            Field("exact_ndv", "bool", False)],
+           doc="ANALYZE-style one-pass column statistics (counts, ndv, "
+               "portable min/max, avg string length) as a node.")
+def profile_columns_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import profile_columns
+    return profile_columns(inputs[0], cfg["columns"] or None,
+                           cfg["exact_ndv"])
+
+
+@_register("pagerank", "transform", "dataframe", "dataframe",
+           [Field("iterations", "int", 3),
+            Field("damping", "float", 0.85),
+            Field("src", default="src"), Field("dst", default="dst")],
+           doc="PageRank power iteration over an edge-list input "
+               "(once-partitioned edges, per-iteration rank shuffle "
+               "only) as a node.")
+def pagerank_(spark, cfg, inputs):
+    from mycelial_spark.operators.graph import pagerank
+    return pagerank(inputs[0], cfg["iterations"], cfg["damping"],
+                    cfg["src"], cfg["dst"])
+
+
+@_register("dedup_keep_best", "transform", "dataframe", "dataframe",
+           [Field("score_col"), Field("id_col", default="doc_id")],
+           n_inputs=(2, 2),
+           doc="Quality-aware canonical election as a node: inputs = "
+               "(scored docs, near-dup pairs); canonical = cluster "
+               "argmax of score_col, min-id tie-break.")
+def dedup_keep_best_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import dedup_keep_best
+    return dedup_keep_best(inputs[0], inputs[1], cfg["score_col"],
+                           cfg["id_col"])
+
+
+@_register("perceptual_hash", "transform", "bin_or_dataframe", "dataframe",
+           [Field("modality", default="image"),
+            Field("grid", "int", 8), Field("frames", "int", 64),
+            Field("samples", "int", 32)],
+           doc="Perceptual fingerprint per binary payload as a node: "
+               "image aHash / audio energy-delta / video "
+               "spatio-temporal — one 64-bit hash column, ready for "
+               "hamming_pairs.")
+def perceptual_hash_(spark, cfg, inputs):
+    from mycelial_spark.operators import multimodal as MM
+    df = inputs[0]
+    m = cfg["modality"]
+    if m == "image":
+        return MM.image_ahash(df, cfg["grid"])
+    if m == "audio":
+        return MM.audio_fingerprint(df, cfg["frames"])
+    if m == "video":
+        return MM.video_fingerprint(df, cfg["samples"])
+    raise ConfigError(f"perceptual_hash: unknown modality {m!r} "
+                      f"(image|audio|video)")
+
+
+@_register("hamming_pairs", "transform", "dataframe", "dataframe",
+           [Field("max_hamming", "int", 3), Field("bands", "int", 4),
+            Field("hash_col", default="ahash"),
+            Field("id_col", default="id")],
+           doc="Banded near-duplicate pairs among 64-bit perceptual "
+               "hashes (pigeonhole full recall below the band count) "
+               "as a node.")
+def hamming_pairs_(spark, cfg, inputs):
+    from mycelial_spark.operators.multimodal import image_hamming_pairs
+    return image_hamming_pairs(inputs[0], cfg["max_hamming"],
+                               cfg["bands"], cfg["hash_col"],
+                               cfg["id_col"])

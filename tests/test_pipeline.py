@@ -506,3 +506,53 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     spec["nodes"]["out"]["path"] = out2
     Pipeline.from_spec(spec).run(spark)
     assert spark.read.parquet(out2).count() == 0
+
+
+def test_r7_analytics_sections(spark):
+    """The round-7 analytics ops run declaratively: gap-fill, cohort
+    retention, column profile, pagerank, quality election, and the
+    perceptual-hash + hamming pairing chain."""
+    from datetime import datetime
+    from mycelial_spark.plans.sections import REGISTRY
+
+    def run(name, cfg, inputs):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), inputs)
+
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 1), 1, 10.0),
+         (datetime(2024, 1, 1, 4), 1, 40.0),
+         (datetime(2024, 1, 2, 1), 1, 5.0)],
+        "ts timestamp, user_id long, value double")
+    gf = run("time_bucket_gapfill", {"bucket_seconds": 3600}, [ev]).collect()
+    assert len(gf) == 25 and sum(r["is_gap"] for r in gf) == 22
+    cr = run("cohort_retention", {}, [ev]).collect()
+    assert {(r["periods_since"], r["n_active"]) for r in cr} == {(0, 1), (1, 1)}
+
+    prof = run("profile_columns", {"columns": ["user_id"]}, [ev]).collect()
+    assert prof[0]["non_null"] == 3
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    pr = {r["node"]: r["rank"] for r in run("pagerank", {}, [edges]).collect()}
+    assert pr == {1: 0.5, 2: 0.5}
+
+    docs = spark.createDataFrame([(1, 0.3), (2, 0.8)],
+                                 "doc_id long, score double")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kb = run("dedup_keep_best", {"score_col": "score"}, [docs, pairs])
+    assert {r["best_id"] for r in kb.collect()} == {2}
+
+    from mycelial_spark.operators.multimodal import synth_ppm
+    payloads = synth_ppm(spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj"),
+         (2, "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjk")],
+        "doc_id long, text string"))
+    hashes = run("perceptual_hash", {"modality": "image"}, [payloads])
+    got = run("hamming_pairs", {"max_hamming": 3}, [hashes]).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 2)}
+
+    import pytest as _p
+    from mycelial_spark.plans.spec import ConfigError
+    with _p.raises(ConfigError, match="modality"):
+        run("perceptual_hash", {"modality": "hologram"}, [payloads])
