@@ -469,6 +469,10 @@ def image_hamming_pairs(hashes: DataFrame, max_hamming: int = 3,
             f"pigeonhole recall guarantee; raise bands or lower it")
     width = 64 // bands
     mask = (1 << width) - 1
+    # the self-join consumes ``hashes`` on BOTH sides — without this the
+    # upstream plan (typically a codec + fingerprint mapInPandas pass
+    # over every payload) executes twice; the cached side is 16 B/row
+    hashes = hashes.persist()
     sliced = hashes.select(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"),
         F.explode(F.array(*[

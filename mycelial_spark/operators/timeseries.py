@@ -50,11 +50,14 @@ def cohort_retention(df: DataFrame, period_seconds: int = 86400,
     periods_since = 0 rows are the cohort definition itself
     (n_active == cohort_size, retention 1.0).
 
-    Shape: activity is first deduplicated to (user, period) — the
-    ONLY corpus-sized shuffle; everything after is per-user (first
-    seen) and per-(cohort, offset) hash aggregation with map-side
-    partials. Exact distinct users per cell; at extreme cardinality
-    swap in approx_count_distinct the same way profile_columns does.
+    Shape — ONE scan, no corpus self-join: activity deduplicates to
+    (user, period) (the only corpus-sized shuffle), the cohort label is
+    a per-user window min (high-cardinality key, fully parallel), and
+    cells then COUNT rows — (user, period) is already unique, so
+    count(*) is the distinct-user count without a distinct aggregate.
+    cohort_size falls out of the matrix itself: every user is active in
+    their own first period, so the offset-0 cell IS the cohort size
+    (broadcast-joined back — the matrix is tiny).
     """
     if period_seconds <= 0:
         raise ValueError(f"period_seconds must be > 0; got "
@@ -62,14 +65,17 @@ def cohort_retention(df: DataFrame, period_seconds: int = 86400,
     per = (F.unix_timestamp(ts_col) / F.lit(period_seconds)).cast("long")
     activity = (df.select(F.col(user_col).alias("_u"), per.alias("_p"))
                 .distinct())
-    first = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
-    ret = (activity.join(first, "_u")
-           .groupBy("_cohort", (F.col("_p") - F.col("_cohort"))
-                    .alias("periods_since"))
-           .agg(F.count_distinct("_u").alias("n_active")))
-    size = (first.groupBy("_cohort")
-            .agg(F.count(F.lit(1)).alias("cohort_size")))
-    return (ret.join(size, "_cohort")
+    ann = activity.withColumn(
+        "_cohort", F.min("_p").over(Window.partitionBy("_u")))
+    # the matrix feeds both the output and its own offset-0 slice —
+    # persisted (it is tiny: one row per cohort x offset) so the
+    # corpus-sized distinct+window lineage runs once
+    ret = (ann.groupBy("_cohort", (F.col("_p") - F.col("_cohort"))
+                       .alias("periods_since"))
+           .agg(F.count(F.lit(1)).alias("n_active")).persist())
+    size = (ret.filter(F.col("periods_since") == 0)
+            .select("_cohort", F.col("n_active").alias("cohort_size")))
+    return (ret.join(F.broadcast(size), "_cohort")
             .select(F.timestamp_seconds(F.col("_cohort")
                                         * F.lit(period_seconds))
                     .alias("cohort_ts"),
@@ -106,8 +112,11 @@ def time_bucket_gapfill(df: DataFrame, bucket_seconds: int,
     keys = list(key_cols)
     bkt = (F.unix_timestamp(ts_col) / F.lit(bucket_seconds)) \
         .cast("long")
+    # the bucketed series feeds both the span derivation and the spine
+    # join; persisted so the corpus aggregates once (b is the COMPRESSED
+    # series — one row per observed key-bucket, far smaller than input)
     b = (df.groupBy(*keys, bkt.alias("_bkt"))
-         .agg(F.avg(value_col).alias("_v")))
+         .agg(F.avg(value_col).alias("_v")).persist())
     span = b.groupBy(*keys).agg(F.min("_bkt").alias("_mn"),
                                 F.max("_bkt").alias("_mx"))
     spine = span.select(*keys,
