@@ -262,3 +262,46 @@ def test_tfidf_keywords_shuffle_budget(spark):
     a = audit(plan_of(spark, "tfidf_keywords"))
     assert a["bnlj"] == 0 and a["cartesian"] == 0
     assert a["exchanges"] <= 4
+
+
+@pytest.mark.parametrize("name", ["image_dedup_pairs", "audio_dedup_pairs",
+                                  "video_dedup_pairs"])
+def test_perceptual_dedup_single_codec_pass(spark, name):
+    """The banded self-join must consume ONE cached fingerprint table —
+    two scans would mean the codec + fingerprint mapInPandas pass runs
+    twice over every payload (the regression the in-operator persist
+    fixed). Budget: band-key exchange + dedup of verified pairs."""
+    a = audit(plan_of(spark, name))
+    assert a["scans"] == 1, f"{name}: codec pass duplicated"
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["exchanges"] <= 3
+
+
+def test_events_gapfill_single_scan_pushed_filter(spark):
+    """Gap-fill aggregates the corpus once (persisted bucket series
+    feeds both span and join), the event_type predicate reaches the
+    scan, and nothing nested-loops."""
+    a = audit(plan_of(spark, "events_gapfill"))
+    assert a["scans"] == 1
+    assert any("purchase" in s for s in a["pushed"])
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["exchanges"] <= 3
+
+
+def test_cohort_retention_no_corpus_self_join(spark):
+    """One corpus distinct + one per-user window + one cell aggregate;
+    cohort size comes from the matrix's own offset-0 slice via a
+    broadcast join — the corpus must never join itself."""
+    a = audit(plan_of(spark, "cohort_retention"))
+    assert a["bhj"] == 1 and a["smj"] == 0 and a["bnlj"] == 0
+    assert a["exchanges"] <= 6
+
+
+def test_table_profile_one_pass_no_joins(spark):
+    """Every column's measures in one aggregate: no joins anywhere;
+    exchanges = the distinct EXPAND reduction plus the final 1-row
+    merge."""
+    a = audit(plan_of(spark, "table_profile"))
+    assert a["scans"] == 1
+    assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
+    assert a["exchanges"] <= 2
