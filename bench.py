@@ -108,6 +108,8 @@ HEADLINE = [
     "table_profile",
     "events_gapfill",
     "cohort_retention",
+    "funnel_conversion",
+    "skew_profile",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

@@ -443,3 +443,35 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
         F.col(f"_al_{c}").alias("avg_len")) for c in cols]
     return (wide.select(F.explode(F.array(*entries)).alias("p"))
             .select("p.*"))
+
+
+def skew_profile(df: DataFrame, key_cols: Sequence[str],
+                 top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a prospective shuffle key — the
+    diagnostic run BEFORE choosing salting/AQE-skew settings for a big
+    join or aggregation: the ``top_n`` heaviest key values with row
+    counts and corpus share.
+
+    Returns (key, n_rows, share), ordered heaviest first with a
+    deterministic key tie-break. The key is the string concatenation of
+    ``key_cols`` ('|'-separated). One hash aggregate (map-side partial)
+    + a TakeOrdered top-n (per-partition top-n then merge — never a
+    global sort), so the profile is safe at any key cardinality.
+    """
+    from mycelial_spark.operators.timeseries import _round6_portable
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1; got {top_n}")
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns {missing}; have "
+                         f"{list(df.columns)}")
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = (df.groupBy(key.alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("key", "n_rows",
+                    _round6_portable(F.col("n_rows") * F.lit(1.0)
+                                     / F.col("_total")).alias("share"))
+            .orderBy(F.desc("n_rows"), F.asc("key"))
+            .limit(top_n))

@@ -85,6 +85,61 @@ def cohort_retention(df: DataFrame, period_seconds: int = 86400,
                     .alias("retention_pct")))
 
 
+def funnel_conversion(df: DataFrame, steps: Sequence[str],
+                      ts_col: str = "ts", user_col: str = "user_id",
+                      type_col: str = "event_type") -> DataFrame:
+    """Ordered N-step funnel: how many users reach each step IN ORDER
+    (step k counts only events strictly after the user's step-(k-1)
+    reach time — the standard windowless funnel semantics).
+
+    Returns (step_index, step, n_users, conversion_pct) with
+    conversion relative to step 1.
+
+    ONE corpus shuffle: a single per-user aggregation collects step-1's
+    min timestamp and each later step's timestamp list (bounded by the
+    user's own events for that step — the inherent state of any funnel;
+    pre-filter bot-grade users upstream if that bound is hot), then the
+    reach chain t_k = min{ts in list_k : ts > t_(k-1)} folds as pure
+    array expressions inside codegen. The final count is a 1-row
+    aggregate exploded to long form.
+    """
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps; got {list(steps)}")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct; got {list(steps)}")
+    aggs = [F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col)))
+            .alias("_t0")]
+    for i, s in enumerate(steps[1:], start=1):
+        aggs.append(F.collect_list(
+            F.when(F.col(type_col) == s, F.col(ts_col)))
+            .alias(f"_l{i}"))
+    per_user = df.groupBy(F.col(user_col)).agg(*aggs)
+    def _after(r):
+        # single-parameter lambda on purpose: a 2-parameter lambda (via
+        # a default arg) would be bound as (element, INDEX) by filter()
+        return lambda x: x > r
+
+    reach = F.col("_t0")
+    cols = [F.col("_t0").alias("_r0")]
+    for i in range(1, len(steps)):
+        reach = F.array_min(F.filter(F.col(f"_l{i}"), _after(reach)))
+        cols.append(reach.alias(f"_r{i}"))
+    reached = per_user.select(*cols)
+    counts = reached.agg(*[
+        F.count(f"_r{i}").alias(f"_n{i}") for i in range(len(steps))])
+    entries = [F.struct(F.lit(i + 1).alias("step_index"),
+                        F.lit(s).alias("step"),
+                        F.col(f"_n{i}").alias("n_users"),
+                        F.when(F.col("_n0") > 0,
+                               _round6_portable(F.col(f"_n{i}")
+                                                * F.lit(1.0)
+                                                / F.col("_n0")))
+                        .alias("conversion_pct"))
+               for i, s in enumerate(steps)]
+    return (counts.select(F.explode(F.array(*entries)).alias("p"))
+            .select("p.*"))
+
+
 def time_bucket_gapfill(df: DataFrame, bucket_seconds: int,
                         ts_col: str = "ts",
                         key_cols: Sequence[str] = ("user_id",),

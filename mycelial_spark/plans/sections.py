@@ -2453,3 +2453,27 @@ def hamming_pairs_(spark, cfg, inputs):
     return image_hamming_pairs(inputs[0], cfg["max_hamming"],
                                cfg["bands"], cfg["hash_col"],
                                cfg["id_col"])
+
+
+@_register("funnel_conversion", "transform", "dataframe", "dataframe",
+           [Field("steps", "json", default=["view", "click", "purchase"]),
+            Field("ts_col", default="ts"),
+            Field("user_col", default="user_id"),
+            Field("type_col", default="event_type")],
+           doc="Ordered N-step funnel reach/conversion in one corpus "
+               "shuffle (per-user conditional agg + codegen array "
+               "fold) as a node.")
+def funnel_conversion_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import funnel_conversion
+    return funnel_conversion(inputs[0], cfg["steps"], cfg["ts_col"],
+                             cfg["user_col"], cfg["type_col"])
+
+
+@_register("skew_profile", "transform", "dataframe", "dataframe",
+           [Field("key_cols", "json", default=REQUIRED),
+            Field("top_n", "int", 20)],
+           doc="Heavy-hitter diagnostic for a prospective shuffle key "
+               "(top-n values with corpus share) as a node.")
+def skew_profile_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import skew_profile
+    return skew_profile(inputs[0], cfg["key_cols"], cfg["top_n"])

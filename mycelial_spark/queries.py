@@ -5350,6 +5350,68 @@ def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_t(spark, sf_dir, "events"), 86400)
 
 
+@query("funnel_conversion", """
+WITH pu AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t0,
+         list(ts) FILTER (WHERE event_type = 'click') AS l1,
+         list(ts) FILTER (WHERE event_type = 'purchase') AS l2
+  FROM events GROUP BY 1
+), r1 AS (
+  SELECT t0 AS r0,
+         list_min(list_filter(l1, x -> x > t0)) AS r1, l2
+  FROM pu
+), rr AS (
+  SELECT r0, r1, list_min(list_filter(l2, x -> x > r1)) AS r2
+  FROM r1
+), c AS (SELECT count(r0) n0, count(r1) n1, count(r2) n2 FROM rr)
+SELECT 1 AS step_index, 'view' AS step, n0 AS n_users,
+       CASE WHEN n0 > 0 THEN
+         floor((n0 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 END
+         AS conversion_pct FROM c
+UNION ALL
+SELECT 2, 'click', n1,
+       CASE WHEN n0 > 0 THEN
+         floor((n1 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 END FROM c
+UNION ALL
+SELECT 3, 'purchase', n2,
+       CASE WHEN n0 > 0 THEN
+         floor((n2 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 END FROM c
+""")
+def funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel over events: users
+    reaching each step strictly after their previous-step reach time,
+    in ONE corpus shuffle (per-user conditional aggregation; the reach
+    chain folds as array expressions inside codegen). The oracle
+    replays the identical list-fold chain."""
+    from mycelial_spark.operators.timeseries import funnel_conversion
+    return funnel_conversion(_t(spark, sf_dir, "events"),
+                             ["view", "click", "purchase"])
+
+
+@query("skew_profile", """
+WITH c AS (
+  SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+), t AS (SELECT sum(n_rows) AS total FROM c),
+r AS (
+  SELECT key, n_rows,
+         floor((n_rows * 1.0 / t.total) * 1000000.0 + 0.5)
+           / 1000000.0 AS share,
+         row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rn
+  FROM c, t
+)
+SELECT key, n_rows, share FROM r WHERE rn <= 20
+""")
+def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the 20 heaviest l_suppkey values
+    with corpus share — the measurement that decides salting width /
+    AQE skew thresholds before a big join. One map-side-combinable
+    aggregate + TakeOrdered (never a global sort)."""
+    from mycelial_spark.operators.relational import skew_profile
+    return skew_profile(_t(spark, sf_dir, "lineitem"), ["l_suppkey"])
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

@@ -152,3 +152,16 @@ def test_profile_columns_subset_approx_and_validation(spark):
     import pytest as _p
     with _p.raises(ValueError, match="unknown columns"):
         R.profile_columns(df, columns=["nope"])
+
+
+def test_skew_profile_heavy_keys_first(spark):
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 6 + ["b"] * 3 + ["c"]], "k string")
+    rows = R.skew_profile(df, ["k"], top_n=2).collect()
+    assert [(r["key"], r["n_rows"]) for r in rows] == [("a", 6), ("b", 3)]
+    assert rows[0]["share"] == 0.6
+    import pytest as _p
+    with _p.raises(ValueError, match="top_n"):
+        R.skew_profile(df, ["k"], 0)
+    with _p.raises(ValueError, match="unknown columns"):
+        R.skew_profile(df, ["nope"])

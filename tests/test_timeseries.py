@@ -89,3 +89,43 @@ def test_cohort_retention_hand_computed(spark):
     import pytest as _p
     with _p.raises(ValueError, match="period_seconds"):
         cohort_retention(df, 0)
+
+
+def test_funnel_conversion_ordered_semantics(spark):
+    """User 1 completes A->B->C in order; user 2 has B BEFORE A (B must
+    not count); user 3 reaches A only. Strictly-after comparison."""
+    rows = []
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows += [(t(1), 1, "A"), (t(2), 1, "B"), (t(3), 1, "C")]
+    rows += [(t(1), 2, "B"), (t(2), 2, "A")]       # out of order
+    rows += [(t(5), 3, "A")]
+    df = spark.createDataFrame(
+        [(ts, u, et, 1.0) for ts, u, et in rows],
+        "ts timestamp, user_id long, event_type string, value double")
+    from mycelial_spark.operators.timeseries import funnel_conversion
+    out = {r["step"]: r for r in
+           funnel_conversion(df, ["A", "B", "C"]).collect()}
+    assert out["A"]["n_users"] == 3
+    assert out["B"]["n_users"] == 1                # only user 1
+    assert out["C"]["n_users"] == 1
+    assert out["A"]["conversion_pct"] == 1.0
+    assert abs(out["B"]["conversion_pct"] - 1 / 3) < 1e-6
+    import pytest as _p
+    from mycelial_spark.operators.timeseries import funnel_conversion as fc
+    with _p.raises(ValueError, match="steps"):
+        fc(df, ["A"])
+    with _p.raises(ValueError, match="distinct"):
+        fc(df, ["A", "A"])
+
+
+def test_funnel_conversion_same_timestamp_not_counted(spark):
+    """A and B at the identical timestamp: strictly-after means B is
+    NOT reached."""
+    ts = datetime(2024, 1, 1, 0, 1)
+    df = spark.createDataFrame(
+        [(ts, 1, "A", 1.0), (ts, 1, "B", 1.0)],
+        "ts timestamp, user_id long, event_type string, value double")
+    from mycelial_spark.operators.timeseries import funnel_conversion
+    out = {r["step"]: r["n_users"]
+           for r in funnel_conversion(df, ["A", "B"]).collect()}
+    assert out == {"A": 1, "B": 0}
