@@ -31,11 +31,12 @@ from pyspark.sql import functions as F
 
 
 def _round6_portable(c):
-    """floor(x·1e6 + 0.5)/1e6 — engine-portable rounding for
-    non-negative doubles: pure IEEE ops, no engine rounding-mode
-    (half-up vs half-even) in play. Needed wherever exact rationals
-    (interpolation fractions, count ratios with power-of-two
-    denominators) land exactly on .xxxxxx5 ties."""
+    """floor(x·1e6 + 0.5)/1e6 — engine-portable rounding: pure IEEE
+    ops, no engine rounding-mode (half-up vs half-even) in play; for
+    negatives it is round-half-toward-+inf, equally deterministic.
+    Needed wherever exact rationals (interpolation fractions, count
+    ratios with power-of-two denominators) land exactly on .xxxxxx5
+    ties."""
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
@@ -83,6 +84,48 @@ def cohort_retention(df: DataFrame, period_seconds: int = 86400,
                     _round6_portable(F.col("n_active") * F.lit(1.0)
                                      / F.col("cohort_size"))
                     .alias("retention_pct")))
+
+
+def rolling_zscore(df: DataFrame, value_col: str = "value",
+                   key_cols: Sequence[str] = ("user_id",),
+                   ts_col: str = "ts", order_tiebreak: str = "event_id",
+                   window_rows: int = 16, min_points: int = 8,
+                   threshold: float = 2.0) -> DataFrame:
+    """Per-key rolling anomaly detection: each point scored against the
+    TRAILING ``window_rows`` observations (strictly before it — the
+    point never scores against itself), flagged when |z| >= threshold.
+
+    mean/variance come from explicit running sums
+    (sqrt((Σx² − (Σx)²/n)/(n−1))) rather than builtin stddev — the
+    two-pass/Welford implementations differ across engines, the sum
+    formula is one portable IEEE expression tree. Points with fewer
+    than ``min_points`` trailing observations or zero variance are
+    never flagged. One shuffle (the per-key window sort); key
+    cardinality is the parallelism, as with the other series ops.
+
+    Returns flagged rows: (key..., ts, tiebreak, value, zscore).
+    """
+    if window_rows < 2 or min_points < 2 or min_points > window_rows:
+        raise ValueError(
+            f"need 2 <= min_points <= window_rows; got "
+            f"min_points={min_points} window_rows={window_rows}")
+    keys = list(key_cols)
+    w = (Window.partitionBy(*keys)
+         .orderBy(ts_col, order_tiebreak)
+         .rowsBetween(-window_rows, -1))
+    v = F.col(value_col)
+    n = F.count(value_col).over(w)
+    s = F.sum(value_col).over(w)
+    s2 = F.sum(v * v).over(w)
+    var = (s2 - s * s / n) / (n - F.lit(1))
+    z = (v - s / n) / F.sqrt(var)
+    ann = df.select(*keys, ts_col, order_tiebreak, value_col,
+                    n.alias("_n"), var.alias("_var"), z.alias("_z"))
+    return (ann.filter((F.col("_n") >= min_points)
+                       & (F.col("_var") > 0)
+                       & (F.abs(F.col("_z")) >= threshold))
+            .select(*keys, ts_col, order_tiebreak, value_col,
+                    _round6_portable(F.col("_z")).alias("zscore")))
 
 
 def funnel_conversion(df: DataFrame, steps: Sequence[str],

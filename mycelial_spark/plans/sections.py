@@ -2477,3 +2477,21 @@ def funnel_conversion_(spark, cfg, inputs):
 def skew_profile_(spark, cfg, inputs):
     from mycelial_spark.operators.relational import skew_profile
     return skew_profile(inputs[0], cfg["key_cols"], cfg["top_n"])
+
+
+@_register("rolling_zscore", "transform", "dataframe", "dataframe",
+           [Field("value_col", default="value"),
+            Field("key_cols", "json", default=["user_id"]),
+            Field("ts_col", default="ts"),
+            Field("order_tiebreak", default="event_id"),
+            Field("window_rows", "int", 16),
+            Field("min_points", "int", 8),
+            Field("threshold", "float", 2.0)],
+           doc="Per-key rolling anomaly flags (trailing-window z-score "
+               "from portable running sums) as a node.")
+def rolling_zscore_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import rolling_zscore
+    return rolling_zscore(inputs[0], cfg["value_col"], cfg["key_cols"],
+                          cfg["ts_col"], cfg["order_tiebreak"],
+                          cfg["window_rows"], cfg["min_points"],
+                          cfg["threshold"])

@@ -5412,6 +5412,36 @@ def skew_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_profile(_t(spark, sf_dir, "lineitem"), ["l_suppkey"])
 
 
+@query("rolling_anomalies", """
+WITH a AS (
+  SELECT user_id, ts, event_id, value,
+         count(value) OVER w AS n,
+         sum(value) OVER w AS s,
+         sum(value * value) OVER w AS s2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 16 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT user_id, ts, event_id, value, n,
+         (s2 - s * s / n) / (n - 1) AS var,
+         (value - s / n) / sqrt((s2 - s * s / n) / (n - 1)) AS zz
+  FROM a
+)
+SELECT user_id, ts, event_id, value,
+       floor(zz * 1000000.0 + 0.5) / 1000000.0 AS zscore
+FROM z
+WHERE n >= 8 AND var > 0 AND abs(zz) >= 2.0
+""")
+def rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly detection over the event value series:
+    each point scored against its trailing 16 observations, flagged at
+    |z| >= 2. Variance from explicit running sums (one portable IEEE
+    expression tree) rather than builtin stddev, whose
+    Welford/two-pass implementations differ across engines."""
+    from mycelial_spark.operators.timeseries import rolling_zscore
+    return rolling_zscore(_t(spark, sf_dir, "events"))
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

@@ -129,3 +129,33 @@ def test_funnel_conversion_same_timestamp_not_counted(spark):
     out = {r["step"]: r["n_users"]
            for r in funnel_conversion(df, ["A", "B"]).collect()}
     assert out == {"A": 1, "B": 0}
+
+
+def test_rolling_zscore_flags_outlier_not_self_biased(spark):
+    """A flat series with one spike: only the spike flags, scored
+    against the TRAILING window (never itself); early points with too
+    few trailing observations are exempt."""
+    base = [(datetime(2024, 1, 1, 0, m), 1, m, 10.0 + (m % 2) * 0.5)
+            for m in range(12)]
+    spike = [(datetime(2024, 1, 1, 0, 30), 1, 99, 50.0)]
+    df = spark.createDataFrame(
+        [(ts, u, e, v) for ts, u, e, v in base + spike],
+        "ts timestamp, user_id long, event_id long, value double")
+    from mycelial_spark.operators.timeseries import rolling_zscore
+    rows = rolling_zscore(df, threshold=2.0).collect()
+    assert [r["event_id"] for r in rows] == [99]
+    assert rows[0]["zscore"] > 10
+    import pytest as _p
+    with _p.raises(ValueError, match="min_points"):
+        rolling_zscore(df, min_points=20, window_rows=16)
+
+
+def test_rolling_zscore_zero_variance_never_flags(spark):
+    """Identical trailing values (zero variance) must not divide by
+    zero or flag."""
+    rows = [(datetime(2024, 1, 1, 0, m), 1, m, 10.0) for m in range(10)]
+    rows.append((datetime(2024, 1, 1, 0, 30), 1, 99, 10.0))
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, value double")
+    from mycelial_spark.operators.timeseries import rolling_zscore
+    assert rolling_zscore(df).count() == 0
