@@ -111,6 +111,7 @@ HEADLINE = [
     "funnel_conversion",
     "skew_profile",
     "rolling_anomalies",
+    "data_contract",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

@@ -2495,3 +2495,13 @@ def rolling_zscore_(spark, cfg, inputs):
                           cfg["ts_col"], cfg["order_tiebreak"],
                           cfg["window_rows"], cfg["min_points"],
                           cfg["threshold"])
+
+
+@_register("validate_constraints", "transform", "dataframe", "dataframe",
+           [Field("rules", "json", default=REQUIRED)],
+           doc="Data-contract validation report (not_null / unique / "
+               "accepted_values / in_range; row-level rules in one "
+               "conditional aggregate) as a node.")
+def validate_constraints_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import validate_constraints
+    return validate_constraints(inputs[0], cfg["rules"])

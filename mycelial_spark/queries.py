@@ -5442,6 +5442,40 @@ def rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(_t(spark, sf_dir, "events"))
 
 
+@query("data_contract", """
+WITH m AS (
+  SELECT count(*) FILTER (WHERE o_orderkey IS NULL) AS v0,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS v1,
+         count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                          AND o_orderstatus NOT IN ('O','F','P')) AS v2,
+         count(*) FILTER (WHERE o_totalprice IS NOT NULL
+                          AND (o_totalprice < 1000.0
+                               OR o_totalprice > 400000.0)) AS v3
+  FROM orders
+)
+SELECT 0 AS rule_index, 'not_null' AS rule, 'o_orderkey' AS columns,
+       v0 AS n_violations, v0 = 0 AS passed FROM m
+UNION ALL SELECT 1, 'unique', 'o_orderkey', v1, v1 = 0 FROM m
+UNION ALL SELECT 2, 'accepted_values', 'o_orderstatus', v2, v2 = 0 FROM m
+UNION ALL SELECT 3, 'in_range', 'o_totalprice', v3, v3 = 0 FROM m
+""")
+def data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation report over orders: key not-null +
+    uniqueness, status domain, price range — all row-level rules in ONE
+    conditional aggregate over a single scan (the unique rule adds the
+    exact-distinct EXPAND, as documented); violations exploded to a
+    long-form report."""
+    from mycelial_spark.operators.relational import validate_constraints
+    return validate_constraints(_t(spark, sf_dir, "orders"), [
+        {"rule": "not_null", "columns": ["o_orderkey"]},
+        {"rule": "unique", "columns": ["o_orderkey"]},
+        {"rule": "accepted_values", "columns": ["o_orderstatus"],
+         "values": ["O", "F", "P"]},
+        {"rule": "in_range", "columns": ["o_totalprice"],
+         "min": 1000.0, "max": 400000.0},
+    ])
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

@@ -165,3 +165,27 @@ def test_skew_profile_heavy_keys_first(spark):
         R.skew_profile(df, ["k"], 0)
     with _p.raises(ValueError, match="unknown columns"):
         R.skew_profile(df, ["nope"])
+
+
+def test_validate_constraints_all_rule_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 50.0), (2, "z", None), (None, None, 1.0)],
+        "k long, s string, v double")
+    out = {r["rule_index"]: r for r in R.validate_constraints(df, [
+        {"rule": "not_null", "columns": ["k", "s"]},
+        {"rule": "unique", "columns": ["k"]},
+        {"rule": "accepted_values", "columns": ["s"], "values": ["a", "b"]},
+        {"rule": "in_range", "columns": ["v"], "min": 0.0, "max": 10.0},
+    ]).collect()}
+    assert (out[0]["n_violations"], out[0]["passed"]) == (1, False)
+    assert out[1]["n_violations"] == 1            # k=2 twice; NULL k ignored
+    assert out[2]["n_violations"] == 1            # 'z'; NULL not judged
+    assert out[3]["n_violations"] == 1            # 50.0; NULL not judged
+    assert out[3]["columns"] == "v"
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown rule"):
+        R.validate_constraints(df, [{"rule": "nope", "columns": ["k"]}])
+    with _p.raises(ValueError, match="bad columns"):
+        R.validate_constraints(df, [{"rule": "not_null", "columns": ["x"]}])
+    with _p.raises(ValueError, match="non-empty"):
+        R.validate_constraints(df, [])
