@@ -112,6 +112,7 @@ HEADLINE = [
     "skew_profile",
     "rolling_anomalies",
     "data_contract",
+    "sessionize_events",
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

@@ -86,6 +86,37 @@ def cohort_retention(df: DataFrame, period_seconds: int = 86400,
                     .alias("retention_pct")))
 
 
+def sessionize(df: DataFrame, gap_seconds: int = 1800,
+               ts_col: str = "ts", user_col: str = "user_id",
+               order_tiebreak: str = "event_id") -> DataFrame:
+    """Batch sessionization — the batch twin of the streaming
+    applyInPandasWithState sessionizer (streaming/stateful.py): events
+    more than ``gap_seconds`` apart start a new session; each session
+    is summarized as (user, session_idx, n_events, start/end, duration).
+
+    The classic two-window shape, both RUNNING frames: lag() finds the
+    gap, a running sum of new-session flags numbers the sessions, one
+    aggregate summarizes — a single shuffle on the user key. Gap
+    arithmetic uses floor-to-second epochs (engine-portable; the same
+    idiom as time_bucket_gapfill's bucketing).
+    """
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be > 0; got {gap_seconds}")
+    sec = F.unix_timestamp(ts_col)
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev = F.lag(sec).over(w)
+    new_sess = F.when(prev.isNull() | (sec - prev > gap_seconds),
+                      F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    ann = df.withColumn("_sess", F.sum(new_sess).over(run))
+    return (ann.groupBy(F.col(user_col), F.col("_sess")
+                        .alias("session_idx"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 (F.max(sec) - F.min(sec)).alias("duration_s")))
+
+
 def rolling_zscore(df: DataFrame, value_col: str = "value",
                    key_cols: Sequence[str] = ("user_id",),
                    ts_col: str = "ts", order_tiebreak: str = "event_id",

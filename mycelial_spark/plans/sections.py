@@ -2505,3 +2505,17 @@ def rolling_zscore_(spark, cfg, inputs):
 def validate_constraints_(spark, cfg, inputs):
     from mycelial_spark.operators.relational import validate_constraints
     return validate_constraints(inputs[0], cfg["rules"])
+
+
+@_register("sessionize", "transform", "dataframe", "dataframe",
+           [Field("gap_seconds", "int", 1800),
+            Field("ts_col", default="ts"),
+            Field("user_col", default="user_id"),
+            Field("order_tiebreak", default="event_id")],
+           doc="Batch sessionization (inactivity-gap sessions -> "
+               "per-session summaries; batch twin of the streaming "
+               "stateful sessionizer) as a node.")
+def sessionize_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import sessionize
+    return sessionize(inputs[0], cfg["gap_seconds"], cfg["ts_col"],
+                      cfg["user_col"], cfg["order_tiebreak"])

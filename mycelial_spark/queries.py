@@ -5476,6 +5476,38 @@ def data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query("sessionize_events", """
+WITH a AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, ts, sec,
+         sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM a
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       max(sec) - min(sec) AS duration_s
+FROM f GROUP BY 1, 2
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event stream (30-min inactivity
+    gap): lag + running-sum session numbering + one summary aggregate,
+    one user-keyed shuffle — the batch twin of the streaming stateful
+    sessionizer, oracle-replayed window for window."""
+    from mycelial_spark.operators.timeseries import sessionize
+    return sessionize(_t(spark, sf_dir, "events"), 1800)
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One column's ANALYZE row (mirrors profile_columns semantics:
     fractional min/max travel through DECIMAL(30,6) for portable

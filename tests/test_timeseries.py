@@ -159,3 +159,24 @@ def test_rolling_zscore_zero_variance_never_flags(spark):
         rows, "ts timestamp, user_id long, event_id long, value double")
     from mycelial_spark.operators.timeseries import rolling_zscore
     assert rolling_zscore(df).count() == 0
+
+
+def test_sessionize_gap_splits_sessions(spark):
+    """Events 10 min apart share a session at a 30-min gap; a 31-min
+    silence starts a new one. Durations are whole-second diffs."""
+    rows = [(datetime(2024, 1, 1, 0, 0), 1, 1, 1.0),
+            (datetime(2024, 1, 1, 0, 10), 1, 2, 1.0),
+            (datetime(2024, 1, 1, 0, 41, 1), 1, 3, 1.0),
+            (datetime(2024, 1, 1, 9, 0), 2, 4, 1.0)]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, value double")
+    from mycelial_spark.operators.timeseries import sessionize
+    out = {(r["user_id"], r["session_idx"]): r
+           for r in sessionize(df, 1800).collect()}
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 1)]["duration_s"] == 600
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1
+    import pytest as _p
+    with _p.raises(ValueError, match="gap_seconds"):
+        sessionize(df, 0)
