@@ -65,7 +65,9 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     n = nodes.count()
     if n == 0:
         ed.unpersist()
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
+        nodes.unpersist()
+        return out
     deg = ed.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
     # pre-partition the read-only edge side on the join key: each
     # iteration then shuffles ONLY the (node, rank) state into this
