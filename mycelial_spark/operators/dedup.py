@@ -457,6 +457,47 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
             .withColumn("cluster_size", F.count(F.lit(1)).over(w)))
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id",
+                       weights: dict[str, float] | None = None) -> DataFrame:
+    """Cluster-aware train/valid/test split: near-duplicates NEVER
+    straddle the split boundary.
+
+    A plain hash split on doc id leaks — a near-dup pair lands train/test
+    with probability 2*p*(1-p), silently inflating eval. This assigns the
+    split from the hash of the CLUSTER id (connected components of the
+    near-dup graph), so every member of a cluster shares one label; docs
+    in no pair are singleton clusters keyed by their own id. The split
+    hash is the same portable Knuth multiplicative arithmetic as
+    ``with_split`` (deterministic, engine-reproducible — the oracle
+    replays it on the recursive-CTE components).
+
+    Returns (id_col, cluster_id, split).
+    """
+    from mycelial_spark.operators.sampling import with_split
+    clusters = dedup_clusters(df, pairs, id_col).select(id_col, "cluster_id")
+    return with_split(clusters, "cluster_id", weights)
+
+
+def duplication_weights(df: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Soft dedup: keep every document, downweight duplicates.
+
+    Hard dedup (one canonical per cluster) throws away signal when the
+    duplicates differ slightly; loss-weighting keeps them all at
+    ``1/cluster_size`` so each near-dup CLUSTER contributes one unit of
+    training mass regardless of how often it was crawled. Composition
+    over the same component machinery as ``dedup_clusters`` — the weight
+    is a projection off cluster_size, no extra shuffle.
+
+    Returns (id_col, cluster_id, cluster_size, weight).
+    """
+    out = dedup_clusters(df, pairs, id_col)
+    return out.select(id_col, "cluster_id", "cluster_size",
+                      F.round(F.lit(1.0) / F.col("cluster_size"), 6)
+                       .alias("weight"))
+
+
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
                     id_col: str = "doc_id") -> DataFrame:
     """Quality-aware canonical election per near-dup cluster.

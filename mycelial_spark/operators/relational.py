@@ -76,6 +76,51 @@ def top_k(df: DataFrame, by: Sequence[str | Column], k: int) -> DataFrame:
     return df.orderBy(*by).limit(k)
 
 
+def topk_per_key(df: DataFrame, keys: str | Sequence[str],
+                 order_by: Sequence[Column], k: int,
+                 salt: int = 1, salt_on: str | Column | None = None,
+                 rank_col: str = "rank_in_key") -> DataFrame:
+    """Skew-safe per-key top-k — the per-domain document cap of web-corpus
+    curation (keep at most k docs per registered domain, best-first).
+
+    The naive form — ``row_number() OVER (PARTITION BY key ORDER BY ...)
+    <= k`` — funnels EVERY row of a hot key through one reducer: a
+    10M-document domain at 100 TB becomes a straggler task holding the
+    whole job. With ``salt > 1`` this runs two stages instead:
+
+      1. rank within ``(key, salt_bucket)``: the hot key's rows spread
+         over ``salt`` reducers, each keeping its local top-k. Any row in
+         the key's true top-k is necessarily in its own bucket's top-k,
+         so the trim keeps a superset of <= salt*k rows per key and drops
+         everything else before the key-level shuffle.
+      2. exact rank over ``key`` on the trimmed set — bounded at salt*k
+         rows per key regardless of raw key size.
+
+    ``order_by`` must be a TOTAL order (include a unique id tiebreak) so
+    the kept set is deterministic and oracle-checkable. ``salt_on`` is
+    the deterministic salt source (typically the unique id column) —
+    required when salt > 1; rand() would break retry-reproducibility.
+    Output = input columns + ``rank_col`` (1-based rank within key).
+    """
+    from pyspark.sql import Window
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if salt > 1:
+        if salt_on is None:
+            raise ValueError("salt > 1 requires salt_on (a deterministic "
+                             "salt source column, typically the unique id)")
+        sc = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+        w1 = Window.partitionBy(*keys, "_tk_salt").orderBy(*order_by)
+        df = (df.withColumn("_tk_salt", F.pmod(F.xxhash64(sc), F.lit(salt)))
+                .withColumn("_tk_rn", F.row_number().over(w1))
+                .filter(F.col("_tk_rn") <= k)
+                .drop("_tk_salt", "_tk_rn"))
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn(rank_col, F.row_number().over(w))
+              .filter(F.col(rank_col) <= k))
+
+
 def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
               right_cols: Sequence[str], direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:

@@ -5599,6 +5599,111 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+@query("domain_cap", """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank_in_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rank_in_key FROM r WHERE rank_in_key <= 10
+""")
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (web-corpus curation: keep at most k docs
+    per registered domain, best-first) via the SKEW-SAFE two-stage
+    topk_per_key — stage 1 ranks within (domain, salt bucket) so a
+    10M-page domain spreads over ``salt`` reducers and trims to <=
+    salt*k rows before the exact per-domain rank. Order is total
+    (n_chars DESC, doc_id ASC), so the kept set is deterministic and
+    the oracle is a plain one-window row_number — the two-stage plan
+    must reproduce the naive plan's answer exactly.
+
+    Ref parity: reference pipelines cap per-origin fan-in only by
+    source-side SQL (SURVEY.md §0 pushdown note); this is the native
+    engine-side form."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    return R.topk_per_key(
+        docs, "source",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=10, salt=4, salt_on="doc_id")
+
+
+_CC_ASSIGNED_CTE = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), post AS (SELECT doc_id, unnest(shingles) s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_a
+  JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(a, b) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+), comp AS (
+  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+), assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+"""
+
+
+@query("leakage_safe_split", _CC_ASSIGNED_CTE + """
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             floor(((cluster_id % 2147483648) * 2654435761 % 4294967296)
+                   * 100 / 4294967296) AS bucket
+      FROM assigned) t
+""")
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/valid/test split: the split label hashes the
+    near-dup CLUSTER id (3-gram-Jaccard edges -> connected components),
+    so near-duplicates never straddle train/test — the eval-leakage
+    failure a doc-id hash split cannot prevent. Same portable Knuth
+    split arithmetic as train_test_split; the oracle replays it over
+    the recursive-CTE components."""
+    from mycelial_spark.operators.dedup import leakage_safe_split
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return leakage_safe_split(docs, pairs, "doc_id")
+
+
+@query("dup_weights", _CC_ASSIGNED_CTE + """
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       round(1.0 / count(*) OVER (PARTITION BY cluster_id), 6) AS weight
+FROM assigned
+""")
+def dup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: every doc kept, loss weight 1/cluster_size — each
+    near-dup cluster contributes ONE unit of training mass however many
+    times it was crawled. Pairs with quality_weighted_sample (weight as
+    the sampling weight) for a keep-probability form."""
+    from mycelial_spark.operators.dedup import duplication_weights
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return duplication_weights(docs, pairs, "doc_id")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,121 @@
+"""Round-7 curation additions: skew-safe per-key top-k (domain caps),
+cluster-aware leakage-safe splits, duplication loss-weights."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.dedup import (duplication_weights,
+                                            leakage_safe_split)
+from mycelial_spark.operators.relational import topk_per_key
+
+
+def _docs(spark):
+    # 3 domains: hot (40 rows), warm (5), cold (1); scores with ties so
+    # the doc_id tiebreak is load-bearing
+    rows = ([("hot", i, i % 7) for i in range(40)]
+            + [("warm", 100 + i, i) for i in range(5)]
+            + [("cold", 200, 3)])
+    return spark.createDataFrame(rows, "domain string, id long, score long")
+
+
+def test_topk_per_key_salted_equals_unsalted(spark):
+    """The two-stage salted plan must reproduce the naive single-window
+    answer exactly — the stage-1 trim keeps a superset of every key's
+    true top-k by construction."""
+    df = _docs(spark)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    naive = topk_per_key(df, "domain", order, k=6, salt=1)
+    salted = topk_per_key(df, "domain", order, k=6, salt=8, salt_on="id")
+    assert sorted(map(tuple, naive.collect())) == \
+        sorted(map(tuple, salted.collect()))
+
+
+def test_topk_per_key_semantics(spark):
+    df = _docs(spark)
+    out = topk_per_key(df, "domain", [F.col("score").desc(),
+                                      F.col("id").asc()],
+                       k=3, salt=4, salt_on="id")
+    rows = {(r["domain"], r["rank_in_key"]): (r["id"], r["score"])
+            for r in out.collect()}
+    # hot: score 6 appears at ids 6,13,20,27,34 -> top-3 = 6,13,20
+    assert rows[("hot", 1)] == (6, 6)
+    assert rows[("hot", 2)] == (13, 6)
+    assert rows[("hot", 3)] == (20, 6)
+    # warm: best score wins
+    assert rows[("warm", 1)] == (104, 4)
+    # cold has 1 row -> only rank 1
+    assert rows[("cold", 1)] == (200, 3)
+    assert ("cold", 2) not in rows
+    # per-key cap respected
+    counts = (out.groupBy("domain").count().collect())
+    assert all(r["count"] <= 3 for r in counts)
+
+
+def test_topk_per_key_deterministic_across_partitionings(spark):
+    df = _docs(spark)
+    order = [F.col("score").desc(), F.col("id").asc()]
+    a = topk_per_key(df, "domain", order, k=4, salt=8, salt_on="id")
+    b = topk_per_key(df.repartition(13), "domain", order, k=4,
+                     salt=8, salt_on="id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_topk_per_key_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        topk_per_key(df, "domain", [F.col("id")], k=0)
+    with pytest.raises(ValueError, match="salt_on"):
+        topk_per_key(df, "domain", [F.col("id")], k=2, salt=4)
+
+
+def _pair_fixture(spark):
+    # clusters: {1,2,3} via chain 1-2, 2-3; {4,5}; singletons 6,7
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)],
+                                 "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)],
+                                  "id_a long, id_b long")
+    return docs, pairs
+
+
+def test_leakage_safe_split_cluster_atomic(spark):
+    """Every member of a near-dup cluster gets the SAME split label —
+    the whole point of the operator."""
+    docs, pairs = _pair_fixture(spark)
+    out = leakage_safe_split(docs, pairs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # cluster ids are the min member
+    cid = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert cid[1] == cid[2] == cid[3] == 1
+    assert cid[4] == cid[5] == 4
+    assert cid[6] == 6 and cid[7] == 7
+    # split labels come from the declared vocabulary
+    assert {r["split"] for r in out} <= {"train", "valid", "test"}
+
+
+def test_leakage_safe_split_matches_cluster_hash(spark):
+    """Label = with_split of the cluster id: doc 2 and doc 3 inherit
+    doc 1's assignment, not their own id's."""
+    from mycelial_spark.operators.sampling import with_split
+    docs, pairs = _pair_fixture(spark)
+    out = {r["doc_id"]: r["split"]
+           for r in leakage_safe_split(docs, pairs).collect()}
+    solo = {r["cluster_id"]: r["split"] for r in with_split(
+        spark.createDataFrame([(1,), (4,), (6,), (7,)], "cluster_id long"),
+        "cluster_id").collect()}
+    assert out[2] == out[3] == solo[1]
+    assert out[5] == solo[4]
+
+
+def test_duplication_weights_unit_mass_per_cluster(spark):
+    docs, pairs = _pair_fixture(spark)
+    out = duplication_weights(docs, pairs).collect()
+    w = {r["doc_id"]: (r["cluster_size"], r["weight"]) for r in out}
+    assert w[1] == (3, round(1 / 3, 6)) and w[1] == w[2] == w[3]
+    assert w[4] == (2, 0.5) and w[5] == (2, 0.5)
+    assert w[6] == (1, 1.0) and w[7] == (1, 1.0)
+    # total mass = number of clusters
+    mass = sum(v[1] for v in w.values())
+    assert abs(mass - 4.0) < 1e-4

@@ -77,7 +77,10 @@ _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
                   "dedup_embedding_pairs", "q22_idle_rich_customers",
                   # one-ROW broadcast against the grouped frame — the
                   # scalar-subquery (HAVING vs global aggregate) shape
-                  "q11_important_stock"}
+                  "q11_important_stock",
+                  # same shape: the 1-row corpus total broadcast onto the
+                  # per-key counts to compute share
+                  "skew_profile"}
 
 
 def test_no_accidental_nested_loop_joins(spark):
