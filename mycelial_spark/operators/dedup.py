@@ -536,17 +536,21 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
 
 
 def chunk_paragraphs(df: DataFrame, k: int = 3, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Fixture adapter: re-shape flat text into ``k``-token paragraphs
     joined by blank lines (the deterministic synthesis the
-    paragraph_dedup oracle query and the scale probe share)."""
+    paragraph_dedup oracle query and the scale probe share).
+    ``extra_cols`` are carried through untouched (e.g. the domain column
+    boilerplate_remove groups on)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(k)))
     paras = F.transform(
         F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
         lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "))
     return (df.filter(F.size(toks) > 0)
-              .select(id_col, F.array_join(paras, "\n\n").alias(text_col)))
+              .select(id_col, *extra_cols,
+                      F.array_join(paras, "\n\n").alias(text_col)))
 
 
 def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -585,6 +589,67 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
     kept = flagged.filter(F.col("_rn") == 1)
     return (kept.groupBy(id_col)
             .agg(F.first("n_paras").alias("n_paras"),
+                 F.count(F.lit(1)).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct(F.col("pos"), F.col("para")))),
+                         lambda s: s["para"]),
+                     sep).alias("cleaned_text")))
+
+
+def boilerplate_remove(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", group_col: str = "source",
+                       min_docs: int = 3, sep: str = "\n\n",
+                       join_mode: str = "broadcast") -> DataFrame:
+    """Domain-frequency boilerplate removal (the C4/RefinedWeb scrub):
+    a paragraph that appears in >= ``min_docs`` DISTINCT documents of the
+    same ``group_col`` (domain) is boilerplate — nav bars, cookie
+    banners, licence footers — and is removed from EVERY document of
+    that domain, including its first occurrence. This is the complement
+    of ``paragraph_dedup`` (which keeps one copy): boilerplate carries
+    no signal, so no copy survives.
+
+    Returns (id_col, group_col, n_paras, n_kept, cleaned_text); documents
+    whose every paragraph was boilerplate drop out (n_kept would be 0).
+
+    Scale shape: the exploded paragraph frame is localCheckpointed ONCE
+    (two consumers — the frequency count and the keep path — must not
+    re-run the scan+explode at 100 TB). The frequency aggregate groups
+    on (domain, xxhash64(paragraph)) — 8-byte key, partial-aggregation
+    friendly, count(DISTINCT doc) expands map-side. The boilerplate set
+    (paragraphs over threshold) is tiny relative to the corpus — a
+    broadcast anti-join removes them without shuffling the paragraph
+    frame; pass ``join_mode="shuffle"`` if a pathological corpus makes
+    the set outgrow broadcast. n_paras window and the reassembly groupBy
+    share the doc-id partitioning (one exchange serves both).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if join_mode not in ("broadcast", "shuffle"):
+        raise ValueError(f"join_mode must be broadcast|shuffle, "
+                         f"got {join_mode!r}")
+    from pyspark.sql import Window
+    sep_re = "\\Q" + sep + "\\E"
+    paras = (df.select(
+                F.col(id_col), F.col(group_col),
+                F.posexplode(F.split(F.col(text_col), sep_re))
+                 .alias("pos", "para"))
+               .filter(F.trim("para") != "")
+               .withColumn("_ph", F.xxhash64("para"))
+               .localCheckpoint())
+    boiler = (paras.groupBy(group_col, "_ph")
+                   .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+                   .filter(F.col("_nd") >= min_docs)
+                   .select(group_col, "_ph"))
+    if join_mode == "broadcast":
+        boiler = F.broadcast(boiler)
+    wd = Window.partitionBy(F.col(id_col))
+    kept = (paras.withColumn("n_paras", F.count(F.lit(1)).over(wd))
+                 .join(boiler, [group_col, "_ph"], "left_anti"))
+    return (kept.groupBy(id_col)
+            .agg(F.first(group_col).alias(group_col),
+                 F.first("n_paras").alias("n_paras"),
                  F.count(F.lit(1)).alias("n_kept"),
                  F.array_join(
                      F.transform(

@@ -1107,6 +1107,65 @@ def paragraph_dedup_(spark, cfg, inputs):
                            cfg["sep"])
 
 
+@_register("boilerplate_remove", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id"),
+            Field("text_col", default="text"),
+            Field("group_col", default="source"),
+            Field("min_docs", "int", 3),
+            Field("sep", default="\n\n")],
+           doc="Domain-frequency boilerplate scrub: a paragraph in >= "
+               "min_docs distinct docs of the same domain is removed from "
+               "EVERY doc of that domain (nav bars / cookie banners / "
+               "licence footers) — the complement of paragraph_dedup.")
+def boilerplate_remove_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import boilerplate_remove
+    return boilerplate_remove(inputs[0], cfg["id_col"], cfg["text_col"],
+                              cfg["group_col"], cfg["min_docs"],
+                              cfg["sep"])
+
+
+@_register("topk_per_key", "transform", "dataframe", "dataframe",
+           [Field("keys", "list"), Field("order_by", "list"),
+            Field("k", "int"), Field("salt", "int", 1),
+            Field("salt_on", default="")],
+           doc="Skew-safe per-key top-k (per-domain document caps): "
+               "order_by entries are 'col' or 'col desc' and must form a "
+               "total order; salt > 1 enables the two-stage plan that "
+               "bounds every reducer at salt*k rows per key.")
+def topk_per_key_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import topk_per_key
+    order = []
+    for spec in cfg["order_by"]:
+        parts = str(spec).split()
+        c = F.col(parts[0])
+        order.append(c.desc() if len(parts) > 1
+                     and parts[1].lower() == "desc" else c.asc())
+    return topk_per_key(inputs[0], [str(k) for k in cfg["keys"]], order,
+                        cfg["k"], salt=cfg["salt"],
+                        salt_on=cfg["salt_on"] or None)
+
+
+@_register("leakage_safe_split", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id")], n_inputs=(2, 2),
+           doc="Cluster-aware train/valid/test split: inputs = "
+               "(documents, near-dup pair list); the split label hashes "
+               "the connected-component id so near-duplicates never "
+               "straddle the split boundary.")
+def leakage_safe_split_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import leakage_safe_split
+    return leakage_safe_split(inputs[0], inputs[1], cfg["id_col"])
+
+
+@_register("dup_weights", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id")], n_inputs=(2, 2),
+           doc="Soft dedup: inputs = (documents, near-dup pair list); "
+               "keep every doc with loss weight 1/cluster_size so each "
+               "near-dup cluster contributes one unit of training mass.")
+def dup_weights_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import duplication_weights
+    return duplication_weights(inputs[0], inputs[1], cfg["id_col"])
+
+
 @_register("normalize_text", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"),
             Field("strip_accents", "bool", True),

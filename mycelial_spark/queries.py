@@ -3899,6 +3899,53 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("boilerplate_remove", """
+WITH d AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), built AS (
+  SELECT doc_id, source,
+         list_transform(range(1, CAST(ceil(len(toks) / 2.0) AS INT) + 1),
+           i -> array_to_string(toks[(i-1)*2+1:(i-1)*2+2], ' ')) AS paras
+  FROM d WHERE len(toks) > 0
+), e AS (
+  SELECT doc_id, source,
+         CAST(generate_subscripts(paras, 1) - 1 AS INT) AS pos,
+         unnest(paras) AS para
+  FROM built
+), boiler AS (
+  SELECT source, para FROM e
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 3
+), flagged AS (
+  SELECT e.*, count(*) OVER (PARTITION BY doc_id) AS n_paras FROM e
+), kept AS (
+  SELECT f.* FROM flagged f
+  LEFT JOIN boiler b ON b.source = f.source AND b.para = f.para
+  WHERE b.para IS NULL
+)
+SELECT doc_id, source, n_paras, count(*) AS n_kept,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS cleaned_text
+FROM kept GROUP BY doc_id, source, n_paras
+""")
+def boilerplate_remove_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-frequency boilerplate scrub (operators/dedup.py
+    boilerplate_remove): a paragraph appearing in >= 3 distinct documents
+    of the same domain is boilerplate and removed from EVERY document of
+    that domain — the C4/RefinedWeb complement of paragraph_dedup (which
+    keeps the first copy). The flat fixture text is chunked into 2-token
+    paragraphs first (small vocabulary => genuine per-domain repeats).
+
+    Ref parity: the reference has no row-level text surface (SURVEY.md
+    §2.4); this is part of the training-data-pipeline fill."""
+    from mycelial_spark.operators.dedup import (boilerplate_remove,
+                                                chunk_paragraphs)
+    built = chunk_paragraphs(_t(spark, sf_dir, "documents"), k=2,
+                             extra_cols=("source",))
+    out = boilerplate_remove(built, min_docs=3)
+    return out.select("doc_id", "source", "n_paras", "n_kept",
+                      "cleaned_text")
+
+
 @query("arrow_roundtrip", """
 SELECT o_orderkey, o_custkey, o_orderstatus,
        round(o_totalprice, 2) AS o_totalprice, o_orderdate

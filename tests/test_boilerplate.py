@@ -1,0 +1,62 @@
+"""boilerplate_remove: domain-frequency paragraph scrub semantics."""
+
+import pytest
+
+from mycelial_spark.operators.dedup import boilerplate_remove
+
+
+def _docs(spark):
+    # domain A: "FOOTER" appears in 3 docs (boilerplate at min_docs=3);
+    # "shared" appears in only 2 (kept). domain B: "FOOTER" appears in
+    # ONE doc — domain-scoped counting must keep it there.
+    rows = [
+        (1, "A", "alpha\n\nFOOTER\n\nshared"),
+        (2, "A", "beta\n\nFOOTER"),
+        (3, "A", "FOOTER\n\nshared\n\ngamma"),
+        (4, "A", "FOOTER"),           # fully boilerplate -> drops out
+        (5, "B", "FOOTER\n\ndelta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, "
+                                       "text string")
+
+
+def test_boilerplate_removed_everywhere_within_domain(spark):
+    out = {r["doc_id"]: r for r in
+           boilerplate_remove(_docs(spark), min_docs=3).collect()}
+    # no first-copy survives: FOOTER is gone from every A doc
+    assert out[1]["cleaned_text"] == "alpha\n\nshared"
+    assert out[2]["cleaned_text"] == "beta"
+    assert out[3]["cleaned_text"] == "shared\n\ngamma"
+    # doc 4 was 100% boilerplate -> dropped entirely
+    assert 4 not in out
+    # domain B's lone FOOTER is below that domain's threshold -> kept
+    assert out[5]["cleaned_text"] == "FOOTER\n\ndelta"
+    # n_paras is the PRE-removal count, n_kept the post-removal count
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 2)
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (3, 2)
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    # "x" occurs 3 times but in only 2 distinct docs -> NOT boilerplate
+    df = spark.createDataFrame(
+        [(1, "A", "x\n\nx\n\ny"), (2, "A", "x\n\nz")],
+        "doc_id long, source string, text string")
+    out = {r["doc_id"]: r["cleaned_text"]
+           for r in boilerplate_remove(df, min_docs=3).collect()}
+    assert out[1] == "x\n\nx\n\ny"
+    assert out[2] == "x\n\nz"
+
+
+def test_boilerplate_shuffle_mode_matches_broadcast(spark):
+    df = _docs(spark)
+    a = boilerplate_remove(df, min_docs=3, join_mode="broadcast")
+    b = boilerplate_remove(df, min_docs=3, join_mode="shuffle")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_boilerplate_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="min_docs"):
+        boilerplate_remove(df, min_docs=1)
+    with pytest.raises(ValueError, match="join_mode"):
+        boilerplate_remove(df, join_mode="nested_loop")

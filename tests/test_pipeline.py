@@ -556,3 +556,42 @@ def test_r7_analytics_sections(spark):
     from mycelial_spark.plans.spec import ConfigError
     with _p.raises(ConfigError, match="modality"):
         run("perceptual_hash", {"modality": "hologram"}, [payloads])
+
+
+def test_r7_curation_sections(spark):
+    """The round-7 curation ops run declaratively: boilerplate scrub,
+    skew-safe per-key top-k, leakage-safe split, duplication weights."""
+    from mycelial_spark.plans.sections import REGISTRY
+
+    def run(name, cfg, inputs):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), inputs)
+
+    docs = spark.createDataFrame(
+        [(1, "A", "x\n\nFOOT"), (2, "A", "y\n\nFOOT"),
+         (3, "A", "z\n\nFOOT")],
+        "doc_id long, source string, text string")
+    bp = {r["doc_id"]: r["cleaned_text"]
+          for r in run("boilerplate_remove", {}, [docs]).collect()}
+    assert bp == {1: "x", 2: "y", 3: "z"}
+
+    scored = spark.createDataFrame(
+        [("A", i, i % 3) for i in range(9)] + [("B", 100, 9)],
+        "domain string, id long, score long")
+    tk = run("topk_per_key",
+             {"keys": ["domain"], "order_by": ["score desc", "id"],
+              "k": 2, "salt": 4, "salt_on": "id"}, [scored]).collect()
+    got = {(r["domain"], r["rank_in_key"]): r["id"] for r in tk}
+    assert got[("A", 1)] == 2 and got[("A", 2)] == 5
+    assert got[("B", 1)] == 100
+
+    base = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    sp = run("leakage_safe_split", {}, [base, pairs]).collect()
+    lbl = {r["doc_id"]: r["split"] for r in sp}
+    assert lbl[1] == lbl[2]
+
+    dw = run("dup_weights", {}, [base, pairs]).collect()
+    w = {r["doc_id"]: r["weight"] for r in dw}
+    assert w[1] == w[2] == 0.5 and w[3] == 1.0

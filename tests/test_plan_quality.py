@@ -58,6 +58,17 @@ def test_decontaminate_benchmark_broadcast(spark):
     assert a["bnlj"] == 0 and a["cartesian"] == 0
 
 
+def test_boilerplate_remove_broadcast_anti(spark):
+    """The boilerplate set must BROADCAST onto the paragraph frame (the
+    corpus side never shuffles on paragraph), and the n_paras window +
+    reassembly share one doc-id exchange: budget = window + the
+    count-distinct pair."""
+    a = audit(plan_of(spark, "boilerplate_remove"))
+    assert a["bhj"] == 1
+    assert a["bnlj"] == 0 and a["cartesian"] == 0 and a["smj"] == 0
+    assert a["exchanges"] <= 3
+
+
 def test_doc_repetition_is_narrow(spark):
     """Per-doc repetition is a pure projection: zero exchanges."""
     a = audit(plan_of(spark, "doc_repetition"))
