@@ -1166,6 +1166,20 @@ def dup_weights_(spark, cfg, inputs):
     return duplication_weights(inputs[0], inputs[1], cfg["id_col"])
 
 
+@_register("fuzzy_link", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("max_dist", "int", 1), Field("q", "int", 3)],
+           doc="Record linkage: all row pairs whose text_col values are "
+               "within Levenshtein max_dist, via lossless positional "
+               "q-gram blocking + count filter + exact verify (never the "
+               "O(n^2) distance matrix). For name-length strings.")
+def fuzzy_link_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import edit_distance_pairs
+    return edit_distance_pairs(inputs[0], cfg["text_col"], cfg["id_col"],
+                               cfg["max_dist"], cfg["q"])
+
+
 @_register("normalize_text", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"),
             Field("strip_accents", "bool", True),

@@ -3899,6 +3899,28 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("fuzzy_link_pairs", """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""")
+def fuzzy_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/dedup.py edit_distance_pairs): all
+    supplier-name pairs within Levenshtein distance 1, found via
+    LOSSLESS positional q-gram blocking [Gravano et al. VLDB'01] +
+    count filtering + exact verify — never the O(n^2) distance matrix
+    the oracle runs. The oracle IS the brute-force form, so the blocked
+    plan must reproduce it exactly.
+
+    Ref parity: the reference has no string-similarity surface
+    (SURVEY.md §2.4) — entity matching across its noisy JDBC feeds is
+    pushed to source SQL; this is the engine-native fill."""
+    from mycelial_spark.operators.dedup import edit_distance_pairs
+    sup = _t(spark, sf_dir, "supplier")
+    return edit_distance_pairs(sup, "s_name", "s_suppkey", max_dist=1)
+
+
 @query("boilerplate_remove", """
 WITH d AS (
   SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') toks

@@ -1,0 +1,71 @@
+"""edit_distance_pairs: lossless positional q-gram blocking."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.dedup import edit_distance_pairs
+
+
+def _brute(spark, df, col, k):
+    a = df.select(F.col("id").alias("id_a"), F.col(col).alias("sa"))
+    b = df.select(F.col("id").alias("id_b"), F.col(col).alias("sb"))
+    return sorted(
+        (r["id_a"], r["id_b"], r["dist"]) for r in
+        a.crossJoin(b).filter("id_a < id_b")
+         .withColumn("dist", F.levenshtein("sa", "sb"))
+         .filter(F.col("dist") <= k).collect())
+
+
+def _blocked(spark, df, col, k, q=3):
+    return sorted(
+        (r["id_a"], r["id_b"], r["dist"]) for r in
+        edit_distance_pairs(df, col, "id", max_dist=k, q=q).collect())
+
+
+def test_matches_brute_force_names(spark):
+    rows = [(1, "acme corp"), (2, "acme corp."), (3, "acme  corp"),
+            (4, "ACME corp"), (5, "globex inc"), (6, "globex in"),
+            (7, "initech"), (8, "intech"), (9, "completely different")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    for k in (1, 2):
+        assert _blocked(spark, df, "name", k) == _brute(spark, df, "name", k)
+
+
+def test_short_and_empty_strings_lossless(spark):
+    # below the positive-count-bound length: catch-all bucket must block
+    rows = [(1, ""), (2, "a"), (3, "b"), (4, "ab"), (5, "abc"),
+            (6, "abcd"), (7, "xyzw")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        assert _blocked(spark, df, "s", k) == _brute(spark, df, "s", k)
+
+
+def test_null_treated_as_empty(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "x")],
+                               "id long, s string")
+    got = _blocked(spark, df, "s", 1)
+    assert (1, 2, 0) in got and (1, 3, 1) in got and (2, 3, 1) in got
+
+
+def test_repeat_heavy_strings_lossless(spark):
+    # duplicate q-grams collapse under DISTINCT blocking schemes — the
+    # positional multiset form must not lose these
+    rows = [(1, "aaaaaaaaaa"), (2, "aaaaaaaaab"), (3, "aaaaabaaaa"),
+            (4, "aaaaaaaaaaa"), (5, "bbbbbbbbbb")]
+    df = spark.createDataFrame(rows, "id long, s string")
+    for k in (1, 2):
+        assert _blocked(spark, df, "s", k) == _brute(spark, df, "s", k)
+
+
+def test_larger_q_still_lossless(spark):
+    rows = [(i, f"record-{i:04d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    assert _blocked(spark, df, "s", 1, q=4) == _brute(spark, df, "s", 1)
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, s string")
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_pairs(df, "s", "id", max_dist=0)
+    with pytest.raises(ValueError, match="q must"):
+        edit_distance_pairs(df, "s", "id", q=1)

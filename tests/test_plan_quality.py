@@ -69,6 +69,15 @@ def test_boilerplate_remove_broadcast_anti(spark):
     assert a["exchanges"] <= 3
 
 
+def test_fuzzy_link_blocked_not_crossed(spark):
+    """edit_distance_pairs must block on the positional-gram EQUI key —
+    a refactor that degrades the gram join to a nested loop would
+    silently reintroduce the O(n^2) distance matrix the oracle runs."""
+    a = audit(plan_of(spark, "fuzzy_link_pairs"))
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["bhj"] + a["smj"] + a["shj"] >= 3  # gram join + 2 join-backs
+
+
 def test_doc_repetition_is_narrow(spark):
     """Per-doc repetition is a pure projection: zero exchanges."""
     a = audit(plan_of(spark, "doc_repetition"))
