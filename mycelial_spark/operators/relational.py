@@ -121,6 +121,51 @@ def topk_per_key(df: DataFrame, keys: str | Sequence[str],
               .filter(F.col(rank_col) <= k))
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                  compare_cols: Sequence[str] | None = None,
+                  include_unchanged: bool = False) -> DataFrame:
+    """Corpus snapshot diff: classify every key as added / removed /
+    changed (/ unchanged) between two table versions — the audit step
+    before retraining on a refreshed crawl, and the input to an
+    incremental pipeline that only reprocesses the delta.
+
+    Returns (id_col, status). ``compare_cols`` defaults to the columns
+    the two frames share minus the key.
+
+    Scale shape: each side is reduced to (key, 64-bit fingerprint)
+    BEFORE the join, so the full-outer shuffle moves 16 bytes/row no
+    matter how wide the table is; change detection compares fingerprints
+    (equality modulo 64-bit collisions, like every fingerprint path
+    here). Nulls hash as a sentinel string so value<->null column swaps
+    register as changes (plain multi-arg xxhash64 skips nulls and would
+    collide (NULL, x) with (x, NULL)).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns
+                        if c != id_col and c in set(old.columns)]
+    if not compare_cols:
+        raise ValueError("no compare columns: frames share nothing "
+                         "beyond the key")
+
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        h = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                         for c in compare_cols])
+        return df.select(F.col(id_col), h.alias(out))
+
+    o = fp(old, "_fp_old").withColumn("_in_old", F.lit(True))
+    n = fp(new, "_fp_new").withColumn("_in_new", F.lit(True))
+    joined = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+               .when(F.col("_in_new").isNull(), F.lit("removed"))
+               .when(F.col("_fp_old") != F.col("_fp_new"),
+                     F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    out = joined.select(F.col(id_col), status.alias("status"))
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
 def asof_join(left: DataFrame, right: DataFrame, by: str, ts: str,
               right_cols: Sequence[str], direction: str = "backward",
               suffix: str = "_asof") -> DataFrame:

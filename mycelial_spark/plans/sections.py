@@ -1166,6 +1166,22 @@ def dup_weights_(spark, cfg, inputs):
     return duplication_weights(inputs[0], inputs[1], cfg["id_col"])
 
 
+@_register("snapshot_diff", "transform", "dataframe", "dataframe",
+           [Field("id_col", default="doc_id"),
+            Field("compare_cols", "list", default=[]),
+            Field("include_unchanged", "bool", False)],
+           n_inputs=(2, 2),
+           doc="Snapshot diff: inputs = (old, new); classify every key "
+               "as added/removed/changed(/unchanged). Each side reduces "
+               "to (key, fingerprint) before the full-outer join — "
+               "16 bytes/row shuffled regardless of table width.")
+def snapshot_diff_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import snapshot_diff
+    return snapshot_diff(inputs[0], inputs[1], cfg["id_col"],
+                         cfg["compare_cols"] or None,
+                         cfg["include_unchanged"])
+
+
 @_register("fuzzy_link", "transform", "dataframe", "dataframe",
            [Field("text_col", default="text"),
             Field("id_col", default="doc_id"),

@@ -3899,6 +3899,49 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("corpus_diff", """
+WITH old AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END
+           AS text
+  FROM documents WHERE doc_id % 17 <> 0
+), new AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 19 <> 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text <> n.text THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+           AND o.text = n.text)
+""")
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/relational.py snapshot_diff): classify
+    keys as added/removed/changed between two corpus versions. Each side
+    reduces to (key, 64-bit fingerprint) BEFORE the full-outer join, so
+    the shuffle moves 16 bytes/row however wide the table; the oracle
+    compares raw values (equal results modulo 64-bit collisions). The
+    two versions are derived deterministically from the fixture: docs
+    %17==0 are missing from old (added), %19==0 missing from new
+    (removed), %13==0 carry stale text in old (changed).
+
+    Ref parity: the reference moves snapshots whole (S4 Arrow
+    passthrough, SURVEY.md §2.1); delta classification is engine-side
+    fill for incremental retraining."""
+    from mycelial_spark.operators.relational import snapshot_diff
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = (docs.filter(F.col("doc_id") % 17 != 0)
+               .withColumn("text",
+                           F.when(F.col("doc_id") % 13 == 0,
+                                  F.concat(F.col("text"),
+                                           F.lit(" [stale]")))
+                            .otherwise(F.col("text"))))
+    new = docs.filter(F.col("doc_id") % 19 != 0)
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
 @query("fuzzy_link_pairs", """
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        levenshtein(a.s_name, b.s_name) AS dist

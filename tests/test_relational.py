@@ -189,3 +189,44 @@ def test_validate_constraints_all_rule_kinds(spark):
         R.validate_constraints(df, [{"rule": "not_null", "columns": ["x"]}])
     with _p.raises(ValueError, match="non-empty"):
         R.validate_constraints(df, [])
+
+
+def test_snapshot_diff_statuses(spark):
+    from mycelial_spark.operators.relational import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "CHANGED", 3.0), (4, "d", 4.5), (5, "e", 5.0)],
+        "id long, s string, v double")
+    got = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id").collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+    # include_unchanged surfaces the stable rows too
+    full = {r["id"]: r["status"]
+            for r in snapshot_diff(old, new, "id",
+                                   include_unchanged=True).collect()}
+    assert full[2] == "unchanged" and len(full) == 5
+    # compare_cols narrows what counts as a change
+    sub = {r["id"]: r["status"]
+           for r in snapshot_diff(old, new, "id", ["s"]).collect()}
+    assert 4 not in sub  # only v changed on id 4
+
+
+def test_snapshot_diff_null_swap_is_a_change(spark):
+    """(NULL, x) vs (x, NULL) must register as changed — plain
+    multi-arg xxhash64 skips nulls and would collide them."""
+    from mycelial_spark.operators.relational import snapshot_diff
+    old = spark.createDataFrame([(1, None, "x")], "id long, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)], "id long, a string, b string")
+    got = snapshot_diff(old, new, "id").collect()
+    assert [(r["id"], r["status"]) for r in got] == [(1, "changed")]
+
+
+def test_snapshot_diff_requires_shared_columns(spark):
+    import pytest as _p
+    from mycelial_spark.operators.relational import snapshot_diff
+    a = spark.createDataFrame([(1, "x")], "id long, a string")
+    b = spark.createDataFrame([(1, "y")], "id long, b string")
+    with _p.raises(ValueError, match="share nothing"):
+        snapshot_diff(a, b, "id")
