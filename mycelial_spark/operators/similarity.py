@@ -316,6 +316,55 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
         "ivf_cell", F.array_sort(entries).getItem(0).getField("c"))
 
 
+def _with_assigned_sqdist(df: DataFrame, centroids: list[list[float]],
+                          vec_col: str = "embedding") -> DataFrame:
+    """ivf_assign + per-row squared distance to the ASSIGNED centroid in
+    ``_sqd``, via the dot-product identity |v-c|^2 = v·v − 2·v·c + c·c
+    with the sequential-fold ``dot`` — the exact arithmetic an external
+    SQL engine reproduces with list_dot_product. Narrow map, no shuffle:
+    centroids ride into codegen as literals."""
+    v = F.col(vec_col).cast("array<double>")
+    cells = ivf_assign(df, centroids, vec_col)
+    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                         for c in centroids])
+    cc = [sum(float(x) * float(x) for x in c) for c in centroids]
+    assigned_c = F.element_at(cent_arr, F.col("ivf_cell") + 1)
+    sqd = (dot(v, v) - 2 * dot(v, assigned_c)
+           + F.element_at(F.array(*[F.lit(x) for x in cc]),
+                          F.col("ivf_cell") + 1))
+    return cells.withColumn("_sqd", sqd)
+
+
+def embedding_outliers(df: DataFrame, centroids: list[list[float]],
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id", z: float = 2.0) -> DataFrame:
+    """Embedding-space outlier filter: rows whose squared distance to
+    their assigned (frozen) centroid exceeds the cluster's
+    ``mean + z * stddev`` — the curation step that surfaces mislabeled /
+    off-distribution / garbage embeddings before they enter a training
+    mix, and the quality gate diverse_sample's cluster caps assume.
+
+    Returns (id_col, cluster, sq_dist, cut) for the flagged rows.
+
+    Scale shape: assignment + distance are one narrow codegen map
+    (centroid literals — nothing joins); the per-cluster (mean, stddev)
+    table is one partial-agg groupBy with #centroids rows, broadcast
+    back onto the corpus; the filter is a projection. Two jobs' worth of
+    lineage, one corpus shuffle total (the stats agg).
+    """
+    cells = _with_assigned_sqdist(df, centroids, vec_col)
+    stats = (cells.groupBy("ivf_cell")
+                  .agg(F.avg("_sqd").alias("_mu"),
+                       F.stddev_pop("_sqd").alias("_sd")))
+    return (cells.join(F.broadcast(stats), "ivf_cell")
+                 .filter(F.col("_sqd") > F.col("_mu") + z * F.col("_sd"))
+                 .select(F.col(id_col),
+                         F.col("ivf_cell").alias("cluster"),
+                         F.round("_sqd", 4).alias("sq_dist"),
+                         F.round(F.col("_mu") + z * F.col("_sd"), 4)
+                          .alias("cut")))
+
+
 def cluster_profile(df: DataFrame, centroids: list[list[float]],
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     label_col: str | None = None) -> DataFrame:
@@ -333,16 +382,7 @@ def cluster_profile(df: DataFrame, centroids: list[list[float]],
     arithmetic an external SQL engine reproduces with
     list_dot_product (the cosine-oracle equivalence this repo's LSH
     oracles already pin)."""
-    v = F.col(vec_col).cast("array<double>")
-    cells = ivf_assign(df, centroids, vec_col)
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                         for c in centroids])
-    cc = [sum(float(x) * float(x) for x in c) for c in centroids]
-    assigned_c = F.element_at(cent_arr, F.col("ivf_cell") + 1)
-    sqd = (dot(v, v) - 2 * dot(v, assigned_c)
-           + F.element_at(F.array(*[F.lit(x) for x in cc]),
-                          F.col("ivf_cell") + 1))
-    cells = cells.withColumn("_sqd", sqd)
+    cells = _with_assigned_sqdist(df, centroids, vec_col)
     prof = (cells.groupBy(F.col("ivf_cell").alias("cluster"))
             .agg(F.count(F.lit(1)).alias("size"),
                  F.round(F.avg("_sqd"), 4).alias("mean_sq_dist")))

@@ -1166,6 +1166,21 @@ def dup_weights_(spark, cfg, inputs):
     return duplication_weights(inputs[0], inputs[1], cfg["id_col"])
 
 
+@_register("embedding_outliers", "transform", "dataframe", "dataframe",
+           [Field("centroids", "list"),
+            Field("vec_col", default="embedding"),
+            Field("id_col", default="vec_id"),
+            Field("z", "float", 2.0)],
+           doc="Embedding outlier filter: rows whose squared distance "
+               "to their assigned (frozen) centroid exceeds the "
+               "cluster's mean + z*stddev — the off-distribution gate "
+               "before a training mix.")
+def embedding_outliers_(spark, cfg, inputs):
+    from mycelial_spark.operators.similarity import embedding_outliers
+    return embedding_outliers(inputs[0], cfg["centroids"],
+                              cfg["vec_col"], cfg["id_col"], cfg["z"])
+
+
 @_register("snapshot_diff", "transform", "dataframe", "dataframe",
            [Field("id_col", default="doc_id"),
             Field("compare_cols", "list", default=[]),

@@ -4874,6 +4874,42 @@ def cluster_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_profile(emb, cents, label_col="label")
 
 
+@query("embedding_outliers", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] ev FROM embeddings),
+cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+assigned AS (
+  SELECT vec_id, ev,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cluster
+  FROM v),
+d AS (
+  SELECT a.vec_id, a.cluster,
+         list_dot_product(a.ev, a.ev)
+         - 2 * list_dot_product(a.ev, ct.cv)
+         + list_dot_product(ct.cv, ct.cv) AS sqd
+  FROM assigned a JOIN cents ct ON ct.c = a.cluster),
+stats AS (
+  SELECT cluster, avg(sqd) AS mu, stddev_pop(sqd) AS sd
+  FROM d GROUP BY cluster)
+SELECT d.vec_id, d.cluster, round(d.sqd, 4) AS sq_dist,
+       round(s.mu + 1.5 * s.sd, 4) AS cut
+FROM d JOIN stats s USING (cluster)
+WHERE d.sqd > s.mu + 1.5 * s.sd
+""")
+def embedding_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier filter (operators/similarity.py
+    embedding_outliers): rows beyond mean + 1.5*stddev of their frozen
+    cluster's squared-distance distribution — the off-distribution /
+    garbage-vector gate before a training mix. Assignment + distance
+    replay in SQL via the dot-product identity over the pinned Lloyd
+    centroids; the stats table is #centroids rows, broadcast back."""
+    from mycelial_spark.operators.similarity import (embedding_outliers,
+                                                     pq_train_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = pq_train_codebooks(emb, m=1, k=8)[0]
+    return embedding_outliers(emb, cents, z=1.5)
+
+
 @query("mixture_sample_tokens", """
 WITH w(s, w) AS (SELECT * FROM (VALUES ('src0', 0.5), ('src1', 0.3),
                                        ('src2', 0.2))),

@@ -308,3 +308,19 @@ def test_pca_project_properties(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="out of range"):
         pca_train(emb, k=100)
+
+
+def test_embedding_outliers_flags_far_points(spark):
+    """Points far from their cluster's centroid (vs the cluster's own
+    mean + z*std) are flagged; tight-cluster members are not."""
+    from mycelial_spark.operators.similarity import embedding_outliers
+    # cluster around (0,0) with one far point; cluster at exactly
+    # (10,10) — zero spread, so no member can exceed mean + z*std
+    rows = ([(i, [0.01 * i, 0.0]) for i in range(20)]
+            + [(98, [3.0, 3.0])]
+            + [(100 + i, [10.0, 10.0]) for i in range(20)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[0.1, 0.0], [10.0, 10.0]]
+    out = embedding_outliers(df, cents, z=2.0).collect()
+    assert [r["vec_id"] for r in out] == [98]
+    assert out[0]["cluster"] == 0 and out[0]["sq_dist"] > out[0]["cut"]
