@@ -146,6 +146,27 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
     return df.filter(b < frac)
 
 
+def stratified_fixed_n(df: DataFrame, stratum_col: str, id_col: str,
+                       n: int, salt: int = 1) -> DataFrame:
+    """EXACTLY-n-per-stratum deterministic sample: the n rows with the
+    smallest Knuth-hash order within each stratum (id tiebreak — the
+    mod-2^31 hash can collide across wide id spaces, and the kept set
+    must be a total-order decision). Fraction sampling
+    (stratified_sample) drifts with stratum size; eval sets, human
+    review batches, and per-source probes need exact counts that
+    reproduce across engines, reruns, and partitionings.
+
+    Adds ``sample_rank`` (1-based within stratum). ``salt > 1`` engages
+    topk_per_key's skew-safe two-stage rank for hot strata — a 10M-doc
+    domain never funnels through one reducer.
+    """
+    from mycelial_spark.operators.relational import topk_per_key
+    return topk_per_key(
+        df, stratum_col,
+        [hash_order(id_col).asc(), F.col(id_col).asc()], n,
+        salt=salt, salt_on=id_col, rank_col="sample_rank")
+
+
 def pack_greedy(df: DataFrame, max_tokens: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 8, encoder=None) -> DataFrame:

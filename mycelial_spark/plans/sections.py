@@ -1166,6 +1166,19 @@ def dup_weights_(spark, cfg, inputs):
     return duplication_weights(inputs[0], inputs[1], cfg["id_col"])
 
 
+@_register("stratified_fixed_n", "transform", "dataframe", "dataframe",
+           [Field("stratum_col"), Field("id_col", default="doc_id"),
+            Field("n", "int"), Field("salt", "int", 1)],
+           doc="Exactly-n-per-stratum deterministic sample: smallest "
+               "Knuth-hash rows win with id tiebreak — exact counts "
+               "that reproduce across engines/reruns; salt > 1 engages "
+               "the skew-safe two-stage rank for hot strata.")
+def stratified_fixed_n_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import stratified_fixed_n
+    return stratified_fixed_n(inputs[0], cfg["stratum_col"],
+                              cfg["id_col"], cfg["n"], cfg["salt"])
+
+
 @_register("embedding_outliers", "transform", "dataframe", "dataframe",
            [Field("centroids", "list"),
             Field("vec_col", default="embedding"),

@@ -3899,6 +3899,28 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("stratified_fixed_n", """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id % 2147483648) * 2654435761 % 4294967296,
+                    doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 5
+""")
+def stratified_fixed_n_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5-per-source deterministic sample (operators/sampling.py
+    stratified_fixed_n): smallest-Knuth-hash rows win, id tiebreak, so
+    the kept set replays identically on any engine — the oracle IS that
+    replay. Runs through the salted skew-safe topk_per_key (salt=4) and
+    must reproduce the naive one-window answer exactly."""
+    from mycelial_spark.operators.sampling import stratified_fixed_n
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_fixed_n(docs, "source", "doc_id", n=5, salt=4)
+
+
 @query("corpus_diff", """
 WITH old AS (
   SELECT doc_id,

@@ -119,3 +119,20 @@ def test_duplication_weights_unit_mass_per_cluster(spark):
     # total mass = number of clusters
     mass = sum(v[1] for v in w.values())
     assert abs(mass - 4.0) < 1e-4
+
+
+def test_stratified_fixed_n_exact_counts_and_determinism(spark):
+    from mycelial_spark.operators.sampling import stratified_fixed_n
+    rows = ([("A", i) for i in range(50)] + [("B", 1000 + i)
+                                            for i in range(3)])
+    df = spark.createDataFrame(rows, "stratum string, id long")
+    out = stratified_fixed_n(df, "stratum", "id", n=5, salt=4)
+    counts = {r["stratum"]: r["count"]
+              for r in out.groupBy("stratum").count().collect()}
+    # exactly n where the stratum is big enough, all rows where not
+    assert counts == {"A": 5, "B": 3}
+    # deterministic across partitionings and salt settings
+    base = sorted(map(tuple, out.collect()))
+    again = sorted(map(tuple, stratified_fixed_n(
+        df.repartition(7), "stratum", "id", n=5, salt=1).collect()))
+    assert base == again
