@@ -113,6 +113,15 @@ HEADLINE = [
     "rolling_anomalies",
     "data_contract",
     "sessionize_events",
+    "domain_cap",
+    "boilerplate_remove",
+    "fuzzy_link_pairs",
+    "corpus_diff",
+    "embedding_outliers",
+    "stratified_fixed_n",
+    # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
+    # benching them would triple-count the pair generation already
+    # covered by dedup_clusters
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

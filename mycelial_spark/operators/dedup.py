@@ -846,28 +846,37 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
     matrix.
 
     LOSSLESS positional q-gram blocking [Gravano et al., "Approximate
-    String Joins in a Database (Almost) for Free", VLDB'01 — public
-    algorithm]: strings are padded with q-1 sentinel chars on both ends,
-    so a string of length L yields L+q-1 positional q-grams; one edit
-    operation disturbs at most q of them and shifts the rest by <= 1, so
-    two strings within distance k share at least
-    ``t = max(L_a, L_b) + q - 1 - k*q`` positional grams whose positions
-    differ by <= k. Whenever t >= 1 the pair necessarily collides in the
-    postings self-join; strings too short for a positive bound
-    (L < q*(k-1)+2) additionally carry a catch-all sentinel gram, so
-    short-short pairs still block (bounded-length bucket). The shared
-    count is then filtered against t (over-counted duplicate grams can
-    only ADMIT extra candidates — verification stays exact) and the
-    survivors are verified with one exact ``levenshtein`` per pair.
+    String Joins in a Database (Almost) for Free", VLDB'01] with an
+    Ed-Join-style rarest-gram prefix [Xiao/Wang/Lin, VLDB'08 — both
+    public algorithms]: strings are padded with q-1 sentinel chars, so a
+    string of length L yields L+q-1 positional q-grams; ``k`` edit
+    operations disturb at most ``k*q`` of them and shift the rest by
+    <= k. Two consequences drive the plan:
 
-    Scale shape: postings rows are (8-byte id, q+pad chars, int pos,
-    int len) — never the full string; the self-join key is the gram, so
-    cost follows gram document frequency (raise ``q`` for corpora with
-    long shared prefixes); the count filter is a partial-agg groupBy on
-    the (id, id) pair; only count-qualified pairs re-join the strings
-    (broadcast of the narrow (id, string) side up to the optimizer) and
-    pay the O(L^2) distance. Intended for name-length strings — for
-    document bodies use minhash_lsh_pairs/span_dedup.
+    1. PIGEONHOLE PREFIX — any ``k*q + 1`` positional grams of one side
+       contain at least one undisturbed gram, which the other side holds
+       at a position within k. So the probe side only emits each
+       string's ``k*q + 1`` GLOBALLY RAREST grams (ascending document
+       frequency), while the build side emits all grams: hot grams
+       ("Supplier#", "http://www.") never drive the join unless they are
+       genuinely a string's rarest — the classic shared-prefix corpus
+       that turns naive gram blocking into n^2 stays output-linear.
+    2. CATCH-ALL for strings too short for a positive count bound
+       (L < q*(k-1)+2): they carry a sentinel gram on BOTH sides, so
+       short-short pairs still block inside one bounded-length bucket.
+
+    Both directions of each pair are probed (sel(a) x full(b) and
+    sel(b) x full(a)), normalized to (least, greatest), deduplicated,
+    and verified with one exact ``levenshtein`` — blocking can only
+    admit false candidates, never drop true ones.
+
+    Scale shape: postings rows are (8-byte id, q+pad chars, int pos) —
+    never the full string; gram document frequencies are one partial-agg
+    groupBy; the rarest-k*q+1 selection is a window partitioned by id
+    (bounded by string length, no skew); join cost follows the df of
+    each string's RAREST grams. Only verified candidates re-join the
+    strings and pay the O(L^2) distance. Intended for name-length
+    strings — for document bodies use minhash_lsh_pairs/span_dedup.
 
     Returns (id_a, id_b, dist) with id_a < id_b and dist <= max_dist.
     """
@@ -875,35 +884,40 @@ def edit_distance_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     if q < 2:
         raise ValueError(f"q must be >= 2, got {q}")
+    from pyspark.sql import Window
     pad = "\x01" * (q - 1)
     min_len = q * (max_dist - 1) + 2
+    n_prefix = max_dist * q + 1
     s = df.select(F.col(id_col).alias("_id"),
                   F.coalesce(F.col(text_col), F.lit("")).alias("_s")) \
           .withColumn("_ln", F.length("_s"))
     padded = F.concat(F.lit(pad), F.col("_s"), F.lit(pad))
     grams = s.select(
-        "_id", "_ln",
+        "_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(1), F.col("_ln") + q - 1),
             lambda i: padded.substr(i, F.lit(q))))
          .alias("pos", "g"))
     shorts = (s.filter(F.col("_ln") < min_len)
-               .select("_id", "_ln", F.lit(0).alias("pos"),
+               .select("_id", F.lit(0).alias("pos"),
                        F.lit("\x00").alias("g")))
     posts = grams.unionByName(shorts) \
                  .persist(StorageLevel.MEMORY_AND_DISK)
-    a, b = posts.alias("a"), posts.alias("b")
-    t = F.greatest(F.col("ln_a"), F.col("ln_b")) + q - 1 - max_dist * q
+    gdf = posts.groupBy("g").agg(F.count(F.lit(1)).alias("_df"))
+    wsel = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
+                                             F.col("g").asc(),
+                                             F.col("pos").asc())
+    sel = (posts.join(gdf, "g")
+                .withColumn("_rn", F.row_number().over(wsel))
+                .filter((F.col("_rn") <= n_prefix) | (F.col("g") == "\x00"))
+                .select("_id", "pos", "g"))
+    a, b = sel.alias("a"), posts.alias("b")
     cand = (a.join(b, [F.col("a.g") == F.col("b.g"),
-                       F.col("a._id") < F.col("b._id"),
+                       F.col("a._id") != F.col("b._id"),
                        F.abs(F.col("a.pos") - F.col("b.pos")) <= max_dist])
-             .groupBy(F.col("a._id").alias("id_a"),
-                      F.col("b._id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("_cnt"),
-                  F.first(F.col("a._ln")).alias("ln_a"),
-                  F.first(F.col("b._ln")).alias("ln_b"))
-             .filter(F.col("_cnt") >= F.greatest(t, F.lit(1)))
-             .select("id_a", "id_b"))
+             .select(F.least("a._id", "b._id").alias("id_a"),
+                     F.greatest("a._id", "b._id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
     sa = s.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
     sb = s.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
     return (cand.join(sa, "id_a").join(sb, "id_b")

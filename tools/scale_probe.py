@@ -63,12 +63,37 @@ def _span_dedup(d):
     return span_dedup(d)
 
 
-_FULL_COLUMN_FORCE = {"span_dedup"}
+_FULL_COLUMN_FORCE = {"span_dedup", "boilerplate_remove"}
 
 
 def _tfidf(d):
     from mycelial_spark.operators.text import tfidf_keywords
     return tfidf_keywords(d, k=5)
+
+
+def _fuzzy_link(d):
+    # adversarial shared-prefix names: every string starts "record-0…",
+    # so naive gram blocking would go n^2 on the prefix grams; the
+    # rarest-gram prefix must keep candidates output-linear (true pairs
+    # = ids differing in one digit — bounded per id)
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.dedup import edit_distance_pairs
+    names = d.select("doc_id",
+                     F.format_string("record-%09d", F.col("doc_id"))
+                      .alias("name"))
+    return edit_distance_pairs(names, "name", "doc_id", max_dist=1)
+
+
+def _boilerplate(d):
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.dedup import (boilerplate_remove,
+                                                chunk_paragraphs)
+    built = chunk_paragraphs(
+        d.withColumn("source", (F.col("doc_id") % 50).cast("string")),
+        k=2, extra_cols=("source",))
+    return boilerplate_remove(built, min_docs=3)
 
 
 def _bloom_prune(d):
@@ -128,6 +153,12 @@ def main() -> None:
         # (cost tracks the SMALL side), the corpus pays one codegen
         # probe pass — cost should track the scan, like decontaminate
         "bloom_prune_join": lambda d: _bloom_prune(d),
+        # blocked edit-distance join on adversarial shared-prefix names:
+        # candidates must follow the rarest-gram df, not the hot prefix
+        "fuzzy_link": lambda d: _fuzzy_link(d),
+        # domain-frequency paragraph scrub: explode + count-distinct agg
+        # + broadcast anti-join + reassembly — all linear stages
+        "boilerplate_remove": lambda d: _boilerplate(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
