@@ -2524,6 +2524,29 @@ def pagerank_(spark, cfg, inputs):
                     cfg["src"], cfg["dst"])
 
 
+@_register("triangle_count", "transform", "dataframe", "dataframe",
+           [Field("src", default="src"), Field("dst", default="dst")],
+           doc="Global triangle count by degree-ordered orientation — "
+               "the wedge join's per-node fan-out is capped at "
+               "O(sqrt(m)) for any degree distribution (no celebrity-"
+               "node last reducer). Output: one row (n_triangles).")
+def triangle_count_(spark, cfg, inputs):
+    from mycelial_spark.operators.graph import triangle_count
+    return triangle_count(inputs[0], cfg["src"], cfg["dst"])
+
+
+@_register("connected_components", "transform", "dataframe", "dataframe",
+           [Field("src", default="id_a"), Field("dst", default="id_b"),
+            Field("max_iter", "int", 25)],
+           doc="Connected components of an edge list (alternating "
+               "large-star/small-star, O(log n) rounds); output = "
+               "(id, component) with component = min member id.")
+def connected_components_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import connected_components
+    return connected_components(inputs[0], cfg["src"], cfg["dst"],
+                                cfg["max_iter"])
+
+
 @_register("dedup_keep_best", "transform", "dataframe", "dataframe",
            [Field("score_col"), Field("id_col", default="doc_id")],
            n_inputs=(2, 2),

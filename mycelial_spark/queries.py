@@ -3899,6 +3899,40 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("triangle_count", """
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM n) AS v FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT n FROM n) FROM documents
+), e0 AS (
+  SELECT DISTINCT least(u, v) AS u, greatest(u, v) AS v
+  FROM e WHERE u <> v
+)
+SELECT (SELECT count(*) FROM e0 e1
+        JOIN e0 e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN e0 e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+""")
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_count) by
+    degree-ordered orientation — wedge self-join capped at O(sqrt m)
+    out-degree per node, immune to the celebrity-node last-reducer
+    collapse a naive adjacency join dies on. Fixture graph: each doc id
+    links to id+1 and id+2 (mod n) — a circulant graph with exactly one
+    triangle per node, so the count scales linearly and is trivially
+    auditable (= n). The oracle counts the same triangles by the naive
+    ordered 3-join (u < v < w)."""
+    from mycelial_spark.operators.graph import triangle_count
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+             .unionAll(docs.select(
+                 F.col("doc_id").alias("src"),
+                 ((F.col("doc_id") + 2) % n).alias("dst"))))
+    return triangle_count(e)
+
+
 @query("stratified_fixed_n", """
 WITH r AS (
   SELECT doc_id, source,

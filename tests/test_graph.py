@@ -57,3 +57,30 @@ def test_degree_stats(spark):
     got = {r["node"]: (r["out_degree"], r["in_degree"])
            for r in G.degree_stats(e).collect()}
     assert got == {1: (2, 0), 2: (1, 1), 3: (0, 2)}
+
+
+def test_triangle_count_k4_plus_pendant(spark):
+    from mycelial_spark.operators.graph import triangle_count
+    # K4 (4 triangles) + pendant edge + a duplicate and a reversed edge
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+         (2, 1), (3, 1)], "src long, dst long")
+    assert triangle_count(e).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_star_has_none(spark):
+    """Celebrity-node star: max naive wedge count, zero triangles —
+    the degenerate shape orientation is built for."""
+    from mycelial_spark.operators.graph import triangle_count
+    e = spark.createDataFrame([(0, i) for i in range(1, 40)],
+                              "src long, dst long")
+    assert triangle_count(e).collect()[0]["n_triangles"] == 0
+
+
+def test_triangle_count_circulant(spark):
+    from mycelial_spark.operators.graph import triangle_count
+    n = 30
+    rows = [(i, (i + 1) % n) for i in range(n)] + \
+           [(i, (i + 2) % n) for i in range(n)]
+    e = spark.createDataFrame(rows, "src long, dst long")
+    assert triangle_count(e).collect()[0]["n_triangles"] == n
