@@ -595,3 +595,36 @@ def test_r7_curation_sections(spark):
     dw = run("dup_weights", {}, [base, pairs]).collect()
     w = {r["doc_id"]: r["weight"] for r in dw}
     assert w[1] == w[2] == 0.5 and w[3] == 1.0
+
+
+def test_dataset_release_pipeline_end_to_end(spark, tmp_path):
+    """examples/dataset_release_pipeline.toml: boilerplate scrub ->
+    per-domain cap -> near-dup graph -> leakage-safe split -> release
+    parquet, run at sf0.001 into a temp dir."""
+    import tomllib
+
+    from mycelial_spark.plans.compiler import Pipeline
+
+    with open("examples/dataset_release_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    sf = "/root/testdata/sf0.001/documents.parquet"
+    out_dir = str(tmp_path / "release")
+    spec["nodes"]["docs"]["path"] = sf
+    spec["nodes"]["pair_docs"]["path"] = sf
+    spec["nodes"]["all_docs"]["path"] = sf
+    spec["nodes"]["out"]["path"] = out_dir
+    Pipeline.from_spec(spec).run(spark)
+    got = spark.read.parquet(out_dir)
+    rows = got.collect()
+    assert rows, "release is empty"
+    # per-domain cap respected
+    per = {}
+    for r in rows:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert max(per.values()) <= 15
+    # split labels well-formed and cluster-atomic
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
