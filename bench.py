@@ -119,6 +119,7 @@ HEADLINE = [
     "corpus_diff",
     "embedding_outliers",
     "stratified_fixed_n",
+    "triangle_count",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters
