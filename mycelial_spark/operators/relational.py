@@ -121,6 +121,54 @@ def topk_per_key(df: DataFrame, keys: str | Sequence[str],
               .filter(F.col(rank_col) <= k))
 
 
+def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
+                   min_support: int = 2,
+                   max_basket: int | None = None) -> DataFrame:
+    """Frequent co-occurring item pairs (the 2-itemset step of apriori
+    [Agrawal & Srikant, VLDB'94 — public algorithm]): pairs of items
+    appearing together in at least ``min_support`` baskets —
+    co-purchase mining, tag co-occurrence, related-document signals.
+
+    Returns (item_a, item_b, support) with item_a < item_b.
+
+    Scale shape, in order of what kills this query at 100 TB:
+    1. APRIORI PRUNE — an item in fewer than min_support baskets cannot
+       be in a frequent pair, so items are frequency-filtered BEFORE the
+       self-join (one partial-agg count + an equi-join on item). At real
+       support thresholds this drops the long tail that dominates raw
+       basket data.
+    2. MEGA-BASKET GUARD — a basket of B items emits B^2/2 pairs; one
+       crawler session with 100k items is 5e9 rows from a single basket.
+       ``max_basket`` drops baskets above the cap (count distinct items
+       per basket, window over basket — then filter), the standard
+       recommender practice; None keeps everything.
+    3. The within-basket self-join keys on the basket id and the pair
+       count is a partial-agg groupBy on the (item, item) pair.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    items = df.select(F.col(basket_col).alias("_b"),
+                      F.col(item_col).alias("_i")).distinct()
+    if max_basket is not None:
+        from pyspark.sql import Window
+        wb = Window.partitionBy("_b")
+        items = (items.withColumn("_bs", F.count(F.lit(1)).over(wb))
+                      .filter(F.col("_bs") <= max_basket).drop("_bs"))
+    if min_support > 1:
+        freq = (items.groupBy("_i")
+                     .agg(F.count(F.lit(1)).alias("_f"))
+                     .filter(F.col("_f") >= min_support)
+                     .select("_i"))
+        items = items.join(freq, "_i", "left_semi")
+    a, b = items.alias("a"), items.alias("b")
+    return (a.join(b, [F.col("a._b") == F.col("b._b"),
+                       F.col("a._i") < F.col("b._i")])
+             .groupBy(F.col("a._i").alias("item_a"),
+                      F.col("b._i").alias("item_b"))
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= min_support))
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                   compare_cols: Sequence[str] | None = None,
                   include_unchanged: bool = False) -> DataFrame:

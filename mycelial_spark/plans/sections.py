@@ -1166,6 +1166,21 @@ def dup_weights_(spark, cfg, inputs):
     return duplication_weights(inputs[0], inputs[1], cfg["id_col"])
 
 
+@_register("frequent_pairs", "transform", "dataframe", "dataframe",
+           [Field("basket_col"), Field("item_col"),
+            Field("min_support", "int", 2),
+            Field("max_basket", "int", 0)],
+           doc="Frequent co-occurring item pairs (apriori 2-itemset): "
+               "items frequency-pruned before the within-basket "
+               "self-join; max_basket > 0 drops mega-baskets (a basket "
+               "of B items emits B^2/2 pairs).")
+def frequent_pairs_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import frequent_pairs
+    return frequent_pairs(inputs[0], cfg["basket_col"], cfg["item_col"],
+                          cfg["min_support"],
+                          cfg["max_basket"] or None)
+
+
 @_register("stratified_fixed_n", "transform", "dataframe", "dataframe",
            [Field("stratum_col"), Field("id_col", default="doc_id"),
             Field("n", "int"), Field("salt", "int", 1)],

@@ -3899,6 +3899,24 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("frequent_pairs", """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+               FROM lineitem)
+SELECT a.i AS item_a, bb.i AS item_b, count(*) AS support
+FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def frequent_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase pair mining (operators/relational.py frequent_pairs):
+    part pairs ordered together in >= 2 orders — the apriori 2-itemset
+    step with item-frequency pruning ahead of the self-join (which the
+    oracle needn't replicate: the prune is result-invariant by the
+    apriori property)."""
+    from mycelial_spark.operators.relational import frequent_pairs
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 @query("triangle_count", """
 WITH n AS (SELECT count(*) AS n FROM documents),
 e AS (

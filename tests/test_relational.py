@@ -230,3 +230,37 @@ def test_snapshot_diff_requires_shared_columns(spark):
     b = spark.createDataFrame([(1, "y")], "id long, b string")
     with _p.raises(ValueError, match="share nothing"):
         snapshot_diff(a, b, "id")
+
+
+def test_frequent_pairs_semantics(spark):
+    from mycelial_spark.operators.relational import frequent_pairs
+    rows = [(1, "x"), (1, "y"), (1, "z"), (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"), (3, "x"),   # dup item in basket: once
+            (4, "z"), (4, "w")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["item_a"], r["item_b"]): r["support"]
+           for r in frequent_pairs(df, "basket", "item",
+                                   min_support=2).collect()}
+    # (x,y) in baskets 1,2,3; (x,z)/(y,z)/(z,w) only once -> dropped
+    assert got == {("x", "y"): 3}
+
+
+def test_frequent_pairs_mega_basket_guard(spark):
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.relational import frequent_pairs
+    big = [(99, f"i{j}") for j in range(50)]
+    small = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(small + big, "basket long, item string")
+    got = frequent_pairs(df, "basket", "item", min_support=1,
+                         max_basket=10).collect()
+    # the 50-item basket is dropped entirely; the small pairs survive
+    assert {(r["item_a"], r["item_b"]) for r in got} == {("a", "b")}
+
+
+def test_frequent_pairs_validation(spark):
+    import pytest as _p
+    from mycelial_spark.operators.relational import frequent_pairs
+    df = spark.createDataFrame([(1, "x")], "basket long, item string")
+    with _p.raises(ValueError, match="min_support"):
+        frequent_pairs(df, "basket", "item", min_support=0)
