@@ -120,6 +120,7 @@ HEADLINE = [
     "embedding_outliers",
     "stratified_fixed_n",
     "triangle_count",
+    "frequent_pairs",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters

@@ -169,6 +169,50 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
              .filter(F.col("support") >= min_support))
 
 
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_support: int = 2, min_confidence: float = 0.0,
+                      max_basket: int | None = None) -> DataFrame:
+    """Directed association rules over the frequent pairs: for each
+    frequent pair emit both directions (antecedent -> consequent) with
+    ``confidence = support(a,b) / support(a)`` and
+    ``lift = confidence / (support(b) / n_baskets)`` — the
+    co-purchase / co-occurrence recommendation signal.
+
+    Returns (antecedent, consequent, support, confidence, lift),
+    confidence/lift rounded to 6 for cross-engine stability.
+
+    Scale shape: frequent_pairs carries the heavy work (apriori-pruned
+    self-join); item supports are one partial-agg count re-used for
+    both direction joins; n_baskets is a scalar aggregate broadcast by
+    the optimizer. Rule emission doubles the (already support-filtered)
+    pair table — output-bounded.
+    """
+    pairs = frequent_pairs(df, basket_col, item_col, min_support,
+                           max_basket)
+    items = df.select(F.col(basket_col).alias("_b"),
+                      F.col(item_col).alias("_i")).distinct()
+    isup = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_is"))
+    n_baskets = items.select("_b").distinct().count()
+    both = (pairs.select(F.col("item_a").alias("antecedent"),
+                         F.col("item_b").alias("consequent"), "support")
+                 .unionByName(
+                     pairs.select(
+                         F.col("item_b").alias("antecedent"),
+                         F.col("item_a").alias("consequent"), "support")))
+    sa = isup.select(F.col("_i").alias("antecedent"),
+                     F.col("_is").alias("_sa"))
+    sc = isup.select(F.col("_i").alias("consequent"),
+                     F.col("_is").alias("_sc"))
+    conf = F.col("support") / F.col("_sa")
+    lift = conf / (F.col("_sc") / F.lit(float(n_baskets)))
+    return (both.join(sa, "antecedent").join(sc, "consequent")
+                .filter(conf >= min_confidence)
+                .withColumn("confidence", F.round(conf, 6))
+                .withColumn("lift", F.round(lift, 6))
+                .select("antecedent", "consequent", "support",
+                        "confidence", "lift"))
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                   compare_cols: Sequence[str] | None = None,
                   include_unchanged: bool = False) -> DataFrame:

@@ -1181,6 +1181,23 @@ def frequent_pairs_(spark, cfg, inputs):
                           cfg["max_basket"] or None)
 
 
+@_register("association_rules", "transform", "dataframe", "dataframe",
+           [Field("basket_col"), Field("item_col"),
+            Field("min_support", "int", 2),
+            Field("min_confidence", "float", 0.0),
+            Field("max_basket", "int", 0)],
+           doc="Directed association rules over the frequent pairs: "
+               "confidence = support(a,b)/support(a), lift vs the "
+               "consequent's base rate; both directions, "
+               "confidence-filtered.")
+def association_rules_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import association_rules
+    return association_rules(inputs[0], cfg["basket_col"],
+                             cfg["item_col"], cfg["min_support"],
+                             cfg["min_confidence"],
+                             cfg["max_basket"] or None)
+
+
 @_register("stratified_fixed_n", "transform", "dataframe", "dataframe",
            [Field("stratum_col"), Field("id_col", default="doc_id"),
             Field("n", "int"), Field("salt", "int", 1)],

@@ -3899,6 +3899,40 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("association_rules", """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+               FROM lineitem),
+n AS (SELECT count(DISTINCT b) AS nb FROM items),
+pairs AS (
+  SELECT a.i AS ia, bb.i AS ib, count(*) AS support
+  FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+), isup AS (SELECT i, count(*) AS s FROM items GROUP BY 1),
+dirs AS (
+  SELECT ia AS antecedent, ib AS consequent, support FROM pairs
+  UNION ALL
+  SELECT ib, ia, support FROM pairs
+)
+SELECT antecedent, consequent, support,
+       round(support * 1.0 / sa.s, 6) AS confidence,
+       round((support * 1.0 / sa.s)
+             / (sc.s * 1.0 / (SELECT nb FROM n)), 6) AS lift
+FROM dirs JOIN isup sa ON sa.i = antecedent
+          JOIN isup sc ON sc.i = consequent
+WHERE support * 1.0 / sa.s >= 0.08
+""")
+def association_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-purchase rules (operators/relational.py
+    association_rules): confidence = support(a,b)/support(a), lift
+    against the consequent's base rate — both directions of every
+    frequent pair, confidence-filtered. Composes frequent_pairs (the
+    apriori-pruned self-join does the heavy work)."""
+    from mycelial_spark.operators.relational import association_rules
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_support=3, min_confidence=0.08)
+
+
 @query("frequent_pairs", """
 WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                FROM lineitem)

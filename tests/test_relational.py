@@ -264,3 +264,23 @@ def test_frequent_pairs_validation(spark):
     df = spark.createDataFrame([(1, "x")], "basket long, item string")
     with _p.raises(ValueError, match="min_support"):
         frequent_pairs(df, "basket", "item", min_support=0)
+
+
+def test_association_rules_confidence_lift(spark):
+    from mycelial_spark.operators.relational import association_rules
+    # x in 4 baskets, y in 2, (x,y) together in 2
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (3, "x"), (4, "x")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    got = {(r["antecedent"], r["consequent"]):
+           (r["support"], r["confidence"], r["lift"])
+           for r in association_rules(df, "basket", "item",
+                                      min_support=2).collect()}
+    # conf(x->y) = 2/4; lift = 0.5 / (2/4 baskets) = 1.0
+    assert got[("x", "y")] == (2, 0.5, 1.0)
+    # conf(y->x) = 2/2 = 1; lift = 1 / (4/4) = 1.0
+    assert got[("y", "x")] == (2, 1.0, 1.0)
+    # confidence filter drops the weak direction only
+    strict = {(r["antecedent"], r["consequent"]) for r in
+              association_rules(df, "basket", "item", min_support=2,
+                                min_confidence=0.75).collect()}
+    assert strict == {("y", "x")}
