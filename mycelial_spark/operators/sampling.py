@@ -167,6 +167,44 @@ def stratified_fixed_n(df: DataFrame, stratum_col: str, id_col: str,
         salt=salt, salt_on=id_col, rank_col="sample_rank")
 
 
+def weighted_sample_exact_k(df: DataFrame, weight_col: str, id_col: str,
+                            k: int) -> DataFrame:
+    """EXACTLY-k weighted sampling WITHOUT replacement [Efraimidis &
+    Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+    public algorithm], deterministic: each row's key is
+    ``ln(u) / w`` with ``u`` drawn from the Knuth hash of its id
+    (uniform in (0, 1]); the k LARGEST keys win. This realizes the
+    sequential weighted-draw process exactly — a row with twice the
+    weight is twice as likely to beat any given competitor — while
+    staying a pure function of (id, weight): reruns, retries, and other
+    engines select the identical k rows.
+
+    Rows with NULL or non-positive weight are excluded (they cannot be
+    drawn). Ties (hash collisions across a wide id space) break by id.
+
+    Returns the selected rows + ``es_key`` (rounded to 6).
+
+    Scale shape: one codegen projection + a global top-k
+    (TakeOrdered — per-partition heaps, never a full sort). ``ln`` is
+    the one transcendental in the engine's deterministic-sampling
+    family; both JVM Math.log and the oracle's libm are sub-ulp on
+    doubles, and the id tiebreak decides exact-equal keys, so the kept
+    set only flips if two keys land within float error of each other
+    AND straddle the k-boundary.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (hash_order(id_col) + 1) / F.lit(float(_MOD))
+    key = F.log(u) / w
+    return (df.filter(w.isNotNull() & (w > 0))
+              .withColumn("_esk", key)
+              .orderBy(F.col("_esk").desc(), F.col(id_col).asc())
+              .limit(k)
+              .withColumn("es_key", F.round("_esk", 6))
+              .drop("_esk"))
+
+
 def pack_greedy(df: DataFrame, max_tokens: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 8, encoder=None) -> DataFrame:

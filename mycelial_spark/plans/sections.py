@@ -1181,6 +1181,20 @@ def frequent_pairs_(spark, cfg, inputs):
                           cfg["max_basket"] or None)
 
 
+@_register("weighted_sample_k", "transform", "dataframe", "dataframe",
+           [Field("weight_col"), Field("id_col", default="doc_id"),
+            Field("k", "int")],
+           doc="Exactly-k weighted sample without replacement "
+               "(Efraimidis-Spirakis keys over the Knuth id hash): "
+               "selection probability proportional to weight, kept set "
+               "a pure function of (id, weight); one projection + "
+               "global top-k.")
+def weighted_sample_k_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import weighted_sample_exact_k
+    return weighted_sample_exact_k(inputs[0], cfg["weight_col"],
+                                   cfg["id_col"], cfg["k"])
+
+
 @_register("association_rules", "transform", "dataframe", "dataframe",
            [Field("basket_col"), Field("item_col"),
             Field("min_support", "int", 2),

@@ -3899,6 +3899,27 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+@query("weighted_sample_k", """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(((doc_id % 2147483648) * 2654435761 % 4294967296 + 1)
+            / 4294967296.0) / n_chars AS k0
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, round(k0, 6) AS es_key
+FROM keyed ORDER BY k0 DESC, doc_id ASC LIMIT 50
+""")
+def weighted_sample_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 weighted sample without replacement (operators/
+    sampling.py weighted_sample_exact_k, Efraimidis-Spirakis keys
+    ln(u)/w over the Knuth id hash) — longer docs proportionally more
+    likely, the kept set a pure function of (id, weight). The oracle
+    replays the identical key arithmetic and top-k."""
+    from mycelial_spark.operators.sampling import weighted_sample_exact_k
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample_exact_k(docs, "n_chars", "doc_id", k=50)
+
+
 @query("association_rules", """
 WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
                FROM lineitem),

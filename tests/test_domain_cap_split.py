@@ -136,3 +136,30 @@ def test_stratified_fixed_n_exact_counts_and_determinism(spark):
     again = sorted(map(tuple, stratified_fixed_n(
         df.repartition(7), "stratum", "id", n=5, salt=1).collect()))
     assert base == again
+
+
+def test_weighted_sample_exact_k(spark):
+    from mycelial_spark.operators.sampling import weighted_sample_exact_k
+    rows = [(i, float(1 + i % 5)) for i in range(100)] + \
+           [(200, None), (201, 0.0), (202, -1.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_exact_k(df, "w", "id", k=10).collect()
+    assert len(out) == 10
+    # invalid-weight rows can never be drawn
+    assert {r["id"] for r in out}.isdisjoint({200, 201, 202})
+    # deterministic across partitionings
+    again = weighted_sample_exact_k(df.repartition(7), "w", "id",
+                                    k=10).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # statistically: heavy weights dominate — the top-10 of this fixture
+    # should skew to the larger weight classes
+    ws = [r["w"] for r in out]
+    assert sum(1 for w in ws if w >= 3.0) >= 6
+
+
+def test_weighted_sample_validation(spark):
+    import pytest as _p
+    from mycelial_spark.operators.sampling import weighted_sample_exact_k
+    df = spark.createDataFrame([(1, 1.0)], "id long, w double")
+    with _p.raises(ValueError, match="k must"):
+        weighted_sample_exact_k(df, "w", "id", k=0)
