@@ -147,6 +147,18 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
+    items = _distinct_items(df, basket_col, item_col, max_basket)
+    return _pairs_from_items(items, min_support)
+
+
+def _distinct_items(df: DataFrame, basket_col: str, item_col: str,
+                    max_basket: int | None) -> DataFrame:
+    """Deduped (basket, item) frame, PERSISTED: every consumer of basket
+    data (frequency prune, both self-join sides, item supports, basket
+    count) reads this one materialization instead of re-paying the
+    corpus scan + distinct — the difference between 1 and 4+ full scans
+    at 100 TB."""
+    from pyspark import StorageLevel
     items = df.select(F.col(basket_col).alias("_b"),
                       F.col(item_col).alias("_i")).distinct()
     if max_basket is not None:
@@ -154,6 +166,10 @@ def frequent_pairs(df: DataFrame, basket_col: str, item_col: str,
         wb = Window.partitionBy("_b")
         items = (items.withColumn("_bs", F.count(F.lit(1)).over(wb))
                       .filter(F.col("_bs") <= max_basket).drop("_bs"))
+    return items.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _pairs_from_items(items: DataFrame, min_support: int) -> DataFrame:
     if min_support > 1:
         freq = (items.groupBy("_i")
                      .agg(F.count(F.lit(1)).alias("_f"))
@@ -187,10 +203,10 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     the optimizer. Rule emission doubles the (already support-filtered)
     pair table — output-bounded.
     """
-    pairs = frequent_pairs(df, basket_col, item_col, min_support,
-                           max_basket)
-    items = df.select(F.col(basket_col).alias("_b"),
-                      F.col(item_col).alias("_i")).distinct()
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    items = _distinct_items(df, basket_col, item_col, max_basket)
+    pairs = _pairs_from_items(items, min_support)
     isup = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_is"))
     n_baskets = items.select("_b").distinct().count()
     both = (pairs.select(F.col("item_a").alias("antecedent"),
