@@ -674,3 +674,45 @@ def html_to_text(col: Column | str) -> Column:
                      ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
         c = F.replace(c, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def vocab_coverage(df: DataFrame, vocab: "list[str] | DataFrame",
+                   text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Tokenizer-fit report: per group (domain/source), what share of
+    token OCCURRENCES falls outside a given vocabulary — the check a
+    team runs before committing a tokenizer to a corpus mix (a domain
+    with high OOV mass will fragment into long byte-level pieces and
+    blow its effective token budget).
+
+    ``vocab`` is a list of words or a 1-column DataFrame (scales past
+    driver-literal size). Returns (group_col, n_tokens, n_oov,
+    oov_rate, n_oov_types) — occurrences, OOV occurrences, their ratio
+    (rounded 6), and DISTINCT OOV word count.
+
+    Scale shape: one explode + a BROADCAST left join against the vocab
+    (vocabularies are small against any corpus — 100k words is a few
+    MB) + one partial-agg group aggregate; the distinct-OOV count is
+    the one EXPAND-cost measure, matching profile_columns' exact-ndv
+    tradeoff.
+    """
+    spark = df.sparkSession
+    if not isinstance(vocab, DataFrame):
+        vocab = spark.createDataFrame([(w,) for w in vocab],
+                                      "_w string")
+    else:
+        vocab = vocab.toDF("_w")
+    toks = df.select(F.col(group_col),
+                     F.explode(tokens(F.col(text_col))).alias("_t"))
+    joined = toks.join(F.broadcast(vocab.withColumn("_inv", F.lit(1))),
+                       toks["_t"] == vocab["_w"], "left")
+    oov = F.col("_inv").isNull()
+    return (joined.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.sum(oov.cast("long")).alias("n_oov"),
+                 F.count_distinct(F.when(oov, F.col("_t")))
+                  .alias("n_oov_types"))
+            .withColumn("oov_rate",
+                        F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+            .select(group_col, "n_tokens", "n_oov", "oov_rate",
+                    "n_oov_types"))

@@ -1181,6 +1181,19 @@ def frequent_pairs_(spark, cfg, inputs):
                           cfg["max_basket"] or None)
 
 
+@_register("vocab_coverage", "transform", "dataframe", "dataframe",
+           [Field("vocab", "list"), Field("text_col", default="text"),
+            Field("group_col", default="source")],
+           doc="Tokenizer-fit report: per group, the share of token "
+               "occurrences outside the vocabulary (OOV mass fragments "
+               "into long byte pieces and blows token budgets); vocab "
+               "broadcast, one explode + one group aggregate.")
+def vocab_coverage_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import vocab_coverage
+    return vocab_coverage(inputs[0], [str(w) for w in cfg["vocab"]],
+                          cfg["text_col"], cfg["group_col"])
+
+
 @_register("weighted_sample_k", "transform", "dataframe", "dataframe",
            [Field("weight_col"), Field("id_col", default="doc_id"),
             Field("k", "int")],

@@ -3899,6 +3899,39 @@ def paragraph_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_paras", "n_kept", "cleaned_text")
 
 
+_VOCAB_FIT_SF001 = ["a", "batch", "column", "customer", "filter", "hash",
+                    "join", "row", "scan", "small"]
+
+_VOCAB_FIT_SQL = ", ".join(f"('{w}')" for w in _VOCAB_FIT_SF001)
+
+
+@query("vocab_coverage", f"""
+WITH v(w) AS (SELECT * FROM (VALUES {_VOCAB_FIT_SQL})),
+tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT source,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+       round(count(*) FILTER (WHERE v.w IS NULL) * 1.0 / count(*), 6)
+         AS oov_rate,
+       count(DISTINCT t) FILTER (WHERE v.w IS NULL) AS n_oov_types
+FROM tok LEFT JOIN v ON v.w = tok.t
+GROUP BY source
+""")
+def vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit report (operators/text.py vocab_coverage): per
+    source, the share of token occurrences outside the frozen
+    single-piece vocabulary of the pinned BPE merge table — the check
+    before committing a tokenizer to a corpus mix (high-OOV domains
+    fragment into long byte pieces and blow their token budgets).
+    Vocab side broadcast; distinct-OOV is the one EXPAND-cost measure."""
+    from mycelial_spark.operators.text import vocab_coverage
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, _VOCAB_FIT_SF001)
+
+
 @query("weighted_sample_k", """
 WITH keyed AS (
   SELECT doc_id, n_chars,

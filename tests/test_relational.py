@@ -284,3 +284,23 @@ def test_association_rules_confidence_lift(spark):
               association_rules(df, "basket", "item", min_support=2,
                                 min_confidence=0.75).collect()}
     assert strict == {("y", "x")}
+
+
+def test_vocab_coverage(spark):
+    from mycelial_spark.operators.text import vocab_coverage
+    df = spark.createDataFrame(
+        [("A", "the cat sat"), ("A", "cat cat dog"), ("B", "the the")],
+        "source string, text string")
+    got = {r["source"]: r for r in
+           vocab_coverage(df, ["the", "cat"]).collect()}
+    # A: 6 tokens, oov = sat + dog = 2; distinct oov types = 2
+    assert (got["A"]["n_tokens"], got["A"]["n_oov"],
+            got["A"]["n_oov_types"]) == (6, 2, 2)
+    assert got["A"]["oov_rate"] == round(2 / 6, 6)
+    # B fully covered
+    assert (got["B"]["n_oov"], got["B"]["n_oov_types"]) == (0, 0)
+    # DataFrame-typed vocab gives the same answer
+    vdf = spark.createDataFrame([("the",), ("cat",)], "w string")
+    got2 = {r["source"]: r["n_oov"]
+            for r in vocab_coverage(df, vdf).collect()}
+    assert got2 == {"A": 2, "B": 0}

@@ -96,6 +96,19 @@ def _boilerplate(d):
     return boilerplate_remove(built, min_docs=3)
 
 
+def _frequent_pairs(d):
+    # token co-occurrence mining: each doc is a basket of its distinct
+    # tokens — sum(basket_size^2) grows linearly with docs, so the
+    # within-basket self-join should too
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.relational import frequent_pairs
+    toks = d.select("doc_id",
+                    F.explode(F.array_distinct(
+                        F.split(F.trim("text"), r"\s+"))).alias("tok"))
+    return frequent_pairs(toks, "doc_id", "tok", min_support=50)
+
+
 def _bloom_prune(d):
     from pyspark.sql import functions as F
 
@@ -159,6 +172,9 @@ def main() -> None:
         # domain-frequency paragraph scrub: explode + count-distinct agg
         # + broadcast anti-join + reassembly — all linear stages
         "boilerplate_remove": lambda d: _boilerplate(d),
+        # apriori pair mining over token baskets: one persisted items
+        # materialization; cost ~ sum(basket^2), linear in docs
+        "frequent_pairs": lambda d: _frequent_pairs(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
