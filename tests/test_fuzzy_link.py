@@ -69,3 +69,20 @@ def test_validation(spark):
         edit_distance_pairs(df, "s", "id", max_dist=0)
     with pytest.raises(ValueError, match="q must"):
         edit_distance_pairs(df, "s", "id", q=1)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="abc", min_size=0, max_size=12),
+                min_size=2, max_size=18, unique=True),
+       st.integers(min_value=1, max_value=2))
+def test_blocking_lossless_property(spark, strings, k):
+    """Property: over a tiny alphabet (maximal gram collisions and
+    repeat-heavy strings), the blocked join equals brute force for any
+    string set and distance bound."""
+    df = spark.createDataFrame(list(enumerate(strings)),
+                               "id long, s string")
+    assert _blocked(spark, df, "s", k) == _brute(spark, df, "s", k)
