@@ -837,6 +837,98 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         threshold: float = 0.5,
+                         ngram: int = 1) -> DataFrame:
+    """Exact all-pairs set-Jaccard >= threshold via PREFIX FILTERING
+    [Chaudhuri/Ganti/Kaushik ICDE'06; Xiao et al. "PPJoin", WWW'08 —
+    public algorithms]: the scale path for exact set-similarity
+    self-joins, where ngram_jaccard_pairs' plain postings join pays the
+    df² of every common element. ``ngram=1`` compares distinct
+    whitespace-token sets; ``ngram>=2`` compares distinct word-n-gram
+    shingle sets (as 8-byte rolling hashes — element identity only
+    needs to be consistent, and fixed-width hashes shuffle far cheaper
+    than shingle strings; 64-bit collisions are the same accepted odds
+    the MinHash/fingerprint paths run on).
+
+    Order each doc's distinct elements by ascending global document
+    frequency (rarest first, element tiebreak). For Jaccard >= t a pair
+    must share >= ceil(t·|A|) elements with A, so the first
+    |A| - ceil(t·|A|) + 1 elements of A (its PREFIX) must intersect B's
+    prefix — candidates are generated ONLY from prefix collisions, and
+    a prefix is by construction each doc's rarest elements: stopwords
+    ("the", "and") never drive the join unless a doc is so small
+    they're its rarest. A symmetric length filter (min_sz >= t·max_sz,
+    a necessary condition of Jaccard >= t) prunes before dedup. Both
+    prunes are LOSSLESS — verification computes the exact intersection,
+    so filtering can only admit false candidates, never drop true pairs
+    (the oracle hash-match against the unfiltered all-pairs form proves
+    it end-to-end). Float guard: ceil(t·sz) computes as
+    ceil(t·sz − 1e-9) so binary-inexact t (0.4·5 = 2.0000…4) can only
+    LENGTHEN a prefix, never shorten it.
+
+    Scale shape: element df is one partial-agg groupBy; per-doc rank is
+    a window partitioned by id (bounded by doc length, no skew); the
+    candidate join's cost follows the df of each doc's RAREST elements —
+    output-linear on discriminative vocabularies. Verification joins the
+    candidate pairs back to per-doc sorted element arrays (doc-sized
+    payloads, candidate-bounded volume) and intersects in codegen.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
+    6 decimals, jaccard >= threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1; got {ngram}")
+    from pyspark.sql import Window
+    if ngram == 1:
+        elems = F.array_distinct(tokens(F.col(text_col)))
+    else:
+        from mycelial_spark.operators.text import with_fingerprint
+        df = with_fingerprint(spread(df), text_col, ngram)
+        elems = F.array_distinct(F.col("shingle_hashes"))
+    toks = spread(df).select(
+        F.col(id_col).alias("_id"),
+        F.explode(elems).alias("tok")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    sz = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
+                                          F.col("tok").asc())
+    ranked = (toks.join(tdf, "tok")
+                  .withColumn("_rn", F.row_number().over(w))
+                  .join(sz, "_id"))
+    need = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    prefix = (ranked
+              .filter(F.col("_rn") <= F.col("sz") - need + 1)
+              .select("_id", "tok", "sz"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, [F.col("a.tok") == F.col("b.tok"),
+                       F.col("a._id") < F.col("b._id"),
+                       F.least("a.sz", "b.sz")
+                       >= F.lit(threshold) * F.greatest("a.sz", "b.sz")
+                       - F.lit(1e-9)])
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sets = toks.groupBy("_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("_ts"),
+        F.count(F.lit(1)).alias("_sz"))
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"),
+                     F.col("_sz").alias("sz_a"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"),
+                     F.col("_sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard",
+                            F.round(inter / (F.col("sz_a") + F.col("sz_b")
+                                             - inter), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+
 def edit_distance_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", max_dist: int = 1,
                         q: int = 3) -> DataFrame:

@@ -128,6 +128,53 @@ def degree_stats(edges: DataFrame, src: str = "src",
                     F.coalesce("in_degree", F.lit(0)).alias("in_degree")))
 
 
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  max_depth: int = 6, src: str = "src",
+                  dst: str = "dst") -> DataFrame:
+    """Shortest-path hop distance from a SET of source nodes, capped at
+    ``max_depth`` — the k-hop-neighborhood primitive (link-graph blast
+    radius, crawl frontier expansion, entity-context collection).
+    ``sources`` is a one-column DataFrame of seed node ids (column name
+    ``node`` or its single column); returns (node, dist) for every node
+    reachable within max_depth, dist = MINIMUM hop count (0 for seeds).
+
+    Frontier-driven iteration — the natural distributed BFS: state is
+    the visited set (node, dist), each round expands ONLY the newest
+    frontier through one equi-join on the pre-partitioned edge table and
+    anti-joins the visited set, so per-round shuffle volume follows the
+    frontier, not the graph. Termination: frontier empties (all
+    reachable nodes found) or max_depth reached — the cap bounds the
+    work on small-world graphs where hop 4+ is effectively the whole
+    corpus. localCheckpoint per round keeps the plan flat (without it
+    lineage doubles per hop). Seeds not present in the edge table still
+    return dist 0 — a seed is trivially reachable from itself.
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0; got {max_depth}")
+    scol = sources.columns[0] if "node" not in sources.columns else "node"
+    visited = (sources.select(F.col(scol).alias("node")).distinct()
+               .withColumn("dist", F.lit(0)).localCheckpoint())
+    if max_depth == 0:
+        return visited
+    # edge bytes move into the join layout once, not once per hop
+    e = (edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+              .distinct().repartition(F.col("_src")).persist())
+    e.count()  # materialize before the loop so persist survives lineage cuts
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("_src")), "_src")
+                .select(F.col("_dst").alias("node")).distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("dist", F.lit(depth))
+                .localCheckpoint())
+        if not nxt.limit(1).count():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    e.unpersist()
+    return visited
+
+
 def triangle_count(edges: DataFrame, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Global triangle count by DEGREE-ORDERED ORIENTATION [Suri &

@@ -6014,6 +6014,77 @@ def dup_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_weights(docs, pairs, "doc_id")
 
 
+@query("jaccard_join_prefix", """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), post AS (SELECT doc_id, unnest(shingles) s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_b
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.3
+""")
+def jaccard_join_prefix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set similarity self-join by PREFIX FILTERING
+    (operators/dedup.py jaccard_prefix_pairs — PPJoin-style): candidates
+    come only from collisions on each doc's globally-RAREST shingles +
+    a length filter, instead of the full postings self-join
+    ngram_jaccard_pairs runs (where every common element pays its df²).
+    The oracle is the UNFILTERED brute-force all-pairs join — the
+    hash-match proves the prefix + length prunes are lossless
+    end-to-end."""
+    from mycelial_spark.operators.dedup import jaccard_prefix_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(docs, "text", "doc_id",
+                                threshold=0.3, ngram=3)
+
+
+@query("k_hop_distances", """
+WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS u, (doc_id + 1) % (SELECT n FROM n) AS v FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % (SELECT n FROM n) FROM documents
+),
+r AS (
+  SELECT doc_id AS node, 0 AS dist FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.v, r.dist + 1 FROM r JOIN e ON e.u = r.node WHERE r.dist < 4
+)
+SELECT node, min(dist) AS dist FROM r GROUP BY node
+""")
+def k_hop_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop BFS distances (operators/graph.py bfs_distances) from the
+    doc_id % 97 == 0 seed set over the same circulant graph
+    triangle_count uses (doc -> doc+1, doc -> doc+2 mod n), capped at 4
+    hops. Frontier-driven: each round shuffles only the new frontier
+    against the once-partitioned edge table. The oracle is a
+    depth-capped recursive-CTE BFS taking min(dist) per node."""
+    from mycelial_spark.operators.graph import bfs_distances
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    e = (docs.select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") + 1) % n).alias("dst"))
+             .unionAll(docs.select(
+                 F.col("doc_id").alias("src"),
+                 ((F.col("doc_id") + 2) % n).alias("dst"))))
+    seeds = docs.filter(F.col("doc_id") % 97 == 0) \
+                .select(F.col("doc_id").alias("node"))
+    out = bfs_distances(e, seeds, max_depth=4)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -84,3 +84,54 @@ def test_triangle_count_circulant(spark):
            [(i, (i + 2) % n) for i in range(n)]
     e = spark.createDataFrame(rows, "src long, dst long")
     assert triangle_count(e).collect()[0]["n_triangles"] == n
+
+
+def _bfs(spark, pairs, seeds, depth):
+    from mycelial_spark.operators.graph import bfs_distances
+    e = _edges(spark, pairs)
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {r["node"]: r["dist"]
+            for r in bfs_distances(e, s, max_depth=depth).collect()}
+
+
+def test_bfs_path_distances(spark):
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1], 3)
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_cycle_terminates_early(spark):
+    """1->2->3->1: frontier empties after 2 hops; a generous cap must
+    not loop or inflate distances."""
+    got = _bfs(spark, [(1, 2), (2, 3), (3, 1)], [1], 10)
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_multi_seed_min_distance(spark):
+    """Distance is the MIN over seeds; a node reachable from two seeds
+    takes the shorter hop count, and seeds already visited are never
+    re-labeled."""
+    got = _bfs(spark, [(1, 2), (2, 3), (4, 3), (4, 5)], [1, 4], 4)
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1, 5: 1}
+
+
+def test_bfs_isolated_seed_and_depth_zero(spark):
+    # seed 99 has no edges: still returned at dist 0
+    got = _bfs(spark, [(1, 2)], [99, 1], 4)
+    assert got == {99: 0, 1: 0, 2: 1}
+    got0 = _bfs(spark, [(1, 2)], [1], 0)
+    assert got0 == {1: 0}
+
+
+def test_bfs_directed_only(spark):
+    """Edges are directed: 2->1 gives 1 no path to 2."""
+    got = _bfs(spark, [(2, 1)], [1], 3)
+    assert got == {1: 0}
+
+
+def test_bfs_validation(spark):
+    from mycelial_spark.operators.graph import bfs_distances
+    e = _edges(spark, [(1, 2)])
+    s = spark.createDataFrame([(1,)], "node long")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_depth"):
+        bfs_distances(e, s, max_depth=-1)

@@ -1,0 +1,112 @@
+"""Prefix-filtered exact set-similarity join: losslessness vs brute force.
+
+The prefix + length filters may only drop pairs that CANNOT clear the
+threshold — every test compares against a plain Python all-pairs
+computation over the same element sets.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mycelial_spark.operators.dedup import jaccard_prefix_pairs
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def _brute(texts, threshold, ngram=1):
+    def elems(t):
+        toks = t.split()
+        if ngram == 1:
+            return set(toks)
+        return {" ".join(toks[i:i + ngram])
+                for i in range(len(toks) - ngram + 1)}
+    sets = {i: elems(t) for i, t in enumerate(texts)}
+    out = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i >= j or not sets[i] or not sets[j]:
+                continue
+            inter = len(sets[i] & sets[j])
+            jac = round(inter / (len(sets[i]) + len(sets[j]) - inter), 6)
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+def _got(spark, texts, threshold, ngram=1):
+    df = _docs(spark, texts)
+    rows = jaccard_prefix_pairs(df, "text", "doc_id",
+                                threshold=threshold, ngram=ngram).collect()
+    return {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+
+
+def test_matches_brute_force_tokens(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "pack my box with five dozen liquor jugs now",
+        "entirely unrelated text here",
+        "the quick brown fox",
+    ]
+    for t in (0.3, 0.5, 0.8):
+        assert _got(spark, texts, t) == _brute(texts, t)
+
+
+def test_stopword_heavy_corpus_lossless(spark):
+    """Every doc shares the hot tokens; prefixes are the rare tails —
+    the shape plain postings joins die on must still be exact."""
+    base = "the a of and to in is it"
+    texts = [f"{base} unique{i}" for i in range(20)]
+    texts += [f"{base} unique3"]          # exact dup of doc 3's set
+    for t in (0.5, 0.9):
+        assert _got(spark, texts, t) == _brute(texts, t)
+
+
+def test_threshold_exact_tie_kept(spark):
+    """jaccard == threshold exactly (2 shared of 4 union = 0.5): the
+    float guard must not let ceil() round the prefix short."""
+    texts = ["a b c", "b c d"]  # inter 2, union 4 -> 0.5
+    assert _got(spark, texts, 0.5) == {(0, 1): 0.5}
+
+
+def test_shingle_mode_matches_brute_force(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon eta",
+        "one two three four five six seven",
+        "one two three four five six eight",
+        "alpha beta gamma",
+    ]
+    for t in (0.2, 0.4):
+        assert _got(spark, texts, t, ngram=3) == _brute(texts, t, ngram=3)
+
+
+def test_empty_and_tiny_docs(spark):
+    texts = ["", "   ", "solo", "solo", "a b", "a b"]
+    assert _got(spark, texts, 0.5) == _brute(texts, 0.5)
+    # shingle mode: docs under ngram tokens have empty sets -> no pairs
+    assert _got(spark, texts, 0.5, ngram=3) == {}
+
+
+def test_validation(spark):
+    df = _docs(spark, ["x"])
+    with pytest.raises(ValueError, match="threshold"):
+        jaccard_prefix_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError, match="ngram"):
+        jaccard_prefix_pairs(df, ngram=0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=12),
+                min_size=2, max_size=8),
+       st.sampled_from([0.34, 0.5, 0.67]))
+def test_lossless_property(spark, texts, threshold):
+    """Random tiny-alphabet corpora: heavy element collisions, ties in
+    the df ordering, duplicate docs — the filter chain stays exact."""
+    assert _got(spark, texts, threshold) == _brute(texts, threshold)
