@@ -121,6 +121,10 @@ HEADLINE = [
     "stratified_fixed_n",
     "triangle_count",
     "frequent_pairs",
+    "k_core_trade",
+    "graph_random_walks",
+    "jaccard_join_prefix",
+    "k_hop_distances",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters

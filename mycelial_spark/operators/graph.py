@@ -216,3 +216,106 @@ def triangle_count(edges: DataFrame, src: str = "src",
                .select(F.col("a.t").alias("s"), F.col("b.t").alias("t")))
     closed = wedges.join(o.select("s", "t"), ["s", "t"])
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def k_core(edges: DataFrame, k: int = 2, src: str = "src",
+           dst: str = "dst", max_rounds: int = 100) -> DataFrame:
+    """Nodes of the k-CORE — the maximal subgraph where every node has
+    degree >= k after canonicalizing to undirected distinct edges — by
+    iterative PEELING: drop all nodes with degree < k, recompute
+    degrees on the surviving subgraph, repeat to fixpoint. The standard
+    graph-curation gate (link-farm/spam cores, low-engagement fringe
+    removal, dense-community extraction) complementing pagerank
+    ("which nodes matter") and CC ("which nodes group").
+
+    Peeling is CONFLUENT — any removal order reaches the same unique
+    fixpoint [Seidman 1983, "Network structure and minimum degree" —
+    public result] — so the bulk-synchronous round structure here (all
+    sub-k nodes drop per round) is just the distributed-friendly
+    schedule: each round is one symmetrized partial-agg degree count +
+    two semi-joins, shuffles shrink with the surviving edge set, and
+    localCheckpoint keeps lineage flat. Round count is bounded by the
+    degeneracy ordering depth — small-world graphs converge in a
+    handful of rounds; ``max_rounds`` is a guard, not a tuning knob
+    (raises if hit, never returns a half-peeled set).
+
+    Returns (node, core_deg): surviving nodes with their degree INSIDE
+    the k-core (>= k by construction). k <= 1 returns every
+    non-isolated node (every endpoint has degree >= 1).
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0; got {k}")
+    e = (edges.select(F.least(src, dst).alias("u"),
+                      F.greatest(src, dst).alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        deg = (e.select(F.col("u").alias("node"))
+                .unionAll(e.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
+        drop = deg.filter(F.col("core_deg") < k)
+        if not drop.limit(1).count():
+            return deg
+        keep = deg.filter(F.col("core_deg") >= k).select("node")
+        e = (e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+              .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+              .localCheckpoint())
+        if not e.limit(1).count():
+            # graph peeled away entirely: the k-core is empty
+            return deg.filter(F.lit(False)).select("node", "core_deg")
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
+def random_walks(edges: DataFrame, walk_len: int = 4,
+                 seed: int = 0, src: str = "src",
+                 dst: str = "dst") -> DataFrame:
+    """One deterministic pseudo-random walk of ``walk_len`` steps from
+    EVERY node with out-edges — the graph-sampling primitive feeding
+    embedding trainers (DeepWalk/node2vec-style corpus generation
+    [Perozzi et al. KDD'14 — public algorithm], neighborhood sampling
+    for GNN minibatches). Returns (walk_id, step, node): walk_id = the
+    start node, step 0 = the start node itself, steps append until
+    walk_len or a dead end (no out-edges), whichever first.
+
+    Determinism over RNG, same doctrine as epoch_shuffle: the step-t
+    choice from node u is neighbor index
+    ``(u * KNUTH + (seed + t) * STEP) mod 2^32 mod outdeg(u)``
+    over u's (dst-ascending) ranked adjacency — plain 64-bit integer
+    arithmetic any engine reproduces exactly, so walks are identical
+    across reruns, partitionings, AND the SQL oracle; different seeds
+    decorrelate into independent walk sets. Walker state never touches
+    the driver: each step is one equi-join of the (walk_id, node)
+    frontier against the ranked adjacency (persisted once, partitioned
+    on the join key — edge bytes move into join layout once, walker
+    rows shuffle per step), filtered to the hash-selected rank.
+    """
+    if walk_len < 0:
+        raise ValueError(f"walk_len must be >= 0; got {walk_len}")
+    from pyspark.sql import Window
+    KNUTH, STEP, MOD = 2654435761, 40503, 4294967296
+    adj = (edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+                .distinct())
+    w = Window.partitionBy("_u").orderBy(F.col("_v").asc())
+    ranked = (adj.withColumn("_rk", F.row_number().over(w) - 1)
+                 .withColumn("_deg", F.count(F.lit(1)).over(
+                     Window.partitionBy("_u")))
+                 .repartition(F.col("_u")).persist())
+    ranked.count()  # materialize so persist survives checkpoint cuts
+    frontier = (ranked.select(F.col("_u").alias("walk_id"))
+                      .distinct()
+                      .withColumn("node", F.col("walk_id"))
+                      .localCheckpoint())
+    out = frontier.withColumn("step", F.lit(0))
+    for t in range(1, walk_len + 1):
+        pick = (F.col("node").cast("bigint") * F.lit(KNUTH)
+                + F.lit((seed + t) * STEP)) % F.lit(MOD)
+        nxt = (frontier.join(ranked, frontier["node"] == ranked["_u"])
+               .filter(F.col("_rk") == pick % F.col("_deg"))
+               .select("walk_id", F.col("_v").alias("node"))
+               .localCheckpoint())
+        if not nxt.limit(1).count():
+            break
+        out = out.unionByName(nxt.withColumn("step", F.lit(t)))
+        frontier = nxt
+    ranked.unpersist()
+    return out.select("walk_id", "step", "node")

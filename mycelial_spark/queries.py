@@ -6085,6 +6085,116 @@ def k_hop_distances_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.col("dist").cast("int").alias("dist"))
 
 
+def _kcore_peel_sql(rounds: int, k: int) -> str:
+    """Unrolled peeling rounds for the k_core oracle. Peeling reaches
+    its (unique) fixpoint within ``rounds`` on the fixture graph —
+    verified empirically at sf0.01 (3 rounds for k=5; 6 unrolled for
+    margin) — and extra rounds past the fixpoint are exact no-ops, so
+    over-unrolling is safe, never wrong. Each CTE is MATERIALIZED:
+    inlined, every round re-expands the previous one ~5x (two degree
+    UNION arms + two IN subqueries) — exponential plan growth that
+    exhausts file handles re-opening the scan."""
+    parts = []
+    for i in range(rounds):
+        parts.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i}) GROUP BY node),
+e{i + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{i}
+  WHERE u IN (SELECT node FROM d{i} WHERE deg >= {k})
+    AND v IN (SELECT node FROM d{i} WHERE deg >= {k}))""")
+    parts.append(f"""dfin AS (
+  SELECT node, count(*) AS core_deg FROM (
+    SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+  GROUP BY node)""")
+    return ",\n".join(parts)
+
+
+@query("k_core_trade", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS u, 100000000 + l_suppkey AS v
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 48
+),
+{_kcore_peel_sql(6, 5)}
+SELECT node, core_deg FROM dfin
+""")
+def k_core_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-core of the high-volume trade graph (customer<->supplier pairs
+    with a quantity->=48 lineitem; supplier ids offset by 1e8):
+    operators/graph.py k_core peels sub-5-degree nodes round by round
+    to the unique fixpoint — a genuine 3-round cascade at sf0.01 (nodes
+    start >= 5 but fall below as their fringe peels). The oracle
+    unrolls 6 peeling rounds as chained CTEs; rounds past the fixpoint
+    are no-ops, so the hash-match checks the fixpoint itself."""
+    from mycelial_spark.operators.graph import k_core
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    e = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+         .select(F.col("o_custkey").alias("src"),
+                 (F.lit(100000000) + F.col("l_suppkey")).alias("dst")))
+    return k_core(e, k=5)
+
+
+def _walk_steps_sql(walk_len: int, seed: int) -> str:
+    """Unrolled deterministic-walk steps for the random_walks oracle:
+    step t picks ranked-neighbor index
+    (node*2654435761 + (seed+t)*40503) % 2^32 % outdeg — plain BIGINT
+    arithmetic both engines evaluate bit-identically."""
+    parts = ["""w0 AS (
+  SELECT src AS walk_id, src AS node, 0 AS step
+  FROM (SELECT DISTINCT src FROM ranked))"""]
+    for t in range(1, walk_len + 1):
+        parts.append(f"""w{t} AS (
+  SELECT w.walk_id, r.dst AS node, {t} AS step
+  FROM w{t - 1} w JOIN ranked r ON r.src = w.node
+   AND r.rk = (w.node * 2654435761 + {(seed + t) * 40503})
+              % 4294967296 % r.deg)""")
+    return ",\n".join(parts)
+
+
+@query("graph_random_walks", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS a, 100000000 + l_suppkey AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 45
+),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+ranked AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM edges),
+{_walk_steps_sql(3, 0)}
+SELECT walk_id, step, node FROM w0
+UNION ALL SELECT walk_id, step, node FROM w1
+UNION ALL SELECT walk_id, step, node FROM w2
+UNION ALL SELECT walk_id, step, node FROM w3
+""")
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic 3-step pseudo-random walk from every node of
+    the symmetrized quantity-filtered trade graph — DeepWalk-style
+    corpus generation (operators/graph.py random_walks) with hashes
+    instead of RNG, so walks replicate across reruns, partitionings,
+    and engines. Each step is one frontier⋈ranked-adjacency equi-join
+    filtered to the hash-picked neighbor rank; the oracle unrolls the
+    identical integer arithmetic as chained CTEs."""
+    from mycelial_spark.operators.graph import random_walks
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    e0 = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+          .select(F.col("o_custkey").alias("a"),
+                  (F.lit(100000000) + F.col("l_suppkey")).alias("b"))
+          .distinct())
+    edges = (e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(e0.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst"))))
+    out = random_walks(edges, walk_len=3, seed=0)
+    return out.select("walk_id", F.col("step").cast("int").alias("step"),
+                      "node")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,138 @@
+"""k-core peeling and deterministic random walks vs pure-Python refs."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mycelial_spark.operators.graph import k_core, random_walks
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _kcore_ref(pairs, k):
+    """Sequential peeling — order-independence of the fixpoint is the
+    property under test, so the reference peels one node at a time."""
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(vs) for n, vs in adj.items() if vs}
+
+
+def _got_kcore(spark, pairs, k):
+    return {r["node"]: r["core_deg"]
+            for r in k_core(_edges(spark, pairs), k=k).collect()}
+
+
+def test_kcore_triangle_with_tail(spark):
+    # triangle 1-2-3 plus tail 3-4-5: 2-core = the triangle only
+    pairs = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    assert _got_kcore(spark, pairs, 2) == {1: 2, 2: 2, 3: 2}
+    # 1-core keeps every non-isolated node
+    assert _got_kcore(spark, pairs, 1) == _kcore_ref(pairs, 1)
+    # 3-core is empty
+    assert _got_kcore(spark, pairs, 3) == {}
+
+
+def test_kcore_cascading_peel(spark):
+    """A chain of dependency: removing the leaf drops its parent below
+    k next round — multi-round convergence, not one-shot filtering."""
+    # 4-clique core + a path hanging off it; 2-core must peel the whole
+    # path even though its inner nodes start at degree 2
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    path = [(3, 10), (10, 11), (11, 12)]
+    pairs = clique + path
+    assert _got_kcore(spark, pairs, 2) == _kcore_ref(pairs, 2)
+    assert set(_got_kcore(spark, pairs, 2)) == {0, 1, 2, 3}
+    assert _got_kcore(spark, pairs, 3) == {i: 3 for i in range(4)}
+
+
+def test_kcore_direction_and_dupes_ignored(spark):
+    # multi-edges, reversed duplicates, self-loops: all canonicalized
+    pairs = [(1, 2), (2, 1), (1, 2), (2, 2), (2, 3), (1, 3)]
+    assert _got_kcore(spark, pairs, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_validation(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        k_core(_edges(spark, [(1, 2)]), k=-1)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=24),
+       st.integers(1, 4))
+def test_kcore_matches_sequential_peel(spark, pairs, k):
+    """Bulk-synchronous rounds == one-at-a-time peeling (confluence)."""
+    assert _got_kcore(spark, pairs, k) == _kcore_ref(pairs, k)
+
+
+KNUTH, STEP, MOD = 2654435761, 40503, 4294967296
+
+
+def _walks_ref(pairs, walk_len, seed=0):
+    adj = {}
+    for a, b in set(pairs):
+        adj.setdefault(a, []).append(b)
+    for vs in adj.values():
+        vs.sort()
+    out = set()
+    for start in adj:
+        node = start
+        out.add((start, 0, start))
+        for t in range(1, walk_len + 1):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            node = nbrs[(node * KNUTH + (seed + t) * STEP) % MOD % len(nbrs)]
+            out.add((start, t, node))
+    return out
+
+
+def _got_walks(spark, pairs, walk_len, seed=0):
+    rows = random_walks(_edges(spark, pairs), walk_len=walk_len,
+                        seed=seed).collect()
+    return {(r["walk_id"], r["step"], r["node"]) for r in rows}
+
+
+def test_walks_match_reference(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 1), (2, 4)]
+    for wl in (0, 1, 4):
+        assert _got_walks(spark, pairs, wl) == _walks_ref(pairs, wl)
+
+
+def test_walks_dead_end_truncates(spark):
+    # 1 -> 2, 2 has no out-edges: walk from 1 stops at step 1; node 2
+    # starts no walk (no out-edges)
+    got = _got_walks(spark, [(1, 2)], 5)
+    assert got == {(1, 0, 1), (1, 1, 2)}
+
+
+def test_walks_seed_changes_paths(spark):
+    # star with choices: different seeds must be able to diverge
+    pairs = [(0, i) for i in range(1, 8)] + [(i, 0) for i in range(1, 8)]
+    a = _got_walks(spark, pairs, 3, seed=0)
+    b = _got_walks(spark, pairs, 3, seed=1)
+    assert a == _walks_ref(pairs, 3, 0)
+    assert b == _walks_ref(pairs, 3, 1)
+    assert a != b
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                min_size=1, max_size=20),
+       st.integers(0, 3), st.integers(0, 2))
+def test_walks_match_reference_property(spark, pairs, wl, seed):
+    assert _got_walks(spark, pairs, wl, seed) == _walks_ref(pairs, wl, seed)
