@@ -868,12 +868,15 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
     ceil(t·sz − 1e-9) so binary-inexact t (0.4·5 = 2.0000…4) can only
     LENGTHEN a prefix, never shorten it.
 
-    Scale shape: element df is one partial-agg groupBy; per-doc rank is
-    a window partitioned by id (bounded by doc length, no skew); the
-    candidate join's cost follows the df of each doc's RAREST elements —
-    output-linear on discriminative vocabularies. Verification joins the
-    candidate pairs back to per-doc sorted element arrays (doc-sized
-    payloads, candidate-bounded volume) and intersects in codegen.
+    Scale shape: element df is one partial-agg groupBy; everything
+    per-doc comes off ONE doc-keyed aggregation — the (df, element)-
+    ascending sorted array per doc, persisted once and reused three
+    ways: sliced for the prefix (rarest elements first — no separate
+    rank window, no second postings shuffle), and joined back as BOTH
+    verify sides (array_intersect on the same arrays is order-
+    insensitive, so the verify needs no re-sort). The candidate join's
+    cost follows the df of each doc's RAREST elements — output-linear
+    on discriminative vocabularies.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to
     6 decimals, jaccard >= threshold.
@@ -882,7 +885,6 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1; got {ngram}")
-    from pyspark.sql import Window
     if ngram == 1:
         elems = F.array_distinct(tokens(F.col(text_col)))
     else:
@@ -891,19 +893,20 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
         elems = F.array_distinct(F.col("shingle_hashes"))
     toks = spread(df).select(
         F.col(id_col).alias("_id"),
-        F.explode(elems).alias("tok")) \
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        F.explode(elems).alias("tok"))
     tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
-    sz = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(),
-                                          F.col("tok").asc())
-    ranked = (toks.join(tdf, "tok")
-                  .withColumn("_rn", F.row_number().over(w))
-                  .join(sz, "_id"))
     need = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
-    prefix = (ranked
-              .filter(F.col("_rn") <= F.col("sz") - need + 1)
-              .select("_id", "tok", "sz"))
+    per_doc = (toks.join(tdf, "tok")
+               .groupBy("_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("_df"), F.col("tok")))).alias("_arr"))
+               .withColumn("sz", F.size("_arr"))
+               .withColumn("_pref", F.slice(
+                   "_arr", 1, (F.col("sz") - need + 1).cast("int")))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    prefix = (per_doc.select("_id", "sz",
+                             F.explode("_pref").alias("_p"))
+              .select("_id", "sz", F.col("_p.tok").alias("tok")))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (a.join(b, [F.col("a.tok") == F.col("b.tok"),
                        F.col("a._id") < F.col("b._id"),
@@ -913,13 +916,16 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
              .select(F.col("a._id").alias("id_a"),
                      F.col("b._id").alias("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
-    sets = toks.groupBy("_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("_ts"),
-        F.count(F.lit(1)).alias("_sz"))
-    sa = sets.select(F.col("_id").alias("id_a"), F.col("_ts").alias("_ta"),
-                     F.col("_sz").alias("sz_a"))
-    sb = sets.select(F.col("_id").alias("id_b"), F.col("_ts").alias("_tb"),
-                     F.col("_sz").alias("sz_b"))
+    # verify on PLAIN element arrays (field-extracted from the struct
+    # array): array_intersect hash-probes primitive arrays but falls
+    # back to pairwise ordering comparisons on struct elements — O(n·m)
+    # per candidate, measured 31x slower end-to-end at the 16x probe
+    sa = per_doc.select(F.col("_id").alias("id_a"),
+                        F.col("_arr.tok").alias("_ta"),
+                        F.col("sz").alias("sz_a"))
+    sb = per_doc.select(F.col("_id").alias("id_b"),
+                        F.col("_arr.tok").alias("_tb"),
+                        F.col("sz").alias("sz_b"))
     inter = F.size(F.array_intersect("_ta", "_tb"))
     return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("jaccard",

@@ -6195,6 +6195,73 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "node")
 
 
+def _ppr_iter_sql(iters: int) -> str:
+    """Unrolled personalized power iteration for the PPR oracle. The
+    trade graph is SYMMETRIZED, so every node has out-edges — no
+    dangling term (the operator detects this structurally and skips
+    the per-iteration dangling probe)."""
+    parts = ["""pr0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rank
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node CROSS JOIN ns)"""]
+    for i in range(iters):
+        parts.append(f"""pr{i + 1} AS (
+  SELECT n.node,
+         0.15 * (CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n
+                      ELSE 0.0 END)
+         + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / d.outdeg) AS contrib
+    FROM edges e JOIN pr{i} p ON p.node = e.src
+                 JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) c ON c.node = n.node)""")
+    return ",\n".join(parts)
+
+
+@query("personalized_pagerank_seeded", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS a, 100000000 + l_suppkey AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+seeds AS (SELECT node FROM nodes
+          WHERE node < 100000000 AND node % 100 = 0),
+ns AS (SELECT count(*) AS n FROM seeds),
+deg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+{_ppr_iter_sql(3)}
+SELECT node, round(rank, 9) AS rank FROM pr3
+""")
+def personalized_pagerank_seeded(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Seed-anchored relevance over the trade graph (operators/graph.py
+    personalized_pagerank — Topic-Sensitive PageRank / TrustRank
+    mechanics): teleport and dangling mass return to the seed customers
+    (custkey % 100 == 0), so rank measures proximity-weighted
+    reachability from the vetted set — crawl prioritization, trust
+    propagation. Same once-partitioned-edges + per-iteration
+    state-shuffle scaffold as pagerank_trade_graph; the oracle unrolls
+    3 personalized iterations (symmetrized graph -> no dangling term).
+    round(...,9) absorbs sum-order float noise."""
+    from mycelial_spark.operators.graph import personalized_pagerank
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+          .select(F.col("o_custkey").alias("a"),
+                  (F.lit(100000000) + F.col("l_suppkey")).alias("b"))
+          .distinct())
+    edges = (e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .union(e0.select(F.col("b").alias("src"),
+                              F.col("a").alias("dst"))))
+    seeds = (edges.select("src").distinct()
+             .filter((F.col("src") < 100000000) & (F.col("src") % 100 == 0))
+             .select(F.col("src").alias("node")))
+    pr = personalized_pagerank(edges, seeds, iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -117,6 +117,51 @@ def _bloom_prune(d):
     return bloom_prune_semi_join(d, small, "doc_id", "doc_id")
 
 
+def _synth_graph(d):
+    """Pseudo-random directed graph over the doc ids: 1 + (id % 7)
+    hash-scattered out-edges per node, so symmetrized degrees spread
+    ~2..13 (k=5 peeling cascades for 4 real rounds at every factor —
+    a uniform out-degree makes every node degree >= 8 and nothing ever
+    peels) while edge count stays linear in docs."""
+    from pyspark.sql import functions as F
+    ids = d.select("doc_id")
+    # window-free: the modulus uses a literal-free upper bound via a
+    # crossJoin of the 1-row max — broadcast, no shuffle
+    mx = ids.agg((F.max("doc_id") + 1).alias("_n"))
+    return (ids.crossJoin(mx)
+            .select("doc_id", "_n",
+                    F.explode(F.sequence(
+                        F.lit(1), F.lit(1) + F.col("doc_id") % 7))
+                    .alias("_i"))
+            .select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 2654435761 + F.col("_i") * 40503)
+                     % F.col("_n")).alias("dst")))
+
+
+def _k_core(d):
+    from mycelial_spark.operators.graph import k_core
+    return k_core(_synth_graph(d), k=5)
+
+
+def _random_walks(d):
+    from mycelial_spark.operators.graph import random_walks
+    return random_walks(_synth_graph(d), walk_len=4)
+
+
+def _bfs(d):
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.graph import bfs_distances
+    seeds = (d.filter(F.col("doc_id") % 997 == 0)
+              .select(F.col("doc_id").alias("node")))
+    return bfs_distances(_synth_graph(d), seeds, max_depth=3)
+
+
+def _jaccard_prefix(d):
+    from mycelial_spark.operators.dedup import jaccard_prefix_pairs
+    return jaccard_prefix_pairs(d, threshold=0.3, ngram=3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
@@ -175,6 +220,17 @@ def main() -> None:
         # apriori pair mining over token baskets: one persisted items
         # materialization; cost ~ sum(basket^2), linear in docs
         "frequent_pairs": lambda d: _frequent_pairs(d),
+        # iterative graph ops over a linear-in-docs synthetic graph:
+        # per-round/step shuffle volume should follow the surviving
+        # edge set (k_core) or the frontier (walks/BFS), never the
+        # whole graph times rounds
+        "k_core": lambda d: _k_core(d),
+        "random_walks": lambda d: _random_walks(d),
+        "bfs_distances": lambda d: _bfs(d),
+        # exact prefix-filtered set-similarity self-join: candidates
+        # follow rarest-element df; replica marker tokens keep true
+        # pairs (and so output) linear in the corpus
+        "jaccard_prefix": lambda d: _jaccard_prefix(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
