@@ -124,7 +124,10 @@ HEADLINE = [
     "k_core_trade",
     "graph_random_walks",
     "jaccard_join_prefix",
+    "jaccard_join_cross",
     "k_hop_distances",
+    "label_majority_vote",
+    "annotator_reliability",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters

@@ -885,15 +885,34 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1; got {ngram}")
+    toks = _prefix_join_toks(df, text_col, id_col, ngram)
+    return _prefix_join_engine(toks, threshold, lambda a, b: a < b)
+
+
+def _prefix_join_toks(df: DataFrame, text_col: str, id_col: str,
+                      ngram: int) -> DataFrame:
+    """(_id, tok) postings for the prefix-join engine: distinct
+    whitespace tokens (ngram=1) or distinct word-n-gram rolling hashes
+    (ngram>=2; 8-byte elements shuffle far cheaper than shingle
+    strings)."""
     if ngram == 1:
         elems = F.array_distinct(tokens(F.col(text_col)))
     else:
         from mycelial_spark.operators.text import with_fingerprint
         df = with_fingerprint(spread(df), text_col, ngram)
         elems = F.array_distinct(F.col("shingle_hashes"))
-    toks = spread(df).select(
-        F.col(id_col).alias("_id"),
-        F.explode(elems).alias("tok"))
+    return spread(df).select(F.col(id_col).alias("_id"),
+                             F.explode(elems).alias("tok"))
+
+
+def _prefix_join_engine(toks: DataFrame, threshold: float,
+                        pair_cond) -> DataFrame:
+    """Shared PPJoin-style core over a (_id, tok) postings frame (_id
+    may be any orderable type incl. a (side, id) struct — the R-S join
+    rides the same engine): global-df prefix + size filter candidates,
+    exact array_intersect verify. ``pair_cond(a, b)`` injects the
+    pair-scope predicate (id order for self-join, side order for R-S).
+    Returns (id_a, id_b, jaccard >= threshold, rounded to 6)."""
     tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
     need = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
     per_doc = (toks.join(tdf, "tok")
@@ -909,7 +928,7 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
               .select("_id", "sz", F.col("_p.tok").alias("tok")))
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (a.join(b, [F.col("a.tok") == F.col("b.tok"),
-                       F.col("a._id") < F.col("b._id"),
+                       pair_cond(F.col("a._id"), F.col("b._id")),
                        F.least("a.sz", "b.sz")
                        >= F.lit(threshold) * F.greatest("a.sz", "b.sz")
                        - F.lit(1e-9)])
@@ -933,6 +952,46 @@ def jaccard_prefix_pairs(df: DataFrame, text_col: str = "text",
                                              - inter), 6))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
+
+
+def jaccard_prefix_join(left: DataFrame, right: DataFrame,
+                        text_col: str = "text",
+                        left_id: str = "doc_id",
+                        right_id: str = "doc_id",
+                        threshold: float = 0.5,
+                        ngram: int = 1) -> DataFrame:
+    """Exact CROSS-TABLE set-Jaccard join (R-S form of
+    ``jaccard_prefix_pairs``): every (left row, right row) pair with
+    Jaccard >= threshold — linking a fresh crawl against the existing
+    corpus, exact-similarity decontamination of a training set against
+    a benchmark, matching titles across two catalogs. Same prefix-
+    filtering theorem, same engine: the prefix guarantee is PER PAIR
+    under any common total order, so ordering both sides' elements by
+    their df over the UNION of the two tables keeps the prunes
+    lossless; pair scope switches from id-order to side-order (left
+    rows pair only with right rows). Ids may collide across tables —
+    the internal key is a (side, id) struct.
+
+    Returns (id_l, id_r, jaccard) — jaccard rounded to 6 decimals,
+    >= threshold. A doc appearing in both tables pairs with itself at
+    jaccard 1.0 (that IS the R-S answer); pre-filter if unwanted.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1; got {ngram}")
+    lt = _prefix_join_toks(left, text_col, left_id, ngram) \
+        .select(F.struct(F.lit(0).alias("side"),
+                         F.col("_id").alias("id")).alias("_id"), "tok")
+    rt = _prefix_join_toks(right, text_col, right_id, ngram) \
+        .select(F.struct(F.lit(1).alias("side"),
+                         F.col("_id").alias("id")).alias("_id"), "tok")
+    pairs = _prefix_join_engine(
+        lt.unionByName(rt), threshold,
+        lambda a, b: (a["side"] < b["side"]))
+    return pairs.select(F.col("id_a.id").alias("id_l"),
+                        F.col("id_b.id").alias("id_r"),
+                        "jaccard")
 
 
 def edit_distance_pairs(df: DataFrame, text_col: str = "text",

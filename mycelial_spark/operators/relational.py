@@ -743,3 +743,78 @@ def validate_constraints(df: DataFrame,
                for i, (kind, cols) in enumerate(meta)]
     return (wide.select(F.explode(F.array(*entries)).alias("p"))
             .select("p.*"))
+
+
+def label_majority(df: DataFrame, item_col: str, annotator_col: str,
+                   label_col: str) -> DataFrame:
+    """Per-item MAJORITY-VOTE label aggregation over an annotation
+    table (item, annotator, label) — the consolidation step between
+    raw multi-annotator labeling and a training set. Deterministic
+    tie-break: highest vote count, then lexicographically SMALLEST
+    label (retries and engines agree). Vote identity is the DISTINCT
+    (item, annotator, label) triple: an annotator re-submitting the
+    same label counts once (a replay must not outvote the panel); an
+    annotator submitting CONFLICTING labels contributes one vote to
+    each (both positions are real signal — resolve upstream if one
+    should win).
+
+    Returns (item, label, n_votes, n_top, agreement): winning label,
+    total distinct-annotator votes on the item, votes for the winner,
+    and agreement = n_top/n_votes rounded to 6 (1.0 = unanimous — the
+    low-agreement tail is the relabel/drop queue).
+
+    Shape: distinct -> one (item, label) partial-agg count -> a
+    struct ELECTION per item: min(struct(-n, label)) makes the highest
+    count win and the smallest label break exact ties, in one
+    aggregate — no per-item window funnel, so a billion-item panel
+    scales like any groupBy (a row_number window would sort every
+    item's votes inside one task).
+    """
+    votes = (df.select(F.col(item_col).alias("item"),
+                       F.col(annotator_col).alias("annotator"),
+                       F.col(label_col).alias("label"))
+             .dropDuplicates(["item", "annotator", "label"]))
+    counts = (votes.groupBy("item", "label")
+              .agg(F.count(F.lit(1)).alias("n")))
+    totals = votes.groupBy("item").agg(F.count(F.lit(1)).alias("n_votes"))
+    # election: max over (n, label) would prefer the LARGEST label among
+    # ties; invert the label comparison by electing with min over
+    # (-n, label) instead — smallest label wins exact count ties
+    win = (counts.groupBy("item")
+           .agg(F.min(F.struct((-F.col("n")).alias("_neg"),
+                               F.col("label").alias("label")))
+                .alias("_w"))
+           .select("item", F.col("_w.label").alias("label"),
+                   (-F.col("_w._neg")).alias("n_top")))
+    return (win.join(totals, "item")
+            .select("item", "label", "n_votes", "n_top",
+                    F.round(F.col("n_top") / F.col("n_votes"), 6)
+                    .alias("agreement")))
+
+
+def annotator_agreement(df: DataFrame, item_col: str, annotator_col: str,
+                        label_col: str) -> DataFrame:
+    """Per-ANNOTATOR reliability vs the panel: share of an annotator's
+    votes that match the item's majority label (label_majority's
+    deterministic winner) — the spam-annotator / systematic-disagreer
+    screen run before trusting a labeling pool. Items the annotator
+    labeled alone still count (they trivially match): filter
+    n_votes > 1 upstream for a strict peer-agreement rate.
+
+    Returns (annotator, n_items, n_match, match_rate) — match_rate
+    rounded to 6. One extra broadcast-or-shuffle join of the votes
+    against the item-keyed majority table (items-cardinality), then a
+    partial-agg annotator rollup."""
+    votes = (df.select(F.col(item_col).alias("item"),
+                       F.col(annotator_col).alias("annotator"),
+                       F.col(label_col).alias("label"))
+             .dropDuplicates(["item", "annotator", "label"]))
+    maj = label_majority(df, item_col, annotator_col, label_col) \
+        .select("item", F.col("label").alias("_maj"))
+    return (votes.join(maj, "item")
+            .groupBy("annotator")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum((F.col("label") == F.col("_maj")).cast("bigint"))
+                 .alias("n_match"))
+            .withColumn("match_rate",
+                        F.round(F.col("n_match") / F.col("n_items"), 6)))

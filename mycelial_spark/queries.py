@@ -6195,6 +6195,120 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "node")
 
 
+@query("label_majority_vote", """
+WITH votes AS (
+  SELECT DISTINCT event_id % 997 AS item, user_id AS annotator,
+         event_type AS label
+  FROM events
+), counts AS (
+  SELECT item, label, count(*) AS n FROM votes GROUP BY 1, 2
+), tot AS (
+  SELECT item, count(*) AS n_votes FROM votes GROUP BY 1
+), win AS (
+  SELECT item, label, n,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM counts
+)
+SELECT w.item, w.label, t.n_votes, w.n AS n_top,
+       round(w.n * 1.0 / t.n_votes, 6) AS agreement
+FROM win w JOIN tot t ON t.item = w.item WHERE rn = 1
+""")
+def label_majority_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-annotator label consolidation (operators/relational.py
+    label_majority) over a synthetic annotation panel derived from
+    events (item = event_id % 997, annotator = user_id, label =
+    event_type): deterministic majority election — highest distinct-
+    annotator vote count, smallest label on exact ties — plus the
+    agreement ratio that drives the relabel/drop queue. The Spark
+    plan elects via min(struct(-n, label)) in one partial-agg pass
+    (no per-item window funnel); the oracle takes the equivalent
+    one-row window."""
+    from mycelial_spark.operators.relational import label_majority
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 997).alias("item"),
+        F.col("user_id").alias("annotator"),
+        F.col("event_type").alias("label"))
+    return label_majority(ev, "item", "annotator", "label")
+
+
+@query("annotator_reliability", """
+WITH votes AS (
+  SELECT DISTINCT event_id % 997 AS item, user_id AS annotator,
+         event_type AS label
+  FROM events
+), counts AS (
+  SELECT item, label, count(*) AS n FROM votes GROUP BY 1, 2
+), win AS (
+  SELECT item, label,
+         row_number() OVER (PARTITION BY item
+                            ORDER BY n DESC, label ASC) AS rn
+  FROM counts
+)
+SELECT v.annotator, count(*) AS n_items,
+       sum(CASE WHEN v.label = w.label THEN 1 ELSE 0 END) AS n_match,
+       round(sum(CASE WHEN v.label = w.label THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS match_rate
+FROM votes v JOIN (SELECT item, label FROM win WHERE rn = 1) w
+  ON w.item = v.item
+GROUP BY v.annotator
+""")
+def annotator_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-annotator reliability vs the panel majority (operators/
+    relational.py annotator_agreement) on the same synthetic panel as
+    label_majority_vote — the spam-annotator screen: share of each
+    annotator's votes matching their item's elected label. One join of
+    the votes against the item-keyed majority table + an annotator
+    rollup."""
+    from mycelial_spark.operators.relational import annotator_agreement
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 997).alias("item"),
+        F.col("user_id").alias("annotator"),
+        F.col("event_type").alias("label"))
+    return annotator_agreement(ev, "item", "annotator", "label")
+
+
+@query("jaccard_join_cross", """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), lpost AS (SELECT doc_id, unnest(shingles) s FROM sh
+             WHERE doc_id % 5 = 0),
+rpost AS (SELECT doc_id, unnest(shingles) s FROM sh
+          WHERE doc_id % 5 != 0),
+inter AS (
+  SELECT l.doc_id AS id_l, r.doc_id AS id_r, count(*) AS inter
+  FROM lpost l JOIN rpost r ON l.s = r.s
+  GROUP BY 1, 2
+)
+SELECT id_l, id_r,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sa ON sa.doc_id = id_l
+JOIN (SELECT doc_id, len(shingles) sz FROM sh) sb ON sb.doc_id = id_r
+WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.3
+""")
+def jaccard_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CROSS-TABLE shingle-similarity join (operators/dedup.py
+    jaccard_prefix_join): a probe slice of the corpus (doc_id % 5 == 0)
+    linked against the rest at true Jaccard >= 0.3 — the R-S form of
+    the prefix-filtered join (fresh-crawl linkage, exact-similarity
+    decontamination). Elements are ordered by df over the UNION of the
+    sides, which keeps the prefix theorem per-pair; the oracle is the
+    unfiltered brute-force cross join, so the hash-match proves the
+    R-S prunes lossless end-to-end."""
+    from mycelial_spark.operators.dedup import jaccard_prefix_join
+    docs = _t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return jaccard_prefix_join(probe, corpus, "text",
+                               threshold=0.3, ngram=3)
+
+
 def _ppr_iter_sql(iters: int) -> str:
     """Unrolled personalized power iteration for the PPR oracle. The
     trade graph is SYMMETRIZED, so every node has out-edges — no

@@ -110,3 +110,66 @@ def test_lossless_property(spark, texts, threshold):
     """Random tiny-alphabet corpora: heavy element collisions, ties in
     the df ordering, duplicate docs — the filter chain stays exact."""
     assert _got(spark, texts, threshold) == _brute(texts, threshold)
+
+
+def _brute_rs(lts, rts, threshold, ngram=1):
+    def elems(t):
+        toks = t.split()
+        if ngram == 1:
+            return set(toks)
+        return {" ".join(toks[i:i + ngram])
+                for i in range(len(toks) - ngram + 1)}
+    out = {}
+    for i, lt in enumerate(lts):
+        for j, rt in enumerate(rts):
+            a, b = elems(lt), elems(rt)
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            jac = round(inter / (len(a) + len(b) - inter), 6)
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+def _got_rs(spark, lts, rts, threshold, ngram=1):
+    from mycelial_spark.operators.dedup import jaccard_prefix_join
+    rows = jaccard_prefix_join(_docs(spark, lts), _docs(spark, rts),
+                               threshold=threshold, ngram=ngram).collect()
+    return {(r["id_l"], r["id_r"]): r["jaccard"] for r in rows}
+
+
+def test_rs_join_matches_brute_force(spark):
+    left = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "left only text with no match at all",
+    ]
+    right = [
+        "the quick brown fox jumps over a lazy dog",
+        "pack my box with five dozen liquor jugs now",
+        "totally different right side content",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of L0
+    ]
+    for t in (0.3, 0.5, 0.9):
+        assert _got_rs(spark, left, right, t) == _brute_rs(left, right, t)
+    # the exact dup pairs at 1.0 and no left-left / right-right pair leaks
+    got = _got_rs(spark, left, right, 0.9)
+    assert got == {(0, 3): 1.0}
+
+
+def test_rs_join_id_collision_across_tables(spark):
+    # same doc_id values on both sides must stay distinct rows
+    left = ["alpha beta gamma"]
+    right = ["alpha beta gamma", "alpha beta delta"]
+    got = _got_rs(spark, left, right, 0.5)
+    assert got == {(0, 0): 1.0, (0, 1): 0.5}
+
+
+def test_rs_join_shingle_mode(spark):
+    left = ["a b c d e f g h"]
+    right = ["a b c d e f g x", "z z z z z z z z"]
+    got = _got_rs(spark, left, right, 0.3, ngram=3)
+    assert set(got) == {(0, 0)}
+    # shingle sets: {abc..efg, fgh} vs {abc..efg, fgx} — 5 shared of 7
+    assert got[(0, 0)] == pytest.approx(5 / 7, abs=1e-6)

@@ -1,0 +1,52 @@
+"""Label aggregation: majority election + annotator reliability."""
+
+import pytest
+
+from mycelial_spark.operators.relational import (annotator_agreement,
+                                                 label_majority)
+
+
+def _votes(spark, rows):
+    return spark.createDataFrame(
+        rows, "item long, annotator long, label string")
+
+
+def _maj(spark, rows):
+    return {r["item"]: (r["label"], r["n_votes"], r["n_top"],
+                        r["agreement"])
+            for r in label_majority(_votes(spark, rows),
+                                    "item", "annotator", "label").collect()}
+
+
+def test_majority_basic_and_agreement(spark):
+    rows = [(1, 1, "cat"), (1, 2, "cat"), (1, 3, "dog"),
+            (2, 1, "dog"), (2, 2, "dog"), (2, 3, "dog")]
+    got = _maj(spark, rows)
+    assert got[1] == ("cat", 3, 2, pytest.approx(2 / 3, abs=1e-6))
+    assert got[2] == ("dog", 3, 3, 1.0)
+
+
+def test_majority_tie_breaks_to_smallest_label(spark):
+    rows = [(1, 1, "zebra"), (1, 2, "apple")]
+    assert _maj(spark, rows)[1][0] == "apple"
+
+
+def test_majority_replay_counts_once_conflict_counts_both(spark):
+    # annotator 1 replays "cat" 3x: one vote. annotator 2 submits both
+    # labels: one vote each.
+    rows = [(1, 1, "cat"), (1, 1, "cat"), (1, 1, "cat"),
+            (1, 2, "cat"), (1, 2, "dog"), (1, 3, "dog")]
+    assert _maj(spark, rows)[1] == ("cat", 4, 2, 0.5)
+
+
+def test_annotator_agreement(spark):
+    rows = [(1, 1, "cat"), (1, 2, "cat"), (1, 3, "dog"),
+            (2, 1, "dog"), (2, 2, "dog"), (2, 3, "dog"),
+            (3, 3, "cat")]  # item 3: annotator 3 alone, trivially matches
+    got = {r["annotator"]: (r["n_items"], r["n_match"], r["match_rate"])
+           for r in annotator_agreement(_votes(spark, rows),
+                                        "item", "annotator",
+                                        "label").collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 2, 1.0)
+    assert got[3] == (3, 2, pytest.approx(2 / 3, abs=1e-6))
