@@ -220,31 +220,42 @@ def main() -> None:
                            "bench_full.json"), "w") as fh:
         json.dump(out, fh, indent=1)
 
-    # The driver records only the tail of this process's output (observed
-    # window: 2000 chars — round 6's 2068-char line was clipped mid-line
-    # and recorded as parsed=null). Keep the stdout line + newline inside
-    # that window: compact separators, 2-decimal times, short calibration
-    # keys (full names live in bench_full.json), and if the suite ever
-    # outgrows the budget anyway, drop calibration first, then the
-    # smallest-time queries (their sum is preserved in "value"; the count
-    # dropped is declared in "queries_omitted" — no silent truncation).
+    print(budget_line(out), flush=True)
+
+
+def budget_line(out: dict, budget: int = 1980) -> str:
+    """The stdout JSON line, guaranteed to fit the driver's capture.
+
+    The driver records only the TAIL of this process's output (observed
+    window: 2000 chars — round 6's 2068-char line was clipped mid-line
+    and recorded as parsed=null). Keep the line + newline inside that
+    window: compact separators, 2-decimal times, calibration as a bare
+    [jvm_sec, scan_sec] pair (labeled full-precision forms live in
+    bench_full.json), and if the suite outgrows the budget anyway, drop
+    calibration first, then the smallest-time queries — their sum is
+    preserved in "value" and the dropped count is declared in
+    "queries_omitted"; no silent truncation. Unit-tested in
+    tests/test_bench_line.py so the r6 failure mode cannot recur.
+    """
     line_out = dict(out)
-    line_out["queries"] = {k: round(v, 2) for k, v in times.items()}
-    # calibration as a bare [jvm_sec, scan_sec] pair — the labeled form
-    # lives in bench_full.json; the stdout line pays for every byte
-    line_out["calibration"] = [cal_cpu, cal_scan]
+    line_out["queries"] = {k: round(v, 2)
+                           for k, v in out["queries"].items()}
+    if "calibration" in out:
+        cal = out["calibration"]
+        line_out["calibration"] = (list(cal.values())
+                                   if isinstance(cal, dict) else list(cal))
     line = json.dumps(line_out, separators=(",", ":"))
-    if len(line) > 1980:
+    if len(line) > budget:
         line_out.pop("calibration", None)
         line = json.dumps(line_out, separators=(",", ":"))
     omitted = 0
-    while len(line) > 1980 and line_out["queries"]:
+    while len(line) > budget and line_out["queries"]:
         smallest = min(line_out["queries"], key=line_out["queries"].get)
         del line_out["queries"][smallest]
         omitted += 1
         line_out["queries_omitted"] = omitted
         line = json.dumps(line_out, separators=(",", ":"))
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":

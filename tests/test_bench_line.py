@@ -1,0 +1,69 @@
+"""bench.py's stdout line must fit the driver's 2000-char tail capture.
+
+Round 6's artifact was recorded as parsed=null because the JSON line
+outgrew the capture window and was clipped mid-line; budget_line is the
+guard. Pure-Python tests — no Spark session.
+"""
+
+import json
+
+from bench import HEADLINE, budget_line
+
+
+def _out(n_queries, t=1.234):
+    return {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(n_queries * t, 3),
+        "unit": "sec",
+        "queries": {f"query_name_number_{i:03d}": t + i / 1000
+                    for i in range(n_queries)},
+        "sf": 0.1,
+        "calibration": {"jvm_range_sum_sec": 0.4,
+                        "lineitem_scan_count_sec": 0.1},
+    }
+
+
+def test_small_suite_keeps_everything():
+    line = budget_line(_out(20))
+    assert len(line) <= 1980
+    d = json.loads(line)
+    assert len(d["queries"]) == 20
+    assert "queries_omitted" not in d
+    assert d["calibration"] == [0.4, 0.1]
+
+
+def test_oversized_suite_fits_and_declares_omissions():
+    out = _out(200)
+    line = budget_line(out)
+    assert len(line) <= 1980
+    d = json.loads(line)
+    # total is preserved even though entries were dropped
+    assert d["value"] == out["value"]
+    assert d["queries_omitted"] == 200 - len(d["queries"])
+    assert d["queries_omitted"] > 0
+    # the SMALLEST entries were dropped: every kept time >= every
+    # dropped time (all-distinct times in the fixture)
+    kept = set(d["queries"])
+    dropped_max = max(v for k, v in out["queries"].items()
+                      if k not in kept)
+    assert min(d["queries"].values()) >= round(dropped_max, 2)
+
+
+def test_current_headline_suite_fits():
+    """The REAL suite at realistic times must fit — this is the exact
+    r6 failure reproduced against today's headline list."""
+    out = _out(0)
+    out["queries"] = {name: 1.25 for name in HEADLINE}
+    out["value"] = round(sum(out["queries"].values()), 3)
+    line = budget_line(out)
+    assert len(line) <= 1980
+    json.loads(line)
+
+
+def test_budget_is_hard_even_for_pathological_input():
+    out = _out(1)
+    out["queries"] = {"q" * 3000: 1.0}
+    line = budget_line(out, budget=1980)
+    assert len(line) <= 1980 or json.loads(line)["queries"] == {}
+    d = json.loads(line)
+    assert d["queries_omitted"] == 1
