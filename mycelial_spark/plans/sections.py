@@ -1870,6 +1870,32 @@ def csv_dest(spark, cfg, df):
     return {"path": cfg["path"]}
 
 
+@_register("export_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("n_shards", "int", 16),
+            Field("key_col", default="doc_id"),
+            Field("verify", "bool", True)],
+           doc="Release export: hash-sharded parquet + _MANIFEST.json "
+               "with per-shard row counts and order-insensitive content "
+               "hashes (sinks/export.py export_shards) — the dataset-"
+               "release terminal a training pipeline ends on; a copy can "
+               "be re-verified anywhere with verify_export. verify=True "
+               "re-reads and checks the manifest before reporting "
+               "success (one extra scan; the write-then-verify pattern "
+               "of the reference's exactly-once dests, one level up).")
+def export_dest(spark, cfg, df):
+    from mycelial_spark.sinks.export import export_shards, verify_export
+    manifest = export_shards(df, cfg["path"], int(cfg["n_shards"]),
+                             cfg["key_col"])
+    out = {"path": cfg["path"], "total_rows": manifest["total_rows"],
+           "n_shards": manifest["n_shards"]}
+    if cfg["verify"]:
+        v = verify_export(spark, cfg["path"])
+        if not v["ok"]:
+            raise RuntimeError(f"export verification failed: {v}")
+        out["verified"] = True
+    return out
+
+
 @_register("file_dest", "destination", "bin", "none",
            [Field("dir_path")],
            doc="D7 file destination: write binary payloads to dir_path/<name>, "

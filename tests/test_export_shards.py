@@ -90,3 +90,29 @@ def test_validation(spark, tmp_path):
         export_shards(_df(spark), str(tmp_path / "x"), 0, "doc_id")
     with pytest.raises(ValueError, match="key_col"):
         export_shards(_df(spark), str(tmp_path / "x"), 2, "nope")
+
+
+def test_export_dest_section_e2e(spark, tmp_path):
+    """Declarative release terminal: source -> export_dest writes the
+    manifest and self-verifies."""
+    import json as _json
+    import os as _os
+
+    from mycelial_spark.plans.compiler import Pipeline
+    src = str(tmp_path / "src")
+    _df(spark, 50).write.parquet(src)
+    out = str(tmp_path / "release")
+    spec = {
+        "nodes": {
+            "in": {"type": "parquet_source", "path": src},
+            "rel": {"type": "export_dest", "path": out,
+                    "n_shards": 3, "key_col": "doc_id"},
+        },
+        "edges": [["in", "rel"]],
+    }
+    res = Pipeline.from_spec(spec).run(spark)
+    man = _json.load(open(_os.path.join(out, MANIFEST_NAME)))
+    assert man["total_rows"] == 50
+    assert verify_export(spark, out)["ok"]
+    assert any(v.get("verified") for v in res.values()
+               if isinstance(v, dict))
