@@ -18,6 +18,7 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run ann-stats <index>       # drift/imbalance
   python -m mycelial_spark.run ann-compact <index>     # 1 file per cell
   python -m mycelial_spark.run ann-split <index> --cell=N
+  python -m mycelial_spark.run verify-export <release-dir>  # manifest check
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
 """
@@ -54,7 +55,8 @@ def main(argv: list[str]) -> int:
               "       python -m mycelial_spark.run replay-dlq <pipeline> "
               "--dead-letter=DIR [--task=ID]\n"
               "       python -m mycelial_spark.run "
-              "ann-stats|ann-compact|ann-split <index> [--cell=N]",
+              "ann-stats|ann-compact|ann-split <index> [--cell=N]\n"
+              "       python -m mycelial_spark.run verify-export <dir>",
               file=sys.stderr)
         return 2
 
@@ -87,6 +89,15 @@ def main(argv: list[str]) -> int:
             out = S.ann_split_cell(spark, args[1], int(opts["cell"]))
         print(json.dumps(out))
         return 0
+
+    if args[0] == "verify-export":
+        if len(args) < 2:
+            return usage()
+        from mycelial_spark.sinks.export import verify_export
+        spark = get_spark("mycelial-verify-export")
+        out = verify_export(spark, args[1])
+        print(json.dumps(out))
+        return 0 if out["ok"] else 1
 
     if args[0] == "replay-dlq":
         if len(args) < 2 or "dead-letter" not in opts:

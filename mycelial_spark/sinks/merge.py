@@ -259,6 +259,33 @@ def read_cdc_table(spark: SparkSession, path: str) -> DataFrame:
             .filter(F.col("_op") != OP_DELETE).drop("_op", "_kb"))
 
 
+def read_cdc_changes(spark: SparkSession, path: str, seq_col: str,
+                     since_seq) -> DataFrame:
+    """Incremental CHANGE FEED off the merged table: every key whose
+    current state changed after ``since_seq`` — live rows (op U) and
+    tombstones (op D) with ``seq_col > since_seq``, the ``_op`` column
+    exposed so a downstream consumer can apply upserts and deletes.
+    This is how a second pipeline stage consumes the table without
+    rescanning it: keep a cursor of the max seq seen, poll with it.
+
+    Semantics (documented, inherent to a state-not-journal store): the
+    table holds only the LATEST winner per key, so intermediate
+    versions that lost the per-key election between two polls are
+    COLLAPSED — this is a changelog of current states, not a full
+    journal (the reference's replayable source covers that upstream).
+    Deletes stay visible as tombstones until ``gc_tombstones`` passes
+    their seq; advance consumer cursors past a horizon BEFORE gc'ing
+    it, or a slow consumer misses the delete.
+
+    One partition-pruned scan: no shuffle; the seq predicate reaches
+    the parquet row-group stats, so buckets untouched since the cursor
+    skip via min/max."""
+    return (_cdc_reader(spark, path)
+            .parquet(f"{path.rstrip('/')}/table")
+            .filter(F.col(seq_col) > since_seq)
+            .drop("_kb"))
+
+
 def gc_tombstones(spark: SparkSession, path: str, seq_col: str,
                   horizon_seq) -> dict:
     """Drop tombstones the source can no longer replay past (seq <

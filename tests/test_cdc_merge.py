@@ -336,3 +336,30 @@ def test_schema_evolution_additive_column(spark, tmp_path):
     comp = compact_cdc_table(spark, p)
     assert comp["rows"] == 1
     assert {r["k"] for r in read_cdc_table(spark, p).collect()} == {1}
+
+
+def test_read_cdc_changes_cursor_feed(spark, tmp_path):
+    """Downstream incremental consumption: poll with a seq cursor,
+    see exactly the keys whose CURRENT state changed after it —
+    upserts as U-rows, deletes as tombstones."""
+    from mycelial_spark.sinks.merge import read_cdc_changes
+    p = str(tmp_path / "t")
+    merge_cdc_parquet(_chg(spark, [(1, 1, "I", "a"), (2, 2, "I", "b"),
+                                   (3, 3, "I", "c")]),
+                      p, ["k"], "seq", n_buckets=4)
+    merge_cdc_parquet(_chg(spark, [(1, 5, "U", "a2"), (2, 6, "D", None)]),
+                      p, ["k"], "seq", n_buckets=4)
+    # cursor at 3: only the second batch's effects surface
+    got = {r["k"]: (r["seq"], r["_op"], r["v"])
+           for r in read_cdc_changes(spark, p, "seq", 3).collect()}
+    assert got == {1: (5, "U", "a2"), 2: (6, "D", None)}
+    # cursor at 0: full current state incl. untouched key 3
+    all_rows = {r["k"]: r["_op"]
+                for r in read_cdc_changes(spark, p, "seq", 0).collect()}
+    assert all_rows == {1: "U", 2: "D", 3: "U"}
+    # cursor at the max seq: empty poll
+    assert read_cdc_changes(spark, p, "seq", 6).count() == 0
+    # collapse semantics: key 1's seq-1 insert is NOT replayed — only
+    # the current winner per key exists (changelog of states)
+    assert [r["seq"] for r in read_cdc_changes(spark, p, "seq", 0)
+            .filter("k = 1").collect()] == [5]
