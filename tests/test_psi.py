@@ -1,0 +1,77 @@
+"""Population Stability Index drift monitor vs a pure-Python reference."""
+
+import math
+
+import pytest
+
+from mycelial_spark.operators.relational import population_stability
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "v double")
+
+
+def _psi_ref(base, cur, lo, hi, bins):
+    width = (hi - lo) / bins
+
+    def counts(vals):
+        out = [0] * bins
+        for v in vals:
+            b = min(bins - 1, max(0, math.floor((v - lo) / width)))
+            out[b] += 1
+        return out
+    nb, nc = counts(base), counts(cur)
+    tb, tc = sum(nb), sum(nc)
+    rows = {}
+    for i in range(bins):
+        pb = (nb[i] + 0.5) / (tb + 0.5 * bins)
+        pc = (nc[i] + 0.5) / (tc + 0.5 * bins)
+        rows[i] = (nb[i], nc[i], round((pc - pb) * math.log(pc / pb), 6))
+    return rows
+
+
+def _got(spark, base, cur, lo, hi, bins):
+    rows = population_stability(_df(spark, base), _df(spark, cur),
+                                "v", lo, hi, bins).collect()
+    return {r["bin"]: (r["n_base"], r["n_cur"], r["psi"]) for r in rows}
+
+
+def test_identical_distributions_are_stable(spark):
+    vals = [0.5, 1.5, 2.5, 3.5] * 10
+    got = _got(spark, vals, vals, 0.0, 4.0, 4)
+    assert got == _psi_ref(vals, vals, 0.0, 4.0, 4)
+    assert sum(p for _, _, p in got.values()) == pytest.approx(0.0,
+                                                              abs=1e-9)
+
+
+def test_shifted_distribution_flags_drift(spark):
+    base = [0.5] * 50 + [1.5] * 50
+    cur = [0.5] * 10 + [1.5] * 90
+    got = _got(spark, base, cur, 0.0, 2.0, 2)
+    assert got == _psi_ref(base, cur, 0.0, 2.0, 2)
+    total = sum(p for _, _, p in got.values())
+    assert total > 0.25  # conventionally "investigate"
+
+
+def test_empty_bin_stays_finite_and_clamping(spark):
+    # base misses bin 1 entirely; values outside [lo, hi) clamp to edges
+    base = [0.5, -99.0, 99.0]   # -> bins 0, 0, 3
+    cur = [1.5, 1.7, 3.2]       # -> bins 1, 1, 3
+    got = _got(spark, base, cur, 0.0, 4.0, 4)
+    ref = _psi_ref(base, cur, 0.0, 4.0, 4)
+    assert got == ref
+    assert all(math.isfinite(p) for _, _, p in got.values())
+    assert got[0][0] == 2 and got[3][0] == 1
+
+
+def test_every_bin_row_present(spark):
+    got = _got(spark, [0.1], [3.9], 0.0, 4.0, 8)
+    assert set(got) == set(range(8))
+
+
+def test_validation(spark):
+    d = _df(spark, [1.0])
+    with pytest.raises(ValueError, match="bins"):
+        population_stability(d, d, "v", 0.0, 1.0, 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        population_stability(d, d, "v", 1.0, 1.0, 4)
