@@ -6195,6 +6195,46 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "node")
 
 
+@query("drift_psi_events", """
+WITH binned AS (
+  SELECT CASE WHEN event_type = 'view' THEN 'b' ELSE 'c' END AS side,
+         least(19, greatest(0, CAST(floor(value / 5.0) AS INT))) AS bin
+  FROM events WHERE event_type IN ('view', 'purchase')
+), c AS (
+  SELECT bin,
+         sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS n_cur
+  FROM binned GROUP BY bin
+), grid AS (
+  SELECT i AS bin FROM range(0, 20) t(i)
+), j AS (
+  SELECT g.bin, coalesce(c.n_base, 0) AS n_base,
+         coalesce(c.n_cur, 0) AS n_cur
+  FROM grid g LEFT JOIN c ON c.bin = g.bin
+), tot AS (SELECT sum(n_base) AS tb, sum(n_cur) AS tc FROM j)
+SELECT bin, CAST(bin * 5.0 AS DOUBLE) AS lo_edge, n_base, n_cur,
+       round(((n_cur + 0.5) / (tc + 10.0) - (n_base + 0.5) / (tb + 10.0))
+             * ln(((n_cur + 0.5) / (tc + 10.0))
+                  / ((n_base + 0.5) / (tb + 10.0))), 6) AS psi
+FROM j, tot
+""")
+def drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two event populations (operators/
+    relational.py population_stability): the PSI of `value` for view
+    events (base) vs purchase events (current), 20 equi-width bins over
+    [0, 100) with edge clamping — the drift gate a weekly corpus
+    refresh runs before reusing last week's thresholds. Binning,
+    Laplace smoothing ((n+0.5)/(N+0.5·bins)), and the per-bin
+    (pc-pb)·ln(pc/pb) term are replicated literally in the oracle;
+    round(...,6) absorbs ln's last-ulp engine noise."""
+    from mycelial_spark.operators.relational import population_stability
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "view").select("value")
+    cur = ev.filter(F.col("event_type") == "purchase").select("value")
+    out = population_stability(base, cur, "value", 0.0, 100.0, 20)
+    return out.select("bin", "lo_edge", "n_base", "n_cur", "psi")
+
+
 @query("label_majority_vote", """
 WITH votes AS (
   SELECT DISTINCT event_id % 997 AS item, user_id AS annotator,
