@@ -129,6 +129,7 @@ HEADLINE = [
     "label_majority_vote",
     "annotator_reliability",
     "drift_psi_events",
+    "quality_quantile_normalize",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters

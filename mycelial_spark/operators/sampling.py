@@ -440,3 +440,45 @@ def diverse_sample(df: DataFrame, centroids: list[list[float]],
             .filter(F.col("rn") <= per_cluster)
             .select(id_col, F.col("ivf_cell").alias("cluster"),
                     F.col("rn").cast("int").alias("rn")))
+
+
+def quantile_normalize(df: DataFrame, group_col: str, score_col: str,
+                       out_col: str = "pct_rank") -> DataFrame:
+    """Within-group PERCENTILE RANK of a score — the calibration step
+    before mixing domains: a raw quality score of 0.7 means different
+    things on arxiv and on web crawl, but "top 10% of its domain" is
+    comparable everywhere (the RefinedWeb/CCNet practice of thresholding
+    per-source quantiles rather than absolute scores). Output adds
+    ``out_col`` = percent_rank (0 for the group's minimum, 1 for its
+    maximum; single-row groups read 0 — SQL percent_rank semantics,
+    ties share a rank).
+
+    SKEW-SAFE shape: a plain ``percent_rank() OVER (PARTITION BY
+    domain ORDER BY score)`` funnels every row of a hot domain through
+    one task sort. Instead, ranks are computed on the DISTINCT (group,
+    score) pairs — bounded by value cardinality, not row count — via
+    one partial-agg count + a cumulative sum over the per-group value
+    table, then broadcast-or-shuffle joined back to rows. The window
+    only ever sorts the distinct-value table; a 10M-row domain with
+    10k distinct scores sorts 10k rows. Exact same result as the
+    naive window (percent_rank of a tied row depends only on how many
+    rows sort strictly below — which the cumulative count gives).
+    """
+    from pyspark.sql import Window
+    if group_col not in df.columns or score_col not in df.columns:
+        raise ValueError(f"need {group_col!r} and {score_col!r} in "
+                         f"{df.columns}")
+    vals = (df.groupBy(group_col, score_col)
+            .agg(F.count(F.lit(1)).alias("_vn")))
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.col(score_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy(group_col)
+    ranked = (vals
+              .withColumn("_below", F.sum("_vn").over(w) - F.col("_vn"))
+              .withColumn("_n", F.sum("_vn").over(wg))
+              .select(group_col, score_col,
+                      F.when(F.col("_n") > 1,
+                             F.col("_below") / (F.col("_n") - 1))
+                       .otherwise(F.lit(0.0)).alias(out_col)))
+    return df.join(ranked, [group_col, score_col])

@@ -6195,6 +6195,31 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "node")
 
 
+@query("quality_quantile_normalize", """
+SELECT doc_id, source, n_chars,
+       round(percent_rank() OVER (PARTITION BY source
+                                  ORDER BY n_chars), 6) AS pct_rank
+FROM documents
+""")
+def quality_quantile_normalize(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-domain quantile calibration (operators/sampling.py
+    quantile_normalize): each document's n_chars mapped to its
+    percentile WITHIN its source domain — the cross-domain-comparable
+    form quality thresholds should cut on (top-X%-of-its-domain, the
+    RefinedWeb/CCNet practice). The skew-safe shape ranks the DISTINCT
+    (domain, value) table (bounded by value cardinality, a hot domain
+    never funnels its rows through one sort) and joins back; the
+    oracle is the naive percent_rank window it must equal exactly,
+    ties included."""
+    from mycelial_spark.operators.sampling import quantile_normalize
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source",
+                                                 "n_chars")
+    out = quantile_normalize(docs, "source", "n_chars")
+    return out.select("doc_id", "source", "n_chars",
+                      F.round("pct_rank", 6).alias("pct_rank"))
+
+
 @query("drift_psi_events", """
 WITH binned AS (
   SELECT CASE WHEN event_type = 'view' THEN 'b' ELSE 'c' END AS side,

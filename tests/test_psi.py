@@ -75,3 +75,38 @@ def test_validation(spark):
         population_stability(d, d, "v", 0.0, 1.0, 0)
     with pytest.raises(ValueError, match="hi > lo"):
         population_stability(d, d, "v", 1.0, 1.0, 4)
+
+
+# --- quantile_normalize (same maintenance/calibration family) ---------
+
+def test_quantile_normalize_matches_window(spark):
+    """Distinct-value cumulative form == the naive percent_rank window,
+    ties and all."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.sampling import quantile_normalize
+    rows = [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+            ("b", 3.0), ("b", 3.0), ("b", 3.0),
+            ("c", 9.0)]
+    df = spark.createDataFrame(rows, "dom string, score double")
+    got = quantile_normalize(df, "dom", "score").collect()
+    w = Window.partitionBy("dom").orderBy("score")
+    want = df.withColumn("pr", F.percent_rank().over(w)).collect()
+    gm = sorted((r["dom"], r["score"], r["pct_rank"]) for r in got)
+    wm = sorted((r["dom"], r["score"], r["pr"]) for r in want)
+    assert len(gm) == len(wm)
+    for (gd, gs, gp), (wd, ws, wp) in zip(gm, wm):
+        assert (gd, gs) == (wd, ws)
+        assert gp == pytest.approx(wp, abs=1e-12)
+    # single-row group reads 0, max of a group reads 1
+    by = {(r["dom"], r["score"]): r["pct_rank"] for r in got}
+    assert by[("c", 9.0)] == 0.0
+    assert by[("a", 5.0)] == 1.0
+
+
+def test_quantile_normalize_validation(spark):
+    from mycelial_spark.operators.sampling import quantile_normalize
+    df = spark.createDataFrame([("a", 1.0)], "dom string, score double")
+    with pytest.raises(ValueError, match="need"):
+        quantile_normalize(df, "nope", "score")
