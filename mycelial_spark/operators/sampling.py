@@ -463,6 +463,13 @@ def quantile_normalize(df: DataFrame, group_col: str, score_col: str,
     10k distinct scores sorts 10k rows. Exact same result as the
     naive window (percent_rank of a tied row depends only on how many
     rows sort strictly below — which the cumulative count gives).
+
+    Rows with a NULL score are EXCLUDED from the output (the join
+    back is an equality join and NULL never equals itself) — matching
+    the usual pipeline order of filtering unscorable docs before
+    calibration; pre-fill a sentinel if they must survive. NaN scores
+    DO survive (Spark normalizes NaN==NaN in joins and groupBy) and
+    rank above every finite score, per Spark's sort order.
     """
     from pyspark.sql import Window
     if group_col not in df.columns or score_col not in df.columns:

@@ -92,6 +92,13 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
        .write.mode("overwrite").partitionBy("_shard").parquet(path))
     stats = {int(r["shard"]): (int(r["n_rows"]), str(r["content_hash"]))
              for r in _shard_hashes(df, n_shards, key_col).collect()}
+    if not stats:
+        # an empty release would leave a shard-less dir that
+        # spark.read.parquet (and so verify_export) cannot even infer a
+        # schema from — refuse loudly instead of writing an
+        # unverifiable husk
+        raise ValueError("refusing to export an empty dataset: no rows "
+                         f"reached {path!r} (filter upstream?)")
     manifest = {
         "n_shards": n_shards,
         "key_col": key_col,

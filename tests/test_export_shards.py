@@ -116,3 +116,9 @@ def test_export_dest_section_e2e(spark, tmp_path):
     assert verify_export(spark, out)["ok"]
     assert any(v.get("verified") for v in res.values()
                if isinstance(v, dict))
+
+
+def test_empty_export_refused(spark, tmp_path):
+    empty = _df(spark, 10).filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty dataset"):
+        export_shards(empty, str(tmp_path / "x"), 2, "doc_id")

@@ -110,3 +110,19 @@ def test_quantile_normalize_validation(spark):
     df = spark.createDataFrame([("a", 1.0)], "dom string, score double")
     with pytest.raises(ValueError, match="need"):
         quantile_normalize(df, "nope", "score")
+
+
+def test_quantile_normalize_null_excluded_nan_ranks_top(spark):
+    import math as _math
+
+    from mycelial_spark.operators.sampling import quantile_normalize
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("a", float("nan"))],
+        "dom string, score double")
+    got = quantile_normalize(df, "dom", "score").collect()
+    scores = sorted(r["score"] for r in got)
+    # NULL drops (equality join); NaN survives (Spark NaN==NaN
+    # normalization) and sorts ABOVE every finite score
+    assert scores[:2] == [1.0, 2.0] and _math.isnan(scores[2])
+    by = {(_math.isnan(r["score"]), r["score"] if not _math.isnan(r["score"]) else None): r["pct_rank"] for r in got}
+    assert by[(True, None)] == 1.0
