@@ -173,3 +173,17 @@ def test_rs_join_shingle_mode(spark):
     assert set(got) == {(0, 0)}
     # shingle sets: {abc..efg, fgh} vs {abc..efg, fgx} — 5 shared of 7
     assert got[(0, 0)] == pytest.approx(5 / 7, abs=1e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcdef"), min_size=1,
+                         max_size=6).map(" ".join),
+                min_size=1, max_size=8),
+       st.lists(st.lists(st.sampled_from("abcdef"), min_size=1,
+                         max_size=6).map(" ".join),
+                min_size=1, max_size=8),
+       st.sampled_from([0.3, 0.5, 0.8]))
+def test_rs_join_lossless_property(spark, lts, rts, t):
+    """Cross-table prunes admit no false negatives on adversarial
+    tiny-alphabet corpora (heavy ties, shared hot tokens, dups)."""
+    assert _got_rs(spark, lts, rts, t) == _brute_rs(lts, rts, t)

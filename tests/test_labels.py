@@ -1,6 +1,8 @@
 """Label aggregation: majority election + annotator reliability."""
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from mycelial_spark.operators.relational import (annotator_agreement,
                                                  label_majority)
@@ -50,3 +52,28 @@ def test_annotator_agreement(spark):
     assert got[1] == (2, 2, 1.0)
     assert got[2] == (2, 2, 1.0)
     assert got[3] == (3, 2, pytest.approx(2 / 3, abs=1e-6))
+
+
+def _maj_ref(rows):
+    votes = {(i, a, l) for i, a, l in rows}
+    by_item = {}
+    for i, a, l in votes:
+        by_item.setdefault(i, {}).setdefault(l, 0)
+        by_item[i][l] += 1
+    out = {}
+    for i, counts in by_item.items():
+        n_votes = sum(counts.values())
+        label = min(counts, key=lambda l: (-counts[l], l))
+        n_top = counts[label]
+        out[i] = (label, n_votes, n_top, round(n_top / n_votes, 6))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(0, 4),
+                          st.sampled_from(["a", "b", "c"])),
+                min_size=1, max_size=30))
+def test_majority_matches_reference_property(spark, rows):
+    """One-aggregate election == brute-force counting under replays,
+    conflicts, ties, and single-voter items."""
+    assert _maj(spark, rows) == _maj_ref(rows)
