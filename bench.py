@@ -4,8 +4,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is total wall-clock over the headline set (excluding Spark
-session startup). Each query is forced with a count-collect so the full
-plan executes; results are not pulled to the driver.
+session startup). Each query is forced with a noop-format write so the
+FULL plan executes with every output column materialized (a count lets
+column pruning skip payload-producing work); results never reach the
+driver.
 """
 
 from __future__ import annotations
