@@ -892,3 +892,53 @@ def population_stability(base: DataFrame, current: DataFrame,
                     F.round((p_c - p_b) * F.log(p_c / p_b), 6)
                     .alias("psi"))
             .orderBy("bin"))
+
+
+def psi_from_histograms(base_hist: DataFrame,
+                        cur_hist: DataFrame) -> DataFrame:
+    """Population Stability Index straight from two STORED histogram
+    sketches (histogram_sketch / merge_histograms output: one row with
+    ``hist``, ``hist_lo``, ``hist_width``) — drift monitoring without
+    rescanning either corpus: a rollup sink keeps per-day sketches, and
+    this compares any two of them (or any merged ranges) in
+    O(bins) arithmetic. Same Laplace smoothing and per-bin term as
+    ``population_stability``, so the two agree exactly when fed the
+    same binning.
+
+    Returns (bin, lo_edge, n_base, n_cur, psi) — identical schema to
+    population_stability; total PSI = sum(psi). Raises if the two
+    sketches disagree on binning (lo/width/bin count) — comparing
+    differently-binned histograms is the silent-garbage case.
+    """
+    b = base_hist.select(F.col("hist").alias("_hb"),
+                         F.col("hist_lo").alias("_lob"),
+                         F.col("hist_width").alias("_wb")).collect()
+    c = cur_hist.select(F.col("hist").alias("_hc"),
+                        F.col("hist_lo").alias("_loc"),
+                        F.col("hist_width").alias("_wc")).collect()
+    if len(b) != 1 or len(c) != 1:
+        raise ValueError("psi_from_histograms takes ONE sketch row per "
+                         f"side (got {len(b)} and {len(c)}); "
+                         "merge_histograms first")
+    hb, lob, wb = b[0]["_hb"], b[0]["_lob"], b[0]["_wb"]
+    hc, loc, wc = c[0]["_hc"], c[0]["_loc"], c[0]["_wc"]
+    if (lob, wb, len(hb)) != (loc, wc, len(hc)):
+        raise ValueError(
+            f"sketch binnings differ: base (lo={lob}, width={wb}, "
+            f"bins={len(hb)}) vs current (lo={loc}, width={wc}, "
+            f"bins={len(hc)}) — comparing them would be meaningless")
+    import math
+    bins = len(hb)
+    tb, tc = sum(hb), sum(hc)
+    rows = []
+    for i in range(bins):
+        pb = (hb[i] + 0.5) / (tb + 0.5 * bins)
+        pc = (hc[i] + 0.5) / (tc + 0.5 * bins)
+        rows.append((i, lob + i * wb, int(hb[i]), int(hc[i]),
+                     round((pc - pb) * math.log(pc / pb), 6)))
+    # O(bins) driver arithmetic on two already-collected sketch rows —
+    # the inputs are sketches precisely so this step never touches data
+    spark = base_hist.sparkSession
+    return spark.createDataFrame(
+        rows, "bin int, lo_edge double, n_base long, n_cur long, "
+              "psi double")

@@ -360,6 +360,41 @@ def sql_(spark, cfg, inputs):
     return spark.sql(cfg["query"])
 
 
+@_register("psi_gate", "transform", "dataframe", "dataframe",
+           [Field("value_col"), Field("lo", "float", 0.0),
+            Field("hi", "float", 1.0), Field("bins", "int", 20),
+            Field("max_psi", "float", 0.25)],
+           n_inputs=(2, 2),
+           doc="Drift gate: inputs = (base, current); computes the "
+               "Population Stability Index of value_col between them "
+               "(operators/relational.py population_stability) and "
+               "RAISES when total PSI exceeds max_psi — a pipeline "
+               "refreshing a corpus fails loudly instead of silently "
+               "training on a shifted distribution (0.25 = the "
+               "conventional 'investigate' threshold). Passes the "
+               "CURRENT frame through unchanged when stable, so the "
+               "gate composes anywhere in a dataflow like the "
+               "data_contract section.")
+def psi_gate(spark, cfg, inputs):
+    base, current = inputs
+    bins_df = R.population_stability(base, current, cfg["value_col"],
+                                     float(cfg["lo"]), float(cfg["hi"]),
+                                     int(cfg["bins"]))
+    total = bins_df.agg(F.sum("psi").alias("t")).collect()[0]["t"]
+    if total > float(cfg["max_psi"]):
+        worst = (bins_df.orderBy(F.col("psi").desc()).limit(3)
+                 .collect())
+        detail = ", ".join(
+            f"bin {r['bin']} [{r['lo_edge']:g},..): "
+            f"{r['n_base']}->{r['n_cur']} (psi {r['psi']})"
+            for r in worst)
+        raise RuntimeError(
+            f"psi_gate: {cfg['value_col']!r} drifted — total PSI "
+            f"{total:.6f} > max_psi {cfg['max_psi']} (worst bins: "
+            f"{detail})")
+    return current
+
+
 @_register("join", "transform", "dataframe", "dataframe",
            [Field("on", "list"), Field("how", default="inner"),
             Field("broadcast_right", "bool", False)],

@@ -126,3 +126,56 @@ def test_quantile_normalize_null_excluded_nan_ranks_top(spark):
     assert scores[:2] == [1.0, 2.0] and _math.isnan(scores[2])
     by = {(_math.isnan(r["score"]), r["score"] if not _math.isnan(r["score"]) else None): r["pct_rank"] for r in got}
     assert by[(True, None)] == 1.0
+
+
+def test_psi_from_histograms_matches_direct(spark):
+    from mycelial_spark.operators.relational import (histogram_sketch,
+                                                     psi_from_histograms)
+    base = [0.5] * 50 + [1.5] * 50
+    cur = [0.5] * 10 + [1.5] * 90
+    hb = histogram_sketch(_df(spark, base), "v", 0.0, 2.0, 2)
+    hc = histogram_sketch(_df(spark, cur), "v", 0.0, 2.0, 2)
+    got = {r["bin"]: (r["n_base"], r["n_cur"], r["psi"])
+           for r in psi_from_histograms(hb, hc).collect()}
+    assert got == _got(spark, base, cur, 0.0, 2.0, 2)
+
+
+def test_psi_from_histograms_rejects_mismatched_binning(spark):
+    from mycelial_spark.operators.relational import (histogram_sketch,
+                                                     psi_from_histograms)
+    a = histogram_sketch(_df(spark, [1.0]), "v", 0.0, 2.0, 2)
+    b = histogram_sketch(_df(spark, [1.0]), "v", 0.0, 4.0, 2)
+    with pytest.raises(ValueError, match="binnings differ"):
+        psi_from_histograms(a, b)
+
+
+def test_psi_gate_section_passes_and_raises(spark, tmp_path):
+    from mycelial_spark.plans.compiler import Pipeline
+    base = _df(spark, [0.5] * 50 + [1.5] * 50)
+    stable = _df(spark, [0.5] * 58 + [1.5] * 62)  # 120 rows: pass-through
+    # must be CURRENT (not base's 100) — proportions match, so PSI ~ 0
+    shifted = _df(spark, [0.5] * 5 + [1.5] * 95)
+    pb, ps, pd = (str(tmp_path / n) for n in ("b", "s", "d"))
+    base.write.parquet(pb)
+    stable.write.parquet(ps)
+    shifted.write.parquet(pd)
+
+    def spec(cur_path, out):
+        return {
+            "nodes": {
+                "base": {"type": "parquet_source", "path": pb},
+                "cur": {"type": "parquet_source", "path": cur_path},
+                "gate": {"type": "psi_gate", "value_col": "v",
+                         "lo": 0.0, "hi": 2.0, "bins": 2,
+                         "max_psi": 0.25},
+                "out": {"type": "parquet_dest", "path": out,
+                        "mode": "overwrite"},
+            },
+            "edges": [["base", "gate"], ["cur", "gate"],
+                      ["gate", "out"]],
+        }
+    ok_out = str(tmp_path / "ok")
+    Pipeline.from_spec(spec(ps, ok_out)).run(spark)
+    assert spark.read.parquet(ok_out).count() == 120  # CURRENT through
+    with pytest.raises(RuntimeError, match="drifted"):
+        Pipeline.from_spec(spec(pd, str(tmp_path / "no"))).run(spark)
