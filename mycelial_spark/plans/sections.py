@@ -363,20 +363,30 @@ def sql_(spark, cfg, inputs):
 @_register("psi_gate", "transform", "dataframe", "dataframe",
            [Field("value_col"), Field("lo", "float", 0.0),
             Field("hi", "float", 1.0), Field("bins", "int", 20),
-            Field("max_psi", "float", 0.25)],
-           n_inputs=(2, 2),
-           doc="Drift gate: inputs = (base, current); computes the "
-               "Population Stability Index of value_col between them "
+            Field("max_psi", "float", 0.25),
+            Field("base_path", default="")],
+           n_inputs=(1, 2),
+           doc="Drift gate: inputs = (base, current) — or ONE input "
+               "(the current frame) with base_path naming a parquet "
+               "baseline, the streaming form: per-batch drift check "
+               "against a frozen reference, a drifting micro-batch "
+               "raises and (with a dead-letter path armed) quarantines "
+               "instead of poisoning the corpus. Computes the "
+               "Population Stability Index of value_col "
                "(operators/relational.py population_stability) and "
-               "RAISES when total PSI exceeds max_psi — a pipeline "
-               "refreshing a corpus fails loudly instead of silently "
-               "training on a shifted distribution (0.25 = the "
-               "conventional 'investigate' threshold). Passes the "
-               "CURRENT frame through unchanged when stable, so the "
-               "gate composes anywhere in a dataflow like the "
-               "data_contract section.")
+               "RAISES when total PSI exceeds max_psi — the pipeline "
+               "fails loudly instead of silently training on a shifted "
+               "distribution (0.25 = the conventional 'investigate' "
+               "threshold). Passes the CURRENT frame through unchanged "
+               "when stable, composing anywhere like data_contract.")
 def psi_gate(spark, cfg, inputs):
-    base, current = inputs
+    if len(inputs) == 2:
+        base, current = inputs
+    elif cfg["base_path"]:
+        base, current = spark.read.parquet(cfg["base_path"]), inputs[0]
+    else:
+        raise ConfigError("psi_gate with one input needs base_path "
+                          "(the frozen parquet baseline)")
     bins_df = R.population_stability(base, current, cfg["value_col"],
                                      float(cfg["lo"]), float(cfg["hi"]),
                                      int(cfg["bins"]))

@@ -54,7 +54,15 @@ _STATEFUL_SECTIONS = {"stateful_running_counts", "stateful_sessionize",
 # them — into foreachBatch, where each invocation sees exactly one
 # batch. "One sketch per batch" is the SEMANTIC here (incremental
 # reaggregation), not a workaround.
-_PER_BATCH_SECTIONS = {"histogram_sketch", "dedup_exact", "aggregate"}
+_PER_BATCH_SECTIONS = {"histogram_sketch", "dedup_exact", "aggregate",
+                       "psi_gate"}
+# Per-batch sections whose builder RAISES on data (not on plan): they
+# run INSIDE the dead-letter quarantine scope, so a failing batch parks
+# instead of wedging the stream — a drift gate that fails the query
+# outright would reprocess the same drifting batch forever. Plain
+# transforms stay OUTSIDE the scope: a deterministic plan error must
+# fail loudly, not silently drain every batch into the DLQ.
+_DATA_GATE_SECTIONS = {"psi_gate"}
 
 
 def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],
@@ -191,11 +199,21 @@ class StreamingPipeline:
             # scope: a deterministic plan error (typoed column, bad cfg)
             # must fail the query loudly, not silently drain every batch
             # into the DLQ — quarantine is for SINK failures
+            # the chain splits at the FIRST data-dependent gate: sections
+            # before it build + analyze outside the quarantine scope (a
+            # deterministic plan error must fail the query loudly); the
+            # gate and everything after it run inside the scope, in their
+            # declared order — a gate's raise means THIS batch's data is
+            # bad, and parking it is the point
+            cut = next((i for i, (d, _) in enumerate(deferred)
+                        if d.name in _DATA_GATE_SECTIONS), len(deferred))
             frame = batch_df
-            for dsdef, dcfg in deferred:
+            for dsdef, dcfg in deferred[:cut]:
                 frame = dsdef.builder(spark, dcfg, [frame])
             _ = frame.schema     # force analysis now
             try:
+                for gdef, gcfg in deferred[cut:]:
+                    frame = gdef.builder(spark, gcfg, [frame])
                 sink_def.builder(
                     spark, {**sink_cfg, "_batch": [task_id, int(batch_id)]},
                     frame)

@@ -362,3 +362,51 @@ def test_streaming_histogram_sketches_merge_offline(spark, csv_dir,
     whole = R.histogram_sketch(static, "k", 0.0, 10.0, 10) \
         .collect()[0]["hist"]
     assert merged == whole
+
+
+def test_psi_gate_streaming_quarantines_drifting_batch(spark, tmp_path):
+    """Drift gate in a micro-batch stream: each file is one batch
+    (max_files_per_trigger=1) checked against a frozen parquet
+    baseline; the stable batch flows to the sink, the drifting batch
+    raises INSIDE the quarantine scope and parks in the DLQ — the
+    stream finishes instead of wedging on the bad batch."""
+    def vals(xs):
+        return spark.createDataFrame([(float(v),) for v in xs],
+                                     "v double")
+    base = str(tmp_path / "base")
+    vals([0.5] * 50 + [1.5] * 50).write.parquet(base)
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    vals([0.5] * 24 + [1.5] * 26).coalesce(1).write.parquet(
+        str(stream_dir / "f_stable"))
+    vals([0.5] * 2 + [1.5] * 48).coalesce(1).write.parquet(
+        str(stream_dir / "f_drifted"))
+    # flatten: the stream reads individual part files from one dir
+    import glob
+    import shutil
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(sorted(stream_dir.iterdir())):
+        for f in glob.glob(str(sub / "*.parquet")):
+            shutil.copy(f, flat / f"{i}_{sub.name}.parquet")
+    dlq = str(tmp_path / "dlq")
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": str(flat),
+                    "max_files_per_trigger": 1},
+            "gate": {"type": "psi_gate", "value_col": "v",
+                     "lo": 0.0, "hi": 2.0, "bins": 2,
+                     "max_psi": 0.25, "base_path": base},
+            "dst": {"type": "memory_dest", "name": "psi_gated_out"},
+        },
+        "edges": [["src", "gate"], ["gate", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"),
+                                     dead_letter_path=dlq)
+    _wait_done(sp.start(spark))
+    out = spark.table("global_temp.psi_gated_out")
+    assert out.count() == 50                       # stable batch only
+    task_id = sp.pipeline.graph.subgraphs()[0].task_id()
+    parked = spark.read.parquet(f"{dlq}/{task_id}")
+    assert parked.count() == 50                    # drifted batch parked
+    assert "drifted" in parked.first()["_dlq_error"]
