@@ -1379,3 +1379,67 @@ def _sq_l2(vec: Column, centroid: list[float]) -> Column:
     carr = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
                        F.lit(0.0).cast("double"), lambda acc, e: acc + e)
+
+
+def ann_delete(spark, path: str, ids) -> dict:
+    """Delete vectors by id from a persisted index — the lifecycle
+    member between append and rebuild (user erasure requests, retracted
+    documents, dedup-loser cleanup). ``ids`` is a list of id values or
+    a one-column DataFrame.
+
+    Partition-pruned like every other maintenance op here: one
+    column-pruned (id, cell) scan locates the cells actually holding
+    the ids, ONLY those cell directories rewrite (dynamic partition
+    overwrite), and a cell whose every row is deleted has its directory
+    dropped explicitly (dynamic overwrite only replaces partitions it
+    WRITES — an all-deleted cell produces no output and would silently
+    keep its old files; same hazard gc_tombstones documents). Searches
+    and appends see the deletion immediately; the sidecar (centroids /
+    codebooks) is untouched — deletion never moves surviving vectors
+    between cells. Deleting ids not present is a no-op, so retries are
+    idempotent.
+    """
+    meta = ann_load_meta(path, spark)
+    part_col = _meta_partition_col(meta)
+    id_col = meta["id_col"]
+    cells = f"{path}/cells"
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias(id_col)).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in ids], f"{id_col} long").distinct()
+    cur = spark.read.parquet(cells)
+    hit_cells = [r[part_col] for r in
+                 (cur.select(id_col, part_col)
+                  .join(F.broadcast(ids_df), id_col, "left_semi")
+                  .select(part_col).distinct().collect())]
+    if not hit_cells:
+        return {"path": path, "deleted": 0, "cells_touched": 0}
+    part = cur.filter(F.col(part_col).isin(hit_cells))
+    kept = part.join(F.broadcast(ids_df), id_col, "left_anti") \
+        .localCheckpoint()
+    deleted = part.count() - kept.count()
+    kept_cells = {r[part_col] for r in
+                  kept.select(part_col).distinct().collect()}
+    if not kept_cells:
+        # every row of every touched cell is going away: if no OTHER
+        # cell holds data either, the rewrite would leave a parquet-less
+        # cells dir the next read cannot even schema-infer (the same
+        # husk gc_tombstones refuses to leave) — an emptied index is a
+        # rebuild, not a delete
+        others = cur.filter(~F.col(part_col).isin(hit_cells)) \
+            .limit(1).count()
+        if others == 0:
+            raise ValueError(
+                "ann_delete would empty the entire index; drop the "
+                f"index dir and rebuild instead ({path!r})")
+    with _dynamic_partition_overwrite(spark):
+        (kept.write.mode("overwrite")
+         .partitionBy(part_col).parquet(cells))
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, cells)
+    for c in hit_cells:
+        if c not in kept_cells:
+            fs.delete(P(f"{cells}/{part_col}={c}"), True)
+    return {"path": path, "deleted": int(deleted),
+            "cells_touched": len(hit_cells)}

@@ -18,6 +18,7 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run ann-stats <index>       # drift/imbalance
   python -m mycelial_spark.run ann-compact <index>     # 1 file per cell
   python -m mycelial_spark.run ann-split <index> --cell=N
+  python -m mycelial_spark.run ann-delete <index> --ids=1,2,3
   python -m mycelial_spark.run verify-export <release-dir>  # manifest check
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
@@ -76,8 +77,9 @@ def main(argv: list[str]) -> int:
         print(json.dumps(out))
         return 0
 
-    if args[0] in ("ann-stats", "ann-compact", "ann-split"):
-        if len(args) < 2 or (args[0] == "ann-split" and "cell" not in opts):
+    if args[0] in ("ann-stats", "ann-compact", "ann-split", "ann-delete"):
+        if len(args) < 2 or (args[0] == "ann-split" and "cell" not in opts) \
+                or (args[0] == "ann-delete" and "ids" not in opts):
             return usage()
         from mycelial_spark.operators import similarity as S
         spark = get_spark("mycelial-ann-maintenance")
@@ -85,6 +87,9 @@ def main(argv: list[str]) -> int:
             out = S.ann_index_stats(spark, args[1])
         elif args[0] == "ann-compact":
             out = S.ann_compact(spark, args[1])
+        elif args[0] == "ann-delete":
+            out = S.ann_delete(spark, args[1],
+                               [int(x) for x in opts["ids"].split(",") if x])
         else:
             out = S.ann_split_cell(spark, args[1], int(opts["cell"]))
         print(json.dumps(out))

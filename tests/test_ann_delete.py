@@ -1,0 +1,76 @@
+"""ann_delete: partition-pruned removal from a persisted ANN index."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import similarity as S
+
+
+def _emb(spark, n=60, dims=16, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(dims)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_delete_removes_from_search_and_stats(spark, tmp_path):
+    df = _emb(spark)
+    idx = str(tmp_path / "ivf")
+    S.ann_build_index(df, idx, n_centroids=4)
+    before = S.ann_index_stats(spark, idx)["rows"]
+    victims = [5, 17, 23]
+    out = S.ann_delete(spark, idx, victims)
+    assert out["deleted"] == 3 and out["cells_touched"] >= 1
+    assert S.ann_index_stats(spark, idx)["rows"] == before - 3
+    q = df.filter("vec_id = 5").collect()[0]["embedding"]
+    got = {r["vec_id"]
+           for r in S.ann_search(spark, idx, q, k=10).collect()}
+    assert not (got & set(victims))
+    # retries are idempotent; unknown ids are a no-op
+    again = S.ann_delete(spark, idx, victims + [99999])
+    assert again["deleted"] == 0
+    # append after delete still works and search sees the new vector
+    extra = _emb(spark, n=1, seed=77).selectExpr(
+        "vec_id + 1000 AS vec_id", "embedding")
+    assert S.ann_append(extra, idx)["rows"] == 1
+    assert S.ann_index_stats(spark, idx)["rows"] == before - 3 + 1
+
+
+def test_delete_drops_emptied_cell_dir(spark, tmp_path):
+    df = _emb(spark, n=40)
+    idx = str(tmp_path / "ivf")
+    S.ann_build_index(df, idx, n_centroids=4)
+    cells = spark.read.parquet(f"{idx}/cells")
+    part_col = [c for c in cells.columns if c.endswith("cell")][0]
+    # delete EVERY id of one cell: its directory must disappear
+    one_cell = cells.select(part_col).first()[part_col]
+    cell_ids = [r["vec_id"] for r in
+                cells.filter(f"{part_col} = {one_cell}")
+                .select("vec_id").collect()]
+    out = S.ann_delete(spark, idx, cell_ids)
+    assert out["deleted"] == len(cell_ids)
+    assert not glob.glob(os.path.join(idx, "cells",
+                                      f"{part_col}={one_cell}", "*.parquet"))
+    left = spark.read.parquet(f"{idx}/cells")
+    assert left.filter(f"{part_col} = {one_cell}").count() == 0
+    assert left.count() == 40 - len(cell_ids)
+
+
+def test_delete_refuses_to_empty_the_index(spark, tmp_path):
+    df = _emb(spark, n=20)
+    idx = str(tmp_path / "ivf")
+    S.ann_build_index(df, idx, n_centroids=2)
+    with pytest.raises(ValueError, match="empty the entire index"):
+        S.ann_delete(spark, idx, list(range(20)))
+    # the refusal left the index intact
+    assert S.ann_index_stats(spark, idx)["rows"] == 20
+
+
+def test_delete_accepts_dataframe_ids(spark, tmp_path):
+    df = _emb(spark, n=30)
+    idx = str(tmp_path / "ivf")
+    S.ann_build_index(df, idx, n_centroids=2)
+    ids = spark.createDataFrame([(1,), (2,), (2,)], "x long")
+    assert S.ann_delete(spark, idx, ids)["deleted"] == 2
