@@ -132,6 +132,7 @@ HEADLINE = [
     "annotator_reliability",
     "drift_psi_events",
     "quality_quantile_normalize",
+    "fuzzy_scores_jw",
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters

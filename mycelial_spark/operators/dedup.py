@@ -1195,3 +1195,72 @@ def span_decontaminate(df: DataFrame, benchmark: DataFrame, k: int = 8,
                    F.posexplode("span_hashes").alias("pos0", "s")))
     marked = occ.join(F.broadcast(bench_spans), "s")
     return _erase_marked_spans(df, marked, k, text_col, id_col)
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Classic Jaro-Winkler [Winkler 1990, public algorithm] with the
+    standard parameters (scaling 0.1, boost threshold 0.7, prefix cap
+    4) — arithmetic arranged to agree bit-for-bit with DuckDB's
+    ``jaro_winkler_similarity`` (verified on the published test pairs
+    and adversarial shorts), so the oracle can be the other engine's
+    own builtin."""
+    if s1 == s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    md = max(len(s1), len(s2)) // 2 - 1
+    m1 = [False] * len(s1)
+    m2 = [False] * len(s2)
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - md), min(len(s2), i + md + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if not matches:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len(s1)):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (matches / len(s1) + matches / len(s2)
+         + (matches - t) / matches) / 3
+    if j > 0.7:
+        pre = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            pre += 1
+        j += pre * 0.1 * (1 - j)
+    return j
+
+
+def jaro_winkler_col(left, right):
+    """Column-level Jaro-Winkler similarity via an Arrow-batched pandas
+    UDF — the VERIFY/SCORE path of record linkage (rank candidate pairs
+    a blocking stage produced; complements edit_distance_pairs'
+    Levenshtein gate with the name-matching measure census/MDM systems
+    standardized on). Per-row Python inside an Arrow batch: right for
+    candidate-pair volumes, not corpus cross joins — block first.
+    NULL on either side scores NULL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no pd.Series type hints: pandas is locally imported here and
+    # PySpark cannot resolve the stringified 'pd.Series' annotation —
+    # the explicit returnType carries the signature instead
+    @pandas_udf("double")
+    def _jw(a, b):
+        return pd.Series([
+            None if x is None or y is None else _jaro_winkler_py(x, y)
+            for x, y in zip(a, b)], dtype="float64")
+    lc = F.col(left) if isinstance(left, str) else left
+    rc = F.col(right) if isinstance(right, str) else right
+    return _jw(lc, rc)

@@ -6195,6 +6195,40 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "node")
 
 
+@query("fuzzy_scores_jw", """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       round(jaro_winkler_similarity(a.s_name, b.s_name), 6) AS jw
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE jaro_winkler_similarity(a.s_name, b.s_name) >= 0.8
+""")
+def fuzzy_scores_jw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler candidate-pair scoring (operators/dedup.py
+    jaro_winkler_col — the census/MDM name-match measure, complementing
+    edit_distance_pairs' Levenshtein gate): supplier-name pairs BLOCKED
+    by nation (the explicit-key blocking a linkage pipeline supplies),
+    scored by an Arrow-batched pandas UDF whose arithmetic is arranged
+    to agree bit-for-bit with DuckDB's jaro_winkler_similarity — the
+    oracle IS the other engine's builtin, the strongest cross-engine
+    check a scalar function can get. Threshold on the UNROUNDED score
+    so the boundary matches; the blocking keeps the pair volume
+    explicit (score after blocking, never corpus x corpus)."""
+    from mycelial_spark.operators.dedup import jaro_winkler_col
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                             "s_nationkey")
+    a = s.select(F.col("s_suppkey").alias("id_a"),
+                 F.col("s_name").alias("_na"),
+                 F.col("s_nationkey").alias("_nk"))
+    b = s.select(F.col("s_suppkey").alias("id_b"),
+                 F.col("s_name").alias("_nb"),
+                 F.col("s_nationkey").alias("_nk"))
+    return (a.join(b, ["_nk"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("_jw", jaro_winkler_col("_na", "_nb"))
+            .filter(F.col("_jw") >= 0.8)
+            .select("id_a", "id_b", F.round("_jw", 6).alias("jw")))
+
+
 @query("quality_quantile_normalize", """
 SELECT doc_id, source, n_chars,
        round(percent_rank() OVER (PARTITION BY source

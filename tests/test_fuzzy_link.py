@@ -86,3 +86,29 @@ def test_blocking_lossless_property(spark, strings, k):
     df = spark.createDataFrame(list(enumerate(strings)),
                                "id long, s string")
     assert _blocked(spark, df, "s", k) == _brute(spark, df, "s", k)
+
+
+# --- Jaro-Winkler scorer ----------------------------------------------
+
+def test_jaro_winkler_published_pairs(spark):
+    """The classic published values + adversarial shorts; must equal
+    DuckDB's builtin bit-for-bit (the oracle relies on it)."""
+    import duckdb
+
+    from mycelial_spark.operators.dedup import jaro_winkler_col
+    pairs = [("martha", "marhta"), ("dwayne", "duane"),
+             ("DIXON", "DICKSONX"), ("abcdef", "ghijkl"),
+             ("ab", "ba"), ("a", "ab"), ("xy", "xz"),
+             ("same", "same"), ("", "x"), (None, "x")]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = {(r["a"], r["b"]): r["jw"]
+           for r in df.withColumn("jw", jaro_winkler_col("a", "b"))
+           .collect()}
+    con = duckdb.connect()
+    for a, b in pairs:
+        if a is None:
+            assert got[(a, b)] is None
+            continue
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert got[(a, b)] == pytest.approx(want, abs=1e-12), (a, b)
