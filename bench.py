@@ -124,6 +124,7 @@ HEADLINE = [
     "triangle_count",
     "frequent_pairs",
     "k_core_trade",
+    "graph_communities",
     "graph_random_walks",
     "jaccard_join_prefix",
     "jaccard_join_cross",

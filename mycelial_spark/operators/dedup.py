@@ -994,6 +994,95 @@ def jaccard_prefix_join(left: DataFrame, right: DataFrame,
                         "jaccard")
 
 
+def containment_prefix_pairs(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.8,
+                             ngram: int = 1,
+                             min_size: int = 1) -> DataFrame:
+    """Exact all-pairs OVERLAP-COEFFICIENT join: every pair with
+    |A∩B| / min(|A|,|B|) >= threshold — the asymmetric cousin of
+    ``jaccard_prefix_pairs`` that catches EXCERPT duplication. A
+    50-token quote lifted into a 5000-token article has Jaccard ~0.01
+    (invisible to any Jaccard threshold) but containment 1.0; overlap
+    is the standard measure for quote/subset detection and benchmark
+    leakage where the contaminated doc embeds the benchmark item whole.
+
+    Prefix filtering adapts [Chaudhuri et al. ICDE'06 generalized to
+    overlap, as in the containment-join literature]: order every doc's
+    distinct elements by ascending global df (rarest first). For a
+    pair, let A be the side with FEWER elements (ties by id). Overlap
+    >= t needs |A∩B| >= ceil(t·|A|) =: α — a bound that depends only
+    on A — so A's first |A| − α + 1 rarest elements must hold at least
+    one common element (A's suffix has only α−1 slots). That element
+    sits ANYWHERE in B, so candidates come from joining the SMALLER
+    side's prefix postings against the larger side's FULL postings:
+    only the probe side is pruned, which is exactly why the prunes stay
+    lossless with no size-ratio filter (containment deliberately has
+    none — size mismatch is the signal, not noise). Join cost per
+    element is df_prefix·df_full: stopwords have huge full postings but
+    near-empty prefix postings (they are nobody's rarest element), so
+    the join follows the df of each doc's discriminative elements.
+    Verification computes the exact intersection on plain element
+    arrays (the measured fast path) — false candidates drop, true pairs
+    can't be lost; the brute-force oracle proves it end-to-end.
+
+    ``min_size`` drops docs with fewer distinct elements before
+    pairing: a 1-element doc is trivially contained at overlap 1.0 in
+    every doc sharing that element — real corpora gate tiny docs.
+    ``ngram>=2`` compares word-shingle sets via 8-byte rolling hashes
+    (same element identity the Jaccard path runs on). Float guard:
+    α computes as ceil(t·sz − 1e-9) so a binary-inexact t can only
+    lengthen a prefix, never shorten it.
+
+    Returns (id_a, id_b, overlap) with id_a < id_b (NOT small-side
+    first — the pair order used for pruning is re-normalized to id
+    order), overlap rounded to 6 decimals, >= threshold.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]; got {threshold}")
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1; got {ngram}")
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1; got {min_size}")
+    toks = _prefix_join_toks(df, text_col, id_col, ngram)
+    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    need = F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+    per_doc = (toks.join(tdf, "tok")
+               .groupBy("_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.col("_df"), F.col("tok")))).alias("_arr"))
+               .withColumn("sz", F.size("_arr"))
+               .filter(F.col("sz") >= min_size)
+               .withColumn("_pref", F.slice(
+                   "_arr", 1, (F.col("sz") - need + 1).cast("int")))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    probe = (per_doc.select("_id", "sz", F.explode("_pref").alias("_p"))
+             .select("_id", "sz", F.col("_p.tok").alias("tok")))
+    index = (per_doc.select("_id", "sz", F.explode("_arr.tok").alias("tok")))
+    a, b = probe.alias("a"), index.alias("b")
+    smaller_first = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a._id") < F.col("b._id")))
+    cand = (a.join(b, [F.col("a.tok") == F.col("b.tok"), smaller_first])
+             .select(F.col("a._id").alias("id_a"),
+                     F.col("b._id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    sa = per_doc.select(F.col("_id").alias("id_a"),
+                        F.col("_arr.tok").alias("_ta"),
+                        F.col("sz").alias("sz_a"))
+    sb = per_doc.select(F.col("_id").alias("id_b"),
+                        F.col("_arr.tok").alias("_tb"),
+                        F.col("sz").alias("sz_b"))
+    inter = F.size(F.array_intersect("_ta", "_tb"))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("overlap",
+                            F.round(inter / F.least("sz_a", "sz_b"), 6))
+                .filter(F.col("overlap") >= threshold)
+                .select(F.least("id_a", "id_b").alias("id_a"),
+                        F.greatest("id_a", "id_b").alias("id_b"),
+                        "overlap"))
+
+
 def edit_distance_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", max_dist: int = 1,
                         q: int = 3) -> DataFrame:

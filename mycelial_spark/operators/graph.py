@@ -398,3 +398,68 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     for c in (ed, nodes, out_nodes, e, sd):
         c.unpersist()
     return ranks.select("node", "rank")
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Community detection by synchronous label propagation [Raghavan,
+    Albert & Kumara, Phys. Rev. E 76, 2007 — public algorithm], made
+    DETERMINISTIC: every node starts labeled with its own id and each
+    round adopts the most frequent label among its neighbors, exact
+    ties broken by the SMALLEST label — no RNG, no visit order, so the
+    result is a pure function of (edge set, iterations) and replays
+    identically across reruns, partitionings, and engines.
+
+    The curation reading: near-dup clustering (connected components)
+    answers "which docs are copies"; label propagation answers "which
+    hosts/entities form one neighborhood" on the link graph — the
+    community feature used for domain-level mixing caps and
+    spam-cluster suppression, where a hub node keeps components from
+    being informative (everything is one component).
+
+    Semantics: the graph is treated as UNDIRECTED — edges are
+    symmetrized and de-duplicated, self-loops dropped (a self-loop is
+    a standing vote for your own label and freezes the node). A node's
+    own current label does NOT vote unless a neighbor holds it.
+    Isolated nodes never appear (edge-driven, like ``pagerank``).
+    Synchronous update CAN oscillate on bipartite-ish structure
+    (labels two-color and swap forever) — fixed ``iterations`` makes
+    that a bounded, deterministic outcome rather than a hang; callers
+    wanting convergence compare successive rounds externally.
+
+    100 TB design: the symmetrized edge table is materialized once and
+    pre-partitioned on the vote-gathering key, so each round shuffles
+    only the (node, label) state — 16 B/node — through two
+    partial-agg-friendly hash aggregates: (node, label) vote counts,
+    then a min(struct(-votes, label)) argmax election per node (the
+    ``label_majority`` trick — no per-node window sort, so a
+    celebrity node with 10M neighbors partial-aggregates instead of
+    funneling through one reducer task). localCheckpoint per round
+    keeps lineage flat. Returns (node, label); same-label nodes are
+    one community.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1; got {iterations}")
+    ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (ed.union(ed.select(F.col("b").alias("a"),
+                              F.col("a").alias("b")))
+             .filter(F.col("a") != F.col("b"))
+             .distinct()
+             .select(F.col("a").alias("_src"), F.col("b").alias("_dst"))
+             .repartition(F.col("_src")).persist())
+    sym.count()  # materialize before the loop (survives lineage cuts)
+    labels = (sym.select(F.col("_src").alias("node")).distinct()
+                 .withColumn("label", F.col("node"))
+                 .localCheckpoint())
+    for _ in range(iterations):
+        votes = (sym.join(labels, sym["_src"] == labels["node"])
+                 .groupBy(F.col("_dst").alias("n2"), "label")
+                 .agg(F.count(F.lit(1)).alias("_votes")))
+        labels = (votes.groupBy(F.col("n2").alias("node"))
+                  .agg(F.min(F.struct((-F.col("_votes")).alias("neg"),
+                                      F.col("label").alias("label")))
+                       .alias("_w"))
+                  .select("node", F.col("_w.label").alias("label"))
+                  .localCheckpoint())
+    sym.unpersist()
+    return labels

@@ -6475,6 +6475,143 @@ def personalized_pagerank_seeded(spark: SparkSession,
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _lpa_rounds_sql(rounds: int) -> str:
+    """Unrolled synchronous label-propagation rounds for the
+    graph_communities oracle. Each round = neighbor vote counts + a
+    one-row window election (highest count, smallest label on ties) —
+    the same idiom as the label_majority_vote oracle. MATERIALIZED so
+    DuckDB evaluates each round once instead of re-expanding the whole
+    chain per reference."""
+    parts = []
+    for t in range(1, rounds + 1):
+        parts.append(f"""c{t} AS MATERIALIZED (
+  SELECT e.v AS node, l.label, count(*) AS n
+  FROM e JOIN l{t - 1} l ON l.node = e.u GROUP BY 1, 2),
+l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM c{t}) WHERE rn = 1)""")
+    return ",\n".join(parts)
+
+
+@query("graph_communities", f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS a, 100000000 + l_suppkey AS b
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE l_quantity >= 46
+),
+e AS (SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+{_lpa_rounds_sql(3)}
+SELECT node, label FROM l3
+""")
+def graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities (operators/graph.py
+    label_propagation) over the symmetrized quantity>=46 trade graph —
+    the community signal components can't give on hub-connected graphs
+    (one hub makes everything one component; majority voting keeps
+    neighborhoods separate). Every node starts as its own label; each
+    of 3 synchronous rounds adopts the most frequent neighbor label,
+    smallest label on exact ties — argmax via a min(struct(-votes,
+    label)) partial agg, never a per-node window funnel. The oracle
+    unrolls the identical rounds as vote-count + one-row-window CTEs,
+    so the hash-match checks every round's election exactly."""
+    from mycelial_spark.operators.graph import label_propagation
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 46)
+    e = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+         .select(F.col("o_custkey").alias("src"),
+                 (F.lit(100000000) + F.col("l_suppkey")).alias("dst")))
+    return label_propagation(e, iterations=3)
+
+
+@query("containment_pairs", """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) shingles
+  FROM docs WHERE len(toks) >= 3
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh WHERE len(shingles) >= 20
+), post AS (
+  SELECT s.doc_id, unnest(s.shingles) AS tok
+  FROM sh s JOIN sz USING (doc_id)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter * 1.0 / least(sa.sz, sb.sz), 6) AS overlap
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE round(inter * 1.0 / least(sa.sz, sb.sz), 6) >= 0.5
+""")
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact overlap-coefficient (containment) self-join — the
+    excerpt/quote detector (operators/dedup.py
+    containment_prefix_pairs): |A∩B| / min(|A|,|B|) >= 0.5 over
+    distinct word-3-gram shingle sets, docs under 20 shingles gated.
+    Jaccard is structurally blind to a short doc embedded in a long one
+    (the union swamps the intersection); containment is the measure
+    benchmark-leakage and quote-dedup actually need — and shingles, not
+    bare tokens, make it discriminative (token sets over a shared
+    vocabulary are generically similar). Candidates come from the
+    SMALLER side's rarest-element prefix probing the larger side's FULL
+    postings — the one-sided prune the overlap bound permits — and the
+    oracle is the unfiltered brute-force all-pairs join, so the
+    hash-match proves the prune lossless end-to-end."""
+    from mycelial_spark.operators.dedup import containment_prefix_pairs
+    docs = _t(spark, sf_dir, "documents")
+    return containment_prefix_pairs(docs, "text", "doc_id",
+                                    threshold=0.5, ngram=3, min_size=20)
+
+
+_ROLLING_ACTIVE_ORACLE = """
+WITH p AS (
+  SELECT DISTINCT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b, user_id
+  FROM events
+), days AS (SELECT DISTINCT b FROM p)
+SELECT make_timestamp(d.b * 86400 * 1000000) AS bucket_ts,
+       count(DISTINCT p.user_id) AS n_distinct
+FROM days d JOIN p ON p.b BETWEEN d.b - 6 AND d.b
+GROUP BY 1
+"""
+
+
+@query("rolling_active_users", _ROLLING_ACTIVE_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (WAU) — exact
+    expand-to-buckets strategy (operators/timeseries.py
+    rolling_distinct): the corpus reduces ONCE to distinct (user, day)
+    pairs, each pair votes for the 7 days it covers, one count-distinct
+    per day finishes — never a per-day rescan of raw events, never a
+    range join against the event table. The oracle is the naive
+    day-spine range join."""
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    return rolling_distinct(_t(spark, sf_dir, "events"), window=7)
+
+
+@query("rolling_active_users_hll", _ROLLING_ACTIVE_ORACLE)
+def rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same WAU series from PER-DAY HLL SKETCHES merged over the
+    trailing window (rolling_distinct method='sketch') — the
+    incremental form: per-bucket sketches are exactly the state
+    sinks/rollup.py persists (distinct_cols), so day N's arrival
+    repairs one sketch and every window containing it reads repaired,
+    no corpus rescan. Oracle recipe (c): at fixture cardinality (150
+    users) the lgK=14 sketch is in its exact-representation regime, so
+    the deterministic estimate equals the exact count — the same
+    pinned recipe as hll_sketch_union."""
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    return rolling_distinct(_t(spark, sf_dir, "events"), window=7,
+                            method="sketch")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -135,3 +135,58 @@ def test_bfs_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="max_depth"):
         bfs_distances(e, s, max_depth=-1)
+
+
+def test_lpa_two_cliques_bridge(spark):
+    """Two triangles {1,2,3} and {10,11,12} joined by one bridge edge
+    3-10: propagation pulls each clique to its minimum id; the bridge
+    endpoints see one foreign vote vs two clique votes, so the
+    communities stay separate."""
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+             (3, 10)]
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(_edges(spark, pairs),
+                                        iterations=4).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[1]
+
+
+def test_lpa_one_round_is_neighbor_majority_min_tie(spark):
+    """Round 1 from self-labels: node 3 with neighbors {1, 2} ties at
+    one vote each -> smallest label (1) wins; node 1 sees only {3};
+    node 2 sees only {3}."""
+    pairs = [(1, 3), (2, 3)]
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(_edges(spark, pairs),
+                                        iterations=1).collect()}
+    assert got == {1: 3, 2: 3, 3: 1}
+
+
+def test_lpa_self_loops_and_duplicate_edges_ignored(spark):
+    """A self-loop must not vote (it would freeze the node) and a
+    duplicated edge must not double its vote: 2-3 twice plus 1-3 still
+    ties {1: 1 vote, 2: 1 vote} at node 3 -> label 1."""
+    pairs = [(3, 3), (2, 3), (3, 2), (1, 3)]
+    got = {r["node"]: r["label"]
+           for r in G.label_propagation(_edges(spark, pairs),
+                                        iterations=1).collect()}
+    assert got[3] == 1
+
+
+def test_lpa_deterministic_across_runs(spark):
+    """Same edges, different input partitioning -> identical labels."""
+    import random
+    rng = random.Random(7)
+    pairs = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    a = sorted(map(tuple, G.label_propagation(
+        _edges(spark, pairs), iterations=3).collect()))
+    b = sorted(map(tuple, G.label_propagation(
+        _edges(spark, pairs).repartition(7), iterations=3).collect()))
+    assert a == b
+
+
+def test_lpa_validation(spark):
+    with pytest.raises(ValueError):
+        G.label_propagation(_edges(spark, [(1, 2)]), iterations=0)

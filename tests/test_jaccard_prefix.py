@@ -187,3 +187,104 @@ def test_rs_join_lossless_property(spark, lts, rts, t):
     """Cross-table prunes admit no false negatives on adversarial
     tiny-alphabet corpora (heavy ties, shared hot tokens, dups)."""
     assert _got_rs(spark, lts, rts, t) == _brute_rs(lts, rts, t)
+
+
+# --- containment (overlap coefficient) ---------------------------------
+
+def _brute_overlap(texts, threshold, ngram=1, min_size=1):
+    def elems(t):
+        toks = t.split()
+        if ngram == 1:
+            return set(toks)
+        return {" ".join(toks[i:i + ngram])
+                for i in range(len(toks) - ngram + 1)}
+    sets = {i: elems(t) for i, t in enumerate(texts)}
+    out = {}
+    for i in sorted(sets):
+        for j in sorted(sets):
+            if i >= j:
+                continue
+            a, b = sets[i], sets[j]
+            if len(a) < min_size or len(b) < min_size:
+                continue
+            ov = round(len(a & b) / min(len(a), len(b)), 6)
+            if ov >= threshold:
+                out[(i, j)] = ov
+    return out
+
+
+def _got_overlap(spark, texts, threshold, ngram=1, min_size=1):
+    from mycelial_spark.operators.dedup import containment_prefix_pairs
+    rows = containment_prefix_pairs(
+        _docs(spark, texts), "text", "doc_id", threshold=threshold,
+        ngram=ngram, min_size=min_size).collect()
+    return {(r["id_a"], r["id_b"]): r["overlap"] for r in rows}
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short quote inside a long article: overlap 1.0 while Jaccard
+    is far below any dedup threshold."""
+    article = " ".join(f"w{i}" for i in range(200)) + " lifted quote here"
+    texts = [article, "lifted quote here", "unrelated stuff entirely"]
+    got = _got_overlap(spark, texts, 0.9)
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) not in got
+    jac = _brute(texts, 0.9)
+    assert (0, 1) not in jac  # Jaccard blind to the same pair
+
+
+def test_containment_matches_brute_force(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "quick brown fox",
+        "the lazy dog sleeps",
+        "pack my box with five dozen liquor jugs",
+        "five dozen jugs",
+        "the quick brown fox jumps over the lazy dog again today",
+    ]
+    for t in (0.5, 0.8, 1.0):
+        assert _got_overlap(spark, texts, t) == _brute_overlap(texts, t)
+
+
+def test_containment_min_size_gate(spark):
+    texts = ["the a b c d", "the", "x y the z w"]
+    # without the gate the 1-token doc is contained everywhere
+    assert (0, 1) in _got_overlap(spark, texts, 1.0)
+    got = _got_overlap(spark, texts, 1.0, min_size=2)
+    assert not any(1 in p for p in got)
+
+
+def test_containment_equal_size_tie_and_shingles(spark):
+    texts = ["a b c", "a b c", "c b a", "a b c d e f g h"]
+    got = _got_overlap(spark, texts, 1.0)
+    assert got[(0, 1)] == 1.0 and got[(0, 2)] == 1.0 \
+        and got[(1, 2)] == 1.0
+    assert got[(0, 3)] == 1.0  # contained in the longer doc
+    sh = _got_overlap(spark, ["a b c d", "a b c d", "b c d a x"],
+                      0.5, ngram=2)
+    assert sh == _brute_overlap(["a b c d", "a b c d", "b c d a x"],
+                                0.5, ngram=2)
+
+
+def test_containment_validation(spark):
+    from mycelial_spark.operators.dedup import containment_prefix_pairs
+    df = _docs(spark, ["a b"])
+    with pytest.raises(ValueError):
+        containment_prefix_pairs(df, threshold=0.0)
+    with pytest.raises(ValueError):
+        containment_prefix_pairs(df, ngram=0)
+    with pytest.raises(ValueError):
+        containment_prefix_pairs(df, min_size=0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=12), min_size=2,
+    max_size=7),
+    threshold=st.sampled_from([0.34, 0.5, 0.8, 1.0]))
+def test_containment_lossless_property(spark, texts, threshold):
+    texts = [t for t in texts if t.strip()]
+    if len(texts) < 2:
+        return
+    assert _got_overlap(spark, texts, threshold) \
+        == _brute_overlap(texts, threshold)

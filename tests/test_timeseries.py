@@ -180,3 +180,53 @@ def test_sessionize_gap_splits_sessions(spark):
     import pytest as _p
     with _p.raises(ValueError, match="gap_seconds"):
         sessionize(df, 0)
+
+
+def test_rolling_distinct_hand_computed(spark):
+    """Days 1,2,4 active; window=2 (day + previous day):
+      day1: users {a}          -> 1
+      day2: users {a,b} + day1 -> 2
+      day4: users {b} (day3 empty, outside nothing) -> 1
+    Day 3 has no activity and is NOT reported."""
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    df = _df(spark, [
+        (datetime(2024, 1, 1, 5), 1, 0.0),
+        (datetime(2024, 1, 2, 6), 1, 0.0),
+        (datetime(2024, 1, 2, 7), 2, 0.0),
+        (datetime(2024, 1, 4, 8), 2, 0.0),
+    ])
+    for method in ("expand", "sketch"):
+        got = {r["bucket_ts"].day: r["n_distinct"]
+               for r in rolling_distinct(df, window=2,
+                                         method=method).collect()}
+        assert got == {1: 1, 2: 2, 4: 1}, method
+
+
+def test_rolling_distinct_window_one_is_per_bucket(spark):
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    df = _df(spark, [
+        (datetime(2024, 1, 1), 1, 0.0),
+        (datetime(2024, 1, 1), 1, 0.0),
+        (datetime(2024, 1, 1), 2, 0.0),
+        (datetime(2024, 1, 2), 2, 0.0),
+    ])
+    got = {r["bucket_ts"].day: r["n_distinct"]
+           for r in rolling_distinct(df, window=1).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_rolling_distinct_methods_agree_and_validate(spark):
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    import random
+    rng = random.Random(3)
+    rows = [(datetime(2024, 1, 1 + rng.randrange(12), rng.randrange(24)),
+             rng.randrange(40), 0.0) for _ in range(300)]
+    df = _df(spark, rows)
+    exact = sorted(map(tuple, rolling_distinct(df, window=7).collect()))
+    sk = sorted(map(tuple, rolling_distinct(df, window=7,
+                                            method="sketch").collect()))
+    assert exact == sk  # tiny cardinality: sketch regime is exact
+    with pytest.raises(ValueError):
+        rolling_distinct(df, window=0)
+    with pytest.raises(ValueError):
+        rolling_distinct(df, method="nope")
