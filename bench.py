@@ -115,6 +115,10 @@ HEADLINE = [
     "rolling_anomalies",
     "data_contract",
     "sessionize_events",
+    "rolling_active_users",
+    "rolling_active_users_hll",
+    "user_value_trend",
+    "peak_concurrent_sessions",
     "domain_cap",
     "boilerplate_remove",
     "fuzzy_link_pairs",
@@ -127,6 +131,7 @@ HEADLINE = [
     "graph_communities",
     "graph_random_walks",
     "jaccard_join_prefix",
+    "containment_pairs",
     "jaccard_join_cross",
     "k_hop_distances",
     "label_majority_vote",

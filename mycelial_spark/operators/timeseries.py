@@ -355,3 +355,142 @@ def rolling_distinct(df: DataFrame, ts_col: str = "ts",
             .agg(F.countDistinct("_k").alias("n_distinct"))
             .select(F.timestamp_seconds(F.col("_b") * bucket_seconds)
                     .alias("bucket_ts"), "n_distinct"))
+
+
+def trend_slope(df: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                bucket_seconds: int = 86400) -> DataFrame:
+    """Per-key ordinary-least-squares trend: the slope of ``value_col``
+    against time (in ``bucket_seconds`` units) for every key, in ONE
+    partial-agg pass — the metric-drift detector ("which users/domains/
+    hosts are trending up or down") that turns a monitoring table into
+    a ranked triage list without per-key model fits.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), x = epoch//bucket.
+
+    Engine-portable BY CONSTRUCTION, which the textbook double-sum form
+    is not: Σ of doubles is evaluation-order-dependent, and the slope
+    formula's cancellation amplifies those low bits across partitions /
+    engines. Here every SUM is exact — x is an integer bucket index and
+    y casts to DECIMAL(30,6) (exact for ≤6-decimal metrics — the
+    profile_columns rendering precedent) — so the aggregates are
+    identical under any partitioning and in any engine; the exact sums
+    then cast to double ONCE and the slope is a single fixed IEEE
+    expression tree (the rolling_zscore recipe), rounded to 6 decimals.
+    Deliberately NOT decimal arithmetic end-to-end: decimal
+    multiplication precision/rescale rules differ across engines,
+    double arithmetic on identical inputs does not. Keys whose x spans
+    zero buckets (all rows in one bucket) return NULL slope (vertical
+    fit), never a divide error.
+
+    Returns (key, n_points, slope). Map-side combinable: one hash
+    aggregate of five exact sums per key, no window, no second pass.
+    """
+    x = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
+        .cast("long")
+    y = F.col(value_col).cast("decimal(30,6)")
+    agg = df.select(F.col(key_col).alias("key"), x.alias("_x"),
+                    y.alias("_y")) \
+            .groupBy("key").agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum("_x").alias("_sx"),
+                F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+                F.sum("_y").alias("_sy"),
+                F.sum(F.col("_x").cast("decimal(30,6)") * F.col("_y"))
+                 .alias("_sxy"))
+    n = F.col("n_points").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0.0,
+                   _round6_portable((n * sxy - sx * sy) / den))
+    return agg.select("key", "n_points", slope.alias("slope"))
+
+
+def peak_concurrency(intervals: DataFrame, start_col: str = "start_ts",
+                     end_col: str = "end_ts",
+                     bucket_seconds: int = 86400,
+                     chunk_seconds: int = 3600) -> DataFrame:
+    """Per-bucket PEAK CONCURRENCY over an interval table: for each
+    time bucket, the maximum number of simultaneously active intervals
+    — peak concurrent sessions/streams/connections per day, the
+    capacity-planning metric interval data exists for. Intervals are
+    half-open [start, end): a session ending exactly when another
+    starts does NOT overlap it; rows with end <= start (empty
+    intervals) contribute nothing.
+
+    The classic sweep (+1 at starts, −1 at ends, running max of the
+    prefix sum) is inherently ORDER-dependent — a naive global sort is
+    a single-reducer funnel, and even a per-day window funnels a hot
+    day with 100M boundaries through one task. The fix is that
+    (sum, max-prefix) is an ASSOCIATIVE monoid — combine((s1,p1),
+    (s2,p2)) = (s1+s2, max(p1, s1+p2)) — so the sweep runs TWO-LEVEL:
+    boundaries sort only within (bucket, chunk) sub-windows (fully
+    parallel across chunks), each chunk reduces to its (sum,
+    max-prefix) summary, and a second window over the ≤
+    bucket/chunk_seconds summary rows per bucket stitches chunks in
+    order. No task ever sorts more than one chunk.
+
+    Start-of-bucket state (intervals spanning the whole bucket) comes
+    from an expansion join, not a scan-back: each interval votes for
+    every bucket whose START instant it covers (sequence over covered
+    bucket indexes — output-linear in spanned buckets), and
+    peak(bucket) = carry_in + max(0, max chunk-stitched prefix).
+    Buckets covered by long intervals but containing no boundaries
+    still report (their peak is the carry). Returns (bucket_ts,
+    peak) for every bucket where at least one interval was active
+    (peak >= 1); a −1 landing exactly on a bucket start does not make
+    that bucket report.
+    """
+    if bucket_seconds <= 0 or chunk_seconds <= 0 \
+            or bucket_seconds % chunk_seconds != 0:
+        raise ValueError(
+            f"chunk_seconds must divide bucket_seconds; got "
+            f"bucket={bucket_seconds} chunk={chunk_seconds}")
+    s = F.unix_timestamp(F.col(start_col))
+    e = F.unix_timestamp(F.col(end_col))
+    iv = (intervals.select(s.alias("_s"), e.alias("_e"))
+          .filter(F.col("_e") > F.col("_s")))
+    bd = (iv.select(F.col("_s").alias("_t"), F.lit(1).alias("_d"))
+            .unionAll(iv.select(F.col("_e").alias("_t"),
+                                F.lit(-1).alias("_d"))))
+    bd = bd.select("_t", "_d",
+                   (F.col("_t") / bucket_seconds).cast("long").alias("_b"),
+                   (F.col("_t") / chunk_seconds).cast("long").alias("_c"))
+    w_chunk = (Window.partitionBy("_b", "_c").orderBy("_t", "_d")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    pref = bd.withColumn("_pref", F.sum("_d").over(w_chunk))
+    chunks = pref.groupBy("_b", "_c").agg(
+        F.sum("_d").alias("_cs"), F.max("_pref").alias("_cp"))
+    w_stitch = (Window.partitionBy("_b").orderBy("_c")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    stitched = chunks.withColumn(
+        "_carry_chunks", F.coalesce(F.sum("_cs").over(w_stitch), F.lit(0)))
+    bmax = (stitched.groupBy("_b")
+            .agg(F.max(F.col("_carry_chunks") + F.col("_cp"))
+                 .alias("_maxp")))
+    # covered-bucket votes: bucket b's START is inside [s, e) iff
+    # s < b*bucket <= e-1  ->  b in [s//bucket + 1, (e-1)//bucket]
+    lo = (F.col("_s") / bucket_seconds).cast("long") + 1
+    hi = ((F.col("_e") - 1) / bucket_seconds).cast("long")
+    cov = (iv.select(F.explode(F.when(lo <= hi, F.sequence(lo, hi))
+                               .otherwise(F.array())).alias("_b"))
+             .groupBy("_b").agg(F.count(F.lit(1)).alias("_carry")))
+    out = (bmax.join(cov, "_b", "full_outer")
+           .select(F.col("_b"),
+                   F.greatest(
+                       F.coalesce("_carry", F.lit(0)),
+                       F.coalesce("_carry", F.lit(0))
+                       + F.greatest(F.coalesce("_maxp", F.lit(0)),
+                                    F.lit(0)))
+                   .alias("peak")))
+    # peak can only be 0 when NOTHING was active inside the bucket (a
+    # −1 landing exactly on the bucket start is the interval that
+    # ended at that instant — half-open, so it never lived in this
+    # bucket): such rows are noise, drop them
+    return (out.filter(F.col("peak") > 0)
+            .select(F.timestamp_seconds(F.col("_b") * bucket_seconds)
+                    .alias("bucket_ts"),
+                    F.col("peak").cast("long").alias("peak")))

@@ -6612,6 +6612,103 @@ def rolling_active_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                             method="sketch")
 
 
+@query("user_value_trend", """
+WITH p AS (
+  SELECT user_id AS key,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS x,
+         CAST(value AS DECIMAL(30,6)) AS y
+  FROM events
+), a AS (
+  SELECT key, count(*) AS n_points,
+         sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy,
+         sum(CAST(x AS DECIMAL(30,6)) * y) AS sxy
+  FROM p GROUP BY 1
+)
+SELECT key, n_points,
+       CASE WHEN CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+       THEN floor((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0
+       END AS slope
+FROM a
+""")
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend slope of event value against time in days
+    (operators/timeseries.py trend_slope) — the drift-triage ranking:
+    which keys are trending and how hard, from ONE map-side-combinable
+    hash aggregate of five EXACT sums (integer day index, decimal
+    values), with floating point entering only at the final division.
+    The oracle replays the identical sums and the identical one-shot
+    IEEE expression tree — the hash-match proves partition-order
+    independence, which a naive double Σ would fail."""
+    from mycelial_spark.operators.timeseries import trend_slope
+    return trend_slope(_t(spark, sf_dir, "events"))
+
+
+@query("peak_concurrent_sessions", """
+WITH a AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), f AS (
+  SELECT user_id, sec,
+         sum(CASE WHEN prev IS NULL OR sec - prev > 1800
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+  FROM a
+), sess AS (
+  SELECT min(sec) AS s, max(sec) + 1800 AS e
+  FROM f GROUP BY user_id, si
+), bd AS (
+  SELECT s AS t, 1 AS d FROM sess
+  UNION ALL SELECT e, -1 FROM sess
+), pref AS (
+  SELECT t // 86400 AS b,
+         sum(d) OVER (PARTITION BY t // 86400 ORDER BY t, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p
+  FROM bd
+), bmax AS (SELECT b, max(p) AS mp FROM pref GROUP BY 1),
+cov AS (
+  SELECT cb AS b, count(*) AS carry FROM (
+    SELECT unnest(range(s // 86400 + 1, (e - 1) // 86400 + 1)) AS cb
+    FROM sess) GROUP BY 1
+)
+SELECT make_timestamp(coalesce(bmax.b, cov.b) * 86400 * 1000000)
+         AS bucket_ts,
+       CAST(coalesce(carry, 0) + greatest(coalesce(mp, 0), 0) AS BIGINT)
+         AS peak
+FROM bmax FULL OUTER JOIN cov ON bmax.b = cov.b
+WHERE coalesce(carry, 0) + greatest(coalesce(mp, 0), 0) > 0
+""")
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous sessions per day — sessionize (30-min gap,
+    sessions active until their timeout closes: end = last event +
+    1800 s) feeding operators/timeseries.py peak_concurrency. The sweep
+    (+1/−1 boundaries, max running prefix) is order-dependent, so it
+    runs TWO-LEVEL on the (sum, max-prefix) monoid: boundaries sort
+    only within (day, hour-chunk) sub-windows, chunk summaries stitch
+    in order — a hot day never funnels one task — and days fully
+    covered by long sessions report via an expansion join, not a
+    scan-back. The oracle replays sessionization AND the per-day
+    prefix/carry decomposition literally (intervals ending exactly on
+    a day boundary stay half-open-correct on both sides)."""
+    from mycelial_spark.operators.timeseries import (peak_concurrency,
+                                                     sessionize)
+    sess = sessionize(_t(spark, sf_dir, "events"), 1800)
+    iv = sess.select(
+        F.col("session_start").alias("start_ts"),
+        F.timestamp_seconds(F.unix_timestamp("session_end") + 1800)
+        .alias("end_ts"))
+    return peak_concurrency(iv)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -230,3 +230,107 @@ def test_rolling_distinct_methods_agree_and_validate(spark):
         rolling_distinct(df, window=0)
     with pytest.raises(ValueError):
         rolling_distinct(df, method="nope")
+
+
+def test_trend_slope_hand_computed(spark):
+    """Key 1: (day0, 1), (day1, 3), (day2, 5) -> slope exactly 2.0
+    per day; key 2 all in one bucket -> NULL (vertical fit); key 3
+    flat -> 0.0."""
+    from mycelial_spark.operators.timeseries import trend_slope
+    df = _df(spark, [
+        (datetime(2024, 1, 1, 1), 1, 1.0),
+        (datetime(2024, 1, 2, 2), 1, 3.0),
+        (datetime(2024, 1, 3, 3), 1, 5.0),
+        (datetime(2024, 1, 5, 1), 2, 7.0),
+        (datetime(2024, 1, 5, 23), 2, 9.0),
+        (datetime(2024, 1, 1), 3, 4.0),
+        (datetime(2024, 1, 9), 3, 4.0),
+    ])
+    got = {r["key"]: (r["n_points"], r["slope"])
+           for r in trend_slope(df).collect()}
+    assert got == {1: (3, 2.0), 2: (2, None), 3: (2, 0.0)}
+
+
+def test_trend_slope_partition_invariant(spark):
+    """Exact sums: any repartitioning yields bit-identical slopes."""
+    from mycelial_spark.operators.timeseries import trend_slope
+    import random
+    rng = random.Random(11)
+    rows = [(datetime(2024, 1, 1 + rng.randrange(25), rng.randrange(24)),
+             rng.randrange(30),
+             round(rng.uniform(-50, 50), 2)) for _ in range(400)]
+    df = _df(spark, rows)
+    a = sorted(map(tuple, trend_slope(df).collect()))
+    b = sorted(map(tuple, trend_slope(df.repartition(13)).collect()))
+    assert a == b
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "start_ts timestamp, end_ts timestamp")
+
+
+def test_peak_concurrency_half_open_sweep(spark):
+    """Three overlapping sessions; the one ending at 11:00 does NOT
+    overlap the one starting 11:00 (half-open), so peak is 2 not 3."""
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    df = _iv(spark, [
+        (datetime(2024, 1, 1, 10), datetime(2024, 1, 1, 11)),
+        (datetime(2024, 1, 1, 10, 30), datetime(2024, 1, 1, 12)),
+        (datetime(2024, 1, 1, 11), datetime(2024, 1, 1, 13)),
+    ])
+    got = {r["bucket_ts"].day: r["peak"]
+           for r in peak_concurrency(df).collect()}
+    assert got == {1: 2}
+
+
+def test_peak_concurrency_carry_and_covered_days(spark):
+    """A Jan1->Jan3 05:00 span carries concurrency into days it
+    covers; a short Jan2 session stacks on top; a Jan1 12:00->Jan4
+    00:00 interval covers Jan2+Jan3 but NOT Jan4 (half-open end on the
+    boundary)."""
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    df = _iv(spark, [
+        (datetime(2024, 1, 1, 10), datetime(2024, 1, 3, 5)),
+        (datetime(2024, 1, 2, 1), datetime(2024, 1, 2, 2)),
+    ])
+    got = {r["bucket_ts"].day: r["peak"]
+           for r in peak_concurrency(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
+    df2 = _iv(spark, [
+        (datetime(2024, 1, 1, 12), datetime(2024, 1, 4, 0)),
+    ])
+    got2 = {r["bucket_ts"].day: r["peak"]
+            for r in peak_concurrency(df2).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1}
+
+
+def test_peak_concurrency_empty_intervals_and_validation(spark):
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    df = _iv(spark, [
+        (datetime(2024, 1, 1, 10), datetime(2024, 1, 1, 10)),
+    ])
+    assert peak_concurrency(df).count() == 0
+    with pytest.raises(ValueError):
+        peak_concurrency(df, chunk_seconds=7)  # does not divide 86400
+
+
+def test_peak_concurrency_chunking_invariant(spark):
+    """The two-level (sum, max-prefix) stitch must equal the
+    single-chunk sweep on random interval data, for any chunk size."""
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    import random
+    rng = random.Random(5)
+    rows = []
+    for _ in range(200):
+        s = datetime(2024, 1, 1) .timestamp() + rng.randrange(0, 5 * 86400)
+        dur = rng.randrange(1, 90000)
+        rows.append((datetime.fromtimestamp(s),
+                     datetime.fromtimestamp(s + dur)))
+    df = _iv(spark, rows)
+    base = sorted(map(tuple, peak_concurrency(
+        df, chunk_seconds=86400).collect()))
+    for chunk in (60, 3600, 21600):
+        got = sorted(map(tuple, peak_concurrency(
+            df, chunk_seconds=chunk).collect()))
+        assert got == base, chunk
