@@ -311,12 +311,16 @@ def rolling_distinct(df: DataFrame, ts_col: str = "ts",
       output is wanted — time_bucket_gapfill exists for that).
     - ``method='sketch'``: per-bucket HLL sketches (the exact state
       sinks/rollup.py already persists per bucket via distinct_cols),
-      then a range self-join over the BUCKET TABLE merges each trailing
-      window in O(sketch) — days×window sketch merges, no second look
-      at the corpus, and incremental maintenance is free (a late batch
-      repairs one bucket's sketch, every window containing it reads
-      repaired). Estimate error is the HLL bound (~0.8% at lg_k=14;
-      exact below the sketch's dense promotion threshold).
+      then each bucket's sketch votes for the ``window`` buckets it
+      participates in (the same expansion, but carrying a 16 KiB
+      sketch instead of every key) and one union-merge per bucket
+      finishes — days×window sketch merges, an EQUI shuffle (a range
+      self-join on buckets would compile to a nested-loop join), no
+      second look at the corpus, and incremental maintenance is free
+      (a late batch repairs one bucket's sketch, every window
+      containing it reads repaired). Estimate error is the HLL bound
+      (~0.8% at lg_k=14; exact below the sketch's dense promotion
+      threshold).
 
     Returns (bucket_ts timestamp, n_distinct bigint) sorted nowhere —
     order downstream. ``bucket_ts`` is the bucket START. Epoch
@@ -330,26 +334,37 @@ def rolling_distinct(df: DataFrame, ts_col: str = "ts",
                          f"got {method!r}")
     bkt = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
         .cast("long")
+    bkt = F.col("_src_b")
+    expand = F.explode(F.sequence(bkt, bkt + F.lit(window - 1))) \
+        .alias("_b")
+    src_b = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
+        .cast("long")
     if method == "sketch":
-        per = (df.select(bkt.alias("_b"), F.col(key_col).alias("_k"))
-                 .groupBy("_b")
-                 .agg(F.hll_sketch_agg("_k", lg_k).alias("_sk")))
-        a, b = per.alias("a"), per.alias("b")
-        return (a.join(b, [F.col("b._b") <= F.col("a._b"),
-                           F.col("b._b") > F.col("a._b") - window])
-                 .groupBy(F.col("a._b").alias("_b"))
-                 .agg(F.hll_union_agg(F.col("b._sk")).alias("_u"))
-                 .select(F.timestamp_seconds(
-                             F.col("_b") * bucket_seconds)
-                         .alias("bucket_ts"),
-                         F.hll_sketch_estimate("_u").alias("n_distinct")))
-    pairs = (df.select(bkt.alias("_b"), F.col(key_col).alias("_k"))
-               .distinct())
-    active = pairs.select("_b").distinct()
-    contrib = pairs.select(
-        F.explode(F.sequence(F.col("_b"),
-                             F.col("_b") + F.lit(window - 1)))
-        .alias("_b"), "_k")
+        # per-bucket sketches materialize ONCE (they feed both the
+        # expansion and the active-bucket list), then each sketch votes
+        # for the window buckets it belongs to — an EQUI shuffle, not a
+        # range self-join (a non-equi bucket join compiles to a
+        # nested-loop; fine for days, wrong as the reusable shape)
+        per = (df.select(src_b.alias("_src_b"),
+                         F.col(key_col).alias("_k"))
+                 .groupBy("_src_b")
+                 .agg(F.hll_sketch_agg("_k", lg_k).alias("_sk"))
+                 .persist())
+        active = per.select(F.col("_src_b").alias("_b"))
+        out = (per.select(expand, "_sk")
+               .join(active, "_b")
+               .groupBy("_b")
+               .agg(F.hll_union_agg("_sk").alias("_u"))
+               .select(F.timestamp_seconds(F.col("_b") * bucket_seconds)
+                       .alias("bucket_ts"),
+                       F.hll_sketch_estimate("_u").alias("n_distinct")))
+        return out
+    # the distinct (key, bucket) table feeds the expansion AND the
+    # active-bucket list — one corpus-sized distinct, not two scans
+    pairs = (df.select(src_b.alias("_src_b"), F.col(key_col).alias("_k"))
+               .distinct().persist())
+    active = pairs.select(F.col("_src_b").alias("_b")).distinct()
+    contrib = pairs.select(expand, "_k")
     return (contrib.join(active, "_b")
             .groupBy("_b")
             .agg(F.countDistinct("_k").alias("n_distinct"))
@@ -451,8 +466,11 @@ def peak_concurrency(intervals: DataFrame, start_col: str = "start_ts",
             f"bucket={bucket_seconds} chunk={chunk_seconds}")
     s = F.unix_timestamp(F.col(start_col))
     e = F.unix_timestamp(F.col(end_col))
+    # the interval frame feeds THREE consumers (start boundaries, end
+    # boundaries, coverage votes) and may carry arbitrary upstream cost
+    # (a sessionize window, a join chain) — materialize it once
     iv = (intervals.select(s.alias("_s"), e.alias("_e"))
-          .filter(F.col("_e") > F.col("_s")))
+          .filter(F.col("_e") > F.col("_s")).persist())
     bd = (iv.select(F.col("_s").alias("_t"), F.lit(1).alias("_d"))
             .unionAll(iv.select(F.col("_e").alias("_t"),
                                 F.lit(-1).alias("_d"))))

@@ -2789,3 +2789,78 @@ def sessionize_(spark, cfg, inputs):
     from mycelial_spark.operators.timeseries import sessionize
     return sessionize(inputs[0], cfg["gap_seconds"], cfg["ts_col"],
                       cfg["user_col"], cfg["order_tiebreak"])
+
+
+@_register("label_propagation", "transform", "dataframe", "dataframe",
+           [Field("iterations", "int", 3),
+            Field("src", default="src"), Field("dst", default="dst")],
+           doc="Deterministic label-propagation communities over an "
+               "edge-list input (synchronous rounds, most-frequent "
+               "neighbor label, smallest label on ties; min-struct "
+               "election, no per-node window funnel) as a node.")
+def label_propagation_(spark, cfg, inputs):
+    from mycelial_spark.operators.graph import label_propagation
+    return label_propagation(inputs[0], cfg["iterations"],
+                             cfg["src"], cfg["dst"])
+
+
+@_register("containment_pairs", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("threshold", "float", 0.8),
+            Field("ngram", "int", 1),
+            Field("min_size", "int", 1)],
+           doc="Exact overlap-coefficient (containment) self-join — "
+               "excerpt/quote duplication Jaccard can't see; smaller "
+               "side's rarest-element prefix probes full postings, "
+               "lossless, as a node.")
+def containment_pairs_(spark, cfg, inputs):
+    from mycelial_spark.operators.dedup import containment_prefix_pairs
+    return containment_prefix_pairs(inputs[0], cfg["text_col"],
+                                    cfg["id_col"], cfg["threshold"],
+                                    cfg["ngram"], cfg["min_size"])
+
+
+@_register("rolling_distinct", "transform", "dataframe", "dataframe",
+           [Field("ts_col", default="ts"),
+            Field("key_col", default="user_id"),
+            Field("window", "int", 7),
+            Field("bucket_seconds", "int", 86400),
+            Field("method", default="expand"),
+            Field("lg_k", "int", 14)],
+           doc="Trailing-window distinct actives per bucket (WAU/MAU) "
+               "— exact expand-to-buckets or per-bucket HLL sketches "
+               "merged over the bucket table — as a node.")
+def rolling_distinct_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    return rolling_distinct(inputs[0], cfg["ts_col"], cfg["key_col"],
+                            cfg["window"], cfg["bucket_seconds"],
+                            cfg["method"], cfg["lg_k"])
+
+
+@_register("trend_slope", "transform", "dataframe", "dataframe",
+           [Field("key_col", default="user_id"),
+            Field("ts_col", default="ts"),
+            Field("value_col", default="value"),
+            Field("bucket_seconds", "int", 86400)],
+           doc="Per-key OLS trend slope from five exact sums (one "
+               "map-side-combinable aggregate; partition-order-"
+               "independent) as a node.")
+def trend_slope_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import trend_slope
+    return trend_slope(inputs[0], cfg["key_col"], cfg["ts_col"],
+                       cfg["value_col"], cfg["bucket_seconds"])
+
+
+@_register("peak_concurrency", "transform", "dataframe", "dataframe",
+           [Field("start_col", default="start_ts"),
+            Field("end_col", default="end_ts"),
+            Field("bucket_seconds", "int", 86400),
+            Field("chunk_seconds", "int", 3600)],
+           doc="Per-bucket peak simultaneous intervals (half-open "
+               "sweep run two-level on the (sum, max-prefix) monoid; "
+               "covered buckets via expansion join) as a node.")
+def peak_concurrency_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    return peak_concurrency(inputs[0], cfg["start_col"], cfg["end_col"],
+                            cfg["bucket_seconds"], cfg["chunk_seconds"])

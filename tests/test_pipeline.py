@@ -628,3 +628,53 @@ def test_dataset_release_pipeline_end_to_end(spark, tmp_path):
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_r7_analytics_sections_second_wave(spark):
+    """Declarative forms of the second round-7 analytics wave: label
+    propagation, containment pairs, rolling distinct, trend slope,
+    peak concurrency."""
+    from datetime import datetime
+    from mycelial_spark.plans.sections import REGISTRY
+
+    def run(name, cfg, inputs):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), inputs)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "src long, dst long")
+    lp = {r["node"]: r["label"]
+          for r in run("label_propagation", {"iterations": 4},
+                       [edges]).collect()}
+    assert lp[1] == lp[2] == lp[3] and lp[10] == lp[11] == lp[12] \
+        and lp[1] != lp[10]
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(40)) + " quoted bit here"),
+         (2, "quoted bit here"), (3, "something else entirely")],
+        "doc_id long, text string")
+    cp = run("containment_pairs", {"threshold": 0.9}, [docs]).collect()
+    assert {(r["id_a"], r["id_b"]) for r in cp} == {(1, 2)}
+
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 5), 1, 1.0),
+         (datetime(2024, 1, 2, 6), 1, 3.0),
+         (datetime(2024, 1, 2, 7), 2, 5.0)],
+        "ts timestamp, user_id long, value double")
+    rd = {r["bucket_ts"].day: r["n_distinct"]
+          for r in run("rolling_distinct", {"window": 2}, [ev]).collect()}
+    assert rd == {1: 1, 2: 2}
+
+    sl = {r["key"]: r["slope"]
+          for r in run("trend_slope", {}, [ev]).collect()}
+    assert sl == {1: 2.0, 2: None}
+
+    iv = spark.createDataFrame(
+        [(datetime(2024, 1, 1, 10), datetime(2024, 1, 1, 12)),
+         (datetime(2024, 1, 1, 11), datetime(2024, 1, 1, 13))],
+        "start_ts timestamp, end_ts timestamp")
+    pk = {r["bucket_ts"].day: r["peak"]
+          for r in run("peak_concurrency", {}, [iv]).collect()}
+    assert pk == {1: 2}

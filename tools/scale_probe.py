@@ -162,6 +162,17 @@ def _jaccard_prefix(d):
     return jaccard_prefix_pairs(d, threshold=0.3, ngram=3)
 
 
+def _containment(d):
+    from mycelial_spark.operators.dedup import containment_prefix_pairs
+    return containment_prefix_pairs(d, threshold=0.5, ngram=3,
+                                    min_size=20)
+
+
+def _label_propagation(d):
+    from mycelial_spark.operators.graph import label_propagation
+    return label_propagation(_synth_graph(d), iterations=3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
@@ -231,6 +242,13 @@ def main() -> None:
         # follow rarest-element df; replica marker tokens keep true
         # pairs (and so output) linear in the corpus
         "jaccard_prefix": lambda d: _jaccard_prefix(d),
+        # overlap-coefficient join: probe side is each doc's rarest-
+        # element prefix, index side full postings — cost follows
+        # discriminative-element df; replica markers keep output linear
+        "containment_prefix": lambda d: _containment(d),
+        # 3 synchronous LPA rounds over the synthetic graph: per-round
+        # shuffle is the (node, label) state + partial-agg vote counts
+        "label_propagation": lambda d: _label_propagation(d),
         # NOT in the default set: exact all-pairs token Jaccard is
         # degenerate on this corpus (83% of ALL doc pairs share >=0.4 of
         # their token sets -> output ~ n^2 regardless of implementation).
