@@ -118,6 +118,8 @@ HEADLINE = [
     "rolling_active_users",
     "rolling_active_users_hll",
     "user_value_trend",
+    "cusum_drift_users",
+    "event_transition_matrix",
     "peak_concurrent_sessions",
     "domain_cap",
     "boilerplate_remove",

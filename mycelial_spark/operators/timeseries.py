@@ -512,3 +512,109 @@ def peak_concurrency(intervals: DataFrame, start_col: str = "start_ts",
             .select(F.timestamp_seconds(F.col("_b") * bucket_seconds)
                     .alias("bucket_ts"),
                     F.col("peak").cast("long").alias("peak")))
+
+
+def cusum_drift(df: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                slack: float = 0.5, threshold: float = 5.0,
+                order_tiebreak: str = "event_id") -> DataFrame:
+    """Per-key CUSUM change detection [Page, Biometrika 1954 — public
+    algorithm]: flags the rows where the cumulative sum of deviations
+    from the key's mean exceeds ``threshold``, the standard detector
+    for SUSTAINED small shifts a point-wise z-score never sees (ten
+    consecutive +0.5σ readings alarm here and nowhere else).
+
+      C⁺_t = max(0, C⁺_{t-1} + (x_t − μ) − slack)
+      C⁻_t = max(0, C⁻_{t-1} + (μ − x_t) − slack)
+
+    The max(0,·) recurrence looks inherently sequential, but it has a
+    closed form over prefix sums: with S_t = Σ_{j≤t} ((x_j − μ) −
+    slack), C⁺_t = S_t − min(0, min_{j≤t} S_j) — so the whole detector
+    is TWO running window frames (prefix sum + running min) per side,
+    fully parallel across keys, no applyInPandas loop.
+
+    Arithmetic is EXACT DECIMAL end-to-end: μ is the key's series mean
+    quantized once to 6 decimals (an exact-decimal partition sum cast
+    through double for the division, then back — a ≤5e-7 perturbation
+    of the CUSUM target, irrelevant to the detector), and every
+    deviation, prefix sum, running min, and comparison after that is
+    decimal(38,6) — bit-identical under any partitioning, accumulation
+    order, or engine. A double formulation here FAILED the cross-engine
+    gate: ~70-term running sums diverge in low bits (engines block
+    window accumulation differently) and the 6-decimal rounding
+    amplifies a 1-ulp difference into a visible mismatch at near-tie
+    rows.
+
+    Returns flagged rows (key, ts, tiebreak, value, cusum_pos,
+    cusum_neg — exact 6-decimal values as double) where either side
+    >= threshold. Wants a detrended/stationary series in principle —
+    compose with trend_slope to pick keys worth detrending first.
+    """
+    if slack < 0 or threshold <= 0:
+        raise ValueError(f"need slack >= 0, threshold > 0; got "
+                         f"slack={slack} threshold={threshold}")
+    wp = Window.partitionBy(key_col)
+    run = (Window.partitionBy(key_col)
+           .orderBy(ts_col, order_tiebreak)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    ydec = F.col(value_col).cast("decimal(30,6)")
+    # quantize μ with the explicit floor(x·1e6+0.5) rule, NOT a bare
+    # decimal cast: a 2-decimal sum over a power-of-two count lands
+    # EXACTLY on a .xxxxxx5 tie (observed in the fixture: 2864.58/64),
+    # where Spark's cast rounds HALF_UP and other engines round
+    # half-even — a real 1e-6 μ split that CUSUM then accumulates
+    mean6 = _round6_portable(
+        F.sum(ydec).over(wp).cast("double")
+        / F.count(F.lit(1)).over(wp)).cast("decimal(30,6)")
+    slack6 = F.lit(float(slack)).cast("decimal(30,6)")
+    zero = F.lit(0).cast("decimal(38,6)")
+    dev_pos = ydec - mean6 - slack6
+    dev_neg = mean6 - ydec - slack6
+    s_pos = F.sum(dev_pos).over(run)
+    s_neg = F.sum(dev_neg).over(run)
+    cpos = s_pos - F.least(F.min(s_pos).over(run), zero)
+    cneg = s_neg - F.least(F.min(s_neg).over(run), zero)
+    thr = F.lit(float(threshold)).cast("decimal(30,6)")
+    ann = df.select(F.col(key_col).alias("key"), F.col(ts_col).alias("ts"),
+                    F.col(order_tiebreak).alias("tiebreak"),
+                    F.col(value_col).alias("value"),
+                    cpos.alias("_cp"), cneg.alias("_cn"))
+    return (ann.filter((F.col("_cp") >= thr) | (F.col("_cn") >= thr))
+            .select("key", "ts", "tiebreak", "value",
+                    F.col("_cp").cast("double").alias("cusum_pos"),
+                    F.col("_cn").cast("double").alias("cusum_neg")))
+
+
+def event_transitions(df: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      order_tiebreak: str = "event_id") -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    observed (from_type, to_type) pair of CONSECUTIVE events within a
+    key, the count and the conditional probability P(to | from) — the
+    behavioral fingerprint behind funnel design, anomaly scoring
+    ("this session's transitions are improbable"), and synthetic-
+    session generation.
+
+    One per-key window (lag over (ts, tiebreak) — key cardinality is
+    the parallelism) + one partial-agg pair count; the per-from totals
+    come from a second tiny aggregate over the MATRIX (|types|² rows),
+    broadcast back — the corpus is never re-scanned or re-shuffled.
+    Probabilities round portably to 6 decimals; each key's first event
+    has no predecessor and contributes no pair.
+
+    Returns (from_type, to_type, n, prob) with Σ prob = 1 per
+    from_type (up to rounding).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_tiebreak)
+    prev = F.lag(F.col(type_col)).over(w)
+    pairs = (df.select(prev.alias("from_type"),
+                       F.col(type_col).alias("to_type"))
+             .filter(F.col("from_type").isNotNull())
+             .groupBy("from_type", "to_type")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .persist())
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n",
+                    _round6_portable(F.col("n") * F.lit(1.0)
+                                     / F.col("_tot")).alias("prob")))

@@ -6709,6 +6709,89 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(iv)
 
 
+@query("cusum_drift_users", """
+WITH b AS (
+  SELECT user_id AS key, ts, event_id,
+         CAST(value AS DECIMAL(30,6)) AS y,
+         CAST(floor(CAST(sum(CAST(value AS DECIMAL(30,6)))
+                         OVER (PARTITION BY user_id) AS DOUBLE)
+                    / count(*) OVER (PARTITION BY user_id)
+                    * 1000000.0 + 0.5) / 1000000.0
+              AS DECIMAL(30,6)) AS mu
+  FROM events
+), s AS (
+  SELECT key, ts, event_id,
+         sum(y - mu - CAST(10.0 AS DECIMAL(30,6))) OVER
+           (PARTITION BY key ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sp,
+         sum(mu - y - CAST(10.0 AS DECIMAL(30,6))) OVER
+           (PARTITION BY key ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+  FROM b
+), c AS (
+  SELECT key,
+         sp - least(min(sp) OVER
+             (PARTITION BY key ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0 AS DECIMAL(38,6))) AS cp,
+         sn - least(min(sn) OVER
+             (PARTITION BY key ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0 AS DECIMAL(38,6))) AS cn
+  FROM s
+)
+SELECT key, count(*) AS n_alarms,
+       CAST(max(cp) AS DOUBLE) AS max_cusum_pos,
+       CAST(max(cn) AS DOUBLE) AS max_cusum_neg
+FROM c WHERE cp >= 60.0 OR cn >= 60.0
+GROUP BY key
+""")
+def cusum_drift_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift triage (operators/timeseries.py
+    cusum_drift, slack=10, threshold=60): the sustained-shift detector
+    a point z-score can't see, aggregated to the ranked triage table
+    (alarm row count + worst excursion per side per key). The max(0,·)
+    recurrence runs as its closed form — prefix sum minus running min,
+    two window frames per side, fully parallel across keys — and μ is
+    an exact-decimal partition sum, so the oracle's identical windows
+    hash-match bit-for-bit."""
+    from mycelial_spark.operators.timeseries import cusum_drift
+    flagged = cusum_drift(_t(spark, sf_dir, "events"), slack=10.0,
+                          threshold=60.0)
+    return (flagged.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_alarms"),
+                 F.max("cusum_pos").alias("max_cusum_pos"),
+                 F.max("cusum_neg").alias("max_cusum_neg")))
+
+
+@query("event_transition_matrix", """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       floor(p.n * 1.0 / t.t * 1000000.0 + 0.5) / 1000000.0 AS prob
+FROM pairs p JOIN tot t USING (from_type)
+""")
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types
+    (operators/timeseries.py event_transitions): P(next type | current
+    type) from consecutive per-user events — the behavioral
+    fingerprint for funnel design and improbable-session scoring. One
+    per-user lag window + one partial-agg pair count; per-from totals
+    aggregate the |types|² MATRIX (not the corpus) and broadcast
+    back."""
+    from mycelial_spark.operators.timeseries import event_transitions
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

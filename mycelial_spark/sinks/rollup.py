@@ -343,3 +343,50 @@ def histogram_quantile(hist_col: Column | str, lo: float, hi: float,
     frac = F.when(in_bin > 0, (target - st["before"]) / in_bin)             .otherwise(F.lit(0.0))
     return F.when(total > 0,
                   F.lit(float(lo)) + (idx + frac) * width)
+
+
+def rollup_rolling_distinct(spark: SparkSession, path: str, col: str,
+                            window: int = 7) -> DataFrame:
+    """Trailing-``window``-bucket approx-distinct of ``col`` straight
+    from the rollup's STORED per-bucket HLL sketches — the WAU/MAU
+    series with zero fact-table rescans: the rollup already maintains
+    one mergeable sketch per (bucket, group) (repaired in place by
+    late batches), so the rolling series is per-bucket sketch unions +
+    a window expansion over the BUCKET TABLE. Day N's late data
+    repairs one bucket's sketch and every window containing it reads
+    repaired — incremental maintenance falls out of the rollup's own
+    contract.
+
+    Same expansion shape as operators/timeseries.rolling_distinct
+    (method='sketch'), but the input is the persisted rollup state
+    instead of raw events: collapse groups per bucket (hll_union_agg),
+    each bucket's sketch votes for the ``window`` buckets it
+    participates in (EQUI shuffle of 16 KiB sketches), merge, estimate.
+    Buckets report only when they exist in the rollup. Returns
+    (bucket_ts, n_distinct).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1; got {window}")
+    from mycelial_spark.fsutil import fs_read_text
+    root = path.rstrip("/")
+    meta = json.loads(fs_read_text(spark, f"{root}/_rollup_meta.json"))
+    if col not in meta.get("distinct_cols", []):
+        raise ValueError(
+            f"column {col!r} has no stored sketch; rollup tracks "
+            f"distinct_cols={meta.get('distinct_cols', [])} — rebuild "
+            f"the rollup with distinct_cols including it")
+    step = _BUCKETS[meta["bucket"]]
+    sk = f"hll_{col}"
+    per = (spark.read.parquet(f"{root}/table")
+           .groupBy("_tb").agg(F.hll_union_agg(sk).alias("_sk"))
+           .persist())
+    active = per.select(F.col("_tb").alias("_t"))
+    expand = F.explode(F.sequence(
+        F.col("_tb"), F.col("_tb") + F.lit(step * (window - 1)),
+        F.lit(step))).alias("_t")
+    return (per.select(expand, "_sk")
+            .join(active, "_t")
+            .groupBy("_t")
+            .agg(F.hll_union_agg("_sk").alias("_u"))
+            .select(F.col("_t").cast("timestamp").alias("bucket_ts"),
+                    F.hll_sketch_estimate("_u").alias("n_distinct")))

@@ -291,3 +291,34 @@ def test_rollup_histogram_extreme_values_no_overflow(spark, tmp_path):
     with pytest.raises(ValueError, match="fit bigint"):
         rollup_update(df, str(tmp_path / "x"), "ts", ["g"], [],
                       histogram_cols={"v": (0, 1 << 61, 4)})
+
+
+def test_rolling_distinct_from_stored_sketches(spark, tmp_path):
+    """WAU off the rollup's stored per-bucket HLLs: three out-of-order
+    batches (incl. a LATE repair of day 1) -> the rolling series must
+    equal the exact trailing-window distinct over the union of all
+    batches, and must reflect the late repair."""
+    from mycelial_spark.sinks.rollup import rollup_rolling_distinct
+    p = str(tmp_path / "r")
+
+    def ev(rows):
+        df = spark.createDataFrame(rows, "ts string, g string, u long")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b1 = [("2024-01-01 05:00:00", "x", 1), ("2024-01-02 05:00:00", "x", 2)]
+    b3 = [("2024-01-04 05:00:00", "x", 2), ("2024-01-04 06:00:00", "y", 4)]
+    late = [("2024-01-01 23:00:00", "y", 3)]
+    for b in (b1, b3, late):
+        rollup_update(ev(b), p, "ts", ["g"], [], distinct_cols=["u"])
+
+    got = {r["bucket_ts"].day: r["n_distinct"]
+           for r in rollup_rolling_distinct(spark, p, "u",
+                                            window=2).collect()}
+    # day1 users {1,3}; day2 {2} + day1 -> {1,2,3}; day4 {2,4}
+    # (day3 empty: not in the rollup, not reported; day5 not a bucket)
+    assert got == {1: 2, 2: 3, 4: 2}
+
+    with pytest.raises(ValueError, match="no stored sketch"):
+        rollup_rolling_distinct(spark, p, "g")
+    with pytest.raises(ValueError, match="window"):
+        rollup_rolling_distinct(spark, p, "u", window=0)

@@ -334,3 +334,81 @@ def test_peak_concurrency_chunking_invariant(spark):
         got = sorted(map(tuple, peak_concurrency(
             df, chunk_seconds=chunk).collect()))
         assert got == base, chunk
+
+
+def test_cusum_hand_computed_both_sides(spark):
+    """values 1,1,1,3,3,3 (mean 2, slack 0.5): C- reaches 1.5 on the
+    third low row, C+ reaches 1.5 on the last high row; threshold 1.2
+    flags exactly those two."""
+    from mycelial_spark.operators.timeseries import cusum_drift
+    rows = [(datetime(2024, 1, 1, h), 1, v)
+            for h, v in enumerate([1.0, 1.0, 1.0, 3.0, 3.0, 3.0])]
+    df = spark.createDataFrame(
+        [(ts, u, v, i) for i, (ts, u, v) in enumerate(rows)],
+        "ts timestamp, user_id long, value double, event_id long")
+    got = {(r["tiebreak"], r["cusum_pos"], r["cusum_neg"])
+           for r in cusum_drift(df, slack=0.5, threshold=1.2).collect()}
+    assert got == {(2, 0.0, 1.5), (5, 1.5, 0.0)}
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """The prefix-sum/running-min closed form must equal the textbook
+    max(0, C+dev) recurrence on random series — mirrored in EXACT
+    Decimal arithmetic with the same 6-decimal-quantized mean the
+    operator uses, so equality is bitwise, not approximate."""
+    from decimal import Decimal
+    from mycelial_spark.operators.timeseries import cusum_drift
+    import math
+    import random
+    rng = random.Random(17)
+    rows, expect = [], set()
+    for key in range(6):
+        vals = [round(rng.uniform(-3, 3), 2) for _ in range(40)]
+        mu_d = sum(Decimal(str(v)) for v in vals)
+        mu = Decimal(math.floor(float(mu_d) / len(vals) * 1e6 + 0.5)) \
+            / Decimal(1000000)
+        slack, h = Decimal("0.3"), Decimal("2.0")
+        cp = cn = Decimal(0)
+        for i, v in enumerate(vals):
+            rows.append((datetime(2024, 1, 1)
+                         .replace(hour=0), key, v, key * 1000 + i))
+            vd = Decimal(str(v))
+            cp = max(Decimal(0), cp + (vd - mu) - slack)
+            cn = max(Decimal(0), cn + (mu - vd) - slack)
+            if cp >= h or cn >= h:
+                expect.add(key * 1000 + i)
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, value double, event_id long")
+    got = {r["tiebreak"] for r in
+           cusum_drift(df, slack=0.3, threshold=2.0).collect()}
+    assert got == expect
+
+
+def test_cusum_validation(spark):
+    from mycelial_spark.operators.timeseries import cusum_drift
+    df = _df(spark, [(datetime(2024, 1, 1), 1, 0.0)])
+    with pytest.raises(ValueError):
+        cusum_drift(df, slack=-0.1)
+    with pytest.raises(ValueError):
+        cusum_drift(df, threshold=0.0)
+
+
+def test_event_transitions_hand_computed(spark):
+    """User 1: a->b->a->c, user 2: b->a. Transitions: a->b 1, b->a 2,
+    a->c 1; P(b|a)=P(c|a)=0.5, P(a|b)=1. First events contribute no
+    pair."""
+    from mycelial_spark.operators.timeseries import event_transitions
+    rows = [
+        (datetime(2024, 1, 1, 1), 1, "a", 1),
+        (datetime(2024, 1, 1, 2), 1, "b", 2),
+        (datetime(2024, 1, 1, 3), 1, "a", 3),
+        (datetime(2024, 1, 1, 4), 1, "c", 4),
+        (datetime(2024, 1, 1, 1), 2, "b", 5),
+        (datetime(2024, 1, 1, 2), 2, "a", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, event_id long")
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in event_transitions(df).collect()}
+    assert got == {("a", "b"): (1, 0.5), ("a", "c"): (1, 0.5),
+                   ("b", "a"): (2, 1.0)}
