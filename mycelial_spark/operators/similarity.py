@@ -1443,3 +1443,52 @@ def ann_delete(spark, path: str, ids) -> dict:
             fs.delete(P(f"{cells}/{part_col}={c}"), True)
     return {"path": path, "deleted": int(deleted),
             "cells_touched": len(hit_cells)}
+
+
+def contrastive_triplets(df: DataFrame, centroids: list[list[float]],
+                         threshold: float = 0.4, k: int = 3,
+                         nprobe: int = 3, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """(anchor, positive, hard-negative) triplet export — the training
+    table a contrastive embedding run actually consumes, assembled from
+    the engine's own parts: near-dup pairs are the POSITIVES (both
+    directions — either member anchors), connected components turn the
+    pair graph into cluster labels, and the NEGATIVES are each anchor's
+    k most-similar vectors from a DIFFERENT cluster (hard_negative_mine
+    with label = cluster id: near in embedding space, negative by the
+    clustering's own verdict — the gradient-carrying kind; an easy
+    random negative teaches nothing).
+
+    Pair source here is the exact O(n²) cosine join (the oracle
+    baseline); at corpus scale swap in ``cosine_pairs_lsh`` — every
+    downstream stage is pair-source-agnostic, and the negative side is
+    already IVF-pruned (one batched job for all anchors, label filter
+    inside the broadcast join). Returns (anchor_id, positive_id,
+    pos_sim, negative_id, neg_sim, neg_rank<=k) — k rows per directed
+    positive pair.
+    """
+    from pyspark import StorageLevel
+
+    from mycelial_spark.operators.dedup import dedup_clusters
+    pairs = cosine_pairs_exact(df, threshold, vec_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    clusters = dedup_clusters(df, pairs.select("id_a", "id_b"), id_col)
+    lab = df.select(id_col, vec_col).join(
+        clusters.select(id_col, "cluster_id"), id_col)
+    pos = (pairs.select(F.col("id_a").alias("anchor_id"),
+                        F.col("id_b").alias("positive_id"),
+                        F.col("cos_sim").alias("pos_sim"))
+           .unionByName(pairs.select(
+               F.col("id_b").alias("anchor_id"),
+               F.col("id_a").alias("positive_id"),
+               F.col("cos_sim").alias("pos_sim"))))
+    anchors = lab.join(
+        pos.select(F.col("anchor_id").alias(id_col)).distinct(), id_col)
+    negs = hard_negative_mine(anchors, lab, centroids, k, nprobe,
+                              label_col="cluster_id", vec_col=vec_col,
+                              id_col=id_col)
+    return (pos.join(negs, pos["anchor_id"] == negs["probe_id"])
+            .select("anchor_id", "positive_id", "pos_sim",
+                    F.col("corpus_id").alias("negative_id"),
+                    F.col("cos_sim").alias("neg_sim"),
+                    F.col("rn").alias("neg_rank")))

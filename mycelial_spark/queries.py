@@ -6792,6 +6792,88 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(_t(spark, sf_dir, "events"))
 
 
+@query("contrastive_triplets", f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS ps
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(a, b) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+), comp AS (
+  SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a
+), lab AS (
+  SELECT d.vec_id, coalesce(c.cluster_id, d.vec_id) AS cluster_id,
+         d.embedding::DOUBLE[] AS ev
+  FROM embeddings d LEFT JOIN comp c ON c.vec_id = d.vec_id
+), pos AS (
+  SELECT id_a AS anchor_id, id_b AS positive_id, ps AS pos_sim FROM pairs
+  UNION ALL
+  SELECT id_b, id_a, ps FROM pairs
+), cents(c, cv) AS (SELECT * FROM (VALUES {_IVF_CENT_SQL})),
+p AS (
+  SELECT l.vec_id AS pid, l.cluster_id AS plab, l.ev AS pv
+  FROM lab l JOIN (SELECT DISTINCT anchor_id FROM pos) an
+    ON an.anchor_id = l.vec_id
+), pc AS (
+  SELECT pid, c AS cell FROM (
+    SELECT p.pid, cents.c,
+           row_number() OVER (PARTITION BY p.pid
+               ORDER BY list_distance(p.pv, cents.cv) ASC, cents.c ASC)
+             AS cr
+    FROM p, cents) t
+  WHERE cr <= 3
+), assigned AS (
+  SELECT vec_id, cluster_id, ev,
+         (SELECT c FROM cents ORDER BY list_distance(ev, cv) ASC, c ASC
+          LIMIT 1) AS cell
+  FROM lab
+), s AS (
+  SELECT p.pid AS probe_id, a.vec_id AS corpus_id,
+         round(list_dot_product(p.pv, a.ev)
+               / (sqrt(list_dot_product(p.pv, p.pv))
+                  * sqrt(list_dot_product(a.ev, a.ev))), 6) AS cos_sim
+  FROM p JOIN pc ON p.pid = pc.pid
+         JOIN assigned a ON a.cell = pc.cell
+  WHERE a.cluster_id != p.plab
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+               ORDER BY cos_sim DESC, corpus_id ASC) AS INT) AS rn
+  FROM s
+)
+SELECT pos.anchor_id, pos.positive_id, pos.pos_sim,
+       r.corpus_id AS negative_id, r.cos_sim AS neg_sim,
+       r.rn AS neg_rank
+FROM pos JOIN r ON r.probe_id = pos.anchor_id
+WHERE r.rn <= 3
+""")
+def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet export — the
+    contrastive-training table assembled from the engine's own parts
+    (operators/similarity.py contrastive_triplets): exact-cosine
+    near-dup pairs are the positives, their connected components
+    become cluster labels, and each anchor's 3 nearest DIFFERENT-
+    cluster vectors (IVF-pruned hard_negative_mine with label =
+    cluster_id) are the gradient-carrying negatives. The oracle
+    replays all three stages — the pair join, the recursive-CTE
+    closure, and the frozen-centroid probe/assign/rank — so the
+    hash-match covers the whole composition."""
+    from mycelial_spark.operators.similarity import (contrastive_triplets,
+                                                     pq_train_codebooks)
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = pq_train_codebooks(emb, m=1, k=8)[0]
+    return contrastive_triplets(emb, centroids, threshold=0.4, k=3,
+                                nprobe=3)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -215,3 +215,32 @@ def test_hard_negative_mine_semantics(spark, sf_dir):
            for r in sorted(by_probe[pr["vec_id"]],
                            key=lambda r: r["rn"])]
     assert got == want
+
+
+def test_contrastive_triplets_composition(spark):
+    """Two tight clusters far apart: positives stay within a cluster,
+    negatives always come from the other cluster, and every directed
+    positive pair carries exactly k negatives."""
+    rows = []
+    for i in range(3):          # cluster A around +x
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0]))
+    for i in range(3, 6):       # cluster B around +y
+        rows.append((i, [0.001 * i, 1.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = S.contrastive_triplets(emb, cents, threshold=0.9, k=2,
+                                 nprobe=2).collect()
+    assert out
+    a = {0, 1, 2}
+    seen = {}
+    for r in out:
+        same = (r["anchor_id"] in a) == (r["positive_id"] in a)
+        cross = (r["anchor_id"] in a) != (r["negative_id"] in a)
+        assert same and cross, r
+        assert r["pos_sim"] > r["neg_sim"]
+        seen.setdefault((r["anchor_id"], r["positive_id"]), set()) \
+            .add(r["neg_rank"])
+    # each cluster: 3 docs -> 6 directed pairs; every pair has k=2 ranks
+    assert len(seen) == 12
+    assert all(v == {1, 2} for v in seen.values())
