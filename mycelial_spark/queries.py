@@ -6874,6 +6874,50 @@ def contrastive_triplets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 nprobe=3)
 
 
+@query("extract_entities", """
+WITH t AS (
+  SELECT doc_id,
+         text || ' mail user' || doc_id || '@example.com ip 10.0.'
+              || (doc_id % 200) || '.1 see https://h' || (doc_id % 50)
+              || '.example.com/p?q=' || doc_id AS text
+  FROM documents
+), e AS (
+  SELECT doc_id, 'email' AS entity_type, regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0) AS l FROM t
+  UNION ALL
+  SELECT doc_id, 'ip', regexp_extract_all(text,
+    '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', 0) FROM t
+  UNION ALL
+  SELECT doc_id, 'url', regexp_extract_all(text,
+    'https?://[^\\s]+', 0) FROM t
+)
+SELECT doc_id, entity_type,
+       CAST(generate_subscripts(l, 1) - 1 AS INT) AS occurrence,
+       unnest(l) AS entity
+FROM e
+""")
+def extract_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed entity extraction to long form (operators/text.py
+    extract_entities): one row per email/IP/URL occurrence — the
+    structured side-table link analysis and compliance review consume,
+    where redact_pii only counts-and-scrubs. The fixture text carries
+    no entities, so each row plants one of each deterministically (the
+    redact_pii recipe); all types extract in ONE codegen projection +
+    ONE explode (index-tagged arrays concatenated — the scan never
+    repeats per type). RE2-compatible patterns, so the oracle replays
+    extraction verbatim with per-type ordinality."""
+    from mycelial_spark.operators.text import extract_entities
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" mail user"), F.col("doc_id"),
+                 F.lit("@example.com ip 10.0."), F.col("doc_id") % 200,
+                 F.lit(".1 see https://h"), F.col("doc_id") % 50,
+                 F.lit(".example.com/p?q="), F.col("doc_id"))
+        .alias("text"))
+    return extract_entities(planted)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,24 @@
+
+
+def test_extract_entities_long_form(spark):
+    from mycelial_spark.operators.text import extract_entities
+    df = spark.createDataFrame(
+        [(1, "mail a@x.com then b@y.org at 10.0.0.1 see "
+             "https://ex.com/p?q=1 and http://z.io."),
+         (2, "nothing here"),
+         (3, "dup a@x.com a@x.com")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["entity_type"], r["occurrence"], r["entity"])
+            for r in extract_entities(df).collect()}
+    assert rows == {
+        (1, "email", 0, "a@x.com"), (1, "email", 1, "b@y.org"),
+        (1, "ip", 0, "10.0.0.1"),
+        (1, "url", 0, "https://ex.com/p?q=1"), (1, "url", 1, "http://z.io."),
+        (3, "email", 0, "a@x.com"), (3, "email", 1, "a@x.com"),
+    }
+    only = {(r["entity_type"],) for r in
+            extract_entities(df, types=["url"]).collect()}
+    assert only == {("url",)}
+    import pytest as _p
+    with _p.raises(ValueError, match="unknown entity types"):
+        extract_entities(df, types=["ssn", "nope"])

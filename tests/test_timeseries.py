@@ -412,3 +412,19 @@ def test_event_transitions_hand_computed(spark):
            for r in event_transitions(df).collect()}
     assert got == {("a", "b"): (1, 0.5), ("a", "c"): (1, 0.5),
                    ("b", "a"): (2, 1.0)}
+
+
+def test_trend_slope_null_rows_dropped(spark):
+    """A NULL value (or ts) row must not count toward n_points while
+    being skipped by the sums — that disagreement corrupts the
+    slope."""
+    from mycelial_spark.operators.timeseries import trend_slope
+    df = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1, 1.0),
+         (datetime(2024, 1, 2), 1, None),
+         (None, 1, 99.0),
+         (datetime(2024, 1, 3), 1, 5.0)],
+        "ts timestamp, user_id long, value double")
+    got = {r["key"]: (r["n_points"], r["slope"])
+           for r in trend_slope(df).collect()}
+    assert got == {1: (2, 2.0)}
