@@ -108,6 +108,7 @@ HEADLINE = [
     "audio_dedup_pairs",
     "video_dedup_pairs",
     "pagerank_trade_graph",
+    "pagerank_weighted_trade",
     "table_profile",
     "events_gapfill",
     "cohort_retention",

@@ -38,16 +38,23 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85, src: str = "src",
-             dst: str = "dst") -> DataFrame:
+             dst: str = "dst", weight_col: str | None = None) -> DataFrame:
     """PageRank by power iteration over a directed edge list.
 
     rank_0(v)   = 1/N
     rank_t+1(v) = (1-d)/N + d * ( Σ_{u→v} rank_t(u)/outdeg(u)
                                   + dangling_mass_t / N )
 
-    Multi-edges are NOT collapsed (each contributes); pre-``distinct``
-    the edge list if set semantics are wanted. Returns (node, rank);
-    Σ rank = 1 at every step (teleport + dangling redistribution).
+    ``weight_col`` switches to WEIGHTED PageRank: each edge carries
+    ``w(u,v)/W(u)`` of u's rank (W(u) = u's total out-weight) — trade
+    volume, link counts, co-occurrence strength. Rows with NULL or
+    non-positive weight are dropped (a node whose every out-edge drops
+    becomes dangling); integer weights keep W(u) exact under any
+    partitioning (float weights sum with order noise — same caveat as
+    any distributed float aggregate). Unweighted, multi-edges are NOT
+    collapsed (each contributes); pre-``distinct`` the edge list if
+    set semantics are wanted. Returns (node, rank); Σ rank = 1 at
+    every step (teleport + dangling redistribution).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
@@ -58,7 +65,12 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     # distinct, a filter chain) — materialize it ONCE; nodes, degrees,
     # the partitioned edge table, and the dangling probe all derive
     # from this single evaluation
-    ed = edges.select(src, dst).persist()
+    if weight_col is not None:
+        ed = (edges.select(src, dst, weight_col)
+              .filter(F.col(weight_col).isNotNull()
+                      & (F.col(weight_col) > 0)).persist())
+    else:
+        ed = edges.select(src, dst).persist()
     nodes = (ed.select(F.col(src).alias("node"))
              .union(ed.select(F.col(dst).alias("node")))
              .distinct().persist())
@@ -68,13 +80,18 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
         nodes.unpersist()
         return out
-    deg = ed.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
+    if weight_col is not None:
+        deg = ed.groupBy(src).agg(F.sum(weight_col).alias("_outdeg"))
+        wcol = F.col(weight_col)
+    else:
+        deg = ed.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
+        wcol = F.lit(1)
     # pre-partition the read-only edge side on the join key: each
     # iteration then shuffles ONLY the (node, rank) state into this
     # layout — the edge bytes move once, not once per iteration
     e = (ed.join(deg, src)
          .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-                 "_outdeg")
+                 wcol.alias("_w"), "_outdeg")
          .repartition(F.col("_src")).persist())
     out_nodes = deg.select(F.col(src).alias("node")).persist()
     # dangling nodes are a structural property — detect ONCE; a graph
@@ -88,7 +105,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     for _ in range(iterations):
         contrib = (e.join(ranks, e["_src"] == ranks["node"])
                    .groupBy("_dst")
-                   .agg(F.sum(F.col("rank") / F.col("_outdeg"))
+                   .agg(F.sum(F.col("rank") * F.col("_w")
+                              / F.col("_outdeg"))
                         .alias("_contrib")))
         new = nodes.join(contrib, nodes["node"] == contrib["_dst"],
                          "left")

@@ -2644,14 +2644,16 @@ def profile_columns_(spark, cfg, inputs):
 @_register("pagerank", "transform", "dataframe", "dataframe",
            [Field("iterations", "int", 3),
             Field("damping", "float", 0.85),
-            Field("src", default="src"), Field("dst", default="dst")],
+            Field("src", default="src"), Field("dst", default="dst"),
+            Field("weight_col", default="")],
            doc="PageRank power iteration over an edge-list input "
                "(once-partitioned edges, per-iteration rank shuffle "
-               "only) as a node.")
+               "only; optional weight_col for volume-weighted rank) "
+               "as a node.")
 def pagerank_(spark, cfg, inputs):
     from mycelial_spark.operators.graph import pagerank
     return pagerank(inputs[0], cfg["iterations"], cfg["damping"],
-                    cfg["src"], cfg["dst"])
+                    cfg["src"], cfg["dst"], cfg["weight_col"] or None)
 
 
 @_register("triangle_count", "transform", "dataframe", "dataframe",

@@ -6918,6 +6918,63 @@ def extract_entities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_entities(planted)
 
 
+def _pagerank_iter_weighted_sql(iters: int) -> str:
+    """Unrolled WEIGHTED power-iteration CTEs: contributions carry
+    w(u,v)/W(u) instead of 1/outdeg — same unroll technique as
+    _pagerank_iter_sql."""
+    parts = ["pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"]
+    for i in range(iters):
+        parts.append(f"""pr{i + 1} AS (
+  SELECT nd.node AS node,
+         (1 - 0.85) / nn.n + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM nodes nd CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank * e.w / d.outw) AS contrib
+    FROM edges e JOIN pr{i} p ON p.node = e.src
+                 JOIN deg d ON d.node = e.src
+    GROUP BY e.dst) c ON c.node = nd.node)""")
+    return ",\n".join(parts)
+
+
+@query("pagerank_weighted_trade", f"""
+WITH e0 AS (
+  SELECT o_custkey AS a, 100000000 + l_suppkey AS b,
+         count(DISTINCT o_orderkey) AS w
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+),
+edges AS (SELECT a AS src, b AS dst, w FROM e0
+          UNION ALL SELECT b, a, w FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src AS node, sum(w) AS outw FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+{_pagerank_iter_weighted_sql(3)}
+SELECT node, round(rank, 6) AS rank FROM pr3
+""")
+def pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the trade graph: edge weight = distinct
+    orders linking (customer, supplier), so rank follows TRADE VOLUME,
+    not mere adjacency — a hub with many one-order partners no longer
+    outranks a steady high-volume relationship. Integer weights keep
+    every W(u) exact under any partitioning; the oracle unrolls the
+    weighted power iteration (w/W(u) contributions) as chained CTEs,
+    round(...,6) absorbing sum-order float noise exactly as the
+    unweighted twin does."""
+    from mycelial_spark.operators.graph import pagerank
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e0 = (orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+          .groupBy(F.col("o_custkey").alias("a"),
+                   (F.lit(100000000) + F.col("l_suppkey")).alias("b"))
+          .agg(F.countDistinct("o_orderkey").alias("w")))
+    edges = (e0.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                       "w")
+             .unionAll(e0.select(F.col("b").alias("src"),
+                                 F.col("a").alias("dst"), "w")))
+    pr = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -190,3 +190,49 @@ def test_lpa_deterministic_across_runs(spark):
 def test_lpa_validation(spark):
     with pytest.raises(ValueError):
         G.label_propagation(_edges(spark, [(1, 2)]), iterations=0)
+
+
+def test_weighted_pagerank_hand_computed(spark):
+    """1->2 (w=3), 1->3 (w=1): node 2 receives 3/4 of node 1's rank
+    share, node 3 receives 1/4; 2 and 3 are dangling."""
+    e = spark.createDataFrame([(1, 2, 3), (1, 3, 1)],
+                              "src long, dst long, w long")
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(e, iterations=1,
+                               weight_col="w").collect()}
+    third, dang = 1.0 / 3.0, (2.0 / 3.0) / 3.0
+    assert got[2] == pytest.approx(0.05 + 0.85 * (third * 0.75 + dang),
+                                   abs=1e-12)
+    assert got[3] == pytest.approx(0.05 + 0.85 * (third * 0.25 + dang),
+                                   abs=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_uniform_weights_match_unweighted(spark):
+    import random
+    rng = random.Random(9)
+    pairs = [(rng.randrange(20), rng.randrange(20)) for _ in range(60)]
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    ew = spark.createDataFrame([(a, b, 1) for a, b in pairs],
+                               "src long, dst long, w long")
+    a = {r["node"]: r["rank"] for r in G.pagerank(e, 3).collect()}
+    b = {r["node"]: r["rank"]
+         for r in G.pagerank(ew, 3, weight_col="w").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_weighted_pagerank_nonpositive_weights_drop(spark):
+    """w<=0 / NULL edges drop BEFORE the node set derives (edge-driven
+    graph): an endpoint whose every edge drops leaves the graph, and a
+    node keeping in-edges but losing all out-edges goes dangling
+    instead of dividing by a zero weight total."""
+    e = spark.createDataFrame([(1, 2, 5), (2, 1, 0), (2, 3, -4),
+                               (3, 1, None)],
+                              "src long, dst long, w long")
+    got = {r["node"]: r["rank"]
+           for r in G.pagerank(e, iterations=2,
+                               weight_col="w").collect()}
+    assert set(got) == {1, 2}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
