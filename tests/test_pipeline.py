@@ -678,3 +678,25 @@ def test_r7_analytics_sections_second_wave(spark):
     pk = {r["bucket_ts"].day: r["peak"]
           for r in run("peak_concurrency", {}, [iv]).collect()}
     assert pk == {1: 2}
+
+
+def test_analytics_pipeline_example_end_to_end(spark, tmp_path):
+    """examples/analytics_pipeline.toml runs whole: funnel, retention,
+    gap-fill, anomalies, plus the second wave (sessionize->peak
+    concurrency, WAU, trend slopes) — dests redirected to tmp."""
+    import tomllib
+    with open("examples/analytics_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    for name, node in spec["nodes"].items():
+        if node["type"] == "parquet_dest":
+            node["path"] = str(tmp_path / name)
+    Pipeline.from_spec(spec).run(spark)
+    peak = spark.read.parquet(str(tmp_path / "peak_out"))
+    assert peak.count() > 0
+    assert peak.filter("peak < 1").count() == 0
+    wau = spark.read.parquet(str(tmp_path / "wau_out"))
+    days = {r["bucket_ts"] for r in wau.collect()}
+    assert len(days) == wau.count() > 0   # one row per day
+    tr = spark.read.parquet(str(tmp_path / "trends_out"))
+    assert tr.count() > 0 and "slope" in tr.columns
+    assert spark.read.parquet(str(tmp_path / "funnel_out")).count() > 0
