@@ -20,6 +20,8 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run ann-split <index> --cell=N
   python -m mycelial_spark.run ann-delete <index> --ids=1,2,3
   python -m mycelial_spark.run verify-export <release-dir>  # manifest check
+  python -m mycelial_spark.run dataset-card <table> [--text=col] \\
+      [--out=CARD.md] [--top=N]
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
 """
@@ -57,7 +59,9 @@ def main(argv: list[str]) -> int:
               "--dead-letter=DIR [--task=ID]\n"
               "       python -m mycelial_spark.run "
               "ann-stats|ann-compact|ann-split <index> [--cell=N]\n"
-              "       python -m mycelial_spark.run verify-export <dir>",
+              "       python -m mycelial_spark.run verify-export <dir>\n"
+              "       python -m mycelial_spark.run dataset-card <table> "
+              "[--text=col] [--out=FILE]",
               file=sys.stderr)
         return 2
 
@@ -103,6 +107,18 @@ def main(argv: list[str]) -> int:
         out = verify_export(spark, args[1])
         print(json.dumps(out))
         return 0 if out["ok"] else 1
+
+    if args[0] == "dataset-card":
+        if len(args) < 2:
+            return usage()
+        from mycelial_spark.sinks.card import dataset_card
+        spark = get_spark("mycelial-dataset-card")
+        card = dataset_card(spark, args[1],
+                            text_col=opts.get("text"),
+                            top_k=int(opts.get("top", 5)),
+                            out=opts.get("out"))
+        print(card)
+        return 0
 
     if args[0] == "replay-dlq":
         if len(args) < 2 or "dead-letter" not in opts:

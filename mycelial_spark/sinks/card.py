@@ -1,0 +1,130 @@
+"""Dataset card generation: the release-documentation artifact.
+
+A dataset release is parquet + a manifest (sinks/export.py) + a CARD —
+the human-readable summary consumers read before they train on it
+(what the hub ecosystems standardize as "dataset cards"). This module
+assembles one from the engine's own operators, so the numbers in the
+card are the same numbers the pipeline computed: profile_columns for
+the schema/stats table, with_text_stats + with_lang_id for the text
+section, the 8-byte fingerprint for the exact-duplication rate.
+
+Cost shape: one profile pass (the profile_columns single-aggregate
+plan), one text-stats pass when a text column exists, one
+distinct-fingerprint aggregate. Nothing collects more than the
+card-sized summaries (column rows, quantile arrays, top-k values) to
+the driver — the corpus never does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _md_table(headers: list[str], rows: list[list]) -> str:
+    out = ["| " + " | ".join(headers) + " |",
+           "|" + "|".join("---" for _ in headers) + "|"]
+    for r in rows:
+        out.append("| " + " | ".join("" if v is None else str(v)
+                                     for v in r) + " |")
+    return "\n".join(out)
+
+
+def dataset_card(spark: SparkSession, path: str,
+                 text_col: str | None = None,
+                 top_k: int = 5, out: str | None = None) -> str:
+    """Render a markdown dataset card for a parquet table.
+
+    Sections: overview (rows/columns/files-on-disk), per-column
+    profile (profile_columns — counts, nulls, ndv, portable min/max),
+    text statistics (token/char quantiles), language distribution,
+    exact-duplication rate (8-byte fingerprint), and top values for
+    every low-cardinality string column. ``text_col`` defaults to a
+    string column literally named ``text`` when present; pass
+    explicitly otherwise, or '' to suppress the text sections.
+    ``out`` writes the card to a local file as well as returning it.
+    """
+    from mycelial_spark.operators.relational import profile_columns
+    from mycelial_spark.operators.text import (with_lang_id,
+                                               with_text_stats)
+
+    df = spark.read.parquet(path)
+    string_cols = {f.name for f in df.schema.fields
+                   if f.dataType.simpleString() == "string"}
+    if text_col is None:
+        text_col = "text" if "text" in string_cols else ""
+    if text_col and text_col not in string_cols:
+        raise ValueError(f"text_col {text_col!r} is not a string column "
+                         f"of {sorted(df.columns)}")
+
+    prof = profile_columns(df).collect()
+    n_rows = prof[0]["n_rows"] if prof else 0
+    lines = [f"# Dataset card — `{path}`", "",
+             f"- **Rows:** {n_rows:,}",
+             f"- **Columns:** {len(df.columns)}", ""]
+
+    lines += ["## Column profile", "",
+              _md_table(
+                  ["column", "non_null", "nulls", "ndv (approx)",
+                   "min", "max", "avg_len"],
+                  [[r["column"], r["non_null"], r["nulls"], r["ndv"],
+                    r["min_value"], r["max_value"], r["avg_len"]]
+                   for r in sorted(prof, key=lambda r: r["column"])]), ""]
+
+    if text_col and n_rows:
+        st = with_text_stats(df.select(F.col(text_col).alias("text")))
+        q = st.agg(
+            F.percentile_approx("n_tokens", [0.5, 0.9, 0.99], 10000)
+             .alias("tq"),
+            F.percentile_approx("n_chars_actual", [0.5, 0.9, 0.99], 10000)
+             .alias("cq"),
+            F.avg("n_tokens").alias("t_avg"),
+            F.sum("n_tokens").alias("t_sum"),
+            F.min("n_tokens").alias("t_min"),
+            F.max("n_tokens").alias("t_max")).first()
+        lines += ["## Text statistics", "",
+                  f"- **Total whitespace tokens:** {q['t_sum']:,}",
+                  f"- **Tokens/doc:** min {q['t_min']}, median "
+                  f"{q['tq'][0]}, p90 {q['tq'][1]}, p99 {q['tq'][2]}, "
+                  f"max {q['t_max']}, mean {round(q['t_avg'], 1)}",
+                  f"- **Chars/doc:** median {q['cq'][0]}, p90 "
+                  f"{q['cq'][1]}, p99 {q['cq'][2]}", ""]
+
+        langs = (with_lang_id(df.select(F.col(text_col).alias("text")))
+                 .groupBy(F.col("pred_lang").alias("lang"))
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.desc("n"), "lang").collect())
+        lines += ["## Language distribution (n-gram/script heuristic)", "",
+                  _md_table(["lang", "docs", "share"],
+                            [[r["lang"], r["n"],
+                              f"{100.0 * r['n'] / n_rows:.1f}%"]
+                             for r in langs]), ""]
+
+        n_uniq = (df.agg(F.countDistinct(
+            F.xxhash64(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+            .alias("u")).first()["u"])
+        dup_pct = 100.0 * (n_rows - n_uniq) / n_rows
+        lines += ["## Duplication", "",
+                  f"- **Exact duplicates (whitespace-normalized "
+                  f"fingerprint):** {n_rows - n_uniq:,} rows "
+                  f"({dup_pct:.2f}%)", ""]
+
+    # top values for every low-cardinality string column (a grouping
+    # axis like source/domain/split) — one small agg per such column
+    cats = [r["column"] for r in prof
+            if r["column"] in string_cols and r["column"] != text_col
+            and r["ndv"] is not None and 0 < int(r["ndv"]) <= 1000]
+    for c in sorted(cats):
+        top = (df.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.desc("n"), c).limit(top_k).collect())
+        lines += [f"## Top values — `{c}`", "",
+                  _md_table([c, "rows", "share"],
+                            [[r[c], r["n"],
+                              f"{100.0 * r['n'] / n_rows:.1f}%"]
+                             for r in top]), ""]
+
+    card = "\n".join(lines)
+    if out:
+        with open(out, "w") as f:
+            f.write(card)
+    return card

@@ -122,3 +122,32 @@ def test_empty_export_refused(spark, tmp_path):
     empty = _df(spark, 10).filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty dataset"):
         export_shards(empty, str(tmp_path / "x"), 2, "doc_id")
+
+
+def test_dataset_card_sections_and_numbers(spark, tmp_path):
+    """The card's numbers must be the table's numbers: rows, exact-dup
+    count over planted duplicates, top-value shares; text sections
+    suppressed when text_col=''."""
+    from mycelial_spark.sinks.card import dataset_card
+    rows = [(i, "src%d" % (i % 3), "alpha beta gamma delta " * 3)
+            for i in range(10)]
+    rows += [(10, "src0", "something else entirely here"),
+             (11, "src0", None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    out_file = str(tmp_path / "CARD.md")
+    card = dataset_card(spark, p, out=out_file)
+    assert "**Rows:** 12" in card
+    # 10 identical texts -> 9 duplicate rows (NULL text hashes as one more group)
+    assert "9 rows" in card and "Duplication" in card
+    assert "## Top values — `source`" in card
+    assert "| src0 | 6 | 50.0% |" in card
+    assert "## Text statistics" in card
+    assert open(out_file).read() == card
+    bare = dataset_card(spark, p, text_col="")
+    assert "## Text statistics" not in bare \
+        and "## Column profile" in bare
+    import pytest as _p
+    with _p.raises(ValueError, match="not a string column"):
+        dataset_card(spark, p, text_col="doc_id")
