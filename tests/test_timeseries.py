@@ -3,6 +3,8 @@
 from datetime import datetime
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from mycelial_spark.operators.timeseries import time_bucket_gapfill
 
@@ -428,3 +430,48 @@ def test_trend_slope_null_rows_dropped(spark):
     got = {r["key"]: (r["n_points"], r["slope"])
            for r in trend_slope(df).collect()}
     assert got == {1: (2, 2.0)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(iv=st.lists(st.tuples(st.integers(0, 3 * 86400),
+                             st.integers(1, 2 * 86400)),
+                   min_size=1, max_size=25))
+def test_peak_concurrency_property_vs_sweep(spark, iv):
+    """Random second-resolution intervals: the two-level monoid sweep
+    must equal a direct per-instant count at every candidate instant
+    (boundaries + bucket starts)."""
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    ivs = [(s, s + d) for s, d in iv]
+    rows = [(datetime.fromtimestamp(s), datetime.fromtimestamp(e))
+            for s, e in ivs]
+    got = {int(r["bucket_ts"].timestamp()) // 86400: r["peak"]
+           for r in peak_concurrency(_iv(spark, rows)).collect()}
+    # brute force: candidate instants = starts + bucket starts
+    instants = {s for s, _ in ivs}
+    bmin = min(s for s, _ in ivs) // 86400
+    bmax = max(e for _, e in ivs) // 86400
+    instants |= {b * 86400 for b in range(bmin, bmax + 1)}
+    expect = {}
+    for t in sorted(instants):
+        c = sum(1 for s, e in ivs if s <= t < e)
+        if c > 0:
+            b = t // 86400
+            expect[b] = max(expect.get(b, 0), c)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(pts=st.lists(st.tuples(st.integers(0, 9), st.integers(0, 12)),
+                    min_size=1, max_size=40),
+       window=st.integers(1, 4))
+def test_rolling_distinct_property_vs_brute(spark, pts, window):
+    from mycelial_spark.operators.timeseries import rolling_distinct
+    rows = [(datetime(2024, 1, 1 + day, 3), user, 0.0)
+            for user, day in pts]
+    got = {r["bucket_ts"].day - 1: r["n_distinct"]
+           for r in rolling_distinct(_df(spark, rows),
+                                     window=window).collect()}
+    days = {d for _, d in pts}
+    expect = {d: len({u for u, d2 in pts if d - window < d2 <= d})
+              for d in days}
+    assert got == expect
