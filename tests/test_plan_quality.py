@@ -341,3 +341,31 @@ def test_table_profile_split_ndv_shape(spark):
     branch_schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     single_col = [s for s in branch_schemas if s.count(",") == 0]
     assert len(single_col) >= 6  # one pruned scan per profiled column
+
+
+def test_trend_slope_minimal_shape(spark):
+    """user_value_trend must stay the minimal per-key regression plan:
+    one aggregate exchange, zero joins — a refactor that adds a
+    mean-join pass or a window would show here."""
+    a = audit(plan_of(spark, "user_value_trend"))
+    assert a["bhj"] + a["smj"] + a["bnlj"] == 0
+    assert a["exchanges"] <= 1
+
+
+def test_rolling_active_users_hll_equi_not_range(spark):
+    """The sketch WAU path must stay the expansion EQUI join: a bucket
+    range self-join compiles to a nested-loop (globally banned, but
+    pin the count here too) and would also show as extra exchanges."""
+    a = audit(plan_of(spark, "rolling_active_users_hll"))
+    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["exchanges"] <= 3
+
+
+def test_cusum_single_window_exchange(spark):
+    """cusum_drift_users: everything (mu, both prefix sums, both
+    running mins) must ride ONE user-keyed window exchange + the
+    triage aggregate — a second corpus shuffle means someone split the
+    windows."""
+    a = audit(plan_of(spark, "cusum_drift_users"))
+    assert a["bhj"] + a["smj"] + a["bnlj"] == 0
+    assert a["exchanges"] <= 2
