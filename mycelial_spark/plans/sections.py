@@ -2866,3 +2866,24 @@ def peak_concurrency_(spark, cfg, inputs):
     from mycelial_spark.operators.timeseries import peak_concurrency
     return peak_concurrency(inputs[0], cfg["start_col"], cfg["end_col"],
                             cfg["bucket_seconds"], cfg["chunk_seconds"])
+
+
+@_register("rollup_source", "source", "none", "dataframe",
+           [Field("path"),
+            Field("finalize", "bool", True),
+            Field("rolling_distinct_col", default=""),
+            Field("rolling_window", "int", 7)],
+           doc="Read a continuous-aggregate rollup table "
+               "(sinks/rollup.py) as a source node: finalized state "
+               "(avg_*/approx_distinct_* derived) by default; set "
+               "rolling_distinct_col to instead emit the trailing-"
+               "window distinct series merged from the stored "
+               "per-bucket HLL sketches (zero fact-table rescans).")
+def rollup_source(spark, cfg):
+    from mycelial_spark.sinks.rollup import (read_rollup,
+                                             rollup_rolling_distinct)
+    if cfg["rolling_distinct_col"]:
+        return rollup_rolling_distinct(spark, cfg["path"],
+                                       cfg["rolling_distinct_col"],
+                                       cfg["rolling_window"])
+    return read_rollup(spark, cfg["path"], cfg["finalize"])

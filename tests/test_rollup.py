@@ -322,3 +322,27 @@ def test_rolling_distinct_from_stored_sketches(spark, tmp_path):
         rollup_rolling_distinct(spark, p, "g")
     with pytest.raises(ValueError, match="window"):
         rollup_rolling_distinct(spark, p, "u", window=0)
+
+
+def test_rollup_source_section(spark, tmp_path):
+    """The rollup reads back declaratively: finalized state and the
+    sketch-merged rolling-distinct series."""
+    from mycelial_spark.plans.sections import REGISTRY
+    p = str(tmp_path / "r")
+    df = spark.createDataFrame(
+        [("2024-01-01 05:00:00", "x", 1), ("2024-01-02 05:00:00", "x", 2)],
+        "ts string, g string, u long").withColumn(
+            "ts", F.col("ts").cast("timestamp"))
+    rollup_update(df, p, "ts", ["g"], [], distinct_cols=["u"])
+
+    def run(cfg):
+        sdef = REGISTRY.get("rollup_source")
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": "rollup_source", "path": p, **cfg}))
+
+    fin = run({})
+    assert "approx_distinct_u" in fin.columns and fin.count() == 2
+    rd = {r["bucket_ts"].day: r["n_distinct"]
+          for r in run({"rolling_distinct_col": "u",
+                        "rolling_window": 2}).collect()}
+    assert rd == {1: 1, 2: 2}
