@@ -104,6 +104,7 @@ HEADLINE = [
     "events_rollup",
     "mixture_sample_tokens",
     "cluster_profile",
+    "source_embedding_centroids",
     "image_dedup_pairs",
     "audio_dedup_pairs",
     "video_dedup_pairs",

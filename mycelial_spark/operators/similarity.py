@@ -1492,3 +1492,30 @@ def contrastive_triplets(df: DataFrame, centroids: list[list[float]],
                     F.col("corpus_id").alias("negative_id"),
                     F.col("cos_sim").alias("neg_sim"),
                     F.col("rn").alias("neg_rank")))
+
+
+def group_centroids(df: DataFrame, group_col: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Per-group embedding centroid in LONG FORM: (group, dim, value,
+    n_vectors) — the domain-level embedding profile behind drift
+    monitoring (compare a source's centroid across snapshots),
+    diversity budgeting, and centroid-seeded clustering. Long form by
+    design: dimension-keyed rows aggregate, join, and diff with plain
+    relational ops (and survive cross-engine value comparison, where
+    array renderings differ).
+
+    One posexplode + one (group, dim) hash aggregate — map-side
+    combinable, |groups|·d result rows, never a driver collect. Values
+    round portably to 6 decimals (a float mean inherits summation-
+    order noise in the low bits on ANY distributed engine; the
+    rounding is the documented contract, as with the cosine family).
+    """
+    d = df.select(F.col(group_col).alias("grp"),
+                  F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("dim", "_x"))
+    return (d.groupBy("grp", "dim")
+            .agg(F.round(F.avg("_x"), 6).alias("centroid"),
+                 F.count(F.lit(1)).alias("n_vectors"))
+            .select(F.col("grp").alias(group_col), "dim", "centroid",
+                    "n_vectors"))

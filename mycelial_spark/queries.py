@@ -6975,6 +6975,32 @@ def pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
 
+@query("source_embedding_centroids", """
+WITH x AS (
+  SELECT d.source,
+         CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+         unnest(e.embedding)::DOUBLE AS v
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+)
+SELECT source, dim, round(avg(v), 6) AS centroid,
+       count(*) AS n_vectors
+FROM x GROUP BY 1, 2
+""")
+def source_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding centroid, long form (operators/similarity.py
+    group_centroids) — the domain-level embedding profile behind drift
+    monitoring and diversity budgeting: docs joined to their vectors,
+    one posexplode + one (source, dim) hash aggregate. Long form so
+    centroids aggregate/join/diff relationally and compare across
+    engines without array-rendering ambiguity."""
+    from mycelial_spark.operators.similarity import group_centroids
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    e = _t(spark, sf_dir, "embeddings")
+    joined = d.join(e, d["doc_id"] == e["vec_id"]).select(
+        "source", "embedding")
+    return group_centroids(joined, "source")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
