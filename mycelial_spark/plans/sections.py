@@ -2887,3 +2887,58 @@ def rollup_source(spark, cfg):
                                        cfg["rolling_distinct_col"],
                                        cfg["rolling_window"])
     return read_rollup(spark, cfg["path"], cfg["finalize"])
+
+
+@_register("cusum_drift", "transform", "dataframe", "dataframe",
+           [Field("key_col", default="user_id"),
+            Field("ts_col", default="ts"),
+            Field("value_col", default="value"),
+            Field("slack", "float", 0.5),
+            Field("threshold", "float", 5.0),
+            Field("order_tiebreak", default="event_id")],
+           doc="Per-key CUSUM change detection (closed-form window "
+               "sweep, exact-decimal arithmetic) as a node: emits the "
+               "rows where a sustained shift crosses threshold.")
+def cusum_drift_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import cusum_drift
+    return cusum_drift(inputs[0], cfg["key_col"], cfg["ts_col"],
+                       cfg["value_col"], cfg["slack"], cfg["threshold"],
+                       cfg["order_tiebreak"])
+
+
+@_register("event_transitions", "transform", "dataframe", "dataframe",
+           [Field("key_col", default="user_id"),
+            Field("ts_col", default="ts"),
+            Field("type_col", default="event_type"),
+            Field("order_tiebreak", default="event_id")],
+           doc="First-order Markov transition matrix of event types "
+               "(per-key lag + pair counts + conditional "
+               "probabilities) as a node.")
+def event_transitions_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import event_transitions
+    return event_transitions(inputs[0], cfg["key_col"], cfg["ts_col"],
+                             cfg["type_col"], cfg["order_tiebreak"])
+
+
+@_register("extract_entities", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("types", "json", default=["email", "ip", "url"])],
+           doc="Typed entity extraction to long form (one codegen "
+               "projection + one explode for all types) as a node.")
+def extract_entities_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import extract_entities
+    return extract_entities(inputs[0], cfg["text_col"], cfg["id_col"],
+                            cfg["types"])
+
+
+@_register("group_centroids", "transform", "dataframe", "dataframe",
+           [Field("group_col"),
+            Field("vec_col", default="embedding"),
+            Field("id_col", default="vec_id")],
+           doc="Per-group embedding centroid in long form (group, dim, "
+               "value, n) as a node — the domain embedding profile.")
+def group_centroids_(spark, cfg, inputs):
+    from mycelial_spark.operators.similarity import group_centroids
+    return group_centroids(inputs[0], cfg["group_col"], cfg["vec_col"],
+                           cfg["id_col"])

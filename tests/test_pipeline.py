@@ -700,3 +700,43 @@ def test_analytics_pipeline_example_end_to_end(spark, tmp_path):
     tr = spark.read.parquet(str(tmp_path / "trends_out"))
     assert tr.count() > 0 and "slope" in tr.columns
     assert spark.read.parquet(str(tmp_path / "funnel_out")).count() > 0
+
+
+def test_r7_analytics_sections_third_wave(spark):
+    """cusum_drift, event_transitions, extract_entities, and
+    group_centroids run declaratively."""
+    from datetime import datetime
+    from mycelial_spark.plans.sections import REGISTRY
+
+    def run(name, cfg, inputs):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), inputs)
+
+    rows = [(datetime(2024, 1, 1, h), 1, "a" if h < 3 else "b",
+             float(1 if h < 3 else 9), h) for h in range(6)]
+    ev = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string, "
+              "value double, event_id long")
+    cs = run("cusum_drift", {"slack": 0.5, "threshold": 1.2}, [ev])
+    assert cs.count() > 0
+    tm = {(r["from_type"], r["to_type"]): r["n"]
+          for r in run("event_transitions", {}, [ev]).collect()}
+    assert tm == {("a", "a"): 2, ("a", "b"): 1, ("b", "b"): 2}
+
+    docs = spark.createDataFrame(
+        [(1, "see https://x.io and mail a@b.co")],
+        "doc_id long, text string")
+    ents = {r["entity_type"]
+            for r in run("extract_entities", {}, [docs]).collect()}
+    assert ents == {"email", "url"}
+
+    emb = spark.createDataFrame(
+        [(1, "s1", [1.0, 3.0]), (2, "s1", [3.0, 5.0]),
+         (3, "s2", [0.0, 0.0])],
+        "vec_id long, grp string, embedding array<double>")
+    cen = {(r["grp"], r["dim"]): (r["centroid"], r["n_vectors"])
+           for r in run("group_centroids", {"group_col": "grp"},
+                        [emb]).collect()}
+    assert cen == {("s1", 0): (2.0, 2), ("s1", 1): (4.0, 2),
+                   ("s2", 0): (0.0, 1), ("s2", 1): (0.0, 1)}
