@@ -173,6 +173,53 @@ def _label_propagation(d):
     return label_propagation(_synth_graph(d), iterations=3)
 
 
+def scaled_events(spark, sf_dir: str, factor: int):
+    """f x the event table along the USER axis: replicas shift user and
+    event ids into disjoint ranges while keeping the time range — more
+    concurrent users over the same month, which is how an event stream
+    actually grows. Per-key series stay identical to the base table, so
+    per-key ops (trend, CUSUM, sessionize) must scale linearly with
+    rows and the distinct/expansion ops with users x days."""
+    from mycelial_spark.catalog import load_table
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "user_id", "event_id", "event_type", "value")
+    if factor == 1:
+        return ev
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    return (ev.select("*", rep)
+            .select("ts",
+                    (F.col("user_id") + F.col("rep").cast("long")
+                     * 1000000).alias("user_id"),
+                    (F.col("event_id") + F.col("rep").cast("long")
+                     * 1000000000).alias("event_id"),
+                    "event_type", "value"))
+
+
+def _peak_sessions(d):
+    from mycelial_spark.operators.timeseries import (peak_concurrency,
+                                                     sessionize)
+    sess = sessionize(d, 1800)
+    iv = sess.select(
+        F.col("session_start").alias("start_ts"),
+        F.timestamp_seconds(F.unix_timestamp("session_end") + 1800)
+        .alias("end_ts"))
+    return peak_concurrency(iv)
+
+
+def _event_ops():
+    from mycelial_spark.operators import timeseries as T
+    return {
+        "rolling_active": lambda d: T.rolling_distinct(d, window=7),
+        "rolling_active_hll": lambda d: T.rolling_distinct(
+            d, window=7, method="sketch"),
+        "trend_slope": lambda d: T.trend_slope(d),
+        "cusum_drift": lambda d: T.cusum_drift(d, slack=10.0,
+                                               threshold=60.0),
+        "event_transitions": lambda d: T.event_transitions(d),
+        "peak_sessions": _peak_sessions,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     only_ops = {o for a in sys.argv[1:] if a.startswith("--ops=")
@@ -258,16 +305,20 @@ def main() -> None:
     }
     if not only_ops:
         ops.pop("ngram_jaccard_pairs")
+    if "--events" in sys.argv:
+        ops = _event_ops()
     if only_ops:
         ops = {k: v for k, v in ops.items() if k in only_ops}
 
+    scaler = scaled_events if "--events" in sys.argv else scaled_docs
+
     # warm codegen on the smallest corpus
-    warm = scaled_docs(spark, sf_dir, 1)
+    warm = scaler(spark, sf_dir, 1)
     for fn in ops.values():
         fn(warm).write.format("noop").mode("overwrite").save()
 
     for f in factors:
-        docs = scaled_docs(spark, sf_dir, f)
+        docs = scaler(spark, sf_dir, f)
         # materialize the synthetic corpus once so every operator reads the
         # same physical input (parquet, like production)
         path = f"/tmp/scale_probe_docs_f{f}"
