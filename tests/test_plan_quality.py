@@ -103,7 +103,13 @@ _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
                   "skew_profile",
                   # same shape: the 1-row (total_base, total_cur) pair
                   # broadcast onto the bins-sized frame for proportions
-                  "drift_psi_events"}
+                  "drift_psi_events",
+                  # deliberate exact-cosine pair source (the oracle
+                  # baseline, like dedup_embedding_pairs); the persisted
+                  # pair table feeds both positive directions, so the
+                  # one n² join shows twice. cosine_pairs_lsh is the
+                  # documented drop-in at corpus scale.
+                  "contrastive_triplets"}
 
 
 def test_no_accidental_nested_loop_joins(spark):
