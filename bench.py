@@ -123,6 +123,7 @@ HEADLINE = [
     "user_value_trend",
     "cusum_drift_users",
     "event_transition_matrix",
+    "value_week_over_week",
     "peak_concurrent_sessions",
     "domain_cap",
     "boilerplate_remove",

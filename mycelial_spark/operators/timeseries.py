@@ -622,3 +622,47 @@ def event_transitions(df: DataFrame, key_col: str = "user_id",
             .select("from_type", "to_type", "n",
                     _round6_portable(F.col("n") * F.lit(1.0)
                                      / F.col("_tot")).alias("prob")))
+
+
+def period_over_period(df: DataFrame, ts_col: str = "ts",
+                       value_col: str = "value",
+                       bucket_seconds: int = 86400,
+                       lag_buckets: int = 7) -> DataFrame:
+    """Period-over-period comparison: each time bucket's value total
+    against the bucket ``lag_buckets`` periods earlier — the
+    week-over-week / day-over-day delta every operational dashboard
+    leads with, and the first-line seasonality-aware drift signal
+    (compare Monday to Monday, not Monday to Sunday).
+
+    Per-bucket totals are EXACT decimal sums (partition-order-
+    independent — the trend_slope/cusum recipe), the comparison is one
+    EQUI self-join of the bucket table on ``bucket − lag`` (tiny:
+    |buckets| rows), and the pct change is a portable rounded division.
+    Buckets with no prior-period counterpart report NULL prev/delta —
+    a missing baseline is not a 0% change.
+
+    Returns (bucket_ts, current, previous, delta, pct_change) — value
+    columns as double (exact decimals cast once at the edge).
+    """
+    if lag_buckets < 1:
+        raise ValueError(f"lag_buckets must be >= 1; got {lag_buckets}")
+    b = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
+        .cast("long")
+    per = (df.select(b.alias("_b"),
+                     F.col(value_col).cast("decimal(30,6)").alias("_y"))
+           .filter(F.col("_b").isNotNull() & F.col("_y").isNotNull())
+           .groupBy("_b").agg(F.sum("_y").alias("_cur"))
+           .persist())
+    prev = per.select((F.col("_b") + lag_buckets).alias("_b"),
+                      F.col("_cur").alias("_prev"))
+    pct = _round6_portable(
+        (F.col("_cur") - F.col("_prev")).cast("double")
+        / F.col("_prev").cast("double"))
+    return (per.join(prev, "_b", "left")
+            .select(F.timestamp_seconds(F.col("_b") * bucket_seconds)
+                    .alias("bucket_ts"),
+                    F.col("_cur").cast("double").alias("current"),
+                    F.col("_prev").cast("double").alias("previous"),
+                    (F.col("_cur") - F.col("_prev")).cast("double")
+                    .alias("delta"),
+                    F.when(F.col("_prev") != 0, pct).alias("pct_change")))

@@ -7001,6 +7001,34 @@ def source_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_centroids(joined, "source")
 
 
+@query("value_week_over_week", """
+WITH per AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS b,
+         sum(CAST(value AS DECIMAL(30,6))) AS cur
+  FROM events GROUP BY 1
+)
+SELECT make_timestamp(a.b * 86400 * 1000000) AS bucket_ts,
+       CAST(a.cur AS DOUBLE) AS current,
+       CAST(p.cur AS DOUBLE) AS previous,
+       CAST(a.cur - p.cur AS DOUBLE) AS delta,
+       CASE WHEN p.cur <> 0 THEN
+         floor(CAST(a.cur - p.cur AS DOUBLE) / CAST(p.cur AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS pct_change
+FROM per a LEFT JOIN per p ON p.b = a.b - 7
+""")
+def value_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week daily value totals (operators/timeseries.py
+    period_over_period, lag=7): the seasonality-aware dashboard delta —
+    Monday compares to Monday. Per-bucket totals are exact decimal
+    sums; the comparison is one equi self-join of the |buckets|-row
+    table; pct change is the portable rounded division with NULL (not
+    0% or inf) for missing or zero baselines."""
+    from mycelial_spark.operators.timeseries import period_over_period
+    return period_over_period(_t(spark, sf_dir, "events"),
+                              lag_buckets=7)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -475,3 +475,28 @@ def test_rolling_distinct_property_vs_brute(spark, pts, window):
     expect = {d: len({u for u, d2 in pts if d - window < d2 <= d})
               for d in days}
     assert got == expect
+
+
+def test_period_over_period_hand_computed(spark):
+    """Daily totals with lag 1: day2 vs day1 = +100%, day3 vs day2 =
+    -50%; day1 has no baseline -> NULLs; a zero baseline reports NULL
+    pct (not inf)."""
+    from mycelial_spark.operators.timeseries import period_over_period
+    df = _df(spark, [
+        (datetime(2024, 1, 1, 3), 1, 10.0),
+        (datetime(2024, 1, 1, 9), 2, 10.0),
+        (datetime(2024, 1, 2, 3), 1, 40.0),
+        (datetime(2024, 1, 3, 3), 1, 20.0),
+        (datetime(2024, 1, 4, 1), 1, 0.0),
+        (datetime(2024, 1, 5, 1), 1, 5.0),
+    ])
+    got = {r["bucket_ts"].day: (r["current"], r["previous"], r["delta"],
+                                r["pct_change"])
+           for r in period_over_period(df, lag_buckets=1).collect()}
+    assert got[1] == (20.0, None, None, None)
+    assert got[2] == (40.0, 20.0, 20.0, 1.0)
+    assert got[3] == (20.0, 40.0, -20.0, -0.5)
+    assert got[4] == (0.0, 20.0, -20.0, -1.0)
+    assert got[5] == (5.0, 0.0, 5.0, None)  # zero baseline
+    with pytest.raises(ValueError):
+        period_over_period(df, lag_buckets=0)
