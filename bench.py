@@ -114,6 +114,7 @@ HEADLINE = [
     "events_gapfill",
     "cohort_retention",
     "funnel_conversion",
+    "funnel_conversion_windowed",
     "skew_profile",
     "rolling_anomalies",
     "data_contract",

@@ -161,10 +161,15 @@ def rolling_zscore(df: DataFrame, value_col: str = "value",
 
 def funnel_conversion(df: DataFrame, steps: Sequence[str],
                       ts_col: str = "ts", user_col: str = "user_id",
-                      type_col: str = "event_type") -> DataFrame:
+                      type_col: str = "event_type",
+                      max_gap_seconds: int | None = None) -> DataFrame:
     """Ordered N-step funnel: how many users reach each step IN ORDER
     (step k counts only events strictly after the user's step-(k-1)
     reach time — the standard windowless funnel semantics).
+    ``max_gap_seconds`` bounds each hop: step k must land within that
+    many seconds of the step-(k-1) reach time — the "converted within
+    7 days" semantics real funnels report; a later conversion exists
+    but does not count.
 
     Returns (step_index, step, n_users, conversion_pct) with
     conversion relative to step 1.
@@ -181,6 +186,9 @@ def funnel_conversion(df: DataFrame, steps: Sequence[str],
         raise ValueError(f"need >= 2 steps; got {list(steps)}")
     if len(set(steps)) != len(steps):
         raise ValueError(f"steps must be distinct; got {list(steps)}")
+    if max_gap_seconds is not None and max_gap_seconds <= 0:
+        raise ValueError(f"max_gap_seconds must be > 0; got "
+                         f"{max_gap_seconds}")
     aggs = [F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col)))
             .alias("_t0")]
     for i, s in enumerate(steps[1:], start=1):
@@ -191,7 +199,10 @@ def funnel_conversion(df: DataFrame, steps: Sequence[str],
     def _after(r):
         # single-parameter lambda on purpose: a 2-parameter lambda (via
         # a default arg) would be bound as (element, INDEX) by filter()
-        return lambda x: x > r
+        if max_gap_seconds is None:
+            return lambda x: x > r
+        bound = r + F.expr(f"INTERVAL {int(max_gap_seconds)} SECOND")
+        return lambda x: (x > r) & (x <= bound)
 
     reach = F.col("_t0")
     cols = [F.col("_t0").alias("_r0")]

@@ -7029,6 +7029,48 @@ def value_week_over_week(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lag_buckets=7)
 
 
+@query("funnel_conversion_windowed", """
+WITH pu AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view') AS t0,
+         list(ts) FILTER (WHERE event_type = 'click') AS l1,
+         list(ts) FILTER (WHERE event_type = 'purchase') AS l2
+  FROM events GROUP BY 1
+), r1 AS (
+  SELECT t0 AS r0,
+         list_min(list_filter(l1,
+           x -> x > t0 AND x <= t0 + INTERVAL 7200 SECOND)) AS r1, l2
+  FROM pu
+), rr AS (
+  SELECT r0, r1, list_min(list_filter(l2,
+           x -> x > r1 AND x <= r1 + INTERVAL 7200 SECOND)) AS r2
+  FROM r1
+), c AS (SELECT count(r0) n0, count(r1) n1, count(r2) n2 FROM rr)
+SELECT 1 AS step_index, 'view' AS step, n0 AS n_users,
+       CASE WHEN n0 > 0 THEN
+         floor((n0 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 END
+         AS conversion_pct FROM c
+UNION ALL
+SELECT 2, 'click', n1,
+       CASE WHEN n0 > 0 THEN
+         floor((n1 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 END FROM c
+UNION ALL
+SELECT 3, 'purchase', n2,
+       CASE WHEN n0 > 0 THEN
+         floor((n2 * 1.0 / n0) * 1000000.0 + 0.5) / 1000000.0 END FROM c
+""")
+def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel with BOUNDED conversion windows (max_gap_seconds=
+    7200): each hop must land within 2 hours of the previous reach —
+    the "converted within N" semantics real funnels report. Same
+    one-shuffle fold as funnel_conversion with the window bound inside
+    the array filter; the oracle replays the identical bounded fold."""
+    from mycelial_spark.operators.timeseries import funnel_conversion
+    return funnel_conversion(_t(spark, sf_dir, "events"),
+                             ["view", "click", "purchase"],
+                             max_gap_seconds=7200)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

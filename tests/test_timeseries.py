@@ -500,3 +500,30 @@ def test_period_over_period_hand_computed(spark):
     assert got[5] == (5.0, 0.0, 5.0, None)  # zero baseline
     with pytest.raises(ValueError):
         period_over_period(df, lag_buckets=0)
+
+
+def test_funnel_conversion_windowed_gap(spark):
+    """max_gap_seconds bounds each hop: user 1 clicks 10s after view
+    (counts) but purchases 5000s after the click (dropped at gap
+    3600); user 2's only click is 2h after view (dropped, and with it
+    the later purchase)."""
+    from mycelial_spark.operators.timeseries import funnel_conversion
+    rows = [
+        (datetime(2024, 1, 1, 10, 0, 0), 1, "view"),
+        (datetime(2024, 1, 1, 10, 0, 10), 1, "click"),
+        (datetime(2024, 1, 1, 11, 23, 30), 1, "purchase"),
+        (datetime(2024, 1, 1, 10, 0, 0), 2, "view"),
+        (datetime(2024, 1, 1, 12, 0, 1), 2, "click"),
+        (datetime(2024, 1, 1, 12, 0, 2), 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_type string")
+    un = {r["step"]: r["n_users"] for r in funnel_conversion(
+        df, ["view", "click", "purchase"]).collect()}
+    assert un == {"view": 2, "click": 2, "purchase": 2}
+    wd = {r["step"]: r["n_users"] for r in funnel_conversion(
+        df, ["view", "click", "purchase"],
+        max_gap_seconds=3600).collect()}
+    assert wd == {"view": 2, "click": 1, "purchase": 0}
+    with pytest.raises(ValueError):
+        funnel_conversion(df, ["view", "click"], max_gap_seconds=0)
