@@ -489,9 +489,14 @@ def peak_concurrency(intervals: DataFrame, start_col: str = "start_ts",
     bd = (iv.select(F.col("_s").alias("_t"), F.lit(1).alias("_d"))
             .unionAll(iv.select(F.col("_e").alias("_t"),
                                 F.lit(-1).alias("_d"))))
+    # FLOOR division, not the long cast's truncate-toward-zero: a
+    # pre-1970 timestamp (negative epoch) would otherwise land its
+    # boundaries and coverage votes one bucket high
     bd = bd.select("_t", "_d",
-                   (F.col("_t") / bucket_seconds).cast("long").alias("_b"),
-                   (F.col("_t") / chunk_seconds).cast("long").alias("_c"))
+                   F.floor(F.col("_t") / F.lit(bucket_seconds))
+                   .alias("_b"),
+                   F.floor(F.col("_t") / F.lit(chunk_seconds))
+                   .alias("_c"))
     w_chunk = (Window.partitionBy("_b", "_c").orderBy("_t", "_d")
                .rowsBetween(Window.unboundedPreceding, 0))
     pref = bd.withColumn("_pref", F.sum("_d").over(w_chunk))
@@ -506,8 +511,8 @@ def peak_concurrency(intervals: DataFrame, start_col: str = "start_ts",
                  .alias("_maxp")))
     # covered-bucket votes: bucket b's START is inside [s, e) iff
     # s < b*bucket <= e-1  ->  b in [s//bucket + 1, (e-1)//bucket]
-    lo = (F.col("_s") / bucket_seconds).cast("long") + 1
-    hi = ((F.col("_e") - 1) / bucket_seconds).cast("long")
+    lo = F.floor(F.col("_s") / F.lit(bucket_seconds)) + 1
+    hi = F.floor((F.col("_e") - 1) / F.lit(bucket_seconds))
     cov = (iv.select(F.explode(F.when(lo <= hi, F.sequence(lo, hi))
                                .otherwise(F.array())).alias("_b"))
              .groupBy("_b").agg(F.count(F.lit(1)).alias("_carry")))

@@ -527,3 +527,19 @@ def test_funnel_conversion_windowed_gap(spark):
     assert wd == {"view": 2, "click": 1, "purchase": 0}
     with pytest.raises(ValueError):
         funnel_conversion(df, ["view", "click"], max_gap_seconds=0)
+
+
+def test_peak_concurrency_pre_1970(spark):
+    """Negative epochs: floor bucketing, not truncate-toward-zero — an
+    interval spanning a pre-1970 midnight must vote its covered day
+    correctly."""
+    from mycelial_spark.operators.timeseries import peak_concurrency
+    df = _iv(spark, [
+        (datetime(1969, 12, 30, 10), datetime(1970, 1, 1, 5)),
+        (datetime(1969, 12, 31, 1), datetime(1969, 12, 31, 2)),
+    ])
+    got = {(r["bucket_ts"].year, r["bucket_ts"].month,
+            r["bucket_ts"].day): r["peak"]
+           for r in peak_concurrency(df).collect()}
+    assert got == {(1969, 12, 30): 1, (1969, 12, 31): 2,
+                   (1970, 1, 1): 1}
