@@ -55,7 +55,18 @@ _STATEFUL_SECTIONS = {"stateful_running_counts", "stateful_sessionize",
 # batch. "One sketch per batch" is the SEMANTIC here (incremental
 # reaggregation), not a workaround.
 _PER_BATCH_SECTIONS = {"histogram_sketch", "dedup_exact", "aggregate",
-                       "psi_gate"}
+                       "psi_gate",
+                       # the analytics/monitoring family: unwatermarked
+                       # aggregates and non-time windows the streaming
+                       # planner rejects — per-batch is the SEMANTIC
+                       # (one contract report / transition matrix /
+                       # drift triage per micro-batch)
+                       "validate_constraints", "skew_profile",
+                       "profile_columns", "trend_slope",
+                       "rolling_distinct", "event_transitions",
+                       "peak_concurrency", "cusum_drift", "sessionize",
+                       "funnel_conversion", "cohort_retention",
+                       "time_bucket_gapfill", "group_centroids"}
 # Per-batch sections whose builder RAISES on data (not on plan): they
 # run INSIDE the dead-letter quarantine scope, so a failing batch parks
 # instead of wedging the stream — a drift gate that fails the query

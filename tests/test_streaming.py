@@ -410,3 +410,40 @@ def test_psi_gate_streaming_quarantines_drifting_batch(spark, tmp_path):
     parked = spark.read.parquet(f"{dlq}/{task_id}")
     assert parked.count() == 50                    # drifted batch parked
     assert "drifted" in parked.first()["_dlq_error"]
+
+
+def test_per_batch_contract_report_streaming(spark, tmp_path):
+    """validate_constraints rides a micro-batch stream as a PER-BATCH
+    report: two single-file batches -> two 2-rule reports in the sink,
+    and the violating batch is visible in its own report rows."""
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    bad = spark.createDataFrame([(3, 5.0), (None, 2000.0)],
+                                "k long, v double")
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name, df in (("a_good", good), ("b_bad", bad)):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        import glob
+        import shutil
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            shutil.copy(f, flat / f"{name}.parquet")
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": str(flat),
+                    "max_files_per_trigger": 1},
+            "contract": {"type": "validate_constraints", "rules": [
+                {"rule": "not_null", "columns": ["k"]},
+                {"rule": "in_range", "columns": ["v"],
+                 "min": 0.0, "max": 1000.0},
+            ]},
+            "dst": {"type": "parquet_dest",
+                    "path": str(tmp_path / "reports")},
+        },
+        "edges": [["src", "contract"], ["contract", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    _wait_done(sp.start(spark))
+    out = spark.read.parquet(str(tmp_path / "reports")).collect()
+    assert len(out) == 4                      # 2 batches x 2 rules
+    assert sum(1 for r in out if not r["passed"]) == 2
+    assert sum(int(r["n_violations"]) for r in out) == 2
