@@ -98,6 +98,7 @@ HEADLINE = [
     "epoch_shuffle_keys",
     "zorder_keys",
     "bloom_prune_join",
+    "segment_user_overlap_kmv",
     "quality_weighted_sample",
     "semantic_decontaminate",
     "tfidf_keywords",

@@ -1,0 +1,131 @@
+"""KMV (k-minimum-values / bottom-k) distinct sketches.
+
+The mergeable sketch family here is HLL (distinct counts), CMS
+(frequencies), equi-width histograms (quantiles), Bloom (membership).
+KMV closes the one gap none of them cover: SET-OPERATION estimates
+across groups — "how many users do segments A and B share", "how
+similar are two sources' vocabularies" — because a bottom-k sample of
+a uniformly-hashed set is itself a uniform sample of the UNION when
+two sketches merge [Bar-Yossef et al., "Counting distinct elements in
+a data stream", RANDOM'02; Beyer et al., SIGMOD'07 — public
+algorithms]. HLL sketches union but never intersect; KMV does both:
+
+- distinct estimate: with the k-th smallest hash h_k of a set hashed
+  uniformly into [0, M), n̂ = (k−1)·M/h_k; a sketch holding fewer than
+  k values IS the exact distinct set (no estimation regime).
+- merge(A, B) = bottom-k of A ∪ B — associative/commutative, the
+  union's own sketch.
+- Jaccard: within the merged bottom-k U (a uniform sample of A ∪ B),
+  the fraction of members present in BOTH sketches estimates
+  |A∩B|/|A∪B|; intersection size follows as J·n̂(U).
+
+Everything is DETERMINISTIC (hash order, no RNG): rebuilds, retries,
+and engines agree bit-for-bit. Two hash modes, the simhash convention:
+``xxhash64`` (production; folded into the 2^60 space) and ``md5``
+(first 15 hex chars as an integer — replayable in any SQL engine,
+which is what makes the overlap queries oracle-checkable).
+
+100 TB shape: the only corpus-sized work is one distinct on (group,
+hash) — map-side combinable; the bottom-k per group then runs through
+``topk_per_key``'s salted two-stage rank, so a billion-member group
+never funnels one reducer; sketches are k×8 bytes and all estimate
+arithmetic is driver-free Column math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# hash space: md5 mode keeps 15 hex chars = 60 bits; xxhash64 folds
+# into the same space so the estimator constant is shared
+_M = float(2 ** 60)
+
+
+def _kmv_hash(value: Column, hash_mode: str) -> Column:
+    if hash_mode == "md5":
+        return F.conv(F.substring(F.md5(value.cast("string")), 1, 15),
+                      16, 10).cast("long")
+    if hash_mode == "xxhash64":
+        return F.pmod(F.xxhash64(value), F.lit(2 ** 60))
+    raise ValueError(f"hash_mode must be 'xxhash64' or 'md5'; "
+                     f"got {hash_mode!r}")
+
+
+def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
+               k: int = 256, hash_mode: str = "xxhash64",
+               salt: int = 1) -> DataFrame:
+    """Per-group KMV sketch: (group, kmv) with ``kmv`` the sorted
+    array of the group's k smallest distinct value hashes (fewer when
+    the group has fewer distinct values — then the sketch is exact).
+    ``salt > 1`` engages the skew-safe two-stage bottom-k (hot groups
+    spread over salt reducers before the exact rank)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2; got {k}")
+    from mycelial_spark.operators.relational import topk_per_key
+    h = _kmv_hash(F.col(value_col), hash_mode)
+    pairs = (df.select(F.col(group_col).alias("grp"), h.alias("_h"))
+             .filter(F.col("_h").isNotNull()).distinct())
+    top = topk_per_key(pairs, "grp", [F.col("_h").asc()], k,
+                       salt=salt, salt_on="_h" if salt > 1 else None)
+    return (top.groupBy("grp")
+            .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+            .select(F.col("grp").alias(group_col), "kmv"))
+
+
+def kmv_distinct_estimate(kmv: Column | str, k: int) -> Column:
+    """Distinct-count estimate from a sketch array: exact size when
+    the sketch is not full, (k−1)·M/h_k otherwise. Plain double
+    arithmetic — round downstream for cross-engine comparison."""
+    c = F.col(kmv) if isinstance(kmv, str) else kmv
+    return F.when(F.size(c) < k, F.size(c).cast("double")) \
+            .otherwise(F.lit(float(k - 1)) * F.lit(_M)
+                       / F.element_at(c, k).cast("double"))
+
+
+def kmv_merge(a: Column | str, b: Column | str, k: int) -> Column:
+    """Bottom-k of the union of two sketches — the union's own sketch
+    (associative, commutative, idempotent)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.slice(F.array_sort(F.array_union(ca, cb)), 1, k)
+
+
+def kmv_jaccard(a: Column | str, b: Column | str, k: int) -> Column:
+    """Jaccard estimate: fraction of the merged bottom-k present in
+    BOTH sketches (the merged sketch is a uniform sample of the
+    union). NULL when both sets are empty."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    u = kmv_merge(ca, cb, k)
+    inter = F.size(F.array_intersect(F.array_intersect(u, ca), cb))
+    return F.when(F.size(u) > 0,
+                  inter.cast("double") / F.size(u).cast("double"))
+
+
+def kmv_overlap(sketches: DataFrame, group_col: str,
+                k: int, round_to: int = 6) -> DataFrame:
+    """All-pairs set-overlap estimates from a (group, kmv) sketch
+    table: (group_a, group_b, jaccard_est, union_est, inter_est) for
+    every group pair (a < b). |groups|² pairs of k-length arrays —
+    sketch-sized work, the corpus is long gone. Estimates round
+    portably for cross-engine comparison; inter_est = J·n̂(union)
+    computed from the ROUNDED factors so an external engine replays
+    it exactly."""
+    a = sketches.select(F.col(group_col).alias("group_a"),
+                        F.col("kmv").alias("_ka"))
+    b = sketches.select(F.col(group_col).alias("group_b"),
+                        F.col("kmv").alias("_kb"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    r = F.lit(float(10 ** round_to))
+
+    def rnd(c):
+        return F.floor(c * r + F.lit(0.5)) / r
+
+    j = rnd(kmv_jaccard(F.col("_ka"), F.col("_kb"), k))
+    uest = rnd(kmv_distinct_estimate(kmv_merge(F.col("_ka"),
+                                               F.col("_kb"), k), k))
+    return pairs.select(
+        "group_a", "group_b", j.alias("jaccard_est"),
+        uest.alias("union_est"),
+        rnd(j * uest).alias("inter_est"))

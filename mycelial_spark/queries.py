@@ -7071,6 +7071,56 @@ def funnel_conversion_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
                              max_gap_seconds=7200)
 
 
+@query("segment_user_overlap_kmv", """
+WITH h AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM events
+), sk AS (
+  SELECT grp, (list_sort(list(hh)))[1:32] AS kmv FROM h GROUP BY grp
+), p AS (
+  SELECT a.grp AS ga, b.grp AS gb, a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(a.kmv || b.kmv))[1:32] AS u
+  FROM sk a JOIN sk b ON a.grp < b.grp
+), e AS (
+  SELECT ga, gb,
+         len(list_filter(u, x -> list_contains(ka, x)
+                              AND list_contains(kb, x))) AS inter,
+         len(u) AS us,
+         CASE WHEN len(u) < 32 THEN CAST(len(u) AS DOUBLE)
+              ELSE 31.0 * 1152921504606846976.0 / CAST(u[32] AS DOUBLE)
+         END AS uraw
+  FROM p
+), r AS (
+  SELECT ga, gb,
+         CASE WHEN us > 0 THEN
+           floor(inter * 1.0 / us * 1000000.0 + 0.5) / 1000000.0
+         END AS j,
+         floor(uraw * 1000000.0 + 0.5) / 1000000.0 AS uest
+  FROM e
+)
+SELECT ga AS group_a, gb AS group_b, j AS jaccard_est,
+       uest AS union_est,
+       floor(j * uest * 1000000.0 + 0.5) / 1000000.0 AS inter_est
+FROM r
+""")
+def segment_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user overlap between event-type segments from KMV
+    bottom-k sketches (operators/kmv.py, k=32, portable md5 hashes) —
+    the set-operation estimate HLL structurally cannot give: merged
+    bottom-k sketches are a uniform sample of the union, so Jaccard,
+    union size, and intersection size all estimate from k×8-byte
+    state per segment. One distinct (segment, hash) pass + skew-safe
+    bottom-k; pair arithmetic is sketch-sized. The oracle replays
+    hashing, bottom-k, merge, and every rounded estimator step
+    bit-for-bit."""
+    from mycelial_spark.operators.kmv import kmv_overlap, kmv_sketch
+    sk = kmv_sketch(_t(spark, sf_dir, "events"), "event_type",
+                    "user_id", k=32, hash_mode="md5")
+    return kmv_overlap(sk, "event_type", 32)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -1,0 +1,65 @@
+"""KMV bottom-k sketches: exact regime, merge = union's sketch,
+overlap estimator accuracy, salted build equality."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.kmv import (kmv_distinct_estimate,
+                                          kmv_jaccard, kmv_merge,
+                                          kmv_overlap, kmv_sketch)
+
+
+def _members(spark, groups):
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    return spark.createDataFrame(rows, "grp string, v long")
+
+
+def test_exact_regime_below_k(spark):
+    """Sketches smaller than k ARE the exact sets: distinct estimate
+    and Jaccard are exact, not approximate."""
+    df = _members(spark, {"a": range(10), "b": range(5, 20)})
+    sk = kmv_sketch(df, "grp", "v", k=64)
+    est = {r["grp"]: r["e"] for r in sk.select(
+        "grp", kmv_distinct_estimate("kmv", 64).alias("e")).collect()}
+    assert est == {"a": 10.0, "b": 15.0}
+    out = kmv_overlap(sk, "grp", 64).first()
+    # |a ∩ b| = 5, |a ∪ b| = 20
+    assert out["jaccard_est"] == 0.25
+    assert out["union_est"] == 20.0
+    assert out["inter_est"] == 5.0
+
+
+def test_merge_equals_union_sketch_and_estimator_accuracy(spark):
+    df = _members(spark, {"a": range(1000), "b": range(500, 1500)})
+    k = 256
+    sk = {r["grp"]: r["kmv"]
+          for r in kmv_sketch(df, "grp", "v", k=k).collect()}
+    u = _members(spark, {"u": set(range(1500))})
+    sku = kmv_sketch(u, "grp", "v", k=k).first()["kmv"]
+    merged = (spark.range(1)
+              .select(kmv_merge(F.lit(sk["a"]), F.lit(sk["b"]), k)
+                      .alias("m")).first()["m"])
+    assert list(merged) == list(sku)
+    out = kmv_overlap(kmv_sketch(df, "grp", "v", k=k), "grp", k).first()
+    # truth: jaccard 500/1500 = 0.333, union 1500, inter 500
+    assert abs(out["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(out["union_est"] - 1500) / 1500 < 0.15
+    assert abs(out["inter_est"] - 500) / 500 < 0.35
+
+
+def test_salted_build_equals_plain_and_md5_mode(spark):
+    df = _members(spark, {"a": range(800), "b": range(300, 900)})
+    for mode in ("xxhash64", "md5"):
+        plain = sorted(map(tuple, kmv_sketch(
+            df, "grp", "v", k=128, hash_mode=mode).collect()))
+        salted = sorted(map(tuple, kmv_sketch(
+            df, "grp", "v", k=128, hash_mode=mode, salt=8).collect()))
+        assert plain == salted, mode
+
+
+def test_validation(spark):
+    df = _members(spark, {"a": [1]})
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "grp", "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "grp", "v", hash_mode="sha1")
