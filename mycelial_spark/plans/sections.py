@@ -2942,3 +2942,27 @@ def group_centroids_(spark, cfg, inputs):
     from mycelial_spark.operators.similarity import group_centroids
     return group_centroids(inputs[0], cfg["group_col"], cfg["vec_col"],
                            cfg["id_col"])
+
+
+@_register("kmv_sketch", "transform", "dataframe", "dataframe",
+           [Field("group_col"), Field("value_col"),
+            Field("k", "int", 256),
+            Field("hash_mode", default="xxhash64"),
+            Field("salt", "int", 1)],
+           doc="Per-group KMV bottom-k distinct sketch (mergeable AND "
+               "intersectable; salt>1 = skew-safe two-stage build) as "
+               "a node.")
+def kmv_sketch_(spark, cfg, inputs):
+    from mycelial_spark.operators.kmv import kmv_sketch
+    return kmv_sketch(inputs[0], cfg["group_col"], cfg["value_col"],
+                      cfg["k"], cfg["hash_mode"], cfg["salt"])
+
+
+@_register("kmv_overlap", "transform", "dataframe", "dataframe",
+           [Field("group_col"), Field("k", "int", 256)],
+           doc="All-pairs segment-overlap estimates (Jaccard / union / "
+               "intersection) from a (group, kmv) sketch table as a "
+               "node — sketch-sized work.")
+def kmv_overlap_(spark, cfg, inputs):
+    from mycelial_spark.operators.kmv import kmv_overlap
+    return kmv_overlap(inputs[0], cfg["group_col"], cfg["k"])

@@ -63,3 +63,19 @@ def test_validation(spark):
         kmv_sketch(df, "grp", "v", k=1)
     with pytest.raises(ValueError):
         kmv_sketch(df, "grp", "v", hash_mode="sha1")
+
+
+def test_kmv_sections_chain(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+
+    def run(name, cfg, inputs):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), inputs)
+
+    df = _members(spark, {"a": range(10), "b": range(5, 20)})
+    sk = run("kmv_sketch", {"group_col": "grp", "value_col": "v",
+                            "k": 64}, [df])
+    out = run("kmv_overlap", {"group_col": "grp", "k": 64}, [sk]).first()
+    assert (out["jaccard_est"], out["union_est"],
+            out["inter_est"]) == (0.25, 20.0, 5.0)
