@@ -109,7 +109,11 @@ _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
                   # pair table feeds both positive directions, so the
                   # one n² join shows twice. cosine_pairs_lsh is the
                   # documented drop-in at corpus scale.
-                  "contrastive_triplets"}
+                  "contrastive_triplets",
+                  # all-pairs join of the |groups|-row SKETCH table
+                  # (k-length arrays) — sketch-sized by construction,
+                  # the corpus is long gone
+                  "segment_user_overlap_kmv"}
 
 
 def test_no_accidental_nested_loop_joins(spark):
