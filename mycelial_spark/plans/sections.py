@@ -1600,7 +1600,8 @@ def cdc_parquet_dest(spark, cfg, df):
             Field("group_cols", "json"), Field("measure_cols", "json"),
             Field("bucket", default="day"),
             Field("distinct_cols", "json", default=[]),
-            Field("histogram_cols", "json", default={})],
+            Field("histogram_cols", "json", default={}),
+            Field("kmv_cols", "json", default={})],
            doc="Hypertable-style continuous aggregate: maintains a "
                "time-bucketed rollup table (count/sum/min/max partials "
                "per bucket+group, avg derived at read) incrementally "
@@ -1620,7 +1621,8 @@ def rollup_dest(spark, cfg, df):
                          list(cfg["measure_cols"]), cfg["bucket"],
                          batch_id=bid,
                          distinct_cols=list(cfg["distinct_cols"]),
-                         histogram_cols=dict(cfg["histogram_cols"]))
+                         histogram_cols=dict(cfg["histogram_cols"]),
+                         kmv_cols=dict(cfg["kmv_cols"]))
 
 
 @_register("ann_index_dest", "destination", "dataframe", "none",

@@ -84,10 +84,18 @@ def _hist_bin(col: str, lo: int, hi: int, bins: int):
                    F.lit(bins - 1))
 
 
+def _kmv_bottom_k(k: int):
+    """Merge lambda factory (closure-safe in loops): bottom-k of the
+    union of two sorted sketch arrays."""
+    return lambda acc, x: F.slice(F.array_sort(F.array_union(acc, x)),
+                                  1, k)
+
+
 def _partial_agg(df: DataFrame, group_cols: list[str],
                  measure_cols: list[str],
                  distinct_cols: list[str],
-                 histogram_cols: dict | None = None) -> DataFrame:
+                 histogram_cols: dict | None = None,
+                 kmv_cols: dict | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in measure_cols:
         aggs += [F.sum(m).alias(f"sum_{m}"),
@@ -109,13 +117,24 @@ def _partial_agg(df: DataFrame, group_cols: list[str],
         aggs.append(F.array(*[
             F.sum(((b == i) & F.col(c).isNotNull()).cast("bigint"))
             for i in range(bins)]).alias(f"hist_{c}"))
+    for c, k in (kmv_cols or {}).items():
+        # KMV bottom-k = the mergeable SET partial: unlike the HLL
+        # sketch it also INTERSECTS (bucket-overlap analytics at read,
+        # e.g. returning users). The collect_set state is bounded by
+        # the batch's distinct values per (bucket, group) before the
+        # slice — the same partial-state honesty note as CMS
+        from mycelial_spark.operators.kmv import _kmv_hash
+        aggs.append(F.slice(F.array_sort(
+            F.collect_set(_kmv_hash(F.col(c), "xxhash64"))), 1, k)
+            .alias(f"kmv_{c}"))
     return df.groupBy("_tb", *group_cols).agg(*aggs)
 
 
 def _combine(partials: DataFrame, group_cols: list[str],
              measure_cols: list[str],
              distinct_cols: list[str],
-             histogram_cols: dict | None = None) -> DataFrame:
+             histogram_cols: dict | None = None,
+             kmv_cols: dict | None = None) -> DataFrame:
     aggs = [F.sum("n").alias("n")]
     for m in measure_cols:
         aggs += [F.sum(f"sum_{m}").alias(f"sum_{m}"),
@@ -130,6 +149,10 @@ def _combine(partials: DataFrame, group_cols: list[str],
             F.collect_list(f"hist_{c}"), zero,
             lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b))
             .alias(f"hist_{c}"))
+    for c, k in (kmv_cols or {}).items():
+        empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+        aggs.append(F.aggregate(F.collect_list(f"kmv_{c}"), empty,
+                                _kmv_bottom_k(k)).alias(f"kmv_{c}"))
     return partials.groupBy("_tb", *group_cols).agg(*aggs)
 
 
@@ -138,15 +161,21 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                   bucket: str = "day",
                   batch_id: str | None = None,
                   distinct_cols: list[str] | None = None,
-                  histogram_cols: dict | None = None) -> dict:
+                  histogram_cols: dict | None = None,
+                  kmv_cols: dict | None = None) -> dict:
     """Fold one batch into the rollup at ``path``. ``distinct_cols``
     adds a mergeable HLL distinct-count partial per named column
     (finalized to ``approx_distinct_<c>`` by read_rollup);
     ``histogram_cols`` maps column -> (lo, hi, bins) and adds a
     vector-add-mergeable equi-width histogram per named column
     (``hist_<c>``; per-bucket percentile estimates at read via
-    histogram_quantile). Note ``bucket='week'`` means FIXED 604800-s
-    epoch windows (epoch 0 = a Thursday), not ISO/date_trunc weeks.
+    histogram_quantile). ``kmv_cols`` maps column -> k and adds a
+    mergeable KMV bottom-k SET sketch per named column (``kmv_<c>``) —
+    unlike HLL it also intersects, so stored buckets support overlap
+    analytics at read (``rollup_bucket_overlap``: returning users,
+    day-over-day audience similarity) with zero fact rescans. Note
+    ``bucket='week'`` means FIXED 604800-s epoch windows (epoch 0 = a
+    Thursday), not ISO/date_trunc weeks.
     Returns {buckets_touched, rows_in, created, skipped_replay}."""
     from mycelial_spark.fsutil import dynamic_partition_overwrite
     from mycelial_spark.fsutil import exists as _exists
@@ -156,6 +185,10 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     distinct_cols = list(distinct_cols or [])
     histogram_cols = {c: tuple(int(x) for x in spec)
                       for c, spec in (histogram_cols or {}).items()}
+    kmv_cols = {c: int(k) for c, k in (kmv_cols or {}).items()}
+    for c, k in kmv_cols.items():
+        if not 2 <= k <= 65536:
+            raise ValueError(f"kmv_cols[{c!r}] must be 2..65536; got {k}")
     for c, spec in histogram_cols.items():
         if len(spec) != 3 or spec[1] <= spec[0] or not 1 <= spec[2] <= 4096:
             raise ValueError(f"histogram_cols[{c!r}] must be "
@@ -164,7 +197,7 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
             raise ValueError(f"histogram_cols[{c!r}]: (hi-lo)*bins "
                              f"must fit bigint; got {spec}")
     for c in (time_col, *group_cols, *measure_cols, *distinct_cols,
-              *histogram_cols):
+              *histogram_cols, *kmv_cols):
         if c not in batch.columns:
             raise ValueError(f"batch lacks column {c!r}")
     meta_p = f"{root}/_rollup_meta.json"
@@ -172,11 +205,13 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
             "measure_cols": list(measure_cols), "bucket": bucket,
             "distinct_cols": distinct_cols,
             "histogram_cols": {c: list(v)
-                               for c, v in histogram_cols.items()}}
+                               for c, v in histogram_cols.items()},
+            "kmv_cols": kmv_cols}
     if _exists(spark, meta_p):
         meta = json.loads(fs_read_text(spark, meta_p))
         # tables created before newer options existed normalize to empty
-        if {"distinct_cols": [], "histogram_cols": {}, **meta} != want:
+        if {"distinct_cols": [], "histogram_cols": {},
+                "kmv_cols": {}, **meta} != want:
             raise ValueError(f"rollup at {path!r} was created with "
                              f"{meta}; got {want}")
     if batch_id is not None and _exists(spark,
@@ -198,7 +233,8 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
             .transform(lambda d: _partial_agg(d, group_cols,
                                               measure_cols,
                                               distinct_cols,
-                                              histogram_cols))
+                                              histogram_cols,
+                                              kmv_cols))
             .localCheckpoint())
     # one aggregate job: row count, null-time guard, touched buckets
     st = part.agg(F.sum("n").alias("rows_in"),
@@ -221,7 +257,7 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                .filter(F.col("_tb").isin(touched)))
         merged = _combine(cur.unionByName(part), group_cols,
                           measure_cols, distinct_cols,
-                          histogram_cols).localCheckpoint()
+                          histogram_cols, kmv_cols).localCheckpoint()
     if created:
         fs_write_text(spark, meta_p, json.dumps(want))
     # pending fence BEFORE the swap (see module docstring)
@@ -267,7 +303,9 @@ def rollup_heal(spark: SparkSession, path: str, source: DataFrame) -> dict:
                    d, meta["group_cols"], meta["measure_cols"],
                    meta.get("distinct_cols", []),
                    {c: tuple(v) for c, v in
-                    meta.get("histogram_cols", {}).items()}))
+                    meta.get("histogram_cols", {}).items()},
+                   {c: int(k) for c, k in
+                    meta.get("kmv_cols", {}).items()}))
                .localCheckpoint())
     rebuilt_tbs = {r["_tb"] for r in
                    rebuilt.select("_tb").distinct().collect()}
@@ -390,3 +428,52 @@ def rollup_rolling_distinct(spark: SparkSession, path: str, col: str,
             .agg(F.hll_union_agg("_sk").alias("_u"))
             .select(F.col("_t").cast("timestamp").alias("bucket_ts"),
                     F.hll_sketch_estimate("_u").alias("n_distinct")))
+
+
+def rollup_bucket_overlap(spark: SparkSession, path: str, col: str,
+                          lag: int = 1) -> DataFrame:
+    """Bucket-over-bucket SET overlap straight from the rollup's
+    stored KMV sketches: for every bucket, the estimated Jaccard /
+    union / intersection of ``col``'s distinct values against the
+    bucket ``lag`` periods earlier — returning-users and
+    audience-similarity series with ZERO fact-table rescans, the
+    analysis HLL sketches structurally cannot give (they union but
+    never intersect).
+
+    Group sketches collapse per bucket (KMV merge is associative), the
+    comparison is one equi self-join of the |buckets|-row sketch
+    table, and the estimator arithmetic matches operators/kmv.py
+    (rounded portably). Buckets with no lag-counterpart are omitted —
+    a missing baseline is not zero overlap."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1; got {lag}")
+    from mycelial_spark.fsutil import fs_read_text
+    from mycelial_spark.operators.kmv import (kmv_distinct_estimate,
+                                              kmv_jaccard, kmv_merge)
+    root = path.rstrip("/")
+    meta = json.loads(fs_read_text(spark, f"{root}/_rollup_meta.json"))
+    kcols = meta.get("kmv_cols", {})
+    if col not in kcols:
+        raise ValueError(
+            f"column {col!r} has no stored KMV sketch; rollup tracks "
+            f"kmv_cols={kcols} — rebuild with kmv_cols including it")
+    k = int(kcols[col])
+    step = _BUCKETS[meta["bucket"]]
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    per = (spark.read.parquet(f"{root}/table")
+           .groupBy("_tb")
+           .agg(F.aggregate(F.collect_list(f"kmv_{col}"), empty,
+                            _kmv_bottom_k(k)).alias("_kmv")))
+    prev = per.select((F.col("_tb") + lag * step).alias("_tb"),
+                      F.col("_kmv").alias("_pk"))
+
+    def rnd(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    j = rnd(kmv_jaccard(F.col("_kmv"), F.col("_pk"), k))
+    uest = rnd(kmv_distinct_estimate(
+        kmv_merge(F.col("_kmv"), F.col("_pk"), k), k))
+    return (per.join(prev, "_tb")
+            .select(F.col("_tb").cast("timestamp").alias("bucket_ts"),
+                    j.alias("jaccard_est"), uest.alias("union_est"),
+                    rnd(j * uest).alias("inter_est")))

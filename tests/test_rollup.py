@@ -346,3 +346,39 @@ def test_rollup_source_section(spark, tmp_path):
           for r in run({"rolling_distinct_col": "u",
                         "rolling_window": 2}).collect()}
     assert rd == {1: 1, 2: 2}
+
+
+def test_kmv_bucket_overlap_from_stored_sketches(spark, tmp_path):
+    """Returning-users series off stored KMV sketches: out-of-order
+    batches + a replay; exact regime (few users < k) so estimates ==
+    truth; incremental merge == one-shot; meta drift refused."""
+    from mycelial_spark.sinks.rollup import rollup_bucket_overlap
+    p = str(tmp_path / "r")
+
+    def ev(rows):
+        df = spark.createDataFrame(rows, "ts string, g string, u long")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # day1 users {1,2,3}; day2 {2,3,4,5}; day3 {9}
+    b1 = [("2024-01-01 05:00:00", "x", 1), ("2024-01-02 05:00:00", "x", 4)]
+    b2 = [("2024-01-02 06:00:00", "y", 2), ("2024-01-02 07:00:00", "x", 3),
+          ("2024-01-03 01:00:00", "x", 9), ("2024-01-02 08:00:00", "x", 5)]
+    late = [("2024-01-01 23:00:00", "y", 2), ("2024-01-01 22:00:00", "x", 3)]
+    for bid, b in (("a", b2), ("b", b1), ("c", late)):
+        rollup_update(ev(b), p, "ts", ["g"], [], kmv_cols={"u": 64},
+                      batch_id=bid)
+    rollup_update(ev(b2), p, "ts", ["g"], [], kmv_cols={"u": 64},
+                  batch_id="a")  # replay: no-op
+    got = {r["bucket_ts"].day: (r["jaccard_est"], r["union_est"],
+                                r["inter_est"])
+           for r in rollup_bucket_overlap(spark, p, "u").collect()}
+    # day2 vs day1: inter {2,3}=2, union {1..5}=5, j=0.4
+    # day3 vs day2: inter 0, union 5, j=0
+    assert got == {2: (0.4, 5.0, 2.0), 3: (0.0, 5.0, 0.0)}
+
+    with pytest.raises(ValueError, match="no stored KMV"):
+        rollup_bucket_overlap(spark, p, "g")
+    with pytest.raises(ValueError, match="lag"):
+        rollup_bucket_overlap(spark, p, "u", lag=0)
+    with pytest.raises(ValueError, match="created with"):
+        rollup_update(ev(b1), p, "ts", ["g"], [], kmv_cols={"u": 32})
