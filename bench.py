@@ -103,6 +103,7 @@ HEADLINE = [
     "semantic_decontaminate",
     "tfidf_keywords",
     "events_rollup",
+    "events_returning_users",
     "mixture_sample_tokens",
     "cluster_profile",
     "source_embedding_centroids",

@@ -7121,6 +7121,71 @@ def segment_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(sk, "event_type", 32)
 
 
+@query("events_returning_users", """
+WITH h AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400 AS tb,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hh
+  FROM events
+), sk AS (
+  SELECT tb, (list_sort(list(hh)))[1:32] AS kmv FROM h GROUP BY tb
+), p AS (
+  SELECT a.tb, a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(a.kmv || b.kmv))[1:32] AS u
+  FROM sk a JOIN sk b ON b.tb = a.tb - 86400
+), e AS (
+  SELECT tb,
+         len(list_filter(u, x -> list_contains(ka, x)
+                              AND list_contains(kb, x))) AS inter,
+         len(u) AS us,
+         CASE WHEN len(u) < 32 THEN CAST(len(u) AS DOUBLE)
+              ELSE 31.0 * 1152921504606846976.0 / CAST(u[32] AS DOUBLE)
+         END AS uraw
+  FROM p
+), r AS (
+  SELECT tb,
+         CASE WHEN us > 0 THEN
+           floor(inter * 1.0 / us * 1000000.0 + 0.5) / 1000000.0
+         END AS j,
+         floor(uraw * 1000000.0 + 0.5) / 1000000.0 AS uest
+  FROM e
+)
+SELECT make_timestamp(tb * 1000000) AS bucket_ts, j AS jaccard_est,
+       uest AS union_est,
+       floor(j * uest * 1000000.0 + 0.5) / 1000000.0 AS inter_est
+FROM r
+""")
+def events_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning-users series from the rollup's STORED
+    KMV sketches, end to end: events fold into a day rollup in three
+    OUT-OF-ORDER batches (+ one replayed no-op), storing a bottom-32
+    set sketch per (day, event_type); rollup_bucket_overlap then
+    estimates each day's user overlap with the previous day — no fact
+    rescans. The hash-match proves KMV merge associativity across
+    arrival order, group collapse, replay protection, AND the
+    estimator arithmetic: the oracle recomputes bottom-k per day from
+    raw events (portable md5 hashes) and replays every rounded step."""
+    import tempfile
+
+    from mycelial_spark.sinks.rollup import (rollup_bucket_overlap,
+                                             rollup_update)
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", "event_type", "event_id", "user_id")
+    path = tempfile.mkdtemp(prefix="rollup_kmv_")
+    for b in (2, 0, 1):
+        rollup_update(ev.filter(F.col("event_id") % 3 == b)
+                      .drop("event_id"),
+                      path, "ts", ["event_type"], [], bucket="day",
+                      batch_id=f"b{b}", kmv_cols={"user_id": 32},
+                      kmv_hash_mode="md5")
+    rollup_update(ev.filter(F.col("event_id") % 3 == 0).drop("event_id"),
+                  path, "ts", ["event_type"], [], bucket="day",
+                  batch_id="b0", kmv_cols={"user_id": 32},
+                  kmv_hash_mode="md5")
+    return rollup_bucket_overlap(spark, path, "user_id", lag=1)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

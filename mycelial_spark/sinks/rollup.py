@@ -95,7 +95,8 @@ def _partial_agg(df: DataFrame, group_cols: list[str],
                  measure_cols: list[str],
                  distinct_cols: list[str],
                  histogram_cols: dict | None = None,
-                 kmv_cols: dict | None = None) -> DataFrame:
+                 kmv_cols: dict | None = None,
+                 kmv_hash_mode: str = "xxhash64") -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n")]
     for m in measure_cols:
         aggs += [F.sum(m).alias(f"sum_{m}"),
@@ -125,7 +126,7 @@ def _partial_agg(df: DataFrame, group_cols: list[str],
         # slice — the same partial-state honesty note as CMS
         from mycelial_spark.operators.kmv import _kmv_hash
         aggs.append(F.slice(F.array_sort(
-            F.collect_set(_kmv_hash(F.col(c), "xxhash64"))), 1, k)
+            F.collect_set(_kmv_hash(F.col(c), kmv_hash_mode))), 1, k)
             .alias(f"kmv_{c}"))
     return df.groupBy("_tb", *group_cols).agg(*aggs)
 
@@ -162,7 +163,8 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                   batch_id: str | None = None,
                   distinct_cols: list[str] | None = None,
                   histogram_cols: dict | None = None,
-                  kmv_cols: dict | None = None) -> dict:
+                  kmv_cols: dict | None = None,
+                  kmv_hash_mode: str = "xxhash64") -> dict:
     """Fold one batch into the rollup at ``path``. ``distinct_cols``
     adds a mergeable HLL distinct-count partial per named column
     (finalized to ``approx_distinct_<c>`` by read_rollup);
@@ -189,6 +191,9 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     for c, k in kmv_cols.items():
         if not 2 <= k <= 65536:
             raise ValueError(f"kmv_cols[{c!r}] must be 2..65536; got {k}")
+    if kmv_hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"kmv_hash_mode must be 'xxhash64' or 'md5'; "
+                         f"got {kmv_hash_mode!r}")
     for c, spec in histogram_cols.items():
         if len(spec) != 3 or spec[1] <= spec[0] or not 1 <= spec[2] <= 4096:
             raise ValueError(f"histogram_cols[{c!r}] must be "
@@ -206,12 +211,13 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
             "distinct_cols": distinct_cols,
             "histogram_cols": {c: list(v)
                                for c, v in histogram_cols.items()},
-            "kmv_cols": kmv_cols}
+            "kmv_cols": kmv_cols, "kmv_hash_mode": kmv_hash_mode}
     if _exists(spark, meta_p):
         meta = json.loads(fs_read_text(spark, meta_p))
         # tables created before newer options existed normalize to empty
         if {"distinct_cols": [], "histogram_cols": {},
-                "kmv_cols": {}, **meta} != want:
+                "kmv_cols": {}, "kmv_hash_mode": "xxhash64",
+                **meta} != want:
             raise ValueError(f"rollup at {path!r} was created with "
                              f"{meta}; got {want}")
     if batch_id is not None and _exists(spark,
@@ -234,7 +240,7 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                                               measure_cols,
                                               distinct_cols,
                                               histogram_cols,
-                                              kmv_cols))
+                                              kmv_cols, kmv_hash_mode))
             .localCheckpoint())
     # one aggregate job: row count, null-time guard, touched buckets
     st = part.agg(F.sum("n").alias("rows_in"),
@@ -305,7 +311,8 @@ def rollup_heal(spark: SparkSession, path: str, source: DataFrame) -> dict:
                    {c: tuple(v) for c, v in
                     meta.get("histogram_cols", {}).items()},
                    {c: int(k) for c, k in
-                    meta.get("kmv_cols", {}).items()}))
+                    meta.get("kmv_cols", {}).items()},
+                   meta.get("kmv_hash_mode", "xxhash64")))
                .localCheckpoint())
     rebuilt_tbs = {r["_tb"] for r in
                    rebuilt.select("_tb").distinct().collect()}
