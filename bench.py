@@ -43,6 +43,7 @@ HEADLINE = [
     "agg_rollup",
     "set_ops",
     "json_extract",
+    "props_key_profile",
     "incremental_watermark",
     "cdc_merge_state",
     "latest_per_key",

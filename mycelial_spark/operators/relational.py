@@ -942,3 +942,36 @@ def psi_from_histograms(base_hist: DataFrame,
     return spark.createDataFrame(
         rows, "bin int, lo_edge double, n_base long, n_cur long, "
               "psi double")
+
+
+def json_key_profile(df: DataFrame, col: str = "props") -> DataFrame:
+    """Key-level profile of a semi-structured JSON string column: for
+    every top-level key, how many rows carry it, its share of all
+    rows, and the distinct-value count — the schema-drift
+    observability report for event properties / API payloads, where a
+    renamed or newly-appearing key is invisible to column-level
+    profiling (the whole blob is one string column).
+
+    One pass: the blob parses to map<string,string> (scalar values
+    coerce to their text form, nested objects stay JSON text — a
+    TYPED comparison belongs downstream), one explode, one (key) hash
+    aggregate with an exact distinct; the 1-row total broadcasts back
+    for the share. Rows that fail to parse (or are NULL) simply carry
+    no keys — they still count in the denominator, so a key present
+    in every VALID row of a half-corrupt column shows share 0.5, not
+    1.0.
+
+    Returns (key, n_present, share, n_values).
+    """
+    kv = df.select(F.explode(
+        F.from_json(F.col(col), "map<string,string>"))
+        .alias("key", "value"))
+    tot = df.agg(F.count(F.lit(1)).alias("_n"))
+    share = F.floor(F.col("n_present") * F.lit(1e6) / F.col("_n")
+                    + F.lit(0.5)) / F.lit(1e6)
+    return (kv.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_present"),
+                 F.countDistinct("value").alias("n_values"))
+            .crossJoin(F.broadcast(tot))
+            .select("key", "n_present", share.alias("share"),
+                    "n_values"))

@@ -7186,6 +7186,53 @@ def events_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_bucket_overlap(spark, path, "user_id", lag=1)
 
 
+@query("props_key_profile", """
+WITH t AS (
+  SELECT '{"amount": ' || CAST(value AS VARCHAR)
+         || ', "type": "' || event_type || '"'
+         || CASE WHEN event_id % 2 = 0
+                 THEN ', "ref": "r' || CAST(user_id % 5 AS VARCHAR) || '"'
+                 ELSE '' END
+         || '}' AS props
+  FROM events
+), tot AS (SELECT count(*) AS n FROM t),
+kv AS (SELECT unnest(json_keys(props)) AS key, props FROM t),
+g AS (
+  SELECT key, count(*) AS n_present,
+         count(DISTINCT json_extract_string(props, '$.' || key))
+           AS n_values
+  FROM kv GROUP BY 1
+)
+SELECT key, n_present,
+       floor(n_present * 1000000.0 / tot.n + 0.5) / 1000000.0 AS share,
+       n_values
+FROM g, tot
+""")
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level JSON profile (operators/relational.py
+    json_key_profile) — schema-drift observability for semi-structured
+    event properties, where a renamed or sometimes-present key is
+    invisible to column profiling. The fixture's props column is
+    single-key, so both engines synthesize the same richer payload
+    (numeric amount, type string, a ref key present on even event
+    ids); one map-parse + explode + key aggregate, the 1-row total
+    broadcast back. The oracle profiles the identical JSON with
+    json_keys/json_extract_string."""
+    from mycelial_spark.operators.relational import json_key_profile
+    ev = _t(spark, sf_dir, "events")
+    planted = ev.select(
+        F.concat(F.lit('{"amount": '),
+                 F.col("value").cast("string"),
+                 F.lit(', "type": "'), F.col("event_type"), F.lit('"'),
+                 F.when(F.col("event_id") % 2 == 0,
+                        F.concat(F.lit(', "ref": "r'),
+                                 (F.col("user_id") % 5).cast("string"),
+                                 F.lit('"')))
+                 .otherwise(F.lit("")),
+                 F.lit("}")).alias("props"))
+    return json_key_profile(planted)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -304,3 +304,17 @@ def test_vocab_coverage(spark):
     got2 = {r["source"]: r["n_oov"]
             for r in vocab_coverage(df, vdf).collect()}
     assert got2 == {"A": 2, "B": 0}
+
+
+def test_json_key_profile(spark):
+    from mycelial_spark.operators.relational import json_key_profile
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2}',), ("not json",),
+         (None,), ('{"b": "x", "c": {"n": 1}}',)],
+        "props string")
+    got = {r["key"]: (r["n_present"], r["share"], r["n_values"])
+           for r in json_key_profile(df).collect()}
+    # denominators count ALL 5 rows, incl. unparseable/null
+    assert got["a"] == (2, 0.4, 2)
+    assert got["b"] == (2, 0.4, 1)
+    assert got["c"][0] == 1 and got["c"][2] == 1  # nested stays one value
