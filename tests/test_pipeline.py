@@ -740,3 +740,31 @@ def test_r7_analytics_sections_third_wave(spark):
                         [emb]).collect()}
     assert cen == {("s1", 0): (2.0, 2), ("s1", 1): (4.0, 2),
                    ("s2", 0): (0.0, 1), ("s2", 1): (0.0, 1)}
+
+
+def test_entity_resolution_pipeline_example(spark, tmp_path):
+    """examples/entity_resolution_pipeline.toml end to end: sequential
+    TPC-H supplier names are all within edit distance 1 of a
+    neighbor, so the chain blocks -> clusters -> elects the
+    max-acctbal record per entity; every cluster's best_id carries its
+    cluster's maximum score."""
+    import tomllib
+    with open("examples/entity_resolution_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    spec["nodes"]["out"]["path"] = str(tmp_path / "survivors")
+    Pipeline.from_spec(spec).run(spark)
+    out = spark.read.parquet(str(tmp_path / "survivors"))
+    rows = out.collect()
+    assert rows
+    sup = spark.read.parquet(
+        "/root/testdata/sf0.001/supplier.parquet").selectExpr(
+        "s_suppkey AS doc_id", "s_acctbal AS score").collect()
+    score = {r["doc_id"]: r["score"] for r in sup}
+    best = max(score.values())
+    for r in rows:
+        # sequential names chain into ONE entity: every row elects the
+        # global max-acctbal record, and only that record is canonical
+        assert score[r["best_id"]] == best
+        assert r["is_canonical"] == (score[r["doc_id"]] == best)
+    assert len({r["best_id"] for r in rows}) == 1
+    assert {r["cluster_size"] for r in rows} == {len(score)}
