@@ -2968,3 +2968,27 @@ def kmv_sketch_(spark, cfg, inputs):
 def kmv_overlap_(spark, cfg, inputs):
     from mycelial_spark.operators.kmv import kmv_overlap
     return kmv_overlap(inputs[0], cfg["group_col"], cfg["k"])
+
+
+@_register("period_over_period", "transform", "dataframe", "dataframe",
+           [Field("ts_col", default="ts"),
+            Field("value_col", default="value"),
+            Field("bucket_seconds", "int", 86400),
+            Field("lag_buckets", "int", 7)],
+           doc="Bucket totals vs the bucket lag periods earlier (exact "
+               "decimal sums, NULL for missing/zero baselines) as a "
+               "node — the week-over-week dashboard delta.")
+def period_over_period_(spark, cfg, inputs):
+    from mycelial_spark.operators.timeseries import period_over_period
+    return period_over_period(inputs[0], cfg["ts_col"], cfg["value_col"],
+                              cfg["bucket_seconds"], cfg["lag_buckets"])
+
+
+@_register("json_key_profile", "transform", "dataframe", "dataframe",
+           [Field("col", default="props")],
+           doc="Per-key presence/share/distinct-values profile of a "
+               "JSON string column as a node — schema-drift "
+               "observability for semi-structured payloads.")
+def json_key_profile_(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import json_key_profile
+    return json_key_profile(inputs[0], cfg["col"])

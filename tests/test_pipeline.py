@@ -768,3 +768,27 @@ def test_entity_resolution_pipeline_example(spark, tmp_path):
         assert r["is_canonical"] == (score[r["doc_id"]] == best)
     assert len({r["best_id"] for r in rows}) == 1
     assert {r["cluster_size"] for r in rows} == {len(score)}
+
+
+def test_r7_analytics_sections_fourth_wave(spark):
+    from datetime import datetime
+    from mycelial_spark.plans.sections import REGISTRY
+
+    def run(name, cfg, inputs):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), inputs)
+
+    ev = spark.createDataFrame(
+        [(datetime(2024, 1, 1), 1, 10.0), (datetime(2024, 1, 2), 1, 30.0)],
+        "ts timestamp, user_id long, value double")
+    pp = {r["bucket_ts"].day: r["pct_change"]
+          for r in run("period_over_period", {"lag_buckets": 1},
+                       [ev]).collect()}
+    assert pp == {1: None, 2: 2.0}
+
+    js = spark.createDataFrame([('{"a": 1}',), ('{"a": 2, "b": 3}',)],
+                               "props string")
+    got = {r["key"]: r["n_present"]
+           for r in run("json_key_profile", {}, [js]).collect()}
+    assert got == {"a": 2, "b": 1}
