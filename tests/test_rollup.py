@@ -382,3 +382,33 @@ def test_kmv_bucket_overlap_from_stored_sketches(spark, tmp_path):
         rollup_bucket_overlap(spark, p, "u", lag=0)
     with pytest.raises(ValueError, match="created with"):
         rollup_update(ev(b1), p, "ts", ["g"], [], kmv_cols={"u": 32})
+
+
+def test_heal_rebuilds_kmv_sketches(spark, tmp_path):
+    """A pending marker + heal must rebuild the KMV partial too: after
+    healing, the bucket's sketch equals a fresh one-shot build from
+    the source (the meta carries kmv_cols + hash mode through)."""
+    from mycelial_spark.fsutil import fs_write_text
+    from mycelial_spark.sinks.rollup import rollup_bucket_overlap
+    p = str(tmp_path / "r")
+
+    def ev(rows):
+        df = spark.createDataFrame(rows, "ts string, g string, u long")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    src = [("2024-01-01 05:00:00", "x", 1), ("2024-01-01 06:00:00", "x", 2),
+           ("2024-01-02 05:00:00", "x", 2), ("2024-01-02 06:00:00", "x", 3)]
+    rollup_update(ev(src), p, "ts", ["g"], [], kmv_cols={"u": 64},
+                  kmv_hash_mode="md5")
+    # simulate a crash window naming day-1's bucket, then heal from src
+    fs_write_text(spark, f"{p}/_pending/crash", "[1704067200]")
+    with pytest.raises(RuntimeError, match="pending"):
+        rollup_update(ev(src), p, "ts", ["g"], [], kmv_cols={"u": 64},
+                      kmv_hash_mode="md5")
+    out = rollup_heal(spark, p, ev(src))
+    assert out["healed_buckets"] == 1
+    got = {r["bucket_ts"].day: (r["jaccard_est"], r["inter_est"])
+           for r in rollup_bucket_overlap(spark, p, "u").collect()}
+    # day2 vs day1: inter {2}=1, union {1,2,3}=3; inter_est composes
+    # the ROUNDED factors (0.333333 * 3 = 0.999999) by contract
+    assert got[2] == (0.333333, 0.999999)
