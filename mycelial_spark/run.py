@@ -22,6 +22,7 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run verify-export <release-dir>  # manifest check
   python -m mycelial_spark.run dataset-card <table> [--text=col] \\
       [--out=CARD.md] [--top=N]
+  python -m mycelial_spark.run rollup-heal <rollup-dir> --source=<parquet>
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
 """
@@ -61,7 +62,9 @@ def main(argv: list[str]) -> int:
               "ann-stats|ann-compact|ann-split <index> [--cell=N]\n"
               "       python -m mycelial_spark.run verify-export <dir>\n"
               "       python -m mycelial_spark.run dataset-card <table> "
-              "[--text=col] [--out=FILE]",
+              "[--text=col] [--out=FILE]\n"
+              "       python -m mycelial_spark.run rollup-heal <dir> "
+              "--source=<parquet>",
               file=sys.stderr)
         return 2
 
@@ -107,6 +110,16 @@ def main(argv: list[str]) -> int:
         out = verify_export(spark, args[1])
         print(json.dumps(out))
         return 0 if out["ok"] else 1
+
+    if args[0] == "rollup-heal":
+        if len(args) < 2 or "source" not in opts:
+            return usage()
+        from mycelial_spark.sinks.rollup import rollup_heal
+        spark = get_spark("mycelial-rollup-heal")
+        out = rollup_heal(spark, args[1],
+                          spark.read.parquet(opts["source"]))
+        print(json.dumps(out))
+        return 0
 
     if args[0] == "dataset-card":
         if len(args) < 2:

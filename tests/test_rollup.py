@@ -412,3 +412,20 @@ def test_heal_rebuilds_kmv_sketches(spark, tmp_path):
     # day2 vs day1: inter {2}=1, union {1,2,3}=3; inter_est composes
     # the ROUNDED factors (0.333333 * 3 = 0.999999) by contract
     assert got[2] == (0.333333, 0.999999)
+
+
+def test_rollup_heal_cli(spark, tmp_path):
+    from mycelial_spark.fsutil import fs_write_text
+    from mycelial_spark.run import main
+    p = str(tmp_path / "r")
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [("2024-01-01 05:00:00", "x", 1)], "ts string, g string, v long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.parquet(src)
+    rollup_update(spark.read.parquet(src), p, "ts", ["g"], ["v"])
+    fs_write_text(spark, f"{p}/_pending/crash", "[1704067200]")
+    assert main(["rollup-heal", p, f"--source={src}"]) == 0
+    # fence cleared: updates run again
+    out = rollup_update(spark.read.parquet(src), p, "ts", ["g"], ["v"])
+    assert out["buckets_touched"] == 1
