@@ -23,6 +23,7 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run dataset-card <table> [--text=col] \\
       [--out=CARD.md] [--top=N]
   python -m mycelial_spark.run rollup-heal <rollup-dir> --source=<parquet>
+  python -m mycelial_spark.run init [--out=pipeline.toml] [--force]
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
 """
@@ -43,6 +44,38 @@ def load_spec(path: str) -> dict:
             return tomllib.load(f)
     with open(path) as f:
         return json.load(f)
+
+
+_STARTER_SPEC = """\
+# Starter pipeline — edit paths/sections and run:
+#   python -m mycelial_spark.run pipeline.toml
+# Dry-run the physical plans: add --explain
+# Section catalog: python -c "from mycelial_spark.plans.sections \\
+#   import REGISTRY; [print(n, '-', s.doc.split('.')[0]) \\
+#   for n, s in sorted(REGISTRY.items())]"
+
+edges = [
+  ["src", "stats"],
+  ["stats", "keep"],
+  ["keep", "out"],
+]
+
+[nodes.src]
+type = "parquet_source"
+path = "/root/testdata/sf0.001/documents.parquet"
+
+# text-quality signal columns (tokens, ratios) — pure codegen
+[nodes.stats]
+type = "text_stats"
+
+[nodes.keep]
+type = "filter"
+predicate = "n_tokens >= 5"
+
+[nodes.out]
+type = "parquet_dest"
+path = "/tmp/my_pipeline/out"
+"""
 
 
 def main(argv: list[str]) -> int:
@@ -110,6 +143,22 @@ def main(argv: list[str]) -> int:
         out = verify_export(spark, args[1])
         print(json.dumps(out))
         return 0 if out["ok"] else 1
+
+    if args[0] == "init":
+        # the reference CLI's `mycelial init` analog: scaffold a
+        # commented starter spec a user edits instead of writing TOML
+        # from memory
+        import os as _os
+        out_p = opts.get("out", "pipeline.toml")
+        if _os.path.exists(out_p) and "--force" not in flags:
+            print(f"{out_p} exists; pass --force to overwrite",
+                  file=sys.stderr)
+            return 2
+        with open(out_p, "w") as f:
+            f.write(_STARTER_SPEC)
+        print(f"wrote {out_p}; run it with:\n"
+              f"  python -m mycelial_spark.run {out_p}")
+        return 0
 
     if args[0] == "rollup-heal":
         if len(args) < 2 or "source" not in opts:

@@ -792,3 +792,19 @@ def test_r7_analytics_sections_fourth_wave(spark):
     got = {r["key"]: r["n_present"]
            for r in run("json_key_profile", {}, [js]).collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_init_scaffold_compiles_and_runs(spark, tmp_path):
+    """`run init` writes a starter spec that VALIDATES and runs — the
+    reference CLI's `mycelial init` analog; overwrite refused without
+    --force."""
+    import tomllib
+    from mycelial_spark.run import main
+    p = str(tmp_path / "starter.toml")
+    assert main(["init", f"--out={p}"]) == 0
+    assert main(["init", f"--out={p}"]) == 2
+    with open(p, "rb") as f:
+        spec = tomllib.load(f)
+    spec["nodes"]["out"]["path"] = str(tmp_path / "out")
+    Pipeline.from_spec(spec).run(spark)
+    assert spark.read.parquet(str(tmp_path / "out")).count() > 0
