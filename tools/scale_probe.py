@@ -195,6 +195,16 @@ def scaled_events(spark, sf_dir: str, factor: int):
                     "event_type", "value"))
 
 
+def _json_profile(d):
+    from mycelial_spark.operators.relational import json_key_profile
+    planted = d.selectExpr(
+        "concat('{\"amount\": ', CAST(value AS STRING), "
+        "', \"type\": \"', event_type, '\"', "
+        "CASE WHEN event_id % 2 = 0 THEN concat(', \"ref\": \"r', "
+        "CAST(user_id % 5 AS STRING), '\"') ELSE '' END, '}') AS props")
+    return json_key_profile(planted)
+
+
 def _peak_sessions(d):
     from mycelial_spark.operators.timeseries import (peak_concurrency,
                                                      sessionize)
@@ -217,6 +227,9 @@ def _event_ops():
                                                threshold=60.0),
         "event_transitions": lambda d: T.event_transitions(d),
         "peak_sessions": _peak_sessions,
+        "period_over_period": lambda d: T.period_over_period(
+            d, lag_buckets=7),
+        "json_key_profile": _json_profile,
     }
 
 
