@@ -79,3 +79,34 @@ def test_kmv_sections_chain(spark):
     out = run("kmv_overlap", {"group_col": "grp", "k": 64}, [sk]).first()
     assert (out["jaccard_est"], out["union_est"],
             out["inter_est"]) == (0.25, 20.0, 5.0)
+
+
+def test_estimator_accuracy_over_many_overlap_shapes(spark):
+    """Eight (A, B) families with overlap fractions 0..0.9 in ONE
+    sketch job: every Jaccard estimate within 5 standard errors
+    (sqrt(J(1-J)/k)) + rounding, every union estimate within 30%."""
+    import math
+    k = 128
+    rows = []
+    truth = {}
+    for i, frac in enumerate([0.0, 0.1, 0.25, 0.4, 0.5, 0.6, 0.75, 0.9]):
+        n = 3000
+        shift = int(n * (1 - frac))
+        a = set(range(i * 100000, i * 100000 + n))
+        b = set(range(i * 100000 + shift, i * 100000 + shift + n))
+        rows += [(f"a{i}", v) for v in a] + [(f"b{i}", v) for v in b]
+        truth[i] = (len(a & b) / len(a | b), len(a | b))
+    df = spark.createDataFrame(rows, "grp string, v long")
+    sk = kmv_sketch(df, "grp", "v", k=k)
+    out = kmv_overlap(sk, "grp", k).collect()
+    checked = 0
+    for r in out:
+        if r["group_a"][1:] != r["group_b"][1:]:
+            continue          # cross-family pairs: not asserted
+        i = int(r["group_a"][1:])
+        j_true, u_true = truth[i]
+        se = math.sqrt(max(j_true * (1 - j_true), 0.01) / k)
+        assert abs(r["jaccard_est"] - j_true) <= 5 * se + 1e-6, (i, r)
+        assert abs(r["union_est"] - u_true) / u_true < 0.30, (i, r)
+        checked += 1
+    assert checked == 8
