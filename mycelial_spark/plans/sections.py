@@ -2992,3 +2992,21 @@ def period_over_period_(spark, cfg, inputs):
 def json_key_profile_(spark, cfg, inputs):
     from mycelial_spark.operators.relational import json_key_profile
     return json_key_profile(inputs[0], cfg["col"])
+
+
+@_register("components_dest", "destination", "dataframe", "none",
+           [Field("path")],
+           doc="Incrementally-maintained connected components: each "
+               "batch's (id_a, id_b) pair edges fold into an "
+               "append-only union-find ledger (new members admitted, "
+               "cross-batch cluster merges as forwarding-log appends — "
+               "no rewrites, idempotent under redelivery; "
+               "sinks/components.py). Under the streaming runner the "
+               "foreachBatch id short-circuits replays.")
+def components_dest(spark, cfg, df):
+    from mycelial_spark.sinks.components import \
+        incremental_components_update
+    b = cfg.get("_batch")
+    bid = f"{b[0]}_{b[1]}" if b else None
+    return incremental_components_update(spark, cfg["path"], df,
+                                         batch_id=bid)

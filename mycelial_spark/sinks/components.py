@@ -1,0 +1,208 @@
+"""Incrementally-maintained connected components: near-dup CLUSTER IDs
+that survive across batches.
+
+The batch CC operator (operators/dedup.py connected_components) answers
+"which docs form one cluster" for a corpus it can see whole; a crawl
+pipeline needs the INCREMENTAL form — every arriving batch brings new
+pair edges, some of which MERGE clusters discovered weeks apart — and a
+naive re-run over all historical edges rescans everything (and the
+edges may not even be retained).
+
+Design: union-find as an APPEND-ONLY log, no in-place rewrites.
+
+- ``table/`` holds one (node, component) row per member with the
+  component it was assigned ON ADMISSION — never rewritten.
+- ``merges/`` is an append-only log of (old_component -> new_component)
+  forwarding pairs (new = the min of the merged group, the same
+  canonical-min convention as batch CC).
+- Resolution = follow the forwarding closure (the log is bounded by
+  the total number of merges ever — KBs for millions of docs — so the
+  closure computes driver-side and broadcasts; ``compact`` folds it
+  into the table and truncates the log when chains grow).
+
+Why this layout is the crash-safe one: an update appends two parquet
+directories and a marker, each an independent atomic create, and EVERY
+append is IDEMPOTENT — duplicate merge rows change nothing (the
+closure is a set), duplicate member rows collapse at read (distinct
+after resolution). A crash anywhere mid-update leaves a state that the
+batch's redelivery simply completes; there is no partial-rewrite
+window at all, because nothing is ever rewritten outside ``compact``'s
+explicit maintenance swap. Contrast sinks/merge.py (keyed CDC needs
+seq-ordered elections, hence bucket rewrites + tombstones); component
+identity only ever COARSENS, which is what makes the pure-append log
+sufficient.
+
+100 TB shape: per batch, the only table-sized work is one semi-join
+probe of the batch's endpoints against the member table (broadcast the
+batch side); the quotient graph CC runs over TOUCHED components only
+(batch-sized, not corpus-sized); appends are batch-sized. Reads
+resolve via a broadcast map join — one narrow pass.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _resolve_map(spark: SparkSession, root: str) -> dict[int, int]:
+    """Collect the merge log and close it transitively (path
+    compression, driver-side — the log is merge-bounded, not
+    corpus-bounded)."""
+    from mycelial_spark.fsutil import exists as _exists
+    mdir = f"{root}/merges"
+    if not _exists(spark, mdir):
+        return {}
+    try:
+        rows = spark.read.parquet(mdir).collect()
+    except Exception:
+        return {}
+    fwd = {}
+    for r in rows:
+        old, new = int(r["old"]), int(r["new"])
+        if old != new:
+            fwd[old] = min(fwd.get(old, old), new)
+    # path-compress to fixpoint: chains are short (every merge points
+    # to a smaller id, so resolution strictly decreases)
+    changed = True
+    while changed:
+        changed = False
+        for k, v in list(fwd.items()):
+            if v in fwd and fwd[v] < v:
+                fwd[k] = fwd[v]
+                changed = True
+    return fwd
+
+
+def _apply_map(col, mapping: dict[int, int]):
+    """Literal-map resolution — for BATCH-LOCAL maps only (bounded by
+    this batch's merges); table-wide resolution goes through
+    _resolve_join so a long-unclompacted log never becomes a giant
+    literal expression."""
+    if not mapping:
+        return col
+    pairs = []
+    for k, v in mapping.items():
+        pairs += [F.lit(int(k)), F.lit(int(v))]
+    m = F.create_map(*pairs)
+    return F.coalesce(m[col], col)
+
+
+def _resolve_join(spark: SparkSession, df: DataFrame,
+                  mapping: dict[int, int]) -> DataFrame:
+    """Forward df.component through the closure via a BROADCAST join
+    (the log can hold many merges before a compact)."""
+    if not mapping:
+        return df
+    mdf = spark.createDataFrame(
+        [(int(k), int(v)) for k, v in mapping.items()],
+        "_old long, _new long")
+    return (df.join(F.broadcast(mdf),
+                    df["component"] == mdf["_old"], "left")
+            .select("node", F.coalesce("_new", "component")
+                    .alias("component")))
+
+
+def incremental_components_update(spark: SparkSession, path: str,
+                                  pairs: DataFrame,
+                                  batch_id: str | None = None) -> dict:
+    """Fold one batch of (id_a, id_b) pair edges into the component
+    ledger at ``path``. New ids join (or found) clusters; edges between
+    existing clusters MERGE them by appending forwarding pairs. Every
+    append is idempotent, so at-least-once delivery is safe with or
+    without ``batch_id`` (the marker only short-circuits the work)."""
+    from mycelial_spark.fsutil import exists as _exists
+    from mycelial_spark.fsutil import fs_write_text
+    from mycelial_spark.operators.dedup import connected_components
+    root = path.rstrip("/")
+    if batch_id is not None and _exists(spark,
+                                        f"{root}/_applied/{batch_id}"):
+        return {"merges": 0, "new_nodes": 0, "skipped_replay": True}
+    p = (pairs.select(F.col("id_a").cast("long").alias("id_a"),
+                      F.col("id_b").cast("long").alias("id_b"))
+         .filter(F.col("id_a").isNotNull() & F.col("id_b").isNotNull())
+         .distinct().localCheckpoint())
+    nodes = (p.select(F.col("id_a").alias("node"))
+             .union(p.select(F.col("id_b").alias("node")))
+             .distinct())
+    fwd = _resolve_map(spark, root)
+    table_p = f"{root}/table"
+    if _exists(spark, table_p):
+        # probe ONLY the batch's endpoints against the member table —
+        # the batch side broadcasts, the table side is one narrow scan
+        known = _resolve_join(
+            spark,
+            spark.read.parquet(table_p).join(F.broadcast(nodes), "node")
+            .select("node", "component"), fwd)
+    else:
+        known = spark.createDataFrame([], "node long, component long")
+    cur = (nodes.join(known, "node", "left")
+           .select("node", F.coalesce("component", F.col("node"))
+                   .alias("component")).localCheckpoint())
+    ca = cur.select(F.col("node").alias("id_a"),
+                    F.col("component").alias("_ca"))
+    cb = cur.select(F.col("node").alias("id_b"),
+                    F.col("component").alias("_cb"))
+    quotient = (p.join(ca, "id_a").join(cb, "id_b")
+                .filter(F.col("_ca") != F.col("_cb"))
+                .select(F.col("_ca").alias("id_a"),
+                        F.col("_cb").alias("id_b")).distinct())
+    roots = connected_components(quotient)  # (id, component=min)
+    merges = (roots.filter(F.col("id") != F.col("component"))
+              .select(F.col("id").alias("old"),
+                      F.col("component").alias("new"))
+              .localCheckpoint())
+    n_merges = merges.count()
+    # merges append FIRST: a crash after this point leaves extra
+    # forwarding pairs that the batch's redelivery re-derives (no-op)
+    if n_merges:
+        merges.write.mode("append").parquet(f"{root}/merges")
+    root_of = {int(r["old"]): int(r["new"]) for r in merges.collect()}
+    new_nodes = (cur.join(known.select("node"), "node", "left_anti")
+                 .select("node", _apply_map(F.col("component"), root_of)
+                         .alias("component")).localCheckpoint())
+    n_new = new_nodes.count()
+    if n_new:
+        new_nodes.write.mode("append").parquet(table_p)
+    if batch_id is not None:
+        fs_write_text(spark, f"{root}/_applied/{batch_id}", "")
+    return {"merges": int(n_merges), "new_nodes": int(n_new),
+            "skipped_replay": False}
+
+
+def incremental_components_read(spark: SparkSession,
+                                path: str) -> DataFrame:
+    """The fully-resolved (node, component) assignment: stored
+    components forwarded through the merge-log closure, duplicate
+    member rows (idempotent replays) collapsed."""
+    root = path.rstrip("/")
+    fwd = _resolve_map(spark, root)
+    return _resolve_join(
+        spark,
+        spark.read.parquet(f"{root}/table").select("node", "component"),
+        fwd).distinct()
+
+
+def incremental_components_compact(spark: SparkSession,
+                                   path: str) -> dict:
+    """Fold the forwarding log into the member table and truncate it —
+    the maintenance pass that keeps resolution chains short. Explicit
+    maintenance window (same contract as ann_compact): the one
+    rewrite in this module's lifecycle."""
+    from mycelial_spark.fsutil import hadoop_fs
+    root = path.rstrip("/")
+    resolved = incremental_components_read(spark, root).localCheckpoint()
+    n = resolved.count()
+    tmp = f"{root}/table_compact_tmp"
+    resolved.write.mode("overwrite").parquet(tmp)
+    back = spark.read.parquet(tmp).count()
+    if back != n:
+        raise RuntimeError(f"compact verify failed: {n} rows resolved, "
+                           f"{back} staged — aborting before swap")
+    _jvm, fs, P = hadoop_fs(spark, root)
+    fs.delete(P(f"{root}/table"), True)
+    fs.rename(P(tmp), P(f"{root}/table"))
+    fs.delete(P(f"{root}/merges"), True)
+    return {"rows": int(n), "log_cleared": True}

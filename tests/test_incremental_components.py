@@ -1,0 +1,115 @@
+"""Incrementally-maintained connected components (append-only
+union-find log): batch-equivalence with one-shot CC, cross-batch
+cluster merges, replay idempotence, the crash-window redelivery
+contract, and compact."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.sinks.components import (
+    incremental_components_compact, incremental_components_read,
+    incremental_components_update)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _state(spark, p):
+    return {(r["node"], r["component"])
+            for r in incremental_components_read(spark, p).collect()}
+
+
+def test_incremental_equals_oneshot_any_split(spark, tmp_path):
+    """Random pair set split three ways in arrival order vs one-shot
+    batch CC over all pairs: identical (node, component) assignment
+    (canonical min ids)."""
+    import random
+    from mycelial_spark.operators.dedup import connected_components
+    rng = random.Random(23)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b]
+    p = str(tmp_path / "cc")
+    for i in range(3):
+        incremental_components_update(
+            spark, p, _pairs(spark, edges[i::3]), batch_id=f"b{i}")
+    want = {(r["id"], r["component"]) for r in
+            connected_components(_pairs(spark, edges)).collect()}
+    assert _state(spark, p) == want
+
+
+def test_cross_batch_merge_and_replay(spark, tmp_path):
+    """Two clusters discovered in separate batches merge when a later
+    batch bridges them; replaying any batch (marker or not) changes
+    nothing."""
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(10, 11)]),
+                                  batch_id="a")
+    incremental_components_update(spark, p, _pairs(spark, [(20, 21)]),
+                                  batch_id="b")
+    assert _state(spark, p) == {(10, 10), (11, 10), (20, 20), (21, 20)}
+    out = incremental_components_update(
+        spark, p, _pairs(spark, [(11, 21)]), batch_id="c")
+    assert out["merges"] >= 1
+    merged = {(10, 10), (11, 10), (20, 10), (21, 10)}
+    assert _state(spark, p) == merged
+    # marker replay: short-circuits
+    again = incremental_components_update(
+        spark, p, _pairs(spark, [(11, 21)]), batch_id="c")
+    assert again["skipped_replay"]
+    # markerless replay: appends are idempotent
+    incremental_components_update(spark, p, _pairs(spark, [(11, 21)]))
+    incremental_components_update(spark, p, _pairs(spark, [(20, 21)]))
+    assert _state(spark, p) == merged
+
+
+def test_crash_window_redelivery_completes(spark, tmp_path):
+    """Simulate a crash AFTER the merge-log append but BEFORE the
+    member rows landed: the log holds forwarding for nodes not yet in
+    the table; other rows resolve fine, and redelivering the same
+    batch completes the state."""
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(1, 2)]),
+                                  batch_id="a")
+    # hand-craft the crash: append the merge the next batch WOULD
+    # write, without its member rows
+    spark.createDataFrame([(7, 1)], "old long, new long") \
+        .write.mode("append").parquet(f"{p}/merges")
+    assert _state(spark, p) == {(1, 1), (2, 1)}   # others unaffected
+    incremental_components_update(spark, p, _pairs(spark, [(7, 1)]),
+                                  batch_id="b")
+    assert _state(spark, p) == {(1, 1), (2, 1), (7, 1)}
+
+
+def test_compact_folds_log_and_preserves_state(spark, tmp_path):
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(3, 4)]))
+    incremental_components_update(spark, p, _pairs(spark, [(5, 6)]))
+    incremental_components_update(spark, p, _pairs(spark, [(4, 6)]))
+    before = _state(spark, p)
+    out = incremental_components_compact(spark, p)
+    assert out["log_cleared"] and out["rows"] == 4
+    assert _state(spark, p) == before
+    # updates keep working after a compact
+    incremental_components_update(spark, p, _pairs(spark, [(6, 9)]))
+    assert (9, 3) in _state(spark, p)
+
+
+def test_chain_resolution_multiple_merges(spark, tmp_path):
+    """Merges that chain (9->7 then 7->1) resolve transitively."""
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(9, 7)]))
+    incremental_components_update(spark, p, _pairs(spark, [(7, 1)]))
+    assert _state(spark, p) == {(9, 1), (7, 1), (1, 1)}
+
+
+def test_components_dest_section(spark, tmp_path):
+    from mycelial_spark.plans.sections import REGISTRY
+    p = str(tmp_path / "cc")
+    sdef = REGISTRY.get("components_dest")
+    cfg = sdef.validate_config({"type": "components_dest", "path": p})
+    cfg["_batch"] = ("t", 1)   # the streaming runner injects this
+    out = sdef.builder(spark, cfg, _pairs(spark, [(1, 2)]))
+    assert out["new_nodes"] == 2
+    out2 = sdef.builder(spark, cfg, _pairs(spark, [(1, 2)]))
+    assert out2["skipped_replay"]
