@@ -113,3 +113,34 @@ def test_components_dest_section(spark, tmp_path):
     assert out["new_nodes"] == 2
     out2 = sdef.builder(spark, cfg, _pairs(spark, [(1, 2)]))
     assert out2["skipped_replay"]
+
+
+def test_components_ledger_streaming_e2e(spark, tmp_path):
+    """Micro-batch stream of pair files into components_dest: clusters
+    from separate batches merge when a later file bridges them."""
+    import glob
+    import shutil
+    from mycelial_spark.streaming.runner import StreamingPipeline
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    batches = [[(1, 2)], [(5, 6)], [(2, 6)]]
+    for i, edges in enumerate(batches):
+        d = tmp_path / f"b{i}"
+        _pairs(spark, edges).coalesce(1).write.parquet(str(d))
+        for f in glob.glob(str(d / "*.parquet")):
+            shutil.copy(f, flat / f"{i}.parquet")
+    ledger = str(tmp_path / "cc")
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": str(flat),
+                    "max_files_per_trigger": 1},
+            "dst": {"type": "components_dest", "path": ledger},
+        },
+        "edges": [["src", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"))
+    qs = sp.start(spark)
+    for q in qs:
+        while q.isActive:
+            q.awaitTermination(1)
+    assert _state(spark, ledger) == {(1, 1), (2, 1), (5, 1), (6, 1)}
