@@ -76,20 +76,6 @@ def _resolve_map(spark: SparkSession, root: str) -> dict[int, int]:
     return fwd
 
 
-def _apply_map(col, mapping: dict[int, int]):
-    """Literal-map resolution — for BATCH-LOCAL maps only (bounded by
-    this batch's merges); table-wide resolution goes through
-    _resolve_join so a long-unclompacted log never becomes a giant
-    literal expression."""
-    if not mapping:
-        return col
-    pairs = []
-    for k, v in mapping.items():
-        pairs += [F.lit(int(k)), F.lit(int(v))]
-    m = F.create_map(*pairs)
-    return F.coalesce(m[col], col)
-
-
 def _resolve_join(spark: SparkSession, df: DataFrame,
                   mapping: dict[int, int]) -> DataFrame:
     """Forward df.component through the closure via a BROADCAST join
@@ -149,19 +135,29 @@ def incremental_components_update(spark: SparkSession, path: str,
                 .filter(F.col("_ca") != F.col("_cb"))
                 .select(F.col("_ca").alias("id_a"),
                         F.col("_cb").alias("id_b")).distinct())
-    roots = connected_components(quotient)  # (id, component=min)
+    roots = connected_components(quotient).localCheckpoint()
+    # ONLY genuine cluster merges enter the log: a brand-new node's
+    # (node -> root) pair is not a forwarding (no stored row ever
+    # carries that component) — logging it would grow the log with
+    # the corpus instead of with merges, and a literal-map resolution
+    # of it measured minutes at 100k new nodes/batch
+    existing = known.select(F.col("component").alias("old")).distinct()
     merges = (roots.filter(F.col("id") != F.col("component"))
               .select(F.col("id").alias("old"),
                       F.col("component").alias("new"))
+              .join(F.broadcast(existing), "old")
               .localCheckpoint())
     n_merges = merges.count()
-    # merges append FIRST: a crash after this point leaves extra
-    # forwarding pairs that the batch's redelivery re-derives (no-op)
+    # merges append FIRST: a crash after this point leaves forwarding
+    # pairs whose member rows land on the batch's redelivery (appends
+    # are idempotent, resolution of other rows is unaffected)
     if n_merges:
         merges.write.mode("append").parquet(f"{root}/merges")
-    root_of = {int(r["old"]): int(r["new"]) for r in merges.collect()}
+    rr = roots.select(F.col("id").alias("component"),
+                      F.col("component").alias("_root"))
     new_nodes = (cur.join(known.select("node"), "node", "left_anti")
-                 .select("node", _apply_map(F.col("component"), root_of)
+                 .join(rr, "component", "left")
+                 .select("node", F.coalesce("_root", "component")
                          .alias("component")).localCheckpoint())
     n_new = new_nodes.count()
     if n_new:

@@ -104,6 +104,9 @@ _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
                   # same shape: the 1-row (total_base, total_cur) pair
                   # broadcast onto the bins-sized frame for proportions
                   "drift_psi_events",
+                  # same shape: the 1-row row-count total broadcast onto
+                  # the per-key counts for the share column
+                  "props_key_profile",
                   # deliberate exact-cosine pair source (the oracle
                   # baseline, like dedup_embedding_pairs); the persisted
                   # pair table feeds both positive directions, so the
