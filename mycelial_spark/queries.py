@@ -7233,6 +7233,54 @@ def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return json_key_profile(planted)
 
 
+@query("semantic_clusters_incremental", """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(a, b) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b
+)
+SELECT a AS node, min(b) AS component FROM reach GROUP BY a
+""")
+def semantic_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental component LEDGER (sinks/components.py) against
+    the transitive-closure truth: the exact-cosine pair set arrives in
+    three id-hashed batches (the middle one replayed as a marker
+    no-op), each folding into the append-only union-find ledger;
+    the resolved read must equal the recursive-CTE closure over ALL
+    pairs — cross-batch merges, forwarding-log resolution, and replay
+    protection hash-checked in one query."""
+    import tempfile
+
+    from mycelial_spark.operators.similarity import cosine_pairs_exact
+    from mycelial_spark.sinks.components import (
+        incremental_components_read, incremental_components_update)
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_exact(emb, threshold=0.4) \
+        .select("id_a", "id_b").localCheckpoint()
+    path = tempfile.mkdtemp(prefix="cc_ledger_")
+    for b in (2, 0, 1):
+        incremental_components_update(
+            spark, path,
+            pairs.filter(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3))
+                         == b),
+            batch_id=f"b{b}")
+    incremental_components_update(
+        spark, path,
+        pairs.filter(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3))
+                     == 0),
+        batch_id="b0")
+    return incremental_components_read(spark, path)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
