@@ -152,6 +152,8 @@ HEADLINE = [
     # leakage_safe_split / dup_weights share dedup_clusters' CC spine —
     # benching them would triple-count the pair generation already
     # covered by dedup_clusters
+    # semantic_clusters_incremental shares semantic_dedup_clusters'
+    # dense-at-sf0.1 exact-cosine edge set — same exclusion
     # semantic_dedup_clusters is oracle-verified at sf0.01 but excluded
     # here: at sf0.1 the 0.4-cosine edge set over the fixture embeddings
     # is dense (~minutes of CC), which would drown the suite's signal

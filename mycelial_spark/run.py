@@ -23,6 +23,7 @@ Maintenance subcommands (no spec):
   python -m mycelial_spark.run dataset-card <table> [--text=col] \\
       [--out=CARD.md] [--top=N]
   python -m mycelial_spark.run rollup-heal <rollup-dir> --source=<parquet>
+  python -m mycelial_spark.run cc-compact <ledger-dir>   # fold merge log
   python -m mycelial_spark.run init [--out=pipeline.toml] [--force]
 (replay reads the PARKED batches and the spec's sink config only — the
 stream's checkpoint plays no part in it.)
@@ -158,6 +159,15 @@ def main(argv: list[str]) -> int:
             f.write(_STARTER_SPEC)
         print(f"wrote {out_p}; run it with:\n"
               f"  python -m mycelial_spark.run {out_p}")
+        return 0
+
+    if args[0] == "cc-compact":
+        if len(args) < 2:
+            return usage()
+        from mycelial_spark.sinks.components import \
+            incremental_components_compact
+        spark = get_spark("mycelial-cc-compact")
+        print(json.dumps(incremental_components_compact(spark, args[1])))
         return 0
 
     if args[0] == "rollup-heal":
