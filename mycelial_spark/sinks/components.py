@@ -47,6 +47,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _recover_compact(spark: SparkSession, root: str) -> None:
+    """Complete or discard an interrupted compact. The swap is
+    delete(table) -> rename(tmp, table) -> delete(merges); a crash
+    between the first two leaves table missing with a fully-verified
+    tmp — finish the rename. A tmp alongside a live table is a stale
+    stage from a crash BEFORE the delete — drop it. Leftover merges
+    after a completed swap are harmless (forwarding already-resolved
+    components is a no-op), cleared by the next compact."""
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, root)
+    tmp, table = f"{root}/table_compact_tmp", f"{root}/table"
+    if fs.exists(P(tmp)):
+        if fs.exists(P(table)):
+            fs.delete(P(tmp), True)
+        else:
+            fs.rename(P(tmp), P(table))
+
+
 def _resolve_map(spark: SparkSession, root: str) -> dict[int, int]:
     """Collect the merge log and close it transitively (path
     compression, driver-side — the log is merge-bounded, not
@@ -103,6 +121,7 @@ def incremental_components_update(spark: SparkSession, path: str,
     from mycelial_spark.fsutil import fs_write_text
     from mycelial_spark.operators.dedup import connected_components
     root = path.rstrip("/")
+    _recover_compact(spark, root)
     if batch_id is not None and _exists(spark,
                                         f"{root}/_applied/{batch_id}"):
         return {"merges": 0, "new_nodes": 0, "skipped_replay": True}
@@ -174,6 +193,7 @@ def incremental_components_read(spark: SparkSession,
     components forwarded through the merge-log closure, duplicate
     member rows (idempotent replays) collapsed."""
     root = path.rstrip("/")
+    _recover_compact(spark, root)
     fwd = _resolve_map(spark, root)
     return _resolve_join(
         spark,
@@ -189,6 +209,7 @@ def incremental_components_compact(spark: SparkSession,
     rewrite in this module's lifecycle."""
     from mycelial_spark.fsutil import hadoop_fs
     root = path.rstrip("/")
+    _recover_compact(spark, root)
     resolved = incremental_components_read(spark, root).localCheckpoint()
     n = resolved.count()
     tmp = f"{root}/table_compact_tmp"

@@ -144,3 +144,27 @@ def test_components_ledger_streaming_e2e(spark, tmp_path):
         while q.isActive:
             q.awaitTermination(1)
     assert _state(spark, ledger) == {(1, 1), (2, 1), (5, 1), (6, 1)}
+
+
+def test_compact_crash_windows_recover(spark, tmp_path):
+    """Both compact crash windows self-heal on the next entry: a tmp
+    with the table GONE completes the swap; a stale tmp beside a live
+    table is discarded."""
+    from mycelial_spark.fsutil import hadoop_fs
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(1, 2)]))
+    incremental_components_update(spark, p, _pairs(spark, [(2, 5)]))
+    want = _state(spark, p)
+    _jvm, fs, P = hadoop_fs(spark, p)
+    # window A: verified tmp staged, table deleted, crash before rename
+    incremental_components_read(spark, p).write.parquet(
+        f"{p}/table_compact_tmp")
+    fs.delete(P(f"{p}/table"), True)
+    assert _state(spark, p) == want          # read completes the swap
+    assert not fs.exists(P(f"{p}/table_compact_tmp"))
+    # window B: stale tmp beside a live table -> discarded on entry
+    spark.createDataFrame([(999, 999)], "node long, component long") \
+        .write.parquet(f"{p}/table_compact_tmp")
+    incremental_components_update(spark, p, _pairs(spark, [(5, 9)]))
+    assert not fs.exists(P(f"{p}/table_compact_tmp"))
+    assert (9, 1) in _state(spark, p) and (999, 999) not in _state(spark, p)
