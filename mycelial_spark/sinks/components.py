@@ -187,18 +187,29 @@ def incremental_components_update(spark: SparkSession, path: str,
             "skipped_replay": False}
 
 
-def incremental_components_read(spark: SparkSession,
-                                path: str) -> DataFrame:
+def incremental_components_read(spark: SparkSession, path: str,
+                                enrich: bool = False) -> DataFrame:
     """The fully-resolved (node, component) assignment: stored
     components forwarded through the merge-log closure, duplicate
-    member rows (idempotent replays) collapsed."""
+    member rows (idempotent replays) collapsed. ``enrich`` adds the
+    batch operator's deliverable columns (``is_canonical`` = the min
+    member, ``cluster_size``) via one component-keyed count joined
+    back — no per-cluster window funnel."""
     root = path.rstrip("/")
     _recover_compact(spark, root)
     fwd = _resolve_map(spark, root)
-    return _resolve_join(
+    out = _resolve_join(
         spark,
         spark.read.parquet(f"{root}/table").select("node", "component"),
         fwd).distinct()
+    if not enrich:
+        return out
+    sizes = out.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    return (out.join(sizes, "component")
+            .select("node", "component",
+                    (F.col("node") == F.col("component"))
+                    .alias("is_canonical"), "cluster_size"))
 
 
 def incremental_components_compact(spark: SparkSession,

@@ -168,3 +168,14 @@ def test_compact_crash_windows_recover(spark, tmp_path):
     incremental_components_update(spark, p, _pairs(spark, [(5, 9)]))
     assert not fs.exists(P(f"{p}/table_compact_tmp"))
     assert (9, 1) in _state(spark, p) and (999, 999) not in _state(spark, p)
+
+
+def test_read_enriched_matches_batch_deliverable(spark, tmp_path):
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(1, 2)]))
+    incremental_components_update(spark, p, _pairs(spark, [(2, 7)]))
+    got = {(r["node"], r["component"], r["is_canonical"],
+            r["cluster_size"])
+           for r in incremental_components_read(
+               spark, p, enrich=True).collect()}
+    assert got == {(1, 1, True, 3), (2, 1, False, 3), (7, 1, False, 3)}
