@@ -45,6 +45,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def _recover_compact(spark: SparkSession, root: str) -> None:
@@ -75,7 +76,10 @@ def _resolve_map(spark: SparkSession, root: str) -> dict[int, int]:
         return {}
     try:
         rows = spark.read.parquet(mdir).collect()
-    except Exception:
+    except AnalysisException:
+        # schema-less (file-less) dir — no merges yet. Anything else
+        # (corrupt files, permission loss) must RAISE: silently
+        # dropping forwarding would resolve members to stale clusters.
         return {}
     fwd = {}
     for r in rows:
