@@ -3010,3 +3010,27 @@ def components_dest(spark, cfg, df):
     bid = f"{b[0]}_{b[1]}" if b else None
     return incremental_components_update(spark, cfg["path"], df,
                                          batch_id=bid)
+
+
+@_register("contract_gate", "transform", "dataframe", "dataframe",
+           [Field("rules", "json", default=REQUIRED)],
+           doc="Data-contract GATE: evaluates the validate_constraints "
+               "rule set and RAISES when any rule fails, naming the "
+               "violated rules and counts — under a streaming runner "
+               "with a dead-letter path armed, the violating "
+               "micro-batch QUARANTINES instead of poisoning the "
+               "corpus (the contract sibling of psi_gate; "
+               "validate_constraints is the report form, this is the "
+               "enforcement form). Passes the input through unchanged "
+               "when every rule holds.")
+def contract_gate(spark, cfg, inputs):
+    from mycelial_spark.operators.relational import validate_constraints
+    report = validate_constraints(inputs[0], cfg["rules"]).collect()
+    bad = [r for r in report if not r["passed"]]
+    if bad:
+        detail = "; ".join(
+            f"rule {r['rule_index']} {r['rule']}({r['columns']}): "
+            f"{r['n_violations']} violations" for r in bad)
+        raise RuntimeError(f"contract_gate: {len(bad)} rule(s) "
+                           f"violated — {detail}")
+    return inputs[0]

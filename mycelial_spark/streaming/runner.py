@@ -55,7 +55,7 @@ _STATEFUL_SECTIONS = {"stateful_running_counts", "stateful_sessionize",
 # batch. "One sketch per batch" is the SEMANTIC here (incremental
 # reaggregation), not a workaround.
 _PER_BATCH_SECTIONS = {"histogram_sketch", "dedup_exact", "aggregate",
-                       "psi_gate",
+                       "psi_gate", "contract_gate",
                        # the analytics/monitoring family: unwatermarked
                        # aggregates and non-time windows the streaming
                        # planner rejects — per-batch is the SEMANTIC
@@ -73,7 +73,7 @@ _PER_BATCH_SECTIONS = {"histogram_sketch", "dedup_exact", "aggregate",
 # outright would reprocess the same drifting batch forever. Plain
 # transforms stay OUTSIDE the scope: a deterministic plan error must
 # fail loudly, not silently drain every batch into the DLQ.
-_DATA_GATE_SECTIONS = {"psi_gate"}
+_DATA_GATE_SECTIONS = {"psi_gate", "contract_gate"}
 
 
 def _read_stream(spark: SparkSession, stype: str, cfg: dict[str, Any],

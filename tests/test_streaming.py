@@ -447,3 +447,38 @@ def test_per_batch_contract_report_streaming(spark, tmp_path):
     assert len(out) == 4                      # 2 batches x 2 rules
     assert sum(1 for r in out if not r["passed"]) == 2
     assert sum(int(r["n_violations"]) for r in out) == 2
+
+
+def test_contract_gate_streaming_quarantines_violating_batch(spark, tmp_path):
+    """The enforcement form of the contract: the clean micro-batch
+    flows to the sink, the violating one raises inside the quarantine
+    scope and parks in the DLQ with the rule named."""
+    import glob
+    import shutil
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    bad = spark.createDataFrame([(3, 5.0), (None, 2.0)], "k long, v double")
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for name, df in (("a_good", good), ("b_bad", bad)):
+        df.coalesce(1).write.parquet(str(tmp_path / name))
+        for f in glob.glob(str(tmp_path / name / "*.parquet")):
+            shutil.copy(f, flat / f"{name}.parquet")
+    dlq = str(tmp_path / "dlq")
+    spec = {
+        "nodes": {
+            "src": {"type": "parquet_source", "path": str(flat),
+                    "max_files_per_trigger": 1},
+            "gate": {"type": "contract_gate", "rules": [
+                {"rule": "not_null", "columns": ["k"]}]},
+            "dst": {"type": "memory_dest", "name": "contract_gate_out"},
+        },
+        "edges": [["src", "gate"], ["gate", "dst"]],
+    }
+    sp = StreamingPipeline.from_spec(spec, str(tmp_path / "ckpt"),
+                                     dead_letter_path=dlq)
+    _wait_done(sp.start(spark))
+    assert spark.table("global_temp.contract_gate_out").count() == 2
+    task_id = sp.pipeline.graph.subgraphs()[0].task_id()
+    parked = spark.read.parquet(f"{dlq}/{task_id}")
+    assert parked.count() == 2
+    assert "not_null" in parked.first()["_dlq_error"]
