@@ -3034,3 +3034,15 @@ def contract_gate(spark, cfg, inputs):
         raise RuntimeError(f"contract_gate: {len(bad)} rule(s) "
                            f"violated — {detail}")
     return inputs[0]
+
+
+@_register("components_source", "source", "none", "dataframe",
+           [Field("path"), Field("enrich", "bool", False)],
+           doc="Read the incremental component ledger as a source "
+               "node: fully-resolved (node, component) assignment; "
+               "enrich adds is_canonical + cluster_size.")
+def components_source(spark, cfg):
+    from mycelial_spark.sinks.components import \
+        incremental_components_read
+    return incremental_components_read(spark, cfg["path"],
+                                       cfg["enrich"])

@@ -179,3 +179,15 @@ def test_read_enriched_matches_batch_deliverable(spark, tmp_path):
            for r in incremental_components_read(
                spark, p, enrich=True).collect()}
     assert got == {(1, 1, True, 3), (2, 1, False, 3), (7, 1, False, 3)}
+
+
+def test_components_source_section(spark, tmp_path):
+    from mycelial_spark.plans.sections import REGISTRY
+    p = str(tmp_path / "cc")
+    incremental_components_update(spark, p, _pairs(spark, [(1, 2)]))
+    sdef = REGISTRY.get("components_source")
+    cfg = sdef.validate_config({"type": "components_source", "path": p,
+                                "enrich": True})
+    got = {(r["node"], r["component"], r["cluster_size"])
+           for r in sdef.builder(spark, cfg).collect()}
+    assert got == {(1, 1, 2), (2, 1, 2)}
