@@ -78,6 +78,7 @@ HEADLINE = [
     "embedding_quantize",
     "embedding_pca",
     "redact_pii",
+    "blocked_term_scan",
     "paragraph_dedup",
     "histogram_quantiles",
     "canonical_urls",

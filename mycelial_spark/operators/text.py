@@ -778,3 +778,36 @@ def extract_entities(df: DataFrame, text_col: str = "text",
     return (df.select(F.col(id_col), F.explode(ents).alias("_e"))
             .select(id_col, "_e.entity_type", "_e.occurrence",
                     "_e.entity"))
+
+
+def with_term_flags(df: DataFrame, terms: list[str],
+                    text_col: str = "text",
+                    match_distinct: bool = True) -> DataFrame:
+    """Blocklist screening — the ubiquitous wordlist scrub (safety
+    terms, brand names, boilerplate markers): appends
+    ``n_blocked_terms`` (how many DISTINCT blocklist terms occur as
+    whole whitespace tokens, case-insensitive) and ``has_blocked``.
+    Filter or route on the flags downstream; the operator never drops
+    rows itself (curation wants the counts for reporting even when it
+    drops).
+
+    One codegen projection: the lowercased distinct token set
+    intersects a literal term array — no join, no shuffle, no regex
+    scan per term (a T-term regex alternation scans text T times; the
+    token-set intersect hashes once). Token-level matching is the
+    deliberate semantic: substring matching flags "class" for "ass" —
+    the classic scunthorpe failure.
+
+    ``match_distinct=False`` counts OCCURRENCES instead of distinct
+    terms (aggregate fold over the token list).
+    """
+    if not terms:
+        raise ValueError("terms must be a non-empty list")
+    arr = F.array(*[F.lit(t.lower()) for t in terms])
+    toks = tokens(F.lower(F.col(text_col)))
+    if match_distinct:
+        n = F.size(F.array_intersect(F.array_distinct(toks), arr))
+    else:
+        n = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    return (df.withColumn("n_blocked_terms", n)
+            .withColumn("has_blocked", n > 0))

@@ -3046,3 +3046,23 @@ def components_source(spark, cfg):
         incremental_components_read
     return incremental_components_read(spark, cfg["path"],
                                        cfg["enrich"])
+
+
+@_register("term_filter", "transform", "dataframe", "dataframe",
+           [Field("terms", "json", default=REQUIRED),
+            Field("text_col", default="text"),
+            Field("match_distinct", "bool", True),
+            Field("drop_flagged", "bool", False)],
+           doc="Blocklist screening as a node: whole-token, "
+               "case-insensitive term hits (one codegen token-set "
+               "intersect, no scunthorpe substring matches); "
+               "drop_flagged=True removes flagged rows, else the "
+               "n_blocked_terms/has_blocked columns route downstream.")
+def term_filter(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_term_flags
+    out = with_term_flags(inputs[0], list(cfg["terms"]),
+                          cfg["text_col"], cfg["match_distinct"])
+    if cfg["drop_flagged"]:
+        out = out.filter(~F.col("has_blocked")) \
+                 .drop("n_blocked_terms", "has_blocked")
+    return out

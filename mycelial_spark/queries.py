@@ -7281,6 +7281,28 @@ def semantic_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     return incremental_components_read(spark, path)
 
 
+@query("blocked_term_scan", """
+SELECT doc_id,
+       CAST(len(list_intersect(
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+         ['spark', 'vector', 'quantum'])) AS INT) AS n_blocked_terms,
+       len(list_intersect(
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+         ['spark', 'vector', 'quantum'])) > 0 AS has_blocked
+FROM documents
+""")
+def blocked_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening over the corpus (operators/text.py
+    with_term_flags): distinct blocked-term counts per doc as whole
+    lowercase tokens — ONE codegen token-set intersect (no per-term
+    regex scan, no substring scunthorpe hits). The oracle replays the
+    identical token-set intersection."""
+    from mycelial_spark.operators.text import with_term_flags
+    d = _t(spark, sf_dir, "documents")
+    return with_term_flags(d, ["spark", "vector", "quantum"]) \
+        .select("doc_id", "n_blocked_terms", "has_blocked")
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

@@ -22,3 +22,24 @@ def test_extract_entities_long_form(spark):
     import pytest as _p
     with _p.raises(ValueError, match="unknown entity types"):
         extract_entities(df, types=["ssn", "nope"])
+
+
+def test_term_flags_token_level_and_occurrences(spark):
+    from mycelial_spark.operators.text import with_term_flags
+    df = spark.createDataFrame(
+        [(1, "the Bad word and another bad thing"),
+         (2, "badge is not a bad-word either"),
+         (3, "clean text here")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_blocked_terms"], r["has_blocked"])
+           for r in with_term_flags(df, ["bad", "worse"]).collect()}
+    # doc 1: 'Bad'+'bad' = ONE distinct term; doc 2: 'badge'/'bad-word'
+    # are different tokens (no scunthorpe substring hits)
+    assert got == {1: (1, True), 2: (0, False), 3: (0, False)}
+    occ = {r["doc_id"]: r["n_blocked_terms"]
+           for r in with_term_flags(df, ["bad"],
+                                    match_distinct=False).collect()}
+    assert occ[1] == 2
+    import pytest as _p
+    with _p.raises(ValueError):
+        with_term_flags(df, [])
