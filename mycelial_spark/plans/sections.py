@@ -1920,7 +1920,9 @@ def csv_dest(spark, cfg, df):
 @_register("export_dest", "destination", "dataframe", "none",
            [Field("path"), Field("n_shards", "int", 16),
             Field("key_col", default="doc_id"),
-            Field("verify", "bool", True)],
+            Field("verify", "bool", True),
+            Field("card", "bool", False),
+            Field("card_text_col", default="")],
            doc="Release export: hash-sharded parquet + _MANIFEST.json "
                "with per-shard row counts and order-insensitive content "
                "hashes (sinks/export.py export_shards) — the dataset-"
@@ -1932,7 +1934,8 @@ def csv_dest(spark, cfg, df):
 def export_dest(spark, cfg, df):
     from mycelial_spark.sinks.export import export_shards, verify_export
     manifest = export_shards(df, cfg["path"], int(cfg["n_shards"]),
-                             cfg["key_col"])
+                             cfg["key_col"], card=cfg["card"],
+                             card_text_col=cfg["card_text_col"] or None)
     out = {"path": cfg["path"], "total_rows": manifest["total_rows"],
            "n_shards": manifest["n_shards"]}
     if cfg["verify"]:

@@ -70,11 +70,18 @@ def _shard_hashes(df: DataFrame, n_shards: int | None = None,
 
 
 def export_shards(df: DataFrame, path: str, n_shards: int,
-                  key_col: str) -> dict:
+                  key_col: str, card: bool = False,
+                  card_text_col: str | None = None) -> dict:
     """Write ``df`` as ``n_shards`` hash-sharded parquet partitions
     (``<path>/_shard=K/``) plus ``<path>/_MANIFEST.json``. Returns the
     manifest dict. The shard of a row is a pure function of its
     ``key_col`` — re-exports of the same data land identically.
+    ``card=True`` additionally renders ``<path>/_CARD.md`` (the
+    sinks/card.py dataset card) from the EXPORTED files — the card
+    documents what actually shipped, not the pre-export frame. The
+    underscore prefix matters: parquet readers ignore ``_``-prefixed
+    files, so the card (like the manifest) never breaks a later scan
+    of the release directory.
 
     Data is written BEFORE the manifest: a crash between the two leaves
     data + no manifest, which ``verify_export`` reports as missing
@@ -111,6 +118,11 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
     }
     fs_write_text(spark, f"{path.rstrip('/')}/{MANIFEST_NAME}",
                   json.dumps(manifest, indent=1))
+    if card:
+        from mycelial_spark.sinks.card import dataset_card
+        fs_write_text(spark, f"{path.rstrip('/')}/_CARD.md",
+                      dataset_card(spark, path,
+                                   text_col=card_text_col))
     return manifest
 
 

@@ -151,3 +151,19 @@ def test_dataset_card_sections_and_numbers(spark, tmp_path):
     import pytest as _p
     with _p.raises(ValueError, match="not a string column"):
         dataset_card(spark, p, text_col="doc_id")
+
+
+def test_export_with_card(spark, tmp_path):
+    """card=True renders CARD.md beside the manifest, documenting the
+    EXPORTED files (row count matches the manifest)."""
+    from mycelial_spark.sinks.export import export_shards
+    df = spark.createDataFrame(
+        [(i, "src%d" % (i % 2), "alpha beta gamma " * 4)
+         for i in range(40)],
+        "doc_id long, source string, text string")
+    p = str(tmp_path / "rel")
+    man = export_shards(df, p, 4, "doc_id", card=True)
+    card = open(f"{p}/_CARD.md").read()
+    assert f"**Rows:** {man['total_rows']}" in card
+    assert "## Text statistics" in card
+    assert "## Top values — `source`" in card

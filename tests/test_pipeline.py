@@ -628,6 +628,13 @@ def test_dataset_release_pipeline_end_to_end(spark, tmp_path):
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
+    # the release terminal now ships a verified manifest + its card
+    import json as _json
+    man = _json.loads(open(f"{out_dir}/_MANIFEST.json").read())
+    assert man["total_rows"] == len(rows)
+    card = open(f"{out_dir}/_CARD.md").read()
+    assert f"**Rows:** {len(rows)}" in card
+    assert "## Text statistics" in card
 
 
 def test_r7_analytics_sections_second_wave(spark):
