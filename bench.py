@@ -101,6 +101,7 @@ HEADLINE = [
     "zorder_keys",
     "bloom_prune_join",
     "segment_user_overlap_kmv",
+    "source_vocab_overlap_kmv",
     "quality_weighted_sample",
     "semantic_decontaminate",
     "tfidf_keywords",

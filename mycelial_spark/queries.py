@@ -7303,6 +7303,61 @@ def blocked_term_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_blocked_terms", "has_blocked")
 
 
+@query("source_vocab_overlap_kmv", """
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT DISTINCT source,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS hh
+  FROM tok WHERE t <> ''
+), sk AS (
+  SELECT source, (list_sort(list(hh)))[1:64] AS kmv FROM h GROUP BY 1
+), p AS (
+  SELECT a.source AS ga, b.source AS gb, a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS u
+  FROM sk a JOIN sk b ON a.source < b.source
+), e AS (
+  SELECT ga, gb,
+         len(list_filter(u, x -> list_contains(ka, x)
+                              AND list_contains(kb, x))) AS inter,
+         len(u) AS us,
+         CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(u[64] AS DOUBLE)
+         END AS uraw
+  FROM p
+), r AS (
+  SELECT ga, gb,
+         CASE WHEN us > 0 THEN
+           floor(inter * 1.0 / us * 1000000.0 + 0.5) / 1000000.0
+         END AS j,
+         floor(uraw * 1000000.0 + 0.5) / 1000000.0 AS uest
+  FROM e
+)
+SELECT ga AS group_a, gb AS group_b, j AS jaccard_est,
+       uest AS union_est,
+       floor(j * uest * 1000000.0 + 0.5) / 1000000.0 AS inter_est
+FROM r
+""")
+def source_vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE vocabulary similarity from KMV sketches over
+    lowercased token sets (k=64, portable md5) — the corpus-mixing
+    signal ("do these two crawls speak the same language?") computed
+    from k×8 bytes per source instead of a vocabulary-sized distinct
+    join. One distinct (source, token-hash) pass + skew-safe bottom-k;
+    all-pairs arithmetic is sketch-sized. Same fully-replayed oracle
+    recipe as segment_user_overlap_kmv."""
+    from mycelial_spark.operators.kmv import kmv_overlap, kmv_sketch
+    from mycelial_spark.operators.text import tokens
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source",
+                    F.explode(F.array_distinct(
+                        tokens(F.lower(F.col("text"))))).alias("tok"))
+    sk = kmv_sketch(toks, "source", "tok", k=64, hash_mode="md5")
+    return kmv_overlap(sk, "source", 64)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
