@@ -111,6 +111,7 @@ HEADLINE = [
     "cluster_profile",
     "source_embedding_centroids",
     "image_dedup_pairs",
+    "image_dedup_pairs_png",
     "audio_dedup_pairs",
     "video_dedup_pairs",
     "pagerank_trade_graph",
@@ -170,7 +171,10 @@ def main() -> None:
     spark = get_spark("mycelial-bench",
                       extra_conf={"spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    registry = Q.get_queries()
+    # Oracle-gated queries plus the bench-only production twins (paths
+    # whose output isn't oracle-replicable but whose speed must stay
+    # measured, e.g. the xxhash64 simhash default).
+    registry = {**Q.BENCH_ONLY, **Q.get_queries()}
 
     # Warm-up so per-query numbers reflect the plan, not first-touch costs:
     # run every headline query once at the smallest SF available. Whole-stage
@@ -237,15 +241,50 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {"jvm_range_sum_sec": cal_cpu,
                         "lineitem_scan_count_sec": cal_scan},
+        # Per-query times in units of this run's jvm calibration workload
+        # (time / jvm_range_sum_sec): a first-order environment-speed
+        # normalization so round-over-round per-query comparisons see the
+        # plan, not the sandbox's clock (the r6->r7 1.245x drift lesson).
+        "queries_cal_norm": {k: round(v / cal_cpu, 2)
+                             for k, v in times.items()},
     }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_full.json")
+    out["vs_prev"] = _vs_prev(out, full_path)
     # Full-precision record for the repo's own audit trail (PLANS.md /
     # round-over-round comparisons) — written BEFORE the stdout line so a
     # capture problem can't lose it.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as fh:
+    with open(full_path, "w") as fh:
         json.dump(out, fh, indent=1)
 
     print(budget_line(out), flush=True)
+
+
+def _vs_prev(out: dict, full_path: str) -> dict | None:
+    """Common-set ratio vs the previous recorded bench_full.json: the
+    artifact defends itself against environment drift. ``ratio`` is
+    raw wall-clock (sum over queries present in both runs); ``ratio_cal``
+    divides each run's sum by its own jvm-calibration time, so a uniformly
+    slower sandbox cancels out and a surviving ratio >> 1 means the CODE
+    regressed (the r6->r7 ambiguity this exists to remove)."""
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    common = sorted(set(out["queries"]) & set(prev.get("queries", {})))
+    if not common:
+        return None
+    cur_s = sum(out["queries"][k] for k in common)
+    prv_s = sum(prev["queries"][k] for k in common)
+    if prv_s <= 0:
+        return None
+    res = {"common_n": len(common), "ratio": round(cur_s / prv_s, 3)}
+    prev_cal = (prev.get("calibration") or {}).get("jvm_range_sum_sec")
+    cur_cal = out["calibration"]["jvm_range_sum_sec"]
+    if prev_cal and cur_cal:
+        res["ratio_cal"] = round((cur_s / cur_cal) / (prv_s / prev_cal), 3)
+    return res
 
 
 def budget_line(out: dict, budget: int = 1980) -> str:
@@ -256,23 +295,25 @@ def budget_line(out: dict, budget: int = 1980) -> str:
     and recorded as parsed=null). Keep the line + newline inside that
     window: compact separators, 2-decimal times, calibration as a bare
     [jvm_sec, scan_sec] pair (labeled full-precision forms live in
-    bench_full.json), and if the suite outgrows the budget anyway, drop
-    calibration first, then the smallest-time queries — their sum is
-    preserved in "value" and the dropped count is declared in
-    "queries_omitted"; no silent truncation. Unit-tested in
+    bench_full.json). Calibration and the vs_prev ratios are emitted
+    BEFORE the queries dict and are NEVER dropped — r7's driver artifact
+    lost calibration to the line budget exactly when the drift question
+    needed it. If the suite outgrows the budget, drop the smallest-time
+    queries — their sum is preserved in "value" and the dropped count is
+    declared in "queries_omitted"; no silent truncation. Unit-tested in
     tests/test_bench_line.py so the r6 failure mode cannot recur.
     """
-    line_out = dict(out)
-    line_out["queries"] = {k: round(v, 2)
-                           for k, v in out["queries"].items()}
-    if "calibration" in out:
+    line_out = {k: out[k] for k in ("metric", "value", "unit", "sf")
+                if k in out}
+    if out.get("calibration"):
         cal = out["calibration"]
         line_out["calibration"] = (list(cal.values())
                                    if isinstance(cal, dict) else list(cal))
+    if out.get("vs_prev"):
+        line_out["vs_prev"] = out["vs_prev"]
+    line_out["queries"] = {k: round(v, 2)
+                           for k, v in out["queries"].items()}
     line = json.dumps(line_out, separators=(",", ":"))
-    if len(line) > budget:
-        line_out.pop("calibration", None)
-        line = json.dumps(line_out, separators=(",", ":"))
     omitted = 0
     while len(line) > budget and line_out["queries"]:
         smallest = min(line_out["queries"], key=line_out["queries"].get)

@@ -64,7 +64,11 @@ def kmv_sketch(df: DataFrame, group_col: str, value_col: str,
         raise ValueError(f"k must be >= 2; got {k}")
     from mycelial_spark.operators.relational import topk_per_key
     h = _kmv_hash(F.col(value_col), hash_mode)
-    pairs = (df.select(F.col(group_col).alias("grp"), h.alias("_h"))
+    # NULL values skip BEFORE hashing: xxhash64(NULL) returns the seed
+    # hash (42), not NULL, so a post-hash isNotNull filter only worked
+    # in md5 mode and a NULL counted as one phantom distinct member
+    pairs = (df.filter(F.col(value_col).isNotNull())
+             .select(F.col(group_col).alias("grp"), h.alias("_h"))
              .filter(F.col("_h").isNotNull()).distinct())
     top = topk_per_key(pairs, "grp", [F.col("_h").asc()], k,
                        salt=salt, salt_on="_h" if salt > 1 else None)

@@ -6,17 +6,19 @@ resize, frame sampling) runs as Arrow-batched pandas functions via
 ``mapInPandas`` — executors stream record batches, nothing ever collects
 to the driver, and partitioning controls worker parallelism. The AUDIO
 codec is REAL (stdlib ``wave``: duration/channels/rate/RMS, see
-``decode_wav``), and so is the IMAGE codec for the uncompressed formats
-a pure numpy decoder can own outright — netpbm P5/P6 and BI_RGB BMP
-(``decode_image``), with a real nearest-neighbor resize + PPM re-encode
-(``resize_images(codec="real")``). VIDEO is real for yuv4mpeg2 (Y4M)
-streams — metadata, frame iteration, and luma-plane frame sampling that
-re-encodes each sampled frame as PGM for the image operators
-(``decode_y4m`` / ``sample_video_frames``). Compressed formats
-(JPEG/PNG/H.264) need PIL/av, absent in this container: those fail in
-the codec with a magic error, and the deterministic fakes
-(``_decode_fake``, byte-slice frame sampling) keep the plumbing —
-schema, batch shape, UDF signatures — testable for them.
+``decode_wav``), and so is the IMAGE codec for every format a pure
+numpy/stdlib decoder can own outright — netpbm P5/P6, BI_RGB BMP, and
+PNG (stdlib zlib inflate + the five scanline filters; 8-bit gray/RGB/
+palette/gray-alpha/RGBA, non-interlaced — ``_decode_png``), with a real
+nearest-neighbor resize + PPM re-encode (``resize_images(codec="real")``).
+VIDEO is real for yuv4mpeg2 (Y4M) streams — metadata, frame iteration,
+and luma-plane frame sampling that re-encodes each sampled frame as PGM
+for the image operators (``decode_y4m`` / ``sample_video_frames``).
+Formats still needing PIL/av (JPEG, H.264, interlaced/16-bit PNG) are
+absent in this container: those fail in the codec with a magic error,
+and the deterministic fakes (``_decode_fake``, byte-slice frame
+sampling) keep the plumbing — schema, batch shape, UDF signatures —
+testable for them.
 
 At 100 TB: payloads come from ``binaryFile``/object-store scans;
 ``repartition`` by byte-size buckets before mapInPandas keeps batches
@@ -307,14 +309,195 @@ def _decode_pixels(payload: bytes):
         if channels == 3:
             px = px[:, :, ::-1]                      # BGR -> RGB
         return np.ascontiguousarray(px)
+    if payload[:8] == PNG_SIGNATURE:
+        return _decode_png(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> raw channels in the scanline (palette indexes count 1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, CRC-verified (stdlib zlib.crc32
+    over type+data — a silently corrupted IDAT must fail loudly, not
+    decode to garbage pixels that then dedup wrongly)."""
+    import struct
+    import zlib
+    pos = 8
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, bpp: int):
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth,
+    RFC 2083 §6) into an (h, stride) uint8 array. Up is vectorized;
+    Sub/Average/Paeth carry a left-neighbor recurrence so they scan
+    bytes — fine for the fixture sizes this runs at (wide images decode
+    in C via the vectorized paths of real crawls' dominant filters)."""
+    import numpy as np
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        cur = np.frombuffer(raw, np.uint8, stride, offset=off + 1).copy()
+        if f == 0:
+            pass
+        elif f == 1:                                   # Sub
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif f == 2:                                   # Up
+            cur += prev
+        elif f == 3:                                   # Average
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x])
+                          + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                                   # Paeth
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                        else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _decode_png(payload: bytes):
+    """Pure-Python PNG decode (stdlib zlib, RFC 2083): 8-bit depth,
+    color types gray(0)/RGB(2)/palette(3)/gray+alpha(4)/RGBA(6),
+    non-interlaced. Returns (h, w, c) uint8 — palette expands to RGB.
+    Interlaced (Adam7) and 1/2/4/16-bit depths raise; crawls' compressed
+    mainstream (8-bit non-interlaced) is exactly this surface."""
+    import struct
+    import zlib
+    import numpy as np
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} not supported (8 only)")
+    if ctype_ not in _PNG_CHANNELS:
+        raise ValueError(f"unknown PNG color type {ctype_}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNG not supported")
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    ch = _PNG_CHANNELS[ctype_]
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    if ctype_ == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/odd PLTE")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max()) >= table.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        px = table[idx]
+    return np.ascontiguousarray(px)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(px, filter_mode: str = "cycle") -> bytes:
+    """Encode an (h, w, c) uint8 array as PNG (8-bit, non-interlaced;
+    c=1 gray, 2 gray+alpha, 3 RGB, 4 RGBA). ``filter_mode="cycle"``
+    applies filter type y % 5 per scanline — deliberately exercising
+    every filter so a decoder round-trip covers them all; "none" writes
+    unfiltered scanlines."""
+    import struct
+    import zlib
+    import numpy as np
+    h, w, c = px.shape
+    ctype_ = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_, 0, 0, 0)
+    flat = np.ascontiguousarray(px.astype(np.uint8)).reshape(h, w * c)
+    bpp = c
+    lines = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y].astype(np.int64)
+        f = (y % 5) if filter_mode == "cycle" else 0
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]]) \
+                if w * c > bpp else np.zeros_like(cur)
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = np.empty_like(cur)
+            for x in range(w * c):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                enc[x] = (int(cur[x]) - ((left + int(prev[x])) >> 1)) & 0xFF
+        else:
+            enc = np.empty_like(cur)
+            for x in range(w * c):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc
+                                                        else cc)
+                enc[x] = (int(cur[x]) - pred) & 0xFF
+        lines.append(f)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    return (PNG_SIGNATURE + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+            + _png_chunk(b"IEND", b""))
 
 
 def decode_image(payload: bytes) -> dict:
     """Image metadata + mean pixel value via the real codec."""
     import numpy as np
     px = _decode_pixels(payload)
-    return {"format": "bmp" if payload[:2] == b"BM" else "netpbm",
+    return {"format": ("bmp" if payload[:2] == b"BM"
+                       else "png" if payload[:8] == PNG_SIGNATURE
+                       else "netpbm"),
             "width": int(px.shape[1]), "height": int(px.shape[0]),
             "channels": int(px.shape[2]),
             "mean_value": round(float(np.mean(px)), 6)}
@@ -391,6 +574,34 @@ def synth_ppm(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 data = data[:need].ljust(need, b"\x00")
                 px = np.frombuffer(data, dtype=np.uint8).reshape(h, width, 3)
                 payloads.append(encode_ppm(px))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "image",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
+def synth_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              width: int = 16) -> DataFrame:
+    """Test-fixture adapter: the SAME pixel array as synth_ppm (UTF-8
+    bytes of the text, whole RGB rows, zero padding) but encoded as a
+    real PNG — zlib-compressed IDAT with the scanline filter CYCLING
+    through all five types (y % 5), so decoding exercises None/Sub/Up/
+    Average/Paeth. Because PNG is lossless, every pixel-derived result
+    (ahash, features, dedup pairs) must equal the PPM path bit-for-bit —
+    which is exactly how the oracle checks the decoder end-to-end."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                h = max(1, len(data) // (width * 3))
+                need = width * h * 3
+                data = data[:need].ljust(need, b"\x00")
+                px = np.frombuffer(data, dtype=np.uint8).reshape(h, width, 3)
+                payloads.append(encode_png(px))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
                                 "modality": "image",
                                 "payload": payloads})

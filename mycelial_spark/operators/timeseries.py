@@ -63,7 +63,7 @@ def cohort_retention(df: DataFrame, period_seconds: int = 86400,
     if period_seconds <= 0:
         raise ValueError(f"period_seconds must be > 0; got "
                          f"{period_seconds}")
-    per = (F.unix_timestamp(ts_col) / F.lit(period_seconds)).cast("long")
+    per = F.floor(F.unix_timestamp(ts_col) / F.lit(period_seconds))
     activity = (df.select(F.col(user_col).alias("_u"), per.alias("_p"))
                 .distinct())
     ann = activity.withColumn(
@@ -250,8 +250,7 @@ def time_bucket_gapfill(df: DataFrame, bucket_seconds: int,
         raise ValueError(f"bucket_seconds must be > 0; got "
                          f"{bucket_seconds}")
     keys = list(key_cols)
-    bkt = (F.unix_timestamp(ts_col) / F.lit(bucket_seconds)) \
-        .cast("long")
+    bkt = F.floor(F.unix_timestamp(ts_col) / F.lit(bucket_seconds))
     # the bucketed series feeds both the span derivation and the spine
     # join; persisted so the corpus aggregates once (b is the COMPRESSED
     # series — one row per observed key-bucket, far smaller than input)
@@ -343,13 +342,11 @@ def rolling_distinct(df: DataFrame, ts_col: str = "ts",
     if method not in ("expand", "sketch"):
         raise ValueError(f"method must be 'expand' or 'sketch'; "
                          f"got {method!r}")
-    bkt = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
-        .cast("long")
+    bkt = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
     bkt = F.col("_src_b")
     expand = F.explode(F.sequence(bkt, bkt + F.lit(window - 1))) \
         .alias("_b")
-    src_b = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
-        .cast("long")
+    src_b = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
     if method == "sketch":
         # per-bucket sketches materialize ONCE (they feed both the
         # expansion and the active-bucket list), then each sketch votes
@@ -412,8 +409,7 @@ def trend_slope(df: DataFrame, key_col: str = "user_id",
     Returns (key, n_points, slope). Map-side combinable: one hash
     aggregate of five exact sums per key, no window, no second pass.
     """
-    x = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
-        .cast("long")
+    x = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
     y = F.col(value_col).cast("decimal(30,6)")
     # NULL timestamps/values must drop BEFORE the sums: aggregates skip
     # NULLs but count(*) would not, and a count that disagrees with its
@@ -662,8 +658,7 @@ def period_over_period(df: DataFrame, ts_col: str = "ts",
     """
     if lag_buckets < 1:
         raise ValueError(f"lag_buckets must be >= 1; got {lag_buckets}")
-    b = (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)) \
-        .cast("long")
+    b = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
     per = (df.select(b.alias("_b"),
                      F.col(value_col).cast("decimal(30,6)").alias("_y"))
            .filter(F.col("_b").isNotNull() & F.col("_y").isNotNull())

@@ -83,8 +83,15 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
 
     # one FIND pass: the distinct partition tuples holding matches
     # (bounded by partition count; pruned when the predicate covers
-    # partition columns)
-    hits = (df.filter(pred).select(*partition_by).distinct().collect())
+    # partition columns). Alongside each raw value, collect Spark's OWN
+    # cast-to-string (`__s_<c>`) — the exact pre-escape string the
+    # writer used for the directory name (str(py_value) diverges for
+    # e.g. fractional timestamps: Python '…00.123000' vs Spark '…00.123').
+    hits = (df.filter(pred)
+            .select(*partition_by,
+                    *[F.col(c).cast("string").alias(f"__s_{c}")
+                      for c in partition_by])
+            .distinct().collect())
     if not hits:
         return {"rows_deleted": 0, "rows_kept": 0,
                 "partitions_rewritten": 0, "partitions_dropped": 0}
@@ -140,17 +147,34 @@ def delete_where(spark: SparkSession, path: str, predicate: str,
     # dynamic overwrite replaces only partitions it WRITES: a partition
     # whose every row matched produces no output and would silently
     # keep its old files — drop those directories explicitly (the
-    # gc_tombstones lesson, same failure shape)
+    # gc_tombstones lesson, same failure shape). Directory names are
+    # built with the SAME escaping Spark's writer used
+    # (ExternalCatalogUtils.escapePathName via the live JVM — ':', '%',
+    # '#', '/', … in string/timestamp values become %XX), and a missing
+    # expected directory RAISES: fs.delete returning False here is a
+    # silent GDPR-erasure failure, not a no-op.
     _jvm, fs, P = hadoop_fs(spark, path)
+    esc = _jvm.org.apache.spark.sql.catalyst.catalog \
+        .ExternalCatalogUtils.escapePathName
     dropped = 0
     for r in hits:
         key = tuple(r[c] for c in partition_by)
         if key not in kept_parts:
             sub = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if r[c] is None else r[c]}"
+                f"{esc(c)}="
+                f"{'__HIVE_DEFAULT_PARTITION__' if r[c] is None else esc(r[f'__s_{c}'])}"
                 for c in partition_by)
-            if fs.delete(P(f"{path.rstrip('/')}/{sub}"), True):
-                dropped += 1
+            target = f"{path.rstrip('/')}/{sub}"
+            if not fs.exists(P(target)):
+                raise RuntimeError(
+                    f"erasure incomplete: partition directory {target!r} "
+                    f"was expected to be dropped but does not exist — "
+                    f"its rows may remain under a differently-encoded "
+                    f"path; refusing to report success")
+            if not fs.delete(P(target), True):
+                raise RuntimeError(
+                    f"erasure incomplete: failed to delete {target!r}")
+            dropped += 1
     return {"rows_deleted": deleted, "rows_kept": int(kept_n),
             "partitions_rewritten": len(kept_parts & {
                 tuple(r[c] for c in partition_by) for r in hits}),

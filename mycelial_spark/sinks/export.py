@@ -97,8 +97,19 @@ def export_shards(df: DataFrame, path: str, n_shards: int,
     (df.withColumn("_shard", shard)
        .repartition("_shard")
        .write.mode("overwrite").partitionBy("_shard").parquet(path))
-    stats = {int(r["shard"]): (int(r["n_rows"]), str(r["content_hash"]))
-             for r in _shard_hashes(df, n_shards, key_col).collect()}
+    # the manifest attests the WRITTEN files, not the input lineage: a
+    # second evaluation of `df` (non-deterministic sampling upstream, a
+    # source that moved between the two jobs) would produce a manifest
+    # no copy of the shipped bytes can ever verify — so read back the
+    # same frame verify_export reads
+    try:
+        shipped = df.sparkSession.read.parquet(path)
+        stats = {int(r["shard"]): (int(r["n_rows"]), str(r["content_hash"]))
+                 for r in _shard_hashes(shipped).collect()}
+    except Exception as exc:  # UNABLE_TO_INFER_SCHEMA on a shard-less dir
+        if "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        stats = {}
     if not stats:
         # an empty release would leave a shard-less dir that
         # spark.read.parquet (and so verify_export) cannot even infer a

@@ -125,8 +125,11 @@ def _partial_agg(df: DataFrame, group_cols: list[str],
         # the batch's distinct values per (bucket, group) before the
         # slice — the same partial-state honesty note as CMS
         from mycelial_spark.operators.kmv import _kmv_hash
-        aggs.append(F.slice(F.array_sort(
-            F.collect_set(_kmv_hash(F.col(c), kmv_hash_mode))), 1, k)
+        # NULL skip mirrors kmv_sketch: xxhash64(NULL) = seed hash (42),
+        # so without the guard a NULL would count as a phantom member
+        aggs.append(F.slice(F.array_sort(F.collect_set(
+            F.when(F.col(c).isNotNull(),
+                   _kmv_hash(F.col(c), kmv_hash_mode)))), 1, k)
             .alias(f"kmv_{c}"))
     return df.groupBy("_tb", *group_cols).agg(*aggs)
 
@@ -222,6 +225,12 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                              f"{meta}; got {want}")
     if batch_id is not None and _exists(spark,
                                         f"{root}/_applied/{batch_id}"):
+        # pending+applied = crash AFTER publish, before the fence delete.
+        # _applied proves the swap completed, so this batch's stale fence
+        # is safe to clear here — otherwise every later batch would fence
+        # on it and demand a heal that has nothing to rebuild.
+        _jvm0, fs0, P0 = hadoop_fs(spark, root)
+        fs0.delete(P0(f"{root}/_pending/{batch_id}"), False)
         return {"buckets_touched": 0, "rows_in": 0, "created": False,
                 "skipped_replay": True}
     _jvm, fs, P = hadoop_fs(spark, root)
@@ -271,9 +280,15 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     fs_write_text(spark, f"{pend_dir}/{pend_id}", json.dumps(touched))
     with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("_tb").parquet(table)
-    fs.delete(P(f"{pend_dir}/{pend_id}"), False)
+    # _applied BEFORE dropping the pending fence: a crash between the two
+    # then leaves pending+applied — an at-least-once redelivery of THIS
+    # batch short-circuits on the applied check above, and any OTHER
+    # batch hits the fence and heals. The old order (delete fence, then
+    # mark applied) left a window with NEITHER marker, where a redelivery
+    # silently re-merged the batch and double-counted.
     if batch_id is not None:
         fs_write_text(spark, f"{root}/_applied/{batch_id}", "")
+    fs.delete(P(f"{pend_dir}/{pend_id}"), False)
     return {"buckets_touched": len(touched), "rows_in": int(st["rows_in"]),
             "created": created, "skipped_replay": False}
 

@@ -1,0 +1,103 @@
+"""Regression tests for the round-7 ADVICE findings fixed in round 8.
+
+(The rollup applied-before-fence ordering — the round's first medium
+finding — is covered in test_rollup.py next to the rest of the crash
+fences; the erasure hive-path escaping — the second — in test_erase.py.)
+"""
+
+from pyspark.sql import functions as F
+
+
+def _ts_df(spark, rows):
+    df = spark.createDataFrame(rows, "ts string, user_id long, value double")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_negative_epoch_buckets_floor_not_truncate(spark):
+    """Pre-1970 timestamps must bucket one LOW (floor), matching
+    peak_concurrency / the rollup / DuckDB's `//`. The old
+    (epoch/width).cast('long') truncated toward zero, landing negative
+    epochs one bucket high."""
+    from mycelial_spark.operators.timeseries import period_over_period
+    # 1969-12-31 12:00:00 UTC = epoch -43200 -> day bucket floor(-0.5) = -1
+    # 1970-01-01 06:00:00 UTC = epoch  21600 -> day bucket 0
+    df = _ts_df(spark, [("1969-12-31 12:00:00", 1, 10.0),
+                        ("1970-01-01 06:00:00", 1, 3.0)])
+    out = {r["bucket_ts"].isoformat(): (r["current"], r["previous"])
+           for r in period_over_period(df, bucket_seconds=86400,
+                                       lag_buckets=1).collect()}
+    # floor puts the first row in the 1969-12-31 bucket; truncation
+    # would have merged both rows into the epoch-0 bucket
+    assert out == {"1969-12-31T00:00:00": (10.0, None),
+                   "1970-01-01T00:00:00": (3.0, 10.0)}
+
+
+def test_negative_epoch_gapfill_spine_agrees_with_floor(spark):
+    from mycelial_spark.operators.timeseries import time_bucket_gapfill
+    df = _ts_df(spark, [("1969-12-30 23:00:00", 1, 1.0),
+                        ("1970-01-01 01:00:00", 1, 5.0)])
+    out = sorted((r["bucket_ts"].isoformat(), r["is_gap"])
+                 for r in time_bucket_gapfill(
+                     df, 86400, key_cols=["user_id"]).collect())
+    assert out == [("1969-12-30T00:00:00", False),
+                   ("1969-12-31T00:00:00", True),
+                   ("1970-01-01T00:00:00", False)]
+
+
+def test_cohort_retention_negative_epoch_offsets(spark):
+    """A user first seen pre-1970 and active the next day must show
+    offset 1, not share a truncated bucket with the later activity."""
+    from mycelial_spark.operators.timeseries import cohort_retention
+    df = _ts_df(spark, [("1969-12-31 12:00:00", 1, 1.0),
+                        ("1970-01-01 12:00:00", 1, 1.0)])
+    out = sorted((r["periods_since"], r["n_active"])
+                 for r in cohort_retention(df).collect())
+    assert out == [(0, 1), (1, 1)]
+
+
+def test_kmv_xxhash_null_values_are_skipped(spark):
+    """xxhash64(NULL) returns the seed hash (42), not NULL — NULLs must
+    be filtered BEFORE hashing so both hash modes share null-skipping
+    semantics and a NULL never counts as a phantom distinct member."""
+    from mycelial_spark.operators.kmv import kmv_distinct_estimate, kmv_sketch
+    rows = [("g", "a"), ("g", "b"), ("g", None), ("g", "a"), ("g", None)]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    for mode in ("xxhash64", "md5"):
+        sk = kmv_sketch(df, "grp", "v", k=8, hash_mode=mode)
+        est = sk.select(kmv_distinct_estimate("kmv", 8).alias("d")) \
+                .first()["d"]
+        assert est == 2.0, f"{mode}: NULL counted as a member"
+        clean = kmv_sketch(df.filter(F.col("v").isNotNull()),
+                           "grp", "v", k=8, hash_mode=mode)
+        assert sk.first()["kmv"] == clean.first()["kmv"]
+
+
+def test_rollup_kmv_partials_skip_nulls(spark, tmp_path):
+    from mycelial_spark.sinks.rollup import read_rollup, rollup_update
+    rows = [("2024-01-01 01:00:00", "g", 1, "a"),
+            ("2024-01-01 02:00:00", "g", 2, None),
+            ("2024-01-01 03:00:00", "g", 3, "b")]
+    df = spark.createDataFrame(
+        rows, "ts string, g string, v long, u string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "t")
+    rollup_update(df, p, "ts", ["g"], ["v"], kmv_cols={"u": 8})
+    sk = read_rollup(spark, p, finalize=False).first()["kmv_u"]
+    assert len(sk) == 2, "NULL must not be a phantom KMV member"
+
+
+def test_export_manifest_attests_written_files_not_lineage(spark, tmp_path):
+    """A non-deterministic upstream (unseeded rand sample) used to give
+    the manifest job a DIFFERENT sample than the written one — the
+    manifest then attested data that never shipped. The manifest is now
+    computed from reading back the written files, so verify_export must
+    agree no matter what the lineage re-evaluates to."""
+    from mycelial_spark.sinks.export import export_shards, verify_export
+    df = (spark.range(500)
+          .filter(F.rand() < 0.5)  # deliberately unseeded
+          .select(F.col("id"), (F.col("id") * 2).alias("v")))
+    p = str(tmp_path / "rel")
+    man = export_shards(df, p, n_shards=4, key_col="id")
+    res = verify_export(spark, p)
+    assert res["ok"], res
+    assert res["total_rows"] == man["total_rows"]

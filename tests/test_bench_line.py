@@ -60,6 +60,22 @@ def test_current_headline_suite_fits():
     json.loads(line)
 
 
+def test_calibration_and_vs_prev_survive_the_budget():
+    """r7 lesson: calibration was among the entries the line budget
+    dropped, exactly when the drift question needed it. It must now be
+    emitted before the queries dict and never dropped."""
+    out = _out(400)
+    out["vs_prev"] = {"common_n": 120, "ratio": 1.245, "ratio_cal": 1.02}
+    line = budget_line(out)
+    assert len(line) <= 1980
+    d = json.loads(line)
+    assert d["calibration"] == [0.4, 0.1]
+    assert d["vs_prev"]["ratio_cal"] == 1.02
+    assert d["queries_omitted"] > 0
+    # ordering: calibration appears before the queries dict in the line
+    assert line.index('"calibration"') < line.index('"queries"')
+
+
 def test_budget_is_hard_even_for_pathological_input():
     out = _out(1)
     out["queries"] = {"q" * 3000: 1.0}

@@ -84,6 +84,67 @@ def test_null_partition_values_survive(spark, tmp_path):
     assert [r["id"] for r in spark.read.parquet(p).collect()] == [2]
 
 
+def test_escaped_partition_values_are_dropped(spark, tmp_path):
+    """ADVICE r7: values with ':', '#', '%', '/' are written by Spark to
+    %XX-escaped directory names; building the drop path from the raw
+    Python value used to miss them silently (fs.delete → False,
+    dropped=0, rows still readable — a silent GDPR-erasure failure)."""
+    p = str(tmp_path / "t")
+    rows = [(1, "a:b c", "x"), (2, "a:b c", "y"),
+            (3, "p%q#r/s", "x"), (4, "safe", "x")]
+    _table(spark, p, rows)
+    out = delete_where(spark, p, "p = 'a:b c'", ["p"])
+    assert out["rows_deleted"] == 2 and out["partitions_dropped"] == 1
+    left = spark.read.parquet(p)
+    assert sorted(r["id"] for r in left.collect()) == [3, 4]
+    out2 = delete_where(spark, p, "id = 3", ["p"])
+    assert out2["rows_deleted"] == 1 and out2["partitions_dropped"] == 1
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == [4]
+
+
+def test_escaped_timestamp_partition_drop(spark, tmp_path):
+    """Timestamp partition values contain ':' (escaped on disk) and
+    Spark's cast-to-string trims trailing fraction zeros — the drop path
+    must use Spark's own string form, not str(py_datetime)."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-02 03:04:05.123"), (2, "2024-06-07 08:09:10")],
+        "id long, ts string").withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").partitionBy("ts").parquet(p)
+    out = delete_where(spark, p, "id = 1", ["ts"])
+    assert out["rows_deleted"] == 1 and out["partitions_dropped"] == 1
+    assert [r["id"] for r in spark.read.parquet(p).collect()] == [2]
+
+
+def test_missing_expected_drop_dir_raises(spark, tmp_path, monkeypatch):
+    """If the directory that should hold the erased rows cannot be
+    located, delete_where must RAISE, not report dropped=0 success."""
+    import mycelial_spark.sinks.erase as E
+    from mycelial_spark.fsutil import hadoop_fs as real_hfs
+    p = str(tmp_path / "t")
+    _table(spark, p, ROWS)
+
+    class _FS:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def exists(self, path):
+            return False  # simulate an unlocatable partition directory
+
+        def __getattr__(self, k):
+            return getattr(self._fs, k)
+
+    def fake_hfs(spark_, path_):
+        jvm, fs, P = real_hfs(spark_, path_)
+        return jvm, _FS(fs), P
+
+    monkeypatch.setattr(E, "hadoop_fs", fake_hfs, raising=False)
+    import mycelial_spark.fsutil as FU
+    monkeypatch.setattr(FU, "hadoop_fs", fake_hfs)
+    with pytest.raises(RuntimeError, match="erasure incomplete"):
+        delete_where(spark, p, "p = 'c'", ["p"])
+
+
 def test_unpartitioned_guard_and_opt_in(spark, tmp_path):
     p = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string")

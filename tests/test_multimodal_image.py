@@ -126,6 +126,94 @@ def test_image_features_null_payload_is_poison_not_crash(spark):
     assert rows[2]["width"] is None and rows[2]["n_bytes"] == 0
 
 
+@pytest.mark.parametrize("shape", [(1, 1, 1), (5, 16, 3), (7, 3, 4),
+                                   (11, 2, 2), (6, 6, 1)])
+@pytest.mark.parametrize("filter_mode", ["cycle", "none"])
+def test_png_roundtrip_all_channel_counts(shape, filter_mode):
+    """encode_png -> _decode_pixels is identity for gray / gray+alpha /
+    RGB / RGBA; 'cycle' runs every scanline filter (None/Sub/Up/
+    Average/Paeth) through the unfilter."""
+    px = _px(*shape[:2], c=shape[2], seed=shape[0] * 31 + shape[2])
+    back = MM._decode_pixels(MM.encode_png(px, filter_mode))
+    assert back.shape == px.shape and (back == px).all()
+
+
+def test_png_decode_metadata_and_tall_image_filters():
+    """A tall image guarantees >= 2 full filter cycles; decode_image
+    labels the format."""
+    px = _px(13, 4, c=3)
+    meta = MM.decode_image(MM.encode_png(px))
+    assert meta == {"format": "png", "width": 4, "height": 13,
+                    "channels": 3,
+                    "mean_value": round(float(px.mean()), 6)}
+
+
+def test_png_palette_expands_to_rgb():
+    import zlib
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    raw = bytes([0, 0, 1, 2, 0, 3, 3, 0])   # 2 rows of 3 indexes
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (MM.PNG_SIGNATURE + MM._png_chunk(b"IHDR", ihdr)
+           + MM._png_chunk(b"PLTE", plte)
+           + MM._png_chunk(b"IDAT", zlib.compress(raw))
+           + MM._png_chunk(b"IEND", b""))
+    out = MM._decode_pixels(png)
+    assert out.shape == (2, 3, 3)
+    assert out.tolist() == [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                            [[10, 20, 30], [10, 20, 30], [255, 0, 0]]]
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    import zlib
+    px = _px(2, 2, c=3)
+    good = MM.encode_png(px)
+    # corrupt one IDAT byte -> CRC mismatch must raise, not mis-decode
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|truncated|unknown"):
+        MM._decode_pixels(bytes(bad))
+    # truncated stream
+    with pytest.raises(ValueError, match="truncated|IEND"):
+        MM._decode_pixels(good[:30])
+    # interlaced
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png = (MM.PNG_SIGNATURE + MM._png_chunk(b"IHDR", ihdr)
+           + MM._png_chunk(b"IDAT", zlib.compress(b"\x00ab\x00cd"))
+           + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="interlaced"):
+        MM._decode_pixels(png)
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png = (MM.PNG_SIGNATURE + MM._png_chunk(b"IHDR", ihdr)
+           + MM._png_chunk(b"IDAT", zlib.compress(b"\x00ab"))
+           + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="bit depth"):
+        MM._decode_pixels(png)
+    # palette index out of range
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    png = (MM.PNG_SIGNATURE + MM._png_chunk(b"IHDR", ihdr)
+           + MM._png_chunk(b"PLTE", bytes([1, 2, 3]))
+           + MM._png_chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+           + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="palette index"):
+        MM._decode_pixels(png)
+
+
+def test_png_ahash_equals_ppm_ahash_distributed(spark):
+    """synth_png and synth_ppm encode the same pixels; PNG is lossless,
+    so the perceptual hashes must be identical — the distributed form
+    of the oracle's end-to-end decoder check."""
+    from pyspark.sql import functions as F
+    rows = [(i, f"document number {i} with some text payload " * (i + 1))
+            for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = MM.image_ahash(MM.synth_ppm(docs)).withColumnRenamed("ahash", "a")
+    b = MM.image_ahash(MM.synth_png(docs)).withColumnRenamed("ahash", "b")
+    j = a.join(b, "id")
+    assert j.count() == 12
+    assert j.filter(F.col("a") != F.col("b")).count() == 0
+
+
 def test_image_ahash_hand_computed(spark):
     """A half-dark / half-bright 8x16 image hashes to exactly the
     bright half's bits; integer arithmetic end to end."""

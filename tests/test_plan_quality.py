@@ -18,13 +18,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
 
 from explain_audit import audit  # noqa: E402
 
-from mycelial_spark.queries import REGISTRY
+from mycelial_spark.queries import BENCH_ONLY, REGISTRY
 
 SF = "/root/testdata/sf0.001"
 
 
 def plan_of(spark, name):
-    df = REGISTRY[name].fn(spark, SF)
+    fn = REGISTRY[name].fn if name in REGISTRY else BENCH_ONLY[name]
+    df = fn(spark, SF)
     return spark.sparkContext._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted")
 
@@ -116,7 +117,11 @@ _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
                   # all-pairs join of the |groups|-row SKETCH table
                   # (k-length arrays) — sketch-sized by construction,
                   # the corpus is long gone
-                  "segment_user_overlap_kmv"}
+                  "segment_user_overlap_kmv",
+                  # identical kmv_overlap shape over the |sources|-row
+                  # token-sketch table (the r7 miss: same operator, same
+                  # rationale as segment_user_overlap_kmv)
+                  "source_vocab_overlap_kmv"}
 
 
 def test_no_accidental_nested_loop_joins(spark):
@@ -124,7 +129,7 @@ def test_no_accidental_nested_loop_joins(spark):
     cartesian join outside the explicit whitelist fails the build —
     the regression that silently turns a broadcast into an n^2 scan."""
     flagged = {}
-    for name in REGISTRY:
+    for name in list(REGISTRY) + list(BENCH_ONLY):
         a = audit(plan_of(spark, name))
         if a["bnlj"] or a["cartesian"]:
             flagged[name] = (a["bnlj"], a["cartesian"])

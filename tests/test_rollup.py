@@ -107,6 +107,66 @@ def test_pending_fence_and_heal(spark, tmp_path):
                   "ts", ["g"], ["v"], batch_id="b2")
 
 
+def test_crash_after_publish_before_fence_delete_no_double_count(
+        spark, tmp_path):
+    """ADVICE r7: the applied marker is written BEFORE the pending fence
+    is dropped. A crash between them leaves pending+applied — a
+    redelivery of the SAME batch short-circuits on the applied check
+    (and clears the stale fence), and other batches proceed unfenced
+    afterwards. Under the old order (fence deleted first) the crash
+    window left NEITHER marker and a redelivery silently double-counted."""
+    p = str(tmp_path / "t")
+    df = _ev(spark, ROWS[:3])
+    rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    before = _state(spark, p)
+    # simulate the crash: applied/b1 exists (publish completed), but the
+    # pending fence for b1 was never deleted
+    os.makedirs(f"{p}/_pending", exist_ok=True)
+    with open(f"{p}/_pending/b1", "w") as fh:
+        fh.write("[1704067200]")
+    out = rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    assert out["skipped_replay"]
+    assert _state(spark, p) == before, "redelivery must not double-count"
+    assert not os.path.exists(f"{p}/_pending/b1"), \
+        "stale fence of a published batch must be cleared"
+    # and a DIFFERENT batch now runs without fencing
+    rollup_update(_ev(spark, [("2024-01-09 00:00:01", "a", 2)]), p,
+                  "ts", ["g"], ["v"], batch_id="b2")
+
+
+def test_crash_before_applied_marker_fences_not_double_counts(
+        spark, tmp_path, monkeypatch):
+    """Fault-inject the other half of the window: the publish succeeds
+    but writing the applied marker raises. The pending fence must still
+    be in place, so a redelivery FENCES (heal path) instead of silently
+    re-merging."""
+    import mycelial_spark.sinks.rollup as RU
+    from mycelial_spark.fsutil import fs_write_text as real_write
+    p = str(tmp_path / "t")
+    df = _ev(spark, ROWS[:3])
+
+    def boom(spark_, path_, text_):
+        if "_applied/" in path_:
+            raise RuntimeError("crash before applied marker")
+        return real_write(spark_, path_, text_)
+
+    monkeypatch.setattr(RU, "fs_write_text", boom, raising=False)
+    # rollup_update imports fs_write_text locally from fsutil
+    import mycelial_spark.fsutil as FU
+    monkeypatch.setattr(FU, "fs_write_text", boom)
+    with pytest.raises(RuntimeError, match="crash before applied"):
+        rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    monkeypatch.undo()
+    assert os.listdir(f"{p}/_pending"), "fence must survive the crash"
+    with pytest.raises(RuntimeError, match="pending update"):
+        rollup_update(df, p, "ts", ["g"], ["v"], batch_id="b1")
+    healed = rollup_heal(spark, p, df)
+    assert healed["healed_buckets"] >= 1
+    one = str(tmp_path / "one")
+    rollup_update(df, one, "ts", ["g"], ["v"])
+    assert _state(spark, p) == _state(spark, one)
+
+
 def test_validation_and_meta_drift(spark, tmp_path):
     p = str(tmp_path / "t")
     df = _ev(spark, ROWS[:2])

@@ -96,7 +96,8 @@ def main() -> int:
             continue
         print(f"ok   {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs) if not only else len(only)} passed")
+    checked = len(only) if only else len(qs)
+    print(f"\n{checked - len(failures)}/{checked} passed")
     return 1 if failures else 0
 
 
