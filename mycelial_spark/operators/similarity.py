@@ -1445,6 +1445,83 @@ def ann_delete(spark, path: str, ids) -> dict:
             "cells_touched": len(hit_cells)}
 
 
+def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
+                 max_drift: float = 0.2, max_files_per_cell: int = 8,
+                 max_splits: int = 4) -> dict:
+    """Auto-maintenance POLICY over the lifecycle primitives: read
+    ann_index_stats, split the hottest IVF cells while imbalance
+    exceeds ``max_imbalance`` (at most ``max_splits`` per call — each
+    split is the localized fix, so the policy stays incremental), then
+    compact when appends have accrued more than ``max_files_per_cell``
+    files in any cell directory. Returns the actions taken plus
+    before/after stats and a ``rebuild_recommended`` flag when the
+    thresholds cannot be restored by local moves (LSH hot buckets —
+    the signature IS the bucket, raise planes and rebuild — or drift
+    that persists after the split budget).
+
+    This is the streaming-runner hook (ann_append_dest
+    auto_maintain=true): appends degrade balance gradually, the policy
+    restores it without a manual call — the rollup heal-fence shape
+    applied to index health. Stats cost one partition-column-only scan
+    (no vector bytes), so running it per delivered batch is cheap; the
+    expensive moves (split rewrites two cell dirs, compact rewrites the
+    touched layout) happen only when a threshold actually trips.
+    A pending split left by a crash resumes before anything else
+    (ann_split_cell's own recovery contract)."""
+    if max_splits < 0 or max_imbalance <= 1.0:
+        raise ValueError("max_splits must be >= 0 and max_imbalance > 1")
+    meta = ann_load_meta(path, spark)
+    resumed = False
+    if meta.get("pending_split"):
+        _split_resume(spark, path, meta)
+        resumed = True
+    is_lsh = meta.get("index_type") == "lsh"
+    before = ann_index_stats(spark, path)
+    stats = before
+    splits: list[dict] = []
+    if not is_lsh:
+        while stats["imbalance"] > max_imbalance and len(splits) < max_splits:
+            hot = max(stats["cells"], key=stats["cells"].get)
+            if stats["cells"][hot] < 2:
+                break
+            out = ann_split_cell(spark, path, hot)
+            splits.append(out)
+            prev_max = stats["cells"][hot]
+            stats = ann_index_stats(spark, path)
+            # a cell of identical vectors can't split below itself —
+            # stop rather than spend the budget on a no-op loop
+            if max(stats["cells"].values()) >= prev_max:
+                break
+    # file-count pass: bounded by n_cells directory listings
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, path)
+    part_col = _meta_partition_col(meta)
+    worst_files = 0
+    cells_root = P(f"{path}/cells")
+    if fs.exists(cells_root):
+        for st in fs.listStatus(cells_root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(f"{part_col}="):
+                n = sum(1 for f_ in fs.listStatus(st.getPath())
+                        if f_.getPath().getName().endswith(".parquet"))
+                worst_files = max(worst_files, n)
+    compacted = False
+    if worst_files > max_files_per_cell:
+        ann_compact(spark, path)
+        compacted = True
+        stats = ann_index_stats(spark, path)
+    rebuild = ((stats["imbalance"] > max_imbalance)
+               or (stats["drift"] is not None
+                   and stats["drift"] > max_drift))
+    return {"path": path, "resumed_pending_split": resumed,
+            "splits": splits, "compacted": compacted,
+            "max_files_per_cell_seen": worst_files,
+            "rebuild_recommended": bool(rebuild),
+            "imbalance_before": before["imbalance"],
+            "imbalance_after": stats["imbalance"],
+            "drift_after": stats["drift"]}
+
+
 def contrastive_triplets(df: DataFrame, centroids: list[list[float]],
                          threshold: float = 0.4, k: int = 3,
                          nprobe: int = 3, vec_col: str = "embedding",

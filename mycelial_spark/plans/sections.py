@@ -1652,19 +1652,35 @@ def ann_index_dest(spark, cfg, df):
 
 
 @_register("ann_append_dest", "destination", "dataframe", "none",
-           [Field("path")],
+           [Field("path"), Field("auto_maintain", "bool", False),
+            Field("max_imbalance", "float", 4.0),
+            Field("max_drift", "float", 0.2),
+            Field("max_files_per_cell", "int", 8),
+            Field("max_splits", "int", 4)],
            doc="STREAMING growth of a persistent ANN index: each "
                "delivered micro-batch's vectors are assigned with the "
                "sidecar's frozen quantizer (and encoded with its PQ "
                "codebooks when present) and appended into the existing "
-               "cell partitions — no rewrites, no retrain; pair with "
-               "ann_index_stats/ann_split_cell when drift accrues. The "
-               "index must already exist (ann_index_dest builds it). "
-               "Replays are idempotent: already-indexed ids anti-join "
-               "away before the append (ids-only column-pruned scan).")
+               "cell partitions — no rewrites, no retrain. The index "
+               "must already exist (ann_index_dest builds it). Replays "
+               "are idempotent: already-indexed ids anti-join away "
+               "before the append (ids-only column-pruned scan). "
+               "auto_maintain=true runs the ann_maintain policy after "
+               "each delivered batch (stats are a partition-column-only "
+               "scan): hot IVF cells split, over-fragmented cells "
+               "compact, and unrecoverable drift/LSH hot buckets flag "
+               "rebuild_recommended — balance heals without a manual "
+               "call, the rollup heal-fence shape on index health.")
 def ann_append_dest(spark, cfg, df):
-    from mycelial_spark.operators.similarity import ann_append
-    return ann_append(df, cfg["path"], skip_existing_ids=True)
+    from mycelial_spark.operators.similarity import ann_append, ann_maintain
+    out = ann_append(df, cfg["path"], skip_existing_ids=True)
+    if cfg["auto_maintain"] and out.get("appended"):
+        ann_maintain(spark, cfg["path"],
+                     max_imbalance=cfg["max_imbalance"],
+                     max_drift=cfg["max_drift"],
+                     max_files_per_cell=cfg["max_files_per_cell"],
+                     max_splits=cfg["max_splits"])
+    return out
 
 
 @_register("ann_search", "source", "none", "dataframe",

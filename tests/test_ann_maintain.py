@@ -1,0 +1,118 @@
+"""ANN index auto-maintenance policy (ann_maintain + the
+ann_append_dest auto_maintain hook): skewed streaming appends degrade
+cell balance, the policy splits hot cells / compacts fragments without
+a manual call, and search stays exact against brute force."""
+
+import glob
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators import similarity as S
+
+
+def _clustered(spark, n_per, centers, start_id=0, spread=0.05, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = start_id
+    for c in centers:
+        for _ in range(n_per):
+            v = np.asarray(c) + rng.normal(0, spread, len(c))
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+_CENTERS = [[4.0, 0, 0, 0], [0, 4.0, 0, 0], [0, 0, 4.0, 0], [0, 0, 0, 4.0]]
+
+
+def test_skewed_appends_trip_split_and_restore_balance(spark, tmp_path):
+    """Appends concentrated in one cell push imbalance past the
+    threshold; ann_append_dest(auto_maintain=true) splits the hot cell
+    (sidecar grows a centroid), imbalance falls, and top-1 search for
+    an appended vector is still exact with partition pruning."""
+    from mycelial_spark.plans.sections import REGISTRY
+    idx = str(tmp_path / "idx")
+    S.ann_build_index(_clustered(spark, 30, _CENTERS), idx, n_centroids=4,
+                      id_col="vec_id")
+    assert len(S.ann_load_meta(idx)["centroids"]) == 4
+
+    # hot batch: 150 vectors around center 0 (vs 30/cell elsewhere)
+    hot = _clustered(spark, 150, [_CENTERS[0]], start_id=10_000, seed=11)
+    sdef = REGISTRY.get("ann_append_dest")
+    cfg = sdef.validate_config({"type": "ann_append_dest", "path": idx,
+                                "auto_maintain": True,
+                                "max_imbalance": 2.0, "max_splits": 4})
+    out = sdef.builder(spark, cfg, hot)
+    assert out["appended"] and out["rows"] == 150
+
+    meta = S.ann_load_meta(idx)
+    assert len(meta["centroids"]) > 4, "hot cell must have split"
+    assert "pending_split" not in meta
+    st = S.ann_index_stats(spark, idx)
+    assert st["rows"] == 120 + 150
+    assert st["imbalance"] <= 2.0 + 1e-9, st
+    # recall: an appended vector is its own nearest neighbor
+    probe = hot.filter(F.col("vec_id") == 10_007).first()
+    got = S.ann_search(spark, idx, [float(x) for x in probe["embedding"]],
+                       k=1, nprobe=2).first()
+    assert got["vec_id"] == 10_007
+
+
+def test_fragmented_cells_trigger_compaction(spark, tmp_path):
+    """Each append leaves one file per touched cell; past
+    max_files_per_cell the policy compacts back to one file per cell
+    without changing rows."""
+    idx = str(tmp_path / "idx")
+    S.ann_build_index(_clustered(spark, 10, _CENTERS), idx, n_centroids=4,
+                      id_col="vec_id")
+    for k in range(4):
+        S.ann_append(_clustered(spark, 2, _CENTERS,
+                                start_id=1000 + 100 * k, seed=20 + k), idx)
+    frag = max(len(glob.glob(f"{d}/*.parquet"))
+               for d in glob.glob(f"{idx}/cells/ivf_cell=*"))
+    assert frag >= 4
+    rep = S.ann_maintain(spark, idx, max_files_per_cell=2,
+                         max_imbalance=100.0)
+    assert rep["compacted"] and rep["max_files_per_cell_seen"] == frag
+    assert all(len(glob.glob(f"{d}/*.parquet")) == 1
+               for d in glob.glob(f"{idx}/cells/ivf_cell=*"))
+    assert S.ann_index_stats(spark, idx)["rows"] == 40 + 4 * 8
+    # idle index: second call is a no-op
+    rep2 = S.ann_maintain(spark, idx, max_files_per_cell=2,
+                          max_imbalance=100.0)
+    assert not rep2["compacted"] and not rep2["splits"]
+
+
+def test_lsh_hot_bucket_recommends_rebuild_not_split(spark, tmp_path):
+    """LSH buckets cannot split (the signature IS the bucket): the
+    policy takes no action and flags rebuild_recommended."""
+    idx = str(tmp_path / "idx")
+    df = _clustered(spark, 40, [_CENTERS[0]])  # one cluster -> hot bucket
+    S.ann_build_index(df, idx, index_type="lsh", planes=4,
+                      id_col="vec_id")
+    rep = S.ann_maintain(spark, idx, max_imbalance=1.5)
+    assert rep["splits"] == [] and rep["rebuild_recommended"]
+
+
+def test_split_budget_and_identical_vector_guard(spark, tmp_path):
+    """A cell of IDENTICAL vectors cannot improve by splitting — the
+    policy stops instead of burning max_splits on no-op loops."""
+    rows = ([(i, [4.0, 0.0, 0.0, 0.0]) for i in range(60)]
+            + [(100 + i, [float(x) for x in c])
+               for i, c in enumerate(_CENTERS[1:])])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = str(tmp_path / "idx")
+    S.ann_build_index(df, idx, n_centroids=4, id_col="vec_id")
+    rep = S.ann_maintain(spark, idx, max_imbalance=1.5, max_splits=3)
+    assert len(rep["splits"]) <= 3
+    assert rep["rebuild_recommended"]  # imbalance cannot be restored
+
+
+def test_maintain_validates_thresholds(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    S.ann_build_index(_clustered(spark, 5, _CENTERS), idx, n_centroids=4,
+                      id_col="vec_id")
+    with pytest.raises(ValueError, match="max_imbalance"):
+        S.ann_maintain(spark, idx, max_imbalance=1.0)
