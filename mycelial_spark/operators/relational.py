@@ -692,6 +692,58 @@ def skew_profile(df: DataFrame, key_cols: Sequence[str],
             .limit(top_n))
 
 
+def k_anonymity(df: DataFrame, qi_cols: Sequence[str],
+                k: int = 5) -> DataFrame:
+    """Re-identification risk audit: every quasi-identifier combination
+    shared by FEWER than ``k`` rows — the groups where joining a public
+    register on the QI columns singles real people out (Sweeney's
+    k-anonymity, the standard pre-release privacy gate for training
+    data carrying demographic-ish columns; pairs with delete_where /
+    lake erasure as the act-on-it step).
+
+    Returns (qi..., n_rows) for violating groups, NULL QI values
+    treated as their own group (a NULL ZIP still identifies the "no
+    ZIP" crowd). ONE hash aggregate (map-side partial) + a count
+    filter: no window, no distinct, safe at any QI cardinality — the
+    violating-group result is at most |groups| rows and is typically
+    tiny (the long tail IS the finding)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2; got {k}")
+    missing = [c for c in qi_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns {missing}; have "
+                         f"{list(df.columns)}")
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .filter(F.col("n_rows") < k))
+
+
+def l_diversity(df: DataFrame, qi_cols: Sequence[str],
+                sensitive_col: str, l: int = 2) -> DataFrame:  # noqa: E741
+    """The companion audit k-anonymity misses: a QI group can be large
+    yet expose everyone in it when the SENSITIVE column is uniform
+    (all 50 people in the (age-band, zip) cell share one diagnosis —
+    homogeneity attack). Returns QI groups whose sensitive column has
+    fewer than ``l`` distinct values: (qi..., n_rows,
+    n_sensitive_values). One aggregate with a single-distinct measure —
+    Spark plans it as the two-stage partial-distinct shape, no EXPAND,
+    no window. NULL sensitive values don't count as a diversity value
+    (count_distinct skips NULLs): a group of all-NULL sensitive rows
+    reports 0 and flags."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2; got {l}")
+    missing = [c for c in (*qi_cols, sensitive_col)
+               if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns {missing}; have "
+                         f"{list(df.columns)}")
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_distinct(F.col(sensitive_col))
+                 .alias("n_sensitive_values"))
+            .filter(F.col("n_sensitive_values") < l))
+
+
 def validate_constraints(df: DataFrame,
                          rules: Sequence[dict]) -> DataFrame:
     """Data-contract validation (dbt-test / expectations style): each

@@ -94,6 +94,63 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                                 F.greatest(F.size(toks), F.lit(1)), 6)))
 
 
+def with_char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-distribution diversity per document — the integer-exact
+    repetition/gibberish signal: Simpson-index complement
+    ``1 - Σ n_c² / N²`` over the codepoint histogram (1 − the
+    probability two random positions hold the same character). Keyboard
+    mash, repeated-char padding, and single-char flood documents score
+    near 0; natural text sits ~0.92-0.96. Chosen over Shannon entropy
+    deliberately: the run-length squares are BIGINT sums (bit-identical
+    in any engine), while entropy's Σ n·ln n inherits each libm's 1-ulp
+    ``ln`` slack — the same cross-engine float discipline as the
+    decimal window sums.
+
+    Shape: one codegen projection, zero shuffle, zero UDF — the sorted
+    codepoint array folds through ``aggregate`` with a
+    (prev, run, Σrun²) struct accumulator, so cost is O(len·log len)
+    per row inside the scan stage. Caveat: Spark splits at UTF-16 code
+    units, so astral-plane codepoints (emoji) count as two surrogates;
+    engines that split at codepoints differ there (fixtures are
+    BMP-only; the signal is insensitive to it anyway).
+
+    Appends (n_chars_counted, distinct_chars, char_diversity) —
+    diversity NULL for empty/NULL text, 0.0 for a single repeated char.
+    """
+    c = F.col(text_col)
+    chars = F.array_sort(F.split(c, ""))
+    n = F.size(chars)
+    # fold: on a run boundary bank run² and restart the counter
+    fold = F.aggregate(
+        chars,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("bigint").alias("run"),
+                 F.lit(0).cast("bigint").alias("acc")),
+        lambda st, ch: F.struct(
+            ch.alias("prev"),
+            F.when(st["prev"].eqNullSafe(ch), st["run"] + 1)
+             .otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(st["prev"].eqNullSafe(ch), st["acc"])
+             .otherwise(st["acc"] + st["run"] * st["run"]).alias("acc")),
+        lambda st: st["acc"] + st["run"] * st["run"])
+    # split('', '') yields [''] (size 1), so emptiness gates on length
+    empty = c.isNull() | (F.length(c) == 0)
+    return (df
+            .withColumn("n_chars_counted",
+                        F.when(c.isNull(), F.lit(None).cast("int"))
+                         .when(F.length(c) == 0, F.lit(0)).otherwise(n))
+            .withColumn("distinct_chars",
+                        F.when(c.isNull(), F.lit(None).cast("int"))
+                         .when(F.length(c) == 0, F.lit(0))
+                         .otherwise(F.size(F.array_distinct(chars))))
+            .withColumn(
+                "char_diversity",
+                F.when(empty, F.lit(None).cast("double"))
+                 .otherwise(F.round(F.lit(1.0)
+                                    - fold / (n.cast("bigint")
+                                              * n.cast("bigint")), 6))))
+
+
 # Gopher rules [Rae et al. 2021, "Scaling Language Models" App. A1.1 —
 # public recipe]: the de-facto standard pretraining quality gate.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",

@@ -7406,6 +7406,82 @@ def source_vocab_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(sk, "source", 64)
 
 
+@query("char_diversity", """
+WITH ch AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+  FROM documents WHERE length(text) > 0
+),
+n AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch GROUP BY 1, 2),
+s AS (SELECT doc_id, sum(n * n) AS ss, sum(n) AS nn,
+             count(*) AS d FROM n GROUP BY 1)
+SELECT d0.doc_id,
+       CASE WHEN d0.text IS NULL THEN NULL
+            WHEN length(d0.text) = 0 THEN 0
+            ELSE CAST(s.nn AS INT) END AS n_chars_counted,
+       CASE WHEN d0.text IS NULL THEN NULL
+            WHEN length(d0.text) = 0 THEN 0
+            ELSE CAST(s.d AS INT) END AS distinct_chars,
+       CASE WHEN d0.text IS NULL OR length(d0.text) = 0 THEN NULL
+            ELSE round(1 - CAST(s.ss AS DOUBLE)
+                       / CAST(s.nn * s.nn AS DOUBLE), 6)
+       END AS char_diversity
+FROM documents d0 LEFT JOIN s USING (doc_id)
+""")
+def char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-diversity quality signal (r8): Simpson-
+    index complement over the codepoint histogram — integer-exact run-
+    length squares folded through ONE codegen higher-order aggregate
+    (zero shuffle, zero UDF; operators/text.py with_char_diversity),
+    chosen over Shannon entropy so the oracle replays the arithmetic
+    bit-for-bit (BIGINT sums + one double division) instead of
+    inheriting libm's 1-ulp ln() slack. Flags keyboard mash / repeated-
+    char flood docs the token-level stats miss."""
+    from mycelial_spark.operators.text import with_char_diversity
+    docs = _t(spark, sf_dir, "documents")
+    return (with_char_diversity(docs)
+            .select("doc_id", "n_chars_counted", "distinct_chars",
+                    "char_diversity"))
+
+
+@query("k_anonymity_audit", """
+SELECT c_nationkey, c_mktsegment, count(*) AS n_rows
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(*) < 8
+""")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit (r8): quasi-identifier combinations
+    (nation, market segment) shared by fewer than k=8 customers — the
+    groups a public-register join would single out. ONE hash aggregate
+    + count filter (operators/relational.py k_anonymity); output is at
+    most |groups| rows. Pairs with sinks/erase.py delete_where as the
+    act-on-it step. 11 violating cells at sf0.01."""
+    from mycelial_spark.operators.relational import k_anonymity
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=8)
+
+
+@query("l_diversity_audit", """
+SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+       count(DISTINCT floor(c_acctbal / 2000)) AS n_sensitive_values
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+HAVING count(DISTINCT floor(c_acctbal / 2000)) < 4
+""")
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity homogeneity audit (r8) — the attack k-anonymity
+    misses: QI groups whose SENSITIVE attribute (account-balance band)
+    is too uniform, so membership alone leaks the value. Single-
+    distinct aggregate (two-stage partial-distinct plan, no EXPAND;
+    operators/relational.py l_diversity). 9 violating cells at
+    sf0.01."""
+    from mycelial_spark.operators.relational import l_diversity
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "acctbal_band", F.floor(F.col("c_acctbal") / 2000))
+    return l_diversity(cust, ["c_nationkey", "c_mktsegment"],
+                       "acctbal_band", l=4)
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in REGISTRY.items()}
 

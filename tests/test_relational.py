@@ -318,3 +318,36 @@ def test_json_key_profile(spark):
     assert got["a"] == (2, 0.4, 2)
     assert got["b"] == (2, 0.4, 1)
     assert got["c"][0] == 1 and got["c"][2] == 1  # nested stays one value
+
+
+def test_k_anonymity(spark):
+    from mycelial_spark.operators.relational import k_anonymity
+    df = spark.createDataFrame(
+        [(30, "10001", "flu")] * 5 + [(30, "10002", "flu")] * 2
+        + [(None, "10003", "ok")],
+        "age int, zip string, dx string")
+    got = {(r["age"], r["zip"]): r["n_rows"]
+           for r in k_anonymity(df, ["age", "zip"], k=5).collect()}
+    # the 5-row group is safe; the 2-row and the NULL-age singleton flag
+    assert got == {(30, "10002"): 2, (None, "10003"): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_anonymity(df, ["age"], k=1)
+    with _pt.raises(ValueError):
+        k_anonymity(df, ["nope"])
+
+
+def test_l_diversity(spark):
+    from mycelial_spark.operators.relational import l_diversity
+    df = spark.createDataFrame(
+        [(30, "flu"), (30, "flu"), (30, "flu"),      # large but uniform
+         (40, "flu"), (40, "cold"),                  # diverse enough
+         (50, None), (50, None)],                    # all-NULL sensitive
+        "age int, dx string")
+    got = {r["age"]: (r["n_rows"], r["n_sensitive_values"])
+           for r in l_diversity(df, ["age"], "dx", l=2).collect()}
+    # age=40 has 2 distinct dx -> passes; 30 is homogeneous; 50 counts 0
+    assert got == {30: (3, 1), 50: (2, 0)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        l_diversity(df, ["age"], "dx", l=1)

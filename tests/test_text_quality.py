@@ -43,3 +43,23 @@ def test_term_flags_token_level_and_occurrences(spark):
     import pytest as _p
     with _p.raises(ValueError):
         with_term_flags(df, [])
+
+
+def test_char_diversity(spark):
+    from mycelial_spark.operators.text import with_char_diversity
+    df = spark.createDataFrame(
+        [("a", "aaaa"), ("b", "abab"), ("c", ""), ("d", None),
+         ("e", "abc")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_chars_counted"], r["distinct_chars"],
+                         r["char_diversity"])
+           for r in with_char_diversity(df).collect()}
+    # single repeated char: 1 - 16/16 = 0
+    assert got["a"] == (4, 1, 0.0)
+    # abab: runs a,a=2 b,b=2 -> 1 - (4+4)/16 = 0.5
+    assert got["b"] == (4, 2, 0.5)
+    # empty -> zeros with NULL diversity; NULL -> all NULL
+    assert got["c"] == (0, 0, None)
+    assert got["d"] == (None, None, None)
+    # all-distinct: 1 - 3/9
+    assert got["e"] == (3, 3, round(1 - 3 / 9, 6))
