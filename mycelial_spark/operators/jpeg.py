@@ -1,0 +1,553 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 / ISO 10918-1, public
+spec; independently implemented — no libjpeg/PIL derivation).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit precision, grayscale and
+YCbCr (any sampling factors incl. 4:4:4 / 4:2:2 / 4:2:0), canonical
+Huffman entropy decoding with byte-unstuffing and restart markers,
+dequantization, inverse zigzag, float IDCT (vectorized over all blocks
+of a component via one einsum), nearest-neighbor chroma upsampling, and
+the JFIF YCbCr->RGB transform. Progressive (SOF2), arithmetic coding,
+12-bit precision, and hierarchical modes raise ``ValueError``.
+
+Encoder (fixture/test side): grayscale or RGB 4:4:4, Annex K example
+Huffman tables, libjpeg-formula quality scaling of the Annex K
+quantization tables — plus ``quant_all_ones=True``, which with
+BLOCK-CONSTANT input makes the round trip EXACT: a constant 8x8 block
+has every AC coefficient identically 0 and an integer-valued DC, so
+quantization at step 1 loses nothing and the decoder's IDCT returns the
+constant bit-for-bit. That exactness is what lets a DuckDB oracle
+replay an image pipeline THROUGH a real JPEG entropy-decode + IDCT (see
+queries.py image_dedup_pairs_jpeg); general content round-trips are
+verified by PSNR in tests, which is all lossy coding can promise.
+
+Throughput note: entropy decoding is a per-symbol Python loop (the
+spec's Huffman stream is inherently serial per scan); the IDCT and
+color math are vectorized numpy. At corpus scale the parallelism comes
+from Arrow-batched mapInPandas across images — the same shape as every
+other codec leg in operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# zigzag scan order: index z -> (row, col) flat position (T.81 fig. 5)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 example quantization tables (luminance, chrominance)
+QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 example Huffman tables: (bits[1..16], values)
+HT_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+              list(range(12)))
+HT_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                list(range(12)))
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _idct_matrix():
+    import numpy as np
+    x = np.arange(8)
+    A = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    return A  # A[u, x]: coef row u evaluated at pixel x
+
+
+def _build_huff(bits, values):
+    """Canonical Huffman: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_huff(bits, values):
+    """symbol -> (length, code) for the encoder."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """Entropy-stream bit reader: byte-unstuffing (FF 00 -> FF), RST
+    marker detection (reported to the caller, which resets predictors
+    and realigns)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                # restart marker reached mid-read: a correct stream
+                # never demands bits across one
+                raise ValueError("bit read across a restart marker")
+            else:
+                raise ValueError(f"unexpected marker FF{nxt:02X} in "
+                                 "entropy stream" if nxt is not None
+                                 else "truncated JPEG entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def decode(self, table) -> int:
+        ln = 0
+        code = 0
+        while ln < 16:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def restart(self):
+        """Consume an RSTn marker at a byte boundary; discard bit cache."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        if (self.pos + 1 < len(d) and d[self.pos] == 0xFF
+                and 0xD0 <= d[self.pos + 1] <= 0xD7):
+            self.pos += 2
+            return
+        raise ValueError("expected JPEG restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    return v - (1 << size) + 1 if v < (1 << (size - 1)) else v
+
+
+def decode_jpeg(payload: bytes):
+    """Decode baseline JPEG bytes to an (h, w, c) uint8 array
+    (c = 1 gray, 3 RGB)."""
+    import numpy as np
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    hts: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        m = payload[pos + 1]
+        if m == 0xD9:                                  # EOI
+            raise ValueError("JPEG has no scan before EOI")
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if m == 0xDB:                                  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    qts[tq] = list(seg[p:p + 64])
+                    p += 64
+                else:
+                    qts[tq] = [struct.unpack_from(">H", seg, p + 2 * i)[0]
+                               for i in range(64)]
+                    p += 128
+        elif m == 0xC4:                                # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                hts[(tc, th)] = _build_huff(bits, vals)
+                p += 17 + n
+        elif m == 0xC0 or m == 0xC1:                   # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"JPEG SOF{m - 0xC0} (progressive/extended/arithmetic) "
+                "not supported — baseline sequential (SOF0) only")
+        elif m == 0xDD:                                # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:                                # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            return _decode_scan(payload, pos + 2 + seglen, frame, scan,
+                                qts, hts, restart_interval)
+        pos += 2 + seglen
+    raise ValueError("truncated JPEG (no SOS)")
+
+
+def _decode_scan(payload, pos, frame, scan, qts, hts, dri):
+    import numpy as np
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    if h < 1 or w < 1:
+        raise ValueError(f"bad JPEG dimensions {w}x{h}")
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["cs"]] for s in scan]
+    if len(order) != len(comps):
+        raise ValueError("multi-scan JPEG not supported (baseline "
+                         "interleaved scan only)")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    A = _idct_matrix()
+    for c, s in zip(order, scan):
+        c["qt"] = np.array([qts[c["tq"]][i] for i in range(64)],
+                           dtype=np.float64)
+        c["dc_t"] = hts.get((0, s["td"]))
+        c["ac_t"] = hts.get((1, s["ta"]))
+        if c["dc_t"] is None or c["ac_t"] is None:
+            raise ValueError("JPEG scan references undefined Huffman "
+                             "table")
+        c["bw"] = mcux * c["h"]                        # blocks across
+        c["coefs"] = np.zeros((mcuy * c["v"] * c["bw"], 64),
+                              dtype=np.float64)
+        c["pred"] = 0
+    br = _BitReader(payload, pos)
+    unzig = np.argsort(np.array(ZIGZAG))               # flat -> zigzag inv
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_count and mcu_count % dri == 0:
+                br.restart()
+                for c in order:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in order:
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        blk = np.zeros(64)
+                        t = br.decode(c["dc_t"])
+                        if t:
+                            c["pred"] += _extend(br.read(t), t)
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = br.decode(c["ac_t"])
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                   # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[k] = _extend(br.read(sz), sz)
+                            k += 1
+                        row = (my * c["v"] + vy) * c["bw"] \
+                            + mx * c["h"] + vx
+                        c["coefs"][row] = (blk * c["qt"])[unzig]
+    planes = []
+    for c in comps:
+        coefs = c["coefs"].reshape(-1, 8, 8)
+        px = np.einsum("ux,nuv,vy->nxy", A, coefs, A)
+        px = np.clip(np.round(px) + 128, 0, 255).astype(np.uint8)
+        bh = mcuy * c["v"]
+        plane = (px.reshape(bh, c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, c["bw"] * 8))
+        # nearest-neighbor upsample to full frame resolution
+        plane = plane.repeat(vmax // c["v"], 0).repeat(hmax // c["h"], 1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return planes[0][:, :, None].copy()
+    if len(planes) != 3:
+        raise ValueError(f"{len(planes)}-component JPEG not supported")
+    Y = planes[0].astype(np.float64)
+    Cb = planes[1].astype(np.float64) - 128.0
+    Cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([Y + 1.402 * Cr,
+                    Y - 0.344136 * Cb - 0.714136 * Cr,
+                    Y + 1.772 * Cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, n: int):
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)                  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)            # pad with 1s
+
+
+def _quality_table(base, quality: int):
+    if not 1 <= quality <= 100:
+        raise ValueError(f"quality must be 1..100; got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [min(255, max(1, (v * scale + 50) // 100)) for v in base]
+
+
+def _fdct(blocks):
+    import numpy as np
+    A = _idct_matrix()
+    return np.einsum("xu,nxy,yv->nuv", A.T, blocks, A.T)
+
+
+def _encode_component(bw, coefs, dc_tab, ac_tab, wtr, pred):
+    """Huffman-encode one component's quantized zigzag blocks."""
+    for blk in coefs:
+        diff = int(blk[0]) - pred
+        pred = int(blk[0])
+        sz = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        ln, code = dc_tab[sz]
+        wtr.write(code, ln)
+        if sz:
+            v = diff if diff > 0 else diff + (1 << sz) - 1
+            wtr.write(v, sz)
+        run = 0
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if blk[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_tab[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            sz = v.bit_length() if v > 0 else (-v).bit_length()
+            ln, code = ac_tab[(run << 4) | sz]
+            wtr.write(code, ln)
+            wtr.write(v if v > 0 else v + (1 << sz) - 1, sz)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_tab[0x00]                    # EOB
+            wtr.write(code, ln)
+    return pred
+
+
+def encode_jpeg(px, quality: int = 90, quant_all_ones: bool = False,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode an (h, w, c) uint8 array (c = 1 gray, 3 RGB) as baseline
+    JPEG with the Annex K Huffman tables. ``subsampling`` is "444" or
+    "420" (2x2 luma / 1x1 chroma MCUs, box-average downsample; RGB
+    only); ``restart_interval`` > 0 emits DRI + RSTn markers every that
+    many MCUs. ``quant_all_ones=True`` writes unit quantization tables:
+    combined with block-constant input (MACROBLOCK-constant for 4:2:0)
+    the decode is bit-exact (see module docstring); for general content
+    it is simply the highest-fidelity setting."""
+    import numpy as np
+    h, w, c = px.shape
+    if c not in (1, 3):
+        raise ValueError(f"encode_jpeg supports 1 or 3 channels; got {c}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be 444 or 420; "
+                         f"got {subsampling!r}")
+    if subsampling == "420" and c == 1:
+        subsampling = "444"            # grayscale has no chroma to drop
+    if quant_all_ones:
+        qt_l = qt_c = [1] * 64
+    else:
+        qt_l = _quality_table(QT_LUMA, quality)
+        qt_c = _quality_table(QT_CHROMA, quality)
+    if c == 3:
+        f = px.astype(np.float64)
+        Y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        Cb = 128.0 - 0.168736 * f[..., 0] - 0.331264 * f[..., 1] \
+            + 0.5 * f[..., 2]
+        Cr = 128.0 + 0.5 * f[..., 0] - 0.418688 * f[..., 1] \
+            - 0.081312 * f[..., 2]
+        planes = [Y, Cb, Cr]
+        qts = [0, 1, 1]
+        tabs = [(HT_DC_LUMA, HT_AC_LUMA), (HT_DC_CHROMA, HT_AC_CHROMA),
+                (HT_DC_CHROMA, HT_AC_CHROMA)]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" \
+            else [(1, 1)] * 3
+    else:
+        planes = [px[:, :, 0].astype(np.float64)]
+        qts = [0]
+        tabs = [(HT_DC_LUMA, HT_AC_LUMA)]
+        samp = [(1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    zz = np.array(ZIGZAG)
+    qt_arrays = [np.array(qt_l, dtype=np.float64),
+                 np.array(qt_c, dtype=np.float64)]
+    comp_coefs = []                    # (blocks_down, blocks_across, 64)
+    for plane, tq, (hs, vs) in zip(planes, qts, samp):
+        if (hs, vs) != (hmax, vmax):   # box-average chroma downsample
+            fy, fx = vmax // vs, hmax // hs
+            ph = -(-plane.shape[0] // fy) * fy
+            pw = -(-plane.shape[1] // fx) * fx
+            plane = np.pad(plane, ((0, ph - plane.shape[0]),
+                                   (0, pw - plane.shape[1])), mode="edge")
+            plane = plane.reshape(ph // fy, fy, pw // fx, fx).mean((1, 3))
+        bd, ba = mcuy * vs, mcux * hs  # block grid incl. MCU padding
+        pad = np.pad(plane, ((0, bd * 8 - plane.shape[0]),
+                             (0, ba * 8 - plane.shape[1])),
+                     mode="edge") - 128.0
+        blocks = (pad.reshape(bd, 8, ba, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coefs = _fdct(blocks).reshape(-1, 64)[:, zz]   # zigzag order
+        q = np.round(coefs / qt_arrays[tq][zz]).astype(np.int64)
+        comp_coefs.append(q.reshape(bd, ba, 64))
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0, 0, 1, 0, 1, 0, 0])           # APP0
+    for tq, qt in enumerate(qt_arrays[:max(qts) + 1]):
+        body = bytes([tq]) + bytes(int(qt[z]) for z in ZIGZAG)
+        out += b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+    sof = struct.pack(">BHHB", 8, h, w, c)
+    for i in range(c):
+        sof += bytes([i + 1, (samp[i][0] << 4) | samp[i][1], qts[i]])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    used = {(0, 0): HT_DC_LUMA, (1, 0): HT_AC_LUMA}
+    if c == 3:
+        used[(0, 1)] = HT_DC_CHROMA
+        used[(1, 1)] = HT_AC_CHROMA
+    for (tc, th), (bits, vals) in sorted(used.items()):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([c])
+    for i in range(c):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    wtr = _BitWriter()
+    enc_tabs = [(_encode_huff(*dc), _encode_huff(*ac)) for dc, ac in tabs]
+    preds = [0] * c
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                wtr.flush()
+                out += wtr.out
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                wtr = _BitWriter()
+                preds = [0] * c
+            mcu_count += 1
+            for i in range(c):
+                hs, vs = samp[i]
+                for vy in range(vs):
+                    for vx in range(hs):
+                        blk = comp_coefs[i][my * vs + vy, mx * hs + vx]
+                        preds[i] = _encode_component(
+                            0, blk[None, :], enc_tabs[i][0],
+                            enc_tabs[i][1], wtr, preds[i])
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)

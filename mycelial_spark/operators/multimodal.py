@@ -311,6 +311,9 @@ def _decode_pixels(payload: bytes):
         return np.ascontiguousarray(px)
     if payload[:8] == PNG_SIGNATURE:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from mycelial_spark.operators.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -497,6 +500,7 @@ def decode_image(payload: bytes) -> dict:
     px = _decode_pixels(payload)
     return {"format": ("bmp" if payload[:2] == b"BM"
                        else "png" if payload[:8] == PNG_SIGNATURE
+                       else "jpeg" if payload[:2] == b"\xff\xd8"
                        else "netpbm"),
             "width": int(px.shape[1]), "height": int(px.shape[0]),
             "channels": int(px.shape[2]),
@@ -602,6 +606,47 @@ def synth_png(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 data = data[:need].ljust(need, b"\x00")
                 px = np.frombuffer(data, dtype=np.uint8).reshape(h, width, 3)
                 payloads.append(encode_png(px))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "image",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
+def synth_jpeg(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", width_tiles: int = 8,
+               restart_interval: int = 3) -> DataFrame:
+    """Test-fixture adapter for the JPEG leg: each UTF-8 byte of the
+    text becomes one CONSTANT 16x16 gray-valued-RGB macroblock
+    (``width_tiles`` across, rows = max(1, n // width_tiles), zero
+    padding), encoded as a REAL baseline JPEG — 4:2:0 subsampling,
+    restart markers every ``restart_interval`` MCUs, unit quantization
+    tables. That layout is the codec's documented exact regime
+    (operators/jpeg.py): constant macroblocks have integer DC and zero
+    AC in every component (gray-valued RGB keeps Y integer and
+    Cb=Cr=128 exactly; the 2x2 chroma box-average of a constant is the
+    constant), so the decode returns the tiles BIT-FOR-BIT after real
+    Huffman entropy decoding, restart-marker resync, dequantization,
+    IDCT, nearest chroma upsampling, and the YCbCr->RGB transform —
+    which is what lets a SQL oracle replay pixel-derived results from
+    the text bytes through a genuinely lossy-format codec."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from mycelial_spark.operators.jpeg import encode_jpeg
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                ht = max(1, len(data) // width_tiles)
+                need = width_tiles * ht
+                data = data[:need].ljust(need, b"\x00")
+                tiles = np.frombuffer(data, dtype=np.uint8).reshape(
+                    ht, width_tiles, 1)
+                px = np.repeat(tiles, 3, axis=2).repeat(16, 0).repeat(16, 1)
+                payloads.append(encode_jpeg(
+                    px, quant_all_ones=True, subsampling="420",
+                    restart_interval=restart_interval))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
                                 "modality": "image",
                                 "payload": payloads})
