@@ -321,6 +321,18 @@ def budget_line(out: dict, budget: int = 1980) -> str:
         omitted += 1
         line_out["queries_omitted"] = omitted
         line = json.dumps(line_out, separators=(",", ":"))
+    # last resort: if the never-dropped prefix itself exceeds the
+    # budget, shed vs_prev (recoverable from the two bench_full.json
+    # artifacts) rather than silently print an over-budget line the
+    # driver would clip into parsed=null
+    if len(line) > budget and "vs_prev" in line_out:
+        del line_out["vs_prev"]
+        line = json.dumps(line_out, separators=(",", ":"))
+    if len(line) > budget:
+        raise AssertionError(
+            f"bench stdout line irreducibly over budget "
+            f"({len(line)} > {budget}); the driver would clip it — "
+            "fix the prefix fields rather than ship a truncated line")
     return line
 
 

@@ -236,6 +236,9 @@ def decode_jpeg(payload: bytes):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 bits = list(seg[p + 1:p + 17])
                 n = sum(bits)
+                if len(bits) < 16 or p + 17 + n > len(seg):
+                    raise ValueError("corrupt JPEG DHT segment (code "
+                                     "counts exceed segment length)")
                 vals = list(seg[p + 17:p + 17 + n])
                 hts[(tc, th)] = _build_huff(bits, vals)
                 p += 17 + n

@@ -11,14 +11,18 @@ numpy/stdlib decoder can own outright — netpbm P5/P6, BI_RGB BMP, and
 PNG (stdlib zlib inflate + the five scanline filters; 8-bit gray/RGB/
 palette/gray-alpha/RGBA, non-interlaced — ``_decode_png``), with a real
 nearest-neighbor resize + PPM re-encode (``resize_images(codec="real")``).
-VIDEO is real for yuv4mpeg2 (Y4M) streams — metadata, frame iteration,
-and luma-plane frame sampling that re-encodes each sampled frame as PGM
-for the image operators (``decode_y4m`` / ``sample_video_frames``).
-Formats still needing PIL/av (JPEG, H.264, interlaced/16-bit PNG) are
-absent in this container: those fail in the codec with a magic error,
-and the deterministic fakes (``_decode_fake``, byte-slice frame
-sampling) keep the plumbing — schema, batch shape, UDF signatures —
-testable for them.
+Baseline JPEG decodes via the pure-Python ITU-T T.81 codec
+(``operators/jpeg.py``), live on the ``\\xff\\xd8`` dispatch. VIDEO is
+real for yuv4mpeg2 (Y4M) streams — metadata, frame iteration, and
+luma-plane frame sampling that re-encodes each sampled frame as PGM
+for the image operators (``decode_y4m`` / ``sample_video_frames``) —
+and for MJPEG-in-AVI containers (``_parse_avi_mjpeg``: RIFF walk,
+idx1 verification, per-frame JPEG decode). Formats still needing
+PIL/av (H.264, progressive JPEG, interlaced/16-bit PNG) are absent in
+this container: those fail in the codec with a clear error, and the
+deterministic fakes (``_decode_fake``, byte-slice frame sampling)
+keep the plumbing — schema, batch shape, UDF signatures — testable
+for them.
 
 At 100 TB: payloads come from ``binaryFile``/object-store scans;
 ``repartition`` by byte-size buckets before mapInPandas keeps batches
@@ -874,7 +878,8 @@ def sample_video_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
 
 
 def video_fingerprint(df: DataFrame, samples: int = 32,
-                      on_error: str = "raise") -> DataFrame:
+                      on_error: str = "raise",
+                      container: str = "y4m") -> DataFrame:
     """Spatio-temporal perceptual fingerprint per Y4M payload — the
     video leg of the dedup family, completing image (aHash) and audio
     (energy delta). Near-identical clips (re-muxes, small edits, slight
@@ -897,25 +902,55 @@ def video_fingerprint(df: DataFrame, samples: int = 32,
 
     Cost is O(samples·32) byte reads per clip REGARDLESS of clip
     length — a fingerprint pass over 100 TB of video is scan-bound,
-    not decode-bound. Arrow-batched mapInPandas like every codec op;
-    pair with image_hamming_pairs (banding is hash-agnostic)."""
+    not decode-bound (for Y4M; ``container="avi"`` additionally
+    entropy-decodes the at-most-``samples`` DISTINCT MJPEG frames the
+    stride touches — still bounded per clip, never per frame).
+    Arrow-batched mapInPandas like every codec op; pair with
+    image_hamming_pairs (banding is hash-agnostic).
+
+    ``container`` selects the demuxer: "y4m" (raw planar — luma bytes
+    read in place) or "avi" (MJPEG-in-AVI — each sampled frame is a
+    baseline JPEG decoded by operators/jpeg.py; luma = channel 0 for
+    grayscale streams, integer (r+g+b)//3 otherwise, the image-leg
+    gray kernel). The grid/bit arithmetic is IDENTICAL across
+    containers, so the same oracle technique replays both."""
     import numpy as np
     if not 2 <= samples <= 32:
         raise ValueError(f"samples must be in [2, 32] (31 temporal bits"
                          f" + 32 spatial bits fit one bigint); got "
                          f"{samples}")
+    if container not in ("y4m", "avi"):
+        raise ValueError(f"container must be 'y4m' or 'avi'; "
+                         f"got {container!r}")
 
     def one(payload: bytes) -> int:
-        meta, frames = _parse_y4m(bytes(payload))
-        w, h = meta["width"], meta["height"]
+        if container == "avi":
+            from mycelial_spark.operators.jpeg import decode_jpeg
+            meta, frames = _parse_avi_mjpeg(bytes(payload))
+            decoded: dict = {}
+
+            def luma_at(i):
+                if i not in decoded:
+                    px = decode_jpeg(bytes(frames[i])).astype(np.int64)
+                    decoded[i] = (px[:, :, 0] if px.shape[2] == 1
+                                  else px.sum(axis=2) // px.shape[2])
+                return decoded[i]
+        else:
+            meta, frames = _parse_y4m(bytes(payload))
+
+            def luma_at(i):
+                return np.frombuffer(
+                    frames[i][:meta["width"] * meta["height"]],
+                    dtype=np.uint8).reshape(meta["height"],
+                                            meta["width"])
+        h, w = meta["height"], meta["width"]
         nf = len(frames)
         rows = (np.arange(4) * h) // 4
         cols = (np.arange(8) * w) // 8
         sp = np.zeros(32, dtype=np.int64)
         means = []
         for k in range(samples):
-            luma = np.frombuffer(frames[(k * nf) // samples][:w * h],
-                                 dtype=np.uint8).reshape(h, w)
+            luma = luma_at((k * nf) // samples)
             cells = luma[rows][:, cols].astype(np.int64).flatten()
             sp += cells
             means.append(int(cells.sum()))
@@ -967,6 +1002,189 @@ def synth_y4m(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 payloads.append(head + b"".join(
                     b"FRAME\n" + data[i * fsize:(i + 1) * fsize]
                     for i in range(n)))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "video",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
+# ------------------------------------------------------- AVI (MJPEG) codec
+
+def _riff_chunks(buf: bytes, pos: int, end: int):
+    """Walk RIFF chunks in buf[pos:end]: yield (fourcc, data_start,
+    size). Chunks pad to even byte boundaries (RIFF spec); a declared
+    size past ``end`` is truncation, not EOF."""
+    import struct
+    while pos + 8 <= end:
+        ckid = bytes(buf[pos:pos + 4])
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        data_start = pos + 8
+        if data_start + size > end:
+            raise ValueError(f"truncated AVI chunk {ckid!r}")
+        yield ckid, data_start, size
+        pos = data_start + size + (size & 1)
+
+
+def _parse_avi_mjpeg(payload: bytes):
+    """Parse an MJPEG-in-AVI container (Microsoft AVI RIFF, public
+    spec): RIFF/AVI header, ``hdrl`` (avih main header + vids stream
+    with an MJPG handler), ``movi`` frame chunks (each ``00dc`` payload
+    is one complete baseline JPEG), and ``idx1`` — when the index is
+    present every entry is VERIFIED against the movi chunk it points at
+    (offset conventions vary: relative-to-movi-fourcc and absolute
+    file offsets both accepted), so a desynced index fails loudly
+    instead of silently sampling wrong frames. Returns (meta, frames)
+    where frames are zero-copy memoryview slices of the JPEG bytes —
+    entropy decode happens only for frames something actually samples."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"unrecognized video magic {payload[:4]!r}")
+    declared = struct.unpack_from("<I", payload, 4)[0]
+    end = 8 + declared
+    if end > len(payload):
+        raise ValueError("truncated AVI (RIFF size exceeds payload)")
+    mv = memoryview(payload)
+    meta = {"width": 0, "height": 0, "n_frames_declared": 0,
+            "handler": ""}
+    frames: list = []
+    movi_start = None
+    idx_entries = None
+    for ckid, ds, size in _riff_chunks(payload, 12, end):
+        if ckid == b"LIST":
+            ltype = payload[ds:ds + 4]
+            if ltype == b"hdrl":
+                for c2, d2, s2 in _riff_chunks(payload, ds + 4, ds + size):
+                    if c2 == b"avih" and s2 >= 40:
+                        (_usec, _mbps, _pad, _flags, total, _init,
+                         _streams, _buf, w, h) = struct.unpack_from(
+                            "<10I", payload, d2)
+                        meta.update(width=w, height=h,
+                                    n_frames_declared=total)
+                    elif c2 == b"LIST" and payload[d2:d2 + 4] == b"strl":
+                        for c3, d3, s3 in _riff_chunks(payload, d2 + 4,
+                                                       d2 + s2):
+                            if c3 == b"strh" and s3 >= 8:
+                                fcc = payload[d3:d3 + 4]
+                                hdl = payload[d3 + 4:d3 + 8]
+                                if fcc == b"vids":
+                                    meta["handler"] = hdl.decode(
+                                        "ascii", "replace")
+                            elif c3 == b"strf" and s3 >= 20:
+                                comp = payload[d3 + 16:d3 + 20]
+                                if comp not in (b"MJPG", b"mjpg"):
+                                    raise ValueError(
+                                        "AVI video stream is not MJPEG "
+                                        f"(biCompression={comp!r}) — "
+                                        "only the MJPG fourcc decodes "
+                                        "without external codecs")
+            elif ltype == b"movi":
+                movi_start = ds
+                for c2, d2, s2 in _riff_chunks(payload, ds + 4, ds + size):
+                    if c2[2:] in (b"dc", b"db"):       # compressed frame
+                        frames.append((c2, d2, mv[d2:d2 + s2]))
+        elif ckid == b"idx1":
+            idx_entries = [struct.unpack_from("<4sIII", payload,
+                                              ds + 16 * i)
+                           for i in range(size // 16)]
+    if movi_start is None:
+        raise ValueError("AVI has no movi list")
+    if not meta["width"] or not meta["height"]:
+        raise ValueError("AVI header missing dimensions")
+    if idx_entries is not None:
+        vid = [e for e in idx_entries if e[0][2:] in (b"dc", b"db")]
+        if len(vid) != len(frames):
+            raise ValueError(
+                f"AVI idx1 lists {len(vid)} video chunks but movi "
+                f"holds {len(frames)}")
+        for (ckid2, _flags, off, ln), (fck, fds, fmv) in zip(vid, frames):
+            rel_ok = (payload[movi_start + off:movi_start + off + 4]
+                      == ckid2)
+            abs_ok = payload[off:off + 4] == ckid2
+            if not (rel_ok or abs_ok) or ckid2 != fck or ln != len(fmv):
+                raise ValueError("AVI idx1 entry does not match its "
+                                 "movi chunk (desynced index)")
+    meta["n_frames"] = len(frames)
+    return meta, [f[2] for f in frames]
+
+
+def encode_avi_mjpeg(jpeg_frames: list, width: int, height: int,
+                     fps: int = 25) -> bytes:
+    """Minimal spec-conformant MJPEG-in-AVI writer (fixture/test side):
+    RIFF('AVI ') -> LIST hdrl (avih + LIST strl(strh vids/MJPG + strf
+    BITMAPINFOHEADER biCompression='MJPG')) -> LIST movi (one 00dc
+    chunk per JPEG, even-padded) -> idx1 (offsets relative to the movi
+    fourcc, AVIIF_KEYFRAME — every MJPEG frame is one)."""
+    import struct
+    n = len(jpeg_frames)
+    maxlen = max((len(f) for f in jpeg_frames), default=0)
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1,
+                       maxlen, width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, maxlen, 0)
+            + struct.pack("<I4H", 0, 0, 0, width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+
+    def chunk(fourcc, body):
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype, body):
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b""
+    idx = b""
+    for f in jpeg_frames:
+        off = 4 + len(movi_body)             # from the movi fourcc
+        movi_body += chunk(b"00dc", bytes(f))
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> dict:
+    meta, frames = _parse_avi_mjpeg(payload)
+    return {"format": "avi-mjpeg", "width": meta["width"],
+            "height": meta["height"], "n_frames": len(frames)}
+
+
+def synth_avi_mjpeg(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Test-fixture adapter for the MJPEG-in-AVI leg: the UTF-8 text
+    bytes chunk into 32-byte frames (min 1, zero-padded); each byte
+    becomes one constant 8x8 GRAYSCALE tile (4 rows x 8 cols -> a
+    32x64 luma frame), encoded as a real baseline JPEG in the codec's
+    exact regime (unit quantization + restart markers — constant
+    blocks round-trip bit-for-bit, operators/jpeg.py), and the frames
+    pack into a spec-conformant indexed AVI. The pixel a fingerprint
+    samples is therefore a text byte the SQL oracle can reach — the
+    video twin of the image leg's constant-macroblock trick, now
+    THROUGH a compressed container: Huffman decode, restart resync,
+    IDCT, RIFF walking, and idx1 verification all sit between the
+    text and the hash-match."""
+    from mycelial_spark.operators.jpeg import encode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                nf = max(1, len(data) // 32)
+                data = data[:nf * 32].ljust(nf * 32, b"\x00")
+                frames = []
+                for f in range(nf):
+                    tiles = np.frombuffer(data[f * 32:(f + 1) * 32],
+                                          np.uint8).reshape(4, 8, 1)
+                    px = tiles.repeat(8, 0).repeat(8, 1)
+                    frames.append(encode_jpeg(px, quant_all_ones=True,
+                                              restart_interval=3))
+                payloads.append(encode_avi_mjpeg(frames, 64, 32))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
                                 "modality": "video",
                                 "payload": payloads})

@@ -1486,11 +1486,15 @@ def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
                 break
             out = ann_split_cell(spark, path, hot)
             splits.append(out)
-            prev_max = stats["cells"][hot]
+            prev_hot = stats["cells"][hot]
             stats = ann_index_stats(spark, path)
             # a cell of identical vectors can't split below itself —
-            # stop rather than spend the budget on a no-op loop
-            if max(stats["cells"].values()) >= prev_max:
+            # stop rather than spend the budget on a no-op loop. The
+            # progress test is PER-CELL (did the split cell itself
+            # shrink?), not the global max: a different cell tied with
+            # the old hot one is the NEXT iteration's problem, not
+            # evidence this split failed.
+            if stats["cells"].get(hot, 0) >= prev_hot:
                 break
     # file-count pass: bounded by n_cells directory listings
     from mycelial_spark.fsutil import hadoop_fs

@@ -342,7 +342,6 @@ def rolling_distinct(df: DataFrame, ts_col: str = "ts",
     if method not in ("expand", "sketch"):
         raise ValueError(f"method must be 'expand' or 'sketch'; "
                          f"got {method!r}")
-    bkt = F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds))
     bkt = F.col("_src_b")
     expand = F.explode(F.sequence(bkt, bkt + F.lit(window - 1))) \
         .alias("_b")

@@ -5234,6 +5234,80 @@ def image_dedup_pairs_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("hamming")))
 
 
+# JPEG twin of the ahash-pairs oracle. synth_jpeg's pixel layout is
+# NOT synth_ppm's (one constant 16x16 gray macroblock per text byte,
+# 8 tiles across, rows = max(1, n // 8)), so the replay samples the
+# TILE grid: image_ahash's nearest sampling hits pixel row (i*ht*16)//8
+# = tile row (i*ht)//8 and pixel col j*16 = tile col j, and gray of a
+# gray-valued-RGB tile is the byte itself ((3b)//3 = b). Everything
+# downstream (cross-multiplied mean threshold, two's-complement pack,
+# Hamming<=3 pairs) is byte-identical to the PPM/PNG oracle. The match
+# only holds because the constant-macroblock 4:2:0 + restart-marker +
+# unit-quantization encode is BIT-EXACT through the real entropy
+# decode + IDCT (operators/jpeg.py module docstring) — any decoder bug
+# (Huffman, restart resync, upsampling, YCbCr) breaks the hash.
+_IMAGE_AHASH_PAIRS_JPEG_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // 8) AS ht
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, t1.i AS i, t2.j AS j,
+         {_ahash_byte_sql('((t1.i * ht) // 8) * 8 + t2.j')} AS g
+  FROM d, range(8) t1(i), range(8) t2(j)
+),
+sums AS (SELECT doc_id, sum(g) AS s FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id, i * 8 + j AS k,
+         CASE WHEN 64 * g >= s THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN sums USING (doc_id)
+),
+hashes AS (
+  SELECT doc_id,
+         sum(CASE WHEN k < 63 AND bit = 1 THEN (1::BIGINT << k)
+                  ELSE 0::BIGINT END)
+         + CASE WHEN max(CASE WHEN k = 63 THEN bit ELSE 0 END) = 1
+                THEN (-(1::BIGINT << 62)) * 2 ELSE 0::BIGINT END AS ahash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+@query("image_dedup_pairs_jpeg", _IMAGE_AHASH_PAIRS_JPEG_ORACLE)
+def image_dedup_pairs_jpeg(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """image_dedup_pairs through the pure-Python baseline JPEG codec
+    (operators/jpeg.py — ITU-T T.81, independently implemented): the
+    fixture adapter synth_jpeg renders one constant 16x16 gray-valued
+    macroblock per text byte and encodes a REAL 4:2:0 JPEG with restart
+    markers and unit quantization tables — the codec's documented exact
+    regime (constant macroblocks: zero AC, integer DC, Cb=Cr=128), so
+    the decode returns the tiles bit-for-bit THROUGH genuine Huffman
+    entropy decoding, restart resync, dequantization, IDCT, chroma
+    upsampling, and YCbCr->RGB. image_ahash then hashes the decoded
+    pixels and banding + popcount yields the pairs. The oracle replays
+    the tile-grid sampling straight from the text bytes, so a bug
+    anywhere in the decoder shifts pixels and breaks the hash-match.
+    This is the first LOSSY-format leg verified end-to-end — the
+    format real crawls are dominated by (reference parity: the
+    multimodal dedup family; decoder is public-spec, no libjpeg/PIL)."""
+    from mycelial_spark.operators.multimodal import (image_ahash,
+                                                     image_hamming_pairs,
+                                                     synth_jpeg)
+    from mycelial_spark.operators.dedup import spread
+    docs = spread(_t(spark, sf_dir, "documents"))
+    hashes = image_ahash(synth_jpeg(docs))
+    return (image_hamming_pairs(hashes, max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("int")
+                    .alias("hamming")))
+
+
 def _wav_sample_sql(k: str) -> str:
     """DuckDB expression for the k-th little-endian PCM16 sample of the
     synthesized WAV (int16 from two hex-pair bytes of encode(text));
@@ -5362,6 +5436,74 @@ def video_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      video_fingerprint)
     docs = spread(_t(spark, sf_dir, "documents"))
     fps = video_fingerprint(synth_y4m(docs))
+    return (image_hamming_pairs(fps, max_hamming=3,
+                                hash_col="fingerprint")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+@query("video_dedup_pairs_mjpeg", f"""
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // 32) AS nf
+  FROM documents
+),
+cells AS (
+  SELECT doc_id, t1.k AS k, t2.p AS p,
+         ({_ahash_byte_sql('((t1.k * nf) // 32) * 32 + t2.p')}) AS g
+  FROM d, range(32) t1(k), range(32) t2(p)
+),
+fr AS (SELECT doc_id, k, sum(g) AS m FROM cells GROUP BY doc_id, k),
+sp AS (SELECT doc_id, p, sum(g) AS s FROM cells GROUP BY doc_id, p),
+tot AS (SELECT doc_id, sum(s) AS st FROM sp GROUP BY doc_id),
+sbits AS (
+  SELECT sp.doc_id,
+         sum(CASE WHEN 32 * s >= st THEN (1::BIGINT << p)
+                  ELSE 0::BIGINT END) AS sv
+  FROM sp JOIN tot USING (doc_id) GROUP BY sp.doc_id
+),
+tbits AS (
+  SELECT a.doc_id,
+         sum(CASE WHEN a.m > b.m THEN (1::BIGINT << (31 + a.k))
+                  ELSE 0::BIGINT END) AS tv
+  FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.k = a.k - 1
+  WHERE a.k >= 1
+  GROUP BY a.doc_id
+),
+fps AS (
+  SELECT s.doc_id, s.sv + coalesce(t.tv, 0) AS fp
+  FROM sbits s LEFT JOIN tbits t USING (doc_id)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+""")
+def video_dedup_pairs_mjpeg(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """video_dedup_pairs through a COMPRESSED container: documents
+    synthesize MJPEG-in-AVI clips (synth_avi_mjpeg — each 32-byte text
+    chunk renders a 32x64 grayscale frame of constant 8x8 tiles,
+    encoded as a real baseline JPEG in the exact regime, muxed into an
+    indexed RIFF/AVI), video_fingerprint(container="avi") demuxes the
+    RIFF chunks, VERIFIES the idx1 index against the movi chunks,
+    entropy-decodes only the sampled frames (operators/jpeg.py), and
+    packs the same 32 spatial + 31 temporal bits as the Y4M leg; banded
+    Hamming pairing yields the pairs. The oracle replays everything
+    from text bytes (frame chunking, uniform sampling, the tile-grid
+    byte extraction — the 8x4 nearest grid over a 32x64 frame of 8px
+    tiles lands exactly on byte r*8+c of chunk f, same trick as the
+    JPEG image leg), so a bug in the RIFF walker, the index check, or
+    any JPEG decode stage breaks the hash-match. Closes the 'video
+    dedup covers raw Y4M only' gap with a public-spec compressed
+    container (reference parity: the multimodal dedup family)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (image_hamming_pairs,
+                                                     synth_avi_mjpeg,
+                                                     video_fingerprint)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fps = video_fingerprint(synth_avi_mjpeg(docs), container="avi")
     return (image_hamming_pairs(fps, max_hamming=3,
                                 hash_col="fingerprint")
             .select("id_a", "id_b",

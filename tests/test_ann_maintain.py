@@ -116,3 +116,28 @@ def test_maintain_validates_thresholds(spark, tmp_path):
                       id_col="vec_id")
     with pytest.raises(ValueError, match="max_imbalance"):
         S.ann_maintain(spark, idx, max_imbalance=1.0)
+
+
+def test_tied_hot_cells_do_not_abandon_split_budget(spark, tmp_path):
+    """r8 advice regression: with TWO cells tied at the hot count, a
+    successful split of the first must not end the loop (the old guard
+    compared the global max — still the tied twin — to the split cell's
+    previous count and bailed with budget left). Progress is per-cell:
+    the split cell shrank, so the loop re-selects and splits the twin,
+    and balance is actually restored."""
+    df = _clustered(spark, 60, _CENTERS[:2]).union(
+        _clustered(spark, 5, _CENTERS[2:], start_id=500, seed=7))
+    idx = str(tmp_path / "idx")
+    S.ann_build_index(df, idx, n_centroids=4, id_col="vec_id")
+    st0 = S.ann_index_stats(spark, idx)
+    counts = sorted(st0["cells"].values(), reverse=True)
+    assert counts[0] == counts[1] == 60, counts  # genuine tie
+    rep = S.ann_maintain(spark, idx, max_imbalance=1.5, max_splits=4)
+    # the regression: the first successful split must not end the loop
+    # just because the tied twin still holds the global max
+    assert len(rep["splits"]) >= 2, rep
+    assert rep["imbalance_after"] < rep["imbalance_before"], rep
+    # and the twin itself was one of the split targets
+    split_cells = {s["split"] for s in rep["splits"]}
+    hot2 = {c for c, n in st0["cells"].items() if n == 60}
+    assert hot2 <= split_cells, (hot2, split_cells)

@@ -7,6 +7,8 @@ guard. Pure-Python tests — no Spark session.
 
 import json
 
+import pytest
+
 from bench import HEADLINE, budget_line
 
 
@@ -83,3 +85,20 @@ def test_budget_is_hard_even_for_pathological_input():
     assert len(line) <= 1980 or json.loads(line)["queries"] == {}
     d = json.loads(line)
     assert d["queries_omitted"] == 1
+
+
+def test_irreducible_prefix_sheds_vs_prev_then_fails_loud():
+    """r8 advice regression: once every query is dropped, an
+    over-budget prefix must first shed vs_prev (recoverable from the
+    bench_full.json artifacts) and, if STILL over, raise instead of
+    silently printing a line the driver would clip to parsed=null."""
+    out = _out(3)
+    out["vs_prev"] = {"common_n": 1, "ratio": 1.0, "ratio_cal": 1.0}
+    line = budget_line(out, budget=170)
+    d = json.loads(line)
+    assert len(line) <= 170
+    assert "vs_prev" not in d and d["queries_omitted"] == 3
+    out = _out(1)
+    out["metric"] = "m" * 500
+    with pytest.raises(AssertionError, match="over budget"):
+        budget_line(out, budget=120)

@@ -1,0 +1,134 @@
+"""MJPEG-in-AVI container (operators/multimodal.py RIFF/AVI demuxer
+over the operators/jpeg.py decoder): the compressed-container video
+leg. Index (idx1) entries are verified against the movi chunks —
+a desynced index must fail loudly, not sample wrong frames."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import multimodal as MM
+from mycelial_spark.operators.jpeg import encode_jpeg
+
+
+def _frames(n, seed=5):
+    """n grayscale constant-8x8-tile JPEG frames (the exact regime)."""
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        tiles = rng.randint(0, 256, (4, 8, 1)).astype(np.uint8)
+        out.append(encode_jpeg(tiles.repeat(8, 0).repeat(8, 1),
+                               quant_all_ones=True, restart_interval=3))
+    return out
+
+
+def test_roundtrip_frames_and_metadata():
+    frames = _frames(5)
+    avi = MM.encode_avi_mjpeg(frames, 64, 32)
+    meta, got = MM._parse_avi_mjpeg(avi)
+    assert meta["width"] == 64 and meta["height"] == 32
+    assert meta["n_frames"] == meta["n_frames_declared"] == 5
+    assert meta["handler"] == "MJPG"
+    assert [bytes(f) for f in got] == frames    # byte-identical payloads
+    assert MM.decode_avi(avi) == {"format": "avi-mjpeg", "width": 64,
+                                  "height": 32, "n_frames": 5}
+
+
+def test_odd_length_frames_pad_to_even():
+    """RIFF chunks pad to even boundaries; an odd-length JPEG must not
+    shift the following chunk."""
+    raw = [b"\xff\xd8" + bytes([i]) * (2 * i + 1) + b"\xff\xd9"
+           for i in range(3)]                           # odd sizes
+    avi = MM.encode_avi_mjpeg(raw, 16, 8)
+    _meta, got = MM._parse_avi_mjpeg(avi)
+    assert [bytes(f) for f in got] == raw
+
+
+def test_missing_idx1_is_tolerated():
+    frames = _frames(3)
+    avi = MM.encode_avi_mjpeg(frames, 64, 32)
+    i = avi.index(b"idx1")
+    # drop the idx1 chunk and shrink the RIFF size accordingly
+    body = avi[12:i]
+    trimmed = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    _meta, got = MM._parse_avi_mjpeg(trimmed)
+    assert [bytes(f) for f in got] == frames
+
+
+def test_desynced_index_raises():
+    avi = bytearray(MM.encode_avi_mjpeg(_frames(3), 64, 32))
+    i = avi.index(b"idx1")
+    # corrupt the second entry's offset field
+    struct.pack_into("<I", avi, i + 8 + 16 + 8, 0xDEAD)
+    with pytest.raises(ValueError, match="desynced index"):
+        MM._parse_avi_mjpeg(bytes(avi))
+    # index/movi count mismatch: lie about an extra entry
+    avi2 = bytearray(MM.encode_avi_mjpeg(_frames(2), 64, 32))
+    j = avi2.index(b"idx1")
+    struct.pack_into("<I", avi2, j + 4, 3 * 16)         # declared size
+    avi2 += b"00dc" + struct.pack("<III", 0x10, 4, 10)
+    struct.pack_into("<I", avi2, 4, len(avi2) - 8)
+    with pytest.raises(ValueError, match="idx1 lists"):
+        MM._parse_avi_mjpeg(bytes(avi2))
+
+
+def test_truncation_and_bad_magic():
+    avi = MM.encode_avi_mjpeg(_frames(3), 64, 32)
+    with pytest.raises(ValueError, match="truncated"):
+        MM._parse_avi_mjpeg(avi[:len(avi) // 2])
+    with pytest.raises(ValueError, match="magic"):
+        MM._parse_avi_mjpeg(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="magic"):
+        MM._parse_avi_mjpeg(b"YUV4MPEG2 W8 H4\n")
+    with pytest.raises(ValueError, match="no movi"):
+        MM._parse_avi_mjpeg(b"RIFF" + struct.pack("<I", 4) + b"AVI ")
+
+
+def test_non_mjpeg_stream_rejected():
+    avi = bytearray(MM.encode_avi_mjpeg(_frames(1), 64, 32))
+    i = avi.index(b"strf")
+    avi[i + 8 + 16:i + 8 + 20] = b"H264"               # biCompression
+    with pytest.raises(ValueError, match="not MJPEG"):
+        MM._parse_avi_mjpeg(bytes(avi))
+
+
+def test_fingerprint_container_validation():
+    import pandas as pd  # noqa: F401
+    with pytest.raises(ValueError, match="container"):
+        MM.video_fingerprint(None, container="mp4")
+
+
+def test_avi_fingerprint_equals_text_replay_distributed(spark):
+    """Distributed form of the oracle check: synth_avi_mjpeg ->
+    video_fingerprint(container='avi') — through RIFF demux, idx1
+    verification, and per-frame JPEG entropy decode — must equal the
+    fingerprint computed directly from the text's 32-byte chunks."""
+    rows = [(i, f"clip number {i} frame payload text " * (i + 1))
+            for i in range(8)] + [(8, ""), (9, "ü" * 70)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["fingerprint"] for r in
+           MM.video_fingerprint(MM.synth_avi_mjpeg(docs),
+                                container="avi").collect()}
+
+    def replay(text, samples=32):
+        data = text.encode("utf-8")
+        nf = max(1, len(data) // 32)
+        data = data[:nf * 32].ljust(nf * 32, b"\x00")
+        sp = np.zeros(32, dtype=np.int64)
+        means = []
+        for k in range(samples):
+            f = (k * nf) // samples
+            cells = np.frombuffer(data[f * 32:(f + 1) * 32],
+                                  np.uint8).astype(np.int64)
+            sp += cells
+            means.append(int(cells.sum()))
+        total = int(sp.sum())
+        val = sum(1 << p for p in range(32) if 32 * int(sp[p]) >= total)
+        val |= sum(1 << (31 + k) for k in range(1, samples)
+                   if means[k] > means[k - 1])
+        return val
+
+    assert len(got) == 10
+    for i, t in rows:
+        assert got[i] == replay(t), i

@@ -6,6 +6,14 @@ order-insensitive value comparison (rows sorted after stringifying with
 stable float formatting, columns sorted by name).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py [sf_dir] --rotate N [--slice K]
+
+``--rotate N`` (N = round number) checks a deterministic K-query slice
+(default 50) that is DIFFERENT each round: queries are ordered by
+md5(name:N) and the first K run. Successive rounds therefore cover
+different subsets beyond the driver's fixed sample, making the recorded
+CORRECTNESS_LOCAL_r{N}.txt artifacts self-diversifying; the full run
+(no flags) remains the round gate.
 """
 
 from __future__ import annotations
@@ -44,9 +52,31 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
 
 
+def rotate_slice(names, round_no: int, k: int):
+    """Deterministic per-round slice: order by md5(name:round), take k.
+    Different rounds hit different subsets; same round replays exactly."""
+    import hashlib
+
+    def key(n):
+        return hashlib.md5(f"{n}:{round_no}".encode()).hexdigest()
+
+    return set(sorted(names, key=key)[:k])
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    rotate = None
+    k = 50
+    if "--rotate" in argv:
+        i = argv.index("--rotate")
+        rotate = int(argv[i + 1])
+        del argv[i:i + 2]
+    if "--slice" in argv:
+        i = argv.index("--slice")
+        k = int(argv[i + 1])
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
@@ -56,10 +86,16 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if rotate is not None and not only:
+        only = rotate_slice(qs.keys(), rotate, k)
+        print(f"rotate={rotate}: checking {len(only)} of {len(qs)} "
+              "queries (deterministic per-round slice)")
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -96,7 +132,6 @@ def main() -> int:
             continue
         print(f"ok   {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
 
-    checked = len(only) if only else len(qs)
     print(f"\n{checked - len(failures)}/{checked} passed")
     return 1 if failures else 0
 
