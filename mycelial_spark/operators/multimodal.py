@@ -318,6 +318,8 @@ def _decode_pixels(payload: bytes):
     if payload[:2] == b"\xff\xd8":
         from mycelial_spark.operators.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_frames(payload)[0]      # first frame as the image
     raise ValueError(f"unrecognized image magic {payload[:2]!r}")
 
 
@@ -505,6 +507,8 @@ def decode_image(payload: bytes) -> dict:
     return {"format": ("bmp" if payload[:2] == b"BM"
                        else "png" if payload[:8] == PNG_SIGNATURE
                        else "jpeg" if payload[:2] == b"\xff\xd8"
+                       else "gif" if payload[:6] in (b"GIF87a",
+                                                     b"GIF89a")
                        else "netpbm"),
             "width": int(px.shape[1]), "height": int(px.shape[0]),
             "channels": int(px.shape[2]),
@@ -909,22 +913,34 @@ def video_fingerprint(df: DataFrame, samples: int = 32,
     image_hamming_pairs (banding is hash-agnostic).
 
     ``container`` selects the demuxer: "y4m" (raw planar — luma bytes
-    read in place) or "avi" (MJPEG-in-AVI — each sampled frame is a
+    read in place), "avi" (MJPEG-in-AVI — each sampled frame is a
     baseline JPEG decoded by operators/jpeg.py; luma = channel 0 for
     grayscale streams, integer (r+g+b)//3 otherwise, the image-leg
-    gray kernel). The grid/bit arithmetic is IDENTICAL across
-    containers, so the same oracle technique replays both."""
+    gray kernel), or "gif" (animated GIF — LZW decode + 'do not
+    dispose' composition, luma = (r+g+b)//3 of the palette-expanded
+    canvas; composition forces a full decode, so cost is O(pixels)
+    per clip rather than per-sample — inherent to the format). The
+    grid/bit arithmetic is IDENTICAL across containers, so the same
+    oracle technique replays all three."""
     import numpy as np
     if not 2 <= samples <= 32:
         raise ValueError(f"samples must be in [2, 32] (31 temporal bits"
                          f" + 32 spatial bits fit one bigint); got "
                          f"{samples}")
-    if container not in ("y4m", "avi"):
-        raise ValueError(f"container must be 'y4m' or 'avi'; "
+    if container not in ("y4m", "avi", "gif"):
+        raise ValueError(f"container must be 'y4m', 'avi', or 'gif'; "
                          f"got {container!r}")
 
     def one(payload: bytes) -> int:
-        if container == "avi":
+        if container == "gif":
+            frs = gif_frames(bytes(payload))
+            meta = {"width": frs[0].shape[1], "height": frs[0].shape[0]}
+            frames = frs
+
+            def luma_at(i):
+                px = frames[i].astype(np.int64)
+                return px.sum(axis=2) // 3
+        elif container == "avi":
             from mycelial_spark.operators.jpeg import decode_jpeg
             meta, frames = _parse_avi_mjpeg(bytes(payload))
             decoded: dict = {}
@@ -1008,6 +1024,284 @@ def synth_y4m(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     return df.select(id_col, text_col).mapInPandas(
         run, "id long, modality string, payload binary")
+
+
+# ------------------------------------------------------------- GIF codec
+
+def _gif_lzw_decode(min_code_size: int, data: bytes,
+                    max_pixels: int) -> bytes:
+    """GIF-variant LZW decode (GIF89a spec appendix F): variable code
+    width from ``min_code_size``+1 up to 12 bits, CLEAR resets the
+    table, table freezes at 4096 entries until the next CLEAR. Stops
+    at the END code or after ``max_pixels`` output bytes (some writers
+    omit END on the final frame)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while len(out) < max_pixels:
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW (first code not in "
+                                 "table)")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+                grown = prev + entry[:1]
+            elif code == len(table):
+                entry = grown = prev + prev[:1]
+            else:
+                raise ValueError("corrupt GIF LZW (code beyond table)")
+            if len(table) < 4096:
+                table.append(grown)
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-variant LZW encode, exactly mirroring the decoder's code-
+    width schedule (the encoder's dictionary runs one entry ahead, so
+    it widens at next_code == 2^size + 1) with a CLEAR+reset at the
+    4096-entry cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    emit(clear)
+    table = fresh()
+    next_code = end + 1
+    w = b""
+    for px in indices:
+        wk = w + bytes([px])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = fresh()
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = bytes([px])
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))   # 4-pass row order
+
+
+def _parse_gif(payload: bytes):
+    """Parse a GIF87a/89a stream (public spec): logical screen
+    descriptor, global/local color tables, extension blocks (skipped
+    via their sub-block framing), per-frame image descriptors with
+    LZW-compressed palette indices, optional Adam-style 4-pass
+    interlacing. Returns ((width, height), frames) with frames =
+    (left, top, index_array (fh, fw) uint8, palette bytes)."""
+    import struct
+
+    import numpy as np
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"unrecognized image magic {payload[:4]!r}")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    frames = []
+    while True:
+        if pos >= len(payload):
+            raise ValueError("truncated GIF (no trailer)")
+        b = payload[pos]
+        if b == 0x3B:                                  # trailer
+            break
+        if b == 0x21:                                  # extension
+            pos += 2
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                sz = payload[pos]
+                pos += 1 + sz
+                if sz == 0:
+                    break
+        elif b == 0x2C:                                # image descriptor
+            if pos + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            left, top, fw, fh = struct.unpack_from("<4H", payload,
+                                                   pos + 1)
+            fpacked = payload[pos + 9]
+            pos += 10
+            lct = None
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                lct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            if pos >= len(payload):
+                raise ValueError("truncated GIF frame")
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF frame data")
+                sz = payload[pos]
+                pos += 1
+                if sz == 0:
+                    break
+                chunk = payload[pos:pos + sz]
+                if len(chunk) < sz:
+                    raise ValueError("truncated GIF sub-block")
+                data += chunk
+                pos += sz
+            if not 0 <= mcs <= 11 or fw < 1 or fh < 1:
+                raise ValueError("corrupt GIF image descriptor")
+            idx = _gif_lzw_decode(mcs, bytes(data), fw * fh)
+            if len(idx) < fw * fh:
+                raise ValueError("GIF frame decodes short")
+            arr = np.frombuffer(idx[:fw * fh],
+                                dtype=np.uint8).reshape(fh, fw)
+            if fpacked & 0x40:                         # interlaced
+                de = np.empty_like(arr)
+                src = 0
+                for first, step in _GIF_INTERLACE:
+                    rows = range(first, fh, step)
+                    de[list(rows)] = arr[src:src + len(rows)]
+                    src += len(rows)
+                arr = de
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            frames.append((left, top, arr, pal))
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF has no image frames")
+    return (w, h), frames
+
+
+def gif_frames(payload: bytes):
+    """Decode a (possibly animated) GIF to a list of full-canvas
+    (h, w, 3) uint8 RGB frames: each image block draws its rectangle
+    onto the running canvas (the 'do not dispose' composition — the
+    behavior every non-transparent fixture and most web GIFs rely on;
+    per-frame disposal variants belong to a PIL-grade decoder)."""
+    import numpy as np
+    (w, h), frames = _parse_gif(payload)
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    out = []
+    for left, top, arr, pal in frames:
+        p = np.frombuffer(pal, dtype=np.uint8)
+        lut = np.zeros((256, 3), dtype=np.uint8)
+        lut[:len(p) // 3] = p[:len(p) // 3 * 3].reshape(-1, 3)
+        if int(arr.max()) >= len(p) // 3:
+            raise ValueError("GIF palette index out of range")
+        fh, fw = arr.shape
+        if top + fh > h or left + fw > w:
+            raise ValueError("GIF frame exceeds logical screen")
+        canvas[top:top + fh, left:left + fw] = lut[arr]
+        out.append(canvas.copy())
+    return out
+
+
+def decode_gif(payload: bytes) -> dict:
+    (w, h), frames = _parse_gif(payload)
+    return {"format": "gif", "width": w, "height": h,
+            "n_frames": len(frames)}
+
+
+def encode_gif(frames_rgb, loop: bool = True) -> bytes:
+    """Minimal GIF89a writer (fixture/test side): one GRAYSCALE global
+    256-color table (palette[i] = (i, i, i)), each (h, w) or (h, w, 1)
+    uint8 frame full-canvas LZW-encoded; animated when more than one
+    frame (NETSCAPE loop block + per-frame graphic control). Grayscale
+    keeps the pixel->index map the identity, so decode is trivially
+    LOSSLESS — the property the oracle legs lean on."""
+    import struct
+
+    import numpy as np
+    if not frames_rgb:
+        raise ValueError("encode_gif needs at least one frame")
+    first = np.asarray(frames_rgb[0])
+    h, w = first.shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h) + bytes([0x80 | 7, 0, 0])
+    out += bytes(v for i in range(256) for v in (i, i, i))   # gray GCT
+    if len(frames_rgb) > 1 and loop:
+        out += (b"\x21\xff\x0bNETSCAPE2.0"
+                + bytes([3, 1, 0, 0, 0]))
+    for fr in frames_rgb:
+        a = np.asarray(fr, dtype=np.uint8)
+        if a.ndim == 3:
+            a = a[:, :, 0]
+        if a.shape != (h, w):
+            raise ValueError("all GIF frames must match the canvas")
+        if len(frames_rgb) > 1:
+            out += b"\x21\xf9" + bytes([4, 0, 4, 0, 0, 0])   # GCE, 4cs
+        out += b"\x2c" + struct.pack("<4H", 0, 0, w, h) + b"\x00"
+        out += bytes([8])                                    # min code
+        data = _gif_lzw_encode(8, a.tobytes())
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
 
 
 # ------------------------------------------------------- AVI (MJPEG) codec
@@ -1185,6 +1479,37 @@ def synth_avi_mjpeg(df: DataFrame, text_col: str = "text",
                     frames.append(encode_jpeg(px, quant_all_ones=True,
                                               restart_interval=3))
                 payloads.append(encode_avi_mjpeg(frames, 64, 32))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "video",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
+def synth_gif(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Test-fixture adapter for the animated-GIF leg: the UTF-8 text
+    bytes chunk into 32-byte frames (min 1, zero-padded); each chunk
+    IS a full-canvas 4x8 grayscale frame (palette[i] = (i,i,i), so
+    the pixel index equals the text byte), LZW-encoded into one
+    animated GIF89a. GIF is lossless, so — like PNG on the image leg
+    and unlike the JPEG legs, which need the constant-block regime —
+    the fingerprint replay from text bytes holds for ARBITRARY
+    content; the LZW decoder, sub-block framing, palette expansion,
+    and composition all sit inside the hash-match."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                nf = max(1, len(data) // 32)
+                data = data[:nf * 32].ljust(nf * 32, b"\x00")
+                frames = [np.frombuffer(data[f * 32:(f + 1) * 32],
+                                        np.uint8).reshape(4, 8)
+                          for f in range(nf)]
+                payloads.append(encode_gif(frames))
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
                                 "modality": "video",
                                 "payload": payloads})

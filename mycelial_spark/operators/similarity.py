@@ -1480,21 +1480,34 @@ def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
     stats = before
     splits: list[dict] = []
     if not is_lsh:
-        while stats["imbalance"] > max_imbalance and len(splits) < max_splits:
-            hot = max(stats["cells"], key=stats["cells"].get)
-            if stats["cells"][hot] < 2:
+        # the loop tracks counts INCREMENTALLY: a split rewrites exactly
+        # two cells and reports their exact counts (out["sizes"]), so
+        # re-scanning the whole index per iteration would make policy
+        # cost track INDEX size instead of the moves actually made —
+        # one authoritative scan on entry, one on exit, zero in between
+        cells = dict(stats["cells"])
+        n_cents = stats["n_centroids"]
+        total = stats["rows"]
+        cur_imb = stats["imbalance"]
+        while cur_imb > max_imbalance and len(splits) < max_splits:
+            hot = max(cells, key=cells.get)
+            if cells[hot] < 2:
                 break
             out = ann_split_cell(spark, path, hot)
             splits.append(out)
-            prev_hot = stats["cells"][hot]
-            stats = ann_index_stats(spark, path)
+            prev_hot = cells[hot]
+            for c, n_rows in out["sizes"].items():
+                cells[int(c)] = int(n_rows)
+            n_cents += 1
+            cur_imb = (max(cells.values()) / (total / n_cents)
+                       if cells and total else 0.0)
             # a cell of identical vectors can't split below itself —
             # stop rather than spend the budget on a no-op loop. The
             # progress test is PER-CELL (did the split cell itself
             # shrink?), not the global max: a different cell tied with
             # the old hot one is the NEXT iteration's problem, not
             # evidence this split failed.
-            if stats["cells"].get(hot, 0) >= prev_hot:
+            if cells.get(hot, 0) >= prev_hot:
                 break
     # file-count pass: bounded by n_cells directory listings
     from mycelial_spark.fsutil import hadoop_fs
@@ -1513,6 +1526,9 @@ def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
     if worst_files > max_files_per_cell:
         ann_compact(spark, path)
         compacted = True
+    if splits or compacted or resumed:
+        # ONE exit scan re-derives the authoritative post-move stats
+        # (incl. drift, which the incremental counts deliberately skip)
         stats = ann_index_stats(spark, path)
     rebuild = ((stats["imbalance"] > max_imbalance)
                or (stats["drift"] is not None

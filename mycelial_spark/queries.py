@@ -5442,7 +5442,11 @@ def video_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("hamming").cast("int").alias("hamming")))
 
 
-@query("video_dedup_pairs_mjpeg", f"""
+# shared by video_dedup_pairs_mjpeg and video_dedup_pairs_gif: both
+# fixture adapters chunk the text into 32-byte frames whose fingerprint
+# grid cells land exactly on the chunk bytes (constant 8px JPEG tiles /
+# 4x8 grayscale-palette GIF pixels), so one replay checks either codec
+_VIDEO_FP32_PAIRS_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n,
@@ -5479,7 +5483,10 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= 3
-""")
+"""
+
+
+@query("video_dedup_pairs_mjpeg", _VIDEO_FP32_PAIRS_ORACLE)
 def video_dedup_pairs_mjpeg(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """video_dedup_pairs through a COMPRESSED container: documents
@@ -5504,6 +5511,35 @@ def video_dedup_pairs_mjpeg(spark: SparkSession,
                                                      video_fingerprint)
     docs = spread(_t(spark, sf_dir, "documents"))
     fps = video_fingerprint(synth_avi_mjpeg(docs), container="avi")
+    return (image_hamming_pairs(fps, max_hamming=3,
+                                hash_col="fingerprint")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+@query("video_dedup_pairs_gif", _VIDEO_FP32_PAIRS_ORACLE)
+def video_dedup_pairs_gif(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """video_dedup_pairs through animated GIF (the web's native
+    animation format): documents synthesize multi-frame GIF89a clips
+    (synth_gif — each 32-byte text chunk is a full-canvas 4x8 frame
+    under the identity grayscale palette), video_fingerprint(
+    container="gif") LZW-decodes every frame, expands the palette,
+    composites, and packs the same 32 spatial + 31 temporal bits; the
+    oracle replays the fingerprints straight from the text bytes.
+    Unlike the MJPEG twin this needs NO special encode regime — GIF is
+    lossless, so the hash-match holds for arbitrary content and covers
+    the LZW variable-code-width decoder (dictionary growth, 12-bit cap,
+    CLEAR resets), sub-block framing, palette expansion, and the
+    composition path end-to-end (reference parity: the multimodal
+    dedup family; decoder is public-spec GIF89a, independently
+    implemented)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (image_hamming_pairs,
+                                                     synth_gif,
+                                                     video_fingerprint)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fps = video_fingerprint(synth_gif(docs), container="gif")
     return (image_hamming_pairs(fps, max_hamming=3,
                                 hash_col="fingerprint")
             .select("id_a", "id_b",

@@ -1,0 +1,161 @@
+"""Animated GIF codec (operators/multimodal.py — GIF89a LZW, public
+spec): lossless round-trips (so the video-leg oracle holds for
+arbitrary content), variable code width through the 12-bit cap,
+interlacing, local color tables, and loud failures on corrupt input."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import multimodal as MM
+
+
+def _px(h, w, seed=7):
+    return np.random.RandomState(seed).randint(0, 256, (h, w),
+                                               dtype=np.uint8)
+
+
+def test_single_frame_roundtrip_gray_identity():
+    a = _px(40, 60)
+    fr = MM.gif_frames(MM.encode_gif([a]))
+    assert len(fr) == 1 and fr[0].shape == (40, 60, 3)
+    assert (fr[0] == a[:, :, None]).all()   # identity palette: r=g=b=idx
+
+
+def test_animated_roundtrip_and_metadata():
+    frames = [_px(4, 8, seed=i) for i in range(5)]
+    g = MM.encode_gif(frames)
+    out = MM.gif_frames(g)
+    assert len(out) == 5
+    for i, f in enumerate(frames):
+        assert (out[i][:, :, 0] == f).all(), i
+    assert MM.decode_gif(g) == {"format": "gif", "width": 8,
+                                "height": 4, "n_frames": 5}
+    assert b"NETSCAPE2.0" in g              # loop block present
+
+
+def test_lzw_code_width_growth_and_cap():
+    """A large random frame walks the dictionary through every code
+    width to the 4096-entry cap (forcing a CLEAR+reset mid-stream);
+    repetitive content exercises long match chains."""
+    big = _px(80, 120, seed=3)
+    assert (MM.gif_frames(MM.encode_gif([big]))[0][:, :, 0] == big).all()
+    rep = np.tile(np.arange(16, dtype=np.uint8).repeat(4), (64, 1))
+    assert (MM.gif_frames(MM.encode_gif([rep]))[0][:, :, 0] == rep).all()
+
+
+def test_interlaced_frame_deinterlaces():
+    """Hand-build an interlaced GIF: pixel data stored in the 4-pass
+    row order (8-apart, then 4-, 2-, 1-) with the interlace flag set
+    must decode back to natural row order."""
+    a = _px(13, 6, seed=9)
+    order = [r for first, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(first, 13, step)]
+    stored = a[order]
+    g = bytearray(b"GIF89a" + struct.pack("<HH", 6, 13)
+                  + bytes([0x80 | 7, 0, 0])
+                  + bytes(v for i in range(256) for v in (i, i, i)))
+    g += b"\x2c" + struct.pack("<4H", 0, 0, 6, 13) + bytes([0x40])
+    g += bytes([8])
+    data = MM._gif_lzw_encode(8, stored.tobytes())
+    for i in range(0, len(data), 255):
+        c = data[i:i + 255]
+        g += bytes([len(c)]) + c
+    g += b"\x00\x3b"
+    out = MM.gif_frames(bytes(g))
+    assert (out[0][:, :, 0] == a).all()
+
+
+def test_local_color_table_overrides_global():
+    """A frame with a local table maps indices through IT: global says
+    gray-identity, local says doubled-and-clipped."""
+    a = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    g = bytearray(b"GIF89a" + struct.pack("<HH", 2, 2)
+                  + bytes([0x80 | 7, 0, 0])
+                  + bytes(v for i in range(256) for v in (i, i, i)))
+    # local 4-entry table (size bits = 1): entries (10,20,30)*k
+    g += b"\x2c" + struct.pack("<4H", 0, 0, 2, 2) + bytes([0x80 | 1])
+    g += bytes(v for i in range(4) for v in (10 * i, 20 * i, 30 * i))
+    g += bytes([2])
+    data = MM._gif_lzw_encode(2, a.tobytes())
+    g += bytes([len(data)]) + data + b"\x00\x3b"
+    out = MM.gif_frames(bytes(g))[0]
+    assert out[1, 1].tolist() == [30, 60, 90]
+    assert out[0, 0].tolist() == [0, 0, 0]
+
+
+def test_rejects_corrupt_and_truncated():
+    g = MM.encode_gif([_px(6, 6)])
+    with pytest.raises(ValueError, match="magic"):
+        MM.gif_frames(b"GIF88a" + g[6:])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.gif_frames(g[:len(g) // 2])
+    with pytest.raises(ValueError, match="truncated"):
+        MM.gif_frames(g[:-1])               # missing trailer
+    # palette index out of range via an undersized local table
+    bad = bytearray(b"GIF89a" + struct.pack("<HH", 1, 1)
+                    + bytes([0, 0, 0]))     # no global table
+    bad += b"\x2c" + struct.pack("<4H", 0, 0, 1, 1) + bytes([0x80])
+    bad += bytes([1, 2, 3, 4, 5, 6])        # 2-entry local table
+    bad += bytes([2])
+    data = MM._gif_lzw_encode(2, bytes([3]))
+    bad += bytes([len(data)]) + data + b"\x00\x3b"
+    with pytest.raises(ValueError, match="palette index"):
+        MM.gif_frames(bytes(bad))
+    # frame with no color table at all
+    nct = bytearray(b"GIF89a" + struct.pack("<HH", 1, 1)
+                    + bytes([0, 0, 0]))
+    nct += b"\x2c" + struct.pack("<4H", 0, 0, 1, 1) + bytes([0])
+    nct += bytes([2])
+    data = MM._gif_lzw_encode(2, bytes([0]))
+    nct += bytes([len(data)]) + data + b"\x00\x3b"
+    with pytest.raises(ValueError, match="no color table"):
+        MM.gif_frames(bytes(nct))
+    with pytest.raises(ValueError, match="no image frames"):
+        MM.gif_frames(b"GIF89a" + struct.pack("<HH", 1, 1)
+                      + bytes([0, 0, 0]) + b"\x3b")
+
+
+def test_image_dispatch_takes_first_frame():
+    frames = [_px(5, 7, seed=1), _px(5, 7, seed=2)]
+    g = MM.encode_gif(frames)
+    px = MM._decode_pixels(g)
+    assert (px[:, :, 0] == frames[0]).all()
+    meta = MM.decode_image(g)
+    assert meta["format"] == "gif" and meta["width"] == 7
+
+
+def test_gif_fingerprint_equals_text_replay_distributed(spark):
+    """Distributed oracle check: synth_gif -> video_fingerprint(
+    container='gif') — through LZW decode, palette expansion, and
+    composition — equals the fingerprint computed from the 32-byte
+    text chunks. Lossless, so no special content regime is needed."""
+    rows = [(i, f"animated clip {i} with frame text " * (i + 1))
+            for i in range(8)] + [(8, ""), (9, "ü" * 70)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["fingerprint"] for r in
+           MM.video_fingerprint(MM.synth_gif(docs),
+                                container="gif").collect()}
+
+    def replay(text, samples=32):
+        data = text.encode("utf-8")
+        nf = max(1, len(data) // 32)
+        data = data[:nf * 32].ljust(nf * 32, b"\x00")
+        sp = np.zeros(32, dtype=np.int64)
+        means = []
+        for k in range(samples):
+            f = (k * nf) // samples
+            cells = np.frombuffer(data[f * 32:(f + 1) * 32],
+                                  np.uint8).astype(np.int64)
+            sp += cells
+            means.append(int(cells.sum()))
+        total = int(sp.sum())
+        val = sum(1 << p for p in range(32) if 32 * int(sp[p]) >= total)
+        val |= sum(1 << (31 + k) for k in range(1, samples)
+                   if means[k] > means[k - 1])
+        return val
+
+    assert len(got) == 10
+    for i, t in rows:
+        assert got[i] == replay(t), i

@@ -1,0 +1,150 @@
+"""Scale probes for the round-8 operators (SCALE.md round-9 rows).
+
+Three claims to verify with measured curves, one JSON line each:
+
+1. char_diversity — the per-document higher-order sort-fold is
+   O(len * log len): cost should grow ~linearly in document LENGTH at
+   fixed corpus cardinality (the log factor is invisible next to scan
+   cost at these sizes).
+2. k_anonymity / l_diversity — one (map-side-combinable / two-stage
+   single-distinct) hash aggregate + a count filter: cost should be
+   ~flat in QI-group CARDINALITY at fixed row count, and the output
+   stays the violating tail only.
+3. ann_maintain — the policy's stats pass reads the partition column
+   only and splits rewrite only touched cells: with per-cell density
+   held constant (centroids scale with the corpus), the cost of
+   healing the SAME hot append should stay ~flat as the index grows.
+
+Usage: python tools/scale_probe_r9.py [--ops=char_diversity,privacy,ann]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.session import get_spark
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def probe_char_diversity(spark, factors=(1, 4, 16)):
+    from mycelial_spark.operators.text import with_char_diversity
+    n_docs = 20_000
+    base = ("the quick brown fox jumps over the lazy dog 0123456789 "
+            "Bücher Läden ünïcode ")
+    for f in factors:
+        docs = (spark.range(n_docs)
+                .select(F.col("id").alias("doc_id"),
+                        F.concat(
+                            F.repeat(F.lit(base), 16 * f),
+                            F.sha2(F.col("id").cast("string"), 256))
+                        .alias("text"))
+                .repartition(32))
+        docs.persist().count()
+        t0 = time.time()
+        out = with_char_diversity(docs).select("doc_id",
+                                               "char_diversity")
+        _force(out)
+        wall = time.time() - t0
+        chars = 16 * f * len(base) + 64
+        print(json.dumps({"op": "char_diversity", "factor": f,
+                          "docs": n_docs, "chars_per_doc": chars,
+                          "sec": round(wall, 2)}))
+        docs.unpersist()
+
+
+def probe_privacy(spark, factors=(1, 4, 16)):
+    from mycelial_spark.operators.relational import k_anonymity, l_diversity
+    rows = 2_000_000
+    for f in factors:
+        groups = 10_000 * f
+        # QI cells sized rows/groups on average; plant a violating tail
+        # by construction (hash spread leaves some cells < k)
+        df = (spark.range(rows)
+              .select(
+                  (F.xxhash64("id") % groups).alias("age_zip"),
+                  (F.xxhash64("id", F.lit(1)) % 7).alias("sex"),
+                  (F.xxhash64("id", F.lit(2)) % 3).alias("diagnosis"))
+              .repartition(32))
+        df.persist().count()
+        t0 = time.time()
+        nk = _force(k_anonymity(df, ["age_zip", "sex"], k=5))
+        tk = time.time() - t0
+        t0 = time.time()
+        nl = _force(l_diversity(df, ["age_zip", "sex"], "diagnosis",
+                                l=3))
+        tl = time.time() - t0
+        print(json.dumps({"op": "privacy_audits", "factor": f,
+                          "rows": rows, "qi_groups": groups * 7,
+                          "k_anon_sec": round(tk, 2),
+                          "k_anon_out": nk,
+                          "l_div_sec": round(tl, 2), "l_div_out": nl}))
+        df.unpersist()
+
+
+def probe_ann_maintain(spark, tmp: str, factors=(1, 4, 16)):
+    import numpy as np
+
+    from mycelial_spark.operators import similarity as S
+    dim = 16
+    for f in factors:
+        n = 20_000 * f
+        n_cent = 16 * f                     # constant per-cell density
+        rng = np.random.RandomState(7)
+        centers = rng.normal(0, 10, (n_cent, dim))
+
+        def vecs(count, start_id, which=None, seed=11):
+            r = np.random.RandomState(seed)
+            idx = (r.randint(0, n_cent, count) if which is None
+                   else np.full(count, which))
+            pts = centers[idx] + r.normal(0, 0.05, (count, dim))
+            return spark.createDataFrame(
+                [(int(start_id + i), [float(x) for x in pts[i]])
+                 for i in range(count)],
+                "vec_id long, embedding array<float>")
+
+        path = os.path.join(tmp, f"idx_{f}")
+        S.ann_build_index(vecs(n, 0), path, n_centroids=n_cent,
+                          id_col="vec_id")
+        # identical hot append at every factor: 5k vectors into cell 0
+        S.ann_append(vecs(5_000, 10_000_000, which=0, seed=13), path)
+        t0 = time.time()
+        rep = S.ann_maintain(spark, path, max_imbalance=2.0,
+                             max_splits=4)
+        wall = time.time() - t0
+        print(json.dumps({"op": "ann_maintain", "factor": f,
+                          "index_rows": n + 5_000, "cells": n_cent,
+                          "sec": round(wall, 2),
+                          "splits": len(rep["splits"]),
+                          "imb_before": round(rep["imbalance_before"], 2),
+                          "imb_after": round(rep["imbalance_after"], 2),
+                          "rebuild": rep["rebuild_recommended"]}))
+
+
+def main():
+    only = {o for a in sys.argv[1:] if a.startswith("--ops=")
+            for o in a.split("=", 1)[1].split(",")}
+    spark = get_spark("scale-probe-r9")
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        if not only or "char_diversity" in only:
+            probe_char_diversity(spark)
+        if not only or "privacy" in only:
+            probe_privacy(spark)
+        if not only or "ann" in only:
+            probe_ann_maintain(spark, tmp)
+
+
+if __name__ == "__main__":
+    main()
