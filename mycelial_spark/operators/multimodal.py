@@ -122,8 +122,10 @@ AUDIO_SCHEMA = T.StructType([
 
 
 def audio_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
-    """WAV feature extraction over Arrow batches: (id, payload) ->
-    AUDIO_SCHEMA rows via the real stdlib codec.
+    """Audio feature extraction over Arrow batches: (id, payload) ->
+    AUDIO_SCHEMA rows via the real codecs, dispatched per row on magic
+    bytes (RIFF/WAVE via stdlib wave, FORM/AIFF via the pure-Python
+    IFF parser — same normalization, comparable RMS).
 
     ``on_error="null"`` emits null features for undecodable payloads
     (poison-row tolerance — at corpus scale one truncated file must not
@@ -138,7 +140,9 @@ def audio_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
                 try:
                     payload = bytes(payload)   # None payload is poison too
-                    meta = decode_wav(payload)
+                    meta = (decode_aiff(payload)
+                            if payload[:4] == b"FORM"
+                            else decode_wav(payload))
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -178,6 +182,141 @@ def synth_wav(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         run, "id long, modality string, payload binary")
 
 
+def _f80_to_int(b: bytes) -> int:
+    """80-bit IEEE extended -> int (AIFF sampleRate is stored this way;
+    audio rates are integers, so the exact power-of-two path suffices)."""
+    import struct
+    se, mant = struct.unpack(">HQ", b)
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0
+    sign = -1 if se & 0x8000 else 1
+    exp = (se & 0x7FFF) - 16383 - 63
+    return sign * (mant << exp if exp >= 0 else mant >> -exp)
+
+
+def _int_to_f80(v: int) -> bytes:
+    import struct
+    if v == 0:
+        return b"\x00" * 10
+    exp = v.bit_length() - 1
+    return struct.pack(">HQ", 16383 + exp, v << (63 - exp))
+
+
+def _parse_aiff(payload: bytes):
+    """Parse an AIFF container (EA IFF-85 / Apple, public spec): FORM/
+    AIFF, COMM (channels, frames, bits, 80-bit extended sample rate),
+    SSND big-endian signed PCM (8/16/32-bit; 32-bit downshifts 16 so
+    energies stay in int64 — same normalization as the WAV leg).
+    Returns (meta, samples int64 array). Chunks pad to even bytes."""
+    import struct
+
+    import numpy as np
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError(f"unrecognized audio magic {payload[:4]!r}")
+    size = struct.unpack_from(">I", payload, 4)[0]
+    end = 8 + size
+    if end > len(payload):
+        raise ValueError("truncated AIFF (FORM size exceeds payload)")
+    pos = 12
+    comm = None
+    ssnd = None
+    while pos + 8 <= end:
+        ckid = payload[pos:pos + 4]
+        sz = struct.unpack_from(">I", payload, pos + 4)[0]
+        ds = pos + 8
+        if ds + sz > end:
+            raise ValueError(f"truncated AIFF chunk {ckid!r}")
+        if ckid == b"COMM":
+            if sz < 18:
+                raise ValueError("short AIFF COMM chunk")
+            ch, nframes, bits = struct.unpack_from(">hIh", payload, ds)
+            rate = _f80_to_int(payload[ds + 8:ds + 18])
+            comm = (ch, nframes, bits, rate)
+        elif ckid == b"SSND":
+            off, _blk = struct.unpack_from(">II", payload, ds)
+            ssnd = payload[ds + 8 + off:ds + sz]
+        pos = ds + sz + (sz & 1)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    ch, nframes, bits, rate = comm
+    if ch < 1 or rate < 1:
+        raise ValueError("corrupt AIFF COMM chunk")
+    need = nframes * ch * (bits // 8)
+    if len(ssnd) < need:
+        raise ValueError("truncated AIFF sample data")
+    if bits == 16:
+        s = np.frombuffer(ssnd[:need], dtype=">i2").astype(np.int64)
+    elif bits == 8:                     # AIFF 8-bit PCM is SIGNED
+        s = np.frombuffer(ssnd[:need], dtype="i1").astype(np.int64)
+    elif bits == 32:
+        s = np.frombuffer(ssnd[:need], dtype=">i4").astype(np.int64) >> 16
+    else:
+        raise ValueError(f"unsupported AIFF sample width {bits} bits")
+    meta = {"channels": ch, "sample_rate": rate,
+            "sample_width": bits // 8, "n_frames": nframes,
+            "duration_ms": round(nframes * 1000.0 / rate, 3)}
+    return meta, s
+
+
+def decode_aiff(payload: bytes) -> dict:
+    """AIFF metadata + RMS — the big-endian twin of decode_wav (same
+    normalization, so mixed WAV/AIFF corpora report comparable RMS)."""
+    import numpy as np
+    meta, s = _parse_aiff(payload)
+    denom = {1: 128.0, 2: 32768.0, 4: 32768.0}[meta["sample_width"]]
+    f = s.astype(np.float64) / denom
+    meta["rms"] = round(float(np.sqrt(np.mean(f ** 2))) if f.size
+                        else 0.0, 6)
+    return meta
+
+
+def encode_aiff(samples, sample_rate: int = 8000,
+                channels: int = 1) -> bytes:
+    """Minimal AIFF writer (fixture/test side): 16-bit big-endian PCM,
+    COMM with the 80-bit extended rate, zero-offset SSND."""
+    import struct
+
+    import numpy as np
+    s = np.asarray(samples, dtype=np.int64)
+    if s.size % channels:
+        raise ValueError("sample count not divisible by channels")
+    comm = struct.pack(">hIh", channels, s.size // channels, 16) \
+        + _int_to_f80(sample_rate)
+    body = struct.pack(">II", 0, 0) + s.astype(">i2").tobytes()
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm \
+        + b"SSND" + struct.pack(">I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks
+
+
+def synth_aiff(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id",
+               sample_rate: int = 8000) -> DataFrame:
+    """Test-fixture adapter for the AIFF leg: the SAME sample sequence
+    as synth_wav (text bytes read as little-endian int16 pairs,
+    even-truncated) written big-endian into an AIFF container — so
+    every sample-derived result (fingerprint, dedup pairs) must equal
+    the WAV path bit-for-bit, and the WAV leg's text-byte oracle checks
+    this decoder end-to-end (byte-order bugs flip sample values and
+    break the hash-match)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                data = str(t).encode("utf-8")
+                data = data[:len(data) // 2 * 2]
+                s = np.frombuffer(data, dtype="<i2")
+                payloads.append(encode_aiff(s, sample_rate))
+            yield pd.DataFrame({"id": pdf[id_col].astype("int64"),
+                                "modality": "audio",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
 def audio_fingerprint(df: DataFrame, frames: int = 64,
                       on_error: str = "raise") -> DataFrame:
     """Energy-delta audio fingerprint per WAV payload — the audio leg
@@ -204,17 +343,22 @@ def audio_fingerprint(df: DataFrame, frames: int = 64,
     def one(payload: bytes) -> int:
         import io
         import wave
-        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-            width = w.getsampwidth()
-            raw = w.readframes(w.getnframes())
-        if width == 2:
-            s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
-        elif width == 1:
-            s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
-        elif width == 4:
-            s = np.frombuffer(raw, dtype="<i4").astype(np.int64) >> 16
+        payload = bytes(payload)
+        if payload[:4] == b"FORM":         # AIFF twin, same arithmetic
+            _meta, s = _parse_aiff(payload)
         else:
-            raise ValueError(f"unsupported WAV width {width}")
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                width = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+            if width == 2:
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            elif width == 1:
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) \
+                    - 128
+            elif width == 4:
+                s = np.frombuffer(raw, dtype="<i4").astype(np.int64) >> 16
+            else:
+                raise ValueError(f"unsupported WAV width {width}")
         n = s.size
         fw = max(1, n // frames)
         energies = []
@@ -546,8 +690,10 @@ IMAGE_SCHEMA = T.StructType([
 
 def image_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     """Image feature extraction over Arrow batches: (id, payload) ->
-    IMAGE_SCHEMA via the real netpbm/BMP codec. ``on_error="null"``
-    tolerates poison payloads (nulls out the decoded columns)."""
+    IMAGE_SCHEMA via the real codecs, dispatched per row on magic
+    bytes (netpbm/BMP/PNG/JPEG/GIF — a mixed-format corpus needs no
+    pre-sorting by type). ``on_error="null"`` tolerates poison
+    payloads (nulls out the decoded columns)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
@@ -849,33 +995,61 @@ def video_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.mapInPandas(run, VIDEO_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, max_frames: int = 8) -> DataFrame:
-    """REAL frame sampling: decode Y4M, take an even stride of at most
-    ``max_frames`` frames, emit each frame's LUMA plane re-encoded as a
-    P5 PGM image in the ``payload`` column — directly consumable by
-    image_features/resize_images (the video->image leg of a multimodal
-    pipeline)."""
+def sample_video_frames(df: DataFrame, max_frames: int = 8,
+                        container: str = "y4m") -> DataFrame:
+    """REAL frame sampling: demux the container, take an even stride of
+    at most ``max_frames`` frames, emit each frame's LUMA plane
+    re-encoded as a P5 PGM image in the ``payload`` column — directly
+    consumable by image_features/resize_images (the video->image leg
+    of a multimodal pipeline). ``container`` is "y4m" (luma plane read
+    in place), "avi" (MJPEG — only the SAMPLED frames entropy-decode;
+    luma = gray channel or integer (r+g+b)//3), or "gif" (composited
+    canvas, same gray kernel)."""
     import numpy as np
+    if container not in ("y4m", "avi", "gif"):
+        raise ValueError(f"container must be 'y4m', 'avi', or 'gif'; "
+                         f"got {container!r}")
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("payload", T.BinaryType()),
     ])
 
+    def _gray(px):
+        px = px.astype(np.int64)
+        g = px[:, :, 0] if px.shape[2] == 1 else px.sum(axis=2) // px.shape[2]
+        return g.astype(np.uint8)[:, :, None]
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, payload in zip(pdf["id"], pdf["payload"]):
-                meta, frames = _parse_y4m(bytes(payload))
-                w, h = meta["width"], meta["height"]
+                payload = bytes(payload)
+                if container == "avi":
+                    from mycelial_spark.operators.jpeg import decode_jpeg
+                    _meta, frames = _parse_avi_mjpeg(payload)
+
+                    def luma(i):
+                        return _gray(decode_jpeg(bytes(frames[i])))
+                elif container == "gif":
+                    frames = gif_frames(payload)
+
+                    def luma(i):
+                        return _gray(frames[i])
+                else:
+                    meta, frames = _parse_y4m(payload)
+                    w, h = meta["width"], meta["height"]
+
+                    def luma(i):
+                        return np.frombuffer(frames[i][:w * h],
+                                             dtype=np.uint8).reshape(
+                                                 h, w, 1)
                 # ceiling stride: an EVEN spread over the whole clip
                 # (floor would bias sampling to the clip's start)
                 stride = max(1, -(-len(frames) // max_frames))
                 for i in list(range(0, len(frames), stride))[:max_frames]:
-                    luma = np.frombuffer(frames[i][:w * h],
-                                         dtype=np.uint8).reshape(h, w, 1)
                     out.append({"id": doc_id, "frame_idx": i,
-                                "payload": encode_ppm(luma)})
+                                "payload": encode_ppm(luma(i))})
             yield pd.DataFrame(out, columns=["id", "frame_idx", "payload"])
 
     return df.mapInPandas(run, schema)

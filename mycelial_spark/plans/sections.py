@@ -1826,14 +1826,18 @@ def video_features_(spark, cfg, inputs):
 
 
 @_register("video_frames", "transform", "bin_or_dataframe", "dataframe",
-           [Field("max_frames", "int", 8)],
-           doc="REAL frame sampling from Y4M payloads: an even stride of "
-               "at most max_frames frames, each emitted as a PGM luma "
-               "image — feeds image_features / multimodal_resize.")
+           [Field("max_frames", "int", 8),
+            Field("container", "str", "y4m")],
+           doc="REAL frame sampling from video payloads: an even stride "
+               "of at most max_frames frames, each emitted as a PGM "
+               "luma image — feeds image_features / multimodal_resize. "
+               "container = y4m (raw planar), avi (MJPEG — sampled "
+               "frames entropy-decode via operators/jpeg.py), or gif "
+               "(animated, composited).")
 def video_frames_(spark, cfg, inputs):
     from mycelial_spark.operators.multimodal import sample_video_frames
     return sample_video_frames(_payload_frame(inputs[0]),
-                               cfg["max_frames"])
+                               cfg["max_frames"], cfg["container"])
 
 
 # ---------------------------------------------------------------------------

@@ -5322,7 +5322,11 @@ def _wav_sample_sql(k: str) -> str:
             f"(CASE WHEN ({hi}) >= 128 THEN 1 ELSE 0 END)")
 
 
-@query("audio_dedup_pairs", f"""
+# shared by audio_dedup_pairs (WAV) and audio_dedup_pairs_aiff: both
+# adapters carry the SAME little-endian-int16 sample sequence (AIFF
+# stores it byte-swapped on the wire), so one text-byte replay checks
+# either container's decode end to end
+_AUDIO_FP_PAIRS_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) // 2 AS ns
@@ -5355,7 +5359,10 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= 3
-""")
+"""
+
+
+@query("audio_dedup_pairs", _AUDIO_FP_PAIRS_ORACLE)
 def audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dup pairs over the REAL wave codec: documents
     synthesize deterministic PCM16 payloads, audio_fingerprint frames
@@ -5373,6 +5380,32 @@ def audio_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                      synth_wav)
     docs = spread(_t(spark, sf_dir, "documents"))
     fps = audio_fingerprint(synth_wav(docs))
+    return (image_hamming_pairs(fps, max_hamming=3,
+                                hash_col="fingerprint")
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+@query("audio_dedup_pairs_aiff", _AUDIO_FP_PAIRS_ORACLE)
+def audio_dedup_pairs_aiff(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """audio_dedup_pairs through the AIFF container (the big-endian
+    IFF twin of WAV — the other PCM container real audio corpora
+    carry): synth_aiff writes the SAME int16 sample sequence
+    big-endian into FORM/AIFF (COMM with the 80-bit extended sample
+    rate, SSND offset framing), audio_fingerprint dispatches on the
+    FORM magic and parses it with the pure-Python AIFF codec
+    (operators/multimodal.py _parse_aiff), and the WAV leg's text-byte
+    oracle replays the result — a byte-order bug, a COMM misparse, or
+    wrong SSND offset handling flips sample values and breaks the
+    hash-match (reference parity: the multimodal dedup family;
+    public-spec EA IFF-85, independently implemented)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (audio_fingerprint,
+                                                     image_hamming_pairs,
+                                                     synth_aiff)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    fps = audio_fingerprint(synth_aiff(docs))
     return (image_hamming_pairs(fps, max_hamming=3,
                                 hash_col="fingerprint")
             .select("id_a", "id_b",
@@ -5515,6 +5548,97 @@ def video_dedup_pairs_mjpeg(spark: SparkSession,
                                 hash_col="fingerprint")
             .select("id_a", "id_b",
                     F.col("hamming").cast("int").alias("hamming")))
+
+
+@query("video_frames_mjpeg", """
+WITH d AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n,
+         greatest(1, octet_length(encode(text)) // 32) AS nf
+  FROM documents
+),
+s AS (
+  SELECT doc_id, hx, n, nf, (nf + 7) // 8 AS stride FROM d
+)
+SELECT doc_id,
+       CAST(k.k * stride AS INT) AS frame_idx,
+       CAST(2061 AS BIGINT) AS n_bytes,
+       lower(repeat(CASE WHEN k.k * stride * 32 < n
+                         THEN substr(hx, k.k * stride * 32 * 2 + 1, 2)
+                         ELSE '00' END, 8)) AS first_px_hex,
+       lower(repeat(CASE WHEN k.k * stride * 32 + 31 < n
+                         THEN substr(hx, (k.k * stride * 32 + 31) * 2 + 1, 2)
+                         ELSE '00' END, 8)) AS last_px_hex
+FROM s, range(8) k(k)
+WHERE k.k * stride < nf
+""")
+def video_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame SAMPLING through the compressed container (the video->
+    image leg for MJPEG-in-AVI): sample_video_frames(container="avi")
+    demuxes the RIFF stream, entropy-decodes ONLY the evenly-strided
+    sample (ceiling stride, <=8 frames/clip), and re-encodes each
+    decoded luma plane as P5 PGM. The oracle replays the stride
+    arithmetic and, per sampled frame, the first and last pixel rows'
+    leading bytes (a constant 8px tile decodes to its text byte
+    repeated — the exact-regime property), plus the exact PGM size
+    (13-byte header + 64x32 pixels), so wrong stride, wrong frame
+    picked, or a decode shift breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (sample_video_frames,
+                                                     synth_avi_mjpeg)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    frames = sample_video_frames(synth_avi_mjpeg(docs), max_frames=8,
+                                 container="avi")
+    return frames.select(
+        F.col("id").alias("doc_id"), "frame_idx",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 14, 8)))
+        .alias("first_px_hex"),
+        F.lower(F.hex(F.substring("payload", 2054, 8)))
+        .alias("last_px_hex"))
+
+
+@query("image_formats_mixed", """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'netpbm' WHEN 1 THEN 'png'
+                       WHEN 2 THEN 'jpeg'   ELSE 'gif' END AS format,
+       CAST(CASE doc_id % 4 WHEN 2 THEN 128 WHEN 3 THEN 8
+                            ELSE 16 END AS INT) AS width,
+       CAST(CASE doc_id % 4
+            WHEN 2 THEN 16 * greatest(1, octet_length(encode(text)) // 8)
+            WHEN 3 THEN 4
+            ELSE greatest(1, octet_length(encode(text)) // 48)
+            END AS INT) AS height,
+       CAST(3 AS INT) AS channels
+FROM documents
+""")
+def image_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One binary column, four real codecs — the shape a crawled image
+    corpus actually has: payloads are netpbm, PNG, baseline JPEG, or
+    GIF by doc_id % 4 (each synthesized by its fixture adapter), and
+    image_features dispatches on MAGIC BYTES per row inside one Arrow
+    batch — no per-format partitioning, no modality column needed.
+    The oracle replays each format's dimensional contract from the
+    text length (PPM/PNG: 16-wide byte rows; JPEG: 16px macroblock
+    tiles, 8 across; GIF: first frame of the 4x8 animation), so a
+    dispatch bug (wrong decoder picked, wrong dims parsed) breaks the
+    hash-match. Integer columns only — mean_value is format-dependent
+    float math and belongs to the per-format feature queries."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import (image_features,
+                                                     synth_gif,
+                                                     synth_jpeg,
+                                                     synth_png,
+                                                     synth_ppm)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 4
+    payloads = (synth_ppm(docs.filter(m == 0))
+                .unionByName(synth_png(docs.filter(m == 1)))
+                .unionByName(synth_jpeg(docs.filter(m == 2)))
+                .unionByName(synth_gif(docs.filter(m == 3))))
+    return (image_features(payloads)
+            .select(F.col("id").alias("doc_id"), "format", "width",
+                    "height", "channels"))
 
 
 @query("video_dedup_pairs_gif", _VIDEO_FP32_PAIRS_ORACLE)

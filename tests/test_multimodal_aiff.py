@@ -1,0 +1,106 @@
+"""AIFF codec (operators/multimodal.py — EA IFF-85 / Apple, public
+spec): the big-endian PCM twin of the WAV leg. Sample values must
+match WAV's bit-for-bit for the shared oracle to hold; container
+damage must raise, not decode shifted samples."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import multimodal as MM
+
+
+def _samples(n, seed=7):
+    return np.random.RandomState(seed).randint(-32768, 32768, n) \
+        .astype(np.int64)
+
+
+def test_roundtrip_and_metadata():
+    s = _samples(300)
+    payload = MM.encode_aiff(s, sample_rate=8000)
+    meta, got = MM._parse_aiff(payload)
+    assert (got == s).all()
+    assert meta == {"channels": 1, "sample_rate": 8000,
+                    "sample_width": 2, "n_frames": 300,
+                    "duration_ms": 37.5}
+
+
+@pytest.mark.parametrize("rate", [1, 8000, 44100, 48000, 96001])
+def test_extended_float_rate_roundtrip(rate):
+    """The 80-bit extended sampleRate survives encode->decode for
+    arbitrary integer rates (not just powers of two)."""
+    assert MM._f80_to_int(MM._int_to_f80(rate)) == rate
+    payload = MM.encode_aiff(_samples(10), sample_rate=rate)
+    assert MM._parse_aiff(payload)[0]["sample_rate"] == rate
+
+
+def test_rms_matches_wav_twin():
+    """Same samples through both containers -> identical RMS (the
+    normalization contract that makes mixed corpora comparable)."""
+    import io
+    import wave
+    s = _samples(500, seed=3)
+    aiff_rms = MM.decode_aiff(MM.encode_aiff(s))["rms"]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(s.astype("<i2").tobytes())
+    assert MM.decode_wav(buf.getvalue())["rms"] == aiff_rms
+
+
+def test_ssnd_offset_and_signed_8bit():
+    """Hand-built AIFF: a nonzero SSND offset skips pad bytes, and
+    8-bit AIFF PCM is SIGNED (unlike WAV's unsigned 8-bit)."""
+    vals = np.array([-128, -1, 0, 1, 127], dtype=np.int8)
+    comm = struct.pack(">hIh", 1, 5, 8) + MM._int_to_f80(8000)
+    body = struct.pack(">II", 3, 0) + b"\xAA\xBB\xCC" + vals.tobytes()
+    chunks = (b"COMM" + struct.pack(">I", len(comm)) + comm
+              + b"SSND" + struct.pack(">I", len(body)) + body)
+    payload = (b"FORM" + struct.pack(">I", 4 + len(chunks))
+               + b"AIFF" + chunks)
+    meta, got = MM._parse_aiff(payload)
+    assert meta["sample_width"] == 1
+    assert got.tolist() == [-128, -1, 0, 1, 127]
+
+
+def test_rejects_corrupt_and_truncated():
+    payload = MM.encode_aiff(_samples(40))
+    with pytest.raises(ValueError, match="magic"):
+        MM._parse_aiff(b"RIFF" + payload[4:])
+    with pytest.raises(ValueError, match="magic"):
+        MM._parse_aiff(b"FORM" + payload[4:8] + b"AIFC" + payload[12:])
+    with pytest.raises(ValueError, match="truncated"):
+        MM._parse_aiff(payload[:len(payload) // 2])
+    # COMM claims more frames than SSND carries
+    bad = bytearray(payload)
+    i = bad.index(b"COMM")
+    struct.pack_into(">I", bad, i + 10, 4000)
+    with pytest.raises(ValueError, match="truncated AIFF sample"):
+        MM._parse_aiff(bytes(bad))
+    # drop SSND entirely
+    j = payload.index(b"SSND")
+    head = payload[:j]
+    trimmed = (b"FORM" + struct.pack(">I", len(head) - 8)
+               + head[8:])
+    with pytest.raises(ValueError, match="missing COMM or SSND"):
+        MM._parse_aiff(trimmed)
+
+
+def test_fingerprint_dispatches_on_form_magic(spark):
+    """synth_aiff and synth_wav carry identical samples; fingerprints
+    must match bit-for-bit through the two containers — the
+    distributed form of the shared-oracle check."""
+    from pyspark.sql import functions as F
+    rows = [(i, f"audio clip number {i} pcm payload " * (i + 1))
+            for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = MM.audio_fingerprint(MM.synth_wav(docs)) \
+        .withColumnRenamed("fingerprint", "a")
+    b = MM.audio_fingerprint(MM.synth_aiff(docs)) \
+        .withColumnRenamed("fingerprint", "b")
+    j = a.join(b, "id")
+    assert j.count() == 10
+    assert j.filter(F.col("a") != F.col("b")).count() == 0

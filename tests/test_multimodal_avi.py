@@ -132,3 +132,42 @@ def test_avi_fingerprint_equals_text_replay_distributed(spark):
     assert len(got) == 10
     for i, t in rows:
         assert got[i] == replay(t), i
+
+
+def test_sample_video_frames_avi_decodes_sampled_luma(spark):
+    """The video->image leg through the compressed container: strided
+    sampling, per-frame JPEG decode, PGM re-encode — payload bytes are
+    the tile-expanded text bytes (exact regime)."""
+    import pandas as pd  # noqa: F401
+    rng = np.random.RandomState(4)
+    tiles = [rng.randint(0, 256, (4, 8, 1)).astype(np.uint8)
+             for _ in range(20)]
+    frames = [encode_jpeg(t.repeat(8, 0).repeat(8, 1),
+                          quant_all_ones=True) for t in tiles]
+    avi = MM.encode_avi_mjpeg(frames, 64, 32)
+    df = spark.createDataFrame([(1, avi)], "id long, payload binary")
+    out = MM.sample_video_frames(df, max_frames=8,
+                                 container="avi").collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6, 9, 12, 15, 18]
+    for r in out:
+        body = bytes(r["payload"])
+        assert body.startswith(b"P5\n64 32\n255\n")
+        px = np.frombuffer(body[13:], np.uint8).reshape(32, 64)
+        want = tiles[r["frame_idx"]][:, :, 0].repeat(8, 0).repeat(8, 1)
+        assert (px == want).all()
+    with pytest.raises(ValueError, match="container"):
+        MM.sample_video_frames(df, container="mp4")
+
+
+def test_video_frames_section_takes_container(spark):
+    """Declarative parity: the video_frames section exposes the
+    container choice, so a TOML pipeline can sample MJPEG-in-AVI."""
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("video_frames")
+    cfg = sdef.validate_config({"type": "video_frames", "max_frames": 4,
+                                "container": "avi"})
+    avi = MM.encode_avi_mjpeg(_frames(6), 64, 32)
+    df = spark.createDataFrame([(7, avi)], "id long, payload binary")
+    out = sdef.builder(spark, cfg, [df]).collect()
+    assert [r["frame_idx"] for r in out] == [0, 2, 4]
+    assert bytes(out[0]["payload"]).startswith(b"P5\n64 32\n255\n")
