@@ -1029,7 +1029,7 @@ def ann_search_batch(spark, path: str, probes: DataFrame, k: int = 10,
     probe each query's Hamming-``probe_hamming`` bucket neighborhood
     instead of nprobe cells. Returns (probe_id, corpus_id, cos_sim,
     rn<=k)."""
-    meta = ann_load_meta(path, spark)
+    meta = _effective_meta(path, spark)
     part_col = _meta_partition_col(meta)
     pp = probes.select(
         F.col(probe_id_col).alias("probe_id"),
@@ -1099,7 +1099,7 @@ def ann_search(spark, path: str, query_vec: list[float], k: int = 10,
     multi-probe that recovers one-sign-flip neighbors, the dominant LSH
     miss mode — recall measured in test_ann_lsh_index)."""
     import math
-    meta = ann_load_meta(path, spark)
+    meta = _effective_meta(path, spark)
     q = [float(x) for x in query_vec]
     part_col = _meta_partition_col(meta)
     if meta.get("index_type") == "lsh":
@@ -1165,6 +1165,13 @@ def ann_append(df: DataFrame, path: str,
     """
     spark = df.sparkSession
     meta = ann_load_meta(path, spark)
+    if meta.get("pending_rebuild"):
+        # a crashed rebuild is mid-swap: an append now would land in
+        # cells the already-built replacement index has never seen and
+        # silently vanish at the swap — resume first, never lose rows
+        raise RuntimeError(
+            f"index {path!r} has an unfinished rebuild; run "
+            "ann_rebuild or ann_maintain to resume it before appending")
     part_col = _meta_partition_col(meta)
     if skip_existing_ids:
         existing = (spark.read.parquet(f"{path}/cells")
@@ -1210,7 +1217,7 @@ def ann_index_stats(spark, path: str) -> dict:
     Rule of thumb: imbalance > ~4 or drift > ~0.2 => split the hot
     cells (ann_split_cell) or rebuild.
     """
-    meta = ann_load_meta(path, spark)
+    meta = _effective_meta(path, spark)
     part_col = _meta_partition_col(meta)
     cur = {int(r[part_col]): r["count"]
            for r in spark.read.parquet(f"{path}/cells")
@@ -1445,9 +1452,128 @@ def ann_delete(spark, path: str, ids) -> dict:
             "cells_touched": len(hit_cells)}
 
 
+def _dir_exists(spark, path: str) -> bool:
+    import os
+    if not _path_is_remote(path):
+        return os.path.isdir(path)
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, path)
+    return fs.exists(P(path))
+
+
+def _effective_meta(path: str, spark=None) -> dict:
+    """Sidecar metadata, resolved through an in-flight rebuild: once
+    the cells swap has happened (``cells_old`` exists) the NEW quantizer
+    embedded in ``pending_rebuild`` governs reads, even though the
+    final sidecar write hasn't landed yet — a crash in that window must
+    not leave searches probing new partitions with the old centroid
+    list. Pre-swap, the old metadata still matches the old cells."""
+    meta = ann_load_meta(path, spark)
+    pr = meta.get("pending_rebuild")
+    if pr and spark is not None and _dir_exists(spark,
+                                                f"{path}/cells_old"):
+        return pr["new_meta"]
+    return meta
+
+
+def _rebuild_resume(spark, path: str, meta: dict) -> bool:
+    """Roll a crashed rebuild FORWARD (pending_rebuild is only recorded
+    after the tmp build completed, so forward is always safe): finish
+    whichever rename is missing, commit the new sidecar, clear debris.
+    Returns True when there was anything to resume."""
+    pr = meta.get("pending_rebuild")
+    if not pr:
+        return False
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, path)
+    cells, old = P(f"{path}/cells"), P(f"{path}/cells_old")
+    tmp_cells = P(f"{path}/_rebuild/cells")
+    if not fs.exists(old) and fs.exists(cells) and fs.exists(tmp_cells):
+        fs.rename(cells, old)                   # crash before rename 1
+    if not fs.exists(cells):
+        if not fs.exists(tmp_cells):
+            raise RuntimeError(f"rebuild of {path!r} lost both the old "
+                               "and new cells — restore from backup")
+        fs.rename(tmp_cells, cells)             # crash between renames
+    _write_sidecar(spark, path, pr["new_meta"])  # commit point
+    fs.delete(old, True)
+    fs.delete(P(f"{path}/_rebuild"), True)
+    return True
+
+
+def ann_rebuild(spark, path: str, n_centroids: int | None = None,
+                planes: int | None = None, sample_fraction: float = 1.0,
+                seed: int = 43) -> dict:
+    """The act-on-it for ``rebuild_recommended``: re-train the coarse
+    quantizer over the index's CURRENT vectors and atomically replace
+    the index in place — the global remedy when localized moves can't
+    help (IVF drift: the data moved somewhere the old centroids never
+    saw; LSH hot buckets: the signature IS the bucket, so pass a larger
+    ``planes``). PQ codebooks retrain too when the index stores codes.
+
+    Crash-safe roll-FORWARD protocol (marker style shared with
+    ann_split_cell / compact.py): the full new index builds under
+    ``<path>/_rebuild`` first; only then does the sidecar record
+    ``pending_rebuild`` with the complete new metadata EMBEDDED; the
+    two cell-directory renames follow; the new sidecar write is the
+    commit point; debris deletes last. A crash anywhere resumes
+    forward on the next ann_rebuild/ann_maintain call, and reads that
+    race the window resolve the correct quantizer via _effective_meta
+    (post-swap state is detectable from ``cells_old``).
+
+    Like ann_compact this is a maintenance-window op: appends racing
+    the rebuild's input scan would miss the swap — pause the append
+    stream around it (the ann_append_dest auto_maintain hook already
+    serializes per batch).
+
+    At 100 TB: one bounded-sample training pass + one narrow
+    assign+write pass (ann_build_index's own scaling story); nothing
+    new accumulates on the driver."""
+    meta = ann_load_meta(path, spark)
+    if _rebuild_resume(spark, path, meta):
+        meta = ann_load_meta(path, spark)
+    if meta.get("pending_split"):
+        _split_resume(spark, path, meta)
+        meta = ann_load_meta(path, spark)
+    is_lsh = meta.get("index_type") == "lsh"
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    from mycelial_spark.fsutil import hadoop_fs
+    _jvm, fs, P = hadoop_fs(spark, path)
+    tmp = f"{path}/_rebuild"
+    fs.delete(P(tmp), True)                     # stale tmp from before
+    df = spark.read.parquet(f"{path}/cells").select(id_col, vec_col)
+    if is_lsh:
+        new_planes = planes if planes is not None else meta["planes"]
+        ann_build_index(df, tmp, index_type="lsh", planes=new_planes,
+                        pq_m=meta.get("pq_m", 0), vec_col=vec_col,
+                        id_col=id_col, seed=seed)
+    else:
+        n_c = n_centroids if n_centroids is not None \
+            else len(meta["centroids"])
+        ann_build_index(df, tmp, n_centroids=n_c,
+                        sample_fraction=sample_fraction, seed=seed,
+                        pq_m=meta.get("pq_m", 0), vec_col=vec_col,
+                        id_col=id_col)
+    new_meta = ann_load_meta(tmp, spark)
+    pending = dict(meta)
+    pending["pending_rebuild"] = {"new_meta": new_meta}
+    _write_sidecar(spark, path, pending)        # forward-only from here
+    fs.rename(P(f"{path}/cells"), P(f"{path}/cells_old"))
+    fs.rename(P(f"{tmp}/cells"), P(f"{path}/cells"))
+    _write_sidecar(spark, path, new_meta)       # commit point
+    fs.delete(P(f"{path}/cells_old"), True)
+    fs.delete(P(tmp), True)
+    st = ann_index_stats(spark, path)
+    return {"path": path, "index_type": new_meta["index_type"],
+            "rows": st["rows"], "imbalance": st["imbalance"],
+            "drift": st["drift"],
+            **({"planes": new_meta["planes"]} if is_lsh
+               else {"n_centroids": len(new_meta["centroids"])})}
+
+
 def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
                  max_drift: float = 0.2, max_files_per_cell: int = 8,
-                 max_splits: int = 4) -> dict:
+                 max_splits: int = 4, auto_rebuild: bool = False) -> dict:
     """Auto-maintenance POLICY over the lifecycle primitives: read
     ann_index_stats, split the hottest IVF cells while imbalance
     exceeds ``max_imbalance`` (at most ``max_splits`` per call — each
@@ -1466,12 +1592,20 @@ def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
     (no vector bytes), so running it per delivered batch is cheap; the
     expensive moves (split rewrites two cell dirs, compact rewrites the
     touched layout) happen only when a threshold actually trips.
-    A pending split left by a crash resumes before anything else
-    (ann_split_cell's own recovery contract)."""
+    A pending split or rebuild left by a crash resumes before anything
+    else (the ops' own recovery contracts). ``auto_rebuild=True`` makes
+    the flag self-acting: when local moves can't restore the
+    thresholds, ann_rebuild retrains the quantizer in place (LSH gets
+    two more planes — the hot-bucket remedy); it stays opt-in because a
+    rebuild rewrites the whole index, a cost the caller should schedule
+    deliberately."""
     if max_splits < 0 or max_imbalance <= 1.0:
         raise ValueError("max_splits must be >= 0 and max_imbalance > 1")
     meta = ann_load_meta(path, spark)
     resumed = False
+    if _rebuild_resume(spark, path, meta):
+        meta = ann_load_meta(path, spark)
+        resumed = True
     if meta.get("pending_split"):
         _split_resume(spark, path, meta)
         resumed = True
@@ -1533,10 +1667,20 @@ def ann_maintain(spark, path: str, max_imbalance: float = 4.0,
     rebuild = ((stats["imbalance"] > max_imbalance)
                or (stats["drift"] is not None
                    and stats["drift"] > max_drift))
+    rebuilt = None
+    if rebuild and auto_rebuild:
+        rebuilt = ann_rebuild(
+            spark, path,
+            planes=(meta["planes"] + 2) if is_lsh else None)
+        stats = ann_index_stats(spark, path)
+        rebuild = ((stats["imbalance"] > max_imbalance)
+                   or (stats["drift"] is not None
+                       and stats["drift"] > max_drift))
     return {"path": path, "resumed_pending_split": resumed,
             "splits": splits, "compacted": compacted,
             "max_files_per_cell_seen": worst_files,
             "rebuild_recommended": bool(rebuild),
+            "rebuilt": rebuilt,
             "imbalance_before": before["imbalance"],
             "imbalance_after": stats["imbalance"],
             "drift_after": stats["drift"]}

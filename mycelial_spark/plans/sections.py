@@ -1656,7 +1656,8 @@ def ann_index_dest(spark, cfg, df):
             Field("max_imbalance", "float", 4.0),
             Field("max_drift", "float", 0.2),
             Field("max_files_per_cell", "int", 8),
-            Field("max_splits", "int", 4)],
+            Field("max_splits", "int", 4),
+            Field("auto_rebuild", "bool", False)],
            doc="STREAMING growth of a persistent ANN index: each "
                "delivered micro-batch's vectors are assigned with the "
                "sidecar's frozen quantizer (and encoded with its PQ "
@@ -1670,7 +1671,11 @@ def ann_index_dest(spark, cfg, df):
                "scan): hot IVF cells split, over-fragmented cells "
                "compact, and unrecoverable drift/LSH hot buckets flag "
                "rebuild_recommended — balance heals without a manual "
-               "call, the rollup heal-fence shape on index health.")
+               "call, the rollup heal-fence shape on index health. "
+               "auto_rebuild=true additionally acts on the flag: "
+               "ann_rebuild retrains the quantizer in place (crash-safe "
+               "roll-forward swap) when local moves can't restore the "
+               "thresholds; opt-in because it rewrites the whole index.")
 def ann_append_dest(spark, cfg, df):
     from mycelial_spark.operators.similarity import ann_append, ann_maintain
     out = ann_append(df, cfg["path"], skip_existing_ids=True)
@@ -1679,7 +1684,8 @@ def ann_append_dest(spark, cfg, df):
                      max_imbalance=cfg["max_imbalance"],
                      max_drift=cfg["max_drift"],
                      max_files_per_cell=cfg["max_files_per_cell"],
-                     max_splits=cfg["max_splits"])
+                     max_splits=cfg["max_splits"],
+                     auto_rebuild=cfg["auto_rebuild"])
     return out
 
 

@@ -1,0 +1,175 @@
+"""ann_rebuild — the act-on-it for rebuild_recommended: in-place
+quantizer retrain with a roll-forward crash protocol. Every simulated
+crash point must resume to a consistent index, reads racing the swap
+window must resolve the correct quantizer, and appends must refuse
+rather than lose rows into a doomed layout."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from mycelial_spark.operators import similarity as S
+
+
+def _clustered(spark, n_per, centers, start_id=0, spread=0.05, seed=3):
+    rng = np.random.RandomState(seed)
+    rows = []
+    i = start_id
+    for c in centers:
+        for _ in range(n_per):
+            v = np.asarray(c) + rng.normal(0, spread, len(c))
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+_CENTERS = [[4.0, 0, 0, 0], [0, 4.0, 0, 0], [0, 0, 4.0, 0], [0, 0, 0, 4.0]]
+# near cell 0 but clearly its own mode: everything lands in one cell
+# (drift + imbalance), and only a retrain gives it a centroid of its own
+_NEW_CENTER = [[4.0, 0.8, 0.8, 0.0]]
+
+
+def _drifted_index(spark, tmp_path):
+    """Index trained on 4 old centers, then a big append around a
+    center the quantizer never saw — drift + imbalance both trip."""
+    idx = str(tmp_path / "idx")
+    S.ann_build_index(_clustered(spark, 25, _CENTERS), idx,
+                      n_centroids=4, id_col="vec_id")
+    S.ann_append(_clustered(spark, 150, _NEW_CENTER, start_id=10_000,
+                            seed=11), idx)
+    return idx
+
+
+def test_ivf_rebuild_heals_drift_and_search_stays_exact(spark, tmp_path):
+    idx = _drifted_index(spark, tmp_path)
+    st0 = S.ann_index_stats(spark, idx)
+    assert st0["drift"] > 0.2 or st0["imbalance"] > 4.0
+    rep = S.ann_rebuild(spark, idx, n_centroids=5)
+    assert rep["rows"] == 250 and rep["n_centroids"] == 5
+    st = S.ann_index_stats(spark, idx)
+    assert st["drift"] == 0.0          # cell_counts re-baselined
+    assert st["imbalance"] <= 3.0 + 1e-9, st   # one dense mode of 150 over 4x25
+    meta = S.ann_load_meta(idx)
+    assert "pending_rebuild" not in meta
+    assert not os.path.isdir(f"{idx}/cells_old")
+    assert not os.path.isdir(f"{idx}/_rebuild")
+    # search is exact for a vector from the drifted batch
+    probe = _clustered(spark, 150, _NEW_CENTER, start_id=10_000,
+                       seed=11).filter("vec_id = 10007").first()
+    got = S.ann_search(spark, idx, [float(x) for x in probe["embedding"]],
+                       k=1, nprobe=2).first()
+    assert got["vec_id"] == 10_007
+
+
+def test_maintain_auto_rebuild_lsh_raises_planes(spark, tmp_path):
+    idx = str(tmp_path / "lsh")
+    S.ann_build_index(_clustered(spark, 40, _CENTERS[:1]), idx,
+                      index_type="lsh", planes=4, id_col="vec_id")
+    rep = S.ann_maintain(spark, idx, max_imbalance=1.5,
+                         auto_rebuild=True)
+    assert rep["rebuilt"] is not None
+    assert rep["rebuilt"]["planes"] == 6
+    assert S.ann_load_meta(idx)["planes"] == 6
+    probe = _clustered(spark, 40, _CENTERS[:1]).first()
+    got = S.ann_search(spark, idx,
+                       [float(x) for x in probe["embedding"]], k=1).first()
+    assert got["vec_id"] == probe["vec_id"]
+
+
+def _stage_pending(spark, idx, n_centroids=5):
+    """Build the replacement under _rebuild and record pending_rebuild
+    — the state just before the renames (crash point A)."""
+    meta = S.ann_load_meta(idx)
+    df = (spark.read.parquet(f"{idx}/cells")
+          .select(meta["id_col"], meta["vec_col"]))
+    S.ann_build_index(df, f"{idx}/_rebuild", n_centroids=n_centroids,
+                      id_col=meta["id_col"], vec_col=meta["vec_col"])
+    new_meta = S.ann_load_meta(f"{idx}/_rebuild")
+    pending = dict(meta)
+    pending["pending_rebuild"] = {"new_meta": new_meta}
+    S._write_sidecar(spark, idx, pending)
+    return new_meta
+
+
+@pytest.mark.parametrize("crash", ["before_renames", "between_renames",
+                                   "before_commit"])
+def test_crashed_rebuild_resumes_forward(spark, tmp_path, crash):
+    idx = _drifted_index(spark, tmp_path)
+    _stage_pending(spark, idx)
+    if crash in ("between_renames", "before_commit"):
+        os.rename(f"{idx}/cells", f"{idx}/cells_old")
+    if crash == "before_commit":
+        os.rename(f"{idx}/_rebuild/cells", f"{idx}/cells")
+    rep = S.ann_maintain(spark, idx, max_imbalance=4.0)
+    assert rep["resumed_pending_split"]      # the resumed flag
+    meta = S.ann_load_meta(idx)
+    assert "pending_rebuild" not in meta
+    assert len(meta["centroids"]) == 5
+    assert not os.path.isdir(f"{idx}/cells_old")
+    assert not os.path.isdir(f"{idx}/_rebuild")
+    assert S.ann_index_stats(spark, idx)["rows"] == 250
+
+
+def test_reads_resolve_new_quantizer_post_swap(spark, tmp_path):
+    """Crash point C (swap done, commit sidecar missing): searches and
+    stats must use the EMBEDDED new quantizer, not the stale sidecar —
+    the new cells are partitioned by centroids the old meta lacks."""
+    idx = _drifted_index(spark, tmp_path)
+    new_meta = _stage_pending(spark, idx)
+    os.rename(f"{idx}/cells", f"{idx}/cells_old")
+    os.rename(f"{idx}/_rebuild/cells", f"{idx}/cells")
+    eff = S._effective_meta(idx, spark)
+    assert len(eff["centroids"]) == len(new_meta["centroids"]) == 5
+    st = S.ann_index_stats(spark, idx)
+    assert st["rows"] == 250 and st["n_centroids"] == 5
+    probe = _clustered(spark, 150, _NEW_CENTER, start_id=10_000,
+                       seed=11).filter("vec_id = 10003").first()
+    got = S.ann_search(spark, idx,
+                       [float(x) for x in probe["embedding"]], k=1,
+                       nprobe=2).first()
+    assert got["vec_id"] == 10_003
+
+
+def test_append_refuses_during_pending_rebuild(spark, tmp_path):
+    idx = _drifted_index(spark, tmp_path)
+    _stage_pending(spark, idx)
+    with pytest.raises(RuntimeError, match="unfinished rebuild"):
+        S.ann_append(_clustered(spark, 3, _NEW_CENTER, start_id=90_000),
+                     idx)
+    # resume, then the same append succeeds
+    S.ann_rebuild(spark, idx)    # resumes the pending one first
+    out = S.ann_append(_clustered(spark, 3, _NEW_CENTER,
+                                  start_id=90_000), idx)
+    assert out["appended"] and out["rows"] == 3
+
+
+def test_pq_index_rebuild_retrains_codebooks(spark, tmp_path):
+    idx = str(tmp_path / "pq")
+    S.ann_build_index(_clustered(spark, 30, _CENTERS), idx,
+                      n_centroids=4, pq_m=2, id_col="vec_id")
+    old_books = S.ann_load_meta(idx)["codebooks"]
+    S.ann_append(_clustered(spark, 120, _NEW_CENTER, start_id=10_000,
+                            seed=9), idx)
+    rep = S.ann_rebuild(spark, idx, n_centroids=5)
+    assert rep["n_centroids"] == 5
+    meta = S.ann_load_meta(idx)
+    assert meta["pq_m"] == 2
+    assert json.dumps(meta["codebooks"]) != json.dumps(old_books)
+    probe = _clustered(spark, 120, _NEW_CENTER, start_id=10_000,
+                       seed=9).first()
+    got = S.ann_search(spark, idx,
+                       [float(x) for x in probe["embedding"]], k=3,
+                       nprobe=2, use_pq=True).collect()
+    assert probe["vec_id"] in [r["vec_id"] for r in got]
+
+
+def test_lost_both_sides_is_loud(spark, tmp_path):
+    idx = _drifted_index(spark, tmp_path)
+    _stage_pending(spark, idx)
+    os.rename(f"{idx}/cells", f"{idx}/cells_old")
+    shutil.rmtree(f"{idx}/_rebuild")
+    with pytest.raises(RuntimeError, match="lost both"):
+        S.ann_rebuild(spark, idx)
