@@ -1247,7 +1247,10 @@ def ann_compact(spark, path: str) -> dict:
     collapses each cell to a single file; rows, cells, and the sidecar
     are unchanged (dynamic partition overwrite rewrites only the cell
     directories, preserving the sidecar next to them)."""
-    part_col = _meta_partition_col(ann_load_meta(path, spark))
+    meta = ann_load_meta(path, spark)
+    if _rebuild_resume(spark, path, meta):     # finish a crashed rebuild
+        meta = ann_load_meta(path, spark)      # before rewriting cells
+    part_col = _meta_partition_col(meta)
     cells = f"{path}/cells"
     df = spark.read.parquet(cells)
     n_before = df.rdd.getNumPartitions()
@@ -1289,6 +1292,8 @@ def ann_split_cell(spark, path: str, cell: int,
     changes at the final commit.
     """
     meta = ann_load_meta(path, spark)
+    if _rebuild_resume(spark, path, meta):     # finish a crashed rebuild
+        meta = ann_load_meta(path, spark)      # before splitting cells
     if meta.get("index_type") == "lsh":
         raise ValueError(
             "ann_split_cell applies to IVF indexes; an LSH bucket IS "
@@ -1407,6 +1412,8 @@ def ann_delete(spark, path: str, ids) -> dict:
     idempotent.
     """
     meta = ann_load_meta(path, spark)
+    if _rebuild_resume(spark, path, meta):     # finish a crashed rebuild
+        meta = ann_load_meta(path, spark)      # before rewriting cells
     part_col = _meta_partition_col(meta)
     id_col = meta["id_col"]
     cells = f"{path}/cells"

@@ -173,3 +173,24 @@ def test_lost_both_sides_is_loud(spark, tmp_path):
     shutil.rmtree(f"{idx}/_rebuild")
     with pytest.raises(RuntimeError, match="lost both"):
         S.ann_rebuild(spark, idx)
+
+
+def test_maintenance_ops_resume_pending_rebuild_first(spark, tmp_path):
+    """ann_compact / ann_split_cell / ann_delete rewrite cell
+    directories — doing that against a half-swapped layout would
+    corrupt the index, so each resumes a pending rebuild first."""
+    idx = _drifted_index(spark, tmp_path)
+    _stage_pending(spark, idx)
+    os.rename(f"{idx}/cells", f"{idx}/cells_old")
+    os.rename(f"{idx}/_rebuild/cells", f"{idx}/cells")
+    S.ann_compact(spark, idx)
+    meta = S.ann_load_meta(idx)
+    assert "pending_rebuild" not in meta and len(meta["centroids"]) == 5
+    assert S.ann_index_stats(spark, idx)["rows"] == 250
+    # and ann_delete on a fresh pending state
+    idx2 = _drifted_index(spark, tmp_path / "two")
+    _stage_pending(spark, idx2)
+    out = S.ann_delete(spark, idx2, [10_000, 10_001])
+    assert out["deleted"] == 2
+    assert "pending_rebuild" not in S.ann_load_meta(idx2)
+    assert S.ann_index_stats(spark, idx2)["rows"] == 248

@@ -131,6 +131,35 @@ def probe_ann_maintain(spark, tmp: str, factors=(1, 4, 16)):
                           "rebuild": rep["rebuild_recommended"]}))
 
 
+def probe_ann_rebuild(spark, tmp: str, factors=(1, 4)):
+    """ann_rebuild cost SHOULD track index size (it retrains and
+    rewrites everything — that is what a rebuild is); the probe pins
+    the curve and the sample_fraction lever."""
+    import numpy as np
+
+    from mycelial_spark.operators import similarity as S
+    dim = 16
+    for f in factors:
+        n = 20_000 * f
+        n_cent = 16 * f
+        rng = np.random.RandomState(7)
+        centers = rng.normal(0, 10, (n_cent, dim))
+        r = np.random.RandomState(11)
+        idxs = r.randint(0, n_cent, n)
+        pts = centers[idxs] + r.normal(0, 0.05, (n, dim))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>")
+        path = os.path.join(tmp, f"rb_{f}")
+        S.ann_build_index(df, path, n_centroids=n_cent, id_col="vec_id")
+        t0 = time.time()
+        rep = S.ann_rebuild(spark, path, sample_fraction=0.25)
+        print(json.dumps({"op": "ann_rebuild", "factor": f,
+                          "rows": n, "cells": n_cent,
+                          "sec": round(time.time() - t0, 2),
+                          "imbalance": round(rep["imbalance"], 2)}))
+
+
 def main():
     only = {o for a in sys.argv[1:] if a.startswith("--ops=")
             for o in a.split("=", 1)[1].split(",")}
@@ -144,6 +173,8 @@ def main():
             probe_privacy(spark)
         if not only or "ann" in only:
             probe_ann_maintain(spark, tmp)
+        if "ann_rebuild" in only:
+            probe_ann_rebuild(spark, tmp)
 
 
 if __name__ == "__main__":
