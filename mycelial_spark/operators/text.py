@@ -157,6 +157,140 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
                     "with"]
 
 
+def _run_length_fold(sorted_arr: Column):
+    """(max_run_chars, dup_run_chars) over a SORTED string array via one
+    codegen fold: equal elements are adjacent after array_sort, so the
+    most-frequent element's character mass and the total character mass
+    of duplicated elements both fall out of a single run-length pass —
+    no explode, no shuffle, no UDF (the char_diversity technique applied
+    to n-grams). Character mass of a run = run_length * length(element),
+    i.e. every occurrence's characters count."""
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("bigint").alias("run"),
+                    F.lit(0).cast("bigint").alias("best"),
+                    F.lit(0).cast("bigint").alias("dup"))
+
+    def step(acc, g):
+        same = acc.prev.isNotNull() & (g == acc.prev)
+        # a run of 1 is not repetition: best and dup both count only
+        # elements that actually occur >= 2 times (the DataTrove/NeMo
+        # reading of the Gopher top-n-gram rule)
+        flushed_best = F.when(
+            acc.prev.isNull() | same | (acc.run < 2), acc.best
+        ).otherwise(F.greatest(acc.best, acc.run * F.length(acc.prev)))
+        flushed_dup = F.when(
+            acc.prev.isNotNull() & ~same & (acc.run > 1),
+            acc.dup + acc.run * F.length(acc.prev)).otherwise(acc.dup)
+        return F.struct(
+            g.alias("prev"),
+            F.when(same, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            flushed_best.alias("best"), flushed_dup.alias("dup"))
+
+    def finish(acc):
+        return F.struct(
+            F.when(acc.prev.isNull() | (acc.run < 2), acc.best)
+            .otherwise(
+                F.greatest(acc.best, acc.run * F.length(acc.prev)))
+            .alias("best"),
+            F.when(acc.prev.isNotNull() & (acc.run > 1),
+                   acc.dup + acc.run * F.length(acc.prev))
+            .otherwise(acc.dup).alias("dup"))
+
+    return F.aggregate(sorted_arr, init, step, finish)
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams; empty array when the doc is shorter
+    than n (sequence(0, negative) would DESCEND — the known gotcha)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def with_gopher_repetition(df: DataFrame, text_col: str = "text",
+                           max_dup_line_frac: float = 0.30,
+                           max_dup_line_char_frac: float = 0.20,
+                           top_ngram_caps: dict | None = None,
+                           dup_ngram_caps: dict | None = None
+                           ) -> DataFrame:
+    """The REPETITION half of the Gopher filter set (Rae et al. 2021,
+    Table A1 — the companion to with_gopher_quality's document rules):
+    repeated lines and repeated n-grams are the strongest single
+    predictor of low-value crawl text (boilerplate, SEO spam, scraper
+    loops). One codegen projection, zero shuffle, zero UDF.
+
+    Signals (definitions documented here and replayed by the oracle):
+      dup_line_frac        = 1 - distinct(nonempty trimmed lines)/lines
+      dup_line_char_frac   = chars in ALL occurrences of duplicated
+                             lines / chars in all lines
+      top_{n}gram_char_frac = count(top n-gram) * chars(n-gram) /
+                             text chars when that gram occurs >= 2
+                             times, else 0 — a unique gram is not
+                             repetition (n = 2, 3, 4)
+      dup_{n}gram_char_frac = Σ over duplicated n-grams of
+                             count*chars / text chars, clamped to 1
+                             (overlapping occurrences double-count by
+                             construction; the clamp keeps the signal
+                             a fraction)  (n = 5, 10)
+    plus one boolean per Gopher threshold and ``gopher_rep_pass``
+    (their AND; paper caps: dup lines 0.30 / dup line chars 0.20 /
+    top 2-3-4 grams 0.20, 0.18, 0.16 / dup 5- and 10-grams 0.15,
+    0.10). Each run-length pass is O(len·log len) per document (the
+    array_sort), the same curve SCALE.md pins for char_diversity."""
+    top_caps = top_ngram_caps or {2: 0.20, 3: 0.18, 4: 0.16}
+    dup_caps = dup_ngram_caps or {5: 0.15, 10: 0.10}
+    c = F.col(text_col)
+    # materialize tokens/lines ONCE in a projection: the five gram
+    # folds below each reference them, and recomputing the regex
+    # tokenization per fold quintuples the scan-stage cost
+    df = (df.withColumn("_grt", tokens(c))
+            .withColumn("_grl",
+                        F.filter(F.transform(F.split(c, F.lit("\n"), -1),
+                                             F.trim),
+                                 lambda ln: ln != F.lit(""))))
+    toks = F.col("_grt")
+    lines = F.col("_grl")
+    nchars = F.greatest(F.length(c), F.lit(1))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    line_fold = _run_length_fold(F.array_sort(lines))
+    line_chars = F.greatest(
+        F.aggregate(lines, F.lit(0).cast("bigint"),
+                    lambda a, ln: a + F.length(ln)), F.lit(1))
+    out = df.withColumn(
+        "dup_line_frac",
+        F.when(F.size(lines) == 0, F.lit(0.0)).otherwise(
+            F.round(1.0 - F.size(F.array_distinct(lines)) / n_lines,
+                    6)))
+    out = out.withColumn(
+        "dup_line_char_frac",
+        F.round(line_fold["dup"] / line_chars, 6))
+    flags = {
+        "g_dup_lines": F.col("dup_line_frac") <= max_dup_line_frac,
+        "g_dup_line_chars":
+            F.col("dup_line_char_frac") <= max_dup_line_char_frac,
+    }
+    for n, cap in sorted(top_caps.items()):
+        col = f"top_{n}gram_char_frac"
+        fold = _run_length_fold(F.array_sort(_word_ngrams(toks, n)))
+        out = out.withColumn(col, F.round(fold["best"] / nchars, 6))
+        flags[f"g_top_{n}gram"] = F.col(col) <= cap
+    for n, cap in sorted(dup_caps.items()):
+        col = f"dup_{n}gram_char_frac"
+        fold = _run_length_fold(F.array_sort(_word_ngrams(toks, n)))
+        out = out.withColumn(
+            col, F.round(F.least(F.lit(1.0), fold["dup"] / nchars), 6))
+        flags[f"g_dup_{n}gram"] = F.col(col) <= cap
+    all_pass = None
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+        all_pass = F.col(name) if all_pass is None \
+            else all_pass & F.col(name)
+    return out.withColumn("gopher_rep_pass", all_pass) \
+              .drop("_grt", "_grl")
+
+
 def with_gopher_quality(df: DataFrame, text_col: str = "text",
                         min_words: int = 50, max_words: int = 100_000,
                         min_mean_word_len: float = 3.0,

@@ -1679,6 +1679,106 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_stopwords", "gopher_pass")
 
 
+def _rep_gram_cte(n: int) -> str:
+    return f"""
+g{n} AS (
+  SELECT dd.doc_id, array_to_string(ts[r.k+1:r.k+{n}], ' ') AS g
+  FROM dd, LATERAL (SELECT unnest(range(greatest(len(ts) - {n} + 1, 0)))
+                    AS k) r
+  WHERE len(ts) >= {n}
+),
+c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} GROUP BY doc_id, g),
+s{n} AS (SELECT doc_id,
+                max(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+                  AS best,
+                sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup
+         FROM c{n} GROUP BY doc_id)"""
+
+
+@query("gopher_repetition", f"""
+WITH dd AS (
+  SELECT doc_id, greatest(length(text), 1) AS nchars,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    ln -> trim(ln)), ln -> ln != '')
+           AS lines,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     t -> t != '') AS ts
+  FROM documents
+),
+lx AS (SELECT doc_id, u.ln
+       FROM dd, LATERAL (SELECT unnest(lines) AS ln) u),
+lc AS (SELECT doc_id, ln, count(*) AS c FROM lx GROUP BY doc_id, ln),
+ldup AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(ln) ELSE 0 END) AS dupch,
+         sum(c * length(ln)) AS allch
+  FROM lc GROUP BY doc_id
+),
+{','.join(_rep_gram_cte(n) for n in (2, 3, 4, 5, 10))},
+fr AS (
+  SELECT dd.doc_id,
+       CASE WHEN len(lines) = 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(lines)) * 1.0
+                       / len(lines), 6) END AS dup_line_frac,
+       round(coalesce(ldup.dupch, 0) * 1.0
+             / greatest(coalesce(ldup.allch, 0), 1), 6)
+         AS dup_line_char_frac,
+       round(coalesce(s2.best, 0) * 1.0 / nchars, 6)
+         AS top_2gram_char_frac,
+       round(coalesce(s3.best, 0) * 1.0 / nchars, 6)
+         AS top_3gram_char_frac,
+       round(coalesce(s4.best, 0) * 1.0 / nchars, 6)
+         AS top_4gram_char_frac,
+       round(least(1.0, coalesce(s5.dup, 0) * 1.0 / nchars), 6)
+         AS dup_5gram_char_frac,
+       round(least(1.0, coalesce(s10.dup, 0) * 1.0 / nchars), 6)
+         AS dup_10gram_char_frac
+  FROM dd
+  LEFT JOIN ldup USING (doc_id) LEFT JOIN s2 USING (doc_id)
+  LEFT JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
+  LEFT JOIN s5 USING (doc_id) LEFT JOIN s10 USING (doc_id)
+)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_2gram_char_frac,
+       top_3gram_char_frac, top_4gram_char_frac, dup_5gram_char_frac,
+       dup_10gram_char_frac,
+       dup_line_frac <= 0.30        AS g_dup_lines,
+       dup_line_char_frac <= 0.20   AS g_dup_line_chars,
+       top_2gram_char_frac <= 0.20  AS g_top_2gram,
+       top_3gram_char_frac <= 0.18  AS g_top_3gram,
+       top_4gram_char_frac <= 0.16  AS g_top_4gram,
+       dup_5gram_char_frac <= 0.15  AS g_dup_5gram,
+       dup_10gram_char_frac <= 0.10 AS g_dup_10gram,
+       dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+       AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+       AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+       AND dup_10gram_char_frac <= 0.10 AS gopher_rep_pass
+FROM fr
+""")
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPETITION half of the Gopher filter set [Rae et al. 2021
+    App. A1.1 — public recipe], the strongest single crawl-quality
+    signal the quality family was still missing: duplicate-line
+    fraction and character mass, most-common-{2,3,4}-gram character
+    fraction, duplicated-{5,10}-gram character fraction, each with the
+    paper's threshold flag and their AND. Spark side is ONE codegen
+    projection with zero shuffle (operators/text.py
+    with_gopher_repetition): n-gram statistics come from an
+    array_sort + run-length fold per document — equal grams are
+    adjacent after the sort, so the top gram's mass and the duplicated
+    mass fall out of a single O(len log len) pass, no explode, no
+    groupBy. The oracle recomputes everything relationally (unnest +
+    GROUP BY) with the same 6-decimal rounding."""
+    from mycelial_spark.operators.text import with_gopher_repetition
+    return with_gopher_repetition(
+        _t(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_line_frac", "dup_line_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac",
+        "dup_10gram_char_frac", "g_dup_lines", "g_dup_line_chars",
+        "g_top_2gram", "g_top_3gram", "g_top_4gram", "g_dup_5gram",
+        "g_dup_10gram", "gopher_rep_pass")
+
+
 @query("text_stats", """
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') toks

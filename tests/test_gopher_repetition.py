@@ -1,0 +1,78 @@
+"""Gopher repetition filters (operators/text.py
+with_gopher_repetition): hand-computed fixtures for the run-length
+fold — the oracle gate covers corpus-scale replay; these pin the edge
+cases (empty docs, single token, overlap clamping, threshold flags)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mycelial_spark.operators.text import with_gopher_repetition
+
+
+def _one(spark, text, **kw):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return with_gopher_repetition(df, **kw).first()
+
+
+def test_hand_computed_fractions(spark):
+    # "the cat sat on the mat the cat sat on the mat" (45 chars):
+    # top 2-gram "the cat" occurs 2x -> 2*7/45
+    r = _one(spark, "the cat sat on the mat the cat sat on the mat")
+    assert r["top_2gram_char_frac"] == round(14 / 45, 6)
+    # 5-grams: the first 5-gram repeats once (positions 0 and 6)
+    assert r["dup_5gram_char_frac"] > 0
+    assert r["dup_line_frac"] == 0.0         # one line, no dup
+
+
+def test_duplicate_lines(spark):
+    r = _one(spark, "line one\nline one\nline two\nline three\nline one")
+    # 5 lines, 3 distinct -> dup_line_frac = 1 - 3/5
+    assert r["dup_line_frac"] == 0.4
+    # "line one" (8 chars) occurs 3x; all-line chars = 8*3+8+10 = 42
+    assert r["dup_line_char_frac"] == round(24 / 42, 6)
+    assert not r["g_dup_lines"] and not r["g_dup_line_chars"]
+    assert not r["gopher_rep_pass"]
+
+
+def test_empty_and_short_docs(spark):
+    r = _one(spark, "")
+    assert r["dup_line_frac"] == 0.0
+    assert r["dup_line_char_frac"] == 0.0
+    assert r["top_2gram_char_frac"] == 0.0
+    assert r["dup_10gram_char_frac"] == 0.0
+    assert r["gopher_rep_pass"]              # nothing repeats
+    r = _one(spark, "single")
+    assert r["top_2gram_char_frac"] == 0.0   # shorter than any n
+
+
+def test_overlap_clamps_dup_fraction(spark):
+    # pathological repetition: dup n-gram char mass exceeds the text;
+    # the fraction clamps to 1 instead of reporting an absurd ratio
+    r = _one(spark, "spam " * 40)
+    assert r["dup_5gram_char_frac"] == 1.0
+    assert r["dup_10gram_char_frac"] == 1.0
+    assert not r["gopher_rep_pass"]
+
+
+def test_clean_prose_passes(spark):
+    r = _one(spark, "A genuinely varied sentence mentions many "
+                    "different things without repeating phrases, so "
+                    "every repetition signal stays small.")
+    assert r["gopher_rep_pass"], dict(r.asDict())
+
+
+def test_custom_caps(spark):
+    r = _one(spark, "the cat sat on the mat the cat sat on the mat",
+             top_ngram_caps={2: 0.5}, dup_ngram_caps={5: 1.0})
+    assert r["g_top_2gram"] and r["g_dup_5gram"]
+    assert "top_3gram_char_frac" not in r.asDict()
+
+
+def test_no_shuffle_plan(spark):
+    """The whole signal set must fuse into the scan: no Exchange."""
+    df = spark.createDataFrame([(i, f"text number {i} words")
+                                for i in range(10)],
+                               "doc_id long, text string")
+    plan = (with_gopher_repetition(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan, plan[:500]
