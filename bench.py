@@ -232,6 +232,16 @@ def main() -> None:
     t0 = time.time()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     cal_scan = round(time.time() - t0, 3)
+    # shuffle-path probe: fixed synthetic groupBy whose cost is exchange
+    # write/read + hash-agg, not arithmetic or parquet — the r9 drift
+    # episode showed shuffle-heavy queries moving 20-30% while BOTH
+    # existing probes held flat (CPU same, scan faster), i.e. the
+    # environment shift lived exactly in the path neither measured
+    t0 = time.time()
+    (spark.range(20_000_000)
+     .selectExpr("id % 1000000 AS k", "id AS v")
+     .groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect())
+    cal_shuffle = round(time.time() - t0, 3)
 
     out = {
         "metric": "headline_queries_total_wall_clock",
@@ -240,7 +250,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "calibration": {"jvm_range_sum_sec": cal_cpu,
-                        "lineitem_scan_count_sec": cal_scan},
+                        "lineitem_scan_count_sec": cal_scan,
+                        "shuffle_groupby_sec": cal_shuffle},
         # Per-query times in units of this run's jvm calibration workload
         # (time / jvm_range_sum_sec): a first-order environment-speed
         # normalization so round-over-round per-query comparisons see the
