@@ -291,6 +291,66 @@ def with_gopher_repetition(df: DataFrame, text_col: str = "text",
               .drop("_grt", "_grl")
 
 
+C4_POLICY_PHRASES = ["terms of use", "privacy policy", "cookie policy",
+                     "uses cookies"]
+
+
+def with_c4_filters(df: DataFrame, text_col: str = "text",
+                    min_words_per_line: int = 5,
+                    min_sentences: int = 3) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020 §2.2 — the third
+    famous public recipe next to the two Gopher halves): line-level
+    retention plus page-level drops, emitted as SIGNALS so the caller
+    filters or weighs rather than the operator deciding.
+
+      kept_line_frac   = lines ending in terminal punctuation (. ! ? ")
+                         with >= min_words_per_line words AND no policy
+                         phrase, over all nonempty lines (C4 RETAINS
+                         exactly these lines)
+      n_sentences      = terminal-punctuation count across the text
+                         (the documented proxy for C4's sentence split)
+      has_curly_brace  = '{' anywhere (code, not prose)
+      has_lorem_ipsum  = placeholder text anywhere (lowercased match)
+      has_javascript_line = any line containing 'javascript' (the
+                         enable-JS boilerplate tell)
+      c4_pass          = n_sentences >= min_sentences AND none of the
+                         three page-level tells
+
+    One codegen projection fused into the scan, zero shuffle, zero
+    UDF — same shape as the Gopher signal sets."""
+    c = F.col(text_col)
+    lines = F.filter(F.transform(F.split(c, F.lit("\n"), -1), F.trim),
+                     lambda ln: ln != F.lit(""))
+    low = F.lower(c)
+
+    def kept(ln):
+        words = F.size(F.filter(F.split(ln, F.lit(r"\s+"), -1),
+                                lambda t: t != F.lit("")))
+        policy = None
+        for p in C4_POLICY_PHRASES:
+            hit = F.lower(ln).contains(p)
+            policy = hit if policy is None else (policy | hit)
+        return (ln.rlike('[.!?"]$') & (words >= min_words_per_line)
+                & ~policy)
+
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    out = (df.withColumn(
+        "kept_line_frac",
+        F.round(F.size(F.filter(lines, kept)) / n_lines, 6))
+        .withColumn("n_sentences",
+                    F.regexp_count(c, F.lit(r"[.!?]")))
+        .withColumn("has_curly_brace", c.contains("{"))
+        .withColumn("has_lorem_ipsum", low.contains("lorem ipsum"))
+        .withColumn("has_javascript_line",
+                    F.size(F.filter(lines, lambda ln: F.lower(ln)
+                                    .contains("javascript"))) > 0))
+    return out.withColumn(
+        "c4_pass",
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_curly_brace") & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_javascript_line"))
+
+
 def with_gopher_quality(df: DataFrame, text_col: str = "text",
                         min_words: int = 50, max_words: int = 100_000,
                         min_mean_word_len: float = 3.0,

@@ -1679,6 +1679,52 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_stopwords", "gopher_pass")
 
 
+@query("c4_filters", """
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS low,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    ln -> trim(ln)), ln -> ln != '')
+           AS lines
+  FROM documents
+)
+SELECT doc_id,
+       round(len(list_filter(lines, ln ->
+               regexp_matches(ln, '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(ln, '\\s+'),
+                                   w -> w != '')) >= 5
+               AND NOT (lower(ln) LIKE '%terms of use%'
+                        OR lower(ln) LIKE '%privacy policy%'
+                        OR lower(ln) LIKE '%cookie policy%'
+                        OR lower(ln) LIKE '%uses cookies%'))) * 1.0
+             / greatest(len(lines), 1), 6) AS kept_line_frac,
+       len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+       contains(text, '{') AS has_curly_brace,
+       contains(low, 'lorem ipsum') AS has_lorem_ipsum,
+       len(list_filter(lines,
+                       ln -> contains(lower(ln), 'javascript'))) > 0
+         AS has_javascript_line,
+       len(regexp_extract_all(text, '[.!?]')) >= 3
+       AND NOT contains(text, '{') AND NOT contains(low, 'lorem ipsum')
+       AND NOT len(list_filter(lines,
+                   ln -> contains(lower(ln), 'javascript'))) > 0
+         AS c4_pass
+FROM t
+""")
+def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning recipe [Raffel et al. 2020 §2.2 — public]:
+    terminal-punctuation + min-words + policy-phrase line retention,
+    sentence-count floor, curly-brace / lorem-ipsum / javascript page
+    tells, and the combined pass flag — the third famous filter set
+    next to the two Gopher halves, completing the standard public
+    cleaning stack. One codegen projection (operators/text.py
+    with_c4_filters); the oracle replays every signal with the same
+    6-decimal rounding."""
+    from mycelial_spark.operators.text import with_c4_filters
+    return with_c4_filters(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "kept_line_frac", "n_sentences", "has_curly_brace",
+        "has_lorem_ipsum", "has_javascript_line", "c4_pass")
+
+
 def _rep_gram_cte(n: int) -> str:
     return f"""
 g{n} AS (

@@ -76,3 +76,29 @@ def test_no_shuffle_plan(spark):
     plan = (with_gopher_repetition(df)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan, plan[:500]
+
+
+def test_c4_filters_hand_computed(spark):
+    from mycelial_spark.operators.text import with_c4_filters
+    text = ("This line ends with terminal punctuation and many words.\n"
+            "short line.\n"
+            "This page respects your privacy policy at all times ok.\n"
+            "Please enable JavaScript to view this site properly now.\n"
+            "No terminal punctuation here at all on this line\n"
+            "Final sentence is long enough and properly terminated!")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = with_c4_filters(df).first()
+    # kept: lines 1 and 6 and the javascript line (it terminates and is
+    # long); dropped: short (words<5), policy phrase, no terminal punct
+    assert r["kept_line_frac"] == round(3 / 6, 6)
+    assert r["n_sentences"] == 5
+    assert r["has_javascript_line"] and not r["has_curly_brace"]
+    assert not r["c4_pass"]             # the javascript tell kills it
+    ok = with_c4_filters(spark.createDataFrame(
+        [(2, "One good sentence here. Another follows it. A third "
+             "one completes the minimum.")],
+        "doc_id long, text string")).first()
+    assert ok["c4_pass"] and ok["kept_line_frac"] == 1.0
+    empty = with_c4_filters(spark.createDataFrame(
+        [(3, "")], "doc_id long, text string")).first()
+    assert empty["kept_line_frac"] == 0.0 and not empty["c4_pass"]
