@@ -63,6 +63,40 @@ def probe_char_diversity(spark, factors=(1, 4, 16)):
         docs.unpersist()
 
 
+def probe_quality_recipes(spark, factors=(1, 4, 16)):
+    """gopher_repetition / c4_filters on documents of growing LENGTH:
+    both are scan-fused projections, so cost should be ~linear in
+    document bytes (repetition's five gram folds carry the
+    len·log len sorts; C4 is regex/line work)."""
+    from mycelial_spark.operators.text import (with_c4_filters,
+                                               with_gopher_repetition)
+    n_docs = 20_000
+    base = ("One varied sentence with individual words appears here. "
+            "Another line follows it to the end!\n")
+    for f in factors:
+        docs = (spark.range(n_docs)
+                .select(F.col("id").alias("doc_id"),
+                        F.concat(F.repeat(F.lit(base), 12 * f),
+                                 F.sha2(F.col("id").cast("string"), 256))
+                        .alias("text"))
+                .repartition(32))
+        docs.persist().count()
+        t0 = time.time()
+        _force(with_gopher_repetition(docs).select(
+            "doc_id", "gopher_rep_pass", "dup_10gram_char_frac"))
+        t_rep = time.time() - t0
+        t0 = time.time()
+        _force(with_c4_filters(docs).select("doc_id", "c4_pass",
+                                            "kept_line_frac"))
+        t_c4 = time.time() - t0
+        print(json.dumps({"op": "quality_recipes", "factor": f,
+                          "docs": n_docs,
+                          "chars_per_doc": 12 * f * len(base) + 64,
+                          "gopher_repetition_sec": round(t_rep, 2),
+                          "c4_filters_sec": round(t_c4, 2)}))
+        docs.unpersist()
+
+
 def probe_privacy(spark, factors=(1, 4, 16)):
     from mycelial_spark.operators.relational import k_anonymity, l_diversity
     rows = 2_000_000
@@ -169,6 +203,8 @@ def main():
     with tempfile.TemporaryDirectory() as tmp:
         if not only or "char_diversity" in only:
             probe_char_diversity(spark)
+        if "quality_recipes" in only:
+            probe_quality_recipes(spark)
         if not only or "privacy" in only:
             probe_privacy(spark)
         if not only or "ann" in only:
