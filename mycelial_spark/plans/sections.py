@@ -1811,6 +1811,20 @@ def audio_features_(spark, cfg, inputs):
     return audio_features(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("warc_records", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary WARC payloads (ISO 28500, plain or "
+               "per-record-gzipped — the Common Crawl layout) into one "
+               "row per record: warc_type / target_uri / date / "
+               "record_id / content_type / content_length / payload. "
+               "Pair with binary_source (pattern='*.warc.gz') for the "
+               "standard crawl-ingestion pipeline; on_error=null skips "
+               "undecodable files.")
+def warc_records_(spark, cfg, inputs):
+    from mycelial_spark.sources.warc import warc_records
+    return warc_records(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("image_features", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="REAL image codec over Arrow batches (pure-numpy netpbm "

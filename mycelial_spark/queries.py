@@ -1679,6 +1679,47 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g_stopwords", "gopher_pass")
 
 
+@query("warc_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS rec_idx,
+       CAST(200 AS INT) AS status,
+       text AS text_out,
+       CAST(78 + length(CAST(octet_length(encode(text)) AS VARCHAR))
+            + octet_length(encode(text)) AS BIGINT) AS content_length
+FROM documents
+""")
+def warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WARC ingestion — the container web crawls actually
+    arrive in (ISO 28500 / Common Crawl): documents pack into 8
+    spec-conformant WARC files (synth_warc — one HTTP response record
+    per doc, WARC-Target-URI carries the id), warc_records walks the
+    version lines / header blocks / Content-Length framing / CRLF
+    separators (sources/warc.py), and codegen splits each HTTP payload
+    into status and body. The oracle replays EVERYTHING from the
+    documents table: per-file record ordering (row_number over the
+    residue class — wrong framing shifts rec_idx), the HTTP wrapper's
+    exact byte length, the status, and the extracted text itself —
+    a parser bug that shifts a single byte breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.warc import synth_warc, warc_records
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = warc_records(synth_warc(docs, files=8))
+    s = F.col("payload").cast("string")
+    body_at = F.locate("\r\n\r\n", s) + 4
+    return (recs.filter(F.col("warc_type") == "response")
+            .select(
+                F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+                .cast("long").alias("doc_id"),
+                F.col("id").alias("file_id"),
+                F.col("rec_idx"),
+                F.regexp_extract(s, r"^HTTP/1\.1 (\d+) ", 1)
+                .cast("int").alias("status"),
+                s.substr(body_at, F.length(s)).alias("text_out"),
+                "content_length"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -1,0 +1,229 @@
+"""WARC (Web ARChive, ISO 28500 — public spec) record handling: the
+container web crawls actually arrive in (Common Crawl's WARC/WET).
+
+Reader: `parse_warc` walks a WARC 1.0/1.1 stream — version line,
+case-insensitive named headers, Content-Length-framed payload, CRLF
+record separators — and yields one record per member. Gzipped inputs
+(the standard on-disk form; Common Crawl gzips each record as its own
+member) are sniffed by magic and decompressed with stdlib gzip, which
+consumes multi-member streams. `split_http_response` separates an HTTP
+response payload (``application/http; msgtype=response``) into status,
+headers, and body — the body is the crawl text a pipeline wants.
+
+Spark surface: `warc_records` explodes binary WARC payloads into one
+row per record over Arrow batches (mapInPandas), the same shape as
+every other codec leg — at corpus scale the files come from a
+binaryFile scan and parallelism follows partitions. The writer fixture
+`encode_warc`/`synth_warc` builds spec-conformant files (deterministic
+IDs/dates) so oracle queries can replay record counts, URIs, framing,
+and extracted text straight from the documents table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def parse_warc(payload: bytes):
+    """Yield dicts for each record: version, headers (lower-cased
+    names), payload bytes. Raises on malformed version lines, missing
+    Content-Length, or truncated payloads/separators — a half-written
+    crawl file must fail loudly, not yield shifted records."""
+    import gzip
+    if payload[:2] == GZIP_MAGIC:
+        payload = gzip.decompress(payload)     # multi-member OK
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # tolerate trailing CRLFs after the final record
+        while pos < n and payload[pos:pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            return
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC (no version line end)")
+        version = payload[pos:eol].decode("ascii", "replace")
+        if not version.startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}: "
+                             f"{version[:20]!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = payload.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = payload[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(f"malformed WARC header {line[:40]!r}")
+            headers[k.decode("ascii", "replace").strip().lower()] = \
+                v.decode("utf-8", "replace").strip()
+        try:
+            clen = int(headers["content-length"])
+        except KeyError:
+            raise ValueError("WARC record missing Content-Length")
+        if pos + clen > n:
+            raise ValueError("truncated WARC record payload")
+        body = payload[pos:pos + clen]
+        pos += clen
+        if payload[pos:pos + 4] != b"\r\n\r\n":
+            raise ValueError("missing WARC record separator")
+        pos += 4
+        yield {"version": version, "headers": headers, "payload": body}
+
+
+def split_http_response(body: bytes):
+    """(status int, headers dict lower-cased, body bytes) from an HTTP
+    response payload. Raises when the status line or header/body split
+    is malformed."""
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP payload has no header/body separator")
+    head = body[:sep].split(b"\r\n")
+    parts = head[0].split(b" ", 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"malformed HTTP status line {head[0][:40]!r}")
+    status = int(parts[1])
+    headers = {}
+    for line in head[1:]:
+        k, sep_, v = line.partition(b":")
+        if sep_:
+            headers[k.decode("ascii", "replace").strip().lower()] = \
+                v.decode("utf-8", "replace").strip()
+    return status, headers, body[sep + 4:]
+
+
+WARC_RECORD_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("rec_idx", T.IntegerType()),
+    T.StructField("warc_type", T.StringType()),
+    T.StructField("target_uri", T.StringType()),
+    T.StructField("warc_date", T.StringType()),
+    T.StructField("record_id", T.StringType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("content_length", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def warc_records(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary WARC payloads (plain or gzipped) into one row per
+    record (WARC_RECORD_SCHEMA) over Arrow batches. ``on_error="null"``
+    skips undecodable files instead of failing the job (poison-row
+    tolerance, same contract as the other codec legs)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    recs = list(parse_warc(bytes(payload)))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for i, r in enumerate(recs):
+                    h = r["headers"]
+                    rows.append({
+                        "id": int(fid), "rec_idx": i,
+                        "warc_type": h.get("warc-type"),
+                        "target_uri": h.get("warc-target-uri"),
+                        "warc_date": h.get("warc-date"),
+                        "record_id": h.get("warc-record-id"),
+                        "content_type": h.get("content-type"),
+                        "content_length": int(h["content-length"]),
+                        "payload": r["payload"]})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_RECORD_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run,
+                                                  WARC_RECORD_SCHEMA)
+
+
+def encode_warc(records, gzip_members: bool = False) -> bytes:
+    """Spec-conformant WARC 1.0 writer (fixture/test side): records are
+    dicts with ``warc_type``, ``target_uri`` (optional), ``payload``
+    bytes, optional ``record_id``/``date``/``content_type``.
+    ``gzip_members=True`` gzips each record as its own member — the
+    Common Crawl on-disk layout."""
+    import gzip
+    out = bytearray()
+    for i, r in enumerate(records):
+        hdrs = [("WARC-Type", r["warc_type"]),
+                ("WARC-Record-ID",
+                 r.get("record_id", f"<urn:uuid:{i:032x}>")),
+                ("WARC-Date", r.get("date", "2024-01-01T00:00:00Z"))]
+        if r.get("target_uri"):
+            hdrs.append(("WARC-Target-URI", r["target_uri"]))
+        if r.get("content_type"):
+            hdrs.append(("Content-Type", r["content_type"]))
+        body = bytes(r["payload"])
+        hdrs.append(("Content-Length", str(len(body))))
+        rec = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode() for k, v in hdrs) \
+            + b"\r\n" + body + b"\r\n\r\n"
+        out += gzip.compress(rec, mtime=0) if gzip_members else rec
+    return bytes(out)
+
+
+def http_response_bytes(text_body: bytes,
+                        content_type: str = "text/plain; charset=utf-8",
+                        status: int = 200) -> bytes:
+    reason = {200: "OK", 404: "Not Found"}.get(status, "OK")
+    return (f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(text_body)}\r\n\r\n"
+            .encode() + text_body)
+
+
+def synth_warc(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", files: int = 8,
+               gzip_members: bool = False) -> DataFrame:
+    """Test-fixture adapter: documents pack into ``files`` WARC files
+    (doc_id % files), each document one RESPONSE record whose HTTP body
+    is the UTF-8 text and whose WARC-Target-URI carries the doc id —
+    deterministic end to end, so an oracle can replay record counts,
+    URIs, HTTP framing, and the extracted text from the documents
+    table. Emits (id = file index, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate across ALL of the partition's Arrow batches first:
+        # a partition holds whole groups (the repartition below), but
+        # Arrow may split it into several batches, and emitting per
+        # batch would produce duplicate file ids with partial contents
+        docs: list[tuple[int, str]] = []
+        for pdf in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list] = {}
+        for doc_id, t in sorted(docs):
+            body = http_response_bytes(t.encode("utf-8"))
+            groups.setdefault(doc_id % files, []).append(
+                {"warc_type": "response",
+                 "target_uri": f"http://example.com/doc/{doc_id}",
+                 "content_type": "application/http; msgtype=response",
+                 "payload": body})
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "warc",
+             "payload": [encode_warc(v, gzip_members)
+                         for v in groups.values()]})
+
+    # one partition per output file so each file packs ALL its docs
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

@@ -1,0 +1,110 @@
+"""WARC container (sources/warc.py, ISO 28500): record framing,
+gzip members, HTTP response splitting, and loud failures on damaged
+streams — the ingestion path for crawl-shaped corpora."""
+
+import gzip
+
+import pytest
+
+from mycelial_spark.sources import warc as W
+
+
+def _recs(n=3):
+    return [{"warc_type": "response",
+             "target_uri": f"http://example.com/doc/{i}",
+             "content_type": "application/http; msgtype=response",
+             "payload": W.http_response_bytes(
+                 f"document body number {i} ü".encode())}
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_roundtrip_plain_and_gzip_members(gz):
+    payload = W.encode_warc(_recs(4), gzip_members=gz)
+    if gz:
+        assert payload[:2] == W.GZIP_MAGIC
+    out = list(W.parse_warc(payload))
+    assert len(out) == 4
+    for i, r in enumerate(out):
+        assert r["version"] == "WARC/1.0"
+        h = r["headers"]
+        assert h["warc-type"] == "response"
+        assert h["warc-target-uri"] == f"http://example.com/doc/{i}"
+        status, hh, body = W.split_http_response(r["payload"])
+        assert status == 200
+        assert hh["content-type"] == "text/plain; charset=utf-8"
+        assert body.decode() == f"document body number {i} ü"
+        assert int(h["content-length"]) == len(r["payload"])
+
+
+def test_mixed_record_types_and_no_uri():
+    recs = [{"warc_type": "warcinfo",
+             "payload": b"software: mycelial_spark\r\n"}] + _recs(2)
+    out = list(W.parse_warc(W.encode_warc(recs)))
+    assert [r["headers"]["warc-type"] for r in out] == \
+        ["warcinfo", "response", "response"]
+    assert "warc-target-uri" not in out[0]["headers"]
+
+
+def test_rejects_damaged_streams():
+    payload = W.encode_warc(_recs(2))
+    with pytest.raises(ValueError, match="not a WARC record"):
+        list(W.parse_warc(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        list(W.parse_warc(payload[:len(payload) - 30]))
+    # damage the record separator between records
+    i = payload.find(b"\r\n\r\nWARC/1.0")
+    broken = payload[:i] + b"XXXX" + payload[i + 4:]
+    with pytest.raises(ValueError, match="separator"):
+        list(W.parse_warc(broken))
+    # strip Content-Length from the first record
+    j = payload.find(b"Content-Length:")
+    k = payload.find(b"\r\n", j) + 2
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(W.parse_warc(payload[:j] + payload[k:]))
+    with pytest.raises(ValueError, match="separator|truncated"):
+        list(W.parse_warc(gzip.compress(payload[:len(payload) - 2])))
+
+
+def test_http_split_rejects():
+    with pytest.raises(ValueError, match="no header/body"):
+        W.split_http_response(b"HTTP/1.1 200 OK\r\n")
+    with pytest.raises(ValueError, match="status line"):
+        W.split_http_response(b"garbage\r\n\r\nbody")
+
+
+def test_warc_records_distributed_and_poison(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string")
+    recs = W.warc_records(W.synth_warc(docs, files=3)).collect()
+    assert len(recs) == 12
+    by_file: dict = {}
+    for r in recs:
+        by_file.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [4, 4, 4]
+    for rows in by_file.values():
+        ids = [int(r["target_uri"].rsplit("/", 1)[1]) for r in rows]
+        assert ids == sorted(ids)        # in-file ordering: ascending
+        assert [r["rec_idx"] for r in rows] == list(range(4))
+    # poison tolerance
+    bad = spark.createDataFrame([(99, b"not a warc at all")],
+                                "id long, payload binary")
+    assert W.warc_records(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        W.warc_records(bad).count()
+
+
+def test_warc_records_section(spark):
+    """Declarative parity: TOML pipelines ingest crawls via the
+    warc_records section over binary payloads."""
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame([(i, f"doc {i} body here")
+                                  for i in range(6)],
+                                 "doc_id long, text string")
+    files = W.synth_warc(docs, files=2, gzip_members=True)
+    sdef = REGISTRY.get("warc_records")
+    cfg = sdef.validate_config({"type": "warc_records"})
+    out = sdef.builder(spark, cfg, [files]).collect()
+    assert len(out) == 6
+    assert all(r["warc_type"] == "response" for r in out)
