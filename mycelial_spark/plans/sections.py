@@ -1825,6 +1825,30 @@ def warc_records_(spark, cfg, inputs):
     return warc_records(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("tar_records", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary tar payloads (plain or gzipped) into one "
+               "row per regular member: name/size/payload, in archive "
+               "order (stdlib tarfile).")
+def tar_records_(spark, cfg, inputs):
+    from mycelial_spark.sources.webdataset import tar_records
+    return tar_records(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("webdataset_samples", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="Group each tar shard's members into WebDataset SAMPLES "
+               "(key = basename up to the first dot; consecutive-member "
+               "contract enforced): one row per sample with an "
+               "extension->payload map — the standard multimodal "
+               "training-shard ingestion (binary_source "
+               "pattern='*.tar' -> webdataset_samples).")
+def webdataset_samples_(spark, cfg, inputs):
+    from mycelial_spark.sources.webdataset import webdataset_samples
+    return webdataset_samples(_payload_frame(inputs[0]),
+                              cfg["on_error"])
+
+
 @_register("image_features", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="REAL image codec over Arrow batches (pure-numpy netpbm "

@@ -1720,6 +1720,43 @@ def warc_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "content_length"))
 
 
+@query("webdataset_extract", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT)
+         AS sample_idx,
+       lpad(CAST(doc_id AS VARCHAR), 8, '0') AS key,
+       text AS text_out,
+       source AS label
+FROM documents
+""")
+def webdataset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end WebDataset ingestion — the tar-shard convention
+    multimodal training data actually ships in: documents pack into 8
+    deterministic USTAR shards (synth_webdataset — each doc one sample
+    with .txt and .cls parts), tar_members walks the archive with
+    stdlib tarfile, and webdataset_samples groups consecutive members
+    into samples by key (sources/webdataset.py; scattered keys raise —
+    the format's streaming contract). The oracle replays shard
+    membership, in-shard sample order, the zero-padded keys, and both
+    parts' contents from the documents table — a grouping or framing
+    bug breaks the hash-match. With the WARC leg this covers both
+    containers a crawl-to-training pipeline starts from."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.webdataset import (synth_webdataset,
+                                                   webdataset_samples)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    samples = webdataset_samples(synth_webdataset(docs, files=8))
+    return samples.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.col("id").alias("shard_id"),
+        F.col("sample_idx"),
+        F.col("key"),
+        F.element_at("parts", "txt").cast("string").alias("text_out"),
+        F.element_at("parts", "cls").cast("string").alias("label"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -1,0 +1,195 @@
+"""WebDataset-style tar shards (public convention over POSIX tar):
+the standard layout multimodal training data ships in — a tar archive
+whose members group into SAMPLES by key, one member per modality
+(``abc123.txt``, ``abc123.jpg``, ``abc123.json`` → sample ``abc123``
+with extensions txt/jpg/json).
+
+Reader: stdlib ``tarfile`` over in-memory bytes — `tar_members` yields
+every regular member in archive order; `webdataset_samples` groups
+consecutive members by key (key = basename up to the FIRST dot, the
+WebDataset convention — ``a.seg.png``'s extension is ``seg.png``) and
+emits one row per sample with an extension→payload map. Spark surface
+is the usual Arrow-batched mapInPandas explode; shards come from a
+binaryFile scan and parallelism follows partitions — exactly how
+WebDataset is consumed at scale (shard = unit of work).
+
+Writer fixture `encode_tar`/`synth_webdataset` builds deterministic
+archives (zeroed mtime/uid/gid, USTAR) so oracle queries replay member
+names, sizes, and text content from the documents table.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def tar_members(payload: bytes):
+    """Yield (name, bytes) for each regular-file member, in archive
+    order. Gzipped tars (``.tar.gz`` shards) are sniffed by magic.
+    Raises on truncated or non-tar input."""
+    import gzip
+    if payload[:2] == b"\x1f\x8b":
+        payload = gzip.decompress(payload)
+    try:
+        with tarfile.open(fileobj=io.BytesIO(payload), mode="r:") as tf:
+            for m in tf:
+                if m.isreg():
+                    f = tf.extractfile(m)
+                    yield m.name, (f.read() if f is not None else b"")
+    except tarfile.TarError as e:
+        raise ValueError(f"not a tar archive: {e}") from e
+
+
+def _sample_key(name: str) -> tuple[str, str]:
+    """WebDataset split: key = path up to the FIRST dot of the
+    basename, extension = everything after it."""
+    d, _, base = name.rpartition("/")
+    stem, dot, ext = base.partition(".")
+    key = f"{d}/{stem}" if d else stem
+    return key, ext if dot else ""
+
+
+TAR_MEMBER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("member_idx", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("size", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+WDS_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sample_idx", T.IntegerType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("parts",
+                  T.MapType(T.StringType(), T.BinaryType())),
+])
+
+
+def tar_records(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary tar payloads into one row per member
+    (TAR_MEMBER_SCHEMA) over Arrow batches."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    members = list(tar_members(bytes(payload)))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for i, (name, data) in enumerate(members):
+                    rows.append({"id": int(fid), "member_idx": i,
+                                 "name": name, "size": len(data),
+                                 "payload": data})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TAR_MEMBER_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run,
+                                                  TAR_MEMBER_SCHEMA)
+
+
+def webdataset_samples(df: DataFrame,
+                       on_error: str = "raise") -> DataFrame:
+    """Group each tar shard's members into WebDataset SAMPLES: one row
+    per key with an extension->payload map (WDS_SAMPLE_SCHEMA). Keys
+    group CONSECUTIVE members, the WebDataset contract — an archive
+    whose sample parts are scattered is malformed and raises (it would
+    stream incorrectly everywhere else too)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    members = list(tar_members(bytes(payload)))
+                    samples: list[tuple[str, dict]] = []
+                    seen: set[str] = set()
+                    for name, data in members:
+                        key, ext = _sample_key(name)
+                        if samples and samples[-1][0] == key:
+                            samples[-1][1][ext] = data
+                        else:
+                            if key in seen:
+                                raise ValueError(
+                                    f"non-consecutive sample key "
+                                    f"{key!r} in shard (malformed "
+                                    "WebDataset)")
+                            seen.add(key)
+                            samples.append((key, {ext: data}))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                for i, (key, parts) in enumerate(samples):
+                    rows.append({"id": int(fid), "sample_idx": i,
+                                 "key": key, "parts": parts})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WDS_SAMPLE_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run,
+                                                  WDS_SAMPLE_SCHEMA)
+
+
+def encode_tar(members, gzip_shard: bool = False) -> bytes:
+    """Deterministic USTAR writer (fixture/test side): (name, bytes)
+    pairs, zeroed mtime/uid/gid/uname — byte-stable across runs."""
+    import gzip
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            tf.addfile(info, io.BytesIO(data))
+    out = buf.getvalue()
+    return gzip.compress(out, mtime=0) if gzip_shard else out
+
+
+def synth_webdataset(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", files: int = 8,
+                     gzip_shard: bool = False) -> DataFrame:
+    """Test-fixture adapter: documents pack into ``files`` WebDataset
+    shards (doc_id % files, ascending within a shard); each document is
+    one sample with two parts — ``{doc_id:08d}.txt`` (the UTF-8 text)
+    and ``{doc_id:08d}.cls`` (the source label) — so an oracle can
+    replay shard membership, sample order, member names/sizes, and the
+    text itself from the documents table."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str, str]] = []
+        for pdf in batches:
+            docs.extend((int(d), str(t), str(s)) for d, t, s in
+                        zip(pdf[id_col], pdf[text_col], pdf["source"]))
+        if not docs:
+            return
+        groups: dict[int, list] = {}
+        for doc_id, t, src in sorted(docs):
+            key = f"{doc_id:08d}"
+            groups.setdefault(doc_id % files, []).extend(
+                [(f"{key}.txt", t.encode("utf-8")),
+                 (f"{key}.cls", src.encode("utf-8"))])
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "webdataset",
+             "payload": [encode_tar(v, gzip_shard)
+                         for v in groups.values()]})
+
+    return (df.select(id_col, text_col, "source")
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

@@ -1,0 +1,81 @@
+"""WebDataset tar shards (sources/webdataset.py): member framing,
+sample grouping by key (consecutive contract), gzip shards, and the
+malformed-archive failure modes."""
+
+import pytest
+
+from mycelial_spark.sources import webdataset as WD
+
+
+def _members():
+    return [("00000001.txt", b"first doc text"),
+            ("00000001.cls", b"src0"),
+            ("00000002.txt", "zwei ünïcode".encode()),
+            ("00000002.cls", b"src1"),
+            ("00000002.json", b'{"a": 1}')]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_tar_roundtrip_and_determinism(gz):
+    tar = WD.encode_tar(_members(), gzip_shard=gz)
+    assert list(WD.tar_members(tar)) == _members()
+    assert tar == WD.encode_tar(_members(), gzip_shard=gz)
+
+
+def test_sample_key_convention():
+    """Key = basename up to the FIRST dot (a.seg.png -> ext seg.png),
+    directories preserved."""
+    assert WD._sample_key("dir/a.seg.png") == ("dir/a", "seg.png")
+    assert WD._sample_key("x.txt") == ("x", "txt")
+    assert WD._sample_key("noext") == ("noext", "")
+
+
+def test_rejects_non_tar_and_scattered_keys(spark):
+    with pytest.raises(ValueError, match="not a tar"):
+        list(WD.tar_members(b"definitely not a tar archive" * 20))
+    # scattered sample: key 1's parts split around key 2
+    bad = WD.encode_tar([("00000001.txt", b"a"),
+                         ("00000002.txt", b"b"),
+                         ("00000001.cls", b"c")])
+    df = spark.createDataFrame([(0, bad)], "id long, payload binary")
+    with pytest.raises(Exception, match="non-consecutive"):
+        WD.webdataset_samples(df).collect()
+    assert WD.webdataset_samples(df, on_error="null").count() == 0
+    # tar_records still reads it member-by-member (framing is fine)
+    assert WD.tar_records(df).count() == 3
+
+
+def test_samples_grouping_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i}", f"src{i % 3}")
+         for i in range(12)],
+        "doc_id long, text string, source string")
+    out = WD.webdataset_samples(
+        WD.synth_webdataset(docs, files=3, gzip_shard=True)).collect()
+    assert len(out) == 12
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_shard.values()) == [4, 4, 4]
+    for rows in by_shard.values():
+        keys = [r["key"] for r in rows]
+        assert keys == sorted(keys)
+        assert [r["sample_idx"] for r in rows] == list(range(4))
+        for r in rows:
+            doc_id = int(r["key"])
+            assert set(r["parts"].keys()) == {"txt", "cls"}
+            assert bytes(r["parts"]["txt"]).decode() == \
+                f"text of document {doc_id}"
+            assert bytes(r["parts"]["cls"]).decode() == \
+                f"src{doc_id % 3}"
+
+
+def test_sections_registered(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame([(1, "one doc", "src0")],
+                                 "doc_id long, text string, source string")
+    shard = WD.synth_webdataset(docs, files=1)
+    for name, n in (("tar_records", 2), ("webdataset_samples", 1)):
+        sdef = REGISTRY.get(name)
+        cfg = sdef.validate_config({"type": name})
+        assert len(sdef.builder(spark, cfg, [shard]).collect()) == n
