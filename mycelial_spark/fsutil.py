@@ -98,6 +98,16 @@ def fs_write_text(spark, path: str, content: str) -> None:
         out.close()
 
 
+def fs_write_bytes(spark, path: str, content: bytes) -> None:
+    """Binary twin of fs_write_text — same atomic single-file create."""
+    jvm, fs, P = hadoop_fs(spark, path)
+    out = fs.create(P(path), True)
+    try:
+        out.write(bytearray(content))
+    finally:
+        out.close()
+
+
 def fs_read_text(spark, path: str) -> str:
     jvm, fs, P = hadoop_fs(spark, path)
     st = fs.open(P(path))

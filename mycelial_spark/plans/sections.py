@@ -1888,6 +1888,25 @@ def video_frames_(spark, cfg, inputs):
 # Destinations (SURVEY §2.2)
 # ---------------------------------------------------------------------------
 
+@_register("webdataset_dest", "destination", "dataframe", "none",
+           [Field("path"), Field("n_shards", "int", 8),
+            Field("key_col", default="key"),
+            Field("part_cols", "json"),
+            Field("gzip", "bool", False)],
+           doc="Write rows as WebDataset tar shards + _MANIFEST.json — "
+               "the training-shard OUTPUT side (ingest -> clean -> "
+               "dedup -> emit shards a trainer streams). Shard = "
+               "xxhash64(key) % n_shards (re-exports land "
+               "identically); part_cols maps extension -> column "
+               "(strings encode UTF-8, binary passes through); shard "
+               "bytes are deterministic (zeroed tar metadata).")
+def webdataset_dest(spark, cfg, df):
+    from mycelial_spark.sources.webdataset import write_webdataset
+    return write_webdataset(df, cfg["path"], cfg["n_shards"],
+                            cfg["key_col"], cfg["part_cols"],
+                            cfg["gzip"])
+
+
 @_register("parquet_dest", "destination", "dataframe", "none",
            [Field("path"), Field("mode", default="append"),
             Field("truncate", "bool", False),

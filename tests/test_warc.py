@@ -108,3 +108,49 @@ def test_warc_records_section(spark):
     out = sdef.builder(spark, cfg, [files]).collect()
     assert len(out) == 6
     assert all(r["warc_type"] == "response" for r in out)
+
+
+def test_crawl_to_shards_pipeline_e2e(spark, tmp_path):
+    """The examples/crawl_to_shards_pipeline.toml flow end-to-end with
+    real section nodes: WARC in, quality gate, exact dedup, WebDataset
+    out — the complete crawl-to-training-data loop."""
+    import glob
+
+    from mycelial_spark.plans.sections import REGISTRY
+    from mycelial_spark.sources.webdataset import webdataset_samples
+    long = ("A proper sentence with plenty of ordinary words that the "
+            "gopher rules accept without any complaint at all. ") * 4
+    docs = spark.createDataFrame(
+        [(1, long + "one"), (2, long + "one"),    # exact dupes
+         (3, long + "three"), (4, "short junk")], # 4 fails word count
+        "doc_id long, text string")
+    crawl = W.synth_warc(docs, files=2, gzip_members=True)
+
+    def run(name, cfg, df):
+        sdef = REGISTRY.get(name)
+        return sdef.builder(spark, sdef.validate_config(
+            {"type": name, **cfg}), df)
+
+    recs = run("warc_records", {}, [crawl])
+    pages = recs.filter("warc_type = 'response'").selectExpr(
+        "target_uri AS key",
+        "substring(CAST(payload AS STRING), "
+        "locate('\\r\\n\\r\\n', CAST(payload AS STRING)) + 4) AS text")
+    kept = run("gopher_quality", {"min_words": 20}, [pages]) \
+        .filter("gopher_pass").select("key", "text")
+    survivors = run("dedup_exact", {"text_col": "text",
+                                    "id_col": "key"}, [kept])
+    deduped = run("join", {"on": ["key"]},
+                  [kept, survivors.select("key")])
+    out = str(tmp_path / "shards")
+    man = run("webdataset_dest",
+              {"path": out, "n_shards": 2, "key_col": "key",
+               "part_cols": {"txt": "text"}}, deduped)
+    assert sum(s["n_samples"] for s in man["shards"].values()) == 2
+    files = spark.createDataFrame(
+        [(i, open(p, "rb").read()) for i, p in
+         enumerate(sorted(glob.glob(f"{out}/shard-*.tar")))],
+        "id long, payload binary")
+    back = webdataset_samples(files).collect()
+    texts = sorted(bytes(r["parts"]["txt"]).decode() for r in back)
+    assert texts == sorted([long + "one", long + "three"])
