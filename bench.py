@@ -114,6 +114,10 @@ HEADLINE = [
     "image_dedup_pairs_png",
     "audio_dedup_pairs",
     "video_dedup_pairs",
+    "warc_extract_text",
+    "webdataset_extract",
+    "pdf_extract_text",
+    "mbox_extract",
     "pagerank_trade_graph",
     "pagerank_weighted_trade",
     "table_profile",

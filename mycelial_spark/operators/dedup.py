@@ -54,6 +54,24 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
                    F.count(F.lit(1)).alias("dup_count")))
 
 
+def dedup_exact_rows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup that emits the surviving ROWS (all original
+    columns), not fingerprints: the min-id representative per
+    normalized text is elected with a single min_by-struct AGGREGATE —
+    partial-aggregation friendly (a million-way duplicate combines
+    map-side) and join-free, so a single-output pipeline node can
+    dedup in place (graph nodes have one output — reference parity
+    graph/src/lib.rs:19-22 — so the fingerprints+join diamond is not
+    expressible declaratively; this is the chain form)."""
+    fp = with_fingerprint(df, text_col)
+    row = F.min_by(F.struct(*df.columns), F.col(id_col))
+    return (fp.groupBy("fingerprint")
+              .agg(row.alias("_survivor"),
+                   F.count(F.lit(1)).alias("dup_count"))
+              .select("_survivor.*", "dup_count"))
+
+
 def incremental_dedup(new_docs: DataFrame, ledger_path: str,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:

@@ -767,10 +767,24 @@ def avro_dest(spark, cfg, df):
 
 
 @_register("dedup_exact", "transform", "dataframe", "dataframe",
-           [Field("text_col", default="text"), Field("id_col", default="doc_id")],
-           doc="Exact dedup by normalized-text fingerprint (north-star).")
+           [Field("text_col", default="text"),
+            Field("id_col", default="doc_id"),
+            Field("emit", default="fingerprints")],
+           doc="Exact dedup by normalized-text fingerprint (north-star)."
+               " emit='fingerprints' (default) returns (fingerprint, "
+               "min id, dup_count); emit='rows' returns the surviving "
+               "rows with ALL original columns via a min_by-struct "
+               "aggregate — the single-output chain form (graph nodes "
+               "cannot fan out, so a fingerprints+join diamond is not "
+               "declarable).")
 def dedup_exact_(spark, cfg, inputs):
-    from mycelial_spark.operators.dedup import dedup_exact as op
+    from mycelial_spark.operators.dedup import (dedup_exact as op,
+                                                dedup_exact_rows)
+    if cfg["emit"] not in ("fingerprints", "rows"):
+        raise ValueError(f"dedup_exact: unknown emit {cfg['emit']!r}")
+    if cfg["emit"] == "rows":
+        return dedup_exact_rows(inputs[0], cfg["text_col"],
+                                cfg["id_col"])
     return op(inputs[0], cfg["text_col"], cfg["id_col"])
 
 
@@ -1823,6 +1837,33 @@ def audio_features_(spark, cfg, inputs):
 def warc_records_(spark, cfg, inputs):
     from mycelial_spark.sources.warc import warc_records
     return warc_records(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("pdf_pages", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary PDF payloads (classic xref-table PDFs, "
+               "Flate or plain streams) into one row per page with the "
+               "extracted text (Tj/'/\"/TJ show-text operators; "
+               "positioning ops become newlines). Pair with "
+               "binary_source (pattern='*.pdf') for document-corpus "
+               "ingestion; on_error=null skips undecodable files.")
+def pdf_pages_(spark, cfg, inputs):
+    from mycelial_spark.sources.pdf import pdf_pages
+    return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("mbox_messages", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary mbox payloads (mboxrd From-quoting) "
+               "into one row per RFC 5322 message: message_id / "
+               "subject / decoded first text/plain part (quoted-"
+               "printable, base64, charset-aware) / part count / "
+               "attachment bytes. Pair with binary_source "
+               "(pattern='*.mbox') for mail-archive ingestion; "
+               "on_error=null skips undecodable files.")
+def mbox_messages_(spark, cfg, inputs):
+    from mycelial_spark.sources.mbox import mbox_messages
+    return mbox_messages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
 @_register("tar_records", "transform", "bin_or_dataframe", "dataframe",

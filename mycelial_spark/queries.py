@@ -1757,6 +1757,85 @@ def webdataset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("parts", "cls").cast("string").alias("label"))
 
 
+@query("pdf_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS page_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS page_count,
+       text AS text_out
+FROM documents
+""")
+def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PDF ingestion — the most common non-HTML document
+    format in crawls: documents pack into 8 classic PDFs (synth_pdf —
+    one page per doc, even files Flate-compressed, pages alternating
+    literal/hex strings, the id carried in the page text), pdf_pages
+    walks the startxref pointer / xref table / page tree / content
+    streams and extracts the show-text operators (sources/pdf.py), and
+    codegen splits the id line from the body. The oracle replays page
+    order within each file, per-file page counts, and the text itself
+    from the documents table — a framing, escaping, inflation, or
+    xref-offset bug breaks the hash-match. (Reference parity: the
+    reference shells out via exec sections for format conversion,
+    `sections/exec/src/lib.rs`; this leg keeps extraction inside the
+    DataFrame plan.)"""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = pdf_pages(synth_pdf(docs, files=8))
+    return pages.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("page_idx"),
+        F.col("page_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
+@query("mbox_extract", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS msg_idx,
+       'doc:' || CAST(doc_id AS VARCHAR) AS subject,
+       text AS text_out,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT)
+         AS n_parts,
+       CAST(CASE WHEN doc_id % 2 = 1
+                 THEN octet_length(encode(text)) ELSE 0 END AS BIGINT)
+         AS attach_bytes
+FROM documents
+""")
+def mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mail-archive ingestion — mbox of RFC 5322 MIME
+    messages (the Enron-corpus / mailing-list shape): documents pack
+    into 8 mboxrd files (synth_mbox — even ids single-part
+    quoted-printable, odd ids multipart/mixed with a base64 attachment
+    of the same bytes), mbox_messages splits on From_ separator lines,
+    strips the mboxrd quoting, and decodes each message's first
+    text/plain part through its transfer encoding (sources/mbox.py).
+    The oracle replays message order within each file, subjects, part
+    counts, attachment byte totals, and the decoded text itself from
+    the documents table — a framing, quoting, QP, or base64 bug
+    breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.mbox import mbox_messages, synth_mbox
+    docs = spread(_t(spark, sf_dir, "documents"))
+    msgs = mbox_messages(synth_mbox(docs, files=8))
+    return msgs.select(
+        F.regexp_extract("subject", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("msg_idx"),
+        F.col("subject"),
+        F.col("text").alias("text_out"),
+        F.col("n_parts"),
+        F.col("attach_bytes"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

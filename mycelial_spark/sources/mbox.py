@@ -1,0 +1,233 @@
+"""mbox / MIME email ingestion: mail archives (Enron corpus, mailing
+lists, support dumps) are a standard pretraining / fine-tuning text
+source, and they ship as mbox files of RFC 5322 messages with MIME
+bodies (reference parity: the reference ingests mail dumps through
+generic file + exec sections — `sections/file_source`, `sections/
+exec` — whereas this leg parses the container natively).
+
+Reader: `parse_mbox` splits an mboxrd stream on ``From `` separator
+lines (body lines matching ``^>*From `` carry one quoting ``>`` which
+is stripped — the mboxrd contract that makes splitting unambiguous),
+then parses each message with the stdlib ``email`` package:
+`message_text` walks the MIME tree, decodes the first ``text/plain``
+part through its Content-Transfer-Encoding (quoted-printable, base64,
+7bit/8bit) and charset, and totals attachment bytes. Damaged framing
+raises loudly.
+
+Spark surface: `mbox_messages` explodes binary mbox payloads into one
+row per message over Arrow batches (mapInPandas), the same shape as
+the WARC / PDF / WebDataset legs. The writer fixture
+`encode_mbox`/`synth_mbox` builds deterministic files (even doc ids:
+single-part quoted-printable; odd: multipart/mixed with a base64
+attachment of the same bytes) so the `mbox_extract` oracle can replay
+message order, subjects, part counts, attachment sizes, and the
+decoded text straight from the documents table.
+"""
+
+from __future__ import annotations
+
+import quopri
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_FROM_LINE = b"From corpus@example.com Mon Jan  1 00:00:00 2024"
+_QUOTED_FROM = re.compile(rb"^(>*)(From )", re.M)
+
+
+def _qp(body: bytes) -> bytes:
+    """Quoted-printable with a terminating soft break (`=\\n` decodes
+    to nothing) when the body lacks a final newline — every encoded
+    part then ends in a newline (mbox lines are newline-terminated)
+    while bodies with and without trailing newlines stay distinct."""
+    enc = quopri.encodestring(body)
+    if not enc.endswith(b"\n"):
+        enc += b"=\n"
+    return enc
+
+
+def _quote_from_lines(body: bytes) -> bytes:
+    """mboxrd quoting: every body line matching ^>*From<space> gains
+    one '>' so the reader's separator scan is unambiguous."""
+    return _QUOTED_FROM.sub(rb">\1\2", body)
+
+
+def _unquote_from_lines(body: bytes) -> bytes:
+    return re.sub(rb"^>(>*From )", rb"\1", body, flags=re.M)
+
+
+def encode_message(doc_id: int, text: str) -> bytes:
+    """One deterministic RFC 5322 message. Even ids: single-part
+    text/plain, quoted-printable. Odd ids: multipart/mixed — the same
+    text/plain part plus a base64 application/octet-stream attachment
+    carrying the text's UTF-8 bytes (so both transfer decoders and the
+    multipart walk are exercised on every file)."""
+    import base64
+    raw = text.encode("utf-8")
+    head = (f"Message-ID: <doc-{doc_id}@example.com>\r\n"
+            f"Date: Mon, 01 Jan 2024 00:00:00 +0000\r\n"
+            f"From: corpus@example.com\r\n"
+            f"Subject: doc:{doc_id}\r\n"
+            f"MIME-Version: 1.0\r\n").encode()
+    if doc_id % 2 == 0:
+        return (head
+                + b"Content-Type: text/plain; charset=\"utf-8\"\r\n"
+                + b"Content-Transfer-Encoding: quoted-printable\r\n"
+                + b"\r\n" + _qp(raw))
+    bnd = f"=_part_{doc_id}_".encode()
+    b64 = base64.encodebytes(raw)
+    return (head
+            + b"Content-Type: multipart/mixed; boundary=\"" + bnd
+            + b"\"\r\n\r\n"
+            + b"--" + bnd + b"\r\n"
+            + b"Content-Type: text/plain; charset=\"utf-8\"\r\n"
+            + b"Content-Transfer-Encoding: quoted-printable\r\n"
+            + b"\r\n" + _qp(raw) + b"\r\n"
+            + b"--" + bnd + b"\r\n"
+            + b"Content-Type: application/octet-stream\r\n"
+            + b"Content-Transfer-Encoding: base64\r\n"
+            + b"Content-Disposition: attachment; "
+            + f"filename=\"doc-{doc_id}.bin\"\r\n".encode()
+            + b"\r\n" + b64
+            + b"--" + bnd + b"--\r\n")
+
+
+def encode_mbox(messages: list[bytes]) -> bytes:
+    """mboxrd writer: From_ separator line, body From-lines quoted,
+    one blank separator line after each message. Every encoded message
+    already ends in a newline (QP soft-break / multipart epilogue), so
+    exactly one byte of separator is appended per message."""
+    out = bytearray()
+    for msg in messages:
+        msg = bytes(msg)
+        if not msg.endswith(b"\n"):
+            raise ValueError("mbox messages must be newline-terminated")
+        out += _FROM_LINE + b"\n"
+        out += _quote_from_lines(msg) + b"\n"
+    return bytes(out)
+
+
+_SEPARATOR = re.compile(rb"(?:^|\n)From [^\n]*\n")
+
+
+def parse_mbox(payload: bytes) -> list[bytes]:
+    """Split an mboxrd stream into raw message byte blocks (quoting
+    stripped). Every unquoted ``From `` line is a separator (the
+    mboxrd contract); the final message sheds its one blank separator
+    line. Raises on a stream that doesn't start with a From_ line or
+    is truncated mid-line — a damaged archive must fail, not yield
+    merged messages."""
+    if not payload:
+        return []
+    if not payload.startswith(b"From "):
+        raise ValueError("not an mbox (missing leading 'From ' line)")
+    seps = list(_SEPARATOR.finditer(payload))
+    blocks = []
+    for i, m in enumerate(seps):
+        end = seps[i + 1].start() if i + 1 < len(seps) else len(payload)
+        blocks.append(payload[m.end():end])
+    if blocks:
+        if not blocks[-1].endswith(b"\n"):
+            raise ValueError("truncated mbox (unterminated final line)")
+        if blocks[-1].endswith(b"\n\n"):      # writer's blank separator
+            blocks[-1] = blocks[-1][:-1]
+    return [_unquote_from_lines(b) for b in blocks]
+
+
+def message_fields(raw: bytes) -> dict:
+    """Parse one RFC 5322 message: subject / message-id, the FIRST
+    text/plain part decoded through its CTE + charset, total part
+    count, and summed attachment byte length."""
+    import email
+    import email.policy
+    msg = email.message_from_bytes(raw, policy=email.policy.default)
+    text = None
+    n_parts = 0
+    attach_bytes = 0
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        n_parts += 1
+        payload = part.get_payload(decode=True) or b""
+        if part.get_content_type() == "text/plain" and text is None:
+            text = payload.decode(
+                part.get_content_charset("utf-8"))
+        elif part.get_content_disposition() == "attachment":
+            attach_bytes += len(payload)
+    if text is None:
+        raise ValueError("message has no text/plain part")
+    return {"message_id": msg["Message-ID"],
+            "subject": msg["Subject"],
+            "text": text, "n_parts": n_parts,
+            "attach_bytes": attach_bytes}
+
+
+MBOX_MSG_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("msg_idx", T.IntegerType()),
+    T.StructField("message_id", T.StringType()),
+    T.StructField("subject", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_parts", T.IntegerType()),
+    T.StructField("attach_bytes", T.LongType()),
+])
+
+
+def mbox_messages(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary mbox payloads into one row per message
+    (MBOX_MSG_SCHEMA) over Arrow batches. ``on_error="null"`` skips
+    undecodable files (poison-row tolerance, same contract as the
+    other container legs)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    msgs = [message_fields(m)
+                            for m in parse_mbox(bytes(payload))]
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "msg_idx": i, **m}
+                            for i, m in enumerate(msgs))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MBOX_MSG_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, MBOX_MSG_SCHEMA)
+
+
+def synth_mbox(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Test-fixture adapter: documents pack into ``files`` mboxes
+    (doc_id % files), one message per document (encode_message's
+    even/odd single-part/multipart split), ascending doc_id within
+    each file — deterministic end to end so oracles replay everything
+    from the documents table. Emits (id = file index, modality,
+    payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for pdf in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[bytes]] = {}
+        for doc_id, t in sorted(docs):
+            groups.setdefault(doc_id % files, []).append(
+                encode_message(doc_id, t))
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "mbox",
+             "payload": [encode_mbox(v) for v in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

@@ -1,0 +1,568 @@
+"""PDF text extraction: the single most common non-HTML document
+format in web crawls (reference parity: the reference pipes documents
+through `exec` sections for format shelling — `sections/exec/src/
+lib.rs` — whereas this leg parses the container natively so the text
+lands in the DataFrame without a subprocess per file).
+
+Reader: `parse_pdf` walks a classic (PDF 1.0-1.4) file the way a
+conforming reader must — `%PDF-` header, `startxref` pointer at the
+tail, cross-reference TABLE with byte-exact 20-byte entries, trailer
+dict, `/Root` → `/Pages` tree walk, per-page `/Contents` streams with
+`/Length` resolution and `/FlateDecode` (zlib, RFC 1950) decoding —
+and extracts text by interpreting the content stream's text operators:
+`Tj`, `'`, `"`, and `TJ` show strings; `Td`/`TD`/`T*`/`Tm` position
+text and become newlines (the standard naive-extractor heuristic; the
+writer emits exactly one positioning op per line so the round-trip is
+byte-exact). Literal strings decode the full escape grammar (PDF 32000
+§7.3.4.2: \\n \\r \\t \\b \\f \\( \\) \\\\, 1-3-digit octal,
+backslash-newline continuation, balanced unescaped parens); hex
+strings tolerate whitespace and odd digit counts. Unsupported
+constructs raise loudly (xref STREAMS i.e. PDF 1.5+, non-Flate
+filters, truncation, offset mismatches) — a half-fetched crawl PDF
+must fail, not yield shifted pages.
+
+Spark surface: `pdf_pages` explodes binary PDF payloads into one row
+per page over Arrow batches (mapInPandas), the same shape as the WARC
+/ WebDataset / image codec legs — at corpus scale the files come from
+a binaryFile scan and parallelism follows partitions. The writer
+fixture `encode_pdf`/`synth_pdf` builds spec-conformant files
+(deterministic object layout, byte-accurate xref, Flate and plain
+streams, literal and hex strings alternating by page) so the
+`pdf_extract_text` oracle can replay page order, page counts, and the
+extracted text straight from the documents table.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+# ---------------------------------------------------------------- writer
+
+def _escape_literal(data: bytes) -> bytes:
+    """PDF literal-string body: escape the structural trio, keep
+    printable ASCII raw, and octal-escape everything else (control
+    bytes and non-ASCII UTF-8 bytes) so the file stays ASCII-clean and
+    the reader's octal path is exercised on every real corpus."""
+    out = bytearray()
+    for b in data:
+        if b in (0x28, 0x29, 0x5C):          # ( ) backslash
+            out += b"\\" + bytes([b])
+        elif 0x20 <= b < 0x7F:
+            out.append(b)
+        else:
+            out += f"\\{b:03o}".encode()
+    return bytes(out)
+
+
+def _page_stream(text: str, hex_strings: bool) -> bytes:
+    """Content stream for one page: one text-positioning op per line of
+    ``text`` (so Td count == newline count and extraction round-trips
+    exactly), each line shown with Tj as a literal or hex string."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, line in enumerate(text.split("\n")):
+        if i:
+            ops.append(b"0 -14 Td")
+        raw = line.encode("utf-8")
+        if hex_strings:
+            ops.append(b"<" + raw.hex().encode("ascii") + b"> Tj")
+        else:
+            ops.append(b"(" + _escape_literal(raw) + b") Tj")
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def encode_pdf(pages: list[str], flate: bool = True,
+               string_mode: str = "alt") -> bytes:
+    """Spec-conformant classic PDF writer (fixture/test side): one page
+    per entry, Helvetica, byte-accurate xref table. ``flate``
+    zlib-compresses content streams (`/Filter /FlateDecode`);
+    ``string_mode`` picks literal vs hex text strings per page
+    ("literal", "hex", or "alt" = alternate by page index, which makes
+    every multi-page file exercise both reader paths)."""
+    if string_mode not in ("literal", "hex", "alt"):
+        raise ValueError(f"unknown string_mode {string_mode!r}")
+    n = len(pages)
+    # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
+    # 4+2i page dict, 5+2i content stream
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i, text in enumerate(pages):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>".encode())
+        use_hex = (string_mode == "hex"
+                   or (string_mode == "alt" and i % 2 == 1))
+        data = _page_stream(text, use_hex)
+        if flate:
+            data = zlib.compress(data, 9)
+            head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
+                    .encode())
+        else:
+            head = f"<< /Length {len(data)} >>".encode()
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]                              # object 0 is the free head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- reader
+
+class _Ref:
+    __slots__ = ("num",)
+
+    def __init__(self, num: int):
+        self.num = num
+
+
+class _Name(str):
+    """PDF name token (distinct from strings, which parse to bytes)."""
+
+
+class _Lexer:
+    """Recursive-descent parser over the PDF object subset a classic
+    text-bearing file uses: dicts, arrays, names, numbers, indirect
+    references, literal and hex strings, booleans/null, comments."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data, self.pos = data, pos
+
+    def _skip_ws(self):
+        d, n = self.data, len(self.data)
+        while self.pos < n:
+            c = d[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:                    # % comment to EOL
+                while self.pos < n and d[self.pos] not in b"\r\n":
+                    self.pos += 1
+            else:
+                return
+
+    def _token_word(self) -> str:
+        """A bare keyword/operator token (obj, R, true, Tj, T*, ...)."""
+        d, n = self.data, len(self.data)
+        start = self.pos
+        while self.pos < n and d[self.pos] not in _WS \
+                and d[self.pos] not in _DELIM:
+            self.pos += 1
+        return d[start:self.pos].decode("latin-1")
+
+    def expect(self, word: str):
+        self._skip_ws()
+        got = self._token_word()
+        if got != word:
+            raise ValueError(f"PDF parse error at offset {self.pos}: "
+                             f"expected {word!r}, got {got[:20]!r}")
+
+    def _literal_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        assert d[self.pos] == 0x28
+        self.pos += 1
+        out, depth = bytearray(), 1
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x5C:                      # backslash escape
+                if self.pos >= n:
+                    break
+                e = d[self.pos]
+                self.pos += 1
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                elif e in b"01234567":         # 1-3 octal digits
+                    oct_s = chr(e)
+                    for _ in range(2):
+                        if self.pos < n and d[self.pos] in b"01234567":
+                            oct_s += chr(d[self.pos])
+                            self.pos += 1
+                    out.append(int(oct_s, 8) & 0xFF)
+                elif e in b"\r\n":             # line continuation
+                    if e == 0x0D and self.pos < n and d[self.pos] == 0x0A:
+                        self.pos += 1
+                else:                          # \( \) \\ and unknown
+                    out.append(e)
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+        raise ValueError("unterminated PDF literal string")
+
+    def _hex_string(self) -> bytes:
+        d, n = self.data, len(self.data)
+        assert d[self.pos] == 0x3C
+        self.pos += 1
+        digits = []
+        while self.pos < n:
+            c = d[self.pos]
+            self.pos += 1
+            if c == 0x3E:
+                if len(digits) % 2:            # odd count: pad 0 (spec)
+                    digits.append("0")
+                return bytes.fromhex("".join(digits))
+            if c in _WS:
+                continue
+            digits.append(chr(c))
+        raise ValueError("unterminated PDF hex string")
+
+    def parse_value(self):
+        self._skip_ws()
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            raise ValueError("truncated PDF object")
+        c = d[self.pos]
+        if d[self.pos:self.pos + 2] == b"<<":
+            self.pos += 2
+            obj: dict = {}
+            while True:
+                self._skip_ws()
+                if d[self.pos:self.pos + 2] == b">>":
+                    self.pos += 2
+                    return obj
+                if d[self.pos] != 0x2F:
+                    raise ValueError(
+                        f"PDF dict key at offset {self.pos} is not a "
+                        f"name: {d[self.pos:self.pos + 10]!r}")
+                key = self.parse_value()
+                obj[str(key)] = self.parse_value()
+        if c == 0x3C:
+            return self._hex_string()
+        if c == 0x28:
+            return self._literal_string()
+        if c == 0x5B:                          # [
+            self.pos += 1
+            arr = []
+            while True:
+                self._skip_ws()
+                if self.pos < n and d[self.pos] == 0x5D:
+                    self.pos += 1
+                    return arr
+                arr.append(self.parse_value())
+        if c == 0x2F:                          # /Name
+            self.pos += 1
+            return _Name(self._token_word())
+        if c in b"+-.0123456789":
+            start = self.pos
+            self.pos += 1
+            while self.pos < n and d[self.pos] in b".0123456789":
+                self.pos += 1
+            tok = d[start:self.pos].decode("ascii")
+            if "." in tok:
+                return float(tok)
+            num = int(tok)
+            # lookahead for "gen R" making this an indirect reference
+            save = self.pos
+            self._skip_ws()
+            start2 = self.pos
+            while self.pos < n and d[self.pos] in b"0123456789":
+                self.pos += 1
+            gen = d[start2:self.pos]
+            if gen:
+                save2 = self.pos
+                self._skip_ws()
+                if d[self.pos:self.pos + 1] == b"R" and (
+                        self.pos + 1 >= n
+                        or d[self.pos + 1] in _WS
+                        or d[self.pos + 1] in _DELIM):
+                    self.pos += 1
+                    return _Ref(num)
+                self.pos = save2
+            self.pos = save
+            return num
+        word = self._token_word()
+        if word == "true":
+            return True
+        if word == "false":
+            return False
+        if word == "null":
+            return None
+        raise ValueError(f"unparseable PDF token at offset "
+                         f"{self.pos}: {word[:20]!r}")
+
+
+class _Pdf:
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        self.data = data
+        self._cache: dict[int, tuple] = {}
+        self.offsets, self.trailer = self._read_xref()
+
+    def _read_xref(self):
+        tail = self.data.rfind(b"startxref")
+        if tail < 0:
+            raise ValueError("truncated PDF: no startxref")
+        lex = _Lexer(self.data, tail + len(b"startxref"))
+        lex._skip_ws()
+        start = lex.parse_value()
+        if not isinstance(start, int) or not (
+                0 <= start < len(self.data)):
+            raise ValueError(f"bad startxref offset {start!r}")
+        lex = _Lexer(self.data, start)
+        lex._skip_ws()
+        word = lex._token_word()
+        if word != "xref":
+            # an int here means a cross-reference STREAM (PDF 1.5+)
+            raise ValueError(
+                "unsupported PDF: cross-reference streams (1.5+); "
+                f"expected 'xref' at startxref, got {word[:12]!r}")
+        offsets: dict[int, int] = {}
+        while True:
+            lex._skip_ws()
+            save = lex.pos
+            word = lex._token_word()
+            if word == "trailer":
+                break
+            lex.pos = save
+            first = lex.parse_value()
+            count = lex.parse_value()
+            if not isinstance(first, int) or not isinstance(count, int):
+                raise ValueError("malformed xref subsection header")
+            lex._skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos:lex.pos + 20]
+                if len(entry) < 18:
+                    raise ValueError("truncated xref table")
+                off, gen, kind = entry.split()[:3]
+                if kind == b"n":
+                    offsets[first + i] = int(off)
+                lex.pos += 20
+        trailer = lex.parse_value()
+        if not isinstance(trailer, dict) or "Root" not in trailer:
+            raise ValueError("PDF trailer has no /Root")
+        return offsets, trailer
+
+    def obj(self, num: int):
+        """Object ``num``'s (value, stream_bytes_or_None), via xref."""
+        if num in self._cache:
+            return self._cache[num]
+        if num not in self.offsets:
+            raise ValueError(f"PDF object {num} not in xref")
+        lex = _Lexer(self.data, self.offsets[num])
+        lex._skip_ws()
+        got = lex.parse_value()
+        if got != num:
+            raise ValueError(f"xref offset for object {num} lands on "
+                             f"object {got!r} — corrupt xref")
+        lex.parse_value()                      # generation
+        lex.expect("obj")
+        value = lex.parse_value()
+        stream = None
+        save = lex.pos
+        lex._skip_ws()
+        if self.data[lex.pos:lex.pos + 6] == b"stream":
+            lex.pos += 6
+            if self.data[lex.pos:lex.pos + 2] == b"\r\n":
+                lex.pos += 2
+            elif self.data[lex.pos:lex.pos + 1] == b"\n":
+                lex.pos += 1
+            length = self.resolve(value.get("Length"))
+            if not isinstance(length, int):
+                raise ValueError(f"stream {num} has no integer /Length")
+            stream = self.data[lex.pos:lex.pos + length]
+            if len(stream) < length:
+                raise ValueError(f"truncated stream in object {num}")
+            lex.pos += length
+            lex.expect("endstream")
+        else:
+            lex.pos = save
+        self._cache[num] = (value, stream)
+        return self._cache[num]
+
+    def resolve(self, v):
+        while isinstance(v, _Ref):
+            v = self.obj(v.num)[0]
+        return v
+
+    def stream_data(self, num: int) -> bytes:
+        value, stream = self.obj(num)
+        if stream is None:
+            raise ValueError(f"object {num} is not a stream")
+        filt = self.resolve(value.get("Filter"))
+        filters = (filt if isinstance(filt, list)
+                   else [] if filt is None else [filt])
+        for f in filters:
+            if str(self.resolve(f)) != "FlateDecode":
+                raise ValueError(f"unsupported PDF filter {f!r}")
+            stream = zlib.decompress(stream)
+        return stream
+
+    def pages(self) -> list[dict]:
+        root = self.resolve(self.trailer["Root"])
+        out: list[dict] = []
+
+        def walk(node_ref, depth=0):
+            if depth > 64:
+                raise ValueError("PDF page tree too deep (cycle?)")
+            node = self.resolve(node_ref)
+            t = str(node.get("Type", ""))
+            if t == "Page":
+                out.append(node)
+            elif t == "Pages":
+                for kid in self.resolve(node.get("Kids", [])):
+                    walk(kid, depth + 1)
+            else:
+                raise ValueError(f"unexpected page-tree node type {t!r}")
+
+        walk(root["Pages"])
+        return out
+
+
+_TEXT_POSITIONING = frozenset(("Td", "TD", "T*", "Tm"))
+
+
+def _extract_text(content: bytes) -> str:
+    """Interpret a content stream's text operators. Strings shown by
+    Tj / ' / \" / TJ accumulate; each positioning op after the first
+    contributes a newline (writer emits one per line — round-trip
+    exact; on foreign PDFs this is the standard naive heuristic)."""
+    lex = _Lexer(content)
+    operands: list = []
+    out: list[bytes] = []
+    positioned = False
+    n = len(content)
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if c in b"(<[/+-." or c in b"0123456789":
+            operands.append(lex.parse_value())
+            continue
+        op = lex._token_word()
+        if not op:
+            raise ValueError(f"stuck in content stream at {lex.pos}")
+        if op in _TEXT_POSITIONING:
+            # newline unless this is the very first positioning op AND
+            # nothing has been shown yet (the writer's opening Td; a
+            # foreign stream that shows text first still line-breaks)
+            if positioned or any(out):
+                out.append(b"\n")
+            positioned = True
+        elif op in ("Tj", "'", '"'):
+            if not operands or not isinstance(operands[-1], bytes):
+                raise ValueError(f"{op} with no string operand")
+            out.append(operands[-1])
+        elif op == "TJ":
+            if not operands or not isinstance(operands[-1], list):
+                raise ValueError("TJ with no array operand")
+            out.extend(x for x in operands[-1] if isinstance(x, bytes))
+        operands = []
+    return b"".join(out).decode("utf-8")
+
+
+def parse_pdf(payload: bytes) -> list[str]:
+    """All page texts, in page-tree order."""
+    pdf = _Pdf(bytes(payload))
+    texts = []
+    for page in pdf.pages():
+        contents = page.get("Contents")
+        if isinstance(pdf.resolve(contents), list):
+            refs = pdf.resolve(contents)
+        else:
+            refs = [contents]
+        data = b"".join(pdf.stream_data(r.num) for r in refs
+                        if isinstance(r, _Ref))
+        if not any(isinstance(r, _Ref) for r in refs):
+            raise ValueError("page /Contents is not an indirect stream")
+        texts.append(_extract_text(data))
+    return texts
+
+
+PDF_PAGE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("page_idx", T.IntegerType()),
+    T.StructField("page_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def pdf_pages(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary PDF payloads into one row per page
+    (PDF_PAGE_SCHEMA) over Arrow batches. ``on_error="null"`` skips
+    undecodable files instead of failing the job (poison-row
+    tolerance, same contract as the other codec legs)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for fid, payload in zip(pdf_batch["id"],
+                                    pdf_batch["payload"]):
+                try:
+                    texts = parse_pdf(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "page_idx": i,
+                             "page_count": len(texts), "text": t}
+                            for i, t in enumerate(texts))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_PAGE_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, PDF_PAGE_SCHEMA)
+
+
+def synth_pdf(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Test-fixture adapter: documents pack into ``files`` PDFs
+    (doc_id % files), one page per document whose text is
+    ``doc:<id>\\n<body>`` — the id travels IN the page text (PDF has
+    no WARC-Target-URI equivalent) so oracles can replay everything
+    from the documents table. Even file ids Flate-compress their
+    streams, odd ids stay plain; pages alternate literal/hex strings —
+    every run exercises all four reader paths. Emits (id = file index,
+    modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for pdf_batch in batches:
+            docs.extend((int(d), str(t)) for d, t in
+                        zip(pdf_batch[id_col], pdf_batch[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[str]] = {}
+        for doc_id, t in sorted(docs):
+            groups.setdefault(doc_id % files, []).append(
+                f"doc:{doc_id}\n{t}")
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "pdf",
+             "payload": [encode_pdf(pages, flate=(fid % 2 == 0))
+                         for fid, pages in groups.items()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

@@ -1,0 +1,103 @@
+"""mbox / MIME container (sources/mbox.py): From_ separator framing,
+mboxrd quoting, quoted-printable and base64 transfer decoding,
+multipart walking, and loud failures on damaged archives — the
+ingestion path for mail-shaped corpora."""
+
+import pytest
+
+from mycelial_spark.sources import mbox as M
+
+TEXTS = ["hello world\nFrom here on up",    # body From-line: quoting
+         "unicode ü é 中文 🎉",              # QP multi-byte
+         "From the start",                  # From at message body start
+         "x" * 300,                         # QP soft-wrapped long line
+         "trailing newline\n",              # final-\n preserved exactly
+         "",                                # empty body
+         ">From quoted already\nFrom two",  # mboxrd recursive quoting
+         "a\n\nb\n"]                        # interior blank lines
+
+
+def test_roundtrip_exact():
+    msgs = [M.encode_message(i, t) for i, t in enumerate(TEXTS)]
+    back = M.parse_mbox(M.encode_mbox(msgs))
+    assert len(back) == len(TEXTS)
+    for i, (raw, t) in enumerate(zip(back, TEXTS)):
+        f = M.message_fields(raw)
+        assert f["text"] == t                # byte-exact body
+        assert f["subject"] == f"doc:{i}"
+        assert f["message_id"] == f"<doc-{i}@example.com>"
+        assert f["n_parts"] == (2 if i % 2 else 1)
+        assert f["attach_bytes"] == (len(t.encode()) if i % 2 else 0)
+
+
+def test_mboxrd_quoting_is_reversible():
+    body = b"From a\n>From b\n>>From c\nnot From d\n"
+    quoted = M._quote_from_lines(body)
+    assert quoted == b">From a\n>>From b\n>>>From c\nnot From d\n"
+    assert M._unquote_from_lines(quoted) == body
+
+
+def test_qp_soft_break_terminates_unterminated_bodies():
+    assert M._qp(b"abc").endswith(b"=\n")     # soft break added
+    assert M._qp(b"abc\n") == b"abc\n"        # real newline kept
+    import quopri
+    assert quopri.decodestring(M._qp(b"abc")) == b"abc"
+    assert quopri.decodestring(M._qp(b"abc\n")) == b"abc\n"
+
+
+def test_rejects_damaged_archives():
+    payload = M.encode_mbox([M.encode_message(0, "some body here")])
+    with pytest.raises(ValueError, match="missing leading"):
+        M.parse_mbox(b"Subject: not mbox\n\nbody\n")
+    with pytest.raises(ValueError, match="unterminated final line"):
+        M.parse_mbox(payload[:-3])
+    with pytest.raises(ValueError, match="newline-terminated"):
+        M.encode_mbox([b"Subject: x\r\n\r\nbody"])
+    with pytest.raises(ValueError, match="no text/plain"):
+        M.message_fields(b"Subject: x\r\n"
+                         b"Content-Type: image/png\r\n\r\nbytes")
+
+
+def test_foreign_mbox_without_final_blank_line():
+    """Tolerance for hand-truncated but line-complete archives: the
+    blank separator strip only fires when the blank line is there."""
+    raw = (b"From x@y Mon Jan  1 00:00:00 2024\n"
+           b"Subject: s\r\nContent-Type: text/plain\r\n\r\nbody\n")
+    [msg] = M.parse_mbox(raw)
+    assert M.message_fields(msg)["text"] == "body\n"
+
+
+def test_mbox_messages_distributed_and_poison(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string")
+    rows = M.mbox_messages(M.synth_mbox(docs, files=3)).collect()
+    assert len(rows) == 12
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [4, 4, 4]
+    for rows_ in by_file.values():
+        ids = [int(r["subject"].removeprefix("doc:")) for r in rows_]
+        assert ids == sorted(ids)             # in-file message order
+        assert [r["msg_idx"] for r in rows_] == list(range(4))
+    bad = spark.createDataFrame([(99, b"not an mbox")],
+                                "id long, payload binary")
+    assert M.mbox_messages(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        M.mbox_messages(bad).count()
+
+
+def test_mbox_messages_section(spark):
+    """Declarative parity: TOML pipelines ingest mail archives via the
+    mbox_messages section over binary payloads."""
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame([(i, f"doc {i} body here")
+                                  for i in range(6)],
+                                 "doc_id long, text string")
+    files = M.synth_mbox(docs, files=2)
+    sdef = REGISTRY.get("mbox_messages")
+    cfg = sdef.validate_config({"type": "mbox_messages"})
+    out = sdef.builder(spark, cfg, [files]).collect()
+    assert len(out) == 6
+    assert all(r["subject"].startswith("doc:") for r in out)

@@ -1,0 +1,152 @@
+"""PDF container (sources/pdf.py): xref/trailer/page-tree walking,
+Flate streams, literal-string escape grammar, hex strings, Tj/TJ text
+extraction, and loud failures on damaged or unsupported files — the
+ingestion path for the document-shaped half of a crawl corpus."""
+
+import zlib
+
+import pytest
+
+from mycelial_spark.sources import pdf as P
+
+PAGES = ["doc:0\nhello world (with) \\ parens and \ttab",
+         "doc:1\nunicode ü é 中文 🎉 mixed",
+         "doc:2\nline1\n\nline3 trailing\n",
+         "",
+         "doc:4\n" + "word " * 200]
+
+
+@pytest.mark.parametrize("flate", [False, True])
+@pytest.mark.parametrize("mode", ["literal", "hex", "alt"])
+def test_roundtrip_all_modes(flate, mode):
+    data = P.encode_pdf(PAGES, flate=flate, string_mode=mode)
+    assert data.startswith(b"%PDF-1.4")
+    assert P.parse_pdf(data) == PAGES
+
+
+def test_literal_string_escape_grammar():
+    """PDF 32000 §7.3.4.2: named escapes, 1-3-digit octal, balanced
+    unescaped parens, backslash-newline continuation, unknown escapes
+    dropping the backslash."""
+    lex = P._Lexer(rb"(a\n\r\t\b\f b)")
+    assert lex.parse_value() == b"a\n\r\t\b\f b"
+    lex = P._Lexer(rb"(\101\12\1x)")          # 3-, 2-, 1-digit octal
+    assert lex.parse_value() == b"A\n\x01x"
+    lex = P._Lexer(b"(balanced (inner (deep)) parens)")
+    assert lex.parse_value() == b"balanced (inner (deep)) parens"
+    lex = P._Lexer(b"(split\\\nline)")        # continuation: no byte
+    assert lex.parse_value() == b"splitline"
+    lex = P._Lexer(b"(split\\\r\nline)")      # CRLF continuation
+    assert lex.parse_value() == b"splitline"
+    lex = P._Lexer(rb"(\q)")                  # unknown escape -> raw
+    assert lex.parse_value() == b"q"
+    with pytest.raises(ValueError, match="unterminated"):
+        P._Lexer(b"(never closes").parse_value()
+
+
+def test_hex_string_whitespace_and_odd_digits():
+    lex = P._Lexer(b"<48 65\n6c6C 6f>")       # whitespace + mixed case
+    assert lex.parse_value() == b"Hello"
+    lex = P._Lexer(b"<48656c6c6f2>")          # odd count pads 0 (spec)
+    assert lex.parse_value() == b"Hello "
+    with pytest.raises(ValueError, match="unterminated"):
+        P._Lexer(b"<4865").parse_value()
+
+
+def test_object_parser_refs_arrays_dicts():
+    lex = P._Lexer(b"<< /A 5 0 R /B [1 2.5 /Nm (s)] /C true >>")
+    v = lex.parse_value()
+    assert isinstance(v["A"], P._Ref) and v["A"].num == 5
+    assert v["B"][:2] == [1, 2.5] and v["B"][2] == "Nm"
+    assert v["B"][3] == b"s" and v["C"] is True
+    # bare ints that are NOT refs stay ints (lookahead restores)
+    lex = P._Lexer(b"[72 720 640]")
+    assert lex.parse_value() == [72, 720, 640]
+
+
+def test_extract_text_tj_array_and_quote_ops():
+    """Foreign-generator shapes the writer never emits: TJ arrays with
+    kerning numbers, the ' operator, Tm positioning."""
+    s = b"BT 72 720 Td [(Hel) -20 (lo)] TJ 1 0 0 1 72 700 Tm (next) ' ET"
+    assert P._extract_text(s) == "Hello\nnext"
+    # first positioning op never contributes a newline
+    assert P._extract_text(b"BT [(solo)] TJ Tm (x) Tj ET") == "solo\nx"
+    assert P._extract_text(b"BT Tm (x) Tj ET") == "x"
+    with pytest.raises(ValueError, match="no string operand"):
+        P._extract_text(b"BT 42 Tj ET")
+
+
+def test_rejects_damaged_and_unsupported():
+    data = P.encode_pdf(PAGES[:2])
+    with pytest.raises(ValueError, match="%PDF-"):
+        P.parse_pdf(b"not a pdf at all")
+    with pytest.raises(ValueError, match="startxref"):
+        P.parse_pdf(data[:len(data) - 40])
+    # xref STREAM (PDF 1.5+): startxref lands on an object, not 'xref'
+    at = data.rfind(b"startxref")
+    end = data.find(b"\n", data.find(b"\n", at) + 1)
+    patched = data[:at] + b"startxref\n15\n%%EOF\n"
+    with pytest.raises(ValueError, match="cross-reference streams"):
+        P.parse_pdf(patched)
+    assert end > 0                              # silence unused warning
+    # corrupt one xref entry: offset points at the WRONG object
+    i = data.find(b"0000000015 00000 n")
+    wrong = data.replace(b"0000000015 00000 n",
+                         data[i + 20:i + 38], 1)
+    with pytest.raises(ValueError, match="corrupt xref|parse error"):
+        P.parse_pdf(wrong)
+    # unsupported filter
+    with pytest.raises(ValueError, match="unsupported PDF filter"):
+        P.parse_pdf(data.replace(b"FlateDecode", b"LZWDecodeee"))
+    # truncated stream body: /Length exceeds the remaining bytes
+    j = data.find(b"stream\n") + len(b"stream\n")
+    with pytest.raises(ValueError, match="truncated|startxref"):
+        P.parse_pdf(data[:j + 2])
+
+
+def test_corrupt_flate_raises():
+    data = P.encode_pdf(["doc:0\nsome text here"], flate=True)
+    start = data.find(b"stream\n") + len(b"stream\n")
+    end = data.find(b"\nendstream", start)
+    body = bytearray(data)
+    body[start:end] = bytes(end - start)       # zero the deflate bytes
+    with pytest.raises(zlib.error):
+        P.parse_pdf(bytes(body))
+
+
+def test_pdf_pages_distributed_and_poison(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string")
+    rows = P.pdf_pages(P.synth_pdf(docs, files=3)).collect()
+    assert len(rows) == 12
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [4, 4, 4]
+    for rows_ in by_file.values():
+        ids = [int(r["text"].split("\n", 1)[0].removeprefix("doc:"))
+               for r in rows_]
+        assert ids == sorted(ids)              # in-file page order
+        assert [r["page_idx"] for r in rows_] == list(range(4))
+        assert all(r["page_count"] == 4 for r in rows_)
+    bad = spark.createDataFrame([(99, b"not a pdf")],
+                                "id long, payload binary")
+    assert P.pdf_pages(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        P.pdf_pages(bad).count()
+
+
+def test_pdf_pages_section(spark):
+    """Declarative parity: TOML pipelines ingest PDFs via the
+    pdf_pages section over binary payloads."""
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame([(i, f"doc {i} body here")
+                                  for i in range(6)],
+                                 "doc_id long, text string")
+    files = P.synth_pdf(docs, files=2)
+    sdef = REGISTRY.get("pdf_pages")
+    cfg = sdef.validate_config({"type": "pdf_pages"})
+    out = sdef.builder(spark, cfg, [files]).collect()
+    assert len(out) == 6
+    assert all(r["text"].startswith("doc:") for r in out)

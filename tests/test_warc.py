@@ -138,10 +138,9 @@ def test_crawl_to_shards_pipeline_e2e(spark, tmp_path):
         "locate('\\r\\n\\r\\n', CAST(payload AS STRING)) + 4) AS text")
     kept = run("gopher_quality", {"min_words": 20}, [pages]) \
         .filter("gopher_pass").select("key", "text")
-    survivors = run("dedup_exact", {"text_col": "text",
-                                    "id_col": "key"}, [kept])
-    deduped = run("join", {"on": ["key"]},
-                  [kept, survivors.select("key")])
+    deduped = run("dedup_exact", {"text_col": "text", "id_col": "key",
+                                  "emit": "rows"}, [kept])
+    assert deduped.columns == ["key", "text", "dup_count"]
     out = str(tmp_path / "shards")
     man = run("webdataset_dest",
               {"path": out, "n_shards": 2, "key_col": "key",
