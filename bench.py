@@ -118,6 +118,10 @@ HEADLINE = [
     "webdataset_extract",
     "pdf_extract_text",
     "mbox_extract",
+    "mojibake_score",
+    "compression_ratio",
+    "fim_transform",
+    "sft_pack_dialogues",
     "pagerank_trade_graph",
     "pagerank_weighted_trade",
     "table_profile",

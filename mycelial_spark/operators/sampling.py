@@ -100,6 +100,76 @@ def epoch_shuffle(df: DataFrame, epoch: int = 0,
     return ranged.sortWithinPartitions(out_col)
 
 
+def fim_split(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id",
+              pre: str = "<PRE>", mid: str = "<MID>",
+              suf: str = "<SUF>") -> DataFrame:
+    """Fill-in-the-middle transform (the FIM pretraining objective for
+    code models — Bavarian et al. 2022, public recipe): split each
+    document at two points into (prefix, middle, suffix) and emit the
+    PSM rearrangement ``<PRE>prefix<SUF>suffix<MID>middle`` the model
+    trains on. Split points are the Knuth hash of the id (and id+1)
+    reduced into the valid range — deterministic, order-independent,
+    engine-exact (same discipline as every sampler here), so a SQL
+    oracle replays the transform bit-for-bit; a seeded variant is one
+    ``id + seed`` away. Documents under 3 chars pass through whole
+    (prefix = text, empty middle/suffix). One codegen projection,
+    zero shuffle, zero UDF."""
+    c = F.col(text_col)
+    n = F.length(c)
+    splittable = n >= 3
+    # h1 in [1, L-2], h2 in [h1+1, L-1]: every part non-empty
+    h1 = (F.pmod(hash_order(F.col(id_col)),
+                 F.greatest(n - 2, F.lit(1)).cast("bigint")) + 1) \
+        .cast("int")
+    h2 = (h1 + 1 + F.pmod(hash_order(F.col(id_col) + 1),
+                          F.greatest(n - 1 - h1, F.lit(1))
+                          .cast("bigint"))).cast("int")
+    prefix = F.when(splittable, c.substr(F.lit(1), h1)).otherwise(c)
+    middle = F.when(splittable, c.substr(h1 + 1, h2 - h1)) \
+        .otherwise(F.lit(""))
+    suffix = F.when(splittable, c.substr(h2 + 1, n)).otherwise(F.lit(""))
+    return (df
+            .withColumn("fim_prefix", prefix)
+            .withColumn("fim_middle", middle)
+            .withColumn("fim_suffix", suffix)
+            .withColumn("fim_psm",
+                        F.concat(F.lit(pre), prefix, F.lit(suf),
+                                 suffix, F.lit(mid), middle)))
+
+
+def pack_dialogue(df: DataFrame, group_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  content_col: str = "event_type",
+                  roles: tuple[str, str] = ("user", "assistant"),
+                  sep: str = "\n") -> DataFrame:
+    """Assemble per-group event streams into chat-template dialogues —
+    the SFT-data prep step (interaction logs -> alternating-role
+    transcripts). One hash aggregate, ONE shuffle of (ts, id, content)
+    triples: turns collect into an array, array_sort orders them by
+    (ts, id) INSIDE the aggregate (struct comparison is fieldwise),
+    and the role alternation comes from transform's element index — no
+    window pass, so a group never funnels through a row_number task
+    and the whole dialogue assembles map-side-combinably. Emits
+    (group, n_turns, dialogue)."""
+    collected = df.groupBy(group_col).agg(
+        F.collect_list(F.struct(
+            F.col(ts_col).alias("ts"), F.col(id_col).alias("id"),
+            F.col(content_col).cast("string").alias("content")))
+        .alias("_turns"))
+    entries = F.array_sort(F.col("_turns"))
+    lines = F.transform(
+        entries, lambda x, i: F.concat(
+            F.when(i % 2 == 0, F.lit(roles[0]))
+             .otherwise(F.lit(roles[1])),
+            F.lit(": "), x["content"],
+            F.lit(" #"), x["id"].cast("string")))
+    return collected.select(
+        group_col,
+        F.size(F.col("_turns")).alias("n_turns"),
+        F.array_join(lines, sep).alias("dialogue"))
+
+
 def with_split(df: DataFrame, id_col: str,
                weights: dict[str, float] | None = None,
                hash_col: Column | None = None) -> DataFrame:

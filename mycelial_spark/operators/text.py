@@ -433,6 +433,86 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "quality_score", F.round(length_ok * diversity * noise, 6))
 
 
+#: UTF-8-decoded-as-Latin-1/Windows-1252 artifact markers. 'Ã' leads
+#: every mis-decoded 2-byte UTF-8 sequence in the Latin range (0xC3),
+#: 'Â' every mis-decoded NBSP/degree/section (0xC2), 'â€' every
+#: mis-decoded General Punctuation char (0xE2 0x80: curly quotes,
+#: dashes, ellipsis). Counted by the replace-length trick so the same
+#: arithmetic runs verbatim in any oracle engine (no regex dialect).
+MOJIBAKE_MARKERS = ("Ã", "Â", "â€")
+
+
+def with_mojibake_score(df: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Encoding-damage signals, one codegen projection, no shuffle —
+    the standard crawl-hygiene gate next to the Gopher/C4 rules
+    (reference parity: the reference leaves encoding repair to exec
+    sections; here it is a native scan-stage projection):
+
+    - ``n_replacement``: U+FFFD replacement characters (decoder already
+      gave up);
+    - ``n_mojibake``: UTF-8-seen-as-Latin-1 artifact sequences
+      (MOJIBAKE_MARKERS);
+    - ``n_c1_controls``: C1 control chars U+0080-U+009F (the smoking
+      gun of a Windows-1252 round-trip — never legitimate in text);
+    - ``mojibake_per_1k``: pooled rate per 1000 chars (6 decimals);
+    - ``encoding_clean``: zero-damage flag.
+
+    Counting uses length-difference over ``replace`` for the marker
+    strings (portable to every SQL engine bit-for-bit) and one
+    character-class regexp_count for the C1 range."""
+    c = F.col(text_col)
+    n_chars = F.greatest(F.length(c), F.lit(1))
+
+    def count_marker(m: str) -> Column:
+        gone = F.replace(c, F.lit(m), F.lit(""))
+        return ((F.length(c) - F.length(gone))
+                / F.lit(len(m))).cast("long")
+
+    n_repl = count_marker("�")
+    n_moji = sum(count_marker(m) for m in MOJIBAKE_MARKERS)
+    n_c1 = F.regexp_count(c, F.lit("[-]")).cast("long")
+    total = n_repl + n_moji + n_c1
+    return (df
+            .withColumn("n_replacement", n_repl)
+            .withColumn("n_mojibake", n_moji.cast("long"))
+            .withColumn("n_c1_controls", n_c1)
+            .withColumn("mojibake_per_1k",
+                        F.round(F.lit(1000) * total / n_chars, 6))
+            .withColumn("encoding_clean", total == 0))
+
+
+def with_compression_ratio(df: DataFrame, text_col: str = "text",
+                           level: int = 6) -> DataFrame:
+    """zlib-compressed-size / raw-size per document — the classic
+    cheap junk detector (used by public corpus recipes, e.g.
+    RedPajama/CCNet-style pipelines): highly repetitive boilerplate
+    compresses far below normal prose (< ~0.3), while already-
+    compressed or random payloads pasted into text push the ratio
+    toward 1. Arrow-batched pandas UDF (zlib is C speed; the Python
+    layer only loops the batch), no shuffle — a narrow map fused into
+    the scan stage. NOT SQL-oracle-expressible (no DEFLATE in the
+    oracle engine) — correctness is pinned by tests/test_text_quality
+    against direct zlib, and the query lives in BENCH_ONLY."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, level)) / len(raw), 6)
+        return s.map(one)
+
+    return df.withColumn("compression_ratio", _ratio(F.col(text_col)))
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID, one codegen projection: for whitespace-segmented
     languages, count marker-word hits over distinct tokens; for CJK

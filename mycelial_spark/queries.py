@@ -1836,6 +1836,139 @@ def mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attach_bytes"))
 
 
+@query("mojibake_score", """
+WITH c AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 5 AS INT)
+           WHEN 0 THEN text || ' ' || chr(195) || chr(169)
+                        || chr(226) || chr(8364) || chr(8482)
+           WHEN 1 THEN text || ' ' || chr(65533)
+           WHEN 2 THEN text || ' ' || chr(146)
+           ELSE text END AS t
+  FROM documents),
+m AS (
+  SELECT doc_id, t,
+    (length(t) - length(replace(t, chr(65533), ''))) AS n_replacement,
+    CAST((length(t) - length(replace(t, chr(195), '')))
+       + (length(t) - length(replace(t, chr(194), '')))
+       + (length(t) - length(replace(t, chr(226) || chr(8364), ''))) / 2
+       AS BIGINT) AS n_mojibake,
+    CAST(len(regexp_extract_all(t,
+         '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT)
+       AS n_c1_controls
+  FROM c)
+SELECT doc_id, n_replacement, n_mojibake, n_c1_controls,
+       round(1000 * (n_replacement + n_mojibake + n_c1_controls)
+             / greatest(length(t), 1), 6) AS mojibake_per_1k,
+       (n_replacement + n_mojibake + n_c1_controls) = 0
+         AS encoding_clean
+FROM m
+""")
+def mojibake_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage audit over the corpus (with_mojibake_score):
+    U+FFFD replacement chars, UTF-8-as-Latin-1 artifact markers, and
+    C1 control characters, pooled into a per-1k-chars rate and a clean
+    flag — the crawl-hygiene gate that catches double-encoding bugs
+    the Gopher/C4 rules are blind to. The fixture corpus is clean
+    ASCII, so the query deterministically injects each damage class
+    into a doc_id residue slice and the oracle replays injection and
+    counting with pure replace/length arithmetic (no regex dialect in
+    the marker path). One codegen projection, zero shuffle, zero UDF."""
+    from mycelial_spark.operators.text import with_mojibake_score
+    docs = _t(spark, sf_dir, "documents")
+    moji = F.concat(F.col("text"), F.lit(" \u00c3\u00a9\u00e2\u20ac\u2122"))
+    repl = F.concat(F.col("text"), F.lit(" \ufffd"))
+    c1 = F.concat(F.col("text"), F.lit(" \u0092"))
+    r = F.col("doc_id") % 5
+    corrupted = (F.when(r == 0, moji).when(r == 1, repl)
+                  .when(r == 2, c1).otherwise(F.col("text")))
+    df = docs.select("doc_id", corrupted.alias("text"))
+    return with_mojibake_score(df).select(
+        "doc_id", "n_replacement", "n_mojibake", "n_c1_controls",
+        "mojibake_per_1k", "encoding_clean")
+
+
+@bench_only("compression_ratio")
+def compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressed/raw size per document (with_compression_ratio)
+    — the classic cheap junk detector: repetitive boilerplate lands
+    far below prose, pasted binary/random pushes toward 1. BENCH-ONLY
+    (no DEFLATE in the oracle engine; a permanent rows-only row reads
+    as a failure) — correctness is pinned against direct zlib in
+    tests/test_text_quality.py, and the Arrow-batched narrow-map cost
+    stays visible via bench.py."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.text import with_compression_ratio
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return with_compression_ratio(docs).select(
+        "doc_id", "compression_ratio")
+
+
+@query("fim_transform", """
+WITH h AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+         ((doc_id % 2147483648) * 2654435761) % 4294967296 AS o1,
+         (((doc_id + 1) % 2147483648) * 2654435761) % 4294967296 AS o2
+  FROM documents),
+s1 AS (SELECT *, CAST(o1 % greatest(L - 2, 1) + 1 AS INT) AS h1 FROM h),
+s2 AS (SELECT *, CAST(h1 + 1 + o2 % greatest(L - 1 - h1, 1) AS INT)
+                   AS h2 FROM s1),
+parts AS (
+  SELECT doc_id,
+         CASE WHEN L >= 3 THEN substr(text, 1, h1)
+              ELSE text END AS fim_prefix,
+         CASE WHEN L >= 3 THEN substr(text, h1 + 1, h2 - h1)
+              ELSE '' END AS fim_middle,
+         CASE WHEN L >= 3 THEN substr(text, h2 + 1, CAST(L AS INT))
+              ELSE '' END AS fim_suffix
+  FROM s2)
+SELECT doc_id, fim_prefix, fim_middle, fim_suffix,
+       '<PRE>' || fim_prefix || '<SUF>' || fim_suffix
+                || '<MID>' || fim_middle AS fim_psm
+FROM parts
+""")
+def fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (fim_split): every
+    document splits at two Knuth-hash-seeded points into
+    prefix/middle/suffix and emits the PSM rearrangement
+    ``<PRE>p<SUF>s<MID>m`` — the standard FIM objective for code
+    models, deterministic and order-independent so the oracle replays
+    split points and all four strings exactly. One codegen projection,
+    zero shuffle, zero UDF."""
+    from mycelial_spark.operators.sampling import fim_split
+    return fim_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fim_prefix", "fim_middle", "fim_suffix", "fim_psm")
+
+
+@query("sft_pack_dialogues", """
+WITH t AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) - 1 AS turn
+  FROM events)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_turns,
+       string_agg(CASE WHEN turn % 2 = 0 THEN 'user: '
+                       ELSE 'assistant: ' END
+                  || event_type || ' #'
+                  || CAST(event_id AS VARCHAR),
+                  chr(10) ORDER BY turn) AS dialogue
+FROM t
+GROUP BY user_id
+""")
+def sft_pack_dialogues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template assembly for SFT data prep (pack_dialogue): each
+    user's event stream becomes one alternating-role transcript. ONE
+    hash aggregate / one shuffle — turns collect into an array,
+    array_sort orders (ts, id) inside the aggregate, and the role
+    alternation comes from transform's element index, so no window
+    pass and no per-group row_number funnel. The oracle rebuilds the
+    same transcript with an ordered string_agg over a row_number
+    parity — a turn-ordering or role-parity bug breaks the hash."""
+    from mycelial_spark.operators.sampling import pack_dialogue
+    return pack_dialogue(_t(spark, sf_dir, "events"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -324,3 +324,58 @@ def test_embedding_outliers_flags_far_points(spark):
     out = embedding_outliers(df, cents, z=2.0).collect()
     assert [r["vec_id"] for r in out] == [98]
     assert out[0]["cluster"] == 0 and out[0]["sq_dist"] > out[0]["cut"]
+
+
+def test_fim_split_parts_reassemble(spark):
+    from mycelial_spark.operators.sampling import fim_split
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, "abc"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fim_split(df).collect()}
+    for i, t in [(1, "abcdefghij"), (3, "abc")]:
+        r = got[i]
+        # parts are a PARTITION of the text, every part non-empty
+        assert r["fim_prefix"] + r["fim_middle"] + r["fim_suffix"] == t
+        assert r["fim_prefix"] and r["fim_middle"] and r["fim_suffix"]
+        assert r["fim_psm"] == ("<PRE>" + r["fim_prefix"] + "<SUF>"
+                                + r["fim_suffix"] + "<MID>"
+                                + r["fim_middle"])
+    # short docs pass through whole
+    assert (got[2]["fim_prefix"], got[2]["fim_middle"],
+            got[2]["fim_suffix"]) == ("xy", "", "")
+    assert (got[4]["fim_prefix"], got[4]["fim_middle"],
+            got[4]["fim_suffix"]) == ("", "", "")
+    # deterministic: same id -> same split on a reshuffled frame
+    again = {r["doc_id"]: r["fim_psm"]
+             for r in fim_split(df.repartition(7)).collect()}
+    assert again == {k: v["fim_psm"] for k, v in got.items()}
+
+
+def test_fim_split_is_shuffle_free(spark):
+    from mycelial_spark.operators.sampling import fim_split
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    plan = fim_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_dialogue_roles_and_order(spark):
+    from datetime import datetime
+    from mycelial_spark.operators.sampling import pack_dialogue
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(10, t0.replace(minute=2), 7, "ask"),
+            (10, t0.replace(minute=1), 5, "open"),
+            (10, t0.replace(minute=2), 6, "reply"),   # ts tie -> id order
+            (20, t0, 9, "solo")]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string")
+    got = {r["user_id"]: r for r in pack_dialogue(df).collect()}
+    assert got[10]["n_turns"] == 3
+    assert got[10]["dialogue"] == ("user: open #5\n"
+                                   "assistant: reply #6\n"
+                                   "user: ask #7")
+    assert got[20]["dialogue"] == "user: solo #9"
+    # one shuffle only: a single aggregate exchange in the plan
+    plan = pack_dialogue(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert plan.count("Exchange") == 1

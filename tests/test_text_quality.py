@@ -63,3 +63,57 @@ def test_char_diversity(spark):
     assert got["d"] == (None, None, None)
     # all-distinct: 1 - 3/9
     assert got["e"] == (3, 3, round(1 - 3 / 9, 6))
+
+
+def test_mojibake_score(spark):
+    from mycelial_spark.operators.text import with_mojibake_score
+    rows = [(0, "clean ordinary text"),
+            (1, "curly quote mojibake â€™ and Ã© x"),
+            (2, "replacement �� here"),
+            (3, "c1 control " + chr(0x92) + " char"),
+            (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_replacement"], r["n_mojibake"],
+                         r["n_c1_controls"], r["encoding_clean"])
+           for r in with_mojibake_score(df).collect()}
+    assert got[0] == (0, 0, 0, True)
+    # â€ is one marker pair + Ã one -> 2 mojibake hits
+    assert got[1] == (0, 2, 0, False)
+    assert got[2] == (2, 0, 0, False)
+    assert got[3] == (0, 0, 1, False)
+    assert got[4] == (None, None, None, None)   # NULL text propagates
+    assert got[5] == (0, 0, 0, True)
+    rates = {r["doc_id"]: r["mojibake_per_1k"]
+             for r in with_mojibake_score(df).collect()}
+    assert rates[2] == round(2000 / len(rows[2][1]), 6)
+    assert rates[0] == 0.0
+
+
+def test_mojibake_score_is_shuffle_free(spark):
+    from mycelial_spark.operators.text import with_mojibake_score
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = with_mojibake_score(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+    from mycelial_spark.operators.text import with_compression_ratio
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "aaaa " * 100),
+            (2, "unicode ü é 中文"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["compression_ratio"]
+           for r in with_compression_ratio(df).collect()}
+    for i, t in rows:
+        if t is None:
+            assert got[i] is None
+        elif not t:
+            assert got[i] == 1.0
+        else:
+            raw = t.encode("utf-8")
+            assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw),
+                                   6)
+    assert got[1] < 0.1                       # repetitive junk flagged
