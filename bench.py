@@ -120,6 +120,7 @@ HEADLINE = [
     "mbox_extract",
     "mojibake_score",
     "compression_ratio",
+    "markdown_extract",
     "fim_transform",
     "sft_pack_dialogues",
     "pagerank_trade_graph",

@@ -513,6 +513,54 @@ def with_compression_ratio(df: DataFrame, text_col: str = "text",
     return df.withColumn("compression_ratio", _ratio(F.col(text_col)))
 
 
+#: Markdown-strip rewrite chain (pattern, Java replacement). Order
+#: matters: fences first (so fence lines never read as emphasis),
+#: images before links (shared bracket grammar), block-level markers
+#: before inline ones. Replacements use $N here; an oracle engine
+#: running RE2 writes the same groups as \N — semantics identical.
+MARKDOWN_RULES: list[tuple[str, str]] = [
+    (r"(?m)^```[^\n]*$\n?", ""),                 # fence lines (keep code)
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),           # images -> alt text
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),            # links -> anchor text
+    (r"(?m)^#{1,6}[ \t]*", ""),                  # ATX headers
+    (r"(?m)^>[ \t]?", ""),                       # blockquotes
+    (r"(?m)^(-{3,}|\*{3,})[ \t]*$", ""),         # horizontal rules
+    (r"\*{1,3}([^*\n]+)\*{1,3}", "$1"),          # *emphasis*
+    (r"(?m)(^|[ \t])_([^_\n]+)_($|[ \t.,!?])", "$1$2$3"),  # _emphasis_
+    (r"`([^`\n]*)`", "$1"),                      # inline code spans
+]
+
+
+def with_markdown_text(df: DataFrame,
+                       md_col: str = "text") -> DataFrame:
+    """Markdown -> plain text for README/docs/code-adjacent corpora
+    (a standard pretraining source): strips fence lines (keeping the
+    code inside — it is training signal), resolves images/links to
+    their alt/anchor text, and removes header/quote/rule/emphasis/
+    inline-code markers (MARKDOWN_RULES — a deliberate rewrite chain,
+    not a CommonMark parser: extraction-grade like html_to_text, and
+    every rule is dialect-portable so a SQL oracle replays it; the
+    inline rules also apply INSIDE kept fence content — acceptable for
+    extraction, wrong for syntax-preserving use).
+    Appends ``md_text`` plus ``n_links`` and ``n_fence_lines`` counted
+    BEFORE stripping (structure density is itself a quality signal —
+    link farms score high n_links). ``n_links`` counts every
+    link-SHAPED span — images included — because excluding them needs
+    lookbehind, which RE2-family oracle engines lack; for the density
+    signal an image is a link. One codegen projection, zero
+    shuffle, zero UDF."""
+    c = F.col(md_col)
+    out = c
+    for pat, rep in MARKDOWN_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return (df
+            .withColumn("n_links",
+                        F.regexp_count(c, F.lit(r"\[[^\]]*\]\([^)]*\)")))
+            .withColumn("n_fence_lines",
+                        F.regexp_count(c, F.lit(r"(?m)^```")))
+            .withColumn("md_text", out))
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language ID, one codegen projection: for whitespace-segmented
     languages, count marker-word hits over distinct tokens; for CJK

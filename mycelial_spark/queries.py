@@ -1969,6 +1969,60 @@ def sft_pack_dialogues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_dialogue(_t(spark, sf_dir, "events"))
 
 
+@query("markdown_extract", """
+WITH m AS (
+  SELECT doc_id,
+         '# Title ' || CAST(doc_id AS VARCHAR)
+         || e'\\n\\n**bold** [link](http://example.com/'
+         || CAST(doc_id AS VARCHAR)
+         || e') and `code span`\\n\\n> quoted line\\n\\n```\\nfenced '
+         || CAST(doc_id AS VARCHAR) || e'\\n```\\n\\n'
+         || text || e' *tail* done\\n\\n---\\n' AS md
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(md, '\\[[^\\]]*\\]\\([^)]*\\)')) AS INT)
+    AS n_links,
+  CAST(len(regexp_extract_all(md, '(?m)^```')) AS INT) AS n_fence_lines,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+  regexp_replace(md,
+    '(?m)^```[^\\n]*$\\n?', '', 'g'),
+    '!\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+    '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+    '(?m)^#{1,6}[ \\t]*', '', 'g'),
+    '(?m)^>[ \\t]?', '', 'g'),
+    '(?m)^(-{3,}|\\*{3,})[ \\t]*$', '', 'g'),
+    '\\*{1,3}([^*\\n]+)\\*{1,3}', '\\1', 'g'),
+    '(?m)(^|[ \\t])_([^_\\n]+)_($|[ \\t.,!?])', '\\1\\2\\3', 'g'),
+    '`([^`\\n]*)`', '\\1', 'g') AS md_text
+FROM m
+""")
+def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown -> plain text over the corpus (with_markdown_text):
+    fence lines stripped with the code kept, images/links resolved to
+    alt/anchor text, header/quote/rule/emphasis/inline-code markers
+    removed, plus pre-strip structure-density counts (n_links,
+    n_fence_lines). The fixture wraps every document in a
+    deterministic markdown scaffold (title, bold, link, code span,
+    blockquote, fence, emphasis tail, rule) and the oracle replays the
+    wrap AND the full 9-rule rewrite chain in its own regex engine —
+    the rules are deliberately dialect-portable, and a single
+    mis-ordered or mis-grouped rule breaks the hash-match. One codegen
+    projection, zero shuffle, zero UDF."""
+    from mycelial_spark.operators.text import with_markdown_text
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("# Title "), sid,
+        F.lit("\n\n**bold** [link](http://example.com/"), sid,
+        F.lit(") and `code span`\n\n> quoted line\n\n```\nfenced "),
+        sid, F.lit("\n```\n\n"), F.col("text"),
+        F.lit(" *tail* done\n\n---\n"))
+    df = docs.select("doc_id", md.alias("text"))
+    return with_markdown_text(df).select(
+        "doc_id", "n_links", "n_fence_lines", "md_text")
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -1,0 +1,91 @@
+"""Property-based round-trip fuzzing for the container codecs
+(hypothesis): arbitrary unicode payloads must survive
+encode -> parse byte-for-byte, or the damaged-input paths must raise —
+the guarantee the oracle rows sample at fixture scale, checked here
+across the whole input space the strategies reach."""
+
+from hypothesis import given, settings, strategies as st
+
+from mycelial_spark.sources import mbox as M
+from mycelial_spark.sources import pdf as P
+from mycelial_spark.sources import warc as W
+
+# no surrogates (default), printable-or-whitespace unicode
+_TEXT = st.text(max_size=400)
+# mbox bodies are newline-normalized (real mail pipelines normalize
+# EOLs; bare \r inside a body is not representable in line-framed mbox)
+_MBOX_TEXT = st.text(
+    alphabet=st.characters(blacklist_characters="\r",
+                           blacklist_categories=("Cs",)),
+    max_size=400)
+
+
+@settings(max_examples=30, deadline=None)
+@given(pages=st.lists(_TEXT, min_size=1, max_size=6),
+       flate=st.booleans(),
+       mode=st.sampled_from(["literal", "hex", "alt"]))
+def test_pdf_roundtrip_property(pages, flate, mode):
+    data = P.encode_pdf(pages, flate=flate, string_mode=mode)
+    assert P.parse_pdf(data) == pages
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=st.lists(_MBOX_TEXT, min_size=1, max_size=6))
+def test_mbox_roundtrip_property(texts):
+    msgs = [M.encode_message(i, t) for i, t in enumerate(texts)]
+    back = M.parse_mbox(M.encode_mbox(msgs))
+    assert len(back) == len(texts)
+    for i, (raw, t) in enumerate(zip(back, texts)):
+        f = M.message_fields(raw)
+        assert f["text"] == t
+        assert f["n_parts"] == (2 if i % 2 else 1)
+        assert f["attach_bytes"] == (len(t.encode()) if i % 2 else 0)
+
+
+@settings(max_examples=30, deadline=None)
+@given(bodies=st.lists(st.binary(max_size=300), min_size=1, max_size=6),
+       gz=st.booleans())
+def test_warc_roundtrip_property(bodies, gz):
+    recs = [{"warc_type": "resource", "payload": b} for b in bodies]
+    out = list(W.parse_warc(W.encode_warc(recs, gzip_members=gz)))
+    assert [r["payload"] for r in out] == bodies
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=1, max_size=600))
+def test_pdf_garbage_never_misparses(data):
+    """Arbitrary bytes must raise, never return pages silently —
+    except the (astronomically unlikely under this strategy) case of a
+    real PDF, which the %PDF- prefix gate makes impossible here."""
+    if data.startswith(b"%PDF-"):
+        return
+    try:
+        P.parse_pdf(data)
+        raise AssertionError("garbage parsed as PDF")
+    except AssertionError:
+        raise
+    except Exception:
+        pass                                   # loud failure: correct
+
+
+@settings(max_examples=30, deadline=None)
+@given(texts=st.lists(_MBOX_TEXT, min_size=1, max_size=4),
+       cut=st.integers(min_value=1, max_value=200))
+def test_mbox_truncation_never_merges(texts, cut):
+    """A truncated archive either raises or yields messages whose
+    decoded texts are a PREFIX of the originals (never merged or
+    reordered survivors)."""
+    payload = M.encode_mbox(
+        [M.encode_message(i, t) for i, t in enumerate(texts)])
+    cut = min(cut, len(payload) - 1)
+    try:
+        back = M.parse_mbox(payload[:len(payload) - cut])
+    except Exception:
+        return                                 # loud failure: correct
+    got = []
+    for raw in back:
+        try:
+            got.append(M.message_fields(raw)["text"])
+        except Exception:
+            return                             # damaged tail caught
+    assert got == texts[:len(got)] or got[:-1] == texts[:len(got) - 1]

@@ -117,3 +117,33 @@ def test_compression_ratio_matches_zlib(spark):
             assert got[i] == round(len(zlib.compress(raw, 6)) / len(raw),
                                    6)
     assert got[1] < 0.1                       # repetitive junk flagged
+
+
+def test_markdown_text_rules(spark):
+    from mycelial_spark.operators.text import with_markdown_text
+    md = ("# Header\n"
+          "## Sub  header\n"
+          "plain [anchor](http://x) and ![alt text](img.png)\n"
+          "> quoted\n"
+          "```python\ncode *not emphasis* stays\n```\n"   # fence kept
+          "*bold-ish* and **bolder** and _under_ tail\n"
+          "inline `code()` span\n"
+          "---\n"
+          "end")
+    df = spark.createDataFrame([(1, md)], "doc_id long, text string")
+    r = with_markdown_text(df).collect()[0]
+    assert r["n_links"] == 2                  # link-shaped spans: a+img
+    assert r["n_fence_lines"] == 2
+    assert r["md_text"] == ("Header\n"
+                            "Sub  header\n"
+                            "plain anchor and alt text\n"
+                            "quoted\n"
+                            "code not emphasis stays\n"
+                            "bold-ish and bolder and under tail\n"
+                            "inline code() span\n"
+                            "\n"
+                            "end")
+    # shuffle-free plan
+    plan = with_markdown_text(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan

@@ -1,0 +1,131 @@
+"""Scale probes for the round-9 operators (container ingestion legs +
+training-prep transforms) — SCALE.md rows with measured curves.
+
+Claims to verify, one JSON line per measured point:
+
+1. Container legs (warc / webdataset / pdf / mbox): parallelism follows
+   FILES and per-document cost is flat — with the corpus duplicated
+   x4/x16 AND the file count scaled to hold per-file work constant,
+   wall-clock should grow no faster than linearly in corpus size (the
+   per-file parse is embarrassingly parallel in mapInPandas; at real
+   scale files come from a binaryFile scan and the file count is the
+   partition count).
+2. mojibake_score / fim_transform: pure codegen projections — cost
+   rides the scan, ~linear in corpus bytes, no shuffle at any size.
+3. compression_ratio: Arrow-batched zlib — ~linear in corpus bytes
+   (zlib is the per-byte cost; Python only loops batches).
+4. sft_pack_dialogues: ONE hash aggregate — ~linear in events with no
+   per-group funnel (role parity comes from transform's index, not a
+   window).
+
+Usage: python tools/scale_probe_r9b.py [--ops=containers,prep]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.catalog import load_table
+from mycelial_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def _dup_docs(spark, factor: int):
+    """Corpus duplicated ``factor`` times with unique remapped ids."""
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text", "source")
+    n = 1 + docs.agg(F.max("doc_id")).collect()[0][0]
+    k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    return (docs.select("doc_id", "text", "source", k)
+            .select((F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+                    "text", "source"))
+
+
+def probe_containers(spark, factors=(1, 4, 16), only=None):
+    from mycelial_spark.sources.mbox import mbox_messages, synth_mbox
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    from mycelial_spark.sources.warc import synth_warc, warc_records
+    from mycelial_spark.sources.webdataset import (synth_webdataset,
+                                                   webdataset_samples)
+    legs = {
+        "pdf": lambda d, f: pdf_pages(synth_pdf(d, files=f)),
+        "mbox": lambda d, f: mbox_messages(synth_mbox(d, files=f)),
+        "warc": lambda d, f: warc_records(synth_warc(d, files=f)),
+        "webdataset": lambda d, f: webdataset_samples(
+            synth_webdataset(d, files=f)),
+    }
+    for name, make in legs.items():
+        if only and name not in only:
+            continue
+        for factor in factors:
+            docs = _dup_docs(spark, factor).localCheckpoint()
+            files = 8 * factor          # constant per-file work
+            t0 = time.time()
+            out_rows = _force(make(docs, files))
+            print(json.dumps({"op": f"{name}_extract", "factor": factor,
+                              "files": files, "out_rows": out_rows,
+                              "sec": round(time.time() - t0, 2)}))
+
+
+def probe_prep(spark, factors=(1, 4, 16)):
+    from mycelial_spark.operators.sampling import (fim_split,
+                                                   pack_dialogue)
+    from mycelial_spark.operators.text import (with_compression_ratio,
+                                               with_mojibake_score)
+    for factor in factors:
+        docs = _dup_docs(spark, factor).localCheckpoint()
+        for name, make in (
+                ("mojibake_score", lambda: with_mojibake_score(docs)),
+                ("fim_transform", lambda: fim_split(docs)),
+                ("compression_ratio",
+                 lambda: with_compression_ratio(docs))):
+            t0 = time.time()
+            out_rows = _force(make())
+            print(json.dumps({"op": name, "factor": factor,
+                              "out_rows": out_rows,
+                              "sec": round(time.time() - t0, 2)}))
+    ev = load_table(spark, SF_DIR, "events") \
+        .select("user_id", "ts", "event_id", "event_type")
+    n_users = 1 + ev.agg(F.max("user_id")).collect()[0][0]
+    for factor in factors:
+        k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+        big = (ev.select("user_id", "ts", "event_id", "event_type", k)
+               .select((F.col("user_id") + F.col("k") * n_users)
+                       .alias("user_id"), "ts", "event_id",
+                       "event_type")).localCheckpoint()
+        t0 = time.time()
+        out_rows = _force(pack_dialogue(big))
+        print(json.dumps({"op": "sft_pack_dialogues", "factor": factor,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+
+
+def main():
+    ops = "containers,prep"
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            ops = a.split("=", 1)[1]
+    spark = get_spark()
+    if "containers" in ops:
+        probe_containers(spark)
+    if "webdataset" in ops:
+        probe_containers(spark, only=("webdataset",))
+    if "prep" in ops:
+        probe_prep(spark)
+
+
+if __name__ == "__main__":
+    main()
