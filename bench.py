@@ -118,6 +118,7 @@ HEADLINE = [
     "webdataset_extract",
     "pdf_extract_text",
     "mbox_extract",
+    "document_formats_mixed",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

@@ -1852,6 +1852,20 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("document_records", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="Universal container dispatch: sniff each binary "
+               "payload's magic (%PDF- / WARC, incl. gzip members / "
+               "mbox From_ / ustar tar) and explode MIXED payloads "
+               "into one normalized row per logical document "
+               "(format/key/text) — the landing-bucket ingestion node "
+               "(binary_source pattern='*' -> document_records); "
+               "on_error=null skips undecodable files.")
+def document_records_(spark, cfg, inputs):
+    from mycelial_spark.sources.dispatch import document_records
+    return document_records(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("mbox_messages", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="Explode binary mbox payloads (mboxrd From-quoting) "

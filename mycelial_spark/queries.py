@@ -2023,6 +2023,56 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_links", "n_fence_lines", "md_text")
 
 
+@query("document_formats_mixed", """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'pdf' WHEN 1 THEN 'warc'
+            WHEN 2 THEN 'mbox' ELSE 'webdataset' END AS format,
+       text AS text_out
+FROM documents
+""")
+def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One binary column, four real container parsers — the shape a
+    crawled DOCUMENT corpus actually has (a landing bucket of PDFs,
+    WARC segments, mail archives, and training shards, tagged by
+    nothing but their bytes): payloads pack by doc_id % 4 into 8 files
+    per format (WARC gzip-membered — the dispatch must sniff THROUGH
+    the gzip layer), and document_records routes each file by magic to
+    its parser inside one Arrow batch, emitting normalized
+    (format, key, text) rows. The oracle replays format assignment and
+    the text itself for every document — a mis-sniffed container or a
+    parser that mangles one byte breaks the hash-match. Companion to
+    image_formats_mixed: together they cover the text and image halves
+    of the universal-ingestion dispatch pattern."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.mbox import synth_mbox
+    from mycelial_spark.sources.pdf import synth_pdf
+    from mycelial_spark.sources.warc import synth_warc
+    from mycelial_spark.sources.webdataset import synth_webdataset
+    docs = spread(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 4
+    payloads = (synth_pdf(docs.filter(m == 0), files=8)
+                .unionByName(synth_warc(docs.filter(m == 1), files=8,
+                                        gzip_members=True))
+                .unionByName(synth_mbox(docs.filter(m == 2), files=8))
+                .unionByName(synth_webdataset(docs.filter(m == 3),
+                                              files=8)))
+    recs = document_records(payloads)
+    fmt = F.col("format")
+    doc_id = (F.when(fmt == "warc",
+                     F.regexp_extract("key", r"/doc/(\d+)$", 1))
+               .when(fmt == "webdataset", F.col("key"))
+               .otherwise(F.regexp_extract("key", r"^doc:(\d+)$", 1))
+              ).cast("long")
+    text_out = F.when(
+        fmt == "pdf",
+        F.expr("substring(text, instr(text, '\\n') + 1)")) \
+        .otherwise(F.col("text"))
+    return recs.select(doc_id.alias("doc_id"), "format",
+                       text_out.alias("text_out"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -1,0 +1,124 @@
+"""Universal document-container dispatch: one binary column, four real
+container parsers — the shape a crawled document corpus actually has
+(a landing bucket holds PDFs next to WARC segments next to mail
+archives next to training shards; nothing tags them but their bytes).
+
+`sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
+``WARC/`` (gzip members sniffed through one inflate of the head) /
+mbox ``From `` / POSIX ustar at offset 257 — and `document_records`
+explodes mixed payloads into one normalized row per logical document
+(id, rec_idx, format, key, text) over Arrow batches, routing each file
+to its parser inside the batch: no per-format partitioning, no
+modality column needed, same dispatch pattern as the image legs
+(operators/multimodal.py image_features). ``key`` carries the
+format's native identifier (WARC-Target-URI, mbox Subject, WebDataset
+sample key; PDF has none — its first text line by convention), so
+downstream projections can recover join keys without caring which
+container a document arrived in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def sniff_container(payload: bytes) -> str:
+    """'pdf' | 'warc' | 'mbox' | 'tar' from magic bytes; raises on
+    anything else (an unrecognized container must fail loudly, not be
+    skipped as if the corpus were smaller than it is)."""
+    head = bytes(payload[:512])
+    if head.startswith(b"%PDF-"):
+        return "pdf"
+    if head.startswith(b"WARC/"):
+        return "warc"
+    if head.startswith(b"\x1f\x8b"):           # gzip: inflate the head
+        import zlib
+        try:
+            peek = zlib.decompressobj(31).decompress(bytes(payload), 64)
+        except Exception as e:
+            raise ValueError(f"gzip payload failed to inflate: {e}")
+        if peek.startswith(b"WARC/"):
+            return "warc"
+        raise ValueError(
+            f"gzip member is not a WARC record: {peek[:20]!r}")
+    if head.startswith(b"From "):
+        return "mbox"
+    if len(payload) >= 262 and payload[257:262] == b"ustar":
+        return "tar"
+    raise ValueError(f"unrecognized container magic {head[:12]!r}")
+
+
+def _rows_for(fmt: str, payload: bytes) -> list[dict]:
+    if fmt == "pdf":
+        from mycelial_spark.sources.pdf import parse_pdf
+        return [{"format": "pdf", "key": t.split("\n", 1)[0],
+                 "text": t} for t in parse_pdf(payload)]
+    if fmt == "warc":
+        from mycelial_spark.sources.warc import (parse_warc,
+                                                 split_http_response)
+        out = []
+        for r in parse_warc(payload):
+            if r["headers"].get("warc-type") != "response":
+                continue
+            _status, _h, body = split_http_response(r["payload"])
+            out.append({"format": "warc",
+                        "key": r["headers"].get("warc-target-uri"),
+                        "text": body.decode("utf-8")})
+        return out
+    if fmt == "mbox":
+        from mycelial_spark.sources.mbox import message_fields, parse_mbox
+        return [{"format": "mbox", "key": m["subject"],
+                 "text": m["text"]}
+                for m in (message_fields(raw)
+                          for raw in parse_mbox(payload))]
+    if fmt == "tar":
+        from mycelial_spark.sources.webdataset import iter_samples
+        return [{"format": "webdataset", "key": key,
+                 "text": parts["txt"].decode("utf-8")}
+                for key, parts in iter_samples(payload)
+                if "txt" in parts]
+    raise ValueError(f"no parser for container format {fmt!r}")
+
+
+DOC_RECORD_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("rec_idx", T.IntegerType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("key", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def document_records(df: DataFrame,
+                     on_error: str = "raise") -> DataFrame:
+    """Explode MIXED binary container payloads into one row per
+    logical document (DOC_RECORD_SCHEMA), sniffing each payload's
+    magic and routing to the right parser inside the Arrow batch.
+    ``on_error="null"`` skips undecodable files (poison tolerance,
+    same contract as the single-format legs)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for fid, payload in zip(pdf_batch["id"],
+                                    pdf_batch["payload"]):
+                try:
+                    payload = bytes(payload)
+                    recs = _rows_for(sniff_container(payload), payload)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "rec_idx": i, **r}
+                            for i, r in enumerate(recs))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DOC_RECORD_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, DOC_RECORD_SCHEMA)

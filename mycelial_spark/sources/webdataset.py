@@ -100,13 +100,32 @@ def tar_records(df: DataFrame, on_error: str = "raise") -> DataFrame:
                                                   TAR_MEMBER_SCHEMA)
 
 
-def webdataset_samples(df: DataFrame,
-                       on_error: str = "raise") -> DataFrame:
-    """Group each tar shard's members into WebDataset SAMPLES: one row
-    per key with an extension->payload map (WDS_SAMPLE_SCHEMA). Keys
+def iter_samples(payload: bytes) -> "list[tuple[str, dict]]":
+    """One (key, extension->payload dict) per WebDataset sample. Keys
     group CONSECUTIVE members, the WebDataset contract — an archive
     whose sample parts are scattered is malformed and raises (it would
     stream incorrectly everywhere else too)."""
+    samples: list[tuple[str, dict]] = []
+    seen: set[str] = set()
+    for name, data in tar_members(bytes(payload)):
+        key, ext = _sample_key(name)
+        if samples and samples[-1][0] == key:
+            samples[-1][1][ext] = data
+        else:
+            if key in seen:
+                raise ValueError(
+                    f"non-consecutive sample key {key!r} in shard "
+                    "(malformed WebDataset)")
+            seen.add(key)
+            samples.append((key, {ext: data}))
+    return samples
+
+
+def webdataset_samples(df: DataFrame,
+                       on_error: str = "raise") -> DataFrame:
+    """Group each tar shard's members into WebDataset SAMPLES: one row
+    per key with an extension->payload map (WDS_SAMPLE_SCHEMA), via
+    ``iter_samples``."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
@@ -115,21 +134,7 @@ def webdataset_samples(df: DataFrame,
             rows = []
             for fid, payload in zip(pdf["id"], pdf["payload"]):
                 try:
-                    members = list(tar_members(bytes(payload)))
-                    samples: list[tuple[str, dict]] = []
-                    seen: set[str] = set()
-                    for name, data in members:
-                        key, ext = _sample_key(name)
-                        if samples and samples[-1][0] == key:
-                            samples[-1][1][ext] = data
-                        else:
-                            if key in seen:
-                                raise ValueError(
-                                    f"non-consecutive sample key "
-                                    f"{key!r} in shard (malformed "
-                                    "WebDataset)")
-                            seen.add(key)
-                            samples.append((key, {ext: data}))
+                    samples = iter_samples(bytes(payload))
                 except Exception:
                     if on_error == "raise":
                         raise

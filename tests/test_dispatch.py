@@ -1,0 +1,84 @@
+"""Universal container dispatch (sources/dispatch.py): magic-byte
+sniffing across all four document containers (through gzip for WARC),
+normalized per-document rows, and loud failures on unrecognized or
+lying payloads."""
+
+import gzip
+
+import pytest
+
+from mycelial_spark.sources.dispatch import (document_records,
+                                             sniff_container)
+
+
+def test_sniff_magic():
+    from mycelial_spark.sources.mbox import encode_mbox, encode_message
+    from mycelial_spark.sources.pdf import encode_pdf
+    from mycelial_spark.sources.warc import encode_warc
+    from mycelial_spark.sources.webdataset import encode_tar
+    assert sniff_container(encode_pdf(["doc:1\nx"])) == "pdf"
+    warc = encode_warc([{"warc_type": "resource", "payload": b"x"}])
+    assert sniff_container(warc) == "warc"
+    assert sniff_container(
+        encode_warc([{"warc_type": "resource", "payload": b"x"}],
+                    gzip_members=True)) == "warc"       # through gzip
+    assert sniff_container(
+        encode_mbox([encode_message(1, "body")])) == "mbox"
+    assert sniff_container(
+        encode_tar([("0001.txt", b"x")])) == "tar"
+    with pytest.raises(ValueError, match="unrecognized container"):
+        sniff_container(b"plain text, no container at all" * 10)
+    with pytest.raises(ValueError, match="not a WARC"):
+        sniff_container(gzip.compress(b"gzipped but not a WARC"))
+
+
+def test_document_records_mixed(spark):
+    """Four containers in ONE binary column: every document comes back
+    with the right format tag and byte-exact text."""
+    from mycelial_spark.sources.mbox import synth_mbox
+    from mycelial_spark.sources.pdf import synth_pdf
+    from mycelial_spark.sources.warc import synth_warc
+    from mycelial_spark.sources.webdataset import synth_webdataset
+    import pyspark.sql.functions as F
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}", f"src{i % 3}")
+         for i in range(16)],
+        "doc_id long, text string, source string")
+    m = F.col("doc_id") % 4
+    payloads = (synth_pdf(docs.filter(m == 0), files=2)
+                .unionByName(synth_warc(docs.filter(m == 1), files=2,
+                                        gzip_members=True))
+                .unionByName(synth_mbox(docs.filter(m == 2), files=2))
+                .unionByName(synth_webdataset(docs.filter(m == 3),
+                                              files=2)))
+    rows = document_records(payloads).collect()
+    assert len(rows) == 16
+    by_fmt: dict = {}
+    for r in rows:
+        by_fmt.setdefault(r["format"], []).append(r)
+    assert {k: len(v) for k, v in by_fmt.items()} == \
+        {"pdf": 4, "warc": 4, "mbox": 4, "webdataset": 4}
+    # text round-trips per format (pdf carries its doc: line)
+    for r in by_fmt["warc"] + by_fmt["mbox"]:
+        assert r["text"].startswith("document body number ")
+    for r in by_fmt["pdf"]:
+        did = int(r["key"].removeprefix("doc:"))
+        assert r["text"] == f"doc:{did}\ndocument body number {did}"
+    for r in by_fmt["webdataset"]:
+        assert r["text"] == f"document body number {int(r['key'])}"
+
+
+def test_document_records_poison_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    bad = spark.createDataFrame([(9, b"neither fish nor fowl")],
+                                "id long, payload binary")
+    assert document_records(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        document_records(bad).count()
+    from mycelial_spark.sources.pdf import synth_pdf
+    docs = spark.createDataFrame([(1, "one doc")],
+                                 "doc_id long, text string")
+    sdef = REGISTRY.get("document_records")
+    cfg = sdef.validate_config({"type": "document_records"})
+    out = sdef.builder(spark, cfg, [synth_pdf(docs, files=1)]).collect()
+    assert len(out) == 1 and out[0]["format"] == "pdf"

@@ -306,3 +306,58 @@ def test_watch_pipeline_with_fuzzy_incremental_dedup(spark, tmp_path):
     # the near-dup never landed, across restarts and replays
     assert _sink_col(out_db, "doc_id") == [1, 2, 4]
     assert spark.read.parquet(f"{ledger}/fps").count() == 3
+
+
+def test_mixed_container_landing_bucket_stream(spark, tmp_path):
+    """The landing-bucket loop in CONTINUOUS mode: PDF / WARC / mbox /
+    WebDataset files dropped into a watched dir across polls flow
+    through the magic-byte dispatch (document_records) into the sink
+    exactly once, and a restart from the persisted cursor re-delivers
+    nothing."""
+    from mycelial_spark.sources.mbox import encode_mbox, encode_message
+    from mycelial_spark.sources.pdf import encode_pdf
+    from mycelial_spark.sources.warc import (encode_warc,
+                                             http_response_bytes)
+    from mycelial_spark.sources.webdataset import encode_tar
+    d = tmp_path / "landing"
+    d.mkdir()
+    out_db = str(tmp_path / "out.db")
+    ckpt = str(tmp_path / "ckpt")
+    spec = {
+        "nodes": {
+            "src": {"type": "dir_source", "path": str(d),
+                    "pattern": r".*\.(pdf|warc|mbox|tar)$",
+                    "stream_binary": True,
+                    "poll_interval_millis": 200},
+            "docs": {"type": "document_records"},
+            "dst": {"type": "sqlite_dest", "path": out_db,
+                    "table": "sink", "upsert_keys": "key"},
+        },
+        "edges": [["src", "docs"], ["docs", "dst"]],
+    }
+    (d / "a.pdf").write_bytes(encode_pdf(["doc:1\nalpha text"]))
+    (d / "b.warc").write_bytes(encode_warc(
+        [{"warc_type": "response",
+          "target_uri": "http://example.com/doc/2",
+          "content_type": "application/http; msgtype=response",
+          "payload": http_response_bytes(b"bravo text")}]))
+
+    def keys():
+        return _sink_col(out_db, "key")
+
+    _run(spark, spec, ckpt,
+         lambda: keys() == ["doc:1", "http://example.com/doc/2"])
+    # second wave: the other two container formats + a pattern miss
+    (d / "c.mbox").write_bytes(encode_mbox([encode_message(3, "charlie")]))
+    (d / "e.tar").write_bytes(encode_tar([("00000004.txt", b"delta")]))
+    (d / "ignored.bin").write_bytes(b"not matched")
+    _run(spark, spec, ckpt,
+         lambda: keys() == ["00000004", "doc:1", "doc:3",
+                            "http://example.com/doc/2"])
+    # restart with no new files: cursor holds, nothing re-delivers
+    texts = _sink_col(out_db, "text")
+    _run(spark, spec, ckpt, lambda: True)
+    assert _sink_col(out_db, "text") == texts
+    # pdf keeps its key line in the page text by convention
+    assert sorted(texts) == ["bravo text", "charlie", "delta",
+                             "doc:1\nalpha text"]
