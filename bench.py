@@ -119,6 +119,7 @@ HEADLINE = [
     "pdf_extract_text",
     "mbox_extract",
     "document_formats_mixed",
+    "robots_filter",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

@@ -1,0 +1,182 @@
+"""robots.txt compliance for crawl pipelines (RFC 9309, public spec) —
+the act-on-it step before any URL enters a corpus: parse each host's
+robots.txt into rule rows, then evaluate every candidate URL against
+the longest-match election.
+
+Two operators, split exactly where the semantics split:
+
+- ``parse_robots`` — robots.txt TEXT -> one row per (host, agent,
+  allow, path) rule, via an Arrow-batched parser implementing the RFC
+  grammar subset crawlers rely on: ``User-agent`` group headers
+  (consecutive UA lines share one group), ``Allow``/``Disallow``
+  directives, case-insensitive keys, ``#`` comments, blank-line and
+  unknown-directive tolerance, empty-Disallow = no rule. Verified
+  against RFC 9309's own worked examples in tests.
+- ``match_allowed`` — longest-match election per URL, PURE CODEGEN
+  and dialect-portable by construction: rule patterns compile to SQL
+  ``LIKE`` forms (``*`` -> ``%``, trailing ``$`` anchors by omitting
+  the trailing ``%``; ``%``/``_``/escape literals escaped), so any
+  oracle engine replays matching without regex-dialect risk. The
+  election is one max_by over (specificity = pattern length,
+  allow-wins-ties) — an aggregate, not a window, so a URL hitting
+  thousands of rules still combines map-side. URLs with no matching
+  group rule are ALLOWED (the RFC default).
+
+Scale shape: rules-per-host tables are tiny next to URL corpora —
+``match_allowed`` broadcasts the rules side, so the evaluation is a
+map-side join + aggregate over the URL scan; nothing shuffles the
+corpus. (Reference parity: the reference has no crawl-compliance
+surface — this extends the Spark-native crawl stack around the WARC
+leg, same north-star fill as the dedup/quality families.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ROBOTS_RULE_SCHEMA = T.StructType([
+    T.StructField("host", T.StringType()),
+    T.StructField("agent", T.StringType()),
+    T.StructField("allow", T.BooleanType()),
+    T.StructField("path", T.StringType()),
+])
+
+
+def parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
+    """(agent, allow, path) rules from one robots.txt body — the RFC
+    9309 grammar subset: groups start at one-or-more consecutive
+    User-agent lines; Allow/Disallow lines bind to every agent of the
+    current group; keys are case-insensitive; ``#`` starts a comment;
+    an empty Disallow value is 'no rule' (everything allowed); rules
+    before any User-agent line are ignored (malformed per spec)."""
+    rules: list[tuple[str, bool, str]] = []
+    agents: list[str] = []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue                        # not a directive: tolerate
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []                 # a NEW group starts
+            agents.append(value.lower())
+            in_group_header = True
+            continue
+        in_group_header = False
+        if key in ("allow", "disallow"):
+            if not value:
+                continue                    # empty pattern = no rule
+            for a in agents:
+                rules.append((a, key == "allow", value))
+        # sitemap / crawl-delay / unknown keys: tolerated, not rules
+    return rules
+
+
+def parse_robots(df: DataFrame, text_col: str = "robots_txt",
+                 host_col: str = "host",
+                 on_error: str = "raise") -> DataFrame:
+    """Explode (host, robots.txt text) rows into ROBOTS_RULE_SCHEMA
+    rule rows over Arrow batches."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                try:
+                    parsed = parse_robots_text(str(text))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"host": str(host), "agent": a,
+                             "allow": al, "path": p}
+                            for a, al, p in parsed)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ROBOTS_RULE_SCHEMA])
+
+    return (df.select(F.col(host_col).alias(host_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(run, ROBOTS_RULE_SCHEMA))
+
+
+def _like_form(path: Column) -> Column:
+    """RFC pattern -> SQL LIKE form: escape LIKE metachars, ``*`` ->
+    ``%``, and a trailing ``$`` anchors the end (no trailing ``%``);
+    otherwise the pattern matches a path PREFIX (trailing ``%``).
+    Identical expression semantics in every SQL engine — that is the
+    point (no regex dialect)."""
+    esc = F.replace(F.replace(F.replace(path,
+                                        F.lit("\\"), F.lit("\\\\")),
+                              F.lit("%"), F.lit("\\%")),
+                    F.lit("_"), F.lit("\\_"))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    anchored = esc.endswith("$")
+    body = F.when(anchored, F.substring(esc, 1, F.length(esc) - 1)) \
+        .otherwise(F.concat(esc, F.lit("%")))
+    return body
+
+
+def match_allowed(urls: DataFrame, rules: DataFrame,
+                  agent: str = "*", url_host: str = "host",
+                  url_path: str = "path") -> DataFrame:
+    """Append ``robots_allowed`` to ``urls`` by RFC 9309 longest-match
+    over the agent's rule group: the most specific (longest pattern)
+    matching rule wins, Allow wins ties, and no matching rule (or no
+    rules at all for the host/agent) means allowed.
+
+    Group selection follows the RFC: the agent's own group applies
+    when it exists for the host; otherwise the ``*`` group; otherwise
+    everything is allowed.
+
+    Shape: the agent's rules aggregate into ONE array per host (the
+    only shuffle, on the tiny rules table), broadcast-join to the URL
+    corpus, and the election runs as a codegen array fold in the
+    projection — filter the matching rules, array_max a
+    (specificity, allow) struct (struct comparison is fieldwise, so
+    allow=1 wins specificity ties for free). The URL corpus itself
+    never shuffles and never funnels through a per-URL group."""
+    rule_struct = F.struct(
+        _like_form(F.col("path")).alias("like"),
+        F.length("path").alias("spec"),
+        F.col("allow").cast("int").alias("allow"))
+    a = F.lower(F.col("agent"))
+    per_host = (rules.filter(a.isin(agent.lower(), "*"))
+                .groupBy("host")
+                .agg(F.collect_list(
+                        F.when(a == agent.lower(), rule_struct))
+                     .alias("_own"),
+                     F.collect_list(
+                        F.when(a == "*", rule_struct))
+                     .alias("_star"))
+                .select("host",
+                        F.when(F.size("_own") > 0, F.col("_own"))
+                         .otherwise(F.col("_star")).alias("_rules")))
+    u = urls.join(F.broadcast(per_host),
+                  urls[url_host] == per_host["host"], "left") \
+        .drop(per_host["host"])
+    path_c = F.col(url_path)
+    matching = F.filter(
+        F.col("_rules"),
+        lambda x: F.like(path_c, x["like"], F.lit("\\")))
+    best = F.array_max(F.transform(
+        matching, lambda x: F.struct(x["spec"].alias("spec"),
+                                     x["allow"].alias("allow"))))
+    return (u.withColumn(
+        "robots_allowed",
+        F.when(F.col("_rules").isNull() | (F.size(matching) == 0),
+               F.lit(True))
+         .otherwise(best["allow"] == 1))
+        .drop("_rules"))

@@ -1852,6 +1852,35 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("robots_rules", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="robots_txt"),
+            Field("host_col", default="host"),
+            Field("on_error", default="raise")],
+           doc="Parse (host, robots.txt text) rows into one rule row "
+               "per (host, agent, allow, path) — RFC 9309 grammar "
+               "(UA group headers, Allow/Disallow, comments, "
+               "empty-Disallow = no rule).")
+def robots_rules_(spark, cfg, inputs):
+    from mycelial_spark.operators.robots import parse_robots
+    return parse_robots(inputs[0], cfg["text_col"], cfg["host_col"],
+                        cfg["on_error"])
+
+
+@_register("robots_filter", "transform", "dataframe", "dataframe",
+           [Field("agent", default="*"),
+            Field("url_host", default="host"),
+            Field("url_path", default="path")],
+           n_inputs=(2, 2),
+           doc="Append robots_allowed to URLs by RFC 9309 longest-"
+               "match (inputs = urls, rules): agent group with "
+               "*-fallback, allow-wins-ties, no-rule = allowed; "
+               "rules broadcast, URL corpus never shuffles.")
+def robots_filter_(spark, cfg, inputs):
+    from mycelial_spark.operators.robots import match_allowed
+    return match_allowed(inputs[0], inputs[1], cfg["agent"],
+                         cfg["url_host"], cfg["url_path"])
+
+
 @_register("document_records", "transform", "bin_or_dataframe",
            "dataframe", [Field("on_error", default="raise")],
            doc="Universal container dispatch: sniff each binary "

@@ -2073,6 +2073,90 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                        text_out.alias("text_out"))
 
 
+@query("robots_filter", """
+WITH u AS (
+  SELECT doc_id,
+         'host' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         '/p' || CAST(doc_id % 7 AS VARCHAR)
+              || CASE CAST(doc_id % 3 AS INT)
+                      WHEN 0 THEN '/a' WHEN 1 THEN '/b/c'
+                      ELSE '' END AS path
+  FROM documents),
+h AS (SELECT DISTINCT doc_id % 20 AS hh FROM documents),
+r AS (
+  SELECT 'host' || CAST(hh AS VARCHAR) AS host, FALSE AS allow,
+         '/p' || CAST(hh % 7 AS VARCHAR) AS path FROM h
+  UNION ALL
+  SELECT 'host' || CAST(hh AS VARCHAR), TRUE,
+         '/p' || CAST(hh % 7 AS VARCHAR) || '/a' FROM h
+  UNION ALL
+  SELECT 'host' || CAST(hh AS VARCHAR), FALSE,
+         '/p' || CAST((hh + 1) % 7 AS VARCHAR) || '/*/c' FROM h
+  UNION ALL
+  SELECT 'host' || CAST(hh AS VARCHAR), TRUE,
+         '/p' || CAST((hh + 2) % 7 AS VARCHAR) || '$' FROM h),
+rl AS (
+  SELECT host, allow, CAST(length(path) AS INT) AS spec,
+         CASE WHEN path LIKE '%$'
+              THEN replace(replace(replace(replace(
+                     substr(path, 1, length(path) - 1),
+                     '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+              ELSE replace(replace(replace(replace(path,
+                     '\\', '\\\\'), '%', '\\%'), '_', '\\_'), '*', '%')
+                   || '%' END AS lf
+  FROM r),
+hits AS (
+  SELECT u.doc_id, rl.allow, rl.spec
+  FROM u JOIN rl ON u.host = rl.host
+                AND u.path LIKE rl.lf ESCAPE '\\'),
+best AS (
+  SELECT doc_id,
+         max_by(allow, spec * 2 + CAST(allow AS INT)) AS ba
+  FROM hits GROUP BY doc_id)
+SELECT u.doc_id, u.host, u.path,
+       coalesce(b.ba, TRUE) AS robots_allowed
+FROM u LEFT JOIN best b USING (doc_id)
+""")
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance end-to-end (RFC 9309): per-host robots
+    TEXT is synthesized deterministically (four rules per host —
+    prefix disallow, deeper allow-override, mid-path wildcard, exact
+    $-anchor), parse_robots turns it into rule rows inside the
+    hash-match, and match_allowed elects the longest-match verdict per
+    URL as a broadcast join + codegen array fold — the URL corpus
+    never shuffles. The oracle constructs the same rules directly and
+    replays the LIKE-form compilation + (specificity, allow-wins-ties)
+    election with a numeric max_by key — a parsing, pattern-escape, or
+    election bug breaks the hash."""
+    from mycelial_spark.operators.robots import (match_allowed,
+                                                 parse_robots)
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("host"), (did % 20).cast("string")).alias("host"),
+        F.concat(
+            F.lit("/p"), (did % 7).cast("string"),
+            F.when(did % 3 == 0, F.lit("/a"))
+             .when(did % 3 == 1, F.lit("/b/c"))
+             .otherwise(F.lit(""))).alias("path"))
+    hh = F.col("hh")
+    hosts = docs.select((did % 20).alias("hh")).distinct()
+    txt = F.concat(
+        F.lit("# synthetic robots\nUser-agent: *\nDisallow: /p"),
+        (hh % 7).cast("string"),
+        F.lit("\nAllow: /p"), (hh % 7).cast("string"),
+        F.lit("/a\nDisallow: /p"), ((hh + 1) % 7).cast("string"),
+        F.lit("/*/c\nAllow: /p"), ((hh + 2) % 7).cast("string"),
+        F.lit("$\n"))
+    robots = hosts.select(
+        F.concat(F.lit("host"), hh.cast("string")).alias("host"),
+        txt.alias("robots_txt"))
+    rules = parse_robots(robots)
+    return match_allowed(urls, rules).select(
+        "doc_id", "host", "path", "robots_allowed")
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

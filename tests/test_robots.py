@@ -1,0 +1,110 @@
+"""robots.txt compliance (operators/robots.py, RFC 9309): grammar
+parsing, LIKE-form pattern compilation, longest-match election with
+allow-wins-ties, and agent-group fallback — verified against the
+spec's own worked examples."""
+
+import pytest
+
+from mycelial_spark.operators.robots import (match_allowed,
+                                             parse_robots,
+                                             parse_robots_text)
+
+
+def test_parse_grammar():
+    txt = ("# header comment\n"
+           "User-agent: *\n"
+           "Disallow: /a   # trailing comment\n"
+           "ALLOW: /a/b\n"                      # case-insensitive key
+           "\n"
+           "User-agent: GoogleBot\n"
+           "User-agent: otherbot\n"             # shared group
+           "Disallow: /both\n"
+           "Sitemap: http://x/s.xml\n"          # non-rule: tolerated
+           "Disallow:\n"                        # empty = no rule
+           "Crawl-delay: 10\n"
+           "garbage line without colon\n")
+    assert parse_robots_text(txt) == [
+        ("*", False, "/a"), ("*", True, "/a/b"),
+        ("googlebot", False, "/both"), ("otherbot", False, "/both")]
+    # rules before any User-agent line are ignored (malformed)
+    assert parse_robots_text("Disallow: /x\nUser-agent: *\n"
+                             "Disallow: /y\n") == [("*", False, "/y")]
+    # a UA line after rules STARTS A NEW group (header run ended)
+    two = parse_robots_text("User-agent: a\nDisallow: /1\n"
+                            "User-agent: b\nDisallow: /2\n")
+    assert two == [("a", False, "/1"), ("b", False, "/2")]
+
+
+# RFC 9309 §5.2 worked examples: (allow-pattern, disallow-pattern,
+# path, expected-allowed). Specificity = pattern length; ties -> allow.
+RFC_EXAMPLES = [
+    ("/p", "/", "/page", True),                 # longest match wins
+    ("/folder", "/folder", "/folder/page", True),   # tie -> allow
+    ("/page", "/*.htm", "/page.htm", False),    # 6 > 5
+    ("/$", "/", "/", True),                     # anchored allow
+    ("/$", "/", "/page.htm", False),            # anchor misses deep
+]
+
+
+@pytest.mark.parametrize("allow,disallow,path,expected", RFC_EXAMPLES)
+def test_rfc_9309_examples(spark, allow, disallow, path, expected):
+    rules = spark.createDataFrame(
+        [("h", "*", True, allow), ("h", "*", False, disallow)],
+        "host string, agent string, allow boolean, path string")
+    urls = spark.createDataFrame([(1, "h", path)],
+                                 "url_id long, host string, path string")
+    [r] = match_allowed(urls, rules).collect()
+    assert r["robots_allowed"] is expected, (allow, disallow, path)
+
+
+def test_agent_group_fallback(spark):
+    rules = spark.createDataFrame(
+        [("h", "*", False, "/x"), ("h", "googlebot", True, "/x"),
+         ("h2", "*", False, "/x")],
+        "host string, agent string, allow boolean, path string")
+    urls = spark.createDataFrame(
+        [(1, "h", "/x/page"), (2, "h2", "/x/page"), (3, "h3", "/x")],
+        "url_id long, host string, path string")
+    # googlebot has its OWN group on h (allow) and falls back to * on
+    # h2 (disallow); h3 has no rules at all -> allowed
+    got = {r["url_id"]: r["robots_allowed"]
+           for r in match_allowed(urls, rules,
+                                  agent="GoogleBot").collect()}
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_like_metachar_escaping(spark):
+    """Percent / underscore / backslash in rule paths are literals,
+    never LIKE wildcards."""
+    rules = spark.createDataFrame(
+        [("h", "*", False, "/100%_off"), ("h", "*", False, "/a\\b")],
+        "host string, agent string, allow boolean, path string")
+    urls = spark.createDataFrame(
+        [(1, "h", "/100%_off/deal"), (2, "h", "/100Xoff"),
+         (3, "h", "/a\\b"), (4, "h", "/aXb")],
+        "url_id long, host string, path string")
+    got = {r["url_id"]: r["robots_allowed"]
+           for r in match_allowed(urls, rules).collect()}
+    assert got == {1: False, 2: True, 3: False, 4: True}
+
+
+def test_match_allowed_plan_broadcasts(spark):
+    rules = spark.createDataFrame(
+        [("h", "*", False, "/x")],
+        "host string, agent string, allow boolean, path string")
+    urls = spark.createDataFrame([(1, "h", "/x")],
+                                 "url_id long, host string, path string")
+    plan = match_allowed(urls, rules)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_parse_robots_distributed(spark):
+    df = spark.createDataFrame(
+        [(f"h{i}", f"User-agent: *\nDisallow: /d{i}\n")
+         for i in range(6)],
+        "host string, robots_txt string")
+    rows = parse_robots(df).collect()
+    assert sorted((r["host"], r["path"]) for r in rows) == \
+        [(f"h{i}", f"/d{i}") for i in range(6)]
