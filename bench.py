@@ -120,6 +120,8 @@ HEADLINE = [
     "mbox_extract",
     "document_formats_mixed",
     "robots_filter",
+    "charset_decode",
+    "sitemap_extract",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

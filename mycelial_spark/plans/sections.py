@@ -1852,6 +1852,29 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("decoded_text", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Charset detection + transcoding for raw text bytes: "
+               "BOM sniff (UTF-8/16/32, authoritative) -> strict "
+               "UTF-8 -> Windows-1252 with Latin-1 backstop; emits "
+               "(encoding, text) per payload. The normalization step "
+               "between a crawl's bytes and every text operator.")
+def decoded_text_(spark, cfg, inputs):
+    from mycelial_spark.sources.charset import decoded_text
+    return decoded_text(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("sitemap_records", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="Explode binary sitemap payloads (urlset OR "
+               "sitemapindex, plain or .xml.gz) into one row per "
+               "entry: kind/loc/lastmod/changefreq/priority — the "
+               "URL-frontier discovery node next to robots_rules.")
+def sitemap_records_(spark, cfg, inputs):
+    from mycelial_spark.sources.sitemap import sitemap_records
+    return sitemap_records(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("robots_rules", "transform", "dataframe", "dataframe",
            [Field("text_col", default="robots_txt"),
             Field("host_col", default="host"),

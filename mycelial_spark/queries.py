@@ -2157,6 +2157,70 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host", "path", "robots_allowed")
 
 
+@query("charset_decode", """
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
+            WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
+            ELSE 'windows-1252' END AS encoding,
+       CASE WHEN doc_id % 5 = 4
+            THEN text || ' ' || chr(8220) || 'quoted' || chr(8221)
+            ELSE text END AS text_out
+FROM documents
+""")
+def charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection + transcoding end-to-end (sources/charset.py):
+    each document's text encodes into one of five real byte forms by
+    id residue (plain UTF-8, UTF-8 BOM, UTF-16 LE/BE with BOMs,
+    Windows-1252 whose smart quotes make the bytes INVALID UTF-8 so
+    the ladder must fall through) and decoded_text runs the detection
+    ladder — BOM-authoritative, UTF-8 self-validation, 1252 fallback.
+    The oracle replays the expected label and the decoded text
+    including the transcoded smart quotes — a mis-detected encoding or
+    a BOM left in the text breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.charset import decoded_text, synth_encoded
+    docs = spread(_t(spark, sf_dir, "documents"))
+    out = decoded_text(synth_encoded(docs))
+    return out.select(F.col("id").alias("doc_id"), "encoding",
+                      F.col("text").alias("text_out"))
+
+
+@query("sitemap_extract", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS rec_idx,
+       'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                    2, '0') END AS lastmod,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE '0.' || CAST(doc_id % 10 AS VARCHAR) END AS priority
+FROM documents
+""")
+def sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion end-to-end (sitemaps.org protocol, the
+    discovery half of crawl compliance next to robots_filter):
+    documents pack into 8 namespaced urlset sitemaps — odd file ids
+    gzipped, every 4th entry omitting the optional fields — and
+    sitemap_records walks the XML with namespace-agnostic matching
+    (sources/sitemap.py). The oracle replays per-file entry order,
+    locs, lastmod dates, and priorities from the documents table — a
+    namespace, gzip, or field-extraction bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.sitemap import (sitemap_records,
+                                                synth_sitemap)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = sitemap_records(synth_sitemap(docs, files=8))
+    return recs.select(
+        F.regexp_extract("loc", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("rec_idx"), F.col("loc"), F.col("lastmod"),
+        F.col("priority"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

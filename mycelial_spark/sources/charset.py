@@ -1,0 +1,133 @@
+"""Character-set detection and transcoding: real crawls deliver bytes,
+not strings — UTF-8 with and without BOM, UTF-16/32 of either
+endianness, and a long tail of Windows-1252 that lies about being
+Latin-1. Every container leg upstream of text operators needs this
+step when the source stops being synthetic (reference parity: the
+reference normalizes at its SQLite/Postgres type boundary,
+`sections/sqlite_connector/src/source.rs` Any-normalization; a crawl
+engine has to do it from raw bytes).
+
+`detect_decode` implements the deterministic detection ladder real
+pipelines use (WHATWG-encoding-style BOM sniffing first, because a BOM
+is authoritative; then strict UTF-8, because UTF-8 is self-validating
+— random non-UTF-8 bytes form valid UTF-8 with negligible probability;
+then Windows-1252 with a Latin-1 backstop for the five unmapped C1
+bytes). `decoded_text` is the Arrow-batched Spark surface, one row in
+-> (encoding, text) out, a narrow map like every codec leg.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# BOM table, longest-prefix first (UTF-32 BOMs contain UTF-16 BOMs).
+_BOMS: list[tuple[bytes, str]] = [
+    (b"\xff\xfe\x00\x00", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+]
+
+
+def detect_decode(payload: bytes) -> tuple[str, str]:
+    """(encoding_label, text). BOM first (authoritative, and stripped
+    by the named codec), then strict UTF-8, then Windows-1252 with a
+    Latin-1 fallback for its five unmapped bytes (0x81 0x8D 0x8F 0x90
+    0x9D map to the C1 controls, the Latin-1 identity — the common
+    practical choice, matching WHATWG's windows-1252 table)."""
+    payload = bytes(payload)
+    for bom, enc in _BOMS:
+        if payload.startswith(bom):
+            body = payload if enc == "utf-8-sig" else payload[len(bom):]
+            codec = {"utf-8-sig": "utf-8-sig", "utf-16-le": "utf-16-le",
+                     "utf-16-be": "utf-16-be", "utf-32-le": "utf-32-le",
+                     "utf-32-be": "utf-32-be"}[enc]
+            return enc, body.decode(codec)
+    try:
+        return "utf-8", payload.decode("utf-8")
+    except UnicodeDecodeError:
+        pass
+    try:
+        return "windows-1252", payload.decode("cp1252")
+    except UnicodeDecodeError:
+        # cp1252's five holes: decode byte-wise with the Latin-1
+        # identity for exactly those, cp1252 for the rest
+        out = []
+        for b in payload:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "windows-1252", "".join(out)
+
+
+TEXT_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("encoding", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def decoded_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary text payloads into (id, encoding, text) over
+    Arrow batches via the detection ladder. ``on_error="null"`` skips
+    undecodable files (the ladder itself never fails on complete
+    payloads — 1252+latin1 covers every byte — but truncated UTF-16/32
+    after a BOM does raise)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    enc, text = detect_decode(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid), "encoding": enc,
+                             "text": text})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in TEXT_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, TEXT_SCHEMA)
+
+
+def synth_encoded(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Test-fixture adapter: each document's text encodes into one of
+    five byte forms by id residue — plain UTF-8, UTF-8 BOM, UTF-16
+    LE/BE (with BOM), and Windows-1252 (smart quotes appended so the
+    bytes are INVALID UTF-8 and the ladder must fall through) —
+    deterministic, so an oracle can replay both the detected label and
+    the decoded text. Emits (id, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                did, t = int(did), str(t)
+                r = did % 5
+                if r == 0:
+                    p = t.encode("utf-8")
+                elif r == 1:
+                    p = b"\xef\xbb\xbf" + t.encode("utf-8")
+                elif r == 2:
+                    p = b"\xff\xfe" + t.encode("utf-16-le")
+                elif r == 3:
+                    p = b"\xfe\xff" + t.encode("utf-16-be")
+                else:
+                    p = (t + " “quoted”").encode("cp1252")
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, payload binary")

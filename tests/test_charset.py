@@ -1,0 +1,93 @@
+"""Charset detection + transcoding (sources/charset.py): BOM
+authority, UTF-8 self-validation, Windows-1252 fallback with the
+Latin-1 backstop for its five unmapped bytes."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mycelial_spark.sources.charset import (decoded_text, detect_decode,
+                                            synth_encoded)
+
+
+def test_detection_ladder():
+    t = "héllo wörld 中文"
+    assert detect_decode(t.encode("utf-8")) == ("utf-8", t)
+    assert detect_decode(b"\xef\xbb\xbf" + t.encode("utf-8")) == \
+        ("utf-8-sig", t)
+    assert detect_decode(b"\xff\xfe" + t.encode("utf-16-le")) == \
+        ("utf-16-le", t)
+    assert detect_decode(b"\xfe\xff" + t.encode("utf-16-be")) == \
+        ("utf-16-be", t)
+    assert detect_decode(b"\xff\xfe\x00\x00"
+                         + t.encode("utf-32-le")) == ("utf-32-le", t)
+    assert detect_decode(b"\x00\x00\xfe\xff"
+                         + t.encode("utf-32-be")) == ("utf-32-be", t)
+    # smart quotes make invalid UTF-8 -> 1252
+    enc, out = detect_decode("a “q” b".encode("cp1252"))
+    assert (enc, out) == ("windows-1252", "a “q” b")
+    # cp1252's unmapped holes fall back to the Latin-1 identity
+    enc, out = detect_decode(b"x\x93ok\x94\x81y")
+    assert enc == "windows-1252"
+    assert out == "x“ok”\x81y"
+    # empty payload is valid UTF-8
+    assert detect_decode(b"") == ("utf-8", "")
+
+
+def test_utf32_bom_wins_over_utf16_prefix():
+    """FF FE 00 00 is BOTH a UTF-16-LE BOM + NUL and the UTF-32-LE
+    BOM; longest-prefix ordering must pick UTF-32."""
+    payload = b"\xff\xfe\x00\x00" + "ab".encode("utf-32-le")
+    assert detect_decode(payload) == ("utf-32-le", "ab")
+
+
+def test_truncated_utf16_raises():
+    bad = b"\xff\xfe" + "abc".encode("utf-16-le")[:-1]
+    with pytest.raises(UnicodeDecodeError):
+        detect_decode(bad)
+
+
+@settings(max_examples=40, deadline=None)
+@given(t=st.text(max_size=200),
+       enc=st.sampled_from(["utf-8", "utf-16-le", "utf-16-be",
+                            "utf-32-le", "utf-32-be"]))
+def test_roundtrip_property(t, enc):
+    if enc == "utf-8":
+        payload = t.encode("utf-8")
+    else:
+        bom = {"utf-16-le": b"\xff\xfe", "utf-16-be": b"\xfe\xff",
+               "utf-32-le": b"\xff\xfe\x00\x00",
+               "utf-32-be": b"\x00\x00\xfe\xff"}[enc]
+        payload = bom + t.encode(enc)
+    got_enc, got = detect_decode(payload)
+    assert got == t
+    if enc != "utf-8":
+        # BOM-less empty UTF-16 text is just the BOM -> label right
+        assert got_enc == enc or (t == "" and enc.startswith("utf-16")
+                                  and got_enc.startswith("utf-"))
+
+
+def test_decoded_text_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"text {i} with ünïcode") for i in range(10)],
+        "doc_id long, text string")
+    rows = decoded_text(synth_encoded(docs)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        expect = {0: "utf-8", 1: "utf-8-sig", 2: "utf-16-le",
+                  3: "utf-16-be", 4: "windows-1252"}[r["id"] % 5]
+        assert r["encoding"] == expect
+        base = f"text {r['id']} with ünïcode"
+        assert r["text"] == (base + " “quoted”"
+                             if r["id"] % 5 == 4 else base)
+    sdef = REGISTRY.get("decoded_text")
+    cfg = sdef.validate_config({"type": "decoded_text"})
+    out = sdef.builder(spark, cfg, [synth_encoded(docs)]).collect()
+    assert len(out) == 10
+    # poison tolerance: truncated utf-16 after a BOM
+    bad = spark.createDataFrame(
+        [(9, b"\xff\xfe" + "abc".encode("utf-16-le")[:-1])],
+        "id long, payload binary")
+    assert decoded_text(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        decoded_text(bad).count()

@@ -1,0 +1,71 @@
+"""Sitemap ingestion (sources/sitemap.py, sitemaps.org protocol):
+urlset + sitemapindex kinds, namespace-agnostic matching, gzip form,
+and loud failures on non-sitemap XML."""
+
+import gzip
+
+import pytest
+
+from mycelial_spark.sources import sitemap as S
+
+
+def test_urlset_roundtrip_namespaced_and_bare():
+    entries = [{"loc": "http://x/1", "lastmod": "2024-01-02",
+                "changefreq": "daily", "priority": "0.8"},
+               {"loc": "http://x/2"}]
+    for namespaced in (True, False):
+        kind, out = S.parse_sitemap(
+            S.encode_sitemap(entries, namespaced=namespaced))
+        assert kind == "urlset"
+        assert out[0] == entries[0]
+        assert out[1] == {"loc": "http://x/2", "lastmod": None,
+                          "changefreq": None, "priority": None}
+
+
+def test_sitemapindex_and_gzip():
+    idx = [{"loc": "http://x/sitemap1.xml", "lastmod": "2024-02-03"},
+           {"loc": "http://x/sitemap2.xml"}]
+    payload = gzip.compress(S.encode_sitemap(idx, kind="sitemapindex"),
+                            mtime=0)
+    kind, out = S.parse_sitemap(payload)
+    assert kind == "sitemapindex"
+    assert [e["loc"] for e in out] == [e["loc"] for e in idx]
+    assert out[0]["lastmod"] == "2024-02-03"
+
+
+def test_rejects():
+    with pytest.raises(ValueError, match="not XML"):
+        S.parse_sitemap(b"plain text")
+    with pytest.raises(ValueError, match="not a sitemap"):
+        S.parse_sitemap(b"<html><body/></html>")
+    with pytest.raises(ValueError, match="without <loc>"):
+        S.parse_sitemap(b"<urlset><url><lastmod>x</lastmod></url>"
+                        b"</urlset>")
+    with pytest.raises(ValueError, match="unexpected"):
+        S.parse_sitemap(b"<urlset><sitemap><loc>x</loc></sitemap>"
+                        b"</urlset>")
+
+
+def test_sitemap_records_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame([(i,) for i in range(12)],
+                                 "doc_id long")
+    rows = S.sitemap_records(S.synth_sitemap(docs, files=3)).collect()
+    assert len(rows) == 12
+    by_file: dict = {}
+    for r in rows:
+        assert r["kind"] == "urlset"
+        by_file.setdefault(r["id"], []).append(r)
+    for rows_ in by_file.values():
+        ids = [int(r["loc"].rsplit("/", 1)[1]) for r in rows_]
+        assert ids == sorted(ids)
+        assert [r["rec_idx"] for r in rows_] == list(range(len(rows_)))
+    sdef = REGISTRY.get("sitemap_records")
+    cfg = sdef.validate_config({"type": "sitemap_records"})
+    out = sdef.builder(spark, cfg, [S.synth_sitemap(docs, files=2)])
+    assert out.count() == 12
+    bad = spark.createDataFrame([(9, b"<html/>")],
+                                "id long, payload binary")
+    assert S.sitemap_records(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        S.sitemap_records(bad).count()
