@@ -122,6 +122,7 @@ HEADLINE = [
     "robots_filter",
     "charset_decode",
     "sitemap_extract",
+    "recrawl_schedule",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

@@ -2221,6 +2221,73 @@ def sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority"))
 
 
+@query("recrawl_schedule", """
+WITH s AS (
+  SELECT doc_id,
+         'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+         CASE WHEN doc_id % 4 = 3 THEN NULL
+              ELSE '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                      2, '0') END AS lastmod
+  FROM documents),
+ledger AS (
+  SELECT doc_id,
+         '2024-01-' || lpad(CAST(1 + doc_id % 14 AS VARCHAR), 2, '0')
+           AS last_fetched
+  FROM documents WHERE doc_id % 3 <> 0)
+SELECT s.doc_id, s.loc, s.lastmod, l.last_fetched,
+       (l.last_fetched IS NULL
+        OR (s.lastmod IS NOT NULL AND s.lastmod > l.last_fetched))
+         AS needs_refetch,
+       CAST(CASE
+         WHEN l.last_fetched IS NULL THEN 99
+         WHEN s.lastmod IS NULL THEN 0
+         ELSE greatest(CAST(substr(s.lastmod, 9, 2) AS INT)
+                       - CAST(substr(l.last_fetched, 9, 2) AS INT), 0)
+         END AS INT) AS staleness_days
+FROM s LEFT JOIN ledger l USING (doc_id)
+""")
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier maintenance — the recrawl decision a crawl pipeline
+    runs between sitemap refreshes: join the CURRENT sitemap entries
+    (via the real sitemap codec, inside the hash-match) against the
+    prior-crawl fetch ledger; a URL needs refetching when it was never
+    fetched or its lastmod moved past the last fetch, with a staleness
+    measure for prioritization. Never-fetched URLs rank first (the
+    sentinel 99). Broadcast-size ledger joins map-side at fixture
+    scale; at corpus scale both sides hash-partition on the URL key —
+    one shuffle each, no window. The oracle replays the sitemap
+    fields, the ledger, and the staleness arithmetic."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.sitemap import (sitemap_records,
+                                                synth_sitemap)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = sitemap_records(synth_sitemap(docs, files=8))
+    s = recs.select(
+        F.regexp_extract("loc", r"/doc/(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "loc", "lastmod")
+    did = F.col("doc_id")
+    ledger = (_t(spark, sf_dir, "documents")
+              .filter(did % 3 != 0)
+              .select(did.alias("doc_id"),
+                      F.concat(F.lit("2024-01-"),
+                               F.lpad((1 + did % 14).cast("string"),
+                                      2, "0")).alias("last_fetched")))
+    j = s.join(ledger, "doc_id", "left")
+    lastmod, fetched = F.col("lastmod"), F.col("last_fetched")
+    needs = fetched.isNull() | (lastmod.isNotNull()
+                                & (lastmod > fetched))
+    staleness = (F.when(fetched.isNull(), F.lit(99))
+                  .when(lastmod.isNull(), F.lit(0))
+                  .otherwise(F.greatest(
+                      F.substring(lastmod, 9, 2).cast("int")
+                      - F.substring(fetched, 9, 2).cast("int"),
+                      F.lit(0)))).cast("int")
+    return j.select("doc_id", "loc", "lastmod", "last_fetched",
+                    needs.alias("needs_refetch"),
+                    staleness.alias("staleness_days"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

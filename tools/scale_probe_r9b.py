@@ -113,6 +113,60 @@ def probe_prep(spark, factors=(1, 4, 16)):
                           "sec": round(time.time() - t0, 2)}))
 
 
+def probe_crawl_front(spark, factors=(1, 4, 16)):
+    """robots_filter: flat-per-URL broadcast+fold (rules fixed, URLs
+    scale); charset_decode / sitemap / dispatch: linear scan-riders."""
+    from mycelial_spark.operators.robots import match_allowed, parse_robots
+    from mycelial_spark.sources.charset import decoded_text, synth_encoded
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.mbox import synth_mbox
+    from mycelial_spark.sources.pdf import synth_pdf
+    from mycelial_spark.sources.sitemap import sitemap_records, synth_sitemap
+    # fixed 2k-host rule table, URL corpus scales
+    hosts = spark.range(2000).select(
+        F.concat(F.lit("host"), F.col("id").cast("string")).alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /p"),
+                 (F.col("id") % 7).cast("string"),
+                 F.lit("\nAllow: /p"), (F.col("id") % 7).cast("string"),
+                 F.lit("/a\n")).alias("robots_txt"))
+    rules = parse_robots(hosts).localCheckpoint()
+    for factor in factors:
+        docs = _dup_docs(spark, factor)
+        urls = docs.select(
+            F.col("doc_id"),
+            F.concat(F.lit("host"),
+                     (F.col("doc_id") % 2000).cast("string")).alias("host"),
+            F.concat(F.lit("/p"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit("/a/page")).alias("path")).localCheckpoint()
+        t0 = time.time()
+        out_rows = _force(match_allowed(urls, rules))
+        print(json.dumps({"op": "robots_filter", "factor": factor,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+    for factor in factors:
+        docs = _dup_docs(spark, factor).localCheckpoint()
+        t0 = time.time()
+        out_rows = _force(decoded_text(synth_encoded(docs)))
+        print(json.dumps({"op": "charset_decode", "factor": factor,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+        t0 = time.time()
+        out_rows = _force(sitemap_records(
+            synth_sitemap(docs, files=8 * factor)))
+        print(json.dumps({"op": "sitemap_extract", "factor": factor,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+        m = F.col("doc_id") % 2
+        mixed = (synth_pdf(docs.filter(m == 0), files=4 * factor)
+                 .unionByName(synth_mbox(docs.filter(m == 1),
+                                         files=4 * factor)))
+        t0 = time.time()
+        out_rows = _force(document_records(mixed))
+        print(json.dumps({"op": "document_dispatch", "factor": factor,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+
+
 def main():
     ops = "containers,prep"
     for a in sys.argv[1:]:
@@ -125,7 +179,10 @@ def main():
         probe_containers(spark, only=("webdataset",))
     if "prep" in ops:
         probe_prep(spark)
+    if "crawl_front" in ops:
+        probe_crawl_front(spark)
 
 
 if __name__ == "__main__":
     main()
+
