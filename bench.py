@@ -123,6 +123,7 @@ HEADLINE = [
     "charset_decode",
     "sitemap_extract",
     "recrawl_schedule",
+    "language_mix",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

@@ -590,6 +590,65 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(best["score"] > 0, pred).otherwise(F.lit("und")))
 
 
+def with_language_mix(df: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Per-LINE language identification aggregated into a
+    code-switching profile — the corpus signal lang_id (one verdict
+    per document) cannot see: a document that flips language mid-way
+    poisons monolingual training slices even when its majority
+    language is right. Scope: the whitespace-marker languages
+    (LANG_MARKERS); script-mix is already visible to lang_id's
+    character ranges, while Latin-script code-switching needs the
+    per-line view.
+
+    One codegen projection, zero shuffle, zero UDF: lines split once,
+    each line's verdict is an array_max over (marker-hits, lang)
+    structs (ties -> alphabetically LAST lang code, the array_max
+    struct rule — mirror in oracles exactly like lang_id), and the
+    per-document majority/mix statistics fold over the verdict array.
+
+    Appends: main_lang (majority across detected lines, 'und' when no
+    line detects), n_langs (distinct detected), n_lines,
+    lang_mix_ratio (fraction of detected lines NOT in the majority
+    language; NULL when nothing detects)."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def pred(line: Column) -> Column:
+        toks = F.array_distinct(F.filter(
+            F.split(F.trim(line), TOKEN_RE), lambda t: t != F.lit("")))
+        scores = [F.struct(
+            F.size(F.array_intersect(
+                toks, F.array(*[F.lit(m) for m in markers])))
+            .alias("score"), F.lit(lang).alias("lang"))
+            for lang, markers in sorted(LANG_MARKERS.items())]
+        best = F.array_max(F.array(*scores))
+        return F.when(best["score"] > 0,
+                      best["lang"]).otherwise(F.lit("und"))
+
+    langs = F.transform(lines, pred)
+    detected = F.filter(langs, lambda x: x != F.lit("und"))
+    total = F.size(detected)
+    distinct = F.array_sort(F.array_distinct(detected))
+    counts = F.transform(
+        distinct,
+        lambda d: F.struct(
+            F.size(F.filter(detected, lambda x: x == d)).alias("score"),
+            d.alias("lang")))
+    best = F.array_max(counts)
+    return (df
+            .withColumn("n_lines", F.size(lines))
+            .withColumn("main_lang",
+                        F.when(total > 0, best["lang"])
+                         .otherwise(F.lit("und")))
+            .withColumn("n_langs", F.size(distinct))
+            .withColumn("lang_mix_ratio",
+                        F.when(total > 0,
+                               F.round(F.lit(1.0)
+                                       - best["score"] / total, 6))
+                         .otherwise(F.lit(None).cast("double"))))
+
+
 def with_normalized_text(df: DataFrame, text_col: str = "text",
                          strip_accents: bool = True,
                          out_col: str = "norm_text") -> DataFrame:

@@ -1861,7 +1861,14 @@ def pdf_pages_(spark, cfg, inputs):
                "between a crawl's bytes and every text operator.")
 def decoded_text_(spark, cfg, inputs):
     from mycelial_spark.sources.charset import decoded_text
-    return decoded_text(_payload_frame(inputs[0]), cfg["on_error"])
+    df = inputs[0]
+    if "path" in df.columns and "content" in df.columns:
+        # binaryFile raw frame: keep the path for host attribution
+        df = df.select(F.xxhash64("path").alias("id"), "path",
+                       F.col("content").alias("payload"))
+    else:
+        df = _payload_frame(df)
+    return decoded_text(df, cfg["on_error"])
 
 
 @_register("sitemap_records", "transform", "bin_or_dataframe",

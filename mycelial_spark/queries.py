@@ -2288,6 +2288,80 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
                     staleness.alias("staleness_days"))
 
 
+@query("language_mix", """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INT)
+           WHEN 1 THEN e'\\nder hund und die katze ist da'
+           WHEN 2 THEN e'\\nle chat et les maisons est grande'
+           WHEN 3 THEN e'\\nder hund und die katze ist da'
+                    || e'\\nle chat et les maisons est grande'
+           ELSE '' END AS t
+  FROM documents),
+lx AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+pv AS (
+  SELECT doc_id, lines,
+    list_transform(
+      list_transform(lines, l -> list_max([
+        {'score': len(list_intersect(list_distinct(
+           regexp_split_to_array(trim(l), '\\s+')),
+           ['der','und','die','ist'])), 'lang': 'de'},
+        {'score': len(list_intersect(list_distinct(
+           regexp_split_to_array(trim(l), '\\s+')),
+           ['the','and','of','is'])), 'lang': 'en'},
+        {'score': len(list_intersect(list_distinct(
+           regexp_split_to_array(trim(l), '\\s+')),
+           ['el','y','los','es'])), 'lang': 'es'},
+        {'score': len(list_intersect(list_distinct(
+           regexp_split_to_array(trim(l), '\\s+')),
+           ['le','et','les','est'])), 'lang': 'fr'}])),
+      b -> CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END) AS langs
+  FROM lx),
+agg AS (
+  SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+         list_filter(langs, x -> x <> 'und') AS det
+  FROM pv),
+fin AS (
+  SELECT doc_id, n_lines, det, len(det) AS total,
+         list_sort(list_distinct(det)) AS dl
+  FROM agg),
+best AS (
+  SELECT doc_id, n_lines, total, dl,
+         list_max(list_transform(dl, d2 ->
+           {'score': len(list_filter(det, x -> x = d2)),
+            'lang': d2})) AS b
+  FROM fin)
+SELECT doc_id, n_lines,
+       CASE WHEN total > 0 THEN b.lang ELSE 'und' END AS main_lang,
+       CAST(len(dl) AS INT) AS n_langs,
+       CASE WHEN total > 0
+            THEN round(1.0 - b.score / total, 6) END AS lang_mix_ratio
+FROM best
+""")
+def language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching profile (with_language_mix): per-LINE language
+    verdicts aggregated into majority language, distinct-language
+    count, and the mixed-line fraction — the slice-poisoning signal a
+    per-document lang_id cannot see. The fixture injects German /
+    French / both lines into doc_id residue slices; the oracle replays
+    the per-line marker argmax (same alphabetically-last tie rule as
+    lang_id) and the majority fold. One codegen projection, zero
+    shuffle, zero UDF."""
+    from mycelial_spark.operators.text import with_language_mix
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    de = "\nder hund und die katze ist da"
+    fr = "\nle chat et les maisons est grande"
+    injected = (F.when(did % 4 == 1, F.concat(F.col("text"), F.lit(de)))
+                 .when(did % 4 == 2, F.concat(F.col("text"), F.lit(fr)))
+                 .when(did % 4 == 3,
+                       F.concat(F.col("text"), F.lit(de), F.lit(fr)))
+                 .otherwise(F.col("text")))
+    df = docs.select("doc_id", injected.alias("text"))
+    return with_language_mix(df).select(
+        "doc_id", "n_lines", "main_lang", "n_langs", "lang_mix_ratio")
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -69,36 +69,45 @@ def detect_decode(payload: bytes) -> tuple[str, str]:
 
 TEXT_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
+    T.StructField("path", T.StringType()),
     T.StructField("encoding", T.StringType()),
     T.StructField("text", T.StringType()),
 ])
 
 
 def decoded_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
-    """Explode binary text payloads into (id, encoding, text) over
-    Arrow batches via the detection ladder. ``on_error="null"`` skips
-    undecodable files (the ladder itself never fails on complete
-    payloads — 1252+latin1 covers every byte — but truncated UTF-16/32
-    after a BOM does raise)."""
+    """Explode binary text payloads into (id, path, encoding, text)
+    over Arrow batches via the detection ladder — ``path`` carries
+    through when the input has one (binaryFile scans do; it is how
+    downstream nodes attribute a payload to its host/shard) and is
+    NULL otherwise. ``on_error="null"`` skips undecodable files (the
+    ladder itself never fails on complete payloads — 1252+latin1
+    covers every byte — but truncated UTF-16/32 after a BOM does
+    raise)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
+    has_path = "path" in df.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for fid, payload in zip(pdf["id"], pdf["payload"]):
+            paths = pdf["path"] if has_path else [None] * len(pdf)
+            for fid, path, payload in zip(pdf["id"], paths,
+                                          pdf["payload"]):
                 try:
                     enc, text = detect_decode(bytes(payload))
                 except Exception:
                     if on_error == "raise":
                         raise
                     continue
-                rows.append({"id": int(fid), "encoding": enc,
-                             "text": text})
+                rows.append({"id": int(fid),
+                             "path": None if path is None else str(path),
+                             "encoding": enc, "text": text})
             yield pd.DataFrame(
                 rows, columns=[f.name for f in TEXT_SCHEMA])
 
-    return df.select("id", "payload").mapInPandas(run, TEXT_SCHEMA)
+    cols = ["id", "path", "payload"] if has_path else ["id", "payload"]
+    return df.select(*cols).mapInPandas(run, TEXT_SCHEMA)
 
 
 def synth_encoded(df: DataFrame, text_col: str = "text",

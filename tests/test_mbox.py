@@ -101,3 +101,19 @@ def test_mbox_messages_section(spark):
     out = sdef.builder(spark, cfg, [files]).collect()
     assert len(out) == 6
     assert all(r["subject"].startswith("doc:") for r in out)
+
+
+def test_encoded_word_and_folded_headers():
+    """compat32 parsing with explicit RFC 2047 decoding: encoded-word
+    subjects (the common non-ASCII form in real mail) and folded
+    headers both come out clean."""
+    raw = (b"Message-ID: <x@y>\r\n"
+           b"Subject: =?utf-8?q?caf=C3=A9_report?=\r\n"
+           b"Content-Type: text/plain\r\n\r\nbody\n")
+    f = M.message_fields(raw)
+    assert f["subject"] == "café report"
+    folded = (b"Message-ID: <x@y>\r\n"
+              b"Subject: a very long subject\r\n  folded onto two\r\n"
+              b"Content-Type: text/plain\r\n\r\nbody\n")
+    f = M.message_fields(folded)
+    assert "folded onto two" in f["subject"] and "\n" not in f["subject"]

@@ -150,3 +150,32 @@ def test_pdf_pages_section(spark):
     out = sdef.builder(spark, cfg, [files]).collect()
     assert len(out) == 6
     assert all(r["text"].startswith("doc:") for r in out)
+
+
+def test_incremental_update_prev_chain():
+    """Incremental-update PDFs (every desktop-editor Save appends an
+    xref section chained via /Prev): the NEWEST definition of an
+    object wins, untouched objects resolve through the chain, and a
+    cyclic chain raises."""
+    base = P.encode_pdf(["doc:0\noriginal page", "doc:1\nsecond page"],
+                        flate=False)
+    # object 5 is page 0's content stream (layout: 1 catalog, 2 pages,
+    # 3 font, 4 page0, 5 content0, 6 page1, 7 content1)
+    new_stream = b"BT /F1 12 Tf 72 720 Td (doc:0) Tj 0 -14 Td " \
+        b"(REVISED page) Tj ET"
+    body = (b"5 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\n"
+            b"endobj\n" % (len(new_stream), new_stream))
+    old_start = int(base[base.rfind(b"startxref"):].split()[1])
+    obj_at = len(base)
+    xref_at = obj_at + len(body)
+    update = (body
+              + b"xref\n5 1\n" + b"%010d 00000 n \n" % obj_at
+              + b"trailer\n<< /Size 8 /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (old_start, xref_at))
+    assert P.parse_pdf(base + update) == [
+        "doc:0\nREVISED page", "doc:1\nsecond page"]
+    # cyclic chain: /Prev pointing at the update's own xref
+    cyc = update.replace(b"/Prev %d" % old_start,
+                         b"/Prev %d" % xref_at)
+    with pytest.raises(ValueError, match="cyclic"):
+        P.parse_pdf(base + cyc)

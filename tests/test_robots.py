@@ -108,3 +108,50 @@ def test_parse_robots_distributed(spark):
     rows = parse_robots(df).collect()
     assert sorted((r["host"], r["path"]) for r in rows) == \
         [(f"h{i}", f"/d{i}") for i in range(6)]
+
+
+def test_crawl_compliance_pipeline_e2e(spark, tmp_path):
+    """The examples/crawl_compliance_pipeline.toml flow end-to-end
+    with real section nodes: sitemap discovery on one branch, robots
+    rules on the other, the RFC 9309 verdict joining them."""
+    import pyspark.sql.functions as F
+    from mycelial_spark.plans.sections import REGISTRY
+    from mycelial_spark.sources.sitemap import encode_sitemap
+
+    smdir = tmp_path / "sitemaps"
+    rbdir = tmp_path / "robots"
+    smdir.mkdir()
+    rbdir.mkdir()
+    (smdir / "a.xml").write_bytes(encode_sitemap(
+        [{"loc": "http://h1.example/ok/page"},
+         {"loc": "http://h1.example/private/x"},
+         {"loc": "http://h2.example/private/x"}]))
+    (rbdir / "h1.example.txt").write_bytes(
+        b"User-agent: *\nDisallow: /private\n")
+    # h2 has no robots file -> everything allowed
+
+    def run(name, cfg, df=None):
+        sdef = REGISTRY.get(name)
+        cfg = sdef.validate_config({"type": name, **cfg})
+        if sdef.kind == "source":
+            return sdef.builder(spark, cfg)
+        return sdef.builder(spark, cfg, df)
+
+    entries = run("sitemap_records", {},
+                  [run("binary_source", {"path": str(smdir),
+                                         "pattern": "*.xml*"})])
+    frontier = entries.filter("kind = 'urlset'").select(
+        "loc", F.expr("parse_url(loc, 'HOST')").alias("host"),
+        F.expr("parse_url(loc, 'PATH')").alias("path"))
+    decoded = run("decoded_text", {},
+                  [run("binary_source", {"path": str(rbdir),
+                                         "pattern": "*.txt"})])
+    pairs = decoded.select(
+        F.regexp_extract("path", r"([^/]+)\.txt$", 1).alias("host"),
+        F.col("text").alias("robots_txt"))
+    rules = run("robots_rules", {}, [pairs])
+    verdicts = run("robots_filter", {}, [frontier, rules])
+    got = {r["loc"]: r["robots_allowed"] for r in verdicts.collect()}
+    assert got == {"http://h1.example/ok/page": True,
+                   "http://h1.example/private/x": False,
+                   "http://h2.example/private/x": True}

@@ -147,3 +147,26 @@ def test_markdown_text_rules(spark):
     plan = with_markdown_text(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_language_mix(spark):
+    from mycelial_spark.operators.text import with_language_mix
+    rows = [(0, "the cat and the dog of the house is here"),
+            (1, "the cat is here\nder hund und die katze ist da"),
+            (2, "le chat et les chiens est la\n"
+                "der hund und die ist\nthe end of it is"),
+            (3, "zzz qqq www"),       # nothing detected
+            (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["main_lang"], r["n_langs"],
+                         r["lang_mix_ratio"])
+           for r in with_language_mix(df).collect()}
+    assert got[0] == (1, "en", 1, 0.0)
+    assert got[1] == (2, "en", 2, 0.5)
+    # 3-way count tie -> alphabetically LAST lang (array_max rule)
+    assert got[2] == (3, "fr", 3, round(1 - 1 / 3, 6))
+    assert got[3] == (1, "und", 0, None)
+    assert got[4] == (1, "und", 0, None)
+    plan = with_language_mix(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
