@@ -124,6 +124,7 @@ HEADLINE = [
     "sitemap_extract",
     "recrawl_schedule",
     "language_mix",
+    "quality_ensemble",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

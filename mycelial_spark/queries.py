@@ -2362,6 +2362,112 @@ def language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_lines", "main_lang", "n_langs", "lang_mix_ratio")
 
 
+@query("quality_ensemble", """
+WITH t AS (
+  SELECT doc_id, text, lower(text) AS low,
+         regexp_split_to_array(trim(text), '\\s+') toks,
+         list_filter(string_split(text, chr(10)),
+                     ln -> trim(ln) != '') AS lines
+  FROM documents),
+gf AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    round(list_sum(list_transform(toks, x -> length(x))) * 1.0
+          / greatest(len(toks), 1), 6) AS mean_wlen,
+    round((len(regexp_extract_all(text, '#'))
+           + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+          / greatest(len(toks), 1), 6) AS symbol_ratio,
+    round(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+          * 1.0 / greatest(len(toks), 1), 6) AS alpha_frac,
+    len(list_intersect(list_distinct(list_transform(toks,
+          x -> lower(x))),
+        ['the','be','to','of','and','that','have','with'])) AS stop_hits,
+    round(len(list_filter(lines, ln ->
+          regexp_matches(trim(ln), '^[-*•]'))) * 1.0
+          / greatest(len(lines), 1), 6) AS bullet_frac,
+    round(len(list_filter(lines, ln ->
+          regexp_matches(trim(ln), '(\\.\\.\\.|…)$'))) * 1.0
+          / greatest(len(lines), 1), 6) AS ellipsis_frac,
+    len(regexp_extract_all(text, '[.!?]')) AS n_sent,
+    contains(text, '{') AS curly,
+    contains(low, 'lorem ipsum') AS lorem,
+    len(list_filter(lines,
+        ln -> contains(lower(ln), 'javascript'))) > 0 AS js,
+    (length(text) - length(replace(text, chr(65533), '')))
+      + CAST((length(text) - length(replace(text, chr(195), '')))
+           + (length(text) - length(replace(text, chr(194), '')))
+           + (length(text) - length(replace(text,
+                chr(226) || chr(8364), ''))) / 2 AS BIGINT)
+      + CAST(len(regexp_extract_all(text,
+           '[' || chr(128) || '-' || chr(159) || ']')) AS BIGINT)
+      AS dmg
+  FROM t),
+dvs AS (
+  SELECT doc_id, sum(n * n) AS ss, sum(n) AS nn FROM (
+    SELECT doc_id, c, count(*)::BIGINT AS n FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS c
+      FROM documents WHERE length(text) > 0) GROUP BY 1, 2)
+  GROUP BY 1),
+v AS (
+  SELECT g.doc_id,
+    (n_words >= 50 AND n_words <= 100000
+     AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+     AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+     AND stop_hits >= 2) AS gopher_pass,
+    (n_sent >= 3 AND NOT curly AND NOT lorem AND NOT js) AS c4_pass,
+    dmg = 0 AS encoding_clean,
+    coalesce(round(1 - CAST(d.ss AS DOUBLE)
+                   / CAST(d.nn * d.nn AS DOUBLE), 6) >= 0.5,
+             FALSE) AS diversity_ok
+  FROM gf g LEFT JOIN dvs d USING (doc_id))
+SELECT doc_id, gopher_pass, c4_pass, encoding_clean, diversity_ok,
+  (gopher_pass AND c4_pass AND encoding_clean AND diversity_ok)
+    AS keep,
+  concat_ws(',',
+    CASE WHEN NOT gopher_pass THEN 'gopher' END,
+    CASE WHEN NOT c4_pass THEN 'c4' END,
+    CASE WHEN NOT encoding_clean THEN 'encoding' END,
+    CASE WHEN NOT diversity_ok THEN 'diversity' END) AS fail_reasons
+FROM v
+""")
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full public cleaning recipe as ONE gate — the composition
+    real pipelines actually ship (C4 + both Gopher halves + encoding
+    hygiene + repetition), not four separate passes: every component
+    operator fuses into the same scan projection (zero shuffle except
+    nothing — all four are codegen narrow maps), the verdict is the
+    conjunction, and fail_reasons names the components that killed a
+    document (concat_ws skips the passing ones on both engines). The
+    oracle recomposes all four component oracles over the raw corpus —
+    any drift between a component and its oracle twin breaks this
+    hash too, making the ensemble a standing cross-check on the
+    whole quality stack."""
+    from mycelial_spark.operators.text import (with_c4_filters,
+                                               with_char_diversity,
+                                               with_gopher_quality,
+                                               with_mojibake_score)
+    df = with_gopher_quality(_t(spark, sf_dir, "documents"))
+    df = with_c4_filters(df)
+    df = with_mojibake_score(df)
+    df = with_char_diversity(df)
+    diversity_ok = F.coalesce(F.col("char_diversity") >= 0.5,
+                              F.lit(False))
+    keep = (F.col("gopher_pass") & F.col("c4_pass")
+            & F.col("encoding_clean") & diversity_ok)
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("gopher_pass"), F.lit("gopher")),
+        F.when(~F.col("c4_pass"), F.lit("c4")),
+        F.when(~F.col("encoding_clean"), F.lit("encoding")),
+        F.when(~diversity_ok, F.lit("diversity")))
+    return df.select("doc_id", "gopher_pass", "c4_pass",
+                     "encoding_clean",
+                     diversity_ok.alias("diversity_ok"),
+                     keep.alias("keep"),
+                     reasons.alias("fail_reasons"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -89,3 +89,40 @@ def test_mbox_truncation_never_merges(texts, cut):
         except Exception:
             return                             # damaged tail caught
     assert got == texts[:len(got)] or got[:-1] == texts[:len(got) - 1]
+
+
+@settings(max_examples=30, deadline=None)
+@given(n=st.integers(min_value=1, max_value=8),
+       kind=st.sampled_from(["urlset", "sitemapindex"]),
+       namespaced=st.booleans(), gz=st.booleans())
+def test_sitemap_roundtrip_property(n, kind, namespaced, gz):
+    import gzip
+    from mycelial_spark.sources import sitemap as S
+    entries = [{"loc": f"http://x/{i}",
+                "lastmod": f"2024-01-{1 + i % 28:02d}" if i % 3 else None}
+               for i in range(n)]
+    payload = S.encode_sitemap(entries, kind=kind, namespaced=namespaced)
+    if gz:
+        payload = gzip.compress(payload, mtime=0)
+    got_kind, got = S.parse_sitemap(payload)
+    assert got_kind == kind
+    assert [e["loc"] for e in got] == [e["loc"] for e in entries]
+    assert [e["lastmod"] for e in got] == \
+        [e["lastmod"] for e in entries]
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=1, max_size=400))
+def test_dispatch_garbage_never_misroutes(data):
+    """Arbitrary bytes must raise in sniff_container unless they
+    genuinely carry one of the four magics."""
+    from mycelial_spark.sources.dispatch import sniff_container
+    known = (data.startswith(b"%PDF-") or data.startswith(b"WARC/")
+             or data.startswith(b"\x1f\x8b")
+             or data.startswith(b"From ")
+             or (len(data) >= 262 and data[257:262] == b"ustar"))
+    try:
+        fmt = sniff_container(data)
+        assert known, f"garbage classified as {fmt}"
+    except ValueError:
+        pass                                   # loud failure: correct

@@ -170,3 +170,43 @@ def test_language_mix(spark):
     plan = with_language_mix(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_quality_ensemble_reasons(spark):
+    from mycelial_spark.queries import REGISTRY
+    import pyspark.sql.functions as F
+    # drive the registered query's operator composition directly
+    from mycelial_spark.operators.text import (with_c4_filters,
+                                               with_char_diversity,
+                                               with_gopher_quality,
+                                               with_mojibake_score)
+    good = ("A proper sentence with plenty of ordinary words that the "
+            "gopher rules accept without any complaint at all. ") * 3
+    rows = [(0, good),
+            (1, good + " {curly}"),             # c4 kills it
+            (2, "aaaa " * 60),                  # diversity + gopher
+            (3, good + " mojibake â€™ mark")]   # encoding
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = with_char_diversity(with_mojibake_score(
+        with_c4_filters(with_gopher_quality(df))))
+    dok = F.coalesce(F.col("char_diversity") >= 0.5, F.lit(False))
+    out = df.select(
+        "doc_id",
+        (F.col("gopher_pass") & F.col("c4_pass")
+         & F.col("encoding_clean") & dok).alias("keep"),
+        F.concat_ws(",",
+                    F.when(~F.col("gopher_pass"), F.lit("gopher")),
+                    F.when(~F.col("c4_pass"), F.lit("c4")),
+                    F.when(~F.col("encoding_clean"), F.lit("encoding")),
+                    F.when(~dok, F.lit("diversity")))
+        .alias("fail_reasons"))
+    got = {r["doc_id"]: (r["keep"], r["fail_reasons"])
+           for r in out.collect()}
+    assert got[0] == (True, "")
+    assert got[1] == (False, "c4")
+    assert got[2][0] is False and "diversity" in got[2][1]
+    assert got[3] == (False, "encoding")
+    # the whole ensemble stays a narrow map: no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "quality_ensemble" in REGISTRY
