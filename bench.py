@@ -125,6 +125,7 @@ HEADLINE = [
     "recrawl_schedule",
     "language_mix",
     "quality_ensemble",
+    "exif_gps_audit",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

@@ -1,0 +1,326 @@
+"""EXIF metadata over JPEG (TIFF 6.0 + EXIF 2.3, public specs) — the
+privacy-critical half of image ingestion: crawled photos routinely
+carry camera identifiers and GPS COORDINATES in their APP1 segment,
+and a training pipeline must audit and strip them before release
+(same act-on-it family as redact_pii / k-anonymity: find it, then
+remove it).
+
+- `parse_exif` scans the JPEG marker stream for the APP1 Exif
+  segment, parses the embedded TIFF (both byte orders, IFD entry
+  walk, ASCII/SHORT/LONG/RATIONAL value decoding with the >4-byte
+  offset indirection), follows the GPS sub-IFD pointer, and converts
+  the degree/minute/second RATIONAL triplets to signed decimal
+  degrees. Damaged TIFF structures raise.
+- `encode_exif_app1` / `insert_app1` build deterministic fixtures
+  (spec-conformant segment splicing right after SOI).
+- `strip_exif` removes APP1 segments — the remediation step; the
+  image's entropy-coded data is untouched, so the pixels decode
+  identically (pinned by test: strip(insert(x)) == x byte-for-byte).
+- `exif_features` is the Arrow-batched Spark surface.
+
+(Reference parity: the reference has no image-metadata surface — this
+extends the multimodal stack the same way the privacy audits extend
+the relational one.)
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ASCII, _SHORT, _LONG, _RATIONAL = 2, 3, 4, 5
+_TYPE_SIZE = {_ASCII: 1, _SHORT: 2, _LONG: 4, _RATIONAL: 8}
+
+TAG_MAKE, TAG_MODEL, TAG_DATETIME = 0x010F, 0x0110, 0x0132
+TAG_GPS_IFD = 0x8825
+GPS_LAT_REF, GPS_LAT = 0x0001, 0x0002
+GPS_LON_REF, GPS_LON = 0x0003, 0x0004
+
+
+def _ifd_entries(data: bytes, off: int, bo: str) -> dict:
+    """tag -> decoded value for one IFD. ``bo`` is '<' or '>'."""
+    if off + 2 > len(data):
+        raise ValueError("EXIF IFD offset beyond TIFF data")
+    (n,) = struct.unpack_from(bo + "H", data, off)
+    out: dict[int, object] = {}
+    for i in range(n):
+        base = off + 2 + 12 * i
+        if base + 12 > len(data):
+            raise ValueError("truncated EXIF IFD entry")
+        tag, typ, count = struct.unpack_from(bo + "HHL", data, base)
+        if typ not in _TYPE_SIZE:
+            continue                       # unknown type: skip per spec
+        nbytes = _TYPE_SIZE[typ] * count
+        if nbytes <= 4:
+            voff = base + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "L", data, base + 8)
+        if voff + nbytes > len(data):
+            raise ValueError(f"EXIF value for tag {tag:#06x} beyond "
+                             "TIFF data")
+        if typ == _ASCII:
+            out[tag] = data[voff:voff + count].split(b"\x00")[0] \
+                .decode("ascii", "replace")
+        elif typ == _SHORT:
+            out[tag] = list(struct.unpack_from(bo + f"{count}H",
+                                               data, voff))
+        elif typ == _LONG:
+            out[tag] = list(struct.unpack_from(bo + f"{count}L",
+                                               data, voff))
+        else:                              # RATIONAL: (num, den) pairs
+            flat = struct.unpack_from(bo + f"{2 * count}L", data, voff)
+            out[tag] = [(flat[2 * j], flat[2 * j + 1])
+                        for j in range(count)]
+    return out
+
+
+def _dms_to_decimal(rats, ref: "str | None") -> "float | None":
+    if not rats or len(rats) < 3:
+        return None
+    def f(r):
+        num, den = r
+        return num / den if den else 0.0
+    dec = f(rats[0]) + f(rats[1]) / 60.0 + f(rats[2]) / 3600.0
+    if ref in ("S", "W"):
+        dec = -dec
+    dec = round(dec, 6)
+    return 0.0 if dec == 0 else dec            # never emit -0.0
+
+
+def parse_exif(payload: bytes) -> "dict | None":
+    """EXIF fields from a JPEG's APP1 segment, or None when the image
+    carries no Exif APP1. Returns make / model / datetime / gps_lat /
+    gps_lon (signed decimal degrees, None when no GPS IFD)."""
+    payload = bytes(payload)
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xDA:                 # SOS: entropy data follows
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            tiff = seg[6:]
+            break
+        pos += 2 + seglen
+    if tiff is None:
+        return None
+    if tiff[:2] == b"II":
+        bo = "<"
+    elif tiff[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"bad TIFF byte order {tiff[:2]!r}")
+    magic, ifd0_off = struct.unpack_from(bo + "HL", tiff, 2)
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    ifd0 = _ifd_entries(tiff, ifd0_off, bo)
+    out = {"make": ifd0.get(TAG_MAKE), "model": ifd0.get(TAG_MODEL),
+           "datetime": ifd0.get(TAG_DATETIME),
+           "gps_lat": None, "gps_lon": None}
+    gps_ptr = ifd0.get(TAG_GPS_IFD)
+    if gps_ptr:
+        gps = _ifd_entries(tiff, int(gps_ptr[0]), bo)
+        out["gps_lat"] = _dms_to_decimal(gps.get(GPS_LAT),
+                                         gps.get(GPS_LAT_REF))
+        out["gps_lon"] = _dms_to_decimal(gps.get(GPS_LON),
+                                         gps.get(GPS_LON_REF))
+    return out
+
+
+def encode_exif_app1(make: str, model: str, datetime_s: str,
+                     gps: "tuple[float, float] | None" = None,
+                     byte_order: str = "II") -> bytes:
+    """Deterministic spec-conformant APP1 Exif segment (fixture/test
+    side). GPS coordinates encode as whole-second DMS rationals, so
+    decimal degrees of the form d + m/60 (integer d, m) round-trip
+    exactly."""
+    bo = "<" if byte_order == "II" else ">"
+    strings = {TAG_MAKE: make.encode() + b"\x00",
+               TAG_MODEL: model.encode() + b"\x00",
+               TAG_DATETIME: datetime_s.encode() + b"\x00"}
+    n_ifd0 = 3 + (1 if gps else 0)
+    ifd0_off = 8
+    data_off = ifd0_off + 2 + 12 * n_ifd0 + 4     # after next-IFD ptr
+    entries = []
+    blob = bytearray()
+
+    def put(tag, typ, count, payload_bytes):
+        nonlocal blob
+        if len(payload_bytes) <= 4:
+            val = payload_bytes.ljust(4, b"\x00")
+        else:
+            val = struct.pack(bo + "L", data_off + len(blob))
+            blob += payload_bytes
+        entries.append(struct.pack(bo + "HHL", tag, typ, count) + val)
+
+    gps_ifd_pos = None
+    for tag in sorted(strings):
+        put(tag, _ASCII, len(strings[tag]), strings[tag])
+    if gps:
+        gps_ifd_pos = len(entries)
+        put(TAG_GPS_IFD, _LONG, 1, struct.pack(bo + "L", 0))  # patched
+    ifd0 = (struct.pack(bo + "H", n_ifd0) + b"".join(entries)
+            + struct.pack(bo + "L", 0))
+    tiff = bytearray(byte_order.encode()
+                     + struct.pack(bo + "HL", 42, ifd0_off)
+                     + ifd0 + blob)
+    if gps:
+        lat, lon = gps
+        gps_off = len(tiff)
+
+        def dms(dec: float) -> bytes:
+            dec = abs(dec)
+            d = int(dec)
+            m = int(round((dec - d) * 60))
+            return struct.pack(bo + "6L", d, 1, m, 1, 0, 1)
+
+        gentries = []
+        gblob = bytearray()
+        gdata_off = gps_off + 2 + 12 * 4 + 4
+
+        def gput(tag, typ, count, payload_bytes):
+            nonlocal gblob
+            if len(payload_bytes) <= 4:
+                val = payload_bytes.ljust(4, b"\x00")
+            else:
+                val = struct.pack(bo + "L", gdata_off + len(gblob))
+                gblob += payload_bytes
+            gentries.append(struct.pack(bo + "HHL", tag, typ, count)
+                            + val)
+
+        gput(GPS_LAT_REF, _ASCII, 2,
+             (b"S" if lat < 0 else b"N") + b"\x00")
+        gput(GPS_LAT, _RATIONAL, 3, dms(lat))
+        gput(GPS_LON_REF, _ASCII, 2,
+             (b"W" if lon < 0 else b"E") + b"\x00")
+        gput(GPS_LON, _RATIONAL, 3, dms(lon))
+        tiff += (struct.pack(bo + "H", 4) + b"".join(gentries)
+                 + struct.pack(bo + "L", 0) + gblob)
+        # patch the GPS IFD pointer value inside IFD0
+        ptr_at = ifd0_off + 2 + 12 * gps_ifd_pos + 8
+        tiff[ptr_at:ptr_at + 4] = struct.pack(bo + "L", gps_off)
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment immediately after SOI."""
+    jpeg = bytes(jpeg)
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def strip_exif(jpeg: bytes) -> bytes:
+    """Remove every APP1 segment before SOS — the release-time
+    remediation; entropy-coded data is untouched so pixels decode
+    identically."""
+    jpeg = bytes(jpeg)
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker at {pos}")
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+        (seglen,) = struct.unpack_from(">H", jpeg, pos + 2)
+        if pos + 2 + seglen > len(jpeg):
+            raise ValueError("truncated JPEG segment")
+        if marker != 0xE1:
+            out += jpeg[pos:pos + 2 + seglen]
+        pos += 2 + seglen
+    raise ValueError("JPEG without SOS")
+
+
+def synth_exif_jpegs(jpegs: DataFrame, id_col: str = "id") -> DataFrame:
+    """Test-fixture adapter: splice deterministic EXIF into existing
+    JPEG payloads by id residue — id % 3 == 0 gets camera fields AND
+    GPS (whole-minute DMS so decimals replay exactly; southern /
+    western hemispheres by parity), == 1 gets camera fields only,
+    == 2 stays EXIF-free; byte order alternates II/MM by parity so
+    both TIFF endiannesses are always exercised."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                did = int(did)
+                p = bytes(payload)
+                if did % 3 != 2:
+                    gps = None
+                    if did % 3 == 0:
+                        lat = (did % 90 + (did % 60) / 60.0) \
+                            * (-1 if did % 2 else 1)
+                        lon = (did % 180 + (did % 60) / 60.0) \
+                            * (-1 if did % 4 < 2 else 1)
+                        gps = (lat, lon)
+                    app1 = encode_exif_app1(
+                        f"CamCo{did % 5}", f"M{did % 7}",
+                        f"2024:01:{1 + did % 28:02d} 00:00:00", gps,
+                        byte_order="II" if did % 2 == 0 else "MM")
+                    p = insert_app1(p, app1)
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return (jpegs.select(F.col(id_col).alias(id_col), "payload")
+            .mapInPandas(run, "id long, payload binary"))
+
+
+EXIF_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("has_exif", T.BooleanType()),
+    T.StructField("make", T.StringType()),
+    T.StructField("model", T.StringType()),
+    T.StructField("datetime", T.StringType()),
+    T.StructField("gps_lat", T.DoubleType()),
+    T.StructField("gps_lon", T.DoubleType()),
+    T.StructField("has_gps", T.BooleanType()),
+])
+
+
+def exif_features(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """EXIF audit per JPEG payload (EXIF_SCHEMA) over Arrow batches —
+    the find-it step; pair with strip_exif (mapInPandas over the same
+    frame) as the act-on-it."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    e = parse_exif(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({
+                    "id": int(fid), "has_exif": e is not None,
+                    "make": e and e["make"], "model": e and e["model"],
+                    "datetime": e and e["datetime"],
+                    "gps_lat": e and e["gps_lat"],
+                    "gps_lon": e and e["gps_lon"],
+                    "has_gps": bool(e and e["gps_lat"] is not None)})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXIF_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, EXIF_SCHEMA)

@@ -1852,6 +1852,40 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("exif_features", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="EXIF privacy audit per JPEG payload: camera make/"
+               "model/datetime and GPS decimal degrees from the APP1 "
+               "TIFF (both byte orders, GPS sub-IFD) — the find-it "
+               "step before release-time metadata stripping.")
+def exif_features_(spark, cfg, inputs):
+    from mycelial_spark.operators.exif import exif_features
+    return exif_features(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("exif_strip", "transform", "bin_or_dataframe", "bin",
+           [],
+           doc="Remove APP1 EXIF segments from JPEG payloads — the "
+               "act-on-it remediation; entropy data is untouched so "
+               "pixels decode identically (byte-exactness pinned in "
+               "tests/test_exif.py).")
+def exif_strip_(spark, cfg, inputs):
+    import pandas as pd
+
+    from mycelial_spark.operators.exif import strip_exif
+    df = _payload_frame(inputs[0])
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": [int(x) for x in pdf["id"]],
+                 "payload": [strip_exif(bytes(p))
+                             for p in pdf["payload"]]})
+
+    return df.select("id", "payload").mapInPandas(
+        run, "id long, payload binary")
+
+
 @_register("decoded_text", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="Charset detection + transcoding for raw text bytes: "

@@ -2468,6 +2468,58 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
                      reasons.alias("fail_reasons"))
 
 
+@query("exif_gps_audit", """
+SELECT doc_id,
+       doc_id % 3 <> 2 AS has_exif,
+       CASE WHEN doc_id % 3 <> 2
+            THEN 'CamCo' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 3 <> 2
+            THEN 'M' || CAST(doc_id % 7 AS VARCHAR) END AS model,
+       CASE WHEN doc_id % 3 <> 2
+            THEN '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                    2, '0') || ' 00:00:00'
+            END AS datetime,
+       CASE WHEN doc_id % 3 = 0
+            THEN round((doc_id % 90 + (doc_id % 60) / 60.0)
+                       * (CASE WHEN doc_id % 2 = 1 AND
+                               doc_id % 90 + doc_id % 60 > 0
+                               THEN -1 ELSE 1 END), 6) END AS gps_lat,
+       CASE WHEN doc_id % 3 = 0
+            THEN round((doc_id % 180 + (doc_id % 60) / 60.0)
+                       * (CASE WHEN doc_id % 4 < 2 AND
+                               doc_id % 180 + doc_id % 60 > 0
+                               THEN -1 ELSE 1 END), 6) END AS gps_lon,
+       doc_id % 3 = 0 AS has_gps
+FROM documents
+""")
+def exif_gps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF privacy audit over a REAL JPEG corpus — the find-it step
+    before release-time metadata stripping (crawled photos carry
+    camera identifiers and GPS coordinates; training pipelines must
+    locate and remove them): documents synthesize into baseline JPEGs
+    (the existing codec fixture), synth_exif_jpegs splices
+    spec-conformant APP1 Exif segments by id residue (GPS +
+    camera / camera only / EXIF-free; TIFF byte order alternating
+    II/MM), and exif_features walks the marker stream, the TIFF IFDs,
+    and the GPS sub-IFD (operators/exif.py). The oracle replays every
+    field — camera strings, the DMS-to-decimal GPS arithmetic with
+    hemisphere signs, and the flags — from doc_id arithmetic; a
+    byte-order, offset-indirection, or rational-decode bug breaks the
+    hash-match. strip_exif (the act-on-it) is pinned byte-exact by
+    tests/test_exif.py."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.exif import (exif_features,
+                                               synth_exif_jpegs)
+    from mycelial_spark.operators.multimodal import synth_jpeg
+    docs = spread(_t(spark, sf_dir, "documents")) \
+        .withColumn("text", F.substring("text", 1, 48))
+    jpegs = synth_exif_jpegs(synth_jpeg(docs))
+    return (exif_features(jpegs)
+            .select(F.col("id").alias("doc_id"), "has_exif", "make",
+                    "model", "datetime", "gps_lat", "gps_lon",
+                    "has_gps"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

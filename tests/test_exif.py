@@ -1,0 +1,98 @@
+"""EXIF over JPEG (operators/exif.py, TIFF 6.0 + EXIF 2.3): marker
+scan, both TIFF byte orders, offset indirection, GPS sub-IFD,
+DMS-to-decimal conversion, byte-exact stripping."""
+
+import struct
+
+import pytest
+
+from mycelial_spark.operators import exif as E
+
+FAKE_JPEG = (b"\xff\xd8" + b"\xff\xdb\x00\x04\x00\x00"
+             + b"\xff\xda\x00\x02" + b"entropy bytes here")
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+@pytest.mark.parametrize("gps", [None, (37.5, -122.25),
+                                 (-33.85, 151.2), (0.0, 0.0)])
+def test_roundtrip(bo, gps):
+    app1 = E.encode_exif_app1("CamCo", "X100",
+                              "2024:01:05 10:00:00", gps,
+                              byte_order=bo)
+    j = E.insert_app1(FAKE_JPEG, app1)
+    e = E.parse_exif(j)
+    assert (e["make"], e["model"]) == ("CamCo", "X100")
+    assert e["datetime"] == "2024:01:05 10:00:00"
+    if gps is None:
+        assert e["gps_lat"] is None and e["gps_lon"] is None
+    else:
+        assert e["gps_lat"] == round(gps[0], 6)
+        assert e["gps_lon"] == round(gps[1], 6)
+        assert str(e["gps_lon"])[0] != "-" or gps[1] < 0  # no -0.0
+    # strip is byte-exact inverse of insert
+    assert E.strip_exif(j) == FAKE_JPEG
+    assert E.parse_exif(E.strip_exif(j)) is None
+
+
+def test_no_exif_and_rejects():
+    assert E.parse_exif(FAKE_JPEG) is None
+    with pytest.raises(ValueError, match="SOI"):
+        E.parse_exif(b"not a jpeg")
+    with pytest.raises(ValueError, match="SOI"):
+        E.strip_exif(b"PNG...")
+    # damaged TIFF: truncate the APP1 body so an IFD offset dangles
+    app1 = E.encode_exif_app1("A", "B", "2024:01:01 00:00:00",
+                              (10.5, 20.5))
+    # keep the segment length but zero the TIFF tail -> value offsets
+    # point beyond real data or the byte order marker breaks
+    broken = app1[:10] + b"XX" + app1[12:]  # TIFF at +10
+    with pytest.raises(ValueError, match="byte order"):
+        E.parse_exif(E.insert_app1(FAKE_JPEG, broken))
+    # declared value offset beyond the TIFF data
+    short = app1[:len(app1) - 24]
+    seglen = len(short) - 2
+    short = short[:2] + struct.pack(">H", seglen) + short[4:]
+    with pytest.raises(ValueError):
+        E.parse_exif(E.insert_app1(FAKE_JPEG, short))
+
+
+def test_exif_features_distributed(spark):
+    from mycelial_spark.operators.exif import (exif_features,
+                                               synth_exif_jpegs)
+    from mycelial_spark.operators.multimodal import synth_jpeg
+    docs = spark.createDataFrame(
+        [(i, f"tiny{i}") for i in range(9)],
+        "doc_id long, text string")
+    jpegs = synth_exif_jpegs(synth_jpeg(docs))
+    got = {r["id"]: r for r in exif_features(jpegs).collect()}
+    assert len(got) == 9
+    for i, r in got.items():
+        assert r["has_exif"] is (i % 3 != 2)
+        assert r["has_gps"] is (i % 3 == 0)
+        if i % 3 != 2:
+            assert r["make"] == f"CamCo{i % 5}"
+        if i % 3 == 0:
+            lat = (i % 90 + (i % 60) / 60.0) * (-1 if i % 2 else 1)
+            assert r["gps_lat"] == (0.0 if lat == 0 else round(lat, 6))
+    # poison tolerance
+    bad = spark.createDataFrame([(7, b"\xff\xd8\xffgarbage")],
+                                "id long, payload binary")
+    assert exif_features(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        exif_features(bad).count()
+
+
+def test_strip_keeps_pixels_decodable(spark):
+    """The remediation proof: stripping EXIF leaves the entropy data
+    untouched, so the codec's exact-regime decode is unchanged."""
+    from mycelial_spark.operators.exif import (encode_exif_app1,
+                                               insert_app1, strip_exif)
+    from mycelial_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    import numpy as np
+    px = np.full((16, 32, 3), 77, dtype=np.uint8)
+    j = encode_jpeg(px, quant_all_ones=True)
+    tagged = insert_app1(j, encode_exif_app1(
+        "C", "M", "2024:01:01 00:00:00", (1.5, -2.5)))
+    assert strip_exif(tagged) == j
+    assert np.array_equal(decode_jpeg(strip_exif(tagged)),
+                          decode_jpeg(j))
