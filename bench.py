@@ -125,7 +125,10 @@ HEADLINE = [
     "recrawl_schedule",
     "language_mix",
     "quality_ensemble",
-    "exif_gps_audit",
+    # exif_gps_audit is correctness-gated but NOT headline: its wall
+    # clock is ~95% fixture JPEG ENCODE (pure-Python Huffman), which
+    # would benchmark the test harness, not the metadata walk.
+    "secret_scan",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

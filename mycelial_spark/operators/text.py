@@ -895,6 +895,48 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("redacted", red)
 
 
+#: Credential shapes (name, pattern, redaction tag). Patterns are
+#: anchored by their vendor prefixes (high precision — the public
+#: secret-scanning approach), use no lookaround/backreference, and are
+#: therefore portable to RE2-family oracle engines verbatim.
+SECRET_PATTERNS: list[tuple[str, str, str]] = [
+    ("aws_key", r"AKIA[0-9A-Z]{16}", "[AWS_KEY]"),
+    ("github_token", r"ghp_[A-Za-z0-9]{36}", "[GH_TOKEN]"),
+    ("slack_token", r"xox[abpr]-[0-9A-Za-z-]{10,}", "[SLACK_TOKEN]"),
+    ("google_key", r"AIza[0-9A-Za-z_-]{35}", "[GOOGLE_KEY]"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+     "[PRIVATE_KEY]"),
+    ("jwt", r"eyJ[A-Za-z0-9_-]{10,}\.eyJ[A-Za-z0-9_-]{10,}\.",
+     "[JWT]"),
+]
+
+
+def with_secret_scan(df: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Credential hygiene — the scrub no pretraining corpus ships
+    without: leaked cloud keys, API tokens, PEM blocks, and JWTs in
+    crawled code/docs get memorized and regurgitated, so the scan +
+    redaction is a release gate next to redact_pii. Appends per-type
+    counts (``n_aws_key`` …, counted BEFORE redaction), ``n_secrets``,
+    ``has_secrets``, and the scrubbed ``secrets_redacted`` column.
+    One codegen projection (chained regexp_count / regexp_replace),
+    zero shuffle at any scale; every pattern is RE2-portable so SQL
+    oracles replay both the counts and the redaction verbatim."""
+    c = F.col(text_col)
+    out = df
+    total = F.lit(0)
+    for name, pat, _tag in SECRET_PATTERNS:
+        cnt = F.regexp_count(c, F.lit(pat))
+        out = out.withColumn(f"n_{name}", cnt)
+        total = total + cnt
+    red = c
+    for _name, pat, tag in SECRET_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    return (out.withColumn("n_secrets", total)
+               .withColumn("has_secrets", total > 0)
+               .withColumn("secrets_redacted", red))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      ngram: int = 3) -> DataFrame:
     """64-bit doc fingerprint + rolling n-gram fingerprint set.

@@ -167,6 +167,43 @@ def probe_crawl_front(spark, factors=(1, 4, 16)):
                           "sec": round(time.time() - t0, 2)}))
 
 
+def probe_gates(spark, factors=(1, 16)):
+    """markdown / language_mix / quality_ensemble / exif audit: all
+    scan-riders or metadata-sized walks — expect flat-to-linear."""
+    from mycelial_spark.operators.exif import (exif_features,
+                                               synth_exif_jpegs)
+    from mycelial_spark.operators.multimodal import synth_jpeg
+    from mycelial_spark.operators.text import (with_c4_filters,
+                                               with_char_diversity,
+                                               with_gopher_quality,
+                                               with_language_mix,
+                                               with_markdown_text,
+                                               with_mojibake_score)
+    for factor in factors:
+        docs = _dup_docs(spark, factor).localCheckpoint()
+        for name, make in (
+                ("markdown_extract",
+                 lambda: with_markdown_text(docs)),
+                ("language_mix", lambda: with_language_mix(docs)),
+                ("quality_ensemble",
+                 lambda: with_char_diversity(with_mojibake_score(
+                     with_c4_filters(with_gopher_quality(docs)))))):
+            t0 = time.time()
+            out_rows = _force(make())
+            print(json.dumps({"op": name, "factor": factor,
+                              "out_rows": out_rows,
+                              "sec": round(time.time() - t0, 2)}))
+        short = docs.select("doc_id",
+                            F.substring("text", 1, 48).alias("text")) \
+            .localCheckpoint()
+        t0 = time.time()
+        out_rows = _force(exif_features(
+            synth_exif_jpegs(synth_jpeg(short))))
+        print(json.dumps({"op": "exif_gps_audit", "factor": factor,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+
+
 def main():
     ops = "containers,prep"
     for a in sys.argv[1:]:
@@ -181,8 +218,11 @@ def main():
         probe_prep(spark)
     if "crawl_front" in ops:
         probe_crawl_front(spark)
+    if "gates" in ops:
+        probe_gates(spark)
 
 
 if __name__ == "__main__":
     main()
+
 
