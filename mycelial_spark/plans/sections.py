@@ -1852,6 +1852,110 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("markdown_text", "transform", "dataframe", "dataframe",
+           [Field("md_col", default="text")],
+           doc="Markdown -> plain text (fences stripped, code kept; "
+               "links/images -> anchor/alt; header/quote/rule/"
+               "emphasis/inline-code markers removed) + n_links / "
+               "n_fence_lines structure-density counts, as a node.")
+def markdown_text_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_markdown_text
+    return with_markdown_text(inputs[0], cfg["md_col"])
+
+
+@_register("mojibake_score", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Encoding-damage signals (U+FFFD, UTF-8-as-Latin-1 "
+               "markers, C1 controls, per-1k rate, clean flag) as a "
+               "node — the crawl-hygiene gate next to gopher_quality.")
+def mojibake_score_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_mojibake_score
+    return with_mojibake_score(inputs[0], cfg["text_col"])
+
+
+@_register("compression_ratio", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("level", "int", 6)],
+           doc="zlib compressed/raw size per document (Arrow-batched) "
+               "— the repetitive-junk detector, as a node.")
+def compression_ratio_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_compression_ratio
+    return with_compression_ratio(inputs[0], cfg["text_col"],
+                                  cfg["level"])
+
+
+@_register("char_diversity", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Simpson-complement character diversity (integer-exact "
+               "repetition/gibberish signal) as a node.")
+def char_diversity_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_char_diversity
+    return with_char_diversity(inputs[0], cfg["text_col"])
+
+
+@_register("c4_filters", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="C4 cleaning signals (line retention, sentence floor, "
+               "page tells, c4_pass) as a node.")
+def c4_filters_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_c4_filters
+    return with_c4_filters(inputs[0], cfg["text_col"])
+
+
+@_register("gopher_repetition", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Gopher repetition filters (top-gram mass, duplicated "
+               "line/paragraph mass) as a node.")
+def gopher_repetition_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_gopher_repetition
+    return with_gopher_repetition(inputs[0], cfg["text_col"])
+
+
+@_register("secret_scan", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Credential scan + redaction (AWS/GitHub/Slack/Google "
+               "keys, PEM blocks, JWTs): per-type counts, has_secrets, "
+               "secrets_redacted — the release gate next to "
+               "pii_redaction.")
+def secret_scan_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_secret_scan
+    return with_secret_scan(inputs[0], cfg["text_col"])
+
+
+@_register("language_mix", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="Per-line language verdicts folded into a code-"
+               "switching profile (main_lang, n_langs, mixed-line "
+               "fraction) as a node.")
+def language_mix_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_language_mix
+    return with_language_mix(inputs[0], cfg["text_col"])
+
+
+@_register("fim_split", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text"),
+            Field("id_col", default="doc_id")],
+           doc="Fill-in-the-middle PSM transform (Knuth-hash split "
+               "points, deterministic and engine-exact) as a node.")
+def fim_split_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import fim_split
+    return fim_split(inputs[0], cfg["text_col"], cfg["id_col"])
+
+
+@_register("pack_dialogue", "transform", "dataframe", "dataframe",
+           [Field("group_col", default="user_id"),
+            Field("ts_col", default="ts"),
+            Field("id_col", default="event_id"),
+            Field("content_col", default="event_type")],
+           doc="Chat-template dialogue assembly (one windowless "
+               "aggregate, array_sort + index-parity roles) as a "
+               "node — the SFT-prep step.")
+def pack_dialogue_(spark, cfg, inputs):
+    from mycelial_spark.operators.sampling import pack_dialogue
+    return pack_dialogue(inputs[0], cfg["group_col"], cfg["ts_col"],
+                         cfg["id_col"], cfg["content_col"])
+
+
 @_register("exif_features", "transform", "bin_or_dataframe",
            "dataframe", [Field("on_error", default="raise")],
            doc="EXIF privacy audit per JPEG payload: camera make/"

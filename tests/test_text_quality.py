@@ -237,3 +237,34 @@ def test_secret_scan(spark):
     plan = with_secret_scan(df)._jdf.queryExecution().executedPlan() \
         .toString()
     assert "Exchange" not in plan
+
+
+def test_new_text_sections_parity(spark):
+    """Every r9 text/prep operator is reachable from TOML: section
+    registration + one-row execution per node."""
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(1, "# T\nthe quick and the lazy of it is. Yes! More? Done.")],
+        "doc_id long, text string")
+    for name, col in (("markdown_text", "md_text"),
+                      ("mojibake_score", "encoding_clean"),
+                      ("compression_ratio", "compression_ratio"),
+                      ("char_diversity", "char_diversity"),
+                      ("c4_filters", "c4_pass"),
+                      ("gopher_repetition", None),
+                      ("secret_scan", "secrets_redacted"),
+                      ("language_mix", "main_lang"),
+                      ("fim_split", "fim_psm")):
+        sdef = REGISTRY.get(name)
+        cfg = sdef.validate_config({"type": name})
+        out = sdef.builder(spark, cfg, [docs])
+        row = out.collect()[0]
+        if col:
+            assert row[col] is not None, name
+    ev = spark.createDataFrame(
+        [(10, __import__("datetime").datetime(2024, 1, 1), 5, "open")],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    sdef = REGISTRY.get("pack_dialogue")
+    out = sdef.builder(spark, sdef.validate_config(
+        {"type": "pack_dialogue"}), [ev]).collect()
+    assert out[0]["dialogue"] == "user: open #5"
