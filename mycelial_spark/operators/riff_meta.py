@@ -1,0 +1,161 @@
+"""RIFF LIST-INFO metadata over WAV (Multimedia Programming Interface
+and Data Specifications 1.0, the public RIFF spec) — the audio half of
+release-time metadata hygiene, pairing with the image EXIF leg: WAVs
+from field recorders and editors carry artist / creation-date /
+software / title tags that identify people and tooling, and a corpus
+release must audit and strip them.
+
+- `parse_info` walks the top-level RIFF chunks (reusing the AVI leg's
+  `_riff_chunks` — same spec, same padding rules) to the LIST/INFO
+  chunk and decodes its NUL-terminated sub-chunks.
+- `encode_info_list` / `insert_info` build deterministic fixtures
+  (LIST appended after the data chunk with the RIFF size patched —
+  the layout editors actually write).
+- `strip_info` removes LIST-INFO chunks and re-patches the size —
+  byte-exact inverse of insertion; the data chunk is untouched so
+  audio decodes identically (stdlib wave stops at 'data' anyway).
+- `audio_metadata` is the Arrow-batched Spark surface.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+#: INFO sub-chunk fourcc -> output column
+INFO_TAGS = {b"IART": "artist", b"ICRD": "created",
+             b"ISFT": "software", b"INAM": "title"}
+
+
+def _require_riff_wave(payload: bytes) -> bytes:
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    return payload
+
+
+def encode_info_list(tags: "dict[str, str]") -> bytes:
+    """LIST/INFO chunk from column-name -> value (spec-conformant:
+    NUL-terminated values, even-byte padding)."""
+    rev = {v: k for k, v in INFO_TAGS.items()}
+    body = bytearray(b"INFO")
+    for name, value in sorted(tags.items()):
+        raw = value.encode("utf-8") + b"\x00"
+        body += rev[name] + struct.pack("<I", len(raw)) + raw
+        if len(raw) & 1:
+            body += b"\x00"
+    return b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+
+
+def insert_info(wav: bytes, info_chunk: bytes) -> bytes:
+    """Append a LIST chunk after the existing chunks and patch the
+    RIFF size — the layout editors write."""
+    wav = _require_riff_wave(wav)
+    new_size = struct.unpack_from("<I", wav, 4)[0] + len(info_chunk)
+    return (wav[:4] + struct.pack("<I", new_size) + wav[8:]
+            + info_chunk)
+
+
+def parse_info(wav: bytes) -> "dict | None":
+    """INFO tags from a WAV's LIST/INFO chunk, or None when absent."""
+    from mycelial_spark.operators.multimodal import _riff_chunks
+    wav = _require_riff_wave(wav)
+    end = min(len(wav), 8 + struct.unpack_from("<I", wav, 4)[0])
+    for ckid, start, size in _riff_chunks(wav, 12, end):
+        if ckid != b"LIST" or wav[start:start + 4] != b"INFO":
+            continue
+        out = {v: None for v in INFO_TAGS.values()}
+        for sub, sstart, ssize in _riff_chunks(wav, start + 4,
+                                               start + size):
+            if sub in INFO_TAGS:
+                out[INFO_TAGS[sub]] = wav[sstart:sstart + ssize] \
+                    .split(b"\x00")[0].decode("utf-8", "replace")
+        return out
+    return None
+
+
+def strip_info(wav: bytes) -> bytes:
+    """Remove every LIST/INFO chunk and re-patch the RIFF size —
+    byte-exact inverse of insert_info; data untouched."""
+    from mycelial_spark.operators.multimodal import _riff_chunks
+    wav = _require_riff_wave(wav)
+    end = min(len(wav), 8 + struct.unpack_from("<I", wav, 4)[0])
+    out = bytearray(wav[:12])
+    for ckid, start, size in _riff_chunks(wav, 12, end):
+        if ckid == b"LIST" and wav[start:start + 4] == b"INFO":
+            continue
+        out += wav[start - 8:start + size + (size & 1)]
+    out[4:8] = struct.pack("<I", len(out) - 8)
+    return bytes(out)
+
+
+AUDIO_META_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("has_info", T.BooleanType()),
+    T.StructField("artist", T.StringType()),
+    T.StructField("created", T.StringType()),
+    T.StructField("software", T.StringType()),
+    T.StructField("title", T.StringType()),
+])
+
+
+def audio_metadata(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """INFO-tag audit per WAV payload (AUDIO_META_SCHEMA) over Arrow
+    batches — the find-it step; strip_info is the act-on-it."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    info = parse_info(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid),
+                             "has_info": info is not None,
+                             **{k: (info or {}).get(k)
+                                for k in ("artist", "created",
+                                          "software", "title")}})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_META_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, AUDIO_META_SCHEMA)
+
+
+def synth_info_wavs(wavs: DataFrame, id_col: str = "id") -> DataFrame:
+    """Test-fixture adapter: splice deterministic INFO tags into WAV
+    payloads by id residue — id % 3 == 0 gets all four tags, == 1 gets
+    artist only, == 2 stays tag-free."""
+    from pyspark.sql import functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, payload in zip(pdf[id_col], pdf["payload"]):
+                did = int(did)
+                p = bytes(payload)
+                if did % 3 == 0:
+                    p = insert_info(p, encode_info_list(
+                        {"artist": f"artist{did % 5}",
+                         "created": f"2024-01-{1 + did % 28:02d}",
+                         "software": "mycelial_spark",
+                         "title": f"doc {did}"}))
+                elif did % 3 == 1:
+                    p = insert_info(p, encode_info_list(
+                        {"artist": f"artist{did % 5}"}))
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return (wavs.select(F.col(id_col).alias(id_col), "payload")
+            .mapInPandas(run, "id long, payload binary"))

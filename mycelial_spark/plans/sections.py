@@ -1990,6 +1990,38 @@ def exif_strip_(spark, cfg, inputs):
         run, "id long, payload binary")
 
 
+@_register("audio_metadata", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="RIFF LIST/INFO audit per WAV payload (artist/created/"
+               "software/title) — the audio half of release-time "
+               "metadata hygiene, next to exif_features.")
+def audio_metadata_(spark, cfg, inputs):
+    from mycelial_spark.operators.riff_meta import audio_metadata
+    return audio_metadata(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("audio_metadata_strip", "transform", "bin_or_dataframe",
+           "bin", [],
+           doc="Remove LIST/INFO chunks from WAV payloads — the "
+               "act-on-it; data chunk untouched, byte-exactness "
+               "pinned in tests/test_riff_meta.py.")
+def audio_metadata_strip_(spark, cfg, inputs):
+    import pandas as pd
+
+    from mycelial_spark.operators.riff_meta import strip_info
+    df = _payload_frame(inputs[0])
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"id": [int(x) for x in pdf["id"]],
+                 "payload": [strip_info(bytes(p))
+                             for p in pdf["payload"]]})
+
+    return df.select("id", "payload").mapInPandas(
+        run, "id long, payload binary")
+
+
 @_register("decoded_text", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="Charset detection + transcoding for raw text bytes: "

@@ -2589,6 +2589,41 @@ def secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_secrets", "secrets_redacted")
 
 
+@query("audio_metadata_audit", """
+SELECT doc_id,
+       doc_id % 3 <> 2 AS has_info,
+       CASE WHEN doc_id % 3 <> 2
+            THEN 'artist' || CAST(doc_id % 5 AS VARCHAR) END AS artist,
+       CASE WHEN doc_id % 3 = 0
+            THEN '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR),
+                                    2, '0') END AS created,
+       CASE WHEN doc_id % 3 = 0 THEN 'mycelial_spark' END AS software,
+       CASE WHEN doc_id % 3 = 0
+            THEN 'doc ' || CAST(doc_id AS VARCHAR) END AS title
+FROM documents
+""")
+def audio_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio metadata hygiene — the WAV half of release-time metadata
+    stripping, pairing with exif_gps_audit (field recorders and
+    editors tag files with artist / date / software / title):
+    documents synthesize into real PCM WAVs, synth_info_wavs splices
+    spec-conformant LIST/INFO chunks by id residue (all tags / artist
+    only / tag-free), and audio_metadata walks the RIFF chunks —
+    even-byte padding, NUL-terminated values — to decode them
+    (operators/riff_meta.py). The oracle replays every tag from id
+    arithmetic; strip_info (the act-on-it) is pinned byte-exact by
+    tests/test_riff_meta.py."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.multimodal import synth_wav
+    from mycelial_spark.operators.riff_meta import (audio_metadata,
+                                                    synth_info_wavs)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    wavs = synth_info_wavs(synth_wav(docs))
+    return (audio_metadata(wavs)
+            .select(F.col("id").alias("doc_id"), "has_info", "artist",
+                    "created", "software", "title"))
+
+
 @query("c4_filters", """
 WITH t AS (
   SELECT doc_id, text, lower(text) AS low,

@@ -1,0 +1,82 @@
+"""RIFF LIST-INFO metadata (operators/riff_meta.py): chunk walking
+with even-byte padding, NUL-terminated values, byte-exact stripping —
+the audio half of release-time metadata hygiene."""
+
+import io
+import wave
+
+import pytest
+
+from mycelial_spark.operators import riff_meta as R
+
+
+def _wav(frames: bytes = b"ab" * 50) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_roundtrip_and_padding():
+    base = _wav()
+    tags = {"artist": "artist3", "created": "2024-01-05",
+            "software": "mycelial_spark", "title": "doc 7"}
+    tagged = R.insert_info(base, R.encode_info_list(tags))
+    assert R.parse_info(tagged) == tags
+    assert R.parse_info(base) is None
+    assert R.strip_info(tagged) == base           # byte-exact inverse
+    # odd-length value exercises the pad byte; absent tags stay None
+    t2 = R.insert_info(base, R.encode_info_list({"artist": "ab"}))
+    got = R.parse_info(t2)
+    assert got["artist"] == "ab" and got["title"] is None
+    assert R.strip_info(t2) == base
+    # stdlib wave still decodes a tagged file (stops at 'data')
+    with wave.open(io.BytesIO(tagged)) as w:
+        assert w.getnframes() == 50
+
+
+def test_rejects_and_truncation():
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        R.parse_info(b"not riff at all")
+    base = _wav()
+    tagged = R.insert_info(base, R.encode_info_list({"artist": "x"}))
+    # truncate inside the LIST chunk: declared size beyond the end
+    with pytest.raises(ValueError, match="truncated"):
+        R.parse_info(tagged[:len(tagged) - 3])
+
+
+def test_audio_metadata_distributed_and_sections(spark):
+    from mycelial_spark.operators.multimodal import synth_wav
+    from mycelial_spark.operators.riff_meta import (audio_metadata,
+                                                    synth_info_wavs)
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"audio body {i} " * 4) for i in range(9)],
+        "doc_id long, text string")
+    wavs = synth_info_wavs(synth_wav(docs))
+    got = {r["id"]: r for r in audio_metadata(wavs).collect()}
+    assert len(got) == 9
+    for i, r in got.items():
+        assert r["has_info"] is (i % 3 != 2)
+        if i % 3 != 2:
+            assert r["artist"] == f"artist{i % 5}"
+        assert (r["software"] == "mycelial_spark") is (i % 3 == 0)
+    # strip section: every payload comes back tag-free and identical
+    # to the pre-splice WAV
+    sdef = REGISTRY.get("audio_metadata_strip")
+    stripped = sdef.builder(
+        spark, sdef.validate_config({"type": "audio_metadata_strip"}),
+        [wavs])
+    originals = {r["id"]: bytes(r["payload"])
+                 for r in synth_wav(docs).collect()}
+    for r in stripped.collect():
+        assert bytes(r["payload"]) == originals[r["id"]]
+    # poison tolerance
+    bad = spark.createDataFrame([(5, b"RIFFxxxxNOPE")],
+                                "id long, payload binary")
+    assert audio_metadata(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        audio_metadata(bad).count()
