@@ -127,7 +127,9 @@ HEADLINE = [
     "quality_ensemble",
     # exif_gps_audit is correctness-gated but NOT headline: its wall
     # clock is ~95% fixture JPEG ENCODE (pure-Python Huffman), which
-    # would benchmark the test harness, not the metadata walk.
+    # would benchmark the test harness, not the metadata walk. The
+    # WAV twin's fixture is cheap, so it headlines:
+    "audio_metadata_audit",
     "secret_scan",
     "mojibake_score",
     "compression_ratio",
