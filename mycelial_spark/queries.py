@@ -2159,25 +2159,41 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("charset_decode", """
 SELECT doc_id,
-       CASE CAST(doc_id % 5 AS INT)
+       CASE CAST(doc_id % 10 AS INT)
             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
             WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
-            ELSE 'windows-1252' END AS encoding,
-       CASE WHEN doc_id % 5 = 4
-            THEN text || ' ' || chr(8220) || 'quoted' || chr(8221)
+            WHEN 4 THEN 'windows-1252'
+            WHEN 5 THEN 'shift_jis' WHEN 6 THEN 'euc_kr'
+            WHEN 7 THEN 'gb18030' WHEN 8 THEN 'big5'
+            ELSE 'utf-16-le' END AS encoding,
+       CASE CAST(doc_id % 10 AS INT)
+            WHEN 4 THEN text || ' ' || chr(8220) || 'quoted' || chr(8221)
+            WHEN 5 THEN '文書' || CAST(doc_id AS VARCHAR)
+                     || '、日本語の資料です。かなと漢字を含む。'
+            WHEN 6 THEN '문서 ' || CAST(doc_id AS VARCHAR)
+                     || ' 한국어 자료입니다. 한글 텍스트.'
+            WHEN 7 THEN '文档' || CAST(doc_id AS VARCHAR)
+                     || '，简体中文语料样本。'
+            WHEN 8 THEN '文件' || CAST(doc_id AS VARCHAR)
+                     || '，繁體中文語料樣本。'
             ELSE text END AS text_out
 FROM documents
 """)
 def charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset detection + transcoding end-to-end (sources/charset.py):
-    each document's text encodes into one of five real byte forms by
-    id residue (plain UTF-8, UTF-8 BOM, UTF-16 LE/BE with BOMs,
+    each document's text encodes into one of TEN real byte forms by id
+    residue (plain UTF-8, UTF-8 BOM, UTF-16 LE/BE with BOMs,
     Windows-1252 whose smart quotes make the bytes INVALID UTF-8 so
-    the ladder must fall through) and decoded_text runs the detection
-    ladder — BOM-authoritative, UTF-8 self-validation, 1252 fallback.
+    the ladder must fall through, the four legacy CJK codecs
+    shift_jis/euc_kr/gb18030/big5 over deterministic CJK templates,
+    and BOM-less UTF-16-LE caught by the NUL-parity rung) and
+    decoded_text runs the detection ladder — BOM-authoritative with
+    strict-decode fallthrough, NUL-parity UTF-16 sniff, UTF-8
+    self-validation, plausibility-scored CJK rungs, 1252 fallback.
     The oracle replays the expected label and the decoded text
-    including the transcoded smart quotes — a mis-detected encoding or
-    a BOM left in the text breaks the hash-match."""
+    (CJK_TEMPLATES is the shared source of truth) — a mis-detected
+    encoding (e.g. CJK bytes landing as cp1252 mojibake) or a BOM left
+    in the text breaks the hash-match."""
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.sources.charset import decoded_text, synth_encoded
     docs = spread(_t(spark, sf_dir, "documents"))

@@ -1,19 +1,50 @@
 """Character-set detection and transcoding: real crawls deliver bytes,
 not strings — UTF-8 with and without BOM, UTF-16/32 of either
-endianness, and a long tail of Windows-1252 that lies about being
-Latin-1. Every container leg upstream of text operators needs this
-step when the source stops being synthetic (reference parity: the
-reference normalizes at its SQLite/Postgres type boundary,
-`sections/sqlite_connector/src/source.rs` Any-normalization; a crawl
-engine has to do it from raw bytes).
+endianness, the legacy CJK encodings (Shift-JIS, EUC-KR, GB18030,
+Big5) that still dominate older Asian-web archives, and a long tail of
+Windows-1252 that lies about being Latin-1. Every container leg
+upstream of text operators needs this step when the source stops being
+synthetic (reference parity: the reference normalizes at its SQLite/
+Postgres type boundary, `sections/sqlite_connector/src/source.rs`
+Any-normalization; a crawl engine has to do it from raw bytes).
 
-`detect_decode` implements the deterministic detection ladder real
-pipelines use (WHATWG-encoding-style BOM sniffing first, because a BOM
-is authoritative; then strict UTF-8, because UTF-8 is self-validating
-— random non-UTF-8 bytes form valid UTF-8 with negligible probability;
-then Windows-1252 with a Latin-1 backstop for the five unmapped C1
-bytes). `decoded_text` is the Arrow-batched Spark surface, one row in
--> (encoding, text) out, a narrow map like every codec leg.
+`detect_decode` implements a deterministic detection ladder:
+
+1. BOM sniffing (WHATWG-style longest-prefix), with a strict-decode
+   FALLTHROUGH: if the BOM-selected codec's strict decode fails, the
+   next shorter matching BOM interpretation is tried before giving up
+   (``FF FE 00 00`` + invalid-UTF-32 tail → retry as UTF-16-LE). One
+   ambiguity is inherent and cannot be repaired: a UTF-16-LE document
+   whose first character is U+0000 starts ``FF FE 00 00``, byte-
+   identical to the UTF-32-LE BOM — when the UTF-32 interpretation
+   also decodes cleanly (length % 4 == 0, valid code points) we keep
+   UTF-32-LE. This is exactly why WHATWG refuses to sniff UTF-32 at
+   all; we sniff it because UTF-32 files exist in archives, and we
+   accept mislabeling the pathological NUL-leading UTF-16 file (real
+   text does not start with NUL). The policy is pinned in
+   tests/test_charset.py::test_bom_ambiguity_policy.
+2. BOM-less UTF-16 via NUL-byte parity: mostly-ASCII UTF-16 text has
+   a NUL in every other byte, all on one parity. (BOM-less UTF-16 CJK
+   text has few NULs and is NOT caught here — it falls through and may
+   land in a CJK rung or 1252; an inherent sniffing limit.)
+3. Strict UTF-8 (self-validating — random non-UTF-8 bytes form valid
+   UTF-8 with negligible probability).
+4. Scored CJK rungs (shift_jis, euc_kr, gb18030, big5): every codec
+   that strictly decodes is SCORED — fraction of CJK characters that
+   are plausible (kana / hangul / CJK punctuation / frequent hanzi),
+   damped by script purity (a decode mixing hangul and han heavily is
+   a misread) — and the best scorer above 0.5 wins. Strict decode
+   success alone is NOT enough: cp1252 smart-quote bytes form valid
+   Shift-JIS pairs, EUC-KR bytes decode as GBK hanzi, Big5 pairs
+   decode as GB18030 — frequency scoring is what real detectors use
+   to tell them apart. ORDERING HAZARD: these rungs must sit after
+   UTF-8 (else UTF-8 CJK text gets claimed) and before cp1252 (which
+   never fails and would swallow every CJK document as mojibake).
+5. Windows-1252 with a Latin-1 backstop for its five unmapped bytes.
+   Must stay LAST — it accepts any byte string.
+
+`decoded_text` is the Arrow-batched Spark surface, one row in ->
+(encoding, text) out, a narrow map like every codec leg.
 """
 
 from __future__ import annotations
@@ -26,33 +57,198 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 # BOM table, longest-prefix first (UTF-32 BOMs contain UTF-16 BOMs).
-_BOMS: list[tuple[bytes, str]] = [
-    (b"\xff\xfe\x00\x00", "utf-32-le"),
-    (b"\x00\x00\xfe\xff", "utf-32-be"),
-    (b"\xef\xbb\xbf", "utf-8-sig"),
-    (b"\xff\xfe", "utf-16-le"),
-    (b"\xfe\xff", "utf-16-be"),
+_BOMS: list[tuple[bytes, str, str]] = [
+    (b"\xff\xfe\x00\x00", "utf-32-le", "utf-32-le"),
+    (b"\x00\x00\xfe\xff", "utf-32-be", "utf-32-be"),
+    (b"\xef\xbb\xbf", "utf-8-sig", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be", "utf-16-be"),
+]
+
+# Frequent hanzi (simplified + traditional + Japanese-common forms) —
+# the plausibility table for the CJK scoring rungs. A codec misread
+# produces essentially uniform code points over the dense hanzi
+# planes, so its hit rate against this ~1000-char set is near zero,
+# while genuine text (Zipf-distributed) hits it heavily. Kana, hangul
+# syllables, and CJK punctuation are whole-block plausible and need no
+# table.
+_COMMON_HAN = frozenset(
+    "的一是不了人我在有他这为之大来以个中上们到说国和地也子时道出而"
+    "要于就下得可你年生自会那后能对着事其里所去行过家十用发天如然作"
+    "方成者多日都三小军二无同么经法当起与好看学进种将还分此心前面又"
+    "定见只主没公从问使明力尔把等产或新己制身果加西斯月话合回特代内"
+    "信表化老给世位次度门任常先海通教儿原东声提立及比员解水名真论处"
+    "走义各入几口认条平系气题活更别打女变四神总何电数安少报才结反受"
+    "目太量再感建务做接必场件计管期市直德资命山金指克许统区保至队形"
+    "社便空决治展马科司五基眼书非则听白却界达光放强即像难且权思王象"
+    "完设式色路记南品住告类求据程北边死张该交规万取拉格望觉术领共确"
+    "传师观清今切院让识候带导争运笑飞风步改收根干造言联持组每济车亲"
+    "极林服快办议往元英士证近失转夫令准布始怎呢存未远叫台单影具罗字"
+    "爱击流备兵连调深商算质团集百需价花党华城石级整府离况亚请技际约"
+    "示复病息究线似官火断精满支视消越器容照须九增研写称企八功吗包片"
+    "史委乎查轻易早曾除农找装广显吧阿李标谈吃图念六引历首医局突专费"
+    "号尽另周较注语仅考落青随选列武红响虽推势参希古众构房半节土投某"
+    "案黑维革划敌致陈律足态护七兴派孩验责营星够章音跟志底站严巴例防"
+    "族供效续施留讲型料终答紧黄绝奇察母京段依批群项故按河米围江织害"
+    "斗双境客纪采举杀攻父苏密低朝友诉止细愿千值仍男钱破网热助倒育属"
+    "档样简"
+    # traditional forms and common traditional-only characters
+    "這為來個們說國時過後能對裡麼經當與學進種將還書觀點議長門問題間"
+    "題體讓給張島處礙號稱臺灣應該當選舉辦發現場實際標準備戰爭議員會"
+    "語言文字資料庫統計畫圖書館讀寫聽講話說話電腦網路系統設計開發測"
+    "試編號繁體簡檔頭條紅綠藍顏色數學歷史地理科術藝術音樂運動員專業"
+    "東西南北風雨雲雪山水火木金土日月星辰天地人心手足口耳目頭身體健"
+    "康醫療藥品食物飲料茶酒飯麵包魚肉菜果樹花草蟲鳥獸馬牛羊豬狗貓鼠"
+    "樣檔"
+    # Japanese-common kanji beyond the above
+    "資料仕事会社私達彼女子供先生学校勉強宿題試験漢字仮名平片外国際"
+    "化庁都府県市町村駅電車新幹線飛行機空港旅行観光温泉神社寺院城桜"
+)
+
+# (label, codec) in tie-break order. gb18030 before big5 so that
+# Han-only text with EQUAL plausibility prefers the codec whose decode
+# of the other's bytes scores lower in practice (see the margins
+# pinned in tests/test_charset.py::test_cjk_detection).
+_CJK_CODECS: list[tuple[str, str]] = [
+    ("shift_jis", "shift_jis"),
+    ("euc_kr", "euc_kr"),
+    ("gb18030", "gb18030"),
+    ("big5", "big5"),
 ]
 
 
+def _char_class(ch: str) -> str:
+    o = ord(ch)
+    if o < 0x80:
+        return "ascii"
+    if 0x3041 <= o <= 0x30FF:
+        return "kana"
+    if 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF \
+            or 0x3130 <= o <= 0x318F:
+        return "hangul"
+    if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
+        return "han"
+    if 0x3000 <= o <= 0x303F or 0xFF01 <= o <= 0xFF60:
+        return "cjkpunct"
+    if 0xFF61 <= o <= 0xFF9F:
+        return "halfkana"
+    return "other"
+
+
+def _cjk_plausibility(text: str) -> float | None:
+    """Score a candidate CJK decode in [0.5, 1], or None if rejected.
+    score = (plausible-char fraction of CJK chars) × (script purity).
+    Gates: ≥4 CJK chars, CJK ≥ 2/3 of non-ASCII, score ≥ 0.5. Purity
+    (the larger of kana+han vs hangul, over all CJK letters) kills
+    misreads that scatter across scripts — e.g. GB bytes decoded as
+    EUC-KR land half in hangul, half in hanzi."""
+    counts: dict[str, int] = {}
+    for ch in text:
+        cc = _char_class(ch)
+        counts[cc] = counts.get(cc, 0) + 1
+    kana = counts.get("kana", 0)
+    hangul = counts.get("hangul", 0)
+    han = counts.get("han", 0)
+    punct = counts.get("cjkpunct", 0)
+    halfkana = counts.get("halfkana", 0)
+    cjk = kana + hangul + han + punct + halfkana
+    non_ascii = sum(v for k, v in counts.items() if k != "ascii")
+    if cjk < 4 or non_ascii == 0 or cjk / non_ascii < 2 / 3:
+        return None
+    letters = kana + hangul + han + halfkana
+    purity = max(kana + han, hangul) / letters if letters else 0.0
+    common = 0
+    for ch in text:
+        cc = _char_class(ch)
+        if cc in ("kana", "hangul", "cjkpunct"):
+            common += 1
+        elif cc == "han" and ch in _COMMON_HAN:
+            common += 1
+    score = (common / cjk) * purity
+    return score if score >= 0.5 else None
+
+
+def _try_cjk(payload: bytes) -> tuple[str, str] | None:
+    # cheap pre-gate: CJK multibyte text is dense in high bytes
+    high = sum(1 for b in payload if b >= 0x80)
+    if high < 4 or (payload and high / len(payload) < 0.02):
+        return None
+    best: tuple[float, str, str] | None = None
+    for label, codec in _CJK_CODECS:
+        try:
+            text = payload.decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            continue
+        score = _cjk_plausibility(text)
+        if score is None:
+            continue
+        if best is None or score > best[0]:
+            best = (score, label, text)
+    return (best[1], best[2]) if best else None
+
+
+def _sniff_bomless_utf16(payload: bytes) -> tuple[str, str] | None:
+    """Mostly-ASCII UTF-16 without a BOM: every other byte is NUL, all
+    on one parity (odd → LE, even → BE). Conservative: requires ZERO
+    NULs on the opposite parity, ≥30% NUL on the claimed one, a clean
+    strict decode, and no NULs in the decoded text. Must run BEFORE
+    the UTF-8 rung — ASCII-only UTF-16 bytes are also valid UTF-8
+    (NUL is a legal UTF-8 byte) and would be swallowed as
+    NUL-riddled mojibake."""
+    n = len(payload)
+    if n < 8 or n % 2:
+        return None
+    even, odd = payload[0::2], payload[1::2]
+    nul_even, nul_odd = even.count(0), odd.count(0)
+    half = n // 2
+    for on_parity, off_parity, enc in ((nul_odd, nul_even, "utf-16-le"),
+                                       (nul_even, nul_odd, "utf-16-be")):
+        if off_parity == 0 and on_parity / half >= 0.30:
+            try:
+                text = payload.decode(enc)
+            except UnicodeDecodeError:
+                continue
+            if "\x00" not in text:
+                return enc, text
+    return None
+
+
 def detect_decode(payload: bytes) -> tuple[str, str]:
-    """(encoding_label, text). BOM first (authoritative, and stripped
-    by the named codec), then strict UTF-8, then Windows-1252 with a
-    Latin-1 fallback for its five unmapped bytes (0x81 0x8D 0x8F 0x90
-    0x9D map to the C1 controls, the Latin-1 identity — the common
-    practical choice, matching WHATWG's windows-1252 table)."""
+    """(encoding_label, text) via the five-rung ladder documented in
+    the module docstring: BOM (with strict-decode fallthrough to
+    shorter BOMs), NUL-parity BOM-less UTF-16, strict UTF-8, scored
+    CJK rungs, Windows-1252 with the Latin-1 backstop for its five
+    unmapped bytes (0x81 0x8D 0x8F 0x90 0x9D map to the C1 controls,
+    the Latin-1 identity — the common practical choice, matching
+    WHATWG's windows-1252 table). A payload whose matched BOM(s) all
+    fail strict decode raises (a BOM is authoritative: garbage after
+    one is damage, not 1252 text)."""
     payload = bytes(payload)
-    for bom, enc in _BOMS:
+    bom_error: UnicodeDecodeError | None = None
+    for bom, enc, codec in _BOMS:
         if payload.startswith(bom):
-            body = payload if enc == "utf-8-sig" else payload[len(bom):]
-            codec = {"utf-8-sig": "utf-8-sig", "utf-16-le": "utf-16-le",
-                     "utf-16-be": "utf-16-be", "utf-32-le": "utf-32-le",
-                     "utf-32-be": "utf-32-be"}[enc]
-            return enc, body.decode(codec)
+            body = payload if codec == "utf-8-sig" else payload[len(bom):]
+            try:
+                return enc, body.decode(codec)
+            except UnicodeDecodeError as exc:
+                # fall through to the next-shorter matching BOM
+                # (FF FE 00 00 + invalid-UTF-32 tail is UTF-16-LE
+                # text whose first char is NUL)
+                if bom_error is None:
+                    bom_error = exc
+                continue
+    if bom_error is not None:
+        raise bom_error
+    sniffed = _sniff_bomless_utf16(payload)
+    if sniffed is not None:
+        return sniffed
     try:
         return "utf-8", payload.decode("utf-8")
     except UnicodeDecodeError:
         pass
+    cjk = _try_cjk(payload)
+    if cjk is not None:
+        return cjk
     try:
         return "windows-1252", payload.decode("cp1252")
     except UnicodeDecodeError:
@@ -110,12 +306,28 @@ def decoded_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.select(*cols).mapInPandas(run, TEXT_SCHEMA)
 
 
+# CJK fixture templates, shared by synth_encoded, the charset_decode
+# oracle SQL, and the tests — (prefix, suffix) around the decimal id.
+# The id is ASCII so the oracle can rebuild the exact text in SQL; the
+# CJK body exercises each codec's multibyte planes (the document's own
+# text is NOT used for these residues — arbitrary text need not be
+# encodable in a legacy CJK codec).
+CJK_TEMPLATES: dict[str, tuple[str, str]] = {
+    "shift_jis": ("文書", "、日本語の資料です。かなと漢字を含む。"),
+    "euc_kr": ("문서 ", " 한국어 자료입니다. 한글 텍스트."),
+    "gb18030": ("文档", "，简体中文语料样本。"),
+    "big5": ("文件", "，繁體中文語料樣本。"),
+}
+
+
 def synth_encoded(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Test-fixture adapter: each document's text encodes into one of
-    five byte forms by id residue — plain UTF-8, UTF-8 BOM, UTF-16
-    LE/BE (with BOM), and Windows-1252 (smart quotes appended so the
-    bytes are INVALID UTF-8 and the ladder must fall through) —
+    TEN byte forms by id residue — plain UTF-8, UTF-8 BOM, UTF-16
+    LE/BE (with BOM), Windows-1252 (smart quotes appended so the
+    bytes are INVALID UTF-8 and the ladder must fall through), the
+    four legacy CJK codecs (deterministic CJK template + the id, see
+    CJK_TEMPLATES), and BOM-less UTF-16-LE (the NUL-parity rung) —
     deterministic, so an oracle can replay both the detected label and
     the decoded text. Emits (id, payload)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -123,7 +335,7 @@ def synth_encoded(df: DataFrame, text_col: str = "text",
             ids, payloads = [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):
                 did, t = int(did), str(t)
-                r = did % 5
+                r = did % 10
                 if r == 0:
                     p = t.encode("utf-8")
                 elif r == 1:
@@ -132,8 +344,15 @@ def synth_encoded(df: DataFrame, text_col: str = "text",
                     p = b"\xff\xfe" + t.encode("utf-16-le")
                 elif r == 3:
                     p = b"\xfe\xff" + t.encode("utf-16-be")
-                else:
+                elif r == 4:
                     p = (t + " “quoted”").encode("cp1252")
+                elif r in (5, 6, 7, 8):
+                    enc = ("shift_jis", "euc_kr",
+                           "gb18030", "big5")[r - 5]
+                    pre, suf = CJK_TEMPLATES[enc]
+                    p = (pre + str(did) + suf).encode(enc)
+                else:
+                    p = t.encode("utf-16-le")  # BOM-less
                 ids.append(did)
                 payloads.append(p)
             yield pd.DataFrame({"id": ids, "payload": payloads})

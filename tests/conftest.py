@@ -2,8 +2,17 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings as _hsettings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The round gate must be reproducible: a randomized hypothesis run
+# that happens to miss a corner makes "green" depend on the seed (the
+# r9 charset red was exactly this). Derandomize by default; export
+# HYPOTHESIS_PROFILE=explore for a seeded exploratory run.
+_hsettings.register_profile("gate", derandomize=True)
+_hsettings.register_profile("explore", derandomize=False)
+_hsettings.load_profile(os.environ.get("HYPOTHESIS_PROFILE", "gate"))
 
 from mycelial_spark.session import get_spark
 

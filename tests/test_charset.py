@@ -1,12 +1,13 @@
 """Charset detection + transcoding (sources/charset.py): BOM
-authority, UTF-8 self-validation, Windows-1252 fallback with the
-Latin-1 backstop for its five unmapped bytes."""
+authority with strict-decode fallthrough, NUL-parity BOM-less UTF-16,
+UTF-8 self-validation, plausibility-scored CJK rungs, Windows-1252
+fallback with the Latin-1 backstop for its five unmapped bytes."""
 
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import assume, example, given, settings, strategies as st
 
-from mycelial_spark.sources.charset import (decoded_text, detect_decode,
-                                            synth_encoded)
+from mycelial_spark.sources.charset import (CJK_TEMPLATES, decoded_text,
+                                            detect_decode, synth_encoded)
 
 
 def test_detection_ladder():
@@ -40,17 +41,110 @@ def test_utf32_bom_wins_over_utf16_prefix():
     assert detect_decode(payload) == ("utf-32-le", "ab")
 
 
+def test_bom_ambiguity_policy():
+    """The documented FF FE 00 00 policy (module docstring):
+
+    (a) a bare UTF-32-LE BOM — or any payload where the UTF-32
+        interpretation decodes cleanly — stays UTF-32-LE, accepting
+        that a pathological UTF-16-LE text starting with U+0000 is
+        mislabeled (this ambiguity is inherent to BOM sniffing and is
+        why WHATWG refuses to sniff UTF-32);
+    (b) when the UTF-32 interpretation FAILS strict decode, the
+        ladder falls through to the next-shorter BOM (UTF-16-LE)
+        instead of raising — a real UTF-16-LE document whose first
+        character is NUL survives."""
+    # (a) clean UTF-32: kept, even though it is also BOM+NUL UTF-16
+    assert detect_decode(b"\xff\xfe\x00\x00") == ("utf-32-le", "")
+    ambiguous = b"\xff\xfe" + "\x00\x00\x00".encode("utf-16-le")
+    assert detect_decode(ambiguous) == ("utf-32-le", "\x00")
+    # (b) UTF-32 body length % 4 != 0 -> falls back to UTF-16-LE
+    payload = b"\xff\xfe" + "\x00ab".encode("utf-16-le")
+    assert detect_decode(payload) == ("utf-16-le", "\x00ab")
+    # (b) UTF-32 body decodes to invalid code points -> UTF-16-LE
+    payload = b"\xff\xfe" + "\x00ab cd".encode("utf-16-le")
+    assert detect_decode(payload) == ("utf-16-le", "\x00ab cd")
+
+
 def test_truncated_utf16_raises():
     bad = b"\xff\xfe" + "abc".encode("utf-16-le")[:-1]
     with pytest.raises(UnicodeDecodeError):
         detect_decode(bad)
 
 
+def test_bomless_utf16_nul_parity():
+    t = "the fast key order sort table scan merge part 99"
+    assert detect_decode(t.encode("utf-16-le")) == ("utf-16-le", t)
+    assert detect_decode(t.encode("utf-16-be")) == ("utf-16-be", t)
+    # latin-1-range chars keep the NUL parity clean
+    t2 = "naïve café 12"
+    assert detect_decode(t2.encode("utf-16-le")) == ("utf-16-le", t2)
+    # plain UTF-8 ASCII has no NULs -> never claimed by the sniff
+    assert detect_decode(t.encode("utf-8")) == ("utf-8", t)
+    # BOM-less UTF-16 CJK (few NULs) is NOT caught — inherent limit
+    enc, _ = detect_decode("日本語テキスト資料です長め".encode("utf-16-le"))
+    assert enc != "utf-16-be"
+
+
+def test_cjk_detection():
+    """Each legacy CJK codec detects with the right label and exact
+    text; regression: CJK bytes must NOT land as cp1252 mojibake, and
+    cross-codec misreads (EUC-KR bytes as GBK hanzi, Big5 pairs as
+    GB18030, SJIS kana as GBK) lose the plausibility score."""
+    for enc, (pre, suf) in CJK_TEMPLATES.items():
+        for i in (0, 7, 123456):
+            t = pre + str(i) + suf
+            got_enc, got = detect_decode(t.encode(enc))
+            assert got_enc == enc, f"{enc} bytes landed as {got_enc}"
+            assert got == t
+    # longer natural-ish text, one per script
+    for enc, t in [
+        ("shift_jis", "東京の天気は晴れです。明日は雨が降るかもしれません。"
+                      "電車で会社に行きます。"),
+        ("euc_kr", "서울의 날씨는 맑습니다. 내일은 비가 올 수도 있습니다."),
+        ("gb18030", "北京的天气很好。明天可能会下雨。我们坐火车去上海。"),
+        ("big5", "台北的天氣很好。明天可能會下雨。我們坐火車去高雄。"),
+    ]:
+        got_enc, got = detect_decode(t.encode(enc))
+        assert got_enc == enc, f"{enc} bytes landed as {got_enc}"
+        assert got == t
+
+
+def test_cp1252_not_claimed_by_cjk():
+    """cp1252 smart quotes / accents form byte pairs that are VALID
+    Shift-JIS / GBK sequences — the plausibility score (not strict
+    decode success) is what keeps them in the 1252 rung."""
+    for t in ["text 4 with ünïcode “quoted”",
+              "naïve café résumé – “q” " * 20]:
+        enc, out = detect_decode(t.encode("cp1252"))
+        assert enc == "windows-1252"
+        assert out == t
+    # pure ASCII stays UTF-8 (CJK pre-gate: no high bytes)
+    assert detect_decode(b"plain ascii only 123") == \
+        ("utf-8", "plain ascii only 123")
+
+
 @settings(max_examples=40, deadline=None)
+@example(t="\x00abc", enc="utf-16-le")  # even-length NUL prefix: falls
+# through to UTF-16-LE and must round-trip (odd-length NUL prefixes
+# are the inherent ambiguity, excluded below and pinned in
+# test_bom_ambiguity_policy)
 @given(t=st.text(max_size=200),
        enc=st.sampled_from(["utf-8", "utf-16-le", "utf-16-be",
                             "utf-32-le", "utf-32-be"]))
 def test_roundtrip_property(t, enc):
+    # Inherent BOM ambiguity (module docstring): a UTF-16-LE text
+    # starting with U+0000 begins FF FE 00 00 = the UTF-32-LE BOM; when
+    # the UTF-32 reading also decodes cleanly the ladder keeps UTF-32.
+    # Excluded here; the policy is pinned in test_bom_ambiguity_policy.
+    # Only odd-length NUL-prefixed texts can decode as UTF-32 (the
+    # BOM swallows one UTF-16 code unit, so the remaining byte count
+    # is a multiple of 4 exactly when len(t) is odd); even-length ones
+    # always fall through and are kept in the property.
+    assume(not (enc == "utf-16-le" and t.startswith("\x00")
+                and len(t) % 2 == 1))
+    # NUL-bearing plain text is byte-ambiguous with BOM-less UTF-16
+    # (the NUL-parity sniff runs before the UTF-8 rung by design).
+    assume(not (enc == "utf-8" and "\x00" in t))
     if enc == "utf-8":
         payload = t.encode("utf-8")
     else:
@@ -66,24 +160,47 @@ def test_roundtrip_property(t, enc):
                                   and got_enc.startswith("utf-"))
 
 
+def test_utf16le_nul_prefix_property_carveout_is_tight():
+    """The property carve-out only excludes texts whose UTF-32 reading
+    truly decodes; spot-check that a NUL-prefixed UTF-16-LE text whose
+    UTF-32 reading fails DOES round-trip via the fallthrough."""
+    for t in ["\x00ab", "\x00a", "\x00abc", "\x00\x00ab"]:
+        payload = b"\xff\xfe" + t.encode("utf-16-le")
+        try:
+            got_enc, got = detect_decode(payload)
+        except UnicodeDecodeError:
+            pytest.fail(f"fallthrough missing for {t!r}")
+        if got_enc == "utf-16-le":
+            assert got == t
+
+
 def test_decoded_text_distributed_and_section(spark):
     from mycelial_spark.plans.sections import REGISTRY
     docs = spark.createDataFrame(
-        [(i, f"text {i} with ünïcode") for i in range(10)],
+        [(i, f"text {i} with unicode") for i in range(20)],
         "doc_id long, text string")
     rows = decoded_text(synth_encoded(docs)).collect()
-    assert len(rows) == 10
+    assert len(rows) == 20
+    cjk_encs = ["shift_jis", "euc_kr", "gb18030", "big5"]
     for r in rows:
+        res = r["id"] % 10
         expect = {0: "utf-8", 1: "utf-8-sig", 2: "utf-16-le",
-                  3: "utf-16-be", 4: "windows-1252"}[r["id"] % 5]
-        assert r["encoding"] == expect
-        base = f"text {r['id']} with ünïcode"
-        assert r["text"] == (base + " “quoted”"
-                             if r["id"] % 5 == 4 else base)
+                  3: "utf-16-be", 4: "windows-1252",
+                  5: "shift_jis", 6: "euc_kr", 7: "gb18030",
+                  8: "big5", 9: "utf-16-le"}[res]
+        assert r["encoding"] == expect, (res, r["encoding"])
+        base = f"text {r['id']} with unicode"
+        if res == 4:
+            assert r["text"] == base + " “quoted”"
+        elif res in (5, 6, 7, 8):
+            pre, suf = CJK_TEMPLATES[cjk_encs[res - 5]]
+            assert r["text"] == pre + str(r["id"]) + suf
+        else:
+            assert r["text"] == base
     sdef = REGISTRY.get("decoded_text")
     cfg = sdef.validate_config({"type": "decoded_text"})
     out = sdef.builder(spark, cfg, [synth_encoded(docs)]).collect()
-    assert len(out) == 10
+    assert len(out) == 20
     # poison tolerance: truncated utf-16 after a BOM
     bad = spark.createDataFrame(
         [(9, b"\xff\xfe" + "abc".encode("utf-16-le")[:-1])],
