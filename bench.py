@@ -117,6 +117,7 @@ HEADLINE = [
     "warc_extract_text",
     "webdataset_extract",
     "pdf_extract_text",
+    "pdf_extract_text_xrefstream",
     "mbox_extract",
     "document_formats_mixed",
     "robots_filter",

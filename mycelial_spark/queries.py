@@ -1795,6 +1795,43 @@ def pdf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("pdf_extract_text_xrefstream", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS page_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS page_count,
+       text AS text_out
+FROM documents
+""")
+def pdf_extract_text_xrefstream(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The modern-layout twin of pdf_extract_text: the same 8-file
+    fixture written in the post-2005 PDF 1.5 layout — catalog/pages/
+    page dicts compressed in /Type /ObjStm object streams, the
+    cross-reference a /Type /XRef stream with /W [1 4 2] binary
+    entries, PNG Up predictor on even file ids, and hybrid-reference
+    files (classic table + /XRefStm, §7.5.8.4) on ids ≡ 3 mod 4. The
+    reader walks the xref stream, unpacks object streams, and applies
+    the predictor (sources/pdf.py); the oracle is identical to the
+    classic twin — page order, counts, text — so a /W-field,
+    predictor, ObjStm-offset, or hybrid-precedence bug breaks the
+    hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = pdf_pages(synth_pdf(docs, files=8, layout="xrefstream"))
+    return pages.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("page_idx"),
+        F.col("page_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("mbox_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

@@ -4,22 +4,29 @@ through `exec` sections for format shelling — `sections/exec/src/
 lib.rs` — whereas this leg parses the container natively so the text
 lands in the DataFrame without a subprocess per file).
 
-Reader: `parse_pdf` walks a classic (PDF 1.0-1.4) file the way a
-conforming reader must — `%PDF-` header, `startxref` pointer at the
-tail, cross-reference TABLE with byte-exact 20-byte entries, trailer
-dict, `/Root` → `/Pages` tree walk, per-page `/Contents` streams with
-`/Length` resolution and `/FlateDecode` (zlib, RFC 1950) decoding —
-and extracts text by interpreting the content stream's text operators:
-`Tj`, `'`, `"`, and `TJ` show strings; `Td`/`TD`/`T*`/`Tm` position
-text and become newlines (the standard naive-extractor heuristic; the
-writer emits exactly one positioning op per line so the round-trip is
-byte-exact). Literal strings decode the full escape grammar (PDF 32000
-§7.3.4.2: \\n \\r \\t \\b \\f \\( \\) \\\\, 1-3-digit octal,
-backslash-newline continuation, balanced unescaped parens); hex
-strings tolerate whitespace and odd digit counts. Unsupported
-constructs raise loudly (xref STREAMS i.e. PDF 1.5+, non-Flate
-filters, truncation, offset mismatches) — a half-fetched crawl PDF
-must fail, not yield shifted pages.
+Reader: `parse_pdf` walks both classic (PDF 1.0-1.4) and modern
+(PDF 1.5+) files the way a conforming reader must — `%PDF-` header,
+`startxref` pointer at the tail, then EITHER a cross-reference TABLE
+with byte-exact 20-byte entries + trailer dict, OR a cross-reference
+STREAM (PDF 32000 §7.5.8: `/Type /XRef`, `/W` fixed-width binary
+fields, `/Index` subsections, FlateDecode + the PNG row predictors
+every real writer applies), including hybrid-reference files (§7.5.8.4
+`/XRefStm` in a classic trailer, consulted BEFORE the table's own
+entries) and `/Type /ObjStm` object streams (§7.5.7) holding the
+compressed non-stream objects. Incremental-update `/Prev` chains walk
+newest-first with first-seen-wins, and `f` (free) entries shadow older
+in-use offsets so a deleted object is not resurrected from an earlier
+generation. Text extraction interprets the content stream's text
+operators: `Tj`, `'`, `"`, and `TJ` show strings; `Td`/`TD`/`T*`/`Tm`
+position text and become newlines (the standard naive-extractor
+heuristic; the writer emits exactly one positioning op per line so the
+round-trip is byte-exact). Literal strings decode the full escape
+grammar (PDF 32000 §7.3.4.2: \\n \\r \\t \\b \\f \\( \\) \\\\,
+1-3-digit octal, backslash-newline continuation, balanced unescaped
+parens); hex strings tolerate whitespace and odd digit counts.
+Unsupported constructs still raise loudly (non-Flate filters, TIFF
+predictor, truncation, offset mismatches, freed-object references) —
+a half-fetched crawl PDF must fail, not yield shifted pages.
 
 Spark surface: `pdf_pages` explodes binary PDF payloads into one row
 per page over Arrow batches (mapInPandas), the same shape as the WARC
@@ -127,6 +134,173 @@ def encode_pdf(pages: list[str], flate: bool = True,
         out += f"{off:010d} 00000 n \n".encode()
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def _png_predict_up(table: bytes, columns: int) -> bytes:
+    """Forward PNG Up filter (type 2 on every row) — what real PDF
+    writers emit for xref streams."""
+    out = bytearray()
+    prior = bytes(columns)
+    for at in range(0, len(table), columns):
+        row = table[at:at + columns]
+        out.append(2)
+        out += bytes((row[i] - prior[i]) & 0xFF for i in range(columns))
+        prior = row
+    return bytes(out)
+
+
+def _build_pdf15_objects(pages: list[str], flate: bool,
+                         string_mode: str):
+    """Shared 1.5-layout builder: returns (compressed, content_objs,
+    objstm_num, xref_num, objstm_body) where ``compressed`` is the
+    [(num, body)] list destined for the object stream (catalog, pages
+    tree, font, page dicts — non-stream objects only, §7.5.7) and
+    ``content_objs`` the top-level [(num, body)] streams."""
+    if string_mode not in ("literal", "hex", "alt"):
+        raise ValueError(f"unknown string_mode {string_mode!r}")
+    n = len(pages)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    compressed: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    content_objs: list[tuple[int, bytes]] = []
+    for i, text in enumerate(pages):
+        compressed.append((
+            4 + 2 * i,
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>".encode()))
+        use_hex = (string_mode == "hex"
+                   or (string_mode == "alt" and i % 2 == 1))
+        data = _page_stream(text, use_hex)
+        if flate:
+            data = zlib.compress(data, 9)
+            head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
+                    .encode())
+        else:
+            head = f"<< /Length {len(data)} >>".encode()
+        content_objs.append((5 + 2 * i,
+                             head + b"\nstream\n" + data + b"\nendstream"))
+    objstm_num, xref_num = 4 + 2 * n, 5 + 2 * n
+    # object stream: "num off num off ...\n" header, bodies at
+    # First+off separated by single spaces
+    hdr_parts, bodies, off = [], [], 0
+    for onum, body in compressed:
+        hdr_parts.append(f"{onum} {off}")
+        bodies.append(body)
+        off += len(body) + 1
+    header = (" ".join(hdr_parts) + "\n").encode()
+    payload = header + b" ".join(bodies)
+    stm = zlib.compress(payload, 9)
+    objstm_body = (
+        f"<< /Type /ObjStm /N {len(compressed)} /First {len(header)} "
+        f"/Length {len(stm)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n" + stm + b"\nendstream")
+    return compressed, content_objs, objstm_num, xref_num, objstm_body
+
+
+def _xref_stream_body(size: int, entries: list[bytes],
+                      predictor: bool, extra: str = "") -> bytes:
+    """/Type /XRef stream object body for W=[1 4 2] ``entries`` (one
+    7-byte record per object 0..size-1), PNG-Up-predicted when asked."""
+    table = b"".join(entries)
+    parms = ""
+    if predictor:
+        table = _png_predict_up(table, 7)
+        parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+    stm = zlib.compress(table, 9)
+    return (f"<< /Type /XRef /Size {size} /W [1 4 2] /Root 1 0 R "
+            f"/Length {len(stm)} /Filter /FlateDecode{parms}{extra} >>"
+            .encode() + b"\nstream\n" + stm + b"\nendstream")
+
+
+def _entry(etype: int, f2: int, f3: int) -> bytes:
+    return bytes([etype]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+
+def encode_pdf_xrefstream(pages: list[str], flate: bool = True,
+                          string_mode: str = "alt",
+                          predictor: bool = True) -> bytes:
+    """Modern (PDF 1.5+) writer twin of encode_pdf: the catalog, pages
+    tree, font, and page dicts live compressed in a /Type /ObjStm; the
+    cross-reference is a /Type /XRef stream with /W [1 4 2] binary
+    entries (type 2 for the compressed objects), FlateDecode, and —
+    when ``predictor`` — the PNG Up row predictor real writers emit.
+    This is the post-2005 layout most crawl PDFs use."""
+    (compressed, content_objs, objstm_num, xref_num,
+     objstm_body) = _build_pdf15_objects(pages, flate, string_mode)
+    slot = {onum: i for i, (onum, _) in enumerate(compressed)}
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for onum, body in content_objs + [(objstm_num, objstm_body)]:
+        offsets[onum] = len(out)
+        out += f"{onum} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    size = xref_num + 1
+    entries = []
+    for num in range(size):
+        if num == 0:
+            entries.append(_entry(0, 0, 0xFFFF))
+        elif num in slot:
+            entries.append(_entry(2, objstm_num, slot[num]))
+        elif num == xref_num:
+            entries.append(_entry(1, xref_at, 0))
+        else:
+            entries.append(_entry(1, offsets[num], 0))
+    out += (f"{xref_num} 0 obj\n".encode()
+            + _xref_stream_body(size, entries, predictor)
+            + b"\nendobj\n")
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def encode_pdf_hybrid(pages: list[str], flate: bool = True,
+                      string_mode: str = "alt") -> bytes:
+    """Hybrid-reference writer (PDF 32000 §7.5.8.4): a classic xref
+    TABLE whose trailer carries /XRefStm — the table lists the
+    ObjStm-compressed objects as FREE (so pre-1.5 readers skip them)
+    while the pointed-to xref stream holds their real type-2 entries.
+    Exercises the consult-the-stream-first reader path."""
+    (compressed, content_objs, objstm_num, xref_num,
+     objstm_body) = _build_pdf15_objects(pages, flate, string_mode)
+    slot = {onum: i for i, (onum, _) in enumerate(compressed)}
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for onum, body in content_objs + [(objstm_num, objstm_body)]:
+        offsets[onum] = len(out)
+        out += f"{onum} 0 obj\n".encode() + body + b"\nendobj\n"
+    size = xref_num + 1
+    # the xref STREAM (type-2 entries live only here)
+    xrefstm_at = len(out)
+    entries = []
+    for num in range(size):
+        if num == 0:
+            entries.append(_entry(0, 0, 0xFFFF))
+        elif num in slot:
+            entries.append(_entry(2, objstm_num, slot[num]))
+        elif num == xref_num:
+            entries.append(_entry(1, xrefstm_at, 0))
+        else:
+            entries.append(_entry(1, offsets[num], 0))
+    out += (f"{xref_num} 0 obj\n".encode()
+            + _xref_stream_body(size, entries, predictor=True)
+            + b"\nendobj\n")
+    # the classic TABLE: compressed objects marked free
+    table_at = len(out)
+    out += f"xref\n0 {size}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, size):
+        if num in slot:
+            out += b"0000000000 65535 f \n"
+        else:
+            off = xrefstm_at if num == xref_num else offsets[num]
+            out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {size} /Root 1 0 R "
+            f"/XRefStm {xrefstm_at} >>\n"
+            f"startxref\n{table_at}\n%%EOF\n".encode())
     return bytes(out)
 
 
@@ -311,29 +485,92 @@ class _Lexer:
                          f"{self.pos}: {word[:20]!r}")
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse the PNG row filters (predictors 10-15, PDF 32000
+    §7.4.4.4) at one byte per pixel — the xref-stream usage. Each row
+    is a filter-type byte + ``columns`` data bytes; real writers emit
+    Up (2) on every row, but None/Sub/Average/Paeth cost nothing to
+    support. Unknown filter bytes and ragged input raise loudly."""
+    if columns <= 0:
+        raise ValueError(f"bad predictor /Columns {columns}")
+    row_len = columns + 1
+    if len(data) % row_len:
+        raise ValueError("predictor data not a whole number of rows")
+    out = bytearray()
+    prior = bytearray(columns)
+    for at in range(0, len(data), row_len):
+        ft = data[at]
+        row = bytearray(data[at + 1:at + row_len])
+        if ft == 0:                              # None
+            pass
+        elif ft == 1:                            # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:                            # Up
+            for i in range(columns):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ft == 3:                            # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prior[i]) // 2) & 0xFF
+        elif ft == 4:                            # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prior[i], (prior[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ft}")
+        out += row
+        prior = row
+    return bytes(out)
+
+
+# xref entry forms: int = byte offset of a top-level object; a tuple
+# ("objstm", container, idx) = compressed object inside an object
+# stream; None = freed (an 'f' table entry or type-0 stream entry —
+# recorded so a newer free SHADOWS an older in-use offset instead of
+# resurrecting the object).
+_XrefEntry = "int | tuple | None"
+
+
 class _Pdf:
     def __init__(self, data: bytes):
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF (missing %PDF- header)")
         self.data = data
         self._cache: dict[int, tuple] = {}
+        self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
         self.offsets, self.trailer = self._read_xref()
 
     def _read_xref(self):
-        """Walk the xref-table CHAIN: the newest table at startxref,
-        then each trailer's /Prev (incremental updates — every Save in
-        a desktop editor appends one). First-seen object offsets win
-        (the newest section is authoritative); the newest trailer's
-        /Root is the document root."""
+        """Walk the cross-reference CHAIN: the newest section at
+        startxref, then each trailer's /Prev (incremental updates —
+        every Save in a desktop editor appends one). A section is
+        either a classic table + trailer or a 1.5+ xref STREAM; a
+        hybrid-reference table's /XRefStm is consulted before the
+        table's own entries (PDF 32000 §7.5.8.4 — the table lists the
+        compressed objects as free for pre-1.5 readers; the stream
+        holds their real type-2 entries). First-seen entries win
+        (newest section is authoritative), INCLUDING free entries; the
+        newest trailer's /Root is the document root."""
         tail = self.data.rfind(b"startxref")
         if tail < 0:
             raise ValueError("truncated PDF: no startxref")
         lex = _Lexer(self.data, tail + len(b"startxref"))
         lex._skip_ws()
         start = lex.parse_value()
-        offsets: dict[int, int] = {}
+        offsets: dict[int, object] = {}
         newest_trailer: dict | None = None
         seen: set[int] = set()
+
+        def apply(entries):
+            for num, entry in entries:
+                offsets.setdefault(num, entry)
+
         while True:
             if not isinstance(start, int) or not (
                     0 <= start < len(self.data)):
@@ -343,36 +580,23 @@ class _Pdf:
             seen.add(start)
             lex = _Lexer(self.data, start)
             lex._skip_ws()
+            save = lex.pos
             word = lex._token_word()
-            if word != "xref":
-                # an int here means a cross-reference STREAM (1.5+)
-                raise ValueError(
-                    "unsupported PDF: cross-reference streams (1.5+); "
-                    f"expected 'xref' at offset, got {word[:12]!r}")
-            while True:
-                lex._skip_ws()
-                save = lex.pos
-                word = lex._token_word()
-                if word == "trailer":
-                    break
+            if word == "xref":
+                entries, trailer = self._parse_xref_table(lex)
+                xrefstm = trailer.get("XRefStm")
+                if xrefstm is not None:
+                    if not isinstance(xrefstm, int) \
+                            or xrefstm in seen:
+                        raise ValueError("bad /XRefStm pointer")
+                    seen.add(xrefstm)
+                    s_entries, _ = self._parse_xref_stream(xrefstm)
+                    apply(s_entries)
+                apply(entries)
+            else:
                 lex.pos = save
-                first = lex.parse_value()
-                count = lex.parse_value()
-                if not isinstance(first, int) \
-                        or not isinstance(count, int):
-                    raise ValueError("malformed xref subsection header")
-                lex._skip_ws()
-                for i in range(count):
-                    entry = self.data[lex.pos:lex.pos + 20]
-                    if len(entry) < 18:
-                        raise ValueError("truncated xref table")
-                    off, gen, kind = entry.split()[:3]
-                    if kind == b"n":
-                        offsets.setdefault(first + i, int(off))
-                    lex.pos += 20
-            trailer = lex.parse_value()
-            if not isinstance(trailer, dict):
-                raise ValueError("malformed PDF trailer")
+                entries, trailer = self._parse_xref_stream(start)
+                apply(entries)
             if newest_trailer is None:
                 newest_trailer = trailer
             prev = trailer.get("Prev")
@@ -383,13 +607,147 @@ class _Pdf:
             raise ValueError("PDF trailer has no /Root")
         return offsets, newest_trailer
 
+    def _parse_xref_table(self, lex: "_Lexer"):
+        """Classic table: subsection headers + byte-exact 20-byte
+        entries, then the trailer dict. Returns (entries, trailer)
+        where a free ('f') entry carries None."""
+        entries: list[tuple[int, object]] = []
+        while True:
+            lex._skip_ws()
+            save = lex.pos
+            word = lex._token_word()
+            if word == "trailer":
+                break
+            lex.pos = save
+            first = lex.parse_value()
+            count = lex.parse_value()
+            if not isinstance(first, int) or not isinstance(count, int):
+                raise ValueError("malformed xref subsection header")
+            lex._skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos:lex.pos + 20]
+                if len(entry) < 18:
+                    raise ValueError("truncated xref table")
+                off, gen, kind = entry.split()[:3]
+                if kind == b"n":
+                    entries.append((first + i, int(off)))
+                elif kind == b"f":
+                    entries.append((first + i, None))
+                else:
+                    raise ValueError(f"bad xref entry kind {kind!r}")
+                lex.pos += 20
+        trailer = lex.parse_value()
+        if not isinstance(trailer, dict):
+            raise ValueError("malformed PDF trailer")
+        return entries, trailer
+
+    def _parse_xref_stream(self, start: int):
+        """Cross-reference stream (PDF 32000 §7.5.8): a stream object
+        whose dict doubles as the trailer. Entries are /W fixed-width
+        big-endian fields over /Index subsections; the dict's own
+        entries must be direct (the spec forbids indirect references
+        here — there is no xref to resolve them with yet)."""
+        lex = _Lexer(self.data, start)
+        lex._skip_ws()
+        num = lex.parse_value()
+        if not isinstance(num, int):
+            raise ValueError(
+                f"expected an xref section at offset {start}, got "
+                f"{num!r}")
+        lex.parse_value()                      # generation
+        lex.expect("obj")
+        value = lex.parse_value()
+        if not isinstance(value, dict) \
+                or str(value.get("Type", "")) != "XRef":
+            raise ValueError("startxref target is neither an xref "
+                             "table nor a /Type /XRef stream")
+        for key in ("Length", "Size", "W"):
+            if isinstance(value.get(key), _Ref):
+                raise ValueError(
+                    f"xref stream /{key} is indirect — forbidden by "
+                    f"PDF 32000 §7.5.8.2")
+        lex._skip_ws()
+        if self.data[lex.pos:lex.pos + 6] != b"stream":
+            raise ValueError("/Type /XRef object has no stream")
+        lex.pos += 6
+        if self.data[lex.pos:lex.pos + 2] == b"\r\n":
+            lex.pos += 2
+        elif self.data[lex.pos:lex.pos + 1] == b"\n":
+            lex.pos += 1
+        length = value.get("Length")
+        if not isinstance(length, int):
+            raise ValueError("xref stream has no integer /Length")
+        raw = self.data[lex.pos:lex.pos + length]
+        if len(raw) < length:
+            raise ValueError("truncated xref stream")
+        data = self._decode_stream(value, raw)
+        w = value.get("W")
+        if (not isinstance(w, list) or len(w) != 3
+                or not all(isinstance(x, int) and x >= 0 for x in w)):
+            raise ValueError(f"malformed xref stream /W {w!r}")
+        size = value.get("Size")
+        if not isinstance(size, int):
+            raise ValueError("xref stream has no integer /Size")
+        index = value.get("Index", [0, size])
+        if (not isinstance(index, list) or len(index) % 2
+                or not all(isinstance(x, int) for x in index)):
+            raise ValueError(f"malformed xref stream /Index {index!r}")
+        width = sum(w)
+        if width == 0:
+            raise ValueError("zero-width xref stream entries")
+        total = sum(index[i + 1] for i in range(0, len(index), 2))
+        if len(data) < total * width:
+            raise ValueError("xref stream shorter than /Index claims")
+        entries: list[tuple[int, object]] = []
+        pos = 0
+
+        def field(i: int, default: int) -> int:
+            nonlocal pos
+            if w[i] == 0:
+                return default
+            v = int.from_bytes(data[pos:pos + w[i]], "big")
+            pos += w[i]
+            return v
+
+        for s in range(0, len(index), 2):
+            first, count = index[s], index[s + 1]
+            for i in range(count):
+                etype = field(0, 1)        # W[0]==0 means type 1
+                f2 = field(1, 0)
+                f3 = field(2, 0)
+                onum = first + i
+                if etype == 0:
+                    entries.append((onum, None))
+                elif etype == 1:
+                    entries.append((onum, f2))
+                elif etype == 2:
+                    entries.append((onum, ("objstm", f2, f3)))
+                else:
+                    raise ValueError(
+                        f"unknown xref stream entry type {etype}")
+        return entries, value
+
     def obj(self, num: int):
-        """Object ``num``'s (value, stream_bytes_or_None), via xref."""
+        """Object ``num``'s (value, stream_bytes_or_None), via xref —
+        top-level, compressed (object stream), or freed (raises)."""
         if num in self._cache:
             return self._cache[num]
         if num not in self.offsets:
             raise ValueError(f"PDF object {num} not in xref")
-        lex = _Lexer(self.data, self.offsets[num])
+        entry = self.offsets[num]
+        if entry is None:
+            raise ValueError(f"PDF object {num} is freed")
+        if isinstance(entry, tuple):
+            _, container, idx = entry
+            table = self._objstm_table(container)
+            if idx >= len(table) or table[idx][0] != num:
+                raise ValueError(
+                    f"object stream {container} slot {idx} holds "
+                    f"object {table[idx][0] if idx < len(table) else '?'}"
+                    f", not {num} — corrupt xref")
+            self._cache[num] = (table[idx][1], None)
+            return self._cache[num]
+        lex = _Lexer(self.data, entry)
         lex._skip_ws()
         got = lex.parse_value()
         if got != num:
@@ -420,6 +778,52 @@ class _Pdf:
         self._cache[num] = (value, stream)
         return self._cache[num]
 
+    def _objstm_table(self, container: int):
+        """Parse a /Type /ObjStm (PDF 32000 §7.5.7) once: the first
+        /First bytes are /N (objnum, offset) integer pairs; each
+        compressed object's body follows at First+offset. Returns the
+        slot table [(objnum, parsed value), ...]. Compressed objects
+        never carry streams, so parse_value covers them fully."""
+        if container in self._objstm_cache:
+            return self._objstm_cache[container]
+        if not isinstance(self.offsets.get(container), int):
+            # §7.5.7: object streams are themselves top-level — a
+            # type-2 entry pointing into another (or its own) object
+            # stream is corrupt and would recurse forever
+            raise ValueError(
+                f"object stream {container} is not a top-level object")
+        value, _ = self.obj(container)
+        if not isinstance(value, dict) \
+                or str(value.get("Type", "")) != "ObjStm":
+            raise ValueError(
+                f"xref type-2 entry points at object {container}, "
+                f"which is not an /ObjStm")
+        data = self.stream_data(container)
+        n = self.resolve(value.get("N"))
+        first = self.resolve(value.get("First"))
+        if not isinstance(n, int) or not isinstance(first, int):
+            raise ValueError(f"object stream {container} missing "
+                             f"integer /N or /First")
+        lex = _Lexer(data)
+        table: list[tuple[int, object]] = []
+        for _ in range(n):
+            onum = lex.parse_value()
+            ooff = lex.parse_value()
+            if not isinstance(onum, int) or not isinstance(ooff, int):
+                raise ValueError(
+                    f"object stream {container} header is not integer "
+                    f"pairs")
+            table.append((onum, ooff))
+        out = []
+        for onum, ooff in table:
+            if first + ooff > len(data):
+                raise ValueError(f"object stream {container} offset "
+                                 f"{ooff} beyond stream end")
+            out.append((onum,
+                        _Lexer(data, first + ooff).parse_value()))
+        self._objstm_cache[container] = out
+        return out
+
     def resolve(self, v):
         while isinstance(v, _Ref):
             v = self.obj(v.num)[0]
@@ -429,13 +833,41 @@ class _Pdf:
         value, stream = self.obj(num)
         if stream is None:
             raise ValueError(f"object {num} is not a stream")
+        return self._decode_stream(value, stream)
+
+    def _decode_stream(self, value: dict, stream: bytes) -> bytes:
+        """Apply /Filter (+ /DecodeParms predictors) to a raw stream
+        body. FlateDecode only — every other filter raises loudly.
+        Used both through the xref (stream_data) and directly for the
+        xref stream itself, where no xref exists yet (its dict entries
+        are direct by spec)."""
         filt = self.resolve(value.get("Filter"))
         filters = (filt if isinstance(filt, list)
                    else [] if filt is None else [filt])
-        for f in filters:
+        parms = self.resolve(value.get("DecodeParms"))
+        parms_list = (parms if isinstance(parms, list)
+                      else [parms] * len(filters))
+        if len(parms_list) < len(filters):
+            parms_list = parms_list + [None] * (
+                len(filters) - len(parms_list))
+        for f, pm in zip(filters, parms_list):
             if str(self.resolve(f)) != "FlateDecode":
                 raise ValueError(f"unsupported PDF filter {f!r}")
             stream = zlib.decompress(stream)
+            pm = self.resolve(pm)
+            if isinstance(pm, dict):
+                pred = self.resolve(pm.get("Predictor", 1))
+                if pred == 1:
+                    continue
+                if not isinstance(pred, int) or pred < 10:
+                    # 2 is the TIFF predictor — nobody emits it for
+                    # xref streams; reject rather than mis-decode
+                    raise ValueError(
+                        f"unsupported /Predictor {pred!r}")
+                cols = self.resolve(pm.get("Columns", 1))
+                if not isinstance(cols, int):
+                    raise ValueError(f"bad /Columns {cols!r}")
+                stream = _png_unpredict(stream, cols)
         return stream
 
     def pages(self) -> list[dict]:
@@ -557,15 +989,30 @@ def pdf_pages(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
 
 def synth_pdf(df: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id", files: int = 8) -> DataFrame:
+              id_col: str = "doc_id", files: int = 8,
+              layout: str = "classic") -> DataFrame:
     """Test-fixture adapter: documents pack into ``files`` PDFs
     (doc_id % files), one page per document whose text is
     ``doc:<id>\\n<body>`` — the id travels IN the page text (PDF has
     no WARC-Target-URI equivalent) so oracles can replay everything
-    from the documents table. Even file ids Flate-compress their
-    streams, odd ids stay plain; pages alternate literal/hex strings —
-    every run exercises all four reader paths. Emits (id = file index,
+    from the documents table. ``layout="classic"`` writes 1.4 files
+    (even file ids Flate-compress their streams, odd ids stay plain);
+    ``layout="xrefstream"`` writes the 1.5+ layout (object streams +
+    xref stream, PNG Up predictor on even file ids, hybrid-reference
+    on ids ≡ 3 mod 4) — pages alternate literal/hex strings in both,
+    so every run exercises every reader path. Emits (id = file index,
     modality, payload)."""
+    if layout not in ("classic", "xrefstream"):
+        raise ValueError(f"unknown layout {layout!r}")
+
+    def encode(fid: int, pages: list[str]) -> bytes:
+        if layout == "classic":
+            return encode_pdf(pages, flate=(fid % 2 == 0))
+        if fid % 4 == 3:
+            return encode_pdf_hybrid(pages, flate=(fid % 2 == 0))
+        return encode_pdf_xrefstream(pages, flate=(fid % 2 == 0),
+                                     predictor=(fid % 2 == 0))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         docs: list[tuple[int, str]] = []
         for pdf_batch in batches:
@@ -580,7 +1027,7 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
         yield pd.DataFrame(
             {"id": list(groups.keys()),
              "modality": "pdf",
-             "payload": [encode_pdf(pages, flate=(fid % 2 == 0))
+             "payload": [encode(fid, pages)
                          for fid, pages in groups.items()]})
 
     return (df.select(id_col, text_col)

@@ -82,11 +82,11 @@ def test_rejects_damaged_and_unsupported():
         P.parse_pdf(b"not a pdf at all")
     with pytest.raises(ValueError, match="startxref"):
         P.parse_pdf(data[:len(data) - 40])
-    # xref STREAM (PDF 1.5+): startxref lands on an object, not 'xref'
+    # startxref lands on a non-XRef object: loud, specific error
     at = data.rfind(b"startxref")
     end = data.find(b"\n", data.find(b"\n", at) + 1)
     patched = data[:at] + b"startxref\n15\n%%EOF\n"
-    with pytest.raises(ValueError, match="cross-reference streams"):
+    with pytest.raises(ValueError, match="neither an xref"):
         P.parse_pdf(patched)
     assert end > 0                              # silence unused warning
     # corrupt one xref entry: offset points at the WRONG object
@@ -150,6 +150,132 @@ def test_pdf_pages_section(spark):
     out = sdef.builder(spark, cfg, [files]).collect()
     assert len(out) == 6
     assert all(r["text"].startswith("doc:") for r in out)
+
+
+@pytest.mark.parametrize("flate", [False, True])
+@pytest.mark.parametrize("predictor", [False, True])
+def test_xrefstream_roundtrip(flate, predictor):
+    """PDF 1.5+ layout: object streams + /Type /XRef cross-reference
+    stream, with and without the PNG Up predictor."""
+    data = P.encode_pdf_xrefstream(PAGES, flate=flate,
+                                   predictor=predictor)
+    assert data.startswith(b"%PDF-1.5")
+    assert b"/Type /ObjStm" in data and b"/Type /XRef" in data
+    assert P.parse_pdf(data) == PAGES
+
+
+def test_hybrid_reference_roundtrip():
+    """§7.5.8.4 hybrid files: classic table marks the compressed
+    objects FREE; /XRefStm holds their real type-2 entries and must be
+    consulted first — a reader that trusts the table's free marks
+    cannot resolve the catalog at all."""
+    data = P.encode_pdf_hybrid(PAGES)
+    assert b"/XRefStm" in data and b"xref\n" in data
+    assert P.parse_pdf(data) == PAGES
+    # the table alone is insufficient: dropping /XRefStm must fail
+    # loudly on the freed catalog, not return wrong pages
+    crippled = data.replace(b"/XRefStm", b"/XRefStX")
+    with pytest.raises(ValueError, match="freed|not in xref"):
+        P.parse_pdf(crippled)
+
+
+def test_png_predictor_grammar():
+    """All five PNG row filters reconstruct (bpp=1); unknown filter
+    types and ragged input raise."""
+    raw = bytes(range(1, 22))                   # 3 rows x 7 cols
+    up = P._png_predict_up(raw, 7)
+    assert P._png_unpredict(up, 7) == raw
+    # None / Sub / Average / Paeth rows, hand-filtered
+    rows = [raw[0:7], raw[7:14], raw[14:21]]
+    enc = bytearray(b"\x00" + rows[0])          # None
+    sub = bytearray([rows[1][0]])
+    for i in range(1, 7):
+        sub.append((rows[1][i] - rows[1][i - 1]) & 0xFF)
+    enc += b"\x01" + bytes(sub)                 # Sub
+    avg = bytearray()
+    for i in range(7):
+        left = rows[2][i - 1] if i else 0
+        avg.append((rows[2][i] - (left + rows[1][i]) // 2) & 0xFF)
+    enc += b"\x03" + bytes(avg)                 # Average
+    assert P._png_unpredict(bytes(enc), 7) == raw
+    with pytest.raises(ValueError, match="PNG filter"):
+        P._png_unpredict(b"\x09" + bytes(7), 7)
+    with pytest.raises(ValueError, match="whole number of rows"):
+        P._png_unpredict(b"\x02" + bytes(5), 7)
+
+
+def test_xrefstream_damage_rejected():
+    """Damage battery for the 1.5 paths: predictor corruption,
+    truncated xref stream, wrong ObjStm slot, bad /W."""
+    data = P.encode_pdf_xrefstream(PAGES[:2], predictor=True)
+    # corrupt the predicted bytes: zlib stays valid but the
+    # reconstructed offsets point nowhere -> loud failure
+    xr = data.find(b"/Type /XRef")
+    at = data.find(b"stream\n", xr) + len(b"stream\n")
+    end = data.find(b"\nendstream", at)
+    import zlib as _z
+    table = P._png_unpredict(_z.decompress(data[at:end]), 7)
+    bad_table = table[:8] + bytes([table[8] ^ 0xFF]) + table[9:]
+    bad = _z.compress(P._png_predict_up(bad_table, 7), 9)
+    patched = data[:at] + bad + data[end:]
+    patched = patched.replace(
+        f"/Length {end - at}".encode(), f"/Length {len(bad)}".encode())
+    with pytest.raises((ValueError, Exception)):
+        P.parse_pdf(patched)
+    # truncate inside the xref stream body
+    with pytest.raises(ValueError,
+                       match="truncated|startxref|unterminated"):
+        P.parse_pdf(data[:at + 4])
+    # /W with a 4th field is malformed
+    with pytest.raises(ValueError, match=r"/W|parse error"):
+        P.parse_pdf(data.replace(b"/W [1 4 2]", b"/W [1 4 2 1]"))
+    # indirect /Length in the xref stream dict is forbidden (no xref
+    # exists yet to resolve it)
+    n = len(PAGES[:2])
+    xref_num = 5 + 2 * n
+    L = data.rfind(b"/Length ")
+    le = data.find(b" ", L + len(b"/Length "))
+    with pytest.raises(ValueError, match="indirect|parse error"):
+        P.parse_pdf(data[:L] + b"/Length 9 0 R" + data[le:])
+    assert xref_num  # layout doc: 5+2n is the xref stream object
+
+
+def test_objstm_slot_mismatch_rejected():
+    """A type-2 entry whose slot holds a different object number is
+    corrupt — must not silently return the wrong object."""
+    data = P.encode_pdf_xrefstream(PAGES[:2], flate=False,
+                                   predictor=False)
+    # ObjStm header starts "1 0 2 ..." (object 1 at offset 0): renumber
+    # object 1 to 9 in the header -> slot 0 now claims object 9
+    at = data.find(b"/Type /ObjStm")
+    st = data.find(b"stream\n", at) + len(b"stream\n")
+    import zlib as _z
+    body = _z.decompress(data[data.find(b"stream\n", at) + 7:
+                              data.find(b"\nendstream", at)])
+    assert body.startswith(b"1 0 ")
+    patched_body = b"9 0 " + body[4:]
+    rec = _z.compress(patched_body, 9)
+    old = _z.compress(body, 9)
+    patched = data.replace(old, rec).replace(
+        f"/Length {len(old)}".encode(), f"/Length {len(rec)}".encode())
+    with pytest.raises(ValueError, match="corrupt xref|not in xref|"
+                                         "freed|lands on"):
+        P.parse_pdf(patched)
+
+
+def test_free_entry_shadows_older_offset():
+    """An incremental update that FREES an object must not resurrect
+    the older generation's in-use offset (newest-first, free entries
+    recorded too)."""
+    base = P.encode_pdf(["doc:0\noriginal page"], flate=False)
+    old_start = int(base[base.rfind(b"startxref"):].split()[1])
+    xref_at = len(base)
+    # newest section frees object 5 (page 0's content stream)
+    update = (b"xref\n5 1\n" + b"0000000000 65535 f \n"
+              + b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\n"
+                b"startxref\n%d\n%%%%EOF\n" % (old_start, xref_at))
+    with pytest.raises(ValueError, match="freed"):
+        P.parse_pdf(base + update)
 
 
 def test_incremental_update_prev_chain():
