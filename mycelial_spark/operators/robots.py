@@ -54,7 +54,19 @@ def parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
     User-agent lines; Allow/Disallow lines bind to every agent of the
     current group; keys are case-insensitive; ``#`` starts a comment;
     an empty Disallow value is 'no rule' (everything allowed); rules
-    before any User-agent line are ignored (malformed per spec)."""
+    before any User-agent line are ignored (malformed per spec).
+
+    Every User-agent line ALSO emits a group-existence marker
+    ``(agent, True, "")`` — an allow rule with the empty pattern. The
+    empty pattern matches every path at specificity 0 (it loses every
+    real tie), so it IS the RFC's implicit allow-all default made
+    explicit — and it makes an agent group that contains no rules
+    (e.g. only an empty ``Disallow:``) visible downstream: without it,
+    ``match_allowed`` could not tell 'group exists, allows everything'
+    from 'group absent, fall back to *', and would wrongly apply the
+    ``*`` group's restrictions to an agent the site explicitly
+    unrestricted (RFC 9309 §2.2.1: the crawler obeys the most specific
+    matching group ONLY)."""
     rules: list[tuple[str, bool, str]] = []
     agents: list[str] = []
     in_group_header = False
@@ -71,6 +83,7 @@ def parse_robots_text(text: str) -> list[tuple[str, bool, str]]:
             if not in_group_header:
                 agents = []                 # a NEW group starts
             agents.append(value.lower())
+            rules.append((value.lower(), True, ""))   # existence marker
             in_group_header = True
             continue
         in_group_header = False

@@ -24,15 +24,19 @@ def test_parse_grammar():
            "Crawl-delay: 10\n"
            "garbage line without colon\n")
     assert parse_robots_text(txt) == [
+        ("*", True, ""),                         # group marker
         ("*", False, "/a"), ("*", True, "/a/b"),
+        ("googlebot", True, ""), ("otherbot", True, ""),
         ("googlebot", False, "/both"), ("otherbot", False, "/both")]
     # rules before any User-agent line are ignored (malformed)
     assert parse_robots_text("Disallow: /x\nUser-agent: *\n"
-                             "Disallow: /y\n") == [("*", False, "/y")]
+                             "Disallow: /y\n") == [
+        ("*", True, ""), ("*", False, "/y")]
     # a UA line after rules STARTS A NEW group (header run ended)
     two = parse_robots_text("User-agent: a\nDisallow: /1\n"
                             "User-agent: b\nDisallow: /2\n")
-    assert two == [("a", False, "/1"), ("b", False, "/2")]
+    assert two == [("a", True, ""), ("a", False, "/1"),
+                   ("b", True, ""), ("b", False, "/2")]
 
 
 # RFC 9309 §5.2 worked examples: (allow-pattern, disallow-pattern,
@@ -73,6 +77,33 @@ def test_agent_group_fallback(spark):
     assert got == {1: True, 2: False, 3: True}
 
 
+def test_empty_agent_group_suppresses_star_fallback(spark):
+    """RFC 9309 regression: an agent-specific group consisting only of
+    an empty ``Disallow:`` means ALLOW-ALL for that agent — its
+    existence must suppress the ``*`` fallback, not fall through to
+    the ``*`` group's restrictions. The parser's group-existence
+    marker is what carries this through the rule rows."""
+    txt = ("User-agent: *\nDisallow: /\n"
+           "User-agent: goodbot\nDisallow:\n")
+    # parse side: the empty group still yields its marker row
+    assert ("goodbot", True, "") in parse_robots_text(txt)
+    rules = parse_robots(spark.createDataFrame(
+        [("h", txt)], "host string, robots_txt string"))
+    urls = spark.createDataFrame(
+        [(1, "h", "/anything"), (2, "h", "/")],
+        "url_id long, host string, path string")
+    # goodbot: own (empty = allow-all) group wins over * Disallow /
+    got = {r["url_id"]: r["robots_allowed"]
+           for r in match_allowed(urls, rules, agent="GoodBot")
+           .collect()}
+    assert got == {1: True, 2: True}
+    # any other agent still falls back to * and is blocked
+    got = {r["url_id"]: r["robots_allowed"]
+           for r in match_allowed(urls, rules, agent="otherbot")
+           .collect()}
+    assert got == {1: False, 2: False}
+
+
 def test_like_metachar_escaping(spark):
     """Percent / underscore / backslash in rule paths are literals,
     never LIKE wildcards."""
@@ -106,8 +137,12 @@ def test_parse_robots_distributed(spark):
          for i in range(6)],
         "host string, robots_txt string")
     rows = parse_robots(df).collect()
-    assert sorted((r["host"], r["path"]) for r in rows) == \
+    assert sorted((r["host"], r["path"]) for r in rows
+                  if r["path"]) == \
         [(f"h{i}", f"/d{i}") for i in range(6)]
+    # one group-existence marker per host
+    assert sorted(r["host"] for r in rows if not r["path"]) == \
+        [f"h{i}" for i in range(6)]
 
 
 def test_crawl_compliance_pipeline_e2e(spark, tmp_path):
