@@ -2847,55 +2847,68 @@ def s3_dest(spark, cfg, df):
     return {"url": url, "format": cfg["format"]}
 
 
+def _snowflake_client(cfg: dict[str, Any]):
+    from mycelial_spark.sources.snowflake_api import SnowflakeSqlClient
+    base = cfg.get("api_url") or (
+        f"https://{cfg['account_identifier']}.snowflakecomputing.com")
+    return SnowflakeSqlClient(
+        base, token=cfg.get("token") or cfg.get("password", ""),
+        database=cfg["database"], schema=cfg["schema"],
+        warehouse=cfg["warehouse"], role=cfg["role"],
+        timeout=float(cfg.get("timeout_sec", 15)))
+
+
 @_register("snowflake_source", "source", "none", "dataframe",
            [Field("account_identifier"), Field("username"),
-            Field("password", secret=True, default=""), Field("role", default=""),
+            Field("password", secret=True, default=""),
+            Field("token", secret=True, default=""),
+            Field("role", default=""),
             Field("warehouse", default=""), Field("database"),
-            Field("schema", default="PUBLIC"), Field("query")],
+            Field("schema", default="PUBLIC"), Field("query"),
+            Field("api_url", default="")],
            doc="S4 snowflake source (sections/snowflake/src/source.rs:50-100): "
-               "query pushdown via the spark-snowflake connector — results "
-               "arrive as Arrow batches on both engines.")
+               "the configured query runs over Snowflake's public SQL REST "
+               "API (POST /api/v2/statements — no connector jar needed) and "
+               "the result batch lands as a DataFrame via the rowType "
+               "metadata. api_url overrides the account endpoint (the local "
+               "stub in tests); wire e2e in tests/test_snowflake_api.py.")
 def snowflake_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
-    opts = {
-        "sfUrl": f"{cfg['account_identifier']}.snowflakecomputing.com",
-        "sfUser": cfg["username"], "sfPassword": cfg["password"],
-        "sfDatabase": cfg["database"], "sfSchema": cfg["schema"],
-        "sfRole": cfg["role"], "sfWarehouse": cfg["warehouse"],
-        "query": cfg["query"],
-    }
+    from mycelial_spark.sources.snowflake_api import (SnowflakeApiError,
+                                                      read_query)
     try:
-        return spark.read.format("snowflake").options(**opts).load()
-    except Exception as e:
+        return read_query(spark, _snowflake_client(cfg), cfg["query"])
+    except SnowflakeApiError as e:
         raise SectionUnavailable(
-            f"snowflake_source needs the spark-snowflake connector: {e}") from e
+            f"snowflake_source: SQL API unreachable/rejected: {e}") from e
 
 
 @_register("snowflake_dest", "destination", "dataframe", "none",
            [Field("account_identifier"), Field("username"),
-            Field("password", secret=True, default=""), Field("role", default=""),
+            Field("password", secret=True, default=""),
+            Field("token", secret=True, default=""),
+            Field("role", default=""),
             Field("warehouse", default=""), Field("database"),
             Field("schema", default="PUBLIC"), Field("table"),
-            Field("truncate", "bool", False)],
-           doc="D4 snowflake destination (sections/snowflake/src/destination.rs"
-               ":71-218): the reference stages parquet + COPY INTO "
-               "MATCH_BY_COLUMN_NAME; the spark-snowflake connector performs "
-               "the identical stage+COPY internally. truncate = destructive "
-               "load (overwrite).")
+            Field("truncate", "bool", False),
+            Field("api_url", default=""),
+            Field("stage_dir", default="/tmp/mycelial_snowflake_stage")],
+           doc="D4 snowflake destination (sections/snowflake/src/destination"
+               ".rs:125-172): the reference's exact statement sequence over "
+               "the SQL REST API — CREATE TABLE IF NOT EXISTS from the frame "
+               "schema (the same Arrow->Snowflake type map), PUT per staged "
+               "parquet part file to the table stage, temporary parquet FILE "
+               "FORMAT, optional TRUNCATE (destructive load), COPY INTO with "
+               "PURGE + MATCH_BY_COLUMN_NAME. Statement-sequence wire e2e "
+               "against a local HTTP stub in tests/test_snowflake_api.py.")
 def snowflake_dest(spark, cfg, df):
-    opts = {
-        "sfUrl": f"{cfg['account_identifier']}.snowflakecomputing.com",
-        "sfUser": cfg["username"], "sfPassword": cfg["password"],
-        "sfDatabase": cfg["database"], "sfSchema": cfg["schema"],
-        "sfRole": cfg["role"], "sfWarehouse": cfg["warehouse"],
-        "dbtable": cfg["table"],
-    }
-    mode = "overwrite" if cfg["truncate"] else "append"
+    from mycelial_spark.sources.snowflake_api import (SnowflakeApiError,
+                                                      load_dataframe)
     try:
-        df.write.format("snowflake").options(**opts).mode(mode).save()
-    except Exception as e:
+        return load_dataframe(_snowflake_client(cfg), df, cfg["table"],
+                              cfg["truncate"], cfg["stage_dir"])
+    except SnowflakeApiError as e:
         raise SectionUnavailable(
-            f"snowflake_dest needs the spark-snowflake connector: {e}") from e
-    return {"table": cfg["table"], "mode": mode}
+            f"snowflake_dest: SQL API unreachable/rejected: {e}") from e
 
 
 def redshift_copy_statements(paths: list[str], origin: str, iam_role: str,

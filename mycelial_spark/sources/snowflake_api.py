@@ -1,0 +1,251 @@
+"""Snowflake over its public SQL REST API (POST /api/v2/statements) —
+no connector jar required, which is the point: the sandbox has no
+spark-snowflake artifact, but the wire protocol is plain HTTPS+JSON,
+so the statement sequence the reference drives
+(`sections/snowflake/src/destination.rs:125-172`: CREATE TABLE IF NOT
+EXISTS from the batch schema → PUT the staged parquet to the table
+stage → CREATE OR REPLACE TEMPORARY FILE FORMAT (parquet) → optional
+TRUNCATE → COPY INTO ... MATCH_BY_COLUMN_NAME) is reproduced verbatim
+and validated end-to-end against a local HTTP stub that replays the
+API's documented response shapes (tests/test_snowflake_api.py). The
+source half (`source.rs:84-100`: exec the configured query, emit the
+result batch) maps the API's rowType metadata to Spark types.
+
+Honest scope note: on a real account the PUT leg is a client-side
+file transfer that the SQL API itself does not perform (JDBC/ODBC/
+snowsql implement it); the reference's Rust API crate does the same
+under one `exec` surface. This module keeps exact STATEMENT parity —
+the sequence, DDL mapping, and COPY options are what's verified — and
+`api_url` swaps the transport target, so pointing it at a real
+deployment exercises identical statements.
+
+Scale shape: all statements are driver-side control-plane calls (the
+same envelope as redshift_dest); the data volume rides the staged
+parquet files Spark already wrote in parallel — one PUT per part file,
+which is how a 1000-executor load wants to ship anyway (the reference
+writes one file per batch; per-partition files parallelize the
+transfer and COPY picks up the whole stage)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnowflakeApiError(RuntimeError):
+    pass
+
+
+class SnowflakeSqlClient:
+    """Minimal SQL API v2 client: POST statements, follow result
+    partitions. ``base_url`` is ``https://<account>.snowflakecomputing
+    .com`` in production and the local stub in tests."""
+
+    def __init__(self, base_url: str, token: str = "",
+                 database: str = "", schema: str = "",
+                 warehouse: str = "", role: str = "",
+                 timeout: float = 15.0):
+        self.base_url = base_url.rstrip("/")
+        self.token = token
+        self.database, self.schema = database, schema
+        self.warehouse, self.role = warehouse, role
+        self.timeout = timeout
+
+    def _request(self, method: str, path: str,
+                 body: dict | None = None) -> dict:
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=None if body is None else json.dumps(body).encode(),
+            method=method,
+            headers={
+                "Authorization": f"Bearer {self.token}",
+                "Content-Type": "application/json",
+                "Accept": "application/json",
+                # the documented auth-type header for PAT/OAuth tokens
+                "X-Snowflake-Authorization-Token-Type": "OAUTH",
+            })
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                return json.loads(r.read().decode() or "{}")
+        except urllib.error.HTTPError as e:
+            raise SnowflakeApiError(
+                f"{method} {path} -> HTTP {e.code}: "
+                f"{e.read().decode(errors='replace')[:500]}") from e
+        except OSError as e:
+            raise SnowflakeApiError(
+                f"{method} {path} -> unreachable: {e}") from e
+
+    def exec(self, statement: str) -> dict:
+        """One statement, synchronously (the reference's api.exec)."""
+        body = {"statement": statement,
+                "requestId": str(uuid.uuid4()),
+                "database": self.database, "schema": self.schema,
+                "warehouse": self.warehouse, "role": self.role}
+        return self._request(
+            "POST", "/api/v2/statements?async=false",
+            {k: v for k, v in body.items() if v})
+
+    def query(self, statement: str):
+        """(row_type, rows) for a SELECT — rowType is the API's column
+        metadata list, rows are lists of strings/None (the SQL API's
+        JSON representation), concatenated across result partitions."""
+        res = self.exec(statement)
+        meta = res.get("resultSetMetaData", {})
+        row_type = meta.get("rowType", [])
+        rows = list(res.get("data", []))
+        handle = res.get("statementHandle", "")
+        partitions = meta.get("partitionInfo", [])
+        for i in range(1, len(partitions)):
+            part = self._request(
+                "GET", f"/api/v2/statements/{handle}?partition={i}")
+            rows.extend(part.get("data", []))
+        return row_type, rows
+
+
+# Spark type -> Snowflake DDL type, the same mapping the reference
+# derives from its Arrow schema (destination.rs:179-207): all ints ->
+# NUMBER, floats -> Float, decimal(p,s) -> NUMBER(38-s, s), binary ->
+# BINARY, arrays -> ARRAY, structs/maps -> OBJECT.
+def snowflake_type_ddl(dt: T.DataType) -> str:
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                       T.LongType, T.NullType)):
+        return "NUMBER"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "Float"
+    if isinstance(dt, T.DecimalType):
+        return f"NUMBER({38 - dt.scale}, {dt.scale})"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, T.TimestampType):
+        return "TIMESTAMP"
+    if isinstance(dt, T.BinaryType):
+        return "BINARY"
+    if isinstance(dt, T.StringType):
+        return "VARCHAR"
+    if isinstance(dt, T.ArrayType):
+        return "ARRAY"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "OBJECT"
+    raise ValueError(f"no Snowflake mapping for Spark type {dt}")
+
+
+def snowflake_table_name(origin: str) -> str:
+    """The reference's origin -> table substitution
+    (destination.rs:144): spaces, slashes, colons, dots -> '_'."""
+    out = origin
+    for ch in " /:.":
+        out = out.replace(ch, "_")
+    return out
+
+
+def table_ddl(schema: T.StructType) -> str:
+    return ", ".join(f"{f.name} {snowflake_type_ddl(f.dataType)}"
+                     for f in schema.fields)
+
+
+def load_dataframe(client: SnowflakeSqlClient, df: DataFrame,
+                   origin: str, truncate: bool,
+                   stage_dir: str) -> dict:
+    """The reference's destructive_load_batch statement sequence
+    (destination.rs:134-172), Spark-first: the frame stages as
+    parquet part files written in parallel, then the control-plane
+    statements run once on the driver — CREATE TABLE IF NOT EXISTS
+    (schema mapped like the reference), one PUT per part file to the
+    TABLE stage (@%table), the temporary parquet FILE FORMAT, optional
+    TRUNCATE, and COPY INTO with PURGE + MATCH_BY_COLUMN_NAME."""
+    table = snowflake_table_name(origin)
+    out_dir = stage_dir.rstrip("/") + f"/{table}_{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(out_dir)
+    # enumerate the part files Spark produced (driver-side listing of
+    # a manifest-sized directory, not data)
+    jvm = df.sparkSession._jvm
+    conf = df.sparkSession._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = path.getFileSystem(conf)
+    parts = sorted(
+        str(st.getPath().toUri().getPath())
+        for st in fs.listStatus(path)
+        if st.getPath().getName().endswith(".parquet"))
+    if not parts:
+        raise SnowflakeApiError(f"no parquet part files under {out_dir}")
+    client.exec(f"CREATE TABLE IF NOT EXISTS {table}"
+                f"({table_ddl(df.schema)});")
+    for p in parts:
+        client.exec(f"PUT file://{p} @%{table};")
+    client.exec(
+        "CREATE OR REPLACE TEMPORARY FILE FORMAT CUSTOM_PARQUET_FORMAT "
+        "TYPE = PARQUET COMPRESSION = AUTO TRIM_SPACE = TRUE "
+        "REPLACE_INVALID_CHARACTERS = TRUE BINARY_AS_TEXT = FALSE "
+        "USE_LOGICAL_TYPE = TRUE;")
+    if truncate:
+        client.exec(f"TRUNCATE TABLE {table};")
+    client.exec(
+        f"COPY INTO {table} FILE_FORMAT = CUSTOM_PARQUET_FORMAT "
+        f"PURGE = TRUE MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE;")
+    return {"table": table, "files": len(parts), "truncate": truncate}
+
+
+# SQL API result type -> Spark type (values arrive as JSON strings).
+def _api_type_to_spark(col: dict) -> T.DataType:
+    t = str(col.get("type", "text")).lower()
+    if t == "fixed":
+        return (T.LongType() if int(col.get("scale") or 0) == 0
+                else T.DoubleType())
+    if t == "real":
+        return T.DoubleType()
+    if t == "boolean":
+        return T.BooleanType()
+    if t == "date":
+        return T.DateType()
+    if t.startswith("timestamp"):
+        return T.TimestampType()
+    return T.StringType()
+
+
+def read_query(spark: SparkSession, client: SnowflakeSqlClient,
+               statement: str) -> DataFrame:
+    """Run a query over the SQL API and land it as a DataFrame —
+    the source half (source.rs:84-100). Values cross as strings per
+    the API contract and cast via the rowType metadata; the result
+    set is a poll batch (the reference streams one batch per tick),
+    not a corpus — bulk extraction belongs in COPY INTO a stage."""
+    import datetime as _dt
+
+    row_type, raw = client.query(statement)
+    if not row_type:
+        raise SnowflakeApiError("result has no rowType metadata")
+    fields = [T.StructField(str(c.get("name", f"c{i}")),
+                            _api_type_to_spark(c),
+                            bool(c.get("nullable", True)))
+              for i, c in enumerate(row_type)]
+    schema = T.StructType(fields)
+
+    def conv(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, T.LongType):
+            return int(v)
+        if isinstance(dt, T.DoubleType):
+            return float(v)
+        if isinstance(dt, T.BooleanType):
+            return str(v).lower() in ("true", "1", "t")
+        if isinstance(dt, T.DateType):
+            # API sends days-since-epoch for DATE
+            return (_dt.date(1970, 1, 1)
+                    + _dt.timedelta(days=int(v)))
+        if isinstance(dt, T.TimestampType):
+            # epoch seconds with fractional part
+            return _dt.datetime.fromtimestamp(
+                float(v), _dt.timezone.utc).replace(tzinfo=None)
+        return str(v)
+
+    rows = [tuple(conv(v, f.dataType) for v, f in zip(r, fields))
+            for r in raw]
+    return spark.createDataFrame(rows, schema)

@@ -74,13 +74,19 @@ def test_redshift_copy_no_header_for_parquet():
 def test_unreachable_connectors_raise_section_unavailable(spark, sf_dir):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     sf_cfg = {"account_identifier": "acct", "username": "u", "password": "p",
-              "role": "", "warehouse": "", "database": "d", "schema": "PUBLIC"}
+              "role": "", "warehouse": "", "database": "d", "schema": "PUBLIC",
+              # a closed local port, so the failure is fast and
+              # deterministic rather than a DNS hang
+              "api_url": "http://127.0.0.1:9"}
+    ssrc, sdst = REGISTRY.get("snowflake_source"), \
+        REGISTRY.get("snowflake_dest")
     with pytest.raises(SectionUnavailable):
-        REGISTRY.get("snowflake_source").builder(
-            spark, {**sf_cfg, "query": "select 1"})
+        ssrc.builder(spark, ssrc.validate_config(
+            {"type": "snowflake_source", **sf_cfg, "query": "select 1"}))
     with pytest.raises(SectionUnavailable):
-        REGISTRY.get("snowflake_dest").builder(
-            spark, {**sf_cfg, "table": "t", "truncate": False}, nation)
+        sdst.builder(spark, sdst.validate_config(
+            {"type": "snowflake_dest", **sf_cfg, "table": "t",
+             "truncate": False}), nation)
     with pytest.raises(SectionUnavailable):
         REGISTRY.get("redshift_dest").builder(
             spark, {"host": "localhost", "port": 1, "user": "u", "password": "",

@@ -1,0 +1,188 @@
+"""Snowflake SQL REST API wire (sources/snowflake_api.py): the
+reference's destructive-load statement sequence
+(sections/snowflake/src/destination.rs:125-172) and query source
+(source.rs:84-100), end-to-end against a LOCAL HTTP stub that speaks
+the documented /api/v2/statements response shapes — closing the
+"never executed on a wire" gap without a Snowflake account: the
+statements, their order, the DDL type map, and the result decoding
+are all verified on real HTTP."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from mycelial_spark.sources.snowflake_api import (SnowflakeApiError,
+                                                  SnowflakeSqlClient,
+                                                  snowflake_table_name,
+                                                  snowflake_type_ddl)
+
+
+class _Stub(BaseHTTPRequestHandler):
+    """Replays the SQL API: records every statement; SELECTs return a
+    two-partition result set; everything else returns a success
+    envelope; a poisoned statement returns the documented 422."""
+    statements: list[str] = []
+    token_seen: list[str] = []
+
+    def log_message(self, *a):                   # silence
+        pass
+
+    def _send(self, code: int, body: dict):
+        data = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_POST(self):
+        self.token_seen.append(self.headers.get("Authorization", ""))
+        n = int(self.headers.get("Content-Length", "0"))
+        req = json.loads(self.rfile.read(n).decode())
+        stmt = req.get("statement", "")
+        self.statements.append(stmt)
+        if "SYNTAX_ERROR" in stmt:
+            self._send(422, {"code": "002003",
+                             "message": "SQL compilation error"})
+            return
+        if stmt.lstrip().upper().startswith("SELECT"):
+            self._send(200, {
+                "statementHandle": "h-1",
+                "resultSetMetaData": {
+                    "numRows": 4,
+                    "partitionInfo": [{"rowCount": 2}, {"rowCount": 2}],
+                    "rowType": [
+                        {"name": "ID", "type": "fixed", "scale": 0,
+                         "nullable": False},
+                        {"name": "RATIO", "type": "real"},
+                        {"name": "NAME", "type": "text"},
+                        {"name": "OK", "type": "boolean"},
+                        {"name": "D", "type": "date"},
+                    ]},
+                "data": [["1", "1.5", "a", "true", "19723"],
+                         ["2", "2.5", "b", "false", None]]})
+            return
+        self._send(200, {"statementHandle": "h-0", "data": [],
+                         "message": "Statement executed successfully."})
+
+    def do_GET(self):
+        # result partition fetch: /api/v2/statements/h-1?partition=1
+        assert "partition=1" in self.path
+        self._send(200, {"data": [["3", "3.5", "c", "true", "0"],
+                                  ["4", None, None, "false", "1"]]})
+
+
+@pytest.fixture()
+def stub():
+    _Stub.statements = []
+    _Stub.token_seen = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Stub)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _cfg(url, **extra):
+    return {"account_identifier": "acct", "username": "u",
+            "password": "", "token": "tok-123", "role": "r",
+            "warehouse": "w", "database": "db", "schema": "PUBLIC",
+            "api_url": url, **extra}
+
+
+def test_table_name_and_ddl_map():
+    assert snowflake_table_name("my events/v1.0:x") == \
+        "my_events_v1_0_x"
+    from pyspark.sql import types as T
+    assert snowflake_type_ddl(T.LongType()) == "NUMBER"
+    assert snowflake_type_ddl(T.DoubleType()) == "Float"
+    assert snowflake_type_ddl(T.DecimalType(12, 2)) == "NUMBER(36, 2)"
+    assert snowflake_type_ddl(T.StringType()) == "VARCHAR"
+    assert snowflake_type_ddl(T.BinaryType()) == "BINARY"
+    assert snowflake_type_ddl(
+        T.ArrayType(T.LongType())) == "ARRAY"
+    assert snowflake_type_ddl(T.StructType([])) == "OBJECT"
+
+
+def test_dest_statement_sequence(spark, stub, tmp_path):
+    """destination.rs:134-172 parity on the wire: CREATE TABLE IF NOT
+    EXISTS (mapped schema) -> PUT per staged part file -> temporary
+    parquet FILE FORMAT -> TRUNCATE (when destructive) -> COPY INTO
+    with PURGE + MATCH_BY_COLUMN_NAME; and the staged parquet really
+    holds the frame."""
+    from mycelial_spark.plans.sections import REGISTRY
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.5, False)],
+        "id long, name string, ratio double, ok boolean").coalesce(1)
+    sdef = REGISTRY.get("snowflake_dest")
+    cfg = sdef.validate_config({"type": "snowflake_dest",
+                                **_cfg(stub, table="t.v1",
+                                       truncate=True,
+                                       stage_dir=str(tmp_path))})
+    out = sdef.builder(spark, cfg, df)
+    assert out["table"] == "t_v1" and out["files"] == 1
+    stmts = _Stub.statements
+    assert stmts[0] == ("CREATE TABLE IF NOT EXISTS t_v1"
+                        "(id NUMBER, name VARCHAR, ratio Float, "
+                        "ok BOOLEAN);")
+    puts = [s for s in stmts if s.startswith("PUT file://")]
+    assert len(puts) == 1 and puts[0].endswith("@%t_v1;")
+    ff = stmts[1 + len(puts)]
+    assert ff.startswith("CREATE OR REPLACE TEMPORARY FILE FORMAT "
+                         "CUSTOM_PARQUET_FORMAT TYPE = PARQUET")
+    assert stmts[2 + len(puts)] == "TRUNCATE TABLE t_v1;"
+    assert stmts[3 + len(puts)] == (
+        "COPY INTO t_v1 FILE_FORMAT = CUSTOM_PARQUET_FORMAT "
+        "PURGE = TRUE MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE;")
+    assert len(stmts) == 4 + len(puts)
+    # bearer token crossed the wire on every call
+    assert all(t == "Bearer tok-123" for t in _Stub.token_seen)
+    # the PUT path points at real parquet holding the frame
+    staged = puts[0][len("PUT file://"):-len(" @%t_v1;")]
+    back = spark.read.parquet(staged)
+    assert sorted(r["id"] for r in back.collect()) == [1, 2]
+    # non-destructive load skips TRUNCATE
+    _Stub.statements = []
+    cfg2 = sdef.validate_config({"type": "snowflake_dest",
+                                 **_cfg(stub, table="t2",
+                                        truncate=False,
+                                        stage_dir=str(tmp_path))})
+    sdef.builder(spark, cfg2, df)
+    assert not any(s.startswith("TRUNCATE") for s in _Stub.statements)
+
+
+def test_source_query_with_pagination(spark, stub):
+    """source.rs:84-100 over the wire: rowType metadata maps to Spark
+    types, values decode per type, and the second result PARTITION is
+    fetched and concatenated."""
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("snowflake_source")
+    cfg = sdef.validate_config({"type": "snowflake_source",
+                                **_cfg(stub, query="SELECT * FROM x")})
+    df = sdef.builder(spark, cfg)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "ID:bigint", "RATIO:double", "NAME:string", "OK:boolean",
+        "D:date"]
+    rows = sorted(df.collect(), key=lambda r: r["ID"])
+    assert [r["ID"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["RATIO"] == 1.5 and rows[3]["RATIO"] is None
+    assert rows[0]["OK"] is True and rows[1]["OK"] is False
+    assert str(rows[0]["D"]) == "2024-01-01"      # 19723 days epoch
+    assert str(rows[2]["D"]) == "1970-01-01"
+    assert rows[1]["D"] is None
+
+
+def test_api_errors_surface(spark, stub, tmp_path):
+    client = SnowflakeSqlClient(stub, token="tok")
+    with pytest.raises(SnowflakeApiError, match="HTTP 422"):
+        client.exec("SELECT SYNTAX_ERROR")
+    # unreachable endpoint -> SectionUnavailable through the section
+    from mycelial_spark.plans.sections import REGISTRY, SectionUnavailable
+    sdef = REGISTRY.get("snowflake_source")
+    cfg = sdef.validate_config({
+        "type": "snowflake_source",
+        **_cfg("http://127.0.0.1:9", query="SELECT 1")})
+    with pytest.raises(SectionUnavailable):
+        sdef.builder(spark, cfg)
