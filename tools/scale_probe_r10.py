@@ -1,0 +1,124 @@
+"""Round-10 scale probes.
+
+1. **Mixed-SKEW container dispatch** (the r9 verdict ask): SCALE.md
+   already shows the dispatch over a UNIFORM pdf+mbox mix; a real
+   landing bucket is format-skewed 100:1. Two distinct hazards to
+   separate:
+
+   - *format skew with proportional file counts* — 99% of documents
+     are PDFs, but they arrive in proportionally many PDF files. The
+     dispatch routes per file inside Arrow batches, so this should
+     cost ≈ the same-corpus uniform mix (the expensive parser runs on
+     more files, but files are the unit of parallelism).
+   - *file-count inversion* (the actual serialization hazard) — the
+     dominant format is packed into FEW giant files. No dispatcher can
+     split one file across tasks, so wall-clock degrades toward
+     max-file parse time × files-per-task. The mitigation is shard
+     policy (cap file size at ingest), not dispatch logic — this probe
+     quantifies the cliff so the SCALE row can say so with numbers.
+
+2. **PDF 1.5 layout cost** — xrefstream/ObjStm/predictor parse vs the
+   classic table at the same corpus, to pin that the new layout stays
+   scan-bound (the xref stream decode is metadata-sized).
+
+Usage: python tools/scale_probe_r10.py [--ops=skew,pdf15]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.catalog import load_table
+from mycelial_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def _dup_docs(spark, factor: int):
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text", "source")
+    n = 1 + docs.agg(F.max("doc_id")).collect()[0][0]
+    k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    return (docs.select("doc_id", "text", "source", k)
+            .select((F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+                    "text", "source"))
+
+
+def probe_skew(spark, factor: int = 4):
+    """Dispatch wall-clock across mix shapes at a FIXED corpus size:
+    uniform 50/50, pdf-dominant 100:1 with proportional files, and
+    pdf-dominant 100:1 inverted into 4 giant pdf files."""
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.mbox import synth_mbox
+    from mycelial_spark.sources.pdf import synth_pdf
+
+    docs = _dup_docs(spark, factor).localCheckpoint()
+    total = docs.count()
+    scenarios = [
+        # (name, pdf_fraction(doc_id pred), pdf_files, mbox_files)
+        ("uniform_50_50", F.col("doc_id") % 2 == 0, 16, 16),
+        ("pdf_dominant_100to1_proportional",
+         F.col("doc_id") % 100 != 0, 31, 1),
+        ("pdf_dominant_100to1_fat_files",
+         F.col("doc_id") % 100 != 0, 4, 28),
+    ]
+    for name, pdf_pred, pdf_files, mbox_files in scenarios:
+        mixed = (synth_pdf(docs.filter(pdf_pred), files=pdf_files)
+                 .unionByName(synth_mbox(docs.filter(~pdf_pred),
+                                         files=mbox_files))
+                 ).localCheckpoint()
+        t0 = time.time()
+        out_rows = _force(document_records(mixed))
+        print(json.dumps({"op": "document_dispatch_skew",
+                          "scenario": name, "docs": total,
+                          "pdf_files": pdf_files,
+                          "mbox_files": mbox_files,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}))
+
+
+def probe_pdf15(spark, factors=(1, 4)):
+    """Classic vs xrefstream layout at the same corpus + file count:
+    the 1.5 overhead (xref stream decode + ObjStm inflate + predictor)
+    must stay metadata-sized next to the content streams."""
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    for factor in factors:
+        docs = _dup_docs(spark, factor).localCheckpoint()
+        for layout in ("classic", "xrefstream"):
+            t0 = time.time()
+            out_rows = _force(pdf_pages(
+                synth_pdf(docs, files=8 * factor, layout=layout)))
+            print(json.dumps({"op": f"pdf_extract_{layout}",
+                              "factor": factor, "out_rows": out_rows,
+                              "sec": round(time.time() - t0, 2)}))
+
+
+def main():
+    ops = "skew,pdf15"
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            ops = a.split("=", 1)[1]
+    spark = get_spark("scale-probe-r10",
+                      master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]",
+                      extra_conf={"spark.sql.shuffle.partitions": "32"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if "skew" in ops:
+        probe_skew(spark)
+    if "pdf15" in ops:
+        probe_pdf15(spark)
+
+
+if __name__ == "__main__":
+    main()
