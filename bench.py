@@ -118,6 +118,7 @@ HEADLINE = [
     "webdataset_extract",
     "pdf_extract_text",
     "pdf_extract_text_xrefstream",
+    "docx_extract_text",
     "mbox_extract",
     "document_formats_mixed",
     "robots_filter",

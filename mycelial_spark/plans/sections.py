@@ -1852,6 +1852,18 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("docx_paragraphs", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary DOCX (OOXML WordprocessingML) payloads "
+               "into one row per paragraph: w:p walk in document order, "
+               "w:t runs + w:tab/w:br, content-type validated. Pair with "
+               "binary_source (pattern='*.docx') for document-corpus "
+               "ingestion; on_error=null skips undecodable files.")
+def docx_paragraphs_(spark, cfg, inputs):
+    from mycelial_spark.sources.docx import docx_paragraphs
+    return docx_paragraphs(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("markdown_text", "transform", "dataframe", "dataframe",
            [Field("md_col", default="text")],
            doc="Markdown -> plain text (fences stripped, code kept; "

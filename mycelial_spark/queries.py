@@ -1832,6 +1832,39 @@ def pdf_extract_text_xrefstream(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("docx_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS para_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS para_count,
+       text AS text_out
+FROM documents
+""")
+def docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end DOCX ingestion (sources/docx.py) — the ZIP-package
+    sibling of the PDF legs: documents pack into 8 OOXML packages
+    (synth_docx — one w:p paragraph per doc, newlines as w:br, the id
+    carried in the paragraph text), docx_paragraphs validates the OPC
+    content types and walks document.xml's runs, and codegen splits
+    the id line from the body. The oracle replays paragraph order
+    within each file, per-file counts, and the text — a ZIP, XML,
+    run-joining, or break-handling bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.docx import docx_paragraphs, synth_docx
+    docs = spread(_t(spark, sf_dir, "documents"))
+    paras = docx_paragraphs(synth_docx(docs, files=8))
+    return paras.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("para_idx"),
+        F.col("para_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("mbox_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,
@@ -2062,39 +2095,44 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("document_formats_mixed", """
 SELECT doc_id,
-       CASE CAST(doc_id % 4 AS INT)
+       CASE CAST(doc_id % 5 AS INT)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'warc'
-            WHEN 2 THEN 'mbox' ELSE 'webdataset' END AS format,
+            WHEN 2 THEN 'mbox' WHEN 3 THEN 'webdataset'
+            ELSE 'docx' END AS format,
        text AS text_out
 FROM documents
 """)
 def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One binary column, four real container parsers — the shape a
+    """One binary column, five real container parsers — the shape a
     crawled DOCUMENT corpus actually has (a landing bucket of PDFs,
-    WARC segments, mail archives, and training shards, tagged by
-    nothing but their bytes): payloads pack by doc_id % 4 into 8 files
-    per format (WARC gzip-membered — the dispatch must sniff THROUGH
-    the gzip layer), and document_records routes each file by magic to
-    its parser inside one Arrow batch, emitting normalized
-    (format, key, text) rows. The oracle replays format assignment and
-    the text itself for every document — a mis-sniffed container or a
-    parser that mangles one byte breaks the hash-match. Companion to
-    image_formats_mixed: together they cover the text and image halves
-    of the universal-ingestion dispatch pattern."""
+    WARC segments, mail archives, training shards, and office
+    documents, tagged by nothing but their bytes): payloads pack by
+    doc_id % 5 into 8 files per format (WARC gzip-membered — the
+    dispatch must sniff THROUGH the gzip layer; DOCX is a ZIP package
+    the sniff disambiguates by its OPC parts), and document_records
+    routes each file by magic to its parser inside one Arrow batch,
+    emitting normalized (format, key, text) rows. The oracle replays
+    format assignment and the text itself for every document — a
+    mis-sniffed container or a parser that mangles one byte breaks the
+    hash-match. Companion to image_formats_mixed: together they cover
+    the text and image halves of the universal-ingestion dispatch
+    pattern."""
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.docx import synth_docx
     from mycelial_spark.sources.mbox import synth_mbox
     from mycelial_spark.sources.pdf import synth_pdf
     from mycelial_spark.sources.warc import synth_warc
     from mycelial_spark.sources.webdataset import synth_webdataset
     docs = spread(_t(spark, sf_dir, "documents"))
-    m = F.col("doc_id") % 4
+    m = F.col("doc_id") % 5
     payloads = (synth_pdf(docs.filter(m == 0), files=8)
                 .unionByName(synth_warc(docs.filter(m == 1), files=8,
                                         gzip_members=True))
                 .unionByName(synth_mbox(docs.filter(m == 2), files=8))
                 .unionByName(synth_webdataset(docs.filter(m == 3),
-                                              files=8)))
+                                              files=8))
+                .unionByName(synth_docx(docs.filter(m == 4), files=8)))
     recs = document_records(payloads)
     fmt = F.col("format")
     doc_id = (F.when(fmt == "warc",
@@ -2103,7 +2141,7 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.regexp_extract("key", r"^doc:(\d+)$", 1))
               ).cast("long")
     text_out = F.when(
-        fmt == "pdf",
+        fmt.isin("pdf", "docx"),
         F.expr("substring(text, instr(text, '\\n') + 1)")) \
         .otherwise(F.col("text"))
     return recs.select(doc_id.alias("doc_id"), "format",

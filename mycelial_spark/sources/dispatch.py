@@ -1,11 +1,14 @@
-"""Universal document-container dispatch: one binary column, four real
+"""Universal document-container dispatch: one binary column, five real
 container parsers — the shape a crawled document corpus actually has
 (a landing bucket holds PDFs next to WARC segments next to mail
-archives next to training shards; nothing tags them but their bytes).
+archives next to training shards next to office documents; nothing
+tags them but their bytes).
 
 `sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
 ``WARC/`` (gzip members sniffed through one inflate of the head) /
-mbox ``From `` / POSIX ustar at offset 257 — and `document_records`
+mbox ``From `` / ZIP ``PK`` packages disambiguated by their OPC parts
+(word/document.xml -> docx) / POSIX ustar at offset 257 — and
+`document_records`
 explodes mixed payloads into one normalized row per logical document
 (id, rec_idx, format, key, text) over Arrow batches, routing each file
 to its parser inside the batch: no per-format partitioning, no
@@ -48,6 +51,19 @@ def sniff_container(payload: bytes) -> str:
             f"gzip member is not a WARC record: {peek[:20]!r}")
     if head.startswith(b"From "):
         return "mbox"
+    if head.startswith(b"PK\x03\x04"):         # ZIP package: peek parts
+        import io
+        import zipfile
+        try:
+            names = set(zipfile.ZipFile(
+                io.BytesIO(bytes(payload))).namelist())
+        except Exception as e:
+            raise ValueError(f"ZIP payload failed to open: {e}")
+        if "word/document.xml" in names:
+            return "docx"
+        raise ValueError(
+            f"ZIP package is not a known document container "
+            f"(parts: {sorted(names)[:4]!r})")
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
     raise ValueError(f"unrecognized container magic {head[:12]!r}")
@@ -82,6 +98,10 @@ def _rows_for(fmt: str, payload: bytes) -> list[dict]:
                  "text": parts["txt"].decode("utf-8")}
                 for key, parts in iter_samples(payload)
                 if "txt" in parts]
+    if fmt == "docx":
+        from mycelial_spark.sources.docx import parse_docx
+        return [{"format": "docx", "key": t.split("\n", 1)[0],
+                 "text": t} for t in parse_docx(payload)]
     raise ValueError(f"no parser for container format {fmt!r}")
 
 

@@ -1,0 +1,212 @@
+"""DOCX (OOXML WordprocessingML, ECMA-376) text extraction — after
+PDF, the most common document format in enterprise/web corpora, and
+the repo's first ZIP-package container (the same stdlib-zipfile
+pattern extends to EPUB/ODT/XLSX-style packages; xlsx already has its
+own reader in sources/xlsx.py).
+
+Reader `parse_docx` opens the package the way a conforming consumer
+must: validate the ZIP local-file magic, require the
+``[Content_Types].xml`` part to declare the WordprocessingML main
+document content type, locate ``word/document.xml``, and walk its
+``w:p`` paragraph elements IN DOCUMENT ORDER (including paragraphs
+inside table cells — ElementTree's iter is document-ordered), joining
+each paragraph's runs: ``w:t`` text (xml:space-preserved), ``w:tab``
+-> TAB, ``w:br``/``w:cr`` -> newline. Damage fails loudly (not a ZIP,
+missing parts, undeclared content type, malformed XML) — a truncated
+download must error, not yield a shorter document.
+
+Spark surface: `docx_paragraphs` explodes binary payloads into one
+row per paragraph over Arrow batches — identical shape to the PDF /
+WARC / mbox legs, so at corpus scale parallelism follows the
+binaryFile partitions. Writer `encode_docx`/`synth_docx` builds
+minimal spec-valid packages (fixed ZIP timestamps for determinism)
+so the `docx_extract_text` oracle replays paragraph order, per-file
+counts, and the text from the documents table.
+
+(Reference parity: like PDF, the reference shells documents through
+`exec` sections — `sections/exec/src/lib.rs`; this leg keeps the
+extraction inside the DataFrame plan.)
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_MAIN_CT = ("application/vnd.openxmlformats-officedocument"
+            ".wordprocessingml.document.main+xml")
+
+_CONTENT_TYPES = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/word/document.xml" ContentType="{_MAIN_CT}"/>
+</Types>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="word/document.xml"/>
+</Relationships>"""
+
+
+# ---------------------------------------------------------------- writer
+
+def _para_xml(text: str) -> str:
+    """One w:p from a paragraph string: literal newlines become w:br,
+    tabs become w:tab, text runs keep spaces via xml:space."""
+    runs = []
+    buf = []
+
+    def flush():
+        if buf:
+            runs.append(f'<w:t xml:space="preserve">'
+                        f'{escape("".join(buf))}</w:t>')
+            buf.clear()
+
+    for ch in text:
+        if ch == "\n":
+            flush()
+            runs.append("<w:br/>")
+        elif ch == "\t":
+            flush()
+            runs.append("<w:tab/>")
+        else:
+            buf.append(ch)
+    flush()
+    return "<w:p><w:r>" + "".join(runs) + "</w:r></w:p>"
+
+
+def encode_docx(paragraphs: list[str]) -> bytes:
+    """Minimal spec-valid .docx: [Content_Types].xml with the
+    WordprocessingML override, package rels, and word/document.xml
+    holding one w:p per entry. Fixed ZIP timestamps keep the bytes
+    deterministic for fixtures."""
+    doc = (f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           f'<w:document xmlns:w="{_W}"><w:body>'
+           + "".join(_para_xml(p) for p in paragraphs)
+           + "</w:body></w:document>")
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (("[Content_Types].xml", _CONTENT_TYPES),
+                           ("_rels/.rels", _RELS),
+                           ("word/document.xml", doc)):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------- reader
+
+def parse_docx(payload: bytes) -> list[str]:
+    """Paragraph texts in document order. Raises on non-ZIP bytes,
+    missing/undeclared parts, and malformed XML."""
+    payload = bytes(payload)
+    if not payload.startswith(b"PK\x03\x04"):
+        raise ValueError("not a ZIP package (missing PK local header)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP package: {e}") from e
+    names = set(zf.namelist())
+    if "[Content_Types].xml" not in names:
+        raise ValueError("OPC package has no [Content_Types].xml")
+    ct = zf.read("[Content_Types].xml").decode("utf-8", "strict")
+    if _MAIN_CT not in ct:
+        raise ValueError(
+            "package does not declare a WordprocessingML main document "
+            "(not a .docx)")
+    if "word/document.xml" not in names:
+        raise ValueError("no word/document.xml part")
+    try:
+        root = ET.fromstring(zf.read("word/document.xml"))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed document.xml: {e}") from e
+    body = root.find(f"{{{_W}}}body")
+    if body is None:
+        raise ValueError("document.xml has no w:body")
+    out: list[str] = []
+    for p in body.iter(f"{{{_W}}}p"):
+        parts: list[str] = []
+        for el in p.iter():
+            tag = el.tag
+            if tag == f"{{{_W}}}t":
+                parts.append(el.text or "")
+            elif tag == f"{{{_W}}}tab":
+                parts.append("\t")
+            elif tag in (f"{{{_W}}}br", f"{{{_W}}}cr"):
+                parts.append("\n")
+        out.append("".join(parts))
+    return out
+
+
+DOCX_PARA_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("para_idx", T.IntegerType()),
+    T.StructField("para_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def docx_paragraphs(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary DOCX payloads into one row per paragraph
+    (DOCX_PARA_SCHEMA) over Arrow batches; ``on_error="null"`` skips
+    undecodable files (poison-row tolerance, the codec-leg
+    contract)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    paras = parse_docx(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "para_idx": i,
+                             "para_count": len(paras), "text": t}
+                            for i, t in enumerate(paras))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DOCX_PARA_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, DOCX_PARA_SCHEMA)
+
+
+def synth_docx(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Test-fixture adapter mirroring synth_pdf: documents pack into
+    ``files`` .docx packages (doc_id % files), one paragraph per
+    document, text ``doc:<id>\\n<body>`` (the newline round-trips as
+    w:br). Emits (id = file index, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t)) for d, t in
+                        zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[str]] = {}
+        for doc_id, t in sorted(docs):
+            groups.setdefault(doc_id % files, []).append(
+                f"doc:{doc_id}\n{t}")
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "docx",
+             "payload": [encode_docx(paras)
+                         for paras in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

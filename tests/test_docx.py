@@ -1,0 +1,134 @@
+"""DOCX container (sources/docx.py): OPC package validation,
+WordprocessingML paragraph/run/break walking, round-trips through the
+deterministic writer, loud failures on damage — the ZIP-package
+sibling of the PDF legs."""
+
+import io
+import zipfile
+
+import pytest
+
+from mycelial_spark.sources import docx as D
+
+PARAS = ["doc:0\nhello world\twith tab",
+         "doc:1\nünïcode 中文 🎉 mixed",
+         "",
+         "doc:3\nline1\n\nline3 trailing\n",
+         "doc:4\n" + "word " * 200,
+         "doc:5\nxml specials < > & \" '"]
+
+
+def test_roundtrip():
+    data = D.encode_docx(PARAS)
+    assert data.startswith(b"PK\x03\x04")
+    assert D.parse_docx(data) == PARAS
+    # the writer is deterministic (fixed ZIP timestamps)
+    assert D.encode_docx(PARAS) == data
+
+
+def test_table_paragraphs_in_document_order():
+    """Paragraphs inside w:tbl cells extract in document order —
+    foreign files bury text in tables constantly."""
+    doc = (f'<?xml version="1.0"?><w:document xmlns:w="{D._W}">'
+           f'<w:body>'
+           f'<w:p><w:r><w:t>before</w:t></w:r></w:p>'
+           f'<w:tbl><w:tr><w:tc>'
+           f'<w:p><w:r><w:t>cell one</w:t></w:r></w:p></w:tc>'
+           f'<w:tc><w:p><w:r><w:t>cell two</w:t></w:r></w:p>'
+           f'</w:tc></w:tr></w:tbl>'
+           f'<w:p><w:r><w:t>after</w:t></w:r></w:p>'
+           f'</w:body></w:document>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zf.writestr("[Content_Types].xml", D._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", D._RELS)
+        zf.writestr("word/document.xml", doc)
+    assert D.parse_docx(out.getvalue()) == \
+        ["before", "cell one", "cell two", "after"]
+
+
+def test_multi_run_paragraph_and_missing_text():
+    """Runs split mid-word (tracked changes / formatting boundaries do
+    this) must join seamlessly; empty w:t elements contribute ''."""
+    doc = (f'<?xml version="1.0"?><w:document xmlns:w="{D._W}">'
+           f'<w:body><w:p>'
+           f'<w:r><w:t>Hel</w:t></w:r><w:r><w:t>lo</w:t></w:r>'
+           f'<w:r><w:t/></w:r>'
+           f'<w:r><w:t xml:space="preserve"> world</w:t></w:r>'
+           f'</w:p></w:body></w:document>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zf.writestr("[Content_Types].xml", D._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", D._RELS)
+        zf.writestr("word/document.xml", doc)
+    assert D.parse_docx(out.getvalue()) == ["Hello world"]
+
+
+def test_rejects_damaged_and_lying():
+    data = D.encode_docx(PARAS[:2])
+    with pytest.raises(ValueError, match="PK local header"):
+        D.parse_docx(b"not a zip at all")
+    with pytest.raises(ValueError, match="damaged ZIP"):
+        D.parse_docx(data[:60])
+    # a valid ZIP without the content-types part
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<x/>")
+    with pytest.raises(ValueError, match="Content_Types"):
+        D.parse_docx(buf.getvalue())
+    # content types present but not declaring WordprocessingML
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", "<x/>")
+    with pytest.raises(ValueError, match="not a .docx"):
+        D.parse_docx(buf.getvalue())
+    # declared but the part is missing
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", D._CONTENT_TYPES)
+    with pytest.raises(ValueError, match="no word/document.xml"):
+        D.parse_docx(buf.getvalue())
+    # malformed XML
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", D._CONTENT_TYPES)
+        zf.writestr("word/document.xml", "<w:document unclosed")
+    with pytest.raises(ValueError, match="malformed"):
+        D.parse_docx(buf.getvalue())
+    # missing w:body
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", D._CONTENT_TYPES)
+        zf.writestr("word/document.xml",
+                    f'<w:document xmlns:w="{D._W}"/>')
+    with pytest.raises(ValueError, match="no w:body"):
+        D.parse_docx(buf.getvalue())
+
+
+def test_docx_paragraphs_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string")
+    rows = D.docx_paragraphs(D.synth_docx(docs, files=3)).collect()
+    assert len(rows) == 12
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [4, 4, 4]
+    for rows_ in by_file.values():
+        ids = [int(r["text"].split("\n", 1)[0].removeprefix("doc:"))
+               for r in rows_]
+        assert ids == sorted(ids)              # in-file paragraph order
+        assert [r["para_idx"] for r in rows_] == list(range(4))
+        assert all(r["para_count"] == 4 for r in rows_)
+    sdef = REGISTRY.get("docx_paragraphs")
+    cfg = sdef.validate_config({"type": "docx_paragraphs"})
+    out = sdef.builder(spark, cfg, [D.synth_docx(docs, files=3)])
+    assert out.count() == 12
+    bad = spark.createDataFrame([(99, b"not a docx")],
+                                "id long, payload binary")
+    assert D.docx_paragraphs(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        D.docx_paragraphs(bad).count()
