@@ -88,16 +88,33 @@ def _page_stream(text: str, hex_strings: bool) -> bytes:
     return b" ".join(ops)
 
 
+_FILTER_ENCODERS = {
+    "FlateDecode": lambda d: zlib.compress(d, 9),
+    "LZWDecode": lambda d: _lzw_encode(d),
+    "ASCIIHexDecode": lambda d: _asciihex_encode(d),
+    "ASCII85Decode": lambda d: _ascii85_encode(d),
+    "RunLengthDecode": lambda d: _runlength_encode(d),
+}
+
+
 def encode_pdf(pages: list[str], flate: bool = True,
-               string_mode: str = "alt") -> bytes:
+               string_mode: str = "alt",
+               filters: list[str] | None = None) -> bytes:
     """Spec-conformant classic PDF writer (fixture/test side): one page
     per entry, Helvetica, byte-accurate xref table. ``flate``
     zlib-compresses content streams (`/Filter /FlateDecode`);
-    ``string_mode`` picks literal vs hex text strings per page
-    ("literal", "hex", or "alt" = alternate by page index, which makes
-    every multi-page file exercise both reader paths)."""
+    ``filters`` overrides it with an explicit decode-order filter
+    chain (§7.4: the first name is applied first when DECODING, so the
+    writer applies encoders in reverse); ``string_mode`` picks literal
+    vs hex text strings per page ("literal", "hex", or "alt" =
+    alternate by page index, which makes every multi-page file
+    exercise both reader paths)."""
     if string_mode not in ("literal", "hex", "alt"):
         raise ValueError(f"unknown string_mode {string_mode!r}")
+    if filters is not None:
+        for f in filters:
+            if f not in _FILTER_ENCODERS:
+                raise ValueError(f"no encoder for filter {f!r}")
     n = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
     # 4+2i page dict, 5+2i content stream
@@ -115,7 +132,14 @@ def encode_pdf(pages: list[str], flate: bool = True,
         use_hex = (string_mode == "hex"
                    or (string_mode == "alt" and i % 2 == 1))
         data = _page_stream(text, use_hex)
-        if flate:
+        if filters is not None:
+            for f in reversed(filters):
+                data = _FILTER_ENCODERS[f](data)
+            spec = (f"/{filters[0]}" if len(filters) == 1 else
+                    "[" + " ".join(f"/{f}" for f in filters) + "]")
+            head = (f"<< /Length {len(data)} /Filter {spec} >>"
+                    .encode())
+        elif flate:
             data = zlib.compress(data, 9)
             head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
                     .encode())
@@ -485,6 +509,239 @@ class _Lexer:
                          f"{self.pos}: {word[:20]!r}")
 
 
+# ------------------------------------------------------- stream filters
+# The non-Flate filters real legacy PDFs carry (PDF 32000 §7.4):
+# ASCIIHexDecode / ASCII85Decode (email-safe armoring from the
+# PostScript era), RunLengthDecode, and LZWDecode (pre-1.2 writers;
+# the TIFF variant with a 9→12-bit code ladder and earlyChange).
+# Encoders live alongside for fixture use — round-trip tests are the
+# only honest way to pin a codec.
+
+def _asciihex_decode(data: bytes) -> bytes:
+    digits = []
+    for b in data:
+        if b == 0x3E:                             # '>' EOD
+            break
+        if b in _WS:
+            continue
+        digits.append(chr(b))
+    else:
+        raise ValueError("ASCIIHexDecode stream missing '>' EOD")
+    if len(digits) % 2:
+        digits.append("0")                        # odd count pads 0
+    try:
+        return bytes.fromhex("".join(digits))
+    except ValueError as e:
+        raise ValueError(f"bad ASCIIHex digit: {e}") from e
+
+
+def _asciihex_encode(data: bytes) -> bytes:
+    return data.hex().encode("ascii") + b">"
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    out = bytearray()
+    group: list[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x7E:                             # '~>' EOD
+            if data[i:i + 2] != b"~>":
+                raise ValueError("ASCII85Decode: bare '~' without '>'")
+            break
+        if c == 0x7A:                             # 'z' = 4 zero bytes
+            if group:
+                raise ValueError("ASCII85Decode: 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not (0x21 <= c <= 0x75):               # '!'..'u'
+            raise ValueError(f"ASCII85Decode: bad byte {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            if v > 0xFFFFFFFF:
+                raise ValueError("ASCII85Decode: group overflow")
+            out += v.to_bytes(4, "big")
+            group = []
+        i += 1
+    else:
+        raise ValueError("ASCII85Decode stream missing '~>' EOD")
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85Decode: lone trailing digit")
+        k = len(group)
+        v = 0
+        for g in group + [84] * (5 - k):          # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[:k - 1]
+    return bytes(out)
+
+
+def _ascii85_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for at in range(0, len(data), 4):
+        chunk = data[at:at + 4]
+        k = len(chunk)
+        v = int.from_bytes(chunk + b"\x00" * (4 - k), "big")
+        if v == 0 and k == 4:
+            out.append(0x7A)                      # 'z'
+            continue
+        digits = []
+        for _ in range(5):
+            digits.append(v % 85)
+            v //= 85
+        out += bytes(0x21 + d for d in reversed(digits))[:k + 1]
+    return bytes(out) + b"~>"
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:                             # EOD
+            return bytes(out)
+        if ln < 128:
+            lit = data[i + 1:i + 2 + ln]
+            if len(lit) != ln + 1:
+                raise ValueError("RunLengthDecode: truncated literal")
+            out += lit
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("RunLengthDecode: truncated run")
+            out += bytes([data[i + 1]]) * (257 - ln)
+            i += 2
+    raise ValueError("RunLengthDecode stream missing EOD (128)")
+
+
+def _runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # run of identical bytes?
+        j = i
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal stretch up to the next 3-run or 128 bytes
+        j = i
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out) + b"\x80"
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """The PDF/TIFF LZW variant (§7.4.4.2): 9-bit codes growing to 12,
+    256 = clear table, 257 = EOD, and ``early`` (/EarlyChange, default
+    1) advancing the code width one entry before the table actually
+    fills — the quirk that breaks naive decoders on real files."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    bitbuf = bits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bits += 8
+        while bits >= width:
+            code = (bitbuf >> (bits - width)) & ((1 << width) - 1)
+            bits -= width
+            if code == 256:
+                table.clear()
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError(
+                        f"LZWDecode: first code {code} not a literal")
+                entry = bytes([code])
+            elif code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]           # the KwKwK case
+            else:
+                raise ValueError(f"LZWDecode: code {code} out of range")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            out += entry
+            prev = entry
+            # width ladder (§7.4.4.2): the decoder's table lags the
+            # encoder's by exactly one entry at read time, so its
+            # own-counter threshold sits one LOWER than the encoder's
+            # — with EarlyChange=1 it switches on assigning entry 511/
+            # 1023/2047 (libtiff does the same); without, one later
+            if width < 12 and next_code + early >= (1 << width):
+                width += 1
+    raise ValueError("LZWDecode stream ended without EOD (257)")
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Fixture-side LZW encoder matching _lzw_decode's variant."""
+    out = bytearray()
+    bitbuf = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, bits
+        bitbuf = (bitbuf << width) | code
+        bits += width
+        while bits >= 8:
+            out.append((bitbuf >> (bits - 8)) & 0xFF)
+            bits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)                              # leading clear
+
+    def bump():
+        nonlocal width
+        # mirror of the decoder's ladder: the decoder adds one table
+        # entry per received code (after the first), so the encoder's
+        # add after each emit keeps the counters aligned
+        if width < 12 and next_code + early - 1 >= (1 << width):
+            width += 1
+
+    seq = b""
+    for b in data:
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            bump()
+        seq = bytes([b])
+    if seq:
+        emit(table[seq], width)
+        if next_code < 4096:                      # decoder adds here too
+            next_code += 1
+            bump()
+    emit(257, width)                              # EOD
+    if bits:
+        out.append((bitbuf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
 def _png_unpredict(data: bytes, columns: int) -> bytes:
     """Reverse the PNG row filters (predictors 10-15, PDF 32000
     §7.4.4.4) at one byte per pixel — the xref-stream usage. Each row
@@ -851,11 +1108,29 @@ class _Pdf:
             parms_list = parms_list + [None] * (
                 len(filters) - len(parms_list))
         for f, pm in zip(filters, parms_list):
-            if str(self.resolve(f)) != "FlateDecode":
-                raise ValueError(f"unsupported PDF filter {f!r}")
-            stream = zlib.decompress(stream)
+            name = str(self.resolve(f))
             pm = self.resolve(pm)
-            if isinstance(pm, dict):
+            if name == "FlateDecode":
+                stream = zlib.decompress(stream)
+            elif name == "LZWDecode":
+                early = 1
+                if isinstance(pm, dict):
+                    early = self.resolve(pm.get("EarlyChange", 1))
+                    if early not in (0, 1):
+                        raise ValueError(f"bad /EarlyChange {early!r}")
+                stream = _lzw_decode(stream, early)
+            elif name == "ASCIIHexDecode":
+                stream = _asciihex_decode(stream)
+            elif name == "ASCII85Decode":
+                stream = _ascii85_decode(stream)
+            elif name == "RunLengthDecode":
+                stream = _runlength_decode(stream)
+            else:
+                # DCT/JBIG2/CCITT/Crypt: image-only or out of scope —
+                # fail loudly rather than yield shifted pages
+                raise ValueError(f"unsupported PDF filter {name!r}")
+            if name in ("FlateDecode", "LZWDecode") \
+                    and isinstance(pm, dict):
                 pred = self.resolve(pm.get("Predictor", 1))
                 if pred == 1:
                     continue
@@ -1007,7 +1282,17 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
 
     def encode(fid: int, pages: list[str]) -> bytes:
         if layout == "classic":
-            return encode_pdf(pages, flate=(fid % 2 == 0))
+            # rotate the cheap-to-encode filter shapes so the oracle
+            # row exercises every decode path: Flate, plain,
+            # ASCII85+Flate, RunLength+Flate (LZW stays test-only —
+            # its pure-Python ENCODER would dominate the fixture cost)
+            chain = [None, "plain", ["ASCII85Decode", "FlateDecode"],
+                     ["RunLengthDecode", "FlateDecode"]][fid % 4]
+            if chain == "plain":
+                return encode_pdf(pages, flate=False)
+            if chain is None:
+                return encode_pdf(pages, flate=True)
+            return encode_pdf(pages, filters=chain)
         if fid % 4 == 3:
             return encode_pdf_hybrid(pages, flate=(fid % 2 == 0))
         return encode_pdf_xrefstream(pages, flate=(fid % 2 == 0),

@@ -152,6 +152,50 @@ def test_pdf_pages_section(spark):
     assert all(r["text"].startswith("doc:") for r in out)
 
 
+@pytest.mark.parametrize("chain", [
+    ["LZWDecode"], ["ASCIIHexDecode"], ["ASCII85Decode"],
+    ["RunLengthDecode"], ["ASCII85Decode", "FlateDecode"],
+    ["ASCIIHexDecode", "LZWDecode"], ["RunLengthDecode", "FlateDecode"],
+])
+def test_filter_chains_roundtrip(chain):
+    """§7.4 filter chains beyond Flate — the legacy encodings real
+    pre-1.2 / PostScript-era PDFs carry. The writer applies encoders in
+    reverse of the declared decode order."""
+    data = P.encode_pdf(PAGES, filters=chain)
+    assert P.parse_pdf(data) == PAGES
+
+
+def test_filter_codecs_grammar():
+    """Codec-level spec corners: hex odd-digit padding + EOD, ASCII85
+    'z' shorthand / partial groups / overflow, RunLength EOD, LZW
+    width ladder (both EarlyChange values) + KwKwK + table cap."""
+    import random
+    assert P._asciihex_decode(b"48 65\n6c6C6f>") == b"Hello"
+    assert P._asciihex_decode(b"486->"[:-2] + b">") == b"H\x60"  # pad 0
+    with pytest.raises(ValueError, match="EOD"):
+        P._asciihex_decode(b"4865")
+    assert P._ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+    assert P._ascii85_decode(P._ascii85_encode(b"sure.")) == b"sure."
+    with pytest.raises(ValueError, match="EOD"):
+        P._ascii85_decode(b"9jqo")
+    with pytest.raises(ValueError, match="overflow"):
+        P._ascii85_decode(b"uuuuu~>")            # > 2^32-1
+    with pytest.raises(ValueError, match="lone trailing"):
+        P._ascii85_decode(b"zz!~>")
+    assert P._runlength_decode(b"\x02abc\xfeZ\x80") == b"abcZZZ"
+    with pytest.raises(ValueError, match="EOD"):
+        P._runlength_decode(b"\x02abc")
+    # KwKwK: 'ababab...' forces code == next_code on decode
+    kwk = b"ab" * 2000
+    rng = random.Random(7)
+    low_entropy = bytes(rng.choice(b"abcd") for _ in range(50000))
+    for early in (0, 1):
+        for d in (b"", b"x", kwk, bytes(range(256)) * 8, low_entropy):
+            assert P._lzw_decode(P._lzw_encode(d, early), early) == d
+    with pytest.raises(ValueError, match="EOD"):
+        P._lzw_decode(b"\x80\x00")               # clear, then truncation
+
+
 @pytest.mark.parametrize("flate", [False, True])
 @pytest.mark.parametrize("predictor", [False, True])
 def test_xrefstream_roundtrip(flate, predictor):
