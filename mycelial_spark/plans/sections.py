@@ -1864,6 +1864,18 @@ def docx_paragraphs_(spark, cfg, inputs):
     return docx_paragraphs(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("epub_chapters", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary EPUB payloads into one row per spine "
+               "document: OCF mimetype/container walk, OPF manifest + "
+               "spine order, extraction-grade XHTML-to-text. Pair with "
+               "binary_source (pattern='*.epub') for book-corpus "
+               "ingestion; on_error=null skips undecodable files.")
+def epub_chapters_(spark, cfg, inputs):
+    from mycelial_spark.sources.epub import epub_chapters
+    return epub_chapters(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("markdown_text", "transform", "dataframe", "dataframe",
            [Field("md_col", default="text")],
            doc="Markdown -> plain text (fences stripped, code kept; "

@@ -1865,6 +1865,39 @@ def docx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("epub_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS chap_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS chap_count,
+       text AS text_out
+FROM documents
+""")
+def epub_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end EPUB ingestion (sources/epub.py) — the book-corpus
+    leg: documents pack into 8 OCF packages (synth_epub — one XHTML
+    chapter per doc, lines as <p> blocks, the id carried in the
+    chapter text), epub_chapters walks mimetype → container.xml → OPF
+    manifest/spine → XHTML extraction, and codegen splits the id line
+    from the body. The oracle replays spine order within each file,
+    per-file chapter counts, and the text — a container-walk,
+    spine-order, or XHTML-extraction bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.epub import epub_chapters, synth_epub
+    docs = spread(_t(spark, sf_dir, "documents"))
+    chaps = epub_chapters(synth_epub(docs, files=8))
+    return chaps.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("chap_idx"),
+        F.col("chap_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("mbox_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,
@@ -2095,19 +2128,19 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("document_formats_mixed", """
 SELECT doc_id,
-       CASE CAST(doc_id % 5 AS INT)
+       CASE CAST(doc_id % 6 AS INT)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'warc'
             WHEN 2 THEN 'mbox' WHEN 3 THEN 'webdataset'
-            ELSE 'docx' END AS format,
+            WHEN 4 THEN 'docx' ELSE 'epub' END AS format,
        text AS text_out
 FROM documents
 """)
 def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One binary column, five real container parsers — the shape a
+    """One binary column, six real container parsers — the shape a
     crawled DOCUMENT corpus actually has (a landing bucket of PDFs,
-    WARC segments, mail archives, training shards, and office
-    documents, tagged by nothing but their bytes): payloads pack by
-    doc_id % 5 into 8 files per format (WARC gzip-membered — the
+    WARC segments, mail archives, training shards, office documents,
+    and e-books, tagged by nothing but their bytes): payloads pack by
+    doc_id % 6 into 8 files per format (WARC gzip-membered — the
     dispatch must sniff THROUGH the gzip layer; DOCX is a ZIP package
     the sniff disambiguates by its OPC parts), and document_records
     routes each file by magic to its parser inside one Arrow batch,
@@ -2120,19 +2153,21 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.sources.dispatch import document_records
     from mycelial_spark.sources.docx import synth_docx
+    from mycelial_spark.sources.epub import synth_epub
     from mycelial_spark.sources.mbox import synth_mbox
     from mycelial_spark.sources.pdf import synth_pdf
     from mycelial_spark.sources.warc import synth_warc
     from mycelial_spark.sources.webdataset import synth_webdataset
     docs = spread(_t(spark, sf_dir, "documents"))
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     payloads = (synth_pdf(docs.filter(m == 0), files=8)
                 .unionByName(synth_warc(docs.filter(m == 1), files=8,
                                         gzip_members=True))
                 .unionByName(synth_mbox(docs.filter(m == 2), files=8))
                 .unionByName(synth_webdataset(docs.filter(m == 3),
                                               files=8))
-                .unionByName(synth_docx(docs.filter(m == 4), files=8)))
+                .unionByName(synth_docx(docs.filter(m == 4), files=8))
+                .unionByName(synth_epub(docs.filter(m == 5), files=8)))
     recs = document_records(payloads)
     fmt = F.col("format")
     doc_id = (F.when(fmt == "warc",
@@ -2141,7 +2176,7 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.regexp_extract("key", r"^doc:(\d+)$", 1))
               ).cast("long")
     text_out = F.when(
-        fmt.isin("pdf", "docx"),
+        fmt.isin("pdf", "docx", "epub"),
         F.expr("substring(text, instr(text, '\\n') + 1)")) \
         .otherwise(F.col("text"))
     return recs.select(doc_id.alias("doc_id"), "format",

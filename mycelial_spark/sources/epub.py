@@ -1,0 +1,270 @@
+"""EPUB (OCF/OPF, the e-book package format) text extraction — the
+dominant container for book corpora, which are the highest-quality
+text a training pipeline ingests. Reuses the ZIP-package pattern
+established by sources/docx.py.
+
+Reader `parse_epub` walks the package the way the spec chains it:
+
+1. OCF (container format): ZIP magic; the ``mimetype`` entry must
+   read ``application/epub+zip``; ``META-INF/container.xml`` names the
+   package document via ``rootfile@full-path``.
+2. OPF (package document): the ``manifest`` maps item ids to hrefs
+   (relative to the OPF's own directory); the ``spine``'s ``itemref``
+   order IS the reading order.
+3. Content documents: each spine XHTML parses with ElementTree;
+   block-level elements (p, h1-h6, li, plus br line breaks) become
+   newline-separated lines — extraction-grade, like html_to_text.
+
+Damage fails loudly (missing/mislabelled mimetype, no container.xml,
+dangling rootfile, spine idref without a manifest item, malformed
+XML) — a truncated book must error, not silently lose chapters.
+
+Spark surface: `epub_chapters` explodes binary payloads into one row
+per spine document over Arrow batches (the PDF/DOCX leg shape);
+`encode_epub`/`synth_epub` build deterministic spec-valid packages so
+the `epub_extract_text` oracle replays chapter order, counts, and
+text from the documents table.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_CNT = "urn:oasis:names:tc:opendocument:xmlns:container"
+_OPF = "http://www.idpf.org/2007/opf"
+_XHTML = "http://www.w3.org/1999/xhtml"
+_MIME = "application/epub+zip"
+
+_CONTAINER = f"""<?xml version="1.0" encoding="UTF-8"?>
+<container version="1.0" xmlns="{_CNT}">
+<rootfiles><rootfile full-path="OEBPS/content.opf"
+ media-type="application/oebps-package+xml"/></rootfiles>
+</container>"""
+
+# block-level XHTML elements that terminate a line of extracted text
+_BLOCKS = frozenset(
+    f"{{{_XHTML}}}{t}" for t in
+    ("p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "div",
+     "blockquote", "tr"))
+
+
+# ---------------------------------------------------------------- writer
+
+def _chapter_xhtml(text: str) -> str:
+    paras = "".join(f"<p>{escape(line)}</p>"
+                    for line in text.split("\n"))
+    return (f'<?xml version="1.0" encoding="UTF-8"?>'
+            f'<html xmlns="{_XHTML}"><head><title>c</title></head>'
+            f'<body>{paras}</body></html>')
+
+
+def encode_epub(chapters: list[str]) -> bytes:
+    """Minimal spec-valid EPUB: STORED ``mimetype`` first (per OCF),
+    container.xml, an OPF with one manifest item + spine itemref per
+    chapter, and one XHTML per chapter (each input line becomes a
+    ``<p>``, so newlines round-trip). Fixed ZIP timestamps keep the
+    bytes deterministic for fixtures."""
+    items, refs, docs = [], [], []
+    for i, text in enumerate(chapters):
+        items.append(f'<item id="c{i}" href="chap{i:04d}.xhtml" '
+                     f'media-type="application/xhtml+xml"/>')
+        refs.append(f'<itemref idref="c{i}"/>')
+        docs.append((f"OEBPS/chap{i:04d}.xhtml", _chapter_xhtml(text)))
+    opf = (f'<?xml version="1.0" encoding="UTF-8"?>'
+           f'<package xmlns="{_OPF}" version="3.0" '
+           f'unique-identifier="uid">'
+           f'<metadata><dc:identifier '
+           f'xmlns:dc="http://purl.org/dc/elements/1.1/" id="uid">'
+           f'fixture</dc:identifier></metadata>'
+           f'<manifest>{"".join(items)}</manifest>'
+           f'<spine>{"".join(refs)}</spine></package>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED    # OCF: first + stored
+        zf.writestr(zi, _MIME)
+        for name, data in ([("META-INF/container.xml", _CONTAINER),
+                            ("OEBPS/content.opf", opf)] + docs):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------- reader
+
+def _xhtml_text(root: ET.Element) -> str:
+    """Extraction-grade XHTML -> text: block elements end a line,
+    ``<br/>`` breaks inside one, inline elements contribute their text
+    seamlessly."""
+    body = root.find(f"{{{_XHTML}}}body")
+    if body is None:
+        raise ValueError("content document has no XHTML body")
+    lines: list[str] = []
+    buf: list[str] = []
+
+    def end_line(force: bool):
+        # force=True for a block's own content (an empty <p> IS an
+        # empty line); force=False for inter-block boundaries, where
+        # whitespace-only indentation tails must not become lines
+        s = "".join(buf)
+        if force or s.strip():
+            lines.append(s)
+        buf.clear()
+
+    def walk(el: ET.Element):
+        for child in el:
+            if child.tag == f"{{{_XHTML}}}br":
+                end_line(force=True)
+                if child.tail:
+                    buf.append(child.tail)
+                continue
+            is_block = child.tag in _BLOCKS
+            if is_block:
+                end_line(force=False)
+            if child.text:
+                buf.append(child.text)
+            walk(child)
+            if is_block:
+                end_line(force=True)
+            if child.tail:
+                buf.append(child.tail)
+
+    if body.text and body.text.strip():
+        buf.append(body.text)
+    walk(body)
+    end_line(force=False)
+    return "\n".join(lines)
+
+
+def parse_epub(payload: bytes) -> list[str]:
+    """Chapter texts in spine order."""
+    payload = bytes(payload)
+    if not payload.startswith(b"PK\x03\x04"):
+        raise ValueError("not a ZIP package (missing PK local header)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP package: {e}") from e
+    names = set(zf.namelist())
+    if "mimetype" not in names:
+        raise ValueError("OCF package has no mimetype entry")
+    mime = zf.read("mimetype").decode("ascii", "replace").strip()
+    if mime != _MIME:
+        raise ValueError(f"mimetype is {mime!r}, not {_MIME!r} "
+                         f"(not an EPUB)")
+    if "META-INF/container.xml" not in names:
+        raise ValueError("no META-INF/container.xml")
+    try:
+        container = ET.fromstring(zf.read("META-INF/container.xml"))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed container.xml: {e}") from e
+    rootfile = container.find(
+        f"{{{_CNT}}}rootfiles/{{{_CNT}}}rootfile")
+    if rootfile is None or not rootfile.get("full-path"):
+        raise ValueError("container.xml names no rootfile")
+    opf_path = rootfile.get("full-path")
+    if opf_path not in names:
+        raise ValueError(f"rootfile {opf_path!r} missing from package")
+    try:
+        opf = ET.fromstring(zf.read(opf_path))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed OPF: {e}") from e
+    base = posixpath.dirname(opf_path)
+    manifest = {item.get("id"): item.get("href")
+                for item in opf.iter(f"{{{_OPF}}}item")}
+    out: list[str] = []
+    spine = opf.find(f"{{{_OPF}}}spine")
+    if spine is None:
+        raise ValueError("OPF has no spine")
+    for ref in spine.iter(f"{{{_OPF}}}itemref"):
+        idref = ref.get("idref")
+        href = manifest.get(idref)
+        if not href:
+            raise ValueError(f"spine idref {idref!r} has no manifest "
+                             f"item")
+        path = posixpath.normpath(posixpath.join(base, href)) \
+            if base else href
+        if path not in names:
+            raise ValueError(f"content document {path!r} missing "
+                             f"from package")
+        try:
+            root = ET.fromstring(zf.read(path))
+        except ET.ParseError as e:
+            raise ValueError(f"malformed content document "
+                             f"{path!r}: {e}") from e
+        out.append(_xhtml_text(root))
+    return out
+
+
+EPUB_CHAPTER_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("chap_idx", T.IntegerType()),
+    T.StructField("chap_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def epub_chapters(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary EPUB payloads into one row per spine document
+    (EPUB_CHAPTER_SCHEMA) over Arrow batches; ``on_error="null"``
+    skips undecodable files (the codec-leg contract)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    chaps = parse_epub(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "chap_idx": i,
+                             "chap_count": len(chaps), "text": t}
+                            for i, t in enumerate(chaps))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EPUB_CHAPTER_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run,
+                                                  EPUB_CHAPTER_SCHEMA)
+
+
+def synth_epub(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Test-fixture adapter mirroring synth_pdf: documents pack into
+    ``files`` EPUBs (doc_id % files), one chapter per document, text
+    ``doc:<id>\\n<body>`` (lines round-trip as <p> blocks). Emits
+    (id = file index, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t)) for d, t in
+                        zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[str]] = {}
+        for doc_id, t in sorted(docs):
+            groups.setdefault(doc_id % files, []).append(
+                f"doc:{doc_id}\n{t}")
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "epub",
+             "payload": [encode_epub(chaps)
+                         for chaps in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

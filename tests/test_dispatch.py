@@ -1,6 +1,6 @@
 """Universal container dispatch (sources/dispatch.py): magic-byte
-sniffing across all five document containers (through gzip for WARC,
-through the ZIP part listing for DOCX),
+sniffing across all six document containers (through gzip for WARC,
+through the ZIP part listing for DOCX/EPUB),
 normalized per-document rows, and loud failures on unrecognized or
 lying payloads."""
 
@@ -29,6 +29,8 @@ def test_sniff_magic():
         encode_tar([("0001.txt", b"x")])) == "tar"
     from mycelial_spark.sources.docx import encode_docx
     assert sniff_container(encode_docx(["doc:1\nx"])) == "docx"
+    from mycelial_spark.sources.epub import encode_epub
+    assert sniff_container(encode_epub(["doc:1\nx"])) == "epub"
     # a ZIP that is NOT a known document package fails loudly
     import io as _io
     import zipfile as _zf
@@ -44,9 +46,10 @@ def test_sniff_magic():
 
 
 def test_document_records_mixed(spark):
-    """Five containers in ONE binary column: every document comes back
+    """Six containers in ONE binary column: every document comes back
     with the right format tag and byte-exact text."""
     from mycelial_spark.sources.docx import synth_docx
+    from mycelial_spark.sources.epub import synth_epub
     from mycelial_spark.sources.mbox import synth_mbox
     from mycelial_spark.sources.pdf import synth_pdf
     from mycelial_spark.sources.warc import synth_warc
@@ -54,27 +57,29 @@ def test_document_records_mixed(spark):
     import pyspark.sql.functions as F
     docs = spark.createDataFrame(
         [(i, f"document body number {i}", f"src{i % 3}")
-         for i in range(20)],
+         for i in range(24)],
         "doc_id long, text string, source string")
-    m = F.col("doc_id") % 5
+    m = F.col("doc_id") % 6
     payloads = (synth_pdf(docs.filter(m == 0), files=2)
                 .unionByName(synth_warc(docs.filter(m == 1), files=2,
                                         gzip_members=True))
                 .unionByName(synth_mbox(docs.filter(m == 2), files=2))
                 .unionByName(synth_webdataset(docs.filter(m == 3),
                                               files=2))
-                .unionByName(synth_docx(docs.filter(m == 4), files=2)))
+                .unionByName(synth_docx(docs.filter(m == 4), files=2))
+                .unionByName(synth_epub(docs.filter(m == 5), files=2)))
     rows = document_records(payloads).collect()
-    assert len(rows) == 20
+    assert len(rows) == 24
     by_fmt: dict = {}
     for r in rows:
         by_fmt.setdefault(r["format"], []).append(r)
     assert {k: len(v) for k, v in by_fmt.items()} == \
-        {"pdf": 4, "warc": 4, "mbox": 4, "webdataset": 4, "docx": 4}
+        {"pdf": 4, "warc": 4, "mbox": 4, "webdataset": 4, "docx": 4,
+         "epub": 4}
     # text round-trips per format (pdf carries its doc: line)
     for r in by_fmt["warc"] + by_fmt["mbox"]:
         assert r["text"].startswith("document body number ")
-    for r in by_fmt["pdf"] + by_fmt["docx"]:
+    for r in by_fmt["pdf"] + by_fmt["docx"] + by_fmt["epub"]:
         did = int(r["key"].removeprefix("doc:"))
         assert r["text"] == f"doc:{did}\ndocument body number {did}"
     for r in by_fmt["webdataset"]:

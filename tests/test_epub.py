@@ -1,0 +1,148 @@
+"""EPUB container (sources/epub.py): OCF mimetype/container walk, OPF
+manifest + spine order, extraction-grade XHTML-to-text, round-trips
+through the deterministic writer, loud failures on damage."""
+
+import io
+import zipfile
+from xml.etree import ElementTree as ET
+
+import pytest
+
+from mycelial_spark.sources import epub as E
+
+CHAPTERS = ["doc:0\nhello world",
+            "doc:1\nünïcode 中文 🎉 mixed",
+            "",
+            "doc:3\nline1\n\nline3 trailing\n",
+            "doc:4\nxml specials < > & \" '",
+            "doc:5\n" + "word " * 200]
+
+
+def test_roundtrip():
+    data = E.encode_epub(CHAPTERS)
+    assert data.startswith(b"PK\x03\x04")
+    # OCF: mimetype is the FIRST entry and STORED
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    first = zf.infolist()[0]
+    assert first.filename == "mimetype"
+    assert first.compress_type == zipfile.ZIP_STORED
+    assert E.parse_epub(data) == CHAPTERS
+    assert E.encode_epub(CHAPTERS) == data     # deterministic
+
+
+def test_xhtml_extraction_foreign_shapes():
+    """Indentation between blocks, inline elements, headings, lists,
+    and <br> — the shapes real books have that the writer never
+    emits."""
+    x = ET.fromstring(
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>\n'
+        '  <h1>Title <em>em</em>phasis</h1>\n'
+        '  <p>first<br/>second</p>\n'
+        '  <ul><li>one</li><li>two</li></ul>\n'
+        '  <div>block <span>inline</span> tail</div>\n'
+        '</body></html>')
+    assert E._xhtml_text(x) == \
+        "Title emphasis\nfirst\nsecond\none\ntwo\nblock inline tail"
+    # an empty <p> is an empty line; inter-block whitespace is not
+    x = ET.fromstring(
+        '<html xmlns="http://www.w3.org/1999/xhtml"><body>\n'
+        '  <p>a</p>\n  <p/>\n  <p>b</p>\n</body></html>')
+    assert E._xhtml_text(x) == "a\n\nb"
+
+
+def test_spine_order_not_zip_order():
+    """Reading order comes from the SPINE, not the archive layout:
+    reverse the spine and the chapters must come back reversed."""
+    data = E.encode_epub(["doc:0\nA", "doc:1\nB", "doc:2\nC"])
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    opf = zf.read("OEBPS/content.opf").decode()
+    reordered = opf.replace(
+        '<itemref idref="c0"/><itemref idref="c1"/><itemref idref="c2"/>',
+        '<itemref idref="c2"/><itemref idref="c1"/><itemref idref="c0"/>')
+    assert reordered != opf
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as znew:
+        for info in zf.infolist():
+            body = (reordered.encode() if info.filename ==
+                    "OEBPS/content.opf" else zf.read(info.filename))
+            zi = zipfile.ZipInfo(info.filename,
+                                 date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = info.compress_type
+            znew.writestr(zi, body)
+    assert E.parse_epub(out.getvalue()) == \
+        ["doc:2\nC", "doc:1\nB", "doc:0\nA"]
+
+
+def _pkg(entries):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, body in entries:
+            zf.writestr(name, body)
+    return buf.getvalue()
+
+
+def test_rejects_damaged_and_lying():
+    data = E.encode_epub(CHAPTERS[:2])
+    with pytest.raises(ValueError, match="PK local header"):
+        E.parse_epub(b"not a zip")
+    with pytest.raises(ValueError, match="damaged ZIP"):
+        E.parse_epub(data[:70])
+    with pytest.raises(ValueError, match="no mimetype"):
+        E.parse_epub(_pkg([("META-INF/container.xml", E._CONTAINER)]))
+    with pytest.raises(ValueError, match="not an EPUB"):
+        E.parse_epub(_pkg([("mimetype", "application/zip"),
+                           ("META-INF/container.xml", E._CONTAINER)]))
+    with pytest.raises(ValueError, match="no META-INF"):
+        E.parse_epub(_pkg([("mimetype", E._MIME)]))
+    # container names a rootfile that does not exist
+    with pytest.raises(ValueError, match="missing from package"):
+        E.parse_epub(_pkg([("mimetype", E._MIME),
+                           ("META-INF/container.xml", E._CONTAINER)]))
+    # spine idref with no manifest item
+    opf = ('<?xml version="1.0"?>'
+           f'<package xmlns="{E._OPF}" version="3.0">'
+           '<manifest/><spine><itemref idref="ghost"/></spine>'
+           '</package>')
+    with pytest.raises(ValueError, match="no manifest item"):
+        E.parse_epub(_pkg([("mimetype", E._MIME),
+                           ("META-INF/container.xml", E._CONTAINER),
+                           ("OEBPS/content.opf", opf)]))
+    # malformed content document
+    opf2 = ('<?xml version="1.0"?>'
+            f'<package xmlns="{E._OPF}" version="3.0">'
+            '<manifest><item id="c0" href="c.xhtml" '
+            'media-type="application/xhtml+xml"/></manifest>'
+            '<spine><itemref idref="c0"/></spine></package>')
+    with pytest.raises(ValueError, match="malformed content"):
+        E.parse_epub(_pkg([("mimetype", E._MIME),
+                           ("META-INF/container.xml", E._CONTAINER),
+                           ("OEBPS/content.opf", opf2),
+                           ("OEBPS/c.xhtml", "<html unclosed")]))
+
+
+def test_epub_chapters_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string")
+    rows = E.epub_chapters(E.synth_epub(docs, files=3)).collect()
+    assert len(rows) == 12
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [4, 4, 4]
+    for rows_ in by_file.values():
+        ids = [int(r["text"].split("\n", 1)[0].removeprefix("doc:"))
+               for r in rows_]
+        assert ids == sorted(ids)
+        assert [r["chap_idx"] for r in rows_] == list(range(4))
+        assert all(r["chap_count"] == 4 for r in rows_)
+    sdef = REGISTRY.get("epub_chapters")
+    cfg = sdef.validate_config({"type": "epub_chapters"})
+    out = sdef.builder(spark, cfg, [E.synth_epub(docs, files=3)])
+    assert out.count() == 12
+    bad = spark.createDataFrame([(99, b"not an epub")],
+                                "id long, payload binary")
+    assert E.epub_chapters(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        E.epub_chapters(bad).count()
