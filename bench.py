@@ -120,6 +120,7 @@ HEADLINE = [
     "pdf_extract_text_xrefstream",
     "docx_extract_text",
     "epub_extract_text",
+    "odt_extract_text",
     "mbox_extract",
     "document_formats_mixed",
     "robots_filter",

@@ -1876,6 +1876,17 @@ def epub_chapters_(spark, cfg, inputs):
     return epub_chapters(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("odt_paragraphs", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary ODT (OpenDocument Text) payloads into one "
+               "row per paragraph/heading: mimetype-validated ODF package, "
+               "text:p/text:h walk with tab/line-break/text:s expansion. "
+               "on_error=null skips undecodable files.")
+def odt_paragraphs_(spark, cfg, inputs):
+    from mycelial_spark.sources.odt import odt_paragraphs
+    return odt_paragraphs(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("markdown_text", "transform", "dataframe", "dataframe",
            [Field("md_col", default="text")],
            doc="Markdown -> plain text (fences stripped, code kept; "

@@ -1898,6 +1898,39 @@ def epub_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("odt_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS para_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS para_count,
+       text AS text_out
+FROM documents
+""")
+def odt_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ODT ingestion (sources/odt.py) — the OASIS ODF
+    sibling of the DOCX leg: documents pack into 8 ODF packages
+    (synth_odt — one text:p per doc, newlines as text:line-break,
+    multi-space runs through the text:s expansion rule), and
+    odt_paragraphs validates the mimetype entry and walks
+    content.xml. The oracle replays paragraph order, per-file counts,
+    and the text — a package-walk, whitespace-expansion, or
+    break-handling bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.odt import odt_paragraphs, synth_odt
+    docs = spread(_t(spark, sf_dir, "documents"))
+    paras = odt_paragraphs(synth_odt(docs, files=8))
+    return paras.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("para_idx"),
+        F.col("para_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("mbox_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

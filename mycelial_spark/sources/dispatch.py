@@ -1,14 +1,14 @@
-"""Universal document-container dispatch: one binary column, six real
-container parsers — the shape a crawled document corpus actually has
-(a landing bucket holds PDFs next to WARC segments next to mail
+"""Universal document-container dispatch: one binary column, seven
+real container parsers — the shape a crawled document corpus actually
+has (a landing bucket holds PDFs next to WARC segments next to mail
 archives next to training shards next to office documents and
 e-books; nothing tags them but their bytes).
 
 `sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
 ``WARC/`` (gzip members sniffed through one inflate of the head) /
 mbox ``From `` / ZIP ``PK`` packages disambiguated by their parts
-(word/document.xml -> docx, mimetype + META-INF/container.xml ->
-epub) / POSIX ustar at offset 257 — and `document_records`
+(word/document.xml -> docx; the OCF/ODF ``mimetype`` entry ->
+epub or odt) / POSIX ustar at offset 257 — and `document_records`
 explodes mixed payloads into one normalized row per logical document
 (id, rec_idx, format, key, text) over Arrow batches, routing each file
 to its parser inside the batch: no per-format partitioning, no
@@ -61,8 +61,18 @@ def sniff_container(payload: bytes) -> str:
             raise ValueError(f"ZIP payload failed to open: {e}")
         if "word/document.xml" in names:
             return "docx"
-        if "mimetype" in names and "META-INF/container.xml" in names:
-            return "epub"
+        if "mimetype" in names:
+            mime = b""
+            try:
+                mime = zipfile.ZipFile(
+                    io.BytesIO(bytes(payload))).read("mimetype")
+            except Exception:
+                pass
+            if mime.strip() == b"application/epub+zip":
+                return "epub"
+            if mime.strip() == \
+                    b"application/vnd.oasis.opendocument.text":
+                return "odt"
         raise ValueError(
             f"ZIP package is not a known document container "
             f"(parts: {sorted(names)[:4]!r})")
@@ -108,6 +118,10 @@ def _rows_for(fmt: str, payload: bytes) -> list[dict]:
         from mycelial_spark.sources.epub import parse_epub
         return [{"format": "epub", "key": t.split("\n", 1)[0],
                  "text": t} for t in parse_epub(payload)]
+    if fmt == "odt":
+        from mycelial_spark.sources.odt import parse_odt
+        return [{"format": "odt", "key": t.split("\n", 1)[0],
+                 "text": t} for t in parse_odt(payload)]
     raise ValueError(f"no parser for container format {fmt!r}")
 
 

@@ -1,0 +1,221 @@
+"""ODT (OpenDocument Text, OASIS ODF) extraction — the third
+ZIP-package office format next to DOCX and EPUB, common in European
+government / institutional corpora.
+
+Reader `parse_odt`: ODF packages carry a STORED-first ``mimetype``
+entry reading ``application/vnd.oasis.opendocument.text`` (same OCF
+convention EPUB uses) and the document body in ``content.xml`` under
+``office:body/office:text``. Paragraphs are ``text:p`` and headings
+``text:h`` in document order; inside them ``text:tab`` is a TAB,
+``text:line-break`` a newline, and ``text:s`` expands to its
+``text:c`` count of spaces (ODF collapses runs of spaces into this
+element — naive extractors lose the spacing). Damage fails loudly.
+
+Spark surface mirrors the sibling legs: `odt_paragraphs` Arrow-batched
+explode, deterministic `encode_odt`/`synth_odt` fixtures, an
+`odt_paragraphs` SECTION, and dispatch integration (ZIP sniffed by
+its mimetype entry)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_OFF = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_TXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_MIME = "application/vnd.oasis.opendocument.text"
+
+
+# ---------------------------------------------------------------- writer
+
+def _para_xml(text: str) -> str:
+    """One text:p; newlines -> text:line-break, tabs -> text:tab,
+    runs of 2+ spaces -> one space + text:s (the ODF whitespace
+    rule), so the fixture exercises the expansion path."""
+    out: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "\n":
+            out.append(escape("".join(buf)))
+            buf.clear()
+            out.append("<text:line-break/>")
+        elif ch == "\t":
+            out.append(escape("".join(buf)))
+            buf.clear()
+            out.append("<text:tab/>")
+        elif ch == " " and i + 1 < n and text[i + 1] == " ":
+            j = i
+            while j < n and text[j] == " ":
+                j += 1
+            out.append(escape("".join(buf)) + " ")
+            buf.clear()
+            out.append(f'<text:s text:c="{j - i - 1}"/>')
+            i = j
+            continue
+        else:
+            buf.append(ch)
+        i += 1
+    out.append(escape("".join(buf)))
+    return "<text:p>" + "".join(out) + "</text:p>"
+
+
+def encode_odt(paragraphs: list[str]) -> bytes:
+    """Minimal spec-valid .odt: STORED mimetype first, manifest, and
+    content.xml with one text:p per entry. Deterministic ZIP
+    timestamps."""
+    body = "".join(_para_xml(p) for p in paragraphs)
+    content = (f'<?xml version="1.0" encoding="UTF-8"?>'
+               f'<office:document-content office:version="1.2" '
+               f'xmlns:office="{_OFF}" xmlns:text="{_TXT}">'
+               f'<office:body><office:text>{body}</office:text>'
+               f'</office:body></office:document-content>')
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0" manifest:version="1.2">'
+        f'<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{_MIME}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _MIME)
+        for name, data in (("META-INF/manifest.xml", manifest),
+                           ("content.xml", content)):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------- reader
+
+def _para_text(p: ET.Element) -> str:
+    parts: list[str] = []
+    if p.text:
+        parts.append(p.text)
+
+    def walk(el: ET.Element):
+        for child in el:
+            tag = child.tag
+            if tag == f"{{{_TXT}}}tab":
+                parts.append("\t")
+            elif tag == f"{{{_TXT}}}line-break":
+                parts.append("\n")
+            elif tag == f"{{{_TXT}}}s":
+                parts.append(" " * int(child.get(f"{{{_TXT}}}c", "1")))
+            if child.text and tag not in (f"{{{_TXT}}}tab",
+                                          f"{{{_TXT}}}line-break",
+                                          f"{{{_TXT}}}s"):
+                parts.append(child.text)
+            walk(child)
+            if child.tail:
+                parts.append(child.tail)
+
+    walk(p)
+    return "".join(parts)
+
+
+def parse_odt(payload: bytes) -> list[str]:
+    """Paragraph/heading texts in document order."""
+    payload = bytes(payload)
+    if not payload.startswith(b"PK\x03\x04"):
+        raise ValueError("not a ZIP package (missing PK local header)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP package: {e}") from e
+    names = set(zf.namelist())
+    if "mimetype" not in names:
+        raise ValueError("ODF package has no mimetype entry")
+    mime = zf.read("mimetype").decode("ascii", "replace").strip()
+    if mime != _MIME:
+        raise ValueError(f"mimetype is {mime!r}, not {_MIME!r} "
+                         f"(not an .odt)")
+    if "content.xml" not in names:
+        raise ValueError("no content.xml part")
+    try:
+        root = ET.fromstring(zf.read("content.xml"))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed content.xml: {e}") from e
+    office_text = root.find(f"{{{_OFF}}}body/{{{_OFF}}}text")
+    if office_text is None:
+        raise ValueError("content.xml has no office:body/office:text")
+    out: list[str] = []
+    for el in office_text.iter():
+        if el.tag in (f"{{{_TXT}}}p", f"{{{_TXT}}}h"):
+            out.append(_para_text(el))
+    return out
+
+
+ODT_PARA_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("para_idx", T.IntegerType()),
+    T.StructField("para_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def odt_paragraphs(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary ODT payloads into one row per paragraph
+    (ODT_PARA_SCHEMA) over Arrow batches; ``on_error="null"`` skips
+    undecodable files (the codec-leg contract)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    paras = parse_odt(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "para_idx": i,
+                             "para_count": len(paras), "text": t}
+                            for i, t in enumerate(paras))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ODT_PARA_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, ODT_PARA_SCHEMA)
+
+
+def synth_odt(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture mirroring synth_pdf/docx: documents pack into ``files``
+    .odt packages, one paragraph per doc, text ``doc:<id>\\n<body>``.
+    Emits (id = file index, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t)) for d, t in
+                        zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[str]] = {}
+        for doc_id, t in sorted(docs):
+            groups.setdefault(doc_id % files, []).append(
+                f"doc:{doc_id}\n{t}")
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "odt",
+             "payload": [encode_odt(paras)
+                         for paras in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

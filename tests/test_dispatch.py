@@ -1,6 +1,6 @@
 """Universal container dispatch (sources/dispatch.py): magic-byte
-sniffing across all six document containers (through gzip for WARC,
-through the ZIP part listing for DOCX/EPUB),
+sniffing across all seven document containers (through gzip for WARC,
+through the ZIP part listing / mimetype for DOCX/EPUB/ODT),
 normalized per-document rows, and loud failures on unrecognized or
 lying payloads."""
 
@@ -31,6 +31,8 @@ def test_sniff_magic():
     assert sniff_container(encode_docx(["doc:1\nx"])) == "docx"
     from mycelial_spark.sources.epub import encode_epub
     assert sniff_container(encode_epub(["doc:1\nx"])) == "epub"
+    from mycelial_spark.sources.odt import encode_odt
+    assert sniff_container(encode_odt(["doc:1\nx"])) == "odt"
     # a ZIP that is NOT a known document package fails loudly
     import io as _io
     import zipfile as _zf

@@ -1,0 +1,111 @@
+"""ODT container (sources/odt.py): ODF package validation, text:p /
+text:h walk with tab / line-break / text:s whitespace expansion,
+deterministic round-trips, loud failures on damage."""
+
+import io
+import zipfile
+from xml.etree import ElementTree as ET
+
+import pytest
+
+from mycelial_spark.sources import odt as O
+
+PARAS = ["doc:0\nhello world",
+         "doc:1\ntab\there and  double  spaces",
+         "",
+         "doc:3\nline1\n\nline3 trailing\n",
+         "doc:4\nü 中文 🎉 <specials> & \"q\"",
+         "doc:5\nspaced     out     far"]
+
+
+def test_roundtrip():
+    data = O.encode_odt(PARAS)
+    assert data.startswith(b"PK\x03\x04")
+    zf = zipfile.ZipFile(io.BytesIO(data))
+    first = zf.infolist()[0]
+    assert first.filename == "mimetype"
+    assert first.compress_type == zipfile.ZIP_STORED
+    assert O.parse_odt(data) == PARAS
+    assert O.encode_odt(PARAS) == data         # deterministic
+
+
+def _pkg(content_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, O._MIME)
+        zf.writestr("content.xml", content_xml)
+    return buf.getvalue()
+
+
+def test_headings_spans_and_whitespace_foreign_shapes():
+    """Foreign-writer shapes: text:h headings, styled text:span runs
+    (inline, seamless), text:s with and without text:c, nested
+    spans."""
+    c = (f'<?xml version="1.0"?>'
+         f'<office:document-content xmlns:office="{O._OFF}" '
+         f'xmlns:text="{O._TXT}"><office:body><office:text>'
+         f'<text:h text:outline-level="1">Title</text:h>'
+         f'<text:p>a<text:span>b<text:span>c</text:span>d</text:span>'
+         f'e</text:p>'
+         f'<text:p>one<text:s/>two<text:s text:c="3"/>three</text:p>'
+         f'</office:text></office:body></office:document-content>')
+    assert O.parse_odt(_pkg(c)) == ["Title", "abcde",
+                                    "one two   three"]
+
+
+def test_rejects_damaged_and_lying():
+    data = O.encode_odt(PARAS[:2])
+    with pytest.raises(ValueError, match="PK local header"):
+        O.parse_odt(b"not a zip")
+    with pytest.raises(ValueError, match="damaged ZIP"):
+        O.parse_odt(data[:60])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("content.xml", "<x/>")
+    with pytest.raises(ValueError, match="no mimetype"):
+        O.parse_odt(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/zip")
+        zf.writestr("content.xml", "<x/>")
+    with pytest.raises(ValueError, match="not an .odt"):
+        O.parse_odt(buf.getvalue())
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", O._MIME)
+    with pytest.raises(ValueError, match="no content.xml"):
+        O.parse_odt(buf.getvalue())
+    with pytest.raises(ValueError, match="malformed"):
+        O.parse_odt(_pkg("<unclosed"))
+    with pytest.raises(ValueError, match="office:text"):
+        O.parse_odt(_pkg(f'<office:document-content '
+                         f'xmlns:office="{O._OFF}"/>'))
+
+
+def test_odt_paragraphs_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} " * (i + 1)) for i in range(12)],
+        "doc_id long, text string")
+    rows = O.odt_paragraphs(O.synth_odt(docs, files=3)).collect()
+    assert len(rows) == 12
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["id"], []).append(r)
+    assert sorted(len(v) for v in by_file.values()) == [4, 4, 4]
+    for rows_ in by_file.values():
+        ids = [int(r["text"].split("\n", 1)[0].removeprefix("doc:"))
+               for r in rows_]
+        assert ids == sorted(ids)
+        assert [r["para_idx"] for r in rows_] == list(range(4))
+    sdef = REGISTRY.get("odt_paragraphs")
+    cfg = sdef.validate_config({"type": "odt_paragraphs"})
+    assert sdef.builder(spark, cfg,
+                        [O.synth_odt(docs, files=3)]).count() == 12
+    bad = spark.createDataFrame([(99, b"not an odt")],
+                                "id long, payload binary")
+    assert O.odt_paragraphs(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        O.odt_paragraphs(bad).count()
