@@ -121,6 +121,7 @@ HEADLINE = [
     "docx_extract_text",
     "epub_extract_text",
     "odt_extract_text",
+    "rtf_extract_text",
     "mbox_extract",
     "document_formats_mixed",
     "robots_filter",
@@ -140,6 +141,7 @@ HEADLINE = [
     "markdown_extract",
     "fim_transform",
     "sft_pack_dialogues",
+    "preference_pairs",
     "pagerank_trade_graph",
     "pagerank_weighted_trade",
     "table_profile",

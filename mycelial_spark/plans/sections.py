@@ -1887,6 +1887,18 @@ def odt_paragraphs_(spark, cfg, inputs):
     return odt_paragraphs(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("rtf_text", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Extract text from binary RTF payloads: group-stack walk "
+               "with destination skipping (fonttbl/stylesheet/pict/\\*), "
+               "\\uN unicode + \\ucN fallback-skip semantics, \\'xx "
+               "code-page bytes, \\par/\\tab symbols. on_error=null "
+               "skips undecodable files.")
+def rtf_text_(spark, cfg, inputs):
+    from mycelial_spark.sources.rtf import rtf_text
+    return rtf_text(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("markdown_text", "transform", "dataframe", "dataframe",
            [Field("md_col", default="text")],
            doc="Markdown -> plain text (fences stripped, code kept; "

@@ -1931,6 +1931,33 @@ def odt_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("rtf_extract_text", """
+SELECT doc_id,
+       text || ' — café 中文テスト' AS text_out
+FROM documents
+""")
+def rtf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RTF ingestion (sources/rtf.py) — the legacy
+    word-processing format old document dumps and mail attachments
+    carry: each document encodes to one RTF file (synth_rtf) with a
+    deterministic non-ASCII suffix appended FIRST, so every file
+    exercises the \\uN unicode escapes (with \\ucN fallback skipping),
+    the fonttbl and \\* destination skips, and the \\par/\\tab
+    symbols; rtf_text walks the group stack back to text. The oracle
+    replays the suffixed text — an escape, skip-count, or
+    destination-leak bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.rtf import rtf_text, synth_rtf
+    docs = spread(_t(spark, sf_dir, "documents")).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" — café 中文テスト")))
+    out = rtf_text(synth_rtf(docs))
+    return out.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("mbox_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,
@@ -2103,6 +2130,58 @@ def sft_pack_dialogues(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity — a turn-ordering or role-parity bug breaks the hash."""
     from mycelial_spark.operators.sampling import pack_dialogue
     return pack_dialogue(_t(spark, sf_dir, "events"))
+
+
+@query("preference_pairs", """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rc,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value ASC, event_id DESC) AS rr,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events),
+c AS (SELECT user_id, event_id AS chosen_id, value AS chosen_value, n
+      FROM r WHERE rc = 1),
+j AS (SELECT user_id, event_id AS rejected_id, value AS rejected_value
+      FROM r WHERE rr = 1)
+SELECT c.user_id, c.chosen_id, j.rejected_id,
+       c.chosen_value, j.rejected_value,
+       c.chosen_value - j.rejected_value AS margin,
+       CAST(c.n AS BIGINT) AS n_candidates
+FROM c JOIN j ON c.user_id = j.user_id
+WHERE c.n >= 2 AND c.chosen_value > j.rejected_value
+""")
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF data prep: per group
+    (user), elect the best- and worst-scored candidates as
+    (chosen, rejected) with the score margin — the standard reduction
+    from k-rated candidates to a pairwise preference dataset. ONE hash
+    aggregate, no window, no self-join: max_by/min_by over a
+    (value, -id) struct gives deterministic tie-breaks (ties on score
+    pick the lower id as chosen / higher id as rejected — a stable
+    pair under re-runs, which matters because training data must not
+    churn between pipeline executions). Groups with fewer than two
+    candidates or a zero margin yield no pair. The oracle replays the
+    election with two ranked windows — a tie-break or margin bug
+    breaks the hash."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id",
+                                           "value")
+    key_hi = F.struct(F.col("value"), (-F.col("event_id")).alias("n"))
+    agg = e.groupBy("user_id").agg(
+        F.max_by("event_id", key_hi).alias("chosen_id"),
+        F.min_by("event_id", key_hi).alias("rejected_id"),
+        F.max("value").alias("chosen_value"),
+        F.min("value").alias("rejected_value"),
+        F.count(F.lit(1)).alias("n_candidates"))
+    return (agg.filter((F.col("n_candidates") >= 2)
+                       & (F.col("chosen_value")
+                          > F.col("rejected_value")))
+            .select("user_id", "chosen_id", "rejected_id",
+                    "chosen_value", "rejected_value",
+                    (F.col("chosen_value")
+                     - F.col("rejected_value")).alias("margin"),
+                    "n_candidates"))
 
 
 @query("markdown_extract", """

@@ -1,14 +1,15 @@
-"""Universal document-container dispatch: one binary column, seven
+"""Universal document-container dispatch: one binary column, eight
 real container parsers — the shape a crawled document corpus actually
 has (a landing bucket holds PDFs next to WARC segments next to mail
-archives next to training shards next to office documents and
-e-books; nothing tags them but their bytes).
+archives next to training shards next to office documents, e-books,
+and legacy RTF; nothing tags them but their bytes).
 
 `sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
 ``WARC/`` (gzip members sniffed through one inflate of the head) /
-mbox ``From `` / ZIP ``PK`` packages disambiguated by their parts
-(word/document.xml -> docx; the OCF/ODF ``mimetype`` entry ->
-epub or odt) / POSIX ustar at offset 257 — and `document_records`
+mbox ``From `` / ``{\\rtf`` / ZIP ``PK`` packages disambiguated by
+their parts (word/document.xml -> docx; the OCF/ODF ``mimetype``
+entry -> epub or odt) / POSIX ustar at offset 257 — and
+`document_records`
 explodes mixed payloads into one normalized row per logical document
 (id, rec_idx, format, key, text) over Arrow batches, routing each file
 to its parser inside the batch: no per-format partitioning, no
@@ -51,6 +52,8 @@ def sniff_container(payload: bytes) -> str:
             f"gzip member is not a WARC record: {peek[:20]!r}")
     if head.startswith(b"From "):
         return "mbox"
+    if head.startswith(b"{\\rtf"):
+        return "rtf"
     if head.startswith(b"PK\x03\x04"):         # ZIP package: peek parts
         import io
         import zipfile
@@ -122,6 +125,11 @@ def _rows_for(fmt: str, payload: bytes) -> list[dict]:
         from mycelial_spark.sources.odt import parse_odt
         return [{"format": "odt", "key": t.split("\n", 1)[0],
                  "text": t} for t in parse_odt(payload)]
+    if fmt == "rtf":
+        from mycelial_spark.sources.rtf import parse_rtf
+        t = parse_rtf(payload)
+        return [{"format": "rtf", "key": t.split("\n", 1)[0],
+                 "text": t}]
     raise ValueError(f"no parser for container format {fmt!r}")
 
 

@@ -60,9 +60,28 @@ _RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 
 # ---------------------------------------------------------------- writer
 
+
+# XML 1.0 cannot carry most C0 controls (only TAB/LF/CR are legal,
+# and CR is line-end-normalized away by conforming parsers) — a
+# fixture writer that silently dropped them would fake round-trip
+# fidelity, so reject loudly instead. Word/LibreOffice never emit
+# them either.
+_XML_UNREPRESENTABLE = frozenset(
+    [c for c in range(0x20) if c not in (0x09, 0x0A)]
+    + [0xFFFE, 0xFFFF])
+
+
+def _check_xml_text(s: str) -> None:
+    for ch in s:
+        if ord(ch) in _XML_UNREPRESENTABLE:
+            raise ValueError(
+                f"character {ch!r} is not representable in XML 1.0 "
+                f"document text")
+
 def _para_xml(text: str) -> str:
     """One w:p from a paragraph string: literal newlines become w:br,
     tabs become w:tab, text runs keep spaces via xml:space."""
+    _check_xml_text(text)
     runs = []
     buf = []
 

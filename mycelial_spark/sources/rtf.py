@@ -1,0 +1,269 @@
+"""RTF (Rich Text Format) extraction — the legacy word-processing
+format that still saturates older document dumps and email
+attachments (every pre-2007 Word and WordPad default). Spec: the
+public Microsoft RTF 1.9.1 word grammar: ``{`` ``}`` groups, ``\\``
+control words with optional numeric parameters, ``\\'xx`` hex-escaped
+bytes in the current code page, ``\\uN`` Unicode escapes with
+``\\ucN`` skip-counts, and destination groups (fonttbl, stylesheet,
+info, pict, ...) whose content is metadata, not text.
+
+Reader `parse_rtf` is a single-pass group-stack walker:
+
+- ``{\\rtf1`` header required; brace balance tracked; truncation
+  (unclosed groups) raises.
+- Destination groups are SKIPPED — both the known table (fonttbl,
+  colortbl, stylesheet, info, pict, object, header, footer, ...) and
+  anything marked ``\\*`` (the spec's "ignore if unknown destination"
+  escape, which is how real files hide writer-specific metadata).
+- ``\\par`` / ``\\line`` -> newline, ``\\tab`` -> TAB, ``\\~`` ->
+  NBSP, ``\\{ \\} \\\\`` -> literals, ``\\emdash`` etc. mapped.
+- ``\\uN`` emits the code point (negative N is the spec's 16-bit
+  wrap) and skips the following ``\\ucN`` fallback characters; the
+  skip count nests with groups (the group stack saves/restores it).
+- ``\\'xx`` decodes via cp1252 (the ``\\ansicpg1252`` default; other
+  code pages raise rather than mis-decode).
+
+Spark surface mirrors the container legs: Arrow-batched `rtf_text`
+explode (one row per document — RTF is single-document), deterministic
+`encode_rtf`/`synth_rtf` fixtures, an `rtf_text` SECTION, and
+dispatch integration (``{\\rtf`` magic)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# destination control words whose group content is not document text
+_DESTINATIONS = frozenset((
+    "fonttbl", "colortbl", "stylesheet", "info", "pict", "object",
+    "header", "footer", "headerl", "headerr", "headerf", "footerl",
+    "footerr", "footerf", "comment", "annotation", "field", "fldinst",
+    "datafield", "themedata", "colorschememapping", "listtable",
+    "listoverridetable", "revtbl", "generator", "xmlnstbl",
+))
+
+_SYMBOLS = {
+    "par": "\n", "line": "\n", "tab": "\t",
+    "emdash": "\u2014", "endash": "\u2013",
+    "lquote": "\u2018", "rquote": "\u2019",
+    "ldblquote": "\u201c", "rdblquote": "\u201d",
+    "bullet": "\u2022", "emspace": "\u2003", "enspace": "\u2002",
+}
+
+
+# ---------------------------------------------------------------- writer
+
+def encode_rtf(text: str) -> bytes:
+    """Deterministic fixture writer: ASCII passes through (braces and
+    backslashes escaped), newlines become ``\\par``, tabs ``\\tab``,
+    and every non-ASCII character uses the ``\\uN`` escape with a '?'
+    fallback — which makes the reader's Unicode/skip path load-bearing
+    for any non-trivial corpus. A fonttbl destination and a ``\\*``
+    unknown destination are included so skipping is exercised in every
+    file."""
+    out = [r"{\rtf1\ansi\ansicpg1252\deff0",
+           r"{\fonttbl{\f0\fswiss Helvetica;}}",
+           r"{\*\generator mycelial_spark fixture;}",
+           r"\uc1\pard\f0\fs20 "]
+    for ch in text:
+        o = ord(ch)
+        if ch == "\n":
+            out.append("\\par\n")
+        elif ch == "\t":
+            out.append(r"\tab ")
+        elif ch in "\\{}":
+            out.append("\\" + ch)
+        elif 0x20 <= o < 0x80:
+            out.append(ch)
+        elif o < 0x10000:
+            # \uN is a SIGNED 16-bit value per spec
+            n = o - 0x10000 if o > 0x7FFF else o
+            out.append(f"\\u{n}?")
+        else:
+            # supplementary planes travel as a surrogate pair of \uN
+            v = o - 0x10000
+            hi, lo = 0xD800 + (v >> 10), 0xDC00 + (v & 0x3FF)
+            out.append(f"\\u{hi - 0x10000}?\\u{lo - 0x10000}?")
+    out.append("}")
+    return "".join(out).encode("ascii")
+
+
+# ---------------------------------------------------------------- reader
+
+def parse_rtf(payload: bytes) -> str:
+    """Extracted document text."""
+    data = bytes(payload)
+    if not data.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF document (missing {\\rtf header)")
+    text: list[str] = []
+    # group stack entries: (skipping_destination, uc_skip_count)
+    stack: list[tuple[bool, int]] = []
+    skipping = False
+    uc = 1                                        # \ucN default
+    pending_skip = 0                              # chars to eat after \uN
+    surrogate: int | None = None                  # pending high surrogate
+    i, n = 0, len(data)
+
+    def emit(s: str):
+        nonlocal pending_skip, surrogate
+        if skipping:
+            return
+        if pending_skip:
+            pending_skip -= 1
+            return
+        if surrogate is not None:
+            lo = ord(s[0]) if s else 0
+            if 0xDC00 <= lo <= 0xDFFF:
+                text.append(chr(0x10000
+                                + ((surrogate - 0xD800) << 10)
+                                + (lo - 0xDC00)))
+                surrogate = None
+                if len(s) > 1:
+                    text.append(s[1:])
+                return
+            text.append("\ufffd")                # lone high surrogate
+            surrogate = None
+        text.append(s)
+
+    def emit_cp(cp: int):
+        nonlocal surrogate
+        if skipping or pending_skip:
+            emit("")                              # consume the skip slot
+            return
+        if 0xD800 <= cp <= 0xDBFF:
+            surrogate = cp
+            return
+        emit(chr(cp))
+
+    while i < n:
+        c = data[i]
+        if c == 0x7B:                             # {
+            stack.append((skipping, uc))
+            i += 1
+        elif c == 0x7D:                           # }
+            if not stack:
+                raise ValueError("unbalanced '}' in RTF")
+            skipping, uc = stack.pop()
+            i += 1
+        elif c == 0x5C:                           # backslash
+            i += 1
+            if i >= n:
+                raise ValueError("truncated RTF control")
+            e = data[i]
+            if e in b"\\{}":
+                emit(chr(e))
+                i += 1
+            elif e == 0x27:                       # \'xx code-page byte
+                h = data[i + 1:i + 3]
+                if len(h) < 2:
+                    raise ValueError("truncated \\'xx escape")
+                emit(bytes([int(h, 16)]).decode("cp1252", "replace"))
+                i += 3
+            elif e == 0x7E:                       # \~ nbsp
+                emit("\u00a0")
+                i += 1
+            elif e == 0x2A:                       # \* unknown destination
+                skipping = True
+                i += 1
+            elif (0x61 <= e <= 0x7A) or (0x41 <= e <= 0x5A):
+                start = i
+                while i < n and (0x61 <= data[i] <= 0x7A
+                                 or 0x41 <= data[i] <= 0x5A):
+                    i += 1
+                word = data[start:i].decode("ascii")
+                neg = False
+                if i < n and data[i] == 0x2D:     # minus
+                    neg, i = True, i + 1
+                num_start = i
+                while i < n and 0x30 <= data[i] <= 0x39:
+                    i += 1
+                param = (int(data[num_start:i]) if i > num_start
+                         else None)
+                if neg and param is not None:
+                    param = -param
+                if i < n and data[i] == 0x20:     # delimiter space eaten
+                    i += 1
+                if word == "u" and param is not None:
+                    emit_cp(param + 0x10000 if param < 0 else param)
+                    if not skipping:
+                        pending_skip = uc
+                elif word == "uc" and param is not None:
+                    uc = max(0, param)
+                elif word in _SYMBOLS:
+                    emit(_SYMBOLS[word])
+                elif word in _DESTINATIONS:
+                    skipping = True
+                elif word == "ansicpg" and param not in (None, 1252):
+                    raise ValueError(
+                        f"unsupported RTF code page {param}")
+                # other control words are formatting: ignored
+            else:
+                # \<newline> and other control symbols: ignored
+                i += 1
+        elif c in (0x0D, 0x0A):                   # raw CR/LF: not text
+            i += 1
+        else:
+            start = i
+            while i < n and data[i] not in b"\\{}\r\n":
+                i += 1
+            chunk = data[start:i].decode("cp1252", "replace")
+            if pending_skip and not skipping:
+                eat = min(pending_skip, len(chunk))
+                pending_skip -= eat
+                chunk = chunk[eat:]
+            if chunk:
+                emit(chunk)
+    if stack:
+        raise ValueError("truncated RTF: unclosed group")
+    return "".join(text)
+
+
+RTF_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def rtf_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Extract text from binary RTF payloads over Arrow batches;
+    ``on_error="null"`` skips undecodable files."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    t = parse_rtf(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid), "text": t})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in RTF_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, RTF_SCHEMA)
+
+
+def synth_rtf(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Fixture: one RTF file per document (RTF is single-document),
+    text ``doc:<id>\\n<body>``. Emits (id = doc id, modality,
+    payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                ids.append(int(did))
+                payloads.append(encode_rtf(f"doc:{int(did)}\n{t}"))
+            yield pd.DataFrame({"id": ids, "modality": "rtf",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")

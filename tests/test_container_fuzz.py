@@ -111,6 +111,114 @@ def test_sitemap_roundtrip_property(n, kind, namespaced, gz):
         [e["lastmod"] for e in entries]
 
 
+@settings(max_examples=20, deadline=None)
+@given(pages=st.lists(_TEXT, min_size=1, max_size=4),
+       flate=st.booleans(), predictor=st.booleans(),
+       hybrid=st.booleans())
+def test_pdf15_roundtrip_property(pages, flate, predictor, hybrid):
+    """The 1.5 layouts (xref stream / ObjStm, PNG predictor, hybrid
+    reference) round-trip over the same input space as classic."""
+    if hybrid:
+        data = P.encode_pdf_hybrid(pages, flate=flate)
+    else:
+        data = P.encode_pdf_xrefstream(pages, flate=flate,
+                                       predictor=predictor)
+    assert P.parse_pdf(data) == pages
+
+
+@settings(max_examples=20, deadline=None)
+@given(pages=st.lists(_TEXT, min_size=1, max_size=3),
+       chain=st.sampled_from([
+           ["LZWDecode"], ["ASCII85Decode"], ["ASCIIHexDecode"],
+           ["RunLengthDecode"], ["ASCII85Decode", "FlateDecode"],
+           ["ASCIIHexDecode", "LZWDecode"]]))
+def test_pdf_filter_chain_roundtrip_property(pages, chain):
+    assert P.parse_pdf(P.encode_pdf(pages, filters=chain)) == pages
+
+
+# XML 1.0 document text cannot carry C0 controls other than TAB/LF
+# (CR is normalized away by conforming parsers) — the XML-package
+# writers REJECT them loudly rather than faking fidelity, so the
+# round-trip property is bounded to representable text and the
+# rejection has its own property below.
+_XML_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_characters="".join(
+            [chr(c) for c in range(0x20) if c not in (0x09, 0x0A)]
+            + ["￾", "￿"]),
+        blacklist_categories=("Cs",)),
+    max_size=400)
+
+
+@settings(max_examples=25, deadline=None)
+@given(paras=st.lists(_XML_TEXT, min_size=1, max_size=6))
+def test_docx_roundtrip_property(paras):
+    from mycelial_spark.sources import docx as D
+    assert D.parse_docx(D.encode_docx(paras)) == paras
+
+
+@settings(max_examples=25, deadline=None)
+@given(chapters=st.lists(_XML_TEXT, min_size=1, max_size=6))
+def test_epub_roundtrip_property(chapters):
+    from mycelial_spark.sources import epub as E
+    assert E.parse_epub(E.encode_epub(chapters)) == chapters
+
+
+@settings(max_examples=25, deadline=None)
+@given(paras=st.lists(_XML_TEXT, min_size=1, max_size=6))
+def test_odt_roundtrip_property(paras):
+    from mycelial_spark.sources import odt as O
+    assert O.parse_odt(O.encode_odt(paras)) == paras
+
+
+@settings(max_examples=25, deadline=None)
+@given(text=_TEXT)
+def test_rtf_roundtrip_property(text):
+    # RTF is NOT XML: every code point travels as \\uN, so the full
+    # input space (controls included) must round-trip
+    from mycelial_spark.sources import rtf as R
+    assert R.parse_rtf(R.encode_rtf(text)) == text
+
+
+@settings(max_examples=20, deadline=None)
+@given(bad=st.sampled_from([chr(c) for c in range(0x20)
+                            if c not in (0x09, 0x0A)]),
+       prefix=_XML_TEXT)
+def test_xml_writers_reject_unrepresentable(bad, prefix):
+    import pytest
+    from mycelial_spark.sources import docx as D
+    from mycelial_spark.sources import epub as E
+    from mycelial_spark.sources import odt as O
+    for enc in (D.encode_docx, E.encode_epub, O.encode_odt):
+        with pytest.raises(ValueError, match="not representable"):
+            enc([prefix + bad])
+
+
+@settings(max_examples=25, deadline=None)
+@given(names=st.lists(
+    st.text(alphabet="abcdef/.", min_size=1, max_size=20),
+    min_size=0, max_size=4),
+    payload=st.binary(max_size=100))
+def test_dispatch_foreign_zip_never_misroutes(names, payload):
+    """Valid ZIPs that are neither OPC-docx nor OCF/ODF packages must
+    raise in the sniff, never route to a document parser."""
+    import io
+    import zipfile
+    from mycelial_spark.sources.dispatch import sniff_container
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for i, n in enumerate(names):
+            zf.writestr(f"{n}{i}", payload)
+    data = buf.getvalue()
+    if not data.startswith(b"PK\x03\x04"):       # empty zip: PK\x05\x06
+        return
+    try:
+        fmt = sniff_container(data)
+        raise AssertionError(f"foreign zip classified as {fmt}")
+    except ValueError:
+        pass                                   # loud failure: correct
+
+
 @settings(max_examples=30, deadline=None)
 @given(data=st.binary(min_size=1, max_size=400))
 def test_dispatch_garbage_never_misroutes(data):

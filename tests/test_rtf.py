@@ -1,0 +1,102 @@
+"""RTF extraction (sources/rtf.py): group-stack walking, destination
+skipping, \\uN/\\ucN unicode semantics, code-page escapes, symbols,
+round-trips through the deterministic writer, loud failures."""
+
+import pytest
+
+from mycelial_spark.sources import rtf as R
+
+BS = chr(92)
+U = BS + "u"   # build control words programmatically — a literal
+# backslash-u in source text would be an (invalid) unicode escape
+
+TEXTS = ["doc:0\nhello world",
+         "doc:1\nünïcode 中文 🎉 mixed",
+         "",
+         "tab\there and braces {x} back" + BS + "slash",
+         "line1\n\nline3 trailing\n",
+         "doc:5\n" + "word " * 200]
+
+
+def test_roundtrip():
+    for t in TEXTS:
+        data = R.encode_rtf(t)
+        assert data.startswith(b"{" + BS.encode() + b"rtf1")
+        assert R.parse_rtf(data) == t, repr(t[:40])
+        assert R.encode_rtf(t) == data          # deterministic
+
+
+def test_foreign_shapes():
+    """Hand-built constructs the writer never emits: \\'xx bytes, the
+    \\~ NBSP symbol, \\uc0 (no fallback), nested \\ucN scoping across
+    groups, surrogate-pair \\uN, \\* unknown destinations with nested
+    groups, smart-quote symbols."""
+    hi = 0xD800 + ((0x1F389 - 0x10000) >> 10) - 0x10000
+    lo = 0xDC00 + ((0x1F389 - 0x10000) & 0x3FF) - 0x10000
+    s = (r'{\rtf1\ansi{\fonttbl{\f0 X;}}'
+         r'{\*\mystery junk {nested {deep}} more}'
+         + BS + "uc0" + U + "26085 " + U + f"{hi} " + U + f"{lo} "
+         + r"a\'e9b\~c\lquote q\rquote\par done}").encode()
+    assert R.parse_rtf(s) == "日🎉aéb\xa0c‘q’\ndone"
+    # \ucN fallback consumption: uc1 eats one char, uc2 eats two
+    s2 = ("{" + BS + "rtf1" + BS + "uc1" + U + "26085?x"
+          + BS + "uc2" + U + "26085??y}").encode()
+    assert R.parse_rtf(s2) == "日x日y"
+    # \ucN is group-scoped: the uc2 inside the group does not leak
+    s3 = ("{" + BS + "rtf1" + BS + "uc1{" + BS + "uc2" + U
+          + "26085??a}" + U + "26085?b}").encode()
+    assert R.parse_rtf(s3) == "日a日b"
+    # known destinations are skipped entirely
+    s4 = (r'{\rtf1{\stylesheet {\s1 Heading;}}{\info{\author X}}'
+          r'visible}').encode()
+    assert R.parse_rtf(s4) == "visible"
+    # raw CR/LF between tokens is NOT text (\par is the line break)
+    s5 = b"{" + BS.encode() + b"rtf1 a\r\nb}"
+    assert R.parse_rtf(s5) == "ab"
+
+
+def test_rejects_damaged_and_unsupported():
+    with pytest.raises(ValueError, match="rtf header"):
+        R.parse_rtf(b"not rtf at all")
+    with pytest.raises(ValueError, match="unclosed group"):
+        R.parse_rtf(R.encode_rtf("hello")[:-1])
+    with pytest.raises(ValueError, match="unbalanced"):
+        R.parse_rtf(b"{" + BS.encode() + b"rtf1 a}}")
+    with pytest.raises(ValueError, match="truncated"):
+        R.parse_rtf(b"{" + BS.encode() + b"rtf1 " + BS.encode())
+    with pytest.raises(ValueError, match="xx escape"):
+        R.parse_rtf(("{" + BS + "rtf1 " + BS + "'4").encode())
+    with pytest.raises(ValueError, match="code page"):
+        R.parse_rtf(rb'{\rtf1\ansicpg932 x}')
+
+
+def test_rtf_text_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"text of document {i} with ünïcode") for i in range(10)],
+        "doc_id long, text string")
+    rows = R.rtf_text(R.synth_rtf(docs)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        did = r["id"]
+        assert r["text"] == f"doc:{did}\ntext of document {did} " \
+                            f"with ünïcode"
+    sdef = REGISTRY.get("rtf_text")
+    cfg = sdef.validate_config({"type": "rtf_text"})
+    assert sdef.builder(spark, cfg, [R.synth_rtf(docs)]).count() == 10
+    bad = spark.createDataFrame([(99, b"not rtf")],
+                                "id long, payload binary")
+    assert R.rtf_text(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        R.rtf_text(bad).count()
+
+
+def test_dispatch_routes_rtf(spark):
+    from mycelial_spark.sources.dispatch import (document_records,
+                                                 sniff_container)
+    assert sniff_container(R.encode_rtf("doc:1\nx")) == "rtf"
+    docs = spark.createDataFrame([(7, "body seven")],
+                                 "doc_id long, text string")
+    [row] = document_records(R.synth_rtf(docs)).collect()
+    assert row["format"] == "rtf" and row["key"] == "doc:7"
+    assert row["text"] == "doc:7\nbody seven"

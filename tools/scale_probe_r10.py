@@ -105,6 +105,30 @@ def probe_pdf15(spark, factors=(1, 4)):
                               "sec": round(time.time() - t0, 2)}))
 
 
+def probe_r10_containers(spark, factors=(1, 4)):
+    """The r10 container legs (docx/epub/odt/rtf): per-file parse cost
+    flat, file count carries the scale — same claim as the r9 legs,
+    measured the same way (corpus duplicated, file count scaled)."""
+    from mycelial_spark.sources.docx import docx_paragraphs, synth_docx
+    from mycelial_spark.sources.epub import epub_chapters, synth_epub
+    from mycelial_spark.sources.odt import odt_paragraphs, synth_odt
+    from mycelial_spark.sources.rtf import rtf_text, synth_rtf
+    legs = [("docx_extract", synth_docx, docx_paragraphs, True),
+            ("epub_extract", synth_epub, epub_chapters, True),
+            ("odt_extract", synth_odt, odt_paragraphs, True),
+            ("rtf_extract", synth_rtf, rtf_text, False)]
+    for factor in factors:
+        docs = _dup_docs(spark, factor).localCheckpoint()
+        for name, synth, parse, has_files in legs:
+            t0 = time.time()
+            files = (synth(docs, files=8 * factor) if has_files
+                     else synth(docs))
+            out_rows = _force(parse(files))
+            print(json.dumps({"op": name, "factor": factor,
+                              "out_rows": out_rows,
+                              "sec": round(time.time() - t0, 2)}))
+
+
 def main():
     ops = "skew,pdf15"
     for a in sys.argv[1:]:
@@ -118,6 +142,8 @@ def main():
         probe_skew(spark)
     if "pdf15" in ops:
         probe_pdf15(spark)
+    if "containers" in ops:
+        probe_r10_containers(spark)
 
 
 if __name__ == "__main__":
