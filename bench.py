@@ -139,6 +139,7 @@ HEADLINE = [
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",
+    "main_content_extract",
     "fim_transform",
     "sft_pack_dialogues",
     "preference_pairs",

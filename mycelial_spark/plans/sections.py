@@ -1899,6 +1899,24 @@ def rtf_text_(spark, cfg, inputs):
     return rtf_text(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("main_content", "transform", "dataframe", "dataframe",
+           [Field("html_col", default="html"),
+            Field("id_col", default="doc_id"),
+            Field("max_link_density", "float", 0.5),
+            Field("min_block_chars", "int", 1)],
+           doc="Readability-style main-content extraction: split HTML "
+               "into blocks, drop the ones whose link density crosses "
+               "the threshold (nav bars / footers / link rails), join "
+               "the survivors. The step between raw crawl HTML and the "
+               "text-quality gates.")
+def main_content_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import main_content_extract
+    return main_content_extract(
+        inputs[0], html_col=cfg["html_col"], id_col=cfg["id_col"],
+        max_link_density=cfg["max_link_density"],
+        min_block_chars=cfg["min_block_chars"])
+
+
 @_register("markdown_text", "transform", "dataframe", "dataframe",
            [Field("md_col", default="text")],
            doc="Markdown -> plain text (fences stripped, code kept; "

@@ -2184,6 +2184,50 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_candidates"))
 
 
+@query("main_content_extract", """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+        || trim(regexp_replace(text, '\\s+', ' ', 'g')) || chr(10)
+        || 'Appendix for document ' || CAST(doc_id AS VARCHAR)
+        || ' with a reference link trailing words.' AS main_text,
+       CAST(5 AS INT) AS n_blocks,
+       CAST(3 AS INT) AS n_kept,
+       CAST(37 AS INT) AS boiler_chars
+FROM documents
+""")
+def main_content_extract_q(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Readability-style main-content extraction (operators/text.py
+    main_content_extract) — the step between raw crawl HTML and every
+    text-quality gate: each document wraps into a realistic page (nav
+    bar and footer that are wall-to-wall anchors, an h1, the body
+    paragraph, and an appendix paragraph with an inline link), and the
+    link-density heuristic must keep exactly the three content blocks
+    while dropping the two boilerplate rails. The oracle replays the
+    kept text (whitespace-collapsed per HTML rendering), the block
+    counts, and the boilerplate character total — a block-splitting,
+    anchor-accounting, or threshold bug breaks the hash-match.
+    Companion to html_extract (which strips ALL markup): this one
+    drops whole boilerplate BLOCKS."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.text import main_content_extract
+    docs = spread(_t(spark, sf_dir, "documents"))
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><script>var x = 1 < 2;</script>'
+              '<style>p {color: red}</style></head><body>'
+              '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+              ' | <a href="/contact">Contact</a></nav><h1>Doc '),
+        did,
+        F.lit('</h1><p>'), F.col("text"),
+        F.lit('</p><p>Appendix for document '), did,
+        F.lit(' with <a href="#">a reference link</a> trailing '
+              'words.</p><div><a href="/p">Privacy</a> &#183; '
+              '<a href="/t">Terms</a></div></body></html>'))
+    pages = docs.select("doc_id", html.alias("html"))
+    return main_content_extract(pages)
+
+
 @query("markdown_extract", """
 WITH m AS (
   SELECT doc_id,

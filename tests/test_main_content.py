@@ -1,0 +1,81 @@
+"""Main-content extraction (operators/text.py html_blocks +
+main_content_extract): block splitting, anchor accounting, link-
+density thresholding, tag-soup tolerance."""
+
+import pytest
+
+from mycelial_spark.operators.text import html_blocks, main_content_extract
+
+PAGE = """<html><head><title>t</title><style>p {x}</style>
+<script>var x = "<p>not a block</p>";</script></head><body>
+<nav><a href="/">Home</a> | <a href="/a">About</a> |
+<a href="/c">Contact</a></nav>
+<h1>Title here</h1>
+<p>This is the real article body with plenty of plain prose text.</p>
+<p>Second paragraph with <a href="#">a small link</a> inside more
+words here to keep density low.</p>
+<ul><li><a href="/1">related one</a></li><li><a href="/2">related
+two</a></li></ul>
+<div class="footer"><a>Privacy</a> &#183; <a>Terms</a></div>
+</body></html>"""
+
+
+def test_html_blocks_statistics():
+    blocks = html_blocks(PAGE)
+    texts = [b["text"] for b in blocks]
+    assert texts[0] == "Home | About | Contact"
+    assert texts[1] == "Title here"
+    assert "real article body" in texts[2]
+    # per-block stats: nav is ~all anchor, prose is 0, mixed is low
+    assert blocks[0]["link_density"] > 0.7
+    assert blocks[1]["link_density"] == 0.0
+    assert blocks[2]["link_density"] == 0.0
+    assert 0.0 < blocks[3]["link_density"] < 0.5
+    # the li items are pure links
+    assert all(b["link_density"] == 1.0 for b in blocks
+               if b["text"].startswith("related"))
+    # footer: anchors separated by a non-anchor middot
+    assert blocks[-1]["text"] == "Privacy · Terms"
+    assert blocks[-1]["link_density"] > 0.7
+    assert [b["block_idx"] for b in blocks] == list(range(len(blocks)))
+
+
+def test_html_blocks_tag_soup_never_raises():
+    """Crawl HTML is tag soup: unclosed tags, stray brackets, bad
+    nesting — must degrade, never raise."""
+    for soup in ["<p>unclosed", "just text", "<div><p>a</div></p>",
+                 "<a>link only</a>", "", "<<<>>>", "<p><a>x</p></a>y"]:
+        blocks = html_blocks(soup)
+        assert isinstance(blocks, list)
+    # script content is never text, even with markup inside
+    assert all("not a block" not in b["text"]
+               for b in html_blocks(PAGE))
+
+
+def test_main_content_extract_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    pages = spark.createDataFrame(
+        [(i, PAGE.replace("Title here", f"Title {i}"))
+         for i in range(6)],
+        "doc_id long, html string")
+    rows = main_content_extract(pages).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["main_text"].startswith(f"Title {r['doc_id']}\n")
+        assert "real article body" in r["main_text"]
+        assert "Home | About" not in r["main_text"]
+        assert "Privacy" not in r["main_text"]
+        assert "related one" not in r["main_text"]
+        assert r["n_kept"] == 3
+        assert r["n_blocks"] == 7
+        assert r["boiler_chars"] > 0
+    # threshold is configurable: density 1.0 keeps only pure prose,
+    # density 2.0 keeps everything (nothing reaches 2.0)
+    strict = main_content_extract(pages, max_link_density=0.01).collect()
+    assert all("small link" not in r["main_text"] for r in strict)
+    loose = main_content_extract(pages, max_link_density=2.0).collect()
+    assert all(r["n_kept"] == r["n_blocks"] for r in loose)
+    sdef = REGISTRY.get("main_content")
+    cfg = sdef.validate_config({"type": "main_content"})
+    out = sdef.builder(spark, cfg, [pages])
+    assert out.count() == 6
