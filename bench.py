@@ -126,6 +126,7 @@ HEADLINE = [
     "document_formats_mixed",
     "robots_filter",
     "charset_decode",
+    "decompress_payloads",
     "sitemap_extract",
     "recrawl_schedule",
     "language_mix",

@@ -1899,6 +1899,20 @@ def rtf_text_(spark, cfg, inputs):
     return rtf_text(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("decompressed_payloads", "transform", "bin_or_dataframe",
+           "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Transparently remove payload compression (gzip incl. "
+               "multi-member, bzip2, xz — all by magic bytes; zstd "
+               "recognized and rejected loudly, no stdlib codec; plain "
+               "passes through). The layer between a binaryFile scan "
+               "and any container/charset leg.")
+def decompressed_payloads_(spark, cfg, inputs):
+    from mycelial_spark.sources.compress import decompressed_payloads
+    return decompressed_payloads(_payload_frame(inputs[0]),
+                                 cfg["on_error"])
+
+
 @_register("main_content", "transform", "dataframe", "dataframe",
            [Field("html_col", default="html"),
             Field("id_col", default="doc_id"),

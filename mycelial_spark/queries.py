@@ -2184,6 +2184,32 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_candidates"))
 
 
+@query("decompress_payloads", """
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'none' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'bzip2' ELSE 'xz' END AS codec,
+       text AS text_out
+FROM documents
+""")
+def decompress_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent payload decompression (sources/compress.py) — the
+    layer under every container leg, because dumps ship compressed
+    (.bz2 Wikipedia, .gz crawl indexes, .xz archives): each document's
+    bytes compress by residue (plain / gzip with a TWO-MEMBER variant
+    every 8th doc / bzip2 / xz, all stdlib) and decompressed_payloads
+    sniffs the magic and inflates. The oracle replays the detected
+    codec label and the byte-exact text — a mis-sniff, a single-member
+    gzip reader, or a truncated inflate breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.compress import (decompressed_payloads,
+                                                 synth_compressed)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    out = decompressed_payloads(synth_compressed(docs))
+    return out.select(F.col("id").alias("doc_id"), "codec",
+                      F.col("payload").cast("string").alias("text_out"))
+
+
 @query("main_content_extract", """
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)

@@ -1,0 +1,87 @@
+"""Transparent payload decompression (sources/compress.py): magic
+sniffing, multi-member/multi-stream inflation, loud failures on
+truncation and unsupported codecs."""
+
+import bz2
+import gzip
+import lzma
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mycelial_spark.sources.compress import (decompress,
+                                             decompressed_payloads,
+                                             sniff_compression,
+                                             synth_compressed)
+
+
+def test_sniff_and_decompress_matrix():
+    raw = b"hello compressed world " * 50
+    assert decompress(raw) == ("none", raw)
+    assert decompress(gzip.compress(raw, mtime=0)) == ("gzip", raw)
+    assert decompress(bz2.compress(raw)) == ("bzip2", raw)
+    assert decompress(lzma.compress(raw)) == ("xz", raw)
+    # multi-member gzip / multi-stream bzip2+xz (how dump tooling
+    # appends)
+    assert decompress(gzip.compress(raw[:30], mtime=0)
+                      + gzip.compress(raw[30:], mtime=0)) == \
+        ("gzip", raw)
+    assert decompress(bz2.compress(raw[:30])
+                      + bz2.compress(raw[30:])) == ("bzip2", raw)
+    assert decompress(lzma.compress(raw[:30])
+                      + lzma.compress(raw[30:])) == ("xz", raw)
+    # 'BZh' needs its level digit — 'BZhx' is NOT bzip2
+    assert sniff_compression(b"BZhx not bzip") == "none"
+
+
+def test_rejects_truncation_and_zstd():
+    raw = b"x" * 4000
+    for enc in (lambda d: gzip.compress(d, mtime=0), bz2.compress,
+                lzma.compress):
+        with pytest.raises(ValueError, match="damaged"):
+            decompress(enc(raw)[:-5])
+    with pytest.raises(ValueError, match="zstd"):
+        decompress(b"\x28\xb5\x2f\xfd rest of frame")
+
+
+@settings(max_examples=25, deadline=None)
+@given(raw=st.binary(max_size=2000),
+       codec=st.sampled_from(["none", "gzip", "bzip2", "xz"]))
+def test_roundtrip_property(raw, codec):
+    enc = {"none": lambda d: d,
+           "gzip": lambda d: gzip.compress(d, mtime=0),
+           "bzip2": bz2.compress, "xz": lzma.compress}[codec]
+    payload = enc(raw)
+    got_codec, got = decompress(payload)
+    # tiny plain payloads can't accidentally carry a magic, and the
+    # compressors always stamp theirs — the label is exact
+    assert got == raw
+    if codec == "none" and sniff_compression(payload) == "none":
+        assert got_codec == "none"
+    elif codec != "none":
+        assert got_codec == codec
+
+
+def test_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"text {i} " * (i + 1)) for i in range(16)],
+        "doc_id long, text string")
+    rows = decompressed_payloads(synth_compressed(docs)).collect()
+    assert len(rows) == 16
+    for r in rows:
+        expect = {0: "none", 1: "gzip", 2: "bzip2",
+                  3: "xz"}[r["id"] % 4]
+        assert r["codec"] == expect
+        assert bytes(r["payload"]).decode() == \
+            f"text {r['id']} " * (r["id"] + 1)
+    sdef = REGISTRY.get("decompressed_payloads")
+    cfg = sdef.validate_config({"type": "decompressed_payloads"})
+    assert sdef.builder(spark, cfg,
+                        [synth_compressed(docs)]).count() == 16
+    bad = spark.createDataFrame(
+        [(9, gzip.compress(b"abcdef" * 100)[:-4])],
+        "id long, payload binary")
+    assert decompressed_payloads(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        decompressed_payloads(bad).count()
