@@ -79,3 +79,56 @@ def test_main_content_extract_distributed_and_section(spark):
     cfg = sdef.validate_config({"type": "main_content"})
     out = sdef.builder(spark, cfg, [pages])
     assert out.count() == 6
+
+
+def test_document_ingestion_pipeline_e2e(spark, tmp_path):
+    """examples/document_ingestion_pipeline.toml end-to-end: a landing
+    bucket of mixed, partly-compressed containers (pdf, gzip'd docx,
+    bzip2'd rtf, xz'd epub, odt, mbox) lands as normalized filtered
+    rows — decompression, dispatch, and the quality floor all
+    declarative."""
+    import bz2
+    import gzip
+    import lzma
+    import tomllib
+
+    from mycelial_spark.plans.compiler import Pipeline
+    from mycelial_spark.sources.docx import encode_docx
+    from mycelial_spark.sources.epub import encode_epub
+    from mycelial_spark.sources.mbox import encode_mbox, encode_message
+    from mycelial_spark.sources.odt import encode_odt
+    from mycelial_spark.sources.pdf import encode_pdf
+    from mycelial_spark.sources.rtf import encode_rtf
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "a.pdf").write_bytes(
+        encode_pdf(["doc:0\npdf body content here"]))
+    (landing / "b.docx.gz").write_bytes(gzip.compress(
+        encode_docx(["doc:1\ndocx body content here"]), mtime=0))
+    (landing / "c.rtf.bz2").write_bytes(bz2.compress(
+        encode_rtf("doc:2\nrtf body content here")))
+    (landing / "d.epub.xz").write_bytes(lzma.compress(
+        encode_epub(["doc:3\nepub body content here"])))
+    (landing / "e.odt").write_bytes(
+        encode_odt(["doc:4\nodt body content here"]))
+    (landing / "f.mbox").write_bytes(
+        encode_mbox([encode_message(5, "mbox body content here")]))
+    (landing / "tiny.rtf").write_bytes(encode_rtf("x"))  # under floor
+
+    with open("examples/document_ingestion_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    spec["nodes"]["landing"]["path"] = str(landing)
+    out = str(tmp_path / "docs_out")
+    spec["nodes"]["out"]["path"] = out
+    Pipeline.from_spec(spec).run(spark)
+    got = spark.read.parquet(out).collect()
+    by_fmt = {r["format"]: r for r in got}
+    assert set(by_fmt) == {"pdf", "docx", "rtf", "epub", "odt", "mbox"}
+    assert len(got) == 6                       # the tiny rtf was floored
+    for fmt in ("pdf", "docx", "rtf", "epub", "odt"):
+        assert by_fmt[fmt]["text"].endswith(
+            f"{fmt} body content here"), fmt
+        assert by_fmt[fmt]["key"].startswith("doc:")
+    assert by_fmt["mbox"]["text"] == "mbox body content here"
+    assert all(r["text_chars"] >= 8 for r in got)
