@@ -124,6 +124,7 @@ HEADLINE = [
     "rtf_extract_text",
     "mbox_extract",
     "document_formats_mixed",
+    "ipynb_extract",
     "robots_filter",
     "charset_decode",
     "decompress_payloads",

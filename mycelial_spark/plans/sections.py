@@ -1913,6 +1913,18 @@ def decompressed_payloads_(spark, cfg, inputs):
                                  cfg["on_error"])
 
 
+@_register("ipynb_cells", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode Jupyter notebooks (.ipynb, nbformat 3 AND 4) "
+               "into one row per cell: type, joined source, text "
+               "outputs (stream / text-plain results / ANSI-stripped "
+               "tracebacks), execution counts. Pair with binary_source "
+               "(pattern='*.ipynb') for code-corpus ingestion.")
+def ipynb_cells_(spark, cfg, inputs):
+    from mycelial_spark.sources.ipynb import ipynb_cells
+    return ipynb_cells(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("main_content", "transform", "dataframe", "dataframe",
            [Field("html_col", default="html"),
             Field("id_col", default="doc_id"),

@@ -2210,6 +2210,59 @@ def decompress_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("payload").cast("string").alias("text_out"))
 
 
+@query("ipynb_extract", """
+WITH r AS (
+  SELECT doc_id,
+         CAST(doc_id % 8 AS BIGINT) AS file_id,
+         row_number() OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY doc_id % 8) AS nd,
+         text
+  FROM documents)
+SELECT doc_id, file_id,
+       CAST(2 * rk AS INT) AS cell_idx,
+       CAST(2 * nd AS INT) AS cell_count,
+       'markdown' AS cell_type,
+       'doc:' || CAST(doc_id AS VARCHAR) AS source,
+       '' AS output_text,
+       CAST(NULL AS INT) AS exec_count
+FROM r
+UNION ALL
+SELECT doc_id, file_id,
+       CAST(2 * rk + 1 AS INT),
+       CAST(2 * nd AS INT),
+       'code',
+       '# doc:' || CAST(doc_id AS VARCHAR) || chr(10)
+        || 'print(' || CAST(length(text) AS VARCHAR) || ')',
+       text,
+       CAST(rk + 1 AS INT)
+FROM r
+""")
+def ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook ingestion (sources/ipynb.py) — the dominant
+    container for code-training corpora: documents pack into 8
+    nbformat-4 notebooks (synth_ipynb — per doc a markdown cell and a
+    code cell whose stream output is the document text; code sources
+    in the LINE-LIST JSON form), and ipynb_cells explodes them with
+    types, joined sources, output text, and execution counts. The
+    oracle replays cell order, counts, both sources, the stream
+    output, and the sequential execution numbering — a source-join,
+    output-shape, or ordering bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.ipynb import ipynb_cells, synth_ipynb
+    docs = spread(_t(spark, sf_dir, "documents"))
+    cells = ipynb_cells(synth_ipynb(docs, files=8))
+    doc_id = F.when(
+        F.col("cell_type") == "markdown",
+        F.regexp_extract("source", r"^doc:(\d+)$", 1)) \
+        .otherwise(F.regexp_extract("source", r"^# doc:(\d+)\n", 1)) \
+        .cast("long")
+    return cells.select(
+        doc_id.alias("doc_id"), F.col("id").alias("file_id"),
+        "cell_idx", "cell_count", "cell_type", "source",
+        "output_text", "exec_count")
+
+
 @query("main_content_extract", """
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)

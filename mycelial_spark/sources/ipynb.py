@@ -1,0 +1,211 @@
+"""Jupyter notebook (.ipynb) ingestion — the dominant container for
+code-training corpora next to raw source files: every public-notebook
+dump (GitHub, Kaggle) ships nbformat JSON, and a pipeline wants cells
+as rows (code vs markdown, with outputs separated from source) rather
+than one opaque JSON blob.
+
+Reader `parse_ipynb` handles the nbformat shapes that exist in the
+wild:
+
+- nbformat 4 (cells at top level) and nbformat 3 (cells inside
+  ``worksheets``; ``input`` instead of ``source``; ``heading`` cells
+  with a ``level``).
+- ``source`` as either a string or the line-list form (both are valid
+  JSON encodings; joined verbatim — the lines already carry their
+  newlines).
+- Output text from the three output shapes: ``stream`` text,
+  ``execute_result`` / ``display_data`` data bundles (``text/plain``
+  only — images are payloads for the multimodal legs, not text), and
+  ``error`` tracebacks (ANSI escapes stripped — real tracebacks are
+  color-coded).
+- Damage fails loudly: non-JSON, missing cells/nbformat, unknown
+  major versions.
+
+Spark surface: `ipynb_cells` explodes binary payloads into one row
+per cell over Arrow batches; `encode_ipynb`/`synth_ipynb` build
+deterministic nbformat-4 fixtures so the `ipynb_extract` oracle can
+replay cell order, types, sources, and outputs."""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*m")
+
+
+def _join_source(src) -> str:
+    if isinstance(src, str):
+        return src
+    if isinstance(src, list):
+        return "".join(str(s) for s in src)
+    raise ValueError(f"cell source is neither string nor list: "
+                     f"{type(src).__name__}")
+
+
+def _output_text(outputs) -> str:
+    parts: list[str] = []
+    for out in outputs or []:
+        ot = out.get("output_type")
+        if ot == "stream":
+            parts.append(_join_source(out.get("text", "")))
+        elif ot in ("execute_result", "display_data"):
+            data = out.get("data", {})
+            if "text/plain" in data:
+                parts.append(_join_source(data["text/plain"]))
+        elif ot == "pyout":                      # nbformat 3
+            if "text" in out:
+                parts.append(_join_source(out["text"]))
+        elif ot == "error" or ot == "pyerr":
+            parts.append(_ANSI.sub(
+                "", "\n".join(str(t) for t in out.get("traceback", []))))
+    return "".join(parts)
+
+
+def parse_ipynb(payload: bytes) -> list[dict]:
+    """One dict per cell, in notebook order:
+    (cell_idx, cell_type, source, output_text, exec_count)."""
+    try:
+        nb = json.loads(bytes(payload).decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"not a notebook (bad JSON): {e}") from e
+    if not isinstance(nb, dict) or "nbformat" not in nb:
+        raise ValueError("JSON is not an nbformat document")
+    major = nb.get("nbformat")
+    if major == 4:
+        cells = nb.get("cells")
+        if not isinstance(cells, list):
+            raise ValueError("nbformat 4 document has no cells list")
+    elif major == 3:
+        ws = nb.get("worksheets")
+        if not isinstance(ws, list):
+            raise ValueError("nbformat 3 document has no worksheets")
+        cells = [c for w in ws for c in w.get("cells", [])]
+    else:
+        raise ValueError(f"unsupported nbformat major {major!r}")
+    out: list[dict] = []
+    for i, c in enumerate(cells):
+        ctype = c.get("cell_type", "")
+        if major == 3 and ctype == "heading":
+            src = "#" * int(c.get("level", 1)) + " " \
+                + _join_source(c.get("source", ""))
+            ctype = "markdown"
+        elif major == 3 and ctype == "code":
+            src = _join_source(c.get("input", ""))
+        else:
+            src = _join_source(c.get("source", ""))
+        exec_count = c.get("execution_count",
+                           c.get("prompt_number"))
+        out.append({
+            "cell_idx": i,
+            "cell_type": ctype,
+            "source": src,
+            "output_text": _output_text(c.get("outputs"))
+            if ctype == "code" else "",
+            "exec_count": (int(exec_count)
+                           if isinstance(exec_count, int) else None),
+        })
+    return out
+
+
+IPYNB_CELL_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("cell_idx", T.IntegerType()),
+    T.StructField("cell_count", T.IntegerType()),
+    T.StructField("cell_type", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("output_text", T.StringType()),
+    T.StructField("exec_count", T.IntegerType()),
+])
+
+
+def ipynb_cells(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary .ipynb payloads into one row per cell
+    (IPYNB_CELL_SCHEMA) over Arrow batches; ``on_error="null"`` skips
+    undecodable files."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    cells = parse_ipynb(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid),
+                             "cell_count": len(cells), **c}
+                            for c in cells)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IPYNB_CELL_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run,
+                                                  IPYNB_CELL_SCHEMA)
+
+
+def encode_ipynb(cells: list[tuple[str, str, str]]) -> bytes:
+    """Deterministic nbformat-4 writer: cells as (type, source,
+    output_text) triples; code-cell sources use the LINE-LIST form and
+    outputs a stream record (the common real-world encoding), markdown
+    cells plain-string sources."""
+    out_cells = []
+    n_exec = 0
+    for ctype, src, out_text in cells:
+        if ctype == "code":
+            n_exec += 1
+            out_cells.append({
+                "cell_type": "code",
+                "execution_count": n_exec,
+                "metadata": {},
+                "source": src.splitlines(keepends=True),
+                "outputs": ([{"output_type": "stream",
+                              "name": "stdout",
+                              "text": out_text.splitlines(keepends=True)}]
+                            if out_text else []),
+            })
+        else:
+            out_cells.append({"cell_type": ctype, "metadata": {},
+                              "source": src})
+    nb = {"nbformat": 4, "nbformat_minor": 5,
+          "metadata": {"language_info": {"name": "python"}},
+          "cells": out_cells}
+    return json.dumps(nb, sort_keys=True).encode("utf-8")
+
+
+def synth_ipynb(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture mirroring the container legs: documents pack into
+    ``files`` notebooks, each doc contributing a markdown cell
+    ``doc:<id>`` followed by a code cell whose source is
+    ``# doc:<id>\\nprint(<len>)`` and whose stream output is the
+    document text. Emits (id = file index, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t)) for d, t in
+                        zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[tuple[str, str, str]]] = {}
+        for doc_id, t in sorted(docs):
+            g = groups.setdefault(doc_id % files, [])
+            g.append(("markdown", f"doc:{doc_id}", ""))
+            g.append(("code", f"# doc:{doc_id}\nprint({len(t)})", t))
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "ipynb",
+             "payload": [encode_ipynb(cells)
+                         for cells in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

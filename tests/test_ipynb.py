@@ -1,0 +1,113 @@
+"""Jupyter notebook ingestion (sources/ipynb.py): nbformat 4 and 3
+shapes, string vs line-list sources, the three text output forms,
+ANSI-stripped tracebacks, deterministic round-trips, loud failures."""
+
+import json
+
+import pytest
+
+from mycelial_spark.sources import ipynb as N
+
+CELLS = [("markdown", "# Title\nwith **bold**", ""),
+         ("code", "x = 1\nprint(x)", "1\n"),
+         ("code", "import os", ""),
+         ("markdown", "tail ünïcode 中文", "")]
+
+
+def test_roundtrip_nbformat4():
+    data = N.encode_ipynb(CELLS)
+    got = N.parse_ipynb(data)
+    assert len(got) == 4
+    for i, (ctype, src, out) in enumerate(CELLS):
+        assert got[i]["cell_type"] == ctype
+        assert got[i]["source"] == src
+        assert got[i]["output_text"] == out
+        assert got[i]["cell_idx"] == i
+    # code cells number sequentially; markdown has no count
+    assert got[1]["exec_count"] == 1 and got[2]["exec_count"] == 2
+    assert got[0]["exec_count"] is None
+    assert N.encode_ipynb(CELLS) == data       # deterministic
+
+
+def test_nbformat3_worksheets_heading_input():
+    nb3 = json.dumps({"nbformat": 3, "worksheets": [{"cells": [
+        {"cell_type": "heading", "level": 2, "source": ["Old title"]},
+        {"cell_type": "code", "input": ["a=1\n", "a"],
+         "prompt_number": 7,
+         "outputs": [{"output_type": "pyout", "text": ["1"]}]},
+    ]}]}).encode()
+    g = N.parse_ipynb(nb3)
+    assert g[0]["cell_type"] == "markdown"
+    assert g[0]["source"] == "## Old title"
+    assert g[1]["source"] == "a=1\na"
+    assert g[1]["output_text"] == "1" and g[1]["exec_count"] == 7
+
+
+def test_output_shapes():
+    ESC = chr(27)
+    nb = json.dumps({"nbformat": 4, "cells": [
+        {"cell_type": "code", "source": "boom", "outputs": [
+            {"output_type": "error",
+             "traceback": [ESC + "[31mTraceback" + ESC + "[0m",
+                           "ValueError: boom"]}]},
+        {"cell_type": "code", "source": "1+1", "outputs": [
+            {"output_type": "execute_result",
+             "data": {"text/plain": ["2"], "image/png": "AAAA"}}]},
+        {"cell_type": "code", "source": "noise", "outputs": [
+            {"output_type": "display_data",
+             "data": {"image/png": "AAAA"}}]},   # no text form: empty
+    ]}).encode()
+    g = N.parse_ipynb(nb)
+    assert g[0]["output_text"] == "Traceback\nValueError: boom"
+    assert g[1]["output_text"] == "2"
+    assert g[2]["output_text"] == ""
+
+
+def test_rejects_damaged_and_unsupported():
+    with pytest.raises(ValueError, match="bad JSON"):
+        N.parse_ipynb(b"not json at all")
+    with pytest.raises(ValueError, match="not an nbformat"):
+        N.parse_ipynb(b'{"x": 1}')
+    with pytest.raises(ValueError, match="unsupported nbformat"):
+        N.parse_ipynb(json.dumps({"nbformat": 9}).encode())
+    with pytest.raises(ValueError, match="no cells"):
+        N.parse_ipynb(json.dumps({"nbformat": 4}).encode())
+    with pytest.raises(ValueError, match="no worksheets"):
+        N.parse_ipynb(json.dumps({"nbformat": 3}).encode())
+    with pytest.raises(ValueError, match="neither string nor list"):
+        N.parse_ipynb(json.dumps(
+            {"nbformat": 4,
+             "cells": [{"cell_type": "code", "source": 42}]}).encode())
+
+
+def test_ipynb_cells_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"output text of document {i}") for i in range(12)],
+        "doc_id long, text string")
+    rows = N.ipynb_cells(N.synth_ipynb(docs, files=3)).collect()
+    assert len(rows) == 24                      # 2 cells per doc
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["id"], []).append(r)
+    for rows_ in by_file.values():
+        assert [r["cell_idx"] for r in rows_] == list(range(8))
+        assert all(r["cell_count"] == 8 for r in rows_)
+        types = [r["cell_type"] for r in rows_]
+        assert types == ["markdown", "code"] * 4
+        # code outputs carry the document text
+        for r in rows_:
+            if r["cell_type"] == "code":
+                did = int(r["source"].split("\n")[0]
+                          .removeprefix("# doc:"))
+                assert r["output_text"] == \
+                    f"output text of document {did}"
+    sdef = REGISTRY.get("ipynb_cells")
+    cfg = sdef.validate_config({"type": "ipynb_cells"})
+    assert sdef.builder(spark, cfg,
+                        [N.synth_ipynb(docs, files=3)]).count() == 24
+    bad = spark.createDataFrame([(99, b"not a notebook")],
+                                "id long, payload binary")
+    assert N.ipynb_cells(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        N.ipynb_cells(bad).count()
