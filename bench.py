@@ -125,6 +125,7 @@ HEADLINE = [
     "mbox_extract",
     "document_formats_mixed",
     "ipynb_extract",
+    "latex_extract_text",
     "robots_filter",
     "charset_decode",
     "decompress_payloads",

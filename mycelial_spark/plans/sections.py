@@ -1925,6 +1925,19 @@ def ipynb_cells_(spark, cfg, inputs):
     return ipynb_cells(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("latex_text", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="De-TeX prose extraction from .tex payloads: comments "
+               "and math dropped (inline + display + math/float "
+               "environments), verbatim kept raw, sectioning/"
+               "formatting command arguments kept, reference commands "
+               "dropped, escapes and quote ligatures mapped. The arXiv "
+               "ingestion leg; on_error=null skips undecodable files.")
+def latex_text_(spark, cfg, inputs):
+    from mycelial_spark.sources.latex import latex_text
+    return latex_text(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("main_content", "transform", "dataframe", "dataframe",
            [Field("html_col", default="html"),
             Field("id_col", default="doc_id"),

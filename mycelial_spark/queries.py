@@ -2263,6 +2263,34 @@ def ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "output_text", "exec_count")
 
 
+@query("latex_extract_text", """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+        || 'Part ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || chr(10)
+        || 'The bound holds. important claim '
+        || CAST(doc_id AS VARCHAR) || ':' || chr(10)
+        || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+        || chr(10) || chr(10) || 'Cited in and beyond.' AS text_out
+FROM documents
+""")
+def latex_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-TeX extraction (sources/latex.py) — arXiv ships as .tex
+    source and is one of the largest high-quality corpora a pipeline
+    ingests: each document wraps into an arXiv-shaped file (preamble
+    that must NOT leak, title/section commands, inline math, a
+    trailing comment that per TeX semantics eats its newline, an
+    \\emph wrap, a dropped equation environment, a \\cite) and
+    latex_text extracts the prose. The oracle replays the exact
+    extraction — a comment, math-span, environment-skip, or
+    command-dispatch bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.latex import latex_text, synth_latex
+    docs = spread(_t(spark, sf_dir, "documents"))
+    out = latex_text(synth_latex(docs))
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("text").alias("text_out"))
+
+
 @query("main_content_extract", """
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)

@@ -1,0 +1,364 @@
+"""LaTeX source extraction — arXiv is one of the largest high-quality
+text corpora a training pipeline ingests, and it ships as .tex
+source, not PDF. This is a de-TeX pass (the arxiv-cleaner /
+pandoc-strip family), not a typesetter: the goal is the PROSE, with
+math and floats removed and structure kept as lines.
+
+`parse_latex` is a single-pass tokenizer over the grammar subset that
+matters for extraction:
+
+- comments: unescaped ``%`` to end of line (the escape ``\\%`` is a
+  literal percent);
+- math: ``$...$``, ``$$...$$``, ``\\(...\\)``, ``\\[...\\]`` and the
+  math/float environments (equation, align, gather, figure, table,
+  tikzpicture, ...) DROP — equations are not prose;
+- verbatim environments keep their body RAW (code blocks are content);
+- sectioning commands (``\\section{X}`` etc.) emit their argument on
+  its own line; formatting commands (``\\emph``, ``\\textbf``, ...)
+  keep their argument inline; reference/citation/label/include
+  commands drop argument and all; unknown commands drop their control
+  word but keep brace-group content (the safe default — macros mostly
+  WRAP prose);
+- escapes ``\\% \\& \\_ \\# \\$ \\{ \\}`` -> literals, ``~`` -> space,
+  ``\\\\`` -> newline, ``\\ldots`` -> ``...``; quote ligatures
+  `````` ``''`` -> curly quotes;
+- ``\\begin{document}`` ... ``\\end{document}`` bounds extraction when
+  present (preamble macros are not prose); unclosed environments and
+  runaway math raise — a truncated .tex must fail loudly.
+
+Spark surface mirrors the container legs: Arrow-batched `latex_text`,
+deterministic `encode_latex`/`synth_latex` fixtures, a `latex_text`
+SECTION."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# environments whose BODY is dropped entirely
+_DROP_ENVS = frozenset((
+    "equation", "equation*", "align", "align*", "gather", "gather*",
+    "eqnarray", "eqnarray*", "math", "displaymath", "figure",
+    "figure*", "table", "table*", "tabular", "tikzpicture",
+    "algorithm", "algorithmic", "thebibliography"))
+# environments whose body is kept RAW (no command interpretation)
+_VERBATIM_ENVS = frozenset(("verbatim", "verbatim*", "lstlisting"))
+# commands whose {argument} is PROSE emitted on its own line
+_SECTION_CMDS = frozenset((
+    "title", "section", "section*", "subsection", "subsection*",
+    "subsubsection", "subsubsection*", "paragraph", "chapter",
+    "caption"))
+# commands whose {argument} is prose kept inline
+_WRAP_CMDS = frozenset((
+    "emph", "textbf", "textit", "texttt", "textsc", "textrm",
+    "underline", "mbox", "text", "footnote"))
+# commands that drop WITH their argument(s)
+_DROP_CMDS = frozenset((
+    "cite", "citep", "citet", "ref", "eqref", "autoref", "label",
+    "includegraphics", "input", "include", "bibliography",
+    "bibliographystyle", "usepackage", "documentclass", "author",
+    "date", "thanks", "vspace", "hspace", "url", "href"))
+
+_ESCAPES = {"%": "%", "&": "&", "_": "_", "#": "#", "$": "$",
+            "{": "{", "}": "}", " ": " "}
+_WORD_SYMBOLS = {"ldots": "...", "dots": "...", "textellipsis": "...",
+                 "LaTeX": "LaTeX", "TeX": "TeX"}
+
+
+class _Tex:
+    def __init__(self, data: str):
+        self.s = data
+        self.i = 0
+        self.n = len(data)
+        self.out: list[str] = []
+
+    def _control_word(self) -> str:
+        start = self.i
+        while self.i < self.n and self.s[self.i].isalpha():
+            self.i += 1
+        word = self.s[start:self.i]
+        if word and self.i < self.n and self.s[self.i] == "*":
+            word += "*"
+            self.i += 1
+        return word
+
+    def _skip_ws(self):
+        while self.i < self.n and self.s[self.i] in " \t":
+            self.i += 1
+
+    def _brace_group(self) -> str:
+        """The raw content of a {...} group (nesting honored)."""
+        self._skip_ws()
+        if self.i >= self.n or self.s[self.i] != "{":
+            return ""
+        depth, self.i = 1, self.i + 1
+        start = self.i
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c == "\\":
+                self.i += 2
+                continue
+            if c == "{":
+                depth += 1
+            elif c == "}":
+                depth -= 1
+                if depth == 0:
+                    body = self.s[start:self.i]
+                    self.i += 1
+                    return body
+            self.i += 1
+        raise ValueError("unclosed brace group")
+
+    def _opt_group(self):
+        self._skip_ws()
+        if self.i < self.n and self.s[self.i] == "[":
+            depth = 0
+            while self.i < self.n:
+                c = self.s[self.i]
+                if c == "[":
+                    depth += 1
+                elif c == "]":
+                    depth -= 1
+                    self.i += 1
+                    if depth == 0:
+                        return
+                self.i += 1
+            raise ValueError("unclosed [optional] group")
+
+    def _skip_math(self, closer: str):
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c == "\\" and self.i + 1 < self.n:
+                nxt = self.s[self.i + 1]
+                if closer == ")" and nxt == ")":
+                    self.i += 2
+                    return
+                if closer == "]" and nxt == "]":
+                    self.i += 2
+                    return
+                self.i += 2
+                continue
+            if closer == "$" and c == "$":
+                self.i += 1
+                return
+            if closer == "$$" and self.s[self.i:self.i + 2] == "$$":
+                self.i += 2
+                return
+            self.i += 1
+        raise ValueError(f"runaway math (missing {closer})")
+
+    def _skip_env(self, name: str):
+        """Skip to the matching \\end{name} (same-name nesting)."""
+        depth = 1
+        while self.i < self.n:
+            j = self.s.find("\\", self.i)
+            if j < 0:
+                break
+            self.i = j + 1
+            word = self._control_word()
+            if word == "begin" and self._brace_group() == name:
+                depth += 1
+            elif word == "end" and self._brace_group() == name:
+                depth -= 1
+                if depth == 0:
+                    return
+        raise ValueError(f"unclosed environment {name!r}")
+
+    def run(self) -> str:
+        s, doc = self.s, self.s.find("\\begin{document}")
+        if doc >= 0:
+            end = s.find("\\end{document}", doc)
+            if end < 0:
+                raise ValueError("\\begin{document} without \\end")
+            self.i = doc + len("\\begin{document}")
+            self.n = end
+        self._walk()
+        text = "".join(self.out)
+        lines = [" ".join(ln.split()) for ln in text.split("\n")]
+        # collapse blank runs to paragraph breaks
+        res: list[str] = []
+        for ln in lines:
+            if ln:
+                res.append(ln)
+            elif res and res[-1] != "":
+                res.append("")
+        while res and res[-1] == "":
+            res.pop()
+        return "\n".join(res)
+
+    def _walk(self):
+        while self.i < self.n:
+            c = self.s[self.i]
+            if c == "%":
+                j = self.s.find("\n", self.i)
+                self.i = self.n if j < 0 or j >= self.n else j + 1
+            elif c == "$":
+                if self.s[self.i:self.i + 2] == "$$":
+                    self.i += 2
+                    self._skip_math("$$")
+                else:
+                    self.i += 1
+                    self._skip_math("$")
+                self.out.append(" ")
+            elif c == "~":
+                self.out.append(" ")
+                self.i += 1
+            elif c == "`":
+                if self.s[self.i:self.i + 2] == "``":
+                    self.out.append("\u201c")
+                    self.i += 2
+                else:
+                    self.out.append("\u2018")
+                    self.i += 1
+            elif c == "'" and self.s[self.i:self.i + 2] == "''":
+                self.out.append("\u201d")
+                self.i += 2
+            elif c in "{}":
+                self.i += 1                      # bare groups: transparent
+            elif c == "\\":
+                self.i += 1
+                if self.i >= self.n:
+                    raise ValueError("truncated control sequence")
+                nxt = self.s[self.i]
+                if nxt in _ESCAPES:
+                    self.out.append(_ESCAPES[nxt])
+                    self.i += 1
+                elif nxt == "\\":
+                    self.out.append("\n")
+                    self.i += 1
+                    self._opt_group()            # \\[2em]
+                elif nxt == "(":
+                    self.i += 1
+                    self._skip_math(")")
+                    self.out.append(" ")
+                elif nxt == "[":
+                    self.i += 1
+                    self._skip_math("]")
+                    self.out.append(" ")
+                elif nxt.isalpha():
+                    self._dispatch(self._control_word())
+                else:
+                    self.i += 1                  # \, \; etc: drop
+            else:
+                self.out.append(c)
+                self.i += 1
+
+    def _dispatch(self, word: str):
+        if word == "begin":
+            name = self._brace_group()
+            if name in _VERBATIM_ENVS:
+                end = self.s.find(f"\\end{{{name}}}", self.i)
+                if end < 0:
+                    raise ValueError(f"unclosed environment {name!r}")
+                self.out.append(self.s[self.i:end])
+                self.i = end + len(f"\\end{{{name}}}")
+            elif name in _DROP_ENVS:
+                self._skip_env(name)
+                self.out.append("\n")
+            # other environments (itemize, abstract, ...): transparent
+        elif word == "end":
+            self._brace_group()                  # transparent env close
+        elif word == "item":
+            self._opt_group()
+            self.out.append("\n- ")
+        elif word in _SECTION_CMDS:
+            self._opt_group()
+            arg = self._brace_group()
+            self.out.append("\n" + _detex(arg) + "\n")
+        elif word in _WRAP_CMDS:
+            arg = self._brace_group()
+            self.out.append(_detex(arg))
+        elif word in _DROP_CMDS:
+            self._opt_group()
+            self._brace_group()
+            self._opt_group()
+        elif word in _WORD_SYMBOLS:
+            self.out.append(_WORD_SYMBOLS[word])
+        else:
+            # unknown macro: drop the control word and one [optional]
+            # group, keep prose flowing (its brace groups, if any,
+            # re-enter the walk as bare groups and stay transparent)
+            self._skip_ws()
+            self._opt_group()
+
+
+def _detex(fragment: str) -> str:
+    t = _Tex(fragment)
+    t._walk()
+    return "".join(t.out)
+
+
+def parse_latex(payload: bytes) -> str:
+    """Extracted prose from LaTeX source bytes (UTF-8)."""
+    try:
+        src = bytes(payload).decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"not UTF-8 LaTeX source: {e}") from e
+    return _Tex(src).run()
+
+
+LATEX_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def latex_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Extract prose from binary .tex payloads over Arrow batches;
+    ``on_error="null"`` skips undecodable files."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    t = parse_latex(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid), "text": t})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in LATEX_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, LATEX_SCHEMA)
+
+
+def synth_latex(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Fixture: one arXiv-shaped .tex per document — preamble (must
+    not leak), title+section from the id, the body WITH an inline
+    math span, a comment, an emphasized word, a citation, and a
+    dropped equation environment, so every extraction rule is
+    load-bearing. Emits (id = doc id, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                did = int(did)
+                tex = (
+                    "\\documentclass{article}\n"
+                    "\\usepackage{amsmath}\n"
+                    "% preamble comment must not leak\n"
+                    "\\begin{document}\n"
+                    f"\\title{{Doc {did}}}\n"
+                    f"\\section{{Part {did % 5}}}\n"
+                    "The bound $x^2 + y_i \\leq z$ holds. % trailing\n"
+                    f"\\emph{{important}} claim~{did}:\n"
+                    + str(t) + "\n"
+                    "\\begin{equation}\\int_0^1 f(x)dx\\end{equation}\n"
+                    "Cited in \\cite{smith2020} and beyond.\n"
+                    "\\end{document}\n")
+                ids.append(did)
+                payloads.append(tex.encode("utf-8"))
+            yield pd.DataFrame({"id": ids, "modality": "latex",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")

@@ -1,0 +1,99 @@
+"""De-TeX extraction (sources/latex.py): comments, math spans,
+environment handling (drop / verbatim / transparent), command
+dispatch, escapes and ligatures, loud failures on truncation."""
+
+import pytest
+
+from mycelial_spark.sources import latex as L
+
+
+def test_arxiv_shaped_document():
+    tex = r"""\documentclass{article}
+\usepackage{amsmath}
+% preamble comment must not leak
+\begin{document}
+\title{Doc 7}
+\section{Part 2}
+The bound $x^2 + y_i \leq z$ holds. % trailing
+\emph{important} claim~7:
+the fast key order sort
+\begin{equation}\int_0^1 f(x)dx\end{equation}
+Cited in \cite{smith2020} and beyond.
+\end{document}
+"""
+    got = L.parse_latex(tex.encode())
+    # TeX comment semantics: '% trailing' EATS its newline, so the
+    # emph clause joins the preceding sentence's line
+    assert got == ("Doc 7\n\nPart 2\n\nThe bound holds. important "
+                   "claim 7:\nthe fast key order sort\n\n"
+                   "Cited in and beyond.")
+
+
+def test_environments_and_symbols():
+    v = (r"\begin{document}a\begin{verbatim}x = $raw$ \cmd{y}"
+         r"\end{verbatim}b\end{document}")
+    assert L.parse_latex(v.encode()) == "ax = $raw$ \\cmd{y}b"
+    q = (r"\begin{document}``quoted'' and \$5 \& 10\% done" + "\n"
+         + r"\begin{itemize}\item one \item two\end{itemize}" + "\n"
+         + r"\[ e = mc^2 \] after" + "\n"
+         + r"x $$y$$ z\end{document}")
+    assert L.parse_latex(q.encode()) == \
+        "“quoted” and $5 & 10% done\n\n- one\n- two\nafter\nx z"
+    # nested same-name environments skip to the MATCHING end
+    n = (r"\begin{document}pre \begin{figure}outer "
+         r"\begin{figure}inner\end{figure} tail\end{figure} "
+         r"post\end{document}")
+    assert L.parse_latex(n.encode()) == "pre\npost"
+    # unknown macros drop their control word, brace args stay prose
+    u = (r"\begin{document}\mymacro{kept words} "
+         r"\another[x]{also kept}\end{document}")
+    assert L.parse_latex(u.encode()) == "kept words also kept"
+    # no \begin{document}: whole source is the body
+    assert L.parse_latex(rb"plain \emph{t} text") == "plain t text"
+    # line breaks and ellipsis
+    assert L.parse_latex(
+        rb"\begin{document}a\\b \ldots c\end{document}") == \
+        "a\nb ... c"
+
+
+def test_rejects_damage():
+    for bad, msg in [
+        (rb"\begin{document}$unclosed math \end{document}",
+         "runaway math"),
+        (rb"\begin{document}\begin{equation}x\end{document}",
+         "unclosed environment"),
+        (rb"\begin{document} \section{unclosed \end{document}",
+         "unclosed brace"),
+        (rb"\begin{document} no end", "without"),
+        (rb"\begin{document}\begin{verbatim}x\end{document}",
+         "unclosed environment"),
+        ("é".encode("cp1252") * 4, "not UTF-8"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            L.parse_latex(bad)
+
+
+def test_latex_text_distributed_and_section(spark):
+    from mycelial_spark.plans.sections import REGISTRY
+    docs = spark.createDataFrame(
+        [(i, f"body of document {i} with words") for i in range(10)],
+        "doc_id long, text string")
+    rows = L.latex_text(L.synth_latex(docs)).collect()
+    assert len(rows) == 10
+    for r in rows:
+        did = r["id"]
+        assert f"Doc {did}\n" in r["text"]
+        assert f"body of document {did} with words" in r["text"]
+        assert "preamble comment" not in r["text"]
+        assert "usepackage" not in r["text"]
+        assert "smith2020" not in r["text"]
+        assert "int_0^1" not in r["text"]
+    sdef = REGISTRY.get("latex_text")
+    cfg = sdef.validate_config({"type": "latex_text"})
+    assert sdef.builder(spark, cfg, [L.synth_latex(docs)]).count() == 10
+    bad = spark.createDataFrame(
+        [(99, rb"\begin{document}$runaway")],
+        "id long, payload binary")
+    assert L.latex_text(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        L.latex_text(bad).count()
