@@ -139,6 +139,7 @@ HEADLINE = [
     # WAV twin's fixture is cheap, so it headlines:
     "audio_metadata_audit",
     "secret_scan",
+    "license_detect",
     "mojibake_score",
     "compression_ratio",
     "markdown_extract",

@@ -1431,3 +1431,81 @@ def main_content_extract(df: DataFrame, html_col: str = "html",
                 rows, columns=[f.name for f in schema])
 
     return df.select(id_col, html_col).mapInPandas(run, schema)
+
+
+# ------------------------------------------------------------- licenses
+
+# Characteristic phrases, matched on ws-collapsed lowercase text.
+# Order = precedence: more specific licenses first (GPL-3 before the
+# generic GPL family line; BSD-3's "neither the name" clause before
+# BSD-2, which is the same text WITHOUT it). Phrases come from the
+# canonical license texts (public SPDX corpus).
+_LICENSE_RULES: list[tuple[str, list[str]]] = [
+    ("Apache-2.0", ["licensed under the apache license, version 2.0"]),
+    ("MIT", ["permission is hereby granted, free of charge"]),
+    ("LGPL-3.0", ["gnu lesser general public license",
+                  "version 3 of the license"]),
+    ("LGPL-2.1", ["gnu lesser general public license",
+                  "version 2.1 of the license"]),
+    ("AGPL-3.0", ["gnu affero general public license",
+                  "version 3 of the license"]),
+    ("GPL-3.0", ["gnu general public license",
+                 "version 3 of the license"]),
+    ("GPL-2.0", ["gnu general public license",
+                 "version 2 of the license"]),
+    ("BSD-3-Clause", ["redistribution and use in source and binary "
+                      "forms", "neither the name"]),
+    ("BSD-2-Clause", ["redistribution and use in source and binary "
+                      "forms"]),
+    ("MPL-2.0", ["mozilla public license", "v. 2.0"]),
+    ("Unlicense", ["this is free and unencumbered software"]),
+    ("CC-BY-4.0", ["creative commons attribution 4.0"]),
+    ("CC-BY-SA-4.0", ["creative commons attribution-sharealike 4.0"]),
+]
+
+_PERMISSIVE = frozenset(("Apache-2.0", "MIT", "BSD-3-Clause",
+                         "BSD-2-Clause", "MPL-2.0", "Unlicense",
+                         "CC-BY-4.0"))
+
+
+def with_license_detect(df: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """License identification for code/document corpora — the
+    permissive-vs-copyleft routing every code-training pipeline runs
+    before a file enters the corpus. Appends ``license`` (SPDX-style
+    id or NULL) and ``license_permissive``.
+
+    Detection is characteristic-phrase containment on whitespace-
+    collapsed lowercase text (how the canonical texts differ), with
+    precedence handling the subset traps: CC-BY-SA before CC-BY,
+    LGPL/AGPL before GPL (their names CONTAIN "general public
+    license"), BSD-3's "neither the name" clause before BSD-2 (the
+    same text without it). ONE codegen projection — contains() folds
+    over literal phrases, zero shuffle, zero UDF; dialect-portable so
+    a SQL oracle replays it verbatim.
+
+    Honest scope: header-grade detection (the standard heuristic
+    tier), not full-text diffing — a mutilated or novel license lands
+    NULL, never a wrong id. Line-leading comment markers (// # * ;)
+    are stripped before matching, since license headers live inside
+    comment blocks and the markers would interrupt the phrases."""
+    decommented = F.regexp_replace(
+        F.col(text_col), r"(?m)^[ \t]*(//+|#+|\*+|;+)[ \t]*", " ")
+    norm = F.lower(F.regexp_replace(decommented, r"\s+", " "))
+    # CC-BY-SA contains CC-BY's phrase prefix: test SA first
+    lic = F.when(
+        norm.contains("creative commons attribution-sharealike 4.0"),
+        F.lit("CC-BY-SA-4.0"))
+    for name, phrases in _LICENSE_RULES:
+        if name == "CC-BY-SA-4.0":
+            continue
+        cond = None
+        for p in phrases:
+            c = norm.contains(p)
+            cond = c if cond is None else (cond & c)
+        lic = lic.when(cond, F.lit(name))
+    lic = lic.otherwise(F.lit(None).cast("string"))
+    return (df.withColumn("license", lic)
+            .withColumn("license_permissive",
+                        F.when(lic.isNull(), F.lit(None).cast("boolean"))
+                        .otherwise(lic.isin(*sorted(_PERMISSIVE)))))

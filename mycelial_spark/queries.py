@@ -2291,6 +2291,64 @@ def latex_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("text").alias("text_out"))
 
 
+@query("license_detect", """
+SELECT doc_id,
+       CASE CAST(doc_id % 8 AS INT)
+            WHEN 0 THEN 'MIT' WHEN 1 THEN 'Apache-2.0'
+            WHEN 2 THEN 'GPL-2.0' WHEN 3 THEN 'GPL-3.0'
+            WHEN 4 THEN 'BSD-3-Clause' WHEN 5 THEN 'BSD-2-Clause'
+            WHEN 6 THEN 'Unlicense' ELSE NULL END AS license,
+       CASE CAST(doc_id % 8 AS INT)
+            WHEN 2 THEN FALSE WHEN 3 THEN FALSE
+            WHEN 7 THEN NULL ELSE TRUE END AS license_permissive
+FROM documents
+""")
+def license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License identification (operators/text.py with_license_detect)
+    — the permissive-vs-copyleft routing every code-training pipeline
+    runs: each document gets a canonical license-header snippet by
+    residue (MIT, Apache-2.0, GPL-2.0/3.0 with their 'version N of
+    the license' wording, BSD-3 vs BSD-2 — the SAME redistribution
+    text with and without the 'neither the name' clause, the subset
+    trap — Unlicense, or none) and the one-projection detector labels
+    it. The oracle replays label + permissive flag — a precedence or
+    phrase bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.text import with_license_detect
+    docs = spread(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 8
+    header = (
+        F.when(m == 0, F.lit(
+            "Permission is hereby granted, free of charge, to any "
+            "person obtaining a copy of this software."))
+        .when(m == 1, F.lit(
+            "Licensed under the Apache License, Version 2.0 (the "
+            "\"License\");"))
+        .when(m == 2, F.lit(
+            "This program is free software under the GNU General "
+            "Public License; either version 2 of the License, or any "
+            "later version."))
+        .when(m == 3, F.lit(
+            "This program is free software under the GNU General "
+            "Public License; either version 3 of the License."))
+        .when(m == 4, F.lit(
+            "Redistribution and use in source and binary forms are "
+            "permitted provided that neither the name of the project "
+            "nor contributors are used to endorse products."))
+        .when(m == 5, F.lit(
+            "Redistribution and use in source and binary forms are "
+            "permitted provided the above notice is retained."))
+        .when(m == 6, F.lit(
+            "This is free and unencumbered software released into "
+            "the public domain."))
+        .otherwise(F.lit("No license header present here.")))
+    tagged = docs.select(
+        "doc_id",
+        F.concat(header, F.lit("\n\n"), F.col("text")).alias("text"))
+    return with_license_detect(tagged).select(
+        "doc_id", "license", "license_permissive")
+
+
 @query("main_content_extract", """
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)

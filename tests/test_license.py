@@ -1,0 +1,61 @@
+"""License detection (operators/text.py with_license_detect):
+characteristic-phrase matching with the subset traps handled, one
+shuffle-free codegen projection."""
+
+from mycelial_spark.operators.text import with_license_detect
+
+
+def _detect(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    rows = with_license_detect(df).orderBy("doc_id").collect()
+    return [(r["license"], r["license_permissive"]) for r in rows]
+
+
+def test_license_matrix_and_subset_traps(spark):
+    got = _detect(spark, [
+        "Permission is hereby granted, free of charge, to anyone.",
+        "Licensed under the Apache License, Version 2.0 (the License)",
+        # LGPL names CONTAIN 'general public license': must not be GPL
+        "Under the GNU Lesser General Public License; either "
+        "version 3 of the License.",
+        "Under the GNU Lesser General Public License, version 2.1 "
+        "of the License.",
+        "GNU Affero General Public License, version 3 of the License",
+        "GNU General Public License, version 3 of the License",
+        "GNU General Public License, version 2 of the License",
+        # BSD-3 = BSD-2 text PLUS the neither-the-name clause
+        "Redistribution and use in source and binary forms, with "
+        "neither the name of the org nor contributors used.",
+        "Redistribution and use in source and binary forms, with or "
+        "without modification, are permitted.",
+        "This is free and unencumbered software released into the "
+        "public domain.",
+        # CC-BY-SA contains CC-BY's phrase prefix
+        "Creative Commons Attribution-ShareAlike 4.0 International",
+        "Creative Commons Attribution 4.0 International",
+        "no license text at all, just prose",
+        # mentioning GPL without the version wording stays NULL,
+        # never a guessed id
+        "I once read about the GNU General Public License.",
+    ])
+    assert got == [
+        ("MIT", True), ("Apache-2.0", True),
+        ("LGPL-3.0", False), ("LGPL-2.1", False), ("AGPL-3.0", False),
+        ("GPL-3.0", False), ("GPL-2.0", False),
+        ("BSD-3-Clause", True), ("BSD-2-Clause", True),
+        ("Unlicense", True),
+        ("CC-BY-SA-4.0", False), ("CC-BY-4.0", True),
+        (None, None), (None, None),
+    ]
+    # whitespace-insensitive: headers wrap across comment lines
+    got2 = _detect(spark, [
+        "// Permission is hereby granted,\n//   free of charge, ok"])
+    assert got2 == [("MIT", True)]
+
+
+def test_license_detect_is_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = with_license_detect(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
