@@ -113,10 +113,14 @@ def probe_r10_containers(spark, factors=(1, 4)):
     from mycelial_spark.sources.epub import epub_chapters, synth_epub
     from mycelial_spark.sources.odt import odt_paragraphs, synth_odt
     from mycelial_spark.sources.rtf import rtf_text, synth_rtf
+    from mycelial_spark.sources.ipynb import ipynb_cells, synth_ipynb
+    from mycelial_spark.sources.latex import latex_text, synth_latex
     legs = [("docx_extract", synth_docx, docx_paragraphs, True),
             ("epub_extract", synth_epub, epub_chapters, True),
             ("odt_extract", synth_odt, odt_paragraphs, True),
-            ("rtf_extract", synth_rtf, rtf_text, False)]
+            ("rtf_extract", synth_rtf, rtf_text, False),
+            ("latex_extract", synth_latex, latex_text, False),
+            ("ipynb_extract", synth_ipynb, ipynb_cells, True)]
     for factor in factors:
         docs = _dup_docs(spark, factor).localCheckpoint()
         for name, synth, parse, has_files in legs:
