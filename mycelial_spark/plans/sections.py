@@ -1841,12 +1841,14 @@ def warc_records_(spark, cfg, inputs):
 
 @_register("pdf_pages", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
-           doc="Explode binary PDF payloads (classic xref-table PDFs, "
-               "Flate or plain streams) into one row per page with the "
-               "extracted text (Tj/'/\"/TJ show-text operators; "
-               "positioning ops become newlines). Pair with "
-               "binary_source (pattern='*.pdf') for document-corpus "
-               "ingestion; on_error=null skips undecodable files.")
+           doc="Explode binary PDF payloads (classic 1.4 xref tables "
+               "AND 1.5+ xref/object streams incl. hybrid files; "
+               "Flate/LZW/ASCII85/ASCIIHex/RunLength filters, PNG "
+               "predictors) into one row per page with the extracted "
+               "text (Tj/'/\"/TJ show-text operators; positioning ops "
+               "become newlines). Pair with binary_source "
+               "(pattern='*.pdf') for document-corpus ingestion; "
+               "on_error=null skips undecodable files.")
 def pdf_pages_(spark, cfg, inputs):
     from mycelial_spark.sources.pdf import pdf_pages
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
