@@ -1940,6 +1940,18 @@ def latex_text_(spark, cfg, inputs):
     return latex_text(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("license_detect", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="text")],
+           doc="SPDX-style license identification (13 licenses by "
+               "characteristic phrases, subset-trap precedence, "
+               "comment markers stripped) + permissive flag — the "
+               "permissive-vs-copyleft routing gate for code corpora. "
+               "One codegen projection.")
+def license_detect_(spark, cfg, inputs):
+    from mycelial_spark.operators.text import with_license_detect
+    return with_license_detect(inputs[0], cfg["text_col"])
+
+
 @_register("main_content", "transform", "dataframe", "dataframe",
            [Field("html_col", default="html"),
             Field("id_col", default="doc_id"),

@@ -59,3 +59,54 @@ def test_license_detect_is_shuffle_free(spark):
     plan = with_license_detect(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_code_corpus_pipeline_e2e(spark, tmp_path):
+    """examples/code_corpus_pipeline.toml end-to-end: notebooks +
+    LaTeX sources -> rows -> license gate (copyleft drops) -> FIM
+    training shape, every stage a declarative node."""
+    import tomllib
+
+    from mycelial_spark.plans.compiler import Pipeline
+    from mycelial_spark.sources.ipynb import encode_ipynb
+
+    code = tmp_path / "code"
+    code.mkdir()
+    (code / "a.ipynb").write_bytes(encode_ipynb([
+        ("markdown", "# notes", ""),
+        ("code", "# MIT: Permission is hereby granted, free of "
+                 "charge\ndef f(x):\n    return x + 1", ""),
+        ("code", "# This program is under the GNU General Public "
+                 "License, version 3 of the License\nsecret = 1",
+         ""),
+    ]))
+    (code / "b.tex").write_bytes(
+        (r"\begin{document}\section{Intro}"
+         r"Plain prose with no license at all."
+         r"\end{document}").encode())
+
+    with open("examples/code_corpus_pipeline.toml", "rb") as f:
+        spec = tomllib.load(f)
+    spec["nodes"]["notebooks"]["path"] = str(code)
+    spec["nodes"]["tex_files"]["path"] = str(code)
+    out = str(tmp_path / "fim_out")
+    spec["nodes"]["out"]["path"] = out
+    Pipeline.from_spec(spec).run(spark)
+    got = spark.read.parquet(out).collect()
+    by_origin = {}
+    for r in got:
+        by_origin.setdefault(r["origin"], []).append(r)
+    # the GPL cell dropped; the MIT cell and unlicensed prose survive
+    assert set(by_origin) == {"ipynb", "latex"}
+    assert len(by_origin["ipynb"]) == 1
+    mit = by_origin["ipynb"][0]
+    assert mit["license"] == "MIT"
+    assert "def f(x):" in (mit["fim_prefix"] + mit["fim_middle"]
+                           + mit["fim_suffix"])
+    assert not any("secret" in (r["fim_prefix"] + r["fim_middle"]
+                                + r["fim_suffix"]) for r in got)
+    tex = by_origin["latex"][0]
+    assert tex["license"] is None
+    assert "Plain prose" in (tex["fim_prefix"] + tex["fim_middle"]
+                             + tex["fim_suffix"])
+    assert all(r["fim_psm"].startswith("<PRE>") for r in got)
