@@ -2449,19 +2449,20 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("document_formats_mixed", """
 SELECT doc_id,
-       CASE CAST(doc_id % 6 AS INT)
+       CASE CAST(doc_id % 7 AS INT)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'warc'
             WHEN 2 THEN 'mbox' WHEN 3 THEN 'webdataset'
-            WHEN 4 THEN 'docx' ELSE 'epub' END AS format,
+            WHEN 4 THEN 'docx' WHEN 5 THEN 'epub'
+            ELSE 'odt' END AS format,
        text AS text_out
 FROM documents
 """)
 def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One binary column, six real container parsers — the shape a
+    """One binary column, seven real container parsers — the shape a
     crawled DOCUMENT corpus actually has (a landing bucket of PDFs,
     WARC segments, mail archives, training shards, office documents,
     and e-books, tagged by nothing but their bytes): payloads pack by
-    doc_id % 6 into 8 files per format (WARC gzip-membered — the
+    doc_id % 7 into 8 files per format (WARC gzip-membered — the
     dispatch must sniff THROUGH the gzip layer; DOCX is a ZIP package
     the sniff disambiguates by its OPC parts), and document_records
     routes each file by magic to its parser inside one Arrow batch,
@@ -2476,11 +2477,12 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycelial_spark.sources.docx import synth_docx
     from mycelial_spark.sources.epub import synth_epub
     from mycelial_spark.sources.mbox import synth_mbox
+    from mycelial_spark.sources.odt import synth_odt
     from mycelial_spark.sources.pdf import synth_pdf
     from mycelial_spark.sources.warc import synth_warc
     from mycelial_spark.sources.webdataset import synth_webdataset
     docs = spread(_t(spark, sf_dir, "documents"))
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     payloads = (synth_pdf(docs.filter(m == 0), files=8)
                 .unionByName(synth_warc(docs.filter(m == 1), files=8,
                                         gzip_members=True))
@@ -2488,7 +2490,8 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .unionByName(synth_webdataset(docs.filter(m == 3),
                                               files=8))
                 .unionByName(synth_docx(docs.filter(m == 4), files=8))
-                .unionByName(synth_epub(docs.filter(m == 5), files=8)))
+                .unionByName(synth_epub(docs.filter(m == 5), files=8))
+                .unionByName(synth_odt(docs.filter(m == 6), files=8)))
     recs = document_records(payloads)
     fmt = F.col("format")
     doc_id = (F.when(fmt == "warc",
@@ -2497,7 +2500,7 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.regexp_extract("key", r"^doc:(\d+)$", 1))
               ).cast("long")
     text_out = F.when(
-        fmt.isin("pdf", "docx", "epub"),
+        fmt.isin("pdf", "docx", "epub", "odt"),
         F.expr("substring(text, instr(text, '\\n') + 1)")) \
         .otherwise(F.col("text"))
     return recs.select(doc_id.alias("doc_id"), "format",

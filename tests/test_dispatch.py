@@ -48,10 +48,11 @@ def test_sniff_magic():
 
 
 def test_document_records_mixed(spark):
-    """Six containers in ONE binary column: every document comes back
-    with the right format tag and byte-exact text."""
+    """Seven containers in ONE binary column: every document comes
+    back with the right format tag and byte-exact text."""
     from mycelial_spark.sources.docx import synth_docx
     from mycelial_spark.sources.epub import synth_epub
+    from mycelial_spark.sources.odt import synth_odt
     from mycelial_spark.sources.mbox import synth_mbox
     from mycelial_spark.sources.pdf import synth_pdf
     from mycelial_spark.sources.warc import synth_warc
@@ -59,9 +60,9 @@ def test_document_records_mixed(spark):
     import pyspark.sql.functions as F
     docs = spark.createDataFrame(
         [(i, f"document body number {i}", f"src{i % 3}")
-         for i in range(24)],
+         for i in range(28)],
         "doc_id long, text string, source string")
-    m = F.col("doc_id") % 6
+    m = F.col("doc_id") % 7
     payloads = (synth_pdf(docs.filter(m == 0), files=2)
                 .unionByName(synth_warc(docs.filter(m == 1), files=2,
                                         gzip_members=True))
@@ -69,19 +70,21 @@ def test_document_records_mixed(spark):
                 .unionByName(synth_webdataset(docs.filter(m == 3),
                                               files=2))
                 .unionByName(synth_docx(docs.filter(m == 4), files=2))
-                .unionByName(synth_epub(docs.filter(m == 5), files=2)))
+                .unionByName(synth_epub(docs.filter(m == 5), files=2))
+                .unionByName(synth_odt(docs.filter(m == 6), files=2)))
     rows = document_records(payloads).collect()
-    assert len(rows) == 24
+    assert len(rows) == 28
     by_fmt: dict = {}
     for r in rows:
         by_fmt.setdefault(r["format"], []).append(r)
     assert {k: len(v) for k, v in by_fmt.items()} == \
         {"pdf": 4, "warc": 4, "mbox": 4, "webdataset": 4, "docx": 4,
-         "epub": 4}
+         "epub": 4, "odt": 4}
     # text round-trips per format (pdf carries its doc: line)
     for r in by_fmt["warc"] + by_fmt["mbox"]:
         assert r["text"].startswith("document body number ")
-    for r in by_fmt["pdf"] + by_fmt["docx"] + by_fmt["epub"]:
+    for r in by_fmt["pdf"] + by_fmt["docx"] + by_fmt["epub"] \
+            + by_fmt["odt"]:
         did = int(r["key"].removeprefix("doc:"))
         assert r["text"] == f"doc:{did}\ndocument body number {did}"
     for r in by_fmt["webdataset"]:
