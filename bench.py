@@ -123,10 +123,12 @@ HEADLINE = [
     "odt_extract_text",
     "rtf_extract_text",
     "mbox_extract",
+    "eml_extract",
     "document_formats_mixed",
     "ipynb_extract",
     "latex_extract_text",
     "robots_filter",
+    "robots_sitemap_discovery",
     "charset_decode",
     "decompress_payloads",
     "sitemap_extract",

@@ -193,3 +193,42 @@ def match_allowed(urls: DataFrame, rules: DataFrame,
                F.lit(True))
          .otherwise(best["allow"] == 1))
         .drop("_rules"))
+
+
+def parse_robots_sitemap_urls(text: str) -> list[str]:
+    """``Sitemap:`` directive values from one robots.txt body — the
+    OTHER discovery channel next to sitemap indexes (RFC 9309 §2.2.4
+    / sitemaps.org: the directive is group-INDEPENDENT and may appear
+    anywhere in the file; values are absolute URLs). Order preserved,
+    duplicates kept (the caller dedups corpus-wide)."""
+    urls: list[str] = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, value = line.partition(":")
+        # the VALUE is a URL containing ':' — only the first split
+        # separates the directive key
+        if sep and key.strip().lower() == "sitemap" and value.strip():
+            urls.append(value.strip())
+    return urls
+
+
+def robots_sitemaps(df: DataFrame, text_col: str = "robots_txt",
+                    host_col: str = "host") -> DataFrame:
+    """Explode (host, robots.txt) rows into (host, sm_idx,
+    sitemap_url) discovery rows over Arrow batches — feed them to
+    sitemap_records for the crawl frontier."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for i, u in enumerate(
+                        parse_robots_sitemap_urls(str(text))):
+                    rows.append({"host": str(host), "sm_idx": i,
+                                 "sitemap_url": u})
+            yield pd.DataFrame(
+                rows, columns=["host", "sm_idx", "sitemap_url"])
+
+    return (df.select(F.col(host_col).alias(host_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(run, "host string, sm_idx int, "
+                              "sitemap_url string"))

@@ -1952,6 +1952,30 @@ def license_detect_(spark, cfg, inputs):
     return with_license_detect(inputs[0], cfg["text_col"])
 
 
+@_register("eml_messages", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Single-message RFC 5322 (.eml) files: the same MIME "
+               "walk as the mbox leg (first text/plain through its "
+               "CTE+charset, part counts, attachment bytes) without "
+               "From_ framing. Pattern-based ingestion "
+               "(binary_source '*.eml') — header lines have no magic.")
+def eml_messages_(spark, cfg, inputs):
+    from mycelial_spark.sources.mbox import eml_messages
+    return eml_messages(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("robots_sitemaps", "transform", "dataframe", "dataframe",
+           [Field("text_col", default="robots_txt"),
+            Field("host_col", default="host")],
+           doc="Sitemap: directives from robots.txt bodies (group-"
+               "independent per RFC 9309 / sitemaps.org) as (host, "
+               "sm_idx, sitemap_url) discovery rows — feed "
+               "sitemap_records for the crawl frontier.")
+def robots_sitemaps_(spark, cfg, inputs):
+    from mycelial_spark.operators.robots import robots_sitemaps
+    return robots_sitemaps(inputs[0], cfg["text_col"], cfg["host_col"])
+
+
 @_register("main_content", "transform", "dataframe", "dataframe",
            [Field("html_col", default="html"),
             Field("id_col", default="doc_id"),

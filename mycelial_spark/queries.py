@@ -1958,6 +1958,78 @@ def rtf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("eml_extract", """
+SELECT doc_id,
+       'doc:' || CAST(doc_id AS VARCHAR) AS subject,
+       text AS text_out,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END AS INT)
+         AS n_parts,
+       CAST(CASE WHEN doc_id % 2 = 1
+                 THEN octet_length(encode(text)) ELSE 0 END AS BIGINT)
+         AS attach_bytes
+FROM documents
+""")
+def eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-message .eml ingestion (sources/mbox.py eml_messages) —
+    the per-message sibling of mbox_extract: each document becomes one
+    bare RFC 5322 file (even ids single-part quoted-printable, odd ids
+    multipart with a base64 attachment) and the MIME walk recovers
+    subject, decoded text, part counts, and attachment bytes without
+    any From_ framing. The oracle replays all four — a CTE, charset,
+    or multipart bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.mbox import eml_messages, synth_eml
+    docs = spread(_t(spark, sf_dir, "documents"))
+    out = eml_messages(synth_eml(docs))
+    return out.select(F.col("id").alias("doc_id"), "subject",
+                      F.col("text").alias("text_out"),
+                      "n_parts", "attach_bytes")
+
+
+@query("robots_sitemap_discovery", """
+WITH h AS (SELECT DISTINCT doc_id % 20 AS hh FROM documents)
+SELECT 'host' || CAST(hh AS VARCHAR) AS host,
+       CAST(0 AS INT) AS sm_idx,
+       'https://host' || CAST(hh AS VARCHAR)
+        || '.example/sitemap.xml' AS sitemap_url
+FROM h
+UNION ALL
+SELECT 'host' || CAST(hh AS VARCHAR),
+       CAST(1 AS INT),
+       'https://host' || CAST(hh AS VARCHAR) || '.example/news-'
+        || CAST(hh % 3 AS VARCHAR) || '.xml.gz'
+FROM h WHERE hh % 2 = 0
+""")
+def robots_sitemap_discovery(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Sitemap: directive discovery from robots.txt (operators/
+    robots.py robots_sitemaps) — the other frontier channel next to
+    sitemap indexes, group-independent per RFC 9309 §2.2.4: per-host
+    robots text carries one Sitemap line (plus a second, lowercase-key
+    gzip one on even hosts, interleaved BETWEEN rule groups to prove
+    group-independence), and the extractor emits ordered (host,
+    sm_idx, sitemap_url) rows. The oracle replays hosts, order, and
+    URLs — a key-case, ordering, or URL-colon-splitting bug breaks
+    the hash-match."""
+    from mycelial_spark.operators.robots import robots_sitemaps
+    docs = _t(spark, sf_dir, "documents")
+    hh = F.col("hh")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hh")).distinct()
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"
+              "Sitemap: https://host"),
+        hh.cast("string"), F.lit(".example/sitemap.xml\n"),
+        F.when(hh % 2 == 0, F.concat(
+            F.lit("User-agent: extra\nDisallow: /x\n"
+                  "sitemap: https://host"), hh.cast("string"),
+            F.lit(".example/news-"), (hh % 3).cast("string"),
+            F.lit(".xml.gz\n"))).otherwise(F.lit("")))
+    robots = hosts.select(
+        F.concat(F.lit("host"), hh.cast("string")).alias("host"),
+        txt.alias("robots_txt"))
+    return robots_sitemaps(robots)
+
+
 @query("mbox_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

@@ -252,3 +252,66 @@ def synth_mbox(df: DataFrame, text_col: str = "text",
     return (df.select(id_col, text_col)
             .repartition(files, (df[id_col] % files))
             .mapInPandas(run, "id long, modality string, payload binary"))
+
+
+EML_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("subject", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_parts", T.IntegerType()),
+    T.StructField("attach_bytes", T.LongType()),
+])
+
+
+def eml_messages(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Single-message RFC 5322 files (.eml) — the per-message sibling
+    of the mbox leg: crawls and export tools deliver individual
+    messages at least as often as archives, and an .eml is exactly one
+    mbox message body WITHOUT the ``From_`` framing line. Reuses the
+    same MIME walk (`message_fields`: first text/plain part decoded
+    through its CTE + charset, part counts, attachment byte totals)
+    over Arrow batches. ``on_error="null"`` skips undecodable files.
+
+    Note dispatch stays pattern-based for .eml (binary_source
+    '*.eml'): a message starts with an arbitrary ``Header:`` line, so
+    there is no reliable magic — same call as the notebook leg."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    f = message_fields(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid), **{k: f[k] for k in
+                             ("subject", "text", "n_parts",
+                              "attach_bytes")}})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in EML_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, EML_SCHEMA)
+
+
+def synth_eml(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Fixture: one .eml per document — encode_message IS already a
+    bare RFC 5322 message (the From_ framing is added by encode_mbox,
+    not here). Even ids single-part quoted-printable, odd ids
+    multipart with a base64 attachment, exactly like the mbox
+    fixture. Emits (id, payload)."""
+    def run(batches):
+        for b in batches:
+            ids, payloads = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                did = int(did)
+                ids.append(did)
+                payloads.append(encode_message(did, str(t)))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, payload binary")

@@ -117,3 +117,31 @@ def test_encoded_word_and_folded_headers():
               b"Content-Type: text/plain\r\n\r\nbody\n")
     f = M.message_fields(folded)
     assert "folded onto two" in f["subject"] and "\n" not in f["subject"]
+
+
+def test_eml_messages_distributed_and_section(spark):
+    """Single-message .eml leg: the mbox MIME walk without From_
+    framing — subjects, decoded text, part counts, attachment bytes;
+    poison tolerance; section e2e."""
+    import pytest as _pytest
+
+    from mycelial_spark.plans.sections import REGISTRY
+    from mycelial_spark.sources.mbox import eml_messages, synth_eml
+    docs = spark.createDataFrame(
+        [(i, f"eml body {i} with ünïcode") for i in range(8)],
+        "doc_id long, text string")
+    rows = eml_messages(synth_eml(docs)).collect()
+    assert len(rows) == 8
+    for r in rows:
+        did = r["id"]
+        assert r["subject"] == f"doc:{did}"
+        assert r["text"] == f"eml body {did} with ünïcode"
+        assert r["n_parts"] == (2 if did % 2 else 1)
+        expect_attach = (len(r["text"].encode()) if did % 2 else 0)
+        assert r["attach_bytes"] == expect_attach
+    sdef = REGISTRY.get("eml_messages")
+    cfg = sdef.validate_config({"type": "eml_messages"})
+    assert sdef.builder(spark, cfg, [synth_eml(docs)]).count() == 8
+    bad = spark.createDataFrame([(9, b"\xff\xfe garbage bytes")],
+                                "id long, payload binary")
+    assert eml_messages(bad, on_error="null").count() <= 1

@@ -190,3 +190,33 @@ def test_crawl_compliance_pipeline_e2e(spark, tmp_path):
     assert got == {"http://h1.example/ok/page": True,
                    "http://h1.example/private/x": False,
                    "http://h2.example/private/x": True}
+
+
+def test_sitemap_directive_discovery(spark):
+    """Sitemap: directives are group-independent (RFC 9309 §2.2.4):
+    key case-insensitive, URL colons survive the key split, order
+    preserved, comments stripped, empty values dropped."""
+    from mycelial_spark.operators.robots import (
+        parse_robots_sitemap_urls, robots_sitemaps)
+    txt = ("User-agent: *\nDisallow: /x\n"
+           "Sitemap: https://a.example/s.xml  # comment\n"
+           "sitemap: https://a.example/news.xml.gz\n"
+           "SITEMAP:\n"                       # empty value: no row
+           "User-agent: bot\n"
+           "Sitemap: https://a.example/tail.xml\n")
+    assert parse_robots_sitemap_urls(txt) == [
+        "https://a.example/s.xml", "https://a.example/news.xml.gz",
+        "https://a.example/tail.xml"]
+    df = spark.createDataFrame([("h1", txt), ("h2", "Disallow: /\n")],
+                               "host string, robots_txt string")
+    rows = robots_sitemaps(df).collect()
+    assert [(r["host"], r["sm_idx"], r["sitemap_url"])
+            for r in sorted(rows, key=lambda r: (r["host"],
+                                                 r["sm_idx"]))] == [
+        ("h1", 0, "https://a.example/s.xml"),
+        ("h1", 1, "https://a.example/news.xml.gz"),
+        ("h1", 2, "https://a.example/tail.xml")]
+    from mycelial_spark.plans.sections import REGISTRY
+    sdef = REGISTRY.get("robots_sitemaps")
+    cfg = sdef.validate_config({"type": "robots_sitemaps"})
+    assert sdef.builder(spark, cfg, [df]).count() == 3
