@@ -153,18 +153,49 @@ def parse_docx(payload: bytes) -> list[str]:
     body = root.find(f"{{{_W}}}body")
     if body is None:
         raise ValueError("document.xml has no w:body")
-    out: list[str] = []
-    for p in body.iter(f"{{{_W}}}p"):
+    # Walk w:p boundaries explicitly: a paragraph nested inside another
+    # paragraph's subtree (e.g. a text box via w:pict/w:txbxContent)
+    # must contribute its text exactly ONCE — as its own row, not also
+    # merged into the enclosing paragraph's run walk. Duplicated text
+    # poisons a dedup/training corpus.
+    _p, _t = f"{{{_W}}}p", f"{{{_W}}}t"
+    _tab, _br, _cr = f"{{{_W}}}tab", f"{{{_W}}}br", f"{{{_W}}}cr"
+
+    def walk_p(p) -> list[str]:
         parts: list[str] = []
-        for el in p.iter():
-            tag = el.tag
-            if tag == f"{{{_W}}}t":
-                parts.append(el.text or "")
-            elif tag == f"{{{_W}}}tab":
-                parts.append("\t")
-            elif tag in (f"{{{_W}}}br", f"{{{_W}}}cr"):
-                parts.append("\n")
-        out.append("".join(parts))
+        nested: list = []
+
+        def rec(el):
+            for ch in el:
+                if ch.tag == _p:                  # boundary: own row
+                    nested.append(ch)
+                    continue
+                if ch.tag == _t:
+                    parts.append(ch.text or "")
+                elif ch.tag == _tab:
+                    parts.append("\t")
+                elif ch.tag in (_br, _cr):
+                    parts.append("\n")
+                rec(ch)
+
+        rec(p)
+        rows = ["".join(parts)]
+        for np in nested:
+            rows.extend(walk_p(np))
+        return rows
+
+    def top_paragraphs(el) -> list:
+        tops: list = []
+        for ch in el:
+            if ch.tag == _p:
+                tops.append(ch)
+            else:
+                tops.extend(top_paragraphs(ch))
+        return tops
+
+    out: list[str] = []
+    for p in top_paragraphs(body):
+        out.extend(walk_p(p))
     return out
 
 

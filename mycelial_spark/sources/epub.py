@@ -151,11 +151,16 @@ def _xhtml_text(root: ET.Element) -> str:
             is_block = child.tag in _BLOCKS
             if is_block:
                 end_line(force=False)
+            mark = len(lines)
             if child.text:
                 buf.append(child.text)
             walk(child)
             if is_block:
-                end_line(force=True)
+                # force only when the block emitted nothing at all: an
+                # empty <p/> IS an empty line, but a <div> wrapper whose
+                # nested blocks already flushed must not add a spurious
+                # blank (real EPUBs wrap <p> in <div> containers)
+                end_line(force=(len(lines) == mark))
             if child.tail:
                 buf.append(child.tail)
 

@@ -579,6 +579,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         v = 0
         for g in group + [84] * (5 - k):          # pad with 'u'
             v = v * 85 + g
+        if v > 0xFFFFFFFF:                        # e.g. b"uu~>"
+            raise ValueError("ASCII85Decode: group overflow")
         out += v.to_bytes(4, "big")[:k - 1]
     return bytes(out)
 

@@ -187,7 +187,16 @@ def parse_rtf(payload: bytes) -> str:
                     param = -param
                 if i < n and data[i] == 0x20:     # delimiter space eaten
                     i += 1
-                if word == "u" and param is not None:
+                if word == "bin" and param is not None:
+                    # \binN: the next N bytes are raw binary, not RTF
+                    # tokens — a brace inside the payload must not
+                    # touch the group stack (RTF 1.9 §"\bin").
+                    if param > 0:
+                        if i + param > n:
+                            raise ValueError(
+                                "truncated \\bin binary payload")
+                        i += param
+                elif word == "u" and param is not None:
                     emit_cp(param + 0x10000 if param < 0 else param)
                     if not skipping:
                         pending_skip = uc

@@ -29,6 +29,7 @@ transfer and COPY picks up the whole stage)."""
 from __future__ import annotations
 
 import json
+import re
 import urllib.error
 import urllib.request
 import uuid
@@ -138,10 +139,18 @@ def snowflake_type_ddl(dt: T.DataType) -> str:
 
 def snowflake_table_name(origin: str) -> str:
     """The reference's origin -> table substitution
-    (destination.rs:144): spaces, slashes, colons, dots -> '_'."""
+    (destination.rs:144): spaces, slashes, colons, dots -> '_'.
+    Unlike the reference's 'not smart' substitution, the mangled name
+    is then validated as an unquoted Snowflake identifier — the name is
+    interpolated into CREATE/PUT/COPY statements, so a quote/semicolon
+    in a configured origin must fail loudly here, not become SQL."""
     out = origin
     for ch in " /:.":
         out = out.replace(ch, "_")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*", out):
+        raise ValueError(
+            f"origin {origin!r} does not mangle to a valid Snowflake "
+            f"identifier ({out!r}); refusing to interpolate it into SQL")
     return out
 
 

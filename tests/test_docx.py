@@ -132,3 +132,24 @@ def test_docx_paragraphs_distributed_and_section(spark):
     assert D.docx_paragraphs(bad, on_error="null").count() == 0
     with pytest.raises(Exception):
         D.docx_paragraphs(bad).count()
+
+
+def test_nested_textbox_paragraph_emitted_once():
+    """A w:p nested inside another paragraph's subtree (a Word text
+    box via w:pict/w:txbxContent) contributes its text exactly ONCE —
+    as its own row — never merged into the outer paragraph's runs.
+    Duplicated text poisons a dedup/training corpus (ADVICE r10)."""
+    doc = (f'<?xml version="1.0"?><w:document xmlns:w="{D._W}">'
+           f'<w:body>'
+           f'<w:p><w:r><w:t>outer </w:t></w:r>'
+           f'<w:r><w:pict><w:txbxContent>'
+           f'<w:p><w:r><w:t>boxed</w:t></w:r></w:p>'
+           f'</w:txbxContent></w:pict></w:r></w:p>'
+           f'<w:p><w:r><w:t>after</w:t></w:r></w:p>'
+           f'</w:body></w:document>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zf.writestr("[Content_Types].xml", D._CONTENT_TYPES)
+        zf.writestr("_rels/.rels", D._RELS)
+        zf.writestr("word/document.xml", doc)
+    assert D.parse_docx(out.getvalue()) == ["outer ", "boxed", "after"]

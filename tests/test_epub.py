@@ -146,3 +146,13 @@ def test_epub_chapters_distributed_and_section(spark):
     assert E.epub_chapters(bad, on_error="null").count() == 0
     with pytest.raises(Exception):
         E.epub_chapters(bad).count()
+
+
+def test_div_wrapped_blocks_no_spurious_blank_lines():
+    """Real EPUBs wrap <p> in <div> containers; the wrapper's close
+    must not force a blank line when its nested blocks already
+    flushed. A truly empty <p/> still IS an empty line (ADVICE r10)."""
+    x = ('<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+         '<div><p>x</p></div><div><p>y</p></div>'
+         '<p></p><p>z</p></body></html>')
+    assert E._xhtml_text(ET.fromstring(x)) == "x\ny\n\nz"

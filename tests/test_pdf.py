@@ -180,6 +180,10 @@ def test_filter_codecs_grammar():
         P._ascii85_decode(b"9jqo")
     with pytest.raises(ValueError, match="overflow"):
         P._ascii85_decode(b"uuuuu~>")            # > 2^32-1
+    with pytest.raises(ValueError, match="overflow"):
+        P._ascii85_decode(b"uu~>")               # partial group too
+    with pytest.raises(ValueError, match="overflow"):
+        P._ascii85_decode(b"uuu~>")
     with pytest.raises(ValueError, match="lone trailing"):
         P._ascii85_decode(b"zz!~>")
     assert P._runlength_decode(b"\x02abc\xfeZ\x80") == b"abcZZZ"

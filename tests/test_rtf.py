@@ -100,3 +100,14 @@ def test_dispatch_routes_rtf(spark):
     [row] = document_records(R.synth_rtf(docs)).collect()
     assert row["format"] == "rtf" and row["key"] == "doc:7"
     assert row["text"] == "doc:7\nbody seven"
+
+
+def test_bin_payload_bytes_are_not_tokens():
+    """\\binN raw bytes must be skipped, not tokenized: a brace byte
+    inside the binary payload previously desynced the group stack and
+    raised a spurious 'unbalanced }' (ADVICE r10)."""
+    data = b"{\\rtf1\\ansi\\uc1\\pard hello \\bin5 }}{\\x world}"
+    assert R.parse_rtf(data) == "hello  world"
+    # truncated payload fails loudly, not silently
+    with pytest.raises(ValueError, match="bin"):
+        R.parse_rtf(b"{\\rtf1 \\bin99 xx}")

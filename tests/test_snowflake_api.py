@@ -186,3 +186,17 @@ def test_api_errors_surface(spark, stub, tmp_path):
         **_cfg("http://127.0.0.1:9", query="SELECT 1")})
     with pytest.raises(SectionUnavailable):
         sdef.builder(spark, cfg)
+
+
+def test_table_name_rejects_sql_metacharacters():
+    """The mangled origin is interpolated into CREATE/PUT/COPY — a
+    quote/semicolon in the configured origin must fail loudly instead
+    of becoming SQL (ADVICE r10)."""
+    import pytest
+    from mycelial_spark.sources.snowflake_api import snowflake_table_name
+    assert snowflake_table_name("s3 bucket/path:file.csv") == \
+        "s3_bucket_path_file_csv"
+    for bad in ("evil'; DROP TABLE x;--", 'a"b', "semi;colon", "1leading",
+                ""):
+        with pytest.raises(ValueError, match="identifier"):
+            snowflake_table_name(bad)
