@@ -118,6 +118,7 @@ HEADLINE = [
     "webdataset_extract",
     "pdf_extract_text",
     "pdf_extract_text_xrefstream",
+    "pdf_extract_text_tounicode",
     "docx_extract_text",
     "epub_extract_text",
     "odt_extract_text",

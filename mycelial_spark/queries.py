@@ -1832,6 +1832,45 @@ def pdf_extract_text_xrefstream(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("pdf_extract_text_tounicode", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS page_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS page_count,
+       text AS text_out
+FROM documents
+""")
+def pdf_extract_text_tounicode(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The real-world-font twin of pdf_extract_text: the same 8-file
+    fixture, but the show-string bytes are NOT the text. Each file's
+    F1 font ciphers printable ASCII through ROT47 behind a
+    /BaseEncoding (WinAnsi even ids, MacRoman odd) + /Differences
+    table, and an F2 /Type0 /Identity-H font carries everything else
+    as 2-byte codes through a /ToUnicode CMap (bfchar, incrementing
+    and array-form bfrange, surrogate-pair destinations), with
+    /Resources inherited from the /Pages node — the exact shape
+    subset-embedded fonts give real arXiv/crawl PDFs. The reader must
+    walk the §9.10.2 ladder (sources/pdf_fonts.py); reading bytes
+    directly yields gibberish and breaks the hash-match. Oracle is
+    identical to the classic twin: page order, counts, text from the
+    documents table."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = pdf_pages(synth_pdf(docs, files=8, layout="encoded"))
+    return pages.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("page_idx"),
+        F.col("page_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("docx_extract_text", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

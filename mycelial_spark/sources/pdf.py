@@ -49,6 +49,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from . import pdf_fonts
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -155,6 +157,219 @@ def encode_pdf(pages: list[str], flate: bool = True,
     out += f"xref\n0 {len(objs) + 1}\n".encode()
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def _rot47(o: int) -> int:
+    """Self-inverse-free permutation of printable ASCII 0x21-0x7E:
+    guarantees the fixture's show-string bytes differ from the text
+    for EVERY ciphered character, so a reader that skips the
+    /Differences table cannot accidentally hash-match."""
+    return 0x21 + ((o - 0x21 + 47) % 94)
+
+
+def _rot47_inv(c: int) -> int:
+    return 0x21 + ((c - 0x21 - 47) % 94)
+
+
+def _utf16_hex(s: str) -> str:
+    return s.encode("utf-16-be").hex()
+
+
+def _tounicode_cmap(bfchars: list[tuple[int, str]],
+                    bfranges: list[tuple[int, int, str]]) -> bytes:
+    """Deterministic /ToUnicode CMap body (§9.10.3 template): 2-byte
+    codespace, bfchar/bfrange blocks capped at 100 entries each (the
+    spec's block limit); short ranges use the ARRAY destination form
+    so both reader paths are load-bearing in every fixture corpus."""
+    lines = ["/CIDInit /ProcSet findresource begin",
+             "12 dict begin", "begincmap",
+             "/CIDSystemInfo << /Registry (MycelialSpark) "
+             "/Ordering (UCS) /Supplement 0 >> def",
+             "/CMapName /MycelialSpark-UCS def", "/CMapType 2 def",
+             "1 begincodespacerange", "<0000> <ffff>",
+             "endcodespacerange"]
+    for at in range(0, len(bfchars), 100):
+        chunk = bfchars[at:at + 100]
+        lines.append(f"{len(chunk)} beginbfchar")
+        lines.extend(f"<{code:04x}> <{_utf16_hex(ch)}>"
+                     for code, ch in chunk)
+        lines.append("endbfchar")
+    for at in range(0, len(bfranges), 100):
+        chunk = bfranges[at:at + 100]
+        lines.append(f"{len(chunk)} beginbfrange")
+        for lo, hi, first in chunk:
+            if hi - lo + 1 <= 4:                  # array-form coverage
+                dst = " ".join(
+                    f"<{_utf16_hex(chr(ord(first) + k))}>"
+                    for k in range(hi - lo + 1))
+                lines.append(f"<{lo:04x}> <{hi:04x}> [{dst}]")
+            else:
+                lines.append(
+                    f"<{lo:04x}> <{hi:04x}> <{_utf16_hex(first)}>")
+        lines.append("endbfrange")
+    lines += ["endcmap",
+              "CMapName currentdict /CMap defineresource pop",
+              "end", "end"]
+    return "\n".join(lines).encode("ascii")
+
+
+def _assign_tounicode_codes(chars: set[str]):
+    """Deterministic 2-byte code assignment: BMP characters sorted by
+    codepoint, maximal consecutive-codepoint runs become bfranges
+    (sequential codes, incrementing destination), singletons and all
+    astral characters (surrogate-pair destinations — ranges must not
+    cross a surrogate boundary, §9.10.3) become bfchars. Code 0 stays
+    .notdef by convention."""
+    bmp = sorted(c for c in chars if ord(c) <= 0xFFFF)
+    astral = sorted(c for c in chars if ord(c) > 0xFFFF)
+    char_code: dict[str, int] = {}
+    bfchars: list[tuple[int, str]] = []
+    bfranges: list[tuple[int, int, str]] = []
+    code = 1
+    i = 0
+    while i < len(bmp):
+        j = i
+        while j + 1 < len(bmp) and ord(bmp[j + 1]) == ord(bmp[j]) + 1:
+            j += 1
+        run = bmp[i:j + 1]
+        if len(run) == 1:
+            bfchars.append((code, run[0]))
+        else:
+            bfranges.append((code, code + len(run) - 1, run[0]))
+        for k, c in enumerate(run):
+            char_code[c] = code + k
+        code += len(run)
+        i = j + 1
+    for c in astral:
+        bfchars.append((code, c))
+        char_code[c] = code
+        code += 1
+    if code > 0xFFFF:
+        raise ValueError("fixture exceeds the 2-byte code space")
+    return char_code, bfchars, bfranges
+
+
+_BASE_CODECS = {"winansi": ("cp1252", "WinAnsiEncoding"),
+                "macroman": ("mac_roman", "MacRomanEncoding")}
+
+
+def _page_stream_encoded(text: str, codec: str,
+                         char_code: dict[str, int]) -> bytes:
+    """Content stream where bytes != text: printable ASCII ciphers
+    through ROT47 into the /Differences font F1 (space and
+    base-codec-encodable non-ASCII ride F1's base table raw), and
+    everything else shows as 2-byte /ToUnicode codes in F2. Tf
+    switches fonts mid-line, which makes the reader's per-font decode
+    state load-bearing on every mixed-script corpus."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for li, line in enumerate(text.split("\n")):
+        if li:
+            ops.append(b"0 -14 Td")
+        segs: list[tuple[str, list]] = []
+        for ch in line:
+            o = ord(ch)
+            if ch == " " or 0x21 <= o <= 0x7E:
+                font, unit = "F1", (0x20 if ch == " " else _rot47(o))
+            else:
+                try:
+                    font, unit = "F1", ch.encode(codec)[0]
+                    if not (0x80 <= unit <= 0xFF):
+                        raise UnicodeEncodeError(
+                            codec, ch, 0, 1, "ascii alias")
+                except UnicodeEncodeError:
+                    font, unit = "F2", char_code[ch]
+            if segs and segs[-1][0] == font:
+                segs[-1][1].append(unit)
+            else:
+                segs.append((font, [unit]))
+        for font, units in segs:
+            ops.append(f"/{font} 12 Tf".encode())
+            if font == "F1":
+                ops.append(b"(" + _escape_literal(bytes(units))
+                           + b") Tj")
+            else:
+                ops.append(b"<" + b"".join(
+                    f"{u:04x}".encode() for u in units) + b"> Tj")
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def encode_pdf_encoded(pages: list[str], base: str = "winansi",
+                       flate: bool = True) -> bytes:
+    """Classic-layout writer whose show-string bytes are NOT the text
+    — the fixture the round-10 verdict asked for ('the gap between
+    parsing the fixture and parsing arXiv'). F1 is a simple Type1 font
+    with /BaseEncoding (WinAnsi or MacRoman) + a non-identity
+    /Differences map (ROT47 over printable ASCII); F2 is a composite
+    /Type0 /Identity-H font whose /ToUnicode CMap (bfchar + bfrange,
+    array and increment destinations, surrogate pairs for astral
+    characters) carries everything the base codec cannot. /Resources
+    lives on the /Pages node so page-attribute INHERITANCE is also
+    load-bearing. A reader that ignores any rung extracts gibberish
+    and breaks the oracle hash."""
+    codec, base_name = _BASE_CODECS[base]
+    f2_chars: set[str] = set()
+    for text in pages:
+        for ch in text:
+            o = ord(ch)
+            if ch in " \n" or 0x21 <= o <= 0x7E:
+                continue
+            try:
+                if 0x80 <= ch.encode(codec)[0] <= 0xFF:
+                    continue
+            except UnicodeEncodeError:
+                pass
+            f2_chars.add(ch)
+    char_code, bfchars, bfranges = _assign_tounicode_codes(f2_chars)
+    cmap = _tounicode_cmap(bfchars, bfranges)
+    diffs = " ".join(
+        ["33"] + [f"/{pdf_fonts.CHAR_TO_GLYPH[chr(_rot47_inv(c))]}"
+                  for c in range(0x21, 0x7F)])
+    n = len(pages)
+    kids = " ".join(f"{6 + 2 * i} 0 R" for i in range(n))
+    if flate:
+        cmap_z = zlib.compress(cmap, 9)
+        cmap_head = (f"<< /Length {len(cmap_z)} /Filter /FlateDecode "
+                     f">>".encode())
+    else:
+        cmap_z, cmap_head = cmap, f"<< /Length {len(cmap)} >>".encode()
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        (f"<< /Type /Pages /Kids [{kids}] /Count {n} "
+         f"/Resources << /Font << /F1 3 0 R /F2 4 0 R >> >> "
+         f">>").encode(),
+        (f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+         f"/Encoding << /Type /Encoding /BaseEncoding /{base_name} "
+         f"/Differences [{diffs}] >> >>").encode(),
+        (b"<< /Type /Font /Subtype /Type0 /BaseFont /MycelialFixture "
+         b"/Encoding /Identity-H /ToUnicode 5 0 R >>"),
+        cmap_head + b"\nstream\n" + cmap_z + b"\nendstream",
+    ]
+    for i, text in enumerate(pages):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {7 + 2 * i} 0 R >>".encode())
+        data = _page_stream_encoded(text, codec, char_code)
+        if flate:
+            data = zlib.compress(data, 9)
+            head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
+                    .encode())
+        else:
+            head = f"<< /Length {len(data)} >>".encode()
+        objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
@@ -803,6 +1018,7 @@ class _Pdf:
         self.data = data
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
+        self._font_cache: dict[int, object] = {}
         self.offsets, self.trailer = self._read_xref()
 
     def _read_xref(self):
@@ -1147,38 +1363,90 @@ class _Pdf:
                 stream = _png_unpredict(stream, cols)
         return stream
 
-    def pages(self) -> list[dict]:
+    def pages(self) -> list[tuple[dict, dict | None]]:
+        """(page dict, effective /Resources) in page-tree order.
+        /Resources is an INHERITABLE page attribute (PDF 32000 Table
+        29): real writers put one dict on the /Pages node and let
+        every page inherit it, so the nearest ancestor's value applies
+        when the page itself has none."""
         root = self.resolve(self.trailer["Root"])
-        out: list[dict] = []
+        out: list[tuple[dict, dict | None]] = []
 
-        def walk(node_ref, depth=0):
+        def walk(node_ref, inherited_res, depth=0):
             if depth > 64:
                 raise ValueError("PDF page tree too deep (cycle?)")
             node = self.resolve(node_ref)
             t = str(node.get("Type", ""))
+            res = node.get("Resources", inherited_res)
             if t == "Page":
-                out.append(node)
+                out.append((node, self.resolve(res)))
             elif t == "Pages":
                 for kid in self.resolve(node.get("Kids", [])):
-                    walk(kid, depth + 1)
+                    walk(kid, res, depth + 1)
             else:
                 raise ValueError(f"unexpected page-tree node type {t!r}")
 
-        walk(root["Pages"])
+        walk(root["Pages"], None)
         return out
+
+    def font_decoder(self, font):
+        """bytes -> str decoder for one font dict, the §9.10.2
+        recovery ladder: /ToUnicode CMap first (authoritative),
+        /Encoding base-table + /Differences second, and for a font
+        with neither a STRICT UTF-8 decode — correct for the ASCII
+        the standard-14 fonts really carry, loud (UnicodeDecodeError)
+        instead of mojibake on anything else. Composite (Type0) fonts
+        without /ToUnicode fail immediately: their codes are glyph
+        indices into a subset font and the text is unrecoverable."""
+        font = self.resolve(font)
+        if not isinstance(font, dict):
+            raise ValueError(f"font resource is not a dict: {font!r}")
+        key = id(font)
+        hit = self._font_cache.get(key)
+        if hit is not None:
+            return hit
+        tu = font.get("ToUnicode")
+        if tu is not None:
+            if not isinstance(tu, _Ref):
+                raise ValueError("/ToUnicode is not a stream reference")
+            dec = pdf_fonts.parse_cmap(self.stream_data(tu.num)).decode
+        else:
+            enc = self.resolve(font.get("Encoding"))
+            subtype = str(self.resolve(font.get("Subtype", "")))
+            if subtype == "Type0":
+                raise ValueError(
+                    "composite (Type0) font without /ToUnicode: codes "
+                    "are glyph indices, text is unrecoverable")
+            if enc is not None:
+                dec = pdf_fonts.simple_decoder(
+                    pdf_fonts.encoding_table(enc, self.resolve))
+            else:
+                dec = _utf8_strict
+        self._font_cache[key] = dec
+        return dec
 
 
 _TEXT_POSITIONING = frozenset(("Td", "TD", "T*", "Tm"))
 
 
-def _extract_text(content: bytes) -> str:
+def _utf8_strict(bs: bytes) -> str:
+    return bs.decode("utf-8")
+
+
+def _extract_text(content: bytes, fonts: dict | None = None) -> str:
     """Interpret a content stream's text operators. Strings shown by
-    Tj / ' / \" / TJ accumulate; each positioning op after the first
+    Tj / ' / \" / TJ decode through the CURRENT font's decoder (Tf
+    selects it from the page's /Font resources — show-string bytes
+    are codes, not text); each positioning op after the first
     contributes a newline (writer emits one per line — round-trip
-    exact; on foreign PDFs this is the standard naive heuristic)."""
+    exact; on foreign PDFs this is the standard naive heuristic).
+    ``fonts`` maps resource names to ready decoders; a stream that
+    shows text before any Tf falls back to strict UTF-8 (legacy
+    fixture shape), but a Tf naming a missing resource fails loudly."""
     lex = _Lexer(content)
     operands: list = []
-    out: list[bytes] = []
+    out: list[str] = []
+    cur = _utf8_strict
     positioned = False
     n = len(content)
     while True:
@@ -1197,25 +1465,37 @@ def _extract_text(content: bytes) -> str:
             # nothing has been shown yet (the writer's opening Td; a
             # foreign stream that shows text first still line-breaks)
             if positioned or any(out):
-                out.append(b"\n")
+                out.append("\n")
             positioned = True
+        elif op == "Tf":
+            if len(operands) < 2 or not isinstance(operands[-2], _Name):
+                raise ValueError("Tf without a font resource name")
+            name = str(operands[-2])
+            if fonts is not None:
+                if name not in fonts:
+                    raise ValueError(
+                        f"Tf names unknown font resource /{name}")
+                cur = fonts[name]
         elif op in ("Tj", "'", '"'):
             if not operands or not isinstance(operands[-1], bytes):
                 raise ValueError(f"{op} with no string operand")
-            out.append(operands[-1])
+            out.append(cur(operands[-1]))
         elif op == "TJ":
             if not operands or not isinstance(operands[-1], list):
                 raise ValueError("TJ with no array operand")
-            out.extend(x for x in operands[-1] if isinstance(x, bytes))
+            out.extend(cur(x) for x in operands[-1]
+                       if isinstance(x, bytes))
         operands = []
-    return b"".join(out).decode("utf-8")
+    return "".join(out)
 
 
 def parse_pdf(payload: bytes) -> list[str]:
-    """All page texts, in page-tree order."""
+    """All page texts, in page-tree order, decoded through each page's
+    font resources (/ToUnicode, /Encoding ladder — see
+    _Pdf.font_decoder)."""
     pdf = _Pdf(bytes(payload))
     texts = []
-    for page in pdf.pages():
+    for page, resources in pdf.pages():
         contents = page.get("Contents")
         if isinstance(pdf.resolve(contents), list):
             refs = pdf.resolve(contents)
@@ -1225,7 +1505,13 @@ def parse_pdf(payload: bytes) -> list[str]:
                         if isinstance(r, _Ref))
         if not any(isinstance(r, _Ref) for r in refs):
             raise ValueError("page /Contents is not an indirect stream")
-        texts.append(_extract_text(data))
+        fonts = None
+        if isinstance(resources, dict):
+            font_res = pdf.resolve(resources.get("Font"))
+            if isinstance(font_res, dict):
+                fonts = {name: pdf.font_decoder(f)
+                         for name, f in font_res.items()}
+        texts.append(_extract_text(data, fonts))
     return texts
 
 
@@ -1277,12 +1563,19 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     ``layout="xrefstream"`` writes the 1.5+ layout (object streams +
     xref stream, PNG Up predictor on even file ids, hybrid-reference
     on ids ≡ 3 mod 4) — pages alternate literal/hex strings in both,
-    so every run exercises every reader path. Emits (id = file index,
-    modality, payload)."""
-    if layout not in ("classic", "xrefstream"):
+    so every run exercises every reader path; ``layout="encoded"``
+    writes classic files whose show-string bytes are NOT the text
+    (ROT47 /Differences font + /ToUnicode Type0 font, WinAnsi base on
+    even file ids and MacRoman on odd, Flate on even). Emits (id =
+    file index, modality, payload)."""
+    if layout not in ("classic", "xrefstream", "encoded"):
         raise ValueError(f"unknown layout {layout!r}")
 
     def encode(fid: int, pages: list[str]) -> bytes:
+        if layout == "encoded":
+            return encode_pdf_encoded(
+                pages, base=("winansi" if fid % 2 == 0 else "macroman"),
+                flate=(fid % 2 == 0))
         if layout == "classic":
             # rotate the cheap-to-encode filter shapes so the oracle
             # row exercises every decode path: Flate, plain,

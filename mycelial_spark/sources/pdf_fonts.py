@@ -1,0 +1,425 @@
+"""PDF font text decoding: simple-font /Encoding resolution
+(WinAnsiEncoding, MacRomanEncoding, StandardEncoding, /Differences)
+and /ToUnicode CMap decode (bfchar / bfrange, incl. surrogate-pair
+destinations).
+
+Why this exists: show-string bytes in a PDF are CODES, not text.
+Subset-embedded fonts map arbitrary byte codes to glyphs, so reading
+the bytes directly yields gibberish on virtually every real PDF (the
+round-10 verdict's #1 gap). The recovery ladder real extractors use,
+and the one implemented here (PDF 32000 §9.10.2):
+
+1. /ToUnicode — a CMap stream mapping codes to UTF-16BE text. The
+   authoritative map when present (it is what Acrobat's own copy-paste
+   uses); takes precedence over /Encoding.
+2. /Encoding on a simple font — a base single-byte table
+   (WinAnsi/MacRoman/Standard, Annex D) optionally patched by a
+   /Differences array of code -> glyph-name assignments; glyph names
+   resolve to Unicode through the Adobe Glyph List conventions
+   (curated names + the algorithmic uniXXXX / uXXXXXX forms).
+3. Neither — unrecoverable in general. Composite (Type0) fonts fail
+   loudly (their codes are glyph indices); legacy simple fonts fall
+   back to a STRICT UTF-8 decode, which keeps ASCII correct and
+   raises loudly instead of emitting mojibake.
+
+Reference parity: the reference engine shells out for document
+conversion (`sections/exec/src/lib.rs`); this repo parses natively,
+so it owns the decode ladder. All tables below are public Adobe
+specs (PDF 32000 Annex D, the Adobe Glyph List conventions)."""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+# ------------------------------------------------------ glyph names
+
+# Curated AGL subset: every name used by the Annex D base encodings
+# plus the spacing-accent and ligature names /Differences arrays cite.
+_EXPLICIT_GLYPHS: dict[str, str] = {
+    # ASCII punctuation / digits (Annex D names)
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "braceleft": "{", "bar": "|", "braceright": "}",
+    "asciitilde": "~",
+    # quotes / dashes / typographic marks
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "dagger": "†", "daggerdbl": "‡", "ellipsis": "…",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "guillemotleft": "«",
+    "guillemotright": "»", "fraction": "⁄",
+    "florin": "ƒ", "fi": "ﬁ", "fl": "ﬂ",
+    "minus": "−", "trademark": "™", "Euro": "€",
+    # Latin-1 symbols
+    "exclamdown": "¡", "cent": "¢", "sterling": "£",
+    "currency": "¤", "yen": "¥", "brokenbar": "¦",
+    "section": "§", "copyright": "©",
+    "ordfeminine": "ª", "logicalnot": "¬",
+    "registered": "®", "degree": "°", "plusminus": "±",
+    "twosuperior": "²", "threesuperior": "³", "mu": "µ",
+    "paragraph": "¶", "periodcentered": "·",
+    "onesuperior": "¹", "ordmasculine": "º",
+    "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "multiply": "×", "divide": "÷",
+    # spacing accents (distinct from the combining forms used to
+    # GENERATE accented-letter names below)
+    "grave": "`", "acute": "´", "circumflex": "ˆ",
+    "tilde": "˜", "macron": "¯", "breve": "˘",
+    "dotaccent": "˙", "dieresis": "¨", "ring": "˚",
+    "cedilla": "¸", "hungarumlaut": "˝", "ogonek": "˛",
+    "caron": "ˇ",
+    # letters with no base+accent decomposition
+    "AE": "Æ", "ae": "æ", "OE": "Œ", "oe": "œ",
+    "Oslash": "Ø", "oslash": "ø", "Lslash": "Ł",
+    "lslash": "ł", "Eth": "Ð", "eth": "ð",
+    "Thorn": "Þ", "thorn": "þ", "germandbls": "ß",
+    "dotlessi": "ı", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+}
+
+# accented-letter names compose algorithmically: base ASCII letter +
+# accent suffix, resolved through NFC (aacute -> 'a'+U+0301 -> 'á')
+_ACCENT_COMBINING = {
+    "grave": "̀", "acute": "́", "circumflex": "̂",
+    "tilde": "̃", "macron": "̄", "breve": "̆",
+    "dotaccent": "̇", "dieresis": "̈", "ring": "̊",
+    "hungarumlaut": "̋", "caron": "̌", "cedilla": "̧",
+    "ogonek": "̨",
+}
+
+
+def _build_glyph_table() -> dict[str, str]:
+    table = dict(_EXPLICIT_GLYPHS)
+    letters = ("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    for base in letters:
+        table.setdefault(base, base)
+        for suffix, comb in _ACCENT_COMBINING.items():
+            composed = unicodedata.normalize("NFC", base + comb)
+            if len(composed) == 1:
+                table.setdefault(base + suffix, composed)
+    return table
+
+
+GLYPH_TO_CHAR: dict[str, str] = _build_glyph_table()
+CHAR_TO_GLYPH: dict[str, str] = {}
+for _n, _c in GLYPH_TO_CHAR.items():
+    CHAR_TO_GLYPH.setdefault(_c, _n)
+
+_UNI_RE = re.compile(r"uni((?:[0-9A-F]{4})+)\Z")
+_U_RE = re.compile(r"u([0-9A-F]{4,6})\Z")
+
+
+def glyph_to_char(name: str) -> str | None:
+    """Resolve a glyph name to text via the AGL conventions: curated
+    table, then the algorithmic uniXXXX (concatenable UTF-16BE code
+    units) and uXXXX[XX] forms; a '.variant' suffix resolves through
+    its base name. None = unknown (caller substitutes U+FFFD)."""
+    hit = GLYPH_TO_CHAR.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_RE.match(name)
+    if m:
+        hexes = m.group(1)
+        units = bytes.fromhex(hexes)
+        return units.decode("utf-16-be", "replace")
+    m = _U_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+            return chr(cp)
+        return None
+    if "." in name:                               # a.sc, one.oldstyle
+        return glyph_to_char(name.split(".", 1)[0])
+    return None
+
+
+# --------------------------------------------------- base encodings
+
+def _codec_table(codec: str) -> list[str | None]:
+    out: list[str | None] = [None] * 256
+    for i in range(32, 256):
+        try:
+            out[i] = bytes([i]).decode(codec)
+        except UnicodeDecodeError:
+            out[i] = None                         # cp1252 holes
+    return out
+
+
+# StandardEncoding (PDF 32000 Annex D): ASCII identity except
+# quoteright/quoteleft at 0x27/0x60, with its own upper region.
+_STANDARD_HIGH = {
+    0x27: "quoteright", 0x60: "quoteleft",
+    0xA1: "exclamdown", 0xA2: "cent", 0xA3: "sterling",
+    0xA4: "fraction", 0xA5: "yen", 0xA6: "florin", 0xA7: "section",
+    0xA8: "currency", 0xA9: "quotesingle", 0xAA: "quotedblleft",
+    0xAB: "guillemotleft", 0xAC: "guilsinglleft",
+    0xAD: "guilsinglright", 0xAE: "fi", 0xAF: "fl",
+    0xB1: "endash", 0xB2: "dagger", 0xB3: "daggerdbl",
+    0xB4: "periodcentered", 0xB6: "paragraph", 0xB7: "bullet",
+    0xB8: "quotesinglbase", 0xB9: "quotedblbase",
+    0xBA: "quotedblright", 0xBB: "guillemotright", 0xBC: "ellipsis",
+    0xBD: "perthousand", 0xBF: "questiondown",
+    0xC1: "grave", 0xC2: "acute", 0xC3: "circumflex", 0xC4: "tilde",
+    0xC5: "macron", 0xC6: "breve", 0xC7: "dotaccent",
+    0xC8: "dieresis", 0xCA: "ring", 0xCB: "cedilla",
+    0xCD: "hungarumlaut", 0xCE: "ogonek", 0xCF: "caron",
+    0xD0: "emdash", 0xE1: "AE", 0xE3: "ordfeminine", 0xE8: "Lslash",
+    0xE9: "Oslash", 0xEA: "OE", 0xEB: "ordmasculine", 0xF1: "ae",
+    0xF5: "dotlessi", 0xF8: "lslash", 0xF9: "oslash", 0xFA: "oe",
+    0xFB: "germandbls",
+}
+
+
+def _standard_table() -> list[str | None]:
+    out: list[str | None] = [None] * 256
+    for i in range(0x20, 0x7F):
+        out[i] = chr(i)
+    for code, name in _STANDARD_HIGH.items():
+        out[code] = GLYPH_TO_CHAR[name]
+    return out
+
+
+_BASE_TABLES: dict[str, list[str | None]] = {}
+
+
+def base_encoding_table(name: str) -> list[str | None]:
+    """256-slot code -> text table for a named base encoding. The
+    WinAnsi and MacRoman tables come from the platform codecs they
+    were defined against (cp1252 / mac_roman); StandardEncoding is
+    Adobe's own and is built from Annex D glyph names."""
+    if not _BASE_TABLES:
+        _BASE_TABLES["WinAnsiEncoding"] = _codec_table("cp1252")
+        _BASE_TABLES["MacRomanEncoding"] = _codec_table("mac_roman")
+        _BASE_TABLES["StandardEncoding"] = _standard_table()
+    table = _BASE_TABLES.get(name)
+    if table is None:
+        raise ValueError(f"unsupported PDF base encoding {name!r}")
+    return list(table)
+
+
+def encoding_table(enc, resolve) -> list[str | None]:
+    """Build the effective simple-font table from an /Encoding value:
+    a bare name selects a base table; a dict applies /Differences
+    (alternating start-code ints and glyph names, §9.6.5.5) on top of
+    /BaseEncoding (default StandardEncoding). Unknown glyph names map
+    to U+FFFD rather than silently keeping the base slot — a visible
+    sentinel beats plausible-but-wrong text in a training corpus."""
+    enc = resolve(enc)
+    if isinstance(enc, str) and not isinstance(enc, dict):
+        return base_encoding_table(str(enc))
+    if not isinstance(enc, dict):
+        raise ValueError(f"malformed /Encoding value {enc!r}")
+    base = resolve(enc.get("BaseEncoding", "StandardEncoding"))
+    table = base_encoding_table(str(base))
+    diffs = resolve(enc.get("Differences"))
+    if diffs is None:
+        return table
+    if not isinstance(diffs, list):
+        raise ValueError("/Differences is not an array")
+    code = None
+    for item in diffs:
+        item = resolve(item)
+        if isinstance(item, int):
+            code = item
+            continue
+        if code is None or not (0 <= code <= 255):
+            raise ValueError(
+                f"/Differences glyph {item!r} without a valid code")
+        ch = glyph_to_char(str(item))
+        table[code] = ch if ch is not None else "�"
+        code += 1
+    return table
+
+
+def simple_decoder(table: list[str | None]):
+    """bytes -> str through a 256-slot table; undefined codes become
+    U+FFFD (the font shows .notdef — there is no text to recover)."""
+    def decode(bs: bytes) -> str:
+        return "".join(table[b] or "�" for b in bs)
+    return decode
+
+
+# ------------------------------------------------- /ToUnicode CMaps
+
+_RANGE_CAP = 1 << 20                              # adversarial guard
+
+
+class ToUnicodeCMap:
+    """Parsed /ToUnicode CMap: codespace ranges fix how many bytes one
+    code spans (matched PER BYTE, §7.10.2 — <8140><9FFC> constrains
+    each byte column independently); bfchar/bfrange map codes to
+    UTF-16BE destinations (surrogate pairs included)."""
+
+    def __init__(self):
+        self.codespaces: list[tuple[bytes, bytes]] = []
+        self.map: dict[bytes, str] = {}
+
+    def _match_codespace(self, data: bytes, at: int) -> int | None:
+        for lo, hi in self.codespaces:
+            w = len(lo)
+            chunk = data[at:at + w]
+            if len(chunk) == w and all(
+                    lo[k] <= chunk[k] <= hi[k] for k in range(w)):
+                return w
+        return None
+
+    def decode(self, bs: bytes) -> str:
+        out: list[str] = []
+        i, n = 0, len(bs)
+        min_w = min((len(lo) for lo, _ in self.codespaces), default=1)
+        while i < n:
+            w = self._match_codespace(bs, i)
+            if w is None:
+                # outside every codespace: consume the shortest code
+                # width and emit the sentinel (§7.10.2.2 error rule)
+                out.append("�")
+                i += min_w
+                continue
+            out.append(self.map.get(bs[i:i + w], "�"))
+            i += w
+        return "".join(out)
+
+
+def _utf16be_text(dst: bytes) -> str:
+    return dst.decode("utf-16-be", "replace")
+
+
+def parse_cmap(data: bytes) -> ToUnicodeCMap:
+    """Parse the PostScript-ish CMap grammar: token loop recognizing
+    begincodespacerange / beginbfchar / beginbfrange blocks; all other
+    keywords (findresource, def, endcmap, ...) are structural noise.
+    Uses the PDF object lexer — CMap operands are the same hex
+    strings, names, numbers, and arrays."""
+    from .pdf import _Lexer                       # deferred: no cycle
+
+    cmap = ToUnicodeCMap()
+    lex = _Lexer(data)
+    n = len(data)
+    operands: list = []
+    total_mapped = 0
+
+    def next_token():
+        lex._skip_ws()
+        if lex.pos >= n:
+            return None, None
+        c = data[lex.pos]
+        if c in b"(<[/+-." or c in b"0123456789":
+            return "value", lex.parse_value()
+        word = lex._token_word()
+        if not word:
+            raise ValueError(f"stuck in CMap at offset {lex.pos}")
+        return "word", word
+
+    def read_block(end_word: str) -> list:
+        items: list = []
+        while True:
+            kind, tok = next_token()
+            if kind is None:
+                raise ValueError(f"CMap block missing {end_word}")
+            if kind == "word":
+                if tok == end_word:
+                    return items
+                raise ValueError(
+                    f"unexpected keyword {tok!r} inside CMap block")
+            items.append(tok)
+
+    while True:
+        kind, tok = next_token()
+        if kind is None:
+            break
+        if kind == "value":
+            operands.append(tok)
+            continue
+        if tok == "begincodespacerange":
+            items = read_block("endcodespacerange")
+            if len(items) % 2:
+                raise ValueError("odd codespacerange operand count")
+            for lo, hi in zip(items[::2], items[1::2]):
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)
+                        and len(lo) == len(hi) and 1 <= len(lo) <= 4):
+                    raise ValueError(
+                        f"malformed codespace range {lo!r} {hi!r}")
+                cmap.codespaces.append((lo, hi))
+        elif tok == "beginbfchar":
+            items = read_block("endbfchar")
+            if len(items) % 2:
+                raise ValueError("odd bfchar operand count")
+            for src, dst in zip(items[::2], items[1::2]):
+                if not isinstance(src, bytes):
+                    raise ValueError(f"bfchar source {src!r} not a "
+                                     f"hex string")
+                if isinstance(dst, bytes):
+                    cmap.map[src] = _utf16be_text(dst)
+                elif isinstance(dst, str):        # glyph-name dst
+                    cmap.map[src] = glyph_to_char(dst) or "�"
+                else:
+                    raise ValueError(f"bfchar dest {dst!r} unsupported")
+                total_mapped += 1
+        elif tok == "beginbfrange":
+            items = read_block("endbfrange")
+            if len(items) % 3:
+                raise ValueError("bfrange operand count not a "
+                                 "multiple of 3")
+            for lo, hi, dst in zip(items[::3], items[1::3], items[2::3]):
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)
+                        and len(lo) == len(hi)):
+                    raise ValueError(
+                        f"malformed bfrange {lo!r} {hi!r}")
+                w = len(lo)
+                lo_i, hi_i = (int.from_bytes(lo, "big"),
+                              int.from_bytes(hi, "big"))
+                if hi_i < lo_i:
+                    raise ValueError("descending bfrange")
+                count = hi_i - lo_i + 1
+                total_mapped += count
+                if total_mapped > _RANGE_CAP:
+                    raise ValueError("CMap maps too many codes "
+                                     f"(> {_RANGE_CAP})")
+                if isinstance(dst, list):
+                    if len(dst) != count:
+                        raise ValueError(
+                            "bfrange array length != range size")
+                    for k, d in enumerate(dst):
+                        if not isinstance(d, bytes):
+                            raise ValueError(
+                                f"bfrange array item {d!r} not a "
+                                f"hex string")
+                        cmap.map[(lo_i + k).to_bytes(w, "big")] = \
+                            _utf16be_text(d)
+                elif isinstance(dst, bytes):
+                    if len(dst) < 2 or len(dst) % 2:
+                        raise ValueError(
+                            f"bfrange dest {dst!r} is not UTF-16BE")
+                    # §9.10.3: the LAST UTF-16 code unit increments
+                    # across the range (so a range never crosses a
+                    # surrogate boundary)
+                    head, unit = dst[:-2], int.from_bytes(
+                        dst[-2:], "big")
+                    if unit + count - 1 > 0xFFFF:
+                        raise ValueError(
+                            "bfrange increments past 0xFFFF")
+                    for k in range(count):
+                        cmap.map[(lo_i + k).to_bytes(w, "big")] = \
+                            _utf16be_text(
+                                head + (unit + k).to_bytes(2, "big"))
+                else:
+                    raise ValueError(
+                        f"bfrange dest {dst!r} unsupported")
+        # any other keyword (begincmap, def, findresource, ...) just
+        # consumes the pending operands
+        operands = []
+    if not cmap.codespaces:
+        raise ValueError("ToUnicode CMap declares no codespace range")
+    return cmap

@@ -234,3 +234,16 @@ def test_dispatch_garbage_never_misroutes(data):
         assert known, f"garbage classified as {fmt}"
     except ValueError:
         pass                                   # loud failure: correct
+
+
+@settings(max_examples=30, deadline=None)
+@given(pages=st.lists(_TEXT, min_size=1, max_size=6),
+       base=st.sampled_from(["winansi", "macroman"]),
+       flate=st.booleans())
+def test_pdf_encoded_roundtrip_property(pages, base, flate):
+    """The /Differences + /ToUnicode layout round-trips arbitrary
+    unicode: every char routes through exactly one of the three rungs
+    (ROT47 cipher, base-codec byte, 2-byte CMap code) and comes back
+    identical."""
+    data = P.encode_pdf_encoded(pages, base=base, flate=flate)
+    assert P.parse_pdf(data) == pages

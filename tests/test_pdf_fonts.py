@@ -1,0 +1,290 @@
+"""Font text decoding (sources/pdf_fonts.py): the §9.10.2 recovery
+ladder — /ToUnicode CMaps (bfchar/bfrange, surrogate pairs, array
+destinations), simple-font /Encoding base tables + /Differences, AGL
+glyph-name resolution — plus the fixture writer whose bytes are NOT
+the text (encode_pdf_encoded) and the reader's Tf/state handling."""
+
+import zlib
+
+import pytest
+
+from mycelial_spark.sources import pdf as P
+from mycelial_spark.sources import pdf_fonts as PF
+
+
+# ------------------------------------------------------ glyph names
+
+def test_glyph_name_resolution():
+    assert PF.glyph_to_char("A") == "A"
+    assert PF.glyph_to_char("zero") == "0"
+    assert PF.glyph_to_char("eacute") == "é"
+    assert PF.glyph_to_char("Odieresis") == "Ö"
+    assert PF.glyph_to_char("germandbls") == "ß"
+    assert PF.glyph_to_char("quotedblleft") == "“"
+    assert PF.glyph_to_char("fi") == "ﬁ"
+    # algorithmic forms
+    assert PF.glyph_to_char("uni0041") == "A"
+    assert PF.glyph_to_char("uni00410042") == "AB"     # concatenated
+    assert PF.glyph_to_char("uniD83DDE00") == "😀"     # surrogate pair
+    assert PF.glyph_to_char("u1F600") == "😀"
+    assert PF.glyph_to_char("u0041") == "A"
+    # variant suffix resolves through its base
+    assert PF.glyph_to_char("a.sc") == "a"
+    assert PF.glyph_to_char("one.oldstyle") == "1"
+    # unknown -> None (caller substitutes U+FFFD)
+    assert PF.glyph_to_char("glorp") is None
+    assert PF.glyph_to_char("uniZZZZ") is None
+    assert PF.glyph_to_char("uDFFF") is None           # lone surrogate
+
+
+def test_char_to_glyph_covers_printable_ascii():
+    """The fixture cipher needs a glyph NAME for every printable
+    ASCII char — a hole would make encode_pdf_encoded raise."""
+    for o in range(0x20, 0x7F):
+        assert chr(o) in PF.CHAR_TO_GLYPH, hex(o)
+
+
+# ---------------------------------------------------- base encodings
+
+def test_base_encoding_tables():
+    win = PF.base_encoding_table("WinAnsiEncoding")
+    assert win[0x41] == "A" and win[0xE9] == "é"
+    assert win[0x80] == "€" and win[0x93] == "“"       # cp1252 region
+    assert win[0x81] is None                           # cp1252 hole
+    mac = PF.base_encoding_table("MacRomanEncoding")
+    assert mac[0x8E] == "é" and mac[0xA5] == "•"
+    std = PF.base_encoding_table("StandardEncoding")
+    assert std[0x27] == "’" and std[0x60] == "‘"       # Annex D quirk
+    assert std[0xAE] == "ﬁ" and std[0xD0] == "—"
+    assert std[0xE9] == "Ø" and std[0xFB] == "ß"
+    assert std[0x80] is None
+    with pytest.raises(ValueError, match="base encoding"):
+        PF.base_encoding_table("SymbolEncoding")
+    # tables are copies: mutating one must not poison the cache
+    win[0x41] = "X"
+    assert PF.base_encoding_table("WinAnsiEncoding")[0x41] == "A"
+
+
+def test_differences_overlay():
+    ident = lambda v: v
+    table = PF.encoding_table(
+        {"BaseEncoding": "WinAnsiEncoding",
+         "Differences": [65, "zero", "one", 200, "eacute", "glorp"]},
+        ident)
+    assert table[65] == "0" and table[66] == "1"       # code auto-inc
+    assert table[67] == "C"                            # base survives
+    assert table[200] == "é"
+    assert table[201] == "�"                           # unknown glyph
+    # bare name selects the base table; default base is Standard
+    assert PF.encoding_table("MacRomanEncoding", ident)[0x8E] == "é"
+    assert PF.encoding_table({"Differences": [39, "zero"]},
+                             ident)[0x60] == "‘"
+    with pytest.raises(ValueError, match="Differences"):
+        PF.encoding_table({"Differences": 7}, ident)
+    with pytest.raises(ValueError, match="without a valid code"):
+        PF.encoding_table({"Differences": ["zero"]}, ident)
+    dec = PF.simple_decoder(PF.encoding_table("WinAnsiEncoding", ident))
+    assert dec(b"caf\xe9 \x81") == "café �"
+
+
+# ------------------------------------------------------------ CMaps
+
+_CMAP_TMPL = """\
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (T) /Ordering (UCS) /Supplement 0 >> def
+/CMapName /T-UCS def /CMapType 2 def
+{body}
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+
+def _cmap(body: str) -> PF.ToUnicodeCMap:
+    return PF.parse_cmap(_CMAP_TMPL.format(body=body).encode())
+
+
+def test_cmap_bfchar_bfrange_surrogates():
+    cm = _cmap("""\
+1 begincodespacerange <0000> <ffff> endcodespacerange
+2 beginbfchar
+<0001> <0041>
+<0002> <d83dde00>
+endbfchar
+2 beginbfrange
+<0010> <0019> <0061>
+<0020> <0022> [<005a> <0059> <0058>]
+endbfrange""")
+    assert cm.decode(b"\x00\x01") == "A"
+    assert cm.decode(b"\x00\x02") == "😀"              # surrogate pair
+    assert cm.decode(b"\x00\x10\x00\x19") == "aj"      # increment
+    assert cm.decode(b"\x00\x20\x00\x21\x00\x22") == "ZYX"  # array
+    assert cm.decode(b"\x00\x99") == "�"               # unmapped code
+
+
+def test_cmap_codespace_width_and_error_rule():
+    # mixed 1-byte and 2-byte codespaces: per-byte range match picks
+    # the width; bytes outside every codespace consume the SHORTEST
+    # width and emit the sentinel (§7.10.2.2)
+    cm = _cmap("""\
+2 begincodespacerange
+<00> <7f>
+<8140> <9ffc>
+endcodespacerange
+2 beginbfchar
+<41> <0058>
+<8140> <4e00>
+endbfchar""")
+    assert cm.decode(b"\x41") == "X"
+    assert cm.decode(b"\x81\x40") == "一"
+    assert cm.decode(b"\x41\x81\x40\x41") == "X一X"
+    # 0xFF: first byte outside [00-7f] and [81-9f] -> sentinel, 1 byte
+    assert cm.decode(b"\xff\x41") == "�X"
+    # per-byte matching: 0x8130 has second byte BELOW 0x40 -> no match
+    assert cm.decode(b"\x81\x30")[0] == "�"
+
+
+def test_cmap_rejects_malformed():
+    with pytest.raises(ValueError, match="no codespace"):
+        _cmap("1 beginbfchar <01> <0041> endbfchar")
+    with pytest.raises(ValueError, match="odd bfchar"):
+        _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
+              "1 beginbfchar <01> endbfchar")
+    with pytest.raises(ValueError, match="descending"):
+        _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
+              "1 beginbfrange <10> <05> <0041> endbfrange")
+    with pytest.raises(ValueError, match="array length"):
+        _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
+              "1 beginbfrange <10> <12> [<0041>] endbfrange")
+    with pytest.raises(ValueError, match="increments past"):
+        _cmap("1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+              "1 beginbfrange <0001> <0003> <fffe> endbfrange")
+    with pytest.raises(ValueError, match="too many codes"):
+        _cmap("1 begincodespacerange <000000> <ffffff> "
+              "endcodespacerange\n"
+              "1 beginbfrange <000000> <ffffff> <0041> endbfrange")
+    with pytest.raises(ValueError, match="inside CMap block"):
+        _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
+              "1 beginbfchar <01> <0041>")
+    with pytest.raises(ValueError, match="missing endbfchar"):
+        PF.parse_cmap(b"1 begincodespacerange <00> <ff> "
+                      b"endcodespacerange 1 beginbfchar <01> <0041>")
+
+
+# ---------------------------------------- reader ladder integration
+
+def _one_page_pdf(font_body: bytes, content: bytes,
+                  extra_objs: list[bytes] = ()) -> bytes:
+    """Minimal hand-rolled single-page file: obj 3 is the font, obj 5
+    the content stream, extras append from obj 6."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        font_body,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+        *extra_objs,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def test_tounicode_takes_precedence_over_encoding():
+    cmap = _CMAP_TMPL.format(
+        body="1 begincodespacerange <00> <ff> endcodespacerange\n"
+             "1 beginbfchar <41> <005a> endbfchar").encode()
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding /ToUnicode 6 0 R >>")
+    stream = (f"<< /Length {len(cmap)} >>".encode()
+              + b"\nstream\n" + cmap + b"\nendstream")
+    data = _one_page_pdf(font, b"BT /F1 12 Tf 72 720 Td (A) Tj ET",
+                         [stream])
+    assert P.parse_pdf(data) == ["Z"]                  # not WinAnsi "A"
+
+
+def test_type0_without_tounicode_fails_loudly():
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub "
+            b"/Encoding /Identity-H >>")
+    data = _one_page_pdf(font, b"BT /F1 12 Tf (AB) Tj ET")
+    with pytest.raises(ValueError, match="unrecoverable"):
+        P.parse_pdf(data)
+
+
+def test_simple_font_with_no_map_is_strict_utf8():
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    ok = _one_page_pdf(font, b"BT /F1 12 Tf (plain ascii) Tj ET")
+    assert P.parse_pdf(ok) == ["plain ascii"]
+    bad = _one_page_pdf(font, b"BT /F1 12 Tf (caf\\351) Tj ET")
+    with pytest.raises(UnicodeDecodeError):            # loud, no mojibake
+        P.parse_pdf(bad)
+
+
+def test_tf_unknown_resource_fails_loudly():
+    font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    data = _one_page_pdf(font, b"BT /F9 12 Tf (x) Tj ET")
+    with pytest.raises(ValueError, match="unknown font resource"):
+        P.parse_pdf(data)
+
+
+def test_differences_font_end_to_end():
+    font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+            b"/Differences [65 /zero /one] >> >>")
+    data = _one_page_pdf(font, b"BT /F1 12 Tf (AB C \\351) Tj ET")
+    assert P.parse_pdf(data) == ["01 C é"]
+
+
+# -------------------------------------------------- encoded fixture
+
+TEXTS = ["doc:0\nhello WORLD\twith tab",
+         "doc:1\nünïcode 中文 🎉 mixed",
+         "",
+         "doc:3\nline1\n\nline3 ‘curly’ —dash– …",
+         "doc:4\n" + "word " * 200,
+         "doc:5\nxml specials < > & \" ' \\ ( ) { }",
+         "doc:6\nабвгд ώ ✓ ß àâäéèêëîïôöùûüç"]
+
+
+@pytest.mark.parametrize("base", ["winansi", "macroman"])
+@pytest.mark.parametrize("flate", [True, False])
+def test_encoded_roundtrip_bytes_are_not_text(base, flate):
+    data = P.encode_pdf_encoded(TEXTS, base=base, flate=flate)
+    assert P.parse_pdf(data) == TEXTS
+    # the plaintext must not appear in the file: a reader that skips
+    # the /Differences cipher cannot round-trip
+    assert b"hello WORLD" not in data
+    assert P.encode_pdf_encoded(TEXTS, base=base, flate=flate) == data
+
+
+def test_encoded_layout_through_synth(spark):
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(i, t.split("\n", 1)[1] if "\n" in t else t)
+         for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    rows = (pdf_pages(synth_pdf(docs, files=3, layout="encoded"))
+            .select(F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+                    .cast("long").alias("doc_id"),
+                    F.expr("substring(text, instr(text, '\\n') + 1)")
+                    .alias("body"))
+            .collect())
+    got = {r["doc_id"]: r["body"] for r in rows}
+    want = {i: (t.split("\n", 1)[1] if "\n" in t else t)
+            for i, t in enumerate(TEXTS)}
+    assert got == want

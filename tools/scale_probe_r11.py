@@ -1,0 +1,112 @@
+"""Round-11 scale probes.
+
+1. ``--ops=fonts``: classic vs encoded (/Differences + /ToUnicode)
+   PDF layout at the same corpus + file count — the font-decode
+   ladder (CMap parse per font per file, per-string table/dict
+   lookups) must stay metadata-sized next to content-stream
+   inflation, like the 1.5 machinery did in the r10 probe.
+2. ``--ops=shard``: the r10 skew probe named file-SIZE skew as the
+   real dispatch cliff and prescribed shard policy at ingest; this
+   measures the same fat-file corpus with and without a
+   ``max_shard_bytes`` split applied, to show the cliff capped.
+
+Usage: python tools/scale_probe_r11.py [--ops=fonts,shard]
+Writes one JSON line per measurement (append rows to SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mycelial_spark.session import get_spark  # noqa: E402
+from mycelial_spark.catalog import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def _dup_docs(spark, factor: int):
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text", "source")
+    n = 1 + docs.agg(F.max("doc_id")).collect()[0][0]
+    k = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("k")
+    return (docs.select("doc_id", "text", "source", k)
+            .select((F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+                    "text", "source"))
+
+
+def probe_fonts(spark, factors=(1, 4)):
+    for factor in factors:
+        from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+        docs = _dup_docs(spark, factor).localCheckpoint()
+        for layout in ("classic", "encoded"):
+            t0 = time.time()
+            out_rows = _force(pdf_pages(
+                synth_pdf(docs, files=8 * factor, layout=layout)))
+            print(json.dumps({"op": f"pdf_extract_{layout}",
+                              "factor": factor, "out_rows": out_rows,
+                              "sec": round(time.time() - t0, 2)}),
+                  flush=True)
+
+
+def probe_shard(spark, factor: int = 4):
+    """Fat-file corpus (the r10 cliff: 4 giant pdf files serialize on
+    4 tasks) measured raw vs split by max_shard_bytes at ingest."""
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.mbox import synth_mbox
+    from mycelial_spark.sources.pdf import synth_pdf
+    from mycelial_spark.sources.shard import split_oversized
+
+    docs = _dup_docs(spark, factor).localCheckpoint()
+    pdf_pred = F.col("doc_id") % 100 != 0
+    mixed = (synth_pdf(docs.filter(pdf_pred), files=4)
+             .unionByName(synth_mbox(docs.filter(~pdf_pred), files=28))
+             ).localCheckpoint()
+    sizes = [r[0] for r in
+             mixed.select(F.length("payload")).collect()]
+    print(json.dumps({"op": "shard_corpus",
+                      "files": len(sizes), "max_bytes": max(sizes),
+                      "p50_bytes": sorted(sizes)[len(sizes) // 2]}),
+          flush=True)
+    for cap in (None, 1 << 20):
+        frames = mixed if cap is None else split_oversized(
+            mixed, max_shard_bytes=cap)
+        t0 = time.time()
+        out_rows = _force(document_records(frames))
+        print(json.dumps({"op": "document_dispatch_fat_files",
+                          "max_shard_bytes": cap,
+                          "out_rows": out_rows,
+                          "sec": round(time.time() - t0, 2)}),
+              flush=True)
+
+
+def main():
+    ops = "fonts"
+    for a in sys.argv[1:]:
+        if a.startswith("--ops="):
+            ops = a.split("=", 1)[1]
+    spark = get_spark(
+        "scale-probe-r11",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', 32)}]",
+        extra_conf={"spark.sql.shuffle.partitions": "32"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if "fonts" in ops:
+        probe_fonts(spark)
+    if "shard" in ops:
+        probe_shard(spark)
+
+
+if __name__ == "__main__":
+    main()
