@@ -119,6 +119,11 @@ HEADLINE = [
     "pdf_extract_text",
     "pdf_extract_text_xrefstream",
     "pdf_extract_text_tounicode",
+    # pdf_extract_text_encrypted is correctness-gated but NOT headline:
+    # its wall clock is dominated by pure-Python RC4/AES running on
+    # BOTH the fixture-encrypt and the decrypt side (the exif_gps_audit
+    # precedent — benching it would measure the cipher loop, not the
+    # extraction plan); scale_probe_r11 --ops=fonts records its curve
     "docx_extract_text",
     "epub_extract_text",
     "odt_extract_text",

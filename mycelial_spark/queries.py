@@ -1871,6 +1871,44 @@ def pdf_extract_text_tounicode(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("pdf_extract_text_encrypted", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS page_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS page_count,
+       text AS text_out
+FROM documents
+""")
+def pdf_extract_text_encrypted(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The encrypted twin of pdf_extract_text: the same 8-file fixture
+    enciphered by the standard security handler (PDF 32000 §7.6) under
+    an EMPTY user password — the shape a large fraction of real
+    'encrypted' PDFs use (opens in any viewer, but every stream is
+    ciphertext). Files rotate RC4-40 (/V 1 /R 2), RC4-128 (/V 2 /R 3),
+    and AES-128-CBC (/V 4 /R 4 /AESV2 crypt filters, IV-prefixed,
+    PKCS#7) by file id; the reader derives the file key from /O, /P,
+    and the trailer /ID (algorithm 2), verifies the empty password
+    against /U up front, and decrypts each stream with its per-object
+    key BEFORE filters (sources/pdf_crypt.py). A key-derivation,
+    crypt-filter, or padding bug breaks the hash-match. Real passwords
+    and /V 5 AES-256 fail loudly (tests pin both)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = pdf_pages(synth_pdf(docs, files=8, layout="encrypted"))
+    return pages.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("page_idx"),
+        F.col("page_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("docx_extract_text", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

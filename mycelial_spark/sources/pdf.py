@@ -41,6 +41,7 @@ extracted text straight from the documents table.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from collections.abc import Iterator
 
@@ -49,7 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from . import pdf_fonts
+from . import pdf_crypt, pdf_fonts
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -99,9 +100,19 @@ _FILTER_ENCODERS = {
 }
 
 
+_ENCRYPT_MODES = {
+    # mode: (V, R, key bits, AES?)
+    "rc4-40": (1, 2, 40, False),
+    "rc4-128": (2, 3, 128, False),
+    "aes-128": (4, 4, 128, True),
+}
+
+
 def encode_pdf(pages: list[str], flate: bool = True,
                string_mode: str = "alt",
-               filters: list[str] | None = None) -> bytes:
+               filters: list[str] | None = None,
+               encrypt: str | None = None,
+               owner_password: bytes = b"owner") -> bytes:
     """Spec-conformant classic PDF writer (fixture/test side): one page
     per entry, Helvetica, byte-accurate xref table. ``flate``
     zlib-compresses content streams (`/Filter /FlateDecode`);
@@ -110,13 +121,46 @@ def encode_pdf(pages: list[str], flate: bool = True,
     writer applies encoders in reverse); ``string_mode`` picks literal
     vs hex text strings per page ("literal", "hex", or "alt" =
     alternate by page index, which makes every multi-page file
-    exercise both reader paths)."""
+    exercise both reader paths). ``encrypt`` enciphers content streams
+    with the standard security handler under an EMPTY user password —
+    "rc4-40" (/V 1 /R 2), "rc4-128" (/V 2 /R 3), or "aes-128" (/V 4
+    /R 4 /AESV2 crypt filters); the owner password is non-empty so
+    algorithm 3's owner branch is load-bearing, and the deterministic
+    trailer /ID feeds the key derivation (encryption runs AFTER filter
+    encoding, mirroring decode-before-filters on the read side)."""
     if string_mode not in ("literal", "hex", "alt"):
         raise ValueError(f"unknown string_mode {string_mode!r}")
     if filters is not None:
         for f in filters:
             if f not in _FILTER_ENCODERS:
                 raise ValueError(f"no encoder for filter {f!r}")
+    enc_ctx = None
+    if encrypt is not None:
+        if encrypt not in _ENCRYPT_MODES:
+            raise ValueError(f"unknown encrypt mode {encrypt!r}")
+        v, r, bits, aes = _ENCRYPT_MODES[encrypt]
+        nbytes = bits // 8
+        id0 = hashlib.md5(
+            b"mycelial_spark:" + "\x00".join(pages).encode()).digest()
+        p_flags = -3904                           # typical permissions
+        o_entry = pdf_crypt.compute_o(owner_password, b"", r, nbytes)
+        fkey = pdf_crypt.file_key(b"", o_entry, p_flags, id0, r, nbytes)
+        u_entry = pdf_crypt.compute_u(fkey, id0, r)
+        if r == 2:
+            u_entry = u_entry[:32]
+        enc_ctx = (v, r, bits, aes, id0, p_flags, o_entry,
+                   u_entry.ljust(32, b"\x00")[:32], fkey)
+
+    def enc_stream(num: int, data: bytes) -> bytes:
+        if enc_ctx is None:
+            return data
+        _, _, _, aes, id0, _, _, _, fkey = enc_ctx
+        key = pdf_crypt.object_key(fkey, num, 0, aes)
+        if not aes:
+            return pdf_crypt.rc4(key, data)
+        iv = hashlib.md5(b"iv:%d:" % num + id0).digest()[:16]
+        return iv + pdf_crypt.aes_cbc_encrypt(key, iv, data)
+
     n = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
     # 4+2i page dict, 5+2i content stream
@@ -139,15 +183,26 @@ def encode_pdf(pages: list[str], flate: bool = True,
                 data = _FILTER_ENCODERS[f](data)
             spec = (f"/{filters[0]}" if len(filters) == 1 else
                     "[" + " ".join(f"/{f}" for f in filters) + "]")
-            head = (f"<< /Length {len(data)} /Filter {spec} >>"
-                    .encode())
+            filt_entry = f" /Filter {spec}"
         elif flate:
             data = zlib.compress(data, 9)
-            head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
-                    .encode())
+            filt_entry = " /Filter /FlateDecode"
         else:
-            head = f"<< /Length {len(data)} >>".encode()
+            filt_entry = ""
+        data = enc_stream(5 + 2 * i, data)     # after filters (§7.6.2)
+        head = f"<< /Length {len(data)}{filt_entry} >>".encode()
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    trailer_extra = ""
+    if enc_ctx is not None:
+        v, r, bits, aes, id0, p_flags, o_entry, u_entry, _ = enc_ctx
+        cf = (" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+              "/StmF /StdCF /StrF /StdCF" if aes else "")
+        objs.append(
+            (f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+             f"/P {p_flags} /O <{o_entry.hex()}> /U <{u_entry.hex()}>"
+             f"{cf} >>").encode())
+        trailer_extra = (f" /Encrypt {len(objs)} 0 R "
+                         f"/ID [<{id0.hex()}> <{id0.hex()}>]")
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]                              # object 0 is the free head
     for num, body in enumerate(objs, start=1):
@@ -158,7 +213,8 @@ def encode_pdf(pages: list[str], flate: bool = True,
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+            f"{trailer_extra} >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
 
@@ -1019,7 +1075,46 @@ class _Pdf:
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
         self._font_cache: dict[int, object] = {}
+        self._crypt = None
+        self._encrypt_num: int | None = None
         self.offsets, self.trailer = self._read_xref()
+        self._setup_encryption()
+
+    def _setup_encryption(self):
+        """Standard security handler (§7.6): verify the EMPTY user
+        password and hold the file key. Must run before any document
+        object is materialized — but the /Encrypt dict itself and the
+        trailer /ID are never encrypted, so resolving them here (while
+        self._crypt is still None) is exactly right."""
+        enc = self.trailer.get("Encrypt")
+        if enc is None:
+            return
+        if isinstance(enc, _Ref):
+            self._encrypt_num = enc.num
+        enc = self.resolve(enc)
+        if not isinstance(enc, dict):
+            raise ValueError("/Encrypt is not a dictionary")
+        doc_id = self.trailer.get("ID")
+        if (not isinstance(doc_id, list) or not doc_id
+                or not isinstance(doc_id[0], bytes)):
+            raise ValueError(
+                "encrypted PDF without a trailer /ID — the file key "
+                "is underivable")
+        self._crypt = pdf_crypt.StandardSecurityHandler(
+            enc, doc_id[0], self.resolve)
+
+    def _decrypt_value(self, v, num: int, gen: int):
+        """Strings inside a top-level object are individually
+        enciphered with that object's key (§7.6.2); walk the parsed
+        value and decrypt them in place of the ciphertext."""
+        if isinstance(v, bytes):
+            return self._crypt.decrypt_string(num, gen, v)
+        if isinstance(v, list):
+            return [self._decrypt_value(x, num, gen) for x in v]
+        if isinstance(v, dict):
+            return {k: self._decrypt_value(x, num, gen)
+                    for k, x in v.items()}
+        return v
 
     def _read_xref(self):
         """Walk the cross-reference CHAIN: the newest section at
@@ -1228,7 +1323,7 @@ class _Pdf:
         if got != num:
             raise ValueError(f"xref offset for object {num} lands on "
                              f"object {got!r} — corrupt xref")
-        lex.parse_value()                      # generation
+        gen = lex.parse_value()                # generation
         lex.expect("obj")
         value = lex.parse_value()
         stream = None
@@ -1250,6 +1345,21 @@ class _Pdf:
             lex.expect("endstream")
         else:
             lex.pos = save
+        if self._crypt is not None and num != self._encrypt_num:
+            # the cross-reference stream is NEVER encrypted (§7.5.8.2
+            # — it must be readable before the key exists); everything
+            # else decrypts with this object's (num, gen) key. Objects
+            # inside object streams take the other branch above: the
+            # CONTAINER stream was decrypted, their strings are not
+            # separately enciphered (§7.6.2).
+            is_xref = (isinstance(value, dict)
+                       and str(value.get("Type", "")) == "XRef")
+            if not is_xref:
+                gen_i = gen if isinstance(gen, int) else 0
+                value = self._decrypt_value(value, num, gen_i)
+                if stream is not None:
+                    stream = self._crypt.decrypt_stream(
+                        num, gen_i, stream)
         self._cache[num] = (value, stream)
         return self._cache[num]
 
@@ -1566,9 +1676,12 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     so every run exercises every reader path; ``layout="encoded"``
     writes classic files whose show-string bytes are NOT the text
     (ROT47 /Differences font + /ToUnicode Type0 font, WinAnsi base on
-    even file ids and MacRoman on odd, Flate on even). Emits (id =
-    file index, modality, payload)."""
-    if layout not in ("classic", "xrefstream", "encoded"):
+    even file ids and MacRoman on odd, Flate on even);
+    ``layout="encrypted"`` writes classic files enciphered by the
+    standard security handler under an empty user password, rotating
+    RC4-40 / RC4-128 / AES-128 by file id (Flate on even ids). Emits
+    (id = file index, modality, payload)."""
+    if layout not in ("classic", "xrefstream", "encoded", "encrypted"):
         raise ValueError(f"unknown layout {layout!r}")
 
     def encode(fid: int, pages: list[str]) -> bytes:
@@ -1576,6 +1689,10 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
             return encode_pdf_encoded(
                 pages, base=("winansi" if fid % 2 == 0 else "macroman"),
                 flate=(fid % 2 == 0))
+        if layout == "encrypted":
+            mode = ("rc4-40", "rc4-128", "aes-128")[fid % 3]
+            return encode_pdf(pages, flate=(fid % 2 == 0),
+                              encrypt=mode)
         if layout == "classic":
             # rotate the cheap-to-encode filter shapes so the oracle
             # row exercises every decode path: Flate, plain,

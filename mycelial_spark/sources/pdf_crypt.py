@@ -1,0 +1,346 @@
+"""PDF standard security handler (PDF 32000 §7.6): RC4-40/128 and
+AES-128-CBC decryption for the EMPTY-user-password case — the shape a
+large fraction of real-world "encrypted" PDFs actually use (the
+password algorithm applied to an empty string; the document opens in
+any viewer but every string and stream is enciphered). Supports
+/V 1/2 (RC4) and /V 4 crypt filters (/CFM /V2 RC4, /AESV2 AES-128-CBC
+with a 16-byte IV prefix and PKCS#7 padding), /R 2/3/4 revisions.
+A real user password, /V 5 (AES-256), or a non-Standard handler fail
+loudly — guessing at ciphertext is worse than skipping the file.
+
+The primitives are pure Python from the public specs: RC4 (the
+well-known KSA/PRGA), AES-128 from FIPS-197 with the S-box DERIVED
+(GF(2^8) inverse + affine transform) rather than pasted, and the
+password/key algorithms 2/3/4/5 from PDF 32000 §7.6.3. Reference
+parity: the reference engine never parses PDFs natively (it shells
+out, `sections/exec/src/lib.rs`); this repo owns the whole ladder."""
+
+from __future__ import annotations
+
+import hashlib
+
+# ------------------------------------------------------------- RC4
+
+
+def rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for at, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[at] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+# --------------------------------------------------------- AES-128
+# FIPS-197, with the S-box computed from its definition (multiplicative
+# inverse in GF(2^8) mod x^8+x^4+x^3+x+1, then the affine transform)
+# and the MixColumns factors as precomputed GF multiplication tables.
+
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _build_boxes():
+    sbox = [0] * 256
+    for i in range(256):
+        # inverse via a^254 (Fermat in GF(2^8)); 0 maps to 0
+        inv, base, e = 1, i, 254
+        if i:
+            while e:
+                if e & 1:
+                    inv = _gf_mul(inv, base)
+                base = _gf_mul(base, base)
+                e >>= 1
+        else:
+            inv = 0
+        x, s = inv, inv
+        for _ in range(4):
+            x = ((x << 1) | (x >> 7)) & 0xFF
+            s ^= x
+        sbox[i] = s ^ 0x63
+    inv_sbox = [0] * 256
+    for i, s in enumerate(sbox):
+        inv_sbox[s] = i
+    return sbox, inv_sbox
+
+
+_SBOX, _INV_SBOX = _build_boxes()
+_MUL = {c: [_gf_mul(x, c) for x in range(256)]
+        for c in (2, 3, 9, 11, 13, 14)}
+
+
+def _expand_key(key: bytes) -> list[bytes]:
+    words = [key[4 * i:4 * i + 4] for i in range(4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:
+            t = bytes((_SBOX[t[1]] ^ rcon, _SBOX[t[2]],
+                       _SBOX[t[3]], _SBOX[t[0]]))
+            rcon = _gf_mul(rcon, 2)
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    return [b"".join(words[4 * r:4 * r + 4]) for r in range(11)]
+
+
+def _xor16(a, b) -> bytearray:
+    return bytearray(x ^ y for x, y in zip(a, b))
+
+
+def _shift_rows(s, inverse: bool) -> bytearray:
+    out = bytearray(16)
+    for c in range(4):
+        for r in range(4):
+            if inverse:
+                out[r + 4 * ((c + r) % 4)] = s[r + 4 * c]
+            else:
+                out[r + 4 * c] = s[r + 4 * ((c + r) % 4)]
+    return out
+
+
+def _mix_columns(s, inverse: bool) -> bytearray:
+    m = _MUL
+    out = bytearray(16)
+    for c in range(4):
+        a0, a1, a2, a3 = s[4 * c:4 * c + 4]
+        if inverse:
+            out[4 * c] = m[14][a0] ^ m[11][a1] ^ m[13][a2] ^ m[9][a3]
+            out[4 * c + 1] = m[9][a0] ^ m[14][a1] ^ m[11][a2] ^ m[13][a3]
+            out[4 * c + 2] = m[13][a0] ^ m[9][a1] ^ m[14][a2] ^ m[11][a3]
+            out[4 * c + 3] = m[11][a0] ^ m[13][a1] ^ m[9][a2] ^ m[14][a3]
+        else:
+            out[4 * c] = m[2][a0] ^ m[3][a1] ^ a2 ^ a3
+            out[4 * c + 1] = a0 ^ m[2][a1] ^ m[3][a2] ^ a3
+            out[4 * c + 2] = a0 ^ a1 ^ m[2][a2] ^ m[3][a3]
+            out[4 * c + 3] = m[3][a0] ^ a1 ^ a2 ^ m[2][a3]
+    return out
+
+
+def aes_encrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
+    s = _xor16(block, round_keys[0])
+    for r in range(1, 10):
+        s = bytearray(_SBOX[b] for b in s)
+        s = _shift_rows(s, inverse=False)
+        s = _mix_columns(s, inverse=False)
+        s = _xor16(s, round_keys[r])
+    s = bytearray(_SBOX[b] for b in s)
+    s = _shift_rows(s, inverse=False)
+    return bytes(_xor16(s, round_keys[10]))
+
+
+def aes_decrypt_block(round_keys: list[bytes], block: bytes) -> bytes:
+    s = _xor16(block, round_keys[10])
+    for r in range(9, 0, -1):
+        s = _shift_rows(s, inverse=True)
+        s = bytearray(_INV_SBOX[b] for b in s)
+        s = _xor16(s, round_keys[r])
+        s = _mix_columns(s, inverse=True)
+    s = _shift_rows(s, inverse=True)
+    s = bytearray(_INV_SBOX[b] for b in s)
+    return bytes(_xor16(s, round_keys[0]))
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """PKCS#7-padded CBC encrypt; returns ciphertext WITHOUT the IV
+    (the PDF convention prepends the IV — callers do that)."""
+    if len(key) != 16 or len(iv) != 16:
+        raise ValueError("AES-128-CBC needs 16-byte key and IV")
+    rks = _expand_key(key)
+    pad = 16 - len(plaintext) % 16
+    pt = plaintext + bytes([pad]) * pad
+    out = bytearray()
+    prev = iv
+    for at in range(0, len(pt), 16):
+        block = aes_encrypt_block(rks, bytes(_xor16(pt[at:at + 16],
+                                                    prev)))
+        out += block
+        prev = block
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """CBC decrypt + PKCS#7 unpad; raises on misaligned or corrupt
+    padding rather than return silently-truncated plaintext."""
+    if len(key) != 16 or len(iv) != 16:
+        raise ValueError("AES-128-CBC needs 16-byte key and IV")
+    if not ciphertext or len(ciphertext) % 16:
+        raise ValueError("AES ciphertext is not block-aligned")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for at in range(0, len(ciphertext), 16):
+        block = ciphertext[at:at + 16]
+        out += _xor16(aes_decrypt_block(rks, block), prev)
+        prev = block
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytearray([pad]) * pad:
+        raise ValueError("corrupt AES (PKCS#7) padding")
+    return bytes(out[:-pad])
+
+
+# -------------------------------------- §7.6.3 password algorithms
+
+_PAD = bytes((0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+              0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+              0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+              0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A))
+
+
+def _padded(password: bytes) -> bytes:
+    return (password + _PAD)[:32]
+
+
+def file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
+             r: int, nbytes: int, encrypt_metadata: bool = True
+             ) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = hashlib.md5(_padded(password))
+    h.update(o_entry[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))  # signed /P
+    h.update(id0)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    key = h.digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:nbytes]).digest()
+    return key[:nbytes]
+
+
+def compute_o(owner_password: bytes, user_password: bytes,
+              r: int, nbytes: int) -> bytes:
+    """Algorithm 3: the /O entry."""
+    key = hashlib.md5(_padded(owner_password or user_password)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:nbytes]
+    o = rc4(key, _padded(user_password))
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(k ^ i for k in key), o)
+    return o
+
+
+def compute_u(fkey: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3+): the /U entry."""
+    if r == 2:
+        return rc4(fkey, _PAD)
+    u = rc4(fkey, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = rc4(bytes(k ^ i for k in fkey), u)
+    return u + b"\x00" * 16                       # arbitrary tail
+
+
+def verify_user_password(fkey: bytes, u_entry: bytes, id0: bytes,
+                         r: int) -> bool:
+    """Algorithm 6: R2 compares all 32 bytes, R3+ the first 16."""
+    expect = compute_u(fkey, id0, r)
+    if r == 2:
+        return expect == u_entry[:32]
+    return expect[:16] == u_entry[:16]
+
+
+def object_key(fkey: bytes, num: int, gen: int, aes: bool) -> bytes:
+    """Algorithm 1 step b-c: the per-object key (MD5 of file key +
+    3 low bytes of the object number + 2 of the generation, plus the
+    'sAlT' constant for AES)."""
+    ext = num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    if aes:
+        ext += b"sAlT"
+    return hashlib.md5(fkey + ext).digest()[:min(len(fkey) + 5, 16)]
+
+
+# ------------------------------------------------ security handler
+
+class StandardSecurityHandler:
+    """Built from the /Encrypt dict + the first /ID string; validates
+    the EMPTY user password up front (a wrong password means every
+    downstream byte is noise — fail at open, not at extract)."""
+
+    def __init__(self, enc: dict, id0: bytes, resolve):
+        filt = str(resolve(enc.get("Filter", "")))
+        if filt != "Standard":
+            raise ValueError(
+                f"unsupported PDF security handler /{filt}")
+        v = resolve(enc.get("V", 0))
+        r = resolve(enc.get("R"))
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise ValueError(
+                f"unsupported PDF encryption /V {v!r} /R {r!r} "
+                f"(V5/R6 AES-256 is out of scope — fail loudly)")
+        length = resolve(enc.get("Length", 40))
+        if not isinstance(length, int) or length % 8 \
+                or not 40 <= length <= 128:
+            raise ValueError(f"bad /Encrypt /Length {length!r}")
+        nbytes = 5 if v == 1 else length // 8
+        o_entry = resolve(enc.get("O"))
+        u_entry = resolve(enc.get("U"))
+        p = resolve(enc.get("P"))
+        if not (isinstance(o_entry, bytes) and len(o_entry) >= 32
+                and isinstance(u_entry, bytes) and len(u_entry) >= 32
+                and isinstance(p, int)):
+            raise ValueError("/Encrypt missing well-formed /O /U /P")
+        em = resolve(enc.get("EncryptMetadata", True))
+        self.key = file_key(b"", o_entry, p, id0, r, nbytes,
+                            encrypt_metadata=bool(em))
+        if not verify_user_password(self.key, u_entry, id0, r):
+            raise ValueError(
+                "PDF is protected by a non-empty user password")
+        if v == 4:
+            cf = resolve(enc.get("CF", {}))
+
+            def method(name) -> str | None:
+                name = str(resolve(name))
+                if name == "Identity":
+                    return None
+                f = resolve(cf.get(name)) if isinstance(cf, dict) \
+                    else None
+                if not isinstance(f, dict):
+                    raise ValueError(
+                        f"crypt filter /{name} not in /CF")
+                cfm = str(resolve(f.get("CFM", "")))
+                if cfm == "V2":
+                    return "rc4"
+                if cfm == "AESV2":
+                    return "aes"
+                raise ValueError(f"unsupported /CFM /{cfm}")
+
+            self._stm = method(enc.get("StmF", "Identity"))
+            self._str = method(enc.get("StrF", "Identity"))
+        else:
+            self._stm = self._str = "rc4"
+
+    def _apply(self, method: str | None, num: int, gen: int,
+               data: bytes) -> bytes:
+        if method is None or not data:
+            return data
+        key = object_key(self.key, num, gen, method == "aes")
+        if method == "rc4":
+            return rc4(key, data)
+        if len(data) < 16:
+            raise ValueError("AES payload shorter than its IV")
+        return aes_cbc_decrypt(key, data[:16], data[16:])
+
+    def decrypt_stream(self, num: int, gen: int, data: bytes) -> bytes:
+        return self._apply(self._stm, num, gen, data)
+
+    def decrypt_string(self, num: int, gen: int, data: bytes) -> bytes:
+        return self._apply(self._str, num, gen, data)

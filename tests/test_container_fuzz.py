@@ -247,3 +247,15 @@ def test_pdf_encoded_roundtrip_property(pages, base, flate):
     identical."""
     data = P.encode_pdf_encoded(pages, base=base, flate=flate)
     assert P.parse_pdf(data) == pages
+
+
+@settings(max_examples=15, deadline=None)
+@given(pages=st.lists(_TEXT, min_size=1, max_size=4),
+       mode=st.sampled_from(["rc4-40", "rc4-128", "aes-128"]),
+       flate=st.booleans())
+def test_pdf_encrypted_roundtrip_property(pages, mode, flate):
+    """Standard-security-handler files round-trip arbitrary unicode:
+    key derivation, per-object keys, and (for AES) CBC+PKCS#7 are
+    deterministic and invertible for every payload."""
+    data = P.encode_pdf(pages, flate=flate, encrypt=mode)
+    assert P.parse_pdf(data) == pages

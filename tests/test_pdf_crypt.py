@@ -1,0 +1,122 @@
+"""PDF standard security handler (sources/pdf_crypt.py): primitive
+correctness against published vectors (FIPS-197, the classic RC4
+vector), the §7.6.3 password algorithms, end-to-end decryption of
+RC4-40/128 and AES-128 files under an empty user password, and loud
+rejection of real passwords, AES-256, and foreign handlers."""
+
+import pytest
+
+from mycelial_spark.sources import pdf as P
+from mycelial_spark.sources import pdf_crypt as C
+
+
+def test_aes_fips197_vector():
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    rks = C._expand_key(key)
+    ct = C.aes_encrypt_block(rks, pt)
+    assert ct == bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    assert C.aes_decrypt_block(rks, ct) == pt
+
+
+def test_aes_cbc_roundtrip_and_padding():
+    key, iv = b"0123456789abcdef", b"\x07" * 16
+    for n in (0, 1, 15, 16, 17, 31, 32, 100):
+        data = bytes(range(256))[:n]
+        enc = C.aes_cbc_encrypt(key, iv, data)
+        assert len(enc) % 16 == 0 and len(enc) > len(data) - 16
+        assert C.aes_cbc_decrypt(key, iv, enc) == data
+    with pytest.raises(ValueError, match="block-aligned"):
+        C.aes_cbc_decrypt(key, iv, b"short")
+    # corrupt padding fails loudly, never silently truncates
+    enc = bytearray(C.aes_cbc_encrypt(key, iv, b"hello"))
+    enc[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="padding"):
+        C.aes_cbc_decrypt(key, iv, bytes(enc))
+
+
+def test_rc4_vector():
+    assert C.rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert C.rc4(b"k", C.rc4(b"k", b"symmetric")) == b"symmetric"
+
+
+def test_password_algorithms_self_consistent():
+    id0 = b"\x11" * 16
+    for r, nbytes in ((2, 5), (3, 16), (4, 16)):
+        o = C.compute_o(b"owner", b"", r, nbytes)
+        fkey = C.file_key(b"", o, -3904, id0, r, nbytes)
+        u = C.compute_u(fkey, id0, r)
+        assert C.verify_user_password(fkey, u, id0, r)
+        # a non-empty user password produces a different /U
+        fkey2 = C.file_key(b"secret", o, -3904, id0, r, nbytes)
+        assert not C.verify_user_password(fkey, C.compute_u(
+            fkey2, id0, r), id0, r)
+    # object keys differ per object and per cipher
+    fkey = b"\x01" * 16
+    assert C.object_key(fkey, 5, 0, False) != \
+        C.object_key(fkey, 6, 0, False)
+    assert C.object_key(fkey, 5, 0, False) != \
+        C.object_key(fkey, 5, 0, True)
+    assert len(C.object_key(b"\x02" * 5, 5, 0, False)) == 10  # 40-bit
+
+
+TEXTS = ["doc:0\nhello world\twith tab",
+         "doc:1\nünïcode 中文 🎉 mixed",
+         "",
+         "doc:3\nline1\n\nline3 trailing\n"]
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+@pytest.mark.parametrize("flate", [True, False])
+def test_encrypted_roundtrip(mode, flate):
+    data = P.encode_pdf(TEXTS, flate=flate, encrypt=mode)
+    assert P.parse_pdf(data) == TEXTS
+    # ciphertext: the plaintext must be unfindable even uncompressed
+    assert b"hello world" not in data
+    assert P.encode_pdf(TEXTS, flate=flate, encrypt=mode) == data
+
+
+def test_real_user_password_rejected():
+    """A /U computed from a non-empty user password must fail at OPEN
+    (every downstream byte would be noise)."""
+    data = P.encode_pdf(TEXTS, encrypt="rc4-128")
+    at = data.find(b"/U <") + 4
+    bad = data[:at] + (b"0" if data[at:at + 1] != b"0" else b"1") \
+        + data[at + 1:]
+    with pytest.raises(ValueError, match="non-empty user password"):
+        P.parse_pdf(bad)
+
+
+def test_v5_and_foreign_handlers_rejected():
+    data = P.encode_pdf(TEXTS, encrypt="rc4-128")
+    v5 = data.replace(b"/Filter /Standard /V 2 /R 3",
+                      b"/Filter /Standard /V 5 /R 6")
+    with pytest.raises(ValueError, match="V5/R6"):
+        P.parse_pdf(v5)
+    foreign = data.replace(b"/Filter /Standard",
+                           b"/Filter /AcmeCrypt")
+    with pytest.raises(ValueError, match="security handler"):
+        P.parse_pdf(foreign)
+    a = data.find(b" /ID [")
+    b = data.find(b"]", a) + 1
+    no_id = data[:a] + data[b:]
+    with pytest.raises(ValueError, match="/ID"):
+        P.parse_pdf(no_id)
+
+
+def test_encrypted_layout_through_synth(spark):
+    from pyspark.sql import functions as F
+    docs = spark.createDataFrame(
+        [(i, t.split("\n", 1)[1] if "\n" in t else t)
+         for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    rows = (pdf_pages(synth_pdf(docs, files=3, layout="encrypted"))
+            .select(F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+                    .cast("long").alias("doc_id"),
+                    F.expr("substring(text, instr(text, '\\n') + 1)")
+                    .alias("body"))
+            .collect())
+    got = {r["doc_id"]: r["body"] for r in rows}
+    want = {i: (t.split("\n", 1)[1] if "\n" in t else t)
+            for i, t in enumerate(TEXTS)}
+    assert got == want

@@ -51,7 +51,7 @@ def probe_fonts(spark, factors=(1, 4)):
     for factor in factors:
         from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
         docs = _dup_docs(spark, factor).localCheckpoint()
-        for layout in ("classic", "encoded"):
+        for layout in ("classic", "encoded", "encrypted"):
             t0 = time.time()
             out_rows = _force(pdf_pages(
                 synth_pdf(docs, files=8 * factor, layout=layout)))
