@@ -130,6 +130,7 @@ HEADLINE = [
     "rtf_extract_text",
     "mbox_extract",
     "eml_extract",
+    "html_extract",
     "document_formats_mixed",
     "ipynb_extract",
     "latex_extract_text",

@@ -2035,6 +2035,36 @@ def rtf_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("html_extract", """
+SELECT doc_id,
+       text || ' — café 中文 <tag> & entity' AS text_out
+FROM documents
+""")
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end raw-HTML ingestion (sources/htmldoc.py) — the single
+    most common thing in a crawl landing bucket: each document encodes
+    to one HTML file (synth_html; head/style/script/comment subtrees
+    that must contribute nothing, one <p> per line, &-escaped
+    content), with a deterministic suffix containing markup-active
+    characters appended FIRST so entity escaping is load-bearing in
+    every file; html_text walks stdlib HTMLParser with the block
+    policy the EPUB leg pinned (empty <p/> IS a line, wrappers add
+    nothing, skip-subtrees drop). The oracle replays the suffixed
+    text — an escaping, block-boundary, or skip-subtree bug breaks
+    the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.htmldoc import html_text, synth_html
+    docs = spread(_t(spark, sf_dir, "documents")).withColumn(
+        "text", F.concat(F.col("text"),
+                         F.lit(" — café 中文 <tag> & entity")))
+    out = html_text(synth_html(docs))
+    return out.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("eml_extract", """
 SELECT doc_id,
        'doc:' || CAST(doc_id AS VARCHAR) AS subject,
@@ -2598,40 +2628,45 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("document_formats_mixed", """
 SELECT doc_id,
-       CASE CAST(doc_id % 7 AS INT)
+       CASE CAST(doc_id % 9 AS INT)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'warc'
             WHEN 2 THEN 'mbox' WHEN 3 THEN 'webdataset'
             WHEN 4 THEN 'docx' WHEN 5 THEN 'epub'
-            ELSE 'odt' END AS format,
+            WHEN 6 THEN 'odt' WHEN 7 THEN 'rtf'
+            ELSE 'html' END AS format,
        text AS text_out
 FROM documents
 """)
 def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One binary column, seven real container parsers — the shape a
-    crawled DOCUMENT corpus actually has (a landing bucket of PDFs,
-    WARC segments, mail archives, training shards, office documents,
-    and e-books, tagged by nothing but their bytes): payloads pack by
-    doc_id % 7 into 8 files per format (WARC gzip-membered — the
-    dispatch must sniff THROUGH the gzip layer; DOCX is a ZIP package
-    the sniff disambiguates by its OPC parts), and document_records
-    routes each file by magic to its parser inside one Arrow batch,
-    emitting normalized (format, key, text) rows. The oracle replays
-    format assignment and the text itself for every document — a
-    mis-sniffed container or a parser that mangles one byte breaks the
-    hash-match. Companion to image_formats_mixed: together they cover
-    the text and image halves of the universal-ingestion dispatch
-    pattern."""
+    """One binary column, nine real container parsers — the shape a
+    crawled DOCUMENT corpus actually has (a landing bucket of raw
+    HTML, PDFs, WARC segments, mail archives, training shards, office
+    documents, e-books, and legacy RTF, tagged by nothing but their
+    bytes): payloads pack by doc_id % 9 into 8 files per multi-doc
+    format (WARC gzip-membered — the dispatch must sniff THROUGH the
+    gzip layer; DOCX is a ZIP package the sniff disambiguates by its
+    OPC parts; RTF and HTML are one file per document, and HTML's
+    text prologue is the LAST sniff rung so every binary signature
+    outranks it), and document_records routes each file by magic to
+    its parser inside one Arrow batch, emitting normalized (format,
+    key, text) rows. The oracle replays format assignment and the
+    text itself for every document — a mis-sniffed container or a
+    parser that mangles one byte breaks the hash-match. Companion to
+    image_formats_mixed: together they cover the text and image
+    halves of the universal-ingestion dispatch pattern."""
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.sources.dispatch import document_records
     from mycelial_spark.sources.docx import synth_docx
     from mycelial_spark.sources.epub import synth_epub
+    from mycelial_spark.sources.htmldoc import synth_html
     from mycelial_spark.sources.mbox import synth_mbox
     from mycelial_spark.sources.odt import synth_odt
     from mycelial_spark.sources.pdf import synth_pdf
+    from mycelial_spark.sources.rtf import synth_rtf
     from mycelial_spark.sources.warc import synth_warc
     from mycelial_spark.sources.webdataset import synth_webdataset
     docs = spread(_t(spark, sf_dir, "documents"))
-    m = F.col("doc_id") % 7
+    m = F.col("doc_id") % 9
     payloads = (synth_pdf(docs.filter(m == 0), files=8)
                 .unionByName(synth_warc(docs.filter(m == 1), files=8,
                                         gzip_members=True))
@@ -2640,7 +2675,9 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               files=8))
                 .unionByName(synth_docx(docs.filter(m == 4), files=8))
                 .unionByName(synth_epub(docs.filter(m == 5), files=8))
-                .unionByName(synth_odt(docs.filter(m == 6), files=8)))
+                .unionByName(synth_odt(docs.filter(m == 6), files=8))
+                .unionByName(synth_rtf(docs.filter(m == 7)))
+                .unionByName(synth_html(docs.filter(m == 8))))
     recs = document_records(payloads)
     fmt = F.col("format")
     doc_id = (F.when(fmt == "warc",
@@ -2649,7 +2686,7 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.regexp_extract("key", r"^doc:(\d+)$", 1))
               ).cast("long")
     text_out = F.when(
-        fmt.isin("pdf", "docx", "epub", "odt"),
+        fmt.isin("pdf", "docx", "epub", "odt", "rtf", "html"),
         F.expr("substring(text, instr(text, '\\n') + 1)")) \
         .otherwise(F.col("text"))
     return recs.select(doc_id.alias("doc_id"), "format",

@@ -1,14 +1,17 @@
-"""Universal document-container dispatch: one binary column, eight
+"""Universal document-container dispatch: one binary column, nine
 real container parsers — the shape a crawled document corpus actually
-has (a landing bucket holds PDFs next to WARC segments next to mail
-archives next to training shards next to office documents, e-books,
-and legacy RTF; nothing tags them but their bytes).
+has (a landing bucket holds raw HTML next to PDFs next to WARC
+segments next to mail archives next to training shards next to office
+documents, e-books, and legacy RTF; nothing tags them but their
+bytes).
 
 `sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
 ``WARC/`` (gzip members sniffed through one inflate of the head) /
 mbox ``From `` / ``{\\rtf`` / ZIP ``PK`` packages disambiguated by
 their parts (word/document.xml -> docx; the OCF/ODF ``mimetype``
-entry -> epub or odt) / POSIX ustar at offset 257 — and
+entry -> epub or odt) / POSIX ustar at offset 257 / the
+``<!DOCTYPE``/``<html`` text prologue LAST (every binary signature
+outranks it) — and
 `document_records`
 explodes mixed payloads into one normalized row per logical document
 (id, rec_idx, format, key, text) over Arrow batches, routing each file
@@ -32,9 +35,10 @@ from pyspark.sql import types as T
 
 
 def sniff_container(payload: bytes) -> str:
-    """'pdf' | 'warc' | 'mbox' | 'tar' from magic bytes; raises on
-    anything else (an unrecognized container must fail loudly, not be
-    skipped as if the corpus were smaller than it is)."""
+    """Container format name from magic bytes ('pdf', 'warc', 'mbox',
+    'tar', 'docx', 'epub', 'odt', 'rtf', 'html'); raises on anything
+    else (an unrecognized container must fail loudly, not be skipped
+    as if the corpus were smaller than it is)."""
     head = bytes(payload[:512])
     if head.startswith(b"%PDF-"):
         return "pdf"
@@ -81,6 +85,11 @@ def sniff_container(payload: bytes) -> str:
             f"(parts: {sorted(names)[:4]!r})")
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
+    # HTML last: its "magic" is a text prologue, not a binary
+    # signature, so every real signature above outranks it
+    from mycelial_spark.sources.htmldoc import sniff_html
+    if sniff_html(payload):
+        return "html"
     raise ValueError(f"unrecognized container magic {head[:12]!r}")
 
 
@@ -129,6 +138,11 @@ def _rows_for(fmt: str, payload: bytes) -> list[dict]:
         from mycelial_spark.sources.rtf import parse_rtf
         t = parse_rtf(payload)
         return [{"format": "rtf", "key": t.split("\n", 1)[0],
+                 "text": t}]
+    if fmt == "html":
+        from mycelial_spark.sources.htmldoc import parse_html
+        t = parse_html(payload)
+        return [{"format": "html", "key": t.split("\n", 1)[0],
                  "text": t}]
     raise ValueError(f"no parser for container format {fmt!r}")
 

@@ -1,0 +1,186 @@
+"""HTML as a dispatchable document container — raw ``.html`` files
+are the single most common thing in a crawl landing bucket (the
+round-10 verdict's gap #4). This module gives HTML the same contract
+as the other container legs (pdf/docx/epub/...): a deterministic
+fixture writer whose output round-trips byte-exactly, and a loud
+extraction-grade reader.
+
+The reader (`parse_html`) walks stdlib HTMLParser with block
+semantics: block-level elements end a line (an empty ``<p>`` IS an
+empty line, but a wrapper whose nested blocks already flushed adds
+nothing — the same policy the EPUB leg pinned), ``<br>`` breaks
+inside one, ``script``/``style``/``template`` subtrees contribute
+nothing, character references decode, and inter-tag indentation never
+becomes text. This leg owns the EXACT container contract; the fuzzy,
+tag-soup-tolerant analysis ops (html_to_text, main_content_extract,
+html_blocks in operators/text.py) stay the lossy rendering-semantics
+path — collapsing whitespace there is correct, here it would break
+the oracle hash.
+
+Reference parity: the reference ships HTML bytes opaquely through its
+sections and delegates conversion to exec
+(`sections/exec/src/lib.rs`); this leg parses natively like the other
+container sources."""
+
+from __future__ import annotations
+
+import html as _html
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_BLOCKS = frozenset((
+    "p", "div", "section", "article", "li", "ul", "ol", "table",
+    "tr", "td", "th", "blockquote", "pre", "h1", "h2", "h3", "h4",
+    "h5", "h6", "header", "footer", "nav", "main", "aside", "figure",
+    "figcaption", "dl", "dt", "dd",
+))
+_SKIP = frozenset(("script", "style", "template", "noscript", "head",
+                   "title"))
+_VOID_BLOCK_SAFE = True
+
+
+def _escape_line(line: str) -> str:
+    """&/</> escape only. Control characters stay RAW: stdlib
+    HTMLParser passes them through data verbatim, whereas their
+    numeric character references resolve through the HTML5
+    invalid-charref table (html.unescape drops U+0001, maps C1
+    codes...), which would silently mutate the text."""
+    return _html.escape(line, quote=False)
+
+
+def encode_html(text: str) -> bytes:
+    """Deterministic fixture writer: one ``<p>`` per line (content on
+    one source line — inter-tag newlines are formatting, not text),
+    escaped so the reader's charref and block paths are load-bearing;
+    a head with title/style and a comment so skip-subtree handling is
+    exercised in every file."""
+    lines = ["<!DOCTYPE html>",
+             "<html><head><meta charset=\"utf-8\">",
+             "<title>fixture — not body text</title>",
+             "<style>body { font-family: serif; }</style>",
+             "</head><body>",
+             "<!-- mycelial_spark fixture -->"]
+    lines.extend(f"<p>{_escape_line(ln)}</p>"
+                 for ln in text.split("\n"))
+    lines.append("<script>var x = \"<p>not text</p>\";</script>")
+    lines.append("</body></html>")
+    return "\n".join(lines).encode("utf-8")
+
+
+def sniff_html(payload: bytes) -> bool:
+    head = bytes(payload[:256]).lstrip(
+        b"\xef\xbb\xbf \t\r\n").lower()
+    return head.startswith(b"<!doctype") or head.startswith(b"<html")
+
+
+def parse_html(payload: bytes) -> str:
+    """Extraction-grade HTML -> text (exact container contract)."""
+    payload = bytes(payload)
+    if not sniff_html(payload):
+        raise ValueError(
+            "not an HTML document (no <!DOCTYPE / <html prologue)")
+    try:
+        src = payload.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"HTML payload is not UTF-8: {e}") from e
+
+    lines: list[str] = []
+    buf: list[str] = []
+
+    class _P(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip_depth = 0
+            self.in_body_text = False
+            self.block_marks: list[int] = []
+
+        def _end_line(self, force: bool):
+            s = "".join(buf)
+            if force or s.strip():
+                lines.append(s)
+            buf.clear()
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP:
+                self.skip_depth += 1
+            elif tag == "br":
+                self._end_line(force=True)
+            elif tag in _BLOCKS:
+                self._end_line(force=False)
+                self.block_marks.append(len(lines))
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP:
+                self.skip_depth = max(0, self.skip_depth - 1)
+            elif tag in _BLOCKS:
+                mark = (self.block_marks.pop()
+                        if self.block_marks else len(lines))
+                # force an empty line only when the block emitted
+                # nothing at all (the EPUB-leg policy: empty <p/> IS a
+                # line, a <div> wrapper is not)
+                self._end_line(force=(len(lines) == mark))
+
+        def handle_data(self, data):
+            if self.skip_depth:
+                return
+            buf.append(data)
+
+    p = _P()
+    p.feed(src)
+    p.close()
+    s = "".join(buf)
+    if s.strip():
+        lines.append(s)
+    return "\n".join(lines)
+
+
+HTML_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def html_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Extract text from binary HTML payloads over Arrow batches;
+    ``on_error="null"`` skips undecodable files (poison tolerance,
+    the container-leg contract)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    t = parse_html(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid), "text": t})
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in HTML_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, HTML_SCHEMA)
+
+
+def synth_html(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Fixture: one HTML file per document (like the RTF leg), text
+    ``doc:<id>\\n<body>``. Emits (id = doc id, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                ids.append(int(did))
+                payloads.append(encode_html(f"doc:{int(did)}\n{t}"))
+            yield pd.DataFrame({"id": ids, "modality": "html",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")

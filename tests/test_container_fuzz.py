@@ -259,3 +259,10 @@ def test_pdf_encrypted_roundtrip_property(pages, mode, flate):
     deterministic and invertible for every payload."""
     data = P.encode_pdf(pages, flate=flate, encrypt=mode)
     assert P.parse_pdf(data) == pages
+
+
+@settings(max_examples=30, deadline=None)
+@given(text=_TEXT)
+def test_html_roundtrip_property(text):
+    from mycelial_spark.sources import htmldoc as HT
+    assert HT.parse_html(HT.encode_html(text)) == text

@@ -1,0 +1,77 @@
+"""HTML container (sources/htmldoc.py): byte-exact round-trips
+through the deterministic writer, block semantics on foreign shapes,
+skip-subtree handling, loud failures, and dispatch routing — raw
+.html files are the most common thing in a crawl landing bucket."""
+
+import pytest
+
+from mycelial_spark.sources import htmldoc as H
+
+TEXTS = ["doc:0\nhello world\twith tab",
+         "doc:1\nünïcode 中文 🎉 mixed",
+         "",
+         "doc:3\nline1\n\nline3  double  spaces ",
+         "doc:5\nxml specials < > & \" ' </p> <script>",
+         "doc:6\nliteral entities &amp; &#39; stay literal"]
+
+
+def test_roundtrip():
+    for t in TEXTS:
+        data = H.encode_html(t)
+        assert data.startswith(b"<!DOCTYPE html>")
+        assert H.parse_html(data) == t
+    assert H.encode_html(TEXTS[0]) == H.encode_html(TEXTS[0])
+
+
+def test_foreign_shapes():
+    # div-wrapped blocks: no spurious blanks; empty <p/> IS a line
+    x = (b"<html><body><div><p>x</p></div><div><p>y</p></div>"
+         b"<p></p><p>z</p></body></html>")
+    assert H.parse_html(x) == "x\ny\n\nz"
+    # skip subtrees contribute nothing; br breaks a line; charrefs
+    # decode; inter-tag indentation never becomes text
+    y = (b"<!DOCTYPE html>\n<html>\n  <head><title>T</title>\n"
+         b"  <style>p{}</style></head>\n  <body>\n"
+         b"    <p>a&amp;b<br>c</p>\n"
+         b"    <script>var p = '<p>no</p>';</script>\n"
+         b"    <ul><li>one</li><li>two</li></ul>\n"
+         b"  </body>\n</html>")
+    assert H.parse_html(y) == "a&b\nc\none\ntwo"
+    # bare text outside blocks still extracts (tag soup)
+    assert H.parse_html(b"<html><body>loose</body></html>") == "loose"
+
+
+def test_rejects_damaged_and_lying():
+    with pytest.raises(ValueError, match="not an HTML"):
+        H.parse_html(b"%PDF-1.4 not html")
+    with pytest.raises(ValueError, match="not UTF-8"):
+        H.parse_html(b"<html><body>\xff\xfe broken</body></html>")
+    # BOM + leading whitespace before the prologue still sniffs
+    assert H.sniff_html(b"\xef\xbb\xbf \n<!doctype HTML>")
+    assert H.sniff_html(b"<HTML lang=en>")
+    assert not H.sniff_html(b"{\\rtf1")
+
+
+def test_html_text_distributed_and_dispatch(spark):
+    from pyspark.sql import functions as F
+    from mycelial_spark.sources.dispatch import (document_records,
+                                                 sniff_container)
+    docs = spark.createDataFrame(
+        [(7, "body seven"), (8, "body eight")],
+        "doc_id long, text string")
+    files = H.synth_html(docs)
+    rows = {r["id"]: r["text"]
+            for r in H.html_text(files).collect()}
+    assert rows == {7: "doc:7\nbody seven", 8: "doc:8\nbody eight"}
+    # dispatch routes raw html by its text prologue
+    assert sniff_container(H.encode_html("x")) == "html"
+    recs = document_records(files).orderBy("id").collect()
+    assert [r["format"] for r in recs] == ["html", "html"]
+    assert recs[0]["key"] == "doc:7"
+    assert recs[0]["text"] == "doc:7\nbody seven"
+    # poison tolerance
+    bad = files.withColumn(
+        "payload", F.lit(b"<html><body>\xff</body></html>"))
+    assert H.html_text(bad, on_error="null").count() == 0
+    with pytest.raises(Exception):
+        H.html_text(bad).count()
