@@ -89,27 +89,45 @@ def csv_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 
 @_register("binary_source", "source", "none", "bin",
            [Field("path"), Field("pattern", default=""),
-            Field("max_files_per_trigger", "int", 0)],
+            Field("max_files_per_trigger", "int", 0),
+            Field("max_shard_bytes", "int", 0)],
            doc="Whole-file byte streams as binary columns "
-               "(file source, sections/file/src/source.rs:22-158).")
+               "(file source, sections/file/src/source.rs:22-158). "
+               "max_shard_bytes > 0 applies ingest shard policy: files "
+               "bin-pack into tasks by cumulative size at file "
+               "boundaries (sources/shard.py — a single larger file "
+               "cannot be split and runs alone; the r10 probe's "
+               "file-size-skew verdict).")
 def binary_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     reader = spark.read.format("binaryFile")
     if cfg["pattern"]:
         reader = reader.option("pathGlobFilter", cfg["pattern"])
-    return reader.load(cfg["path"])
+    df = reader.load(cfg["path"])
+    if cfg["max_shard_bytes"]:
+        from mycelial_spark.sources.shard import split_oversized
+        df = split_oversized(df, cfg["max_shard_bytes"],
+                             id_col="path", payload_col="content")
+    return df
 
 
 @_register("dir_source", "source", "none", "bin_or_dataframe",
            [Field("path"), Field("pattern", default=""),
             Field("start_after", default=""), Field("stream_binary", "bool", False),
-            Field("poll_interval_millis", "int", 1000)],
+            Field("poll_interval_millis", "int", 1000),
+            Field("max_shard_bytes", "int", 0)],
            doc="Directory walk with regex pattern + lexicographic start_after "
                "cursor (sections/dir/src/source.rs:30-312). stream_binary=False "
                "emits {path} rows; True emits file bytes. Streaming mode polls "
-               "the listing and advances the cursor on ack (watch.py DirWatch).")
+               "the listing and advances the cursor on ack (watch.py DirWatch). "
+               "max_shard_bytes > 0 (stream_binary only) applies the ingest "
+               "shard policy of binary_source.")
 def dir_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     if cfg["stream_binary"]:
         df = spark.read.format("binaryFile").load(cfg["path"])
+        if cfg["max_shard_bytes"]:
+            from mycelial_spark.sources.shard import split_oversized
+            df = split_oversized(df, cfg["max_shard_bytes"],
+                                 id_col="path", payload_col="content")
         path_col = F.col("path")
     else:
         # listing dataframe: {path} rows, one per file (PathDataFrame,

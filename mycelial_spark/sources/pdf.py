@@ -1663,7 +1663,8 @@ def pdf_pages(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
 def synth_pdf(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", files: int = 8,
-              layout: str = "classic") -> DataFrame:
+              layout: str = "classic",
+              max_shard_bytes: int | None = None) -> DataFrame:
     """Test-fixture adapter: documents pack into ``files`` PDFs
     (doc_id % files), one page per document whose text is
     ``doc:<id>\\n<body>`` — the id travels IN the page text (PDF has
@@ -1679,7 +1680,14 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     even file ids and MacRoman on odd, Flate on even);
     ``layout="encrypted"`` writes classic files enciphered by the
     standard security handler under an empty user password, rotating
-    RC4-40 / RC4-128 / AES-128 by file id (Flate on even ids). Emits
+    RC4-40 / RC4-128 / AES-128 by file id (Flate on even ids).
+    ``max_shard_bytes`` is WRITE-side shard policy (the r10 probe's
+    prescription — Common Crawl caps WARC segments the same way): a
+    packing group splits into further files at page boundaries when
+    its estimated size would exceed the cap, so no file is born
+    oversized (a single page larger than the cap still becomes one
+    file — one document cannot be split). Split files number
+    ``fid + files * chunk`` to stay unique and deterministic. Emits
     (id = file index, modality, payload)."""
     if layout not in ("classic", "xrefstream", "encoded", "encrypted"):
         raise ValueError(f"unknown layout {layout!r}")
@@ -1721,6 +1729,27 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
         for doc_id, t in sorted(docs):
             groups.setdefault(doc_id % files, []).append(
                 f"doc:{doc_id}\n{t}")
+        if max_shard_bytes is not None:
+            split: dict[int, list[str]] = {}
+            for fid, pages in groups.items():
+                chunk, filled, out_id = [], 0, fid
+                for page in pages:
+                    # upper-bound the WRITTEN size: hex pages cost 2
+                    # bytes per utf-8 byte, literal pages 1 per ASCII
+                    # char and 4 (octal escape) per non-ASCII byte
+                    utf8len = len(page.encode("utf-8"))
+                    n_ascii = sum(1 for ch in page
+                                  if " " <= ch <= "~" or ch == "\t")
+                    est = 2 * n_ascii + 4 * (utf8len - n_ascii) + 256
+                    if chunk and filled + est > max_shard_bytes:
+                        split[out_id] = chunk
+                        chunk, filled = [], 0
+                        out_id += files
+                    chunk.append(page)
+                    filled += est
+                if chunk:
+                    split[out_id] = chunk
+            groups = split
         yield pd.DataFrame(
             {"id": list(groups.keys()),
              "modality": "pdf",

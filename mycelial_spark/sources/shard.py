@@ -1,0 +1,117 @@
+"""Shard policy for binary-container corpora — the r10 scale probe's
+verdict operationalized: format skew is harmless, file-SIZE skew is
+the real dispatch cliff, and the mitigation is shard policy, not
+dispatch logic.
+
+Two halves, matching where the policy can actually act:
+
+* WRITE side (the real fix): cap container files at creation — the
+  fixture packers take ``max_shard_bytes`` (see synth_pdf) and real
+  pipelines cap their segment size the same way Common Crawl caps
+  WARCs at ~1 GB. A file that was never written oversized never
+  serializes a task.
+* READ side (`split_oversized`): bin-pack an already-landed corpus's
+  files into tasks by cumulative payload size, at FILE boundaries.
+  This bounds the "many files clumped into few tasks" shape. What it
+  CANNOT do — and no engine can — is split a single container file
+  mid-parse: half a PDF is not a PDF. A single file larger than the
+  cap gets a task of its own and remains the latency floor; the
+  function surfaces those files instead of hiding them.
+
+Scale shape: the packing decision runs on a METADATA frame (id,
+size) — payload bytes never funnel through the single-task greedy
+pass; the assignment broadcasts back and one repartitionByRange moves
+each file once."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_assignments(sizes: DataFrame,
+                      max_shard_bytes: int) -> DataFrame:
+    """Greedy first-fit bins over (key, nbytes) in key order: a bin
+    closes when the next file would push it past ``max_shard_bytes``;
+    a file larger than the cap gets a bin of its own (flagged
+    ``oversized``). Runs as ONE pandas pass over the coalesced
+    metadata frame — exact sequential packing, bytes never involved.
+    Raises on duplicate keys: a many-to-many join-back would multiply
+    payload rows silently. Returns (key, shard, oversized)."""
+    if max_shard_bytes <= 0:
+        raise ValueError(f"max_shard_bytes must be positive, got "
+                         f"{max_shard_bytes}")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parts = list(batches)
+        rows = pd.concat(parts, ignore_index=True) \
+            if parts else pd.DataFrame()
+        if len(rows) == 0:
+            yield pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                "shard": pd.Series(dtype="int64"),
+                                "oversized": pd.Series(dtype="bool")})
+            return
+        if rows["key"].duplicated().any():
+            raise ValueError(
+                "split_oversized: duplicate (id, payload) fingerprints"
+                " — identical rows cannot be bin-packed by join-back; "
+                "dedupe or disambiguate ids first")
+        rows = rows.sort_values("key")
+        shard, filled = 0, 0
+        shards, oversized = [], []
+        for nbytes in rows["nbytes"]:
+            n = int(nbytes)
+            if n > max_shard_bytes:
+                # cannot split one container file mid-parse: it gets
+                # its own task and is the honest latency floor
+                if filled:
+                    shard += 1
+                shards.append(shard)
+                oversized.append(True)
+                shard += 1
+                filled = 0
+                continue
+            if filled and filled + n > max_shard_bytes:
+                shard += 1
+                filled = 0
+            shards.append(shard)
+            oversized.append(False)
+            filled += n
+        yield pd.DataFrame({"key": rows["key"].astype("int64"),
+                            "shard": shards,
+                            "oversized": oversized})
+
+    return (sizes.select(F.col("key").cast("long"),
+                         F.col("nbytes").cast("long"))
+            .coalesce(1)
+            .mapInPandas(pack, "key long, shard long, oversized boolean"))
+
+
+def split_oversized(df: DataFrame, max_shard_bytes: int,
+                    id_col: str = "id",
+                    payload_col: str = "payload") -> DataFrame:
+    """Repartition a binary-payload frame so no task holds more than
+    ``max_shard_bytes`` of payload where file boundaries allow it:
+    greedy size bins on the metadata, broadcast the assignment back,
+    one range repartition so each bin is one task. Files larger than
+    the cap land alone (see module docstring — they cannot be split).
+    Rows are keyed by xxhash64(id, payload) — ids need not be unique
+    (a mixed corpus reuses them per format), but fully identical rows
+    are rejected rather than silently multiplied by the join."""
+    key = F.xxhash64(F.col(id_col), F.col(payload_col))
+    sizes = df.select(key.alias("key"),
+                      F.length(payload_col).alias("nbytes"))
+    plan = shard_assignments(sizes, max_shard_bytes).localCheckpoint()
+    nbins = plan.agg(F.max("shard")).collect()[0][0]
+    if nbins is None:
+        return df
+    nbins = int(nbins) + 1
+    assigned = df.join(F.broadcast(plan), key == F.col("key"), "left")
+    return (assigned
+            .withColumn("_shard", F.coalesce("shard", F.lit(0)))
+            .drop("key", "shard", "oversized")
+            .repartitionByRange(nbins, "_shard"))

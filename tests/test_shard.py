@@ -1,0 +1,106 @@
+"""Shard policy (sources/shard.py + synth max_shard_bytes): greedy
+size-binning correctness, duplicate-row rejection, partition-level cap
+enforcement, and the write-side file cap — the r10 probe's 'file-size
+skew is the real cliff; fix is shard policy' verdict, shipped."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mycelial_spark.sources import shard as S
+
+
+def test_greedy_bins_and_oversized(spark):
+    sizes = spark.createDataFrame(
+        [(1, 400), (2, 500), (3, 200), (4, 1500), (5, 100), (6, 950)],
+        "key long, nbytes long")
+    rows = {r["key"]: (r["shard"], r["oversized"])
+            for r in S.shard_assignments(sizes, 1000).collect()}
+    # key order: 400+500 fill bin 0; 200 starts bin 1; 1500 is
+    # oversized alone in bin 2; 100 starts bin 3; 950 overflows -> 4
+    assert rows == {1: (0, False), 2: (0, False), 3: (1, False),
+                    4: (2, True), 5: (3, False), 6: (4, False)}
+    with pytest.raises(Exception, match="positive"):
+        S.shard_assignments(sizes, 0)
+
+
+def test_duplicate_rows_rejected(spark):
+    df = spark.createDataFrame(
+        [(7, bytearray(b"same")), (7, bytearray(b"same"))],
+        "id long, payload binary")
+    with pytest.raises(Exception, match="duplicate"):
+        S.split_oversized(df, 100).count()
+
+
+def test_split_respects_cap_and_duplicate_ids(spark):
+    # ids collide across "formats" (the mixed-corpus shape): keying by
+    # xxhash64(id, payload) must neither drop nor multiply rows
+    rows = [(i % 4, bytearray(bytes([65 + i]) * (300 + i)))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    out = S.split_oversized(df, 1000)
+    assert out.count() == 12
+    got = sorted((r["id"], bytes(r["payload"])[:1])
+                 for r in out.collect())
+    want = sorted((i, bytes(p)[:1]) for i, p in rows)
+    assert got == want
+    # no partition holds more than the cap (no payload is oversized
+    # here, so the bound is strict)
+    per_part = (out.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.sum(F.length("payload")).alias("n"))
+                .collect())
+    assert all(r["n"] <= 1000 for r in per_part)
+    # an oversized file lands alone
+    big = spark.createDataFrame(
+        [(1, bytearray(b"x" * 5000)), (2, bytearray(b"y" * 100)),
+         (3, bytearray(b"z" * 100))],
+        "id long, payload binary")
+    parts = (S.split_oversized(big, 1000)
+             .groupBy(F.spark_partition_id().alias("p"))
+             .agg(F.count("*").alias("c"),
+                  F.max(F.length("payload")).alias("m"))
+             .collect())
+    solo = [r for r in parts if r["m"] == 5000]
+    assert solo and all(r["c"] == 1 for r in solo)
+
+
+def test_synth_pdf_write_side_cap(spark):
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = spark.createDataFrame(
+        [(i, "word " * 400) for i in range(40)],
+        "doc_id long, text string")
+    uncapped = synth_pdf(docs, files=2).collect()
+    capped = synth_pdf(docs, files=2, max_shard_bytes=16_000).collect()
+    assert len(capped) > len(uncapped)                # files multiplied
+    assert len(set(r["id"] for r in capped)) == len(capped)  # unique
+    assert max(len(r["payload"]) for r in capped) < \
+        max(len(r["payload"]) for r in uncapped)
+    # the corpus itself is untouched: every doc still extracts once
+    got = (pdf_pages(synth_pdf(docs, files=2,
+                               max_shard_bytes=16_000))
+           .select(F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+                   .cast("long").alias("doc_id")).collect())
+    assert sorted(r["doc_id"] for r in got) == list(range(40))
+
+
+def test_binary_source_max_shard_bytes_option(spark, tmp_path):
+    """The ingest option on the binary/dir sources: files bin-pack
+    into tasks by cumulative size; the row set is unchanged."""
+    from mycelial_spark.plans.sections import REGISTRY
+    d = tmp_path / "blobs"
+    d.mkdir()
+    for i in range(6):
+        (d / f"f{i}.bin").write_bytes(bytes([65 + i]) * (400 * (i + 1)))
+    sdef = REGISTRY.get("binary_source")
+    cfg = {"path": str(d), "pattern": "", "max_files_per_trigger": 0,
+           "max_shard_bytes": 1000}
+    out = sdef.builder(spark, cfg)
+    rows = out.select("path", F.length("content").alias("n")).collect()
+    assert len(rows) == 6
+    per_part = (out.groupBy(F.spark_partition_id().alias("p"))
+                .agg(F.sum(F.length("content")).alias("n"),
+                     F.count("*").alias("c"))
+                .collect())
+    # oversized files (>1000 B) sit alone; small ones pack under cap
+    for r in per_part:
+        assert r["n"] <= 1000 or r["c"] == 1

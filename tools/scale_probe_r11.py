@@ -61,9 +61,13 @@ def probe_fonts(spark, factors=(1, 4)):
                   flush=True)
 
 
-def probe_shard(spark, factor: int = 4):
-    """Fat-file corpus (the r10 cliff: 4 giant pdf files serialize on
-    4 tasks) measured raw vs split by max_shard_bytes at ingest."""
+def probe_shard(spark, factor: int = 4, cap: int = 1 << 20):
+    """The r10 cliff (4 giant pdf files serialize on 4 tasks) measured
+    three ways: raw; with READ-side split_oversized (bounds file
+    CLUMPING but cannot split one container file — expect little
+    change on this corpus, which is the honest half of the story); and
+    with WRITE-side max_shard_bytes at pack time (the real fix —
+    files are never born oversized)."""
     from mycelial_spark.sources.dispatch import document_records
     from mycelial_spark.sources.mbox import synth_mbox
     from mycelial_spark.sources.pdf import synth_pdf
@@ -71,22 +75,31 @@ def probe_shard(spark, factor: int = 4):
 
     docs = _dup_docs(spark, factor).localCheckpoint()
     pdf_pred = F.col("doc_id") % 100 != 0
-    mixed = (synth_pdf(docs.filter(pdf_pred), files=4)
-             .unionByName(synth_mbox(docs.filter(~pdf_pred), files=28))
-             ).localCheckpoint()
-    sizes = [r[0] for r in
-             mixed.select(F.length("payload")).collect()]
-    print(json.dumps({"op": "shard_corpus",
-                      "files": len(sizes), "max_bytes": max(sizes),
-                      "p50_bytes": sorted(sizes)[len(sizes) // 2]}),
-          flush=True)
-    for cap in (None, 1 << 20):
-        frames = mixed if cap is None else split_oversized(
-            mixed, max_shard_bytes=cap)
+    mbox_part = synth_mbox(docs.filter(~pdf_pred), files=28)
+
+    def corpus(pdf_part):
+        mixed = pdf_part.unionByName(mbox_part).localCheckpoint()
+        sizes = [r[0] for r in
+                 mixed.select(F.length("payload")).collect()]
+        return mixed, {"files": len(sizes), "max_bytes": max(sizes),
+                       "p50_bytes": sorted(sizes)[len(sizes) // 2]}
+
+    fat, fat_stats = corpus(synth_pdf(docs.filter(pdf_pred), files=4))
+    capped, cap_stats = corpus(synth_pdf(docs.filter(pdf_pred),
+                                         files=4,
+                                         max_shard_bytes=cap))
+    scenarios = [
+        ("fat_raw", fat, fat_stats),
+        ("fat_read_side_split", split_oversized(fat, cap), fat_stats),
+        ("write_side_max_shard_bytes", capped, cap_stats),
+        ("write_plus_read_side", split_oversized(capped, cap),
+         cap_stats),
+    ]
+    for name, frames, stats in scenarios:
         t0 = time.time()
         out_rows = _force(document_records(frames))
         print(json.dumps({"op": "document_dispatch_fat_files",
-                          "max_shard_bytes": cap,
+                          "scenario": name, **stats,
                           "out_rows": out_rows,
                           "sec": round(time.time() - t0, 2)}),
               flush=True)
