@@ -2365,21 +2365,26 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("decompress_payloads", """
 SELECT doc_id,
-       CASE CAST(doc_id % 4 AS INT)
+       CASE CAST(doc_id % 5 AS INT)
             WHEN 0 THEN 'none' WHEN 1 THEN 'gzip'
-            WHEN 2 THEN 'bzip2' ELSE 'xz' END AS codec,
+            WHEN 2 THEN 'bzip2' WHEN 3 THEN 'xz'
+            ELSE 'zstd' END AS codec,
        text AS text_out
 FROM documents
 """)
 def decompress_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent payload decompression (sources/compress.py) — the
     layer under every container leg, because dumps ship compressed
-    (.bz2 Wikipedia, .gz crawl indexes, .xz archives): each document's
-    bytes compress by residue (plain / gzip with a TWO-MEMBER variant
-    every 8th doc / bzip2 / xz, all stdlib) and decompressed_payloads
-    sniffs the magic and inflates. The oracle replays the detected
-    codec label and the byte-exact text — a mis-sniff, a single-member
-    gzip reader, or a truncated inflate breaks the hash-match."""
+    (.bz2 Wikipedia, .gz crawl indexes, .xz archives, .warc.zst
+    Common Crawl): each document's bytes compress by residue (plain /
+    gzip with a TWO-MEMBER variant / bzip2 / xz / zstd — the first
+    three stdlib, zstd this repo's own RFC 8878 decoder in
+    sources/zstd.py, validated byte-exact against reference-CLI
+    frames; every 10th zstd doc leads with a SKIPPABLE frame) and
+    decompressed_payloads sniffs the magic and inflates. The oracle
+    replays the detected codec label and the byte-exact text — a
+    mis-sniff, a single-member gzip reader, or a truncated inflate
+    breaks the hash-match."""
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.sources.compress import (decompressed_payloads,
                                                  synth_compressed)

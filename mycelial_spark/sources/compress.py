@@ -1,19 +1,20 @@
 """Transparent payload decompression — the layer UNDER every
 container leg: crawl and dump distributions ship compressed
 (Wikipedia dumps are .bz2, Common Crawl indexes .gz, newer archive
-dumps .xz), and a landing bucket mixes them freely. All three codecs
-are stdlib (gzip/zlib, bz2, lzma), so this leg is pure plumbing with
-real semantics:
+dumps .xz, and ``.warc.zst`` since 2023), and a landing bucket mixes
+them freely. gzip/bzip2/xz are stdlib; zstd is this repo's own
+pure-Python RFC 8878 decoder (sources/zstd.py, validated byte-exact
+against reference-CLI frames):
 
 - `sniff_compression` classifies by magic: gzip ``1f 8b``, bzip2
-  ``BZh<level>``, xz ``fd 37 7a 58 5a 00``; zstd (``28 b5 2f fd``)
-  is RECOGNIZED but raises loudly (no stdlib codec — a silent
-  pass-through would feed compressed bytes to a text parser);
-  anything else is ``none`` (plain payload, passed through — the
-  transparent-ingest contract).
-- `decompress` handles MULTI-MEMBER gzip and multi-stream bzip2/xz
-  (concatenated members are how real dump tooling appends — stdlib
-  one-shot helpers already concatenate); truncation raises.
+  ``BZh<level>``, xz ``fd 37 7a 58 5a 00``, zstd ``28 b5 2f fd``
+  (and the zstd skippable-frame magics ``5? 2a 4d 18`` — a frame
+  concatenation may legitimately LEAD with one); anything else is
+  ``none`` (plain payload, passed through — the transparent-ingest
+  contract).
+- `decompress` handles MULTI-MEMBER gzip and multi-stream bzip2/xz/
+  zstd (concatenated members are how real dump tooling appends);
+  truncation raises.
 - `decompressed_payloads` is the Arrow-batched Spark surface:
   (id, codec, payload) out, a narrow map that slots between a
   binaryFile scan and any container/charset leg.
@@ -32,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from .zstd import zstd_decompress
+
 
 def sniff_compression(payload: bytes) -> str:
     head = bytes(payload[:6])
@@ -43,9 +46,10 @@ def sniff_compression(payload: bytes) -> str:
     if head.startswith(b"\xfd7zXZ\x00"):
         return "xz"
     if head.startswith(b"\x28\xb5\x2f\xfd"):
-        raise ValueError(
-            "zstd payload recognized but no stdlib codec exists — "
-            "refusing to pass compressed bytes through as plain")
+        return "zstd"
+    if len(head) >= 4 and head[1:4] == b"\x2a\x4d\x18" \
+            and 0x50 <= head[0] <= 0x5F:
+        return "zstd"                             # leading skippable
     return "none"
 
 
@@ -63,6 +67,8 @@ def decompress(payload: bytes) -> tuple[str, bytes]:
             return codec, bz2.decompress(payload)
         if codec == "xz":
             return codec, lzma.decompress(payload)
+        if codec == "zstd":
+            return codec, zstd_decompress(payload)
     except (OSError, EOFError, zlib.error, lzma.LZMAError,
             ValueError) as e:
         raise ValueError(f"damaged {codec} payload: {e}") from e
@@ -106,21 +112,24 @@ def decompressed_payloads(df: DataFrame,
 def synth_compressed(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Fixture: each document's UTF-8 bytes compressed by id residue —
-    plain, gzip (mtime=0 for determinism), bzip2, xz — plus a
-    TWO-MEMBER gzip every 8th doc (text split in half, each half its
-    own member) so the multi-member path is load-bearing. Emits
-    (id, payload)."""
+    plain, gzip (mtime=0 for determinism), bzip2, xz, zstd (the
+    deterministic store encoder; every 10th doc prepends a SKIPPABLE
+    frame so that path is load-bearing) — plus a TWO-MEMBER gzip every
+    8th doc (text split in half, each half its own member) so the
+    multi-member path is load-bearing. Emits (id, payload)."""
+    from .zstd import zstd_compress_store
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             ids, payloads = [], []
             for did, t in zip(b[id_col], b[text_col]):
                 did = int(did)
                 raw = str(t).encode("utf-8")
-                r = did % 4
+                r = did % 5
                 if r == 0:
                     p = raw
                 elif r == 1:
-                    if did % 8 == 1:              # two-member gzip
+                    if did % 10 == 1:             # two-member gzip
                         h = len(raw) // 2
                         p = (gzip.compress(raw[:h], mtime=0)
                              + gzip.compress(raw[h:], mtime=0))
@@ -128,8 +137,14 @@ def synth_compressed(df: DataFrame, text_col: str = "text",
                         p = gzip.compress(raw, mtime=0)
                 elif r == 2:
                     p = bz2.compress(raw)
-                else:
+                elif r == 3:
                     p = lzma.compress(raw)
+                else:
+                    p = zstd_compress_store(raw)
+                    if did % 10 == 4:             # leading skippable
+                        p = (b"\x50\x2a\x4d\x18"
+                             + (4).to_bytes(4, "little")
+                             + b"meta" + p)
                 ids.append(did)
                 payloads.append(p)
             yield pd.DataFrame({"id": ids, "payload": payloads})

@@ -34,23 +34,39 @@ def test_sniff_and_decompress_matrix():
     assert sniff_compression(b"BZhx not bzip") == "none"
 
 
-def test_rejects_truncation_and_zstd():
+def test_zstd_rung():
+    from mycelial_spark.sources.zstd import zstd_compress_store
+    raw = b"hello zstd world " * 50
+    assert sniff_compression(zstd_compress_store(raw)) == "zstd"
+    assert decompress(zstd_compress_store(raw)) == ("zstd", raw)
+    # multi-frame concatenation (how dump tooling appends)
+    assert decompress(zstd_compress_store(raw[:30])
+                      + zstd_compress_store(raw[30:])) == ("zstd", raw)
+    # a leading skippable frame still sniffs as zstd
+    skip = b"\x50\x2a\x4d\x18" + (4).to_bytes(4, "little") + b"meta"
+    assert decompress(skip + zstd_compress_store(raw)) == ("zstd", raw)
+
+
+def test_rejects_truncation():
+    from mycelial_spark.sources.zstd import zstd_compress_store
     raw = b"x" * 4000
     for enc in (lambda d: gzip.compress(d, mtime=0), bz2.compress,
-                lzma.compress):
+                lzma.compress, zstd_compress_store):
         with pytest.raises(ValueError, match="damaged"):
             decompress(enc(raw)[:-5])
-    with pytest.raises(ValueError, match="zstd"):
+    with pytest.raises(ValueError, match="damaged zstd"):
         decompress(b"\x28\xb5\x2f\xfd rest of frame")
 
 
 @settings(max_examples=25, deadline=None)
 @given(raw=st.binary(max_size=2000),
-       codec=st.sampled_from(["none", "gzip", "bzip2", "xz"]))
+       codec=st.sampled_from(["none", "gzip", "bzip2", "xz", "zstd"]))
 def test_roundtrip_property(raw, codec):
+    from mycelial_spark.sources.zstd import zstd_compress_store
     enc = {"none": lambda d: d,
            "gzip": lambda d: gzip.compress(d, mtime=0),
-           "bzip2": bz2.compress, "xz": lzma.compress}[codec]
+           "bzip2": bz2.compress, "xz": lzma.compress,
+           "zstd": zstd_compress_store}[codec]
     payload = enc(raw)
     got_codec, got = decompress(payload)
     # tiny plain payloads can't accidentally carry a magic, and the
@@ -71,7 +87,7 @@ def test_distributed_and_section(spark):
     assert len(rows) == 16
     for r in rows:
         expect = {0: "none", 1: "gzip", 2: "bzip2",
-                  3: "xz"}[r["id"] % 4]
+                  3: "xz", 4: "zstd"}[r["id"] % 5]
         assert r["codec"] == expect
         assert bytes(r["payload"]).decode() == \
             f"text {r['id']} " * (r["id"] + 1)
