@@ -115,6 +115,7 @@ HEADLINE = [
     "audio_dedup_pairs",
     "video_dedup_pairs",
     "warc_extract_text",
+    "warc_zst_extract",
     "webdataset_extract",
     "pdf_extract_text",
     "pdf_extract_text_xrefstream",

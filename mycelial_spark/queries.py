@@ -1757,6 +1757,56 @@ def webdataset_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("parts", "cls").cast("string").alias("label"))
 
 
+@query("warc_zst_extract", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       'zstd' AS codec,
+       'warc' AS format,
+       text AS text_out
+FROM documents
+""")
+def warc_zst_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``.warc.zst`` ingestion chain — exactly how Common Crawl
+    has shipped since 2023: documents pack into 8 WARC files
+    (synth_warc), each file zstd-compresses (the deterministic store
+    encoder from sources/zstd.py — any zstd tool reads it), then the
+    TWO transparent layers unwind in sequence: decompressed_payloads
+    sniffs the 28b52ffd magic and runs the pure-Python RFC 8878
+    decoder, and document_records sniffs the inflated bytes as WARC
+    and explodes response records. The oracle replays the codec label,
+    the container format, and the byte-exact text — a bug in either
+    layer, or in their composition, breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.compress import decompressed_payloads
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.warc import synth_warc
+    from mycelial_spark.sources.zstd import zstd_compress_store
+
+    def zst(batches):
+        import pandas as _pd
+        for b in batches:
+            yield _pd.DataFrame(
+                {"id": b["id"],
+                 "payload": [zstd_compress_store(bytes(p))
+                             for p in b["payload"]]})
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    files = (synth_warc(docs, files=8).select("id", "payload")
+             .mapInPandas(zst, "id long, payload binary"))
+    plain = decompressed_payloads(files)
+    recs = document_records(plain.select("id", "payload"))
+    codecs = plain.select(F.col("id").alias("cid"), "codec")
+    return (recs.join(F.broadcast(codecs),
+                      recs["id"] == F.col("cid"))
+            .select(
+                F.regexp_extract("key", r"/doc/(\d+)$", 1)
+                .cast("long").alias("doc_id"),
+                F.col("id").alias("file_id"),
+                "codec",
+                "format",
+                F.col("text").alias("text_out")))
+
+
 @query("pdf_extract_text", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,
