@@ -318,13 +318,37 @@ def main() -> None:
     print(budget_line(out), flush=True)
 
 
+# Queries whose wall clock is dominated by exchange write/read rather
+# than scan or codegen arithmetic — the class the r9/r10 drift episodes
+# lived in. Their round-over-round ratio normalizes by the SHUFFLE
+# calibration probe; everything else by the jvm probe (the r10 verdict:
+# "calibration probes applied per-query-class, not just reported").
+SHUFFLE_CLASS = frozenset((
+    "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "dedup_simhash_pairs_fast", "dedup_clusters",
+    "dedup_embedding_pairs_lsh", "jaccard_join_prefix",
+    "containment_pairs", "jaccard_join_cross", "paragraph_dedup",
+    "span_dedup", "span_decontaminate", "cross_doc_repetition",
+    "fuzzy_link_pairs", "image_dedup_pairs", "image_dedup_pairs_png",
+    "audio_dedup_pairs", "video_dedup_pairs", "url_dedup",
+    "semantic_decontaminate", "skew_salted_join", "knn_join",
+    "triangle_count", "frequent_pairs", "k_core_trade",
+    "graph_communities", "graph_random_walks", "k_hop_distances",
+    "pagerank_trade_graph", "pagerank_weighted_trade",
+))
+
+
 def _vs_prev(out: dict, full_path: str) -> dict | None:
     """Common-set ratio vs the previous recorded bench_full.json: the
     artifact defends itself against environment drift. ``ratio`` is
     raw wall-clock (sum over queries present in both runs); ``ratio_cal``
     divides each run's sum by its own jvm-calibration time, so a uniformly
     slower sandbox cancels out and a surviving ratio >> 1 means the CODE
-    regressed (the r6->r7 ambiguity this exists to remove)."""
+    regressed (the r6->r7 ambiguity this exists to remove).
+    ``ratio_cal_shuffle`` applies the same defense per query CLASS: the
+    shuffle-heavy set normalizes by the shuffle probe (exchange-path
+    machine drift moved those queries 20-30% in r9/r10 while the jvm
+    probe held flat — jvm normalization can't see it)."""
     try:
         with open(full_path) as fh:
             prev = json.load(fh)
@@ -346,6 +370,16 @@ def _vs_prev(out: dict, full_path: str) -> dict | None:
     cur_cal = out["calibration"]["jvm_range_sum_sec"]
     if prev_cal and cur_cal:
         res["ratio_cal"] = round((cur_s / cur_cal) / (prv_s / prev_cal), 3)
+    prev_sh = (prev.get("calibration") or {}).get("shuffle_groupby_sec")
+    cur_sh = out["calibration"].get("shuffle_groupby_sec")
+    sh_common = [k for k in common if k in SHUFFLE_CLASS]
+    if prev_sh and cur_sh and sh_common:
+        cur_ss = sum(out["queries"][k] for k in sh_common)
+        prv_ss = sum(prev["queries"][k] for k in sh_common)
+        if prv_ss > 0:
+            res["shuffle_n"] = len(sh_common)
+            res["ratio_cal_shuffle"] = round(
+                (cur_ss / cur_sh) / (prv_ss / prev_sh), 3)
     return res
 
 
