@@ -4,8 +4,8 @@ and zstd dominates modern shard formats, but this sandbox has no
 ``zstandard`` module and stdlib < 3.14 lacks one. The decoder below
 implements the full single-threaded frame format from the public RFC:
 
-* frames (header descriptor, window, content size, checksum skip,
-  skippable frames, multi-frame concatenation),
+* frames (header descriptor, window, content size, XXH64 content
+  checksums VERIFIED, skippable frames, multi-frame concatenation),
 * blocks (raw / RLE / compressed),
 * literals (raw / RLE / Huffman-compressed / treeless-repeat, 1- and
   4-stream, direct and FSE-compressed weight tables),
@@ -39,6 +39,66 @@ _MAX_WINDOW = 1 << 27              # 128 MiB, well past CLI defaults
 
 class ZstdError(ValueError):
     pass
+
+
+# ------------------------------------------------------------ XXH64
+# (public XXH64 algorithm — zstd's content checksum is its low 32 bits)
+
+_P1, _P2, _P3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+_P4, _P5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    return (_rotl((acc + lane * _P2) & _M64, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    at = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while at + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[at:at + 8],
+                                               "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[at + 8:at + 16],
+                                               "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[at + 16:at + 24],
+                                               "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[at + 24:at + 32],
+                                               "little"))
+            at += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _xxh_round(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while at + 8 <= n:
+        h = ((_rotl(h ^ _xxh_round(0, int.from_bytes(
+            data[at:at + 8], "little")), 27) * _P1) + _P4) & _M64
+        at += 8
+    if at + 4 <= n:
+        h = ((_rotl(h ^ (int.from_bytes(data[at:at + 4], "little")
+                         * _P1) & _M64, 23) * _P2) + _P3) & _M64
+        at += 4
+    while at < n:
+        h = (_rotl(h ^ (data[at] * _P5) & _M64, 11) * _P1) & _M64
+        at += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
 
 
 # ---------------------------------------------------- bit streams
@@ -645,7 +705,13 @@ def _decode_frame(data: bytes, at: int, out: bytearray) -> int:
     if checksum:
         if at + 4 > len(data):
             raise ZstdError("truncated content checksum")
-        at += 4                                    # xxh64 low bits: skip
+        want = int.from_bytes(data[at:at + 4], "little")
+        got = xxh64(bytes(out[start_len:])) & 0xFFFFFFFF
+        if want != got:
+            raise ZstdError(
+                f"content checksum mismatch: frame says {want:#010x}, "
+                f"decoded bytes hash to {got:#010x}")
+        at += 4
     return at
 
 

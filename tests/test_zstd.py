@@ -117,9 +117,23 @@ def test_dictionary_frames_fail_loudly():
 
 @needs_cli
 def test_checksum_frames_accepted():
-    # CLI default appends an xxh64 checksum; the decoder skips it but
-    # must still account for its bytes (a trailing-garbage check
-    # would otherwise fire)
+    # CLI default appends an xxh64 checksum; the decoder VERIFIES it
+    # (the in-repo xxh64 agreeing with the reference CLI's on every
+    # checksummed case in this file is the xxh64 conformance test)
     data = b"checksummed " * 1000
     comp = _cli_compress(data, "-3")             # checksum on
     assert zstd_decompress(comp) == data
+
+
+def test_xxh64_vector_and_checksum_verification():
+    from mycelial_spark.sources.zstd import xxh64
+    assert xxh64(b"") == 0xEF46DB3751D8E999       # published vector
+    assert xxh64(b"") != xxh64(b"\x00")
+
+
+@needs_cli
+def test_corrupted_checksum_detected():
+    comp = bytearray(_cli_compress(b"x" * 1000, "-3"))
+    comp[-1] ^= 0xFF
+    with pytest.raises(ZstdError, match="checksum mismatch"):
+        zstd_decompress(bytes(comp))
