@@ -108,6 +108,54 @@ _ENCRYPT_MODES = {
 }
 
 
+def _make_encrypt_ctx(pages: list[str], encrypt: str,
+                      owner_password: bytes):
+    """Writer-side standard-security-handler context: /O from the
+    (non-empty) owner password, the file key for the EMPTY user
+    password, /U from it, a deterministic /ID derived from the page
+    text. Shared by every layout writer."""
+    if encrypt not in _ENCRYPT_MODES:
+        raise ValueError(f"unknown encrypt mode {encrypt!r}")
+    v, r, bits, aes = _ENCRYPT_MODES[encrypt]
+    nbytes = bits // 8
+    id0 = hashlib.md5(
+        b"mycelial_spark:" + "\x00".join(pages).encode()).digest()
+    p_flags = -3904                               # typical permissions
+    o_entry = pdf_crypt.compute_o(owner_password, b"", r, nbytes)
+    fkey = pdf_crypt.file_key(b"", o_entry, p_flags, id0, r, nbytes)
+    u_entry = pdf_crypt.compute_u(fkey, id0, r)
+    if r == 2:
+        u_entry = u_entry[:32]
+    return (v, r, bits, aes, id0, p_flags, o_entry,
+            u_entry.ljust(32, b"\x00")[:32], fkey)
+
+
+def _encrypt_stream_bytes(enc_ctx, num: int, data: bytes) -> bytes:
+    if enc_ctx is None:
+        return data
+    _, _, _, aes, id0, _, _, _, fkey = enc_ctx
+    key = pdf_crypt.object_key(fkey, num, 0, aes)
+    if not aes:
+        return pdf_crypt.rc4(key, data)
+    iv = hashlib.md5(b"iv:%d:" % num + id0).digest()[:16]
+    return iv + pdf_crypt.aes_cbc_encrypt(key, iv, data)
+
+
+def _encrypt_dict_body(enc_ctx) -> bytes:
+    v, r, bits, aes, id0, p_flags, o_entry, u_entry, _ = enc_ctx
+    cf = (" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+          "/StmF /StdCF /StrF /StdCF" if aes else "")
+    return (f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+            f"/P {p_flags} /O <{o_entry.hex()}> /U <{u_entry.hex()}>"
+            f"{cf} >>").encode()
+
+
+def _encrypt_trailer_extra(enc_ctx, objnum: int) -> str:
+    id0 = enc_ctx[4]
+    return (f" /Encrypt {objnum} 0 R "
+            f"/ID [<{id0.hex()}> <{id0.hex()}>]")
+
+
 def encode_pdf(pages: list[str], flate: bool = True,
                string_mode: str = "alt",
                filters: list[str] | None = None,
@@ -134,33 +182,8 @@ def encode_pdf(pages: list[str], flate: bool = True,
         for f in filters:
             if f not in _FILTER_ENCODERS:
                 raise ValueError(f"no encoder for filter {f!r}")
-    enc_ctx = None
-    if encrypt is not None:
-        if encrypt not in _ENCRYPT_MODES:
-            raise ValueError(f"unknown encrypt mode {encrypt!r}")
-        v, r, bits, aes = _ENCRYPT_MODES[encrypt]
-        nbytes = bits // 8
-        id0 = hashlib.md5(
-            b"mycelial_spark:" + "\x00".join(pages).encode()).digest()
-        p_flags = -3904                           # typical permissions
-        o_entry = pdf_crypt.compute_o(owner_password, b"", r, nbytes)
-        fkey = pdf_crypt.file_key(b"", o_entry, p_flags, id0, r, nbytes)
-        u_entry = pdf_crypt.compute_u(fkey, id0, r)
-        if r == 2:
-            u_entry = u_entry[:32]
-        enc_ctx = (v, r, bits, aes, id0, p_flags, o_entry,
-                   u_entry.ljust(32, b"\x00")[:32], fkey)
-
-    def enc_stream(num: int, data: bytes) -> bytes:
-        if enc_ctx is None:
-            return data
-        _, _, _, aes, id0, _, _, _, fkey = enc_ctx
-        key = pdf_crypt.object_key(fkey, num, 0, aes)
-        if not aes:
-            return pdf_crypt.rc4(key, data)
-        iv = hashlib.md5(b"iv:%d:" % num + id0).digest()[:16]
-        return iv + pdf_crypt.aes_cbc_encrypt(key, iv, data)
-
+    enc_ctx = (None if encrypt is None
+               else _make_encrypt_ctx(pages, encrypt, owner_password))
     n = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
     # 4+2i page dict, 5+2i content stream
@@ -189,20 +212,14 @@ def encode_pdf(pages: list[str], flate: bool = True,
             filt_entry = " /Filter /FlateDecode"
         else:
             filt_entry = ""
-        data = enc_stream(5 + 2 * i, data)     # after filters (§7.6.2)
+        # encryption runs after filters (§7.6.2)
+        data = _encrypt_stream_bytes(enc_ctx, 5 + 2 * i, data)
         head = f"<< /Length {len(data)}{filt_entry} >>".encode()
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
     trailer_extra = ""
     if enc_ctx is not None:
-        v, r, bits, aes, id0, p_flags, o_entry, u_entry, _ = enc_ctx
-        cf = (" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-              "/StmF /StdCF /StrF /StdCF" if aes else "")
-        objs.append(
-            (f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
-             f"/P {p_flags} /O <{o_entry.hex()}> /U <{u_entry.hex()}>"
-             f"{cf} >>").encode())
-        trailer_extra = (f" /Encrypt {len(objs)} 0 R "
-                         f"/ID [<{id0.hex()}> <{id0.hex()}>]")
+        objs.append(_encrypt_dict_body(enc_ctx))
+        trailer_extra = _encrypt_trailer_extra(enc_ctx, len(objs))
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]                              # object 0 is the free head
     for num, body in enumerate(objs, start=1):
@@ -355,7 +372,9 @@ def _page_stream_encoded(text: str, codec: str,
 
 
 def encode_pdf_encoded(pages: list[str], base: str = "winansi",
-                       flate: bool = True) -> bytes:
+                       flate: bool = True,
+                       encrypt: str | None = None,
+                       owner_password: bytes = b"owner") -> bytes:
     """Classic-layout writer whose show-string bytes are NOT the text
     — the fixture the round-10 verdict asked for ('the gap between
     parsing the fixture and parsing arXiv'). F1 is a simple Type1 font
@@ -366,7 +385,12 @@ def encode_pdf_encoded(pages: list[str], base: str = "winansi",
     characters) carries everything the base codec cannot. /Resources
     lives on the /Pages node so page-attribute INHERITANCE is also
     load-bearing. A reader that ignores any rung extracts gibberish
-    and breaks the oracle hash."""
+    and breaks the oracle hash. ``encrypt`` composes the standard
+    security handler on top (real PDFs are routinely BOTH
+    subset-font-encoded and encrypted): content streams AND the
+    /ToUnicode CMap stream encipher with their per-object keys."""
+    enc_ctx = (None if encrypt is None
+               else _make_encrypt_ctx(pages, encrypt, owner_password))
     codec, base_name = _BASE_CODECS[base]
     f2_chars: set[str] = set()
     for text in pages:
@@ -389,10 +413,11 @@ def encode_pdf_encoded(pages: list[str], base: str = "winansi",
     kids = " ".join(f"{6 + 2 * i} 0 R" for i in range(n))
     if flate:
         cmap_z = zlib.compress(cmap, 9)
-        cmap_head = (f"<< /Length {len(cmap_z)} /Filter /FlateDecode "
-                     f">>".encode())
+        cmap_filt = " /Filter /FlateDecode"
     else:
-        cmap_z, cmap_head = cmap, f"<< /Length {len(cmap)} >>".encode()
+        cmap_z, cmap_filt = cmap, ""
+    cmap_z = _encrypt_stream_bytes(enc_ctx, 5, cmap_z)
+    cmap_head = f"<< /Length {len(cmap_z)}{cmap_filt} >>".encode()
     objs: list[bytes] = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         (f"<< /Type /Pages /Kids [{kids}] /Count {n} "
@@ -412,11 +437,16 @@ def encode_pdf_encoded(pages: list[str], base: str = "winansi",
         data = _page_stream_encoded(text, codec, char_code)
         if flate:
             data = zlib.compress(data, 9)
-            head = (f"<< /Length {len(data)} /Filter /FlateDecode >>"
-                    .encode())
+            filt = " /Filter /FlateDecode"
         else:
-            head = f"<< /Length {len(data)} >>".encode()
+            filt = ""
+        data = _encrypt_stream_bytes(enc_ctx, 7 + 2 * i, data)
+        head = f"<< /Length {len(data)}{filt} >>".encode()
         objs.append(head + b"\nstream\n" + data + b"\nendstream")
+    trailer_extra = ""
+    if enc_ctx is not None:
+        objs.append(_encrypt_dict_body(enc_ctx))
+        trailer_extra = _encrypt_trailer_extra(enc_ctx, len(objs))
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = []
     for num, body in enumerate(objs, start=1):
@@ -427,7 +457,8 @@ def encode_pdf_encoded(pages: list[str], base: str = "winansi",
     out += b"0000000000 65535 f \n"
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R"
+            f"{trailer_extra} >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
 

@@ -120,3 +120,16 @@ def test_encrypted_layout_through_synth(spark):
     want = {i: (t.split("\n", 1)[1] if "\n" in t else t)
             for i, t in enumerate(TEXTS)}
     assert got == want
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128", "aes-128"])
+def test_encrypted_composes_with_encoded_fonts(mode):
+    """Real PDFs are routinely BOTH subset-font-encoded and encrypted:
+    the /ToUnicode CMap stream and the content streams decrypt with
+    their per-object keys BEFORE the font ladder decodes the codes."""
+    texts = ["doc:0\nhello WORLD", "doc:1\nünïcode 中文 🎉", "",
+             "doc:3\n‘curly’ —dash– …"]
+    for base in ("winansi", "macroman"):
+        data = P.encode_pdf_encoded(texts, base=base, encrypt=mode)
+        assert P.parse_pdf(data) == texts
+        assert b"hello WORLD" not in data
