@@ -108,32 +108,55 @@ class _BackBits:
     per byte and the decoder starts just below a final 1-bit sentinel,
     reading DOWNWARD. ``peek`` zero-fills past the beginning (the
     standard overread tolerance during the final Huffman symbols);
-    ``consume`` tracks the true position so exhaustion is exact."""
+    ``consume`` tracks the true position so exhaustion is exact.
 
-    __slots__ = ("val", "pos")
+    Reads go through a sliding ~384-bit int window refilled from the
+    byte buffer as the position descends — materializing the whole
+    stream as one big int would make every shift O(stream bytes) and
+    the decode O(n^2) (a 128 KB literal stream never finishes)."""
+
+    __slots__ = ("data", "pos", "_win", "_lo")
+
+    _WINDOW_BYTES = 48
 
     def __init__(self, data: bytes):
         if not data or data[-1] == 0:
             raise ZstdError("corrupt backward bitstream (no sentinel)")
-        self.val = int.from_bytes(data, "little")
+        self.data = data
         self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+        self._reload(len(data) * 8)
+
+    def _reload(self, top_bits: int):
+        """Window covers at least [max(0, top-46 bytes), top): every
+        single read spans < 64 bits, far under the window."""
+        hi = min((top_bits + 7) // 8, len(self.data))
+        lo = max(0, hi - self._WINDOW_BYTES)
+        self._lo = lo * 8
+        self._win = int.from_bytes(self.data[lo:hi], "little")
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        top = self.pos
         self.pos -= n
         if self.pos < 0:
             raise ZstdError("backward bitstream exhausted")
-        return (self.val >> self.pos) & ((1 << n) - 1)
+        if self.pos < self._lo:
+            self._reload(top)
+        return (self._win >> (self.pos - self._lo)) & ((1 << n) - 1)
 
     def peek(self, n: int) -> int:
         if n == 0:
             return 0
         pos = self.pos - n
-        if pos >= 0:
-            return (self.val >> pos) & ((1 << n) - 1)
-        # zero-fill below the beginning
-        return (self.val & ((1 << max(self.pos, 0)) - 1)) << -pos
+        if pos < self._lo:
+            self._reload(max(self.pos, 1))
+            pos = self.pos - n
+        if pos >= self._lo:
+            return (self._win >> (pos - self._lo)) & ((1 << n) - 1)
+        # zero-fill below the beginning (pos < 0: _lo is 0 there)
+        avail = max(self.pos, 0)
+        return (self._win & ((1 << avail) - 1)) << -pos
 
     def consume(self, n: int):
         self.pos -= n
@@ -356,16 +379,42 @@ def _huffman_read_table(data: bytes):
 
 def _huffman_decode_stream(table, table_log: int, data: bytes,
                            out_len: int) -> bytes:
-    bits = _BackBits(data)
-    out = bytearray()
-    mask_peek = table_log
-    for _ in range(out_len):
-        sym, nb = table[bits.peek(mask_peek)]
+    """THE throughput loop for real corpora (every literal byte passes
+    here), so the _BackBits window logic is inlined: peek table_log
+    bits (zero-filled at the very end), consume the symbol's bits."""
+    if not data or data[-1] == 0:
+        raise ZstdError("corrupt backward bitstream (no sentinel)")
+    pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+    window_bytes = _BackBits._WINDOW_BYTES
+    lo, win = 0, 0
+
+    def reload(top_bits: int):
+        nonlocal lo, win
+        hi_b = min((top_bits + 7) // 8, len(data))
+        lo_b = max(0, hi_b - window_bytes)
+        lo = lo_b * 8
+        win = int.from_bytes(data[lo_b:hi_b], "little")
+
+    reload(len(data) * 8)
+    mask = (1 << table_log) - 1
+    out = bytearray(out_len)
+    tbl = table
+    for i in range(out_len):
+        p = pos - table_log
+        if p < lo:
+            reload(max(pos, 1))
+            p = pos - table_log
+        if p >= lo:
+            idx = (win >> (p - lo)) & mask
+        else:                                     # zero-fill (lo == 0)
+            avail = max(pos, 0)
+            idx = (win & ((1 << avail) - 1)) << -p
+        sym, nb = tbl[idx]
         if sym < 0:
             raise ZstdError("invalid Huffman code")
-        bits.consume(nb)
-        out.append(sym)
-    if bits.pos != 0:
+        pos -= nb
+        out[i] = sym
+    if pos != 0:
         raise ZstdError("Huffman stream not fully consumed")
     return bytes(out)
 
