@@ -103,7 +103,7 @@ def binary_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     if cfg["pattern"]:
         reader = reader.option("pathGlobFilter", cfg["pattern"])
     df = reader.load(cfg["path"])
-    if cfg["max_shard_bytes"]:
+    if cfg.get("max_shard_bytes"):
         from mycelial_spark.sources.shard import split_oversized
         df = split_oversized(df, cfg["max_shard_bytes"],
                              id_col="path", payload_col="content")
@@ -124,7 +124,7 @@ def binary_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
 def dir_source(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
     if cfg["stream_binary"]:
         df = spark.read.format("binaryFile").load(cfg["path"])
-        if cfg["max_shard_bytes"]:
+        if cfg.get("max_shard_bytes"):
             from mycelial_spark.sources.shard import split_oversized
             df = split_oversized(df, cfg["max_shard_bytes"],
                                  id_col="path", payload_col="content")
