@@ -137,6 +137,7 @@ HEADLINE = [
     "latex_extract_text",
     "robots_filter",
     "robots_sitemap_discovery",
+    "robots_crawl_delay",
     "charset_decode",
     "decompress_payloads",
     "sitemap_extract",

@@ -232,3 +232,67 @@ def robots_sitemaps(df: DataFrame, text_col: str = "robots_txt",
                       F.col(text_col).alias(text_col))
             .mapInPandas(run, "host string, sm_idx int, "
                               "sitemap_url string"))
+
+
+def parse_robots_crawl_delays(text: str) -> list[tuple[str, float]]:
+    """(agent, delay_seconds) from ``Crawl-delay`` lines, group-scoped
+    exactly like Allow/Disallow. Crawl-delay is a de-facto extension —
+    RFC 9309 does not define it, but Bing/Yandex honor it and a
+    politeness-aware fetch scheduler needs it next to the allow rules.
+    Values must parse as non-negative numbers (others are tolerated
+    and ignored, the robots-parsing posture); when one agent collects
+    several delays across groups, the MAXIMUM wins — the most polite
+    reading of conflicting directives."""
+    best: dict[str, float] = {}
+    agents: list[str] = []
+    in_group_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, value = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_group_header:
+                agents = []
+            agents.append(value.lower())
+            in_group_header = True
+            continue
+        in_group_header = False
+        if key == "crawl-delay":
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            if delay < 0 or delay != delay:       # negative / NaN
+                continue
+            for a in agents:
+                if delay > best.get(a, -1.0):
+                    best[a] = delay
+    return sorted(best.items())
+
+
+def robots_crawl_delays(df: DataFrame, text_col: str = "robots_txt",
+                        host_col: str = "host") -> DataFrame:
+    """Explode (host, robots.txt) rows into (host, agent,
+    crawl_delay) politeness rows over Arrow batches — join against a
+    fetch frontier and coalesce(specific-agent, '*') for the
+    effective per-host delay."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, text in zip(pdf[host_col], pdf[text_col]):
+                for agent, delay in parse_robots_crawl_delays(
+                        str(text)):
+                    rows.append({"host": str(host), "agent": agent,
+                                 "crawl_delay": delay})
+            yield pd.DataFrame(
+                rows, columns=["host", "agent", "crawl_delay"])
+
+    return (df.select(F.col(host_col).alias(host_col),
+                      F.col(text_col).alias(text_col))
+            .mapInPandas(run, "host string, agent string, "
+                              "crawl_delay double"))

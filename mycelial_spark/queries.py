@@ -2832,6 +2832,65 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "host", "path", "robots_allowed")
 
 
+@query("robots_crawl_delay", """
+WITH h AS (SELECT DISTINCT doc_id % 20 AS hh FROM documents)
+SELECT 'host' || CAST(hh AS VARCHAR) AS host,
+       CAST(CASE WHEN hh % 3 = 0 THEN 10 + hh
+                 WHEN hh % 4 = 1 THEN NULL
+                 ELSE 1 + (hh % 5) END AS DOUBLE) AS crawl_delay,
+       CAST(CASE WHEN hh % 3 = 0 THEN floor(60.0 / (10 + hh))
+                 WHEN hh % 4 = 1 THEN NULL
+                 ELSE floor(60.0 / (1 + (hh % 5))) END AS INT)
+         AS max_rpm
+FROM h
+""")
+def robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness budget from robots.txt ``Crawl-delay`` —
+    the de-facto extension a fetch scheduler needs next to the RFC
+    9309 allow rules: per-host robots text is synthesized with three
+    shapes (agent-specific group overriding ``*``, ``*``-only, and
+    no-delay-at-all hosts), robots_crawl_delays parses the
+    group-scoped directive, and the effective delay for our agent is
+    coalesce(specific, ``*``) with the implied max requests/minute.
+    The oracle replays the group election and the budget arithmetic —
+    a group-scoping or precedence bug breaks the hash."""
+    from mycelial_spark.operators.robots import robots_crawl_delays
+    docs = _t(spark, sf_dir, "documents")
+    hh = F.col("hh")
+    hosts = docs.select((F.col("doc_id") % 20).alias("hh")).distinct()
+    star_delay = F.when(
+        hh % 4 == 1, F.lit("")).otherwise(F.concat(
+            F.lit("Crawl-delay: "), (1 + hh % 5).cast("string"),
+            F.lit("\n")))
+    bot_group = F.when(hh % 3 == 0, F.concat(
+        F.lit("\nUser-agent: mycelialbot\nCrawl-delay: "),
+        (10 + hh).cast("string"), F.lit("\nDisallow: /y\n"))
+    ).otherwise(F.lit(""))
+    robots = hosts.select(
+        "hh",
+        F.concat(F.lit("host"), hh.cast("string")).alias("host"),
+        F.concat(F.lit("# synthetic\nUser-agent: *\n"), star_delay,
+                 F.lit("Disallow: /x\n"), bot_group)
+        .alias("robots_txt"))
+    delays = robots_crawl_delays(robots.select("host", "robots_txt"))
+    bot = (delays.filter(F.col("agent") == "mycelialbot")
+           .select(F.col("host").alias("h1"),
+                   F.col("crawl_delay").alias("d_bot")))
+    star = (delays.filter(F.col("agent") == "*")
+            .select(F.col("host").alias("h2"),
+                    F.col("crawl_delay").alias("d_star")))
+    eff = F.coalesce(F.col("d_bot"), F.col("d_star"))
+    return (robots
+            .join(F.broadcast(bot), F.col("host") == F.col("h1"),
+                  "left")
+            .join(F.broadcast(star), F.col("host") == F.col("h2"),
+                  "left")
+            .select(
+                "host",
+                eff.alias("crawl_delay"),
+                F.floor(60.0 / eff).cast("int").alias("max_rpm")))
+
+
 @query("charset_decode", """
 SELECT doc_id,
        CASE CAST(doc_id % 10 AS INT)

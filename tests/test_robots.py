@@ -220,3 +220,17 @@ def test_sitemap_directive_discovery(spark):
     sdef = REGISTRY.get("robots_sitemaps")
     cfg = sdef.validate_config({"type": "robots_sitemaps"})
     assert sdef.builder(spark, cfg, [df]).count() == 3
+
+
+def test_crawl_delay_group_scoping_and_tolerance():
+    from mycelial_spark.operators.robots import parse_robots_crawl_delays
+    t = ("User-agent: *\nCrawl-delay: 2\nDisallow: /x\n\n"
+         "User-agent: mycelialbot\nUser-agent: otherbot\n"
+         "Crawl-delay: 10.5\n\n"
+         "User-agent: mycelialbot\nCrawl-delay: 3\n"
+         "User-agent: badval\nCrawl-delay: soon\nCrawl-delay: -4\n")
+    assert parse_robots_crawl_delays(t) == [
+        ("*", 2.0), ("mycelialbot", 10.5), ("otherbot", 10.5)]
+    # no delays at all
+    assert parse_robots_crawl_delays("User-agent: *\nDisallow: /\n") \
+        == []
