@@ -139,6 +139,7 @@ HEADLINE = [
     "robots_sitemap_discovery",
     "robots_crawl_delay",
     "charset_decode",
+    "charset_declared",
     "decompress_payloads",
     "sitemap_extract",
     "recrawl_schedule",

@@ -2891,6 +2891,48 @@ def robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(60.0 / eff).cast("int").alias("max_rpm")))
 
 
+@query("charset_declared", """
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+            WHEN 2 THEN 'euc_kr' WHEN 3 THEN 'shift_jis'
+            ELSE 'windows-1252' END AS encoding,
+       CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN '<html><head><meta charset="utf-8"></head>'
+                 || '<body>' || text || '</body></html>'
+            WHEN 1 THEN '<meta http-equiv="Content-Type" content='
+                 || '"text/html; charset=ISO-8859-1">' || text
+                 || ' “quoted”'
+            WHEN 2 THEN '<html><head><meta charset="EUC-KR"></head>'
+                 || '<body>안녕 ' || CAST(doc_id AS VARCHAR)
+                 || '</body></html>'
+            WHEN 3 THEN '<?xml version="1.0" encoding="Shift_JIS"'
+                 || '?><r>テスト ' || CAST(doc_id AS VARCHAR) || '</r>'
+            ELSE '<meta charset="utf-8">' || text || ' “lies”'
+       END AS text_out
+FROM documents
+""")
+def charset_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared-charset rung of the detection ladder (WHATWG
+    order: BOM > declaration > sniffing) — crawl HTML DECLARES its
+    encoding, and honoring a validated declaration beats statistical
+    guessing: five residue classes exercise <meta charset>, the
+    http-equiv Content-Type form with the ISO-8859-1 alias (which
+    means windows-1252 in practice, the WHATWG quirk), an XML
+    encoding declaration, a hangul snippet SHORTER than the CJK
+    scorer's confidence gate (only the declaration can decode it),
+    and a LYING utf-8 declaration over cp1252 bytes that must fall
+    through to the statistical ladder. The oracle replays label and
+    byte-exact text per class."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.charset import (decoded_text,
+                                                synth_declared_html)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    out = decoded_text(synth_declared_html(docs))
+    return out.select(F.col("id").alias("doc_id"), "encoding",
+                      F.col("text").alias("text_out"))
+
+
 @query("charset_decode", """
 SELECT doc_id,
        CASE CAST(doc_id % 10 AS INT)

@@ -49,6 +49,7 @@ Any-normalization; a crawl engine has to do it from raw bytes).
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -115,6 +116,55 @@ _CJK_CODECS: list[tuple[str, str]] = [
     ("gb18030", "gb18030"),
     ("big5", "big5"),
 ]
+
+
+# Declared-charset rung (WHATWG order: BOM > declaration > sniffing).
+# Curated label -> (output label, python codec) map covering the
+# declarations crawl HTML actually carries; the WHATWG quirks are kept
+# (iso-8859-1/ascii mean windows-1252 in practice, gb2312 content is
+# decoded by its gb18030 superset). utf-16 declarations are IGNORED —
+# a byte stream that can carry an ASCII meta tag is not utf-16, and
+# WHATWG likewise refuses them.
+_DECLARED_LABELS: dict[str, tuple[str, str]] = {
+    "utf-8": ("utf-8", "utf-8"), "utf8": ("utf-8", "utf-8"),
+    "iso-8859-1": ("windows-1252", "cp1252"),
+    "latin-1": ("windows-1252", "cp1252"),
+    "latin1": ("windows-1252", "cp1252"),
+    "ascii": ("windows-1252", "cp1252"),
+    "us-ascii": ("windows-1252", "cp1252"),
+    "windows-1252": ("windows-1252", "cp1252"),
+    "cp1252": ("windows-1252", "cp1252"),
+    "shift_jis": ("shift_jis", "shift_jis"),
+    "shift-jis": ("shift_jis", "shift_jis"),
+    "sjis": ("shift_jis", "shift_jis"),
+    "x-sjis": ("shift_jis", "shift_jis"),
+    "euc-kr": ("euc_kr", "euc_kr"),
+    "euc_kr": ("euc_kr", "euc_kr"),
+    "ks_c_5601-1987": ("euc_kr", "euc_kr"),
+    "gb2312": ("gb18030", "gb18030"),
+    "gbk": ("gb18030", "gb18030"),
+    "gb18030": ("gb18030", "gb18030"),
+    "big5": ("big5", "big5"),
+    "euc-jp": ("euc_jp", "euc_jp"),
+}
+
+_DECL_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9._:-]{2,20})""", re.I)
+_XML_DECL_RE = re.compile(
+    rb"""<\?xml[^>]{0,200}?encoding\s*=\s*["']"""
+    rb"""([A-Za-z0-9._:-]{2,20})["']""", re.I)
+
+
+def _declared_codec(payload: bytes) -> tuple[str, str] | None:
+    """(output label, codec) from an HTML <meta charset>/<meta
+    http-equiv Content-Type> or XML encoding declaration in the first
+    1024 bytes; None when absent or the label is unknown."""
+    head = payload[:1024]
+    m = _XML_DECL_RE.search(head) or _DECL_RE.search(head)
+    if not m:
+        return None
+    label = m.group(1).decode("ascii", "replace").strip().lower()
+    return _DECLARED_LABELS.get(label)
 
 
 def _char_class(ch: str) -> str:
@@ -239,6 +289,19 @@ def detect_decode(payload: bytes) -> tuple[str, str]:
                 continue
     if bom_error is not None:
         raise bom_error
+    declared = _declared_codec(payload)
+    if declared is not None:
+        # WHATWG precedence: an in-document declaration outranks every
+        # statistical rung (it is exact where scoring is probabilistic
+        # — short CJK snippets below the scorer's confidence decode
+        # correctly only through it). Real pages LIE about their
+        # encoding constantly, so a declaration whose strict decode
+        # fails falls through to the ladder rather than raising.
+        enc, codec = declared
+        try:
+            return enc, payload.decode(codec)
+        except UnicodeDecodeError:
+            pass
     sniffed = _sniff_bomless_utf16(payload)
     if sniffed is not None:
         return sniffed
@@ -353,6 +416,50 @@ def synth_encoded(df: DataFrame, text_col: str = "text",
                     p = (pre + str(did) + suf).encode(enc)
                 else:
                     p = t.encode("utf-16-le")  # BOM-less
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, payload binary")
+
+
+def synth_declared_html(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Fixture for the declared-charset rung: five residue classes —
+    (0) <meta charset=utf-8> with the document text, (1) http-equiv
+    Content-Type declaring the ISO-8859-1 alias over cp1252 bytes
+    whose smart quotes are invalid UTF-8, (2) <meta charset=EUC-KR>
+    over a hangul snippet SHORTER than the statistical scorer's
+    4-CJK-char confidence gate (the declaration is load-bearing),
+    (3) an XML encoding declaration with Shift_JIS, and (4) a LYING
+    utf-8 declaration over cp1252 bytes (the fallthrough path). Emits
+    (id, payload), all deterministic."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                did, t = int(did), str(t)
+                r = did % 5
+                if r == 0:
+                    p = (f'<html><head><meta charset="utf-8">'
+                         f'</head><body>{t}</body></html>'
+                         ).encode("utf-8")
+                elif r == 1:
+                    p = (f'<meta http-equiv="Content-Type" content='
+                         f'"text/html; charset=ISO-8859-1">{t}'
+                         f' “quoted”').encode("cp1252")
+                elif r == 2:
+                    p = (f'<html><head><meta charset="EUC-KR">'
+                         f'</head><body>안녕 {did}'
+                         f'</body></html>').encode("euc_kr")
+                elif r == 3:
+                    p = (f'<?xml version="1.0" encoding="Shift_JIS"'
+                         f'?><r>テスト {did}</r>'
+                         ).encode("shift_jis")
+                else:
+                    p = (f'<meta charset="utf-8">{t}'
+                         f' “lies”').encode("cp1252")
                 ids.append(did)
                 payloads.append(p)
             yield pd.DataFrame({"id": ids, "payload": payloads})

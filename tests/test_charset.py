@@ -208,3 +208,34 @@ def test_decoded_text_distributed_and_section(spark):
     assert decoded_text(bad, on_error="null").count() == 0
     with pytest.raises(Exception):
         decoded_text(bad).count()
+
+
+def test_declared_charset_rung():
+    """WHATWG order: BOM > declaration > sniffing. Declarations are
+    exact where scoring is probabilistic; lies fall through."""
+    from mycelial_spark.sources.charset import (_declared_codec,
+                                                detect_decode)
+    # too short for the CJK scorer's 4-char confidence gate: only the
+    # declaration can decode it
+    p = ('<html><head><meta charset="EUC-KR"></head>'
+         '<body>안녕 7</body></html>').encode("euc_kr")
+    enc, text = detect_decode(p)
+    assert enc == "euc_kr" and "안녕 7" in text
+    # http-equiv form + the ISO-8859-1 alias means windows-1252
+    p2 = ('<meta http-equiv="Content-Type" content="text/html; '
+          'charset=ISO-8859-1"> café “q”').encode("cp1252")
+    assert detect_decode(p2)[0] == "windows-1252"
+    # XML encoding declaration
+    p3 = ('<?xml version="1.0" encoding="Shift_JIS"?><r>テスト 3</r>'
+          ).encode("shift_jis")
+    assert detect_decode(p3)[0] == "shift_jis"
+    # a lying declaration falls through to the statistical ladder
+    p4 = '<meta charset="utf-8"> “lies”'.encode("cp1252")
+    assert detect_decode(p4)[0] == "windows-1252"
+    # a BOM outranks the declaration
+    p5 = b"\xef\xbb\xbf" + '<meta charset="EUC-KR">x'.encode("utf-8")
+    assert detect_decode(p5)[0] == "utf-8-sig"
+    # unknown labels and utf-16 declarations are ignored
+    assert _declared_codec(b'<meta charset="klingon">') is None
+    assert _declared_codec(b'<meta charset="utf-16">') is None
+    assert _declared_codec(b"no declaration here") is None
