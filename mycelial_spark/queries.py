@@ -2935,14 +2935,15 @@ def charset_declared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("charset_decode", """
 SELECT doc_id,
-       CASE CAST(doc_id % 10 AS INT)
+       CASE CAST(doc_id % 11 AS INT)
             WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8-sig'
             WHEN 2 THEN 'utf-16-le' WHEN 3 THEN 'utf-16-be'
             WHEN 4 THEN 'windows-1252'
             WHEN 5 THEN 'shift_jis' WHEN 6 THEN 'euc_kr'
             WHEN 7 THEN 'gb18030' WHEN 8 THEN 'big5'
+            WHEN 9 THEN 'euc_jp'
             ELSE 'utf-16-le' END AS encoding,
-       CASE CAST(doc_id % 10 AS INT)
+       CASE CAST(doc_id % 11 AS INT)
             WHEN 4 THEN text || ' ' || chr(8220) || 'quoted' || chr(8221)
             WHEN 5 THEN '文書' || CAST(doc_id AS VARCHAR)
                      || '、日本語の資料です。かなと漢字を含む。'
@@ -2952,6 +2953,8 @@ SELECT doc_id,
                      || '，简体中文语料样本。'
             WHEN 8 THEN '文件' || CAST(doc_id AS VARCHAR)
                      || '，繁體中文語料樣本。'
+            WHEN 9 THEN '記事' || CAST(doc_id AS VARCHAR)
+                     || '、旧式のユニックス時代の日本語ウェブです。'
             ELSE text END AS text_out
 FROM documents
 """)

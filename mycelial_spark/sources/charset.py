@@ -1,7 +1,7 @@
 """Character-set detection and transcoding: real crawls deliver bytes,
 not strings — UTF-8 with and without BOM, UTF-16/32 of either
-endianness, the legacy CJK encodings (Shift-JIS, EUC-KR, GB18030,
-Big5) that still dominate older Asian-web archives, and a long tail of
+endianness, the legacy CJK encodings (Shift-JIS, EUC-JP,
+EUC-KR, GB18030, Big5) that still dominate older Asian-web archives, and a long tail of
 Windows-1252 that lies about being Latin-1. Every container leg
 upstream of text operators needs this step when the source stops being
 synthetic (reference parity: the reference normalizes at its SQLite/
@@ -29,7 +29,8 @@ Any-normalization; a crawl engine has to do it from raw bytes).
    land in a CJK rung or 1252; an inherent sniffing limit.)
 3. Strict UTF-8 (self-validating — random non-UTF-8 bytes form valid
    UTF-8 with negligible probability).
-4. Scored CJK rungs (shift_jis, euc_kr, gb18030, big5): every codec
+4. Scored CJK rungs (shift_jis, euc_jp, euc_kr, gb18030, big5):
+   every codec
    that strictly decodes is SCORED — fraction of CJK characters that
    are plausible (kana / hangul / CJK punctuation / frequent hanzi),
    damped by script purity (a decode mixing hangul and han heavily is
@@ -112,6 +113,7 @@ _COMMON_HAN = frozenset(
 # pinned in tests/test_charset.py::test_cjk_detection).
 _CJK_CODECS: list[tuple[str, str]] = [
     ("shift_jis", "shift_jis"),
+    ("euc_jp", "euc_jp"),
     ("euc_kr", "euc_kr"),
     ("gb18030", "gb18030"),
     ("big5", "big5"),
@@ -173,9 +175,13 @@ def _char_class(ch: str) -> str:
         return "ascii"
     if 0x3041 <= o <= 0x30FF:
         return "kana"
-    if 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF \
-            or 0x3130 <= o <= 0x318F:
+    if 0xAC00 <= o <= 0xD7A3:
         return "hangul"
+    if 0x1100 <= o <= 0x11FF or 0x3130 <= o <= 0x318F:
+        # isolated/compatibility jamo: real Korean running text is
+        # COMPOSED syllables — jamo in a candidate decode are strong
+        # misread evidence (EUC-JP kana rows land here via EUC-KR)
+        return "jamo"
     if 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF:
         return "han"
     if 0x3000 <= o <= 0x303F or 0xFF01 <= o <= 0xFF60:
@@ -201,11 +207,15 @@ def _cjk_plausibility(text: str) -> float | None:
     han = counts.get("han", 0)
     punct = counts.get("cjkpunct", 0)
     halfkana = counts.get("halfkana", 0)
-    cjk = kana + hangul + han + punct + halfkana
+    jamo = counts.get("jamo", 0)
+    # jamo count toward the CJK mass (they ARE CJK code points) but
+    # toward neither purity side nor the common set — a decode
+    # scattering letters into isolated jamo is a misread, full stop
+    cjk = kana + hangul + han + punct + halfkana + jamo
     non_ascii = sum(v for k, v in counts.items() if k != "ascii")
     if cjk < 4 or non_ascii == 0 or cjk / non_ascii < 2 / 3:
         return None
-    letters = kana + hangul + han + halfkana
+    letters = kana + hangul + han + halfkana + jamo
     purity = max(kana + han, hangul) / letters if letters else 0.0
     common = 0
     for ch in text:
@@ -377,6 +387,7 @@ def decoded_text(df: DataFrame, on_error: str = "raise") -> DataFrame:
 # encodable in a legacy CJK codec).
 CJK_TEMPLATES: dict[str, tuple[str, str]] = {
     "shift_jis": ("文書", "、日本語の資料です。かなと漢字を含む。"),
+    "euc_jp": ("記事", "、旧式のユニックス時代の日本語ウェブです。"),
     "euc_kr": ("문서 ", " 한국어 자료입니다. 한글 텍스트."),
     "gb18030": ("文档", "，简体中文语料样本。"),
     "big5": ("文件", "，繁體中文語料樣本。"),
@@ -386,11 +397,13 @@ CJK_TEMPLATES: dict[str, tuple[str, str]] = {
 def synth_encoded(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Test-fixture adapter: each document's text encodes into one of
-    TEN byte forms by id residue — plain UTF-8, UTF-8 BOM, UTF-16
+    ELEVEN byte forms by id residue — plain UTF-8, UTF-8 BOM, UTF-16
     LE/BE (with BOM), Windows-1252 (smart quotes appended so the
     bytes are INVALID UTF-8 and the ladder must fall through), the
-    four legacy CJK codecs (deterministic CJK template + the id, see
-    CJK_TEMPLATES), and BOM-less UTF-16-LE (the NUL-parity rung) —
+    FIVE legacy CJK codecs (deterministic CJK template + the id, see
+    CJK_TEMPLATES — euc_jp joined in r11 with the jamo-implausibility
+    fix that keeps its kana rows out of the EUC-KR rung), and BOM-less
+    UTF-16-LE (the NUL-parity rung) —
     deterministic, so an oracle can replay both the detected label and
     the decoded text. Emits (id, payload)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -398,7 +411,7 @@ def synth_encoded(df: DataFrame, text_col: str = "text",
             ids, payloads = [], []
             for did, t in zip(pdf[id_col], pdf[text_col]):
                 did, t = int(did), str(t)
-                r = did % 10
+                r = did % 11
                 if r == 0:
                     p = t.encode("utf-8")
                 elif r == 1:
@@ -409,9 +422,9 @@ def synth_encoded(df: DataFrame, text_col: str = "text",
                     p = b"\xfe\xff" + t.encode("utf-16-be")
                 elif r == 4:
                     p = (t + " “quoted”").encode("cp1252")
-                elif r in (5, 6, 7, 8):
+                elif r in (5, 6, 7, 8, 9):
                     enc = ("shift_jis", "euc_kr",
-                           "gb18030", "big5")[r - 5]
+                           "gb18030", "big5", "euc_jp")[r - 5]
                     pre, suf = CJK_TEMPLATES[enc]
                     p = (pre + str(did) + suf).encode(enc)
                 else:

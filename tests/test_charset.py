@@ -181,18 +181,18 @@ def test_decoded_text_distributed_and_section(spark):
         "doc_id long, text string")
     rows = decoded_text(synth_encoded(docs)).collect()
     assert len(rows) == 20
-    cjk_encs = ["shift_jis", "euc_kr", "gb18030", "big5"]
+    cjk_encs = ["shift_jis", "euc_kr", "gb18030", "big5", "euc_jp"]
     for r in rows:
-        res = r["id"] % 10
+        res = r["id"] % 11
         expect = {0: "utf-8", 1: "utf-8-sig", 2: "utf-16-le",
                   3: "utf-16-be", 4: "windows-1252",
                   5: "shift_jis", 6: "euc_kr", 7: "gb18030",
-                  8: "big5", 9: "utf-16-le"}[res]
+                  8: "big5", 9: "euc_jp", 10: "utf-16-le"}[res]
         assert r["encoding"] == expect, (res, r["encoding"])
         base = f"text {r['id']} with unicode"
         if res == 4:
             assert r["text"] == base + " “quoted”"
-        elif res in (5, 6, 7, 8):
+        elif res in (5, 6, 7, 8, 9):
             pre, suf = CJK_TEMPLATES[cjk_encs[res - 5]]
             assert r["text"] == pre + str(r["id"]) + suf
         else:
@@ -239,3 +239,22 @@ def test_declared_charset_rung():
     assert _declared_codec(b'<meta charset="klingon">') is None
     assert _declared_codec(b'<meta charset="utf-16">') is None
     assert _declared_codec(b"no declaration here") is None
+
+
+def test_euc_jp_detection_and_jamo_implausibility():
+    """EUC-JP (the old-Unix Japanese web) detects statistically; its
+    kana rows decode under EUC-KR into isolated compatibility JAMO,
+    which real Korean text never carries — the jamo class is counted
+    as misread evidence, which is what keeps EUC-JP out of the EUC-KR
+    rung."""
+    from mycelial_spark.sources.charset import detect_decode
+    for t in ("東京の天気は晴れです。明日は雨が降るかもしれません。",
+              "こんにちは、世界。", "日本語のテキストです。"):
+        enc, out = detect_decode(t.encode("euc_jp"))
+        assert enc == "euc_jp" and out == t
+    # the same text as shift_jis still lands shift_jis
+    t = "東京の天気は晴れです。電車で会社に行きます。"
+    assert detect_decode(t.encode("shift_jis"))[0] == "shift_jis"
+    # genuine Korean (composed syllables) is unaffected
+    kr = "서울의 날씨는 맑습니다. 내일은 비가 올 수도 있습니다."
+    assert detect_decode(kr.encode("euc_kr"))[0] == "euc_kr"
