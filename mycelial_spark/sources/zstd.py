@@ -19,7 +19,13 @@ fixture encoder (raw/RLE blocks — spec-valid frames any zstd tool can
 read), and — the real test — byte-exact decodes of frames produced by
 the REFERENCE ``zstd`` CLI at several levels in
 ``tests/test_zstd.py`` (Huffman, FSE, long matches, multi-block,
-checksums, every entropy path). Dictionaries (DID != 0) fail loudly.
+checksums, every entropy path, CLI-trained dictionaries).
+
+Dictionaries (RFC 8878 §5) are fully supported: structured (entropy
+tables + repeat offsets + prefix content) and raw-content blobs,
+passed explicitly or embedded in a leading 0x184D2A5D skippable
+frame — the Common Crawl ``.warc.zst`` convention. A DID frame with
+no dictionary available still fails loudly.
 
 Not a performance path at Python speed (~MB/s): the Spark-side use is
 transparent ingest of KB..MB shard payloads inside Arrow batches,
@@ -670,11 +676,73 @@ def _decode_sequences(rest: bytes, literals: bytes, out: bytearray,
     out.extend(literals[lit_at:])
 
 
+# ------------------------------------------------------ dictionary
+
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDict:
+    """Parsed zstd dictionary (RFC 8878 §5): magic + ID + entropy
+    tables (Huffman for literals, then FSE for offsets, match
+    lengths, literals lengths) + three initial repeat offsets + the
+    content that seeds the match window. A blob WITHOUT the magic is
+    a raw-content dictionary (prefix only — the other zstd
+    convention), dict_id 0."""
+
+    def __init__(self, data: bytes):
+        data = bytes(data)
+        self.seq: dict[str, tuple] = {}
+        self.huffman: tuple | None = None
+        if data[:4] == _DICT_MAGIC.to_bytes(4, "little"):
+            self.dict_id = int.from_bytes(data[4:8], "little")
+            at = 8
+            table, tlog, used = _huffman_read_table(data[at:])
+            self.huffman = (table, tlog)
+            at += used
+            for kind in ("of", "ml", "ll"):
+                fwd = _FwdBits(data[at:])
+                acc, norm = _fse_read_distribution(fwd,
+                                                   _MAX_ACC[kind])
+                if len(norm) - 1 > _MAX_SYM[kind]:
+                    raise ZstdError(
+                        f"dictionary {kind} table has symbols past "
+                        f"{_MAX_SYM[kind]}")
+                self.seq[kind] = (_fse_build(norm, acc), acc)
+                at += fwd.bytes_consumed()
+            if at + 12 > len(data):
+                raise ZstdError("dictionary missing repeat offsets")
+            self.reps = [int.from_bytes(data[at + 4 * k:at + 4 * k + 4],
+                                        "little") for k in range(3)]
+            at += 12
+            self.content = data[at:]
+            for r in self.reps:
+                if r == 0 or r > len(self.content):
+                    raise ZstdError(
+                        f"dictionary repeat offset {r} outside its "
+                        f"content")
+        else:
+            self.dict_id = 0
+            self.reps = [1, 4, 8]
+            self.content = data
+
+
+def _load_dictionary(blob: bytes) -> ZstdDict:
+    """Dictionary blob -> ZstdDict; a blob that is ITSELF a zstd
+    frame (how Common Crawl ships the embedded one) is decompressed
+    first."""
+    if bytes(blob[:4]) == _MAGIC.to_bytes(4, "little"):
+        blob = zstd_decompress(blob)
+    return ZstdDict(blob)
+
+
 # ----------------------------------------------------------- frame
 
-def _decode_frame(data: bytes, at: int, out: bytearray) -> int:
+def _decode_frame(data: bytes, at: int, out: bytearray,
+                  dictionary: ZstdDict | None = None) -> int:
     """One zstd frame starting after its magic; returns the offset
-    past the frame."""
+    past the frame. Frames are INDEPENDENT (§3.1.1: a window never
+    reaches into a previous frame), so decoding runs in a private
+    buffer seeded with the dictionary content when one applies."""
     if at >= len(data):
         raise ZstdError("truncated frame header")
     desc = data[at]
@@ -701,9 +769,15 @@ def _decode_frame(data: bytes, at: int, out: bytearray) -> int:
         did = int.from_bytes(data[at:at + did_len], "little")
         at += did_len
         if did:
-            raise ZstdError(f"frame requires dictionary {did} — "
-                            f"dictionaries are unsupported, failing "
-                            f"loudly")
+            if dictionary is None:
+                raise ZstdError(
+                    f"frame requires dictionary {did} and none was "
+                    f"provided (pass dictionary= or embed it in a "
+                    f"0x184D2A5D skippable frame)")
+            if dictionary.dict_id not in (0, did):
+                raise ZstdError(
+                    f"frame wants dictionary {did}, got "
+                    f"{dictionary.dict_id}")
     fcs_len = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
     fcs = None
     if fcs_len:
@@ -716,8 +790,18 @@ def _decode_frame(data: bytes, at: int, out: bytearray) -> int:
         if fcs > _MAX_OUT:
             raise ZstdError("declared content size exceeds the guard")
     frame = _FrameTables()
-    reps = [1, 4, 8]
-    start_len = len(out)
+    if dictionary is not None:
+        # the dictionary's entropy tables are the frame's initial
+        # "previous" tables (repeat mode / treeless literals may
+        # reference them before the frame defines its own)
+        frame.seq.update(dictionary.seq)
+        frame.huffman = dictionary.huffman
+        reps = list(dictionary.reps)
+        buf = bytearray(dictionary.content)
+    else:
+        reps = [1, 4, 8]
+        buf = bytearray()
+    start_len = len(buf)
     while True:
         if at + 3 > len(data):
             raise ZstdError("truncated block header")
@@ -727,14 +811,14 @@ def _decode_frame(data: bytes, at: int, out: bytearray) -> int:
         if btype == 0:                             # raw
             if at + bsize > len(data):
                 raise ZstdError("truncated raw block")
-            out.extend(data[at:at + bsize])
+            buf.extend(data[at:at + bsize])
             at += bsize
         elif btype == 1:                           # RLE
             if at >= len(data):
                 raise ZstdError("truncated RLE block")
-            if len(out) + bsize > _MAX_OUT:
+            if len(buf) + bsize > _MAX_OUT:
                 raise ZstdError("decompressed size exceeds the guard")
-            out.extend(data[at:at + 1] * bsize)
+            buf.extend(data[at:at + 1] * bsize)
             at += 1
         elif btype == 2:                           # compressed
             if at + bsize > len(data):
@@ -742,36 +826,52 @@ def _decode_frame(data: bytes, at: int, out: bytearray) -> int:
             block = data[at:at + bsize]
             at += bsize
             literals, used = _decode_literals(block, frame)
-            _decode_sequences(block[used:], literals, out, frame, reps)
+            _decode_sequences(block[used:], literals, buf, frame, reps)
         else:
             raise ZstdError("reserved block type")
         if last:
             break
-    if fcs is not None and len(out) - start_len != fcs:
+    if fcs is not None and len(buf) - start_len != fcs:
         raise ZstdError(
             f"frame declared {fcs} bytes but produced "
-            f"{len(out) - start_len}")
+            f"{len(buf) - start_len}")
     if checksum:
         if at + 4 > len(data):
             raise ZstdError("truncated content checksum")
         want = int.from_bytes(data[at:at + 4], "little")
-        got = xxh64(bytes(out[start_len:])) & 0xFFFFFFFF
+        got = xxh64(bytes(buf[start_len:])) & 0xFFFFFFFF
         if want != got:
             raise ZstdError(
                 f"content checksum mismatch: frame says {want:#010x}, "
                 f"decoded bytes hash to {got:#010x}")
         at += 4
+    out.extend(buf[start_len:])
     return at
 
 
-def zstd_decompress(payload: bytes) -> bytes:
+# The skippable-frame magic Common Crawl (and the zstd seekable
+# format family) uses to EMBED the dictionary at the start of a
+# .warc.zst: its content (raw, structured, or itself a zstd frame)
+# becomes the dictionary for every following frame.
+_DICT_SKIP_MAGIC = 0x184D2A5D
+
+
+def zstd_decompress(payload: bytes,
+                    dictionary: bytes | None = None) -> bytes:
     """Decode a concatenation of zstd frames (skippable frames
-    skipped), per RFC 8878. Raises ZstdError (a ValueError) on any
-    corruption — never returns partial output silently."""
+    skipped), per RFC 8878. ``dictionary`` is an optional dictionary
+    blob (structured or raw-content); a dictionary embedded in a
+    leading 0x184D2A5D skippable frame — the Common Crawl .warc.zst
+    convention — is picked up automatically when none is passed.
+    Raises ZstdError (a ValueError) on any corruption — never returns
+    partial output silently."""
     data = bytes(payload)
     out = bytearray()
     at = 0
     seen_frame = False
+    zdict = (_load_dictionary(dictionary)
+             if dictionary is not None else None)
+    explicit = zdict is not None
     while at < len(data):
         if at + 4 > len(data):
             raise ZstdError("truncated frame magic")
@@ -781,13 +881,16 @@ def zstd_decompress(payload: bytes) -> bytes:
             if at + 4 > len(data):
                 raise ZstdError("truncated skippable frame size")
             size = int.from_bytes(data[at:at + 4], "little")
+            body = data[at + 4:at + 4 + size]
             at += 4 + size
             if at > len(data):
                 raise ZstdError("skippable frame overruns the input")
+            if magic == _DICT_SKIP_MAGIC and not explicit and size:
+                zdict = _load_dictionary(body)
             continue
         if magic != _MAGIC:
             raise ZstdError(f"bad zstd magic {magic:#010x}")
-        at = _decode_frame(data, at, out)
+        at = _decode_frame(data, at, out, zdict)
         seen_frame = True
     if not seen_frame:
         raise ZstdError("no zstd frame in input")

@@ -137,3 +137,76 @@ def test_corrupted_checksum_detected():
     comp[-1] ^= 0xFF
     with pytest.raises(ZstdError, match="checksum mismatch"):
         zstd_decompress(bytes(comp))
+
+
+@pytest.fixture(scope="module")
+def trained_dict(tmp_path_factory):
+    """CLI-trained dictionary over similar synthetic docs + two files
+    compressed against it (one with the dict ID, one --no-dictID)."""
+    if _CLI is None:
+        pytest.skip("no reference zstd CLI on PATH")
+    d = tmp_path_factory.mktemp("zdict")
+    rng = random.Random(5)
+    docs = []
+    for i in range(40):
+        doc = ("<html><head><title>doc %d</title></head><body>" % i
+               + " ".join("token%d" % rng.randrange(200)
+                          for _ in range(300)) + "</body></html>")
+        p = d / ("f%02d.txt" % i)
+        p.write_text(doc)
+        docs.append(doc.encode())
+    subprocess.run([_CLI, "-q", "--train", *[str(d / ("f%02d.txt" % i))
+                                             for i in range(40)],
+                    "-o", str(d / "dict.bin"), "--maxdict=4096"],
+                   check=True, capture_output=True)
+    dict_bytes = (d / "dict.bin").read_bytes()
+    with_id = subprocess.run(
+        [_CLI, "-q", "-c", "-3", "-D", str(d / "dict.bin"),
+         str(d / "f00.txt")], capture_output=True, check=True).stdout
+    no_id = subprocess.run(
+        [_CLI, "-q", "-c", "-19", "-D", str(d / "dict.bin"),
+         "--no-dictID", str(d / "f01.txt")],
+        capture_output=True, check=True).stdout
+    return dict_bytes, docs, with_id, no_id
+
+
+def test_dictionary_frames_decode(trained_dict):
+    """RFC 8878 §5 dictionaries: entropy tables + repeat offsets +
+    prefix content, validated against reference-CLI frames."""
+    dict_bytes, docs, with_id, no_id = trained_dict
+    assert zstd_decompress(with_id, dictionary=dict_bytes) == docs[0]
+    assert zstd_decompress(no_id, dictionary=dict_bytes) == docs[1]
+    # a DID frame without its dictionary still fails loudly
+    with pytest.raises(ZstdError, match="requires dictionary"):
+        zstd_decompress(with_id)
+
+
+def test_common_crawl_embedded_dictionary(trained_dict):
+    """The .warc.zst convention: the dictionary rides a leading
+    0x184D2A5D skippable frame (raw or itself zstd-compressed) and
+    applies to every following frame — no out-of-band blob needed."""
+    dict_bytes, docs, with_id, no_id = trained_dict
+    skip = ((0x184D2A5D).to_bytes(4, "little")
+            + len(dict_bytes).to_bytes(4, "little") + dict_bytes)
+    assert zstd_decompress(skip + with_id + no_id) == docs[0] + docs[1]
+    comp_dict = _cli_compress(dict_bytes, "-19")
+    skip_c = ((0x184D2A5D).to_bytes(4, "little")
+              + len(comp_dict).to_bytes(4, "little") + comp_dict)
+    assert zstd_decompress(skip_c + with_id) == docs[0]
+    # an explicitly passed dictionary outranks the embedded one
+    assert zstd_decompress(skip + with_id,
+                           dictionary=dict_bytes) == docs[0]
+
+
+@needs_cli
+def test_raw_content_dictionary(tmp_path):
+    """A blob without the dictionary magic is a raw PREFIX dictionary
+    (zstd's other convention): matches reach into it directly."""
+    base = b"the quick brown fox jumps over the lazy dog " * 50
+    (tmp_path / "raw.bin").write_bytes(base[:1000])
+    (tmp_path / "doc.txt").write_bytes(base)
+    comp = subprocess.run(
+        [_CLI, "-q", "-c", "-3", "-D", str(tmp_path / "raw.bin"),
+         str(tmp_path / "doc.txt")], capture_output=True,
+        check=True).stdout
+    assert zstd_decompress(comp, dictionary=base[:1000]) == base
