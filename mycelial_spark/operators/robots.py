@@ -32,6 +32,7 @@ leg, same north-star fill as the dedup/quality families.)
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -267,7 +268,10 @@ def parse_robots_crawl_delays(text: str) -> list[tuple[str, float]]:
                 delay = float(value)
             except ValueError:
                 continue
-            if delay < 0 or delay != delay:       # negative / NaN
+            if not math.isfinite(delay) or delay < 0:
+                # junk ('inf', '1e999', NaN, negatives) is dropped
+                # like any other malformed directive — an infinite
+                # delay under max-wins would freeze the host forever
                 continue
             for a in agents:
                 if delay > best.get(a, -1.0):

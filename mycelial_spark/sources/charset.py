@@ -150,8 +150,14 @@ _DECLARED_LABELS: dict[str, tuple[str, str]] = {
     "euc-jp": ("euc_jp", "euc_jp"),
 }
 
-_DECL_RE = re.compile(
-    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9._:-]{2,20})""", re.I)
+# charset= is only honored INSIDE an actual <meta ...> tag (both the
+# charset-attribute and http-equiv content= forms live there) — a bare
+# match would hijack valid UTF-8 documents that merely MENTION a
+# legacy label in a comment, URL, or code sample (WHATWG's prescan is
+# likewise tag-scoped)
+_META_DECL_RE = re.compile(
+    rb"""<meta[^>]{0,500}?charset\s*=\s*["']?\s*"""
+    rb"""([A-Za-z0-9._:-]{2,20})""", re.I)
 _XML_DECL_RE = re.compile(
     rb"""<\?xml[^>]{0,200}?encoding\s*=\s*["']"""
     rb"""([A-Za-z0-9._:-]{2,20})["']""", re.I)
@@ -162,7 +168,7 @@ def _declared_codec(payload: bytes) -> tuple[str, str] | None:
     http-equiv Content-Type> or XML encoding declaration in the first
     1024 bytes; None when absent or the label is unknown."""
     head = payload[:1024]
-    m = _XML_DECL_RE.search(head) or _DECL_RE.search(head)
+    m = _XML_DECL_RE.search(head) or _META_DECL_RE.search(head)
     if not m:
         return None
     label = m.group(1).decode("ascii", "replace").strip().lower()

@@ -41,7 +41,6 @@ _BLOCKS = frozenset((
 ))
 _SKIP = frozenset(("script", "style", "template", "noscript", "head",
                    "title"))
-_VOID_BLOCK_SAFE = True
 
 
 def _escape_line(line: str) -> str:
@@ -96,13 +95,21 @@ def parse_html(payload: bytes) -> str:
         def __init__(self):
             super().__init__(convert_charrefs=True)
             self.skip_depth = 0
-            self.in_body_text = False
             self.block_marks: list[int] = []
 
         def _end_line(self, force: bool):
             s = "".join(buf)
-            if force or s.strip():
+            if s.strip():
                 lines.append(s)
+            elif force:
+                # a forced-empty block IS a line, but whitespace that
+                # contains a NEWLINE is inter-tag formatting inside an
+                # empty wrapper (<div>\n  </div> spacers), not text —
+                # emit the empty line, never the raw indentation.
+                # Newline-free whitespace stays verbatim: <p>   </p>
+                # is three spaces of content and must round-trip (a
+                # literal \n can never sit inside one source line).
+                lines.append("" if "\n" in s else s)
             buf.clear()
 
         def handle_starttag(self, tag, attrs):

@@ -1581,9 +1581,12 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
     are codes, not text); each positioning op after the first
     contributes a newline (writer emits one per line — round-trip
     exact; on foreign PDFs this is the standard naive heuristic).
-    ``fonts`` maps resource names to ready decoders; a stream that
-    shows text before any Tf falls back to strict UTF-8 (legacy
-    fixture shape), but a Tf naming a missing resource fails loudly."""
+    ``fonts`` maps resource names to ZERO-ARG DECODER FACTORIES,
+    invoked lazily at Tf time — real /Resources dicts are shared and
+    inherited, and an undecodable font the page never selects must not
+    abort pages that only use the good ones. A stream that shows text
+    before any Tf falls back to strict UTF-8 (legacy fixture shape); a
+    Tf naming a missing resource fails loudly."""
     lex = _Lexer(content)
     operands: list = []
     out: list[str] = []
@@ -1616,7 +1619,7 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
                 if name not in fonts:
                     raise ValueError(
                         f"Tf names unknown font resource /{name}")
-                cur = fonts[name]
+                cur = fonts[name]()
         elif op in ("Tj", "'", '"'):
             if not operands or not isinstance(operands[-1], bytes):
                 raise ValueError(f"{op} with no string operand")
@@ -1650,7 +1653,10 @@ def parse_pdf(payload: bytes) -> list[str]:
         if isinstance(resources, dict):
             font_res = pdf.resolve(resources.get("Font"))
             if isinstance(font_res, dict):
-                fonts = {name: pdf.font_decoder(f)
+                # lazy factories: decoders build (and cache) at Tf
+                # time, so a broken font entry in a shared /Resources
+                # dict only fails pages that actually SELECT it
+                fonts = {name: (lambda f=f: pdf.font_decoder(f))
                          for name, f in font_res.items()}
         texts.append(_extract_text(data, fonts))
     return texts

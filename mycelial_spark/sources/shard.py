@@ -94,14 +94,20 @@ def shard_assignments(sizes: DataFrame,
 def split_oversized(df: DataFrame, max_shard_bytes: int,
                     id_col: str = "id",
                     payload_col: str = "payload") -> DataFrame:
-    """Repartition a binary-payload frame so no task holds more than
+    """Repartition a binary-payload frame so a task holds at most
     ``max_shard_bytes`` of payload where file boundaries allow it:
     greedy size bins on the metadata, broadcast the assignment back,
-    one range repartition so each bin is one task. Files larger than
-    the cap land alone (see module docstring — they cannot be split).
-    Rows are keyed by xxhash64(id, payload) — ids need not be unique
-    (a mixed corpus reuses them per format), but fully identical rows
-    are rejected rather than silently multiplied by the join."""
+    one range repartition with one target partition per bin. Range
+    partitioning places bins by SAMPLED bounds, so adjacent near-full
+    bins can co-locate under sampling error — the bound is
+    near-exact, not contractual; an over-cap file is always its own
+    bin either way (it cannot be split — see module docstring). Rows
+    are keyed by xxhash64(id, payload) — ids need not be unique (a
+    mixed corpus reuses them per format), but fully identical rows are
+    rejected rather than silently multiplied by the join. The result
+    carries exactly the input's columns (internal join/bin columns are
+    underscore-namespaced and dropped)."""
+    in_cols = df.columns
     key = F.xxhash64(F.col(id_col), F.col(payload_col))
     sizes = df.select(key.alias("key"),
                       F.length(payload_col).alias("nbytes"))
@@ -110,8 +116,11 @@ def split_oversized(df: DataFrame, max_shard_bytes: int,
     if nbins is None:
         return df
     nbins = int(nbins) + 1
-    assigned = df.join(F.broadcast(plan), key == F.col("key"), "left")
+    plan = plan.select(F.col("key").alias("__sg_key"),
+                       F.col("shard").alias("__sg_shard"))
+    assigned = df.join(F.broadcast(plan), key == F.col("__sg_key"),
+                       "left")
     return (assigned
-            .withColumn("_shard", F.coalesce("shard", F.lit(0)))
-            .drop("key", "shard", "oversized")
-            .repartitionByRange(nbins, "_shard"))
+            .withColumn("__sg_bin", F.coalesce("__sg_shard", F.lit(0)))
+            .repartitionByRange(nbins, "__sg_bin")
+            .select(*in_cols))

@@ -139,14 +139,18 @@ def snowflake_type_ddl(dt: T.DataType) -> str:
 
 def snowflake_table_name(origin: str) -> str:
     """The reference's origin -> table substitution
-    (destination.rs:144): spaces, slashes, colons, dots -> '_'.
+    (destination.rs:144): spaces, slashes, colons, dots -> '_', plus
+    hyphens (ordinary in bucket/dataset names — 's3://x/my-dataset'
+    must mangle, not fail) and a '_' prefix for a leading digit.
     Unlike the reference's 'not smart' substitution, the mangled name
     is then validated as an unquoted Snowflake identifier — the name is
     interpolated into CREATE/PUT/COPY statements, so a quote/semicolon
     in a configured origin must fail loudly here, not become SQL."""
     out = origin
-    for ch in " /:.":
+    for ch in " /:.-":
         out = out.replace(ch, "_")
+    if out[:1].isdigit():
+        out = "_" + out
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_$]*", out):
         raise ValueError(
             f"origin {origin!r} does not mangle to a valid Snowflake "

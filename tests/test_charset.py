@@ -258,3 +258,15 @@ def test_euc_jp_detection_and_jamo_implausibility():
     # genuine Korean (composed syllables) is unaffected
     kr = "서울의 날씨는 맑습니다. 내일은 비가 올 수도 있습니다."
     assert detect_decode(kr.encode("euc_kr"))[0] == "euc_kr"
+
+
+def test_declaration_must_live_inside_a_meta_tag():
+    """A bare 'charset=' mention (comment, URL, code sample) in valid
+    UTF-8 must NOT hijack the decode — the declaration rung is
+    tag-scoped like WHATWG's prescan (review finding, r11)."""
+    from mycelial_spark.sources.charset import detect_decode
+    p = ("<html><head><!-- converted from charset=iso-8859-1 -->"
+         "</head><body>café 中文</body></html>").encode("utf-8")
+    assert detect_decode(p)[0] == "utf-8"
+    p2 = "see https://x.test/?charset=shift_jis for info".encode()
+    assert detect_decode(p2)[0] == "utf-8"

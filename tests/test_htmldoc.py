@@ -75,3 +75,13 @@ def test_html_text_distributed_and_dispatch(spark):
     assert H.html_text(bad, on_error="null").count() == 0
     with pytest.raises(Exception):
         H.html_text(bad).count()
+
+
+def test_empty_wrapper_indentation_never_becomes_text():
+    """<div>\\n  </div> spacers are formatting: the forced empty block
+    is a line, the raw indentation is not (review finding, r11); a
+    newline-free whitespace-only <p> stays verbatim (content)."""
+    x = b"<html><body><div>\n  </div><p>x</p></body></html>"
+    assert H.parse_html(x) == "\nx"
+    assert H.parse_html(b"<html><body><p>   </p></body></html>") \
+        == "   "

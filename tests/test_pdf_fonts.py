@@ -288,3 +288,43 @@ def test_encoded_layout_through_synth(spark):
     want = {i: (t.split("\n", 1)[1] if "\n" in t else t)
             for i, t in enumerate(TEXTS)}
     assert got == want
+
+
+def test_broken_unused_font_does_not_abort_the_page():
+    """Decoders build lazily at Tf time: an undecodable font entry in
+    a shared /Resources dict only fails pages that SELECT it (review
+    finding, r11)."""
+    objs_font = (b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                 b">>")
+    broken = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Sub "
+              b"/Encoding /Identity-H >>")          # no /ToUnicode
+    content = b"BT /F1 12 Tf 72 720 Td (fine) Tj ET"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        objs_font,
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R /F9 6 0 R >> >> "
+        b"/Contents 5 0 R >>",
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+        broken,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    # the page never selects /F9 -> extraction succeeds
+    assert P.parse_pdf(bytes(out)) == ["fine"]
+    # selecting it DOES fail loudly
+    bad = bytes(out).replace(b"/F1 12 Tf", b"/F9 12 Tf")
+    with pytest.raises(ValueError, match="unrecoverable"):
+        P.parse_pdf(bad)

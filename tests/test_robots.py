@@ -234,3 +234,10 @@ def test_crawl_delay_group_scoping_and_tolerance():
     # no delays at all
     assert parse_robots_crawl_delays("User-agent: *\nDisallow: /\n") \
         == []
+
+
+def test_crawl_delay_rejects_infinite_values():
+    from mycelial_spark.operators.robots import parse_robots_crawl_delays
+    t = ("User-agent: *\nCrawl-delay: inf\nCrawl-delay: 1e999\n"
+         "Crawl-delay: nan\nCrawl-delay: 2\n")
+    assert parse_robots_crawl_delays(t) == [("*", 2.0)]

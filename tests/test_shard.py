@@ -104,3 +104,17 @@ def test_binary_source_max_shard_bytes_option(spark, tmp_path):
     # oversized files (>1000 B) sit alone; small ones pack under cap
     for r in per_part:
         assert r["n"] <= 1000 or r["c"] == 1
+
+
+def test_split_preserves_schema_and_tolerates_name_collisions(spark):
+    """The result carries exactly the input's columns — no _shard
+    leak — and caller columns named key/shard do not collide with the
+    internal join (review finding, r11)."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 300), "k1", 7),
+         (2, bytearray(b"b" * 300), "k2", 8)],
+        "id long, payload binary, key string, shard int")
+    out = S.split_oversized(df, 1000)
+    assert out.columns == df.columns
+    rows = {r["id"]: (r["key"], r["shard"]) for r in out.collect()}
+    assert rows == {1: ("k1", 7), 2: ("k2", 8)}

@@ -196,7 +196,11 @@ def test_table_name_rejects_sql_metacharacters():
     from mycelial_spark.sources.snowflake_api import snowflake_table_name
     assert snowflake_table_name("s3 bucket/path:file.csv") == \
         "s3_bucket_path_file_csv"
-    for bad in ("evil'; DROP TABLE x;--", 'a"b', "semi;colon", "1leading",
-                ""):
+    # ordinary origins MANGLE rather than fail: hyphens and leading
+    # digits are everyday bucket/dataset shapes
+    assert snowflake_table_name("s3://bucket/my-dataset") == \
+        "s3___bucket_my_dataset"
+    assert snowflake_table_name("1leading") == "_1leading"
+    for bad in ("evil'; DROP TABLE x;--", 'a"b', "semi;colon", ""):
         with pytest.raises(ValueError, match="identifier"):
             snowflake_table_name(bad)
