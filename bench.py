@@ -138,6 +138,7 @@ HEADLINE = [
     "robots_filter",
     "robots_sitemap_discovery",
     "robots_crawl_delay",
+    "crawl_frontier_budget",
     "charset_decode",
     "charset_declared",
     "decompress_payloads",

@@ -2891,6 +2891,115 @@ def robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(60.0 / eff).cast("int").alias("max_rpm")))
 
 
+@query("crawl_frontier_budget", """
+WITH u AS (
+  SELECT doc_id,
+         CAST(doc_id % 20 AS INT) AS hh,
+         'host' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         CASE WHEN doc_id % 4 = 3 THEN 0.5
+              ELSE (doc_id % 10) / 10.0 END AS priority,
+         CAST(doc_id % 7 AS INT) AS seg
+  FROM documents),
+a AS (
+  SELECT *, CAST(CASE WHEN hh % 3 = 0 THEN (hh + 1) % 7
+                      ELSE hh % 7 END AS INT) AS banned
+  FROM u),
+r AS (
+  SELECT *, CAST(CASE WHEN hh % 3 = 0 THEN floor(60.0 / (10 + hh))
+                      WHEN hh % 4 = 1 THEN 60
+                      ELSE floor(60.0 / (1 + (hh % 5))) END AS INT)
+            AS rpm
+  FROM a WHERE seg <> banned),
+k AS (
+  SELECT host, doc_id, priority, rpm,
+         CAST(row_number() OVER (PARTITION BY host
+              ORDER BY priority DESC, doc_id) AS INT) AS fetch_rank
+  FROM r)
+SELECT host, doc_id, priority, fetch_rank, rpm
+FROM k WHERE fetch_rank <= rpm
+""")
+def crawl_frontier_budget(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The crawl-scheduler capstone: FOUR compliance legs composed
+    into one first-minute fetch plan per host. URLs and priorities
+    come from PARSED sitemaps (sitemap_records over synth_sitemap —
+    absent priorities default to sitemaps.org's 0.5); allow/disallow
+    verdicts from parse_robots + match_allowed with REAL agent-group
+    election (hosts with a mycelialbot group ban a DIFFERENT path
+    segment than their * group — electing the wrong group flips
+    verdicts); the per-host request budget from robots_crawl_delays
+    (specific-agent over *, no-delay hosts default to 60 rpm); and
+    the best-first cut runs through topk_per_key's SALTED two-phase
+    rank (no per-host funnel at corpus scale), trimmed to each host's
+    budget. The oracle replays the whole composition — group
+    election, priority default, budget arithmetic, and the
+    deterministic rank cut."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.operators.relational import topk_per_key
+    from mycelial_spark.operators.robots import (match_allowed,
+                                                 parse_robots,
+                                                 robots_crawl_delays)
+    from mycelial_spark.sources.sitemap import (sitemap_records,
+                                                synth_sitemap)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = sitemap_records(synth_sitemap(docs, files=8))
+    did = F.regexp_extract("loc", r"/doc/(\d+)$", 1).cast("long")
+    urls = recs.select(
+        did.alias("doc_id"),
+        F.concat(F.lit("host"), (did % 20).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("/p"), (did % 7).cast("string"),
+                 F.lit("/doc/"), did.cast("string")).alias("path"),
+        F.coalesce(F.col("priority").cast("double"), F.lit(0.5))
+        .alias("priority"))
+    hh = F.col("hh")
+    hosts = docs.select((F.col("doc_id") % 20).cast("int")
+                        .alias("hh")).distinct()
+    star_delay = F.when(hh % 4 == 1, F.lit("")).otherwise(F.concat(
+        F.lit("Crawl-delay: "), (1 + hh % 5).cast("string"),
+        F.lit("\n")))
+    bot_group = F.when(hh % 3 == 0, F.concat(
+        F.lit("\nUser-agent: mycelialbot\nCrawl-delay: "),
+        (10 + hh).cast("string"),
+        F.lit("\nDisallow: /p"), ((hh + 1) % 7).cast("string"),
+        F.lit("\n"))).otherwise(F.lit(""))
+    robots = hosts.select(
+        F.concat(F.lit("host"), hh.cast("string")).alias("host"),
+        F.concat(F.lit("User-agent: *\n"), star_delay,
+                 F.lit("Disallow: /p"), (hh % 7).cast("string"),
+                 F.lit("\n"), bot_group).alias("robots_txt"))
+    allowed = (match_allowed(urls, parse_robots(robots),
+                             agent="mycelialbot")
+               .filter(F.col("robots_allowed")))
+    delays = robots_crawl_delays(robots)
+    bot = (delays.filter(F.col("agent") == "mycelialbot")
+           .select(F.col("host").alias("h1"),
+                   F.col("crawl_delay").alias("d_bot")))
+    star = (delays.filter(F.col("agent") == "*")
+            .select(F.col("host").alias("h2"),
+                    F.col("crawl_delay").alias("d_star")))
+    eff = F.coalesce(F.col("d_bot"), F.col("d_star"))
+    budgets = (robots
+               .join(F.broadcast(bot), F.col("host") == F.col("h1"),
+                     "left")
+               .join(F.broadcast(star), F.col("host") == F.col("h2"),
+                     "left")
+               .select(F.col("host").alias("bhost"),
+                       F.coalesce(F.floor(60.0 / eff).cast("int"),
+                                  F.lit(60)).alias("rpm")))
+    ranked = topk_per_key(
+        allowed, "host",
+        [F.col("priority").desc(), F.col("doc_id").asc()],
+        k=60, salt=4, salt_on="doc_id", rank_col="fetch_rank")
+    return (ranked
+            .join(F.broadcast(budgets),
+                  F.col("host") == F.col("bhost"))
+            .filter(F.col("fetch_rank") <= F.col("rpm"))
+            .select("host", "doc_id", "priority",
+                    F.col("fetch_rank").cast("int").alias("fetch_rank"),
+                    "rpm"))
+
+
 @query("charset_declared", """
 SELECT doc_id,
        CASE CAST(doc_id % 5 AS INT)
