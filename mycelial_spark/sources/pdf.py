@@ -1627,8 +1627,18 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
         elif op == "TJ":
             if not operands or not isinstance(operands[-1], list):
                 raise ValueError("TJ with no array operand")
-            out.extend(cur(x) for x in operands[-1]
-                       if isinstance(x, bytes))
+            for x in operands[-1]:
+                if isinstance(x, bytes):
+                    out.append(cur(x))
+                elif isinstance(x, (int, float)) and x < -180:
+                    # real writers encode WORD GAPS as large negative
+                    # kerning adjustments (thousandths of text space)
+                    # instead of space glyphs; without this rung the
+                    # words of most real PDFs run together. -180 is
+                    # the conventional extractor threshold (smaller
+                    # magnitudes are letter kerning, not gaps).
+                    if out and not out[-1].endswith((" ", "\n")):
+                        out.append(" ")
         operands = []
     return "".join(out)
 

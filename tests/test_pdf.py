@@ -353,3 +353,33 @@ def test_incremental_update_prev_chain():
                          b"/Prev %d" % xref_at)
     with pytest.raises(ValueError, match="cyclic"):
         P.parse_pdf(base + cyc)
+
+
+def test_tj_negative_kerning_becomes_word_space():
+    """Real writers encode word gaps as large negative TJ adjustments
+    instead of space glyphs; small magnitudes are letter kerning and
+    must NOT split words."""
+    content = (b"BT /F1 12 Tf 72 720 Td "
+               b"[(Hello) -250 (world) -40 (!) 120 (?)] TJ ET")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    assert P.parse_pdf(bytes(out)) == ["Hello world!?"]
