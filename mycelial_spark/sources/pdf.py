@@ -771,7 +771,30 @@ class _Lexer:
                 arr.append(self.parse_value())
         if c == 0x2F:                          # /Name
             self.pos += 1
-            return _Name(self._token_word())
+            word = self._token_word()
+            if "#" in word:
+                # §7.3.5: #xx hex escapes inside name tokens (real
+                # writers emit them for spaces/specials in font and
+                # key names); a '#' not followed by two hex digits is
+                # malformed and raises rather than passing through
+                out, i, n2 = [], 0, len(word)
+                while i < n2:
+                    ch = word[i]
+                    if ch == "#":
+                        h = word[i + 1:i + 3]
+                        if len(h) != 2 or any(
+                                x not in "0123456789abcdefABCDEF"
+                                for x in h):
+                            raise ValueError(
+                                f"malformed #-escape in name "
+                                f"/{word}")
+                        out.append(chr(int(h, 16)))
+                        i += 3
+                    else:
+                        out.append(ch)
+                        i += 1
+                word = "".join(out)
+            return _Name(word)
         if c in b"+-.0123456789":
             start = self.pos
             self.pos += 1

@@ -383,3 +383,15 @@ def test_tj_negative_kerning_becomes_word_space():
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     assert P.parse_pdf(bytes(out)) == ["Hello world!?"]
+
+
+def test_name_hash_escapes():
+    """§7.3.5: #xx hex escapes in name tokens — real writers emit
+    them for spaces/specials in font and key names."""
+    lex = P._Lexer(b"<< /A#20B (v) /F#6fnt 7 >>")
+    v = lex.parse_value()
+    assert v == {"A B": b"v", "Font": 7}
+    with pytest.raises(ValueError, match="#-escape"):
+        P._Lexer(b"/bad#zz").parse_value()
+    with pytest.raises(ValueError, match="#-escape"):
+        P._Lexer(b"/trunc#4").parse_value()
