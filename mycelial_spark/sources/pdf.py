@@ -1627,6 +1627,29 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
         op = lex._token_word()
         if not op:
             raise ValueError(f"stuck in content stream at {lex.pos}")
+        if op == "BI":
+            # inline image (§8.9.7): BI <dict entries> ID <binary> EI.
+            # The binary payload is not PDF syntax and would derail
+            # the lexer; skip to the EI delimiter at a whitespace
+            # boundary (the standard heuristic — raw 'EI' bytes inside
+            # the payload without boundaries do not match).
+            at = content.find(b"ID", lex.pos)
+            if at < 0:
+                raise ValueError("inline image missing ID")
+            at += 3                               # ID + 1 ws byte
+            while True:
+                at = content.find(b"EI", at)
+                if at < 0:
+                    raise ValueError("inline image missing EI")
+                before = content[at - 1:at]
+                after = content[at + 2:at + 3]
+                if before in b" \t\r\n\x00" and (
+                        after == b"" or after in b" \t\r\n\x00/[(<"):
+                    break
+                at += 2
+            lex.pos = at + 2
+            operands = []
+            continue
         if op in _TEXT_POSITIONING:
             # newline unless this is the very first positioning op AND
             # nothing has been shown yet (the writer's opening Td; a

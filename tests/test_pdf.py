@@ -395,3 +395,17 @@ def test_name_hash_escapes():
         P._Lexer(b"/bad#zz").parse_value()
     with pytest.raises(ValueError, match="#-escape"):
         P._Lexer(b"/trunc#4").parse_value()
+
+
+def test_inline_images_are_skipped():
+    """§8.9.7 inline images: the binary payload between ID and EI is
+    not PDF syntax and must not derail the text lexer — including
+    payload bytes that happen to spell 'EI' without whitespace
+    boundaries."""
+    img = b"\x00\x01EIx\xff\xfe"                 # embedded fake 'EI'
+    s = (b"BT /F1 12 Tf 72 720 Td (before) Tj ET "
+         b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + img + b" EI\n"
+         b"BT 72 700 Td (after) Tj ET")
+    assert P._extract_text(s) == "before\nafter"
+    with pytest.raises(ValueError, match="missing EI"):
+        P._extract_text(b"BI /W 1 ID \x00\x01")
