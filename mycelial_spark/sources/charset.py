@@ -150,28 +150,61 @@ _DECLARED_LABELS: dict[str, tuple[str, str]] = {
     "euc-jp": ("euc_jp", "euc_jp"),
 }
 
-# charset= is only honored INSIDE an actual <meta ...> tag (both the
-# charset-attribute and http-equiv content= forms live there) — a bare
-# match would hijack valid UTF-8 documents that merely MENTION a
-# legacy label in a comment, URL, or code sample (WHATWG's prescan is
-# likewise tag-scoped)
-_META_DECL_RE = re.compile(
-    rb"""<meta[^>]{0,500}?charset\s*=\s*["']?\s*"""
-    rb"""([A-Za-z0-9._:-]{2,20})""", re.I)
+# charset= is only honored as an ATTRIBUTE of an actual <meta ...>
+# tag (the charset attribute itself, or the charset= parameter inside
+# an http-equiv Content-Type's content= value) — matching 'charset='
+# anywhere inside the tag would let a non-http-equiv meta (e.g.
+# name=description content="...charset=big5...") declare an encoding
+# the document never claimed, and a bare match would hijack valid
+# UTF-8 documents that merely MENTION a legacy label in a comment,
+# URL, or code sample. WHATWG's prescan likewise parses the tag's
+# attributes rather than substring-matching.
+_META_TAG_RE = re.compile(rb"<meta(?=[\s/])([^>]{0,500})", re.I)
+_ATTR_RE = re.compile(
+    rb"""([A-Za-z][A-Za-z0-9-]*)\s*=\s*"""
+    rb"""("([^"]*)"|'([^']*)'|([^\s"'>]+))""")
+_CONTENT_CHARSET_RE = re.compile(
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9._:-]{2,20})""", re.I)
 _XML_DECL_RE = re.compile(
     rb"""<\?xml[^>]{0,200}?encoding\s*=\s*["']"""
     rb"""([A-Za-z0-9._:-]{2,20})["']""", re.I)
 
 
+def _meta_declared_label(head: bytes) -> bytes | None:
+    """The first <meta> charset declaration in attribute form: either
+    a charset attribute, or the charset= parameter of an http-equiv
+    Content-Type tag's content attribute (both WHATWG prescan forms).
+    Attribute VALUES that merely contain 'charset=' (description
+    metas, og: previews) never match."""
+    for tag in _META_TAG_RE.finditer(head):
+        attrs: dict[bytes, bytes] = {}
+        for a in _ATTR_RE.finditer(tag.group(1)):
+            name = a.group(1).lower()
+            val = (a.group(3) if a.group(3) is not None else
+                   a.group(4) if a.group(4) is not None else
+                   a.group(5))
+            attrs.setdefault(name, val)
+        if b"charset" in attrs:
+            return attrs[b"charset"]
+        if (attrs.get(b"http-equiv", b"").strip().lower()
+                == b"content-type" and b"content" in attrs):
+            m = _CONTENT_CHARSET_RE.search(attrs[b"content"])
+            if m:
+                return m.group(1)
+    return None
+
+
 def _declared_codec(payload: bytes) -> tuple[str, str] | None:
     """(output label, codec) from an HTML <meta charset>/<meta
-    http-equiv Content-Type> or XML encoding declaration in the first
-    1024 bytes; None when absent or the label is unknown."""
+    http-equiv Content-Type> attribute-form declaration or an XML
+    encoding declaration in the first 1024 bytes; None when absent or
+    the label is unknown."""
     head = payload[:1024]
-    m = _XML_DECL_RE.search(head) or _META_DECL_RE.search(head)
-    if not m:
+    m = _XML_DECL_RE.search(head)
+    raw = m.group(1) if m else _meta_declared_label(head)
+    if raw is None:
         return None
-    label = m.group(1).decode("ascii", "replace").strip().lower()
+    label = raw.decode("ascii", "replace").strip().lower()
     return _DECLARED_LABELS.get(label)
 
 

@@ -115,7 +115,7 @@ def synth_compressed(df: DataFrame, text_col: str = "text",
     plain, gzip (mtime=0 for determinism), bzip2, xz, zstd (the
     deterministic store encoder; every 10th doc prepends a SKIPPABLE
     frame so that path is load-bearing) — plus a TWO-MEMBER gzip every
-    8th doc (text split in half, each half its own member) so the
+    10th doc (text split in half, each half its own member) so the
     multi-member path is load-bearing. Emits (id, payload)."""
     from .zstd import zstd_compress_store
 

@@ -1629,14 +1629,30 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
             raise ValueError(f"stuck in content stream at {lex.pos}")
         if op == "BI":
             # inline image (§8.9.7): BI <dict entries> ID <binary> EI.
-            # The binary payload is not PDF syntax and would derail
-            # the lexer; skip to the EI delimiter at a whitespace
-            # boundary (the standard heuristic — raw 'EI' bytes inside
-            # the payload without boundaries do not match).
-            at = content.find(b"ID", lex.pos)
-            if at < 0:
-                raise ValueError("inline image missing ID")
-            at += 3                               # ID + 1 ws byte
+            # The parameter dict is ordinary PDF syntax, so LEX it to
+            # the standalone ID token — a raw byte-scan for 'ID' can
+            # land inside a name or hex-string operand (/Interpolate's
+            # abbreviation is /I, hex strings are free-form) and
+            # mis-position the EI scan. The binary payload after ID is
+            # NOT PDF syntax and would derail the lexer; skip to the
+            # EI delimiter at a whitespace boundary (the standard
+            # heuristic — raw 'EI' bytes inside the payload without
+            # boundaries do not match).
+            while True:
+                lex._skip_ws()
+                if lex.pos >= n:
+                    raise ValueError("inline image missing ID")
+                c2 = content[lex.pos]
+                if c2 in b"(<[/+-." or c2 in b"0123456789":
+                    lex.parse_value()
+                    continue
+                w = lex._token_word()
+                if not w:
+                    raise ValueError(
+                        f"stuck in inline-image dict at {lex.pos}")
+                if w == "ID":
+                    break
+            at = lex.pos + 1                      # ID + 1 ws byte
             while True:
                 at = content.find(b"EI", at)
                 if at < 0:

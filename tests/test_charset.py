@@ -270,3 +270,32 @@ def test_declaration_must_live_inside_a_meta_tag():
     assert detect_decode(p)[0] == "utf-8"
     p2 = "see https://x.test/?charset=shift_jis for info".encode()
     assert detect_decode(p2)[0] == "utf-8"
+
+
+def test_declaration_must_be_an_attribute_not_a_value_substring():
+    """ADVICE r11: 'charset=' inside a NON-http-equiv meta's attribute
+    VALUE (a description, an og: preview URL) is not a declaration —
+    the prescan parses attributes, it does not substring-match the
+    tag. Only the charset attribute itself or an http-equiv
+    Content-Type's content= parameter declares."""
+    from mycelial_spark.sources.charset import (_declared_codec,
+                                                detect_decode)
+    # description meta mentioning a legacy label: NOT a declaration
+    p = ('<meta name="description" content="legacy charset=big5 dump">'
+         '<p>café 中文</p>').encode("utf-8")
+    assert _declared_codec(p) is None
+    assert detect_decode(p)[0] == "utf-8"
+    # http-equiv of a DIFFERENT header: its content= never declares
+    p2 = ('<meta http-equiv="refresh" '
+          'content="0;url=/x?charset=euc-kr">hi').encode()
+    assert _declared_codec(p2) is None
+    # the attribute forms still work: unquoted, single-quoted, and
+    # http-equiv content-type (case-insensitive equiv value)
+    assert _declared_codec(b"<meta charset=gb2312>") == \
+        ("gb18030", "gb18030")
+    assert _declared_codec(b"<meta charset='Big5'>") == \
+        ("big5", "big5")
+    assert _declared_codec(
+        b'<meta http-equiv="CONTENT-TYPE" '
+        b'content="text/html; charset=Shift_JIS">') == \
+        ("shift_jis", "shift_jis")

@@ -409,3 +409,16 @@ def test_inline_images_are_skipped():
     assert P._extract_text(s) == "before\nafter"
     with pytest.raises(ValueError, match="missing EI"):
         P._extract_text(b"BI /W 1 ID \x00\x01")
+
+
+def test_inline_image_id_bytes_inside_operand():
+    """The r11 advice case: raw 'ID' bytes inside a BI dict OPERAND (a
+    literal string here) must not be mistaken for the ID operator —
+    the dict is lexed token-by-token, so only the standalone ID word
+    ends it. A byte-scan would anchor on the string's 'ID' and
+    mis-position the EI search."""
+    s = (b"BT (x) Tj ET "
+         b"BI /W 2 /Note (has ID EI inside) /BPC 8 ID "
+         b"\x00\x01EI2\xff EI\n"
+         b"BT 0 0 Td (y) Tj ET")
+    assert P._extract_text(s) == "x\ny"
