@@ -140,8 +140,12 @@ def _rows_for(fmt: str, payload: bytes) -> list[dict]:
         return [{"format": "rtf", "key": t.split("\n", 1)[0],
                  "text": t}]
     if fmt == "html":
-        from mycelial_spark.sources.htmldoc import parse_html
-        t = parse_html(payload)
+        # charset-aware: crawl HTML arrives in legacy encodings (and
+        # lies about them) — the ladder decode runs in front of the
+        # parse on this route; the strict-UTF-8 parse_html stays the
+        # byte-round-trip fixture contract (html_extract)
+        from mycelial_spark.sources.htmldoc import parse_html_any
+        _enc, t = parse_html_any(payload)
         return [{"format": "html", "key": t.split("\n", 1)[0],
                  "text": t}]
     raise ValueError(f"no parser for container format {fmt!r}")

@@ -78,7 +78,10 @@ def sniff_html(payload: bytes) -> bool:
 
 
 def parse_html(payload: bytes) -> str:
-    """Extraction-grade HTML -> text (exact container contract)."""
+    """Extraction-grade HTML -> text, STRICT UTF-8 (the exact
+    byte-round-trip container contract the fixture writer pins).
+    Crawl-shaped ingestion goes through `parse_html_any`, which runs
+    the charset ladder first."""
     payload = bytes(payload)
     if not sniff_html(payload):
         raise ValueError(
@@ -87,7 +90,28 @@ def parse_html(payload: bytes) -> str:
         src = payload.decode("utf-8")
     except UnicodeDecodeError as e:
         raise ValueError(f"HTML payload is not UTF-8: {e}") from e
+    return _parse_html_str(src)
 
+
+def parse_html_any(payload: bytes) -> tuple[str, str]:
+    """(encoding, text) for crawl HTML in whatever bytes it arrived
+    in: the WHATWG-ordered charset ladder (BOM > in-document
+    declaration > statistical sniffing, sources/charset.py) decodes
+    first, then the same block-semantics walk as `parse_html`. This is
+    the dispatch-route entry — real crawl HTML is heavily
+    cp1252/Shift-JIS/GB18030 and frequently LIES in its declaration,
+    so the strict-UTF-8 contract path cannot be the ingest default
+    (the r11 verdict's #1 gap)."""
+    payload = bytes(payload)
+    if not sniff_html(payload):
+        raise ValueError(
+            "not an HTML document (no <!DOCTYPE / <html prologue)")
+    from mycelial_spark.sources.charset import detect_decode
+    enc, src = detect_decode(payload)
+    return enc, _parse_html_str(src)
+
+
+def _parse_html_str(src: str) -> str:
     lines: list[str] = []
     buf: list[str] = []
 
@@ -186,6 +210,93 @@ def synth_html(df: DataFrame, text_col: str = "text",
             for did, t in zip(b[id_col], b[text_col]):
                 ids.append(int(did))
                 payloads.append(encode_html(f"doc:{int(did)}\n{t}"))
+            yield pd.DataFrame({"id": ids, "modality": "html",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")
+
+
+HTML_ANY_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("encoding", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def html_text_any(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Charset-aware crawl-HTML extraction over Arrow batches:
+    (id, encoding, text) via parse_html_any — the ladder decode plus
+    the block-semantics walk, one narrow map, no shuffle.
+    ``on_error="null"`` skips undecodable files."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    enc, t = parse_html_any(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.append({"id": int(fid), "encoding": enc,
+                             "text": t})
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HTML_ANY_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(run, HTML_ANY_SCHEMA)
+
+
+# Shift-JIS page body for the charset fixture, shared with the oracle
+# SQL (arbitrary document text need not be Shift-JIS-encodable, so the
+# residue uses a deterministic CJK template around the ASCII id — the
+# same convention as charset.CJK_TEMPLATES).
+SJIS_HTML_TEMPLATE = ("ページ", "、日本語の資料ページです。")
+
+
+def synth_html_charset(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Fixture for charset-aware HTML ingestion: one HTML file per
+    document in one of FOUR byte forms by id residue — (0) UTF-8 with
+    a truthful <meta charset>, (1) Windows-1252 bytes declared via the
+    http-equiv ISO-8859-1 alias with a smart-quote suffix (invalid
+    UTF-8 — the declared rung is load-bearing), (2) Shift-JIS bytes
+    declared via <meta charset=Shift_JIS> over the CJK template, and
+    (3) a LYING utf-8 declaration over Windows-1252 smart-quote bytes
+    (strict decode fails, the ladder's statistical fallthrough must
+    recover). Body is one <p> whose first line is ``doc:<id>`` (the
+    container-leg key convention). Emits (id, payload)."""
+    def page(meta: str, body: str) -> str:
+        return (f"<!DOCTYPE html>\n<html><head>{meta}</head><body>\n"
+                f"<p>{_escape_line(body)}</p>\n</body></html>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, payloads = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                did, t = int(did), str(t)
+                head = f"doc:{did}\n"
+                r = did % 4
+                if r == 0:
+                    p = page('<meta charset="utf-8">',
+                             head + t).encode("utf-8")
+                elif r == 1:
+                    p = page('<meta http-equiv="Content-Type" content='
+                             '"text/html; charset=ISO-8859-1">',
+                             head + t + " — “café”").encode("cp1252")
+                elif r == 2:
+                    pre, suf = SJIS_HTML_TEMPLATE
+                    p = page('<meta charset="Shift_JIS">',
+                             head + pre + str(did) + suf
+                             ).encode("shift_jis")
+                else:
+                    p = page('<meta charset="utf-8">',
+                             head + t + " — “lies”").encode("cp1252")
+                ids.append(did)
+                payloads.append(p)
             yield pd.DataFrame({"id": ids, "modality": "html",
                                 "payload": payloads})
 

@@ -85,3 +85,56 @@ def test_empty_wrapper_indentation_never_becomes_text():
     assert H.parse_html(x) == "\nx"
     assert H.parse_html(b"<html><body><p>   </p></body></html>") \
         == "   "
+
+
+def test_parse_html_any_charset_ladder():
+    """r12: the charset ladder composes in front of the HTML walk —
+    legacy-encoded crawl pages extract instead of failing, the
+    strict-UTF-8 parse_html contract is untouched."""
+    # declared cp1252 (ISO-8859-1 alias), bytes invalid as UTF-8
+    p = ('<!DOCTYPE html><html><head><meta http-equiv="Content-Type" '
+         'content="text/html; charset=ISO-8859-1"></head>'
+         '<body><p>café “q”</p></body></html>'
+         ).encode("cp1252")
+    enc, t = H.parse_html_any(p)
+    assert (enc, t) == ("windows-1252", "café “q”")
+    with pytest.raises(ValueError, match="not UTF-8"):
+        H.parse_html(p)                       # strict path unchanged
+    # declared shift_jis
+    p2 = ('<!DOCTYPE html><html><head><meta charset="Shift_JIS">'
+          '</head><body><p>テスト 9</p></body></html>'
+          ).encode("shift_jis")
+    assert H.parse_html_any(p2) == ("shift_jis", "テスト 9")
+    # lying utf-8 declaration over cp1252 falls through statistically
+    p3 = ('<html><body><p>x “lies”</p></body></html>'
+          ).encode("cp1252").replace(b"<html>",
+                                     b'<html><meta charset="utf-8">')
+    enc3, t3 = H.parse_html_any(p3)
+    assert enc3 == "windows-1252" and t3 == "x “lies”"
+    # plain utf-8 stays utf-8
+    assert H.parse_html_any(H.encode_html("café")) == \
+        ("utf-8", "café")
+    with pytest.raises(ValueError, match="not an HTML"):
+        H.parse_html_any(b"%PDF-1.4 nope")
+
+
+def test_synth_html_charset_and_dispatch_route(spark):
+    """The four fixture residues extract through html_text_any with
+    the right labels, and the DISPATCH route (document_records) now
+    parses a legacy-encoded page instead of raising."""
+    from mycelial_spark.sources.dispatch import document_records
+    docs = spark.createDataFrame(
+        [(0, "zero"), (1, "one"), (2, "two"), (3, "three")],
+        "doc_id long, text string")
+    files = H.synth_html_charset(docs)
+    rows = {r["id"]: (r["encoding"], r["text"])
+            for r in H.html_text_any(files).collect()}
+    assert rows[0] == ("utf-8", "doc:0\nzero")
+    assert rows[1] == ("windows-1252", "doc:1\none — “café”")
+    pre, suf = H.SJIS_HTML_TEMPLATE
+    assert rows[2] == ("shift_jis", f"doc:2\n{pre}2{suf}")
+    assert rows[3] == ("windows-1252", "doc:3\nthree — “lies”")
+    recs = {r["id"]: r["text"]
+            for r in document_records(files).collect()}
+    assert recs[1] == "doc:1\none — “café”"
+    assert recs[2].startswith("doc:2\n" + pre)
