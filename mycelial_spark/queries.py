@@ -1771,8 +1771,10 @@ def warc_zst_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (synth_warc), each file zstd-compresses (the deterministic store
     encoder from sources/zstd.py — any zstd tool reads it), then the
     TWO transparent layers unwind in sequence: decompressed_payloads
-    sniffs the 28b52ffd magic and runs the pure-Python RFC 8878
-    decoder, and document_records sniffs the inflated bytes as WARC
+    sniffs the 28b52ffd magic and decodes via the auto engine (the
+    C-speed CLI pipe for big payloads, the pure-Python RFC 8878
+    decoder otherwise — both gate-tested in tests/test_compress.py),
+    and document_records sniffs the inflated bytes as WARC
     and explodes response records. The oracle replays the codec label,
     the container format, and the byte-exact text — a bug in either
     layer, or in their composition, breaks the hash-match."""

@@ -53,9 +53,15 @@ def sniff_compression(payload: bytes) -> str:
     return "none"
 
 
-def decompress(payload: bytes) -> tuple[str, bytes]:
+def decompress(payload: bytes,
+               zstd_engine: str = "auto") -> tuple[str, bytes]:
     """(codec, plain_bytes); multi-member/multi-stream aware;
-    truncation and corruption raise."""
+    truncation and corruption raise. gzip/bzip2/xz decode through the
+    stdlib's C codecs (already native speed); zstd picks its engine by
+    ``zstd_engine`` — "auto" (CLI when present and the payload
+    amortizes a process spawn, else pure Python), "cli", or "pure"."""
+    if zstd_engine not in ("auto", "cli", "pure"):
+        raise ValueError(f"unknown zstd_engine {zstd_engine!r}")
     payload = bytes(payload)
     codec = sniff_compression(payload)
     try:
@@ -68,7 +74,12 @@ def decompress(payload: bytes) -> tuple[str, bytes]:
         if codec == "xz":
             return codec, lzma.decompress(payload)
         if codec == "zstd":
-            return codec, zstd_decompress(payload)
+            from .zstd import (zstd_decompress_auto,
+                               zstd_decompress_cli)
+            fn = {"auto": zstd_decompress_auto,
+                  "cli": zstd_decompress_cli,
+                  "pure": zstd_decompress}[zstd_engine]
+            return codec, fn(payload)
     except (OSError, EOFError, zlib.error, lzma.LZMAError,
             ValueError) as e:
         raise ValueError(f"damaged {codec} payload: {e}") from e
@@ -83,19 +94,25 @@ DECOMPRESSED_SCHEMA = T.StructType([
 
 
 def decompressed_payloads(df: DataFrame,
-                          on_error: str = "raise") -> DataFrame:
+                          on_error: str = "raise",
+                          zstd_engine: str = "auto") -> DataFrame:
     """(id, codec, payload) with compression transparently removed,
     over Arrow batches; ``on_error="null"`` skips undecodable files
-    (the codec-leg contract)."""
+    (the codec-leg contract). ``zstd_engine`` selects the zstd decode
+    path per `decompress` — the default "auto" takes the C-speed CLI
+    pipe for payloads big enough to amortize the spawn."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
+    if zstd_engine not in ("auto", "cli", "pure"):
+        raise ValueError(f"unknown zstd_engine {zstd_engine!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for fid, payload in zip(b["id"], b["payload"]):
                 try:
-                    codec, plain = decompress(bytes(payload))
+                    codec, plain = decompress(bytes(payload),
+                                              zstd_engine=zstd_engine)
                 except Exception:
                     if on_error == "raise":
                         raise

@@ -101,3 +101,34 @@ def test_distributed_and_section(spark):
     assert decompressed_payloads(bad, on_error="null").count() == 0
     with pytest.raises(Exception):
         decompressed_payloads(bad).count()
+
+
+@pytest.mark.parametrize("engine", ["pure", "cli", "auto"])
+def test_zstd_engines_agree(spark, engine):
+    """r12: the C-speed CLI pipe and the pure-Python decoder are one
+    contract — the distributed leg produces identical rows on every
+    engine (the warc_zst_extract chain runs whichever is fastest)."""
+    import shutil
+    from mycelial_spark.sources.zstd import zstd_compress_store
+    if engine == "cli" and shutil.which("zstd") is None:
+        pytest.skip("no zstd CLI on PATH")
+    docs = spark.createDataFrame(
+        [(i, f"zst body {i} " * (i + 1)) for i in range(4, 40, 5)],
+        "doc_id long, text string")
+
+    def only_zstd(b):
+        import pandas as _pd
+        for pdf in b:
+            yield _pd.DataFrame(
+                {"id": pdf["doc_id"],
+                 "payload": [zstd_compress_store(str(t).encode())
+                             for t in pdf["text"]]})
+
+    files = docs.mapInPandas(only_zstd, "id long, payload binary")
+    rows = {r["id"]: bytes(r["payload"]).decode()
+            for r in decompressed_payloads(
+                files, zstd_engine=engine).collect()}
+    assert rows == {i: f"zst body {i} " * (i + 1)
+                    for i in range(4, 40, 5)}
+    with pytest.raises(ValueError, match="zstd_engine"):
+        decompressed_payloads(files, zstd_engine="nope")

@@ -210,3 +210,86 @@ def test_raw_content_dictionary(tmp_path):
          str(tmp_path / "doc.txt")], capture_output=True,
         check=True).stdout
     assert zstd_decompress(comp, dictionary=base[:1000]) == base
+
+
+# ------------------------------------------------ C-speed fast path
+
+@needs_cli
+def test_cli_fast_path_byte_exact():
+    """r12: the subprocess-pipe fast path decodes reference-CLI frames
+    byte-exactly — same contract as the pure decoder, codec speed."""
+    from mycelial_spark.sources.zstd import (zstd_decompress_auto,
+                                             zstd_decompress_cli)
+    for name, data in _cases().items():
+        comp = _cli_compress(data, "-9")
+        assert zstd_decompress_cli(comp) == data, name
+        assert zstd_decompress_auto(comp) == data, name
+    # multi-frame concatenation and skippable frames
+    a, b = _cli_compress(b"left ", "-3"), _cli_compress(b"right", "-3")
+    skip = ((0x184D2A50).to_bytes(4, "little")
+            + (4).to_bytes(4, "little") + b"meta")
+    assert zstd_decompress_cli(skip + a + b) == b"left right"
+
+
+@needs_cli
+def test_cli_fast_path_error_contract():
+    """CLI failures surface as ZstdError; the auto path re-validates
+    through the pure decoder so both engines raise the same way on
+    corruption and on skippable-only streams."""
+    from mycelial_spark.sources import zstd as Z
+    comp = _cli_compress(b"payload " * 100, "-3")
+    with pytest.raises(ZstdError, match="CLI rejected"):
+        Z.zstd_decompress_cli(comp[:-6])
+    skip = ((0x184D2A50).to_bytes(4, "little")
+            + (4).to_bytes(4, "little") + b"meta")
+    with pytest.raises(ZstdError, match="CLI rejected"):
+        Z.zstd_decompress_cli(b"")
+    # auto: corrupt big payload raises via the pure re-validation
+    big = _cli_compress(bytes(range(256)) * 300, "-1")
+    with pytest.raises(ZstdError):
+        Z.zstd_decompress_auto(big[:-6])
+    # skippable-only stream raises identically on both engines
+    with pytest.raises(ZstdError, match="no zstd frame"):
+        Z.zstd_decompress_auto(skip)
+
+
+@needs_cli
+def test_cli_fast_path_dictionaries(trained_dict):
+    """Explicit, embedded-raw, and embedded-COMPRESSED dictionaries
+    all decode through the CLI pipe (the compressed blob inflates
+    before -D — the CLI would misread it as raw content)."""
+    from mycelial_spark.sources.zstd import zstd_decompress_cli
+    dict_bytes, docs, with_id, no_id = trained_dict
+    assert zstd_decompress_cli(with_id,
+                               dictionary=dict_bytes) == docs[0]
+    skip = ((0x184D2A5D).to_bytes(4, "little")
+            + len(dict_bytes).to_bytes(4, "little") + dict_bytes)
+    assert zstd_decompress_cli(skip + with_id + no_id) \
+        == docs[0] + docs[1]
+    comp_dict = _cli_compress(dict_bytes, "-19")
+    skip_c = ((0x184D2A5D).to_bytes(4, "little")
+              + len(comp_dict).to_bytes(4, "little") + comp_dict)
+    assert zstd_decompress_cli(skip_c + with_id) == docs[0]
+
+
+@needs_cli
+def test_auto_engine_size_gate(monkeypatch):
+    """auto spawns the CLI only above CLI_MIN_BYTES — small payloads
+    stay in-process (a fork per KB-scale row would dominate)."""
+    from mycelial_spark.sources import zstd as Z
+    calls = []
+    real = Z.zstd_decompress_cli
+
+    def spy(payload, dictionary=None):
+        calls.append(len(payload))
+        return real(payload, dictionary)
+
+    monkeypatch.setattr(Z, "zstd_decompress_cli", spy)
+    small = _cli_compress(b"tiny", "-3")
+    big = _cli_compress(b"".join(b"%d " % i for i in range(60000)),
+                        "-1")
+    assert len(small) < Z.CLI_MIN_BYTES <= len(big)
+    Z.zstd_decompress_auto(small)
+    assert calls == []
+    out = Z.zstd_decompress_auto(big)
+    assert calls and out.startswith(b"0 1 2 ")
