@@ -1872,6 +1872,21 @@ def pdf_pages_(spark, cfg, inputs):
     return pdf_pages(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("pdf_pages_meta", "transform", "bin_or_dataframe",
+           "dataframe",
+           [Field("on_error", default="raise")],
+           doc="pdf_pages plus corpus-router signals: text drawn via "
+               "Form XObjects recurses (Do operator, depth-capped, "
+               "cycles rejected), n_images counts Image XObject draws "
+               "per page, has_text flags pages with extractable text "
+               "— an image-only (scanned) page emits (False, n>0) so "
+               "pipelines can route it to an OCR lane instead of "
+               "treating it as empty.")
+def pdf_pages_meta_(spark, cfg, inputs):
+    from mycelial_spark.sources.pdf import pdf_pages_meta
+    return pdf_pages_meta(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("docx_paragraphs", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="Explode binary DOCX (OOXML WordprocessingML) payloads "
@@ -1921,16 +1936,21 @@ def rtf_text_(spark, cfg, inputs):
 
 @_register("decompressed_payloads", "transform", "bin_or_dataframe",
            "dataframe",
-           [Field("on_error", default="raise")],
+           [Field("on_error", default="raise"),
+            Field("zstd_engine", default="auto")],
            doc="Transparently remove payload compression (gzip incl. "
-               "multi-member, bzip2, xz — all by magic bytes; zstd "
-               "recognized and rejected loudly, no stdlib codec; plain "
-               "passes through). The layer between a binaryFile scan "
-               "and any container/charset leg.")
+               "multi-member, bzip2, xz, zstd incl. skippable frames "
+               "and Common Crawl embedded dictionaries — all by magic "
+               "bytes; plain passes through). zstd_engine picks auto "
+               "(C-speed CLI pipe for payloads that amortize a spawn, "
+               "pure-Python RFC 8878 otherwise), cli, or pure. The "
+               "layer between a binaryFile scan and any "
+               "container/charset leg.")
 def decompressed_payloads_(spark, cfg, inputs):
     from mycelial_spark.sources.compress import decompressed_payloads
     return decompressed_payloads(_payload_frame(inputs[0]),
-                                 cfg["on_error"])
+                                 cfg["on_error"],
+                                 zstd_engine=cfg["zstd_engine"])
 
 
 @_register("ipynb_cells", "transform", "bin_or_dataframe", "dataframe",
@@ -2199,6 +2219,23 @@ def decoded_text_(spark, cfg, inputs):
     else:
         df = _payload_frame(df)
     return decoded_text(df, cfg["on_error"])
+
+
+@_register("html_text", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise"),
+            Field("charset_aware", "bool", True)],
+           doc="Extraction-grade HTML -> text over binary payloads "
+               "(block semantics: block elements end lines, "
+               "script/style/template subtrees drop, charrefs "
+               "decode). charset_aware=true (default) runs the WHATWG "
+               "charset ladder first and emits (id, encoding, text) — "
+               "crawl HTML is heavily legacy-encoded and lies about "
+               "it; false keeps the strict-UTF-8 contract emitting "
+               "(id, text).")
+def html_text_(spark, cfg, inputs):
+    from mycelial_spark.sources.htmldoc import html_text, html_text_any
+    fn = html_text_any if cfg["charset_aware"] else html_text
+    return fn(_payload_frame(inputs[0]), cfg["on_error"])
 
 
 @_register("sitemap_records", "transform", "bin_or_dataframe",

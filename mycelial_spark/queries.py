@@ -1923,6 +1923,50 @@ def pdf_extract_text_tounicode(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("pdf_extract_xobject", """
+SELECT CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS page_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS page_count,
+       CAST(CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 0 WHEN 1 THEN 1 ELSE 2 END AS INT)
+         AS n_images,
+       doc_id % 3 <> 2 AS has_text,
+       CASE WHEN doc_id % 3 = 2 THEN ''
+            ELSE 'doc:' || CAST(doc_id AS VARCHAR) || chr(10) || text
+       END AS text_out
+FROM documents
+""")
+def pdf_extract_xobject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form XObjects + the scanned-page signal (r11 brief #3): pages
+    rotate three Do shapes by doc id — all text inside a Form XObject
+    (the stamped-document/letterhead shape, page stream is a bare
+    Do), first line direct + the rest in a form NESTED inside a form
+    that also draws an Image XObject (recursion depth and image
+    counting both load-bearing), and an IMAGE-ONLY page (two image
+    draws, no text — the scanned shape, whose doc text is discarded
+    by construction). pdf_pages_meta emits (n_images, has_text) so a
+    corpus router can send scanned pages to an OCR lane instead of
+    silently treating them as empty. Image-only pages carry no doc id
+    in their text, so the oracle replays rows by (file_id, page_idx)
+    — packing order — rather than extracting the id; a Do-recursion,
+    resource-inheritance, or counting bug breaks the hash-match.
+    Self-referencing forms and over-deep nesting are rejected
+    (tests/test_pdf.py)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import pdf_pages_meta, synth_pdf
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = pdf_pages_meta(synth_pdf(docs, files=8, layout="xobject"))
+    return pages.select(
+        F.col("id").alias("file_id"),
+        F.col("page_idx"),
+        F.col("page_count"),
+        F.col("n_images"),
+        F.col("has_text"),
+        F.col("text").alias("text_out"))
+
+
 @query("pdf_extract_text_encrypted", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

@@ -236,6 +236,95 @@ def encode_pdf(pages: list[str], flate: bool = True,
     return bytes(out)
 
 
+def encode_pdf_xobjects(pages: list[tuple[str, str]],
+                        flate: bool = True) -> bytes:
+    """Classic-layout writer whose pages draw through XObjects (PDF
+    32000 §8.10) — the fixture side of the Do operator: each entry is
+    (text, kind) with kind one of ``"form"`` (ALL text lives in a
+    Form XObject; the page stream is a bare Do — the stamped-document
+    shape), ``"nested"`` (first line direct, the rest inside a form
+    nested within a form that also draws an Image XObject — depth and
+    image counting both load-bearing), or ``"image_only"`` (two image
+    draws, NO text — the scanned-page shape; the text argument is
+    discarded). One shared 2x2 grayscale image object; string mode
+    alternates literal/hex by page index like encode_pdf."""
+    n = len(pages)
+    objs: list[bytes | None] = [None, None]       # catalog, pages
+    objs.append(b"<< /Type /Font /Subtype /Type1 "
+                b"/BaseFont /Helvetica >>")       # 3
+    img = b"\x00\x40\x80\xc0"
+    objs.append(b"<< /Type /XObject /Subtype /Image /Width 2 "
+                b"/Height 2 /ColorSpace /DeviceGray "
+                b"/BitsPerComponent 8 /Length 4 >>\nstream\n"
+                + img + b"\nendstream")           # 4
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    def stream(data: bytes, extra: str = "") -> bytes:
+        filt = ""
+        if flate:
+            data = zlib.compress(data, 9)
+            filt = " /Filter /FlateDecode"
+        return (f"<< /Length {len(data)}{filt}{extra} >>".encode()
+                + b"\nstream\n" + data + b"\nendstream")
+
+    def form(data: bytes, resources: str) -> bytes:
+        return stream(data, " /Type /XObject /Subtype /Form "
+                      "/BBox [0 0 612 792] /Resources " + resources)
+
+    page_nums = []
+    for i, (text, kind) in enumerate(pages):
+        use_hex = i % 2 == 1
+        if kind == "form":
+            f = add(form(_page_stream(text, use_hex),
+                         "<< /Font << /F1 3 0 R >> >>"))
+            c = add(stream(b"/FmA Do"))
+            res = f"<< /XObject << /FmA {f} 0 R >> >>"
+        elif kind == "nested":
+            first, _, rest = text.partition("\n")
+            inner = add(form(_page_stream(rest, use_hex),
+                             "<< /Font << /F1 3 0 R >> >>"))
+            outer = add(form(b"/Im0 Do /FmB Do",
+                             f"<< /XObject << /Im0 4 0 R "
+                             f"/FmB {inner} 0 R >> >>"))
+            raw = first.encode("utf-8")
+            shown = (b"<" + raw.hex().encode("ascii") + b">"
+                     if use_hex else
+                     b"(" + _escape_literal(raw) + b")")
+            c = add(stream(b"BT /F1 12 Tf 72 720 Td " + shown
+                           + b" Tj ET /FmA Do"))
+            res = (f"<< /Font << /F1 3 0 R >> "
+                   f"/XObject << /FmA {outer} 0 R >> >>")
+        elif kind == "image_only":
+            c = add(stream(b"q /Im0 Do Q q /Im0 Do Q"))
+            res = "<< /XObject << /Im0 4 0 R >> >>"
+        else:
+            raise ValueError(f"unknown xobject page kind {kind!r}")
+        p = add(f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 612 792] /Resources {res} "
+                f"/Contents {c} 0 R >>".encode())
+        page_nums.append(p)
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[1] = f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 def _rot47(o: int) -> int:
     """Self-inverse-free permutation of printable ASCII 0x21-0x7E:
     guarantees the fixture's show-string bytes differ from the text
@@ -1589,6 +1678,59 @@ class _Pdf:
         self._font_cache[key] = dec
         return dec
 
+    def _font_factories(self, resources):
+        """Lazy name -> decoder-factory map from a /Resources dict (a
+        broken font entry in a shared dict only fails streams that
+        actually SELECT it); None when the dict carries no /Font."""
+        if not isinstance(resources, dict):
+            return None
+        font_res = self.resolve(resources.get("Font"))
+        if not isinstance(font_res, dict):
+            return None
+        return {name: (lambda f=f: self.font_decoder(f))
+                for name, f in font_res.items()}
+
+    def _xobject_factories(self, resources):
+        """Lazy name -> XObject-entry-factory map from a /Resources
+        dict, for the ``Do`` operator; None when it carries no
+        /XObject. Same laziness contract as fonts: a broken XObject a
+        stream never draws must not abort it."""
+        if not isinstance(resources, dict):
+            return None
+        xo_res = self.resolve(resources.get("XObject"))
+        if not isinstance(xo_res, dict):
+            return None
+        return {name: (lambda r=r, res=resources:
+                       self._xobject_entry(r, res))
+                for name, r in xo_res.items()}
+
+    def _xobject_entry(self, ref, parent_resources):
+        """One XObject for Do: ("image", objnum, None, None, None)
+        for /Subtype /Image (the scanned-page signal — content bytes
+        are never touched), or ("form", objnum, content, fonts,
+        xobjects) for /Subtype /Form (PDF 32000 §8.10), whose own
+        /Resources apply — falling back to the invoking stream's when
+        absent, the Annex-H compatibility note real writers rely on.
+        Anything else (/PS passthrough) fails loudly."""
+        if not isinstance(ref, _Ref):
+            raise ValueError("XObject resource is not an indirect ref")
+        xo = self.resolve(ref)
+        if not isinstance(xo, dict):
+            raise ValueError(f"XObject {ref.num} is not a stream dict")
+        subtype = str(self.resolve(xo.get("Subtype", "")))
+        if subtype == "Image":
+            return ("image", ref.num, None, None, None)
+        if subtype == "Form":
+            res = self.resolve(xo.get("Resources"))
+            if not isinstance(res, dict):
+                res = parent_resources
+            return ("form", ref.num, self.stream_data(ref.num),
+                    self._font_factories(res),
+                    self._xobject_factories(res))
+        raise ValueError(
+            f"unsupported XObject subtype {subtype!r} "
+            f"(object {ref.num})")
+
 
 _TEXT_POSITIONING = frozenset(("Td", "TD", "T*", "Tm"))
 
@@ -1597,7 +1739,12 @@ def _utf8_strict(bs: bytes) -> str:
     return bs.decode("utf-8")
 
 
-def _extract_text(content: bytes, fonts: dict | None = None) -> str:
+_XOBJECT_MAX_DEPTH = 16
+
+
+def _extract_text(content: bytes, fonts: dict | None = None,
+                  xobjects: dict | None = None,
+                  counters: dict | None = None) -> str:
     """Interpret a content stream's text operators. Strings shown by
     Tj / ' / \" / TJ decode through the CURRENT font's decoder (Tf
     selects it from the page's /Font resources — show-string bytes
@@ -1609,12 +1756,36 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
     inherited, and an undecodable font the page never selects must not
     abort pages that only use the good ones. A stream that shows text
     before any Tf falls back to strict UTF-8 (legacy fixture shape); a
-    Tf naming a missing resource fails loudly."""
+    Tf naming a missing resource fails loudly.
+
+    ``xobjects`` maps resource names to ZERO-ARG XOBJECT FACTORIES
+    (see _Pdf._xobject_entry) driving the ``Do`` operator: /Form
+    XObjects RECURSE with their own resources (text/line state shared,
+    depth-capped, self-reference rejected) — stamped documents and
+    letterhead generators put entire pages there; /Image XObject draws
+    increment ``counters["images"]`` so a corpus router can detect
+    scanned (image-only) pages. With no xobjects mapping, Do is a
+    no-op (the legacy bare-stream fixture shape)."""
+    out: list[str] = []
+    state = {"positioned": False}
+    _run_content(content, fonts, xobjects, counters, out, state,
+                 _utf8_strict, 0, ())
+    return "".join(out)
+
+
+def _run_content(content: bytes, fonts: dict | None,
+                 xobjects: dict | None, counters: dict | None,
+                 out: list[str], state: dict, cur, depth: int,
+                 chain: tuple) -> None:
+    """One content stream against SHARED text state (``out`` and the
+    positioned flag compose across Do recursion — a form's first
+    positioning op line-breaks exactly like a page-level one). ``cur``
+    (the selected font decoder) is inherited INTO a form per the
+    graphics-state model but never leaks back out (form execution is
+    implicitly q/Q-wrapped). ``chain`` carries the object numbers of
+    the forms being executed for cycle rejection."""
     lex = _Lexer(content)
     operands: list = []
-    out: list[str] = []
-    cur = _utf8_strict
-    positioned = False
     n = len(content)
     while True:
         lex._skip_ws()
@@ -1670,9 +1841,34 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
             # newline unless this is the very first positioning op AND
             # nothing has been shown yet (the writer's opening Td; a
             # foreign stream that shows text first still line-breaks)
-            if positioned or any(out):
+            if state["positioned"] or any(out):
                 out.append("\n")
-            positioned = True
+            state["positioned"] = True
+        elif op == "Do":
+            if not operands or not isinstance(operands[-1], _Name):
+                raise ValueError("Do without an XObject resource name")
+            name = str(operands[-1])
+            if xobjects is not None:
+                if name not in xobjects:
+                    raise ValueError(
+                        f"Do names unknown XObject resource /{name}")
+                kind, num, fdata, ffonts, fxobjects = xobjects[name]()
+                if kind == "image":
+                    if counters is not None:
+                        counters["images"] = \
+                            counters.get("images", 0) + 1
+                else:
+                    if num in chain:
+                        raise ValueError(
+                            f"Form XObject cycle at object {num}")
+                    if depth + 1 > _XOBJECT_MAX_DEPTH:
+                        raise ValueError(
+                            "Form XObject nesting too deep")
+                    # text/line state shared; the current font decoder
+                    # flows IN but the form's Tf never leaks back out
+                    _run_content(fdata, ffonts, fxobjects, counters,
+                                 out, state, cur, depth + 1,
+                                 chain + (num,))
         elif op == "Tf":
             if len(operands) < 2 or not isinstance(operands[-2], _Name):
                 raise ValueError("Tf without a font resource name")
@@ -1702,15 +1898,17 @@ def _extract_text(content: bytes, fonts: dict | None = None) -> str:
                     if out and not out[-1].endswith((" ", "\n")):
                         out.append(" ")
         operands = []
-    return "".join(out)
 
 
-def parse_pdf(payload: bytes) -> list[str]:
-    """All page texts, in page-tree order, decoded through each page's
-    font resources (/ToUnicode, /Encoding ladder — see
-    _Pdf.font_decoder)."""
+def parse_pdf_meta(payload: bytes) -> list[dict]:
+    """Per-page ``{"text", "n_images"}`` in page-tree order: text
+    decoded through each page's font resources (/ToUnicode, /Encoding
+    ladder — see _Pdf.font_decoder) INCLUDING text drawn via Form
+    XObjects (the Do operator recurses), and the count of Image
+    XObject draws — the scanned-page signal (``n_images > 0`` with
+    empty text = route to the OCR lane, not the text lane)."""
     pdf = _Pdf(bytes(payload))
-    texts = []
+    out = []
     for page, resources in pdf.pages():
         contents = page.get("Contents")
         if isinstance(pdf.resolve(contents), list):
@@ -1721,17 +1919,18 @@ def parse_pdf(payload: bytes) -> list[str]:
                         if isinstance(r, _Ref))
         if not any(isinstance(r, _Ref) for r in refs):
             raise ValueError("page /Contents is not an indirect stream")
-        fonts = None
-        if isinstance(resources, dict):
-            font_res = pdf.resolve(resources.get("Font"))
-            if isinstance(font_res, dict):
-                # lazy factories: decoders build (and cache) at Tf
-                # time, so a broken font entry in a shared /Resources
-                # dict only fails pages that actually SELECT it
-                fonts = {name: (lambda f=f: pdf.font_decoder(f))
-                         for name, f in font_res.items()}
-        texts.append(_extract_text(data, fonts))
-    return texts
+        counters: dict = {}
+        text = _extract_text(data, pdf._font_factories(resources),
+                             pdf._xobject_factories(resources),
+                             counters)
+        out.append({"text": text,
+                    "n_images": counters.get("images", 0)})
+    return out
+
+
+def parse_pdf(payload: bytes) -> list[str]:
+    """All page texts, in page-tree order (see parse_pdf_meta)."""
+    return [p["text"] for p in parse_pdf_meta(payload)]
 
 
 PDF_PAGE_SCHEMA = T.StructType([
@@ -1770,6 +1969,48 @@ def pdf_pages(df: DataFrame, on_error: str = "raise") -> DataFrame:
     return df.select("id", "payload").mapInPandas(run, PDF_PAGE_SCHEMA)
 
 
+PDF_PAGE_META_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("page_idx", T.IntegerType()),
+    T.StructField("page_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("n_images", T.IntegerType()),
+    T.StructField("has_text", T.BooleanType()),
+])
+
+
+def pdf_pages_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """pdf_pages plus the corpus-router signals: ``n_images`` (Image
+    XObject draws per page) and ``has_text`` — an image-only page
+    (scanned document) emits (False, n>0) so a pipeline can route it
+    to an OCR lane instead of silently treating it as empty text."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for fid, payload in zip(pdf_batch["id"],
+                                    pdf_batch["payload"]):
+                try:
+                    metas = parse_pdf_meta(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "page_idx": i,
+                             "page_count": len(metas),
+                             "text": m["text"],
+                             "n_images": m["n_images"],
+                             "has_text": m["text"] != ""}
+                            for i, m in enumerate(metas))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_PAGE_META_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, PDF_PAGE_META_SCHEMA)
+
+
 def synth_pdf(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id", files: int = 8,
               layout: str = "classic",
@@ -1790,6 +2031,11 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     ``layout="encrypted"`` writes classic files enciphered by the
     standard security handler under an empty user password, rotating
     RC4-40 / RC4-128 / AES-128 by file id (Flate on even ids).
+    ``layout="xobject"`` writes classic files whose pages draw
+    through XObjects (encode_pdf_xobjects), kind by doc id % 3 —
+    form-only text, nested-form + image, image-only (scanned shape;
+    the doc's text is DISCARDED by construction — the oracle expects
+    '' there); Flate on even file ids.
     ``max_shard_bytes`` is WRITE-side shard policy (the r10 probe's
     prescription — Common Crawl caps WARC segments the same way): a
     packing group splits into further files at page boundaries when
@@ -1798,10 +2044,18 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     file — one document cannot be split). Split files number
     ``fid + files * chunk`` to stay unique and deterministic. Emits
     (id = file index, modality, payload)."""
-    if layout not in ("classic", "xrefstream", "encoded", "encrypted"):
+    if layout not in ("classic", "xrefstream", "encoded", "encrypted",
+                      "xobject"):
         raise ValueError(f"unknown layout {layout!r}")
 
     def encode(fid: int, pages: list[str]) -> bytes:
+        if layout == "xobject":
+            entries = []
+            for page in pages:
+                did = int(page.split("\n", 1)[0][4:])
+                kind = ("form", "nested", "image_only")[did % 3]
+                entries.append((page, kind))
+            return encode_pdf_xobjects(entries, flate=(fid % 2 == 0))
         if layout == "encoded":
             return encode_pdf_encoded(
                 pages, base=("winansi" if fid % 2 == 0 else "macroman"),

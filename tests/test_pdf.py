@@ -422,3 +422,95 @@ def test_inline_image_id_bytes_inside_operand():
          b"\x00\x01EI2\xff EI\n"
          b"BT 0 0 Td (y) Tj ET")
     assert P._extract_text(s) == "x\ny"
+
+
+# --------------------------------------- Form XObjects (r12, brief #3)
+
+def _xo_pages():
+    return [("doc:0\nzero text here", "form"),
+            ("doc:1\nline A\nline B", "nested"),
+            ("doc:2\ndiscarded", "image_only")]
+
+
+def test_form_xobjects_and_scanned_signal():
+    """Do recursion: form-only text, nested form + image draw, and the
+    image-only (scanned) page — text composes across the recursion,
+    images count per draw, and the empty-text page is detectable."""
+    for flate in (True, False):
+        b = P.encode_pdf_xobjects(_xo_pages(), flate=flate)
+        metas = P.parse_pdf_meta(b)
+        assert [m["text"] for m in metas] == \
+            ["doc:0\nzero text here", "doc:1\nline A\nline B", ""]
+        assert [m["n_images"] for m in metas] == [0, 1, 2]
+        # parse_pdf delegation unchanged
+        assert P.parse_pdf(b)[0] == "doc:0\nzero text here"
+
+
+def test_form_xobject_cycle_and_depth_rejected():
+    """A self-referencing form must fail loudly, not recurse forever;
+    so must nesting beyond the cap."""
+    # handcraft: form 5 whose /Resources /XObject names ITSELF
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /XObject << /FmA 5 0 R >> >> "
+        b"/Contents 4 0 R >>",
+        b"<< /Length 8 >>\nstream\n/FmA Do \nendstream",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+        b"/Resources << /XObject << /FmA 5 0 R >> >> "
+        b"/Length 8 >>\nstream\n/FmA Do \nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    with pytest.raises(ValueError, match="cycle"):
+        P.parse_pdf(bytes(out))
+    # depth cap: a chain that never revisits an object but nests past
+    # the limit (synthesized through _run_content directly)
+    def deep(depth_left):
+        if depth_left == 0:
+            return ("form", 10_000, b"BT (x) Tj ET", None, None)
+        return ("form", 10_000 - depth_left,
+                b"/N Do",
+                None, {"N": lambda: deep(depth_left - 1)})
+    with pytest.raises(ValueError, match="too deep"):
+        P._extract_text(b"/N Do",
+                        xobjects={"N": lambda: deep(20)})
+    # unknown Do name fails loudly when a mapping exists...
+    with pytest.raises(ValueError, match="unknown XObject"):
+        P._extract_text(b"/Nope Do", xobjects={})
+    # ...and is a no-op without one (legacy bare-stream fixtures)
+    assert P._extract_text(b"BT (t) Tj ET /Ghost Do") == "t"
+
+
+def test_pdf_pages_meta_distributed(spark):
+    from mycelial_spark.sources.pdf import pdf_pages_meta, synth_pdf
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(9)],
+        "doc_id long, text string")
+    rows = pdf_pages_meta(
+        synth_pdf(docs, files=2, layout="xobject")).collect()
+    assert len(rows) == 9
+    by_doc = {}
+    for r in rows:
+        assert r["page_count"] == (5 if r["id"] == 0 else 4)
+        did = r["id"] + 2 * r["page_idx"]        # files=2, sorted ids
+        by_doc[did] = r
+    for did, r in by_doc.items():
+        if did % 3 == 2:
+            assert not r["has_text"] and r["n_images"] == 2 \
+                and r["text"] == ""
+        else:
+            assert r["has_text"]
+            assert r["text"] == f"doc:{did}\nbody {did}"
+            assert r["n_images"] == (1 if did % 3 == 1 else 0)
