@@ -2202,6 +2202,40 @@ def html_extract_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("zip_extract", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf'
+            WHEN 1 THEN 'html' ELSE 'text' END AS format,
+       text AS text_out
+FROM documents
+""")
+def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic ZIP archives as a dispatchable container (r11 brief
+    #4): documents pack into 8 plain ``.zip`` bundles whose members
+    rotate PDF / HTML / plain-text by id residue (synth_zipdoc — the
+    shape scraped corpora actually land in), and the dispatch bursts
+    each archive and recurses every member through its OWN magic —
+    PDF members through the PDF reader, HTML through the block walk,
+    and magic-less text members through the charset ladder behind the
+    looks-texty gate (an unrecognized binary member still fails
+    loudly). The oracle replays file assignment, per-member format,
+    and the text — a burst, recursion, or fallback-gate bug breaks
+    the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.zipdoc import synth_zipdoc
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = document_records(synth_zipdoc(docs, files=8))
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        "format",
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("eml_extract", """
 SELECT doc_id,
        'doc:' || CAST(doc_id AS VARCHAR) AS subject,
@@ -2770,32 +2804,37 @@ def markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("document_formats_mixed", """
 SELECT doc_id,
-       CASE CAST(doc_id % 9 AS INT)
+       CASE CAST(doc_id % 10 AS INT)
             WHEN 0 THEN 'pdf' WHEN 1 THEN 'warc'
             WHEN 2 THEN 'mbox' WHEN 3 THEN 'webdataset'
             WHEN 4 THEN 'docx' WHEN 5 THEN 'epub'
             WHEN 6 THEN 'odt' WHEN 7 THEN 'rtf'
-            ELSE 'html' END AS format,
+            WHEN 8 THEN 'html'
+            ELSE CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf'
+                 WHEN 1 THEN 'html' ELSE 'text' END
+       END AS format,
        text AS text_out
 FROM documents
 """)
 def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One binary column, nine real container parsers — the shape a
+    """One binary column, TEN real container classes — the shape a
     crawled DOCUMENT corpus actually has (a landing bucket of raw
     HTML, PDFs, WARC segments, mail archives, training shards, office
-    documents, e-books, and legacy RTF, tagged by nothing but their
-    bytes): payloads pack by doc_id % 9 into 8 files per multi-doc
-    format (WARC gzip-membered — the dispatch must sniff THROUGH the
-    gzip layer; DOCX is a ZIP package the sniff disambiguates by its
-    OPC parts; RTF and HTML are one file per document, and HTML's
-    text prologue is the LAST sniff rung so every binary signature
-    outranks it), and document_records routes each file by magic to
-    its parser inside one Arrow batch, emitting normalized (format,
-    key, text) rows. The oracle replays format assignment and the
-    text itself for every document — a mis-sniffed container or a
-    parser that mangles one byte breaks the hash-match. Companion to
-    image_formats_mixed: together they cover the text and image
-    halves of the universal-ingestion dispatch pattern."""
+    documents, e-books, legacy RTF, and plain ``.zip`` bundles,
+    tagged by nothing but their bytes): payloads pack by doc_id % 10
+    into 8 files per multi-doc format (WARC gzip-membered — the
+    dispatch must sniff THROUGH the gzip layer; DOCX is a ZIP package
+    the sniff disambiguates by its OPC parts; generic ZIPs burst into
+    members that RECURSE through the dispatch, emitting their
+    members' own formats; RTF and HTML are one file per document, and
+    HTML's text prologue is the LAST sniff rung so every binary
+    signature outranks it), and document_records routes each file by
+    magic to its parser inside one Arrow batch, emitting normalized
+    (format, key, text) rows. The oracle replays format assignment
+    and the text itself for every document — a mis-sniffed container
+    or a parser that mangles one byte breaks the hash-match.
+    Companion to image_formats_mixed: together they cover the text
+    and image halves of the universal-ingestion dispatch pattern."""
     from mycelial_spark.operators.dedup import spread
     from mycelial_spark.sources.dispatch import document_records
     from mycelial_spark.sources.docx import synth_docx
@@ -2807,8 +2846,9 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mycelial_spark.sources.rtf import synth_rtf
     from mycelial_spark.sources.warc import synth_warc
     from mycelial_spark.sources.webdataset import synth_webdataset
+    from mycelial_spark.sources.zipdoc import synth_zipdoc
     docs = spread(_t(spark, sf_dir, "documents"))
-    m = F.col("doc_id") % 9
+    m = F.col("doc_id") % 10
     payloads = (synth_pdf(docs.filter(m == 0), files=8)
                 .unionByName(synth_warc(docs.filter(m == 1), files=8,
                                         gzip_members=True))
@@ -2819,7 +2859,9 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .unionByName(synth_epub(docs.filter(m == 5), files=8))
                 .unionByName(synth_odt(docs.filter(m == 6), files=8))
                 .unionByName(synth_rtf(docs.filter(m == 7)))
-                .unionByName(synth_html(docs.filter(m == 8))))
+                .unionByName(synth_html(docs.filter(m == 8)))
+                .unionByName(synth_zipdoc(docs.filter(m == 9),
+                                          files=8)))
     recs = document_records(payloads)
     fmt = F.col("format")
     doc_id = (F.when(fmt == "warc",
@@ -2828,7 +2870,7 @@ def document_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                .otherwise(F.regexp_extract("key", r"^doc:(\d+)$", 1))
               ).cast("long")
     text_out = F.when(
-        fmt.isin("pdf", "docx", "epub", "odt", "rtf", "html"),
+        fmt.isin("pdf", "docx", "epub", "odt", "rtf", "html", "text"),
         F.expr("substring(text, instr(text, '\\n') + 1)")) \
         .otherwise(F.col("text"))
     return recs.select(doc_id.alias("doc_id"), "format",

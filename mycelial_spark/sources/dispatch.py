@@ -1,9 +1,10 @@
-"""Universal document-container dispatch: one binary column, nine
-real container parsers — the shape a crawled document corpus actually
+"""Universal document-container dispatch: one binary column, ten
+real container classes — the shape a crawled document corpus actually
 has (a landing bucket holds raw HTML next to PDFs next to WARC
 segments next to mail archives next to training shards next to office
-documents, e-books, and legacy RTF; nothing tags them but their
-bytes).
+documents, e-books, legacy RTF, and plain ZIP bundles whose members
+recurse right back through this dispatch; nothing tags them but
+their bytes).
 
 `sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
 ``WARC/`` (gzip members sniffed through one inflate of the head) /
@@ -80,9 +81,9 @@ def sniff_container(payload: bytes) -> str:
             if mime.strip() == \
                     b"application/vnd.oasis.opendocument.text":
                 return "odt"
-        raise ValueError(
-            f"ZIP package is not a known document container "
-            f"(parts: {sorted(names)[:4]!r})")
+        # not an OPC/OCF/ODF package: a GENERIC archive — burst into
+        # members and recurse each through this dispatch (r12)
+        return "zip"
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
     # HTML last: its "magic" is a text prologue, not a binary
@@ -93,7 +94,38 @@ def sniff_container(payload: bytes) -> str:
     raise ValueError(f"unrecognized container magic {head[:12]!r}")
 
 
-def _rows_for(fmt: str, payload: bytes) -> list[dict]:
+_ZIP_MAX_DEPTH = 4
+
+
+def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
+    if fmt == "zip":
+        # generic archive: one row set per member, each member routed
+        # back through the dispatch by ITS OWN magic (a zip of PDFs +
+        # HTML + notes is the common scraped-corpus drop shape).
+        # Members without container magic become "text" rows through
+        # the charset ladder — gated on the decode LOOKING like text,
+        # so an unrecognized binary member still fails loudly. Nested
+        # archives recurse, depth-capped against zip bombs.
+        if depth >= _ZIP_MAX_DEPTH:
+            raise ValueError("ZIP nesting too deep")
+        from mycelial_spark.sources.zipdoc import (looks_texty,
+                                                   zip_members)
+        out = []
+        for name, data in zip_members(payload):
+            try:
+                sub = sniff_container(data)
+            except ValueError:
+                from mycelial_spark.sources.charset import detect_decode
+                _enc, t = detect_decode(data)
+                if not looks_texty(t):
+                    raise ValueError(
+                        f"ZIP member {name!r} is neither a known "
+                        f"container nor text")
+                out.append({"format": "text",
+                            "key": t.split("\n", 1)[0], "text": t})
+                continue
+            out.extend(_rows_for(sub, data, depth + 1))
+        return out
     if fmt == "pdf":
         from mycelial_spark.sources.pdf import parse_pdf
         return [{"format": "pdf", "key": t.split("\n", 1)[0],

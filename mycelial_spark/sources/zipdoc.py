@@ -1,0 +1,103 @@
+"""Generic ZIP archives as a dispatchable container — scraped
+corpora frequently land as plain ``.zip`` bundles of mixed documents
+(a dump of PDFs + HTML + notes), not as OPC/OCF/ODF packages. The
+r11 verdict's gap #4: dispatch disambiguated PK zips only into
+docx/epub/odt and REJECTED everything else; this leg bursts a generic
+archive into members and recurses each through the container dispatch
+(sources/dispatch.py), with a charset-laddered plain-text fallback
+for members that carry no container magic — gated on the decode
+looking like text, so an unrecognized BINARY member still fails
+loudly instead of becoming mojibake rows.
+
+Reference parity: the reference ships archives opaquely through its
+file/dir sections (sections/file/src/source.rs) and leaves unpacking
+to exec; this leg bursts natively like the other container sources.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
+    """(member name, member bytes) in archive order; directories are
+    skipped. Raises on a damaged archive."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(bytes(payload)))
+        return [(info.filename, zf.read(info))
+                for info in zf.infolist()
+                if not info.is_dir()]
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP archive: {e}") from e
+
+
+def looks_texty(text: str) -> bool:
+    """True when a decoded candidate reads as TEXT: control characters
+    (beyond tab/newline/CR) under 2%. The gate between 'this member is
+    a plain-text document' and 'this member is an unrecognized binary
+    that the cp1252 backstop would happily turn into mojibake'."""
+    if not text:
+        return True
+    bad = sum(1 for ch in text
+              if (ord(ch) < 0x20 and ch not in "\t\n\r")
+              or 0x7F <= ord(ch) <= 0x9F)
+    return bad / len(text) < 0.02
+
+
+def synth_zipdoc(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture: documents pack into ``files`` ZIP archives
+    (doc_id % files, members in sorted doc order), each doc one member
+    by id residue — a one-page PDF (%3==0), an HTML file (%3==1), or
+    a plain ``.txt`` (%3==2), all carrying ``doc:<id>\\n<text>`` so
+    the oracle replays from the documents table. Stored (no deflate)
+    with a fixed timestamp for byte determinism. Emits
+    (id = file index, modality, payload)."""
+    from mycelial_spark.sources.htmldoc import encode_html
+    from mycelial_spark.sources.pdf import encode_pdf
+
+    def member(did: int, t: str) -> tuple[str, bytes]:
+        body = f"doc:{did}\n{t}"
+        r = did % 3
+        if r == 0:
+            return f"{did:08d}.pdf", encode_pdf([body],
+                                                flate=did % 2 == 0)
+        if r == 1:
+            return f"{did:08d}.html", encode_html(body)
+        return f"{did:08d}.txt", body.encode("utf-8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for did, t in sorted(docs):
+            groups.setdefault(did % files, []).append((did, t))
+        ids, payloads = [], []
+        for fid, members in groups.items():
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w",
+                                 zipfile.ZIP_STORED) as zf:
+                for did, t in members:
+                    name, data = member(did, t)
+                    info = zipfile.ZipInfo(name,
+                                           (1980, 1, 1, 0, 0, 0))
+                    zf.writestr(info, data)
+            ids.append(fid)
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"id": ids, "modality": "zip",
+                            "payload": payloads})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))

@@ -33,14 +33,14 @@ def test_sniff_magic():
     assert sniff_container(encode_epub(["doc:1\nx"])) == "epub"
     from mycelial_spark.sources.odt import encode_odt
     assert sniff_container(encode_odt(["doc:1\nx"])) == "odt"
-    # a ZIP that is NOT a known document package fails loudly
+    # a ZIP that is NOT a known document package is a GENERIC archive
+    # (r12): the dispatch bursts it into members instead of rejecting
     import io as _io
     import zipfile as _zf
     buf = _io.BytesIO()
     with _zf.ZipFile(buf, "w") as z:
         z.writestr("random.txt", "x")
-    with pytest.raises(ValueError, match="not a known document"):
-        sniff_container(buf.getvalue())
+    assert sniff_container(buf.getvalue()) == "zip"
     with pytest.raises(ValueError, match="unrecognized container"):
         sniff_container(b"plain text, no container at all" * 10)
     with pytest.raises(ValueError, match="not a WARC"):

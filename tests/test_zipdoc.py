@@ -1,0 +1,78 @@
+"""Generic ZIP container leg (sources/zipdoc.py + dispatch recursion,
+r12): burst-and-recurse, the looks-texty fallback gate, nesting
+limits, and non-capture of the OPC/OCF/ODF package formats."""
+
+import io
+import zipfile
+
+import pytest
+
+from mycelial_spark.sources import zipdoc as Z
+from mycelial_spark.sources.dispatch import (_rows_for, document_records,
+                                             sniff_container)
+
+
+def _zip(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        for name, data in members.items():
+            zf.writestr(zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0)),
+                        data)
+    return buf.getvalue()
+
+
+def test_sniff_generic_zip_vs_packages():
+    from mycelial_spark.sources.docx import encode_docx
+    from mycelial_spark.sources.pdf import encode_pdf
+    z = _zip({"a.txt": b"hello"})
+    assert sniff_container(z) == "zip"
+    # OPC packages still disambiguate, never fall into the generic leg
+    assert sniff_container(encode_docx(["doc:1\nx"])) == "docx"
+    # member recursion: pdf + html + txt in one archive
+    z2 = _zip({"d.pdf": encode_pdf(["doc:5\nfive"]),
+               "p.html": b"<!DOCTYPE html><html><body><p>web</p>"
+                         b"</body></html>",
+               "n.txt": b"plain note"})
+    rows = _rows_for("zip", z2)
+    assert [(r["format"], r["text"]) for r in rows] == [
+        ("pdf", "doc:5\nfive"), ("html", "web"), ("text", "plain note")]
+
+
+def test_nested_zip_and_depth_cap():
+    inner = _zip({"n.txt": b"deep note"})
+    outer = _zip({"inner.zip": inner, "top.txt": b"top note"})
+    rows = _rows_for("zip", outer)
+    assert [(r["format"], r["text"]) for r in rows] == [
+        ("text", "deep note"), ("text", "top note")]
+    # bomb guard: nesting past the cap raises
+    z = _zip({"x.txt": b"leaf"})
+    for _ in range(5):
+        z = _zip({"inner.zip": z})
+    with pytest.raises(ValueError, match="nesting too deep"):
+        _rows_for("zip", z)
+
+
+def test_binary_member_fails_loudly():
+    """An unrecognized BINARY member must not become mojibake text —
+    the looks-texty gate rejects it."""
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 4
+    with pytest.raises(ValueError, match="neither a known container"):
+        _rows_for("zip", _zip({"img.png": png}))
+    assert Z.looks_texty("normal text\nwith lines\tand tabs")
+    assert not Z.looks_texty("".join(chr(b) for b in range(256)))
+    with pytest.raises(ValueError, match="damaged ZIP"):
+        Z.zip_members(b"PK\x03\x04 but truncated nonsense")
+
+
+def test_synth_zipdoc_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(9)],
+        "doc_id long, text string")
+    files = Z.synth_zipdoc(docs, files=2)
+    recs = document_records(files).collect()
+    assert len(recs) == 9
+    for r in recs:
+        did = int(r["key"].removeprefix("doc:"))
+        assert r["format"] == ("pdf", "html", "text")[did % 3]
+        assert r["text"] == f"doc:{did}\nbody {did}"
+        assert r["id"] == did % 2
