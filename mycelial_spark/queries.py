@@ -1923,6 +1923,48 @@ def pdf_extract_text_tounicode(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("pdf_extract_text_layout", r"""
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT) AS page_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS page_count,
+       regexp_replace(text, '((\S+ ){3}\S+) ', '\1' || chr(10), 'g')
+         AS text_out
+FROM documents
+""")
+def pdf_extract_text_layout(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Multi-column READING order (r11 brief #5): the same 8-file
+    fixture, but every page is TWO-COLUMN — the doc text wrapped at 4
+    words/line, first half of the lines in the left column — and the
+    content stream is emitted row-major (interleaved), the layout
+    trap real two-column papers set. ``pdf_pages(layout=True)``
+    tracks Td/TD/Tm/T*/TL positions and re-orders shown segments by
+    recursive XY-cut (left column fully before the right), so the
+    extraction reads column-by-column; content-stream order would
+    interleave the two columns and break the hash-match. The oracle
+    replays the 4-word wrap with the exact regexp the writer uses
+    (wrap_words — verified byte-identical between Python re and
+    DuckDB RE2 on the corpus). The XY-cut is a per-page in-memory
+    sort inside the Arrow batch — plan shape identical to
+    pdf_extract_text (one narrow mapInPandas, no exchange)."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = spread(_t(spark, sf_dir, "documents"))
+    pages = pdf_pages(synth_pdf(docs, files=8, layout="columns"),
+                      layout=True)
+    return pages.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("page_idx"),
+        F.col("page_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("pdf_extract_xobject", """
 SELECT CAST(doc_id % 8 AS BIGINT) AS file_id,
        CAST(row_number() OVER (PARTITION BY doc_id % 8

@@ -42,6 +42,7 @@ extracted text straight from the documents table.
 from __future__ import annotations
 
 import hashlib
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -323,6 +324,84 @@ def encode_pdf_xobjects(pages: list[tuple[str, str]],
     out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n".encode())
     return bytes(out)
+
+
+def encode_pdf_columns(pages: list[tuple[list[str], list[str]]],
+                       flate: bool = True,
+                       size: float = 9.0) -> bytes:
+    """Classic-layout writer for TWO-COLUMN pages whose content stream
+    is emitted in ROW-MAJOR (interleaved) order — the multi-column
+    extraction trap: each entry is (left_lines, right_lines), and the
+    stream shows left[0], right[0], left[1], right[1], ... with an
+    absolute Tm positioning each show. Content-stream-order extraction
+    therefore interleaves the columns; only layout=True (XY-cut)
+    reads column-by-column. The right column's x is placed past the
+    widest left line under the SAME width estimate the reader uses
+    (_EST_CHAR_W), so the column gutter is guaranteed to exceed the
+    XY-cut threshold. Strings alternate literal/hex by page index like
+    encode_pdf."""
+    streams = []
+    for i, (left, right) in enumerate(pages):
+        use_hex = i % 2 == 1
+        max_left = max((len(ln) for ln in left), default=0)
+        x_right = 72 + _EST_CHAR_W * size * max_left + 6 * size
+        ops = [f"BT /F1 {size:g} Tf".encode()]
+        for row in range(max(len(left), len(right))):
+            for x, col in ((72, left), (x_right, right)):
+                if row >= len(col):
+                    continue
+                raw = col[row].encode("utf-8")
+                shown = (b"<" + raw.hex().encode("ascii") + b">"
+                         if use_hex else
+                         b"(" + _escape_literal(raw) + b")")
+                y = 720 - (size + 2) * row
+                ops.append(f"1 0 0 1 {x:g} {y:g} Tm".encode()
+                           + b" " + shown + b" Tj")
+        ops.append(b"ET")
+        streams.append(b" ".join(ops))
+    n = len(streams)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i, data in enumerate(streams):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >> "
+            f"/Contents {5 + 2 * i} 0 R >>".encode())
+        filt = ""
+        if flate:
+            data = zlib.compress(data, 9)
+            filt = " /Filter /FlateDecode"
+        objs.append(f"<< /Length {len(data)}{filt} >>".encode()
+                    + b"\nstream\n" + data + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def wrap_words(text: str, words_per_line: int = 4) -> str:
+    """Break ``text`` into lines of ``words_per_line``
+    space-separated words — defined EXACTLY as the regex
+    ``((\\S+ ){n-1}\\S+) `` with global replacement of the trailing
+    space by a newline, so a SQL oracle can replay it verbatim with
+    ``regexp_replace(text, '((\\S+ ){3}\\S+) ', '\\1' || chr(10),
+    'g')`` (verified identical to DuckDB's RE2 semantics on the
+    fixture corpus)."""
+    pat = r"((?:\S+ ){%d}\S+) " % (words_per_line - 1)
+    return re.sub(pat, lambda m: m.group(1) + "\n", text)
 
 
 def _rot47(o: int) -> int:
@@ -1742,9 +1821,121 @@ def _utf8_strict(bs: bytes) -> str:
 _XOBJECT_MAX_DEPTH = 16
 
 
+def _num(v) -> float:
+    if not isinstance(v, (int, float)) or isinstance(v, bool):
+        raise ValueError(f"expected a numeric operand, got {v!r}")
+    return float(v)
+
+
+def _layout_position(op: str, operands: list, state: dict) -> None:
+    """§9.4.2 text-positioning semantics for layout mode: Tm REPLACES
+    the line matrix (translation components only — glyph-space scale
+    and rotation are ignored, the standard extractor simplification),
+    Td/TD translate it (TD also sets leading = -ty), T* advances one
+    leading down. The text matrix snaps to the new line origin."""
+    if op == "Tm":
+        if len(operands) < 6:
+            raise ValueError("Tm needs six operands")
+        state["tlm"] = [_num(operands[-2]), _num(operands[-1])]
+    elif op in ("Td", "TD"):
+        if len(operands) < 2:
+            raise ValueError(f"{op} needs two operands")
+        tx, ty = _num(operands[-2]), _num(operands[-1])
+        if op == "TD":
+            state["leading"] = -ty
+        state["tlm"] = [state["tlm"][0] + tx, state["tlm"][1] + ty]
+    else:                                           # T*
+        state["tlm"] = [state["tlm"][0],
+                        state["tlm"][1] - state["leading"]]
+    state["tm"] = list(state["tlm"])
+
+
+_EST_CHAR_W = 0.5       # estimated glyph advance, fractions of size
+
+
+def _layout_show(state: dict, text: str) -> None:
+    """Record one shown string as a positioned segment
+    (x0, y0, x1, y1, size, seq, text) at the current text matrix and
+    advance x by the estimated width. Widths are ESTIMATES
+    (0.5 em/char — we don't parse font metrics); the XY-cut thresholds
+    and the fixture writer use the same constant, so the geometry is
+    self-consistent."""
+    if not text:
+        return
+    x, y = state["tm"]
+    size = state["size"]
+    w = _EST_CHAR_W * size * len(text)
+    segs = state["segs"]
+    segs.append((x, y, x + w, y + size, size, len(segs), text))
+    state["tm"][0] = x + w
+
+
+def _band_split(items: list, lo_i: int, hi_i: int,
+                thresh: float) -> list[list]:
+    """1-D interval clustering: sort segments by interval start along
+    one axis and cut wherever the gap to the running max end exceeds
+    ``thresh``. Returns the list of bands (each a list of segments) in
+    ascending-coordinate order."""
+    ordered = sorted(items, key=lambda s: s[lo_i])
+    bands: list[list] = [[ordered[0]]]
+    hi = ordered[0][hi_i]
+    for s in ordered[1:]:
+        if s[lo_i] - hi > thresh:
+            bands.append([])
+        bands[-1].append(s)
+        hi = max(hi, s[hi_i])
+    return bands
+
+
+def _xycut_order(segs: list) -> list:
+    """Recursive XY-cut reading order (Nagy & Seth's classic
+    projection-profile cut): split on the horizontal whitespace band
+    first (top block before bottom block), else on the vertical band
+    (LEFT column fully before the right one — the fix for interleaved
+    multi-column extraction), recurse into each band, and when no cut
+    exceeds threshold fall back to (top-to-bottom, left-to-right, then
+    stream order) sorting. Thresholds scale with the median font size:
+    ordinary leading gaps (~0.2 em) never split a paragraph, section
+    gaps (>0.8 em) and column gutters (>1.5 em) do."""
+    med = sorted(s[4] for s in segs)[len(segs) // 2]
+    y_thresh, x_thresh = 0.8 * med, 1.5 * med
+
+    def rec(group: list, depth: int) -> list:
+        if len(group) <= 1 or depth > 64:
+            return group
+        bands = _band_split(group, 1, 3, y_thresh)
+        if len(bands) > 1:                # top band (max y) first
+            return [s for band in reversed(bands)
+                    for s in rec(band, depth + 1)]
+        bands = _band_split(group, 0, 2, x_thresh)
+        if len(bands) > 1:                # left column first
+            return [s for band in bands
+                    for s in rec(band, depth + 1)]
+        return sorted(group,
+                      key=lambda s: (-round(s[1], 1), s[0], s[5]))
+
+    return rec(list(segs), 0)
+
+
+def _assemble_layout(segs: list) -> str:
+    """Join ordered segments into text: segments whose baselines sit
+    within half a font size continue the same line, anything else
+    starts a new one."""
+    parts: list[str] = []
+    prev = None
+    for s in _xycut_order(segs):
+        if prev is not None and \
+                abs(s[1] - prev[1]) > 0.5 * max(s[4], prev[4]):
+            parts.append("\n")
+        parts.append(s[6])
+        prev = s
+    return "".join(parts)
+
+
 def _extract_text(content: bytes, fonts: dict | None = None,
                   xobjects: dict | None = None,
-                  counters: dict | None = None) -> str:
+                  counters: dict | None = None,
+                  layout: bool = False) -> str:
     """Interpret a content stream's text operators. Strings shown by
     Tj / ' / \" / TJ decode through the CURRENT font's decoder (Tf
     selects it from the page's /Font resources — show-string bytes
@@ -1765,11 +1956,23 @@ def _extract_text(content: bytes, fonts: dict | None = None,
     letterhead generators put entire pages there; /Image XObject draws
     increment ``counters["images"]`` so a corpus router can detect
     scanned (image-only) pages. With no xobjects mapping, Do is a
-    no-op (the legacy bare-stream fixture shape)."""
+    no-op (the legacy bare-stream fixture shape).
+
+    ``layout=True`` switches from content-stream order to READING
+    order: Td/TD/Tm/T*/TL positions are tracked (§9.4.2), every shown
+    string becomes a positioned segment, and segments are re-ordered
+    by recursive XY-cut (_xycut_order) so a two-column page reads
+    column-by-column instead of interleaved. Default stays
+    content-stream order — existing oracle hashes are untouched."""
     out: list[str] = []
-    state = {"positioned": False}
+    state: dict = {"positioned": False}
+    if layout:
+        state.update(segs=[], tm=[0.0, 0.0], tlm=[0.0, 0.0],
+                     leading=0.0, size=12.0)
     _run_content(content, fonts, xobjects, counters, out, state,
                  _utf8_strict, 0, ())
+    if layout:
+        return _assemble_layout(state["segs"])
     return "".join(out)
 
 
@@ -1838,12 +2041,23 @@ def _run_content(content: bytes, fonts: dict | None,
             operands = []
             continue
         if op in _TEXT_POSITIONING:
+            if "segs" in state:
+                _layout_position(op, operands, state)
             # newline unless this is the very first positioning op AND
             # nothing has been shown yet (the writer's opening Td; a
             # foreign stream that shows text first still line-breaks)
-            if state["positioned"] or any(out):
+            elif state["positioned"] or any(out):
                 out.append("\n")
             state["positioned"] = True
+        elif op == "BT":
+            if "segs" in state:      # §9.4.1: BT resets both matrices
+                state["tm"] = [0.0, 0.0]
+                state["tlm"] = [0.0, 0.0]
+        elif op == "TL":
+            if "segs" in state:
+                if not operands:
+                    raise ValueError("TL with no operand")
+                state["leading"] = _num(operands[-1])
         elif op == "Do":
             if not operands or not isinstance(operands[-1], _Name):
                 raise ValueError("Do without an XObject resource name")
@@ -1878,16 +2092,28 @@ def _run_content(content: bytes, fonts: dict | None,
                     raise ValueError(
                         f"Tf names unknown font resource /{name}")
                 cur = fonts[name]()
+            if "segs" in state and len(operands) >= 2:
+                state["size"] = _num(operands[-1])
         elif op in ("Tj", "'", '"'):
             if not operands or not isinstance(operands[-1], bytes):
                 raise ValueError(f"{op} with no string operand")
-            out.append(cur(operands[-1]))
+            shown = cur(operands[-1])
+            if "segs" in state:
+                if op in ("'", '"'):         # §9.4.3: implicit T*
+                    _layout_position("T*", [], state)
+                _layout_show(state, shown)
+            else:
+                out.append(shown)
         elif op == "TJ":
             if not operands or not isinstance(operands[-1], list):
                 raise ValueError("TJ with no array operand")
             for x in operands[-1]:
                 if isinstance(x, bytes):
-                    out.append(cur(x))
+                    shown = cur(x)
+                    if "segs" in state:
+                        _layout_show(state, shown)
+                    else:
+                        out.append(shown)
                 elif isinstance(x, (int, float)) and x < -180:
                     # real writers encode WORD GAPS as large negative
                     # kerning adjustments (thousandths of text space)
@@ -1895,18 +2121,25 @@ def _run_content(content: bytes, fonts: dict | None,
                     # words of most real PDFs run together. -180 is
                     # the conventional extractor threshold (smaller
                     # magnitudes are letter kerning, not gaps).
-                    if out and not out[-1].endswith((" ", "\n")):
+                    if "segs" in state:
+                        segs = state["segs"]
+                        if segs and not segs[-1][6].endswith(" "):
+                            _layout_show(state, " ")
+                    elif out and not out[-1].endswith((" ", "\n")):
                         out.append(" ")
         operands = []
 
 
-def parse_pdf_meta(payload: bytes) -> list[dict]:
+def parse_pdf_meta(payload: bytes, layout: bool = False) -> list[dict]:
     """Per-page ``{"text", "n_images"}`` in page-tree order: text
     decoded through each page's font resources (/ToUnicode, /Encoding
     ladder — see _Pdf.font_decoder) INCLUDING text drawn via Form
     XObjects (the Do operator recurses), and the count of Image
     XObject draws — the scanned-page signal (``n_images > 0`` with
-    empty text = route to the OCR lane, not the text lane)."""
+    empty text = route to the OCR lane, not the text lane).
+    ``layout=True`` re-orders text by recursive XY-cut READING order
+    (multi-column pages read column-by-column — see _extract_text);
+    the default stays content-stream order."""
     pdf = _Pdf(bytes(payload))
     out = []
     for page, resources in pdf.pages():
@@ -1922,15 +2155,15 @@ def parse_pdf_meta(payload: bytes) -> list[dict]:
         counters: dict = {}
         text = _extract_text(data, pdf._font_factories(resources),
                              pdf._xobject_factories(resources),
-                             counters)
+                             counters, layout=layout)
         out.append({"text": text,
                     "n_images": counters.get("images", 0)})
     return out
 
 
-def parse_pdf(payload: bytes) -> list[str]:
+def parse_pdf(payload: bytes, layout: bool = False) -> list[str]:
     """All page texts, in page-tree order (see parse_pdf_meta)."""
-    return [p["text"] for p in parse_pdf_meta(payload)]
+    return [p["text"] for p in parse_pdf_meta(payload, layout=layout)]
 
 
 PDF_PAGE_SCHEMA = T.StructType([
@@ -1941,11 +2174,16 @@ PDF_PAGE_SCHEMA = T.StructType([
 ])
 
 
-def pdf_pages(df: DataFrame, on_error: str = "raise") -> DataFrame:
+def pdf_pages(df: DataFrame, on_error: str = "raise",
+              layout: bool = False) -> DataFrame:
     """Explode binary PDF payloads into one row per page
     (PDF_PAGE_SCHEMA) over Arrow batches. ``on_error="null"`` skips
     undecodable files instead of failing the job (poison-row
-    tolerance, same contract as the other codec legs)."""
+    tolerance, same contract as the other codec legs).
+    ``layout=True`` emits XY-cut READING order (see parse_pdf_meta) —
+    the re-order is a per-page in-memory sort inside the Arrow batch,
+    so the plan shape (one narrow mapInPandas, no exchange) is
+    identical to the default path."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"unknown on_error {on_error!r}")
 
@@ -1955,7 +2193,7 @@ def pdf_pages(df: DataFrame, on_error: str = "raise") -> DataFrame:
             for fid, payload in zip(pdf_batch["id"],
                                     pdf_batch["payload"]):
                 try:
-                    texts = parse_pdf(bytes(payload))
+                    texts = parse_pdf(bytes(payload), layout=layout)
                 except Exception:
                     if on_error == "raise":
                         raise
@@ -2036,6 +2274,11 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     form-only text, nested-form + image, image-only (scanned shape;
     the doc's text is DISCARDED by construction — the oracle expects
     '' there); Flate on even file ids.
+    ``layout="columns"`` writes TWO-COLUMN pages in interleaved
+    (row-major) stream order — the key line plus the doc text wrapped
+    at 4 words/line (wrap_words), first half of the lines in the left
+    column — so only XY-cut reading order (pdf_pages(layout=True))
+    reconstructs the wrapped text; Flate on even file ids.
     ``max_shard_bytes`` is WRITE-side shard policy (the r10 probe's
     prescription — Common Crawl caps WARC segments the same way): a
     packing group splits into further files at page boundaries when
@@ -2045,10 +2288,19 @@ def synth_pdf(df: DataFrame, text_col: str = "text",
     ``fid + files * chunk`` to stay unique and deterministic. Emits
     (id = file index, modality, payload)."""
     if layout not in ("classic", "xrefstream", "encoded", "encrypted",
-                      "xobject"):
+                      "xobject", "columns"):
         raise ValueError(f"unknown layout {layout!r}")
 
     def encode(fid: int, pages: list[str]) -> bytes:
+        if layout == "columns":
+            entries = []
+            for page in pages:
+                key, _, body = page.partition("\n")
+                lines = [key] + (wrap_words(body).split("\n")
+                                 if body else [])
+                nleft = (len(lines) + 1) // 2
+                entries.append((lines[:nleft], lines[nleft:]))
+            return encode_pdf_columns(entries, flate=(fid % 2 == 0))
         if layout == "xobject":
             entries = []
             for page in pages:

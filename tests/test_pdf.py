@@ -514,3 +514,124 @@ def test_pdf_pages_meta_distributed(spark):
             assert r["has_text"]
             assert r["text"] == f"doc:{did}\nbody {did}"
             assert r["n_images"] == (1 if did % 3 == 1 else 0)
+
+
+def _one_page(content: bytes) -> bytes:
+    """Minimal classic file around ONE plain content stream."""
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        (f"<< /Length {len(content)} >>".encode()
+         + b"\nstream\n" + content + b"\nendstream"),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def test_layout_two_column_reading_order():
+    """The multi-column trap: encode_pdf_columns emits row-major
+    (interleaved) shows; layout=True must read column-by-column,
+    default content-stream order must interleave (both pinned)."""
+    left = ["doc:9", "alpha beta", "gamma delta"]
+    right = ["epsilon zeta", "eta theta"]
+    pdf = P.encode_pdf_columns([(left, right), (left, right)])
+    want = "\n".join(left + right)
+    assert P.parse_pdf(pdf, layout=True) == [want, want]  # hex + literal
+    interleaved = P.parse_pdf(pdf)[0]
+    assert interleaved.split("\n") == [
+        "doc:9", "epsilon zeta", "alpha beta", "eta theta",
+        "gamma delta"]
+
+
+def test_layout_title_then_columns():
+    """Recursive XY-cut: a full-width title above two columns cuts
+    HORIZONTALLY first (title band before body), then vertically
+    (left column before right) — the Nagy-Seth recursion, not a flat
+    (y, x) sort, which would interleave the columns row by row."""
+    ops = [b"BT /F1 12 Tf",
+           b"1 0 0 1 72 740 Tm (A Title Spanning Both Columns) Tj"]
+    rows = [("L1", "R1"), ("L2", "R2")]
+    for i, (lt, rt) in enumerate(rows):
+        y = 700 - 14 * i
+        ops.append(f"1 0 0 1 72 {y} Tm ({lt}) Tj".encode())
+        ops.append(f"1 0 0 1 300 {y} Tm ({rt}) Tj".encode())
+    ops.append(b"ET")
+    pdf = _one_page(b" ".join(ops))
+    assert P.parse_pdf(pdf, layout=True) == [
+        "A Title Spanning Both Columns\nL1\nL2\nR1\nR2"]
+
+
+def test_layout_td_tl_tstar_quote_positions():
+    """All five positioning paths feed the layout tracker: Td, TL+T*,
+    the ' implicit-newline show, TD (which sets leading), and an
+    absolute Tm that jumps BACK UP the page. Single-column geometry,
+    so ordering falls through to the (top-to-bottom) sort — stream
+    order shows 'three' last, reading order slots it back."""
+    content = (b"BT /F1 12 Tf 14 TL 72 720 Td (one) Tj "
+               b"T* (two) Tj 0 -28 Td (four) Tj "
+               b"1 0 0 1 72 692 Tm (three) Tj ET")
+    pdf = _one_page(content)
+    assert P.parse_pdf(pdf) == ["one\ntwo\nfour\nthree"]
+    assert P.parse_pdf(pdf, layout=True) == ["one\ntwo\nthree\nfour"]
+    quote = (b"BT /F1 12 Tf 14 TL 72 720 Td (first) Tj "
+             b"(second) ' (third) ' ET")
+    assert P.parse_pdf(_one_page(quote), layout=True) == [
+        "first\nsecond\nthird"]
+
+
+def test_layout_malformed_positioning_rejected():
+    """Layout mode validates positioning operands loudly (the default
+    path never consumed them, so only layout can misread them)."""
+    bad_td = _one_page(b"BT /F1 12 Tf 72 Td (x) Tj ET")
+    with pytest.raises(ValueError, match="Td needs two"):
+        P.parse_pdf(bad_td, layout=True)
+    bad_tm = _one_page(b"BT /F1 12 Tf 1 0 0 1 72 Tm (x) Tj ET")
+    with pytest.raises(ValueError, match="Tm needs six"):
+        P.parse_pdf(bad_tm, layout=True)
+    bad_num = _one_page(b"BT /F1 12 Tf 72 /nm Td (x) Tj ET")
+    with pytest.raises(ValueError, match="numeric operand"):
+        P.parse_pdf(bad_num, layout=True)
+
+
+def test_layout_legacy_single_column_unchanged():
+    """layout=True on ordinary single-column files (Td-relative
+    positioning) must reproduce the content-stream text exactly —
+    reading order only REORDERS when geometry says so."""
+    text = "doc:3\nplain line one\nplain line two"
+    for payload in (P.encode_pdf([text]),
+                    P.encode_pdf([text], flate=False)):
+        assert P.parse_pdf(payload, layout=True) == [text]
+        assert P.parse_pdf(payload) == [text]
+
+
+def test_layout_columns_distributed(spark):
+    """synth_pdf(layout='columns') + pdf_pages(layout=True) round-trips
+    the 4-word wrap for every doc; pdf_pages default interleaves."""
+    texts = [(i, " ".join(f"w{i}x{j}" for j in range(11)))
+             for i in range(6)]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    from mycelial_spark.sources.pdf import (pdf_pages, synth_pdf,
+                                            wrap_words)
+    files = synth_pdf(docs, files=2, layout="columns")
+    rows = pdf_pages(files, layout=True).collect()
+    assert len(rows) == 6
+    for r in rows:
+        key, _, body = r["text"].partition("\n")
+        did = int(key.removeprefix("doc:"))
+        assert body == wrap_words(texts[did][1])
+    plain = {r["text"] for r in pdf_pages(files).collect()}
+    assert plain != {r["text"] for r in rows}
