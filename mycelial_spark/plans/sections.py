@@ -3130,20 +3130,25 @@ def redshift_copy_statements(paths: list[str], origin: str, iam_role: str,
             Field("ignore_header", "bool", False)],
            doc="D5 redshift_loader: consumes {path} rows pointing at staged "
                "S3 objects and issues COPY per object over a postgres-wire "
-               "JDBC connection (destination.rs:31-109). Paths are collected "
-               "to the driver — the frame is a file manifest, not data.")
+               "JDBC connection (destination.rs:31-109). The manifest "
+               "STREAMS to the driver partition-by-partition "
+               "(toLocalIterator) — the driver holds one partition of "
+               "paths at a time, so a million-object listing cannot OOM "
+               "it; statements issue as paths arrive.")
 def redshift_dest(spark, cfg, df):
-    paths = [r["path"] for r in df.select("path").collect()]
-    stmts = redshift_copy_statements(paths, cfg["origin"], cfg["iam_role"],
-                                     cfg["region"], cfg["data_format"],
-                                     cfg["ignore_header"])
     url = f"jdbc:postgresql://{cfg['host']}:{cfg['port']}/{cfg['database']}"
+    n = 0
     try:
         conn = spark._sc._jvm.java.sql.DriverManager.getConnection(
             url, cfg["user"], cfg["password"])
         try:
-            for s in stmts:
-                conn.createStatement().execute(s)
+            for row in df.select("path").toLocalIterator():
+                for s in redshift_copy_statements(
+                        [row["path"]], cfg["origin"], cfg["iam_role"],
+                        cfg["region"], cfg["data_format"],
+                        cfg["ignore_header"]):
+                    conn.createStatement().execute(s)
+                    n += 1
         finally:
             conn.close()
     except SectionUnavailable:
@@ -3152,7 +3157,7 @@ def redshift_dest(spark, cfg, df):
         raise SectionUnavailable(
             f"redshift_dest needs a reachable cluster + pg JDBC driver: {e}"
         ) from e
-    return {"origin": cfg["origin"], "objects": len(stmts)}
+    return {"origin": cfg["origin"], "objects": n}
 
 
 def kafka_payload(df: DataFrame) -> DataFrame:
