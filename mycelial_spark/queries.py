@@ -1965,6 +1965,43 @@ def pdf_extract_text_layout(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("pdf_extract_attachments", """
+SELECT doc_id, 'pdf' AS format, text AS text_out
+FROM documents
+UNION ALL
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN 'html' ELSE 'text' END AS format,
+       text AS text_out
+FROM documents
+WHERE doc_id % 3 <> 0
+""")
+def pdf_extract_attachments(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """PDFs as CONTAINERS (r12): every doc is a page as usual, and
+    two thirds ALSO ride along as embedded files — an HTML attachment
+    (residue 1) or a plain .txt (residue 2) — registered through both
+    real-world mechanisms (the /Names /EmbeddedFiles name tree with
+    /Kids splitting on even file ids, /FileAttachment annotations on
+    odd). document_records bursts pages into 'pdf' rows and recurses
+    each attachment through the dispatch by its OWN magic — HTML
+    through the block walk, magic-less .txt through the charset
+    ladder behind the looks-texty gate — exactly like generic-ZIP
+    members. The oracle replays page rows for every doc plus an
+    attachment row for the 2/3 subset; a name-tree walk, filespec
+    /EF, or recursion bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.pdf import synth_pdf_attachments
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = document_records(synth_pdf_attachments(docs, files=8))
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "format",
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("pdf_extract_xobject", """
 SELECT CAST(doc_id % 8 AS BIGINT) AS file_id,
        CAST(row_number() OVER (PARTITION BY doc_id % 8

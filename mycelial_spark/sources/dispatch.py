@@ -94,42 +94,57 @@ def sniff_container(payload: bytes) -> str:
     raise ValueError(f"unrecognized container magic {head[:12]!r}")
 
 
-_ZIP_MAX_DEPTH = 4
+_CONTAINER_MAX_DEPTH = 4
+
+
+def _member_rows(name: str, data: bytes, depth: int) -> list[dict]:
+    """One archive/attachment MEMBER routed back through the dispatch
+    by ITS OWN magic. Members without container magic become "text"
+    rows through the charset ladder — gated on the decode LOOKING
+    like text, so an unrecognized binary member still fails loudly
+    instead of becoming mojibake rows."""
+    from mycelial_spark.sources.zipdoc import looks_texty
+    try:
+        sub = sniff_container(data)
+    except ValueError:
+        from mycelial_spark.sources.charset import detect_decode
+        _enc, t = detect_decode(data)
+        if not looks_texty(t):
+            raise ValueError(
+                f"member {name!r} is neither a known "
+                f"container nor text")
+        return [{"format": "text",
+                 "key": t.split("\n", 1)[0], "text": t}]
+    return _rows_for(sub, data, depth + 1)
 
 
 def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
     if fmt == "zip":
-        # generic archive: one row set per member, each member routed
-        # back through the dispatch by ITS OWN magic (a zip of PDFs +
-        # HTML + notes is the common scraped-corpus drop shape).
-        # Members without container magic become "text" rows through
-        # the charset ladder — gated on the decode LOOKING like text,
-        # so an unrecognized binary member still fails loudly. Nested
-        # archives recurse, depth-capped against zip bombs.
-        if depth >= _ZIP_MAX_DEPTH:
+        # generic archive: one row set per member (a zip of PDFs +
+        # HTML + notes is the common scraped-corpus drop shape);
+        # nested archives recurse, depth-capped against zip bombs
+        if depth >= _CONTAINER_MAX_DEPTH:
             raise ValueError("ZIP nesting too deep")
-        from mycelial_spark.sources.zipdoc import (looks_texty,
-                                                   zip_members)
+        from mycelial_spark.sources.zipdoc import zip_members
         out = []
         for name, data in zip_members(payload):
-            try:
-                sub = sniff_container(data)
-            except ValueError:
-                from mycelial_spark.sources.charset import detect_decode
-                _enc, t = detect_decode(data)
-                if not looks_texty(t):
-                    raise ValueError(
-                        f"ZIP member {name!r} is neither a known "
-                        f"container nor text")
-                out.append({"format": "text",
-                            "key": t.split("\n", 1)[0], "text": t})
-                continue
-            out.extend(_rows_for(sub, data, depth + 1))
+            out.extend(_member_rows(name, data, depth))
         return out
     if fmt == "pdf":
-        from mycelial_spark.sources.pdf import parse_pdf
-        return [{"format": "pdf", "key": t.split("\n", 1)[0],
-                 "text": t} for t in parse_pdf(payload)]
+        # a PDF is a container too: pages become "pdf" text rows, and
+        # EMBEDDED FILES (/Names /EmbeddedFiles + /FileAttachment
+        # annotations — invoices carrying machine-readable XML,
+        # reports carrying source CSVs) recurse through the dispatch
+        # exactly like generic-ZIP members
+        from mycelial_spark.sources.pdf import parse_pdf_full
+        texts, atts = parse_pdf_full(payload)
+        out = [{"format": "pdf", "key": t.split("\n", 1)[0],
+                "text": t} for t in texts]
+        if atts and depth >= _CONTAINER_MAX_DEPTH:
+            raise ValueError("PDF attachment nesting too deep")
+        for name, data in atts:
+            out.extend(_member_rows(name, data, depth))
+        return out
     if fmt == "warc":
         from mycelial_spark.sources.warc import (parse_warc,
                                                  split_http_response)

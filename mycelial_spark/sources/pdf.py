@@ -392,6 +392,105 @@ def encode_pdf_columns(pages: list[tuple[list[str], list[str]]],
     return bytes(out)
 
 
+def encode_pdf_attachments(pages: list[str],
+                           attachments: list[tuple[str, bytes]],
+                           flate: bool = True,
+                           via: str = "names") -> bytes:
+    """Classic-layout writer carrying EMBEDDED FILES (PDF 32000 §7.11.4
+    + §12.5.6.15) — the fixture side of pdf_attachments: every entry in
+    ``attachments`` is (file name, raw bytes) written as an
+    /EmbeddedFile stream behind a /Filespec. ``via="names"`` registers
+    them in the catalog's /Names /EmbeddedFiles NAME TREE (spec-ordered
+    /Names arrays; more than four entries split into /Kids nodes with
+    /Limits so the reader's tree walk is load-bearing);
+    ``via="annots"`` attaches each to a page round-robin as a
+    /FileAttachment annotation — the two places real PDFs carry
+    attachments. Streams Flate-compress when ``flate``."""
+    if via not in ("names", "annots"):
+        raise ValueError(f"unknown via {via!r}")
+    objs: list[bytes | None] = [None, None,
+                                b"<< /Type /Font /Subtype /Type1 "
+                                b"/BaseFont /Helvetica >>"]
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    def stream(data: bytes, extra: str = "") -> bytes:
+        filt = ""
+        if flate:
+            data = zlib.compress(data, 9)
+            filt = " /Filter /FlateDecode"
+        return (f"<< /Length {len(data)}{filt}{extra} >>".encode()
+                + b"\nstream\n" + data + b"\nendstream")
+
+    fs_nums: list[tuple[str, int]] = []
+    for name, data in attachments:
+        ef = add(stream(bytes(data), " /Type /EmbeddedFile"))
+        lit = _escape_literal(name.encode("utf-8"))
+        fs_nums.append((name, add(
+            b"<< /Type /Filespec /F (" + lit + b") /UF (" + lit
+            + b") /EF << /F " + f"{ef} 0 R".encode() + b" >> >>")))
+
+    content_nums = [add(stream(_page_stream(t, i % 2 == 1)))
+                    for i, t in enumerate(pages)]
+    annots: dict[int, list[int]] = {}
+    if via == "annots":
+        for i, (_, fs) in enumerate(fs_nums):
+            a = add(f"<< /Type /Annot /Subtype /FileAttachment "
+                    f"/Rect [0 0 12 12] /FS {fs} 0 R >>".encode())
+            annots.setdefault(i % len(pages), []).append(a)
+    page_nums = []
+    for i, c in enumerate(content_nums):
+        extra = ""
+        if annots.get(i):
+            refs = " ".join(f"{a} 0 R" for a in annots[i])
+            extra = f" /Annots [{refs}]"
+        page_nums.append(add(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >>{extra} "
+            f"/Contents {c} 0 R >>".encode()))
+
+    names_extra = ""
+    if via == "names":
+        ordered = sorted(fs_nums)          # name trees are key-sorted
+        def names_array(chunk: list[tuple[str, int]]) -> bytes:
+            return b"[ " + b" ".join(
+                b"(" + _escape_literal(n.encode("utf-8"))
+                + f") {num} 0 R".encode() for n, num in chunk) + b" ]"
+        if len(ordered) <= 4:
+            tree = add(b"<< /Names " + names_array(ordered) + b" >>")
+        else:
+            kids = []
+            for at in range(0, len(ordered), 4):
+                chunk = ordered[at:at + 4]
+                lo = _escape_literal(chunk[0][0].encode("utf-8"))
+                hi = _escape_literal(chunk[-1][0].encode("utf-8"))
+                kids.append(add(
+                    b"<< /Limits [(" + lo + b") (" + hi + b")] /Names "
+                    + names_array(chunk) + b" >>"))
+            tree = add(b"<< /Kids [ " + b" ".join(
+                f"{k} 0 R".encode() for k in kids) + b" ] >>")
+        names_extra = f" /Names << /EmbeddedFiles {tree} 0 R >>"
+    objs[0] = f"<< /Type /Catalog /Pages 2 0 R{names_extra} >>".encode()
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objs[1] = (f"<< /Type /Pages /Kids [{kids}] "
+               f"/Count {len(page_nums)} >>".encode())
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 def wrap_words(text: str, words_per_line: int = 4) -> str:
     """Break ``text`` into lines of ``words_per_line``
     space-separated words — defined EXACTLY as the regex
@@ -1721,6 +1820,63 @@ class _Pdf:
         walk(root["Pages"], None)
         return out
 
+    def attachments(self) -> list[tuple[str, bytes]]:
+        """Embedded files from BOTH places real PDFs carry them
+        (§7.11.4): the catalog's /Names /EmbeddedFiles NAME TREE
+        (walked through /Kids with a depth/cycle cap; leaf /Names
+        arrays are (name, filespec) pairs) and per-page
+        /FileAttachment annotations (§12.5.6.15). Each filespec's
+        /EF /F (or /UF) stream decodes through the ordinary filter
+        chain. Returns (file name, raw bytes) in tree-then-annotation
+        order; a filespec without an embedded stream fails loudly —
+        it references an EXTERNAL file this corpus does not have."""
+        root = self.resolve(self.trailer["Root"])
+        out: list[tuple[str, bytes]] = []
+
+        def filespec(fs) -> tuple[str, bytes]:
+            fs = self.resolve(fs)
+            if not isinstance(fs, dict):
+                raise ValueError("attachment filespec is not a dict")
+            ef = self.resolve(fs.get("EF"))
+            if not isinstance(ef, dict):
+                raise ValueError(
+                    "filespec without /EF: external file reference")
+            ref = ef.get("F", ef.get("UF"))
+            if not isinstance(ref, _Ref):
+                raise ValueError("/EF entry is not a stream reference")
+            name = fs.get("UF", fs.get("F", b""))
+            if not isinstance(name, bytes):
+                raise ValueError("filespec name is not a string")
+            return name.decode("utf-8"), self.stream_data(ref.num)
+
+        def walk_tree(node_ref, depth=0):
+            if depth > 32:
+                raise ValueError("name tree too deep (cycle?)")
+            node = self.resolve(node_ref)
+            if not isinstance(node, dict):
+                raise ValueError("name tree node is not a dict")
+            if "Names" in node:
+                pairs = self.resolve(node["Names"])
+                for at in range(0, len(pairs) - 1, 2):
+                    out.append(filespec(pairs[at + 1]))
+            elif "Kids" in node:
+                for kid in self.resolve(node["Kids"]):
+                    walk_tree(kid, depth + 1)
+            else:
+                raise ValueError("name tree node has neither "
+                                 "/Names nor /Kids")
+
+        names = self.resolve(root.get("Names"))
+        if isinstance(names, dict) and "EmbeddedFiles" in names:
+            walk_tree(names["EmbeddedFiles"])
+        for page, _ in self.pages():
+            for a in self.resolve(page.get("Annots", [])) or []:
+                ad = self.resolve(a)
+                if isinstance(ad, dict) and \
+                        str(ad.get("Subtype", "")) == "FileAttachment":
+                    out.append(filespec(ad.get("FS")))
+        return out
+
     def font_decoder(self, font):
         """bytes -> str decoder for one font dict, the §9.10.2
         recovery ladder: /ToUnicode CMap first (authoritative),
@@ -2143,17 +2299,9 @@ def parse_pdf_meta(payload: bytes, layout: bool = False) -> list[dict]:
     pdf = _Pdf(bytes(payload))
     out = []
     for page, resources in pdf.pages():
-        contents = page.get("Contents")
-        if isinstance(pdf.resolve(contents), list):
-            refs = pdf.resolve(contents)
-        else:
-            refs = [contents]
-        data = b"".join(pdf.stream_data(r.num) for r in refs
-                        if isinstance(r, _Ref))
-        if not any(isinstance(r, _Ref) for r in refs):
-            raise ValueError("page /Contents is not an indirect stream")
         counters: dict = {}
-        text = _extract_text(data, pdf._font_factories(resources),
+        text = _extract_text(_page_content(pdf, page),
+                             pdf._font_factories(resources),
                              pdf._xobject_factories(resources),
                              counters, layout=layout)
         out.append({"text": text,
@@ -2161,9 +2309,38 @@ def parse_pdf_meta(payload: bytes, layout: bool = False) -> list[dict]:
     return out
 
 
+def _page_content(pdf: _Pdf, page: dict) -> bytes:
+    """One page's /Contents joined into a single stream (§7.8.2: an
+    array of streams is equivalent to their concatenation)."""
+    contents = page.get("Contents")
+    if isinstance(pdf.resolve(contents), list):
+        refs = pdf.resolve(contents)
+    else:
+        refs = [contents]
+    if not any(isinstance(r, _Ref) for r in refs):
+        raise ValueError("page /Contents is not an indirect stream")
+    return b"".join(pdf.stream_data(r.num) for r in refs
+                    if isinstance(r, _Ref))
+
+
 def parse_pdf(payload: bytes, layout: bool = False) -> list[str]:
     """All page texts, in page-tree order (see parse_pdf_meta)."""
     return [p["text"] for p in parse_pdf_meta(payload, layout=layout)]
+
+
+def parse_pdf_full(payload: bytes, layout: bool = False) \
+        -> tuple[list[str], list[tuple[str, bytes]]]:
+    """(page texts, embedded files) from ONE parse — the dispatch's
+    PDF-as-container entry point: one xref/object-table walk serves
+    both the page extraction and the attachment burst, so ordinary
+    attachment-free PDFs pay nothing beyond a catalog lookup."""
+    pdf = _Pdf(bytes(payload))
+    texts = [_extract_text(_page_content(pdf, page),
+                           pdf._font_factories(resources),
+                           pdf._xobject_factories(resources),
+                           layout=layout)
+             for page, resources in pdf.pages()]
+    return texts, pdf.attachments()
 
 
 PDF_PAGE_SCHEMA = T.StructType([
@@ -2247,6 +2424,102 @@ def pdf_pages_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
     return df.select("id", "payload").mapInPandas(
         run, PDF_PAGE_META_SCHEMA)
+
+
+def parse_pdf_attachments(payload: bytes) -> list[tuple[str, bytes]]:
+    """All embedded files of one PDF — name-tree entries first, then
+    /FileAttachment annotations (see _Pdf.attachments)."""
+    return _Pdf(bytes(payload)).attachments()
+
+
+PDF_ATTACHMENT_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("att_idx", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def pdf_attachments(df: DataFrame,
+                    on_error: str = "raise") -> DataFrame:
+    """Burst every PDF's EMBEDDED FILES into one row per attachment
+    (PDF_ATTACHMENT_SCHEMA) over Arrow batches — PDFs are containers
+    too: invoices carry the machine-readable XML, reports carry
+    source CSVs, e-mails print to PDF with their attachments intact.
+    The output payload column feeds straight back into
+    document_records, so attachment members recurse through the
+    universal dispatch exactly like generic-ZIP members.
+    ``on_error="null"`` skips undecodable files (poison tolerance)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            for fid, payload in zip(pdf_batch["id"],
+                                    pdf_batch["payload"]):
+                try:
+                    atts = parse_pdf_attachments(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "att_idx": i,
+                             "name": n, "payload": data}
+                            for i, (n, data) in enumerate(atts))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_ATTACHMENT_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, PDF_ATTACHMENT_SCHEMA)
+
+
+def synth_pdf_attachments(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          files: int = 8) -> DataFrame:
+    """Fixture: documents pack into ``files`` PDFs (doc_id % files,
+    one page per doc as usual), and every doc with ``doc_id % 3 != 0``
+    ALSO rides along as an embedded file carrying ``doc:<id>\\n<text>``
+    — an HTML attachment for residue 1, a plain ``.txt`` for residue 2
+    — so the oracle replays attachment membership and content from the
+    documents table. Even file ids register attachments in the /Names
+    /EmbeddedFiles tree (splitting into /Kids past four entries), odd
+    ids attach via /FileAttachment annotations; streams Flate on
+    ``fid % 4 < 2``. Emits (id = file index, modality, payload)."""
+    from mycelial_spark.sources.htmldoc import encode_html
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for did, t in sorted(docs):
+            groups.setdefault(did % files, []).append((did, t))
+        ids, payloads = [], []
+        for fid, members in groups.items():
+            pages, atts = [], []
+            for did, t in members:
+                body = f"doc:{did}\n{t}"
+                pages.append(body)
+                if did % 3 == 1:
+                    atts.append((f"{did:08d}.html", encode_html(body)))
+                elif did % 3 == 2:
+                    atts.append((f"{did:08d}.txt",
+                                 body.encode("utf-8")))
+            ids.append(fid)
+            payloads.append(encode_pdf_attachments(
+                pages, atts, flate=fid % 4 < 2,
+                via="names" if fid % 2 == 0 else "annots"))
+        yield pd.DataFrame({"id": ids, "modality": "pdf",
+                            "payload": payloads})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))
 
 
 def synth_pdf(df: DataFrame, text_col: str = "text",

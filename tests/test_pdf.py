@@ -635,3 +635,76 @@ def test_layout_columns_distributed(spark):
         assert body == wrap_words(texts[did][1])
     plain = {r["text"] for r in pdf_pages(files).collect()}
     assert plain != {r["text"] for r in rows}
+
+
+def test_attachments_roundtrip_all_shapes():
+    """Embedded files round-trip through both carriers (name tree with
+    /Kids past four entries, /FileAttachment annotations), both filter
+    settings; page text is unaffected."""
+    pages = ["doc:1\nalpha", "doc:2\nbeta"]
+    atts = [(f"{i:02d}.txt", f"doc:{i}\npayload {i}".encode())
+            for i in range(7)]
+    for via in ("names", "annots"):
+        for flate in (True, False):
+            pdf = P.encode_pdf_attachments(pages, atts, flate=flate,
+                                           via=via)
+            assert sorted(P.parse_pdf_attachments(pdf)) == sorted(atts)
+            assert P.parse_pdf(pdf) == pages
+    flat = P.encode_pdf_attachments(pages, atts[:3], via="names")
+    assert P.parse_pdf_attachments(flat) == atts[:3]  # flat, ordered
+    none = P.encode_pdf_attachments(pages, [], via="names")
+    assert P.parse_pdf_attachments(none) == []
+    texts, got = P.parse_pdf_full(
+        P.encode_pdf_attachments(pages, atts[:2], via="annots"))
+    assert texts == pages and sorted(got) == sorted(atts[:2])
+
+
+def test_attachments_external_filespec_rejected():
+    """A filespec WITHOUT /EF references an external file this corpus
+    does not have — loud failure, not a silent skip."""
+    pdf = P.encode_pdf_attachments(["doc:1\nx"], [("a.txt", b"y")])
+    broken = pdf.replace(b"/EF <<", b"/XX <<")
+    with pytest.raises(ValueError, match="without /EF"):
+        P.parse_pdf_attachments(broken)
+
+
+def test_dispatch_pdf_as_container():
+    """document_records' PDF branch bursts pages AND attachments:
+    HTML members route through the HTML parser, magic-less text
+    members through the charset ladder, a nested PDF attachment
+    recurses, and a binary member fails loudly."""
+    from mycelial_spark.sources.dispatch import _rows_for
+    from mycelial_spark.sources.htmldoc import encode_html
+    inner = P.encode_pdf(["doc:9\nnested page"])
+    pdf = P.encode_pdf_attachments(
+        ["doc:1\npage one"],
+        [("a.html", encode_html("doc:2\nweb body")),
+         ("b.txt", b"doc:3\nplain note"),
+         ("c.pdf", inner)])
+    rows = _rows_for("pdf", pdf)
+    assert [(r["format"], r["key"]) for r in rows] == [
+        ("pdf", "doc:1"), ("html", "doc:2"), ("text", "doc:3"),
+        ("pdf", "doc:9")]
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 4
+    bad = P.encode_pdf_attachments(["doc:1\nx"], [("i.png", png)])
+    with pytest.raises(ValueError, match="neither a known container"):
+        _rows_for("pdf", bad)
+
+
+def test_synth_pdf_attachments_distributed(spark):
+    """synth_pdf_attachments + document_records: page rows for every
+    doc, one attachment row for each doc_id % 3 != 0."""
+    from mycelial_spark.sources.dispatch import document_records
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(9)],
+        "doc_id long, text string")
+    recs = document_records(
+        P.synth_pdf_attachments(docs, files=2)).collect()
+    by_fmt = {}
+    for r in recs:
+        did = int(r["key"].removeprefix("doc:"))
+        assert r["text"] == f"doc:{did}\nbody {did}"
+        by_fmt.setdefault(r["format"], set()).add(did)
+    assert by_fmt["pdf"] == set(range(9))
+    assert by_fmt["html"] == {1, 4, 7}
+    assert by_fmt["text"] == {2, 5, 8}
