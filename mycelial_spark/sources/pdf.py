@@ -1902,16 +1902,67 @@ class _Pdf:
             enc = self.resolve(font.get("Encoding"))
             subtype = str(self.resolve(font.get("Subtype", "")))
             if subtype == "Type0":
-                raise ValueError(
-                    "composite (Type0) font without /ToUnicode: codes "
-                    "are glyph indices, text is unrecoverable")
-            if enc is not None:
+                dec = self._type0_decoder(font)
+            elif enc is not None:
                 dec = pdf_fonts.simple_decoder(
                     pdf_fonts.encoding_table(enc, self.resolve))
             else:
                 dec = _utf8_strict
         self._font_cache[key] = dec
         return dec
+
+    def _type0_decoder(self, font: dict):
+        """Type0 WITHOUT /ToUnicode — the CJK route (§9.7.5-.6): the
+        /Encoding CMap (embedded stream, Identity-H/V, or a
+        PREDEFINED name loaded from the directory-gated Adobe
+        cmap-resources package) segments codes and maps them to CIDs,
+        and the descendant font's /CIDSystemInfo names the
+        registry-ordering whose *-UCS2 companion CMap recovers text
+        from CIDs. Adobe-Identity ordering carries font-subset glyph
+        indices — no public CID semantics — so it fails loudly, as
+        does a missing cmap-resources directory (predefined_cmap's
+        message carries the pointer)."""
+        enc = font.get("Encoding")
+        enc_r = self.resolve(enc)
+        if isinstance(enc_r, _Name):
+            if str(enc_r) in ("Identity-H", "Identity-V"):
+                enc_cmap = pdf_fonts.identity_cid_cmap()
+            else:
+                enc_cmap = pdf_fonts.parse_cmap(
+                    pdf_fonts.predefined_cmap(str(enc_r)),
+                    loader=pdf_fonts.predefined_cmap)
+        elif isinstance(enc, _Ref):
+            enc_cmap = pdf_fonts.parse_cmap(
+                self.stream_data(enc.num),
+                loader=pdf_fonts.predefined_cmap)
+        else:
+            raise ValueError(
+                "Type0 /Encoding is neither a CMap name nor a stream")
+        desc = self.resolve(font.get("DescendantFonts"))
+        if not isinstance(desc, list) or not desc:
+            raise ValueError(
+                "Type0 font without /DescendantFonts and no "
+                "/ToUnicode: text is unrecoverable")
+        cidfont = self.resolve(desc[0])
+        csi = self.resolve(cidfont.get("CIDSystemInfo")) \
+            if isinstance(cidfont, dict) else None
+        if not isinstance(csi, dict):
+            raise ValueError("descendant font without /CIDSystemInfo")
+        reg = self.resolve(csi.get("Registry"))
+        order = self.resolve(csi.get("Ordering"))
+        if not isinstance(reg, bytes) or not isinstance(order, bytes):
+            raise ValueError("/CIDSystemInfo Registry/Ordering are "
+                             "not strings")
+        registry = f"{reg.decode('ascii')}-{order.decode('ascii')}"
+        if registry == "Adobe-Identity":
+            raise ValueError(
+                "Type0 font with Adobe-Identity ordering and no "
+                "/ToUnicode: CIDs are subset glyph indices, text is "
+                "unrecoverable")
+        ucs2 = pdf_fonts.parse_cmap(
+            pdf_fonts.predefined_cmap(f"{registry}-UCS2"),
+            loader=pdf_fonts.predefined_cmap)
+        return pdf_fonts.cid_text_decoder(enc_cmap, ucs2)
 
     def _font_factories(self, resources):
         """Lazy name -> decoder-factory map from a /Resources dict (a

@@ -17,8 +17,14 @@ and the one implemented here (PDF 32000 §9.10.2):
    /Differences array of code -> glyph-name assignments; glyph names
    resolve to Unicode through the Adobe Glyph List conventions
    (curated names + the algorithmic uniXXXX / uXXXXXX forms).
-3. Neither — unrecoverable in general. Composite (Type0) fonts fail
-   loudly (their codes are glyph indices); legacy simple fonts fall
+3. Composite (Type0) fonts without /ToUnicode — the CJK route
+   (§9.7.5-.6): the /Encoding CMap (embedded stream, Identity-H/V,
+   or a predefined name from the directory-gated Adobe
+   cmap-resources package) segments variable-width codes to CIDs,
+   and the registry-ordering's *-UCS2 companion CMap recovers text
+   from CIDs. Adobe-Identity ordering carries font-subset glyph
+   indices — unrecoverable, fails loudly.
+4. Neither — unrecoverable in general. Legacy simple fonts fall
    back to a STRICT UTF-8 decode, which keeps ASCII correct and
    raises loudly instead of emitting mojibake.
 
@@ -257,14 +263,34 @@ _RANGE_CAP = 1 << 20                              # adversarial guard
 
 
 class ToUnicodeCMap:
-    """Parsed /ToUnicode CMap: codespace ranges fix how many bytes one
-    code spans (matched PER BYTE, §7.10.2 — <8140><9FFC> constrains
-    each byte column independently); bfchar/bfrange map codes to
-    UTF-16BE destinations (surrogate pairs included)."""
+    """Parsed CMap: codespace ranges fix how many bytes one code
+    spans (matched PER BYTE, §7.10.2 — <8140><9FFC> constrains each
+    byte column independently); bfchar/bfrange map codes to UTF-16BE
+    destinations (surrogate pairs included) — the /ToUnicode form —
+    while cidchar/cidrange map codes to integer CIDs, the /Encoding
+    form CJK fonts use (§9.7.5). One grammar serves both: Adobe's
+    *-UCS2 companion CMaps are themselves CID-format maps whose
+    output numbers are Unicode code units."""
 
     def __init__(self):
         self.codespaces: list[tuple[bytes, bytes]] = []
         self.map: dict[bytes, str] = {}
+        self.cid_singles: dict[bytes, int] = {}
+        # (code width, lo, hi, first cid) — ranges stay UNMATERIALIZED
+        # (real predefined CMaps span tens of thousands of codes)
+        self.cid_ranges: list[tuple[int, int, int, int]] = []
+
+    def cid(self, chunk: bytes) -> int | None:
+        """Integer CID for one already-segmented code, or None when
+        the code is unmapped."""
+        hit = self.cid_singles.get(chunk)
+        if hit is not None:
+            return hit
+        n, w = int.from_bytes(chunk, "big"), len(chunk)
+        for rw, lo, hi, cid0 in self.cid_ranges:
+            if rw == w and lo <= n <= hi:
+                return cid0 + (n - lo)
+        return None
 
     def _match_codespace(self, data: bytes, at: int) -> int | None:
         for lo, hi in self.codespaces:
@@ -296,14 +322,20 @@ def _utf16be_text(dst: bytes) -> str:
     return dst.decode("utf-16-be", "replace")
 
 
-def parse_cmap(data: bytes) -> ToUnicodeCMap:
+def parse_cmap(data: bytes, loader=None, _depth: int = 0) -> ToUnicodeCMap:
     """Parse the PostScript-ish CMap grammar: token loop recognizing
-    begincodespacerange / beginbfchar / beginbfrange blocks; all other
-    keywords (findresource, def, endcmap, ...) are structural noise.
-    Uses the PDF object lexer — CMap operands are the same hex
-    strings, names, numbers, and arrays."""
+    begincodespacerange / beginbfchar / beginbfrange /
+    begincidchar / begincidrange blocks plus ``usecmap`` chaining
+    (the child map overlays the parent's tables); all other keywords
+    (findresource, def, endcmap, ...) are structural noise. Uses the
+    PDF object lexer — CMap operands are the same hex strings, names,
+    numbers, and arrays. ``loader`` resolves usecmap parents by name
+    (predefined_cmap for on-disk Adobe resources); without one,
+    usecmap fails loudly."""
     from .pdf import _Lexer                       # deferred: no cycle
 
+    if _depth > 8:
+        raise ValueError("usecmap chain too deep (cycle?)")
     cmap = ToUnicodeCMap()
     lex = _Lexer(data)
     n = len(data)
@@ -417,9 +449,132 @@ def parse_cmap(data: bytes) -> ToUnicodeCMap:
                 else:
                     raise ValueError(
                         f"bfrange dest {dst!r} unsupported")
+        elif tok == "begincidchar":
+            items = read_block("endcidchar")
+            if len(items) % 2:
+                raise ValueError("odd cidchar operand count")
+            for src, cid in zip(items[::2], items[1::2]):
+                if not isinstance(src, bytes) or \
+                        not isinstance(cid, int):
+                    raise ValueError(
+                        f"malformed cidchar {src!r} {cid!r}")
+                cmap.cid_singles[src] = cid
+                total_mapped += 1
+                if total_mapped > _RANGE_CAP:
+                    raise ValueError("CMap maps too many codes "
+                                     f"(> {_RANGE_CAP})")
+        elif tok == "begincidrange":
+            items = read_block("endcidrange")
+            if len(items) % 3:
+                raise ValueError("cidrange operand count not a "
+                                 "multiple of 3")
+            for lo, hi, cid in zip(items[::3], items[1::3],
+                                   items[2::3]):
+                if not (isinstance(lo, bytes) and isinstance(hi, bytes)
+                        and len(lo) == len(hi)
+                        and isinstance(cid, int)):
+                    raise ValueError(
+                        f"malformed cidrange {lo!r} {hi!r} {cid!r}")
+                lo_i, hi_i = (int.from_bytes(lo, "big"),
+                              int.from_bytes(hi, "big"))
+                if hi_i < lo_i:
+                    raise ValueError("descending cidrange")
+                cmap.cid_ranges.append((len(lo), lo_i, hi_i, cid))
+                if len(cmap.cid_ranges) > 1 << 16:
+                    raise ValueError("CMap declares too many "
+                                     "cidranges")
+        elif tok == "usecmap":
+            if not operands or not isinstance(operands[-1], str):
+                raise ValueError("usecmap without a CMap name")
+            if loader is None:
+                raise ValueError(
+                    f"CMap uses parent {operands[-1]!r} but no "
+                    f"resource loader is configured")
+            parent = parse_cmap(loader(str(operands[-1])), loader,
+                                _depth + 1)
+            # child entries win; parent fills the gaps (§9.7.5.2)
+            cmap.codespaces = parent.codespaces + cmap.codespaces
+            cmap.map = {**parent.map, **cmap.map}
+            cmap.cid_singles = {**parent.cid_singles,
+                                **cmap.cid_singles}
+            cmap.cid_ranges = cmap.cid_ranges + parent.cid_ranges
         # any other keyword (begincmap, def, findresource, ...) just
         # consumes the pending operands
         operands = []
     if not cmap.codespaces:
-        raise ValueError("ToUnicode CMap declares no codespace range")
+        raise ValueError("CMap declares no codespace range")
     return cmap
+
+
+# ------------------------------------------- predefined CMap chain
+
+def predefined_cmap(name: str) -> bytes:
+    """Raw bytes of a PREDEFINED CMap (PDF 32000 §9.7.5.2 Table 118:
+    UniJIS-UCS2-H, GBK-EUC-H, ...). These are EXTERNAL resources —
+    Adobe publishes them as the cmap-resources package (BSD-licensed,
+    github.com/adobe-type-tools/cmap-resources); this sandbox does
+    not ship them, so the loader is DIRECTORY-GATED: set
+    ``MYCELIAL_SPARK_CMAP_DIR`` to the package root (searched
+    recursively — the package nests CMaps under
+    ``adobe-japan1-7/CMap/...``) and every predefined name resolves;
+    unset, Type0 fonts that need one fail loudly with this pointer
+    instead of emitting mojibake."""
+    import os
+    if "/" in name or "\\" in name or name.startswith("."):
+        raise ValueError(f"suspicious CMap name {name!r}")
+    root = os.environ.get("MYCELIAL_SPARK_CMAP_DIR")
+    if not root:
+        raise ValueError(
+            f"predefined CMap {name!r} requires the Adobe "
+            f"cmap-resources package: set MYCELIAL_SPARK_CMAP_DIR "
+            f"to its root (github.com/adobe-type-tools/cmap-resources)")
+    direct = os.path.join(root, name)
+    if os.path.isfile(direct):
+        with open(direct, "rb") as fh:
+            return fh.read()
+    for dirpath, _dirs, files in os.walk(root):
+        if name in files:
+            with open(os.path.join(dirpath, name), "rb") as fh:
+                return fh.read()
+    raise ValueError(f"CMap {name!r} not found under {root}")
+
+
+def identity_cid_cmap() -> ToUnicodeCMap:
+    """The /Identity-H (and -V) encoding as a CMap object: every
+    2-byte code IS its CID (§9.7.5.2)."""
+    cmap = ToUnicodeCMap()
+    cmap.codespaces.append((b"\x00\x00", b"\xff\xff"))
+    cmap.cid_ranges.append((2, 0, 0xFFFF, 0))
+    return cmap
+
+
+def cid_text_decoder(enc_cmap: ToUnicodeCMap,
+                     ucs2_cmap: ToUnicodeCMap):
+    """bytes -> str decoder for a Type0 font WITHOUT /ToUnicode: the
+    /Encoding CMap segments show-string bytes into (possibly
+    variable-width) codes and maps each to a CID (§9.7.6.2), and the
+    registry's *-UCS2 companion CMap maps the CID to a Unicode BMP
+    code unit (CIDs enter it as 2-byte codes — Adobe's UCS2 CMaps are
+    CID-format maps whose outputs are Unicode values). Unmapped codes
+    and CIDs emit U+FFFD per the §7.10.2.2 error rule; supplementary
+    planes need the UTF-32 companions, documented out of scope."""
+    min_w = min((len(lo) for lo, _ in enc_cmap.codespaces), default=1)
+
+    def decode(bs: bytes) -> str:
+        out: list[str] = []
+        i, n = 0, len(bs)
+        while i < n:
+            w = enc_cmap._match_codespace(bs, i)
+            if w is None:
+                out.append("�")
+                i += min_w
+                continue
+            cid = enc_cmap.cid(bs[i:i + w])
+            u = (None if cid is None or cid > 0xFFFF
+                 else ucs2_cmap.cid(cid.to_bytes(2, "big")))
+            out.append("�" if u is None or not (0 <= u <= 0x10FFFF)
+                       or 0xD800 <= u <= 0xDFFF else chr(u))
+            i += w
+        return "".join(out)
+
+    return decode

@@ -328,3 +328,150 @@ def test_broken_unused_font_does_not_abort_the_page():
     bad = bytes(out).replace(b"/F1 12 Tf", b"/F9 12 Tf")
     with pytest.raises(ValueError, match="unrecoverable"):
         P.parse_pdf(bad)
+
+
+# ------------------------------------- Type0 CID chain (predefined)
+
+# Fake registry's UCS2 companion: CIDs enter as 2-byte codes, outputs
+# are Unicode values (cid 1..26 -> 'a'..'z', 233 -> 'é', 0x40 -> 'い')
+_UCS2_CMAP = _CMAP_TMPL.format(body="""\
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+2 begincidrange
+<0001> <001a> 97
+<00e9> <00e9> 233
+endcidrange
+1 begincidchar
+<0040> 12356
+endcidchar""")
+
+# Variable-width /Encoding: 1-byte A-Z -> cids 1..26, 2-byte codes in
+# the <8140>-<817f> row -> individual cids
+_ENC_2BYTE_BODY = """\
+1 begincodespacerange
+<8140> <817f>
+endcodespacerange
+2 begincidchar
+<8141> 233
+<8142> 64
+endcidchar"""
+
+_ENC_1BYTE_BODY = """\
+1 begincodespacerange
+<41> <5a>
+endcodespacerange
+1 begincidrange
+<41> <5a> 1
+endcidrange"""
+
+
+def _cid_font(encoding: bytes) -> tuple[bytes, list[bytes]]:
+    """(font dict, extra objs): obj 6 = encoding stream (if bytes
+    given) or referenced by name, obj 7 = descendant CIDFont."""
+    extras = []
+    if encoding.startswith(b"/") and b"\n" not in encoding:
+        enc_entry = encoding
+        desc_num = 6
+    else:
+        extras.append(f"<< /Length {len(encoding)} >>".encode()
+                      + b"\nstream\n" + encoding + b"\nendstream")
+        enc_entry = b"6 0 R"
+        desc_num = 7
+    extras.append(b"<< /Subtype /CIDFontType2 /BaseFont /Myc "
+                  b"/CIDSystemInfo << /Registry (Mycelial) "
+                  b"/Ordering (Test) /Supplement 0 >> >>")
+    font = (b"<< /Type /Font /Subtype /Type0 /BaseFont /Myc "
+            b"/Encoding " + enc_entry + b" /DescendantFonts ["
+            + f"{desc_num} 0 R".encode() + b"] >>")
+    return font, extras
+
+
+def test_type0_embedded_encoding_cmap(tmp_path, monkeypatch):
+    """The CJK route without /ToUnicode: an EMBEDDED /Encoding CMap
+    segments variable-width codes to CIDs, the registry's *-UCS2
+    companion (loaded from the gated resource dir, found recursively)
+    maps CIDs to text."""
+    d = tmp_path / "cmaps" / "mycelial-test" / "CMap"
+    d.mkdir(parents=True)
+    (d / "Mycelial-Test-UCS2").write_text(_UCS2_CMAP)
+    monkeypatch.setenv("MYCELIAL_SPARK_CMAP_DIR", str(tmp_path))
+    enc = _CMAP_TMPL.format(
+        body=_ENC_1BYTE_BODY + "\n" + _ENC_2BYTE_BODY).encode()
+    font, extras = _cid_font(enc)
+    data = _one_page_pdf(
+        font, b"BT /F1 12 Tf 72 720 Td <41428141 8142> Tj ET", extras)
+    assert P.parse_pdf(data) == ["abéい"]
+    # unmapped code inside a declared codespace -> U+FFFD, not a crash
+    bad = _one_page_pdf(
+        font, b"BT /F1 12 Tf 72 720 Td <8150> Tj ET", extras)
+    assert P.parse_pdf(bad) == ["�"]
+
+
+def test_type0_predefined_encoding_with_usecmap(tmp_path, monkeypatch):
+    """/Encoding by PREDEFINED NAME loads from the resource dir, and
+    a usecmap parent chain merges (child entries win)."""
+    d = tmp_path / "CMap"
+    d.mkdir()
+    (d / "Mycelial-Test-UCS2").write_text(_UCS2_CMAP)
+    (d / "Mycelial-Base-H").write_text(
+        _CMAP_TMPL.format(body=_ENC_1BYTE_BODY))
+    (d / "Mycelial-Enc-H").write_text(_CMAP_TMPL.format(
+        body="/Mycelial-Base-H usecmap\n" + _ENC_2BYTE_BODY))
+    monkeypatch.setenv("MYCELIAL_SPARK_CMAP_DIR", str(tmp_path))
+    font, extras = _cid_font(b"/Mycelial-Enc-H")
+    data = _one_page_pdf(
+        font, b"BT /F1 12 Tf 72 720 Td <5a8142> Tj ET", extras)
+    assert P.parse_pdf(data) == ["zい"]
+
+
+def test_type0_identity_h_with_real_registry(tmp_path, monkeypatch):
+    """Identity-H is recoverable when the descendant names a REAL
+    registry-ordering: codes ARE CIDs, the UCS2 companion does the
+    rest."""
+    (tmp_path / "Mycelial-Test-UCS2").write_text(_UCS2_CMAP)
+    monkeypatch.setenv("MYCELIAL_SPARK_CMAP_DIR", str(tmp_path))
+    font, extras = _cid_font(b"/Identity-H")
+    data = _one_page_pdf(
+        font, b"BT /F1 12 Tf 72 720 Td <000100e9> Tj ET", extras)
+    assert P.parse_pdf(data) == ["aé"]
+
+
+def test_type0_cid_failure_modes(tmp_path, monkeypatch):
+    """Loud failures: no resource dir (message carries the env-var
+    pointer), Adobe-Identity ordering (subset glyph indices), unknown
+    CMap name, path-traversal names."""
+    font, extras = _cid_font(b"/Identity-H")
+    data = _one_page_pdf(
+        font, b"BT /F1 12 Tf 72 720 Td <0001> Tj ET", extras)
+    monkeypatch.delenv("MYCELIAL_SPARK_CMAP_DIR", raising=False)
+    with pytest.raises(ValueError, match="MYCELIAL_SPARK_CMAP_DIR"):
+        P.parse_pdf(data)
+    monkeypatch.setenv("MYCELIAL_SPARK_CMAP_DIR", str(tmp_path))
+    with pytest.raises(ValueError, match="not found"):
+        P.parse_pdf(data)
+    ident = data.replace(b"(Mycelial) /Ordering (Test)",
+                         b"(Adobe) /Ordering (Identity)")
+    with pytest.raises(ValueError, match="unrecoverable"):
+        P.parse_pdf(ident)
+    with pytest.raises(ValueError, match="suspicious"):
+        PF.predefined_cmap("../evil")
+
+
+def test_usecmap_without_loader_and_cycle():
+    with pytest.raises(ValueError, match="no resource loader"):
+        _cmap("/Parent-H usecmap")
+    loop = _CMAP_TMPL.format(
+        body="/Self-H usecmap\n1 begincodespacerange <00> <ff> "
+             "endcodespacerange").encode()
+    with pytest.raises(ValueError, match="too deep"):
+        PF.parse_cmap(loop, loader=lambda name: loop)
+
+
+def test_cidrange_grammar_rejects():
+    with pytest.raises(ValueError, match="descending cidrange"):
+        _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
+              "1 begincidrange <10> <05> 1 endcidrange")
+    with pytest.raises(ValueError, match="malformed cidchar"):
+        _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
+              "1 begincidchar <41> (x) endcidchar")
