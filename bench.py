@@ -120,6 +120,8 @@ HEADLINE = [
     "pdf_extract_text",
     "pdf_extract_text_xrefstream",
     "pdf_extract_text_tounicode",
+    "pdf_extract_text_layout",
+    "pdf_extract_xobject",
     # pdf_extract_text_encrypted is correctness-gated but NOT headline:
     # its wall clock is dominated by pure-Python RC4/AES running on
     # BOTH the fixture-encrypt and the decrypt side (the exif_gps_audit
@@ -132,7 +134,9 @@ HEADLINE = [
     "mbox_extract",
     "eml_extract",
     "html_extract",
+    "html_extract_charset",
     "document_formats_mixed",
+    "zip_extract",
     "ipynb_extract",
     "latex_extract_text",
     "robots_filter",

@@ -1820,7 +1820,8 @@ class _Pdf:
         walk(root["Pages"], None)
         return out
 
-    def attachments(self) -> list[tuple[str, bytes]]:
+    def attachments(self, pages: list | None = None) \
+            -> list[tuple[str, bytes]]:
         """Embedded files from BOTH places real PDFs carry them
         (§7.11.4): the catalog's /Names /EmbeddedFiles NAME TREE
         (walked through /Kids with a depth/cycle cap; leaf /Names
@@ -1829,7 +1830,9 @@ class _Pdf:
         /EF /F (or /UF) stream decodes through the ordinary filter
         chain. Returns (file name, raw bytes) in tree-then-annotation
         order; a filespec without an embedded stream fails loudly —
-        it references an EXTERNAL file this corpus does not have."""
+        it references an EXTERNAL file this corpus does not have.
+        ``pages`` reuses a page-tree walk the caller already did
+        (parse_pdf_full walks once for text AND annotations)."""
         root = self.resolve(self.trailer["Root"])
         out: list[tuple[str, bytes]] = []
 
@@ -1869,7 +1872,7 @@ class _Pdf:
         names = self.resolve(root.get("Names"))
         if isinstance(names, dict) and "EmbeddedFiles" in names:
             walk_tree(names["EmbeddedFiles"])
-        for page, _ in self.pages():
+        for page, _ in (pages if pages is not None else self.pages()):
             for a in self.resolve(page.get("Annots", [])) or []:
                 ad = self.resolve(a)
                 if isinstance(ad, dict) and \
@@ -2386,12 +2389,13 @@ def parse_pdf_full(payload: bytes, layout: bool = False) \
     both the page extraction and the attachment burst, so ordinary
     attachment-free PDFs pay nothing beyond a catalog lookup."""
     pdf = _Pdf(bytes(payload))
+    pages = pdf.pages()
     texts = [_extract_text(_page_content(pdf, page),
                            pdf._font_factories(resources),
                            pdf._xobject_factories(resources),
                            layout=layout)
-             for page, resources in pdf.pages()]
-    return texts, pdf.attachments()
+             for page, resources in pages]
+    return texts, pdf.attachments(pages)
 
 
 PDF_PAGE_SCHEMA = T.StructType([
