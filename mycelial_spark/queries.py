@@ -2315,6 +2315,39 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("compressed_container_extract", """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf'
+            WHEN 1 THEN 'html' ELSE 'text' END AS format,
+       text AS text_out
+FROM documents
+""")
+def compressed_container_extract(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Compressed SINGLE-FILE drops as dispatchable containers (r12):
+    every doc lands as ``.pdf.gz`` / ``.html.zst`` / ``.txt.xz`` /
+    ``.pdf.bz2``-style payloads (codec by doc_id % 4, inner member by
+    doc_id % 3 — all 12 pairs covered), and sniff_container's
+    compressed rungs inflate (C codecs; zstd through the size-gated
+    CLI/pure auto engine) and recurse on the INNER bytes' own magic —
+    gzipped WARCs keep their dedicated rung, everything else routes
+    like a generic archive member (text members behind the
+    looks-texty gate). The oracle replays inner format and text; a
+    magic, codec, or recursion bug breaks the hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.compress import \
+        synth_compressed_containers
+    from mycelial_spark.sources.dispatch import document_records
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = document_records(synth_compressed_containers(docs))
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        "format",
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("eml_extract", """
 SELECT doc_id,
        'doc:' || CAST(doc_id AS VARCHAR) AS subject,

@@ -168,3 +168,48 @@ def synth_compressed(df: DataFrame, text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         run, "id long, payload binary")
+
+
+def synth_compressed_containers(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Fixture for the dispatch's compressed-container rungs: each
+    document becomes ONE single-file drop — an inner member rotating
+    PDF / HTML / plain text by ``doc_id % 3`` (all carrying
+    ``doc:<id>\\n<text>``), wrapped by a codec rotating gzip
+    (mtime=0) / zstd (deterministic store frames) / xz / bzip2 by
+    ``doc_id % 4`` — the ``.html.gz`` / ``.pdf.zst`` shapes crawled
+    corpora land in. 12 residues cover every (codec, inner) pair.
+    Emits (id = doc_id, modality, payload)."""
+    from .zstd import zstd_compress_store
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mycelial_spark.sources.htmldoc import encode_html
+        from mycelial_spark.sources.pdf import encode_pdf
+        for b in batches:
+            ids, payloads = [], []
+            for did, t in zip(b[id_col], b[text_col]):
+                did = int(did)
+                body = f"doc:{did}\n{t}"
+                r = did % 3
+                if r == 0:
+                    inner = encode_pdf([body], flate=did % 2 == 0)
+                elif r == 1:
+                    inner = encode_html(body)
+                else:
+                    inner = body.encode("utf-8")
+                c = did % 4
+                if c == 0:
+                    p = gzip.compress(inner, mtime=0)
+                elif c == 1:
+                    p = zstd_compress_store(inner)
+                elif c == 2:
+                    p = lzma.compress(inner)
+                else:
+                    p = bz2.compress(inner)
+                ids.append(did)
+                payloads.append(p)
+            yield pd.DataFrame({"id": ids, "modality": "bin",
+                                "payload": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, "id long, modality string, payload binary")

@@ -1,16 +1,19 @@
-"""Universal document-container dispatch: one binary column, ten
-real container classes — the shape a crawled document corpus actually
-has (a landing bucket holds raw HTML next to PDFs next to WARC
-segments next to mail archives next to training shards next to office
-documents, e-books, legacy RTF, and plain ZIP bundles whose members
-recurse right back through this dispatch; nothing tags them but
-their bytes).
+"""Universal document-container dispatch: one binary column, every
+real container class a crawled document corpus actually holds (a
+landing bucket mixes raw HTML, PDFs — whose EMBEDDED FILES burst and
+recurse — WARC segments, mail archives, training shards, office
+documents, e-books, legacy RTF, plain ZIP bundles, and single-file
+compressed drops like ``.html.gz`` / ``.pdf.zst``, all of whose
+members recurse right back through this dispatch; nothing tags them
+but their bytes).
 
 `sniff_container` classifies a payload by MAGIC BYTES — ``%PDF-`` /
-``WARC/`` (gzip members sniffed through one inflate of the head) /
-mbox ``From `` / ``{\\rtf`` / ZIP ``PK`` packages disambiguated by
-their parts (word/document.xml -> docx; the OCF/ODF ``mimetype``
-entry -> epub or odt) / POSIX ustar at offset 257 / the
+``WARC/`` (gzip members sniffed through one inflate of the head;
+non-WARC gzip, zstd, xz, and bzip2 are generic compressed documents
+inflated and re-sniffed) / mbox ``From `` / ``{\\rtf`` / ZIP ``PK``
+packages disambiguated by their parts (word/document.xml -> docx;
+the OCF/ODF ``mimetype`` entry -> epub or odt; anything else a
+generic archive burst per member) / POSIX ustar at offset 257 / the
 ``<!DOCTYPE``/``<html`` text prologue LAST (every binary signature
 outranks it) — and
 `document_records`
@@ -53,8 +56,19 @@ def sniff_container(payload: bytes) -> str:
             raise ValueError(f"gzip payload failed to inflate: {e}")
         if peek.startswith(b"WARC/"):
             return "warc"
-        raise ValueError(
-            f"gzip member is not a WARC record: {peek[:20]!r}")
+        # not a gzipped WARC: a generic COMPRESSED document (.html.gz,
+        # .json.gz — the single-file crawl-drop shape); the dispatch
+        # inflates and recurses on the inner bytes' own magic (r12)
+        return "gzip"
+    if head.startswith(b"\x28\xb5\x2f\xfd") or (
+            len(head) >= 4 and head[0] & 0xF0 == 0x50
+            and head[1:4] == b"\x2a\x4d\x18"):   # zstd (+ skippable)
+        return "zstd"
+    if head.startswith(b"\xfd7zXZ\x00"):
+        return "xz"
+    if head.startswith(b"BZh") and len(head) > 3 \
+            and head[3:4].isdigit():
+        return "bzip2"
     if head.startswith(b"From "):
         return "mbox"
     if head.startswith(b"{\\rtf"):
@@ -119,6 +133,15 @@ def _member_rows(name: str, data: bytes, depth: int) -> list[dict]:
 
 
 def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
+    if fmt in ("gzip", "zstd", "xz", "bzip2"):
+        # generic compressed document: inflate (C codecs / the zstd
+        # CLI fast path — sources/compress.py) and recurse on the
+        # inner bytes' own magic; depth-capped against quine bombs
+        if depth >= _CONTAINER_MAX_DEPTH:
+            raise ValueError("compressed nesting too deep")
+        from mycelial_spark.sources.compress import decompress
+        codec, data = decompress(payload)
+        return _member_rows(f"<{codec}>", data, depth)
     if fmt == "zip":
         # generic archive: one row set per member (a zip of PDFs +
         # HTML + notes is the common scraped-corpus drop shape);

@@ -43,8 +43,9 @@ def test_sniff_magic():
     assert sniff_container(buf.getvalue()) == "zip"
     with pytest.raises(ValueError, match="unrecognized container"):
         sniff_container(b"plain text, no container at all" * 10)
-    with pytest.raises(ValueError, match="not a WARC"):
-        sniff_container(gzip.compress(b"gzipped but not a WARC"))
+    # gzip that is NOT a WARC is a generic compressed document (r12)
+    assert sniff_container(
+        gzip.compress(b"gzipped but not a WARC")) == "gzip"
 
 
 def test_document_records_mixed(spark):
@@ -105,3 +106,54 @@ def test_document_records_poison_and_section(spark):
     cfg = sdef.validate_config({"type": "document_records"})
     out = sdef.builder(spark, cfg, [synth_pdf(docs, files=1)]).collect()
     assert len(out) == 1 and out[0]["format"] == "pdf"
+
+
+def test_compressed_container_rungs():
+    """Single-file compressed drops: every codec rung inflates and
+    recurses on the inner magic; a zstd-wrapped PDF and an xz HTML
+    both land; a compressed BINARY blob still fails loudly; nesting
+    past the cap raises."""
+    import bz2
+    import lzma
+
+    from mycelial_spark.sources.dispatch import _rows_for
+    from mycelial_spark.sources.htmldoc import encode_html
+    from mycelial_spark.sources.pdf import encode_pdf
+    from mycelial_spark.sources.zstd import zstd_compress_store
+    pdf = encode_pdf(["doc:1\nalpha"])
+    assert sniff_container(zstd_compress_store(pdf)) == "zstd"
+    assert sniff_container(lzma.compress(b"x")) == "xz"
+    assert sniff_container(bz2.compress(b"x")) == "bzip2"
+    rows = _rows_for("zstd", zstd_compress_store(pdf))
+    assert [(r["format"], r["text"]) for r in rows] == \
+        [("pdf", "doc:1\nalpha")]
+    rows = _rows_for("xz", lzma.compress(
+        encode_html("doc:2\nweb body")))
+    assert [(r["format"], r["text"]) for r in rows] == \
+        [("html", "doc:2\nweb body")]
+    rows = _rows_for("gzip", gzip.compress(b"plain note", mtime=0))
+    assert [(r["format"], r["text"]) for r in rows] == \
+        [("text", "plain note")]
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 4
+    with pytest.raises(ValueError, match="neither a known container"):
+        _rows_for("bzip2", bz2.compress(png))
+    deep = b"leaf note"
+    for _ in range(6):
+        deep = gzip.compress(deep, mtime=0)
+    with pytest.raises(ValueError, match="nesting too deep"):
+        _rows_for("gzip", deep)
+
+
+def test_compressed_containers_distributed(spark):
+    from mycelial_spark.sources.compress import \
+        synth_compressed_containers
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(12)],
+        "doc_id long, text string")
+    recs = document_records(
+        synth_compressed_containers(docs)).collect()
+    assert len(recs) == 12
+    for r in recs:
+        did = int(r["key"].removeprefix("doc:"))
+        assert r["format"] == ("pdf", "html", "text")[did % 3]
+        assert r["text"] == f"doc:{did}\nbody {did}"
