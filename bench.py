@@ -137,6 +137,7 @@ HEADLINE = [
     "html_extract_charset",
     "document_formats_mixed",
     "zip_extract",
+    "tar_extract",
     "compressed_container_extract",
     "ipynb_extract",
     "latex_extract_text",

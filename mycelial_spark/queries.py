@@ -2315,6 +2315,38 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("tar_extract", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf'
+            WHEN 1 THEN 'html' ELSE 'text' END AS format,
+       text AS text_out
+FROM documents
+""")
+def tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic (non-WebDataset) tarballs as dispatchable containers
+    (r12): documents pack into 8 tar archives whose members rotate
+    PDF / HTML / plain text by id residue — the mixed-member shape
+    that fails iter_samples' every-sample-has-txt WebDataset check,
+    steering the dispatch to the burst-and-recurse path (before r12
+    that path silently dropped txt-less members, so a tar of PDFs
+    dispatched to ZERO rows). Each member routes by its OWN magic;
+    the oracle replays file assignment, per-member format, and
+    text."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.webdataset import synth_tarball
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = document_records(synth_tarball(docs, files=8))
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        "format",
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("compressed_container_extract", """
 SELECT doc_id,
        CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf'

@@ -187,11 +187,27 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
                 for m in (message_fields(raw)
                           for raw in parse_mbox(payload))]
     if fmt == "tar":
-        from mycelial_spark.sources.webdataset import iter_samples
-        return [{"format": "webdataset", "key": key,
-                 "text": parts["txt"].decode("utf-8")}
-                for key, parts in iter_samples(payload)
-                if "txt" in parts]
+        # WebDataset shard when every sample carries a .txt part (the
+        # training-shard contract); otherwise a GENERIC tarball of
+        # mixed documents — burst per member and recurse, like zip.
+        # The pre-r12 branch silently DROPPED txt-less samples, so a
+        # tar of PDFs dispatched to zero rows; now it bursts.
+        from mycelial_spark.sources.webdataset import (iter_samples,
+                                                       tar_members)
+        try:
+            samples = iter_samples(payload)
+        except ValueError:
+            samples = []                  # scattered keys: not a WDS
+        if samples and all("txt" in parts for _k, parts in samples):
+            return [{"format": "webdataset", "key": key,
+                     "text": parts["txt"].decode("utf-8")}
+                    for key, parts in samples]
+        if depth >= _CONTAINER_MAX_DEPTH:
+            raise ValueError("tar nesting too deep")
+        out = []
+        for name, data in tar_members(bytes(payload)):
+            out.extend(_member_rows(name, data, depth))
+        return out
     if fmt == "docx":
         from mycelial_spark.sources.docx import parse_docx
         return [{"format": "docx", "key": t.split("\n", 1)[0],

@@ -281,3 +281,52 @@ def write_webdataset(df: DataFrame, path: str, n_shards: int,
     fs_write_text(spark, f"{path}/_MANIFEST.json",
                   json.dumps(manifest, sort_keys=True))
     return manifest
+
+
+def synth_tarball(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture for the GENERIC-tarball dispatch leg (the non-WebDataset
+    tar: a scraped-corpus drop of mixed documents): documents pack
+    into ``files`` tar archives (doc_id % files, sorted doc order),
+    each doc one member rotating a one-page PDF / an HTML file / a
+    plain ``.txt`` by id residue, all carrying ``doc:<id>\\n<text>``
+    so the oracle replays from the documents table. Deterministic
+    USTAR via encode_tar. Mixed member types mean iter_samples'
+    every-sample-has-txt check fails, steering the dispatch to the
+    burst-and-recurse path. Emits (id = file index, modality,
+    payload)."""
+    from mycelial_spark.sources.htmldoc import encode_html
+    from mycelial_spark.sources.pdf import encode_pdf
+
+    def member(did: int, t: str) -> tuple[str, bytes]:
+        body = f"doc:{did}\n{t}"
+        r = did % 3
+        if r == 0:
+            return f"{did:08d}.pdf", encode_pdf([body],
+                                                flate=did % 2 == 0)
+        if r == 1:
+            return f"{did:08d}.html", encode_html(body)
+        return f"{did:08d}.txt", body.encode("utf-8")
+
+    def run(batches: "Iterator[pd.DataFrame]") \
+            -> "Iterator[pd.DataFrame]":
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[tuple[int, str]]] = {}
+        for did, t in sorted(docs):
+            groups.setdefault(did % files, []).append((did, t))
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "tar",
+             "payload": [encode_tar([member(did, t)
+                                     for did, t in members])
+                         for members in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))

@@ -157,3 +157,42 @@ def test_compressed_containers_distributed(spark):
         did = int(r["key"].removeprefix("doc:"))
         assert r["format"] == ("pdf", "html", "text")[did % 3]
         assert r["text"] == f"doc:{did}\nbody {did}"
+
+
+def test_generic_tarball_vs_webdataset():
+    """A tar whose samples all carry .txt stays a WebDataset; mixed
+    members burst generically (pre-r12: silently ZERO rows); binary
+    members still fail loudly."""
+    from mycelial_spark.sources.dispatch import _rows_for
+    from mycelial_spark.sources.htmldoc import encode_html
+    from mycelial_spark.sources.pdf import encode_pdf
+    from mycelial_spark.sources.webdataset import encode_tar
+    wds = encode_tar([("0001.txt", b"alpha"), ("0001.cls", b"s0"),
+                      ("0002.txt", b"beta")])
+    rows = _rows_for("tar", wds)
+    assert [(r["format"], r["key"], r["text"]) for r in rows] == [
+        ("webdataset", "0001", "alpha"), ("webdataset", "0002", "beta")]
+    mixed = encode_tar([
+        ("a.pdf", encode_pdf(["doc:5\nfive"])),
+        ("b.html", encode_html("doc:6\nweb")),
+        ("c.txt", b"doc:7\nplain")])
+    rows = _rows_for("tar", mixed)
+    assert [(r["format"], r["key"]) for r in rows] == [
+        ("pdf", "doc:5"), ("html", "doc:6"), ("text", "doc:7")]
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 4
+    with pytest.raises(ValueError, match="neither a known container"):
+        _rows_for("tar", encode_tar([("x.png", png)]))
+
+
+def test_synth_tarball_distributed(spark):
+    from mycelial_spark.sources.webdataset import synth_tarball
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(9)],
+        "doc_id long, text string")
+    recs = document_records(synth_tarball(docs, files=2)).collect()
+    assert len(recs) == 9
+    for r in recs:
+        did = int(r["key"].removeprefix("doc:"))
+        assert r["format"] == ("pdf", "html", "text")[did % 3]
+        assert r["text"] == f"doc:{did}\nbody {did}"
+        assert r["id"] == did % 2
