@@ -83,6 +83,8 @@ def sniff_container(payload: bytes) -> str:
             raise ValueError(f"ZIP payload failed to open: {e}")
         if "word/document.xml" in names:
             return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
         if "mimetype" in names:
             mime = b""
             try:
@@ -95,6 +97,18 @@ def sniff_container(payload: bytes) -> str:
             if mime.strip() == \
                     b"application/vnd.oasis.opendocument.text":
                 return "odt"
+            # an OCF/ODF package of some OTHER type (ods, odp, ...):
+            # bursting it would turn content.xml into junk text rows —
+            # fail loudly instead
+            raise ValueError(
+                f"unsupported OCF/ODF package (mimetype "
+                f"{mime.strip()[:60]!r})")
+        if "[Content_Types].xml" in names:
+            # an OPC package with no reader here (pptx, vsdx, ...):
+            # same loud-fail rationale as unknown ODF
+            raise ValueError(
+                f"unsupported OPC package "
+                f"(parts: {sorted(names)[:4]!r})")
         # not an OPC/OCF/ODF package: a GENERIC archive — burst into
         # members and recurse each through this dispatch (r12)
         return "zip"
@@ -208,6 +222,14 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
         for name, data in tar_members(bytes(payload)):
             out.extend(_member_rows(name, data, depth))
         return out
+    if fmt == "xlsx":
+        # spreadsheets dispatch too: one row per sheet, cells as
+        # tab-separated lines (the text normalization a corpus
+        # pipeline wants from tabular documents)
+        from mycelial_spark.sources.xlsx import read_xlsx, sheet_text
+        return [{"format": "xlsx", "key": sheet,
+                 "text": sheet_text(rows)}
+                for sheet, rows in read_xlsx(bytes(payload)).items()]
     if fmt == "docx":
         from mycelial_spark.sources.docx import parse_docx
         return [{"format": "docx", "key": t.split("\n", 1)[0],

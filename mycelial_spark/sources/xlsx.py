@@ -326,3 +326,18 @@ def read_excel_distributed(spark, path_glob: str, sheets: str = "*",
     bf = (spark.read.format("binaryFile").load(path_glob)
           .select("content"))
     return bf.mapInPandas(parse, schema)
+
+
+def sheet_text(rows: list[list]) -> str:
+    """One sheet as TEXT for the document dispatch: cells
+    tab-separated, rows newline-separated, None cells empty, booleans
+    as TRUE/FALSE (the spreadsheet convention), numbers via str() —
+    deterministic, so oracle rows can replay it."""
+    def cell(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        return str(v)
+
+    return "\n".join("\t".join(cell(v) for v in row) for row in rows)

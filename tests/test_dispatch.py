@@ -196,3 +196,39 @@ def test_synth_tarball_distributed(spark):
         assert r["format"] == ("pdf", "html", "text")[did % 3]
         assert r["text"] == f"doc:{did}\nbody {did}"
         assert r["id"] == did % 2
+
+
+def test_opc_odf_guards_and_xlsx_route():
+    """The generic-ZIP leg must NOT swallow structured packages it
+    cannot read: unknown OPC (pptx-like) and unknown ODF (ods-like)
+    fail loudly; xlsx routes to the spreadsheet reader as
+    tab-separated sheet text."""
+    import io as _io
+    import zipfile as _zf
+    from mycelial_spark.sources.dispatch import _rows_for
+    from mycelial_spark.sources.xlsx import write_xlsx
+
+    def _zip(members: dict[str, bytes]) -> bytes:
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            for n, d in members.items():
+                z.writestr(n, d)
+        return buf.getvalue()
+
+    pptx_ish = _zip({"[Content_Types].xml": b"<Types/>",
+                     "ppt/presentation.xml": b"<p/>"})
+    with pytest.raises(ValueError, match="unsupported OPC"):
+        sniff_container(pptx_ish)
+    ods_ish = _zip({
+        "mimetype": b"application/vnd.oasis.opendocument.spreadsheet",
+        "content.xml": b"<c/>"})
+    with pytest.raises(ValueError, match="unsupported OCF/ODF"):
+        sniff_container(ods_ish)
+    xlsx = write_xlsx({"Sheet1": [["doc:3", None], [1, True]]})
+    assert sniff_container(xlsx) == "xlsx"
+    rows = _rows_for("xlsx", xlsx)
+    assert rows == [{"format": "xlsx", "key": "Sheet1",
+                     "text": "doc:3\t\n1\tTRUE"}]
+    # an xlsx INSIDE a generic zip routes through the same rung
+    rows = _rows_for("zip", _zip({"report.xlsx": xlsx}))
+    assert rows[0]["format"] == "xlsx"
