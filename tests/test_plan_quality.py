@@ -387,3 +387,18 @@ def test_cusum_single_window_exchange(spark):
     a = audit(plan_of(spark, "cusum_drift_users"))
     assert a["bhj"] + a["smj"] + a["bnlj"] == 0
     assert a["exchanges"] <= 2
+
+
+def test_container_burst_queries_one_exchange(spark):
+    """Every container-burst leg (r12) is ONE fixture repartition on
+    the file key + Arrow-batched in-batch parsing — no joins, no
+    second shuffle. A refactor that adds an exchange here turns a
+    scan-bound, embarrassingly-parallel ingest into a 100-TB
+    shuffle."""
+    for name in ("zip_extract", "tar_extract",
+                 "compressed_container_extract",
+                 "pdf_extract_attachments", "pdf_extract_text_layout",
+                 "pdf_extract_xobject", "html_extract_charset"):
+        a = audit(plan_of(spark, name))
+        assert a["exchanges"] == 1, f"{name}: {a['exchanges']} exchanges"
+        assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0, name
