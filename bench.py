@@ -138,6 +138,7 @@ HEADLINE = [
     "document_formats_mixed",
     "zip_extract",
     "tar_extract",
+    "mail_extract_attachments",
     "compressed_container_extract",
     "ipynb_extract",
     "latex_extract_text",

@@ -2315,6 +2315,41 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("mail_extract_attachments", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'pdf'
+            WHEN 1 THEN 'html' ELSE 'text' END AS format,
+       text AS text_out
+FROM documents
+""")
+def mail_extract_attachments(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """E-mail as a container (r12): every message in the 8-file mbox
+    fixture carries one REAL typed MIME attachment — a one-page PDF /
+    an HTML file / a plain .txt by id residue — and the pipeline
+    composes mbox_attachments (MIME walk, CTE decode) with
+    member_records (the dispatch's member semantics: container magic
+    recurses, magic-less text passes the charset ladder behind the
+    looks-texty gate). The mail-dump ingest shape: corpora arrive as
+    mailbox exports whose documents ride as attachments. The oracle
+    replays file assignment, per-attachment format, and content."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import member_records
+    from mycelial_spark.sources.mbox import (mbox_attachments,
+                                             synth_mbox_attachments)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    atts = mbox_attachments(synth_mbox_attachments(docs, files=8))
+    recs = member_records(atts)
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        "format",
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("tar_extract", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

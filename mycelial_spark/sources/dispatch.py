@@ -296,3 +296,38 @@ def document_records(df: DataFrame,
                 rows, columns=[f.name for f in DOC_RECORD_SCHEMA])
 
     return df.select("id", "payload").mapInPandas(run, DOC_RECORD_SCHEMA)
+
+
+def member_records(df: DataFrame, name_col: str = "name",
+                   on_error: str = "raise") -> DataFrame:
+    """document_records for MEMBER payloads: rows whose binary column
+    came out of another container's burst (mbox_attachments, a custom
+    extractor) route through the same member semantics the archive
+    legs use — container magic recurses, magic-less payloads pass the
+    charset ladder behind the looks-texty gate, binary members fail
+    loudly. ``name_col`` (when present) labels error messages."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+    has_name = name_col in df.columns
+    cols = ["id", name_col, "payload"] if has_name \
+        else ["id", "payload"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_batch in batches:
+            rows = []
+            names = (pdf_batch[name_col] if has_name
+                     else [""] * len(pdf_batch))
+            for fid, name, payload in zip(pdf_batch["id"], names,
+                                          pdf_batch["payload"]):
+                try:
+                    recs = _member_rows(str(name), bytes(payload), 0)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "rec_idx": i, **r}
+                            for i, r in enumerate(recs))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DOC_RECORD_SCHEMA])
+
+    return df.select(*cols).mapInPandas(run, DOC_RECORD_SCHEMA)

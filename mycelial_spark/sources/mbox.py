@@ -315,3 +315,141 @@ def synth_eml(df: DataFrame, text_col: str = "text",
 
     return df.select(id_col, text_col).mapInPandas(
         run, "id long, payload binary")
+
+
+def message_attachments(raw: bytes) -> list[tuple[str, bytes]]:
+    """(filename, decoded bytes) for every attachment part of one
+    message — parts with a Content-Disposition of attachment or an
+    explicit filename, payloads decoded through their CTE
+    (base64/quoted-printable). The content side of the
+    ``attach_bytes`` summary message_fields already exposes."""
+    import email
+    msg = email.message_from_bytes(raw)
+    out: list[tuple[str, bytes]] = []
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        name = part.get_filename()
+        if part.get_content_disposition() == "attachment" or name:
+            out.append((name or "",
+                        part.get_payload(decode=True) or b""))
+    return out
+
+
+MBOX_ATTACHMENT_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("msg_idx", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def mbox_attachments(df: DataFrame,
+                     on_error: str = "raise") -> DataFrame:
+    """Burst every mbox message's MIME attachments into one row per
+    attachment (MBOX_ATTACHMENT_SCHEMA) over Arrow batches — e-mail
+    is a container too: real corpora arrive as mail dumps whose PDFs
+    and HTML bodies ride as attachments. The payload column feeds
+    member_records (sources/dispatch.py) so attachments recurse
+    through the universal dispatch exactly like ZIP members and PDF
+    embedded files. ``on_error="null"`` skips undecodable files."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fid, payload in zip(pdf["id"], pdf["payload"]):
+                try:
+                    per_msg = [message_attachments(m)
+                               for m in parse_mbox(bytes(payload))]
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend(
+                    {"id": int(fid), "msg_idx": i, "name": n,
+                     "payload": data}
+                    for i, atts in enumerate(per_msg)
+                    for n, data in atts)
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MBOX_ATTACHMENT_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, MBOX_ATTACHMENT_SCHEMA)
+
+
+def encode_message_with_attachment(doc_id: int, text: str,
+                                   att_name: str,
+                                   att_data: bytes) -> bytes:
+    """One deterministic multipart/mixed message whose attachment is
+    REAL TYPED CONTENT (a PDF, an HTML file, ...) rather than
+    encode_message's echo blob — the fixture side of
+    mbox_attachments. Body text/plain quoted-printable, attachment
+    base64 with its filename."""
+    import base64
+    raw = text.encode("utf-8")
+    bnd = f"=_att_{doc_id}_".encode()
+    return ((f"Message-ID: <att-{doc_id}@example.com>\r\n"
+             f"Date: Mon, 01 Jan 2024 00:00:00 +0000\r\n"
+             f"From: corpus@example.com\r\n"
+             f"Subject: doc:{doc_id}\r\n"
+             f"MIME-Version: 1.0\r\n").encode()
+            + b"Content-Type: multipart/mixed; boundary=\"" + bnd
+            + b"\"\r\n\r\n"
+            + b"--" + bnd + b"\r\n"
+            + b"Content-Type: text/plain; charset=\"utf-8\"\r\n"
+            + b"Content-Transfer-Encoding: quoted-printable\r\n"
+            + b"\r\n" + _qp(raw) + b"\r\n"
+            + b"--" + bnd + b"\r\n"
+            + b"Content-Type: application/octet-stream\r\n"
+            + b"Content-Transfer-Encoding: base64\r\n"
+            + b"Content-Disposition: attachment; "
+            + f"filename=\"{att_name}\"\r\n".encode()
+            + b"\r\n" + base64.encodebytes(att_data)
+            + b"--" + bnd + b"--\r\n")
+
+
+def synth_mbox_attachments(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           files: int = 8) -> DataFrame:
+    """Fixture: documents pack into ``files`` mboxes (doc_id % files)
+    where EVERY message carries one real typed attachment — a one-page
+    PDF / an HTML file / a plain ``.txt`` by id residue, all carrying
+    ``doc:<id>\\n<text>`` — so the oracle replays attachment content
+    from the documents table. Emits (id = file index, modality,
+    payload)."""
+    from mycelial_spark.sources.htmldoc import encode_html
+    from mycelial_spark.sources.pdf import encode_pdf
+
+    def member(did: int, t: str) -> tuple[str, bytes]:
+        body = f"doc:{did}\n{t}"
+        r = did % 3
+        if r == 0:
+            return f"{did:08d}.pdf", encode_pdf([body],
+                                                flate=did % 2 == 0)
+        if r == 1:
+            return f"{did:08d}.html", encode_html(body)
+        return f"{did:08d}.txt", body.encode("utf-8")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for pdf in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(pdf[id_col], pdf[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[bytes]] = {}
+        for did, t in sorted(docs):
+            name, data = member(did, t)
+            groups.setdefault(did % files, []).append(
+                encode_message_with_attachment(did, t, name, data))
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "mbox",
+             "payload": [encode_mbox(v) for v in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run, "id long, modality string, payload binary"))

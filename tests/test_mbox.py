@@ -145,3 +145,41 @@ def test_eml_messages_distributed_and_section(spark):
     bad = spark.createDataFrame([(9, b"\xff\xfe garbage bytes")],
                                 "id long, payload binary")
     assert eml_messages(bad, on_error="null").count() <= 1
+
+
+def test_message_attachments_and_member_records(spark):
+    """E-mail as a container: MIME attachments decode through their
+    CTE and recurse through the dispatch's member semantics."""
+    from mycelial_spark.sources.dispatch import member_records
+    from mycelial_spark.sources.mbox import (
+        encode_mbox, encode_message, encode_message_with_attachment,
+        mbox_attachments, message_attachments, synth_mbox_attachments)
+    from mycelial_spark.sources.pdf import encode_pdf
+    pdf = encode_pdf(["doc:7\nseven"])
+    msg = encode_message_with_attachment(7, "seven", "a.pdf", pdf)
+    atts = message_attachments(msg)
+    assert atts == [("a.pdf", pdf)]          # base64 round-trips
+    # encode_message's odd-id echo blob is an attachment too
+    assert message_attachments(encode_message(3, "body three")) == \
+        [("doc-3.bin", b"body three")]
+    # even-id single-part messages carry none
+    assert message_attachments(encode_message(2, "body two")) == []
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(6)],
+        "doc_id long, text string")
+    files = synth_mbox_attachments(docs, files=2)
+    rows = member_records(mbox_attachments(files)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        did = int(r["key"].removeprefix("doc:"))
+        assert r["format"] == ("pdf", "html", "text")[did % 3]
+        assert r["text"] == f"doc:{did}\nbody {did}"
+        assert r["id"] == did % 2
+    # a binary attachment fails loudly through member_records
+    png = b"\x89PNG\r\n\x1a\n" + bytes(range(256)) * 4
+    bad = spark.createDataFrame([(1, "i.png", png)],
+                                "id long, name string, payload binary")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="neither a known container"):
+        member_records(bad).collect()
+    assert member_records(bad, on_error="null").count() == 0
