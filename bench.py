@@ -128,6 +128,7 @@ HEADLINE = [
     # precedent — benching it would measure the cipher loop, not the
     # extraction plan); scale_probe_r11 --ops=fonts records its curve
     "docx_extract_text",
+    "pptx_extract_text",
     "epub_extract_text",
     "odt_extract_text",
     "rtf_extract_text",

@@ -2315,6 +2315,40 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("pptx_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT)
+         AS slide_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS slide_count,
+       text AS text_out
+FROM documents
+""")
+def pptx_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresentationML decks (r12): one slide per doc across 8 OPC
+    packages; slide ORDER resolves through ppt/presentation.xml's
+    sldIdLst + the relationship graph — the fixture stores logical
+    slide i in PHYSICAL file slide{n-i}.xml, so a reader that sorts
+    member names instead of walking the rels returns every deck
+    REVERSED and breaks the hash-match. DrawingML a:t runs join per
+    a:p, paragraphs per slide; the dispatch disambiguates the PK
+    package by its ppt/presentation.xml part."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pptx import pptx_slides, synth_pptx
+    docs = spread(_t(spark, sf_dir, "documents"))
+    slides = pptx_slides(synth_pptx(docs, files=8))
+    return slides.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("slide_idx"),
+        F.col("slide_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("mail_extract_attachments", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

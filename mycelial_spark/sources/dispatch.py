@@ -85,6 +85,8 @@ def sniff_container(payload: bytes) -> str:
             return "docx"
         if "xl/workbook.xml" in names:
             return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
         if "mimetype" in names:
             mime = b""
             try:
@@ -222,6 +224,10 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
         for name, data in tar_members(bytes(payload)):
             out.extend(_member_rows(name, data, depth))
         return out
+    if fmt == "pptx":
+        from mycelial_spark.sources.pptx import parse_pptx
+        return [{"format": "pptx", "key": t.split("\n", 1)[0],
+                 "text": t} for t in parse_pptx(payload)]
     if fmt == "xlsx":
         # spreadsheets dispatch too: one row per sheet, cells as
         # tab-separated lines (the text normalization a corpus

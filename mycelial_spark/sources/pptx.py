@@ -1,0 +1,253 @@
+"""PPTX (OOXML PresentationML, ECMA-376) text extraction — slide
+decks are a steady fraction of enterprise/web corpora and, like DOCX,
+arrive as OPC ZIP packages; before this leg the dispatch rejected
+them as "unsupported OPC package".
+
+Reader `parse_pptx` opens the package the way a conforming consumer
+must: validate the ZIP magic, require ``[Content_Types].xml`` to
+declare the PresentationML main part, then resolve slide ORDER the
+way PowerPoint does — ``ppt/presentation.xml``'s ``p:sldIdLst``
+r:id references through ``ppt/_rels/presentation.xml.rels`` — NOT by
+sorting member names (slide file names carry no order contract; a
+deck edited with reordered slides keeps its original numbering).
+Each slide's text is its DrawingML paragraphs in tree order:
+``a:t`` runs joined per ``a:p``, ``a:br`` as a newline, paragraphs
+joined by newlines. Damage fails loudly (missing parts, undeclared
+content types, dangling r:ids, malformed XML).
+
+Spark surface: `pptx_slides` explodes binary payloads into one row
+per slide over Arrow batches — identical shape to the PDF/DOCX legs.
+Writer `encode_pptx`/`synth_pptx` builds minimal spec-valid decks
+(fixed ZIP timestamps) so the `pptx_extract_text` oracle replays
+slide order, counts, and text from the documents table.
+
+(Reference parity: the reference shells documents through `exec`
+sections — `sections/exec/src/lib.rs`; this leg keeps extraction
+inside the DataFrame plan.)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+_MAIN_CT = ("application/vnd.openxmlformats-officedocument"
+            ".presentationml.presentation.main+xml")
+_SLIDE_CT = ("application/vnd.openxmlformats-officedocument"
+             ".presentationml.slide+xml")
+
+
+def _check_xml_text(s: str) -> None:
+    # \r rejected too: XML parsers normalize it to \n on read, which
+    # would silently break the byte round-trip contract
+    bad = re.search(r"[\x00-\x08\x0b-\x1f]", s)
+    if bad:
+        raise ValueError(
+            f"text contains XML-unrepresentable control char "
+            f"{bad.group()!r}")
+
+
+def encode_pptx(slides: list[str]) -> bytes:
+    """Minimal spec-valid .pptx: one slide per entry, each line of the
+    entry its own a:p paragraph. Fixed ZIP timestamps keep bytes
+    deterministic for fixtures."""
+    n = len(slides)
+    overrides = "".join(
+        f'<Override PartName="/ppt/slides/slide{i + 1}.xml" '
+        f'ContentType="{_SLIDE_CT}"/>' for i in range(n))
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006'
+        '/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        f'<Override PartName="/ppt/presentation.xml" '
+        f'ContentType="{_MAIN_CT}"/>' + overrides + "</Types>")
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/officeDocument" '
+        'Target="ppt/presentation.xml"/></Relationships>')
+    # logical slide i lives in PHYSICAL file slide{n-i}.xml: member
+    # name order is the REVERSE of sldIdLst order, so a reader that
+    # sorts file names instead of resolving the relationship graph
+    # gets caught by the oracle
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS}">' + "".join(
+            f'<Relationship Id="rSld{i + 1}" Type="http://schemas.'
+            f'openxmlformats.org/officeDocument/2006/relationships/'
+            f'slide" Target="slides/slide{n - i}.xml"/>'
+            for i in range(n)) + "</Relationships>")
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + i}" r:id="rSld{i + 1}"/>'
+        for i in range(n))
+    presentation = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{_P}" xmlns:r="{_R}">'
+        f'<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>')
+
+    def slide_xml(text: str) -> str:
+        _check_xml_text(text)
+        paras = "".join(
+            "<a:p><a:r><a:t" + (" xml:space=\"preserve\""
+                                if line != line.strip() or not line
+                                else "")
+            + ">" + escape(line) + "</a:t></a:r></a:p>"
+            for line in text.split("\n"))
+        return ('<?xml version="1.0" encoding="UTF-8" standalone='
+                '"yes"?>'
+                f'<p:sld xmlns:p="{_P}" xmlns:a="{_A}"><p:cSld>'
+                f'<p:spTree><p:sp><p:txBody>{paras}</p:txBody>'
+                '</p:sp></p:spTree></p:cSld></p:sld>')
+
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        members = [("[Content_Types].xml", content_types),
+                   ("_rels/.rels", root_rels),
+                   ("ppt/presentation.xml", presentation),
+                   ("ppt/_rels/presentation.xml.rels", pres_rels)]
+        members += [(f"ppt/slides/slide{n - i}.xml",
+                     slide_xml(slides[i])) for i in range(n)]
+        for name, data in members:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return out.getvalue()
+
+
+def parse_pptx(payload: bytes) -> list[str]:
+    """Slide texts in sldIdLst order. Raises on non-ZIP bytes,
+    missing/undeclared parts, dangling slide references, malformed
+    XML."""
+    payload = bytes(payload)
+    if not payload.startswith(b"PK\x03\x04"):
+        raise ValueError("not a ZIP package (missing PK local header)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP package: {e}") from e
+    names = set(zf.namelist())
+    if "[Content_Types].xml" not in names:
+        raise ValueError("OPC package has no [Content_Types].xml")
+    ct = zf.read("[Content_Types].xml").decode("utf-8", "strict")
+    if _MAIN_CT not in ct:
+        raise ValueError("package does not declare a PresentationML "
+                         "main part (not a .pptx)")
+    if "ppt/presentation.xml" not in names:
+        raise ValueError("no ppt/presentation.xml part")
+    try:
+        pres = ET.fromstring(zf.read("ppt/presentation.xml"))
+        rels_root = ET.fromstring(
+            zf.read("ppt/_rels/presentation.xml.rels"))
+    except KeyError as e:
+        raise ValueError(f"missing package part: {e}") from e
+    except ET.ParseError as e:
+        raise ValueError(f"malformed presentation XML: {e}") from e
+    rels = {rel.get("Id"): rel.get("Target")
+            for rel in rels_root.iter(f"{{{_REL_NS}}}Relationship")}
+    out: list[str] = []
+    for sld in pres.iter(f"{{{_P}}}sldId"):
+        rid = sld.get(f"{{{_R}}}id")
+        target = rels.get(rid)
+        if target is None:
+            raise ValueError(f"sldIdLst references unknown rel {rid!r}")
+        part = target if target.startswith("ppt/") else f"ppt/{target}"
+        if part not in names:
+            raise ValueError(f"slide part {part!r} missing")
+        try:
+            slide = ET.fromstring(zf.read(part))
+        except ET.ParseError as e:
+            raise ValueError(f"malformed slide XML {part!r}: {e}") \
+                from e
+        _t, _br = f"{{{_A}}}t", f"{{{_A}}}br"
+        paras: list[str] = []
+        for p in slide.iter(f"{{{_A}}}p"):
+            parts: list[str] = []
+            for el in p.iter():
+                if el.tag == _t:
+                    parts.append(el.text or "")
+                elif el.tag == _br:
+                    parts.append("\n")
+            paras.append("".join(parts))
+        out.append("\n".join(paras))
+    return out
+
+
+PPTX_SLIDE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("slide_idx", T.IntegerType()),
+    T.StructField("slide_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def pptx_slides(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary pptx payloads into one row per slide
+    (PPTX_SLIDE_SCHEMA) over Arrow batches; ``on_error="null"`` skips
+    undecodable files (poison tolerance, the container-leg
+    contract)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    slides = parse_pptx(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "slide_idx": i,
+                             "slide_count": len(slides), "text": t}
+                            for i, t in enumerate(slides))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PPTX_SLIDE_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, PPTX_SLIDE_SCHEMA)
+
+
+def synth_pptx(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture: documents pack into ``files`` decks (doc_id % files,
+    one slide per doc carrying ``doc:<id>\\n<text>``) so oracles
+    replay slide order, counts, and text. Emits (id, modality,
+    payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[str]] = {}
+        for did, t in sorted(docs):
+            groups.setdefault(did % files, []).append(
+                f"doc:{did}\n{t}")
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "pptx",
+             "payload": [encode_pptx(v) for v in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))

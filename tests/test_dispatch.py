@@ -215,10 +215,10 @@ def test_opc_odf_guards_and_xlsx_route():
                 z.writestr(n, d)
         return buf.getvalue()
 
-    pptx_ish = _zip({"[Content_Types].xml": b"<Types/>",
-                     "ppt/presentation.xml": b"<p/>"})
+    visio_ish = _zip({"[Content_Types].xml": b"<Types/>",
+                      "visio/document.xml": b"<v/>"})
     with pytest.raises(ValueError, match="unsupported OPC"):
-        sniff_container(pptx_ish)
+        sniff_container(visio_ish)
     ods_ish = _zip({
         "mimetype": b"application/vnd.oasis.opendocument.spreadsheet",
         "content.xml": b"<c/>"})
