@@ -131,6 +131,7 @@ HEADLINE = [
     "pptx_extract_text",
     "epub_extract_text",
     "odt_extract_text",
+    "ods_extract",
     "rtf_extract_text",
     "mbox_extract",
     "eml_extract",

@@ -2315,6 +2315,39 @@ def zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text_out"))
 
 
+@query("ods_extract", r"""
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       'doc:' || CAST(doc_id AS VARCHAR) AS sheet_name,
+       replace(regexp_replace(text, '((\S+ ){3}\S+) ',
+                              '\1' || chr(10), 'g'), ' ', chr(9))
+         AS text_out
+FROM documents
+""")
+def ods_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument spreadsheets (r12): each doc becomes one
+    table:table (named ``doc:<id>``) whose grid is the text wrapped
+    at 4 words/line, one word per cell; runs of identical adjacent
+    cells compress into table:number-columns-repeated on the write
+    side so the reader's repeat expansion is load-bearing. The
+    dispatch disambiguates the ODF mimetype to the new leg (odp/odg
+    still fail loudly), sheets render as tab-separated text. The
+    oracle replays the grid via the same wrap regexp with spaces as
+    tabs — a repeat-expansion, trim, or cell-walk bug breaks the
+    hash-match."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.ods import synth_ods
+    docs = spread(_t(spark, sf_dir, "documents"))
+    recs = document_records(synth_ods(docs, files=8))
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("key").alias("sheet_name"),
+        F.col("text").alias("text_out"))
+
+
 @query("pptx_extract_text", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

@@ -99,7 +99,10 @@ def sniff_container(payload: bytes) -> str:
             if mime.strip() == \
                     b"application/vnd.oasis.opendocument.text":
                 return "odt"
-            # an OCF/ODF package of some OTHER type (ods, odp, ...):
+            if mime.strip() == \
+                    b"application/vnd.oasis.opendocument.spreadsheet":
+                return "ods"
+            # an OCF/ODF package of some OTHER type (odp, odg, ...):
             # bursting it would turn content.xml into junk text rows —
             # fail loudly instead
             raise ValueError(
@@ -224,6 +227,11 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
         for name, data in tar_members(bytes(payload)):
             out.extend(_member_rows(name, data, depth))
         return out
+    if fmt == "ods":
+        from mycelial_spark.sources.ods import parse_ods
+        return [{"format": "ods", "key": name,
+                 "text": "\n".join("\t".join(r) for r in rows)}
+                for name, rows in parse_ods(payload).items()]
     if fmt == "pptx":
         from mycelial_spark.sources.pptx import parse_pptx
         return [{"format": "pptx", "key": t.split("\n", 1)[0],

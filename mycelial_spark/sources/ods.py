@@ -1,0 +1,247 @@
+"""ODS (OASIS OpenDocument Spreadsheet) extraction — the ODF sibling
+of the xlsx leg: LibreOffice-exported tabular documents are a steady
+corpus class, and before this leg the dispatch rejected their
+mimetype as "unsupported OCF/ODF package".
+
+Reader `parse_ods` opens the package per ODF 1.2 §3: STORED-first
+``mimetype`` entry must declare the spreadsheet type, ``content.xml``
+holds ``office:spreadsheet`` with ``table:table`` elements. Cells
+resolve to their DISPLAY text (``text:p`` children, newline-joined
+when a cell holds several paragraphs);
+``table:number-columns-repeated`` / ``table:number-rows-repeated``
+expand bounded by a cap — real writers pad sheets to 16384 trailing
+empty columns via repeats, so expansion TRIMS trailing empty cells
+and rows rather than materializing the padding (the adversarial
+repeat-bomb also dies at the cap). Damage fails loudly.
+
+Spark surface: `ods_sheets` explodes binary payloads into one row
+per sheet (tab-separated cells, the xlsx sheet_text convention) over
+Arrow batches. Writer `encode_ods`/`synth_ods` builds minimal
+spec-valid packages (deterministic timestamps; runs of identical
+cells compress into number-columns-repeated so the reader's repeat
+path is load-bearing on every file).
+
+(Reference parity: the reference's excel_connector
+`sections/excel_connector/src/lib.rs` reads spreadsheets natively;
+this leg extends the same capability to the ODF container.)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_OFF = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_TAB = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+_TXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_MIME = "application/vnd.oasis.opendocument.spreadsheet"
+_REPEAT_CAP = 16384                      # ODF 1.2 maximum columns
+
+
+def _check_xml_text(s: str) -> None:
+    bad = re.search(r"[\x00-\x08\x0b-\x1f]", s)
+    if bad:
+        raise ValueError(
+            f"text contains XML-unrepresentable control char "
+            f"{bad.group()!r}")
+
+
+def encode_ods(sheets: dict[str, list[list[str]]]) -> bytes:
+    """Minimal spec-valid .ods: STORED mimetype first, manifest,
+    content.xml with one table:table per sheet. Runs of >= 2 identical
+    adjacent cells emit ONE cell with table:number-columns-repeated,
+    so the reader's repeat expansion is exercised by real fixtures.
+    Deterministic timestamps."""
+    tables = []
+    for name, rows in sheets.items():
+        _check_xml_text(name)
+        row_xml = []
+        for row in rows:
+            cells = []
+            at = 0
+            while at < len(row):
+                val = row[at]
+                _check_xml_text(val)
+                run = 1
+                while at + run < len(row) and row[at + run] == val:
+                    run += 1
+                rep = (f' table:number-columns-repeated="{run}"'
+                       if run > 1 else "")
+                cells.append(
+                    f'<table:table-cell office:value-type="string"'
+                    f'{rep}><text:p>{escape(val)}</text:p>'
+                    f'</table:table-cell>')
+                at += run
+            row_xml.append("<table:table-row>" + "".join(cells)
+                           + "</table:table-row>")
+        tables.append(f'<table:table table:name={quoteattr(name)}>'
+                      + "".join(row_xml) + "</table:table>")
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content office:version="1.2" '
+        f'xmlns:office="{_OFF}" xmlns:table="{_TAB}" '
+        f'xmlns:text="{_TXT}"><office:body><office:spreadsheet>'
+        + "".join(tables)
+        + '</office:spreadsheet></office:body>'
+          '</office:document-content>')
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0" manifest:version="1.2">'
+        f'<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{_MIME}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _MIME)
+        for name, data in (("META-INF/manifest.xml", manifest),
+                           ("content.xml", content)):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return out.getvalue()
+
+
+def _cell_text(cell: ET.Element) -> str:
+    paras = []
+    for p in cell.iter(f"{{{_TXT}}}p"):
+        paras.append("".join(p.itertext()))
+    return "\n".join(paras)
+
+
+def parse_ods(payload: bytes) -> dict[str, list[list[str]]]:
+    """{sheet name: rows of display-text cells}, repeats expanded,
+    trailing empty cells/rows trimmed (writers pad to the column max
+    via repeats). Raises on damage."""
+    payload = bytes(payload)
+    if not payload.startswith(b"PK\x03\x04"):
+        raise ValueError("not a ZIP package (missing PK local header)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP package: {e}") from e
+    names = set(zf.namelist())
+    if "mimetype" not in names:
+        raise ValueError("ODF package has no mimetype entry")
+    mime = zf.read("mimetype").decode("ascii", "replace").strip()
+    if mime != _MIME:
+        raise ValueError(f"mimetype is {mime!r}, not {_MIME!r} "
+                         f"(not a .ods)")
+    if "content.xml" not in names:
+        raise ValueError("no content.xml part")
+    try:
+        root = ET.fromstring(zf.read("content.xml"))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed content.xml: {e}") from e
+    sheet = root.find(f"{{{_OFF}}}body/{{{_OFF}}}spreadsheet")
+    if sheet is None:
+        raise ValueError("content.xml has no office:spreadsheet")
+    out: dict[str, list[list[str]]] = {}
+    for table in sheet.findall(f"{{{_TAB}}}table"):
+        name = table.get(f"{{{_TAB}}}name", "")
+        rows: list[list[str]] = []
+        for tr in table.findall(f"{{{_TAB}}}table-row"):
+            row: list[str] = []
+            for cell in tr.findall(f"{{{_TAB}}}table-cell"):
+                rep = int(cell.get(
+                    f"{{{_TAB}}}number-columns-repeated", "1"))
+                if not 1 <= rep <= _REPEAT_CAP:
+                    raise ValueError(
+                        f"columns-repeated {rep} outside [1, "
+                        f"{_REPEAT_CAP}]")
+                row.extend([_cell_text(cell)] * rep)
+            while row and row[-1] == "":       # trailing pad cells
+                row.pop()
+            rrep = int(tr.get(
+                f"{{{_TAB}}}number-rows-repeated", "1"))
+            if not 1 <= rrep <= _REPEAT_CAP:
+                raise ValueError(
+                    f"rows-repeated {rrep} outside [1, {_REPEAT_CAP}]")
+            rows.extend([list(row) for _ in range(rrep)])
+        while rows and not rows[-1]:           # trailing pad rows
+            rows.pop()
+        out[name] = rows
+    return out
+
+
+ODS_SHEET_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("sheet_idx", T.IntegerType()),
+    T.StructField("sheet_count", T.IntegerType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def ods_sheets(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary ods payloads into one row per sheet (cells
+    tab-separated, rows newline-separated — the xlsx sheet_text
+    convention) over Arrow batches."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    sheets = parse_ods(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend(
+                    {"id": int(fid), "sheet_idx": i,
+                     "sheet_count": len(sheets), "name": n,
+                     "text": "\n".join("\t".join(r) for r in rws)}
+                    for i, (n, rws) in enumerate(sheets.items()))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ODS_SHEET_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, ODS_SHEET_SCHEMA)
+
+
+def synth_ods(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture: documents pack into ``files`` spreadsheets
+    (doc_id % files), one table per doc named ``doc:<id>`` whose grid
+    is the text wrapped at 4 words/line (wrap_words — the
+    SQL-replayable rule), one word per cell — so the oracle replays
+    sheet membership, names, and the full grid. Emits (id, modality,
+    payload)."""
+    from mycelial_spark.sources.pdf import wrap_words
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, dict[str, list[list[str]]]] = {}
+        for did, t in sorted(docs):
+            grid = [line.split(" ")
+                    for line in wrap_words(t).split("\n")]
+            groups.setdefault(did % files, {})[f"doc:{did}"] = grid
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "ods",
+             "payload": [encode_ods(s) for s in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))

@@ -219,11 +219,11 @@ def test_opc_odf_guards_and_xlsx_route():
                       "visio/document.xml": b"<v/>"})
     with pytest.raises(ValueError, match="unsupported OPC"):
         sniff_container(visio_ish)
-    ods_ish = _zip({
-        "mimetype": b"application/vnd.oasis.opendocument.spreadsheet",
+    odp_ish = _zip({
+        "mimetype": b"application/vnd.oasis.opendocument.presentation",
         "content.xml": b"<c/>"})
     with pytest.raises(ValueError, match="unsupported OCF/ODF"):
-        sniff_container(ods_ish)
+        sniff_container(odp_ish)
     xlsx = write_xlsx({"Sheet1": [["doc:3", None], [1, True]]})
     assert sniff_container(xlsx) == "xlsx"
     rows = _rows_for("xlsx", xlsx)

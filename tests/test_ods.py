@@ -1,0 +1,86 @@
+"""ODS leg (sources/ods.py): repeat expansion/compression, trailing
+pad trimming, ODF validation rejects, dispatch routing."""
+
+import io
+import zipfile
+
+import pytest
+
+from mycelial_spark.sources import ods as O
+from mycelial_spark.sources.dispatch import _rows_for, sniff_container
+
+
+def test_roundtrip_repeats_and_trim():
+    sheets = {"doc:1": [["alpha", "beta", "beta", "beta"],
+                        ["gamma", "", "", "x"]],
+              "doc:2": [["one", "two"]]}
+    assert O.parse_ods(O.encode_ods(sheets)) == sheets
+    # writer compresses the beta-run into number-columns-repeated
+    zf = zipfile.ZipFile(io.BytesIO(O.encode_ods(sheets)))
+    assert b'number-columns-repeated="3"' in zf.read("content.xml")
+    # trailing pad cells and rows trim (writers pad via repeats)
+    assert O.parse_ods(O.encode_ods(
+        {"s": [["a", "", ""], ["", ""]]})) == {"s": [["a"]]}
+    # multi-paragraph cells newline-join
+    assert O.parse_ods(O.encode_ods({"s": [["x\ny"]]})) == \
+        {"s": [["x\ny"]]}
+
+
+def test_rejects():
+    with pytest.raises(ValueError, match="not a ZIP"):
+        O.parse_ods(b"nonsense")
+    odt_mime = b"application/vnd.oasis.opendocument.text"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype")
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, odt_mime)
+        zf.writestr("content.xml", "<c/>")
+    with pytest.raises(ValueError, match="not a .ods"):
+        O.parse_ods(buf.getvalue())
+    with pytest.raises(ValueError, match="control char"):
+        O.encode_ods({"s": [["bad \x01"]]})
+    # adversarial repeat outside the ODF column cap
+    good = O.encode_ods({"s": [["a", "a"]]})
+    src = zipfile.ZipFile(io.BytesIO(good))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "content.xml":
+                data = data.replace(b'repeated="2"',
+                                    b'repeated="99999999"')
+            zi = zipfile.ZipInfo(name)
+            zi.compress_type = (zipfile.ZIP_STORED
+                                if name == "mimetype"
+                                else zipfile.ZIP_DEFLATED)
+            zf.writestr(zi, data)
+    with pytest.raises(ValueError, match="columns-repeated"):
+        O.parse_ods(out.getvalue())
+
+
+def test_dispatch_route():
+    ods = O.encode_ods({"doc:5": [["five", "words"], ["here"]]})
+    assert sniff_container(ods) == "ods"
+    rows = _rows_for("ods", ods)
+    assert rows == [{"format": "ods", "key": "doc:5",
+                     "text": "five\twords\nhere"}]
+
+
+def test_ods_sheets_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(9)))
+         for i in range(6)],
+        "doc_id long, text string")
+    from mycelial_spark.sources.pdf import wrap_words
+    rows = O.ods_sheets(O.synth_ods(docs, files=2)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        did = int(r["name"].removeprefix("doc:"))
+        want = wrap_words(docs.collect()[did]["text"]) \
+            .replace(" ", "\t")
+        assert r["text"] == want
+        assert r["id"] == did % 2
+    bad = spark.createDataFrame([(1, b"PK\x03\x04junk")],
+                                "id long, payload binary")
+    assert O.ods_sheets(bad, on_error="null").count() == 0
