@@ -122,6 +122,8 @@ HEADLINE = [
     "pdf_extract_text_tounicode",
     "pdf_extract_text_layout",
     "pdf_extract_xobject",
+    "pdf_extract_annotations",
+    "pdf_extract_attachments",
     # pdf_extract_text_encrypted is correctness-gated but NOT headline:
     # its wall clock is dominated by pure-Python RC4/AES running on
     # BOTH the fixture-encrypt and the decrypt side (the exif_gps_audit

@@ -1965,6 +1965,40 @@ def pdf_extract_text_layout(spark: SparkSession,
         .alias("text_out"))
 
 
+@query("pdf_extract_annotations", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Text'
+            WHEN 1 THEN 'FreeText' ELSE 'Highlight' END AS subtype,
+       text AS text_out
+FROM documents
+WHERE doc_id % 2 = 1
+""")
+def pdf_extract_annotations(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """The review-comment layer (r12): every odd doc's page carries
+    one markup annotation (subtype rotating /Text -> /FreeText ->
+    /Highlight) whose /Contents text string round-trips through the
+    §7.9.2.2 decode — ASCII literals stay PDFDocEncoding-strict,
+    anything else travels as BOM'd UTF-16BE hex (the corpus text IS
+    non-ASCII, so both forms are load-bearing). pdf_annotations
+    bursts one row per note; content-stream-only extractors lose this
+    layer entirely. The oracle replays subtype election and note
+    text from the documents table."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.pdf import (pdf_annotations,
+                                            synth_pdf_annotated)
+    docs = spread(_t(spark, sf_dir, "documents"))
+    notes = pdf_annotations(synth_pdf_annotated(docs, files=8))
+    return notes.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        "subtype",
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("pdf_extract_attachments", """
 SELECT doc_id, 'pdf' AS format, text AS text_out
 FROM documents

@@ -491,6 +491,108 @@ def encode_pdf_attachments(pages: list[str],
     return bytes(out)
 
 
+def _text_string_bytes(s: str) -> bytes:
+    """Writer-side §7.9.2.2 text string: ASCII stays a literal string,
+    anything else goes UTF-16BE with BOM as a hex string."""
+    if all(" " <= ch <= "~" or ch in "\t\n\r" for ch in s):
+        return b"(" + _escape_literal(s.encode("ascii")) + b")"
+    data = b"\xfe\xff" + s.encode("utf-16-be")
+    return b"<" + data.hex().encode("ascii") + b">"
+
+
+def encode_pdf_annotated(
+        pages: list[tuple[str, list[tuple[str, str]]]],
+        flate: bool = True) -> bytes:
+    """Classic-layout writer whose pages carry MARKUP annotations:
+    each entry is (page text, [(subtype, note text), ...]) — /Text,
+    /FreeText, /Highlight, ... dicts with /Contents text strings
+    (ASCII literal or BOM'd UTF-16BE hex). The fixture side of
+    parse_pdf_annotations."""
+    objs: list[bytes | None] = [None, None,
+                                b"<< /Type /Font /Subtype /Type1 "
+                                b"/BaseFont /Helvetica >>"]
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_nums = []
+    for i, (text, notes) in enumerate(pages):
+        data = _page_stream(text, i % 2 == 1)
+        filt = ""
+        if flate:
+            data = zlib.compress(data, 9)
+            filt = " /Filter /FlateDecode"
+        c = add(f"<< /Length {len(data)}{filt} >>".encode()
+                + b"\nstream\n" + data + b"\nendstream")
+        annot_nums = [add(b"<< /Type /Annot /Subtype /"
+                          + subtype.encode("ascii")
+                          + b" /Rect [100 100 200 120] /Contents "
+                          + _text_string_bytes(note) + b" >>")
+                      for subtype, note in notes]
+        extra = ""
+        if annot_nums:
+            refs = " ".join(f"{a} 0 R" for a in annot_nums)
+            extra = f" /Annots [{refs}]"
+        page_nums.append(add(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Resources << /Font << /F1 3 0 R >> >>{extra} "
+            f"/Contents {c} 0 R >>".encode()))
+    objs[0] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objs[1] = (f"<< /Type /Pages /Kids [{kids}] "
+               f"/Count {len(page_nums)} >>".encode())
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
+def synth_pdf_annotated(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        files: int = 8) -> DataFrame:
+    """Fixture: the usual 8-file one-page-per-doc packing, where every
+    ODD doc's page carries one markup annotation — subtype rotating
+    /Text -> /FreeText -> /Highlight by ``doc_id % 3`` — whose
+    /Contents is ``doc:<id>\\n<text>`` (BOM'd UTF-16BE when the text
+    leaves ASCII), so the oracle replays the note layer from the
+    documents table. Emits (id = file index, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[tuple[str, list[tuple[str, str]]]]] = {}
+        for did, t in sorted(docs):
+            body = f"doc:{did}\n{t}"
+            notes = []
+            if did % 2 == 1:
+                subtype = ("Text", "FreeText", "Highlight")[did % 3]
+                notes.append((subtype, body))
+            groups.setdefault(did % files, []).append((body, notes))
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "pdf",
+             "payload": [encode_pdf_annotated(v, flate=fid % 2 == 0)
+                         for fid, v in groups.items()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))
+
+
 def wrap_words(text: str, words_per_line: int = 4) -> str:
     """Break ``text`` into lines of ``words_per_line``
     space-separated words — defined EXACTLY as the regex
@@ -2479,6 +2581,93 @@ def pdf_pages_meta(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
     return df.select("id", "payload").mapInPandas(
         run, PDF_PAGE_META_SCHEMA)
+
+
+def pdf_text_string(raw: bytes) -> str:
+    """A PDF TEXT STRING (§7.9.2.2): UTF-16BE when it carries the BOM,
+    else PDFDocEncoding — of which this decodes the ASCII subset
+    strictly and fails loudly on the 0x80-0xFF region (the table's
+    high half differs from every stock codec; emitting latin-1 there
+    would be silent mojibake)."""
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be")
+    if any(b >= 0x80 or (b < 0x20 and b not in (9, 10, 13))
+           for b in raw):
+        raise ValueError(
+            "non-ASCII PDFDocEncoding text string (only the UTF-16BE "
+            "BOM form carries high characters losslessly)")
+    return raw.decode("ascii")
+
+
+def parse_pdf_annotations(payload: bytes) -> list[list[dict]]:
+    """Per page, the MARKUP annotations a review workflow leaves in a
+    document (§12.5.6): /Text (sticky notes), /FreeText, /Highlight /
+    /Underline / /StrikeOut / /Squiggly with their /Contents text
+    strings — the comment layer extractors lose when they only read
+    content streams. Returns one list per page of
+    {"subtype", "text"}; annotation types without /Contents (Link,
+    Popup, the r12 FileAttachment leg) are skipped here."""
+    pdf = _Pdf(bytes(payload))
+    wanted = {"Text", "FreeText", "Highlight", "Underline",
+              "StrikeOut", "Squiggly"}
+    out: list[list[dict]] = []
+    for page, _res in pdf.pages():
+        notes: list[dict] = []
+        for a in pdf.resolve(page.get("Annots", [])) or []:
+            ad = pdf.resolve(a)
+            if not isinstance(ad, dict):
+                continue
+            subtype = str(ad.get("Subtype", ""))
+            if subtype not in wanted:
+                continue
+            contents = pdf.resolve(ad.get("Contents"))
+            if contents is None:
+                continue
+            if not isinstance(contents, bytes):
+                raise ValueError(
+                    f"/{subtype} annotation /Contents is not a string")
+            notes.append({"subtype": subtype,
+                          "text": pdf_text_string(contents)})
+        out.append(notes)
+    return out
+
+
+PDF_ANNOTATION_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("page_idx", T.IntegerType()),
+    T.StructField("subtype", T.StringType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def pdf_annotations(df: DataFrame,
+                    on_error: str = "raise") -> DataFrame:
+    """Burst every PDF's markup annotations into one row per note
+    (PDF_ANNOTATION_SCHEMA) over Arrow batches — the review-comment
+    layer of a document corpus."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    pages = parse_pdf_annotations(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "page_idx": i,
+                             "subtype": n["subtype"],
+                             "text": n["text"]}
+                            for i, notes in enumerate(pages)
+                            for n in notes)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in PDF_ANNOTATION_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, PDF_ANNOTATION_SCHEMA)
 
 
 def parse_pdf_attachments(payload: bytes) -> list[tuple[str, bytes]]:

@@ -708,3 +708,39 @@ def test_synth_pdf_attachments_distributed(spark):
     assert by_fmt["pdf"] == set(range(9))
     assert by_fmt["html"] == {1, 4, 7}
     assert by_fmt["text"] == {2, 5, 8}
+
+
+def test_annotations_roundtrip_and_text_string_forms():
+    """Markup annotations round-trip through both §7.9.2.2 text-string
+    forms; unsupported PDFDocEncoding high bytes fail loudly; Link
+    and attachment annots don't leak into the note layer."""
+    pages = [("doc:1\nalpha", [("Text", "doc:1\nalpha"),
+                               ("Highlight", "héllo ünïcode")]),
+             ("doc:2\nbeta", [])]
+    pdf = P.encode_pdf_annotated(pages)
+    assert P.parse_pdf(pdf) == ["doc:1\nalpha", "doc:2\nbeta"]
+    assert P.parse_pdf_annotations(pdf) == [
+        [{"subtype": "Text", "text": "doc:1\nalpha"},
+         {"subtype": "Highlight", "text": "héllo ünïcode"}], []]
+    assert P.pdf_text_string(b"\xfe\xff\x30\x42") == "あ"
+    with pytest.raises(ValueError, match="PDFDocEncoding"):
+        P.pdf_text_string(b"caf\xe9")
+    # a FileAttachment annot (the r12 attachments leg) is NOT a note
+    att = P.encode_pdf_attachments(["doc:3\nx"], [("a.txt", b"y")],
+                                   via="annots")
+    assert P.parse_pdf_annotations(att) == [[]]
+
+
+def test_pdf_annotations_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(8)],
+        "doc_id long, text string")
+    rows = P.pdf_annotations(
+        P.synth_pdf_annotated(docs, files=2)).collect()
+    assert {int(r["text"].split("\n")[0].removeprefix("doc:"))
+            for r in rows} == {1, 3, 5, 7}
+    for r in rows:
+        did = int(r["text"].split("\n")[0].removeprefix("doc:"))
+        assert r["subtype"] == \
+            ("Text", "FreeText", "Highlight")[did % 3]
+        assert r["text"] == f"doc:{did}\nbody {did}"
