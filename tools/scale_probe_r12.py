@@ -1,0 +1,121 @@
+"""Round-12 scale probes — the container-burst legs.
+
+1. ``--ops=granularity``: the generic-ZIP burst at the same corpus
+   bytes but different archive granularity (many small archives vs
+   few fat ones). The burst is per-file Python; if cost were
+   per-ARCHIVE rather than per-byte, fat archives would cliff the
+   way fat PDFs did in r10 — this measures whether the leg is
+   byte-bound (good) or file-bound (needs the shard policy).
+2. ``--ops=attach``: attachment-free corpora through parse_pdf vs
+   the r12 parse_pdf_full dispatch path — the PDF-as-container
+   change must cost ~one catalog lookup on corpora without
+   attachments, since those dominate at 100 TB.
+3. ``--ops=codec``: the same corpus through each compressed
+   single-file rung (gzip / zstd store-frames via the auto engine /
+   xz / bzip2) — complements the r11 MB/s row with the end-to-end
+   dispatch shape.
+
+Usage: python tools/scale_probe_r12.py [--ops=granularity,attach,codec]
+Writes one JSON line per measurement (append rows to SCALE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mycelial_spark.catalog import load_table  # noqa: E402
+from mycelial_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return df.count()
+
+
+def probe_granularity(spark):
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.zipdoc import synth_zipdoc
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").localCheckpoint()
+    n_docs = docs.count()
+    for files in (512, 64, 8):
+        # normalize task count to 32: synth_zipdoc partitions BY
+        # ARCHIVE (files=512 -> 512 near-empty tasks whose per-task
+        # python-worker overhead would masquerade as burst cost);
+        # production archives arrive via binaryFile where partition
+        # count follows bytes, so measure the burst at fixed
+        # parallelism and report the as-synthed number too
+        payloads = synth_zipdoc(docs, files=files).localCheckpoint()
+        t0 = time.time()
+        out = _force(document_records(payloads.repartition(32)))
+        norm = round(time.time() - t0, 2)
+        t0 = time.time()
+        _force(document_records(payloads))
+        print(json.dumps({"op": "zip_burst", "files": files,
+                          "docs_per_archive": round(n_docs / files),
+                          "out_rows": out, "sec_32tasks": norm,
+                          "sec_as_synthed":
+                              round(time.time() - t0, 2)}),
+              flush=True)
+
+
+def probe_attach(spark):
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.pdf import pdf_pages, synth_pdf
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").localCheckpoint()
+    files = synth_pdf(docs, files=8).localCheckpoint()
+    t0 = time.time()
+    rows = _force(pdf_pages(files))
+    print(json.dumps({"op": "pdf_pages_only", "out_rows": rows,
+                      "sec": round(time.time() - t0, 2)}), flush=True)
+    t0 = time.time()
+    rows = _force(document_records(files))
+    print(json.dumps({"op": "pdf_dispatch_with_attachment_walk",
+                      "out_rows": rows,
+                      "sec": round(time.time() - t0, 2)}), flush=True)
+
+
+def probe_codec(spark):
+    from mycelial_spark.sources.compress import \
+        synth_compressed_containers
+    from mycelial_spark.sources.dispatch import document_records
+    docs = load_table(spark, SF_DIR, "documents") \
+        .select("doc_id", "text").localCheckpoint()
+    for codec_id, codec in enumerate(("gzip", "zstd", "xz", "bzip2")):
+        # isolate one codec by keeping only its residue class
+        sub = docs.filter(F.col("doc_id") % 4 == codec_id)
+        t0 = time.time()
+        rows = _force(document_records(
+            synth_compressed_containers(sub)))
+        print(json.dumps({"op": f"compressed_dispatch_{codec}",
+                          "out_rows": rows,
+                          "sec": round(time.time() - t0, 2)}),
+              flush=True)
+
+
+def main():
+    ops = "granularity,attach,codec"
+    for arg in sys.argv[1:]:
+        if arg.startswith("--ops="):
+            ops = arg.split("=", 1)[1]
+    spark = get_spark("scale-probe-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    for op in ops.split(","):
+        {"granularity": probe_granularity,
+         "attach": probe_attach,
+         "codec": probe_codec}[op](spark)
+
+
+if __name__ == "__main__":
+    main()
