@@ -77,10 +77,14 @@ def sniff_container(payload: bytes) -> str:
         import io
         import zipfile
         try:
-            names = set(zipfile.ZipFile(
-                io.BytesIO(bytes(payload))).namelist())
+            zf = zipfile.ZipFile(io.BytesIO(bytes(payload)))
+            names = set(zf.namelist())
         except Exception as e:
             raise ValueError(f"ZIP payload failed to open: {e}")
+        # stash the parsed handle so a generic-archive burst doesn't
+        # re-parse the central directory (r12 granularity probe)
+        from mycelial_spark.sources.zipdoc import cache_zipfile
+        cache_zipfile(payload, zf)
         if "word/document.xml" in names:
             return "docx"
         if "xl/workbook.xml" in names:
@@ -90,8 +94,7 @@ def sniff_container(payload: bytes) -> str:
         if "mimetype" in names:
             mime = b""
             try:
-                mime = zipfile.ZipFile(
-                    io.BytesIO(bytes(payload))).read("mimetype")
+                mime = zf.read("mimetype")
             except Exception:
                 pass
             if mime.strip() == b"application/epub+zip":

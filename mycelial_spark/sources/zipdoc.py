@@ -25,11 +25,32 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+# One-slot (payload identity -> open ZipFile) cache: sniff_container
+# already parsed this archive's central directory to classify it, and
+# the burst would parse it AGAIN — the r12 granularity probe measured
+# that double parse at ~6 ms/archive, which dominates corpora of
+# many KB-scale zips. dispatch stashes its handle here; the burst
+# reuses it when the SAME bytes object arrives (document_records
+# calls both on one object within one task — single-threaded per
+# Python worker, so a single slot is race-free and pins at most one
+# archive).
+_last_zip: list = [None, None]
+
+
+def cache_zipfile(payload: bytes, zf: "zipfile.ZipFile") -> None:
+    _last_zip[0] = payload
+    _last_zip[1] = zf
+
+
 def zip_members(payload: bytes) -> list[tuple[str, bytes]]:
     """(member name, member bytes) in archive order; directories are
-    skipped. Raises on a damaged archive."""
+    skipped. Raises on a damaged archive. Reuses the sniff's parsed
+    ZipFile when dispatch cached one for this exact payload."""
     try:
-        zf = zipfile.ZipFile(io.BytesIO(bytes(payload)))
+        if _last_zip[0] is payload:
+            zf = _last_zip[1]
+        else:
+            zf = zipfile.ZipFile(io.BytesIO(bytes(payload)))
         return [(info.filename, zf.read(info))
                 for info in zf.infolist()
                 if not info.is_dir()]
