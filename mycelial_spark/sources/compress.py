@@ -183,20 +183,12 @@ def synth_compressed_containers(df: DataFrame, text_col: str = "text",
     from .zstd import zstd_compress_store
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mycelial_spark.sources.htmldoc import encode_html
-        from mycelial_spark.sources.pdf import encode_pdf
+        from mycelial_spark.sources.zipdoc import typed_member
         for b in batches:
             ids, payloads = [], []
             for did, t in zip(b[id_col], b[text_col]):
                 did = int(did)
-                body = f"doc:{did}\n{t}"
-                r = did % 3
-                if r == 0:
-                    inner = encode_pdf([body], flate=did % 2 == 0)
-                elif r == 1:
-                    inner = encode_html(body)
-                else:
-                    inner = body.encode("utf-8")
+                _name, inner = typed_member(did, str(t))
                 c = did % 4
                 if c == 0:
                     p = gzip.compress(inner, mtime=0)

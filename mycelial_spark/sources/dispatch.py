@@ -214,10 +214,11 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
         # mixed documents — burst per member and recurse, like zip.
         # The pre-r12 branch silently DROPPED txt-less samples, so a
         # tar of PDFs dispatched to zero rows; now it bursts.
-        from mycelial_spark.sources.webdataset import (iter_samples,
-                                                       tar_members)
+        from mycelial_spark.sources.webdataset import (
+            samples_from_members, tar_members)
+        members = list(tar_members(bytes(payload)))  # parse ONCE
         try:
-            samples = iter_samples(payload)
+            samples = samples_from_members(members)
         except ValueError:
             samples = []                  # scattered keys: not a WDS
         if samples and all("txt" in parts for _k, parts in samples):
@@ -227,7 +228,7 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
         if depth >= _CONTAINER_MAX_DEPTH:
             raise ValueError("tar nesting too deep")
         out = []
-        for name, data in tar_members(bytes(payload)):
+        for name, data in members:
             out.extend(_member_rows(name, data, depth))
         return out
     if fmt == "ods":

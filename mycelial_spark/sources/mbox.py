@@ -420,18 +420,7 @@ def synth_mbox_attachments(df: DataFrame, text_col: str = "text",
     ``doc:<id>\\n<text>`` — so the oracle replays attachment content
     from the documents table. Emits (id = file index, modality,
     payload)."""
-    from mycelial_spark.sources.htmldoc import encode_html
-    from mycelial_spark.sources.pdf import encode_pdf
-
-    def member(did: int, t: str) -> tuple[str, bytes]:
-        body = f"doc:{did}\n{t}"
-        r = did % 3
-        if r == 0:
-            return f"{did:08d}.pdf", encode_pdf([body],
-                                                flate=did % 2 == 0)
-        if r == 1:
-            return f"{did:08d}.html", encode_html(body)
-        return f"{did:08d}.txt", body.encode("utf-8")
+    from mycelial_spark.sources.zipdoc import typed_member as member
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         docs: list[tuple[int, str]] = []

@@ -152,16 +152,25 @@ def parse_ods(payload: bytes) -> dict[str, list[list[str]]]:
     for table in sheet.findall(f"{{{_TAB}}}table"):
         name = table.get(f"{{{_TAB}}}name", "")
         rows: list[list[str]] = []
+        covered = f"{{{_TAB}}}covered-table-cell"
         for tr in table.findall(f"{{{_TAB}}}table-row"):
             row: list[str] = []
-            for cell in tr.findall(f"{{{_TAB}}}table-cell"):
+            for cell in tr:
+                # covered-table-cell marks positions shadowed by a
+                # merge (table:number-columns-spanned on the anchor):
+                # they still OCCUPY columns, so dropping them would
+                # shift every later cell left — emit empties instead
+                if cell.tag not in (f"{{{_TAB}}}table-cell", covered):
+                    continue
                 rep = int(cell.get(
                     f"{{{_TAB}}}number-columns-repeated", "1"))
                 if not 1 <= rep <= _REPEAT_CAP:
                     raise ValueError(
                         f"columns-repeated {rep} outside [1, "
                         f"{_REPEAT_CAP}]")
-                row.extend([_cell_text(cell)] * rep)
+                text = ("" if cell.tag == covered
+                        else _cell_text(cell))
+                row.extend([text] * rep)
             while row and row[-1] == "":       # trailing pad cells
                 row.pop()
             rrep = int(tr.get(

@@ -427,10 +427,10 @@ def encode_pdf_attachments(pages: list[str],
     fs_nums: list[tuple[str, int]] = []
     for name, data in attachments:
         ef = add(stream(bytes(data), " /Type /EmbeddedFile"))
-        lit = _escape_literal(name.encode("utf-8"))
+        ts = _text_string_bytes(name)       # §7.9.2.2, BOM'd if needed
         fs_nums.append((name, add(
-            b"<< /Type /Filespec /F (" + lit + b") /UF (" + lit
-            + b") /EF << /F " + f"{ef} 0 R".encode() + b" >> >>")))
+            b"<< /Type /Filespec /F " + ts + b" /UF " + ts
+            + b" /EF << /F " + f"{ef} 0 R".encode() + b" >> >>")))
 
     content_nums = [add(stream(_page_stream(t, i % 2 == 1)))
                     for i, t in enumerate(pages)]
@@ -456,18 +456,18 @@ def encode_pdf_attachments(pages: list[str],
         ordered = sorted(fs_nums)          # name trees are key-sorted
         def names_array(chunk: list[tuple[str, int]]) -> bytes:
             return b"[ " + b" ".join(
-                b"(" + _escape_literal(n.encode("utf-8"))
-                + f") {num} 0 R".encode() for n, num in chunk) + b" ]"
+                _text_string_bytes(n)
+                + f" {num} 0 R".encode() for n, num in chunk) + b" ]"
         if len(ordered) <= 4:
             tree = add(b"<< /Names " + names_array(ordered) + b" >>")
         else:
             kids = []
             for at in range(0, len(ordered), 4):
                 chunk = ordered[at:at + 4]
-                lo = _escape_literal(chunk[0][0].encode("utf-8"))
-                hi = _escape_literal(chunk[-1][0].encode("utf-8"))
+                lo = _text_string_bytes(chunk[0][0])
+                hi = _text_string_bytes(chunk[-1][0])
                 kids.append(add(
-                    b"<< /Limits [(" + lo + b") (" + hi + b")] /Names "
+                    b"<< /Limits [" + lo + b" " + hi + b"] /Names "
                     + names_array(chunk) + b" >>"))
             tree = add(b"<< /Kids [ " + b" ".join(
                 f"{k} 0 R".encode() for k in kids) + b" ] >>")
@@ -1498,6 +1498,7 @@ class _Pdf:
         self._cache: dict[int, tuple] = {}
         self._objstm_cache: dict[int, list[tuple[int, object]]] = {}
         self._font_cache: dict[int, object] = {}
+        self._xobject_cache: dict[tuple, tuple] = {}
         self._crypt = None
         self._encrypt_num: int | None = None
         self.offsets, self.trailer = self._read_xref()
@@ -1952,7 +1953,9 @@ class _Pdf:
             name = fs.get("UF", fs.get("F", b""))
             if not isinstance(name, bytes):
                 raise ValueError("filespec name is not a string")
-            return name.decode("utf-8"), self.stream_data(ref.num)
+            # §7.9.2.2 text string, NOT utf-8: Acrobat writes
+            # non-ASCII names as BOM'd UTF-16BE
+            return pdf_text_string(name), self.stream_data(ref.num)
 
         def walk_tree(node_ref, depth=0):
             if depth > 32:
@@ -2033,9 +2036,8 @@ class _Pdf:
             if str(enc_r) in ("Identity-H", "Identity-V"):
                 enc_cmap = pdf_fonts.identity_cid_cmap()
             else:
-                enc_cmap = pdf_fonts.parse_cmap(
-                    pdf_fonts.predefined_cmap(str(enc_r)),
-                    loader=pdf_fonts.predefined_cmap)
+                enc_cmap = pdf_fonts.predefined_cmap_parsed(
+                    str(enc_r))
         elif isinstance(enc, _Ref):
             enc_cmap = pdf_fonts.parse_cmap(
                 self.stream_data(enc.num),
@@ -2064,9 +2066,7 @@ class _Pdf:
                 "Type0 font with Adobe-Identity ordering and no "
                 "/ToUnicode: CIDs are subset glyph indices, text is "
                 "unrecoverable")
-        ucs2 = pdf_fonts.parse_cmap(
-            pdf_fonts.predefined_cmap(f"{registry}-UCS2"),
-            loader=pdf_fonts.predefined_cmap)
+        ucs2 = pdf_fonts.predefined_cmap_parsed(f"{registry}-UCS2")
         return pdf_fonts.cid_text_decoder(enc_cmap, ucs2)
 
     def _font_factories(self, resources):
@@ -2102,9 +2102,22 @@ class _Pdf:
         xobjects) for /Subtype /Form (PDF 32000 §8.10), whose own
         /Resources apply — falling back to the invoking stream's when
         absent, the Annex-H compatibility note real writers rely on.
-        Anything else (/PS passthrough) fails loudly."""
+        Anything else (/PS passthrough) fails loudly. Entries cache
+        per (object, effective-resources) like _font_cache: the
+        stamped-letterhead shape draws the SAME form on every page,
+        and without the cache each draw would re-inflate the form
+        stream."""
         if not isinstance(ref, _Ref):
             raise ValueError("XObject resource is not an indirect ref")
+        key = (ref.num, id(parent_resources))
+        hit = self._xobject_cache.get(key)
+        if hit is not None:
+            return hit
+        entry = self._xobject_entry_uncached(ref, parent_resources)
+        self._xobject_cache[key] = entry
+        return entry
+
+    def _xobject_entry_uncached(self, ref, parent_resources):
         xo = self.resolve(ref)
         if not isinstance(xo, dict):
             raise ValueError(f"XObject {ref.num} is not a stream dict")
@@ -2232,7 +2245,11 @@ def _xycut_order(segs: list) -> list:
 def _assemble_layout(segs: list) -> str:
     """Join ordered segments into text: segments whose baselines sit
     within half a font size continue the same line, anything else
-    starts a new one."""
+    starts a new one. A page with no shown text (scanned/blank — the
+    class pdf_pages_meta flags) is '' here exactly like the default
+    path, not a crash in the median-size computation."""
+    if not segs:
+        return ""
     parts: list[str] = []
     prev = None
     for s in _xycut_order(segs):

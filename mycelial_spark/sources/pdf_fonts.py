@@ -341,6 +341,8 @@ def parse_cmap(data: bytes, loader=None, _depth: int = 0) -> ToUnicodeCMap:
     n = len(data)
     operands: list = []
     total_mapped = 0
+    parent_codespaces: list = []
+    parent_cid_ranges: list = []
 
     def next_token():
         lex._skip_ws()
@@ -492,21 +494,52 @@ def parse_cmap(data: bytes, loader=None, _depth: int = 0) -> ToUnicodeCMap:
                     f"resource loader is configured")
             parent = parse_cmap(loader(str(operands[-1])), loader,
                                 _depth + 1)
-            # child entries win; parent fills the gaps (§9.7.5.2)
-            cmap.codespaces = parent.codespaces + cmap.codespaces
+            # child entries win; parent fills the gaps (§9.7.5.2).
+            # usecmap appears BEFORE the child's own blocks (the
+            # PostScript convention), so parent ranges are STAGED and
+            # spliced after the child's at end-of-parse —
+            # _match_codespace and cid() are first-match, and a child
+            # re-declaring a lead-byte column at a different width
+            # must segment with ITS width
+            parent_codespaces.extend(parent.codespaces)
+            parent_cid_ranges.extend(parent.cid_ranges)
             cmap.map = {**parent.map, **cmap.map}
             cmap.cid_singles = {**parent.cid_singles,
                                 **cmap.cid_singles}
-            cmap.cid_ranges = cmap.cid_ranges + parent.cid_ranges
         # any other keyword (begincmap, def, findresource, ...) just
         # consumes the pending operands
         operands = []
+    cmap.codespaces = cmap.codespaces + parent_codespaces
+    cmap.cid_ranges = cmap.cid_ranges + parent_cid_ranges
     if not cmap.codespaces:
         raise ValueError("CMap declares no codespace range")
     return cmap
 
 
 # ------------------------------------------- predefined CMap chain
+
+# (resource root, CMap name) -> raw bytes / parsed CMap. Predefined
+# CMaps are shared package resources (UniJIS-UCS2-H is tens of
+# thousands of cidranges) and a CJK corpus hits the SAME few maps for
+# every document in every Arrow batch — without these caches each PDF
+# would re-walk the resource tree and re-parse identical tables.
+# Keyed by root so tests with per-test resource dirs never collide.
+_PREDEF_RAW: dict[tuple[str, str], bytes] = {}
+_PREDEF_PARSED: dict[tuple[str, str], "ToUnicodeCMap"] = {}
+
+
+def predefined_cmap_parsed(name: str) -> "ToUnicodeCMap":
+    """Parsed predefined CMap, cached per (resource root, name) —
+    the entry point _Pdf's Type0 route uses."""
+    import os
+    key = (os.environ.get("MYCELIAL_SPARK_CMAP_DIR", ""), name)
+    hit = _PREDEF_PARSED.get(key)
+    if hit is None:
+        hit = parse_cmap(predefined_cmap(name),
+                         loader=predefined_cmap)
+        _PREDEF_PARSED[key] = hit
+    return hit
+
 
 def predefined_cmap(name: str) -> bytes:
     """Raw bytes of a PREDEFINED CMap (PDF 32000 §9.7.5.2 Table 118:
@@ -528,14 +561,22 @@ def predefined_cmap(name: str) -> bytes:
             f"predefined CMap {name!r} requires the Adobe "
             f"cmap-resources package: set MYCELIAL_SPARK_CMAP_DIR "
             f"to its root (github.com/adobe-type-tools/cmap-resources)")
+    hit = _PREDEF_RAW.get((root, name))
+    if hit is not None:
+        return hit
+
+    def found(path: str) -> bytes:
+        with open(path, "rb") as fh:
+            data = fh.read()
+        _PREDEF_RAW[(root, name)] = data
+        return data
+
     direct = os.path.join(root, name)
     if os.path.isfile(direct):
-        with open(direct, "rb") as fh:
-            return fh.read()
+        return found(direct)
     for dirpath, _dirs, files in os.walk(root):
         if name in files:
-            with open(os.path.join(dirpath, name), "rb") as fh:
-                return fh.read()
+            return found(os.path.join(dirpath, name))
     raise ValueError(f"CMap {name!r} not found under {root}")
 
 

@@ -101,13 +101,22 @@ def tar_records(df: DataFrame, on_error: str = "raise") -> DataFrame:
 
 
 def iter_samples(payload: bytes) -> "list[tuple[str, dict]]":
-    """One (key, extension->payload dict) per WebDataset sample. Keys
+    """One (key, extension->payload dict) per WebDataset sample (see
+    samples_from_members for the grouping contract)."""
+    return samples_from_members(tar_members(bytes(payload)))
+
+
+def samples_from_members(members) -> "list[tuple[str, dict]]":
+    """Group (name, bytes) members into WebDataset samples. Keys
     group CONSECUTIVE members, the WebDataset contract — an archive
     whose sample parts are scattered is malformed and raises (it would
-    stream incorrectly everywhere else too)."""
+    stream incorrectly everywhere else too). Split out so a caller
+    that already extracted the members (the dispatch's
+    WebDataset-vs-generic-tar election) doesn't parse the tar
+    twice."""
     samples: list[tuple[str, dict]] = []
     seen: set[str] = set()
-    for name, data in tar_members(bytes(payload)):
+    for name, data in members:
         key, ext = _sample_key(name)
         if samples and samples[-1][0] == key:
             samples[-1][1][ext] = data
@@ -295,18 +304,7 @@ def synth_tarball(df: DataFrame, text_col: str = "text",
     every-sample-has-txt check fails, steering the dispatch to the
     burst-and-recurse path. Emits (id = file index, modality,
     payload)."""
-    from mycelial_spark.sources.htmldoc import encode_html
-    from mycelial_spark.sources.pdf import encode_pdf
-
-    def member(did: int, t: str) -> tuple[str, bytes]:
-        body = f"doc:{did}\n{t}"
-        r = did % 3
-        if r == 0:
-            return f"{did:08d}.pdf", encode_pdf([body],
-                                                flate=did % 2 == 0)
-        if r == 1:
-            return f"{did:08d}.html", encode_html(body)
-        return f"{did:08d}.txt", body.encode("utf-8")
+    from mycelial_spark.sources.zipdoc import typed_member as member
 
     def run(batches: "Iterator[pd.DataFrame]") \
             -> "Iterator[pd.DataFrame]":

@@ -71,6 +71,28 @@ def looks_texty(text: str) -> bool:
     return bad / len(text) < 0.02
 
 
+def typed_member(did: int, t: str) -> tuple[str, bytes]:
+    """THE shared fixture member for every container leg's synth
+    (zip, tar, mail attachments, compressed drops): a one-page PDF /
+    an HTML file / a plain ``.txt`` by ``did % 3``, all carrying
+    ``doc:<did>\\n<t>`` so oracles replay format election
+    (``CASE doc_id % 3``) and content from the documents table. One
+    definition — the rotation is hard-coded in several oracle SQL
+    strings, so changing it must not require touching four synths in
+    lockstep."""
+    from mycelial_spark.sources.htmldoc import encode_html
+    from mycelial_spark.sources.pdf import encode_pdf
+
+    body = f"doc:{did}\n{t}"
+    r = did % 3
+    if r == 0:
+        return f"{did:08d}.pdf", encode_pdf([body],
+                                            flate=did % 2 == 0)
+    if r == 1:
+        return f"{did:08d}.html", encode_html(body)
+    return f"{did:08d}.txt", body.encode("utf-8")
+
+
 def synth_zipdoc(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", files: int = 8) -> DataFrame:
     """Fixture: documents pack into ``files`` ZIP archives
@@ -80,19 +102,6 @@ def synth_zipdoc(df: DataFrame, text_col: str = "text",
     the oracle replays from the documents table. Stored (no deflate)
     with a fixed timestamp for byte determinism. Emits
     (id = file index, modality, payload)."""
-    from mycelial_spark.sources.htmldoc import encode_html
-    from mycelial_spark.sources.pdf import encode_pdf
-
-    def member(did: int, t: str) -> tuple[str, bytes]:
-        body = f"doc:{did}\n{t}"
-        r = did % 3
-        if r == 0:
-            return f"{did:08d}.pdf", encode_pdf([body],
-                                                flate=did % 2 == 0)
-        if r == 1:
-            return f"{did:08d}.html", encode_html(body)
-        return f"{did:08d}.txt", body.encode("utf-8")
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         docs: list[tuple[int, str]] = []
         for b in batches:
@@ -109,7 +118,7 @@ def synth_zipdoc(df: DataFrame, text_col: str = "text",
             with zipfile.ZipFile(buf, "w",
                                  zipfile.ZIP_STORED) as zf:
                 for did, t in members:
-                    name, data = member(did, t)
+                    name, data = typed_member(did, t)
                     info = zipfile.ZipInfo(name,
                                            (1980, 1, 1, 0, 0, 0))
                     zf.writestr(info, data)

@@ -84,3 +84,26 @@ def test_ods_sheets_distributed(spark):
     bad = spark.createDataFrame([(1, b"PK\x03\x04junk")],
                                 "id long, payload binary")
     assert O.ods_sheets(bad, on_error="null").count() == 0
+
+
+def test_covered_cells_keep_column_positions():
+    """Review fix (r12): table:covered-table-cell (the shadow of a
+    merge) still OCCUPIES its columns — dropping it would shift every
+    later cell left."""
+    good = O.encode_ods({"s": [["merged", "x", "C"]]})
+    src = zipfile.ZipFile(io.BytesIO(good))
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "content.xml":
+                data = data.replace(
+                    b'<table:table-cell office:value-type="string">'
+                    b'<text:p>x</text:p></table:table-cell>',
+                    b'<table:covered-table-cell/>')
+            zi = zipfile.ZipInfo(name)
+            zi.compress_type = (zipfile.ZIP_STORED
+                                if name == "mimetype"
+                                else zipfile.ZIP_DEFLATED)
+            zf.writestr(zi, data)
+    assert O.parse_ods(out.getvalue()) == {"s": [["merged", "", "C"]]}

@@ -744,3 +744,23 @@ def test_pdf_annotations_distributed(spark):
         assert r["subtype"] == \
             ("Text", "FreeText", "Highlight")[did % 3]
         assert r["text"] == f"doc:{did}\nbody {did}"
+
+
+def test_layout_empty_and_image_only_pages():
+    """Review fix (r12): layout=True on a page with no text segments
+    (scanned/blank) is '' like the default path, not an IndexError in
+    the median-size computation."""
+    pdf = P.encode_pdf_xobjects([("ignored", "image_only"),
+                                 ("doc:1\nreal text", "form")])
+    assert P.parse_pdf(pdf, layout=True) == ["", "doc:1\nreal text"]
+    assert P.parse_pdf(P.encode_pdf([""]), layout=True) == [""]
+
+
+def test_attachment_name_utf16_text_string():
+    """Review fix (r12): filespec names decode via the §7.9.2.2
+    text-string rule — Acrobat writes non-ASCII names as BOM'd
+    UTF-16BE, which strict UTF-8 would reject."""
+    atts = [("résumé.pdf", b"payload"), ("plain.txt", b"note")]
+    for via in ("names", "annots"):
+        pdf = P.encode_pdf_attachments(["doc:1\nx"], atts, via=via)
+        assert sorted(P.parse_pdf_attachments(pdf)) == sorted(atts)

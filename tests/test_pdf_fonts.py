@@ -475,3 +475,24 @@ def test_cidrange_grammar_rejects():
     with pytest.raises(ValueError, match="malformed cidchar"):
         _cmap("1 begincodespacerange <00> <ff> endcodespacerange\n"
               "1 begincidchar <41> (x) endcidchar")
+
+
+def test_usecmap_child_codespace_wins_segmentation():
+    """Review fix (r12): a child CMap re-declaring a lead-byte column
+    at a different width must segment with ITS width — codespace
+    first-match order puts the child before the usecmap parent."""
+    parent = _CMAP_TMPL.format(
+        body="1 begincodespacerange <00> <ff> endcodespacerange\n"
+             "1 begincidrange <41> <5a> 100 endcidrange")
+    child = _CMAP_TMPL.format(
+        body="/Par-H usecmap\n"
+             "1 begincodespacerange <4142> <5a5a> endcodespacerange\n"
+             "1 begincidchar <4142> 7 endcidchar").encode()
+    cmap = PF.parse_cmap(child,
+                         loader=lambda name: parent.encode())
+    # child declares 2-byte codes over 'A'-row leads: <4142> is ONE
+    # code -> cid 7, not two parent 1-byte codes
+    assert cmap._match_codespace(b"AB", 0) == 2
+    assert cmap.cid(b"AB") == 7
+    # outside the child's range the parent still fills the gap
+    assert cmap.cid(b"C") == 102
