@@ -398,7 +398,9 @@ def test_container_burst_queries_one_exchange(spark):
     for name in ("zip_extract", "tar_extract",
                  "compressed_container_extract",
                  "pdf_extract_attachments", "pdf_extract_text_layout",
-                 "pdf_extract_xobject", "html_extract_charset"):
+                 "pdf_extract_xobject", "html_extract_charset",
+                 "mail_extract_attachments", "ods_extract",
+                 "pptx_extract_text", "pdf_extract_annotations"):
         a = audit(plan_of(spark, name))
         assert a["exchanges"] == 1, f"{name}: {a['exchanges']} exchanges"
         assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0, name
