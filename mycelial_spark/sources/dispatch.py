@@ -40,9 +40,12 @@ from pyspark.sql import types as T
 
 def sniff_container(payload: bytes) -> str:
     """Container format name from magic bytes ('pdf', 'warc', 'mbox',
-    'tar', 'docx', 'epub', 'odt', 'rtf', 'html'); raises on anything
-    else (an unrecognized container must fail loudly, not be skipped
-    as if the corpus were smaller than it is)."""
+    'tar', 'docx', 'xlsx', 'pptx', 'epub', 'odt', 'ods', 'rtf',
+    'html', 'zip', and the compressed-document rungs 'gzip' / 'zstd' /
+    'xz' / 'bzip2'); raises on anything else — including OPC/ODF
+    packages with no reader here — (an unrecognized container must
+    fail loudly, not be skipped as if the corpus were smaller than
+    it is)."""
     head = bytes(payload[:512])
     if head.startswith(b"%PDF-"):
         return "pdf"

@@ -1,8 +1,9 @@
 """Universal container dispatch (sources/dispatch.py): magic-byte
-sniffing across all seven document containers (through gzip for WARC,
-through the ZIP part listing / mimetype for DOCX/EPUB/ODT),
-normalized per-document rows, and loud failures on unrecognized or
-lying payloads."""
+sniffing across every container class (through gzip for WARC, through
+the ZIP part listing / mimetype for the OPC/ODF packages, the generic
+archive/compressed/tar burst-and-recurse legs), normalized
+per-document rows, and loud failures on unrecognized or lying
+payloads."""
 
 import gzip
 
