@@ -2292,6 +2292,79 @@ def document_records_(spark, cfg, inputs):
     return document_records(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("member_records", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise"),
+                         Field("name_col", default="name")],
+           doc="document_records for MEMBER payloads (r12): rows "
+               "whose binary column came out of another container's "
+               "burst (mbox_attachments, pdf_attachments, custom "
+               "extractors) route through the archive legs' member "
+               "semantics — container magic recurses, magic-less "
+               "text passes the charset ladder behind the "
+               "looks-texty gate, binary members fail loudly.")
+def member_records_(spark, cfg, inputs):
+    from mycelial_spark.sources.dispatch import member_records
+    return member_records(_payload_frame(inputs[0]),
+                          cfg["name_col"], cfg["on_error"])
+
+
+@_register("pdf_attachments", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="Burst every PDF's EMBEDDED FILES (/Names "
+               "/EmbeddedFiles name tree + /FileAttachment "
+               "annotations) into one row per attachment "
+               "(id/att_idx/name/payload) — feed the payload column "
+               "into member_records to recurse each through the "
+               "dispatch (r12).")
+def pdf_attachments_(spark, cfg, inputs):
+    from mycelial_spark.sources.pdf import pdf_attachments
+    return pdf_attachments(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("pdf_annotations", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="Burst every PDF's MARKUP annotations (/Text "
+               "/FreeText /Highlight ... /Contents text strings, "
+               "§7.9.2.2 decode) into one row per note "
+               "(id/page_idx/subtype/text) — the review-comment "
+               "layer (r12).")
+def pdf_annotations_(spark, cfg, inputs):
+    from mycelial_spark.sources.pdf import pdf_annotations
+    return pdf_annotations(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("mbox_attachments", "transform", "bin_or_dataframe",
+           "dataframe", [Field("on_error", default="raise")],
+           doc="Burst every mbox message's MIME attachments "
+               "(CTE-decoded) into one row per attachment "
+               "(id/msg_idx/name/payload) — compose with "
+               "member_records for mail-dump ingestion (r12).")
+def mbox_attachments_(spark, cfg, inputs):
+    from mycelial_spark.sources.mbox import mbox_attachments
+    return mbox_attachments(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("pptx_slides", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary pptx payloads into one row per slide "
+               "(rels-resolved sldIdLst order, DrawingML paragraph "
+               "walk) — id/slide_idx/slide_count/text (r12).")
+def pptx_slides_(spark, cfg, inputs):
+    from mycelial_spark.sources.pptx import pptx_slides
+    return pptx_slides(_payload_frame(inputs[0]), cfg["on_error"])
+
+
+@_register("ods_sheets", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary ods payloads into one row per sheet "
+               "(repeat expansion + pad trimming; cells "
+               "tab-separated) — id/sheet_idx/sheet_count/name/text "
+               "(r12).")
+def ods_sheets_(spark, cfg, inputs):
+    from mycelial_spark.sources.ods import ods_sheets
+    return ods_sheets(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("mbox_messages", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="Explode binary mbox payloads (mboxrd From-quoting) "

@@ -233,3 +233,24 @@ def test_opc_odf_guards_and_xlsx_route():
     # an xlsx INSIDE a generic zip routes through the same rung
     rows = _rows_for("zip", _zip({"report.xlsx": xlsx}))
     assert rows[0]["format"] == "xlsx"
+
+
+def test_r12_sections_registered(spark):
+    """The r12 burst operators are declarative-pipeline nodes; the
+    attachment chain runs end-to-end through the registry."""
+    from mycelial_spark.plans.sections import REGISTRY
+    for n in ("member_records", "pdf_attachments", "pdf_annotations",
+              "mbox_attachments", "pptx_slides", "ods_sheets"):
+        assert REGISTRY.get(n) is not None, n
+    from mycelial_spark.sources.pdf import synth_pdf_attachments
+    docs = spark.createDataFrame([(1, "one"), (2, "two")],
+                                 "doc_id long, text string")
+    files = synth_pdf_attachments(docs, files=1)
+    atts_def = REGISTRY.get("pdf_attachments")
+    cfg = atts_def.validate_config({"type": "pdf_attachments"})
+    atts = atts_def.builder(spark, cfg, [files])
+    mr_def = REGISTRY.get("member_records")
+    cfg = mr_def.validate_config({"type": "member_records"})
+    rows = mr_def.builder(spark, cfg, [atts]).collect()
+    assert {(r["format"], r["key"]) for r in rows} == \
+        {("html", "doc:1"), ("text", "doc:2")}
