@@ -200,11 +200,15 @@ def test_xml_writers_reject_unrepresentable(bad, prefix):
     min_size=0, max_size=4),
     payload=st.binary(max_size=100))
 def test_dispatch_foreign_zip_never_misroutes(names, payload):
-    """Valid ZIPs that are neither OPC-docx nor OCF/ODF packages must
-    raise in the sniff, never route to a document parser."""
+    """Valid ZIPs that are neither OPC nor OCF/ODF packages are
+    GENERIC archives (r12): the sniff must classify them 'zip' — never
+    misroute to a package parser — and the burst must either produce
+    rows of known formats or fail loudly (binary members), never
+    silently drop members."""
     import io
     import zipfile
-    from mycelial_spark.sources.dispatch import sniff_container
+    from mycelial_spark.sources.dispatch import (_rows_for,
+                                                 sniff_container)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         for i, n in enumerate(names):
@@ -212,11 +216,18 @@ def test_dispatch_foreign_zip_never_misroutes(names, payload):
     data = buf.getvalue()
     if not data.startswith(b"PK\x03\x04"):       # empty zip: PK\x05\x06
         return
+    assert sniff_container(data) == "zip"
     try:
-        fmt = sniff_container(data)
-        raise AssertionError(f"foreign zip classified as {fmt}")
-    except ValueError:
-        pass                                   # loud failure: correct
+        rows = _rows_for("zip", data)
+    except Exception:
+        return       # loud failure (binary/garbage member): correct
+    # members that survive must carry a KNOWN format tag — mostly the
+    # texty fallback; a random payload can legitimately sniff as e.g.
+    # mbox ("From ") and parse, but never an unknown tag
+    known = {"text", "mbox", "rtf", "html", "pdf", "warc",
+             "webdataset", "xlsx", "pptx", "ods", "docx", "epub",
+             "odt"}
+    assert all(r["format"] in known for r in rows)
 
 
 @settings(max_examples=30, deadline=None)
