@@ -134,6 +134,7 @@ HEADLINE = [
     "epub_extract_text",
     "odt_extract_text",
     "ods_extract",
+    "odp_extract_text",
     "rtf_extract_text",
     "mbox_extract",
     "eml_extract",

@@ -2365,6 +2365,16 @@ def ods_sheets_(spark, cfg, inputs):
     return ods_sheets(_payload_frame(inputs[0]), cfg["on_error"])
 
 
+@_register("odp_slides", "transform", "bin_or_dataframe", "dataframe",
+           [Field("on_error", default="raise")],
+           doc="Explode binary odp payloads into one row per slide "
+               "(draw:page document order, presenter notes skipped) "
+               "- id/slide_idx/slide_count/text (r12).")
+def odp_slides_(spark, cfg, inputs):
+    from mycelial_spark.sources.odp import odp_slides
+    return odp_slides(_payload_frame(inputs[0]), cfg["on_error"])
+
+
 @_register("mbox_messages", "transform", "bin_or_dataframe", "dataframe",
            [Field("on_error", default="raise")],
            doc="Explode binary mbox payloads (mboxrd From-quoting) "

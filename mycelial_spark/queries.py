@@ -2382,6 +2382,39 @@ def ods_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_out"))
 
 
+@query("odp_extract_text", """
+SELECT doc_id,
+       CAST(doc_id % 8 AS BIGINT) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % 8
+                               ORDER BY doc_id) - 1 AS INT)
+         AS slide_idx,
+       CAST(count(*) OVER (PARTITION BY doc_id % 8) AS INT)
+         AS slide_count,
+       text AS text_out
+FROM documents
+""")
+def odp_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODF presentations (r12) — the ODF trio complete (odt, ods,
+    odp): one slide per doc across 8 packages, slides in draw:page
+    document order, text from frame text boxes with PRESENTER NOTES
+    skipped (every fixture deck carries notes paragraphs, so a reader
+    that naively collects all text:p emits extra rows and breaks the
+    hash-match). The dispatch routes the presentation mimetype here;
+    odg/odf still fail loudly."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.odp import odp_slides, synth_odp
+    docs = spread(_t(spark, sf_dir, "documents"))
+    slides = odp_slides(synth_odp(docs, files=8))
+    return slides.select(
+        F.regexp_extract("text", r"^doc:(\d+)\n", 1)
+        .cast("long").alias("doc_id"),
+        F.col("id").alias("file_id"),
+        F.col("slide_idx"),
+        F.col("slide_count"),
+        F.expr("substring(text, instr(text, '\\n') + 1)")
+        .alias("text_out"))
+
+
 @query("pptx_extract_text", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

@@ -108,7 +108,10 @@ def sniff_container(payload: bytes) -> str:
             if mime.strip() == \
                     b"application/vnd.oasis.opendocument.spreadsheet":
                 return "ods"
-            # an OCF/ODF package of some OTHER type (odp, odg, ...):
+            if mime.strip() == \
+                    b"application/vnd.oasis.opendocument.presentation":
+                return "odp"
+            # an OCF/ODF package of some OTHER type (odg, odf, ...):
             # bursting it would turn content.xml into junk text rows —
             # fail loudly instead
             raise ValueError(
@@ -125,6 +128,15 @@ def sniff_container(payload: bytes) -> str:
         return "zip"
     if len(payload) >= 262 and payload[257:262] == b"ustar":
         return "tar"
+    if head.startswith(b"7z\xbc\xaf\x27\x1c"):
+        raise ValueError(
+            "7z archive: LZMA2-in-7z needs external tooling this "
+            "engine does not ship (py7zr / the 7z CLI); repack as "
+            "zip/tar or decompress upstream")
+    if head.startswith(b"Rar!\x1a\x07"):
+        raise ValueError(
+            "RAR archive: a proprietary format with no stdlib "
+            "decoder; repack as zip/tar or decompress upstream")
     # HTML last: its "magic" is a text prologue, not a binary
     # signature, so every real signature above outranks it
     from mycelial_spark.sources.htmldoc import sniff_html
@@ -234,6 +246,10 @@ def _rows_for(fmt: str, payload: bytes, depth: int = 0) -> list[dict]:
         for name, data in members:
             out.extend(_member_rows(name, data, depth))
         return out
+    if fmt == "odp":
+        from mycelial_spark.sources.odp import parse_odp
+        return [{"format": "odp", "key": t.split("\n", 1)[0],
+                 "text": t} for t in parse_odp(payload)]
     if fmt == "ods":
         from mycelial_spark.sources.ods import parse_ods
         return [{"format": "ods", "key": name,

@@ -1,0 +1,236 @@
+"""ODP (OASIS OpenDocument Presentation) slide-text extraction — the
+ODF sibling of the pptx leg, completing the ODF trio (odt text, ods
+spreadsheets, odp presentations); before this leg the dispatch
+rejected the presentation mimetype as "unsupported OCF/ODF package".
+
+Reader `parse_odp`: package per ODF 1.2 §3 (STORED-first ``mimetype``
+must declare the presentation type), ``content.xml`` holds
+``office:presentation`` with one ``draw:page`` per slide IN DOCUMENT
+ORDER (ODF pages are ordered by position, not by name — no rels
+graph to resolve, unlike OPC). Slide text is every ``text:p`` in the
+page's subtree (frames, text boxes, notes excluded — presenter notes
+live under ``presentation:notes`` and are SKIPPED: they are not
+audience-visible document text), paragraphs joined by newlines,
+``text:line-break``/``text:tab``/``text:s`` expanded like the odt
+leg. Damage fails loudly.
+
+Spark surface: `odp_slides` explodes binary payloads into one row per
+slide over Arrow batches. Writer `encode_odp`/`synth_odp` builds
+minimal spec-valid packages (deterministic timestamps) so the
+`odp_extract_text` oracle replays slide order, counts, and text.
+
+(Reference parity: like the other document legs — the reference
+shells conversion through exec sections; this repo parses natively.)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Iterator
+from xml.etree import ElementTree as ET
+from xml.sax.saxutils import escape, quoteattr
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_OFF = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_DRW = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+_TXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_PRS = "urn:oasis:names:tc:opendocument:xmlns:presentation:1.0"
+_MIME = "application/vnd.oasis.opendocument.presentation"
+
+
+def _check_xml_text(s: str) -> None:
+    bad = re.search(r"[\x00-\x08\x0b-\x1f]", s)
+    if bad:
+        raise ValueError(
+            f"text contains XML-unrepresentable control char "
+            f"{bad.group()!r}")
+
+
+def encode_odp(slides: list[str]) -> bytes:
+    """Minimal spec-valid .odp: STORED mimetype first, manifest,
+    content.xml with one draw:page per entry (each line of the entry
+    its own text:p inside a frame's text box); every deck also
+    carries a presenter-NOTES paragraph the reader must skip.
+    Deterministic timestamps."""
+    pages = []
+    for i, text in enumerate(slides):
+        _check_xml_text(text)
+        paras = "".join(
+            "<text:p>" + escape(line) + "</text:p>"
+            for line in text.split("\n"))
+        pages.append(
+            f'<draw:page draw:name={quoteattr(f"page{i + 1}")}>'
+            f'<draw:frame><draw:text-box>{paras}</draw:text-box>'
+            f'</draw:frame>'
+            f'<presentation:notes><draw:frame><draw:text-box>'
+            f'<text:p>presenter note {i + 1}</text:p>'
+            f'</draw:text-box></draw:frame></presentation:notes>'
+            f'</draw:page>')
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content office:version="1.2" '
+        f'xmlns:office="{_OFF}" xmlns:draw="{_DRW}" '
+        f'xmlns:text="{_TXT}" xmlns:presentation="{_PRS}">'
+        '<office:body><office:presentation>'
+        + "".join(pages)
+        + '</office:presentation></office:body>'
+          '</office:document-content>')
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0" manifest:version="1.2">'
+        f'<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{_MIME}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>')
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype", date_time=(1980, 1, 1, 0, 0, 0))
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _MIME)
+        for name, data in (("META-INF/manifest.xml", manifest),
+                           ("content.xml", content)):
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+    return out.getvalue()
+
+
+def _para_text(p: ET.Element) -> str:
+    parts: list[str] = []
+    if p.text:
+        parts.append(p.text)
+
+    def walk(el: ET.Element):
+        for child in el:
+            tag = child.tag
+            if tag == f"{{{_TXT}}}tab":
+                parts.append("\t")
+            elif tag == f"{{{_TXT}}}line-break":
+                parts.append("\n")
+            elif tag == f"{{{_TXT}}}s":
+                parts.append(" " * int(
+                    child.get(f"{{{_TXT}}}c", "1")))
+            if child.text and tag not in (f"{{{_TXT}}}tab",
+                                          f"{{{_TXT}}}line-break",
+                                          f"{{{_TXT}}}s"):
+                parts.append(child.text)
+            walk(child)
+            if child.tail:
+                parts.append(child.tail)
+
+    walk(p)
+    return "".join(parts)
+
+
+def parse_odp(payload: bytes) -> list[str]:
+    """Slide texts in draw:page document order (presenter notes
+    skipped). Raises on damage."""
+    payload = bytes(payload)
+    if not payload.startswith(b"PK\x03\x04"):
+        raise ValueError("not a ZIP package (missing PK local header)")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"damaged ZIP package: {e}") from e
+    names = set(zf.namelist())
+    if "mimetype" not in names:
+        raise ValueError("ODF package has no mimetype entry")
+    mime = zf.read("mimetype").decode("ascii", "replace").strip()
+    if mime != _MIME:
+        raise ValueError(f"mimetype is {mime!r}, not {_MIME!r} "
+                         f"(not a .odp)")
+    if "content.xml" not in names:
+        raise ValueError("no content.xml part")
+    try:
+        root = ET.fromstring(zf.read("content.xml"))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed content.xml: {e}") from e
+    pres = root.find(f"{{{_OFF}}}body/{{{_OFF}}}presentation")
+    if pres is None:
+        raise ValueError("content.xml has no office:presentation")
+    out: list[str] = []
+    notes = f"{{{_PRS}}}notes"
+    for page in pres.findall(f"{{{_DRW}}}page"):
+        paras: list[str] = []
+
+        def visit(el: ET.Element):
+            for child in el:
+                if child.tag == notes:      # presenter notes skipped
+                    continue
+                if child.tag == f"{{{_TXT}}}p":
+                    paras.append(_para_text(child))
+                else:
+                    visit(child)
+
+        visit(page)
+        out.append("\n".join(paras))
+    return out
+
+
+ODP_SLIDE_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("slide_idx", T.IntegerType()),
+    T.StructField("slide_count", T.IntegerType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def odp_slides(df: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Explode binary odp payloads into one row per slide
+    (ODP_SLIDE_SCHEMA) over Arrow batches."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"unknown on_error {on_error!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fid, payload in zip(b["id"], b["payload"]):
+                try:
+                    slides = parse_odp(bytes(payload))
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    continue
+                rows.extend({"id": int(fid), "slide_idx": i,
+                             "slide_count": len(slides), "text": t}
+                            for i, t in enumerate(slides))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in ODP_SLIDE_SCHEMA])
+
+    return df.select("id", "payload").mapInPandas(
+        run, ODP_SLIDE_SCHEMA)
+
+
+def synth_odp(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", files: int = 8) -> DataFrame:
+    """Fixture: documents pack into ``files`` decks (doc_id % files,
+    one slide per doc carrying ``doc:<id>\\n<text>``; every deck also
+    carries presenter-notes paragraphs the reader must SKIP). Emits
+    (id, modality, payload)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, list[str]] = {}
+        for did, t in sorted(docs):
+            groups.setdefault(did % files, []).append(
+                f"doc:{did}\n{t}")
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "odp",
+             "payload": [encode_odp(v) for v in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))

@@ -220,11 +220,11 @@ def test_opc_odf_guards_and_xlsx_route():
                       "visio/document.xml": b"<v/>"})
     with pytest.raises(ValueError, match="unsupported OPC"):
         sniff_container(visio_ish)
-    odp_ish = _zip({
-        "mimetype": b"application/vnd.oasis.opendocument.presentation",
+    odg_ish = _zip({
+        "mimetype": b"application/vnd.oasis.opendocument.graphics",
         "content.xml": b"<c/>"})
     with pytest.raises(ValueError, match="unsupported OCF/ODF"):
-        sniff_container(odp_ish)
+        sniff_container(odg_ish)
     xlsx = write_xlsx({"Sheet1": [["doc:3", None], [1, True]]})
     assert sniff_container(xlsx) == "xlsx"
     rows = _rows_for("xlsx", xlsx)

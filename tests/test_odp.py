@@ -1,0 +1,66 @@
+"""ODP leg (sources/odp.py): page-order slide walk, presenter-note
+skipping, ODF validation rejects, dispatch routing."""
+
+import io
+import zipfile
+
+import pytest
+
+from mycelial_spark.sources import odp as OP
+from mycelial_spark.sources.dispatch import _rows_for, sniff_container
+
+
+def test_roundtrip_and_notes_skipped():
+    slides = ["doc:1\nalpha beta", "doc:2\ngamma", "a\n\nb"]
+    deck = OP.encode_odp(slides)
+    assert OP.parse_odp(deck) == slides
+    # the fixture embeds presenter notes; prove they exist in the XML
+    # yet never reach the extraction
+    zf = zipfile.ZipFile(io.BytesIO(deck))
+    assert b"presenter note" in zf.read("content.xml")
+    assert not any("presenter note" in s for s in OP.parse_odp(deck))
+
+
+def test_rejects():
+    with pytest.raises(ValueError, match="not a ZIP"):
+        OP.parse_odp(b"nonsense")
+    ods_mime = b"application/vnd.oasis.opendocument.spreadsheet"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zi = zipfile.ZipInfo("mimetype")
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, ods_mime)
+        zf.writestr("content.xml", "<c/>")
+    with pytest.raises(ValueError, match="not a .odp"):
+        OP.parse_odp(buf.getvalue())
+    with pytest.raises(ValueError, match="control char"):
+        OP.encode_odp(["bad \x01"])
+
+
+def test_dispatch_route_and_archive_courtesy_messages():
+    deck = OP.encode_odp(["doc:4\nslide body"])
+    assert sniff_container(deck) == "odp"
+    rows = _rows_for("odp", deck)
+    assert rows == [{"format": "odp", "key": "doc:4",
+                     "text": "doc:4\nslide body"}]
+    # 7z / RAR carry actionable messages, not "unrecognized magic"
+    with pytest.raises(ValueError, match="7z archive"):
+        sniff_container(b"7z\xbc\xaf\x27\x1c" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="RAR archive"):
+        sniff_container(b"Rar!\x1a\x07\x00" + b"\x00" * 64)
+
+
+def test_odp_slides_distributed(spark):
+    docs = spark.createDataFrame(
+        [(i, f"body {i}") for i in range(6)],
+        "doc_id long, text string")
+    rows = OP.odp_slides(OP.synth_odp(docs, files=2)).collect()
+    assert len(rows) == 6
+    for r in rows:
+        did = int(r["text"].split("\n")[0].removeprefix("doc:"))
+        assert r["text"] == f"doc:{did}\nbody {did}"
+        assert r["id"] == did % 2
+        assert r["slide_count"] == 3
+    bad = spark.createDataFrame([(1, b"PK\x03\x04junk")],
+                                "id long, payload binary")
+    assert OP.odp_slides(bad, on_error="null").count() == 0

@@ -400,7 +400,8 @@ def test_container_burst_queries_one_exchange(spark):
                  "pdf_extract_attachments", "pdf_extract_text_layout",
                  "pdf_extract_xobject", "html_extract_charset",
                  "mail_extract_attachments", "ods_extract",
-                 "pptx_extract_text", "pdf_extract_annotations"):
+                 "pptx_extract_text", "pdf_extract_annotations",
+                 "odp_extract_text"):
         a = audit(plan_of(spark, name))
         assert a["exchanges"] == 1, f"{name}: {a['exchanges']} exchanges"
         assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0, name
