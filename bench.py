@@ -141,6 +141,7 @@ HEADLINE = [
     "html_extract",
     "html_extract_charset",
     "document_formats_mixed",
+    "office_formats_mixed",
     "zip_extract",
     "tar_extract",
     "mail_extract_attachments",

@@ -2382,6 +2382,59 @@ def ods_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_out"))
 
 
+@query("office_formats_mixed", r"""
+SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INT)
+            WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+            WHEN 2 THEN 'pptx' WHEN 3 THEN 'odt'
+            WHEN 4 THEN 'ods' ELSE 'odp' END AS format,
+       CASE WHEN doc_id % 6 IN (1, 4)
+            THEN replace(regexp_replace(text, '((\S+ ){3}\S+) ',
+                                        '\1' || chr(10), 'g'),
+                         ' ', chr(9))
+            ELSE text END AS text_out
+FROM documents
+""")
+def office_formats_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OFFICE family through ONE dispatch (r12): payloads pack by
+    doc_id % 6 into DOCX / XLSX / PPTX / ODT / ODS / ODP packages — 8
+    files per format, every one a PK ZIP the sniff must disambiguate
+    by its parts or mimetype (OPC main-part overrides, the ODF
+    STORED-first mimetype, the name-order trap inside pptx, presenter
+    notes inside odp, repeat runs inside ods) — and document_records
+    routes each to its reader inside one Arrow batch. Spreadsheet
+    classes emit tab-separated wrapped grids (the shared
+    wrap_words/sheet_text recipe), text classes their stripped body.
+    Companion to document_formats_mixed: that one covers the
+    crawl/mail/archive half, this one the office-package half."""
+    from mycelial_spark.operators.dedup import spread
+    from mycelial_spark.sources.dispatch import document_records
+    from mycelial_spark.sources.docx import synth_docx
+    from mycelial_spark.sources.odp import synth_odp
+    from mycelial_spark.sources.ods import synth_ods
+    from mycelial_spark.sources.odt import synth_odt
+    from mycelial_spark.sources.pptx import synth_pptx
+    from mycelial_spark.sources.xlsx import synth_xlsx_docs
+    docs = spread(_t(spark, sf_dir, "documents"))
+    m = F.col("doc_id") % 6
+    payloads = (synth_docx(docs.filter(m == 0), files=8)
+                .unionByName(synth_xlsx_docs(docs.filter(m == 1),
+                                             files=8))
+                .unionByName(synth_pptx(docs.filter(m == 2), files=8))
+                .unionByName(synth_odt(docs.filter(m == 3), files=8))
+                .unionByName(synth_ods(docs.filter(m == 4), files=8))
+                .unionByName(synth_odp(docs.filter(m == 5), files=8)))
+    recs = document_records(payloads)
+    text_out = F.when(
+        F.col("format").isin("xlsx", "ods"), F.col("text")) \
+        .otherwise(F.expr("substring(text, instr(text, '\\n') + 1)"))
+    return recs.select(
+        F.regexp_extract("key", r"^doc:(\d+)", 1)
+        .cast("long").alias("doc_id"),
+        "format",
+        text_out.alias("text_out"))
+
+
 @query("odp_extract_text", """
 SELECT doc_id,
        CAST(doc_id % 8 AS BIGINT) AS file_id,

@@ -332,7 +332,10 @@ def sheet_text(rows: list[list]) -> str:
     """One sheet as TEXT for the document dispatch: cells
     tab-separated, rows newline-separated, None cells empty, booleans
     as TRUE/FALSE (the spreadsheet convention), numbers via str() —
-    deterministic, so oracle rows can replay it."""
+    deterministic, so oracle rows can replay it. Trailing empty cells
+    trim per row (read_xlsx pads ragged rows to the sheet width; the
+    ods leg's pad-trimming convention applies to the RENDERING here
+    too, so ragged source rows round-trip)."""
     def cell(v) -> str:
         if v is None:
             return ""
@@ -340,4 +343,48 @@ def sheet_text(rows: list[list]) -> str:
             return "TRUE" if v else "FALSE"
         return str(v)
 
-    return "\n".join("\t".join(cell(v) for v in row) for row in rows)
+    lines = []
+    for row in rows:
+        cells = [cell(v) for v in row]
+        while cells and cells[-1] == "":
+            cells.pop()
+        lines.append("\t".join(cells))
+    return "\n".join(lines)
+
+
+def synth_xlsx_docs(df, text_col: str = "text",
+                    id_col: str = "doc_id", files: int = 8):
+    """Dispatch-fixture adapter (r12): documents pack into ``files``
+    workbooks (doc_id % files), one SHEET per doc named ``doc:<id>``
+    whose grid is the text wrapped at 4 words/line (wrap_words), one
+    word per cell — the same SQL-replayable shape as synth_ods, so
+    the two spreadsheet legs share an oracle recipe. Emits
+    (id = file index, modality, payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from mycelial_spark.sources.pdf import wrap_words
+
+    def run(batches: "Iterator[pd.DataFrame]") \
+            -> "Iterator[pd.DataFrame]":
+        docs: list[tuple[int, str]] = []
+        for b in batches:
+            docs.extend((int(d), str(t))
+                        for d, t in zip(b[id_col], b[text_col]))
+        if not docs:
+            return
+        groups: dict[int, dict[str, list[list[str]]]] = {}
+        for did, t in sorted(docs):
+            grid = [line.split(" ")
+                    for line in wrap_words(t).split("\n")]
+            groups.setdefault(did % files, {})[f"doc:{did}"] = grid
+        yield pd.DataFrame(
+            {"id": list(groups.keys()),
+             "modality": "xlsx",
+             "payload": [write_xlsx(s) for s in groups.values()]})
+
+    return (df.select(id_col, text_col)
+            .repartition(files, (df[id_col] % files))
+            .mapInPandas(run,
+                         "id long, modality string, payload binary"))

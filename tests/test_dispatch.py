@@ -229,7 +229,7 @@ def test_opc_odf_guards_and_xlsx_route():
     assert sniff_container(xlsx) == "xlsx"
     rows = _rows_for("xlsx", xlsx)
     assert rows == [{"format": "xlsx", "key": "Sheet1",
-                     "text": "doc:3\t\n1\tTRUE"}]
+                     "text": "doc:3\n1\tTRUE"}]   # ragged row trims
     # an xlsx INSIDE a generic zip routes through the same rung
     rows = _rows_for("zip", _zip({"report.xlsx": xlsx}))
     assert rows[0]["format"] == "xlsx"
