@@ -405,3 +405,12 @@ def test_container_burst_queries_one_exchange(spark):
         a = audit(plan_of(spark, name))
         assert a["exchanges"] == 1, f"{name}: {a['exchanges']} exchanges"
         assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0, name
+
+
+def test_office_formats_mixed_budget(spark):
+    """Six fixture-side file-key repartitions (one per synth) union
+    into ONE dispatch pass — no joins, no extra shuffle beyond the
+    packing exchanges (document_formats_mixed's shape at 6 classes)."""
+    a = audit(plan_of(spark, "office_formats_mixed"))
+    assert a["exchanges"] == 6, a["exchanges"]
+    assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
