@@ -277,3 +277,43 @@ def test_pdf_encrypted_roundtrip_property(pages, mode, flate):
 def test_html_roundtrip_property(text):
     from mycelial_spark.sources import htmldoc as HT
     assert HT.parse_html(HT.encode_html(text)) == text
+
+
+# r12 office legs reuse _XML_TEXT: round-trip or loud rejection,
+# the same contract as the docx/epub/odt properties above
+@settings(max_examples=25, deadline=None)
+@given(slides=st.lists(_XML_TEXT, min_size=1, max_size=4))
+def test_pptx_roundtrip_property(slides):
+    from mycelial_spark.sources import pptx as PX
+    assert PX.parse_pptx(PX.encode_pptx(slides)) == slides
+
+
+@settings(max_examples=25, deadline=None)
+@given(slides=st.lists(_XML_TEXT, min_size=1, max_size=4))
+def test_odp_roundtrip_property(slides):
+    from mycelial_spark.sources import odp as OP
+    assert OP.parse_odp(OP.encode_odp(slides)) == slides
+
+
+@settings(max_examples=25, deadline=None)
+@given(grids=st.dictionaries(
+    st.text(alphabet="abcdef", min_size=1, max_size=8),
+    st.lists(st.lists(_XML_TEXT, min_size=1, max_size=4),
+             min_size=1, max_size=3),
+    min_size=1, max_size=3))
+def test_ods_roundtrip_property(grids):
+    from mycelial_spark.sources import ods as O
+    # the reader trims trailing-empty cells/rows (writer-pad
+    # convention); normalize the expectation the same way
+    want = {}
+    for name, rows in grids.items():
+        trimmed = []
+        for row in rows:
+            r = list(row)
+            while r and r[-1] == "":
+                r.pop()
+            trimmed.append(r)
+        while trimmed and not trimmed[-1]:
+            trimmed.pop()
+        want[name] = trimmed
+    assert O.parse_ods(O.encode_ods(grids)) == want
