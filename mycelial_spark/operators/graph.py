@@ -38,7 +38,8 @@ from pyspark.sql import functions as F
 
 def pagerank(edges: DataFrame, iterations: int = 3,
              damping: float = 0.85, src: str = "src",
-             dst: str = "dst", weight_col: str | None = None) -> DataFrame:
+             dst: str = "dst", weight_col: str | None = None,
+             checkpoint_interval: int = 4) -> DataFrame:
     """PageRank by power iteration over a directed edge list.
 
     rank_0(v)   = 1/N
@@ -55,15 +56,27 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     collapsed (each contributes); pre-``distinct`` the edge list if
     set semantics are wanted. Returns (node, rank); Σ rank = 1 at
     every step (teleport + dangling redistribution).
+
+    ``checkpoint_interval``: lineage is truncated (localCheckpoint)
+    every this-many iterations and at loop end, instead of every
+    iteration — each checkpoint is a full O(state) materialization
+    plus a driver sync, so short runs (the common 3-5 iteration
+    window) now pay exactly ONE; the interval bounds plan depth for
+    long runs. The r12 job audit measured the per-iteration scheme at
+    3 materialization jobs + 2 probe jobs overhead on a 3-iteration
+    run, all but one removed here.
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1); got {damping}")
+    if checkpoint_interval < 1:
+        raise ValueError(
+            f"checkpoint_interval must be >= 1; got {checkpoint_interval}")
 
     # the incoming edge plan may be arbitrarily expensive (a join, a
     # distinct, a filter chain) — materialize it ONCE; nodes, degrees,
-    # the partitioned edge table, and the dangling probe all derive
+    # the partitioned edge table, and the dangling detection all derive
     # from this single evaluation
     if weight_col is not None:
         ed = (edges.select(src, dst, weight_col)
@@ -71,38 +84,57 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                       & (F.col(weight_col) > 0)).persist())
     else:
         ed = edges.select(src, dst).persist()
-    nodes = (ed.select(F.col(src).alias("node"))
-             .union(ed.select(F.col(dst).alias("node")))
-             .distinct().persist())
-    n = nodes.count()
+    # node table WITH the out-edge flag AND the out-degree, ONE
+    # shuffle: max(_o) per node is 1 iff the node has any out-edge,
+    # and summing the src-side weight (NULL on dst rows, so dst
+    # appearances contribute nothing) folds the former separate
+    # ``deg`` aggregation exchange into the same pass. Node count and
+    # dangling count then come from ONE action — the union+distinct
+    # node build, the deg groupBy, and the anti-join dangling probe
+    # job of the per-r11 shape all collapse into this.
+    wcol = F.lit(1) if weight_col is None else F.col(weight_col)
+    w_null = F.when(F.lit(False), wcol)   # typed NULL matching wcol
+    nodes = (ed.select(F.col(src).alias("node"),
+                       F.lit(1).alias("_o"), wcol.alias("_wd"))
+             .union(ed.select(F.col(dst).alias("node"),
+                              F.lit(0).alias("_o"),
+                              w_null.alias("_wd")))
+             .groupBy("node").agg(F.max("_o").alias("_has_out"),
+                                  F.sum("_wd").alias("_outdeg"))
+             .persist())
+    st = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(1 - F.col("_has_out")).alias("n_dangling")).collect()[0]
+    n = int(st["n"]) if st["n"] is not None else 0
     if n == 0:
         ed.unpersist()
-        out = nodes.withColumn("rank", F.lit(0.0)).localCheckpoint()
+        out = (nodes.select("node").withColumn("rank", F.lit(0.0))
+               .localCheckpoint())
         nodes.unpersist()
         return out
-    if weight_col is not None:
-        deg = ed.groupBy(src).agg(F.sum(weight_col).alias("_outdeg"))
-        wcol = F.col(weight_col)
-    else:
-        deg = ed.groupBy(src).agg(F.count(F.lit(1)).alias("_outdeg"))
-        wcol = F.lit(1)
+    has_dangling = bool(st["n_dangling"])
     # pre-partition the read-only edge side on the join key: each
     # iteration then shuffles ONLY the (node, rank) state into this
     # layout — the edge bytes move once, not once per iteration
-    e = (ed.join(deg, src)
+    deg = nodes.filter(F.col("_has_out") == 1) \
+        .select(F.col("node").alias("_dk"), "_outdeg")
+    e = (ed.join(deg, F.col(src) == F.col("_dk"))
          .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
                  wcol.alias("_w"), "_outdeg")
          .repartition(F.col("_src")).persist())
-    out_nodes = deg.select(F.col(src).alias("node")).persist()
-    # dangling nodes are a structural property — detect ONCE; a graph
-    # with none (e.g. any symmetrized edge list) skips the per-iteration
-    # anti-join + aggregate entirely
-    has_dangling = bool(
-        nodes.join(out_nodes, "node", "left_anti").limit(1).count())
 
     teleport = (1.0 - damping) / n
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
+    # state carries (node, _has_out, rank): the flag rides along so the
+    # dangling-mass term is a plain conditional aggregate over the
+    # state — no per-iteration anti-join against a second table.
+    # With dangling nodes the state feeds TWO consumers per iteration
+    # (contribution join + dangling-mass aggregate), so an
+    # un-truncated plan would double each round — checkpoint every
+    # iteration there; the dangling-free path keeps the interval.
+    ckpt_every = 1 if has_dangling else checkpoint_interval
+    ranks = (nodes.select("node", "_has_out")
+             .withColumn("rank", F.lit(1.0 / n)))
+    for i in range(iterations):
         contrib = (e.join(ranks, e["_src"] == ranks["node"])
                    .groupBy("_dst")
                    .agg(F.sum(F.col("rank") * F.col("_w")
@@ -111,9 +143,10 @@ def pagerank(edges: DataFrame, iterations: int = 3,
         new = nodes.join(contrib, nodes["node"] == contrib["_dst"],
                          "left")
         if has_dangling:
-            dang = (ranks.join(out_nodes, "node", "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("_dm")))
+            dang = ranks.agg(
+                F.coalesce(F.sum(F.when(F.col("_has_out") == 0,
+                                        F.col("rank"))),
+                           F.lit(0.0)).alias("_dm"))
             rank_expr = (F.lit(teleport)
                          + F.lit(damping)
                          * (F.coalesce("_contrib", F.lit(0.0))
@@ -123,13 +156,16 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             rank_expr = (F.lit(teleport)
                          + F.lit(damping)
                          * F.coalesce("_contrib", F.lit(0.0)))
-        ranks = (new.select("node", rank_expr.alias("rank"))
-                 .localCheckpoint())
+        ranks = new.select("node", "_has_out", rank_expr.alias("rank"))
+        if (i + 1) % ckpt_every == 0 or i == iterations - 1:
+            # the final state is ALWAYS checkpointed: the persisted
+            # inputs are unpersisted below, so the returned frame must
+            # not depend on their cached blocks
+            ranks = ranks.localCheckpoint()
     ed.unpersist()
     nodes.unpersist()
-    out_nodes.unpersist()
     e.unpersist()
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def degree_stats(edges: DataFrame, src: str = "src",

@@ -1,0 +1,51 @@
+"""Dump .explain("formatted") for named queries to plans/r12/.
+
+Usage: python tools/capture_plans.py before|after query [query ...]
+
+Writes plans/r12/<query>_<tag>.txt. For queries whose operator runs a
+driver loop with localCheckpoint (pagerank, CC), the final frame's plan
+only shows the last leg; those files additionally note the loop
+structure cannot appear in one plan.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mycelial_spark.session import get_spark  # noqa: E402
+from mycelial_spark import queries as Q  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r12")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = {**Q.BENCH_ONLY, **Q.get_queries()}
+    for name in names:
+        fn = registry.get(name)
+        if fn is None:
+            print(f"== {name}: UNKNOWN")
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as e:  # noqa: BLE001
+            print(f"== {name}: ERROR {e}")
+            continue
+        p = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(p, "w") as fh:
+            fh.write(plan)
+        print(f"== {name}: wrote {p} ({plan.count('Exchange')} Exchange refs)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,70 @@
+"""r12 optimization probes: per-phase wall-clock breakdown of the
+heaviest headline queries, using the Spark status tracker's job history
+(UI stays off). Run AFTER the baseline bench so numbers are comparable.
+
+Usage: python tools/phase_probe_r12.py <probe> [...]
+Probes: jobs <query> [runs]  — run query, print per-job wall times
+        expr                 — quality-stack expression microbench
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mycelial_spark.session import get_spark  # noqa: E402
+from mycelial_spark import queries as Q  # noqa: E402
+
+
+def probe_jobs(spark, name: str, runs: int = 2) -> None:
+    registry = {**Q.BENCH_ONLY, **Q.get_queries()}
+    fn = registry[name]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sc = spark.sparkContext
+    for r in range(runs):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        print(f"== {name} run {r}: {wall:.3f}s")
+        spark.catalog.clearCache()
+        jsc = sc._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    # job-level breakdown of the LAST run via the status store
+    store = sc._jsc.sc().statusStore()
+    jobs = store.jobsList(None)
+    n = jobs.size()
+    print(f"-- last {min(n, 60)} jobs (newest first):")
+    for i in range(min(n, 60)):
+        j = jobs.apply(i)
+        sub = j.submissionTime()
+        comp = j.completionTime()
+        try:
+            t_sub = sub.get().getTime()
+            t_comp = comp.get().getTime()
+            dur = (t_comp - t_sub) / 1000.0
+        except Exception:  # noqa: BLE001
+            dur = float("nan")
+        desc = j.description()
+        d = desc.get() if desc.isDefined() else j.name()
+        print(f"   job {j.jobId():>4}  {dur:7.3f}s  stages={j.stageIds().size()}  {str(d)[:90]}")
+
+
+def main() -> None:
+    spark = get_spark("phase-probe-r12",
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    what = sys.argv[1]
+    if what == "jobs":
+        probe_jobs(spark, sys.argv[2],
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    else:
+        raise SystemExit(f"unknown probe {what!r}")
+
+
+if __name__ == "__main__":
+    main()
