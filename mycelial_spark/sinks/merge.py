@@ -117,6 +117,12 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
             .select(*[F.col(f"_w.{c}").alias(c) for c in payload],
                     F.col("_w._op").alias("_op"))
             .withColumn("_kb", _bucket(key_cols, n_buckets))
+            # cluster on the bucket key before materializing: the
+            # created-path write (and the winner election feeding the
+            # merge-path write below) then emits one file per bucket
+            # instead of tasks x buckets shards — the compact()
+            # maintenance shape applied at write time (guide §6)
+            .repartition("_kb")
             .localCheckpoint())
     # Validation + batch stats in ONE aggregate job over the
     # materialized winners (this used to be four separate actions —
@@ -211,7 +217,8 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
                             for c in full_payload],
                           F.col("_w._op").alias("_op"),
                           F.col("_w._kb").alias("_kb")))
-        merged = kept.unionByName(winner, allowMissingColumns=True)                      .localCheckpoint()
+        merged = (kept.unionByName(winner, allowMissingColumns=True)
+                  .repartition("_kb").localCheckpoint())
     rows_live = merged.filter(F.col("_op") != OP_DELETE).count()
     if created:
         # meta BEFORE data: a crash between the two leaves meta + no

@@ -244,12 +244,20 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
             f"rollup_heal(spark, path, source_df) to rebuild the "
             f"affected buckets from the fact table.")
 
+    # repartition on the bucket key BEFORE materializing: the
+    # partitioned write then emits exactly ONE file per touched bucket
+    # instead of (post-shuffle tasks) x (buckets) shards — at cluster
+    # scale that is the small-files discipline (guide §6), and the r12
+    # write probe measured the commit cost scaling with the file count
+    # (242 -> 30 files on the fixture). The moved bytes are the
+    # already-aggregated partials, not the batch.
     part = (batch.withColumn("_tb", _bucket_col(time_col, bucket))
             .transform(lambda d: _partial_agg(d, group_cols,
                                               measure_cols,
                                               distinct_cols,
                                               histogram_cols,
                                               kmv_cols, kmv_hash_mode))
+            .repartition("_tb")
             .localCheckpoint())
     # one aggregate job: row count, null-time guard, touched buckets
     st = part.agg(F.sum("n").alias("rows_in"),
@@ -270,9 +278,10 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     else:
         cur = (spark.read.parquet(table)
                .filter(F.col("_tb").isin(touched)))
-        merged = _combine(cur.unionByName(part), group_cols,
-                          measure_cols, distinct_cols,
-                          histogram_cols, kmv_cols).localCheckpoint()
+        merged = (_combine(cur.unionByName(part), group_cols,
+                           measure_cols, distinct_cols,
+                           histogram_cols, kmv_cols)
+                  .repartition("_tb").localCheckpoint())
     if created:
         fs_write_text(spark, meta_p, json.dumps(want))
     # pending fence BEFORE the swap (see module docstring)
