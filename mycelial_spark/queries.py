@@ -7154,9 +7154,21 @@ PARTSUPP_SQL = """partsupp AS (
 )"""
 
 
-def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = _t(spark, sf_dir, "part").select("p_partkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+def _partsupp(spark: SparkSession, sf_dir: str,
+              parts: DataFrame | None = None,
+              suppliers: DataFrame | None = None) -> DataFrame:
+    """Synthesize the partsupp table, optionally from PRE-FILTERED part
+    / supplier frames. partsupp scales as part x supplier; a query
+    whose downstream joins keep only a filtered slice of either
+    dimension should pass that slice here so the excluded rows are
+    never generated at all — the guide §3.2 'reduce the big side
+    before shuffling it' applied at the synthesis source (r12). The
+    caller's filter must be implied by its own inner joins for this to
+    be an identity (all five TPC-H users qualify)."""
+    p = (parts.select("p_partkey") if parts is not None
+         else _t(spark, sf_dir, "part").select("p_partkey"))
+    s = (suppliers.select("s_suppkey") if suppliers is not None
+         else _t(spark, sf_dir, "supplier").select("s_suppkey"))
     j = p.join(F.broadcast(s),
                (F.col("p_partkey") % 5) == (5 - F.col("s_suppkey") % 5) % 5)
     return j.select(
@@ -7193,7 +7205,6 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part minimum re-joined on equality (min-cost supplier per part
     within a region). Dims broadcast; the total ORDER BY key is unique
     so the LIMIT is deterministic."""
-    ps = _partsupp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -7201,6 +7212,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("p_size").between(1, 25)
                     & (F.col("p_type") == "ECONOMY"))
             .select("p_partkey"))
+    # both dimension filters are applied by inner joins below, so the
+    # synthesis only generates the (ECONOMY-part x ASIA-supplier) slice
+    asia_keys = (sup.join(F.broadcast(nat),
+                          F.col("n_nationkey") == F.col("s_nationkey"))
+                 .join(F.broadcast(reg),
+                       F.col("r_regionkey") == F.col("n_regionkey"))
+                 .select("s_suppkey"))
+    ps = _partsupp(spark, sf_dir, parts=part, suppliers=asia_keys)
     eligible = (ps.join(F.broadcast(sup),
                         F.col("s_suppkey") == F.col("ps_suppkey"))
                 .join(F.broadcast(nat),
@@ -7253,11 +7272,15 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded cent (measured: one cent on one group)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    ps = _partsupp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     part = (_t(spark, sf_dir, "part")
             .filter(F.col("p_name").like("%red%")).select("p_partkey"))
+    # the %red% filter is applied to lineitem by the broadcast join
+    # below AND implied for partsupp by the (partkey, suppkey) equi
+    # join — synthesizing partsupp from the filtered part slice keeps
+    # the non-red ~90% out of the fact-fact shuffle entirely
+    ps = _partsupp(spark, sf_dir, parts=part)
     # partsupp is NOT broadcast: it scales with part x supplier (4M rows
     # at sf0.1, unboundedly large in production) — the lineitem join
     # shuffles on (partkey, suppkey); dims below stay broadcast
@@ -7305,11 +7328,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped frame is reused for both branches). Values are summed in
     exact integer CENTS like q9: a double sum is order-dependent across
     engines and can flip the rounded cent or threshold membership."""
-    ps = _partsupp(spark, sf_dir)
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = (_t(spark, sf_dir, "nation")
            .filter(F.col("n_name") == "NATION_3")
            .select("n_nationkey"))
+    # NATION_3 keeps ~1/25 of suppliers and the join below is inner —
+    # synthesize partsupp from that slice only
+    ps = _partsupp(spark, sf_dir,
+                   suppliers=sup.join(F.broadcast(nat),
+                                      F.col("n_nationkey")
+                                      == F.col("s_nationkey")))
     cents = (F.floor(F.col("ps_supplycost") * 100 + 0.5).cast("bigint")
              * F.col("ps_availqty"))
     g = (ps.join(F.broadcast(sup), F.col("s_suppkey") == F.col("ps_suppkey"))
@@ -7342,12 +7370,14 @@ def q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the 'complaints' exclusion, adapted to the fixture's columns as
     negative account balance), then DISTINCT-count of suppliers per
     (brand, type, size). Anti side broadcasts."""
-    ps = _partsupp(spark, sf_dir)
     part = (_t(spark, sf_dir, "part")
             .filter((F.col("p_brand") != "Brand#2")
                     & ~F.col("p_type").like("ECONOMY%")
                     & F.col("p_size").isin(1, 4, 7, 11, 14, 18, 23, 25))
             .select("p_partkey", "p_brand", "p_type", "p_size"))
+    # the inner join on p_partkey below implies the part filter —
+    # synthesize partsupp from the filtered slice only
+    ps = _partsupp(spark, sf_dir, parts=part)
     bad = (_t(spark, sf_dir, "supplier")
            .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
     return (ps.join(F.broadcast(part),
@@ -7384,9 +7414,11 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped lineitem aggregate equi-joined to partsupp (inner join =
     the NULL-comparison drop of the correlated form), then a DISTINCT
     semi-join filters suppliers in the target nation."""
-    ps = _partsupp(spark, sf_dir)
     red = (_t(spark, sf_dir, "part")
            .filter(F.col("p_name").like("red%")).select("p_partkey"))
+    # the inner join on p_partkey below implies the red% filter —
+    # synthesize partsupp from the filtered slice only
+    ps = _partsupp(spark, sf_dir, parts=red)
     li = _t(spark, sf_dir, "lineitem")
     shipped = (li.filter(
                   (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
