@@ -1242,35 +1242,43 @@ def _erase_marked_spans(df: DataFrame, marked: DataFrame, k: int,
     reassemble affected docs — the shared removal stage of span_dedup
     and span_decontaminate. Returns (id, text, n_tokens_removed) for
     every input doc; untouched docs pass through byte-for-byte."""
-    # localCheckpoint: removed feeds FOUR consumers (count, semi-gate,
-    # anti-join, final join) — without it each branch re-runs the whole
-    # occurrence marking (8 source scans / 14 exchanges at audit);
-    # the removed set is (doc, idx) pairs bounded by corpus tokens and
-    # small on mostly-clean corpora, and the checkpoint blocks free on GC
+    # localCheckpoint: removed feeds three consumers (semi-gate, flag
+    # join, and through them the final join) — without it each branch
+    # re-runs the whole occurrence marking (8 source scans /
+    # 14 exchanges at audit); the removed set is (doc, idx) pairs
+    # bounded by corpus tokens and small on mostly-clean corpora, and
+    # the checkpoint blocks free on GC
     removed = (marked.select(
         F.col(id_col),
         F.explode(F.sequence(F.col("pos0"),
                              F.col("pos0") + (k - 1))).alias("ti"))
         .distinct().localCheckpoint())
-    n_rm = removed.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nrm"))
-    # reassemble ONLY the affected docs (token-index anti-join + ordered
-    # rebuild); untouched docs never leave their original projection
+    # reassemble ONLY the affected docs: semi-gate on the removed doc
+    # set, then ONE left join flags each token instead of the former
+    # anti-join + separate per-doc removal-count aggregation — the
+    # rebuilt text and n_tokens_removed fall out of the same groupBy
+    # (r12: two exchanges and one final join fewer)
     tokidx = (df.select(F.col(id_col),
                         F.posexplode(tokens(F.col(text_col)))
                          .alias("ti", "tok"))
-              .join(n_rm.select(id_col), id_col, "left_semi"))
-    kept = tokidx.join(removed, [id_col, "ti"], "left_anti")
-    rebuilt = (kept.groupBy(id_col)
+              .join(removed.select(id_col), id_col, "left_semi"))
+    flagged = tokidx.join(removed.withColumn("_rm", F.lit(1)),
+                          [id_col, "ti"], "left")
+    rebuilt = (flagged.groupBy(id_col)
                .agg(F.array_join(
                    F.transform(
-                       F.array_sort(F.collect_list(
-                           F.struct(F.col("ti"), F.col("tok")))),
-                       lambda st: st["tok"]), " ").alias("_new")))
+                       F.filter(
+                           F.array_sort(F.collect_list(
+                               F.struct(F.col("ti"), F.col("tok"),
+                                        F.col("_rm")))),
+                           lambda st: st["_rm"].isNull()),
+                       lambda st: st["tok"]), " ").alias("_new"),
+                   F.sum(F.coalesce(F.col("_rm"), F.lit(0)))
+                    .alias("_nrm")))
     return (df.select(id_col, text_col)
-            .join(rebuilt, id_col, "left").join(n_rm, id_col, "left")
+            .join(rebuilt, id_col, "left")
             .select(F.col(id_col),
-                    F.when(F.col("_nrm").isNotNull(),
-                           F.coalesce("_new", F.lit("")))
+                    F.when(F.col("_nrm").isNotNull(), F.col("_new"))
                      .otherwise(F.col(text_col)).alias(text_col),
                     F.coalesce("_nrm", F.lit(0)).cast("int")
                      .alias("n_tokens_removed")))
