@@ -304,19 +304,39 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
               .filter(F.col("u") != F.col("v"))
               .distinct().localCheckpoint())
     for _ in range(max_rounds):
+        # persist the round's degree table: it feeds the convergence
+        # stats AND both semi-joins of the peel — without the cache the
+        # degree aggregation ran twice per round (probe + peel), and
+        # the former separate drop-probe / empty-graph-probe jobs fold
+        # into ONE stats action (min degree doubles as the drop check,
+        # count==0 as the peeled-away check)
         deg = (e.select(F.col("u").alias("node"))
                 .unionAll(e.select(F.col("v").alias("node")))
-                .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
-        drop = deg.filter(F.col("core_deg") < k)
-        if not drop.limit(1).count():
-            return deg
+                .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
+                .persist())
+        row = deg.agg(F.min("core_deg").alias("mn"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        if not row["n"]:
+            deg.unpersist()
+            # graph peeled away entirely: the k-core is empty
+            return (e.select(F.col("u").alias("node"))
+                    .withColumn("core_deg", F.lit(0).cast("bigint"))
+                    .filter(F.lit(False)))
+        if row["mn"] >= k:
+            # fixpoint: every surviving node already has degree >= k.
+            # Return the LAZY aggregation over the checkpointed edge
+            # set (one hash-agg in the caller's action) rather than
+            # paying a separate materialization job here.
+            deg.unpersist()
+            return (e.select(F.col("u").alias("node"))
+                    .unionAll(e.select(F.col("v").alias("node")))
+                    .groupBy("node")
+                    .agg(F.count(F.lit(1)).alias("core_deg")))
         keep = deg.filter(F.col("core_deg") >= k).select("node")
         e = (e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
               .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
               .localCheckpoint())
-        if not e.limit(1).count():
-            # graph peeled away entirely: the k-core is empty
-            return deg.filter(F.lit(False)).select("node", "core_deg")
+        deg.unpersist()
     raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
 
 
