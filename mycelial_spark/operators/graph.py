@@ -213,7 +213,8 @@ def bfs_distances(edges: DataFrame, sources: DataFrame,
     # edge bytes move into the join layout once, not once per hop
     e = (edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
               .distinct().repartition(F.col("_src")).persist())
-    e.count()  # materialize before the loop so persist survives lineage cuts
+    # persist is populated by the first expansion's checkpoint job —
+    # no eager count needed (r12: one job fewer)
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (e.join(frontier.select(F.col("node").alias("_src")), "_src")
@@ -374,7 +375,8 @@ def random_walks(edges: DataFrame, walk_len: int = 4,
                  .withColumn("_deg", F.count(F.lit(1)).over(
                      Window.partitionBy("_u")))
                  .repartition(F.col("_u")).persist())
-    ranked.count()  # materialize so persist survives checkpoint cuts
+    # persist is populated by the first checkpoint job below — no
+    # eager count needed (r12: one job fewer)
     frontier = (ranked.select(F.col("_u").alias("walk_id"))
                       .distinct()
                       .withColumn("node", F.col("walk_id"))
@@ -521,11 +523,16 @@ def label_propagation(edges: DataFrame, iterations: int = 3,
              .distinct()
              .select(F.col("a").alias("_src"), F.col("b").alias("_dst"))
              .repartition(F.col("_src")).persist())
-    sym.count()  # materialize before the loop (survives lineage cuts)
     labels = (sym.select(F.col("_src").alias("node")).distinct()
-                 .withColumn("label", F.col("node"))
-                 .localCheckpoint())
-    for _ in range(iterations):
+                 .withColumn("label", F.col("node")))
+    # lineage truncation every 4 rounds + at loop end, not every round
+    # (the pagerank checkpoint-interval rationale: state is referenced
+    # once per round, so the plan grows linearly between checkpoints,
+    # and a short run pays exactly ONE state materialization; the
+    # persisted sym is populated by the first checkpoint job, so the
+    # former eager sym.count() job is gone too). The final state is
+    # always checkpointed so sym can be unpersisted safely.
+    for i in range(iterations):
         votes = (sym.join(labels, sym["_src"] == labels["node"])
                  .groupBy(F.col("_dst").alias("n2"), "label")
                  .agg(F.count(F.lit(1)).alias("_votes")))
@@ -533,7 +540,8 @@ def label_propagation(edges: DataFrame, iterations: int = 3,
                   .agg(F.min(F.struct((-F.col("_votes")).alias("neg"),
                                       F.col("label").alias("label")))
                        .alias("_w"))
-                  .select("node", F.col("_w.label").alias("label"))
-                  .localCheckpoint())
+                  .select("node", F.col("_w.label").alias("label")))
+        if (i + 1) % 4 == 0 or i == iterations - 1:
+            labels = labels.localCheckpoint()
     sym.unpersist()
     return labels
