@@ -121,9 +121,12 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
             # created-path write (and the winner election feeding the
             # merge-path write below) then emits one file per bucket
             # instead of tasks x buckets shards — the compact()
-            # maintenance shape applied at write time (guide §6)
+            # maintenance shape applied at write time (guide §6).
+            # persist (not localCheckpoint): the stats aggregate below
+            # materializes the cache in the SAME job, and the cache is
+            # released before return once merged state is durable.
             .repartition("_kb")
-            .localCheckpoint())
+            .persist())
     # Validation + batch stats in ONE aggregate job over the
     # materialized winners (this used to be four separate actions —
     # bad-op probe, null-key probe, delete count, bucket list — each a
@@ -152,9 +155,11 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
         F.max(null_key.cast("int")).alias("has_null_key"),
         F.collect_set("_kb").alias("buckets")).collect()[0]
     if st["has_bad_op"]:
+        flat.unpersist()
         raise ValueError(f"{op_col} must be one of I/U/D; got "
                          f"{st['bad_op_example']!r}")
     if st["has_null_key"]:
+        flat.unpersist()
         raise ValueError(f"key columns {key_cols} must be non-null "
                          f"(a NULL key cannot be bucketed or merged)")
     n_del = int(st["n_del"] or 0)
@@ -168,6 +173,7 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
         # partitioned write leaves a schema-less directory (_SUCCESS
         # only) that bricks every later read; and on an existing table
         # there is nothing to do
+        flat.unpersist()
         return {"rows_live": 0, "upserts": 0, "deletes": 0,
                 "buckets_touched": 0, "created": False}
     evolved_now = False
@@ -236,6 +242,7 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
     with dynamic_partition_overwrite(spark):
         (merged.write.mode("overwrite")
          .partitionBy("_kb").parquet(table))
+    flat.unpersist()
     return {"rows_live": int(rows_live), "upserts": int(n_up),
             "deletes": int(n_del), "buckets_touched": len(buckets),
             "created": created}

@@ -251,6 +251,11 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     # write probe measured the commit cost scaling with the file count
     # (242 -> 30 files on the fixture). The moved bytes are the
     # already-aggregated partials, not the batch.
+    # persist + stats in ONE job (the stats aggregate materializes the
+    # cached partials; the former eager localCheckpoint was a second
+    # full pass) — safe to persist here because the partials are
+    # unpersisted below once the merged state is materialized, so
+    # nothing outlives the call
     part = (batch.withColumn("_tb", _bucket_col(time_col, bucket))
             .transform(lambda d: _partial_agg(d, group_cols,
                                               measure_cols,
@@ -258,15 +263,17 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                                               histogram_cols,
                                               kmv_cols, kmv_hash_mode))
             .repartition("_tb")
-            .localCheckpoint())
+            .persist())
     # one aggregate job: row count, null-time guard, touched buckets
     st = part.agg(F.sum("n").alias("rows_in"),
                   F.max(F.col("_tb").isNull().cast("int")).alias("has_null"),
                   F.collect_set("_tb").alias("tbs")).collect()[0]
     if st["rows_in"] is None:
+        part.unpersist()
         return {"buckets_touched": 0, "rows_in": 0, "created": False,
                 "skipped_replay": False}
     if st["has_null"]:
+        part.unpersist()
         raise ValueError(f"{time_col} must be non-null (a NULL "
                          f"timestamp cannot be bucketed)")
     touched = sorted(int(t) for t in st["tbs"])
@@ -274,6 +281,8 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     table = f"{root}/table"
     created = not _exists(spark, table)
     if created:
+        # the created-path write below materializes straight from the
+        # cached partials — no separate checkpoint needed
         merged = part
     else:
         cur = (spark.read.parquet(table)
@@ -289,6 +298,7 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
     fs_write_text(spark, f"{pend_dir}/{pend_id}", json.dumps(touched))
     with dynamic_partition_overwrite(spark):
         merged.write.mode("overwrite").partitionBy("_tb").parquet(table)
+    part.unpersist()
     # _applied BEFORE dropping the pending fence: a crash between the two
     # then leaves pending+applied — an at-least-once redelivery of THIS
     # batch short-circuits on the applied check above, and any OTHER
