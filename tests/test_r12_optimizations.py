@@ -1,0 +1,108 @@
+"""Focused pins for the r12 optimization-round internals changes.
+
+Each test targets a behavior the optimization could plausibly have
+altered: the fused pagerank node/degree/dangling build, the
+checkpoint-interval knob, the distinct-char diversity counting, the
+one-file-per-bucket sink write shape, and the bloom literal probe.
+"""
+
+import glob
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pagerank_checkpoint_interval_equivalence(spark):
+    """Interval=1 (old per-iteration scheme) and the default interval
+    must produce identical ranks — the checkpoint cadence is purely an
+    execution concern."""
+    from mycelial_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)],
+        ["src", "dst"])
+    a = {(r["node"], round(r["rank"], 12))
+         for r in pagerank(edges, iterations=4).collect()}
+    b = {(r["node"], round(r["rank"], 12))
+         for r in pagerank(edges, iterations=4,
+                           checkpoint_interval=1).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        pagerank(edges, checkpoint_interval=0)
+
+
+def test_pagerank_dangling_mass_still_redistributes(spark):
+    """Node 3 is dangling (no out-edges): ranks must still sum to 1 and
+    match the hand-computed fixed-point step — pins the flag-aggregate
+    dangling path that replaced the per-iteration anti-join."""
+    from mycelial_spark.operators.graph import pagerank
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    rows = pagerank(edges, iterations=2).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    assert {r["node"] for r in rows} == {1, 2, 3}
+
+
+def test_char_diversity_metachars_and_repeats(spark):
+    """The replace-length counting must treat characters literally
+    (regex metacharacters included) and reproduce the Simpson
+    complement exactly."""
+    from mycelial_spark.operators.text import with_char_diversity
+    df = spark.createDataFrame(
+        [(1, "..$$.."), (2, "aaaa"), (3, ""), (4, None), (5, "ab")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in with_char_diversity(df).collect()}
+    # "..$$..": n=6, counts {.:4, $:2} -> 1 - (16+4)/36 = 0.444444
+    assert out[1]["n_chars_counted"] == 6
+    assert out[1]["distinct_chars"] == 2
+    assert out[1]["char_diversity"] == pytest.approx(0.444444)
+    assert out[2]["char_diversity"] == 0.0
+    assert out[3]["n_chars_counted"] == 0
+    assert out[3]["char_diversity"] is None
+    assert out[4]["n_chars_counted"] is None
+    assert out[5]["char_diversity"] == pytest.approx(0.5)
+
+
+def test_rollup_write_one_file_per_bucket(spark):
+    """The pre-write repartition on _tb must leave exactly one parquet
+    data file per touched bucket directory (the small-files discipline
+    the r12 round added)."""
+    from mycelial_spark.sinks.rollup import rollup_update
+    df = spark.range(90).selectExpr(
+        "timestamp_seconds(86400 * (id % 3)) AS ts",
+        "concat('t', id % 2) AS event_type",
+        "id AS v")
+    path = tempfile.mkdtemp(prefix="r12_rollup_")
+    rollup_update(df, path, "ts", ["event_type"], ["v"], bucket="day",
+                  batch_id="b0")
+    for d in glob.glob(os.path.join(path, "table", "_tb=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_cdc_merge_write_one_file_per_bucket(spark):
+    from mycelial_spark.sinks.merge import merge_cdc_parquet
+    df = spark.range(64).selectExpr(
+        "id AS k", "id AS seq", "'U' AS op", "id * 2 AS v")
+    path = tempfile.mkdtemp(prefix="r12_cdc_")
+    merge_cdc_parquet(df, path, ["k"], "seq", n_buckets=8)
+    for d in glob.glob(os.path.join(path, "table", "_kb=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+
+def test_bloom_probe_matches_membership(spark):
+    """AND-chain + single array literal probe: all members hit, and a
+    disjoint key range mostly misses (false positives allowed, false
+    negatives never)."""
+    from mycelial_spark.operators.bloom import (bloom_build,
+                                                bloom_might_contain)
+    keys = spark.range(0, 500).selectExpr("id AS k")
+    model = bloom_build(keys, "k")
+    probed = (spark.range(0, 2000).selectExpr("id AS k")
+              .withColumn("hit", bloom_might_contain(model, "k"))
+              .collect())
+    hits = {r["k"] for r in probed if r["hit"]}
+    assert set(range(500)) <= hits          # no false negatives
+    assert len(hits - set(range(500))) < 300  # fp rate sane at m=2^16
