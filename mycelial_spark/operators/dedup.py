@@ -581,12 +581,17 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_col, n_paras, n_kept, cleaned_text).
 
-    Scale shape: three shuffles — explode is narrow; the first-occurrence
-    window partitions by xxhash64(paragraph) (8-byte shuffle key, never
-    the paragraph string — equality modulo 64-bit collisions like every
-    fingerprint path here); reassembly is a groupBy on the doc id whose
-    value rows only carry (pos, para) for KEPT paragraphs. No driver
-    materialization, no all-pairs anything.
+    Scale shape: three shuffles — explode is narrow; the
+    first-occurrence election is a min(struct(id, pos)) PARTIAL
+    aggregate per xxhash64(paragraph) (8-byte shuffle key, never the
+    paragraph string — equality modulo 64-bit collisions like every
+    fingerprint path here) joined back on the hash: a boilerplate
+    paragraph repeated in 10M documents partial-aggregates map-side
+    instead of funneling every occurrence through one row_number
+    window task (the span_dedup election rule, applied here in r12);
+    reassembly is a groupBy on the doc id whose value rows only carry
+    (pos, para) for KEPT paragraphs. No driver materialization, no
+    all-pairs anything.
     """
     from pyspark.sql import Window
     # sep is a LITERAL separator (array_join below re-joins with it
@@ -597,14 +602,17 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                 F.col(id_col),
                 F.posexplode(F.split(F.col(text_col), sep_re))
                  .alias("pos", "para"))
-               .filter(F.trim("para") != ""))
-    w = (Window.partitionBy(F.xxhash64("para"))
-               .orderBy(F.col(id_col), F.col("pos")))
+               .filter(F.trim("para") != "")
+               .withColumn("_ph", F.xxhash64("para")))
     wd = Window.partitionBy(F.col(id_col))
-    flagged = (paras
-               .withColumn("n_paras", F.count(F.lit(1)).over(wd))
-               .withColumn("_rn", F.row_number().over(w)))
-    kept = flagged.filter(F.col("_rn") == 1)
+    firsts = paras.groupBy("_ph").agg(
+        F.min(F.struct(F.col(id_col).alias("i"),
+                       F.col("pos").alias("p"))).alias("_f"))
+    kept = (paras
+            .withColumn("n_paras", F.count(F.lit(1)).over(wd))
+            .join(firsts, "_ph")
+            .filter((F.col(id_col) == F.col("_f.i"))
+                    & (F.col("pos") == F.col("_f.p"))))
     return (kept.groupBy(id_col)
             .agg(F.first("n_paras").alias("n_paras"),
                  F.count(F.lit(1)).alias("n_kept"),
