@@ -177,11 +177,16 @@ def test_redact_pii_is_narrow(spark):
 
 def test_paragraph_dedup_shuffle_budget(spark):
     """Explode is narrow; budget = the doc-count window + the
-    first-occurrence window (hash-keyed) + the reassembly aggregate.
-    No join of any kind — first-occurrence is a window, not a self-join."""
+    first-occurrence election (a min(struct) partial aggregate per
+    paragraph hash, joined back — partial-aggregates map-side and is
+    AQE-skew-splittable, unlike the old row_number window that funneled
+    every copy of a hot boilerplate paragraph through one task) + the
+    reassembly aggregate. Exactly ONE equi-join (the election join-back,
+    broadcast at test SF, SMJ+skew-split at scale); nothing nested-loops."""
     a = audit(plan_of(spark, "paragraph_dedup"))
-    assert a["exchanges"] <= 3, "paragraph_dedup: more shuffles than the 3 stages"
-    assert a["bhj"] + a["smj"] + a["bnlj"] + a["cartesian"] == 0
+    assert a["exchanges"] <= 4, "paragraph_dedup: more shuffles than budgeted"
+    assert a["bhj"] + a["smj"] + a["shj"] == 1, "one election join-back"
+    assert a["bnlj"] + a["cartesian"] == 0
 
 
 def test_q2_dims_broadcast_no_nested_loop(spark):
