@@ -70,7 +70,7 @@ def score_to_query(df: DataFrame, query_vec: list[float],
     """(id, cos_sim) for every row against a constant query vector —
     the ONE place the query-cosine projection (double cast + 6-decimal
     rounding convention) is defined."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     return df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6)
@@ -261,7 +261,7 @@ def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
         offset = 0.0
         for m, c in zip(model["mean"], comp):
             offset += m * c
-        carr = F.array(*[F.lit(float(x)) for x in comp])
+        carr = F.lit([float(x) for x in comp])
         coords.append(F.round(dot(v, carr) - F.lit(float(offset)), 6))
     return df.withColumn(out_col, F.array(*coords))
 
@@ -325,13 +325,11 @@ def _with_assigned_sqdist(df: DataFrame, centroids: list[list[float]],
     centroids ride into codegen as literals."""
     v = F.col(vec_col).cast("array<double>")
     cells = ivf_assign(df, centroids, vec_col)
-    cent_arr = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                         for c in centroids])
+    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
     cc = [sum(float(x) * float(x) for x in c) for c in centroids]
     assigned_c = F.element_at(cent_arr, F.col("ivf_cell") + 1)
     sqd = (dot(v, v) - 2 * dot(v, assigned_c)
-           + F.element_at(F.array(*[F.lit(x) for x in cc]),
-                          F.col("ivf_cell") + 1))
+           + F.element_at(F.lit(cc), F.col("ivf_cell") + 1))
     return cells.withColumn("_sqd", sqd)
 
 
@@ -570,7 +568,7 @@ def _hyperplane(spark, plane: int, dims: int) -> list[float]:
 
 def _hyperplane_sign(vec: Column, h_vals: list[float]) -> Column:
     """sign(v · h) for a literal hyperplane."""
-    h = F.array(*[F.lit(x) for x in h_vals])
+    h = F.lit([float(x) for x in h_vals])
     return F.when(dot(vec, h) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -618,7 +616,7 @@ def lsh_bucket_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     qrow = [float(x) for x in query_vec]
     # compute the query's bucket with the same deterministic hyperplanes
     qdf = bucketed.sparkSession.range(1).select(
-        _F.array(*[_F.lit(x) for x in qrow]).alias("qv"))
+        _F.lit(qrow).alias("qv"))
     qbucket = with_lsh_bucket(qdf, planes, dims, "qv").collect()[0]["lsh_bucket"]
     cand = bucketed.filter(
         F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qbucket)))
@@ -721,7 +719,7 @@ def pq_topk(encoded: DataFrame, query_vec: list[float],
     for j, cb in enumerate(codebooks):
         qs = q[j * sub:(j + 1) * sub]
         table = ((np.array(cb) - qs[None, :]) ** 2).sum(-1)
-        tcol = F.array(*[F.lit(float(x)) for x in table])
+        tcol = F.lit([float(x) for x in table])
         term = F.element_at(tcol, F.element_at(F.col(code_col), j + 1) + 1)
         expr = term if expr is None else expr + term
     return (encoded.select(F.col(id_col), F.round(expr, 6).alias("approx_l2"))
@@ -934,8 +932,7 @@ def _batch_rerank_pq(cand_corpus: DataFrame, pairs: DataFrame, k: int,
     sub = len(codebooks[0][0])
     expr = None
     for j, cb in enumerate(codebooks):
-        cbj = F.array(*[F.array(*[F.lit(float(x)) for x in row])
-                        for row in cb])
+        cbj = F.lit([[float(x) for x in row] for row in cb])
         centroid = F.element_at(cbj, F.element_at(F.col(code_col), j + 1)
                                 + 1)
         qs = F.slice(F.col("pvec"), j * sub + 1, sub)
@@ -1388,7 +1385,7 @@ _dynamic_partition_overwrite = dynamic_partition_overwrite
 
 
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:
-    carr = F.array(*[F.lit(float(x)) for x in centroid])
+    carr = F.lit([float(x) for x in centroid])
     return F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
                        F.lit(0.0).cast("double"), lambda acc, e: acc + e)
 

@@ -1,0 +1,31 @@
+"""Back-to-back noop-sink probe for a list of headline queries in one
+session: prints per-run wall seconds (run 0 = warm-up/compile)."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mycelial_spark.session import get_spark  # noqa: E402
+from mycelial_spark import queries as Q  # noqa: E402
+
+def main():
+    runs = int(os.environ.get("PROBE_RUNS", "3"))
+    spark = get_spark("multi-probe", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = {**Q.BENCH_ONLY, **Q.get_queries()}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    for name in sys.argv[1:]:
+        fn = registry[name]
+        times = []
+        for r in range(runs):
+            spark.sparkContext.setJobDescription(f"probe:{name}:{r}")
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+            spark.catalog.clearCache()
+            jsc = spark.sparkContext._jsc.sc()
+            it = jsc.getPersistentRDDs().values().iterator()
+            while it.hasNext():
+                it.next().unpersist(False)
+        best = min(times[1:]) if len(times) > 1 else times[0]
+        print(f"== {name}: " + " ".join(f"{t:.3f}" for t in times) + f"  best={best:.3f}")
+
+if __name__ == "__main__":
+    main()
