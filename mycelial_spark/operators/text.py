@@ -404,7 +404,7 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text",
     alpha_frac = F.round(
         F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
         / nz_words, 6)
-    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_arr = F.lit(list(GOPHER_STOPWORDS))
     stop_hits = F.size(F.array_intersect(F.array_distinct(
         F.transform(toks, F.lower)), stop_arr))
     flags = {
@@ -577,7 +577,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.array_distinct(tokens(c))
     per_lang: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
+        arr = F.lit(list(markers))
         per_lang[lang] = F.size(F.array_intersect(toks, arr))
     for lang, pattern in LANG_SCRIPTS.items():
         per_lang[lang] = F.regexp_count(c, F.lit(pattern))
@@ -629,8 +629,7 @@ def with_language_mix(df: DataFrame,
 
     def pred(toks: Column) -> Column:
         scores = [F.struct(
-            F.size(F.array_intersect(
-                toks, F.array(*[F.lit(m) for m in markers])))
+            F.size(F.array_intersect(toks, F.lit(list(markers))))
             .alias("score"), F.lit(lang).alias("lang"))
             for lang, markers in sorted(LANG_MARKERS.items())]
         best = F.array_max(F.array(*scores))
@@ -1312,7 +1311,7 @@ def with_term_flags(df: DataFrame, terms: list[str],
     """
     if not terms:
         raise ValueError("terms must be a non-empty list")
-    arr = F.array(*[F.lit(t.lower()) for t in terms])
+    arr = F.lit([t.lower() for t in terms])
     toks = tokens(F.lower(F.col(text_col)))
     if match_distinct:
         n = F.size(F.array_intersect(F.array_distinct(toks), arr))
