@@ -517,9 +517,15 @@ def label_propagation(edges: DataFrame, iterations: int = 3,
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1; got {iterations}")
     ed = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (ed.union(ed.select(F.col("b").alias("a"),
-                              F.col("a").alias("b")))
-             .filter(F.col("a") != F.col("b"))
+    # explode-symmetrize: both orientations from ONE evaluation of the
+    # (possibly expensive) incoming edge plan — the union-of-projections
+    # form computed it twice, once per branch
+    sym = (ed.select(F.explode(F.array(
+                F.struct(F.col("a"), F.col("b")),
+                F.struct(F.col("b").alias("a"), F.col("a").alias("b"))))
+             .alias("_e"))
+             .filter(F.col("_e.a") != F.col("_e.b"))
+             .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
              .distinct()
              .select(F.col("a").alias("_src"), F.col("b").alias("_dst"))
              .repartition(F.col("_src")).persist())

@@ -8774,9 +8774,12 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.col("o_custkey").alias("a"),
                   (F.lit(100000000) + F.col("l_suppkey")).alias("b"))
           .distinct())
-    edges = (e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-             .union(e0.select(F.col("b").alias("src"),
-                              F.col("a").alias("dst"))))
+    # explode-symmetrize: one evaluation of the join+distinct, not two
+    edges = (e0.select(F.explode(F.array(
+                 F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                 F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+              .alias("_e"))
+             .select("_e.src", "_e.dst"))
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
@@ -9839,10 +9842,14 @@ def pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy(F.col("o_custkey").alias("a"),
                    (F.lit(100000000) + F.col("l_suppkey")).alias("b"))
           .agg(F.countDistinct("o_orderkey").alias("w")))
-    edges = (e0.select(F.col("a").alias("src"), F.col("b").alias("dst"),
-                       "w")
-             .unionAll(e0.select(F.col("b").alias("src"),
-                                 F.col("a").alias("dst"), "w")))
+    # symmetrize by exploding both orientations out of ONE e0 row — the
+    # union-of-two-projections form evaluated the whole orders⋈lineitem
+    # countDistinct aggregation twice (once per branch)
+    edges = (e0.select(F.explode(F.array(
+                 F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                 F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+              .alias("_e"), "w")
+             .select("_e.src", "_e.dst", "w"))
     pr = pagerank(edges, iterations=3, damping=0.85, weight_col="w")
     return pr.select("node", F.round("rank", 6).alias("rank"))
 
