@@ -429,9 +429,21 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         # -- small-star on the (hi -> lo) orientation: every smaller
         # neighbor and u itself re-attach to m = min(N⁻(u) ∪ {u})
         ss = large.withColumn("m", F.min("v").over(w))
-        stepped = (ss.filter(F.col("v") != F.col("m"))
-                   .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                   .union(ss.select("u", F.col("m").alias("v")))
+        # emit both small-star outputs from ONE evaluation of the
+        # window chain: the union-of-two-projections form re-computed
+        # the large-star AND small-star windows per branch (4 Window +
+        # 5 Exchange nodes per round measured; explode form halves it)
+        pair = F.when(
+            F.col("v") != F.col("m"),
+            F.array(F.struct(F.col("v").alias("u"),
+                             F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"),
+                             F.col("m").alias("v")))
+        ).otherwise(
+            F.array(F.struct(F.col("u").alias("u"),
+                             F.col("m").alias("v"))))
+        stepped = (ss.select(F.explode(pair).alias("_e"))
+                   .select("_e.u", "_e.v")
                    .filter(F.col("u") != F.col("v"))
                    .distinct().localCheckpoint())
         edges = stepped
