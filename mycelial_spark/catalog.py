@@ -30,6 +30,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # comparisons agree.
 _NANO_TS_COLS = {"events": ("ts",)}
 
+# Schema cache, keyed by (SparkContext id, absolute path): parquet schema
+# INFERENCE re-reads file footers through a session RPC on every
+# spark.read.parquet call — ~100 ms per call measured, multiplied by
+# every table load of every query. The schema is pure metadata derived
+# deterministically from the (immutable) fixture file, so later loads
+# pass it explicitly; no row data is ever cached here, and a fresh
+# process re-infers. At 100 TB this is exactly the catalog's job
+# (declared schemas instead of per-job footer sniffs over thousands of
+# files). Keyed per-context so a schema never leaks across sessions
+# with different reader confs (nanosAsLong).
+_SCHEMA_CACHE: dict[tuple[int, str], T.StructType] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query path flows through here: guarantee executor workers can
@@ -38,9 +50,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ship_package(spark)
     if name in _NANO_TS_COLS:
         # runtime-settable SQL conf; required even when the caller's session
-        # (e.g. the driver's own) was built without session.py's defaults
+        # (e.g. the driver's own) was built without session.py's defaults.
+        # Needed at SCAN time too, not just inference time — keep setting
+        # it even when the schema below comes from the cache.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark.sparkContext), os.path.abspath(path))
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             # integer div: float division loses precision above 2^53 ns
