@@ -317,6 +317,11 @@ def main() -> None:
         # plan, not the sandbox's clock (the r6->r7 1.245x drift lesson).
         "queries_cal_norm": {k: round(v / cal_cpu, 2)
                              for k, v in times.items()},
+        # calibration-normalized TOTAL (total wall / jvm probe): the
+        # first-order environment-speed correction, on the line itself
+        # so the driver's artifact can see drift without bench_full.json
+        # (r12 verdict item #1)
+        "value_cal": round(sum(times.values()) / cal_cpu, 1),
     }
     # the canonical audit trail is the default-SF (driver) run; local
     # iteration at another SF records to its own file so it can neither
@@ -352,6 +357,82 @@ SHUFFLE_CLASS = frozenset((
     "graph_communities", "graph_random_walks", "k_hop_distances",
     "pagerank_trade_graph", "pagerank_weighted_trade",
 ))
+
+
+# FIXED priority order for the stdout line's per-query entries (r12
+# verdict item #1: the old shed-smallest-per-run rule made the printed
+# subset churn with noise — 13 live queries were mis-graded as
+# "dropped_from_bench" and the driver's round-over-round common set
+# collapsed). Order: the r12 driver line's 68 names first (descending
+# r12 time, so a forced shed hits the cheapest, noisiest name), then
+# the 13 names the r12 run shed (restoring them to the comparison),
+# then every other headline query by r12 bench_full time. Names not
+# listed (future additions) rank below all listed ones and shed first,
+# smallest-time first. Times still record for EVERY headline query in
+# bench_full.json — this list only decides who fits the ~2000-char
+# stdout capture window.
+PRINT_PRIORITY = [
+    "pagerank_weighted_trade", "events_returning_users", "pagerank_trade_graph",
+    "events_rollup", "cdc_merge_state", "k_core_trade",
+    "lm_quality_score", "span_dedup", "span_decontaminate",
+    "document_formats_mixed", "boilerplate_remove", "ann_batch_topk",
+    "graph_communities", "dedup_embedding_pairs_lsh", "hard_negatives",
+    "graph_random_walks", "dedup_clusters", "quality_ensemble",
+    "hybrid_search_rrf", "frequent_pairs", "cluster_profile",
+    "events_gapfill", "peak_concurrent_sessions", "paragraph_dedup",
+    "bloom_prune_join", "crawl_frontier_budget", "embedding_outliers",
+    "k_hop_distances", "mail_extract_attachments", "dedup_simhash_pairs",
+    "cross_doc_repetition", "jaccard_join_cross", "office_formats_mixed",
+    "pdf_extract_text_layout", "jaccard_join_prefix", "fuzzy_scores_jw",
+    "rolling_active_users", "embedding_quantize", "ods_extract",
+    "knn_join", "cusum_drift_users", "agg_stats",
+    "decontaminate", "semantic_decontaminate", "compressed_container_extract",
+    "pdf_extract_attachments", "q21_sole_late_supplier", "audio_metadata_audit",
+    "q9_product_profit", "warc_zst_extract", "pdf_extract_xobject",
+    "keyword_search_bm25", "tar_extract", "containment_pairs",
+    "tfidf_keywords", "zip_extract", "fuzzy_link_pairs",
+    "mbox_extract", "source_vocab_overlap_kmv", "pdf_extract_text",
+    "pdf_extract_text_tounicode", "dedup_simhash_pairs_fast", "gopher_quality",
+    "triangle_count", "charset_decode", "decompress_payloads",
+    "drift_psi_events", "latex_extract_text", "redact_pii",
+    "q8_market_share", "interval_join_bucketed", "props_key_profile",
+    "table_profile", "pdf_extract_text_xrefstream", "q10_returned_items",
+    "q2_min_cost_supplier", "language_mix", "q3_top_orders",
+    "annotator_reliability", "q5_region_volume", "eml_extract",
+    "histogram_quantiles", "robots_filter", "phrase_search",
+    "ipynb_extract", "q12_late_lines", "segment_user_overlap_kmv",
+    "skew_salted_join", "recursive_date_spine", "webdataset_extract",
+    "dedup_minhash_pairs", "window_lag_frame", "pdf_extract_annotations",
+    "pptx_extract_text", "recrawl_schedule", "epub_extract_text",
+    "q7_nation_volume", "q18_large_orders", "extract_entities",
+    "main_content_extract", "pack_sequences_bpe", "q17_small_qty_revenue",
+    "robots_crawl_delay", "odt_extract_text", "html_extract_charset",
+    "docx_extract_text", "rolling_anomalies", "odp_extract_text",
+    "rtf_extract_text", "normalize_text", "json_extract",
+    "funnel_conversion_windowed", "doc_fingerprint", "label_majority_vote",
+    "quality_classifier_score", "chunk_documents_bpe", "doc_repetition",
+    "funnel_conversion", "sitemap_extract", "embedding_pca",
+    "q13_order_count_dist", "video_dedup_pairs", "data_contract",
+    "sessionize_events", "warc_extract_text", "charset_declared",
+    "q19_disjunctive", "pack_sequences", "audio_dedup_pairs",
+    "sft_pack_dialogues", "image_dedup_pairs", "zorder_keys",
+    "url_dedup", "image_dedup_pairs_png", "multimodal_features",
+    "compression_ratio", "text_stats", "markdown_extract",
+    "window_rank", "skew_profile", "funnel_latency",
+    "epoch_shuffle_keys", "robots_sitemap_discovery", "similarity_topk",
+    "license_detect", "quality_quantile_normalize", "secret_scan",
+    "mixture_sample_tokens", "blocked_term_scan", "agg_rollup",
+    "asof_join", "events_session_window", "q14_promo_effect",
+    "user_value_trend", "set_ops", "canonical_urls",
+    "rolling_active_users_hll", "event_transition_matrix", "token_topk",
+    "html_extract", "mojibake_score", "latest_per_key",
+    "domain_cap", "q1_pricing_summary", "fim_transform",
+    "preference_pairs", "value_week_over_week", "corpus_diff",
+    "cohort_retention", "source_embedding_centroids", "stratified_fixed_n",
+    "pivot_returnflag", "grouping_sets", "q6_forecast_revenue",
+    "incremental_watermark", "train_test_split", "quality_weighted_sample",
+]
+_PRINT_RANK = {n: i for i, n in enumerate(PRINT_PRIORITY)}
 
 
 def _vs_prev(out: dict, full_path: str) -> dict | None:
@@ -407,29 +488,51 @@ def budget_line(out: dict, budget: int = 1980) -> str:
     and recorded as parsed=null). Keep the line + newline inside that
     window: compact separators, 2-decimal times, calibration as a bare
     [jvm_sec, scan_sec] pair (labeled full-precision forms live in
-    bench_full.json). Calibration and the vs_prev ratios are emitted
-    BEFORE the queries dict and are NEVER dropped — r7's driver artifact
-    lost calibration to the line budget exactly when the drift question
-    needed it. If the suite outgrows the budget, drop the smallest-time
-    queries — their sum is preserved in "value" and the dropped count is
-    declared in "queries_omitted"; no silent truncation. Unit-tested in
+    bench_full.json). Calibration, value_cal and the vs_prev ratios are
+    emitted BEFORE the queries dict and are NEVER dropped — r7's driver
+    artifact lost calibration to the line budget exactly when the drift
+    question needed it. If the suite outgrows the budget, shed queries
+    in FIXED priority order (PRINT_PRIORITY, lowest first) — their sum
+    is preserved in "value" and the shed count is declared in
+    "queries_omitted"; no silent truncation, and the printed subset is
+    STABLE run-over-run so the driver's common-set comparison stops
+    churning (the r12 "dropped_from_bench" mis-grading). Unit-tested in
     tests/test_bench_line.py so the r6 failure mode cannot recur.
     """
-    line_out = {k: out[k] for k in ("metric", "value", "unit", "sf")
+    line_out = {k: out[k] for k in ("metric", "value", "value_cal",
+                                    "unit", "sf")
                 if k in out}
     if out.get("calibration"):
         cal = out["calibration"]
         line_out["calibration"] = (list(cal.values())
                                    if isinstance(cal, dict) else list(cal))
     if out.get("vs_prev"):
-        line_out["vs_prev"] = out["vs_prev"]
+        # compact keys ON THE LINE ONLY (full names stay in
+        # bench_full.json): n=common_n, r=ratio, r_cal=ratio_cal,
+        # n_sh=shuffle_n, r_cal_sh=ratio_cal_shuffle — the ~29 chars
+        # saved keep the full r12 printed query set inside the budget
+        short = {"common_n": "n", "ratio": "r", "ratio_cal": "r_cal",
+                 "shuffle_n": "n_sh", "ratio_cal_shuffle": "r_cal_sh"}
+        line_out["vs_prev"] = {short.get(k, k): v
+                               for k, v in out["vs_prev"].items()}
     line_out["queries"] = {k: round(v, 2)
                            for k, v in out["queries"].items()}
     line = json.dumps(line_out, separators=(",", ":"))
     omitted = 0
     while len(line) > budget and line_out["queries"]:
-        smallest = min(line_out["queries"], key=line_out["queries"].get)
-        del line_out["queries"][smallest]
+        # shed by FIXED priority (PRINT_PRIORITY), lowest rank first —
+        # not smallest-per-run time, which churned the printed subset
+        # with noise and collapsed the driver's round-over-round common
+        # set (r12: 13 live queries mis-graded as dropped). Unlisted
+        # names (future additions) shed before any listed one,
+        # smallest-time first.
+        def _shed_key(q):
+            r = _PRINT_RANK.get(q)
+            if r is None:          # unlisted: shed first, smallest time first
+                return (2, -line_out["queries"][q], q)
+            return (1, r, q)       # listed: shed from the list's tail up
+        shed = max(line_out["queries"], key=_shed_key)
+        del line_out["queries"][shed]
         omitted += 1
         line_out["queries_omitted"] = omitted
         line = json.dumps(line_out, separators=(",", ":"))

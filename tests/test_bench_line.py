@@ -72,10 +72,61 @@ def test_calibration_and_vs_prev_survive_the_budget():
     assert len(line) <= 1980
     d = json.loads(line)
     assert d["calibration"] == [0.4, 0.1]
-    assert d["vs_prev"]["ratio_cal"] == 1.02
+    # keys are compacted on the line (full names in bench_full.json)
+    assert d["vs_prev"]["r_cal"] == 1.02
+    assert d["vs_prev"]["n"] == 120
     assert d["queries_omitted"] > 0
     # ordering: calibration appears before the queries dict in the line
     assert line.index('"calibration"') < line.index('"queries"')
+
+
+def test_shed_order_is_fixed_priority_not_per_run_time():
+    """r12 verdict item #1: the printed subset must be STABLE across
+    runs — shed by PRINT_PRIORITY (tail first), never by this run's
+    smallest time, so the driver's common set stops churning."""
+    from bench import PRINT_PRIORITY
+    out = _out(0)
+    # top-priority names get the SMALLEST times: under the old
+    # shed-smallest rule they would drop; under fixed priority they
+    # must all survive while tail names shed.
+    out["queries"] = {name: 0.5 + i / 100
+                     for i, name in enumerate(PRINT_PRIORITY)}
+    out["value"] = round(sum(out["queries"].values()), 3)
+    line = budget_line(out)
+    d = json.loads(line)
+    assert len(line) <= 1980
+    assert d["queries_omitted"] > 0
+    kept = list(d["queries"])
+    # kept set is exactly a PREFIX of the priority list
+    assert kept == PRINT_PRIORITY[:len(kept)]
+    # the r12 driver line's 68 names are ranks 0..67 — with realistic
+    # 4-char times they must ALL survive (the zero-dropped_from_bench
+    # requirement); this fixture's times are 4-char too
+    assert len(kept) >= 68
+    for name in ("pagerank_weighted_trade", "events_rollup",
+                 "fuzzy_scores_jw", "latex_extract_text"):
+        assert name in d["queries"]
+
+
+def test_unlisted_names_shed_before_any_listed_name():
+    from bench import PRINT_PRIORITY
+    out = _out(0)
+    out["queries"] = {name: 9.99 for name in PRINT_PRIORITY[:60]}
+    out["queries"].update({f"zz_new_query_{i:03d}": 0.01
+                           for i in range(120)})
+    out["value"] = round(sum(out["queries"].values()), 3)
+    d = json.loads(budget_line(out))
+    assert d["queries_omitted"] > 0
+    assert all(n in d["queries"] for n in PRINT_PRIORITY[:60])
+
+
+def test_value_cal_survives_the_budget():
+    out = _out(400)
+    out["value_cal"] = 123.4
+    line = budget_line(out)
+    d = json.loads(line)
+    assert d["value_cal"] == 123.4
+    assert line.index('"value_cal"') < line.index('"queries"')
 
 
 def test_budget_is_hard_even_for_pathological_input():
