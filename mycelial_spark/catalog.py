@@ -30,17 +30,33 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # comparisons agree.
 _NANO_TS_COLS = {"events": ("ts",)}
 
-# Schema cache, keyed by (SparkContext id, absolute path): parquet schema
-# INFERENCE re-reads file footers through a session RPC on every
-# spark.read.parquet call — ~100 ms per call measured, multiplied by
-# every table load of every query. The schema is pure metadata derived
-# deterministically from the (immutable) fixture file, so later loads
-# pass it explicitly; no row data is ever cached here, and a fresh
-# process re-infers. At 100 TB this is exactly the catalog's job
-# (declared schemas instead of per-job footer sniffs over thousands of
-# files). Keyed per-context so a schema never leaks across sessions
-# with different reader confs (nanosAsLong).
-_SCHEMA_CACHE: dict[tuple[int, str], T.StructType] = {}
+# Schema cache, keyed by (applicationId, absolute path, file mtime,
+# file size): parquet schema INFERENCE re-reads file footers through a
+# session RPC on every spark.read.parquet call — ~100 ms per call
+# measured, multiplied by every table load of every query. The schema
+# is pure metadata derived deterministically from the fixture file, so
+# later loads pass it explicitly; no row data is ever cached here, and
+# a fresh process re-infers. At 100 TB this is exactly the catalog's
+# job (declared schemas instead of per-job footer sniffs over thousands
+# of files). Keyed per-application so a schema never leaks across
+# sessions with different reader confs (nanosAsLong); the r12 advice
+# fixes apply here: applicationId instead of id(sparkContext) (CPython
+# can recycle ids after GC) and the file's (mtime_ns, size) in the key
+# so a regenerated fixture at the same path re-infers instead of
+# silently reading with a stale schema.
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
+def _app_id(spark: SparkSession) -> str:
+    # memoized ON the SparkContext object: the applicationId property is
+    # a py4j round trip per call; an attribute dies with the object, so
+    # a recycled id() can never resurrect another context's value
+    sc = spark.sparkContext
+    app = getattr(sc, "_mycelial_app_id", None)
+    if app is None:
+        app = sc.applicationId
+        sc._mycelial_app_id = app
+    return app
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -55,13 +71,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # it even when the schema below comes from the cache.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (id(spark.sparkContext), os.path.abspath(path))
-    cached = _SCHEMA_CACHE.get(key)
+    try:
+        stt = os.stat(path)
+        key = (_app_id(spark), os.path.abspath(path),
+               stt.st_mtime_ns, stt.st_size)
+    except OSError:
+        # non-local path (hdfs/s3/...): no cheap validity probe — skip
+        # the cache rather than risk a stale schema
+        key = None
+    cached = _SCHEMA_CACHE.get(key) if key is not None else None
     if cached is not None:
         df = spark.read.schema(cached).parquet(path)
     else:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     for col in _NANO_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
             # integer div: float division loses precision above 2^53 ns

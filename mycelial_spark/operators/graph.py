@@ -304,7 +304,12 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
                       F.greatest(src, dst).alias("v"))
               .filter(F.col("u") != F.col("v"))
               .distinct().localCheckpoint())
-    for _ in range(max_rounds):
+    # max_rounds + 1 STATS passes around max_rounds PEELS: convergence
+    # (empty graph or min degree >= k) is detected at the TOP of the
+    # round, so the terminal state reached by the max_rounds-th peel
+    # still returns instead of raising (r12 advice: a graph that peels
+    # away entirely on the last allowed round is converged, not stuck)
+    for rnd in range(max_rounds + 1):
         # persist the round's degree table: it feeds the convergence
         # stats AND both semi-joins of the peel — without the cache the
         # degree aggregation ran twice per round (probe + peel), and
@@ -333,12 +338,16 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
                     .unionAll(e.select(F.col("v").alias("node")))
                     .groupBy("node")
                     .agg(F.count(F.lit(1)).alias("core_deg")))
+        if rnd == max_rounds:
+            deg.unpersist()
+            raise RuntimeError(
+                f"k_core did not converge in {max_rounds} rounds")
         keep = deg.filter(F.col("core_deg") >= k).select("node")
         e = (e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
               .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
               .localCheckpoint())
         deg.unpersist()
-    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+    raise AssertionError("unreachable")
 
 
 def random_walks(edges: DataFrame, walk_len: int = 4,

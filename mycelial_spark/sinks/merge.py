@@ -127,6 +127,27 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
             # released before return once merged state is durable.
             .repartition("_kb")
             .persist())
+    # unpersist in finally (r12 advice): an exception from the table
+    # read, the write, rows_live, or a marker RPC must not leak cached
+    # blocks for the session's lifetime
+    try:
+        return _merge_batch(spark, flat, path, key_cols, seq_col, op_col,
+                            payload, meta, schema_evolution, meta_p,
+                            n_buckets)
+    finally:
+        flat.unpersist()
+
+
+def _merge_batch(spark: SparkSession, flat: DataFrame, path: str,
+                 key_cols: list[str], seq_col: str, op_col: str,
+                 payload: list[str], meta: dict | None,
+                 schema_evolution: bool, meta_p: str,
+                 n_buckets: int) -> dict:
+    import json
+
+    from mycelial_spark.fsutil import dynamic_partition_overwrite
+    from mycelial_spark.fsutil import exists as _exists
+    from mycelial_spark.fsutil import fs_write_text
     # Validation + batch stats in ONE aggregate job over the
     # materialized winners (this used to be four separate actions —
     # bad-op probe, null-key probe, delete count, bucket list — each a
@@ -155,11 +176,9 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
         F.max(null_key.cast("int")).alias("has_null_key"),
         F.collect_set("_kb").alias("buckets")).collect()[0]
     if st["has_bad_op"]:
-        flat.unpersist()
         raise ValueError(f"{op_col} must be one of I/U/D; got "
                          f"{st['bad_op_example']!r}")
     if st["has_null_key"]:
-        flat.unpersist()
         raise ValueError(f"key columns {key_cols} must be non-null "
                          f"(a NULL key cannot be bucketed or merged)")
     n_del = int(st["n_del"] or 0)
@@ -173,7 +192,6 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
         # partitioned write leaves a schema-less directory (_SUCCESS
         # only) that bricks every later read; and on an existing table
         # there is nothing to do
-        flat.unpersist()
         return {"rows_live": 0, "upserts": 0, "deletes": 0,
                 "buckets_touched": 0, "created": False}
     evolved_now = False
@@ -242,7 +260,6 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
     with dynamic_partition_overwrite(spark):
         (merged.write.mode("overwrite")
          .partitionBy("_kb").parquet(table))
-    flat.unpersist()
     return {"rows_live": int(rows_live), "upserts": int(n_up),
             "deletes": int(n_del), "buckets_touched": len(buckets),
             "created": created}

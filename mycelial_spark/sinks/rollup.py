@@ -264,52 +264,66 @@ def rollup_update(batch: DataFrame, path: str, time_col: str,
                                               kmv_cols, kmv_hash_mode))
             .repartition("_tb")
             .persist())
-    # one aggregate job: row count, null-time guard, touched buckets
-    st = part.agg(F.sum("n").alias("rows_in"),
-                  F.max(F.col("_tb").isNull().cast("int")).alias("has_null"),
-                  F.collect_set("_tb").alias("tbs")).collect()[0]
-    if st["rows_in"] is None:
-        part.unpersist()
-        return {"buckets_touched": 0, "rows_in": 0, "created": False,
-                "skipped_replay": False}
-    if st["has_null"]:
-        part.unpersist()
-        raise ValueError(f"{time_col} must be non-null (a NULL "
-                         f"timestamp cannot be bucketed)")
-    touched = sorted(int(t) for t in st["tbs"])
+    # unpersist in finally (r12 advice): an exception from the table
+    # read, the write, or a marker RPC must not leak cached blocks for
+    # the session's lifetime
+    try:
+        # one aggregate job: row count, null-time guard, touched buckets
+        st = part.agg(
+            F.sum("n").alias("rows_in"),
+            F.max(F.col("_tb").isNull().cast("int")).alias("has_null"),
+            F.collect_set("_tb").alias("tbs")).collect()[0]
+        if st["rows_in"] is None:
+            return {"buckets_touched": 0, "rows_in": 0, "created": False,
+                    "skipped_replay": False}
+        if st["has_null"]:
+            raise ValueError(f"{time_col} must be non-null (a NULL "
+                             f"timestamp cannot be bucketed)")
+        touched = sorted(int(t) for t in st["tbs"])
 
-    table = f"{root}/table"
-    created = not _exists(spark, table)
-    if created:
-        # the created-path write below materializes straight from the
-        # cached partials — no separate checkpoint needed
-        merged = part
-    else:
-        cur = (spark.read.parquet(table)
-               .filter(F.col("_tb").isin(touched)))
-        merged = (_combine(cur.unionByName(part), group_cols,
-                           measure_cols, distinct_cols,
-                           histogram_cols, kmv_cols)
-                  .repartition("_tb").localCheckpoint())
-    if created:
-        fs_write_text(spark, meta_p, json.dumps(want))
-    # pending fence BEFORE the swap (see module docstring)
-    pend_id = batch_id if batch_id is not None else "anon"
-    fs_write_text(spark, f"{pend_dir}/{pend_id}", json.dumps(touched))
-    with dynamic_partition_overwrite(spark):
-        merged.write.mode("overwrite").partitionBy("_tb").parquet(table)
-    part.unpersist()
-    # _applied BEFORE dropping the pending fence: a crash between the two
-    # then leaves pending+applied — an at-least-once redelivery of THIS
-    # batch short-circuits on the applied check above, and any OTHER
-    # batch hits the fence and heals. The old order (delete fence, then
-    # mark applied) left a window with NEITHER marker, where a redelivery
-    # silently re-merged the batch and double-counted.
-    if batch_id is not None:
-        fs_write_text(spark, f"{root}/_applied/{batch_id}", "")
-    fs.delete(P(f"{pend_dir}/{pend_id}"), False)
-    return {"buckets_touched": len(touched), "rows_in": int(st["rows_in"]),
-            "created": created, "skipped_replay": False}
+        table = f"{root}/table"
+        created = not _exists(spark, table)
+        if created:
+            # the created-path write below materializes straight from
+            # the cached partials — no separate checkpoint needed
+            merged = part
+        else:
+            cur = (spark.read.parquet(table)
+                   .filter(F.col("_tb").isin(touched)))
+            # ONE exchange instead of two (r12 left this as groupBy-
+            # exchange-on-(_tb,groups) THEN repartition-on-_tb): hash
+            # the union by _tb first — HashPartitioning(_tb) satisfies
+            # the combine groupBy's ClusteredDistribution(_tb, groups),
+            # so the aggregate reuses it and the output stays clustered
+            # one-bucket-per-task for the one-file-per-bucket write.
+            # Map-side combine buys nothing here: the union's rows are
+            # already aggregated states (<= 2 per output group).
+            merged = (_combine(cur.unionByName(part).repartition("_tb"),
+                               group_cols, measure_cols, distinct_cols,
+                               histogram_cols, kmv_cols)
+                      .localCheckpoint())
+        if created:
+            fs_write_text(spark, meta_p, json.dumps(want))
+        # pending fence BEFORE the swap (see module docstring)
+        pend_id = batch_id if batch_id is not None else "anon"
+        fs_write_text(spark, f"{pend_dir}/{pend_id}", json.dumps(touched))
+        with dynamic_partition_overwrite(spark):
+            merged.write.mode("overwrite").partitionBy("_tb").parquet(table)
+        # _applied BEFORE dropping the pending fence: a crash between the
+        # two then leaves pending+applied — an at-least-once redelivery of
+        # THIS batch short-circuits on the applied check above, and any
+        # OTHER batch hits the fence and heals. The old order (delete
+        # fence, then mark applied) left a window with NEITHER marker,
+        # where a redelivery silently re-merged the batch and
+        # double-counted.
+        if batch_id is not None:
+            fs_write_text(spark, f"{root}/_applied/{batch_id}", "")
+        fs.delete(P(f"{pend_dir}/{pend_id}"), False)
+        return {"buckets_touched": len(touched),
+                "rows_in": int(st["rows_in"]),
+                "created": created, "skipped_replay": False}
+    finally:
+        part.unpersist()
 
 
 def rollup_heal(spark: SparkSession, path: str, source: DataFrame) -> dict:

@@ -1,10 +1,11 @@
-"""Dump .explain("formatted") for named queries to plans/r12/.
+"""Dump .explain("formatted") for named queries to plans/$PLANS_ROUND/
+(default r13).
 
 Usage: python tools/capture_plans.py before|after query [query ...]
 
-Writes plans/r12/<query>_<tag>.txt. For queries whose operator runs a
-driver loop with localCheckpoint (pagerank, CC), the final frame's plan
-only shows the last leg; those files additionally note the loop
+Writes plans/<round>/<query>_<tag>.txt. For queries whose operator runs
+a driver loop with localCheckpoint (pagerank, CC), the final frame's
+plan only shows the last leg; those files additionally note the loop
 structure cannot appear in one plan.
 """
 
@@ -24,7 +25,8 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r12")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLANS_ROUND", "r13"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
