@@ -122,6 +122,10 @@ def merge_cdc_parquet(changes: DataFrame, path: str, key_cols: list[str],
             # merge-path write below) then emits one file per bucket
             # instead of tasks x buckets shards — the compact()
             # maintenance shape applied at write time (guide §6).
+            # Skew invariant (r13): _kb = pmod(xxhash64(key), n_buckets)
+            # is hash-UNIFORM over keys, so one-task-per-bucket is
+            # balanced by construction; bucket size is keys/n_buckets —
+            # pick n_buckets from table size, never salt this exchange.
             # persist (not localCheckpoint): the stats aggregate below
             # materializes the cache in the SAME job, and the cache is
             # released before return once merged state is durable.
