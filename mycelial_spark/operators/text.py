@@ -1036,12 +1036,41 @@ def rolling_span_hashes(df: DataFrame, text_col: str = "text",
 def char_trigrams(col: Column | str) -> Column:
     """Array of all character trigrams (empty below 3 chars — guarded
     explicitly: Spark's sequence(1, 0) DESCENDS rather than returning
-    empty, which would fabricate trigrams for 1-2 char strings)."""
+    empty, which would fabricate trigrams for 1-2 char strings).
+
+    NOTE: the per-position ``transform`` lambda evaluates INTERPRETED
+    per character — use ``_exploded_trigrams`` (positions explode
+    first, then one codegen substr per row) when the consumer wants the
+    exploded (row per trigram) table anyway; this array form remains
+    for callers that need the array itself."""
     c = F.col(col) if isinstance(col, str) else col
     tg = F.transform(F.sequence(F.lit(1), F.length(c) - 2),
                      lambda i: F.substr(c, i, F.lit(3)))
     return F.when(F.length(c) >= 3, tg) \
             .otherwise(F.array().cast("array<string>"))
+
+
+def _exploded_trigrams(df: DataFrame, text_col: str,
+                       keep: list[str]) -> DataFrame:
+    """(keep..., tg): one row per character trigram, all-JVM. Positions
+    explode FIRST (a codegen Generate over sequence(1, len-2)); the
+    trigram then slices out with one plain codegen ``substr`` per row —
+    no higher-order lambda runs per character (r13 interleaved probe on
+    the sf0.1 corpus, warm: 1.61 s vs 1.92 s for the transform-array
+    form; an Arrow mapInPandas extraction measured 1.77 s — the
+    boundary cost eats the vectorization win, so the all-JVM form is
+    kept). Docs shorter than 3 chars produce no rows (explicit
+    filter — sequence(1, 0) DESCENDS rather than returning empty),
+    exactly like the array form's explode of an empty array."""
+    c = F.col(text_col)
+    return (df.filter(F.length(c) >= 3)
+              .select(*keep,
+                      F.explode(F.sequence(F.lit(1), F.length(c) - 2))
+                       .alias("_i"),
+                      c.alias("_t"))
+              .select(*keep,
+                      F.substr(F.col("_t"), F.col("_i"), F.lit(3))
+                       .alias("tg")))
 
 
 def train_char_lm(df: DataFrame, text_col: str = "text",
@@ -1054,7 +1083,7 @@ def train_char_lm(df: DataFrame, text_col: str = "text",
     (|charset|^3, not corpus size); ``min_count`` prunes the long tail
     so the table stays broadcastable. Deterministic: pure counting.
     """
-    tri = (df.select(F.explode(char_trigrams(F.col(text_col))).alias("tg"))
+    tri = (_exploded_trigrams(df, text_col, keep=[])
            .groupBy("tg").agg(F.count(F.lit(1)).alias("c")))
     if min_count > 1:
         tri = tri.filter(F.col("c") >= min_count)
@@ -1074,7 +1103,11 @@ def char_lm_self_score(df: DataFrame, text_col: str = "text",
     unlike a persist() the caller could never unpersist — and feeds the
     count aggregation, the context totals, and the scoring join; the
     corpus is tokenized a single time instead of once for training and
-    again for scoring (measured ~2x on the end-to-end filter).
+    again for scoring (measured ~2x on the end-to-end filter). The
+    extraction is the codegen ``_exploded_trigrams`` stage — an Arrow
+    mapInPandas extraction was probed and REJECTED (end-to-end wash:
+    3.16 s vs 3.28 s geomean over 3 alternated sf0.1 runs; it would
+    also put Python workers on a previously all-JVM path).
 
     Same result as train_char_lm + score_char_lm at every min_count:
     trigrams pruned from the model (or absent — impossible at
@@ -1083,9 +1116,7 @@ def char_lm_self_score(df: DataFrame, text_col: str = "text",
     left join — an inner join here would silently EXCLUDE a gibberish
     doc's rare trigrams and inflate its score past the fluency gate.
     """
-    tri = df.select(F.col(id_col),
-                    F.explode(char_trigrams(F.col(text_col))).alias("tg")) \
-            .localCheckpoint()
+    tri = _exploded_trigrams(df, text_col, keep=[id_col]).localCheckpoint()
     counts = tri.groupBy("tg").agg(F.count(F.lit(1)).alias("c"))
     if min_count > 1:
         counts = counts.filter(F.col("c") >= min_count)
@@ -1113,8 +1144,7 @@ def score_char_lm(df: DataFrame, model: DataFrame,
     have no trigrams and drop out, exactly like the SQL oracle's join.
     """
     m = F.broadcast(model) if broadcast_model else model
-    tri = df.select(F.col(id_col),
-                    F.explode(char_trigrams(F.col(text_col))).alias("tg"))
+    tri = _exploded_trigrams(df, text_col, keep=[id_col])
     scored = tri.join(m, "tg", "left") \
                 .withColumn("logp", F.coalesce("logp", F.lit(floor_logp)))
     return (scored.groupBy(id_col)

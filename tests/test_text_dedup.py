@@ -553,6 +553,38 @@ def test_char_lm_fused_equals_two_step(spark):
     assert fused2[2][1] < fused[2][1] - 5       # floor dominates gibberish
 
 
+def test_exploded_trigrams_matches_array_form(spark):
+    """r13: the codegen Generate+substr extraction must produce the
+    exact multiset of explode(char_trigrams(...)) — including unicode
+    (substr and Python both slice by codepoint), exactly-3-char docs,
+    under-3-char / empty / NULL docs (no rows), and repeated trigrams
+    (multiset, not set)."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.text import (_exploded_trigrams,
+                                               char_trigrams)
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abc"), (3, "ab"), (4, ""), (5, None),
+         (6, "aaaa"), (7, "héllo wörld"), (8, "日本語のテキスト"),
+         (9, "a\nb\tc d")],
+        "doc_id long, text string")
+    new = _exploded_trigrams(docs, "text", keep=["doc_id"])
+    old = docs.select(F.col("doc_id"),
+                      F.explode(char_trigrams(F.col("text"))).alias("tg"))
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    got = sorted((r["doc_id"], r["tg"]) for r in new.collect())
+    assert got == sorted([
+        (1, "abc"), (1, "bcd"), (2, "abc"),
+        (6, "aaa"), (6, "aaa"),
+        (7, "hél"), (7, "éll"), (7, "llo"), (7, "lo "),
+        (7, "o w"), (7, " wö"), (7, "wör"), (7, "örl"), (7, "rld"),
+        (8, "日本語"), (8, "本語の"), (8, "語のテ"),
+        (8, "のテキ"), (8, "テキス"), (8, "キスト"),
+        (9, "a\nb"), (9, "\nb\t"), (9, "b\tc"), (9, "\tc "),
+        (9, "c d")])
+
+
 def test_span_dedup_removes_repeated_spans_keeps_first(spark):
     from mycelial_spark.operators.dedup import span_dedup
     boiler = "all rights reserved license text applies here fully"   # 8 toks
