@@ -111,10 +111,15 @@ def with_char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
     replace-length trick (native string scans; cost is
     O(len · alphabet) per row inside the scan stage, and the
     higher-order lambda runs once per distinct char, not once per
-    char). Caveat: Spark splits at UTF-16 code units, so astral-plane
-    codepoints (emoji) count as two surrogates; engines that split at
-    codepoints differ there (fixtures are BMP-only; the signal is
-    insensitive to it anyway).
+    char). Rows whose alphabet exceeds 128 distinct characters (CJK,
+    mixed-script — where the replace trick degrades toward O(len²))
+    instead take a run-length fold over the sorted codepoint array:
+    O(len·log len) with one interpreted lambda per character. Both
+    branches compute the identical BIGINT Σ n_c², so the regime switch
+    is invisible in the result. Caveat: Spark splits at UTF-16 code
+    units, so astral-plane codepoints (emoji) count as two surrogates;
+    engines that split at codepoints differ there (fixtures are
+    BMP-only; the signal is insensitive to it anyway).
 
     Appends (n_chars_counted, distinct_chars, char_diversity) —
     diversity NULL for empty/NULL text, 0.0 for a single repeated char.
@@ -137,8 +142,28 @@ def with_char_diversity(df: DataFrame, text_col: str = "text") -> DataFrame:
     cnts = F.transform(
         dis, lambda ch: (F.length(c) - F.length(F.replace(c, ch)))
         .cast("bigint"))
-    fold = F.aggregate(cnts, F.lit(0).cast("bigint"),
-                       lambda acc, k: acc + k * k)
+    fold_replace = F.aggregate(cnts, F.lit(0).cast("bigint"),
+                               lambda acc, k: acc + k * k)
+    # high-alphabet fallback (r13, verdict-flagged): the pre-r12
+    # run-length fold over the SORTED array — equal chars are adjacent,
+    # so on each run boundary bank run² and restart the counter. One
+    # interpreted lambda per character, but no per-distinct-char string
+    # scan, so it wins exactly where the replace trick loses.
+    fold_runs = F.aggregate(
+        F.array_sort(chars),
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).cast("bigint").alias("run"),
+                 F.lit(0).cast("bigint").alias("acc")),
+        lambda st, ch: F.struct(
+            ch.alias("prev"),
+            F.when(st["prev"].eqNullSafe(ch), st["run"] + 1)
+             .otherwise(F.lit(1).cast("bigint")).alias("run"),
+            F.when(st["prev"].eqNullSafe(ch), st["acc"])
+             .otherwise(st["acc"] + st["run"] * st["run"]).alias("acc")),
+        lambda st: st["acc"] + st["run"] * st["run"])
+    # CaseWhen evaluates only the taken branch per row, so each row
+    # pays for exactly one regime
+    fold = F.when(F.size(dis) <= 128, fold_replace).otherwise(fold_runs)
     # split('', '') yields [''] (size 1), so emptiness gates on length
     empty = c.isNull() | (F.length(c) == 0)
     return (df

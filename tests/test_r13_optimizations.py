@@ -1,0 +1,47 @@
+"""Equivalence pins for the round-13 optimization rewrites: each test
+locks an operator's RESULT across an internals change (the oracle gate
+covers the declared queries; these cover the operator seams directly).
+"""
+
+import pytest
+
+
+def _simpson_complement(text: str) -> float:
+    from collections import Counter
+
+    n = len(text)
+    s = sum(c * c for c in Counter(text).values())
+    return round(1.0 - s / (n * n), 6)
+
+
+def test_char_diversity_high_alphabet_regime(spark):
+    """r13: rows with > 128 distinct chars take the run-length-fold
+    branch, rows at or under take the replace-length branch — both must
+    produce the identical Simpson complement, including exactly at the
+    boundary (128 and 129 distinct chars) and for a CJK document."""
+    from mycelial_spark.operators.text import with_char_diversity
+
+    # 0x4E00.. is a solid run of CJK unified ideographs (BMP)
+    cjk_alphabet = "".join(chr(0x4E00 + i) for i in range(200))
+    docs = [
+        (1, cjk_alphabet * 3),                         # 200 distinct, uniform
+        (2, cjk_alphabet + chr(0x4E00) * 100),         # 200 distinct, skewed
+        (3, "".join(chr(0x4E00 + i) for i in range(128)) * 2),   # == 128
+        (4, "".join(chr(0x4E00 + i) for i in range(129)) * 2),   # == 129
+        (5, "the quick brown fox"),                    # Latin regime
+        (6, "aaaa"),
+        (7, ""),
+        (8, None),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in with_char_diversity(df).collect()}
+    for doc_id, text in docs:
+        if not text:
+            assert out[doc_id]["char_diversity"] is None
+            continue
+        assert out[doc_id]["distinct_chars"] == len(set(text))
+        assert out[doc_id]["char_diversity"] == pytest.approx(
+            _simpson_complement(text), abs=1e-6), f"doc {doc_id}"
+    assert out[3]["distinct_chars"] == 128     # replace-trick side
+    assert out[4]["distinct_chars"] == 129     # run-length side
+    assert out[6]["char_diversity"] == 0.0
