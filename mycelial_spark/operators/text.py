@@ -802,7 +802,12 @@ def tfidf_keywords(df: DataFrame, k: int = 5, text_col: str = "text",
     from pyspark.sql import Window
     if k < 1:
         raise ValueError(f"k must be >= 1; got {k}")
-    n_docs = df.count()
+    # N rides the main job as a broadcast 1-row aggregate instead of a
+    # separate df.count() action (r13): one driver sync fewer, and the
+    # count subtree is a zero-column scan. cast(count as double) + 1.0
+    # is the exact same IEEE value as the old 1.0 + float(n_docs)
+    # literal (counts sit far below 2^53).
+    nd = df.agg(F.count(F.lit(1)).cast("double").alias("_n"))
     # tf feeds BOTH join sides (scores and document frequency) — without
     # materialization Spark recomputes the corpus explode+agg twice;
     # localCheckpoint pays the (doc, token) table once (same rule as
@@ -813,13 +818,14 @@ def tfidf_keywords(df: DataFrame, k: int = 5, text_col: str = "text",
           .agg(F.count(F.lit(1)).cast("double").alias("tf"))
           .localCheckpoint())
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df"))) + 1.0
+    idf = F.log((1.0 + F.col("_n")) / (1.0 + F.col("df"))) + 1.0
     w = (Window.partitionBy(id_col)
          .orderBy(F.col("score").desc(), F.col("token").asc()))
     # tf⋈dfreq joins on the token: NOT forced broadcast — a web-scale
     # vocabulary (unique typos/urls) outgrows a broadcast; AQE picks
     # broadcast when dfreq is actually small
     return (tf.join(dfreq, "token")
+            .crossJoin(F.broadcast(nd))
             .withColumn("score", F.round(F.col("tf") * idf, 6))
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
@@ -829,7 +835,8 @@ def tfidf_keywords(df: DataFrame, k: int = 5, text_col: str = "text",
 def keyword_search_bm25(index: DataFrame, df: DataFrame, query: str,
                         k1: float = 1.2, b: float = 0.75,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        ordered: bool = True) -> DataFrame:
     """BM25-ranked keyword search over the positional index — the
     standard IR ranking (Robertson/Sparck Jones):
 
@@ -840,21 +847,32 @@ def keyword_search_bm25(index: DataFrame, df: DataFrame, query: str,
     a per-token count over the pruned postings, |d| and avgdl from one
     narrow pass over the corpus. Everything is codegen arithmetic on
     joined aggregates; the postings scan prunes to the query's tokens.
-    Returns (id_col, score) ordered by score desc, id asc.
+    Returns (id_col, score), ordered by score desc, id asc unless
+    ``ordered=False`` (pass that when a downstream rank window re-sorts
+    anyway — the trailing global sort is then a dead range Exchange).
+
+    Corpus-pass discipline (r13): both multi-consumer frames checkpoint
+    so their subtrees run ONCE. Before, this function tokenized the
+    corpus FOUR times per call — the stats action, the post leg, a
+    Catalyst-duplicated index subtree under dfreq, and the lens join
+    leg (plan-verified, plans/r13/keyword_search_bm25_before.txt).
+    ``lens`` (16 bytes/doc) feeds the stats aggregate and the length
+    join from one pass; the postings checkpoint is pruned to the
+    query's tokens first, so it is O(matching docs), and feeds tf and
+    dfreq from one read.
     """
     toks = sorted({t for t in query.split() if t})
     if not toks:
         raise ValueError("empty query")
     lens = df.select(F.col(id_col), F.size(tokens(F.col(text_col)))
-                     .cast("double").alias("dl"))
-    # N and avgdl in ONE corpus pass (two separate actions would scan
-    # the documents twice before the scored plan even builds)
+                     .cast("double").alias("dl")).localCheckpoint()
     stats = lens.agg(F.count(F.lit(1)).alias("n"),
                      F.avg("dl").alias("avgdl")).collect()[0]
     n_docs, avgdl = stats["n"], stats["avgdl"] or 1.0
     post = (index.filter(F.col("token").isin(toks))
             .select("token", id_col,
-                    F.size("positions").cast("double").alias("tf")))
+                    F.size("positions").cast("double").alias("tf"))
+            .localCheckpoint())
     dfreq = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
@@ -864,9 +882,11 @@ def keyword_search_bm25(index: DataFrame, df: DataFrame, query: str,
                           idf * F.col("tf") * (k1 + 1)
                           / (F.col("tf")
                              + k1 * (1 - b + b * F.col("dl") / avgdl))))
-    return (scored.groupBy(id_col)
-            .agg(F.round(F.sum("_term_score"), 6).alias("score"))
-            .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    out = (scored.groupBy(id_col)
+           .agg(F.round(F.sum("_term_score"), 6).alias("score")))
+    if not ordered:
+        return out
+    return out.orderBy(F.col("score").desc(), F.col(id_col).asc())
 
 
 # tracking query parameters dropped by URL canonicalization

@@ -6931,8 +6931,11 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                keyword_search_bm25)
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
+    # ordered=False: the rank window below re-sorts by the identical
+    # (score desc, doc_id) key, so bm25's trailing global sort would be
+    # a dead range Exchange feeding the window's single-partition one
     bm25 = keyword_search_bm25(build_inverted_index(docs), docs,
-                               "table hash filter")
+                               "table hash filter", ordered=False)
     wb = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     brank = bm25.select("doc_id", F.row_number().over(wb).alias("b_rnk"))
     qrow = emb.filter(F.col("vec_id") == 0).first()

@@ -121,7 +121,11 @@ _NLJ_WHITELIST = {"cross_join", "range_join", "knn_join",
                   # identical kmv_overlap shape over the |sources|-row
                   # token-sketch table (the r7 miss: same operator, same
                   # rationale as segment_user_overlap_kmv)
-                  "source_vocab_overlap_kmv"}
+                  "source_vocab_overlap_kmv",
+                  # r13: the corpus-count 1-row aggregate rides the main
+                  # job as a broadcast cross join (replaced a separate
+                  # df.count() action) — 1-row build side, not n²
+                  "tfidf_keywords"}
 
 
 def test_no_accidental_nested_loop_joins(spark):
@@ -306,10 +310,12 @@ def test_semantic_decontaminate_corpus_never_shuffles(spark):
 def test_tfidf_keywords_shuffle_budget(spark):
     """tf materializes once (localCheckpoint) and feeds both the score
     join and the df aggregate; budget: df agg + join + per-doc window
-    sort. The window partitions on the doc id — corpus-cardinality, no
-    few-group funnel."""
+    sort, plus the corpus-count 1-row aggregate riding the main job as
+    a broadcast cross join (r13 — replaced the separate df.count()
+    action; its BNLJ build side is a single aggregate row, not a
+    cartesian)."""
     a = audit(plan_of(spark, "tfidf_keywords"))
-    assert a["bnlj"] == 0 and a["cartesian"] == 0
+    assert a["bnlj"] == 1 and a["cartesian"] == 0
     assert a["exchanges"] <= 4
 
 

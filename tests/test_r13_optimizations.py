@@ -45,3 +45,26 @@ def test_char_diversity_high_alphabet_regime(spark):
     assert out[3]["distinct_chars"] == 128     # replace-trick side
     assert out[4]["distinct_chars"] == 129     # run-length side
     assert out[6]["char_diversity"] == 0.0
+
+
+def test_bm25_ordered_flag_same_rows(spark):
+    """r13: ordered=False must return the identical (doc, score) set —
+    the flag only drops the trailing global sort (for callers whose
+    rank window re-sorts anyway)."""
+    from mycelial_spark.operators.text import (build_inverted_index,
+                                               keyword_search_bm25)
+    docs = spark.createDataFrame(
+        [(1, "filter hash table scan"), (2, "hash table"),
+         (3, "table table table filter"), (4, "nothing relevant")],
+        ["doc_id", "text"])
+    idx = build_inverted_index(docs)
+    a = keyword_search_bm25(idx, docs, "table hash filter")
+    b = keyword_search_bm25(idx, docs, "table hash filter",
+                            ordered=False)
+    rows_a = sorted((r["doc_id"], r["score"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["score"]) for r in b.collect())
+    assert rows_a == rows_b and len(rows_a) == 3
+    # the ordered form really is ordered
+    got = [r["doc_id"] for r in a.collect()]
+    scores = {r["doc_id"]: r["score"] for r in a.collect()}
+    assert got == sorted(got, key=lambda d: (-scores[d], d))
