@@ -130,11 +130,17 @@ def bloom_might_contain(model: dict, key: Column | str) -> Column:
     chain. The k copies of the constant-folded m/64-word literal cost
     k·m/8 bytes of plan — 24 KB at the max m — which is the right
     trade.)"""
-    # ONE array literal (not CreateArray over m/64 child literals):
-    # the analyzer/optimizer walk every child of a CreateArray per
-    # query compilation, and the r12 probe measured ~1.5 s of pure
-    # driver planning on the 3x1024-child form at m=2^16
-    bitmap = F.lit(list(model["bits"])).cast("array<bigint>")
+    # const_array renders the bitmap as ONE SQL-text literal — F.lit of
+    # a Python list makes one py4j round trip per ELEMENT (m/64 = 1024
+    # trips at the default m), pure driver latency per plan build. (An
+    # r12 comment here mis-attributed the cost to per-child analyzer
+    # walks; F.lit(list) and the parsed text lower to the same
+    # CreateArray, folded to one Literal by ConstantFolding — the real
+    # construction cost is the py4j chatter, and the measured r12 win
+    # was the AND chain replacing the interpreted forall.)
+    from mycelial_spark.operators.similarity import const_array
+    bitmap = const_array([int(w) for w in model["bits"]]) \
+        .cast("array<bigint>")
     probe = None
     for pos in bloom_positions(key, model["m"], model["k"]):
         cond = F.bit_get(

@@ -26,6 +26,88 @@ def dot(a: Column, b: Column) -> Column:
                        F.lit(0.0).cast("double"), lambda acc, v: acc + v)
 
 
+def const_array(vals) -> Column:
+    """Constant array literal built in ONE py4j round trip.
+
+    ``F.lit(list)`` lowers to ``array(*[lit(x) for x in list])`` — one
+    py4j call per ELEMENT, which is pure driver latency at plan-build
+    time: the r13 audit measured knn_join_ivf spending ~1.3 s per call
+    constructing centroid literals (8 cells × 64 dims across two
+    expression arrays) before any job ran. Rendering the literal as SQL
+    text and letting the JVM parse it costs one round trip total; the
+    parsed expression is the same CreateArray the DSL builds (folded to
+    one Literal by ConstantFolding either way), so execution and
+    results are unchanged — only construction latency moves.
+
+    Doubles render via ``repr()``: Python emits the shortest string
+    that round-trips the IEEE value and Java's parseDouble is correctly
+    rounded, so the parsed double is bit-identical to ``F.lit``'s.
+    Ints render as BIGINT (``L``), matching ``F.lit``'s Python-int
+    mapping. Nested sequences render as nested arrays. Anything else —
+    including non-finite floats, which have no SQL literal form, and
+    empty arrays, whose element type the text form cannot pin — falls
+    back to ``F.lit(vals)``.
+    """
+    vals = list(vals)
+    try:
+        return F.expr(_sql_lit(vals))
+    except ValueError:
+        return F.lit(vals)
+
+
+def _sql_lit(v) -> str:
+    """SQL text for a constant (nested) array / double / bigint literal;
+    raises ValueError for anything without an exact SQL spelling."""
+    import math
+    if isinstance(v, (list, tuple)):
+        if not v:
+            raise ValueError("empty nested array")
+        return "array(" + ",".join(_sql_lit(e) for e in v) + ")"
+    if isinstance(v, bool):
+        raise ValueError("bool literal")
+    if isinstance(v, int):
+        if not -(2 ** 63) <= v < 2 ** 63:
+            raise ValueError("int out of bigint range")
+        return f"{v}L"
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError("non-finite double")
+        return repr(v) + "D"
+    raise ValueError(f"unsupported literal type {type(v)}")
+
+
+def _cell_entries(vec_sql: str, centroids) -> Column:
+    """The (distance, cell) struct array over literal centroids as ONE
+    parsed expression. The DSL form (zip_with + aggregate + two lambdas
+    per centroid) costs ~45 ms of py4j chatter PER CENTROID at build
+    time — the r13 ANN audit measured plan construction (not execution)
+    as the largest warm slice of ann_batch_topk; the same tree rendered
+    as SQL text parses in ~1 ms total. Rendered pieces are verbatim the
+    DSL lowering: aggregate's default finish is identity, 0.0D is the
+    DOUBLE init, bare ints are INT literals exactly like F.lit(i), and
+    named_struct yields the identical struct<d:double,c:int> (pinned in
+    tests against the DSL form). Raises ValueError on non-finite
+    centroid values — callers fall back to the DSL build."""
+    structs = ",".join(
+        "named_struct('d', aggregate(zip_with(" + vec_sql + ", "
+        + _sql_lit([float(x) for x in c])
+        + ", (x, y) -> (x - y) * (x - y)), CAST(0.0D AS DOUBLE),"
+        " (acc, e) -> acc + e), 'c', " + str(i) + ")"
+        for i, c in enumerate(centroids))
+    return F.expr("array(" + structs + ")")
+
+
+_IDENT_RE = None
+
+
+def _simple_ident(name: str) -> bool:
+    global _IDENT_RE
+    if _IDENT_RE is None:
+        import re
+        _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+    return bool(_IDENT_RE.match(name))
+
+
 def dot_np(a: Column | str, b: Column | str) -> Column:
     """Arrow-vectorized pairwise dot product (numpy over whole batches).
 
@@ -70,7 +152,7 @@ def score_to_query(df: DataFrame, query_vec: list[float],
     """(id, cos_sim) for every row against a constant query vector —
     the ONE place the query-cosine projection (double cast + 6-decimal
     rounding convention) is defined."""
-    q = F.lit([float(x) for x in query_vec])
+    q = const_array([float(x) for x in query_vec])
     return df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6)
@@ -261,7 +343,7 @@ def pca_project(df: DataFrame, model: dict, vec_col: str = "embedding",
         offset = 0.0
         for m, c in zip(model["mean"], comp):
             offset += m * c
-        carr = F.lit([float(x) for x in comp])
+        carr = const_array([float(x) for x in comp])
         coords.append(F.round(dot(v, carr) - F.lit(float(offset)), 6))
     return df.withColumn(out_col, F.array(*coords))
 
@@ -308,10 +390,18 @@ def ivf_assign(df: DataFrame, centroids: list[list[float]],
     Tie semantics match the chain and the oracle's ORDER BY dist, c:
     lexicographic struct sort keeps the lowest index on equal
     distances."""
-    v = F.col(vec_col).cast("array<double>")
-    entries = F.array(*[
-        F.struct(_sq_l2(v, c).alias("d"), F.lit(i).alias("c"))
-        for i, c in enumerate(centroids)])
+    entries = None
+    if _simple_ident(vec_col):
+        try:
+            entries = _cell_entries(
+                f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)", centroids)
+        except ValueError:
+            entries = None
+    if entries is None:                      # non-finite / exotic name
+        v = F.col(vec_col).cast("array<double>")
+        entries = F.array(*[
+            F.struct(_sq_l2(v, c).alias("d"), F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)])
     return df.withColumn(
         "ivf_cell", F.array_sort(entries).getItem(0).getField("c"))
 
@@ -325,11 +415,11 @@ def _with_assigned_sqdist(df: DataFrame, centroids: list[list[float]],
     centroids ride into codegen as literals."""
     v = F.col(vec_col).cast("array<double>")
     cells = ivf_assign(df, centroids, vec_col)
-    cent_arr = F.lit([[float(x) for x in c] for c in centroids])
+    cent_arr = const_array([[float(x) for x in c] for c in centroids])
     cc = [sum(float(x) * float(x) for x in c) for c in centroids]
     assigned_c = F.element_at(cent_arr, F.col("ivf_cell") + 1)
     sqd = (dot(v, v) - 2 * dot(v, assigned_c)
-           + F.element_at(F.lit(cc), F.col("ivf_cell") + 1))
+           + F.element_at(const_array(cc), F.col("ivf_cell") + 1))
     return cells.withColumn("_sqd", sqd)
 
 
@@ -568,7 +658,7 @@ def _hyperplane(spark, plane: int, dims: int) -> list[float]:
 
 def _hyperplane_sign(vec: Column, h_vals: list[float]) -> Column:
     """sign(v · h) for a literal hyperplane."""
-    h = F.lit([float(x) for x in h_vals])
+    h = const_array([float(x) for x in h_vals])
     return F.when(dot(vec, h) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
@@ -719,7 +809,7 @@ def pq_topk(encoded: DataFrame, query_vec: list[float],
     for j, cb in enumerate(codebooks):
         qs = q[j * sub:(j + 1) * sub]
         table = ((np.array(cb) - qs[None, :]) ** 2).sum(-1)
-        tcol = F.lit([float(x) for x in table])
+        tcol = const_array([float(x) for x in table])
         term = F.element_at(tcol, F.element_at(F.col(code_col), j + 1) + 1)
         expr = term if expr is None else expr + term
     return (encoded.select(F.col(id_col), F.round(expr, 6).alias("approx_l2"))
@@ -879,10 +969,13 @@ def _probe_cell_pairs(pp: DataFrame, centroids: list[list[float]],
     uses (squared L2 ascending, cell index tiebreak — and the oracle's
     ORDER BY list_distance ASC, c ASC: sqrt is monotonic). No shuffle,
     no driver round-trip per probe."""
-    entries = F.array(*[
-        F.struct(_sq_l2(F.col("pvec"), c).alias("d"),
-                 F.lit(i).alias("c"))
-        for i, c in enumerate(centroids)])
+    try:
+        entries = _cell_entries("pvec", centroids)
+    except ValueError:                        # non-finite centroid value
+        entries = F.array(*[
+            F.struct(_sq_l2(F.col("pvec"), c).alias("d"),
+                     F.lit(i).alias("c"))
+            for i, c in enumerate(centroids)])
     top = F.slice(F.array_sort(entries), 1, min(nprobe, len(centroids)))
     return (pp.withColumn("_pc", F.explode(top))
               .withColumn("ivf_cell", F.col("_pc.c"))
@@ -932,7 +1025,7 @@ def _batch_rerank_pq(cand_corpus: DataFrame, pairs: DataFrame, k: int,
     sub = len(codebooks[0][0])
     expr = None
     for j, cb in enumerate(codebooks):
-        cbj = F.lit([[float(x) for x in row] for row in cb])
+        cbj = const_array([[float(x) for x in row] for row in cb])
         centroid = F.element_at(cbj, F.element_at(F.col(code_col), j + 1)
                                 + 1)
         qs = F.slice(F.col("pvec"), j * sub + 1, sub)
@@ -1385,7 +1478,7 @@ _dynamic_partition_overwrite = dynamic_partition_overwrite
 
 
 def _sq_l2(vec: Column, centroid: list[float]) -> Column:
-    carr = F.lit([float(x) for x in centroid])
+    carr = const_array([float(x) for x in centroid])
     return F.aggregate(F.zip_with(vec, carr, lambda x, y: (x - y) * (x - y)),
                        F.lit(0.0).cast("double"), lambda acc, e: acc + e)
 

@@ -47,6 +47,63 @@ def test_char_diversity_high_alphabet_regime(spark):
     assert out[6]["char_diversity"] == 0.0
 
 
+def test_const_array_bitwise_equals_lit(spark):
+    """r13: the one-round-trip SQL-text literal must be BIT-identical
+    to F.lit — repr() round-trips IEEE doubles and Java parseDouble is
+    correctly rounded. Covers awkward values (shortest-repr, subnormal,
+    negative zero, exponent forms), bigints at the boundaries, nesting,
+    and the fallbacks (non-finite, empty, bool)."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import const_array
+    vals = [0.1, 1 / 3, 2.0 ** -1074, -0.0, 1e300, -1.7976931348623157e308,
+            123456789.123456789, 6.02e23, float(2 ** 53), -1e-305]
+    df = spark.range(1)
+    row = df.select(const_array(vals).alias("a"),
+                    F.lit(vals).alias("b")).first()
+    import struct as st
+    assert [st.pack("d", x) for x in row["a"]] \
+        == [st.pack("d", x) for x in row["b"]]
+    ints = [0, 1, -1, 2 ** 63 - 1, -(2 ** 63)]
+    row = df.select(const_array(ints).alias("a"),
+                    F.lit(ints).alias("b")).first()
+    assert list(row["a"]) == list(row["b"]) == ints
+    nested = [[1.5, 2.5], [3.5, 4.5]]
+    row = df.select(const_array(nested).alias("a"),
+                    F.lit(nested).alias("b")).first()
+    assert [list(x) for x in row["a"]] == [list(x) for x in row["b"]]
+    # fallback paths still produce a working literal
+    assert df.select(const_array([float("inf"), 1.0]).alias("a")) \
+             .first()["a"][0] == float("inf")
+    assert list(df.select(const_array([]).alias("a")).first()["a"]) == []
+
+
+def test_ivf_cell_entries_sql_matches_dsl(spark):
+    """r13: ivf_assign/_probe_cell_pairs' SQL-text expression must give
+    the identical cells, types and probe rankings as the DSL build (the
+    fallback path, forced here via a non-finite-robust comparison: we
+    build both forms explicitly)."""
+    from pyspark.sql import functions as F
+
+    from mycelial_spark.operators.similarity import (_cell_entries,
+                                                     _sq_l2)
+    cents = [[0.0, 0.0, 1.0], [1.0, 0.5, -0.25], [0.1, 0.2, 0.3],
+             [-1.5, 2.5, 0.125]]
+    df = spark.createDataFrame(
+        [(1, [0.05, 0.21, 0.33]), (2, [1.0, 0.5, -0.25]),
+         (3, [-2.0, 3.0, 0.0]), (4, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    sql_e = _cell_entries("CAST(`embedding` AS ARRAY<DOUBLE>)", cents)
+    v = F.col("embedding").cast("array<double>")
+    dsl_e = F.array(*[
+        F.struct(_sq_l2(v, c).alias("d"), F.lit(i).alias("c"))
+        for i, c in enumerate(cents)])
+    out = df.select("vec_id", sql_e.alias("a"), dsl_e.alias("b"))
+    assert out.schema["a"].dataType == out.schema["b"].dataType
+    for r in out.collect():
+        assert list(r["a"]) == list(r["b"]), r["vec_id"]
+
+
 def test_bm25_ordered_flag_same_rows(spark):
     """r13: ordered=False must return the identical (doc, score) set —
     the flag only drops the trailing global sort (for callers whose
