@@ -389,9 +389,12 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     the per-node min is a window aggregate over partitionBy(u), which
     spills per-group instead of buffering (a groupBy+rejoin shape would
     shuffle the edges twice per star). ``localCheckpoint`` truncates
-    lineage per round. Convergence is detected by an order-insensitive
-    (count, sum(hash)) checksum of the canonical edge set — one tiny
-    aggregate per round, nothing edge-sized on the driver.
+    lineage per round — LAZY (r13), so the round's convergence checksum
+    is the action that materializes it: ONE driver sync per round
+    instead of a checkpoint job followed by a checksum job. Convergence
+    is detected by an order-insensitive (count, sum(hash)) checksum of
+    the canonical edge set — one tiny aggregate per round, nothing
+    edge-sized on the driver.
 
     ``on_nonconvergence``: "raise" (default) or "warn" when the edge set
     is still moving after ``max_iter`` rounds — never a silent return of
@@ -404,7 +407,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
     init = (pairs.select(F.greatest(src, dst).alias("u"),
                          F.least(src, dst).alias("v"))
                  .filter(F.col("u") != F.col("v")).distinct()
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     edges = init
 
     def checksum(e: DataFrame) -> tuple:
@@ -445,7 +448,7 @@ def connected_components(pairs: DataFrame, src: str = "id_a",
         stepped = (ss.select(F.explode(pair).alias("_e"))
                    .select("_e.u", "_e.v")
                    .filter(F.col("u") != F.col("v"))
-                   .distinct().localCheckpoint())
+                   .distinct().localCheckpoint(eager=False))
         edges = stepped
         cur = checksum(edges)
         if cur == prev:

@@ -303,25 +303,36 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
     e = (edges.select(F.least(src, dst).alias("u"),
                       F.greatest(src, dst).alias("v"))
               .filter(F.col("u") != F.col("v"))
-              .distinct().localCheckpoint())
+              .distinct().localCheckpoint(eager=False))
     # max_rounds + 1 STATS passes around max_rounds PEELS: convergence
     # (empty graph or min degree >= k) is detected at the TOP of the
     # round, so the terminal state reached by the max_rounds-th peel
     # still returns instead of raising (r12 advice: a graph that peels
     # away entirely on the last allowed round is converged, not stuck)
+    prev_deg = None
     for rnd in range(max_rounds + 1):
         # persist the round's degree table: it feeds the convergence
         # stats AND both semi-joins of the peel — without the cache the
         # degree aggregation ran twice per round (probe + peel), and
         # the former separate drop-probe / empty-graph-probe jobs fold
         # into ONE stats action (min degree doubles as the drop check,
-        # count==0 as the peeled-away check)
+        # count==0 as the peeled-away check). The edge checkpoints are
+        # LAZY (r13): this stats collect is the one action per round,
+        # materializing the peeled edge set AND the degree cache
+        # together — previously the eager checkpoint was its own job.
         deg = (e.select(F.col("u").alias("node"))
                 .unionAll(e.select(F.col("v").alias("node")))
                 .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg"))
                 .persist())
         row = deg.agg(F.min("core_deg").alias("mn"),
                       F.count(F.lit(1)).alias("n")).collect()[0]
+        if prev_deg is not None:
+            # the PREVIOUS round's degree cache fed this round's peel
+            # semi-joins, which only just executed inside the stats
+            # action above — unpersisting it before that action would
+            # have forced the degree aggregation to recompute
+            prev_deg.unpersist()
+            prev_deg = None
         if not row["n"]:
             deg.unpersist()
             # graph peeled away entirely: the k-core is empty
@@ -330,9 +341,9 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
                     .filter(F.lit(False)))
         if row["mn"] >= k:
             # fixpoint: every surviving node already has degree >= k.
-            # Return the LAZY aggregation over the checkpointed edge
-            # set (one hash-agg in the caller's action) rather than
-            # paying a separate materialization job here.
+            # Return the LAZY aggregation over the (now materialized)
+            # checkpointed edge set — one hash-agg in the caller's
+            # action rather than a separate materialization job here.
             deg.unpersist()
             return (e.select(F.col("u").alias("node"))
                     .unionAll(e.select(F.col("v").alias("node")))
@@ -345,8 +356,8 @@ def k_core(edges: DataFrame, k: int = 2, src: str = "src",
         keep = deg.filter(F.col("core_deg") >= k).select("node")
         e = (e.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
               .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
-              .localCheckpoint())
-        deg.unpersist()
+              .localCheckpoint(eager=False))
+        prev_deg = deg
     raise AssertionError("unreachable")
 
 
