@@ -833,18 +833,24 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                .select(id_col, "simhash",
                        F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, [F.col("a.chunk") == F.col("b.chunk"),
+    # Hamming verify BEFORE the pair dedup (r13): bit_count(xor) is one
+    # codegen op on columns the join already carries, while
+    # dropDuplicates is a full shuffle of every banded candidate —
+    # narrow chunk keys fan out combinatorially (the 10x6-bit oracle
+    # variant emits ~40x more candidates than true pairs at sf0.1), so
+    # the dedup exchange now moves only verified pairs (each at most
+    # ``bands`` times). Same result: hamming is a pure function of the
+    # pair, so filtering commutes with the dedup.
+    hamming = F.bit_count(F.col("a.simhash")
+                          .bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, [F.col("a.chunk") == F.col("b.chunk"),
                        F.col("a.key") == F.col("b.key"),
                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
+                     hamming.alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
              .dropDuplicates(["id_a", "id_b"]))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.withColumn("hamming", hamming)
-                .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
