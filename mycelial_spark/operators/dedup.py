@@ -596,19 +596,23 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
 
     Returns (id_col, n_paras, n_kept, cleaned_text).
 
-    Scale shape: three shuffles — explode is narrow; the
-    first-occurrence election is a min(struct(id, pos)) PARTIAL
-    aggregate per xxhash64(paragraph) (8-byte shuffle key, never the
-    paragraph string — equality modulo 64-bit collisions like every
-    fingerprint path here) joined back on the hash: a boilerplate
-    paragraph repeated in 10M documents partial-aggregates map-side
-    instead of funneling every occurrence through one row_number
-    window task (the span_dedup election rule, applied here in r12);
-    reassembly is a groupBy on the doc id whose value rows only carry
-    (pos, para) for KEPT paragraphs. No driver materialization, no
-    all-pairs anything.
+    Scale shape: two shuffles of the paragraph frame — explode is
+    narrow and localCheckpointed ONCE (the election and the keep path
+    are two consumers; without it the scan+split+explode ran twice,
+    r13); the first-occurrence election is a min(struct(id, pos))
+    PARTIAL aggregate per xxhash64(paragraph) (8-byte shuffle key,
+    never the paragraph string — equality modulo 64-bit collisions
+    like every fingerprint path here) joined back on the hash: a
+    boilerplate paragraph repeated in 10M documents partial-aggregates
+    map-side instead of funneling every occurrence through one
+    row_number window task (the span_dedup election rule, applied here
+    in r12). The doc's total paragraph count folds into the reassembly
+    groupBy as a conditional aggregate over ALL the doc's rows (kept
+    rows flagged, collect_list skips the NULL structs of removed ones)
+    — the r12 shape paid a third exchange for an n_paras window whose
+    doc partitioning the hash join then destroyed anyway (r13; plan
+    diff in plans/r13/paragraph_dedup_{before,after}.txt).
     """
-    from pyspark.sql import Window
     # sep is a LITERAL separator (array_join below re-joins with it
     # verbatim), so quote it for the regex split — \Q...\E handles any
     # metacharacters a user-configured separator may contain
@@ -618,25 +622,26 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
                 F.posexplode(F.split(F.col(text_col), sep_re))
                  .alias("pos", "para"))
                .filter(F.trim("para") != "")
-               .withColumn("_ph", F.xxhash64("para")))
-    wd = Window.partitionBy(F.col(id_col))
+               .withColumn("_ph", F.xxhash64("para"))
+               .localCheckpoint())
     firsts = paras.groupBy("_ph").agg(
         F.min(F.struct(F.col(id_col).alias("i"),
                        F.col("pos").alias("p"))).alias("_f"))
-    kept = (paras
-            .withColumn("n_paras", F.count(F.lit(1)).over(wd))
-            .join(firsts, "_ph")
-            .filter((F.col(id_col) == F.col("_f.i"))
-                    & (F.col("pos") == F.col("_f.p"))))
-    return (kept.groupBy(id_col)
-            .agg(F.first("n_paras").alias("n_paras"),
-                 F.count(F.lit(1)).alias("n_kept"),
+    keep = (F.col(id_col) == F.col("_f.i")) & (F.col("pos") == F.col("_f.p"))
+    return (paras.join(firsts, "_ph")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_paras"),
+                 F.count(F.when(keep, True)).alias("n_kept"),
                  F.array_join(
                      F.transform(
                          F.array_sort(F.collect_list(
-                             F.struct(F.col("pos"), F.col("para")))),
+                             F.when(keep, F.struct(F.col("pos"),
+                                                   F.col("para"))))),
                          lambda s: s["para"]),
-                     sep).alias("cleaned_text")))
+                     sep).alias("cleaned_text"))
+            # a doc whose every paragraph first occurred elsewhere had
+            # no surviving rows in the old shape — keep that contract
+            .filter(F.col("n_kept") > 0))
 
 
 def boilerplate_remove(df: DataFrame, id_col: str = "doc_id",
